@@ -11,13 +11,25 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // micros (not INT96) so DuckDB/pandas read back the exact instants
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // session TZ is UTC, so LTZ->NTZ keeps the instant; NTZ parquet
+        // matches DuckDB's naive timestamps byte-for-byte in the compare
+        val ntz = df.select(df.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toSeq: _*)
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
