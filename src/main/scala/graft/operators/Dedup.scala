@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite for training-data pipelines:
+  * exact (hash-group), n-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup = one hash aggregation on a digest key (map-side combine).
+  *  - pairwise Jaccard is only ever computed inside a *blocking* key
+  *    (explicit block columns, or LSH band buckets) — never a global
+  *    cross-join. The LSH path is the 100 TB route: signature generation is
+  *    per-row (no shuffle), band explosion multiplies rows by #bands, and
+  *    candidate pairing is an equi-join on (band, bandHash) that AQE can
+  *    re-plan for skewed buckets.
+  *  - all hashes are int64 mod 1e9+7 so every product stays < 2^63 and the
+  *    DuckDB oracle can reproduce them exactly.
+  */
+object Dedup {
+  val P: Long = TextAnalysis.HashMod
+
+  /** MinHash parameter schedule: hash_i(x) = (a_i * x + b_i) mod P with
+    * a_i,b_i derived deterministically from i. Shared with the oracle SQL
+    * (the literals are interpolated into it from these same functions). */
+  def aCoef(i: Int): Long = (i.toLong * 2654435761L) % P + 1
+  def bCoef(i: Int): Long = (i.toLong * 40503L * 65537L) % P
+
+  /** Exact dedup: canonical (min) id + copy count per content digest. */
+  def exactDedup(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(md5(textCol).as("digest"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct 3-gram shingles hashed to int64 (polyHash per shingle). */
+  def shingleHashes(textCol: Column, n: Int = 3): Column =
+    transform(TextAnalysis.charNgrams(textCol, n), s => TextAnalysis.polyHash(s))
+
+  /** MinHash signature as k scalar columns mh0..mh{k-1} over the hashed
+    * shingle set in column `xs`. */
+  def minhashCols(xs: Column, k: Int): Seq[(String, Column)] =
+    (0 until k).map { i =>
+      s"mh$i" -> array_min(transform(xs, x => (lit(aCoef(i)) * x + lit(bCoef(i))) % P))
+    }
+
+  /** LSH band hash for band b of r consecutive minhashes. */
+  def bandHash(sig: Seq[Column], b: Int, r: Int): Column =
+    (b * r until (b + 1) * r).map(sig(_)).reduce((h, m) => (h * 31 + m) % P)
+
+  /** Jaccard of two distinct-element arrays: |A∩B| / |A∪B| as a single
+    * int/int division (bit-stable across engines). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Blocked pairwise n-gram Jaccard near-dup pairs (doc_a < doc_b,
+    * jaccard >= threshold). `blockCols` bound the quadratic blow-up; use
+    * [[lshNearDupPairs]] when no natural blocking key exists. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(
+      (col(idCol).as("doc") +: blockCols.map(col)) :+
+        TextAnalysis.charNgrams(col(textCol), n).as("shingles"): _*)
+    val a = sh.select(col("doc").as("doc_a") +: col("shingles").as("sa") +:
+      blockCols.map(col): _*)
+    val b = sh.select(col("doc").as("doc_b") +: col("shingles").as("sb") +:
+      blockCols.map(col): _*)
+    a.join(b, blockCols).where(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .where(col("jaccard") >= threshold)
+      .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+ col("jaccard"): _*)
+  }
+
+  /** MinHash signatures (k columns) per document. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val withShingles = df.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol)).as("xs"))
+    withShingles.select(col("doc_id") +: minhashCols(col("xs"), k).map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** The scalable near-dup path: LSH banding over minhash signatures ->
+    * candidate pairs sharing >= 1 band -> verified n-gram Jaccard filter.
+    * One explode (x bands) + one equi-join on (band, hash); no block scan.
+    */
+  def lshNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val sh = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.charNgrams(col(textCol), 3).as("shingles"))
+      .withColumn("xs", transform(col("shingles"), s => TextAnalysis.polyHash(s)))
+    val sigCols = minhashCols(col("xs"), k)
+    val sig = sh.select(col("doc_id") +: col("shingles") +: sigCols.map { case (n, c) => c.as(n) }: _*)
+    val sigRef = (0 until k).map(i => col(s"mh$i"))
+    val banded = sig.select(col("doc_id"), col("shingles"),
+      explode(array((0 until bands).map(bi =>
+        struct(lit(bi).as("band"), bandHash(sigRef, bi, r).as("bh"))): _*)).as("b"))
+      .select(col("doc_id"), col("shingles"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("band"), col("bh"))
+    val rr = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("band"), col("bh"))
+    l.join(rr, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash over distinct whitespace tokens: bit j set iff more
+    * than half the token hashes have bit j set. */
+  def simhash16(textCol: Column): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(textCol))
+    val hs = transform(toks, t => TextAnalysis.polyHash(t) % 65536)
+    val n = size(toks)
+    (0 until 16).map { j =>
+      val pow = 1L << j
+      when(lit(2) * size(filter(hs, h => (h.cast("long") / pow).cast("long") % 2 === 1)) > n, lit(pow))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * The dot product is a left-to-right `aggregate` fold over `zip_with`
+  * products on double-cast elements — the identical operation sequence the
+  * DuckDB oracle performs (list_reduce over a comprehension), so results
+  * are bit-identical; ranking keys are additionally rounded to 6 decimals
+  * to keep orderings stable across engines.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) probe set and
+  * scans the corpus once — embarrassingly parallel, no shuffle until the
+  * final per-probe top-k (a windowed rank over probe partitions; with
+  * k<<corpus this is the textbook map-side-rankable pattern). The LSH
+  * variant buckets vectors by random-hyperplane sign bits so candidate
+  * generation is an equi-join on the bucket key — the 100 TB path.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each probe vector the k nearest corpus
+    * vectors (self excluded), ranked by (round(cos,6) desc, id). */
+  def bruteForceTopK(
+      probes: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane component for (plane i,
+    * dim j) — shared with any oracle via pure integer arithmetic. */
+  def planeSign(i: Int, j: Int): Int =
+    if (((i.toLong * 2654435761L + j.toLong * 40503L) % 7919L) % 2 == 0) 1 else -1
+
+  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits of dot products
+    * with fixed ±1 hyperplanes. Vectors in the same bucket are candidate
+    * neighbors; probing adjacent buckets (1-bit flips) raises recall. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { i =>
+      val proj = (0 until dim).map { j =>
+        element_at(vec, j + 1).cast("double") * planeSign(i, j)
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: equi-join probes to corpus on bucket id, then exact
+    * cosine rank within candidates. Trades recall for a shuffle-free
+    * candidate scan — the scale path when the corpus no longer fits a
+    * broadcast×scan budget. */
+  def lshTopK(
+      probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+    val scored = c.join(broadcast(p), "bucket")
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
+  }
+
+  /** Element-wise centroid per group as exact scaled-integer sums:
+    * (group, dim, sum(round(v*1e6)), n) — FP-order-independent, so safe
+    * under any shuffle order AND hash-comparable against the oracle. */
+  def centroidScaledSums(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), (col("pos") + 1).as("dim"))
+      .agg(
+        sum(round(col("v").cast("double") * 1000000).cast("long")).as("sum_scaled"),
+        count(lit(1)).as("n"))
+
+  /** Embedding-cosine near-duplicate pairs within a blocking column. */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"), col(blockCol))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col(blockCol))
+    a.join(b, blockCol).where(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col(blockCol), col("cos_sim"))
+  }
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`:
+  * dedup suite (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (lang-ID,
+  * quality, token counting, fingerprinting).
+  *
+  * The oracle SQL recomputes every hash/fold with the *same* integer
+  * arithmetic (coefficients interpolated from the same Scala constants),
+  * so the DuckDB comparison is exact.
+  */
+object LlmQueries {
+  private val P = TextAnalysis.HashMod
+
+  /** DuckDB: distinct 3-gram shingle list of `text`. */
+  private val SHINGLES_SQL =
+    "list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)])"
+
+  /** DuckDB: poly rolling hash of string expr `s` (seed 7, mod P). */
+  private def polySql(s: String, len: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"[CAST(ord(substr($s, j, 1)) AS BIGINT) FOR j IN range(1, $len + 1)]), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+
+  /** DuckDB: minhash columns mh0..mh{k-1} from hashed-shingle list `xs`. */
+  private def minhashSqlCols(k: Int): String =
+    (0 until k).map(i =>
+      s"list_min([(${Dedup.aCoef(i)} * x + ${Dedup.bCoef(i)}) % $P FOR x IN xs]) AS mh$i")
+      .mkString(",\n    ")
+
+  private val SIG_CTE =
+    s"""sh AS (SELECT doc_id, $SHINGLES_SQL AS shingles FROM documents),
+       |hx AS (SELECT doc_id, [${polySql("s", "len(s)")} FOR s IN shingles] AS xs FROM sh),
+       |sig AS (SELECT doc_id, ${minhashSqlCols(8)} FROM hx)""".stripMargin
+
+  /** DuckDB: left-fold dot product of 64-dim float lists (double cast). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, 65)], (x, y) -> x + y)"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: hash-group on content digest ----------------------
+    QueryDef.sqlBacked(
+      "q22_dedup_exact",
+      """SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.exactDedup(Tables.documents(s, d), col("doc_id"), col("text"))
+    },
+
+    // ---- text stats: token counts, subword estimate, quality score ------
+    QueryDef.sqlBacked(
+      "q23_text_stats",
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+        |  len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subword,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS stop_hits,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+        |    / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) * 0.4
+        |  + CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]')) AS DOUBLE)
+        |    / CAST(length(lower(trim(text))) AS DOUBLE) * 0.4
+        |  + (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    AS quality
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.subwordCount(col("text")).as("n_subword"),
+        TextAnalysis.markerHits(TextAnalysis.tokens(col("text")),
+          Seq("the", "a", "of", "and", "is")).as("stop_hits"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
+    // ---- language-ID heuristic (marker-word argmax) ---------------------
+    QueryDef.sqlBacked(
+      "q24_lang_guess",
+      {
+        val hitCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          val list = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
+        }.mkString(",\n    ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN h_$l = $best AND h_$l > 0 THEN '$l'").mkString(" ")
+        s"""SELECT doc_id, lang, CASE $cases ELSE 'und' END AS guessed FROM (
+           |  SELECT doc_id, lang, $hitCols
+           |  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))""".stripMargin
+      }) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langGuess(TextAnalysis.tokens(col("text"))).as("guessed"))
+    },
+
+    // ---- rolling-hash document fingerprint ------------------------------
+    QueryDef.sqlBacked(
+      "q25_fingerprint",
+      s"""SELECT doc_id, ${polySql("lower(trim(text))", "length(lower(trim(text)))")} AS fp,
+         |  length(text) AS n_chars_raw
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.polyHash(TextAnalysis.normText(col("text"))).as("fp"),
+        length(col("text")).cast("long").as("n_chars_raw"))
+    },
+
+    // ---- blocked n-gram Jaccard near-dup pairs --------------------------
+    QueryDef.sqlBacked(
+      "q26_ngram_jaccard",
+      s"""SELECT doc_a, doc_b, lang, source, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang, a.source AS source,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
+         |  FROM (SELECT doc_id, lang, source, $SHINGLES_SQL AS s FROM documents) a
+         |  JOIN (SELECT doc_id, lang, source, $SHINGLES_SQL AS s FROM documents) b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        Seq("lang", "source"), n = 3, threshold = 0.5)
+    },
+
+    // ---- MinHash signatures (k=8) ---------------------------------------
+    QueryDef.sqlBacked(
+      "q27_minhash_sig",
+      s"""WITH $SIG_CTE
+         |SELECT * FROM sig""".stripMargin) { (s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", k = 8)
+    },
+
+    // ---- MinHash + LSH banding near-dup (the 100 TB dedup path) ---------
+    QueryDef.sqlBacked(
+      "q28_lsh_neardup",
+      s"""WITH $SIG_CTE,
+         |banded AS (
+         |  SELECT doc_id, b,
+         |    CASE b WHEN 0 THEN (mh0 * 31 + mh1) % $P
+         |           WHEN 1 THEN (mh2 * 31 + mh3) % $P
+         |           WHEN 2 THEN (mh4 * 31 + mh5) % $P
+         |           ELSE (mh6 * 31 + mh7) % $P END AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b)
+         |WHERE jaccard >= 0.35""".stripMargin) { (s, d) =>
+      Dedup.lshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 8, bands = 4, threshold = 0.35)
+    },
+
+    // ---- 16-bit SimHash --------------------------------------------------
+    QueryDef.sqlBacked(
+      "q29_simhash",
+      s"""SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CASE WHEN 2 * len(list_filter(hs, h -> (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1)) > n
+         |          THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END FOR j IN range(0, 16)]),
+         |    (a, b) -> a + b) AS BIGINT) AS simhash
+         |FROM (
+         |  SELECT doc_id, len(toks) AS n,
+         |    [${polySql("t", "len(t)")} % 65536 FOR t IN toks] AS hs
+         |  FROM (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+         |        FROM documents))""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+    },
+
+    // ---- brute-force cosine ANN top-k -----------------------------------
+    QueryDef.sqlBacked(
+      "q30_ann_topk",
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |    round(${dotSql("pv", "cv")}
+         |      / (sqrt(${dotSql("pv", "pv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cos_sim
+         |  FROM c CROSS JOIN p WHERE neighbor_id != probe_id)
+         |SELECT probe_id, neighbor_id, rnk, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 20), emb, k = 5)
+    },
+
+    // ---- per-label centroids as exact scaled-integer sums ---------------
+    QueryDef.sqlBacked(
+      "q31_centroids",
+      """SELECT label, dim, CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+        |       count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Similarity.centroidScaledSums(Tables.embeddings(s, d), "label", "embedding")
+    },
+
+    // ---- embedding-cosine near-dup pairs (label-blocked) ----------------
+    QueryDef.sqlBacked(
+      "q32_cosine_neardup",
+      s"""SELECT id_a, id_b, label, cos_sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+         |    round(${dotSql("a.embedding", "b.embedding")}
+         |      / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |         * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cos_sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.3""".stripMargin) { (s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", threshold = 0.3)
+    }
+  )
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup groups identical content, keeps min id") {
+    val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exactDedup(df, col("id"), col("text"))
+      .select("canonical_id", "n_copies").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard is |intersect|/|union| on distinct sets") {
+    val df = Seq((Seq("ab", "bc", "cd"), Seq("bc", "cd", "de"))).toDF("a", "b")
+    val j = df.select(Dedup.jaccard(col("a"), col("b"))).as[Double].head()
+    assert(j == 2.0 / 4.0)
+  }
+
+  test("identical docs get identical minhash signatures; near-dup pair found") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with zero overlap whatsoever xyzzy")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", k = 8).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    val pairs = Dedup.lshNearDupPairs(docs, "doc_id", "text", k = 8, bands = 4, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash identical for identical text, differs for disjoint text") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "qq ww ee rr tt yy uu ii")).toDF("id", "t")
+    val out = df.select(col("id"), Dedup.simhash16(col("t")).as("sh")).as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("cosine: identical=1, orthogonal=0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f))).toDF("a", "b", "c")
+    val (same, orth) = df.select(
+      Similarity.cosine(col("a"), col("b")), Similarity.cosine(col("a"), col("c")))
+      .as[(Double, Double)].head()
+    assert(math.abs(same - 1.0) < 1e-12 && orth == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc, excludes self") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 1), vecs, k = 2)
+      .select("neighbor_id", "rnk").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("langGuess picks marker-dominant language") {
+    val df = Seq("the cat and the dog is a pet", "der hund und die katze ist da")
+      .toDF("text")
+    val out = df.select(TextAnalysis.langGuess(TextAnalysis.tokens(col("text"))))
+      .as[String].collect()
+    assert(out.toSeq == Seq("en", "de"))
+  }
+
+  test("charNgrams guards short strings") {
+    val df = Seq("ab").toDF("t")
+    assert(df.select(TextAnalysis.charNgrams(col("t"), 3)).as[Seq[String]].head().isEmpty)
+  }
+}
