@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    graft.queries.CoreQueries.defs ++ graft.queries.LlmQueries.defs
+    graft.queries.CoreQueries.defs ++ graft.queries.LlmQueries.defs ++
+      graft.queries.RasterQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -41,7 +41,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
   }
@@ -77,7 +77,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
   }
@@ -87,7 +87,7 @@ object Similarity {
     * under any shuffle order AND hash-comparable against the oracle. */
   def centroidScaledSums(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(col(groupCol), (col("pos") + 1).as("dim"))
+      .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
       .agg(
         sum(round(col("v").cast("double") * 1000000).cast("long")).as("sum_scaled"),
         count(lit(1)).as("n"))

@@ -361,7 +361,7 @@ object CoreQueries {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rk"))
     }

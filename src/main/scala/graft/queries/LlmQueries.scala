@@ -70,10 +70,10 @@ object LlmQueries {
         |FROM documents""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tok"),
-        TextAnalysis.subwordCount(col("text")).as("n_subword"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subword"),
         TextAnalysis.markerHits(TextAnalysis.tokens(col("text")),
-          Seq("the", "a", "of", "and", "is")).as("stop_hits"),
+          Seq("the", "a", "of", "and", "is")).cast("long").as("stop_hits"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
     },
 

@@ -55,8 +55,8 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
     val out = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 1), vecs, k = 2)
-      .select("neighbor_id", "rnk").as[(Long, Int)].collect().sortBy(_._2)
-    assert(out.toSeq == Seq((2L, 1), (3L, 2)))
+      .select("neighbor_id", "rnk").as[(Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((2L, 1L), (3L, 2L)))
   }
 
   test("langGuess picks marker-dominant language") {

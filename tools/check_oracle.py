@@ -40,6 +40,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
             n_fail += 1
             continue
+        dt_mismatch = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                       if str(g[c].dtype) != str(w[c].dtype)]
+        if dt_mismatch:
+            print(f"FAIL {name}: dtype mismatch {dt_mismatch}")
+            n_fail += 1
+            continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1
