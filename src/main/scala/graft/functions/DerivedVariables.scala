@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** C10: derived-variable registry with DAG resolution.
+  *
+  * Reference: convml_data/sources/__init__.py:136-157
+  * (`_find_source_variables_set`: expand a target variable through the
+  * DERIVED_VARIABLES registry to base inputs, max depth 10, shared inputs
+  * dedup'd) and the per-source registries era5/base.py:127-151.
+  *
+  * This is query *compilation*: resolution happens at the driver and emits
+  * a single composed Column expression tree, so Catalyst sees plain math
+  * (CSE, codegen, pushdown all apply) — never a chain of materialized
+  * intermediates.
+  */
+object DerivedVariables {
+
+  final case class Derived(deps: Seq[String], build: Map[String, Column] => Column)
+
+  final class Registry(derived: Map[String, Derived]) {
+
+    /** Base (non-derived) variables a target ultimately needs. */
+    def sourceVariables(target: String, maxDepth: Int = 10): Set[String] = {
+      def go(v: String, depth: Int): Set[String] = {
+        require(depth <= maxDepth, s"derived-variable DAG deeper than $maxDepth at '$v'")
+        derived.get(v) match {
+          case None => Set(v)
+          case Some(dv) => dv.deps.toSet.flatMap((d: String) => go(d, depth + 1))
+        }
+      }
+      go(target, 0)
+    }
+
+    /** Resolve a target to one Column expression over base-var columns. */
+    def resolve(target: String, base: Map[String, Column], maxDepth: Int = 10): Column = {
+      def go(v: String, depth: Int): Column = {
+        require(depth <= maxDepth, s"derived-variable DAG deeper than $maxDepth at '$v'")
+        derived.get(v) match {
+          case None => base.getOrElse(v,
+            throw new IllegalArgumentException(s"base variable '$v' not provided"))
+          case Some(dv) => dv.build(dv.deps.map(d => d -> go(d, depth + 1)).toMap)
+        }
+      }
+      go(target, 0)
+    }
+  }
+
+  /** ERA5-style physics registry (era5/base.py:28-66,119-124 formulas). */
+  def era5Registry(): Registry = new Registry(Map(
+    // umag = sqrt(u^2 + v^2)  (era5/base.py:28-33)
+    "umag" -> Derived(Seq("u", "v"), m => sqrt(m("u") * m("u") + m("v") * m("v"))),
+    // p = exp(lnsp)  (era5/base.py:40)
+    "p" -> Derived(Seq("lnsp"), m => exp(m("lnsp"))),
+    // height z/g  (era5/utils.py:112)
+    "height" -> Derived(Seq("z"), m => m("z") / 9.80665),
+    // wind speed ratio: depends on a derived var (2-level DAG)
+    "umag_norm" -> Derived(Seq("umag", "umag_ref"), m => m("umag") / m("umag_ref"))))
+}

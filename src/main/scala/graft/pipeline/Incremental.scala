@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental, idempotent, scene-partition-grained execution — the luigi
+  * memoization contract re-expressed for Spark (SURVEY §2.12).
+  *
+  * Reference semantics: every task skips if its file target exists (luigi
+  * core; explicit re-check convml_data/pipeline/regridding.py:93-117,
+  * `_ensure_task_run` dataset/fetch_source_data.py:7-14).
+  *
+  * Spark analog: outputs are parquet tables partitioned by a scene-grained
+  * key; a run (1) lists already-materialized partition values from the
+  * filesystem (the manifest IS the directory listing — no side database),
+  * (2) anti-filters the input plan down to missing partitions, (3) writes
+  * only those with dynamic partition overwrite, which makes retries
+  * idempotent at partition granularity. At 100 TB this is the difference
+  * between "re-run the world" and "append yesterday's scenes".
+  */
+object Incremental {
+
+  /** Partition values already present under `path` (empty if no output). */
+  def completedPartitions(spark: SparkSession, path: String, partCol: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(n => java.net.URLDecoder.decode(n.stripPrefix(s"$partCol="), "UTF-8"))
+      .toSet
+  }
+
+  /** Run `stage` incrementally: compute only rows whose `partCol` value has
+    * no materialized partition yet, and overwrite exactly those partitions.
+    * Returns the number of new partition values written. */
+  def runStage(spark: SparkSession, input: DataFrame, partCol: String, path: String)(
+      stage: DataFrame => DataFrame): Int = {
+    val done = completedPartitions(spark, path, partCol)
+    val pending = if (done.isEmpty) input
+      else input.where(!col(partCol).isin(done.toSeq: _*))
+    val newVals = pending.select(partCol).distinct().collect().map(_.get(0)).map(String.valueOf)
+    if (newVals.nonEmpty) {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      stage(pending).write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(partCol)
+        .parquet(path)
+    }
+    newVals.length
+  }
+}

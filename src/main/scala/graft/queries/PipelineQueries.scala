@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.core.Projection.{DegPerRad, RadPerDeg}
+import graft.functions.{DerivedVariables, Solar, UserFunctions}
+import graft.operators.{RankStats, Sessionize}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-compilation operator surface: the C10 derived-variable DAG,
+  * C11 filter DSL, G2 layer means, C5 solar geometry, and gap
+  * sessionization (the batch dual of streaming session windows).
+  */
+object PipelineQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- C11: filter mini-DSL compiled to predicates + percentile -------
+    QueryDef.sqlBacked(
+      "q37_filter_dsl",
+      """WITH f AS (SELECT event_id, value FROM events WHERE value >= 10 AND value < 400),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY value, event_id) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM f),
+        |p AS (SELECT value AS p75 FROM ranked WHERE rn - 1 = CAST(floor(0.75 * (n - 1)) AS BIGINT))
+        |SELECT f.event_id, f.value FROM f, p WHERE f.value > p.p75""".stripMargin) { (s, d) =>
+      // "value__gte=10,value__lt=400,value__upper_percentile=75"
+      val spec = "value__gte=10,value__lt=400,value__upper_percentile=75"
+      val parsed = UserFunctions.parseFilterDsl(spec)
+      val simple = UserFunctions.applySimpleFilters(
+        Tables.events(s, d).select(col("event_id"), col("value")), spec)
+      val pct = parsed.collectFirst { case p: UserFunctions.PercentileFilter => p }.get
+      val thresh = RankStats.nearestRankPercentile(
+        simple.withColumn("__g", lit(1)), Seq("__g"), col(pct.prop), pct.p, col("event_id"))
+        .select(col("pvalue").as("__p75"))
+      simple.crossJoin(thresh).where(col("value") > col("__p75"))
+        .select(col("event_id"), col("value"))
+    },
+
+    // ---- G2: layer mean over a level slice per column -------------------
+    QueryDef.sqlBacked(
+      "q38_layer_mean",
+      """SELECT l_orderkey, avg(l_quantity) AS qty_layer_mean, count(*) AS n_levels
+        |FROM lineitem WHERE l_linenumber BETWEEN 2 AND 4
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      // quantities are integral doubles: sum exact in both engines, so the
+      // avg (sum/count) is bit-stable cross-engine
+      Tables.lineitem(s, d)
+        .where(col("l_linenumber").between(2, 4))
+        .groupBy(col("l_orderkey"))
+        .agg(avg(col("l_quantity")).as("qty_layer_mean"), count(lit(1)).as("n_levels"))
+    },
+
+    // ---- C4/C10: derived-variable DAG resolved to one expression --------
+    QueryDef.sqlBacked(
+      "q39_derived_vars",
+      """SELECT vec_id,
+        |  sqrt(CAST(embedding[1] AS DOUBLE) * CAST(embedding[1] AS DOUBLE)
+        |     + CAST(embedding[2] AS DOUBLE) * CAST(embedding[2] AS DOUBLE)) AS umag,
+        |  round(exp(CAST(embedding[3] AS DOUBLE)), 6) AS p_r6
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      val reg = DerivedVariables.era5Registry()
+      val u = element_at(col("embedding"), 1).cast("double")
+      val v = element_at(col("embedding"), 2).cast("double")
+      val lnsp = element_at(col("embedding"), 3).cast("double")
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        reg.resolve("umag", Map("u" -> u, "v" -> v)).as("umag"),
+        round(reg.resolve("p", Map("lnsp" -> lnsp)), 6).as("p_r6"))
+    },
+
+    // ---- C5: solar geometry (declination, elevation, TOA SW) ------------
+    QueryDef.sqlBacked(
+      "q40_solar_geometry",
+      s"""SELECT event_id,
+         |  round(decl, 6) AS decl_r6, round(elev, 6) AS elev_r6,
+         |  round(greatest(0.0, ${Solar.S0} * sin(elev * $RadPerDeg)), 6) AS toa_r6
+         |FROM (
+         |  SELECT event_id, decl,
+         |    asin(sin(lat * $RadPerDeg) * sin(decl * $RadPerDeg)
+         |       + cos(lat * $RadPerDeg) * cos(decl * $RadPerDeg) * cos((sh - 12.0) * 15.0 * $RadPerDeg))
+         |      * $DegPerRad AS elev
+         |  FROM (
+         |    SELECT event_id,
+         |      23.45 * sin(${Solar.TwoPi} * (284.0 + dayofyear(ts)) / 365.0) AS decl,
+         |      ((hour(ts) + minute(ts) / 60.0 + (((user_id % 360) - 180) + 360.0) / 15.0) % 24.0) AS sh,
+         |      (user_id % 120) / 2.0 - 30 AS lat
+         |    FROM events))""".stripMargin) { (s, d) =>
+      val lat = (col("user_id") % 120) / 2.0 - 30
+      val lon = (col("user_id") % 360) - 180
+      Tables.events(s, d).select(
+        col("event_id"),
+        round(Solar.declinationDeg(col("ts")), 6).as("decl_r6"),
+        round(Solar.elevationDeg(col("ts"), lat, lon), 6).as("elev_r6"),
+        round(Solar.toaIncomingSw(col("ts"), lat, lon), 6).as("toa_r6"))
+    },
+
+    // ---- session windows (gaps-and-islands; streaming dual) -------------
+    QueryDef.sqlBacked(
+      "q41_sessionize",
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS t_start, max(ts) AS t_end
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM events))
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Sessionize.sessionStats(Tables.events(s, d), "user_id", "ts",
+        col("event_id"), gapUs = 3600L * 1000000)
+    }
+  )
+}

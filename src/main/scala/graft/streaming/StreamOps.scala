@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface.
+  *
+  * The reference is batch-only; its nearest streaming analogs are the
+  * scene-completeness gate (A1: emit a scene only once all inputs arrived)
+  * and the sequential trajectory chaining (W2). Both are re-expressed here
+  * on Spark's streaming engine per the target spec: watermarked windowed
+  * aggregation, the A1 completeness gate as a stateful stream, and
+  * `flatMapGroupsWithState` for per-key sequential state.
+  *
+  * Scale notes: state is partitioned by key (scene time / user), watermark
+  * bounds state size, and every aggregation here is the same map-side
+  * combining hash agg as the batch path — the batch/stream plans share
+  * operator shapes by construction.
+  */
+object StreamOps {
+
+  /** G8-analog: tumbling-window event counts with a watermark. */
+  def windowedCounts(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+
+  /** A1-analog as a stream: emit a "scene" row once all `nTypes` distinct
+    * event types have been observed within the hour bucket. */
+  def completenessGate(events: DataFrame, nTypes: Int, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("event_type")).as("n_types"), count(lit(1)).as("n_events"))
+      .where(col("n_types") >= nTypes)
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Track(user_id: Long, n_events: Long, last_value: Double, drift: Double)
+
+  /** W2/W5-analog: per-key sequential state (each update folds the new
+    * batch into carried state, like frame-to-frame point tracking). */
+  def trackPerUser(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Track]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption.getOrElse(Track(uid, 0L, sorted.head.value, 0.0))
+            val drift = sorted.last.value - prev.last_value
+            val next = Track(uid, prev.n_events + sorted.size, sorted.last.value, drift)
+            state.update(next)
+            Iterator(next)
+          }
+      }.toDF()
+  }
+
+  /** Drive a streaming DataFrame synchronously into a memory sink (local
+    * smoke path; production would use a real sink + trigger). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import graft.embeddings.{Inference, Transforms}
+import graft.functions.{ImageOps, UserFunctions}
+import graft.operators.{Flow, Profiles}
+import graft.pipeline.Incremental
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+class PhaseDSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed counts match the batch equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.runToMemory(
+      StreamOps.windowedCounts(stream, "1 day", "2 hours"), "wc",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      val streamed = spark.sql("SELECT sum(n) FROM wc").as[Long].head()
+      val batch = Tables.events(spark, "/root/testdata/sf0.001").count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful per-user tracking carries state across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-track").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("user_id") < 5).coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamOps.runToMemory(StreamOps.trackPerUser(stream), "trk",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val out = spark.sql("SELECT user_id, n_events FROM trk").as[(Long, Long)].collect().toMap
+      val expect = Tables.events(spark, "/root/testdata/sf0.001")
+        .where(col("user_id") < 5).groupBy("user_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(out == expect)
+    } finally q.stop()
+  }
+
+  test("inference stub embeds tiles with per-partition batching") {
+    val tiles = (1 to 100).map(i => (i.toLong, Seq.fill(16)(i.toDouble))).toDF("tile_id", "values")
+      .repartition(7)
+    val out = Inference.embedTiles(tiles, "tile_id", "values",
+      new Inference.LinearStubModel(4), batchSize = 8)
+    val got = out.as[(Long, Seq[Float])].collect().toMap
+    assert(got.size == 100)
+    // emb_k = mean * (k+1) / 4; tile i has mean i
+    assert(math.abs(got(10L)(3) - 10.0f) < 1e-5)
+    assert(math.abs(got(10L)(0) - 2.5f) < 1e-5)
+  }
+
+  test("PCA reduces embedding dimensionality") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(200)
+    val model = Transforms.fitPca(df, "embedding", 8)
+    val out = Transforms.applyPca(df, model, "embedding", "emb_pca")
+    assert(out.select(size(col("emb_pca"))).as[Int].head() == 8)
+    assert(out.count() == 200)
+  }
+
+  test("user-function registry validates and builds columns") {
+    val reg = UserFunctions.exampleRegistry()
+    assert(reg.names == Seq("cloud_mask", "ir_shallow_clouds"))
+    val df = Seq((280.0, 295.0)).toDF("bt13_cold", "bt13_warm")
+    val out = df.select(
+      reg("cloud_mask", Map("bt_13" -> col("bt13_cold"))).as("cold"),
+      reg("cloud_mask", Map("bt_13" -> col("bt13_warm"))).as("warm"))
+      .as[(Boolean, Boolean)].head()
+    assert(out == ((true, false)))
+    intercept[IllegalArgumentException](reg("nope", Map.empty))
+    intercept[IllegalArgumentException](reg("cloud_mask", Map("wrong" -> lit(1))))
+  }
+
+  test("filter DSL parses ops and applies simple predicates") {
+    val parsed = UserFunctions.parseFilterDsl("v__gt=1,v__lte=5,v__isnan=false,v__upper_percentile=90")
+    assert(parsed.length == 4)
+    assert(parsed.collect { case p: UserFunctions.PercentileFilter => p }.head.p == 0.9)
+    val df = Seq(0.5, 2.0, 4.0, 6.0, Double.NaN).toDF("v")
+    val out = UserFunctions.applySimpleFilters(df, "v__gt=1,v__lte=5,v__isnan=false")
+      .as[Double].collect().sorted
+    assert(out.toSeq == Seq(2.0, 4.0))
+    intercept[IllegalArgumentException](UserFunctions.parseFilterDsl("v__bogus=1"))
+  }
+
+  test("PNG encode/decode round-trips pixel values") {
+    val rgb = Seq(0.0, 0.5, 1.0, 1.0, 0.25, 0.75) // 1x2 image
+    val df = Seq((rgb, 1, 2)).toDF("rgb", "ny", "nx")
+    val bytes = df.select(ImageOps.encodePng(col("rgb"), col("ny"), col("nx"))).as[Array[Byte]].head()
+    assert(bytes.length > 8 && bytes(1) == 'P'.toByte)
+    val back = df.withColumn("png", ImageOps.encodePng(col("rgb"), col("ny"), col("nx")))
+      .select(ImageOps.decodePng(col("png"))).as[Seq[Double]].head()
+    rgb.zip(back).foreach { case (want, got) => assert(math.abs(want - got) <= 1.0 / 255 + 1e-9) }
+  }
+
+  test("image math: clip/gamma/green-combo/minmax") {
+    val df = Seq((Seq(0.0, 0.5, 2.0), Seq(1.0, 1.0, 1.0), Seq(0.5, 0.5, 0.5))).toDF("r", "b", "g")
+    val clipped = df.select(ImageOps.clipArr(col("r"), 0, 1)).as[Seq[Double]].head()
+    assert(clipped == Seq(0.0, 0.5, 1.0))
+    val tg = df.select(ImageOps.trueGreen(col("r"), col("b"), col("g"))).as[Seq[Double]].head()
+    assert(math.abs(tg(1) - (0.5 * 0.4836 + 1.0 * 0.4571 + 0.5 * 0.0604)) < 1e-12)
+    val mm = df.select(ImageOps.minMaxScaleArr(col("r"))).as[Seq[Double]].head()
+    assert(mm == Seq(0.0, 0.25, 1.0))
+  }
+
+  test("profile ops: layer mean, vertical integral, recurrence") {
+    val rows = for (k <- Seq("a", "b"); l <- 1 to 5) yield Profiles.LevelRow(k, l, l.toDouble)
+    val ds = rows.toDS()
+    val lm = Profiles.layerMean(ds.toDF(), Seq("key"), "level", "v", 2, 4)
+      .where(col("key") === "a").select("v_layer_mean").as[Double].head()
+    assert(lm == 3.0)
+    val vi = Profiles.verticalIntegral(ds.toDF(), Seq("key"), "level", "v")
+      .where(col("key") === "a").select("v_integral").as[Double].head()
+    assert(vi == (1 + 2 + 3 + 4).toDouble) // dp=1 each, last level dropped
+    val rec = Profiles.bottomUpRecurrence(ds, _ => 2.0).collect()
+      .filter(_._1 == "a").sortBy(-_._2)
+    // bottom-up: level 5 first: acc=10, then 18, 24, 28, 30
+    assert(rec.map(_._3).toSeq == Seq(10.0, 18.0, 24.0, 28.0, 30.0))
+  }
+
+  test("flow chaining tracks a moving blob and marks lost points") {
+    def frame(g: String, t: Int, cx: Int): Flow.Frame = {
+      val v = Array.fill(20 * 10)(0.0)
+      v(5 * 20 + cx) = 1.0 // single bright pixel at row 5, col cx
+      Flow.Frame(g, t, 20, 10, v)
+    }
+    val frames = Seq(frame("d1", 0, 2), frame("d1", 1, 6), frame("d1", 2, 10)).toDS()
+    val out = Flow.chainTrajectories(frames, seedStride = 8).collect()
+    val traj0 = out.filter(p => p.traj_id == 0).sortBy(_.seq).map(p => p.x)
+    // seed at x=4; blob moves +4 px/frame -> 4, 8, 12
+    assert(traj0.toSeq == Seq(4.0, 8.0, 12.0))
+    // a point seeded near the right edge drifts out and is marked lost
+    val lost = out.filter(p => p.seq == 2 && p.x == -1.0)
+    assert(lost.nonEmpty)
+  }
+
+  test("incremental stage writes only missing partitions and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc").toString + "/out"
+    val in1 = Seq(("s1", 1), ("s2", 2)).toDF("scene", "v")
+    val n1 = Incremental.runStage(spark, in1, "scene", dir)(df => df.withColumn("v2", col("v") * 2))
+    assert(n1 == 2)
+    val in2 = Seq(("s1", 1), ("s2", 2), ("s3", 3)).toDF("scene", "v")
+    val n2 = Incremental.runStage(spark, in2, "scene", dir)(df => df.withColumn("v2", col("v") * 2))
+    assert(n2 == 1) // only s3 is new
+    val n3 = Incremental.runStage(spark, in2, "scene", dir)(df => df.withColumn("v2", col("v") * 2))
+    assert(n3 == 0) // fully materialized -> no work
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+}
