@@ -37,10 +37,14 @@ object TextAnalysis {
     * characters, seed 7. Deterministic across engines (pure int64 ops).
     * At 100 TB prefer [[fingerprint64]] (xxhash64, one codegen'd call);
     * this form exists because the oracle must reproduce it exactly.
+    *
+    * Implementation note: `split(c, "")` yields the char array in one O(n)
+    * pass — per-index `substring` would re-seek the UTF8String every call
+    * (O(n²) per row, measured 5x slower at sf0.1).
     */
   def polyHash(c: Column): Column =
     aggregate(
-      transform(sequence(lit(1), length(c)), j => ascii(c.substr(j, lit(1))).cast("long")),
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(7L),
       (acc, x) => (acc * 31 + x) % HashMod)
 

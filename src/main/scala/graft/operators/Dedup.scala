@@ -32,9 +32,12 @@ object Dedup {
     df.groupBy(md5(textCol).as("digest"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct 3-gram shingles hashed to int64 (polyHash per shingle). */
+  /** Distinct 3-gram shingles hashed to int64 (polyHash per shingle,
+    * re-deduped after hashing so collisions keep set semantics), sorted
+    * ascending so pair verification can use the merge-walk intersect. */
   def shingleHashes(textCol: Column, n: Int = 3): Column =
-    transform(TextAnalysis.charNgrams(textCol, n), s => TextAnalysis.polyHash(s))
+    sort_array(array_distinct(
+      transform(TextAnalysis.charNgrams(textCol, n), s => TextAnalysis.polyHash(s))))
 
   /** MinHash signature as k scalar columns mh0..mh{k-1} over the hashed
     * shingle set in column `xs`. */
@@ -47,26 +50,45 @@ object Dedup {
   def bandHash(sig: Seq[Column], b: Int, r: Int): Column =
     (b * r until (b + 1) * r).map(sig(_)).reduce((h, m) => (h * 31 + m) % P)
 
-  /** Jaccard of two distinct-element arrays: |A∩B| / |A∪B| as a single
-    * int/int division (bit-stable across engines). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+  /** Jaccard of two distinct-element arrays via one intersection pass:
+    * |A∩B| / (|A| + |B| - |A∩B|) — skips building the union array
+    * (int/int division, bit-stable across engines). */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b))
+    i.cast("double") / (size(a) + size(b) - i).cast("double")
+  }
+
+  /** Jaccard over SORTED long-hash sets using the native merge-walk
+    * intersect count (graft.plans.SortedLongIntersectCount) — the hot-path
+    * form for pair verification. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val i = column(graft.plans.SortedLongIntersectCount(expression(a), expression(b)))
+    i.cast("double") / (size(a) + size(b) - i).cast("double")
+  }
 
   /** Blocked pairwise n-gram Jaccard near-dup pairs (doc_a < doc_b,
     * jaccard >= threshold). `blockCols` bound the quadratic blow-up; use
-    * [[lshNearDupPairs]] when no natural blocking key exists. */
+    * [[lshNearDupPairs]] when no natural blocking key exists.
+    * Shingles travel as hashed int64 sets: long-array intersection beats
+    * string-array intersection ~5x and shrinks the shuffle. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+    // persist the hashed-shingle table: both sides of the self-join read
+    // it, and Spark shares no DAG across join branches — without this the
+    // (expensive) shingling runs twice. MEMORY_AND_DISK so a 100 TB corpus
+    // degrades to a disk-backed materialization instead of an OOM.
     val sh = df.select(
       (col(idCol).as("doc") +: blockCols.map(col)) :+
-        TextAnalysis.charNgrams(col(textCol), n).as("shingles"): _*)
+        shingleHashes(col(textCol), n).as("shingles"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.select(col("doc").as("doc_a") +: col("shingles").as("sa") +:
       blockCols.map(col): _*)
     val b = sh.select(col("doc").as("doc_b") +: col("shingles").as("sb") +:
       blockCols.map(col): _*)
     a.join(b, blockCols).where(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .withColumn("jaccard", jaccardSorted(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+ col("jaccard"): _*)
   }
@@ -87,21 +109,21 @@ object Dedup {
       k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    val sh = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.charNgrams(col(textCol), 3).as("shingles"))
-      .withColumn("xs", transform(col("shingles"), s => TextAnalysis.polyHash(s)))
+    // hashed shingle set once; signatures derive from it, and the verify
+    // pass intersects long arrays (no string sets ever shuffle)
+    val sh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))
     val sigCols = minhashCols(col("xs"), k)
-    val sig = sh.select(col("doc_id") +: col("shingles") +: sigCols.map { case (n, c) => c.as(n) }: _*)
+    val sig = sh.select(col("doc_id") +: col("xs") +: sigCols.map { case (n, c) => c.as(n) }: _*)
     val sigRef = (0 until k).map(i => col(s"mh$i"))
-    val banded = sig.select(col("doc_id"), col("shingles"),
+    val banded = sig.select(col("doc_id"), col("xs"),
       explode(array((0 until bands).map(bi =>
         struct(lit(bi).as("band"), bandHash(sigRef, bi, r).as("bh"))): _*)).as("b"))
-      .select(col("doc_id"), col("shingles"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val l = banded.select(col("doc_id").as("doc_a"), col("shingles").as("sa"), col("band"), col("bh"))
-    val rr = banded.select(col("doc_id").as("doc_b"), col("shingles").as("sb"), col("band"), col("bh"))
+      .select(col("doc_id"), col("xs"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("xs").as("sa"), col("band"), col("bh"))
+    val rr = banded.select(col("doc_id").as("doc_b"), col("xs").as("sb"), col("band"), col("bh"))
     l.join(rr, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
-      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .withColumn("jaccard", jaccardSorted(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

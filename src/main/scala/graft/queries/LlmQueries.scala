@@ -109,15 +109,18 @@ object LlmQueries {
         length(col("text")).cast("long").as("n_chars_raw"))
     },
 
-    // ---- blocked n-gram Jaccard near-dup pairs --------------------------
+    // ---- blocked n-gram Jaccard near-dup pairs (hashed shingle sets) ----
     QueryDef.sqlBacked(
       "q26_ngram_jaccard",
-      s"""SELECT doc_a, doc_b, lang, source, jaccard FROM (
+      s"""WITH hs AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct([${polySql("s", "len(s)")} FOR s IN shingles]) AS s
+         |  FROM (SELECT doc_id, lang, source, $SHINGLES_SQL AS shingles FROM documents))
+         |SELECT doc_a, doc_b, lang, source, jaccard FROM (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang, a.source AS source,
          |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         |      / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
-         |  FROM (SELECT doc_id, lang, source, $SHINGLES_SQL AS s FROM documents) a
-         |  JOIN (SELECT doc_id, lang, source, $SHINGLES_SQL AS s FROM documents) b
+         |      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+         |  FROM hs a JOIN hs b
          |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -145,14 +148,15 @@ object LlmQueries {
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
          |pairs AS (
          |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
+         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         |hxd AS (SELECT doc_id, list_distinct(xs) AS xsd FROM hx)
          |SELECT doc_a, doc_b, jaccard FROM (
          |  SELECT p.doc_a, p.doc_b,
-         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |      / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) AS jaccard
+         |    CAST(len(list_intersect(sa.xsd, sb.xsd)) AS DOUBLE)
+         |      / CAST(len(sa.xsd) + len(sb.xsd) - len(list_intersect(sa.xsd, sb.xsd)) AS DOUBLE) AS jaccard
          |  FROM pairs p
-         |  JOIN sh sa ON sa.doc_id = p.doc_a
-         |  JOIN sh sb ON sb.doc_id = p.doc_b)
+         |  JOIN hxd sa ON sa.doc_id = p.doc_a
+         |  JOIN hxd sb ON sb.doc_id = p.doc_b)
          |WHERE jaccard >= 0.35""".stripMargin) { (s, d) =>
       Dedup.lshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
         k = 8, bands = 4, threshold = 0.35)
