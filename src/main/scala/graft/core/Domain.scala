@@ -41,6 +41,39 @@ final case class Domain(
       y - sizeM / 2 >= yMin && y + sizeM / 2 <= yMax
 }
 
+object DomainInference {
+  import org.apache.spark.sql.DataFrame
+
+  /** P3: largest-extent inference — aggregate projected-coordinate bounds
+    * with a crop fraction (sampling/domain.py:68-160's 0.95 crop). */
+  def fromData(px: DataFrame, xCol: Column, yCol: Column, crop: Double = 0.95): DataFrame =
+    px.agg(
+      (min(xCol) * crop).as("x_min"), (max(xCol) * crop).as("x_max"),
+      (min(yCol) * crop).as("y_min"), (max(yCol) * crop).as("y_max"))
+
+  /** P4: spherical centroid of a lat/lon point set — mean of unit vectors
+    * then atan2 back to angles (sampling/domain.py:163-225
+    * `_calc_latlon_center`). Pure aggregate + scalar math; the padded
+    * extent (l + 2*tile_size margin, pipeline/tiles.py:138-171) is left to
+    * the caller, which has the tile size. */
+  def sphericalCentroid(points: DataFrame, latCol: Column, lonCol: Column): DataFrame = {
+    val lat = latCol * Projection.RadPerDeg
+    val lon = lonCol * Projection.RadPerDeg
+    points.agg(
+      avg(cos(lat) * cos(lon)).as("mx"),
+      avg(cos(lat) * sin(lon)).as("my"),
+      avg(sin(lat)).as("mz"))
+      .select(
+        (atan2(col("mz"), sqrt(col("mx") * col("mx") + col("my") * col("my")))
+          * Projection.DegPerRad).as("center_lat"),
+        (atan2(col("my"), col("mx")) * Projection.DegPerRad).as("center_lon"))
+  }
+
+  /** R5: ERA5 dateline wrap — lon > 180 -> lon - 360
+    * (aux_fields/datasources/era5.py:66-77; no roll needed relationally). */
+  def wrapLon(lon: Column): Column = when(lon > 180.0, lon - 360.0).otherwise(lon)
+}
+
 object Projection {
   val EarthRadiusM = 6371007.181
   /** π/180 as a fixed double literal (see class doc). */

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.core.Projection.{DegPerRad, RadPerDeg}
+import graft.sources.Calendars
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Source-calendar, codec, domain-inference and per-column analysis
+  * surface (SURVEY §2.1 S3/S5/S7, §2.7 C2/C3, §2.2 P3/P4, §2.4 G4, C7/G7).
+  */
+object SourceQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- S3/S5: generated hourly calendar w/ phase + blacklist ----------
+    QueryDef.sqlBacked(
+      "q42_calendar_source",
+      """SELECT time, 'ceres__' || strftime(time, '%Y%m%d%H%M') AS scene_id
+        |FROM generate_series(TIMESTAMP '2024-01-01 00:30:00',
+        |                     TIMESTAMP '2024-01-31 00:00:00', INTERVAL 1 HOUR) t(time)
+        |WHERE time NOT IN (TIMESTAMP '2024-01-05 10:30:00', TIMESTAMP '2024-01-17 03:30:00')""".stripMargin) { (s, d) =>
+      Calendars.ceresGeoCalendar(s, "2024-01-01 00:00:00", "2024-01-31 00:00:00",
+        phaseMinutes = 30,
+        missing = Seq("2024-01-05 10:30:00", "2024-01-17 03:30:00"))
+        .select(col("time"),
+          concat(lit("ceres__"), date_format(col("time"), "yyyyMMddHHmm")).as("scene_id"))
+    },
+
+    // ---- C2: filename codec round-trip (ERA5 path convention) -----------
+    QueryDef.sqlBacked(
+      "q43_filename_codec",
+      """SELECT day, count(*) AS n_ok, min(path) AS first_path FROM (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    'ecmwf-era5_oper_an_ml_' || strftime(date_trunc('hour', ts), '%Y%m%d%H%M') || '.t.nc' AS path,
+        |    date_trunc('hour', ts) AS t0
+        |  FROM events)
+        |WHERE strptime(regexp_extract(path, '_an_[a-z]+_([0-9]{12})\.', 1), '%Y%m%d%H%M') = t0
+        |  AND regexp_extract(path, '_an_([a-z]+)_[0-9]{12}\.', 1) = 'ml'
+        |  AND regexp_extract(path, '\.([a-z0-9_]+)\.nc$', 1) = 't'
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val hourly = date_trunc("hour", col("ts"))
+      val withPath = Tables.events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .withColumn("path", Calendars.era5Path(hourly, "ml", "t"))
+        .withColumn("t0", hourly)
+      val (pt, plev, pvar) = Calendars.parseEra5Path(col("path"))
+      withPath
+        .where(pt === col("t0") && plev === "ml" && pvar === "t")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_ok"), min(col("path")).as("first_path"))
+    },
+
+    // ---- P4: spherical centroid per group (exact scaled-integer sums) ---
+    QueryDef.sqlBacked(
+      "q44_domain_inference",
+      s"""SELECT c_nationkey,
+         |  round(atan2(CAST(sz AS DOUBLE), sqrt(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |      + CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * $DegPerRad, 6) AS center_lat_r6,
+         |  round(atan2(CAST(sy AS DOUBLE), CAST(sx AS DOUBLE)) * $DegPerRad, 6) AS center_lon_r6,
+         |  n_points
+         |FROM (
+         |  SELECT c_nationkey,
+         |    CAST(sum(CAST(round(cos(lat * $RadPerDeg) * cos(lon * $RadPerDeg) * 1000000000000) AS BIGINT)) AS BIGINT) AS sx,
+         |    CAST(sum(CAST(round(cos(lat * $RadPerDeg) * sin(lon * $RadPerDeg) * 1000000000000) AS BIGINT)) AS BIGINT) AS sy,
+         |    CAST(sum(CAST(round(sin(lat * $RadPerDeg) * 1000000000000) AS BIGINT)) AS BIGINT) AS sz,
+         |    count(*) AS n_points
+         |  FROM (SELECT c_nationkey,
+         |          (c_custkey % 120) / 2.0 - 30 AS lat,
+         |          ((c_custkey * 7) % 240) / 2.0 - 60 AS lon
+         |        FROM customer)
+         |  GROUP BY 1)""".stripMargin) { (s, d) =>
+      // unit vectors are per-row rounded to 1e-12-scaled integers so the
+      // cross-row sum is FP-order-independent; atan2 is scale-invariant so
+      // integer sums (not averages) give the same centroid
+      val lat = (col("c_custkey") % 120) / 2.0 - 30
+      val lon = ((col("c_custkey") * 7) % 240) / 2.0 - 60
+      def scaled(c: org.apache.spark.sql.Column) = sum(round(c * 1000000000000L).cast("long"))
+      Tables.customer(s, d)
+        .withColumn("lat", lat).withColumn("lon", lon)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          scaled(cos(col("lat") * RadPerDeg) * cos(col("lon") * RadPerDeg)).as("sx"),
+          scaled(cos(col("lat") * RadPerDeg) * sin(col("lon") * RadPerDeg)).as("sy"),
+          scaled(sin(col("lat") * RadPerDeg)).as("sz"),
+          count(lit(1)).as("n_points"))
+        .select(col("c_nationkey"),
+          round(atan2(col("sz").cast("double"),
+            sqrt(col("sx").cast("double") * col("sx").cast("double")
+              + col("sy").cast("double") * col("sy").cast("double"))) * DegPerRad, 6)
+            .as("center_lat_r6"),
+          round(atan2(col("sy").cast("double"), col("sx").cast("double")) * DegPerRad, 6)
+            .as("center_lon_r6"),
+          col("n_points"))
+    },
+
+    // ---- G4: per-column peak finding, relational form -------------------
+    QueryDef.sqlBacked(
+      "q45_column_peak",
+      """WITH levels AS (
+        |  SELECT l_orderkey, l_linenumber AS level, sum(l_quantity) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |curv AS (
+        |  SELECT l_orderkey, level, v,
+        |    2 * v - lag(v) OVER w - lead(v) OVER w AS curvature
+        |  FROM levels
+        |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY level)),
+        |peak AS (
+        |  SELECT l_orderkey, CAST(level AS BIGINT) AS peak_level FROM (
+        |    SELECT l_orderkey, level,
+        |      row_number() OVER (PARTITION BY l_orderkey ORDER BY curvature DESC, level) AS rn
+        |    FROM curv WHERE curvature IS NOT NULL)
+        |  WHERE rn = 1)
+        |SELECT p.l_orderkey, p.peak_level,
+        |  CAST(sum(l.v) AS BIGINT) AS sum_to_peak, count(*) AS n_to_peak
+        |FROM peak p JOIN levels l
+        |  ON l.l_orderkey = p.l_orderkey AND l.level <= p.peak_level
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val levels = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber").as("level"))
+        .agg(sum(col("l_quantity")).as("v"))
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("level"))
+      val curv = levels.withColumn("curvature",
+        lit(2) * col("v") - lag(col("v"), 1).over(w) - lead(col("v"), 1).over(w))
+        .where(col("curvature").isNotNull)
+      val peak = curv
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_orderkey")).orderBy(col("curvature").desc, col("level"))))
+        .where(col("rn") === 1)
+        .select(col("l_orderkey"), col("level").cast("long").as("peak_level"))
+      levels.join(peak, "l_orderkey")
+        .where(col("level") <= col("peak_level"))
+        .groupBy(col("l_orderkey"), col("peak_level"))
+        .agg(sum(col("v")).cast("long").as("sum_to_peak"), count(lit(1)).as("n_to_peak"))
+    },
+
+    // ---- M5: custom tile-metric Aggregators (typed agg path) ------------
+    QueryDef.sqlBacked(
+      "q47_tile_metrics",
+      """SELECT l_orderkey,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mask_frac,
+        |  sqrt(sum(l_quantity * l_quantity) / count(*)) AS qty_rms,
+        |  max(l_quantity) - min(l_quantity) AS qty_range
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // integral quantities => all moment sums are exact, so the typed
+      // Aggregator results are bit-comparable to the SQL oracle
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .as[(Long, Double)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.TileMetrics.maskFraction(25.0).toColumn,
+          graft.operators.TileMetrics.rms.toColumn,
+          graft.operators.TileMetrics.valueRange.toColumn)
+        .toDF("l_orderkey", "mask_frac", "qty_rms", "qty_range")
+    },
+
+    // ---- G7/C7: min-max normalization via window scan -------------------
+    QueryDef.sqlBacked(
+      "q46_minmax_norm",
+      """SELECT event_id, event_type, (value - vmin) / (vmax - vmin) AS vnorm FROM (
+        |  SELECT event_id, event_type, value,
+        |    min(value) OVER (PARTITION BY event_type) AS vmin,
+        |    max(value) OVER (PARTITION BY event_type) AS vmax
+        |  FROM events)
+        |WHERE vmax > vmin""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .withColumn("vmin", min(col("value")).over(w))
+        .withColumn("vmax", max(col("value")).over(w))
+        .where(col("vmax") > col("vmin"))
+        .select(col("event_id"), col("event_type"),
+          ((col("value") - col("vmin")) / (col("vmax") - col("vmin"))).as("vnorm"))
+    }
+  )
+}

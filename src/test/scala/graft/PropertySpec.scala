@@ -1,0 +1,106 @@
+package graft
+
+import graft.core.Projection
+import graft.operators.{AsOfJoin, SceneAssembly, Tiler, Triplets}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests per SURVEY §5: codec round-trips (C1), as-of join
+  * semantics vs a brute-force reference (J1/J2), Tiler index math (W1),
+  * projection round-trips (P1), hash-RNG range (T3).
+  *
+  * Generators run driver-side (ScalaCheck), each property batched into a
+  * single Spark job so the suite stays fast.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(30)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("C1: scene-id codec round-trips any minute-grain timestamp") {
+    // one batched job over many generated instants
+    val gen = Gen.choose(631152000L, 1893456000L).map(_ / 60 * 60) // 1990..2030, minute grain
+    val ts = Gen.listOfN(300, gen).sample.get
+    val df = ts.toDF("epoch").select(timestamp_seconds(col("epoch")).as("t"))
+      .withColumn("id", SceneAssembly.makeSceneId("src", col("t")))
+      .withColumn("t2", SceneAssembly.parseSceneTime(col("id")))
+    assert(df.where(col("t2") =!= col("t")).count() == 0)
+  }
+
+  test("W1: Tiler origin count, bounds and id bijection") {
+    val gen = for {
+      tileN <- Gen.choose(4, 64)
+      step <- Gen.choose(1, tileN)
+      nx <- Gen.choose(tileN, 4 * tileN)
+      ny <- Gen.choose(tileN, 4 * tileN)
+    } yield (nx, ny, tileN, step)
+    check(Prop.forAll(gen) { case (nx, ny, tileN, step) =>
+      val specs = Tiler.tileSpecs(Seq(("s", nx, ny)).toDF("scene_id", "nx", "ny"),
+        col("nx"), col("ny"), tileN, step)
+        .select("i0", "j0", "tile_id").as[(Int, Int, Long)].collect()
+      val nI = (nx - tileN) / step + 1
+      val nJ = (ny - tileN) / step + 1
+      specs.length == nI * nJ &&
+        specs.forall { case (i0, j0, _) => i0 >= 0 && i0 <= nx - tileN && j0 >= 0 && j0 <= ny - tileN } &&
+        specs.map(_._3).distinct.length == specs.length
+    })
+  }
+
+  test("P1: projection round-trip within the domain disc") {
+    val gen = for {
+      dlat <- Gen.choose(-10.0, 10.0)
+      dlon <- Gen.choose(-10.0, 10.0)
+    } yield (13.3 + dlat, -57.5 + dlon)
+    val pts = Gen.listOfN(300, gen).sample.get
+    val df = pts.toDF("lat", "lon")
+      .withColumn("x", Projection.projX(col("lat"), col("lon"), 13.3, -57.5))
+      .withColumn("y", Projection.projY(col("lat"), col("lon"), 13.3, -57.5))
+      .withColumn("rlat", Projection.invLat(col("x"), col("y"), 13.3, -57.5))
+      .withColumn("rlon", Projection.invLon(col("x"), col("y"), 13.3, -57.5))
+    val bad = df.where(abs(col("rlat") - col("lat")) > 1e-8 || abs(col("rlon") - col("lon")) > 1e-8)
+    assert(bad.count() == 0)
+  }
+
+  test("J1: nearestWithin matches a brute-force reference") {
+    val timeGen = Gen.choose(0L, 100000L)
+    val gen = for {
+      probes <- Gen.listOfN(25, timeGen)
+      builds <- Gen.nonEmptyListOf(timeGen).map(_.take(25))
+      half <- Gen.choose(1L, 20000L)
+    } yield (probes.distinct, builds.distinct, half)
+    check(Prop.forAll(gen) { case (probes, builds, half) =>
+      val p = probes.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+        .toDF("p_id", "us").select(col("p_id"), timestamp_micros(col("us")).as("p_ts"))
+      val b = builds.zipWithIndex.map { case (us, i) => (i.toLong + 1000, us) }
+        .toDF("b_id", "us").select(col("b_id"), timestamp_micros(col("us")).as("b_ts"))
+      val got = AsOfJoin.nearestWithin(p, b, "p_ts", "b_ts", half, Seq("p_id"))
+        .select(unix_micros(col("p_ts")), unix_micros(col("b_ts")))
+        .as[(Long, Long)].collect().toMap
+      // brute force: nearest build within half window, ties -> earlier
+      val want = probes.flatMap { pu =>
+        val c = builds.map(bu => (math.abs(pu - bu), bu)).filter(_._1 <= half)
+        if (c.isEmpty) None else Some(pu -> c.minBy(t => (t._1, t._2))._2)
+      }.toMap
+      got == want
+    })
+  }
+
+  test("T3: hashUnit stays in [0,1) and is key-deterministic") {
+    val df = spark.range(0, 2000).select(col("id"))
+      .withColumn("u", Triplets.hashUnit(7, col("id")))
+    val (lo, hi) = df.agg(min(col("u")), max(col("u"))).as[(Double, Double)].head()
+    assert(lo >= 0.0 && hi < 1.0)
+    val a = df.orderBy("id").as[(Long, Double)].collect().toSeq
+    val b = spark.range(0, 2000).repartition(13).select(col("id"))
+      .withColumn("u", Triplets.hashUnit(7, col("id")))
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+}
