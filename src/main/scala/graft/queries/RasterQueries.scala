@@ -78,6 +78,34 @@ object RasterQueries {
           col("dst_j").cast("long").as("dst_j"), col("value"))
     },
 
+    // ---- §7.2 end-to-end slice over testdata-derived rasters ------------
+    // pixels synthesized *from the events table* (scene = day, grid cell =
+    // event hash, value = cents) so the full catalog->regrid->triplets->
+    // gather->reduce->as-of chain runs against driver data. Rows-only:
+    // the chain's pieces are each oracle-checked individually.
+    QueryDef.rowsOnly("q48_e2e_slice") { (s, d) =>
+      val L = 400e3
+      val ev = Tables.events(s, d)
+      val pixels = ev.select(
+        concat(lit("ev__"), date_format(col("ts"), "yyyyMMdd")).as("scene_id"),
+        date_trunc("day", col("ts")).as("time"),
+        (lit(-L / 2) + ((col("event_id") % 40) + 0.5) * 10e3).as("x"),
+        (lit(-L / 2) + ((expr("event_id div 40") % 40) + 0.5) * 10e3).as("y"),
+        round(col("value") * 100).cast("long").cast("double").as("value"))
+      val aux = ev.where(col("event_type") === "error")
+        .groupBy(date_trunc("day", col("ts")).as("aux_time"))
+        .agg(count(lit(1)).cast("double").as("aux_value"))
+      val cfg = graft.pipeline.EndToEnd.Config(
+        domain = Domain(Lat0, Lon0, L, L),
+        srcGrid = graft.operators.Regrid.GridDef(-L / 2, 10e3, 40, -L / 2, 10e3, 40),
+        dstGrid = graft.operators.Regrid.GridDef(-L / 2, 10e3, 40, -L / 2, 10e3, 40),
+        tileSizeM = 100e3,
+        nTriplets = 8,
+        dtAuxUs = 24L * 3600 * 1000000)
+      val (_, stats) = graft.pipeline.EndToEnd.run(s, pixels, aux, cfg)
+      stats
+    },
+
     // ---- T1-T5: deterministic triplet sampling (hash RNG -> rows-only) --
     QueryDef.rowsOnly("q36_triplet_specs") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
