@@ -95,6 +95,25 @@ object PipelineQueries {
         round(Solar.toaIncomingSw(col("ts"), lat, lon), 6).as("toa_r6"))
     },
 
+    // ---- config-driven pipeline: meta.yaml semantics -> plan ------------
+    QueryDef.sqlBacked(
+      "q49_config_pipeline",
+      """SELECT event_id, ts FROM events
+        |WHERE (ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-20')
+        |  AND minute(ts) IN (0, 30)
+        |  AND abs(((hour(ts) + minute(ts) / 60.0 + (-57.5 + 360.0) / 15.0) % 24.0) - 12.0) <= 3.0""".stripMargin) { (s, d) =>
+      val cfg = graft.core.DataSourceConfig.fromJson(
+        """{"source": "events", "product": "stream",
+          |  "time": {"t_start": "2024-01-03 00:00:00", "t_end": "2024-01-20 00:00:00",
+          |           "filters": {"minutes": "0|30", "N_hours_from_zenith": "3.0"}},
+          |  "domain": {"central_latitude": 13.3, "central_longitude": -57.5,
+          |             "l_zonal": 400.0e3, "l_meridional": 400.0e3},
+          |  "sampling": {"resolution": 1000.0, "tile_N": 256}}""".stripMargin)
+      Tables.events(s, d)
+        .where(graft.core.DataSourceConfig.timePredicate(cfg, col("ts")))
+        .select(col("event_id"), col("ts"))
+    },
+
     // ---- session windows (gaps-and-islands; streaming dual) -------------
     QueryDef.sqlBacked(
       "q41_sessionize",
