@@ -179,6 +179,42 @@ object LlmQueries {
         col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
     },
 
+    // ---- group-level mergeable MinHash sketch (single-pass agg) ---------
+    QueryDef.sqlBacked(
+      "q50_group_minhash",
+      {
+        val mins = (0 until 4).map(i =>
+          s"CAST(min((${Dedup.aCoef(i)} * x + ${Dedup.bCoef(i)}) % $P) AS BIGINT) AS mh$i")
+          .mkString(",\n  ")
+        s"""SELECT source, $mins
+           |FROM (
+           |  SELECT source, unnest(list_distinct([${polySql("s", "len(s)")} FOR s IN shingles])) AS x
+           |  FROM (SELECT source, $SHINGLES_SQL AS shingles FROM documents))
+           |GROUP BY 1""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      val hashed = Tables.documents(s, d)
+        .select(col("source"), Dedup.shingleHashes(col("text")).as("xs"))
+        .as[(String, Seq[Long])]
+      hashed.groupByKey(_._1).mapValues(_._2)
+        .agg(graft.operators.Sketches.minhashSketch(4).toColumn)
+        .map { case (src, sig) => (src, sig(0), sig(1), sig(2), sig(3)) }
+        .toDF("source", "mh0", "mh1", "mh2", "mh3")
+    },
+
+    // ---- §2.11 stack/melt: wide signature -> long form ------------------
+    QueryDef.sqlBacked(
+      "q51_melt",
+      s"""WITH $SIG_CTE
+         |SELECT doc_id, mh_idx, mh_val FROM (
+         |  SELECT doc_id, unnest(['mh0','mh1','mh2','mh3','mh4','mh5','mh6','mh7']) AS mh_idx,
+         |         unnest([mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7]) AS mh_val
+         |  FROM sig)""".stripMargin) { (s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", k = 8)
+        .unpivot(Array(col("doc_id")),
+          (0 until 8).map(i => col(s"mh$i")).toArray, "mh_idx", "mh_val")
+    },
+
     // ---- brute-force cosine ANN top-k -----------------------------------
     QueryDef.sqlBacked(
       "q30_ann_topk",
