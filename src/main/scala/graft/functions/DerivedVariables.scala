@@ -56,5 +56,15 @@ object DerivedVariables {
     // height z/g  (era5/utils.py:112)
     "height" -> Derived(Seq("z"), m => m("z") / 9.80665),
     // wind speed ratio: depends on a derived var (2-level DAG)
-    "umag_norm" -> Derived(Seq("umag", "umag_ref"), m => m("umag") / m("umag_ref"))))
+    "umag_norm" -> Derived(Seq("umag", "umag_ref"), m => m("umag") / m("umag_ref")),
+    // potential temperature θ = T (p0/p)^(R/cp)  (era5/base.py:63-66 via metpy)
+    "theta" -> Derived(Seq("t", "p"), m =>
+      m("t") * pow(lit(100000.0) / m("p"), 0.2857142857142857)),
+    // G5: lower-tropospheric stability LTS = θ700 - θ1000
+    // (era5/scalars.py:15-28 via eurec4a-environment)
+    "lts" -> Derived(Seq("theta700", "theta1000"), m => m("theta700") - m("theta1000")),
+    // G5: estimated inversion strength (Wood & Bretherton 2006 form):
+    // EIS = LTS - Γ850 * (z700 - lcl); Γ850 and z values are inputs here
+    "eis" -> Derived(Seq("lts", "gamma850", "z700", "lcl"), m =>
+      m("lts") - m("gamma850") * (m("z700") - m("lcl")))))
 }

@@ -243,6 +243,24 @@ object LlmQueries {
       Similarity.centroidScaledSums(Tables.embeddings(s, d), "label", "embedding")
     },
 
+    // ---- multimodal binary columns: encode -> decode -> features --------
+    // Images synthesized from embeddings (8x8 RGB from the first 192/3
+    // vector elements), carried as PNG bytes, then feature-extracted.
+    // Rows-only: PNG bytes aren't SQL-expressible, but the plumbing
+    // (binary column, UDF batch shape, metadata) is the contract.
+    QueryDef.rowsOnly("q52_multimodal") { (s, d) =>
+      import graft.functions.ImageOps
+      // 4x4 RGB = 48 values from the 64-dim embedding, squashed to [0,1]
+      val rgb = expr("transform(slice(embedding, 1, 48), v -> " +
+        "greatest(0d, least(1d, (cast(v as double) + 1.0) / 2.0)))")
+      val imgs = Tables.embeddings(s, d)
+        .withColumn("ny", lit(4)).withColumn("nx", lit(4))
+        .withColumn("png", ImageOps.encodePng(rgb, col("ny"), col("nx")))
+      ImageOps.imageFeatures(imgs, "png", "ny", "nx")
+        .select(col("vec_id"), col("label"), length(col("png")).as("png_bytes"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("n_px"))
+    },
+
     // ---- embedding-cosine near-dup pairs (label-blocked) ----------------
     QueryDef.sqlBacked(
       "q32_cosine_neardup",

@@ -27,6 +27,23 @@ object SourceQueries {
           concat(lit("ceres__"), date_format(col("time"), "yyyyMMddHHmm")).as("scene_id"))
     },
 
+    // ---- S1: DataSourceV2 calendar table w/ pushed-down time pruning ----
+    QueryDef.sqlBacked(
+      "q53_dsv2_calendar",
+      """SELECT time, 'cal__' || strftime(time, '%Y%m%d%H%M') AS scene_id
+        |FROM generate_series(TIMESTAMP '2024-02-01 00:00:00',
+        |                     TIMESTAMP '2024-02-29 23:00:00', INTERVAL 1 HOUR) t(time)""".stripMargin) { (s, d) =>
+      // the filter below is pushed into the scan: only Feb's week-chunks
+      // are planned (see CalendarDataSourceSpec partition assertions)
+      s.read.format("graft.sources.CalendarDataSource")
+        .option("t0", "2024-01-01 00:00:00")
+        .option("t1", "2024-12-31 23:00:00")
+        .option("stepMinutes", "60")
+        .load()
+        .where(col("time") >= lit("2024-02-01").cast("timestamp")
+          && col("time") < lit("2024-03-01").cast("timestamp"))
+    },
+
     // ---- C2: filename codec round-trip (ERA5 path convention) -----------
     QueryDef.sqlBacked(
       "q43_filename_codec",
