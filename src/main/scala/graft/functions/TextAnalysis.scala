@@ -38,11 +38,19 @@ object TextAnalysis {
     * At 100 TB prefer [[fingerprint64]] (xxhash64, one codegen'd call);
     * this form exists because the oracle must reproduce it exactly.
     *
-    * Implementation note: `split(c, "")` yields the char array in one O(n)
-    * pass — per-index `substring` would re-seek the UTF8String every call
-    * (O(n²) per row, measured 5x slower at sf0.1).
+    * Default implementation: the native byte-loop expression
+    * (graft.plans.PolyHash, zero-allocation, codegen'd) — byte-identical
+    * to [[polyHashHof]] and the DuckDB oracle for ASCII text.
     */
-  def polyHash(c: Column): Column =
+  def polyHash(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.plans.PolyHash(expression(c)))
+  }
+
+  /** Reference HOF form (codepoint-exact for any input): `split(c, "")`
+    * yields the char array in one O(n) pass — per-index `substring` would
+    * re-seek the UTF8String every call (O(n²)/row, measured 5x slower). */
+  def polyHashHof(c: Column): Column =
     aggregate(
       transform(split(c, ""), ch => ascii(ch).cast("long")),
       lit(7L),

@@ -66,7 +66,8 @@ object EndToEnd {
 
     // --- tile gather (J6): cell-bucketed pixel/tile equi-join -----------
     val gathered = TensorOps.gatherTiles(
-      regridded.select(col("scene_id"), col("time"), col("x"), col("y"), col("value")),
+      regridded.select(col("scene_id"), col("time"), col("dst_i"), col("dst_j"),
+        col("x"), col("y"), col("value")),
       specs.select(col("scene_id"), col("tile_id"), col("x0"), col("y0")),
       cfg.tileSizeM, cellSizeM = cfg.tileSizeM)
 
@@ -79,5 +80,51 @@ object EndToEnd {
       tileStats, aux, "time", "aux_time", cfg.dtAuxUs, Seq("scene_id", "tile_id"))
 
     (specs, withAux)
+  }
+
+  /** Convenience: run + produce tile PNGs from the same gather. */
+  def runWithImages(spark: SparkSession, pixels: DataFrame, aux: DataFrame,
+      cfg: Config): (DataFrame, DataFrame, DataFrame) = {
+    val (specs, stats) = run(spark, pixels, aux, cfg)
+    // re-derive the gather for the image stage (plans are lazy; Catalyst
+    // shares scan-side work, and a production caller would persist)
+    val srcIdx = pixels
+      .withColumn("src_i", ((col("x") - cfg.srcGrid.x0) / cfg.srcGrid.dx - 0.5).cast("int"))
+      .withColumn("src_j", ((col("y") - cfg.srcGrid.y0) / cfg.srcGrid.dy - 0.5).cast("int"))
+      .where(col("src_i").between(0, cfg.srcGrid.nx - 1)
+        && col("src_j").between(0, cfg.srcGrid.ny - 1))
+    val weights = Regrid.bilinearWeights(spark, cfg.srcGrid, cfg.dstGrid)
+    val regridded = Regrid.applyWeights(srcIdx, weights, Seq("scene_id", "time"))
+      .withColumn("x", lit(cfg.dstGrid.x0) + (col("dst_i") + 0.5) * cfg.dstGrid.dx)
+      .withColumn("y", lit(cfg.dstGrid.y0) + (col("dst_j") + 0.5) * cfg.dstGrid.dy)
+    val gathered = TensorOps.gatherTiles(
+      regridded.select(col("scene_id"), col("time"), col("dst_i"), col("dst_j"),
+        col("x"), col("y"), col("value")),
+      specs.select(col("scene_id"), col("tile_id"), col("x0"), col("y0")),
+      cfg.tileSizeM, cellSizeM = cfg.tileSizeM)
+    (specs, stats, tileImages(gathered))
+  }
+
+  /** Tile-image stage (S12/C7/C8): min-max-normalize each gathered tile's
+    * pixels, replicate to grayscale RGB, PNG-encode — one binary row per
+    * tile, the reference's per-tile PNG output re-expressed as a
+    * binary-column sink. `gathered` = output of TensorOps.gatherTiles
+    * with integer dst grid indices (dst_i, dst_j). */
+  def tileImages(gathered: DataFrame): DataFrame = {
+    import graft.functions.ImageOps
+    val tensors = gathered
+      .groupBy(col("scene_id"), col("tile_id"))
+      .agg(
+        (max(col("dst_j")) - min(col("dst_j")) + 1).cast("int").as("ny"),
+        (max(col("dst_i")) - min(col("dst_i")) + 1).cast("int").as("nx"),
+        sort_array(collect_list(struct(col("dst_j"), col("dst_i"), col("value")))).as("__cells"))
+      .withColumn("vals", transform(col("__cells"), c => c.getField("value")))
+      .drop("__cells")
+    val gray = ImageOps.minMaxScaleArr(col("vals"))
+    tensors
+      .withColumn("rgb", ImageOps.stackRgb(gray, gray, gray))
+      .withColumn("png", ImageOps.encodePng(col("rgb"), col("ny"), col("nx")))
+      .select(col("scene_id"), col("tile_id"), col("ny"), col("nx"),
+        length(col("png")).as("png_bytes"), col("png"))
   }
 }

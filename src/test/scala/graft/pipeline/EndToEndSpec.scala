@@ -91,5 +91,15 @@ class EndToEndSpec extends SparkSpec {
     }
     assert(dstVals.size == 100)
     assert(math.abs(mean0 - dstVals.sum / dstVals.size) < 1e-9, s"tile mean $tid0")
+
+    // image stage: one PNG per tile with the tile's pixel dimensions
+    val (_, _, images) = EndToEnd.runWithImages(spark, pixels, aux, cfg)
+    val imgRows = images.collect()
+    assert(imgRows.length == byTile.length)
+    imgRows.foreach { r =>
+      assert(r.getAs[Int]("ny") == 10 && r.getAs[Int]("nx") == 10)
+      val png = r.getAs[Array[Byte]]("png")
+      assert(png.length > 8 && png(1) == 'P'.toByte, "valid PNG magic")
+    }
   }
 }
