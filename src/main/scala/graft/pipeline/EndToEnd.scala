@@ -82,6 +82,75 @@ object EndToEnd {
     (specs, withAux)
   }
 
+  /** SURVEY §3.3's flow: regridded scenes -> sliding-window tile specs
+    * (W1) -> tile gather -> batched model inference (M1) -> embedding
+    * aggregation (O3) -> PCA transform (M3) -> aux co-location (G1+J4) ->
+    * 2-D binned statistics (G6) of an embedding component vs the aux
+    * scalar. Returns (embeddings+aux, binned stats).
+    *
+    * `regridded` must carry (scene_id, time, dst_i, dst_j, value) on an
+    * (nx, ny) destination grid; `auxPx` is a long-format aux field on the
+    * same grid.
+    */
+  def embeddingsFlow(
+      spark: SparkSession,
+      regridded: DataFrame,
+      auxPx: DataFrame,
+      gridNx: Int, gridNy: Int,
+      tileN: Int, step: Int,
+      model: graft.embeddings.Inference.TileModel,
+      pcaComponents: Int): (DataFrame, DataFrame) = {
+    import graft.embeddings.{Inference, Transforms}
+
+    // W1: sliding-window tile specs per scene (pure index math)
+    val scenes = regridded.select(col("scene_id"), col("time")).distinct()
+      .withColumn("nx", lit(gridNx)).withColumn("ny", lit(gridNy))
+    val specs = Tiler.tileSpecs(scenes, col("nx"), col("ny"), tileN, step)
+      .withColumn("gtile_id", Tiler.globalTileId(col("scene_id"), col("tile_id")))
+
+    // gather: integer-index range join (J6 in index space — equi-join on
+    // the tile row after an explode over covered tiles is overkill here;
+    // tiles overlap, so join pixels to specs on scene + index bounds
+    // via the bucketed cell trick in index units)
+    val px = regridded
+      .withColumn("x", col("dst_i").cast("double"))
+      .withColumn("y", col("dst_j").cast("double"))
+    val tiles = specs.select(col("scene_id"), col("gtile_id").as("tile_id"),
+      col("i0").cast("double").as("x0"),
+      // gather uses origin+size in the same units; undo the Tiler y-flip
+      (lit(gridNy) - (col("j0") + tileN)).cast("double").as("y0"))
+    val gathered = TensorOps.gatherTiles(
+      px.select(col("scene_id"), col("time"), col("x"), col("y"), col("value")),
+      tiles, tileSizeM = tileN.toDouble, cellSizeM = tileN.toDouble)
+
+    // tensor assembly + M1 inference (per-partition batched model)
+    val tensors = gathered.groupBy(col("scene_id"), col("time"), col("tile_id"))
+      .agg(sort_array(collect_list(struct(col("y"), col("x"), col("value")))).as("__c"))
+      .withColumn("values", transform(col("__c"), c => c.getField("value")))
+      .drop("__c")
+    val embs = Inference.embedTiles(tensors, "tile_id", "values", model)
+
+    // M3: PCA over the aggregated embeddings
+    val pca = Transforms.fitPca(embs, "emb", pcaComponents)
+    val reduced = Transforms.applyPca(embs, pca, "emb", "emb_pca")
+
+    // G1+J4: per-tile aux reduction joined onto embeddings
+    val auxTiles = TensorOps.gatherTiles(
+      auxPx.select(col("scene_id"), col("time"),
+        col("dst_i").cast("double").as("x"), col("dst_j").cast("double").as("y"),
+        col("value")),
+      tiles, tileSizeM = tileN.toDouble, cellSizeM = tileN.toDouble)
+      .groupBy(col("tile_id"))
+      .agg(avg(col("value")).as("aux_mean"))
+    val joined = reduced.join(auxTiles, "tile_id")
+      .withColumn("emb0", element_at(col("emb_pca"), 1))
+
+    // G6: binned stats of first PCA component vs aux scalar
+    val binned = Binning.bin2d(joined,
+      col("emb0"), 0.5, col("aux_mean"), 0.5, col("emb0"), minCount = 1)
+    (joined, binned)
+  }
+
   /** Convenience: run + produce tile PNGs from the same gather. */
   def runWithImages(spark: SparkSession, pixels: DataFrame, aux: DataFrame,
       cfg: Config): (DataFrame, DataFrame, DataFrame) = {

@@ -192,14 +192,15 @@ object LlmQueries {
            |  FROM (SELECT source, $SHINGLES_SQL AS shingles FROM documents))
            |GROUP BY 1""".stripMargin
       }) { (s, d) =>
-      import s.implicits._
-      val hashed = Tables.documents(s, d)
+      // native TypedImperativeAggregate form (plain DataFrame groupBy;
+      // the typed-Aggregator twin lives in operators.Sketches)
+      Tables.documents(s, d)
         .select(col("source"), Dedup.shingleHashes(col("text")).as("xs"))
-        .as[(String, Seq[Long])]
-      hashed.groupByKey(_._1).mapValues(_._2)
-        .agg(graft.operators.Sketches.minhashSketch(4).toColumn)
-        .map { case (src, sig) => (src, sig(0), sig(1), sig(2), sig(3)) }
-        .toDF("source", "mh0", "mh1", "mh2", "mh3")
+        .groupBy(col("source"))
+        .agg(graft.plans.MinHashSketchAgg.minhashSketchCol(col("xs"), 4).as("sig"))
+        .select(col("source"),
+          element_at(col("sig"), 1).as("mh0"), element_at(col("sig"), 2).as("mh1"),
+          element_at(col("sig"), 3).as("mh2"), element_at(col("sig"), 4).as("mh3"))
     },
 
     // ---- §2.11 stack/melt: wide signature -> long form ------------------
