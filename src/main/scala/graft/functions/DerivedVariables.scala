@@ -21,11 +21,17 @@ object DerivedVariables {
 
   final class Registry(derived: Map[String, Derived]) {
 
-    /** Base (non-derived) variables a target ultimately needs. */
-    def sourceVariables(target: String, maxDepth: Int = 10): Set[String] = {
+    /** Base variables a target ultimately needs. Expansion stops at any
+      * var in `available` — a var the source already provides is used
+      * directly even if a derived recipe exists (mirrors the reference's
+      * "expand only what the source lacks", sources/__init__.py:136-157).
+      */
+    def sourceVariables(target: String, available: Set[String] = Set.empty,
+        maxDepth: Int = 10): Set[String] = {
       def go(v: String, depth: Int): Set[String] = {
         require(depth <= maxDepth, s"derived-variable DAG deeper than $maxDepth at '$v'")
-        derived.get(v) match {
+        if (available(v)) Set(v)
+        else derived.get(v) match {
           case None => Set(v)
           case Some(dv) => dv.deps.toSet.flatMap((d: String) => go(d, depth + 1))
         }
@@ -33,14 +39,20 @@ object DerivedVariables {
       go(target, 0)
     }
 
-    /** Resolve a target to one Column expression over base-var columns. */
+    /** Resolve a target to one Column expression over base-var columns.
+      * Provided base columns take precedence over derived recipes (so a
+      * source that materializes `p` directly is not forced through
+      * `exp(lnsp)`). */
     def resolve(target: String, base: Map[String, Column], maxDepth: Int = 10): Column = {
       def go(v: String, depth: Int): Column = {
         require(depth <= maxDepth, s"derived-variable DAG deeper than $maxDepth at '$v'")
-        derived.get(v) match {
-          case None => base.getOrElse(v,
-            throw new IllegalArgumentException(s"base variable '$v' not provided"))
-          case Some(dv) => dv.build(dv.deps.map(d => d -> go(d, depth + 1)).toMap)
+        base.get(v) match {
+          case Some(c) if depth > 0 => c
+          case _ => derived.get(v) match {
+            case None => base.getOrElse(v,
+              throw new IllegalArgumentException(s"base variable '$v' not provided"))
+            case Some(dv) => dv.build(dv.deps.map(d => d -> go(d, depth + 1)).toMap)
+          }
         }
       }
       go(target, 0)
@@ -66,5 +78,14 @@ object DerivedVariables {
     // G5: estimated inversion strength (Wood & Bretherton 2006 form):
     // EIS = LTS - Γ850 * (z700 - lcl); Γ850 and z values are inputs here
     "eis" -> Derived(Seq("lts", "gamma850", "z700", "lcl"), m =>
-      m("lts") - m("gamma850") * (m("z700") - m("lcl")))))
+      m("lts") - m("gamma850") * (m("z700") - m("lcl"))),
+    // C6: cloud radiative effect = clear-sky minus all-sky flux
+    // (ceres_syn1deg_modis/extract.py:71-89)
+    "sw_cre" -> Derived(Seq("sw_clear", "sw_all"), m => m("sw_clear") - m("sw_all")),
+    "lw_cre" -> Derived(Seq("lw_clear", "lw_all"), m => m("lw_clear") - m("lw_all")),
+    "net_cre" -> Derived(Seq("sw_cre", "lw_cre"), m => m("sw_cre") + m("lw_cre")),
+    // C6: reflected SW from albedo x insolation (ceres_geo/sw_flux.py:62-80)
+    "sw_up" -> Derived(Seq("albedo", "sw_down"), m => m("albedo") * m("sw_down")),
+    "toa_net" -> Derived(Seq("sw_down", "sw_up", "olr"), m =>
+      m("sw_down") - m("sw_up") - m("olr"))))
 }
