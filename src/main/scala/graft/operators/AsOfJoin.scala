@@ -65,12 +65,13 @@ object AsOfJoin {
       probeKey: Seq[String],
       broadcastBuild: Boolean = false): DataFrame = {
     require(halfWindowUs > 0, "tolerance must be positive")
-    // integer `div` bucketing — exact long arithmetic, no FP boundary risk
+    // integer `div` bucketing — exact long arithmetic, no FP boundary
+    // risk; cast tolerates TIMESTAMP_NTZ inputs (lossless, UTC session)
     val p = probe
-      .withColumn("__pus", unix_micros(col(probeTs)))
+      .withColumn("__pus", unix_micros(col(probeTs).cast("timestamp")))
       .withColumn("__pb", expr(s"__pus div ${halfWindowUs}L"))
     val b3 = build
-      .withColumn("__bus", unix_micros(col(buildTs)))
+      .withColumn("__bus", unix_micros(col(buildTs).cast("timestamp")))
       .withColumn("__bb0", expr(s"__bus div ${halfWindowUs}L"))
       .withColumn("__pb", explode(array(col("__bb0") - 1, col("__bb0"), col("__bb0") + 1)))
       .drop("__bb0")

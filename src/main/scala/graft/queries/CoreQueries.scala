@@ -349,6 +349,32 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
     },
 
+    // ---- F1 interval-table form: bucketed point-in-interval join --------
+    QueryDef.sqlBacked(
+      "q54_range_join",
+      """SELECT o_orderkey, count(*) AS n_shipped_first_week,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      // intervals = [o_orderdate, +7d] per order; points = shipdates of the
+      // order's items. The equi-key (orderkey) already bounds the join; the
+      // bucketed containment shows the generic operator on the time axis.
+      val points = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      val intervals = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("o_weekend"))
+      graft.operators.RangeJoin.tsInInterval(points, intervals,
+          "l_shipdate", "o_orderdate", "o_weekend", bucketWidthUs = 7L * 86400 * 1000000)
+        .where(col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped_first_week"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+    },
+
     // ---- O1/O2: deterministic top-k per group ---------------------------
     QueryDef.sqlBacked(
       "q21_topk_per_group",
