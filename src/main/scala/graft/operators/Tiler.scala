@@ -31,9 +31,14 @@ object Tiler {
   def tileSpecs(scenes: DataFrame, nxCol: Column, nyCol: Column,
       tileN: Int, step: Int): DataFrame = {
     val nJ = nAlong(nyCol, tileN, step)
+    // guard: Spark's sequence(0, stop) DESCENDS when stop < 0, so a grid
+    // smaller than the tile must yield an empty origin list, not [0, stop]
+    def origins(n: Column): Column =
+      when(n >= tileN, sequence(lit(0), n - tileN, lit(step)))
+        .otherwise(array().cast("array<int>"))
     scenes
-      .withColumn("i0", explode(sequence(lit(0), nxCol - tileN, lit(step))))
-      .withColumn("__j", explode(sequence(lit(0), nyCol - tileN, lit(step))))
+      .withColumn("i0", explode(origins(nxCol)))
+      .withColumn("__j", explode(origins(nyCol)))
       .withColumn("i_idx", expr(s"i0 div $step"))
       .withColumn("j_idx", expr(s"__j div $step"))
       .withColumn("tile_id", col("i_idx") * nJ + col("j_idx"))
