@@ -349,6 +349,26 @@ object CoreQueries {
           count(lit(1)).as("n_items"))
     },
 
+    // ---- A1 pivot form: per-input columns from the long event table -----
+    QueryDef.sqlBacked(
+      "q55_pivot_assembly",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY 1
+        |HAVING count(*) FILTER (WHERE event_type = 'purchase') > 0""".stripMargin) { (s, d) =>
+      // groupBy().pivot() materializes the same shape; the explicit
+      // conditional-agg form keeps the column set static for the oracle
+      val e = Tables.events(s, d)
+      def cnt(t: String) = count(when(col("event_type") === t, 1)).as(s"n_$t")
+      e.groupBy(col("user_id"))
+        .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+        .where(col("n_purchase") > 0)
+    },
+
     // ---- F1 interval-table form: bucketed point-in-interval join --------
     QueryDef.sqlBacked(
       "q54_range_join",

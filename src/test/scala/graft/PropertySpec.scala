@@ -92,6 +92,22 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("range join matches brute-force containment") {
+    val gen = for {
+      pts <- Gen.listOfN(40, Gen.choose(0L, 5000L))
+      ivs <- Gen.listOfN(15, Gen.zip(Gen.choose(0L, 4500L), Gen.choose(1L, 800L)))
+      width <- Gen.choose(50L, 2000L)
+    } yield (pts.distinct, ivs.map { case (lo, len) => (lo, lo + len) }.distinct, width)
+    check(Prop.forAll(gen) { case (pts, ivs, width) =>
+      val p = pts.toDF("pt")
+      val iv = ivs.toDF("lo", "hi")
+      val got = graft.operators.RangeJoin.pointInInterval(p, iv, "pt", "lo", "hi", width)
+        .select("pt", "lo").as[(Long, Long)].collect().toSet
+      val want = (for { pt <- pts; (lo, hi) <- ivs if pt >= lo && pt <= hi } yield (pt, lo)).toSet
+      got == want
+    })
+  }
+
   test("T3: hashUnit stays in [0,1) and is key-deterministic") {
     val df = spark.range(0, 2000).select(col("id"))
       .withColumn("u", Triplets.hashUnit(7, col("id")))
