@@ -103,6 +103,13 @@ object Dedup {
   /** The scalable near-dup path: LSH banding over minhash signatures ->
     * candidate pairs sharing >= 1 band -> verified n-gram Jaccard filter.
     * One explode (x bands) + one equi-join on (band, hash); no block scan.
+    *
+    * Shuffle discipline: the band join and candidate dedup carry ONLY the
+    * two 8-byte doc ids — the shingle arrays are joined back exactly once
+    * per *distinct* candidate pair for the verify pass. (Carrying the
+    * arrays through the band join multiplies them by #shared-bands and
+    * makes `distinct()` compare array keys — measured ~10x slower at
+    * sf0.1 on a self-similar corpus.)
     */
   def lshNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -110,19 +117,25 @@ object Dedup {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
     // hashed shingle set once; signatures derive from it, and the verify
-    // pass intersects long arrays (no string sets ever shuffle)
+    // pass intersects long arrays (no string sets ever shuffle). Persisted:
+    // read by the banding pass and twice by the verify joins, and Spark
+    // shares no DAG across join branches.
     val sh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCols = minhashCols(col("xs"), k)
-    val sig = sh.select(col("doc_id") +: col("xs") +: sigCols.map { case (n, c) => c.as(n) }: _*)
+    val sig = sh.select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*)
     val sigRef = (0 until k).map(i => col(s"mh$i"))
-    val banded = sig.select(col("doc_id"), col("xs"),
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(bi =>
         struct(lit(bi).as("band"), bandHash(sigRef, bi, r).as("bh"))): _*)).as("b"))
-      .select(col("doc_id"), col("xs"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val l = banded.select(col("doc_id").as("doc_a"), col("xs").as("sa"), col("band"), col("bh"))
-    val rr = banded.select(col("doc_id").as("doc_b"), col("xs").as("sb"), col("band"), col("bh"))
-    l.join(rr, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb")).distinct()
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val rr = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    val cand = l.join(rr, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("xs").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("xs").as("sb")), Seq("doc_b"))
       .withColumn("jaccard", jaccardSorted(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
