@@ -62,15 +62,41 @@ object Similarity {
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All buckets within Hamming distance `radius` of bucket `b0`
+    * (radius 0 = just b0; 1 adds the nPlanes 1-bit flips; 2 adds the
+    * C(nPlanes,2) 2-bit flips). Distinct by construction, so exploding
+    * the probe side over them never duplicates a (probe, neighbor) pair —
+    * each corpus vector lives in exactly one bucket. */
+  def probeBuckets(b0: Column, nPlanes: Int, radius: Int): Seq[Column] = {
+    val one = (0 until nPlanes).map(i => b0.bitwiseXOR(lit(1L << i)))
+    val two = for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+      yield b0.bitwiseXOR(lit((1L << i) | (1L << j)))
+    radius match {
+      case 0 => Seq(b0)
+      case 1 => b0 +: one
+      case _ => (b0 +: one) ++ two
+    }
+  }
+
   /** LSH-bucketed ANN: equi-join probes to corpus on bucket id, then exact
     * cosine rank within candidates. Trades recall for a shuffle-free
     * candidate scan — the scale path when the corpus no longer fits a
-    * broadcast×scan budget. */
+    * broadcast×scan budget.
+    *
+    * Multi-probe: the PROBE side (small) explodes over the Hamming ball of
+    * `probeRadius` around its own bucket — candidate generation stays a
+    * bucket equi-join (no new shuffle shape) while recall rises steeply,
+    * because a near neighbor that missed the exact bucket almost always
+    * differs in only one or two marginal sign bits. Candidate growth is
+    * bounded by the ball size (1 + n + C(n,2)), NOT by corpus size. */
   def lshTopK(
       probes: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      probeRadius: Int = 1): DataFrame = {
+    val p0 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      lshBucket(col(vecCol), nPlanes, dim).as("b0"))
+    val p = p0.select(col("probe_id"), col("pv"),
+      explode(array(probeBuckets(col("b0"), nPlanes, probeRadius): _*)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
     val scored = c.join(broadcast(p), "bucket")
