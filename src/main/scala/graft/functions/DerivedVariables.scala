@@ -42,12 +42,13 @@ object DerivedVariables {
     /** Resolve a target to one Column expression over base-var columns.
       * Provided base columns take precedence over derived recipes (so a
       * source that materializes `p` directly is not forced through
-      * `exp(lnsp)`). */
+      * `exp(lnsp)`) — including for the target itself, matching
+      * [[sourceVariables]], which stops at the target when available. */
     def resolve(target: String, base: Map[String, Column], maxDepth: Int = 10): Column = {
       def go(v: String, depth: Int): Column = {
         require(depth <= maxDepth, s"derived-variable DAG deeper than $maxDepth at '$v'")
         base.get(v) match {
-          case Some(c) if depth > 0 => c
+          case Some(c) => c
           case _ => derived.get(v) match {
             case None => base.getOrElse(v,
               throw new IllegalArgumentException(s"base variable '$v' not provided"))

@@ -45,13 +45,18 @@ object Triplets {
   /** T2: for each triplet id, pick two *distinct* scenes from its
     * collection: anchor/neighbor scene and distant scene.
     * Deterministic: scenes are ranked once per collection, and the picks
-    * are hash-derived indices (second draw skips the first). */
+    * are hash-derived indices (second draw skips the first).
+    *
+    * Collections with a single scene cannot yield a distinct pair and are
+    * dropped explicitly (the reference's rejection loop would spin forever
+    * on them) — triplets addressed to such a collection produce no rows. */
   def pairScenes(scenes: DataFrame, triplets: DataFrame, seed: Long): DataFrame = {
     val w = Window.partitionBy(col("collection")).orderBy(col("scene_id"))
     val ranked = scenes
       .withColumn("rank", row_number().over(w) - 1)
       .withColumn("n_scenes", count(lit(1)).over(Window.partitionBy(col("collection"))))
     val counts = ranked.groupBy(col("collection")).agg(max(col("n_scenes")).as("n_scenes"))
+      .where(col("n_scenes") >= 2)
     val picks = triplets.join(counts, "collection")
       .withColumn("a_rank", floor(hashUnit(seed, col("triplet_id"), lit("anchor")) * col("n_scenes")).cast("int"))
       .withColumn("d_draw", floor(hashUnit(seed, col("triplet_id"), lit("distant")) * (col("n_scenes") - 1)).cast("int"))

@@ -41,8 +41,11 @@ object EndToEnd {
 
     // --- crop (P2) + regrid (R1): bilinear onto the analysis grid -------
     val srcIdx = pixels
-      .withColumn("src_i", ((col("x") - cfg.srcGrid.x0) / cfg.srcGrid.dx - 0.5).cast("int"))
-      .withColumn("src_j", ((col("y") - cfg.srcGrid.y0) / cfg.srcGrid.dy - 0.5).cast("int"))
+      // round, not truncate: pixels sit at cell centers, so the index is
+      // an exact integer up to FP error — cast("int") would mis-bin a
+      // 1.9999999999999998 into cell 1
+      .withColumn("src_i", round((col("x") - cfg.srcGrid.x0) / cfg.srcGrid.dx - 0.5).cast("int"))
+      .withColumn("src_j", round((col("y") - cfg.srcGrid.y0) / cfg.srcGrid.dy - 0.5).cast("int"))
       .where(col("src_i").between(0, cfg.srcGrid.nx - 1)
         && col("src_j").between(0, cfg.srcGrid.ny - 1))
     val weights = Regrid.bilinearWeights(spark, cfg.srcGrid, cfg.dstGrid)
@@ -158,8 +161,11 @@ object EndToEnd {
     // re-derive the gather for the image stage (plans are lazy; Catalyst
     // shares scan-side work, and a production caller would persist)
     val srcIdx = pixels
-      .withColumn("src_i", ((col("x") - cfg.srcGrid.x0) / cfg.srcGrid.dx - 0.5).cast("int"))
-      .withColumn("src_j", ((col("y") - cfg.srcGrid.y0) / cfg.srcGrid.dy - 0.5).cast("int"))
+      // round, not truncate: pixels sit at cell centers, so the index is
+      // an exact integer up to FP error — cast("int") would mis-bin a
+      // 1.9999999999999998 into cell 1
+      .withColumn("src_i", round((col("x") - cfg.srcGrid.x0) / cfg.srcGrid.dx - 0.5).cast("int"))
+      .withColumn("src_j", round((col("y") - cfg.srcGrid.y0) / cfg.srcGrid.dy - 0.5).cast("int"))
       .where(col("src_i").between(0, cfg.srcGrid.nx - 1)
         && col("src_j").between(0, cfg.srcGrid.ny - 1))
     val weights = Regrid.bilinearWeights(spark, cfg.srcGrid, cfg.dstGrid)

@@ -71,23 +71,34 @@ class CalendarScanBuilder(t0Us: Long, t1Us: Long, stepUs: Long, chunkUs: Long)
   private var pushed = Array.empty[Filter]
 
   /** Narrow [lo, hi] from time comparisons; everything else stays a
-    * post-scan filter (we return non-time filters as residual). */
+    * post-scan filter (we return non-time filters as residual). A time
+    * filter is claimed as fully source-enforced ONLY when its literal
+    * converts exactly to microseconds — an unconvertible literal type
+    * stays residual so Spark re-applies it post-scan instead of being
+    * silently mis-enforced. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    // full microsecond precision: Timestamp/Instant carry sub-millisecond
+    // micros that getTime/toEpochMilli would drop
+    def us(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case l: java.time.LocalDateTime => Some(DateTimeUtils.localDateTimeToMicros(l))
+      case s: String => scala.util.Try(CalendarDataSource.parseUs(s)).toOption
+      case _ => None
+    }
     val (time, residual) = filters.partition {
-      case GreaterThan("time", _) | GreaterThanOrEqual("time", _)
-           | LessThan("time", _) | LessThanOrEqual("time", _) => true
+      case GreaterThan("time", v) => us(v).isDefined
+      case GreaterThanOrEqual("time", v) => us(v).isDefined
+      case LessThan("time", v) => us(v).isDefined
+      case LessThanOrEqual("time", v) => us(v).isDefined
       case _ => false
     }
-    def us(v: Any): Long = v match {
-      case t: java.sql.Timestamp => t.getTime * 1000L
-      case i: java.time.Instant => i.toEpochMilli * 1000L
-      case s: String => CalendarDataSource.parseUs(s)
-    }
     time.foreach {
-      case GreaterThan("time", v) => lo = math.max(lo, us(v) + 1)
-      case GreaterThanOrEqual("time", v) => lo = math.max(lo, us(v))
-      case LessThan("time", v) => hi = math.min(hi, us(v) - 1)
-      case LessThanOrEqual("time", v) => hi = math.min(hi, us(v))
+      case GreaterThan("time", v) => lo = math.max(lo, us(v).get + 1)
+      case GreaterThanOrEqual("time", v) => lo = math.max(lo, us(v).get)
+      case LessThan("time", v) => hi = math.min(hi, us(v).get - 1)
+      case LessThanOrEqual("time", v) => hi = math.min(hi, us(v).get)
       case _ =>
     }
     pushed = time

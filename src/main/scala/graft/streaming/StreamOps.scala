@@ -28,12 +28,16 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
 
   /** A1-analog as a stream: emit a "scene" row once all `nTypes` distinct
-    * event types have been observed within the hour bucket. */
+    * event types have been observed within the hour bucket. Exact gate
+    * (size of collect_set, supported in streaming aggregations) — an HLL
+    * approx_count_distinct could falsely open or hold it vs the batch A1
+    * count(DISTINCT) semantics. */
   def completenessGate(events: DataFrame, nTypes: Int, watermark: String): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(approx_count_distinct(col("event_type")).as("n_types"), count(lit(1)).as("n_events"))
+      .agg(size(collect_set(col("event_type"))).cast("long").as("n_types"),
+        count(lit(1)).as("n_events"))
       .where(col("n_types") >= nTypes)
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
