@@ -188,6 +188,38 @@ object SourceQueries {
         .where(col("vmax") > col("vmin"))
         .select(col("event_id"), col("event_type"),
           ((col("value") - col("vmin")) / (col("vmax") - col("vmin"))).as("vnorm"))
+    },
+
+    // ---- S8/S9: real netCDF-3 ingest with timestep split ----------------
+    // The query WRITES a deterministic classic .nc fixture (pure-JVM
+    // writer), ingests it through the binaryFile -> NetCDF3 decode path,
+    // and the oracle reconstructs the expected rows analytically — so the
+    // whole decode/split chain (sources/les.py:22-117 semantics) is
+    // hash-verified, not just spec'd.
+    QueryDef.sqlBacked(
+      "q56_netcdf_ingest",
+      """SELECT 'les_fix_2020-01-01T0' || CAST(t AS VARCHAR) || '0000' AS scene_id,
+        |  TIMESTAMP '2020-01-01 00:00:00' + INTERVAL 1 HOUR * t AS time,
+        |  CAST(i * 50 AS DOUBLE) AS x, CAST(j * 50 AS DOUBLE) AS y,
+        |  CAST((t*4 + j)*4 + i AS DOUBLE) * 0.25 - 1.0 AS value
+        |FROM range(0,3) r1(t), range(0,4) r2(j), range(0,4) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.{NetCDF3, NetCDFIngest}
+      val dir = java.nio.file.Files.createTempDirectory("graft-q56").toString
+      val nT = 3; val ny = 4; val nx = 4
+      val bytes = NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("y", ny), NetCDF3.Dim("x", nx)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("units", NetCDF3.NcChar, "hours since 2020-01-01")),
+            Array.tabulate(nT)(_.toDouble)),
+          NetCDF3.VarSpec("y", Seq("y"), NetCDF3.NcDouble, Nil, Array.tabulate(ny)(_ * 50.0)),
+          NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil, Array.tabulate(nx)(_ * 50.0)),
+          NetCDF3.VarSpec("lwp", Seq("time", "y", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nT * ny * nx)(_ * 0.25 - 1.0))),
+        numRecs = nT)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "les_fix.nc"), bytes)
+      NetCDFIngest.lesScenes(s, s"$dir/*.nc", "lwp")
     }
   )
 }

@@ -1,0 +1,310 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM codec for the NetCDF classic binary format (CDF-1 and CDF-2,
+  * the fully public format every `*.nc` file of the reference's LES /
+  * ERA5 sources uses before netCDF-4/HDF5). No external jars: the format
+  * is a flat big-endian header (dims, global attrs, variables) followed
+  * by row-major data slabs, with record (unlimited-dimension) variables
+  * interleaved per record.
+  *
+  * Reference semantics served by this codec:
+  *  - `XArrayTarget.open` (utils/luigi.py:29-47): open a dataset, pick
+  *    the single data variable.
+  *  - `FindLESFiles` (sources/les.py:22-117): read the `time` coordinate
+  *    and split multi-timestep files into per-timestep scenes.
+  *  - netCDF *export* of aux grids (pipeline/embeddings/aux_fields/
+  *    utils.py:43-68) via [[NetCDF3.write]].
+  *
+  * Scale note: a .nc file decodes as one unit (the header indexes the
+  * whole file), so Spark-side use is per-file parallelism — see
+  * [[NetCDFIngest]]. That matches the reference, where each file is one
+  * luigi task; at 100 TB the parallelism unit is the file and the
+  * decoded long-format rows immediately repartition by scene.
+  */
+object NetCDF3 {
+
+  val NcByte = 1; val NcChar = 2; val NcShort = 3
+  val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+
+  final case class Dim(name: String, length: Int) {
+    def isRecord: Boolean = length == 0
+  }
+  /** Attribute value is a String (NC_CHAR) or an Array of a numeric type. */
+  final case class Attr(name: String, ncType: Int, value: Any)
+  final case class Variable(
+      name: String, dimIds: Seq[Int], attrs: Seq[Attr],
+      ncType: Int, vsize: Long, begin: Long)
+  final case class Header(
+      version: Int, numRecs: Int, dims: Seq[Dim],
+      gattrs: Seq[Attr], vars: Seq[Variable])
+
+  def typeSize(t: Int): Int = t match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case other => throw new IllegalArgumentException(s"unsupported nc_type $other")
+  }
+
+  private def pad4(n: Long): Long = (n + 3) & ~3L
+
+  // ---------------------------------------------------------------------
+  // Reader
+  // ---------------------------------------------------------------------
+
+  private def readName(b: ByteBuffer): String = {
+    val n = b.getInt()
+    val bytes = new Array[Byte](n)
+    b.get(bytes)
+    b.position(b.position() + (pad4(n) - n).toInt)
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  private def readAttrValues(b: ByteBuffer, ncType: Int, n: Int): Any = {
+    val res: Any = ncType match {
+      case NcChar =>
+        val bytes = new Array[Byte](n); b.get(bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      case NcByte => val a = new Array[Byte](n); b.get(a); a
+      case NcShort => Array.fill(n)(b.getShort())
+      case NcInt => Array.fill(n)(b.getInt())
+      case NcFloat => Array.fill(n)(b.getFloat())
+      case NcDouble => Array.fill(n)(b.getDouble())
+    }
+    val used = n.toLong * typeSize(ncType)
+    b.position(b.position() + (pad4(used) - used).toInt)
+    res
+  }
+
+  private def readAttrList(b: ByteBuffer): Seq[Attr] = {
+    val tag = b.getInt(); val n = b.getInt()
+    require(tag == 0x0C || (tag == 0 && n == 0), s"bad att_list tag $tag")
+    (0 until n).map { _ =>
+      val name = readName(b)
+      val t = b.getInt(); val nelems = b.getInt()
+      Attr(name, t, readAttrValues(b, t, nelems))
+    }
+  }
+
+  def readHeader(bytes: Array[Byte]): Header = {
+    val b = ByteBuffer.wrap(bytes) // big-endian by default
+    require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F', "not a NetCDF classic file")
+    val version = b.get().toInt
+    require(version == 1 || version == 2, s"unsupported CDF version $version (netCDF-4/HDF5 needs the HDF path)")
+    val numRecs = b.getInt()
+    val dimTag = b.getInt(); val nDims = b.getInt()
+    require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"bad dim_list tag $dimTag")
+    val dims = (0 until nDims).map(_ => Dim(readName(b), b.getInt()))
+    val gattrs = readAttrList(b)
+    val varTag = b.getInt(); val nVars = b.getInt()
+    require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"bad var_list tag $varTag")
+    val vars = (0 until nVars).map { _ =>
+      val name = readName(b)
+      val nd = b.getInt()
+      val dimIds = (0 until nd).map(_ => b.getInt())
+      val attrs = readAttrList(b)
+      val t = b.getInt()
+      val vsize = b.getInt().toLong & 0xFFFFFFFFL
+      val begin = if (version == 1) b.getInt().toLong & 0xFFFFFFFFL else b.getLong()
+      Variable(name, dimIds, attrs, t, vsize, begin)
+    }
+    Header(version, numRecs, dims, gattrs, vars)
+  }
+
+  /** Shape of a variable (record dim resolved to numRecs). */
+  def shapeOf(h: Header, v: Variable): Seq[Int] =
+    v.dimIds.map { id =>
+      val d = h.dims(id); if (d.isRecord) h.numRecs else d.length
+    }
+
+  private def isRecordVar(h: Header, v: Variable): Boolean =
+    v.dimIds.headOption.exists(h.dims(_).isRecord)
+
+  /** Total per-record stride in bytes. Special case per the format spec:
+    * with exactly one record variable, records are NOT 4-byte padded. */
+  private def recordStride(h: Header): Long = {
+    val recVars = h.vars.filter(isRecordVar(h, _))
+    if (recVars.size == 1) {
+      val v = recVars.head
+      v.dimIds.drop(1).map(h.dims(_).length.toLong).product * typeSize(v.ncType)
+    } else recVars.map(_.vsize).sum
+  }
+
+  private def readSlab(b: ByteBuffer, at: Long, n: Int, ncType: Int, out: Array[Double], outOff: Int): Unit = {
+    b.position(at.toInt)
+    var i = 0
+    while (i < n) {
+      out(outOff + i) = ncType match {
+        case NcByte | NcChar => b.get().toDouble
+        case NcShort => b.getShort().toDouble
+        case NcInt => b.getInt().toDouble
+        case NcFloat => b.getFloat().toDouble
+        case NcDouble => b.getDouble()
+      }
+      i += 1
+    }
+  }
+
+  /** All values of a variable, promoted to Double, in row-major order
+    * (record dimension outermost, matching the on-disk record layout). */
+  def readValues(bytes: Array[Byte], h: Header, v: Variable): Array[Double] = {
+    val b = ByteBuffer.wrap(bytes)
+    val shape = shapeOf(h, v)
+    val total = shape.map(_.toLong).product
+    require(total <= Int.MaxValue, s"variable ${v.name} too large for one decode")
+    val out = new Array[Double](total.toInt)
+    if (!isRecordVar(h, v)) {
+      readSlab(b, v.begin, total.toInt, v.ncType, out, 0)
+    } else {
+      val perRec = shape.drop(1).map(_.toLong).product.toInt
+      val stride = recordStride(h)
+      var r = 0
+      while (r < h.numRecs) {
+        readSlab(b, v.begin + r * stride, perRec, v.ncType, out, r * perRec)
+        r += 1
+      }
+    }
+    out
+  }
+
+  def readValues(bytes: Array[Byte], varName: String): (Seq[String], Seq[Int], Array[Double]) = {
+    val h = readHeader(bytes)
+    val v = h.vars.find(_.name == varName).getOrElse(
+      throw new IllegalArgumentException(
+        s"Requested variable `$varName` not found in datafile"))
+    (v.dimIds.map(h.dims(_).name), shapeOf(h, v), readValues(bytes, h, v))
+  }
+
+  // ---------------------------------------------------------------------
+  // Writer
+  // ---------------------------------------------------------------------
+
+  /** In-memory variable for writing: data row-major, Double-typed (cast
+    * to `ncType` on write). `dimNames` resolve against `dims` below. */
+  final case class VarSpec(
+      name: String, dimNames: Seq[String], ncType: Int,
+      attrs: Seq[Attr] = Nil, data: Array[Double] = Array.empty)
+
+  private def writeName(out: java.io.ByteArrayOutputStream, s: String): Unit = {
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    val b = ByteBuffer.allocate(4 + pad4(bytes.length).toInt)
+    b.putInt(bytes.length); b.put(bytes)
+    out.write(b.array())
+  }
+
+  private def writeAttrList(out: java.io.ByteArrayOutputStream, attrs: Seq[Attr]): Unit = {
+    val b0 = ByteBuffer.allocate(8)
+    if (attrs.isEmpty) { b0.putInt(0); b0.putInt(0) } else { b0.putInt(0x0C); b0.putInt(attrs.size) }
+    out.write(b0.array())
+    attrs.foreach { a =>
+      writeName(out, a.name)
+      val (nelems, payload) = a.value match {
+        case s: String =>
+          val bytes = s.getBytes(StandardCharsets.UTF_8); (bytes.length, bytes)
+        case xs: Array[Int] =>
+          val b = ByteBuffer.allocate(xs.length * 4); xs.foreach(b.putInt); (xs.length, b.array())
+        case xs: Array[Float] =>
+          val b = ByteBuffer.allocate(xs.length * 4); xs.foreach(b.putFloat); (xs.length, b.array())
+        case xs: Array[Double] =>
+          val b = ByteBuffer.allocate(xs.length * 8); xs.foreach(b.putDouble); (xs.length, b.array())
+        case other => throw new IllegalArgumentException(s"unsupported attr payload ${other.getClass}")
+      }
+      val head = ByteBuffer.allocate(8); head.putInt(a.ncType); head.putInt(nelems)
+      out.write(head.array()); out.write(payload)
+      (0L until (pad4(payload.length) - payload.length)).foreach(_ => out.write(0))
+    }
+  }
+
+  private def putValue(b: ByteBuffer, ncType: Int, v: Double): Unit = ncType match {
+    case NcByte | NcChar => b.put(v.toByte)
+    case NcShort => b.putShort(v.toShort)
+    case NcInt => b.putInt(v.toInt)
+    case NcFloat => b.putFloat(v.toFloat)
+    case NcDouble => b.putDouble(v)
+  }
+
+  /** Write a CDF-1 classic file. `dims` with length 0 marks the record
+    * dimension (at most one, and it must be each record-var's FIRST dim);
+    * `numRecs` is its realized length. */
+  def write(dims: Seq[Dim], gattrs: Seq[Attr], vars: Seq[VarSpec], numRecs: Int = 0): Array[Byte] = {
+    val dimIdx = dims.map(_.name).zipWithIndex.toMap
+    require(dims.count(_.isRecord) <= 1, "at most one record dimension")
+    def dimIds(v: VarSpec) = v.dimNames.map(dimIdx)
+    def isRec(v: VarSpec) = v.dimNames.headOption.exists(d => dims(dimIdx(d)).isRecord)
+    def perRecCount(v: VarSpec): Long = {
+      val tail = if (isRec(v)) v.dimNames.drop(1) else v.dimNames
+      tail.map(d => dims(dimIdx(d)).length.toLong).product
+    }
+    def vsize(v: VarSpec): Long = pad4(perRecCount(v) * typeSize(v.ncType))
+
+    // header with placeholder begins to learn its size, then final pass
+    def headerBytes(begins: Map[String, Long]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('C'); out.write('D'); out.write('F'); out.write(1)
+      val b0 = ByteBuffer.allocate(12)
+      b0.putInt(numRecs)
+      if (dims.isEmpty) { b0.putInt(0); b0.putInt(0) } else { b0.putInt(0x0A); b0.putInt(dims.size) }
+      out.write(b0.array())
+      dims.foreach { d =>
+        writeName(out, d.name)
+        val b = ByteBuffer.allocate(4); b.putInt(d.length); out.write(b.array())
+      }
+      writeAttrList(out, gattrs)
+      val bv = ByteBuffer.allocate(8)
+      if (vars.isEmpty) { bv.putInt(0); bv.putInt(0) } else { bv.putInt(0x0B); bv.putInt(vars.size) }
+      out.write(bv.array())
+      vars.foreach { v =>
+        writeName(out, v.name)
+        val ids = dimIds(v)
+        val b = ByteBuffer.allocate(4 + ids.size * 4)
+        b.putInt(ids.size); ids.foreach(b.putInt)
+        out.write(b.array())
+        writeAttrList(out, v.attrs)
+        val t = ByteBuffer.allocate(12)
+        t.putInt(v.ncType); t.putInt(vsize(v).toInt)
+        t.putInt(begins.getOrElse(v.name, 0L).toInt)
+        out.write(t.array())
+      }
+      out.toByteArray
+    }
+
+    val headerLen = headerBytes(Map.empty).length.toLong
+    val (fixedVars, recVars) = vars.partition(!isRec(_))
+    var off = headerLen
+    val begins = scala.collection.mutable.Map[String, Long]()
+    fixedVars.foreach { v => begins(v.name) = off; off += vsize(v) }
+    recVars.foreach { v => begins(v.name) = off; off += vsize(v) }
+    val singleRec = recVars.size == 1
+    val recStride =
+      if (singleRec) perRecCount(recVars.head) * typeSize(recVars.head.ncType)
+      else recVars.map(vsize).sum
+    val fixedEnd = headerLen + fixedVars.map(vsize).sum
+    val totalLen = if (recVars.isEmpty) fixedEnd else fixedEnd + numRecs.toLong * recStride
+    val buf = ByteBuffer.allocate(totalLen.toInt max off.toInt)
+    buf.put(headerBytes(begins.toMap))
+    fixedVars.foreach { v =>
+      buf.position(begins(v.name).toInt)
+      val n = perRecCount(v).toInt
+      var i = 0
+      while (i < n) { putValue(buf, v.ncType, v.data(i)); i += 1 }
+    }
+    recVars.foreach { v =>
+      val perRec = perRecCount(v).toInt
+      require(v.data.length == perRec * numRecs,
+        s"record var ${v.name}: data ${v.data.length} != $perRec*$numRecs")
+      var r = 0
+      while (r < numRecs) {
+        buf.position((begins(v.name) + r * recStride).toInt)
+        var i = 0
+        while (i < perRec) { putValue(buf, v.ncType, v.data(r * perRec + i)); i += 1 }
+        r += 1
+      }
+    }
+    val res = new Array[Byte](buf.capacity())
+    buf.rewind(); buf.get(res)
+    res
+  }
+}
