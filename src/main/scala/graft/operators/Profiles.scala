@@ -41,6 +41,53 @@ object Profiles {
       .agg(sum(col(vCol) * col("__dp")).as(s"${vCol}_integral"))
   }
 
+  /** G4, the real physics: per-column lifting-condensation-level height
+    * by Bolton (1980), matching era5/scalars.py:31-129 step for step:
+    *
+    *   1. drop levels with rh <= 0 (ln undefined);
+    *   2. T_lcl = 1/((1/(T-55)) - ln(rh)/2840) + 55   [Bolton eq. 22]
+    *   3. z_lcl = alt - cp_d * (T_lcl - T) / g        [dry-adiabatic lift]
+    *   4. layer_method "first_delta_temp_minimum": interior local maxima
+    *      of (T_lcl - T) over the level ordering (scipy find_peaks
+    *      semantics: strictly greater than both neighbors; endpoints are
+    *      never peaks), take the minimum peak altitude, keep levels with
+    *      alt <= it. Columns with no interior peak yield no row (the
+    *      reference's NaN column).
+    *   5. layer sampling: half_minmax (reference default), mean, exact
+    *      median, plus layer_std (population std, numpy default) and the
+    *      layer level count.
+    *
+    * All window+agg Catalyst — one shuffle on the column key, no UDF.
+    * Deviation: plateau peaks (exactly-equal neighbors) are excluded
+    * where scipy keeps the plateau midpoint — measure-zero on physical
+    * data. Cross-engine note: half_minmax/median derive from exact picks
+    * (min/max/middle), so they oracle-hash after 6-dp rounding; mean and
+    * std are FP-sum order-dependent and stay spec-only. */
+  def boltonZlcl(df: DataFrame, keyCols: Seq[String], levelCol: String,
+      tCol: String, rhCol: String, altCol: String,
+      cpd: Double = 1004.0, g: Double = 9.80665): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(levelCol))
+    val wAll = Window.partitionBy(keys: _*)
+    df.where(col(rhCol) > 0.0)
+      .withColumn("__tlcl",
+        lit(1.0) / (lit(1.0) / (col(tCol) - 55.0) - log(col(rhCol)) / 2840.0) + 55.0)
+      .withColumn("__delta", col("__tlcl") - col(tCol))
+      .withColumn("__zlcl", col(altCol) - lit(cpd) * col("__delta") / lit(g))
+      .withColumn("__peak_alt",
+        when(col("__delta") > lag(col("__delta"), 1).over(w)
+          && col("__delta") > lead(col("__delta"), 1).over(w), col(altCol)))
+      .withColumn("__min_peak_alt", min(col("__peak_alt")).over(wAll))
+      .where(col(altCol) <= col("__min_peak_alt"))
+      .groupBy(keys: _*)
+      .agg(
+        (lit(0.5) * (min(col("__zlcl")) + max(col("__zlcl")))).as("z_lcl_half_minmax"),
+        median(col("__zlcl")).as("z_lcl_median"),
+        avg(col("__zlcl")).as("z_lcl_mean"),
+        stddev_pop(col("__zlcl")).as("z_lcl_layer_std"),
+        count(lit(1)).as("n_layer_levels"))
+  }
+
   final case class LevelRow(key: String, level: Int, v: Double)
   final case class ColumnScalar(key: String, value: Double, peak_level: Int, n_levels: Int)
 

@@ -220,6 +220,49 @@ object SourceQueries {
         numRecs = nT)
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, "les_fix.nc"), bytes)
       NetCDFIngest.lesScenes(s, s"$dir/*.nc", "lwp")
+    },
+
+    // ---- G4: Bolton (1980) LCL — the real formula chain -----------------
+    // Profile fixture derived from events by exact integer arithmetic
+    // (both engines compute identical bits); rh lands in [-0.02, 0.94] so
+    // the rh<=0 level-drop path is exercised. Outputs are exact-pick
+    // reductions (half_minmax, median) rounded to 6 dp — the libm ln()
+    // chain agrees across engines to ~1e-12 and peak-detection margins
+    // are macroscopic (K-scale) by construction.
+    QueryDef.sqlBacked(
+      "q57_bolton_lcl",
+      """WITH prof AS (
+        |  SELECT event_id % 250 AS column_id, event_id // 250 AS level,
+        |    CAST((40 - event_id // 250) * 250 AS DOUBLE) AS alt,
+        |    280.0 + CAST(event_id * 31 % 41 AS DOUBLE) AS t,
+        |    CAST(event_id * 7919 % 97 - 2 AS DOUBLE) / 100.0 AS rh
+        |  FROM events),
+        |d AS (
+        |  SELECT *, tlcl - t AS delta, alt - 1004.0 * (tlcl - t) / 9.80665 AS zlcl
+        |  FROM (SELECT *, 1.0/((1.0/(t - 55.0)) - (ln(rh)/2840.0)) + 55.0 AS tlcl
+        |        FROM prof WHERE rh > 0.0)),
+        |p AS (
+        |  SELECT *, CASE WHEN delta > lag(delta) OVER w AND delta > lead(delta) OVER w
+        |                 THEN alt END AS peak_alt
+        |  FROM d WINDOW w AS (PARTITION BY column_id ORDER BY level)),
+        |m AS (SELECT *, min(peak_alt) OVER (PARTITION BY column_id) AS min_peak_alt FROM p)
+        |SELECT column_id,
+        |  round(0.5 * (min(zlcl) + max(zlcl)), 6) AS z_lcl_half_minmax_r6,
+        |  round(median(zlcl), 6) AS z_lcl_median_r6,
+        |  count(*) AS n_layer_levels
+        |FROM m WHERE alt <= min_peak_alt
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val prof = Tables.events(s, d).select(
+        (col("event_id") % 250).as("column_id"),
+        expr("event_id div 250").as("level"),
+        ((lit(40) - expr("event_id div 250")) * 250).cast("double").as("alt"),
+        (lit(280.0) + (col("event_id") * 31 % 41).cast("double")).as("t"),
+        ((col("event_id") * 7919 % 97 - 2).cast("double") / 100.0).as("rh"))
+      graft.operators.Profiles.boltonZlcl(prof, Seq("column_id"), "level", "t", "rh", "alt")
+        .select(col("column_id"),
+          round(col("z_lcl_half_minmax"), 6).as("z_lcl_half_minmax_r6"),
+          round(col("z_lcl_median"), 6).as("z_lcl_median_r6"),
+          col("n_layer_levels"))
     }
   )
 }

@@ -122,6 +122,32 @@ class PhaseDSpec extends SparkSpec {
     assert(rec.map(_._3).toSeq == Seq(10.0, 18.0, 24.0, 28.0, 30.0))
   }
 
+  test("Bolton LCL: rh-drop, peak layer selection, half_minmax/median sampling") {
+    // column "c": 6 levels, t constant so delta peaks track rh maxima.
+    // rh[level 3] <= 0 is dropped BEFORE peak finding (reference order);
+    // remaining rh 0.5,0.8,0.5,0.9,0.6 peaks at levels 1 (alt 500) and
+    // 4 (alt 200) -> min peak alt 200 -> layer = levels 4,5.
+    // column "mono": monotone rh -> no interior peak -> no output row.
+    val rh = Map(0 -> 0.5, 1 -> 0.8, 2 -> 0.5, 3 -> -0.1, 4 -> 0.9, 5 -> 0.6)
+    val rows =
+      (0 to 5).map(l => ("c", l, (6 - l) * 100.0, 290.0, rh(l))) ++
+        (0 to 3).map(l => ("mono", l, (6 - l) * 100.0, 290.0, 0.2 + 0.1 * l))
+    val df = rows.toDF("key", "level", "alt", "t", "rh")
+    val out = Profiles.boltonZlcl(df, Seq("key"), "level", "t", "rh", "alt").collect()
+    assert(out.length == 1 && out.head.getString(0) == "c")
+    val r = out.head
+    assert(r.getAs[Long]("n_layer_levels") == 2L)
+    def zlcl(alt: Double, t: Double, rhv: Double): Double = {
+      val tlcl = 1.0 / (1.0 / (t - 55.0) - math.log(rhv) / 2840.0) + 55.0
+      alt - 1004.0 * (tlcl - t) / 9.80665
+    }
+    val (z4, z5) = (zlcl(200.0, 290.0, 0.9), zlcl(100.0, 290.0, 0.6))
+    assert(math.abs(r.getAs[Double]("z_lcl_half_minmax") - 0.5 * (z4 + z5)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z_lcl_median") - 0.5 * (z4 + z5)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z_lcl_mean") - 0.5 * (z4 + z5)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z_lcl_layer_std") - 0.5 * math.abs(z4 - z5)) < 1e-9)
+  }
+
   test("flow chaining tracks a moving blob and marks lost points") {
     def frame(g: String, t: Int, cx: Int): Flow.Frame = {
       val v = Array.fill(20 * 10)(0.0)
