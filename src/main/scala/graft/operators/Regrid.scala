@@ -70,6 +70,155 @@ object Regrid {
       .withColumn("w", lit(1.0))
   }
 
+  /** R1's hard case (SURVEY §7.4.1 #1): weight generation for a
+    * CURVILINEAR source grid — per-cell (x, y) positions that vary in
+    * both grid indices (a GOES fixed-grid scene projected into the
+    * domain's local Cartesian plane, regridding.py:87-117 / xESMF
+    * bilinear semantics).
+    *
+    * Method: inverse bilinear interpolation on the projected quad mesh.
+    * For each destination point X and candidate source quad with corners
+    * P00 P10 P01 P11 (anchored at (src_i, src_j)):
+    *
+    *   X = P00 + s·B + t·C + s·t·D,  B = P10−P00, C = P01−P00,
+    *                                 D = P11−P10−P01+P00
+    *   ⇒ a·s² + b·s + c = 0 with a = B×D, b = B×C − q×D, c = −(q×C),
+    *     q = X − P00   (× = 2-D cross product)
+    *
+    * then t from whichever component of C + s·D is better conditioned.
+    * The weights ((1−s)(1−t), s(1−t), (1−s)t, st) sum to 1 and reproduce
+    * the corner positions, so interpolation is EXACT for fields linear in
+    * (x, y) — the property spec asserts this. Points in no quad (outside
+    * the mesh) produce no rows: the reference crops the domain inside the
+    * source scene with a pad before regridding.
+    *
+    * Scale design: candidate generation is a bucketed spatial equi-join —
+    * quads explode onto the `binSize` grid bins their bbox covers
+    * (O(1) bins each when binSize ≳ quad diameter), destination points
+    * hash-join on their single bin, and the quadratic solve + containment
+    * test run inside the join's codegen stage. No cross join at any
+    * scale; the output is O(4 × dst cells) and joins pixels by integer
+    * cell key exactly like the regular-grid path. Quad assembly is three
+    * self-equi-joins of the cell table — one-time per (grid, grid) pair,
+    * reused across every scene sharing the geometry (generate once,
+    * persist/broadcast; weights depend only on the grid pair).
+    *
+    * Engine-parity note: the whole chain is +,−,×,/ and IEEE-exact
+    * sqrt — no libm — so an integer-exact fixture hashes bit-identically
+    * against the SQL oracle (q58).
+    */
+  def curvilinearBilinearWeights(
+      srcCells: DataFrame, dstPoints: DataFrame, binSize: Double): DataFrame = {
+    val c00 = srcCells.select(col("src_i"), col("src_j"),
+      col("x").as("x00"), col("y").as("y00"))
+    val c10 = srcCells.select((col("src_i") - 1).as("src_i"), col("src_j"),
+      col("x").as("x10"), col("y").as("y10"))
+    val c01 = srcCells.select(col("src_i"), (col("src_j") - 1).as("src_j"),
+      col("x").as("x01"), col("y").as("y01"))
+    val c11 = srcCells.select((col("src_i") - 1).as("src_i"), (col("src_j") - 1).as("src_j"),
+      col("x").as("x11"), col("y").as("y11"))
+    val quads = c00.join(c10, Seq("src_i", "src_j"))
+      .join(c01, Seq("src_i", "src_j"))
+      .join(c11, Seq("src_i", "src_j"))
+    // bbox -> covered bins (sequence is tiny: bbox spans ≤ 2 bins/axis
+    // when binSize ≥ quad diameter)
+    val binned = quads
+      .withColumn("bx", explode(sequence(
+        floor(least(col("x00"), col("x10"), col("x01"), col("x11")) / binSize).cast("int"),
+        floor(greatest(col("x00"), col("x10"), col("x01"), col("x11")) / binSize).cast("int"))))
+      .withColumn("by", explode(sequence(
+        floor(least(col("y00"), col("y10"), col("y01"), col("y11")) / binSize).cast("int"),
+        floor(greatest(col("y00"), col("y10"), col("y01"), col("y11")) / binSize).cast("int"))))
+    val dst = dstPoints
+      .withColumn("bx", floor(col("x") / binSize).cast("int"))
+      .withColumn("by", floor(col("y") / binSize).cast("int"))
+    val eps = 1e-9
+    val joined = dst.join(binned, Seq("bx", "by"))
+      .withColumn("qx", col("x") - col("x00")).withColumn("qy", col("y") - col("y00"))
+      .withColumn("bxv", col("x10") - col("x00")).withColumn("byv", col("y10") - col("y00"))
+      .withColumn("cxv", col("x01") - col("x00")).withColumn("cyv", col("y01") - col("y00"))
+      .withColumn("dxv", col("x11") - col("x10") - col("x01") + col("x00"))
+      .withColumn("dyv", col("y11") - col("y10") - col("y01") + col("y00"))
+      .withColumn("aa", col("bxv") * col("dyv") - col("byv") * col("dxv"))
+      .withColumn("bb", (col("bxv") * col("cyv") - col("byv") * col("cxv"))
+        - (col("qx") * col("dyv") - col("qy") * col("dxv")))
+      .withColumn("cc", -(col("qx") * col("cyv") - col("qy") * col("cxv")))
+      .withColumn("disc", col("bb") * col("bb") - lit(4.0) * col("aa") * col("cc"))
+      .where(col("disc") >= 0.0)
+      .withColumn("s", when(abs(col("aa")) < 1e-30, -col("cc") / col("bb"))
+        .otherwise {
+          val s1 = (-col("bb") + sqrt(col("disc"))) / (lit(2.0) * col("aa"))
+          val s2 = (-col("bb") - sqrt(col("disc"))) / (lit(2.0) * col("aa"))
+          when(s1 >= -eps && s1 <= 1 + eps, s1).otherwise(s2)
+        })
+      .withColumn("tdx", col("cxv") + col("s") * col("dxv"))
+      .withColumn("tdy", col("cyv") + col("s") * col("dyv"))
+      .withColumn("t", when(abs(col("tdx")) >= abs(col("tdy")),
+        (col("qx") - col("s") * col("bxv")) / col("tdx"))
+        .otherwise((col("qy") - col("s") * col("byv")) / col("tdy")))
+      .where(col("s") >= -eps && col("s") <= 1 + eps
+        && col("t") >= -eps && col("t") <= 1 + eps)
+    // shared edges/corners match 2+ quads: keep the deterministic best
+    // (most interior, then lowest anchor)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst_i"), col("dst_j"))
+      .orderBy(greatest(abs(col("s") - 0.5), abs(col("t") - 0.5)), col("src_i"), col("src_j"))
+    joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("dst_i"), col("dst_j"), col("src_i"), col("src_j"),
+        col("s"), col("t"),
+        explode(array(
+          struct(lit(0).as("di"), lit(0).as("dj"),
+            ((lit(1.0) - col("s")) * (lit(1.0) - col("t"))).as("w")),
+          struct(lit(1).as("di"), lit(0).as("dj"),
+            (col("s") * (lit(1.0) - col("t"))).as("w")),
+          struct(lit(0).as("di"), lit(1).as("dj"),
+            ((lit(1.0) - col("s")) * col("t")).as("w")),
+          struct(lit(1).as("di"), lit(1).as("dj"),
+            (col("s") * col("t")).as("w")))).as("cw"))
+      .select(col("dst_i"), col("dst_j"),
+        (col("src_i") + col("cw.di")).as("src_i"),
+        (col("src_j") + col("cw.dj")).as("src_j"),
+        col("cw.w").as("w"))
+  }
+
+  /** Great-circle nearest-source-cell weights for a curvilinear grid
+    * (xESMF `nearest_s2d`, the reference's aux-field method). Candidate
+    * generation buckets source cells on a `binSizeDeg` lat/lon grid and
+    * explodes each destination point over its 3×3 neighbor bins, so the
+    * nearest cell is found iff it lies within one bin — binSizeDeg must
+    * exceed the max source cell spacing (asserted nowhere: caller's
+    * contract, like xESMF's locstream radius). Ranking uses the haversine
+    * kernel sin²(Δφ/2)+cosφ₁cosφ₂sin²(Δλ/2), monotone in great-circle
+    * distance, with (src_i, src_j) tie-break. */
+  def greatCircleNearestWeights(
+      srcCells: DataFrame, dstPoints: DataFrame, binSizeDeg: Double): DataFrame = {
+    import graft.core.Projection.RadPerDeg
+    val src = srcCells
+      .withColumn("blat", floor(col("lat") / binSizeDeg).cast("int"))
+      .withColumn("blon", floor(col("lon") / binSizeDeg).cast("int"))
+    val dst = dstPoints
+      .withColumn("blat", explode(sequence(
+        floor(col("lat") / binSizeDeg).cast("int") - 1,
+        floor(col("lat") / binSizeDeg).cast("int") + 1)))
+      .withColumn("blon", explode(sequence(
+        floor(col("lon") / binSizeDeg).cast("int") - 1,
+        floor(col("lon") / binSizeDeg).cast("int") + 1)))
+    val sp = src.select(col("blat"), col("blon"), col("src_i"), col("src_j"),
+      col("lat").as("slat"), col("lon").as("slon"))
+    val hav = {
+      val sdlat = sin((col("slat") - col("lat")) * (RadPerDeg / 2))
+      val sdlon = sin((col("slon") - col("lon")) * (RadPerDeg / 2))
+      sdlat * sdlat + cos(col("lat") * RadPerDeg) * cos(col("slat") * RadPerDeg) * sdlon * sdlon
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst_i"), col("dst_j"))
+      .orderBy(col("havk"), col("src_i"), col("src_j"))
+    dst.join(sp, Seq("blat", "blon"))
+      .withColumn("havk", hav)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("dst_i"), col("dst_j"), col("src_i"), col("src_j"), lit(1.0).as("w"))
+  }
+
   /** Apply a weights table to long-format source pixels.
     *
     * `src`: (groupCols..., src_i, src_j, value); output

@@ -120,6 +120,119 @@ object RasterQueries {
       val paired = Triplets.pairScenes(scenes, triplets, seed = 42)
       Triplets.tileSpecs(paired, Domain(Lat0, Lon0, 400e3, 400e3),
         tileSizeM = 25600, neighDistScaling = 0.1, seed = 42)
+    },
+
+    // ---- R1 hard case: curvilinear-grid bilinear weight generation ------
+    // Fixture: a sheared + bilinearly-warped 16x16 source mesh (per-cell
+    // x,y vary in BOTH indices — the projected-GOES-scene shape) and a
+    // 10x10 regular destination grid. The whole inverse-bilinear chain is
+    // +,-,*,/ and IEEE sqrt on integer-exact inputs, so weights hash
+    // bit-identically against the oracle with NO rounding.
+    QueryDef.sqlBacked(
+      "q58_curvilinear_regrid",
+      """WITH src AS (
+        |  SELECT i // 16 AS si, i % 16 AS sj,
+        |    CAST((i // 16) * 100 + (i % 16) * 5 AS DOUBLE) + 0.25 * (i // 16) * (i % 16) AS x,
+        |    CAST((i % 16) * 100 - (i // 16) * 4 AS DOUBLE) + 0.125 * (i % 16) * (i % 16) AS y
+        |  FROM range(0, 256) r(i)),
+        |quads AS (
+        |  SELECT a.si, a.sj, a.x AS x00, a.y AS y00, b.x AS x10, b.y AS y10,
+        |         c.x AS x01, c.y AS y01, d.x AS x11, d.y AS y11
+        |  FROM src a JOIN src b ON b.si = a.si + 1 AND b.sj = a.sj
+        |             JOIN src c ON c.si = a.si AND c.sj = a.sj + 1
+        |             JOIN src d ON d.si = a.si + 1 AND d.sj = a.sj + 1),
+        |dst AS (
+        |  SELECT k // 10 AS di, k % 10 AS dj,
+        |    CAST(200 + (k // 10) * 100 AS DOUBLE) AS x,
+        |    CAST(200 + (k % 10) * 100 AS DOUBLE) AS y
+        |  FROM range(0, 100) r(k)),
+        |geo AS (
+        |  SELECT di, dj, si, sj,
+        |    dst.x - x00 AS qx, dst.y - y00 AS qy,
+        |    x10 - x00 AS bxv, y10 - y00 AS byv,
+        |    x01 - x00 AS cxv, y01 - y00 AS cyv,
+        |    x11 - x10 - x01 + x00 AS dxv, y11 - y10 - y01 + y00 AS dyv
+        |  FROM dst CROSS JOIN quads),
+        |co AS (
+        |  SELECT *, bxv * dyv - byv * dxv AS aa,
+        |    (bxv * cyv - byv * cxv) - (qx * dyv - qy * dxv) AS bb,
+        |    -(qx * cyv - qy * cxv) AS cc
+        |  FROM geo),
+        |dd AS (SELECT *, bb * bb - 4.0 * aa * cc AS disc FROM co WHERE bb * bb - 4.0 * aa * cc >= 0.0),
+        |ss AS (
+        |  SELECT *, CASE WHEN abs(aa) < 1e-30 THEN -cc / bb
+        |      ELSE CASE WHEN (-bb + sqrt(disc)) / (2.0 * aa) >= -1e-9
+        |                 AND (-bb + sqrt(disc)) / (2.0 * aa) <= 1.0 + 1e-9
+        |            THEN (-bb + sqrt(disc)) / (2.0 * aa)
+        |            ELSE (-bb - sqrt(disc)) / (2.0 * aa) END END AS s
+        |  FROM dd),
+        |tt AS (
+        |  SELECT *, CASE WHEN abs(cxv + s * dxv) >= abs(cyv + s * dyv)
+        |    THEN (qx - s * bxv) / (cxv + s * dxv)
+        |    ELSE (qy - s * byv) / (cyv + s * dyv) END AS t
+        |  FROM ss),
+        |hit AS (
+        |  SELECT di, dj, si, sj, s, t,
+        |    row_number() OVER (PARTITION BY di, dj
+        |      ORDER BY greatest(abs(s - 0.5), abs(t - 0.5)), si, sj) AS rn
+        |  FROM tt
+        |  WHERE s >= -1e-9 AND s <= 1.0 + 1e-9 AND t >= -1e-9 AND t <= 1.0 + 1e-9)
+        |SELECT di AS dst_i, dj AS dst_j,
+        |  si + CASE WHEN k IN (1, 3) THEN 1 ELSE 0 END AS src_i,
+        |  sj + CASE WHEN k IN (2, 3) THEN 1 ELSE 0 END AS src_j,
+        |  CASE k WHEN 0 THEN (1.0 - s) * (1.0 - t) WHEN 1 THEN s * (1.0 - t)
+        |         WHEN 2 THEN (1.0 - s) * t ELSE s * t END AS w
+        |FROM hit CROSS JOIN range(0, 4) r(k)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      val src = s.range(256).select(
+        expr("id div 16").as("src_i"), (col("id") % 16).as("src_j"))
+        .withColumn("x", (col("src_i") * 100 + col("src_j") * 5).cast("double")
+          + lit(0.25) * col("src_i") * col("src_j"))
+        .withColumn("y", (col("src_j") * 100 - col("src_i") * 4).cast("double")
+          + lit(0.125) * col("src_j") * col("src_j"))
+      val dst = s.range(100).select(
+        expr("id div 10").as("dst_i"), (col("id") % 10).as("dst_j"))
+        .withColumn("x", (lit(200) + col("dst_i") * 100).cast("double"))
+        .withColumn("y", (lit(200) + col("dst_j") * 100).cast("double"))
+      Regrid.curvilinearBilinearWeights(src, dst, binSize = 256.0)
+    },
+
+    // ---- R1/R2: great-circle nearest (xESMF nearest_s2d) ----------------
+    // Integer indices + w=1.0 out, so argmin selection only has to agree
+    // across engines (margins are macroscopic) — exact hash, no rounding.
+    QueryDef.sqlBacked(
+      "q59_greatcircle_nearest",
+      s"""WITH src AS (
+         |  SELECT i // 16 AS si, i % 16 AS sj,
+         |    (i // 16 - 8) * 0.5 + 0.01 * (i % 16) AS lat,
+         |    (i % 16 - 8) * 0.5 + 0.02 * (i // 16) AS lon
+         |  FROM range(0, 256) r(i)),
+         |dst AS (
+         |  SELECT k // 5 AS di, k % 5 AS dj,
+         |    -3.0 + (k // 5) * 1.3 AS lat, -3.0 + (k % 5) * 1.3 AS lon
+         |  FROM range(0, 25) r(k)),
+         |scored AS (
+         |  SELECT di, dj, si, sj,
+         |    row_number() OVER (PARTITION BY di, dj ORDER BY
+         |      sin((src.lat - dst.lat) * ${graft.core.Projection.RadPerDeg / 2})
+         |        * sin((src.lat - dst.lat) * ${graft.core.Projection.RadPerDeg / 2})
+         |      + cos(dst.lat * ${graft.core.Projection.RadPerDeg})
+         |        * cos(src.lat * ${graft.core.Projection.RadPerDeg})
+         |        * sin((src.lon - dst.lon) * ${graft.core.Projection.RadPerDeg / 2})
+         |        * sin((src.lon - dst.lon) * ${graft.core.Projection.RadPerDeg / 2}),
+         |      si, sj) AS rn
+         |  FROM dst CROSS JOIN src)
+         |SELECT di AS dst_i, dj AS dst_j, si AS src_i, sj AS src_j, 1.0 AS w
+         |FROM scored WHERE rn = 1""".stripMargin) { (s, d) =>
+      val src = s.range(256).select(
+        expr("id div 16").as("src_i"), (col("id") % 16).as("src_j"))
+        .withColumn("lat", (col("src_i") - 8) * 0.5 + lit(0.01) * col("src_j"))
+        .withColumn("lon", (col("src_j") - 8) * 0.5 + lit(0.02) * col("src_i"))
+      val dst = s.range(25).select(
+        expr("id div 5").as("dst_i"), (col("id") % 5).as("dst_j"))
+        .withColumn("lat", lit(-3.0) + col("dst_i") * 1.3)
+        .withColumn("lon", lit(-3.0) + col("dst_j") * 1.3)
+      Regrid.greatCircleNearestWeights(src, dst, binSizeDeg = 2.0)
     }
   )
 

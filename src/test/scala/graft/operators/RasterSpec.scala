@@ -48,6 +48,91 @@ class RasterSpec extends SparkSpec {
     assert(out.toSeq == Seq(11.0, 13.0, 31.0, 33.0))
   }
 
+  test("curvilinear bilinear weights: exact on linear fields, sum to 1, reduce to regular") {
+    // warped mesh: x,y vary in BOTH indices (curvilinear), genuinely
+    // non-parallelogram quads (the inverse-bilinear quadratic path)
+    val src = spark.range(256).select(
+      expr("id div 16").as("src_i"), (col("id") % 16).as("src_j"))
+      .withColumn("x", (col("src_i") * 100 + col("src_j") * 5).cast("double")
+        + lit(0.25) * col("src_i") * col("src_j"))
+      .withColumn("y", (col("src_j") * 100 - col("src_i") * 4).cast("double")
+        + lit(0.125) * col("src_j") * col("src_j"))
+    val dst = spark.range(100).select(
+      expr("id div 10").as("dst_i"), (col("id") % 10).as("dst_j"))
+      .withColumn("x", (lit(200) + col("dst_i") * 100).cast("double"))
+      .withColumn("y", (lit(200) + col("dst_j") * 100).cast("double"))
+    val w = Regrid.curvilinearBilinearWeights(src, dst, binSize = 256.0)
+
+    // every interior dst point matched by exactly 4 corner rows, Σw = 1
+    val sums = w.groupBy("dst_i", "dst_j")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw")).collect()
+    assert(sums.length == 100)
+    sums.foreach { r =>
+      assert(r.getAs[Long]("n") == 4L)
+      assert(math.abs(r.getAs[Double]("sw") - 1.0) < 1e-12)
+    }
+
+    // interpolation is EXACT for a linear field f = 2x + 3y + 7:
+    // join weights to corner values and compare to f at the dst point
+    val srcVal = src.withColumn("fv", lit(2.0) * col("x") + lit(3.0) * col("y") + 7.0)
+      .select("src_i", "src_j", "fv")
+    val interp = Regrid.applyWeights(
+      srcVal.withColumnRenamed("fv", "value"), w, Nil)
+    val got = interp.collect().map(r =>
+      (r.getAs[Long]("dst_i"), r.getAs[Long]("dst_j")) -> r.getAs[Double]("value")).toMap
+    for (di <- 0 until 10; dj <- 0 until 10) {
+      val (xd, yd) = (200.0 + di * 100, 200.0 + dj * 100)
+      assert(math.abs(got((di.toLong, dj.toLong)) - (2 * xd + 3 * yd + 7)) < 1e-8,
+        s"linear field at ($di,$dj)")
+    }
+
+    // degenerate case: a REGULAR mesh through the curvilinear path must
+    // reproduce the regular-grid bilinear weights
+    val regSrc = spark.range(100).select(
+      expr("id div 10").as("src_i"), (col("id") % 10).as("src_j"))
+      .withColumn("x", (col("src_i") + 0.5) * 1.0)
+      .withColumn("y", (col("src_j") + 0.5) * 1.0)
+    val regDst = spark.range(64).select(
+      expr("id div 8").as("dst_i"), (col("id") % 8).as("dst_j"))
+      .withColumn("x", lit(2.0) + (col("dst_i") + 0.5) * 0.5)
+      .withColumn("y", lit(2.0) + (col("dst_j") + 0.5) * 0.5)
+    val wCurv = Regrid.curvilinearBilinearWeights(regSrc, regDst, binSize = 4.0)
+      .where(col("w") > 1e-12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    val wReg = Regrid.bilinearWeights(spark,
+      Regrid.GridDef(0, 1, 10, 0, 1, 10), Regrid.GridDef(2, 0.5, 8, 2, 0.5, 8))
+      .where(col("w") > 1e-12)
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getInt(2).toLong, r.getInt(3).toLong) -> r.getDouble(4)).toMap
+    assert(wCurv.keySet == wReg.keySet)
+    wCurv.foreach { case (k, v) => assert(math.abs(v - wReg(k)) < 1e-9, s"weight at $k") }
+  }
+
+  test("great-circle nearest weights agree with brute-force haversine argmin") {
+    val src = spark.range(256).select(
+      expr("id div 16").as("src_i"), (col("id") % 16).as("src_j"))
+      .withColumn("lat", (col("src_i") - 8) * 0.5 + lit(0.01) * col("src_j"))
+      .withColumn("lon", (col("src_j") - 8) * 0.5 + lit(0.02) * col("src_i"))
+    val dst = spark.range(25).select(
+      expr("id div 5").as("dst_i"), (col("id") % 5).as("dst_j"))
+      .withColumn("lat", lit(-3.0) + col("dst_i") * 1.3)
+      .withColumn("lon", lit(-3.0) + col("dst_j") * 1.3)
+    val got = Regrid.greatCircleNearestWeights(src, dst, binSizeDeg = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // brute force on the driver
+    val srcPts = src.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val dstPts = dst.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    def havk(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val rad = graft.core.Projection.RadPerDeg
+      val sdlat = math.sin((lat2 - lat1) * rad / 2); val sdlon = math.sin((lon2 - lon1) * rad / 2)
+      sdlat * sdlat + math.cos(lat1 * rad) * math.cos(lat2 * rad) * sdlon * sdlon
+    }
+    assert(got.size == 25)
+    dstPts.foreach { case (di, dj, dlat, dlon) =>
+      val best = srcPts.minBy { case (si, sj, slat, slon) => (havk(dlat, dlon, slat, slon), si, sj) }
+      assert(got((di, dj)) == ((best._1, best._2)), s"nearest for ($di,$dj)")
+    }
+  }
+
   test("projection round-trips and respects tangent-plane geometry") {
     val pts = Seq((10.0, -60.0), (13.3, -57.5), (15.0, -55.0), (-5.0, -50.0))
       .toDF("lat", "lon")
