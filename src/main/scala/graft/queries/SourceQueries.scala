@@ -263,6 +263,51 @@ object SourceQueries {
           round(col("z_lcl_half_minmax"), 6).as("z_lcl_half_minmax_r6"),
           round(col("z_lcl_median"), 6).as("z_lcl_median_r6"),
           col("n_layer_levels"))
+    },
+
+    // ---- C2: GOES-16 ABI S3 key codec + product->channel expansion ------
+    // truecolor_rgb expands to channels [1,2,3] (sources/__init__.py:22-33)
+    // and every generated key round-trips through the parser in BOTH
+    // engines (time to the second, product, mode, channel, satellite).
+    QueryDef.sqlBacked(
+      "q60_goes_key_codec",
+      """WITH base AS (
+        |  SELECT date_trunc('hour', ts) AS t0, ch
+        |  FROM events CROSS JOIN (SELECT unnest([1, 2, 3]) AS ch)),
+        |keys AS (
+        |  SELECT t0, ch,
+        |    'ABI-L1b-RadF/' || strftime(t0, '%Y/%j/%H')
+        |      || '/OR_ABI-L1b-RadF-M6C' || lpad(CAST(ch AS VARCHAR), 2, '0')
+        |      || '_G16_s' || strftime(t0, '%Y%j%H%M%S') || '0'
+        |      || '_e' || strftime(t0, '%Y%j%H%M%S') || '0'
+        |      || '_c' || strftime(t0, '%Y%j%H%M%S') || '0.nc' AS key
+        |  FROM base),
+        |parsed AS (
+        |  SELECT *, regexp_extract(key, '_s([0-9]{14})_', 1) AS dg FROM keys)
+        |SELECT CAST(ch AS BIGINT) AS channel, count(*) AS n_ok, min(key) AS first_key
+        |FROM parsed
+        |-- DuckDB strptime ignores %j, so rebuild the instant from digits:
+        |-- year + (doy-1) days + HMS
+        |WHERE make_timestamp(CAST(substring(dg, 1, 4) AS BIGINT), 1, 1,
+        |        CAST(substring(dg, 8, 2) AS BIGINT), CAST(substring(dg, 10, 2) AS BIGINT),
+        |        CAST(substring(dg, 12, 2) AS DOUBLE))
+        |      + (CAST(substring(dg, 5, 3) AS BIGINT) - 1) * INTERVAL 1 DAY = t0
+        |  AND CAST(regexp_extract(key, '-M[0-9]+C([0-9]{2})_', 1) AS BIGINT) = ch
+        |  AND regexp_extract(key, 'OR_([A-Za-z0-9-]+)-M[0-9]+C[0-9]{2}_', 1) = 'ABI-L1b-RadF'
+        |  AND CAST(regexp_extract(key, '-M([0-9]+)C[0-9]{2}_', 1) AS BIGINT) = 6
+        |  AND CAST(regexp_extract(key, '_G([0-9]+)_s', 1) AS BIGINT) = 16
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val chans = Calendars.productInputChannels("truecolor_rgb")
+      val base = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("t0"))
+        .withColumn("ch", explode(array(chans.map(lit): _*)))
+      val keys = base.withColumn("key",
+        Calendars.goesKey(col("t0"), "ABI-L1b-RadF", 6, col("ch")))
+      val (pt, prod, mode, pch, sat) = Calendars.parseGoesKey(col("key"))
+      keys.where(pt === col("t0") && pch === col("ch").cast("long")
+          && prod === "ABI-L1b-RadF" && mode === 6 && sat === 16)
+        .groupBy(col("ch").cast("long").as("channel"))
+        .agg(count(lit(1)).as("n_ok"), min(col("key")).as("first_key"))
     }
   )
 }

@@ -48,6 +48,48 @@ object Calendars {
     split(c, "_").getItem(1).cast("long"),
     split(c, "_").getItem(0))
 
+  /** C3: product shorthand `multichannel__bt_13__bt_14` -> array of
+    * (channel, prefix) structs (goes16/utils.py:68-76,
+    * parse_product_shorthand). */
+  def parseProductShorthand(product: Column): Column =
+    transform(slice(split(product, "__"), 2, 64), c =>
+      struct(split(c, "_").getItem(1).cast("long").as("channel"),
+        split(c, "_").getItem(0).as("prefix")))
+
+  /** Product -> required input channels (sources/__init__.py:22-33:
+    * truecolor_rgb needs ABI channels 1, 2, 3). */
+  def productInputChannels(product: String): Seq[Int] = product match {
+    case "truecolor_rgb" => Seq(1, 2, 3)
+    case p if p.startsWith("multichannel__") || p.startsWith("singlechannel__") =>
+      p.split("__").drop(1).map(c => c.split("_").last.toInt).toSeq
+    case p => throw new IllegalArgumentException(s"unknown GOES product '$p'")
+  }
+
+  /** C2: GOES-16 ABI S3 object key codec (the `satdata.parse_key` format,
+    * goes16/pipeline.py:33-35). Key shape (public noaa-goes16 layout):
+    *
+    *   {product}/{yyyy}/{DDD}/{HH}/OR_{product}-M{mode}C{cc}_G{sat}_
+    *     s{yyyyDDDHHmmss}{t}_e..._c....nc
+    *
+    * (DDD = day-of-year, trailing t = tenths of seconds). */
+  def goesKey(time: Column, product: String, mode: Int, channel: Column,
+      satellite: Int = 16): Column =
+    concat(
+      lit(s"$product/"), date_format(time, "yyyy/DDD/HH"), lit("/"),
+      lit(s"OR_$product-M${mode}C"), lpad(channel.cast("string"), 2, "0"),
+      lit(s"_G$satellite" + "_s"), date_format(time, "yyyyDDDHHmmss"), lit("0"),
+      lit("_e"), date_format(time, "yyyyDDDHHmmss"), lit("0"),
+      lit("_c"), date_format(time, "yyyyDDDHHmmss"), lit("0.nc"))
+
+  /** Inverse codec: (start_time, product, mode, channel, satellite). */
+  def parseGoesKey(key: Column): (Column, Column, Column, Column, Column) = (
+    to_timestamp(substring(regexp_extract(key, "_s([0-9]{14})_", 1), 1, 13),
+      "yyyyDDDHHmmss"),
+    regexp_extract(key, "OR_([A-Za-z0-9-]+)-M[0-9]+C[0-9]{2}_", 1),
+    regexp_extract(key, "-M([0-9]+)C[0-9]{2}_", 1).cast("long"),
+    regexp_extract(key, "-M[0-9]+C([0-9]{2})_", 1).cast("long"),
+    regexp_extract(key, "_G([0-9]+)_s", 1).cast("long"))
+
   /** ceres_geo-style calendar: hourly at a satellite phase offset with a
     * missing-times blacklist removed via broadcast anti-join. */
   def ceresGeoCalendar(spark: SparkSession, t0: String, t1: String,

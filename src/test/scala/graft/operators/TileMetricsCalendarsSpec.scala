@@ -45,6 +45,48 @@ class TileMetricsCalendarsSpec extends SparkSpec {
     assert(Seq(1).toDF("x").select(ch, kind).as[(Long, String)].head() == ((13L, "bt")))
   }
 
+  test("GOES ABI key codec round-trips and drives scene assembly per channel") {
+    // codec round-trip on a known instant
+    val t = Seq("2020-01-01 12:34:56").toDF("t").select(to_timestamp(col("t")).as("t"))
+      .withColumn("key", Calendars.goesKey(col("t"), "ABI-L1b-RadF", 6, lit(2)))
+    val key = t.select("key").as[String].head()
+    assert(key == "ABI-L1b-RadF/2020/001/12/OR_ABI-L1b-RadF-M6C02_G16_" +
+      "s20200011234560_e20200011234560_c20200011234560.nc")
+    val (pt, prod, mode, ch, sat) = Calendars.parseGoesKey(col("key"))
+    val parsed = t.select(pt, prod, mode, ch, sat)
+      .as[(java.sql.Timestamp, String, Long, Long, Long)].head()
+    assert(parsed == ((java.sql.Timestamp.valueOf("2020-01-01 12:34:56"),
+      "ABI-L1b-RadF", 6L, 2L, 16L)))
+
+    // product shorthand expansion (goes16/utils.py:68-76)
+    assert(Calendars.productInputChannels("truecolor_rgb") == Seq(1, 2, 3))
+    assert(Calendars.productInputChannels("multichannel__bt_13__bt_14") == Seq(13, 14))
+    val parsedProd = Seq(1).toDF("x")
+      .select(Calendars.parseProductShorthand(lit("multichannel__bt_13__bt_14")))
+      .as[Seq[(Long, String)]].head()
+    assert(parsedProd == Seq((13L, "bt"), (14L, "bt")))
+
+    // A1 from per-channel GOES listings: only timestamps with all 3
+    // truecolor channels present become scenes
+    val times = Seq("2020-01-01 00:00:00", "2020-01-01 01:00:00", "2020-01-01 02:00:00")
+    val listings = (for {
+      ts <- times; ch <- Calendars.productInputChannels("truecolor_rgb")
+      if !(ts.contains("01:00") && ch == 3) // channel 3 missing at 01:00
+    } yield (ts, ch)).toDF("ts", "ch")
+      .select(to_timestamp(col("ts")).as("t"), col("ch"))
+      .withColumn("key", Calendars.goesKey(col("t"), "ABI-L1b-RadF", 6, col("ch")))
+    val (kt, _, _, kch, _) = Calendars.parseGoesKey(col("key"))
+    val perChannel = listings.select(col("key"))
+      .select(col("key"), kt.as("time"), concat(lit("C"), kch).as("input"))
+    val scenes = SceneAssembly.assembleScenes(perChannel, "time", "input", "key", nInputs = 3)
+    val got = scenes.select("time").as[java.sql.Timestamp].collect().map(_.toString).sorted
+    assert(got.toSeq == Seq("2020-01-01 00:00:00.0", "2020-01-01 02:00:00.0"))
+    // each scene carries the full channel->key map
+    val m = scenes.where(col("time") === "2020-01-01 00:00:00")
+      .select("inputs").as[Map[String, String]].head()
+    assert(m.keySet == Set("C1", "C2", "C3") && m("C2").contains("M6C02"))
+  }
+
   test("domain inference: centroid of symmetric points is the center; lon wrap") {
     val pts = Seq((10.0, -50.0), (10.0, -60.0), (20.0, -50.0), (20.0, -60.0)).toDF("lat", "lon")
     val c = DomainInference.sphericalCentroid(pts, col("lat"), col("lon"))
