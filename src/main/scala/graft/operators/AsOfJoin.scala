@@ -30,19 +30,46 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Minimum successive gap of a timeline, in microseconds
-    * (dt_aux inference, aux_sources.py:202-207). Scalar driver-side value;
-    * the window runs on the timeline side which is small by construction
-    * (a calendar of scene/aux timestamps, not the fact table).
-    */
+    * (dt_aux inference, aux_sources.py:202-207). Scalar driver-side value.
+    *
+    * Scale shape: NO global window (a `Window.orderBy` with no partition
+    * spec is a single-task sort — fine for a calendar, fatal for a 10^8-row
+    * timeline). Instead: range-repartition by timestamp, per-partition
+    * sorted scan emitting (first, last, minGap), then an O(#partitions)
+    * driver-side fix-up for the cross-boundary gaps — range partitions are
+    * ordered and disjoint, so `next.first - current.last` is exactly the
+    * gap the partition split hid. */
   def inferDtMicros(timeline: DataFrame, tsCol: String): Long = {
-    val w = Window.orderBy(col("us"))
-    val r = timeline
-      .select(unix_micros(col(tsCol)).as("us"))
-      .distinct()
-      .withColumn("d", col("us") - lag(col("us"), 1).over(w))
-      .agg(min(col("d")))
-      .head()
-    if (r.isNullAt(0)) Long.MaxValue else r.getLong(0)
+    val spark = timeline.sparkSession
+    import spark.implicits._
+    val us = timeline.select(unix_micros(col(tsCol)).as("us")).distinct()
+    val summaries = us
+      .repartitionByRange(col("us"))
+      .sortWithinPartitions("us")
+      .as[Long]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          var prev = first
+          var mn = Long.MaxValue
+          while (it.hasNext) {
+            val c = it.next()
+            if (c - prev < mn) mn = c - prev
+            prev = c
+          }
+          Iterator((first, prev, mn))
+        }
+      }
+      .collect() // one row per non-empty partition — bounded, not data-sized
+    if (summaries.isEmpty) Long.MaxValue
+    else {
+      val ordered = summaries.sortBy(_._1)
+      val boundaryMin = ordered.iterator.sliding(2).withPartial(false)
+        .map { case Seq(a, b) => b._1 - a._2 }
+        .foldLeft(Long.MaxValue)(math.min)
+      math.min(ordered.iterator.map(_._3).min, boundaryMin)
+    }
   }
 
   /** For each probe row, attach the single nearest build row with

@@ -40,4 +40,35 @@ class AsOfPlanSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fast == naiveNearest && fast.nonEmpty)
   }
+
+  test("inferDtMicros has no single-partition global sort and survives boundaries") {
+    // a timeline whose minimum gap straddles partition boundaries: range
+    // repartitioning splits the sorted domain, so the true min gap (1 us,
+    // between 999_999 and 1_000_000) can only be found by the boundary
+    // fix-up when partitions split there
+    import spark.implicits._
+    val tl = spark.range(0, 2000)
+      .select((col("id") * 1000000L).as("us"))
+      .union(spark.range(1).select(lit(999999999L).as("us"))) // gap 1 to 1000*1e6
+      .select(timestamp_micros(col("us")).as("t_ts"))
+      .repartition(16) // scatter input so the range exchange really works
+    assert(AsOfJoin.inferDtMicros(tl, "t_ts") == 1L)
+
+    // every element its own range partition -> ALL gaps are cross-boundary,
+    // so the answer exists only if the driver-side fix-up is right
+    val tiny = Seq(0L, 5000000L, 7000000L).toDF("us")
+      .select(timestamp_micros(col("us")).as("t_ts"))
+    assert(AsOfJoin.inferDtMicros(tiny, "t_ts") == 2000000L)
+
+    // plan evidence: the inference pipeline range-repartitions; it never
+    // plans a windowed global sort into one partition ("Window" with an
+    // empty partition spec / SinglePartition exchange)
+    val us = tl.select(unix_micros(col("t_ts")).as("us")).distinct()
+      .repartitionByRange(col("us")).sortWithinPartitions("us")
+    val plan = us.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"expected a range exchange:\n${plan.take(1200)}")
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
+      s"no single-partition/global-window stage allowed:\n${plan.take(1200)}")
+  }
 }
