@@ -133,9 +133,13 @@ object EndToEnd {
       .drop("__c")
     val embs = Inference.embedTiles(tensors, "tile_id", "values", model)
 
-    // M3: PCA over the aggregated embeddings
+    // M3: PCA over the aggregated embeddings, stamped with the
+    // reference's transform-identifier manifest (transforms.py:120-139)
     val pca = Transforms.fitPca(embs, "emb", pcaComponents)
+    val transformArgs = s"n_components=$pcaComponents"
     val reduced = Transforms.applyPca(embs, pca, "emb", "emb_pca")
+      .withColumn("transform_name",
+        lit(Transforms.transformIdentifier("pca", transformArgs)))
 
     // G1+J4: per-tile aux reduction joined onto embeddings
     val auxTiles = TensorOps.gatherTiles(

@@ -63,6 +63,35 @@ class PhaseDSpec extends SparkSpec {
     assert(out.count() == 200)
   }
 
+  test("seeded KMeans is deterministic, persists, and stamps the manifest name") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(300)
+    def assignments(seed: Long): Map[Long, Long] = {
+      val m = Transforms.fitKmeans(df, "embedding", k = 5, seed = seed)
+      Transforms.applyKmeans(df, m, "embedding", "cluster")
+        .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    }
+    val a = assignments(42L)
+    val b = assignments(42L)
+    assert(a == b, "same seed must reproduce identical clusters")
+    assert(a.values.toSet.size == 5)
+
+    // model persistence round-trip (the joblib analog)
+    val m = Transforms.fitKmeans(df, "embedding", k = 5, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans").toString + "/m"
+    m.save(dir)
+    val loaded = org.apache.spark.ml.clustering.KMeansModel.load(dir)
+    val viaLoaded = Transforms.applyKmeans(df, loaded, "embedding", "cluster")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(viaLoaded == a)
+
+    // reference-format transform identifier + extra-args parser
+    assert(Transforms.transformIdentifier("pca") == "pca_transform")
+    assert(Transforms.transformIdentifier("hdbscan", "min_cluster_size=10,epsilon=0.5")
+      == "hdbscan_transform__min_cluster_size_10__epsilon_0.5")
+    val parsed = Transforms.parseTransformExtraArgs("min_cluster_size=10,epsilon=0.5")
+    assert(parsed == Map("min_cluster_size" -> 10, "epsilon" -> 0.5))
+  }
+
   test("user-function registry validates and builds columns") {
     val reg = UserFunctions.exampleRegistry()
     assert(reg.names == Seq("cloud_mask", "ir_shallow_clouds"))
