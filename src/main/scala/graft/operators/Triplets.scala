@@ -25,10 +25,21 @@ import org.apache.spark.sql.functions._
 object Triplets {
 
   /** Deterministic uniform [0,1) from hashed keys: the distributed-safe
-    * replacement for `rand()` (never depends on partitioning). */
-  def hashUnit(seed: Long, keys: Column*): Column =
-    (pmod(xxhash64((lit(seed) +: keys): _*), lit(1L << 40)).cast("double")
-      / (1L << 40).toDouble)
+    * replacement for `rand()` (never depends on partitioning). The hash
+    * is the shared mod-P polynomial over "seed|k1|k2|..." — computable by
+    * any engine (the DuckDB oracle mirrors it token for token), so
+    * placement queries hash-match instead of being rows-only. */
+  def hashUnit(seed: Long, keys: Column*): Column = {
+    val P = graft.functions.TextAnalysis.HashMod
+    val h = graft.functions.TextAnalysis.polyHash(
+      concat_ws("|", (lit(seed) +: keys.toSeq).map(_.cast("string")): _*))
+    // the rolling hash has no avalanche (near-equal strings cluster), so
+    // mix: salt-multiply then square, both mod P — every product stays
+    // < 2^63 and the arithmetic is engine-exact
+    val m1 = (h * lit(2654435761L)) % P
+    val m2 = (m1 * m1) % P
+    m2.cast("double") / P.toDouble
+  }
 
   /** T1: assign each scene to a collection with hash-split fractions.
     * `fractions` are (name, weight) pairs; weights need not sum to 1. */

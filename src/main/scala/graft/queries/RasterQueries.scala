@@ -81,9 +81,12 @@ object RasterQueries {
     // ---- §7.2 end-to-end slice over testdata-derived rasters ------------
     // pixels synthesized *from the events table* (scene = day, grid cell =
     // event hash, value = cents) so the full catalog->regrid->triplets->
-    // gather->reduce->as-of chain runs against driver data. Rows-only:
-    // the chain's pieces are each oracle-checked individually.
-    QueryDef.rowsOnly("q48_e2e_slice") { (s, d) =>
+    // gather->reduce->as-of chain runs against driver data. Fully
+    // oracle-backed: cents are integral doubles (exact FP sums in any
+    // order), the identity regrid's weights are exact 0/1, placements are
+    // the shared poly-hash, and the day-bucketed as-of reduces to a
+    // same-day join — so tile_mean hashes with NO rounding.
+    QueryDef.sqlBacked("q48_e2e_slice", e2eOracleSql) { (s, d) =>
       val L = 400e3
       val ev = Tables.events(s, d)
       val pixels = ev.select(
@@ -106,9 +109,12 @@ object RasterQueries {
       stats
     },
 
-    // ---- T1-T5: deterministic triplet sampling (hash RNG -> rows-only) --
-    QueryDef.rowsOnly("q36_triplet_specs") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
+    // ---- T1-T5: deterministic triplet sampling ---------------------------
+    // Fully oracle-backed since the placement hash moved to the shared
+    // mod-P polynomial: split, pairing ranks, anchor/distant uniforms and
+    // the clamped neighbor ring all mirror token-for-token in DuckDB
+    // (coordinates rounded to 6 dp — the cos/sin ring is the only libm).
+    QueryDef.sqlBacked("q36_triplet_specs", tripletOracleSql) { (s, d) =>
       val scenes = Tables.events(s, d)
         .select(date_trunc("day", col("ts")).as("day")).distinct()
         .select(concat(lit("ev__"), date_format(col("day"), "yyyyMMdd")).as("scene_id"))
@@ -120,6 +126,8 @@ object RasterQueries {
       val paired = Triplets.pairScenes(scenes, triplets, seed = 42)
       Triplets.tileSpecs(paired, Domain(Lat0, Lon0, 400e3, 400e3),
         tileSizeM = 25600, neighDistScaling = 0.1, seed = 42)
+        .select(col("collection"), col("triplet_id"), col("tile_type"), col("scene_id"),
+          round(col("x"), 6).as("x_r6"), round(col("y"), 6).as("y_r6"))
     },
 
     // ---- R1 hard case: curvilinear-grid bilinear weight generation ------
@@ -235,6 +243,182 @@ object RasterQueries {
       Regrid.greatCircleNearestWeights(src, dst, binSizeDeg = 2.0)
     }
   )
+
+  /** Hash-unit mirror: poly-hash of a string expression, avalanche-mixed
+    * (salt-multiply + square mod P) and divided by P — identical tokens
+    * to `Triplets.hashUnit`. */
+  private def huSql(sExpr: String): String = {
+    val h = s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"[CAST(ord(substr($sExpr, j, 1)) AS BIGINT) FOR j IN range(1, len($sExpr) + 1)]), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+    s"(CAST(((($h) * 2654435761) % 1000000007) * ((($h) * 2654435761) % 1000000007) " +
+      s"% 1000000007 AS DOUBLE) / 1000000007.0)"
+  }
+
+  /** DuckDB mirror of the FULL §7.2 slice (q48): pixels -> identity
+    * regrid (explicit 0/1 weights incl. the zero-weight stencil rows that
+    * create empty-cell outputs) -> poly-hash triplet placement -> tile
+    * gather (direct bbox predicate; the Spark cell-bucket join is an
+    * exact cover) -> per-tile mean (sum/count over integral cents) ->
+    * same-day as-of (the 12h half-window can only match the scene's own
+    * day on a daily aux timeline). */
+  private def e2eOracleSql: String = {
+    val tile = 100000.0
+    val margin = 2.0 / 3.0 * tile
+    val dom = Domain(Lat0, Lon0, 400e3, 400e3)
+    val (xl, xh) = (dom.xMin + margin, dom.xMax - margin)
+    val (yl, yh) = (dom.yMin + margin, dom.yMax - margin)
+    val cut1 = 0.0 + 0.8
+    val cut2 = cut1 + 0.2
+    val total = Seq(0.8, 0.2).sum
+    val r = 0.1 * tile
+    def hu(tail: String) = huSql(s"'42|' || CAST(triplet_id AS VARCHAR) || '$tail'")
+    s"""WITH cellsum AS (
+       |  SELECT 'ev__' || strftime(ts, '%Y%m%d') AS scene_id,
+       |    date_trunc('day', ts) AS time,
+       |    event_id % 40 AS src_i, (event_id // 40) % 40 AS src_j,
+       |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)) AS value
+       |  FROM events GROUP BY 1, 2, 3, 4),
+       |weights AS (
+       |  SELECT di, dj, least(38, di) + ci AS src_i, least(38, dj) + cj AS src_j,
+       |    CAST((CASE WHEN ci = 0 THEN 1 - (di - least(38, di)) ELSE di - least(38, di) END)
+       |       * (CASE WHEN cj = 0 THEN 1 - (dj - least(38, dj)) ELSE dj - least(38, dj) END)
+       |      AS DOUBLE) AS w
+       |  FROM range(0, 40) a(di), range(0, 40) b(dj), range(0, 2) c(ci), range(0, 2) d(cj)),
+       |regridded AS (
+       |  SELECT scene_id, time, di, dj, sum(w * value) AS value,
+       |    -200000.0 + (di + 0.5) * 10000.0 AS x, -200000.0 + (dj + 0.5) * 10000.0 AS y
+       |  FROM cellsum JOIN weights USING (src_i, src_j)
+       |  GROUP BY 1, 2, 3, 4),
+       |scenes AS (SELECT DISTINCT scene_id FROM cellsum),
+       |split AS (
+       |  SELECT scene_id,
+       |    CASE WHEN u < $cut1 THEN 'train' WHEN u < $cut2 THEN 'study' ELSE 'study' END AS collection
+       |  FROM (SELECT scene_id, ${huSql("'42|' || scene_id")} * $total AS u FROM scenes)),
+       |ranked AS (
+       |  SELECT scene_id, collection,
+       |    row_number() OVER (PARTITION BY collection ORDER BY scene_id) - 1 AS rank
+       |  FROM split WHERE collection = 'train'),
+       |counts AS (
+       |  SELECT collection, count(*) AS n_scenes FROM ranked
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |picks AS (
+       |  SELECT triplet_id, collection, a_rank,
+       |    CASE WHEN d_draw >= a_rank THEN d_draw + 1 ELSE d_draw END AS d_rank
+       |  FROM (
+       |    SELECT t.triplet_id, c.collection,
+       |      CAST(floor(${hu("|anchor")} * c.n_scenes) AS INT) AS a_rank,
+       |      CAST(floor(${hu("|distant")} * (c.n_scenes - 1)) AS INT) AS d_draw
+       |    FROM range(0, 8) t(triplet_id) CROSS JOIN counts c)),
+       |paired AS (
+       |  SELECT p.collection, p.triplet_id,
+       |    ra.scene_id AS anchor_scene, rd.scene_id AS distant_scene
+       |  FROM picks p
+       |  JOIN ranked ra ON ra.collection = p.collection AND ra.rank = p.a_rank
+       |  JOIN ranked rd ON rd.collection = p.collection AND rd.rank = p.d_rank),
+       |placed AS (
+       |  SELECT *,
+       |    $xl + ${hu("|anchor|x")} * ${xh - xl} AS ax,
+       |    $yl + ${hu("|anchor|y")} * ${yh - yl} AS ay,
+       |    (${hu("|neighbor|theta")} * 2.0) * ${math.Pi} AS theta,
+       |    $xl + ${hu("|distant|x")} * ${xh - xl} AS dx,
+       |    $yl + ${hu("|distant|y")} * ${yh - yl} AS dy
+       |  FROM paired),
+       |specs AS (
+       |  SELECT scene_id, lpad(CAST(triplet_id AS VARCHAR), 5, '0') || '_' || tile_type AS tile_id,
+       |    x - ${tile / 2} AS x0, y - ${tile / 2} AS y0
+       |  FROM (
+       |    SELECT triplet_id, 'anchor' AS tile_type, anchor_scene AS scene_id,
+       |      ax AS x, ay AS y FROM placed
+       |    UNION ALL
+       |    SELECT triplet_id, 'neighbor', anchor_scene,
+       |      greatest($xl, least($xh, ax + $r * cos(theta))),
+       |      greatest($yl, least($yh, ay + $r * sin(theta))) FROM placed
+       |    UNION ALL
+       |    SELECT triplet_id, 'distant', distant_scene, dx, dy FROM placed)),
+       |tilestats AS (
+       |  SELECT g.scene_id, g.time, g.tile_id,
+       |    sum(g.value) / count(*) AS tile_mean, count(*) AS n_px
+       |  FROM (
+       |    SELECT r.scene_id, r.time, s.tile_id, r.value
+       |    FROM regridded r JOIN specs s ON s.scene_id = r.scene_id
+       |      AND r.x >= s.x0 AND r.x < s.x0 + $tile
+       |      AND r.y >= s.y0 AND r.y < s.y0 + $tile) g
+       |  GROUP BY 1, 2, 3),
+       |aux AS (
+       |  SELECT date_trunc('day', ts) AS aux_time, CAST(count(*) AS DOUBLE) AS aux_value
+       |  FROM events WHERE event_type = 'error' GROUP BY 1)
+       |SELECT t.scene_id, t.time, t.tile_id, t.tile_mean, t.n_px,
+       |  a.aux_time, a.aux_value, CAST(0 AS BIGINT) AS dt_us
+       |FROM tilestats t JOIN aux a ON a.aux_time = t.time""".stripMargin
+  }
+
+  /** DuckDB mirror of the T1-T5 chain with the exact Scala-computed
+    * double constants interpolated (margins, cuts, ring radius). */
+  private def tripletOracleSql: String = {
+    val tile = 25600.0
+    val margin = 2.0 / 3.0 * tile
+    val dom = Domain(Lat0, Lon0, 400e3, 400e3)
+    val (xl, xh) = (dom.xMin + margin, dom.xMax - margin)
+    val (yl, yh) = (dom.yMin + margin, dom.yMax - margin)
+    val total = Seq(0.8, 0.2).sum
+    val cut1 = 0.0 + 0.8
+    val cut2 = cut1 + 0.2
+    val r = 0.1 * tile
+    val twoPi = 2.0 * math.Pi // NOTE Scala order is (u * 2.0) * pi
+    def hu(tail: String) = huSql(s"'42|' || CAST(triplet_id AS VARCHAR) || '$tail'")
+    s"""WITH scenes AS (
+       |  SELECT DISTINCT 'ev__' || strftime(date_trunc('day', ts), '%Y%m%d') AS scene_id
+       |  FROM events),
+       |split AS (
+       |  SELECT scene_id,
+       |    CASE WHEN u < $cut1 THEN 'train' WHEN u < $cut2 THEN 'study' ELSE 'study' END AS collection
+       |  FROM (SELECT scene_id,
+       |          ${huSql("'42|' || scene_id")} * $total AS u FROM scenes)),
+       |ranked AS (
+       |  SELECT scene_id, collection,
+       |    row_number() OVER (PARTITION BY collection ORDER BY scene_id) - 1 AS rank
+       |  FROM split),
+       |counts AS (
+       |  SELECT collection, count(*) AS n_scenes FROM ranked
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |triplets AS (
+       |  SELECT t AS triplet_id, CASE WHEN t < 32 THEN 'train' ELSE 'study' END AS collection
+       |  FROM range(0, 40) r(t)),
+       |picks AS (
+       |  SELECT triplet_id, collection, a_rank,
+       |    CASE WHEN d_draw >= a_rank THEN d_draw + 1 ELSE d_draw END AS d_rank
+       |  FROM (
+       |    SELECT t.triplet_id, t.collection,
+       |      CAST(floor(${hu("|anchor")} * c.n_scenes) AS INT) AS a_rank,
+       |      CAST(floor(${hu("|distant")} * (c.n_scenes - 1)) AS INT) AS d_draw
+       |    FROM triplets t JOIN counts c ON c.collection = t.collection)),
+       |paired AS (
+       |  SELECT p.collection, p.triplet_id,
+       |    ra.scene_id AS anchor_scene, rd.scene_id AS distant_scene
+       |  FROM picks p
+       |  JOIN ranked ra ON ra.collection = p.collection AND ra.rank = p.a_rank
+       |  JOIN ranked rd ON rd.collection = p.collection AND rd.rank = p.d_rank),
+       |placed AS (
+       |  SELECT *,
+       |    $xl + ${hu("|anchor|x")} * ${xh - xl} AS ax,
+       |    $yl + ${hu("|anchor|y")} * ${yh - yl} AS ay,
+       |    (${hu("|neighbor|theta")} * 2.0) * ${math.Pi} AS theta,
+       |    $xl + ${hu("|distant|x")} * ${xh - xl} AS dx,
+       |    $yl + ${hu("|distant|y")} * ${yh - yl} AS dy
+       |  FROM paired)
+       |SELECT collection, triplet_id, tile_type, scene_id,
+       |  round(x, 6) AS x_r6, round(y, 6) AS y_r6
+       |FROM (
+       |  SELECT collection, triplet_id, 'anchor' AS tile_type,
+       |    anchor_scene AS scene_id, ax AS x, ay AS y FROM placed
+       |  UNION ALL
+       |  SELECT collection, triplet_id, 'neighbor', anchor_scene,
+       |    greatest($xl, least($xh, ax + $r * cos(theta))),
+       |    greatest($yl, least($yh, ay + $r * sin(theta))) FROM placed
+       |  UNION ALL
+       |  SELECT collection, triplet_id, 'distant', distant_scene, dx, dy FROM placed)""".stripMargin
+  }
 
   /** DuckDB mirror of the azimuthal-equidistant round-trip — identical
     * operation order and the same double literals as [[Projection]]. */
