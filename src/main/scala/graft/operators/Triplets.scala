@@ -68,7 +68,11 @@ object Triplets {
       .withColumn("n_scenes", count(lit(1)).over(Window.partitionBy(col("collection"))))
     val counts = ranked.groupBy(col("collection")).agg(max(col("n_scenes")).as("n_scenes"))
       .where(col("n_scenes") >= 2)
-    val picks = triplets.join(counts, "collection")
+    // counts is config-sized (one row per collection) — broadcast
+    // explicitly so that even when the key constant-folds (single
+    // collection) the plan is a broadcast of the 1-row side, never a
+    // shuffled nested loop
+    val picks = triplets.join(broadcast(counts), "collection")
       .withColumn("a_rank", floor(hashUnit(seed, col("triplet_id"), lit("anchor")) * col("n_scenes")).cast("int"))
       .withColumn("d_draw", floor(hashUnit(seed, col("triplet_id"), lit("distant")) * (col("n_scenes") - 1)).cast("int"))
       // distant pick skips the anchor scene's rank => always distinct

@@ -33,7 +33,9 @@ object PipelineQueries {
       val thresh = RankStats.nearestRankPercentile(
         simple.withColumn("__g", lit(1)), Seq("__g"), col(pct.prop), pct.p, col("event_id"))
         .select(col("pvalue").as("__p75"))
-      simple.crossJoin(thresh).where(col("value") > col("__p75"))
+      // explicit broadcast of the 1-row threshold frame: the scalar-attach
+      // cross join must never build the scan side
+      simple.crossJoin(broadcast(thresh)).where(col("value") > col("__p75"))
         .select(col("event_id"), col("value"))
     },
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-regression harness: the invariants the code comments claim,
+  * asserted on the ACTUAL executed plans of the bench headline at
+  * sf0.001 — so a future change cannot silently regress a broadcast
+  * into a shuffle or introduce a nested loop on a data-sized side.
+  *
+  * Allowed BroadcastNestedLoopJoins (each a documented broadcast of a
+  * config/probe-sized frame, the moral equivalent of
+  * crossJoin(broadcast(...))):
+  *  - q30_ann_topk: brute-force ANN scans the corpus against ~20
+  *    broadcast probes (the intended exact path)
+  *  - q48_e2e_slice / q36_triplet_specs: triplet pairing joins the
+  *    triplet list to the one-row-per-collection counts frame; with a
+  *    single collection the key constant-folds and the (explicitly
+  *    broadcast) 1-row side nested-loops
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val bnljAllowed = Set("q30_ann_topk", "q48_e2e_slice", "q36_triplet_specs")
+
+  /** Plan with AQE off: the static plan exposes codegen stages and join
+    * strategies directly (AQE only re-plans at runtime from this shape). */
+  private def planOf(q: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("headline plans: codegen everywhere, no cartesian, BNLJ only where documented") {
+    (Bench.headline :+ "q48_e2e_slice" :+ "q36_triplet_specs").foreach { q =>
+      val plan = planOf(q)
+      // codegen'd operators print with the `*(n)` stage marker
+      assert(plan.contains("*("), s"$q lost whole-stage codegen")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      if (!bnljAllowed(q))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q plans an undocumented nested-loop join:\n${plan.take(1500)}")
+    }
+  }
+
+  test("q35: regrid weights are broadcast, never shuffled") {
+    val plan = planOf("q35_regrid")
+    assert(plan.contains("BroadcastHashJoin"), s"weights join must broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"), "weights join regressed to a shuffle join")
+  }
+
+  test("q20: every dimension of the star joins as a broadcast hash join") {
+    val plan = planOf("q20_star_revenue")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3, s"expected >=3 broadcast dims, got $nBroadcast")
+  }
+
+  test("q28: LSH candidate join carries no array columns through the exchange") {
+    // the round-1 scale bug: shingle arrays riding the band join. The
+    // exchanges between banding and candidate-distinct must move only
+    // (band, bh, doc ids) — no array-typed attribute
+    val plan = planOf("q28_lsh_neardup")
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    val arrayCarrying = exchangeLines.filter(l => l.contains("xs#") || l.contains("sa#") || l.contains("sb#"))
+    assert(arrayCarrying.isEmpty,
+      s"shingle arrays must not ride the candidate exchange:\n${arrayCarrying.mkString("\n")}")
+  }
+
+  test("q53: time filter pushes into the DSv2 scan (residual-free)") {
+    val plan = planOf("q53_dsv2_calendar")
+    assert(plan.contains("graft-calendar scan"), "expected the custom calendar scan")
+    // the pushed bounds narrow the scan to Feb 2024 (within the table's
+    // full-year t0/t1): the scan description carries the pushed [lo..hi]
+    val us0 = java.time.LocalDateTime.parse("2024-02-01T00:00")
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    assert(plan.contains(s"[${us0}us"), s"scan lower bound not pushed:\n${plan.take(800)}")
+  }
+}
