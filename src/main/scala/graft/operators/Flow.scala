@@ -13,11 +13,10 @@ import org.apache.spark.sql.Dataset
   *
   * Spark shape (SURVEY §2.5 W2): `groupByKey(group).flatMapGroups` with an
   * in-memory time-sorted scan per group — parallelism across groups
-  * (dates), strict ordering within. The frame-to-frame `track` function is
-  * pluggable: OpenCV LK would slot in via JavaCPP on a real deployment;
-  * the default is a deterministic intensity-centroid shift estimator so
-  * the chaining/bookkeeping (lost-point sentinels, index carry-over) is
-  * fully testable in-JVM.
+  * (dates), strict ordering within. The tracker is the pure-JVM pyramidal
+  * Lucas-Kanade in [[LucasKanade]] ([[chainTrajectoriesLK]], the real W2);
+  * [[chainTrajectories]] keeps the cheap global centroid-shift estimator
+  * for fields where a single advection vector suffices.
   */
 object Flow {
 
@@ -71,6 +70,48 @@ object Flow {
               val (nx2, ny2) = (x + dx, y + dy)
               if (nx2 < 0 || nx2 >= f.nx || ny2 < 0 || ny2 >= f.ny) (id, -1.0, -1.0)
               else (id, nx2, ny2)
+            }
+          }
+          pts.foreach { case (id, x, y) => out += TrackedPoint(g, f.seq, id, x, y) }
+          prev = f
+        }
+        out.result().iterator
+      }
+    }
+  }
+
+  /** The real W2: per-point pyramidal Lucas-Kanade chaining. Seeds come
+    * from Shi-Tomasi corners on the first frame (goodFeaturesToTrack,
+    * calc.py:19-75); each subsequent frame advances every live point by
+    * its own LK track; lost points (degenerate window or out-of-frame)
+    * carry the -1 sentinel forever after (calc.py:140). */
+  def chainTrajectoriesLK(frames: Dataset[Frame],
+      maxCorners: Int = 100, qualityLevel: Double = 0.01, minDistance: Double = 5.0,
+      winRadius: Int = 7, levels: Int = 3): Dataset[TrackedPoint] = {
+    import frames.sparkSession.implicits._
+    frames.groupByKey(_.group).flatMapGroups { (g, it) =>
+      val ordered = it.toArray.sortBy(_.seq)
+      if (ordered.isEmpty) Iterator.empty
+      else {
+        val first = ordered.head
+        val seeds = LucasKanade.shiTomasi(
+          LucasKanade.normalize(first.nx, first.ny, first.values),
+          maxCorners, qualityLevel, minDistance)
+        var pts: Array[(Int, Double, Double)] =
+          seeds.zipWithIndex.map { case ((x, y), id) => (id, x, y) }
+        val out = Array.newBuilder[TrackedPoint]
+        pts.foreach { case (id, x, y) => out += TrackedPoint(g, first.seq, id, x, y) }
+        var prev = first
+        ordered.drop(1).foreach { f =>
+          val live = pts.filter(_._2 >= 0)
+          val tracked = LucasKanade.track(prev.nx, prev.ny, prev.values, f.values,
+            live.map(p => (p._2, p._3)), winRadius, levels)
+          val moved = live.map(_._1).zip(tracked).toMap
+          pts = pts.map { case (id, x, y) =>
+            if (x < 0) (id, x, y)
+            else moved(id) match {
+              case Some((nx2, ny2)) => (id, nx2, ny2)
+              case None => (id, -1.0, -1.0)
             }
           }
           pts.foreach { case (id, x, y) => out += TrackedPoint(g, f.seq, id, x, y) }
