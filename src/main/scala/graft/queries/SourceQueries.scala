@@ -308,6 +308,30 @@ object SourceQueries {
           && prod === "ABI-L1b-RadF" && mode === 6 && sat === 16)
         .groupBy(col("ch").cast("long").as("channel"))
         .agg(count(lit(1)).as("n_ok"), min(col("key")).as("first_key"))
+    },
+
+    // ---- S10: HDF4 (DFSD) decode + syn1deg georeferencing ---------------
+    // Same pattern as q56: the query writes a deterministic HDF4 fixture
+    // (pure-JVM writer), decodes it through the binaryFile -> HDF4 path
+    // with extract.py's band->time / y->lat / x->lon mapping, and the
+    // oracle reconstructs the rows analytically.
+    QueryDef.sqlBacked(
+      "q61_hdf4_syn1deg",
+      """SELECT TIMESTAMP '2021-07-01 00:00:00' + INTERVAL 1 HOUR * b AS time,
+        |  90.0 - (j + 0.5) AS lat, (i + 0.5) - 180.0 AS lon,
+        |  CAST((b*4 + j)*4 + i AS DOUBLE) * 0.5 - 3.0 AS value
+        |FROM range(0,3) r1(b), range(0,4) r2(j), range(0,4) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.HDF4
+      val dir = java.nio.file.Files.createTempDirectory("graft-q61").toString
+      val bytes = HDF4.write(Seq(HDF4.SdsSpec(
+        "observed_all_sky_toa_lw_flux", Seq(3, 4, 4), HDF4.Float64,
+        Array.tabulate(3 * 4 * 4)(_ * 0.5 - 3.0))))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "syn1deg.hdf"), bytes)
+      import s.implicits._
+      s.read.format("binaryFile").load(s"$dir/*.hdf")
+        .select("content").as[Array[Byte]]
+        .flatMap(b => HDF4.syn1degRows(b, "observed_all_sky_toa_lw_flux", "2021-07-01"))
+        .toDF("time", "lat", "lon", "value")
     }
   )
 }

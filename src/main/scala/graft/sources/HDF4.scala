@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM codec for the HDF4 scientific-dataset (DFSD) subset — the
+  * S10 decode path for CERES syn1deg MODIS files
+  * (sources/ceres_syn1deg_modis/extract.py:7-69) without any HDF jars.
+  *
+  * Scope (public HDF 4.x spec): the DD-list container plus the numeric
+  * data-group tags —
+  *   DFTAG_NDG(720) group -> DFTAG_SDD(701) rank/dims + number type,
+  *   DFTAG_NT(106), DFTAG_SD(702) raw big-endian array,
+  *   DFTAG_SDL(704) label (the `long_name` the reference renames by).
+  * Files written through the newer multi-file SD/Vgroup interface store
+  * their attributes in Vdata records; those attrs are out of scope here
+  * (the label tag carries the variable name), and compressed SDs are
+  * rejected loudly.
+  *
+  * As with [[NetCDF3]], the decode unit is the whole file: Spark-side
+  * use is per-file parallelism over a `binaryFile` scan.
+  */
+object HDF4 {
+
+  val Magic = 0x0e031301
+  val TagNT = 106; val TagSDD = 701; val TagSD = 702; val TagSDL = 704; val TagNDG = 720
+
+  // DFNT number-type codes
+  val Float32 = 5; val Float64 = 6
+  val Int8 = 20; val UInt8 = 21; val Int16 = 22; val UInt16 = 23
+  val Int32 = 24; val UInt32 = 25
+
+  def typeWidth(t: Int): Int = t match {
+    case Int8 | UInt8 => 1
+    case Int16 | UInt16 => 2
+    case Float32 | Int32 | UInt32 => 4
+    case Float64 => 8
+    case other => throw new IllegalArgumentException(s"unsupported DFNT type $other")
+  }
+
+  final case class DD(tag: Int, ref: Int, offset: Int, length: Int)
+  final case class Sds(ref: Int, label: String, dims: Seq[Int], ntType: Int, data: Array[Double])
+
+  /** All DDs across chained DD blocks. */
+  def readDDs(bytes: Array[Byte]): Seq[DD] = {
+    val b = ByteBuffer.wrap(bytes)
+    require(b.getInt() == Magic, "not an HDF4 file")
+    val out = Seq.newBuilder[DD]
+    var blockOff = 4
+    while (blockOff != 0) {
+      b.position(blockOff)
+      val ndds = b.getShort().toInt
+      val next = b.getInt()
+      (0 until ndds).foreach { _ =>
+        val tag = b.getShort() & 0xffff
+        val ref = b.getShort() & 0xffff
+        val off = b.getInt(); val len = b.getInt()
+        if (tag != 0) out += DD(tag, ref, off, len) // skip DFTAG_NULL
+      }
+      blockOff = next
+    }
+    out.result()
+  }
+
+  private def readValues(b: ByteBuffer, off: Int, n: Int, t: Int): Array[Double] = {
+    b.position(off)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = t match {
+        case Int8 => b.get().toDouble
+        case UInt8 => (b.get() & 0xff).toDouble
+        case Int16 => b.getShort().toDouble
+        case UInt16 => (b.getShort() & 0xffff).toDouble
+        case Int32 => b.getInt().toDouble
+        case UInt32 => (b.getInt().toLong & 0xffffffffL).toDouble
+        case Float32 => b.getFloat().toDouble
+        case Float64 => b.getDouble()
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Every scientific dataset in the file (one per NDG), values promoted
+    * to Double, with its label (empty when absent). */
+  def readSds(bytes: Array[Byte]): Seq[Sds] = {
+    val b = ByteBuffer.wrap(bytes)
+    val dds = readDDs(bytes)
+    def find(tag: Int, ref: Int): Option[DD] = dds.find(d => d.tag == tag && d.ref == ref)
+    dds.filter(_.tag == TagNDG).map { g =>
+      b.position(g.offset)
+      val members = (0 until g.length / 4).map(_ => ((b.getShort() & 0xffff), (b.getShort() & 0xffff)))
+      def member(tag: Int): Option[Int] = members.collectFirst { case (t, r) if t == tag => r }
+      val sddRef = member(TagSDD).getOrElse(throw new IllegalArgumentException("NDG without SDD"))
+      val sdd = find(TagSDD, sddRef).get
+      b.position(sdd.offset)
+      val rank = b.getShort().toInt
+      val dims = (0 until rank).map(_ => b.getInt())
+      val ntRef = { b.getShort(); b.getShort() & 0xffff } // (tag, ref) of data NT
+      val nt = find(TagNT, ntRef).getOrElse(throw new IllegalArgumentException("SDD without NT"))
+      b.position(nt.offset)
+      b.get() // version
+      val ntType = b.get().toInt
+      val sdRef = member(TagSD).getOrElse(throw new IllegalArgumentException("NDG without SD"))
+      val sd = find(TagSD, sdRef).get
+      val n = dims.product
+      require(sd.length == n.toLong * typeWidth(ntType),
+        s"SD length ${sd.length} != expected (compressed SDs are unsupported)")
+      val label = member(TagSDL).flatMap(r => find(TagSDL, r)).map { dd =>
+        val raw = new Array[Byte](dd.length)
+        b.position(dd.offset); b.get(raw)
+        new String(raw.takeWhile(_ != 0), StandardCharsets.UTF_8)
+      }.getOrElse("")
+      Sds(g.ref, label, dims, ntType, readValues(b, sd.offset, n, ntType))
+    }
+  }
+
+  /** In-memory dataset for writing (data row-major doubles, cast on
+    * write). */
+  final case class SdsSpec(label: String, dims: Seq[Int], ntType: Int, data: Array[Double])
+
+  /** Write a DFSD-style HDF4 file: one DD block, then per dataset the
+    * NT + SDD + SDL + SD objects and their NDG group. */
+  def write(datasets: Seq[SdsSpec]): Array[Byte] = {
+    final case class Obj(tag: Int, ref: Int, payload: Array[Byte])
+    val objs = Seq.newBuilder[Obj]
+    datasets.zipWithIndex.foreach { case (ds, i) =>
+      val ref = i + 1
+      require(ds.data.length == ds.dims.product, s"${ds.label}: data/dims mismatch")
+      objs += Obj(TagNT, ref, Array[Byte](1, ds.ntType.toByte, (typeWidth(ds.ntType) * 8).toByte, 0))
+      val sdd = ByteBuffer.allocate(2 + 4 * ds.dims.size + 4 + 4 * ds.dims.size)
+      sdd.putShort(ds.dims.size.toShort)
+      ds.dims.foreach(sdd.putInt)
+      sdd.putShort(TagNT.toShort); sdd.putShort(ref.toShort)
+      ds.dims.foreach { _ => sdd.putShort(TagNT.toShort); sdd.putShort(ref.toShort) }
+      objs += Obj(TagSDD, ref, sdd.array())
+      objs += Obj(TagSDL, ref, ds.label.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
+      val sd = ByteBuffer.allocate(ds.data.length * typeWidth(ds.ntType))
+      ds.data.foreach { v =>
+        ds.ntType match {
+          case Int8 | UInt8 => sd.put(v.toByte)
+          case Int16 | UInt16 => sd.putShort(v.toShort)
+          case Int32 | UInt32 => sd.putInt(v.toInt)
+          case Float32 => sd.putFloat(v.toFloat)
+          case Float64 => sd.putDouble(v)
+        }
+      }
+      objs += Obj(TagSD, ref, sd.array())
+      val ndg = ByteBuffer.allocate(16)
+      Seq(TagSDD, TagNT, TagSDL, TagSD).foreach { t =>
+        ndg.putShort(t.toShort); ndg.putShort(ref.toShort)
+      }
+      objs += Obj(TagNDG, ref, ndg.array())
+    }
+    val all = objs.result()
+    val headerLen = 4 + 2 + 4 + all.size * 12
+    var off = headerLen
+    val buf = ByteBuffer.allocate(headerLen + all.map(_.payload.length).sum)
+    buf.putInt(Magic)
+    buf.putShort(all.size.toShort)
+    buf.putInt(0) // single DD block
+    all.foreach { o =>
+      buf.putShort(o.tag.toShort); buf.putShort(o.ref.toShort)
+      buf.putInt(off); buf.putInt(o.payload.length)
+      off += o.payload.length
+    }
+    all.foreach(o => buf.put(o.payload))
+    buf.array()
+  }
+
+  /** syn1deg ingest semantics (extract.py:18-43): a (band, y, x) SDS on
+    * the 1-degree grid becomes long rows with lat = 90 - (j + 0.5),
+    * lon = (i + 0.5) - 180, time = rangeBeginningDate + band hours. The
+    * variable is selected by its label (`long_name` lowercased with
+    * spaces/dashes as underscores, as the reference renames). */
+  def syn1degRows(bytes: Array[Byte], varLabel: String, rangeBeginningDate: String)
+      : Iterator[(java.sql.Timestamp, Double, Double, Double)] = {
+    val sds = readSds(bytes).find(_.label == varLabel).getOrElse(
+      throw new IllegalArgumentException(
+        s"Variable `$varLabel` not found in MODIS SYN1Deg dataset. " +
+          s"Available variables are: ${readSds(bytes).map(_.label).mkString(", ")}"))
+    val Seq(nBand, ny, nx) = sds.dims
+    val t0 = java.time.LocalDate.parse(rangeBeginningDate).atStartOfDay()
+    for {
+      band <- (0 until nBand).iterator
+      j <- (0 until ny).iterator
+      i <- (0 until nx).iterator
+    } yield {
+      val ts = java.sql.Timestamp.valueOf(t0.plusHours(band))
+      (ts, 90.0 - (j + 0.5), (i + 0.5) - 180.0, sds.data((band * ny + j) * nx + i))
+    }
+  }
+}
