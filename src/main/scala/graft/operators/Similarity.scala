@@ -108,6 +108,48 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned once to their
+    * nearest of k seeded-KMeans centroids (the index build — one pass,
+    * centroids broadcast); each probe scans only the `nProbe` cells
+    * whose centroids are nearest to it. Candidate generation is an
+    * equi-join on the integer cell id, so the 100 TB shape is identical
+    * to the LSH path but with data-adaptive cells: recall degrades
+    * gracefully with nProbe instead of with random hyperplane luck.
+    *
+    * Returns the same schema as [[bruteForceTopK]]. The centroid model
+    * is recomputed here for self-containment; a production index would
+    * persist it ([[graft.embeddings.Transforms.fitKmeans]] save/load). */
+  def ivfTopK(
+      probes: DataFrame, corpus: DataFrame, k: Int, nCells: Int, nProbe: Int,
+      seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = graft.embeddings.Transforms.fitKmeans(corpus, vecCol, nCells, seed)
+    val c = graft.embeddings.Transforms
+      .applyKmeans(corpus, model, vecCol, "cell")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
+    // rank each probe's nProbe nearest centroids (centroids are a
+    // driver-side k x dim array -> a literal probe-side explode)
+    val cents = model.clusterCenters.map(_.toArray).zipWithIndex
+    val probeCells = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+      .withColumn("cellDist", array(cents.map { case (cv, ci) =>
+        struct(
+          aggregate(
+            zip_with(col("pv"), lit(cv), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v).as("d2"),
+          lit(ci).as("cell"))
+      }: _*))
+      // struct sort orders by (d2, cell) lexicographically
+      .withColumn("near", explode(slice(array_sort(col("cellDist")), 1, nProbe)))
+      .select(col("probe_id"), col("pv"), col("near.cell").as("cell"))
+    val scored = c.join(broadcast(probeCells), "cell")
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
+  }
+
   /** Element-wise centroid per group as exact scaled-integer sums:
     * (group, dim, sum(round(v*1e6)), n) — FP-order-independent, so safe
     * under any shuffle order AND hash-comparable against the oracle. */

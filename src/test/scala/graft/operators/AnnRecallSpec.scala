@@ -32,5 +32,12 @@ class AnnRecallSpec extends SparkSpec {
     // ANN: at least half the true neighbors survive bucketing
     assert(byRadius(0) <= byRadius(1) && byRadius(1) <= byRadius(2))
     assert(byRadius(1) >= 0.5, s"radius-1 recall ${byRadius(1)} < 0.5")
+
+    // IVF path: data-adaptive cells, nProbe=4 of 8 cells must beat the
+    // single-bucket LSH recall and clear 0.5 as well
+    val ivf = pairs(Similarity.ivfTopK(probes, emb, k, nCells = 8, nProbe = 4))
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"ivf nCells=8 nProbe=4 recall@$k = $ivfRecall%.3f")
+    assert(ivfRecall >= 0.5, s"IVF recall $ivfRecall < 0.5")
   }
 }
