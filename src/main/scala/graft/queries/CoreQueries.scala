@@ -380,17 +380,18 @@ object CoreQueries {
         | AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
         |GROUP BY 1""".stripMargin) { (s, d) =>
       // intervals = [o_orderdate, +7d] per order; points = shipdates of the
-      // order's items. The equi-key (orderkey) already bounds the join; the
-      // bucketed containment shows the generic operator on the time axis.
+      // order's items. The equi-key (orderkey) joins WITH the time bucket —
+      // candidates pair per order, never globally by bucket (the scale
+      // shape; a post-join equi-filter would pair all co-bucketed rows).
       val points = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+        .select(col("l_orderkey").as("okey"), col("l_shipdate"), col("l_extendedprice"))
       val intervals = Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderdate"),
+        .select(col("o_orderkey").as("okey"), col("o_orderdate"),
           (col("o_orderdate") + expr("INTERVAL 7 DAY")).as("o_weekend"))
       graft.operators.RangeJoin.tsInInterval(points, intervals,
-          "l_shipdate", "o_orderdate", "o_weekend", bucketWidthUs = 7L * 86400 * 1000000)
-        .where(col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"))
+          "l_shipdate", "o_orderdate", "o_weekend",
+          bucketWidthUs = 7L * 86400 * 1000000, equiKeys = Seq("okey"))
+        .groupBy(col("okey").as("o_orderkey"))
         .agg(count(lit(1)).as("n_shipped_first_week"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
     },
