@@ -66,6 +66,22 @@ object StreamOps {
 
   /** Drive a streaming DataFrame synchronously into a memory sink (local
     * smoke path; production would use a real sink + trigger). */
+  /** Streaming exact dedup (the Dedup.exactDedup stream analog): emit
+    * each content digest's FIRST arrival only. `dropDuplicates` keyed on
+    * the digest with a watermark on the event time bounds the dedup
+    * state to the watermark horizon — the standard shape for dedup over
+    * an unbounded ingest feed (at 100 TB/day the state holds one row per
+    * distinct digest inside the horizon, partitioned by digest hash). */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("digest", md5(col(textCol)))
+      // WithinWatermark variant: state for a digest is EVICTED once the
+      // watermark passes it (plain dropDuplicates would grow state
+      // unboundedly on an infinite stream)
+      .dropDuplicatesWithinWatermark("digest")
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)

@@ -26,6 +26,24 @@ class PhaseDSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup emits one row per digest within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val docs = Seq(
+      ("2024-01-01 00:00:00", "alpha"), ("2024-01-01 00:05:00", "beta"),
+      ("2024-01-01 00:10:00", "alpha"), ("2024-01-01 00:15:00", "gamma"),
+      ("2024-01-01 00:20:00", "beta"), ("2024-01-01 00:25:00", "alpha"))
+      .toDF("ts", "text").select(to_timestamp(col("ts")).as("ts"), col("text"))
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = StreamOps.runToMemory(
+      StreamOps.streamingExactDedup(stream, "ts", "text", "1 hour"), "sded",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val texts = spark.sql("SELECT text FROM sded").collect().map(_.getString(0)).sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("stateful per-user tracking carries state across batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-track").toString
     Tables.events(spark, "/root/testdata/sf0.001")

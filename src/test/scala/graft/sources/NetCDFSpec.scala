@@ -135,6 +135,35 @@ class NetCDFSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("ZarrSink writes spec-conformant v2 stores (S12)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zarr").toString
+    val src = Seq(
+      ("s1", java.sql.Timestamp.valueOf("2020-06-01 12:00:00"), 0.0, 0.0, 1.5),
+      ("s1", java.sql.Timestamp.valueOf("2020-06-01 12:00:00"), 100.0, 0.0, 2.5),
+      ("s1", java.sql.Timestamp.valueOf("2020-06-01 12:00:00"), 0.0, 100.0, 3.5),
+      ("s1", java.sql.Timestamp.valueOf("2020-06-01 12:00:00"), 100.0, 100.0, 4.5))
+      .toDF("scene_id", "time", "x", "y", "value")
+    val written = ZarrSink.writeScenes(src, dir, "lwp")
+    assert(written.count() == 1)
+    val store = Paths.get(dir, "s1.zarr")
+    // group + array metadata are valid per the public v2 spec
+    assert(Files.readString(store.resolve(".zgroup")).contains("\"zarr_format\": 2"))
+    val zarray = Files.readString(store.resolve("lwp/.zarray"))
+    assert(zarray.contains("\"shape\": [2, 2]") && zarray.contains("\"dtype\": \"<f8\"")
+      && zarray.contains("\"compressor\": null") && zarray.contains("\"order\": \"C\""))
+    assert(Files.readString(store.resolve("lwp/.zattrs"))
+      .contains("\"_ARRAY_DIMENSIONS\": [\"y\", \"x\"]"))
+    // chunk bytes are raw little-endian C-order doubles
+    def le(p: java.nio.file.Path, n: Int): Seq[Double] = {
+      val b = ByteBuffer.wrap(Files.readAllBytes(p)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).map(_ => b.getDouble())
+    }
+    assert(le(store.resolve("lwp/0.0"), 4) == Seq(1.5, 2.5, 3.5, 4.5))
+    assert(le(store.resolve("x/0"), 2) == Seq(0.0, 100.0))
+    assert(le(store.resolve("y/0"), 2) == Seq(0.0, 100.0))
+  }
+
   test("writeScenes exports per-scene netCDF that re-ingests identically (S12)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-nc-out").toString
