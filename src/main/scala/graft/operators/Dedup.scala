@@ -88,6 +88,11 @@ object Dedup {
     val b = sh.select(col("doc").as("doc_b") +: col("shingles").as("sb") +:
       blockCols.map(col): _*)
     a.join(b, blockCols).where(col("doc_a") < col("doc_b"))
+      // size-ratio prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so a
+      // pair failing the ratio can never clear the threshold — prunes
+      // before the O(|A|+|B|) merge-walk, exactness preserved
+      .where(least(size(col("sa")), size(col("sb"))).cast("double")
+        >= lit(threshold) * greatest(size(col("sa")), size(col("sb"))).cast("double"))
       .withColumn("jaccard", jaccardSorted(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select((col("doc_a") +: col("doc_b") +: blockCols.map(col)) :+ col("jaccard"): _*)
@@ -136,6 +141,10 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("xs").as("sa")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("xs").as("sb")), Seq("doc_b"))
+      // same size-ratio prune as ngramJaccardPairs: skip the merge-walk
+      // for pairs that cannot reach the threshold
+      .where(least(size(col("sa")), size(col("sb"))).cast("double")
+        >= lit(threshold) * greatest(size(col("sa")), size(col("sb"))).cast("double"))
       .withColumn("jaccard", jaccardSorted(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
