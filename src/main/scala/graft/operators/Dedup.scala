@@ -32,10 +32,19 @@ object Dedup {
     df.groupBy(md5(textCol).as("digest"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct 3-gram shingles hashed to int64 (polyHash per shingle,
-    * re-deduped after hashing so collisions keep set semantics), sorted
-    * ascending so pair verification can use the merge-walk intersect. */
-  def shingleHashes(textCol: Column, n: Int = 3): Column =
+  /** Distinct 3-gram shingles hashed to int64, sorted ascending so pair
+    * verification can use the merge-walk intersect. Native single-pass
+    * expression (graft.plans.ShingleHashes): identical output to
+    * `sort_array(array_distinct(transform(charNgrams(c,n), polyHash)))`
+    * (spec-proven) at a fraction of the allocation. */
+  def shingleHashes(textCol: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.plans.ShingleHashes(expression(textCol), n))
+  }
+
+  /** The HOF reference form of [[shingleHashes]] (kept as the
+    * cross-check oracle for the native expression). */
+  def shingleHashesHof(textCol: Column, n: Int = 3): Column =
     sort_array(array_distinct(
       transform(TextAnalysis.charNgrams(textCol, n), s => TextAnalysis.polyHash(s))))
 

@@ -18,6 +18,15 @@ object Functions {
       exprs => PolyHash(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      exprs => {
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes(text, n): n must be a literal, got $other")
+        }
+        ShingleHashes(exprs.head, n)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sketch",
       exprs => {
         val k = exprs(1) match {

@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class ShingleHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native one-pass kernel equals the HOF reference on corpus text") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").select("text")
+    val diff = docs.select(
+      Dedup.shingleHashes(col("text")).as("fast"),
+      Dedup.shingleHashesHof(col("text")).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("edge cases: short/empty strings, collisions dedup, non-ASCII slow path") {
+    val cases = Seq("", "ab", "abc", "abcd", "aaaaaa", "héllo wörld", "日本語テキスト")
+    val df = cases.toDF("s")
+    val rows = df.select(col("s"),
+      Dedup.shingleHashes(col("s")).as("fast"),
+      Dedup.shingleHashesHof(col("s")).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"mismatch for '${r.getString(0)}'")
+    }
+    // shorter than n -> empty; repeated grams dedup to one sorted entry
+    val m = rows.map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("").isEmpty && m("ab").isEmpty)
+    assert(m("abc").length == 1)
+    assert(m("aaaaaa").length == 1) // all grams identical
+    assert(m("abcd").length == 2 && m("abcd") == m("abcd").sorted)
+  }
+
+  test("interpreted equals codegen and the SQL registration works") {
+    graft.plans.Functions.register(spark)
+    val viaSql = spark.sql("SELECT shingle_hashes('abcab', 3)").as[Seq[Long]].head()
+    val viaDf = Seq("abcab").toDF("s").select(Dedup.shingleHashes(col("s"))).as[Seq[Long]].head()
+    assert(viaSql == viaDf && viaSql.length == 3) // abc, bca, cab
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = Seq("abcab").toDF("s").select(Dedup.shingleHashes(col("s"))).as[Seq[Long]].head()
+      assert(interp == viaDf)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+}
