@@ -125,9 +125,16 @@ object Dedup {
     * makes `distinct()` compare array keys — measured ~10x slower at
     * sf0.1 on a self-similar corpus.)
     */
+  /** @param broadcastShingles hint the shingle table onto the verify
+    *        joins' build side: the candidate stream (the big side) then
+    *        flows through two broadcast hash joins and the arrays never
+    *        shuffle. Right whenever #docs x avg-shingles fits the
+    *        broadcast budget (a 10^6-doc partition easily does); flip
+    *        off at full-corpus scale and AQE plans the shuffled join. */
   def lshNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, threshold: Double): DataFrame = {
+      k: Int, bands: Int, threshold: Double,
+      broadcastShingles: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
     // hashed shingle set once; signatures derive from it, and the verify
@@ -147,9 +154,13 @@ object Dedup {
     val rr = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
     val cand = l.join(rr, Seq("band", "bh")).where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+    def shSide(idAs: String, xsAs: String) = {
+      val side = sh.select(col("doc_id").as(idAs), col("xs").as(xsAs))
+      if (broadcastShingles) broadcast(side) else side
+    }
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("xs").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("xs").as("sb")), Seq("doc_b"))
+      .join(shSide("doc_a", "sa"), Seq("doc_a"))
+      .join(shSide("doc_b", "sb"), Seq("doc_b"))
       // same size-ratio prune as ngramJaccardPairs: skip the merge-walk
       // for pairs that cannot reach the threshold
       .where(least(size(col("sa")), size(col("sb"))).cast("double")

@@ -158,8 +158,10 @@ object LlmQueries {
          |  JOIN hxd sa ON sa.doc_id = p.doc_a
          |  JOIN hxd sb ON sb.doc_id = p.doc_b)
          |WHERE jaccard >= 0.35""".stripMargin) { (s, d) =>
+      // broadcastShingles: the sf-scale shingle table is ~20 MB — the 5M
+      // candidate pairs stream through broadcast joins, arrays never shuffle
       Dedup.lshNearDupPairs(Tables.documents(s, d), "doc_id", "text",
-        k = 8, bands = 4, threshold = 0.35)
+        k = 8, bands = 4, threshold = 0.35, broadcastShingles = true)
     },
 
     // ---- 16-bit SimHash --------------------------------------------------
