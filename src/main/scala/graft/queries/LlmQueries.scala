@@ -42,6 +42,17 @@ object LlmQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, 65)], (x, y) -> x + y)"
 
+  /** Sign-LSH bucket mirror: the same ±1 hyperplane signs as
+    * `Similarity.planeSign` interpolated as literals, identical left-fold
+    * sum order (products by ±1 are FP-exact). */
+  private def bucketSql(v: String, nPlanes: Int = 4, dim: Int = 64): String =
+    (0 until nPlanes).map { i =>
+      val proj = (0 until dim).map { j =>
+        s"CAST($v[${j + 1}] AS DOUBLE) * ${graft.operators.Similarity.planeSign(i, j)}"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $proj > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: hash-group on content digest ----------------------
@@ -234,6 +245,37 @@ object LlmQueries {
          |WHERE rnk <= 5""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 20), emb, k = 5)
+    },
+
+    // ---- multi-probe LSH ANN (the scale path, oracle-backed) ------------
+    // The probe side explodes over its radius-1 Hamming ball (xor with
+    // 0,1,2,4,8); candidate generation is the bucket equi-join; exact
+    // cosine rank within candidates. Every piece mirrors token-for-token.
+    QueryDef.sqlBacked(
+      "q62_lsh_ann",
+      s"""WITH p0 AS (
+         |  SELECT vec_id AS probe_id, embedding AS pv,
+         |    ${bucketSql("embedding")} AS b0
+         |  FROM embeddings WHERE vec_id < 20),
+         |p AS (
+         |  SELECT probe_id, pv, xor(b0, flip) AS bucket
+         |  FROM p0 CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS flip)),
+         |c AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS cv,
+         |    ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |    round(${dotSql("pv", "cv")}
+         |      / (sqrt(${dotSql("pv", "pv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cos_sim
+         |  FROM c JOIN p USING (bucket) WHERE neighbor_id != probe_id)
+         |SELECT probe_id, neighbor_id, rnk, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.where(col("vec_id") < 20), emb, k = 5,
+        nPlanes = 4, dim = 64, probeRadius = 1)
     },
 
     // ---- per-label centroids as exact scaled-integer sums ---------------
