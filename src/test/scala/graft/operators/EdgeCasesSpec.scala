@@ -33,4 +33,34 @@ class EdgeCasesSpec extends SparkSpec {
     val build = probe.where(lit(false)).select(col("p_id").as("b_id"), col("p_ts").as("b_ts"))
     assert(AsOfJoin.nearestWithin(probe, build, "p_ts", "b_ts", 1000L, Seq("p_id")).count() == 0)
   }
+
+  test("curvilinear weights: destination points outside the mesh produce no rows") {
+    val src = spark.range(16).select(
+      expr("id div 4").as("src_i"), (col("id") % 4).as("src_j"))
+      .withColumn("x", col("src_i") * 10.0).withColumn("y", col("src_j") * 10.0)
+    // one inside the 0..30 mesh, one far outside
+    val dst = Seq((0L, 0L, 15.0, 15.0), (1L, 1L, 500.0, 500.0))
+      .toDF("dst_i", "dst_j", "x", "y")
+    val w = Regrid.curvilinearBilinearWeights(src, dst, binSize = 64.0)
+    val dstIds = w.select("dst_i").distinct().collect().map(_.getLong(0)).toSet
+    assert(dstIds == Set(0L), "only the in-mesh point matches")
+  }
+
+  test("file codecs reject foreign bytes loudly") {
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val e1 = intercept[IllegalArgumentException](graft.sources.NetCDF3.readHeader(garbage))
+    assert(e1.getMessage.contains("not a NetCDF classic file"))
+    val e2 = intercept[IllegalArgumentException](graft.sources.HDF4.readDDs(garbage))
+    assert(e2.getMessage.contains("not an HDF4 file"))
+    // an HDF5-era file (netCDF-4) starts with \x89HDF — neither codec takes it
+    val hdf5ish = Array[Byte](0x89.toByte, 'H', 'D', 'F') ++ Array.fill[Byte](32)(0)
+    intercept[IllegalArgumentException](graft.sources.NetCDF3.readHeader(hdf5ish))
+    intercept[IllegalArgumentException](graft.sources.HDF4.readDDs(hdf5ish))
+  }
+
+  test("LK tracking a structureless (constant) frame rejects the point") {
+    val flat = Array.fill(32 * 32)(5.0)
+    val res = LucasKanade.track(32, 32, flat, flat, Array((16.0, 16.0)))
+    assert(res.head.isEmpty, "no gradient structure -> status false")
+  }
 }
