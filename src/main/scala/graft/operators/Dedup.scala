@@ -49,8 +49,18 @@ object Dedup {
       transform(TextAnalysis.charNgrams(textCol, n), s => TextAnalysis.polyHash(s))))
 
   /** MinHash signature as k scalar columns mh0..mh{k-1} over the hashed
-    * shingle set in column `xs`. */
-  def minhashCols(xs: Column, k: Int): Seq[(String, Column)] =
+    * shingle set in column `xs`. Native one-pass kernel
+    * (graft.plans.MinHashSig): k accumulators in one array walk instead
+    * of k transform+array_min passes; bit-identical to [[minhashColsHof]]
+    * (spec-proven — shared coefficient schedule). */
+  def minhashCols(xs: Column, k: Int): Seq[(String, Column)] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val sig = column(graft.plans.MinHashSig(expression(xs), k))
+    (0 until k).map(i => s"mh$i" -> element_at(sig, i + 1))
+  }
+
+  /** HOF reference form of [[minhashCols]] (cross-check oracle). */
+  def minhashColsHof(xs: Column, k: Int): Seq[(String, Column)] =
     (0 until k).map { i =>
       s"mh$i" -> array_min(transform(xs, x => (lit(aCoef(i)) * x + lit(bCoef(i))) % P))
     }

@@ -33,6 +33,31 @@ class ShingleHashesSpec extends SparkSpec {
     assert(m("abcd").length == 2 && m("abcd") == m("abcd").sorted)
   }
 
+  test("native MinHashSig equals the HOF form (incl. empty-set null contract)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").select("text")
+    val xs = Dedup.shingleHashes(col("text"))
+    val fast = Dedup.minhashCols(xs, 8)
+    val ref = Dedup.minhashColsHof(xs, 8)
+    val diff = docs.select(
+      (fast.map { case (n, c) => c.as(n + "_f") } ++
+        ref.map { case (n, c) => c.as(n + "_r") }): _*)
+      .where((0 until 8).map(i =>
+        !(col(s"mh${i}_f") <=> col(s"mh${i}_r"))).reduce(_ || _))
+      .count()
+    assert(diff == 0)
+    // coefficient schedules agree between the expression and the operator
+    (0 until 16).foreach { i =>
+      assert(graft.plans.MinHashSig.aCoef(i) == Dedup.aCoef(i))
+      assert(graft.plans.MinHashSig.bCoef(i) == Dedup.bCoef(i))
+    }
+    // empty shingle set -> null signature elements, matching the HOF form
+    val empty = Seq("ab").toDF("text") // shorter than n=3 -> empty set
+    val r = empty.select(
+      Dedup.minhashCols(Dedup.shingleHashes(col("text")), 2).map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("interpreted equals codegen and the SQL registration works") {
     graft.plans.Functions.register(spark)
     val viaSql = spark.sql("SELECT shingle_hashes('abcab', 3)").as[Seq[Long]].head()
