@@ -27,6 +27,15 @@ object Functions {
         }
         ShingleHashes(exprs.head, n)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig(xs, k): k must be a literal, got $other")
+        }
+        MinHashSig(exprs.head, k)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sketch",
       exprs => {
         val k = exprs(1) match {

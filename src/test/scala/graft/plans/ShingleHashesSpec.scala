@@ -60,6 +60,10 @@ class ShingleHashesSpec extends SparkSpec {
 
   test("interpreted equals codegen and the SQL registration works") {
     graft.plans.Functions.register(spark)
+    // full SQL-surface chain: text -> shingles -> signature
+    val sqlSig = spark.sql(
+      "SELECT minhash_sig(shingle_hashes('abcabc', 3), 4)").as[Seq[Long]].head()
+    assert(sqlSig.length == 4)
     val viaSql = spark.sql("SELECT shingle_hashes('abcab', 3)").as[Seq[Long]].head()
     val viaDf = Seq("abcab").toDF("s").select(Dedup.shingleHashes(col("s"))).as[Seq[Long]].head()
     assert(viaSql == viaDf && viaSql.length == 3) // abc, bca, cab
