@@ -181,8 +181,18 @@ object Dedup {
   }
 
   /** 16-bit SimHash over distinct whitespace tokens: bit j set iff more
-    * than half the token hashes have bit j set. */
+    * than half the token hashes have bit j set. Native one-pass majority
+    * kernel (graft.plans.SimHash16) — the HOF form walks the hash array
+    * once per bit. */
   def simhash16(textCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val hs = transform(array_distinct(TextAnalysis.tokens(textCol)),
+      t => TextAnalysis.polyHash(t) % 65536)
+    column(graft.plans.SimHash16(expression(hs)))
+  }
+
+  /** HOF reference form of [[simhash16]] (cross-check oracle). */
+  def simhash16Hof(textCol: Column): Column = {
     val toks = array_distinct(TextAnalysis.tokens(textCol))
     val hs = transform(toks, t => TextAnalysis.polyHash(t) % 65536)
     val n = size(toks)

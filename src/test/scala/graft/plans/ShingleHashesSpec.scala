@@ -58,6 +58,21 @@ class ShingleHashesSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("native SimHash16 equals the HOF form on corpus text") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").select("text")
+    val diff = docs.select(
+      Dedup.simhash16(col("text")).as("fast"),
+      Dedup.simhash16Hof(col("text")).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+    // empty text: split yields [""], so the "majority" is the single
+    // empty-token hash (seed 7) — the HOF form agrees
+    val z = Seq("").toDF("text")
+      .select(Dedup.simhash16(col("text")).as("f"), Dedup.simhash16Hof(col("text")).as("r"))
+      .collect().head
+    assert(z.getLong(0) == z.getLong(1) && z.getLong(0) == 7L)
+  }
+
   test("interpreted equals codegen and the SQL registration works") {
     graft.plans.Functions.register(spark)
     // full SQL-surface chain: text -> shingles -> signature
