@@ -108,6 +108,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("R1: curvilinear inverse-bilinear recovers the generating (quad, s, t) for random warps") {
+    // the warp x(i,j) = a·i + b·j + c·i·j + x0 is itself bilinear in
+    // (i, j), so a point placed at real grid coords (u, v) must solve to
+    // quad (floor u, floor v) with (s, t) = (frac u, frac v) — for ANY
+    // warp coefficients that keep the mesh unfolded
+    val n = 10
+    val warpGen = for {
+      a <- Gen.choose(50.0, 150.0); b <- Gen.choose(-10.0, 10.0)
+      c <- Gen.choose(-0.5, 0.5); e <- Gen.choose(50.0, 150.0)
+      f <- Gen.choose(-10.0, 10.0); g <- Gen.choose(-0.5, 0.5)
+      u <- Gen.choose(1.05, n - 2.05); v <- Gen.choose(1.05, n - 2.05)
+    } yield (a, b, c, e, f, g, u, v)
+    check(Prop.forAll(warpGen) { case (a, b, c, e, f, g, u, v) =>
+      def wx(i: Double, j: Double) = a * i + b * j + c * i * j
+      def wy(i: Double, j: Double) = e * j + f * i + g * i * j
+      val src = (for { i <- 0 until n; j <- 0 until n }
+        yield (i.toLong, j.toLong, wx(i, j), wy(i, j))).toDF("src_i", "src_j", "x", "y")
+      val dst = Seq((0L, 0L, wx(u, v), wy(u, v))).toDF("dst_i", "dst_j", "x", "y")
+      val rows = graft.operators.Regrid
+        .curvilinearBilinearWeights(src, dst, binSize = 2048.0)
+        .collect()
+      val wsum = rows.map(_.getDouble(4)).sum
+      // reconstruct (s, t) from the four corner weights
+      val wmap = rows.map(r => (r.getLong(2) - u.floor.toLong,
+        r.getLong(3) - v.floor.toLong) -> r.getDouble(4)).toMap
+      val s = wmap.getOrElse((1L, 0L), 0.0) + wmap.getOrElse((1L, 1L), 0.0)
+      val t = wmap.getOrElse((0L, 1L), 0.0) + wmap.getOrElse((1L, 1L), 0.0)
+      rows.length == 4 &&
+        math.abs(wsum - 1.0) < 1e-9 &&
+        rows.forall(r => math.abs(r.getLong(2) - u) <= 1 && math.abs(r.getLong(3) - v) <= 1) &&
+        math.abs(s - (u - u.floor)) < 1e-6 && math.abs(t - (v - v.floor)) < 1e-6
+    })
+  }
+
   test("T3: hashUnit stays in [0,1) and is key-deterministic") {
     val df = spark.range(0, 2000).select(col("id"))
       .withColumn("u", Triplets.hashUnit(7, col("id")))
