@@ -411,6 +411,32 @@ object CoreQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    },
+
+    // ---- skew-salted join == plain join (the equality IS the oracle) ----
+    // The fat side salts on a row-content discriminator, the thin side
+    // explodes across salts; DuckDB computes the UNSALTED join + agg, so
+    // the hash-match proves result equivalence of the salting rewrite.
+    QueryDef.sqlBacked(
+      "q63_salted_join",
+      """SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  min(t.type_code) AS type_code
+        |FROM events e JOIN (
+        |  SELECT event_type, row_number() OVER (ORDER BY event_type) AS type_code
+        |  FROM (SELECT DISTINCT event_type FROM events)) t
+        |  ON t.event_type = e.event_type
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val dim = ev.select("event_type").distinct()
+        .withColumn("type_code",
+          row_number().over(Window.orderBy(col("event_type"))).cast("long"))
+      graft.operators.Skew.saltedJoin(ev, dim, "event_type",
+          leftDiscriminator = col("event_id"), nSalts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          min(col("type_code")).as("type_code"))
     }
   )
 }
