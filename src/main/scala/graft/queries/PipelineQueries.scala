@@ -133,6 +133,35 @@ object PipelineQueries {
         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       Sessionize.sessionStats(Tables.events(s, d), "user_id", "ts",
         col("event_id"), gapUs = 3600L * 1000000)
+    },
+
+    // ---- M1: batched-inference plumbing, oracle-backed ------------------
+    // The stub model is a deterministic linear map (emb_k = mean * (k+1)
+    // / dim) over integral-cents tiles, so the FULL mapPartitions /
+    // batch-32 / per-partition-init path — tensor assembly included — is
+    // hash-verified: the oracle recomputes the embeddings analytically.
+    // (The model itself stays the declared seam: swap LinearStubModel for
+    // an ONNX session and nothing else changes.)
+    QueryDef.sqlBacked(
+      "q64_inference_plumbing",
+      """SELECT tile_id, k, CAST(m * (k + 1) / 8 AS REAL) AS v
+        |FROM (
+        |  SELECT event_id % 50 AS tile_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) AS m
+        |  FROM events GROUP BY 1)
+        |CROSS JOIN range(0, 8) r(k)""".stripMargin) { (s, d) =>
+      import graft.embeddings.Inference
+      val tiles = Tables.events(s, d)
+        .select((col("event_id") % 50).as("tile_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("tile_id"))
+        .agg(sort_array(collect_list(struct(col("event_id"), col("cents")))).as("c"))
+        .withColumn("values", expr("transform(c, x -> cast(x.cents as double))"))
+        .drop("c")
+      val emb = Inference.embedTiles(tiles, "tile_id", "values",
+        new Inference.LinearStubModel(8))
+      emb.select(col("tile_id"), posexplode(col("emb")).as(Seq("k", "v")))
+        .select(col("tile_id"), col("k").cast("long").as("k"), col("v"))
     }
   )
 }
