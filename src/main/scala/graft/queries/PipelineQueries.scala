@@ -162,6 +162,30 @@ object PipelineQueries {
         new Inference.LinearStubModel(8))
       emb.select(col("tile_id"), posexplode(col("emb")).as(Seq("k", "v")))
         .select(col("tile_id"), col("k").cast("long").as("k"), col("v"))
+    },
+
+    // ---- Structured Streaming == batch, proven by the driver gate -------
+    // The query runs the REAL streaming engine (file source -> watermark
+    // -> windowed stateful agg -> AvailableNow -> memory sink) to
+    // completion and returns the sink table; the oracle is the plain
+    // batch SQL. A hash match is the streaming/batch-equivalence claim
+    // verified end-to-end, not just spec'd.
+    QueryDef.sqlBacked(
+      "q65_streaming_counts",
+      """SELECT date_trunc('day', ts) AS ws, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamOps
+      val dir = java.nio.file.Files.createTempDirectory("graft-q65").toString
+      Tables.events(s, d).write.mode("overwrite").parquet(dir)
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val counted = StreamOps.windowedCounts(stream, "1 day", "2 hours")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_cents"))
+      val q = StreamOps.runToMemory(counted, "q65_stream_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      q.stop()
+      s.table("q65_stream_sink")
     }
   )
 }
