@@ -186,6 +186,54 @@ object PipelineQueries {
         org.apache.spark.sql.streaming.OutputMode.Complete())
       q.stop()
       s.table("q65_stream_sink")
+    },
+
+    // ---- streaming as-of join, driver-gate-proven -----------------------
+    // Two REAL streams (view probes, purchase builds) through the
+    // watermarked bucketed range join + chained min_by; the oracle is the
+    // batch nearest-within SQL. Hash match = the SURVEY §7.3 claim ("the
+    // as-of survives streaming") verified end-to-end.
+    QueryDef.sqlBacked(
+      "q66_streaming_asof",
+      """SELECT probe_id, matched_ts, dt_us FROM (
+        |  SELECT p.probe_id, b.build_ts AS matched_ts,
+        |         abs(epoch_us(p.probe_ts) - epoch_us(b.build_ts)) AS dt_us,
+        |         row_number() OVER (PARTITION BY p.probe_id
+        |             ORDER BY abs(epoch_us(p.probe_ts) - epoch_us(b.build_ts)), b.build_ts) AS rn
+        |  FROM (SELECT event_id AS probe_id, ts AS probe_ts FROM events WHERE event_type = 'view') p
+        |  JOIN (SELECT ts AS build_ts FROM events WHERE event_type = 'purchase') b
+        |    ON abs(epoch_us(p.probe_ts) - epoch_us(b.build_ts)) <= 900000000)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamAsOf
+      val dir = java.nio.file.Files.createTempDirectory("graft-q66").toString
+      val e = Tables.events(s, d)
+      // watermark sentinels: one row per stream 1h past max ts pushes the
+      // (min-of-streams) watermark beyond every real probe so Append mode
+      // finalizes ALL groups; 1h >> the 15-min window, so the sentinels
+      // only match each other, and the probe sentinel is filtered below
+      val sentinelTs = new java.sql.Timestamp(
+        e.agg(max(col("ts"))).head().getTimestamp(0).getTime + 3600000L)
+      import s.implicits._
+      e.where(col("event_type") === "view")
+        .select(col("event_id").as("probe_id"), col("ts").as("probe_ts"))
+        .unionByName(Seq((-1L, sentinelTs)).toDF("probe_id", "probe_ts"))
+        .write.mode("overwrite").parquet(s"$dir/probe")
+      e.where(col("event_type") === "purchase")
+        .select(col("ts").as("build_ts"))
+        .unionByName(Seq(Tuple1(sentinelTs)).toDF("build_ts"))
+        .write.mode("overwrite").parquet(s"$dir/build")
+      val out = StreamAsOf.nearestWithin(
+        s.readStream.schema(s.read.parquet(s"$dir/probe").schema).parquet(s"$dir/probe"),
+        s.readStream.schema(s.read.parquet(s"$dir/build").schema).parquet(s"$dir/build"),
+        "probe_id", "probe_ts", "build_ts",
+        halfWindowUs = 900L * 1000000, watermark = "0 seconds")
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("q66_stream_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table("q66_stream_sink")
+        .where(col("probe_id") >= 0) // drop the watermark sentinel
+        .select("probe_id", "matched_ts", "dt_us")
     }
   )
 }
