@@ -65,10 +65,16 @@ class CalendarTable(t0: String, t1: String, stepMinutes: Long, chunkHours: Long)
 }
 
 class CalendarScanBuilder(t0Us: Long, t1Us: Long, stepUs: Long, chunkUs: Long)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = t0Us
   private var hi = t1Us
   private var pushed = Array.empty[Filter]
+  private var required: StructType = CalendarDataSource.Schema
+
+  /** Column pruning: a `select("time")` never pays for scene-id string
+    * formatting — the reader emits only the requested fields. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   /** Narrow [lo, hi] from time comparisons; everything else stays a
     * post-scan filter (we return non-time filters as residual). A time
@@ -106,19 +112,20 @@ class CalendarScanBuilder(t0Us: Long, t1Us: Long, stepUs: Long, chunkUs: Long)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CalendarScan(lo, hi, stepUs, chunkUs)
+  override def build(): Scan = new CalendarScan(lo, hi, stepUs, chunkUs, required)
 }
 
 /** One InputPartition per time chunk intersecting the (pushed-down)
   * bounds — the partition count IS the pruning observable. */
 case class CalendarChunk(startUs: Long, endUs: Long, stepUs: Long) extends InputPartition
 
-class CalendarScan(loUs: Long, hiUs: Long, stepUs: Long, chunkUs: Long)
+class CalendarScan(loUs: Long, hiUs: Long, stepUs: Long, chunkUs: Long,
+    schema: StructType = CalendarDataSource.Schema)
     extends Scan with Batch {
-  override def readSchema(): StructType = CalendarDataSource.Schema
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-calendar scan [${loUs}us..${hiUs}us] step=${stepUs}us"
+    s"graft-calendar scan [${loUs}us..${hiUs}us] step=${stepUs}us cols=${schema.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (loUs > hiUs) Array.empty
@@ -131,27 +138,39 @@ class CalendarScan(loUs: Long, hiUs: Long, stepUs: Long, chunkUs: Long)
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val chunk = partition.asInstanceOf[CalendarChunk]
-      new PartitionReader[InternalRow] {
-        // first step-aligned tick >= chunk start (ticks are global-aligned)
-        private var cur = ((chunk.startUs + chunk.stepUs - 1) / chunk.stepUs) * chunk.stepUs
-        private var row: InternalRow = _
-        override def next(): Boolean = {
-          if (cur > chunk.endUs) false
-          else {
-            val id = java.time.Instant.ofEpochMilli(cur / 1000)
-              .atOffset(java.time.ZoneOffset.UTC)
-              .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmm"))
-            row = InternalRow(cur, org.apache.spark.unsafe.types.UTF8String.fromString(s"cal__$id"))
-            cur += chunk.stepUs
-            true
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CalendarReaderFactory(schema.fieldNames)
+}
+
+/** Standalone factory (ships to executors — must not capture the Scan). */
+class CalendarReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val chunk = partition.asInstanceOf[CalendarChunk]
+    new PartitionReader[InternalRow] {
+      // first step-aligned tick >= chunk start (ticks are global-aligned)
+      private var cur = ((chunk.startUs + chunk.stepUs - 1) / chunk.stepUs) * chunk.stepUs
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (cur > chunk.endUs) false
+        else {
+          // emit only the pruned columns; scene-id formatting is paid
+          // only when scene_id was actually requested
+          val values: Array[Any] = cols.map {
+            case "time" => cur
+            case "scene_id" =>
+              val id = java.time.Instant.ofEpochMilli(cur / 1000)
+                .atOffset(java.time.ZoneOffset.UTC)
+                .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmm"))
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"cal__$id")
+            case other => throw new IllegalArgumentException(s"unknown column $other")
           }
+          row = InternalRow.fromSeq(values.toIndexedSeq)
+          cur += chunk.stepUs
+          true
         }
-        override def get(): InternalRow = row
-        override def close(): Unit = ()
       }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
     }
   }
 }

@@ -45,4 +45,16 @@ class CalendarDataSourceSpec extends SparkSpec {
     val df = cal().where(col("scene_id").endsWith("0600"))
     assert(df.count() == 366) // one 06:00 scene per day of 2024
   }
+
+  test("column pruning reaches the scan (time-only projection)") {
+    val df = cal().select("time")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=time") && !plan.contains("cols=time,scene_id"),
+      s"scan should read only the time column:\n${plan.take(800)}")
+    assert(df.count() == 366 * 24)
+    // and a scene_id-only projection still works (reader emits per-schema)
+    val ids = cal().select("scene_id")
+    assert(ids.queryExecution.executedPlan.toString.contains("cols=scene_id"))
+    assert(ids.distinct().count() == 366 * 24)
+  }
 }
