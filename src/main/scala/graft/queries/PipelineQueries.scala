@@ -234,6 +234,48 @@ object PipelineQueries {
       s.table("q66_stream_sink")
         .where(col("probe_id") >= 0) // drop the watermark sentinel
         .select("probe_id", "matched_ts", "dt_us")
+    },
+
+    // ---- bucketed co-located join, gate-proven --------------------------
+    // Both sides are written bucketBy(orderkey) so the join plans with NO
+    // exchange (asserted, not just hoped); the oracle computes the plain
+    // join — the hash match proves the bucketed path is result-identical.
+    QueryDef.sqlBacked(
+      "q67_bucketed_join",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.pipeline.Bucketing
+      // managed-table hygiene: a previous session's warehouse dir may
+      // linger without a catalog entry — drop both before writing
+      Seq("q67_lineitem_b", "q67_orders_b").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
+      Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+        "q67_lineitem_b", "l_orderkey", nBuckets = 16)
+      Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "q67_orders_b", "l_orderkey", nBuckets = 16)
+      val joined = Bucketing.bucketedJoin(s, "q67_lineitem_b", "q67_orders_b", "l_orderkey")
+      // the JOIN itself must be exchange-free (the post-join groupBy
+      // legitimately shuffles on its own key)
+      require(!Bucketing.hasShuffle(joined),
+        "bucketed join must plan without a pre-join exchange")
+      joined
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
     }
   )
 }
