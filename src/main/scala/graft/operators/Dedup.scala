@@ -180,6 +180,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERS from near-dup PAIRS: connected components by
+    * iterative min-label propagation (each node repeatedly adopts the
+    * minimum label among itself and its neighbors until fixpoint). The
+    * dedup post-step every pipeline needs — pairs alone over-count:
+    * A~B, B~C must collapse to one canonical document {min id}.
+    *
+    * Converges in O(component diameter) rounds; near-dup components are
+    * shallow (similarity is near-transitive), so the driver-side loop is
+    * bounded and each round is one shuffle (join + min agg). At extreme
+    * scale the alternating large-star/small-star algorithm (Kiveris et
+    * al.) halves diameters per round — same join/agg shapes, more
+    * rounds-efficiency; this implementation keeps the simpler recurrence
+    * and asserts convergence within `maxIter`.
+    *
+    * Output: (node, component) with component = min node id reachable. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nChanged = updated.join(labels.withColumnRenamed("component", "old"), "node")
+        .where(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = nChanged == 0
+      it += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    sym.unpersist()
+    labels
+  }
+
   /** 16-bit SimHash over distinct whitespace tokens: bit j set iff more
     * than half the token hashes have bit j set. Native one-pass majority
     * kernel (graft.plans.SimHash16) — the HOF form walks the hash array

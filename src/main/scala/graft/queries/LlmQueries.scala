@@ -319,6 +319,34 @@ object LlmQueries {
          |WHERE cos_sim >= 0.3""".stripMargin) { (s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", threshold = 0.3)
+    },
+
+    // ---- near-dup clusters: connected components over pair edges --------
+    // The dedup post-step (pairs -> canonical doc per cluster); the
+    // oracle computes the same components by recursive-CTE transitive
+    // closure + min, so the iterative min-label propagation is
+    // hash-verified against an independent algorithm.
+    QueryDef.sqlBacked(
+      "q68_dedup_components",
+      s"""WITH RECURSIVE pairsq AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      round(${dotSql("a.embedding", "b.embedding")}
+         |        / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |           * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cos_sim
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  WHERE cos_sim >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
+         |          UNION ALL SELECT id_b, id_a FROM pairsq),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+         |SELECT node, min(r) AS component FROM reach GROUP BY 1""".stripMargin) { (s, d) =>
+      val pairs = Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", threshold = 0.3)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
     }
   )
 }

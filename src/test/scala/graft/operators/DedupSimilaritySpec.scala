@@ -71,4 +71,21 @@ class DedupSimilaritySpec extends SparkSpec {
     val df = Seq("ab").toDF("t")
     assert(df.select(TextAnalysis.charNgrams(col("t"), 3)).as[Seq[String]].head().isEmpty)
   }
+
+  test("connectedComponents collapses pair chains to min-id clusters") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, self-contained 20-21-20
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // non-convergence within maxIter fails loudly instead of silently
+    // returning partial labels
+    val longChain = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(longChain, "id_a", "id_b", maxIter = 3)
+    }
+  }
 }
