@@ -347,6 +347,43 @@ object LlmQueries {
       val pairs = Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
         "vec_id", "embedding", "label", threshold = 0.3)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
+    },
+
+    // ---- corpus-overlap estimation from group sketches ------------------
+    // The q50 sketch's actual USE: pairwise source-vs-source Jaccard
+    // estimated as the matching fraction of the two k=8 group signatures
+    // — the 100 TB shard-overlap shape (one sketch per shard, k longs
+    // through the shuffle, O(#shards^2) tiny comparison at the end).
+    QueryDef.sqlBacked(
+      "q69_sketch_overlap",
+      {
+        val mins = (0 until 8).map(i =>
+          s"CAST(min((${Dedup.aCoef(i)} * x + ${Dedup.bCoef(i)}) % $P) AS BIGINT) AS mh$i")
+          .mkString(",\n  ")
+        val matches = (0 until 8).map(i =>
+          s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH sigs AS (
+           |  SELECT source, $mins
+           |  FROM (
+           |    SELECT source, unnest(list_distinct([${polySql("s", "len(s)")} FOR s IN shingles])) AS x
+           |    FROM (SELECT source, $SHINGLES_SQL AS shingles FROM documents))
+           |  GROUP BY 1)
+           |SELECT a.source AS src_a, b.source AS src_b,
+           |  CAST($matches AS DOUBLE) / 8 AS est_jaccard
+           |FROM sigs a JOIN sigs b ON a.source < b.source""".stripMargin
+      }) { (s, d) =>
+      val sigs = Tables.documents(s, d)
+        .select(col("source"), Dedup.shingleHashes(col("text")).as("xs"))
+        .groupBy(col("source"))
+        .agg(graft.plans.MinHashSketchAgg.minhashSketchCol(col("xs"), 8).as("sig"))
+      val a = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"))
+      val b = sigs.select(col("source").as("src_b"), col("sig").as("sig_b"))
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          (aggregate(
+            zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).cast("double") / 8).as("est_jaccard"))
     }
   )
 }
