@@ -384,6 +384,53 @@ object LlmQueries {
             zip_with(col("sig_a"), col("sig_b"),
               (x, y) => when(x === y, 1L).otherwise(0L)),
             lit(0L), (acc, v) => acc + v).cast("double") / 8).as("est_jaccard"))
+    },
+
+    // ---- the canonical quality-filter pipeline --------------------------
+    // Compose the text suite the way a training-data run would: keep
+    // English docs with sane token counts and quality >= 0.5, report
+    // per-source retention. Every predicate is a per-row deterministic
+    // chain already hash-proven in q23/q24, so the filtered aggregate
+    // hashes too.
+    QueryDef.sqlBacked(
+      "q70_quality_filter",
+      {
+        val hitCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          val list = ms.map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(toks, t -> t IN ($list))) AS h_$lang"
+        }.mkString(",\n    ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN h_$l = $best AND h_$l > 0 THEN '$l'").mkString(" ")
+        s"""SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           |  min(doc_id) AS first_doc
+           |FROM (
+           |  SELECT source, doc_id, len(toks) AS n_tok,
+           |    CASE $cases ELSE 'und' END AS guessed,
+           |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE) * 0.4
+           |    + CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]')) AS DOUBLE)
+           |      / CAST(length(lower(trim(text))) AS DOUBLE) * 0.4
+           |    + (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0 ELSE 0.0 END) * 0.2
+           |      AS quality
+           |  FROM (
+           |    SELECT source, doc_id, text, $hitCols, toks
+           |    FROM (SELECT source, doc_id, text,
+           |            string_split_regex(lower(trim(text)), '\\s+') AS toks
+           |          FROM documents)))
+           |WHERE guessed = 'en' AND n_tok BETWEEN 20 AND 2000 AND quality >= 0.5
+           |GROUP BY 1""".stripMargin
+      }) { (s, d) =>
+      val doc = Tables.documents(s, d)
+      doc.select(col("source"), col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextAnalysis.langGuess(TextAnalysis.tokens(col("text"))).as("guessed"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .where(col("guessed") === "en"
+          && col("n_tok").between(20, 2000) && col("quality") >= 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("sum_tok"),
+          min(col("doc_id")).as("first_doc"))
     }
   )
 }
