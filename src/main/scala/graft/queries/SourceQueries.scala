@@ -332,6 +332,95 @@ object SourceQueries {
         .select("content").as[Array[Byte]]
         .flatMap(b => HDF4.syn1degRows(b, "observed_all_sky_toa_lw_flux", "2021-07-01"))
         .toDF("time", "lat", "lon", "value")
+    },
+
+    // ---- M5 depth: object-based cloudmetrics (labeling + I_org) ---------
+    // The reference's named plugin example is
+    // `cloud_metrics__mask__iorg_objects` (aux_fields/data.py:82-108):
+    // label connected objects in each tile's thresholded mask and compute
+    // the I_org organisation index. Tile masks are seeded from the events
+    // table (seed = (g*131+7) % 1000 keeps every SF valid); the oracle
+    // reproduces the 4-connectivity labeling with a recursive-CTE closure
+    // (min-label per pixel, as in q68) and the exact integer-scaled
+    // trapezoid I_org the Aggregator computes.
+    QueryDef.sqlBacked(
+      "q71_iorg_objects",
+      """WITH RECURSIVE
+        |px0 AS (
+        |  SELECT CAST(g.gid AS BIGINT) AS gid, g.gid // 256 AS t, g.gid % 256 AS p,
+        |         (g.gid % 256) % 16 AS i, (g.gid % 256) // 16 AS j,
+        |         (g.gid * 131 + 7) % 1000 AS seed
+        |  FROM range(0, 6144) g(gid)),
+        |px AS (
+        |  SELECT px0.t, px0.p, px0.i, px0.j
+        |  FROM px0 JOIN events e ON e.event_id = px0.seed
+        |  WHERE e.value > 80.0),
+        |edge AS (
+        |  SELECT a.t AS t, a.p AS u, b.p AS v
+        |  FROM px a JOIN px b ON a.t = b.t AND
+        |    ((b.i = a.i + 1 AND b.j = a.j) OR (b.i = a.i AND b.j = a.j + 1))),
+        |edges AS (SELECT t, u, v FROM edge UNION ALL SELECT t, v AS u, u AS v FROM edge),
+        |reach(t, p, q) AS (
+        |  SELECT t, p, p FROM px
+        |  UNION
+        |  SELECT r.t, r.p, e.v FROM reach r JOIN edges e ON e.t = r.t AND e.u = r.q),
+        |lbl AS (SELECT t, p, min(q) AS label FROM reach GROUP BY t, p),
+        |comp AS (
+        |  SELECT t, label, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(p % 16) AS BIGINT) AS si, CAST(sum(p // 16) AS BIGINT) AS sj
+        |  FROM lbl GROUP BY t, label),
+        |tiles AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_objects,
+        |    CAST(sum(cnt) AS BIGINT) AS mask_px
+        |  FROM comp GROUP BY t),
+        |cent AS (
+        |  SELECT t, label,
+        |    CAST(si AS DOUBLE) / CAST(cnt AS DOUBLE) AS ci,
+        |    CAST(sj AS DOUBLE) / CAST(cnt AS DOUBLE) AS cj
+        |  FROM comp),
+        |nn AS (
+        |  SELECT a.t, a.label,
+        |    min((a.ci - b.ci) * (a.ci - b.ci) + (a.cj - b.cj) * (a.cj - b.cj)) AS r2
+        |  FROM cent a JOIN cent b ON a.t = b.t AND a.label <> b.label
+        |  GROUP BY a.t, a.label),
+        |ranked AS (
+        |  SELECT nn.t, t2.n_objects AS n,
+        |    CAST(round((1.0 - exp(-(CAST(t2.n_objects AS DOUBLE) / 256.0)
+        |      * 3.141592653589793 * nn.r2)) * 1000000.0) AS BIGINT) AS p6,
+        |    row_number() OVER (PARTITION BY nn.t ORDER BY nn.r2, nn.label) AS rnk
+        |  FROM nn JOIN tiles t2 ON t2.t = nn.t),
+        |terms AS (
+        |  SELECT t, n, p6, rnk,
+        |    (rnk + lag(rnk, 1, 0) OVER w) * (p6 - lag(p6, 1, 0) OVER w) AS term
+        |  FROM ranked WINDOW w AS (PARTITION BY t ORDER BY rnk)),
+        |iorg AS (
+        |  SELECT t,
+        |    CAST(CAST(sum(term) AS BIGINT)
+        |         + 2 * any_value(n) * (1000000 - max(p6)) AS DOUBLE)
+        |      / (2.0 * CAST(any_value(n) AS DOUBLE) * 1000000.0) AS iorg
+        |  FROM terms GROUP BY t)
+        |SELECT tiles.t AS tile_id, tiles.n_objects, tiles.mask_px,
+        |  CAST(tiles.mask_px AS DOUBLE) / CAST(tiles.n_objects AS DOUBLE) AS mean_size,
+        |  COALESCE(iorg.iorg, -1.0) AS iorg
+        |FROM tiles LEFT JOIN iorg ON iorg.t = tiles.t""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.ObjectMetrics
+      val pixels = s.range(6144)
+        .select(expr("id DIV 256").as("t"), (col("id") % 256).as("p"),
+          expr("(id * 131 + 7) % 1000").as("seed"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      // threshold applied in Catalyst (pushes into the scan side of the
+      // join); the Aggregator only ever sees masked pixel indices
+      val masked = pixels.join(ev, col("seed") === col("event_id"))
+        .where(col("value") > 80.0)
+        .select(col("t"), col("p"))
+      masked.as[(Long, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(ObjectMetrics.maskRegistry("mask__iorg_objects", 16, 16))
+        .toDF("tile_id", "stats")
+        .select(col("tile_id"), col("stats.n_objects").as("n_objects"),
+          col("stats.mask_px").as("mask_px"), col("stats.mean_size").as("mean_size"),
+          coalesce(col("stats.iorg"), lit(-1.0)).as("iorg"))
     }
   )
 }
