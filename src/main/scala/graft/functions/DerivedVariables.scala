@@ -76,10 +76,26 @@ object DerivedVariables {
     // G5: lower-tropospheric stability LTS = θ700 - θ1000
     // (era5/scalars.py:15-28 via eurec4a-environment)
     "lts" -> Derived(Seq("theta700", "theta1000"), m => m("theta700") - m("theta1000")),
-    // G5: estimated inversion strength (Wood & Bretherton 2006 form):
-    // EIS = LTS - Γ850 * (z700 - lcl); Γ850 and z values are inputs here
+    // G5: estimated inversion strength (Wood & Bretherton 2006 eq. 4):
+    // EIS = LTS - Γ850 * (z700 - lcl). z700/lcl come from the profile
+    // extraction (Profiles.interpolateToPressure / boltonZlcl); Γ850 is
+    // derived below unless the source provides it directly.
     "eis" -> Derived(Seq("lts", "gamma850", "z700", "lcl"), m =>
       m("lts") - m("gamma850") * (m("z700") - m("lcl"))),
+    // G5: Γ850 — moist-adiabatic lapse rate at 850 hPa (Wood & Bretherton
+    // 2006 eq. 5), evaluated at the 1000/700 hPa mean temperature with
+    // Bolton (1980) saturation vapour pressure. Constants: g=9.80665,
+    // cp_d=1004, Lv=2.5e6, R_d=287.04, R_v=461.5, eps=0.622.
+    "t850" -> Derived(Seq("t700", "t1000"), m => lit(0.5) * (m("t700") + m("t1000"))),
+    "es850" -> Derived(Seq("t850"), m =>
+      lit(611.2) * exp(lit(17.67) * (m("t850") - 273.15) / (m("t850") - 29.65))),
+    "qs850" -> Derived(Seq("es850"), m =>
+      lit(0.622) * m("es850") / (lit(85000.0) - lit(0.378) * m("es850"))),
+    "gamma850" -> Derived(Seq("qs850", "t850"), m =>
+      lit(9.80665 / 1004.0) * (lit(1.0) -
+        (lit(1.0) + lit(2500000.0) * m("qs850") / (lit(287.04) * m("t850"))) /
+        (lit(1.0) + lit(2500000.0) * lit(2500000.0) * m("qs850")
+          / (lit(1004.0) * lit(461.5) * m("t850") * m("t850"))))),
     // C6: cloud radiative effect = clear-sky minus all-sky flux
     // (ceres_syn1deg_modis/extract.py:71-89)
     "sw_cre" -> Derived(Seq("sw_clear", "sw_all"), m => m("sw_clear") - m("sw_all")),

@@ -88,6 +88,30 @@ object Profiles {
         count(lit(1)).as("n_layer_levels"))
   }
 
+  /** G5: per-column interpolation of value columns to a target pressure,
+    * linear in ln(p) — the extraction that feeds LTS/EIS in the reference
+    * (era5/scalars.py:15-28: θ/T/z at 700 and 1000 hPa through
+    * eurec4a-environment's level interpolation).
+    *
+    * One window pass finds the unique bracketing level pair
+    * (p_k <= P < p_{k+1}; profiles are monotone in p over the level
+    * ordering), then v(P) = v_lo + (v_hi - v_lo)·(lnP - ln p_lo)/(ln p_hi
+    * - ln p_lo). Catalyst-only (window lead + arithmetic): one shuffle on
+    * the column key, codegen'd, no UDF. A column whose profile does not
+    * bracket P yields no row (the reference's NaN column). */
+  def interpolateToPressure(df: DataFrame, keyCols: Seq[String], levelCol: String,
+      pCol: String, valueCols: Seq[String], targetP: Double, suffix: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(levelCol))
+    val withLead = valueCols.foldLeft(df.withColumn("__p_hi", lead(col(pCol), 1).over(w))) {
+      (acc, v) => acc.withColumn(s"__${v}_hi", lead(col(v), 1).over(w))
+    }
+    val frac = (log(lit(targetP)) - log(col(pCol))) / (log(col("__p_hi")) - log(col(pCol)))
+    withLead
+      .where(col(pCol) <= targetP && col("__p_hi") > targetP)
+      .select(keyCols.map(col) ++ valueCols.map(v =>
+        (col(v) + (col(s"__${v}_hi") - col(v)) * frac).as(s"$v$suffix")): _*)
+  }
+
   final case class LevelRow(key: String, level: Int, v: Double)
   final case class ColumnScalar(key: String, value: Double, peak_level: Int, n_levels: Int)
 

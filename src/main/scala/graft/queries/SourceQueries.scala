@@ -421,6 +421,93 @@ object SourceQueries {
         .select(col("tile_id"), col("stats.n_objects").as("n_objects"),
           col("stats.mask_px").as("mask_px"), col("stats.mean_size").as("mean_size"),
           coalesce(col("stats.iorg"), lit(-1.0)).as("iorg"))
+    },
+
+    // ---- G5 end-to-end: profile -> θ700/θ1000/Γ850 -> LTS/EIS -----------
+    // The full era5/scalars.py:15-28 chain composed through the derived-
+    // variable DAG: per-column ln(p) interpolation extracts θ/T at 700 and
+    // 1000 hPa and z at 700 hPa, Bolton z_LCL comes from the q57 machinery
+    // on the same profile, and LTS/EIS resolve through the registry
+    // (Wood & Bretherton 2006). Same q57 events-derived fixture plus a
+    // monotone per-column pressure with sub-step jitter so the
+    // interpolation weights are nontrivial.
+    QueryDef.sqlBacked(
+      "q72_lts_eis",
+      """WITH prof AS (
+        |  SELECT event_id % 250 AS column_id, event_id // 250 AS level,
+        |    CAST(10000 + (event_id // 250) * 2500 + (event_id * 13 % 7) * 40 AS DOUBLE) AS p,
+        |    280.0 + CAST(event_id * 31 % 41 AS DOUBLE) AS t,
+        |    CAST((40 - event_id // 250) * 250 AS DOUBLE) AS alt,
+        |    CAST(event_id * 7919 % 97 - 2 AS DOUBLE) / 100.0 AS rh
+        |  FROM events),
+        |th AS (SELECT *, t * pow(100000.0 / p, 0.2857142857142857) AS theta FROM prof),
+        |br AS (SELECT *, lead(p) OVER w AS p_hi, lead(theta) OVER w AS theta_hi,
+        |    lead(t) OVER w AS t_hi, lead(alt) OVER w AS alt_hi
+        |  FROM th WINDOW w AS (PARTITION BY column_id ORDER BY level)),
+        |i700 AS (SELECT column_id,
+        |    theta + (theta_hi - theta) * ((ln(70000.0) - ln(p)) / (ln(p_hi) - ln(p))) AS theta700,
+        |    t + (t_hi - t) * ((ln(70000.0) - ln(p)) / (ln(p_hi) - ln(p))) AS t700,
+        |    alt + (alt_hi - alt) * ((ln(70000.0) - ln(p)) / (ln(p_hi) - ln(p))) AS alt700
+        |  FROM br WHERE p <= 70000.0 AND p_hi > 70000.0),
+        |i1000 AS (SELECT column_id,
+        |    theta + (theta_hi - theta) * ((ln(100000.0) - ln(p)) / (ln(p_hi) - ln(p))) AS theta1000,
+        |    t + (t_hi - t) * ((ln(100000.0) - ln(p)) / (ln(p_hi) - ln(p))) AS t1000
+        |  FROM br WHERE p <= 100000.0 AND p_hi > 100000.0),
+        |d AS (
+        |  SELECT *, tlcl - t AS delta, alt - 1004.0 * (tlcl - t) / 9.80665 AS zlcl_lvl
+        |  FROM (SELECT *, 1.0/((1.0/(t - 55.0)) - (ln(rh)/2840.0)) + 55.0 AS tlcl
+        |        FROM prof WHERE rh > 0.0)),
+        |pk AS (
+        |  SELECT *, CASE WHEN delta > lag(delta) OVER w AND delta > lead(delta) OVER w
+        |                 THEN alt END AS peak_alt
+        |  FROM d WINDOW w AS (PARTITION BY column_id ORDER BY level)),
+        |mm AS (SELECT *, min(peak_alt) OVER (PARTITION BY column_id) AS min_peak_alt FROM pk),
+        |lcl AS (SELECT column_id, 0.5 * (min(zlcl_lvl) + max(zlcl_lvl)) AS zlcl
+        |  FROM mm WHERE alt <= min_peak_alt GROUP BY 1),
+        |vals AS (
+        |  SELECT i700.column_id, theta700, theta1000, t700, t1000, alt700, zlcl,
+        |    0.5 * (t700 + t1000) AS t850
+        |  FROM i700 JOIN i1000 ON i1000.column_id = i700.column_id
+        |    JOIN lcl ON lcl.column_id = i700.column_id),
+        |g AS (SELECT *, 0.622 * es / (85000.0 - 0.378 * es) AS qs
+        |  FROM (SELECT *, 611.2 * exp(17.67 * (t850 - 273.15) / (t850 - 29.65)) AS es
+        |        FROM vals)),
+        |f AS (SELECT *, (9.80665 / 1004.0) * (1.0 -
+        |      (1.0 + 2500000.0 * qs / (287.04 * t850)) /
+        |      (1.0 + 2500000.0 * 2500000.0 * qs / (1004.0 * 461.5 * t850 * t850))) AS gamma
+        |  FROM g)
+        |SELECT column_id, round(theta700 - theta1000, 6) AS lts_r6,
+        |  round((theta700 - theta1000) - gamma * (alt700 - zlcl), 6) AS eis_r6,
+        |  round(alt700, 6) AS z700_r6, round(zlcl, 6) AS zlcl_r6
+        |FROM f""".stripMargin) { (s, d) =>
+      import graft.functions.DerivedVariables
+      import graft.operators.Profiles
+      val reg = DerivedVariables.era5Registry()
+      val prof = Tables.events(s, d).select(
+        (col("event_id") % 250).as("column_id"),
+        expr("event_id div 250").as("level"),
+        expr("CAST(10000 + (event_id div 250) * 2500 + (event_id * 13 % 7) * 40 AS DOUBLE)").as("p"),
+        (lit(280.0) + (col("event_id") * 31 % 41).cast("double")).as("t"),
+        ((lit(40) - expr("event_id div 250")) * 250).cast("double").as("alt"),
+        ((col("event_id") * 7919 % 97 - 2).cast("double") / 100.0).as("rh"))
+      val withTheta = prof.withColumn("theta",
+        reg.resolve("theta", Map("t" -> col("t"), "p" -> col("p"))))
+      val i700 = Profiles.interpolateToPressure(withTheta, Seq("column_id"), "level", "p",
+        Seq("theta", "t", "alt"), 70000.0, "700")
+      val i1000 = Profiles.interpolateToPressure(withTheta, Seq("column_id"), "level", "p",
+        Seq("theta", "t"), 100000.0, "1000")
+      val lcl = Profiles.boltonZlcl(prof, Seq("column_id"), "level", "t", "rh", "alt")
+        .select(col("column_id"), col("z_lcl_half_minmax").as("zlcl"))
+      val joined = i700.join(i1000, "column_id").join(lcl, "column_id")
+      val base = Map(
+        "theta700" -> col("theta700"), "theta1000" -> col("theta1000"),
+        "t700" -> col("t700"), "t1000" -> col("t1000"),
+        "z700" -> col("alt700"), "lcl" -> col("zlcl"))
+      joined.select(col("column_id"),
+        round(reg.resolve("lts", base), 6).as("lts_r6"),
+        round(reg.resolve("eis", base), 6).as("eis_r6"),
+        round(col("alt700"), 6).as("z700_r6"),
+        round(col("zlcl"), 6).as("zlcl_r6"))
     }
   )
 }
