@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
 object Dedup {
   val P: Long = TextAnalysis.HashMod
 
+  /** Caches created by dedup operators on this thread (persisted shingle
+    * tables, component labels). A DataFrame result must stay cached until
+    * the caller consumes it, so the operator can't unpersist on return —
+    * wrappers that fully consume the result (Verify, Bench) call
+    * [[releaseCaches]] afterwards to stop cached blocks accumulating over
+    * a long-lived session. */
+  private val threadCaches = new ThreadLocal[List[DataFrame]] {
+    override def initialValue(): List[DataFrame] = Nil
+  }
+  private def track(df: DataFrame): DataFrame = {
+    threadCaches.set(df :: threadCaches.get); df
+  }
+  def releaseCaches(): Unit = {
+    threadCaches.get.foreach(_.unpersist(false))
+    threadCaches.set(Nil)
+  }
+
   /** MinHash parameter schedule: hash_i(x) = (a_i * x + b_i) mod P with
     * a_i,b_i derived deterministically from i. Shared with the oracle SQL
     * (the literals are interpolated into it from these same functions). */
@@ -98,10 +115,10 @@ object Dedup {
     // it, and Spark shares no DAG across join branches — without this the
     // (expensive) shingling runs twice. MEMORY_AND_DISK so a 100 TB corpus
     // degrades to a disk-backed materialization instead of an OOM.
-    val sh = df.select(
+    val sh = track(df.select(
       (col(idCol).as("doc") +: blockCols.map(col)) :+
         shingleHashes(col(textCol), n).as("shingles"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = sh.select(col("doc").as("doc_a") +: col("shingles").as("sa") +:
       blockCols.map(col): _*)
     val b = sh.select(col("doc").as("doc_b") +: col("shingles").as("sb") +:
@@ -151,8 +168,8 @@ object Dedup {
     // pass intersects long arrays (no string sets ever shuffle). Persisted:
     // read by the banding pass and twice by the verify joins, and Spark
     // shares no DAG across join branches.
-    val sh = df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = track(df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sigCols = minhashCols(col("xs"), k)
     val sig = sh.select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*)
     val sigRef = (0 until k).map(i => col(s"mh$i"))
@@ -200,9 +217,14 @@ object Dedup {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) per round: each round's plan references the
+    // previous labels twice, so without lineage truncation the logical
+    // plan doubles every round. Blocks are reclaimed by the context
+    // cleaner. (On a multi-node cluster prefer a reliable checkpoint dir:
+    // localCheckpoint blocks die with their executor.)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -212,10 +234,9 @@ object Dedup {
         .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val nChanged = updated.join(labels.withColumnRenamed("component", "old"), "node")
         .where(col("component") =!= col("old")).count()
-      labels.unpersist()
       labels = updated
       converged = nChanged == 0
       it += 1
@@ -223,6 +244,77 @@ object Dedup {
     require(converged, s"connected components did not converge in $maxIter rounds")
     sym.unpersist()
     labels
+  }
+
+  /** Connected components by ALTERNATING large-star/small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the extreme-scale form of [[connectedComponents]]:
+    * converges in O(log n) rounds even on adversarially deep components
+    * (a path graph collapses by roughly halving its height every
+    * alternation), where min-label propagation needs O(diameter) rounds.
+    *
+    * Both operations are the same distributed shapes as the simple
+    * recurrence: a groupBy-min per node plus one equi-join — no new
+    * shuffle patterns, just fewer rounds. Edges stay oriented
+    * (larger, smaller) and deduped, so the edge set is monotonically
+    * star-ified; at fixpoint every non-root points directly at its
+    * component minimum.
+    *
+    * Output: (node, component) with component = min reachable node id —
+    * label-for-label identical to [[connectedComponents]]
+    * (AltStarSpec proves equality on random graphs). */
+  def connectedComponentsAltStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame =
+    altStarWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  private[operators] def altStarWithRounds(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): (DataFrame, Int) = {
+    def symmetric(e: DataFrame) =
+      e.select(col("u"), col("v")).union(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(Γ(u) ∪ {u}) over the symmetric edge view
+    def mins(sym: DataFrame) =
+      sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = symmetric(e)
+      sym.where(col("v") > col("u")).join(mins(sym), "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val sym = symmetric(e)
+      val m = mins(sym)
+      sym.where(col("v") < col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    val nodes = pairs.select(col(aCol).cast("long").as("n"))
+      .union(pairs.select(col(bCol).cast("long").as("n"))).distinct()
+    // localCheckpoint (eager) each round: iterative self-referencing plans
+    // grow exponentially otherwise (each round references the previous
+    // edge set several times) — lineage truncation is what keeps round
+    // O(log n) cost; blocks are reclaimed by the context cleaner.
+    var edges = pairs.select(
+      greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+      least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val e1 = largeStar(edges).localCheckpoint(true)
+      val e2 = smallStar(e1).localCheckpoint(true)
+      val changed = e2.count() != edges.count() ||
+        e2.except(edges).limit(1).count() > 0
+      edges = e2
+      converged = !changed
+      it += 1
+    }
+    require(converged, s"alt-star components did not converge in $maxIter rounds")
+    val labels = nodes.join(edges.withColumnRenamed("u", "n"), Seq("n"), "left")
+      .select(col("n").as("node"), coalesce(col("v"), col("n")).as("component"))
+    (labels, it)
   }
 
   /** 16-bit SimHash over distinct whitespace tokens: bit j set iff more

@@ -191,7 +191,8 @@ object Regrid {
     * kernel sin²(Δφ/2)+cosφ₁cosφ₂sin²(Δλ/2), monotone in great-circle
     * distance, with (src_i, src_j) tie-break. */
   def greatCircleNearestWeights(
-      srcCells: DataFrame, dstPoints: DataFrame, binSizeDeg: Double): DataFrame = {
+      srcCells: DataFrame, dstPoints: DataFrame, binSizeDeg: Double,
+      assertCoverage: Boolean = true): DataFrame = {
     import graft.core.Projection.RadPerDeg
     val src = srcCells
       .withColumn("blat", floor(col("lat") / binSizeDeg).cast("int"))
@@ -213,10 +214,22 @@ object Regrid {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dst_i"), col("dst_j"))
       .orderBy(col("havk"), col("src_i"), col("src_j"))
-    dst.join(sp, Seq("blat", "blon"))
+    val out = dst.join(sp, Seq("blat", "blon"))
       .withColumn("havk", hav)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("dst_i"), col("dst_j"), col("src_i"), col("src_j"), lit(1.0).as("w"))
+    // make the binSizeDeg >= max-source-spacing contract fail loudly
+    // instead of silently dropping destinations: every dst point must
+    // find >= 1 candidate in its 3x3 bin neighborhood. Both counts are
+    // O(dst cells) — tiny next to the pixel tables the weights feed.
+    if (assertCoverage) {
+      val nd = dstPoints.count()
+      val no = out.count()
+      require(no == nd,
+        s"greatCircleNearestWeights covered $no of $nd destination points: " +
+          s"binSizeDeg=$binSizeDeg is below the max source cell spacing")
+    }
+    out
   }
 
   /** Apply a weights table to long-format source pixels.

@@ -283,6 +283,14 @@ object NetCDF3 {
       else recVars.map(vsize).sum
     val fixedEnd = headerLen + fixedVars.map(vsize).sum
     val totalLen = if (recVars.isEmpty) fixedEnd else fixedEnd + numRecs.toLong * recStride
+    // CDF-1 stores begin offsets and vsize as 32-bit ints; fail loudly on
+    // oversized exports instead of silently truncating (mirrors the
+    // reader's require; CDF-2/CDF-5 64-bit begins are the upgrade path).
+    require(totalLen <= Int.MaxValue && off <= Int.MaxValue,
+      s"netCDF-3 classic export of $totalLen bytes exceeds the CDF-1 2 GiB " +
+        "offset limit; split the export or add CDF-2 64-bit begins")
+    vars.foreach { v => require(vsize(v) <= Int.MaxValue,
+      s"variable ${v.name} vsize ${vsize(v)} overflows the CDF-1 32-bit vsize field") }
     val buf = ByteBuffer.allocate(totalLen.toInt max off.toInt)
     buf.put(headerBytes(begins.toMap))
     fixedVars.foreach { v =>
