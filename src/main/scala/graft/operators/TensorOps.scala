@@ -30,6 +30,42 @@ object TensorOps {
       .withColumn("values", transform(col("__cells"), c => c.getField("value")))
       .drop("__cells")
 
+  /** Long -> CHUNKED tensor: one row per (scene, chunk_j, chunk_i) with a
+    * row-major sub-raster of at most chunk×chunk elements.
+    *
+    * [[longToTensor]] puts a whole scene in one row — fine after a crop
+    * (the reference also crops first), but a full-disk GOES ch2 scene
+    * (21696², ~4.7·10⁸ doubles) would blow past JVM single-row limits.
+    * Chunking makes the bounded-row invariant structural: no row ever
+    * holds more than chunk² values no matter the scene size, the group
+    * key (scene, chunk_j, chunk_i) spreads a scene across the cluster,
+    * and global pixel coordinates reconstruct from the chunk key alone
+    * (x = chunk_i·chunk + lx), so chunks never need scene-level metadata.
+    * Edge chunks are ragged (cny/cnx < chunk) and round-trip exactly. */
+  def longToChunkedTensor(px: DataFrame, chunk: Int, sceneCol: String = "scene_id"): DataFrame = {
+    require(chunk > 0, "chunk must be positive")
+    px.withColumn("chunk_j", expr(s"y div $chunk").cast("long"))
+      .withColumn("chunk_i", expr(s"x div $chunk").cast("long"))
+      .withColumn("__ly", (col("y") - col("chunk_j") * chunk).cast("int"))
+      .withColumn("__lx", (col("x") - col("chunk_i") * chunk).cast("int"))
+      .groupBy(col(sceneCol), col("chunk_j"), col("chunk_i"))
+      .agg(
+        (max(col("__ly")) + 1).cast("int").as("cny"),
+        (max(col("__lx")) + 1).cast("int").as("cnx"),
+        sort_array(collect_list(struct(col("__ly"), col("__lx"), col("value")))).as("__cells"))
+      .withColumn("values", transform(col("__cells"), c => c.getField("value")))
+      .drop("__cells")
+  }
+
+  /** Chunked tensor -> long; inverse of [[longToChunkedTensor]]. */
+  def chunkedTensorToLong(t: DataFrame, chunk: Int, sceneCol: String = "scene_id"): DataFrame =
+    t.select(col(sceneCol), col("chunk_j"), col("chunk_i"), col("cnx"),
+        posexplode(col("values")).as(Seq("pos", "value")))
+      .select(col(sceneCol),
+        (col("chunk_j") * chunk + expr("pos div cnx")).cast("int").as("y"),
+        (col("chunk_i") * chunk + pmod(col("pos"), col("cnx"))).cast("int").as("x"),
+        col("value"))
+
   /** Tensor (scene_id, ny, nx, values) -> long (scene_id, y, x, value). */
   def tensorToLong(t: DataFrame, sceneCol: String = "scene_id"): DataFrame =
     t.select(col(sceneCol), col("nx"), posexplode(col("values")).as(Seq("pos", "value")))

@@ -167,6 +167,36 @@ class RasterSpec extends SparkSpec {
       Seq((0, 0), (0, 1), (1, 0), (1, 1)))
   }
 
+  test("chunked tensor: bounded rows, ragged edges, lossless round-trip at scene scale") {
+    // 1000x900 dense scene (ragged vs chunk=256 in both axes) built
+    // distributed — the structural claim is that NO row ever exceeds
+    // chunk^2 values regardless of total scene size, so a full-disk
+    // 21696^2 scene is safe by the same invariant.
+    val chunk = 256
+    val ny = 1000; val nx = 900
+    val px = spark.range(ny.toLong * nx).select(
+      lit("s").as("scene_id"),
+      expr(s"CAST(id div $nx AS INT)").as("y"),
+      expr(s"CAST(id % $nx AS INT)").as("x"),
+      (col("id") % 7).cast("double").as("value"))
+    val t = TensorOps.longToChunkedTensor(px, chunk)
+    val sizes = t.select(org.apache.spark.sql.functions.size(col("values")).as("n"),
+      col("cny"), col("cnx")).collect()
+    assert(sizes.length == 16) // 4x4 chunk grid for 1000x900 @ 256
+    assert(sizes.forall(r => r.getAs[Int]("n") <= chunk * chunk))
+    assert(sizes.forall(r => r.getAs[Int]("n") == r.getAs[Int]("cny") * r.getAs[Int]("cnx")))
+    // ragged edge chunks: 1000 = 3*256 + 232, 900 = 3*256 + 132
+    assert(sizes.exists(r => r.getAs[Int]("cny") == 232))
+    assert(sizes.exists(r => r.getAs[Int]("cnx") == 132))
+    val back = TensorOps.chunkedTensorToLong(t, chunk)
+    // lossless: every (y,x,value) survives; checksum compare, no collect
+    // of the full scene
+    val a = px.agg(sum(col("value") * (col("y") * nx + col("x"))).cast("long")).head().getLong(0)
+    val b = back.agg(sum(col("value") * (col("y") * nx + col("x"))).cast("long")).head().getLong(0)
+    assert(px.count() == back.count() && a == b)
+    assert(back.select("y", "x").distinct().count() == ny.toLong * nx)
+  }
+
   test("gatherTiles selects exactly the pixels under each tile bbox") {
     val px = (0 until 100).map(i => ("s", (i % 10) * 100.0, (i / 10) * 100.0, i.toDouble))
       .toDF("scene_id", "x", "y", "value")
