@@ -124,24 +124,40 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val model = graft.embeddings.Transforms.fitKmeans(corpus, vecCol, nCells, seed)
-    val c = graft.embeddings.Transforms
-      .applyKmeans(corpus, model, vecCol, "cell")
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"))
-    // rank each probe's nProbe nearest centroids (centroids are a
-    // driver-side k x dim array -> a literal probe-side explode)
-    val cents = model.clusterCenters.map(_.toArray).zipWithIndex
-    val probeCells = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
-      .withColumn("cellDist", array(cents.map { case (cv, ci) =>
-        struct(
-          aggregate(
-            zip_with(col("pv"), lit(cv), (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-            lit(0.0), (acc, v) => acc + v).as("d2"),
-          lit(ci).as("cell"))
-      }: _*))
+    ivfTopKWithCentroids(probes, corpus, k,
+      model.clusterCenters.map(_.toArray.toSeq).toSeq, nProbe, idCol, vecCol)
+  }
+
+  /** (d2, cell) distance structs to every centroid, as ONE array literal
+    * walked by higher-order functions: codegen size is constant in
+    * nCells (the former per-centroid expression unrolling grew the
+    * generated code linearly and would choke janino at nCells ≳ 10³).
+    * The index ships inside the serialized plan — effectively a broadcast
+    * of the centroid table. d2 is a left-to-right fold, so an oracle can
+    * reproduce it bit-for-bit. */
+  private def cellDists(vec: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedlit(cents), (cv, i) => struct(
+      aggregate(
+        zip_with(vec, cv, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v).as("d2"),
+      i.cast("int").as("cell")))
+
+  /** IVF with an EXPLICIT centroid index (the production shape: the index
+    * is fit once — [[ivfTopK]] / Transforms.fitKmeans — persisted, and
+    * passed to queries). Corpus rows claim their argmin cell per-row
+    * (shuffle-free scan), probes explode over their nProbe nearest cells,
+    * and candidates meet on the integer cell equi-join. */
+  def ivfTopKWithCentroids(
+      probes: DataFrame, corpus: DataFrame, k: Int, cents: Seq[Seq[Double]], nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell",
+        element_at(array_sort(cellDists(col("cv"), cents)), 1).getField("cell"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
       // struct sort orders by (d2, cell) lexicographically
-      .withColumn("near", explode(slice(array_sort(col("cellDist")), 1, nProbe)))
+      .withColumn("near", explode(slice(array_sort(cellDists(col("pv"), cents)), 1, nProbe)))
       .select(col("probe_id"), col("pv"), col("near.cell").as("cell"))
-    val scored = c.join(broadcast(probeCells), "cell")
+    val scored = c.join(broadcast(p), "cell")
       .where(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))

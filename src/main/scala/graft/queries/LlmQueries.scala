@@ -278,6 +278,49 @@ object LlmQueries {
         nPlanes = 4, dim = 64, probeRadius = 1)
     },
 
+    // ---- IVF ANN with an explicit centroid index ------------------------
+    // The inverted-file machinery (per-row argmin cell assign -> probe
+    // nProbe-cell explode -> integer cell equi-join -> exact rerank) under
+    // a formula-deterministic 8-cell index both engines generate
+    // independently: cent(ci,j) = ((ci*31 + j*17) % 13 - 6)/6. d2 is the
+    // same left-to-right fold in both dialects, ranked with (d2, cell)
+    // tie-break, so cell assignment matches bit-for-bit. (The KMeans-fit
+    // path shares this code; its recall floor is AnnRecallSpec.)
+    QueryDef.sqlBacked(
+      "q73_ivf_ann",
+      s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
+         |cd AS (
+         |  SELECT vec_id, embedding, cell,
+         |    list_reduce([(CAST(embedding[j] AS DOUBLE)
+         |        - CAST((cell*31 + (j-1)*17) % 13 - 6 AS DOUBLE) / 6.0)
+         |      * (CAST(embedding[j] AS DOUBLE)
+         |        - CAST((cell*31 + (j-1)*17) % 13 - 6 AS DOUBLE) / 6.0)
+         |      FOR j IN range(1, 65)], (x, y) -> x + y) AS d2
+         |  FROM embeddings CROSS JOIN cells),
+         |ranked AS (
+         |  SELECT vec_id, embedding, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |  FROM cd),
+         |assign AS (SELECT vec_id AS neighbor_id, embedding AS cv, cell
+         |  FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pv, cell
+         |  FROM ranked WHERE rn <= 2 AND vec_id < 20),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |    round(${dotSql("pv", "cv")}
+         |      / (sqrt(${dotSql("pv", "pv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS cos_sim
+         |  FROM assign JOIN probes USING (cell) WHERE neighbor_id != probe_id)
+         |SELECT probe_id, neighbor_id, rnk, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin) { (s, d) =>
+      val cents = Seq.tabulate(8, 64)((ci, j) => ((ci * 31 + j * 17) % 13 - 6) / 6.0)
+        .map(_.toSeq)
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKWithCentroids(emb.where(col("vec_id") < 20), emb,
+        k = 5, cents = cents, nProbe = 2)
+    },
+
     // ---- per-label centroids as exact scaled-integer sums ---------------
     QueryDef.sqlBacked(
       "q31_centroids",
