@@ -332,11 +332,30 @@ object LlmQueries {
     },
 
     // ---- multimodal binary columns: encode -> decode -> features --------
-    // Images synthesized from embeddings (8x8 RGB from the first 192/3
-    // vector elements), carried as PNG bytes, then feature-extracted.
-    // Rows-only: PNG bytes aren't SQL-expressible, but the plumbing
-    // (binary column, UDF batch shape, metadata) is the contract.
-    QueryDef.rowsOnly("q52_multimodal") { (s, d) =>
+    // Images synthesized from embeddings (4x4 RGB from the first 48
+    // vector elements), carried as PNG bytes, decoded back and
+    // feature-extracted. ORACLE-HASHED: PNG is lossless and the uint8
+    // quantization is floor(clip(v)*255), so DuckDB reproduces the
+    // post-decode channel means analytically from the embeddings — the
+    // whole encode->binary-column->decode chain must be value-exact for
+    // the hash to match. Only the raw PNG bytes themselves stay outside
+    // the output (spec-covered round-trip).
+    QueryDef.sqlBacked(
+      "q52_multimodal",
+      """WITH px AS (
+        |  SELECT vec_id, label,
+        |    [CAST(floor(greatest(0.0, least(1.0, (CAST(v AS DOUBLE) + 1.0) / 2.0)) * 255) AS BIGINT)
+        |     FOR v IN embedding[1:48]] AS q
+        |  FROM embeddings)
+        |SELECT vec_id, label,
+        |  list_reduce([CAST(q[j] AS DOUBLE) / 255.0 FOR j IN range(1, 49) IF (j-1) % 3 = 0],
+        |    (x, y) -> x + y) / 16 AS mean_r,
+        |  list_reduce([CAST(q[j] AS DOUBLE) / 255.0 FOR j IN range(1, 49) IF (j-1) % 3 = 1],
+        |    (x, y) -> x + y) / 16 AS mean_g,
+        |  list_reduce([CAST(q[j] AS DOUBLE) / 255.0 FOR j IN range(1, 49) IF (j-1) % 3 = 2],
+        |    (x, y) -> x + y) / 16 AS mean_b,
+        |  CAST(16 AS BIGINT) AS n_px
+        |FROM px""".stripMargin) { (s, d) =>
       import graft.functions.ImageOps
       // 4x4 RGB = 48 values from the 64-dim embedding, squashed to [0,1]
       val rgb = expr("transform(slice(embedding, 1, 48), v -> " +
@@ -345,7 +364,7 @@ object LlmQueries {
         .withColumn("ny", lit(4)).withColumn("nx", lit(4))
         .withColumn("png", ImageOps.encodePng(rgb, col("ny"), col("nx")))
       ImageOps.imageFeatures(imgs, "png", "ny", "nx")
-        .select(col("vec_id"), col("label"), length(col("png")).as("png_bytes"),
+        .select(col("vec_id"), col("label"),
           col("mean_r"), col("mean_g"), col("mean_b"), col("n_px"))
     },
 
