@@ -175,6 +175,54 @@ object LlmQueries {
         k = 8, bands = 4, threshold = 0.35, broadcastShingles = true)
     },
 
+    // ---- STREAMING LSH near-dup, driver-gate-proven ---------------------
+    // The real streaming engine runs the full banding pipeline (stateless
+    // signatures -> watermarked band self-join -> inline verify ->
+    // watermark-scoped pair dedup) on a 300-doc slice with synthetic
+    // event times; the oracle is the batch q28 SQL on the same slice, so
+    // the hash match proves streaming == batch for the dedup path.
+    QueryDef.sqlBacked(
+      "q74_streaming_lsh",
+      s"""WITH sh AS (SELECT doc_id, $SHINGLES_SQL AS shingles FROM documents WHERE doc_id < 300),
+         |hx AS (SELECT doc_id, [${polySql("s", "len(s)")} FOR s IN shingles] AS xs FROM sh),
+         |sig AS (SELECT doc_id, ${minhashSqlCols(8)} FROM hx),
+         |banded AS (
+         |  SELECT doc_id, b,
+         |    CASE b WHEN 0 THEN (mh0 * 31 + mh1) % $P
+         |           WHEN 1 THEN (mh2 * 31 + mh3) % $P
+         |           WHEN 2 THEN (mh4 * 31 + mh5) % $P
+         |           ELSE (mh6 * 31 + mh7) % $P END AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+         |hxd AS (SELECT doc_id, list_distinct(xs) AS xsd FROM hx)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(sa.xsd, sb.xsd)) AS DOUBLE)
+         |      / CAST(len(sa.xsd) + len(sb.xsd) - len(list_intersect(sa.xsd, sb.xsd)) AS DOUBLE) AS jaccard
+         |  FROM pairs p
+         |  JOIN hxd sa ON sa.doc_id = p.doc_a
+         |  JOIN hxd sb ON sb.doc_id = p.doc_b)
+         |WHERE jaccard >= 0.35""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamDedup
+      val dir = java.nio.file.Files.createTempDirectory("graft-q74").toString
+      Tables.documents(s, d).where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L).as("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      val out = StreamDedup.lshNearDupPairs(stream, "doc_id", "text", "ts",
+        k = 8, bands = 4, threshold = 0.35,
+        withinUs = 3600L * 1000000, watermark = "0 seconds")
+      val q = out.select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("q74_stream_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table("q74_stream_sink")
+    },
+
     // ---- 16-bit SimHash --------------------------------------------------
     QueryDef.sqlBacked(
       "q29_simhash",
