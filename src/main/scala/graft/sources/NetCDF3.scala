@@ -91,6 +91,10 @@ object NetCDF3 {
 
   def readHeader(bytes: Array[Byte]): Header = {
     val b = ByteBuffer.wrap(bytes) // big-endian by default
+    require(!(bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'H'
+        && bytes(2) == 'D' && bytes(3) == 'F'),
+      "netCDF-4/HDF5 file detected: decode with graft.sources.HDF5.read " +
+        "(contiguous uncompressed subset) instead of the classic reader")
     require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F', "not a NetCDF classic file")
     val version = b.get().toInt
     require(version == 1 || version == 2, s"unsupported CDF version $version (netCDF-4/HDF5 needs the HDF path)")
