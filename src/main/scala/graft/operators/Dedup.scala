@@ -222,9 +222,17 @@ object Dedup {
     // plan doubles every round. Blocks are reclaimed by the context
     // cleaner. (On a multi-node cluster prefer a reliable checkpoint dir:
     // localCheckpoint blocks die with their executor.)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // seed with min(self, neighbors) — the first propagation round folded
+    // into initialization
+    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("component"))
       .localCheckpoint(true)
+    // labels only ever DECREASE (least of self and neighbor minima), so
+    // the decimal label sum is a complete convergence witness — one tiny
+    // aggregation per round instead of a self-join change count
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -235,10 +243,10 @@ object Dedup {
         .select(col("node"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
         .localCheckpoint(true)
-      val nChanged = updated.join(labels.withColumnRenamed("component", "old"), "node")
-        .where(col("component") =!= col("old")).count()
+      val newSum = labelSum(updated)
       labels = updated
-      converged = nChanged == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       it += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")

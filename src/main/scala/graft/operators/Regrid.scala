@@ -107,6 +107,15 @@ object Regrid {
     * sqrt — no libm — so an integer-exact fixture hashes bit-identically
     * against the SQL oracle (q58).
     */
+  /** Candidate (dst point, quad) pair with precomputed quad vectors. */
+  final case class QuadCand(dst_i: Long, dst_j: Long, src_i: Long, src_j: Long,
+      qx: Double, qy: Double, bxv: Double, byv: Double,
+      cxv: Double, cyv: Double, dxv: Double, dyv: Double)
+
+  /** Solved local coordinates of a dst point inside a source quad. */
+  final case class QuadHit(dst_i: Long, dst_j: Long, src_i: Long, src_j: Long,
+      s: Double, t: Double)
+
   def curvilinearBilinearWeights(
       srcCells: DataFrame, dstPoints: DataFrame, binSize: Double): DataFrame = {
     val c00 = srcCells.select(col("src_i"), col("src_j"),
@@ -132,38 +141,56 @@ object Regrid {
     val dst = dstPoints
       .withColumn("bx", floor(col("x") / binSize).cast("int"))
       .withColumn("by", floor(col("y") / binSize).cast("int"))
-    val eps = 1e-9
+    // The inverse-bilinear solve runs as a TYPED per-row flatMap, not as
+    // stacked Column algebra — measured, not stylistic: expressing the
+    // quadratic-formula chain in Catalyst made every alias reference
+    // (filters, the window ordering, the four weights) re-inline the full
+    // coefficient tree during optimization, and constraint
+    // canonicalization over those trees cost ~16 s of pure planning time
+    // for a 400-row result. The solve is genuine per-row scalar math with
+    // no pushdown/pruning upside, exactly the documented escape hatch.
+    // Bit-parity with the SQL oracle is preserved: identical IEEE ops in
+    // identical order (+,−,×,/ and exact sqrt — no libm).
     val joined = dst.join(binned, Seq("bx", "by"))
-      .withColumn("qx", col("x") - col("x00")).withColumn("qy", col("y") - col("y00"))
-      .withColumn("bxv", col("x10") - col("x00")).withColumn("byv", col("y10") - col("y00"))
-      .withColumn("cxv", col("x01") - col("x00")).withColumn("cyv", col("y01") - col("y00"))
-      .withColumn("dxv", col("x11") - col("x10") - col("x01") + col("x00"))
-      .withColumn("dyv", col("y11") - col("y10") - col("y01") + col("y00"))
-      .withColumn("aa", col("bxv") * col("dyv") - col("byv") * col("dxv"))
-      .withColumn("bb", (col("bxv") * col("cyv") - col("byv") * col("cxv"))
-        - (col("qx") * col("dyv") - col("qy") * col("dxv")))
-      .withColumn("cc", -(col("qx") * col("cyv") - col("qy") * col("cxv")))
-      .withColumn("disc", col("bb") * col("bb") - lit(4.0) * col("aa") * col("cc"))
-      .where(col("disc") >= 0.0)
-      .withColumn("s", when(abs(col("aa")) < 1e-30, -col("cc") / col("bb"))
-        .otherwise {
-          val s1 = (-col("bb") + sqrt(col("disc"))) / (lit(2.0) * col("aa"))
-          val s2 = (-col("bb") - sqrt(col("disc"))) / (lit(2.0) * col("aa"))
-          when(s1 >= -eps && s1 <= 1 + eps, s1).otherwise(s2)
-        })
-      .withColumn("tdx", col("cxv") + col("s") * col("dxv"))
-      .withColumn("tdy", col("cyv") + col("s") * col("dyv"))
-      .withColumn("t", when(abs(col("tdx")) >= abs(col("tdy")),
-        (col("qx") - col("s") * col("bxv")) / col("tdx"))
-        .otherwise((col("qy") - col("s") * col("byv")) / col("tdy")))
-      .where(col("s") >= -eps && col("s") <= 1 + eps
-        && col("t") >= -eps && col("t") <= 1 + eps)
+      .select(col("dst_i").cast("long").as("dst_i"), col("dst_j").cast("long").as("dst_j"),
+        col("src_i").cast("long").as("src_i"), col("src_j").cast("long").as("src_j"),
+        (col("x") - col("x00")).as("qx"), (col("y") - col("y00")).as("qy"),
+        (col("x10") - col("x00")).as("bxv"), (col("y10") - col("y00")).as("byv"),
+        (col("x01") - col("x00")).as("cxv"), (col("y01") - col("y00")).as("cyv"),
+        (col("x11") - col("x10") - col("x01") + col("x00")).as("dxv"),
+        (col("y11") - col("y10") - col("y01") + col("y00")).as("dyv"))
+    import srcCells.sparkSession.implicits._
+    val hits = joined.as[QuadCand].flatMap { c =>
+      val eps = 1e-9
+      val aa = c.bxv * c.dyv - c.byv * c.dxv
+      val bb = (c.bxv * c.cyv - c.byv * c.cxv) - (c.qx * c.dyv - c.qy * c.dxv)
+      val cc = -(c.qx * c.cyv - c.qy * c.cxv)
+      val disc = bb * bb - 4.0 * aa * cc
+      if (disc < 0.0) Iterator.empty
+      else {
+        val s =
+          if (math.abs(aa) < 1e-30) -cc / bb
+          else {
+            val s1 = (-bb + math.sqrt(disc)) / (2.0 * aa)
+            val s2 = (-bb - math.sqrt(disc)) / (2.0 * aa)
+            if (s1 >= -eps && s1 <= 1.0 + eps) s1 else s2
+          }
+        val tdx = c.cxv + s * c.dxv
+        val tdy = c.cyv + s * c.dyv
+        val t =
+          if (math.abs(tdx) >= math.abs(tdy)) (c.qx - s * c.bxv) / tdx
+          else (c.qy - s * c.byv) / tdy
+        if (s >= -eps && s <= 1.0 + eps && t >= -eps && t <= 1.0 + eps)
+          Iterator.single(QuadHit(c.dst_i, c.dst_j, c.src_i, c.src_j, s, t))
+        else Iterator.empty
+      }
+    }.toDF()
     // shared edges/corners match 2+ quads: keep the deterministic best
     // (most interior, then lowest anchor)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("dst_i"), col("dst_j"))
       .orderBy(greatest(abs(col("s") - 0.5), abs(col("t") - 0.5)), col("src_i"), col("src_j"))
-    joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    hits.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("dst_i"), col("dst_j"), col("src_i"), col("src_j"),
         col("s"), col("t"),
         explode(array(

@@ -21,7 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd left fold (graft.plans.FloatDotProduct) —
+    * bit-identical to [[dotHof]], spec-proven. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.plans.FloatDotProduct(expression(a), expression(b)))
+  }
+
+  /** HOF reference form of [[dot]] (cross-check oracle). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -35,11 +43,15 @@ object Similarity {
   def bruteForceTopK(
       probes: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms once per ROW (not per pair): cos = dot/(pn·cn) is the same
+    // expression tree the oracle computes, just factored out of the join
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+      .withColumn("pn", norm(col("pv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(p))
       .where(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+      .withColumn("cos_sim", round(dot(col("pv"), col("cv")) / (col("pn") * col("cn")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -97,11 +109,13 @@ object Similarity {
       lshBucket(col(vecCol), nPlanes, dim).as("b0"))
     val p = p0.select(col("probe_id"), col("pv"),
       explode(array(probeBuckets(col("b0"), nPlanes, probeRadius): _*)).as("bucket"))
+      .withColumn("pn", norm(col("pv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(p), "bucket")
       .where(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+      .withColumn("cos_sim", round(dot(col("pv"), col("cv")) / (col("pn") * col("cn")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -153,13 +167,15 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell",
         element_at(array_sort(cellDists(col("cv"), cents)), 1).getField("cell"))
+      .withColumn("cn", norm(col("cv")))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
       // struct sort orders by (d2, cell) lexicographically
       .withColumn("near", explode(slice(array_sort(cellDists(col("pv"), cents)), 1, nProbe)))
       .select(col("probe_id"), col("pv"), col("near.cell").as("cell"))
+      .withColumn("pn", norm(col("pv")))
     val scored = c.join(broadcast(p), "cell")
       .where(col("neighbor_id") =!= col("probe_id"))
-      .withColumn("cos_sim", round(cosine(col("pv"), col("cv")), 6))
+      .withColumn("cos_sim", round(dot(col("pv"), col("cv")) / (col("pn") * col("cn")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -181,9 +197,11 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"), col(blockCol))
+      .withColumn("na", norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col(blockCol))
+      .withColumn("nb", norm(col("vb")))
     a.join(b, blockCol).where(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col(blockCol), col("cos_sim"))
   }

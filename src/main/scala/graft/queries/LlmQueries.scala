@@ -541,6 +541,71 @@ object LlmQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("sum_tok"),
           min(col("doc_id")).as("first_doc"))
+    },
+
+    // ---- alternating-star components under the SAME oracle as q68 -------
+    // The O(log n)-round large-star/small-star variant (the extreme-scale
+    // CC path) must produce label-for-label the labels the recursive-CTE
+    // closure derives — proven here in the driver's hash gate, not just
+    // by the AltStarSpec equivalence property.
+    QueryDef.sqlBacked(
+      "q75_altstar_components",
+      s"""WITH RECURSIVE pairsq AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      round(${dotSql("a.embedding", "b.embedding")}
+         |        / (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |           * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cos_sim
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  WHERE cos_sim >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
+         |          UNION ALL SELECT id_b, id_a FROM pairsq),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+         |SELECT node, min(r) AS component FROM reach GROUP BY 1""".stripMargin) { (s, d) =>
+      val pairs = Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", threshold = 0.3)
+      Dedup.connectedComponentsAltStar(pairs, "id_a", "id_b")
+    },
+
+    // ---- chunked tensor representation, gate-proven ---------------------
+    // The bounded-row raster form (TensorOps.longToChunkedTensor): a
+    // 100x80 events-seeded scene chunked at 32 -> chunk keys, ragged edge
+    // dims on BOTH axes, and an order-independent integer checksum that
+    // DuckDB reproduces from the long form directly. Hash match = the
+    // chunk keying/local-coordinate math is exact, not just spec'd.
+    QueryDef.sqlBacked(
+      "q76_chunked_tensor",
+      """SELECT g.gid // 80 // 32 AS chunk_j, g.gid % 80 // 32 AS chunk_i,
+        |  CAST(max(g.gid // 80 % 32) + 1 AS INTEGER) AS cny,
+        |  CAST(max(g.gid % 80 % 32) + 1 AS INTEGER) AS cnx,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)
+        |       * (1 + g.gid // 80 % 32 * 37 + g.gid % 80 % 32 * 101)) AS BIGINT) AS checksum
+        |FROM range(0, 8000) g(gid) JOIN events e ON e.event_id = (g.gid * 131 + 7) % 1000
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.operators.TensorOps
+      val px = s.range(8000).select(
+        lit("s").as("scene_id"),
+        expr("CAST(id div 80 AS INT)").as("y"),
+        expr("CAST(id % 80 AS INT)").as("x"),
+        col("id").as("gid"))
+        .join(Tables.events(s, d).select(col("event_id"), col("value")),
+          expr("(gid * 131 + 7) % 1000") === col("event_id"))
+        .select(col("scene_id"), col("y"), col("x"), col("value"))
+      val chunked = TensorOps.longToChunkedTensor(px, chunk = 32)
+      // checksum weights each pixel by its chunk-local (ly, lx) so the
+      // hash proves the within-chunk row-major ordering, not just content
+      chunked.select(col("chunk_j"), col("chunk_i"), col("cny"), col("cnx"),
+          posexplode(col("values")).as(Seq("pos", "v")))
+        .groupBy(col("chunk_j"), col("chunk_i"))
+        .agg(max(col("cny")).as("cny"), max(col("cnx")).as("cnx"),
+          count(lit(1)).as("n_px"),
+          sum(round(col("v") * 100).cast("long")
+            * (lit(1) + expr("pos div cnx") * 37 + pmod(col("pos"), col("cnx")) * 101)).as("checksum"))
     }
   )
 }

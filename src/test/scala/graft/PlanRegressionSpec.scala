@@ -31,7 +31,7 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("headline plans: codegen everywhere, no cartesian, BNLJ only where documented") {
-    (Bench.headline :+ "q48_e2e_slice" :+ "q36_triplet_specs").foreach { q =>
+    (Bench.headline :+ "q48_e2e_slice" :+ "q36_triplet_specs" :+ "q71_iorg_objects").foreach { q =>
       val plan = planOf(q)
       // codegen'd operators print with the `*(n)` stage marker
       assert(plan.contains("*("), s"$q lost whole-stage codegen")
@@ -63,6 +63,41 @@ class PlanRegressionSpec extends SparkSpec {
     val arrayCarrying = exchangeLines.filter(l => l.contains("xs#") || l.contains("sa#") || l.contains("sb#"))
     assert(arrayCarrying.isEmpty,
       s"shingle arrays must not ride the candidate exchange:\n${arrayCarrying.mkString("\n")}")
+  }
+
+  test("q58/q59: spatial regrids join on integer bins — no cartesian, no nested loop") {
+    Seq("q58_curvilinear_regrid", "q59_greatcircle_nearest").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+        s"$q lost its bucketed equi-join:\n${plan.take(1200)}")
+    }
+  }
+
+  test("q62/q73: ANN candidate generation broadcasts the probe side") {
+    Seq("q62_lsh_ann", "q73_ivf_ann").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q probe join must broadcast")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate join regressed to a non-equi join")
+    }
+  }
+
+  test("q67: bucketed join inputs are never re-shuffled") {
+    // the single permitted hashpartitioning exchange feeds the final
+    // aggregation; the scan->join path must stay exchange-free (that is
+    // the entire point of write-time bucketing)
+    val plan = planOf("q67_bucketed_join")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1,
+      s"bucketed join re-shuffles its inputs ($shuffles exchanges):\n${plan.take(1200)}")
+  }
+
+  test("q68: component labels resolve through joins and aggregates only") {
+    val plan = planOf("q68_dedup_components")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q68 label join regressed:\n${plan.take(1200)}")
   }
 
   test("q53: time filter pushes into the DSv2 scan (residual-free)") {

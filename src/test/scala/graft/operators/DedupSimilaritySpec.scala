@@ -50,6 +50,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(same - 1.0) < 1e-12 && orth == 0.0)
   }
 
+  test("native FloatDotProduct is bit-identical to the HOF fold on the real table") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mismatches = emb.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("native"),
+      Similarity.dotHof(col("embedding"), col("embedding")).as("hof"))
+      .where(col("native") =!= col("hof")).count()
+    assert(mismatches == 0, s"$mismatches rows diverge between native and HOF dot")
+  }
+
   test("bruteForceTopK ranks by cosine desc, excludes self") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f))
