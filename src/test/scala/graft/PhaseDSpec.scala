@@ -169,6 +169,31 @@ class PhaseDSpec extends SparkSpec {
     assert(rec.map(_._3).toSeq == Seq(10.0, 18.0, 24.0, 28.0, 30.0))
   }
 
+  test("interpolateToPressure: exact on ln(p)-linear fields, bracket edges, no-bracket drop") {
+    // v = 3*ln(p) + 7 must interpolate EXACTLY at any target (the
+    // interpolation is linear in ln p); z linear in level is inexact but
+    // bounded by the bracket values
+    val rows = for (k <- Seq("a", "b"); l <- 0 to 9)
+      yield (k, l, 20000.0 * (l + 1), 3.0 * math.log(20000.0 * (l + 1)) + 7.0, l * 100.0)
+    val df = rows.toDF("key", "level", "p", "v", "z")
+    val out = Profiles.interpolateToPressure(df, Seq("key"), "level", "p",
+      Seq("v", "z"), 70000.0, "700").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("v700") - (3.0 * math.log(70000.0) + 7.0)) < 1e-9)
+      val z = r.getAs[Double]("z700")
+      assert(z > 200.0 && z < 300.0) // bracket levels 2 (60000) and 3 (80000)
+    }
+    // exact-hit: p == target picks that level's value with weight 0
+    val hit = Profiles.interpolateToPressure(df, Seq("key"), "level", "p",
+      Seq("z"), 60000.0, "600").where(col("key") === "a").collect()
+    assert(hit.head.getAs[Double]("z600") == 200.0)
+    // a column whose profile never brackets the target produces no row
+    val none = Profiles.interpolateToPressure(df, Seq("key"), "level", "p",
+      Seq("z"), 5000.0, "050").collect()
+    assert(none.isEmpty)
+  }
+
   test("Bolton LCL: rh-drop, peak layer selection, half_minmax/median sampling") {
     // column "c": 6 levels, t constant so delta peaks track rh maxima.
     // rh[level 3] <= 0 is dropped BEFORE peak finding (reference order);
