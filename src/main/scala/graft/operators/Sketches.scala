@@ -51,4 +51,52 @@ object Sketches {
   /** Estimated Jaccard between two k-signatures: matching fraction. */
   def sketchJaccard(a: Seq[Long], b: Seq[Long]): Double =
     a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** Row-i hash slot for count-min: ((a_i·h + b_i) mod P) mod width,
+    * over an already-hashed key column (TextAnalysis.polyHash for
+    * strings) — shared with the DuckDB oracle via the same coefficient
+    * schedule as MinHash. */
+  def cmsSlot(hashedKey: Column, row: Int, width: Int): Column =
+    ((lit(Dedup.aCoef(row)) * hashedKey + lit(Dedup.bCoef(row))) % Dedup.P) % width
+
+  /** Count-min sketch AS A DATAFRAME: `depth × width` cells of summed
+    * counts, built by one explode + hash aggregation.
+    *
+    * The frequency-estimation complement to the MinHash overlap sketch:
+    * heavy-hitter token statistics over a 100 TB corpus reduce to a
+    * depth·width-cell table regardless of corpus size. Mergeable by
+    * construction — the sketch of a union of shards is the cell-wise SUM
+    * of the shard sketches (it's a groupBy sum), so partial aggregation
+    * and incremental maintenance are free. Point estimate = min over
+    * rows of the key's cell, an upper bound on the true count with the
+    * usual (ε=e/width, δ=e^-depth) guarantee — and exact integer
+    * arithmetic end to end, so the whole sketch is oracle-hashable.
+    *
+    * `items`: one row per occurrence; `hashedKeyCol` an int64 key hash. */
+  def countMinSketch(items: DataFrame, hashedKeyCol: String,
+      depth: Int, width: Int): DataFrame =
+    items.select(
+        explode(array((0 until depth).map { i =>
+          struct(lit(i).as("row"), cmsSlot(col(hashedKeyCol), i, width).as("slot"))
+        }: _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate counts for `keys` against a built sketch: join each
+    * (key, row) pair to its cell, take the min across rows. Keys absent
+    * from the sketch estimate over empty cells -> 0 via the left join. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, hashedKeyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val probes = keys.select(col(hashedKeyCol))
+      .withColumn("c", explode(array((0 until depth).map { i =>
+        struct(lit(i).as("row"), cmsSlot(col(hashedKeyCol), i, width).as("slot"))
+      }: _*)))
+      .select(col(hashedKeyCol), col("c.row").as("row"), col("c.slot").as("slot"))
+    probes.join(broadcast(sketch), Seq("row", "slot"), "left")
+      .groupBy(col(hashedKeyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

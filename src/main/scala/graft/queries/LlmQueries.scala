@@ -606,6 +606,49 @@ object LlmQueries {
           count(lit(1)).as("n_px"),
           sum(round(col("v") * 100).cast("long")
             * (lit(1) + expr("pos div cnx") * 37 + pmod(col("pos"), col("cnx")) * 101)).as("checksum"))
+    },
+
+    // ---- count-min frequency sketch, gate-proven ------------------------
+    // The frequency complement to the q50/q69 MinHash sketches: token
+    // heavy-hitter estimation where the whole corpus reduces to a 4x512
+    // integer cell table (mergeable: union of shards = cell-wise sum).
+    // The oracle rebuilds the ENTIRE sketch with the same hash schedule
+    // and compares per-probe estimates against true counts — exact
+    // integer arithmetic end to end, and est >= true_cnt by construction.
+    QueryDef.sqlBacked(
+      "q77_countmin",
+      {
+        val rows = (0 until 4).map(i =>
+          s"SELECT ${i} AS row, ((${Dedup.aCoef(i)} * khash + ${Dedup.bCoef(i)}) % $P) % 512 AS slot, khash FROM th")
+          .mkString("\n    UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+           |  FROM documents),
+           |th AS (SELECT doc_id, ${polySql("tok", "len(tok)")} AS khash FROM toks),
+           |expl AS (
+           |    $rows),
+           |cms AS (SELECT row, slot, count(*) AS cnt FROM expl GROUP BY 1, 2),
+           |probe AS (SELECT DISTINCT khash FROM th WHERE doc_id < 5),
+           |pexpl AS (
+           |  SELECT p.khash, e.row, e.slot FROM probe p JOIN (
+           |    SELECT DISTINCT row, slot, khash FROM expl) e ON e.khash = p.khash),
+           |est AS (
+           |  SELECT px2.khash, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+           |  FROM pexpl px2 LEFT JOIN cms c ON c.row = px2.row AND c.slot = px2.slot
+           |  GROUP BY 1),
+           |truec AS (SELECT khash, count(*) AS true_cnt FROM th GROUP BY 1)
+           |SELECT est.khash, est.est, truec.true_cnt
+           |FROM est JOIN truec ON truec.khash = est.khash""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.Sketches
+      val th = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), TextAnalysis.polyHash(col("tok")).as("khash"))
+      val sketch = Sketches.countMinSketch(th, "khash", depth = 4, width = 512)
+      val probes = th.where(col("doc_id") < 5).select("khash").distinct()
+      val est = Sketches.cmsEstimate(sketch, probes, "khash", depth = 4, width = 512)
+      val truec = th.groupBy(col("khash")).agg(count(lit(1)).as("true_cnt"))
+      est.join(truec, "khash").select(col("khash"), col("est"), col("true_cnt"))
     }
   )
 }

@@ -39,4 +39,35 @@ class SketchesSpec extends SparkSpec {
       .collect().map { case (g, s) => g -> s.toSeq }.toMap
     assert(native(1) == typed && native(5) == typed)
   }
+
+  test("count-min: estimates upper-bound true counts, exact when unsaturated, shard-mergeable") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7L)
+    // zipfish key stream: key k appears ~ 200/k times
+    val occurrences = (1 to 40).flatMap(k => Seq.fill(200 / k)(k.toLong * 7919 % 1000003))
+    val items = rnd.shuffle(occurrences).toDF("khash")
+    val sketch = Sketches.countMinSketch(items, "khash", depth = 4, width = 256)
+    val keys = items.select("khash").distinct()
+    val est = Sketches.cmsEstimate(sketch, keys, "khash", depth = 4, width = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = occurrences.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"CMS estimate ${est(k)} below true count $t for $k")
+    }
+    // 40 keys into 256 slots x 4 rows: the heaviest key should estimate
+    // exactly (collisions on all 4 rows for the top key are vanishingly
+    // unlikely at this load factor)
+    val top = truth.maxBy(_._2)
+    assert(est(top._1) == top._2)
+    // mergeability: sum of shard sketches == whole-corpus sketch
+    val parts = occurrences.splitAt(occurrences.size / 2)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(sketch)
+    val merged = cells(
+      Sketches.countMinSketch(parts._1.toDF("khash"), "khash", 4, 256)
+        .union(Sketches.countMinSketch(parts._2.toDF("khash"), "khash", 4, 256))
+        .groupBy(col("row"), col("slot")).agg(sum(col("cnt")).as("cnt")))
+    assert(merged == whole)
+  }
 }
