@@ -95,4 +95,55 @@ object TextAnalysis {
     val lengthOk = when(length(c) >= 100 && length(c) <= 10000, 1.0).otherwise(0.0)
     stopRatio * 0.4 + alphaRatio * 0.4 + lengthOk * 0.2
   }
+
+  import org.apache.spark.sql.DataFrame
+
+  /** Gopher-style repetition quality signals per document (Rae et al.
+    * 2021 §A1.1 "repetition" filters, the public rule family): duplicate-
+    * token fraction (1 − distinct/total) and top-token dominance
+    * (most-frequent-token count / total). One groupBy(doc, token) +
+    * groupBy(doc) — map-side combinable, no per-doc state beyond counts;
+    * ratios are single int/int IEEE divisions, so the oracle hashes them
+    * without rounding. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    perTok.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col(idCol), col("n_tok"), col("n_distinct"), col("top_cnt"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tok").cast("double"))
+          .as("dup_frac"),
+        (col("top_cnt").cast("double") / col("n_tok").cast("double")).as("top_frac"))
+  }
+
+  /** TF-IDF top terms per document: tf = raw in-doc count, idf =
+    * ln(N/df) over the corpus, ranked (score desc, token) within each
+    * document. The document-frequency table is tiny next to the corpus
+    * (vocabulary-sized) and broadcast-joins back onto the term counts;
+    * everything else is two hash aggregations. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val perTok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val docFreq = perTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    // rank by the ROUNDED score: two tokens with mathematically equal
+    // tf·idf via different (tf, df) pairs (2·ln x == ln x²) must order
+    // identically across engines, and 6 dp absorbs the libm ln ulp; the
+    // tie-break is the token's integer hash, not the string, so no
+    // cross-engine collation assumption is needed
+    val scored = perTok
+      .join(broadcast(docFreq), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score_r6",
+        round(col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score_r6").desc, polyHash(col("tok")))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("tok"), col("score_r6"))
+  }
 }

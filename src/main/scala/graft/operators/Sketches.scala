@@ -99,4 +99,46 @@ object Sketches {
       .groupBy(col(hashedKeyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** HyperLogLog registers AS A DATAFRAME — the cardinality complement to
+    * the MinHash (overlap) and count-min (frequency) sketches. m = 2^p
+    * registers of max leading-zero ranks over a `wBits`-bit substream of
+    * the key hash; one hash aggregation builds them and shard union is
+    * cell-wise MAX, so the sketch is mergeable and incremental. Integer
+    * arithmetic only (floor(log2) via the minimal-width binary-string
+    * length, identical in Spark and DuckDB), so registers are
+    * oracle-hashable exactly. */
+  def hllRegisters(items: DataFrame, hashedKeyCol: String, groupCols: Seq[String],
+      p: Int, wBits: Int = 24): DataFrame = {
+    val m = 1 << p
+    val v = expr(s"($hashedKeyCol div $m) % ${1 << wBits}")
+    val rho = when(v === 0, lit(wBits + 1))
+      .otherwise(lit(wBits) - length(bin(v)) + 1)
+    items.select(groupCols.map(col) :+ (col(hashedKeyCol) % m).as("reg") :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("reg"): _*)
+      .agg(max(col("rho")).as("maxrho"))
+  }
+
+  /** Cardinality estimate from HLL registers (Flajolet et al. 2007):
+    * α·m²/Σ2^(−reg), with the linear-counting small-range correction
+    * m·ln(m/V) when the raw estimate ≤ 2.5m and V registers are empty.
+    * The power sum is EXACT in doubles (≤ m dyadic terms well above 2^-53
+    * granularity), so it is order-independent across engines; only the
+    * ln branch is libm — callers round the estimate. α tabulated for
+    * p = 6 (m = 64). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(p == 6, s"alpha constant tabulated for p=6 (m=64); got p=$p")
+    val m = 1 << p
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), maxrho) AS DOUBLE)")).as("sp"),
+        count(lit(1)).as("npresent"))
+      .withColumn("v0", lit(m.toLong) - col("npresent"))
+      .withColumn("raw", lit(0.709) * m * m / (col("sp") + col("v0").cast("double")))
+      .withColumn("hll_est",
+        when(col("raw") <= 2.5 * m && col("v0") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v0").cast("double")))
+          .otherwise(col("raw")))
+      .select(groupCols.map(col) :+ col("v0") :+ col("hll_est"): _*)
+  }
 }

@@ -649,6 +649,95 @@ object LlmQueries {
       val est = Sketches.cmsEstimate(sketch, probes, "khash", depth = 4, width = 512)
       val truec = th.groupBy(col("khash")).agg(count(lit(1)).as("true_cnt"))
       est.join(truec, "khash").select(col("khash"), col("est"), col("true_cnt"))
+    },
+
+    // ---- Gopher-style repetition quality signals ------------------------
+    // The public repetition-filter family (Rae et al. 2021 §A1.1):
+    // duplicate-token fraction and top-token dominance per document —
+    // int/int ratios, exact across engines without rounding.
+    QueryDef.sqlBacked(
+      "q78_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |pt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tok, count(*) AS n_distinct,
+        |  CAST(max(cnt) AS BIGINT) AS top_cnt,
+        |  1.0 - CAST(count(*) AS DOUBLE) / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS dup_frac,
+        |  CAST(CAST(max(cnt) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) AS top_frac
+        |FROM pt GROUP BY 1""".stripMargin) { (s, d) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+    },
+
+    // ---- TF-IDF top terms per document ----------------------------------
+    // tf = raw in-doc count, idf = ln(N/df); vocabulary-sized df table
+    // broadcast back onto term counts; ranking uses the 6-dp-rounded
+    // score with the token HASH as tie-break (see tfidfTopTerms).
+    QueryDef.sqlBacked(
+      "q79_tfidf",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |pt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM pt GROUP BY 1),
+         |nq AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tok,
+         |    round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score_r6,
+         |    ${polySql("tok", "len(tok)")} AS th
+         |  FROM pt JOIN dfq USING (tok) CROSS JOIN nq)
+         |SELECT doc_id, rnk, tok, score_r6 FROM (
+         |  SELECT doc_id, tok, score_r6,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_r6 DESC, th) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3""".stripMargin) { (s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+    },
+
+    // ---- HyperLogLog cardinality sketch, gate-proven --------------------
+    // The third sketch class (cardinality, next to MinHash overlap and
+    // count-min frequency): per-source distinct-token estimation from 64
+    // integer registers. The oracle rebuilds the registers exactly
+    // (minimal-width bin() length = floor(log2)+1 in both engines) and
+    // the 2^-rho power sum is exact dyadic arithmetic, so only the final
+    // estimate needs 6-dp rounding.
+    QueryDef.sqlBacked(
+      "q80_hll",
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |th AS (SELECT source, tok, ${polySql("tok", "len(tok)")} AS khash FROM toks),
+         |regs AS (
+         |  SELECT source, khash % 64 AS reg,
+         |    CASE WHEN (khash // 64) % 16777216 = 0 THEN 25
+         |         ELSE 24 - length(bin((khash // 64) % 16777216)) + 1 END AS rho
+         |  FROM th),
+         |r2 AS (SELECT source, reg, max(rho) AS maxrho FROM regs GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source, sum(1.0 / CAST(1 << maxrho AS DOUBLE)) AS sp,
+         |    count(*) AS npresent
+         |  FROM r2 GROUP BY 1),
+         |fin AS (
+         |  SELECT source, CAST(64 AS BIGINT) - npresent AS v0,
+         |    0.709 * 64 * 64 / (sp + CAST(CAST(64 AS BIGINT) - npresent AS DOUBLE)) AS raw
+         |  FROM agg),
+         |truthq AS (SELECT source, count(DISTINCT tok) AS true_distinct FROM toks GROUP BY 1)
+         |SELECT fin.source, fin.v0,
+         |  round(CASE WHEN raw <= 160.0 AND v0 > 0
+         |             THEN 64.0 * ln(64.0 / CAST(v0 AS DOUBLE)) ELSE raw END, 6) AS hll_est_r6,
+         |  truthq.true_distinct
+         |FROM fin JOIN truthq ON truthq.source = fin.source""".stripMargin) { (s, d) =>
+      import graft.operators.Sketches
+      val toks = Tables.documents(s, d).select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val th = toks.select(col("source"), TextAnalysis.polyHash(col("tok")).as("khash"))
+      val regs = Sketches.hllRegisters(th, "khash", Seq("source"), p = 6)
+      val est = Sketches.hllEstimate(regs, Seq("source"), p = 6)
+        .select(col("source"), col("v0"), round(col("hll_est"), 6).as("hll_est_r6"))
+      val truth = toks.groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("true_distinct"))
+      est.join(truth, "source")
+        .select(col("source"), col("v0"), col("hll_est_r6"), col("true_distinct"))
     }
   )
 }

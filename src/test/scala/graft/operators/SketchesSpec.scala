@@ -70,4 +70,32 @@ class SketchesSpec extends SparkSpec {
         .groupBy(col("row"), col("slot")).agg(sum(col("cnt")).as("cnt")))
     assert(merged == whole)
   }
+
+  test("HLL: small-range linear counting, sane estimates, max-mergeable registers") {
+    import org.apache.spark.sql.functions._
+    // 6 distinct keys, heavy duplication -> v0 > 0 -> linear-counting path
+    val small = Seq.fill(50)(Seq(3L, 999L, 120007L, 88L, 40123L, 777777L)).flatten
+      .map(k => ("g", k)).toDF("g", "khash")
+    val regsS = Sketches.hllRegisters(small, "khash", Seq("g"), p = 6)
+    val estS = Sketches.hllEstimate(regsS, Seq("g"), p = 6).head()
+    assert(estS.getAs[Long]("v0") > 0)
+    val e = estS.getAs[Double]("hll_est")
+    assert(e > 2.0 && e < 12.0, s"linear-counting estimate $e far from 6")
+    // larger cardinality: estimate within +-35% of 500 (m=64 -> ~13% rse)
+    val big = (0 until 500).map(i => ("g", (i * 2654435761L + 12345) % 1000000007L))
+      .toDF("g", "khash")
+    val estB = Sketches.hllEstimate(
+      Sketches.hllRegisters(big, "khash", Seq("g"), p = 6), Seq("g"), p = 6).head()
+    val eb = estB.getAs[Double]("hll_est")
+    assert(eb > 325 && eb < 675, s"estimate $eb far from 500")
+    // mergeability: cell-wise max of shard registers == whole registers
+    def regCells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val (s1, s2) = (0 until 500).map(i => ("g", (i * 2654435761L + 12345) % 1000000007L)).splitAt(250)
+    val merged = Sketches.hllRegisters(s1.toDF("g", "khash"), "khash", Seq("g"), 6)
+      .union(Sketches.hllRegisters(s2.toDF("g", "khash"), "khash", Seq("g"), 6))
+      .groupBy(col("g"), col("reg")).agg(max(col("maxrho")).as("maxrho"))
+    assert(regCells(merged) == regCells(
+      Sketches.hllRegisters(big, "khash", Seq("g"), 6)))
+  }
 }
