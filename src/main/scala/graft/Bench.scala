@@ -28,8 +28,10 @@ object Bench {
     "q10_binning2d", "q17_daily_counts", "q26_ngram_jaccard", "q30_ann_topk",
     "q22_dedup_exact", "q25_fingerprint", "q41_sessionize", "q35_regrid",
     "q28_lsh_neardup",
-    // round-3 breadth: window physics, curvilinear weights, iterative graph
-    "q57_bolton_lcl", "q58_curvilinear_regrid", "q68_dedup_components")
+    // round-3 breadth: window physics, curvilinear weights, iterative
+    // graph, corpus statistics (TF-IDF double agg + broadcast vocabulary)
+    "q57_bolton_lcl", "q58_curvilinear_regrid", "q68_dedup_components",
+    "q79_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

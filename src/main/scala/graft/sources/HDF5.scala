@@ -12,10 +12,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * headers, symbol-table groups (local heap + v1 B-tree + SNOD nodes), and
   * CONTIGUOUS dataset storage for fixed-point/IEEE-float types.
   *
-  * Out of scope — rejected LOUDLY, never silently misread: chunked layouts
-  * (layout class 2), filter pipelines (deflate/shuffle), compact storage,
-  * object-header continuation blocks, v2+ superblocks. The seam is now "no
-  * COMPRESSED HDF5", not "no HDF5".
+  * CHUNKED storage (layout class 2, the libhdf5/netCDF-4 default) is also
+  * supported, including DEFLATE-filtered chunks: the v1 chunk B-tree
+  * (node type 1) is walked, each chunk inflated (java.util.zip) and tiled
+  * into place, with ragged edge chunks clipped — so a default
+  * `nc_def_var_deflate` netCDF-4 file decodes. Out of scope — rejected
+  * LOUDLY, never silently misread: non-deflate filters (shuffle/szip),
+  * compact storage, object-header continuation blocks, v2+ superblocks.
   *
   * The writer emits the same subset (one root group, N contiguous
   * datasets) so the decode path is provable without external fixtures, the
@@ -159,7 +162,9 @@ object HDF5 {
     var dtClass = -1
     var dtSize = -1
     var dataAddr = Undef
-    var dataSize = 0L
+    var chunkDims: Seq[Int] = Nil // element-count dims (element-size tail dropped)
+    var chunkBtree = Undef
+    var deflate = false
     foldMessages(bytes, addr).foreach { case (mtype, off) =>
       mtype match {
         case 0x0001 => // dataspace
@@ -184,20 +189,50 @@ object HDF5 {
           val v = b.get()
           require(v == 3, s"dataset $name: only v3 layout messages supported (got $v)")
           val cls = b.get()
-          require(cls == 1, s"dataset $name: layout class $cls unsupported — " +
-            "chunked (class 2) / compact (class 0) storage needs libhdf5; " +
-            "rewrite the file with contiguous layout")
-          dataAddr = b.getLong()
-          dataSize = b.getLong()
-        case 0x000B =>
-          throw new IllegalArgumentException(s"dataset $name: filter pipeline present " +
-            "(deflate/shuffle) — compressed HDF5 unsupported, decompress the file first")
+          cls match {
+            case 1 =>
+              dataAddr = b.getLong()
+              b.getLong() // size
+            case 2 =>
+              val nd = b.get() // dataset ndims + 1 (element-size tail)
+              chunkBtree = b.getLong()
+              chunkDims = (0 until nd - 1).map(_ => b.getInt())
+              b.getInt() // element size dim
+            case other => throw new IllegalArgumentException(
+              s"dataset $name: layout class $other unsupported — compact (class 0) " +
+                "storage needs libhdf5")
+          }
+        case 0x000B => // filter pipeline: accept deflate only
+          val b = buf(bytes, off)
+          val v = b.get()
+          require(v == 1, s"dataset $name: only v1 filter pipelines supported (got $v)")
+          val nf = b.get() & 0xff
+          b.getShort(); b.getInt() // reserved
+          (0 until nf).foreach { _ =>
+            val id = b.getShort() & 0xffff
+            val nameLen = b.getShort() & 0xffff
+            b.getShort() // flags
+            val nVals = b.getShort() & 0xffff
+            (0 until nameLen).foreach(_ => b.get())
+            (0 until nVals).foreach(_ => b.getInt())
+            if (nVals % 2 == 1) b.getInt() // pad to 8
+            require(id == 1, s"dataset $name: filter id $id unsupported — " +
+              "only deflate (1) is implemented; shuffle/szip need libhdf5")
+            deflate = true
+          }
         case _ => () // NIL, attributes, mod-time, fill value: skipped
       }
     }
-    require(dtClass >= 0 && dataAddr != Undef, s"dataset $name: incomplete object header")
+    require(dtClass >= 0 && (dataAddr != Undef || chunkBtree != Undef),
+      s"dataset $name: incomplete object header")
     val n = dims.product.toInt // empty dims = scalar (product 1)
-    val b = buf(bytes, dataAddr.toInt)
+    val raw: Array[Byte] =
+      if (chunkBtree == Undef) {
+        require(!deflate, s"dataset $name: filtered contiguous data unsupported")
+        java.util.Arrays.copyOfRange(bytes, dataAddr.toInt, dataAddr.toInt + n * dtSize)
+      } else
+        assembleChunks(bytes, name, chunkBtree, dims.map(_.toInt), chunkDims, dtSize, deflate)
+    val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -214,15 +249,129 @@ object HDF5 {
     H5Dataset(name, dims, out)
   }
 
+  /** Walk the v1 chunk B-tree (node type 1) and tile every chunk into a
+    * row-major byte image of the full dataset; ragged edge chunks clip. */
+  private def assembleChunks(bytes: Array[Byte], name: String, btreeAddr: Long,
+      dims: Seq[Int], chunkDims: Seq[Int], elemSize: Int, deflate: Boolean): Array[Byte] = {
+    require(chunkDims.size == dims.size,
+      s"dataset $name: chunk rank ${chunkDims.size} != dataset rank ${dims.size}")
+    val nd = dims.size
+    val total = dims.product * elemSize
+    val out = new Array[Byte](total)
+    // row-major strides in elements
+    val strides = new Array[Long](nd)
+    var acc = 1L
+    for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= dims(k) }
+
+    def walk(addr: Long): Unit = {
+      val b = buf(bytes, addr.toInt)
+      val sig = Array.fill(4)(b.get())
+      require(new String(sig.map(_.toChar)) == "TREE", s"dataset $name: bad chunk B-tree")
+      val nodeType = b.get()
+      require(nodeType == 1, s"dataset $name: B-tree node type $nodeType (expected chunks)")
+      val level = b.get()
+      val used = b.getShort() & 0xffff
+      b.getLong(); b.getLong() // siblings
+      (0 until used).foreach { _ =>
+        // key: chunk byte size, filter mask, offsets (nd + 1, last 0)
+        val nbytes = b.getInt()
+        b.getInt() // filter mask
+        val offsets = (0 until nd).map(_ => b.getLong())
+        b.getLong() // element-size dimension offset (always 0)
+        val child = b.getLong()
+        if (level == 0) {
+          val comp = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + nbytes)
+          val chunkBytes =
+            if (deflate) {
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(comp)
+              val outBuf = new java.io.ByteArrayOutputStream()
+              val tmp = new Array[Byte](8192)
+              while (!inf.finished()) {
+                val k = inf.inflate(tmp)
+                require(k > 0 || inf.finished(), s"dataset $name: truncated deflate chunk")
+                outBuf.write(tmp, 0, k)
+              }
+              inf.end()
+              outBuf.toByteArray
+            } else comp
+          // tile into place, clipping ragged edges
+          val nChunkElems = chunkDims.product
+          var ci = 0
+          while (ci < nChunkElems) {
+            // chunk-local coords (row-major within the chunk)
+            var rem = ci; var inBounds = true; var globalIdx = 0L
+            var k = nd - 1
+            while (k >= 0) {
+              val local = rem % chunkDims(k)
+              rem /= chunkDims(k)
+              val g = offsets(k) + local
+              if (g >= dims(k)) inBounds = false
+              globalIdx += g * strides(k)
+              k -= 1
+            }
+            if (inBounds)
+              System.arraycopy(chunkBytes, ci * elemSize, out, (globalIdx * elemSize).toInt, elemSize)
+            ci += 1
+          }
+        } else walk(child)
+      }
+    }
+    walk(btreeAddr)
+    out
+  }
+
   // ---------------------------------------------------------------- writer
 
-  final case class DsSpec(name: String, dims: Seq[Long], data: Array[Double])
+  /** chunkDims = None -> contiguous storage; Some(dims) -> chunked (with
+    * optional deflate), full chunks padded with 0.0 at ragged edges as
+    * libhdf5 stores them. */
+  final case class DsSpec(name: String, dims: Seq[Long], data: Array[Double],
+      chunkDims: Option[Seq[Int]] = None)
 
-  /** Write a minimal HDF5 file: one root group, contiguous float64
-    * datasets — the netCDF-4-classic-model shape for an uncompressed LES
-    * file. Layout: superblock / root header / heap / btree / snod /
-    * per-dataset (header, data). */
-  def write(specs: Seq[DsSpec]): Array[Byte] = {
+  /** Serialized (possibly deflated) payload of one full chunk. */
+  private def chunkPayload(s: DsSpec, cd: Seq[Int], origin: Seq[Long],
+      deflate: Boolean): Array[Byte] = {
+    val rank = cd.size
+    val dims = s.dims.map(_.toInt)
+    val strides = new Array[Long](rank)
+    var acc = 1L
+    for (k <- (rank - 1) to 0 by -1) { strides(k) = acc; acc *= dims(k) }
+    val n = cd.product
+    val bb = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+    var ci = 0
+    while (ci < n) {
+      var rem = ci; var inBounds = true; var globalIdx = 0L
+      var k = rank - 1
+      while (k >= 0) {
+        val local = rem % cd(k)
+        rem /= cd(k)
+        val g = origin(k) + local
+        if (g >= dims(k)) inBounds = false
+        globalIdx += g * strides(k)
+        k -= 1
+      }
+      bb.putDouble(if (inBounds) s.data(globalIdx.toInt) else 0.0)
+      ci += 1
+    }
+    val raw = bb.array()
+    if (!deflate) raw
+    else {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) outBuf.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      outBuf.toByteArray
+    }
+  }
+
+  /** Write a minimal HDF5 file: one root group, float64 datasets —
+    * contiguous by default, chunked (+deflate) per DsSpec.chunkDims.
+    * Layout: superblock / root header / heap / btree / snod /
+    * per-dataset (header, [chunk-btree + chunks | data]). */
+  def write(specs: Seq[DsSpec], deflate: Boolean = false): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
     val sorted = specs.sortBy(_.name) // SNOD entries must be name-ordered
     // ---- layout computation (all sections 8-aligned)
@@ -244,16 +393,45 @@ object HDF5 {
     val btreeLen = align8(24 + 2 * 8 + 8) // header + 1 (key,child) + final key
     val snodAddr = btreeAddr + btreeLen
     val snodLen = align8(8 + 40L * sorted.size)
-    // per-dataset: object header then data
+    // per-dataset: object header then data / chunk-btree + chunks
     var cursor = snodAddr + snodLen
     val headerAddrs = scala.collection.mutable.Map[String, Long]()
     val dataAddrs = scala.collection.mutable.Map[String, Long]()
+    val chunkBtreeAddrs = scala.collection.mutable.Map[String, Long]()
+    // name -> (origin, payload, address) per chunk
+    val chunkPlans = scala.collection.mutable.Map[String, Seq[(Seq[Long], Array[Byte], Long)]]()
+    def cross(ls: Seq[Seq[Long]]): Seq[Seq[Long]] =
+      ls.foldLeft(Seq(Seq.empty[Long]))((acc, l) => for (a <- acc; x <- l) yield a :+ x)
     sorted.foreach { s =>
-      val spaceMsg = align8(8 + 8L * s.dims.size)
-      val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + (8 + 24)
+      val rank = s.dims.size
+      val spaceMsg = align8(8 + 8L * rank)
       headerAddrs(s.name) = cursor
-      dataAddrs(s.name) = cursor + headerLen
-      cursor = dataAddrs(s.name) + align8(8L * s.data.length)
+      s.chunkDims match {
+        case None =>
+          val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + (8 + 24)
+          dataAddrs(s.name) = cursor + headerLen
+          cursor = dataAddrs(s.name) + align8(8L * s.data.length)
+        case Some(cd) =>
+          require(cd.size == rank, s"${s.name}: chunk rank != dataset rank")
+          val layoutMsg = align8(3 + 8 + 4L * (rank + 1))
+          val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + (8 + layoutMsg) +
+            (if (deflate) 8 + 24 else 0)
+          val btreeAddr = cursor + headerLen
+          chunkBtreeAddrs(s.name) = btreeAddr
+          val origins = cross(cd.zip(s.dims).map { case (c, d) =>
+            0L.until(d).by(c.toLong) })
+          require(origins.size <= 128, s"${s.name}: >128 chunks needs a multi-node B-tree")
+          val keySize = 8 + 8 * (rank + 1)
+          val btreeLen = align8(24L + origins.size * (keySize + 8) + keySize)
+          var caddr = btreeAddr + btreeLen
+          chunkPlans(s.name) = origins.map { o =>
+            val payload = chunkPayload(s, cd, o, deflate)
+            val a = caddr
+            caddr = align8(caddr + payload.length)
+            (o, payload, a)
+          }
+          cursor = caddr
+      }
     }
     val total = cursor
     require(total <= Int.MaxValue, s"HDF5 export of $total bytes exceeds builder limit")
@@ -324,18 +502,25 @@ object HDF5 {
     sorted.foreach { s =>
       require(s.data.length.toLong == s.dims.product,
         s"dataset ${s.name}: data length ${s.data.length} != ${s.dims.product}")
+      val rank = s.dims.size
       out.position(headerAddrs(s.name).toInt)
-      val spaceMsg = align8(8 + 8L * s.dims.size).toInt
+      val spaceMsg = align8(8 + 8L * rank).toInt
+      val layoutMsg = s.chunkDims match {
+        case None => 24
+        case Some(_) => align8(3 + 8 + 4L * (rank + 1)).toInt
+      }
+      val hasFilter = s.chunkDims.isDefined && deflate
+      val nMsg = 3 + (if (hasFilter) 1 else 0)
       out.put(1.toByte); out.put(0.toByte)
-      out.putShort(3)
+      out.putShort(nMsg.toShort)
       out.putInt(1)
-      out.putInt((8 + spaceMsg) + (8 + 24) + (8 + 24))
+      out.putInt((8 + spaceMsg) + (8 + 24) + (8 + layoutMsg) + (if (hasFilter) 8 + 24 else 0))
       out.putInt(0)
       // dataspace v1
       out.putShort(0x0001); out.putShort(spaceMsg.toShort)
       out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
       out.put(1.toByte) // version
-      out.put(s.dims.size.toByte)
+      out.put(rank.toByte)
       out.put(0.toByte) // flags: no maxdims
       out.put(0.toByte); out.putInt(0)
       s.dims.foreach(out.putLong)
@@ -354,17 +539,66 @@ object HDF5 {
       out.put(0.toByte); out.put(52.toByte) // mantissa loc/size
       out.putInt(1023) // exponent bias
       out.putInt(0) // pad to 24
-      // layout v3 contiguous
-      out.putShort(0x0008); out.putShort(24)
-      out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
-      out.put(3.toByte); out.put(1.toByte)
-      out.putLong(dataAddrs(s.name))
-      out.putLong(8L * s.data.length)
-      out.put(0.toByte); out.put(0.toByte); out.put(0.toByte);
-      out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
-      // data
-      out.position(dataAddrs(s.name).toInt)
-      s.data.foreach(out.putDouble)
+      s.chunkDims match {
+        case None =>
+          // layout v3 contiguous
+          out.putShort(0x0008); out.putShort(24)
+          out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+          out.put(3.toByte); out.put(1.toByte)
+          out.putLong(dataAddrs(s.name))
+          out.putLong(8L * s.data.length)
+          out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+          out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+          out.position(dataAddrs(s.name).toInt)
+          s.data.foreach(out.putDouble)
+        case Some(cd) =>
+          // layout v3 chunked
+          out.putShort(0x0008); out.putShort(layoutMsg.toShort)
+          out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+          val layoutStart = out.position()
+          out.put(3.toByte); out.put(2.toByte)
+          out.put((rank + 1).toByte)
+          out.putLong(chunkBtreeAddrs(s.name))
+          cd.foreach(out.putInt)
+          out.putInt(8) // element size "dimension"
+          out.position(layoutStart + layoutMsg)
+          if (hasFilter) {
+            // filter pipeline v1: one deflate filter, level in client data
+            out.putShort(0x000B); out.putShort(24)
+            out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+            out.put(1.toByte); out.put(1.toByte) // version, nfilters
+            out.putShort(0); out.putInt(0) // reserved
+            out.putShort(1) // filter id: deflate
+            out.putShort(0) // name length
+            out.putShort(0) // flags
+            out.putShort(1) // n client values
+            out.putInt(6) // deflate level
+            out.putInt(0) // pad to even
+          }
+          // chunk B-tree: one leaf, name-ordered entries + final key
+          val chunks = chunkPlans(s.name)
+          out.position(chunkBtreeAddrs(s.name).toInt)
+          out.put('T'.toByte); out.put('R'.toByte); out.put('E'.toByte); out.put('E'.toByte)
+          out.put(1.toByte) // node type: raw data chunks
+          out.put(0.toByte) // leaf
+          out.putShort(chunks.size.toShort)
+          out.putLong(Undef); out.putLong(Undef)
+          chunks.foreach { case (origin, payload, addr) =>
+            out.putInt(payload.length)
+            out.putInt(0) // filter mask
+            origin.foreach(out.putLong)
+            out.putLong(0L) // element-size dim offset
+            out.putLong(addr)
+          }
+          // final key: the past-the-end chunk coordinates
+          out.putInt(0); out.putInt(0)
+          s.dims.foreach(out.putLong)
+          out.putLong(0L)
+          chunks.foreach { case (_, payload, addr) =>
+            out.position(addr.toInt)
+            out.put(payload)
+          }
+      }
     }
     out.array()
   }

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   *    triplet list to the one-row-per-collection counts frame; with a
   *    single collection the key constant-folds and the (explicitly
   *    broadcast) 1-row side nested-loops
+  *  - q79_tfidf: the corpus size N is a one-row count frame explicitly
+  *    broadcast-cross-joined onto the term table (idf needs N on every
+  *    row; a 1-row broadcast nested loop IS the right plan)
   */
 class PlanRegressionSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-  private val bnljAllowed = Set("q30_ann_topk", "q48_e2e_slice", "q36_triplet_specs")
+  private val bnljAllowed =
+    Set("q30_ann_topk", "q48_e2e_slice", "q36_triplet_specs", "q79_tfidf")
 
   /** Plan with AQE off: the static plan exposes codegen stages and join
     * strategies directly (AQE only re-plans at runtime from this shape). */

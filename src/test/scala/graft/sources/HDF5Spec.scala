@@ -40,29 +40,42 @@ class HDF5Spec extends SparkSpec {
     assert(rows.find(_._1 == "lwp").get._2 == "3x4x4")
   }
 
-  test("chunked layout is rejected loudly, not misread") {
-    val bytes = HDF5.write(lesFixture)
-    // byte surgery: find a v3 contiguous layout message (type 0x0008,
-    // size 24, then version=3 class=1) and flip its class to 2 (chunked)
-    val pat = Array[Byte](0x08, 0x00, 24, 0x00, 0, 0, 0, 0, 3, 1)
-    val idx = bytes.indices.find(i =>
-      i + pat.length <= bytes.length && pat.indices.forall(j => bytes(i + j) == pat(j)))
-    assert(idx.isDefined, "layout message not found in written bytes")
-    bytes(idx.get + 9) = 2
-    val e = intercept[IllegalArgumentException](HDF5.read(bytes))
-    assert(e.getMessage.contains("layout class 2"))
+  test("chunked storage round-trips, including deflate and ragged edge chunks") {
+    // chunk (2,3,3) over (3,4,4): ragged in every dimension
+    val chunky = lesFixture.map {
+      case s if s.name == "lwp" => s.copy(chunkDims = Some(Seq(2, 3, 3)))
+      case s => s.copy(chunkDims = Some(Seq(2)))
+    }
+    for (deflate <- Seq(false, true)) {
+      val bytes = HDF5.write(chunky, deflate = deflate)
+      val back = HDF5.read(bytes)
+      assert(back.map(_.name).sorted == Seq("lwp", "time", "x", "y"), s"deflate=$deflate")
+      val lwp = back.find(_.name == "lwp").get
+      assert(lwp.dims == Seq(3L, 4L, 4L))
+      assert(lwp.data.toSeq == lesFixture.last.data.toSeq, s"deflate=$deflate")
+      assert(back.find(_.name == "time").get.data.toSeq == Seq(0.0, 1.0, 2.0))
+    }
+    // deflate actually compresses: constant field shrinks below raw size
+    val big = Seq(HDF5.DsSpec("c", Seq(32, 32), Array.fill(1024)(1.5),
+      chunkDims = Some(Seq(16, 16))))
+    assert(HDF5.write(big, deflate = true).length < HDF5.write(big, deflate = false).length - 4000)
   }
 
-  test("filter pipelines and new-format superblocks are rejected loudly") {
-    val bytes = HDF5.write(lesFixture)
-    // flip a datatype message (0x0003, size 24) into a filter-pipeline
-    // message (0x000B): reader must refuse compressed data
-    val pat = Array[Byte](0x03, 0x00, 24, 0x00)
-    val idx = bytes.indices.find(i => pat.indices.forall(j => bytes(i + j) == pat(j))).get
-    bytes(idx) = 0x0B
+  test("non-deflate filters are rejected loudly, not misread") {
+    val chunky = Seq(lesFixture.last.copy(chunkDims = Some(Seq(1, 4, 4))))
+    val bytes = HDF5.write(chunky, deflate = true)
+    // byte surgery: flip the deflate filter id (1) to shuffle (2) in the
+    // filter-pipeline message (0x000B, size 24, ver 1, nf 1, reserved)
+    val pat = Array[Byte](0x0B, 0x00, 24, 0x00, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 1, 0)
+    val idx = bytes.indices.find(i =>
+      i + pat.length <= bytes.length && pat.indices.forall(j => bytes(i + j) == pat(j)))
+    assert(idx.isDefined, "filter message not found in written bytes")
+    bytes(idx.get + 16) = 2
     val e = intercept[IllegalArgumentException](HDF5.read(bytes))
-    assert(e.getMessage.contains("compressed HDF5 unsupported"))
+    assert(e.getMessage.contains("filter id 2"))
+  }
 
+  test("new-format superblocks are rejected loudly") {
     val v2 = HDF5.write(lesFixture)
     v2(8) = 2 // superblock version
     val e2 = intercept[IllegalArgumentException](HDF5.read(v2))
