@@ -738,6 +738,52 @@ object LlmQueries {
         .agg(countDistinct(col("tok")).as("true_distinct"))
       est.join(truth, "source")
         .select(col("source"), col("v0"), col("hll_est_r6"), col("true_distinct"))
+    },
+
+    // ---- gzipped-JSONL corpus ingest ------------------------------------
+    // The de-facto LLM corpus interchange format: one JSON document per
+    // line, gzip whole-file compression. The query WRITES a .jsonl.gz
+    // fixture (RFC 8259 escaping, deterministic order) from the documents
+    // slice, ingests it through spark.read.json's transparent gzip codec,
+    // and the oracle reads the SAME file with DuckDB's read_json — so the
+    // decompress+parse chain of both engines must agree on every field
+    // (text compared via md5 to pin exact string identity).
+    QueryDef.sqlBacked(
+      "q81_jsonl_gz",
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS text_len, md5(text) AS text_md5
+        |FROM read_json('/tmp/graft_q81/docs.jsonl.gz',
+        |  format='newline_delimited', compression='gzip',
+        |  columns={doc_id: 'BIGINT', source: 'VARCHAR', text: 'VARCHAR'})""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy(col("doc_id"))
+        .collect() // bounded fixture slice (200 rows), not a data path
+      def jstr(v: String): String = "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val dir = java.nio.file.Paths.get("/tmp/graft_q81")
+      java.nio.file.Files.createDirectories(dir)
+      val gz = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve("docs.jsonl.gz")))
+      docs.foreach { r =>
+        val line = s"""{"doc_id": ${r.getLong(0)}, "source": ${jstr(r.getString(1))}, "text": ${jstr(r.getString(2))}}\n"""
+        gz.write(line.getBytes("UTF-8"))
+      }
+      gz.close()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json("/tmp/graft_q81/docs.jsonl.gz")
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("text_len"), md5(col("text")).as("text_md5"))
     }
   )
 }
