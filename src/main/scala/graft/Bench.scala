@@ -29,8 +29,11 @@ object Bench {
     "q22_dedup_exact", "q25_fingerprint", "q41_sessionize", "q35_regrid",
     "q28_lsh_neardup",
     // round-3 breadth: window physics, curvilinear weights, iterative
-    // graph, corpus statistics (TF-IDF double agg + broadcast vocabulary)
-    "q57_bolton_lcl", "q58_curvilinear_regrid", "q68_dedup_components",
+    // graph, corpus statistics (TF-IDF double agg + size-gated vocabulary
+    // join). Round 4: the CC headline entry is the ALT-STAR variant
+    // (q75, O(log n) rounds) — the pipeline default at scale; q68 stays
+    // in the correctness gate as the simple-recurrence proof.
+    "q57_bolton_lcl", "q58_curvilinear_regrid", "q75_altstar_components",
     "q79_tfidf")
 
   def main(args: Array[String]): Unit = {

@@ -120,10 +120,22 @@ object TextAnalysis {
 
   /** TF-IDF top terms per document: tf = raw in-doc count, idf =
     * ln(N/df) over the corpus, ranked (score desc, token) within each
-    * document. The document-frequency table is tiny next to the corpus
-    * (vocabulary-sized) and broadcast-joins back onto the term counts;
-    * everything else is two hash aggregations. */
-  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    * document; everything else is two hash aggregations.
+    *
+    * The document-frequency join is SIZE-GATED, not force-broadcast:
+    * vocabularies are unbounded (typos, code, UTF soup — a 100 TB corpus
+    * has billions of distinct tokens), so an unconditional broadcast of
+    * docFreq is a driver/executor OOM at scale.
+    * `broadcastVocab = None` (default) declares a plain equi-join and
+    * lets AQE pick: it observes the REAL docFreq shuffle size at runtime
+    * and converts to broadcast only under
+    * `spark.sql.autoBroadcastJoinThreshold` — exactly the byte budget
+    * the verdict asks for, enforced by the engine. `Some(true)` forces
+    * the broadcast (known-tiny vocab), `Some(false)` forces a shuffled
+    * hash join (the 100 TB pipeline setting — build side is one
+    * vocab partition, never a whole-vocab driver copy). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
+      broadcastVocab: Option[Boolean] = None): DataFrame = {
     val perTok = df
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
@@ -134,8 +146,13 @@ object TextAnalysis {
     // identically across engines, and 6 dp absorbs the libm ln ulp; the
     // tie-break is the token's integer hash, not the string, so no
     // cross-engine collation assumption is needed
+    val dfSide = broadcastVocab match {
+      case Some(true)  => broadcast(docFreq)
+      case Some(false) => docFreq.hint("shuffle_hash")
+      case None        => docFreq // AQE: runtime-size-gated broadcast
+    }
     val scored = perTok
-      .join(broadcast(docFreq), "tok")
+      .join(dfSide, "tok")
       .crossJoin(broadcast(n))
       .withColumn("score_r6",
         round(col("tf").cast("double")

@@ -230,8 +230,11 @@ object Dedup {
     // labels only ever DECREASE (least of self and neighbor minima), so
     // the decimal label sum is a complete convergence witness — one tiny
     // aggregation per round instead of a self-join change count
+    // sum() over zero rows is SQL NULL — an empty pairs input (corpus with
+    // no near-dups) must converge to an empty labeling, not NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
@@ -313,8 +316,12 @@ object Dedup {
     while (!converged && it < maxIter) {
       val e1 = largeStar(edges).localCheckpoint(true)
       val e2 = smallStar(e1).localCheckpoint(true)
-      val changed = e2.count() != edges.count() ||
-        e2.except(edges).limit(1).count() > 0
+      // exact set-equality in ONE job: both sides are distinct, so in the
+      // union an unchanged edge appears exactly twice — any group with
+      // count != 2 is a symmetric-difference witness (replaces the
+      // count() + except() pair: three jobs -> one small agg)
+      val changed = !e2.union(edges).groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("c")).where(col("c") =!= 2).isEmpty
       edges = e2
       converged = !changed
       it += 1

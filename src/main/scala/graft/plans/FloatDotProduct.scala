@@ -16,10 +16,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * count (measured ~6x on the label-blocked cosine join). Zero-allocation
   * loop, stays inside whole-stage codegen.
   *
-  * Bit-parity: identical to the HOF form — a strict left-to-right fold
-  * starting from +0.0 with each term cast to double before multiply —
-  * so DuckDB's `list_reduce` comprehension oracle keeps matching
-  * (DedupSimilaritySpec asserts native == HOF on the real table). */
+  * Bit-parity (equal-length arrays with non-null elements — every
+  * embedding column in the engine): identical to the HOF form — a strict
+  * left-to-right fold starting from +0.0 with each term cast to double
+  * before multiply — so DuckDB's `list_reduce` comprehension oracle keeps
+  * matching (DedupSimilaritySpec asserts native == HOF on the real
+  * table). Off that path the two diverge by design: unequal lengths
+  * truncate to the shorter here (zip_with pads with null and the HOF
+  * fold returns NULL), and a null element reads as 0.0f via getFloat
+  * (the HOF returns NULL). */
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 

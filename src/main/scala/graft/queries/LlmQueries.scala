@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
   private val P = TextAnalysis.HashMod
 
+  /** Per-JVM fixture path for q81: a fresh temp dir per run means
+    * concurrent Verify/Bench processes on one host cannot clobber each
+    * other's fixture mid-read; the interpolated oracle SQL carries the
+    * same path to DuckDB (which the driver runs after the Spark side has
+    * written the file). */
+  private lazy val q81FixturePath: String =
+    java.nio.file.Files.createTempDirectory("graft_q81_")
+      .resolve("docs.jsonl.gz").toString
+
   /** DuckDB: distinct 3-gram shingle list of `text`. */
   private val SHINGLES_SQL =
     "list_distinct([substr(text, i, 3) FOR i IN range(1, len(text) - 1)])"
@@ -750,8 +759,8 @@ object LlmQueries {
     // (text compared via md5 to pin exact string identity).
     QueryDef.sqlBacked(
       "q81_jsonl_gz",
-      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS text_len, md5(text) AS text_md5
-        |FROM read_json('/tmp/graft_q81/docs.jsonl.gz',
+      s"""SELECT doc_id, source, CAST(length(text) AS BIGINT) AS text_len, md5(text) AS text_md5
+        |FROM read_json('$q81FixturePath',
         |  format='newline_delimited', compression='gzip',
         |  columns={doc_id: 'BIGINT', source: 'VARCHAR', text: 'VARCHAR'})""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -768,10 +777,8 @@ object LlmQueries {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-      val dir = java.nio.file.Paths.get("/tmp/graft_q81")
-      java.nio.file.Files.createDirectories(dir)
       val gz = new java.util.zip.GZIPOutputStream(
-        java.nio.file.Files.newOutputStream(dir.resolve("docs.jsonl.gz")))
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(q81FixturePath)))
       docs.foreach { r =>
         val line = s"""{"doc_id": ${r.getLong(0)}, "source": ${jstr(r.getString(1))}, "text": ${jstr(r.getString(2))}}\n"""
         gz.write(line.getBytes("UTF-8"))
@@ -781,7 +788,7 @@ object LlmQueries {
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
-      s.read.schema(schema).json("/tmp/graft_q81/docs.jsonl.gz")
+      s.read.schema(schema).json(q81FixturePath)
         .select(col("doc_id"), col("source"),
           length(col("text")).cast("long").as("text_len"), md5(col("text")).as("text_md5"))
     }

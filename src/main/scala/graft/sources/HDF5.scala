@@ -384,7 +384,9 @@ object HDF5 {
     var heapCursor = 8L
     sorted.foreach { s =>
       nameOffsets(s.name) = heapCursor
-      heapCursor = align8(heapCursor + s.name.length + 1)
+      // slot size from the UTF-8 BYTE length (written below), not the
+      // UTF-16 char count — non-ASCII names would overrun their slot
+      heapCursor = align8(heapCursor + s.name.getBytes("UTF-8").length + 1)
     }
     val heapDataLen = heapCursor
     val heapHeaderLen = 32

@@ -104,6 +104,28 @@ class PlanRegressionSpec extends SparkSpec {
       s"q68 label join regressed:\n${plan.take(1200)}")
   }
 
+  test("tfidf vocabulary join honors the size gate in both forced modes") {
+    // the unconditional-broadcast scale bug (round-3 verdict): docFreq is
+    // vocabulary-sized and vocabularies are unbounded. Some(true) must
+    // broadcast, Some(false) must plan a shuffled hash join (the 100 TB
+    // setting); the default None leaves the choice to AQE's runtime
+    // byte budget.
+    import graft.functions.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val b = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3,
+        broadcastVocab = Some(true)).queryExecution.executedPlan.toString
+      assert(b.contains("BroadcastHashJoin"), s"forced broadcast lost:\n${b.take(1200)}")
+      assert(!b.contains("ShuffledHashJoin"), "forced broadcast still shuffles the vocab")
+      val sh = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3,
+        broadcastVocab = Some(false)).queryExecution.executedPlan.toString
+      assert(sh.contains("ShuffledHashJoin"), s"forced shuffle mode lost:\n${sh.take(1200)}")
+      assert(!sh.contains("BroadcastHashJoin"),
+        "vocab must not broadcast in the forced-shuffle (100 TB) mode")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q53: time filter pushes into the DSv2 scan (residual-free)") {
     val plan = planOf("q53_dsv2_calendar")
     assert(plan.contains("graft-calendar scan"), "expected the custom calendar scan")

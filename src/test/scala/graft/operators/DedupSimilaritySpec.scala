@@ -97,4 +97,12 @@ class DedupSimilaritySpec extends SparkSpec {
       Dedup.connectedComponents(longChain, "id_a", "id_b", maxIter = 3)
     }
   }
+
+  test("connectedComponents of an empty pairs input is an empty labeling") {
+    // a corpus with zero near-dup pairs is the COMMON case for a clean
+    // shard — must return empty, not NPE on the null sum-over-zero-rows
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)
+    assert(Dedup.connectedComponentsAltStar(empty, "id_a", "id_b").count() == 0L)
+  }
 }
