@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** The q82 MLP restated as SQL: hidden_j = relu(Σ_i x_i·w1[i,j] + b1_j),
+    * out_k = Σ_j hidden_j·w2[j,k] + b2_k — summation written term-by-term
+    * LEFT TO RIGHT so DuckDB's double arithmetic replays the executor's
+    * accumulation order bit-for-bit (weights are exact eighths, so their
+    * decimal literals are exact doubles). */
+  private def q82OracleSql: String = {
+    import graft.embeddings.OnnxWriter
+    val (d, h, e) = (64, 8, 4)
+    val w1 = OnnxWriter.w1(d, h); val b1 = OnnxWriter.b1(h)
+    val w2 = OnnxWriter.w2(h, e); val b2 = OnnxWriter.b2(e)
+    val hidden = (0 until h).map { j =>
+      val terms = (0 until d)
+        .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) * ${w1(i * h + j)}")
+        .mkString(" + ")
+      s"CASE WHEN $terms + ${b1(j)} > 0 THEN $terms + ${b1(j)} ELSE 0.0 END AS h$j"
+    }.mkString(",\n    ")
+    val outs = (0 until e).map { k =>
+      val terms = (0 until h).map(j => s"h$j * ${w2(j * e + k)}").mkString(" + ")
+      s"SELECT vec_id, CAST($k AS BIGINT) AS k, CAST($terms + ${b2(k)} AS REAL) AS v FROM hid"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH hid AS (
+       |  SELECT vec_id,
+       |    $hidden
+       |  FROM embeddings)
+       |$outs""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- C11: filter mini-DSL compiled to predicates + percentile -------
@@ -162,6 +189,26 @@ object PipelineQueries {
         new Inference.LinearStubModel(8))
       emb.select(col("tile_id"), posexplode(col("emb")).as(Seq("k", "v")))
         .select(col("tile_id"), col("k").cast("long").as("k"), col("v"))
+    },
+
+    // ---- M1 closed: REAL ONNX model file through the inference path -----
+    // The model is a genuine serialized ONNX ModelProto (written by the
+    // independent OnnxWriter encoder, loaded by the pure-JVM wire-format
+    // reader) — Gemm+Relu+MatMul+Add over the 64-d embedding vectors.
+    // Weights are exact-in-float32 eighths, accumulation is double with
+    // one final float cast, and the oracle restates the whole MLP as
+    // explicit left-to-right SQL arithmetic — so the hash match proves
+    // the ONNX decode + executor chain value-for-value, not just shape.
+    QueryDef.sqlBacked("q82_onnx_inference", q82OracleSql) { (s, d) =>
+      import graft.embeddings.{Inference, Onnx, OnnxWriter}
+      val model = new Onnx.OnnxModel(OnnxWriter.mlpModelBytes(64, 8, 4))
+      val tiles = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("values"))
+      Inference.embedTiles(tiles, "vec_id", "values", model)
+        .select(col("tile_id").as("vec_id"),
+          posexplode(col("emb")).as(Seq("k", "v")))
+        .select(col("vec_id"), col("k").cast("long").as("k"), col("v"))
     },
 
     // ---- Structured Streaming == batch, proven by the driver gate -------
