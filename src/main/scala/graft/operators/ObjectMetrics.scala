@@ -41,15 +41,11 @@ object ObjectMetrics {
       mean_size: Double,
       iorg: Option[Double])
 
-  /** Label + summarise objects in one masked-pixel set.
-    * Pixel index p encodes (i, j) as `j * nx + i`, row-major. */
-  private[operators] def summarize(maskedPx: Array[Long], nx: Int, ny: Int): ObjectStats = {
-    val px = maskedPx.distinct.sorted
+  /** 4-connectivity union-find labeling over the (deduped, sorted) pixel
+    * set: returns the root INDEX per pixel; `px(root)` is the component's
+    * min-pixel-id label (union always keeps the smaller id as root). */
+  private def labelPx(px: Array[Long], nx: Int): Array[Int] = {
     val nPx = px.length
-    if (nPx == 0) return ObjectStats(0L, 0L, 0.0, None)
-
-    // union-find over the raster; roots resolve to the min pixel index
-    // of each component because union always keeps the smaller id.
     val idx = new java.util.HashMap[Long, Int](nPx * 2)
     var k = 0
     while (k < nPx) { idx.put(px(k), k); k += 1 }
@@ -72,18 +68,27 @@ object ObjectMetrics {
     while (k < nPx) {
       val p = px(k)
       val i = (p % nx).toInt
-      val j = (p / nx).toInt
       if (i > 0 && idx.containsKey(p - 1)) union(k, idx.get(p - 1))
-      if (j > 0 && idx.containsKey(p - nx)) union(k, idx.get(p - nx))
+      if (p >= nx && idx.containsKey(p - nx)) union(k, idx.get(p - nx))
       k += 1
     }
+    Array.tabulate(nPx)(find)
+  }
+
+  /** Label + summarise objects in one masked-pixel set.
+    * Pixel index p encodes (i, j) as `j * nx + i`, row-major. */
+  private[operators] def summarize(maskedPx: Array[Long], nx: Int, ny: Int): ObjectStats = {
+    val px = maskedPx.distinct.sorted
+    val nPx = px.length
+    if (nPx == 0) return ObjectStats(0L, 0L, 0.0, None)
+    val roots = labelPx(px, nx)
 
     // component -> (count, sum_i, sum_j), keyed by min-pixel-id label
     val comps = new java.util.TreeMap[Long, (Long, Long, Long)]()
-    k = 0
+    var k = 0
     while (k < nPx) {
       val p = px(k)
-      val label = px(find(k))
+      val label = px(roots(k))
       val i = p % nx
       val j = p / nx
       val cur = comps.getOrDefault(label, (0L, 0L, 0L))
@@ -163,11 +168,128 @@ object ObjectMetrics {
   /** Encoder carrier for the pixel-list buffer (bounded by the tile size). */
   final case class Buf(px: List[Long])
 
+  // ------------------------------------------------------ morphology (M5)
+  /** Per-tile object morphology: the `max_object_fraction` and
+    * `mean_eccentricity` plugins of the cloudmetrics mask family.
+    * `max_obj_frac` = largest object px / total masked px (exact integer
+    * division to double). Eccentricity per object comes from the 2x2
+    * pixel-coordinate covariance eigenvalues:
+    * ecc = sqrt(1 - lambda2/lambda1), 0 for degenerate (point/line-free)
+    * objects; per-object values are rounded to 1e-6 and summed as scaled
+    * INTEGERS so the cross-object mean is order-independent and the SQL
+    * oracle replays it exactly (sqrt is IEEE correctly-rounded; the only
+    * rounding seam is the 6-dp quantization itself). */
+  final case class MorphStats(
+      n_objects: Long,
+      mask_px: Long,
+      max_obj_frac: Double,
+      mean_ecc: Double)
+
+  private[operators] def morphologyOf(maskedPx: Array[Long], nx: Int): MorphStats = {
+    val px = maskedPx.distinct.sorted
+    val nPx = px.length
+    if (nPx == 0) return MorphStats(0L, 0L, 0.0, 0.0)
+    val roots = labelPx(px, nx)
+    // component -> [cnt, si, sj, sii, sjj, sij] (all exact integer sums)
+    val comps = new java.util.TreeMap[Long, Array[Long]]()
+    var k = 0
+    while (k < nPx) {
+      val p = px(k)
+      val label = px(roots(k))
+      val i = p % nx
+      val j = p / nx
+      val s = comps.computeIfAbsent(label, _ => new Array[Long](6))
+      s(0) += 1; s(1) += i; s(2) += j
+      s(3) += i * i; s(4) += j * j; s(5) += i * j
+      k += 1
+    }
+    val n = comps.size()
+    var maxCnt = 0L
+    var ecc6Sum = 0L
+    val it = comps.values().iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      val cnt = s(0)
+      if (cnt > maxCnt) maxCnt = cnt
+      val cd = cnt.toDouble
+      val ci = s(1).toDouble / cd
+      val cj = s(2).toDouble / cd
+      val a = s(3).toDouble / cd - ci * ci
+      val c = s(4).toDouble / cd - cj * cj
+      val b = s(5).toDouble / cd - ci * cj
+      val disc = math.sqrt((a - c) / 2.0 * ((a - c) / 2.0) + b * b)
+      val l1 = (a + c) / 2.0 + disc
+      val l2 = (a + c) / 2.0 - disc
+      val ecc = if (l1 <= 0.0) 0.0 else math.sqrt(math.max(0.0, 1.0 - l2 / l1))
+      ecc6Sum += math.round(ecc * 1000000.0)
+      ()
+    }
+    MorphStats(n.toLong, nPx.toLong,
+      maxCnt.toDouble / nPx.toDouble,
+      ecc6Sum.toDouble / (n.toDouble * 1000000.0))
+  }
+
+  def morphology(nx: Int, ny: Int): Aggregator[Long, Buf, MorphStats] =
+    new Aggregator[Long, Buf, MorphStats] {
+      def zero: Buf = Buf(Nil)
+      def reduce(b: Buf, p: Long): Buf = Buf(p :: b.px)
+      def merge(a: Buf, b: Buf): Buf = Buf(a.px ::: b.px)
+      def finish(b: Buf): MorphStats = morphologyOf(b.px.toArray, nx)
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[MorphStats] = Encoders.product[MorphStats]
+    }
+
+  // -------------------------------------------------------- open sky (M5)
+  /** The `open_sky` plugin analog: per raster ROW, the longest contiguous
+    * CLEAR (unmasked) run; open_sky = sum of per-row maxima / (nx*ny).
+    * Computed from the masked set alone (clear runs are the gaps between
+    * consecutive masked i's, plus the borders), integer arithmetic until
+    * the single final division — exactly restatable as gaps-and-islands
+    * SQL over the clear pixels. */
+  final case class OpenSkyStats(mask_px: Long, open_sky: Double)
+
+  private[operators] def openSkyOf(maskedPx: Array[Long], nx: Int, ny: Int): OpenSkyStats = {
+    val px = maskedPx.distinct.sorted
+    var sumMax = 0L
+    var row = 0
+    var k = 0
+    while (row < ny) {
+      // px is sorted, so each row's masked i's are a contiguous slice
+      var maxRun = 0L
+      var prev = -1L // last masked i seen in this row
+      while (k < px.length && px(k) / nx == row) {
+        val i = px(k) % nx
+        val gap = i - prev - 1
+        if (gap > maxRun) maxRun = gap
+        prev = i
+        k += 1
+      }
+      val tail = nx - 1 - prev
+      if (tail > maxRun) maxRun = tail
+      sumMax += maxRun
+      row += 1
+    }
+    OpenSkyStats(px.length.toLong, sumMax.toDouble / (nx.toDouble * ny.toDouble))
+  }
+
+  def openSky(nx: Int, ny: Int): Aggregator[Long, Buf, OpenSkyStats] =
+    new Aggregator[Long, Buf, OpenSkyStats] {
+      def zero: Buf = Buf(Nil)
+      def reduce(b: Buf, p: Long): Buf = Buf(p :: b.px)
+      def merge(a: Buf, b: Buf): Buf = Buf(a.px ::: b.px)
+      def finish(b: Buf): OpenSkyStats = openSkyOf(b.px.toArray, nx, ny)
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[OpenSkyStats] = Encoders.product[OpenSkyStats]
+    }
+
   /** Registry hook mirroring TileMetrics.registry for mask-raster metrics
     * (the `a__b__c` dynamic-import analog for object-based metrics). */
-  def maskRegistry(name: String, nx: Int, ny: Int): TypedColumn[Long, ObjectStats] = name match {
+  def maskRegistry(name: String, nx: Int, ny: Int): TypedColumn[Long, _ <: Product] = name match {
     case "mask__iorg_objects" => iorgObjects(nx, ny).toColumn.name(name)
+    case "mask__morphology"   => morphology(nx, ny).toColumn.name(name)
+    case "mask__open_sky"     => openSky(nx, ny).toColumn.name(name)
     case other => throw new IllegalArgumentException(
-      s"unknown object metric '$other'; known: mask__iorg_objects")
+      s"unknown object metric '$other'; known: mask__iorg_objects, " +
+        "mask__morphology, mask__open_sky")
   }
 }

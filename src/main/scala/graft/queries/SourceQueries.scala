@@ -423,6 +423,137 @@ object SourceQueries {
           coalesce(col("stats.iorg"), lit(-1.0)).as("iorg"))
     },
 
+    // ---- M5 breadth: object morphology (max fraction + eccentricity) ----
+    // Two more mask-family plugins on the same labeling machinery:
+    // max_object_fraction (largest object / masked px) and
+    // mean_eccentricity (2x2 covariance eigenvalues per object, 1e-6
+    // quantized, integer-summed). The oracle repeats the recursive-CTE
+    // labeling and the exact closed-form eigen arithmetic.
+    QueryDef.sqlBacked(
+      "q83_object_morphology",
+      """WITH RECURSIVE
+        |px0 AS (
+        |  SELECT CAST(g.gid AS BIGINT) AS gid, g.gid // 256 AS t, g.gid % 256 AS p,
+        |         (g.gid % 256) % 16 AS i, (g.gid % 256) // 16 AS j,
+        |         (g.gid * 131 + 7) % 1000 AS seed
+        |  FROM range(0, 6144) g(gid)),
+        |px AS (
+        |  SELECT px0.t, px0.p, px0.i, px0.j
+        |  FROM px0 JOIN events e ON e.event_id = px0.seed
+        |  WHERE e.value > 80.0),
+        |edge AS (
+        |  SELECT a.t AS t, a.p AS u, b.p AS v
+        |  FROM px a JOIN px b ON a.t = b.t AND
+        |    ((b.i = a.i + 1 AND b.j = a.j) OR (b.i = a.i AND b.j = a.j + 1))),
+        |edges AS (SELECT t, u, v FROM edge UNION ALL SELECT t, v AS u, u AS v FROM edge),
+        |reach(t, p, q) AS (
+        |  SELECT t, p, p FROM px
+        |  UNION
+        |  SELECT r.t, r.p, e.v FROM reach r JOIN edges e ON e.t = r.t AND e.u = r.q),
+        |lbl AS (SELECT t, p, min(q) AS label FROM reach GROUP BY t, p),
+        |comp AS (
+        |  SELECT t, label, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(p % 16) AS BIGINT) AS si, CAST(sum(p // 16) AS BIGINT) AS sj,
+        |    CAST(sum((p % 16) * (p % 16)) AS BIGINT) AS sii,
+        |    CAST(sum((p // 16) * (p // 16)) AS BIGINT) AS sjj,
+        |    CAST(sum((p % 16) * (p // 16)) AS BIGINT) AS sij
+        |  FROM lbl GROUP BY t, label),
+        |mom AS (
+        |  SELECT t, cnt,
+        |    CAST(si AS DOUBLE) / CAST(cnt AS DOUBLE) AS ci,
+        |    CAST(sj AS DOUBLE) / CAST(cnt AS DOUBLE) AS cj,
+        |    CAST(sii AS DOUBLE) / CAST(cnt AS DOUBLE) AS mii,
+        |    CAST(sjj AS DOUBLE) / CAST(cnt AS DOUBLE) AS mjj,
+        |    CAST(sij AS DOUBLE) / CAST(cnt AS DOUBLE) AS mij
+        |  FROM comp),
+        |cov AS (
+        |  SELECT t, cnt, mii - ci * ci AS aa, mjj - cj * cj AS cc,
+        |         mij - ci * cj AS bb
+        |  FROM mom),
+        |eig AS (
+        |  SELECT t, cnt,
+        |    (aa + cc) / 2.0 + sqrt((aa - cc) / 2.0 * ((aa - cc) / 2.0) + bb * bb) AS l1,
+        |    (aa + cc) / 2.0 - sqrt((aa - cc) / 2.0 * ((aa - cc) / 2.0) + bb * bb) AS l2
+        |  FROM cov),
+        |eobj AS (
+        |  SELECT t, cnt,
+        |    CAST(round(CASE WHEN l1 <= 0.0 THEN 0.0
+        |      ELSE sqrt(greatest(0.0, 1.0 - l2 / l1)) END * 1000000.0) AS BIGINT) AS ecc6
+        |  FROM eig)
+        |SELECT t AS tile_id, CAST(count(*) AS BIGINT) AS n_objects,
+        |  CAST(sum(cnt) AS BIGINT) AS mask_px,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS max_obj_frac,
+        |  CAST(sum(ecc6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS mean_ecc
+        |FROM eobj GROUP BY t""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.ObjectMetrics
+      val pixels = s.range(6144)
+        .select(expr("id DIV 256").as("t"), (col("id") % 256).as("p"),
+          expr("(id * 131 + 7) % 1000").as("seed"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      val masked = pixels.join(ev, col("seed") === col("event_id"))
+        .where(col("value") > 80.0)
+        .select(col("t"), col("p"))
+      masked.as[(Long, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(ObjectMetrics.morphology(16, 16).toColumn)
+        .toDF("tile_id", "stats")
+        .select(col("tile_id"), col("stats.n_objects").as("n_objects"),
+          col("stats.mask_px").as("mask_px"),
+          col("stats.max_obj_frac").as("max_obj_frac"),
+          col("stats.mean_ecc").as("mean_ecc"))
+    },
+
+    // ---- M5 breadth: open sky (per-row longest clear run) ---------------
+    // The open_sky plugin analog, computed by the Aggregator from the
+    // masked set alone; the oracle recomputes it as gaps-and-islands SQL
+    // over the CLEAR pixels — two independent algorithms, one number.
+    QueryDef.sqlBacked(
+      "q84_open_sky",
+      """WITH
+        |px0 AS (
+        |  SELECT CAST(g.gid AS BIGINT) AS gid, g.gid // 256 AS t, g.gid % 256 AS p,
+        |         (g.gid % 256) % 16 AS i, (g.gid % 256) // 16 AS j,
+        |         (g.gid * 131 + 7) % 1000 AS seed
+        |  FROM range(0, 6144) g(gid)),
+        |mask AS (
+        |  SELECT px0.t, px0.p, px0.i, px0.j
+        |  FROM px0 JOIN events e ON e.event_id = px0.seed
+        |  WHERE e.value > 80.0),
+        |clear AS (
+        |  SELECT px0.t, px0.i, px0.j
+        |  FROM px0 JOIN events e ON e.event_id = px0.seed
+        |  WHERE NOT (e.value > 80.0)),
+        |runs AS (
+        |  SELECT t, j, i,
+        |    i - row_number() OVER (PARTITION BY t, j ORDER BY i) AS run0
+        |  FROM clear),
+        |runlen AS (
+        |  SELECT t, j, CAST(count(*) AS BIGINT) AS len
+        |  FROM runs GROUP BY t, j, run0),
+        |rowmax AS (SELECT t, j, max(len) AS maxrun FROM runlen GROUP BY t, j),
+        |summax AS (SELECT t, CAST(sum(maxrun) AS BIGINT) AS sm FROM rowmax GROUP BY t),
+        |tiles AS (SELECT t, CAST(count(*) AS BIGINT) AS mask_px FROM mask GROUP BY t)
+        |SELECT tiles.t AS tile_id, tiles.mask_px,
+        |  CAST(COALESCE(summax.sm, 0) AS DOUBLE) / 256.0 AS open_sky
+        |FROM tiles LEFT JOIN summax ON summax.t = tiles.t""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.operators.ObjectMetrics
+      val pixels = s.range(6144)
+        .select(expr("id DIV 256").as("t"), (col("id") % 256).as("p"),
+          expr("(id * 131 + 7) % 1000").as("seed"))
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      val masked = pixels.join(ev, col("seed") === col("event_id"))
+        .where(col("value") > 80.0)
+        .select(col("t"), col("p"))
+      masked.as[(Long, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(ObjectMetrics.openSky(16, 16).toColumn)
+        .toDF("tile_id", "stats")
+        .select(col("tile_id"), col("stats.mask_px").as("mask_px"),
+          col("stats.open_sky").as("open_sky"))
+    },
+
     // ---- G5 end-to-end: profile -> θ700/θ1000/Γ850 -> LTS/EIS -----------
     // The full era5/scalars.py:15-28 chain composed through the derived-
     // variable DAG: per-column ln(p) interpolation extracts θ/T at 700 and
