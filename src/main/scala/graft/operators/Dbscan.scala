@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Density-based clustering (DBSCAN) over 2-D points — the HDBSCAN slot
+  * of the reference's transform arg-parser
+  * (convml_data/pipeline/embeddings/transforms.py:87-102 parses
+  * `min_cluster_size`/`min_samples` for a density model; seeded KMeans
+  * stood in until now).
+  *
+  * Distributed shape (100 TB-safe):
+  *  - ε-neighbor candidate generation is the Regrid/Similarity bin-join:
+  *    snap points to an eps-sized grid, explode each point to its 3x3
+  *    neighbor cells, equi-join on the cell id — every true ε-pair falls
+  *    in some adjacent cell, so the exact distance filter runs on
+  *    candidates only (never all pairs; shuffle key is an integer cell).
+  *  - core points = ε-degree >= minPts (degree counts the point itself,
+  *    the standard DBSCAN convention) — one groupBy.
+  *  - clusters = connected components over CORE-CORE ε-edges via the
+  *    O(log n) alternating-star recurrence ([[Dedup.connectedComponentsAltStar]]);
+  *    the cluster label is the min core id, deterministic and
+  *    oracle-reproducible.
+  *  - border points (non-core with a core ε-neighbor) adopt the MINIMUM
+  *    neighbor cluster label (deterministic tie-break); the rest is
+  *    noise, labeled -1.
+  *
+  * Output: (pid, cluster, is_core) — one row per input point. */
+object Dbscan {
+
+  def cluster(points: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    val eps2 = eps * eps
+    val pts = points.select(
+      col(idCol).cast("long").as("pid"),
+      col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    val binned = pts
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // probe side: each point visits its 3x3 cell neighborhood; build side
+    // keeps the home cell only, so every unordered pair meets exactly in
+    // the build point's home cell
+    val offsets = array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+      struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj")))): _*)
+    val probes = binned.select(
+      col("pid").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+      explode(offsets).as("o"), col("cx"), col("cy"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        (col("cx") + col("o.di")).as("jcx"), (col("cy") + col("o.dj")).as("jcy"))
+    val build = binned.select(
+      col("pid").as("b_id"), col("x").as("bx"), col("y").as("by"),
+      col("cx").as("jcx"), col("cy").as("jcy"))
+    val dist2: Column =
+      (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    // ε-pairs, self included (degree counts the point itself)
+    val pairs = probes.join(build, Seq("jcx", "jcy"))
+      .where(dist2 <= eps2)
+      .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val core = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= minPts)
+      .select(col("a_id").as("pid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("pid", "a_id"), "a_id")
+      .join(core.withColumnRenamed("pid", "b_id"), "b_id")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val comp = Dedup.connectedComponentsAltStar(coreEdges, "a_id", "b_id")
+    // singleton cores (no core neighbor) label themselves
+    val coreLabels = core
+      .join(comp.withColumnRenamed("node", "pid"), Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("component"), col("pid")).as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // border: non-core with >=1 core ε-neighbor -> min neighbor cluster
+    val nonCorePairs = pairs
+      .where(col("a_id") =!= col("b_id"))
+      .join(core.withColumnRenamed("pid", "a_id"), Seq("a_id"), "left_anti")
+    val border = nonCorePairs
+      .join(coreLabels.withColumnRenamed("pid", "b_id"), "b_id")
+      .groupBy(col("a_id")).agg(min(col("cluster")).as("cluster"))
+      .select(col("a_id").as("pid"), col("cluster"))
+
+    val labeled = coreLabels.withColumn("is_core", lit(true))
+      .union(border.withColumn("is_core", lit(false)))
+    val noise = pts.select(col("pid"))
+      .join(labeled.select(col("pid")), Seq("pid"), "left_anti")
+      .select(col("pid"), lit(-1L).as("cluster"), lit(false).as("is_core"))
+    // materialize (eager localCheckpoint, same caveat as the CC loop:
+    // cluster runs want a reliable checkpoint dir) so every persisted
+    // intermediate can be released before returning — the output is one
+    // small row per point; the heavy frames must not outlive the call
+    val out = labeled.union(noise).localCheckpoint(true)
+    binned.unpersist(); pairs.unpersist(); core.unpersist(); coreLabels.unpersist()
+    out
+  }
+}

@@ -211,6 +211,60 @@ object PipelineQueries {
         .select(col("vec_id"), col("k").cast("long").as("k"), col("v"))
     },
 
+    // ---- HDBSCAN slot: density clustering on the bucketed spatial join --
+    // DBSCAN over a deterministic 400-point lattice derived from events:
+    // candidate generation is the eps-grid bin join (never all pairs),
+    // clusters are alt-star components over core-core edges, border
+    // points adopt the min neighbor cluster, noise is -1. The oracle
+    // brute-forces all pairs and replays the same conventions through a
+    // recursive-CTE closure — two independent algorithms, one labeling.
+    QueryDef.sqlBacked(
+      "q85_dbscan",
+      """WITH RECURSIVE
+        |pts AS (
+        |  SELECT event_id AS pid,
+        |    CAST((event_id * 37) % 1000 AS DOUBLE) / 10.0 AS x,
+        |    CAST((event_id * 73) % 1000 AS DOUBLE) / 10.0 AS y
+        |  FROM events WHERE event_id < 400),
+        |nbr AS (
+        |  SELECT a.pid AS a_id, b.pid AS b_id
+        |  FROM pts a JOIN pts b
+        |    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 36.0),
+        |deg AS (SELECT a_id, count(*) AS d FROM nbr GROUP BY a_id),
+        |core AS (SELECT a_id AS pid FROM deg WHERE d >= 5),
+        |ce AS (
+        |  SELECT n.a_id AS u, n.b_id AS v FROM nbr n
+        |  JOIN core ca ON ca.pid = n.a_id
+        |  JOIN core cb ON cb.pid = n.b_id
+        |  WHERE n.a_id <> n.b_id),
+        |reach(p, q) AS (
+        |  SELECT pid, pid FROM core
+        |  UNION
+        |  SELECT r.p, e.v FROM reach r JOIN ce e ON e.u = r.q),
+        |lbl AS (SELECT p AS pid, min(q) AS cluster FROM reach GROUP BY p),
+        |border AS (
+        |  SELECT n.a_id AS pid, min(l.cluster) AS cluster
+        |  FROM nbr n
+        |  JOIN lbl l ON l.pid = n.b_id
+        |  LEFT JOIN core c ON c.pid = n.a_id
+        |  WHERE n.a_id <> n.b_id AND c.pid IS NULL
+        |  GROUP BY n.a_id)
+        |SELECT l.pid, l.cluster, TRUE AS is_core FROM lbl l
+        |UNION ALL SELECT b.pid, b.cluster, FALSE AS is_core FROM border b
+        |UNION ALL
+        |SELECT p.pid, CAST(-1 AS BIGINT) AS cluster, FALSE AS is_core
+        |FROM pts p
+        |LEFT JOIN lbl ON lbl.pid = p.pid
+        |LEFT JOIN border ON border.pid = p.pid
+        |WHERE lbl.pid IS NULL AND border.pid IS NULL""".stripMargin) { (s, d) =>
+      val pts = Tables.events(s, d)
+        .where(col("event_id") < 400)
+        .select(col("event_id").as("pid"),
+          (((col("event_id") * 37) % 1000).cast("double") / 10.0).as("x"),
+          (((col("event_id") * 73) % 1000).cast("double") / 10.0).as("y"))
+      graft.operators.Dbscan.cluster(pts, "pid", "x", "y", eps = 6.0, minPts = 5)
+    },
+
     // ---- Structured Streaming == batch, proven by the driver gate -------
     // The query runs the REAL streaming engine (file source -> watermark
     // -> windowed stateful agg -> AvailableNow -> memory sink) to
