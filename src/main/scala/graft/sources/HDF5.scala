@@ -6,23 +6,36 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * The reference opens netCDF-4 (HDF5-backed) files through xarray
   * (convml_data/utils/luigi.py:29-47); NetCDF3.scala covers classic CDF-1/2
-  * only. This reader implements the PUBLIC HDF5 file-format spec (HDF Group,
-  * "HDF5 File Format Specification v1.0", the layout libhdf5 writes by
-  * default for netCDF-4 files): version-0 superblock, version-1 object
-  * headers, symbol-table groups (local heap + v1 B-tree + SNOD nodes), and
-  * CONTIGUOUS dataset storage for fixed-point/IEEE-float types.
+  * only. This reader implements the PUBLIC HDF5 file-format spec (HDF
+  * Group, "HDF5 File Format Specification"), covering both header
+  * generations:
   *
-  * CHUNKED storage (layout class 2, the libhdf5/netCDF-4 default) is also
-  * supported, including DEFLATE-filtered chunks: the v1 chunk B-tree
-  * (node type 1) is walked, each chunk inflated (java.util.zip) and tiled
-  * into place, with ragged edge chunks clipped — so a default
-  * `nc_def_var_deflate` netCDF-4 file decodes. Out of scope — rejected
-  * LOUDLY, never silently misread: non-deflate filters (shuffle/szip),
-  * compact storage, object-header continuation blocks, v2+ superblocks.
+  *  - v0 superblock + v1 object headers + symbol-table groups (local heap
+  *    + v1 B-tree + SNOD) — what h5py/libhdf5 write under DEFAULT file
+  *    properties;
+  *  - v2/v3 superblocks + v2 ("OHDR") object headers + NEW-STYLE compact
+  *    groups (Link Info + Link messages in the header) — what appears
+  *    under libver-latest settings, and the root-group shape netCDF-4
+  *    produces when link creation-order tracking is enabled (real
+  *    netcdf-c output stores root links as Link messages, NOT SNOD
+  *    symbol tables);
+  *  - object-header CONTINUATION blocks in both generations (v1 raw
+  *    message blocks, v2 "OCHK" blocks).
   *
-  * The writer emits the same subset (one root group, N contiguous
-  * datasets) so the decode path is provable without external fixtures, the
-  * same strategy as NetCDF3/HDF4.
+  * Dataset storage: CONTIGUOUS, and CHUNKED (layout v3, v1 chunk B-tree)
+  * with DEFLATE and SHUFFLE filters in any pipeline order — so both a
+  * default `nc_def_var_deflate` file and the common shuffle+deflate
+  * combination decode. Out of scope — rejected LOUDLY, never silently
+  * misread: szip, dense (fractal-heap) group link storage, layout v4
+  * chunk indexes (fixed/extensible array, v2 B-tree), compact storage,
+  * v1 superblocks, big-endian data.
+  *
+  * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
+  * v2/OHDR generation incl. continuation blocks and shuffle) emit the
+  * same subset the reader decodes, so every decode path is provable
+  * without external fixtures — the NetCDF3/HDF4 strategy. Checksums in
+  * v2 structures are written as zero and skipped on read (libhdf5
+  * verifies them; this codec does not claim to).
   */
 object HDF5 {
 
@@ -42,69 +55,185 @@ object HDF5 {
 
   /** Read every dataset reachable from the root group. */
   def read(bytes: Array[Byte]): Seq[H5Dataset] = {
-    require(bytes.length >= 96 && Signature.indices.forall(i => bytes(i) == Signature(i)),
+    require(bytes.length >= 48 && Signature.indices.forall(i => bytes(i) == Signature(i)),
       "not an HDF5 file (bad signature)")
-    val sb = buf(bytes, 8)
-    val sbVersion = sb.get()
-    require(sbVersion == 0, s"only version-0 superblocks supported (got $sbVersion — " +
-      "v2/v3 superblocks come from libhdf5 'latest' format settings)")
-    sb.get(); sb.get(); sb.get() // freespace, root symtab, reserved
-    sb.get() // shared header version
-    val sizeOffsets = sb.get()
-    val sizeLengths = sb.get()
-    require(sizeOffsets == 8 && sizeLengths == 8,
-      s"only 8-byte offsets/lengths supported (got $sizeOffsets/$sizeLengths)")
-    sb.get() // reserved
-    sb.getShort(); sb.getShort(); sb.getInt() // group k's, flags
-    val baseAddr = sb.getLong()
-    require(baseAddr == 0, s"nonzero base address $baseAddr unsupported")
-    sb.getLong(); sb.getLong(); sb.getLong() // freespace, eof, driver
-    // root group symbol table entry
-    sb.getLong() // link name offset
-    val rootHeaderAddr = sb.getLong()
-    val (btreeAddr, heapAddr) = parseGroupHeader(bytes, rootHeaderAddr)
-    val heapDataAddr = parseHeapDataAddr(bytes, heapAddr)
-    val snods = collectSnods(bytes, btreeAddr)
-    snods.flatMap(parseSnod(bytes, _, heapDataAddr)).map { case (name, addr) =>
+    val sbVersion = bytes(8)
+    val rootHeaderAddr: Long = sbVersion match {
+      case 0 =>
+        val sb = buf(bytes, 9)
+        sb.get(); sb.get(); sb.get() // freespace, root symtab, reserved
+        sb.get() // shared header message version
+        val sizeOffsets = sb.get()
+        val sizeLengths = sb.get()
+        require(sizeOffsets == 8 && sizeLengths == 8,
+          s"only 8-byte offsets/lengths supported (got $sizeOffsets/$sizeLengths)")
+        sb.get() // reserved
+        sb.getShort(); sb.getShort(); sb.getInt() // group k's, flags
+        val baseAddr = sb.getLong()
+        require(baseAddr == 0, s"nonzero base address $baseAddr unsupported")
+        sb.getLong(); sb.getLong(); sb.getLong() // freespace, eof, driver
+        // root group symbol table entry
+        sb.getLong() // link name offset
+        sb.getLong() // root object header address
+      case 2 | 3 =>
+        val sb = buf(bytes, 9)
+        val sizeOffsets = sb.get()
+        val sizeLengths = sb.get()
+        require(sizeOffsets == 8 && sizeLengths == 8,
+          s"only 8-byte offsets/lengths supported (got $sizeOffsets/$sizeLengths)")
+        sb.get() // file consistency flags
+        val baseAddr = sb.getLong()
+        require(baseAddr == 0, s"nonzero base address $baseAddr unsupported")
+        sb.getLong() // superblock extension address
+        sb.getLong() // end of file address
+        sb.getLong() // root object header address (checksum follows, skipped)
+      case v => throw new IllegalArgumentException(
+        s"superblock version $v unsupported (v0 default and v2/v3 latest only)")
+    }
+    rootEntries(bytes, rootHeaderAddr).map { case (name, addr) =>
       parseDataset(bytes, name, addr)
     }
   }
 
-  /** Root group object header -> (btree addr, heap addr) from its symbol
-    * table message. */
-  private def parseGroupHeader(bytes: Array[Byte], addr: Long): (Long, Long) = {
-    foldMessages(bytes, addr).collectFirst {
-      case (0x0011, data) =>
-        val b = buf(bytes, data)
-        (b.getLong(), b.getLong())
-    }.getOrElse(throw new IllegalArgumentException(
-      "root object header has no symbol table message (new-style groups unsupported)"))
+  /** Root group members as (name, object header addr) — from the symbol
+    * table message (old-style groups) or from compact Link messages
+    * (new-style groups, the netCDF-4 root shape). */
+  private def rootEntries(bytes: Array[Byte], addr: Long): Seq[(String, Long)] = {
+    val msgs = foldMessages(bytes, addr)
+    msgs.collectFirst { case (0x0011, data) => data } match {
+      case Some(off) =>
+        val b = buf(bytes, off)
+        val btreeAddr = b.getLong()
+        val heapAddr = b.getLong()
+        val heapDataAddr = parseHeapDataAddr(bytes, heapAddr)
+        collectSnods(bytes, btreeAddr).flatMap(parseSnod(bytes, _, heapDataAddr))
+      case None =>
+        // new-style group: the Link Info message must be COMPACT (links
+        // stored inline); a defined fractal heap address means dense
+        // storage, which needs the fractal-heap machinery
+        msgs.collectFirst { case (0x0002, off) => off }.foreach { off =>
+          val b = buf(bytes, off)
+          b.get() // version
+          val flags = b.get()
+          if ((flags & 1) != 0) b.getLong() // max creation index
+          val fheap = b.getLong()
+          require(fheap == Undef,
+            "dense new-style groups (fractal-heap link storage) unsupported — " +
+              "only compact groups (links in the object header) are implemented")
+        }
+        val links = msgs.collect { case (0x0006, off) => parseLinkMessage(bytes, off) }
+        require(links.nonEmpty,
+          "root object header has neither a symbol table message nor link messages")
+        links
+    }
   }
 
-  /** Parse a v1 object header; returns (msgType, absolute data offset). */
+  /** Link message (type 0x0006), version 1: hard links only. */
+  private def parseLinkMessage(bytes: Array[Byte], off: Int): (String, Long) = {
+    val b = buf(bytes, off)
+    val ver = b.get()
+    require(ver == 1, s"only v1 link messages supported (got $ver)")
+    val flags = b.get()
+    val linkType = if ((flags & 0x08) != 0) b.get() else 0
+    require(linkType == 0, s"only hard links supported (link type $linkType)")
+    if ((flags & 0x04) != 0) b.getLong() // creation order
+    if ((flags & 0x10) != 0) b.get() // charset
+    val nameLen: Long = (flags & 0x03) match {
+      case 0 => (b.get() & 0xff).toLong
+      case 1 => (b.getShort() & 0xffff).toLong
+      case 2 => (b.getInt() & 0xffffffffL)
+      case 3 => b.getLong()
+    }
+    val name = new Array[Byte](nameLen.toInt)
+    b.get(name)
+    (new String(name, "UTF-8"), b.getLong())
+  }
+
+  /** Parse an object header (v1 or v2/"OHDR", continuation blocks in
+    * both); returns (msgType, absolute data offset) in file order. */
   private def foldMessages(bytes: Array[Byte], addr: Long): Seq[(Int, Int)] = {
-    val b = buf(bytes, addr.toInt)
+    val a = addr.toInt
+    if (bytes(a) == 'O' && bytes(a + 1) == 'H' && bytes(a + 2) == 'D' && bytes(a + 3) == 'R')
+      foldMessagesV2(bytes, a)
+    else foldMessagesV1(bytes, a)
+  }
+
+  private def foldMessagesV1(bytes: Array[Byte], addr: Int): Seq[(Int, Int)] = {
+    val b = buf(bytes, addr)
     val version = b.get()
-    require(version == 1, s"only v1 object headers supported (got $version)")
+    require(version == 1, s"only v1/v2 object headers supported (got $version)")
     b.get() // reserved
     val nMsg = b.getShort() & 0xffff
     b.getInt() // ref count
-    b.getInt() // header size
+    val headerSize = b.getInt()
     b.getInt() // padding to 8-byte alignment
     var out = List.empty[(Int, Int)]
-    var i = 0
-    var pos = b.position()
-    while (i < nMsg) {
-      val mb = buf(bytes, pos)
-      val mtype = mb.getShort() & 0xffff
-      val msize = mb.getShort() & 0xffff
-      mb.get(); mb.get(); mb.get(); mb.get() // flags + reserved
-      val dataOff = mb.position()
-      require(mtype != 0x0010,
-        "object-header continuation blocks unsupported (header too large)")
-      out = (mtype, dataOff) :: out
-      pos = dataOff + msize
-      i += 1
+    // (start, length) message blocks: header block first, then any
+    // continuation blocks (raw message runs in v1) in file order
+    val blocks = scala.collection.mutable.Queue[(Int, Int)]((b.position(), headerSize))
+    var read = 0
+    while (read < nMsg && blocks.nonEmpty) {
+      val (start, len) = blocks.dequeue()
+      var pos = start
+      val end = start + len
+      while (read < nMsg && pos + 8 <= end) {
+        val mb = buf(bytes, pos)
+        val mtype = mb.getShort() & 0xffff
+        val msize = mb.getShort() & 0xffff
+        mb.get(); mb.get(); mb.get(); mb.get() // flags + reserved
+        val dataOff = mb.position()
+        if (mtype == 0x0010) {
+          val cb = buf(bytes, dataOff)
+          blocks.enqueue((cb.getLong().toInt, cb.getLong().toInt))
+        } else out = (mtype, dataOff) :: out
+        pos = dataOff + msize
+        read += 1
+      }
+    }
+    require(read == nMsg, s"object header truncated: $read of $nMsg messages found")
+    out.reverse
+  }
+
+  private def foldMessagesV2(bytes: Array[Byte], addr: Int): Seq[(Int, Int)] = {
+    val b = buf(bytes, addr + 4) // past "OHDR"
+    val version = b.get()
+    require(version == 2, s"OHDR version $version unsupported")
+    val flags = b.get()
+    if ((flags & 0x20) != 0) { b.getInt(); b.getInt(); b.getInt(); b.getInt() } // times
+    if ((flags & 0x10) != 0) { b.getShort(); b.getShort() } // attr phase change
+    val chunk0Size: Long = (flags & 0x03) match {
+      case 0 => (b.get() & 0xff).toLong
+      case 1 => (b.getShort() & 0xffff).toLong
+      case 2 => b.getInt() & 0xffffffffL
+      case 3 => b.getLong()
+    }
+    val trackOrder = (flags & 0x04) != 0
+    val msgHdrLen = if (trackOrder) 6 else 4
+    var out = List.empty[(Int, Int)]
+    val blocks = scala.collection.mutable.Queue[(Int, Int)]((b.position(), chunk0Size.toInt))
+    while (blocks.nonEmpty) {
+      val (start, len) = blocks.dequeue()
+      var pos = start
+      val end = start + len
+      while (pos + msgHdrLen <= end) {
+        val mb = buf(bytes, pos)
+        val mtype = mb.get() & 0xff
+        val msize = mb.getShort() & 0xffff
+        mb.get() // message flags
+        if (trackOrder) mb.getShort() // creation order
+        val dataOff = mb.position()
+        if (mtype == 0x10) {
+          val cb = buf(bytes, dataOff)
+          val cOff = cb.getLong().toInt
+          val cLen = cb.getLong().toInt
+          require(bytes(cOff) == 'O' && bytes(cOff + 1) == 'C' &&
+            bytes(cOff + 2) == 'H' && bytes(cOff + 3) == 'K',
+            "bad continuation block signature (expected OCHK)")
+          // gross block length includes the signature and trailing checksum
+          blocks.enqueue((cOff + 4, cLen - 8))
+        } else out = (mtype, dataOff) :: out
+        pos = dataOff + msize
+      }
     }
     out.reverse
   }
@@ -164,16 +293,26 @@ object HDF5 {
     var dataAddr = Undef
     var chunkDims: Seq[Int] = Nil // element-count dims (element-size tail dropped)
     var chunkBtree = Undef
-    var deflate = false
+    var filters: Seq[Int] = Nil // pipeline order as applied on write
     foldMessages(bytes, addr).foreach { case (mtype, off) =>
       mtype match {
-        case 0x0001 => // dataspace
+        case 0x0001 => // dataspace (v1 default-properties, v2 latest)
           val b = buf(bytes, off)
           val v = b.get()
-          require(v == 1, s"dataset $name: only v1 dataspace supported (got $v)")
-          val ndims = b.get()
-          b.get() // flags (maxdims may follow the dims; not needed)
-          b.get(); b.getInt() // reserved
+          val ndims = v match {
+            case 1 =>
+              val nd = b.get()
+              b.get() // flags (maxdims may follow the dims; not needed)
+              b.get(); b.getInt() // reserved
+              nd
+            case 2 =>
+              val nd = b.get()
+              b.get() // flags
+              b.get() // dataspace type (simple/scalar — dims drive either)
+              nd
+            case other => throw new IllegalArgumentException(
+              s"dataset $name: dataspace version $other unsupported")
+          }
           dims = (0 until ndims).map(_ => b.getLong())
         case 0x0003 => // datatype
           val b = buf(bytes, off)
@@ -202,24 +341,41 @@ object HDF5 {
               s"dataset $name: layout class $other unsupported — compact (class 0) " +
                 "storage needs libhdf5")
           }
-        case 0x000B => // filter pipeline: accept deflate only
+        case 0x000B => // filter pipeline: deflate (1) and shuffle (2)
           val b = buf(bytes, off)
           val v = b.get()
-          require(v == 1, s"dataset $name: only v1 filter pipelines supported (got $v)")
-          val nf = b.get() & 0xff
-          b.getShort(); b.getInt() // reserved
-          (0 until nf).foreach { _ =>
-            val id = b.getShort() & 0xffff
-            val nameLen = b.getShort() & 0xffff
-            b.getShort() // flags
-            val nVals = b.getShort() & 0xffff
-            (0 until nameLen).foreach(_ => b.get())
-            (0 until nVals).foreach(_ => b.getInt())
-            if (nVals % 2 == 1) b.getInt() // pad to 8
-            require(id == 1, s"dataset $name: filter id $id unsupported — " +
-              "only deflate (1) is implemented; shuffle/szip need libhdf5")
-            deflate = true
+          val ids = v match {
+            case 1 =>
+              val nf = b.get() & 0xff
+              b.getShort(); b.getInt() // reserved
+              (0 until nf).map { _ =>
+                val id = b.getShort() & 0xffff
+                val nameLen = b.getShort() & 0xffff
+                b.getShort() // flags
+                val nVals = b.getShort() & 0xffff
+                (0 until nameLen).foreach(_ => b.get())
+                (0 until nVals).foreach(_ => b.getInt())
+                if (nVals % 2 == 1) b.getInt() // pad to 8
+                id
+              }
+            case 2 =>
+              val nf = b.get() & 0xff
+              (0 until nf).map { _ =>
+                val id = b.getShort() & 0xffff
+                val nameLen = if (id >= 256) b.getShort() & 0xffff else 0
+                b.getShort() // flags
+                val nVals = b.getShort() & 0xffff
+                (0 until nameLen).foreach(_ => b.get())
+                (0 until nVals).foreach(_ => b.getInt()) // no padding in v2
+                id
+              }
+            case other => throw new IllegalArgumentException(
+              s"dataset $name: filter pipeline version $other unsupported")
           }
+          ids.foreach(id => require(id == 1 || id == 2,
+            s"dataset $name: filter id $id unsupported — " +
+              "only deflate (1) and shuffle (2) are implemented; szip needs libhdf5"))
+          filters = ids
         case _ => () // NIL, attributes, mod-time, fill value: skipped
       }
     }
@@ -228,10 +384,10 @@ object HDF5 {
     val n = dims.product.toInt // empty dims = scalar (product 1)
     val raw: Array[Byte] =
       if (chunkBtree == Undef) {
-        require(!deflate, s"dataset $name: filtered contiguous data unsupported")
+        require(filters.isEmpty, s"dataset $name: filtered contiguous data unsupported")
         java.util.Arrays.copyOfRange(bytes, dataAddr.toInt, dataAddr.toInt + n * dtSize)
       } else
-        assembleChunks(bytes, name, chunkBtree, dims.map(_.toInt), chunkDims, dtSize, deflate)
+        assembleChunks(bytes, name, chunkBtree, dims.map(_.toInt), chunkDims, dtSize, filters)
     val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
     var i = 0
@@ -249,10 +405,41 @@ object HDF5 {
     H5Dataset(name, dims, out)
   }
 
+  /** Inverse of the byte-shuffle filter: the stored chunk holds all
+    * byte-0s, then all byte-1s, ...; restore element-interleaved order. */
+  private def unshuffleBytes(in: Array[Byte], esize: Int): Array[Byte] = {
+    require(in.length % esize == 0, s"shuffle: ${in.length} bytes not a multiple of $esize")
+    val n = in.length / esize
+    val out = new Array[Byte](in.length)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < esize) { out(i * esize + j) = in(j * n + i); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Forward byte-shuffle (writer side). */
+  private def shuffleBytes(in: Array[Byte], esize: Int): Array[Byte] = {
+    require(in.length % esize == 0)
+    val n = in.length / esize
+    val out = new Array[Byte](in.length)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < esize) { out(j * n + i) = in(i * esize + j); j += 1 }
+      i += 1
+    }
+    out
+  }
+
   /** Walk the v1 chunk B-tree (node type 1) and tile every chunk into a
-    * row-major byte image of the full dataset; ragged edge chunks clip. */
+    * row-major byte image of the full dataset; ragged edge chunks clip.
+    * `filters` is the write-time pipeline order; decode applies the
+    * inverses in reverse. */
   private def assembleChunks(bytes: Array[Byte], name: String, btreeAddr: Long,
-      dims: Seq[Int], chunkDims: Seq[Int], elemSize: Int, deflate: Boolean): Array[Byte] = {
+      dims: Seq[Int], chunkDims: Seq[Int], elemSize: Int, filters: Seq[Int]): Array[Byte] = {
     require(chunkDims.size == dims.size,
       s"dataset $name: chunk rank ${chunkDims.size} != dataset rank ${dims.size}")
     val nd = dims.size
@@ -275,26 +462,31 @@ object HDF5 {
       (0 until used).foreach { _ =>
         // key: chunk byte size, filter mask, offsets (nd + 1, last 0)
         val nbytes = b.getInt()
-        b.getInt() // filter mask
+        val filterMask = b.getInt()
+        require(filterMask == 0,
+          s"dataset $name: per-chunk filter mask $filterMask unsupported (partial pipelines)")
         val offsets = (0 until nd).map(_ => b.getLong())
         b.getLong() // element-size dimension offset (always 0)
         val child = b.getLong()
         if (level == 0) {
           val comp = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + nbytes)
-          val chunkBytes =
-            if (deflate) {
-              val inf = new java.util.zip.Inflater()
-              inf.setInput(comp)
-              val outBuf = new java.io.ByteArrayOutputStream()
-              val tmp = new Array[Byte](8192)
-              while (!inf.finished()) {
-                val k = inf.inflate(tmp)
-                require(k > 0 || inf.finished(), s"dataset $name: truncated deflate chunk")
-                outBuf.write(tmp, 0, k)
-              }
-              inf.end()
-              outBuf.toByteArray
-            } else comp
+          val chunkBytes = filters.reverse.foldLeft(comp) { (acc, id) =>
+            id match {
+              case 1 =>
+                val inf = new java.util.zip.Inflater()
+                inf.setInput(acc)
+                val outBuf = new java.io.ByteArrayOutputStream()
+                val tmp = new Array[Byte](8192)
+                while (!inf.finished()) {
+                  val k = inf.inflate(tmp)
+                  require(k > 0 || inf.finished(), s"dataset $name: truncated deflate chunk")
+                  outBuf.write(tmp, 0, k)
+                }
+                inf.end()
+                outBuf.toByteArray
+              case 2 => unshuffleBytes(acc, elemSize)
+            }
+          }
           // tile into place, clipping ragged edges
           val nChunkElems = chunkDims.product
           var ci = 0
@@ -329,9 +521,10 @@ object HDF5 {
   final case class DsSpec(name: String, dims: Seq[Long], data: Array[Double],
       chunkDims: Option[Seq[Int]] = None)
 
-  /** Serialized (possibly deflated) payload of one full chunk. */
+  /** Serialized payload of one full chunk, run through the filter
+    * pipeline in order (1 = deflate, 2 = shuffle). */
   private def chunkPayload(s: DsSpec, cd: Seq[Int], origin: Seq[Long],
-      deflate: Boolean): Array[Byte] = {
+      filters: Seq[Int]): Array[Byte] = {
     val rank = cd.size
     val dims = s.dims.map(_.toInt)
     val strides = new Array[Long](rank)
@@ -355,15 +548,18 @@ object HDF5 {
       ci += 1
     }
     val raw = bb.array()
-    if (!deflate) raw
-    else {
-      val d = new java.util.zip.Deflater()
-      d.setInput(raw); d.finish()
-      val outBuf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](8192)
-      while (!d.finished()) outBuf.write(tmp, 0, d.deflate(tmp))
-      d.end()
-      outBuf.toByteArray
+    filters.foldLeft(raw) { (acc, id) =>
+      id match {
+        case 2 => shuffleBytes(acc, 8)
+        case 1 =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(acc); d.finish()
+          val outBuf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!d.finished()) outBuf.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          outBuf.toByteArray
+      }
     }
   }
 
@@ -427,7 +623,7 @@ object HDF5 {
           val btreeLen = align8(24L + origins.size * (keySize + 8) + keySize)
           var caddr = btreeAddr + btreeLen
           chunkPlans(s.name) = origins.map { o =>
-            val payload = chunkPayload(s, cd, o, deflate)
+            val payload = chunkPayload(s, cd, o, if (deflate) Seq(1) else Nil)
             val a = caddr
             caddr = align8(caddr + payload.length)
             (o, payload, a)
@@ -593,6 +789,212 @@ object HDF5 {
             out.putLong(addr)
           }
           // final key: the past-the-end chunk coordinates
+          out.putInt(0); out.putInt(0)
+          s.dims.foreach(out.putLong)
+          out.putLong(0L)
+          chunks.foreach { case (_, payload, addr) =>
+            out.position(addr.toInt)
+            out.put(payload)
+          }
+      }
+    }
+    out.array()
+  }
+
+  /** Write the "latest"-generation layout: v3 superblock, v2 ("OHDR")
+    * object headers, NEW-STYLE compact root group (Link Info + Link
+    * messages; links beyond the first spill into an OCHK continuation
+    * block, exercising that decode path), v2 dataspace messages, v2
+    * filter pipelines with optional shuffle+deflate. Checksums are
+    * emitted as zero (the reader skips them — see the object doc). */
+  def writeLatest(specs: Seq[DsSpec], deflate: Boolean = false,
+      shuffle: Boolean = false): Array[Byte] = {
+    require(specs.nonEmpty, "at least one dataset")
+    val sorted = specs.sortBy(_.name)
+    def align8(x: Long): Long = (x + 7) & ~7L
+    val nameBytes = sorted.map(s => s.name.getBytes("UTF-8"))
+    nameBytes.foreach(n => require(n.length < 256, "link names must fit a 1-byte length"))
+    val filters = (if (shuffle) Seq(2) else Nil) ++ (if (deflate) Seq(1) else Nil)
+
+    // ---- layout computation
+    val superblockLen = 48L // sig(8) ver(1) sizes(2) flags(1) 4x addr(32) csum(4)
+    val linkBodies = nameBytes.map(11 + _.length) // ver+flags+len1+name+addr8
+    val chunk0Root = (4 + 18) + (4 + linkBodies.head) +
+      (if (sorted.size > 1) 4 + 16 else 0)
+    val rootAddr = superblockLen
+    val rootLen = 8L + chunk0Root + 4
+    val ochkAddr = rootAddr + rootLen
+    val ochkLen = if (sorted.size > 1) 8L + linkBodies.tail.map(_ + 4).sum else 0L
+    var cursor = align8(ochkAddr + ochkLen)
+    val headerAddrs = scala.collection.mutable.Map[String, Long]()
+    val dataAddrs = scala.collection.mutable.Map[String, Long]()
+    val chunkBtreeAddrs = scala.collection.mutable.Map[String, Long]()
+    val chunkPlans = scala.collection.mutable.Map[String, Seq[(Seq[Long], Array[Byte], Long)]]()
+    val headerLens = scala.collection.mutable.Map[String, Int]()
+    def cross(ls: Seq[Seq[Long]]): Seq[Seq[Long]] =
+      ls.foldLeft(Seq(Seq.empty[Long]))((acc, l) => for (a <- acc; x <- l) yield a :+ x)
+    sorted.foreach { s =>
+      require(s.data.length.toLong == s.dims.product,
+        s"dataset ${s.name}: data length ${s.data.length} != ${s.dims.product}")
+      val rank = s.dims.size
+      val spaceBody = 4 + 8 * rank
+      val hasFilter = s.chunkDims.isDefined && filters.nonEmpty
+      val layoutBody = s.chunkDims match {
+        case None    => 18 // ver+cls+addr8+size8
+        case Some(_) => 3 + 8 + 4 * (rank + 1)
+      }
+      val pipeBody = if (hasFilter) 2 + 10 * filters.size else 0
+      val chunk0 = (4 + spaceBody) + (4 + 24) + (4 + layoutBody) +
+        (if (hasFilter) 4 + pipeBody else 0)
+      headerLens(s.name) = chunk0
+      headerAddrs(s.name) = cursor
+      val headerLen = 8L + chunk0 + 4
+      s.chunkDims match {
+        case None =>
+          dataAddrs(s.name) = align8(cursor + headerLen)
+          cursor = dataAddrs(s.name) + align8(8L * s.data.length)
+        case Some(cd) =>
+          require(cd.size == rank, s"${s.name}: chunk rank != dataset rank")
+          val btreeAddr = align8(cursor + headerLen)
+          chunkBtreeAddrs(s.name) = btreeAddr
+          val origins = cross(cd.zip(s.dims).map { case (c, d) =>
+            0L.until(d).by(c.toLong) })
+          require(origins.size <= 128, s"${s.name}: >128 chunks needs a multi-node B-tree")
+          val keySize = 8 + 8 * (rank + 1)
+          val btreeLen = align8(24L + origins.size * (keySize + 8) + keySize)
+          var caddr = btreeAddr + btreeLen
+          chunkPlans(s.name) = origins.map { o =>
+            val payload = chunkPayload(s, cd, o, filters)
+            val a = caddr
+            caddr = align8(caddr + payload.length)
+            (o, payload, a)
+          }
+          cursor = caddr
+      }
+    }
+    val total = cursor
+    require(total <= Int.MaxValue, s"HDF5 export of $total bytes exceeds builder limit")
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+
+    // ---- superblock v3
+    out.put(Signature)
+    out.put(3.toByte)
+    out.put(8.toByte); out.put(8.toByte) // offset/length sizes
+    out.put(0.toByte) // file consistency flags
+    out.putLong(0L) // base address
+    out.putLong(Undef) // superblock extension
+    out.putLong(total) // end of file
+    out.putLong(rootAddr) // root object header
+    out.putInt(0) // checksum (zero — see doc)
+
+    def ohdrPrefix(chunk0: Int): Unit = {
+      out.put('O'.toByte); out.put('H'.toByte); out.put('D'.toByte); out.put('R'.toByte)
+      out.put(2.toByte) // version
+      out.put(0x01.toByte) // flags: 2-byte chunk-0 size, nothing optional
+      out.putShort(chunk0.toShort)
+    }
+    def msgHdr(mtype: Int, msize: Int): Unit = {
+      out.put(mtype.toByte); out.putShort(msize.toShort); out.put(0.toByte)
+    }
+    def linkMsg(idx: Int): Unit = {
+      msgHdr(0x06, linkBodies(idx))
+      out.put(1.toByte) // version
+      out.put(0.toByte) // flags: 1-byte name length, hard link
+      out.put(nameBytes(idx).length.toByte)
+      out.put(nameBytes(idx))
+      out.putLong(headerAddrs(sorted(idx).name))
+    }
+
+    // ---- root group OHDR: link info + first link (+ continuation)
+    out.position(rootAddr.toInt)
+    ohdrPrefix(chunk0Root)
+    msgHdr(0x02, 18)
+    out.put(0.toByte) // link info version
+    out.put(0.toByte) // flags: no creation order, not indexed
+    out.putLong(Undef) // fractal heap (undef = COMPACT storage)
+    out.putLong(Undef) // name-index B-tree
+    linkMsg(0)
+    if (sorted.size > 1) {
+      msgHdr(0x10, 16)
+      out.putLong(ochkAddr)
+      out.putLong(ochkLen)
+    }
+    out.putInt(0) // header checksum (zero)
+
+    // ---- OCHK continuation with the remaining links
+    if (sorted.size > 1) {
+      out.position(ochkAddr.toInt)
+      out.put('O'.toByte); out.put('C'.toByte); out.put('H'.toByte); out.put('K'.toByte)
+      (1 until sorted.size).foreach(linkMsg)
+      out.putInt(0) // block checksum (zero)
+    }
+
+    // ---- datasets (v2 headers)
+    sorted.foreach { s =>
+      val rank = s.dims.size
+      out.position(headerAddrs(s.name).toInt)
+      ohdrPrefix(headerLens(s.name))
+      // dataspace v2
+      msgHdr(0x01, 4 + 8 * rank)
+      out.put(2.toByte); out.put(rank.toByte)
+      out.put(0.toByte) // flags
+      out.put(1.toByte) // type: simple
+      s.dims.foreach(out.putLong)
+      // datatype: IEEE float64 LE (same 24-byte body as the v0 writer)
+      msgHdr(0x03, 24)
+      out.put(((1 << 4) | 1).toByte); out.put(0x20.toByte)
+      out.put(63.toByte); out.put(0.toByte)
+      out.putInt(8)
+      out.putShort(0); out.putShort(64)
+      out.put(52.toByte); out.put(11.toByte)
+      out.put(0.toByte); out.put(52.toByte)
+      out.putInt(1023)
+      out.putInt(0)
+      s.chunkDims match {
+        case None =>
+          msgHdr(0x08, 18)
+          out.put(3.toByte); out.put(1.toByte)
+          out.putLong(dataAddrs(s.name))
+          out.putLong(8L * s.data.length)
+        case Some(cd) =>
+          msgHdr(0x08, 3 + 8 + 4 * (rank + 1))
+          out.put(3.toByte); out.put(2.toByte)
+          out.put((rank + 1).toByte)
+          out.putLong(chunkBtreeAddrs(s.name))
+          cd.foreach(out.putInt)
+          out.putInt(8) // element size "dimension"
+          if (filters.nonEmpty) {
+            msgHdr(0x0B, 2 + 10 * filters.size)
+            out.put(2.toByte) // pipeline version
+            out.put(filters.size.toByte)
+            filters.foreach { id =>
+              out.putShort(id.toShort)
+              out.putShort(0) // flags
+              out.putShort(1) // n client values
+              out.putInt(if (id == 2) 8 else 6) // elem size / deflate level
+            }
+          }
+      }
+      out.putInt(0) // header checksum (zero)
+      // data / chunk B-tree emission (identical structures to write())
+      s.chunkDims match {
+        case None =>
+          out.position(dataAddrs(s.name).toInt)
+          s.data.foreach(out.putDouble)
+        case Some(_) =>
+          val chunks = chunkPlans(s.name)
+          out.position(chunkBtreeAddrs(s.name).toInt)
+          out.put('T'.toByte); out.put('R'.toByte); out.put('E'.toByte); out.put('E'.toByte)
+          out.put(1.toByte); out.put(0.toByte)
+          out.putShort(chunks.size.toShort)
+          out.putLong(Undef); out.putLong(Undef)
+          chunks.foreach { case (origin, payload, addr) =>
+            out.putInt(payload.length)
+            out.putInt(0)
+            origin.foreach(out.putLong)
+            out.putLong(0L)
+            out.putLong(addr)
+          }
           out.putInt(0); out.putInt(0)
           s.dims.foreach(out.putLong)
           out.putLong(0L)

@@ -61,24 +61,71 @@ class HDF5Spec extends SparkSpec {
     assert(HDF5.write(big, deflate = true).length < HDF5.write(big, deflate = false).length - 4000)
   }
 
-  test("non-deflate filters are rejected loudly, not misread") {
+  test("unsupported filters are rejected loudly, not misread") {
     val chunky = Seq(lesFixture.last.copy(chunkDims = Some(Seq(1, 4, 4))))
     val bytes = HDF5.write(chunky, deflate = true)
-    // byte surgery: flip the deflate filter id (1) to shuffle (2) in the
+    // byte surgery: flip the deflate filter id (1) to szip (4) in the
     // filter-pipeline message (0x000B, size 24, ver 1, nf 1, reserved)
     val pat = Array[Byte](0x0B, 0x00, 24, 0x00, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 1, 0)
     val idx = bytes.indices.find(i =>
       i + pat.length <= bytes.length && pat.indices.forall(j => bytes(i + j) == pat(j)))
     assert(idx.isDefined, "filter message not found in written bytes")
-    bytes(idx.get + 16) = 2
+    bytes(idx.get + 16) = 4
     val e = intercept[IllegalArgumentException](HDF5.read(bytes))
-    assert(e.getMessage.contains("filter id 2"))
+    assert(e.getMessage.contains("filter id 4"))
   }
 
-  test("new-format superblocks are rejected loudly") {
-    val v2 = HDF5.write(lesFixture)
-    v2(8) = 2 // superblock version
-    val e2 = intercept[IllegalArgumentException](HDF5.read(v2))
-    assert(e2.getMessage.contains("version-0 superblocks"))
+  test("v1 superblocks are rejected loudly") {
+    val v1 = HDF5.write(lesFixture)
+    v1(8) = 1 // superblock version
+    val e = intercept[IllegalArgumentException](HDF5.read(v1))
+    assert(e.getMessage.contains("superblock version 1"))
+  }
+
+  test("latest format round-trips: v3 superblock, OHDR, links + OCHK continuation") {
+    // 4 datasets: link 1 sits in the root OHDR chunk 0, links 2-4 ride
+    // the OCHK continuation block — both paths must decode
+    val bytes = HDF5.writeLatest(lesFixture)
+    val back = HDF5.read(bytes)
+    assert(back.map(_.name).sorted == Seq("lwp", "time", "x", "y"))
+    assert(back.find(_.name == "lwp").get.data.toSeq == lesFixture.last.data.toSeq)
+    assert(back.find(_.name == "time").get.dims == Seq(3L))
+    // single dataset: no continuation block, link inline
+    val one = HDF5.writeLatest(Seq(HDF5.DsSpec("v", Seq(2), Array(1.5, -2.5))))
+    assert(HDF5.read(one).head.data.toSeq == Seq(1.5, -2.5))
+  }
+
+  test("latest format: chunked with shuffle and shuffle+deflate round-trips") {
+    val chunky = lesFixture.map {
+      case s if s.name == "lwp" => s.copy(chunkDims = Some(Seq(2, 3, 3)))
+      case s => s.copy(chunkDims = Some(Seq(2)))
+    }
+    for ((sh, df) <- Seq((true, false), (false, true), (true, true))) {
+      val bytes = HDF5.writeLatest(chunky, deflate = df, shuffle = sh)
+      val back = HDF5.read(bytes)
+      assert(back.find(_.name == "lwp").get.data.toSeq == lesFixture.last.data.toSeq,
+        s"shuffle=$sh deflate=$df")
+      assert(back.find(_.name == "y").get.data.toSeq == lesFixture(1).data.toSeq,
+        s"shuffle=$sh deflate=$df")
+    }
+    // shuffle makes smooth float64 fields compress better, which is the
+    // whole point of the filter: shuffled+deflate < deflate alone
+    val smooth = Seq(HDF5.DsSpec("s", Seq(64, 64),
+      Array.tabulate(4096)(i => 1.0 + i * 1e-9), chunkDims = Some(Seq(32, 32))))
+    val plainDeflate = HDF5.writeLatest(smooth, deflate = true).length
+    val shuffled = HDF5.writeLatest(smooth, deflate = true, shuffle = true).length
+    assert(shuffled < plainDeflate, s"shuffle ($shuffled) should beat plain ($plainDeflate)")
+  }
+
+  test("dense (fractal-heap) groups are rejected loudly") {
+    val bytes = HDF5.writeLatest(lesFixture)
+    // byte surgery: the Link Info message body sits right after the root
+    // OHDR prefix (8 bytes) + message header (4 bytes); its fractal-heap
+    // address field (offset +2 in the body) is Undef — define it
+    val rootAddr = 48
+    val fheapOff = rootAddr + 8 + 4 + 2
+    (0 until 8).foreach(i => bytes(fheapOff + i) = if (i == 0) 0x60.toByte else 0)
+    val e = intercept[IllegalArgumentException](HDF5.read(bytes))
+    assert(e.getMessage.contains("dense new-style groups"))
   }
 }
