@@ -14,18 +14,24 @@ package graft.embeddings
   * public encoding spec) so no protobuf library is needed, then executes
   * the graph with plain matrix loops.
   *
-  * Supported: float tensors (raw_data or packed float_data), ops MatMul,
+  * Supported: float tensors (raw_data or packed float_data); ops MatMul,
   * Add (row-broadcast or same-shape), Relu, Gemm (alpha/beta/transA/
-  * transB) — the fully-connected MLP family. Anything else is rejected
-  * LOUDLY with the op name, never silently misread. Accumulation is in
-  * double, cast to float at extraction — the deterministic cross-engine
-  * arithmetic the oracle recomputes.
+  * transB) — the fully-connected MLP family — plus the convolutional
+  * family the reference's actual tile model needs (a ResNet-style CNN,
+  * pipeline/embeddings/sampling.py:46-66): Conv (group=1, dilation=1,
+  * arbitrary strides/pads), MaxPool, BatchNormalization (inference-mode
+  * affine), GlobalAveragePool, Flatten — all over NCHW rank-4 tensors.
+  * Anything else is rejected LOUDLY with the op name, never silently
+  * misread. Accumulation is in double, cast to float at extraction — the
+  * deterministic cross-engine arithmetic the oracle recomputes
+  * (Conv accumulates c_in-major then ky then kx, left to right, so the
+  * SQL restatement can replay it term-by-term).
   *
   * Field numbers below are from the public onnx.proto3 schema:
   * ModelProto.graph=7; GraphProto.node=1/.initializer=5/.input=11/
   * .output=12; NodeProto.input=1/.output=2/.op_type=4/.attribute=5;
   * TensorProto.dims=1/.data_type=2/.float_data=4/.name=8/.raw_data=9;
-  * AttributeProto.name=1/.f=2/.i=3; ValueInfoProto.name=1.
+  * AttributeProto.name=1/.f=2/.i=3/.ints=8; ValueInfoProto.name=1.
   */
 object Onnx {
 
@@ -76,7 +82,8 @@ object Onnx {
       s"tensor $name: dims $dims != ${data.length} values")
   }
   final case class Node(opType: String, inputs: Seq[String], outputs: Seq[String],
-      attrF: Map[String, Float], attrI: Map[String, Long])
+      attrF: Map[String, Float], attrI: Map[String, Long],
+      attrIs: Map[String, Seq[Long]] = Map.empty)
   final case class Graph(nodes: Seq[Node], initializers: Map[String, Tensor],
       inputNames: Seq[String], outputNames: Seq[String]) {
     /** Graph inputs that are not bound by an initializer = the data inputs. */
@@ -121,6 +128,7 @@ object Onnx {
     val ins = Seq.newBuilder[String]; val outs = Seq.newBuilder[String]
     var op = ""
     val af = Map.newBuilder[String, Float]; val ai = Map.newBuilder[String, Long]
+    val ais = Map.newBuilder[String, Seq[Long]]
     walk(buf, span._1, span._2) { (field, wire, v, s) =>
       (field, wire) match {
         case (1, 2) => ins += utf8(buf, s)
@@ -128,20 +136,32 @@ object Onnx {
         case (4, 2) => op = utf8(buf, s)
         case (5, 2) =>
           var aname = ""; var fOpt: Option[Float] = None; var iOpt: Option[Long] = None
+          val isB = Seq.newBuilder[Long]
           walk(buf, s._1, s._2) { (f2, w2, v2, s2) =>
             (f2, w2) match {
               case (1, 2) => aname = utf8(buf, s2)
               case (2, 5) => fOpt = Some(leFloat(buf, s2._1))
               case (3, 0) => iOpt = Some(v2)
+              case (8, 0) => isB += v2 // repeated int64, unpacked
+              case (8, 2) => // repeated int64, packed varints
+                var p2 = s2._1
+                while (p2 < s2._2) {
+                  var shift = 0; var v3 = 0L; var b3 = 0
+                  do { b3 = buf(p2) & 0xff; p2 += 1
+                       v3 |= (b3 & 0x7fL) << shift; shift += 7 } while ((b3 & 0x80) != 0)
+                  isB += v3
+                }
               case _      => ()
             }
           }
           fOpt.foreach(x => af += (aname -> x))
           iOpt.foreach(x => ai += (aname -> x))
+          val ints = isB.result()
+          if (ints.nonEmpty) ais += (aname -> ints)
         case _ => ()
       }
     }
-    Node(op, ins.result(), outs.result(), af.result(), ai.result())
+    Node(op, ins.result(), outs.result(), af.result(), ai.result(), ais.result())
   }
 
   private def parseTensor(buf: Array[Byte], span: (Int, Int)): Tensor = {

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object Dbscan {
 
   def cluster(points: DataFrame, idCol: String, xCol: String, yCol: String,
-      eps: Double, minPts: Int): DataFrame = {
+      eps: Double, minPts: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(eps > 0, "eps must be positive")
     val eps2 = eps * eps
     val pts = points.select(
@@ -73,7 +73,8 @@ object Dbscan {
       .join(core.withColumnRenamed("pid", "b_id"), "b_id")
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-    val comp = Dedup.connectedComponentsAltStar(coreEdges, "a_id", "b_id")
+    val comp = Dedup.connectedComponentsAltStar(coreEdges, "a_id", "b_id",
+      checkpointDir = checkpointDir)
     // singleton cores (no core neighbor) label themselves
     val coreLabels = core
       .join(comp.withColumnRenamed("node", "pid"), Seq("pid"), "left")
@@ -94,11 +95,11 @@ object Dbscan {
     val noise = pts.select(col("pid"))
       .join(labeled.select(col("pid")), Seq("pid"), "left_anti")
       .select(col("pid"), lit(-1L).as("cluster"), lit(false).as("is_core"))
-    // materialize (eager localCheckpoint, same caveat as the CC loop:
-    // cluster runs want a reliable checkpoint dir) so every persisted
+    // materialize (eager truncation — reliable checkpoint when
+    // checkpointDir is set, else localCheckpoint) so every persisted
     // intermediate can be released before returning — the output is one
     // small row per point; the heavy frames must not outlive the call
-    val out = labeled.union(noise).localCheckpoint(true)
+    val out = Checkpointing.truncate(labeled.union(noise), checkpointDir)
     binned.unpersist(); pairs.unpersist(); core.unpersist(); coreLabels.unpersist()
     out
   }

@@ -213,20 +213,21 @@ object Dedup {
     *
     * Output: (node, component) with component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager) per round: each round's plan references the
-    // previous labels twice, so without lineage truncation the logical
-    // plan doubles every round. Blocks are reclaimed by the context
-    // cleaner. (On a multi-node cluster prefer a reliable checkpoint dir:
-    // localCheckpoint blocks die with their executor.)
+    // eager lineage truncation per round: each round's plan references the
+    // previous labels twice, so without truncation the logical plan
+    // doubles every round. Default localCheckpoint (blocks reclaimed by
+    // the context cleaner, die with an executor); pass checkpointDir for
+    // reliable checkpoint() on a multi-node cluster (Checkpointing.scala).
     // seed with min(self, neighbors) — the first propagation round folded
     // into initialization
-    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-      .select(col("src").as("node"), least(col("src"), col("mn")).as("component"))
-      .localCheckpoint(true)
+    var labels = Checkpointing.truncate(
+      sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("src"), col("mn")).as("component")),
+      checkpointDir)
     // labels only ever DECREASE (least of self and neighbor minima), so
     // the decimal label sum is a complete convergence witness — one tiny
     // aggregation per round instead of a self-join change count
@@ -241,11 +242,12 @@ object Dedup {
     while (!converged && it < maxIter) {
       val nbrMin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      val updated = labels
-        .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint(true)
+      val updated = Checkpointing.truncate(
+        labels
+          .join(nbrMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")),
+        checkpointDir)
       val newSum = labelSum(updated)
       labels = updated
       converged = newSum.compareTo(prevSum) == 0
@@ -275,11 +277,11 @@ object Dedup {
     * label-for-label identical to [[connectedComponents]]
     * (AltStarSpec proves equality on random graphs). */
   def connectedComponentsAltStar(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame =
-    altStarWithRounds(pairs, aCol, bCol, maxIter)._1
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame =
+    altStarWithRounds(pairs, aCol, bCol, maxIter, checkpointDir)._1
 
   private[operators] def altStarWithRounds(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int): (DataFrame, Int) = {
+      maxIter: Int, checkpointDir: Option[String] = None): (DataFrame, Int) = {
     def symmetric(e: DataFrame) =
       e.select(col("u"), col("v")).union(e.select(col("v").as("u"), col("u").as("v")))
     // m(u) = min(Γ(u) ∪ {u}) over the symmetric edge view
@@ -302,20 +304,21 @@ object Dedup {
     }
     val nodes = pairs.select(col(aCol).cast("long").as("n"))
       .union(pairs.select(col(bCol).cast("long").as("n"))).distinct()
-    // localCheckpoint (eager) each round: iterative self-referencing plans
-    // grow exponentially otherwise (each round references the previous
-    // edge set several times) — lineage truncation is what keeps round
-    // O(log n) cost; blocks are reclaimed by the context cleaner.
-    var edges = pairs.select(
-      greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
-      least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
-      .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+    // eager lineage truncation each round: iterative self-referencing
+    // plans grow exponentially otherwise (each round references the
+    // previous edge set several times). Default localCheckpoint; pass
+    // checkpointDir for reliable cluster checkpointing (Checkpointing.scala).
+    var edges = Checkpointing.truncate(
+      pairs.select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+        .where(col("u") =!= col("v")).distinct(),
+      checkpointDir)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val e1 = largeStar(edges).localCheckpoint(true)
-      val e2 = smallStar(e1).localCheckpoint(true)
+      val e1 = Checkpointing.truncate(largeStar(edges), checkpointDir)
+      val e2 = Checkpointing.truncate(smallStar(e1), checkpointDir)
       // exact set-equality in ONE job: both sides are distinct, so in the
       // union an unchanged edge appears exactly twice — any group with
       // count != 2 is a symmetric-difference witness (replaces the

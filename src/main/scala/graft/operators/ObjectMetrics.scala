@@ -157,16 +157,37 @@ object ObjectMetrics {
     * pixels / mean object size / I_org in one pass. */
   def iorgObjects(nx: Int, ny: Int): Aggregator[Long, Buf, ObjectStats] =
     new Aggregator[Long, Buf, ObjectStats] {
-      def zero: Buf = Buf(Nil)
-      def reduce(b: Buf, p: Long): Buf = Buf(p :: b.px)
-      def merge(a: Buf, b: Buf): Buf = Buf(a.px ::: b.px)
-      def finish(b: Buf): ObjectStats = summarize(b.px.toArray, nx, ny)
+      def zero: Buf = Buf.empty
+      def reduce(b: Buf, p: Long): Buf = b.add(p)
+      def merge(a: Buf, b: Buf): Buf = a ++ b
+      def finish(b: Buf): ObjectStats = summarize(b.toPixelArray, nx, ny)
       def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       def outputEncoder: Encoder[ObjectStats] = Encoders.product[ObjectStats]
     }
 
-  /** Encoder carrier for the pixel-list buffer (bounded by the tile size). */
-  final case class Buf(px: List[Long])
+  /** Encoder carrier for the pixel buffer (bounded by the tile size).
+    * Primitive growable Array[Long] with amortized doubling — a 256² tile
+    * previously churned ~65k boxed cons cells per buffer; this allocates
+    * O(log n) arrays and zero boxes. `n` is the live count; spare
+    * capacity beyond `n` is at most 2x and only crosses the wire at
+    * partial-aggregation shuffle boundaries. The typed Aggregator keeps
+    * the buffer as a deserialized object between reduce calls, so `add`
+    * reuses the backing array whenever capacity allows. */
+  final case class Buf(px: Array[Long], n: Int) {
+    def add(p: Long): Buf = {
+      val a = if (n < px.length) px
+              else java.util.Arrays.copyOf(px, math.max(16, px.length << 1))
+      a(n) = p
+      Buf(a, n + 1)
+    }
+    def ++(o: Buf): Buf = {
+      val a = java.util.Arrays.copyOf(px, n + o.n)
+      System.arraycopy(o.px, 0, a, n, o.n)
+      Buf(a, n + o.n)
+    }
+    def toPixelArray: Array[Long] = java.util.Arrays.copyOf(px, n)
+  }
+  object Buf { val empty: Buf = Buf(Array.emptyLongArray, 0) }
 
   // ------------------------------------------------------ morphology (M5)
   /** Per-tile object morphology: the `max_object_fraction` and
@@ -231,10 +252,10 @@ object ObjectMetrics {
 
   def morphology(nx: Int, ny: Int): Aggregator[Long, Buf, MorphStats] =
     new Aggregator[Long, Buf, MorphStats] {
-      def zero: Buf = Buf(Nil)
-      def reduce(b: Buf, p: Long): Buf = Buf(p :: b.px)
-      def merge(a: Buf, b: Buf): Buf = Buf(a.px ::: b.px)
-      def finish(b: Buf): MorphStats = morphologyOf(b.px.toArray, nx)
+      def zero: Buf = Buf.empty
+      def reduce(b: Buf, p: Long): Buf = b.add(p)
+      def merge(a: Buf, b: Buf): Buf = a ++ b
+      def finish(b: Buf): MorphStats = morphologyOf(b.toPixelArray, nx)
       def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       def outputEncoder: Encoder[MorphStats] = Encoders.product[MorphStats]
     }
@@ -274,10 +295,10 @@ object ObjectMetrics {
 
   def openSky(nx: Int, ny: Int): Aggregator[Long, Buf, OpenSkyStats] =
     new Aggregator[Long, Buf, OpenSkyStats] {
-      def zero: Buf = Buf(Nil)
-      def reduce(b: Buf, p: Long): Buf = Buf(p :: b.px)
-      def merge(a: Buf, b: Buf): Buf = Buf(a.px ::: b.px)
-      def finish(b: Buf): OpenSkyStats = openSkyOf(b.px.toArray, nx, ny)
+      def zero: Buf = Buf.empty
+      def reduce(b: Buf, p: Long): Buf = b.add(p)
+      def merge(a: Buf, b: Buf): Buf = a ++ b
+      def finish(b: Buf): OpenSkyStats = openSkyOf(b.toPixelArray, nx, ny)
       def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       def outputEncoder: Encoder[OpenSkyStats] = Encoders.product[OpenSkyStats]
     }

@@ -41,6 +41,25 @@ class AltStarSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("reliable checkpointDir mode: identical labels, files land in the dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 10L)).toDF("a", "b")
+    val expected = labelsOf(Dedup.connectedComponentsAltStar(df, "a", "b"))
+    val got = labelsOf(Dedup.connectedComponentsAltStar(df, "a", "b",
+      checkpointDir = Some(dir)))
+    assert(got == expected, "reliable-checkpoint run must match localCheckpoint run")
+    val ccGot = labelsOf(Dedup.connectedComponents(df, "a", "b",
+      checkpointDir = Some(dir)))
+    assert(ccGot == expected, "min-label CC with checkpointDir must match too")
+    // the reliable path actually wrote RDD checkpoint files under dir
+    def fileCount(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles().map(fileCount).sum else 1
+    assert(fileCount(new java.io.File(dir)) > 0,
+      s"no checkpoint files written under $dir — reliable mode not exercised")
+    Dedup.releaseCaches()
+  }
+
   test("releaseCaches clears thread-tracked caches") {
     import spark.implicits._
     val df = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
