@@ -197,12 +197,22 @@ object Onnx {
   /** Row-major matrix with double accumulation. */
   final case class Mat(rows: Int, cols: Int, a: Array[Double])
 
-  private def toMat(t: Tensor): Mat = t.dims match {
-    case Seq(r, c) => Mat(r, c, t.data.map(_.toDouble))
-    case Seq(n)    => Mat(1, n, t.data.map(_.toDouble))
-    case d => throw new IllegalArgumentException(
-      s"tensor ${t.name}: rank ${d.size} unsupported (MLP subset is rank <= 2)")
+  /** Row-major n-dim tensor (NCHW for the conv ops), double values. */
+  final case class Nd(dims: Seq[Int], a: Array[Double]) {
+    require(dims.nonEmpty && dims.product == a.length,
+      s"Nd dims $dims != ${a.length} values")
   }
+
+  private def toNd(t: Tensor): Nd =
+    Nd(if (t.dims.isEmpty) Seq(1) else t.dims, t.data.map(_.toDouble))
+
+  private def asMat(name: String, x: Nd): Mat = x.dims match {
+    case Seq(r, c) => Mat(r, c, x.a)
+    case Seq(n)    => Mat(1, n, x.a)
+    case d => throw new IllegalArgumentException(
+      s"$name: rank ${d.size} where a rank <= 2 tensor is required (dims $d)")
+  }
+  private def asNd(m: Mat): Nd = Nd(Seq(m.rows, m.cols), m.a)
 
   private def matmul(x: Mat, y: Mat, transA: Boolean, transB: Boolean,
       alpha: Double): Mat = {
@@ -252,32 +262,232 @@ object Onnx {
     Mat(x.rows, x.cols, out)
   }
 
-  /** Execute the graph on one dense [batch, dim] input. ONNX requires
-    * nodes in SSA topological order, so a single forward pass suffices. */
-  def run(g: Graph, input: Mat): Mat = {
+  // ------------------------------------------------------ conv-family ops
+  /** 2-D convolution, NCHW x [N,C,H,W] * w [M,C,kH,kW] (group=1,
+    * dilation=1). Accumulation order per output element: c_in-major, then
+    * ky, then kx, left to right, bias added LAST — the order an oracle SQL
+    * restatement replays term-by-term. Out-of-bounds taps (zero padding)
+    * are skipped, which is arithmetic-identical to adding 0.0 terms. */
+  private def conv2d(x: Nd, w: Nd, bias: Option[Nd],
+      pads: Seq[Int], strides: Seq[Int]): Nd = {
+    val Seq(n, c, h, wi) = x.dims: @unchecked
+    val Seq(m, cw, kh, kw) = w.dims: @unchecked
+    require(x.dims.size == 4 && w.dims.size == 4,
+      s"Conv: need rank-4 NCHW input and weight, got ${x.dims} and ${w.dims}")
+    require(cw == c, s"Conv: input channels $c != weight channels $cw")
+    val Seq(padT, padL, padB, padR) = pads: @unchecked
+    val Seq(sH, sW) = strides: @unchecked
+    val oh = (h + padT + padB - kh) / sH + 1
+    val ow = (wi + padL + padR - kw) / sW + 1
+    require(oh > 0 && ow > 0, s"Conv: non-positive output dims ($oh,$ow)")
+    bias.foreach(b => require(b.a.length == m,
+      s"Conv: bias length ${b.a.length} != $m output channels"))
+    val out = new Array[Double](n * m * oh * ow)
+    var n0 = 0
+    while (n0 < n) {
+      var m0 = 0
+      while (m0 < m) {
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var acc = 0.0
+            var ci = 0
+            while (ci < c) {
+              var ky = 0
+              while (ky < kh) {
+                val iy = oy * sH - padT + ky
+                if (iy >= 0 && iy < h) {
+                  var kx = 0
+                  while (kx < kw) {
+                    val ix = ox * sW - padL + kx
+                    if (ix >= 0 && ix < wi)
+                      acc += x.a(((n0 * c + ci) * h + iy) * wi + ix) *
+                             w.a(((m0 * cw + ci) * kh + ky) * kw + kx)
+                    kx += 1
+                  }
+                }
+                ky += 1
+              }
+              ci += 1
+            }
+            out(((n0 * m + m0) * oh + oy) * ow + ox) =
+              acc + bias.map(_.a(m0)).getOrElse(0.0)
+            ox += 1
+          }
+          oy += 1
+        }
+        m0 += 1
+      }
+      n0 += 1
+    }
+    Nd(Seq(n, m, oh, ow), out)
+  }
+
+  /** 2-D max pooling over NCHW; taps outside the (zero-)padded region are
+    * simply excluded from the max (ONNX pads with -inf for MaxPool). */
+  private def maxPool2d(x: Nd, kernel: Seq[Int], pads: Seq[Int],
+      strides: Seq[Int]): Nd = {
+    require(x.dims.size == 4, s"MaxPool: need rank-4 NCHW input, got ${x.dims}")
+    val Seq(n, c, h, w) = x.dims: @unchecked
+    val Seq(kh, kw) = kernel: @unchecked
+    val Seq(padT, padL, padB, padR) = pads: @unchecked
+    val Seq(sH, sW) = strides: @unchecked
+    val oh = (h + padT + padB - kh) / sH + 1
+    val ow = (w + padL + padR - kw) / sW + 1
+    require(oh > 0 && ow > 0, s"MaxPool: non-positive output dims ($oh,$ow)")
+    val out = new Array[Double](n * c * oh * ow)
+    var p = 0
+    var n0 = 0
+    while (n0 < n) {
+      var ci = 0
+      while (ci < c) {
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var mx = Double.NegativeInfinity
+            var ky = 0
+            while (ky < kh) {
+              val iy = oy * sH - padT + ky
+              if (iy >= 0 && iy < h) {
+                var kx = 0
+                while (kx < kw) {
+                  val ix = ox * sW - padL + kx
+                  if (ix >= 0 && ix < w) {
+                    val v = x.a(((n0 * c + ci) * h + iy) * w + ix)
+                    if (v > mx) mx = v
+                  }
+                  kx += 1
+                }
+              }
+              ky += 1
+            }
+            out(p) = mx; p += 1
+            ox += 1
+          }
+          oy += 1
+        }
+        ci += 1
+      }
+      n0 += 1
+    }
+    Nd(Seq(n, c, oh, ow), out)
+  }
+
+  /** Inference-mode batch norm over NCHW: per channel
+    * y = (x - mean_c) * scale_c / sqrt(var_c + eps) + B_c — that exact
+    * operation order (subtract, multiply, DIVIDE by the sqrt, add), so an
+    * oracle replays it with the same IEEE-correctly-rounded steps. */
+  private def batchNorm(x: Nd, scale: Nd, b: Nd, mean: Nd, varr: Nd,
+      eps: Double): Nd = {
+    require(x.dims.size == 4, s"BatchNormalization: need rank-4 NCHW input, got ${x.dims}")
+    val Seq(n, c, h, w) = x.dims: @unchecked
+    Seq("scale" -> scale, "B" -> b, "mean" -> mean, "var" -> varr).foreach {
+      case (nm, t) => require(t.a.length == c,
+        s"BatchNormalization: $nm length ${t.a.length} != $c channels")
+    }
+    val std = Array.tabulate(c)(ci => math.sqrt(varr.a(ci) + eps))
+    val out = new Array[Double](x.a.length)
+    val hw = h * w
+    var n0 = 0
+    while (n0 < n) {
+      var ci = 0
+      while (ci < c) {
+        val base = (n0 * c + ci) * hw
+        var i = 0
+        while (i < hw) {
+          out(base + i) = (x.a(base + i) - mean.a(ci)) * scale.a(ci) / std(ci) + b.a(ci)
+          i += 1
+        }
+        ci += 1
+      }
+      n0 += 1
+    }
+    Nd(x.dims, out)
+  }
+
+  /** Mean over the spatial dims of NCHW -> [N,C,1,1]; summation in scan
+    * order then one division, the order an oracle restates. */
+  private def globalAveragePool(x: Nd): Nd = {
+    require(x.dims.size == 4, s"GlobalAveragePool: need rank-4 NCHW input, got ${x.dims}")
+    val Seq(n, c, h, w) = x.dims: @unchecked
+    val hw = h * w
+    val out = new Array[Double](n * c)
+    var j = 0
+    while (j < n * c) {
+      var acc = 0.0
+      var i = 0
+      while (i < hw) { acc += x.a(j * hw + i); i += 1 }
+      out(j) = acc / hw
+      j += 1
+    }
+    Nd(Seq(n, c, 1, 1), out)
+  }
+
+  private def flatten(x: Nd, axis: Int): Nd = {
+    require(axis >= 0 && axis <= x.dims.size,
+      s"Flatten: axis $axis out of range for dims ${x.dims}")
+    val d0 = x.dims.take(axis).product
+    Nd(Seq(d0, x.a.length / d0), x.a)
+  }
+
+  private def intsAttr(n: Node, name: String, default: Seq[Long]): Seq[Int] = {
+    val v = n.attrIs.getOrElse(name, default)
+    v.map(_.toInt)
+  }
+
+  /** Execute the graph on one dense input (rank-2 [batch, dim] for MLPs,
+    * rank-4 NCHW for conv nets). ONNX requires nodes in SSA topological
+    * order, so a single forward pass suffices. */
+  def run(g: Graph, input: Mat): Mat =
+    asMat("graph output", runNd(g, asNd(input)))
+
+  def runNd(g: Graph, input: Nd): Nd = {
     require(g.dataInputs.size == 1,
       s"expected exactly one data input, got ${g.dataInputs}")
-    val env = scala.collection.mutable.Map[String, Mat](g.dataInputs.head -> input)
-    g.initializers.foreach { case (n, t) => env(n) = toMat(t) }
-    def in(node: Node, i: Int): Mat = env.getOrElse(node.inputs(i),
+    val env = scala.collection.mutable.Map[String, Nd](g.dataInputs.head -> input)
+    g.initializers.foreach { case (n, t) => env(n) = toNd(t) }
+    def in(node: Node, i: Int): Nd = env.getOrElse(node.inputs(i),
       throw new IllegalArgumentException(s"${node.opType}: unbound input '${node.inputs(i)}'"))
+    def mat(node: Node, i: Int): Mat = asMat(s"${node.opType} input $i", in(node, i))
     g.nodes.foreach { n =>
-      val out = n.opType match {
-        case "MatMul" => matmul(in(n, 0), in(n, 1), transA = false, transB = false, 1.0)
-        case "Add"    => addBias(in(n, 0), in(n, 1), 1.0)
+      val out: Nd = n.opType match {
+        case "MatMul" => asNd(matmul(mat(n, 0), mat(n, 1), transA = false, transB = false, 1.0))
+        case "Add"    => asNd(addBias(mat(n, 0), mat(n, 1), 1.0))
         case "Relu"   =>
           val x = in(n, 0)
-          Mat(x.rows, x.cols, x.a.map(v => if (v > 0) v else 0.0))
+          Nd(x.dims, x.a.map(v => if (v > 0) v else 0.0))
         case "Gemm" =>
-          val mm = matmul(in(n, 0), in(n, 1),
+          val mm = matmul(mat(n, 0), mat(n, 1),
             transA = n.attrI.getOrElse("transA", 0L) != 0L,
             transB = n.attrI.getOrElse("transB", 0L) != 0L,
             alpha = n.attrF.getOrElse("alpha", 1.0f).toDouble)
-          if (n.inputs.size >= 3)
-            addBias(mm, in(n, 2), n.attrF.getOrElse("beta", 1.0f).toDouble)
-          else mm
+          asNd(if (n.inputs.size >= 3)
+            addBias(mm, mat(n, 2), n.attrF.getOrElse("beta", 1.0f).toDouble)
+          else mm)
+        case "Conv" =>
+          require(n.attrI.getOrElse("group", 1L) == 1L, "Conv: only group=1 supported")
+          require(n.attrIs.getOrElse("dilations", Seq(1L, 1L)).forall(_ == 1L),
+            "Conv: only dilation=1 supported")
+          conv2d(in(n, 0), in(n, 1),
+            if (n.inputs.size >= 3) Some(in(n, 2)) else None,
+            pads = intsAttr(n, "pads", Seq(0L, 0L, 0L, 0L)),
+            strides = intsAttr(n, "strides", Seq(1L, 1L)))
+        case "MaxPool" =>
+          val kernel = n.attrIs.getOrElse("kernel_shape",
+            throw new IllegalArgumentException("MaxPool: kernel_shape required")).map(_.toInt)
+          maxPool2d(in(n, 0), kernel,
+            pads = intsAttr(n, "pads", Seq(0L, 0L, 0L, 0L)),
+            strides = intsAttr(n, "strides", kernel.map(_.toLong)))
+        case "BatchNormalization" =>
+          batchNorm(in(n, 0), in(n, 1), in(n, 2), in(n, 3), in(n, 4),
+            eps = n.attrF.getOrElse("epsilon", 1e-5f).toDouble)
+        case "GlobalAveragePool" => globalAveragePool(in(n, 0))
+        case "Flatten" => flatten(in(n, 0), n.attrI.getOrElse("axis", 1L).toInt)
         case other => throw new IllegalArgumentException(
-          s"unsupported ONNX op '$other' (subset: MatMul, Add, Relu, Gemm)")
+          s"unsupported ONNX op '$other' (subset: MatMul, Add, Relu, Gemm, " +
+            "Conv, MaxPool, BatchNormalization, GlobalAveragePool, Flatten)")
       }
       env(n.outputs.head) = out
     }
@@ -291,15 +501,25 @@ object Onnx {
     * path (LinearStubModel remains the zero-dependency fallback). The
     * serialized form ships the raw bytes to executors; each partition
     * parses once in init() — the same amortization the reference gets
-    * from loading the torch checkpoint once per worker. */
-  final class OnnxModel(modelBytes: Array[Byte]) extends Inference.TileModel {
+    * from loading the torch checkpoint once per worker.
+    *
+    * `tileDims`: per-tile input shape. None = MLP model, the input is
+    * [batch, d] where d is inferred from the first weight tensor.
+    * Some(Seq(c, h, w)) = conv net, each flat tile is a row-major CHW
+    * image and the input tensor is [batch, c, h, w] (the model's first op
+    * is a Conv whose weight can't reveal the spatial dims, so the caller
+    * declares them — same contract as the reference's tile loader, which
+    * knows its tile_N from config). */
+  final class OnnxModel(modelBytes: Array[Byte],
+      tileDims: Option[Seq[Int]] = None) extends Inference.TileModel {
     @transient private var graph: Graph = _
     // parsed eagerly on the driver too: surface a malformed model at
     // plan-build time, and expose input/emb dims for validation
     private val (inDim, outDim) = {
       val g = Onnx.parseModel(modelBytes)
-      val probe = Onnx.run(g, Mat(1, firstWeightRows(g), new Array[Double](firstWeightRows(g))))
-      (firstWeightRows(g), probe.cols)
+      val d = tileDims.map(_.product).getOrElse(firstWeightRows(g))
+      val probe = runBatch(g, 1, new Array[Double](d))
+      (d, probe.dims.last)
     }
     private def firstWeightRows(g: Graph): Int = {
       val firstOp = g.nodes.headOption.getOrElse(
@@ -309,6 +529,17 @@ object Onnx {
       }.getOrElse(throw new IllegalArgumentException(
         s"first node ${firstOp.opType} has no initializer input"))
       w.dims.head
+    }
+    private def runBatch(g: Graph, batch: Int, flat: Array[Double]): Nd = {
+      val dims = tileDims match {
+        case Some(chw) => batch +: chw
+        case None      => Seq(batch, flat.length / batch)
+      }
+      val out = Onnx.runNd(g, Nd(dims, flat))
+      require(out.dims.size == 2 && out.dims.head == batch,
+        s"model output dims ${out.dims}: expected [batch=$batch, embDim] " +
+          "(conv nets must end in Flatten/Gemm/MatMul)")
+      out
     }
     def inputDim: Int = inDim
     override def embDim: Int = outDim
@@ -322,9 +553,10 @@ object Onnx {
       tiles.zipWithIndex.foreach { case (t, i) =>
         System.arraycopy(t, 0, in, i * inDim, inDim)
       }
-      val out = Onnx.run(graph, Mat(tiles.size, inDim, in))
-      (0 until out.rows).map { i =>
-        Array.tabulate(out.cols)(j => out.a(i * out.cols + j).toFloat)
+      val out = runBatch(graph, tiles.size, in)
+      val e = out.dims.last
+      (0 until tiles.size).map { i =>
+        Array.tabulate(e)(j => out.a(i * e + j).toFloat)
       }
     }
   }

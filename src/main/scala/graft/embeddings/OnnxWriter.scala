@@ -64,7 +64,8 @@ object OnnxWriter {
 
   final case class NodeSpec(opType: String, inputs: Seq[String],
       outputs: Seq[String], attrI: Seq[(String, Long)] = Nil,
-      attrF: Seq[(String, Float)] = Nil)
+      attrF: Seq[(String, Float)] = Nil,
+      attrIs: Seq[(String, Seq[Long])] = Nil)
 
   /** Serialize a ModelProto holding one graph of `nodes` over
     * `initializers` (name -> (dims, data, useRawEncoding)). */
@@ -83,6 +84,21 @@ object OnnxWriter {
           }
           n.attrF.foreach { case (an, av) =>
             np.msg(5)(a => { a.str(1, an); a.float32(2, av) })
+          }
+          // repeated int64 (AttributeProto.ints, field 8): "pads" written
+          // PACKED (one wire-2 record of concatenated varints), everything
+          // else unpacked (one wire-0 record per value) — both public
+          // encodings, so the reader's two branches are each exercised by
+          // any conv model round-trip
+          n.attrIs.foreach { case (an, avs) =>
+            np.msg(5) { a =>
+              a.str(1, an)
+              if (an == "pads") {
+                val packed = new Pb
+                avs.foreach(packed.varint)
+                a.bytes(8, packed.bytes)
+              } else avs.foreach(a.int(8, _))
+            }
           }
         }
       }
@@ -113,6 +129,65 @@ object OnnxWriter {
       (((j * 5 + k * 2) % 9) - 4) / 8.0f
     }
   def b2(e: Int): Array[Float] = Array.tabulate(e)(k => ((k % 3) - 1) / 8.0f)
+
+  // ------------------------------------------ deterministic fixture CNN
+  /** Conv-family fixture weights, exact eighths like the MLP's (so oracle
+    * SQL restates them as exact double literals). Conv weight is
+    * [m, c, 3, 3] row-major; Gemm weight is [gIn, gOut]. */
+  def convW(m: Int, c: Int): Array[Float] =
+    Array.tabulate(m * c * 9)(idx => (((idx * 7) % 11) - 5) / 8.0f)
+  def convB(m: Int): Array[Float] = Array.tabulate(m)(i => ((i % 5) - 2) / 8.0f)
+  def bnScale(c: Int): Array[Float] = Array.tabulate(c)(i => (4 + (i * 3) % 7) / 8.0f)
+  def bnBias(c: Int): Array[Float] = Array.tabulate(c)(i => ((i % 7) - 3) / 8.0f)
+  /** BN mean: exact eighths. */
+  def bnMean(c: Int): Array[Float] = Array.tabulate(c)(i => ((i % 3) - 1) / 8.0f)
+  /** BN var chosen so var + epsilon(=0.25) is an exact square (1.0 or
+    * 2.25): sqrt is then EXACT, not merely correctly-rounded, and the
+    * whole BN step is exact rational double arithmetic on both engines. */
+  def bnVar(c: Int): Array[Float] = Array.tabulate(c)(i => if (i % 2 == 0) 0.75f else 2.0f)
+  val BnEps: Float = 0.25f
+  def gemmW(gIn: Int, gOut: Int): Array[Float] =
+    Array.tabulate(gIn * gOut)(idx => (((idx * 5) % 9) - 4) / 8.0f)
+  def gemmB(gOut: Int): Array[Float] = Array.tabulate(gOut)(k => ((k % 3) - 1) / 8.0f)
+
+  /** The conv fixture: x[N,c,h,w] -> Conv(m filters, 3x3) -> Relu ->
+    * MaxPool(2x2, strides = kernel by OMITTING the attr — exercises the
+    * executor default) -> BatchNormalization(eps=0.25) ->
+    * GlobalAveragePool -> Flatten(axis default, attr omitted) ->
+    * Gemm(m -> e). Mirrors the reference's actual model family (a CNN
+    * backbone + projection head, pipeline/embeddings/sampling.py:46-66).
+    * `pads`/`strides` parameterize the Conv for spec coverage; pads uses
+    * the packed ints encoding, strides/kernel_shape the unpacked one. */
+  def convModelBytes(c: Int, m: Int, e: Int,
+      pads: Seq[Long] = Seq(0L, 0L, 0L, 0L),
+      strides: Seq[Long] = Seq(1L, 1L)): Array[Byte] =
+    model(
+      nodes = Seq(
+        NodeSpec("Conv", Seq("x", "cw", "cb"), Seq("c_pre"),
+          attrI = Seq("group" -> 1L),
+          attrIs = Seq("kernel_shape" -> Seq(3L, 3L), "pads" -> pads,
+            "strides" -> strides, "dilations" -> Seq(1L, 1L))),
+        NodeSpec("Relu", Seq("c_pre"), Seq("c_act")),
+        NodeSpec("MaxPool", Seq("c_act"), Seq("pooled"),
+          attrIs = Seq("kernel_shape" -> Seq(2L, 2L))),
+        NodeSpec("BatchNormalization",
+          Seq("pooled", "bn_s", "bn_b", "bn_m", "bn_v"), Seq("normed"),
+          attrF = Seq("epsilon" -> BnEps)),
+        NodeSpec("GlobalAveragePool", Seq("normed"), Seq("gap")),
+        NodeSpec("Flatten", Seq("gap"), Seq("flat")),
+        NodeSpec("Gemm", Seq("flat", "gw", "gb"), Seq("emb"),
+          attrI = Seq("transA" -> 0L, "transB" -> 0L),
+          attrF = Seq("alpha" -> 1.0f, "beta" -> 1.0f))),
+      initializers = Seq(
+        ("cw", Seq(m, c, 3, 3), convW(m, c), true),
+        ("cb", Seq(m), convB(m), false),
+        ("bn_s", Seq(m), bnScale(m), true),
+        ("bn_b", Seq(m), bnBias(m), false),
+        ("bn_m", Seq(m), bnMean(m), true),
+        ("bn_v", Seq(m), bnVar(m), false),
+        ("gw", Seq(m, e), gemmW(m, e), true),
+        ("gb", Seq(e), gemmB(e), false)),
+      inputName = "x", outputName = "emb")
 
   /** The canonical fixture: x[N,d] -> Gemm(+bias) -> Relu -> MatMul -> Add.
     * Uses both tensor encodings and both FC forms (Gemm with fused bias,

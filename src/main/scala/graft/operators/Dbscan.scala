@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Density-based clustering (DBSCAN) over 2-D points — the HDBSCAN slot
-  * of the reference's transform arg-parser
+/** Density-based clustering (DBSCAN) over 2-D points ([[cluster]]) and
+  * n-dim embedding vectors ([[clusterVectors]]) — the HDBSCAN slot of
+  * the reference's transform arg-parser
   * (convml_data/pipeline/embeddings/transforms.py:87-102 parses
   * `min_cluster_size`/`min_samples` for a density model; seeded KMeans
   * stood in until now).
@@ -63,6 +64,74 @@ object Dbscan {
       .select(col("a_id"), col("b_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val out = labelFromPairs(pts.select(col("pid")), pairs, minPts, checkpointDir)
+    binned.unpersist(); pairs.unpersist()
+    out
+  }
+
+  /** DBSCAN over n-dim vectors (the embedding-space form the reference's
+    * transform arg-parser wants a density model for —
+    * convml_data/pipeline/embeddings/transforms.py:87-102 parses
+    * `min_cluster_size`/`min_samples` over (tile_id, emb_dim) data).
+    *
+    * Candidate generation stays an EXACT integer-cell equi-join: bin on
+    * the first `binDims` coordinates with eps-sized cells and explode the
+    * probe side over the 3^binDims neighbor cells. Any true ε-pair is
+    * within eps on EVERY coordinate, hence within one cell on each binned
+    * coordinate — so the blocking is lossless for any binDims (the 2-D
+    * [[cluster]] is the binDims = dims = 2 special case), unlike
+    * LSH/IVF buckets which can drop true pairs. binDims is capped at 3
+    * (27 neighbor cells); for anisotropic data, rotate the most-spread
+    * directions to the front (e.g. PCA from Transforms) before calling.
+    * The exact distance (a left-to-right squared-diff fold, restatable
+    * in SQL) runs on candidates only — never all pairs. */
+  def clusterVectors(points: DataFrame, idCol: String, vecCol: String,
+      eps: Double, minPts: Int, binDims: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    require(binDims >= 1 && binDims <= 3,
+      s"binDims must be in 1..3 (3^binDims neighbor cells), got $binDims")
+    val eps2 = eps * eps
+    val pts = points.select(col(idCol).cast("long").as("pid"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val cellCols = (0 until binDims).map(i =>
+      floor(element_at(col("vec"), i + 1) / eps).cast("long").as(s"c$i"))
+    val binned = pts.select(col("pid") +: col("vec") +: cellCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // probe side visits its 3^binDims cell neighborhood; build side keeps
+    // the home cell only — every unordered pair meets exactly once
+    val offsets = (0 until binDims).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
+      acc.flatMap(s => Seq(-1, 0, 1).map(s :+ _))
+    }
+    val offCol = array(offsets.map(o =>
+      struct(o.zipWithIndex.map { case (v, i) => lit(v.toLong).as(s"d$i") }: _*)): _*)
+    val probes = binned
+      .select(col("pid").as("a_id") +: col("vec").as("av") +:
+        explode(offCol).as("o") +: (0 until binDims).map(i => col(s"c$i")): _*)
+      .select(col("a_id") +: col("av") +:
+        (0 until binDims).map(i => (col(s"c$i") + col("o").getField(s"d$i")).as(s"jc$i")): _*)
+    val build = binned.select(col("pid").as("b_id") +: col("vec").as("bv") +:
+      (0 until binDims).map(i => col(s"c$i").as(s"jc$i")): _*)
+    val dist2: Column = aggregate(
+      zip_with(col("av"), col("bv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val pairs = probes.join(build, (0 until binDims).map(i => s"jc$i"))
+      .where(dist2 <= eps2)
+      .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val out = labelFromPairs(pts.select(col("pid")), pairs, minPts, checkpointDir)
+    binned.unpersist(); pairs.unpersist()
+    out
+  }
+
+  /** Shared labeling tail: ε-pairs (self-pairs included) -> (pid, cluster,
+    * is_core). Core = degree >= minPts; clusters = alt-star components
+    * over core-core edges labeled by min core id; borders adopt the min
+    * neighbor cluster; everything else is noise (-1). */
+  private def labelFromPairs(ptIds: DataFrame, pairs: DataFrame, minPts: Int,
+      checkpointDir: Option[String]): DataFrame = {
     val core = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= minPts)
       .select(col("a_id").as("pid"))
@@ -92,7 +161,7 @@ object Dbscan {
 
     val labeled = coreLabels.withColumn("is_core", lit(true))
       .union(border.withColumn("is_core", lit(false)))
-    val noise = pts.select(col("pid"))
+    val noise = ptIds
       .join(labeled.select(col("pid")), Seq("pid"), "left_anti")
       .select(col("pid"), lit(-1L).as("cluster"), lit(false).as("is_core"))
     // materialize (eager truncation — reliable checkpoint when
@@ -100,7 +169,7 @@ object Dbscan {
     // intermediate can be released before returning — the output is one
     // small row per point; the heavy frames must not outlive the call
     val out = Checkpointing.truncate(labeled.union(noise), checkpointDir)
-    binned.unpersist(); pairs.unpersist(); core.unpersist(); coreLabels.unpersist()
+    core.unpersist(); coreLabels.unpersist()
     out
   }
 }

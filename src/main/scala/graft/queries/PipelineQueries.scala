@@ -39,6 +39,61 @@ object PipelineQueries {
        |$outs""".stripMargin
   }
 
+  /** The q86 conv chain restated as SQL. The model is the OnnxWriter conv
+    * fixture (Conv 3x3 -> Relu -> MaxPool 2x2 -> BatchNorm -> GAP ->
+    * Flatten -> Gemm) over a 1x6x6 image taken from the first 36
+    * embedding components. Every accumulation is restated in the
+    * executor's exact order (conv: ky then kx left-to-right, bias last;
+    * GAP: scan order then one division; Gemm: inner-dim order), weights
+    * are exact eighths, and the BN variances are chosen so var+eps is a
+    * perfect square — the whole chain is deterministic double arithmetic
+    * on both engines. */
+  private def q86OracleSql: String = {
+    import graft.embeddings.OnnxWriter
+    val (m, e) = (2, 4)
+    val cw = OnnxWriter.convW(m, 1); val cb = OnnxWriter.convB(m)
+    val bs = OnnxWriter.bnScale(m); val bb = OnnxWriter.bnBias(m)
+    val bm = OnnxWriter.bnMean(m); val bv = OnnxWriter.bnVar(m)
+    val gw = OnnxWriter.gemmW(m, e); val gb = OnnxWriter.gemmB(e)
+    // Conv(pads=0, strides=1) + Relu: 6x6 -> 4x4 per output channel
+    val convCols = (for (co <- 0 until m; y <- 0 until 4; x <- 0 until 4) yield {
+      val terms = (for (ky <- 0 until 3; kx <- 0 until 3) yield
+        s"CAST(embedding[${(y + ky) * 6 + (x + kx) + 1}] AS DOUBLE) * ${cw(co * 9 + ky * 3 + kx)}")
+        .mkString(" + ")
+      val expr = s"$terms + ${cb(co)}"
+      s"CASE WHEN $expr > 0 THEN $expr ELSE 0.0 END AS r${co}_${y}_$x"
+    }).mkString(",\n    ")
+    // MaxPool 2x2 (stride = kernel): 4x4 -> 2x2; relu'd values are >= 0
+    // and non-NaN so greatest() == the executor's scan-order max
+    val poolCols = (for (co <- 0 until m; y <- 0 until 2; x <- 0 until 2) yield
+      s"greatest(r${co}_${2 * y}_${2 * x}, r${co}_${2 * y}_${2 * x + 1}, " +
+        s"r${co}_${2 * y + 1}_${2 * x}, r${co}_${2 * y + 1}_${2 * x + 1}) AS p${co}_${y}_$x")
+      .mkString(",\n    ")
+    // BatchNorm (exact: sqrt(var+eps) is 1.0 or 1.5) then GlobalAveragePool
+    val gapCols = (0 until m).map { co =>
+      def bn(y: Int, x: Int) =
+        s"((p${co}_${y}_$x - ${bm(co)}) * ${bs(co)} / sqrt(${bv(co)} + 0.25) + ${bb(co)})"
+      s"(${bn(0, 0)} + ${bn(0, 1)} + ${bn(1, 0)} + ${bn(1, 1)}) / 4.0 AS g$co"
+    }.mkString(",\n    ")
+    val outs = (0 until e).map { k =>
+      val terms = (0 until m).map(co => s"g$co * ${gw(co * e + k)}").mkString(" + ")
+      s"SELECT vec_id, CAST($k AS BIGINT) AS k, CAST($terms + ${gb(k)} AS REAL) AS v FROM gap"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH conv AS (
+       |  SELECT vec_id,
+       |    $convCols
+       |  FROM embeddings),
+       |pool AS (
+       |  SELECT vec_id,
+       |    $poolCols
+       |  FROM conv),
+       |gap AS (
+       |  SELECT vec_id,
+       |    $gapCols
+       |  FROM pool)
+       |$outs""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- C11: filter mini-DSL compiled to predicates + percentile -------
@@ -205,6 +260,27 @@ object PipelineQueries {
       val tiles = Tables.embeddings(s, d)
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("values"))
+      Inference.embedTiles(tiles, "vec_id", "values", model)
+        .select(col("tile_id").as("vec_id"),
+          posexplode(col("emb")).as(Seq("k", "v")))
+        .select(col("vec_id"), col("k").cast("long").as("k"), col("v"))
+    },
+
+    // ---- M1 depth: the reference's ACTUAL model family (a CNN) ----------
+    // Conv 3x3 -> Relu -> MaxPool 2x2 -> BatchNormalization -> GAP ->
+    // Flatten -> Gemm, serialized as a genuine ONNX ModelProto (repeated-
+    // ints attributes in BOTH packed and unpacked encodings) and executed
+    // by the pure-JVM NCHW executor through the same mapPartitions
+    // inference path as q82. The oracle restates every op term-by-term in
+    // the executor's accumulation order — the hash match proves the conv
+    // chain value-for-value.
+    QueryDef.sqlBacked("q86_onnx_conv", q86OracleSql) { (s, d) =>
+      import graft.embeddings.{Inference, Onnx, OnnxWriter}
+      val model = new Onnx.OnnxModel(OnnxWriter.convModelBytes(c = 1, m = 2, e = 4),
+        tileDims = Some(Seq(1, 6, 6)))
+      val tiles = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(slice(embedding, 1, 36), x -> cast(x as double))").as("values"))
       Inference.embedTiles(tiles, "vec_id", "values", model)
         .select(col("tile_id").as("vec_id"),
           posexplode(col("emb")).as(Seq("k", "v")))

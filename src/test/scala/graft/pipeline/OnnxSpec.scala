@@ -99,6 +99,140 @@ class OnnxSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Onnx.parseModel(Array[Byte](0x08, 1)) }
   }
 
+  // ------------------------------------------------------ conv family
+  /** Independent conv-chain reference: materializes a zero-PADDED image
+    * (structurally different from the executor's bounds-checked loops;
+    * adding the 0.0 padding terms is bit-identical because x + 0.0 == x
+    * for every non-negative-zero x and +0 never flips sign mid-sum),
+    * same accumulation ORDER (c_in, ky, kx) since float addition is
+    * order-sensitive. */
+  private def convReference(x: Array[Double], c: Int, h: Int, w: Int,
+      m: Int, e: Int, pads: Seq[Int], strides: Seq[Int]): Array[Float] = {
+    val cw = OnnxWriter.convW(m, c); val cb = OnnxWriter.convB(m)
+    val Seq(pt, pl, pb, pr) = pads
+    val Seq(sh, sw) = strides
+    val ph = h + pt + pb; val pw = w + pl + pr
+    val padded = Array.ofDim[Double](c, ph * pw)
+    for (ci <- 0 until c; y <- 0 until h; xx <- 0 until w)
+      padded(ci)((y + pt) * pw + (xx + pl)) = x((ci * h + y) * w + xx)
+    val oh = (ph - 3) / sh + 1; val ow = (pw - 3) / sw + 1
+    // conv + relu
+    val act = Array.ofDim[Double](m, oh * ow)
+    for (co <- 0 until m; oy <- 0 until oh; ox <- 0 until ow) {
+      var acc = 0.0
+      for (ci <- 0 until c; ky <- 0 until 3; kx <- 0 until 3)
+        acc += padded(ci)((oy * sh + ky) * pw + (ox * sw + kx)) *
+               cw(((co * c + ci) * 3 + ky) * 3 + kx)
+      val v = acc + cb(co)
+      act(co)(oy * ow + ox) = if (v > 0) v else 0.0
+    }
+    // max pool 2x2, stride = kernel
+    val qh = (oh - 2) / 2 + 1; val qw = (ow - 2) / 2 + 1
+    val pooled = Array.ofDim[Double](m, qh * qw)
+    for (co <- 0 until m; y <- 0 until qh; xx <- 0 until qw)
+      pooled(co)(y * qw + xx) = Seq(
+        act(co)(2 * y * ow + 2 * xx), act(co)(2 * y * ow + 2 * xx + 1),
+        act(co)((2 * y + 1) * ow + 2 * xx), act(co)((2 * y + 1) * ow + 2 * xx + 1)).max
+    // batch norm + global average pool
+    val bs = OnnxWriter.bnScale(m); val bb = OnnxWriter.bnBias(m)
+    val bm = OnnxWriter.bnMean(m); val bv = OnnxWriter.bnVar(m)
+    val g = Array.tabulate(m) { co =>
+      val std = math.sqrt(bv(co) + OnnxWriter.BnEps.toDouble)
+      var acc = 0.0
+      for (i <- 0 until qh * qw)
+        acc += (pooled(co)(i) - bm(co)) * bs(co) / std + bb(co)
+      acc / (qh * qw)
+    }
+    // gemm
+    val gw = OnnxWriter.gemmW(m, e); val gb = OnnxWriter.gemmB(e)
+    Array.tabulate(e) { k =>
+      var acc = 0.0
+      for (co <- 0 until m) acc += g(co) * gw(co * e + k)
+      (acc + gb(k)).toFloat
+    }
+  }
+
+  test("conv model parses: packed AND unpacked repeated-ints attributes") {
+    val g = Onnx.parseModel(OnnxWriter.convModelBytes(c = 1, m = 2, e = 4,
+      pads = Seq(1L, 1L, 1L, 1L), strides = Seq(2L, 2L)))
+    assert(g.nodes.map(_.opType) == Seq("Conv", "Relu", "MaxPool",
+      "BatchNormalization", "GlobalAveragePool", "Flatten", "Gemm"))
+    val conv = g.nodes.head
+    assert(conv.attrIs("pads") == Seq(1L, 1L, 1L, 1L))        // packed encoding
+    assert(conv.attrIs("strides") == Seq(2L, 2L))              // unpacked
+    assert(conv.attrIs("kernel_shape") == Seq(3L, 3L))
+    assert(g.initializers("cw").dims == Seq(2, 1, 3, 3))
+    assert(g.nodes(3).attrF("epsilon") == OnnxWriter.BnEps)
+  }
+
+  test("conv executor matches the independent padded-image reference bit-for-bit") {
+    val (c, h, w, m, e) = (2, 8, 8, 3, 4)
+    val model = new Onnx.OnnxModel(OnnxWriter.convModelBytes(c, m, e),
+      tileDims = Some(Seq(c, h, w)))
+    assert(model.inputDim == c * h * w && model.embDim == e)
+    val tiles = Seq(
+      Array.tabulate(c * h * w)(i => (i % 17) * 0.25 - 2.0),
+      Array.fill(c * h * w)(0.0),
+      Array.tabulate(c * h * w)(i => math.cos(i * 0.7)))
+    model.embedBatch(tiles).zip(tiles).foreach { case (emb, x) =>
+      assert(emb.toSeq ==
+        convReference(x, c, h, w, m, e, Seq(0, 0, 0, 0), Seq(1, 1)).toSeq)
+    }
+  }
+
+  test("conv pads and strides are honored (padded + strided variant)") {
+    val (c, h, w, m, e) = (1, 7, 9, 2, 3)
+    val model = new Onnx.OnnxModel(
+      OnnxWriter.convModelBytes(c, m, e, pads = Seq(1L, 1L, 1L, 1L),
+        strides = Seq(2L, 2L)),
+      tileDims = Some(Seq(c, h, w)))
+    val x = Array.tabulate(c * h * w)(i => ((i * 13) % 29) / 8.0 - 1.5)
+    val got = model.embedBatch(Seq(x)).head
+    assert(got.toSeq ==
+      convReference(x, c, h, w, m, e, Seq(1, 1, 1, 1), Seq(2, 2)).toSeq)
+  }
+
+  test("conv rejections: group != 1, dilation != 1, missing kernel_shape") {
+    def convNet(attrI: Seq[(String, Long)], attrIs: Seq[(String, Seq[Long])]) =
+      OnnxWriter.model(
+        nodes = Seq(OnnxWriter.NodeSpec("Conv", Seq("x", "w"), Seq("y"),
+          attrI = attrI, attrIs = attrIs)),
+        initializers = Seq(("w", Seq(1, 1, 3, 3), Array.fill(9)(0.125f), true)),
+        inputName = "x", outputName = "y")
+    val x = Onnx.Nd(Seq(1, 1, 4, 4), new Array[Double](16))
+    val exG = intercept[IllegalArgumentException] {
+      Onnx.runNd(Onnx.parseModel(convNet(Seq("group" -> 2L), Nil)), x)
+    }
+    assert(exG.getMessage.contains("group"))
+    val exD = intercept[IllegalArgumentException] {
+      Onnx.runNd(Onnx.parseModel(convNet(Nil, Seq("dilations" -> Seq(2L, 2L)))), x)
+    }
+    assert(exD.getMessage.contains("dilation"))
+    val pool = OnnxWriter.model(
+      nodes = Seq(OnnxWriter.NodeSpec("MaxPool", Seq("x"), Seq("y"))),
+      initializers = Seq(("unused", Seq(1), Array(0.0f), true)),
+      inputName = "x", outputName = "y")
+    val exK = intercept[IllegalArgumentException] {
+      Onnx.runNd(Onnx.parseModel(pool), x)
+    }
+    assert(exK.getMessage.contains("kernel_shape"))
+  }
+
+  test("embedTiles runs the conv model end-to-end through the batch path") {
+    import spark.implicits._
+    val (c, h, w, m, e) = (1, 6, 6, 2, 4)
+    val rows = (0 until 23).map(i =>
+      (i.toLong, Array.tabulate(c * h * w)(j => ((i * 31 + j * 7) % 19) / 8.0 - 1.0)))
+    val out = Inference.embedTiles(rows.toDF("tile_id", "values"), "tile_id", "values",
+      new Onnx.OnnxModel(OnnxWriter.convModelBytes(c, m, e), tileDims = Some(Seq(c, h, w))),
+      batchSize = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (id, x) =>
+      assert(out(id) ==
+        convReference(x, c, h, w, m, e, Seq(0, 0, 0, 0), Seq(1, 1)).toSeq, s"tile $id")
+    }
+  }
+
   test("embedTiles runs the ONNX model through the partition/batch path") {
     import spark.implicits._
     val rows = (0 until 37).map(i => (i.toLong, Array.tabulate(d)(j => (i * j % 13) / 4.0)))
