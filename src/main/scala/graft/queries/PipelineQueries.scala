@@ -341,6 +341,66 @@ object PipelineQueries {
       graft.operators.Dbscan.cluster(pts, "pid", "x", "y", eps = 6.0, minPts = 5)
     },
 
+    // ---- embedding-space (n-dim) DBSCAN ---------------------------------
+    // clusterVectors over a deterministic 4-d point set (20 planted
+    // centers from pid % 20, integer jitter): candidate generation bins
+    // the first 2 coordinates into eps-cells (lossless blocking — a true
+    // ε-pair is within eps on EVERY coordinate), distance is the full
+    // 4-d squared-diff fold. All coordinates are integers-as-doubles, so
+    // both engines compute exact arithmetic; the oracle brute-forces all
+    // pairs + recursive-CTE closure exactly like q85.
+    QueryDef.sqlBacked(
+      "q87_dbscan_vectors",
+      """WITH RECURSIVE
+        |pts AS (
+        |  SELECT event_id AS pid,
+        |    CAST(((event_id % 20) * 17) % 100 + ((event_id * 13) % 9) - 4 AS DOUBLE) AS x0,
+        |    CAST(((event_id % 20) * 29) % 100 + ((event_id * 7) % 9) - 4 AS DOUBLE) AS x1,
+        |    CAST(((event_id % 20) * 41) % 100 + ((event_id * 11) % 9) - 4 AS DOUBLE) AS x2,
+        |    CAST(((event_id % 20) * 53) % 100 + ((event_id * 3) % 9) - 4 AS DOUBLE) AS x3
+        |  FROM events WHERE event_id < 400),
+        |nbr AS (
+        |  SELECT a.pid AS a_id, b.pid AS b_id
+        |  FROM pts a JOIN pts b
+        |    ON (a.x0 - b.x0) * (a.x0 - b.x0) + (a.x1 - b.x1) * (a.x1 - b.x1)
+        |     + (a.x2 - b.x2) * (a.x2 - b.x2) + (a.x3 - b.x3) * (a.x3 - b.x3) <= 100.0),
+        |deg AS (SELECT a_id, count(*) AS d FROM nbr GROUP BY a_id),
+        |core AS (SELECT a_id AS pid FROM deg WHERE d >= 5),
+        |ce AS (
+        |  SELECT n.a_id AS u, n.b_id AS v FROM nbr n
+        |  JOIN core ca ON ca.pid = n.a_id
+        |  JOIN core cb ON cb.pid = n.b_id
+        |  WHERE n.a_id <> n.b_id),
+        |reach(p, q) AS (
+        |  SELECT pid, pid FROM core
+        |  UNION
+        |  SELECT r.p, e.v FROM reach r JOIN ce e ON e.u = r.q),
+        |lbl AS (SELECT p AS pid, min(q) AS cluster FROM reach GROUP BY p),
+        |border AS (
+        |  SELECT n.a_id AS pid, min(l.cluster) AS cluster
+        |  FROM nbr n
+        |  JOIN lbl l ON l.pid = n.b_id
+        |  LEFT JOIN core c ON c.pid = n.a_id
+        |  WHERE n.a_id <> n.b_id AND c.pid IS NULL
+        |  GROUP BY n.a_id)
+        |SELECT l.pid, l.cluster, TRUE AS is_core FROM lbl l
+        |UNION ALL SELECT b.pid, b.cluster, FALSE AS is_core FROM border b
+        |UNION ALL
+        |SELECT p.pid, CAST(-1 AS BIGINT) AS cluster, FALSE AS is_core
+        |FROM pts p
+        |LEFT JOIN lbl ON lbl.pid = p.pid
+        |LEFT JOIN border ON border.pid = p.pid
+        |WHERE lbl.pid IS NULL AND border.pid IS NULL""".stripMargin) { (s, d) =>
+      def dim(p: Int, q: Int) =
+        ((((col("event_id") % 20) * p) % 100) + ((col("event_id") * q) % 9) - 4).cast("double")
+      val pts = Tables.events(s, d)
+        .where(col("event_id") < 400)
+        .select(col("event_id").as("pid"),
+          array(dim(17, 13), dim(29, 7), dim(41, 11), dim(53, 3)).as("vec"))
+      graft.operators.Dbscan.clusterVectors(pts, "pid", "vec",
+        eps = 10.0, minPts = 5, binDims = 2)
+    },
+
     // ---- Structured Streaming == batch, proven by the driver gate -------
     // The query runs the REAL streaming engine (file source -> watermark
     // -> windowed stateful agg -> AvailableNow -> memory sink) to
