@@ -334,6 +334,31 @@ object SourceQueries {
         .toDF("time", "lat", "lon", "value")
     },
 
+    // ---- S10 depth: DEFLATE-compressed SDs (real CERES granule layout) --
+    // Same analytic oracle shape as q61, but the fixture stores its SDS
+    // through the HDF4 special-element compression encoding (extended-tag
+    // header + DFTAG_COMPRESSED zlib bytes) — the layout actual SYN1deg
+    // files ship (ceres_syn1deg_modis/extract.py). Hash match proves the
+    // binaryFile -> inflate -> decode -> georeference chain end-to-end.
+    QueryDef.sqlBacked(
+      "q88_hdf4_compressed",
+      """SELECT TIMESTAMP '2021-07-01 00:00:00' + INTERVAL 1 HOUR * b AS time,
+        |  90.0 - (j + 0.5) AS lat, (i + 0.5) - 180.0 AS lon,
+        |  CAST((b*5 + j)*6 + i AS DOUBLE) * 0.25 - 2.0 AS value
+        |FROM range(0,2) r1(b), range(0,5) r2(j), range(0,6) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.HDF4
+      val dir = java.nio.file.Files.createTempDirectory("graft-q88").toString
+      val bytes = HDF4.write(Seq(HDF4.SdsSpec(
+        "observed_all_sky_toa_lw_flux", Seq(2, 5, 6), HDF4.Float64,
+        Array.tabulate(2 * 5 * 6)(_ * 0.25 - 2.0), deflate = true)))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "syn1deg_c.hdf"), bytes)
+      import s.implicits._
+      s.read.format("binaryFile").load(s"$dir/*.hdf")
+        .select("content").as[Array[Byte]]
+        .flatMap(b => HDF4.syn1degRows(b, "observed_all_sky_toa_lw_flux", "2021-07-01"))
+        .toDF("time", "lat", "lon", "value")
+    },
+
     // ---- M5 depth: object-based cloudmetrics (labeling + I_org) ---------
     // The reference's named plugin example is
     // `cloud_metrics__mask__iorg_objects` (aux_fields/data.py:82-108):

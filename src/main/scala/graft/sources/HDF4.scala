@@ -11,11 +11,18 @@ import java.nio.charset.StandardCharsets
   * data-group tags —
   *   DFTAG_NDG(720) group -> DFTAG_SDD(701) rank/dims + number type,
   *   DFTAG_NT(106), DFTAG_SD(702) raw big-endian array,
-  *   DFTAG_SDL(704) label (the `long_name` the reference renames by).
-  * Files written through the newer multi-file SD/Vgroup interface store
-  * their attributes in Vdata records; those attrs are out of scope here
-  * (the label tag carries the variable name), and compressed SDs are
-  * rejected loudly.
+  *   DFTAG_SDL(704) label (the `long_name` the reference renames by) —
+  * plus DEFLATE-compressed SDs via the spec's special-element encoding:
+  * an extended-tag DD (0x4000 | DFTAG_SD) whose payload is the
+  * compression header (SPECIAL_COMP=3, version, uncompressed length,
+  * ref of the DFTAG_COMPRESSED(40) element, model, COMP_CODE_DEFLATE=4,
+  * level), with the zlib-wrapped bytes in the DFTAG_COMPRESSED element —
+  * the layout real CERES SYN1deg granules ship. Other special-element
+  * kinds (linked blocks, external, chunked) and other comp codes are
+  * rejected loudly, never silently misread. Files written through the
+  * newer multi-file SD/Vgroup interface store their attributes in Vdata
+  * records; those attrs are out of scope here (the label tag carries
+  * the variable name).
   *
   * As with [[NetCDF3]], the decode unit is the whole file: Spark-side
   * use is per-file parallelism over a `binaryFile` scan.
@@ -24,6 +31,10 @@ object HDF4 {
 
   val Magic = 0x0e031301
   val TagNT = 106; val TagSDD = 701; val TagSD = 702; val TagSDL = 704; val TagNDG = 720
+  val TagCompressed = 40      // DFTAG_COMPRESSED: the deflated bytes
+  val ExtendedMask = 0x4000   // SPECIAL_MASK: DD tag bit for special elements
+  val SpecialComp = 3         // SPECIAL_COMP special-element kind
+  val CompDeflate = 4         // COMP_CODE_DEFLATE
 
   // DFNT number-type codes
   val Float32 = 5; val Float64 = 6
@@ -103,25 +114,63 @@ object HDF4 {
       b.get() // version
       val ntType = b.get().toInt
       val sdRef = member(TagSD).getOrElse(throw new IllegalArgumentException("NDG without SD"))
-      val sd = find(TagSD, sdRef).get
       val n = dims.product
-      require(sd.length == n.toLong * typeWidth(ntType),
-        s"SD length ${sd.length} != expected (compressed SDs are unsupported)")
+      val width = typeWidth(ntType)
+      // plain SD: the DD payload is the raw big-endian array. Compressed
+      // SD: the DD carries the EXTENDED tag and its payload is the
+      // special-element compression header pointing at DFTAG_COMPRESSED.
+      val (dataBuf, dataOff) = find(TagSD, sdRef) match {
+        case Some(sd) =>
+          require(sd.length == n.toLong * width,
+            s"SD length ${sd.length} != expected ${n.toLong * width}")
+          (b, sd.offset)
+        case None =>
+          val ext = find(ExtendedMask | TagSD, sdRef).getOrElse(
+            throw new IllegalArgumentException("NDG without SD (plain or extended)"))
+          b.position(ext.offset)
+          val special = b.getShort().toInt
+          require(special == SpecialComp,
+            s"special element kind $special unsupported (only SPECIAL_COMP=$SpecialComp; " +
+              "linked-block/external/chunked elements are out of scope)")
+          b.getShort() // compression header version
+          val uncompLen = b.getInt()
+          val compRef = b.getShort() & 0xffff
+          b.getShort() // model type (COMP_MODEL_STDIO)
+          val compType = b.getShort().toInt
+          require(compType == CompDeflate,
+            s"compression code $compType unsupported (only DEFLATE=$CompDeflate)")
+          require(uncompLen == n.toLong * width,
+            s"compressed SD declares $uncompLen bytes, expected ${n.toLong * width}")
+          val cdd = find(TagCompressed, compRef).getOrElse(
+            throw new IllegalArgumentException(
+              s"compressed SD: no DFTAG_COMPRESSED element with ref $compRef"))
+          val inflater = new java.util.zip.Inflater()
+          inflater.setInput(bytes, cdd.offset, cdd.length)
+          val out = new Array[Byte](uncompLen)
+          val got = inflater.inflate(out)
+          require(got == uncompLen && inflater.finished(),
+            s"compressed SD: inflated $got of $uncompLen bytes")
+          inflater.end()
+          (ByteBuffer.wrap(out), 0)
+      }
       val label = member(TagSDL).flatMap(r => find(TagSDL, r)).map { dd =>
         val raw = new Array[Byte](dd.length)
         b.position(dd.offset); b.get(raw)
         new String(raw.takeWhile(_ != 0), StandardCharsets.UTF_8)
       }.getOrElse("")
-      Sds(g.ref, label, dims, ntType, readValues(b, sd.offset, n, ntType))
+      Sds(g.ref, label, dims, ntType, readValues(dataBuf, dataOff, n, ntType))
     }
   }
 
   /** In-memory dataset for writing (data row-major doubles, cast on
-    * write). */
-  final case class SdsSpec(label: String, dims: Seq[Int], ntType: Int, data: Array[Double])
+    * write); `deflate = true` stores the SD through the special-element
+    * compression encoding real CERES granules use. */
+  final case class SdsSpec(label: String, dims: Seq[Int], ntType: Int,
+      data: Array[Double], deflate: Boolean = false)
 
   /** Write a DFSD-style HDF4 file: one DD block, then per dataset the
-    * NT + SDD + SDL + SD objects and their NDG group. */
+    * NT + SDD + SDL + SD objects and their NDG group (SD optionally as
+    * an extended-tag compression header + DFTAG_COMPRESSED element). */
   def write(datasets: Seq[SdsSpec]): Array[Byte] = {
     final case class Obj(tag: Int, ref: Int, payload: Array[Byte])
     val objs = Seq.newBuilder[Obj]
@@ -146,7 +195,24 @@ object HDF4 {
           case Float64 => sd.putDouble(v)
         }
       }
-      objs += Obj(TagSD, ref, sd.array())
+      if (ds.deflate) {
+        val deflater = new java.util.zip.Deflater(6)
+        deflater.setInput(sd.array()); deflater.finish()
+        val tmp = new Array[Byte](sd.array().length + 64)
+        val clen = deflater.deflate(tmp)
+        require(deflater.finished(), s"${ds.label}: deflate did not finish in one pass")
+        deflater.end()
+        objs += Obj(TagCompressed, ref, java.util.Arrays.copyOf(tmp, clen))
+        val hdr = ByteBuffer.allocate(16)
+        hdr.putShort(SpecialComp.toShort)
+        hdr.putShort(0)                        // compression header version
+        hdr.putInt(sd.array().length)          // uncompressed length
+        hdr.putShort(ref.toShort)              // DFTAG_COMPRESSED ref
+        hdr.putShort(0)                        // model: COMP_MODEL_STDIO
+        hdr.putShort(CompDeflate.toShort)
+        hdr.putShort(6)                        // deflate level
+        objs += Obj(ExtendedMask | TagSD, ref, hdr.array())
+      } else objs += Obj(TagSD, ref, sd.array())
       val ndg = ByteBuffer.allocate(16)
       Seq(TagSDD, TagNT, TagSDL, TagSD).foreach { t =>
         ndg.putShort(t.toShort); ndg.putShort(ref.toShort)

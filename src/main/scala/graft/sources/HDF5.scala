@@ -13,12 +13,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - v0 superblock + v1 object headers + symbol-table groups (local heap
   *    + v1 B-tree + SNOD) — what h5py/libhdf5 write under DEFAULT file
   *    properties;
-  *  - v2/v3 superblocks + v2 ("OHDR") object headers + NEW-STYLE compact
-  *    groups (Link Info + Link messages in the header) — what appears
-  *    under libver-latest settings, and the root-group shape netCDF-4
-  *    produces when link creation-order tracking is enabled (real
-  *    netcdf-c output stores root links as Link messages, NOT SNOD
-  *    symbol tables);
+  *  - v2/v3 superblocks + v2 ("OHDR") object headers + NEW-STYLE groups,
+  *    BOTH storages — COMPACT (Link Info + Link messages in the header)
+  *    and DENSE (links as fractal-heap objects indexed by a name v2
+  *    B-tree: FRHP header, root direct block or root indirect block with
+  *    direct children, BTHD/BTLF/BTIN depth <= 1) — the root-group
+  *    shapes real netcdf-c output takes below and above the ~8-link
+  *    compact limit;
   *  - object-header CONTINUATION blocks in both generations (v1 raw
   *    message blocks, v2 "OCHK" blocks).
   *
@@ -26,9 +27,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * with DEFLATE and SHUFFLE filters in any pipeline order — so both a
   * default `nc_def_var_deflate` file and the common shuffle+deflate
   * combination decode. Out of scope — rejected LOUDLY, never silently
-  * misread: szip, dense (fractal-heap) group link storage, layout v4
-  * chunk indexes (fixed/extensible array, v2 B-tree), compact storage,
-  * v1 superblocks, big-endian data.
+  * misread: szip, layout v4 chunk indexes (fixed/extensible array, v2
+  * B-tree), compact storage, v1 superblocks, big-endian data, huge/tiny
+  * fractal-heap objects, indirect child heap blocks, B-tree depth > 1.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -108,23 +109,173 @@ object HDF5 {
         val heapDataAddr = parseHeapDataAddr(bytes, heapAddr)
         collectSnods(bytes, btreeAddr).flatMap(parseSnod(bytes, _, heapDataAddr))
       case None =>
-        // new-style group: the Link Info message must be COMPACT (links
-        // stored inline); a defined fractal heap address means dense
-        // storage, which needs the fractal-heap machinery
-        msgs.collectFirst { case (0x0002, off) => off }.foreach { off =>
+        // new-style group: COMPACT (Link messages in the header) or DENSE
+        // (links as fractal-heap objects indexed by a v2 B-tree — what
+        // libhdf5 switches to above the compact limit, i.e. any netCDF-4
+        // file with more than ~8 variables)
+        val dense = msgs.collectFirst { case (0x0002, off) => off }.flatMap { off =>
           val b = buf(bytes, off)
           b.get() // version
           val flags = b.get()
           if ((flags & 1) != 0) b.getLong() // max creation index
           val fheap = b.getLong()
-          require(fheap == Undef,
-            "dense new-style groups (fractal-heap link storage) unsupported — " +
-              "only compact groups (links in the object header) are implemented")
+          val nameIndex = b.getLong()
+          if (fheap == Undef) None else Some(denseEntries(bytes, fheap, nameIndex))
         }
-        val links = msgs.collect { case (0x0006, off) => parseLinkMessage(bytes, off) }
-        require(links.nonEmpty,
-          "root object header has neither a symbol table message nor link messages")
-        links
+        dense.getOrElse {
+          val links = msgs.collect { case (0x0006, off) => parseLinkMessage(bytes, off) }
+          require(links.nonEmpty,
+            "root object header has neither a symbol table message nor link messages")
+          links
+        }
+    }
+  }
+
+  // ----------------------------------------- dense groups (fractal heap)
+
+  /** min bytes to encode values up to `max` (H5VM_limit_enc_size). */
+  private def encSize(max: Long): Int =
+    (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, max))) / 8 + 1
+
+  /** Dense group link storage: enumerate every link record in the name-
+    * index v2 B-tree (type 5), resolve each 7-byte heap ID into the
+    * group's fractal heap (root direct block, or a root indirect block
+    * with DIRECT children), and parse the stored Link messages. The
+    * record's name hash is never interpreted (it only orders lookups),
+    * so files hashed with lookup3 decode fine. Out of scope, rejected
+    * loudly: huge/tiny heap objects, filtered heap blocks, indirect
+    * child blocks (heaps beyond width x maxDirect per row), B-tree
+    * depth > 1. */
+  private def denseEntries(bytes: Array[Byte], fheapAddr: Long,
+      btreeAddr: Long): Seq[(String, Long)] = {
+    require(btreeAddr != Undef, "dense group without a name-index v2 B-tree")
+    // ---- fractal heap header (FRHP)
+    val h = buf(bytes, fheapAddr.toInt)
+    require((0 until 4).map(_ => h.get().toChar).mkString == "FRHP",
+      "bad fractal heap signature")
+    require(h.get() == 0, "FRHP version != 0")
+    val heapIdLen = h.getShort() & 0xffff
+    val filterLen = h.getShort() & 0xffff
+    require(filterLen == 0, "filtered fractal-heap blocks unsupported")
+    val hFlags = h.get()
+    h.getInt() // max size of managed objects
+    h.getLong(); h.getLong() // next huge id, huge v2 btree
+    h.getLong(); h.getLong() // free space, free-space manager
+    h.getLong(); h.getLong(); h.getLong() // managed space, allocated, iterator
+    h.getLong() // number of managed objects
+    val hugeSize = h.getLong(); val nHuge = h.getLong()
+    val tinySize = h.getLong(); val nTiny = h.getLong()
+    require(nHuge == 0 && nTiny == 0 && hugeSize == 0 && tinySize == 0,
+      "huge/tiny fractal-heap objects unsupported (managed link records only)")
+    val width = h.getShort() & 0xffff
+    val startBlock = h.getLong()
+    val maxDirect = h.getLong()
+    val maxHeapBits = h.getShort() & 0xffff
+    h.getShort() // starting rows in root indirect block
+    val rootBlockAddr = h.getLong()
+    val curRows = h.getShort() & 0xffff
+    val offSize = (maxHeapBits + 7) / 8
+    require(1 + offSize <= heapIdLen,
+      s"heap id length $heapIdLen cannot hold a $offSize-byte offset")
+    // dbHeaderLen (sig + version + heap header addr + block offset
+    // [+ checksum]) positions object data within a block — the writer
+    // packs objects after it; the reader only needs block-relative
+    // arithmetic since heap offsets address the block INCLUDING header
+    val maxDirectRows =
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startBlock)).toInt + 2
+    def rowSize(r: Int): Long = if (r < 2) startBlock else startBlock << (r - 1)
+    def checkDirect(addr: Long): Unit = {
+      val db = buf(bytes, addr.toInt)
+      require((0 until 4).map(_ => db.get().toChar).mkString == "FHDB",
+        "bad fractal heap direct block signature")
+    }
+
+    /** heap-space offset -> absolute file offset of that byte. */
+    def locate(heapOff: Long): Long =
+      if (curRows == 0) {
+        require(heapOff < startBlock, s"heap offset $heapOff beyond the root direct block")
+        checkDirect(rootBlockAddr)
+        rootBlockAddr + heapOff
+      } else {
+        var r = 0
+        var base = 0L
+        while (heapOff >= base + width * rowSize(r)) { base += width * rowSize(r); r += 1 }
+        require(r < maxDirectRows,
+          "indirect child blocks unsupported (fractal heap beyond the direct rows)")
+        val col = ((heapOff - base) / rowSize(r)).toInt
+        val ib = buf(bytes, rootBlockAddr.toInt)
+        require((0 until 4).map(_ => ib.get().toChar).mkString == "FHIB",
+          "bad fractal heap indirect block signature")
+        ib.get() // version
+        ib.getLong() // heap header address
+        (0 until offSize).foreach(_ => ib.get()) // block offset
+        ib.position(ib.position() + (r * width + col) * 8)
+        val child = ib.getLong()
+        require(child != Undef, s"heap offset $heapOff points into an unallocated block")
+        checkDirect(child)
+        child + (heapOff - (base + col.toLong * rowSize(r)))
+      }
+
+    // ---- name-index v2 B-tree (BTHD, record type 5: hash + 7-byte id)
+    val bt = buf(bytes, btreeAddr.toInt)
+    require((0 until 4).map(_ => bt.get().toChar).mkString == "BTHD",
+      "bad v2 B-tree header signature")
+    require(bt.get() == 0, "BTHD version != 0")
+    val btype = bt.get()
+    require(btype == 5, s"v2 B-tree type $btype (expected 5: link name index)")
+    val nodeSize = bt.getInt()
+    val recSize = bt.getShort() & 0xffff
+    val depth = bt.getShort() & 0xffff
+    bt.get(); bt.get() // split/merge percents
+    val rootNodeAddr = bt.getLong()
+    val rootNRec = bt.getShort() & 0xffff
+    bt.getLong() // total records
+    require(recSize >= 5, s"record size $recSize too small for hash + heap id")
+    val idLen = recSize - 4
+    val maxLeafRec = (nodeSize - 10) / recSize
+    val leafPtrSize = encSize(maxLeafRec.toLong)
+
+    def readRecordIds(addr: Long, nrec: Int, d: Int): Seq[Array[Byte]] = {
+      val nb = buf(bytes, addr.toInt)
+      val sig = (0 until 4).map(_ => nb.get().toChar).mkString
+      nb.get() // version
+      nb.get() // type
+      if (d == 0) {
+        require(sig == "BTLF", s"expected leaf node BTLF, got $sig")
+        (0 until nrec).map { _ =>
+          nb.getInt() // name hash (ordering only)
+          val id = new Array[Byte](idLen)
+          nb.get(id)
+          id
+        }
+      } else {
+        require(d == 1, s"v2 B-tree depth $depth unsupported (max 1)")
+        require(sig == "BTIN", s"expected internal node BTIN, got $sig")
+        val recs = (0 until nrec).map { _ =>
+          nb.getInt()
+          val id = new Array[Byte](idLen)
+          nb.get(id)
+          id
+        }
+        val children = (0 until nrec + 1).map { _ =>
+          val a = nb.getLong()
+          var cn = 0L
+          (0 until leafPtrSize).foreach(i => cn |= (nb.get() & 0xffL) << (8 * i))
+          (a, cn.toInt)
+        }
+        children.zipWithIndex.flatMap { case ((ca, cn), i) =>
+          val sub = readRecordIds(ca, cn, 0)
+          if (i < recs.size) sub :+ recs(i) else sub
+        }
+      }
+    }
+
+    readRecordIds(rootNodeAddr, rootNRec, depth).map { id =>
+      require((id(0) & 0x30) == 0,
+        "only managed fractal-heap ids supported (huge/tiny rejected)")
+      var off = 0L
+      (0 until offSize).foreach(i => off |= (id(1 + i) & 0xffL) << (8 * i))
+      parseLinkMessage(bytes, locate(off).toInt)
     }
   }
 
@@ -808,7 +959,25 @@ object HDF5 {
     * filter pipelines with optional shuffle+deflate. Checksums are
     * emitted as zero (the reader skips them — see the object doc). */
   def writeLatest(specs: Seq[DsSpec], deflate: Boolean = false,
-      shuffle: Boolean = false): Array[Byte] = {
+      shuffle: Boolean = false): Array[Byte] =
+    writeNewStyle(specs, deflate, shuffle, denseRoot = false, smallHeapBlocks = false)
+
+  /** Write the DENSE-root-group variant of [[writeLatest]]: the root
+    * OHDR holds ONLY a Link Info message; links live as fractal-heap
+    * objects indexed by a name v2 B-tree — the shape libhdf5 switches to
+    * above the compact limit (any netCDF-4 file with many variables).
+    * `smallBlocks = true` shrinks the heap/B-tree parameters so the file
+    * exercises the multi-direct-block root INDIRECT block and a depth-1
+    * B-tree (internal node + several leaves); default parameters emit
+    * one root direct block and a single-leaf (depth-0) tree. Record
+    * hashes are a deterministic surrogate (real files use lookup3; the
+    * reader never interprets hashes, only record order). */
+  def writeDense(specs: Seq[DsSpec], deflate: Boolean = false,
+      shuffle: Boolean = false, smallBlocks: Boolean = false): Array[Byte] =
+    writeNewStyle(specs, deflate, shuffle, denseRoot = true, smallHeapBlocks = smallBlocks)
+
+  private def writeNewStyle(specs: Seq[DsSpec], deflate: Boolean,
+      shuffle: Boolean, denseRoot: Boolean, smallHeapBlocks: Boolean): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
     val sorted = specs.sortBy(_.name)
     def align8(x: Long): Long = (x + 7) & ~7L
@@ -819,12 +988,14 @@ object HDF5 {
     // ---- layout computation
     val superblockLen = 48L // sig(8) ver(1) sizes(2) flags(1) 4x addr(32) csum(4)
     val linkBodies = nameBytes.map(11 + _.length) // ver+flags+len1+name+addr8
-    val chunk0Root = (4 + 18) + (4 + linkBodies.head) +
-      (if (sorted.size > 1) 4 + 16 else 0)
+    val chunk0Root =
+      if (denseRoot) 4 + 18 // Link Info only (fheap + name index defined)
+      else (4 + 18) + (4 + linkBodies.head) +
+        (if (sorted.size > 1) 4 + 16 else 0)
     val rootAddr = superblockLen
     val rootLen = 8L + chunk0Root + 4
     val ochkAddr = rootAddr + rootLen
-    val ochkLen = if (sorted.size > 1) 8L + linkBodies.tail.map(_ + 4).sum else 0L
+    val ochkLen = if (!denseRoot && sorted.size > 1) 8L + linkBodies.tail.map(_ + 4).sum else 0L
     var cursor = align8(ochkAddr + ochkLen)
     val headerAddrs = scala.collection.mutable.Map[String, Long]()
     val dataAddrs = scala.collection.mutable.Map[String, Long]()
@@ -872,6 +1043,117 @@ object HDF5 {
           cursor = caddr
       }
     }
+
+    // ---- dense-root heap + index layout (after the datasets) ----------
+    // fractal heap geometry: W=4; default = one root DIRECT block big
+    // enough for every link; smallBlocks = 64/128-byte blocks forcing a
+    // root INDIRECT block, plus a 32-byte B-tree node size forcing a
+    // depth-1 tree
+    val fheapWidth = 4
+    val dbHeaderLen = 4 + 1 + 8 + 4 // sig + version + heap hdr addr + 4-byte block offset
+    val linkTotal = linkBodies.sum
+    val (startBlock, maxDirect) =
+      if (smallHeapBlocks) (64L, 128L)
+      else {
+        var s = 512L
+        while (s < dbHeaderLen + linkTotal) s <<= 1
+        (s, math.max(s, 65536L))
+      }
+    def rowSizeOf(r: Int): Long = if (r < 2) startBlock else startBlock << (r - 1)
+    // pack links into blocks greedily (objects never span blocks);
+    // heapPlacements(i) = (heap offset of link i, block index)
+    val blockFill = scala.collection.mutable.ArrayBuffer[Long]() // used bytes per block
+    def blockHeapBase(bi: Int): Long = {
+      var base = 0L
+      var r = 0; var seen = 0
+      while (seen + fheapWidth <= bi) { base += fheapWidth * rowSizeOf(r); seen += fheapWidth; r += 1 }
+      base + (bi - seen) * rowSizeOf(r)
+    }
+    def blockRow(bi: Int): Int = bi / fheapWidth
+    val heapPlacements: Seq[Long] = if (denseRoot) linkBodies.map { len =>
+      var bi = -1
+      var i = 0
+      while (bi < 0 && i < blockFill.size) {
+        if (blockFill(i) + len <= rowSizeOf(blockRow(i))) bi = i
+        i += 1
+      }
+      if (bi < 0) {
+        blockFill += dbHeaderLen.toLong
+        bi = blockFill.size - 1
+        require(dbHeaderLen + len <= rowSizeOf(blockRow(bi)),
+          s"link body of $len bytes exceeds the ${rowSizeOf(blockRow(bi))}-byte heap block")
+      }
+      val off = blockHeapBase(bi) + blockFill(bi)
+      blockFill(bi) += len
+      off
+    } else Seq.empty
+    val nBlocks = math.max(1, blockFill.size)
+    require(!denseRoot || blockRow(nBlocks - 1) <
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startBlock)).toInt + 2,
+      "links exceed the direct rows of the fractal heap")
+    val rootIsDirect = nBlocks == 1 && !smallHeapBlocks
+    val fheapAddr = cursor
+    val fheapHeaderLen = 146L
+    val fhibRows = if (rootIsDirect) 0 else blockRow(nBlocks - 1) + 1
+    val fhibLen = if (rootIsDirect) 0L else 4 + 1 + 8 + 4 + fhibRows.toLong * fheapWidth * 8 + 4
+    val rootBlockAddr = fheapAddr + fheapHeaderLen
+    val blockAddrs: Seq[Long] = if (!denseRoot) Seq.empty else {
+      var a = rootBlockAddr + fhibLen
+      (0 until nBlocks).map { bi => val here = a; a += rowSizeOf(blockRow(bi)); here }
+    }
+    val heapEnd =
+      if (!denseRoot) cursor
+      else blockAddrs.last + rowSizeOf(blockRow(nBlocks - 1))
+    // name-index v2 B-tree: record = 4-byte surrogate hash + 7-byte id
+    val recSize = 11
+    def nameHash(n: Array[Byte]): Int =
+      n.foldLeft(17)((h, b) => h * 31 + (b & 0xff)) & 0x7fffffff
+    val sortedRecs: Seq[(Int, Int)] = // (hash, link index) in hash order
+      nameBytes.zipWithIndex.map { case (n, i) => (nameHash(n), i) }.sortBy(_._1)
+    // small mode: leafCap 6 forces depth 1 for >6 links while the
+    // internal node (records + 9-byte child pointers) still fits
+    val btNodeSize = if (smallHeapBlocks) 76 else math.max(512, 10 + recSize * sorted.size)
+    val leafCap = (btNodeSize - 10) / recSize
+    // depth-1 split: k root records, k+1 leaves of <= leafCap records
+    val needDepth1 = sorted.size > leafCap
+    val rootK =
+      if (!needDepth1) 0
+      else {
+        var k = 1
+        while ((k + 1) * leafCap + k < sorted.size) k += 1
+        k
+      }
+    val bthdAddr = align8(heapEnd)
+    val bthdLen = 38L
+    val (leafSplits: Seq[Seq[(Int, Int)]], rootRecs: Seq[(Int, Int)]) =
+      if (!needDepth1) (Seq(sortedRecs), Seq.empty)
+      else {
+        // k+1 leaves of near-equal size, separated by the k root records,
+        // preserving global record order
+        val nLeaves = rootK + 1
+        val nLeafRecs = sorted.size - rootK
+        val base = nLeafRecs / nLeaves
+        val extra = nLeafRecs % nLeaves
+        val leaves = scala.collection.mutable.ArrayBuffer[Seq[(Int, Int)]]()
+        val roots = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        var rest = sortedRecs
+        (0 until nLeaves).foreach { li =>
+          val take = base + (if (li < extra) 1 else 0)
+          require(take >= 1 && take <= leafCap, s"depth-1 split: leaf of $take records")
+          leaves += rest.take(take)
+          rest = rest.drop(take)
+          if (li < nLeaves - 1) { roots += rest.head; rest = rest.tail }
+        }
+        require(rest.isEmpty && roots.size == rootK, "depth-1 split bookkeeping broke")
+        (leaves.toSeq, roots.toSeq)
+      }
+    val leafAddrs = leafSplits.indices.map(i => bthdAddr + bthdLen + i.toLong * btNodeSize)
+    val btinAddr = bthdAddr + bthdLen + leafSplits.size.toLong * btNodeSize
+    val btinLen = if (needDepth1) btNodeSize.toLong else 0L
+    require(!needDepth1 || 6 + rootK * recSize + (rootK + 1) * 9 + 4 <= btNodeSize,
+      s"internal B-tree node content exceeds node size $btNodeSize")
+    if (denseRoot) cursor = btinAddr + btinLen
+
     val total = cursor
     require(total <= Int.MaxValue, s"HDF5 export of $total bytes exceeds builder limit")
     val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
@@ -896,37 +1178,140 @@ object HDF5 {
     def msgHdr(mtype: Int, msize: Int): Unit = {
       out.put(mtype.toByte); out.putShort(msize.toShort); out.put(0.toByte)
     }
-    def linkMsg(idx: Int): Unit = {
-      msgHdr(0x06, linkBodies(idx))
+    def linkBody(idx: Int): Unit = {
       out.put(1.toByte) // version
       out.put(0.toByte) // flags: 1-byte name length, hard link
       out.put(nameBytes(idx).length.toByte)
       out.put(nameBytes(idx))
       out.putLong(headerAddrs(sorted(idx).name))
     }
+    def linkMsg(idx: Int): Unit = {
+      msgHdr(0x06, linkBodies(idx))
+      linkBody(idx)
+    }
 
-    // ---- root group OHDR: link info + first link (+ continuation)
+    // ---- root group OHDR -----------------------------------------------
     out.position(rootAddr.toInt)
     ohdrPrefix(chunk0Root)
     msgHdr(0x02, 18)
     out.put(0.toByte) // link info version
-    out.put(0.toByte) // flags: no creation order, not indexed
-    out.putLong(Undef) // fractal heap (undef = COMPACT storage)
-    out.putLong(Undef) // name-index B-tree
-    linkMsg(0)
-    if (sorted.size > 1) {
-      msgHdr(0x10, 16)
-      out.putLong(ochkAddr)
-      out.putLong(ochkLen)
+    out.put(0.toByte) // flags: no creation order, not indexed by order
+    if (denseRoot) {
+      out.putLong(fheapAddr) // fractal heap: DENSE storage
+      out.putLong(bthdAddr) // name-index v2 B-tree
+      out.putInt(0) // header checksum (zero)
+    } else {
+      out.putLong(Undef) // fractal heap (undef = COMPACT storage)
+      out.putLong(Undef) // name-index B-tree
+      linkMsg(0)
+      if (sorted.size > 1) {
+        msgHdr(0x10, 16)
+        out.putLong(ochkAddr)
+        out.putLong(ochkLen)
+      }
+      out.putInt(0) // header checksum (zero)
     }
-    out.putInt(0) // header checksum (zero)
 
-    // ---- OCHK continuation with the remaining links
-    if (sorted.size > 1) {
+    // ---- OCHK continuation with the remaining links (compact mode)
+    if (!denseRoot && sorted.size > 1) {
       out.position(ochkAddr.toInt)
       out.put('O'.toByte); out.put('C'.toByte); out.put('H'.toByte); out.put('K'.toByte)
       (1 until sorted.size).foreach(linkMsg)
       out.putInt(0) // block checksum (zero)
+    }
+
+    // ---- dense-root structures -----------------------------------------
+    if (denseRoot) {
+      // fractal heap header (FRHP)
+      out.position(fheapAddr.toInt)
+      out.put('F'.toByte); out.put('R'.toByte); out.put('H'.toByte); out.put('P'.toByte)
+      out.put(0.toByte) // version
+      out.putShort(7) // heap id length: flags(1) + offset(4) + length(2)
+      out.putShort(0) // io filter encoded length
+      out.put(0.toByte) // flags: no checksums
+      out.putInt(4096) // max size of managed objects
+      out.putLong(0L); out.putLong(Undef) // next huge id, huge v2 btree
+      out.putLong(0L); out.putLong(Undef) // free space, free-space manager
+      out.putLong(heapEnd - rootBlockAddr) // managed space
+      out.putLong(heapEnd - rootBlockAddr) // allocated managed space
+      out.putLong(heapEnd - rootBlockAddr) // direct block iterator offset
+      out.putLong(sorted.size.toLong) // number of managed objects
+      out.putLong(0L); out.putLong(0L) // huge size, huge count
+      out.putLong(0L); out.putLong(0L) // tiny size, tiny count
+      out.putShort(fheapWidth.toShort)
+      out.putLong(startBlock)
+      out.putLong(maxDirect)
+      out.putShort(32) // maximum heap size (bits) -> 4-byte offsets
+      out.putShort(if (rootIsDirect) 0 else fhibRows.toShort)
+      out.putLong(rootBlockAddr)
+      out.putShort(if (rootIsDirect) 0 else fhibRows.toShort) // current rows
+      out.putInt(0) // checksum (zero)
+      // root indirect block (when several direct blocks)
+      if (!rootIsDirect) {
+        out.position(rootBlockAddr.toInt)
+        out.put('F'.toByte); out.put('H'.toByte); out.put('I'.toByte); out.put('B'.toByte)
+        out.put(0.toByte)
+        out.putLong(fheapAddr)
+        out.putInt(0) // block offset (heap offset 0)
+        (0 until fhibRows * fheapWidth).foreach { e =>
+          out.putLong(if (e < nBlocks) blockAddrs(e) else Undef)
+        }
+        out.putInt(0) // checksum (zero)
+      }
+      // direct blocks with their packed link bodies
+      val dbStart = if (rootIsDirect) Seq(rootBlockAddr) else blockAddrs
+      dbStart.zipWithIndex.foreach { case (addr, bi) =>
+        out.position(addr.toInt)
+        out.put('F'.toByte); out.put('H'.toByte); out.put('D'.toByte); out.put('B'.toByte)
+        out.put(0.toByte)
+        out.putLong(fheapAddr)
+        out.putInt(blockHeapBase(bi).toInt) // block offset in heap space
+      }
+      heapPlacements.zipWithIndex.foreach { case (heapOff, idx) =>
+        // block index from heap offset
+        var bi = 0
+        while (bi + 1 < nBlocks && blockHeapBase(bi + 1) <= heapOff) bi += 1
+        val fileOff = dbStart(bi) + (heapOff - blockHeapBase(bi))
+        out.position(fileOff.toInt)
+        linkBody(idx)
+      }
+      // B-tree header (BTHD)
+      out.position(bthdAddr.toInt)
+      out.put('B'.toByte); out.put('T'.toByte); out.put('H'.toByte); out.put('D'.toByte)
+      out.put(0.toByte) // version
+      out.put(5.toByte) // type: link name index
+      out.putInt(btNodeSize)
+      out.putShort(recSize.toShort)
+      out.putShort(if (needDepth1) 1 else 0)
+      out.put(100.toByte); out.put(40.toByte) // split/merge percents
+      out.putLong(if (needDepth1) btinAddr else leafAddrs.head)
+      out.putShort(if (needDepth1) rootK.toShort else sortedRecs.size.toShort)
+      out.putLong(sortedRecs.size.toLong)
+      out.putInt(0) // checksum (zero)
+      def record(rec: (Int, Int)): Unit = {
+        out.putInt(rec._1) // surrogate name hash
+        out.put(0.toByte) // heap id flags: managed, version 0
+        out.putInt(heapPlacements(rec._2).toInt) // 4-byte heap offset (LE)
+        out.putShort(linkBodies(rec._2).toShort) // 2-byte length (LE)
+      }
+      leafSplits.zip(leafAddrs).foreach { case (recs, addr) =>
+        out.position(addr.toInt)
+        out.put('B'.toByte); out.put('T'.toByte); out.put('L'.toByte); out.put('F'.toByte)
+        out.put(0.toByte); out.put(5.toByte)
+        recs.foreach(record)
+        out.putInt(0) // checksum (zero)
+      }
+      if (needDepth1) {
+        out.position(btinAddr.toInt)
+        out.put('B'.toByte); out.put('T'.toByte); out.put('I'.toByte); out.put('N'.toByte)
+        out.put(0.toByte); out.put(5.toByte)
+        rootRecs.foreach(record)
+        leafSplits.zip(leafAddrs).foreach { case (recs, addr) =>
+          out.putLong(addr)
+          out.put(recs.size.toByte) // 1-byte record count (leafCap < 256)
+        }
+        out.putInt(0) // checksum (zero)
+      }
     }
 
     // ---- datasets (v2 headers)

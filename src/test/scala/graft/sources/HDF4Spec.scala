@@ -47,6 +47,41 @@ class HDF4Spec extends SparkSpec {
     assert(sds(1).ntType == HDF4.Int32 && sds(1).data.toSeq == counts.toSeq)
   }
 
+  test("deflate-compressed SDs round-trip; mixed plain+compressed file") {
+    val flux = Array.tabulate(2 * 3 * 4)(i => i * 0.125 - 1.0)
+    val counts = Array.tabulate(6)(i => (i * 3).toDouble)
+    val bytes = HDF4.write(Seq(
+      HDF4.SdsSpec("toa_lw_flux", Seq(2, 3, 4), HDF4.Float32, flux, deflate = true),
+      HDF4.SdsSpec("pixel_counts", Seq(6), HDF4.Int32, counts))) // plain
+    // the compressed SD must NOT appear as a plain DFTAG_SD DD
+    val dds = HDF4.readDDs(bytes)
+    assert(dds.exists(_.tag == (HDF4.ExtendedMask | HDF4.TagSD)))
+    assert(dds.exists(_.tag == HDF4.TagCompressed))
+    assert(dds.count(_.tag == HDF4.TagSD) == 1) // only the plain one
+    val sds = HDF4.readSds(bytes)
+    assert(sds.map(_.label) == Seq("toa_lw_flux", "pixel_counts"))
+    assert(sds.head.data.toSeq == flux.map(_.toFloat.toDouble).toSeq)
+    assert(sds(1).data.toSeq == counts.toSeq)
+  }
+
+  test("unknown special kinds and comp codes are rejected loudly") {
+    val base = HDF4.write(Seq(
+      HDF4.SdsSpec("v", Seq(2, 2), HDF4.Int16, Array(1.0, 2.0, 3.0, 4.0), deflate = true)))
+    val dds = HDF4.readDDs(base)
+    val ext = dds.find(_.tag == (HDF4.ExtendedMask | HDF4.TagSD)).get
+    // special kind SPECIAL_CHUNKED(5) instead of SPECIAL_COMP(3)
+    val chunked = base.clone()
+    ByteBuffer.wrap(chunked).putShort(ext.offset, 5.toShort)
+    val e1 = intercept[IllegalArgumentException] { HDF4.readSds(chunked) }
+    assert(e1.getMessage.contains("special element kind 5"))
+    // comp code SZIP-ish (12) instead of DEFLATE(4): header offset
+    // special(2)+version(2)+len(4)+ref(2)+model(2) = 12
+    val szip = base.clone()
+    ByteBuffer.wrap(szip).putShort(ext.offset + 12, 12.toShort)
+    val e2 = intercept[IllegalArgumentException] { HDF4.readSds(szip) }
+    assert(e2.getMessage.contains("compression code 12"))
+  }
+
   test("syn1deg ingest: band->time, y->lat, x->lon per extract.py") {
     val nB = 2; val ny = 3; val nx = 4
     val bytes = HDF4.write(Seq(HDF4.SdsSpec("observed_all_sky_toa_lw_flux",
