@@ -1,0 +1,333 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HDBSCAN with the reference's `min_cluster_size` / `min_samples`
+  * contract (convml_data/pipeline/embeddings/transforms.py:87-102 parses
+  * exactly those two for its density model) — the variable-density
+  * deepening of the [[Dbscan]] slot.
+  *
+  * Semantics (Campello/Moulavi/Sander; the hdbscan library's defaults):
+  *  - core distance c(p) = distance to the `minSamples`-th nearest
+  *    neighbor, the point itself counted (so the (minSamples-1)-th
+  *    nearest OTHER point);
+  *  - mutual reachability mr(a,b) = max(d(a,b), c(a), c(b));
+  *  - single-linkage dendrogram = MST of the mr graph;
+  *  - condensed tree: walking splits from the root, a child with fewer
+  *    than `minClusterSize` points "falls out" of its parent (its points
+  *    leave at lambda = 1/w); a split into two large children births two
+  *    new clusters; stability(C) = sum over points of
+  *    (1/w_fall - 1/w_birth);
+  *  - flat labels = the stability-maximal antichain (excess of mass),
+  *    root never selectable (allow_single_cluster = False, the library
+  *    default). Unselected points are noise (-1); cluster label = min
+  *    member pid (deterministic, oracle-reproducible).
+  *
+  * Truncation: candidate pairs come from the SAME lossless eps-grid
+  * bin join as [[Dbscan]], bounded by `epsMax` — pairs farther than
+  * epsMax never join, i.e. the hierarchy is cut at lambda = 1/epsMax
+  * (points needing longer links are noise). That keeps candidate
+  * generation an integer-cell equi-join at any scale; pick epsMax at
+  * the distance where "same cluster" stops being meaningful.
+  *
+  * Distributed shape: pairs / core distances / mutual-reachability
+  * weights / Boruvka MST rounds are all DataFrame jobs (the MST round
+  * reuses [[Dedup.connectedComponentsAltStar]] for contraction). The
+  * condensed-tree extraction runs on the driver over the COLLECTED MST
+  * — n-1 compact rows for n points, the standard cut-point (the
+  * dendrogram walk is inherently sequential); the result ships back as
+  * a broadcast label map. */
+object Hdbscan {
+
+  final case class MstEdge(a: Long, b: Long, w: Double)
+
+  /** 2-D entry point (x, y columns). */
+  def cluster(points: DataFrame, idCol: String, xCol: String, yCol: String,
+      minClusterSize: Int, minSamples: Int, epsMax: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pts = points.select(col(idCol).cast("long").as("pid"),
+      array(col(xCol).cast("double"), col(yCol).cast("double")).as("vec"))
+    clusterVectors(pts, "pid", "vec", minClusterSize, minSamples, epsMax,
+      binDims = 2, checkpointDir = checkpointDir)
+  }
+
+  /** n-dim entry point over an array column (the embedding-space form). */
+  def clusterVectors(points: DataFrame, idCol: String, vecCol: String,
+      minClusterSize: Int, minSamples: Int, epsMax: Double, binDims: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(minClusterSize >= 2, "minClusterSize must be >= 2")
+    require(minSamples >= 1, "minSamples must be >= 1")
+    require(epsMax > 0, "epsMax must be positive")
+    require(binDims >= 1 && binDims <= 3, s"binDims must be in 1..3, got $binDims")
+    val spark = points.sparkSession
+    val eps2 = epsMax * epsMax
+
+    val pts = points.select(col(idCol).cast("long").as("pid"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val cellCols = (0 until binDims).map(i =>
+      floor(element_at(col("vec"), i + 1) / epsMax).cast("long").as(s"c$i"))
+    val binned = pts.select(col("pid") +: col("vec") +: cellCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = (0 until binDims).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
+      acc.flatMap(s => Seq(-1, 0, 1).map(s :+ _))
+    }
+    val offCol = array(offsets.map(o =>
+      struct(o.zipWithIndex.map { case (v, i) => lit(v.toLong).as(s"d$i") }: _*)): _*)
+    val probes = binned
+      .select(col("pid").as("a_id") +: col("vec").as("av") +:
+        explode(offCol).as("o") +: (0 until binDims).map(i => col(s"c$i")): _*)
+      .select(col("a_id") +: col("av") +:
+        (0 until binDims).map(i => (col(s"c$i") + col("o").getField(s"d$i")).as(s"jc$i")): _*)
+    val build = binned.select(col("pid").as("b_id") +: col("vec").as("bv") +:
+      (0 until binDims).map(i => col(s"c$i").as(s"jc$i")): _*)
+    val dist2: Column = aggregate(
+      zip_with(col("av"), col("bv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    // directed candidate pairs (a != b), exact distance on candidates only
+    val pairs = probes.join(build, (0 until binDims).map(i => s"jc$i"))
+      .where(col("a_id") =!= col("b_id") && dist2 <= eps2)
+      .select(col("a_id"), col("b_id"), sqrt(dist2).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // core distance: (minSamples-1)-th nearest OTHER point (self is the
+    // minSamples-th member); absent -> the point can never be inside a
+    // cluster at lambda >= 1/epsMax -> drops out as noise
+    val w = Window.partitionBy(col("a_id")).orderBy(col("d"), col("b_id"))
+    val core = pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === minSamples - 1)
+      .select(col("a_id").as("pid"), col("d").as("core_d"))
+
+    // mutual reachability on undirected candidate edges
+    val mr = pairs.where(col("a_id") < col("b_id"))
+      .join(core.select(col("pid").as("a_id"), col("core_d").as("ca")), "a_id")
+      .join(core.select(col("pid").as("b_id"), col("core_d").as("cb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        greatest(col("d"), col("ca"), col("cb")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val mst = boruvkaMst(mr, checkpointDir)
+
+    // ---- driver-side condensed tree + stability selection --------------
+    import spark.implicits._
+    val mstEdges = mst.as[MstEdge].collect()
+    val allPids = pts.select(col("pid")).as[Long].collect()
+    val labels = condensedLabels(allPids, mstEdges, minClusterSize, epsMax)
+    binned.unpersist(); pairs.unpersist(); mr.unpersist()
+    val labelDf = labels.toSeq.toDF("pid", "cluster")
+    pts.select(col("pid"))
+      .join(broadcast(labelDf), Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
+
+  /** Boruvka MST over (a_id, b_id, w) edges: each round every component
+    * picks its minimum outgoing edge (deterministic (w, a, b) order),
+    * the picked edges join the forest, and components re-contract via
+    * the alt-star recurrence. O(log n) rounds, every step a groupBy or
+    * equi-join on integer keys. Ties are broken by (w, a_id, b_id), so
+    * the forest — and everything downstream — is deterministic. */
+  private[operators] def boruvkaMst(edges: DataFrame,
+      checkpointDir: Option[String]): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.DataFrame
+    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"), col("w"))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v"), col("w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("u")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var comp = nodes.select(col("u").as("node"), col("u").as("component"))
+    var mst: DataFrame = Checkpointing.truncate(
+      spark.emptyDataFrame
+        .withColumn("a", lit(0L)).withColumn("b", lit(0L)).withColumn("w", lit(0.0))
+        .select(col("a"), col("b"), col("w")).limit(0),
+      None)
+    var done = false
+    var it = 0
+    val maxIter = 40
+    while (!done && it < maxIter) {
+      // edges labeled with both endpoint components; keep cross edges
+      val lbl = sym
+        .join(comp.withColumnRenamed("node", "u").withColumnRenamed("component", "cu"), "u")
+        .join(comp.withColumnRenamed("node", "v").withColumnRenamed("component", "cv"), "v")
+        .where(col("cu") =!= col("cv"))
+      if (lbl.isEmpty) done = true
+      else {
+        // min outgoing edge per component, deterministic tie-break
+        val pick = lbl
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("cu"))
+              .orderBy(col("w"), least(col("u"), col("v")), greatest(col("u"), col("v")))))
+          .where(col("rk") === 1)
+          .select(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b"), col("w"))
+          .distinct()
+        mst = Checkpointing.truncate(mst.union(pick).distinct(), checkpointDir)
+        comp = Dedup.connectedComponentsAltStar(mst, "a", "b", checkpointDir = checkpointDir)
+          .select(col("node"), col("component"))
+        // isolated nodes keep their self label
+        comp = nodes.select(col("u").as("node"))
+          .join(comp, Seq("node"), "left")
+          .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+        comp = Checkpointing.truncate(comp, checkpointDir)
+      }
+      it += 1
+    }
+    require(done, s"Boruvka MST did not converge in $maxIter rounds")
+    sym.unpersist(); nodes.unpersist()
+    mst.select(col("a"), col("b"), col("w"))
+  }
+
+  /** Driver-side single-linkage dendrogram -> condensed tree ->
+    * stability-selected flat labels. Pure Scala over the n-1 MST edges.
+    * Cluster label = min pid of the selected cluster's members.
+    *
+    * The epsMax truncation makes the dendrogram a FOREST; conceptually a
+    * virtual global root joins the trees just above epsMax. The virtual
+    * root is the never-selectable "everything" cluster
+    * (allow_single_cluster = False); each tree top is its child, born at
+    * lambda = 1/epsMax, and competes with its own children on stability
+    * like any other cluster. */
+  private[operators] def condensedLabels(pids: Array[Long], mstEdges: Array[MstEdge],
+      minClusterSize: Int, epsMax: Double): Map[Long, Long] = {
+    if (pids.isEmpty) return Map.empty
+    val n = pids.length
+    val idx = pids.zipWithIndex.toMap
+    // union-find building the binary linkage tree bottom-up over edges
+    // sorted by (w, minId, maxId) — the same deterministic order any
+    // reimplementation must use
+    // duplicate points produce w = 0 MST edges; clamp the reciprocal's
+    // denominator so stability stays finite (no Inf - Inf = NaN)
+    def lambda(w: Double): Double = 1.0 / math.max(w, java.lang.Double.MIN_NORMAL)
+    val sorted = mstEdges.sortBy(e => (e.w, math.min(e.a, e.b), math.max(e.a, e.b)))
+    val parent = new Array[Int](2 * n - 1 + 1)
+    val height = new Array[Double](2 * n - 1 + 1)
+    val childL = new Array[Int](2 * n - 1 + 1)
+    val childR = new Array[Int](2 * n - 1 + 1)
+    val size = new Array[Int](2 * n - 1 + 1)
+    java.util.Arrays.fill(parent, -1)
+    java.util.Arrays.fill(childL, -1)
+    java.util.Arrays.fill(childR, -1)
+    (0 until n).foreach(i => size(i) = 1)
+    val find = new Array[Int](2 * n)
+    (0 until 2 * n).foreach(i => find(i) = i)
+    def root(x: Int): Int = {
+      var r = x
+      while (find(r) != r) r = find(r)
+      var c = x
+      while (find(c) != r) { val nx = find(c); find(c) = r; c = nx }
+      r
+    }
+    var next = n
+    sorted.foreach { e =>
+      val ra = root(idx(e.a)); val rb = root(idx(e.b))
+      if (ra != rb) {
+        val m = next; next += 1
+        childL(m) = ra; childR(m) = rb
+        parent(ra) = m; parent(rb) = m
+        height(m) = e.w
+        size(m) = size(ra) + size(rb)
+        find(ra) = m; find(rb) = m; find(m) = m
+      }
+    }
+    // forest roots (disconnected mr graphs leave several)
+    val roots = (0 until next).filter(parent(_) == -1)
+
+    // condensed tree: walk each linkage root; track the current
+    // "condensed cluster" id; falls and splits per the paper
+    final case class CCluster(var birthW: Double, var stability: Double,
+      members: scala.collection.mutable.ArrayBuffer[Int],
+      var children: List[Int], var selected: Boolean = false)
+    val clusters = scala.collection.mutable.ArrayBuffer[CCluster]()
+    def leaves(node: Int, acc: scala.collection.mutable.ArrayBuffer[Int]): Unit =
+      if (node < n) acc += node
+      else { leaves(childL(node), acc); leaves(childR(node), acc) }
+
+    // iterative walk: (linkage node, condensed cluster id it belongs to)
+    def process(linkRoot: Int): Option[Int] = {
+      if (size(linkRoot) < minClusterSize) return None
+      val top = clusters.length
+      clusters += CCluster(
+        // tree tops are children of the virtual root: born at the
+        // truncation level epsMax
+        birthW = epsMax,
+        stability = 0.0,
+        members = scala.collection.mutable.ArrayBuffer.empty,
+        children = Nil)
+      val stack = scala.collection.mutable.Stack[(Int, Int)]((linkRoot, top))
+      while (stack.nonEmpty) {
+        val (node, cid) = stack.pop()
+        if (node < n) clusters(cid).members += node
+        else {
+          val l = childL(node); val r = childR(node)
+          val bigL = size(l) >= minClusterSize
+          val bigR = size(r) >= minClusterSize
+          val wSplit = height(node)
+          def fall(sub: Int): Unit = {
+            val acc = scala.collection.mutable.ArrayBuffer[Int]()
+            leaves(sub, acc)
+            val c = clusters(cid)
+            acc.foreach { p =>
+              c.members += p
+              c.stability += lambda(wSplit) - lambda(c.birthW)
+            }
+          }
+          if (bigL && bigR) {
+            // true split: two new clusters born at wSplit; the parent's
+            // remaining points all leave here
+            val cl = clusters.length
+            clusters += CCluster(wSplit, 0.0,
+              scala.collection.mutable.ArrayBuffer.empty, Nil)
+            val cr = clusters.length
+            clusters += CCluster(wSplit, 0.0,
+              scala.collection.mutable.ArrayBuffer.empty, Nil)
+            clusters(cid).children = List(cl, cr)
+            val c = clusters(cid)
+            c.stability += size(node) * (lambda(wSplit) - lambda(c.birthW))
+            stack.push((l, cl)); stack.push((r, cr))
+          } else if (bigL) { fall(r); stack.push((l, cid)) }
+          else if (bigR) { fall(l); stack.push((r, cid)) }
+          else {
+            // both children too small: the cluster's points all leave
+            fall(l); fall(r)
+          }
+        }
+      }
+      Some(top)
+    }
+
+    val topIds = roots.flatMap(r => process(r))
+
+    // excess-of-mass selection over every tree (the virtual root above
+    // them is never selectable; tree tops compete normally)
+    def select(cid: Int): (Double, List[Int]) = {
+      val c = clusters(cid)
+      if (c.children.isEmpty) (c.stability, List(cid))
+      else {
+        val childResults = c.children.map(select)
+        val childSum = childResults.map(_._1).sum
+        if (childSum > c.stability) (childSum, childResults.flatMap(_._2))
+        else (c.stability, List(cid))
+      }
+    }
+    val selected = topIds.flatMap(top => select(top)._2)
+
+    // a selected cluster labels its whole birth subtree: points that fell
+    // out of it directly plus every point of its descendant clusters
+    // (selection is an antichain, so closures of selected clusters are
+    // disjoint)
+    def closure(cid: Int): Seq[Int] = {
+      val c = clusters(cid)
+      c.members.toSeq ++ c.children.flatMap(closure)
+    }
+    val out = scala.collection.mutable.Map[Long, Long]()
+    selected.foreach { cid =>
+      val ms = closure(cid)
+      if (ms.nonEmpty) {
+        val label = ms.map(pids).min
+        ms.foreach(p => out(pids(p)) = label)
+      }
+    }
+    out.toMap
+  }
+}

@@ -401,6 +401,28 @@ object PipelineQueries {
         eps = 10.0, minPts = 5, binDims = 2)
     },
 
+    // ---- HDBSCAN: min_cluster_size semantics on planted blobs -----------
+    // Hdbscan.cluster (mutual-reachability MST + condensed-tree stability
+    // selection) on 20 well-separated 20-point blobs with distinct
+    // intra-blob coordinates: the correct flat clustering is exactly the
+    // blob partition with min-pid labels, which the oracle states
+    // analytically. A regression anywhere in the chain (core distances,
+    // Boruvka MST, condensed falls, stability selection) splits or
+    // merges a blob and breaks the hash.
+    QueryDef.sqlBacked(
+      "q89_hdbscan_blobs",
+      """SELECT event_id AS pid, CAST(event_id % 20 AS BIGINT) AS cluster
+        |FROM events WHERE event_id < 400""".stripMargin) { (s, d) =>
+      val c = col("event_id") % 20
+      val pts = Tables.events(s, d)
+        .where(col("event_id") < 400)
+        .select(col("event_id").as("pid"),
+          ((c % 5) * 100 + ((col("event_id") * 13) % 41).cast("double") / 10.0 - 2.0).as("x"),
+          (floor(c / 5) * 100 + ((col("event_id") * 7) % 43).cast("double") / 10.0 - 2.0).as("y"))
+      graft.operators.Hdbscan.cluster(pts, "pid", "x", "y",
+        minClusterSize = 5, minSamples = 3, epsMax = 20.0)
+    },
+
     // ---- Structured Streaming == batch, proven by the driver gate -------
     // The query runs the REAL streaming engine (file source -> watermark
     // -> windowed stateful agg -> AvailableNow -> memory sink) to
