@@ -94,13 +94,29 @@ object Dbscan {
     val eps2 = eps * eps
     val pts = points.select(col(idCol).cast("long").as("pid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val (joined, dist2, binned) = candidateJoin(pts, eps, binDims)
+    val pairs = joined
+      .where(dist2 <= eps2)
+      .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val out = labelFromPairs(pts.select(col("pid")), pairs, minPts, checkpointDir)
+    binned.unpersist(); pairs.unpersist()
+    out
+  }
+
+  /** Shared eps-cell candidate join over (pid, vec: array<double>) rows:
+    * bin the first binDims coordinates into eps cells, probe side visits
+    * its 3^binDims cell neighborhood, build side keeps the home cell —
+    * every unordered pair meets exactly once, as an integer equi-join.
+    * Returns (joined frame with a_id/av/b_id/bv, the dist2 column, and
+    * the persisted binned frame for the caller to release). */
+  private[graft] def candidateJoin(pts: DataFrame, eps: Double, binDims: Int)
+      : (DataFrame, Column, DataFrame) = {
     val cellCols = (0 until binDims).map(i =>
       floor(element_at(col("vec"), i + 1) / eps).cast("long").as(s"c$i"))
     val binned = pts.select(col("pid") +: col("vec") +: cellCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // probe side visits its 3^binDims cell neighborhood; build side keeps
-    // the home cell only — every unordered pair meets exactly once
     val offsets = (0 until binDims).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
       acc.flatMap(s => Seq(-1, 0, 1).map(s :+ _))
     }
@@ -116,14 +132,7 @@ object Dbscan {
     val dist2: Column = aggregate(
       zip_with(col("av"), col("bv"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
-    val pairs = probes.join(build, (0 until binDims).map(i => s"jc$i"))
-      .where(dist2 <= eps2)
-      .select(col("a_id"), col("b_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val out = labelFromPairs(pts.select(col("pid")), pairs, minPts, checkpointDir)
-    binned.unpersist(); pairs.unpersist()
-    out
+    (probes.join(build, (0 until binDims).map(i => s"jc$i")), dist2, binned)
   }
 
   /** Shared labeling tail: ε-pairs (self-pairs included) -> (pid, cluster,

@@ -66,27 +66,9 @@ object Hdbscan {
 
     val pts = points.select(col(idCol).cast("long").as("pid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val cellCols = (0 until binDims).map(i =>
-      floor(element_at(col("vec"), i + 1) / epsMax).cast("long").as(s"c$i"))
-    val binned = pts.select(col("pid") +: col("vec") +: cellCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offsets = (0 until binDims).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
-      acc.flatMap(s => Seq(-1, 0, 1).map(s :+ _))
-    }
-    val offCol = array(offsets.map(o =>
-      struct(o.zipWithIndex.map { case (v, i) => lit(v.toLong).as(s"d$i") }: _*)): _*)
-    val probes = binned
-      .select(col("pid").as("a_id") +: col("vec").as("av") +:
-        explode(offCol).as("o") +: (0 until binDims).map(i => col(s"c$i")): _*)
-      .select(col("a_id") +: col("av") +:
-        (0 until binDims).map(i => (col(s"c$i") + col("o").getField(s"d$i")).as(s"jc$i")): _*)
-    val build = binned.select(col("pid").as("b_id") +: col("vec").as("bv") +:
-      (0 until binDims).map(i => col(s"c$i").as(s"jc$i")): _*)
-    val dist2: Column = aggregate(
-      zip_with(col("av"), col("bv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
     // directed candidate pairs (a != b), exact distance on candidates only
-    val pairs = probes.join(build, (0 until binDims).map(i => s"jc$i"))
+    val (joined, dist2, binned) = Dbscan.candidateJoin(pts, epsMax, binDims)
+    val pairs = joined
       .where(col("a_id") =!= col("b_id") && dist2 <= eps2)
       .select(col("a_id"), col("b_id"), sqrt(dist2).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

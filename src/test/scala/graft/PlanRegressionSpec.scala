@@ -126,6 +126,33 @@ class PlanRegressionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("density-clustering candidate generation plans as an equi-join on cells") {
+    // the n-dim DBSCAN / HDBSCAN candidate join (Dbscan.candidateJoin,
+    // shared by clusterVectors and Hdbscan) must stay an integer-cell
+    // equi-join: a cartesian or nested loop here is the all-pairs
+    // regression the eps-grid blocking exists to prevent. Asserted on
+    // the join frame itself — the public operators materialize eagerly,
+    // so their returned plans would not show it.
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pts = (0L until 100L).map(i => (i, Seq(i * 0.7 % 13, i * 1.3 % 17, i % 5 * 1.0)))
+        .toDF("pid", "vec")
+        .select(col("pid"), expr("transform(vec, x -> cast(x as double))").as("vec"))
+      for (binDims <- Seq(2, 3)) {
+        val (joined, dist2, binned) = graft.operators.Dbscan.candidateJoin(pts, 2.5, binDims)
+        val plan = joined.where(dist2 <= 6.25).queryExecution.executedPlan.toString
+        binned.unpersist()
+        assert(!plan.contains("CartesianProduct"),
+          s"binDims=$binDims candidate join plans a cartesian product")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"binDims=$binDims candidate join plans a nested loop:\n${plan.take(1200)}")
+        assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+          s"binDims=$binDims candidate join lost its equi-join:\n${plan.take(1200)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q53: time filter pushes into the DSv2 scan (residual-free)") {
     val plan = planOf("q53_dsv2_calendar")
     assert(plan.contains("graft-calendar scan"), "expected the custom calendar scan")
