@@ -33,17 +33,29 @@ object ScaleRehearsal {
     val dir = args(0)
     val mult = args(1).toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitioning is the deployment-side scale knob: the x10
+    // pair graph (~450M edges) exhausts Tungsten execution memory at 32
+    // partitions in a single-node heap (each of 32 concurrent aggregate
+    // tasks builds a too-large hash table before spilling), while 128
+    // partitions complete comfortably — the same sizing a 1000-executor
+    // cluster sets via spark.sql.shuffle.partitions anyway
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-rehearsal")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed(name: String)(f: => Long): Unit = {
+    // SPARK_GRAFT_OPS: comma-separated op names to run (default all) —
+    // lets a failed stage be re-measured without repeating the others
+    val only = sys.env.get("SPARK_GRAFT_OPS").filter(_.nonEmpty)
+      .map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    def timed(name: String)(f: => Long): Unit = if (wanted(name)) {
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
@@ -59,18 +71,25 @@ object ScaleRehearsal {
     // ---- LSH near-dup, shuffled verify joins (the >broadcast-budget mode)
     // timed through an eager localCheckpoint so the SAME materialized
     // pair set feeds the CC measurement without a second LSH pass
-    var pairs: org.apache.spark.sql.DataFrame = null
-    timed("lsh_neardup_bcast_off") {
-      pairs = graft.operators.Dedup.lshNearDupPairs(docs, "doc_id", "text",
-        k = 8, bands = 4, threshold = 0.35, broadcastShingles = false)
-        .localCheckpoint(true)
-      graft.operators.Dedup.releaseCaches()
-      pairs.count()
-    }
-
-    // ---- alt-star CC on the x-scale near-dup pair graph ----------------
-    timed("altstar_cc") {
-      graft.operators.Dedup.connectedComponentsAltStar(pairs, "doc_a", "doc_b").count()
+    if (wanted("lsh_neardup_bcast_off") || wanted("altstar_cc")) {
+      var pairs: org.apache.spark.sql.DataFrame = null
+      timed("lsh_neardup_bcast_off") {
+        pairs = graft.operators.Dedup.lshNearDupPairs(docs, "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.35, broadcastShingles = false)
+          .localCheckpoint(true)
+        graft.operators.Dedup.releaseCaches()
+        pairs.count()
+      }
+      if (pairs == null) { // altstar requested alone: build pairs untimed
+        pairs = graft.operators.Dedup.lshNearDupPairs(docs, "doc_id", "text",
+          k = 8, bands = 4, threshold = 0.35, broadcastShingles = false)
+          .localCheckpoint(true)
+        graft.operators.Dedup.releaseCaches()
+      }
+      // ---- alt-star CC on the x-scale near-dup pair graph --------------
+      timed("altstar_cc") {
+        graft.operators.Dedup.connectedComponentsAltStar(pairs, "doc_a", "doc_b").count()
+      }
     }
 
     // ---- TF-IDF, forced shuffled vocabulary join -----------------------
@@ -80,22 +99,26 @@ object ScaleRehearsal {
     }
 
     // ---- streaming LSH to completion, scale-invariant 1800 s horizon ---
+    // parquet file sink, NOT the memory sink: collecting x-scale pair
+    // volumes to the driver trips spark.driver.maxResultSize — a sink
+    // artifact, and a file sink is the 100 TB shape anyway
     timed("streaming_lsh") {
       val tmp = java.nio.file.Files.createTempDirectory("graft-scale-stream").toString
       docs.select(col("doc_id"), col("text"),
         timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L).as("ts"))
-        .write.mode("overwrite").parquet(tmp)
+        .write.mode("overwrite").parquet(s"$tmp/in")
       val stream = spark.readStream
-        .schema(spark.read.parquet(tmp).schema).parquet(tmp)
+        .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
       val out = graft.streaming.StreamDedup.lshNearDupPairs(stream, "doc_id", "text", "ts",
         k = 8, bands = 4, threshold = 0.35,
         withinUs = 1800L * 1000000, watermark = "0 seconds")
       val q = out.select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName("scale_stream_sink")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.processAllAvailable(); q.stop()
-      spark.table("scale_stream_sink").count()
+      spark.read.parquet(s"$tmp/sink").count()
     }
 
     // ---- DBSCAN at constant density: the box grows with N --------------
