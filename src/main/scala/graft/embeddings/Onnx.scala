@@ -454,7 +454,18 @@ object Onnx {
     g.nodes.foreach { n =>
       val out: Nd = n.opType match {
         case "MatMul" => asNd(matmul(mat(n, 0), mat(n, 1), transA = false, transB = false, 1.0))
-        case "Add"    => asNd(addBias(mat(n, 0), mat(n, 1), 1.0))
+        case "Add" =>
+          val (x, y) = (in(n, 0), in(n, 1))
+          if (x.dims == y.dims) {
+            // same-shape element-wise add at ANY rank — the residual
+            // ("skip connection") add every ResNet-family block performs
+            // on NCHW tensors
+            val o = new Array[Double](x.a.length)
+            var i = 0
+            while (i < o.length) { o(i) = x.a(i) + y.a(i); i += 1 }
+            Nd(x.dims, o)
+          } else asNd(addBias(mat(n, 0), mat(n, 1), 1.0)) // row-broadcast bias
+
         case "Relu"   =>
           val x = in(n, 0)
           Nd(x.dims, x.a.map(v => if (v > 0) v else 0.0))

@@ -134,8 +134,8 @@ object OnnxWriter {
   /** Conv-family fixture weights, exact eighths like the MLP's (so oracle
     * SQL restates them as exact double literals). Conv weight is
     * [m, c, 3, 3] row-major; Gemm weight is [gIn, gOut]. */
-  def convW(m: Int, c: Int): Array[Float] =
-    Array.tabulate(m * c * 9)(idx => (((idx * 7) % 11) - 5) / 8.0f)
+  def convW(m: Int, c: Int, seed: Int = 0): Array[Float] =
+    Array.tabulate(m * c * 9)(idx => (((idx * 7 + seed * 3) % 11) - 5) / 8.0f)
   def convB(m: Int): Array[Float] = Array.tabulate(m)(i => ((i % 5) - 2) / 8.0f)
   def bnScale(c: Int): Array[Float] = Array.tabulate(c)(i => (4 + (i * 3) % 7) / 8.0f)
   def bnBias(c: Int): Array[Float] = Array.tabulate(c)(i => ((i % 7) - 3) / 8.0f)
@@ -188,6 +188,43 @@ object OnnxWriter {
         ("gw", Seq(m, e), gemmW(m, e), true),
         ("gb", Seq(e), gemmB(e), false)),
       inputName = "x", outputName = "emb")
+
+  /** A full RESIDUAL block — the structural element of the reference's
+    * actual backbone family (a ResNet-style CNN,
+    * pipeline/embeddings/sampling.py:46-66): two pad-1 3x3 convs with a
+    * BatchNorm and Relus, the skip-connection Add(conv_out, x) on the
+    * rank-4 NCHW tensors, then the GAP -> Flatten -> Gemm head. */
+  def resnetBlockBytes(c: Int, e: Int): Array[Byte] = {
+    val convAttrs = Seq("kernel_shape" -> Seq(3L, 3L), "pads" -> Seq(1L, 1L, 1L, 1L),
+      "strides" -> Seq(1L, 1L), "dilations" -> Seq(1L, 1L))
+    model(
+      nodes = Seq(
+        NodeSpec("Conv", Seq("x", "w1", "c1b"), Seq("c1"), attrIs = convAttrs),
+        NodeSpec("BatchNormalization",
+          Seq("c1", "bn_s", "bn_b", "bn_m", "bn_v"), Seq("n1"),
+          attrF = Seq("epsilon" -> BnEps)),
+        NodeSpec("Relu", Seq("n1"), Seq("r1")),
+        NodeSpec("Conv", Seq("r1", "w2", "c2b"), Seq("c2"), attrIs = convAttrs),
+        NodeSpec("Add", Seq("c2", "x"), Seq("res")), // the skip connection
+        NodeSpec("Relu", Seq("res"), Seq("r2")),
+        NodeSpec("GlobalAveragePool", Seq("r2"), Seq("gap")),
+        NodeSpec("Flatten", Seq("gap"), Seq("flat")),
+        NodeSpec("Gemm", Seq("flat", "gw", "gb"), Seq("emb"),
+          attrI = Seq("transA" -> 0L, "transB" -> 0L),
+          attrF = Seq("alpha" -> 1.0f, "beta" -> 1.0f))),
+      initializers = Seq(
+        ("w1", Seq(c, c, 3, 3), convW(c, c), true),
+        ("c1b", Seq(c), convB(c), false),
+        ("bn_s", Seq(c), bnScale(c), true),
+        ("bn_b", Seq(c), bnBias(c), false),
+        ("bn_m", Seq(c), bnMean(c), true),
+        ("bn_v", Seq(c), bnVar(c), false),
+        ("w2", Seq(c, c, 3, 3), convW(c, c, seed = 5), true),
+        ("c2b", Seq(c), convB(c), false),
+        ("gw", Seq(c, e), gemmW(c, e), true),
+        ("gb", Seq(e), gemmB(e), false)),
+      inputName = "x", outputName = "emb")
+  }
 
   /** The canonical fixture: x[N,d] -> Gemm(+bias) -> Relu -> MatMul -> Add.
     * Uses both tensor encodings and both FC forms (Gemm with fused bias,

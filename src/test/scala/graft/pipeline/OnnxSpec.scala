@@ -218,6 +218,66 @@ class OnnxSpec extends SparkSpec {
     assert(exK.getMessage.contains("kernel_shape"))
   }
 
+  /** Independent residual-block reference: padded-image convs, BN, the
+    * skip Add, GAP, Gemm — same accumulation orders, separate code. */
+  private def resnetReference(x0: Array[Double], c: Int, h: Int, w: Int,
+      e: Int): Array[Float] = {
+    def conv3x3(src: Array[Double], cw: Array[Float], cb: Array[Float]): Array[Double] = {
+      val ph = h + 2; val pw = w + 2
+      val padded = Array.ofDim[Double](c, ph * pw)
+      for (ci <- 0 until c; y <- 0 until h; xx <- 0 until w)
+        padded(ci)((y + 1) * pw + (xx + 1)) = src((ci * h + y) * w + xx)
+      val out = new Array[Double](c * h * w)
+      for (co <- 0 until c; oy <- 0 until h; ox <- 0 until w) {
+        var acc = 0.0
+        for (ci <- 0 until c; ky <- 0 until 3; kx <- 0 until 3)
+          acc += padded(ci)((oy + ky) * pw + (ox + kx)) *
+                 cw(((co * c + ci) * 3 + ky) * 3 + kx)
+        out((co * h + oy) * w + ox) = acc + cb(co)
+      }
+      out
+    }
+    val bs = OnnxWriter.bnScale(c); val bb = OnnxWriter.bnBias(c)
+    val bm = OnnxWriter.bnMean(c); val bv = OnnxWriter.bnVar(c)
+    val c1 = conv3x3(x0, OnnxWriter.convW(c, c), OnnxWriter.convB(c))
+    val n1 = Array.tabulate(c * h * w) { i =>
+      val ci = i / (h * w)
+      val std = math.sqrt(bv(ci) + OnnxWriter.BnEps.toDouble)
+      (c1(i) - bm(ci)) * bs(ci) / std + bb(ci)
+    }
+    val r1 = n1.map(v => if (v > 0) v else 0.0)
+    val c2 = conv3x3(r1, OnnxWriter.convW(c, c, seed = 5), OnnxWriter.convB(c))
+    val r2 = Array.tabulate(c * h * w) { i =>
+      val v = c2(i) + x0(i) // the skip connection
+      if (v > 0) v else 0.0
+    }
+    val g = Array.tabulate(c) { ci =>
+      var acc = 0.0
+      for (i <- 0 until h * w) acc += r2(ci * h * w + i)
+      acc / (h * w)
+    }
+    val gw = OnnxWriter.gemmW(c, e); val gb = OnnxWriter.gemmB(e)
+    Array.tabulate(e) { k =>
+      var acc = 0.0
+      for (ci <- 0 until c) acc += g(ci) * gw(ci * e + k)
+      (acc + gb(k)).toFloat
+    }
+  }
+
+  test("residual block (skip-connection Add on NCHW) matches the reference bit-for-bit") {
+    val (c, h, w, e) = (3, 5, 7, 4)
+    val model = new Onnx.OnnxModel(OnnxWriter.resnetBlockBytes(c, e),
+      tileDims = Some(Seq(c, h, w)))
+    assert(model.inputDim == c * h * w && model.embDim == e)
+    val tiles = Seq(
+      Array.tabulate(c * h * w)(i => ((i * 11) % 23) / 8.0 - 1.25),
+      Array.fill(c * h * w)(0.5),
+      Array.tabulate(c * h * w)(i => math.sin(i * 0.3) * 2.0))
+    model.embedBatch(tiles).zip(tiles).foreach { case (emb, x) =>
+      assert(emb.toSeq == resnetReference(x, c, h, w, e).toSeq)
+    }
+  }
+
   test("embedTiles runs the conv model end-to-end through the batch path") {
     import spark.implicits._
     val (c, h, w, m, e) = (1, 6, 6, 2, 4)
