@@ -23,13 +23,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - object-header CONTINUATION blocks in both generations (v1 raw
   *    message blocks, v2 "OCHK" blocks).
   *
-  * Dataset storage: CONTIGUOUS, and CHUNKED (layout v3, v1 chunk B-tree)
-  * with DEFLATE and SHUFFLE filters in any pipeline order — so both a
-  * default `nc_def_var_deflate` file and the common shuffle+deflate
-  * combination decode. Out of scope — rejected LOUDLY, never silently
-  * misread: szip, layout v4 chunk indexes (fixed/extensible array, v2
-  * B-tree), compact storage, v1 superblocks, big-endian data, huge/tiny
-  * fractal-heap objects, indirect child heap blocks, B-tree depth > 1.
+  * Dataset storage: CONTIGUOUS, and CHUNKED through BOTH index
+  * generations — layout v3 (v1 chunk B-tree) AND layout v4 (libver >=
+  * v110: Single Chunk, Implicit, and unpaged Fixed Array indexes,
+  * filtered and plain) — with DEFLATE and SHUFFLE filters in any
+  * pipeline order, so a default `nc_def_var_deflate` file decodes in
+  * either generation. Out of scope — rejected LOUDLY, never silently
+  * misread: szip, the unlimited-dims v4 indexes (extensible array, v2
+  * B-tree) and PAGED fixed arrays, compact storage, v1 superblocks,
+  * big-endian data, huge/tiny fractal-heap objects, indirect child heap
+  * blocks, B-tree depth > 1.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -444,6 +447,10 @@ object HDF5 {
     var dataAddr = Undef
     var chunkDims: Seq[Int] = Nil // element-count dims (element-size tail dropped)
     var chunkBtree = Undef
+    // layout v4: (index type, index address) — 1 single chunk, 2 implicit,
+    // 3 fixed array; v4 single-chunk filtered also carries (size, mask)
+    var v4Index: Option[(Int, Long)] = None
+    var v4SingleChunk: Option[(Long, Int)] = None // (filtered size, mask)
     var filters: Seq[Int] = Nil // pipeline order as applied on write
     foldMessages(bytes, addr).foreach { case (mtype, off) =>
       mtype match {
@@ -477,18 +484,46 @@ object HDF5 {
         case 0x0008 => // data layout
           val b = buf(bytes, off)
           val v = b.get()
-          require(v == 3, s"dataset $name: only v3 layout messages supported (got $v)")
+          require(v == 3 || v == 4,
+            s"dataset $name: only v3/v4 layout messages supported (got $v)")
           val cls = b.get()
-          cls match {
-            case 1 =>
+          (v, cls) match {
+            case (_, 1) =>
               dataAddr = b.getLong()
               b.getLong() // size
-            case 2 =>
+            case (3, 2) =>
               val nd = b.get() // dataset ndims + 1 (element-size tail)
               chunkBtree = b.getLong()
               chunkDims = (0 until nd - 1).map(_ => b.getInt())
               b.getInt() // element size dim
-            case other => throw new IllegalArgumentException(
+            case (4, 2) =>
+              // v4 chunked: flags, ndims (no element-size tail), encoded
+              // dim length, chunk dims, index type, index data, address
+              val flags = b.get()
+              val nd = b.get()
+              val encLen = b.get()
+              def encDim(): Long = {
+                var x = 0L
+                (0 until encLen).foreach(i => x |= (b.get() & 0xffL) << (8 * i))
+                x
+              }
+              chunkDims = (0 until nd).map(_ => encDim().toInt)
+              val idxType = b.get()
+              idxType match {
+                case 1 => // single chunk; filtered variant carries size+mask
+                  if ((flags & 0x02) != 0) {
+                    val sz = b.getLong(); val mask = b.getInt()
+                    v4SingleChunk = Some((sz, mask))
+                  } else v4SingleChunk = Some((-1L, 0))
+                case 2 => () // implicit: consecutive unfiltered chunks
+                case 3 => b.get() // fixed array: page bits
+                case other => throw new IllegalArgumentException(
+                  s"dataset $name: v4 chunk index type $other unsupported " +
+                    "(single/implicit/fixed-array only; extensible array and " +
+                    "v2 B-tree indexes are for unlimited dims)")
+              }
+              v4Index = Some((idxType, b.getLong()))
+            case (_, other) => throw new IllegalArgumentException(
               s"dataset $name: layout class $other unsupported — compact (class 0) " +
                 "storage needs libhdf5")
           }
@@ -530,15 +565,19 @@ object HDF5 {
         case _ => () // NIL, attributes, mod-time, fill value: skipped
       }
     }
-    require(dtClass >= 0 && (dataAddr != Undef || chunkBtree != Undef),
+    require(dtClass >= 0 && (dataAddr != Undef || chunkBtree != Undef || v4Index.isDefined),
       s"dataset $name: incomplete object header")
     val n = dims.product.toInt // empty dims = scalar (product 1)
     val raw: Array[Byte] =
-      if (chunkBtree == Undef) {
+      if (chunkBtree != Undef)
+        assembleChunks(bytes, name, chunkBtree, dims.map(_.toInt), chunkDims, dtSize, filters)
+      else if (v4Index.isDefined)
+        assembleChunksV4(bytes, name, v4Index.get, v4SingleChunk,
+          dims.map(_.toInt), chunkDims, dtSize, filters)
+      else {
         require(filters.isEmpty, s"dataset $name: filtered contiguous data unsupported")
         java.util.Arrays.copyOfRange(bytes, dataAddr.toInt, dataAddr.toInt + n * dtSize)
-      } else
-        assembleChunks(bytes, name, chunkBtree, dims.map(_.toInt), chunkDims, dtSize, filters)
+      }
     val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
     var i = 0
@@ -619,48 +658,149 @@ object HDF5 {
         val offsets = (0 until nd).map(_ => b.getLong())
         b.getLong() // element-size dimension offset (always 0)
         val child = b.getLong()
-        if (level == 0) {
-          val comp = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + nbytes)
-          val chunkBytes = filters.reverse.foldLeft(comp) { (acc, id) =>
-            id match {
-              case 1 =>
-                val inf = new java.util.zip.Inflater()
-                inf.setInput(acc)
-                val outBuf = new java.io.ByteArrayOutputStream()
-                val tmp = new Array[Byte](8192)
-                while (!inf.finished()) {
-                  val k = inf.inflate(tmp)
-                  require(k > 0 || inf.finished(), s"dataset $name: truncated deflate chunk")
-                  outBuf.write(tmp, 0, k)
-                }
-                inf.end()
-                outBuf.toByteArray
-              case 2 => unshuffleBytes(acc, elemSize)
-            }
-          }
-          // tile into place, clipping ragged edges
-          val nChunkElems = chunkDims.product
-          var ci = 0
-          while (ci < nChunkElems) {
-            // chunk-local coords (row-major within the chunk)
-            var rem = ci; var inBounds = true; var globalIdx = 0L
-            var k = nd - 1
-            while (k >= 0) {
-              val local = rem % chunkDims(k)
-              rem /= chunkDims(k)
-              val g = offsets(k) + local
-              if (g >= dims(k)) inBounds = false
-              globalIdx += g * strides(k)
-              k -= 1
-            }
-            if (inBounds)
-              System.arraycopy(chunkBytes, ci * elemSize, out, (globalIdx * elemSize).toInt, elemSize)
-            ci += 1
-          }
-        } else walk(child)
+        if (level == 0)
+          placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
+            filters, offsets, child, nbytes)
+        else walk(child)
       }
     }
     walk(btreeAddr)
+    out
+  }
+
+  /** Decode one stored chunk (inverse filters in reverse pipeline order)
+    * and tile it into the row-major output image, clipping ragged edges.
+    * Shared by the v1 chunk B-tree and the v4 chunk indexes. */
+  private def placeChunk(bytes: Array[Byte], name: String, out: Array[Byte],
+      dims: Seq[Int], strides: Array[Long], chunkDims: Seq[Int], elemSize: Int,
+      filters: Seq[Int], offsets: Seq[Long], addr: Long, nbytes: Int): Unit = {
+    val nd = dims.size
+    val comp = java.util.Arrays.copyOfRange(bytes, addr.toInt, addr.toInt + nbytes)
+    val chunkBytes = filters.reverse.foldLeft(comp) { (acc, id) =>
+      id match {
+        case 1 =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(acc)
+          val outBuf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val k = inf.inflate(tmp)
+            require(k > 0 || inf.finished(), s"dataset $name: truncated deflate chunk")
+            outBuf.write(tmp, 0, k)
+          }
+          inf.end()
+          outBuf.toByteArray
+        case 2 => unshuffleBytes(acc, elemSize)
+      }
+    }
+    val nChunkElems = chunkDims.product
+    var ci = 0
+    while (ci < nChunkElems) {
+      // chunk-local coords (row-major within the chunk)
+      var rem = ci; var inBounds = true; var globalIdx = 0L
+      var k = nd - 1
+      while (k >= 0) {
+        val local = rem % chunkDims(k)
+        rem /= chunkDims(k)
+        val g = offsets(k) + local
+        if (g >= dims(k)) inBounds = false
+        globalIdx += g * strides(k)
+        k -= 1
+      }
+      if (inBounds)
+        System.arraycopy(chunkBytes, ci * elemSize, out, (globalIdx * elemSize).toInt, elemSize)
+      ci += 1
+    }
+  }
+
+  /** Assemble a dataset stored under a LAYOUT-V4 chunk index: Single
+    * Chunk (1), Implicit (2 — consecutive unfiltered chunks in row-major
+    * grid order), or an UNPAGED Fixed Array (3: FAHD header + one FADB
+    * data block; client 0 = plain addresses, client 1 = address +
+    * chunk-size + filter mask per entry). Paged fixed arrays and the
+    * unlimited-dims indexes (extensible array, v2 B-tree) reject. */
+  private def assembleChunksV4(bytes: Array[Byte], name: String,
+      idx: (Int, Long), single: Option[(Long, Int)],
+      dims: Seq[Int], chunkDims: Seq[Int], elemSize: Int,
+      filters: Seq[Int]): Array[Byte] = {
+    require(chunkDims.size == dims.size,
+      s"dataset $name: chunk rank ${chunkDims.size} != dataset rank ${dims.size}")
+    val nd = dims.size
+    val out = new Array[Byte](dims.product * elemSize)
+    val strides = new Array[Long](nd)
+    var acc = 1L
+    for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= dims(k) }
+    val chunkByteSize = chunkDims.product * elemSize
+    val gridDims = dims.zip(chunkDims).map { case (d, c) => (d + c - 1) / c }
+    val nChunks = gridDims.product
+    def originOf(linear: Int): Seq[Long] = {
+      var rem = linear
+      val o = new Array[Long](nd)
+      for (k <- (nd - 1) to 0 by -1) {
+        o(k) = (rem % gridDims(k)).toLong * chunkDims(k)
+        rem /= gridDims(k)
+      }
+      o.toSeq
+    }
+    val (itype, addr) = idx
+    itype match {
+      case 1 =>
+        require(nChunks == 1,
+          s"dataset $name: single-chunk index but ${nChunks}-chunk grid")
+        require(filters.isEmpty || single.exists(_._1 >= 0),
+          s"dataset $name: filtered single chunk without a stored size")
+        val nbytes = single match {
+          case Some((sz, _)) if sz >= 0 => sz.toInt // filtered: stored size
+          case _ => chunkByteSize
+        }
+        placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
+          filters, originOf(0), addr, nbytes)
+      case 2 =>
+        require(filters.isEmpty,
+          s"dataset $name: implicit chunk index is unfiltered by definition")
+        (0 until nChunks).foreach { i =>
+          placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
+            Nil, originOf(i), addr + i.toLong * chunkByteSize, chunkByteSize)
+        }
+      case 3 =>
+        val h = buf(bytes, addr.toInt)
+        require((0 until 4).map(_ => h.get().toChar).mkString == "FAHD",
+          s"dataset $name: bad fixed-array header signature")
+        require(h.get() == 0, s"dataset $name: FAHD version != 0")
+        val clientId = h.get()
+        val entrySize = h.get() & 0xff
+        val pageBits = h.get() & 0xff
+        val maxEntries = h.getLong()
+        val dbAddr = h.getLong()
+        require(maxEntries == nChunks,
+          s"dataset $name: fixed array holds $maxEntries entries, grid has $nChunks")
+        require(maxEntries <= (1L << pageBits),
+          s"dataset $name: PAGED fixed arrays unsupported " +
+            s"($maxEntries entries > 2^$pageBits page)")
+        require((clientId == 0) == filters.isEmpty,
+          s"dataset $name: fixed-array client $clientId inconsistent with " +
+            s"filter pipeline ${filters.mkString(",")}")
+        val db = buf(bytes, dbAddr.toInt)
+        require((0 until 4).map(_ => db.get().toChar).mkString == "FADB",
+          s"dataset $name: bad fixed-array data block signature")
+        require(db.get() == 0, s"dataset $name: FADB version != 0")
+        db.get() // client id (mirrors header)
+        db.getLong() // header address
+        (0 until nChunks).foreach { i =>
+          if (clientId == 0)
+            placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
+              Nil, originOf(i), db.getLong(), chunkByteSize)
+          else {
+            val caddr = db.getLong()
+            val szLen = entrySize - 8 - 4
+            var sz = 0L
+            (0 until szLen).foreach(j => sz |= (db.get() & 0xffL) << (8 * j))
+            db.getInt() // filter mask (partial pipelines unsupported anyway)
+            placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
+              filters, originOf(i), caddr, sz.toInt)
+          }
+        }
+    }
     out
   }
 
@@ -976,8 +1116,19 @@ object HDF5 {
       shuffle: Boolean = false, smallBlocks: Boolean = false): Array[Byte] =
     writeNewStyle(specs, deflate, shuffle, denseRoot = true, smallHeapBlocks = smallBlocks)
 
+  /** [[writeLatest]] but chunked datasets use LAYOUT-V4 chunk indexes
+    * (what libhdf5 emits under libver >= v110): Single Chunk for
+    * one-chunk datasets, Implicit for unfiltered grids, Fixed Array
+    * (client 1) for filtered grids — or Fixed Array for EVERYTHING when
+    * `fixedArrayAlways` (covering the client-0 path). */
+  def writeLatestV4(specs: Seq[DsSpec], deflate: Boolean = false,
+      shuffle: Boolean = false, fixedArrayAlways: Boolean = false): Array[Byte] =
+    writeNewStyle(specs, deflate, shuffle, denseRoot = false,
+      smallHeapBlocks = false, v4Chunks = true, v4FixedArrayAlways = fixedArrayAlways)
+
   private def writeNewStyle(specs: Seq[DsSpec], deflate: Boolean,
-      shuffle: Boolean, denseRoot: Boolean, smallHeapBlocks: Boolean): Array[Byte] = {
+      shuffle: Boolean, denseRoot: Boolean, smallHeapBlocks: Boolean,
+      v4Chunks: Boolean = false, v4FixedArrayAlways: Boolean = false): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
     val sorted = specs.sortBy(_.name)
     def align8(x: Long): Long = (x + 7) & ~7L
@@ -1004,14 +1155,40 @@ object HDF5 {
     val headerLens = scala.collection.mutable.Map[String, Int]()
     def cross(ls: Seq[Seq[Long]]): Seq[Seq[Long]] =
       ls.foldLeft(Seq(Seq.empty[Long]))((acc, l) => for (a <- acc; x <- l) yield a :+ x)
+    // layout-v4 bookkeeping: per dataset the chosen chunk-index type
+    // (1 single, 2 implicit, 3 fixed array) and the index address
+    val v4Kind = scala.collection.mutable.Map[String, Int]()
+    val v4IndexAddrs = scala.collection.mutable.Map[String, Long]()
     sorted.foreach { s =>
       require(s.data.length.toLong == s.dims.product,
         s"dataset ${s.name}: data length ${s.data.length} != ${s.dims.product}")
       val rank = s.dims.size
       val spaceBody = 4 + 8 * rank
       val hasFilter = s.chunkDims.isDefined && filters.nonEmpty
+      val originsOpt = s.chunkDims.map { cd =>
+        require(cd.size == rank, s"${s.name}: chunk rank != dataset rank")
+        cross(cd.zip(s.dims).map { case (c, d) => 0L.until(d).by(c.toLong) })
+      }
+      originsOpt.foreach(o => require(o.size <= 128,
+        s"${s.name}: >128 chunks needs a multi-node index"))
+      if (v4Chunks && s.chunkDims.isDefined) {
+        val n = originsOpt.get.size
+        v4Kind(s.name) =
+          if (v4FixedArrayAlways) 3
+          else if (n == 1) 1
+          else if (filters.isEmpty) 2
+          else 3
+      }
       val layoutBody = s.chunkDims match {
-        case None    => 18 // ver+cls+addr8+size8
+        case None => 18 // ver+cls+addr8+size8
+        case Some(_) if v4Chunks =>
+          // ver+cls+flags+nd+encLen + nd*4 + idxType + idxData + addr8
+          val idxData = v4Kind(s.name) match {
+            case 1 => if (hasFilter) 12 else 0 // filtered: size8 + mask4
+            case 2 => 0
+            case 3 => 1 // page bits
+          }
+          5 + rank * 4 + 1 + idxData + 8
         case Some(_) => 3 + 8 + 4 * (rank + 1)
       }
       val pipeBody = if (hasFilter) 2 + 10 * filters.size else 0
@@ -1025,22 +1202,47 @@ object HDF5 {
           dataAddrs(s.name) = align8(cursor + headerLen)
           cursor = dataAddrs(s.name) + align8(8L * s.data.length)
         case Some(cd) =>
-          require(cd.size == rank, s"${s.name}: chunk rank != dataset rank")
-          val btreeAddr = align8(cursor + headerLen)
-          chunkBtreeAddrs(s.name) = btreeAddr
-          val origins = cross(cd.zip(s.dims).map { case (c, d) =>
-            0L.until(d).by(c.toLong) })
-          require(origins.size <= 128, s"${s.name}: >128 chunks needs a multi-node B-tree")
-          val keySize = 8 + 8 * (rank + 1)
-          val btreeLen = align8(24L + origins.size * (keySize + 8) + keySize)
-          var caddr = btreeAddr + btreeLen
-          chunkPlans(s.name) = origins.map { o =>
-            val payload = chunkPayload(s, cd, o, filters)
-            val a = caddr
-            caddr = align8(caddr + payload.length)
-            (o, payload, a)
+          val origins = originsOpt.get
+          val payloads = origins.map(o => chunkPayload(s, cd, o, filters))
+          if (!v4Chunks) {
+            val btreeAddr = align8(cursor + headerLen)
+            chunkBtreeAddrs(s.name) = btreeAddr
+            val keySize = 8 + 8 * (rank + 1)
+            val btreeLen = align8(24L + origins.size * (keySize + 8) + keySize)
+            var caddr = btreeAddr + btreeLen
+            chunkPlans(s.name) = origins.zip(payloads).map { case (o, payload) =>
+              val a = caddr
+              caddr = align8(caddr + payload.length)
+              (o, payload, a)
+            }
+            cursor = caddr
+          } else v4Kind(s.name) match {
+            case 1 => // single chunk: the index address IS the chunk
+              val caddr = align8(cursor + headerLen)
+              v4IndexAddrs(s.name) = caddr
+              chunkPlans(s.name) = Seq((origins.head, payloads.head, caddr))
+              cursor = caddr + align8(payloads.head.length)
+            case 2 => // implicit: consecutive unfiltered chunks
+              val base = align8(cursor + headerLen)
+              v4IndexAddrs(s.name) = base
+              val sz = payloads.head.length.toLong // unfiltered: all equal
+              chunkPlans(s.name) = origins.zip(payloads).zipWithIndex.map {
+                case ((o, p), i) => (o, p, base + i * sz)
+              }
+              cursor = base + origins.size * sz
+            case 3 => // fixed array: FAHD + FADB + chunks
+              val fahd = align8(cursor + headerLen)
+              v4IndexAddrs(s.name) = fahd
+              val entrySize = if (hasFilter) 16 else 8
+              val fadb = fahd + 28
+              var caddr = align8(fadb + 14 + origins.size.toLong * entrySize + 4)
+              chunkPlans(s.name) = origins.zip(payloads).map { case (o, payload) =>
+                val a = caddr
+                caddr = align8(caddr + payload.length)
+                (o, payload, a)
+              }
+              cursor = caddr
           }
-          cursor = caddr
       }
     }
 
@@ -1341,32 +1543,59 @@ object HDF5 {
           out.put(3.toByte); out.put(1.toByte)
           out.putLong(dataAddrs(s.name))
           out.putLong(8L * s.data.length)
-        case Some(cd) =>
+        case Some(cd) if !v4Chunks =>
           msgHdr(0x08, 3 + 8 + 4 * (rank + 1))
           out.put(3.toByte); out.put(2.toByte)
           out.put((rank + 1).toByte)
           out.putLong(chunkBtreeAddrs(s.name))
           cd.foreach(out.putInt)
           out.putInt(8) // element size "dimension"
-          if (filters.nonEmpty) {
-            msgHdr(0x0B, 2 + 10 * filters.size)
-            out.put(2.toByte) // pipeline version
-            out.put(filters.size.toByte)
-            filters.foreach { id =>
-              out.putShort(id.toShort)
-              out.putShort(0) // flags
-              out.putShort(1) // n client values
-              out.putInt(if (id == 2) 8 else 6) // elem size / deflate level
-            }
+          emitPipeline()
+        case Some(cd) =>
+          // layout v4 chunked: flags, rank (no element-size tail), 4-byte
+          // encoded chunk dims, index type + type data, index address
+          val kind = v4Kind(s.name)
+          val hasF = filters.nonEmpty
+          val idxData = kind match {
+            case 1 => if (hasF) 12 else 0
+            case 2 => 0
+            case 3 => 1
           }
+          msgHdr(0x08, 5 + rank * 4 + 1 + idxData + 8)
+          out.put(4.toByte); out.put(2.toByte)
+          out.put((if (kind == 1 && hasF) 0x02 else 0x00).toByte) // SINGLE_INDEX_WITH_FILTER
+          out.put(rank.toByte)
+          out.put(4.toByte) // dimension size encoded length
+          cd.foreach(out.putInt)
+          out.put(kind.toByte)
+          kind match {
+            case 1 if hasF =>
+              out.putLong(chunkPlans(s.name).head._2.length.toLong)
+              out.putInt(0) // filter mask
+            case 3 => out.put(16.toByte) // page bits (unpaged below 65536)
+            case _ => ()
+          }
+          out.putLong(v4IndexAddrs(s.name))
+          emitPipeline()
+      }
+      def emitPipeline(): Unit = if (s.chunkDims.isDefined && filters.nonEmpty) {
+        msgHdr(0x0B, 2 + 10 * filters.size)
+        out.put(2.toByte) // pipeline version
+        out.put(filters.size.toByte)
+        filters.foreach { id =>
+          out.putShort(id.toShort)
+          out.putShort(0) // flags
+          out.putShort(1) // n client values
+          out.putInt(if (id == 2) 8 else 6) // elem size / deflate level
+        }
       }
       out.putInt(0) // header checksum (zero)
-      // data / chunk B-tree emission (identical structures to write())
+      // data / index emission
       s.chunkDims match {
         case None =>
           out.position(dataAddrs(s.name).toInt)
           s.data.foreach(out.putDouble)
-        case Some(_) =>
+        case Some(_) if !v4Chunks =>
           val chunks = chunkPlans(s.name)
           out.position(chunkBtreeAddrs(s.name).toInt)
           out.put('T'.toByte); out.put('R'.toByte); out.put('E'.toByte); out.put('E'.toByte)
@@ -1383,6 +1612,35 @@ object HDF5 {
           out.putInt(0); out.putInt(0)
           s.dims.foreach(out.putLong)
           out.putLong(0L)
+          chunks.foreach { case (_, payload, addr) =>
+            out.position(addr.toInt)
+            out.put(payload)
+          }
+        case Some(_) =>
+          val chunks = chunkPlans(s.name)
+          if (v4Kind(s.name) == 3) {
+            val hasF = filters.nonEmpty
+            val entrySize = if (hasF) 16 else 8
+            val fahd = v4IndexAddrs(s.name)
+            out.position(fahd.toInt)
+            out.put('F'.toByte); out.put('A'.toByte); out.put('H'.toByte); out.put('D'.toByte)
+            out.put(0.toByte) // version
+            out.put((if (hasF) 1 else 0).toByte) // client id
+            out.put(entrySize.toByte)
+            out.put(16.toByte) // page bits
+            out.putLong(chunks.size.toLong)
+            out.putLong(fahd + 28) // data block address
+            out.putInt(0) // checksum (zero)
+            out.put('F'.toByte); out.put('A'.toByte); out.put('D'.toByte); out.put('B'.toByte)
+            out.put(0.toByte)
+            out.put((if (hasF) 1 else 0).toByte)
+            out.putLong(fahd)
+            chunks.foreach { case (_, payload, addr) =>
+              out.putLong(addr)
+              if (hasF) { out.putInt(payload.length); out.putInt(0) }
+            }
+            out.putInt(0) // checksum (zero)
+          }
           chunks.foreach { case (_, payload, addr) =>
             out.position(addr.toInt)
             out.put(payload)

@@ -168,6 +168,57 @@ class HDF5Spec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------- layout-v4 chunk indexes
+  test("layout v4 round-trips: single chunk, implicit, fixed array (both clients)") {
+    // one-chunk dataset -> Single Chunk; unfiltered grid -> Implicit;
+    // filtered grid -> Fixed Array client 1 — then fixedArrayAlways
+    // re-routes everything through Fixed Array incl. client 0
+    val specs = Seq(
+      HDF5.DsSpec("one", Seq(3, 3), Array.tabulate(9)(_ * 0.5 - 2.0),
+        chunkDims = Some(Seq(3, 3))),
+      HDF5.DsSpec("grid", Seq(5, 7), Array.tabulate(35)(_ * 0.25),
+        chunkDims = Some(Seq(2, 3))), // ragged in both dims
+      HDF5.DsSpec("time", Seq(4), Array(0.0, 1.5, 3.0, 4.5),
+        chunkDims = Some(Seq(3))))
+    for (fixedAlways <- Seq(false, true); (df, sh) <- Seq((false, false), (true, true))) {
+      val bytes = HDF5.writeLatestV4(specs, deflate = df, shuffle = sh,
+        fixedArrayAlways = fixedAlways)
+      val back = HDF5.read(bytes)
+      specs.foreach { s =>
+        assert(back.find(_.name == s.name).get.data.toSeq == s.data.toSeq,
+          s"${s.name} fixedAlways=$fixedAlways deflate=$df shuffle=$sh")
+      }
+      // structure asserts: the expected index structures are really there
+      def has(sig: String): Boolean = bytes.indices.exists(i =>
+        i + 4 <= bytes.length && sig.indices.forall(j => bytes(i + j) == sig(j).toByte))
+      if (fixedAlways) assert(has("FAHD") && has("FADB"), "expected fixed arrays")
+      assert(!has("TREE"), "v4 files must not fall back to the v1 chunk B-tree")
+    }
+  }
+
+  test("layout v4 rejects loudly: extensible-array index, paged fixed arrays") {
+    val specs = Seq(HDF5.DsSpec("g", Seq(4, 4), Array.tabulate(16)(_ * 1.0),
+      chunkDims = Some(Seq(2, 2))))
+    val bytes = HDF5.writeLatestV4(specs, fixedArrayAlways = true)
+    // index type 4 (extensible array) — the byte right before the page
+    // bits; find it via the layout message: version 4, class 2 marker
+    val li = bytes.indices.find(i =>
+      bytes(i) == 4 && bytes(i + 1) == 2 && bytes(i + 2) == 0 && bytes(i + 3) == 2
+        && bytes(i + 4) == 4).get
+    // msg body: ver(4) cls(2) flags(0) nd(2) encLen(4) dims(2x4B) idxType
+    val idxTypeAt = li + 5 + 8
+    assert(bytes(idxTypeAt) == 3, "fixture sanity: expected the fixed-array type byte")
+    val ext = bytes.clone(); ext(idxTypeAt) = 4
+    val e1 = intercept[IllegalArgumentException](HDF5.read(ext))
+    assert(e1.getMessage.contains("index type 4"))
+    // paged: shrink the FAHD page bits below the entry count
+    val fa = bytes.indices.find(i =>
+      bytes(i) == 'F' && bytes(i + 1) == 'A' && bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
+    val paged = bytes.clone(); paged(fa + 7) = 1 // page bits: 2^1 < 4 chunks
+    val e2 = intercept[IllegalArgumentException](HDF5.read(paged))
+    assert(e2.getMessage.contains("PAGED"))
+  }
+
   test("dense-group leftovers are rejected loudly: huge ids, deep B-trees") {
     val bytes = HDF5.writeDense(manyVars(12))
     // huge-object heap id: set the type bits (4-5) of the first record's
