@@ -37,11 +37,25 @@ import org.apache.spark.sql.functions._
   * reuses [[Dedup.connectedComponentsAltStar]] for contraction). The
   * condensed-tree extraction runs on the driver over the COLLECTED MST
   * — n-1 compact rows for n points, the standard cut-point (the
-  * dendrogram walk is inherently sequential); the result ships back as
-  * a broadcast label map. */
+  * dendrogram walk is inherently sequential). The walk returns only
+  * O(#clusters) data — each selected cluster's label and its birth-cut
+  * edge — and per-point labels are assigned DISTRIBUTIVELY: alt-star
+  * connected components over the MST edges strictly below each cut
+  * (lexicographic (w, a, b) order, i.e. exactly the edges the
+  * driver-side union-find processed before the cut edge, so ties are
+  * handled identically), keeping the component whose min node equals
+  * the cluster label. Nothing O(n) is collected beyond the MST itself,
+  * and nothing O(n) is broadcast. */
 object Hdbscan {
 
   final case class MstEdge(a: Long, b: Long, w: Double)
+
+  /** A stability-selected cluster: `label` = min member pid; `cut` =
+    * the MST edge whose processing birthed it (its members are exactly
+    * the connected component containing `label` over the MST edges
+    * lexicographically before `cut`), or None for a dendrogram-top
+    * cluster (whole-tree component, no cut). */
+  final case class SelectedCluster(label: Long, cut: Option[MstEdge])
 
   /** 2-D entry point (x, y columns). */
   def cluster(points: DataFrame, idCol: String, xCol: String, yCol: String,
@@ -75,11 +89,19 @@ object Hdbscan {
 
     // core distance: (minSamples-1)-th nearest OTHER point (self is the
     // minSamples-th member); absent -> the point can never be inside a
-    // cluster at lambda >= 1/epsMax -> drops out as noise
-    val w = Window.partitionBy(col("a_id")).orderBy(col("d"), col("b_id"))
-    val core = pairs.withColumn("rn", row_number().over(w))
-      .where(col("rn") === minSamples - 1)
-      .select(col("a_id").as("pid"), col("d").as("core_d"))
+    // cluster at lambda >= 1/epsMax -> drops out as noise.
+    // minSamples = 1 means the point itself IS the minSamples-th member:
+    // core distance 0 for every point (hdbscan-library semantics) — the
+    // row_number form below would match nothing (row_number starts at 1).
+    val core =
+      if (minSamples == 1)
+        pts.select(col("pid"), lit(0.0).as("core_d"))
+      else {
+        val w = Window.partitionBy(col("a_id")).orderBy(col("d"), col("b_id"))
+        pairs.withColumn("rn", row_number().over(w))
+          .where(col("rn") === minSamples - 1)
+          .select(col("a_id").as("pid"), col("d").as("core_d"))
+      }
 
     // mutual reachability on undirected candidate edges
     val mr = pairs.where(col("a_id") < col("b_id"))
@@ -92,15 +114,38 @@ object Hdbscan {
     val mst = boruvkaMst(mr, checkpointDir)
 
     // ---- driver-side condensed tree + stability selection --------------
+    // Only the n-1 MST edges are collected (points absent from the MST
+    // are noise by construction); the walk returns O(#clusters) cuts.
     import spark.implicits._
     val mstEdges = mst.as[MstEdge].collect()
-    val allPids = pts.select(col("pid")).as[Long].collect()
-    val labels = condensedLabels(allPids, mstEdges, minClusterSize, epsMax)
+    val selected = condensedSelection(mstEdges, minClusterSize, epsMax)
     binned.unpersist(); pairs.unpersist(); mr.unpersist()
-    val labelDf = labels.toSeq.toDF("pid", "cluster")
-    pts.select(col("pid"))
-      .join(broadcast(labelDf), Seq("pid"), "left")
-      .select(col("pid"), coalesce(col("cluster"), lit(-1L)).as("cluster"))
+
+    // ---- distributed label assignment ---------------------------------
+    // For each distinct cut, connected components over the MST edges
+    // strictly (lexicographically) below it; a selected cluster is the
+    // component whose min node (= alt-star component id) is its label.
+    // Clusters born at the same split share one CC job; dendrogram tops
+    // (cut = None) share the full-MST job.
+    val ptIds = pts.select(col("pid"))
+    if (selected.isEmpty)
+      ptIds.select(col("pid"), lit(-1L).as("cluster"))
+    else {
+      val parts = selected.groupBy(_.cut).toSeq.map { case (cut, cs) =>
+        val labels = cs.map(_.label)
+        val g = cut match {
+          case None => mst
+          case Some(e) => mst.where(col("w") < e.w ||
+            (col("w") === e.w && (col("a") < e.a ||
+              (col("a") === e.a && col("b") < e.b))))
+        }
+        Dedup.connectedComponentsAltStar(g, "a", "b", checkpointDir = checkpointDir)
+          .where(col("component").isin(labels: _*))
+          .select(col("node").as("pid"), col("component").as("cluster"))
+      }
+      ptIds.join(parts.reduce(_ union _), Seq("pid"), "left")
+        .select(col("pid"), coalesce(col("cluster"), lit(-1L)).as("cluster"))
+    }
   }
 
   /** Boruvka MST over (a_id, b_id, w) edges: each round every component
@@ -144,7 +189,10 @@ object Hdbscan {
           .select(least(col("u"), col("v")).as("a"),
             greatest(col("u"), col("v")).as("b"), col("w"))
           .distinct()
-        mst = Checkpointing.truncate(mst.union(pick).distinct(), checkpointDir)
+        // picks always cross CURRENT components, so an edge can repeat
+        // within a round (both endpoints pick it — the distinct above)
+        // but never across rounds: no full-MST distinct needed
+        mst = Checkpointing.truncate(mst.union(pick), checkpointDir)
         comp = Dedup.connectedComponentsAltStar(mst, "a", "b", checkpointDir = checkpointDir)
           .select(col("node"), col("component"))
         // isolated nodes keep their self label
@@ -161,8 +209,14 @@ object Hdbscan {
   }
 
   /** Driver-side single-linkage dendrogram -> condensed tree ->
-    * stability-selected flat labels. Pure Scala over the n-1 MST edges.
-    * Cluster label = min pid of the selected cluster's members.
+    * stability selection. Pure Scala over the n-1 MST edges (point ids
+    * are recovered from the edges; a point in no MST edge is noise by
+    * construction and never reaches the driver). Returns O(#clusters)
+    * rows: each selected cluster's label (min member pid) and its
+    * birth-cut MST edge — membership is recovered distributively as the
+    * connected component over the edges lexicographically before the
+    * cut, which are EXACTLY the edges this walk's union-find processed
+    * before it (so weight ties resolve identically).
     *
     * The epsMax truncation makes the dendrogram a FOREST; conceptually a
     * virtual global root joins the trees just above epsMax. The virtual
@@ -170,9 +224,11 @@ object Hdbscan {
     * (allow_single_cluster = False); each tree top is its child, born at
     * lambda = 1/epsMax, and competes with its own children on stability
     * like any other cluster. */
-  private[operators] def condensedLabels(pids: Array[Long], mstEdges: Array[MstEdge],
-      minClusterSize: Int, epsMax: Double): Map[Long, Long] = {
-    if (pids.isEmpty) return Map.empty
+  private[operators] def condensedSelection(mstEdges: Array[MstEdge],
+      minClusterSize: Int, epsMax: Double): Seq[SelectedCluster] = {
+    if (mstEdges.isEmpty) return Seq.empty
+    val pids: Array[Long] =
+      mstEdges.flatMap(e => Array(e.a, e.b)).distinct.sorted
     val n = pids.length
     val idx = pids.zipWithIndex.toMap
     // union-find building the binary linkage tree bottom-up over edges
@@ -187,6 +243,7 @@ object Hdbscan {
     val childL = new Array[Int](2 * n - 1 + 1)
     val childR = new Array[Int](2 * n - 1 + 1)
     val size = new Array[Int](2 * n - 1 + 1)
+    val edgeOf = new Array[MstEdge](2 * n - 1 + 1) // edge creating each internal node
     java.util.Arrays.fill(parent, -1)
     java.util.Arrays.fill(childL, -1)
     java.util.Arrays.fill(childR, -1)
@@ -208,6 +265,7 @@ object Hdbscan {
         childL(m) = ra; childR(m) = rb
         parent(ra) = m; parent(rb) = m
         height(m) = e.w
+        edgeOf(m) = e
         size(m) = size(ra) + size(rb)
         find(ra) = m; find(rb) = m; find(m) = m
       }
@@ -219,7 +277,8 @@ object Hdbscan {
     // "condensed cluster" id; falls and splits per the paper
     final case class CCluster(var birthW: Double, var stability: Double,
       members: scala.collection.mutable.ArrayBuffer[Int],
-      var children: List[Int], var selected: Boolean = false)
+      var children: List[Int], cut: Option[MstEdge],
+      var selected: Boolean = false)
     val clusters = scala.collection.mutable.ArrayBuffer[CCluster]()
     def leaves(node: Int, acc: scala.collection.mutable.ArrayBuffer[Int]): Unit =
       if (node < n) acc += node
@@ -231,11 +290,12 @@ object Hdbscan {
       val top = clusters.length
       clusters += CCluster(
         // tree tops are children of the virtual root: born at the
-        // truncation level epsMax
+        // truncation level epsMax; no cut — the whole tree component
         birthW = epsMax,
         stability = 0.0,
         members = scala.collection.mutable.ArrayBuffer.empty,
-        children = Nil)
+        children = Nil,
+        cut = None)
       val stack = scala.collection.mutable.Stack[(Int, Int)]((linkRoot, top))
       while (stack.nonEmpty) {
         val (node, cid) = stack.pop()
@@ -259,10 +319,10 @@ object Hdbscan {
             // remaining points all leave here
             val cl = clusters.length
             clusters += CCluster(wSplit, 0.0,
-              scala.collection.mutable.ArrayBuffer.empty, Nil)
+              scala.collection.mutable.ArrayBuffer.empty, Nil, Some(edgeOf(node)))
             val cr = clusters.length
             clusters += CCluster(wSplit, 0.0,
-              scala.collection.mutable.ArrayBuffer.empty, Nil)
+              scala.collection.mutable.ArrayBuffer.empty, Nil, Some(edgeOf(node)))
             clusters(cid).children = List(cl, cr)
             val c = clusters(cid)
             c.stability += size(node) * (lambda(wSplit) - lambda(c.birthW))
@@ -297,19 +357,16 @@ object Hdbscan {
     // a selected cluster labels its whole birth subtree: points that fell
     // out of it directly plus every point of its descendant clusters
     // (selection is an antichain, so closures of selected clusters are
-    // disjoint)
+    // disjoint). Only (label, cut) leaves the driver — membership is
+    // recomputed distributively in [[clusterVectors]].
     def closure(cid: Int): Seq[Int] = {
       val c = clusters(cid)
       c.members.toSeq ++ c.children.flatMap(closure)
     }
-    val out = scala.collection.mutable.Map[Long, Long]()
-    selected.foreach { cid =>
+    selected.flatMap { cid =>
       val ms = closure(cid)
-      if (ms.nonEmpty) {
-        val label = ms.map(pids).min
-        ms.foreach(p => out(pids(p)) = label)
-      }
-    }
-    out.toMap
+      if (ms.isEmpty) None
+      else Some(SelectedCluster(ms.map(pids).min, clusters(cid).cut))
+    }.toSeq
   }
 }

@@ -118,6 +118,45 @@ class HdbscanSpec extends SparkSpec {
       "minSamples=6 core distances exceed epsMax: all noise")
   }
 
+  test("minSamples = 1 means core distance 0 everywhere, not all-noise") {
+    // row_number starts at 1, so the rank filter can never express
+    // minSamples=1; the special case must kick in (hdbscan-library
+    // semantics: the point itself is its own 1st neighbor)
+    val rnd = new scala.util.Random(31)
+    val blob = (0L until 10L).map(i =>
+      (i, rnd.nextDouble() * 0.5, rnd.nextDouble() * 0.5))
+    val far = Seq((50L, 200.0, 200.0))
+    val got = run2d(blob ++ far, mcs = 5, ms = 1, epsMax = 10.0)
+    blob.foreach { case (id, _, _) => assert(got(id) == 0L, s"pid $id") }
+    assert(got(50L) == -1L)
+  }
+
+  test("label tail ships no driver-built point->label map") {
+    // the round-5 shape collected all pids and broadcast an n-row
+    // LocalRelation [pid, cluster]; the distributed tail must have
+    // neither a broadcast hint nor any (pid, cluster) LocalRelation
+    val rnd = new scala.util.Random(41)
+    val pts = (0L until 24L).map { i =>
+      val (cx, cy) = if (i < 12) (0.0, 0.0) else (40.0, 0.0)
+      (i, cx + rnd.nextDouble(), cy + rnd.nextDouble())
+    }
+    val df = Hdbscan.cluster(pts.toDF("pid", "x", "y"), "pid", "x", "y",
+      minClusterSize = 5, minSamples = 3, epsMax = 8.0)
+    val analyzed = df.queryExecution.analyzed
+    assert(!analyzed.toString.contains("ResolvedHint"),
+      "no broadcast hint in the label tail")
+    val locals = analyzed.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.output.map(_.name)
+    }
+    assert(!locals.exists(_ == Seq("pid", "cluster")),
+      "no driver-built label LocalRelation in the plan")
+    // and it still labels correctly
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 12L).foreach(i => assert(got(i) == 0L))
+    (12L until 24L).foreach(i => assert(got(i) == 12L))
+  }
+
   test("degenerate inputs: everything isolated, empty frame") {
     val pts = Seq((1L, 0.0, 0.0), (2L, 100.0, 0.0), (3L, 0.0, 100.0))
     val got = run2d(pts, mcs = 2, ms = 2, epsMax = 1.0)
