@@ -24,15 +24,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    message blocks, v2 "OCHK" blocks).
   *
   * Dataset storage: CONTIGUOUS, and CHUNKED through BOTH index
-  * generations — layout v3 (v1 chunk B-tree) AND layout v4 (libver >=
-  * v110: Single Chunk, Implicit, and unpaged Fixed Array indexes,
-  * filtered and plain) — with DEFLATE and SHUFFLE filters in any
+  * generations — layout v3 (v1 chunk B-tree at ANY depth) AND layout v4
+  * (libver >= v110: Single Chunk, Implicit, unpaged Fixed Array, and
+  * Extensible Array indexes incl. EASB super blocks — the
+  * one-unlimited-dimension shape every appended-time netCDF-4 series
+  * takes, filtered and plain) — with DEFLATE and SHUFFLE filters in any
   * pipeline order, so a default `nc_def_var_deflate` file decodes in
   * either generation. Out of scope — rejected LOUDLY, never silently
-  * misread: szip, the unlimited-dims v4 indexes (extensible array, v2
-  * B-tree) and PAGED fixed arrays, compact storage, v1 superblocks,
-  * big-endian data, huge/tiny fractal-heap objects, indirect child heap
-  * blocks, B-tree depth > 1.
+  * misread: szip, the v2 B-tree chunk index (>1 unlimited dims), PAGED
+  * fixed-array/extensible-array blocks, compact storage, v1
+  * superblocks, big-endian data, huge/tiny fractal-heap objects,
+  * indirect child heap blocks, link-name B-tree depth > 1.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -46,6 +48,36 @@ object HDF5 {
   val Undef: Long = -1L // 0xFFFFFFFFFFFFFFFF
 
   final case class H5Dataset(name: String, dims: Seq[Long], data: Array[Double])
+
+  /** Extensible-array creation parameters (defaults = what libhdf5
+    * uses for chunked-dataset indexes) and the derived super-block-row
+    * geometry, shared by reader and writer. Row u of the conceptual
+    * super-block table holds 2^(u/2) data blocks of
+    * 2^((u+1)/2)*minElmts elements each; the first `iblkNsblks` rows'
+    * data blocks are addressed directly from the index block, later
+    * rows through on-disk super blocks. */
+  final case class EaParams(maxBits: Int = 32, iblkElmts: Int = 4,
+      minPtrs: Int = 4, minElmts: Int = 16, pageBits: Int = 10) {
+    private def log2(x: Int): Int = 31 - Integer.numberOfLeadingZeros(x)
+    val nsblks: Int = 2 * (maxBits - log2(minElmts))
+    val iblkNsblks: Int = log2(minPtrs) + 1
+    val iblkNdblkAddrs: Int = 2 * log2(minPtrs)
+    val iblkNsblkAddrs: Int = nsblks - iblkNsblks
+    val offSize: Int = (maxBits + 7) / 8 // width of block-offset fields
+    def rowNdblks(u: Int): Int = 1 << (u / 2)
+    def rowDblkNelmts(u: Int): Int = (1 << ((u + 1) / 2)) * minElmts
+    def rowStartIdx(u: Int): Long =
+      (0 until u).map(v => rowNdblks(v).toLong * rowDblkNelmts(v)).sum
+    def rowStartDblk(u: Int): Int = (0 until u).map(rowNdblks).sum
+    /** (row, data block within row, element within block) for an element
+      * index counted from the first element beyond the index block. */
+    def locate(idxBeyond: Long): (Int, Int, Int) = {
+      var u = 0
+      while (rowStartIdx(u) + rowNdblks(u).toLong * rowDblkNelmts(u) <= idxBeyond) u += 1
+      val rel = idxBeyond - rowStartIdx(u)
+      ((u, (rel / rowDblkNelmts(u)).toInt, (rel % rowDblkNelmts(u)).toInt))
+    }
+  }
 
   private val Signature = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
 
@@ -497,8 +529,10 @@ object HDF5 {
               chunkDims = (0 until nd - 1).map(_ => b.getInt())
               b.getInt() // element size dim
             case (4, 2) =>
-              // v4 chunked: flags, ndims (no element-size tail), encoded
-              // dim length, chunk dims, index type, index data, address
+              // v4 chunked: flags, ndims, encoded dim length, chunk dims,
+              // index type, index data, address. libhdf5 writes the dims
+              // with the SAME rank+1 convention as v3: the trailing entry
+              // is the datatype size, not a spatial dim — drop it.
               val flags = b.get()
               val nd = b.get()
               val encLen = b.get()
@@ -507,7 +541,9 @@ object HDF5 {
                 (0 until encLen).foreach(i => x |= (b.get() & 0xffL) << (8 * i))
                 x
               }
-              chunkDims = (0 until nd).map(_ => encDim().toInt)
+              chunkDims = (0 until nd - 1).map(_ => encDim().toInt)
+              encDim() // element-size tail
+
               val idxType = b.get()
               idxType match {
                 case 1 => // single chunk; filtered variant carries size+mask
@@ -517,10 +553,12 @@ object HDF5 {
                   } else v4SingleChunk = Some((-1L, 0))
                 case 2 => () // implicit: consecutive unfiltered chunks
                 case 3 => b.get() // fixed array: page bits
+                case 4 => // extensible array: 5 cparam bytes (repeated in EAHD)
+                  b.get(); b.get(); b.get(); b.get(); b.get()
                 case other => throw new IllegalArgumentException(
                   s"dataset $name: v4 chunk index type $other unsupported " +
-                    "(single/implicit/fixed-array only; extensible array and " +
-                    "v2 B-tree indexes are for unlimited dims)")
+                    "(single/implicit/fixed-array/extensible-array only; the " +
+                    "v2 B-tree index is for >1 unlimited dims)")
               }
               v4Index = Some((idxType, b.getLong()))
             case (_, other) => throw new IllegalArgumentException(
@@ -715,10 +753,17 @@ object HDF5 {
 
   /** Assemble a dataset stored under a LAYOUT-V4 chunk index: Single
     * Chunk (1), Implicit (2 — consecutive unfiltered chunks in row-major
-    * grid order), or an UNPAGED Fixed Array (3: FAHD header + one FADB
+    * grid order), an UNPAGED Fixed Array (3: FAHD header + one FADB
     * data block; client 0 = plain addresses, client 1 = address +
-    * chunk-size + filter mask per entry). Paged fixed arrays and the
-    * unlimited-dims indexes (extensible array, v2 B-tree) reject. */
+    * chunk-size + filter mask per entry), or an Extensible Array (4:
+    * EAHD header, EAIB index block holding the first elements plus
+    * direct data-block and super-block addresses, EASB super blocks,
+    * EADB data blocks — the index libhdf5 picks when exactly one
+    * dimension is unlimited, i.e. every appended-time netCDF-4 series;
+    * the unlimited dimension must be the slowest-varying so the array
+    * index is the row-major chunk index). Paged fixed-array and
+    * extensible-array blocks and the v2 B-tree index (>1 unlimited
+    * dims) reject. */
   private def assembleChunksV4(bytes: Array[Byte], name: String,
       idx: (Int, Long), single: Option[(Long, Int)],
       dims: Seq[Int], chunkDims: Seq[Int], elemSize: Int,
@@ -799,6 +844,96 @@ object HDF5 {
             placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
               filters, originOf(i), caddr, sz.toInt)
           }
+        }
+      case 4 =>
+        val h = buf(bytes, addr.toInt)
+        require((0 until 4).map(_ => h.get().toChar).mkString == "EAHD",
+          s"dataset $name: bad extensible-array header signature")
+        require(h.get() == 0, s"dataset $name: EAHD version != 0")
+        val clientId = h.get()
+        require((clientId == 0) == filters.isEmpty,
+          s"dataset $name: extensible-array client $clientId inconsistent " +
+            s"with filter pipeline ${filters.mkString(",")}")
+        val elmtSize = h.get() & 0xff
+        val maxBits = h.get() & 0xff
+        val iblkElmts = h.get() & 0xff
+        val minElmts = h.get() & 0xff
+        val minPtrs = h.get() & 0xff
+        val pageBits = h.get() & 0xff
+        val p = EaParams(maxBits, iblkElmts, minPtrs, minElmts, pageBits)
+        (0 until 6).foreach(_ => h.getLong()) // statistics
+        val iblkAddr = h.getLong()
+        require(iblkAddr != Undef, s"dataset $name: extensible array has no index block")
+        // one chunk-info element = addr (client 0) or addr+size+mask (client 1)
+        def readElement(b: ByteBuffer): (Long, Long) = {
+          val caddr = b.getLong()
+          if (clientId == 0) (caddr, chunkByteSize.toLong)
+          else {
+            val szLen = elmtSize - 8 - 4
+            var sz = 0L
+            (0 until szLen).foreach(j => sz |= (b.get() & 0xffL) << (8 * j))
+            b.getInt() // filter mask
+            (caddr, sz)
+          }
+        }
+        val ib = buf(bytes, iblkAddr.toInt)
+        require((0 until 4).map(_ => ib.get().toChar).mkString == "EAIB",
+          s"dataset $name: bad extensible-array index block signature")
+        require(ib.get() == 0, s"dataset $name: EAIB version != 0")
+        ib.get() // client id (mirrors header)
+        ib.getLong() // header back-pointer
+        val iblkElements = (0 until iblkElmts).map(_ => readElement(ib))
+        val iblkDblkAddrs = (0 until p.iblkNdblkAddrs).map(_ => ib.getLong())
+        val iblkSblkAddrs = (0 until p.iblkNsblkAddrs).map(_ => ib.getLong())
+        // lazily parsed super blocks (row -> data block addresses) and
+        // data blocks (file address -> element area offset)
+        val sblkCache = scala.collection.mutable.Map[Int, IndexedSeq[Long]]()
+        val dblkCache = scala.collection.mutable.Map[Long, Int]()
+        def dblkElements(dAddr: Long): Int = dblkCache.getOrElseUpdate(dAddr, {
+          val db = buf(bytes, dAddr.toInt)
+          require((0 until 4).map(_ => db.get().toChar).mkString == "EADB",
+            s"dataset $name: bad extensible-array data block signature")
+          require(db.get() == 0, s"dataset $name: EADB version != 0")
+          db.get() // client id
+          db.getLong() // header back-pointer
+          (0 until p.offSize).foreach(_ => db.get()) // block offset
+          db.position()
+        })
+        (0 until nChunks).foreach { i =>
+          val (caddr, nbytes) =
+            if (i < iblkElmts) iblkElements(i)
+            else {
+              val (u, dblkInRow, off) = p.locate(i.toLong - iblkElmts)
+              require(p.rowDblkNelmts(u) <= (1 << pageBits),
+                s"dataset $name: PAGED extensible-array data blocks unsupported " +
+                  s"(row $u holds ${p.rowDblkNelmts(u)} elements > 2^$pageBits page)")
+              val dAddr =
+                if (u < p.iblkNsblks) iblkDblkAddrs(p.rowStartDblk(u) + dblkInRow)
+                else {
+                  val dblkAddrs = sblkCache.getOrElseUpdate(u, {
+                    val sAddr = iblkSblkAddrs(u - p.iblkNsblks)
+                    require(sAddr != Undef,
+                      s"dataset $name: chunk $i needs an unallocated super block")
+                    val sb = buf(bytes, sAddr.toInt)
+                    require((0 until 4).map(_ => sb.get().toChar).mkString == "EASB",
+                      s"dataset $name: bad extensible-array super block signature")
+                    require(sb.get() == 0, s"dataset $name: EASB version != 0")
+                    sb.get() // client id
+                    sb.getLong() // header back-pointer
+                    (0 until p.offSize).foreach(_ => sb.get()) // block offset
+                    (0 until p.rowNdblks(u)).map(_ => sb.getLong())
+                  })
+                  dblkAddrs(dblkInRow)
+                }
+              require(dAddr != Undef,
+                s"dataset $name: chunk $i unallocated (fill-value reads unsupported)")
+              val eb = buf(bytes, dblkElements(dAddr) + off * elmtSize)
+              readElement(eb)
+            }
+          require(caddr != Undef,
+            s"dataset $name: chunk $i unallocated (fill-value reads unsupported)")
+          placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
+            if (clientId == 0) Nil else filters, originOf(i), caddr, nbytes.toInt)
         }
     }
     out
@@ -1099,8 +1234,9 @@ object HDF5 {
     * filter pipelines with optional shuffle+deflate. Checksums are
     * emitted as zero (the reader skips them — see the object doc). */
   def writeLatest(specs: Seq[DsSpec], deflate: Boolean = false,
-      shuffle: Boolean = false): Array[Byte] =
-    writeNewStyle(specs, deflate, shuffle, denseRoot = false, smallHeapBlocks = false)
+      shuffle: Boolean = false, btreeLeafCap: Int = Int.MaxValue): Array[Byte] =
+    writeNewStyle(specs, deflate, shuffle, denseRoot = false,
+      smallHeapBlocks = false, v1LeafCap = btreeLeafCap)
 
   /** Write the DENSE-root-group variant of [[writeLatest]]: the root
     * OHDR holds ONLY a Link Info message; links live as fractal-heap
@@ -1126,9 +1262,44 @@ object HDF5 {
     writeNewStyle(specs, deflate, shuffle, denseRoot = false,
       smallHeapBlocks = false, v4Chunks = true, v4FixedArrayAlways = fixedArrayAlways)
 
+  /** [[writeLatestV4]] but every chunked dataset carries an UNLIMITED
+    * slowest dimension (maxdims sentinel in the dataspace) and an
+    * Extensible Array chunk index — the layout libhdf5/netCDF-4 emit for
+    * appended record (time) dimensions (`nc_def_dim(.., NC_UNLIMITED)`).
+    * `ea` tunes the creation parameters; the defaults are libhdf5's, and
+    * small values force on-disk EASB super blocks. */
+  def writeUnlimited(specs: Seq[DsSpec], deflate: Boolean = false,
+      shuffle: Boolean = false, ea: EaParams = EaParams()): Array[Byte] =
+    writeNewStyle(specs, deflate, shuffle, denseRoot = false,
+      smallHeapBlocks = false, v4Chunks = true, v4Extensible = true, eaParams = ea)
+
+  /** Internal-node spec of the v1 chunk B-tree writer: the chunk range
+    * a node spans and its child range in the level below (chunk indices
+    * at the leaf level, node indices above). */
+  private final case class BtNodeSpec(chunkStart: Int, chunkEnd: Int,
+    childStart: Int, childEnd: Int)
+
+  /** Bottom-up level construction for a v1 chunk B-tree over `n` chunks
+    * with at most `cap` entries per node; head = root level (1 node),
+    * last = leaves. cap >= n collapses to the single-leaf shape. */
+  private def btLevels(n: Int, cap: Int): List[Vector[BtNodeSpec]] = {
+    var acc = List((0 until n by cap)
+      .map(s => BtNodeSpec(s, math.min(s + cap, n), s, math.min(s + cap, n))).toVector)
+    while (acc.head.size > 1) {
+      val cur = acc.head
+      acc = (0 until cur.size by cap).map { s =>
+        val e = math.min(s + cap, cur.size)
+        BtNodeSpec(cur(s).chunkStart, cur(e - 1).chunkEnd, s, e)
+      }.toVector :: acc
+    }
+    acc
+  }
+
   private def writeNewStyle(specs: Seq[DsSpec], deflate: Boolean,
       shuffle: Boolean, denseRoot: Boolean, smallHeapBlocks: Boolean,
-      v4Chunks: Boolean = false, v4FixedArrayAlways: Boolean = false): Array[Byte] = {
+      v4Chunks: Boolean = false, v4FixedArrayAlways: Boolean = false,
+      v4Extensible: Boolean = false, eaParams: EaParams = EaParams(),
+      v1LeafCap: Int = Int.MaxValue): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
     val sorted = specs.sortBy(_.name)
     def align8(x: Long): Long = (x + 7) & ~7L
@@ -1156,39 +1327,51 @@ object HDF5 {
     def cross(ls: Seq[Seq[Long]]): Seq[Seq[Long]] =
       ls.foldLeft(Seq(Seq.empty[Long]))((acc, l) => for (a <- acc; x <- l) yield a :+ x)
     // layout-v4 bookkeeping: per dataset the chosen chunk-index type
-    // (1 single, 2 implicit, 3 fixed array) and the index address
+    // (1 single, 2 implicit, 3 fixed array, 4 extensible array) and the
+    // index address
     val v4Kind = scala.collection.mutable.Map[String, Int]()
     val v4IndexAddrs = scala.collection.mutable.Map[String, Long]()
+    // extensible-array block layout: per dataset the element size plus
+    // the EAIB / per-row EASB / per-(row, slot) EADB addresses
+    final case class EaPlan(elmtSize: Int, eaib: Long,
+      sblkAddrs: Map[Int, Long], dblkAddrs: Map[(Int, Int), Long])
+    val eaPlans = scala.collection.mutable.Map[String, EaPlan]()
+    // v1 chunk B-tree node layout: levels (root first) + node addresses
+    val btPlans = scala.collection.mutable.Map[String, (List[Vector[BtNodeSpec]], List[Vector[Long]])]()
     sorted.foreach { s =>
       require(s.data.length.toLong == s.dims.product,
         s"dataset ${s.name}: data length ${s.data.length} != ${s.dims.product}")
       val rank = s.dims.size
-      val spaceBody = 4 + 8 * rank
+      val unlimited = v4Extensible && s.chunkDims.isDefined
+      val spaceBody = 4 + 8 * rank + (if (unlimited) 8 * rank else 0)
       val hasFilter = s.chunkDims.isDefined && filters.nonEmpty
       val originsOpt = s.chunkDims.map { cd =>
         require(cd.size == rank, s"${s.name}: chunk rank != dataset rank")
         cross(cd.zip(s.dims).map { case (c, d) => 0L.until(d).by(c.toLong) })
       }
-      originsOpt.foreach(o => require(o.size <= 128,
-        s"${s.name}: >128 chunks needs a multi-node index"))
       if (v4Chunks && s.chunkDims.isDefined) {
         val n = originsOpt.get.size
         v4Kind(s.name) =
-          if (v4FixedArrayAlways) 3
+          if (v4Extensible) 4
+          else if (v4FixedArrayAlways) 3
           else if (n == 1) 1
           else if (filters.isEmpty) 2
           else 3
+        if (v4Kind(s.name) == 3) require(n <= 65536,
+          s"${s.name}: >65536 chunks needs a PAGED fixed array")
       }
       val layoutBody = s.chunkDims match {
         case None => 18 // ver+cls+addr8+size8
         case Some(_) if v4Chunks =>
-          // ver+cls+flags+nd+encLen + nd*4 + idxType + idxData + addr8
+          // ver+cls+flags+nd+encLen + (rank+1)*4 + idxType + idxData + addr8
+          // (dims carry the v3-style element-size tail)
           val idxData = v4Kind(s.name) match {
             case 1 => if (hasFilter) 12 else 0 // filtered: size8 + mask4
             case 2 => 0
             case 3 => 1 // page bits
+            case 4 => 5 // the EA creation parameters
           }
-          5 + rank * 4 + 1 + idxData + 8
+          5 + (rank + 1) * 4 + 1 + idxData + 8
         case Some(_) => 3 + 8 + 4 * (rank + 1)
       }
       val pipeBody = if (hasFilter) 2 + 10 * filters.size else 0
@@ -1208,8 +1391,16 @@ object HDF5 {
             val btreeAddr = align8(cursor + headerLen)
             chunkBtreeAddrs(s.name) = btreeAddr
             val keySize = 8 + 8 * (rank + 1)
-            val btreeLen = align8(24L + origins.size * (keySize + 8) + keySize)
-            var caddr = btreeAddr + btreeLen
+            val levels = btLevels(origins.size, v1LeafCap)
+            var naddr = btreeAddr
+            val nodeAddrs = levels.map(_.map { nd =>
+              val a = naddr
+              naddr = align8(naddr +
+                24L + (nd.childEnd - nd.childStart) * (keySize + 8) + keySize)
+              a
+            })
+            btPlans(s.name) = (levels, nodeAddrs)
+            var caddr = naddr
             chunkPlans(s.name) = origins.zip(payloads).map { case (o, payload) =>
               val a = caddr
               caddr = align8(caddr + payload.length)
@@ -1236,6 +1427,43 @@ object HDF5 {
               val entrySize = if (hasFilter) 16 else 8
               val fadb = fahd + 28
               var caddr = align8(fadb + 14 + origins.size.toLong * entrySize + 4)
+              chunkPlans(s.name) = origins.zip(payloads).map { case (o, payload) =>
+                val a = caddr
+                caddr = align8(caddr + payload.length)
+                (o, payload, a)
+              }
+              cursor = caddr
+            case 4 => // extensible array: EAHD + EAIB + EASBs + EADBs + chunks
+              val p = eaParams
+              require(p.minPtrs >= 2, "EaParams.minPtrs must be >= 2")
+              val es = if (hasFilter) 20 else 8 // addr8 [+ size8 + mask4]
+              val n = origins.size
+              val eahd = align8(cursor + headerLen)
+              v4IndexAddrs(s.name) = eahd
+              val eaib = align8(eahd + 72)
+              var c = align8(eaib + 14 + p.iblkElmts * es +
+                (p.iblkNdblkAddrs + p.iblkNsblkAddrs) * 8 + 4)
+              val beyond = math.max(0L, n.toLong - p.iblkElmts)
+              val rows = Iterator.from(0).takeWhile(u => p.rowStartIdx(u) < beyond).toSeq
+              rows.foreach(u => require(p.rowDblkNelmts(u) <= (1 << p.pageBits),
+                s"${s.name}: chunk grid needs PAGED extensible-array data blocks"))
+              val sAddrs = rows.filter(_ >= p.iblkNsblks).map { u =>
+                val a = c
+                c = align8(c + 14 + p.offSize + p.rowNdblks(u) * 8 + 4)
+                u -> a
+              }.toMap
+              val dAddrs = rows.flatMap { u =>
+                val have = math.min(beyond - p.rowStartIdx(u),
+                  p.rowNdblks(u).toLong * p.rowDblkNelmts(u))
+                val ndb = ((have + p.rowDblkNelmts(u) - 1) / p.rowDblkNelmts(u)).toInt
+                (0 until ndb).map { k =>
+                  val a = c
+                  c = align8(c + 14 + p.offSize + p.rowDblkNelmts(u) * es + 4)
+                  (u, k) -> a
+                }
+              }.toMap
+              eaPlans(s.name) = EaPlan(es, eaib, sAddrs, dAddrs)
+              var caddr = c
               chunkPlans(s.name) = origins.zip(payloads).map { case (o, payload) =>
                 val a = caddr
                 caddr = align8(caddr + payload.length)
@@ -1521,12 +1749,18 @@ object HDF5 {
       val rank = s.dims.size
       out.position(headerAddrs(s.name).toInt)
       ohdrPrefix(headerLens(s.name))
-      // dataspace v2
-      msgHdr(0x01, 4 + 8 * rank)
+      // dataspace v2 (extensible mode: maxdims present, slowest dim
+      // unlimited — the netCDF-4 record-dimension shape)
+      val unlimited = v4Extensible && s.chunkDims.isDefined
+      msgHdr(0x01, 4 + 8 * rank + (if (unlimited) 8 * rank else 0))
       out.put(2.toByte); out.put(rank.toByte)
-      out.put(0.toByte) // flags
+      out.put((if (unlimited) 1 else 0).toByte) // flags: maxdims stored
       out.put(1.toByte) // type: simple
       s.dims.foreach(out.putLong)
+      if (unlimited) {
+        out.putLong(Undef) // H5S_UNLIMITED sentinel
+        s.dims.tail.foreach(out.putLong)
+      }
       // datatype: IEEE float64 LE (same 24-byte body as the v0 writer)
       msgHdr(0x03, 24)
       out.put(((1 << 4) | 1).toByte); out.put(0x20.toByte)
@@ -1552,27 +1786,36 @@ object HDF5 {
           out.putInt(8) // element size "dimension"
           emitPipeline()
         case Some(cd) =>
-          // layout v4 chunked: flags, rank (no element-size tail), 4-byte
-          // encoded chunk dims, index type + type data, index address
+          // layout v4 chunked: flags, rank+1 (the v3-style element-size
+          // tail), 4-byte encoded chunk dims, index type + type data,
+          // index address
           val kind = v4Kind(s.name)
           val hasF = filters.nonEmpty
           val idxData = kind match {
             case 1 => if (hasF) 12 else 0
             case 2 => 0
             case 3 => 1
+            case 4 => 5
           }
-          msgHdr(0x08, 5 + rank * 4 + 1 + idxData + 8)
+          msgHdr(0x08, 5 + (rank + 1) * 4 + 1 + idxData + 8)
           out.put(4.toByte); out.put(2.toByte)
           out.put((if (kind == 1 && hasF) 0x02 else 0x00).toByte) // SINGLE_INDEX_WITH_FILTER
-          out.put(rank.toByte)
+          out.put((rank + 1).toByte)
           out.put(4.toByte) // dimension size encoded length
           cd.foreach(out.putInt)
+          out.putInt(8) // element-size tail (f8 payloads)
           out.put(kind.toByte)
           kind match {
             case 1 if hasF =>
               out.putLong(chunkPlans(s.name).head._2.length.toLong)
               out.putInt(0) // filter mask
             case 3 => out.put(16.toByte) // page bits (unpaged below 65536)
+            case 4 => // EA creation parameters, H5O layout-message order
+              out.put(eaParams.maxBits.toByte)
+              out.put(eaParams.iblkElmts.toByte)
+              out.put(eaParams.minPtrs.toByte)
+              out.put(eaParams.minElmts.toByte)
+              out.put(eaParams.pageBits.toByte)
             case _ => ()
           }
           out.putLong(v4IndexAddrs(s.name))
@@ -1595,23 +1838,44 @@ object HDF5 {
         case None =>
           out.position(dataAddrs(s.name).toInt)
           s.data.foreach(out.putDouble)
-        case Some(_) if !v4Chunks =>
+        case Some(cd) if !v4Chunks =>
           val chunks = chunkPlans(s.name)
-          out.position(chunkBtreeAddrs(s.name).toInt)
-          out.put('T'.toByte); out.put('R'.toByte); out.put('E'.toByte); out.put('E'.toByte)
-          out.put(1.toByte); out.put(0.toByte)
-          out.putShort(chunks.size.toShort)
-          out.putLong(Undef); out.putLong(Undef)
-          chunks.foreach { case (origin, payload, addr) =>
-            out.putInt(payload.length)
-            out.putInt(0)
-            origin.foreach(out.putLong)
-            out.putLong(0L)
-            out.putLong(addr)
+          val (levels, nodeAddrs) = btPlans(s.name)
+          val nLevels = levels.size
+          // sentinel offsets of the key after the last chunk: the grid end
+          val gridEnd = s.dims.zip(cd).map { case (d, c) => ((d + c - 1) / c) * c }
+          def putKey(nbytes: Int, offs: Seq[Long]): Unit = {
+            out.putInt(nbytes); out.putInt(0) // size, filter mask
+            offs.foreach(out.putLong)
+            out.putLong(0L) // element-size dimension offset
           }
-          out.putInt(0); out.putInt(0)
-          s.dims.foreach(out.putLong)
-          out.putLong(0L)
+          def chunkKey(i: Int): Unit =
+            if (i < chunks.size) putKey(chunks(i)._2.length, chunks(i)._1)
+            else putKey(0, gridEnd)
+          levels.zip(nodeAddrs).zipWithIndex.foreach { case ((lvl, addrs), li) =>
+            val levelNum = nLevels - 1 - li // leaves are level 0
+            lvl.zipWithIndex.foreach { case (nd, ni) =>
+              out.position(addrs(ni).toInt)
+              out.put('T'.toByte); out.put('R'.toByte); out.put('E'.toByte); out.put('E'.toByte)
+              out.put(1.toByte); out.put(levelNum.toByte)
+              out.putShort((nd.childEnd - nd.childStart).toShort)
+              out.putLong(if (ni == 0) Undef else addrs(ni - 1))
+              out.putLong(if (ni == lvl.size - 1) Undef else addrs(ni + 1))
+              if (levelNum == 0)
+                (nd.childStart until nd.childEnd).foreach { ci =>
+                  chunkKey(ci)
+                  out.putLong(chunks(ci)._3)
+                }
+              else {
+                val below = levels(li + 1); val belowAddrs = nodeAddrs(li + 1)
+                (nd.childStart until nd.childEnd).foreach { ci =>
+                  chunkKey(below(ci).chunkStart)
+                  out.putLong(belowAddrs(ci))
+                }
+              }
+              chunkKey(nd.chunkEnd) // trailing key
+            }
+          }
           chunks.foreach { case (_, payload, addr) =>
             out.position(addr.toInt)
             out.put(payload)
@@ -1640,6 +1904,73 @@ object HDF5 {
               if (hasF) { out.putInt(payload.length); out.putInt(0) }
             }
             out.putInt(0) // checksum (zero)
+          } else if (v4Kind(s.name) == 4) {
+            val p = eaParams
+            val plan = eaPlans(s.name)
+            val hasF = filters.nonEmpty
+            val client = (if (hasF) 1 else 0).toByte
+            val eahd = v4IndexAddrs(s.name)
+            def putElement(i: Long): Unit =
+              if (i < chunks.size) {
+                out.putLong(chunks(i.toInt)._3)
+                if (hasF) { out.putLong(chunks(i.toInt)._2.length.toLong); out.putInt(0) }
+              } else {
+                out.putLong(Undef)
+                if (hasF) { out.putLong(0L); out.putInt(0) }
+              }
+            def putOff(v: Long): Unit =
+              (0 until p.offSize).foreach(j => out.put(((v >> (8 * j)) & 0xff).toByte))
+            def blockPrefix(sig: String, addr: Long): Unit = {
+              out.position(addr.toInt)
+              sig.foreach(ch => out.put(ch.toByte))
+              out.put(0.toByte) // version
+              out.put(client)
+            }
+            // header: sig/ver/client, cparams, statistics, iblock addr
+            blockPrefix("EAHD", eahd)
+            out.put(plan.elmtSize.toByte)
+            out.put(p.maxBits.toByte); out.put(p.iblkElmts.toByte)
+            out.put(p.minElmts.toByte); out.put(p.minPtrs.toByte)
+            out.put(p.pageBits.toByte)
+            out.putLong(plan.sblkAddrs.size.toLong) // # super blocks
+            out.putLong(plan.sblkAddrs.keys
+              .map(u => (14 + p.offSize + p.rowNdblks(u) * 8 + 4).toLong).sum)
+            out.putLong(plan.dblkAddrs.size.toLong) // # data blocks
+            out.putLong(plan.dblkAddrs.keys
+              .map { case (u, _) => (14 + p.offSize + p.rowDblkNelmts(u) * plan.elmtSize + 4).toLong }.sum)
+            out.putLong(chunks.size.toLong) // max index set
+            out.putLong(chunks.size.toLong) // elements realized
+            out.putLong(plan.eaib)
+            out.putInt(0) // checksum (zero)
+            // index block: first elements, direct dblk addrs, sblk addrs
+            blockPrefix("EAIB", plan.eaib)
+            out.putLong(eahd)
+            (0 until p.iblkElmts).foreach(i => putElement(i.toLong))
+            (0 until p.iblkNsblks).foreach { u =>
+              (0 until p.rowNdblks(u)).foreach { k =>
+                out.putLong(plan.dblkAddrs.getOrElse((u, k), Undef))
+              }
+            }
+            (0 until p.iblkNsblkAddrs).foreach { j =>
+              out.putLong(plan.sblkAddrs.getOrElse(p.iblkNsblks + j, Undef))
+            }
+            out.putInt(0) // checksum (zero)
+            plan.sblkAddrs.toSeq.sortBy(_._1).foreach { case (u, a) =>
+              blockPrefix("EASB", a)
+              out.putLong(eahd)
+              putOff(p.iblkElmts + p.rowStartIdx(u))
+              (0 until p.rowNdblks(u)).foreach(k =>
+                out.putLong(plan.dblkAddrs.getOrElse((u, k), Undef)))
+              out.putInt(0) // checksum (zero)
+            }
+            plan.dblkAddrs.toSeq.sortBy(_._1).foreach { case ((u, k), a) =>
+              blockPrefix("EADB", a)
+              out.putLong(eahd)
+              val base = p.iblkElmts + p.rowStartIdx(u) + k.toLong * p.rowDblkNelmts(u)
+              putOff(base)
+              (0 until p.rowDblkNelmts(u)).foreach(j => putElement(base + j))
+              out.putInt(0) // checksum (zero)
+            }
           }
           chunks.foreach { case (_, payload, addr) =>
             out.position(addr.toInt)

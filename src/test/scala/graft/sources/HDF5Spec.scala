@@ -196,21 +196,134 @@ class HDF5Spec extends SparkSpec {
     }
   }
 
-  test("layout v4 rejects loudly: extensible-array index, paged fixed arrays") {
+  test("layout v4 chunk dims carry the rank+1 element-size tail on the wire") {
+    // libhdf5 encodes v4 chunk dims exactly like v3: rank+1 entries, the
+    // last being the datatype size. A shared reader/writer mistake would
+    // round-trip invisibly, so pin the bytes: nd = 3 for a rank-2
+    // dataset, dims = (2, 2, 8).
+    val specs = Seq(HDF5.DsSpec("g", Seq(4, 4), Array.tabulate(16)(_ * 1.0),
+      chunkDims = Some(Seq(2, 2))))
+    val bytes = HDF5.writeLatestV4(specs)
+    val li = bytes.indices.find(i =>
+      bytes(i) == 4 && bytes(i + 1) == 2 && bytes(i + 2) == 0).get
+    assert(bytes(li + 3) == 3, "nd must be rank+1")
+    assert(bytes(li + 4) == 4, "4-byte encoded dims")
+    def dim(k: Int): Int =
+      java.nio.ByteBuffer.wrap(bytes, li + 5 + 4 * k, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(dim(0) == 2 && dim(1) == 2, "spatial chunk dims")
+    assert(dim(2) == 8, "trailing entry is the element size, not a dim")
+    // and the reader strips the tail rather than treating it as spatial
+    val back = HDF5.read(bytes)
+    assert(back.head.data.toSeq == specs.head.data.toSeq)
+  }
+
+  test("layout v4 extensible array round-trips: default params (index block + direct data blocks)") {
+    // 10-chunk 1-D appended series and a 35-chunk 2-D grid: with libhdf5
+    // defaults (4 iblock elements, 16-element min data blocks) both stay
+    // inside the index block + directly-addressed data blocks
+    val specs = Seq(
+      HDF5.DsSpec("time_series", Seq(40), Array.tabulate(40)(_ * 0.25),
+        chunkDims = Some(Seq(4))),
+      HDF5.DsSpec("grid", Seq(10, 14), Array.tabulate(140)(_ * 0.5 - 30.0),
+        chunkDims = Some(Seq(2, 2))))
+    for ((df, sh) <- Seq((false, false), (true, false), (true, true))) {
+      val bytes = HDF5.writeUnlimited(specs, deflate = df, shuffle = sh)
+      val back = HDF5.read(bytes)
+      specs.foreach { s =>
+        assert(back.find(_.name == s.name).get.data.toSeq == s.data.toSeq,
+          s"${s.name} deflate=$df shuffle=$sh")
+      }
+      def has(sig: String): Boolean = bytes.indices.exists(i =>
+        i + 4 <= bytes.length && sig.indices.forall(j => bytes(i + j) == sig(j).toByte))
+      assert(has("EAHD") && has("EAIB") && has("EADB"), "expected extensible-array blocks")
+      assert(!has("EASB"), "defaults must not need super blocks at this scale")
+      assert(!has("TREE") && !has("FAHD"), "no other chunk index may appear")
+    }
+  }
+
+  test("layout v4 extensible array round-trips through on-disk super blocks") {
+    // small creation parameters (1 iblock element, 2-element min blocks,
+    // 2 min pointers) push a 35-chunk grid into EASB super-block rows
+    val ea = HDF5.EaParams(maxBits = 16, iblkElmts = 1, minPtrs = 2,
+      minElmts = 2, pageBits = 10)
+    val specs = Seq(HDF5.DsSpec("grid", Seq(10, 14),
+      Array.tabulate(140)(i => math.sin(i * 0.1) * 10), chunkDims = Some(Seq(2, 2))))
+    for ((df, sh) <- Seq((false, false), (true, true))) {
+      val bytes = HDF5.writeUnlimited(specs, deflate = df, shuffle = sh, ea = ea)
+      val back = HDF5.read(bytes)
+      assert(back.head.data.toSeq == specs.head.data.toSeq, s"deflate=$df shuffle=$sh")
+      def count(sig: String): Int = bytes.indices.count(i =>
+        i + 4 <= bytes.length && sig.indices.forall(j => bytes(i + j) == sig(j).toByte))
+      assert(count("EASB") >= 2, "expected several super blocks")
+      assert(count("EADB") >= 4, "expected several data blocks")
+    }
+  }
+
+  test("extensible array rejects loudly: paged data blocks, unallocated chunks") {
+    val specs = Seq(HDF5.DsSpec("t", Seq(40), Array.tabulate(40)(_ * 1.0),
+      chunkDims = Some(Seq(2))))
+    val bytes = HDF5.writeUnlimited(specs)
+    // shrink the EAHD page-bits byte below the first data-block row size
+    val hd = bytes.indices.find(i =>
+      bytes(i) == 'E' && bytes(i + 1) == 'A' && bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
+    // sig4 ver1 client1 elmtSize1 maxBits1 iblkElmts1 minElmts1 minPtrs1 -> pageBits
+    val paged = bytes.clone(); paged(hd + 11) = 3 // 2^3 < 16-element row
+    val e1 = intercept[IllegalArgumentException](HDF5.read(paged))
+    assert(e1.getMessage.contains("PAGED extensible-array"))
+    // zap a data-block address slot in the index block -> unallocated chunk
+    val ib = bytes.indices.find(i =>
+      bytes(i) == 'E' && bytes(i + 1) == 'A' && bytes(i + 2) == 'I' && bytes(i + 3) == 'B').get
+    val unalloc = bytes.clone()
+    // sig4 ver1 client1 hdr8 + 4 elements x 8 -> first direct dblk addr
+    val slot = ib + 6 + 8 + 4 * 8
+    (0 until 8).foreach(j => unalloc(slot + j) = 0xff.toByte)
+    val e2 = intercept[IllegalArgumentException](HDF5.read(unalloc))
+    assert(e2.getMessage.contains("unallocated"))
+  }
+
+  test("v1 chunk B-tree round-trips at depth 2 (root + internals + leaves)") {
+    // 35 chunks with a 4-entry node cap: 9 leaves, 3 internal nodes, one
+    // level-2 root — the many-chunk raster shape; reader recursion is
+    // exercised beyond the single-node tree
+    val specs = Seq(
+      HDF5.DsSpec("raster", Seq(10, 14), Array.tabulate(140)(_ * 0.125),
+        chunkDims = Some(Seq(2, 2))),
+      HDF5.DsSpec("plain", Seq(6), Array.tabulate(6)(_ * 2.0)))
+    for ((df, sh) <- Seq((false, false), (true, true))) {
+      val bytes = HDF5.writeLatest(specs, deflate = df, shuffle = sh, btreeLeafCap = 4)
+      val back = HDF5.read(bytes)
+      specs.foreach { s =>
+        assert(back.find(_.name == s.name).get.data.toSeq == s.data.toSeq,
+          s"${s.name} deflate=$df shuffle=$sh")
+      }
+      def sigsAt(sig: String): Seq[Int] = bytes.indices.filter(i =>
+        i + 4 <= bytes.length && sig.indices.forall(j => bytes(i + j) == sig(j).toByte))
+      val trees = sigsAt("TREE")
+      assert(trees.size == 13, s"expected 13 B-tree nodes, found ${trees.size}")
+      // node level bytes: one root at level 2, three internals, nine leaves
+      val levels = trees.map(a => bytes(a + 5).toInt).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      assert(levels == Map(2 -> 1, 1 -> 3, 0 -> 9), s"levels: $levels")
+    }
+  }
+
+  test("layout v4 rejects loudly: v2-B-tree index, paged fixed arrays") {
     val specs = Seq(HDF5.DsSpec("g", Seq(4, 4), Array.tabulate(16)(_ * 1.0),
       chunkDims = Some(Seq(2, 2))))
     val bytes = HDF5.writeLatestV4(specs, fixedArrayAlways = true)
     // index type 4 (extensible array) — the byte right before the page
     // bits; find it via the layout message: version 4, class 2 marker
+    // (nd = rank+1 = 3: the dims carry the v3-style element-size tail)
     val li = bytes.indices.find(i =>
-      bytes(i) == 4 && bytes(i + 1) == 2 && bytes(i + 2) == 0 && bytes(i + 3) == 2
+      bytes(i) == 4 && bytes(i + 1) == 2 && bytes(i + 2) == 0 && bytes(i + 3) == 3
         && bytes(i + 4) == 4).get
-    // msg body: ver(4) cls(2) flags(0) nd(2) encLen(4) dims(2x4B) idxType
-    val idxTypeAt = li + 5 + 8
+    // msg body: ver(4) cls(2) flags(0) nd(3) encLen(4) dims(3x4B) idxType
+    val idxTypeAt = li + 5 + 12
     assert(bytes(idxTypeAt) == 3, "fixture sanity: expected the fixed-array type byte")
-    val ext = bytes.clone(); ext(idxTypeAt) = 4
+    val ext = bytes.clone(); ext(idxTypeAt) = 5
     val e1 = intercept[IllegalArgumentException](HDF5.read(ext))
-    assert(e1.getMessage.contains("index type 4"))
+    assert(e1.getMessage.contains("index type 5"))
     // paged: shrink the FAHD page bits below the entry count
     val fa = bytes.indices.find(i =>
       bytes(i) == 'F' && bytes(i + 1) == 'A' && bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
