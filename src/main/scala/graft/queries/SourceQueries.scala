@@ -359,6 +359,39 @@ object SourceQueries {
         .toDF("time", "lat", "lon", "value")
     },
 
+    // ---- S10 depth: SD-interface Vdata attributes + CF unpacking --------
+    // Real CERES granules pack variables as int16 with scale_factor /
+    // add_offset carried in class-"Attr0.0" Vdatas inside the variable's
+    // "Var0.0" Vgroup; the reference reads them through xarray's CF
+    // decoding (extract.py:7-69 also renames by long_name and asserts
+    // units). The fixture stores a deflated int16 SDS with those attrs;
+    // the oracle reconstructs packed*scale + offset analytically, so a
+    // hash match proves the Vgroup -> Vdata -> unpack chain end-to-end.
+    QueryDef.sqlBacked(
+      "q90_hdf4_scaled",
+      """SELECT TIMESTAMP '2021-07-01 00:00:00' + INTERVAL 1 HOUR * b AS time,
+        |  90.0 - (j + 0.5) AS lat, (i + 0.5) - 180.0 AS lon,
+        |  CAST(((b*4 + j)*5 + i) * 7 % 200 - 100 AS DOUBLE) * 0.25 + 10.0 AS value
+        |FROM range(0,2) r1(b), range(0,4) r2(j), range(0,5) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.HDF4
+      val dir = java.nio.file.Files.createTempDirectory("graft-q90").toString
+      val bytes = HDF4.write(Seq(HDF4.SdsSpec(
+        "observed_all_sky_toa_lw_flux", Seq(2, 4, 5), HDF4.Int16,
+        Array.tabulate(2 * 4 * 5)(i => (i * 7 % 200 - 100).toDouble),
+        deflate = true,
+        attrs = Seq(
+          "long_name" -> HDF4.StrAttr("Observed All-Sky TOA LW Flux"),
+          "units" -> HDF4.StrAttr("W/m^2"),
+          "scale_factor" -> HDF4.NumAttr(HDF4.Float64, Seq(0.25)),
+          "add_offset" -> HDF4.NumAttr(HDF4.Float64, Seq(10.0))))))
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "syn1deg_s.hdf"), bytes)
+      import s.implicits._
+      s.read.format("binaryFile").load(s"$dir/*.hdf")
+        .select("content").as[Array[Byte]]
+        .flatMap(b => HDF4.syn1degRows(b, "observed_all_sky_toa_lw_flux", "2021-07-01"))
+        .toDF("time", "lat", "lon", "value")
+    },
+
     // ---- M5 depth: object-based cloudmetrics (labeling + I_org) ---------
     // The reference's named plugin example is
     // `cloud_metrics__mask__iorg_objects` (aux_fields/data.py:82-108):

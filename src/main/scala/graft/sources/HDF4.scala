@@ -19,10 +19,16 @@ import java.nio.charset.StandardCharsets
   * level), with the zlib-wrapped bytes in the DFTAG_COMPRESSED element —
   * the layout real CERES SYN1deg granules ship. Other special-element
   * kinds (linked blocks, external, chunked) and other comp codes are
-  * rejected loudly, never silently misread. Files written through the
-  * newer multi-file SD/Vgroup interface store their attributes in Vdata
-  * records; those attrs are out of scope here (the label tag carries
-  * the variable name).
+  * rejected loudly, never silently misread.
+  *
+  * Files written through the newer multi-file SD/Vgroup interface (all
+  * modern CERES granules) store per-variable attributes — units,
+  * scale_factor, add_offset, long_name, _FillValue (extract.py:7-69
+  * renames by long_name and asserts units) — as class-"Attr0.0" Vdata
+  * records (DFTAG_VH/VS pairs) inside the variable's class-"Var0.0"
+  * Vgroup (DFTAG_VG). Those are decoded here too, and
+  * [[syn1degRows]] applies the CF unpacking `value*scale_factor +
+  * add_offset` (fill values to NaN) the reference gets from xarray.
   *
   * As with [[NetCDF3]], the decode unit is the whole file: Spark-side
   * use is per-file parallelism over a `binaryFile` scan.
@@ -32,25 +38,33 @@ object HDF4 {
   val Magic = 0x0e031301
   val TagNT = 106; val TagSDD = 701; val TagSD = 702; val TagSDL = 704; val TagNDG = 720
   val TagCompressed = 40      // DFTAG_COMPRESSED: the deflated bytes
+  val TagVH = 1962; val TagVS = 1963; val TagVG = 1965 // Vdata/Vgroup tags
   val ExtendedMask = 0x4000   // SPECIAL_MASK: DD tag bit for special elements
   val SpecialComp = 3         // SPECIAL_COMP special-element kind
   val CompDeflate = 4         // COMP_CODE_DEFLATE
 
   // DFNT number-type codes
+  val Char8 = 4
   val Float32 = 5; val Float64 = 6
   val Int8 = 20; val UInt8 = 21; val Int16 = 22; val UInt16 = 23
   val Int32 = 24; val UInt32 = 25
 
   def typeWidth(t: Int): Int = t match {
-    case Int8 | UInt8 => 1
+    case Char8 | Int8 | UInt8 => 1
     case Int16 | UInt16 => 2
     case Float32 | Int32 | UInt32 => 4
     case Float64 => 8
     case other => throw new IllegalArgumentException(s"unsupported DFNT type $other")
   }
 
+  /** SD-interface attribute value: character string or typed numbers. */
+  sealed trait AttrValue
+  final case class StrAttr(value: String) extends AttrValue
+  final case class NumAttr(ntType: Int, values: Seq[Double]) extends AttrValue
+
   final case class DD(tag: Int, ref: Int, offset: Int, length: Int)
-  final case class Sds(ref: Int, label: String, dims: Seq[Int], ntType: Int, data: Array[Double])
+  final case class Sds(ref: Int, label: String, dims: Seq[Int], ntType: Int,
+    data: Array[Double], attrs: Map[String, AttrValue] = Map.empty)
 
   /** All DDs across chained DD blocks. */
   def readDDs(bytes: Array[Byte]): Seq[DD] = {
@@ -93,11 +107,82 @@ object HDF4 {
     out
   }
 
+  /** Attr0.0 Vdata (a VH/VS pair sharing one ref): attribute name from
+    * the Vdata name, values from the VS records. Non-attribute Vdatas
+    * (dimension records etc.) return None. */
+  private def parseAttrVdata(bytes: Array[Byte], dds: Seq[DD],
+      ref: Int): Option[(String, AttrValue)] = {
+    val b = ByteBuffer.wrap(bytes)
+    def str(): String = {
+      val len = b.getShort() & 0xffff
+      val raw = new Array[Byte](len)
+      b.get(raw)
+      new String(raw, StandardCharsets.UTF_8)
+    }
+    for {
+      vh <- dds.find(d => d.tag == TagVH && d.ref == ref)
+      vs <- dds.find(d => d.tag == TagVS && d.ref == ref)
+      attr <- {
+        b.position(vh.offset)
+        val interlace = b.getShort().toInt
+        val nvert = b.getInt()
+        b.getShort() // ivsize (record width; implied by type x order)
+        val nfields = b.getShort().toInt
+        val types = (0 until nfields).map(_ => b.getShort().toInt)
+        (0 until nfields).foreach(_ => b.getShort()) // isizes
+        (0 until nfields).foreach(_ => b.getShort()) // offsets
+        val orders = (0 until nfields).map(_ => b.getShort() & 0xffff)
+        (0 until nfields).foreach(_ => str()) // field names
+        val vsname = str()
+        val vsclass = str()
+        if (vsclass != "Attr0.0") None
+        else {
+          require(nfields == 1 && interlace == 0,
+            s"attribute Vdata `$vsname`: expected one FULL_INTERLACE field " +
+              s"(got $nfields fields, interlace $interlace)")
+          val n = nvert * orders.head
+          if (types.head == Char8) {
+            val raw = new Array[Byte](n)
+            b.position(vs.offset); b.get(raw)
+            Some(vsname -> StrAttr(
+              new String(raw.takeWhile(_ != 0), StandardCharsets.UTF_8)))
+          } else
+            Some(vsname -> NumAttr(types.head, readValues(b, vs.offset, n, types.head).toSeq))
+        }
+      }
+    } yield attr
+  }
+
+  /** Per-NDG attribute maps from the SD interface's Var0.0 Vgroups. */
+  private def varAttrs(bytes: Array[Byte], dds: Seq[DD]): Map[Int, Map[String, AttrValue]] = {
+    val b = ByteBuffer.wrap(bytes)
+    dds.filter(_.tag == TagVG).flatMap { vg =>
+      b.position(vg.offset)
+      val nelt = b.getShort() & 0xffff
+      val tags = (0 until nelt).map(_ => b.getShort() & 0xffff)
+      val refs = (0 until nelt).map(_ => b.getShort() & 0xffff)
+      val nameLen = b.getShort() & 0xffff
+      b.position(b.position() + nameLen)
+      val classLen = b.getShort() & 0xffff
+      val classRaw = new Array[Byte](classLen)
+      b.get(classRaw)
+      val clazz = new String(classRaw, StandardCharsets.UTF_8)
+      val members = tags.zip(refs)
+      if (clazz != "Var0.0") None
+      else members.collectFirst { case (TagNDG, r) => r }.map { ndgRef =>
+        ndgRef -> members.collect { case (TagVH, r) => r }
+          .flatMap(parseAttrVdata(bytes, dds, _)).toMap
+      }
+    }.toMap
+  }
+
   /** Every scientific dataset in the file (one per NDG), values promoted
-    * to Double, with its label (empty when absent). */
+    * to Double, with its label (empty when absent) and its SD-interface
+    * Vdata attributes (empty for plain DFSD files). */
   def readSds(bytes: Array[Byte]): Seq[Sds] = {
     val b = ByteBuffer.wrap(bytes)
     val dds = readDDs(bytes)
+    val attrsByNdg = varAttrs(bytes, dds)
     def find(tag: Int, ref: Int): Option[DD] = dds.find(d => d.tag == tag && d.ref == ref)
     dds.filter(_.tag == TagNDG).map { g =>
       b.position(g.offset)
@@ -158,22 +243,33 @@ object HDF4 {
         b.position(dd.offset); b.get(raw)
         new String(raw.takeWhile(_ != 0), StandardCharsets.UTF_8)
       }.getOrElse("")
-      Sds(g.ref, label, dims, ntType, readValues(dataBuf, dataOff, n, ntType))
+      Sds(g.ref, label, dims, ntType, readValues(dataBuf, dataOff, n, ntType),
+        attrsByNdg.getOrElse(g.ref, Map.empty))
     }
   }
 
   /** In-memory dataset for writing (data row-major doubles, cast on
     * write); `deflate = true` stores the SD through the special-element
-    * compression encoding real CERES granules use. */
+    * compression encoding real CERES granules use; `attrs` are written
+    * as SD-interface Vdata attributes inside a Var0.0 Vgroup. */
   final case class SdsSpec(label: String, dims: Seq[Int], ntType: Int,
-      data: Array[Double], deflate: Boolean = false)
+      data: Array[Double], deflate: Boolean = false,
+      attrs: Seq[(String, AttrValue)] = Nil)
 
   /** Write a DFSD-style HDF4 file: one DD block, then per dataset the
     * NT + SDD + SDL + SD objects and their NDG group (SD optionally as
-    * an extended-tag compression header + DFTAG_COMPRESSED element). */
+    * an extended-tag compression header + DFTAG_COMPRESSED element),
+    * plus — when the spec carries attributes — the SD-interface shape:
+    * one Attr0.0 Vdata (VH description + VS values) per attribute,
+    * membered with the NDG in a Var0.0 Vgroup. */
   def write(datasets: Seq[SdsSpec]): Array[Byte] = {
     final case class Obj(tag: Int, ref: Int, payload: Array[Byte])
     val objs = Seq.newBuilder[Obj]
+    var nextVdataRef = 1001 // attr Vdata refs, clear of the dataset refs
+    def str16(bb: ByteBuffer, s: String): Unit = {
+      val raw = s.getBytes(StandardCharsets.UTF_8)
+      bb.putShort(raw.length.toShort); bb.put(raw)
+    }
     datasets.zipWithIndex.foreach { case (ds, i) =>
       val ref = i + 1
       require(ds.data.length == ds.dims.product, s"${ds.label}: data/dims mismatch")
@@ -218,6 +314,60 @@ object HDF4 {
         ndg.putShort(t.toShort); ndg.putShort(ref.toShort)
       }
       objs += Obj(TagNDG, ref, ndg.array())
+      if (ds.attrs.nonEmpty) {
+        val attrRefs = ds.attrs.map { case (name, value) =>
+          val r = nextVdataRef; nextVdataRef += 1
+          val (t, order, payload) = value match {
+            case StrAttr(sv) =>
+              val raw = sv.getBytes(StandardCharsets.UTF_8)
+              (Char8, raw.length, raw)
+            case NumAttr(tt, vs) =>
+              val bb = ByteBuffer.allocate(vs.size * typeWidth(tt))
+              vs.foreach { v =>
+                tt match {
+                  case Int8 | UInt8 => bb.put(v.toByte)
+                  case Int16 | UInt16 => bb.putShort(v.toShort)
+                  case Int32 | UInt32 => bb.putInt(v.toInt)
+                  case Float32 => bb.putFloat(v.toFloat)
+                  case Float64 => bb.putDouble(v)
+                }
+              }
+              (tt, vs.size, bb.array())
+          }
+          val fld = "VALUES".getBytes(StandardCharsets.UTF_8)
+          val nameRaw = name.getBytes(StandardCharsets.UTF_8)
+          val clsRaw = "Attr0.0".getBytes(StandardCharsets.UTF_8)
+          val vh = ByteBuffer.allocate(2 + 4 + 2 + 2 + 4 * 2 +
+            2 + fld.length + 2 + nameRaw.length + 2 + clsRaw.length + 8)
+          vh.putShort(0) // FULL_INTERLACE
+          vh.putInt(1)   // one record
+          vh.putShort((order * typeWidth(t)).toShort) // record size
+          vh.putShort(1) // one field
+          vh.putShort(t.toShort)                       // field type
+          vh.putShort((order * typeWidth(t)).toShort)  // field size
+          vh.putShort(0)                               // field offset
+          vh.putShort(order.toShort)                   // field order
+          str16(vh, "VALUES")
+          str16(vh, name)
+          str16(vh, "Attr0.0")
+          vh.putShort(0); vh.putShort(0) // extag, exref
+          vh.putShort(3); vh.putShort(0) // version, more
+          objs += Obj(TagVH, r, vh.array())
+          objs += Obj(TagVS, r, payload)
+          r
+        }
+        val nameRaw = ds.label.getBytes(StandardCharsets.UTF_8)
+        val vg = ByteBuffer.allocate(2 + 4 * (1 + attrRefs.size) +
+          2 + nameRaw.length + 2 + "Var0.0".length + 8)
+        vg.putShort((1 + attrRefs.size).toShort)
+        vg.putShort(TagNDG.toShort); attrRefs.foreach(_ => vg.putShort(TagVH.toShort))
+        vg.putShort(ref.toShort); attrRefs.foreach(r => vg.putShort(r.toShort))
+        str16(vg, ds.label)
+        str16(vg, "Var0.0")
+        vg.putShort(0); vg.putShort(0) // extag, exref
+        vg.putShort(3); vg.putShort(0) // version, more
+        objs += Obj(TagVG, ref, vg.array())
+      }
     }
     val all = objs.result()
     val headerLen = 4 + 2 + 4 + all.size * 12
@@ -239,7 +389,10 @@ object HDF4 {
     * the 1-degree grid becomes long rows with lat = 90 - (j + 0.5),
     * lon = (i + 0.5) - 180, time = rangeBeginningDate + band hours. The
     * variable is selected by its label (`long_name` lowercased with
-    * spaces/dashes as underscores, as the reference renames). */
+    * spaces/dashes as underscores, as the reference renames). Packed
+    * variables are unpacked the CF way xarray does for the reference:
+    * `value * scale_factor + add_offset`, with `_FillValue` matches
+    * becoming NaN BEFORE scaling. */
   def syn1degRows(bytes: Array[Byte], varLabel: String, rangeBeginningDate: String)
       : Iterator[(java.sql.Timestamp, Double, Double, Double)] = {
     val sds = readSds(bytes).find(_.label == varLabel).getOrElse(
@@ -247,6 +400,14 @@ object HDF4 {
         s"Variable `$varLabel` not found in MODIS SYN1Deg dataset. " +
           s"Available variables are: ${readSds(bytes).map(_.label).mkString(", ")}"))
     val Seq(nBand, ny, nx) = sds.dims
+    def num(name: String): Option[Double] = sds.attrs.get(name).collect {
+      case NumAttr(_, scala.collection.Seq(v)) => v
+    }
+    val scale = num("scale_factor").getOrElse(1.0)
+    val offset = num("add_offset").getOrElse(0.0)
+    val fill = num("_FillValue")
+    def unpack(raw: Double): Double =
+      if (fill.contains(raw)) Double.NaN else raw * scale + offset
     val t0 = java.time.LocalDate.parse(rangeBeginningDate).atStartOfDay()
     for {
       band <- (0 until nBand).iterator
@@ -254,7 +415,8 @@ object HDF4 {
       i <- (0 until nx).iterator
     } yield {
       val ts = java.sql.Timestamp.valueOf(t0.plusHours(band))
-      (ts, 90.0 - (j + 0.5), (i + 0.5) - 180.0, sds.data((band * ny + j) * nx + i))
+      (ts, 90.0 - (j + 0.5), (i + 0.5) - 180.0,
+        unpack(sds.data((band * ny + j) * nx + i)))
     }
   }
 }

@@ -82,6 +82,72 @@ class HDF4Spec extends SparkSpec {
     assert(e2.getMessage.contains("compression code 12"))
   }
 
+  test("SD-interface Vdata attributes round-trip: strings, numbers, multiple datasets") {
+    val bytes = HDF4.write(Seq(
+      HDF4.SdsSpec("flux", Seq(2, 2), HDF4.Int16, Array(1.0, 2.0, 3.0, 4.0),
+        deflate = true,
+        attrs = Seq(
+          "long_name" -> HDF4.StrAttr("TOA LW Flux"),
+          "units" -> HDF4.StrAttr("W/m^2"),
+          "scale_factor" -> HDF4.NumAttr(HDF4.Float64, Seq(0.5)),
+          "add_offset" -> HDF4.NumAttr(HDF4.Float64, Seq(-3.0)),
+          "valid_range" -> HDF4.NumAttr(HDF4.Int16, Seq(-1000.0, 1000.0)))),
+      HDF4.SdsSpec("bare", Seq(2), HDF4.Float64, Array(9.0, 8.0)))) // no attrs
+    val sds = HDF4.readSds(bytes)
+    val flux = sds.find(_.label == "flux").get
+    assert(flux.attrs("long_name") == HDF4.StrAttr("TOA LW Flux"))
+    assert(flux.attrs("units") == HDF4.StrAttr("W/m^2"))
+    assert(flux.attrs("scale_factor") == HDF4.NumAttr(HDF4.Float64, Seq(0.5)))
+    assert(flux.attrs("add_offset") == HDF4.NumAttr(HDF4.Float64, Seq(-3.0)))
+    assert(flux.attrs("valid_range") == HDF4.NumAttr(HDF4.Int16, Seq(-1000.0, 1000.0)))
+    assert(sds.find(_.label == "bare").get.attrs.isEmpty)
+    // raw data untouched by attrs at the readSds layer
+    assert(flux.data.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("syn1deg ingest applies CF scale/offset and fill -> NaN") {
+    val packed = Array(0.0, 100.0, -999.0, 40.0) // -999 is the fill
+    val bytes = HDF4.write(Seq(HDF4.SdsSpec(
+      "flux", Seq(1, 2, 2), HDF4.Int16, packed,
+      attrs = Seq(
+        "scale_factor" -> HDF4.NumAttr(HDF4.Float64, Seq(0.25)),
+        "add_offset" -> HDF4.NumAttr(HDF4.Float64, Seq(10.0)),
+        "_FillValue" -> HDF4.NumAttr(HDF4.Int16, Seq(-999.0))))))
+    val vals = HDF4.syn1degRows(bytes, "flux", "2021-07-01").map(_._4).toSeq
+    assert(vals(0) == 10.0 && vals(1) == 35.0 && vals(3) == 20.0)
+    assert(vals(2).isNaN, "fill value must become NaN before scaling")
+    // without attrs the raw values pass through
+    val plain = HDF4.write(Seq(HDF4.SdsSpec("flux", Seq(1, 2, 2), HDF4.Int16, packed)))
+    assert(HDF4.syn1degRows(plain, "flux", "2021-07-01").map(_._4).toSeq ==
+      Seq(0.0, 100.0, -999.0, 40.0))
+  }
+
+  test("malformed attribute Vdatas are rejected loudly, non-attr Vdatas skipped") {
+    val bytes = HDF4.write(Seq(HDF4.SdsSpec(
+      "v", Seq(2), HDF4.Int16, Array(1.0, 2.0),
+      attrs = Seq("units" -> HDF4.StrAttr("K")))))
+    // corrupt the VH's interlace mode (fixed-width field at offset 0, so
+    // the class string still parses and the reject fires)
+    val vh = HDF4.readDDs(bytes).find(_.tag == HDF4.TagVH).get
+    val bad = bytes.clone()
+    ByteBuffer.wrap(bad).putShort(vh.offset, 1.toShort)
+    val e = intercept[IllegalArgumentException] { HDF4.readSds(bad) }
+    assert(e.getMessage.contains("expected one FULL_INTERLACE field"))
+    // a Vdata with a non-Attr0.0 class inside the Vgroup is ignored, and
+    // a Vgroup of a different class is ignored wholesale: flip the class
+    // string "Var0.0" -> "Dim0.0" and attrs disappear without error
+    val vg = HDF4.readDDs(bytes).find(_.tag == HDF4.TagVG).get
+    val other = bytes.clone()
+    // class string sits after nelt2 + 4*nelt + namelen2+name
+    val sds0 = HDF4.readSds(bytes)
+    assert(sds0.head.attrs.nonEmpty, "fixture sanity")
+    val nelt = ByteBuffer.wrap(bytes).getShort(vg.offset) & 0xffff
+    val nameLen = ByteBuffer.wrap(bytes).getShort(vg.offset + 2 + 4 * nelt) & 0xffff
+    val classOff = vg.offset + 2 + 4 * nelt + 2 + nameLen + 2
+    other(classOff) = 'D'.toByte; other(classOff + 1) = 'i'.toByte; other(classOff + 2) = 'm'.toByte
+    assert(HDF4.readSds(other).head.attrs.isEmpty)
+  }
+
   test("syn1deg ingest: band->time, y->lat, x->lon per extract.py") {
     val nB = 2; val ny = 3; val nx = 4
     val bytes = HDF4.write(Seq(HDF4.SdsSpec("observed_all_sky_toa_lw_flux",
