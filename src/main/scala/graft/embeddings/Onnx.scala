@@ -83,7 +83,8 @@ object Onnx {
   }
   final case class Node(opType: String, inputs: Seq[String], outputs: Seq[String],
       attrF: Map[String, Float], attrI: Map[String, Long],
-      attrIs: Map[String, Seq[Long]] = Map.empty)
+      attrIs: Map[String, Seq[Long]] = Map.empty,
+      attrS: Map[String, String] = Map.empty)
   final case class Graph(nodes: Seq[Node], initializers: Map[String, Tensor],
       inputNames: Seq[String], outputNames: Seq[String]) {
     /** Graph inputs that are not bound by an initializer = the data inputs. */
@@ -129,6 +130,7 @@ object Onnx {
     var op = ""
     val af = Map.newBuilder[String, Float]; val ai = Map.newBuilder[String, Long]
     val ais = Map.newBuilder[String, Seq[Long]]
+    val as = Map.newBuilder[String, String]
     walk(buf, span._1, span._2) { (field, wire, v, s) =>
       (field, wire) match {
         case (1, 2) => ins += utf8(buf, s)
@@ -136,12 +138,14 @@ object Onnx {
         case (4, 2) => op = utf8(buf, s)
         case (5, 2) =>
           var aname = ""; var fOpt: Option[Float] = None; var iOpt: Option[Long] = None
+          var sOpt: Option[String] = None
           val isB = Seq.newBuilder[Long]
           walk(buf, s._1, s._2) { (f2, w2, v2, s2) =>
             (f2, w2) match {
               case (1, 2) => aname = utf8(buf, s2)
               case (2, 5) => fOpt = Some(leFloat(buf, s2._1))
               case (3, 0) => iOpt = Some(v2)
+              case (4, 2) => sOpt = Some(utf8(buf, s2)) // AttributeProto.s
               case (8, 0) => isB += v2 // repeated int64, unpacked
               case (8, 2) => // repeated int64, packed varints
                 var p2 = s2._1
@@ -156,12 +160,13 @@ object Onnx {
           }
           fOpt.foreach(x => af += (aname -> x))
           iOpt.foreach(x => ai += (aname -> x))
+          sOpt.foreach(x => as += (aname -> x))
           val ints = isB.result()
           if (ints.nonEmpty) ais += (aname -> ints)
         case _ => ()
       }
     }
-    Node(op, ins.result(), outs.result(), af.result(), ai.result(), ais.result())
+    Node(op, ins.result(), outs.result(), af.result(), ai.result(), ais.result(), as.result())
   }
 
   private def parseTensor(buf: Array[Byte], span: (Int, Int)): Tensor = {
@@ -269,41 +274,49 @@ object Onnx {
     * restatement replays term-by-term. Out-of-bounds taps (zero padding)
     * are skipped, which is arithmetic-identical to adding 0.0 terms. */
   private def conv2d(x: Nd, w: Nd, bias: Option[Nd],
-      pads: Seq[Int], strides: Seq[Int]): Nd = {
+      pads: Seq[Int], strides: Seq[Int], group: Int, dilations: Seq[Int]): Nd = {
     val Seq(n, c, h, wi) = x.dims: @unchecked
-    val Seq(m, cw, kh, kw) = w.dims: @unchecked
+    val Seq(m, cg, kh, kw) = w.dims: @unchecked
     require(x.dims.size == 4 && w.dims.size == 4,
       s"Conv: need rank-4 NCHW input and weight, got ${x.dims} and ${w.dims}")
-    require(cw == c, s"Conv: input channels $c != weight channels $cw")
+    require(group >= 1 && c % group == 0 && m % group == 0,
+      s"Conv: group $group must divide input channels $c and filters $m")
+    require(cg == c / group,
+      s"Conv: weight channels $cg != ${c / group} (input channels / group)")
     val Seq(padT, padL, padB, padR) = pads: @unchecked
     val Seq(sH, sW) = strides: @unchecked
-    val oh = (h + padT + padB - kh) / sH + 1
-    val ow = (wi + padL + padR - kw) / sW + 1
+    val Seq(dH, dW) = dilations: @unchecked
+    require(dH >= 1 && dW >= 1, s"Conv: dilations must be >= 1, got $dilations")
+    // dilated kernel extent: (k-1)*d + 1 taps spread d apart
+    val oh = (h + padT + padB - ((kh - 1) * dH + 1)) / sH + 1
+    val ow = (wi + padL + padR - ((kw - 1) * dW + 1)) / sW + 1
     require(oh > 0 && ow > 0, s"Conv: non-positive output dims ($oh,$ow)")
     bias.foreach(b => require(b.a.length == m,
       s"Conv: bias length ${b.a.length} != $m output channels"))
+    val mPerG = m / group
     val out = new Array[Double](n * m * oh * ow)
     var n0 = 0
     while (n0 < n) {
       var m0 = 0
       while (m0 < m) {
+        val cBase = (m0 / mPerG) * cg // first input channel of m0's group
         var oy = 0
         while (oy < oh) {
           var ox = 0
           while (ox < ow) {
             var acc = 0.0
             var ci = 0
-            while (ci < c) {
+            while (ci < cg) {
               var ky = 0
               while (ky < kh) {
-                val iy = oy * sH - padT + ky
+                val iy = oy * sH - padT + ky * dH
                 if (iy >= 0 && iy < h) {
                   var kx = 0
                   while (kx < kw) {
-                    val ix = ox * sW - padL + kx
+                    val ix = ox * sW - padL + kx * dW
                     if (ix >= 0 && ix < wi)
-                      acc += x.a(((n0 * c + ci) * h + iy) * wi + ix) *
-                             w.a(((m0 * cw + ci) * kh + ky) * kw + kx)
+                      acc += x.a(((n0 * c + cBase + ci) * h + iy) * wi + ix) *
+                             w.a(((m0 * cg + ci) * kh + ky) * kw + kx)
                     kx += 1
                   }
                 }
@@ -375,6 +388,89 @@ object Onnx {
     Nd(Seq(n, c, oh, ow), out)
   }
 
+  /** 2-D average pooling over NCHW. `countIncludePad = false` (the ONNX
+    * default) divides by the number of taps inside the image;
+    * `true` divides by the full kernel size, counting pad zeros. */
+  private def avgPool2d(x: Nd, kernel: Seq[Int], pads: Seq[Int],
+      strides: Seq[Int], countIncludePad: Boolean): Nd = {
+    require(x.dims.size == 4, s"AveragePool: need rank-4 NCHW input, got ${x.dims}")
+    val Seq(n, c, h, w) = x.dims: @unchecked
+    val Seq(kh, kw) = kernel: @unchecked
+    val Seq(padT, padL, padB, padR) = pads: @unchecked
+    val Seq(sH, sW) = strides: @unchecked
+    val oh = (h + padT + padB - kh) / sH + 1
+    val ow = (w + padL + padR - kw) / sW + 1
+    require(oh > 0 && ow > 0, s"AveragePool: non-positive output dims ($oh,$ow)")
+    val out = new Array[Double](n * c * oh * ow)
+    var p = 0
+    var n0 = 0
+    while (n0 < n) {
+      var ci = 0
+      while (ci < c) {
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var acc = 0.0
+            var cnt = 0
+            var ky = 0
+            while (ky < kh) {
+              val iy = oy * sH - padT + ky
+              if (iy >= 0 && iy < h) {
+                var kx = 0
+                while (kx < kw) {
+                  val ix = ox * sW - padL + kx
+                  if (ix >= 0 && ix < w) {
+                    acc += x.a(((n0 * c + ci) * h + iy) * w + ix)
+                    cnt += 1
+                  }
+                  kx += 1
+                }
+              }
+              ky += 1
+            }
+            out(p) = acc / (if (countIncludePad) kh * kw else cnt); p += 1
+            ox += 1
+          }
+          oy += 1
+        }
+        ci += 1
+      }
+      n0 += 1
+    }
+    Nd(Seq(n, c, oh, ow), out)
+  }
+
+  /** n-ary concatenation along `axis` (negative = from the end): equal
+    * dims everywhere else; per outer index the inputs' inner blocks are
+    * laid out in argument order — the Inception-style channel merge. */
+  private def concat(xs: Seq[Nd], axis0: Int): Nd = {
+    require(xs.nonEmpty, "Concat: no inputs")
+    val rank = xs.head.dims.size
+    val axis = if (axis0 < 0) axis0 + rank else axis0
+    require(axis >= 0 && axis < rank,
+      s"Concat: axis $axis0 out of range for rank $rank")
+    xs.foreach(x => require(x.dims.size == rank &&
+      x.dims.zipWithIndex.forall { case (d, i) => i == axis || d == xs.head.dims(i) },
+      s"Concat: dims ${x.dims} incompatible with ${xs.head.dims} off axis $axis"))
+    val outDims = xs.head.dims.updated(axis, xs.map(_.dims(axis)).sum)
+    val outer = xs.head.dims.take(axis).product
+    val inners = xs.map(_.dims.drop(axis).product)
+    val out = new Array[Double](outDims.product)
+    var p = 0
+    var o = 0
+    while (o < outer) {
+      var xi = 0
+      while (xi < xs.size) {
+        System.arraycopy(xs(xi).a, o * inners(xi), out, p, inners(xi))
+        p += inners(xi)
+        xi += 1
+      }
+      o += 1
+    }
+    Nd(outDims, out)
+  }
+
   /** Inference-mode batch norm over NCHW: per channel
     * y = (x - mean_c) * scale_c / sqrt(var_c + eps) + B_c — that exact
     * operation order (subtract, multiply, DIVIDE by the sqrt, add), so an
@@ -437,6 +533,21 @@ object Onnx {
     v.map(_.toInt)
   }
 
+  /** auto_pad is a legacy attribute; anything but NOTSET silently shifts
+    * every tap, so it must reject, not be ignored. */
+  private def rejectAutoPad(n: Node): Unit =
+    n.attrS.get("auto_pad").filter(_ != "NOTSET").foreach { v =>
+      throw new IllegalArgumentException(
+        s"${n.opType}: auto_pad=$v unsupported (explicit pads only)")
+    }
+
+  private def rejectCeilAndDilation(n: Node): Unit = {
+    require(n.attrI.getOrElse("ceil_mode", 0L) == 0L,
+      s"${n.opType}: ceil_mode=1 unsupported (floor output dims only)")
+    require(n.attrIs.getOrElse("dilations", Seq(1L, 1L)).forall(_ == 1L),
+      s"${n.opType}: only dilation=1 pooling supported")
+  }
+
   /** Execute the graph on one dense input (rank-2 [batch, dim] for MLPs,
     * rank-4 NCHW for conv nets). ONNX requires nodes in SSA topological
     * order, so a single forward pass suffices. */
@@ -478,19 +589,34 @@ object Onnx {
             addBias(mm, mat(n, 2), n.attrF.getOrElse("beta", 1.0f).toDouble)
           else mm)
         case "Conv" =>
-          require(n.attrI.getOrElse("group", 1L) == 1L, "Conv: only group=1 supported")
-          require(n.attrIs.getOrElse("dilations", Seq(1L, 1L)).forall(_ == 1L),
-            "Conv: only dilation=1 supported")
+          rejectAutoPad(n)
           conv2d(in(n, 0), in(n, 1),
             if (n.inputs.size >= 3) Some(in(n, 2)) else None,
             pads = intsAttr(n, "pads", Seq(0L, 0L, 0L, 0L)),
-            strides = intsAttr(n, "strides", Seq(1L, 1L)))
+            strides = intsAttr(n, "strides", Seq(1L, 1L)),
+            group = n.attrI.getOrElse("group", 1L).toInt,
+            dilations = intsAttr(n, "dilations", Seq(1L, 1L)))
         case "MaxPool" =>
+          rejectAutoPad(n); rejectCeilAndDilation(n)
           val kernel = n.attrIs.getOrElse("kernel_shape",
             throw new IllegalArgumentException("MaxPool: kernel_shape required")).map(_.toInt)
+          // the ONNX spec default is stride 1 along each axis, NOT the
+          // kernel shape (a model omitting strides means overlapping taps)
           maxPool2d(in(n, 0), kernel,
             pads = intsAttr(n, "pads", Seq(0L, 0L, 0L, 0L)),
-            strides = intsAttr(n, "strides", kernel.map(_.toLong)))
+            strides = intsAttr(n, "strides", Seq(1L, 1L)))
+        case "AveragePool" =>
+          rejectAutoPad(n); rejectCeilAndDilation(n)
+          val kernel = n.attrIs.getOrElse("kernel_shape",
+            throw new IllegalArgumentException("AveragePool: kernel_shape required")).map(_.toInt)
+          avgPool2d(in(n, 0), kernel,
+            pads = intsAttr(n, "pads", Seq(0L, 0L, 0L, 0L)),
+            strides = intsAttr(n, "strides", Seq(1L, 1L)),
+            countIncludePad = n.attrI.getOrElse("count_include_pad", 0L) != 0L)
+        case "Concat" =>
+          val axis = n.attrI.getOrElse("axis",
+            throw new IllegalArgumentException("Concat: axis required"))
+          concat(n.inputs.indices.map(i => in(n, i)), axis.toInt)
         case "BatchNormalization" =>
           batchNorm(in(n, 0), in(n, 1), in(n, 2), in(n, 3), in(n, 4),
             eps = n.attrF.getOrElse("epsilon", 1e-5f).toDouble)
@@ -498,7 +624,8 @@ object Onnx {
         case "Flatten" => flatten(in(n, 0), n.attrI.getOrElse("axis", 1L).toInt)
         case other => throw new IllegalArgumentException(
           s"unsupported ONNX op '$other' (subset: MatMul, Add, Relu, Gemm, " +
-            "Conv, MaxPool, BatchNormalization, GlobalAveragePool, Flatten)")
+            "Conv, MaxPool, AveragePool, Concat, BatchNormalization, " +
+            "GlobalAveragePool, Flatten)")
       }
       env(n.outputs.head) = out
     }

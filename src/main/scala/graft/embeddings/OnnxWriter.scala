@@ -65,7 +65,8 @@ object OnnxWriter {
   final case class NodeSpec(opType: String, inputs: Seq[String],
       outputs: Seq[String], attrI: Seq[(String, Long)] = Nil,
       attrF: Seq[(String, Float)] = Nil,
-      attrIs: Seq[(String, Seq[Long])] = Nil)
+      attrIs: Seq[(String, Seq[Long])] = Nil,
+      attrS: Seq[(String, String)] = Nil)
 
   /** Serialize a ModelProto holding one graph of `nodes` over
     * `initializers` (name -> (dims, data, useRawEncoding)). */
@@ -84,6 +85,9 @@ object OnnxWriter {
           }
           n.attrF.foreach { case (an, av) =>
             np.msg(5)(a => { a.str(1, an); a.float32(2, av) })
+          }
+          n.attrS.foreach { case (an, av) =>
+            np.msg(5)(a => { a.str(1, an); a.str(4, av) }) // AttributeProto.s
           }
           // repeated int64 (AttributeProto.ints, field 8): "pads" written
           // PACKED (one wire-2 record of concatenated varints), everything
@@ -151,13 +155,14 @@ object OnnxWriter {
   def gemmB(gOut: Int): Array[Float] = Array.tabulate(gOut)(k => ((k % 3) - 1) / 8.0f)
 
   /** The conv fixture: x[N,c,h,w] -> Conv(m filters, 3x3) -> Relu ->
-    * MaxPool(2x2, strides = kernel by OMITTING the attr — exercises the
-    * executor default) -> BatchNormalization(eps=0.25) ->
-    * GlobalAveragePool -> Flatten(axis default, attr omitted) ->
-    * Gemm(m -> e). Mirrors the reference's actual model family (a CNN
-    * backbone + projection head, pipeline/embeddings/sampling.py:46-66).
-    * `pads`/`strides` parameterize the Conv for spec coverage; pads uses
-    * the packed ints encoding, strides/kernel_shape the unpacked one. */
+    * MaxPool(2x2, strides EXPLICITLY 2x2 — the ONNX default is stride 1,
+    * so non-overlapping pooling must say so) -> BatchNormalization
+    * (eps=0.25) -> GlobalAveragePool -> Flatten(axis default, attr
+    * omitted) -> Gemm(m -> e). Mirrors the reference's actual model
+    * family (a CNN backbone + projection head,
+    * pipeline/embeddings/sampling.py:46-66). `pads`/`strides`
+    * parameterize the Conv for spec coverage; pads uses the packed ints
+    * encoding, strides/kernel_shape the unpacked one. */
   def convModelBytes(c: Int, m: Int, e: Int,
       pads: Seq[Long] = Seq(0L, 0L, 0L, 0L),
       strides: Seq[Long] = Seq(1L, 1L)): Array[Byte] =
@@ -169,7 +174,7 @@ object OnnxWriter {
             "strides" -> strides, "dilations" -> Seq(1L, 1L))),
         NodeSpec("Relu", Seq("c_pre"), Seq("c_act")),
         NodeSpec("MaxPool", Seq("c_act"), Seq("pooled"),
-          attrIs = Seq("kernel_shape" -> Seq(2L, 2L))),
+          attrIs = Seq("kernel_shape" -> Seq(2L, 2L), "strides" -> Seq(2L, 2L))),
         NodeSpec("BatchNormalization",
           Seq("pooled", "bn_s", "bn_b", "bn_m", "bn_v"), Seq("normed"),
           attrF = Seq("epsilon" -> BnEps)),

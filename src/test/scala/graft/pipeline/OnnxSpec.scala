@@ -192,30 +192,142 @@ class OnnxSpec extends SparkSpec {
       convReference(x, c, h, w, m, e, Seq(1, 1, 1, 1), Seq(2, 2)).toSeq)
   }
 
-  test("conv rejections: group != 1, dilation != 1, missing kernel_shape") {
-    def convNet(attrI: Seq[(String, Long)], attrIs: Seq[(String, Seq[Long])]) =
-      OnnxWriter.model(
-        nodes = Seq(OnnxWriter.NodeSpec("Conv", Seq("x", "w"), Seq("y"),
-          attrI = attrI, attrIs = attrIs)),
-        initializers = Seq(("w", Seq(1, 1, 3, 3), Array.fill(9)(0.125f), true)),
-        inputName = "x", outputName = "y")
+  // one-node helper graphs over input "x" with optional weight tensors
+  private def oneNode(op: String, inputs: Seq[String],
+      inits: Seq[(String, Seq[Int], Array[Float])],
+      attrI: Seq[(String, Long)] = Nil, attrIs: Seq[(String, Seq[Long])] = Nil,
+      attrS: Seq[(String, String)] = Nil): Onnx.Graph =
+    Onnx.parseModel(OnnxWriter.model(
+      nodes = Seq(OnnxWriter.NodeSpec(op, inputs, Seq("y"),
+        attrI = attrI, attrIs = attrIs, attrS = attrS)),
+      initializers = inits.map { case (n, d, a) => (n, d, a, true) } ++
+        (if (inits.isEmpty) Seq(("unused", Seq(1), Array(0.0f), true)) else Nil),
+      inputName = "x", outputName = "y"))
+
+  test("grouped conv matches a brute-force group-sliced reference") {
+    val (c, h, w, m, g) = (4, 5, 6, 6, 2)
+    val cg = c / g; val mPerG = m / g
+    val wts = Array.tabulate(m * cg * 9)(i => (((i * 5) % 13) - 6) / 8.0f)
+    val x = Array.tabulate(c * h * w)(i => ((i * 11) % 23) / 8.0 - 1.0)
+    val graph = oneNode("Conv", Seq("x", "w"), Seq(("w", Seq(m, cg, 3, 3), wts)),
+      attrI = Seq("group" -> g.toLong),
+      attrIs = Seq("kernel_shape" -> Seq(3L, 3L)))
+    val got = Onnx.runNd(graph, Onnx.Nd(Seq(1, c, h, w), x))
+    val (oh, ow) = (h - 2, w - 2)
+    assert(got.dims == Seq(1, m, oh, ow))
+    for (m0 <- 0 until m; oy <- 0 until oh; ox <- 0 until ow) {
+      var acc = 0.0
+      val cBase = (m0 / mPerG) * cg
+      for (ci <- 0 until cg; ky <- 0 until 3; kx <- 0 until 3)
+        acc += x((cBase + ci) * h * w + (oy + ky) * w + (ox + kx)) *
+          wts(((m0 * cg + ci) * 3 + ky) * 3 + kx).toDouble
+      assert(got.a((m0 * oh + oy) * ow + ox) == acc, s"m=$m0 oy=$oy ox=$ox")
+    }
+  }
+
+  test("dilated conv matches a brute-force spread-tap reference") {
+    val (h, w, d) = (7, 8, 2)
+    val wts = Array.tabulate(9)(i => ((i % 5) - 2) / 8.0f)
+    val x = Array.tabulate(h * w)(i => ((i * 3) % 17) / 8.0 - 0.5)
+    val graph = oneNode("Conv", Seq("x", "w"), Seq(("w", Seq(1, 1, 3, 3), wts)),
+      attrIs = Seq("kernel_shape" -> Seq(3L, 3L), "dilations" -> Seq(d.toLong, d.toLong)))
+    val got = Onnx.runNd(graph, Onnx.Nd(Seq(1, 1, h, w), x))
+    val oh = h - 2 * d; val ow = w - 2 * d
+    assert(got.dims == Seq(1, 1, oh, ow))
+    for (oy <- 0 until oh; ox <- 0 until ow) {
+      var acc = 0.0
+      for (ky <- 0 until 3; kx <- 0 until 3)
+        acc += x((oy + ky * d) * w + (ox + kx * d)) * wts((ky * 3 + kx)).toDouble
+      assert(got.a(oy * ow + ox) == acc, s"oy=$oy ox=$ox")
+    }
+  }
+
+  test("AveragePool: padded, strided, both count_include_pad modes") {
+    val (c, h, w) = (2, 5, 5)
+    val x = Array.tabulate(c * h * w)(i => ((i * 7) % 19) / 4.0 - 2.0)
+    for (includePad <- Seq(0L, 1L)) {
+      val graph = oneNode("AveragePool", Seq("x"), Nil,
+        attrI = Seq("count_include_pad" -> includePad),
+        attrIs = Seq("kernel_shape" -> Seq(3L, 3L), "pads" -> Seq(1L, 1L, 1L, 1L),
+          "strides" -> Seq(2L, 2L)))
+      val got = Onnx.runNd(graph, Onnx.Nd(Seq(1, c, h, w), x))
+      val oh = (h + 2 - 3) / 2 + 1
+      assert(got.dims == Seq(1, c, oh, oh))
+      for (ci <- 0 until c; oy <- 0 until oh; ox <- 0 until oh) {
+        var acc = 0.0; var cnt = 0
+        for (ky <- 0 until 3; kx <- 0 until 3) {
+          val iy = oy * 2 - 1 + ky; val ix = ox * 2 - 1 + kx
+          if (iy >= 0 && iy < h && ix >= 0 && ix < w) {
+            acc += x(ci * h * w + iy * w + ix); cnt += 1
+          }
+        }
+        val expect = acc / (if (includePad == 1L) 9 else cnt)
+        assert(got.a((ci * oh + oy) * oh + ox) == expect,
+          s"ci=$ci oy=$oy ox=$ox include=$includePad")
+      }
+    }
+  }
+
+  test("Concat merges channel blocks in argument order (positive and negative axis)") {
+    val a = Array.tabulate(2 * 2 * 3)(i => i * 0.5)
+    val bW = Array.tabulate(3 * 2 * 3)(i => -i * 0.25f)
+    for (axis <- Seq(1L, -3L)) {
+      val graph = oneNode("Concat", Seq("x", "w"), Seq(("w", Seq(1, 3, 2, 3), bW)),
+        attrI = Seq("axis" -> axis))
+      val got = Onnx.runNd(graph, Onnx.Nd(Seq(1, 2, 2, 3), a))
+      assert(got.dims == Seq(1, 5, 2, 3))
+      assert(got.a.toSeq == a.toSeq ++ bW.map(_.toDouble).toSeq, s"axis=$axis")
+    }
+  }
+
+  test("MaxPool omitted strides means stride 1 (the ONNX default), not the kernel") {
+    val (h, w) = (4, 4)
+    val x = Array.tabulate(h * w)(i => ((i * 13) % 11).toDouble)
+    val graph = oneNode("MaxPool", Seq("x"), Nil,
+      attrIs = Seq("kernel_shape" -> Seq(2L, 2L))) // strides deliberately omitted
+    val got = Onnx.runNd(graph, Onnx.Nd(Seq(1, 1, h, w), x))
+    assert(got.dims == Seq(1, 1, 3, 3), "overlapping stride-1 windows")
+    for (oy <- 0 until 3; ox <- 0 until 3) {
+      val expect = Seq(x(oy * w + ox), x(oy * w + ox + 1),
+        x((oy + 1) * w + ox), x((oy + 1) * w + ox + 1)).max
+      assert(got.a(oy * 3 + ox) == expect)
+    }
+  }
+
+  test("conv/pool rejections: kernel_shape, auto_pad, ceil_mode, pool dilations, bad group") {
     val x = Onnx.Nd(Seq(1, 1, 4, 4), new Array[Double](16))
-    val exG = intercept[IllegalArgumentException] {
-      Onnx.runNd(Onnx.parseModel(convNet(Seq("group" -> 2L), Nil)), x)
-    }
-    assert(exG.getMessage.contains("group"))
-    val exD = intercept[IllegalArgumentException] {
-      Onnx.runNd(Onnx.parseModel(convNet(Nil, Seq("dilations" -> Seq(2L, 2L)))), x)
-    }
-    assert(exD.getMessage.contains("dilation"))
-    val pool = OnnxWriter.model(
-      nodes = Seq(OnnxWriter.NodeSpec("MaxPool", Seq("x"), Seq("y"))),
-      initializers = Seq(("unused", Seq(1), Array(0.0f), true)),
-      inputName = "x", outputName = "y")
     val exK = intercept[IllegalArgumentException] {
-      Onnx.runNd(Onnx.parseModel(pool), x)
+      Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil), x)
     }
     assert(exK.getMessage.contains("kernel_shape"))
+    val exA = intercept[IllegalArgumentException] {
+      Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
+        attrIs = Seq("kernel_shape" -> Seq(2L, 2L)),
+        attrS = Seq("auto_pad" -> "SAME_UPPER")), x)
+    }
+    assert(exA.getMessage.contains("auto_pad=SAME_UPPER"))
+    // auto_pad=NOTSET is explicitly fine
+    Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
+      attrIs = Seq("kernel_shape" -> Seq(2L, 2L)),
+      attrS = Seq("auto_pad" -> "NOTSET")), x)
+    val exC = intercept[IllegalArgumentException] {
+      Onnx.runNd(oneNode("AveragePool", Seq("x"), Nil,
+        attrI = Seq("ceil_mode" -> 1L),
+        attrIs = Seq("kernel_shape" -> Seq(2L, 2L))), x)
+    }
+    assert(exC.getMessage.contains("ceil_mode"))
+    val exD = intercept[IllegalArgumentException] {
+      Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
+        attrIs = Seq("kernel_shape" -> Seq(2L, 2L), "dilations" -> Seq(2L, 2L))), x)
+    }
+    assert(exD.getMessage.contains("dilation"))
+    val exG = intercept[IllegalArgumentException] {
+      Onnx.runNd(oneNode("Conv", Seq("x", "w"),
+        Seq(("w", Seq(1, 1, 3, 3), Array.fill(9)(0.125f))),
+        attrI = Seq("group" -> 3L),
+        attrIs = Seq("kernel_shape" -> Seq(3L, 3L))), x)
+    }
+    assert(exG.getMessage.contains("group"))
   }
 
   /** Independent residual-block reference: padded-image convs, BN, the
