@@ -42,7 +42,11 @@ object Bench {
     // (q75, O(log n) rounds) — the pipeline default at scale; q68 stays
     // in the correctness gate as the simple-recurrence proof.
     "q57_bolton_lcl", "q58_curvilinear_regrid", "q75_altstar_components",
-    "q79_tfidf")
+    "q79_tfidf",
+    // Round 6: time the density-clustering operators every round —
+    // n-dim DBSCAN (eps-cell candidate join) and HDBSCAN (core distance
+    // -> Boruvka MST -> distributed per-cut labeling).
+    "q87_dbscan_vectors", "q89_hdbscan_blobs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

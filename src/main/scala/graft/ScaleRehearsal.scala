@@ -153,6 +153,35 @@ object ScaleRehearsal {
         eps = 8.0, minPts = 6, binDims = 3).count()
     }
 
+    // ---- HDBSCAN: planted blobs, constant per-blob density -------------
+    // 24 blobs whose radius grows with sqrt(points-per-blob), so density
+    // (hence candidate-pair volume per point) is scale-invariant and the
+    // CLUSTER COUNT is fixed: the distributed label tail runs the same
+    // number of per-cut CC passes at every multiplier, and the measured
+    // growth isolates the core-distance/Boruvka-MST machinery. Odd blobs
+    // are double (two tight sub-blobs) so stability selection exercises
+    // real birth-cut groups, not just dendrogram tops.
+    val nh = (12000 * mult).toLong
+    timed("hdbscan_blobs") {
+      val blobs = 24
+      val per = nh.toDouble / blobs
+      val r = math.sqrt(per) // blob half-side; per/(2r)^2 = 1/4 pt per unit^2
+      val spacing = 8 * r
+      val bi = pmod(col("id"), lit(blobs.toLong))
+      val cx = (bi % 6).cast("double") * spacing
+      val cy = (bi / 6).cast("double") * spacing
+      val isDouble = bi % 2 === 1
+      val sub = when(pmod(col("id"), lit(2L)) === 0, -0.5).otherwise(0.5)
+      val x = when(isDouble, cx + sub * r + (u(7) - 0.5) * (2 * r / 3))
+        .otherwise(cx + (u(7) - 0.5) * 2 * r)
+      val y = when(isDouble, cy + (u(8) - 0.5) * (2 * r / 3))
+        .otherwise(cy + (u(8) - 0.5) * 2 * r)
+      val pts = spark.range(nh)
+        .select(col("id").as("pid"), x.as("x"), y.as("y"))
+      graft.operators.Hdbscan.cluster(pts, "pid", "x", "y",
+        minClusterSize = 30, minSamples = 5, epsMax = 4.0).count()
+    }
+
     spark.stop()
   }
 }
