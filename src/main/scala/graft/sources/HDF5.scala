@@ -23,7 +23,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - object-header CONTINUATION blocks in both generations (v1 raw
   *    message blocks, v2 "OCHK" blocks).
   *
-  * Dataset storage: CONTIGUOUS, and CHUNKED through BOTH index
+  * Dataset storage: COMPACT (data inline in the layout message — the
+  * shape libhdf5 gives tiny coordinate/scalar variables), CONTIGUOUS,
+  * and CHUNKED through BOTH index
   * generations — layout v3 (v1 chunk B-tree at ANY depth) AND layout v4
   * (libver >= v110: Single Chunk, Implicit, unpaged Fixed Array, and
   * Extensible Array indexes incl. EASB super blocks — the
@@ -483,6 +485,7 @@ object HDF5 {
     // 3 fixed array; v4 single-chunk filtered also carries (size, mask)
     var v4Index: Option[(Int, Long)] = None
     var v4SingleChunk: Option[(Long, Int)] = None // (filtered size, mask)
+    var compactRaw: Array[Byte] = null // layout class 0: data inline in the header
     var filters: Seq[Int] = Nil // pipeline order as applied on write
     foldMessages(bytes, addr).foreach { case (mtype, off) =>
       mtype match {
@@ -520,6 +523,12 @@ object HDF5 {
             s"dataset $name: only v3/v4 layout messages supported (got $v)")
           val cls = b.get()
           (v, cls) match {
+            case (_, 0) =>
+              // compact: raw data inline in the layout message (<= 64 KiB —
+              // the shape libhdf5 gives tiny coordinate/scalar variables)
+              val sz = b.getShort() & 0xffff
+              compactRaw = new Array[Byte](sz)
+              b.get(compactRaw)
             case (_, 1) =>
               dataAddr = b.getLong()
               b.getLong() // size
@@ -562,8 +571,7 @@ object HDF5 {
               }
               v4Index = Some((idxType, b.getLong()))
             case (_, other) => throw new IllegalArgumentException(
-              s"dataset $name: layout class $other unsupported — compact (class 0) " +
-                "storage needs libhdf5")
+              s"dataset $name: layout class $other unsupported (compact/contiguous/chunked only)")
           }
         case 0x000B => // filter pipeline: deflate (1) and shuffle (2)
           val b = buf(bytes, off)
@@ -603,11 +611,17 @@ object HDF5 {
         case _ => () // NIL, attributes, mod-time, fill value: skipped
       }
     }
-    require(dtClass >= 0 && (dataAddr != Undef || chunkBtree != Undef || v4Index.isDefined),
+    require(dtClass >= 0 &&
+      (dataAddr != Undef || chunkBtree != Undef || v4Index.isDefined || compactRaw != null),
       s"dataset $name: incomplete object header")
     val n = dims.product.toInt // empty dims = scalar (product 1)
     val raw: Array[Byte] =
-      if (chunkBtree != Undef)
+      if (compactRaw != null) {
+        require(filters.isEmpty, s"dataset $name: filtered compact data unsupported")
+        require(compactRaw.length == n * dtSize,
+          s"dataset $name: compact payload ${compactRaw.length} != ${n * dtSize} bytes")
+        compactRaw
+      } else if (chunkBtree != Undef)
         assembleChunks(bytes, name, chunkBtree, dims.map(_.toInt), chunkDims, dtSize, filters)
       else if (v4Index.isDefined)
         assembleChunksV4(bytes, name, v4Index.get, v4SingleChunk,
@@ -945,7 +959,7 @@ object HDF5 {
     * optional deflate), full chunks padded with 0.0 at ragged edges as
     * libhdf5 stores them. */
   final case class DsSpec(name: String, dims: Seq[Long], data: Array[Double],
-      chunkDims: Option[Seq[Int]] = None)
+      chunkDims: Option[Seq[Int]] = None, compact: Boolean = false)
 
   /** Serialized payload of one full chunk, run through the filter
     * pipeline in order (1 = deflate, 2 = shuffle). */
@@ -1031,11 +1045,17 @@ object HDF5 {
       val spaceMsg = align8(8 + 8L * rank)
       headerAddrs(s.name) = cursor
       s.chunkDims match {
+        case None if s.compact =>
+          require(8L * s.data.length <= 0xffff,
+            s"${s.name}: compact storage is capped at 64 KiB")
+          val layoutMsg = align8(4 + 8L * s.data.length)
+          cursor += 16 + (8 + spaceMsg) + (8 + 24) + (8 + layoutMsg)
         case None =>
           val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + (8 + 24)
           dataAddrs(s.name) = cursor + headerLen
           cursor = dataAddrs(s.name) + align8(8L * s.data.length)
         case Some(cd) =>
+          require(!s.compact, s"${s.name}: compact excludes chunked layout")
           require(cd.size == rank, s"${s.name}: chunk rank != dataset rank")
           val layoutMsg = align8(3 + 8 + 4L * (rank + 1))
           val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + (8 + layoutMsg) +
@@ -1130,6 +1150,7 @@ object HDF5 {
       out.position(headerAddrs(s.name).toInt)
       val spaceMsg = align8(8 + 8L * rank).toInt
       val layoutMsg = s.chunkDims match {
+        case None if s.compact => align8(4 + 8L * s.data.length).toInt
         case None => 24
         case Some(_) => align8(3 + 8 + 4L * (rank + 1)).toInt
       }
@@ -1164,6 +1185,15 @@ object HDF5 {
       out.putInt(1023) // exponent bias
       out.putInt(0) // pad to 24
       s.chunkDims match {
+        case None if s.compact =>
+          // layout v3 compact: size + raw doubles inline in the message
+          out.putShort(0x0008); out.putShort(layoutMsg.toShort)
+          out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+          val layoutStart = out.position()
+          out.put(3.toByte); out.put(0.toByte)
+          out.putShort((8 * s.data.length).toShort)
+          s.data.foreach(out.putDouble)
+          out.position(layoutStart + layoutMsg)
         case None =>
           // layout v3 contiguous
           out.putShort(0x0008); out.putShort(24)

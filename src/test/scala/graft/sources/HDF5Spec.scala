@@ -40,6 +40,34 @@ class HDF5Spec extends SparkSpec {
     assert(rows.find(_._1 == "lwp").get._2 == "3x4x4")
   }
 
+  test("compact storage round-trips: data inline in the layout message") {
+    // mixed file: tiny coordinate vars compact, the raster contiguous —
+    // the shape libhdf5 gives small datasets
+    val mixed = lesFixture.map {
+      case s if s.name != "lwp" => s.copy(compact = true)
+      case s => s
+    }
+    val bytes = HDF5.write(mixed)
+    val back = HDF5.read(bytes)
+    assert(back.map(_.name).sorted == Seq("lwp", "time", "x", "y"))
+    assert(back.find(_.name == "time").get.data.toSeq == Seq(0.0, 1.0, 2.0))
+    assert(back.find(_.name == "y").get.data.toSeq == Seq(0.0, 50.0, 100.0, 150.0))
+    assert(back.find(_.name == "lwp").get.data.toSeq == lesFixture.last.data.toSeq)
+    // compact inlining saves the separate 8-aligned data section: the
+    // all-compact file is smaller than its all-contiguous twin
+    val compactAll = HDF5.write(lesFixture.map(_.copy(compact = true)))
+    assert(compactAll.length < HDF5.write(lesFixture).length)
+    assert(HDF5.read(compactAll).find(_.name == "lwp").get.data.toSeq ==
+      lesFixture.last.data.toSeq)
+    // scalar (rank-0 equivalent: dims Seq(1)) and NaN survive
+    val tiny = HDF5.write(Seq(HDF5.DsSpec("s", Seq(1), Array(Double.NaN), compact = true)))
+    assert(HDF5.read(tiny).head.data(0).isNaN)
+    // > 64 KiB rejects loudly at write (the format caps the u16 size)
+    val big = HDF5.DsSpec("b", Seq(9000), new Array[Double](9000), compact = true)
+    val e = intercept[IllegalArgumentException](HDF5.write(Seq(big)))
+    assert(e.getMessage.contains("64 KiB"))
+  }
+
   test("chunked storage round-trips, including deflate and ragged edge chunks") {
     // chunk (2,3,3) over (3,4,4): ragged in every dimension
     val chunky = lesFixture.map {
