@@ -392,6 +392,69 @@ object SourceQueries {
         .toDF("time", "lat", "lon", "value")
     },
 
+    // ---- S9b depth: netCDF-4 unlimited-time series (extensible array) ---
+    // The default shape of an appended climate series (`nc_def_dim(..,
+    // NC_UNLIMITED)` + `nc_def_var_deflate`): layout-v4 chunked with an
+    // Extensible Array chunk index, deflate+shuffle pipeline, unlimited
+    // slowest dim. The fixture is written by graft's own independent
+    // encoder and read back through the Spark binaryFile -> HDF5.read
+    // chain; the oracle states the row-major values analytically, so a
+    // hash match proves chunk reassembly + the filter pipeline end-to-end
+    // (utils/luigi.py:29-47, sources/les.py:22-117 read this via xarray).
+    QueryDef.sqlBacked(
+      "q91_hdf5_unlimited",
+      """SELECT CAST(t AS BIGINT) AS tstep, CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST((t*6 + j)*8 + i AS DOUBLE) * 0.125 - 3.0 AS lwp
+        |FROM range(0,5) r1(t), range(0,6) r2(j), range(0,8) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.HDF5
+      val dir = java.nio.file.Files.createTempDirectory("graft-q91").toString
+      val bytes = HDF5.writeUnlimited(Seq(HDF5.DsSpec("lwp", Seq(5, 6, 8),
+        Array.tabulate(5 * 6 * 8)(_ * 0.125 - 3.0), chunkDims = Some(Seq(2, 3, 4)))),
+        deflate = true, shuffle = true)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "les_t.h5"), bytes)
+      import s.implicits._
+      s.read.format("binaryFile").load(s"$dir/*.h5")
+        .select("content").as[Array[Byte]]
+        .flatMap { b =>
+          HDF5.read(b).filter(_.name == "lwp").flatMap { ds =>
+            val Seq(nt, ny, nx) = ds.dims.map(_.toInt)
+            for (t <- 0 until nt; j <- 0 until ny; i <- 0 until nx)
+              yield (t.toLong, j.toLong, i.toLong, ds.data((t * ny + j) * nx + i))
+          }
+        }
+        .toDF("tstep", "y", "x", "lwp")
+    },
+
+    // ---- S9b depth: >1 unlimited dims (version 2 B-tree chunk index) ----
+    // Growable-in-two-dimensions datasets (e.g. an appended time axis AND
+    // a growable station/ensemble axis) get the v2 B-tree chunk index;
+    // the depth-1 fixture (BTIN root + BTLF leaves, filtered type-11
+    // records) exercises the full tree walk through the same
+    // binaryFile -> HDF5.read -> rows chain as q91.
+    QueryDef.sqlBacked(
+      "q92_hdf5_btree2",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST((j*14 + i) * 7 % 200 - 100 AS DOUBLE) * 0.125 AS z
+        |FROM range(0,10) r1(j), range(0,14) r2(i)""".stripMargin) { (s, d) =>
+      import graft.sources.HDF5
+      val dir = java.nio.file.Files.createTempDirectory("graft-q92").toString
+      val bytes = HDF5.writeBtree2(Seq(HDF5.DsSpec("z", Seq(10, 14),
+        Array.tabulate(140)(i => (i * 7 % 200 - 100) * 0.125), chunkDims = Some(Seq(2, 2)))),
+        deflate = true, shuffle = true, nodeSize = 256)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "grid2u.h5"), bytes)
+      import s.implicits._
+      s.read.format("binaryFile").load(s"$dir/*.h5")
+        .select("content").as[Array[Byte]]
+        .flatMap { b =>
+          HDF5.read(b).filter(_.name == "z").flatMap { ds =>
+            val Seq(ny, nx) = ds.dims.map(_.toInt)
+            for (j <- 0 until ny; i <- 0 until nx)
+              yield (j.toLong, i.toLong, ds.data(j * nx + i))
+          }
+        }
+        .toDF("y", "x", "z")
+    },
+
     // ---- M5 depth: object-based cloudmetrics (labeling + I_org) ---------
     // The reference's named plugin example is
     // `cloud_metrics__mask__iorg_objects` (aux_fields/data.py:82-108):

@@ -27,16 +27,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   * shape libhdf5 gives tiny coordinate/scalar variables), CONTIGUOUS,
   * and CHUNKED through BOTH index
   * generations — layout v3 (v1 chunk B-tree at ANY depth) AND layout v4
-  * (libver >= v110: Single Chunk, Implicit, unpaged Fixed Array, and
+  * (libver >= v110: Single Chunk, Implicit, unpaged Fixed Array,
   * Extensible Array indexes incl. EASB super blocks — the
   * one-unlimited-dimension shape every appended-time netCDF-4 series
-  * takes, filtered and plain) — with DEFLATE and SHUFFLE filters in any
-  * pipeline order, so a default `nc_def_var_deflate` file decodes in
-  * either generation. Out of scope — rejected LOUDLY, never silently
-  * misread: szip, the v2 B-tree chunk index (>1 unlimited dims), PAGED
-  * fixed-array/extensible-array blocks, compact storage, v1
-  * superblocks, big-endian data, huge/tiny fractal-heap objects,
-  * indirect child heap blocks, link-name B-tree depth > 1.
+  * takes — and the Version 2 B-tree index, record types 10/11, that
+  * libhdf5 picks for >1 unlimited dims; filtered and plain) — with
+  * DEFLATE and SHUFFLE filters in any pipeline order, so a default
+  * `nc_def_var_deflate` file decodes in either generation. Out of
+  * scope — rejected LOUDLY, never silently misread: szip, PAGED
+  * fixed-array/extensible-array blocks, v1 superblocks, big-endian
+  * data, huge/tiny fractal-heap objects, indirect child heap blocks,
+  * link-name and chunk v2-B-tree depth > 1.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -564,10 +565,11 @@ object HDF5 {
                 case 3 => b.get() // fixed array: page bits
                 case 4 => // extensible array: 5 cparam bytes (repeated in EAHD)
                   b.get(); b.get(); b.get(); b.get(); b.get()
+                case 5 => // v2 B-tree: node size + split/merge percents
+                  b.getInt(); b.get(); b.get()
                 case other => throw new IllegalArgumentException(
                   s"dataset $name: v4 chunk index type $other unsupported " +
-                    "(single/implicit/fixed-array/extensible-array only; the " +
-                    "v2 B-tree index is for >1 unlimited dims)")
+                    "(single/implicit/fixed-array/extensible-array/v2-B-tree only)")
               }
               v4Index = Some((idxType, b.getLong()))
             case (_, other) => throw new IllegalArgumentException(
@@ -949,6 +951,79 @@ object HDF5 {
           placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
             if (clientId == 0) Nil else filters, originOf(i), caddr, nbytes.toInt)
         }
+      case 5 =>
+        // v2 B-tree chunk index — what libhdf5 emits when MORE THAN ONE
+        // dimension is unlimited. Record type 10 (unfiltered: address +
+        // per-dim scaled offsets) or 11 (filtered: address + stored size
+        // + filter mask + scaled offsets); node layout as in the
+        // link-name index (BTLF leaves, BTIN internal, depth <= 1).
+        val bt = buf(bytes, addr.toInt)
+        require((0 until 4).map(_ => bt.get().toChar).mkString == "BTHD",
+          s"dataset $name: bad v2 B-tree chunk-index header signature")
+        require(bt.get() == 0, s"dataset $name: BTHD version != 0")
+        val btype = bt.get()
+        require(btype == 10 || btype == 11,
+          s"dataset $name: v2 B-tree record type $btype (expected 10/11: dataset chunks)")
+        require((btype == 10) == filters.isEmpty,
+          s"dataset $name: v2 B-tree record type $btype inconsistent with " +
+            s"filter pipeline ${filters.mkString(",")}")
+        val nodeSize = bt.getInt()
+        val recSize = bt.getShort() & 0xffff
+        val depth = bt.getShort() & 0xffff
+        bt.get(); bt.get() // split/merge percents
+        val rootNodeAddr = bt.getLong()
+        val rootNRec = bt.getShort() & 0xffff
+        val totalNRec = bt.getLong()
+        require(totalNRec == nChunks,
+          s"dataset $name: v2 B-tree holds $totalNRec records, grid has " +
+            s"$nChunks chunks (fill-value reads unsupported)")
+        val szLen = recSize - 8 - 4 - 8 * nd // filtered records only
+        if (btype == 11) require(szLen >= 1 && szLen <= 8,
+          s"dataset $name: v2 B-tree record size $recSize inconsistent with rank $nd")
+        else require(recSize == 8 + 8 * nd,
+          s"dataset $name: v2 B-tree record size $recSize != ${8 + 8 * nd} for rank $nd")
+        val leafPtrSize = encSize(((nodeSize - 10) / recSize).toLong)
+        def readRecord(b: ByteBuffer): Unit = {
+          val caddr = b.getLong()
+          var sz = chunkByteSize.toLong
+          if (btype == 11) {
+            sz = 0L
+            (0 until szLen).foreach(j => sz |= (b.get() & 0xffL) << (8 * j))
+            b.getInt() // filter mask (partial pipelines unsupported anyway)
+          }
+          val origin = chunkDims.map(c => b.getLong() * c)
+          require(caddr != Undef,
+            s"dataset $name: unallocated chunk record (fill-value reads unsupported)")
+          placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
+            filters, origin, caddr, sz.toInt)
+        }
+        def walk(nAddr: Long, nrec: Int, d: Int): Unit = {
+          val nb = buf(bytes, nAddr.toInt)
+          val sig = (0 until 4).map(_ => nb.get().toChar).mkString
+          require(nb.get() == 0, s"dataset $name: v2 B-tree node version != 0")
+          nb.get() // record type (mirrors the header)
+          if (d == 0) {
+            require(sig == "BTLF", s"dataset $name: expected leaf BTLF, got $sig")
+            (0 until nrec).foreach(_ => readRecord(nb))
+          } else {
+            require(d == 1,
+              s"dataset $name: v2 B-tree chunk index depth $depth unsupported (max 1)")
+            require(sig == "BTIN", s"dataset $name: expected internal BTIN, got $sig")
+            // nrec records, then nrec+1 child pointers (addr + record count)
+            val recPos = nb.position()
+            nb.position(recPos + nrec * recSize)
+            val children = (0 until nrec + 1).map { _ =>
+              val a = nb.getLong()
+              var cn = 0L
+              (0 until leafPtrSize).foreach(i => cn |= (nb.get() & 0xffL) << (8 * i))
+              (a, cn.toInt)
+            }
+            children.foreach { case (ca, cn) => walk(ca, cn, 0) }
+            nb.position(recPos)
+            (0 until nrec).foreach(_ => readRecord(nb))
+          }
+        }
+        walk(rootNodeAddr, rootNRec, depth)
     }
     out
   }
@@ -1303,6 +1378,17 @@ object HDF5 {
     writeNewStyle(specs, deflate, shuffle, denseRoot = false,
       smallHeapBlocks = false, v4Chunks = true, v4Extensible = true, eaParams = ea)
 
+  /** [[writeLatestV4]] but every chunked dataset carries ALL-UNLIMITED
+    * maxdims and a VERSION 2 B-TREE chunk index (record type 10
+    * unfiltered / 11 filtered) — the index libhdf5 picks when more than
+    * one dimension is unlimited. Small `nodeSize` forces a depth-1 tree
+    * (BTIN root + several BTLF leaves); the default fits one leaf. */
+  def writeBtree2(specs: Seq[DsSpec], deflate: Boolean = false,
+      shuffle: Boolean = false, nodeSize: Int = 2048): Array[Byte] =
+    writeNewStyle(specs, deflate, shuffle, denseRoot = false,
+      smallHeapBlocks = false, v4Chunks = true, v4Btree2 = true,
+      bt2NodeSize = nodeSize)
+
   /** Internal-node spec of the v1 chunk B-tree writer: the chunk range
     * a node spans and its child range in the level below (chunk indices
     * at the leaf level, node indices above). */
@@ -1329,7 +1415,8 @@ object HDF5 {
       shuffle: Boolean, denseRoot: Boolean, smallHeapBlocks: Boolean,
       v4Chunks: Boolean = false, v4FixedArrayAlways: Boolean = false,
       v4Extensible: Boolean = false, eaParams: EaParams = EaParams(),
-      v1LeafCap: Int = Int.MaxValue): Array[Byte] = {
+      v1LeafCap: Int = Int.MaxValue, v4Btree2: Boolean = false,
+      bt2NodeSize: Int = 2048): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
     val sorted = specs.sortBy(_.name)
     def align8(x: Long): Long = (x + 7) & ~7L
@@ -1366,13 +1453,19 @@ object HDF5 {
     final case class EaPlan(elmtSize: Int, eaib: Long,
       sblkAddrs: Map[Int, Long], dblkAddrs: Map[(Int, Int), Long])
     val eaPlans = scala.collection.mutable.Map[String, EaPlan]()
+    // v2 B-tree chunk index: record/size-field widths, node addresses,
+    // and the chunk indices each leaf / the root carries (tree order =
+    // row-major chunk order = lexicographic scaled offsets)
+    final case class Bt2Plan(recSize: Int, szLen: Int, btinAddr: Long,
+      leafAddrs: Vector[Long], leafIdx: Vector[Vector[Int]], rootIdx: Vector[Int])
+    val bt2Plans = scala.collection.mutable.Map[String, Bt2Plan]()
     // v1 chunk B-tree node layout: levels (root first) + node addresses
     val btPlans = scala.collection.mutable.Map[String, (List[Vector[BtNodeSpec]], List[Vector[Long]])]()
     sorted.foreach { s =>
       require(s.data.length.toLong == s.dims.product,
         s"dataset ${s.name}: data length ${s.data.length} != ${s.dims.product}")
       val rank = s.dims.size
-      val unlimited = v4Extensible && s.chunkDims.isDefined
+      val unlimited = (v4Extensible || v4Btree2) && s.chunkDims.isDefined
       val spaceBody = 4 + 8 * rank + (if (unlimited) 8 * rank else 0)
       val hasFilter = s.chunkDims.isDefined && filters.nonEmpty
       val originsOpt = s.chunkDims.map { cd =>
@@ -1382,7 +1475,8 @@ object HDF5 {
       if (v4Chunks && s.chunkDims.isDefined) {
         val n = originsOpt.get.size
         v4Kind(s.name) =
-          if (v4Extensible) 4
+          if (v4Btree2) 5
+          else if (v4Extensible) 4
           else if (v4FixedArrayAlways) 3
           else if (n == 1) 1
           else if (filters.isEmpty) 2
@@ -1400,6 +1494,7 @@ object HDF5 {
             case 2 => 0
             case 3 => 1 // page bits
             case 4 => 5 // the EA creation parameters
+            case 5 => 6 // node size + split/merge percents
           }
           5 + (rank + 1) * 4 + 1 + idxData + 8
         case Some(_) => 3 + 8 + 4 * (rank + 1)
@@ -1494,6 +1589,46 @@ object HDF5 {
               }.toMap
               eaPlans(s.name) = EaPlan(es, eaib, sAddrs, dAddrs)
               var caddr = c
+              chunkPlans(s.name) = origins.zip(payloads).map { case (o, payload) =>
+                val a = caddr
+                caddr = align8(caddr + payload.length)
+                (o, payload, a)
+              }
+              cursor = caddr
+            case 5 => // v2 B-tree: BTHD + (BTIN +) BTLF leaves + chunks
+              val bthd = align8(cursor + headerLen)
+              v4IndexAddrs(s.name) = bthd
+              val szLen = if (hasFilter) encSize(payloads.map(_.length).max.toLong) else 0
+              val recSize = 8 + (if (hasFilter) szLen + 4 else 0) + 8 * rank
+              val cap = (bt2NodeSize - 10) / recSize
+              require(cap >= 2, s"${s.name}: v2 B-tree node size $bt2NodeSize " +
+                s"holds fewer than two $recSize-byte records")
+              val n = origins.size
+              // k leaves hold n-(k-1) records; the root the k-1 separators
+              val k = if (n <= cap) 1 else (n + 1 + cap) / (cap + 1)
+              val leafPtrSize = encSize(cap.toLong)
+              require(k == 1 ||
+                10 + (k - 1) * recSize + k * (8 + leafPtrSize) <= bt2NodeSize,
+                s"${s.name}: $n chunks need a depth-2 v2 B-tree (unsupported)")
+              val leafTotal = n - (k - 1)
+              val lbase = leafTotal / k; val lextra = leafTotal % k
+              val leafSizes = Vector.tabulate(k)(j => lbase + (if (j < lextra) 1 else 0))
+              var ri = 0
+              val leafIdx = leafSizes.map { sz =>
+                val v = Vector.range(ri, ri + sz); ri += sz + 1; v
+              }
+              val rootIdx = Vector.tabulate(k - 1)(j => leafIdx(j).last + 1)
+              val btinAddr =
+                if (k == 1) Undef
+                else align8(bthd + 38)
+              var naddr =
+                if (k == 1) align8(bthd + 38)
+                else align8(btinAddr + 10 + (k - 1) * recSize + k * (8 + leafPtrSize))
+              val leafAddrs = leafSizes.map { sz =>
+                val a = naddr; naddr = align8(a + 10 + sz * recSize); a
+              }
+              bt2Plans(s.name) = Bt2Plan(recSize, szLen, btinAddr, leafAddrs, leafIdx, rootIdx)
+              var caddr = naddr
               chunkPlans(s.name) = origins.zip(payloads).map { case (o, payload) =>
                 val a = caddr
                 caddr = align8(caddr + payload.length)
@@ -1779,9 +1914,11 @@ object HDF5 {
       val rank = s.dims.size
       out.position(headerAddrs(s.name).toInt)
       ohdrPrefix(headerLens(s.name))
-      // dataspace v2 (extensible mode: maxdims present, slowest dim
-      // unlimited — the netCDF-4 record-dimension shape)
-      val unlimited = v4Extensible && s.chunkDims.isDefined
+      // dataspace v2 (extensible mode: maxdims present — ONE unlimited
+      // slowest dim in EA mode, the netCDF-4 record-dimension shape;
+      // ALL dims unlimited in v2-B-tree mode, the >1-unlimited shape
+      // that index exists for)
+      val unlimited = (v4Extensible || v4Btree2) && s.chunkDims.isDefined
       msgHdr(0x01, 4 + 8 * rank + (if (unlimited) 8 * rank else 0))
       out.put(2.toByte); out.put(rank.toByte)
       out.put((if (unlimited) 1 else 0).toByte) // flags: maxdims stored
@@ -1789,7 +1926,8 @@ object HDF5 {
       s.dims.foreach(out.putLong)
       if (unlimited) {
         out.putLong(Undef) // H5S_UNLIMITED sentinel
-        s.dims.tail.foreach(out.putLong)
+        if (v4Btree2) s.dims.tail.foreach(_ => out.putLong(Undef))
+        else s.dims.tail.foreach(out.putLong)
       }
       // datatype: IEEE float64 LE (same 24-byte body as the v0 writer)
       msgHdr(0x03, 24)
@@ -1826,6 +1964,7 @@ object HDF5 {
             case 2 => 0
             case 3 => 1
             case 4 => 5
+            case 5 => 6
           }
           msgHdr(0x08, 5 + (rank + 1) * 4 + 1 + idxData + 8)
           out.put(4.toByte); out.put(2.toByte)
@@ -1846,6 +1985,9 @@ object HDF5 {
               out.put(eaParams.minPtrs.toByte)
               out.put(eaParams.minElmts.toByte)
               out.put(eaParams.pageBits.toByte)
+            case 5 => // v2 B-tree creation parameters
+              out.putInt(bt2NodeSize)
+              out.put(100.toByte); out.put(40.toByte) // split/merge percents
             case _ => ()
           }
           out.putLong(v4IndexAddrs(s.name))
@@ -1999,6 +2141,55 @@ object HDF5 {
               val base = p.iblkElmts + p.rowStartIdx(u) + k.toLong * p.rowDblkNelmts(u)
               putOff(base)
               (0 until p.rowDblkNelmts(u)).foreach(j => putElement(base + j))
+              out.putInt(0) // checksum (zero)
+            }
+          } else if (v4Kind(s.name) == 5) {
+            val plan = bt2Plans(s.name)
+            val hasF = filters.nonEmpty
+            val rtype = (if (hasF) 11 else 10).toByte
+            val cdims = s.chunkDims.get
+            val k = plan.leafAddrs.size
+            val bthd = v4IndexAddrs(s.name)
+            out.position(bthd.toInt)
+            "BTHD".foreach(ch => out.put(ch.toByte))
+            out.put(0.toByte) // version
+            out.put(rtype)
+            out.putInt(bt2NodeSize)
+            out.putShort(plan.recSize.toShort)
+            out.putShort(if (k == 1) 0 else 1) // depth
+            out.put(100.toByte); out.put(40.toByte) // split/merge percents
+            out.putLong(if (k == 1) plan.leafAddrs.head else plan.btinAddr)
+            out.putShort((if (k == 1) chunks.size else k - 1).toShort)
+            out.putLong(chunks.size.toLong)
+            out.putInt(0) // checksum (zero)
+            def record(ci: Int): Unit = {
+              val (origin, payload, caddr) = chunks(ci)
+              out.putLong(caddr)
+              if (hasF) {
+                (0 until plan.szLen).foreach(j =>
+                  out.put(((payload.length >> (8 * j)) & 0xff).toByte))
+                out.putInt(0) // filter mask
+              }
+              origin.zip(cdims).foreach { case (o, c) => out.putLong(o / c) }
+            }
+            plan.leafIdx.zip(plan.leafAddrs).foreach { case (recs, addr) =>
+              out.position(addr.toInt)
+              "BTLF".foreach(ch => out.put(ch.toByte))
+              out.put(0.toByte); out.put(rtype)
+              recs.foreach(record)
+              out.putInt(0) // checksum (zero)
+            }
+            if (k > 1) {
+              out.position(plan.btinAddr.toInt)
+              "BTIN".foreach(ch => out.put(ch.toByte))
+              out.put(0.toByte); out.put(rtype)
+              plan.rootIdx.foreach(record)
+              val leafPtrSize = encSize(((bt2NodeSize - 10) / plan.recSize).toLong)
+              plan.leafIdx.zip(plan.leafAddrs).foreach { case (recs, addr) =>
+                out.putLong(addr)
+                (0 until leafPtrSize).foreach(j =>
+                  out.put(((recs.size >> (8 * j)) & 0xff).toByte))
+              }
               out.putInt(0) // checksum (zero)
             }
           }

@@ -310,6 +310,68 @@ class HDF5Spec extends SparkSpec {
     assert(e2.getMessage.contains("unallocated"))
   }
 
+  test("layout v4 version-2 B-tree chunk index round-trips (>1 unlimited dims)") {
+    // the index libhdf5 picks when more than one dimension is unlimited:
+    // record type 10 (plain) / 11 (filtered), single-leaf tree at the
+    // default node size
+    val specs = Seq(
+      HDF5.DsSpec("grid", Seq(10, 14), Array.tabulate(140)(_ * 0.5 - 30.0),
+        chunkDims = Some(Seq(2, 2))),
+      HDF5.DsSpec("cube", Seq(4, 6, 6), Array.tabulate(144)(i => math.cos(i * 0.2)),
+        chunkDims = Some(Seq(2, 3, 2))),
+      HDF5.DsSpec("plain", Seq(6), Array.tabulate(6)(_ * 2.0)))
+    for ((df, sh) <- Seq((false, false), (true, false), (true, true))) {
+      val bytes = HDF5.writeBtree2(specs, deflate = df, shuffle = sh)
+      val back = HDF5.read(bytes)
+      specs.foreach { s =>
+        assert(back.find(_.name == s.name).get.data.toSeq == s.data.toSeq,
+          s"${s.name} deflate=$df shuffle=$sh")
+      }
+      def has(sig: String): Boolean = bytes.indices.exists(i =>
+        i + 4 <= bytes.length && sig.indices.forall(j => bytes(i + j) == sig(j).toByte))
+      assert(has("BTHD") && has("BTLF"), "expected v2 B-tree blocks")
+      assert(!has("BTIN"), "default node size must fit one leaf")
+      assert(!has("TREE") && !has("FAHD") && !has("EAHD"),
+        "no other chunk index may appear")
+    }
+  }
+
+  test("v2 B-tree chunk index round-trips at depth 1 (BTIN root + leaves)") {
+    // a 256-byte node caps a 24-byte rank-2 record at 10 per leaf: the
+    // 35-chunk grid forces an internal root with interleaved separator
+    // records — the reader walks children and root records
+    val specs = Seq(HDF5.DsSpec("grid", Seq(10, 14),
+      Array.tabulate(140)(i => math.sin(i * 0.1) * 10), chunkDims = Some(Seq(2, 2))))
+    for ((df, sh) <- Seq((false, false), (true, true))) {
+      val bytes = HDF5.writeBtree2(specs, deflate = df, shuffle = sh, nodeSize = 256)
+      val back = HDF5.read(bytes)
+      assert(back.head.data.toSeq == specs.head.data.toSeq, s"deflate=$df shuffle=$sh")
+      def count(sig: String): Int = bytes.indices.count(i =>
+        i + 4 <= bytes.length && sig.indices.forall(j => bytes(i + j) == sig(j).toByte))
+      assert(count("BTIN") == 1, "expected an internal root")
+      assert(count("BTLF") >= 4, "expected several leaves")
+    }
+  }
+
+  test("v2 B-tree chunk index rejects loudly: bad record type, missing chunks") {
+    val specs = Seq(HDF5.DsSpec("g", Seq(4, 4), Array.tabulate(16)(_ * 1.0),
+      chunkDims = Some(Seq(2, 2))))
+    val bytes = HDF5.writeBtree2(specs)
+    def bthdAt(bs: Array[Byte]): Int = bs.indices.find(i =>
+      bs(i) == 'B' && bs(i + 1) == 'T' && bs(i + 2) == 'H' && bs(i + 3) == 'D').get
+    // record type 10 on a filtered pipeline (or anything unexpected) rejects
+    val wrongType = bytes.clone(); wrongType(bthdAt(bytes) + 5) = 7
+    val e1 = intercept[IllegalArgumentException](HDF5.read(wrongType))
+    assert(e1.getMessage.contains("record type"))
+    // total-record count below the chunk grid rejects (fill-value read)
+    // BTHD: sig4 ver1 type1 nodeSize4 recSize2 depth2 split1 merge1 addr8 rootN2 -> total8
+    val short = bytes.clone()
+    val totOff = bthdAt(bytes) + 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + 8 + 2
+    short(totOff) = 1 // 4 chunks -> 1
+    val e2 = intercept[IllegalArgumentException](HDF5.read(short))
+    assert(e2.getMessage.contains("grid has"))
+  }
+
   test("v1 chunk B-tree round-trips at depth 2 (root + internals + leaves)") {
     // 35 chunks with a 4-entry node cap: 9 leaves, 3 internal nodes, one
     // level-2 root — the many-chunk raster shape; reader recursion is
@@ -336,7 +398,7 @@ class HDF5Spec extends SparkSpec {
     }
   }
 
-  test("layout v4 rejects loudly: v2-B-tree index, paged fixed arrays") {
+  test("layout v4 rejects loudly: unknown index types, paged fixed arrays") {
     val specs = Seq(HDF5.DsSpec("g", Seq(4, 4), Array.tabulate(16)(_ * 1.0),
       chunkDims = Some(Seq(2, 2))))
     val bytes = HDF5.writeLatestV4(specs, fixedArrayAlways = true)
@@ -349,9 +411,9 @@ class HDF5Spec extends SparkSpec {
     // msg body: ver(4) cls(2) flags(0) nd(3) encLen(4) dims(3x4B) idxType
     val idxTypeAt = li + 5 + 12
     assert(bytes(idxTypeAt) == 3, "fixture sanity: expected the fixed-array type byte")
-    val ext = bytes.clone(); ext(idxTypeAt) = 5
+    val ext = bytes.clone(); ext(idxTypeAt) = 6
     val e1 = intercept[IllegalArgumentException](HDF5.read(ext))
-    assert(e1.getMessage.contains("index type 5"))
+    assert(e1.getMessage.contains("index type 6"))
     // paged: shrink the FAHD page bits below the entry count
     val fa = bytes.indices.find(i =>
       bytes(i) == 'F' && bytes(i + 1) == 'A' && bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
