@@ -281,6 +281,21 @@ object Dedup {
     altStarWithRounds(pairs, aCol, bCol, maxIter, checkpointDir)._1
 
   private[operators] def altStarWithRounds(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int, checkpointDir: Option[String] = None): (DataFrame, Int) =
+    altStarAnyWithRounds(
+      pairs.select(col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b")),
+      "__a", "__b", maxIter, checkpointDir)
+
+  /** [[connectedComponentsAltStar]] over ANY orderable key type (e.g. a
+    * `struct(graph_id, node)` composite, which runs the components of
+    * many small graphs in ONE iterative job instead of one alt-star loop
+    * per graph — Spark orders structs lexicographically, so the
+    * component id is `struct(graph_id, min node)`). */
+  private[operators] def altStarAny(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame =
+    altStarAnyWithRounds(pairs, aCol, bCol, maxIter, checkpointDir)._1
+
+  private[operators] def altStarAnyWithRounds(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int, checkpointDir: Option[String] = None): (DataFrame, Int) = {
     def symmetric(e: DataFrame) =
       e.select(col("u"), col("v")).union(e.select(col("v").as("u"), col("u").as("v")))
@@ -302,16 +317,16 @@ object Dedup {
         .union(m.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
     }
-    val nodes = pairs.select(col(aCol).cast("long").as("n"))
-      .union(pairs.select(col(bCol).cast("long").as("n"))).distinct()
+    val nodes = pairs.select(col(aCol).as("n"))
+      .union(pairs.select(col(bCol).as("n"))).distinct()
     // eager lineage truncation each round: iterative self-referencing
     // plans grow exponentially otherwise (each round references the
     // previous edge set several times). Default localCheckpoint; pass
     // checkpointDir for reliable cluster checkpointing (Checkpointing.scala).
     var edges = Checkpointing.truncate(
       pairs.select(
-        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
-        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+        greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
         .where(col("u") =!= col("v")).distinct(),
       checkpointDir)
     var it = 0

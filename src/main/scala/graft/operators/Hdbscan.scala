@@ -125,25 +125,39 @@ object Hdbscan {
     // For each distinct cut, connected components over the MST edges
     // strictly (lexicographically) below it; a selected cluster is the
     // component whose min node (= alt-star component id) is its label.
-    // Clusters born at the same split share one CC job; dendrogram tops
-    // (cut = None) share the full-MST job.
+    // ALL cuts run in ONE alt-star loop over composite
+    // struct(cut_id, node) keys (Spark orders structs lexicographically,
+    // so per-cut component ids are struct(cut_id, min node)) — one
+    // iterative job instead of a sequential CC pass per birth level.
     val ptIds = pts.select(col("pid"))
     if (selected.isEmpty)
       ptIds.select(col("pid"), lit(-1L).as("cluster"))
     else {
-      val parts = selected.groupBy(_.cut).toSeq.map { case (cut, cs) =>
-        val labels = cs.map(_.label)
+      val cutGroups = selected.groupBy(_.cut).toSeq.zipWithIndex
+      val tagged = cutGroups.map { case ((cut, _), i) =>
         val g = cut match {
           case None => mst
           case Some(e) => mst.where(col("w") < e.w ||
             (col("w") === e.w && (col("a") < e.a ||
               (col("a") === e.a && col("b") < e.b))))
         }
-        Dedup.connectedComponentsAltStar(g, "a", "b", checkpointDir = checkpointDir)
-          .where(col("component").isin(labels: _*))
-          .select(col("node").as("pid"), col("component").as("cluster"))
-      }
-      ptIds.join(parts.reduce(_ union _), Seq("pid"), "left")
+        g.select(lit(i).as("cid"), col("a"), col("b"))
+      }.reduce(_ union _)
+        .select(struct(col("cid"), col("a").as("n")).as("ua"),
+          struct(col("cid"), col("b").as("n")).as("vb"))
+      val comp = Dedup.altStarAny(tagged, "ua", "vb", checkpointDir = checkpointDir)
+      // keep only the components whose min node is a selected label, at
+      // that label's own cut — an O(#clusters) semi-join (tiny local
+      // side; Spark broadcasts it on its own, no hint needed)
+      val wanted = cutGroups.flatMap { case ((_, cs), i) =>
+        cs.map(c => (i, c.label))
+      }.toDF("cid", "cluster")
+      val labeled = comp
+        .select(col("node.n").as("pid"), col("component.cid").as("cid"),
+          col("component.n").as("cluster"))
+        .join(wanted, Seq("cid", "cluster"))
+        .select(col("pid"), col("cluster"))
+      ptIds.join(labeled, Seq("pid"), "left")
         .select(col("pid"), coalesce(col("cluster"), lit(-1L)).as("cluster"))
     }
   }
@@ -191,7 +205,12 @@ object Hdbscan {
           .distinct()
         // picks always cross CURRENT components, so an edge can repeat
         // within a round (both endpoints pick it — the distinct above)
-        // but never across rounds: no full-MST distinct needed
+        // but never across rounds: no full-MST distinct needed.
+        // (Contracting on the (cu, cv) pick graph instead of re-running
+        // CC over the accumulated MST was tried and MEASURED SLOWER at
+        // bench scale: the extra per-round join + materialization costs
+        // more than the full-MST alt-star saves, and both are
+        // job-count-bound, not data-bound — see SCALE.md F7.)
         mst = Checkpointing.truncate(mst.union(pick), checkpointDir)
         comp = Dedup.connectedComponentsAltStar(mst, "a", "b", checkpointDir = checkpointDir)
           .select(col("node"), col("component"))
