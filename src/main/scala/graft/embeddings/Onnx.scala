@@ -14,13 +14,19 @@ package graft.embeddings
   * public encoding spec) so no protobuf library is needed, then executes
   * the graph with plain matrix loops.
   *
-  * Supported: float tensors (raw_data or packed float_data); ops MatMul,
-  * Add (row-broadcast or same-shape), Relu, Gemm (alpha/beta/transA/
-  * transB) — the fully-connected MLP family — plus the convolutional
-  * family the reference's actual tile model needs (a ResNet-style CNN,
-  * pipeline/embeddings/sampling.py:46-66): Conv (group=1, dilation=1,
-  * arbitrary strides/pads), MaxPool, BatchNormalization (inference-mode
-  * affine), GlobalAveragePool, Flatten — all over NCHW rank-4 tensors.
+  * Supported: float tensors (raw_data or packed float_data) and int64
+  * shape/pads tensors (raw_data or int64_data, packed or not); ops
+  * MatMul, Add (row-broadcast or same-shape), Relu, Gemm (alpha/beta/
+  * transA/transB) — the fully-connected MLP family — plus the
+  * convolutional family the reference's actual tile model needs (a
+  * ResNet-style CNN, pipeline/embeddings/sampling.py:46-66): Conv
+  * (grouped, dilated, arbitrary strides/pads), MaxPool, AveragePool,
+  * Concat, BatchNormalization (inference-mode affine),
+  * GlobalAveragePool, Flatten over NCHW rank-4 tensors — plus the
+  * supporting ops the MobileNet/ShuffleNet export families carry:
+  * Sigmoid, Tanh, LeakyRelu, Clip (attr or scalar-input bounds),
+  * Transpose, Reshape (-1/0 conventions), constant Pad (attr or input
+  * pads), Softmax (opset-13 axis semantics), ReduceMean.
   * Anything else is rejected LOUDLY with the op name, never silently
   * misread. Accumulation is in double, cast to float at extraction — the
   * deterministic cross-engine arithmetic the oracle recomputes
@@ -75,6 +81,13 @@ object Onnx {
     java.lang.Float.intBitsToFloat(
       (buf(at) & 0xff) | (buf(at + 1) & 0xff) << 8 |
       (buf(at + 2) & 0xff) << 16 | (buf(at + 3) & 0xff) << 24)
+
+  private def leLong(buf: Array[Byte], at: Int): Long = {
+    var x = 0L
+    var i = 0
+    while (i < 8) { x |= (buf(at + i) & 0xffL) << (8 * i); i += 1 }
+    x
+  }
 
   // --------------------------------------------------------------- model
   final case class Tensor(name: String, dims: Seq[Int], data: Array[Float]) {
@@ -174,6 +187,7 @@ object Onnx {
     var dtype = 0L; var name = ""
     var raw: Option[(Int, Int)] = None
     var packed: Option[(Int, Int)] = None
+    val int64s = Seq.newBuilder[Long] // unpacked int64_data (field 7)
     walk(buf, span._1, span._2) { (field, wire, v, s) =>
       (field, wire) match {
         case (1, 0) => dims += v.toInt
@@ -182,19 +196,37 @@ object Onnx {
         case (9, 2) => raw = Some(s)
         case (4, 2) => packed = Some(s)          // packed float_data
         case (4, 5) => packed = Some(s)          // unpacked single float
+        case (7, 0) => int64s += v               // unpacked int64_data
+        case (7, 2) =>                           // packed int64_data varints
+          var at = s._1
+          while (at < s._2) {
+            var x = 0L; var shift = 0; var b = 0
+            do { b = buf(at) & 0xff; x |= (b & 0x7fL) << shift; shift += 7; at += 1 }
+            while ((b & 0x80) != 0)
+            int64s += x
+          }
         case _      => ()
       }
     }
-    require(dtype == 1, // TensorProto.DataType.FLOAT
-      s"tensor $name: only float32 initializers supported, got data_type=$dtype")
-    val data = (raw, packed) match {
-      case (Some((a, b)), _) =>
-        require((b - a) % 4 == 0, s"tensor $name: raw_data not 4-byte aligned")
-        Array.tabulate((b - a) / 4)(i => leFloat(buf, a + 4 * i))
-      case (_, Some((a, b))) =>
-        Array.tabulate((b - a) / 4)(i => leFloat(buf, a + 4 * i))
-      case _ => throw new IllegalArgumentException(s"tensor $name: no data")
-    }
+    require(dtype == 1 || dtype == 7, // FLOAT or INT64 (shape/pads inputs)
+      s"tensor $name: only float32/int64 initializers supported, got data_type=$dtype")
+    val data =
+      if (dtype == 7) (raw, int64s.result()) match {
+        // shape-carrying tensors (Reshape shapes, Pad pads): small exact
+        // integers, so the float64-backed Tensor carries them losslessly
+        case (Some((a, b)), _) =>
+          require((b - a) % 8 == 0, s"tensor $name: raw_data not 8-byte aligned")
+          Array.tabulate((b - a) / 8)(i => leLong(buf, a + 8 * i).toFloat)
+        case (_, vs) if vs.nonEmpty => vs.map(_.toFloat).toArray
+        case _ => throw new IllegalArgumentException(s"tensor $name: no data")
+      } else (raw, packed) match {
+        case (Some((a, b)), _) =>
+          require((b - a) % 4 == 0, s"tensor $name: raw_data not 4-byte aligned")
+          Array.tabulate((b - a) / 4)(i => leFloat(buf, a + 4 * i))
+        case (_, Some((a, b))) =>
+          Array.tabulate((b - a) / 4)(i => leFloat(buf, a + 4 * i))
+        case _ => throw new IllegalArgumentException(s"tensor $name: no data")
+      }
     Tensor(name, dims.result(), data)
   }
 
@@ -528,6 +560,164 @@ object Onnx {
     Nd(Seq(d0, x.a.length / d0), x.a)
   }
 
+  /** Row-major strides of a dims vector (innermost stride 1). */
+  private def stridesOf(dims: Seq[Int]): Array[Long] = {
+    val nd = dims.size
+    val s = new Array[Long](nd)
+    var acc = 1L
+    var k = nd - 1
+    while (k >= 0) { s(k) = acc; acc *= dims(k); k -= 1 }
+    s
+  }
+
+  /** n-dim transpose by permutation (empty perm = reverse, the ONNX
+    * default). Output scan order with input strides permuted. */
+  private def transpose(x: Nd, perm0: Seq[Int]): Nd = {
+    val nd = x.dims.size
+    val perm = if (perm0.isEmpty) Seq.range(nd - 1, -1, -1) else perm0
+    require(perm.sorted == Seq.range(0, nd),
+      s"Transpose: perm $perm0 is not a permutation of 0..${nd - 1}")
+    val outDims = perm.map(x.dims)
+    val inStr = stridesOf(x.dims)
+    val permStr = perm.map(inStr).toArray
+    val out = new Array[Double](x.a.length)
+    val idx = new Array[Int](nd)
+    var o = 0
+    while (o < out.length) {
+      var src = 0L
+      var k = 0
+      while (k < nd) { src += idx(k) * permStr(k); k += 1 }
+      out(o) = x.a(src.toInt)
+      var d = nd - 1
+      while (d >= 0 && { idx(d) += 1; idx(d) == outDims(d) }) { idx(d) = 0; d -= 1 }
+      o += 1
+    }
+    Nd(outDims, out)
+  }
+
+  /** Constant-mode Pad; `pads` in ONNX order (all leading, then all
+    * trailing). Negative pads (cropping) rejected. */
+  private def padConst(x: Nd, pads: Seq[Int], value: Double): Nd = {
+    val nd = x.dims.size
+    require(pads.size == 2 * nd, s"Pad: ${pads.size} pad entries for rank $nd")
+    require(pads.forall(_ >= 0), s"Pad: negative pads (cropping) unsupported")
+    val outDims = x.dims.zipWithIndex.map { case (d, k) => d + pads(k) + pads(nd + k) }
+    val out = Array.fill(outDims.product)(value)
+    val outStr = stridesOf(outDims)
+    val idx = new Array[Int](nd)
+    var i = 0
+    while (i < x.a.length) {
+      var dst = 0L
+      var k = 0
+      while (k < nd) { dst += (idx(k) + pads(k)) * outStr(k); k += 1 }
+      out(dst.toInt) = x.a(i)
+      var d = nd - 1
+      while (d >= 0 && { idx(d) += 1; idx(d) == x.dims(d) }) { idx(d) = 0; d -= 1 }
+      i += 1
+    }
+    Nd(outDims, out)
+  }
+
+  /** Reshape with the ONNX -1 (inferred) and 0 (copy input dim unless
+    * allowzero) conventions. */
+  private def reshape(x: Nd, shape: Seq[Long], allowZero: Boolean): Nd = {
+    var inferAt = -1
+    val dims = shape.zipWithIndex.map { case (v, k) =>
+      if (v == -1L) {
+        require(inferAt < 0, "Reshape: more than one -1 in shape")
+        inferAt = k; 1
+      } else if (v == 0L && !allowZero) {
+        require(k < x.dims.size, s"Reshape: 0 at axis $k beyond input rank")
+        x.dims(k)
+      } else {
+        require(v > 0 || (v == 0 && allowZero), s"Reshape: bad dim $v")
+        v.toInt
+      }
+    }
+    val known = dims.product
+    val outDims =
+      if (inferAt >= 0) {
+        require(known > 0 && x.a.length % known == 0,
+          s"Reshape: ${x.a.length} values not divisible by $known")
+        dims.updated(inferAt, x.a.length / known)
+      } else dims
+    require(outDims.product == x.a.length,
+      s"Reshape: shape $shape incompatible with ${x.dims}")
+    Nd(outDims, x.a)
+  }
+
+  /** Softmax over one axis (opset-13 semantics; default axis -1), with
+    * the standard max-subtraction for stability. */
+  private def softmax(x: Nd, axis0: Int): Nd = {
+    val nd = x.dims.size
+    val axis = if (axis0 < 0) axis0 + nd else axis0
+    require(axis >= 0 && axis < nd, s"Softmax: axis $axis0 out of range for ${x.dims}")
+    val n = x.dims(axis)
+    val inner = x.dims.drop(axis + 1).product
+    val outer = x.dims.take(axis).product
+    val out = new Array[Double](x.a.length)
+    var o = 0
+    while (o < outer) {
+      var in0 = 0
+      while (in0 < inner) {
+        val base = o * n * inner + in0
+        var mx = Double.NegativeInfinity
+        var k = 0
+        while (k < n) { val v = x.a(base + k * inner); if (v > mx) mx = v; k += 1 }
+        var sum = 0.0
+        k = 0
+        while (k < n) {
+          val e = math.exp(x.a(base + k * inner) - mx)
+          out(base + k * inner) = e; sum += e; k += 1
+        }
+        k = 0
+        while (k < n) { out(base + k * inner) /= sum; k += 1 }
+        in0 += 1
+      }
+      o += 1
+    }
+    Nd(x.dims, out)
+  }
+
+  /** Mean over `axes` (empty = all), keepdims per the attribute.
+    * Summation in input scan order, then one division. */
+  private def reduceMean(x: Nd, axes0: Seq[Int], keepdims: Boolean): Nd = {
+    val nd = x.dims.size
+    val axes = (if (axes0.isEmpty) Seq.range(0, nd)
+                else axes0.map(a => if (a < 0) a + nd else a)).sorted
+    require(axes.forall(a => a >= 0 && a < nd) && axes == axes.distinct,
+      s"ReduceMean: bad axes $axes0 for rank $nd")
+    val isRed = Array.tabulate(nd)(axes.contains)
+    val keptDims = (0 until nd).filterNot(isRed).map(x.dims)
+    val outDims =
+      if (keepdims) x.dims.zipWithIndex.map { case (d, k) => if (isRed(k)) 1 else d }
+      else if (keptDims.isEmpty) Seq(1)
+      else keptDims
+    val redN = axes.map(x.dims).product
+    val out = new Array[Double](x.a.length / redN)
+    val keptStr = {
+      val s = new Array[Long](nd)
+      var acc = 1L
+      var k = nd - 1
+      while (k >= 0) { if (!isRed(k)) { s(k) = acc; acc *= x.dims(k) }; k -= 1 }
+      s
+    }
+    val idx = new Array[Int](nd)
+    var i = 0
+    while (i < x.a.length) {
+      var dst = 0L
+      var k = 0
+      while (k < nd) { dst += idx(k) * keptStr(k); k += 1 }
+      out(dst.toInt) += x.a(i)
+      var d = nd - 1
+      while (d >= 0 && { idx(d) += 1; idx(d) == x.dims(d) }) { idx(d) = 0; d -= 1 }
+      i += 1
+    }
+    var j = 0
+    while (j < out.length) { out(j) /= redN; j += 1 }
+    Nd(outDims, out)
+  }
+
   private def intsAttr(n: Node, name: String, default: Seq[Long]): Seq[Int] = {
     val v = n.attrIs.getOrElse(name, default)
     v.map(_.toInt)
@@ -622,10 +812,65 @@ object Onnx {
             eps = n.attrF.getOrElse("epsilon", 1e-5f).toDouble)
         case "GlobalAveragePool" => globalAveragePool(in(n, 0))
         case "Flatten" => flatten(in(n, 0), n.attrI.getOrElse("axis", 1L).toInt)
+        case "Sigmoid" =>
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(v => 1.0 / (1.0 + math.exp(-v))))
+        case "Tanh" =>
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(math.tanh))
+        case "LeakyRelu" =>
+          val alpha = n.attrF.getOrElse("alpha", 0.01f).toDouble
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(v => if (v >= 0) v else alpha * v))
+        case "Clip" =>
+          // opset < 11 carries min/max as float attrs; >= 11 as optional
+          // scalar inputs (MobileNet's Relu6 is Clip(0, 6))
+          def scalarIn(i: Int): Option[Double] =
+            if (n.inputs.size > i && n.inputs(i).nonEmpty) Some {
+              val t = in(n, i)
+              require(t.a.length == 1, s"Clip: input $i is not a scalar")
+              t.a(0)
+            } else None
+          val lo = n.attrF.get("min").map(_.toDouble).orElse(scalarIn(1))
+            .getOrElse(Double.NegativeInfinity)
+          val hi = n.attrF.get("max").map(_.toDouble).orElse(scalarIn(2))
+            .getOrElse(Double.PositiveInfinity)
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(v => math.min(hi, math.max(lo, v))))
+        case "Transpose" => transpose(in(n, 0), intsAttr(n, "perm", Nil))
+        case "Reshape" =>
+          require(n.inputs.size >= 2, "Reshape: shape input required")
+          reshape(in(n, 0), in(n, 1).a.map(_.toLong).toSeq,
+            allowZero = n.attrI.getOrElse("allowzero", 0L) != 0L)
+        case "Pad" =>
+          val mode = n.attrS.getOrElse("mode", "constant")
+          require(mode == "constant", s"Pad: mode=$mode unsupported (constant only)")
+          // opset < 11: pads/value attrs; >= 11: pads (and optional
+          // constant_value) inputs
+          val pads =
+            if (n.attrIs.contains("pads")) intsAttr(n, "pads", Nil)
+            else {
+              require(n.inputs.size >= 2, "Pad: pads attr or input required")
+              in(n, 1).a.map(_.toInt).toSeq
+            }
+          val value = n.attrF.get("value").map(_.toDouble)
+            .orElse(if (n.inputs.size > 2 && n.inputs(2).nonEmpty) Some {
+              val t = in(n, 2)
+              require(t.a.length == 1, "Pad: constant_value is not a scalar")
+              t.a(0)
+            } else None)
+            .getOrElse(0.0)
+          padConst(in(n, 0), pads, value)
+        case "Softmax" =>
+          softmax(in(n, 0), n.attrI.getOrElse("axis", -1L).toInt)
+        case "ReduceMean" =>
+          reduceMean(in(n, 0), intsAttr(n, "axes", Nil),
+            keepdims = n.attrI.getOrElse("keepdims", 1L) != 0L)
         case other => throw new IllegalArgumentException(
           s"unsupported ONNX op '$other' (subset: MatMul, Add, Relu, Gemm, " +
             "Conv, MaxPool, AveragePool, Concat, BatchNormalization, " +
-            "GlobalAveragePool, Flatten)")
+            "GlobalAveragePool, Flatten, Sigmoid, Tanh, LeakyRelu, Clip, " +
+            "Transpose, Reshape, Pad, Softmax, ReduceMean)")
       }
       env(n.outputs.head) = out
     }

@@ -59,6 +59,27 @@ object OnnxWriter {
       else t.bytes(4, leFloats(data)) // packed repeated float
     }
 
+  /** INT64 TensorProto (data_type 7) — the shape/pads side inputs of
+    * Reshape/Pad/Clip-era graphs: raw_data 8-byte LE, or packed
+    * int64_data varints (field 7) — the two encodings exporters emit. */
+  private def tensorI64(p: Pb, field: Int, name: String, dims: Seq[Int],
+      data: Array[Long], raw: Boolean): Unit =
+    p.msg(field) { t =>
+      dims.foreach(d => t.int(1, d.toLong))
+      t.int(2, 7L) // INT64
+      t.str(8, name)
+      if (raw) {
+        val b = java.nio.ByteBuffer.allocate(data.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        data.foreach(b.putLong)
+        t.bytes(9, b.array())
+      } else {
+        val packed = new Pb
+        data.foreach(packed.varint)
+        t.bytes(7, packed.bytes)
+      }
+    }
+
   private def valueInfo(p: Pb, field: Int, name: String): Unit =
     p.msg(field)(_.str(1, name))
 
@@ -71,7 +92,8 @@ object OnnxWriter {
   /** Serialize a ModelProto holding one graph of `nodes` over
     * `initializers` (name -> (dims, data, useRawEncoding)). */
   def model(nodes: Seq[NodeSpec], initializers: Seq[(String, Seq[Int], Array[Float], Boolean)],
-      inputName: String, outputName: String): Array[Byte] = {
+      inputName: String, outputName: String,
+      int64Initializers: Seq[(String, Seq[Int], Array[Long], Boolean)] = Nil): Array[Byte] = {
     val p = new Pb
     p.int(1, 8L) // ir_version
     p.msg(7) { g => // ModelProto.graph
@@ -110,8 +132,12 @@ object OnnxWriter {
       initializers.foreach { case (nm, dims, data, raw) =>
         tensor(g, 5, nm, dims, data, raw)
       }
+      int64Initializers.foreach { case (nm, dims, data, raw) =>
+        tensorI64(g, 5, nm, dims, data, raw)
+      }
       valueInfo(g, 11, inputName)
       initializers.foreach { case (nm, _, _, _) => valueInfo(g, 11, nm) }
+      int64Initializers.foreach { case (nm, _, _, _) => valueInfo(g, 11, nm) }
       valueInfo(g, 12, outputName)
     }
     p.bytes

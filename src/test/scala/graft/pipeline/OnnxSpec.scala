@@ -77,14 +77,14 @@ class OnnxSpec extends SparkSpec {
   }
 
   test("rejects loudly: unsupported op, non-float tensor, missing graph") {
-    val sigmoid = OnnxWriter.model(
-      nodes = Seq(OnnxWriter.NodeSpec("Sigmoid", Seq("x"), Seq("y"))),
+    val erf = OnnxWriter.model(
+      nodes = Seq(OnnxWriter.NodeSpec("Erf", Seq("x"), Seq("y"))),
       initializers = Seq(("w", Seq(1), Array(1.0f), true)),
       inputName = "x", outputName = "y")
     val ex = intercept[IllegalArgumentException] {
-      Onnx.run(Onnx.parseModel(sigmoid), Onnx.Mat(1, 1, Array(0.0)))
+      Onnx.run(Onnx.parseModel(erf), Onnx.Mat(1, 1, Array(0.0)))
     }
-    assert(ex.getMessage.contains("Sigmoid"))
+    assert(ex.getMessage.contains("Erf"))
 
     // byte surgery: flip w1's data_type varint (FLOAT=1 -> DOUBLE=11).
     // Nodes precede initializers and contain no field-2 varint records,
@@ -196,13 +196,16 @@ class OnnxSpec extends SparkSpec {
   private def oneNode(op: String, inputs: Seq[String],
       inits: Seq[(String, Seq[Int], Array[Float])],
       attrI: Seq[(String, Long)] = Nil, attrIs: Seq[(String, Seq[Long])] = Nil,
-      attrS: Seq[(String, String)] = Nil): Onnx.Graph =
+      attrS: Seq[(String, String)] = Nil, attrF: Seq[(String, Float)] = Nil,
+      i64Inits: Seq[(String, Seq[Int], Array[Long], Boolean)] = Nil): Onnx.Graph =
     Onnx.parseModel(OnnxWriter.model(
       nodes = Seq(OnnxWriter.NodeSpec(op, inputs, Seq("y"),
-        attrI = attrI, attrIs = attrIs, attrS = attrS)),
+        attrI = attrI, attrF = attrF, attrIs = attrIs, attrS = attrS)),
       initializers = inits.map { case (n, d, a) => (n, d, a, true) } ++
-        (if (inits.isEmpty) Seq(("unused", Seq(1), Array(0.0f), true)) else Nil),
-      inputName = "x", outputName = "y"))
+        (if (inits.isEmpty && i64Inits.isEmpty)
+          Seq(("unused", Seq(1), Array(0.0f), true)) else Nil),
+      inputName = "x", outputName = "y",
+      int64Initializers = i64Inits))
 
   test("grouped conv matches a brute-force group-sliced reference") {
     val (c, h, w, m, g) = (4, 5, 6, 6, 2)
@@ -278,6 +281,154 @@ class OnnxSpec extends SparkSpec {
       assert(got.dims == Seq(1, 5, 2, 3))
       assert(got.a.toSeq == a.toSeq ++ bW.map(_.toDouble).toSeq, s"axis=$axis")
     }
+  }
+
+  test("elementwise ops match math references: Sigmoid, Tanh, LeakyRelu") {
+    val x = Array.tabulate(24)(i => (i - 12) * 0.5)
+    val nd = Onnx.Nd(Seq(2, 3, 4), x)
+    val sig = Onnx.runNd(oneNode("Sigmoid", Seq("x"), Nil), nd)
+    assert(sig.dims == Seq(2, 3, 4))
+    x.indices.foreach(i => assert(sig.a(i) == 1.0 / (1.0 + math.exp(-x(i)))))
+    val th = Onnx.runNd(oneNode("Tanh", Seq("x"), Nil), nd)
+    x.indices.foreach(i => assert(th.a(i) == math.tanh(x(i))))
+    val lr = Onnx.runNd(oneNode("LeakyRelu", Seq("x"), Nil,
+      attrF = Seq("alpha" -> 0.1f)), nd)
+    x.indices.foreach(i =>
+      assert(lr.a(i) == (if (x(i) >= 0) x(i) else 0.1f.toDouble * x(i))))
+    // default alpha is 0.01, not 0
+    val lrDef = Onnx.runNd(oneNode("LeakyRelu", Seq("x"), Nil), nd)
+    assert(lrDef.a(0) == 0.01f.toDouble * x(0))
+  }
+
+  test("Clip honors attr form (opset<11) and scalar-input form (opset>=11)") {
+    val x = Array.tabulate(10)(i => i - 5.0)
+    val nd = Onnx.Nd(Seq(10), x)
+    val byAttr = Onnx.runNd(oneNode("Clip", Seq("x"), Nil,
+      attrF = Seq("min" -> 0.0f, "max" -> 3.0f)), nd)
+    assert(byAttr.a.toSeq == x.map(v => math.min(3.0, math.max(0.0, v))).toSeq)
+    // Relu6 as exporters emit it: min/max ride as scalar initializers
+    val byInput = Onnx.runNd(oneNode("Clip", Seq("x", "lo", "hi"),
+      Seq(("lo", Seq(1), Array(0.0f)), ("hi", Seq(1), Array(6.0f)))), nd)
+    assert(byInput.a.toSeq == x.map(v => math.min(6.0, math.max(0.0, v))).toSeq)
+    // one-sided: only min bound
+    val loOnly = Onnx.runNd(oneNode("Clip", Seq("x"), Nil,
+      attrF = Seq("min" -> -2.0f)), nd)
+    assert(loOnly.a.toSeq == x.map(v => math.max(-2.0, v)).toSeq)
+  }
+
+  test("Transpose matches an index-remap reference (explicit and default perm)") {
+    val dims = Seq(2, 3, 4)
+    val x = Array.tabulate(24)(_ * 1.0)
+    val nd = Onnx.Nd(dims, x)
+    val got = Onnx.runNd(oneNode("Transpose", Seq("x"), Nil,
+      attrIs = Seq("perm" -> Seq(2L, 0L, 1L))), nd)
+    assert(got.dims == Seq(4, 2, 3))
+    for (a <- 0 until 4; b <- 0 until 2; c <- 0 until 3)
+      assert(got.a((a * 2 + b) * 3 + c) == x((b * 3 + c) * 4 + a), s"$a $b $c")
+    // empty perm = full reverse
+    val rev = Onnx.runNd(oneNode("Transpose", Seq("x"), Nil), nd)
+    assert(rev.dims == Seq(4, 3, 2))
+    for (a <- 0 until 4; b <- 0 until 3; c <- 0 until 2)
+      assert(rev.a((a * 3 + b) * 2 + c) == x((c * 3 + b) * 4 + a))
+  }
+
+  test("Reshape: int64 shape input in both encodings, -1 and 0 conventions") {
+    val x = Array.tabulate(24)(_ * 0.5)
+    val nd = Onnx.Nd(Seq(2, 3, 4), x)
+    // raw_data int64 shape with an inferred dim
+    val g1 = oneNode("Reshape", Seq("x", "shp"), Nil,
+      i64Inits = Seq(("shp", Seq(2), Array(6L, -1L), true)))
+    val r1 = Onnx.runNd(g1, nd)
+    assert(r1.dims == Seq(6, 4) && r1.a.toSeq == x.toSeq)
+    // packed-varint int64 shape with a copied (0) dim
+    val g2 = oneNode("Reshape", Seq("x", "shp"), Nil,
+      i64Inits = Seq(("shp", Seq(3), Array(0L, 4L, 3L), false)))
+    val r2 = Onnx.runNd(g2, nd)
+    assert(r2.dims == Seq(2, 4, 3) && r2.a.toSeq == x.toSeq)
+    // incompatible shape rejects
+    val g3 = oneNode("Reshape", Seq("x", "shp"), Nil,
+      i64Inits = Seq(("shp", Seq(2), Array(5L, 5L), true)))
+    val e = intercept[IllegalArgumentException](Onnx.runNd(g3, nd))
+    assert(e.getMessage.contains("Reshape"))
+  }
+
+  test("Pad (constant mode): attr form and int64-input form, nonzero value") {
+    val (h, w) = (2, 3)
+    val x = Array.tabulate(h * w)(_ + 1.0)
+    val nd = Onnx.Nd(Seq(1, 1, h, w), x)
+    def reference(pads: Seq[Int], v: Double): Seq[Double] = {
+      val (oh, ow) = (h + pads(2) + pads(6), w + pads(3) + pads(7))
+      (for (oy <- 0 until oh; ox <- 0 until ow) yield {
+        val iy = oy - pads(2); val ix = ox - pads(3)
+        if (iy >= 0 && iy < h && ix >= 0 && ix < w) x(iy * w + ix) else v
+      })
+    }
+    val pads = Seq(0, 0, 1, 2, 0, 0, 1, 2)
+    val byAttr = Onnx.runNd(oneNode("Pad", Seq("x"), Nil,
+      attrIs = Seq("pads" -> pads.map(_.toLong)),
+      attrF = Seq("value" -> 9.0f)), nd)
+    assert(byAttr.dims == Seq(1, 1, 4, 7))
+    assert(byAttr.a.toSeq == reference(pads, 9.0))
+    val byInput = Onnx.runNd(oneNode("Pad", Seq("x", "p"), Nil,
+      i64Inits = Seq(("p", Seq(8), pads.map(_.toLong).toArray, true))), nd)
+    assert(byInput.a.toSeq == reference(pads, 0.0))
+    // reflect mode rejects loudly
+    val e = intercept[IllegalArgumentException](Onnx.runNd(
+      oneNode("Pad", Seq("x"), Nil,
+        attrIs = Seq("pads" -> pads.map(_.toLong)),
+        attrS = Seq("mode" -> "reflect")), nd))
+    assert(e.getMessage.contains("mode=reflect"))
+  }
+
+  test("Softmax matches a max-subtracted reference on the given axis") {
+    val dims = Seq(2, 3, 4)
+    val x = Array.tabulate(24)(i => ((i * 7) % 11) * 0.3 - 1.0)
+    val nd = Onnx.Nd(dims, x)
+    def reference(axis: Int): Array[Double] = {
+      val out = new Array[Double](24)
+      val n = dims(axis)
+      val inner = dims.drop(axis + 1).product
+      val outer = dims.take(axis).product
+      for (o <- 0 until outer; in0 <- 0 until inner) {
+        val base = o * n * inner + in0
+        val vs = (0 until n).map(k => x(base + k * inner))
+        val mx = vs.max
+        val es = vs.map(v => math.exp(v - mx))
+        val sum = es.sum
+        (0 until n).foreach(k => out(base + k * inner) = es(k) / sum)
+      }
+      out
+    }
+    // default axis is -1 (the last)
+    val last = Onnx.runNd(oneNode("Softmax", Seq("x"), Nil), nd)
+    assert(last.a.toSeq == reference(2).toSeq)
+    val mid = Onnx.runNd(oneNode("Softmax", Seq("x"), Nil,
+      attrI = Seq("axis" -> 1L)), nd)
+    assert(mid.a.toSeq == reference(1).toSeq)
+  }
+
+  test("ReduceMean matches a scan-order reference (axes, keepdims, GAP form)") {
+    val dims = Seq(2, 3, 4, 5)
+    val x = Array.tabulate(dims.product)(i => ((i * 13) % 31) * 0.25 - 3.0)
+    val nd = Onnx.Nd(dims, x)
+    // the GAP replacement exporters emit: mean over spatial, keepdims
+    val gap = Onnx.runNd(oneNode("ReduceMean", Seq("x"), Nil,
+      attrIs = Seq("axes" -> Seq(2L, 3L))), nd)
+    assert(gap.dims == Seq(2, 3, 1, 1))
+    for (n0 <- 0 until 2; c <- 0 until 3) {
+      var acc = 0.0
+      for (i <- 0 until 20) acc += x((n0 * 3 + c) * 20 + i)
+      assert(gap.a(n0 * 3 + c) == acc / 20, s"n=$n0 c=$c")
+    }
+    // negative axis + dropped dim
+    val drop = Onnx.runNd(oneNode("ReduceMean", Seq("x"), Nil,
+      attrIs = Seq("axes" -> Seq(-1L)), attrI = Seq("keepdims" -> 0L)), nd)
+    assert(drop.dims == Seq(2, 3, 4))
+    assert(drop.a(0) == (0 until 5).map(x(_)).sum / 5)
+    // all axes -> scalar-ish [1]
+    val all = Onnx.runNd(oneNode("ReduceMean", Seq("x"), Nil,
+      attrI = Seq("keepdims" -> 0L)), nd)
+    assert(all.dims == Seq(1) && all.a(0) == x.sum / x.length)
   }
 
   test("MaxPool omitted strides means stride 1 (the ONNX default), not the kernel") {
