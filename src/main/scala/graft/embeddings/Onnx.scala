@@ -723,13 +723,36 @@ object Onnx {
     v.map(_.toInt)
   }
 
-  /** auto_pad is a legacy attribute; anything but NOTSET silently shifts
-    * every tap, so it must reject, not be ignored. */
-  private def rejectAutoPad(n: Node): Unit =
-    n.attrS.get("auto_pad").filter(_ != "NOTSET").foreach { v =>
-      throw new IllegalArgumentException(
-        s"${n.opType}: auto_pad=$v unsupported (explicit pads only)")
+  /** Resolve per-axis (begin..., end...) pads honoring the legacy
+    * auto_pad attribute: NOTSET reads the pads attr, VALID is zero,
+    * SAME_UPPER/SAME_LOWER compute the TF-style padding that makes
+    * out = ceil(in / stride) (extra pad at the end for UPPER, the
+    * beginning for LOWER). Unknown values reject loudly — a silently
+    * ignored auto_pad would shift every tap. */
+  private def resolvePads(n: Node, inDims: Seq[Int], kernel: Seq[Int],
+      strides: Seq[Int], dilations: Seq[Int]): Seq[Int] = {
+    val zeros = Seq.fill(2 * inDims.size)(0L)
+    n.attrS.getOrElse("auto_pad", "NOTSET") match {
+      case "NOTSET" => intsAttr(n, "pads", zeros)
+      case "VALID" =>
+        require(intsAttr(n, "pads", zeros).forall(_ == 0),
+          s"${n.opType}: auto_pad=VALID contradicts nonzero pads")
+        zeros.map(_.toInt)
+      case ap @ ("SAME_UPPER" | "SAME_LOWER") =>
+        require(!n.attrIs.contains("pads"),
+          s"${n.opType}: auto_pad=$ap contradicts an explicit pads attr")
+        val (begin, end) = inDims.indices.map { k =>
+          val eff = (kernel(k) - 1) * dilations(k) + 1
+          val out = (inDims(k) + strides(k) - 1) / strides(k)
+          val total = math.max(0, (out - 1) * strides(k) + eff - inDims(k))
+          if (ap == "SAME_UPPER") (total / 2, total - total / 2)
+          else (total - total / 2, total / 2)
+        }.unzip
+        begin ++ end
+      case other => throw new IllegalArgumentException(
+        s"${n.opType}: auto_pad=$other unsupported")
     }
+  }
 
   private def rejectCeilAndDilation(n: Node): Unit = {
     require(n.attrI.getOrElse("ceil_mode", 0L) == 0L,
@@ -779,29 +802,35 @@ object Onnx {
             addBias(mm, mat(n, 2), n.attrF.getOrElse("beta", 1.0f).toDouble)
           else mm)
         case "Conv" =>
-          rejectAutoPad(n)
-          conv2d(in(n, 0), in(n, 1),
+          val x = in(n, 0); val w = in(n, 1)
+          val strides = intsAttr(n, "strides", Seq(1L, 1L))
+          val dil = intsAttr(n, "dilations", Seq(1L, 1L))
+          conv2d(x, w,
             if (n.inputs.size >= 3) Some(in(n, 2)) else None,
-            pads = intsAttr(n, "pads", Seq(0L, 0L, 0L, 0L)),
-            strides = intsAttr(n, "strides", Seq(1L, 1L)),
+            pads = resolvePads(n, x.dims.drop(2), w.dims.drop(2), strides, dil),
+            strides = strides,
             group = n.attrI.getOrElse("group", 1L).toInt,
-            dilations = intsAttr(n, "dilations", Seq(1L, 1L)))
+            dilations = dil)
         case "MaxPool" =>
-          rejectAutoPad(n); rejectCeilAndDilation(n)
+          rejectCeilAndDilation(n)
           val kernel = n.attrIs.getOrElse("kernel_shape",
             throw new IllegalArgumentException("MaxPool: kernel_shape required")).map(_.toInt)
           // the ONNX spec default is stride 1 along each axis, NOT the
           // kernel shape (a model omitting strides means overlapping taps)
-          maxPool2d(in(n, 0), kernel,
-            pads = intsAttr(n, "pads", Seq(0L, 0L, 0L, 0L)),
-            strides = intsAttr(n, "strides", Seq(1L, 1L)))
+          val x = in(n, 0)
+          val strides = intsAttr(n, "strides", Seq(1L, 1L))
+          maxPool2d(x, kernel,
+            pads = resolvePads(n, x.dims.drop(2), kernel, strides, Seq(1, 1)),
+            strides = strides)
         case "AveragePool" =>
-          rejectAutoPad(n); rejectCeilAndDilation(n)
+          rejectCeilAndDilation(n)
           val kernel = n.attrIs.getOrElse("kernel_shape",
             throw new IllegalArgumentException("AveragePool: kernel_shape required")).map(_.toInt)
-          avgPool2d(in(n, 0), kernel,
-            pads = intsAttr(n, "pads", Seq(0L, 0L, 0L, 0L)),
-            strides = intsAttr(n, "strides", Seq(1L, 1L)),
+          val x = in(n, 0)
+          val strides = intsAttr(n, "strides", Seq(1L, 1L))
+          avgPool2d(x, kernel,
+            pads = resolvePads(n, x.dims.drop(2), kernel, strides, Seq(1, 1)),
+            strides = strides,
             countIncludePad = n.attrI.getOrElse("count_include_pad", 0L) != 0L)
         case "Concat" =>
           val axis = n.attrI.getOrElse("axis",

@@ -445,6 +445,35 @@ class OnnxSpec extends SparkSpec {
     }
   }
 
+  test("auto_pad SAME_UPPER/SAME_LOWER/VALID resolve to the TF-style pads") {
+    // 5x5 input, 3x3 kernel, stride 2: out = ceil(5/2) = 3, total pad =
+    // (3-1)*2 + 3 - 5 = 2 -> UPPER (1,1)... symmetric; stride 1 total =
+    // 2 -> also symmetric; use kernel 2 for the asymmetric split:
+    // total = 1 -> UPPER pads (0,1), LOWER pads (1,0)
+    val (h, w) = (5, 5)
+    val x = Array.tabulate(h * w)(i => ((i * 7) % 13) * 0.5 - 2.0)
+    val nd = Onnx.Nd(Seq(1, 1, h, w), x)
+    val wts = Array.tabulate(4)(i => (i + 1) * 0.25f)
+    def conv(attrS: Seq[(String, String)], attrIs: Seq[(String, Seq[Long])]) =
+      Onnx.runNd(oneNode("Conv", Seq("x", "w"), Seq(("w", Seq(1, 1, 2, 2), wts)),
+        attrS = attrS, attrIs = Seq("kernel_shape" -> Seq(2L, 2L)) ++ attrIs), nd)
+    val upper = conv(Seq("auto_pad" -> "SAME_UPPER"), Nil)
+    val lower = conv(Seq("auto_pad" -> "SAME_LOWER"), Nil)
+    val explUp = conv(Nil, Seq("pads" -> Seq(0L, 0L, 1L, 1L)))
+    val explLo = conv(Nil, Seq("pads" -> Seq(1L, 1L, 0L, 0L)))
+    assert(upper.dims == Seq(1, 1, 5, 5) && lower.dims == Seq(1, 1, 5, 5))
+    assert(upper.a.toSeq == explUp.a.toSeq, "SAME_UPPER == explicit (0,0,1,1)")
+    assert(lower.a.toSeq == explLo.a.toSeq, "SAME_LOWER == explicit (1,1,0,0)")
+    assert(upper.a.toSeq != lower.a.toSeq, "the split must be visible")
+    // VALID == no pads; stride-2 SAME pool keeps ceil(in/stride)
+    val valid = conv(Seq("auto_pad" -> "VALID"), Nil)
+    assert(valid.a.toSeq == conv(Nil, Nil).a.toSeq)
+    val pool = Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
+      attrIs = Seq("kernel_shape" -> Seq(3L, 3L), "strides" -> Seq(2L, 2L)),
+      attrS = Seq("auto_pad" -> "SAME_UPPER")), nd)
+    assert(pool.dims == Seq(1, 1, 3, 3), "out = ceil(5/2)")
+  }
+
   test("conv/pool rejections: kernel_shape, auto_pad, ceil_mode, pool dilations, bad group") {
     val x = Onnx.Nd(Seq(1, 1, 4, 4), new Array[Double](16))
     val exK = intercept[IllegalArgumentException] {
@@ -454,9 +483,16 @@ class OnnxSpec extends SparkSpec {
     val exA = intercept[IllegalArgumentException] {
       Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
         attrIs = Seq("kernel_shape" -> Seq(2L, 2L)),
+        attrS = Seq("auto_pad" -> "SAME_BOGUS")), x)
+    }
+    assert(exA.getMessage.contains("auto_pad=SAME_BOGUS"))
+    // SAME_* contradicting an explicit pads attr rejects
+    val exP = intercept[IllegalArgumentException] {
+      Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
+        attrIs = Seq("kernel_shape" -> Seq(2L, 2L), "pads" -> Seq(1L, 1L, 1L, 1L)),
         attrS = Seq("auto_pad" -> "SAME_UPPER")), x)
     }
-    assert(exA.getMessage.contains("auto_pad=SAME_UPPER"))
+    assert(exP.getMessage.contains("contradicts"))
     // auto_pad=NOTSET is explicitly fine
     Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
       attrIs = Seq("kernel_shape" -> Seq(2L, 2L)),
