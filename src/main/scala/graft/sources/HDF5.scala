@@ -33,11 +33,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * takes — and the Version 2 B-tree index, record types 10/11, that
   * libhdf5 picks for >1 unlimited dims; filtered and plain) — with
   * DEFLATE and SHUFFLE filters in any pipeline order, so a default
-  * `nc_def_var_deflate` file decodes in either generation. Out of
-  * scope — rejected LOUDLY, never silently misread: szip, PAGED
-  * fixed-array/extensible-array blocks, v1 superblocks, big-endian
-  * data, huge/tiny fractal-heap objects, indirect child heap blocks,
-  * link-name and chunk v2-B-tree depth > 1.
+  * `nc_def_var_deflate` file decodes in either generation. Fixed
+  * arrays decode PAGED or unpaged. Out of scope — rejected LOUDLY,
+  * never silently misread: szip, PAGED extensible-array blocks, v1
+  * superblocks, big-endian data, huge/tiny fractal-heap objects,
+  * indirect child heap blocks, link-name and chunk v2-B-tree
+  * depth > 1.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -769,17 +770,18 @@ object HDF5 {
 
   /** Assemble a dataset stored under a LAYOUT-V4 chunk index: Single
     * Chunk (1), Implicit (2 — consecutive unfiltered chunks in row-major
-    * grid order), an UNPAGED Fixed Array (3: FAHD header + one FADB
-    * data block; client 0 = plain addresses, client 1 = address +
-    * chunk-size + filter mask per entry), or an Extensible Array (4:
+    * grid order), a Fixed Array (3: FAHD header + one FADB data block,
+    * paged past 2^pageBits entries; client 0 = plain addresses,
+    * client 1 = address + chunk-size + filter mask per entry), an
+    * Extensible Array (4:
     * EAHD header, EAIB index block holding the first elements plus
     * direct data-block and super-block addresses, EASB super blocks,
     * EADB data blocks — the index libhdf5 picks when exactly one
     * dimension is unlimited, i.e. every appended-time netCDF-4 series;
     * the unlimited dimension must be the slowest-varying so the array
-    * index is the row-major chunk index). Paged fixed-array and
-    * extensible-array blocks and the v2 B-tree index (>1 unlimited
-    * dims) reject. */
+    * index is the row-major chunk index), or a Version 2 B-tree (5:
+    * the >1-unlimited-dims index; record types 10/11, depth <= 1).
+    * Paged extensible-array blocks reject. */
   private def assembleChunksV4(bytes: Array[Byte], name: String,
       idx: (Int, Long), single: Option[(Long, Int)],
       dims: Seq[Int], chunkDims: Seq[Int], elemSize: Int,
@@ -835,9 +837,6 @@ object HDF5 {
         val dbAddr = h.getLong()
         require(maxEntries == nChunks,
           s"dataset $name: fixed array holds $maxEntries entries, grid has $nChunks")
-        require(maxEntries <= (1L << pageBits),
-          s"dataset $name: PAGED fixed arrays unsupported " +
-            s"($maxEntries entries > 2^$pageBits page)")
         require((clientId == 0) == filters.isEmpty,
           s"dataset $name: fixed-array client $clientId inconsistent with " +
             s"filter pipeline ${filters.mkString(",")}")
@@ -847,7 +846,7 @@ object HDF5 {
         require(db.get() == 0, s"dataset $name: FADB version != 0")
         db.get() // client id (mirrors header)
         db.getLong() // header address
-        (0 until nChunks).foreach { i =>
+        def entry(i: Int): Unit =
           if (clientId == 0)
             placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
               Nil, originOf(i), db.getLong(), chunkByteSize)
@@ -859,6 +858,26 @@ object HDF5 {
             db.getInt() // filter mask (partial pipelines unsupported anyway)
             placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
               filters, originOf(i), caddr, sz.toInt)
+          }
+        val pageSize = 1L << pageBits
+        if (maxEntries <= pageSize) (0 until nChunks).foreach(entry)
+        else {
+          // PAGED data block: page bitmap + header checksum, then the
+          // element pages each tailed by their own 4-byte checksum
+          val nPages = ((maxEntries + pageSize - 1) / pageSize).toInt
+          val bitmap = new Array[Byte]((nPages + 7) / 8)
+          db.get(bitmap)
+          (0 until nPages).foreach { p =>
+            require((bitmap(p / 8) & (1 << (p % 8))) != 0,
+              s"dataset $name: fixed-array page $p unallocated " +
+                "(fill-value reads unsupported)")
+          }
+          db.getInt() // data-block header checksum
+          var i = 0
+          (0 until nPages).foreach { p =>
+            val inPage = math.min(pageSize, maxEntries - p * pageSize).toInt
+            (0 until inPage).foreach { _ => entry(i); i += 1 }
+            db.getInt() // per-page checksum
           }
         }
       case 4 =>
@@ -1363,9 +1382,11 @@ object HDF5 {
     * (client 1) for filtered grids — or Fixed Array for EVERYTHING when
     * `fixedArrayAlways` (covering the client-0 path). */
   def writeLatestV4(specs: Seq[DsSpec], deflate: Boolean = false,
-      shuffle: Boolean = false, fixedArrayAlways: Boolean = false): Array[Byte] =
+      shuffle: Boolean = false, fixedArrayAlways: Boolean = false,
+      faPageBits: Int = 16): Array[Byte] =
     writeNewStyle(specs, deflate, shuffle, denseRoot = false,
-      smallHeapBlocks = false, v4Chunks = true, v4FixedArrayAlways = fixedArrayAlways)
+      smallHeapBlocks = false, v4Chunks = true, v4FixedArrayAlways = fixedArrayAlways,
+      faPageBits = faPageBits)
 
   /** [[writeLatestV4]] but every chunked dataset carries an UNLIMITED
     * slowest dimension (maxdims sentinel in the dataspace) and an
@@ -1416,7 +1437,7 @@ object HDF5 {
       v4Chunks: Boolean = false, v4FixedArrayAlways: Boolean = false,
       v4Extensible: Boolean = false, eaParams: EaParams = EaParams(),
       v1LeafCap: Int = Int.MaxValue, v4Btree2: Boolean = false,
-      bt2NodeSize: Int = 2048): Array[Byte] = {
+      bt2NodeSize: Int = 2048, faPageBits: Int = 16): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
     val sorted = specs.sortBy(_.name)
     def align8(x: Long): Long = (x + 7) & ~7L
@@ -1481,8 +1502,6 @@ object HDF5 {
           else if (n == 1) 1
           else if (filters.isEmpty) 2
           else 3
-        if (v4Kind(s.name) == 3) require(n <= 65536,
-          s"${s.name}: >65536 chunks needs a PAGED fixed array")
       }
       val layoutBody = s.chunkDims match {
         case None => 18 // ver+cls+addr8+size8
@@ -1546,12 +1565,20 @@ object HDF5 {
                 case ((o, p), i) => (o, p, base + i * sz)
               }
               cursor = base + origins.size * sz
-            case 3 => // fixed array: FAHD + FADB + chunks
+            case 3 => // fixed array: FAHD + FADB (paged past 2^pageBits) + chunks
               val fahd = align8(cursor + headerLen)
               v4IndexAddrs(s.name) = fahd
               val entrySize = if (hasFilter) 16 else 8
               val fadb = fahd + 28
-              var caddr = align8(fadb + 14 + origins.size.toLong * entrySize + 4)
+              val n = origins.size
+              val pageSize = 1L << faPageBits
+              val dbLen =
+                if (n <= pageSize) 14 + n.toLong * entrySize + 4
+                else {
+                  val nPages = ((n + pageSize - 1) / pageSize).toInt
+                  14 + (nPages + 7) / 8 + 4 + n.toLong * entrySize + 4L * nPages
+                }
+              var caddr = align8(fadb + dbLen)
               chunkPlans(s.name) = origins.zip(payloads).map { case (o, payload) =>
                 val a = caddr
                 caddr = align8(caddr + payload.length)
@@ -1978,7 +2005,7 @@ object HDF5 {
             case 1 if hasF =>
               out.putLong(chunkPlans(s.name).head._2.length.toLong)
               out.putInt(0) // filter mask
-            case 3 => out.put(16.toByte) // page bits (unpaged below 65536)
+            case 3 => out.put(faPageBits.toByte) // page bits
             case 4 => // EA creation parameters, H5O layout-message order
               out.put(eaParams.maxBits.toByte)
               out.put(eaParams.iblkElmts.toByte)
@@ -2063,7 +2090,7 @@ object HDF5 {
             out.put(0.toByte) // version
             out.put((if (hasF) 1 else 0).toByte) // client id
             out.put(entrySize.toByte)
-            out.put(16.toByte) // page bits
+            out.put(faPageBits.toByte)
             out.putLong(chunks.size.toLong)
             out.putLong(fahd + 28) // data block address
             out.putInt(0) // checksum (zero)
@@ -2071,11 +2098,27 @@ object HDF5 {
             out.put(0.toByte)
             out.put((if (hasF) 1 else 0).toByte)
             out.putLong(fahd)
-            chunks.foreach { case (_, payload, addr) =>
-              out.putLong(addr)
-              if (hasF) { out.putInt(payload.length); out.putInt(0) }
+            def faEntry(ci: Int): Unit = {
+              out.putLong(chunks(ci)._3)
+              if (hasF) { out.putInt(chunks(ci)._2.length); out.putInt(0) }
             }
-            out.putInt(0) // checksum (zero)
+            val pageSize = 1L << faPageBits
+            if (chunks.size <= pageSize) {
+              chunks.indices.foreach(faEntry)
+              out.putInt(0) // checksum (zero)
+            } else {
+              // paged: all-initialized page bitmap + header checksum,
+              // then element pages each tailed by a checksum
+              val nPages = ((chunks.size + pageSize - 1) / pageSize).toInt
+              (0 until (nPages + 7) / 8).foreach(_ => out.put(0xff.toByte))
+              out.putInt(0) // data-block header checksum (zero)
+              var ci = 0
+              (0 until nPages).foreach { p =>
+                val inPage = math.min(pageSize, chunks.size - p * pageSize).toInt
+                (0 until inPage).foreach { _ => faEntry(ci); ci += 1 }
+                out.putInt(0) // page checksum (zero)
+              }
+            }
           } else if (v4Kind(s.name) == 4) {
             val p = eaParams
             val plan = eaPlans(s.name)

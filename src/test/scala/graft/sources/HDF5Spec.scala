@@ -398,7 +398,7 @@ class HDF5Spec extends SparkSpec {
     }
   }
 
-  test("layout v4 rejects loudly: unknown index types, paged fixed arrays") {
+  test("layout v4 rejects loudly: unknown index types") {
     val specs = Seq(HDF5.DsSpec("g", Seq(4, 4), Array.tabulate(16)(_ * 1.0),
       chunkDims = Some(Seq(2, 2))))
     val bytes = HDF5.writeLatestV4(specs, fixedArrayAlways = true)
@@ -414,12 +414,28 @@ class HDF5Spec extends SparkSpec {
     val ext = bytes.clone(); ext(idxTypeAt) = 6
     val e1 = intercept[IllegalArgumentException](HDF5.read(ext))
     assert(e1.getMessage.contains("index type 6"))
-    // paged: shrink the FAHD page bits below the entry count
-    val fa = bytes.indices.find(i =>
-      bytes(i) == 'F' && bytes(i + 1) == 'A' && bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
-    val paged = bytes.clone(); paged(fa + 7) = 1 // page bits: 2^1 < 4 chunks
-    val e2 = intercept[IllegalArgumentException](HDF5.read(paged))
-    assert(e2.getMessage.contains("PAGED"))
+  }
+
+  test("paged fixed array round-trips; unallocated pages reject loudly") {
+    // pageBits=3 over 35 chunks: 5 pages (8+8+8+8+3), page bitmap + one
+    // checksum per page on the wire
+    val specs = Seq(HDF5.DsSpec("grid", Seq(10, 14),
+      Array.tabulate(140)(i => (i * 11 % 37) * 0.5 - 9.0), chunkDims = Some(Seq(2, 2))))
+    for ((df, sh) <- Seq((false, false), (true, true))) {
+      val bytes = HDF5.writeLatestV4(specs, deflate = df, shuffle = sh,
+        fixedArrayAlways = true, faPageBits = 3)
+      val back = HDF5.read(bytes)
+      assert(back.head.data.toSeq == specs.head.data.toSeq, s"deflate=$df shuffle=$sh")
+    }
+    // clear page-bitmap bit 2 -> a clean unallocated-page reject, not a
+    // silent fill-value misread
+    val bytes = HDF5.writeLatestV4(specs, fixedArrayAlways = true, faPageBits = 3)
+    val db = bytes.indices.find(i =>
+      bytes(i) == 'F' && bytes(i + 1) == 'A' && bytes(i + 2) == 'D' && bytes(i + 3) == 'B').get
+    val holed = bytes.clone()
+    holed(db + 14) = (holed(db + 14) & ~(1 << 2)).toByte // sig4 ver1 client1 hdr8 -> bitmap
+    val e = intercept[IllegalArgumentException](HDF5.read(holed))
+    assert(e.getMessage.contains("page 2 unallocated"))
   }
 
   test("dense-group leftovers are rejected loudly: huge ids, deep B-trees") {
