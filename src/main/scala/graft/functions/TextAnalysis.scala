@@ -98,6 +98,31 @@ object TextAnalysis {
 
   import org.apache.spark.sql.DataFrame
 
+  /** PII surface patterns (emails, NANP-style phone shapes, IPv4
+    * literals) — the redaction pass every compliance-scrubbed training
+    * corpus runs before tokenization. ASCII-only regexes that Java
+    * regex (Spark codegen) and the RE2 family (DuckDB oracle) interpret
+    * identically, so redaction is hash-verifiable cross-engine. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\d{3}-\\d{3}-\\d{4}"
+  val PiiIpv4 = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** Replace every PII match with a typed placeholder; emails first so
+    * their digit runs can't be half-eaten by the phone/IP passes. Three
+    * codegen'd regexp_replace calls, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, PiiEmail, "<EMAIL>"),
+        PiiPhone, "<PHONE>"),
+      PiiIpv4, "<IP>")
+
+  /** Per-kind PII match counts: (emails, phones, ipv4s). */
+  def piiCounts(c: Column): (Column, Column, Column) =
+    (regexp_count(c, lit(PiiEmail)),
+      regexp_count(c, lit(PiiPhone)),
+      regexp_count(c, lit(PiiIpv4)))
+
   /** Gopher-style repetition quality signals per document (Rae et al.
     * 2021 §A1.1 "repetition" filters, the public rule family): duplicate-
     * token fraction (1 − distinct/total) and top-token dominance

@@ -117,6 +117,50 @@ object LlmQueries {
         TextAnalysis.langGuess(TextAnalysis.tokens(col("text"))).as("guessed"))
     },
 
+    // ---- PII detection + redaction --------------------------------------
+    // The compliance scrub a training corpus runs before tokenization:
+    // count and replace emails / NANP phones / IPv4 literals. The corpus
+    // is word salad, so each doc is AUGMENTED with deterministic PII
+    // synthesized from doc_id (identical || arithmetic in both engines);
+    // the oracle replays the same regexes with DuckDB's 'g' flag, and the
+    // full redacted text rides in the hash — a per-character equality
+    // proof of the three-pass replacement, not just the counts.
+    QueryDef.sqlBacked(
+      "q93_pii_redact",
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(aug, '${TextAnalysis.PiiEmail}')) AS n_email,
+         |  len(regexp_extract_all(aug, '${TextAnalysis.PiiPhone}')) AS n_phone,
+         |  len(regexp_extract_all(aug, '${TextAnalysis.PiiIpv4}')) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PiiPhone}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.PiiIpv4}', '<IP>', 'g') AS redacted
+         |FROM (
+         |  SELECT doc_id,
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-'
+         |      || CAST(doc_id % 5 AS VARCHAR) || '.org call 555-'
+         |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |      || CAST((doc_id * 7) % 256 AS VARCHAR) AS aug
+         |  FROM documents)""".stripMargin) { (s, d) =>
+      val aug = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex-"), (col("doc_id") % 5).cast("string"),
+        lit(".org call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+      val (ne, np, ni) = TextAnalysis.piiCounts(col("aug"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          ne.cast("long").as("n_email"), np.cast("long").as("n_phone"),
+          ni.cast("long").as("n_ip"),
+          TextAnalysis.redactPii(col("aug")).as("redacted"))
+    },
+
     // ---- rolling-hash document fingerprint ------------------------------
     QueryDef.sqlBacked(
       "q25_fingerprint",
