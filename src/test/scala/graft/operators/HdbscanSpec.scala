@@ -157,6 +157,164 @@ class HdbscanSpec extends SparkSpec {
     (12L until 24L).foreach(i => assert(got(i) == 12L))
   }
 
+  // ---- independent naive HDBSCAN (adversarial property oracle) --------
+  // A from-scratch reimplementation sharing only the published semantics
+  // with the operator, in a deliberately DIFFERENT shape: all-pairs
+  // arrays, Kruskal MST, and a recursive TOP-DOWN condensed-tree walk
+  // (the operator builds the linkage tree bottom-up via union-find and
+  // assigns labels distributively from cut edges). Agreement therefore
+  // checks the semantics, not the code.
+  private case class NEdge(a: Long, b: Long, w: Double)
+
+  private class NCluster(val birthMembers: Set[Long]) {
+    var stability = 0.0
+    var children: List[NCluster] = Nil
+  }
+
+  /** Returns (pid -> label, parent-over-children selections,
+    * children-over-parent selections). */
+  private def naiveHdbscan(pts: Seq[(Long, Double, Double)], mcs: Int,
+      ms: Int, epsMax: Double): (Map[Long, Long], Int, Int) = {
+    def lam(w: Double) = 1.0 / math.max(w, java.lang.Double.MIN_NORMAL)
+    val xy = pts.map { case (id, x, y) => id -> ((x, y)) }.toMap
+    def dist(a: Long, b: Long): Double = {
+      val (ax, ay) = xy(a); val (bx, by) = xy(b)
+      math.hypot(ax - bx, ay - by)
+    }
+    val ids = pts.map(_._1)
+    // core distance: (ms-1)-th nearest OTHER point within epsMax; points
+    // lacking that rank never enter the mutual-reachability graph
+    val core: Map[Long, Double] =
+      if (ms == 1) ids.map(_ -> 0.0).toMap
+      else ids.flatMap { a =>
+        val ds = ids.filter(_ != a).map(dist(a, _)).filter(_ <= epsMax).sorted
+        if (ds.size >= ms - 1) Some(a -> ds(ms - 2)) else None
+      }.toMap
+    val mr = for {
+      a <- ids; b <- ids if a < b
+      ca <- core.get(a); cb <- core.get(b)
+      d = dist(a, b) if d <= epsMax
+    } yield NEdge(a, b, math.max(d, math.max(ca, cb)))
+    // Kruskal with the operator's deterministic (w, a, b) tie order
+    val par = scala.collection.mutable.Map[Long, Long]()
+    def root(x: Long): Long = { var r = x; while (par.getOrElse(r, r) != r) r = par(r); r }
+    val mst = scala.collection.mutable.ArrayBuffer[NEdge]()
+    mr.sortBy(e => (e.w, e.a, e.b)).foreach { e =>
+      val (ra, rb) = (root(e.a), root(e.b))
+      if (ra != rb) { par(ra) = rb; mst += e }
+    }
+    def comps(members: Set[Long], edges: Seq[NEdge]): Seq[Set[Long]] = {
+      val p = scala.collection.mutable.Map[Long, Long]()
+      def r(x: Long): Long = { var q = x; while (p.getOrElse(q, q) != q) q = p(q); q }
+      edges.foreach { e => val (x, y) = (r(e.a), r(e.b)); if (x != y) p(x) = y }
+      members.groupBy(r).values.toSeq
+    }
+    var parentWins = 0
+    var childWins = 0
+    // top-down: repeatedly remove the max-(w,a,b) edge; a removal whose
+    // two sides both reach minClusterSize births two children, a small
+    // side falls out at that height, two small sides dissolve the cluster
+    def walk(members: Set[Long], edges: Seq[NEdge], birthW: Double): NCluster = {
+      val node = new NCluster(members)
+      var cur = members
+      var es = edges
+      var open = true
+      while (open) {
+        val top = es.maxBy(e => (e.w, e.a, e.b))
+        val rest = es.filterNot(_ == top)
+        val sides = comps(cur, rest)
+        assert(sides.size == 2, "removing a tree edge must split in two")
+        val dL = lam(top.w) - lam(birthW)
+        val (big, small) = sides.partition(_.size >= mcs)
+        if (big.size == 2) {
+          node.stability += cur.size * dL
+          node.children = big.map(s =>
+            walk(s, rest.filter(e => s(e.a) && s(e.b)), top.w)).toList
+          open = false
+        } else if (big.size == 1) {
+          node.stability += small.map(_.size).sum * dL
+          cur = big.head
+          es = rest.filter(e => cur(e.a) && cur(e.b))
+        } else {
+          node.stability += cur.size * dL
+          open = false
+        }
+      }
+      node
+    }
+    // excess-of-mass over each tree top (born at the epsMax truncation;
+    // the virtual root above them is never selectable)
+    def select(c: NCluster): (Double, List[NCluster]) =
+      if (c.children.isEmpty) (c.stability, List(c))
+      else {
+        val rs = c.children.map(select)
+        val sum = rs.map(_._1).sum
+        if (sum > c.stability) { childWins += 1; (sum, rs.flatMap(_._2)) }
+        else { parentWins += 1; (c.stability, List(c)) }
+      }
+    val labels = scala.collection.mutable.Map[Long, Long]()
+    val mstIds: Set[Long] = mst.flatMap(e => Seq(e.a, e.b)).toSet
+    comps(mstIds, mst.toSeq).foreach { c =>
+      if (c.size >= mcs) {
+        val tree = walk(c, mst.filter(e => c(e.a) && c(e.b)).toSeq, epsMax)
+        select(tree)._2.foreach { sel =>
+          val lbl = sel.birthMembers.min
+          sel.birthMembers.foreach(p => labels(p) = lbl)
+        }
+      }
+    }
+    (ids.map(id => id -> labels.getOrElse(id, -1L)).toMap, parentWins, childWins)
+  }
+
+  test("adversarial property: full chain equals naive HDBSCAN on 50 nested-hierarchy seeds") {
+    val (mcs, ms, epsMax) = (5, 3, 10.0)
+    val perSeed = (0 until 50).map { seed =>
+      val rnd = new scala.util.Random(9000 + seed)
+      // each seed lives in its own 1000-spaced cell: one distributed run
+      // covers all 50 fixtures, the eps-grid keeps them independent
+      val ox = (seed % 8) * 1000.0
+      val oy = (seed / 8) * 1000.0
+      var k = 0L
+      val pts = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+      def pid(): Long = { val p = seed * 100000L + k; k += 1; p }
+      def blob(cx: Double, cy: Double, nPts: Int, std: Double): Unit =
+        (0 until nPts).foreach { _ =>
+          pts += ((pid(), ox + cx + rnd.nextGaussian() * std,
+            oy + cy + rnd.nextGaussian() * std))
+        }
+      // two superclusters of TWO sub-blobs each; separation/std drawn so
+      // some seeds make stability keep the merged parent (overlapping
+      // sub-blobs), others split into the children (tight + separated),
+      // and sep > epsMax truncates the parent into two tree tops
+      for ((scx, scy) <- Seq((0.0, 0.0), (60.0, 40.0))) {
+        val sep = 1.0 + rnd.nextDouble() * 11.0
+        val std = 0.25 + rnd.nextDouble() * 0.9
+        blob(scx - sep / 2, scy, 8 + rnd.nextInt(8), std)
+        blob(scx + sep / 2, scy, 8 + rnd.nextInt(8), std)
+      }
+      blob(30.0, -20.0, 3, 0.3) // below minClusterSize: must fall as noise
+      (0 until 4).foreach { j => // isolated noise, pairwise > epsMax apart
+        pts += ((pid(), ox - 100.0 - 40.0 * j, oy + 150.0 + 40.0 * j))
+      }
+      seed -> pts.toSeq
+    }
+    val all = perSeed.flatMap(_._2)
+    val got = run2d(all, mcs = mcs, ms = ms, epsMax = epsMax)
+    var parentWinsTotal = 0
+    var childWinsTotal = 0
+    perSeed.foreach { case (seed, pts) =>
+      val (naive, pw, cw) = naiveHdbscan(pts, mcs, ms, epsMax)
+      parentWinsTotal += pw
+      childWinsTotal += cw
+      pts.foreach { case (id, _, _) =>
+        assert(got(id) == naive(id),
+          s"seed $seed pid $id: distributed ${got(id)} != naive ${naive(id)}")
+      }
+    }
+    assert(parentWinsTotal > 0, "seeds must include parent-over-children selections")
+    assert(childWinsTotal > 0, "seeds must include children-over-parent selections")
+  }
+
   test("degenerate inputs: everything isolated, empty frame") {
     val pts = Seq((1L, 0.0, 0.0), (2L, 100.0, 0.0), (3L, 0.0, 100.0))
     val got = run2d(pts, mcs = 2, ms = 2, epsMax = 1.0)
