@@ -123,6 +123,67 @@ object TextAnalysis {
       regexp_count(c, lit(PiiPhone)),
       regexp_count(c, lit(PiiIpv4)))
 
+  /** Distinct poly-hashes of space-joined token n-grams — the word-level
+    * shingle family decontamination uses (GPT-3 Appendix C checks 13-gram
+    * overlap; n is a parameter here). Empty array below n tokens (guards
+    * Spark's descending `sequence`). */
+  def tokenNgramHashes(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => polyHash(concat_ws(" ", slice(toks, i + lit(1), lit(n)))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Benchmark decontamination: per train document, the number of its
+    * distinct token n-grams that also occur anywhere in `benchmark`, and
+    * a 0/1 contaminated flag — the eval-set overlap scrub every serious
+    * training corpus runs (the GPT-3/PaLM n-gram-collision family).
+    *
+    * Scale shape: the benchmark side distincts to a small hash set (eval
+    * suites are MBs even when the corpus is 100 TB), so AQE turns the
+    * join into a broadcast; the per-doc count partial-aggregates
+    * map-side. Documents with fewer than n tokens have no n-grams and no
+    * output row (they cannot be contaminated). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val tg = train.select(col(idCol).as("doc_id"),
+      explode(tokenNgramHashes(col(textCol), n)).as("g"))
+    val eg = benchmark.select(explode(tokenNgramHashes(col(textCol), n)).as("g"))
+      .distinct().withColumn("hit", lit(1L))
+    tg.join(eg, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_hits"),
+        max(coalesce(col("hit"), lit(0L))).as("contaminated"))
+  }
+
+  /** Corpus-trained unigram language-model score per document: mean
+    * negative log-likelihood of the document's tokens under the corpus
+    * unigram distribution p(t) = count(t)/total — the cheap end of the
+    * perplexity-filter family (KenLM-style quality scoring with the
+    * model order cut to 1 so the oracle can replay it exactly). Low nll
+    * = typical text, high = outlier. Rounded to 6 dp for cross-engine
+    * float-sum stability.
+    *
+    * Scale shape: the vocabulary is bounded by type count (millions of
+    * rows at 100 TB — size-gated to a broadcast by AQE), the corpus
+    * total is a 1-row broadcast, and both aggregations partial-combine
+    * map-side. */
+  def unigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val perDoc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("vcnt"))
+    val total = vocab.agg(sum("vcnt").cast("long").as("total"))
+    perDoc.join(vocab, "tok")
+      .crossJoin(broadcast(total)) // bounded: one row
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_tok"),
+        round(sum(col("cnt") *
+            (log(col("total").cast("double")) - log(col("vcnt").cast("double"))))
+          / sum(col("cnt")), 6).as("nll"))
+  }
+
   /** Gopher-style repetition quality signals per document (Rae et al.
     * 2021 §A1.1 "repetition" filters, the public rule family): duplicate-
     * token fraction (1 − distinct/total) and top-token dominance

@@ -161,6 +161,55 @@ object LlmQueries {
           TextAnalysis.redactPii(col("aug")).as("redacted"))
     },
 
+    // ---- benchmark decontamination --------------------------------------
+    // The eval-set overlap scrub (GPT-3 Appendix C / PaLM n-gram
+    // collision family): documents sharing any token 3-gram with the
+    // "benchmark" slice (doc_id % 97 = 0) are flagged, with the count of
+    // distinct colliding grams. The oracle replays the same space-joined
+    // token n-grams through the same poly hash.
+    QueryDef.sqlBacked(
+      "q94_decontam",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |gs AS (
+         |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+         |gh AS (SELECT DISTINCT doc_id, ${polySql("g", "len(g)")} AS gh FROM gs),
+         |eg AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+         |tg AS (SELECT doc_id, gh FROM gh WHERE doc_id % 97 <> 0)
+         |SELECT tg.doc_id, CAST(count(eg.gh) AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN count(eg.gh) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM tg LEFT JOIN eg ON tg.gh = eg.gh
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.decontaminate(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    },
+
+    // ---- unigram-LM quality score ---------------------------------------
+    // Mean negative log-likelihood under the corpus unigram distribution
+    // — the order-1 member of the perplexity-filter family, exactly
+    // replayable by the oracle (same ln/total arithmetic, 6-dp rounding
+    // for float-sum order stability).
+    QueryDef.sqlBacked(
+      "q95_unigram_lm",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT tok, count(*) AS vcnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(vcnt) AS BIGINT) AS total FROM vocab)
+        |SELECT pd.doc_id, CAST(sum(pd.cnt) AS BIGINT) AS n_tok,
+        |  round(sum(pd.cnt * (ln(CAST(total AS DOUBLE)) - ln(CAST(vcnt AS DOUBLE))))
+        |    / sum(pd.cnt), 6) AS nll
+        |FROM pd JOIN vocab ON vocab.tok = pd.tok CROSS JOIN tot
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramLmScores(Tables.documents(s, d), "doc_id", "text")
+    },
+
     // ---- rolling-hash document fingerprint ------------------------------
     QueryDef.sqlBacked(
       "q25_fingerprint",

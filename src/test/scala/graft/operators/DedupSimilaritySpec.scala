@@ -81,6 +81,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(df.select(TextAnalysis.charNgrams(col("t"), 3)).as[Seq[String]].head().isEmpty)
   }
 
+  test("decontaminate counts distinct colliding token n-grams against the benchmark") {
+    // benchmark gram set: {"a b c", "b c d"}; doc 1 shares both, doc 2
+    // shares one (twice in text — still ONE distinct gram), doc 3 none,
+    // doc 4 is shorter than n and yields no output row
+    val train = Seq(
+      (1L, "a b c d"),
+      (2L, "x b c d y b c d"),
+      (3L, "p q r s"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((2L, 1L)), 2L -> ((1L, 1L)), 3L -> ((0L, 0L))))
+  }
+
+  test("unigramLmScores: hand-computed corpus nll, 6-dp rounded") {
+    // corpus: tokens a a b | c -> vocab a:2 b:1 c:1, total 4
+    // doc 1: (2 ln(4/2) + ln(4/1)) / 3 = 4 ln 2 / 3; doc 2: ln 4
+    val df = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLmScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, r6(4 * math.log(2) / 3))))
+    assert(got(2L) == ((1L, r6(math.log(4)))))
+  }
+
+  test("tokenNgramHashes guards texts shorter than n") {
+    val df = Seq("a b").toDF("t")
+    assert(df.select(TextAnalysis.tokenNgramHashes(col("t"), 3)).as[Seq[Long]].head().isEmpty)
+  }
+
   test("connectedComponents collapses pair chains to min-id clusters") {
     // chain 1-2-3-4 (diameter 3), pair 10-11, self-contained 20-21-20
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 21L))
