@@ -178,8 +178,11 @@ object ScaleRehearsal {
         .otherwise(cy + (u(8) - 0.5) * 2 * r)
       val pts = spark.range(nh)
         .select(col("id").as("pid"), x.as("x"), y.as("y"))
+      // maxLocalEdges = 0 forces the distributed Boruvka path: the
+      // rehearsal measures the 100 TB route, not the gated local Kruskal
       graft.operators.Hdbscan.cluster(pts, "pid", "x", "y",
-        minClusterSize = 30, minSamples = 5, epsMax = 4.0).count()
+        minClusterSize = 30, minSamples = 5, epsMax = 4.0,
+        maxLocalEdges = 0L).count()
     }
 
     spark.stop()

@@ -60,17 +60,25 @@ object Hdbscan {
   /** 2-D entry point (x, y columns). */
   def cluster(points: DataFrame, idCol: String, xCol: String, yCol: String,
       minClusterSize: Int, minSamples: Int, epsMax: Double,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxLocalEdges: Long = 1L << 20): DataFrame = {
     val pts = points.select(col(idCol).cast("long").as("pid"),
       array(col(xCol).cast("double"), col(yCol).cast("double")).as("vec"))
     clusterVectors(pts, "pid", "vec", minClusterSize, minSamples, epsMax,
-      binDims = 2, checkpointDir = checkpointDir)
+      binDims = 2, checkpointDir = checkpointDir, maxLocalEdges = maxLocalEdges)
   }
 
-  /** n-dim entry point over an array column (the embedding-space form). */
+  /** n-dim entry point over an array column (the embedding-space form).
+    *
+    * `maxLocalEdges` gates the MST strategy: a mutual-reachability graph
+    * at or below it finishes with a driver-side Kruskal (the collect is
+    * the same order as the MST collect the condensed-tree walk performs
+    * anyway), above it the distributed Boruvka loop runs — the standard
+    * two-phase distributed-MST design. 0 forces the distributed path. */
   def clusterVectors(points: DataFrame, idCol: String, vecCol: String,
       minClusterSize: Int, minSamples: Int, epsMax: Double, binDims: Int = 2,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      maxLocalEdges: Long = 1L << 20): DataFrame = {
     require(minClusterSize >= 2, "minClusterSize must be >= 2")
     require(minSamples >= 1, "minSamples must be >= 1")
     require(epsMax > 0, "epsMax must be positive")
@@ -111,7 +119,7 @@ object Hdbscan {
         greatest(col("d"), col("ca"), col("cb")).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val mst = boruvkaMst(mr, checkpointDir)
+    val (mst, mstComp) = boruvkaMst(mr, checkpointDir, maxLocalEdges)
 
     // ---- driver-side condensed tree + stability selection --------------
     // Only the n-1 MST edges are collected (points absent from the MST
@@ -122,56 +130,113 @@ object Hdbscan {
     binned.unpersist(); pairs.unpersist(); mr.unpersist()
 
     // ---- distributed label assignment ---------------------------------
-    // For each distinct cut, connected components over the MST edges
-    // strictly (lexicographically) below it; a selected cluster is the
-    // component whose min node (= alt-star component id) is its label.
-    // ALL cuts run in ONE alt-star loop over composite
-    // struct(cut_id, node) keys (Spark orders structs lexicographically,
-    // so per-cut component ids are struct(cut_id, min node)) — one
-    // iterative job instead of a sequential CC pass per birth level.
+    // Tree-top clusters (cut = None — the common whole-blob case) are
+    // whole MST components, and the Boruvka loop's FINAL component map
+    // already is CC(MST): an O(#clusters) semi-join labels them with no
+    // CC pass at all. For each remaining distinct cut, connected
+    // components over the MST edges strictly (lexicographically) below
+    // it; a selected cluster is the component whose min node (= alt-star
+    // component id) is its label. ALL cuts run in ONE alt-star loop over
+    // composite struct(cut_id, node) keys (Spark orders structs
+    // lexicographically, so per-cut component ids are
+    // struct(cut_id, min node)) — one iterative job instead of a
+    // sequential CC pass per birth level.
     val ptIds = pts.select(col("pid"))
     if (selected.isEmpty)
       ptIds.select(col("pid"), lit(-1L).as("cluster"))
     else {
-      val cutGroups = selected.groupBy(_.cut).toSeq.zipWithIndex
-      val tagged = cutGroups.map { case ((cut, _), i) =>
-        val g = cut match {
-          case None => mst
-          case Some(e) => mst.where(col("w") < e.w ||
-            (col("w") === e.w && (col("a") < e.a ||
-              (col("a") === e.a && col("b") < e.b))))
+      val (tops, cutsSel) = selected.partition(_.cut.isEmpty)
+      val topLabeled =
+        if (tops.isEmpty) None
+        else Some(mstComp
+          .join(tops.map(_.label).toDF("component"), Seq("component"))
+          .select(col("node").as("pid"), col("component").as("cluster")))
+      val cutLabeled =
+        if (cutsSel.isEmpty) None
+        else {
+          val cutGroups = cutsSel.groupBy(_.cut).toSeq.zipWithIndex
+          val tagged = cutGroups.map { case ((cut, _), i) =>
+            val e = cut.get
+            mst.where(col("w") < e.w ||
+                (col("w") === e.w && (col("a") < e.a ||
+                  (col("a") === e.a && col("b") < e.b))))
+              .select(lit(i).as("cid"), col("a"), col("b"))
+          }.reduce(_ union _)
+            .select(struct(col("cid"), col("a").as("n")).as("ua"),
+              struct(col("cid"), col("b").as("n")).as("vb"))
+          val comp = Dedup.altStarAny(tagged, "ua", "vb", checkpointDir = checkpointDir)
+          // keep only the components whose min node is a selected label,
+          // at that label's own cut — an O(#clusters) semi-join (tiny
+          // local side; Spark broadcasts it on its own, no hint needed)
+          val wanted = cutGroups.flatMap { case ((_, cs), i) =>
+            cs.map(c => (i, c.label))
+          }.toDF("cid", "cluster")
+          Some(comp
+            .select(col("node.n").as("pid"), col("component.cid").as("cid"),
+              col("component.n").as("cluster"))
+            .join(wanted, Seq("cid", "cluster"))
+            .select(col("pid"), col("cluster")))
         }
-        g.select(lit(i).as("cid"), col("a"), col("b"))
-      }.reduce(_ union _)
-        .select(struct(col("cid"), col("a").as("n")).as("ua"),
-          struct(col("cid"), col("b").as("n")).as("vb"))
-      val comp = Dedup.altStarAny(tagged, "ua", "vb", checkpointDir = checkpointDir)
-      // keep only the components whose min node is a selected label, at
-      // that label's own cut — an O(#clusters) semi-join (tiny local
-      // side; Spark broadcasts it on its own, no hint needed)
-      val wanted = cutGroups.flatMap { case ((_, cs), i) =>
-        cs.map(c => (i, c.label))
-      }.toDF("cid", "cluster")
-      val labeled = comp
-        .select(col("node.n").as("pid"), col("component.cid").as("cid"),
-          col("component.n").as("cluster"))
-        .join(wanted, Seq("cid", "cluster"))
-        .select(col("pid"), col("cluster"))
+      val labeled = (topLabeled.toSeq ++ cutLabeled.toSeq).reduce(_ union _)
       ptIds.join(labeled, Seq("pid"), "left")
         .select(col("pid"), coalesce(col("cluster"), lit(-1L)).as("cluster"))
     }
   }
 
-  /** Boruvka MST over (a_id, b_id, w) edges: each round every component
+  /** MST over (a_id, b_id, w) edges, returning BOTH the forest edges
+    * (a = min endpoint, b = max) and the final node -> component map
+    * (component = min node — CC(MST), which the labeling tail consumes
+    * for tree-top clusters without any extra CC pass).
+    *
+    * Two-phase strategy (the standard distributed-MST shape): a graph at
+    * or below `maxLocalEdges` is collected and solved with a driver-side
+    * Kruskal — the collect is bounded by the gate and is the same order
+    * as the MST collect the condensed-tree walk performs anyway, while a
+    * distributed loop would spend tens of fixed-overhead shuffle jobs on
+    * it. Above the gate, Boruvka rounds run: each round every component
     * picks its minimum outgoing edge (deterministic (w, a, b) order),
     * the picked edges join the forest, and components re-contract via
     * the alt-star recurrence. O(log n) rounds, every step a groupBy or
-    * equi-join on integer keys. Ties are broken by (w, a_id, b_id), so
-    * the forest — and everything downstream — is deterministic. */
+    * equi-join on integer keys. Ties are broken by (w, a_id, b_id) in
+    * both phases, so the forest — and everything downstream — is
+    * deterministic. */
   private[operators] def boruvkaMst(edges: DataFrame,
-      checkpointDir: Option[String]): DataFrame = {
+      checkpointDir: Option[String],
+      maxLocalEdges: Long = 1L << 20): (DataFrame, DataFrame) = {
     val spark = edges.sparkSession
     import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    val edgeCount = edges.count()
+    if (edgeCount <= maxLocalEdges) {
+      val local = edges
+        .select(least(col("a_id"), col("b_id")).cast("long").as("a"),
+          greatest(col("a_id"), col("b_id")).cast("long").as("b"),
+          col("w").cast("double"))
+        .collect().map(r => MstEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val par = scala.collection.mutable.Map[Long, Long]()
+      def root(x: Long): Long = {
+        var r = x
+        while (par.getOrElse(r, r) != r) r = par(r)
+        var c = x
+        while (par.getOrElse(c, c) != r) { val nx = par(c); par(c) = r; c = nx }
+        r
+      }
+      val mstLocal = scala.collection.mutable.ArrayBuffer[MstEdge]()
+      local.sortBy(e => (e.w, e.a, e.b)).foreach { e =>
+        val (ra, rb) = (root(e.a), root(e.b))
+        if (ra != rb) { par(ra) = rb; mstLocal += e }
+      }
+      val nodesLocal = local.iterator.flatMap(e => Iterator(e.a, e.b)).toArray.distinct
+      val minOfRoot = scala.collection.mutable.Map[Long, Long]()
+      nodesLocal.foreach { n =>
+        val r = root(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+      }
+      val compLocal = nodesLocal.map(n => (n, minOfRoot(root(n))))
+      return (
+        mstLocal.toSeq.toDF("a", "b", "w"),
+        compLocal.toSeq.toDF("node", "component"))
+    }
     val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"), col("w"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v"), col("w")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -187,32 +252,41 @@ object Hdbscan {
     var it = 0
     val maxIter = 40
     while (!done && it < maxIter) {
-      // edges labeled with both endpoint components; keep cross edges
-      val lbl = sym
-        .join(comp.withColumnRenamed("node", "u").withColumnRenamed("component", "cu"), "u")
-        .join(comp.withColumnRenamed("node", "v").withColumnRenamed("component", "cv"), "v")
-        .where(col("cu") =!= col("cv"))
-      if (lbl.isEmpty) done = true
-      else {
-        // min outgoing edge per component, deterministic tie-break
-        val pick = lbl
+      // edges labeled with both endpoint components; keep cross edges;
+      // min outgoing edge per component, deterministic tie-break. The
+      // pick is checkpointed ONCE and reused as the convergence probe,
+      // the MST increment, and the CC seed — one pass over the join per
+      // round instead of three.
+      val pick = Checkpointing.truncate(
+        sym
+          .join(comp.withColumnRenamed("node", "u").withColumnRenamed("component", "cu"), "u")
+          .join(comp.withColumnRenamed("node", "v").withColumnRenamed("component", "cv"), "v")
+          .where(col("cu") =!= col("cv"))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("cu"))
               .orderBy(col("w"), least(col("u"), col("v")), greatest(col("u"), col("v")))))
           .where(col("rk") === 1)
           .select(least(col("u"), col("v")).as("a"),
             greatest(col("u"), col("v")).as("b"), col("w"))
-          .distinct()
+          .distinct(),
+        checkpointDir)
+      if (pick.isEmpty) done = true
+      else {
         // picks always cross CURRENT components, so an edge can repeat
         // within a round (both endpoints pick it — the distinct above)
         // but never across rounds: no full-MST distinct needed.
-        // (Contracting on the (cu, cv) pick graph instead of re-running
-        // CC over the accumulated MST was tried and MEASURED SLOWER at
-        // bench scale: the extra per-round join + materialization costs
-        // more than the full-MST alt-star saves, and both are
-        // job-count-bound, not data-bound — see SCALE.md F7.)
         mst = Checkpointing.truncate(mst.union(pick), checkpointDir)
-        comp = Dedup.connectedComponentsAltStar(mst, "a", "b", checkpointDir = checkpointDir)
+        // warm-started CC: the previous component map is a star forest
+        // with EXACTLY the accumulated MST's components, so CC over
+        // (star edges ∪ new picks) equals CC over the full MST — but
+        // alt-star over a star forest converges in far fewer rounds
+        // than over raw tree edges. Labels stay min-node, identical.
+        // (Contracting on the (cu, cv) pick graph instead was tried and
+        // MEASURED SLOWER at bench scale — see SCALE.md F7.)
+        val seed = comp.where(col("node") =!= col("component"))
+          .select(col("node").as("a"), col("component").as("b"))
+          .union(pick.select(col("a"), col("b")))
+        comp = Dedup.connectedComponentsAltStar(seed, "a", "b", checkpointDir = checkpointDir)
           .select(col("node"), col("component"))
         // isolated nodes keep their self label
         comp = nodes.select(col("u").as("node"))
@@ -224,7 +298,7 @@ object Hdbscan {
     }
     require(done, s"Boruvka MST did not converge in $maxIter rounds")
     sym.unpersist(); nodes.unpersist()
-    mst.select(col("a"), col("b"), col("w"))
+    (mst.select(col("a"), col("b"), col("w")), comp)
   }
 
   /** Driver-side single-linkage dendrogram -> condensed tree ->
