@@ -192,6 +192,70 @@ object Similarity {
         sum(round(col("v").cast("double") * 1000000).cast("long")).as("sum_scaled"),
         count(lit(1)).as("n"))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over an embedding corpus. Vectors are blocked into
+    * KMeans-style cells (an EXPLICIT centroid index — the production
+    * shape, fit once and persisted like [[ivfTopKWithCentroids]]'s);
+    * near-duplicate pairs are the within-cell pairs with cosine >=
+    * `threshold`; duplicate GROUPS are the connected components of those
+    * pairs; and each group keeps exactly ONE representative — the member
+    * with the LOWEST cosine similarity to its cell centroid (the paper's
+    * keep-low-centroid-similarity rule: retain the group's most
+    * informative extreme), ties broken by id.
+    *
+    * Returns one row per input vector:
+    * (id, cell, cent_sim, rep_id, kept) — kept = 1 iff the row survives
+    * dedup (it is its group's representative, or was never a duplicate).
+    *
+    * Scale shape: cell assignment and centroid similarity are per-row
+    * scans against the plan-embedded centroid literal (no shuffle, no
+    * driver loop); pair generation is an integer cell equi-join whose
+    * blow-up is bounded by the largest cell — nCells is the knob, and
+    * the published pipeline sizes it so cells stay ~10^4 rows even at
+    * 10^8-document corpora; components run on alt-star (O(log n)
+    * rounds); representative election is one window over components. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Seq[Double]], threshold: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // centroid of the assigned cell, straight from the plan literal
+    def centArr = element_at(typedlit(cents), col("cell") + 1)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        element_at(array_sort(cellDists(col("v"), cents)), 1).getField("cell"))
+      .withColumn("nv", norm(col("v")))
+      // cosine to own centroid: the same left-to-right folds the oracle
+      // replays (vector dot centroid, centroid self-dot), rounded 6 dp
+      .withColumn("cent_sim", round(
+        aggregate(zip_with(col("v"), centArr, (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, p) => acc + p)
+          / (col("nv") *
+            sqrt(aggregate(transform(centArr, c => c * c),
+              lit(0.0), (acc, p) => acc + p))), 6))
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+      col("nv").as("na"), col("cell"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nv").as("nb"), col("cell"))
+    val pairs = a.join(b, "cell").where(col("id_a") < col("id_b"))
+      .where(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponentsAltStar(pairs, "id_a", "id_b",
+      checkpointDir = checkpointDir)
+    val members = comp.select(col("node").as("id"), col("component"))
+      .join(assigned.select(col("id"), col("cent_sim").as("ms")), "id")
+    val reps = members
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("component")).orderBy(col("ms"), col("id"))))
+      .where(col("rk") === 1)
+      .select(col("component"), col("id").as("rep_id"))
+    assigned.select(col("id"), col("cell").cast("long").as("cell"), col("cent_sim"))
+      .join(members.select(col("id"), col("component")), Seq("id"), "left")
+      .join(reps, Seq("component"), "left")
+      .select(col("id"), col("cell"), col("cent_sim"),
+        coalesce(col("rep_id"), col("id")).as("rep_id"))
+      .withColumn("kept", (col("id") === col("rep_id")).cast("long"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column. */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,

@@ -471,6 +471,71 @@ object LlmQueries {
         k = 5, cents = cents, nProbe = 2)
     },
 
+    // ---- SemDeDup: semantic dedup over embeddings ------------------------
+    // The published semantic-dedup pipeline (Abbas et al. 2023): KMeans-
+    // cell blocking (the q73 formula-deterministic 8-cell index), within-
+    // cell cosine>=0.3 pairs, connected components, keep-one-per-group
+    // with the paper's lowest-centroid-similarity representative rule.
+    // The oracle replays every stage: the same (d2, cell) argmin
+    // assignment, the same rounded folds, an independent recursive-CTE
+    // closure for the groups, and the same (cent_sim, id) election — so
+    // the hash proves blocking, grouping AND election end-to-end.
+    QueryDef.sqlBacked(
+      "q96_semdedup",
+      s"""WITH RECURSIVE cells AS (SELECT unnest(range(0, 8)) AS cell),
+         |cd AS (
+         |  SELECT vec_id, embedding, cell,
+         |    list_reduce([(CAST(embedding[j] AS DOUBLE)
+         |        - CAST((cell*31 + (j-1)*17) % 13 - 6 AS DOUBLE) / 6.0)
+         |      * (CAST(embedding[j] AS DOUBLE)
+         |        - CAST((cell*31 + (j-1)*17) % 13 - 6 AS DOUBLE) / 6.0)
+         |      FOR j IN range(1, 65)], (x, y) -> x + y) AS d2
+         |  FROM embeddings CROSS JOIN cells),
+         |assign AS (
+         |  SELECT vec_id, embedding AS v, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM cd)
+         |  WHERE rn = 1),
+         |cs AS (
+         |  SELECT vec_id, cell,
+         |    round(list_reduce([CAST(v[j] AS DOUBLE)
+         |        * (CAST((cell*31 + (j-1)*17) % 13 - 6 AS DOUBLE) / 6.0)
+         |        FOR j IN range(1, 65)], (x, y) -> x + y)
+         |      / (sqrt(${dotSql("v", "v")})
+         |         * sqrt(list_reduce([(CAST((cell*31 + (j-1)*17) % 13 - 6 AS DOUBLE) / 6.0)
+         |             * (CAST((cell*31 + (j-1)*17) % 13 - 6 AS DOUBLE) / 6.0)
+         |             FOR j IN range(1, 65)], (x, y) -> x + y))), 6) AS cent_sim
+         |  FROM assign),
+         |pairsq AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${dotSql("a.v", "b.v")}
+         |    / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})), 6) >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairsq
+         |          UNION ALL SELECT id_b, id_a FROM pairsq),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |compq AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),
+         |reps AS (
+         |  SELECT component, node AS rep_id FROM (
+         |    SELECT c.component, c.node,
+         |      row_number() OVER (PARTITION BY c.component ORDER BY cs.cent_sim, c.node) AS rk
+         |    FROM compq c JOIN cs ON cs.vec_id = c.node)
+         |  WHERE rk = 1)
+         |SELECT cs.vec_id, CAST(cs.cell AS BIGINT) AS cell, cs.cent_sim,
+         |  coalesce(reps.rep_id, cs.vec_id) AS rep_id,
+         |  CAST(CASE WHEN coalesce(reps.rep_id, cs.vec_id) = cs.vec_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM cs LEFT JOIN compq ON compq.node = cs.vec_id
+         |LEFT JOIN reps ON reps.component = compq.component""".stripMargin) { (s, d) =>
+      val cents = Seq.tabulate(8, 64)((ci, j) => ((ci * 31 + j * 17) % 13 - 6) / 6.0)
+        .map(_.toSeq)
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        cents = cents, threshold = 0.3)
+        .withColumnRenamed("id", "vec_id")
+    },
+
     // ---- per-label centroids as exact scaled-integer sums ---------------
     QueryDef.sqlBacked(
       "q31_centroids",

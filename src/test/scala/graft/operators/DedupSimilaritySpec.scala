@@ -129,6 +129,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semDedup keeps one representative per group: lowest centroid similarity") {
+    // 2-d, two explicit cells at (1,0) and (0,1). ids 1,2,3 land in cell
+    // 0 and are mutually cosine>=0.9 (one group); 10 and 11 land in cell
+    // 1 but their cosine ~0.04 stays below threshold (both kept).
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val vecs = Seq(
+      1L -> Array(1.0f, 0.01f), 2L -> Array(0.9f, 0.02f),
+      3L -> Array(0.95f, -0.01f),
+      10L -> Array(0.01f, 1.0f), 11L -> Array(-1.0f, 0.05f))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(vecs, "vec_id", "embedding", cents, 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    // group {1,2,3}: id 2 has the LOWEST cosine to (1,0) (its vector is
+    // the most off-axis relative to its norm), so it is the survivor
+    assert(got(1L)._2 == 2L && got(1L)._3 == 0L)
+    assert(got(2L)._2 == 2L && got(2L)._3 == 1L)
+    assert(got(3L)._2 == 2L && got(3L)._3 == 0L)
+    // cell-1 residents are non-duplicates: each keeps itself
+    assert(got(10L) == (1L, 10L, 1L) && got(11L) == (1L, 11L, 1L))
+    // exactly one kept row per rep_id
+    val keptPerRep = got.values.groupBy(_._2).map { case (rep, ms) =>
+      rep -> ms.count(_._3 == 1L) }
+    assert(keptPerRep.values.forall(_ == 1))
+  }
+
   test("connectedComponents of an empty pairs input is an empty labeling") {
     // a corpus with zero near-dup pairs is the COMMON case for a clean
     // shard — must return empty, not NPE on the null sum-over-zero-rows
