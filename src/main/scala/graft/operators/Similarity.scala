@@ -217,28 +217,8 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]], threshold: Double,
       checkpointDir: Option[String] = None): DataFrame = {
-    // centroid of the assigned cell, straight from the plan literal
-    def centArr = element_at(typedlit(cents), col("cell") + 1)
-    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("cell",
-        element_at(array_sort(cellDists(col("v"), cents)), 1).getField("cell"))
-      .withColumn("nv", norm(col("v")))
-      // cosine to own centroid: the same left-to-right folds the oracle
-      // replays (vector dot centroid, centroid self-dot), rounded 6 dp
-      .withColumn("cent_sim", round(
-        aggregate(zip_with(col("v"), centArr, (x, c) => x.cast("double") * c),
-          lit(0.0), (acc, p) => acc + p)
-          / (col("nv") *
-            sqrt(aggregate(transform(centArr, c => c * c),
-              lit(0.0), (acc, p) => acc + p))), 6))
-    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
-      col("nv").as("na"), col("cell"))
-    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nv").as("nb"), col("cell"))
-    val pairs = a.join(b, "cell").where(col("id_a") < col("id_b"))
-      .where(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-        >= threshold)
-      .select(col("id_a"), col("id_b"))
+    val assigned = semDedupAssign(df, idCol, vecCol, cents)
+    val pairs = semDedupPairs(assigned, threshold)
     val comp = Dedup.connectedComponentsAltStar(pairs, "id_a", "id_b",
       checkpointDir = checkpointDir)
     val members = comp.select(col("node").as("id"), col("component"))
@@ -254,6 +234,40 @@ object Similarity {
       .select(col("id"), col("cell"), col("cent_sim"),
         coalesce(col("rep_id"), col("id")).as("rep_id"))
       .withColumn("kept", (col("id") === col("rep_id")).cast("long"))
+  }
+
+  /** [[semDedup]] stage 1: cell assignment + centroid similarity —
+    * per-row scans against the plan-embedded centroid literal. */
+  private[graft] def semDedupAssign(df: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Seq[Double]]): DataFrame = {
+    // centroid of the assigned cell, straight from the plan literal
+    def centArr = element_at(typedlit(cents), col("cell") + 1)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell",
+        element_at(array_sort(cellDists(col("v"), cents)), 1).getField("cell"))
+      .withColumn("nv", norm(col("v")))
+      // cosine to own centroid: the same left-to-right folds the oracle
+      // replays (vector dot centroid, centroid self-dot), rounded 6 dp
+      .withColumn("cent_sim", round(
+        aggregate(zip_with(col("v"), centArr, (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, p) => acc + p)
+          / (col("nv") *
+            sqrt(aggregate(transform(centArr, c => c * c),
+              lit(0.0), (acc, p) => acc + p))), 6))
+  }
+
+  /** [[semDedup]] stage 2: within-cell near-dup pairs — MUST stay an
+    * integer cell equi-join (plan-asserted in PlanRegressionSpec). */
+  private[graft] def semDedupPairs(assigned: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = assigned.select(col("id").as("id_a"), col("v").as("va"),
+      col("nv").as("na"), col("cell"))
+    val b = assigned.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nv").as("nb"), col("cell"))
+    a.join(b, "cell").where(col("id_a") < col("id_b"))
+      .where(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column. */

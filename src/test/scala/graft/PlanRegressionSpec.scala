@@ -153,6 +153,31 @@ class PlanRegressionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("semDedup candidate generation plans as an equi-join on cells") {
+    // stage 2 of SemDeDup must meet on the integer cell key: a cartesian
+    // or nested loop is the all-pairs regression the KMeans-cell
+    // blocking exists to prevent. Asserted on the pair frame itself —
+    // the public operator runs it inside the alt-star loop.
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+      val vecs = (0L until 100L).map(i =>
+        (i, Array((i % 7).toFloat / 7 + 0.1f, (i % 5).toFloat / 5 + 0.1f)))
+        .toDF("vec_id", "embedding")
+      val pairs = graft.operators.Similarity.semDedupPairs(
+        graft.operators.Similarity.semDedupAssign(vecs, "vec_id", "embedding", cents),
+        threshold = 0.9)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "semDedup pair join plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"semDedup pair join plans a nested loop:\n${plan.take(1200)}")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"semDedup pair join lost its equi-join:\n${plan.take(1200)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q53: time filter pushes into the DSv2 scan (residual-free)") {
     val plan = planOf("q53_dsv2_calendar")
     assert(plan.contains("graft-calendar scan"), "expected the custom calendar scan")
