@@ -36,6 +36,13 @@ object LlmQueries {
       s"[CAST(ord(substr($s, j, 1)) AS BIGINT) FOR j IN range(1, $len + 1)]), " +
       s"(a, b) -> (a * 31 + b) % $P)"
 
+  /** DuckDB mirror of `Triplets.hashUnit`: poly-hash, avalanche-mixed
+    * (salt-multiply + square mod P), divided by P — identical tokens. */
+  private def huSql(sExpr: String): String = {
+    val h = polySql(sExpr, s"len($sExpr)")
+    s"(CAST(((($h) * 2654435761) % $P) * ((($h) * 2654435761) % $P) % $P AS DOUBLE) / $P.0)"
+  }
+
   /** DuckDB: minhash columns mh0..mh{k-1} from hashed-shingle list `xs`. */
   private def minhashSqlCols(k: Int): String =
     (0 until k).map(i =>
@@ -534,6 +541,29 @@ object LlmQueries {
       Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         cents = cents, threshold = 0.3)
         .withColumnRenamed("id", "vec_id")
+    },
+
+    // ---- corpus mixing: deterministic stratified subsampling -------------
+    // The source-reweighting step (SlimPajama/Pile proportions, DoReMi
+    // domain weights): per-source target keep rates, decided by the
+    // key-derived hash uniform — so the oracle replays every keep/drop
+    // decision token-for-token, proving the sample is a pure function of
+    // (seed, doc_id) and not of partitioning or shuffle order.
+    QueryDef.sqlBacked(
+      "q97_data_mixing",
+      s"""SELECT doc_id, source, keep_rate,
+         |  CAST(CASE WHEN u < keep_rate THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM (
+         |  SELECT doc_id, source,
+         |    CAST(CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.5
+         |      WHEN 'src2' THEN 0.1 ELSE 0.25 END AS DOUBLE) AS keep_rate,
+         |    ${huSql("'42|' || CAST(doc_id AS VARCHAR)")} AS u
+         |  FROM documents)""".stripMargin) { (s, d) =>
+      graft.operators.Mixing.sampleDecisions(Tables.documents(s, d),
+        "doc_id", "source",
+        rates = Seq("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.1),
+        defaultRate = 0.25, seed = 42L)
+        .select(col("doc_id"), col("source"), col("keep_rate"), col("kept"))
     },
 
     // ---- per-label centroids as exact scaled-integer sums ---------------

@@ -156,6 +156,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(keptPerRep.values.forall(_ == 1))
   }
 
+  test("stratified mixing: rates apply per stratum, raising a rate keeps a superset") {
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def keptSet(rates: Seq[(String, Double)]) =
+      Mixing.sampleDecisions(docs, "doc_id", "source", rates,
+        defaultRate = 0.0, seed = 42L)
+        .where(col("kept") === 1).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val low = keptSet(Seq("src0" -> 0.2, "src1" -> 1.0))
+    val high = keptSet(Seq("src0" -> 0.7, "src1" -> 1.0))
+    // monotone: the u per document never changes, so a higher rate can
+    // only ADD documents — the property that makes mixture iteration
+    // stable instead of a fresh redraw
+    assert(low.subsetOf(high))
+    assert(low.size < high.size)
+    // rate 1.0 keeps everything in its stratum, rate 0.0 (default) drops
+    // src2/src3 entirely
+    assert(high.count(_ % 4 == 1) == 100)
+    assert(high.forall(i => i % 4 == 0 || i % 4 == 1))
+    // the kept fraction lands near the target (hash uniformity, exact
+    // set pinned by the q97 oracle hash)
+    val f0 = high.count(_ % 4 == 0) / 100.0
+    assert(f0 > 0.5 && f0 < 0.9, s"src0 kept fraction $f0 far from 0.7")
+    // filtered form drops the bookkeeping columns and the dropped rows
+    val sampled = Mixing.stratifiedSample(docs, "doc_id", "source",
+      Seq("src0" -> 0.7, "src1" -> 1.0), defaultRate = 0.0, seed = 42L)
+    assert(sampled.columns.toSeq == Seq("doc_id", "source"))
+    assert(sampled.collect().map(_.getLong(0)).toSet == high)
+  }
+
   test("connectedComponents of an empty pairs input is an empty labeling") {
     // a corpus with zero near-dup pairs is the COMMON case for a clean
     // shard — must return empty, not NPE on the null sum-over-zero-rows
