@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.core.Projection.{DegPerRad, RadPerDeg}
 import graft.functions.{DerivedVariables, Solar, UserFunctions}
 import graft.operators.{RankStats, Sessionize}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pipeline-compilation operator surface: the C10 derived-variable DAG,
@@ -493,6 +494,54 @@ object PipelineQueries {
       s.table("q66_stream_sink")
         .where(col("probe_id") >= 0) // drop the watermark sentinel
         .select("probe_id", "matched_ts", "dt_us")
+    },
+
+    // ---- streaming session windows, driver-gate-proven ------------------
+    // The REAL streaming engine's session_window (gap-merged intervals,
+    // boundary-exclusive close) run to completion, with session ordinals
+    // ranked afterwards; the oracle is the batch gaps-and-islands SQL
+    // with the matching >=-gap split. Hash match = q41's sessionization
+    // survives streaming, end-to-end and value-exact.
+    QueryDef.sqlBacked(
+      "q98_streaming_sessions",
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS t_start, max(ts) AS t_end
+        |FROM (
+        |  SELECT user_id, ts,
+        |    CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 3600000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_id
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    FROM events))
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.streaming.StreamOps
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q98").toString
+      val e = Tables.events(s, d)
+      // watermark sentinel 3h past max ts (its own session never
+      // finalizes and is filtered below; every real session's close +
+      // 1h gap sits under the final watermark, so Append emits them all)
+      val sentinelTs = new java.sql.Timestamp(
+        e.agg(max(col("ts"))).head().getTimestamp(0).getTime + 3L * 3600000L)
+      e.select(col("user_id"), col("ts"))
+        .unionByName(Seq((-1L, sentinelTs)).toDF("user_id", "ts"))
+        .write.mode("overwrite").parquet(dir)
+      val sess = StreamOps.sessionWindows(
+        s.readStream.schema(s.read.parquet(dir).schema).parquet(dir),
+        "user_id", "ts", gap = "1 hour", watermark = "0 seconds")
+      val q = sess.writeStream.outputMode("append").format("memory")
+        .queryName("q98_stream_sink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table("q98_stream_sink")
+        .where(col("user_id") >= 0)
+        .withColumn("session_id", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("t_start")))
+          .cast("long") - 1)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("t_start"), col("t_end"))
     },
 
     // ---- bucketed co-located join, gate-proven --------------------------

@@ -40,6 +40,21 @@ object StreamOps {
         count(lit(1)).as("n_events"))
       .where(col("n_types") >= nTypes)
 
+  /** q41-analog as a stream: gap-based sessions via the engine's
+    * `session_window`. A session is [first ts, last ts + gap); an event
+    * at exactly last + gap starts a NEW session (boundary-exclusive) —
+    * the batch dual splits at inter-event gaps >= the gap duration.
+    * State per key is one open session, evicted once the watermark
+    * passes its close — bounded on an unbounded feed. */
+  def sessionWindows(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("t_start"), max(col(tsCol)).as("t_end"))
+      .select(col(keyCol), col("n_events"), col("t_start"), col("t_end"))
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class Track(user_id: Long, n_events: Long, last_value: Double, drift: Double)
 
