@@ -455,6 +455,50 @@ object SourceQueries {
         .toDF("y", "x", "z")
     },
 
+    // ---- WARC ingest: the Common Crawl container ------------------------
+    // documents -> .warc.gz shards (one gzip member per record, HTTP
+    // response payloads — the Common Crawl layout, written by the
+    // independent Warc encoder) -> binaryFile -> Warc.readGz ->
+    // httpBody -> rows. The oracle recomputes url/md5/byte-length from
+    // the documents table directly, so a hash match proves the whole
+    // encode -> per-record-gzip -> parse -> HTTP-strip chain is
+    // value-exact on every document. Fixture generation collects the
+    // (sf-bounded) doc set on the driver — test scaffolding, not the
+    // ingest path; the read side is per-file executor-parallel exactly
+    // like a real crawl's ~10^5 segment files.
+    QueryDef.sqlBacked(
+      "q99_warc_ingest",
+      """SELECT 'http://corpus.example/' || CAST(doc_id AS VARCHAR) AS url,
+        |  md5(text) AS body_md5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, d) =>
+      import graft.sources.Warc
+      val dir = java.nio.file.Files.createTempDirectory("graft-q99").toString
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      docs.grouped(math.max(1, docs.length / 4)).zipWithIndex.foreach {
+        case (chunk, i) =>
+          val recs = chunk.map { case (id, text) =>
+            Warc.WarcRecord("response", s"http://corpus.example/$id",
+              "2024-01-02T03:04:05Z",
+              Map("WARC-Record-ID" -> s"<urn:uuid:doc-$id>"),
+              Warc.httpResponsePayload(text.getBytes("UTF-8"), "text/plain"))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"segment-$i%02d.warc.gz"),
+            Warc.writeGz(recs.toSeq))
+      }
+      import s.implicits._
+      s.read.format("binaryFile").load(s"$dir/*.warc.gz")
+        .select("content").as[Array[Byte]]
+        .flatMap { b =>
+          Warc.readGz(b).map(r => (r.targetUri, Warc.httpBody(r.payload)))
+        }
+        .toDF("url", "body")
+        .select(col("url"), md5(col("body")).as("body_md5"),
+          length(col("body")).cast("long").as("n_bytes"))
+    },
+
     // ---- M5 depth: object-based cloudmetrics (labeling + I_org) ---------
     // The reference's named plugin example is
     // `cloud_metrics__mask__iorg_objects` (aux_fields/data.py:82-108):
