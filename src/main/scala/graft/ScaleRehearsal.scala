@@ -185,6 +185,44 @@ object ScaleRehearsal {
         maxLocalEdges = 0L).count()
     }
 
+    // ---- SemDeDup: cells grow with N, per-cell occupancy constant ------
+    // The published pipeline's geometry (cluster count scales with the
+    // corpus so cells stay small): K = N/500 explicit centroids on a
+    // 1009-period lattice (distinct for K <= 1009), each point drawn
+    // around its nominal centroid with fixed relative noise — so the
+    // within-cell pair volume and the near-dup fraction are
+    // scale-invariant per point, and the candidate join is the same
+    // integer-cell equi-join family as DBSCAN/LSH (F5/F1).
+    val nsd = (20000 * mult).toLong
+    val sdK = math.max(8, (nsd / 500L).toInt)
+    val sdDim = 4
+    def sdCentElem(ci: Int, j: Int): Double = ((ci * 97 + j * 17) % 1009 - 504) / 504.0
+    val sdCents = Seq.tabulate(sdK, sdDim)(sdCentElem).map(_.toSeq)
+    def sdVecs = {
+      val cCol = pmod(col("id"), lit(sdK.toLong)).cast("int")
+      val vec = array((0 until sdDim).map { j =>
+        (((cCol * 97 + lit(j * 17)) % 1009 - 504).cast("double") / 504.0
+          + (u(20 + j) - 0.5) * 0.15).cast("float")
+      }: _*)
+      spark.range(nsd).select(col("id").as("vec_id"), vec.as("embedding"),
+        pmod(col("id"), lit(sdK.toLong)).as("cell"))
+    }
+    // production shape: assignments come from the KMeans fit (here the
+    // generator's nominal cell) — measures pairs + CC + election
+    timed("semdedup") {
+      graft.operators.Similarity.semDedupPreAssigned(sdVecs,
+        "vec_id", "embedding", "cell", sdCents, threshold = 0.99)
+        .where(col("kept") === 1).count()
+    }
+    // self-contained shape: in-operator exact argmin over all K cells —
+    // O(N*K) by construction; kept in the rehearsal so the term stays
+    // measured, not assumed (SCALE.md F8)
+    timed("semdedup_assign") {
+      graft.operators.Similarity.semDedup(sdVecs.drop("cell"),
+        "vec_id", "embedding", sdCents, threshold = 0.99)
+        .where(col("kept") === 1).count()
+    }
+
     spark.stop()
   }
 }

@@ -217,7 +217,35 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       cents: Seq[Seq[Double]], threshold: Double,
       checkpointDir: Option[String] = None): DataFrame = {
+    // in-operator exact assignment is O(N * nCells) — fine for a
+    // bounded explicit index; at production scale pass the fit's own
+    // assignments through [[semDedupPreAssigned]] instead (SCALE.md F8)
     val assigned = semDedupAssign(df, idCol, vecCol, cents)
+    semDedupTail(assigned, threshold, checkpointDir)
+  }
+
+  /** The production shape (and the paper's): cluster assignments come
+    * from the KMeans fit that produced the centroids — a byproduct, not
+    * an O(N * nCells) rescan. `cellCol` carries them; `cents` is only
+    * consulted for the assigned cell's centroid similarity (O(dim) per
+    * row). Same output contract as [[semDedup]]. */
+  def semDedupPreAssigned(df: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, cents: Seq[Seq[Double]], threshold: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val assigned = withCentSim(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        col(cellCol).cast("int").as("cell"))
+        .withColumn("nv", norm(col("v"))), cents)
+    semDedupTail(assigned, threshold, checkpointDir)
+  }
+
+  /** Stages 2-4 shared by both entry points: `assigned` is checkpointed
+    * ONCE (it feeds four scans — both pair sides, the member join, the
+    * final join — and recomputing the assignment each time is the
+    * dominant cost at scale), then pairs -> components -> election. */
+  private def semDedupTail(assignedIn: DataFrame, threshold: Double,
+      checkpointDir: Option[String]): DataFrame = {
+    val assigned = Checkpointing.truncate(assignedIn, checkpointDir)
     val pairs = semDedupPairs(assigned, threshold)
     val comp = Dedup.connectedComponentsAltStar(pairs, "id_a", "id_b",
       checkpointDir = checkpointDir)
@@ -237,23 +265,29 @@ object Similarity {
   }
 
   /** [[semDedup]] stage 1: cell assignment + centroid similarity —
-    * per-row scans against the plan-embedded centroid literal. */
+    * per-row scans against the plan-embedded centroid literal. The
+    * argmin is `array_min` over (d2, cell) structs — O(nCells), not the
+    * O(nCells log nCells) full sort, and identical to sort-then-first
+    * under struct ordering. */
   private[graft] def semDedupAssign(df: DataFrame, idCol: String,
-      vecCol: String, cents: Seq[Seq[Double]]): DataFrame = {
-    // centroid of the assigned cell, straight from the plan literal
+      vecCol: String, cents: Seq[Seq[Double]]): DataFrame =
+    withCentSim(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("cell",
+          array_min(cellDists(col("v"), cents)).getField("cell"))
+        .withColumn("nv", norm(col("v"))), cents)
+
+  /** Cosine of `v` to its assigned cell's centroid: the same
+    * left-to-right folds the oracle replays (vector dot centroid,
+    * centroid self-dot), rounded 6 dp. Expects columns id/v/cell/nv. */
+  private def withCentSim(assigned: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
     def centArr = element_at(typedlit(cents), col("cell") + 1)
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("cell",
-        element_at(array_sort(cellDists(col("v"), cents)), 1).getField("cell"))
-      .withColumn("nv", norm(col("v")))
-      // cosine to own centroid: the same left-to-right folds the oracle
-      // replays (vector dot centroid, centroid self-dot), rounded 6 dp
-      .withColumn("cent_sim", round(
-        aggregate(zip_with(col("v"), centArr, (x, c) => x.cast("double") * c),
-          lit(0.0), (acc, p) => acc + p)
-          / (col("nv") *
-            sqrt(aggregate(transform(centArr, c => c * c),
-              lit(0.0), (acc, p) => acc + p))), 6))
+    assigned.withColumn("cent_sim", round(
+      aggregate(zip_with(col("v"), centArr, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, p) => acc + p)
+        / (col("nv") *
+          sqrt(aggregate(transform(centArr, c => c * c),
+            lit(0.0), (acc, p) => acc + p))), 6))
   }
 
   /** [[semDedup]] stage 2: within-cell near-dup pairs — MUST stay an

@@ -154,6 +154,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val keptPerRep = got.values.groupBy(_._2).map { case (rep, ms) =>
       rep -> ms.count(_._3 == 1L) }
     assert(keptPerRep.values.forall(_ == 1))
+    // the production entry point (assignments provided by the fit, not
+    // recomputed) is result-identical when fed the argmin cells
+    val pre = Similarity.semDedupPreAssigned(
+      vecs.withColumn("cell", when(col("vec_id") < 10L, 0).otherwise(1)),
+      "vec_id", "embedding", "cell", cents, 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(pre == got)
   }
 
   test("stratified mixing: rates apply per stratum, raising a rate keeps a superset") {
