@@ -46,7 +46,11 @@ object Bench {
     // Round 6: time the density-clustering operators every round —
     // n-dim DBSCAN (eps-cell candidate join) and HDBSCAN (core distance
     // -> Boruvka MST -> distributed per-cut labeling).
-    "q87_dbscan_vectors", "q89_hdbscan_blobs")
+    "q87_dbscan_vectors", "q89_hdbscan_blobs",
+    // Round 6 additions: SemDeDup (cell-blocked cosine pairs + alt-star
+    // + election) and deterministic corpus mixing (pure projection —
+    // its cost is the floor a stateless operator should sit at).
+    "q96_semdedup", "q97_data_mixing")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
