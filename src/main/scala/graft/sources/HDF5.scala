@@ -34,11 +34,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * libhdf5 picks for >1 unlimited dims; filtered and plain) — with
   * DEFLATE and SHUFFLE filters in any pipeline order, so a default
   * `nc_def_var_deflate` file decodes in either generation. Fixed
-  * arrays decode PAGED or unpaged. Out of scope — rejected LOUDLY,
-  * never silently misread: szip, PAGED extensible-array blocks, v1
-  * superblocks, big-endian data, huge/tiny fractal-heap objects,
-  * indirect child heap blocks, link-name and chunk v2-B-tree
-  * depth > 1.
+  * arrays decode PAGED or unpaged. Fixed/float data decodes in either
+  * byte order (bit 0 of the datatype class bit field; big-endian is
+  * the legacy big-iron shape). Out of scope — rejected LOUDLY, never
+  * silently misread: szip, PAGED extensible-array blocks, v1
+  * superblocks, huge/tiny fractal-heap objects, indirect child heap
+  * blocks, link-name and chunk v2-B-tree depth > 1.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -480,6 +481,7 @@ object HDF5 {
     var dims: Seq[Long] = Nil
     var dtClass = -1
     var dtSize = -1
+    var dtBigEndian = false
     var dataAddr = Undef
     var chunkDims: Seq[Int] = Nil // element-count dims (element-size tail dropped)
     var chunkBtree = Undef
@@ -515,7 +517,9 @@ object HDF5 {
           dtClass = classVer & 0x0f
           val bits0 = b.get(); b.get(); b.get()
           dtSize = b.getInt()
-          require((bits0 & 1) == 0, s"dataset $name: big-endian data unsupported")
+          // bit 0 of the class bit field is the byte order (0 = LE,
+          // 1 = BE — the legacy big-iron shape); both decode
+          dtBigEndian = (bits0 & 1) == 1
           require(dtClass == 0 || dtClass == 1,
             s"dataset $name: datatype class $dtClass unsupported (fixed/float only)")
         case 0x0008 => // data layout
@@ -633,7 +637,8 @@ object HDF5 {
         require(filters.isEmpty, s"dataset $name: filtered contiguous data unsupported")
         java.util.Arrays.copyOfRange(bytes, dataAddr.toInt, dataAddr.toInt + n * dtSize)
       }
-    val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val b = ByteBuffer.wrap(raw).order(
+      if (dtBigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -1055,6 +1060,14 @@ object HDF5 {
   final case class DsSpec(name: String, dims: Seq[Long], data: Array[Double],
       chunkDims: Option[Seq[Int]] = None, compact: Boolean = false)
 
+  /** Raster doubles in the requested byte order (the master buffer
+    * stays LE for all structural fields). */
+  private def putRaster(out: ByteBuffer, s: DsSpec, bigEndian: Boolean): Unit = {
+    if (bigEndian) out.order(ByteOrder.BIG_ENDIAN)
+    s.data.foreach(out.putDouble)
+    if (bigEndian) out.order(ByteOrder.LITTLE_ENDIAN)
+  }
+
   /** Serialized payload of one full chunk, run through the filter
     * pipeline in order (1 = deflate, 2 = shuffle). */
   private def chunkPayload(s: DsSpec, cd: Seq[Int], origin: Seq[Long],
@@ -1101,8 +1114,13 @@ object HDF5 {
     * contiguous by default, chunked (+deflate) per DsSpec.chunkDims.
     * Layout: superblock / root header / heap / btree / snod /
     * per-dataset (header, [chunk-btree + chunks | data]). */
-  def write(specs: Seq[DsSpec], deflate: Boolean = false): Array[Byte] = {
+  def write(specs: Seq[DsSpec], deflate: Boolean = false,
+      bigEndian: Boolean = false): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
+    // BE fixtures cover the storage real legacy big-iron files have
+    // (classic contiguous/compact rasters); chunked BE is out of scope
+    require(!bigEndian || specs.forall(_.chunkDims.isEmpty),
+      "bigEndian supports contiguous/compact datasets only")
     val sorted = specs.sortBy(_.name) // SNOD entries must be name-ordered
     // ---- layout computation (all sections 8-aligned)
     val superblockLen = 96
@@ -1264,11 +1282,11 @@ object HDF5 {
       out.put(0.toByte); out.putInt(0)
       s.dims.foreach(out.putLong)
       out.position((headerAddrs(s.name) + 16 + 8 + spaceMsg).toInt)
-      // datatype: IEEE float64 LE
+      // datatype: IEEE float64 (bit 0 of the class bit field = byte order)
       out.putShort(0x0003); out.putShort(24)
       out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
       out.put(((1 << 4) | 1).toByte) // version 1, class 1 (float)
-      out.put(0x20.toByte) // LE, msb-implied normalization
+      out.put((0x20 | (if (bigEndian) 1 else 0)).toByte) // order, msb-implied norm
       out.put(63.toByte) // sign bit location
       out.put(0.toByte)
       out.putInt(8) // size
@@ -1286,7 +1304,7 @@ object HDF5 {
           val layoutStart = out.position()
           out.put(3.toByte); out.put(0.toByte)
           out.putShort((8 * s.data.length).toShort)
-          s.data.foreach(out.putDouble)
+          putRaster(out, s, bigEndian)
           out.position(layoutStart + layoutMsg)
         case None =>
           // layout v3 contiguous
@@ -1298,7 +1316,7 @@ object HDF5 {
           out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
           out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
           out.position(dataAddrs(s.name).toInt)
-          s.data.foreach(out.putDouble)
+          putRaster(out, s, bigEndian)
         case Some(cd) =>
           // layout v3 chunked
           out.putShort(0x0008); out.putShort(layoutMsg.toShort)

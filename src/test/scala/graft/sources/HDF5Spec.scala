@@ -40,6 +40,33 @@ class HDF5Spec extends SparkSpec {
     assert(rows.find(_._1 == "lwp").get._2 == "3x4x4")
   }
 
+  test("big-endian data round-trips: contiguous and compact") {
+    // legacy big-iron files carry byte order in bit 0 of the datatype
+    // class bit field; the raster bytes really are swapped on the wire
+    val mixed = lesFixture.map {
+      case s if s.name == "time" => s.copy(compact = true)
+      case s => s
+    }
+    val be = HDF5.write(mixed, bigEndian = true)
+    val le = HDF5.write(mixed)
+    assert(be.length == le.length)
+    assert(!(be sameElements le), "BE file must differ from its LE twin")
+    val back = HDF5.read(be)
+    mixed.foreach { s =>
+      assert(back.find(_.name == s.name).get.data.toSeq == s.data.toSeq,
+        s"BE decode of ${s.name}")
+    }
+    // NaN and negatives survive the swap
+    val vals = Array(Double.NaN, -0.0, -1.5e-300, 7.25)
+    val t = HDF5.read(HDF5.write(
+      Seq(HDF5.DsSpec("v", Seq(4), vals)), bigEndian = true)).head.data
+    assert(t(0).isNaN && t.drop(1).toSeq == vals.drop(1).toSeq)
+    // chunked BE fixtures are out of scope, loudly
+    val e = intercept[IllegalArgumentException](HDF5.write(
+      Seq(HDF5.DsSpec("c", Seq(4), vals, chunkDims = Some(Seq(2)))), bigEndian = true))
+    assert(e.getMessage.contains("bigEndian"))
+  }
+
   test("compact storage round-trips: data inline in the layout message") {
     // mixed file: tiny coordinate vars compact, the raster contiguous —
     // the shape libhdf5 gives small datasets
