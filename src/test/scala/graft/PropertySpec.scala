@@ -142,6 +142,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("WARC codec round-trips arbitrary records through both compressions") {
+    import graft.sources.Warc
+    // payloads include raw binary — gzip magic, CRLFCRLF, NULs — so the
+    // property pins the length-framing, not any delimiter luck
+    val recGen = for {
+      uri <- Gen.alphaNumStr.map(s => s"http://ex.org/${s.take(40)}")
+      date <- Gen.choose(0L, 4102444800L).map(t =>
+        java.time.Instant.ofEpochSecond(t).toString)
+      wtype <- Gen.oneOf("response", "request", "metadata", "warcinfo")
+      payload <- Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+      hdrVal <- Gen.alphaNumStr.map(_.take(30))
+    } yield Warc.WarcRecord(wtype, uri, date, Map("X-Graft-Check" -> hdrVal), payload)
+    val gen = Gen.nonEmptyListOf(recGen).map(_.take(12))
+    check(Prop.forAll(gen) { recs =>
+      def same(got: Seq[Warc.WarcRecord]): Boolean =
+        got.size == recs.size && got.zip(recs).forall { case (g, e) =>
+          g.warcType == e.warcType && g.targetUri == e.targetUri &&
+            g.date == e.date && g.payload.toSeq == e.payload.toSeq &&
+            g.headers.get("x-graft-check").contains(e.headers("X-Graft-Check"))
+        }
+      same(Warc.read(Warc.write(recs))) && same(Warc.readGz(Warc.writeGz(recs)))
+    })
+  }
+
   test("T3: hashUnit stays in [0,1) and is key-deterministic") {
     val df = spark.range(0, 2000).select(col("id"))
       .withColumn("u", Triplets.hashUnit(7, col("id")))
