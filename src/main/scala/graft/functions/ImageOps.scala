@@ -107,4 +107,45 @@ object ImageOps {
     val picked = filter(a, (_, i) => i % 3 === offset)
     aggregate(picked, lit(0.0), (acc, v) => acc + v) / size(picked)
   }
+
+  /** Nearest-neighbor resize of an interleaved-RGB (ny, nx) tensor to
+    * (oy, ox): out(j,i,c) = in(j*ny/oy floor, i*nx/ox floor, c). Pure
+    * integer index arithmetic — codegen'd, shuffle-free, and an oracle
+    * replays it exactly. The batch-resize step every vision training
+    * pipeline runs before tensorization. */
+  def resizeRgbNearest(a: Column, ny: Int, nx: Int, oy: Int, ox: Int): Column =
+    transform(sequence(lit(0), lit(oy * ox * 3 - 1)), { idx =>
+      val j = floor(idx.cast("double") / (ox * 3))
+      val i = floor((idx % (ox * 3)).cast("double") / 3)
+      val c = idx % 3
+      val srcJ = floor(j * ny / oy)
+      val srcI = floor(i * nx / ox)
+      element_at(a, ((srcJ * nx + srcI) * 3 + c + 1).cast("int"))
+    })
+
+  /** Bilinear resize (half-pixel centers, edge-clamped — the
+    * PIL/torch `align_corners=false` convention): sample position
+    * f = (o + 0.5) * in/out - 0.5 clamped at 0, blend the four
+    * neighbors with (1-w)/w weights in a FIXED term order, so any
+    * engine reproduces the doubles bit-for-bit from the same tokens. */
+  def resizeRgbBilinear(a: Column, ny: Int, nx: Int, oy: Int, ox: Int): Column =
+    transform(sequence(lit(0), lit(oy * ox * 3 - 1)), { idx =>
+      val j = floor(idx.cast("double") / (ox * 3))
+      val i = floor((idx % (ox * 3)).cast("double") / 3)
+      val c = idx % 3
+      val fy = greatest(lit(0.0), (j + 0.5) * ny / oy - 0.5)
+      val fx = greatest(lit(0.0), (i + 0.5) * nx / ox - 0.5)
+      val y0 = least(floor(fy), lit((ny - 1).toDouble))
+      val x0 = least(floor(fx), lit((nx - 1).toDouble))
+      val y1 = least(y0 + 1, lit((ny - 1).toDouble))
+      val x1 = least(x0 + 1, lit((nx - 1).toDouble))
+      val wy = fy - floor(fy)
+      val wx = fx - floor(fx)
+      def px(yy: Column, xx: Column) =
+        element_at(a, ((yy * nx + xx) * 3 + c + 1).cast("int"))
+      (lit(1.0) - wy) * (lit(1.0) - wx) * px(y0, x0) +
+        (lit(1.0) - wy) * wx * px(y0, x1) +
+        wy * (lit(1.0) - wx) * px(y1, x0) +
+        wy * wx * px(y1, x1)
+    })
 }

@@ -543,6 +543,57 @@ object LlmQueries {
         .withColumnRenamed("id", "vec_id")
     },
 
+    // ---- multimodal: batch image resize (nearest + bilinear) ------------
+    // The pre-tensorization resize every vision pipeline runs, on the
+    // q52 quantized 4x4 RGB tensors: nearest 2x downscale (pure index
+    // picks) and bilinear 2x upscale (half-pixel centers, edge clamp,
+    // fixed term order). Outputs are EXACT scaled integers — pixel
+    // values are k/255 and the 2x bilinear weights are sixteenths, so
+    // v*65280 is an integer both engines recover exactly (decimal
+    // rounding at a fixed dp would tie-break differently on the
+    // systematic .5 boundaries these rationals produce).
+    QueryDef.sqlBacked(
+      "q100_image_resize",
+      """WITH px AS (
+        |  SELECT vec_id,
+        |    [floor(greatest(0.0, least(1.0, (CAST(v AS DOUBLE) + 1.0) / 2.0)) * 255) / 255.0
+        |     FOR v IN embedding[1:48]] AS q
+        |  FROM embeddings),
+        |near AS (
+        |  SELECT vec_id, 'near2' AS kind, CAST(idx AS BIGINT) AS idx,
+        |    CAST(round(q[CAST((floor(floor(idx / 6) * 4 / 2) * 4
+        |                  + floor(floor((idx % 6) / 3) * 4 / 2)) * 3
+        |                 + (idx % 3) + 1 AS INT)] * 65280) AS BIGINT) AS v_scaled
+        |  FROM px CROSS JOIN range(0, 12) r(idx)),
+        |bi AS (
+        |  SELECT vec_id, 'bi8' AS kind, CAST(idx AS BIGINT) AS idx,
+        |    CAST(round(((1.0 - (fy - floor(fy))) * (1.0 - (fx - floor(fx)))
+        |            * q[CAST((least(floor(fy), 3.0) * 4 + least(floor(fx), 3.0)) * 3 + (idx % 3) + 1 AS INT)]
+        |        + (1.0 - (fy - floor(fy))) * (fx - floor(fx))
+        |            * q[CAST((least(floor(fy), 3.0) * 4 + least(least(floor(fx), 3.0) + 1, 3.0)) * 3 + (idx % 3) + 1 AS INT)]
+        |        + (fy - floor(fy)) * (1.0 - (fx - floor(fx)))
+        |            * q[CAST((least(least(floor(fy), 3.0) + 1, 3.0) * 4 + least(floor(fx), 3.0)) * 3 + (idx % 3) + 1 AS INT)]
+        |        + (fy - floor(fy)) * (fx - floor(fx))
+        |            * q[CAST((least(least(floor(fy), 3.0) + 1, 3.0) * 4 + least(least(floor(fx), 3.0) + 1, 3.0)) * 3 + (idx % 3) + 1 AS INT)]) * 65280) AS BIGINT) AS v_scaled
+        |  FROM (
+        |    SELECT vec_id, q, idx,
+        |      greatest(0.0, (floor(idx / 24) + 0.5) * 4 / 8 - 0.5) AS fy,
+        |      greatest(0.0, (floor((idx % 24) / 3) + 0.5) * 4 / 8 - 0.5) AS fx
+        |    FROM px CROSS JOIN range(0, 192) r(idx)))
+        |SELECT * FROM near UNION ALL SELECT * FROM bi""".stripMargin) { (s, d) =>
+      import graft.functions.ImageOps
+      val q = expr("transform(slice(embedding, 1, 48), v -> " +
+        "floor(greatest(0d, least(1d, (cast(v as double) + 1.0) / 2.0)) * 255) / 255.0)")
+      val base = Tables.embeddings(s, d).select(col("vec_id"), q.as("q"))
+      val near = base.select(col("vec_id"), lit("near2").as("kind"),
+        posexplode(ImageOps.resizeRgbNearest(col("q"), 4, 4, 2, 2)).as(Seq("idx", "v")))
+      val bi = base.select(col("vec_id"), lit("bi8").as("kind"),
+        posexplode(ImageOps.resizeRgbBilinear(col("q"), 4, 4, 8, 8)).as(Seq("idx", "v")))
+      near.unionByName(bi)
+        .select(col("vec_id"), col("kind"), col("idx").cast("long").as("idx"),
+          round(col("v") * 65280).cast("long").as("v_scaled"))
+    },
+
     // ---- corpus mixing: deterministic stratified subsampling -------------
     // The source-reweighting step (SlimPajama/Pile proportions, DoReMi
     // domain weights): per-source target keep rates, decided by the

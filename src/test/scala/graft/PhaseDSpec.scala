@@ -154,6 +154,40 @@ class PhaseDSpec extends SparkSpec {
     assert(mm == Seq(0.0, 0.25, 1.0))
   }
 
+  test("resize: nearest picks source pixels, bilinear blends with half-pixel centers") {
+    // 2x2 RGB image, distinct channel values per pixel
+    val rgb = Seq(
+      10.0, 11.0, 12.0, 20.0, 21.0, 22.0, // row 0: px(0,0), px(0,1)
+      30.0, 31.0, 32.0, 40.0, 41.0, 42.0) // row 1
+    val df = Seq(Tuple1(rgb)).toDF("rgb")
+    // nearest 2x2 -> 4x4: each source pixel becomes a 2x2 block
+    val near = df.select(ImageOps.resizeRgbNearest(col("rgb"), 2, 2, 4, 4))
+      .as[Seq[Double]].head()
+    assert(near.length == 4 * 4 * 3)
+    def nearPx(j: Int, i: Int) = near.slice((j * 4 + i) * 3, (j * 4 + i) * 3 + 3)
+    assert(nearPx(0, 0) == Seq(10.0, 11.0, 12.0))
+    assert(nearPx(1, 1) == Seq(10.0, 11.0, 12.0))
+    assert(nearPx(0, 2) == Seq(20.0, 21.0, 22.0))
+    assert(nearPx(3, 3) == Seq(40.0, 41.0, 42.0))
+    // identity resize is exact
+    assert(df.select(ImageOps.resizeRgbNearest(col("rgb"), 2, 2, 2, 2))
+      .as[Seq[Double]].head() == rgb)
+    // bilinear 2x2 -> 4x4: half-pixel centers give wy = wx = 0.25 at
+    // out(1,1): 0.5625*10 + 0.1875*20 + 0.1875*30 + 0.0625*40 = 17.5
+    val bi = df.select(ImageOps.resizeRgbBilinear(col("rgb"), 2, 2, 4, 4))
+      .as[Seq[Double]].head()
+    def biPx(j: Int, i: Int, c: Int) = bi((j * 4 + i) * 3 + c)
+    assert(math.abs(biPx(1, 1, 0) - 17.5) < 1e-12)
+    // corners clamp to the source corners
+    assert(biPx(0, 0, 0) == 10.0 && biPx(3, 3, 2) == 42.0)
+    // centers of the output map back to source pixels on a 2x downscale
+    val down = df.select(ImageOps.resizeRgbBilinear(col("rgb"), 2, 2, 1, 1))
+      .as[Seq[Double]].head()
+    // single output pixel = average of the four source pixels per channel
+    assert(math.abs(down(0) - 25.0) < 1e-12)
+    assert(math.abs(down(1) - 26.0) < 1e-12)
+  }
+
   test("profile ops: layer mean, vertical integral, recurrence") {
     val rows = for (k <- Seq("a", "b"); l <- 1 to 5) yield Profiles.LevelRow(k, l, l.toDouble)
     val ds = rows.toDS()
