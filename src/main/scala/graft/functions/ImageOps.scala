@@ -123,6 +123,20 @@ object ImageOps {
       element_at(a, ((srcJ * nx + srcI) * 3 + c + 1).cast("int"))
     })
 
+  /** Frame sampling over a frame-stacked tensor (a "video" column is
+    * nFrames frames of frameLen values, concatenated): keep every
+    * `stride`-th frame starting at frame 0 — the temporal-subsampling
+    * step video training pipelines run before per-frame decode/embed.
+    * Pure index picks (codegen'd, shuffle-free). */
+  def frameSample(a: Column, frameLen: Int, stride: Int): Column = {
+    require(frameLen > 0 && stride > 0, "frameLen and stride must be positive")
+    val nOut = floor((size(a).cast("double") / frameLen - 1) / stride) + 1
+    transform(sequence(lit(0), (nOut * frameLen - 1).cast("int")), { idx =>
+      val f = floor(idx.cast("double") / frameLen)
+      element_at(a, (f * stride * frameLen + (idx % frameLen) + 1).cast("int"))
+    })
+  }
+
   /** Bilinear resize (half-pixel centers, edge-clamped — the
     * PIL/torch `align_corners=false` convention): sample position
     * f = (o + 0.5) * in/out - 0.5 clamped at 0, blend the four

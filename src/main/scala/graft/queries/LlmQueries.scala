@@ -594,6 +594,30 @@ object LlmQueries {
           round(col("v") * 65280).cast("long").as("v_scaled"))
     },
 
+    // ---- multimodal: video frame sampling --------------------------------
+    // Temporal subsampling of a frame-stacked tensor (64-dim embeddings
+    // read as 4 frames x 16 values): keep every 2nd frame, then
+    // per-frame integer-scaled sums — so the hash proves the picks land
+    // on exactly the right stripes of the stack.
+    QueryDef.sqlBacked(
+      "q101_frame_sample",
+      """SELECT vec_id, CAST(fr AS BIGINT) AS frame,
+        |  CAST(sum(CAST(round(CAST(embedding[fr*16 + j] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+        |  count(*) AS n
+        |FROM embeddings
+        |CROSS JOIN (SELECT unnest([0, 2]) AS fr)
+        |CROSS JOIN range(1, 17) r(j)
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.functions.ImageOps
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(ImageOps.frameSample(col("embedding"), 16, 2)).as(Seq("i", "v")))
+        .groupBy(col("vec_id"),
+          (floor(col("i").cast("double") / 16) * 2).cast("long").as("frame"))
+        .agg(sum(round(col("v").cast("double") * 1000000).cast("long")).as("sum_scaled"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- corpus mixing: deterministic stratified subsampling -------------
     // The source-reweighting step (SlimPajama/Pile proportions, DoReMi
     // domain weights): per-source target keep rates, decided by the

@@ -188,6 +188,18 @@ class PhaseDSpec extends SparkSpec {
     assert(math.abs(down(1) - 26.0) < 1e-12)
   }
 
+  test("frameSample keeps every k-th frame intact") {
+    // 5 frames x 2 values; stride 2 -> frames 0, 2, 4
+    val video = (0 until 10).map(_.toDouble)
+    val df = Seq(Tuple1(video)).toDF("v")
+    val got = df.select(ImageOps.frameSample(col("v"), 2, 2)).as[Seq[Double]].head()
+    assert(got == Seq(0.0, 1.0, 4.0, 5.0, 8.0, 9.0))
+    // stride 1 is the identity; stride > nFrames keeps only frame 0
+    assert(df.select(ImageOps.frameSample(col("v"), 2, 1)).as[Seq[Double]].head() == video)
+    assert(df.select(ImageOps.frameSample(col("v"), 2, 9)).as[Seq[Double]].head() ==
+      Seq(0.0, 1.0))
+  }
+
   test("profile ops: layer mean, vertical integral, recurrence") {
     val rows = for (k <- Seq("a", "b"); l <- 1 to 5) yield Profiles.LevelRow(k, l, l.toDouble)
     val ds = rows.toDS()
