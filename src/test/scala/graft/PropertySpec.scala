@@ -166,6 +166,38 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("resize kernels match a naive reference on random images and sizes") {
+    import graft.functions.ImageOps
+    val gen = for {
+      ny <- Gen.choose(1, 6); nx <- Gen.choose(1, 6)
+      oy <- Gen.choose(1, 7); ox <- Gen.choose(1, 7)
+      vals <- Gen.listOfN(ny * nx * 3, Gen.choose(-100, 100).map(_ / 8.0))
+    } yield (ny, nx, oy, ox, vals)
+    check(Prop.forAll(gen) { case (ny, nx, oy, ox, vals) =>
+      val df = Seq(Tuple1(vals)).toDF("a")
+      val near = df.select(ImageOps.resizeRgbNearest(col("a"), ny, nx, oy, ox))
+        .as[Seq[Double]].head()
+      val bi = df.select(ImageOps.resizeRgbBilinear(col("a"), ny, nx, oy, ox))
+        .as[Seq[Double]].head()
+      def src(j: Int, i: Int, c: Int) = vals((j * nx + i) * 3 + c)
+      val wantNear = for (j <- 0 until oy; i <- 0 until ox; c <- 0 until 3)
+        yield src(j * ny / oy, i * nx / ox, c)
+      val wantBi = for (j <- 0 until oy; i <- 0 until ox; c <- 0 until 3) yield {
+        val fy = math.max(0.0, (j + 0.5) * ny / oy - 0.5)
+        val fx = math.max(0.0, (i + 0.5) * nx / ox - 0.5)
+        val y0 = math.min(math.floor(fy), ny - 1.0); val y1 = math.min(y0 + 1, ny - 1.0)
+        val x0 = math.min(math.floor(fx), nx - 1.0); val x1 = math.min(x0 + 1, nx - 1.0)
+        val wy = fy - math.floor(fy); val wx = fx - math.floor(fx)
+        (1 - wy) * (1 - wx) * src(y0.toInt, x0.toInt, c) +
+          (1 - wy) * wx * src(y0.toInt, x1.toInt, c) +
+          wy * (1 - wx) * src(y1.toInt, x0.toInt, c) +
+          wy * wx * src(y1.toInt, x1.toInt, c)
+      }
+      near == wantNear &&
+        bi.zip(wantBi).forall { case (g, w) => math.abs(g - w) < 1e-9 }
+    })
+  }
+
   test("T3: hashUnit stays in [0,1) and is key-deterministic") {
     val df = spark.range(0, 2000).select(col("id"))
       .withColumn("u", Triplets.hashUnit(7, col("id")))
