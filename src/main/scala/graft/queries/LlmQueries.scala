@@ -618,6 +618,137 @@ object LlmQueries {
           count(lit(1)).as("n"))
     },
 
+    // ---- multimodal: audio binary columns (WAV round-trip -> features) ---
+    // Audio synthesized from embeddings (first 48 vector elements
+    // floor-quantized to int16), carried as real RIFF/WAV PCM16 bytes,
+    // decoded back and feature-extracted (peak / energy / zero
+    // crossings — all exact integer arithmetic). ORACLE-HASHED: the
+    // codec is lossless, so DuckDB reproduces the post-decode features
+    // analytically from the embeddings — proving the whole
+    // quantize -> encode -> decode -> analyze chain value-exact (the
+    // audio leg of the image/q52 pattern).
+    QueryDef.sqlBacked(
+      "q102_audio_features",
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(greatest(0.0, least(1.0, (CAST(v AS DOUBLE) + 1.0) / 2.0)) * 65535) AS BIGINT) - 32768
+        |     FOR v IN embedding[1:48]] AS w
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  CAST(len(w) AS BIGINT) AS n_samples,
+        |  CAST(list_max([abs(x) FOR x IN w]) AS BIGINT) AS peak,
+        |  CAST(list_sum([x*x FOR x IN w]) AS BIGINT) AS energy,
+        |  CAST(len([i FOR i IN range(1, len(w)) IF w[i] * w[i+1] < 0]) AS BIGINT) AS zero_crossings
+        |FROM s""".stripMargin) { (s, d) =>
+      import graft.functions.AudioOps
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          AudioOps.quantizeI16(expr("slice(embedding, 1, 48)")).as("w"))
+        .withColumn("wav", AudioOps.encodeWav(col("w"), lit(16000)))
+        .withColumn("dec", AudioOps.decodeWav(col("wav")))
+        .select(col("vec_id"),
+          col("dec.sample_rate").cast("long").as("sample_rate"),
+          size(col("dec.samples")).cast("long").as("n_samples"),
+          graft.functions.AudioOps.peakAbs(col("dec.samples")).as("peak"),
+          graft.functions.AudioOps.energy(col("dec.samples")).as("energy"),
+          graft.functions.AudioOps.zeroCrossings(col("dec.samples")).as("zero_crossings"))
+    },
+
+    // ---- audio: linear resample + STFT-grid frame energies ---------------
+    // Rate change 2->3 emitted scaled by outRate (pure integer
+    // interpolation: v*3 = s[p0]*(3-rem) + s[p1]*rem), plus hop-strided
+    // frame energies (len 16, hop 8) — both replayed token-for-token by
+    // the oracle, every value an exact BIGINT.
+    QueryDef.sqlBacked(
+      "q103_audio_resample",
+      """WITH s AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(greatest(0.0, least(1.0, (CAST(v AS DOUBLE) + 1.0) / 2.0)) * 65535) AS BIGINT) - 32768
+        |     FOR v IN embedding[1:48]] AS w
+        |  FROM embeddings),
+        |res AS (
+        |  SELECT vec_id, 'res23' AS kind, CAST(idx AS BIGINT) AS idx,
+        |    CAST(w[CAST(idx*2 // 3 AS INT) + 1] * (3 - idx*2 % 3)
+        |      + w[least(CAST(idx*2 // 3 AS INT) + 2, len(w))] * (idx*2 % 3) AS BIGINT) AS v_scaled
+        |  FROM s CROSS JOIN range(0, 71) r(idx)),
+        |fen AS (
+        |  SELECT vec_id, 'fen' AS kind, CAST(f AS BIGINT) AS idx,
+        |    CAST(sum(w[CAST(f*8 + j AS INT)] * w[CAST(f*8 + j AS INT)]) AS BIGINT) AS v_scaled
+        |  FROM s CROSS JOIN range(0, 5) rf(f) CROSS JOIN range(1, 17) rr(j)
+        |  GROUP BY vec_id, f)
+        |SELECT * FROM res UNION ALL SELECT * FROM fen""".stripMargin) { (s, d) =>
+      import graft.functions.AudioOps
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          AudioOps.quantizeI16(expr("slice(embedding, 1, 48)")).as("w"))
+      val res = base.select(col("vec_id"), lit("res23").as("kind"),
+        posexplode(AudioOps.resampleLinearScaled(col("w"), 2, 3)).as(Seq("idx", "v_scaled")))
+      val fen = base.select(col("vec_id"), lit("fen").as("kind"),
+        posexplode(AudioOps.frameEnergy(col("w"), 16, 8)).as(Seq("idx", "v_scaled")))
+      res.unionByName(fen)
+        .select(col("vec_id"), col("kind"), col("idx").cast("long").as("idx"),
+          col("v_scaled"))
+    },
+
+    // ---- exact-substring dedup: duplicated-span detection ----------------
+    // The ExactSubstr side of Lee et al. 2021 (arXiv:2107.06499) at token
+    // granularity: every 5-token span occurring >= 2 times in the corpus
+    // is marked, overlapping/adjacent marks merge into maximal spans.
+    // The oracle independently rebuilds the position-hash -> count ->
+    // mark -> gaps-and-islands chain, so the hash proves span boundaries
+    // exactly.
+    QueryDef.sqlBacked(
+      "q104_dup_spans",
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |gs AS (SELECT doc_id, i - 1 AS pos, ${polySql("g0", "len(g0)")} AS g FROM (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS g0
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t))),
+         |cnt AS (SELECT g FROM gs GROUP BY g HAVING count(*) >= 2),
+         |m AS (SELECT gs.doc_id, gs.pos FROM gs JOIN cnt USING (g)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS brk
+         |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl)
+         |SELECT doc_id, CAST(island - 1 AS BIGINT) AS span_id,
+         |  CAST(min(pos) AS BIGINT) AS s, CAST(max(pos) + 5 AS BIGINT) AS e
+         |FROM isl2 GROUP BY doc_id, island""".stripMargin) { (s, d) =>
+      Dedup.duplicatedNgramSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
+    },
+
+    // ---- exact-substring dedup: span removal -----------------------------
+    // The edit step: tokens inside any duplicated span drop, the survivors
+    // re-join. clean_md5 pins the exact post-removal text cross-engine
+    // (md5('') for fully-duplicated documents). Removal covers EVERY
+    // occurrence by design — canonical-copy retention is doc-level
+    // dedup's job (q22/q28); see the operator scaladoc.
+    QueryDef.sqlBacked(
+      "q105_span_removal",
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |gs AS (SELECT doc_id, i - 1 AS pos, ${polySql("g0", "len(g0)")} AS g FROM (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS g0
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t))),
+         |cnt AS (SELECT g FROM gs GROUP BY g HAVING count(*) >= 2),
+         |m AS (SELECT gs.doc_id, gs.pos FROM gs JOIN cnt USING (g)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS brk
+         |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+         |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s, CAST(max(pos) + 5 AS BIGINT) AS e
+         |  FROM isl2 GROUP BY doc_id, island),
+         |tok AS (SELECT doc_id, toks, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t),
+         |kept AS (SELECT tok.doc_id, tok.tok, tok.i FROM tok WHERE NOT EXISTS
+         |  (SELECT 1 FROM spans sp WHERE sp.doc_id = tok.doc_id AND tok.i - 1 >= sp.s AND tok.i - 1 < sp.e)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean FROM kept GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+         |  CAST(coalesce((SELECT sum(sp.e - sp.s) FROM spans sp WHERE sp.doc_id = t.doc_id), 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(agg.clean, '')) AS clean_md5
+         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, d) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_tok"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+    },
+
     // ---- corpus mixing: deterministic stratified subsampling -------------
     // The source-reweighting step (SlimPajama/Pile proportions, DoReMi
     // domain weights): per-source target keep rates, decided by the
