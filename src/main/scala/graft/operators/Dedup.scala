@@ -361,6 +361,92 @@ object Dedup {
     column(graft.plans.SimHash16(expression(hs)))
   }
 
+  /** Token n-grams of every position (NOT distinct — spans need each
+    * occurrence): 0-based start position + int64 poly-hash. */
+  private def ngramPositions(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), TextAnalysis.polyHash(col("gram")).as("g"))
+  }
+
+  /** Exact-substring duplicated-span detection — the ExactSubstr side of
+    * the published training-data dedup recipe (Lee et al. 2021,
+    * arXiv:2107.06499, which the reference-style pipelines run with a
+    * suffix array): any token span of length >= n occurring more than once
+    * in the corpus (across documents or repeated within one) is marked,
+    * and overlapping/adjacent marks merge into maximal spans.
+    *
+    * Token-granular equivalence to the suffix-array formulation: a
+    * duplicated substring of >= n tokens contains a duplicated n-gram at
+    * every offset, so the union of duplicated n-gram spans [i, i+n) is
+    * exactly the token set inside duplicated >= n-token substrings.
+    *
+    * Scale shape: n-gram hashing is per-row (no shuffle); occurrence
+    * counting is one map-side-combinable int64 aggregation; the mark-back
+    * join is an int64 equi-join (AQE broadcasts it when the duplicated
+    * set is small, the common case); span merging is a per-document
+    * window — the same doc_id shuffle any per-doc aggregate pays. Hashes
+    * are polyHash mod 1e9+7 so the SQL oracle replays them exactly; a
+    * production run would widen to 128 bits (xxhash64 pairs) to make
+    * collisions negligible at 10^12 n-grams.
+    *
+    * @return one row per merged span: doc_id, span_id (0-based per-doc
+    *         ordinal by position), s (inclusive), e (exclusive) token
+    *         indices. Documents with no duplicated span emit no rows.
+    */
+  def duplicatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
+    val pos = ngramPositions(df, idCol, textCol, n)
+    val dup = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("g")
+    val marked = pos.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(w).isNull
+          .or(col("pos") > lag(col("pos"), 1).over(w) + n), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy("pos").rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (max(col("pos")) + n).cast("long").as("e"))
+      .select(col("doc_id"), (col("island") - 1).as("span_id"), col("s"), col("e"))
+  }
+
+  /** Remove duplicated spans from each document: tokens inside any
+    * [[duplicatedNgramSpans]] span are dropped, the rest re-join with
+    * single spaces (token-normalized text, as the published recipe edits
+    * the tokenized stream). Returns doc_id, n_tok (pre-removal),
+    * n_removed, clean_text. Documents with nothing to remove pass through
+    * (left join keeps them; span filtering is per-row HOF work). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2L): DataFrame = {
+    val spans = duplicatedNgramSpans(df, idCol, textCol, n, minCount)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    df.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("spans"), lit(0L),
+          (acc, sp) => acc + sp.getField("e") - sp.getField("s")).as("n_removed"),
+        concat_ws(" ", filter(col("toks"), (t, i) =>
+          !exists(col("spans"), sp =>
+            i.cast("long") >= sp.getField("s") && i.cast("long") < sp.getField("e"))))
+          .as("clean_text"))
+  }
+
   /** HOF reference form of [[simhash16]] (cross-check oracle). */
   def simhash16Hof(textCol: Column): Column = {
     val toks = array_distinct(TextAnalysis.tokens(textCol))

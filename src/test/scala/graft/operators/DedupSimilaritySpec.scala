@@ -193,6 +193,65 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sampled.collect().map(_.getLong(0)).toSet == high)
   }
 
+  // naive reference for exact-substring span dedup: mark every position
+  // of every >= minCount-occurring n-gram, union the [p, p+n) spans.
+  private def naiveSpans(docs: Seq[(Long, String)], n: Int)
+      : Map[Long, Seq[(Long, Long)]] = {
+    def toks(t: String) = t.trim.toLowerCase.split("\\s+", -1).toSeq
+    val grams = docs.flatMap { case (id, t) =>
+      toks(t).sliding(n).filter(_.size == n).zipWithIndex
+        .map { case (g, i) => (id, i, g.mkString(" ")) }
+    }
+    val counts = grams.groupBy(_._3).map { case (g, o) => g -> o.size }
+    val marked = grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).map { case (id, o) => id -> o.map(_._2).sorted }
+    marked.map { case (id, ps) =>
+      val spans = ps.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p <= e => (s, math.max(e, p + n)) :: rest
+        case (acc, p) => (p, p + n) :: acc
+      }.reverse
+      id -> spans.map { case (s, e) => (s.toLong, e.toLong) }
+    }
+  }
+
+  test("duplicatedNgramSpans == naive position-mark-union on seeded corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    for (round <- 0 until 5) {
+      val phrase = Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = (0L until 20L).map { id =>
+        val body = Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        // plant the shared phrase into some docs, repeat it within one
+        val t =
+          if (id % 3 == 0) (body.take(3) :+ phrase) ++ body.drop(3)
+          else if (id == 7L) Seq(phrase, phrase)
+          else body
+        (id, t.mkString(" "))
+      }
+      val got = Dedup.duplicatedNgramSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 4)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+        }
+      assert(got == naiveSpans(docs, 4), s"round $round")
+    }
+  }
+
+  test("removeDuplicatedSpans drops exactly the marked tokens") {
+    val docs = Seq(
+      (1L, "a b c d e unique1 tail1 x"),
+      (2L, "front2 a b c d e tail2"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((8L, 5L, "unique1 tail1 x")))
+    assert(out(2L) == ((7L, 5L, "front2 tail2")))
+    assert(out(3L) == ((5L, 0L, "nothing shared here at all")))
+  }
+
   test("connectedComponents of an empty pairs input is an empty labeling") {
     // a corpus with zero near-dup pairs is the COMMON case for a clean
     // shard — must return empty, not NPE on the null sum-over-zero-rows
