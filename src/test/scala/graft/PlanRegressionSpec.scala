@@ -178,6 +178,32 @@ class PlanRegressionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q102/q103: audio feature extraction never shuffles") {
+    // quantize -> WAV encode -> decode -> peak/energy/crossings is pure
+    // per-row work; frame energies and resampling likewise. An Exchange
+    // in these plans means a per-row op silently became an aggregation.
+    for (q <- Seq("q102_audio_features")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q introduced a shuffle:\n${plan.take(1200)}")
+    }
+    // q103 ends in a posexplode union (still shuffle-free)
+    val plan103 = planOf("q103_audio_resample")
+    assert(!plan103.contains("Exchange"), s"q103 introduced a shuffle:\n${plan103.take(1200)}")
+  }
+
+  test("q104: duplicated-span marking meets on an int64 hash equi-join") {
+    // the mark-back join of the exact-substring dedup must stay an
+    // equi-join on g — a nested loop here is the all-positions-cross-
+    // all-hashes regression. (The window after it legitimately shuffles
+    // by doc_id.)
+    val plan = planOf("q104_dup_spans")
+    assert(!plan.contains("CartesianProduct"), "q104 plans a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q104 plans a nested loop:\n${plan.take(1200)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"q104 lost its equi-join:\n${plan.take(1200)}")
+  }
+
   test("q53: time filter pushes into the DSv2 scan (residual-free)") {
     val plan = planOf("q53_dsv2_calendar")
     assert(plan.contains("graft-calendar scan"), "expected the custom calendar scan")
