@@ -141,4 +141,38 @@ object Sketches {
           .otherwise(col("raw")))
       .select(groupCols.map(col) :+ col("v0") :+ col("hll_est"): _*)
   }
+
+  /** Bloom filter AS A DATAFRAME — the membership complement to the
+    * frequency (count-min) and cardinality (HLL) sketches: k hash
+    * functions (the same (a_i·h + b_i) mod P family as [[cmsSlot]]) map
+    * each key to bit positions in an m-bit filter, stored sparse as
+    * distinct set-bit rows. Shard union = plain row-set union (the
+    * distinct re-applies), so the filter is mergeable and incremental;
+    * the cross-shard broadcast of set bits caps at m rows no matter how
+    * large the corpus. Exact integer arithmetic only, so the oracle
+    * rebuilds the bit set — and every membership verdict — bit-for-bit.
+    *
+    * The 100 TB use: a scalable negative cache ("definitely not seen")
+    * for URL / document-key dedup between pipeline stages, where the
+    * exact key set would be TBs but the filter is m bits. */
+  def bloomBits(items: DataFrame, hashedKeyCol: String, k: Int, m: Int): DataFrame = {
+    require(k >= 1 && m >= 2, s"need k >= 1 hash rows and m >= 2 bits, got k=$k m=$m")
+    items.select(explode(array((0 until k).map(i =>
+        cmsSlot(col(hashedKeyCol), i, m)): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Membership probes against a built filter: a key "might be present"
+    * iff ALL k of its bits are set (no false negatives by construction;
+    * false positives at the classic (1−e^{−kn/m})^k rate). The bit table
+    * is ≤ m rows — always broadcast. */
+  def bloomMightContain(bits: DataFrame, keys: DataFrame, hashedKeyCol: String,
+      k: Int, m: Int): DataFrame = {
+    val probes = keys.select(col(hashedKeyCol))
+      .withColumn("bit", explode(array((0 until k).map(i =>
+        cmsSlot(col(hashedKeyCol), i, m)): _*)))
+    probes.join(broadcast(bits.withColumn("present", lit(1L))), Seq("bit"), "left")
+      .groupBy(col(hashedKeyCol))
+      .agg(min(coalesce(col("present"), lit(0L))).as("might_contain"))
+  }
 }

@@ -749,6 +749,51 @@ object LlmQueries {
           md5(col("clean_text")).as("clean_md5"))
     },
 
+    // ---- Bloom filter: mergeable membership sketch -----------------------
+    // The membership complement to count-min (q77) and HLL (q80): token
+    // 3-gram hashes of the train split (doc_id % 10 <> 0) populate a
+    // 65536-bit / 4-hash filter; every corpus gram probes it. No false
+    // negatives by construction; false positives at the classic rate —
+    // and the oracle rebuilds bit set + every verdict exactly (same
+    // (a_i*h + b_i) mod P slot family as CMS).
+    QueryDef.sqlBacked(
+      "q106_bloom",
+      {
+        val bitRows = (0 until 4).map(i =>
+          s"SELECT khash, ((${Dedup.aCoef(i)} * khash + ${Dedup.bCoef(i)}) % $P) % 65536 AS bit FROM train")
+          .mkString("\n    UNION ALL ")
+        val probeRows = (0 until 4).map(i =>
+          s"SELECT khash, ((${Dedup.aCoef(i)} * khash + ${Dedup.bCoef(i)}) % $P) % 65536 AS bit FROM probe")
+          .mkString("\n    UNION ALL ")
+        s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+           |gs AS (SELECT doc_id, ${polySql("g0", "len(g0)")} AS khash FROM (
+           |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g0
+           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t))),
+           |train AS (SELECT DISTINCT khash FROM gs WHERE doc_id % 10 <> 0),
+           |bits AS (SELECT DISTINCT bit FROM (
+           |    $bitRows)),
+           |probe AS (SELECT DISTINCT khash FROM gs),
+           |pb AS (
+           |    $probeRows),
+           |mc AS (SELECT pb.khash,
+           |  CAST(min(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS might_contain
+           |  FROM pb LEFT JOIN bits ON bits.bit = pb.bit GROUP BY 1)
+           |SELECT mc.khash, mc.might_contain,
+           |  CAST(CASE WHEN train.khash IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_train
+           |FROM mc LEFT JOIN train ON train.khash = mc.khash""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.Sketches
+      val gs = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextAnalysis.tokenNgramHashes(col("text"), 3)).as("khash"))
+      val train = gs.where(col("doc_id") % 10 =!= 0).select("khash").distinct()
+      val bits = Sketches.bloomBits(train, "khash", k = 4, m = 65536)
+      val probes = gs.select("khash").distinct()
+      Sketches.bloomMightContain(bits, probes, "khash", k = 4, m = 65536)
+        .join(train.withColumn("in_train", lit(1L)), Seq("khash"), "left")
+        .select(col("khash"), col("might_contain"),
+          coalesce(col("in_train"), lit(0L)).as("in_train"))
+    },
+
     // ---- corpus mixing: deterministic stratified subsampling -------------
     // The source-reweighting step (SlimPajama/Pile proportions, DoReMi
     // domain weights): per-source target keep rates, decided by the

@@ -98,4 +98,30 @@ class SketchesSpec extends SparkSpec {
     assert(regCells(merged) == regCells(
       Sketches.hllRegisters(big, "khash", Seq("g"), 6)))
   }
+
+  test("bloom filter: no false negatives, absent keys mostly miss, shards merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keys = (0 until 300).map(i => (i * 2654435761L + 99) % 1000000007L)
+    val items = keys.map(Tuple1(_)).toDF("khash")
+    val bits = Sketches.bloomBits(items, "khash", k = 4, m = 8192)
+    // every inserted key MUST hit (the defining guarantee)
+    val hits = Sketches.bloomMightContain(bits, items, "khash", k = 4, m = 8192)
+    assert(hits.where(col("might_contain") === 0).count() == 0)
+    // absent keys: at kn/m = 0.15 the FP rate is ~ (1-e^-0.15)^4 ~ 4e-4,
+    // so 300 fresh keys should nearly all miss (allow a generous few)
+    val absent = (0 until 300).map(i => (i * 40503L * 65537L + 7) % 1000000007L)
+      .filterNot(keys.toSet).map(Tuple1(_)).toDF("khash")
+    val fp = Sketches.bloomMightContain(bits, absent, "khash", k = 4, m = 8192)
+      .where(col("might_contain") === 1).count()
+    assert(fp <= 5, s"false-positive count $fp implausibly high")
+    // mergeability: union of shard bit sets == whole-corpus bit set
+    val (s1, s2) = keys.splitAt(150)
+    val merged = Sketches.bloomBits(s1.map(Tuple1(_)).toDF("khash"), "khash", 4, 8192)
+      .union(Sketches.bloomBits(s2.map(Tuple1(_)).toDF("khash"), "khash", 4, 8192))
+      .distinct()
+    def bitSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    assert(bitSet(merged) == bitSet(bits))
+  }
 }
