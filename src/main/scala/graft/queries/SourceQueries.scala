@@ -804,6 +804,34 @@ object SourceQueries {
         round(reg.resolve("eis", base), 6).as("eis_r6"),
         round(col("alt700"), 6).as("z700_r6"),
         round(col("zlcl"), 6).as("zlcl_r6"))
+    },
+
+    // ---- S12: zarr sink -> source round-trip -----------------------------
+    // The q56 pattern for the zarr leg: a deterministic per-scene grid
+    // (values exact dyadic rationals) is written as REAL zarr v2 stores
+    // through the general path — row-banded chunk grid with edge
+    // padding, zlib-compressed chunks — and read back by the pure-JVM
+    // zarr source. The oracle regenerates the grid analytically, so the
+    // hash proves the whole encode -> chunk -> deflate -> parse ->
+    // assemble chain value-exact.
+    QueryDef.sqlBacked(
+      "q107_zarr_roundtrip",
+      """SELECT 'zs' || CAST(t AS VARCHAR) AS scene_id,
+        |  CAST(i * 100 AS DOUBLE) AS x, CAST(j * 100 AS DOUBLE) AS y,
+        |  CAST((t*7 + j)*5 + i AS DOUBLE) * 0.25 - 3.0 AS value
+        |FROM range(0,3) r1(t), range(0,7) r2(j), range(0,5) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.{Zarr, ZarrSink}
+      val dir = java.nio.file.Files.createTempDirectory("graft-q107").toString
+      val (nT, ny, nx) = (3, 7, 5)
+      val grid = s.range(nT.toLong * ny * nx).select(
+        concat(lit("zs"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
+        expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
+        (expr(s"id % $nx") * 100.0).as("x"),
+        (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
+        (col("id").cast("double") * 0.25 - 3.0).as("value"))
+      ZarrSink.writeScenes(grid, dir, "lwp",
+        chunkRows = Some(3), zlibLevel = Some(6)).count()
+      Zarr.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
     }
   )
 }

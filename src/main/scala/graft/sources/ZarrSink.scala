@@ -2,48 +2,92 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 
-/** Minimal Zarr v2 export (S12): one store per scene, each holding the
+/** Zarr v2 export (S12): one store per scene, each holding the
   * (y, x) grid of a variable plus 1-D coordinate arrays, laid out per
-  * the public zarr v2 spec — `.zgroup`/`.zarray`/`.zattrs` JSON and raw
-  * little-endian C-order chunk files, no compressor. The `.zattrs`
+  * the public zarr v2 spec — `.zgroup`/`.zarray`/`.zattrs` JSON and
+  * C-order chunk files keyed `i.j`, raw or zlib-compressed (numcodecs
+  * `{"id": "zlib"}`), edge chunks padded to full chunk shape with the
+  * fill value (spec: chunks are always full-size). The `.zattrs`
   * carry xarray's `_ARRAY_DIMENSIONS` convention so the store opens
   * directly with `xr.open_zarr` — the export a reference user feeds
   * back into their tooling (the aux-field netCDF sink's sibling,
-  * pipeline/embeddings/aux_fields/utils.py:43-68).
+  * pipeline/embeddings/aux_fields/utils.py:43-68). [[Zarr.readScenes]]
+  * is the matching read side.
   *
-  * Single-chunk per array: scene grids are O(tile) rasters. A large-
-  * array variant would chunk on a (cy, cx) grid with one task per chunk
-  * — same executor-side write pattern as [[NetCDFIngest.writeScenes]].
+  * Default single-chunk per array: scene grids are O(tile) rasters.
+  * `chunkRows` switches to a row-banded chunk grid (one file per band)
+  * — the unit of parallelism a large-array variant distributes over,
+  * same executor-side pattern as [[NetCDFIngest.writeScenes]].
   */
 object ZarrSink {
 
-  private def jsonArray(shape: Seq[Int], dtype: String): String =
+  private def jsonArray(shape: Seq[Int], chunks: Seq[Int], dtype: String,
+      zlibLevel: Option[Int]): String = {
+    val comp = zlibLevel.map(l => s"""{"id": "zlib", "level": $l}""").getOrElse("null")
     s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
-       | "chunks": [${shape.mkString(", ")}], "dtype": "$dtype",
-       | "compressor": null, "fill_value": "NaN", "filters": null,
+       | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
+       | "compressor": $comp, "fill_value": "NaN", "filters": null,
        | "order": "C"}""".stripMargin
+  }
 
-  private def writeDoubles(path: java.io.File, values: Array[Double]): Unit = {
+  private def deflate(bytes: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def writeChunk(path: java.io.File, values: Array[Double],
+      zlibLevel: Option[Int]): Unit = {
     val buf = java.nio.ByteBuffer.allocate(values.length * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     values.foreach(buf.putDouble)
+    val bytes = zlibLevel.map(deflate(buf.array(), _)).getOrElse(buf.array())
     val fos = new java.io.FileOutputStream(path)
-    try fos.write(buf.array()) finally fos.close()
+    try fos.write(bytes) finally fos.close()
   }
 
   private def writeArray(dir: java.io.File, name: String, shape: Seq[Int],
-      dims: Seq[String], values: Array[Double], chunkKey: String): Unit = {
+      dims: Seq[String], values: Array[Double], chunks: Seq[Int],
+      zlibLevel: Option[Int]): Unit = {
     val d = new java.io.File(dir, name); d.mkdirs()
-    java.nio.file.Files.writeString(d.toPath.resolve(".zarray"), jsonArray(shape, "<f8"))
+    java.nio.file.Files.writeString(d.toPath.resolve(".zarray"),
+      jsonArray(shape, chunks, "<f8", zlibLevel))
     java.nio.file.Files.writeString(d.toPath.resolve(".zattrs"),
       s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(", ")}]}""")
-    writeDoubles(new java.io.File(d, chunkKey), values)
+    val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+    val strides = shape.scanRight(1)(_ * _).tail
+    val cStrides = chunks.scanRight(1)(_ * _).tail
+    def emit(ci: List[Int], dim: Int): Unit =
+      if (dim < shape.size) (0 until nChunks(dim)).foreach(i => emit(ci :+ i, dim + 1))
+      else {
+        val chunk = Array.fill(chunks.product)(Double.NaN) // pad = fill
+        var k = 0
+        while (k < chunk.length) {
+          var g = 0L; var inBounds = true; var dd = 0
+          while (dd < shape.size && inBounds) {
+            val global = ci(dd) * chunks(dd) + (k / cStrides(dd)) % chunks(dd)
+            if (global >= shape(dd)) inBounds = false else g += global.toLong * strides(dd)
+            dd += 1
+          }
+          if (inBounds) chunk(k) = values(g.toInt)
+          k += 1
+        }
+        writeChunk(new java.io.File(d, ci.mkString(".")), chunk, zlibLevel)
+      }
+    emit(Nil, 0)
   }
 
   /** One zarr store per scene under `outDir` (same input contract as
     * [[NetCDFIngest.writeScenes]]: scene_id, time, x, y, value on a
-    * regular per-scene grid). Returns (scene_id, path, n_px). */
-  def writeScenes(df: DataFrame, outDir: String, varName: String): DataFrame = {
+    * regular per-scene grid). `chunkRows` bands the variable grid into
+    * ceil(ny/chunkRows) chunk files; `zlibLevel` compresses every
+    * chunk. Returns (scene_id, path, n_px). */
+  def writeScenes(df: DataFrame, outDir: String, varName: String,
+      chunkRows: Option[Int] = None, zlibLevel: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
@@ -59,9 +103,13 @@ object ZarrSink {
         val store = new java.io.File(outDir, s"$sid.zarr")
         store.mkdirs()
         java.nio.file.Files.writeString(store.toPath.resolve(".zgroup"), """{"zarr_format": 2}""")
-        writeArray(store, varName, Seq(ys.length, xs.length), Seq("y", "x"), grid, "0.0")
-        writeArray(store, "y", Seq(ys.length), Seq("y"), ys, "0")
-        writeArray(store, "x", Seq(xs.length), Seq("x"), xs, "0")
+        val gridChunks = Seq(chunkRows.getOrElse(ys.length), xs.length)
+        writeArray(store, varName, Seq(ys.length, xs.length), Seq("y", "x"),
+          grid, gridChunks, zlibLevel)
+        writeArray(store, "y", Seq(ys.length), Seq("y"), ys,
+          Seq(chunkRows.getOrElse(ys.length)), zlibLevel)
+        writeArray(store, "x", Seq(xs.length), Seq("x"), xs,
+          Seq(xs.length), zlibLevel)
         (sid, store.getAbsolutePath, rows.length.toLong)
       }.toDF("scene_id", "path", "n_px")
   }
