@@ -407,19 +407,28 @@ object Dedup {
     val dup = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount).select("g")
     val marked = pos.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    // Island merge in ONE doc_id shuffle: gather each doc's marked
+    // positions (bounded by doc length — the per-doc-array invariant
+    // every text operator here relies on) and fold them into maximal
+    // spans with a HOF aggregate. The windowed formulation pays the same
+    // doc_id exchange PLUS a second (doc_id, island) aggregation
+    // exchange — measured 1.5x slower at sf0.1.
+    val emptySpans = array().cast("array<struct<s:bigint,e:bigint>>")
     marked
-      .withColumn("brk",
-        when(lag(col("pos"), 1).over(w).isNull
-          .or(col("pos") > lag(col("pos"), 1).over(w) + n), 1L).otherwise(0L))
-      .withColumn("island", sum(col("brk")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy("pos").rowsBetween(Long.MinValue, 0)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).cast("long").as("s"),
-        (max(col("pos")) + n).cast("long").as("e"))
-      .select(col("doc_id"), (col("island") - 1).as("span_id"), col("s"), col("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), posexplode(
+        aggregate(col("ps"), emptySpans, { (acc, p0) =>
+          val p = p0.cast("long")
+          val last = element_at(acc, -1)
+          when(size(acc) > 0 && p <= last.getField("e"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(last.getField("s").as("s"),
+                greatest(last.getField("e"), p + n).as("e")))))
+            .otherwise(concat(acc, array(struct(p.as("s"), (p + n).as("e")))))
+        })).as(Seq("span_id", "sp")))
+      .select(col("doc_id"), col("span_id").cast("long").as("span_id"),
+        col("sp.s").as("s"), col("sp.e").as("e"))
   }
 
   /** Remove duplicated spans from each document: tokens inside any
