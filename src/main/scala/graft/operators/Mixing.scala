@@ -45,4 +45,41 @@ object Mixing {
       rates: Seq[(String, Double)], defaultRate: Double, seed: Long): DataFrame =
     sampleDecisions(df, idCol, stratumCol, rates, defaultRate, seed)
       .where(col("kept") === 1L).drop("keep_rate", "kept")
+
+  /** Weighted sampling WITHOUT replacement, k per stratum — the
+    * Efraimidis–Spirakis (2006) priority scheme: each row draws the
+    * key-derived uniform u and competes with priority u^(1/w); the k
+    * highest priorities per stratum are exactly a weight-proportional
+    * without-replacement sample. One pass, no sampling state, and the
+    * per-stratum top-k is the same rank machinery any groupBy-window
+    * pays — at 100 TB this is THE way to draw a weighted subsample
+    * without a driver-side reservoir.
+    *
+    * Determinism: u is [[Triplets.hashUnit]] (engine-exact integer
+    * arithmetic); the ranking priority is rounded to 12 dp so the
+    * cross-engine order is defined by identical decimals (pow is libm —
+    * 1-ulp disagreement near rank boundaries would otherwise flip an
+    * order the hash-compare can see), with the id as the tiebreak
+    * within equal rounded priorities.
+    *
+    * Weights must be strictly positive; non-positive weights reject at
+    * runtime (a silent 0-weight row would otherwise win every sample
+    * with u^(1/0) = u^inf semantics differing across engines). */
+  def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = col(weightCol).cast("double")
+    // the positivity check lives INSIDE the ranking expression so column
+    // pruning can never eliminate it
+    val pr = when(w > 0.0,
+      round(pow(Triplets.hashUnit(seed, col(idCol)), lit(1.0) / w), 12))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: non-positive weight for $idCol="),
+        col(idCol).cast("string"))))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("priority_r12").desc, col(idCol))
+    df.withColumn("priority_r12", pr)
+      .withColumn("rk", row_number().over(rank).cast("long"))
+      .where(col("rk") <= k)
+  }
 }

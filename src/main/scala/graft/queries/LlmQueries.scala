@@ -817,6 +817,30 @@ object LlmQueries {
         .select(col("doc_id"), col("source"), col("keep_rate"), col("kept"))
     },
 
+    // ---- weighted sampling without replacement ---------------------------
+    // Efraimidis-Spirakis priorities u^(1/w) (w = token count), top 20
+    // per source — the one-pass distributed form of the weighted
+    // reservoir. The oracle replays the hash uniform, the pow, the 12-dp
+    // ranking round, and the (priority, doc_id) order token-for-token, so
+    // the hash proves the exact sample membership AND ranks.
+    QueryDef.sqlBacked(
+      "q108_weighted_sample",
+      s"""WITH w AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS wt
+         |  FROM documents),
+         |p AS (SELECT doc_id, source,
+         |    round(pow(${huSql("'42|' || CAST(doc_id AS VARCHAR)")}, 1.0 / wt), 12) AS priority_r12
+         |  FROM w),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY priority_r12 DESC, doc_id) AS BIGINT) AS rk FROM p)
+         |SELECT doc_id, source, priority_r12, rk FROM r WHERE rk <= 20""".stripMargin) { (s, d) =>
+      graft.operators.Mixing.weightedSample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "source", "n_tok", k = 20, seed = 42L)
+        .select(col("doc_id"), col("source"), col("priority_r12"), col("rk"))
+    },
+
     // ---- per-label centroids as exact scaled-integer sums ---------------
     QueryDef.sqlBacked(
       "q31_centroids",

@@ -252,6 +252,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L) == ((5L, 0L, "nothing shared here at all")))
   }
 
+  test("weightedSample: k per stratum, partition-invariant, weight-sensitive, rejects w<=0") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", if (i < 40) 50.0 else 1.0))
+    val df = rows.toDF("id", "stratum", "w")
+    val got = Mixing.weightedSample(df, "id", "stratum", "w", k = 10, seed = 7L)
+    val byStratum = got.collect().groupBy(_.getString(1))
+    assert(byStratum.keySet == Set("a", "b") && byStratum.values.forall(_.length == 10))
+    // deterministic under repartition: identical sample + ranks
+    val got2 = Mixing.weightedSample(df.repartition(13), "id", "stratum", "w", 10, 7L)
+    def keyRanks(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "rk").as[(Long, Long)].collect().toSet
+    assert(keyRanks(got2) == keyRanks(got))
+    // weight sensitivity: the 40 heavy rows (10% of rows, weight 50x)
+    // should dominate the sample across seeds
+    val heavyWins = (1L to 5L).map { seed =>
+      Mixing.weightedSample(df, "id", "stratum", "w", 10, seed)
+        .where(col("id") < 40).count()
+    }.sum
+    assert(heavyWins > 60, s"heavy rows won only $heavyWins/100 slots")
+    val bad = Seq((1L, "a", 0.0)).toDF("id", "stratum", "w")
+    val e = intercept[Exception] {
+      Mixing.weightedSample(bad, "id", "stratum", "w", 1, 7L).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight")
+      || e.getCause != null && e.getCause.getMessage.contains("non-positive weight"))
+  }
+
   test("connectedComponents of an empty pairs input is an empty labeling") {
     // a corpus with zero near-dup pairs is the COMMON case for a clean
     // shard — must return empty, not NPE on the null sum-over-zero-rows
