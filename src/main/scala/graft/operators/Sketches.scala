@@ -162,6 +162,54 @@ object Sketches {
       .distinct()
   }
 
+  /** HDR-histogram-family quantile sketch (the log-bucketed fixed-size
+    * histogram of Gil Tene's HdrHistogram): non-negative integer values
+    * land in cells keyed by (shift, sub) where sub is the value's top
+    * `sBits` significant bits and shift the discarded low-bit count —
+    * so the cell's lower bound `sub << shift` under-estimates v by at
+    * most a factor 2^(1-sBits), a RELATIVE error bound at every
+    * magnitude. The quantile complement to count-min (frequency), HLL
+    * (cardinality) and Bloom (membership): cells are bounded (≤ ~64 ·
+    * 2^(sBits−1)) no matter the corpus, shard union is cell-wise count
+    * SUM (mergeable, incremental), and everything is integer arithmetic
+    * — the oracle replays cells AND estimates exactly.
+    *
+    * floor(log2) comes from the minimal-binary-string length (the HLL
+    * rho trick) and the variable shift from an integer division by a
+    * shifted 1 — both engines share every token. */
+  def hdrCells(items: DataFrame, valueCol: String, sBits: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(sBits >= 1 && sBits <= 20, s"sBits must be in [1,20], got $sBits")
+    val v = s"CAST($valueCol AS BIGINT)"
+    val shift = s"greatest(0, length(bin($v)) - $sBits)"
+    val sub = s"$v div shiftleft(CAST(1 AS BIGINT), $shift)"
+    items
+      .where(expr(s"$v >= 0 OR raise_error('hdrCells: negative value ' || $valueCol)"))
+      .groupBy((groupCols.map(col) :+ expr(shift).as("shift") :+ expr(sub).as("sub")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Nearest-rank quantile estimates from HDR cells: for each q the
+    * estimate is the lower bound (sub << shift) of the cell containing
+    * rank ceil(q·n) in cell-lower-bound order. The global window is
+    * over the SKETCH table (bounded cells), not the data. */
+  def hdrQuantiles(cells: DataFrame, qs: Seq[Double]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val lb = expr("shiftleft(sub, CAST(shift AS INT))")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("lb").rowsBetween(Long.MinValue, 0)
+    val cum = cells.select(lb.as("lb"), col("cnt"))
+      .groupBy("lb").agg(sum("cnt").as("cnt")) // shards may repeat cells: merge = SUM
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val total = cum.agg(sum(col("cnt")).cast("long").as("n"))
+    cum.crossJoin(broadcast(total)) // bounded: one row
+      .crossJoin(broadcast(qs.toDF("q"))) // bounded: the probe list
+      .where(col("cum") >= greatest(lit(1L), ceil(col("q") * col("n"))))
+      .groupBy(col("q"))
+      .agg(min(col("lb")).as("est"), max(col("n")).as("n"))
+  }
+
   /** Membership probes against a built filter: a key "might be present"
     * iff ALL k of its bits are set (no false negatives by construction;
     * false positives at the classic (1−e^{−kn/m})^k rate). The bit table

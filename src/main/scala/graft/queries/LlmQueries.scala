@@ -841,6 +841,33 @@ object LlmQueries {
         .select(col("doc_id"), col("source"), col("priority_r12"), col("rk"))
     },
 
+    // ---- HDR-histogram quantile sketch -----------------------------------
+    // The quantile complement to CMS/HLL/Bloom: log-bucketed cells with
+    // 7 significant bits (relative error <= 2^-6 ~ 1.6%) over price
+    // cents, nearest-rank estimates from the bounded cell table. Pure
+    // integer arithmetic (bin-length log2, shifted-1 division), so the
+    // oracle replays cells AND estimates exactly.
+    QueryDef.sqlBacked(
+      "q109_hdr_quantiles",
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |cells AS (SELECT greatest(0, length(bin(v)) - 7) AS shift,
+        |    v // (CAST(1 AS BIGINT) << greatest(0, length(bin(v)) - 7)) AS sub,
+        |    count(*) AS cnt FROM c GROUP BY 1, 2),
+        |lbs AS (SELECT (sub << CAST(shift AS INT)) AS lb, CAST(sum(cnt) AS BIGINT) AS cnt FROM cells GROUP BY 1),
+        |cum AS (SELECT lb, cnt, sum(cnt) OVER (ORDER BY lb ROWS UNBOUNDED PRECEDING) AS cum FROM lbs),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM lbs),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99, 1.0]) AS q)
+        |SELECT q, CAST(min(lb) AS BIGINT) AS est, CAST(max(n) AS BIGINT) AS n
+        |FROM cum CROSS JOIN tot CROSS JOIN qs
+        |WHERE cum >= greatest(1, CAST(ceil(q * n) AS BIGINT))
+        |GROUP BY q""".stripMargin) { (s, d) =>
+      import graft.operators.Sketches
+      val vals = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      Sketches.hdrQuantiles(Sketches.hdrCells(vals, "cents", sBits = 7),
+        Seq(0.5, 0.9, 0.99, 1.0))
+    },
+
     // ---- per-label centroids as exact scaled-integer sums ---------------
     QueryDef.sqlBacked(
       "q31_centroids",

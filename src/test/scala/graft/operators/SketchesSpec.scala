@@ -124,4 +124,38 @@ class SketchesSpec extends SparkSpec {
       df.collect().map(_.getLong(0)).toSet
     assert(bitSet(merged) == bitSet(bits))
   }
+
+  test("HDR quantile sketch: relative error bound, shard mergeability, negative reject") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    // magnitudes spread over 6 decades so many (shift, sub) cells engage
+    val vals = (0 until 5000).map(_ => math.abs(rnd.nextLong()) % (1L << (3 + rnd.nextInt(40))))
+    val df = vals.map(Tuple1(_)).toDF("v")
+    val s = 7
+    val qs = Seq(0.1, 0.5, 0.9, 0.99, 1.0)
+    val est = Sketches.hdrQuantiles(Sketches.hdrCells(df, "v", s), qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val exact = sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)
+      val e = est(q)
+      // lower bound of the containing cell: e <= exact, off by < 2^(1-s) rel
+      assert(e <= exact, s"q=$q est $e above exact $exact")
+      assert(exact - e <= math.max(1L, (exact * math.pow(2.0, 1 - s)).toLong + 1),
+        s"q=$q est $e too far below exact $exact")
+    }
+    // shard mergeability: union of per-shard cells -> same estimates
+    val (s1, s2) = vals.splitAt(2500)
+    val merged = Sketches.hdrCells(s1.map(Tuple1(_)).toDF("v"), "v", s)
+      .union(Sketches.hdrCells(s2.map(Tuple1(_)).toDF("v"), "v", s))
+    val est2 = Sketches.hdrQuantiles(merged, qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(est2 == est)
+    val e = intercept[Exception] {
+      Sketches.hdrCells(Seq(Tuple1(-5L)).toDF("v"), "v", s).collect()
+    }
+    assert(e.getMessage.contains("negative value")
+      || e.getCause != null && e.getCause.getMessage.contains("negative value"))
+  }
 }
