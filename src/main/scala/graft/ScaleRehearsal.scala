@@ -98,6 +98,43 @@ object ScaleRehearsal {
         broadcastVocab = Some(false)).count()
     }
 
+    // ---- exact-substring span dedup ------------------------------------
+    // Position hashes scale with corpus tokens; the duplicated-hash set
+    // (the mark-back join's build side) scales with the fitted unigram
+    // model's chance-collision rate — the same corpus geometry the LSH
+    // stages run on. Ends in aggregations, so count() cannot prune the
+    // counting/marking/island work away.
+    timed("span_dedup") {
+      graft.operators.Dedup.duplicatedNgramSpans(docs, "doc_id", "text", n = 5)
+        .count()
+    }
+
+    // ---- audio multimodal chain ----------------------------------------
+    // quantize -> WAV encode -> decode -> features, per-row over the
+    // embeddings table (noop sink: a count would let Spark prune the
+    // UDF codec out of the plan). The generator writes ONE parquet row
+    // group per table, so without an explicit repartition the whole
+    // UDF chain runs as a single task (measured: 39 s for x10 on one
+    // core) — a 100 TB corpus arrives as many files/row groups, so the
+    // rehearsal repartitions to the production shape and measures the
+    // per-row claim, not the one-file artifact.
+    timed("audio_chain") {
+      import graft.functions.AudioOps
+      val emb = Tables.embeddings(spark, dir).repartition(cpus.toInt)
+      emb.select(col("vec_id"),
+          AudioOps.quantizeI16(expr("slice(embedding, 1, 48)")).as("w"))
+        .withColumn("wav", AudioOps.encodeWav(col("w"), lit(16000)))
+        .withColumn("dec", AudioOps.decodeWav(col("wav")))
+        .select(col("vec_id"),
+          col("dec.sample_rate").cast("long").as("sample_rate"),
+          size(col("dec.samples")).cast("long").as("n_samples"),
+          AudioOps.peakAbs(col("dec.samples")).as("peak"),
+          AudioOps.energy(col("dec.samples")).as("energy"),
+          AudioOps.zeroCrossings(col("dec.samples")).as("zero_crossings"))
+        .write.format("noop").mode("overwrite").save()
+      Tables.embeddings(spark, dir).count()
+    }
+
     // ---- streaming LSH to completion, scale-invariant 1800 s horizon ---
     // parquet file sink, NOT the memory sink: collecting x-scale pair
     // volumes to the driver trips spark.driver.maxResultSize — a sink
