@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence preparation for training/RAG pipelines: token-window
+  * chunking (long documents → overlapping fixed-size windows, the
+  * every-pretrain/RAG chunker) and contiguous sequence packing
+  * (documents → fixed token-budget bins, the GPT-style packed-stream
+  * step between tokenization and batching).
+  *
+  * Both are exact integer/array arithmetic over per-doc token arrays —
+  * chunking is a pure per-row explode (no shuffle), packing is one
+  * prefix sum — so a SQL oracle replays every chunk boundary and bin
+  * assignment token-for-token.
+  */
+object SequencePrep {
+
+  /** Overlapping token windows: chunk c covers tokens
+    * [c·stride, c·stride + size) with stride = size − overlap, emitted
+    * while c·stride < n_tokens (the standard HF-style stride chunker —
+    * ceil(n/stride) chunks, the tail window may be short). Pure per-row
+    * HOF work + one explode; no shuffle, the chunk multiplicity is the
+    * only row growth.
+    *
+    * Returns doc_id, chunk_id, start_tok, n_tok, chunk_text. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap")
+    val stride = size - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks = ceil(n.cast("double") / stride).cast("int")
+    df.select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+          c => slice(toks, c * stride + 1, lit(size)))).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("start_tok"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast("long").as("n_tok"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  /** Contiguous sequence packing: within each stratum (shard), documents
+    * in id order form one concatenated token stream cut into bins of
+    * `budget` tokens — each document starts at global token offset
+    * cum − n, lands in bin (cum−n) div budget at offset (cum−n) mod
+    * budget, and spans `n_bins` consecutive bins (boundary documents
+    * straddle, the packed-stream convention: splitting at bin edges is
+    * the batcher's job). One prefix sum per stratum; the stratum column
+    * keeps the window partitioned — a truly global pack would serialize
+    * the prefix sum, so 100 TB pipelines pack per shard exactly like
+    * this. */
+  def packSequences(df: DataFrame, idCol: String, strataCol: String,
+      nTokCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(Long.MinValue, 0)
+    val n = col(nTokCol).cast("long")
+    df.withColumn("__cum", sum(n).over(w))
+      .select(col(idCol), col(strataCol), n.as("n_tok"),
+        expr(s"(__cum - CAST($nTokCol AS BIGINT)) div $budget").as("bin"),
+        expr(s"(__cum - CAST($nTokCol AS BIGINT)) % $budget").as("offset"),
+        (expr(s"(__cum - 1) div $budget")
+          - expr(s"(__cum - CAST($nTokCol AS BIGINT)) div $budget") + 1)
+          .as("n_bins"))
+  }
+}

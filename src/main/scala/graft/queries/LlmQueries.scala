@@ -868,6 +868,45 @@ object LlmQueries {
         Seq(0.5, 0.9, 0.99, 1.0))
     },
 
+    // ---- token-window chunking (RAG / pretrain chunker) ------------------
+    // Overlapping fixed-size token windows (size 16, overlap 4): the
+    // document splitter every pretrain/RAG pipeline runs before
+    // embedding or packing. Pure per-row explode; chunk text pinned by
+    // md5 so the hash proves every boundary and every token.
+    QueryDef.sqlBacked(
+      "q110_token_chunks",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |ch AS (SELECT doc_id, c, toks[c*12+1 : least(c*12+16, len(toks))] AS chunk
+        |       FROM (SELECT doc_id, toks, unnest(range(0, CAST(ceil(len(toks)/12.0) AS INT))) AS c FROM t))
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id, CAST(c*12 AS BIGINT) AS start_tok,
+        |  CAST(len(chunk) AS BIGINT) AS n_tok, md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch""".stripMargin) { (s, d) =>
+      graft.operators.SequencePrep.chunkTokens(
+        Tables.documents(s, d), "doc_id", "text", size = 16, overlap = 4)
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+          md5(col("chunk_text")).as("chunk_md5"))
+    },
+
+    // ---- contiguous sequence packing -------------------------------------
+    // The GPT-style packed-stream step: per source shard, documents in
+    // id order form one token stream cut into 256-token bins; each doc
+    // gets (bin, offset, bins spanned) from a single per-shard prefix
+    // sum — all integer arithmetic, replayed exactly.
+    QueryDef.sqlBacked(
+      "q111_seq_packing",
+      """WITH w AS (SELECT doc_id, source, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM w)
+        |SELECT doc_id, source, n_tok, CAST((cum - n_tok) // 256 AS BIGINT) AS bin,
+        |  CAST((cum - n_tok) % 256 AS BIGINT) AS offset,
+        |  CAST((cum - 1) // 256 - (cum - n_tok) // 256 + 1 AS BIGINT) AS n_bins
+        |FROM c""".stripMargin) { (s, d) =>
+      graft.operators.SequencePrep.packSequences(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "source", "n_tok", budget = 256)
+    },
+
     // ---- per-label centroids as exact scaled-integer sums ---------------
     QueryDef.sqlBacked(
       "q31_centroids",
