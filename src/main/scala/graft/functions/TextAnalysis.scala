@@ -127,11 +127,25 @@ object TextAnalysis {
     * shingle family decontamination uses (GPT-3 Appendix C checks 13-gram
     * overlap; n is a parameter here). Empty array below n tokens (guards
     * Spark's descending `sequence`). */
-  def tokenNgramHashes(c: Column, n: Int): Column = {
+  def tokenNgramHashes(c: Column, n: Int): Column =
+    array_distinct(tokenNgramHashesAll(c, n))
+
+  /** Position-ordered (NON-distinct) n-gram hashes: element i is the
+    * hash of the gram starting at token i — a posexplode index IS the
+    * position. Native zero-allocation kernel
+    * (graft.plans.TokenNgramHashes); [[tokenNgramHashesAllHof]] is the
+    * spec-proven bit-identical HOF reference. */
+  def tokenNgramHashesAll(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.plans.TokenNgramHashes(expression(tokens(c)), n))
+  }
+
+  /** HOF reference form of [[tokenNgramHashesAll]] (cross-check oracle). */
+  def tokenNgramHashesAllHof(c: Column, n: Int): Column = {
     val toks = tokens(c)
     when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => polyHash(concat_ws(" ", slice(toks, i + lit(1), lit(n)))))))
+      transform(sequence(lit(0), size(toks) - n),
+        i => polyHash(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
       .otherwise(array().cast("array<long>"))
   }
 

@@ -364,15 +364,10 @@ object Dedup {
   /** Token n-grams of every position (NOT distinct — spans need each
     * occurrence): 0-based start position + int64 poly-hash. */
   private def ngramPositions(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos"), TextAnalysis.polyHash(col("gram")).as("g"))
-  }
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      posexplode(TextAnalysis.tokenNgramHashesAll(col(textCol), n))
+        .as(Seq("pos", "g")))
 
   /** Exact-substring duplicated-span detection — the ExactSubstr side of
     * the published training-data dedup recipe (Lee et al. 2021,

@@ -36,6 +36,15 @@ object Functions {
         }
         MinHashSig(exprs.head, k)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("token_ngram_hashes",
+      exprs => {
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"token_ngram_hashes(toks, n): n must be a literal, got $other")
+        }
+        TokenNgramHashes(exprs.head, n)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sketch",
       exprs => {
         val k = exprs(1) match {
