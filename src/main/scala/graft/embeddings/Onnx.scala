@@ -372,14 +372,14 @@ object Onnx {
   /** 2-D max pooling over NCHW; taps outside the (zero-)padded region are
     * simply excluded from the max (ONNX pads with -inf for MaxPool). */
   private def maxPool2d(x: Nd, kernel: Seq[Int], pads: Seq[Int],
-      strides: Seq[Int]): Nd = {
+      strides: Seq[Int], ceilMode: Boolean = false): Nd = {
     require(x.dims.size == 4, s"MaxPool: need rank-4 NCHW input, got ${x.dims}")
     val Seq(n, c, h, w) = x.dims: @unchecked
     val Seq(kh, kw) = kernel: @unchecked
     val Seq(padT, padL, padB, padR) = pads: @unchecked
     val Seq(sH, sW) = strides: @unchecked
-    val oh = (h + padT + padB - kh) / sH + 1
-    val ow = (w + padL + padR - kw) / sW + 1
+    val oh = poolOutDim(h, padT, padB, kh, sH, ceilMode)
+    val ow = poolOutDim(w, padL, padR, kw, sW, ceilMode)
     require(oh > 0 && ow > 0, s"MaxPool: non-positive output dims ($oh,$ow)")
     val out = new Array[Double](n * c * oh * ow)
     var p = 0
@@ -424,14 +424,15 @@ object Onnx {
     * default) divides by the number of taps inside the image;
     * `true` divides by the full kernel size, counting pad zeros. */
   private def avgPool2d(x: Nd, kernel: Seq[Int], pads: Seq[Int],
-      strides: Seq[Int], countIncludePad: Boolean): Nd = {
+      strides: Seq[Int], countIncludePad: Boolean,
+      ceilMode: Boolean = false): Nd = {
     require(x.dims.size == 4, s"AveragePool: need rank-4 NCHW input, got ${x.dims}")
     val Seq(n, c, h, w) = x.dims: @unchecked
     val Seq(kh, kw) = kernel: @unchecked
     val Seq(padT, padL, padB, padR) = pads: @unchecked
     val Seq(sH, sW) = strides: @unchecked
-    val oh = (h + padT + padB - kh) / sH + 1
-    val ow = (w + padL + padR - kw) / sW + 1
+    val oh = poolOutDim(h, padT, padB, kh, sH, ceilMode)
+    val ow = poolOutDim(w, padL, padR, kw, sW, ceilMode)
     require(oh > 0 && ow > 0, s"AveragePool: non-positive output dims ($oh,$ow)")
     val out = new Array[Double](n * c * oh * ow)
     var p = 0
@@ -754,11 +755,20 @@ object Onnx {
     }
   }
 
-  private def rejectCeilAndDilation(n: Node): Unit = {
-    require(n.attrI.getOrElse("ceil_mode", 0L) == 0L,
-      s"${n.opType}: ceil_mode=1 unsupported (floor output dims only)")
+  private def rejectPoolDilation(n: Node): Unit =
     require(n.attrIs.getOrElse("dilations", Seq(1L, 1L)).forall(_ == 1L),
       s"${n.opType}: only dilation=1 pooling supported")
+
+  /** Pooled output extent along one axis. ceil_mode=1 rounds the window
+    * count up (the GoogLeNet-family export shape), with the standard
+    * PyTorch/onnxruntime clamp: a window that would START at or beyond
+    * input + begin-pad is dropped (it could only see end-padding). */
+  private def poolOutDim(in: Int, padB: Int, padE: Int, k: Int, s: Int,
+      ceil: Boolean): Int = {
+    val num = in + padB + padE - k
+    var o = (if (ceil) (num + s - 1) / s else num / s) + 1
+    if (ceil && (o - 1) * s >= in + padB) o -= 1
+    o
   }
 
   /** Execute the graph on one dense input (rank-2 [batch, dim] for MLPs,
@@ -812,7 +822,7 @@ object Onnx {
             group = n.attrI.getOrElse("group", 1L).toInt,
             dilations = dil)
         case "MaxPool" =>
-          rejectCeilAndDilation(n)
+          rejectPoolDilation(n)
           val kernel = n.attrIs.getOrElse("kernel_shape",
             throw new IllegalArgumentException("MaxPool: kernel_shape required")).map(_.toInt)
           // the ONNX spec default is stride 1 along each axis, NOT the
@@ -821,17 +831,23 @@ object Onnx {
           val strides = intsAttr(n, "strides", Seq(1L, 1L))
           maxPool2d(x, kernel,
             pads = resolvePads(n, x.dims.drop(2), kernel, strides, Seq(1, 1)),
-            strides = strides)
+            strides = strides,
+            ceilMode = n.attrI.getOrElse("ceil_mode", 0L) != 0L)
         case "AveragePool" =>
-          rejectCeilAndDilation(n)
+          rejectPoolDilation(n)
           val kernel = n.attrIs.getOrElse("kernel_shape",
             throw new IllegalArgumentException("AveragePool: kernel_shape required")).map(_.toInt)
           val x = in(n, 0)
           val strides = intsAttr(n, "strides", Seq(1L, 1L))
+          val ceil = n.attrI.getOrElse("ceil_mode", 0L) != 0L
+          val incPad = n.attrI.getOrElse("count_include_pad", 0L) != 0L
+          // a ceil-extra window's pad-cell count differs across runtimes;
+          // reject the ambiguous combination loudly
+          require(!(ceil && incPad),
+            "AveragePool: ceil_mode=1 with count_include_pad=1 unsupported")
           avgPool2d(x, kernel,
             pads = resolvePads(n, x.dims.drop(2), kernel, strides, Seq(1, 1)),
-            strides = strides,
-            countIncludePad = n.attrI.getOrElse("count_include_pad", 0L) != 0L)
+            strides = strides, countIncludePad = incPad, ceilMode = ceil)
         case "Concat" =>
           val axis = n.attrI.getOrElse("axis",
             throw new IllegalArgumentException("Concat: axis required"))

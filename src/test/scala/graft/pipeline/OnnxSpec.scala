@@ -474,6 +474,39 @@ class OnnxSpec extends SparkSpec {
     assert(pool.dims == Seq(1, 1, 3, 3), "out = ceil(5/2)")
   }
 
+  test("ceil_mode pools: extra tail window, pad-start clamp, avg over real cells") {
+    // 1x1x5x5, k=2, s=2: floor gives 2 windows/axis, ceil gives 3 — the
+    // tail window sees only the last row/column (PyTorch ceil semantics)
+    val (h, w) = (5, 5)
+    val x = Array.tabulate(h * w)(i => ((i * 13) % 17).toDouble)
+    val nd = Onnx.Nd(Seq(1, 1, h, w), x)
+    val mp = Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
+      attrI = Seq("ceil_mode" -> 1L),
+      attrIs = Seq("kernel_shape" -> Seq(2L, 2L), "strides" -> Seq(2L, 2L))), nd)
+    assert(mp.dims == Seq(1, 1, 3, 3))
+    for (oy <- 0 until 3; ox <- 0 until 3) {
+      val ys = Seq(oy * 2, oy * 2 + 1).filter(_ < h)
+      val xs = Seq(ox * 2, ox * 2 + 1).filter(_ < w)
+      val expect = (for (iy <- ys; ix <- xs) yield x(iy * w + ix)).max
+      assert(mp.a(oy * 3 + ox) == expect, s"($oy,$ox)")
+    }
+    // average over REAL cells only in the tail window
+    val ap = Onnx.runNd(oneNode("AveragePool", Seq("x"), Nil,
+      attrI = Seq("ceil_mode" -> 1L),
+      attrIs = Seq("kernel_shape" -> Seq(2L, 2L), "strides" -> Seq(2L, 2L))), nd)
+    assert(ap.dims == Seq(1, 1, 3, 3))
+    assert(ap.a(8) == x(4 * w + 4), "tail window = single real cell")
+    // clamp: with end-pad 2 the ceil-extra window would START in pure
+    // end-padding ((o-1)*s = in + padT) and must be dropped
+    val clamped = Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
+      attrI = Seq("ceil_mode" -> 1L),
+      attrIs = Seq("kernel_shape" -> Seq(2L, 2L), "strides" -> Seq(2L, 2L),
+        "pads" -> Seq(0L, 0L, 2L, 2L)),
+      ), Onnx.Nd(Seq(1, 1, 4, 4), Array.tabulate(16)(_.toDouble)))
+    assert(clamped.dims == Seq(1, 1, 2, 2),
+      s"pad-start window must be clamped, got ${clamped.dims}")
+  }
+
   test("conv/pool rejections: kernel_shape, auto_pad, ceil_mode, pool dilations, bad group") {
     val x = Onnx.Nd(Seq(1, 1, 4, 4), new Array[Double](16))
     val exK = intercept[IllegalArgumentException] {
@@ -497,12 +530,14 @@ class OnnxSpec extends SparkSpec {
     Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
       attrIs = Seq("kernel_shape" -> Seq(2L, 2L)),
       attrS = Seq("auto_pad" -> "NOTSET")), x)
+    // ceil_mode now executes; only the cross-runtime-ambiguous
+    // combination with count_include_pad=1 still rejects
     val exC = intercept[IllegalArgumentException] {
       Onnx.runNd(oneNode("AveragePool", Seq("x"), Nil,
-        attrI = Seq("ceil_mode" -> 1L),
+        attrI = Seq("ceil_mode" -> 1L, "count_include_pad" -> 1L),
         attrIs = Seq("kernel_shape" -> Seq(2L, 2L))), x)
     }
-    assert(exC.getMessage.contains("ceil_mode"))
+    assert(exC.getMessage.contains("ceil_mode=1 with count_include_pad=1"))
     val exD = intercept[IllegalArgumentException] {
       Onnx.runNd(oneNode("MaxPool", Seq("x"), Nil,
         attrIs = Seq("kernel_shape" -> Seq(2L, 2L), "dilations" -> Seq(2L, 2L))), x)
