@@ -907,6 +907,42 @@ object LlmQueries {
         "doc_id", "source", "n_tok", budget = 256)
     },
 
+    // ---- integer PageRank (crawl-frontier ranking) -----------------------
+    // The Common Crawl host-ranking step over a deterministic 1000-node
+    // link graph (ring + event-derived chords, so every node has in- and
+    // out-edges): 10 rounds of r' = base + sum(floor(r*85/(100*deg))).
+    // Integer contributions make the sum order-independent, so the
+    // DuckDB recursive-CTE replay matches bit-for-bit — float PageRank
+    // could never cross the hash gate.
+    QueryDef.sqlBacked(
+      "q112_pagerank",
+      """WITH edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT event_id % 1000 AS src, (event_id * 37) % 1000 AS dst FROM events
+        |    UNION ALL
+        |    SELECT i AS src, (i + 1) % 1000 AS dst FROM range(0, 1000) r(i))
+        |  WHERE src <> dst),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |pr AS (
+        |  WITH RECURSIVE p(it, node, r) AS (
+        |    SELECT 0, i, CAST(1000000000 AS BIGINT) FROM range(0, 1000) r(i)
+        |    UNION ALL
+        |    SELECT p.it + 1, e.dst,
+        |      CAST(150000000 + sum(p.r * 85 // (100 * deg.deg)) AS BIGINT)
+        |    FROM p JOIN deg ON deg.node = p.node JOIN edges e ON e.src = p.node
+        |    WHERE p.it < 10
+        |    GROUP BY 1, 2)
+        |  SELECT node, r FROM p WHERE it = 10)
+        |SELECT node, r AS rank FROM pr""".stripMargin) { (s, d) =>
+      val chords = Tables.events(s, d)
+        .select((col("event_id") % 1000).as("src"),
+          ((col("event_id") * 37) % 1000).as("dst"))
+      val ring = s.range(0, 1000)
+        .select(col("id").as("src"), ((col("id") + 1) % 1000).as("dst"))
+      graft.operators.Ranking.integerPageRank(
+        chords.unionByName(ring), "src", "dst", iterations = 10)
+    },
+
     // ---- per-label centroids as exact scaled-integer sums ---------------
     QueryDef.sqlBacked(
       "q31_centroids",
