@@ -943,6 +943,65 @@ object LlmQueries {
         chords.unionByName(ring), "src", "dst", iterations = 10)
     },
 
+    // ---- URL canonicalization (crawl frontier dedup) ---------------------
+    // The normalization every crawl pipeline runs before URL-level dedup
+    // and host aggregation: lowercase scheme/host, default port dropped
+    // (:8443 kept), fragment dropped, trailing path slashes stripped,
+    // query params sorted. Messy URLs synthesized deterministically;
+    // both engines canonicalize from the same split_part primitives, so
+    // every byte hashes.
+    QueryDef.sqlBacked(
+      "q113_url_canon",
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HtTpS://WwW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.ExAmPle.' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'CoM' ELSE 'OrG' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':8443' ELSE '' END ||
+        |    '/Path' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '///' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?z=9&y=8&x=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 1 THEN '#Frag' ELSE '' END AS u
+        |  FROM documents),
+        |parts AS (SELECT doc_id, split_part(u, '#', 1) AS fragless FROM raw),
+        |p2 AS (SELECT doc_id, lower(split_part(fragless, '://', 1)) AS scheme,
+        |    substr(fragless, length(split_part(fragless, '://', 1)) + 4) AS rest FROM parts),
+        |p3 AS (SELECT doc_id, scheme, split_part(rest, '?', 1) AS preq,
+        |    split_part(rest, '?', 2) AS q FROM p2),
+        |p4 AS (SELECT doc_id, scheme, q, split_part(preq, '/', 1) AS hostport,
+        |    substr(preq, length(split_part(preq, '/', 1)) + 1) AS raw_path FROM p3),
+        |p5 AS (SELECT doc_id, scheme, q, raw_path,
+        |    lower(split_part(hostport, ':', 1)) AS host,
+        |    split_part(hostport, ':', 2) AS port FROM p4)
+        |SELECT doc_id,
+        |  scheme || '://' || host ||
+        |  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |            AND NOT (scheme = 'https' AND port = '443')
+        |       THEN ':' || port ELSE '' END ||
+        |  CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(raw_path, '/+$', '') END ||
+        |  CASE WHEN q <> '' THEN '?' || array_to_string(list_sort(string_split(q, '&')), '&') ELSE '' END AS canonical,
+        |  host,
+        |  CASE WHEN len(string_split(host, '.')) >= 2
+        |       THEN array_to_string(string_split(host, '.')[-2:], '.') ELSE host END AS domain
+        |FROM p5""".stripMargin) { (s, d) =>
+      import graft.functions.UrlOps
+      val u = concat(
+        lit("HtTpS://WwW.Site"), (col("doc_id") % 50).cast("string"), lit(".ExAmPle."),
+        when(col("doc_id") % 2 === 0, "CoM").otherwise("OrG"),
+        when(col("doc_id") % 4 === 0, ":443")
+          .when(col("doc_id") % 4 === 1, ":8443").otherwise(""),
+        lit("/Path"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, "///").otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("?z=9&y=8&x="), (col("doc_id") % 3).cast("string"))).otherwise(""),
+        when(col("doc_id") % 2 === 1, "#Frag").otherwise(""))
+      Tables.documents(s, d).select(col("doc_id"), u.as("u"))
+        .select(col("doc_id"),
+          UrlOps.canonicalizeUrl(col("u")).as("canonical"),
+          UrlOps.urlHost(col("u")).as("host"),
+          UrlOps.registeredDomain(col("u")).as("domain"))
+    },
+
     // ---- per-label centroids as exact scaled-integer sums ---------------
     QueryDef.sqlBacked(
       "q31_centroids",
