@@ -50,7 +50,12 @@ object Bench {
     // Round 6 additions: SemDeDup (cell-blocked cosine pairs + alt-star
     // + election) and deterministic corpus mixing (pure projection —
     // its cost is the floor a stateless operator should sit at).
-    "q96_semdedup", "q97_data_mixing")
+    "q96_semdedup", "q97_data_mixing",
+    // Round 6 late additions: exact-substring span dedup (position-hash
+    // count + mark-back join + per-doc islands) and the audio
+    // quantize->WAV->decode->analyze chain (the UDF-codec path — times
+    // the per-row binary-column cost the multimodal contract pays).
+    "q104_dup_spans", "q102_audio_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -204,6 +204,20 @@ class PlanRegressionSpec extends SparkSpec {
       s"q104 lost its equi-join:\n${plan.take(1200)}")
   }
 
+  test("q110/q113: chunking and URL canonicalization are pure projections") {
+    for (q <- Seq("q110_token_chunks", "q113_url_canon")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q introduced a shuffle:\n${plan.take(1200)}")
+    }
+  }
+
+  test("q112: every PageRank round joins hash/merge — no cartesian, no nested loop") {
+    val plan = planOf("q112_pagerank")
+    assert(!plan.contains("CartesianProduct"), "q112 plans a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q112 plans a nested loop:\n${plan.take(1200)}")
+  }
+
   test("q53: time filter pushes into the DSv2 scan (residual-free)") {
     val plan = planOf("q53_dsv2_calendar")
     assert(plan.contains("graft-calendar scan"), "expected the custom calendar scan")
