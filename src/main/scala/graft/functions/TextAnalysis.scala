@@ -263,4 +263,64 @@ object TextAnalysis {
       .where(col("rnk") <= k)
       .select(col(idCol), col("rnk"), col("tok"), col("score_r6"))
   }
+
+  // ---- C4-style corpus cleaning (Raffel et al. 2020, §2.2) --------------
+  // The line/page rule family every crawl-derived pretraining corpus runs
+  // after text extraction. Reference scope: the quality gates of
+  // convml_data's per-scene completeness filters generalized to documents
+  // (convml_data/pipeline/scene_sources.py gate pattern); rules follow the
+  // published C4 heuristics. Pure per-row array work — no shuffle.
+
+  /** A line survives C4 iff it ends in terminal punctuation (period,
+    * exclamation, question mark, or closing quote), has >= 3 words, and
+    * does not mention javascript. */
+  def c4LineKeep(l: Column): Column =
+    l.rlike("[.!?\"]$") && (size(split(l, " ")) >= 3) &&
+      !l.contains("javascript")
+
+  def c4KeptLines(lines: Column): Column = filter(lines, l => c4LineKeep(l))
+
+  /** Page-level C4 gate: >= 5 surviving lines (the "sentences" proxy), no
+    * lorem-ipsum boilerplate, no curly brace (code leakage) anywhere. */
+  def c4PageKeep(lines: Column, nKept: Column): Column = {
+    val page = array_join(lines, "\n")
+    (nKept >= 5) && !page.contains("lorem ipsum") && !page.contains("{")
+  }
+
+  // ---- Gopher document-quality rules (Rae et al. 2021, Appendix A1.1) ---
+  // Word-level and line-shape thresholds; every comparison below is kept
+  // in integer arithmetic (cross-multiplied ratios) so the DuckDB oracle
+  // replay is exact with no FP divisions.
+
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Number of DISTINCT Gopher stop words present (8-term sum of
+    * membership tests — deterministic, no set ops). */
+  def gopherStopHits(toks: Column): Column =
+    GopherStops.map(s => array_contains(toks, s).cast("int")).reduce(_ + _)
+
+  /** Count of pure symbol words ('#' or '...') — the hash/ellipsis
+    * symbol-to-word ratio numerator. */
+  def gopherSymbolWords(toks: Column): Column =
+    size(filter(toks, w => w === "#" || w === "..."))
+
+  /** Count of words containing at least one alphabetic character. */
+  def gopherAlphaWords(toks: Column): Column =
+    size(filter(toks, w => w.rlike("[a-z]")))
+
+  /** The assembled Gopher keep decision from pre-computed counts.
+    * Thresholds: 50 <= n_words <= 100000; mean word length in [3,10]
+    * (scaled-by-100 integer mw_c in [300,1000]); symbol words <= 10% of
+    * words; alpha words >= 80%; >= 2 distinct stop words; bullet-started
+    * lines < 90%; ellipsis-ended lines <= 30%. */
+  def gopherKeep(nWords: Column, mwC: Column, nSym: Column, nAlpha: Column,
+      nStop: Column, nLines: Column, nBullet: Column, nEll: Column): Column =
+    (nWords >= 50) && (nWords <= 100000) &&
+      (mwC >= 300) && (mwC <= 1000) &&
+      (nSym * 10 <= nWords) &&
+      (nAlpha * 5 >= nWords * 4) &&
+      (nStop >= 2) &&
+      (nBullet * 10 < nLines * 9) &&
+      (nEll * 10 <= nLines * 3)
 }

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation rule sets over `documents`: the C4 line/page cleaning
+  * family (Raffel et al. 2020, §2.2) and the Gopher document-quality
+  * thresholds (Rae et al. 2021, Appendix A1.1) — the two published filter
+  * stacks a crawl-derived pretraining pipeline runs between text
+  * extraction and dedup.
+  *
+  * The corpus's documents are single-line word soup, so each query first
+  * builds a deterministic multi-line view (8-word pseudo-lines with
+  * formula-chosen decorations) token-identically in both engines — the
+  * same synthesize-then-verify pattern q93 (PII) and q99 (WARC) use. All
+  * rule math is integer (cross-multiplied ratios); the only division is
+  * one floor(int/int) both engines evaluate with the same IEEE ops.
+  *
+  * Everything here is a pure per-row projection — no shuffle, no UDF —
+  * so at 100 TB the filters run at scan speed (plan-asserted).
+  */
+object CurationQueries {
+
+  /** Spark side of the shared 8-word pseudo-line builder: line i carries
+    * a (doc_id + i) % 7 suffix cycling through C4-relevant shapes. */
+  private def c4Lines(toks: Column, docId: Column): Column =
+    transform(
+      sequence(lit(0L), floor((size(toks) - lit(1)) / lit(8)).cast("long")),
+      i => concat(
+        array_join(slice(toks, (i * 8 + 1).cast("int"), lit(8)), " "),
+        when((docId + i) % 7 === 0, ".")
+          .when((docId + i) % 7 === 1, "!")
+          .when((docId + i) % 7 === 2, " javascript.")
+          .when((docId + i) % 7 === 3, "")
+          .when((docId + i) % 7 === 4, "?")
+          .when((docId + i) % 7 === 5, ".\"")
+          .otherwise(",")))
+
+  private val C4_LINES_SQL =
+    """[
+      |      array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+      |      CASE (doc_id + i) % 7
+      |        WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN ' javascript.'
+      |        WHEN 3 THEN '' WHEN 4 THEN '?' WHEN 5 THEN '."' ELSE ',' END
+      |      FOR i IN range(0, CAST(floor((len(toks)-1)/8) AS BIGINT) + 1)
+      |    ]""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- C4 cleaning ----------------------------------------------------
+    // Line gate: terminal punctuation + >= 3 words + no "javascript".
+    // Page gate: >= 5 surviving lines, no lorem ipsum, no curly brace.
+    // doc_id % 13 docs get a lorem-ipsum line, % 17 docs a braced code
+    // line (line-level survivor, page-level poison) so every branch of
+    // both gates fires. clean_md5 pins the exact retained text.
+    QueryDef.sqlBacked(
+      "q114_c4_clean",
+      s"""SELECT doc_id,
+         |  CAST(len(ls2) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(CASE WHEN len(kept) >= 5
+         |      AND NOT contains(array_to_string(ls2, chr(10)), 'lorem ipsum')
+         |      AND NOT contains(array_to_string(ls2, chr(10)), '{')
+         |    THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
+         |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+         |FROM (
+         |  SELECT doc_id, ls2,
+         |    list_filter(ls2, l -> regexp_matches(l, '[.!?"]$$')
+         |      AND len(string_split(l, ' ')) >= 3
+         |      AND NOT contains(l, 'javascript')) AS kept
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN doc_id % 17 = 0
+         |        THEN list_append(ls1, 'function f() { return 1; }.')
+         |        ELSE ls1 END AS ls2
+         |    FROM (
+         |      SELECT doc_id,
+         |        CASE WHEN doc_id % 13 = 0
+         |          THEN list_append(ls0, 'lorem ipsum dolor sit amet.')
+         |          ELSE ls0 END AS ls1
+         |      FROM (
+         |        SELECT doc_id, $C4_LINES_SQL AS ls0
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |              FROM documents)))))""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val ls0 = c4Lines(toks, col("doc_id"))
+      val ls1 = when(col("doc_id") % 13 === 0,
+        concat(ls0, array(lit("lorem ipsum dolor sit amet.")))).otherwise(ls0)
+      val ls2 = when(col("doc_id") % 17 === 0,
+        concat(ls1, array(lit("function f() { return 1; }.")))).otherwise(ls1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), ls2.as("ls2"))
+        .select(col("doc_id"), col("ls2"),
+          TextAnalysis.c4KeptLines(col("ls2")).as("kept"))
+        .select(col("doc_id"),
+          size(col("ls2")).cast("long").as("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          TextAnalysis.c4PageKeep(col("ls2"), size(col("kept")))
+            .cast("int").cast("long").as("page_keep"),
+          md5(array_join(col("kept"), "\n").cast("binary")).as("clean_md5"))
+    },
+
+    // ---- Gopher quality rules -------------------------------------------
+    // Word rules over the (poisoned) token list, line-shape rules over the
+    // pseudo-lines. Poisons: % 23 docs gain 9 numeric words (alpha-ratio
+    // rule), % 19 docs gain #/... symbol words (symbol-ratio rule), % 29
+    // docs bullet every line, % 31 docs ellipsis-end half their lines.
+    QueryDef.sqlBacked(
+      "q115_gopher_rules",
+      s"""SELECT doc_id, n_words, mw_c, n_sym, n_alpha, n_stop,
+         |  n_lines, n_bullet, n_ell,
+         |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+         |    AND mw_c >= 300 AND mw_c <= 1000
+         |    AND n_sym * 10 <= n_words
+         |    AND n_alpha * 5 >= n_words * 4
+         |    AND n_stop >= 2
+         |    AND n_bullet * 10 < n_lines * 9
+         |    AND n_ell * 10 <= n_lines * 3
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(floor((list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        [CAST(len(w) AS BIGINT) FOR w IN toks]), (a, b) -> a + b)
+         |      * 100) / len(toks)) AS BIGINT) AS mw_c,
+         |    CAST(len(list_filter(toks, w -> w = '#' OR w = '...'))
+         |      AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(${TextAnalysis.GopherStops.map(sw =>
+               s"CAST(list_contains(toks, '$sw') AS INT)").mkString(" + ")}
+         |      AS BIGINT) AS n_stop,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')))
+         |      AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+         |      AS BIGINT) AS n_ell
+         |  FROM (
+         |    SELECT doc_id, toks, [
+         |      CASE WHEN doc_id % 29 = 0 OR (doc_id + i) % 11 = 0
+         |        THEN '- ' ELSE '' END ||
+         |      array_to_string(toks[(i*8+1):(i*8+8)], ' ') ||
+         |      CASE WHEN (doc_id % 31 = 0 AND i % 2 = 0) OR (doc_id + i) % 9 = 0
+         |        THEN '...' ELSE '' END
+         |      FOR i IN range(0, CAST(floor((len(toks)-1)/8) AS BIGINT) + 1)
+         |    ] AS ls
+         |    FROM (
+         |      SELECT doc_id,
+         |        CASE WHEN doc_id % 19 = 0
+         |          THEN list_concat(t1, ['#', '#', '...']) ELSE t1 END AS toks
+         |      FROM (
+         |        SELECT doc_id,
+         |          CASE WHEN doc_id % 23 = 0
+         |            THEN list_concat(t0, ['101','202','303','404','505',
+         |                                  '606','707','808','909'])
+         |            ELSE t0 END AS t1
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS t0
+         |              FROM documents)))))""".stripMargin) { (s, d) =>
+      val t0 = split(col("text"), " ")
+      val t1 = when(col("doc_id") % 23 === 0,
+        concat(t0, array(Seq("101", "202", "303", "404", "505", "606",
+          "707", "808", "909").map(lit): _*))).otherwise(t0)
+      val toksC = when(col("doc_id") % 19 === 0,
+        concat(t1, array(lit("#"), lit("#"), lit("...")))).otherwise(t1)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toksC.as("toks"))
+      val ls = transform(
+        sequence(lit(0L),
+          floor((size(col("toks")) - lit(1)) / lit(8)).cast("long")),
+        i => concat(
+          when(col("doc_id") % 29 === 0 || (col("doc_id") + i) % 11 === 0,
+            "- ").otherwise(""),
+          array_join(slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " "),
+          when((col("doc_id") % 31 === 0 && i % 2 === 0) ||
+            (col("doc_id") + i) % 9 === 0, "...").otherwise("")))
+      val withCounts = docs
+        .select(col("doc_id"), col("toks"), ls.as("ls"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          floor(aggregate(col("toks"), lit(0L),
+            (a, w) => a + length(w).cast("long")) * 100 / size(col("toks")))
+            .cast("long").as("mw_c"),
+          TextAnalysis.gopherSymbolWords(col("toks")).cast("long").as("n_sym"),
+          TextAnalysis.gopherAlphaWords(col("toks")).cast("long").as("n_alpha"),
+          TextAnalysis.gopherStopHits(col("toks")).cast("long").as("n_stop"),
+          size(col("ls")).cast("long").as("n_lines"),
+          size(filter(col("ls"), l => l.startsWith("- ")))
+            .cast("long").as("n_bullet"),
+          size(filter(col("ls"), l => l.endsWith("...")))
+            .cast("long").as("n_ell"))
+      withCounts.select(col("doc_id"), col("n_words"), col("mw_c"),
+        col("n_sym"), col("n_alpha"), col("n_stop"), col("n_lines"),
+        col("n_bullet"), col("n_ell"),
+        TextAnalysis.gopherKeep(col("n_words"), col("mw_c"), col("n_sym"),
+          col("n_alpha"), col("n_stop"), col("n_lines"), col("n_bullet"),
+          col("n_ell")).cast("int").cast("long").as("keep"))
+    })
+}

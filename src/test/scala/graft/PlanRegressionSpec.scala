@@ -211,6 +211,13 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("q114/q115: curation rule stacks are pure projections") {
+    for (q <- Seq("q114_c4_clean", "q115_gopher_rules")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q introduced a shuffle:\n${plan.take(1200)}")
+    }
+  }
+
   test("q112: every PageRank round joins hash/merge — no cartesian, no nested loop") {
     val plan = planOf("q112_pagerank")
     assert(!plan.contains("CartesianProduct"), "q112 plans a cartesian product")
