@@ -12,7 +12,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     graft.queries.CoreQueries.defs ++ graft.queries.LlmQueries.defs ++
       graft.queries.RasterQueries.defs ++ graft.queries.PipelineQueries.defs ++
-      graft.queries.SourceQueries.defs ++ graft.queries.CurationQueries.defs
+      graft.queries.SourceQueries.defs ++ graft.queries.CurationQueries.defs ++
+      graft.queries.PqQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -218,6 +218,19 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("q116: PQ encoding is a pure projection") {
+    val plan = planOf("q116_pq_encode")
+    assert(!plan.contains("Exchange"), s"q116 introduced a shuffle:\n${plan.take(1200)}")
+  }
+
+  test("q117: ADC search broadcasts the probe side") {
+    // crossJoin(broadcast(probes)) — the q30 shape: corpus scanned once,
+    // bounded probe frame broadcast; no shuffle before the top-k window
+    val plan = planOf("q117_pq_adc_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), "expected broadcast probe join")
+    assert(!plan.contains("CartesianProduct"), "q117 plans a cartesian product")
+  }
+
   test("q112: every PageRank round joins hash/merge — no cartesian, no nested loop") {
     val plan = planOf("q112_pagerank")
     assert(!plan.contains("CartesianProduct"), "q112 plans a cartesian product")
