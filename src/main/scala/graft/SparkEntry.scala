@@ -13,7 +13,7 @@ object SparkEntry {
     graft.queries.CoreQueries.defs ++ graft.queries.LlmQueries.defs ++
       graft.queries.RasterQueries.defs ++ graft.queries.PipelineQueries.defs ++
       graft.queries.SourceQueries.defs ++ graft.queries.CurationQueries.defs ++
-      graft.queries.PqQueries.defs
+      graft.queries.PqQueries.defs ++ graft.queries.LayoutQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

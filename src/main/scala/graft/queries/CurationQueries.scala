@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.TextAnalysis
+import graft.functions.{HtmlOps, TextAnalysis}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -196,5 +196,111 @@ object CurationQueries {
         TextAnalysis.gopherKeep(col("n_words"), col("mw_c"), col("n_sym"),
           col("n_alpha"), col("n_stop"), col("n_lines"), col("n_bullet"),
           col("n_ell")).cast("int").cast("long").as("keep"))
+    },
+
+    // ---- HTML text extraction -------------------------------------------
+    // The WARC→text step: each doc is wrapped in deterministic HTML (two
+    // script blocks — non-greedy matters — a style block, title, nav
+    // links), then extracted back. Verifies title pull, link count, and
+    // the exact visible text.
+    QueryDef.sqlBacked(
+      "q119_html_extract",
+      s"""SELECT doc_id,
+         |  regexp_extract(h, '${HtmlOps.TitleRe}', 1) AS title,
+         |  CAST(len(regexp_extract_all(h, '<a[ >]')) AS BIGINT) AS n_links,
+         |  md5(trim(regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(h, '${HtmlOps.ScriptRe}', ' ', 'g'),
+         |        '${HtmlOps.StyleRe}', ' ', 'g'),
+         |      '${HtmlOps.TagRe}', ' ', 'g'),
+         |    ' +', ' ', 'g'))) AS text_md5
+         |FROM (
+         |  SELECT doc_id,
+         |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+         |    '</title><script>var x = ' || CAST(doc_id % 7 AS VARCHAR) ||
+         |    ';</script><style>p { color: red; }</style></head><body><h1>Doc '
+         |    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+         |    '</p><script>t(' || CAST(doc_id AS VARCHAR) ||
+         |    ');</script><div class="nav"><a href="/">home</a> ' ||
+         |    '<a href="/x">about</a></div></body></html>' AS h
+         |  FROM documents)""".stripMargin) { (s, d) =>
+      val h = concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title><script>var x = "), (col("doc_id") % 7).cast("string"),
+        lit(";</script><style>p { color: red; }</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+        lit("</p><script>t("), col("doc_id").cast("string"),
+        lit(");</script><div class=\"nav\"><a href=\"/\">home</a> "),
+        lit("<a href=\"/x\">about</a></div></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"),
+          HtmlOps.title(col("h")).as("title"),
+          HtmlOps.linkCount(col("h")).cast("long").as("n_links"),
+          md5(HtmlOps.extractText(col("h")).cast("binary")).as("text_md5"))
+    },
+
+    // ---- BPE merge-candidate statistics ---------------------------------
+    // The tokenizer-training primitive: global adjacent-character-pair
+    // frequencies (space-crossing pairs excluded), top 30 by (count,
+    // pair) — one explode + one map-side-combinable count.
+    QueryDef.sqlBacked(
+      "q120_bpe_pairs",
+      """SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+        |    AS rnk, pair, cnt
+        |FROM (
+        |  SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT unnest([substr(text, i, 2) FOR i IN range(1, len(text))])
+        |      AS pair
+        |    FROM documents)
+        |  WHERE NOT contains(pair, ' ')
+        |  GROUP BY pair)
+        |QUALIFY rnk <= 30""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Tables.documents(s, d)
+        .select(explode(transform(
+          sequence(lit(1), length(col("text")) - 1),
+          i => col("text").substr(i, lit(2)))).as("pair"))
+        .where(!col("pair").contains(" "))
+      val counted = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      counted.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 30)
+        .select(col("rnk"), col("pair"), col("cnt"))
+    },
+
+    // ---- CCNet perplexity bucketing -------------------------------------
+    // The CCNet head/middle/tail split: per-language terciles of the
+    // unigram-LM score (q95's nll), deterministic (nll, doc_id) order.
+    QueryDef.sqlBacked(
+      "q121_ppl_buckets",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS tok
+        |  FROM documents),
+        |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT tok, count(*) AS vcnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(vcnt) AS BIGINT) AS total FROM vocab),
+        |sc AS (
+        |  SELECT pd.doc_id,
+        |    round(sum(pd.cnt * (ln(CAST(total AS DOUBLE))
+        |        - ln(CAST(vcnt AS DOUBLE)))) / sum(pd.cnt), 6) AS nll
+        |  FROM pd JOIN vocab ON vocab.tok = pd.tok CROSS JOIN tot
+        |  GROUP BY 1)
+        |SELECT sc.doc_id, d.lang, sc.nll,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY sc.nll, sc.doc_id)
+        |    AS BIGINT) AS bucket
+        |FROM sc JOIN documents d ON d.doc_id = sc.doc_id""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val sc = TextAnalysis.unigramLmScores(docs, "doc_id", "text")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("nll"), col("doc_id"))
+      sc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .select(col("doc_id"), col("lang"), col("nll"), col("bucket"))
     })
 }

@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order layout clustering over `lineitem`: per-z-bucket key-range
+  * statistics — exactly the file-level min/max stats a clustered write
+  * would give the scan pruner on both dimensions. */
+object LayoutQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef.sqlBacked(
+      "q118_zorder_stats",
+      s"""SELECT z_bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(a) AS a_min, max(a) AS a_max,
+         |  min(b) AS b_min, max(b) AS b_max
+         |FROM (
+         |  SELECT ${Layout.zValueSql("a", "b", 12)} >> 16 AS z_bucket, a, b
+         |  FROM (
+         |    SELECT l_partkey % 4096 AS a, l_orderkey % 4096 AS b
+         |    FROM lineitem))
+         |GROUP BY z_bucket""".stripMargin) { (s, d) =>
+      val src = Tables.lineitem(s, d)
+        .select((col("l_partkey") % 4096).as("a"),
+          (col("l_orderkey") % 4096).as("b"))
+      src
+        .withColumn("z_bucket",
+          shiftright(Layout.zValue(col("a"), col("b"), 12), 16))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n"),
+          min("a").as("a_min"), max("a").as("a_max"),
+          min("b").as("b_min"), max("b").as("b_max"))
+    })
+}

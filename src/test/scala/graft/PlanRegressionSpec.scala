@@ -218,6 +218,11 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("q119: HTML extraction is a pure projection") {
+    val plan = planOf("q119_html_extract")
+    assert(!plan.contains("Exchange"), s"q119 introduced a shuffle:\n${plan.take(1200)}")
+  }
+
   test("q116: PQ encoding is a pure projection") {
     val plan = planOf("q116_pq_encode")
     assert(!plan.contains("Exchange"), s"q116 introduced a shuffle:\n${plan.take(1200)}")
