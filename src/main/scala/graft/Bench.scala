@@ -55,7 +55,12 @@ object Bench {
     // count + mark-back join + per-doc islands) and the audio
     // quantize->WAV->decode->analyze chain (the UDF-codec path — times
     // the per-row binary-column cost the multimodal contract pays).
-    "q104_dup_spans", "q102_audio_features")
+    "q104_dup_spans", "q102_audio_features",
+    // Round 6 final additions: the C4 cleaning stack (regex/HOF
+    // projection over every document — the filter-at-scan-speed claim,
+    // timed) and PQ ADC search (encode projection + broadcast probes +
+    // salted two-phase top-k — the compressed-ANN scale path).
+    "q114_c4_clean", "q117_pq_adc_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

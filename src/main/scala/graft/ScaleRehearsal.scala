@@ -260,6 +260,23 @@ object ScaleRehearsal {
         .where(col("kept") === 1).count()
     }
 
+    // ---- PQ ADC search: fixed probe set, scaling corpus ----------------
+    // The compressed-ANN production shape: probe count is a query-side
+    // constant, the coded corpus scales with the table — so wall clock
+    // should be ~linear in rows (encode projection + broadcast scan +
+    // salted two-phase top-k whose task sizes are corpus/salts, never
+    // the corpus). Synthetic 64-dim vectors (the embeddings table is a
+    // fixed-size fixture; the rehearsal needs x-scale rows).
+    val npq = (20000 * mult).toLong
+    timed("pq_adc") {
+      val vec = array((0 until graft.operators.Pq.Dim).map(j =>
+        (u(40 + j) * 2.0 - 1.0).cast("float")): _*)
+      val corpus = spark.range(npq)
+        .select(col("id").as("vec_id"), vec.as("embedding"))
+      val probes = corpus.where(col("vec_id") < 16)
+      graft.operators.Pq.adcTopK(corpus, probes, k = 10).count()
+    }
+
     spark.stop()
   }
 }

@@ -83,18 +83,33 @@ object Pq {
 
   /** ADC top-k: probes (small — broadcast with their LUTs) against the
     * coded corpus; ranked by (distance, id), distance emitted as a
-    * micro-scaled integer per the cross-engine FP contract. */
+    * micro-scaled integer per the cross-engine FP contract.
+    *
+    * Two-phase top-k so no single task ever sorts the whole corpus:
+    * phase 1 ranks within (probe, salt) partitions — `salts` parallel
+    * slices of the corpus — and keeps k per slice; phase 2 ranks the
+    * surviving salts·k rows per probe. The union of per-slice top-ks
+    * contains the global top-k, so the result is identical to a
+    * one-shot window while the per-probe partitions a task sees are
+    * bounded by corpus/salts (phase 1) and salts·k (phase 2). */
   def adcTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salts: Int = 32): DataFrame = {
     val coded = corpus.select(col(idCol).as("nid"), encode(col(vecCol)).as("codes"))
     val p = probes.select(col(idCol).as("probe_id"), lut(col(vecCol)).as("lut"))
     val scored = coded.crossJoin(broadcast(p))
       .where(col("nid") =!= col("probe_id"))
       .withColumn("adc_u",
         round(adcDist(col("lut"), col("codes")) * 1e6).cast("long"))
-    val w = Window.partitionBy(col("probe_id"))
+      .withColumn("_salt", pmod(col("nid"), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col("probe_id"), col("_salt"))
       .orderBy(col("adc_u"), col("nid"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val survivors = scored
+      .withColumn("_r1", row_number().over(w1))
+      .where(col("_r1") <= k)
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_u"), col("nid"))
+    survivors.withColumn("rnk", row_number().over(w2).cast("long"))
       .where(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("nid").as("neighbor_id"),
         col("adc_u"))

@@ -302,5 +302,66 @@ object CurationQueries {
       sc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .withColumn("bucket", ntile(3).over(w).cast("long"))
         .select(col("doc_id"), col("lang"), col("nll"), col("bucket"))
+    },
+
+    // ---- BPE merge application ------------------------------------------
+    // The tokenizer-apply primitive: segment the top-100 corpus words by
+    // an ordered merge table (fixed literals — in production the table
+    // comes from the q120 statistics loop). Symbols are space-separated;
+    // each merge is applied as TWO global leftmost-non-overlapping
+    // boundary-anchored replaces (' a b ' -> ' ab '): pass 1 can consume
+    // the leading space of an adjacent occurrence, pass 2 catches the
+    // now-isolated rest — equivalent to the symbol-wise merge, and the
+    // identical algorithm in both engines. Segmentation runs once per
+    // DISTINCT word (the vocab table), the way production tokenizers
+    // cache — not once per occurrence.
+    QueryDef.sqlBacked(
+      "q122_bpe_apply",
+      s"""WITH vocab AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+         |      AS tok
+         |    FROM documents)
+         |  GROUP BY tok),
+         |top AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+         |      AS rnk, tok, cnt
+         |  FROM vocab QUALIFY rnk <= 100)
+         |SELECT rnk, tok AS word, cnt,
+         |  trim(seg) AS seg,
+         |  CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS n_sub
+         |FROM (
+         |  SELECT rnk, tok, cnt, ${BpeMerges.foldLeft(
+             "' ' || trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) || ' '") {
+             case (acc, (a, b)) =>
+               s"regexp_replace(regexp_replace($acc, ' $a $b ', ' $a$b ', 'g'), ' $a $b ', ' $a$b ', 'g')"
+           }} AS seg
+         |  FROM top)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      val top = vocab.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 100)
+      val spaced = concat(lit(" "),
+        trim(regexp_replace(col("tok"), "(.)", "$1 ")), lit(" "))
+      val seg0 = BpeMerges.foldLeft(spaced) { case (c, (a, b)) =>
+        val pat = s" $a $b "
+        val rep = s" $a$b "
+        regexp_replace(regexp_replace(c, pat, rep), pat, rep)
+      }
+      top.select(col("rnk"), col("tok").as("word"), col("cnt"),
+        trim(seg0).as("seg"))
+        .withColumn("n_sub", size(split(col("seg"), " ")).cast("long"))
     })
+
+  /** Ordered merge table for q122 — the classic top English BPE merges
+    * as fixed literals (symbols are lowercase letters only, so the
+    * merge patterns are regex-inert). Later merges consume earlier
+    * outputs (t+h=th, then th+e=the). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("s", "t"), ("e", "n"), ("a", "t"))
 }
