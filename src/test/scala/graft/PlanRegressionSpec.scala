@@ -24,7 +24,11 @@ class PlanRegressionSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
   private val bnljAllowed =
-    Set("q30_ann_topk", "q48_e2e_slice", "q36_triplet_specs", "q79_tfidf")
+    Set("q30_ann_topk", "q48_e2e_slice", "q36_triplet_specs", "q79_tfidf",
+      // q117: ADC probe LUTs are a bounded broadcast frame cross-joined
+      // onto the coded corpus (operators/Pq.scala) — the q30 shape; the
+      // dedicated "q117" test below asserts the BNLJ is present.
+      "q117_pq_adc_topk")
 
   /** Plan with AQE off: the static plan exposes codegen stages and join
     * strategies directly (AQE only re-plans at runtime from this shape). */
