@@ -60,7 +60,11 @@ object Bench {
     // projection over every document — the filter-at-scan-speed claim,
     // timed) and PQ ADC search (encode projection + broadcast probes +
     // salted two-phase top-k — the compressed-ANN scale path).
-    "q114_c4_clean", "q117_pq_adc_topk")
+    "q114_c4_clean", "q117_pq_adc_topk",
+    // Round 7: the transformer-encoder inference path (pure-JVM ONNX
+    // executor through mapPartitions batches — times the per-row model
+    // cost an embedding-production stage pays).
+    "q123_onnx_transformer")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,13 +94,25 @@ object Bench {
 
     runOnce(set.head) // JIT/session warmup, not reported
     graft.operators.Dedup.releaseCaches()
-    val runs = set.map { n =>
+    val firstPass = set.map { n =>
       val times = (1 to nRuns).map(_ => runOnce(n))
       // free operator-persisted caches between queries so a long bench
       // session doesn't accumulate blocks (cache reuse *within* a query's
       // runs is intentional and disclosed by the per-run times)
       graft.operators.Dedup.releaseCaches()
       n -> times
+    }
+    // Spread guard (round-7, after BENCH_r06's load-contaminated medians):
+    // a query whose within-run spread exceeds 2x was almost certainly hit
+    // by transient host load, not plan variance — measure it again and
+    // take the median over ALL its runs. Both arrays are disclosed.
+    val runs = firstPass.map { case (n, ts) =>
+      val ok = ts.forall(_ >= 0)
+      if (ok && ts.min > 0 && ts.max / ts.min > 2.0 && nRuns > 1) {
+        val more = (1 to nRuns).map(_ => runOnce(n))
+        graft.operators.Dedup.releaseCaches()
+        n -> (ts ++ more)
+      } else n -> ts
     }
     val results = runs.map { case (n, ts) =>
       // any run failing poisons the query (-1): a flaky query must be

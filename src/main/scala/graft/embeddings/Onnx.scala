@@ -26,7 +26,14 @@ package graft.embeddings
   * supporting ops the MobileNet/ShuffleNet export families carry:
   * Sigmoid, Tanh, LeakyRelu, Clip (attr or scalar-input bounds),
   * Transpose, Reshape (-1/0 conventions), constant Pad (attr or input
-  * pads), Softmax (opset-13 axis semantics), ReduceMean.
+  * pads), Softmax (opset-13 axis semantics), ReduceMean — plus the
+  * transformer-encoder family a sentence-embedding export (the model an
+  * LLM-data pipeline runs for SemDeDup/ANN, reference analog
+  * pipeline/embeddings/sampling.py:46-66) decomposes to: element-wise
+  * Sub/Mul/Div/Pow (numpy multidirectional broadcast, as Add too),
+  * Sqrt/Exp/Neg/Erf, batched rank>=3 MatMul with broadcast batch dims,
+  * fused LayerNormalization (opset 17), and Gelu (exact-erf and tanh
+  * variants).
   * Anything else is rejected LOUDLY with the op name, never silently
   * misread. Accumulation is in double, cast to float at extraction — the
   * deterministic cross-engine arithmetic the oracle recomputes
@@ -571,6 +578,153 @@ object Onnx {
     s
   }
 
+  /** Element-wise binary op with full numpy-style multidirectional
+    * broadcasting (the ONNX Add/Sub/Mul/Div/Pow contract): shapes are
+    * right-aligned, size-1 axes stretch. The transformer-encoder
+    * decomposition a sentence-embedding export carries leans on this —
+    * [B,S,H] - [B,S,1] (LayerNorm centering), [B,S,H] * [H] (scale). */
+  private def broadcastBinary(name: String, x: Nd, y: Nd,
+      f: (Double, Double) => Double): Nd = {
+    val nd = math.max(x.dims.size, y.dims.size)
+    val xd = Seq.fill(nd - x.dims.size)(1) ++ x.dims
+    val yd = Seq.fill(nd - y.dims.size)(1) ++ y.dims
+    val od = xd.zip(yd).map { case (a, b) =>
+      require(a == b || a == 1 || b == 1,
+        s"$name: cannot broadcast ${x.dims} with ${y.dims}")
+      math.max(a, b)
+    }
+    // stride 0 along stretched axes: the loop then reads the same source
+    // element for every output index on that axis
+    val xs = stridesOf(xd).zip(xd).map { case (s, d) => if (d == 1) 0L else s }
+    val ys = stridesOf(yd).zip(yd).map { case (s, d) => if (d == 1) 0L else s }
+    val out = new Array[Double](od.product)
+    val idx = new Array[Int](nd)
+    var o = 0
+    while (o < out.length) {
+      var sx = 0L; var sy = 0L
+      var k = 0
+      while (k < nd) { sx += idx(k) * xs(k); sy += idx(k) * ys(k); k += 1 }
+      out(o) = f(x.a(sx.toInt), y.a(sy.toInt))
+      var d = nd - 1
+      while (d >= 0 && { idx(d) += 1; idx(d) == od(d) }) { idx(d) = 0; d -= 1 }
+      o += 1
+    }
+    Nd(od, out)
+  }
+
+  /** Batched MatMul with numpy semantics for rank >= 3: the trailing two
+    * axes multiply, leading (batch) axes broadcast — [B,S,H] x [H,H]
+    * (shared projection) and [B,h,S,d] x [B,h,d,S] (attention scores),
+    * the two shapes every transformer encoder produces. Accumulation
+    * order over k is identical to the rank-2 path, so an oracle restates
+    * the sum left to right. */
+  private def matmulNd(x: Nd, y: Nd): Nd = {
+    require(x.dims.size >= 2 && y.dims.size >= 2,
+      s"MatMul: rank-1 operands unsupported (dims ${x.dims} x ${y.dims})")
+    if (x.dims.size == 2 && y.dims.size == 2)
+      return asNd(matmul(asMat("MatMul a", x), asMat("MatMul b", y),
+        transA = false, transB = false, 1.0))
+    val (m, kx) = (x.dims(x.dims.size - 2), x.dims.last)
+    val (ky, n) = (y.dims(y.dims.size - 2), y.dims.last)
+    require(kx == ky, s"MatMul: inner dims differ (${x.dims} x ${y.dims})")
+    val nb = math.max(x.dims.size, y.dims.size) - 2
+    val xb = Seq.fill(nb - (x.dims.size - 2))(1) ++ x.dims.dropRight(2)
+    val yb = Seq.fill(nb - (y.dims.size - 2))(1) ++ y.dims.dropRight(2)
+    val ob = xb.zip(yb).map { case (a, b) =>
+      require(a == b || a == 1 || b == 1,
+        s"MatMul: cannot broadcast batch dims ${x.dims} with ${y.dims}")
+      math.max(a, b)
+    }
+    val xbs = stridesOf(xb).zip(xb).map { case (s, d) => if (d == 1) 0L else s * (m.toLong * kx) }
+    val ybs = stridesOf(yb).zip(yb).map { case (s, d) => if (d == 1) 0L else s * (ky.toLong * n) }
+    val out = new Array[Double](ob.product * m * n)
+    val idx = new Array[Int](nb)
+    var b = 0
+    val nBatch = ob.product
+    while (b < nBatch) {
+      var xOff = 0L; var yOff = 0L
+      var d0 = 0
+      while (d0 < nb) { xOff += idx(d0) * xbs(d0); yOff += idx(d0) * ybs(d0); d0 += 1 }
+      val oOff = b * m * n
+      var i = 0
+      while (i < m) {
+        var j = 0
+        while (j < n) {
+          var acc = 0.0
+          var k = 0
+          while (k < kx) {
+            acc += x.a((xOff + i * kx + k).toInt) * y.a((yOff + k.toLong * n + j).toInt)
+            k += 1
+          }
+          out(oOff + i * n + j) = acc
+          j += 1
+        }
+        i += 1
+      }
+      var d = nb - 1
+      while (d >= 0 && { idx(d) += 1; idx(d) == ob(d) }) { idx(d) = 0; d -= 1 }
+      b += 1
+    }
+    Nd(ob ++ Seq(m, n), out)
+  }
+
+  /** Fused LayerNormalization (opset 17): normalize over axes
+    * [axis, rank), y = (x - mean) / sqrt(var + eps) * scale + bias with
+    * var the biased estimator. Arithmetic order per row: scan-order sum
+    * then one division (mean), scan-order sum of centered squares then
+    * one division (var), then per element (c / sd) * scale + bias — each
+    * step restatable left-to-right in oracle SQL. */
+  private def layerNorm(x: Nd, scale: Nd, bias: Option[Nd], axis0: Int,
+      eps: Double): Nd = {
+    val nd = x.dims.size
+    val axis = if (axis0 < 0) axis0 + nd else axis0
+    require(axis >= 0 && axis < nd,
+      s"LayerNormalization: axis $axis0 out of range for ${x.dims}")
+    val inner = x.dims.drop(axis).product
+    val outer = x.a.length / inner
+    require(scale.a.length == inner,
+      s"LayerNormalization: scale length ${scale.a.length} != $inner")
+    bias.foreach(b => require(b.a.length == inner,
+      s"LayerNormalization: bias length ${b.a.length} != $inner"))
+    val out = new Array[Double](x.a.length)
+    var o = 0
+    while (o < outer) {
+      val base = o * inner
+      var sum = 0.0
+      var i = 0
+      while (i < inner) { sum += x.a(base + i); i += 1 }
+      val mu = sum / inner
+      var vs = 0.0
+      i = 0
+      while (i < inner) { val c = x.a(base + i) - mu; vs += c * c; i += 1 }
+      val sd = math.sqrt(vs / inner + eps)
+      i = 0
+      while (i < inner) {
+        out(base + i) = (x.a(base + i) - mu) / sd * scale.a(i) +
+          bias.map(_.a(i)).getOrElse(0.0)
+        i += 1
+      }
+      o += 1
+    }
+    Nd(x.dims, out)
+  }
+
+  /** Gauss error function (double precision, via the commons-math3 the
+    * Spark runtime already ships) — the exact-Gelu building block a
+    * PyTorch sentence-embedding export decomposes to. */
+  def erf(x: Double): Double = org.apache.commons.math3.special.Erf.erf(x)
+
+  private val GeluTanhK = 0.7978845608028654 // sqrt(2/pi), the spec constant
+  private val InvSqrt2 = 0.7071067811865476  // 1/sqrt(2)
+
+  /** Gelu, both published variants. Exact: 0.5*x*(1+erf(x/sqrt(2))).
+    * Tanh approximation (the "gelu_new"/BERT form):
+    * 0.5*x*(1+tanh(sqrt(2/pi)*(x + 0.044715*x^3))) with x^3 = (x*x)*x —
+    * the grouping an oracle must parenthesize to replay. */
+  private def gelu(v: Double, tanhApprox: Boolean): Double =
+    if (tanhApprox) 0.5 * v * (1.0 + math.tanh(GeluTanhK * (v + 0.044715 * (v * v * v))))
+    else 0.5 * v * (1.0 + erf(v * InvSqrt2))
+
   /** n-dim transpose by permutation (empty perm = reverse, the ONNX
     * default). Output scan order with input strides permuted. */
   private def transpose(x: Nd, perm0: Seq[Int]): Nd = {
@@ -787,7 +941,7 @@ object Onnx {
     def mat(node: Node, i: Int): Mat = asMat(s"${node.opType} input $i", in(node, i))
     g.nodes.foreach { n =>
       val out: Nd = n.opType match {
-        case "MatMul" => asNd(matmul(mat(n, 0), mat(n, 1), transA = false, transB = false, 1.0))
+        case "MatMul" => matmulNd(in(n, 0), in(n, 1))
         case "Add" =>
           val (x, y) = (in(n, 0), in(n, 1))
           if (x.dims == y.dims) {
@@ -798,7 +952,34 @@ object Onnx {
             var i = 0
             while (i < o.length) { o(i) = x.a(i) + y.a(i); i += 1 }
             Nd(x.dims, o)
-          } else asNd(addBias(mat(n, 0), mat(n, 1), 1.0)) // row-broadcast bias
+          } else broadcastBinary("Add", x, y, _ + _)
+        case "Sub" => broadcastBinary("Sub", in(n, 0), in(n, 1), _ - _)
+        case "Mul" => broadcastBinary("Mul", in(n, 0), in(n, 1), _ * _)
+        case "Div" => broadcastBinary("Div", in(n, 0), in(n, 1), _ / _)
+        case "Pow" => broadcastBinary("Pow", in(n, 0), in(n, 1), math.pow)
+        case "Sqrt" =>
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(math.sqrt))
+        case "Exp" =>
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(math.exp))
+        case "Neg" =>
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(v => -v))
+        case "Erf" =>
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(erf))
+        case "Gelu" =>
+          val approx = n.attrS.getOrElse("approximate", "none")
+          require(approx == "none" || approx == "tanh",
+            s"Gelu: approximate=$approx unsupported")
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(v => gelu(v, approx == "tanh")))
+        case "LayerNormalization" =>
+          layerNorm(in(n, 0), in(n, 1),
+            if (n.inputs.size >= 3 && n.inputs(2).nonEmpty) Some(in(n, 2)) else None,
+            axis0 = n.attrI.getOrElse("axis", -1L).toInt,
+            eps = n.attrF.getOrElse("epsilon", 1e-5f).toDouble)
 
         case "Relu"   =>
           val x = in(n, 0)
@@ -912,10 +1093,12 @@ object Onnx {
           reduceMean(in(n, 0), intsAttr(n, "axes", Nil),
             keepdims = n.attrI.getOrElse("keepdims", 1L) != 0L)
         case other => throw new IllegalArgumentException(
-          s"unsupported ONNX op '$other' (subset: MatMul, Add, Relu, Gemm, " +
-            "Conv, MaxPool, AveragePool, Concat, BatchNormalization, " +
-            "GlobalAveragePool, Flatten, Sigmoid, Tanh, LeakyRelu, Clip, " +
-            "Transpose, Reshape, Pad, Softmax, ReduceMean)")
+          s"unsupported ONNX op '$other' (subset: MatMul, Add, Sub, Mul, " +
+            "Div, Pow, Sqrt, Exp, Neg, Erf, Gelu, LayerNormalization, " +
+            "Relu, Gemm, Conv, MaxPool, AveragePool, Concat, " +
+            "BatchNormalization, GlobalAveragePool, Flatten, Sigmoid, " +
+            "Tanh, LeakyRelu, Clip, Transpose, Reshape, Pad, Softmax, " +
+            "ReduceMean)")
       }
       env(n.outputs.head) = out
     }

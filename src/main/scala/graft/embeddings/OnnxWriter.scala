@@ -257,6 +257,109 @@ object OnnxWriter {
       inputName = "x", outputName = "emb")
   }
 
+  // ------------------------------- deterministic transformer fixture
+  /** Transformer weights, exact eighths (seed varies the cycle phase so
+    * every projection matrix differs). */
+  def tfW(rows: Int, cols: Int, seed: Int): Array[Float] =
+    Array.tabulate(rows * cols)(idx => (((idx * 5 + seed * 7) % 9) - 4) / 8.0f)
+  /** LayerNorm scale: strictly positive eighths (0.25 .. 0.75). */
+  def tfGamma(n: Int, seed: Int): Array[Float] =
+    Array.tabulate(n)(i => (((i * 3 + seed) % 5) + 2) / 8.0f)
+  /** LayerNorm / MLP bias: signed eighths. */
+  def tfBeta(n: Int, seed: Int): Array[Float] =
+    Array.tabulate(n)(i => (((i * 5 + seed) % 7) - 3) / 8.0f)
+  /** LN epsilon: an exact quarter, so var + eps is exact rational double
+    * arithmetic on both engines (sqrt is then IEEE correctly rounded of
+    * the SAME argument — bit-identical cross-engine). */
+  val TfEps: Float = 0.25f
+
+  /** A one-block transformer ENCODER over S=4 tokens of H=4 dims (input
+    * x[N,16], reshaped in-graph), the architecture of a sentence-embedding
+    * export (reference analog pipeline/embeddings/sampling.py:46-66 loads
+    * the trained embedding model; the text-embedding equivalent is a
+    * BERT-family encoder):
+    *
+    *   x3   = Reshape(x, [-1,4,4])
+    *   ln1  = LayerNorm decomposed to primitives — ReduceMean / Sub /
+    *          Mul / Add(eps) / Sqrt / Div / Mul(scale) / Add(bias) —
+    *          exactly the op chain a PyTorch opset<17 export emits
+    *   attn = Softmax(MatMul(q, k^T) * 0.5) @ v with q/k/v = ln1 @ W,
+    *          batched rank-3 MatMuls, Transpose perm [0,2,1]
+    *   r1   = x3 + attn @ Wo                  (pre-LN residual)
+    *   ln2  = fused LayerNormalization(r1)    (the opset-17 form)
+    *   mlp  = (Gelu_tanh(ln2 @ W1 + b1)) @ W2 + b2
+    *   r2   = r1 + mlp
+    *   emb  = Gemm(ReduceMean(r2, axis=1), Wh, bh)   [N,4]
+    *
+    * Both LayerNorm forms (decomposed + fused) and the tanh Gelu are
+    * exercised; weights are exact eighths so the q123 oracle restates
+    * every sum term-by-term. */
+  def transformerModelBytes(): Array[Byte] =
+    model(
+      nodes = Seq(
+        NodeSpec("Reshape", Seq("x", "shape3"), Seq("x3")),
+        // --- ln1: the decomposed (opset < 17) LayerNorm ---
+        NodeSpec("ReduceMean", Seq("x3"), Seq("mu1"),
+          attrI = Seq("keepdims" -> 1L), attrIs = Seq("axes" -> Seq(-1L))),
+        NodeSpec("Sub", Seq("x3", "mu1"), Seq("c1")),
+        NodeSpec("Mul", Seq("c1", "c1"), Seq("c1sq")),
+        NodeSpec("ReduceMean", Seq("c1sq"), Seq("v1"),
+          attrI = Seq("keepdims" -> 1L), attrIs = Seq("axes" -> Seq(-1L))),
+        NodeSpec("Add", Seq("v1", "eps"), Seq("v1e")),
+        NodeSpec("Sqrt", Seq("v1e"), Seq("sd1")),
+        NodeSpec("Div", Seq("c1", "sd1"), Seq("n1")),
+        NodeSpec("Mul", Seq("n1", "g1"), Seq("n1s")),
+        NodeSpec("Add", Seq("n1s", "be1"), Seq("ln1")),
+        // --- single-head self-attention, batched matmuls ---
+        NodeSpec("MatMul", Seq("ln1", "wq"), Seq("qm")),
+        NodeSpec("MatMul", Seq("ln1", "wk"), Seq("km")),
+        NodeSpec("MatMul", Seq("ln1", "wv"), Seq("vm")),
+        NodeSpec("Transpose", Seq("km"), Seq("kt"),
+          attrIs = Seq("perm" -> Seq(0L, 2L, 1L))),
+        NodeSpec("MatMul", Seq("qm", "kt"), Seq("s0")),
+        NodeSpec("Mul", Seq("s0", "half"), Seq("s1")), // 1/sqrt(d)=0.5 exact
+        NodeSpec("Softmax", Seq("s1"), Seq("at"), attrI = Seq("axis" -> -1L)),
+        NodeSpec("MatMul", Seq("at", "vm"), Seq("ao")),
+        NodeSpec("MatMul", Seq("ao", "wo"), Seq("pj")),
+        NodeSpec("Add", Seq("x3", "pj"), Seq("r1")),
+        // --- fused (opset 17) LayerNorm ---
+        NodeSpec("LayerNormalization", Seq("r1", "g2", "be2"), Seq("ln2"),
+          attrI = Seq("axis" -> -1L), attrF = Seq("epsilon" -> TfEps)),
+        // --- MLP with tanh Gelu ---
+        NodeSpec("MatMul", Seq("ln2", "w1"), Seq("h0")),
+        NodeSpec("Add", Seq("h0", "b1"), Seq("h1")),
+        NodeSpec("Gelu", Seq("h1"), Seq("gl"),
+          attrS = Seq("approximate" -> "tanh")),
+        NodeSpec("MatMul", Seq("gl", "w2"), Seq("m0")),
+        NodeSpec("Add", Seq("m0", "b2"), Seq("m1")),
+        NodeSpec("Add", Seq("r1", "m1"), Seq("r2")),
+        // --- mean pooling + projection head ---
+        NodeSpec("ReduceMean", Seq("r2"), Seq("pool"),
+          attrI = Seq("keepdims" -> 0L), attrIs = Seq("axes" -> Seq(1L))),
+        NodeSpec("Gemm", Seq("pool", "wh", "bh"), Seq("emb"),
+          attrI = Seq("transA" -> 0L, "transB" -> 0L),
+          attrF = Seq("alpha" -> 1.0f, "beta" -> 1.0f))),
+      initializers = Seq(
+        ("eps", Seq(1), Array(TfEps), true),
+        ("half", Seq(1), Array(0.5f), false),
+        ("g1", Seq(4), tfGamma(4, 0), true),
+        ("be1", Seq(4), tfBeta(4, 0), false),
+        ("g2", Seq(4), tfGamma(4, 1), true),
+        ("be2", Seq(4), tfBeta(4, 1), false),
+        ("wq", Seq(4, 4), tfW(4, 4, 1), true),
+        ("wk", Seq(4, 4), tfW(4, 4, 2), false),
+        ("wv", Seq(4, 4), tfW(4, 4, 3), true),
+        ("wo", Seq(4, 4), tfW(4, 4, 4), false),
+        ("w1", Seq(4, 8), tfW(4, 8, 5), true),
+        ("b1", Seq(8), tfBeta(8, 2), false),
+        ("w2", Seq(8, 4), tfW(8, 4, 6), true),
+        ("b2", Seq(4), tfBeta(4, 3), false),
+        ("wh", Seq(4, 4), tfW(4, 4, 7), true),
+        ("bh", Seq(4), tfBeta(4, 4), false)),
+      inputName = "x", outputName = "emb",
+      int64Initializers = Seq(
+        ("shape3", Seq(3), Array(-1L, 4L, 4L), true)))
+
   /** The canonical fixture: x[N,d] -> Gemm(+bias) -> Relu -> MatMul -> Add.
     * Uses both tensor encodings and both FC forms (Gemm with fused bias,
     * MatMul with a separate Add). */

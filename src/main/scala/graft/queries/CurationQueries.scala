@@ -304,6 +304,25 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("nll"), col("bucket"))
     },
 
+    // ---- BPE trainer loop -----------------------------------------------
+    // The tokenizer-TRAINING loop connecting q120's pair stats to q122's
+    // merge application (Sennrich et al. 2016): 10 rounds of
+    // occurrence-weighted pair counting over the distinct-word vocab,
+    // argmax with the (count DESC, l, r) tie-break, merge applied as the
+    // double boundary-anchored replace. The oracle unrolls the identical
+    // 10 rounds as chained CTEs (DuckDB's plain replace() is the same
+    // leftmost-non-overlapping algorithm); the Spark side is the
+    // distributed BpeTrainer whose per-round state on the driver is ONE
+    // row (the argmax). A hash match proves the whole iterative loop —
+    // counts, tie-breaks, merge rewrites — value-for-value.
+    QueryDef.sqlBacked("q124_bpe_train", q124OracleSql(10)) { (s, d) =>
+      import s.implicits._
+      graft.operators.BpeTrainer
+        .learnMerges(Tables.documents(s, d), "text", nMerges = 10)
+        .map(m => (m.rnk, m.l, m.r, m.pcnt))
+        .toDF("rnk", "l", "r", "pcnt")
+    },
+
     // ---- BPE merge application ------------------------------------------
     // The tokenizer-apply primitive: segment the top-100 corpus words by
     // an ordered merge table (fixed literals — in production the table
@@ -356,6 +375,40 @@ object CurationQueries {
         trim(seg0).as("seg"))
         .withColumn("n_sub", size(split(col("seg"), " ")).cast("long"))
     })
+
+  /** The q124 oracle: the BPE trainer loop unrolled as chained CTEs —
+    * round k computes pair counts pc_k over segmentation seg_{k-1}
+    * (struct-comprehension adjacent pairs, occurrence-weighted), picks
+    * the argmax m_k (count DESC, l, r), and seg_k applies it via the
+    * same double boundary-anchored replace the Spark trainer uses. */
+  private def q124OracleSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+        |seg0 AS (SELECT ' ' || trim(regexp_replace(tok, '(.)', '\1 ', 'g')) || ' ' AS seg, cnt FROM vocab)""".stripMargin)
+    for (k <- 1 to n) {
+      sb.append(s""",
+        |pc$k AS (
+        |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS pcnt
+        |  FROM (
+        |    SELECT cnt, unnest([{'l': syms[i], 'r': syms[i+1]} FOR i IN range(1, len(syms))]) AS p
+        |    FROM (SELECT string_split(trim(seg), ' ') AS syms, cnt FROM seg${k - 1}))
+        |  GROUP BY p.l, p.r),
+        |m$k AS (SELECT l, r, pcnt FROM pc$k ORDER BY pcnt DESC, l, r LIMIT 1)""".stripMargin)
+      if (k < n) sb.append(s""",
+        |seg$k AS (
+        |  SELECT replace(replace(s.seg, ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' '),
+        |                 ' '||m.l||' '||m.r||' ', ' '||m.l||m.r||' ') AS seg, s.cnt
+        |  FROM seg${k - 1} s CROSS JOIN m$k m)""".stripMargin)
+    }
+    sb.append((1 to n).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rnk, l, r, pcnt FROM m$k")
+      .mkString("\n", "\nUNION ALL ", ""))
+    sb.toString
+  }
 
   /** Ordered merge table for q122 — the classic top English BPE merges
     * as fixed literals (symbols are lowercase letters only, so the

@@ -95,6 +95,104 @@ object PipelineQueries {
        |$outs""".stripMargin
   }
 
+  /** The q123 one-block transformer ENCODER restated as SQL, stage by
+    * stage in the executor's exact arithmetic order (OnnxWriter
+    * .transformerModelBytes over the first 16 embedding components as 4
+    * tokens x 4 dims): decomposed LayerNorm (sum/4, centered squares/4,
+    * sqrt(var+0.25) — eps an exact quarter), single-head attention with
+    * max-subtracted softmax, pre-LN residuals, fused LayerNorm, tanh-Gelu
+    * MLP (x^3 parenthesized (x*x)*x, the executor's grouping), mean pool,
+    * Gemm head. Weights are exact eighths; every reduction is written
+    * term-by-term LEFT TO RIGHT; exp/tanh are the only correctly-rounded-
+    * but-not-identical steps cross-engine, so both engines cast to
+    * float32 (the model's output dtype) and round to 6 decimals — ulp
+    * noise ~1e-15 collapses at either gate. */
+  private def q123OracleSql: String = {
+    import graft.embeddings.OnnxWriter._
+    val S = 4; val H = 4; val F = 8; val E = 4
+    val g1v = tfGamma(H, 0); val be1v = tfBeta(H, 0)
+    val g2v = tfGamma(H, 1); val be2v = tfBeta(H, 1)
+    val wqv = tfW(H, H, 1); val wkv = tfW(H, H, 2)
+    val wvv = tfW(H, H, 3); val wov = tfW(H, H, 4)
+    val w1v = tfW(H, F, 5); val b1v = tfBeta(F, 2)
+    val w2v = tfW(F, H, 6); val b2v = tfBeta(H, 3)
+    val whv = tfW(H, E, 7); val bhv = tfBeta(E, 4)
+    val ij = for (i <- 0 until S; j <- 0 until H) yield (i, j)
+    def sum4(f: Int => String) = (0 until 4).map(f).mkString(" + ")
+    val xC = ij.map { case (i, j) =>
+      s"CAST(embedding[${i * H + j + 1}] AS DOUBLE) AS x${i}_$j" }.mkString(", ")
+    val muC = (0 until S).map(i =>
+      s"(${sum4(d => s"x${i}_$d")}) / 4.0 AS m$i").mkString(", ")
+    val ccC = ij.map { case (i, j) => s"x${i}_$j - m$i AS c${i}_$j" }.mkString(", ")
+    val sdC = (0 until S).map(i =>
+      s"sqrt((${sum4(d => s"c${i}_$d*c${i}_$d")}) / 4.0 + 0.25) AS sd$i").mkString(", ")
+    val lnC = ij.map { case (i, j) =>
+      s"c${i}_$j / sd$i * ${g1v(j)} + ${be1v(j)} AS l${i}_$j" }.mkString(", ")
+    def projC(w: Array[Float], name: String) = ij.map { case (i, j) =>
+      s"(${sum4(d => s"l${i}_$d * ${w(d * H + j)}")}) AS $name${i}_$j" }
+    val qkvC = (projC(wqv, "q") ++ projC(wkv, "k") ++ projC(wvv, "v")).mkString(", ")
+    val scC = ij.map { case (i, j) =>
+      s"(${sum4(d => s"q${i}_$d * k${j}_$d")}) * 0.5 AS s${i}_$j" }.mkString(", ")
+    val mxC = (0 until S).map(i =>
+      s"greatest(${(0 until H).map(d => s"s${i}_$d").mkString(", ")}) AS mx$i").mkString(", ")
+    val exC = ij.map { case (i, j) => s"exp(s${i}_$j - mx$i) AS e${i}_$j" }.mkString(", ")
+    val atC = ij.map { case (i, j) =>
+      s"e${i}_$j / (${sum4(d => s"e${i}_$d")}) AS a${i}_$j" }.mkString(", ")
+    val aoC = ij.map { case (i, j) =>
+      s"(${sum4(d => s"a${i}_$d * v${d}_$j")}) AS ao${i}_$j" }.mkString(", ")
+    val r1C = ij.map { case (i, j) =>
+      s"x${i}_$j + (${sum4(d => s"ao${i}_$d * ${wov(d * H + j)}")}) AS r${i}_$j" }.mkString(", ")
+    val mu2C = (0 until S).map(i =>
+      s"(${sum4(d => s"r${i}_$d")}) / 4.0 AS n$i").mkString(", ")
+    val sd2C = (0 until S).map(i =>
+      s"sqrt((${sum4(d => s"(r${i}_$d - n$i)*(r${i}_$d - n$i)")}) / 4.0 + 0.25) AS t$i").mkString(", ")
+    val ln2C = ij.map { case (i, j) =>
+      s"(r${i}_$j - n$i) / t$i * ${g2v(j)} + ${be2v(j)} AS l2_${i}_$j" }.mkString(", ")
+    val hhC = (for (i <- 0 until S; m <- 0 until F) yield
+      s"((${sum4(d => s"l2_${i}_$d * ${w1v(d * F + m)}")}) + ${b1v(m)}) AS h${i}_$m")
+      .mkString(", ")
+    // DuckDB ships no tanh(): restate it through exp as
+    // 1 - 2/(e^{2z}+1) — abs error ~2e-16 vs Java's Math.tanh (the 1-w
+    // cancellation costs RELATIVE precision near z=0 but absolute error
+    // stays at the ulp of 1.0), far under the float32 cast quantum the
+    // final gate applies
+    val ggC = (for (i <- 0 until S; m <- 0 until F) yield {
+      val h = s"h${i}_$m"
+      val z = s"0.7978845608028654 * ($h + 0.044715 * ($h*$h*$h))"
+      s"0.5 * $h * (1.0 + (1.0 - 2.0 / (exp(2.0 * ($z)) + 1.0))) AS gl${i}_$m"
+    }).mkString(", ")
+    val r2C = ij.map { case (i, j) =>
+      s"r${i}_$j + ((${(0 until F).map(m => s"gl${i}_$m * ${w2v(m * H + j)}").mkString(" + ")}) + ${b2v(j)}) AS rr${i}_$j"
+    }.mkString(", ")
+    val poolC = (0 until H).map(j =>
+      s"(${sum4(i => s"rr${i}_$j")}) / 4.0 AS pl$j").mkString(", ")
+    val outs = (0 until E).map { k =>
+      val terms = (0 until H).map(j => s"pl$j * ${whv(j * E + k)}").mkString(" + ")
+      s"SELECT vec_id, CAST($k AS BIGINT) AS k, " +
+        s"round(CAST(CAST(($terms) + ${bhv(k)} AS REAL) AS DOUBLE), 6) AS v FROM pool"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH x AS (SELECT vec_id, $xC FROM embeddings),
+       |mu AS (SELECT *, $muC FROM x),
+       |cc AS (SELECT *, $ccC FROM mu),
+       |sdv AS (SELECT *, $sdC FROM cc),
+       |ln1 AS (SELECT *, $lnC FROM sdv),
+       |qkv AS (SELECT *, $qkvC FROM ln1),
+       |sco AS (SELECT *, $scC FROM qkv),
+       |mxv AS (SELECT *, $mxC FROM sco),
+       |exv AS (SELECT *, $exC FROM mxv),
+       |att AS (SELECT *, $atC FROM exv),
+       |aov AS (SELECT *, $aoC FROM att),
+       |res1 AS (SELECT *, $r1C FROM aov),
+       |mu2 AS (SELECT *, $mu2C FROM res1),
+       |sdv2 AS (SELECT *, $sd2C FROM mu2),
+       |ln2 AS (SELECT *, $ln2C FROM sdv2),
+       |mlph AS (SELECT *, $hhC FROM ln2),
+       |mlpg AS (SELECT *, $ggC FROM mlph),
+       |res2 AS (SELECT *, $r2C FROM mlpg),
+       |pool AS (SELECT *, $poolC FROM res2)
+       |$outs""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- C11: filter mini-DSL compiled to predicates + percentile -------
@@ -286,6 +384,32 @@ object PipelineQueries {
         .select(col("tile_id").as("vec_id"),
           posexplode(col("emb")).as(Seq("k", "v")))
         .select(col("vec_id"), col("k").cast("long").as("k"), col("v"))
+    },
+
+    // ---- M1 completed: a TRANSFORMER encoder through the ONNX executor --
+    // The model a text-embedding pipeline actually runs (SemDeDup / ANN
+    // upstream): one pre-LN encoder block — decomposed LayerNorm
+    // (ReduceMean/Sub/Mul/Add/Sqrt/Div chain, the opset<17 export shape),
+    // batched rank-3 MatMul attention with softmax, fused opset-17
+    // LayerNormalization, tanh-Gelu MLP, mean pooling, Gemm head —
+    // serialized as a genuine ONNX ModelProto and executed by the
+    // pure-JVM executor through the same mapPartitions inference path as
+    // q82/q86. The oracle restates all 19 stages term-by-term in the
+    // executor's accumulation order; both engines cast to float32 and
+    // round to 6 decimals (exp/tanh are correctly-rounded-but-not-
+    // bit-identical cross-engine; everything else is exact).
+    QueryDef.sqlBacked("q123_onnx_transformer", q123OracleSql) { (s, d) =>
+      import graft.embeddings.{Inference, Onnx, OnnxWriter}
+      val model = new Onnx.OnnxModel(OnnxWriter.transformerModelBytes(),
+        tileDims = Some(Seq(16)))
+      val tiles = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(slice(embedding, 1, 16), x -> cast(x as double))").as("values"))
+      Inference.embedTiles(tiles, "vec_id", "values", model)
+        .select(col("tile_id").as("vec_id"),
+          posexplode(col("emb")).as(Seq("k", "v")))
+        .select(col("vec_id"), col("k").cast("long").as("k"),
+          round(col("v").cast("double"), 6).as("v"))
     },
 
     // ---- HDBSCAN slot: density clustering on the bucketed spatial join --

@@ -77,14 +77,14 @@ class OnnxSpec extends SparkSpec {
   }
 
   test("rejects loudly: unsupported op, non-float tensor, missing graph") {
-    val erf = OnnxWriter.model(
-      nodes = Seq(OnnxWriter.NodeSpec("Erf", Seq("x"), Seq("y"))),
+    val atan = OnnxWriter.model(
+      nodes = Seq(OnnxWriter.NodeSpec("Atan", Seq("x"), Seq("y"))),
       initializers = Seq(("w", Seq(1), Array(1.0f), true)),
       inputName = "x", outputName = "y")
     val ex = intercept[IllegalArgumentException] {
-      Onnx.run(Onnx.parseModel(erf), Onnx.Mat(1, 1, Array(0.0)))
+      Onnx.run(Onnx.parseModel(atan), Onnx.Mat(1, 1, Array(0.0)))
     }
-    assert(ex.getMessage.contains("Erf"))
+    assert(ex.getMessage.contains("Atan"))
 
     // byte surgery: flip w1's data_type varint (FLOAT=1 -> DOUBLE=11).
     // Nodes precede initializers and contain no field-2 varint records,
@@ -624,6 +624,257 @@ class OnnxSpec extends SparkSpec {
     rows.foreach { case (id, x) =>
       assert(out(id) ==
         convReference(x, c, h, w, m, e, Seq(0, 0, 0, 0), Seq(1, 1)).toSeq, s"tile $id")
+    }
+  }
+
+  // --------------------------------------------- transformer-encoder ops
+  test("elementwise binary ops broadcast numpy-style: Sub, Mul, Div, Pow, Add") {
+    val x = Array.tabulate(24)(i => (i + 1) * 0.5)
+    val nd = Onnx.Nd(Seq(2, 3, 4), x)
+    // [2,3,4] op [4]: per-last-dim vector
+    val v4 = Array.tabulate(4)(i => (i + 1) * 0.25f)
+    def run1(op: String, w: (String, Seq[Int], Array[Float])) =
+      Onnx.runNd(oneNode(op, Seq("x", w._1), Seq(w)), nd)
+    val sub = run1("Sub", ("w", Seq(4), v4))
+    x.indices.foreach(i => assert(sub.a(i) == x(i) - v4(i % 4).toDouble))
+    val mul = run1("Mul", ("w", Seq(4), v4))
+    x.indices.foreach(i => assert(mul.a(i) == x(i) * v4(i % 4).toDouble))
+    val div = run1("Div", ("w", Seq(4), v4))
+    x.indices.foreach(i => assert(div.a(i) == x(i) / v4(i % 4).toDouble))
+    val pow = run1("Pow", ("w", Seq(1), Array(2.0f)))
+    x.indices.foreach(i => assert(pow.a(i) == math.pow(x(i), 2.0)))
+    // [2,3,4] op [3,1]: right-aligned rank promotion + size-1 stretch —
+    // the LayerNorm-centering shape ([B,S,H] - [B,S,1] in miniature)
+    val m31 = Array.tabulate(3)(i => (i - 1).toFloat)
+    val sub2 = Onnx.runNd(oneNode("Sub", Seq("x", "w"), Seq(("w", Seq(3, 1), m31))), nd)
+    for (b <- 0 until 2; s <- 0 until 3; h <- 0 until 4)
+      assert(sub2.a((b * 3 + s) * 4 + h) == x((b * 3 + s) * 4 + h) - m31(s).toDouble)
+    // incompatible shapes reject loudly
+    val bad = intercept[IllegalArgumentException] {
+      Onnx.runNd(oneNode("Sub", Seq("x", "w"), Seq(("w", Seq(5), v4 ++ Array(0f)))), nd)
+    }
+    assert(bad.getMessage.contains("broadcast"))
+  }
+
+  test("unary ops match math references: Sqrt, Exp, Neg, Erf (known table values)") {
+    val x = Array(0.0, 0.25, 1.0, 2.25, 4.0, 0.5625)
+    val nd = Onnx.Nd(Seq(6), x)
+    val sq = Onnx.runNd(oneNode("Sqrt", Seq("x"), Nil), nd)
+    assert(sq.a.toSeq == Seq(0.0, 0.5, 1.0, 1.5, 2.0, 0.75))
+    val ex = Onnx.runNd(oneNode("Exp", Seq("x"), Nil), nd)
+    x.indices.foreach(i => assert(ex.a(i) == math.exp(x(i))))
+    val ng = Onnx.runNd(oneNode("Neg", Seq("x"), Nil), nd)
+    x.indices.foreach(i => assert(ng.a(i) == -x(i)))
+    // erf against published table values (Abramowitz & Stegun)
+    val ev = Onnx.runNd(oneNode("Erf", Seq("x"), Nil),
+      Onnx.Nd(Seq(5), Array(0.0, 0.5, 1.0, -1.0, 2.0)))
+    val table = Seq(0.0, 0.5204998778130465, 0.8427007929497149,
+      -0.8427007929497149, 0.9953222650189527)
+    ev.a.toSeq.zip(table).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-15, s"erf: $got vs $want")
+    }
+  }
+
+  test("Gelu: exact-erf and tanh variants match their published formulas") {
+    val x = Array.tabulate(11)(i => (i - 5) * 0.7)
+    val nd = Onnx.Nd(Seq(11), x)
+    val exact = Onnx.runNd(oneNode("Gelu", Seq("x"), Nil), nd)
+    x.indices.foreach { i =>
+      val want = 0.5 * x(i) * (1.0 + Onnx.erf(x(i) * 0.7071067811865476))
+      assert(exact.a(i) == want, s"exact gelu at ${x(i)}")
+    }
+    val tanh = Onnx.runNd(oneNode("Gelu", Seq("x"), Nil,
+      attrS = Seq("approximate" -> "tanh")), nd)
+    x.indices.foreach { i =>
+      val v = x(i)
+      val want = 0.5 * v * (1.0 + math.tanh(0.7978845608028654 * (v + 0.044715 * (v * v * v))))
+      assert(tanh.a(i) == want, s"tanh gelu at $v")
+    }
+    val bad = intercept[IllegalArgumentException] {
+      Onnx.runNd(oneNode("Gelu", Seq("x"), Nil,
+        attrS = Seq("approximate" -> "sigmoid")), nd)
+    }
+    assert(bad.getMessage.contains("sigmoid"))
+  }
+
+  test("batched MatMul: [B,S,H]x[H,N] and [B,S,H]x[B,H,S] match loop references") {
+    val (b, s, h, n) = (2, 3, 4, 5)
+    val x = Array.tabulate(b * s * h)(i => ((i * 7) % 11) * 0.25 - 1.0)
+    val nd = Onnx.Nd(Seq(b, s, h), x)
+    // shared projection: rank-3 x rank-2 broadcasts the weight
+    val w = Array.tabulate(h * n)(i => (((i * 3) % 9) - 4) / 8.0f)
+    val got = Onnx.runNd(oneNode("MatMul", Seq("x", "w"), Seq(("w", Seq(h, n), w))), nd)
+    assert(got.dims == Seq(b, s, n))
+    for (b0 <- 0 until b; i <- 0 until s; j <- 0 until n) {
+      var acc = 0.0
+      for (k <- 0 until h) acc += x((b0 * s + i) * h + k) * w(k * n + j).toDouble
+      assert(got.a((b0 * s + i) * n + j) == acc, s"b=$b0 i=$i j=$j")
+    }
+    // attention scores: rank-3 x rank-3 (same batch), via in-graph Transpose
+    val g2 = Onnx.parseModel(OnnxWriter.model(
+      nodes = Seq(
+        OnnxWriter.NodeSpec("Transpose", Seq("x"), Seq("xt"),
+          attrIs = Seq("perm" -> Seq(0L, 2L, 1L))),
+        OnnxWriter.NodeSpec("MatMul", Seq("x", "xt"), Seq("y"))),
+      initializers = Seq(("unused", Seq(1), Array(0.0f), true)),
+      inputName = "x", outputName = "y"))
+    val sc = Onnx.runNd(g2, nd)
+    assert(sc.dims == Seq(b, s, s))
+    for (b0 <- 0 until b; i <- 0 until s; j <- 0 until s) {
+      var acc = 0.0
+      for (k <- 0 until h) acc += x((b0 * s + i) * h + k) * x((b0 * s + j) * h + k)
+      assert(sc.a((b0 * s + i) * s + j) == acc, s"b=$b0 i=$i j=$j")
+    }
+  }
+
+  test("LayerNormalization (fused) matches a loop reference; optional bias; bad axis rejects") {
+    val (b, s, h) = (2, 3, 4)
+    val x = Array.tabulate(b * s * h)(i => ((i * 13) % 17) * 0.5 - 3.0)
+    val nd = Onnx.Nd(Seq(b, s, h), x)
+    val scale = Array.tabulate(h)(i => (i + 2) / 8.0f)
+    val bias = Array.tabulate(h)(i => (i - 1) / 8.0f)
+    val got = Onnx.runNd(oneNode("LayerNormalization", Seq("x", "sc", "bi"),
+      Seq(("sc", Seq(h), scale), ("bi", Seq(h), bias)),
+      attrF = Seq("epsilon" -> 0.25f)), nd)
+    assert(got.dims == Seq(b, s, h))
+    for (o <- 0 until b * s) {
+      var sum = 0.0
+      for (i <- 0 until h) sum += x(o * h + i)
+      val mu = sum / h
+      var vs = 0.0
+      for (i <- 0 until h) { val c = x(o * h + i) - mu; vs += c * c }
+      val sd = math.sqrt(vs / h + 0.25)
+      for (i <- 0 until h)
+        assert(got.a(o * h + i) == (x(o * h + i) - mu) / sd * scale(i).toDouble + bias(i).toDouble,
+          s"row $o dim $i")
+    }
+    // no-bias form (two-input export): reference recomputed directly —
+    // (v + bias) - bias is NOT a float identity
+    val nb = Onnx.runNd(oneNode("LayerNormalization", Seq("x", "sc"),
+      Seq(("sc", Seq(h), scale)), attrF = Seq("epsilon" -> 0.25f)), nd)
+    for (o <- 0 until b * s) {
+      var sum = 0.0
+      for (i <- 0 until h) sum += x(o * h + i)
+      val mu = sum / h
+      var vs = 0.0
+      for (i <- 0 until h) { val c = x(o * h + i) - mu; vs += c * c }
+      val sd = math.sqrt(vs / h + 0.25)
+      for (i <- 0 until h)
+        assert(nb.a(o * h + i) == (x(o * h + i) - mu) / sd * scale(i).toDouble + 0.0)
+    }
+    val bad = intercept[IllegalArgumentException] {
+      Onnx.runNd(oneNode("LayerNormalization", Seq("x", "sc"),
+        Seq(("sc", Seq(h), scale)), attrI = Seq("axis" -> 5L)), nd)
+    }
+    assert(bad.getMessage.contains("axis"))
+  }
+
+  /** Independent transformer-encoder reference: plain nested loops over
+    * the OnnxWriter fixture weights, no shared code with the executor,
+    * same accumulation ORDER at every reduction (float addition is
+    * order-sensitive). Mirrors the q123 oracle's SQL restatement. */
+  private def transformerReference(x: Array[Double]): Array[Float] = {
+    import OnnxWriter._
+    val (sT, hT, fT, eT) = (4, 4, 8, 4)
+    val g1 = tfGamma(hT, 0); val be1 = tfBeta(hT, 0)
+    val g2 = tfGamma(hT, 1); val be2 = tfBeta(hT, 1)
+    val wq = tfW(hT, hT, 1); val wk = tfW(hT, hT, 2)
+    val wv = tfW(hT, hT, 3); val wo = tfW(hT, hT, 4)
+    val w1 = tfW(hT, fT, 5); val b1 = tfBeta(fT, 2)
+    val w2 = tfW(fT, hT, 6); val b2 = tfBeta(hT, 3)
+    val wh = tfW(hT, eT, 7); val bh = tfBeta(eT, 4)
+    def layerNorm(src: Array[Double], g: Array[Float], be: Array[Float]) =
+      Array.tabulate(sT * hT) { idx =>
+        val i = idx / hT; val j = idx % hT
+        var sum = 0.0
+        for (d <- 0 until hT) sum += src(i * hT + d)
+        val mu = sum / hT
+        var vs = 0.0
+        for (d <- 0 until hT) { val c = src(i * hT + d) - mu; vs += c * c }
+        val sd = math.sqrt(vs / hT + 0.25)
+        (src(i * hT + j) - mu) / sd * g(j).toDouble + be(j).toDouble
+      }
+    def mm(src: Array[Double], w: Array[Float], rows: Int, inner: Int, cols: Int) =
+      Array.tabulate(rows * cols) { idx =>
+        val i = idx / cols; val j = idx % cols
+        var acc = 0.0
+        for (d <- 0 until inner) acc += src(i * inner + d) * w(d * cols + j).toDouble
+        acc
+      }
+    val ln1 = layerNorm(x, g1, be1)
+    val q = mm(ln1, wq, sT, hT, hT); val k = mm(ln1, wk, sT, hT, hT)
+    val v = mm(ln1, wv, sT, hT, hT)
+    val attn = Array.tabulate(sT * sT) { idx =>
+      val i = idx / sT; val j = idx % sT
+      var acc = 0.0
+      for (d <- 0 until hT) acc += q(i * hT + d) * k(j * hT + d)
+      acc * 0.5
+    }
+    val soft = new Array[Double](sT * sT)
+    for (i <- 0 until sT) {
+      var mx = Double.NegativeInfinity
+      for (j <- 0 until sT) if (attn(i * sT + j) > mx) mx = attn(i * sT + j)
+      var sum = 0.0
+      for (j <- 0 until sT) {
+        val e = math.exp(attn(i * sT + j) - mx)
+        soft(i * sT + j) = e; sum += e
+      }
+      for (j <- 0 until sT) soft(i * sT + j) /= sum
+    }
+    val ctx = Array.tabulate(sT * hT) { idx =>
+      val i = idx / hT; val j = idx % hT
+      var acc = 0.0
+      for (d <- 0 until sT) acc += soft(i * sT + d) * v(d * hT + j)
+      acc
+    }
+    val r1 = Array.tabulate(sT * hT) { idx =>
+      val proj = {
+        val i = idx / hT; val j = idx % hT
+        var acc = 0.0
+        for (d <- 0 until hT) acc += ctx(i * hT + d) * wo(d * hT + j).toDouble
+        acc
+      }
+      x(idx) + proj
+    }
+    val ln2 = layerNorm(r1, g2, be2)
+    val h1 = Array.tabulate(sT * fT) { idx =>
+      val i = idx / fT; val m = idx % fT
+      var acc = 0.0
+      for (d <- 0 until hT) acc += ln2(i * hT + d) * w1(d * fT + m).toDouble
+      acc + b1(m).toDouble
+    }
+    val gl = h1.map { vv =>
+      0.5 * vv * (1.0 + math.tanh(0.7978845608028654 * (vv + 0.044715 * (vv * vv * vv))))
+    }
+    val r2 = Array.tabulate(sT * hT) { idx =>
+      val i = idx / hT; val j = idx % hT
+      var acc = 0.0
+      for (m <- 0 until fT) acc += gl(i * fT + m) * w2(m * hT + j).toDouble
+      r1(idx) + (acc + b2(j).toDouble)
+    }
+    val pool = Array.tabulate(hT) { j =>
+      var acc = 0.0
+      for (i <- 0 until sT) acc += r2(i * hT + j)
+      acc / sT
+    }
+    Array.tabulate(eT) { kk =>
+      var acc = 0.0
+      for (j <- 0 until hT) acc += pool(j) * wh(j * eT + kk).toDouble
+      (1.0 * acc + 1.0 * bh(kk).toDouble).toFloat
+    }
+  }
+
+  test("transformer encoder end-to-end matches the independent reference bit-for-bit") {
+    val model = new Onnx.OnnxModel(OnnxWriter.transformerModelBytes(),
+      tileDims = Some(Seq(16)))
+    assert(model.inputDim == 16 && model.embDim == 4)
+    val tiles = Seq(
+      Array.tabulate(16)(i => (i % 7) * 0.25 - 0.75),
+      Array.fill(16)(0.5),
+      Array.tabulate(16)(i => math.sin(i * 1.3) * 2.0),
+      Array.tabulate(16)(i => ((i * 11) % 13) / 8.0 - 0.5))
+    model.embedBatch(tiles).zip(tiles).foreach { case (emb, x) =>
+      assert(emb.toSeq == transformerReference(x).toSeq)
     }
   }
 
