@@ -395,13 +395,35 @@ object Dedup {
     *         indices. Documents with no duplicated span emit no rows.
     */
   def duplicatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2L): DataFrame = {
+      n: Int, minCount: Long = 2L, keepCanonical: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minCount >= 2L, s"minCount must be >= 2, got $minCount")
     val pos = ngramPositions(df, idCol, textCol, n)
-    val dup = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minCount).select("g")
-    val marked = pos.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+    // keepCanonical = the Lee et al. retention policy: ONE occurrence of
+    // each duplicated n-gram survives — the lexicographically lowest
+    // (doc_id, pos), elected in the same single aggregation that counts
+    // (min over a struct is the lexicographic argmin; deterministic
+    // under any partitioning). All other occurrences mark. A canonical
+    // position can still fall inside a span marked by a DIFFERENT
+    // n-gram's non-canonical occurrence — spans are maximal unions, the
+    // same convention as the detection side.
+    val marked =
+      if (!keepCanonical)
+        pos.join(
+          pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+            .where(col("cnt") >= minCount).select("g"),
+          Seq("g")).select(col("doc_id"), col("pos"))
+      else
+        pos.join(
+          pos.groupBy("g")
+            .agg(count(lit(1)).as("cnt"),
+              min(struct(col("doc_id"), col("pos"))).as("canon"))
+            .where(col("cnt") >= minCount)
+            .select(col("g"), col("canon")),
+          Seq("g"))
+          .where(!(col("doc_id") === col("canon.doc_id") &&
+            col("pos") === col("canon.pos")))
+          .select(col("doc_id"), col("pos"))
     // Island merge in ONE doc_id shuffle: gather each doc's marked
     // positions (bounded by doc length — the per-doc-array invariant
     // every text operator here relies on) and fold them into maximal
@@ -433,8 +455,8 @@ object Dedup {
     * n_removed, clean_text. Documents with nothing to remove pass through
     * (left join keeps them; span filtering is per-row HOF work). */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2L): DataFrame = {
-    val spans = duplicatedNgramSpans(df, idCol, textCol, n, minCount)
+      n: Int, minCount: Long = 2L, keepCanonical: Boolean = false): DataFrame = {
+    val spans = duplicatedNgramSpans(df, idCol, textCol, n, minCount, keepCanonical)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
     df.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))

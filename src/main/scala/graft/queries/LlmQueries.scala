@@ -719,9 +719,9 @@ object LlmQueries {
     // ---- exact-substring dedup: span removal -----------------------------
     // The edit step: tokens inside any duplicated span drop, the survivors
     // re-join. clean_md5 pins the exact post-removal text cross-engine
-    // (md5('') for fully-duplicated documents). Removal covers EVERY
-    // occurrence by design — canonical-copy retention is doc-level
-    // dedup's job (q22/q28); see the operator scaladoc.
+    // (md5('') for fully-duplicated documents). This variant removes
+    // EVERY occurrence; q125 is the keep-canonical variant (Lee et al.'s
+    // retention policy).
     QueryDef.sqlBacked(
       "q105_span_removal",
       s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
@@ -745,6 +745,45 @@ object LlmQueries {
          |  md5(coalesce(agg.clean, '')) AS clean_md5
          |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, d) =>
       Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("n_tok"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+    },
+
+    // ---- exact-substring dedup: canonical-copy retention -----------------
+    // Lee et al.'s retention policy: ONE occurrence of each duplicated
+    // n-gram survives — the lexicographically lowest (doc_id, pos),
+    // elected inside the counting aggregation; only the other
+    // occurrences mark for removal. The oracle replays the election as a
+    // two-step min (min doc, then min pos within it — identical to the
+    // struct argmin) and the same islands/removal chain as q105.
+    QueryDef.sqlBacked(
+      "q125_span_keep_canonical",
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |gs AS (SELECT doc_id, i - 1 AS pos, ${polySql("g0", "len(g0)")} AS g FROM (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS g0
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t))),
+         |dupg AS (SELECT g FROM gs GROUP BY g HAVING count(*) >= 2),
+         |cd AS (SELECT gs.g, min(gs.doc_id) AS cdoc FROM gs JOIN dupg USING (g) GROUP BY gs.g),
+         |cp AS (SELECT gs.g, cd.cdoc, min(gs.pos) AS cpos
+         |  FROM gs JOIN cd ON cd.g = gs.g AND gs.doc_id = cd.cdoc GROUP BY gs.g, cd.cdoc),
+         |m AS (SELECT gs.doc_id, gs.pos FROM gs JOIN cp ON cp.g = gs.g
+         |  WHERE NOT (gs.doc_id = cp.cdoc AND gs.pos = cp.cpos)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS brk
+         |  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |isl2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+         |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s, CAST(max(pos) + 5 AS BIGINT) AS e
+         |  FROM isl2 GROUP BY doc_id, island),
+         |tok AS (SELECT doc_id, toks, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t),
+         |kept AS (SELECT tok.doc_id, tok.tok, tok.i FROM tok WHERE NOT EXISTS
+         |  (SELECT 1 FROM spans sp WHERE sp.doc_id = tok.doc_id AND tok.i - 1 >= sp.s AND tok.i - 1 < sp.e)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean FROM kept GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+         |  CAST(coalesce((SELECT sum(sp.e - sp.s) FROM spans sp WHERE sp.doc_id = t.doc_id), 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(agg.clean, '')) AS clean_md5
+         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, d) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 5, keepCanonical = true)
         .select(col("doc_id"), col("n_tok"), col("n_removed"),
           md5(col("clean_text")).as("clean_md5"))
     },

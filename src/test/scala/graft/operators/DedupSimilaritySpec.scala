@@ -252,6 +252,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L) == ((5L, 0L, "nothing shared here at all")))
   }
 
+  test("keepCanonical retains the lowest (doc_id, pos) occurrence of each duplicated span") {
+    val docs = Seq(
+      (1L, "a b c d e unique1 tail1 x"),
+      (2L, "front2 a b c d e tail2"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 5,
+      keepCanonical = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 holds the canonical (lowest doc_id) copy of "a b c d e" — kept
+    assert(out(1L) == ((8L, 0L, "a b c d e unique1 tail1 x")))
+    assert(out(2L) == ((7L, 5L, "front2 tail2")))
+    assert(out(3L) == ((5L, 0L, "nothing shared here at all")))
+    // within one doc: the EARLIER occurrence is canonical
+    val rep = Seq((9L, "p q r s t u p q r s t u")).toDF("doc_id", "text")
+    val r9 = Dedup.removeDuplicatedSpans(rep, "doc_id", "text", n = 5,
+      keepCanonical = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(r9 == ((12L, 6L, "p q r s t u")))
+  }
+
   test("weightedSample: k per stratum, partition-invariant, weight-sensitive, rejects w<=0") {
     import org.apache.spark.sql.functions.col
     val rows = (0L until 400L).map(i =>
