@@ -425,6 +425,38 @@ object SourceQueries {
         .toDF("tstep", "y", "x", "lwp")
     },
 
+    // ---- S9b depth: PAGED extensible-array data blocks ------------------
+    // The shape a LONG-running appended time series grows into: data
+    // blocks beyond one page split into contiguous checksummed pages
+    // with the page-init bitmap in the super block. Small creation
+    // params (2-element min blocks, 4-element pages) force the paged
+    // rows at fixture scale; the spec separately proves the
+    // libhdf5-DEFAULT geometry at 131,600 chunks. Same binaryFile ->
+    // HDF5.read -> rows chain as q91, deflate+shuffle filtered.
+    QueryDef.sqlBacked(
+      "q126_hdf5_paged_ea",
+      """SELECT CAST(t AS BIGINT) AS tstep,
+        |  CAST(t AS DOUBLE) * 0.125 - 4.5 AS lwp
+        |FROM range(0,72) r(t)""".stripMargin) { (s, d) =>
+      import graft.sources.HDF5
+      val dir = java.nio.file.Files.createTempDirectory("graft-q126").toString
+      val ea = HDF5.EaParams(maxBits = 16, iblkElmts = 4, minPtrs = 2,
+        minElmts = 2, pageBits = 2)
+      val bytes = HDF5.writeUnlimited(Seq(HDF5.DsSpec("lwp", Seq(72),
+        Array.tabulate(72)(_ * 0.125 - 4.5), chunkDims = Some(Seq(2)))),
+        deflate = true, shuffle = true, ea = ea)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "series_paged.h5"), bytes)
+      import s.implicits._
+      s.read.format("binaryFile").load(s"$dir/*.h5")
+        .select("content").as[Array[Byte]]
+        .flatMap { b =>
+          HDF5.read(b).filter(_.name == "lwp").flatMap { ds =>
+            ds.data.indices.map(t => (t.toLong, ds.data(t)))
+          }
+        }
+        .toDF("tstep", "lwp")
+    },
+
     // ---- S9b depth: >1 unlimited dims (version 2 B-tree chunk index) ----
     // Growable-in-two-dimensions datasets (e.g. an appended time axis AND
     // a growable station/ensemble axis) get the v2 B-tree chunk index;

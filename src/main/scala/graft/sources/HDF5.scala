@@ -33,11 +33,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   * takes — and the Version 2 B-tree index, record types 10/11, that
   * libhdf5 picks for >1 unlimited dims; filtered and plain) — with
   * DEFLATE and SHUFFLE filters in any pipeline order, so a default
-  * `nc_def_var_deflate` file decodes in either generation. Fixed
-  * arrays decode PAGED or unpaged. Fixed/float data decodes in either
+  * `nc_def_var_deflate` file decodes in either generation. Fixed AND
+  * extensible arrays decode PAGED or unpaged (paged EA data blocks —
+  * the shape a long-running appended time series grows into — store
+  * prefix + contiguous checksummed pages, with the page-init bitmap in
+  * the super block). Fixed/float data decodes in either
   * byte order (bit 0 of the datatype class bit field; big-endian is
   * the legacy big-iron shape). Out of scope — rejected LOUDLY, never
-  * silently misread: szip, PAGED extensible-array blocks, v1
+  * silently misread: szip, v1
   * superblocks, huge/tiny fractal-heap objects, indirect child heap
   * blocks, link-name and chunk v2-B-tree depth > 1.
   *
@@ -74,6 +77,25 @@ object HDF5 {
     def rowStartIdx(u: Int): Long =
       (0 until u).map(v => rowNdblks(v).toLong * rowDblkNelmts(v)).sum
     def rowStartDblk(u: Int): Int = (0 until u).map(rowNdblks).sum
+    /** Paged-data-block geometry: a data block whose element count
+      * exceeds one page (2^pageBits elements) stores only its prefix +
+      * checksum; the pages follow contiguously, each page = elements +
+      * its own 4-byte checksum. The row's SUPER block then carries a
+      * page-init bitmap (one bit per page across its data blocks). */
+    def pageNelmts: Int = 1 << pageBits
+    def dblkPaged(u: Int): Boolean = rowDblkNelmts(u) > pageNelmts
+    def dblkNpages(u: Int): Int = (rowDblkNelmts(u) + pageNelmts - 1) / pageNelmts
+    /** On-disk bytes of a row-u data block (14 = sig+ver+client+hdraddr,
+      * es = chunk-info element width). */
+    def dblkDiskSize(u: Int, es: Int): Int =
+      if (!dblkPaged(u)) 14 + offSize + rowDblkNelmts(u) * es + 4
+      else 14 + offSize + 4 + dblkNpages(u) * (pageNelmts * es + 4)
+    /** On-disk bytes of the row-u super block (bitmap only when its data
+      * blocks are paged). */
+    def sblkDiskSize(u: Int): Int =
+      14 + offSize +
+        (if (dblkPaged(u)) (rowNdblks(u) * dblkNpages(u) + 7) / 8 else 0) +
+        rowNdblks(u) * 8 + 4
     /** (row, data block within row, element within block) for an element
       * index counted from the first element beyond the index block. */
     def locate(idxBeyond: Long): (Int, Int, Int) = {
@@ -784,9 +806,9 @@ object HDF5 {
     * EADB data blocks — the index libhdf5 picks when exactly one
     * dimension is unlimited, i.e. every appended-time netCDF-4 series;
     * the unlimited dimension must be the slowest-varying so the array
-    * index is the row-major chunk index), or a Version 2 B-tree (5:
-    * the >1-unlimited-dims index; record types 10/11, depth <= 1).
-    * Paged extensible-array blocks reject. */
+    * index is the row-major chunk index; data blocks paged or unpaged),
+    * or a Version 2 B-tree (5:
+    * the >1-unlimited-dims index; record types 10/11, depth <= 1). */
   private def assembleChunksV4(bytes: Array[Byte], name: String,
       idx: (Int, Long), single: Option[(Long, Int)],
       dims: Seq[Int], chunkDims: Seq[Int], elemSize: Int,
@@ -944,9 +966,6 @@ object HDF5 {
             if (i < iblkElmts) iblkElements(i)
             else {
               val (u, dblkInRow, off) = p.locate(i.toLong - iblkElmts)
-              require(p.rowDblkNelmts(u) <= (1 << pageBits),
-                s"dataset $name: PAGED extensible-array data blocks unsupported " +
-                  s"(row $u holds ${p.rowDblkNelmts(u)} elements > 2^$pageBits page)")
               val dAddr =
                 if (u < p.iblkNsblks) iblkDblkAddrs(p.rowStartDblk(u) + dblkInRow)
                 else {
@@ -961,13 +980,30 @@ object HDF5 {
                     sb.get() // client id
                     sb.getLong() // header back-pointer
                     (0 until p.offSize).foreach(_ => sb.get()) // block offset
+                    if (p.dblkPaged(u)) {
+                      // page-init bitmap: one bit per page across the
+                      // row's data blocks (all set — every chunk written)
+                      val bits = p.rowNdblks(u) * p.dblkNpages(u)
+                      (0 until (bits + 7) / 8).foreach(_ => sb.get())
+                    }
                     (0 until p.rowNdblks(u)).map(_ => sb.getLong())
                   })
                   dblkAddrs(dblkInRow)
                 }
               require(dAddr != Undef,
                 s"dataset $name: chunk $i unallocated (fill-value reads unsupported)")
-              val eb = buf(bytes, dblkElements(dAddr) + off * elmtSize)
+              val ebase = dblkElements(dAddr)
+              val eb =
+                if (!p.dblkPaged(u)) buf(bytes, ebase + off * elmtSize)
+                else {
+                  // PAGED data block: the prefix ends with the block's own
+                  // checksum; pages follow contiguously, each = pageNelmts
+                  // elements + a 4-byte page checksum
+                  val pg = off / p.pageNelmts
+                  val inPg = off % p.pageNelmts
+                  buf(bytes, ebase + 4 + pg * (p.pageNelmts * elmtSize + 4) +
+                    inPg * elmtSize)
+                }
               readElement(eb)
             }
           require(caddr != Undef,
@@ -1615,11 +1651,9 @@ object HDF5 {
                 (p.iblkNdblkAddrs + p.iblkNsblkAddrs) * 8 + 4)
               val beyond = math.max(0L, n.toLong - p.iblkElmts)
               val rows = Iterator.from(0).takeWhile(u => p.rowStartIdx(u) < beyond).toSeq
-              rows.foreach(u => require(p.rowDblkNelmts(u) <= (1 << p.pageBits),
-                s"${s.name}: chunk grid needs PAGED extensible-array data blocks"))
               val sAddrs = rows.filter(_ >= p.iblkNsblks).map { u =>
                 val a = c
-                c = align8(c + 14 + p.offSize + p.rowNdblks(u) * 8 + 4)
+                c = align8(c + p.sblkDiskSize(u))
                 u -> a
               }.toMap
               val dAddrs = rows.flatMap { u =>
@@ -1628,7 +1662,7 @@ object HDF5 {
                 val ndb = ((have + p.rowDblkNelmts(u) - 1) / p.rowDblkNelmts(u)).toInt
                 (0 until ndb).map { k =>
                   val a = c
-                  c = align8(c + 14 + p.offSize + p.rowDblkNelmts(u) * es + 4)
+                  c = align8(c + p.dblkDiskSize(u, es))
                   (u, k) -> a
                 }
               }.toMap
@@ -2166,11 +2200,10 @@ object HDF5 {
             out.put(p.minElmts.toByte); out.put(p.minPtrs.toByte)
             out.put(p.pageBits.toByte)
             out.putLong(plan.sblkAddrs.size.toLong) // # super blocks
-            out.putLong(plan.sblkAddrs.keys
-              .map(u => (14 + p.offSize + p.rowNdblks(u) * 8 + 4).toLong).sum)
+            out.putLong(plan.sblkAddrs.keys.map(u => p.sblkDiskSize(u).toLong).sum)
             out.putLong(plan.dblkAddrs.size.toLong) // # data blocks
             out.putLong(plan.dblkAddrs.keys
-              .map { case (u, _) => (14 + p.offSize + p.rowDblkNelmts(u) * plan.elmtSize + 4).toLong }.sum)
+              .map { case (u, _) => p.dblkDiskSize(u, plan.elmtSize).toLong }.sum)
             out.putLong(chunks.size.toLong) // max index set
             out.putLong(chunks.size.toLong) // elements realized
             out.putLong(plan.eaib)
@@ -2192,6 +2225,12 @@ object HDF5 {
               blockPrefix("EASB", a)
               out.putLong(eahd)
               putOff(p.iblkElmts + p.rowStartIdx(u))
+              if (p.dblkPaged(u)) {
+                // page-init bitmap: every page initialized (all chunks
+                // written), one bit per page across the row's data blocks
+                val bits = p.rowNdblks(u) * p.dblkNpages(u)
+                (0 until (bits + 7) / 8).foreach(_ => out.put(0xff.toByte))
+              }
               (0 until p.rowNdblks(u)).foreach(k =>
                 out.putLong(plan.dblkAddrs.getOrElse((u, k), Undef)))
               out.putInt(0) // checksum (zero)
@@ -2201,8 +2240,19 @@ object HDF5 {
               out.putLong(eahd)
               val base = p.iblkElmts + p.rowStartIdx(u) + k.toLong * p.rowDblkNelmts(u)
               putOff(base)
-              (0 until p.rowDblkNelmts(u)).foreach(j => putElement(base + j))
-              out.putInt(0) // checksum (zero)
+              if (!p.dblkPaged(u)) {
+                (0 until p.rowDblkNelmts(u)).foreach(j => putElement(base + j))
+                out.putInt(0) // checksum (zero)
+              } else {
+                // PAGED: the block stores only its prefix + checksum; the
+                // pages follow contiguously, each = elements + checksum
+                out.putInt(0) // data-block header checksum (zero)
+                (0 until p.dblkNpages(u)).foreach { pg =>
+                  (0 until p.pageNelmts).foreach(j =>
+                    putElement(base + pg.toLong * p.pageNelmts + j))
+                  out.putInt(0) // page checksum (zero)
+                }
+              }
             }
           } else if (v4Kind(s.name) == 5) {
             val plan = bt2Plans(s.name)

@@ -315,17 +315,49 @@ class HDF5Spec extends SparkSpec {
     }
   }
 
-  test("extensible array rejects loudly: paged data blocks, unallocated chunks") {
+  test("layout v4 extensible array round-trips with PAGED data blocks") {
+    // pageBits=2 (4-element pages) with 2-element min blocks: row 3's
+    // 8-element data blocks split into 2 checksummed pages, and row 3's
+    // super block carries the page-init bitmap — while rows 0-2 stay
+    // unpaged, so the mixed geometry is exercised in ONE file. 36 chunks
+    // reach one data block into paged row 4 as well.
+    val ea = HDF5.EaParams(maxBits = 16, iblkElmts = 4, minPtrs = 2,
+      minElmts = 2, pageBits = 2)
+    assert(!ea.dblkPaged(2) && ea.dblkPaged(3) && ea.dblkPaged(4))
+    val specs = Seq(HDF5.DsSpec("t", Seq(72), Array.tabulate(72)(_ * 0.125 - 4.5),
+      chunkDims = Some(Seq(2))))
+    for ((df, sh) <- Seq((false, false), (true, true))) {
+      val bytes = HDF5.writeUnlimited(specs, deflate = df, shuffle = sh, ea = ea)
+      val back = HDF5.read(bytes)
+      assert(back.head.data.toSeq == specs.head.data.toSeq, s"deflate=$df shuffle=$sh")
+      def count(sig: String): Int = bytes.indices.count(i =>
+        i + 4 <= bytes.length && sig.indices.forall(j => bytes(i + j) == sig(j).toByte))
+      assert(count("EASB") >= 2 && count("EADB") >= 5,
+        "expected super blocks and data blocks")
+    }
+  }
+
+  test("PAGED extensible array at libhdf5-DEFAULT geometry (the real appended-series shape)") {
+    // with the library defaults (16-element min blocks, 1024-element
+    // pages) paging first occurs in row 13 — past 131,060 chunks, i.e. a
+    // genuinely long appended time series. Write one: 131,600 single-
+    // element chunks; the tail data block holds 2048 elements = 2 pages.
+    val p = HDF5.EaParams()
+    assert(!p.dblkPaged(12) && p.dblkPaged(13), "defaults page first in row 13")
+    val n = 131600
+    val specs = Seq(HDF5.DsSpec("t", Seq(n),
+      Array.tabulate(n)(i => (i % 977).toDouble), chunkDims = Some(Seq(1))))
+    val bytes = HDF5.writeUnlimited(specs)
+    val back = HDF5.read(bytes)
+    assert(back.head.dims == Seq(n.toLong))
+    assert((0 until n).forall(i => back.head.data(i) == (i % 977).toDouble),
+      "paged tail row must decode value-exact")
+  }
+
+  test("extensible array rejects loudly: unallocated chunks") {
     val specs = Seq(HDF5.DsSpec("t", Seq(40), Array.tabulate(40)(_ * 1.0),
       chunkDims = Some(Seq(2))))
     val bytes = HDF5.writeUnlimited(specs)
-    // shrink the EAHD page-bits byte below the first data-block row size
-    val hd = bytes.indices.find(i =>
-      bytes(i) == 'E' && bytes(i + 1) == 'A' && bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
-    // sig4 ver1 client1 elmtSize1 maxBits1 iblkElmts1 minElmts1 minPtrs1 -> pageBits
-    val paged = bytes.clone(); paged(hd + 11) = 3 // 2^3 < 16-element row
-    val e1 = intercept[IllegalArgumentException](HDF5.read(paged))
-    assert(e1.getMessage.contains("PAGED extensible-array"))
     // zap a data-block address slot in the index block -> unallocated chunk
     val ib = bytes.indices.find(i =>
       bytes(i) == 'E' && bytes(i + 1) == 'A' && bytes(i + 2) == 'I' && bytes(i + 3) == 'B').get
