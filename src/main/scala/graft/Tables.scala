@@ -25,12 +25,24 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = table(s, d, "events")
-    // under nanosAsLong the ns-precision ts arrives as LongType nanos
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    // Normalize ts to TimestampType regardless of how the parquet writer
+    // encoded it, so downstream event-time code (unix_micros, watermarks,
+    // Row.getTimestamp) sees one type:
+    //  - TIMESTAMP(NANOS) + nanosAsLong → LongType nanos → truncate to micros
+    //    (the same truncation DuckDB applies, so oracle parity holds)
+    //  - plain timestamp[us] (DuckDB/pandas-written) → TIMESTAMP_NTZ → cast;
+    //    the session TZ is pinned UTC everywhere, so the instant is preserved
+    //  - TIMESTAMP (already instant-typed) → pass through
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -595,8 +595,16 @@ object PipelineQueries {
       // (min-of-streams) watermark beyond every real probe so Append mode
       // finalizes ALL groups; 1h >> the 15-min window, so the sentinels
       // only match each other, and the probe sentinel is filtered below
-      val sentinelTs = new java.sql.Timestamp(
-        e.agg(max(col("ts"))).head().getTimestamp(0).getTime + 3600000L)
+      // type-robust: works whether max(ts) materializes as java.sql.Timestamp
+      // (TIMESTAMP) or java.time.LocalDateTime (TIMESTAMP_NTZ)
+      val maxTsMillis = e.agg(max(col("ts"))).head().get(0) match {
+        case t: java.sql.Timestamp => t.getTime
+        case i: java.time.Instant  => i.toEpochMilli
+        case l: java.time.LocalDateTime =>
+          l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        case o => sys.error(s"unexpected max(ts) type: ${o.getClass}")
+      }
+      val sentinelTs = new java.sql.Timestamp(maxTsMillis + 3600000L)
       import s.implicits._
       e.where(col("event_type") === "view")
         .select(col("event_id").as("probe_id"), col("ts").as("probe_ts"))
