@@ -45,11 +45,13 @@ object Inference {
     * output: (tile_id, emb: Array[Float]). */
   def embedTiles(tiles: DataFrame, tileIdCol: String, valuesCol: String,
       model: TileModel, batchSize: Int = 32): DataFrame = {
-    val spark = tiles.sparkSession
     val schema = StructType(Seq(
       StructField("tile_id", tiles.schema(tileIdCol).dataType),
       StructField("emb", ArrayType(FloatType, containsNull = false))))
-    val rdd = tiles.select(col(tileIdCol), col(valuesCol)).rdd.mapPartitions { it =>
+    // Dataset-level mapPartitions (NOT .rdd + createDataFrame): the logical
+    // plan stays connected, so Catalyst still prunes/pushes into the
+    // upstream scan and plan-regression tests can see the whole pipeline.
+    tiles.select(col(tileIdCol), col(valuesCol)).mapPartitions { it =>
       model.init()
       it.grouped(batchSize).flatMap { batch =>
         val ids = batch.map(_.get(0))
@@ -57,7 +59,6 @@ object Inference {
         val embs = model.embedBatch(px)
         ids.zip(embs).map { case (id, e) => Row(id, e.toSeq) }
       }
-    }
-    spark.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

@@ -39,15 +39,41 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("headline plans: codegen everywhere, no cartesian, BNLJ only where documented") {
-    (Bench.headline :+ "q48_e2e_slice" :+ "q36_triplet_specs" :+ "q71_iorg_objects").foreach { q =>
-      val plan = planOf(q)
-      // codegen'd operators print with the `*(n)` stage marker
-      assert(plan.contains("*("), s"$q lost whole-stage codegen")
-      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian product")
-      if (!bnljAllowed(q))
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
-          s"$q plans an undocumented nested-loop join:\n${plan.take(1500)}")
-    }
+    // failure-resilient sweep: collect every query's violations and report
+    // them together, so one throwing query cannot blind the rest of the
+    // headline (the round-7 NTZ incident masked every query after q41)
+    val failures = (Bench.headline :+ "q48_e2e_slice" :+ "q36_triplet_specs" :+ "q71_iorg_objects")
+      .flatMap { q =>
+        scala.util.Try(planOf(q)) match {
+          case scala.util.Failure(e) =>
+            Seq(s"$q: plan construction threw ${e.getClass.getSimpleName}: ${e.getMessage.take(200)}")
+          case scala.util.Success(plan) =>
+            val errs = scala.collection.mutable.Buffer[String]()
+            // codegen'd operators print with the `*(n)` stage marker
+            if (!plan.contains("*(")) errs += s"$q lost whole-stage codegen"
+            if (plan.contains("CartesianProduct")) errs += s"$q plans a cartesian product"
+            if (!bnljAllowed(q) && plan.contains("BroadcastNestedLoopJoin"))
+              errs += s"$q plans an undocumented nested-loop join:\n${plan.take(1500)}"
+            errs.toSeq
+        }
+      }
+    assert(failures.isEmpty, failures.mkString("\n---\n"))
+  }
+
+  test("q123: transformer inference is shuffle-free and prunes the scan") {
+    // the encoder runs inside mapPartitions: per-tile work only, so the
+    // plan must introduce no Exchange; and the embeddings scan must read
+    // only (vec_id, embedding) — not any other column of the table
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q123_onnx_transformer")(spark, sf)
+        .queryExecution.executedPlan
+      val plan = exec.toString
+      assert(!plan.contains("Exchange"), s"q123 introduced a shuffle:\n${plan.take(1500)}")
+      val scanCols = exec.collectLeaves().flatMap(_.output.map(_.name)).toSet
+      assert(scanCols == Set("vec_id", "embedding"),
+        s"q123 scan lost its projection — reads $scanCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q35: regrid weights are broadcast, never shuffled") {
