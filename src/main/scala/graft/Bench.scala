@@ -120,11 +120,19 @@ object Bench {
       n -> (if (ts.exists(_ < 0)) -1.0
             else ts.sorted.apply(ts.size / 2)) // upper median
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val rs = runs.map { case (k, ts) => "\"" + k + "\":[" + ts.mkString(",") + "]" }
+    // The driver keeps only a 4 KB tail of stdout: the printed line is
+    // MEDIANS-ONLY (values rounded to ms) so all headline entries always
+    // survive; the full per-run arrays go to BENCH_RUNS.json alongside the
+    // repo for the snapshot commit (spread disclosure lives there).
+    def r3(v: Double): Double = if (v < 0) -1.0 else math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val rs = runs.map { case (k, ts) => "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_$nRuns","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RUNS.json"),
+      s"""{"timing":"median_of_$nRuns","runs":$rs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] runs file: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"median_of_$nRuns","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
