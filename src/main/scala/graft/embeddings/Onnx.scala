@@ -33,7 +33,14 @@ package graft.embeddings
   * Sub/Mul/Div/Pow (numpy multidirectional broadcast, as Add too),
   * Sqrt/Exp/Neg/Erf, batched rank>=3 MatMul with broadcast batch dims,
   * fused LayerNormalization (opset 17), and Gelu (exact-erf and tanh
-  * variants).
+  * variants) — plus the real-export surface a genuine HF
+  * sentence-transformer ONNX file additionally carries: MULTIPLE int64
+  * data inputs (input_ids + attention_mask), Gather (token-embedding
+  * lookup), Cast, Equal/Greater/Less/Not/Where (the attention-mask
+  * path), Slice/Unsqueeze/Squeeze/Expand/Shape (both the opset >= 10
+  * input-carried and the legacy attr-carried parameter forms),
+  * ReduceSum (opset-13 axes-as-input), Constant (tensor attr), and
+  * Identity.
   * Anything else is rejected LOUDLY with the op name, never silently
   * misread. Accumulation is in double, cast to float at extraction — the
   * deterministic cross-engine arithmetic the oracle recomputes
@@ -104,7 +111,8 @@ object Onnx {
   final case class Node(opType: String, inputs: Seq[String], outputs: Seq[String],
       attrF: Map[String, Float], attrI: Map[String, Long],
       attrIs: Map[String, Seq[Long]] = Map.empty,
-      attrS: Map[String, String] = Map.empty)
+      attrS: Map[String, String] = Map.empty,
+      attrT: Map[String, Tensor] = Map.empty)
   final case class Graph(nodes: Seq[Node], initializers: Map[String, Tensor],
       inputNames: Seq[String], outputNames: Seq[String]) {
     /** Graph inputs that are not bound by an initializer = the data inputs. */
@@ -151,6 +159,7 @@ object Onnx {
     val af = Map.newBuilder[String, Float]; val ai = Map.newBuilder[String, Long]
     val ais = Map.newBuilder[String, Seq[Long]]
     val as = Map.newBuilder[String, String]
+    val at = Map.newBuilder[String, Tensor]
     walk(buf, span._1, span._2) { (field, wire, v, s) =>
       (field, wire) match {
         case (1, 2) => ins += utf8(buf, s)
@@ -158,7 +167,7 @@ object Onnx {
         case (4, 2) => op = utf8(buf, s)
         case (5, 2) =>
           var aname = ""; var fOpt: Option[Float] = None; var iOpt: Option[Long] = None
-          var sOpt: Option[String] = None
+          var sOpt: Option[String] = None; var tOpt: Option[Tensor] = None
           val isB = Seq.newBuilder[Long]
           walk(buf, s._1, s._2) { (f2, w2, v2, s2) =>
             (f2, w2) match {
@@ -166,6 +175,7 @@ object Onnx {
               case (2, 5) => fOpt = Some(leFloat(buf, s2._1))
               case (3, 0) => iOpt = Some(v2)
               case (4, 2) => sOpt = Some(utf8(buf, s2)) // AttributeProto.s
+              case (5, 2) => tOpt = Some(parseTensor(buf, s2)) // AttributeProto.t
               case (8, 0) => isB += v2 // repeated int64, unpacked
               case (8, 2) => // repeated int64, packed varints
                 var p2 = s2._1
@@ -181,12 +191,14 @@ object Onnx {
           fOpt.foreach(x => af += (aname -> x))
           iOpt.foreach(x => ai += (aname -> x))
           sOpt.foreach(x => as += (aname -> x))
+          tOpt.foreach(x => at += (aname -> x))
           val ints = isB.result()
           if (ints.nonEmpty) ais += (aname -> ints)
         case _ => ()
       }
     }
-    Node(op, ins.result(), outs.result(), af.result(), ai.result(), ais.result(), as.result())
+    Node(op, ins.result(), outs.result(), af.result(), ai.result(), ais.result(),
+      as.result(), at.result())
   }
 
   private def parseTensor(buf: Array[Byte], span: (Int, Int)): Tensor = {
@@ -195,6 +207,7 @@ object Onnx {
     var raw: Option[(Int, Int)] = None
     var packed: Option[(Int, Int)] = None
     val int64s = Seq.newBuilder[Long] // unpacked int64_data (field 7)
+    val int32s = Seq.newBuilder[Long] // int32_data (field 5; also bool)
     walk(buf, span._1, span._2) { (field, wire, v, s) =>
       (field, wire) match {
         case (1, 0) => dims += v.toInt
@@ -212,19 +225,42 @@ object Onnx {
             while ((b & 0x80) != 0)
             int64s += x
           }
+        case (5, 0) => int32s += v               // unpacked int32_data
+        case (5, 2) =>                           // packed int32_data varints
+          var at = s._1
+          while (at < s._2) {
+            var x = 0L; var shift = 0; var b = 0
+            do { b = buf(at) & 0xff; x |= (b & 0x7fL) << shift; shift += 7; at += 1 }
+            while ((b & 0x80) != 0)
+            int32s += x
+          }
         case _      => ()
       }
     }
-    require(dtype == 1 || dtype == 7, // FLOAT or INT64 (shape/pads inputs)
-      s"tensor $name: only float32/int64 initializers supported, got data_type=$dtype")
+    // FLOAT(1), INT64(7) shape/pads/index tensors, INT32(6), BOOL(9) —
+    // integer values are small and exact, so the float-backed Tensor
+    // carries them losslessly
+    require(dtype == 1 || dtype == 7 || dtype == 6 || dtype == 9,
+      s"tensor $name: only float32/int64/int32/bool initializers supported, got data_type=$dtype")
     val data =
       if (dtype == 7) (raw, int64s.result()) match {
-        // shape-carrying tensors (Reshape shapes, Pad pads): small exact
-        // integers, so the float64-backed Tensor carries them losslessly
         case (Some((a, b)), _) =>
           require((b - a) % 8 == 0, s"tensor $name: raw_data not 8-byte aligned")
           Array.tabulate((b - a) / 8)(i => leLong(buf, a + 8 * i).toFloat)
         case (_, vs) if vs.nonEmpty => vs.map(_.toFloat).toArray
+        case _ => throw new IllegalArgumentException(s"tensor $name: no data")
+      } else if (dtype == 6) (raw, int32s.result()) match {
+        case (Some((a, b)), _) =>
+          require((b - a) % 4 == 0, s"tensor $name: raw_data not 4-byte aligned")
+          Array.tabulate((b - a) / 4)(i =>
+            ((buf(a + 4 * i) & 0xff) | (buf(a + 4 * i + 1) & 0xff) << 8 |
+             (buf(a + 4 * i + 2) & 0xff) << 16 | (buf(a + 4 * i + 3) & 0xff) << 24).toFloat)
+        case (_, vs) if vs.nonEmpty => vs.map(_.toFloat).toArray
+        case _ => throw new IllegalArgumentException(s"tensor $name: no data")
+      } else if (dtype == 9) (raw, int32s.result()) match {
+        case (Some((a, b)), _) => // bool raw_data: one byte per element
+          Array.tabulate(b - a)(i => if (buf(a + i) != 0) 1.0f else 0.0f)
+        case (_, vs) if vs.nonEmpty => vs.map(v => if (v != 0) 1.0f else 0.0f).toArray
         case _ => throw new IllegalArgumentException(s"tensor $name: no data")
       } else (raw, packed) match {
         case (Some((a, b)), _) =>
@@ -873,6 +909,190 @@ object Onnx {
     Nd(outDims, out)
   }
 
+  // --------------------------------------------- real-export (encoder) ops
+  /** Gather along `axis`: out dims = data[:axis] ++ indices.dims ++
+    * data[axis+1:]; negative indices count from the end of the axis — the
+    * token-embedding lookup shape every transformer export carries
+    * (embTable[V,H] gathered by input_ids[B,S] -> [B,S,H]). */
+  private def gather(data: Nd, indices: Nd, axis0: Int): Nd = {
+    val nd = data.dims.size
+    val axis = if (axis0 < 0) axis0 + nd else axis0
+    require(axis >= 0 && axis < nd, s"Gather: axis $axis0 out of range for ${data.dims}")
+    val dAxis = data.dims(axis)
+    val outer = data.dims.take(axis).product
+    val inner = data.dims.drop(axis + 1).product
+    val nIdx = indices.a.length
+    val outDims = data.dims.take(axis) ++
+      (if (indices.dims == Seq(1) && nIdx == 1) Seq.empty else indices.dims) ++
+      data.dims.drop(axis + 1)
+    val out = new Array[Double](outer * nIdx * inner)
+    var o = 0
+    while (o < outer) {
+      var j = 0
+      while (j < nIdx) {
+        val raw = indices.a(j).toLong
+        val k = (if (raw < 0) raw + dAxis else raw).toInt
+        require(k >= 0 && k < dAxis, s"Gather: index ${indices.a(j).toLong} out of range [0,$dAxis)")
+        System.arraycopy(data.a, (o * dAxis + k) * inner, out, (o * nIdx + j) * inner, inner)
+        j += 1
+      }
+      o += 1
+    }
+    Nd(if (outDims.isEmpty) Seq(1) else outDims, out)
+  }
+
+  /** Three-way broadcast (Where's contract): cond != 0 selects x, else y. */
+  private def whereOp(cond: Nd, x: Nd, y: Nd): Nd = {
+    val nd = Seq(cond, x, y).map(_.dims.size).max
+    def pad(t: Nd) = Seq.fill(nd - t.dims.size)(1) ++ t.dims
+    val (cd, xd, yd) = (pad(cond), pad(x), pad(y))
+    val od = (0 until nd).map { k =>
+      val m = Seq(cd(k), xd(k), yd(k)).max
+      require(Seq(cd(k), xd(k), yd(k)).forall(d => d == m || d == 1),
+        s"Where: cannot broadcast ${cond.dims} / ${x.dims} / ${y.dims}")
+      m
+    }
+    def str0(dims: Seq[Int]) = stridesOf(dims).zip(dims).map { case (s, d) => if (d == 1) 0L else s }
+    val (cs, xs, ys) = (str0(cd), str0(xd), str0(yd))
+    val out = new Array[Double](od.product)
+    val idx = new Array[Int](nd)
+    var o = 0
+    while (o < out.length) {
+      var sc = 0L; var sx = 0L; var sy = 0L
+      var k = 0
+      while (k < nd) { sc += idx(k) * cs(k); sx += idx(k) * xs(k); sy += idx(k) * ys(k); k += 1 }
+      out(o) = if (cond.a(sc.toInt) != 0.0) x.a(sx.toInt) else y.a(sy.toInt)
+      var d = nd - 1
+      while (d >= 0 && { idx(d) += 1; idx(d) == od(d) }) { idx(d) = 0; d -= 1 }
+      o += 1
+    }
+    Nd(od, out)
+  }
+
+  /** Slice (opset >= 10 semantics): negative starts/ends count from the
+    * axis end, both are clamped to [0, dim], positive steps only. */
+  private def sliceOp(x: Nd, starts: Seq[Long], ends: Seq[Long],
+      axes0: Seq[Long], steps0: Seq[Long]): Nd = {
+    val nd = x.dims.size
+    val axes = (if (axes0.isEmpty) Seq.range(0L, starts.size.toLong) else axes0)
+      .map(a => if (a < 0) a + nd else a)
+    require(axes.forall(a => a >= 0 && a < nd), s"Slice: axes $axes0 out of range for rank $nd")
+    require(starts.size == ends.size && axes.size == starts.size,
+      s"Slice: starts/ends/axes sizes differ")
+    val steps = if (steps0.isEmpty) Seq.fill(starts.size)(1L) else steps0
+    require(steps.forall(_ > 0), s"Slice: non-positive steps $steps0 unsupported")
+    val begin = Array.tabulate(nd)(_ => 0)
+    val step = Array.tabulate(nd)(_ => 1)
+    val outDims = x.dims.toArray
+    axes.indices.foreach { i =>
+      val ax = axes(i).toInt
+      val dim = x.dims(ax)
+      def clamp(v: Long): Int = {
+        val w = if (v < 0) v + dim else v
+        math.max(0, math.min(dim, w)).toInt
+      }
+      val b = clamp(starts(i)); val e = clamp(ends(i)); val st = steps(i).toInt
+      begin(ax) = b; step(ax) = st
+      outDims(ax) = math.max(0, (e - b + st - 1) / st)
+    }
+    require(outDims.forall(_ > 0), s"Slice: empty output ${outDims.toSeq}")
+    val inStr = stridesOf(x.dims)
+    val out = new Array[Double](outDims.product)
+    val idx = new Array[Int](nd)
+    var o = 0
+    while (o < out.length) {
+      var src = 0L
+      var k = 0
+      while (k < nd) { src += (begin(k) + idx(k) * step(k)) * inStr(k); k += 1 }
+      out(o) = x.a(src.toInt)
+      var d = nd - 1
+      while (d >= 0 && { idx(d) += 1; idx(d) == outDims(d) }) { idx(d) = 0; d -= 1 }
+      o += 1
+    }
+    Nd(outDims.toSeq, out)
+  }
+
+  /** Insert size-1 axes at `axes` (positions in the OUTPUT shape). */
+  private def unsqueeze(x: Nd, axes0: Seq[Long]): Nd = {
+    val outRank = x.dims.size + axes0.size
+    val axes = axes0.map(a => if (a < 0) a + outRank else a)
+    require(axes.distinct.size == axes.size && axes.forall(a => a >= 0 && a < outRank),
+      s"Unsqueeze: bad axes $axes0 for input rank ${x.dims.size}")
+    val axSet = axes.toSet
+    var in = 0
+    val outDims = (0 until outRank).map { k =>
+      if (axSet(k.toLong)) 1 else { val d = x.dims(in); in += 1; d }
+    }
+    Nd(outDims, x.a)
+  }
+
+  /** Drop size-1 axes (all of them when `axes` is empty, per spec). */
+  private def squeeze(x: Nd, axes0: Seq[Long]): Nd = {
+    val nd = x.dims.size
+    val axes = axes0.map(a => if (a < 0) a + nd else a)
+    require(axes.forall(a => a >= 0 && a < nd && x.dims(a.toInt) == 1),
+      s"Squeeze: axes $axes0 do not name size-1 dims of ${x.dims}")
+    val drop = if (axes.isEmpty) x.dims.zipWithIndex.filter(_._1 == 1).map(_._2.toLong).toSet
+               else axes.toSet
+    val outDims = x.dims.zipWithIndex.collect { case (d, k) if !drop(k.toLong) => d }
+    Nd(if (outDims.isEmpty) Seq(1) else outDims, x.a)
+  }
+
+  /** Expand: bidirectional broadcast of the input against `shape` (the
+    * spec allows the shape to be SMALLER along an axis, meaning "keep"). */
+  private def expand(x: Nd, shape: Seq[Long]): Nd =
+    broadcastBinary("Expand", x, Nd(shape.map(_.toInt), new Array[Double](
+      math.max(1, shape.map(_.toInt).product))), (a, _) => a)
+
+  /** Sum over `axes` (empty = all axes), keepdims per attr — the masked
+    * mean-pooling reduction of a sentence-embedding export. Summation in
+    * input scan order, restatable left-to-right. */
+  private def reduceSum(x: Nd, axes0: Seq[Int], keepdims: Boolean): Nd = {
+    val nd = x.dims.size
+    val axes = (if (axes0.isEmpty) Seq.range(0, nd)
+                else axes0.map(a => if (a < 0) a + nd else a)).sorted
+    require(axes.forall(a => a >= 0 && a < nd) && axes == axes.distinct,
+      s"ReduceSum: bad axes $axes0 for rank $nd")
+    val isRed = Array.tabulate(nd)(axes.contains)
+    val keptDims = (0 until nd).filterNot(isRed).map(x.dims)
+    val outDims =
+      if (keepdims) x.dims.zipWithIndex.map { case (d, k) => if (isRed(k)) 1 else d }
+      else if (keptDims.isEmpty) Seq(1)
+      else keptDims
+    val redN = axes.map(x.dims).product
+    val out = new Array[Double](x.a.length / redN)
+    val keptStr = {
+      val s = new Array[Long](nd)
+      var acc = 1L
+      var k = nd - 1
+      while (k >= 0) { if (!isRed(k)) { s(k) = acc; acc *= x.dims(k) }; k -= 1 }
+      s
+    }
+    val idx = new Array[Int](nd)
+    var i = 0
+    while (i < x.a.length) {
+      var dst = 0L
+      var k = 0
+      while (k < nd) { dst += idx(k) * keptStr(k); k += 1 }
+      out(dst.toInt) += x.a(i)
+      var d = nd - 1
+      while (d >= 0 && { idx(d) += 1; idx(d) == x.dims(d) }) { idx(d) = 0; d -= 1 }
+      i += 1
+    }
+    Nd(outDims, out)
+  }
+
+  /** Cast in a double-backed engine: float/double targets are identity,
+    * integer targets truncate toward zero (the C conversion the spec
+    * prescribes), bool maps nonzero -> 1. */
+  private def castOp(x: Nd, to: Long): Nd = to match {
+    case 1 | 10 | 11 => x                                   // float/f16/double
+    case 6 | 7 | 12 | 13 | 3 | 2 | 4 | 5 =>                 // int32/64, u32/64, i8/u8, u16/i16
+      Nd(x.dims, x.a.map(v => if (v < 0) math.ceil(v) else math.floor(v)))
+    case 9 => Nd(x.dims, x.a.map(v => if (v != 0.0) 1.0 else 0.0)) // bool
+    case other => throw new IllegalArgumentException(s"Cast: to=$other unsupported")
+  }
+
   private def intsAttr(n: Node, name: String, default: Seq[Long]): Seq[Int] = {
     val v = n.attrIs.getOrElse(name, default)
     v.map(_.toInt)
@@ -934,7 +1154,17 @@ object Onnx {
   def runNd(g: Graph, input: Nd): Nd = {
     require(g.dataInputs.size == 1,
       s"expected exactly one data input, got ${g.dataInputs}")
-    val env = scala.collection.mutable.Map[String, Nd](g.dataInputs.head -> input)
+    runNd(g, Map(g.dataInputs.head -> input))
+  }
+
+  /** Execute with named data inputs — the multi-input surface a real
+    * sentence-embedding export needs (input_ids + attention_mask, both
+    * int64 [batch, seq]; integer values ride the double-backed Nd
+    * losslessly below 2^53). */
+  def runNd(g: Graph, inputs: Map[String, Nd]): Nd = {
+    val missing = g.dataInputs.filterNot(inputs.contains)
+    require(missing.isEmpty, s"unbound data inputs: $missing")
+    val env = scala.collection.mutable.Map[String, Nd](inputs.toSeq: _*)
     g.initializers.foreach { case (n, t) => env(n) = toNd(t) }
     def in(node: Node, i: Int): Nd = env.getOrElse(node.inputs(i),
       throw new IllegalArgumentException(s"${node.opType}: unbound input '${node.inputs(i)}'"))
@@ -1092,13 +1322,72 @@ object Onnx {
         case "ReduceMean" =>
           reduceMean(in(n, 0), intsAttr(n, "axes", Nil),
             keepdims = n.attrI.getOrElse("keepdims", 1L) != 0L)
+        case "ReduceSum" =>
+          // opset 13 carries axes as an optional INPUT; opset <= 11 as attr
+          val axes: Seq[Int] =
+            if (n.inputs.size >= 2 && n.inputs(1).nonEmpty) in(n, 1).a.map(_.toInt).toSeq
+            else intsAttr(n, "axes", Nil)
+          val noopEmpty = n.attrI.getOrElse("noop_with_empty_axes", 0L) != 0L
+          if (axes.isEmpty && noopEmpty) in(n, 0)
+          else reduceSum(in(n, 0), axes,
+            keepdims = n.attrI.getOrElse("keepdims", 1L) != 0L)
+        case "Gather" =>
+          gather(in(n, 0), in(n, 1), n.attrI.getOrElse("axis", 0L).toInt)
+        case "Cast" =>
+          castOp(in(n, 0), n.attrI.getOrElse("to",
+            throw new IllegalArgumentException("Cast: 'to' attr required")))
+        case "Equal" => broadcastBinary("Equal", in(n, 0), in(n, 1),
+          (a, b) => if (a == b) 1.0 else 0.0)
+        case "Greater" => broadcastBinary("Greater", in(n, 0), in(n, 1),
+          (a, b) => if (a > b) 1.0 else 0.0)
+        case "Less" => broadcastBinary("Less", in(n, 0), in(n, 1),
+          (a, b) => if (a < b) 1.0 else 0.0)
+        case "Not" =>
+          val x = in(n, 0)
+          Nd(x.dims, x.a.map(v => if (v == 0.0) 1.0 else 0.0))
+        case "Where" => whereOp(in(n, 0), in(n, 1), in(n, 2))
+        case "Slice" =>
+          // opset >= 10: starts/ends/[axes]/[steps] inputs; opset 1: attrs
+          if (n.inputs.size >= 3) {
+            def optIn(i: Int): Seq[Long] =
+              if (n.inputs.size > i && n.inputs(i).nonEmpty) in(n, i).a.map(_.toLong).toSeq
+              else Seq.empty
+            sliceOp(in(n, 0), in(n, 1).a.map(_.toLong).toSeq,
+              in(n, 2).a.map(_.toLong).toSeq, optIn(3), optIn(4))
+          } else sliceOp(in(n, 0),
+            n.attrIs.getOrElse("starts", throw new IllegalArgumentException(
+              "Slice: starts attr or input required")),
+            n.attrIs.getOrElse("ends", Nil),
+            n.attrIs.getOrElse("axes", Nil), Seq.empty)
+        case "Unsqueeze" =>
+          val axes = if (n.inputs.size >= 2 && n.inputs(1).nonEmpty)
+            in(n, 1).a.map(_.toLong).toSeq else n.attrIs.getOrElse("axes", Nil)
+          require(axes.nonEmpty, "Unsqueeze: axes attr or input required")
+          unsqueeze(in(n, 0), axes)
+        case "Squeeze" =>
+          val axes = if (n.inputs.size >= 2 && n.inputs(1).nonEmpty)
+            in(n, 1).a.map(_.toLong).toSeq else n.attrIs.getOrElse("axes", Nil)
+          squeeze(in(n, 0), axes)
+        case "Expand" =>
+          require(n.inputs.size >= 2, "Expand: shape input required")
+          expand(in(n, 0), in(n, 1).a.map(_.toLong).toSeq)
+        case "Shape" =>
+          val x = in(n, 0)
+          Nd(Seq(x.dims.size), x.dims.map(_.toDouble).toArray)
+        case "Constant" =>
+          val t = n.attrT.getOrElse("value", throw new IllegalArgumentException(
+            "Constant: only the tensor-valued 'value' attr is supported"))
+          toNd(t)
+        case "Identity" => in(n, 0)
         case other => throw new IllegalArgumentException(
           s"unsupported ONNX op '$other' (subset: MatMul, Add, Sub, Mul, " +
             "Div, Pow, Sqrt, Exp, Neg, Erf, Gelu, LayerNormalization, " +
             "Relu, Gemm, Conv, MaxPool, AveragePool, Concat, " +
             "BatchNormalization, GlobalAveragePool, Flatten, Sigmoid, " +
             "Tanh, LeakyRelu, Clip, Transpose, Reshape, Pad, Softmax, " +
-            "ReduceMean)")
+            "ReduceMean, ReduceSum, Gather, Cast, Equal, Greater, Less, " +
+            "Not, Where, Slice, Unsqueeze, Squeeze, Expand, Shape, " +
+            "Constant, Identity)")
       }
       env(n.outputs.head) = out
     }

@@ -1,0 +1,493 @@
+#!/usr/bin/env python3
+"""Independent golden-fixture writers (Python stdlib ONLY).
+
+Purpose: the repo's binary codecs (HDF5, HDF4, netCDF3, zarr, WARC, WAV,
+ONNX) were previously proven by round-trips against the repo's own Scala
+writers — a shared reader/writer bug survives that (it happened once:
+both sides of the HDF5 v4 layout agreed on a wrong rank+1 dims read).
+No foreign library (h5py/pyhdf/zarr/onnxruntime) exists in this
+container and there is no network egress, so true third-party fixtures
+cannot be produced here. This script is the closest independent check
+available: a SECOND implementation of each format's WRITE path, in a
+different language, written directly from the public specs —
+  - HDF5 File Format Specification (HDF Group)
+  - HDF 4.x Specification (DD list + DFSD tags)
+  - NetCDF Classic Format spec (CDF-1)
+  - zarr v2 storage spec
+  - ISO 28500 (WARC/1.0)
+  - RIFF/WAVE (PCM)
+  - ONNX IR + protobuf wire format (onnx.ai / protobuf.dev)
+sharing zero code or constants tables with src/main/scala. A bug must
+now be made twice, independently, in two languages, to slip through.
+
+Output: src/test/resources/fixtures/* (asserted exactly by
+ForeignFixturesSpec) and src/main/resources/graft/fixtures/
+pool_encoder.onnx (executed by the q127 oracle query).
+
+Deterministic: running it twice produces byte-identical files.
+"""
+import gzip
+import io
+import json
+import os
+import struct
+import zlib
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+TEST_FIX = os.path.join(HERE, "..", "src", "test", "resources", "fixtures")
+MAIN_FIX = os.path.join(HERE, "..", "src", "main", "resources", "graft", "fixtures")
+
+# ---------------------------------------------------------------------------
+# protobuf wire-format encoder (spec: protobuf.dev/programming-guides/encoding)
+# ---------------------------------------------------------------------------
+
+def _varint(v):
+    out = bytearray()
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+def _tag(field, wire):
+    return _varint((field << 3) | wire)
+
+def pb_varint(field, v):
+    return _tag(field, 0) + _varint(v)
+
+def pb_bytes(field, b):
+    return _tag(field, 2) + _varint(len(b)) + b
+
+def pb_str(field, s):
+    return pb_bytes(field, s.encode("utf-8"))
+
+def pb_msg(field, body):
+    return pb_bytes(field, body)
+
+# ONNX schema field numbers (onnx/onnx.proto3)
+def onnx_tensor(name, dims, dtype, raw):
+    body = b"".join(pb_varint(1, d) for d in dims)
+    body += pb_varint(2, dtype)
+    body += pb_str(8, name)
+    body += pb_bytes(9, raw)
+    return body
+
+def f32s(vals):
+    return struct.pack("<%df" % len(vals), *vals)
+
+def i64s(vals):
+    return struct.pack("<%dq" % len(vals), *vals)
+
+def onnx_attr_i(name, v):
+    return pb_str(1, name) + pb_varint(3, v) + pb_varint(20, 2)  # type=INT
+
+def onnx_attr_t(name, tensor_body):
+    return pb_str(1, name) + pb_msg(5, tensor_body) + pb_varint(20, 4)  # TENSOR
+
+def onnx_node(op, inputs, outputs, attrs=()):
+    body = b"".join(pb_str(1, i) for i in inputs)
+    body += b"".join(pb_str(2, o) for o in outputs)
+    body += pb_str(4, op)
+    body += b"".join(pb_msg(5, a) for a in attrs)
+    return body
+
+def onnx_value_info(name):
+    return pb_str(1, name)
+
+def write_onnx(path):
+    """Masked-mean-pooling encoder head: the exact op surface a real HF
+    sentence-transformer export carries around its attention blocks —
+    int64 input_ids + attention_mask, Gather token-embedding lookup,
+    Cast/Unsqueeze/Expand/Equal/Where mask plumbing, ReduceSum pooling,
+    Div, Slice. V=64 tokens, H=16 hidden, S=8 positions, output [B,8].
+
+    emb[t][h] = ((t*31 + h*7) % 13 - 6) / 8.0  (exact eighths: every
+    engine computes them bit-identically in f32 or f64)."""
+    V, H, S = 64, 16, 8
+    emb = [((t * 31 + h * 7) % 13 - 6) / 8.0 for t in range(V) for h in range(H)]
+    inits = [
+        onnx_tensor("emb_table", [V, H], 1, f32s(emb)),
+        onnx_tensor("axes_u", [1], 7, i64s([2])),        # Unsqueeze axes
+        onnx_tensor("expand_shape", [3], 7, i64s([1, S, H])),
+        onnx_tensor("axes_seq", [1], 7, i64s([1])),      # ReduceSum over S
+        onnx_tensor("sl_starts", [1], 7, i64s([0])),
+        onnx_tensor("sl_ends", [1], 7, i64s([8])),
+        onnx_tensor("sl_axes", [1], 7, i64s([1])),
+    ]
+    zero_scalar = onnx_tensor("zero_val", [], 1, f32s([0.0]))
+    nodes = [
+        onnx_node("Constant", [], ["zero_c"], [onnx_attr_t("value", zero_scalar)]),
+        onnx_node("Gather", ["emb_table", "input_ids"], ["emb"],
+                  [onnx_attr_i("axis", 0)]),
+        onnx_node("Cast", ["attention_mask"], ["mask_f"], [onnx_attr_i("to", 1)]),
+        onnx_node("Unsqueeze", ["mask_f", "axes_u"], ["mask_u"]),
+        onnx_node("Expand", ["mask_u", "expand_shape"], ["mask_e"]),
+        onnx_node("Equal", ["mask_e", "zero_c"], ["is_pad"]),
+        onnx_node("Where", ["is_pad", "zero_c", "emb"], ["masked"]),
+        onnx_node("ReduceSum", ["masked", "axes_seq"], ["summed"],
+                  [onnx_attr_i("keepdims", 0)]),
+        onnx_node("ReduceSum", ["mask_f", "axes_seq"], ["cnt"],
+                  [onnx_attr_i("keepdims", 1)]),
+        onnx_node("Div", ["summed", "cnt"], ["pooled"]),
+        onnx_node("Slice", ["pooled", "sl_starts", "sl_ends", "sl_axes"], ["out"]),
+    ]
+    graph = b"".join(pb_msg(1, n) for n in nodes)
+    graph += pb_str(2, "pool_encoder")
+    graph += b"".join(pb_msg(5, t) for t in inits)
+    graph += pb_msg(11, onnx_value_info("input_ids"))
+    graph += pb_msg(11, onnx_value_info("attention_mask"))
+    graph += pb_msg(12, onnx_value_info("out"))
+    model = pb_varint(1, 8)                                   # ir_version
+    model += pb_msg(8, pb_str(1, "") + pb_varint(2, 13))      # opset 13
+    model += pb_msg(7, graph)
+    with open(path, "wb") as f:
+        f.write(model)
+
+# ---------------------------------------------------------------------------
+# HDF5 v0 generation (superblock v0, v1 object headers, symbol-table group)
+# spec: HDF5 File Format Specification III.A / IV.A
+# ---------------------------------------------------------------------------
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+def h5_msg(mtype, body):
+    """v1 header message: type(2) size(2) flags(1) reserved(3), body
+    padded to a multiple of 8."""
+    pad = (-len(body)) % 8
+    body = body + b"\0" * pad
+    return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+def h5_object_header(msgs):
+    blob = b"".join(msgs)
+    # version(1) reserved(1) nmsgs(2) refcount(4) header-size(4) pad(4)
+    return struct.pack("<BBHII4x", 1, 0, len(msgs), 1, len(blob)) + blob
+
+def h5_dataspace(dims):
+    # v1: version(1) dimensionality(1) flags(1) reserved(5), then dims
+    body = struct.pack("<BBB5x", 1, len(dims), 0)
+    body += b"".join(struct.pack("<Q", d) for d in dims)
+    return h5_msg(0x0001, body)
+
+def h5_datatype_float(size):
+    # class 1 (float), version 1; LE IEEE properties per spec table
+    if size == 8:
+        props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        sign = 63
+    else:
+        props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        sign = 31
+    body = struct.pack("<BBBBI", 0x11, 0x20, sign, 0, size) + props
+    return h5_msg(0x0003, body)
+
+def h5_layout_contiguous(addr, nbytes):
+    return h5_msg(0x0008, struct.pack("<BBQQ", 3, 1, addr, nbytes))
+
+def h5_layout_chunked(btree_addr, chunk_dims, elem_size):
+    body = struct.pack("<BBB", 3, 2, len(chunk_dims) + 1)
+    body += struct.pack("<Q", btree_addr)
+    body += b"".join(struct.pack("<I", c) for c in chunk_dims)
+    body += struct.pack("<I", elem_size)
+    return h5_msg(0x0008, body)
+
+def h5_filter_deflate(level):
+    # pipeline v1: version(1) nfilters(1) reserved(2+4); filter record:
+    # id(2) namelen(2) flags(2) nvals(2) values, padded to 8 when odd
+    rec = struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", level) + b"\0" * 4
+    return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 1) + rec)
+
+def write_hdf5(path):
+    """Two datasets under a symbol-table root group (the h5py default-
+    properties shape): 'temp' contiguous f64 [2,3,4] with value
+    i*0.25, and 'series' chunked (4)+deflate f32 [10] with value k*1.5."""
+    buf = bytearray(b"\0" * 96)  # superblock placeholder, filled last
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    # --- 'temp': contiguous f64
+    temp_vals = [i * 0.25 for i in range(24)]
+    temp_data_addr = alloc(struct.pack("<24d", *temp_vals))
+    temp_oh = alloc(h5_object_header([
+        h5_dataspace([2, 3, 4]),
+        h5_datatype_float(8),
+        h5_layout_contiguous(temp_data_addr, 24 * 8),
+    ]))
+
+    # --- 'series': chunked+deflate f32, 3 chunks of 4 (last ragged)
+    series_vals = [k * 1.5 for k in range(10)]
+    chunk_addrs = []
+    chunk_sizes = []
+    for c in range(3):
+        chunk = series_vals[c * 4:(c + 1) * 4]
+        chunk += [0.0] * (4 - len(chunk))  # edge chunk padded to full size
+        comp = zlib.compress(struct.pack("<4f", *chunk), 6)
+        chunk_addrs.append(alloc(comp))
+        chunk_sizes.append(len(comp))
+    # v1 chunk B-tree leaf (node type 1): keys carry
+    # chunk-size(4) mask(4) offsets((rank+1)*8), child after each key
+    bt = bytearray()
+    bt += b"TREE" + struct.pack("<BBH", 1, 0, 3)
+    bt += struct.pack("<QQ", UNDEF, UNDEF)  # siblings
+    for c in range(3):
+        bt += struct.pack("<IIQQ", chunk_sizes[c], 0, c * 4, 0)  # key
+        bt += struct.pack("<Q", chunk_addrs[c])                  # child
+    bt += struct.pack("<IIQQ", 0, 0, 10, 0)                      # final key
+    series_btree = alloc(bytes(bt))
+    series_oh = alloc(h5_object_header([
+        h5_dataspace([10]),
+        h5_datatype_float(4),
+        h5_filter_deflate(6),
+        h5_layout_chunked(series_btree, [4], 4),
+    ]))
+
+    # --- root group: local heap (names), SNOD, group B-tree, object header
+    heap_data = bytearray(b"\0" * 8)  # offset 0 = empty string slot
+    name_offs = {}
+    for nm in ["series", "temp"]:  # SNOD entries must be name-ordered
+        name_offs[nm] = len(heap_data)
+        heap_data += nm.encode() + b"\0"
+        heap_data += b"\0" * ((-len(heap_data)) % 8)
+    heap_data_addr = alloc(bytes(heap_data))
+    heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF,
+                                            heap_data_addr))
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 2)
+    for nm, oh in [("series", series_oh), ("temp", temp_oh)]:
+        snod += struct.pack("<QQII16x", name_offs[nm], oh, 0, 0)
+    snod_addr = alloc(snod)
+    gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+    gtree += struct.pack("<QQ", UNDEF, UNDEF)
+    gtree += struct.pack("<QQ", 0, snod_addr)         # key0, child0
+    gtree += struct.pack("<Q", name_offs["temp"])     # final key
+    gtree_addr = alloc(gtree)
+    root_oh = alloc(h5_object_header([
+        h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
+    ]))
+
+    # --- superblock v0
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    sb.write(struct.pack("<HHI", 4, 16, 0))           # leaf k, internal k, flags
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
+    # root symbol-table entry: linkname(8) OH(8) cachetype(4) res(4) scratch(16)
+    sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
+    sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
+    sb_bytes = sb.getvalue()
+    assert len(sb_bytes) == 96, len(sb_bytes)
+    buf[0:96] = sb_bytes
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+# ---------------------------------------------------------------------------
+# HDF4 DFSD subset (spec: HDF 4.x, DD list + tags NDG/SDD/NT/SD/SDL)
+# ---------------------------------------------------------------------------
+
+def write_hdf4(path):
+    """Two SDSs: 'sst' plain int16 [2,3] (v = 100+i), and 'cld' float32
+    [4] deflate-compressed (v = k*0.5), each with its NDG and label."""
+    objs = []  # (tag, ref, payload)
+
+    def nt(ref, dfnt, width_bits):
+        objs.append((106, ref, struct.pack(">BBBB", 1, dfnt, width_bits, 0)))
+
+    def sdd(ref, dims):
+        p = struct.pack(">H", len(dims))
+        p += b"".join(struct.pack(">i", d) for d in dims)
+        p += struct.pack(">HH", 106, ref)                 # data NT
+        p += b"".join(struct.pack(">HH", 106, ref) for _ in dims)  # scale NTs
+        objs.append((701, ref, p))
+
+    # --- sst: plain big-endian int16
+    nt(1, 22, 16)
+    sdd(1, [2, 3])
+    objs.append((704, 1, b"sea_surface_temperature\0"))
+    objs.append((702, 1, struct.pack(">6h", *[100 + i for i in range(6)])))
+    objs.append((720, 1, struct.pack(">HHHHHH", 701, 1, 702, 1, 704, 1)))
+
+    # --- cld: deflate special element (extended SD tag)
+    nt(2, 5, 32)
+    sdd(2, [4])
+    objs.append((704, 2, b"cloud_fraction\0"))
+    raw = struct.pack(">4f", *[k * 0.5 for k in range(4)])
+    comp = zlib.compress(raw, 6)
+    objs.append((40, 2, comp))  # DFTAG_COMPRESSED, ref shared with header
+    # special-element header: kind(2)=SPECIAL_COMP, version(2),
+    # uncompressed-len(4), compressed ref(2), model(2), comp code(2), level(2)
+    sp = struct.pack(">HHIHHHH", 3, 0, len(raw), 2, 0, 4, 6)
+    objs.append((0x4000 | 702, 2, sp))
+    # the NDG membership records the LOGICAL tag (702); only the DD entry
+    # carries the extended/special bit — the layout libhdf writes
+    objs.append((720, 2, struct.pack(">HHHHHH", 701, 2, 702, 2, 704, 2)))
+
+    ndds = len(objs)
+    header = 4 + 2 + 4 + 12 * ndds  # magic + ndds + next + DD entries
+    out = io.BytesIO()
+    out.write(struct.pack(">I", 0x0E031301))
+    out.write(struct.pack(">Hi", ndds, 0))
+    off = header
+    for tag, ref, payload in objs:
+        out.write(struct.pack(">HHii", tag, ref, off, len(payload)))
+        off += len(payload)
+    for _, _, payload in objs:
+        out.write(payload)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+# ---------------------------------------------------------------------------
+# netCDF classic CDF-1 (spec: NetCDF Classic Format, BNF in appendix B)
+# ---------------------------------------------------------------------------
+
+def nc_name(s):
+    b = s.encode()
+    return struct.pack(">i", len(b)) + b + b"\0" * ((-len(b)) % 4)
+
+def nc_attrs(attrs):
+    if not attrs:
+        return struct.pack(">ii", 0, 0)
+    out = struct.pack(">ii", 0x0C, len(attrs))
+    for name, text in attrs:
+        b = text.encode()
+        out += nc_name(name) + struct.pack(">ii", 2, len(b)) + b
+        out += b"\0" * ((-len(b)) % 4)
+    return out
+
+def write_netcdf3(path):
+    """dims (time=3, x=2); vars time(f64)[time] and temp(f32)[time,x],
+    both fixed-size; temp has a units attribute."""
+    time_vals = [0.0, 6.0, 12.0]
+    temp_vals = [20.0 + 0.5 * i for i in range(6)]
+    header = io.BytesIO()
+    header.write(b"CDF\x01")
+    header.write(struct.pack(">i", 0))                      # numrecs
+    header.write(struct.pack(">ii", 0x0A, 2))               # dim_list
+    header.write(nc_name("time") + struct.pack(">i", 3))
+    header.write(nc_name("x") + struct.pack(">i", 2))
+    header.write(nc_attrs([("title", "golden fixture")]))   # gatt_list
+    header.write(struct.pack(">ii", 0x0B, 2))               # var_list
+    # var headers need begins; compute sizes first: header length is
+    # data-independent, so lay out with a two-pass dry run
+    def var_header(name, dimids, attrs, nctype, vsize, begin):
+        out = nc_name(name) + struct.pack(">i", len(dimids))
+        out += b"".join(struct.pack(">i", d) for d in dimids)
+        out += nc_attrs(attrs)
+        out += struct.pack(">iii", nctype, vsize, begin)
+        return out
+
+    def build(b_time, b_temp):
+        return (var_header("time", [0], [], 6, 24, b_time) +
+                var_header("temp", [0, 1], [("units", "K")], 5, 24, b_temp))
+    base = header.getvalue()
+    hdr_len = len(base) + len(build(0, 0))
+    b_time = hdr_len
+    b_temp = b_time + 24
+    blob = base + build(b_time, b_temp)
+    blob += struct.pack(">3d", *time_vals)
+    blob += struct.pack(">6f", *temp_vals)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+# ---------------------------------------------------------------------------
+# zarr v2 store (spec: zarr v2 storage specification)
+# ---------------------------------------------------------------------------
+
+def write_zarr(store):
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    # lwp: 2-D f8 [5,6] chunks [3,4], zlib; value r*10 + c
+    d = os.path.join(store, "lwp")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [5, 6], "chunks": [3, 4],
+                   "dtype": "<f8", "order": "C", "fill_value": 0.0,
+                   "filters": None,
+                   "compressor": {"id": "zlib", "level": 6}}, f)
+    for ci in range(2):
+        for cj in range(2):
+            vals = []
+            for r in range(3):
+                for c in range(4):
+                    gr, gc = ci * 3 + r, cj * 4 + c
+                    v = gr * 10.0 + gc if gr < 5 and gc < 6 else 0.0
+                    vals.append(v)
+            raw = struct.pack("<12d", *vals)
+            with open(os.path.join(d, "%d.%d" % (ci, cj)), "wb") as f:
+                f.write(zlib.compress(raw, 6))
+    # cnt: 1-D i4 [7] chunk [4], raw, chunk 1 ABSENT -> fill_value -1
+    d = os.path.join(store, "cnt")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [7], "chunks": [4],
+                   "dtype": "<i4", "order": "C", "fill_value": -1,
+                   "filters": None, "compressor": None}, f)
+    with open(os.path.join(d, "0"), "wb") as f:
+        f.write(struct.pack("<4i", 3, 1, 4, 1))
+
+# ---------------------------------------------------------------------------
+# WARC/1.0 (ISO 28500) — gzip member per record, the Common Crawl shape
+# ---------------------------------------------------------------------------
+
+def warc_record(rtype, uri, date, payload, extra=()):
+    head = "WARC/1.0\r\n"
+    head += "WARC-Type: %s\r\n" % rtype
+    if uri:
+        head += "WARC-Target-URI: %s\r\n" % uri
+    head += "WARC-Date: %s\r\n" % date
+    for k, v in extra:
+        head += "%s: %s\r\n" % (k, v)
+    head += "Content-Length: %d\r\n\r\n" % len(payload)
+    return head.encode() + payload + b"\r\n\r\n"
+
+def write_warc(path):
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html><body>golden warc fixture</body></html>")
+    recs = [
+        warc_record("warcinfo", "", "2024-01-15T00:00:00Z",
+                    b"software: make_fixtures.py\r\n"),
+        warc_record("response", "https://example.org/golden",
+                    "2024-01-15T00:00:01Z", http,
+                    [("Content-Type", "application/http; msgtype=response")]),
+    ]
+    with open(path, "wb") as f:
+        for r in recs:
+            # mtime=0 + fixed OS byte: byte-identical across runs
+            f.write(gzip.compress(r, 6, mtime=0))
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE PCM16 mono — with an unknown LIST chunk the reader must skip
+# ---------------------------------------------------------------------------
+
+def write_wav(path):
+    samples = [(i * 1000 - 7000) for i in range(16)]
+    data = struct.pack("<16h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    lst = b"INFOISFT" + b"fixture\0"
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(lst)) + lst
+            + b"data" + struct.pack("<I", len(data)) + data)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+# ---------------------------------------------------------------------------
+
+def main():
+    os.makedirs(TEST_FIX, exist_ok=True)
+    os.makedirs(MAIN_FIX, exist_ok=True)
+    write_onnx(os.path.join(MAIN_FIX, "pool_encoder.onnx"))
+    write_hdf5(os.path.join(TEST_FIX, "golden.h5"))
+    write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
+    write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
+    write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
+    write_warc(os.path.join(TEST_FIX, "golden.warc.gz"))
+    write_wav(os.path.join(TEST_FIX, "golden.wav"))
+    print("fixtures written to", TEST_FIX, "and", MAIN_FIX)
+
+if __name__ == "__main__":
+    main()
