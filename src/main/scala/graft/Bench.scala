@@ -64,7 +64,11 @@ object Bench {
     // Round 7: the transformer-encoder inference path (pure-JVM ONNX
     // executor through mapPartitions batches — times the per-row model
     // cost an embedding-production stage pays).
-    "q123_onnx_transformer")
+    "q123_onnx_transformer",
+    // Round 8: the foreign-fixture model (python-written protobuf)
+    // through the multi-input executor — times the tokenize -> Gather/
+    // mask -> pool path a sentence-embedding production stage pays.
+    "q127_onnx_foreign_pool")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -412,6 +412,68 @@ object PipelineQueries {
           round(col("v").cast("double"), 6).as("v"))
     },
 
+    // ---- foreign ONNX model through the multi-input inference path ------
+    // The model bytes are the PYTHON-written fixture (tools/
+    // make_fixtures.py, hand-encoded protobuf — an independent writer, no
+    // shared code with OnnxWriter): a masked-mean-pooling encoder head
+    // carrying the exact op surface a real HF sentence-transformer export
+    // wraps around its attention blocks — int64 input_ids +
+    // attention_mask data inputs, Gather embedding lookup, Cast/
+    // Unsqueeze/Expand/Equal/Where mask plumbing, ReduceSum pooling,
+    // Div, Slice. Tokenization is arithmetic both engines share: first 8
+    // whitespace tokens, id = (17*len + ascii(first)) % 64. All embedding
+    // values are exact eighths, so sums are exact and the only rounding
+    // is the final 6-decimal gate.
+    QueryDef.sqlBacked(
+      "q127_onnx_foreign_pool",
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |p AS (SELECT doc_id, tk, unnest(range(1, 9)) AS s FROM t),
+        |tok AS (SELECT doc_id, s, CASE WHEN s <= len(tk) THEN tk[s] END AS tok FROM p),
+        |ids AS (SELECT doc_id, (17 * length(tok) + ascii(tok)) % 64 AS tid
+        |        FROM tok WHERE tok IS NOT NULL),
+        |emb AS (SELECT i.doc_id, k.h,
+        |          CAST((i.tid * 31 + k.h * 7) % 13 - 6 AS DOUBLE) / 8.0 AS e
+        |        FROM ids i CROSS JOIN (SELECT unnest(range(0, 8)) AS h) k),
+        |pool AS (SELECT doc_id, h, sum(e) / count(*) AS pv FROM emb GROUP BY 1, 2)
+        |SELECT doc_id, CAST(h AS BIGINT) AS k, round(pv, 6) AS v FROM pool""".stripMargin) { (s, d) =>
+      import graft.embeddings.Onnx
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val modelBytes = {
+        val in = getClass.getResourceAsStream("/graft/fixtures/pool_encoder.onnx")
+        require(in != null, "pool_encoder.onnx fixture missing")
+        try in.readAllBytes() finally in.close()
+      }
+      val S = 8
+      val prepped = Tables.documents(s, d).select(col("doc_id"),
+        expr(s"transform(slice(split(lower(trim(text)), '\\\\s+'), 1, $S), " +
+          "t -> (17 * length(t) + ascii(t)) % 64)").as("ids"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("k", LongType),
+        StructField("v", DoubleType)))
+      prepped.mapPartitions { it =>
+        val g = Onnx.parseModel(modelBytes) // parsed once per partition
+        it.grouped(32).flatMap { batch =>
+          val b = batch.size
+          val ids = new Array[Double](b * S)
+          val mask = new Array[Double](b * S)
+          batch.zipWithIndex.foreach { case (r, i) =>
+            val tid = r.getSeq[Int](1)
+            tid.indices.foreach { j => ids(i * S + j) = tid(j); mask(i * S + j) = 1.0 }
+          }
+          val out = Onnx.runNd(g, Map(
+            "input_ids" -> Onnx.Nd(Seq(b, S), ids),
+            "attention_mask" -> Onnx.Nd(Seq(b, S), mask)))
+          val e = out.dims.last
+          batch.zipWithIndex.flatMap { case (r, i) =>
+            (0 until e).map(k => Row(r.getLong(0), k.toLong,
+              BigDecimal(out.a(i * e + k)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    },
+
     // ---- HDBSCAN slot: density clustering on the bucketed spatial join --
     // DBSCAN over a deterministic 400-point lattice derived from events:
     // candidate generation is the eps-grid bin join (never all pairs),

@@ -60,6 +60,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n---\n"))
   }
 
+  test("q127: foreign-model inference is shuffle-free and prunes the scan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q127_onnx_foreign_pool")(spark, sf)
+        .queryExecution.executedPlan
+      val plan = exec.toString
+      assert(!plan.contains("Exchange"), s"q127 introduced a shuffle:\n${plan.take(1500)}")
+      val scanCols = exec.collectLeaves().flatMap(_.output.map(_.name)).toSet
+      assert(scanCols == Set("doc_id", "text"),
+        s"q127 scan lost its projection — reads $scanCols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q123: transformer inference is shuffle-free and prunes the scan") {
     // the encoder runs inside mapPartitions: per-tile work only, so the
     // plan must introduce no Exchange; and the embeddings scan must read
