@@ -43,18 +43,61 @@ object BpeTrainer {
   private[operators] def spaced(tok: Column): Column =
     concat(lit(" "), trim(regexp_replace(tok, "(.)", "$1 ")), lit(" "))
 
+  /** GPT-2-style pre-tokenizer regex, lookahead-free so an oracle can
+    * replay it under RE2: letter runs, digit runs, and punctuation runs,
+    * each with an optional leading space (the space RIDES THE TOKEN —
+    * the GPT-2 convention that lets merges learn word boundaries). The
+    * contraction alternates and the trailing-whitespace lookahead of the
+    * exact GPT-2 pattern are dropped; they only matter for whitespace-
+    * preserving decode, not for merge learning. */
+  val ByteLevelPretokenRegex = """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+
+  /** GPT-2 visible-space symbol: byte 0x20 prints as U+0120 'Ġ' so every
+    * symbol is non-blank and the spaced-seg representation stays valid. */
+  val VisibleSpace = "Ġ"
+
   /** Learn the first `nMerges` BPE merges over the word vocabulary of
     * `textCol` (tokens = TextAnalysis.tokens: lower, trim, split \s+).
     * Returns fewer merges only if the vocabulary runs out of adjacent
     * pairs (every word reduced to a single symbol). */
   def learnMerges(df: DataFrame, textCol: String, nMerges: Int,
       checkpointDir: Option[String] = None): Seq[Merge] = {
-    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val vocab = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    var seg = Checkpointing.truncate(
-      vocab.select(spaced(col("tok")).as("seg"), col("cnt")), checkpointDir)
+    mergeLoop(vocab.select(spaced(col("tok")).as("seg"), col("cnt")),
+      nMerges, checkpointDir)
+  }
+
+  /** BYTE-LEVEL variant (the GPT-2 recipe, Radford et al. 2019 §2.2):
+    * pre-tokens come from [[ByteLevelPretokenRegex]] over the lowercased
+    * text (leading space attached), and the initial symbols are the
+    * pre-token's BYTES with 0x20 mapped to the visible 'Ġ'. For ASCII
+    * corpora — asserted below, rejected loudly otherwise — chars ARE the
+    * UTF-8 bytes, so the per-char split IS the byte split and the only
+    * byte that needs the GPT-2 printable mapping is the space. (Full
+    * non-ASCII byte-level needs a per-byte explode of multi-byte UTF-8
+    * sequences; out of scope until a non-ASCII corpus needs it.) */
+  def learnByteMerges(df: DataFrame, textCol: String, nMerges: Int,
+      checkpointDir: Option[String] = None): Seq[Merge] = {
+    val vocab = df
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(ByteLevelPretokenRegex), lit(0))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val nonAscii = vocab.where(col("tok").rlike("[^\\x00-\\x7F]")).limit(1).count()
+    require(nonAscii == 0,
+      "byte-level BPE: non-ASCII pre-token found — per-byte UTF-8 split not implemented")
+    mergeLoop(vocab.select(
+      spaced(translate(col("tok"), " ", VisibleSpace)).as("seg"), col("cnt")),
+      nMerges, checkpointDir)
+  }
+
+  /** The shared round loop: pair-count argmax + double boundary-anchored
+    * replace over a (seg, cnt) vocabulary frame. */
+  private def mergeLoop(segInit: DataFrame, nMerges: Int,
+      checkpointDir: Option[String]): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var seg = Checkpointing.truncate(segInit, checkpointDir)
     val merges = Seq.newBuilder[Merge]
     var round = 0
     var exhausted = false

@@ -315,10 +315,29 @@ object CurationQueries {
     // distributed BpeTrainer whose per-round state on the driver is ONE
     // row (the argmax). A hash match proves the whole iterative loop —
     // counts, tie-breaks, merge rewrites — value-for-value.
-    QueryDef.sqlBacked("q124_bpe_train", q124OracleSql(10)) { (s, d) =>
+    QueryDef.sqlBacked("q124_bpe_train", bpeTrainOracleSql(10,
+      """unnest(string_split_regex(lower(trim(text)), '\s+'))""",
+      """' ' || trim(regexp_replace(tok, '(.)', '\1 ', 'g')) || ' '""")) { (s, d) =>
       import s.implicits._
       graft.operators.BpeTrainer
         .learnMerges(Tables.documents(s, d), "text", nMerges = 10)
+        .map(m => (m.rnk, m.l, m.r, m.pcnt))
+        .toDF("rnk", "l", "r", "pcnt")
+    },
+
+    // ---- byte-level BPE trainer (GPT-2 recipe) --------------------------
+    // Pre-tokens from the lookahead-free GPT-2-style regex (the leading
+    // space rides the token), initial symbols = bytes with 0x20 mapped
+    // to the visible 'Ġ' (for this ASCII corpus the per-char split IS
+    // the byte split — non-ASCII rejects loudly in the operator). The
+    // oracle replays the same regex under RE2 and the same 10-round
+    // argmax/merge chain.
+    QueryDef.sqlBacked("q128_bpe_byte_train", bpeTrainOracleSql(10,
+      """unnest(regexp_extract_all(lower(text), ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))""",
+      """' ' || trim(regexp_replace(replace(tok, ' ', 'Ġ'), '(.)', '\1 ', 'g')) || ' '""")) { (s, d) =>
+      import s.implicits._
+      graft.operators.BpeTrainer
+        .learnByteMerges(Tables.documents(s, d), "text", nMerges = 10)
         .map(m => (m.rnk, m.l, m.r, m.pcnt))
         .toDF("rnk", "l", "r", "pcnt")
     },
@@ -376,19 +395,21 @@ object CurationQueries {
         .withColumn("n_sub", size(split(col("seg"), " ")).cast("long"))
     })
 
-  /** The q124 oracle: the BPE trainer loop unrolled as chained CTEs —
-    * round k computes pair counts pc_k over segmentation seg_{k-1}
+  /** The q124/q128 oracle: the BPE trainer loop unrolled as chained
+    * CTEs — round k computes pair counts pc_k over segmentation seg_{k-1}
     * (struct-comprehension adjacent pairs, occurrence-weighted), picks
     * the argmax m_k (count DESC, l, r), and seg_k applies it via the
-    * same double boundary-anchored replace the Spark trainer uses. */
-  private def q124OracleSql(n: Int): String = {
+    * same double boundary-anchored replace the Spark trainer uses.
+    * `toksExpr` selects the pre-tokens, `segExpr` builds the spaced
+    * initial segmentation from a pre-token. */
+  private def bpeTrainOracleSql(n: Int, toksExpr: String, segExpr: String): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH toks AS (
-        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      s"""WITH toks AS (
+        |  SELECT $toksExpr AS tok
         |  FROM documents),
         |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-        |seg0 AS (SELECT ' ' || trim(regexp_replace(tok, '(.)', '\1 ', 'g')) || ' ' AS seg, cnt FROM vocab)""".stripMargin)
+        |seg0 AS (SELECT $segExpr AS seg, cnt FROM vocab)""".stripMargin)
     for (k <- 1 to n) {
       sb.append(s""",
         |pc$k AS (

@@ -82,4 +82,44 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got.size == 2, s"two merges exhaust the vocab, got $got")
     assert(got.head._1 == "a" && got.head._2 == "b")
   }
+
+  test("byte-level: GPT-2 pre-tokens carry the leading space as 'Ġ'") {
+    import spark.implicits._
+    // "the cat" x3 in one doc: pre-tokens are "the", " cat" (space rides
+    // the token); byte symbols make the leading space a 'Ġ' symbol, so
+    // the naive trainer must see it as a first-class symbol
+    val docs = Seq("the cat the cat the cat").toDF("text")
+    val got = BpeTrainer.learnByteMerges(docs, "text", 6).map(m => (m.l, m.r, m.pcnt))
+    // replay: pre-tokenize with the same regex, map ' '->'Ġ', naive BPE
+    val pretok = """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+""".r
+      .findAllIn("the cat the cat the cat").map(_.replace(" ", "Ġ")).toSeq
+    val want = naiveBpe(pretok, 6)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // the space symbol must appear inside some learned merge
+    assert(got.exists { case (l, r, _) => (l + r).contains("Ġ") },
+      s"no merge learned across the visible-space symbol: $got")
+  }
+
+  test("byte-level: punctuation splits off and digits group separately") {
+    import spark.implicits._
+    val docs = Seq("ab12, ab12, ab12").toDF("text")
+    val got = BpeTrainer.learnByteMerges(docs, "text", 4).map(m => (m.l, m.r, m.pcnt))
+    val pretok = """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+""".r
+      .findAllIn("ab12, ab12, ab12").map(_.replace(" ", "Ġ")).toSeq
+    // pre-tokens: "ab","12",","," ab","12",","," ab","12" -> letter runs
+    // and digit runs never share a pre-token, so no (letter,digit) merge
+    val want = naiveBpe(pretok, 4)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(!got.exists { case (l, r, _) =>
+      l.exists(_.isLetter) && r.exists(_.isDigit) }, s"letter+digit merged: $got")
+  }
+
+  test("byte-level: non-ASCII input rejects loudly") {
+    import spark.implicits._
+    val docs = Seq("café latte").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.learnByteMerges(docs, "text", 2)
+    }
+    assert(e.getMessage.contains("non-ASCII"))
+  }
 }
