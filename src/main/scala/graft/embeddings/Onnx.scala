@@ -922,9 +922,11 @@ object Onnx {
     val outer = data.dims.take(axis).product
     val inner = data.dims.drop(axis + 1).product
     val nIdx = indices.a.length
-    val outDims = data.dims.take(axis) ++
-      (if (indices.dims == Seq(1) && nIdx == 1) Seq.empty else indices.dims) ++
-      data.dims.drop(axis + 1)
+    // out rank = data.rank - 1 + indices.rank; the Nd representation has
+    // no rank-0, so a scalar index arrives as [1] and keeps its axis (a
+    // consumer Reshape/Squeeze flattens it — shape-input consumers only
+    // read the values)
+    val outDims = data.dims.take(axis) ++ indices.dims ++ data.dims.drop(axis + 1)
     val out = new Array[Double](outer * nIdx * inner)
     var o = 0
     while (o < outer) {
