@@ -98,6 +98,89 @@ def onnx_node(op, inputs, outputs, attrs=()):
 def onnx_value_info(name):
     return pb_str(1, name)
 
+def onnx_attr_f(name, v):
+    return pb_str(1, name) + _tag(2, 5) + struct.pack("<f", v) + pb_varint(20, 1)
+
+def write_mini_encoder(path):
+    """MiniLM-shaped one-block encoder, the full real-export graph: token
+    Gather + position-embedding Add, single-head attention with the
+    ADDITIVE mask bias ((1-mask)*-10000 broadcast into the scores),
+    max-subtracted Softmax, residual, LayerNormalization, masked mean
+    pooling. V=32, H=8, S=6. All weights exact eighths; verified against
+    an independent loop reference in OnnxMiniEncoderSpec."""
+    V, H, S = 32, 8, 6
+    emb = [((t * 31 + h * 7) % 13 - 6) / 8.0 for t in range(V) for h in range(H)]
+    pos = [((s * 11 + h * 3) % 9 - 4) / 8.0 for s in range(S) for h in range(H)]
+    wq = [((i * 3 + j * 5) % 11 - 5) / 8.0 for i in range(H) for j in range(H)]
+    wk = [((i * 5 + j * 3) % 13 - 6) / 8.0 for i in range(H) for j in range(H)]
+    wv = [((i * 7 + j * 2) % 7 - 3) / 8.0 for i in range(H) for j in range(H)]
+    wo = [((i * 2 + j * 7) % 9 - 4) / 8.0 for i in range(H) for j in range(H)]
+    gamma = [((h % 3) + 1) / 4.0 for h in range(H)]
+    beta = [((h % 5) - 2) / 8.0 for h in range(H)]
+    inits = [
+        onnx_tensor("emb_table", [V, H], 1, f32s(emb)),
+        onnx_tensor("pos_table", [S, H], 1, f32s(pos)),
+        onnx_tensor("wq", [H, H], 1, f32s(wq)),
+        onnx_tensor("wk", [H, H], 1, f32s(wk)),
+        onnx_tensor("wv", [H, H], 1, f32s(wv)),
+        onnx_tensor("wo", [H, H], 1, f32s(wo)),
+        onnx_tensor("ln_g", [H], 1, f32s(gamma)),
+        onnx_tensor("ln_b", [H], 1, f32s(beta)),
+        onnx_tensor("one_f", [], 1, f32s([1.0])),
+        onnx_tensor("negbig", [], 1, f32s([-10000.0])),
+        onnx_tensor("scale", [], 1, f32s([0.25])),
+        onnx_tensor("zero_f", [], 1, f32s([0.0])),
+        onnx_tensor("axes_u1", [1], 7, i64s([1])),
+        onnx_tensor("axes_u2", [1], 7, i64s([2])),
+        onnx_tensor("expand_shape", [3], 7, i64s([1, S, H])),
+        onnx_tensor("axes_seq", [1], 7, i64s([1])),
+    ]
+    nodes = [
+        onnx_node("Gather", ["emb_table", "input_ids"], ["te"],
+                  [onnx_attr_i("axis", 0)]),
+        onnx_node("Add", ["te", "pos_table"], ["x0"]),        # [B,S,H]+[S,H]
+        onnx_node("MatMul", ["x0", "wq"], ["q"]),
+        onnx_node("MatMul", ["x0", "wk"], ["k"]),
+        onnx_node("MatMul", ["x0", "wv"], ["v"]),
+        onnx_node("Transpose", ["k"], ["kt"],
+                  [pb_str(1, "perm") + pb_varint(8, 0) + pb_varint(8, 2)
+                   + pb_varint(8, 1) + pb_varint(20, 7)]),
+        onnx_node("MatMul", ["q", "kt"], ["qk"]),             # [B,S,S]
+        onnx_node("Mul", ["qk", "scale"], ["sc"]),
+        onnx_node("Cast", ["attention_mask"], ["mask_f"], [onnx_attr_i("to", 1)]),
+        onnx_node("Sub", ["one_f", "mask_f"], ["inv"]),
+        onnx_node("Mul", ["inv", "negbig"], ["bias2"]),       # [B,S]
+        onnx_node("Unsqueeze", ["bias2", "axes_u1"], ["bias3"]),  # [B,1,S]
+        onnx_node("Add", ["sc", "bias3"], ["scb"]),
+        onnx_node("Softmax", ["scb"], ["att"], [onnx_attr_i("axis", -1)]),
+        onnx_node("MatMul", ["att", "v"], ["ctx"]),
+        onnx_node("MatMul", ["ctx", "wo"], ["proj"]),
+        onnx_node("Add", ["x0", "proj"], ["res"]),
+        onnx_node("LayerNormalization", ["res", "ln_g", "ln_b"], ["ln"],
+                  [onnx_attr_i("axis", -1), onnx_attr_f("epsilon", 0.25)]),
+        # masked mean pooling (the sentence-transformers head)
+        onnx_node("Unsqueeze", ["mask_f", "axes_u2"], ["mask_u"]),
+        onnx_node("Expand", ["mask_u", "expand_shape"], ["mask_e"]),
+        onnx_node("Equal", ["mask_e", "zero_f"], ["is_pad"]),
+        onnx_node("Where", ["is_pad", "zero_f", "ln"], ["masked"]),
+        onnx_node("ReduceSum", ["masked", "axes_seq"], ["summed"],
+                  [onnx_attr_i("keepdims", 0)]),
+        onnx_node("ReduceSum", ["mask_f", "axes_seq"], ["cnt"],
+                  [onnx_attr_i("keepdims", 1)]),
+        onnx_node("Div", ["summed", "cnt"], ["out"]),
+    ]
+    graph = b"".join(pb_msg(1, n) for n in nodes)
+    graph += pb_str(2, "mini_encoder")
+    graph += b"".join(pb_msg(5, t) for t in inits)
+    graph += pb_msg(11, onnx_value_info("input_ids"))
+    graph += pb_msg(11, onnx_value_info("attention_mask"))
+    graph += pb_msg(12, onnx_value_info("out"))
+    model = pb_varint(1, 8)
+    model += pb_msg(8, pb_str(1, "") + pb_varint(2, 17))      # opset 17 (LN)
+    model += pb_msg(7, graph)
+    with open(path, "wb") as f:
+        f.write(model)
+
 def write_onnx(path):
     """Masked-mean-pooling encoder head: the exact op surface a real HF
     sentence-transformer export carries around its attention blocks —
@@ -481,6 +564,7 @@ def main():
     os.makedirs(TEST_FIX, exist_ok=True)
     os.makedirs(MAIN_FIX, exist_ok=True)
     write_onnx(os.path.join(MAIN_FIX, "pool_encoder.onnx"))
+    write_mini_encoder(os.path.join(TEST_FIX, "mini_encoder.onnx"))
     write_hdf5(os.path.join(TEST_FIX, "golden.h5"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
