@@ -53,6 +53,36 @@ class ForeignFixturesSpec extends AnyFunSuite {
     assert(cld.data.toSeq == (0 until 4).map(_ * 0.5))
   }
 
+  test("HDF4: SD-interface Vdata attributes decode from the Var0.0 Vgroup") {
+    val sst = HDF4.readSds(fixture("golden.hdf"))
+      .find(_.label == "sea_surface_temperature").get
+    assert(sst.attrs("units") == HDF4.StrAttr("K"))
+    assert(sst.attrs("scale_factor") == HDF4.NumAttr(HDF4.Float64, Seq(0.01)))
+    assert(sst.attrs("add_offset") == HDF4.NumAttr(HDF4.Float64, Seq(273.15)))
+    assert(sst.attrs("_FillValue") == HDF4.NumAttr(HDF4.Int16, Seq(-9999.0)))
+  }
+
+  test("HDF5: python-written v2/OHDR generation decodes (BE data + compact layout)") {
+    val dss = HDF5.read(fixture("golden_v2.h5")).sortBy(_.name)
+    assert(dss.map(_.name) == Seq("be", "tiny"))
+    val be = dss.find(_.name == "be").get
+    assert(be.dims == Seq(4L))
+    assert(be.data.toSeq == Seq(2.5, -1.25, 0.75, 100.0))
+    val tiny = dss.find(_.name == "tiny").get
+    assert(tiny.dims == Seq(3L))
+    assert(tiny.data.toSeq == Seq(9.5, -0.125, 3.0))
+  }
+
+  test("netCDF3: python-written CDF-2 record variable decodes exactly") {
+    val bytes = fixture("golden_rec.nc")
+    val h = NetCDF3.readHeader(bytes)
+    assert(h.version == 2 && h.numRecs == 2)
+    assert(h.dims.head.isRecord)
+    val (dimNames, shape, flux) = NetCDF3.readValues(bytes, "flux")
+    assert(dimNames == Seq("time", "x") && shape == Seq(2, 2))
+    assert(flux.toSeq == Seq(1.5, 2.5, 3.5, 4.5))
+  }
+
   test("netCDF3: python-written classic file decodes exactly") {
     val bytes = fixture("golden.nc")
     val h = NetCDF3.readHeader(bytes)
@@ -78,6 +108,9 @@ class ForeignFixturesSpec extends AnyFunSuite {
     assert(cntShape == Seq(7))
     // chunk 1 is absent on disk: elements 4..6 read as fill_value -1
     assert(cnt.toSeq == Seq(3.0, 1.0, 4.0, 1.0, -1.0, -1.0, -1.0))
+    val (windShape, wind) = Zarr.readArray(store, "wind")
+    assert(windShape == Seq(3))
+    assert(wind.toSeq == Seq(5.5, -2.25, 0.125)) // '>f4' big-endian branch
   }
 
   test("WARC: python-written .warc.gz decodes exactly") {

@@ -367,6 +367,80 @@ def write_hdf5(path):
     with open(path, "wb") as f:
         f.write(bytes(buf))
 
+def h5v2_msg(mtype, body):
+    """v2 (OHDR) header message: type(1) size(2) flags(1), no padding."""
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+def h5v2_object_header(msgs):
+    blob = b"".join(msgs)
+    # OHDR v2, flags=0 (1-byte chunk0 size, no times/phase/order)
+    assert len(blob) < 256
+    return b"OHDR" + struct.pack("<BBB", 2, 0, len(blob)) + blob + b"\0\0\0\0"
+
+def h5_dataspace_v2(dims):
+    body = struct.pack("<BBBB", 2, len(dims), 0, 1)  # v2, simple
+    body += b"".join(struct.pack("<Q", d) for d in dims)
+    return h5v2_msg(0x01, body)
+
+def h5_datatype_float_be(size):
+    # byte order bit set: the legacy big-iron shape the reader must honor
+    if size == 4:
+        props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        sign = 31
+    else:
+        props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        sign = 63
+    body = struct.pack("<BBBBI", 0x11, 0x21, sign, 0, size) + props
+    return h5v2_msg(0x03, body)
+
+def h5_link_msg(name, addr):
+    nm = name.encode()
+    body = struct.pack("<BBB", 1, 0, len(nm)) + nm + struct.pack("<Q", addr)
+    return h5v2_msg(0x06, body)
+
+def write_hdf5_v2(path):
+    """The libver=latest generation: v2 superblock, OHDR object headers,
+    NEW-STYLE root group with compact Link messages. Datasets: 'be' a
+    BIG-ENDIAN f32 [4] contiguous (v2 dataspace), and 'tiny' a COMPACT-
+    layout f64 [3] with the data inline in the layout message."""
+    buf = bytearray(b"\0" * 48)  # v2 superblock placeholder
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    be_vals = [2.5, -1.25, 0.75, 100.0]
+    be_addr = alloc(struct.pack(">4f", *be_vals))
+    be_oh = alloc(h5v2_object_header([
+        h5_dataspace_v2([4]),
+        h5_datatype_float_be(4),
+        h5v2_msg(0x08, struct.pack("<BBQQ", 3, 1, be_addr, 16)),
+    ]))
+    tiny_raw = struct.pack("<3d", 9.5, -0.125, 3.0)
+    tiny_oh = alloc(h5v2_object_header([
+        h5_dataspace_v2([3]),
+        # LE f64 datatype in the v2 message framing
+        h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8)
+                 + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)),
+        # compact layout: v3, class 0, size(2), data inline
+        h5v2_msg(0x08, struct.pack("<BBH", 3, 0, len(tiny_raw)) + tiny_raw),
+    ]))
+    root_oh = alloc(h5v2_object_header([
+        h5_link_msg("be", be_oh),
+        h5_link_msg("tiny", tiny_oh),
+    ]))
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBB", 2, 8, 8, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), root_oh))
+    sb.write(b"\0\0\0\0")  # checksum (not verified by this codec)
+    sb_bytes = sb.getvalue()
+    assert len(sb_bytes) == 48, len(sb_bytes)
+    buf[0:48] = sb_bytes
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
 # ---------------------------------------------------------------------------
 # HDF4 DFSD subset (spec: HDF 4.x, DD list + tags NDG/SDD/NT/SD/SDL)
 # ---------------------------------------------------------------------------
@@ -386,12 +460,37 @@ def write_hdf4(path):
         p += b"".join(struct.pack(">HH", 106, ref) for _ in dims)  # scale NTs
         objs.append((701, ref, p))
 
-    # --- sst: plain big-endian int16
+    # --- sst: plain big-endian int16, with SD-interface attributes
     nt(1, 22, 16)
     sdd(1, [2, 3])
     objs.append((704, 1, b"sea_surface_temperature\0"))
     objs.append((702, 1, struct.pack(">6h", *[100 + i for i in range(6)])))
     objs.append((720, 1, struct.pack(">HHHHHH", 701, 1, 702, 1, 704, 1)))
+
+    def str16(s):
+        b = s.encode()
+        return struct.pack(">H", len(b)) + b
+
+    def attr_vdata(ref, name, dfnt, width, payload, order):
+        # Attr0.0 Vdata: VH describes one FULL_INTERLACE field, VS holds it
+        vh = struct.pack(">HiHH", 0, 1, order * width, 1)
+        vh += struct.pack(">HHHH", dfnt, order * width, 0, order)
+        vh += str16("VALUES") + str16(name) + str16("Attr0.0")
+        vh += struct.pack(">HHHH", 0, 0, 3, 0)  # extag, exref, version, more
+        objs.append((1962, ref, vh))
+        objs.append((1963, ref, payload))
+
+    attr_vdata(901, "units", 4, 1, b"K", 1)                       # char8
+    attr_vdata(902, "scale_factor", 6, 8, struct.pack(">d", 0.01), 1)
+    attr_vdata(903, "add_offset", 6, 8, struct.pack(">d", 273.15), 1)
+    attr_vdata(904, "_FillValue", 22, 2, struct.pack(">h", -9999), 1)
+    # Var0.0 Vgroup membering the NDG with its attribute Vdatas
+    vg = struct.pack(">H", 5)
+    vg += struct.pack(">HHHHH", 720, 1962, 1962, 1962, 1962)
+    vg += struct.pack(">HHHHH", 1, 901, 902, 903, 904)
+    vg += str16("sea_surface_temperature") + str16("Var0.0")
+    vg += struct.pack(">HHHH", 0, 0, 3, 0)
+    objs.append((1965, 1, vg))
 
     # --- cld: deflate special element (extended SD tag)
     nt(2, 5, 32)
@@ -475,6 +574,34 @@ def write_netcdf3(path):
     with open(path, "wb") as f:
         f.write(blob)
 
+def write_netcdf3_rec(path):
+    """CDF-2 (64-bit offsets) with an UNLIMITED dimension: one record
+    variable flux(time, x) over 2 records — the single-record-variable
+    no-padding case the classic spec special-cases."""
+    flux = [1.5, 2.5, 3.5, 4.5]  # 2 records x 2
+    header = io.BytesIO()
+    header.write(b"CDF\x02")
+    header.write(struct.pack(">i", 2))                      # numrecs
+    header.write(struct.pack(">ii", 0x0A, 2))
+    header.write(nc_name("time") + struct.pack(">i", 0))    # UNLIMITED
+    header.write(nc_name("x") + struct.pack(">i", 2))
+    header.write(struct.pack(">ii", 0, 0))                  # no gatts
+    header.write(struct.pack(">ii", 0x0B, 1))
+    base = header.getvalue()
+
+    def var_header(begin):
+        out = nc_name("flux") + struct.pack(">i", 2)
+        out += struct.pack(">ii", 0, 1)                     # dims (time, x)
+        out += struct.pack(">ii", 0, 0)                     # no attrs
+        out += struct.pack(">ii", 5, 8)                     # float, vsize
+        out += struct.pack(">q", begin)                     # CDF-2: 64-bit
+        return out
+    hdr_len = len(base) + len(var_header(0))
+    blob = base + var_header(hdr_len)
+    blob += struct.pack(">4f", *flux)
+    with open(path, "wb") as f:
+        f.write(blob)
+
 # ---------------------------------------------------------------------------
 # zarr v2 store (spec: zarr v2 storage specification)
 # ---------------------------------------------------------------------------
@@ -511,6 +638,15 @@ def write_zarr(store):
                    "filters": None, "compressor": None}, f)
     with open(os.path.join(d, "0"), "wb") as f:
         f.write(struct.pack("<4i", 3, 1, 4, 1))
+    # wind: 1-D BIG-endian f4 [3], raw — the '>f4' dtype branch
+    d = os.path.join(store, "wind")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [3], "chunks": [3],
+                   "dtype": ">f4", "order": "C", "fill_value": 0.0,
+                   "filters": None, "compressor": None}, f)
+    with open(os.path.join(d, "0"), "wb") as f:
+        f.write(struct.pack(">3f", 5.5, -2.25, 0.125))
 
 # ---------------------------------------------------------------------------
 # WARC/1.0 (ISO 28500) — gzip member per record, the Common Crawl shape
@@ -566,8 +702,10 @@ def main():
     write_onnx(os.path.join(MAIN_FIX, "pool_encoder.onnx"))
     write_mini_encoder(os.path.join(TEST_FIX, "mini_encoder.onnx"))
     write_hdf5(os.path.join(TEST_FIX, "golden.h5"))
+    write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
+    write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
     write_warc(os.path.join(TEST_FIX, "golden.warc.gz"))
     write_wav(os.path.join(TEST_FIX, "golden.wav"))
