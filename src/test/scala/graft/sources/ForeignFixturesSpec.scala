@@ -33,13 +33,18 @@ class ForeignFixturesSpec extends AnyFunSuite {
 
   test("HDF5: python-written v0 file decodes exactly") {
     val dss = HDF5.read(fixture("golden.h5")).sortBy(_.name)
-    assert(dss.map(_.name) == Seq("series", "temp"))
+    assert(dss.map(_.name) == Seq("series", "shuf", "temp"))
     val temp = dss.find(_.name == "temp").get
     assert(temp.dims == Seq(2L, 3L, 4L))
     assert(temp.data.toSeq == (0 until 24).map(_ * 0.25))
     val series = dss.find(_.name == "series").get
     assert(series.dims == Seq(10L))
     assert(series.data.toSeq == (0 until 10).map(_ * 1.5))
+    // shuffle THEN deflate write pipeline (nc_def_var_deflate shuffle=1):
+    // decode applies the inverses in reverse
+    val shuf = dss.find(_.name == "shuf").get
+    assert(shuf.dims == Seq(6L))
+    assert(shuf.data.toSeq == (0 until 6).map(_ * 0.5 - 1.0))
   }
 
   test("HDF4: python-written DFSD file decodes exactly (plain + deflate)") {
@@ -64,13 +69,18 @@ class ForeignFixturesSpec extends AnyFunSuite {
 
   test("HDF5: python-written v2/OHDR generation decodes (BE data + compact layout)") {
     val dss = HDF5.read(fixture("golden_v2.h5")).sortBy(_.name)
-    assert(dss.map(_.name) == Seq("be", "tiny"))
+    assert(dss.map(_.name) == Seq("be", "tiny", "v4fa"))
     val be = dss.find(_.name == "be").get
     assert(be.dims == Seq(4L))
     assert(be.data.toSeq == Seq(2.5, -1.25, 0.75, 100.0))
     val tiny = dss.find(_.name == "tiny").get
     assert(tiny.dims == Seq(3L))
     assert(tiny.data.toSeq == Seq(9.5, -0.125, 3.0))
+    // layout v4 + Fixed Array index, client 1 (deflate-filtered entries),
+    // ragged edge chunk clipped
+    val fa = dss.find(_.name == "v4fa").get
+    assert(fa.dims == Seq(10L))
+    assert(fa.data.toSeq == (0 until 10).map(7.0 - _))
   }
 
   test("netCDF3: python-written CDF-2 record variable decodes exactly") {

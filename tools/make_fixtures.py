@@ -282,6 +282,21 @@ def h5_filter_deflate(level):
     rec = struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", level) + b"\0" * 4
     return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 1) + rec)
 
+def h5_filter_shuffle_deflate(esize, level):
+    # write-order pipeline: shuffle (id 2, value = element size) THEN
+    # deflate (id 1) — the nc_def_var_deflate(shuffle=1) shape
+    shuf = struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", esize) + b"\0" * 4
+    defl = struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", level) + b"\0" * 4
+    return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 2) + shuf + defl)
+
+def byte_shuffle(raw, esize):
+    n = len(raw) // esize
+    out = bytearray(len(raw))
+    for i in range(n):
+        for j in range(esize):
+            out[j * n + i] = raw[i * esize + j]
+    return bytes(out)
+
 def write_hdf5(path):
     """Two datasets under a symbol-table root group (the h5py default-
     properties shape): 'temp' contiguous f64 [2,3,4] with value
@@ -329,18 +344,43 @@ def write_hdf5(path):
         h5_layout_chunked(series_btree, [4], 4),
     ]))
 
+    # --- 'shuf': chunked f64 + SHUFFLE then DEFLATE (the
+    # nc_def_var_deflate(shuffle=1) pipeline), 2 chunks of 3
+    shuf_vals = [k * 0.5 - 1.0 for k in range(6)]
+    sh_addrs = []
+    sh_sizes = []
+    for c in range(2):
+        raw = struct.pack("<3d", *shuf_vals[c * 3:(c + 1) * 3])
+        comp = zlib.compress(byte_shuffle(raw, 8), 6)
+        sh_addrs.append(alloc(comp))
+        sh_sizes.append(len(comp))
+    sbt = bytearray()
+    sbt += b"TREE" + struct.pack("<BBH", 1, 0, 2)
+    sbt += struct.pack("<QQ", UNDEF, UNDEF)
+    for c in range(2):
+        sbt += struct.pack("<IIQQ", sh_sizes[c], 0, c * 3, 0)
+        sbt += struct.pack("<Q", sh_addrs[c])
+    sbt += struct.pack("<IIQQ", 0, 0, 6, 0)
+    shuf_btree = alloc(bytes(sbt))
+    shuf_oh = alloc(h5_object_header([
+        h5_dataspace([6]),
+        h5_datatype_float(8),
+        h5_filter_shuffle_deflate(8, 6),
+        h5_layout_chunked(shuf_btree, [3], 8),
+    ]))
+
     # --- root group: local heap (names), SNOD, group B-tree, object header
     heap_data = bytearray(b"\0" * 8)  # offset 0 = empty string slot
     name_offs = {}
-    for nm in ["series", "temp"]:  # SNOD entries must be name-ordered
+    for nm in ["series", "shuf", "temp"]:  # SNOD entries must be name-ordered
         name_offs[nm] = len(heap_data)
         heap_data += nm.encode() + b"\0"
         heap_data += b"\0" * ((-len(heap_data)) % 8)
     heap_data_addr = alloc(bytes(heap_data))
     heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF,
                                             heap_data_addr))
-    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 2)
-    for nm, oh in [("series", series_oh), ("temp", temp_oh)]:
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 3)
+    for nm, oh in [("series", series_oh), ("shuf", shuf_oh), ("temp", temp_oh)]:
         snod += struct.pack("<QQII16x", name_offs[nm], oh, 0, 0)
     snod_addr = alloc(snod)
     gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
@@ -426,9 +466,50 @@ def write_hdf5_v2(path):
         # compact layout: v3, class 0, size(2), data inline
         h5v2_msg(0x08, struct.pack("<BBH", 3, 0, len(tiny_raw)) + tiny_raw),
     ]))
+    # --- 'v4fa': layout v4 chunked, FIXED ARRAY index, client 1
+    # (filtered: deflate), 3 chunks of 4 over [10] f32
+    fa_vals = [7.0 - k for k in range(10)]
+    fa_addrs = []
+    fa_sizes = []
+    for c in range(3):
+        chunk = fa_vals[c * 4:(c + 1) * 4]
+        chunk += [0.0] * (4 - len(chunk))
+        comp = zlib.compress(struct.pack("<4f", *chunk), 6)
+        fa_addrs.append(alloc(comp))
+        fa_sizes.append(len(comp))
+    # FADB: sig, version, client id, header addr, entries (addr + 4-byte
+    # size + 4-byte mask), checksum
+    fadb = bytearray(b"FADB" + struct.pack("<BB", 0, 1))
+    fadb_hdr_pos = len(fadb)
+    fadb += struct.pack("<Q", 0)  # header addr backpatched below
+    for c in range(3):
+        fadb += struct.pack("<QIi", fa_addrs[c], fa_sizes[c], 0)
+    fadb += b"\0\0\0\0"
+    fadb_addr_pos = alloc(bytes(fadb))
+    # FAHD: sig, version, client id, entry size (8+4+4), page bits,
+    # max entries, data block addr, checksum
+    fahd = b"FAHD" + struct.pack("<BBBB", 0, 1, 16, 10)
+    fahd += struct.pack("<QQ", 3, fadb_addr_pos) + b"\0\0\0\0"
+    fahd_addr = alloc(fahd)
+    buf[fadb_addr_pos + fadb_hdr_pos:fadb_addr_pos + fadb_hdr_pos + 8] = \
+        struct.pack("<Q", fahd_addr)
+    # layout v4: version, class 2, flags, nd=rank+1, encLen, dims
+    # (chunk dim + element-size tail), index type 3, page bits, addr
+    lay4 = struct.pack("<BBBBB", 4, 2, 0, 2, 1) + bytes([4, 4]) \
+        + struct.pack("<BB", 3, 10) + struct.pack("<Q", fahd_addr)
+    v4fa_oh = alloc(h5v2_object_header([
+        h5_dataspace_v2([10]),
+        h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 31, 0, 4)
+                 + struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)),
+        h5v2_msg(0x0B, struct.pack("<BB", 2, 1)
+                 + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6)),
+        h5v2_msg(0x08, lay4),
+    ]))
+
     root_oh = alloc(h5v2_object_header([
         h5_link_msg("be", be_oh),
         h5_link_msg("tiny", tiny_oh),
+        h5_link_msg("v4fa", v4fa_oh),
     ]))
     sb = io.BytesIO()
     sb.write(b"\x89HDF\r\n\x1a\n")
