@@ -83,6 +83,16 @@ class ForeignFixturesSpec extends AnyFunSuite {
     assert(fa.data.toSeq == (0 until 10).map(7.0 - _))
   }
 
+  test("HDF5: python-written DENSE root group (fractal heap + v2 B-tree) decodes") {
+    val dss = HDF5.read(fixture("golden_dense.h5")).sortBy(_.name)
+    assert(dss.map(_.name) == Seq("alpha", "bravo", "charlie"))
+    dss.zipWithIndex.foreach { case (ds, i) =>
+      assert(ds.dims == Seq(4L))
+      assert(ds.data.toSeq == (0 until 4).map(i * 10.0 + _),
+        s"${ds.name}: ${ds.data.toSeq}")
+    }
+  }
+
   test("netCDF3: python-written CDF-2 record variable decodes exactly") {
     val bytes = fixture("golden_rec.nc")
     val h = NetCDF3.readHeader(bytes)

@@ -522,6 +522,105 @@ def write_hdf5_v2(path):
     with open(path, "wb") as f:
         f.write(bytes(buf))
 
+def write_hdf5_dense(path):
+    """v2 generation with a DENSE root group: links stored as fractal-heap
+    objects (FRHP header + one root direct block) indexed by a name v2
+    B-tree (BTHD + BTLF, depth 0) — the shape libhdf5 switches to above
+    the ~8-link compact limit, i.e. any netCDF-4 file with many
+    variables. Three small contiguous f64 datasets."""
+    buf = bytearray(b"\0" * 48)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    names = ["alpha", "bravo", "charlie"]
+    ds_ohs = {}
+    for i, nm in enumerate(names):
+        vals = [i * 10.0 + k for k in range(4)]
+        daddr = alloc(struct.pack("<4d", *vals))
+        ds_ohs[nm] = alloc(h5v2_object_header([
+            h5_dataspace_v2([4]),
+            h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8)
+                     + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)),
+            h5v2_msg(0x08, struct.pack("<BBQQ", 3, 1, daddr, 32)),
+        ]))
+
+    # link-message bodies become the heap's managed objects
+    def link_body(nm, addr):
+        b = nm.encode()
+        return struct.pack("<BBB", 1, 0, len(b)) + b + struct.pack("<Q", addr)
+
+    OFFSIZE = 4          # maxHeapBits 32
+    START_BLOCK = 512
+    DB_HDR = 4 + 1 + 8 + OFFSIZE  # FHDB sig+version+heap hdr addr+offset
+    objs = [link_body(nm, ds_ohs[nm]) for nm in names]
+    heap_offs = []
+    p = DB_HDR
+    for o in objs:
+        heap_offs.append(p)
+        p += len(o)
+    assert p <= START_BLOCK
+    fhdb = bytearray(b"FHDB" + struct.pack("<B", 0))
+    fhdb_hdrpos = len(fhdb)
+    fhdb += struct.pack("<Q", 0)                 # heap header addr (backpatch)
+    fhdb += struct.pack("<I", 0)                 # block offset (OFFSIZE bytes)
+    for o in objs:
+        fhdb += o
+    fhdb += b"\0" * (START_BLOCK - len(fhdb))    # pad to the block size
+    fhdb_addr = alloc(bytes(fhdb))
+
+    # FRHP fractal heap header (field order per spec IV.B)
+    frhp = io.BytesIO()
+    frhp.write(b"FRHP" + struct.pack("<B", 0))
+    frhp.write(struct.pack("<HH", 7, 0))         # heap id len, io filter len
+    frhp.write(struct.pack("<B", 0))             # flags (no checksums)
+    frhp.write(struct.pack("<I", 4096))          # max managed object size
+    frhp.write(struct.pack("<QQ", 0, UNDEF))     # next huge id, huge btree
+    frhp.write(struct.pack("<QQ", 0, UNDEF))     # free space, fs manager
+    frhp.write(struct.pack("<QQQ", START_BLOCK, START_BLOCK, 0))
+    frhp.write(struct.pack("<Q", len(objs)))     # managed objects
+    frhp.write(struct.pack("<QQQQ", 0, 0, 0, 0))  # huge/tiny sizes + counts
+    frhp.write(struct.pack("<H", 4))             # table width
+    frhp.write(struct.pack("<QQ", START_BLOCK, 4096))  # start, max direct
+    frhp.write(struct.pack("<HH", 32, 1))        # max heap bits, start rows
+    frhp.write(struct.pack("<Q", fhdb_addr))     # root block (direct: rows=0)
+    frhp.write(struct.pack("<H", 0))             # current rows -> root direct
+    frhp.write(b"\0\0\0\0")                      # checksum
+    frhp_addr = alloc(frhp.getvalue())
+    buf[fhdb_addr + fhdb_hdrpos:fhdb_addr + fhdb_hdrpos + 8] = \
+        struct.pack("<Q", frhp_addr)
+
+    # name-index v2 B-tree: BTLF leaf (hash never interpreted -> zeros),
+    # 7-byte heap ids: flags byte 0 (managed) + 4-byte LE offset + 2 spare
+    btlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+    for off in heap_offs:
+        btlf += struct.pack("<I", 0)
+        btlf += struct.pack("<B", 0) + struct.pack("<I", off) + b"\0\0"
+    btlf += b"\0\0\0\0"
+    btlf_addr = alloc(bytes(btlf))
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", 512, 11, 0)      # node size, rec size, depth
+    bthd += struct.pack("<BB", 100, 40)          # split/merge percents
+    bthd += struct.pack("<QH", btlf_addr, len(objs))
+    bthd += struct.pack("<Q", len(objs))         # total records
+    bthd += b"\0\0\0\0"
+    bthd_addr = alloc(bthd)
+
+    # root group: Link Info message pointing at the heap + name index
+    root_oh = alloc(h5v2_object_header([
+        h5v2_msg(0x02, struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)),
+    ]))
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBB", 2, 8, 8, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), root_oh))
+    sb.write(b"\0\0\0\0")
+    buf[0:48] = sb.getvalue()
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
 # ---------------------------------------------------------------------------
 # HDF4 DFSD subset (spec: HDF 4.x, DD list + tags NDG/SDD/NT/SD/SDL)
 # ---------------------------------------------------------------------------
@@ -784,6 +883,7 @@ def main():
     write_mini_encoder(os.path.join(TEST_FIX, "mini_encoder.onnx"))
     write_hdf5(os.path.join(TEST_FIX, "golden.h5"))
     write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
+    write_hdf5_dense(os.path.join(TEST_FIX, "golden_dense.h5"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
