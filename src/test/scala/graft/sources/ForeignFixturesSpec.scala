@@ -69,7 +69,12 @@ class ForeignFixturesSpec extends AnyFunSuite {
 
   test("HDF5: python-written v2/OHDR generation decodes (BE data + compact layout)") {
     val dss = HDF5.read(fixture("golden_v2.h5")).sortBy(_.name)
-    assert(dss.map(_.name) == Seq("be", "tiny", "v4fa"))
+    assert(dss.map(_.name) == Seq("be", "ea", "tiny", "v4fa"))
+    // extensible-array index (the appended-time netCDF-4 series shape),
+    // all chunks direct in the index block
+    val ea = dss.find(_.name == "ea").get
+    assert(ea.dims == Seq(12L))
+    assert(ea.data.toSeq == (0 until 12).map(_ * 0.25 + 1.0))
     val be = dss.find(_.name == "be").get
     assert(be.dims == Seq(4L))
     assert(be.data.toSeq == Seq(2.5, -1.25, 0.75, 100.0))

@@ -506,8 +506,45 @@ def write_hdf5_v2(path):
         h5v2_msg(0x08, lay4),
     ]))
 
+    # --- 'ea': layout v4 chunked, EXTENSIBLE ARRAY index, client 0
+    # (unfiltered) — the appended-time netCDF-4 series shape; 3 chunks of
+    # 4 over [12] f32, all held directly in the index block (iblkElmts=4)
+    ea_vals = [k * 0.25 + 1.0 for k in range(12)]
+    ea_addrs = [alloc(struct.pack("<4f", *ea_vals[c * 4:(c + 1) * 4]))
+                for c in range(3)]
+    # geometry for (maxBits=32, iblkElmts=4, minPtrs=4, minElmts=16):
+    # 4 direct data-block addr slots, 56-3=53 super-block addr slots
+    eaib = bytearray(b"EAIB" + struct.pack("<BB", 0, 0))
+    eaib_hdrpos = len(eaib)
+    eaib += struct.pack("<Q", 0)                  # header addr (backpatch)
+    for c in range(4):
+        eaib += struct.pack("<Q", ea_addrs[c] if c < 3 else UNDEF)
+    eaib += struct.pack("<Q", UNDEF) * 4          # direct data-block addrs
+    eaib += struct.pack("<Q", UNDEF) * 53         # super-block addrs
+    eaib += b"\0\0\0\0"
+    eaib_addr = alloc(bytes(eaib))
+    eahd = io.BytesIO()
+    eahd.write(b"EAHD" + struct.pack("<BB", 0, 0))  # version, client 0
+    eahd.write(struct.pack("<BBBBBB", 8, 32, 4, 16, 4, 10))
+    eahd.write(struct.pack("<Q", 0) * 6)          # statistics
+    eahd.write(struct.pack("<Q", eaib_addr))
+    eahd.write(b"\0\0\0\0")
+    eahd_addr = alloc(eahd.getvalue())
+    buf[eaib_addr + eaib_hdrpos:eaib_addr + eaib_hdrpos + 8] = \
+        struct.pack("<Q", eahd_addr)
+    lay_ea = struct.pack("<BBBBB", 4, 2, 0, 2, 1) + bytes([4, 4]) \
+        + struct.pack("<B", 4) + struct.pack("<BBBBB", 32, 4, 4, 16, 10) \
+        + struct.pack("<Q", eahd_addr)
+    ea_oh = alloc(h5v2_object_header([
+        h5_dataspace_v2([12]),
+        h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 31, 0, 4)
+                 + struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)),
+        h5v2_msg(0x08, lay_ea),
+    ]))
+
     root_oh = alloc(h5v2_object_header([
         h5_link_msg("be", be_oh),
+        h5_link_msg("ea", ea_oh),
         h5_link_msg("tiny", tiny_oh),
         h5_link_msg("v4fa", v4fa_oh),
     ]))
