@@ -69,12 +69,20 @@ class ForeignFixturesSpec extends AnyFunSuite {
 
   test("HDF5: python-written v2/OHDR generation decodes (BE data + compact layout)") {
     val dss = HDF5.read(fixture("golden_v2.h5")).sortBy(_.name)
-    assert(dss.map(_.name) == Seq("be", "ea", "tiny", "v4fa"))
+    assert(dss.map(_.name) == Seq("be", "btree2", "ea", "ea2", "tiny", "v4fa"))
     // extensible-array index (the appended-time netCDF-4 series shape),
     // all chunks direct in the index block
     val ea = dss.find(_.name == "ea").get
     assert(ea.dims == Seq(12L))
     assert(ea.data.toSeq == (0 until 12).map(_ * 0.25 + 1.0))
+    // extensible array WITH a row-0 data block (chunks beyond iblkElmts)
+    val ea2 = dss.find(_.name == "ea2").get
+    assert(ea2.dims == Seq(24L))
+    assert(ea2.data.toSeq == (0 until 24).map(_ * 0.5))
+    // v2 B-tree chunk index, record type 10 (the >1-unlimited-dims index)
+    val bt = dss.find(_.name == "btree2").get
+    assert(bt.dims == Seq(12L))
+    assert(bt.data.toSeq == (0 until 12).map(10.0 - _ * 0.5))
     val be = dss.find(_.name == "be").get
     assert(be.dims == Seq(4L))
     assert(be.data.toSeq == Seq(2.5, -1.25, 0.75, 100.0))

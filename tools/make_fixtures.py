@@ -542,9 +542,83 @@ def write_hdf5_v2(path):
         h5v2_msg(0x08, lay_ea),
     ]))
 
+    # --- 'ea2': extensible array WITH a data block — 6 chunks of 4 over
+    # [24] f32: 4 direct in the EAIB, chunks 4-5 through the row-0 EADB
+    # (16 element slots, minElmts=16), addressed from the index block
+    ea2_vals = [k * 0.5 for k in range(24)]
+    ea2_addrs = [alloc(struct.pack("<4f", *ea2_vals[c * 4:(c + 1) * 4]))
+                 for c in range(6)]
+    eadb = bytearray(b"EADB" + struct.pack("<BB", 0, 0))
+    eadb_hdrpos = len(eadb)
+    eadb += struct.pack("<Q", 0)                  # header addr (backpatch)
+    eadb += struct.pack("<I", 0)                  # block offset (offSize=4)
+    for slot in range(16):
+        eadb += struct.pack("<Q", ea2_addrs[4 + slot] if slot < 2 else UNDEF)
+    eadb += b"\0\0\0\0"
+    eadb_addr = alloc(bytes(eadb))
+    ea2ib = bytearray(b"EAIB" + struct.pack("<BB", 0, 0))
+    ea2ib_hdrpos = len(ea2ib)
+    ea2ib += struct.pack("<Q", 0)
+    for c in range(4):
+        ea2ib += struct.pack("<Q", ea2_addrs[c])
+    ea2ib += struct.pack("<Q", eadb_addr)         # row-0 data block
+    ea2ib += struct.pack("<Q", UNDEF) * 3         # rows 1-2 data blocks
+    ea2ib += struct.pack("<Q", UNDEF) * 53
+    ea2ib += b"\0\0\0\0"
+    ea2ib_addr = alloc(bytes(ea2ib))
+    ea2hd = io.BytesIO()
+    ea2hd.write(b"EAHD" + struct.pack("<BB", 0, 0))
+    ea2hd.write(struct.pack("<BBBBBB", 8, 32, 4, 16, 4, 10))
+    ea2hd.write(struct.pack("<Q", 0) * 6)
+    ea2hd.write(struct.pack("<Q", ea2ib_addr))
+    ea2hd.write(b"\0\0\0\0")
+    ea2hd_addr = alloc(ea2hd.getvalue())
+    buf[ea2ib_addr + ea2ib_hdrpos:ea2ib_addr + ea2ib_hdrpos + 8] = \
+        struct.pack("<Q", ea2hd_addr)
+    buf[eadb_addr + eadb_hdrpos:eadb_addr + eadb_hdrpos + 8] = \
+        struct.pack("<Q", ea2hd_addr)
+    lay_ea2 = struct.pack("<BBBBB", 4, 2, 0, 2, 1) + bytes([4, 4]) \
+        + struct.pack("<B", 4) + struct.pack("<BBBBB", 32, 4, 4, 16, 10) \
+        + struct.pack("<Q", ea2hd_addr)
+    ea2_oh = alloc(h5v2_object_header([
+        h5_dataspace_v2([24]),
+        h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 31, 0, 4)
+                 + struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)),
+        h5v2_msg(0x08, lay_ea2),
+    ]))
+
+    # --- 'btree2': v2 B-tree chunk index (type 10, unfiltered) — the
+    # >1-unlimited-dims index; depth 0, records = addr + scaled offsets
+    bt_vals = [10.0 - k * 0.5 for k in range(12)]
+    bt_addrs = [alloc(struct.pack("<4f", *bt_vals[c * 4:(c + 1) * 4]))
+                for c in range(3)]
+    btlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 10))
+    for c in range(3):
+        btlf += struct.pack("<QQ", bt_addrs[c], c)  # addr + scaled offset
+    btlf += b"\0\0\0\0"
+    btlf_addr = alloc(bytes(btlf))
+    bthd = b"BTHD" + struct.pack("<BB", 0, 10)
+    bthd += struct.pack("<IHH", 512, 16, 0)       # node size, rec size, depth
+    bthd += struct.pack("<BB", 100, 40)
+    bthd += struct.pack("<QH", btlf_addr, 3)
+    bthd += struct.pack("<Q", 3)                  # total records
+    bthd += b"\0\0\0\0"
+    bthd_addr = alloc(bthd)
+    lay_bt = struct.pack("<BBBBB", 4, 2, 0, 2, 1) + bytes([4, 4]) \
+        + struct.pack("<B", 5) + struct.pack("<IBB", 512, 100, 40) \
+        + struct.pack("<Q", bthd_addr)
+    bt_oh = alloc(h5v2_object_header([
+        h5_dataspace_v2([12]),
+        h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 31, 0, 4)
+                 + struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)),
+        h5v2_msg(0x08, lay_bt),
+    ]))
+
     root_oh = alloc(h5v2_object_header([
         h5_link_msg("be", be_oh),
+        h5_link_msg("btree2", bt_oh),
         h5_link_msg("ea", ea_oh),
+        h5_link_msg("ea2", ea2_oh),
         h5_link_msg("tiny", tiny_oh),
         h5_link_msg("v4fa", v4fa_oh),
     ]))
