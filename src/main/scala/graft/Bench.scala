@@ -68,7 +68,11 @@ object Bench {
     // Round 8: the foreign-fixture model (python-written protobuf)
     // through the multi-input executor — times the tokenize -> Gather/
     // mask -> pool path a sentence-embedding production stage pays.
-    "q127_onnx_foreign_pool")
+    "q127_onnx_foreign_pool",
+    // Round 9: chunk-parallel HDF5 ingest (manifest -> positioned-read
+    // fan-out) — times the consolidated-store decode path end to end,
+    // including the driver-side paged metadata parse.
+    "q129_hdf5_chunk_parallel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

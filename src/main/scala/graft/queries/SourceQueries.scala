@@ -506,6 +506,11 @@ object SourceQueries {
         |FROM documents""".stripMargin) { (s, d) =>
       import graft.sources.Warc
       val dir = java.nio.file.Files.createTempDirectory("graft-q99").toString
+      // HARNESS-ONLY collect: this materializes the sf-bounded doc set on
+      // the driver purely to WRITE the .warc.gz fixture files the operator
+      // under test then ingests. The operator itself (binaryFile ->
+      // Warc.readGz) is executor-parallel; never copy this collect pattern
+      // into an operator — a real crawl's segments already exist on disk.
       val docs = Tables.documents(s, d).select("doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       docs.grouped(math.max(1, docs.length / 4)).zipWithIndex.foreach {
@@ -864,6 +869,37 @@ object SourceQueries {
       ZarrSink.writeScenes(grid, dir, "lwp",
         chunkRows = Some(3), zlibLevel = Some(6)).count()
       Zarr.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
+    },
+
+    // ---- S9b scale: chunk-parallel HDF5 ingest (consolidated stores) ----
+    // The q91 series read through HDF5ChunkIngest's two-phase path
+    // instead of whole-file decode: phase 1 parses superblock + object
+    // headers + EA chunk index through a PagedFileInput on the driver
+    // (metadata pages only — HDF5ChunkIngestSpec asserts the touched
+    // fraction), phase 2 fans the 192-chunk map out across executors,
+    // each task doing positioned byte-range reads + per-chunk
+    // deflate+shuffle decode. This is the ingest shape for consolidated
+    // netCDF-4 stores bigger than one task (no reference analog —
+    // utils/luigi.py:29-47 opens whole files via xarray). The oracle
+    // states the series analytically, so the hash proves manifest
+    // offsets, per-chunk decode, and linear-index reassembly exactly.
+    QueryDef.sqlBacked(
+      "q129_hdf5_chunk_parallel",
+      """SELECT CAST(t AS BIGINT) AS tstep, CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST((t*12 + j)*16 + i AS DOUBLE) * 0.0625 - 100.0 AS lwp
+        |FROM range(0,24) r1(t), range(0,12) r2(j), range(0,16) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.{HDF5, HDF5ChunkIngest}
+      val dir = java.nio.file.Files.createTempDirectory("graft-q129").toString
+      val bytes = HDF5.writeUnlimited(Seq(HDF5.DsSpec("lwp", Seq(24, 12, 16),
+        Array.tabulate(24 * 12 * 16)(_ * 0.0625 - 100.0), chunkDims = Some(Seq(2, 3, 4)))),
+        deflate = true, shuffle = true)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "consolidated.h5"), bytes)
+      HDF5ChunkIngest.readValues(s, s"$dir/consolidated.h5", Some("lwp"))
+        .select(
+          expr("idx div 192").as("tstep"),
+          expr("(idx div 16) % 12").as("y"),
+          expr("idx % 16").as("x"),
+          col("value").as("lwp"))
     }
   )
 }

@@ -1,0 +1,107 @@
+package graft.sources
+
+/** Random-access byte source for HDF5 metadata parsing and decode.
+  *
+  * Two backings: [[ArrayInput]] wraps an in-memory file image (the
+  * binaryFile per-file ingest path), [[PagedFileInput]] serves
+  * positioned page-cached reads from a local/NFS file WITHOUT loading
+  * it — the driver-side manifest backing for consolidated netCDF-4
+  * stores bigger than one task (or than a 2 GB `Array[Byte]`).
+  * Offsets are Long throughout, so the >2 GB cap of a single byte
+  * array applies only to the whole-file decode path, never to the
+  * chunk-parallel manifest path.
+  *
+  * `bytesTouched` reports how much of the underlying store was
+  * actually fetched — HDF5ChunkIngestSpec asserts a metadata-only
+  * manifest parse touches a small constant fraction of a file whose
+  * bulk is chunk payload.
+  */
+sealed abstract class H5Input extends AutoCloseable {
+  def length: Long
+  def byteAt(off: Long): Byte
+  def slice(off: Long, len: Int): Array[Byte]
+  /** Bytes fetched from the underlying store so far (diagnostics). */
+  def bytesTouched: Long
+  final def cursor(off: Long): H5Cursor = new H5Cursor(this, off)
+  override def close(): Unit = ()
+}
+
+final class ArrayInput(val bytes: Array[Byte]) extends H5Input {
+  def length: Long = bytes.length.toLong
+  def byteAt(off: Long): Byte = bytes(off.toInt)
+  def slice(off: Long, len: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+  def bytesTouched: Long = bytes.length.toLong
+}
+
+/** Page-cached positioned reads over a local file. Pages load lazily
+  * on first touch and stay cached for the life of the input (manifest
+  * parsing revisits superblock/header pages; the working set is the
+  * metadata, small by construction). */
+final class PagedFileInput(path: String, val pageSize: Int = 1 << 16) extends H5Input {
+  require(Integer.bitCount(pageSize) == 1, s"page size $pageSize not a power of two")
+  private val raf = new java.io.RandomAccessFile(path, "r")
+  val length: Long = raf.length()
+  private val pages = scala.collection.mutable.LongMap.empty[Array[Byte]]
+  private var touched = 0L
+  def bytesTouched: Long = touched
+
+  private def page(p: Long): Array[Byte] = pages.getOrElseUpdate(p, {
+    val off = p * pageSize
+    val len = math.min(pageSize.toLong, length - off).toInt
+    val a = new Array[Byte](len)
+    raf.seek(off)
+    raf.readFully(a)
+    touched += len
+    a
+  })
+
+  def byteAt(off: Long): Byte = page(off / pageSize)((off % pageSize).toInt)
+
+  def slice(off: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var copied = 0
+    while (copied < len) {
+      val o = off + copied
+      val pg = page(o / pageSize)
+      val inPg = (o % pageSize).toInt
+      val n = math.min(len - copied, pg.length - inPg)
+      System.arraycopy(pg, inPg, out, copied, n)
+      copied += n
+    }
+    out
+  }
+
+  override def close(): Unit = raf.close()
+}
+
+/** Little-endian sequential reader over an [[H5Input]] — the
+  * ByteBuffer-shaped surface the HDF5 metadata parsers use, decoupled
+  * from having the whole file as one array. All HDF5 structural fields
+  * are little-endian; raster byte order is handled separately at
+  * element-decode time. */
+final class H5Cursor(in: H5Input, private var pos: Long) {
+  def position(): Long = pos
+  def position(p: Long): Unit = pos = p
+  @inline private def u(off: Long): Long = in.byteAt(off) & 0xffL
+  def get(): Byte = { val b = in.byteAt(pos); pos += 1; b }
+  def get(dst: Array[Byte]): Unit = {
+    val a = in.slice(pos, dst.length)
+    System.arraycopy(a, 0, dst, 0, dst.length)
+    pos += dst.length
+  }
+  def getShort(): Short = {
+    val v = (u(pos) | (u(pos + 1) << 8)).toShort
+    pos += 2; v
+  }
+  def getInt(): Int = {
+    val v = (u(pos) | (u(pos + 1) << 8) | (u(pos + 2) << 16) | (u(pos + 3) << 24)).toInt
+    pos += 4; v
+  }
+  def getLong(): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= u(pos + i) << (8 * i); i += 1 }
+    pos += 8; v
+  }
+}

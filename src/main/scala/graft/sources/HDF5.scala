@@ -110,20 +110,94 @@ object HDF5 {
 
   // ---------------------------------------------------------------- reader
 
-  private def buf(bytes: Array[Byte], off: Int): ByteBuffer = {
-    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    b.position(off)
-    b
-  }
+  /** Read every dataset reachable from the root group (whole-file image
+    * in memory — the binaryFile per-granule ingest path). */
+  def read(bytes: Array[Byte]): Seq[H5Dataset] = read(new ArrayInput(bytes))
 
   /** Read every dataset reachable from the root group. */
-  def read(bytes: Array[Byte]): Seq[H5Dataset] = {
-    require(bytes.length >= 48 && Signature.indices.forall(i => bytes(i) == Signature(i)),
+  def read(in: H5Input): Seq[H5Dataset] =
+    rootDatasets(in).map { case (name, addr) => parseDataset(in, name, addr) }
+
+  // ------------------------------------- phase-1 chunk-manifest surface
+
+  /** Dataset shape/dtype/filters — everything a task needs to decode one
+    * stored chunk of it without re-reading any file metadata. */
+  final case class H5Var(name: String, dims: Seq[Long], chunkDims: Seq[Int],
+      dtClass: Int, dtSize: Int, bigEndian: Boolean, filters: Seq[Int])
+
+  /** One stored chunk: grid origin (element coords), absolute file
+    * offset and stored (possibly filtered) byte count. */
+  final case class H5ChunkRef(origin: Seq[Long], offset: Long, nbytes: Long)
+
+  /** Phase-1 metadata parse: every root dataset's [[H5Var]] plus its
+    * full chunk map, WITHOUT touching any chunk payload bytes. Over a
+    * [[PagedFileInput]] this fetches only the pages metadata lives on
+    * (asserted in HDF5ChunkIngestSpec), so the manifest of a
+    * consolidated netCDF-4 store far bigger than one task — or than a
+    * 2 GB array — is a cheap driver-side operation; decode then fans
+    * out per chunk ([[HDF5ChunkIngest]]). Contiguous and compact
+    * datasets manifest as a single full-extent chunk. */
+  def manifest(in: H5Input): Seq[(H5Var, Seq[H5ChunkRef])] =
+    rootDatasets(in).map { case (name, addr) =>
+      val h = parseHeader(in, name, addr)
+      val refs = Seq.newBuilder[H5ChunkRef]
+      forEachChunk(in, h)((origin, off, n) => refs += H5ChunkRef(origin, off, n))
+      (H5Var(name, h.dims, h.effChunkDims, h.dtClass, h.dtSize, h.bigEndian, h.filters),
+        refs.result())
+    }
+
+  /** Phase-2 per-chunk decode: inverse filters (reverse pipeline order)
+    * + element decode of ONE stored chunk, emitted as (global row-major
+    * linear index, value) with ragged-edge positions clipped. A pure
+    * function of the chunk bytes + manifest row — no file metadata —
+    * so it runs executor-side with only a positioned byte-range read. */
+  def decodeChunk(raw: Array[Byte], v: H5Var, origin: Seq[Long]): Iterator[(Long, Double)] = {
+    val nd = v.dims.size
+    val chunkBytes = defilter(v.name, raw, v.filters, v.dtSize)
+    val strides = new Array[Long](nd)
+    var acc = 1L
+    for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= v.dims(k) }
+    val nChunkElems = v.chunkDims.product
+    require(chunkBytes.length == nChunkElems * v.dtSize,
+      s"dataset ${v.name}: chunk decodes to ${chunkBytes.length} bytes, " +
+        s"expected ${nChunkElems * v.dtSize}")
+    val bb = ByteBuffer.wrap(chunkBytes).order(
+      if (v.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    (0 until nChunkElems).iterator.flatMap { ci =>
+      var rem = ci; var inBounds = true; var globalIdx = 0L
+      var k = nd - 1
+      while (k >= 0) {
+        val local = rem % v.chunkDims(k)
+        rem /= v.chunkDims(k)
+        val g = origin(k) + local
+        if (g >= v.dims(k)) inBounds = false
+        globalIdx += g * strides(k)
+        k -= 1
+      }
+      if (inBounds) Iterator.single((globalIdx, elemAt(bb, v.name, v.dtClass, v.dtSize, ci)))
+      else Iterator.empty
+    }
+  }
+
+  private def elemAt(bb: ByteBuffer, name: String, dtClass: Int, dtSize: Int, i: Int): Double =
+    (dtClass, dtSize) match {
+      case (1, 8) => bb.getDouble(i * 8)
+      case (1, 4) => bb.getFloat(i * 4).toDouble
+      case (0, 4) => bb.getInt(i * 4).toDouble
+      case (0, 8) => bb.getLong(i * 8).toDouble
+      case other => throw new IllegalArgumentException(
+        s"dataset $name: unsupported type class/size $other")
+    }
+
+  // ------------------------------------------------- superblock + root
+
+  private def rootHeaderAddr(in: H5Input): Long = {
+    require(in.length >= 48 && Signature.indices.forall(i => in.byteAt(i.toLong) == Signature(i)),
       "not an HDF5 file (bad signature)")
-    val sbVersion = bytes(8)
-    val rootHeaderAddr: Long = sbVersion match {
+    val sbVersion = in.byteAt(8)
+    sbVersion match {
       case 0 =>
-        val sb = buf(bytes, 9)
+        val sb = in.cursor(9)
         sb.get(); sb.get(); sb.get() // freespace, root symtab, reserved
         sb.get() // shared header message version
         val sizeOffsets = sb.get()
@@ -139,7 +213,7 @@ object HDF5 {
         sb.getLong() // link name offset
         sb.getLong() // root object header address
       case 2 | 3 =>
-        val sb = buf(bytes, 9)
+        val sb = in.cursor(9)
         val sizeOffsets = sb.get()
         val sizeLengths = sb.get()
         require(sizeOffsets == 8 && sizeLengths == 8,
@@ -153,39 +227,39 @@ object HDF5 {
       case v => throw new IllegalArgumentException(
         s"superblock version $v unsupported (v0 default and v2/v3 latest only)")
     }
-    rootEntries(bytes, rootHeaderAddr).map { case (name, addr) =>
-      parseDataset(bytes, name, addr)
-    }
   }
+
+  private def rootDatasets(in: H5Input): Seq[(String, Long)] =
+    rootEntries(in, rootHeaderAddr(in))
 
   /** Root group members as (name, object header addr) — from the symbol
     * table message (old-style groups) or from compact Link messages
     * (new-style groups, the netCDF-4 root shape). */
-  private def rootEntries(bytes: Array[Byte], addr: Long): Seq[(String, Long)] = {
-    val msgs = foldMessages(bytes, addr)
+  private def rootEntries(in: H5Input, addr: Long): Seq[(String, Long)] = {
+    val msgs = foldMessages(in, addr)
     msgs.collectFirst { case (0x0011, data) => data } match {
       case Some(off) =>
-        val b = buf(bytes, off)
+        val b = in.cursor(off)
         val btreeAddr = b.getLong()
         val heapAddr = b.getLong()
-        val heapDataAddr = parseHeapDataAddr(bytes, heapAddr)
-        collectSnods(bytes, btreeAddr).flatMap(parseSnod(bytes, _, heapDataAddr))
+        val heapDataAddr = parseHeapDataAddr(in, heapAddr)
+        collectSnods(in, btreeAddr).flatMap(parseSnod(in, _, heapDataAddr))
       case None =>
         // new-style group: COMPACT (Link messages in the header) or DENSE
         // (links as fractal-heap objects indexed by a v2 B-tree — what
         // libhdf5 switches to above the compact limit, i.e. any netCDF-4
         // file with more than ~8 variables)
         val dense = msgs.collectFirst { case (0x0002, off) => off }.flatMap { off =>
-          val b = buf(bytes, off)
+          val b = in.cursor(off)
           b.get() // version
           val flags = b.get()
           if ((flags & 1) != 0) b.getLong() // max creation index
           val fheap = b.getLong()
           val nameIndex = b.getLong()
-          if (fheap == Undef) None else Some(denseEntries(bytes, fheap, nameIndex))
+          if (fheap == Undef) None else Some(denseEntries(in, fheap, nameIndex))
         }
         dense.getOrElse {
-          val links = msgs.collect { case (0x0006, off) => parseLinkMessage(bytes, off) }
+          val links = msgs.collect { case (0x0006, off) => parseLinkMessage(in, off) }
           require(links.nonEmpty,
             "root object header has neither a symbol table message nor link messages")
           links
@@ -208,18 +282,18 @@ object HDF5 {
     * loudly: huge/tiny heap objects, filtered heap blocks, indirect
     * child blocks (heaps beyond width x maxDirect per row), B-tree
     * depth > 1. */
-  private def denseEntries(bytes: Array[Byte], fheapAddr: Long,
+  private def denseEntries(in: H5Input, fheapAddr: Long,
       btreeAddr: Long): Seq[(String, Long)] = {
     require(btreeAddr != Undef, "dense group without a name-index v2 B-tree")
     // ---- fractal heap header (FRHP)
-    val h = buf(bytes, fheapAddr.toInt)
+    val h = in.cursor(fheapAddr)
     require((0 until 4).map(_ => h.get().toChar).mkString == "FRHP",
       "bad fractal heap signature")
     require(h.get() == 0, "FRHP version != 0")
     val heapIdLen = h.getShort() & 0xffff
     val filterLen = h.getShort() & 0xffff
     require(filterLen == 0, "filtered fractal-heap blocks unsupported")
-    val hFlags = h.get()
+    h.get() // heap flags
     h.getInt() // max size of managed objects
     h.getLong(); h.getLong() // next huge id, huge v2 btree
     h.getLong(); h.getLong() // free space, free-space manager
@@ -247,7 +321,7 @@ object HDF5 {
       (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startBlock)).toInt + 2
     def rowSize(r: Int): Long = if (r < 2) startBlock else startBlock << (r - 1)
     def checkDirect(addr: Long): Unit = {
-      val db = buf(bytes, addr.toInt)
+      val db = in.cursor(addr)
       require((0 until 4).map(_ => db.get().toChar).mkString == "FHDB",
         "bad fractal heap direct block signature")
     }
@@ -265,7 +339,7 @@ object HDF5 {
         require(r < maxDirectRows,
           "indirect child blocks unsupported (fractal heap beyond the direct rows)")
         val col = ((heapOff - base) / rowSize(r)).toInt
-        val ib = buf(bytes, rootBlockAddr.toInt)
+        val ib = in.cursor(rootBlockAddr)
         require((0 until 4).map(_ => ib.get().toChar).mkString == "FHIB",
           "bad fractal heap indirect block signature")
         ib.get() // version
@@ -279,7 +353,7 @@ object HDF5 {
       }
 
     // ---- name-index v2 B-tree (BTHD, record type 5: hash + 7-byte id)
-    val bt = buf(bytes, btreeAddr.toInt)
+    val bt = in.cursor(btreeAddr)
     require((0 until 4).map(_ => bt.get().toChar).mkString == "BTHD",
       "bad v2 B-tree header signature")
     require(bt.get() == 0, "BTHD version != 0")
@@ -298,7 +372,7 @@ object HDF5 {
     val leafPtrSize = encSize(maxLeafRec.toLong)
 
     def readRecordIds(addr: Long, nrec: Int, d: Int): Seq[Array[Byte]] = {
-      val nb = buf(bytes, addr.toInt)
+      val nb = in.cursor(addr)
       val sig = (0 until 4).map(_ => nb.get().toChar).mkString
       nb.get() // version
       nb.get() // type
@@ -337,13 +411,13 @@ object HDF5 {
         "only managed fractal-heap ids supported (huge/tiny rejected)")
       var off = 0L
       (0 until offSize).foreach(i => off |= (id(1 + i) & 0xffL) << (8 * i))
-      parseLinkMessage(bytes, locate(off).toInt)
+      parseLinkMessage(in, locate(off))
     }
   }
 
   /** Link message (type 0x0006), version 1: hard links only. */
-  private def parseLinkMessage(bytes: Array[Byte], off: Int): (String, Long) = {
-    val b = buf(bytes, off)
+  private def parseLinkMessage(in: H5Input, off: Long): (String, Long) = {
+    val b = in.cursor(off)
     val ver = b.get()
     require(ver == 1, s"only v1 link messages supported (got $ver)")
     val flags = b.get()
@@ -364,15 +438,15 @@ object HDF5 {
 
   /** Parse an object header (v1 or v2/"OHDR", continuation blocks in
     * both); returns (msgType, absolute data offset) in file order. */
-  private def foldMessages(bytes: Array[Byte], addr: Long): Seq[(Int, Int)] = {
-    val a = addr.toInt
-    if (bytes(a) == 'O' && bytes(a + 1) == 'H' && bytes(a + 2) == 'D' && bytes(a + 3) == 'R')
-      foldMessagesV2(bytes, a)
-    else foldMessagesV1(bytes, a)
+  private def foldMessages(in: H5Input, addr: Long): Seq[(Int, Long)] = {
+    if (in.byteAt(addr) == 'O' && in.byteAt(addr + 1) == 'H' &&
+      in.byteAt(addr + 2) == 'D' && in.byteAt(addr + 3) == 'R')
+      foldMessagesV2(in, addr)
+    else foldMessagesV1(in, addr)
   }
 
-  private def foldMessagesV1(bytes: Array[Byte], addr: Int): Seq[(Int, Int)] = {
-    val b = buf(bytes, addr)
+  private def foldMessagesV1(in: H5Input, addr: Long): Seq[(Int, Long)] = {
+    val b = in.cursor(addr)
     val version = b.get()
     require(version == 1, s"only v1/v2 object headers supported (got $version)")
     b.get() // reserved
@@ -380,24 +454,24 @@ object HDF5 {
     b.getInt() // ref count
     val headerSize = b.getInt()
     b.getInt() // padding to 8-byte alignment
-    var out = List.empty[(Int, Int)]
+    var out = List.empty[(Int, Long)]
     // (start, length) message blocks: header block first, then any
     // continuation blocks (raw message runs in v1) in file order
-    val blocks = scala.collection.mutable.Queue[(Int, Int)]((b.position(), headerSize))
+    val blocks = scala.collection.mutable.Queue[(Long, Long)]((b.position(), headerSize.toLong))
     var read = 0
     while (read < nMsg && blocks.nonEmpty) {
       val (start, len) = blocks.dequeue()
       var pos = start
       val end = start + len
       while (read < nMsg && pos + 8 <= end) {
-        val mb = buf(bytes, pos)
+        val mb = in.cursor(pos)
         val mtype = mb.getShort() & 0xffff
         val msize = mb.getShort() & 0xffff
         mb.get(); mb.get(); mb.get(); mb.get() // flags + reserved
         val dataOff = mb.position()
         if (mtype == 0x0010) {
-          val cb = buf(bytes, dataOff)
-          blocks.enqueue((cb.getLong().toInt, cb.getLong().toInt))
+          val cb = in.cursor(dataOff)
+          blocks.enqueue((cb.getLong(), cb.getLong()))
         } else out = (mtype, dataOff) :: out
         pos = dataOff + msize
         read += 1
@@ -407,8 +481,8 @@ object HDF5 {
     out.reverse
   }
 
-  private def foldMessagesV2(bytes: Array[Byte], addr: Int): Seq[(Int, Int)] = {
-    val b = buf(bytes, addr + 4) // past "OHDR"
+  private def foldMessagesV2(in: H5Input, addr: Long): Seq[(Int, Long)] = {
+    val b = in.cursor(addr + 4) // past "OHDR"
     val version = b.get()
     require(version == 2, s"OHDR version $version unsupported")
     val flags = b.get()
@@ -422,25 +496,25 @@ object HDF5 {
     }
     val trackOrder = (flags & 0x04) != 0
     val msgHdrLen = if (trackOrder) 6 else 4
-    var out = List.empty[(Int, Int)]
-    val blocks = scala.collection.mutable.Queue[(Int, Int)]((b.position(), chunk0Size.toInt))
+    var out = List.empty[(Int, Long)]
+    val blocks = scala.collection.mutable.Queue[(Long, Long)]((b.position(), chunk0Size))
     while (blocks.nonEmpty) {
       val (start, len) = blocks.dequeue()
       var pos = start
       val end = start + len
       while (pos + msgHdrLen <= end) {
-        val mb = buf(bytes, pos)
+        val mb = in.cursor(pos)
         val mtype = mb.get() & 0xff
         val msize = mb.getShort() & 0xffff
         mb.get() // message flags
         if (trackOrder) mb.getShort() // creation order
         val dataOff = mb.position()
         if (mtype == 0x10) {
-          val cb = buf(bytes, dataOff)
-          val cOff = cb.getLong().toInt
-          val cLen = cb.getLong().toInt
-          require(bytes(cOff) == 'O' && bytes(cOff + 1) == 'C' &&
-            bytes(cOff + 2) == 'H' && bytes(cOff + 3) == 'K',
+          val cb = in.cursor(dataOff)
+          val cOff = cb.getLong()
+          val cLen = cb.getLong()
+          require(in.byteAt(cOff) == 'O' && in.byteAt(cOff + 1) == 'C' &&
+            in.byteAt(cOff + 2) == 'H' && in.byteAt(cOff + 3) == 'K',
             "bad continuation block signature (expected OCHK)")
           // gross block length includes the signature and trailing checksum
           blocks.enqueue((cOff + 4, cLen - 8))
@@ -451,8 +525,8 @@ object HDF5 {
     out.reverse
   }
 
-  private def parseHeapDataAddr(bytes: Array[Byte], addr: Long): Long = {
-    val b = buf(bytes, addr.toInt)
+  private def parseHeapDataAddr(in: H5Input, addr: Long): Long = {
+    val b = in.cursor(addr)
     val sig = Array.fill(4)(b.get())
     require(new String(sig.map(_.toChar)) == "HEAP", "bad local heap signature")
     b.get(); b.get(); b.get(); b.get() // version + reserved
@@ -461,8 +535,8 @@ object HDF5 {
   }
 
   /** Walk the v1 B-tree (group node type 0); leaves point at SNODs. */
-  private def collectSnods(bytes: Array[Byte], addr: Long): Seq[Long] = {
-    val b = buf(bytes, addr.toInt)
+  private def collectSnods(in: H5Input, addr: Long): Seq[Long] = {
+    val b = in.cursor(addr)
     val sig = Array.fill(4)(b.get())
     require(new String(sig.map(_.toChar)) == "TREE", "bad B-tree signature")
     val nodeType = b.get()
@@ -475,11 +549,11 @@ object HDF5 {
       b.getLong() // child i
     }
     b.getLong() // final key
-    if (level == 0) children else children.flatMap(collectSnods(bytes, _))
+    if (level == 0) children else children.flatMap(collectSnods(in, _))
   }
 
-  private def parseSnod(bytes: Array[Byte], addr: Long, heapData: Long): Seq[(String, Long)] = {
-    val b = buf(bytes, addr.toInt)
+  private def parseSnod(in: H5Input, addr: Long, heapData: Long): Seq[(String, Long)] = {
+    val b = in.cursor(addr)
     val sig = Array.fill(4)(b.get())
     require(new String(sig.map(_.toChar)) == "SNOD", "bad symbol node signature")
     b.get(); b.get() // version, reserved
@@ -489,17 +563,34 @@ object HDF5 {
       val headerAddr = b.getLong()
       b.getInt(); b.getInt() // cache type, reserved
       (0 until 16).foreach(_ => b.get()) // scratch
-      (readCString(bytes, (heapData + nameOff).toInt), headerAddr)
+      (readCString(in, heapData + nameOff), headerAddr)
     }
   }
 
-  private def readCString(bytes: Array[Byte], off: Int): String = {
+  private def readCString(in: H5Input, off: Long): String = {
     var end = off
-    while (bytes(end) != 0) end += 1
-    new String(bytes, off, end - off, "UTF-8")
+    while (in.byteAt(end) != 0) end += 1
+    val a = in.slice(off, (end - off).toInt)
+    new String(a, "UTF-8")
   }
 
-  private def parseDataset(bytes: Array[Byte], name: String, addr: Long): H5Dataset = {
+  // --------------------------------------------- dataset object headers
+
+  /** Everything the layout/datatype/dataspace/filter messages say about
+    * one dataset — enough to enumerate its chunks and decode any one of
+    * them independently. */
+  private final case class DsHeader(
+      name: String, dims: Seq[Long], dtClass: Int, dtSize: Int, bigEndian: Boolean,
+      dataAddr: Long, chunkDims: Seq[Int], chunkBtree: Long,
+      v4Index: Option[(Int, Long)], v4SingleChunk: Option[(Long, Int)],
+      compactOff: Long, compactLen: Int, filters: Seq[Int]) {
+    /** Placement grid: the chunk dims for chunked storage, the full
+      * extent for contiguous/compact (one whole-dataset "chunk"). */
+    def effChunkDims: Seq[Int] =
+      if (chunkDims.nonEmpty) chunkDims else dims.map(_.toInt)
+  }
+
+  private def parseHeader(in: H5Input, name: String, addr: Long): DsHeader = {
     var dims: Seq[Long] = Nil
     var dtClass = -1
     var dtSize = -1
@@ -511,12 +602,13 @@ object HDF5 {
     // 3 fixed array; v4 single-chunk filtered also carries (size, mask)
     var v4Index: Option[(Int, Long)] = None
     var v4SingleChunk: Option[(Long, Int)] = None // (filtered size, mask)
-    var compactRaw: Array[Byte] = null // layout class 0: data inline in the header
+    var compactOff = -1L // layout class 0: data inline in the header
+    var compactLen = 0
     var filters: Seq[Int] = Nil // pipeline order as applied on write
-    foldMessages(bytes, addr).foreach { case (mtype, off) =>
+    foldMessages(in, addr).foreach { case (mtype, off) =>
       mtype match {
         case 0x0001 => // dataspace (v1 default-properties, v2 latest)
-          val b = buf(bytes, off)
+          val b = in.cursor(off)
           val v = b.get()
           val ndims = v match {
             case 1 =>
@@ -534,7 +626,7 @@ object HDF5 {
           }
           dims = (0 until ndims).map(_ => b.getLong())
         case 0x0003 => // datatype
-          val b = buf(bytes, off)
+          val b = in.cursor(off)
           val classVer = b.get()
           dtClass = classVer & 0x0f
           val bits0 = b.get(); b.get(); b.get()
@@ -545,7 +637,7 @@ object HDF5 {
           require(dtClass == 0 || dtClass == 1,
             s"dataset $name: datatype class $dtClass unsupported (fixed/float only)")
         case 0x0008 => // data layout
-          val b = buf(bytes, off)
+          val b = in.cursor(off)
           val v = b.get()
           require(v == 3 || v == 4,
             s"dataset $name: only v3/v4 layout messages supported (got $v)")
@@ -554,9 +646,8 @@ object HDF5 {
             case (_, 0) =>
               // compact: raw data inline in the layout message (<= 64 KiB —
               // the shape libhdf5 gives tiny coordinate/scalar variables)
-              val sz = b.getShort() & 0xffff
-              compactRaw = new Array[Byte](sz)
-              b.get(compactRaw)
+              compactLen = b.getShort() & 0xffff
+              compactOff = b.position()
             case (_, 1) =>
               dataAddr = b.getLong()
               b.getLong() // size
@@ -603,7 +694,7 @@ object HDF5 {
               s"dataset $name: layout class $other unsupported (compact/contiguous/chunked only)")
           }
         case 0x000B => // filter pipeline: deflate (1) and shuffle (2)
-          val b = buf(bytes, off)
+          val b = in.cursor(off)
           val v = b.get()
           val ids = v match {
             case 1 =>
@@ -641,40 +732,58 @@ object HDF5 {
       }
     }
     require(dtClass >= 0 &&
-      (dataAddr != Undef || chunkBtree != Undef || v4Index.isDefined || compactRaw != null),
+      (dataAddr != Undef || chunkBtree != Undef || v4Index.isDefined || compactOff >= 0),
       s"dataset $name: incomplete object header")
-    val n = dims.product.toInt // empty dims = scalar (product 1)
-    val raw: Array[Byte] =
-      if (compactRaw != null) {
-        require(filters.isEmpty, s"dataset $name: filtered compact data unsupported")
-        require(compactRaw.length == n * dtSize,
-          s"dataset $name: compact payload ${compactRaw.length} != ${n * dtSize} bytes")
-        compactRaw
-      } else if (chunkBtree != Undef)
-        assembleChunks(bytes, name, chunkBtree, dims.map(_.toInt), chunkDims, dtSize, filters)
-      else if (v4Index.isDefined)
-        assembleChunksV4(bytes, name, v4Index.get, v4SingleChunk,
-          dims.map(_.toInt), chunkDims, dtSize, filters)
-      else {
-        require(filters.isEmpty, s"dataset $name: filtered contiguous data unsupported")
-        java.util.Arrays.copyOfRange(bytes, dataAddr.toInt, dataAddr.toInt + n * dtSize)
-      }
-    val b = ByteBuffer.wrap(raw).order(
-      if (dtBigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    val out = new Array[Double](n)
+    if (chunkDims.nonEmpty)
+      require(chunkDims.size == dims.size,
+        s"dataset $name: chunk rank ${chunkDims.size} != dataset rank ${dims.size}")
+    DsHeader(name, dims, dtClass, dtSize, dtBigEndian, dataAddr, chunkDims,
+      chunkBtree, v4Index, v4SingleChunk, compactOff, compactLen, filters)
+  }
+
+  /** Enumerate every stored chunk of `h` as (grid origin, absolute file
+    * offset, stored byte count) — the shared spine of whole-file decode
+    * ([[read]]) and the chunk-parallel manifest ([[manifest]]). Touches
+    * index structures only, never chunk payloads. Contiguous and
+    * compact datasets emit one full-extent record. */
+  private def forEachChunk(in: H5Input, h: DsHeader)(
+      emit: (Seq[Long], Long, Long) => Unit): Unit = {
+    val n = h.dims.product
+    if (h.compactOff >= 0) {
+      require(h.filters.isEmpty, s"dataset ${h.name}: filtered compact data unsupported")
+      require(h.compactLen == n * h.dtSize,
+        s"dataset ${h.name}: compact payload ${h.compactLen} != ${n * h.dtSize} bytes")
+      emit(h.dims.map(_ => 0L), h.compactOff, h.compactLen.toLong)
+    } else if (h.chunkBtree != Undef) enumerateChunksV1(in, h)(emit)
+    else if (h.v4Index.isDefined) enumerateChunksV4(in, h)(emit)
+    else {
+      require(h.filters.isEmpty, s"dataset ${h.name}: filtered contiguous data unsupported")
+      emit(h.dims.map(_ => 0L), h.dataAddr, n * h.dtSize)
+    }
+  }
+
+  private def parseDataset(in: H5Input, name: String, addr: Long): H5Dataset = {
+    val h = parseHeader(in, name, addr)
+    val dims = h.dims.map(_.toInt)
+    val nd = dims.size
+    val n = h.dims.product.toInt // empty dims = scalar (product 1)
+    val out = new Array[Byte](n * h.dtSize)
+    val strides = new Array[Long](nd)
+    var acc = 1L
+    for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= dims(k) }
+    forEachChunk(in, h) { (origin, caddr, nbytes) =>
+      placeChunk(in, name, out, dims, strides, h.effChunkDims, h.dtSize,
+        h.filters, origin, caddr, nbytes.toInt)
+    }
+    val b = ByteBuffer.wrap(out).order(
+      if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val values = new Array[Double](n)
     var i = 0
     while (i < n) {
-      out(i) = (dtClass, dtSize) match {
-        case (1, 8) => b.getDouble()
-        case (1, 4) => b.getFloat().toDouble
-        case (0, 4) => b.getInt().toDouble
-        case (0, 8) => b.getLong().toDouble
-        case other => throw new IllegalArgumentException(
-          s"dataset $name: unsupported type class/size $other")
-      }
+      values(i) = elemAt(b, name, h.dtClass, h.dtSize, i)
       i += 1
     }
-    H5Dataset(name, dims, out)
+    H5Dataset(name, h.dims, values)
   }
 
   /** Inverse of the byte-shuffle filter: the stored chunk holds all
@@ -706,59 +815,10 @@ object HDF5 {
     out
   }
 
-  /** Walk the v1 chunk B-tree (node type 1) and tile every chunk into a
-    * row-major byte image of the full dataset; ragged edge chunks clip.
-    * `filters` is the write-time pipeline order; decode applies the
-    * inverses in reverse. */
-  private def assembleChunks(bytes: Array[Byte], name: String, btreeAddr: Long,
-      dims: Seq[Int], chunkDims: Seq[Int], elemSize: Int, filters: Seq[Int]): Array[Byte] = {
-    require(chunkDims.size == dims.size,
-      s"dataset $name: chunk rank ${chunkDims.size} != dataset rank ${dims.size}")
-    val nd = dims.size
-    val total = dims.product * elemSize
-    val out = new Array[Byte](total)
-    // row-major strides in elements
-    val strides = new Array[Long](nd)
-    var acc = 1L
-    for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= dims(k) }
-
-    def walk(addr: Long): Unit = {
-      val b = buf(bytes, addr.toInt)
-      val sig = Array.fill(4)(b.get())
-      require(new String(sig.map(_.toChar)) == "TREE", s"dataset $name: bad chunk B-tree")
-      val nodeType = b.get()
-      require(nodeType == 1, s"dataset $name: B-tree node type $nodeType (expected chunks)")
-      val level = b.get()
-      val used = b.getShort() & 0xffff
-      b.getLong(); b.getLong() // siblings
-      (0 until used).foreach { _ =>
-        // key: chunk byte size, filter mask, offsets (nd + 1, last 0)
-        val nbytes = b.getInt()
-        val filterMask = b.getInt()
-        require(filterMask == 0,
-          s"dataset $name: per-chunk filter mask $filterMask unsupported (partial pipelines)")
-        val offsets = (0 until nd).map(_ => b.getLong())
-        b.getLong() // element-size dimension offset (always 0)
-        val child = b.getLong()
-        if (level == 0)
-          placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
-            filters, offsets, child, nbytes)
-        else walk(child)
-      }
-    }
-    walk(btreeAddr)
-    out
-  }
-
-  /** Decode one stored chunk (inverse filters in reverse pipeline order)
-    * and tile it into the row-major output image, clipping ragged edges.
-    * Shared by the v1 chunk B-tree and the v4 chunk indexes. */
-  private def placeChunk(bytes: Array[Byte], name: String, out: Array[Byte],
-      dims: Seq[Int], strides: Array[Long], chunkDims: Seq[Int], elemSize: Int,
-      filters: Seq[Int], offsets: Seq[Long], addr: Long, nbytes: Int): Unit = {
-    val nd = dims.size
-    val comp = java.util.Arrays.copyOfRange(bytes, addr.toInt, addr.toInt + nbytes)
-    val chunkBytes = filters.reverse.foldLeft(comp) { (acc, id) =>
+  /** Apply the inverse filter pipeline (reverse write order). */
+  private def defilter(name: String, comp: Array[Byte], filters: Seq[Int],
+      elemSize: Int): Array[Byte] =
+    filters.reverse.foldLeft(comp) { (acc, id) =>
       id match {
         case 1 =>
           val inf = new java.util.zip.Inflater()
@@ -774,6 +834,20 @@ object HDF5 {
           outBuf.toByteArray
         case 2 => unshuffleBytes(acc, elemSize)
       }
+    }
+
+  /** Decode one stored chunk (inverse filters in reverse pipeline order)
+    * and tile it into the row-major output image, clipping ragged edges.
+    * Shared by every chunk index via [[forEachChunk]]. */
+  private def placeChunk(in: H5Input, name: String, out: Array[Byte],
+      dims: Seq[Int], strides: Array[Long], chunkDims: Seq[Int], elemSize: Int,
+      filters: Seq[Int], offsets: Seq[Long], addr: Long, nbytes: Int): Unit = {
+    val nd = dims.size
+    val chunkBytes = defilter(name, in.slice(addr, nbytes), filters, elemSize)
+    // full-extent "chunk" (contiguous/compact storage): straight copy
+    if (offsets.forall(_ == 0L) && chunkDims == dims && chunkBytes.length == out.length) {
+      System.arraycopy(chunkBytes, 0, out, 0, out.length)
+      return
     }
     val nChunkElems = chunkDims.product
     var ci = 0
@@ -795,7 +869,37 @@ object HDF5 {
     }
   }
 
-  /** Assemble a dataset stored under a LAYOUT-V4 chunk index: Single
+  /** Walk the v1 chunk B-tree (node type 1), emitting every chunk's
+    * (origin, file offset, stored bytes). */
+  private def enumerateChunksV1(in: H5Input, h: DsHeader)(
+      emit: (Seq[Long], Long, Long) => Unit): Unit = {
+    val nd = h.dims.size
+    def walk(addr: Long): Unit = {
+      val b = in.cursor(addr)
+      val sig = Array.fill(4)(b.get())
+      require(new String(sig.map(_.toChar)) == "TREE", s"dataset ${h.name}: bad chunk B-tree")
+      val nodeType = b.get()
+      require(nodeType == 1, s"dataset ${h.name}: B-tree node type $nodeType (expected chunks)")
+      val level = b.get()
+      val used = b.getShort() & 0xffff
+      b.getLong(); b.getLong() // siblings
+      (0 until used).foreach { _ =>
+        // key: chunk byte size, filter mask, offsets (nd + 1, last 0)
+        val nbytes = b.getInt()
+        val filterMask = b.getInt()
+        require(filterMask == 0,
+          s"dataset ${h.name}: per-chunk filter mask $filterMask unsupported (partial pipelines)")
+        val offsets = (0 until nd).map(_ => b.getLong())
+        b.getLong() // element-size dimension offset (always 0)
+        val child = b.getLong()
+        if (level == 0) emit(offsets, child, nbytes.toLong)
+        else walk(child)
+      }
+    }
+    walk(h.chunkBtree)
+  }
+
+  /** Enumerate chunks stored under a LAYOUT-V4 chunk index: Single
     * Chunk (1), Implicit (2 — consecutive unfiltered chunks in row-major
     * grid order), a Fixed Array (3: FAHD header + one FADB data block,
     * paged past 2^pageBits entries; client 0 = plain addresses,
@@ -809,17 +913,15 @@ object HDF5 {
     * index is the row-major chunk index; data blocks paged or unpaged),
     * or a Version 2 B-tree (5:
     * the >1-unlimited-dims index; record types 10/11, depth <= 1). */
-  private def assembleChunksV4(bytes: Array[Byte], name: String,
-      idx: (Int, Long), single: Option[(Long, Int)],
-      dims: Seq[Int], chunkDims: Seq[Int], elemSize: Int,
-      filters: Seq[Int]): Array[Byte] = {
-    require(chunkDims.size == dims.size,
-      s"dataset $name: chunk rank ${chunkDims.size} != dataset rank ${dims.size}")
+  private def enumerateChunksV4(in: H5Input, h: DsHeader)(
+      emit: (Seq[Long], Long, Long) => Unit): Unit = {
+    val name = h.name
+    val dims = h.dims.map(_.toInt)
+    val chunkDims = h.chunkDims
+    val elemSize = h.dtSize
+    val filters = h.filters
+    val single = h.v4SingleChunk
     val nd = dims.size
-    val out = new Array[Byte](dims.product * elemSize)
-    val strides = new Array[Long](nd)
-    var acc = 1L
-    for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= dims(k) }
     val chunkByteSize = chunkDims.product * elemSize
     val gridDims = dims.zip(chunkDims).map { case (d, c) => (d + c - 1) / c }
     val nChunks = gridDims.product
@@ -832,7 +934,7 @@ object HDF5 {
       }
       o.toSeq
     }
-    val (itype, addr) = idx
+    val (itype, addr) = h.v4Index.get
     itype match {
       case 1 =>
         require(nChunks == 1,
@@ -840,51 +942,46 @@ object HDF5 {
         require(filters.isEmpty || single.exists(_._1 >= 0),
           s"dataset $name: filtered single chunk without a stored size")
         val nbytes = single match {
-          case Some((sz, _)) if sz >= 0 => sz.toInt // filtered: stored size
-          case _ => chunkByteSize
+          case Some((sz, _)) if sz >= 0 => sz // filtered: stored size
+          case _ => chunkByteSize.toLong
         }
-        placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
-          filters, originOf(0), addr, nbytes)
+        emit(originOf(0), addr, nbytes)
       case 2 =>
         require(filters.isEmpty,
           s"dataset $name: implicit chunk index is unfiltered by definition")
         (0 until nChunks).foreach { i =>
-          placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
-            Nil, originOf(i), addr + i.toLong * chunkByteSize, chunkByteSize)
+          emit(originOf(i), addr + i.toLong * chunkByteSize, chunkByteSize.toLong)
         }
       case 3 =>
-        val h = buf(bytes, addr.toInt)
-        require((0 until 4).map(_ => h.get().toChar).mkString == "FAHD",
+        val hc = in.cursor(addr)
+        require((0 until 4).map(_ => hc.get().toChar).mkString == "FAHD",
           s"dataset $name: bad fixed-array header signature")
-        require(h.get() == 0, s"dataset $name: FAHD version != 0")
-        val clientId = h.get()
-        val entrySize = h.get() & 0xff
-        val pageBits = h.get() & 0xff
-        val maxEntries = h.getLong()
-        val dbAddr = h.getLong()
+        require(hc.get() == 0, s"dataset $name: FAHD version != 0")
+        val clientId = hc.get()
+        val entrySize = hc.get() & 0xff
+        val pageBits = hc.get() & 0xff
+        val maxEntries = hc.getLong()
+        val dbAddr = hc.getLong()
         require(maxEntries == nChunks,
           s"dataset $name: fixed array holds $maxEntries entries, grid has $nChunks")
         require((clientId == 0) == filters.isEmpty,
           s"dataset $name: fixed-array client $clientId inconsistent with " +
             s"filter pipeline ${filters.mkString(",")}")
-        val db = buf(bytes, dbAddr.toInt)
+        val db = in.cursor(dbAddr)
         require((0 until 4).map(_ => db.get().toChar).mkString == "FADB",
           s"dataset $name: bad fixed-array data block signature")
         require(db.get() == 0, s"dataset $name: FADB version != 0")
         db.get() // client id (mirrors header)
         db.getLong() // header address
         def entry(i: Int): Unit =
-          if (clientId == 0)
-            placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
-              Nil, originOf(i), db.getLong(), chunkByteSize)
+          if (clientId == 0) emit(originOf(i), db.getLong(), chunkByteSize.toLong)
           else {
             val caddr = db.getLong()
             val szLen = entrySize - 8 - 4
             var sz = 0L
             (0 until szLen).foreach(j => sz |= (db.get() & 0xffL) << (8 * j))
             db.getInt() // filter mask (partial pipelines unsupported anyway)
-            placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
-              filters, originOf(i), caddr, sz.toInt)
+            emit(originOf(i), caddr, sz)
           }
         val pageSize = 1L << pageBits
         if (maxEntries <= pageSize) (0 until nChunks).foreach(entry)
@@ -908,26 +1005,26 @@ object HDF5 {
           }
         }
       case 4 =>
-        val h = buf(bytes, addr.toInt)
-        require((0 until 4).map(_ => h.get().toChar).mkString == "EAHD",
+        val hc = in.cursor(addr)
+        require((0 until 4).map(_ => hc.get().toChar).mkString == "EAHD",
           s"dataset $name: bad extensible-array header signature")
-        require(h.get() == 0, s"dataset $name: EAHD version != 0")
-        val clientId = h.get()
+        require(hc.get() == 0, s"dataset $name: EAHD version != 0")
+        val clientId = hc.get()
         require((clientId == 0) == filters.isEmpty,
           s"dataset $name: extensible-array client $clientId inconsistent " +
             s"with filter pipeline ${filters.mkString(",")}")
-        val elmtSize = h.get() & 0xff
-        val maxBits = h.get() & 0xff
-        val iblkElmts = h.get() & 0xff
-        val minElmts = h.get() & 0xff
-        val minPtrs = h.get() & 0xff
-        val pageBits = h.get() & 0xff
+        val elmtSize = hc.get() & 0xff
+        val maxBits = hc.get() & 0xff
+        val iblkElmts = hc.get() & 0xff
+        val minElmts = hc.get() & 0xff
+        val minPtrs = hc.get() & 0xff
+        val pageBits = hc.get() & 0xff
         val p = EaParams(maxBits, iblkElmts, minPtrs, minElmts, pageBits)
-        (0 until 6).foreach(_ => h.getLong()) // statistics
-        val iblkAddr = h.getLong()
+        (0 until 6).foreach(_ => hc.getLong()) // statistics
+        val iblkAddr = hc.getLong()
         require(iblkAddr != Undef, s"dataset $name: extensible array has no index block")
         // one chunk-info element = addr (client 0) or addr+size+mask (client 1)
-        def readElement(b: ByteBuffer): (Long, Long) = {
+        def readElement(b: H5Cursor): (Long, Long) = {
           val caddr = b.getLong()
           if (clientId == 0) (caddr, chunkByteSize.toLong)
           else {
@@ -938,7 +1035,7 @@ object HDF5 {
             (caddr, sz)
           }
         }
-        val ib = buf(bytes, iblkAddr.toInt)
+        val ib = in.cursor(iblkAddr)
         require((0 until 4).map(_ => ib.get().toChar).mkString == "EAIB",
           s"dataset $name: bad extensible-array index block signature")
         require(ib.get() == 0, s"dataset $name: EAIB version != 0")
@@ -950,9 +1047,9 @@ object HDF5 {
         // lazily parsed super blocks (row -> data block addresses) and
         // data blocks (file address -> element area offset)
         val sblkCache = scala.collection.mutable.Map[Int, IndexedSeq[Long]]()
-        val dblkCache = scala.collection.mutable.Map[Long, Int]()
-        def dblkElements(dAddr: Long): Int = dblkCache.getOrElseUpdate(dAddr, {
-          val db = buf(bytes, dAddr.toInt)
+        val dblkCache = scala.collection.mutable.Map[Long, Long]()
+        def dblkElements(dAddr: Long): Long = dblkCache.getOrElseUpdate(dAddr, {
+          val db = in.cursor(dAddr)
           require((0 until 4).map(_ => db.get().toChar).mkString == "EADB",
             s"dataset $name: bad extensible-array data block signature")
           require(db.get() == 0, s"dataset $name: EADB version != 0")
@@ -973,7 +1070,7 @@ object HDF5 {
                     val sAddr = iblkSblkAddrs(u - p.iblkNsblks)
                     require(sAddr != Undef,
                       s"dataset $name: chunk $i needs an unallocated super block")
-                    val sb = buf(bytes, sAddr.toInt)
+                    val sb = in.cursor(sAddr)
                     require((0 until 4).map(_ => sb.get().toChar).mkString == "EASB",
                       s"dataset $name: bad extensible-array super block signature")
                     require(sb.get() == 0, s"dataset $name: EASB version != 0")
@@ -994,22 +1091,21 @@ object HDF5 {
                 s"dataset $name: chunk $i unallocated (fill-value reads unsupported)")
               val ebase = dblkElements(dAddr)
               val eb =
-                if (!p.dblkPaged(u)) buf(bytes, ebase + off * elmtSize)
+                if (!p.dblkPaged(u)) in.cursor(ebase + off * elmtSize)
                 else {
                   // PAGED data block: the prefix ends with the block's own
                   // checksum; pages follow contiguously, each = pageNelmts
                   // elements + a 4-byte page checksum
                   val pg = off / p.pageNelmts
                   val inPg = off % p.pageNelmts
-                  buf(bytes, ebase + 4 + pg * (p.pageNelmts * elmtSize + 4) +
-                    inPg * elmtSize)
+                  in.cursor(ebase + 4 + pg.toLong * (p.pageNelmts * elmtSize + 4) +
+                    inPg.toLong * elmtSize)
                 }
               readElement(eb)
             }
           require(caddr != Undef,
             s"dataset $name: chunk $i unallocated (fill-value reads unsupported)")
-          placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
-            if (clientId == 0) Nil else filters, originOf(i), caddr, nbytes.toInt)
+          emit(originOf(i), caddr, nbytes)
         }
       case 5 =>
         // v2 B-tree chunk index — what libhdf5 emits when MORE THAN ONE
@@ -1017,7 +1113,7 @@ object HDF5 {
         // per-dim scaled offsets) or 11 (filtered: address + stored size
         // + filter mask + scaled offsets); node layout as in the
         // link-name index (BTLF leaves, BTIN internal, depth <= 1).
-        val bt = buf(bytes, addr.toInt)
+        val bt = in.cursor(addr)
         require((0 until 4).map(_ => bt.get().toChar).mkString == "BTHD",
           s"dataset $name: bad v2 B-tree chunk-index header signature")
         require(bt.get() == 0, s"dataset $name: BTHD version != 0")
@@ -1043,7 +1139,7 @@ object HDF5 {
         else require(recSize == 8 + 8 * nd,
           s"dataset $name: v2 B-tree record size $recSize != ${8 + 8 * nd} for rank $nd")
         val leafPtrSize = encSize(((nodeSize - 10) / recSize).toLong)
-        def readRecord(b: ByteBuffer): Unit = {
+        def readRecord(b: H5Cursor): Unit = {
           val caddr = b.getLong()
           var sz = chunkByteSize.toLong
           if (btype == 11) {
@@ -1054,11 +1150,10 @@ object HDF5 {
           val origin = chunkDims.map(c => b.getLong() * c)
           require(caddr != Undef,
             s"dataset $name: unallocated chunk record (fill-value reads unsupported)")
-          placeChunk(bytes, name, out, dims, strides, chunkDims, elemSize,
-            filters, origin, caddr, sz.toInt)
+          emit(origin, caddr, sz)
         }
         def walk(nAddr: Long, nrec: Int, d: Int): Unit = {
-          val nb = buf(bytes, nAddr.toInt)
+          val nb = in.cursor(nAddr)
           val sig = (0 until 4).map(_ => nb.get().toChar).mkString
           require(nb.get() == 0, s"dataset $name: v2 B-tree node version != 0")
           nb.get() // record type (mirrors the header)
@@ -1071,7 +1166,7 @@ object HDF5 {
             require(sig == "BTIN", s"dataset $name: expected internal BTIN, got $sig")
             // nrec records, then nrec+1 child pointers (addr + record count)
             val recPos = nb.position()
-            nb.position(recPos + nrec * recSize)
+            nb.position(recPos + nrec.toLong * recSize)
             val children = (0 until nrec + 1).map { _ =>
               val a = nb.getLong()
               var cn = 0L
@@ -1085,7 +1180,6 @@ object HDF5 {
         }
         walk(rootNodeAddr, rootNRec, depth)
     }
-    out
   }
 
   // ---------------------------------------------------------------- writer
@@ -2313,3 +2407,4 @@ object HDF5 {
     out.array()
   }
 }
+

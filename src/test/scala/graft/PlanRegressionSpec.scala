@@ -89,6 +89,22 @@ class PlanRegressionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q129: chunk ingest fans out via one range exchange and nothing else") {
+    // the chunk-parallel contract: the only exchange in the plan is the
+    // deliberate range partitioning of the chunk map on (path, offset) —
+    // decode itself introduces no shuffle, and no chunk payload bytes
+    // ride any exchange (the map rows carry offsets, not data)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q129_hdf5_chunk_parallel")(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = exec.toString.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.size == 1, s"expected exactly one exchange:\n${exchanges.mkString("\n")}")
+      assert(exchanges.head.contains("rangepartitioning"),
+        s"fan-out must be the (path, offset) range partitioning:\n${exchanges.head}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q35: regrid weights are broadcast, never shuffled") {
     val plan = planOf("q35_regrid")
     assert(plan.contains("BroadcastHashJoin"), s"weights join must broadcast:\n${plan.take(1200)}")
