@@ -119,16 +119,25 @@ object Onnx {
     def dataInputs: Seq[String] = inputNames.filterNot(initializers.contains)
   }
 
-  def parseModel(bytes: Array[Byte]): Graph = {
+  def parseModel(bytes: Array[Byte]): Graph = parseModel(bytes, Map.empty)
+
+  /** Parse a ModelProto whose initializers may live OUTSIDE the model
+    * file (TensorProto.data_location = EXTERNAL — how exporters ship
+    * checkpoints past protobuf's 2 GB limit). `external` maps each
+    * `location` key to that sibling file's bytes; on a cluster the
+    * caller fetches them next to the model (same storage contract as
+    * the model bytes themselves). Missing locations reject loudly. */
+  def parseModel(bytes: Array[Byte], external: Map[String, Array[Byte]]): Graph = {
     var graph: Option[Graph] = None
     walk(bytes, 0, bytes.length) { (field, wire, _, span) =>
-      if (field == 7 && wire == 2) graph = Some(parseGraph(bytes, span))
+      if (field == 7 && wire == 2) graph = Some(parseGraph(bytes, span, external))
     }
     graph.getOrElse(throw new IllegalArgumentException(
       "not an ONNX ModelProto: no graph (field 7) found"))
   }
 
-  private def parseGraph(buf: Array[Byte], span: (Int, Int)): Graph = {
+  private def parseGraph(buf: Array[Byte], span: (Int, Int),
+      external: Map[String, Array[Byte]]): Graph = {
     val nodes = Seq.newBuilder[Node]
     val inits = Map.newBuilder[String, Tensor]
     val ins = Seq.newBuilder[String]
@@ -136,7 +145,7 @@ object Onnx {
     walk(buf, span._1, span._2) { (field, wire, _, s) =>
       (field, wire) match {
         case (1, 2)  => nodes += parseNode(buf, s)
-        case (5, 2)  => val t = parseTensor(buf, s); inits += (t.name -> t)
+        case (5, 2)  => val t = parseTensor(buf, s, external); inits += (t.name -> t)
         case (11, 2) => ins += valueInfoName(buf, s)
         case (12, 2) => outs += valueInfoName(buf, s)
         case _       => () // names/docs/value_info: irrelevant to execution
@@ -175,7 +184,7 @@ object Onnx {
               case (2, 5) => fOpt = Some(leFloat(buf, s2._1))
               case (3, 0) => iOpt = Some(v2)
               case (4, 2) => sOpt = Some(utf8(buf, s2)) // AttributeProto.s
-              case (5, 2) => tOpt = Some(parseTensor(buf, s2)) // AttributeProto.t
+              case (5, 2) => tOpt = Some(parseTensor(buf, s2, Map.empty)) // AttributeProto.t
               case (8, 0) => isB += v2 // repeated int64, unpacked
               case (8, 2) => // repeated int64, packed varints
                 var p2 = s2._1
@@ -201,19 +210,30 @@ object Onnx {
       as.result(), at.result())
   }
 
-  private def parseTensor(buf: Array[Byte], span: (Int, Int)): Tensor = {
+  private def parseTensor(buf: Array[Byte], span: (Int, Int),
+      external: Map[String, Array[Byte]]): Tensor = {
     val dims = Seq.newBuilder[Int]
     var dtype = 0L; var name = ""
     var raw: Option[(Int, Int)] = None
     var packed: Option[(Int, Int)] = None
+    var dataLocation = 0L // field 14: 0 = DEFAULT (inline), 1 = EXTERNAL
+    val extKv = scala.collection.mutable.Map[String, String]() // field 13 entries
     val int64s = Seq.newBuilder[Long] // unpacked int64_data (field 7)
-    val int32s = Seq.newBuilder[Long] // int32_data (field 5; also bool)
+    val int32s = Seq.newBuilder[Long] // int32_data (field 5; also bool/fp16)
     walk(buf, span._1, span._2) { (field, wire, v, s) =>
       (field, wire) match {
         case (1, 0) => dims += v.toInt
         case (2, 0) => dtype = v
         case (8, 2) => name = utf8(buf, s)
         case (9, 2) => raw = Some(s)
+        case (14, 0) => dataLocation = v
+        case (13, 2) => // external_data: StringStringEntryProto (key, value)
+          var k = ""; var vv = ""
+          walk(buf, s._1, s._2) { (f2, w2, _, s2) =>
+            if (f2 == 1 && w2 == 2) k = utf8(buf, s2)
+            else if (f2 == 2 && w2 == 2) vv = utf8(buf, s2)
+          }
+          extKv += (k -> vv)
         case (4, 2) => packed = Some(s)          // packed float_data
         case (4, 5) => packed = Some(s)          // unpacked single float
         case (7, 0) => int64s += v               // unpacked int64_data
@@ -237,35 +257,69 @@ object Onnx {
         case _      => ()
       }
     }
-    // FLOAT(1), INT64(7) shape/pads/index tensors, INT32(6), BOOL(9) —
-    // integer values are small and exact, so the float-backed Tensor
-    // carries them losslessly
-    require(dtype == 1 || dtype == 7 || dtype == 6 || dtype == 9,
-      s"tensor $name: only float32/int64/int32/bool initializers supported, got data_type=$dtype")
+    // FLOAT(1), FLOAT16(10), INT64(7) shape/pads/index tensors, INT32(6),
+    // BOOL(9) — integer values ride the float32-backed Tensor, which is
+    // exact only up to 2^24; larger magnitudes (a huge Gather index or
+    // Slice bound) would round SILENTLY, so they reject loudly here at
+    // parse time. fp16 halves widen to float exactly (binary16 is a
+    // subset of binary32).
+    require(dtype == 1 || dtype == 7 || dtype == 6 || dtype == 9 || dtype == 10,
+      s"tensor $name: only float32/float16/int64/int32/bool initializers " +
+        s"supported, got data_type=$dtype")
+    def exactF(v: Long): Float = {
+      require(math.abs(v) <= (1L << 24),
+        s"tensor $name: integer value $v exceeds 2^24 — not exactly " +
+          "representable in the float32-backed Tensor")
+      v.toFloat
+    }
+    // the byte payload: inline raw_data, or a range of a sibling
+    // external-data file (data_location = EXTERNAL) resolved by name
+    val src: Option[(Array[Byte], Int, Int)] =
+      if (dataLocation == 1L) {
+        val loc = extKv.getOrElse("location", throw new IllegalArgumentException(
+          s"tensor $name: external data without a location entry"))
+        val blob = external.getOrElse(loc, throw new IllegalArgumentException(
+          s"tensor $name: external data file '$loc' not provided " +
+            s"(have: ${external.keys.mkString(",")})"))
+        val off = extKv.get("offset").map(_.toLong).getOrElse(0L)
+        val len = extKv.get("length").map(_.toLong).getOrElse(blob.length - off)
+        require(off >= 0 && len >= 0 && off + len <= blob.length,
+          s"tensor $name: external range [$off, +$len) outside '$loc' " +
+            s"(${blob.length} bytes)")
+        Some((blob, off.toInt, (off + len).toInt))
+      } else raw.map { case (a, b) => (buf, a, b) }
     val data =
-      if (dtype == 7) (raw, int64s.result()) match {
-        case (Some((a, b)), _) =>
+      if (dtype == 7) (src, int64s.result()) match {
+        case (Some((db, a, b)), _) =>
           require((b - a) % 8 == 0, s"tensor $name: raw_data not 8-byte aligned")
-          Array.tabulate((b - a) / 8)(i => leLong(buf, a + 8 * i).toFloat)
-        case (_, vs) if vs.nonEmpty => vs.map(_.toFloat).toArray
+          Array.tabulate((b - a) / 8)(i => exactF(leLong(db, a + 8 * i)))
+        case (_, vs) if vs.nonEmpty => vs.map(exactF).toArray
         case _ => throw new IllegalArgumentException(s"tensor $name: no data")
-      } else if (dtype == 6) (raw, int32s.result()) match {
-        case (Some((a, b)), _) =>
+      } else if (dtype == 6) (src, int32s.result()) match {
+        case (Some((db, a, b)), _) =>
           require((b - a) % 4 == 0, s"tensor $name: raw_data not 4-byte aligned")
-          Array.tabulate((b - a) / 4)(i =>
-            ((buf(a + 4 * i) & 0xff) | (buf(a + 4 * i + 1) & 0xff) << 8 |
-             (buf(a + 4 * i + 2) & 0xff) << 16 | (buf(a + 4 * i + 3) & 0xff) << 24).toFloat)
-        case (_, vs) if vs.nonEmpty => vs.map(_.toFloat).toArray
+          Array.tabulate((b - a) / 4)(i => exactF(
+            ((db(a + 4 * i) & 0xff) | (db(a + 4 * i + 1) & 0xff) << 8 |
+             (db(a + 4 * i + 2) & 0xff) << 16 | (db(a + 4 * i + 3) & 0xff) << 24).toLong))
+        case (_, vs) if vs.nonEmpty => vs.map(exactF).toArray
         case _ => throw new IllegalArgumentException(s"tensor $name: no data")
-      } else if (dtype == 9) (raw, int32s.result()) match {
-        case (Some((a, b)), _) => // bool raw_data: one byte per element
-          Array.tabulate(b - a)(i => if (buf(a + i) != 0) 1.0f else 0.0f)
+      } else if (dtype == 9) (src, int32s.result()) match {
+        case (Some((db, a, b)), _) => // bool raw_data: one byte per element
+          Array.tabulate(b - a)(i => if (db(a + i) != 0) 1.0f else 0.0f)
         case (_, vs) if vs.nonEmpty => vs.map(v => if (v != 0) 1.0f else 0.0f).toArray
         case _ => throw new IllegalArgumentException(s"tensor $name: no data")
-      } else (raw, packed) match {
-        case (Some((a, b)), _) =>
+      } else if (dtype == 10) (src, int32s.result()) match {
+        case (Some((db, a, b)), _) => // fp16 raw_data: 2-byte LE halves
+          require((b - a) % 2 == 0, s"tensor $name: fp16 raw_data not 2-byte aligned")
+          Array.tabulate((b - a) / 2)(i => f16ToDouble(
+            (db(a + 2 * i) & 0xff) | (db(a + 2 * i + 1) & 0xff) << 8).toFloat)
+        case (_, vs) if vs.nonEmpty => // fp16 in int32_data: one uint16 each
+          vs.map(v => f16ToDouble(v.toInt & 0xffff).toFloat).toArray
+        case _ => throw new IllegalArgumentException(s"tensor $name: no data")
+      } else (src, packed) match {
+        case (Some((db, a, b)), _) =>
           require((b - a) % 4 == 0, s"tensor $name: raw_data not 4-byte aligned")
-          Array.tabulate((b - a) / 4)(i => leFloat(buf, a + 4 * i))
+          Array.tabulate((b - a) / 4)(i => leFloat(db, a + 4 * i))
         case (_, Some((a, b))) =>
           Array.tabulate((b - a) / 4)(i => leFloat(buf, a + 4 * i))
         case _ => throw new IllegalArgumentException(s"tensor $name: no data")
@@ -1085,15 +1139,69 @@ object Onnx {
   }
 
   /** Cast in a double-backed engine: float/double targets are identity,
+    * float16 quantizes through real half precision (round-to-nearest-
+    * even — an fp16 Cast node must not silently run as identity),
     * integer targets truncate toward zero (the C conversion the spec
     * prescribes), bool maps nonzero -> 1. */
   private def castOp(x: Nd, to: Long): Nd = to match {
-    case 1 | 10 | 11 => x                                   // float/f16/double
+    case 1 | 11 => x                                        // float/double
+    case 10 => Nd(x.dims, x.a.map(f16RoundTrip))            // float16
     case 6 | 7 | 12 | 13 | 3 | 2 | 4 | 5 =>                 // int32/64, u32/64, i8/u8, u16/i16
       Nd(x.dims, x.a.map(v => if (v < 0) math.ceil(v) else math.floor(v)))
     case 9 => Nd(x.dims, x.a.map(v => if (v != 0.0) 1.0 else 0.0)) // bool
     case other => throw new IllegalArgumentException(s"Cast: to=$other unsupported")
   }
+
+  // ------------------------------------------------------ half precision
+
+  /** IEEE 754 binary16 bit pattern of `f`, round-to-nearest-even —
+    * the conversion onnxruntime applies for fp16 Casts and fp16
+    * initializers (no JDK intrinsic on Java 17; Float.floatToFloat16
+    * arrives in 20). Overflow goes to infinity, subnormals round in
+    * the shifted mantissa, NaN keeps a quiet payload bit. */
+  private[embeddings] def f16Bits(f: Float): Int = {
+    val x = java.lang.Float.floatToIntBits(f)
+    val sign = (x >>> 16) & 0x8000
+    val absx = x & 0x7fffffff
+    if (absx >= 0x7f800000) // inf / nan
+      sign | 0x7c00 | (if (absx > 0x7f800000) 0x200 else 0)
+    else {
+      val e = (absx >>> 23) - 127 + 15 // re-biased exponent
+      if (e >= 31) sign | 0x7c00 // overflow -> inf
+      else if (e <= 0) {
+        if (e < -10) sign // underflow -> signed zero
+        else {
+          // subnormal: implicit bit becomes explicit, round in the shift
+          val m = (absx & 0x7fffff) | 0x800000
+          val shift = 14 - e
+          val half = 1 << (shift - 1)
+          val rounded = (m + half - 1 + ((m >>> shift) & 1)) >>> shift
+          sign | rounded
+        }
+      } else {
+        val m = absx & 0x7fffff
+        val rounded = m + 0xfff + ((m >>> 13) & 1) // RNE in the dropped 13 bits
+        if ((rounded & 0x800000) != 0) { // mantissa carry bumps the exponent
+          if (e + 1 >= 31) sign | 0x7c00 else sign | ((e + 1) << 10)
+        } else sign | (e << 10) | (rounded >>> 13)
+      }
+    }
+  }
+
+  /** Exact double value of an IEEE 754 binary16 bit pattern. */
+  private[embeddings] def f16ToDouble(h: Int): Double = {
+    val e = (h >>> 10) & 0x1f
+    val m = h & 0x3ff
+    val mag =
+      if (e == 0) m * 5.9604644775390625e-8 // m * 2^-24 (subnormal)
+      else if (e == 31) { if (m == 0) Double.PositiveInfinity else Double.NaN }
+      else (1.0 + m / 1024.0) * math.pow(2.0, e - 15)
+    if ((h & 0x8000) != 0) -mag else mag
+  }
+
+  /** Round through half precision and back — the numeric effect of an
+    * fp16 Cast in this double-backed engine. */
+  private[embeddings] def f16RoundTrip(v: Double): Double = f16ToDouble(f16Bits(v.toFloat))
 
   private def intsAttr(n: Node, name: String, default: Seq[Long]): Seq[Int] = {
     val v = n.attrIs.getOrElse(name, default)

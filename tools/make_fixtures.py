@@ -230,6 +230,75 @@ def write_onnx(path):
     with open(path, "wb") as f:
         f.write(model)
 
+def onnx_tensor_external(name, dims, dtype, location, offset, length):
+    """TensorProto whose payload lives in a sibling file: external_data
+    entries (field 13, StringStringEntryProto) + data_location=EXTERNAL
+    (field 14) — how exporters ship checkpoints past protobuf's 2 GB
+    limit (onnx/onnx.proto3)."""
+    body = b"".join(pb_varint(1, d) for d in dims)
+    body += pb_varint(2, dtype)
+    body += pb_str(8, name)
+    body += pb_msg(13, pb_str(1, "location") + pb_str(2, location))
+    body += pb_msg(13, pb_str(1, "offset") + pb_str(2, str(offset)))
+    body += pb_msg(13, pb_str(1, "length") + pb_str(2, str(length)))
+    body += pb_varint(14, 1)
+    return body
+
+def f16s(vals):
+    return struct.pack("<%de" % len(vals), *vals)
+
+def write_ext_fp16(model_path, data_path, expect_path):
+    """Tiny head with BOTH external-data initializers and an fp16 weight:
+    w [4,4] float16 and b [4] float32 live in pool_weights.bin (w at a
+    nonzero offset, so offset/length handling is exercised), the graph is
+    Cast(w)->MatMul->Add->Cast(fp16)->Cast(f32), and the expected outputs
+    for a fixed input batch are computed HERE with Python's binary16
+    round-trip (struct '<e', round-to-nearest-even) — fully independent
+    of the Scala half-precision code under test."""
+    H, B = 4, 3
+    # deliberately NOT fp16-exact: quantization must matter
+    w_raw = [0.1 * ((i * 5 + j * 3) % 13) - 0.6 for i in range(H) for j in range(H)]
+    w_bytes = f16s(w_raw)
+    w = [struct.unpack("<e", w_bytes[2 * k:2 * k + 2])[0] for k in range(H * H)]
+    bias = [0.25 * k - 0.5 for k in range(H)]  # exact quarters (f32-exact)
+    # external blob: bias f32 at offset 0 (16 bytes), w fp16 at offset 16
+    blob = f32s(bias) + w_bytes
+    with open(data_path, "wb") as f:
+        f.write(blob)
+    inits = [
+        onnx_tensor_external("w", [H, H], 10, "pool_weights.bin", 16, len(w_bytes)),
+        onnx_tensor_external("b", [H], 1, "pool_weights.bin", 0, 16),
+    ]
+    nodes = [
+        onnx_node("Cast", ["w"], ["wf"], [onnx_attr_i("to", 1)]),
+        onnx_node("MatMul", ["x", "wf"], ["y"]),
+        onnx_node("Add", ["y", "b"], ["z"]),
+        onnx_node("Cast", ["z"], ["zh"], [onnx_attr_i("to", 10)]),
+        onnx_node("Cast", ["zh"], ["out"], [onnx_attr_i("to", 1)]),
+    ]
+    graph = b"".join(pb_msg(1, n) for n in nodes)
+    graph += pb_str(2, "ext_fp16_head")
+    graph += b"".join(pb_msg(5, t) for t in inits)
+    graph += pb_msg(11, onnx_value_info("x"))
+    graph += pb_msg(12, onnx_value_info("out"))
+    model = pb_varint(1, 8)
+    model += pb_msg(8, pb_str(1, "") + pb_varint(2, 13))
+    model += pb_msg(7, graph)
+    with open(model_path, "wb") as f:
+        f.write(model)
+    # expected outputs for the fixed input x[b][k] = ((b*4+k)*3 % 9 - 4)/8
+    x = [((b * H + k) * 3 % 9 - 4) / 8.0 for b in range(B) for k in range(H)]
+    expected = []
+    for bi in range(B):
+        for j in range(H):
+            acc = 0.0
+            for k in range(H):
+                acc += x[bi * H + k] * w[k * H + j]
+            z = acc + bias[j]
+            expected.append(struct.unpack("<e", struct.pack("<e", z))[0])
+    with open(expect_path, "w") as f:
+        json.dump({"dims": [B, H], "x": x, "expected": expected}, f)
+
 # ---------------------------------------------------------------------------
 # HDF5 v0 generation (superblock v0, v1 object headers, symbol-table group)
 # spec: HDF5 File Format Specification III.A / IV.A
@@ -992,6 +1061,9 @@ def main():
     os.makedirs(MAIN_FIX, exist_ok=True)
     write_onnx(os.path.join(MAIN_FIX, "pool_encoder.onnx"))
     write_mini_encoder(os.path.join(TEST_FIX, "mini_encoder.onnx"))
+    write_ext_fp16(os.path.join(TEST_FIX, "ext_fp16.onnx"),
+                   os.path.join(TEST_FIX, "pool_weights.bin"),
+                   os.path.join(TEST_FIX, "ext_fp16_expected.json"))
     write_hdf5(os.path.join(TEST_FIX, "golden.h5"))
     write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
     write_hdf5_dense(os.path.join(TEST_FIX, "golden_dense.h5"))
