@@ -49,12 +49,35 @@ object BpeTrainer {
     * the GPT-2 convention that lets merges learn word boundaries). The
     * contraction alternates and the trailing-whitespace lookahead of the
     * exact GPT-2 pattern are dropped; they only matter for whitespace-
-    * preserving decode, not for merge learning. */
-  val ByteLevelPretokenRegex = """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+    * preserving decode, not for merge learning. Whitespace is the
+    * EXPLICIT ASCII class, not `\s`: Java's `\s` includes vertical tab
+    * (0x0B) while RE2's does not, so `\s` would tokenize a \x0B-bearing
+    * document differently in Spark vs the DuckDB oracle. */
+  val ByteLevelPretokenRegex = """ ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+"""
 
   /** GPT-2 visible-space symbol: byte 0x20 prints as U+0120 'Ġ' so every
     * symbol is non-blank and the spaced-seg representation stays valid. */
   val VisibleSpace = "Ġ"
+
+  /** GPT-2 bytes_to_unicode as a translate() pair: the UTF-8 bytes of a
+    * pre-token, viewed one-char-per-byte via an ISO-8859-1 decode, keep
+    * printable latin-1 bytes as themselves and remap the 68 others
+    * (controls + space, 0x7F-0xA0, 0xAD) to U+0100+n in ascending byte
+    * order — so space is U+0120 'Ġ' and EVERY byte is a visible
+    * single-char symbol (Radford et al. 2019 §2.2; the exact table
+    * every GPT-2-family tokenizer ships). */
+  private val ByteRemap = (0 to 32) ++ (127 to 160) ++ Seq(173)
+  private[operators] val ByteMapFrom = ByteRemap.map(_.toChar).mkString
+  private[operators] val ByteMapTo =
+    ByteRemap.indices.map(i => (0x100 + i).toChar).mkString
+
+  /** Per-BYTE symbol string of a pre-token: UTF-8 bytes -> one latin-1
+    * char per byte -> the GPT-2 printable alphabet. ASCII maps to
+    * itself (plus space -> 'Ġ'); a multi-byte UTF-8 character splits
+    * into one symbol per byte, so merges learn its bytes exactly like
+    * any other adjacent pair — true GPT-2 byte fallback, no reject. */
+  private[operators] def byteSymbols(tok: Column): Column =
+    translate(decode(encode(tok, "UTF-8"), "ISO-8859-1"), ByteMapFrom, ByteMapTo)
 
   /** Learn the first `nMerges` BPE merges over the word vocabulary of
     * `textCol` (tokens = TextAnalysis.tokens: lower, trim, split \s+).
@@ -72,23 +95,17 @@ object BpeTrainer {
   /** BYTE-LEVEL variant (the GPT-2 recipe, Radford et al. 2019 §2.2):
     * pre-tokens come from [[ByteLevelPretokenRegex]] over the lowercased
     * text (leading space attached), and the initial symbols are the
-    * pre-token's BYTES with 0x20 mapped to the visible 'Ġ'. For ASCII
-    * corpora — asserted below, rejected loudly otherwise — chars ARE the
-    * UTF-8 bytes, so the per-char split IS the byte split and the only
-    * byte that needs the GPT-2 printable mapping is the space. (Full
-    * non-ASCII byte-level needs a per-byte explode of multi-byte UTF-8
-    * sequences; out of scope until a non-ASCII corpus needs it.) */
+    * pre-token's UTF-8 BYTES through [[byteSymbols]] — ASCII chars map
+    * to themselves (space -> 'Ġ'), multi-byte characters split into one
+    * symbol per byte and merge back byte-by-byte. Any UTF-8 corpus
+    * trains; there is no ASCII restriction. */
   def learnByteMerges(df: DataFrame, textCol: String, nMerges: Int,
       checkpointDir: Option[String] = None): Seq[Merge] = {
     val vocab = df
       .select(explode(regexp_extract_all(lower(col(textCol)),
         lit(ByteLevelPretokenRegex), lit(0))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val nonAscii = vocab.where(col("tok").rlike("[^\\x00-\\x7F]")).limit(1).count()
-    require(nonAscii == 0,
-      "byte-level BPE: non-ASCII pre-token found — per-byte UTF-8 split not implemented")
-    mergeLoop(vocab.select(
-      spaced(translate(col("tok"), " ", VisibleSpace)).as("seg"), col("cnt")),
+    mergeLoop(vocab.select(spaced(byteSymbols(col("tok"))).as("seg"), col("cnt")),
       nMerges, checkpointDir)
   }
 

@@ -327,17 +327,54 @@ object CurationQueries {
 
     // ---- byte-level BPE trainer (GPT-2 recipe) --------------------------
     // Pre-tokens from the lookahead-free GPT-2-style regex (the leading
-    // space rides the token), initial symbols = bytes with 0x20 mapped
-    // to the visible 'Ġ' (for this ASCII corpus the per-char split IS
-    // the byte split — non-ASCII rejects loudly in the operator). The
-    // oracle replays the same regex under RE2 and the same 10-round
-    // argmax/merge chain.
+    // space rides the token); initial symbols = UTF-8 bytes through the
+    // GPT-2 alphabet. For this ASCII corpus every byte is its own char,
+    // so the oracle's per-char split with ' '->'Ġ' IS the byte split
+    // (q130 proves the multi-byte path). The oracle replays the same
+    // regex under RE2 and the same 10-round argmax/merge chain.
     QueryDef.sqlBacked("q128_bpe_byte_train", bpeTrainOracleSql(10,
-      """unnest(regexp_extract_all(lower(text), ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))""",
+      """unnest(regexp_extract_all(lower(text), ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+'))""",
       """' ' || trim(regexp_replace(replace(tok, ' ', 'Ġ'), '(.)', '\1 ', 'g')) || ' '""")) { (s, d) =>
       import s.implicits._
       graft.operators.BpeTrainer
         .learnByteMerges(Tables.documents(s, d), "text", nMerges = 10)
+        .map(m => (m.rnk, m.l, m.r, m.pcnt))
+        .toDF("rnk", "l", "r", "pcnt")
+    },
+
+    // ---- byte-level BPE with TRUE UTF-8 byte fallback (q130) ------------
+    // The q128 trainer over a corpus slice DECORATED with multi-byte
+    // UTF-8 (2-byte accents, 3-byte CJK, a 4-byte emoji — keyed by
+    // doc_id so both engines synthesize identical text): pre-tokens
+    // split per UTF-8 BYTE through the GPT-2 bytes_to_unicode alphabet
+    // (printable latin-1 bytes keep themselves; the 68 others remap to
+    // U+0100+n), so merges re-assemble multi-byte characters from their
+    // bytes — the byte-fallback property that IS the GPT-2 recipe. The
+    // oracle rebuilds the same alphabet in SQL from hex(encode(tok))
+    // pairs, sharing no code with the operator's translate() table.
+    QueryDef.sqlBacked("q130_bpe_utf8_train", bpeTrainOracleSql(10,
+      """unnest(regexp_extract_all(lower(text || CASE doc_id % 5
+        |      WHEN 0 THEN ' café crème' WHEN 1 THEN ' naïve zürich'
+        |      WHEN 2 THEN ' 東京 データ' WHEN 3 THEN ' straße 🌍'
+        |      ELSE ' œuvre déjà' END),
+        |    ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+'))""".stripMargin,
+      """' ' || array_to_string([
+        |      CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+        |             OR (b BETWEEN 174 AND 255) THEN chr(b)
+        |           WHEN b <= 32 THEN chr(256 + b)
+        |           WHEN b = 173 THEN chr(323)
+        |           ELSE chr(162 + b) END
+        |      FOR b IN [('0x' || hex(encode(tok))[(i*2+1):(i*2+2)])::INT
+        |                FOR i IN range(0, octet_length(encode(tok)))]
+        |    ], ' ') || ' '""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val aug = concat(col("text"), element_at(array(
+        lit(" café crème"), lit(" naïve zürich"), lit(" 東京 データ"),
+        lit(" straße 🌍"), lit(" œuvre déjà")),
+        (col("doc_id") % 5 + 1).cast("int")))
+      graft.operators.BpeTrainer
+        .learnByteMerges(Tables.documents(s, d).select(aug.as("text")), "text",
+          nMerges = 10)
         .map(m => (m.rnk, m.l, m.r, m.pcnt))
         .toDF("rnk", "l", "r", "pcnt")
     },

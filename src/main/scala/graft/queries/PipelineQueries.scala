@@ -448,6 +448,12 @@ object PipelineQueries {
       val prepped = Tables.documents(s, d).select(col("doc_id"),
         expr(s"transform(slice(split(lower(trim(text)), '\\\\s+'), 1, $S), " +
           "t -> (17 * length(t) + ascii(t)) % 64)").as("ids"))
+        // parity with the oracle's `WHERE tok IS NOT NULL`: a null/empty
+        // text row yields no tokens there and must yield no row here
+        // (otherwise getSeq returns null -> NPE, and an all-zero mask
+        // would make the pooled mean NaN). Non-empty ids => mask has at
+        // least one 1, so the in-graph divide is always live.
+        .where(col("ids").isNotNull && size(col("ids")) > 0)
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("k", LongType),
         StructField("v", DoubleType)))

@@ -83,6 +83,16 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got.head._1 == "a" && got.head._2 == "b")
   }
 
+  /** GPT-2 bytes_to_unicode, reimplemented independently of the
+    * operator's translate() table for replay. */
+  private def byteSyms(tok: String): String = {
+    val remap = ((0 to 32) ++ (127 to 160) ++ Seq(173)).zipWithIndex.toMap
+    tok.getBytes("UTF-8").map { b =>
+      val n = b & 0xff
+      remap.get(n).map(i => (0x100 + i).toChar).getOrElse(n.toChar)
+    }.mkString
+  }
+
   test("byte-level: GPT-2 pre-tokens carry the leading space as 'Ġ'") {
     import spark.implicits._
     // "the cat" x3 in one doc: pre-tokens are "the", " cat" (space rides
@@ -90,9 +100,9 @@ class BpeTrainerSpec extends SparkSpec {
     // the naive trainer must see it as a first-class symbol
     val docs = Seq("the cat the cat the cat").toDF("text")
     val got = BpeTrainer.learnByteMerges(docs, "text", 6).map(m => (m.l, m.r, m.pcnt))
-    // replay: pre-tokenize with the same regex, map ' '->'Ġ', naive BPE
-    val pretok = """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+""".r
-      .findAllIn("the cat the cat the cat").map(_.replace(" ", "Ġ")).toSeq
+    // replay: pre-tokenize with the same regex, map bytes, naive BPE
+    val pretok = BpeTrainer.ByteLevelPretokenRegex.r
+      .findAllIn("the cat the cat the cat").map(byteSyms).toSeq
     val want = naiveBpe(pretok, 6)
     assert(got == want, s"\ngot:  $got\nwant: $want")
     // the space symbol must appear inside some learned merge
@@ -104,8 +114,8 @@ class BpeTrainerSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq("ab12, ab12, ab12").toDF("text")
     val got = BpeTrainer.learnByteMerges(docs, "text", 4).map(m => (m.l, m.r, m.pcnt))
-    val pretok = """ ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+""".r
-      .findAllIn("ab12, ab12, ab12").map(_.replace(" ", "Ġ")).toSeq
+    val pretok = BpeTrainer.ByteLevelPretokenRegex.r
+      .findAllIn("ab12, ab12, ab12").map(byteSyms).toSeq
     // pre-tokens: "ab","12",","," ab","12",","," ab","12" -> letter runs
     // and digit runs never share a pre-token, so no (letter,digit) merge
     val want = naiveBpe(pretok, 4)
@@ -114,12 +124,28 @@ class BpeTrainerSpec extends SparkSpec {
       l.exists(_.isLetter) && r.exists(_.isDigit) }, s"letter+digit merged: $got")
   }
 
-  test("byte-level: non-ASCII input rejects loudly") {
+  test("byte-level: a multi-byte character splits per byte and merges back") {
     import spark.implicits._
-    val docs = Seq("café latte").toDF("text")
-    val e = intercept[IllegalArgumentException] {
-      BpeTrainer.learnByteMerges(docs, "text", 2)
-    }
-    assert(e.getMessage.contains("non-ASCII"))
+    // 'é' = C3 A9 -> symbols 'Ã' '©'; the trainer must learn merges over
+    // those byte symbols exactly as the canonical trainer does over the
+    // same per-byte split — GPT-2 byte fallback, not a reject
+    val text = "café café café crème"
+    val docs = Seq(text).toDF("text")
+    val got = BpeTrainer.learnByteMerges(docs, "text", 8).map(m => (m.l, m.r, m.pcnt))
+    val pretok = BpeTrainer.ByteLevelPretokenRegex.r.findAllIn(text).map(byteSyms).toSeq
+    val want = naiveBpe(pretok, 8)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got.exists { case (l, r, _) => (l + r).contains("Ã©") },
+      s"no merge reassembled the bytes of 'é': $got")
+  }
+
+  test("byte-level: 3-byte CJK and a 4-byte emoji train byte-by-byte") {
+    import spark.implicits._
+    val text = "東京 東京 東京 🌍🌍"
+    val docs = Seq(text).toDF("text")
+    val got = BpeTrainer.learnByteMerges(docs, "text", 10).map(m => (m.l, m.r, m.pcnt))
+    val pretok = BpeTrainer.ByteLevelPretokenRegex.r.findAllIn(text).map(byteSyms).toSeq
+    val want = naiveBpe(pretok, 10)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
   }
 }
