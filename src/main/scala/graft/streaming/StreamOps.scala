@@ -41,9 +41,13 @@ object StreamOps {
       .where(col("n_types") >= nTypes)
 
   /** q41-analog as a stream: gap-based sessions via the engine's
-    * `session_window`. A session is [first ts, last ts + gap); an event
-    * at exactly last + gap starts a NEW session (boundary-exclusive) —
-    * the batch dual splits at inter-event gaps >= the gap duration.
+    * `session_window`. Boundary (pinned by StreamLateDataSpec): an
+    * event exactly `gap` after the previous one MERGES into the same
+    * session — per-event windows behave as [t, t+gap] for merging, so
+    * only a STRICTLY larger delta splits. The batch q41 dual splits at
+    * deltas >= gap; the two agree on any corpus without exact-gap
+    * deltas (the microsecond-real event tables — q98's green oracle),
+    * and diverge by one merge on a corpus that hits the boundary.
     * State per key is one open session, evicted once the watermark
     * passes its close — bounded on an unbounded feed. */
   def sessionWindows(events: DataFrame, keyCol: String, tsCol: String,
