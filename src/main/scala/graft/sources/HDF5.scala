@@ -17,7 +17,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    BOTH storages — COMPACT (Link Info + Link messages in the header)
   *    and DENSE (links as fractal-heap objects indexed by a name v2
   *    B-tree: FRHP header, root direct block or root indirect block with
-  *    direct children, BTHD/BTLF/BTIN depth <= 1) — the root-group
+  *    direct children, BTHD/BTLF/BTIN at ANY depth — pointer geometry
+  *    per the public H5B2 node-info recurrence) — the root-group
   *    shapes real netcdf-c output takes below and above the ~8-link
   *    compact limit;
   *  - object-header CONTINUATION blocks in both generations (v1 raw
@@ -42,7 +43,7 @@ import java.nio.{ByteBuffer, ByteOrder}
   * the legacy big-iron shape). Out of scope — rejected LOUDLY, never
   * silently misread: szip, v1
   * superblocks, huge/tiny fractal-heap objects, indirect child heap
-  * blocks, link-name and chunk v2-B-tree depth > 1.
+  * blocks.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -273,15 +274,117 @@ object HDF5 {
   private def encSize(max: Long): Int =
     (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, max))) / 8 + 1
 
+  /** v2 B-tree per-level pointer geometry (the public H5B2hdr.c
+    * node-info recurrence): EVERY internal pointer's "records in child
+    * node" field is sized by the LEAF max record count; a pointer to a
+    * depth-u >= 1 child additionally carries the subtree-total record
+    * count sized by cum_max_nrec(u), where
+    *   maxRec(u)  = (nodeSize - 10 - ptr(u)) / (recSize + ptr(u)),
+    *   ptr(u)     = 8 + maxNrecSize + cumSize(u-1),
+    *   cum(u)     = (maxRec(u) + 1) * cum(u-1) + maxRec(u).
+    * This sizes pointers at ANY depth, so both v2 B-tree walks (link
+    * names, dataset chunks) recurse without a depth cap. */
+  private[sources] final case class Bt2Geom(maxNrecSize: Int, cumSizes: Array[Int],
+      maxRecs: Array[Long], cums: Array[Long])
+  private[sources] def bt2Geom(nodeSize: Int, recSize: Int, depth: Int): Bt2Geom = {
+    val maxLeaf = ((nodeSize - 10) / recSize).toLong
+    val maxNrecSize = encSize(maxLeaf)
+    val levels = math.max(1, depth + 1)
+    val cum = new Array[Long](levels)
+    val cumSize = new Array[Int](levels)
+    val maxRec = new Array[Long](levels)
+    maxRec(0) = maxLeaf
+    cum(0) = maxLeaf
+    cumSize(0) = 0
+    var u = 1
+    while (u <= depth) {
+      val ptr = 8 + maxNrecSize + cumSize(u - 1)
+      maxRec(u) = ((nodeSize - 10 - ptr) / (recSize + ptr)).toLong
+      cum(u) = (maxRec(u) + 1) * cum(u - 1) + maxRec(u)
+      cumSize(u) = encSize(cum(u))
+      u += 1
+    }
+    Bt2Geom(maxNrecSize, cumSize, maxRec, cum)
+  }
+
+  // ---- writer-side v2 B-tree construction (any depth) ----
+
+  /** Uniform-depth v2 B-tree plan over record indices 0..n-1 in order:
+    * leaves hold runs, internal nodes hold the promoted separators.
+    * Node addresses are one `nodeSize` slab each, root first. */
+  private[sources] sealed trait Bt2Node {
+    def addr: Long
+    def ownRecs: Vector[Int]
+  }
+  private[sources] final case class Bt2Leaf(addr: Long, ownRecs: Vector[Int]) extends Bt2Node
+  private[sources] final case class Bt2Inner(addr: Long, ownRecs: Vector[Int],
+      children: Vector[Bt2Node]) extends Bt2Node
+  private[sources] def bt2TotalRecs(n: Bt2Node): Int = n match {
+    case Bt2Leaf(_, r) => r.size
+    case Bt2Inner(_, r, cs) => r.size + cs.map(bt2TotalRecs).sum
+  }
+
+  /** Smallest depth whose subtree capacity holds `n` records. */
+  private[sources] def bt2DepthFor(nodeSize: Int, recSize: Int, n: Int): Int = {
+    var d = 0
+    while (bt2Geom(nodeSize, recSize, d).cums(d) < n) {
+      d += 1
+      require(d <= 8, s"$n records need v2 B-tree depth > 8")
+    }
+    d
+  }
+
+  /** Build the (depth, root, nextFreeAddr) plan for `n` records starting
+    * at `firstAddr`. Split: m = ceil((k+1)/(childCap+1)) children with
+    * sizes as even as possible, separators promoted — the same shape the
+    * depth-1 writer emitted before this generalization. */
+  private[sources] def bt2Build(nodeSize: Int, recSize: Int, n: Int,
+      firstAddr: Long): (Int, Bt2Node, Long) = {
+    val depth = bt2DepthFor(nodeSize, recSize, n)
+    val g = bt2Geom(nodeSize, recSize, depth)
+    var naddr = firstAddr
+    def split(ids: Vector[Int], d: Int): Bt2Node = {
+      val addr = naddr
+      naddr += nodeSize
+      if (d == 0) {
+        require(ids.size <= g.maxRecs(0), s"leaf of ${ids.size} records over cap")
+        Bt2Leaf(addr, ids)
+      } else {
+        val childCap = g.cums(d - 1)
+        val m = ((ids.size + 1 + childCap) / (childCap + 1)).toInt // ceil((k+1)/(cap+1))
+        require(m - 1 <= g.maxRecs(d),
+          s"internal node needs ${m - 1} records, cap ${g.maxRecs(d)}")
+        val total = ids.size - (m - 1)
+        require(total >= m, s"cannot give every subtree a record ($total into $m)")
+        val base = total / m
+        val extra = total % m
+        var rest = ids
+        val children = Vector.newBuilder[Bt2Node]
+        val recs = Vector.newBuilder[Int]
+        (0 until m).foreach { j =>
+          val take = base + (if (j < extra) 1 else 0)
+          val (sub, r1) = rest.splitAt(take)
+          children += split(sub, d - 1)
+          rest = r1
+          if (j < m - 1) { recs += rest.head; rest = rest.tail }
+        }
+        require(rest.isEmpty, "v2 B-tree split bookkeeping broke")
+        Bt2Inner(addr, recs.result(), children.result())
+      }
+    }
+    val root = split(Vector.range(0, n), depth)
+    (depth, root, naddr)
+  }
+
   /** Dense group link storage: enumerate every link record in the name-
     * index v2 B-tree (type 5), resolve each 7-byte heap ID into the
     * group's fractal heap (root direct block, or a root indirect block
     * with DIRECT children), and parse the stored Link messages. The
     * record's name hash is never interpreted (it only orders lookups),
-    * so files hashed with lookup3 decode fine. Out of scope, rejected
+    * so files hashed with lookup3 decode fine; the name index walks at
+    * ANY depth (bt2Geom pointer sizing). Out of scope, rejected
     * loudly: huge/tiny heap objects, filtered heap blocks, indirect
-    * child blocks (heaps beyond width x maxDirect per row), B-tree
-    * depth > 1. */
+    * child blocks (heaps beyond width x maxDirect per row). */
   private def denseEntries(in: H5Input, fheapAddr: Long,
       btreeAddr: Long): Seq[(String, Long)] = {
     require(btreeAddr != Undef, "dense group without a name-index v2 B-tree")
@@ -368,8 +471,7 @@ object HDF5 {
     bt.getLong() // total records
     require(recSize >= 5, s"record size $recSize too small for hash + heap id")
     val idLen = recSize - 4
-    val maxLeafRec = (nodeSize - 10) / recSize
-    val leafPtrSize = encSize(maxLeafRec.toLong)
+    val geom = bt2Geom(nodeSize, recSize, depth)
 
     def readRecordIds(addr: Long, nrec: Int, d: Int): Seq[Array[Byte]] = {
       val nb = in.cursor(addr)
@@ -385,7 +487,6 @@ object HDF5 {
           id
         }
       } else {
-        require(d == 1, s"v2 B-tree depth $depth unsupported (max 1)")
         require(sig == "BTIN", s"expected internal node BTIN, got $sig")
         val recs = (0 until nrec).map { _ =>
           nb.getInt()
@@ -396,11 +497,14 @@ object HDF5 {
         val children = (0 until nrec + 1).map { _ =>
           val a = nb.getLong()
           var cn = 0L
-          (0 until leafPtrSize).foreach(i => cn |= (nb.get() & 0xffL) << (8 * i))
+          (0 until geom.maxNrecSize).foreach(i => cn |= (nb.get() & 0xffL) << (8 * i))
+          // subtree-total record count (present below depth-1 children;
+          // recursion re-derives it, so only its width matters here)
+          if (d - 1 > 0) (0 until geom.cumSizes(d - 1)).foreach(_ => nb.get())
           (a, cn.toInt)
         }
         children.zipWithIndex.flatMap { case ((ca, cn), i) =>
-          val sub = readRecordIds(ca, cn, 0)
+          val sub = readRecordIds(ca, cn, d - 1)
           if (i < recs.size) sub :+ recs(i) else sub
         }
       }
@@ -912,7 +1016,7 @@ object HDF5 {
     * the unlimited dimension must be the slowest-varying so the array
     * index is the row-major chunk index; data blocks paged or unpaged),
     * or a Version 2 B-tree (5:
-    * the >1-unlimited-dims index; record types 10/11, depth <= 1). */
+    * the >1-unlimited-dims index; record types 10/11, ANY depth). */
   private def enumerateChunksV4(in: H5Input, h: DsHeader)(
       emit: (Seq[Long], Long, Long) => Unit): Unit = {
     val name = h.name
@@ -1112,7 +1216,7 @@ object HDF5 {
         // dimension is unlimited. Record type 10 (unfiltered: address +
         // per-dim scaled offsets) or 11 (filtered: address + stored size
         // + filter mask + scaled offsets); node layout as in the
-        // link-name index (BTLF leaves, BTIN internal, depth <= 1).
+        // link-name index (BTLF leaves, BTIN internal, ANY depth).
         val bt = in.cursor(addr)
         require((0 until 4).map(_ => bt.get().toChar).mkString == "BTHD",
           s"dataset $name: bad v2 B-tree chunk-index header signature")
@@ -1138,7 +1242,7 @@ object HDF5 {
           s"dataset $name: v2 B-tree record size $recSize inconsistent with rank $nd")
         else require(recSize == 8 + 8 * nd,
           s"dataset $name: v2 B-tree record size $recSize != ${8 + 8 * nd} for rank $nd")
-        val leafPtrSize = encSize(((nodeSize - 10) / recSize).toLong)
+        val geom = bt2Geom(nodeSize, recSize, depth)
         def readRecord(b: H5Cursor): Unit = {
           val caddr = b.getLong()
           var sz = chunkByteSize.toLong
@@ -1161,19 +1265,19 @@ object HDF5 {
             require(sig == "BTLF", s"dataset $name: expected leaf BTLF, got $sig")
             (0 until nrec).foreach(_ => readRecord(nb))
           } else {
-            require(d == 1,
-              s"dataset $name: v2 B-tree chunk index depth $depth unsupported (max 1)")
             require(sig == "BTIN", s"dataset $name: expected internal BTIN, got $sig")
-            // nrec records, then nrec+1 child pointers (addr + record count)
+            // nrec records, then nrec+1 child pointers (addr + child record
+            // count + subtree total below depth 1 — geometry per bt2Geom)
             val recPos = nb.position()
             nb.position(recPos + nrec.toLong * recSize)
             val children = (0 until nrec + 1).map { _ =>
               val a = nb.getLong()
               var cn = 0L
-              (0 until leafPtrSize).foreach(i => cn |= (nb.get() & 0xffL) << (8 * i))
+              (0 until geom.maxNrecSize).foreach(i => cn |= (nb.get() & 0xffL) << (8 * i))
+              if (d - 1 > 0) (0 until geom.cumSizes(d - 1)).foreach(_ => nb.get())
               (a, cn.toInt)
             }
-            children.foreach { case (ca, cn) => walk(ca, cn, 0) }
+            children.foreach { case (ca, cn) => walk(ca, cn, d - 1) }
             nb.position(recPos)
             (0 until nrec).foreach(_ => readRecord(nb))
           }
@@ -1515,8 +1619,9 @@ object HDF5 {
     * objects indexed by a name v2 B-tree — the shape libhdf5 switches to
     * above the compact limit (any netCDF-4 file with many variables).
     * `smallBlocks = true` shrinks the heap/B-tree parameters so the file
-    * exercises the multi-direct-block root INDIRECT block and a depth-1
-    * B-tree (internal node + several leaves); default parameters emit
+    * exercises the multi-direct-block root INDIRECT block and a DEEP
+    * B-tree (depth 1 past 6 links, depth 2 past 20 — bt2Build plans any
+    * depth); default parameters emit
     * one root direct block and a single-leaf (depth-0) tree. Record
     * hashes are a deterministic surrogate (real files use lookup3; the
     * reader never interprets hashes, only record order). */
@@ -1550,8 +1655,8 @@ object HDF5 {
   /** [[writeLatestV4]] but every chunked dataset carries ALL-UNLIMITED
     * maxdims and a VERSION 2 B-TREE chunk index (record type 10
     * unfiltered / 11 filtered) — the index libhdf5 picks when more than
-    * one dimension is unlimited. Small `nodeSize` forces a depth-1 tree
-    * (BTIN root + several BTLF leaves); the default fits one leaf. */
+    * one dimension is unlimited. Small `nodeSize` forces deep trees
+    * (BTIN root over BTIN/BTLF — any depth); the default fits one leaf. */
   def writeBtree2(specs: Seq[DsSpec], deflate: Boolean = false,
       shuffle: Boolean = false, nodeSize: Int = 2048): Array[Byte] =
     writeNewStyle(specs, deflate, shuffle, denseRoot = false,
@@ -1625,8 +1730,7 @@ object HDF5 {
     // v2 B-tree chunk index: record/size-field widths, node addresses,
     // and the chunk indices each leaf / the root carries (tree order =
     // row-major chunk order = lexicographic scaled offsets)
-    final case class Bt2Plan(recSize: Int, szLen: Int, btinAddr: Long,
-      leafAddrs: Vector[Long], leafIdx: Vector[Vector[Int]], rootIdx: Vector[Int])
+    final case class Bt2Plan(recSize: Int, szLen: Int, depth: Int, root: Bt2Node)
     val bt2Plans = scala.collection.mutable.Map[String, Bt2Plan]()
     // v1 chunk B-tree node layout: levels (root first) + node addresses
     val btPlans = scala.collection.mutable.Map[String, (List[Vector[BtNodeSpec]], List[Vector[Long]])]()
@@ -1768,40 +1872,18 @@ object HDF5 {
                 (o, payload, a)
               }
               cursor = caddr
-            case 5 => // v2 B-tree: BTHD + (BTIN +) BTLF leaves + chunks
+            case 5 => // v2 B-tree: BTHD + BTIN/BTLF tree (ANY depth) + chunks
               val bthd = align8(cursor + headerLen)
               v4IndexAddrs(s.name) = bthd
               val szLen = if (hasFilter) encSize(payloads.map(_.length).max.toLong) else 0
               val recSize = 8 + (if (hasFilter) szLen + 4 else 0) + 8 * rank
-              val cap = (bt2NodeSize - 10) / recSize
-              require(cap >= 2, s"${s.name}: v2 B-tree node size $bt2NodeSize " +
-                s"holds fewer than two $recSize-byte records")
-              val n = origins.size
-              // k leaves hold n-(k-1) records; the root the k-1 separators
-              val k = if (n <= cap) 1 else (n + 1 + cap) / (cap + 1)
-              val leafPtrSize = encSize(cap.toLong)
-              require(k == 1 ||
-                10 + (k - 1) * recSize + k * (8 + leafPtrSize) <= bt2NodeSize,
-                s"${s.name}: $n chunks need a depth-2 v2 B-tree (unsupported)")
-              val leafTotal = n - (k - 1)
-              val lbase = leafTotal / k; val lextra = leafTotal % k
-              val leafSizes = Vector.tabulate(k)(j => lbase + (if (j < lextra) 1 else 0))
-              var ri = 0
-              val leafIdx = leafSizes.map { sz =>
-                val v = Vector.range(ri, ri + sz); ri += sz + 1; v
-              }
-              val rootIdx = Vector.tabulate(k - 1)(j => leafIdx(j).last + 1)
-              val btinAddr =
-                if (k == 1) Undef
-                else align8(bthd + 38)
-              var naddr =
-                if (k == 1) align8(bthd + 38)
-                else align8(btinAddr + 10 + (k - 1) * recSize + k * (8 + leafPtrSize))
-              val leafAddrs = leafSizes.map { sz =>
-                val a = naddr; naddr = align8(a + 10 + sz * recSize); a
-              }
-              bt2Plans(s.name) = Bt2Plan(recSize, szLen, btinAddr, leafAddrs, leafIdx, rootIdx)
-              var caddr = naddr
+              require((bt2NodeSize - 10) / recSize >= 2,
+                s"${s.name}: v2 B-tree node size $bt2NodeSize " +
+                  s"holds fewer than two $recSize-byte records")
+              val (d2, root2, treeEnd) =
+                bt2Build(bt2NodeSize, recSize, origins.size, align8(bthd + 38))
+              bt2Plans(s.name) = Bt2Plan(recSize, szLen, d2, root2)
+              var caddr = align8(treeEnd)
               chunkPlans(s.name) = origins.zip(payloads).map { case (o, payload) =>
                 val a = caddr
                 caddr = align8(caddr + payload.length)
@@ -1878,49 +1960,15 @@ object HDF5 {
       n.foldLeft(17)((h, b) => h * 31 + (b & 0xff)) & 0x7fffffff
     val sortedRecs: Seq[(Int, Int)] = // (hash, link index) in hash order
       nameBytes.zipWithIndex.map { case (n, i) => (nameHash(n), i) }.sortBy(_._1)
-    // small mode: leafCap 6 forces depth 1 for >6 links while the
-    // internal node (records + 9-byte child pointers) still fits
+    // small mode: a 76-byte node (leaf cap 6) forces depth 1 past 6
+    // links and depth 2 past the 20-link depth-1 capacity; default =
+    // one leaf big enough for everything. bt2Build plans ANY depth.
     val btNodeSize = if (smallHeapBlocks) 76 else math.max(512, 10 + recSize * sorted.size)
-    val leafCap = (btNodeSize - 10) / recSize
-    // depth-1 split: k root records, k+1 leaves of <= leafCap records
-    val needDepth1 = sorted.size > leafCap
-    val rootK =
-      if (!needDepth1) 0
-      else {
-        var k = 1
-        while ((k + 1) * leafCap + k < sorted.size) k += 1
-        k
-      }
     val bthdAddr = align8(heapEnd)
     val bthdLen = 38L
-    val (leafSplits: Seq[Seq[(Int, Int)]], rootRecs: Seq[(Int, Int)]) =
-      if (!needDepth1) (Seq(sortedRecs), Seq.empty)
-      else {
-        // k+1 leaves of near-equal size, separated by the k root records,
-        // preserving global record order
-        val nLeaves = rootK + 1
-        val nLeafRecs = sorted.size - rootK
-        val base = nLeafRecs / nLeaves
-        val extra = nLeafRecs % nLeaves
-        val leaves = scala.collection.mutable.ArrayBuffer[Seq[(Int, Int)]]()
-        val roots = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-        var rest = sortedRecs
-        (0 until nLeaves).foreach { li =>
-          val take = base + (if (li < extra) 1 else 0)
-          require(take >= 1 && take <= leafCap, s"depth-1 split: leaf of $take records")
-          leaves += rest.take(take)
-          rest = rest.drop(take)
-          if (li < nLeaves - 1) { roots += rest.head; rest = rest.tail }
-        }
-        require(rest.isEmpty && roots.size == rootK, "depth-1 split bookkeeping broke")
-        (leaves.toSeq, roots.toSeq)
-      }
-    val leafAddrs = leafSplits.indices.map(i => bthdAddr + bthdLen + i.toLong * btNodeSize)
-    val btinAddr = bthdAddr + bthdLen + leafSplits.size.toLong * btNodeSize
-    val btinLen = if (needDepth1) btNodeSize.toLong else 0L
-    require(!needDepth1 || 6 + rootK * recSize + (rootK + 1) * 9 + 4 <= btNodeSize,
-      s"internal B-tree node content exceeds node size $btNodeSize")
-    if (denseRoot) cursor = btinAddr + btinLen
+    val (btDepth, btRoot, btEnd) =
+      bt2Build(btNodeSize, recSize, sortedRecs.size, bthdAddr + bthdLen)
+    if (denseRoot) cursor = btEnd
 
     val total = cursor
     require(total <= Int.MaxValue, s"HDF5 export of $total bytes exceeds builder limit")
@@ -2050,36 +2098,48 @@ object HDF5 {
       out.put(5.toByte) // type: link name index
       out.putInt(btNodeSize)
       out.putShort(recSize.toShort)
-      out.putShort(if (needDepth1) 1 else 0)
+      out.putShort(btDepth.toShort)
       out.put(100.toByte); out.put(40.toByte) // split/merge percents
-      out.putLong(if (needDepth1) btinAddr else leafAddrs.head)
-      out.putShort(if (needDepth1) rootK.toShort else sortedRecs.size.toShort)
+      out.putLong(btRoot.addr)
+      out.putShort(btRoot.ownRecs.size.toShort)
       out.putLong(sortedRecs.size.toLong)
       out.putInt(0) // checksum (zero)
+      val geomL = bt2Geom(btNodeSize, recSize, btDepth)
       def record(rec: (Int, Int)): Unit = {
         out.putInt(rec._1) // surrogate name hash
         out.put(0.toByte) // heap id flags: managed, version 0
         out.putInt(heapPlacements(rec._2).toInt) // 4-byte heap offset (LE)
         out.putShort(linkBodies(rec._2).toShort) // 2-byte length (LE)
       }
-      leafSplits.zip(leafAddrs).foreach { case (recs, addr) =>
-        out.position(addr.toInt)
-        out.put('B'.toByte); out.put('T'.toByte); out.put('L'.toByte); out.put('F'.toByte)
-        out.put(0.toByte); out.put(5.toByte)
-        recs.foreach(record)
-        out.putInt(0) // checksum (zero)
+      // pointer geometry per bt2Geom (child record count sized by the
+      // leaf max; subtree totals below depth 1)
+      def emitNode(node: Bt2Node, d: Int): Unit = node match {
+        case Bt2Leaf(addr, recs) =>
+          out.position(addr.toInt)
+          out.put('B'.toByte); out.put('T'.toByte); out.put('L'.toByte); out.put('F'.toByte)
+          out.put(0.toByte); out.put(5.toByte)
+          recs.foreach(i => record(sortedRecs(i)))
+          out.putInt(0) // checksum (zero)
+        case Bt2Inner(addr, recs, children) =>
+          out.position(addr.toInt)
+          out.put('B'.toByte); out.put('T'.toByte); out.put('I'.toByte); out.put('N'.toByte)
+          out.put(0.toByte); out.put(5.toByte)
+          recs.foreach(i => record(sortedRecs(i)))
+          children.foreach { c =>
+            out.putLong(c.addr)
+            val cn = c.ownRecs.size
+            (0 until geomL.maxNrecSize).foreach(j =>
+              out.put(((cn >> (8 * j)) & 0xff).toByte))
+            if (d - 1 > 0) {
+              val tot = bt2TotalRecs(c)
+              (0 until geomL.cumSizes(d - 1)).foreach(j =>
+                out.put(((tot >> (8 * j)) & 0xff).toByte))
+            }
+          }
+          out.putInt(0) // checksum (zero)
+          children.foreach(emitNode(_, d - 1))
       }
-      if (needDepth1) {
-        out.position(btinAddr.toInt)
-        out.put('B'.toByte); out.put('T'.toByte); out.put('I'.toByte); out.put('N'.toByte)
-        out.put(0.toByte); out.put(5.toByte)
-        rootRecs.foreach(record)
-        leafSplits.zip(leafAddrs).foreach { case (recs, addr) =>
-          out.putLong(addr)
-          out.put(recs.size.toByte) // 1-byte record count (leafCap < 256)
-        }
-        out.putInt(0) // checksum (zero)
-      }
+      emitNode(btRoot, btDepth)
     }
 
     // ---- datasets (v2 headers)
@@ -2353,7 +2413,6 @@ object HDF5 {
             val hasF = filters.nonEmpty
             val rtype = (if (hasF) 11 else 10).toByte
             val cdims = s.chunkDims.get
-            val k = plan.leafAddrs.size
             val bthd = v4IndexAddrs(s.name)
             out.position(bthd.toInt)
             "BTHD".foreach(ch => out.put(ch.toByte))
@@ -2361,12 +2420,13 @@ object HDF5 {
             out.put(rtype)
             out.putInt(bt2NodeSize)
             out.putShort(plan.recSize.toShort)
-            out.putShort(if (k == 1) 0 else 1) // depth
+            out.putShort(plan.depth.toShort)
             out.put(100.toByte); out.put(40.toByte) // split/merge percents
-            out.putLong(if (k == 1) plan.leafAddrs.head else plan.btinAddr)
-            out.putShort((if (k == 1) chunks.size else k - 1).toShort)
+            out.putLong(plan.root.addr)
+            out.putShort(plan.root.ownRecs.size.toShort)
             out.putLong(chunks.size.toLong)
             out.putInt(0) // checksum (zero)
+            val geomC = bt2Geom(bt2NodeSize, plan.recSize, plan.depth)
             def record(ci: Int): Unit = {
               val (origin, payload, caddr) = chunks(ci)
               out.putLong(caddr)
@@ -2377,26 +2437,35 @@ object HDF5 {
               }
               origin.zip(cdims).foreach { case (o, c) => out.putLong(o / c) }
             }
-            plan.leafIdx.zip(plan.leafAddrs).foreach { case (recs, addr) =>
-              out.position(addr.toInt)
-              "BTLF".foreach(ch => out.put(ch.toByte))
-              out.put(0.toByte); out.put(rtype)
-              recs.foreach(record)
-              out.putInt(0) // checksum (zero)
+            // child pointer geometry per bt2Geom: addr + child record
+            // count (maxNrecSize bytes) + subtree total below depth 1
+            def emitNode(node: Bt2Node, d: Int): Unit = node match {
+              case Bt2Leaf(addr, recs) =>
+                out.position(addr.toInt)
+                "BTLF".foreach(ch => out.put(ch.toByte))
+                out.put(0.toByte); out.put(rtype)
+                recs.foreach(record)
+                out.putInt(0) // checksum (zero)
+              case Bt2Inner(addr, recs, children) =>
+                out.position(addr.toInt)
+                "BTIN".foreach(ch => out.put(ch.toByte))
+                out.put(0.toByte); out.put(rtype)
+                recs.foreach(record)
+                children.foreach { c =>
+                  out.putLong(c.addr)
+                  val cn = c.ownRecs.size
+                  (0 until geomC.maxNrecSize).foreach(j =>
+                    out.put(((cn >> (8 * j)) & 0xff).toByte))
+                  if (d - 1 > 0) {
+                    val tot = bt2TotalRecs(c)
+                    (0 until geomC.cumSizes(d - 1)).foreach(j =>
+                      out.put(((tot >> (8 * j)) & 0xff).toByte))
+                  }
+                }
+                out.putInt(0) // checksum (zero)
+                children.foreach(emitNode(_, d - 1))
             }
-            if (k > 1) {
-              out.position(plan.btinAddr.toInt)
-              "BTIN".foreach(ch => out.put(ch.toByte))
-              out.put(0.toByte); out.put(rtype)
-              plan.rootIdx.foreach(record)
-              val leafPtrSize = encSize(((bt2NodeSize - 10) / plan.recSize).toLong)
-              plan.leafIdx.zip(plan.leafAddrs).foreach { case (recs, addr) =>
-                out.putLong(addr)
-                (0 until leafPtrSize).foreach(j =>
-                  out.put(((recs.size >> (8 * j)) & 0xff).toByte))
-              }
-              out.putInt(0) // checksum (zero)
-            }
+            emitNode(plan.root, plan.depth)
           }
           chunks.foreach { case (_, payload, addr) =>
             out.position(addr.toInt)

@@ -106,6 +106,23 @@ class ForeignFixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("HDF5: python-written DEPTH-2 dense name index decodes (30 variables)") {
+    // the B-tree and its pointer widths come from the Python writer's own
+    // H5B2 node-info arithmetic — a Scala-side geometry bug cannot pass
+    val bytes = fixture("golden_deep.h5")
+    // fixture really is depth 2 (BTHD depth field)
+    val at = bytes.indices.find(i =>
+      bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
+    assert(((bytes(at + 12) & 0xff) | ((bytes(at + 13) & 0xff) << 8)) == 2)
+    val dss = HDF5.read(bytes).sortBy(_.name)
+    assert(dss.map(_.name) == (0 until 30).map(i => f"v$i%02d"))
+    dss.zipWithIndex.foreach { case (ds, i) =>
+      assert(ds.dims == Seq(2L))
+      assert(ds.data.toSeq == Seq(i * 2.0 + 0.25, i * 2.0 + 0.75),
+        s"${ds.name}: ${ds.data.toSeq}")
+    }
+  }
+
   test("netCDF3: python-written CDF-2 record variable decodes exactly") {
     val bytes = fixture("golden_rec.nc")
     val h = NetCDF3.readHeader(bytes)

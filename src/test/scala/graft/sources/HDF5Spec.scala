@@ -497,7 +497,7 @@ class HDF5Spec extends SparkSpec {
     assert(e.getMessage.contains("page 2 unallocated"))
   }
 
-  test("dense-group leftovers are rejected loudly: huge ids, deep B-trees") {
+  test("dense-group leftovers are rejected loudly: huge ids, lying depth fields") {
     val bytes = HDF5.writeDense(manyVars(12))
     // huge-object heap id: set the type bits (4-5) of the first record's
     // heap id flags byte inside the BTLF leaf
@@ -507,12 +507,63 @@ class HDF5Spec extends SparkSpec {
     huge(leafAt + 6 + 4) = 0x10.toByte // skip sig+ver+type, then 4-byte hash
     val e1 = intercept[IllegalArgumentException](HDF5.read(huge))
     assert(e1.getMessage.contains("managed fractal-heap ids"))
-    // depth-2 B-tree: BTHD depth field (sig4+ver1+type1+nodeSize4+recSize2)
+    // a LYING depth field (any depth now decodes, but the node kinds must
+    // match it): depth=2 over a leaf root walks into BTLF expecting BTIN
     val bthdAt = bytes.indices.find(i =>
       bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
     val deep = bytes.clone()
-    deep(bthdAt + 12) = 2
+    deep(bthdAt + 12) = 2 // BTHD depth field (sig4+ver1+type1+nodeSize4+recSize2)
     val e2 = intercept[IllegalArgumentException](HDF5.read(deep))
-    assert(e2.getMessage.contains("depth"))
+    assert(e2.getMessage.contains("BTIN"))
+  }
+
+  /** BTHD depth field of the FIRST v2 B-tree in the file. */
+  private def bthdDepth(bytes: Array[Byte]): Int = {
+    val at = bytes.indices.find(i =>
+      bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'H' && bytes(i + 3) == 'D').get
+    (bytes(at + 12) & 0xff) | ((bytes(at + 13) & 0xff) << 8)
+  }
+
+  test("dense groups round-trip at link B-tree DEPTH 2 (BTIN over BTIN over leaves)") {
+    // smallBlocks: 76-byte nodes (leaf cap 6, depth-1 capacity 20) —
+    // 30 links force a depth-2 tree while the heap stays within the
+    // direct rows
+    val specs = manyVars(30)
+    val bytes = HDF5.writeDense(specs, smallBlocks = true)
+    assert(bthdDepth(bytes) == 2, "fixture did not force a depth-2 link B-tree")
+    val back = HDF5.read(bytes).map(d => d.name -> d.data.toSeq).toMap
+    assert(back == specs.map(s => s.name -> s.data.toSeq).toMap)
+  }
+
+  test("v2 B-tree chunk index round-trips at depth 2 and depth 3") {
+    // nodeSize 128, unfiltered rank-2 records (24 B): leaf cap 4,
+    // depth-1 capacity 19, depth-2 capacity 79, depth-3 capacity 319
+    val d2 = HDF5.DsSpec("z", Seq(12, 8),
+      Array.tabulate(96)(i => i * 0.25 - 5.0), chunkDims = Some(Seq(2, 2)))
+    val b2 = HDF5.writeBtree2(Seq(d2), nodeSize = 128) // 24 chunks
+    assert(bthdDepth(b2) == 2, "24 chunks at nodeSize 128 must need depth 2")
+    assert(HDF5.read(b2).head.data.toSeq == d2.data.toSeq)
+    // filtered variant (records 29 B: +size+mask): depth-1 capacity 14
+    val b2f = HDF5.writeBtree2(Seq(d2), deflate = true, shuffle = true, nodeSize = 128)
+    assert(bthdDepth(b2f) == 2)
+    assert(HDF5.read(b2f).head.data.toSeq == d2.data.toSeq)
+    val d3 = HDF5.DsSpec("w", Seq(20, 20),
+      Array.tabulate(400)(i => (i * 7 % 101) * 0.125), chunkDims = Some(Seq(2, 2)))
+    val b3 = HDF5.writeBtree2(Seq(d3), nodeSize = 128) // 100 chunks
+    assert(bthdDepth(b3) == 3, "100 chunks at nodeSize 128 must need depth 3")
+    assert(HDF5.read(b3).head.data.toSeq == d3.data.toSeq)
+  }
+
+  test("depth-2 chunk index decodes through the chunk-parallel manifest too") {
+    val d2 = HDF5.DsSpec("z", Seq(12, 8),
+      Array.tabulate(96)(i => i * 0.25 - 5.0), chunkDims = Some(Seq(2, 2)))
+    val bytes = HDF5.writeBtree2(Seq(d2), deflate = true, shuffle = true, nodeSize = 128)
+    val (v, refs) = HDF5.manifest(new ArrayInput(bytes)).head
+    assert(refs.size == 24)
+    val got = refs.flatMap { r =>
+      val raw = java.util.Arrays.copyOfRange(bytes, r.offset.toInt, (r.offset + r.nbytes).toInt)
+      HDF5.decodeChunk(raw, v, r.origin)
+    }.toMap
+    assert((0 until 96).map(i => got(i.toLong)) == d2.data.toSeq)
   }
 }

@@ -805,6 +805,156 @@ def write_hdf5_dense(path):
 # HDF4 DFSD subset (spec: HDF 4.x, DD list + tags NDG/SDD/NT/SD/SDL)
 # ---------------------------------------------------------------------------
 
+def write_hdf5_dense_deep(path):
+    """30-variable DENSE root whose name-index v2 B-tree reaches DEPTH 2
+    (BTIN root -> BTIN internals -> BTLF leaves). Pointer fields are
+    sized by the public H5B2 node-info recurrence: every child pointer
+    carries the child's own record count in enc(max_leaf) bytes, and
+    pointers to depth>=1 children additionally carry the subtree total
+    in enc(cum_max_nrec) bytes. 76-byte nodes (leaf cap 6, depth-1
+    capacity 20) force the depth-2 shape at 30 links while the heap
+    stays a single 512-byte root direct block."""
+    buf = bytearray(b"\0" * 48)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    names = ["v%02d" % i for i in range(30)]
+    ds_ohs = {}
+    for i, nm in enumerate(names):
+        vals = [i * 2.0 + 0.25, i * 2.0 + 0.75]
+        daddr = alloc(struct.pack("<2d", *vals))
+        ds_ohs[nm] = alloc(h5v2_object_header([
+            h5_dataspace_v2([2]),
+            h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8)
+                     + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)),
+            h5v2_msg(0x08, struct.pack("<BBQQ", 3, 1, daddr, 16)),
+        ]))
+
+    def link_body(nm, addr):
+        b = nm.encode()
+        return struct.pack("<BBB", 1, 0, len(b)) + b + struct.pack("<Q", addr)
+
+    OFFSIZE = 4
+    START_BLOCK = 512
+    DB_HDR = 4 + 1 + 8 + OFFSIZE
+    objs = [link_body(nm, ds_ohs[nm]) for nm in names]
+    heap_offs = []
+    p = DB_HDR
+    for o in objs:
+        heap_offs.append(p)
+        p += len(o)
+    assert p <= START_BLOCK, "links exceed the single root direct block"
+    fhdb = bytearray(b"FHDB" + struct.pack("<B", 0))
+    fhdb_hdrpos = len(fhdb)
+    fhdb += struct.pack("<Q", 0)
+    fhdb += struct.pack("<I", 0)
+    for o in objs:
+        fhdb += o
+    fhdb += b"\0" * (START_BLOCK - len(fhdb))
+    fhdb_addr = alloc(bytes(fhdb))
+
+    frhp = io.BytesIO()
+    frhp.write(b"FRHP" + struct.pack("<B", 0))
+    frhp.write(struct.pack("<HH", 7, 0))
+    frhp.write(struct.pack("<B", 0))
+    frhp.write(struct.pack("<I", 4096))
+    frhp.write(struct.pack("<QQ", 0, UNDEF))
+    frhp.write(struct.pack("<QQ", 0, UNDEF))
+    frhp.write(struct.pack("<QQQ", START_BLOCK, START_BLOCK, 0))
+    frhp.write(struct.pack("<Q", len(objs)))
+    frhp.write(struct.pack("<QQQQ", 0, 0, 0, 0))
+    frhp.write(struct.pack("<H", 4))
+    frhp.write(struct.pack("<QQ", START_BLOCK, 4096))
+    frhp.write(struct.pack("<HH", 32, 1))
+    frhp.write(struct.pack("<Q", fhdb_addr))
+    frhp.write(struct.pack("<H", 0))
+    frhp.write(b"\0\0\0\0")
+    frhp_addr = alloc(frhp.getvalue())
+    buf[fhdb_addr + fhdb_hdrpos:fhdb_addr + fhdb_hdrpos + 8] = \
+        struct.pack("<Q", frhp_addr)
+
+    # ---- depth-2 name index (independent H5B2 geometry arithmetic)
+    NODE, REC = 76, 11
+    max_leaf = (NODE - 10) // REC                     # 6
+    ptr1 = 8 + 1                                      # leaf-child pointer
+    max_rec1 = (NODE - 10 - ptr1) // (REC + ptr1)     # 2
+    cum1 = (max_rec1 + 1) * max_leaf + max_rec1       # 20 (depth-1 cap)
+    assert len(objs) > cum1, "fixture must force depth 2"
+
+    def split(ids, d):
+        if d == 0:
+            assert len(ids) <= max_leaf
+            return ("leaf", ids)
+        cap = max_leaf if d == 1 else cum1
+        m = (len(ids) + 1 + cap) // (cap + 1)
+        total = len(ids) - (m - 1)
+        base, extra = divmod(total, m)
+        children, recs, rest = [], [], list(ids)
+        for j in range(m):
+            take = base + (1 if j < extra else 0)
+            children.append(split(rest[:take], d - 1))
+            rest = rest[take:]
+            if j < m - 1:
+                recs.append(rest.pop(0))
+        assert not rest
+        return ("int", recs, children)
+
+    def total_recs(node):
+        if node[0] == "leaf":
+            return len(node[1])
+        return len(node[1]) + sum(total_recs(c) for c in node[2])
+
+    def rec_bytes(i):
+        return (struct.pack("<I", 0) + struct.pack("<B", 0)
+                + struct.pack("<I", heap_offs[i]) + b"\0\0")
+
+    def emit(node, d):
+        """returns (addr, own record count)"""
+        if node[0] == "leaf":
+            blob = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+            for i in node[1]:
+                blob += rec_bytes(i)
+            blob += b"\0\0\0\0"
+            blob += b"\0" * (NODE - len(blob))
+            return alloc(bytes(blob)), len(node[1])
+        _, recs, children = node
+        infos = [emit(c, d - 1) for c in children]
+        blob = bytearray(b"BTIN" + struct.pack("<BB", 0, 5))
+        for i in recs:
+            blob += rec_bytes(i)
+        for c, (caddr, cn) in zip(children, infos):
+            blob += struct.pack("<QB", caddr, cn)
+            if d - 1 > 0:
+                blob += struct.pack("<B", total_recs(c))  # cum1 <= 255
+        blob += b"\0\0\0\0"
+        blob += b"\0" * (NODE - len(blob))
+        return alloc(bytes(blob)), len(recs)
+
+    tree = split(list(range(len(objs))), 2)
+    root_addr, root_nrec = emit(tree, 2)
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", NODE, REC, 2)
+    bthd += struct.pack("<BB", 100, 40)
+    bthd += struct.pack("<QH", root_addr, root_nrec)
+    bthd += struct.pack("<Q", len(objs))
+    bthd += b"\0\0\0\0"
+    bthd_addr = alloc(bthd)
+
+    root_oh = alloc(h5v2_object_header([
+        h5v2_msg(0x02, struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)),
+    ]))
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBB", 2, 8, 8, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), root_oh))
+    sb.write(b"\0\0\0\0")
+    buf[0:48] = sb.getvalue()
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
 def write_hdf4(path):
     """Two SDSs: 'sst' plain int16 [2,3] (v = 100+i), and 'cld' float32
     [4] deflate-compressed (v = k*0.5), each with its NDG and label."""
@@ -1067,6 +1217,7 @@ def main():
     write_hdf5(os.path.join(TEST_FIX, "golden.h5"))
     write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
     write_hdf5_dense(os.path.join(TEST_FIX, "golden_dense.h5"))
+    write_hdf5_dense_deep(os.path.join(TEST_FIX, "golden_deep.h5"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
