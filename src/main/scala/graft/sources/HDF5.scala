@@ -40,10 +40,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * prefix + contiguous checksummed pages, with the page-init bitmap in
   * the super block). Fixed/float data decodes in either
   * byte order (bit 0 of the datatype class bit field; big-endian is
-  * the legacy big-iron shape). Out of scope — rejected LOUDLY, never
+  * the legacy big-iron shape). Fractal-heap offsets resolve through
+  * INDIRECT CHILD blocks recursively, so dense groups read past the
+  * direct rows. Out of scope — rejected LOUDLY, never
   * silently misread: szip, v1
-  * superblocks, huge/tiny fractal-heap objects, indirect child heap
-  * blocks.
+  * superblocks, huge/tiny fractal-heap objects.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -382,9 +383,10 @@ object HDF5 {
     * with DIRECT children), and parse the stored Link messages. The
     * record's name hash is never interpreted (it only orders lookups),
     * so files hashed with lookup3 decode fine; the name index walks at
-    * ANY depth (bt2Geom pointer sizing). Out of scope, rejected
-    * loudly: huge/tiny heap objects, filtered heap blocks, indirect
-    * child blocks (heaps beyond width x maxDirect per row). */
+    * ANY depth (bt2Geom pointer sizing), and heap offsets resolve
+    * through INDIRECT CHILD blocks recursively (a child restarts the
+    * doubling table over its span). Out of scope, rejected loudly:
+    * huge/tiny heap objects, filtered heap blocks. */
   private def denseEntries(in: H5Input, fheapAddr: Long,
       btreeAddr: Long): Seq[(String, Long)] = {
     require(btreeAddr != Undef, "dense group without a name-index v2 B-tree")
@@ -435,25 +437,31 @@ object HDF5 {
         require(heapOff < startBlock, s"heap offset $heapOff beyond the root direct block")
         checkDirect(rootBlockAddr)
         rootBlockAddr + heapOff
-      } else {
-        var r = 0
-        var base = 0L
-        while (heapOff >= base + width * rowSize(r)) { base += width * rowSize(r); r += 1 }
-        require(r < maxDirectRows,
-          "indirect child blocks unsupported (fractal heap beyond the direct rows)")
-        val col = ((heapOff - base) / rowSize(r)).toInt
-        val ib = in.cursor(rootBlockAddr)
-        require((0 until 4).map(_ => ib.get().toChar).mkString == "FHIB",
-          "bad fractal heap indirect block signature")
-        ib.get() // version
-        ib.getLong() // heap header address
-        (0 until offSize).foreach(_ => ib.get()) // block offset
-        ib.position(ib.position() + (r * width + col) * 8)
-        val child = ib.getLong()
-        require(child != Undef, s"heap offset $heapOff points into an unallocated block")
-        checkDirect(child)
-        child + (heapOff - (base + col.toLong * rowSize(r)))
-      }
+      } else locateIn(rootBlockAddr, heapOff)
+
+    /** Row-walk within ONE indirect block. Entries in the direct rows
+      * are direct blocks; entries past them are CHILD indirect blocks,
+      * each spanning rowSize(r) of heap space with its own rows
+      * restarting the doubling table — so the recursion is uniform and
+      * heaps nest to any indirect depth. */
+    def locateIn(iblockAddr: Long, relOff: Long): Long = {
+      var r = 0
+      var base = 0L
+      while (relOff >= base + width * rowSize(r)) { base += width * rowSize(r); r += 1 }
+      val col = ((relOff - base) / rowSize(r)).toInt
+      val ib = in.cursor(iblockAddr)
+      require((0 until 4).map(_ => ib.get().toChar).mkString == "FHIB",
+        "bad fractal heap indirect block signature")
+      ib.get() // version
+      ib.getLong() // heap header address
+      (0 until offSize).foreach(_ => ib.get()) // block offset
+      ib.position(ib.position() + (r * width + col) * 8)
+      val child = ib.getLong()
+      require(child != Undef, s"heap offset points into an unallocated block")
+      val inBlk = relOff - (base + col.toLong * rowSize(r))
+      if (r < maxDirectRows) { checkDirect(child); child + inBlk }
+      else locateIn(child, inBlk)
+    }
 
     // ---- name-index v2 B-tree (BTHD, record type 5: hash + 7-byte id)
     val bt = in.cursor(btreeAddr)
@@ -1910,50 +1918,93 @@ object HDF5 {
         (s, math.max(s, 65536L))
       }
     def rowSizeOf(r: Int): Long = if (r < 2) startBlock else startBlock << (r - 1)
-    // pack links into blocks greedily (objects never span blocks);
-    // heapPlacements(i) = (heap offset of link i, block index)
-    val blockFill = scala.collection.mutable.ArrayBuffer[Long]() // used bytes per block
-    def blockHeapBase(bi: Int): Long = {
+    val maxDirectRows =
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startBlock)).toInt + 2
+    // rows of a CHILD indirect block sitting in root row r: the child
+    // spans rowSizeOf(r) heap bytes; its own rows restart the doubling
+    // table, so childRows = log2(span / (W * start)) + 1
+    def childRowsOf(r: Int): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(
+        rowSizeOf(r) / (fheapWidth * startBlock))).toInt + 1
+    // direct-block geometry in heap order, INCLUDING one level of
+    // indirect children past the direct rows
+    final case class HeapBlk(base: Long, size: Long, rootEntry: Int, childSlot: Int)
+    val heapGeom: Vector[HeapBlk] = {
+      val need = dbHeaderLen.toLong * 64 + 2 * linkTotal + 4096
+      val bs = Vector.newBuilder[HeapBlk]
       var base = 0L
-      var r = 0; var seen = 0
-      while (seen + fheapWidth <= bi) { base += fheapWidth * rowSizeOf(r); seen += fheapWidth; r += 1 }
-      base + (bi - seen) * rowSizeOf(r)
+      var r = 0
+      while (base < need && r < 16) {
+        if (r < maxDirectRows) {
+          (0 until fheapWidth).foreach { c =>
+            bs += HeapBlk(base, rowSizeOf(r), r * fheapWidth + c, -1)
+            base += rowSizeOf(r)
+          }
+        } else {
+          require(childRowsOf(r) <= maxDirectRows,
+            "writer: indirect grandchild heap blocks unsupported")
+          (0 until fheapWidth).foreach { c =>
+            var k = 0
+            var covered = 0L
+            while (covered < rowSizeOf(r)) {
+              (0 until fheapWidth).foreach { cc =>
+                bs += HeapBlk(base + covered, rowSizeOf(k), r * fheapWidth + c,
+                  k * fheapWidth + cc)
+                covered += rowSizeOf(k)
+              }
+              k += 1
+            }
+            base += rowSizeOf(r)
+          }
+        }
+        r += 1
+      }
+      bs.result()
     }
-    def blockRow(bi: Int): Int = bi / fheapWidth
+    // pack links into blocks greedily (objects never span blocks)
+    val blockFill = scala.collection.mutable.ArrayBuffer[Long]() // used bytes per block
     val heapPlacements: Seq[Long] = if (denseRoot) linkBodies.map { len =>
       var bi = -1
       var i = 0
       while (bi < 0 && i < blockFill.size) {
-        if (blockFill(i) + len <= rowSizeOf(blockRow(i))) bi = i
+        if (blockFill(i) + len <= heapGeom(i).size) bi = i
         i += 1
       }
       if (bi < 0) {
         blockFill += dbHeaderLen.toLong
         bi = blockFill.size - 1
-        require(dbHeaderLen + len <= rowSizeOf(blockRow(bi)),
-          s"link body of $len bytes exceeds the ${rowSizeOf(blockRow(bi))}-byte heap block")
+        require(bi < heapGeom.size && dbHeaderLen + len <= heapGeom(bi).size,
+          s"link body of $len bytes exceeds the heap geometry")
       }
-      val off = blockHeapBase(bi) + blockFill(bi)
+      val off = heapGeom(bi).base + blockFill(bi)
       blockFill(bi) += len
       off
     } else Seq.empty
     val nBlocks = math.max(1, blockFill.size)
-    require(!denseRoot || blockRow(nBlocks - 1) <
-      (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startBlock)).toInt + 2,
-      "links exceed the direct rows of the fractal heap")
+    val usedGeom = heapGeom.take(nBlocks)
     val rootIsDirect = nBlocks == 1 && !smallHeapBlocks
     val fheapAddr = cursor
     val fheapHeaderLen = 146L
-    val fhibRows = if (rootIsDirect) 0 else blockRow(nBlocks - 1) + 1
+    val fhibRows = if (rootIsDirect) 0 else usedGeom.last.rootEntry / fheapWidth + 1
     val fhibLen = if (rootIsDirect) 0L else 4 + 1 + 8 + 4 + fhibRows.toLong * fheapWidth * 8 + 4
     val rootBlockAddr = fheapAddr + fheapHeaderLen
-    val blockAddrs: Seq[Long] = if (!denseRoot) Seq.empty else {
+    // child indirect blocks (root entries past the direct rows), in order
+    val childEntries: Vector[Int] =
+      usedGeom.filter(_.childSlot >= 0).map(_.rootEntry).distinct
+    val childLenOf: Map[Int, Long] = childEntries.map { e =>
+      e -> (4 + 1 + 8 + 4 + childRowsOf(e / fheapWidth).toLong * fheapWidth * 8 + 4)
+    }.toMap
+    val childAddrs: Map[Int, Long] = {
       var a = rootBlockAddr + fhibLen
-      (0 until nBlocks).map { bi => val here = a; a += rowSizeOf(blockRow(bi)); here }
+      childEntries.map { e => val here = a; a += childLenOf(e); e -> here }.toMap
+    }
+    val blockAddrs: Seq[Long] = if (!denseRoot) Seq.empty else {
+      var a = rootBlockAddr + fhibLen + childEntries.map(childLenOf).sum
+      usedGeom.map { b => val here = a; a += b.size; here }
     }
     val heapEnd =
       if (!denseRoot) cursor
-      else blockAddrs.last + rowSizeOf(blockRow(nBlocks - 1))
+      else blockAddrs.last + usedGeom.last.size
     // name-index v2 B-tree: record = 4-byte surrogate hash + 7-byte id
     val recSize = 11
     def nameHash(n: Array[Byte]): Int =
@@ -2062,32 +2113,51 @@ object HDF5 {
       out.putLong(rootBlockAddr)
       out.putShort(if (rootIsDirect) 0 else fhibRows.toShort) // current rows
       out.putInt(0) // checksum (zero)
-      // root indirect block (when several direct blocks)
+      // root indirect block (when several direct blocks): direct rows
+      // carry direct-block addresses, rows past them carry CHILD
+      // indirect blocks
       if (!rootIsDirect) {
         out.position(rootBlockAddr.toInt)
         out.put('F'.toByte); out.put('H'.toByte); out.put('I'.toByte); out.put('B'.toByte)
         out.put(0.toByte)
         out.putLong(fheapAddr)
         out.putInt(0) // block offset (heap offset 0)
+        val directAddrOf: Map[Int, Long] = usedGeom.zip(blockAddrs)
+          .filter(_._1.childSlot < 0).map { case (b, a) => b.rootEntry -> a }.toMap
         (0 until fhibRows * fheapWidth).foreach { e =>
-          out.putLong(if (e < nBlocks) blockAddrs(e) else Undef)
+          if (e / fheapWidth < maxDirectRows) out.putLong(directAddrOf.getOrElse(e, Undef))
+          else out.putLong(childAddrs.getOrElse(e, Undef))
         }
         out.putInt(0) // checksum (zero)
+        childEntries.foreach { e =>
+          out.position(childAddrs(e).toInt)
+          out.put('F'.toByte); out.put('H'.toByte); out.put('I'.toByte); out.put('B'.toByte)
+          out.put(0.toByte)
+          out.putLong(fheapAddr)
+          val span = usedGeom.find(b => b.rootEntry == e && b.childSlot == 0).get
+          out.putInt(span.base.toInt) // child's heap-space offset
+          val slotAddr: Map[Int, Long] = usedGeom.zip(blockAddrs)
+            .filter(_._1.rootEntry == e).map { case (b, a) => b.childSlot -> a }.toMap
+          (0 until childRowsOf(e / fheapWidth) * fheapWidth).foreach { sl =>
+            out.putLong(slotAddr.getOrElse(sl, Undef))
+          }
+          out.putInt(0) // checksum (zero)
+        }
       }
       // direct blocks with their packed link bodies
       val dbStart = if (rootIsDirect) Seq(rootBlockAddr) else blockAddrs
-      dbStart.zipWithIndex.foreach { case (addr, bi) =>
+      dbStart.zip(usedGeom).foreach { case (addr, b) =>
         out.position(addr.toInt)
         out.put('F'.toByte); out.put('H'.toByte); out.put('D'.toByte); out.put('B'.toByte)
         out.put(0.toByte)
         out.putLong(fheapAddr)
-        out.putInt(blockHeapBase(bi).toInt) // block offset in heap space
+        out.putInt(b.base.toInt) // block offset in heap space
       }
       heapPlacements.zipWithIndex.foreach { case (heapOff, idx) =>
         // block index from heap offset
         var bi = 0
-        while (bi + 1 < nBlocks && blockHeapBase(bi + 1) <= heapOff) bi += 1
-        val fileOff = dbStart(bi) + (heapOff - blockHeapBase(bi))
+        while (bi + 1 < nBlocks && usedGeom(bi + 1).base <= heapOff) bi += 1
+        val fileOff = dbStart(bi) + (heapOff - usedGeom(bi).base)
         out.position(fileOff.toInt)
         linkBody(idx)
       }

@@ -123,6 +123,23 @@ class ForeignFixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("HDF5: python-written INDIRECT-CHILD fractal heap decodes (80 links)") {
+    // small doubling-table geometry (start 64, max direct 128, width 4)
+    // built from the Python writer's own spec arithmetic: the 80 link
+    // bodies overflow the direct rows, so root row 3 holds CHILD
+    // indirect blocks the reader must recurse through
+    val bytes = fixture("golden_indirect.h5")
+    val nFhib = bytes.indices.count(i =>
+      bytes(i) == 'F' && bytes(i + 1) == 'H' && bytes(i + 2) == 'I' && bytes(i + 3) == 'B')
+    assert(nFhib >= 2, s"fixture lost its child indirect blocks ($nFhib FHIB)")
+    val dss = HDF5.read(bytes).sortBy(_.name)
+    assert(dss.map(_.name) == (0 until 80).map(i => f"w$i%02d"))
+    dss.zipWithIndex.foreach { case (ds, i) =>
+      assert(ds.dims == Seq(2L))
+      assert(ds.data.toSeq == Seq(i + 0.125, -i * 0.5), s"${ds.name}: ${ds.data.toSeq}")
+    }
+  }
+
   test("netCDF3: python-written CDF-2 record variable decodes exactly") {
     val bytes = fixture("golden_rec.nc")
     val h = NetCDF3.readHeader(bytes)

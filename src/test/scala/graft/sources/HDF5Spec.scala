@@ -554,6 +554,23 @@ class HDF5Spec extends SparkSpec {
     assert(HDF5.read(b3).head.data.toSeq == d3.data.toSeq)
   }
 
+  test("fractal heap INDIRECT CHILD blocks round-trip (80 links past the direct rows)") {
+    // smallBlocks geometry: start 64, maxDirect 128, W 4 -> the direct
+    // rows hold 1,024 heap bytes; 80 links (~14 B bodies each) spill
+    // into root row 3, whose entries are CHILD indirect blocks of four
+    // 64-byte direct blocks each. 80 links also push the name index to
+    // B-tree depth 3 — both deep shapes in one file.
+    val specs = manyVars(80)
+    val bytes = HDF5.writeDense(specs, smallBlocks = true)
+    assert(bthdDepth(bytes) == 3, "80 links at 76-byte nodes must need depth 3")
+    // more FHIB signatures than the root alone = child indirect blocks
+    val nFhib = bytes.indices.count(i =>
+      bytes(i) == 'F' && bytes(i + 1) == 'H' && bytes(i + 2) == 'I' && bytes(i + 3) == 'B')
+    assert(nFhib >= 2, s"expected child indirect blocks, found $nFhib FHIB")
+    val back = HDF5.read(bytes).map(d => d.name -> d.data.toSeq).toMap
+    assert(back == specs.map(s => s.name -> s.data.toSeq).toMap)
+  }
+
   test("depth-2 chunk index decodes through the chunk-parallel manifest too") {
     val d2 = HDF5.DsSpec("z", Seq(12, 8),
       Array.tabulate(96)(i => i * 0.25 - 5.0), chunkDims = Some(Seq(2, 2)))

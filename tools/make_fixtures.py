@@ -955,6 +955,174 @@ def write_hdf5_dense_deep(path):
     with open(path, "wb") as f:
         f.write(bytes(buf))
 
+def write_hdf5_indirect(path):
+    """80-variable DENSE root on the SMALL heap geometry (start block 64,
+    max direct 128, width 4): link bodies overflow the 1,024-byte direct
+    rows into root row 3, whose entries are CHILD indirect blocks — each
+    spanning 256 bytes = one row of four 64-byte direct blocks. The
+    doubling-table arithmetic here comes straight from the spec,
+    independent of the Scala writer. Name index: one big BTLF leaf
+    (deep B-trees are golden_deep.h5's job)."""
+    buf = bytearray(b"\0" * 48)
+    patches = []  # positions that receive the FRHP address once known
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    names = ["w%02d" % i for i in range(80)]
+    ds_ohs = {}
+    for i, nm in enumerate(names):
+        vals = [i + 0.125, -i * 0.5]
+        daddr = alloc(struct.pack("<2d", *vals))
+        ds_ohs[nm] = alloc(h5v2_object_header([
+            h5_dataspace_v2([2]),
+            h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8)
+                     + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)),
+            h5v2_msg(0x08, struct.pack("<BBQQ", 3, 1, daddr, 16)),
+        ]))
+
+    def link_body(nm, addr):
+        b = nm.encode()
+        return struct.pack("<BBB", 1, 0, len(b)) + b + struct.pack("<Q", addr)
+
+    START, MAXD, W, OFFSIZE = 64, 128, 4, 4
+    DB_HDR = 4 + 1 + 8 + OFFSIZE
+
+    def row_size(r):
+        return START if r < 2 else START << (r - 1)
+
+    MAX_DIRECT_ROWS = (MAXD // START).bit_length() + 1      # log2(2) + 2 = 3
+    # geometry in heap order: (base, size, root_entry, child_slot)
+    geom = []
+    base, r = 0, 0
+    while base < 8192 and r < 8:
+        if r < MAX_DIRECT_ROWS:
+            for c in range(W):
+                geom.append((base, row_size(r), r * W + c, -1))
+                base += row_size(r)
+        else:
+            for c in range(W):
+                covered, k = 0, 0
+                while covered < row_size(r):
+                    for cc in range(W):
+                        geom.append((base + covered, row_size(k), r * W + c, k * W + cc))
+                        covered += row_size(k)
+                    k += 1
+                base += row_size(r)
+        r += 1
+
+    objs = [link_body(nm, ds_ohs[nm]) for nm in names]
+    fill, offs = [], []
+    for o in objs:
+        bi = next((i for i in range(len(fill)) if fill[i] + len(o) <= geom[i][1]), None)
+        if bi is None:
+            fill.append(DB_HDR)
+            bi = len(fill) - 1
+            assert DB_HDR + len(o) <= geom[bi][1]
+        offs.append(geom[bi][0] + fill[bi])
+        fill[bi] += len(o)
+    used = geom[:len(fill)]
+    assert any(b[3] >= 0 for b in used), "fixture must spill into indirect children"
+    n_rows = used[-1][2] // W + 1
+
+    # direct blocks (link bodies placed block-relative)
+    blk_addr = []
+    for bi, (bbase, bsize, _, _) in enumerate(used):
+        blob = bytearray(bsize)
+        blob[0:4] = b"FHDB"
+        blob[4] = 0
+        patches.append(len(buf) + 5)                 # heap header addr
+        blob[13:13 + OFFSIZE] = struct.pack("<I", bbase)
+        for off, body in zip(offs, objs):
+            if bbase <= off < bbase + bsize:
+                blob[off - bbase:off - bbase + len(body)] = body
+        blk_addr.append(alloc(bytes(blob)))
+
+    # child indirect blocks for the used row-3+ entries
+    child_entries = []
+    for b in used:
+        if b[3] >= 0 and b[2] not in child_entries:
+            child_entries.append(b[2])
+    child_addr = {}
+    for e in child_entries:
+        cr = (row_size(e // W) // (W * START)).bit_length()  # child rows
+        span_base = min(b[0] for b in used if b[2] == e and b[3] == 0)
+        blob = bytearray(b"FHIB")
+        blob += struct.pack("<B", 0)
+        patches.append(len(buf) + len(blob))
+        blob += struct.pack("<Q", 0)                 # heap header addr
+        blob += struct.pack("<I", span_base)
+        slots = {b[3]: a for b, a in zip(used, blk_addr) if b[2] == e}
+        for sl in range(cr * W):
+            blob += struct.pack("<Q", slots.get(sl, UNDEF))
+        blob += b"\0\0\0\0"
+        child_addr[e] = alloc(bytes(blob))
+
+    # root indirect block
+    root_blob = bytearray(b"FHIB")
+    root_blob += struct.pack("<B", 0)
+    patches.append(len(buf) + len(root_blob))
+    root_blob += struct.pack("<Q", 0)
+    root_blob += struct.pack("<I", 0)
+    direct_of = {b[2]: a for b, a in zip(used, blk_addr) if b[3] < 0}
+    for e in range(n_rows * W):
+        if e // W < MAX_DIRECT_ROWS:
+            root_blob += struct.pack("<Q", direct_of.get(e, UNDEF))
+        else:
+            root_blob += struct.pack("<Q", child_addr.get(e, UNDEF))
+    root_blob += b"\0\0\0\0"
+    root_fhib = alloc(bytes(root_blob))
+
+    frhp = io.BytesIO()
+    frhp.write(b"FRHP" + struct.pack("<B", 0))
+    frhp.write(struct.pack("<HH", 7, 0))
+    frhp.write(struct.pack("<B", 0))
+    frhp.write(struct.pack("<I", 4096))
+    frhp.write(struct.pack("<QQ", 0, UNDEF))
+    frhp.write(struct.pack("<QQ", 0, UNDEF))
+    frhp.write(struct.pack("<QQQ", 8192, 8192, 0))
+    frhp.write(struct.pack("<Q", len(objs)))
+    frhp.write(struct.pack("<QQQQ", 0, 0, 0, 0))
+    frhp.write(struct.pack("<H", W))
+    frhp.write(struct.pack("<QQ", START, MAXD))
+    frhp.write(struct.pack("<HH", 32, n_rows))
+    frhp.write(struct.pack("<Q", root_fhib))
+    frhp.write(struct.pack("<H", n_rows))
+    frhp.write(b"\0\0\0\0")
+    frhp_addr = alloc(frhp.getvalue())
+    for pos in patches:
+        buf[pos:pos + 8] = struct.pack("<Q", frhp_addr)
+
+    # name index: one BTLF leaf big enough for all 80 records
+    NODE = 10 + 80 * 11 + 16
+    btlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+    for off in offs:
+        btlf += struct.pack("<I", 0)
+        btlf += struct.pack("<B", 0) + struct.pack("<I", off) + b"\0\0"
+    btlf += b"\0\0\0\0"
+    btlf_addr = alloc(bytes(btlf))
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", NODE, 11, 0)
+    bthd += struct.pack("<BB", 100, 40)
+    bthd += struct.pack("<QH", btlf_addr, len(objs))
+    bthd += struct.pack("<Q", len(objs))
+    bthd += b"\0\0\0\0"
+    bthd_addr = alloc(bthd)
+
+    root_oh = alloc(h5v2_object_header([
+        h5v2_msg(0x02, struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)),
+    ]))
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBB", 2, 8, 8, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), root_oh))
+    sb.write(b"\0\0\0\0")
+    buf[0:48] = sb.getvalue()
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
 def write_hdf4(path):
     """Two SDSs: 'sst' plain int16 [2,3] (v = 100+i), and 'cld' float32
     [4] deflate-compressed (v = k*0.5), each with its NDG and label."""
@@ -1218,6 +1386,7 @@ def main():
     write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
     write_hdf5_dense(os.path.join(TEST_FIX, "golden_dense.h5"))
     write_hdf5_dense_deep(os.path.join(TEST_FIX, "golden_deep.h5"))
+    write_hdf5_indirect(os.path.join(TEST_FIX, "golden_indirect.h5"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
