@@ -33,8 +33,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * one-unlimited-dimension shape every appended-time netCDF-4 series
   * takes — and the Version 2 B-tree index, record types 10/11, that
   * libhdf5 picks for >1 unlimited dims; filtered and plain) — with
-  * DEFLATE and SHUFFLE filters in any pipeline order, so a default
-  * `nc_def_var_deflate` file decodes in either generation. Fixed AND
+  * DEFLATE, SHUFFLE and FLETCHER32 filters in any pipeline order, so
+  * default `nc_def_var_deflate` + `nc_def_var_fletcher32` files decode
+  * in either generation (checksums are VERIFIED per chunk, corrupt
+  * chunks reject loudly). Superblocks v0/v1 (legacy) and v2/v3 (latest)
+  * all parse. Fixed AND
   * extensible arrays decode PAGED or unpaged (paged EA data blocks —
   * the shape a long-running appended time series grows into — store
   * prefix + contiguous checksummed pages, with the page-init bitmap in
@@ -42,9 +45,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * byte order (bit 0 of the datatype class bit field; big-endian is
   * the legacy big-iron shape). Fractal-heap offsets resolve through
   * INDIRECT CHILD blocks recursively, so dense groups read past the
-  * direct rows. Out of scope — rejected LOUDLY, never
-  * silently misread: szip, v1
-  * superblocks, huge/tiny fractal-heap objects.
+  * direct rows; HUGE heap objects (links past the max managed size)
+  * resolve directly or through the huge-object v2 B-tree, and TINY
+  * objects decode from the heap ID itself. SZIP chunks decode through
+  * a pure-JVM CCSDS 121 extended-Rice decoder ([[Szip]]). Out of
+  * scope — rejected LOUDLY, never silently misread: filtered heap
+  * blocks, extended tiny ids, szip padded-tail blocks, nbit/
+  * scale-offset filters.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -58,6 +65,10 @@ object HDF5 {
   val Undef: Long = -1L // 0xFFFFFFFFFFFFFFFF
 
   final case class H5Dataset(name: String, dims: Seq[Long], data: Array[Double])
+
+  /** One filter-pipeline entry: id (1 deflate, 2 shuffle, 3 fletcher32,
+    * 4 szip) plus its client-data words — szip needs them to decode. */
+  final case class H5Filter(id: Int, cd: Seq[Int])
 
   /** Extensible-array creation parameters (defaults = what libhdf5
     * uses for chunked-dataset indexes) and the derived super-block-row
@@ -125,7 +136,7 @@ object HDF5 {
   /** Dataset shape/dtype/filters — everything a task needs to decode one
     * stored chunk of it without re-reading any file metadata. */
   final case class H5Var(name: String, dims: Seq[Long], chunkDims: Seq[Int],
-      dtClass: Int, dtSize: Int, bigEndian: Boolean, filters: Seq[Int])
+      dtClass: Int, dtSize: Int, bigEndian: Boolean, filters: Seq[H5Filter])
 
   /** One stored chunk: grid origin (element coords), absolute file
     * offset and stored (possibly filtered) byte count. */
@@ -198,7 +209,7 @@ object HDF5 {
       "not an HDF5 file (bad signature)")
     val sbVersion = in.byteAt(8)
     sbVersion match {
-      case 0 =>
+      case 0 | 1 =>
         val sb = in.cursor(9)
         sb.get(); sb.get(); sb.get() // freespace, root symtab, reserved
         sb.get() // shared header message version
@@ -208,6 +219,10 @@ object HDF5 {
           s"only 8-byte offsets/lengths supported (got $sizeOffsets/$sizeLengths)")
         sb.get() // reserved
         sb.getShort(); sb.getShort(); sb.getInt() // group k's, flags
+        // v1 (written by 1.4-era libhdf5 when the indexed-storage B-tree
+        // K was tuned) inserts that K + 2 reserved bytes before the
+        // addresses; everything else matches v0
+        if (sbVersion == 1) { sb.getShort(); sb.getShort() }
         val baseAddr = sb.getLong()
         require(baseAddr == 0, s"nonzero base address $baseAddr unsupported")
         sb.getLong(); sb.getLong(); sb.getLong() // freespace, eof, driver
@@ -227,7 +242,7 @@ object HDF5 {
         sb.getLong() // end of file address
         sb.getLong() // root object header address (checksum follows, skipped)
       case v => throw new IllegalArgumentException(
-        s"superblock version $v unsupported (v0 default and v2/v3 latest only)")
+        s"superblock version $v unsupported (v0/v1 legacy and v2/v3 latest only)")
     }
   }
 
@@ -400,14 +415,13 @@ object HDF5 {
     require(filterLen == 0, "filtered fractal-heap blocks unsupported")
     h.get() // heap flags
     h.getInt() // max size of managed objects
-    h.getLong(); h.getLong() // next huge id, huge v2 btree
+    h.getLong() // next huge object id
+    val hugeBtAddr = h.getLong() // v2 B-tree of huge objects (record type 1)
     h.getLong(); h.getLong() // free space, free-space manager
     h.getLong(); h.getLong(); h.getLong() // managed space, allocated, iterator
     h.getLong() // number of managed objects
-    val hugeSize = h.getLong(); val nHuge = h.getLong()
-    val tinySize = h.getLong(); val nTiny = h.getLong()
-    require(nHuge == 0 && nTiny == 0 && hugeSize == 0 && tinySize == 0,
-      "huge/tiny fractal-heap objects unsupported (managed link records only)")
+    h.getLong(); val nHuge = h.getLong() // huge size, count
+    h.getLong(); h.getLong() // tiny size, count
     val width = h.getShort() & 0xffff
     val startBlock = h.getLong()
     val maxDirect = h.getLong()
@@ -518,12 +532,72 @@ object HDF5 {
       }
     }
 
+    // huge objects (> the heap's max managed size — e.g. a very long
+    // link name) live OUTSIDE the heap blocks; with the default 8-byte
+    // heap ids the address rides an "indirectly accessed" v2 B-tree
+    // (record type 1: address + length + id), looked up by the id the
+    // heap ID carries. Depth-0 trees only — a group would need dozens
+    // of over-4-KB link names to overflow one leaf.
+    lazy val hugeRecords: Map[Long, Long] = {
+      require(hugeBtAddr != Undef,
+        s"huge fractal-heap ids present but no huge-object B-tree ($nHuge expected)")
+      val hb = in.cursor(hugeBtAddr)
+      require((0 until 4).map(_ => hb.get().toChar).mkString == "BTHD",
+        "bad huge-object v2 B-tree signature")
+      require(hb.get() == 0, "huge-object BTHD version != 0")
+      val rtype = hb.get()
+      require(rtype == 1,
+        s"huge-object B-tree record type $rtype unsupported (non-filtered " +
+          "indirect only — szip/deflate-filtered huge objects out of scope)")
+      hb.getInt() // node size
+      val recSize = hb.getShort() & 0xffff
+      require(recSize == 24, s"huge-object record size $recSize != 24 (addr+len+id)")
+      val depth = hb.getShort() & 0xffff
+      require(depth == 0,
+        s"huge-object B-tree depth $depth unsupported (single leaf only)")
+      hb.get(); hb.get() // split/merge percents
+      val rootAddr = hb.getLong()
+      val rootNRec = hb.getShort() & 0xffff
+      val lb = in.cursor(rootAddr)
+      require((0 until 4).map(_ => lb.get().toChar).mkString == "BTLF",
+        "bad huge-object B-tree leaf signature")
+      require(lb.get() == 0 && lb.get() == 1, "huge-object BTLF version/type mismatch")
+      (0 until rootNRec).map { _ =>
+        val addr = lb.getLong()
+        lb.getLong() // stored length (link messages are self-delimiting)
+        val recId = lb.getLong()
+        recId -> addr
+      }.toMap
+    }
+
     readRecordIds(rootNodeAddr, rootNRec, depth).map { id =>
-      require((id(0) & 0x30) == 0,
-        "only managed fractal-heap ids supported (huge/tiny rejected)")
-      var off = 0L
-      (0 until offSize).foreach(i => off |= (id(1 + i) & 0xffL) << (8 * i))
-      parseLinkMessage(in, locate(off))
+      ((id(0) >> 4) & 0x3) match {
+        case 0 => // managed: heap-space offset into the block structure
+          var off = 0L
+          (0 until offSize).foreach(i => off |= (id(1 + i) & 0xffL) << (8 * i))
+          parseLinkMessage(in, locate(off))
+        case 1 => // huge: directly addressed if the id fits addr+length
+          if (1 + 16 <= heapIdLen) {
+            var addr = 0L
+            (0 until 8).foreach(i => addr |= (id(1 + i) & 0xffL) << (8 * i))
+            parseLinkMessage(in, addr)
+          } else {
+            var recId = 0L
+            (1 until id.length).foreach(i => recId |= (id(i) & 0xffL) << (8 * (i - 1)))
+            val addr = hugeRecords.getOrElse(recId, throw new IllegalArgumentException(
+              s"huge fractal-heap id $recId missing from the huge-object B-tree"))
+            parseLinkMessage(in, addr)
+          }
+        case 2 => // tiny: the link message rides inside the heap ID itself
+          require(heapIdLen <= 18,
+            "extended tiny fractal-heap ids (heap id length > 18) unsupported")
+          val len = (id(0) & 0x0f) + 1
+          require(1 + len <= id.length, s"tiny fractal-heap id claims $len payload bytes")
+          parseLinkMessage(new ArrayInput(
+            java.util.Arrays.copyOfRange(id, 1, 1 + len)), 0L)
+        case t => throw new IllegalArgumentException(
+          s"fractal-heap id type $t unsupported")
+      }
     }
   }
 
@@ -695,7 +769,7 @@ object HDF5 {
       name: String, dims: Seq[Long], dtClass: Int, dtSize: Int, bigEndian: Boolean,
       dataAddr: Long, chunkDims: Seq[Int], chunkBtree: Long,
       v4Index: Option[(Int, Long)], v4SingleChunk: Option[(Long, Int)],
-      compactOff: Long, compactLen: Int, filters: Seq[Int]) {
+      compactOff: Long, compactLen: Int, filters: Seq[H5Filter]) {
     /** Placement grid: the chunk dims for chunked storage, the full
       * extent for contiguous/compact (one whole-dataset "chunk"). */
     def effChunkDims: Seq[Int] =
@@ -716,7 +790,7 @@ object HDF5 {
     var v4SingleChunk: Option[(Long, Int)] = None // (filtered size, mask)
     var compactOff = -1L // layout class 0: data inline in the header
     var compactLen = 0
-    var filters: Seq[Int] = Nil // pipeline order as applied on write
+    var filters: Seq[H5Filter] = Nil // pipeline order as applied on write
     foldMessages(in, addr).foreach { case (mtype, off) =>
       mtype match {
         case 0x0001 => // dataspace (v1 default-properties, v2 latest)
@@ -805,10 +879,10 @@ object HDF5 {
             case (_, other) => throw new IllegalArgumentException(
               s"dataset $name: layout class $other unsupported (compact/contiguous/chunked only)")
           }
-        case 0x000B => // filter pipeline: deflate (1) and shuffle (2)
+        case 0x000B => // filter pipeline: deflate(1) shuffle(2) fletcher32(3) szip(4)
           val b = in.cursor(off)
           val v = b.get()
-          val ids = v match {
+          val entries = v match {
             case 1 =>
               val nf = b.get() & 0xff
               b.getShort(); b.getInt() // reserved
@@ -818,9 +892,9 @@ object HDF5 {
                 b.getShort() // flags
                 val nVals = b.getShort() & 0xffff
                 (0 until nameLen).foreach(_ => b.get())
-                (0 until nVals).foreach(_ => b.getInt())
+                val cd = (0 until nVals).map(_ => b.getInt())
                 if (nVals % 2 == 1) b.getInt() // pad to 8
-                id
+                H5Filter(id, cd)
               }
             case 2 =>
               val nf = b.get() & 0xff
@@ -830,16 +904,16 @@ object HDF5 {
                 b.getShort() // flags
                 val nVals = b.getShort() & 0xffff
                 (0 until nameLen).foreach(_ => b.get())
-                (0 until nVals).foreach(_ => b.getInt()) // no padding in v2
-                id
+                val cd = (0 until nVals).map(_ => b.getInt()) // no padding in v2
+                H5Filter(id, cd)
               }
             case other => throw new IllegalArgumentException(
               s"dataset $name: filter pipeline version $other unsupported")
           }
-          ids.foreach(id => require(id == 1 || id == 2,
-            s"dataset $name: filter id $id unsupported — " +
-              "only deflate (1) and shuffle (2) are implemented; szip needs libhdf5"))
-          filters = ids
+          entries.foreach(f => require(f.id >= 1 && f.id <= 4,
+            s"dataset $name: filter id ${f.id} unsupported — deflate (1), " +
+              "shuffle (2), fletcher32 (3) and szip (4) are implemented"))
+          filters = entries
         case _ => () // NIL, attributes, mod-time, fill value: skipped
       }
     }
@@ -899,10 +973,13 @@ object HDF5 {
   }
 
   /** Inverse of the byte-shuffle filter: the stored chunk holds all
-    * byte-0s, then all byte-1s, ...; restore element-interleaved order. */
+    * byte-0s, then all byte-1s, ...; restore element-interleaved order.
+    * Trailing bytes past the last whole element pass through unshuffled
+    * (libhdf5 semantics — a fletcher32 checksum appended BEFORE shuffle
+    * in the pipeline rides through as a 4-byte leftover). */
   private def unshuffleBytes(in: Array[Byte], esize: Int): Array[Byte] = {
-    require(in.length % esize == 0, s"shuffle: ${in.length} bytes not a multiple of $esize")
     val n = in.length / esize
+    val body = n * esize
     val out = new Array[Byte](in.length)
     var i = 0
     while (i < n) {
@@ -910,13 +987,14 @@ object HDF5 {
       while (j < esize) { out(i * esize + j) = in(j * n + i); j += 1 }
       i += 1
     }
+    System.arraycopy(in, body, out, body, in.length - body)
     out
   }
 
-  /** Forward byte-shuffle (writer side). */
+  /** Forward byte-shuffle (writer side); leftover bytes copy straight. */
   private def shuffleBytes(in: Array[Byte], esize: Int): Array[Byte] = {
-    require(in.length % esize == 0)
     val n = in.length / esize
+    val body = n * esize
     val out = new Array[Byte](in.length)
     var i = 0
     while (i < n) {
@@ -924,14 +1002,47 @@ object HDF5 {
       while (j < esize) { out(j * n + i) = in(i * esize + j); j += 1 }
       i += 1
     }
+    System.arraycopy(in, body, out, body, in.length - body)
     out
   }
 
+  /** HDF5's Fletcher-32 variant (filter id 3, the `nc_def_var_fletcher32`
+    * checksum): big-endian 16-bit words summed in two accumulators that
+    * fold every 360 words so a uint32 never overflows; an odd trailing
+    * byte is treated as the high byte of a final word. Returned as the
+    * uint32 `(sum2 << 16) | sum1` the filter appends little-endian. */
+  private[sources] def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    var remaining = len / 2
+    while (remaining > 0) {
+      var t = math.min(remaining, 360)
+      remaining -= t
+      while (t > 0) {
+        sum1 += ((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL)
+        i += 2
+        sum2 += sum1
+        t -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(i) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    (sum2 << 16) | sum1
+  }
+
   /** Apply the inverse filter pipeline (reverse write order). */
-  private def defilter(name: String, comp: Array[Byte], filters: Seq[Int],
+  private def defilter(name: String, comp: Array[Byte], filters: Seq[H5Filter],
       elemSize: Int): Array[Byte] =
-    filters.reverse.foldLeft(comp) { (acc, id) =>
-      id match {
+    filters.reverse.foldLeft(comp) { (acc, f) =>
+      f.id match {
         case 1 =>
           val inf = new java.util.zip.Inflater()
           inf.setInput(acc)
@@ -945,6 +1056,20 @@ object HDF5 {
           inf.end()
           outBuf.toByteArray
         case 2 => unshuffleBytes(acc, elemSize)
+        case 3 => // fletcher32: verify the trailing LE uint32, then strip it
+          require(acc.length >= 4, s"dataset $name: fletcher32 chunk under 4 bytes")
+          val n = acc.length - 4
+          val stored = (acc(n) & 0xffL) | ((acc(n + 1) & 0xffL) << 8) |
+            ((acc(n + 2) & 0xffL) << 16) | ((acc(n + 3) & 0xffL) << 24)
+          val computed = fletcher32(acc, n)
+          require(stored == computed,
+            f"dataset $name: fletcher32 mismatch (stored 0x$stored%08x, " +
+              f"computed 0x$computed%08x) — chunk is corrupt")
+          java.util.Arrays.copyOf(acc, n)
+        case 4 => // szip (CCSDS 121 extended-Rice via the H5Zszip framing)
+          require(f.cd.size >= 4,
+            s"dataset $name: szip filter carries ${f.cd.size} client words, expected 4")
+          Szip.decodeH5Chunk(name, acc, f.cd(0), f.cd(1), f.cd(2), f.cd(3))
       }
     }
 
@@ -953,7 +1078,7 @@ object HDF5 {
     * Shared by every chunk index via [[forEachChunk]]. */
   private def placeChunk(in: H5Input, name: String, out: Array[Byte],
       dims: Seq[Int], strides: Array[Long], chunkDims: Seq[Int], elemSize: Int,
-      filters: Seq[Int], offsets: Seq[Long], addr: Long, nbytes: Int): Unit = {
+      filters: Seq[H5Filter], offsets: Seq[Long], addr: Long, nbytes: Int): Unit = {
     val nd = dims.size
     val chunkBytes = defilter(name, in.slice(addr, nbytes), filters, elemSize)
     // full-extent "chunk" (contiguous/compact storage): straight copy
@@ -1078,7 +1203,7 @@ object HDF5 {
           s"dataset $name: fixed array holds $maxEntries entries, grid has $nChunks")
         require((clientId == 0) == filters.isEmpty,
           s"dataset $name: fixed-array client $clientId inconsistent with " +
-            s"filter pipeline ${filters.mkString(",")}")
+            s"filter pipeline ${filters.map(_.id).mkString(",")}")
         val db = in.cursor(dbAddr)
         require((0 until 4).map(_ => db.get().toChar).mkString == "FADB",
           s"dataset $name: bad fixed-array data block signature")
@@ -1124,7 +1249,7 @@ object HDF5 {
         val clientId = hc.get()
         require((clientId == 0) == filters.isEmpty,
           s"dataset $name: extensible-array client $clientId inconsistent " +
-            s"with filter pipeline ${filters.mkString(",")}")
+            s"with filter pipeline ${filters.map(_.id).mkString(",")}")
         val elmtSize = hc.get() & 0xff
         val maxBits = hc.get() & 0xff
         val iblkElmts = hc.get() & 0xff
@@ -1234,7 +1359,7 @@ object HDF5 {
           s"dataset $name: v2 B-tree record type $btype (expected 10/11: dataset chunks)")
         require((btype == 10) == filters.isEmpty,
           s"dataset $name: v2 B-tree record type $btype inconsistent with " +
-            s"filter pipeline ${filters.mkString(",")}")
+            s"filter pipeline ${filters.map(_.id).mkString(",")}")
         val nodeSize = bt.getInt()
         val recSize = bt.getShort() & 0xffff
         val depth = bt.getShort() & 0xffff
@@ -1313,7 +1438,7 @@ object HDF5 {
   /** Serialized payload of one full chunk, run through the filter
     * pipeline in order (1 = deflate, 2 = shuffle). */
   private def chunkPayload(s: DsSpec, cd: Seq[Int], origin: Seq[Long],
-      filters: Seq[Int]): Array[Byte] = {
+      filters: Seq[H5Filter]): Array[Byte] = {
     val rank = cd.size
     val dims = s.dims.map(_.toInt)
     val strides = new Array[Long](rank)
@@ -1337,8 +1462,16 @@ object HDF5 {
       ci += 1
     }
     val raw = bb.array()
-    filters.foldLeft(raw) { (acc, id) =>
-      id match {
+    filters.foldLeft(raw) { (acc, f) =>
+      f.id match {
+        case 3 => // fletcher32: append the LE uint32 checksum
+          val out = java.util.Arrays.copyOf(acc, acc.length + 4)
+          val c = fletcher32(acc, acc.length)
+          out(acc.length) = (c & 0xff).toByte
+          out(acc.length + 1) = ((c >> 8) & 0xff).toByte
+          out(acc.length + 2) = ((c >> 16) & 0xff).toByte
+          out(acc.length + 3) = ((c >> 24) & 0xff).toByte
+          out
         case 2 => shuffleBytes(acc, 8)
         case 1 =>
           val d = new java.util.zip.Deflater()
@@ -1423,7 +1556,7 @@ object HDF5 {
           val btreeLen = align8(24L + origins.size * (keySize + 8) + keySize)
           var caddr = btreeAddr + btreeLen
           chunkPlans(s.name) = origins.map { o =>
-            val payload = chunkPayload(s, cd, o, if (deflate) Seq(1) else Nil)
+            val payload = chunkPayload(s, cd, o, if (deflate) Seq(H5Filter(1, Seq(6))) else Nil)
             val a = caddr
             caddr = align8(caddr + payload.length)
             (o, payload, a)
@@ -1618,9 +1751,10 @@ object HDF5 {
     * filter pipelines with optional shuffle+deflate. Checksums are
     * emitted as zero (the reader skips them — see the object doc). */
   def writeLatest(specs: Seq[DsSpec], deflate: Boolean = false,
-      shuffle: Boolean = false, btreeLeafCap: Int = Int.MaxValue): Array[Byte] =
+      shuffle: Boolean = false, btreeLeafCap: Int = Int.MaxValue,
+      fletcher: Boolean = false): Array[Byte] =
     writeNewStyle(specs, deflate, shuffle, denseRoot = false,
-      smallHeapBlocks = false, v1LeafCap = btreeLeafCap)
+      smallHeapBlocks = false, v1LeafCap = btreeLeafCap, fletcher = fletcher)
 
   /** Write the DENSE-root-group variant of [[writeLatest]]: the root
     * OHDR holds ONLY a Link Info message; links live as fractal-heap
@@ -1644,10 +1778,10 @@ object HDF5 {
     * `fixedArrayAlways` (covering the client-0 path). */
   def writeLatestV4(specs: Seq[DsSpec], deflate: Boolean = false,
       shuffle: Boolean = false, fixedArrayAlways: Boolean = false,
-      faPageBits: Int = 16): Array[Byte] =
+      faPageBits: Int = 16, fletcher: Boolean = false): Array[Byte] =
     writeNewStyle(specs, deflate, shuffle, denseRoot = false,
       smallHeapBlocks = false, v4Chunks = true, v4FixedArrayAlways = fixedArrayAlways,
-      faPageBits = faPageBits)
+      faPageBits = faPageBits, fletcher = fletcher)
 
   /** [[writeLatestV4]] but every chunked dataset carries an UNLIMITED
     * slowest dimension (maxdims sentinel in the dataspace) and an
@@ -1698,13 +1832,19 @@ object HDF5 {
       v4Chunks: Boolean = false, v4FixedArrayAlways: Boolean = false,
       v4Extensible: Boolean = false, eaParams: EaParams = EaParams(),
       v1LeafCap: Int = Int.MaxValue, v4Btree2: Boolean = false,
-      bt2NodeSize: Int = 2048, faPageBits: Int = 16): Array[Byte] = {
+      bt2NodeSize: Int = 2048, faPageBits: Int = 16,
+      fletcher: Boolean = false): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
     val sorted = specs.sortBy(_.name)
     def align8(x: Long): Long = (x + 7) & ~7L
     val nameBytes = sorted.map(s => s.name.getBytes("UTF-8"))
     nameBytes.foreach(n => require(n.length < 256, "link names must fit a 1-byte length"))
-    val filters = (if (shuffle) Seq(2) else Nil) ++ (if (deflate) Seq(1) else Nil)
+    // netCDF-4 pipeline order: fletcher32 first (checksums the RAW chunk),
+    // then shuffle (the 4 checksum bytes ride as unshuffled leftover),
+    // then deflate — mirroring nc_def_var_fletcher32 + deflate plists.
+    val filters = (if (fletcher) Seq(H5Filter(3, Nil)) else Nil) ++
+      (if (shuffle) Seq(H5Filter(2, Seq(8))) else Nil) ++
+      (if (deflate) Seq(H5Filter(1, Seq(6))) else Nil)
 
     // ---- layout computation
     val superblockLen = 48L // sig(8) ver(1) sizes(2) flags(1) 4x addr(32) csum(4)
@@ -1778,7 +1918,10 @@ object HDF5 {
           5 + (rank + 1) * 4 + 1 + idxData + 8
         case Some(_) => 3 + 8 + 4 * (rank + 1)
       }
-      val pipeBody = if (hasFilter) 2 + 10 * filters.size else 0
+      // v2 pipeline entry: id(2)+flags(2)+nvals(2) + client data (4 per
+      // value) — deflate/shuffle carry 1 value, fletcher32 carries none
+      val pipeBody =
+        if (hasFilter) 2 + filters.map(f => 6 + 4 * f.cd.size).sum else 0
       val chunk0 = (4 + spaceBody) + (4 + 24) + (4 + layoutBody) +
         (if (hasFilter) 4 + pipeBody else 0)
       headerLens(s.name) = chunk0
@@ -2297,14 +2440,14 @@ object HDF5 {
           emitPipeline()
       }
       def emitPipeline(): Unit = if (s.chunkDims.isDefined && filters.nonEmpty) {
-        msgHdr(0x0B, 2 + 10 * filters.size)
+        msgHdr(0x0B, 2 + filters.map(f => 6 + 4 * f.cd.size).sum)
         out.put(2.toByte) // pipeline version
         out.put(filters.size.toByte)
-        filters.foreach { id =>
-          out.putShort(id.toShort)
+        filters.foreach { f =>
+          out.putShort(f.id.toShort)
           out.putShort(0) // flags
-          out.putShort(1) // n client values
-          out.putInt(if (id == 2) 8 else 6) // elem size / deflate level
+          out.putShort(f.cd.size.toShort) // n client values
+          f.cd.foreach(out.putInt) // elem size / deflate level
         }
       }
       out.putInt(0) // header checksum (zero)

@@ -35,7 +35,7 @@ object HDF5ChunkIngest {
     * it with no further metadata access. */
   final case class ChunkTask(
       path: String, dataset: String, dims: Seq[Long], chunkDims: Seq[Int],
-      dtClass: Int, dtSize: Int, bigEndian: Boolean, filters: Seq[Int],
+      dtClass: Int, dtSize: Int, bigEndian: Boolean, filters: Seq[HDF5.H5Filter],
       origin: Seq[Long], offset: Long, nbytes: Long)
 
   /** Phase 1: metadata-only chunk map of every HDF5 file in `paths`.

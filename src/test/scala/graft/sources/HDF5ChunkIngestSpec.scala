@@ -115,7 +115,7 @@ class HDF5ChunkIngestSpec extends SparkSpec {
     val in = new PagedFileInput(path)
     try {
       val (v, refs) = HDF5.manifest(in).find(_._1.name == "lwp").get
-      assert(v.filters == Seq(1))
+      assert(v.filters.map(_.id) == Seq(1))
       // deflated chunks are not all the raw 2*3*4*8 = 192 bytes
       assert(refs.exists(_.nbytes != 192L), "stored sizes look unfiltered")
       // every stored range must lie inside the file

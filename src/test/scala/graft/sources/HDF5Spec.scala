@@ -119,22 +119,22 @@ class HDF5Spec extends SparkSpec {
   test("unsupported filters are rejected loudly, not misread") {
     val chunky = Seq(lesFixture.last.copy(chunkDims = Some(Seq(1, 4, 4))))
     val bytes = HDF5.write(chunky, deflate = true)
-    // byte surgery: flip the deflate filter id (1) to szip (4) in the
+    // byte surgery: flip the deflate filter id (1) to nbit (5) in the
     // filter-pipeline message (0x000B, size 24, ver 1, nf 1, reserved)
     val pat = Array[Byte](0x0B, 0x00, 24, 0x00, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 1, 0)
     val idx = bytes.indices.find(i =>
       i + pat.length <= bytes.length && pat.indices.forall(j => bytes(i + j) == pat(j)))
     assert(idx.isDefined, "filter message not found in written bytes")
-    bytes(idx.get + 16) = 4
+    bytes(idx.get + 16) = 5
     val e = intercept[IllegalArgumentException](HDF5.read(bytes))
-    assert(e.getMessage.contains("filter id 4"))
+    assert(e.getMessage.contains("filter id 5"))
   }
 
-  test("v1 superblocks are rejected loudly") {
-    val v1 = HDF5.write(lesFixture)
-    v1(8) = 1 // superblock version
-    val e = intercept[IllegalArgumentException](HDF5.read(v1))
-    assert(e.getMessage.contains("superblock version 1"))
+  test("future superblock versions are rejected loudly") {
+    val v4 = HDF5.write(lesFixture)
+    v4(8) = 4 // superblock version (v0/v1/v2/v3 all decode; v4 doesn't exist)
+    val e = intercept[IllegalArgumentException](HDF5.read(v4))
+    assert(e.getMessage.contains("superblock version 4"))
   }
 
   test("latest format round-trips: v3 superblock, OHDR, links + OCHK continuation") {
@@ -505,8 +505,9 @@ class HDF5Spec extends SparkSpec {
       bytes(i) == 'B' && bytes(i + 1) == 'T' && bytes(i + 2) == 'L' && bytes(i + 3) == 'F').get
     val huge = bytes.clone()
     huge(leafAt + 6 + 4) = 0x10.toByte // skip sig+ver+type, then 4-byte hash
+    // a huge id in a heap that declares no huge-object B-tree is corrupt
     val e1 = intercept[IllegalArgumentException](HDF5.read(huge))
-    assert(e1.getMessage.contains("managed fractal-heap ids"))
+    assert(e1.getMessage.contains("no huge-object B-tree"))
     // a LYING depth field (any depth now decodes, but the node kinds must
     // match it): depth=2 over a leaf root walks into BTLF expecting BTIN
     val bthdAt = bytes.indices.find(i =>
@@ -569,6 +570,48 @@ class HDF5Spec extends SparkSpec {
     assert(nFhib >= 2, s"expected child indirect blocks, found $nFhib FHIB")
     val back = HDF5.read(bytes).map(d => d.name -> d.data.toSeq).toMap
     assert(back == specs.map(s => s.name -> s.data.toSeq).toMap)
+  }
+
+  test("fletcher32 round-trips through every writer generation and pipeline") {
+    val ds = HDF5.DsSpec("q", Seq(11), Array.tabulate(11)(_ * 1.25 - 3.0),
+      chunkDims = Some(Seq(4)))
+    for {
+      (df, sh) <- Seq((false, false), (true, false), (true, true))
+      bytes <- Seq(
+        HDF5.writeLatest(Seq(ds), deflate = df, shuffle = sh, fletcher = true),
+        HDF5.writeLatestV4(Seq(ds), deflate = df, shuffle = sh, fletcher = true))
+    } {
+      val back = HDF5.read(bytes).head
+      assert(back.data.toSeq == ds.data.toSeq, s"deflate=$df shuffle=$sh")
+    }
+  }
+
+  test("fletcher32 catches a flipped chunk byte loudly (unfiltered-otherwise)") {
+    val ds = HDF5.DsSpec("q", Seq(6), Array.tabulate(6)(_ + 0.5),
+      chunkDims = Some(Seq(3)))
+    val bytes = HDF5.writeLatest(Seq(ds), fletcher = true)
+    assert(HDF5.read(bytes).head.data.toSeq == ds.data.toSeq)
+    // locate the LE double 0.5 (first chunk payload, stored raw) and flip a bit
+    val probe = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(0.5).array()
+    val at = (0 until bytes.length - 8).find(i =>
+      probe.indices.forall(j => bytes(i + j) == probe(j))).get
+    val bad = bytes.clone(); bad(at + 2) = (bad(at + 2) ^ 0x01).toByte
+    val ex = intercept[IllegalArgumentException](HDF5.read(bad))
+    assert(ex.getMessage.contains("fletcher32 mismatch"))
+  }
+
+  test("fletcher32 chunks decode through the chunk-parallel manifest too") {
+    val ds = HDF5.DsSpec("q", Seq(9), Array.tabulate(9)(_ * 2.0),
+      chunkDims = Some(Seq(4)))
+    val bytes = HDF5.writeLatest(Seq(ds), deflate = true, shuffle = true, fletcher = true)
+    val (v, refs) = HDF5.manifest(new ArrayInput(bytes)).head
+    assert(v.filters.map(_.id) == Seq(3, 2, 1))
+    val got = refs.flatMap { r =>
+      val raw = java.util.Arrays.copyOfRange(bytes, r.offset.toInt, (r.offset + r.nbytes).toInt)
+      HDF5.decodeChunk(raw, v, r.origin)
+    }.toMap
+    assert((0 until 9).map(i => got(i.toLong)) == ds.data.toSeq)
   }
 
   test("depth-2 chunk index decodes through the chunk-parallel manifest too") {

@@ -359,18 +359,63 @@ def h5_filter_shuffle_deflate(esize, level):
     return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 2) + shuf + defl)
 
 def byte_shuffle(raw, esize):
+    # trailing bytes past the last whole element copy straight (libhdf5
+    # H5Zshuffle "leftover" rule — a fletcher32 checksum appended before
+    # shuffle in the pipeline rides through unshuffled)
     n = len(raw) // esize
     out = bytearray(len(raw))
     for i in range(n):
         for j in range(esize):
             out[j * n + i] = raw[i * esize + j]
+    out[n * esize:] = raw[n * esize:]
     return bytes(out)
 
-def write_hdf5(path):
+def fletcher32(data):
+    """HDF5's fletcher32 (H5Zfletcher32 filter id 3): big-endian 16-bit
+    words, accumulators folded every 360 words, odd tail byte as the
+    high byte of a final word. The filter appends the uint32 LE."""
+    s1 = s2 = 0
+    i = 0
+    words = len(data) // 2
+    while words:
+        t = min(words, 360)
+        words -= t
+        for _ in range(t):
+            s1 += (data[i] << 8) | data[i + 1]
+            s2 += s1
+            i += 2
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    if len(data) % 2:
+        s1 += data[i] << 8
+        s2 += s1
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    s1 = (s1 & 0xFFFF) + (s1 >> 16)
+    s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    return ((s2 << 16) | s1) & 0xFFFFFFFF
+
+def h5_filter_fletcher_shuffle_deflate(esize, level):
+    # the nc_def_var_fletcher32 + nc_def_var_deflate(shuffle=1) write
+    # pipeline: fletcher32 (id 3, no client data) THEN shuffle THEN
+    # deflate; fletcher has 0 values -> no odd-count pad needed
+    flet = struct.pack("<HHHH", 3, 0, 1, 0)
+    shuf = struct.pack("<HHHH", 2, 0, 1, 1) + struct.pack("<I", esize) + b"\0" * 4
+    defl = struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", level) + b"\0" * 4
+    return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 3) + flet + shuf + defl)
+
+def h5_filter_fletcher_only():
+    flet = struct.pack("<HHHH", 3, 0, 1, 0)
+    return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 1) + flet)
+
+def write_hdf5(path, sb_version=0):
     """Two datasets under a symbol-table root group (the h5py default-
     properties shape): 'temp' contiguous f64 [2,3,4] with value
-    i*0.25, and 'series' chunked (4)+deflate f32 [10] with value k*1.5."""
-    buf = bytearray(b"\0" * 96)  # superblock placeholder, filled last
+    i*0.25, and 'series' chunked (4)+deflate f32 [10] with value k*1.5.
+    sb_version=1 writes the 1.4-era superblock (4 extra bytes for the
+    indexed-storage B-tree K), identical content otherwise."""
+    sb_len = 96 if sb_version == 0 else 100
+    buf = bytearray(b"\0" * sb_len)  # superblock placeholder, filled last
 
     def alloc(blob):
         off = len(buf)
@@ -461,13 +506,373 @@ def write_hdf5(path):
         h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
     ]))
 
-    # --- superblock v0
+    # --- superblock v0 (or v1: + indexed-storage K and 2 reserved bytes)
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBBBBBB", sb_version, 0, 0, 0, 0, 8, 8, 0))
+    sb.write(struct.pack("<HHI", 4, 16, 0))           # leaf k, internal k, flags
+    if sb_version == 1:
+        sb.write(struct.pack("<HH", 32, 0))           # indexed-storage K, reserved
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
+    # root symbol-table entry: linkname(8) OH(8) cachetype(4) res(4) scratch(16)
+    sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
+    sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
+    sb_bytes = sb.getvalue()
+    assert len(sb_bytes) == sb_len, len(sb_bytes)
+    buf[0:sb_len] = sb_bytes
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+def write_hdf5_fletcher(path):
+    """Fletcher32-checksummed chunked datasets (v0 generation):
+    'checked' f64 [10] chunked (4) through the full netCDF-4 pipeline
+    fletcher32 -> shuffle -> deflate (value k*0.75 - 2.0), and 'plain'
+    f64 [5] chunked (3) with fletcher32 ALONE (value k*k*0.5). The
+    checksum rides the chunk as a 4-byte LE suffix; with shuffle it is
+    the unshuffled leftover tail."""
+    buf = bytearray(b"\0" * 96)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    def v1_leaf(entries, rank, end_off):
+        bt = bytearray()
+        bt += b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+        bt += struct.pack("<QQ", UNDEF, UNDEF)
+        for size, off, addr in entries:
+            bt += struct.pack("<II", size, 0)
+            bt += struct.pack("<QQ", off, 0)
+            bt += struct.pack("<Q", addr)
+        bt += struct.pack("<IIQQ", 0, 0, end_off, 0)
+        return alloc(bytes(bt))
+
+    # --- 'checked': fletcher32 + shuffle + deflate, 3 chunks of 4
+    checked_vals = [k * 0.75 - 2.0 for k in range(10)]
+    entries = []
+    for c in range(3):
+        chunk = checked_vals[c * 4:(c + 1) * 4]
+        chunk += [0.0] * (4 - len(chunk))
+        raw = struct.pack("<4d", *chunk)
+        withsum = raw + struct.pack("<I", fletcher32(raw))
+        comp = zlib.compress(byte_shuffle(withsum, 8), 6)
+        entries.append((len(comp), c * 4, alloc(comp)))
+    checked_bt = v1_leaf(entries, 1, 10)
+    checked_oh = alloc(h5_object_header([
+        h5_dataspace([10]),
+        h5_datatype_float(8),
+        h5_filter_fletcher_shuffle_deflate(8, 6),
+        h5_layout_chunked(checked_bt, [4], 8),
+    ]))
+
+    # --- 'plain': fletcher32 only, 2 chunks of 3
+    plain_vals = [k * k * 0.5 for k in range(5)]
+    entries = []
+    for c in range(2):
+        chunk = plain_vals[c * 3:(c + 1) * 3]
+        chunk += [0.0] * (3 - len(chunk))
+        raw = struct.pack("<3d", *chunk)
+        withsum = raw + struct.pack("<I", fletcher32(raw))
+        entries.append((len(withsum), c * 3, alloc(withsum)))
+    plain_bt = v1_leaf(entries, 1, 5)
+    plain_oh = alloc(h5_object_header([
+        h5_dataspace([5]),
+        h5_datatype_float(8),
+        h5_filter_fletcher_only(),
+        h5_layout_chunked(plain_bt, [3], 8),
+    ]))
+
+    # --- root group (symbol-table, names ordered)
+    heap_data = bytearray(b"\0" * 8)
+    name_offs = {}
+    for nm in ["checked", "plain"]:
+        name_offs[nm] = len(heap_data)
+        heap_data += nm.encode() + b"\0"
+        heap_data += b"\0" * ((-len(heap_data)) % 8)
+    heap_data_addr = alloc(bytes(heap_data))
+    heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF,
+                                            heap_data_addr))
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 2)
+    for nm, oh in [("checked", checked_oh), ("plain", plain_oh)]:
+        snod += struct.pack("<QQII16x", name_offs[nm], oh, 0, 0)
+    snod_addr = alloc(snod)
+    gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+    gtree += struct.pack("<QQ", UNDEF, UNDEF)
+    gtree += struct.pack("<QQ", 0, snod_addr)
+    gtree += struct.pack("<Q", name_offs["plain"])
+    gtree_addr = alloc(gtree)
+    root_oh = alloc(h5_object_header([
+        h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
+    ]))
+
     sb = io.BytesIO()
     sb.write(b"\x89HDF\r\n\x1a\n")
     sb.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
-    sb.write(struct.pack("<HHI", 4, 16, 0))           # leaf k, internal k, flags
+    sb.write(struct.pack("<HHI", 4, 16, 0))
     sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
-    # root symbol-table entry: linkname(8) OH(8) cachetype(4) res(4) scratch(16)
+    sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
+    sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
+    sb_bytes = sb.getvalue()
+    assert len(sb_bytes) == 96, len(sb_bytes)
+    buf[0:96] = sb_bytes
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+# ---------------------------------------------------------------------------
+# szip (CCSDS 121.0-B extended-Rice) ENCODER — independent of the Scala
+# decoder; both written from the public spec. Emits the H5Zszip framing:
+# uint32 LE original byte count + raw bitstream (SZ_RAW always set).
+# ---------------------------------------------------------------------------
+
+class _Bits:
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+        self.out = bytearray()
+
+    def put(self, v, nbits):
+        assert 0 <= v < (1 << nbits), (v, nbits)
+        self.acc = (self.acc << nbits) | v
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+
+    def put_fs(self, z):
+        # z zeros then a terminating 1
+        while z >= 32:
+            self.put(0, 32)
+            z -= 32
+        self.put(1, z + 1)
+
+    def bytes(self):
+        if self.n:
+            return bytes(self.out) + bytes([(self.acc << (8 - self.n)) & 0xFF])
+        return bytes(self.out)
+
+def szip_nn_map(samples, n):
+    """NN preprocessing over one reference-sample interval: first sample
+    raw, the rest mapped deltas (CCSDS 121 unit-delay predictor)."""
+    xmax = (1 << n) - 1
+    mapped = [samples[0]]
+    pred = samples[0]
+    for x in samples[1:]:
+        delta = x - pred
+        theta = min(pred, xmax - pred)
+        if -theta <= delta <= theta:
+            d = 2 * delta if delta >= 0 else -2 * delta - 1
+        else:
+            d = theta + abs(delta)
+        mapped.append(d)
+        pred = x
+    return mapped
+
+def szip_encode(samples, n, block, rsi_blocks, preprocess):
+    """Per-block best-option coding: zero-block runs (with the ROS
+    marker), second extension, k-splitting (k=0 = FS), uncompressed."""
+    bits = _Bits()
+    id_len = 5 if n > 16 else 4 if n > 8 else 3
+    id_uncomp = (1 << id_len) - 1
+    total = len(samples)
+    assert total % block == 0
+    pos = 0
+    while pos < total:
+        rsi = min(rsi_blocks * block, total - pos)
+        chunk = samples[pos:pos + rsi]
+        mapped = szip_nn_map(chunk, n) if preprocess else list(chunk)
+        nblocks = rsi // block
+        b = 0
+        while b < nblocks:
+            blk = mapped[b * block:(b + 1) * block]
+            is_ref = preprocess and b == 0
+            body = blk[1:] if is_ref else blk
+            # zero-block run (coded samples all zero)?
+            if all(v == 0 for v in body):
+                run = 1
+                while (b + run < nblocks
+                       and run < 64 - (b % 64)
+                       and all(v == 0 for v in
+                               mapped[(b + run) * block:(b + run + 1) * block])):
+                    run += 1
+                bits.put(0, id_len)
+                bits.put(0, 1)
+                if is_ref:
+                    bits.put(blk[0], n)
+                if b + run == nblocks:          # remainder of segment
+                    bits.put_fs(4)
+                elif run < 5:
+                    bits.put_fs(run - 1)
+                else:
+                    bits.put_fs(run)            # raw 5 is the ROS marker
+                b += run
+                continue
+            # candidate costs (data bits; option overhead: id_len, +1 low-entropy)
+            cands = []
+            for k in range(0, min(n - 2, id_uncomp - 1)):
+                cands.append((sum((v >> k) + 1 for v in body) + k * len(body),
+                              ("split", k)))
+            se_vals = []
+            rest = body
+            if is_ref:
+                d1 = body[0]
+                se_vals.append(d1 * (d1 + 1) // 2 + d1)  # half pair: d0 = 0
+                rest = body[1:]
+            ok_se = len(rest) % 2 == 0
+            if ok_se:
+                for j in range(0, len(rest), 2):
+                    d0, d1 = rest[j], rest[j + 1]
+                    q = d0 + d1
+                    se_vals.append(q * (q + 1) // 2 + d1)
+                if all(m < (1 << 24) for m in se_vals):
+                    cands.append((sum(m + 1 for m in se_vals) + 1, ("se", se_vals)))
+            cands.append((n * block, ("uncomp", None)))
+            _, (mode, arg) = min(cands, key=lambda c: c[0])
+            if mode == "uncomp":
+                bits.put(id_uncomp, id_len)
+                for v in blk:
+                    bits.put(v, n)
+            elif mode == "se":
+                bits.put(0, id_len)
+                bits.put(1, 1)
+                if is_ref:
+                    bits.put(blk[0], n)
+                for m in arg:
+                    bits.put_fs(m)
+            else:
+                k = arg
+                bits.put(k + 1, id_len)
+                if is_ref:
+                    bits.put(blk[0], n)
+                for v in body:
+                    bits.put_fs(v >> k)
+                if k:
+                    for v in body:
+                        bits.put(v & ((1 << k) - 1), k)
+            b += 1
+        pos += rsi
+    return bits.bytes()
+
+# szlib option-mask bits: ALLOW_K13=1, EC=4, LSB=8, MSB=16, NN=32, RAW=128
+SZ_EC_LSB_RAW = 4 | 8 | 128
+SZ_NN_LSB_RAW = 32 | 8 | 128
+
+def h5_filter_szip(options, bpp, ppb, pps):
+    rec = struct.pack("<HHHH", 4, 0, 1, 4) + struct.pack("<4I", options, bpp, ppb, pps)
+    return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 1) + rec)
+
+def szip_h5_chunk(raw_le_bytes, n, block, rsi_blocks, preprocess):
+    """uint32 LE original size + stream; samples read LSB (LE) order."""
+    bps = 1 if n <= 8 else 2 if n <= 16 else 4
+    assert len(raw_le_bytes) % bps == 0
+    samples = [int.from_bytes(raw_le_bytes[i:i + bps], "little")
+               for i in range(0, len(raw_le_bytes), bps)]
+    stream = szip_encode(samples, n, block, rsi_blocks, preprocess)
+    return struct.pack("<I", len(raw_le_bytes)) + stream
+
+def write_hdf5_szip(path):
+    """Szip-compressed chunked datasets (v0 generation), all NN+LSB+RAW
+    unless noted, bpp=32, pixels_per_block=8, pixels_per_scanline=16:
+      'szi' int32 [48] chunked (16): chunk 0 constant 7 (zero-block run +
+            ROS), chunk 1 ramp 3k (small deltas), chunk 2 pseudorandom
+            (k-splitting / uncompressed);
+      'szf' float32 [32] chunked (16): f32 bit patterns as 32-bit samples;
+      'sze' int32 [16] chunked (16): EC mode (no preprocessing)."""
+    buf = bytearray(b"\0" * 96)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    def v1_leaf(entries, end_off):
+        bt = bytearray()
+        bt += b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+        bt += struct.pack("<QQ", UNDEF, UNDEF)
+        for size, off, addr in entries:
+            bt += struct.pack("<IIQQ", size, 0, off, 0)
+            bt += struct.pack("<Q", addr)
+        bt += struct.pack("<IIQQ", 0, 0, end_off, 0)
+        return alloc(bytes(bt))
+
+    def h5_datatype_int32le():
+        # class 0 (fixed-point), v1, LE, signed (bit 3 of class flags)
+        body = struct.pack("<BBBBI", 0x10, 0x08, 0, 0, 4)
+        body += struct.pack("<HH", 0, 32)  # bit offset, precision
+        return h5_msg(0x0003, body)
+
+    # --- 'szi': int32, 3 chunks of 16
+    szi_vals = ([7] * 16
+                + [3 * k for k in range(16)]
+                + [(k * 2654435761) % 1000003 for k in range(16)])
+    entries = []
+    for c in range(3):
+        raw = b"".join(struct.pack("<i", v) for v in szi_vals[c * 16:(c + 1) * 16])
+        comp = szip_h5_chunk(raw, 32, 8, 2, preprocess=True)
+        entries.append((len(comp), c * 16, alloc(comp)))
+    szi_bt = v1_leaf(entries, 48)
+    szi_oh = alloc(h5_object_header([
+        h5_dataspace([48]),
+        h5_datatype_int32le(),
+        h5_filter_szip(SZ_NN_LSB_RAW, 32, 8, 16),
+        h5_layout_chunked(szi_bt, [16], 4),
+    ]))
+
+    # --- 'szf': float32 bit patterns, 2 chunks of 16
+    szf_vals = [k * 0.25 - 2.0 for k in range(32)]
+    entries = []
+    for c in range(2):
+        raw = b"".join(struct.pack("<f", v) for v in szf_vals[c * 16:(c + 1) * 16])
+        comp = szip_h5_chunk(raw, 32, 8, 2, preprocess=True)
+        entries.append((len(comp), c * 16, alloc(comp)))
+    szf_bt = v1_leaf(entries, 32)
+    szf_oh = alloc(h5_object_header([
+        h5_dataspace([32]),
+        h5_datatype_float(4),
+        h5_filter_szip(SZ_NN_LSB_RAW, 32, 8, 16),
+        h5_layout_chunked(szf_bt, [16], 4),
+    ]))
+
+    # --- 'sze': EC mode (no reference samples, direct sample coding)
+    sze_vals = [(k * 7) % 19 for k in range(16)]
+    raw = b"".join(struct.pack("<i", v) for v in sze_vals)
+    comp = szip_h5_chunk(raw, 32, 8, 2, preprocess=False)
+    sze_bt = v1_leaf([(len(comp), 0, alloc(comp))], 16)
+    sze_oh = alloc(h5_object_header([
+        h5_dataspace([16]),
+        h5_datatype_int32le(),
+        h5_filter_szip(SZ_EC_LSB_RAW, 32, 8, 16),
+        h5_layout_chunked(sze_bt, [16], 4),
+    ]))
+
+    # --- root group
+    heap_data = bytearray(b"\0" * 8)
+    name_offs = {}
+    for nm in ["sze", "szf", "szi"]:
+        name_offs[nm] = len(heap_data)
+        heap_data += nm.encode() + b"\0"
+        heap_data += b"\0" * ((-len(heap_data)) % 8)
+    heap_data_addr = alloc(bytes(heap_data))
+    heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF,
+                                            heap_data_addr))
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 3)
+    for nm, oh in [("sze", sze_oh), ("szf", szf_oh), ("szi", szi_oh)]:
+        snod += struct.pack("<QQII16x", name_offs[nm], oh, 0, 0)
+    snod_addr = alloc(snod)
+    gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+    gtree += struct.pack("<QQ", UNDEF, UNDEF)
+    gtree += struct.pack("<QQ", 0, snod_addr)
+    gtree += struct.pack("<Q", name_offs["szi"])
+    gtree_addr = alloc(gtree)
+    root_oh = alloc(h5_object_header([
+        h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
+    ]))
+
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    sb.write(struct.pack("<HHI", 4, 16, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
     sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
     sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
     sb_bytes = sb.getvalue()
@@ -789,6 +1194,231 @@ def write_hdf5_dense(path):
     bthd_addr = alloc(bthd)
 
     # root group: Link Info message pointing at the heap + name index
+    root_oh = alloc(h5v2_object_header([
+        h5v2_msg(0x02, struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)),
+    ]))
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBB", 2, 8, 8, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), root_oh))
+    sb.write(b"\0\0\0\0")
+    buf[0:48] = sb.getvalue()
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+def write_hdf5_huge(path):
+    """DENSE root group with a HUGE link: one link message bigger than
+    the heap's max-managed-object size (a 300-char dataset name) stored
+    OUTSIDE the heap blocks and addressed through the huge-object v2
+    B-tree (record type 1: address + length + id) — the indirectly-
+    accessed shape libhdf5 uses with its default 8-byte heap ids. Two
+    normal managed links ride the usual root direct block."""
+    buf = bytearray(b"\0" * 48)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    longname = "".join(chr(ord("a") + (i * 7) % 26) for i in range(300))
+    names = ["alpha", "bravo", longname]
+    ds_ohs = {}
+    for i, nm in enumerate(names):
+        vals = [i * 100.0 + k * 0.5 for k in range(4)]
+        daddr = alloc(struct.pack("<4d", *vals))
+        ds_ohs[nm] = alloc(h5v2_object_header([
+            h5_dataspace_v2([4]),
+            h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8)
+                     + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)),
+            h5v2_msg(0x08, struct.pack("<BBQQ", 3, 1, daddr, 32)),
+        ]))
+
+    def link_body(nm, addr):
+        b = nm.encode()
+        if len(b) < 256:
+            return struct.pack("<BBB", 1, 0, len(b)) + b + struct.pack("<Q", addr)
+        return struct.pack("<BBH", 1, 1, len(b)) + b + struct.pack("<Q", addr)
+
+    OFFSIZE = 4
+    START_BLOCK = 512
+    DB_HDR = 4 + 1 + 8 + OFFSIZE
+    managed = [link_body(nm, ds_ohs[nm]) for nm in names[:2]]
+    heap_offs = []
+    p = DB_HDR
+    for o in managed:
+        heap_offs.append(p)
+        p += len(o)
+    assert p <= START_BLOCK
+    fhdb = bytearray(b"FHDB" + struct.pack("<B", 0))
+    fhdb_hdrpos = len(fhdb)
+    fhdb += struct.pack("<Q", 0)
+    fhdb += struct.pack("<I", 0)
+    for o in managed:
+        fhdb += o
+    fhdb += b"\0" * (START_BLOCK - len(fhdb))
+    fhdb_addr = alloc(bytes(fhdb))
+
+    # the huge object: raw link-message bytes outside any heap block
+    huge_obj = link_body(longname, ds_ohs[longname])
+    assert len(huge_obj) > 256
+    huge_addr = alloc(huge_obj)
+    # huge-object v2 B-tree: single BTLF of record type 1 (addr+len+id)
+    hbtlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 1))
+    hbtlf += struct.pack("<QQQ", huge_addr, len(huge_obj), 1)
+    hbtlf += b"\0\0\0\0"
+    hbtlf_addr = alloc(bytes(hbtlf))
+    hbthd = b"BTHD" + struct.pack("<BB", 0, 1)
+    hbthd += struct.pack("<IHH", 512, 24, 0)
+    hbthd += struct.pack("<BB", 100, 40)
+    hbthd += struct.pack("<QH", hbtlf_addr, 1)
+    hbthd += struct.pack("<Q", 1)
+    hbthd += b"\0\0\0\0"
+    hbthd_addr = alloc(hbthd)
+
+    frhp = io.BytesIO()
+    frhp.write(b"FRHP" + struct.pack("<B", 0))
+    frhp.write(struct.pack("<HH", 7, 0))
+    frhp.write(struct.pack("<B", 0))
+    frhp.write(struct.pack("<I", 256))           # max managed object size
+    frhp.write(struct.pack("<QQ", 2, hbthd_addr))  # next huge id, huge btree
+    frhp.write(struct.pack("<QQ", 0, UNDEF))
+    frhp.write(struct.pack("<QQQ", START_BLOCK, START_BLOCK, 0))
+    frhp.write(struct.pack("<Q", len(managed)))
+    frhp.write(struct.pack("<QQQQ", len(huge_obj), 1, 0, 0))  # huge/tiny size+count
+    frhp.write(struct.pack("<H", 4))
+    frhp.write(struct.pack("<QQ", START_BLOCK, 4096))
+    frhp.write(struct.pack("<HH", 32, 1))
+    frhp.write(struct.pack("<Q", fhdb_addr))
+    frhp.write(struct.pack("<H", 0))
+    frhp.write(b"\0\0\0\0")
+    frhp_addr = alloc(frhp.getvalue())
+    buf[fhdb_addr + fhdb_hdrpos:fhdb_addr + fhdb_hdrpos + 8] = \
+        struct.pack("<Q", frhp_addr)
+
+    # name-index BTLF: 2 managed ids + 1 huge id (type bits 0x10, 6-byte LE id)
+    btlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+    for off in heap_offs:
+        btlf += struct.pack("<I", 0)
+        btlf += struct.pack("<B", 0) + struct.pack("<I", off) + b"\0\0"
+    btlf += struct.pack("<I", 0)
+    btlf += struct.pack("<B", 0x10) + struct.pack("<I", 1) + b"\0\0"
+    btlf += b"\0\0\0\0"
+    btlf_addr = alloc(bytes(btlf))
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", 512, 11, 0)
+    bthd += struct.pack("<BB", 100, 40)
+    bthd += struct.pack("<QH", btlf_addr, 3)
+    bthd += struct.pack("<Q", 3)
+    bthd += b"\0\0\0\0"
+    bthd_addr = alloc(bthd)
+
+    root_oh = alloc(h5v2_object_header([
+        h5v2_msg(0x02, struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)),
+    ]))
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBB", 2, 8, 8, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), root_oh))
+    sb.write(b"\0\0\0\0")
+    buf[0:48] = sb.getvalue()
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+def write_hdf5_tiny(path):
+    """DENSE root group with an 18-byte heap-id length: a TINY link whose
+    whole link message rides inside the heap ID (type bits 0x20, 4-bit
+    length-minus-one), a huge DIRECTLY-accessed link (1 + addr + length
+    fits the 18-byte id — no B-tree), and one normal managed link."""
+    buf = bytearray(b"\0" * 48)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    longname = "".join(chr(ord("a") + (i * 11) % 26) for i in range(280))
+    names = ["m", "t", longname]
+    ds_ohs = {}
+    for i, nm in enumerate(names):
+        vals = [i * 10.0 - k for k in range(4)]
+        daddr = alloc(struct.pack("<4d", *vals))
+        ds_ohs[nm] = alloc(h5v2_object_header([
+            h5_dataspace_v2([4]),
+            h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8)
+                     + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)),
+            h5v2_msg(0x08, struct.pack("<BBQQ", 3, 1, daddr, 32)),
+        ]))
+
+    def link_body(nm, addr):
+        b = nm.encode()
+        if len(b) < 256:
+            return struct.pack("<BBB", 1, 0, len(b)) + b + struct.pack("<Q", addr)
+        return struct.pack("<BBH", 1, 1, len(b)) + b + struct.pack("<Q", addr)
+
+    ID_LEN = 18
+    OFFSIZE = 4
+    START_BLOCK = 512
+    DB_HDR = 4 + 1 + 8 + OFFSIZE
+    managed = [link_body("m", ds_ohs["m"])]
+    heap_offs = [DB_HDR]
+    fhdb = bytearray(b"FHDB" + struct.pack("<B", 0))
+    fhdb_hdrpos = len(fhdb)
+    fhdb += struct.pack("<Q", 0)
+    fhdb += struct.pack("<I", 0)
+    fhdb += managed[0]
+    fhdb += b"\0" * (START_BLOCK - len(fhdb))
+    fhdb_addr = alloc(bytes(fhdb))
+
+    huge_obj = link_body(longname, ds_ohs[longname])
+    assert len(huge_obj) > 256
+    huge_addr = alloc(huge_obj)
+
+    tiny_body = link_body("t", ds_ohs["t"])
+    assert len(tiny_body) <= 16, len(tiny_body)
+
+    frhp = io.BytesIO()
+    frhp.write(b"FRHP" + struct.pack("<B", 0))
+    frhp.write(struct.pack("<HH", ID_LEN, 0))
+    frhp.write(struct.pack("<B", 0))
+    frhp.write(struct.pack("<I", 256))
+    frhp.write(struct.pack("<QQ", 1, UNDEF))     # next huge id, NO huge btree
+    frhp.write(struct.pack("<QQ", 0, UNDEF))
+    frhp.write(struct.pack("<QQQ", START_BLOCK, START_BLOCK, 0))
+    frhp.write(struct.pack("<Q", 1))
+    frhp.write(struct.pack("<QQQQ", len(huge_obj), 1, len(tiny_body), 1))
+    frhp.write(struct.pack("<H", 4))
+    frhp.write(struct.pack("<QQ", START_BLOCK, 4096))
+    frhp.write(struct.pack("<HH", 32, 1))
+    frhp.write(struct.pack("<Q", fhdb_addr))
+    frhp.write(struct.pack("<H", 0))
+    frhp.write(b"\0\0\0\0")
+    frhp_addr = alloc(frhp.getvalue())
+    buf[fhdb_addr + fhdb_hdrpos:fhdb_addr + fhdb_hdrpos + 8] = \
+        struct.pack("<Q", frhp_addr)
+
+    def pad_id(prefix):
+        assert len(prefix) <= ID_LEN
+        return prefix + b"\0" * (ID_LEN - len(prefix))
+
+    ids = [
+        pad_id(struct.pack("<B", 0) + struct.pack("<I", heap_offs[0])),
+        pad_id(struct.pack("<B", 0x20 | (len(tiny_body) - 1)) + tiny_body),
+        pad_id(struct.pack("<B", 0x10) + struct.pack("<QQ", huge_addr, len(huge_obj))),
+    ]
+    btlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+    for hid in ids:
+        btlf += struct.pack("<I", 0)
+        btlf += hid
+    btlf += b"\0\0\0\0"
+    btlf_addr = alloc(bytes(btlf))
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", 512, 4 + ID_LEN, 0)
+    bthd += struct.pack("<BB", 100, 40)
+    bthd += struct.pack("<QH", btlf_addr, len(ids))
+    bthd += struct.pack("<Q", len(ids))
+    bthd += b"\0\0\0\0"
+    bthd_addr = alloc(bthd)
+
     root_oh = alloc(h5v2_object_header([
         h5v2_msg(0x02, struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)),
     ]))
@@ -1383,8 +2013,13 @@ def main():
                    os.path.join(TEST_FIX, "pool_weights.bin"),
                    os.path.join(TEST_FIX, "ext_fp16_expected.json"))
     write_hdf5(os.path.join(TEST_FIX, "golden.h5"))
+    write_hdf5(os.path.join(TEST_FIX, "golden_v1sb.h5"), sb_version=1)
+    write_hdf5_fletcher(os.path.join(TEST_FIX, "golden_fletcher.h5"))
+    write_hdf5_szip(os.path.join(TEST_FIX, "golden_szip.h5"))
     write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
     write_hdf5_dense(os.path.join(TEST_FIX, "golden_dense.h5"))
+    write_hdf5_huge(os.path.join(TEST_FIX, "golden_huge.h5"))
+    write_hdf5_tiny(os.path.join(TEST_FIX, "golden_tiny.h5"))
     write_hdf5_dense_deep(os.path.join(TEST_FIX, "golden_deep.h5"))
     write_hdf5_indirect(os.path.join(TEST_FIX, "golden_indirect.h5"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
