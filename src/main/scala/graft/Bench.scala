@@ -72,7 +72,11 @@ object Bench {
     // Round 9: chunk-parallel HDF5 ingest (manifest -> positioned-read
     // fan-out) — times the consolidated-store decode path end to end,
     // including the driver-side paged metadata parse.
-    "q129_hdf5_chunk_parallel")
+    "q129_hdf5_chunk_parallel",
+    // Round 9: stupid-backoff bigram LM (Brants 2007) — times the
+    // order-2 perplexity-filter shape (bigram model build + three
+    // token-keyed scoring joins), one order up from q79's corpus stats.
+    "q131_backoff_lm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -198,6 +198,109 @@ object TextAnalysis {
           / sum(col("cnt")), 6).as("nll"))
   }
 
+  /** Stupid-backoff bigram language-model score per document — the
+    * web-scale LM recipe of Brants et al. 2007 ("Large Language Models in
+    * Machine Translation"): no discounting, no normalization, just
+    *
+    *   S(w2 | w1) = c(w1 w2) / c(w1)          if c(w1 w2) >= minBigramCount
+    *              = alpha * c(w2) / N          otherwise (backoff, alpha=0.4)
+    *
+    * Mean negative log-score over a document's bigram positions is the
+    * order-2 member of the perplexity-filter family (CCNet-style corpus
+    * quality scoring one order up from [[unigramLmScores]]). The
+    * `minBigramCount` cutoff is the paper's count pruning — it bounds the
+    * bigram table AND makes the backoff branch live even when scoring the
+    * training corpus itself (an unpruned in-sample bigram always has
+    * c >= 1). Documents with fewer than two tokens have no bigram and no
+    * output row. Rounded to 6 dp for cross-engine float-sum stability.
+    *
+    * Scale shape: bigram formation is a pure array projection (shifted-
+    * slice zip — no self-join, no window shuffle); the bigram/unigram
+    * model tables are count aggregations partial-combined map-side, and
+    * every scoring join is a token-keyed equi-join AQE size-gates to a
+    * broadcast when the pruned model fits (at 100 TB the pruned bigram
+    * table shuffles hash-partitioned on (w1, w2) — never collected). */
+  def stupidBackoffScores(df: DataFrame, idCol: String, textCol: String,
+      minBigramCount: Int = 2, alpha: Double = 0.4): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val bigs = t.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val perDoc = bigs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val bigram = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+      .where(col("bcnt") >= minBigramCount)
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum("ucnt").cast("long").as("n_total"))
+    val u1 = uni.select(col("tok").as("w1"), col("ucnt").as("ucnt1"))
+    val u2 = uni.select(col("tok").as("w2"), col("ucnt").as("ucnt2"))
+    val nllTerm = when(col("bcnt").isNotNull,
+        log(col("ucnt1").cast("double")) - log(col("bcnt").cast("double")))
+      .otherwise(lit(-math.log(alpha)) + log(col("n_total").cast("double"))
+        - log(col("ucnt2").cast("double")))
+    perDoc
+      .join(bigram, Seq("w1", "w2"), "left")
+      .join(u1, "w1")
+      .join(u2, "w2")
+      .crossJoin(broadcast(total)) // bounded: one row
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_big"),
+        round(sum(col("cnt") * nllTerm) / sum(col("cnt")), 6).as("nll"))
+  }
+
+  /** Moore-Lewis cross-entropy-difference data selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data"): score
+    * every document by H_in(d) − H_gen(d), its mean per-token negative
+    * log-likelihood under an IN-DOMAIN unigram LM minus under the
+    * GENERAL-corpus LM. Documents that look more like the target domain
+    * than like the background corpus score negative and are selected —
+    * the standard recipe for carving a domain-targeted training subset
+    * out of a web-scale crawl. Both LMs are add-one (Laplace) smoothed
+    * over the SHARED general vocabulary, so out-of-domain-only tokens are
+    * scorable under the in-domain model (the paper's OOV handling need).
+    *
+    * Output: (doc_id, n_tok, nll_in, nll_gen, delta, selected) with all
+    * doubles rounded to 6 dp (cross-engine float-sum stability) and
+    * `selected` = delta <= 0 as 0/1 BIGINT, decided on the ROUNDED delta
+    * so both engines compare the identical value.
+    *
+    * Scale shape: identical to [[unigramLmScores]] — two token-count
+    * aggregations (the in-domain one over a filtered scan), token-keyed
+    * equi-joins AQE size-gates to broadcasts, two 1-row constant frames
+    * explicitly broadcast; no all-pairs, no driver state. */
+  def mooreLewisScores(df: DataFrame, idCol: String, textCol: String,
+      inDomain: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), inDomain.as("in_dom"),
+      explode(tokens(col(textCol))).as("tok"))
+    val perDoc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val gen = toks.groupBy("tok").agg(count(lit(1)).as("gcnt"))
+    val ind = toks.where(col("in_dom")).groupBy("tok").agg(count(lit(1)).as("icnt"))
+    val consts = gen.agg(sum("gcnt").cast("long").as("n_gen"),
+      count(lit(1)).cast("long").as("v"))
+    val nIn = toks.where(col("in_dom")).agg(count(lit(1)).cast("long").as("n_in"))
+    val termIn = log((col("n_in") + col("v")).cast("double")) -
+      log((coalesce(col("icnt"), lit(0L)) + 1).cast("double"))
+    val termGen = log((col("n_gen") + col("v")).cast("double")) -
+      log((col("gcnt") + 1).cast("double"))
+    val deltaR6 = round(
+      (sum(col("cnt") * termIn) - sum(col("cnt") * termGen)) / sum(col("cnt")), 6)
+    perDoc
+      .join(gen, "tok")
+      .join(ind, Seq("tok"), "left")
+      .crossJoin(broadcast(consts)) // bounded: one row
+      .crossJoin(broadcast(nIn))    // bounded: one row
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_tok"),
+        round(sum(col("cnt") * termIn) / sum(col("cnt")), 6).as("nll_in"),
+        round(sum(col("cnt") * termGen) / sum(col("cnt")), 6).as("nll_gen"),
+        deltaR6.as("delta"),
+        (deltaR6 <= 0.0).cast("long").as("selected"))
+  }
+
   /** Gopher-style repetition quality signals per document (Rae et al.
     * 2021 §A1.1 "repetition" filters, the public rule family): duplicate-
     * token fraction (1 − distinct/total) and top-token dominance

@@ -217,6 +217,84 @@ object LlmQueries {
       TextAnalysis.unigramLmScores(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // ---- stupid-backoff bigram LM quality score -------------------------
+    // Brants et al. 2007: S(w2|w1) = c(w1 w2)/c(w1) when the bigram
+    // survives the count cutoff, else 0.4 * c(w2)/N. The cutoff (>= 2)
+    // both bounds the model table and keeps the backoff branch live on
+    // in-sample scoring (every unpruned in-sample bigram has c >= 1).
+    // The oracle replays the identical ln arithmetic, including the
+    // backoff constant as -ln(0.4) on both sides (0.4 parses to the same
+    // IEEE double in both engines; a last-ulp libm divergence is absorbed
+    // by the 6-dp rounding, exactly as q95's ln(count) terms are).
+    QueryDef.sqlBacked(
+      "q131_backoff_lm",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |pd AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM big GROUP BY 1, 2, 3),
+        |bc AS (SELECT w1, w2, count(*) AS bcnt FROM big GROUP BY 1, 2
+        |       HAVING count(*) >= 2),
+        |toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT tok, count(*) AS ucnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ucnt) AS BIGINT) AS n_total FROM uni)
+        |SELECT pd.doc_id, CAST(sum(pd.cnt) AS BIGINT) AS n_big,
+        |  round(sum(pd.cnt * CASE WHEN bc.bcnt IS NOT NULL
+        |      THEN ln(CAST(u1.ucnt AS DOUBLE)) - ln(CAST(bc.bcnt AS DOUBLE))
+        |      ELSE -ln(0.4) + ln(CAST(n_total AS DOUBLE)) - ln(CAST(u2.ucnt AS DOUBLE))
+        |    END) / sum(pd.cnt), 6) AS nll
+        |FROM pd
+        |LEFT JOIN bc ON bc.w1 = pd.w1 AND bc.w2 = pd.w2
+        |JOIN uni u1 ON u1.tok = pd.w1
+        |JOIN uni u2 ON u2.tok = pd.w2
+        |CROSS JOIN tot
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      TextAnalysis.stupidBackoffScores(Tables.documents(s, d), "doc_id", "text",
+        minBigramCount = 2, alpha = 0.4)
+    },
+
+    // ---- Moore-Lewis cross-entropy data selection -----------------------
+    // In-domain = source 'src0'; both Laplace-smoothed unigram LMs are
+    // replayed token-for-token by the oracle, and the selected flag is
+    // decided on the ROUNDED delta in both engines.
+    QueryDef.sqlBacked(
+      "q132_moore_lewis",
+      """WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS in_dom,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |pd AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+        |gen AS (SELECT tok, count(*) AS gcnt FROM toks GROUP BY 1),
+        |ind AS (SELECT tok, count(*) AS icnt FROM toks WHERE in_dom GROUP BY 1),
+        |consts AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_gen,
+        |           CAST(count(*) AS BIGINT) AS v FROM gen),
+        |nin AS (SELECT CAST(count(*) AS BIGINT) AS n_in FROM toks WHERE in_dom)
+        |SELECT doc_id, n_tok, nll_in, nll_gen, delta,
+        |  CAST(CASE WHEN delta <= 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM (
+        |  SELECT pd.doc_id, CAST(sum(pd.cnt) AS BIGINT) AS n_tok,
+        |    round(sum(pd.cnt * (ln(CAST(n_in + v AS DOUBLE))
+        |        - ln(CAST(coalesce(icnt, 0) + 1 AS DOUBLE)))) / sum(pd.cnt), 6)
+        |      AS nll_in,
+        |    round(sum(pd.cnt * (ln(CAST(n_gen + v AS DOUBLE))
+        |        - ln(CAST(gcnt + 1 AS DOUBLE)))) / sum(pd.cnt), 6) AS nll_gen,
+        |    round((sum(pd.cnt * (ln(CAST(n_in + v AS DOUBLE))
+        |          - ln(CAST(coalesce(icnt, 0) + 1 AS DOUBLE))))
+        |        - sum(pd.cnt * (ln(CAST(n_gen + v AS DOUBLE))
+        |          - ln(CAST(gcnt + 1 AS DOUBLE))))) / sum(pd.cnt), 6) AS delta
+        |  FROM pd
+        |  JOIN gen ON gen.tok = pd.tok
+        |  LEFT JOIN ind ON ind.tok = pd.tok
+        |  CROSS JOIN consts CROSS JOIN nin
+        |  GROUP BY 1)""".stripMargin) { (s, d) =>
+      TextAnalysis.mooreLewisScores(Tables.documents(s, d), "doc_id", "text",
+        col("source") === "src0")
+    },
+
     // ---- rolling-hash document fingerprint ------------------------------
     QueryDef.sqlBacked(
       "q25_fingerprint",

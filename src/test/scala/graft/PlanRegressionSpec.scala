@@ -28,7 +28,11 @@ class PlanRegressionSpec extends SparkSpec {
       // q117: ADC probe LUTs are a bounded broadcast frame cross-joined
       // onto the coded corpus (operators/Pq.scala) — the q30 shape; the
       // dedicated "q117" test below asserts the BNLJ is present.
-      "q117_pq_adc_topk")
+      "q117_pq_adc_topk",
+      // q131: the corpus token total N is a one-row count frame
+      // explicitly broadcast-cross-joined onto the scored bigram table
+      // (the backoff term needs N on every row) — the q79 shape.
+      "q131_backoff_lm")
 
   /** Plan with AQE off: the static plan exposes codegen stages and join
     * strategies directly (AQE only re-plans at runtime from this shape). */
