@@ -76,7 +76,11 @@ object Bench {
     // Round 9: stupid-backoff bigram LM (Brants 2007) — times the
     // order-2 perplexity-filter shape (bigram model build + three
     // token-keyed scoring joins), one order up from q79's corpus stats.
-    "q131_backoff_lm")
+    "q131_backoff_lm",
+    // Round 9: byte-level BPE corpus encode — times the full-corpus
+    // tokenize pass (distinct-pretoken segmentation cache + join-back),
+    // the token-accounting cost every dataset build pays.
+    "q133_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -150,4 +150,50 @@ object BpeTrainer {
     }
     merges.result()
   }
+
+  /** Spaced byte-level segmentation of a pre-token under an ORDERED merge
+    * table — the tokenizer-APPLY primitive for [[learnByteMerges]] output.
+    * Each merge is the trainer's own double boundary-anchored literal
+    * replace (' l r ' -> ' lr ', applied twice), so encoding reproduces
+    * exactly the segmentation the training loop would leave — the
+    * train/encode consistency every BPE tokenizer's contract requires. */
+  def byteSegment(tok: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(spaced(byteSymbols(tok))) { case (c, (l, r)) =>
+      val pat = lit(s" $l $r ")
+      val rep = lit(s" $l$r ")
+      call_function("replace", call_function("replace", c, pat, rep), pat, rep)
+    }
+
+  /** Per-document token statistics under a learned byte-level merge table
+    * — the corpus-ENCODE pass (GPT-2-style tokenize) that turns a trained
+    * tokenizer into the token accounting every pipeline reports: number
+    * of pre-tokens, number of BPE tokens, and an order-free codepoint
+    * poly-hash fingerprint of the document's segmentations (value-proves
+    * the per-pretoken subword strings, not just their counts).
+    *
+    * Scale shape: segmentation runs once per DISTINCT pre-token (the
+    * vocabulary frame — the cache every production tokenizer keeps), as
+    * a pure projection; documents join their segment stats back by a
+    * token-keyed equi-join AQE size-gates to a broadcast, and both
+    * aggregations partial-combine map-side. The merge table rides the
+    * plan as literals (vocab-sized; broadcast territory by construction). */
+  def byteEncodeStats(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val pre = df.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)),
+        lit(ByteLevelPretokenRegex), lit(0))).as("tok"))
+    val perDoc = pre.groupBy("doc_id", "tok").agg(count(lit(1)).as("occ"))
+    val vocab = perDoc.select("tok").distinct()
+      .withColumn("seg", trim(byteSegment(col("tok"), merges)))
+      .select(col("tok"),
+        size(split(col("seg"), " ")).cast("long").as("n_sub"),
+        // codepoint-exact HOF hash: segs carry 'Ġ' (U+0120), outside the
+        // native byte-loop PolyHash's ASCII-identical range
+        TextAnalysis.polyHashHof(col("seg")).as("seg_h"))
+    perDoc.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(sum("occ").cast("long").as("n_pretok"),
+        sum(col("occ") * col("n_sub")).cast("long").as("n_tok"),
+        sum(col("occ") * col("seg_h")).cast("long").as("tok_fp"))
+  }
 }

@@ -430,6 +430,48 @@ object CurationQueries {
       top.select(col("rnk"), col("tok").as("word"), col("cnt"),
         trim(seg0).as("seg"))
         .withColumn("n_sub", size(split(col("seg"), " ")).cast("long"))
+    },
+
+    // ---- byte-level BPE corpus ENCODE (GPT-2-style tokenize) ------------
+    // The missing half of the tokenizer loop: q128/q130 TRAIN a byte-level
+    // merge table, this query ENCODES the whole corpus with one — per-doc
+    // pre-token count, BPE token count, and an order-free codepoint
+    // poly-hash of every segmentation (so the subword STRINGS are
+    // value-proven per document, not just counted). Segmentation runs once
+    // per DISTINCT pre-token and joins back — the production tokenizer
+    // cache shape. The oracle replays the GPT-2 alphabet spaced split
+    // (ASCII corpus: per-char == per-byte, space -> 'Ġ'; q130 proves the
+    // multi-byte path), the identical ordered double-replace merge chain,
+    // and the codepoint hash fold ('Ġ' = U+0120 contributes 288 in both
+    // engines — the HOF/ord parity the fingerprint family relies on).
+    QueryDef.sqlBacked(
+      "q133_bpe_encode",
+      s"""WITH pre AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         |    ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+')) AS tok
+         |  FROM documents),
+         |pd AS (SELECT doc_id, tok, count(*) AS occ FROM pre GROUP BY 1, 2),
+         |segd AS (
+         |  SELECT tok, trim(${ByteBpeMerges.foldLeft(
+             "' ' || trim(regexp_replace(replace(tok, ' ', 'Ġ'), '(.)', '\\1 ', 'g')) || ' '") {
+             case (acc, (l, r)) =>
+               s"replace(replace($acc, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"
+           }}) AS seg
+         |  FROM (SELECT DISTINCT tok FROM pd)),
+         |stats AS (
+         |  SELECT tok, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sub,
+         |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+         |      [CAST(ord(substr(seg, j, 1)) AS BIGINT)
+         |       FOR j IN range(1, len(seg) + 1)]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) AS seg_h
+         |  FROM segd)
+         |SELECT pd.doc_id, CAST(sum(occ) AS BIGINT) AS n_pretok,
+         |  CAST(sum(occ * n_sub) AS BIGINT) AS n_tok,
+         |  CAST(sum(occ * seg_h) AS BIGINT) AS tok_fp
+         |FROM pd JOIN stats ON stats.tok = pd.tok
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.operators.BpeTrainer.byteEncodeStats(
+        Tables.documents(s, d), "doc_id", "text", ByteBpeMerges)
     })
 
   /** The q124/q128 oracle: the BPE trainer loop unrolled as chained
@@ -475,4 +517,13 @@ object CurationQueries {
   private val BpeMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
     ("r", "e"), ("o", "n"), ("s", "t"), ("e", "n"), ("a", "t"))
+
+  /** Ordered BYTE-LEVEL merge table for q133 — GPT-2-alphabet symbols
+    * (space rides as 'Ġ'), with a chained merge (Ġ+t, h+e, then Ġt+he)
+    * so later merges consume earlier outputs across the space boundary.
+    * Fixed literals, as a deployed tokenizer's table is; all symbols are
+    * replace()-literal-safe by construction. */
+  private val ByteBpeMerges: Seq[(String, String)] = Seq(
+    ("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("r", "e"), ("o", "n"), ("Ġ", "a"), ("s", "t"))
 }
