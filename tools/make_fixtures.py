@@ -28,8 +28,10 @@ Deterministic: running it twice produces byte-identical files.
 """
 import gzip
 import io
+import itertools
 import json
 import os
+import random
 import struct
 import zlib
 
@@ -2004,6 +2006,210 @@ def write_wav(path):
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# randomized HDF5 fuzz fixtures: seeded sweep over the v0-generation
+# parameter space (rank, dims, dtype, byte order, layout, chunk geometry
+# incl. edge chunks, filter pipelines). Each file carries ONE dataset
+# 'data'; manifest.txt records the expected decode so the Scala side
+# asserts values without sharing any generation code.
+# ---------------------------------------------------------------------------
+
+def h5_datatype_any(dt, be):
+    """Datatype message for f32/f64 (class 1) or i32/i64 (class 0, signed
+    2's complement), either byte order (bit 0 of class bit field)."""
+    order = 1 if be else 0
+    if dt == "f64":
+        props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+        body = struct.pack("<BBBBI", 0x11, 0x20 | order, 63, 0, 8) + props
+    elif dt == "f32":
+        props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        body = struct.pack("<BBBBI", 0x11, 0x20 | order, 31, 0, 4) + props
+    else:
+        size = 4 if dt == "i32" else 8
+        props = struct.pack("<HH", 0, size * 8)  # bit offset, precision
+        body = struct.pack("<BBBBI", 0x10, 0x08 | order, 0, 0, size) + props
+    return h5_msg(0x0003, body)
+
+def h5_layout_compact(raw):
+    return h5_msg(0x0008, struct.pack("<BBH", 3, 0, len(raw)) + raw)
+
+_DT_PACK = {"f32": "f", "f64": "d", "i32": "i", "i64": "q"}
+_DT_SIZE = {"f32": 4, "f64": 8, "i32": 4, "i64": 8}
+
+def _pack_vals(vals, dt, be):
+    return struct.pack((">" if be else "<") + str(len(vals)) + _DT_PACK[dt],
+                       *vals)
+
+def _chunk_gather(vals, dims, cdims, origin):
+    """Row-major elements of the chunk at `origin`, zero-padded where the
+    chunk overhangs the dataset bounds (the edge-chunk rule)."""
+    zero = 0 if isinstance(vals[0], int) else 0.0
+    out = []
+    for idx in itertools.product(*[range(c) for c in cdims]):
+        pos = [origin[k] + idx[k] for k in range(len(dims))]
+        if all(p < d for p, d in zip(pos, dims)):
+            flat = 0
+            for k in range(len(dims)):
+                flat = flat * dims[k] + pos[k]
+            out.append(vals[flat])
+        else:
+            out.append(zero)
+    return out
+
+def _apply_pipeline(raw, filt, esize):
+    """Forward filter pipeline in libhdf5 write order (fletcher32 first,
+    then shuffle, then deflate — each agnostic of the others, so an
+    esize-dividing checksum gets shuffled as one more element)."""
+    if filt in ("flet", "fletshufdef"):
+        raw = raw + struct.pack("<I", fletcher32(raw))
+    if filt in ("shufdef", "fletshufdef"):
+        raw = byte_shuffle(raw, esize)
+    if filt in ("deflate", "shufdef", "fletshufdef"):
+        raw = zlib.compress(raw, 6)
+    return raw
+
+def _h5_filter_msgs(filt, esize):
+    if filt == "deflate":
+        return [h5_filter_deflate(6)]
+    if filt == "shufdef":
+        return [h5_filter_shuffle_deflate(esize, 6)]
+    if filt == "flet":
+        return [h5_filter_fletcher_only()]
+    if filt == "fletshufdef":
+        return [h5_filter_fletcher_shuffle_deflate(esize, 6)]
+    return []
+
+def write_hdf5_fuzz_one(path, dims, cdims, dt, be, layout, filt, vals):
+    """One-dataset v0-generation file: symbol-table root group holding
+    'data' with the given geometry/dtype/layout/filters."""
+    buf = bytearray(b"\0" * 96)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    esize = _DT_SIZE[dt]
+    msgs = [h5_dataspace(dims), h5_datatype_any(dt, be)]
+    if layout == "compact":
+        msgs.append(h5_layout_compact(_pack_vals(vals, dt, be)))
+    elif layout == "contig":
+        addr = alloc(_pack_vals(vals, dt, be))
+        msgs.append(h5_layout_contiguous(addr, len(vals) * esize))
+    else:  # chunked: v1 B-tree, one leaf, keys in row-major origin order
+        entries = []
+        origins = itertools.product(
+            *[range(0, d, c) for d, c in zip(dims, cdims)])
+        for origin in origins:
+            raw = _pack_vals(_chunk_gather(vals, dims, cdims, origin), dt, be)
+            stored = _apply_pipeline(raw, filt, esize)
+            entries.append((len(stored), origin, alloc(stored)))
+        bt = bytearray()
+        bt += b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+        bt += struct.pack("<QQ", UNDEF, UNDEF)
+        for size, origin, addr in entries:
+            bt += struct.pack("<II", size, 0)
+            bt += b"".join(struct.pack("<Q", o) for o in origin)
+            bt += struct.pack("<Q", 0)  # elem-size dimension offset
+            bt += struct.pack("<Q", addr)
+        bt += struct.pack("<II", 0, 0)
+        bt += b"".join(struct.pack("<Q", d) for d in dims)
+        bt += struct.pack("<Q", 0)
+        btree_addr = alloc(bytes(bt))
+        msgs.extend(_h5_filter_msgs(filt, esize))
+        msgs.append(h5_layout_chunked(btree_addr, cdims, esize))
+    data_oh = alloc(h5_object_header(msgs))
+
+    heap_data = bytearray(b"\0" * 8)
+    name_off = len(heap_data)
+    heap_data += b"data\0"
+    heap_data += b"\0" * ((-len(heap_data)) % 8)
+    heap_data_addr = alloc(bytes(heap_data))
+    heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data),
+                                            UNDEF, heap_data_addr))
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 1)
+    snod += struct.pack("<QQII16x", name_off, data_oh, 0, 0)
+    snod_addr = alloc(snod)
+    gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+    gtree += struct.pack("<QQ", UNDEF, UNDEF)
+    gtree += struct.pack("<QQ", 0, snod_addr)
+    gtree += struct.pack("<Q", name_off)
+    gtree_addr = alloc(gtree)
+    root_oh = alloc(h5_object_header([
+        h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
+    ]))
+
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    sb.write(struct.pack("<HHI", 4, 16, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
+    sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
+    sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
+    sb_bytes = sb.getvalue()
+    assert len(sb_bytes) == 96, len(sb_bytes)
+    buf[0:96] = sb_bytes
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+def write_hdf5_fuzz(outdir, n=32, seed=20260814):
+    """Seeded random sweep: n one-dataset files + manifest.txt with lines
+    `name;dtype;order;layout;filter;dims;chunks;values` (values via repr,
+    exact for the binary fractions and ints used)."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = random.Random(seed)
+    cases = []
+    for t in range(n):
+        rank = rng.randint(1, 3)
+        dims = [rng.randint(1, 7) for _ in range(rank)]
+        dt = rng.choice(["f32", "f64", "i32", "i64"])
+        be = rng.random() < 0.35
+        layout = rng.choice(["contig", "chunked", "chunked", "chunked",
+                             "compact"])
+        filt = "none"
+        cdims = None
+        if layout == "chunked":
+            while True:
+                cdims = [rng.randint(1, d) for d in dims]
+                nch = 1
+                for d, c in zip(dims, cdims):
+                    nch *= -(-d // c)
+                if nch <= 8:
+                    break
+            filt = rng.choice(["none", "deflate", "shufdef", "flet",
+                               "fletshufdef"])
+        cases.append((dims, cdims, dt, be, layout, filt))
+    # directed tail: the esize-4 fletcher+shuffle geometry (checksum
+    # divides the element size, so shuffle treats it as one more element)
+    # and BE fletcher variants — rare draws worth pinning every run
+    cases += [
+        ([9], [4], "f32", False, "chunked", "fletshufdef"),
+        ([7], [3], "i32", True, "chunked", "fletshufdef"),
+        ([3, 5], [2, 3], "i64", True, "chunked", "fletshufdef"),
+        ([6], [4], "f64", True, "chunked", "flet"),
+    ]
+    lines = []
+    for t, (dims, cdims, dt, be, layout, filt) in enumerate(cases):
+        name = "fz%02d" % t
+        nelem = 1
+        for d in dims:
+            nelem *= d
+        if dt.startswith("f"):
+            vals = [i * 0.25 - 3.0 for i in range(nelem)]
+        elif dt == "i32":
+            vals = [i * 7919 - 12345 for i in range(nelem)]
+        else:
+            vals = [(i - 3) * 98765432101 for i in range(nelem)]  # > 2^32, < 2^53
+        write_hdf5_fuzz_one(os.path.join(outdir, name + ".h5"),
+                            dims, cdims, dt, be, layout, filt, vals)
+        lines.append(";".join([
+            name, dt, "be" if be else "le", layout, filt,
+            ",".join(str(d) for d in dims),
+            ",".join(str(c) for c in cdims) if cdims else "-",
+            ",".join(repr(v) for v in vals)]))
+    with open(os.path.join(outdir, "manifest.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
 def main():
     os.makedirs(TEST_FIX, exist_ok=True)
     os.makedirs(MAIN_FIX, exist_ok=True)
@@ -2022,6 +2228,7 @@ def main():
     write_hdf5_tiny(os.path.join(TEST_FIX, "golden_tiny.h5"))
     write_hdf5_dense_deep(os.path.join(TEST_FIX, "golden_deep.h5"))
     write_hdf5_indirect(os.path.join(TEST_FIX, "golden_indirect.h5"))
+    write_hdf5_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
