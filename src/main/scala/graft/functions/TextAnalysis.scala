@@ -301,6 +301,49 @@ object TextAnalysis {
         (deltaR6 <= 0.0).cast("long").as("selected"))
   }
 
+  /** Okapi BM25 document scoring against a fixed query-term set
+    * (Robertson et al., TREC-3; the idf form is Lucene's shifted-log
+    * variant ln(1 + (N - df + 0.5)/(df + 0.5)), always positive):
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    *                        (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *
+    * — the standard lexical relevance scorer, used in pipelines for
+    * retrieval-based curation (pulling domain-relevant documents by
+    * keyword probes) and as the sparse half of hybrid search next to the
+    * ANN operators. Emits (doc_id, n_hit_terms, score) for documents
+    * matching at least one query term; score rounded to 6 dp.
+    *
+    * Scale shape: the query is a bounded literal list (an `isin` filter
+    * pushed into the token explode), so the per-doc tf frame holds only
+    * query-term hits; df comes from a query-sized aggregation and rides
+    * a broadcast; N and avgdl are a 1-row broadcast; doc lengths join
+    * back on the id equi-join. Nothing scans more than once. */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val consts = docLen.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("dl").cast("long").as("tot_len"))
+    val hits = toks.where(col("tok").isin(query.map(q => q: Any): _*))
+    val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_len").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val term = idf * (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfreq), "tok") // bounded: <= |query| rows
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(consts)) // bounded: one row
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_hit_terms"),
+        round(sum(term), 6).as("score"))
+  }
+
   /** Gopher-style repetition quality signals per document (Rae et al.
     * 2021 §A1.1 "repetition" filters, the public rule family): duplicate-
     * token fraction (1 − distinct/total) and top-token dominance

@@ -295,6 +295,42 @@ object LlmQueries {
         col("source") === "src0")
     },
 
+    // ---- Okapi BM25 keyword scoring -------------------------------------
+    // Fixed 5-term query probe over the corpus; the oracle replays the
+    // Lucene-variant idf and the saturation formula with the SAME
+    // float expression shapes ((1.2 + 1.0), (1.0 - 0.75), left-assoc
+    // multiply/divide chains), so both engines fold the identical IEEE
+    // constants; 6-dp rounding absorbs the cross-engine ln ulp.
+    QueryDef.sqlBacked(
+      "q134_bm25",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |           CAST(sum(dl) AS BIGINT) AS tot_len FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |       WHERE tok IN ('spark', 'merge', 'vector', 'customer', 'window')
+        |       GROUP BY 1, 2),
+        |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+        |  round(sum(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |        / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+        |    / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |        + 0.75 * CAST(dl AS DOUBLE)
+        |          / (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6)
+        |    AS score
+        |FROM tf
+        |JOIN dfr ON dfr.tok = tf.tok
+        |JOIN dl ON dl.doc_id = tf.doc_id
+        |CROSS JOIN consts
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      TextAnalysis.bm25Scores(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "merge", "vector", "customer", "window"))
+    },
+
     // ---- rolling-hash document fingerprint ------------------------------
     QueryDef.sqlBacked(
       "q25_fingerprint",
