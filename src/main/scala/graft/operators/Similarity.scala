@@ -58,6 +58,44 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse two
+    * per-query rankings — e.g. a BM25 keyword list and an ANN cosine
+    * list, the hybrid-search shape — by rrf(d) = Σ_lists 1/(k + rank_d).
+    * Inputs are (qCol, idCol, scoreCol) frames; each is ranked per query
+    * by (score desc, id), truncated to `listK`, full-outer-joined on
+    * (query, id), and the fused candidates re-ranked by (rounded rrf
+    * desc, id). A document absent from one list contributes only the
+    * present side (the absent rank reports as 0).
+    *
+    * Scale shape: every window partitions by the query id — per-query
+    * candidate lists are the listK-bounded output of upstream retrieval,
+    * so no global sort exists anywhere; the fusion meet is a
+    * (query, doc) equi-join and queries parallelize freely. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, qCol: String,
+      idCol: String, scoreCol: String, k: Int = 60, listK: Int = 50,
+      topN: Int = 20): DataFrame = {
+    def ranked(df: DataFrame, nm: String) = {
+      val w = Window.partitionBy(col(qCol)).orderBy(col(scoreCol).desc, col(idCol))
+      df.select(col(qCol), col(idCol), col(scoreCol))
+        .withColumn(nm, row_number().over(w).cast("long"))
+        .where(col(nm) <= listK)
+        .select(col(qCol), col(idCol), col(nm))
+    }
+    val fused = ranked(sparse, "rnk_sparse")
+      .join(ranked(dense, "rnk_dense"), Seq(qCol, idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k.toDouble) + col("rnk_sparse").cast("double")),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k.toDouble) + col("rnk_dense").cast("double")),
+            lit(0.0)), 6))
+    val w2 = Window.partitionBy(col(qCol)).orderBy(col("rrf").desc, col(idCol))
+    fused.withColumn("rnk", row_number().over(w2).cast("long"))
+      .where(col("rnk") <= topN)
+      .select(col(qCol), col(idCol), col("rnk"), col("rrf"),
+        coalesce(col("rnk_sparse"), lit(0L)).as("rnk_sparse"),
+        coalesce(col("rnk_dense"), lit(0L)).as("rnk_dense"))
+  }
+
   /** Deterministic ±1 pseudo-random hyperplane component for (plane i,
     * dim j) — shared with any oracle via pure integer arithmetic. */
   def planeSign(i: Int, j: Int): Int =

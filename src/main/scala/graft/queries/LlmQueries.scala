@@ -58,6 +58,29 @@ object LlmQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN range(1, 65)], (x, y) -> x + y)"
 
+  /** BM25 CTE triple for probe `i` over literal `terms` — shares the
+    * toks/dl/consts CTEs; emits bm{i}(qid, doc_id, score) with the q134
+    * expression shapes (so constant folding is IEEE-identical). */
+  private def bm25Cte(i: Int, terms: Seq[String]): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""tf$i AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       |  WHERE tok IN ($in) GROUP BY 1, 2),
+       |df$i AS (SELECT tok, count(*) AS df FROM tf$i GROUP BY 1),
+       |bm$i AS (
+       |  SELECT CAST($i AS BIGINT) AS qid, tf$i.doc_id,
+       |    round(sum(
+       |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |          / (CAST(df AS DOUBLE) + 0.5))
+       |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+       |      / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |          + 0.75 * CAST(dl AS DOUBLE)
+       |            / (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6)
+       |      AS score
+       |  FROM tf$i JOIN df$i ON df$i.tok = tf$i.tok
+       |  JOIN dl ON dl.doc_id = tf$i.doc_id CROSS JOIN consts
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Sign-LSH bucket mirror: the same ±1 hyperplane signs as
     * `Similarity.planeSign` interpolated as literals, identical left-fold
     * sum order (products by ±1 are FP-exact). */
@@ -329,6 +352,70 @@ object LlmQueries {
         |GROUP BY 1""".stripMargin) { (s, d) =>
       TextAnalysis.bm25Scores(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "merge", "vector", "customer", "window"))
+    },
+
+    // ---- hybrid search: reciprocal-rank fusion --------------------------
+    // Cormack et al. 2009: fuse a BM25 keyword ranking with an ANN cosine
+    // ranking per query — rrf = 1/(60+r_sparse) + 1/(60+r_dense) over the
+    // top-50 of each list, re-ranked. Two query probes (qid 0/1): the
+    // keyword sets differ per probe and the dense side is the q30
+    // brute-force cosine vs probe embeddings 0/1. Both rankings order by
+    // (ROUNDED score desc, doc_id) in both engines, so rank ties resolve
+    // identically; the fusion meet is a FULL OUTER join on (qid, doc).
+    QueryDef.sqlBacked(
+      "q135_rrf_hybrid",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |           CAST(sum(dl) AS BIGINT) AS tot_len FROM dl),
+         |${bm25Cte(0, Seq("spark", "merge", "vector"))},
+         |${bm25Cte(1, Seq("customer", "window", "filter"))},
+         |sparse AS (SELECT * FROM bm0 UNION ALL SELECT * FROM bm1),
+         |p AS (SELECT vec_id AS qid, embedding AS pv FROM embeddings WHERE vec_id < 2),
+         |c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+         |dense AS (
+         |  SELECT qid, doc_id,
+         |    round(${dotSql("pv", "cv")}
+         |      / (sqrt(${dotSql("pv", "pv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS score
+         |  FROM c CROSS JOIN p WHERE doc_id != qid),
+         |rs AS (SELECT qid, doc_id, rnk_sparse FROM (
+         |  SELECT qid, doc_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk_sparse
+         |  FROM sparse) WHERE rnk_sparse <= 50),
+         |rd AS (SELECT qid, doc_id, rnk_dense FROM (
+         |  SELECT qid, doc_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk_dense
+         |  FROM dense) WHERE rnk_dense <= 50),
+         |fused AS (
+         |  SELECT coalesce(rs.qid, rd.qid) AS qid,
+         |    coalesce(rs.doc_id, rd.doc_id) AS doc_id,
+         |    rs.rnk_sparse AS rnk_sparse, rd.rnk_dense AS rnk_dense,
+         |    round(coalesce(1.0 / (60.0 + CAST(rnk_sparse AS DOUBLE)), 0.0)
+         |      + coalesce(1.0 / (60.0 + CAST(rnk_dense AS DOUBLE)), 0.0), 6) AS rrf
+         |  FROM rs FULL OUTER JOIN rd
+         |    ON rs.qid = rd.qid AND rs.doc_id = rd.doc_id)
+         |SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rnk, rrf,
+         |  CAST(coalesce(rnk_sparse, 0) AS BIGINT) AS rnk_sparse,
+         |  CAST(coalesce(rnk_dense, 0) AS BIGINT) AS rnk_dense
+         |FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+         |WHERE rnk <= 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val sparse = Seq(
+        (0L, Seq("spark", "merge", "vector")),
+        (1L, Seq("customer", "window", "filter")))
+        .map { case (qid, terms) =>
+          TextAnalysis.bm25Scores(docs, "doc_id", "text", terms)
+            .select(lit(qid).as("qid"), col("doc_id"), col("score"))
+        }.reduce(_.unionByName(_))
+      val dense = Similarity
+        .bruteForceTopK(emb.where(col("vec_id") < 2), emb, k = 50)
+        .select(col("probe_id").as("qid"), col("neighbor_id").as("doc_id"),
+          col("cos_sim").as("score"))
+      Similarity.rrfFuse(sparse, dense, "qid", "doc_id", "score")
     },
 
     // ---- rolling-hash document fingerprint ------------------------------
