@@ -277,6 +277,23 @@ object ScaleRehearsal {
       graft.operators.Pq.adcTopK(corpus, probes, k = 10).count()
     }
 
+    // ---- round 9: stupid-backoff bigram LM (q131 shape) — bigram model
+    // build + three token-keyed scoring joins; expected ~linear in docs
+    // (the vocab/bigram model tables grow sublinearly by Heaps' law)
+    timed("backoff_lm") {
+      graft.functions.TextAnalysis
+        .stupidBackoffScores(docs, "doc_id", "text").count()
+    }
+
+    // ---- round 9: byte-BPE corpus encode (q133 shape) — segmentation
+    // once per DISTINCT pre-token + join-back; expected ~linear in docs
+    // with the vocab-sized segmentation cache growing sublinearly
+    timed("bpe_encode") {
+      graft.operators.BpeTrainer.byteEncodeStats(docs, "doc_id", "text",
+        Seq(("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("i", "n"), ("e", "r"),
+          ("a", "n"), ("r", "e"), ("o", "n"), ("Ġ", "a"), ("s", "t"))).count()
+    }
+
     spark.stop()
   }
 }
