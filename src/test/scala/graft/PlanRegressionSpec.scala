@@ -32,7 +32,12 @@ class PlanRegressionSpec extends SparkSpec {
       // q131: the corpus token total N is a one-row count frame
       // explicitly broadcast-cross-joined onto the scored bigram table
       // (the backoff term needs N on every row) — the q79 shape.
-      "q131_backoff_lm")
+      "q131_backoff_lm",
+      // q132/q134: the same 1-row constant broadcasts (N+V / N+avgdl).
+      "q132_moore_lewis", "q134_bm25",
+      // q135: the dense retrieval side IS q30's brute-force probe
+      // broadcast (documented BNLJ), plus the q134 constants.
+      "q135_rrf_hybrid")
 
   /** Plan with AQE off: the static plan exposes codegen stages and join
     * strategies directly (AQE only re-plans at runtime from this shape). */
@@ -46,7 +51,8 @@ class PlanRegressionSpec extends SparkSpec {
     // failure-resilient sweep: collect every query's violations and report
     // them together, so one throwing query cannot blind the rest of the
     // headline (the round-7 NTZ incident masked every query after q41)
-    val failures = (Bench.headline :+ "q48_e2e_slice" :+ "q36_triplet_specs" :+ "q71_iorg_objects")
+    val failures = (Bench.headline :+ "q48_e2e_slice" :+ "q36_triplet_specs" :+ "q71_iorg_objects"
+      :+ "q132_moore_lewis" :+ "q134_bm25" :+ "q135_rrf_hybrid")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
