@@ -196,4 +196,62 @@ object BpeTrainer {
         sum(col("occ") * col("n_sub")).cast("long").as("n_tok"),
         sum(col("occ") * col("seg_h")).cast("long").as("tok_fp"))
   }
+
+  /** Token-id vocabulary of a byte-level merge table, per the GPT-2
+    * recipe: the 256 byte-alphabet symbols take their BYTE VALUE as id
+    * (0-255), and merge i's output symbol takes id 256+i — no counting,
+    * the table IS the vocabulary. */
+  def byteVocabIds(merges: Seq[(String, String)]): Map[String, Long] = {
+    val alphabet = (0 until 256).map { bb =>
+      val i = ByteRemap.indexOf(bb)
+      val ch = if (i >= 0) (0x100 + i).toChar else bb.toChar
+      ch.toString -> bb.toLong
+    }.toMap
+    alphabet ++ merges.zipWithIndex.map { case ((l, r), i) => (l + r) -> (256L + i) }
+  }
+
+  /** Full tokenizer contract per document: encode to GPT-2-style token
+    * IDS in position order, then DECODE back (symbol concat → inverse
+    * alphabet → UTF-8 bytes) and compare against the pre-tokenized
+    * input. Emits (doc_id, n_tok, ids_fp, roundtrip_ok) where `ids_fp`
+    * is an ORDER-DEPENDENT poly-hash of the id sequence (proving the
+    * exact token stream, not a bag) and `roundtrip_ok` is
+    * md5(decoded) == md5(lower(text)) — 1 whenever the pre-tokenizer is
+    * lossless on the document, which it is for single-spaced text (the
+    * regex drops extra whitespace runs; the exact GPT-2 pattern keeps
+    * them — documented deviation).
+    *
+    * Scale shape: segmentation and id assignment once per DISTINCT
+    * pre-token (the q133 cache), join-back by token, then ONE group-by
+    * doc reassembling the ordered stream — per-doc state is the
+    * document's own token list, nothing global. */
+  def byteEncodeRoundTrip(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val pre = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("lt"))
+      .select(col("doc_id"), col("lt"),
+        posexplode(regexp_extract_all(col("lt"),
+          lit(ByteLevelPretokenRegex), lit(0))).as(Seq("pos", "tok")))
+    val idMap = typedlit(byteVocabIds(merges))
+    val vocab = pre.select("tok").distinct()
+      .withColumn("seg", trim(byteSegment(col("tok"), merges)))
+      .select(col("tok"),
+        transform(split(col("seg"), " "), s => element_at(idMap, s)).as("ids"),
+        call_function("replace", col("seg"), lit(" "), lit("")).as("symcat"))
+    val ordered = pre.join(vocab, "tok")
+      .groupBy("doc_id", "lt")
+      .agg(sort_array(collect_list(struct(col("pos"), col("ids"), col("symcat"))))
+        .as("ps"))
+    val ids = flatten(transform(col("ps"), p => p.getField("ids")))
+    val symJoin = concat_ws("", transform(col("ps"), p => p.getField("symcat")))
+    // inverse of byteSymbols: alphabet chars -> latin-1 byte chars ->
+    // raw bytes -> UTF-8 text
+    val decoded = decode(
+      encode(translate(symJoin, ByteMapTo, ByteMapFrom), "ISO-8859-1"), "UTF-8")
+    ordered.select(col("doc_id"),
+      size(ids).cast("long").as("n_tok"),
+      aggregate(ids, lit(7L),
+        (a, x) => (a * 31 + x) % TextAnalysis.HashMod).as("ids_fp"),
+      (md5(encode(decoded, "UTF-8")) === md5(encode(col("lt"), "UTF-8")))
+        .cast("long").as("roundtrip_ok"))
+  }
 }

@@ -472,6 +472,59 @@ object CurationQueries {
          |GROUP BY 1""".stripMargin) { (s, d) =>
       graft.operators.BpeTrainer.byteEncodeStats(
         Tables.documents(s, d), "doc_id", "text", ByteBpeMerges)
+    },
+
+    // ---- byte-level BPE tokenize -> ids -> decode round trip ------------
+    // The full tokenizer CONTRACT: per-doc GPT-2-style token ids in
+    // position order (byte-alphabet symbols take their byte value,
+    // merge i's output takes 256+i — the table IS the vocabulary), an
+    // order-dependent id-stream hash, and decode(encode(text)) == text.
+    // The oracle rebuilds ids from codepoints ('Ġ' = U+0120 -> byte 32,
+    // merge literals -> 256+i) and decodes by the ASCII-corpus inverse
+    // (Ġ -> space; q130 proves the multi-byte alphabet separately); the
+    // Spark side runs the FULL inverse chain (translate -> latin-1 ->
+    // UTF-8). Both engines flag identically because the corpus is
+    // single-spaced ASCII — the one shape this pre-tokenizer round-trips
+    // losslessly (the exact GPT-2 regex also keeps whitespace runs).
+    QueryDef.sqlBacked(
+      "q136_bpe_roundtrip",
+      s"""WITH base AS (SELECT doc_id, lower(text) AS lt FROM documents),
+         |tk AS (SELECT doc_id, lt, regexp_extract_all(lt,
+         |    ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+') AS toks
+         |  FROM base),
+         |pre AS (SELECT doc_id, lt, i AS pos, toks[i] AS tok
+         |  FROM (SELECT doc_id, lt, toks, unnest(range(1, len(toks) + 1)) AS i
+         |        FROM tk)),
+         |segd AS (
+         |  SELECT tok, trim(${ByteBpeMerges.foldLeft(
+             "' ' || trim(regexp_replace(replace(tok, ' ', 'Ġ'), '(.)', '\\1 ', 'g')) || ' '") {
+             case (acc, (l, r)) =>
+               s"replace(replace($acc, ' $l $r ', ' $l$r '), ' $l $r ', ' $l$r ')"
+           }}) AS seg
+         |  FROM (SELECT DISTINCT tok FROM pre)),
+         |idsv AS (SELECT tok,
+         |    [CASE ${ByteBpeMerges.zipWithIndex.map { case ((l, r), i) =>
+               s"WHEN s = '$l$r' THEN ${256 + i}" }.mkString(" ")}
+         |          WHEN ord(s) = 288 THEN 32
+         |          ELSE ord(s) END
+         |     FOR s IN string_split(seg, ' ')] AS ids,
+         |    replace(seg, ' ', '') AS symcat
+         |  FROM segd),
+         |perdoc AS (
+         |  SELECT pre.doc_id, pre.lt,
+         |    flatten(list(ids ORDER BY pre.pos)) AS ids,
+         |    string_agg(symcat, '' ORDER BY pre.pos) AS symjoin
+         |  FROM pre JOIN idsv ON idsv.tok = pre.tok
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tok,
+         |  CAST(list_reduce(
+         |    list_prepend(CAST(7 AS BIGINT), [CAST(x AS BIGINT) FOR x IN ids]),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS ids_fp,
+         |  CAST(CASE WHEN md5(replace(symjoin, 'Ġ', ' ')) = md5(lt)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+         |FROM perdoc""".stripMargin) { (s, d) =>
+      graft.operators.BpeTrainer.byteEncodeRoundTrip(
+        Tables.documents(s, d), "doc_id", "text", ByteBpeMerges)
     })
 
   /** The q124/q128 oracle: the BPE trainer loop unrolled as chained

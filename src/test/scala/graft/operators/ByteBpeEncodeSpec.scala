@@ -43,6 +43,33 @@ class ByteBpeEncodeSpec extends SparkSpec {
     assert(got.getLong(3) == polyRef("t he") + polyRef("Ġ st on e"))
   }
 
+  test("byteVocabIds follows the GPT-2 recipe: byte value, then 256+rank") {
+    val ids = BpeTrainer.byteVocabIds(merges)
+    assert(ids("t") == 116L && ids("e") == 101L) // ASCII bytes keep their value
+    assert(ids("Ġ") == 32L)                      // visible space IS byte 0x20
+    assert(ids("Ġt") == 256L && ids("he") == 257L && ids("Ġthe") == 258L)
+    assert(ids("st") == 265L)                    // last merge
+    assert(ids.size == 256 + merges.size)
+  }
+
+  test("round trip: ordered id stream, full decode, lossless flag") {
+    val s = spark
+    import s.implicits._
+    val got = BpeTrainer.byteEncodeRoundTrip(
+      Seq((1L, "the stone"), (2L, "a  b")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // doc 1: "t he" ++ "Ġ st on e" -> ids [116, 257, 32, 265, 263, 101]
+    val expIds = Seq(116L, 257L, 32L, 265L, 263L, 101L)
+    val fp = expIds.foldLeft(7L)((a, x) => (a * 31 + x) % 1000000007L)
+    assert(got(1L) == ((6L, fp, 1L)))
+    // doc 2: the double space is dropped by the pre-tokenizer, so the
+    // decode cannot reproduce the input — the flag must say so
+    assert(got(2L)._3 == 0L)
+  }
+
   test("more merges never increase the token count") {
     val s = spark
     import s.implicits._
