@@ -22,34 +22,38 @@ class HDF5FuzzSpec extends AnyFunSuite {
     try in.readAllBytes() finally in.close()
   }
 
-  private case class Case(name: String, dt: String, order: String,
-      layout: String, filt: String, dims: Seq[Long], vals: Seq[Double])
+  private case class Case(name: String, gen: String, dt: String,
+      order: String, layout: String, filt: String, dims: Seq[Long],
+      vals: Seq[Double])
 
   private lazy val cases: Seq[Case] =
     new String(resource("manifest.txt"), "UTF-8").linesIterator.map { line =>
       val f = line.split(";", -1)
       val vals =
-        if (f(1).startsWith("f")) f(7).split(",").toSeq.map(_.toDouble)
+        if (f(2).startsWith("f")) f(8).split(",").toSeq.map(_.toDouble)
         // integers parse as Long first: the reader widens i64 to double
         // with the same nearest rounding, so equality stays exact
-        else f(7).split(",").toSeq.map(_.toLong.toDouble)
-      Case(f(0), f(1), f(2), f(3), f(4),
-        f(5).split(",").toSeq.map(_.toLong), vals)
+        else f(8).split(",").toSeq.map(_.toLong.toDouble)
+      Case(f(0), f(1), f(2), f(3), f(4), f(5),
+        f(6).split(",").toSeq.map(_.toLong), vals)
     }.toSeq
 
   test("manifest covers the intended parameter space") {
-    assert(cases.size == 36)
+    assert(cases.size == 52)
+    assert(cases.map(_.gen).distinct.sorted == Seq("v0", "v2"))
     assert(cases.map(_.dt).distinct.size == 4)
     assert(cases.map(_.order).distinct.sorted == Seq("be", "le"))
     assert(cases.map(_.layout).distinct.sorted ==
       Seq("chunked", "compact", "contig"))
     assert(Set("deflate", "shufdef", "flet", "fletshufdef")
       .subsetOf(cases.map(_.filt).toSet))
+    // the OHDR generation must exercise filtered chunked storage too
+    assert(cases.exists(c => c.gen == "v2" && c.filt != "none"))
     assert(cases.map(_.dims.size).distinct.sorted == Seq(1, 2, 3))
   }
 
   for (c <- cases) {
-    test(s"${c.name}: ${c.dt}/${c.order}/${c.layout}/${c.filt} " +
+    test(s"${c.name}: ${c.gen}/${c.dt}/${c.order}/${c.layout}/${c.filt} " +
         s"dims=${c.dims.mkString("x")} decodes exactly") {
       val dss = HDF5.read(resource(s"${c.name}.h5"))
       assert(dss.map(_.name) == Seq("data"))

@@ -2014,21 +2014,35 @@ def write_wav(path):
 # asserts values without sharing any generation code.
 # ---------------------------------------------------------------------------
 
-def h5_datatype_any(dt, be):
-    """Datatype message for f32/f64 (class 1) or i32/i64 (class 0, signed
-    2's complement), either byte order (bit 0 of class bit field)."""
+def h5_datatype_body(dt, be):
+    """Datatype message BODY for f32/f64 (class 1) or i32/i64 (class 0,
+    signed 2's complement), either byte order (bit 0 of class bit
+    field) — same body under v1 and OHDR framing."""
     order = 1 if be else 0
     if dt == "f64":
         props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
-        body = struct.pack("<BBBBI", 0x11, 0x20 | order, 63, 0, 8) + props
-    elif dt == "f32":
+        return struct.pack("<BBBBI", 0x11, 0x20 | order, 63, 0, 8) + props
+    if dt == "f32":
         props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
-        body = struct.pack("<BBBBI", 0x11, 0x20 | order, 31, 0, 4) + props
-    else:
-        size = 4 if dt == "i32" else 8
-        props = struct.pack("<HH", 0, size * 8)  # bit offset, precision
-        body = struct.pack("<BBBBI", 0x10, 0x08 | order, 0, 0, size) + props
-    return h5_msg(0x0003, body)
+        return struct.pack("<BBBBI", 0x11, 0x20 | order, 31, 0, 4) + props
+    size = 4 if dt == "i32" else 8
+    props = struct.pack("<HH", 0, size * 8)  # bit offset, precision
+    return struct.pack("<BBBBI", 0x10, 0x08 | order, 0, 0, size) + props
+
+def h5_datatype_any(dt, be):
+    return h5_msg(0x0003, h5_datatype_body(dt, be))
+
+def h5v2_filter_body(filt, esize):
+    """Pipeline message v2 body: version 2, nfilters, then unpadded
+    records (id(2) flags(2) nvals(2) values) — ids < 256 carry no name."""
+    def rec(fid, vals):
+        return struct.pack("<HHH", fid, 0, len(vals)) + \
+            b"".join(struct.pack("<I", v) for v in vals)
+    recs = {"deflate": [rec(1, [6])],
+            "shufdef": [rec(2, [esize]), rec(1, [6])],
+            "flet": [rec(3, [])],
+            "fletshufdef": [rec(3, []), rec(2, [esize]), rec(1, [6])]}[filt]
+    return struct.pack("<BB", 2, len(recs)) + b"".join(recs)
 
 def h5_layout_compact(raw):
     return h5_msg(0x0008, struct.pack("<BBH", 3, 0, len(raw)) + raw)
@@ -2079,10 +2093,16 @@ def _h5_filter_msgs(filt, esize):
         return [h5_filter_fletcher_shuffle_deflate(esize, 6)]
     return []
 
-def write_hdf5_fuzz_one(path, dims, cdims, dt, be, layout, filt, vals):
-    """One-dataset v0-generation file: symbol-table root group holding
-    'data' with the given geometry/dtype/layout/filters."""
-    buf = bytearray(b"\0" * 96)
+def write_hdf5_fuzz_one(path, dims, cdims, dt, be, layout, filt, vals,
+                        gen="v0"):
+    """One-dataset file holding 'data' with the given geometry/dtype/
+    layout/filters: gen='v0' writes the symbol-table generation
+    (superblock v0, v1 headers, padded v1 messages), gen='v2' the
+    libver-latest generation (superblock v3, OHDR headers, compact Link
+    root, pipeline-v2 filter records). Chunk storage uses the v1 B-tree
+    layout-v3 form under BOTH generations (the libver-v18 shape)."""
+    sb_len = 96 if gen == "v0" else 48
+    buf = bytearray(b"\0" * sb_len)
 
     def alloc(blob):
         off = len(buf)
@@ -2090,12 +2110,21 @@ def write_hdf5_fuzz_one(path, dims, cdims, dt, be, layout, filt, vals):
         return off
 
     esize = _DT_SIZE[dt]
-    msgs = [h5_dataspace(dims), h5_datatype_any(dt, be)]
+    if gen == "v0":
+        msgs = [h5_dataspace(dims), h5_datatype_any(dt, be)]
+    else:
+        msgs = [h5_dataspace_v2(dims), h5v2_msg(0x03, h5_datatype_body(dt, be))]
+
+    def layout_msg(body):
+        return h5_msg(0x0008, body) if gen == "v0" else h5v2_msg(0x08, body)
+
     if layout == "compact":
-        msgs.append(h5_layout_compact(_pack_vals(vals, dt, be)))
+        raw = _pack_vals(vals, dt, be)
+        msgs.append(layout_msg(struct.pack("<BBH", 3, 0, len(raw)) + raw))
     elif layout == "contig":
         addr = alloc(_pack_vals(vals, dt, be))
-        msgs.append(h5_layout_contiguous(addr, len(vals) * esize))
+        msgs.append(layout_msg(
+            struct.pack("<BBQQ", 3, 1, addr, len(vals) * esize)))
     else:  # chunked: v1 B-tree, one leaf, keys in row-major origin order
         entries = []
         origins = itertools.product(
@@ -2116,39 +2145,56 @@ def write_hdf5_fuzz_one(path, dims, cdims, dt, be, layout, filt, vals):
         bt += b"".join(struct.pack("<Q", d) for d in dims)
         bt += struct.pack("<Q", 0)
         btree_addr = alloc(bytes(bt))
-        msgs.extend(_h5_filter_msgs(filt, esize))
-        msgs.append(h5_layout_chunked(btree_addr, cdims, esize))
-    data_oh = alloc(h5_object_header(msgs))
+        if filt != "none":
+            if gen == "v0":
+                msgs.extend(_h5_filter_msgs(filt, esize))
+            else:
+                msgs.append(h5v2_msg(0x0B, h5v2_filter_body(filt, esize)))
+        lay = struct.pack("<BBB", 3, 2, len(cdims) + 1)
+        lay += struct.pack("<Q", btree_addr)
+        lay += b"".join(struct.pack("<I", c) for c in cdims)
+        lay += struct.pack("<I", esize)
+        msgs.append(layout_msg(lay))
 
-    heap_data = bytearray(b"\0" * 8)
-    name_off = len(heap_data)
-    heap_data += b"data\0"
-    heap_data += b"\0" * ((-len(heap_data)) % 8)
-    heap_data_addr = alloc(bytes(heap_data))
-    heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data),
-                                            UNDEF, heap_data_addr))
-    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 1)
-    snod += struct.pack("<QQII16x", name_off, data_oh, 0, 0)
-    snod_addr = alloc(snod)
-    gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
-    gtree += struct.pack("<QQ", UNDEF, UNDEF)
-    gtree += struct.pack("<QQ", 0, snod_addr)
-    gtree += struct.pack("<Q", name_off)
-    gtree_addr = alloc(gtree)
-    root_oh = alloc(h5_object_header([
-        h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
-    ]))
-
-    sb = io.BytesIO()
-    sb.write(b"\x89HDF\r\n\x1a\n")
-    sb.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
-    sb.write(struct.pack("<HHI", 4, 16, 0))
-    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
-    sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
-    sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
-    sb_bytes = sb.getvalue()
-    assert len(sb_bytes) == 96, len(sb_bytes)
-    buf[0:96] = sb_bytes
+    if gen == "v2":
+        data_oh = alloc(h5v2_object_header(msgs))
+        root_oh = alloc(h5v2_object_header([h5_link_msg("data", data_oh)]))
+        sb = io.BytesIO()
+        sb.write(b"\x89HDF\r\n\x1a\n")
+        sb.write(struct.pack("<BBBB", 2, 8, 8, 0))
+        sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), root_oh))
+        sb.write(b"\0\0\0\0")  # checksum (not verified by this codec)
+        sb_bytes = sb.getvalue()
+    else:
+        data_oh = alloc(h5_object_header(msgs))
+        heap_data = bytearray(b"\0" * 8)
+        name_off = len(heap_data)
+        heap_data += b"data\0"
+        heap_data += b"\0" * ((-len(heap_data)) % 8)
+        heap_data_addr = alloc(bytes(heap_data))
+        heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data),
+                                                UNDEF, heap_data_addr))
+        snod = b"SNOD" + struct.pack("<BBH", 1, 0, 1)
+        snod += struct.pack("<QQII16x", name_off, data_oh, 0, 0)
+        snod_addr = alloc(snod)
+        gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+        gtree += struct.pack("<QQ", UNDEF, UNDEF)
+        gtree += struct.pack("<QQ", 0, snod_addr)
+        gtree += struct.pack("<Q", name_off)
+        gtree_addr = alloc(gtree)
+        root_oh = alloc(h5_object_header([
+            h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
+        ]))
+        sb = io.BytesIO()
+        sb.write(b"\x89HDF\r\n\x1a\n")
+        sb.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+        sb.write(struct.pack("<HHI", 4, 16, 0))
+        sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
+        sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
+        sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
+        sb_bytes = sb.getvalue()
+    assert len(sb_bytes) == sb_len, len(sb_bytes)
+    buf[0:sb_len] = sb_bytes
     with open(path, "wb") as f:
         f.write(bytes(buf))
 
@@ -2188,8 +2234,37 @@ def write_hdf5_fuzz(outdir, n=32, seed=20260814):
         ([3, 5], [2, 3], "i64", True, "chunked", "fletshufdef"),
         ([6], [4], "f64", True, "chunked", "flet"),
     ]
+    cases = [c + ("v0",) for c in cases]
+    # second sweep: the libver-latest generation (superblock v3 + OHDR
+    # headers + compact Link root + pipeline-v2 filter records); rank
+    # <= 2 and small payloads keep the OHDR one-chunk (the compact-link
+    # regime this generation exists for)
+    for t in range(16):
+        rank = rng.randint(1, 2)
+        dims = [rng.randint(1, 6) for _ in range(rank)]
+        nelem = 1
+        for d in dims:
+            nelem *= d
+        dt = rng.choice(["f32", "f64", "i32", "i64"])
+        be = rng.random() < 0.35
+        layout = rng.choice(["contig", "chunked", "chunked", "compact"])
+        if layout == "compact" and nelem * _DT_SIZE[dt] > 150:
+            layout = "contig"  # OHDR one-chunk size bound
+        filt = "none"
+        cdims = None
+        if layout == "chunked":
+            while True:
+                cdims = [rng.randint(1, d) for d in dims]
+                nch = 1
+                for d, c in zip(dims, cdims):
+                    nch *= -(-d // c)
+                if nch <= 8:
+                    break
+            filt = rng.choice(["none", "deflate", "shufdef", "flet",
+                               "fletshufdef"])
+        cases.append((dims, cdims, dt, be, layout, filt, "v2"))
     lines = []
-    for t, (dims, cdims, dt, be, layout, filt) in enumerate(cases):
+    for t, (dims, cdims, dt, be, layout, filt, gen) in enumerate(cases):
         name = "fz%02d" % t
         nelem = 1
         for d in dims:
@@ -2201,9 +2276,9 @@ def write_hdf5_fuzz(outdir, n=32, seed=20260814):
         else:
             vals = [(i - 3) * 98765432101 for i in range(nelem)]  # > 2^32, < 2^53
         write_hdf5_fuzz_one(os.path.join(outdir, name + ".h5"),
-                            dims, cdims, dt, be, layout, filt, vals)
+                            dims, cdims, dt, be, layout, filt, vals, gen)
         lines.append(";".join([
-            name, dt, "be" if be else "le", layout, filt,
+            name, gen, dt, "be" if be else "le", layout, filt,
             ",".join(str(d) for d in dims),
             ",".join(str(c) for c in cdims) if cdims else "-",
             ",".join(repr(v) for v in vals)]))
