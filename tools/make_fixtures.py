@@ -2285,6 +2285,81 @@ def write_hdf5_fuzz(outdir, n=32, seed=20260814):
     with open(os.path.join(outdir, "manifest.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
+_ZDT_PACK = {"f8": "d", "f4": "f", "i8": "q", "i4": "i", "i2": "h", "i1": "b"}
+
+def write_zarr_fuzz(outdir, n=20, seed=424242):
+    """Seeded random zarr-v2 stores, one array 'data' each: rank 1-3,
+    all 11 reader-supported dtypes, zlib/null compressor, random chunk
+    geometry, randomly MISSING chunk files (read back as fill_value),
+    and edge-chunk overhang padded with a sentinel the reader must skip.
+    zarr_manifest.txt carries the expected full C-order decode."""
+    rng = random.Random(seed)
+    lines = []
+    dtypes = ["<f8", "<f4", "<i8", "<i4", "<i2",
+              ">f8", ">f4", ">i8", ">i4", ">i2", "|i1"]
+    for t in range(n):
+        name = "zf%02d" % t
+        rank = rng.randint(1, 3)
+        shape = [rng.randint(1, 7) for _ in range(rank)]
+        chunks = [rng.randint(1, s) for s in shape]
+        dtype = dtypes[t % len(dtypes)]  # every dtype at least once
+        comp = rng.choice([None, "zlib"])
+        fill = rng.choice([0, -1, 7])
+        nelem = 1
+        for s in shape:
+            nelem *= s
+        kind = dtype[1:]
+        if kind[0] == "f":
+            vals = [i * 0.25 - 2.0 for i in range(nelem)]
+        elif kind == "i1":
+            vals = [(i % 200) - 100 for i in range(nelem)]
+        elif kind == "i2":
+            vals = [i * 101 - 14000 for i in range(nelem)]
+        elif kind == "i4":
+            vals = [i * 7919 - 12345 for i in range(nelem)]
+        else:
+            vals = [(i - 2) * 98765432101 for i in range(nelem)]
+        arr_dir = os.path.join(outdir, name + ".zarr", "data")
+        os.makedirs(arr_dir, exist_ok=True)
+        meta = {"zarr_format": 2, "shape": shape, "chunks": chunks,
+                "dtype": dtype, "order": "C", "filters": None,
+                "fill_value": fill,
+                "compressor": ({"id": "zlib", "level": 6} if comp else None)}
+        with open(os.path.join(arr_dir, ".zarray"), "w") as f:
+            json.dump(meta, f, sort_keys=True)
+        expected = [float(fill)] * nelem
+        order = ">" if dtype[0] == ">" else "<"
+        pk = _ZDT_PACK[kind]
+        n_missing = 0
+        grids = [range(-(-s // c)) for s, c in zip(shape, chunks)]
+        for ci in itertools.product(*grids):
+            if rng.random() < 0.3:
+                n_missing += 1
+                continue  # missing chunk file -> fill_value region
+            origin = [ci[k] * chunks[k] for k in range(rank)]
+            elems = []
+            for idx in itertools.product(*[range(c) for c in chunks]):
+                pos = [origin[k] + idx[k] for k in range(rank)]
+                if all(p < s for p, s in zip(pos, shape)):
+                    flat = 0
+                    for k in range(rank):
+                        flat = flat * shape[k] + pos[k]
+                    elems.append(vals[flat])
+                    expected[flat] = float(vals[flat])
+                else:
+                    elems.append(55)  # overhang sentinel: must be skipped
+            raw = struct.pack(order + str(len(elems)) + pk, *elems)
+            if comp:
+                raw = zlib.compress(raw, 6)
+            with open(os.path.join(arr_dir, ".".join(map(str, ci))), "wb") as f:
+                f.write(raw)
+        lines.append(";".join([
+            name, dtype, comp or "null", str(fill), str(n_missing),
+            ",".join(map(str, shape)), ",".join(map(str, chunks)),
+            ",".join(repr(v) for v in expected)]))
+    with open(os.path.join(outdir, "zarr_manifest.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
 def main():
     os.makedirs(TEST_FIX, exist_ok=True)
     os.makedirs(MAIN_FIX, exist_ok=True)
@@ -2304,6 +2379,7 @@ def main():
     write_hdf5_dense_deep(os.path.join(TEST_FIX, "golden_deep.h5"))
     write_hdf5_indirect(os.path.join(TEST_FIX, "golden_indirect.h5"))
     write_hdf5_fuzz(os.path.join(TEST_FIX, "fuzz"))
+    write_zarr_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
