@@ -2285,6 +2285,143 @@ def write_hdf5_fuzz(outdir, n=32, seed=20260814):
     with open(os.path.join(outdir, "manifest.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
+_NC_SIZE = {1: 1, 3: 2, 4: 4, 5: 4, 6: 8}
+_NC_PACK = {1: "b", 3: "h", 4: "i", 5: "f", 6: "d"}
+
+def write_netcdf3_fuzz(outdir, n=15, seed=31337):
+    """Seeded random NetCDF classic files: CDF-1 and CDF-2 (64-bit
+    begins), fixed-size variables, ONE record variable (the spec's
+    no-padding special case when its type is byte/short), and TWO
+    interleaved record variables (per-record vsize padding); random
+    ranks/dims/types, slab padding to 4 bytes throughout.
+    nc_manifest.txt carries the expected decode per (file, variable)."""
+    rng = random.Random(seed)
+
+    def pad4(x):
+        return (x + 3) & ~3
+
+    def gen_vals(nctype, count):
+        if nctype == 5:
+            return [i * 0.25 - 2.0 for i in range(count)]
+        if nctype == 6:
+            return [i * 0.125 - 5.0 for i in range(count)]
+        if nctype == 1:
+            return [(i % 200) - 100 for i in range(count)]
+        if nctype == 3:
+            return [i * 101 - 9000 for i in range(count)]
+        return [i * 7919 - 12345 for i in range(count)]
+
+    lines = []
+    for t in range(n):
+        name = "nf%02d" % t
+        version = rng.choice([1, 2])
+        kind = ["fixed", "rec1", "rec2"][t % 3]
+        rank = rng.randint(1, 3)
+        fixed_lens = [rng.randint(1, 5) for _ in range(rank)]
+        if kind == "fixed":
+            numrecs = 0
+            dims = [("d%d" % i, L) for i, L in enumerate(fixed_lens)]
+        else:
+            numrecs = rng.randint(1, 4)
+            dims = [("t", 0)] + \
+                [("d%d" % i, L) for i, L in enumerate(fixed_lens[:rank - 1])]
+        # variables: record vars must come LAST in the var list
+        vars_ = []
+        if kind == "fixed":
+            vars_.append(("a", list(range(len(dims))), rng.choice([1, 3, 4, 5, 6])))
+            vars_.append(("b", [len(dims) - 1], rng.choice([4, 5, 6])))
+        elif kind == "rec1":
+            # byte/short sometimes: the unpadded-record special case
+            vars_.append(("r0", list(range(len(dims))), rng.choice([1, 3, 5, 6])))
+        else:
+            vars_.append(("r0", list(range(len(dims))), rng.choice([1, 3])))
+            vars_.append(("r1", list(range(len(dims))), rng.choice([4, 5, 6])))
+        rec_count = sum(1 for _, ds, _ in vars_ if ds and dims[ds[0]][1] == 0)
+
+        def var_sizes(nm, dimids, nctype):
+            shape = [dims[d][1] for d in dimids]
+            is_rec = bool(shape) and shape[0] == 0
+            per = 1
+            for L in (shape[1:] if is_rec else shape):
+                per *= L
+            raw = per * _NC_SIZE[nctype]
+            if is_rec and rec_count == 1 and nctype in (1, 2, 3):
+                return is_rec, per, raw          # spec special case: no pad
+            return is_rec, per, pad4(raw)
+
+        def var_header(nm, dimids, attrs, nctype, vsize, begin):
+            out = nc_name(nm) + struct.pack(">i", len(dimids))
+            out += b"".join(struct.pack(">i", d) for d in dimids)
+            out += nc_attrs(attrs)
+            out += struct.pack(">ii", nctype, vsize)
+            out += struct.pack(">q" if version == 2 else ">i", begin)
+            return out
+
+        gatts = [("title", "fuzz %d" % t)] if rng.random() < 0.5 else []
+        vattrs = {nm: ([("units", "K")] if rng.random() < 0.5 else [])
+                  for nm, _, _ in vars_}
+
+        def build(begins):
+            hdr = io.BytesIO()
+            hdr.write(b"CDF" + bytes([version]))
+            hdr.write(struct.pack(">i", numrecs))
+            hdr.write(struct.pack(">ii", 0x0A, len(dims)))
+            for dn, dl in dims:
+                hdr.write(nc_name(dn) + struct.pack(">i", dl))
+            hdr.write(nc_attrs(gatts))
+            hdr.write(struct.pack(">ii", 0x0B, len(vars_)))
+            for (nm, ds, ty), bg in zip(vars_, begins):
+                _, _, vs = var_sizes(nm, ds, ty)
+                hdr.write(var_header(nm, ds, vattrs[nm], ty, vs, bg))
+            return hdr.getvalue()
+
+        hdr_len = len(build([0] * len(vars_)))
+        begins = []
+        off = hdr_len
+        for nm, ds, ty in vars_:           # fixed vars first in both file
+            is_rec, per, vs = var_sizes(nm, ds, ty)  # order and layout
+            if not is_rec:
+                begins.append(off)
+                off += vs
+        rec_start = off
+        roff = rec_start
+        for nm, ds, ty in vars_:
+            is_rec, per, vs = var_sizes(nm, ds, ty)
+            if is_rec:
+                begins.append(roff)
+                roff += vs
+        blob = bytearray(build(begins))
+        all_vals = {}
+        for nm, ds, ty in vars_:
+            is_rec, per, vs = var_sizes(nm, ds, ty)
+            total = per * (numrecs if is_rec else 1)
+            all_vals[nm] = gen_vals(ty, total)
+        for nm, ds, ty in vars_:           # fixed slabs (+ pad to vsize)
+            is_rec, per, vs = var_sizes(nm, ds, ty)
+            if not is_rec:
+                raw = struct.pack(">%d%s" % (per, _NC_PACK[ty]), *all_vals[nm])
+                blob += raw + b"\0" * (vs - len(raw))
+        for r in range(numrecs):           # record slabs, interleaved
+            for nm, ds, ty in vars_:
+                is_rec, per, vs = var_sizes(nm, ds, ty)
+                if is_rec:
+                    chunk = all_vals[nm][r * per:(r + 1) * per]
+                    raw = struct.pack(">%d%s" % (per, _NC_PACK[ty]), *chunk)
+                    blob += raw + b"\0" * (vs - len(raw))
+        with open(os.path.join(outdir, name + ".nc"), "wb") as f:
+            f.write(bytes(blob))
+        for nm, ds, ty in vars_:
+            shape = [dims[d][1] for d in ds]
+            if shape and shape[0] == 0:
+                shape[0] = numrecs
+            lines.append(";".join([
+                name, str(version), nm,
+                ",".join(dims[d][0] for d in ds),
+                ",".join(map(str, shape)),
+                ",".join(repr(v) for v in all_vals[nm])]))
+    with open(os.path.join(outdir, "nc_manifest.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
 _ZDT_PACK = {"f8": "d", "f4": "f", "i8": "q", "i4": "i", "i2": "h", "i1": "b"}
 
 def write_zarr_fuzz(outdir, n=20, seed=424242):
@@ -2380,6 +2517,7 @@ def main():
     write_hdf5_indirect(os.path.join(TEST_FIX, "golden_indirect.h5"))
     write_hdf5_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_zarr_fuzz(os.path.join(TEST_FIX, "fuzz"))
+    write_netcdf3_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
