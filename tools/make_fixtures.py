@@ -2285,6 +2285,85 @@ def write_hdf5_fuzz(outdir, n=32, seed=20260814):
     with open(os.path.join(outdir, "manifest.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
+_H4_PACK = {5: "f", 6: "d", 20: "b", 21: "B", 22: "h", 23: "H",
+            24: "i", 25: "I"}
+_H4_WIDTH = {5: 32, 6: 64, 20: 8, 21: 8, 22: 16, 23: 16, 24: 32, 25: 32}
+
+def write_hdf4_fuzz(outdir, n=14, seed=2718281):
+    """Seeded random DFSD-subset HDF4 files: 1-2 SDSs each, all eight
+    numeric DFNT types (incl. the unsigned widths — u32 values past 2^31
+    prove the unsigned decode), rank 1-3, plain data elements and
+    deflate special elements. h4_manifest.txt carries the expectations."""
+    rng = random.Random(seed)
+    lines = []
+    for t in range(n):
+        name = "hf%02d" % t
+        objs = []
+
+        def nt(ref, dfnt, width_bits):
+            objs.append((106, ref, struct.pack(">BBBB", 1, dfnt, width_bits, 0)))
+
+        def sdd(ref, dims):
+            p = struct.pack(">H", len(dims))
+            p += b"".join(struct.pack(">i", d) for d in dims)
+            p += struct.pack(">HH", 106, ref)
+            p += b"".join(struct.pack(">HH", 106, ref) for _ in dims)
+            objs.append((701, ref, p))
+
+        for s in range(rng.randint(1, 2)):
+            ref = s + 1
+            rank = rng.randint(1, 3)
+            dims = [rng.randint(1, 6) for _ in range(rank)]
+            # cycle so every DFNT type appears across the sweep
+            dfnt = [5, 6, 20, 21, 22, 23, 24, 25][(2 * t + s) % 8]
+            deflate = rng.random() < 0.5
+            nelem = 1
+            for d in dims:
+                nelem *= d
+            vals = {
+                5: [i * 0.25 - 2.0 for i in range(nelem)],
+                6: [i * 0.125 - 5.0 for i in range(nelem)],
+                20: [(i % 200) - 100 for i in range(nelem)],
+                21: [(i * 7) % 256 for i in range(nelem)],
+                22: [i * 101 - 9000 for i in range(nelem)],
+                23: [(i * 517) % 65536 for i in range(nelem)],
+                24: [i * 7919 - 12345 for i in range(nelem)],
+                25: [(i * 104729 + 3000000000) % 4294967296
+                     for i in range(nelem)],
+            }[dfnt]
+            label = "v%d" % s
+            nt(ref, dfnt, _H4_WIDTH[dfnt])
+            sdd(ref, dims)
+            objs.append((704, ref, label.encode() + b"\0"))
+            raw = struct.pack(">%d%s" % (nelem, _H4_PACK[dfnt]), *vals)
+            if deflate:
+                objs.append((40, ref, zlib.compress(raw, 6)))
+                sp = struct.pack(">HHIHHHH", 3, 0, len(raw), ref, 0, 4, 6)
+                objs.append((0x4000 | 702, ref, sp))
+            else:
+                objs.append((702, ref, raw))
+            objs.append((720, ref,
+                         struct.pack(">HHHHHH", 701, ref, 702, ref, 704, ref)))
+            lines.append(";".join([
+                name, label, str(dfnt), "deflate" if deflate else "plain",
+                ",".join(map(str, dims)),
+                ",".join(repr(v) for v in vals)]))
+        ndds = len(objs)
+        header = 4 + 2 + 4 + 12 * ndds
+        out = io.BytesIO()
+        out.write(struct.pack(">I", 0x0E031301))
+        out.write(struct.pack(">Hi", ndds, 0))
+        off = header
+        for tag, ref, payload in objs:
+            out.write(struct.pack(">HHii", tag, ref, off, len(payload)))
+            off += len(payload)
+        for _, _, payload in objs:
+            out.write(payload)
+        with open(os.path.join(outdir, name + ".hdf"), "wb") as f:
+            f.write(out.getvalue())
+    with open(os.path.join(outdir, "h4_manifest.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
 _NC_SIZE = {1: 1, 3: 2, 4: 4, 5: 4, 6: 8}
 _NC_PACK = {1: "b", 3: "h", 4: "i", 5: "f", 6: "d"}
 
@@ -2518,6 +2597,7 @@ def main():
     write_hdf5_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_zarr_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_netcdf3_fuzz(os.path.join(TEST_FIX, "fuzz"))
+    write_hdf4_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
