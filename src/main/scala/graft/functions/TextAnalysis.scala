@@ -252,6 +252,81 @@ object TextAnalysis {
         round(sum(col("cnt") * nllTerm) / sum(col("cnt")), 6).as("nll"))
   }
 
+  /** Multinomial Naive Bayes document classifier — the classic one-pass
+    * stand-in for a fastText-style quality/domain filter (Joulin et al.
+    * 2017 report linear bag-of-words models match far heavier classifiers
+    * on text categorization; NB is its closed-form cousin that trains in
+    * ONE aggregation pass, no SGD, no iterations — the only linear text
+    * classifier whose training is a pure groupBy at 100 TB).
+    *
+    * Train on the rows matching `trainPred` (a deterministic hash split in
+    * the q137 oracle), Laplace-smoothed over the train vocabulary; score
+    * EVERY document (including train — in-sample accuracy is the cheap
+    * sanity metric curation pipelines track):
+    *
+    *   ll(d, c) = ln(docs_c / n_train) + Σ_tok cnt·(ln(tcnt+1) − ln(toks_c + V))
+    *
+    * with out-of-vocabulary tokens dropped (the standard multinomial-NB
+    * treatment; every class sees the same dropped mass so the argmax is
+    * unaffected for shared-OOV docs). Prediction = argmax class, ties on
+    * the 6-dp-rounded ll broken by label ascending so both engines
+    * resolve identically.
+    *
+    * Scale shape: the model is a (vocab × classes) count table built by
+    * one map-side-combined aggregation over the train scan; scoring joins
+    * are token-keyed equi-joins AQE size-gates to broadcasts when the
+    * model fits (it is vocab-bounded — Heaps' law keeps it MB-to-GB at
+    * corpus scale); the class-constant frame is classes-many rows crossed
+    * in broadcast (the q79 shape). The per-(doc,class) expansion is a
+    * classes-count constant factor on the token stream, not a join blowup.
+    *
+    * Output: (doc_id, label_true, label_pred, ll, n_tok_invocab, correct). */
+  def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainPred: Column): DataFrame = {
+    val base = df.withColumn("is_train", trainPred)
+      .select(col(idCol).as("doc_id"), col(labelCol).as("label_true"),
+        col("is_train"), tokens(col(textCol)).as("toks"))
+    val docTok = base.select(col("doc_id"), col("label_true"), col("is_train"),
+      explode(col("toks")).as("tok"))
+    val trainTok = docTok.where(col("is_train"))
+    val model = trainTok.groupBy(col("label_true").as("label"), col("tok"))
+      .agg(count(lit(1)).as("tcnt"))
+    val classDocs = base.where(col("is_train"))
+      .groupBy(col("label_true").as("label")).agg(count(lit(1)).as("cdocs"))
+    val classToks = trainTok.groupBy(col("label_true").as("label"))
+      .agg(count(lit(1)).as("ctoks"))
+    val consts = trainTok.agg(countDistinct(col("tok")).as("v"))
+      .crossJoin(base.where(col("is_train")).agg(count(lit(1)).as("n_train")))
+    // per-class constants: classes-many rows (broadcast everywhere below)
+    val cs = classDocs.join(classToks, Seq("label"), "left")
+      .crossJoin(consts)
+      .select(col("label"), col("cdocs"),
+        coalesce(col("ctoks"), lit(0L)).as("ctoks"), col("v"), col("n_train"))
+    val vocab = trainTok.select("tok").distinct()
+    val perDoc = docTok.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val terms = perDoc.join(vocab, "tok") // drop OOV
+      .crossJoin(broadcast(cs.select("label", "ctoks", "v")))
+      .join(model, Seq("label", "tok"), "left")
+      .groupBy("doc_id", "label")
+      .agg(sum(col("cnt")).cast("long").as("n_tok"),
+        sum(col("cnt").cast("double") *
+          (log((coalesce(col("tcnt"), lit(0L)) + 1L).cast("double"))
+            - log((col("ctoks") + col("v")).cast("double")))).as("tsum"))
+    val full = base.select("doc_id", "label_true")
+      .crossJoin(broadcast(cs.select("label", "cdocs", "n_train")))
+      .join(terms, Seq("doc_id", "label"), "left")
+      .select(col("doc_id"), col("label_true"), col("label"),
+        round(log(col("cdocs").cast("double")) - log(col("n_train").cast("double"))
+          + coalesce(col("tsum"), lit(0.0)), 6).as("ll"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok_invocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("ll").desc, col("label"))
+    full.withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+      .select(col("doc_id"), col("label_true"), col("label").as("label_pred"),
+        col("ll"), col("n_tok_invocab"),
+        when(col("label") === col("label_true"), 1L).otherwise(0L).as("correct"))
+  }
+
   /** Moore-Lewis cross-entropy-difference data selection (Moore & Lewis
     * 2010, "Intelligent Selection of Language Model Training Data"): score
     * every document by H_in(d) − H_gen(d), its mean per-token negative

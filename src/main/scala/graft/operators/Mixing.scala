@@ -82,4 +82,67 @@ object Mixing {
       .withColumn("rk", row_number().over(rank).cast("long"))
       .where(col("rk") <= k)
   }
+
+  /** Temperature-based language/stratum rebalancing — the multilingual
+    * corpus-sampling recipe of mBERT/XLM-R/mT5 (Conneau & Lample 2019
+    * §3.1; Xue et al. 2021 §3.2): draw from stratum `l` with probability
+    * q_l ∝ n_l^alpha so low-resource strata are up-weighted relative to
+    * their natural share. alpha is FIXED at 0.5 (= sqrt) here because
+    * sqrt is a correctly-rounded IEEE-754 operation every engine computes
+    * bit-identically, while pow(x, 0.3) is libm territory — a 1-ulp
+    * disagreement at a floor() boundary would flip a target count between
+    * engines. The mixing ratio is rounded to 6 dp before the target
+    * multiply for the same reason (the Σ sqrt(n_l) reduction is
+    * order-dependent in its last ulp).
+    *
+    * Selection is EXACT per stratum: the n_target docs with the smallest
+    * key-derived hash win (deterministic, partitioning/retry independent —
+    * same contract as [[sampleDecisions]]). The rank is computed TWO-PHASE:
+    * rows are range-bucketed on the hash, ranked within (stratum, bucket),
+    * and offset by the cumulative counts of lower buckets — so no stratum
+    * ever funnels through a single rank partition. At 100 TB with English
+    * at >40% of the corpus, a naive `Window.partitionBy(lang)` row_number
+    * puts 40 TB through one task; the bucketed rank keeps every window
+    * partition at ~1/nBuckets of the stratum and the offset table is
+    * strata × nBuckets rows (broadcast).
+    *
+    * Output: one row per input doc — (doc_id, lang, rnk, selected 0/1,
+    * n_target) — so downstream mixing can either filter `selected = 1`
+    * or inspect the rank margins. */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      sampleFrac: Double, nBuckets: Int = 64): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0, s"sampleFrac in (0,1], got $sampleFrac")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"), col(stratumCol).as("lang"))
+    val counts = base.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).cast("long").as("n_total"),
+      sum(sqrt(col("n_docs").cast("double"))).as("w_tot"))
+    // n_target_l = floor(S * round(sqrt(n_l)/Σsqrt, 6) + 0.5), S = floor(N·frac)
+    val targets = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        floor(floor(col("n_total").cast("double") * lit(sampleFrac))
+          * round(sqrt(col("n_docs").cast("double")) / col("w_tot"), 6)
+          + lit(0.5)).cast("long").as("n_target"))
+    // two-phase rank on h = (id · Knuth) mod p: range-bucket, local rank,
+    // cumulative bucket offsets (strata × nBuckets rows — broadcast back)
+    val hashMod = 1000003L
+    val bucketWidth = hashMod / nBuckets + 1
+    val hashed = base
+      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(hashMod))
+      .withColumn("bkt", (col("h") / lit(bucketWidth)).cast("long"))
+    val offsets = hashed.groupBy("lang", "bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(W.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "bkt", "off")
+    val wLocal = W.partitionBy("lang", "bkt").orderBy(col("h"), col("doc_id"))
+    hashed.withColumn("lrnk", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .join(broadcast(targets.select("lang", "n_target")), "lang")
+      .select(col("doc_id"), col("lang"),
+        (col("off") + col("lrnk")).cast("long").as("rnk"),
+        when(col("off") + col("lrnk") <= col("n_target"), 1L).otherwise(0L)
+          .as("selected"),
+        col("n_target"))
+  }
 }

@@ -1655,6 +1655,86 @@ object LlmQueries {
       s.read.schema(schema).json(q81FixturePath)
         .select(col("doc_id"), col("source"),
           length(col("text")).cast("long").as("text_len"), md5(col("text")).as("text_md5"))
+    },
+
+    // ---- multinomial Naive Bayes source classifier ----------------------
+    // fastText-style quality/domain filter's closed-form cousin: train on
+    // the q18 hash split, Laplace-smoothed over the train vocab, score all
+    // docs, argmax class with (rounded-ll desc, label asc) tie order. Both
+    // engines sum cnt·(ln(tcnt+1) − ln(ctoks+V)) with identical expression
+    // shapes; 6-dp rounding absorbs the sum-order ulp.
+    QueryDef.sqlBacked(
+      "q137_nb_classifier",
+      """WITH base AS (
+        |  SELECT doc_id, source AS label_true,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    ((doc_id * 2654435761) % 97 < 78) AS is_train
+        |  FROM documents),
+        |tok AS (SELECT doc_id, label_true, is_train, unnest(toks) AS tok FROM base),
+        |model AS (SELECT label_true AS label, tok, count(*) AS tcnt
+        |          FROM tok WHERE is_train GROUP BY 1, 2),
+        |cdocs AS (SELECT label_true AS label, count(*) AS cdocs
+        |          FROM base WHERE is_train GROUP BY 1),
+        |ctoks AS (SELECT label_true AS label, count(*) AS ctoks
+        |          FROM tok WHERE is_train GROUP BY 1),
+        |consts AS (SELECT (SELECT count(DISTINCT tok) FROM tok WHERE is_train) AS v,
+        |                  (SELECT count(*) FROM base WHERE is_train) AS n_train),
+        |cs AS (SELECT cdocs.label, cdocs, coalesce(ctoks, 0) AS ctoks, v, n_train
+        |       FROM cdocs LEFT JOIN ctoks ON ctoks.label = cdocs.label
+        |       CROSS JOIN consts),
+        |vocab AS (SELECT DISTINCT tok FROM tok WHERE is_train),
+        |perdoc AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT pd.doc_id, cs.label, CAST(sum(pd.cnt) AS BIGINT) AS n_tok,
+        |    sum(CAST(pd.cnt AS DOUBLE)
+        |      * (ln(CAST(coalesce(m.tcnt, 0) + 1 AS DOUBLE))
+        |        - ln(CAST(cs.ctoks + cs.v AS DOUBLE)))) AS tsum
+        |  FROM perdoc pd
+        |  JOIN vocab USING (tok)
+        |  CROSS JOIN cs
+        |  LEFT JOIN model m ON m.label = cs.label AND m.tok = pd.tok
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT b.doc_id, b.label_true, cs.label,
+        |    round(ln(CAST(cs.cdocs AS DOUBLE)) - ln(CAST(cs.n_train AS DOUBLE))
+        |      + coalesce(t.tsum, 0.0), 6) AS ll,
+        |    CAST(coalesce(t.n_tok, 0) AS BIGINT) AS n_tok_invocab
+        |  FROM base b CROSS JOIN cs
+        |  LEFT JOIN terms t ON t.doc_id = b.doc_id AND t.label = cs.label)
+        |SELECT doc_id, label_true, label AS label_pred, ll, n_tok_invocab,
+        |  CAST(CASE WHEN label = label_true THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY ll DESC, label) AS rnk FROM scored)
+        |WHERE rnk = 1""".stripMargin) { (s, d) =>
+      TextAnalysis.naiveBayesClassify(Tables.documents(s, d), "doc_id", "text",
+        "source", (col("doc_id") * 2654435761L) % 97 < 78)
+    },
+
+    // ---- temperature-based language rebalancing -------------------------
+    // mT5-style alpha-sampling at alpha=0.5 (sqrt — correctly-rounded IEEE
+    // in both engines; see Mixing.temperatureSample). The oracle ranks with
+    // a single global-per-lang row_number; the Spark side computes the SAME
+    // rank two-phase (range-bucketed + cumulative offsets) so no stratum
+    // funnels through one window partition at scale.
+    QueryDef.sqlBacked(
+      "q138_temperature_sampling",
+      """WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |        sum(sqrt(CAST(n_docs AS DOUBLE))) AS w_tot FROM counts),
+        |targets AS (SELECT lang,
+        |  CAST(floor(floor(CAST(n_total AS DOUBLE) * 0.25)
+        |    * round(sqrt(CAST(n_docs AS DOUBLE)) / w_tot, 6) + 0.5) AS BIGINT)
+        |    AS n_target
+        |  FROM counts CROSS JOIN tot),
+        |r AS (SELECT doc_id, lang, row_number() OVER (
+        |  PARTITION BY lang ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(CASE WHEN rnk <= n_target THEN 1 ELSE 0 END AS BIGINT) AS selected,
+        |  n_target
+        |FROM r JOIN targets ON targets.lang = r.lang""".stripMargin) { (s, d) =>
+      graft.operators.Mixing.temperatureSample(
+        Tables.documents(s, d), "doc_id", "lang", sampleFrac = 0.25)
     }
   )
 }
