@@ -80,7 +80,11 @@ object Bench {
     // Round 9: byte-level BPE corpus encode — times the full-corpus
     // tokenize pass (distinct-pretoken segmentation cache + join-back),
     // the token-accounting cost every dataset build pays.
-    "q133_bpe_encode")
+    "q133_bpe_encode",
+    // Round 9: one-pass Naive Bayes train + score — times the
+    // vocab × classes model aggregation and the per-(doc,class)
+    // scoring expansion, the quality-classifier shape.
+    "q137_nb_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

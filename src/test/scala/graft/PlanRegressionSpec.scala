@@ -37,7 +37,14 @@ class PlanRegressionSpec extends SparkSpec {
       "q132_moore_lewis", "q134_bm25",
       // q135: the dense retrieval side IS q30's brute-force probe
       // broadcast (documented BNLJ), plus the q134 constants.
-      "q135_rrf_hybrid")
+      "q135_rrf_hybrid",
+      // q137: the classes-sized constant frame (and the 1-row V/n_train
+      // frame folded into it) is explicitly broadcast-cross-joined onto
+      // the token stream — the q79 shape with classes-many rows.
+      "q137_nb_classifier",
+      // q138: the 1-row (n_total, w_tot) totals frame is explicitly
+      // broadcast-cross-joined onto the strata-sized counts frame.
+      "q138_temperature_sampling")
 
   /** Plan with AQE off: the static plan exposes codegen stages and join
     * strategies directly (AQE only re-plans at runtime from this shape). */
@@ -52,7 +59,8 @@ class PlanRegressionSpec extends SparkSpec {
     // them together, so one throwing query cannot blind the rest of the
     // headline (the round-7 NTZ incident masked every query after q41)
     val failures = (Bench.headline :+ "q48_e2e_slice" :+ "q36_triplet_specs" :+ "q71_iorg_objects"
-      :+ "q132_moore_lewis" :+ "q134_bm25" :+ "q135_rrf_hybrid")
+      :+ "q132_moore_lewis" :+ "q134_bm25" :+ "q135_rrf_hybrid"
+      :+ "q138_temperature_sampling")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
