@@ -473,6 +473,46 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** WITHIN-document line dedup — the intra-doc repetition-removal step
+    * the C4/RefinedWeb cleaning stacks run before any cross-document
+    * dedup (boilerplate nav bars, cookie banners and footer text repeat
+    * inside a page long before they repeat across pages): drop every
+    * line whose normalized form (lower+trim) already appeared earlier in
+    * the SAME document, preserving the order of first occurrences.
+    *
+    * Implemented as a PURE PROJECTION via the `aggregate` higher-order
+    * function folding a (seen-keys, kept-lines) accumulator over the
+    * line array — zero shuffles, in contrast to the explode → window
+    * rank → re-aggregate formulation which pays two exchanges and a
+    * per-(doc,line-key) window. The fold is O(L²) in a document's LINE
+    * count (array_contains per line) — L is tens-to-hundreds for real
+    * pages, so the quadratic term is noise next to the shuffle it
+    * replaces; a million-line pathological doc belongs to the
+    * exact-substring machinery ([[duplicatedNgramSpans]]) instead.
+    *
+    * Output: (doc_id, text_dedup, n_lines, n_kept). Empty lines dedup
+    * like any other (normalized key "") — successive blank lines
+    * collapse to the first, which is the C4 behavior for whitespace
+    * boilerplate. */
+  def dedupLinesWithin(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emptyAcc = struct(
+      array().cast("array<string>").as("seen"),
+      array().cast("array<string>").as("kept"))
+    val ls = split(col(textCol), "\n")
+    val acc = aggregate(ls, emptyAcc, (a, x) => {
+      val key = lower(trim(x))
+      when(array_contains(a.getField("seen"), key), a)
+        .otherwise(struct(
+          concat(a.getField("seen"), array(key)).as("seen"),
+          concat(a.getField("kept"), array(x)).as("kept")))
+    })
+    df.select(col(idCol).as("doc_id"), ls.as("ls"), acc.getField("kept").as("kept"))
+      .select(col("doc_id"),
+        array_join(col("kept"), "\n").as("text_dedup"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"))
+  }
+
   /** HOF reference form of [[simhash16]] (cross-check oracle). */
   def simhash16Hof(textCol: Column): Column = {
     val toks = array_distinct(TextAnalysis.tokens(textCol))

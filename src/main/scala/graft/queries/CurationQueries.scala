@@ -525,6 +525,52 @@ object CurationQueries {
          |FROM perdoc""".stripMargin) { (s, d) =>
       graft.operators.BpeTrainer.byteEncodeRoundTrip(
         Tables.documents(s, d), "doc_id", "text", ByteBpeMerges)
+    },
+
+    // ---- within-document line dedup -------------------------------------
+    // Intra-doc repetition removal (the C4/RefinedWeb step that strips
+    // repeated nav/cookie/footer boilerplate INSIDE a page before any
+    // cross-doc dedup). Pseudo-lines are synthesized as 6-token chunks
+    // (the q114 pattern — the corpus has no newlines); every doc gains a
+    // cookie-banner line twice in two casings (exercises lower+trim
+    // normalization) and doc_id % 3 docs repeat their first line at the
+    // end (exercises order-preserving first-occurrence retention).
+    QueryDef.sqlBacked(
+      "q139_line_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l0 AS (SELECT doc_id,
+        |  [array_to_string(toks[(i*6+1):(i*6+6)], ' ')
+        |    FOR i IN range(0, CAST(floor((len(toks)-1)/6) AS BIGINT) + 1)] AS ls0
+        |  FROM t),
+        |l2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN list_append(list_concat(ls0,
+        |      ['Accept all cookies', 'accept all cookies']), ls0[1])
+        |    ELSE list_concat(ls0, ['Accept all cookies', 'accept all cookies'])
+        |  END AS ls FROM l0),
+        |lines AS (SELECT doc_id, unnest(ls) AS line,
+        |  CAST(unnest(range(1, len(ls)+1)) AS BIGINT) AS pos FROM l2),
+        |kept AS (SELECT doc_id, line, pos, row_number() OVER (
+        |    PARTITION BY doc_id, lower(trim(line)) ORDER BY pos) AS rn FROM lines),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |        count(*) AS n_kept FROM kept WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT agg.doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_kept AS BIGINT) AS n_kept, md5(text_dedup) AS dedup_md5
+        |FROM agg JOIN tot ON tot.doc_id = agg.doc_id""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val ls0 = transform(
+        sequence(lit(0L), floor((size(toks) - lit(1)) / lit(6)).cast("long")),
+        i => array_join(slice(toks, (i * 6 + 1).cast("int"), lit(6)), " "))
+      val banner = array(lit("Accept all cookies"), lit("accept all cookies"))
+      val ls = when(col("doc_id") % 3 === 0,
+          concat(ls0, banner, array(element_at(ls0, 1))))
+        .otherwise(concat(ls0, banner))
+      graft.operators.Dedup.dedupLinesWithin(
+          Tables.documents(s, d).select(col("doc_id"),
+            array_join(ls, "\n").as("synth")),
+          "doc_id", "synth")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("text_dedup").cast("binary")).as("dedup_md5"))
     })
 
   /** The q124/q128 oracle: the BPE trainer loop unrolled as chained
