@@ -900,6 +900,28 @@ object SourceQueries {
           expr("(idx div 16) % 12").as("y"),
           expr("idx % 16").as("x"),
           col("value").as("lwp"))
+    },
+
+    // ---- S12 family: ORC sink -> source round-trip ----------------------
+    // Columnar-format interchange beyond parquet: the documents table is
+    // written as zlib ORC partitioned by `source` (Spark's built-in ORC
+    // DSv2 — Hive/Trino interchange format), read back through the
+    // partition-pruned path (the source filter prunes directories before
+    // any file opens; OrcRoundtripSpec asserts the PartitionFilters and
+    // the doc_id pushdown reach the scan). The oracle reads the same
+    // rows from parquet, so the hash proves the ORC encode -> partition
+    // layout -> prune -> decode chain value-exact.
+    QueryDef.sqlBacked(
+      "q140_orc_roundtrip",
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM documents WHERE source = 'src0'""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-q140").toString
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("source")
+        .option("compression", "zlib").orc(dir)
+      s.read.orc(dir).where(col("source") === "src0")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
     }
   )
 }
