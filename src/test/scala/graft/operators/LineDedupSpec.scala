@@ -38,4 +38,23 @@ class LineDedupSpec extends SparkSpec {
     val got = run(Seq((1L, "x\n")))
     assert(got(1L) == (("x\n", 2L, 2L)))
   }
+
+  test("HOF fold matches the explode/window reference on random corpora") {
+    // cross-check the shuffle-free projection against the textbook
+    // explode -> rank-within-(doc, key) -> first-occurrence formulation
+    val rnd = new scala.util.Random(41)
+    val words = Seq("a", "b", "B ", " a", "", "cc", "Aa", "aa")
+    val rows = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      (id, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString("\n"))
+    }
+    val got = run(rows)
+    val expect = rows.map { case (id, text) =>
+      val ls = text.split("\n", -1)
+      val kept = scala.collection.mutable.LinkedHashMap[String, String]()
+      ls.foreach { l => kept.getOrElseUpdate(l.trim.toLowerCase, l) }
+      id -> ((kept.values.mkString("\n"), ls.length.toLong, kept.size.toLong))
+    }.toMap
+    assert(got == expect)
+  }
 }
