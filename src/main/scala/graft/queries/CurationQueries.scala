@@ -571,6 +571,56 @@ object CurationQueries {
           "doc_id", "synth")
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
           md5(col("text_dedup").cast("binary")).as("dedup_md5"))
+    },
+
+    // ---- WordPiece corpus encode ----------------------------------------
+    // BERT-family greedy longest-match subword tokenization (the other
+    // dominant scheme next to BPE). The oracle replays the greedy loop
+    // as a RECURSIVE CTE whose per-step longest-match CASE chain is
+    // generated from the SAME Scala vocab constants the Spark fold
+    // compiles against; ids are vocab positions, [UNK] takes the next
+    // free id, and ids_fp is the q136-style order-dependent poly-hash
+    // of the full per-doc id stream.
+    QueryDef.sqlBacked(
+      "q141_wordpiece_encode",
+      s"""WITH RECURSIVE pre AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |    CAST(unnest(range(1, len(toks)+1)) AS BIGINT) AS pos
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |        FROM documents)),
+         |vt AS (SELECT DISTINCT tok FROM pre),
+         |seg AS (
+         |  SELECT tok, 1 AS spos, CAST([] AS VARCHAR[]) AS pieces,
+         |    false AS failed FROM vt
+         |  UNION ALL
+         |  SELECT tok, spos + m.ml AS spos,
+         |    CASE WHEN m.ml = 0 THEN pieces
+         |         ELSE list_append(pieces, m.piece) END AS pieces,
+         |    m.ml = 0 AS failed
+         |  FROM (SELECT tok, spos, pieces, $wpMatchCaseSql AS m
+         |        FROM seg WHERE NOT failed AND spos <= length(tok))),
+         |fin AS (SELECT tok,
+         |    CASE WHEN failed THEN ['[UNK]'] ELSE pieces END AS pieces,
+         |    CAST(failed AS BIGINT) AS is_unk
+         |  FROM seg WHERE failed OR spos > length(tok)),
+         |ids AS (SELECT tok, is_unk, len(pieces) AS n_p,
+         |    [CASE WHEN p = '[UNK]' THEN ${WpVocab.size}
+         |          ELSE list_position($wpVocabListSql, p) - 1 END
+         |      FOR p IN pieces] AS idlist
+         |  FROM fin)
+         |SELECT pre.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_p) AS BIGINT) AS n_pieces,
+         |  CAST(sum(is_unk) AS BIGINT) AS n_unk,
+         |  CAST(list_reduce(
+         |    list_prepend(CAST(7 AS BIGINT),
+         |      [CAST(x AS BIGINT) FOR x IN flatten(list(idlist ORDER BY pre.pos))]),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS ids_fp
+         |FROM pre JOIN ids ON ids.tok = pre.tok
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.operators.WordPiece.encodeCorpus(
+        Tables.documents(s, d), "doc_id", "text", WpVocab)
     })
 
   /** The q124/q128 oracle: the BPE trainer loop unrolled as chained
@@ -625,4 +675,49 @@ object CurationQueries {
   private val ByteBpeMerges: Seq[(String, String)] = Seq(
     ("Ġ", "t"), ("h", "e"), ("Ġt", "he"), ("i", "n"), ("e", "r"),
     ("a", "n"), ("r", "e"), ("o", "n"), ("Ġ", "a"), ("s", "t"))
+
+  /** WordPiece vocab for q141, tuned to the corpus' vocabulary so the
+    * greedy matcher exercises multi-piece splits (customer -> custom
+    * ##er, column -> col ##umn, window -> win ##dow, small -> s ##m
+    * ##all), single-piece words, and genuine [UNK]s. Ids are list
+    * positions (0-based); [UNK] takes the next free id. All pieces are
+    * lowercase letters only — SQL-literal inert. */
+  private val WpVocab: Seq[String] = Seq(
+    // plain (word-initial)
+    "join", "hash", "row", "batch", "scan", "custom", "col", "filter",
+    "slow", "merge", "order", "vec", "line", "data", "table", "agg",
+    "value", "key", "stream", "win", "spark", "a", "group", "part",
+    "big", "sort", "query", "fast", "the", "s", "b",
+    // continuation
+    "##er", "##umn", "##all", "##dow", "##tor", "##s", "##e", "##t",
+    "##d", "##y", "##ing", "##ed", "##m", "##o", "##a", "##l", "##n",
+    "##r")
+
+  private def wpVocabListSql: String =
+    WpVocab.map(p => s"'$p'").mkString("[", ",", "]")
+
+  /** The greedy step's longest-match CASE for the q141 oracle: one
+    * branch per (length desc, position class), testing the same
+    * membership the Spark fold compiles ([[graft.operators.WordPiece]]).
+    * References columns `tok` and `spos` of the recursive CTE. */
+  private def wpMatchCaseSql: String = {
+    val plainByLen = WpVocab.filterNot(_.startsWith("##")).groupBy(_.length)
+    val contByLen = WpVocab.filter(_.startsWith("##")).map(_.drop(2))
+      .filter(_.nonEmpty).groupBy(_.length)
+    val maxLen = (plainByLen.keySet ++ contByLen.keySet).max
+    def l(xs: Seq[String]) = xs.map(p => s"'$p'").mkString("[", ",", "]")
+    val branches = (maxLen to 1 by -1).flatMap { n =>
+      val sub = s"substr(tok, spos, $n)"
+      val plain = plainByLen.get(n).map(ps =>
+        s"""WHEN spos = 1 AND length($sub) = $n
+           | AND list_contains(${l(ps)}, $sub)
+           | THEN {'ml': $n, 'piece': $sub}""".stripMargin.replaceAll("\n", ""))
+      val cont = contByLen.get(n).map(cs =>
+        s"""WHEN spos > 1 AND length($sub) = $n
+           | AND list_contains(${l(cs)}, $sub)
+           | THEN {'ml': $n, 'piece': '##' || $sub}""".stripMargin.replaceAll("\n", ""))
+      plain.toSeq ++ cont.toSeq
+    }
+    branches.mkString("CASE ", " ", " ELSE {'ml': 0, 'piece': ''} END")
+  }
 }
