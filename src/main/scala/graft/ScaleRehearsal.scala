@@ -294,6 +294,31 @@ object ScaleRehearsal {
           ("a", "n"), ("r", "e"), ("o", "n"), ("Ġ", "a"), ("s", "t"))).count()
     }
 
+    // ---- round 9: Naive Bayes train + score (q137 shape) — one model
+    // aggregation (vocab × classes, Heaps-bounded) + token-keyed scoring
+    // joins with a classes-count expansion factor; expected ~linear
+    timed("nb_classifier") {
+      graft.functions.TextAnalysis.naiveBayesClassify(docs, "doc_id", "text",
+        "source", (col("doc_id") * 2654435761L) % 97 < 78).count()
+    }
+
+    // ---- round 9: WordPiece corpus encode (q141 shape) — greedy fold
+    // once per DISTINCT pre-token + join-back; the per-doc side is one
+    // posexplode + one group-by; expected ~linear
+    timed("wordpiece_encode") {
+      graft.operators.WordPiece.encodeCorpus(docs, "doc_id", "text",
+        graft.queries.CurationQueries.WpVocab).count()
+    }
+
+    // ---- round 9: within-doc line dedup (q139 shape) — pure projection;
+    // spaces -> newlines makes every word a line, so the per-doc fold
+    // runs at a realistic L (tens of lines) with genuine duplicates
+    timed("line_dedup") {
+      graft.operators.Dedup.dedupLinesWithin(
+        docs.select(col("doc_id"), translate(col("text"), " ", "\n").as("t")),
+        "doc_id", "t").count()
+    }
+
     spark.stop()
   }
 }
