@@ -513,6 +513,97 @@ object Dedup {
         size(col("kept")).cast("long").as("n_kept"))
   }
 
+  /** Content-defined chunking + cross-document chunk dedup — the
+    * storage-style dedup primitive (LBFS/Venti lineage; rsync's rolling
+    * window): cut a document AFTER every position whose trailing w=8
+    * character window hashes to 0 mod 64, so boundaries are CONTENT
+    * anchors — insert a paragraph and every later chunk realigns
+    * identically, where fixed-size blocks would shift and nothing would
+    * dedup. Chunk fingerprints then dedup corpus-wide by equality: the
+    * coarse complement to token-level exact-substring spans
+    * ([[duplicatedNgramSpans]]) that a 100 TB pipeline can afford on
+    * EVERY document (hash-keyed counts, no suffix machinery).
+    *
+    * The window hash is the plain 8-term polynomial Σ ord(c)·31^k —
+    * exact in int64 (max < 2.5e17), written literally in the q143
+    * oracle. Boundary enumeration is a per-row HOF projection; the only
+    * shuffles are the chunk-hash count aggregation and the hash-keyed
+    * join back (AQE size-gated), both linear in chunks ≈ chars/64.
+    *
+    * Output per doc: (doc_id, n_chunks, n_dup_chunks, chunks_fp) where
+    * n_dup_chunks counts this doc's chunks whose content occurs more
+    * than once corpus-wide and chunks_fp pins the ordered chunk-hash
+    * stream. Documents with empty normalized text vanish (no chunks) —
+    * mirrored in the oracle. */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pows = (7 to 0 by -1).map(k => math.pow(31, k).toLong) // 31^7..31^0
+    // LAMBDA DISCIPLINE — the two traps this implementation dodges:
+    // (1) higher-order lambdas evaluate interpreted, re-running every
+    // subtree in the BODY once per element, and CollapseProject inlines
+    // staged columns into lambda bodies (lambda-internal references are
+    // not counted as multi-use) — so a body touching an O(chars)
+    // expression re-walks the document per element; (2) inlining is
+    // MULTIPLICATIVE through the expression DAG — every reference to a
+    // column re-evaluates its full upstream chain (a zip_with-chain
+    // formulation of the window hashes measured 48 s for 500 docs this
+    // way). The boundary scan is therefore ONE aggregate fold with the
+    // classic O(1) ROLLING update h' = h·31 + c_in − c_out·31^8,
+    // accumulating boundary positions directly — a single per-row pass
+    // whose body touches two characters, nothing else.
+    val pow8 = pows.head * 31L // 31^8
+    // per-char codes from ONE split (no per-element substr into s); the
+    // outgoing-window char rides each element as a pre-zipped struct so
+    // the fold body touches nothing but its element and the accumulator
+    val nOr1 = greatest(col("n"), lit(1))
+    val codes = transform(slice(split(col("s"), ""), lit(1), nOr1),
+      c => ascii(c).cast("long"))
+    val cOut = concat(array_repeat(lit(0L), lit(8)),
+      slice(codes, lit(1), greatest(col("n") - 8, lit(0))))
+    val pairs = zip_with(codes, cOut,
+      (a, b) => struct(a.as("cin"), b.as("cout")))
+    val withIdx = zip_with(pairs, sequence(lit(1), nOr1),
+      (p, i) => struct(i.as("i"),
+        p.getField("cin").as("cin"), p.getField("cout").as("cout")))
+    val boundaryFold = aggregate(
+      when(col("n") >= 8, withIdx)
+        .otherwise(array().cast("array<struct<i:int,cin:bigint,cout:bigint>>")),
+      struct(lit(0L).as("h"), array().cast("array<int>").as("bp")),
+      (a, p) => {
+        val h2 = a.getField("h") * 31L + p.getField("cin") -
+          p.getField("cout") * pow8
+        struct(h2.as("h"),
+          when(p.getField("i") >= 8 && h2 % 64 === 0,
+            concat(a.getField("bp"), array(p.getField("i"))))
+            .otherwise(a.getField("bp")).as("bp"))
+      })
+    val staged = df
+      .select(col(idCol).as("doc_id"), TextAnalysis.normText(col(textCol)).as("s"))
+      .withColumn("n", length(col("s")))
+      .withColumn("bounds",
+        concat(array(lit(0)), boundaryFold.getField("bp"), array(col("n"))))
+      // chunk extraction zips two shifted slices of bounds: the heavy
+      // subtree sits in input position (evaluated per row, not per
+      // element) and the body touches only its elements and `s`
+      .withColumn("chunks", filter(
+        zip_with(
+          slice(col("bounds"), lit(1), size(col("bounds")) - 1),
+          slice(col("bounds"), lit(2), size(col("bounds")) - 1),
+          (a, b) => col("s").substr(a + 1, b - a)),
+        c => length(c) > 0))
+    val ex = staged
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx"),
+        md5(col("chunk").cast("binary")).as("h"))
+    val counts = ex.groupBy("h").agg(count(lit(1)).as("cnt"))
+    ex.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        md5(concat_ws("",
+          transform(sort_array(collect_list(struct(col("idx"), col("h")))),
+            p => p.getField("h"))).cast("binary")).as("chunks_fp"))
+  }
+
   /** HOF reference form of [[simhash16]] (cross-check oracle). */
   def simhash16Hof(textCol: Column): Column = {
     val toks = array_distinct(TextAnalysis.tokens(textCol))

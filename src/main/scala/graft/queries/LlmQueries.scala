@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
   private val P = TextAnalysis.HashMod
 
+  /** q143: shared boilerplate planted on every doc (lowercase — survives
+    * normText untouched) so chunk-level dedup has guaranteed hits. */
+  private val CdcBoiler =
+    "subscribe to our newsletter accept all cookies all rights reserved " +
+      "terms of service privacy policy follow us on social media"
+
+  /** q143 window hash, generated from the same exponents as
+    * `Dedup.cdcChunkStats` (char at i-7+k times 31^(7-k); exact int64). */
+  private def cdcWinHashSql: String =
+    (0 to 7).map { k =>
+      val pow = math.pow(31, 7 - k).toLong
+      s"CAST(ord(substr(s, i - ${7 - k}, 1)) AS BIGINT) * $pow"
+    }.mkString(" + ")
+
   /** Per-JVM fixture path for q81: a fresh temp dir per run means
     * concurrent Verify/Bench processes on one host cannot clobber each
     * other's fixture mid-read; the interpolated oracle SQL carries the
@@ -1708,6 +1722,48 @@ object LlmQueries {
         |WHERE rnk = 1""".stripMargin) { (s, d) =>
       TextAnalysis.naiveBayesClassify(Tables.documents(s, d), "doc_id", "text",
         "source", (col("doc_id") * 2654435761L) % 97 < 78)
+    },
+
+    // ---- content-defined chunking + chunk-level dedup -------------------
+    // Rolling-window CDC (LBFS lineage): boundaries where the trailing
+    // 8-char window's Σ ord·31^k hash ≡ 0 mod 64. A shared boilerplate
+    // prefix is planted on every doc, so leading chunks dedup corpus-wide
+    // and the content-anchored realignment (CDC's point vs fixed blocks)
+    // is exercised; the window-hash SQL is generated from the same
+    // exponent constants the Spark expression compiles.
+    QueryDef.sqlBacked(
+      "q143_cdc_chunks",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    lower(trim('$CdcBoiler ' || text)) AS s
+         |  FROM documents),
+         |pos AS (SELECT doc_id, s, unnest(range(8, length(s)+1)) AS i
+         |        FROM t WHERE length(s) >= 8),
+         |b AS (SELECT doc_id, i FROM pos WHERE ($cdcWinHashSql) % 64 = 0),
+         |bl AS (SELECT t.doc_id, s,
+         |    list_concat(list_concat([0], coalesce(bb.l, [])), [length(s)]) AS bounds
+         |  FROM t LEFT JOIN (SELECT doc_id, list(i ORDER BY i) AS l
+         |                    FROM b GROUP BY 1) bb ON bb.doc_id = t.doc_id),
+         |ch AS (SELECT doc_id, unnest(cl) AS chunk,
+         |    CAST(unnest(range(1, len(cl)+1)) AS BIGINT) AS idx
+         |  FROM (SELECT doc_id,
+         |      list_filter(
+         |        [substr(s, bounds[j]+1, bounds[j+1]-bounds[j])
+         |          FOR j IN range(1, len(bounds))],
+         |        c -> length(c) > 0) AS cl
+         |    FROM bl)),
+         |hx AS (SELECT doc_id, idx, md5(chunk) AS h FROM ch),
+         |dc AS (SELECT h, count(*) AS cnt FROM hx GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  md5(string_agg(h, '' ORDER BY idx)) AS chunks_fp
+         |FROM hx JOIN dc USING (h)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.cdcChunkStats(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit(CdcBoiler), lit(" "), col("text")).as("synth")),
+        "doc_id", "synth")
     },
 
     // ---- temperature-based language rebalancing -------------------------
