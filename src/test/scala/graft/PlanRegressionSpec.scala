@@ -61,7 +61,8 @@ class PlanRegressionSpec extends SparkSpec {
     val failures = (Bench.headline :+ "q48_e2e_slice" :+ "q36_triplet_specs" :+ "q71_iorg_objects"
       :+ "q132_moore_lewis" :+ "q134_bm25" :+ "q135_rrf_hybrid"
       :+ "q138_temperature_sampling" :+ "q139_line_dedup"
-      :+ "q141_wordpiece_encode" :+ "q142_hilbert_stats")
+      :+ "q141_wordpiece_encode" :+ "q142_hilbert_stats"
+      :+ "q143_cdc_chunks")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
