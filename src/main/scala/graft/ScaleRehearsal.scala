@@ -299,7 +299,7 @@ object ScaleRehearsal {
     // joins with a classes-count expansion factor; expected ~linear
     timed("nb_classifier") {
       graft.functions.TextAnalysis.naiveBayesClassify(docs, "doc_id", "text",
-        "source", (col("doc_id") * 2654435761L) % 97 < 78).count()
+        "source", pmod(col("doc_id"), lit(97)) * 2654435761L % 97 < 78).count()
     }
 
     // ---- round 9: WordPiece corpus encode (q141 shape) — greedy fold

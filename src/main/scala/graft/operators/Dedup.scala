@@ -576,8 +576,18 @@ object Dedup {
             concat(a.getField("bp"), array(p.getField("i"))))
             .otherwise(a.getField("bp")).as("bp"))
       })
+    // CODE-UNIT SEMANTICS PINNED: the rolling hash reads char codes via
+    // Spark `ascii()`, the q143 oracle via DuckDB `ord()` (codepoints),
+    // and the spec reference via UTF-16 charAt — three engines that only
+    // agree on ASCII. Project the normalized text onto printable ASCII
+    // (everything outside [0x20,0x7e] -> one space) BEFORE chunking, so
+    // boundaries are engine-independent on arbitrary web text; the oracle
+    // and CdcChunkSpec apply the identical projection (non-ASCII case
+    // proven in the spec).
     val staged = df
-      .select(col(idCol).as("doc_id"), TextAnalysis.normText(col(textCol)).as("s"))
+      .select(col(idCol).as("doc_id"),
+        regexp_replace(TextAnalysis.normText(col(textCol)),
+          "[^\\x20-\\x7e]", " ").as("s"))
       .withColumn("n", length(col("s")))
       .withColumn("bounds",
         concat(array(lit(0)), boundaryFold.getField("bp"), array(col("n"))))

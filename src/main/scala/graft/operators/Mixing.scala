@@ -128,7 +128,12 @@ object Mixing {
     val hashMod = 1000003L
     val bucketWidth = hashMod / nBuckets + 1
     val hashed = base
-      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(hashMod))
+      // reduce BEFORE the Knuth multiply: (id mod m)·K stays < 2.7e15, so
+      // the hash never overflows int64 for any doc_id (doc_id·K wraps
+      // negative past ~3.47e9 in non-ANSI Spark while DuckDB raises —
+      // a silent engine divergence at 100 TB id ranges); mathematically
+      // identical to (id·K) mod m for all in-range ids.
+      .withColumn("h", (pmod(col("doc_id"), lit(hashMod)) * lit(2654435761L)) % lit(hashMod))
       .withColumn("bkt", (col("h") / lit(bucketWidth)).cast("long"))
     val offsets = hashed.groupBy("lang", "bkt").agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(

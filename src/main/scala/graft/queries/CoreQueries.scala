@@ -296,12 +296,12 @@ object CoreQueries {
     // ---- O6/T1: deterministic hash split into collections ---------------
     QueryDef.sqlBacked(
       "q18_split_assign",
-      """SELECT CASE WHEN (event_id * 2654435761) % 97 < 78 THEN 'train' ELSE 'study' END AS collection,
+      """SELECT CASE WHEN (event_id % 97) * 2654435761 % 97 < 78 THEN 'train' ELSE 'study' END AS collection,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .withColumn("collection",
-          when((col("event_id") * 2654435761L) % 97 < 78, "train").otherwise("study"))
+          when(pmod(col("event_id"), lit(97)) * 2654435761L % 97 < 78, "train").otherwise("study"))
         .groupBy(col("collection"), col("event_type"))
         .agg(count(lit(1)).as("n"))
     },

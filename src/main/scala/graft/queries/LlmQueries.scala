@@ -1682,7 +1682,7 @@ object LlmQueries {
       """WITH base AS (
         |  SELECT doc_id, source AS label_true,
         |    string_split_regex(lower(trim(text)), '\s+') AS toks,
-        |    ((doc_id * 2654435761) % 97 < 78) AS is_train
+        |    ((doc_id % 97) * 2654435761 % 97 < 78) AS is_train
         |  FROM documents),
         |tok AS (SELECT doc_id, label_true, is_train, unnest(toks) AS tok FROM base),
         |model AS (SELECT label_true AS label, tok, count(*) AS tcnt
@@ -1721,7 +1721,7 @@ object LlmQueries {
         |  PARTITION BY doc_id ORDER BY ll DESC, label) AS rnk FROM scored)
         |WHERE rnk = 1""".stripMargin) { (s, d) =>
       TextAnalysis.naiveBayesClassify(Tables.documents(s, d), "doc_id", "text",
-        "source", (col("doc_id") * 2654435761L) % 97 < 78)
+        "source", pmod(col("doc_id"), lit(97)) * 2654435761L % 97 < 78)
     },
 
     // ---- content-defined chunking + chunk-level dedup -------------------
@@ -1735,7 +1735,8 @@ object LlmQueries {
       "q143_cdc_chunks",
       s"""WITH t AS (
          |  SELECT doc_id,
-         |    lower(trim('$CdcBoiler ' || text)) AS s
+         |    regexp_replace(lower(trim('$CdcBoiler ' || text)),
+         |                   '[^\\x20-\\x7e]', ' ', 'g') AS s
          |  FROM documents),
          |pos AS (SELECT doc_id, s, unnest(range(8, length(s)+1)) AS i
          |        FROM t WHERE length(s) >= 8),
@@ -1783,7 +1784,7 @@ object LlmQueries {
         |    AS n_target
         |  FROM counts CROSS JOIN tot),
         |r AS (SELECT doc_id, lang, row_number() OVER (
-        |  PARTITION BY lang ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rnk
+        |  PARTITION BY lang ORDER BY (doc_id % 1000003) * 2654435761 % 1000003, doc_id) AS rnk
         |  FROM documents)
         |SELECT r.doc_id, r.lang, CAST(rnk AS BIGINT) AS rnk,
         |  CAST(CASE WHEN rnk <= n_target THEN 1 ELSE 0 END AS BIGINT) AS selected,

@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object SourceQueries {
 
+  /** Per-JVM fixture dir for q140's ORC round-trip: one directory reused
+    * (overwrite mode) across every evaluation in a JVM, removed on exit —
+    * a fresh dir per call would leak a full ORC copy of the documents
+    * table into /tmp on every Verify/Bench run. */
+  private lazy val q140OrcDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q140_orc_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- S3/S5: generated hourly calendar w/ phase + blacklist ----------
@@ -915,7 +930,7 @@ object SourceQueries {
       "q140_orc_roundtrip",
       """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
         |FROM documents WHERE source = 'src0'""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-q140").toString
+      val dir = q140OrcDir
       Tables.documents(s, d)
         .write.mode("overwrite").partitionBy("source")
         .option("compression", "zlib").orc(dir)

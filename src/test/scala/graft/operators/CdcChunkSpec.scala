@@ -7,9 +7,15 @@ import graft.SparkSpec
   * and corpus-wide dup accounting. */
 class CdcChunkSpec extends SparkSpec {
 
-  /** Reference: the same w=8, mod-64 boundary rule as a plain loop. */
+  /** Reference: the same w=8, mod-64 boundary rule as a plain loop,
+    * including the operator's printable-ASCII projection (non-ASCII ->
+    * one space) that pins char-code semantics across Spark ascii() /
+    * DuckDB ord() / JVM charAt. */
   private def refChunks(text: String): Seq[String] = {
-    val s = text.trim.toLowerCase
+    // regex (not a char map): one space per CODE POINT, so astral chars
+    // (surrogate pairs) collapse to a single space exactly as Spark's
+    // regexp_replace and DuckDB's RE2 do
+    val s = text.trim.toLowerCase.replaceAll("[^\\x20-\\x7e]", " ")
     val pows = (7 to 0 by -1).map(k => math.pow(31, k).toLong)
     val cuts = (8 to s.length).filter { i =>
       val h = (0 until 8).map(k => s.charAt(i - 8 + k).toLong * pows(k)).sum
@@ -55,6 +61,18 @@ class CdcChunkSpec extends SparkSpec {
     val got = run(Seq((1L, docA), (2L, docB)))
     assert(got(1L)._2 == ca.count(shared.contains))
     assert(got(2L)._2 == cb.count(shared.contains))
+  }
+
+  test("non-ASCII input: boundaries agree with the reference after the " +
+    "printable-ASCII projection (accents, CJK, emoji, NBSP)") {
+    val docC = "café con leche — naïve résumé " +
+      "中文文本 and some 🌉 emoji plus nbsp " + docA
+    val ref = refChunks(docC)
+    assert(ref.length > 1, "projected doc must still produce multiple chunks")
+    val got = run(Seq((1L, docC), (2L, docC)))
+    // operator chunk count equals the reference loop's, and the two
+    // identical docs fully dedup — byte-identical chunking on both rows
+    assert(got(1L) == ((ref.length.toLong, ref.length.toLong, got(2L)._3)))
   }
 
   test("chunks concatenate back to the normalized text (reference)") {

@@ -32,7 +32,7 @@ class OrcRoundtripSpec extends SparkSpec {
     val q = s.read.orc(dir).where(col("part") === "p1" && col("id") < 10L)
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
-      plan.replaceAll("\\s", "").contains("(part#") || plan.contains("part#"),
+      (plan.replaceAll("\\s", "").contains("(part#") || plan.contains("part#")),
       s"partition filter missing:\n${plan.take(1200)}")
     assert(plan.contains("PushedFilters") && plan.contains("LessThan(id,10)"),
       s"id pushdown missing:\n${plan.take(1200)}")
