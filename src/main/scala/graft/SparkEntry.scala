@@ -13,7 +13,8 @@ object SparkEntry {
     graft.queries.CoreQueries.defs ++ graft.queries.LlmQueries.defs ++
       graft.queries.RasterQueries.defs ++ graft.queries.PipelineQueries.defs ++
       graft.queries.SourceQueries.defs ++ graft.queries.CurationQueries.defs ++
-      graft.queries.PqQueries.defs ++ graft.queries.LayoutQueries.defs
+      graft.queries.PqQueries.defs ++ graft.queries.LayoutQueries.defs ++
+      graft.queries.TailQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

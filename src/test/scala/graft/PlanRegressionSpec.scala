@@ -62,7 +62,9 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q132_moore_lewis" :+ "q134_bm25" :+ "q135_rrf_hybrid"
       :+ "q138_temperature_sampling" :+ "q139_line_dedup"
       :+ "q141_wordpiece_encode" :+ "q142_hilbert_stats"
-      :+ "q143_cdc_chunks")
+      :+ "q143_cdc_chunks"
+      :+ "q144_hydrostatic_recurrence" :+ "q145_image_math"
+      :+ "q146_tile_gather" :+ "q147_optical_flow")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -295,6 +297,24 @@ class PlanRegressionSpec extends SparkSpec {
       val plan = planOf(q)
       assert(!plan.contains("Exchange"), s"$q introduced a shuffle:\n${plan.take(1200)}")
     }
+  }
+
+  test("q145: the image-math chain is a pure projection") {
+    // true-green -> clip -> gamma -> contrast -> quantize -> stack ->
+    // resize is all higher-order array math over one scan; an Exchange
+    // here means per-row raster math silently became an aggregation
+    val plan = planOf("q145_image_math")
+    assert(!plan.contains("Exchange"), s"q145 introduced a shuffle:\n${plan.take(1200)}")
+  }
+
+  test("q146: tile gather joins on spatial cells, never a nested loop") {
+    // the J6 claim: the bbox range join is rewritten as an equi-join on
+    // (scene_id, cx, cy) — a BNLJ/cartesian here is the O(N·M) regression
+    val plan = planOf("q146_tile_gather")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q146 lost the cell-bucketed equi-join:\n${plan.take(1200)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"q146 lost its equi-join:\n${plan.take(1200)}")
   }
 
   test("q119: HTML extraction is a pure projection") {
