@@ -84,7 +84,11 @@ object Bench {
     // Round 9: one-pass Naive Bayes train + score — times the
     // vocab × classes model aggregation and the per-(doc,class)
     // scoring expansion, the quality-classifier shape.
-    "q137_nb_classifier")
+    "q137_nb_classifier",
+    // Round 10: unigram-LM Viterbi corpus encode — times the third
+    // subword scheme's full-corpus pass (per-distinct-token DP fold +
+    // token-keyed join-back), one DP up from q133's merge replay.
+    "q148_unigram_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -14,7 +14,7 @@ object SparkEntry {
       graft.queries.RasterQueries.defs ++ graft.queries.PipelineQueries.defs ++
       graft.queries.SourceQueries.defs ++ graft.queries.CurationQueries.defs ++
       graft.queries.PqQueries.defs ++ graft.queries.LayoutQueries.defs ++
-      graft.queries.TailQueries.defs
+      graft.queries.TailQueries.defs ++ graft.queries.UnigramQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -46,6 +46,12 @@ class PlanRegressionSpec extends SparkSpec {
       // broadcast-cross-joined onto the strata-sized counts frame.
       "q138_temperature_sampling")
 
+  /** Queries whose RETURNED frame is a driver-side model materialized
+    * as a LocalTableScan (no `*(` marker possible): the heavy work runs
+    * as separate Spark jobs inside the operator (trainer loops), and
+    * those jobs' shapes are asserted by their own operator specs. */
+  private val codegenExempt = Set("q149_unigram_train")
+
   /** Plan with AQE off: the static plan exposes codegen stages and join
     * strategies directly (AQE only re-plans at runtime from this shape). */
   private def planOf(q: String): String = {
@@ -64,7 +70,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q141_wordpiece_encode" :+ "q142_hilbert_stats"
       :+ "q143_cdc_chunks"
       :+ "q144_hydrostatic_recurrence" :+ "q145_image_math"
-      :+ "q146_tile_gather" :+ "q147_optical_flow")
+      :+ "q146_tile_gather" :+ "q147_optical_flow"
+      :+ "q149_unigram_train" :+ "q150_unigram_roundtrip")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -72,7 +79,8 @@ class PlanRegressionSpec extends SparkSpec {
           case scala.util.Success(plan) =>
             val errs = scala.collection.mutable.Buffer[String]()
             // codegen'd operators print with the `*(n)` stage marker
-            if (!plan.contains("*(")) errs += s"$q lost whole-stage codegen"
+            if (!plan.contains("*(") && !codegenExempt(q))
+              errs += s"$q lost whole-stage codegen"
             if (plan.contains("CartesianProduct")) errs += s"$q plans a cartesian product"
             if (!bnljAllowed(q) && plan.contains("BroadcastNestedLoopJoin"))
               errs += s"$q plans an undocumented nested-loop join:\n${plan.take(1500)}"
