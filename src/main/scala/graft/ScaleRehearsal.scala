@@ -319,6 +319,43 @@ object ScaleRehearsal {
         "doc_id", "t").count()
     }
 
+    // ---- round 10: unigram-LM Viterbi corpus encode (q148 shape) —
+    // per-DISTINCT-pretoken DP fold + token-keyed join-back; expected
+    // ~linear in docs (the segmentation cache is Heaps-bounded)
+    timed("unigram_encode") {
+      graft.operators.UnigramLM.encodeCorpus(docs, "doc_id", "text",
+        graft.queries.UnigramQueries.UgVocab).count()
+    }
+
+    // ---- round 10: unigram hard-EM trainer (q149 shape) — ONE corpus
+    // scan (the word-count aggregation), then EM rounds on the
+    // distinct-word frame; expected strongly sublinear wall growth
+    // (the distinct-word frame grows by Heaps' law)
+    timed("unigram_train") {
+      graft.operators.UnigramLM.train(docs, "doc_id", "text",
+        graft.operators.UnigramLM.TrainConfig()).size.toLong
+    }
+
+    // ---- round 10: from-scratch KMeans fit at K = N/500 — the SemDeDup
+    // cell geometry. Exact Lloyd's assignment is O(N*K) per round BY
+    // CONSTRUCTION, so with K growing alongside N this term is
+    // superlinear on purpose: kept measured, not assumed (the
+    // semdedup_assign discipline). The 100 TB posture caps K per shard
+    // or pre-blocks with the IVF index; this row records what the
+    // uncapped fit actually costs.
+    timed("kmeans_fit") {
+      val nkm = (20000 * mult).toLong
+      val kkm = math.max(4, (nkm / 500).toInt)
+      val dimKm = 16
+      val vec = array((0 until dimKm).map(j =>
+        (pmod(col("id") * 31 + lit(j * 17), lit(1009)) - 504).cast("double")
+          / 504.0): _*)
+      val pts = spark.range(nkm).select(col("id"), vec.as("v"))
+      val (_, assigned) = graft.operators.KMeansLloyd.fit(pts, "id", "v",
+        k = kkm, dim = dimKm, seed = 42, rounds = 2)
+      assigned.count()
+    }
+
     spark.stop()
   }
 }

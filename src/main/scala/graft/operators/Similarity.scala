@@ -187,7 +187,7 @@ object Similarity {
     * The index ships inside the serialized plan — effectively a broadcast
     * of the centroid table. d2 is a left-to-right fold, so an oracle can
     * reproduce it bit-for-bit. */
-  private def cellDists(vec: Column, cents: Seq[Seq[Double]]): Column =
+  private[operators] def cellDists(vec: Column, cents: Seq[Seq[Double]]): Column =
     transform(typedlit(cents), (cv, i) => struct(
       aggregate(
         zip_with(vec, cv, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),

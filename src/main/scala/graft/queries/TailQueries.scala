@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.ImageOps
-import graft.operators.{Flow, Profiles, TensorOps}
+import graft.operators.{Flow, KMeansLloyd, Profiles, TensorOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -184,8 +184,88 @@ object TailQueries {
           max(when(col("x") >= 0 && col("px") >= 0,
             round(col("y") - col("py")))).cast("long").as("dy_max"),
           sum(when(col("x") < 0, 1L).otherwise(0L)).as("n_lost"))
+    },
+
+    // ---- M3: from-scratch distributed KMeans fit ------------------------
+    // Seeded Lloyd's on planted integral 2-D blobs (4 clusters derived
+    // from event ids): hashUnit init, 2 assign+update rounds, final
+    // E-step. Every quantity is engine-exact — init ranks on the shared
+    // poly-hash, d2 folds in fixed dim order, argmin ties break
+    // (d2, cell), and centroid means are exact-integer sums / counts —
+    // so the oracle replays the whole fit and the hash pins centroids
+    // AND assignment (sum_ids) together. Empty cells keep their
+    // previous centroid (duplicate init vectors exercise this).
+    QueryDef.sqlBacked("q151_kmeans_fit", kmeansOracleSql) { (s, d) =>
+      import s.implicits._
+      val pts = Tables.events(s, d).select(
+        col("event_id").as("id"),
+        array(
+          ((col("event_id") % 4) * 100 + (col("event_id") % 7) - 3).cast("double"),
+          (lit(50) + (col("event_id") % 4) * 30 + (expr("event_id div 7") % 5) - 2)
+            .cast("double")).as("v"))
+      val (model, assigned) =
+        KMeansLloyd.fit(pts, "id", "v", k = 4, dim = 2, seed = 42, rounds = 2)
+      val cdf = model.cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c(0), c(1)) }.toDF("cell", "c0", "c1")
+      assigned.groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_points"), sum(col("id")).as("sum_ids"))
+        .join(cdf, "cell")
+        .select(col("cell"), col("n_points"), col("c0"), col("c1"), col("sum_ids"))
     }
   )
+
+  /** Poly-hash unit mirror (identical tokens to Triplets.hashUnit —
+    * the RasterQueries helper specialized to '42|id'). */
+  private def kmHuSql: String = {
+    val s = "'42|' || CAST(id AS VARCHAR)"
+    val h = s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"[CAST(ord(substr($s, j, 1)) AS BIGINT) FOR j IN range(1, len($s) + 1)]), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+    s"(CAST(((($h) * 2654435761) % 1000000007) * ((($h) * 2654435761) % 1000000007) " +
+      s"% 1000000007 AS DOUBLE) / 1000000007.0)"
+  }
+
+  /** DuckDB replay of the q151 fit: init -> (assign, update) x2 ->
+    * final assign, with the same d2 token order, (d2, cell) tie-break
+    * and keep-old empty-cell rule. */
+  private def kmeansOracleSql: String = {
+    def assignCte(name: String, centsRel: String) =
+      s"""$name AS (
+         |  SELECT id, x0, x1, cell FROM (
+         |    SELECT p.id, p.x0, p.x1, c.cell,
+         |      row_number() OVER (PARTITION BY p.id ORDER BY
+         |        (p.x0 - c.c0) * (p.x0 - c.c0)
+         |          + (p.x1 - c.c1) * (p.x1 - c.c1), c.cell) AS rn
+         |    FROM pts p CROSS JOIN $centsRel c)
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(name: String, assignRel: String, prevRel: String) =
+      s"""$name AS (
+         |  SELECT i.cell, coalesce(s.c0, i.c0) AS c0, coalesce(s.c1, i.c1) AS c1
+         |  FROM $prevRel i LEFT JOIN (
+         |    SELECT cell, sum(x0) / count(*) AS c0, sum(x1) / count(*) AS c1
+         |    FROM $assignRel GROUP BY 1) s USING (cell))""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT event_id AS id,
+       |    CAST((event_id % 4) * 100 + (event_id % 7) - 3 AS DOUBLE) AS x0,
+       |    CAST(50 + (event_id % 4) * 30 + ((event_id // 7) % 5) - 2 AS DOUBLE) AS x1
+       |  FROM events),
+       |init AS (
+       |  SELECT cell, c0, c1 FROM (
+       |    SELECT row_number() OVER (ORDER BY $kmHuSql, id) - 1 AS cell,
+       |      x0 AS c0, x1 AS c1
+       |    FROM pts)
+       |  WHERE cell < 4),
+       |${assignCte("a1", "init")},
+       |${updateCte("c1r", "a1", "init")},
+       |${assignCte("a2", "c1r")},
+       |${updateCte("c2r", "a2", "c1r")},
+       |${assignCte("a3", "c2r")}
+       |SELECT CAST(a.cell AS BIGINT) AS cell,
+       |  CAST(count(*) AS BIGINT) AS n_points, any_value(c.c0) AS c0,
+       |  any_value(c.c1) AS c1, CAST(sum(a.id) AS BIGINT) AS sum_ids
+       |FROM a3 a JOIN c2r c USING (cell)
+       |GROUP BY a.cell""".stripMargin
+  }
 
   /** DuckDB mirror of the q145 chain — identical token order per FP op:
     * true-green ((r·.4836 + b·.4571) + g·.0604), clip via

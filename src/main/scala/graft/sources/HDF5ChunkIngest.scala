@@ -75,15 +75,32 @@ object HDF5ChunkIngest {
       else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(tasks)
       .repartitionByRange(par, $"path", $"offset")
+      // sort so a partition walks each file once, byte-ascending: ONE
+      // open/close per (path, partition) instead of per chunk (a 100k-
+      // chunk store would otherwise pay 100k open/close syscalls per
+      // executor pass), and the positioned reads advance monotonically —
+      // the access pattern OS readahead actually helps
+      .sortWithinPartitions($"path", $"offset")
       .mapPartitions { it =>
+        var cur: java.io.RandomAccessFile = null
+        var curPath: String = null
+        def fileFor(p: String): java.io.RandomAccessFile = {
+          if (curPath != p) {
+            if (cur != null) cur.close()
+            cur = new java.io.RandomAccessFile(p, "r")
+            curPath = p
+          }
+          cur
+        }
+        // close the last handle when the task ends (also on failure —
+        // the iterator itself has no terminal hook under interruption)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (cur != null) cur.close()))
         it.flatMap { t =>
-          val raf = new java.io.RandomAccessFile(t.path, "r")
-          val raw = try {
-            val a = new Array[Byte](t.nbytes.toInt)
-            raf.seek(t.offset)
-            raf.readFully(a)
-            a
-          } finally raf.close()
+          val raf = fileFor(t.path)
+          val raw = new Array[Byte](t.nbytes.toInt)
+          raf.seek(t.offset)
+          raf.readFully(raw)
           val v = HDF5.H5Var(t.dataset, t.dims, t.chunkDims, t.dtClass,
             t.dtSize, t.bigEndian, t.filters)
           HDF5.decodeChunk(raw, v, t.origin)

@@ -18,11 +18,13 @@ import java.nio.charset.StandardCharsets
   *  - netCDF *export* of aux grids (pipeline/embeddings/aux_fields/
   *    utils.py:43-68) via [[NetCDF3.write]].
   *
-  * Scale note: a .nc file decodes as one unit (the header indexes the
-  * whole file), so Spark-side use is per-file parallelism — see
-  * [[NetCDFIngest]]. That matches the reference, where each file is one
-  * luigi task; at 100 TB the parallelism unit is the file and the
-  * decoded long-format rows immediately repartition by scene.
+  * Scale note: per-file parallelism ([[NetCDFIngest]]) matches the
+  * reference, where each file is one luigi task. For CONSOLIDATED
+  * multi-record stores (one file concatenated along the unlimited
+  * dimension), record offsets are closed-form (begin + r·stride), so
+  * [[NetCDF3ChunkIngest]] fans records out across tasks from a
+  * header-only parse — the HDF5ChunkIngest pattern; a file is no
+  * longer the parallelism floor.
   */
 object NetCDF3 {
 
@@ -135,6 +137,18 @@ object NetCDF3 {
       val v = recVars.head
       v.dimIds.drop(1).map(h.dims(_).length.toLong).product * typeSize(v.ncType)
     } else recVars.map(_.vsize).sum
+  }
+
+  /** Public record stride for chunk-parallel ingest
+    * ([[NetCDF3ChunkIngest]]): record offsets are closed-form. */
+  def recordStrideOf(h: Header): Long = recordStride(h)
+
+  /** Decode one raw big-endian slab of `n` elements to doubles — the
+    * positioned-read path of [[NetCDF3ChunkIngest]]. */
+  def decodeSlab(raw: Array[Byte], ncType: Int, n: Int): Array[Double] = {
+    val out = new Array[Double](n)
+    readSlab(ByteBuffer.wrap(raw), 0L, n, ncType, out, 0)
+    out
   }
 
   private def readSlab(b: ByteBuffer, at: Long, n: Int, ncType: Int, out: Array[Double], outOff: Int): Unit = {

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Chunk-parallel two-phase ingest for consolidated netCDF-3 record
+  * files — the [[HDF5ChunkIngest]] pattern for the classic format. A
+  * multi-year LES/ERA5 store concatenated along the unlimited dimension
+  * is ONE file whose record offsets are closed-form (record r of
+  * variable v starts at v.begin + r·recordStride), so there is no
+  * reason to decode it whole-file per task:
+  *
+  *  - phase 1 (driver): header-only parse — a bounded prefix read, KB
+  *    of metadata regardless of data volume — yields record-batch tasks
+  *    (path, var, recStart, nRecs) sized to `targetBytes`;
+  *  - phase 2: tasks range-partition by (path, recStart) and decode
+  *    with positioned reads — one file handle per (path, partition),
+  *    byte-monotone access, peak memory one record batch.
+  *
+  * Output matches [[HDF5ChunkIngest.readValues]]: (path, dataset, idx,
+  * value) with idx the global row-major linear element index.
+  */
+object NetCDF3ChunkIngest {
+
+  final case class RecordTask(
+      path: String, dataset: String, ncType: Int,
+      begin: Long, stride: Long, perRec: Int,
+      recStart: Int, nRecs: Int)
+
+  /** Header-only parse: read a growing prefix until the header parses
+    * (the classic header is self-delimiting; data begins after it). */
+  def headerOf(path: String): NetCDF3.Header = {
+    val f = new java.io.RandomAccessFile(path, "r")
+    try {
+      var n = 8192
+      while (true) {
+        val take = math.min(n.toLong, f.length()).toInt
+        val buf = new Array[Byte](take)
+        f.seek(0); f.readFully(buf)
+        try return NetCDF3.readHeader(buf)
+        catch {
+          case _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException
+              if take < f.length() => n *= 4
+        }
+      }
+      sys.error("unreachable")
+    } finally f.close()
+  }
+
+  /** Phase 1: record-batch tasks for `varName` in each path. Non-record
+    * variables become a single whole-slab task (stride 0). */
+  def recordTasks(paths: Seq[String], varName: String,
+      targetBytes: Long = 4L << 20): Seq[RecordTask] =
+    paths.sorted.flatMap { p =>
+      val h = headerOf(p)
+      val v = h.vars.find(_.name == varName).getOrElse(
+        throw new IllegalArgumentException(
+          s"Requested variable `$varName` not found in datafile $p"))
+      val shape = NetCDF3.shapeOf(h, v)
+      val isRec = v.dimIds.headOption.exists(h.dims(_).isRecord)
+      if (!isRec) {
+        val total = shape.map(_.toLong).product
+        require(total <= Int.MaxValue, s"${v.name} too large for one slab")
+        Seq(RecordTask(p, v.name, v.ncType, v.begin, 0L, total.toInt, 0, 1))
+      } else {
+        val perRec = shape.drop(1).map(_.toLong).product
+        require(perRec <= Int.MaxValue, s"${v.name} record too large")
+        val stride = NetCDF3.recordStrideOf(h)
+        val recBytes = math.max(1L, perRec * NetCDF3.typeSize(v.ncType))
+        val recsPerTask = math.max(1L, targetBytes / recBytes).toInt
+        (0 until h.numRecs by recsPerTask).map { r0 =>
+          RecordTask(p, v.name, v.ncType, v.begin, stride, perRec.toInt,
+            r0, math.min(recsPerTask, h.numRecs - r0))
+        }
+      }
+    }
+
+  /** Phase 2 fan-out. */
+  def readValues(spark: SparkSession, pathGlob: String, varName: String,
+      targetBytes: Long = 4L << 20, partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val tasks = recordTasks(HDF5ChunkIngest.resolvePaths(pathGlob), varName,
+      targetBytes)
+    require(tasks.nonEmpty, s"no netCDF records matched $pathGlob / $varName")
+    val par = if (partitions > 0) partitions
+      else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(tasks)
+      .repartitionByRange(par, $"path", $"recStart")
+      .sortWithinPartitions($"path", $"recStart")
+      .mapPartitions { it =>
+        var cur: java.io.RandomAccessFile = null
+        var curPath: String = null
+        def fileFor(p: String): java.io.RandomAccessFile = {
+          if (curPath != p) {
+            if (cur != null) cur.close()
+            cur = new java.io.RandomAccessFile(p, "r")
+            curPath = p
+          }
+          cur
+        }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (cur != null) cur.close()))
+        it.flatMap { t =>
+          val raf = fileFor(t.path)
+          val elemSize = NetCDF3.typeSize(t.ncType)
+          (0 until t.nRecs).iterator.flatMap { r =>
+            val rec = t.recStart + r
+            val raw = new Array[Byte](t.perRec * elemSize)
+            raf.seek(t.begin + rec * t.stride)
+            raf.readFully(raw)
+            val vals = NetCDF3.decodeSlab(raw, t.ncType, t.perRec)
+            (0 until t.perRec).iterator.map { i =>
+              (t.path, t.dataset, rec.toLong * t.perRec + i, vals(i))
+            }
+          }
+        }
+      }
+      .toDF("path", "dataset", "idx", "value")
+  }
+}

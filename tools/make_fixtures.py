@@ -1912,6 +1912,56 @@ def write_netcdf3_rec(path):
     with open(path, "wb") as f:
         f.write(blob)
 
+
+def write_netcdf3_rec_big(path):
+    """CDF-2 consolidated record store for the chunk-parallel ingest
+    spec: 24 records, TWO record variables (flux f32 [time,y=4,x=3] and
+    tavg f64 [time]) so the record stride is the general multi-var sum
+    of 4-padded per-record slabs, plus one fixed var (xc f64 [x])."""
+    nrec, ny, nx = 24, 4, 3
+    header = io.BytesIO()
+    header.write(b"CDF\x02")
+    header.write(struct.pack(">i", nrec))                   # numrecs
+    header.write(struct.pack(">ii", 0x0A, 3))               # dim_list
+    header.write(nc_name("time") + struct.pack(">i", 0))    # UNLIMITED
+    header.write(nc_name("y") + struct.pack(">i", ny))
+    header.write(nc_name("x") + struct.pack(">i", nx))
+    header.write(struct.pack(">ii", 0, 0))                  # no gatts
+    header.write(struct.pack(">ii", 0x0B, 3))               # var_list
+    base = header.getvalue()
+
+    def var_header(name, dimids, nctype, vsize, begin):
+        out = nc_name(name) + struct.pack(">i", len(dimids))
+        out += b"".join(struct.pack(">i", d) for d in dimids)
+        out += struct.pack(">ii", 0, 0)                     # no attrs
+        out += struct.pack(">ii", nctype, vsize)
+        out += struct.pack(">q", begin)                     # CDF-2 64-bit
+        return out
+
+    flux_vsize = ((ny * nx * 4 + 3) // 4) * 4              # 48
+    tavg_vsize = 8
+    xc_vsize = nx * 8
+    def build(b_xc, b_flux, b_tavg):
+        return (var_header("xc", [2], 6, xc_vsize, b_xc) +
+                var_header("flux", [0, 1, 2], 5, flux_vsize, b_flux) +
+                var_header("tavg", [0], 6, tavg_vsize, b_tavg))
+    hdr_len = len(base) + len(build(0, 0, 0))
+    b_xc = hdr_len
+    b_flux = b_xc + xc_vsize
+    b_tavg = b_flux + flux_vsize
+    stride = flux_vsize + tavg_vsize
+    blob = bytearray(base + build(b_xc, b_flux, b_tavg))
+    blob += struct.pack(">%dd" % nx, *[10.0 * i for i in range(nx)])
+    for r in range(nrec):
+        rec = struct.pack(">%df" % (ny * nx),
+                          *[r * 100.0 + j * 10 + i
+                            for j in range(ny) for i in range(nx)])
+        rec += b"\x00" * (flux_vsize - len(rec))
+        rec += struct.pack(">d", r * 0.5)
+        blob += rec
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+
 # ---------------------------------------------------------------------------
 # zarr v2 store (spec: zarr v2 storage specification)
 # ---------------------------------------------------------------------------
@@ -2601,6 +2651,7 @@ def main():
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
+    write_netcdf3_rec_big(os.path.join(TEST_FIX, "consolidated_rec.nc"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
     write_warc(os.path.join(TEST_FIX, "golden.warc.gz"))
     write_wav(os.path.join(TEST_FIX, "golden.wav"))
