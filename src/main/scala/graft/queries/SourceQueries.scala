@@ -937,6 +937,38 @@ object SourceQueries {
       s.read.orc(dir).where(col("source") === "src0")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text").cast("binary")).as("text_md5"))
+    },
+
+    // ---- S12 family: Avro sink -> source round-trip ---------------------
+    // The remaining mainstream interchange format: documents written as
+    // a deflate-coded Avro Object Container store (one container file
+    // per partition — the mapPartitions bridge over the Avro core jars;
+    // spark-avro is not shipped) and read back through the per-file
+    // streaming decode. Oracle reads the same rows from parquet, so the
+    // hash proves schema mapping (nullable unions) + container encode
+    // -> deflate blocks -> decode value-exact. Fixture dir is per-JVM
+    // (overwrite semantics, removed on exit) like q140's.
+    QueryDef.sqlBacked(
+      "q152_avro_roundtrip",
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM documents WHERE source = 'src1'""".stripMargin) { (s, d) =>
+      val dir = q152AvroDir
+      graft.sources.Avro.write(Tables.documents(s, d), dir)
+      graft.sources.Avro.read(s, dir).where(col("source") === "src1")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
     }
   )
+
+  /** Per-JVM fixture dir for q152 (the q140 discipline). */
+  private lazy val q152AvroDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q152_avro_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 }

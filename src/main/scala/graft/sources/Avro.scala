@@ -1,0 +1,191 @@
+package graft.sources
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro Object Container File source/sink — the one mainstream
+  * data-interchange format the suite lacked next to parquet/ORC/JSONL/
+  * WARC/zarr/netCDF/HDF4/HDF5/WAV/PNG/ONNX. Spark ships the Avro CORE
+  * jars but not the spark-avro DataSource module, so the bridge is
+  * mapPartitions over the container codec (Avro 1.12 spec: magic
+  * `Obj\1`, metadata map with avro.schema/avro.codec, 16-byte sync
+  * marker, deflate-compressed blocks) — one container file per
+  * partition on write, per-file streaming decode on read.
+  *
+  * Schema resolution for the testdata tables' types: long/int/double/
+  * float/boolean/string/binary map to their Avro primitives, timestamps
+  * to long + timestamp-micros logical type, and every nullable Spark
+  * field to the canonical ["null", T] union. The independence check is
+  * a Python-stdlib container writer in tools/make_fixtures.py
+  * (ForeignFixturesSpec reads its golden.avro).
+  *
+  * Scale: write is embarrassingly parallel (one file per partition, no
+  * shuffle); read parallelism is per-file (binaryFile source), the
+  * Avro-idiomatic unit — a consolidated store would split on block
+  * sync markers, the same two-phase upgrade the HDF5/netCDF ingests
+  * got, but Avro pipelines shard into many container files by
+  * convention so per-file is the production shape.
+  */
+object Avro {
+
+  /** Spark -> Avro schema (record of nullable unions). */
+  def avroSchema(schema: StructType, name: String = "topLevelRecord"): Schema = {
+    val fields = schema.fields.map { f =>
+      val base = f.dataType match {
+        case LongType => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case TimestampType | TimestampNTZType =>
+          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported Avro export type $other")
+      }
+      val t = if (f.nullable) Schema.createUnion(
+        java.util.List.of(Schema.create(Schema.Type.NULL), base)) else base
+      new Schema.Field(f.name, t, null, null)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.toList.asJava)
+  }
+
+  /** Avro -> Spark schema (recognizing the nullable-union and
+    * timestamp-micros conventions). */
+  def sparkSchema(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD, "top level must be a record")
+    StructType(schema.getFields.asScala.map { f =>
+      val (base, nullable) = f.schema().getType match {
+        case Schema.Type.UNION =>
+          val ts = f.schema().getTypes.asScala
+          require(ts.size == 2 && ts.head.getType == Schema.Type.NULL,
+            s"only [null, T] unions supported, got ${f.schema()}")
+          (ts(1), true)
+        case _ => (f.schema(), false)
+      }
+      val dt = base.getType match {
+        case Schema.Type.LONG =>
+          if (base.getLogicalType != null
+            && base.getLogicalType.getName == "timestamp-micros") TimestampType
+          else LongType
+        case Schema.Type.INT => IntegerType
+        case Schema.Type.DOUBLE => DoubleType
+        case Schema.Type.FLOAT => FloatType
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.STRING => StringType
+        case Schema.Type.BYTES => BinaryType
+        case other => throw new IllegalArgumentException(s"unsupported Avro type $other")
+      }
+      StructField(f.name, dt, nullable)
+    }.toArray)
+  }
+
+  /** Write `df` to `dir` as one container file per partition. */
+  def write(df: DataFrame, dir: String, codec: String = "deflate"): Unit = {
+    val schema = df.schema
+    val schemaJson = avroSchema(schema).toString
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    // overwrite semantics: a prior run with more partitions must not
+    // leave stale part files behind
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".avro")).foreach(_.delete())
+    df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val sch = new Schema.Parser().parse(schemaJson)
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+      codec match {
+        case "deflate" => w.setCodec(CodecFactory.deflateCodec(6))
+        case "null" => ()
+        case other => throw new IllegalArgumentException(s"unsupported codec $other")
+      }
+      val f = new java.io.File(dir, f"part-$pi%05d.avro")
+      w.create(sch, f)
+      var n = 0L
+      it.foreach { row =>
+        val rec = new GenericData.Record(sch)
+        schema.fields.zipWithIndex.foreach { case (fld, i) =>
+          val v: AnyRef =
+            if (row.isNullAt(i)) null
+            else fld.dataType match {
+              case TimestampType => java.lang.Long.valueOf(
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .fromJavaTimestamp(row.getAs[java.sql.Timestamp](i)))
+              case TimestampNTZType => java.lang.Long.valueOf(
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .localDateTimeToMicros(row.getAs[java.time.LocalDateTime](i)))
+              case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+              case _ => row.get(i).asInstanceOf[AnyRef]
+            }
+          rec.put(fld.name, v)
+        }
+        w.append(rec); n += 1
+      }
+      w.close()
+      Iterator.single(n)
+    }.count()
+    ()
+  }
+
+  /** Read every container file matching `pathGlob` (schema taken from
+    * the first file; all files must agree). */
+  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    val paths = HDF5ChunkIngest.resolvePaths(pathGlob) match {
+      case Seq() =>
+        val d = new java.io.File(pathGlob)
+        if (d.isDirectory)
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".avro"))
+            .map(_.getAbsolutePath).sorted.toSeq
+        else Seq.empty
+      case ps => ps
+    }
+    require(paths.nonEmpty, s"no avro files matched $pathGlob")
+    val first = {
+      val in = new java.io.FileInputStream(paths.head)
+      val s = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try s.getSchema finally { s.close(); in.close() }
+    }
+    val sparkSch = sparkSchema(first)
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(sparkSch))
+    import spark.implicits._
+    val rows = spark.createDataset(paths).flatMap { p =>
+      val in = new java.io.FileInputStream(p)
+      val stream = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      val fields = sparkSch.fields
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = stream.hasNext
+          if (!h) { stream.close(); in.close() }
+          h
+        }
+        def next(): Row = {
+          val rec = stream.next()
+          Row.fromSeq(fields.map { f =>
+            val v = rec.get(f.name)
+            if (v == null) null
+            else f.dataType match {
+              case StringType => v.toString
+              case TimestampType =>
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .toJavaTimestamp(v.asInstanceOf[java.lang.Long].longValue())
+              case BinaryType =>
+                val bb = v.asInstanceOf[java.nio.ByteBuffer]
+                val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+              case _ => v
+            }
+          }.toSeq)
+        }
+      }
+    }(enc)
+    rows
+  }
+}

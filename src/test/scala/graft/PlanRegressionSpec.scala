@@ -71,7 +71,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q143_cdc_chunks"
       :+ "q144_hydrostatic_recurrence" :+ "q145_image_math"
       :+ "q146_tile_gather" :+ "q147_optical_flow"
-      :+ "q149_unigram_train" :+ "q150_unigram_roundtrip")
+      :+ "q149_unigram_train" :+ "q150_unigram_roundtrip"
+      :+ "q152_avro_roundtrip")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Avro container source/sink: foreign-fixture decode (Python-stdlib
+  * writer, raw-deflate blocks), table round-trips including timestamp
+  * micros and nulls, and schema mapping edges. */
+class AvroSpec extends SparkSpec {
+
+  private def fixturePath(name: String): String = {
+    val f = new java.io.File(s"src/test/resources/fixtures/$name")
+    require(f.isFile, s"fixture $name missing — run tools/make_fixtures.py")
+    f.getAbsolutePath
+  }
+
+  test("foreign fixture: deflate blocks, nullable unions, both blocks decode") {
+    val got = Avro.read(spark, fixturePath("golden.avro"))
+      .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSeq
+    assert(got == Seq(
+      (1L, "alpha", 1.5, true),
+      (2L, "beta", -2.25, false),
+      (3L, null, null, true),
+      (4L, "delta", 0.125, false),
+      (5L, "epsilon", 1e300, true),
+      (6L, "", 0.0, false)))
+    val sch = Avro.read(spark, fixturePath("golden.avro")).schema
+    assert(sch.fields.map(f => (f.name, f.nullable)).toSeq ==
+      Seq(("id", false), ("name", true), ("score", true), ("ok", false)))
+  }
+
+  test("documents table round-trips through write -> read") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("avro-rt").toString
+    Avro.write(docs, dir)
+    val back = Avro.read(spark, dir)
+    assert(back.schema == docs.schema)
+    assert(back.collect().map(_.toSeq).toSet == docs.collect().map(_.toSeq).toSet)
+  }
+
+  test("timestamps survive as micros (events table)") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("event_id") < 100)
+    val dir = java.nio.file.Files.createTempDirectory("avro-ts").toString
+    Avro.write(ev, dir)
+    val back = Avro.read(spark, dir)
+    assert(back.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(back.collect().map(_.toSeq).toSet == ev.collect().map(_.toSeq).toSet)
+  }
+
+  test("null codec writes uncompressed and reads back") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("avro-null").toString
+    Avro.write(df, dir, codec = "null")
+    assert(Avro.read(spark, dir).collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+  }
+}

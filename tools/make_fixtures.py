@@ -1962,6 +1962,72 @@ def write_netcdf3_rec_big(path):
     with open(path, "wb") as f:
         f.write(bytes(blob))
 
+
+# ---------------------------------------------------------------------------
+# Avro Object Container File (spec: Apache Avro 1.12.0 specification)
+# ---------------------------------------------------------------------------
+
+def _avro_zigzag(n):
+    """Avro long: zigzag then little-endian base-128 varint."""
+    u = (n << 1) ^ (n >> 63)
+    u &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+def _avro_str(s):
+    b = s.encode("utf-8")
+    return _avro_zigzag(len(b)) + b
+
+def write_avro(path):
+    """Container file with deflate-coded blocks: record {id long,
+    name [null,string], score [null,double], ok boolean} over 6 rows
+    (row 3 carries nulls) split across TWO blocks so block framing and
+    the sync marker are both exercised. Raw-deflate (RFC1951) codec."""
+    schema = ('{"type":"record","name":"golden","namespace":"graft","fields":['
+              '{"name":"id","type":"long"},'
+              '{"name":"name","type":["null","string"]},'
+              '{"name":"score","type":["null","double"]},'
+              '{"name":"ok","type":"boolean"}]}')
+    rows = [
+        (1, "alpha", 1.5, True),
+        (2, "beta", -2.25, False),
+        (3, None, None, True),
+        (4, "delta", 0.125, False),
+        (5, "epsilon", 1e300, True),
+        (6, "", 0.0, False),
+    ]
+    def enc_row(r):
+        rid, name, score, ok = r
+        out = _avro_zigzag(rid)
+        out += _avro_zigzag(0) if name is None else _avro_zigzag(1) + _avro_str(name)
+        out += (_avro_zigzag(0) if score is None
+                else _avro_zigzag(1) + struct.pack("<d", score))
+        out += b"\x01" if ok else b"\x00"
+        return out
+    sync = bytes(range(16))
+    blob = bytearray(b"Obj\x01")
+    meta = [("avro.schema", schema.encode("utf-8")),
+            ("avro.codec", b"deflate")]
+    blob += _avro_zigzag(len(meta))
+    for k, v in meta:
+        blob += _avro_str(k) + _avro_zigzag(len(v)) + v
+    blob += _avro_zigzag(0)
+    blob += sync
+    for chunk in (rows[:4], rows[4:]):
+        raw = b"".join(enc_row(r) for r in chunk)
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate
+        data = comp.compress(raw) + comp.flush()
+        blob += _avro_zigzag(len(chunk)) + _avro_zigzag(len(data)) + data + sync
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+
 # ---------------------------------------------------------------------------
 # zarr v2 store (spec: zarr v2 storage specification)
 # ---------------------------------------------------------------------------
@@ -2652,6 +2718,7 @@ def main():
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
     write_netcdf3_rec_big(os.path.join(TEST_FIX, "consolidated_rec.nc"))
+    write_avro(os.path.join(TEST_FIX, "golden.avro"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
     write_warc(os.path.join(TEST_FIX, "golden.warc.gz"))
     write_wav(os.path.join(TEST_FIX, "golden.wav"))
