@@ -939,6 +939,42 @@ object SourceQueries {
           md5(col("text").cast("binary")).as("text_md5"))
     },
 
+    // ---- S9 scale: chunk-parallel netCDF-3 record ingest ----------------
+    // The q129 shape for the CLASSIC format: a consolidated 40-record
+    // CDF store (two record variables, so the general padded multi-var
+    // record stride is in play) written by the Scala writer, then read
+    // through NetCDF3ChunkIngest's two-phase path — header-only parse
+    // on the driver, record-batch tasks fanned out by (path, recStart),
+    // positioned reads per record. The oracle states the planted series
+    // analytically, so the hash proves header geometry, record-offset
+    // arithmetic and linear-index reassembly exactly.
+    QueryDef.sqlBacked(
+      "q153_netcdf_chunk_parallel",
+      """SELECT CAST(t AS BIGINT) AS tstep, CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST((t*6 + j)*5 + i AS DOUBLE) * 0.5 - 10.0 AS flux
+        |FROM range(0,40) r1(t), range(0,6) r2(j), range(0,5) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.{NetCDF3, NetCDF3ChunkIngest}
+      val dir = java.nio.file.Files.createTempDirectory("graft-q153").toString
+      val (nrec, ny, nx) = (40, 6, 5)
+      val bytes = NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("y", ny), NetCDF3.Dim("x", nx)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("flux", Seq("time", "y", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nrec * ny * nx)(_ * 0.5 - 10.0)),
+          NetCDF3.VarSpec("tavg", Seq("time"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nrec)(_ * 0.25))),
+        numRecs = nrec)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "consolidated.nc"), bytes)
+      NetCDF3ChunkIngest.readValues(s, s"$dir/consolidated.nc", "flux",
+        targetBytes = 1024)
+        .select(
+          expr(s"idx div ${ny * nx}").as("tstep"),
+          expr(s"(idx div $nx) % $ny").as("y"),
+          expr(s"idx % $nx").as("x"),
+          col("value").as("flux"))
+    },
+
     // ---- S12 family: Avro sink -> source round-trip ---------------------
     // The remaining mainstream interchange format: documents written as
     // a deflate-coded Avro Object Container store (one container file

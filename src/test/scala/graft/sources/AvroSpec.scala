@@ -48,6 +48,45 @@ class AvroSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == ev.collect().map(_.toSeq).toSet)
   }
 
+  test("fuzz sweep: random schemas/codecs/blocks decode to the manifest") {
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixturePath("fuzz/avro_manifest.txt"))), "UTF-8")
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def parse(tok: String): Any = tok.head match {
+      case '~' => null
+      case 'l' => tok.tail.toLong
+      case 'i' => tok.tail.toInt
+      case 'd' => tok.tail.toDouble
+      case 'f' => tok.tail.toFloat
+      case 't' => true
+      case 'u' => false
+      case 's' => new String(unhex(tok.tail), "UTF-8")
+      case 'b' => unhex(tok.tail).toSeq // compare as Seq, not array identity
+    }
+    var cases = 0
+    manifest.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val parts = line.split(";", -1)
+      val (name, fieldSpec, rowSpec) = (parts(0), parts(2), parts(3))
+      val want: Seq[Seq[Any]] =
+        if (rowSpec.isEmpty) Seq.empty
+        else rowSpec.split("\\|", -1).toSeq.map(r =>
+          r.split(",", -1).toSeq.map(parse))
+      val df = Avro.read(spark, fixturePath(s"fuzz/$name.avro"))
+      // schema: names + nullability from the spec
+      val specFields = fieldSpec.split(",", -1).map(_.split(":"))
+      assert(df.schema.fields.map(f => (f.name, f.nullable)).toSeq ==
+        specFields.map(a => (a(0), a(2) == "n")).toSeq, s"$name schema")
+      val got = df.collect().toSeq.map(_.toSeq.map {
+        case a: Array[Byte] => a.toSeq
+        case v => v
+      })
+      assert(got == want, s"$name rows: ${got.take(2)} vs ${want.take(2)}")
+      cases += 1
+    }
+    assert(cases >= 10, s"manifest should carry >= 10 cases, got $cases")
+  }
+
   test("null codec writes uncompressed and reads back") {
     val s = spark
     import s.implicits._

@@ -2028,6 +2028,130 @@ def write_avro(path):
     with open(path, "wb") as f:
         f.write(bytes(blob))
 
+
+def write_avro_fuzz(outdir, n=12, seed=90210):
+    """Randomized Avro container files + manifest: random field sets over
+    the supported primitives (long/int/double/float/boolean/string/bytes,
+    random nullability), random row counts incl. zero, random codec and
+    random block chunking. Values encode into the manifest as typed
+    tokens (hex for strings/bytes, repr for floats) so the Scala reader
+    compares exactly."""
+    rng = random.Random(seed)
+    os.makedirs(outdir, exist_ok=True)
+    types = ["long", "int", "double", "float", "boolean", "string", "bytes"]
+    lines = []
+    for case in range(n):
+        nf = rng.randint(1, 5)
+        fields = []
+        for fi in range(nf):
+            fields.append(("f%d" % fi, rng.choice(types), rng.random() < 0.5))
+        codec = rng.choice(["null", "deflate"])
+        nrows = rng.choice([0, 1, rng.randint(2, 20)])
+        rows = []
+        for _ in range(nrows):
+            row = []
+            for (_, ft, nullable) in fields:
+                if nullable and rng.random() < 0.25:
+                    row.append(None)
+                elif ft == "long":
+                    row.append(rng.randint(-2**50, 2**50))
+                elif ft == "int":
+                    row.append(rng.randint(-2**31, 2**31 - 1))
+                elif ft == "double":
+                    row.append(rng.randint(-10**6, 10**6) * 0.25)
+                elif ft == "float":
+                    row.append(rng.randint(-4096, 4096) * 0.5)
+                elif ft == "boolean":
+                    row.append(rng.random() < 0.5)
+                elif ft == "string":
+                    chars = "abcdefghijklmnop 0123456789_\u00e9\u4e2d\U0001f309"
+                    row.append("".join(rng.choice(chars)
+                                       for _ in range(rng.randint(0, 12))))
+                else:
+                    row.append(bytes(rng.randrange(256)
+                                     for _ in range(rng.randint(0, 10))))
+            rows.append(row)
+
+        def fschema(ft, nullable):
+            return '["null","%s"]' % ft if nullable else '"%s"' % ft
+        schema = ('{"type":"record","name":"fz%02d","namespace":"graft",'
+                  '"fields":[%s]}' % (case, ",".join(
+                      '{"name":"%s","type":%s}' % (fn, fschema(ft, nu))
+                      for fn, ft, nu in fields)))
+
+        def enc_val(ft, v):
+            if ft == "long" or ft == "int":
+                return _avro_zigzag(v)
+            if ft == "double":
+                return struct.pack("<d", v)
+            if ft == "float":
+                return struct.pack("<f", v)
+            if ft == "boolean":
+                return b"\x01" if v else b"\x00"
+            if ft == "string":
+                return _avro_str(v)
+            return _avro_zigzag(len(v)) + v
+
+        def enc_row(row):
+            out = b""
+            for (fn, ft, nu), v in zip(fields, row):
+                if nu:
+                    out += _avro_zigzag(0) if v is None \
+                        else _avro_zigzag(1) + enc_val(ft, v)
+                else:
+                    out += enc_val(ft, v)
+            return out
+
+        sync = bytes(rng.randrange(256) for _ in range(16))
+        blob = bytearray(b"Obj\x01")
+        meta = [("avro.schema", schema.encode("utf-8")),
+                ("avro.codec", codec.encode())]
+        blob += _avro_zigzag(len(meta))
+        for k, v in meta:
+            blob += _avro_str(k) + _avro_zigzag(len(v)) + v
+        blob += _avro_zigzag(0)
+        blob += sync
+        i = 0
+        while i < len(rows):
+            take = min(rng.randint(1, 4), len(rows) - i)
+            raw = b"".join(enc_row(r) for r in rows[i:i + take])
+            if codec == "deflate":
+                comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+                data = comp.compress(raw) + comp.flush()
+            else:
+                data = raw
+            blob += _avro_zigzag(take) + _avro_zigzag(len(data)) + data + sync
+            i += take
+        name = "afz%02d" % case
+        with open(os.path.join(outdir, name + ".avro"), "wb") as f:
+            f.write(bytes(blob))
+
+        def tok(ft, v):
+            if v is None:
+                return "~"
+            if ft == "long":
+                return "l%d" % v
+            if ft == "int":
+                return "i%d" % v
+            if ft == "double":
+                return "d%r" % v
+            if ft == "float":
+                return "f%r" % v
+            if ft == "boolean":
+                return "t" if v else "u"
+            if ft == "string":
+                return "s" + v.encode("utf-8").hex()
+            return "b" + v.hex()
+        lines.append(";".join([
+            name, codec,
+            ",".join("%s:%s:%s" % (fn, ft, "n" if nu else "r")
+                     for fn, ft, nu in fields),
+            "|".join(",".join(tok(ft, v)
+                              for (fn, ft, nu), v in zip(fields, row))
+                     for row in rows)]))
+    with open(os.path.join(outdir, "avro_manifest.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
 # ---------------------------------------------------------------------------
 # zarr v2 store (spec: zarr v2 storage specification)
 # ---------------------------------------------------------------------------
@@ -2719,6 +2843,7 @@ def main():
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
     write_netcdf3_rec_big(os.path.join(TEST_FIX, "consolidated_rec.nc"))
     write_avro(os.path.join(TEST_FIX, "golden.avro"))
+    write_avro_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
     write_warc(os.path.join(TEST_FIX, "golden.warc.gz"))
     write_wav(os.path.join(TEST_FIX, "golden.wav"))
