@@ -17,13 +17,15 @@ import graft.functions.TextAnalysis
   * over word positions whose step picks the longest match via a
   * length-descending when-chain of set-membership tests against the
   * vocabulary literals. No UDF, no shuffle — it rides whole-stage
-  * codegen like every other scalar here. The when-chain is linear in
-  * (maxPieceLen × vocab) per step, which is the right shape for the
-  * config-sized vocabs of the oracle tests; a production 30k-entry
-  * vocab would compile the same fold against a broadcast map-literal
-  * (`typedlit`) lookup per candidate length — same plan shape, the
-  * membership test swaps for an O(maxPieceLen) map probe. Corpus-scale
-  * cost is bounded the q133 way regardless: segmentation runs once per
+  * codegen like every other scalar here. Membership cost per step is
+  * O(maxPieceLen) hash probes at ANY vocab size: each per-length
+  * `isInCollection` rewrites to Catalyst InSet (a hash set) past
+  * `spark.sql.optimizer.inSetConversionThreshold` — including inside
+  * the fold's lambda body (plan-pinned by WordPieceSpec on a 1k-piece
+  * vocab), so the 30k-entry production vocab compiles to the same
+  * shape. A typedlit-map probe would be strictly worse: GetMapValue
+  * on a literal map is a linear key scan. Corpus-scale cost is
+  * bounded the q133 way regardless: segmentation runs once per
   * DISTINCT pre-token and joins back token-keyed.
   */
 object WordPiece {

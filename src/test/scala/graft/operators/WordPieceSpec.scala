@@ -65,4 +65,35 @@ class WordPieceSpec extends SparkSpec {
     val ids2 = Seq(ids("abc"), ids("##e"), ids("the"))
     assert(got(2L) == ((2L, 3L, 0L, fp(ids2))))
   }
+
+  test("production-vocab membership compiles to hash-set INSET, and a " +
+    "1k-piece vocab still segments correctly") {
+    val s = spark
+    import s.implicits._
+    // a 30k-entry production vocab needs O(1) membership per candidate
+    // length. Catalyst already provides it: In(literals) rewrites to
+    // InSet (a hash set) past spark.sql.optimizer.inSetConversionThreshold
+    // — INCLUDING inside the aggregate-fold lambda body. A typedlit-map
+    // probe would be WORSE (GetMapValue on a literal map is a linear
+    // key scan), so the when-chain + isInCollection formulation IS the
+    // production shape; this test pins the InSet rewrite so a Spark
+    // upgrade cannot silently regress membership to a linear In.
+    val bigVocab = (0 until 1000).map(i => f"w$i%04d") ++
+      Seq("zq", "##zq", "##a", "a")
+    // the frame must be parquet-backed: over a local Seq,
+    // ConvertToLocalRelation folds the whole projection away and no
+    // expression survives to inspect
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val planDf = docs.select(col("text").as("tok"))
+      .withColumn("pieces", WordPiece.segment(col("tok"), bigVocab))
+    val optimized = planDf.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("INSET"),
+      s"membership did not rewrite to InSet:\n${optimized.take(800)}")
+    val df = Seq("w0007", "zqzq", "nope!").toDF("tok")
+      .withColumn("pieces", WordPiece.segment(col("tok"), bigVocab))
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("w0007") == Seq("w0007"))
+    assert(got("zqzq") == Seq("zq", "##zq"))
+    assert(got("nope!") == Seq("[UNK]"))
+  }
 }
