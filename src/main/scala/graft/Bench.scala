@@ -88,7 +88,14 @@ object Bench {
     // Round 10: unigram-LM Viterbi corpus encode — times the third
     // subword scheme's full-corpus pass (per-distinct-token DP fold +
     // token-keyed join-back), one DP up from q133's merge replay.
-    "q148_unigram_encode")
+    "q148_unigram_encode",
+    // Round 10: the from-scratch KMeans fit (init + 2 Lloyd rounds +
+    // final E-step over the events-derived point set) — times the
+    // cluster-model production shape feeding SemDeDup/IVF.
+    "q151_kmeans_fit",
+    // Round 10: chunk-parallel netCDF-3 record ingest — the classic-
+    // format sibling of q129's consolidated-store decode path.
+    "q153_netcdf_chunk_parallel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
