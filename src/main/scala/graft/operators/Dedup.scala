@@ -197,6 +197,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Cross-corpus LSH near-dup JOIN — decontamination at full scale. The
+    * q94 token-overlap path broadcasts the eval suites (MB-scale, the
+    * common case); when the holdout side is itself corpus-sized (a
+    * held-out shard, a licensed-content blocklist, yesterday's crawl),
+    * the general form is this A x B banding join: both corpora shingle
+    * and band independently, candidates meet on the shared (band,
+    * bandhash) equi-join — ids-only through the exchange, never
+    * all-pairs, neither side broadcast unless hinted — and the verify
+    * pass joins each side's shingles back once per distinct candidate
+    * pair. Same shuffle discipline and size-ratio prune as
+    * [[lshNearDupPairs]]. Output: (doc_a from A, doc_b from B, jaccard
+    * >= threshold); ids may overlap across corpora (sides stay
+    * distinct). */
+  def lshCrossCorpusPairs(dfA: DataFrame, dfB: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int, threshold: Double,
+      broadcastShingles: Boolean = false): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    def prep(df: DataFrame) = track(
+      df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val shA = prep(dfA); val shB = prep(dfB)
+    def banded(sh: DataFrame, as: String) = {
+      val sigCols = minhashCols(col("xs"), k)
+      val sig = sh.select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*)
+      val sigRef = (0 until k).map(i => col(s"mh$i"))
+      sig.select(col("doc_id").as(as),
+        explode(array((0 until bands).map(bi =>
+          struct(lit(bi).as("band"), bandHash(sigRef, bi, r).as("bh"))): _*)).as("b"))
+        .select(col(as), col("b.band").as("band"), col("b.bh").as("bh"))
+    }
+    val cand = banded(shA, "doc_a").join(banded(shB, "doc_b"), Seq("band", "bh"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    def side(sh: DataFrame, idAs: String, xsAs: String) = {
+      val s = sh.select(col("doc_id").as(idAs), col("xs").as(xsAs))
+      if (broadcastShingles) broadcast(s) else s
+    }
+    cand
+      .join(side(shA, "doc_a", "sa"), Seq("doc_a"))
+      .join(side(shB, "doc_b", "sb"), Seq("doc_b"))
+      .where(least(size(col("sa")), size(col("sb"))).cast("double")
+        >= lit(threshold) * greatest(size(col("sa")), size(col("sb"))).cast("double"))
+      .withColumn("jaccard", jaccardSorted(col("sa"), col("sb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Decontaminate by cross-corpus LSH: drop every train doc near-dup
+    * (jaccard >= threshold) with ANY eval doc — the anti-join over
+    * [[lshCrossCorpusPairs]]'s distinct left ids. */
+  def lshDecontaminate(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int, threshold: Double,
+      broadcastShingles: Boolean = false): DataFrame = {
+    val dirty = lshCrossCorpusPairs(train, evalDf, idCol, textCol, k, bands,
+      threshold, broadcastShingles).select(col("doc_a")).distinct()
+    train.join(dirty, train(idCol) === dirty("doc_a"), "left_anti")
+  }
+
   /** Near-dup CLUSTERS from near-dup PAIRS: connected components by
     * iterative min-label propagation (each node repeatedly adopts the
     * minimum label among itself and its neighbors until fixpoint). The

@@ -499,6 +499,46 @@ object LlmQueries {
         k = 8, bands = 4, threshold = 0.35, broadcastShingles = true)
     },
 
+    // ---- cross-corpus LSH near-dup (decontamination at scale) -----------
+    // The A x B banding join: train (source <> 'src0') against a
+    // corpus-sized holdout (source = 'src0') — the general form of q94's
+    // broadcast decontam for eval sides too big to broadcast. Candidates
+    // meet on the shared (band, bandhash) key with ids-only shuffles;
+    // the oracle replays both sides' signatures and the unordered A->B
+    // pairing exactly.
+    QueryDef.sqlBacked(
+      "q154_lsh_cross_corpus",
+      s"""WITH $SIG_CTE,
+         |banded AS (
+         |  SELECT doc_id, b,
+         |    CASE b WHEN 0 THEN (mh0 * 31 + mh1) % $P
+         |           WHEN 1 THEN (mh2 * 31 + mh3) % $P
+         |           WHEN 2 THEN (mh4 * 31 + mh5) % $P
+         |           ELSE (mh6 * 31 + mh7) % $P END AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+         |srcs AS (SELECT doc_id, source FROM documents),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM banded l
+         |  JOIN srcs sl ON sl.doc_id = l.doc_id AND sl.source <> 'src0'
+         |  JOIN banded r ON l.b = r.b AND l.bh = r.bh
+         |  JOIN srcs sr ON sr.doc_id = r.doc_id AND sr.source = 'src0'),
+         |hxd AS (SELECT doc_id, list_distinct(xs) AS xsd FROM hx)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(len(list_intersect(sa.xsd, sb.xsd)) AS DOUBLE)
+         |      / CAST(len(sa.xsd) + len(sb.xsd) - len(list_intersect(sa.xsd, sb.xsd)) AS DOUBLE) AS jaccard
+         |  FROM pairs p
+         |  JOIN hxd sa ON sa.doc_id = p.doc_a
+         |  JOIN hxd sb ON sb.doc_id = p.doc_b)
+         |WHERE jaccard >= 0.35""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.lshCrossCorpusPairs(
+        docs.where(col("source") =!= "src0"), docs.where(col("source") === "src0"),
+        "doc_id", "text", k = 8, bands = 4, threshold = 0.35,
+        broadcastShingles = true)
+    },
+
     // ---- STREAMING LSH near-dup, driver-gate-proven ---------------------
     // The real streaming engine runs the full banding pipeline (stateless
     // signatures -> watermarked band self-join -> inline verify ->

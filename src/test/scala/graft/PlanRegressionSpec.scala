@@ -72,7 +72,7 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q144_hydrostatic_recurrence" :+ "q145_image_math"
       :+ "q146_tile_gather" :+ "q147_optical_flow"
       :+ "q149_unigram_train" :+ "q150_unigram_roundtrip"
-      :+ "q152_avro_roundtrip")
+      :+ "q152_avro_roundtrip" :+ "q154_lsh_cross_corpus")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

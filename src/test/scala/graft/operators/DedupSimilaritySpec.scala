@@ -35,6 +35,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("cross-corpus LSH: finds the A-B near-dup, never pairs within a " +
+    "side, and decontaminate drops exactly the dirty train docs") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "entirely different content about databases and query engines"),
+      (4L, "entirely different content about databases and query planes"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      (102L, "unrelated holdout text mentioning satellites and optics"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCrossCorpusPairs(train, eval, "doc_id", "text",
+      k = 8, bands = 4, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 is an exact copy of 101 and must pair; doc 2 is a near-dup;
+    // train-train near-dups (3~4) must NOT appear — sides stay distinct
+    assert(pairs.contains((1L, 101L)), s"missing exact cross pair: $pairs")
+    assert(pairs.forall { case (a, b) => a <= 4L && b >= 101L },
+      s"pair outside the A x B contract: $pairs")
+    val kept = Dedup.lshDecontaminate(train, eval, "doc_id", "text",
+      k = 8, bands = 4, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    val dirty = pairs.map(_._1)
+    assert(kept == Set(1L, 2L, 3L, 4L) -- dirty,
+      s"decontaminate kept $kept with dirty $dirty")
+    assert(!kept.contains(1L))
+  }
+
   test("simhash identical for identical text, differs for disjoint text") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "qq ww ee rr tt yy uu ii")).toDF("id", "t")
     val out = df.select(col("id"), Dedup.simhash16(col("t")).as("sh")).as[(Long, Long)].collect().toMap
