@@ -95,7 +95,12 @@ object Bench {
     "q151_kmeans_fit",
     // Round 10: chunk-parallel netCDF-3 record ingest — the classic-
     // format sibling of q129's consolidated-store decode path.
-    "q153_netcdf_chunk_parallel")
+    "q153_netcdf_chunk_parallel",
+    // Round 10: cross-corpus LSH decontamination — the A x B banding
+    // join (train vs corpus-sized holdout), the q28 shape with two
+    // independent sides; timed so the flagship dedup family's second
+    // production entry stays perf-tracked.
+    "q154_lsh_cross_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -198,6 +198,87 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Avro: random rows of every supported type round-trip write -> read") {
+    // generator-driven sweep (beyond the fixed Python fuzz fixtures):
+    // random nullable rows over all seven primitives, one batched
+    // write+read per codec
+    val rnd = new scala.util.Random(4242)
+    def randString(): String = {
+      val chars = "abc XYZ09_é中"
+      (0 until rnd.nextInt(12)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        if (rnd.nextBoolean()) null else randString(),
+        if (rnd.nextInt(4) == 0) null
+        else java.lang.Double.valueOf(rnd.nextInt(1000000) * 0.25),
+        rnd.nextBoolean(),
+        if (rnd.nextInt(4) == 0) null
+        else java.lang.Integer.valueOf(rnd.nextInt()),
+        if (rnd.nextInt(4) == 0) null
+        else java.lang.Float.valueOf(rnd.nextInt(8192) * 0.5f),
+        if (rnd.nextBoolean()) null
+        else Array.fill(rnd.nextInt(8))(rnd.nextInt(256).toByte))
+    }
+    val df = rows.toDF("id", "s", "d", "ok", "i", "f", "b")
+    for (codec <- Seq("deflate", "null")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"avro-prop-$codec").toString
+      graft.sources.Avro.write(df, dir, codec)
+      val back = graft.sources.Avro.read(spark, dir)
+      assert(back.schema == df.schema, s"$codec schema")
+      def canon(r: org.apache.spark.sql.Row) = r.toSeq.map {
+        case a: Array[Byte] => a.toSeq
+        case v => v
+      }
+      assert(back.collect().map(canon).toSet == df.collect().map(canon).toSet,
+        s"$codec values")
+    }
+  }
+
+  test("CDC chunking: random mixed-script text agrees with the reference " +
+    "loop and reassembles") {
+    val rnd = new scala.util.Random(777)
+    // draw whole CODE POINTS (the emoji is a surrogate pair — indexing
+    // chars would generate lone surrogates, which are not valid strings:
+    // Spark's UTF-8 encoder replaces them with '?' while a JVM regex
+    // sees the raw char, an out-of-domain divergence this test must not
+    // manufacture)
+    val alphabet: IndexedSeq[String] =
+      "abcdefgh ijklmnop .,!?\n\téü中文".map(_.toString) :+
+        new String(Character.toChars(0x1f309))
+    // Spark's trim strips ONLY 0x20 spaces (Java String.trim would also
+    // strip the \n/\t this alphabet generates at the ends)
+    def sparkTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def refChunks(text: String): Seq[String] = {
+      val s = sparkTrim(text).toLowerCase.replaceAll("[^\\x20-\\x7e]", " ")
+      val pows = (7 to 0 by -1).map(k => math.pow(31, k).toLong)
+      val cuts = (8 to s.length).filter { i =>
+        (0 until 8).map(k => s.charAt(i - 8 + k).toLong * pows(k)).sum % 64 == 0
+      }
+      (0 +: cuts :+ s.length).sliding(2)
+        .map { case Seq(a, b) => s.substring(a, b) }.filter(_.nonEmpty).toSeq
+    }
+    val docs = (0L until 60L).map { i =>
+      val n = 20 + rnd.nextInt(300)
+      (i, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = graft.operators.Dedup.cdcChunkStats(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, text) =>
+      val ref = refChunks(text)
+      // surrogate-pair alphabet entries land as two chars in the Scala
+      // string; the regex collapses the code POINT to one space in both
+      // engines, so the reference and operator agree by construction
+      assert(got.getOrElse(id, 0L) == ref.length.toLong,
+        s"doc $id: ${got.get(id)} chunks vs ref ${ref.length}")
+      assert(ref.mkString ==
+        sparkTrim(text).toLowerCase.replaceAll("[^\\x20-\\x7e]", " "),
+        s"doc $id does not reassemble")
+    }
+  }
+
   test("T3: hashUnit stays in [0,1) and is key-deterministic") {
     val df = spark.range(0, 2000).select(col("id"))
       .withColumn("u", Triplets.hashUnit(7, col("id")))
