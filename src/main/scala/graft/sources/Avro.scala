@@ -26,11 +26,14 @@ import scala.jdk.CollectionConverters._
   * (ForeignFixturesSpec reads its golden.avro).
   *
   * Scale: write is embarrassingly parallel (one file per partition, no
-  * shuffle); read parallelism is per-file (binaryFile source), the
-  * Avro-idiomatic unit — a consolidated store would split on block
-  * sync markers, the same two-phase upgrade the HDF5/netCDF ingests
-  * got, but Avro pipelines shard into many container files by
-  * convention so per-file is the production shape.
+  * shuffle); [[read]] parallelism is per-file, the Avro-idiomatic unit
+  * (pipelines shard into many container files by convention). For a
+  * CONSOLIDATED single container bigger than one task, [[readSplit]]
+  * applies the suite's two-phase pattern via the format's own split
+  * design: byte ranges fan out, each task syncs forward to the next
+  * 16-byte block marker and decodes blocks whose start lies inside its
+  * range — the Hadoop input-split contract, so no driver block scan is
+  * needed at all.
   */
 object Avro {
 
@@ -167,25 +170,66 @@ object Avro {
           if (!h) { stream.close(); in.close() }
           h
         }
-        def next(): Row = {
-          val rec = stream.next()
-          Row.fromSeq(fields.map { f =>
-            val v = rec.get(f.name)
-            if (v == null) null
-            else f.dataType match {
-              case StringType => v.toString
-              case TimestampType =>
-                org.apache.spark.sql.catalyst.util.DateTimeUtils
-                  .toJavaTimestamp(v.asInstanceOf[java.lang.Long].longValue())
-              case BinaryType =>
-                val bb = v.asInstanceOf[java.nio.ByteBuffer]
-                val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-              case _ => v
-            }
-          }.toSeq)
-        }
+        def next(): Row = toRow(stream.next(), fields)
       }
     }(enc)
     rows
   }
+
+  /** Two-phase read of ONE consolidated container file: `splitBytes`
+    * byte ranges fan out (range-partitioned), each task seeks to its
+    * range start, syncs forward to the next block marker and decodes
+    * blocks starting inside its range (`pastSync` excludes the rest) —
+    * the Hadoop split contract, each block decoded exactly once. */
+  def readSplit(spark: SparkSession, path: String,
+      splitBytes: Long = 4L << 20): DataFrame = {
+    require(new java.io.File(path).isFile, s"$path is not a file")
+    val len = new java.io.File(path).length()
+    val sparkSch = {
+      val in = new java.io.FileInputStream(path)
+      val s = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try sparkSchema(s.getSchema) finally { s.close(); in.close() }
+    }
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(sparkSch))
+    val ranges = (0L until len by splitBytes)
+      .map(start => (path, start, math.min(start + splitBytes, len)))
+    import spark.implicits._
+    spark.createDataset(ranges).toDF("path", "start", "end")
+      .repartitionByRange(math.min(ranges.size,
+        math.max(1, spark.sparkContext.defaultParallelism)),
+        org.apache.spark.sql.functions.col("start"))
+      .as[(String, Long, Long)]
+      .flatMap { t: (String, Long, Long) =>
+        val (p, start, end) = t
+        val reader = org.apache.avro.file.DataFileReader.openReader(
+          new java.io.File(p), new GenericDatumReader[GenericRecord]())
+        reader.sync(start) // forward to the first block at/after start
+        val fields = sparkSch.fields
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) reader.close()
+            h
+          }
+          def next(): Row = toRow(reader.next(), fields)
+        }
+      }(enc)
+  }
+
+  private def toRow(rec: GenericRecord, fields: Array[StructField]): Row =
+    Row.fromSeq(fields.map { f =>
+      val v = rec.get(f.name)
+      if (v == null) null
+      else f.dataType match {
+        case StringType => v.toString
+        case TimestampType =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .toJavaTimestamp(v.asInstanceOf[java.lang.Long].longValue())
+        case BinaryType =>
+          val bb = v.asInstanceOf[java.nio.ByteBuffer]
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+        case _ => v
+      }
+    }.toSeq)
 }

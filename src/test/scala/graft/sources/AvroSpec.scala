@@ -87,6 +87,31 @@ class AvroSpec extends SparkSpec {
     assert(cases >= 10, s"manifest should carry >= 10 cases, got $cases")
   }
 
+  test("split-on-sync read of one consolidated container equals the " +
+    "sequential read, each block decoded exactly once") {
+    val s = spark
+    import s.implicits._
+    // one big container file (coalesce(1)) with many small blocks
+    val df = (0L until 5000L).map(i => (i, s"row-$i-" + ("x" * (i % 97).toInt)))
+      .toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("avro-split").toString
+    Avro.write(df.coalesce(1), dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head.getAbsolutePath
+    for (split <- Seq(512L, 4096L, 1L << 20)) {
+      val got = Avro.readSplit(spark, file, splitBytes = split)
+        .collect().map(_.toSeq).toSeq
+      assert(got.size == 5000, s"split=$split size ${got.size}")
+      assert(got.toSet == df.collect().map(_.toSeq).toSet, s"split=$split values")
+    }
+    // tiny splits genuinely fan out: more than one range carries blocks
+    val perRange = Avro.readSplit(spark, file, splitBytes = 4096L)
+      .groupBy(org.apache.spark.sql.functions.spark_partition_id())
+      .count().collect()
+    assert(perRange.count(_.getLong(1) > 0) > 1,
+      s"expected multiple productive ranges: ${perRange.mkString(",")}")
+  }
+
   test("null codec writes uncompressed and reads back") {
     val s = spark
     import s.implicits._
