@@ -58,7 +58,31 @@ object UnigramLM {
     * vocabulary: the max-total-log-prob piece sequence, or [<unk>] when
     * no position-covering path exists. Pure per-row expression — no
     * UDF, no shuffle. */
-  def segment(word: Column, vocab: Seq[(String, Double)]): Column = {
+  def segment(word: Column, vocab: Seq[(String, Double)]): Column =
+    viterbi(word, vocab, None)
+
+  /** Clamp bounds shared with the oracle SQL (avoid log(0)/round(inf)). */
+  val SampleClampLo = 1e-12
+  val SampleClampHi = 1.0 - 1e-12
+
+  /** Subword-regularization sampling (Kudo 2018 §5) as deterministic
+    * perturb-and-MAP: the SAME Viterbi DP over
+    * `alpha · lp(piece) + Gumbel(hashUnit(seed|word|endPos|piece))`,
+    * so alpha -> inf recovers the exact Viterbi path and alpha = 0
+    * draws segmentation-structure-uniform. Per-candidate Gumbel
+    * perturbation is the standard perturb-and-MAP APPROXIMATION to
+    * exact lattice sampling (exact would need a forward-backward pass
+    * with log-sum-exp — cross-engine-fragile); the augmentation purpose
+    * needs diverse VALID segmentations biased toward probable ones,
+    * which this gives with full determinism: draws are keyed on
+    * (seed, word, position, piece), so they are partitioning- and
+    * retry-independent, and the DuckDB oracle replays every draw. */
+  def segmentSampled(word: Column, vocab: Seq[(String, Double)],
+      seed: Long, alpha: Double): Column =
+    viterbi(word, vocab, Some((seed, alpha)))
+
+  private def viterbi(word: Column, vocab: Seq[(String, Double)],
+      sample: Option[(Long, Double)]): Column = {
     require(vocab.nonEmpty, "unigram vocab must be non-empty")
     val maxLen = vocab.map(_._1.length).max
     val lpMap = typedlit(vocab.toMap)
@@ -75,10 +99,17 @@ object UnigramLM {
         val best = (1 to maxLen).foldLeft(sentinel) { (cur, l) =>
           val piece = word.substr(i - l + 1, lit(l))
           val lp = element_at(lpMap, piece)
+          val score = sample match {
+            case None => lp
+            case Some((seed, alpha)) =>
+              val u = Triplets.hashUnit(seed, word, i, piece)
+              val uc = least(greatest(u, lit(SampleClampLo)), lit(SampleClampHi))
+              lit(alpha) * lp + round(-log(-log(uc)), 6)
+          }
           // index clamped so the unused branch never evaluates
           // element_at(_, <1) under ANSI; `i >= l` guards correctness
           val prev = element_at(bests, greatest(i - l + 1, lit(1)))
-          val cand = struct((prev.getField("s") + lp).as("s"),
+          val cand = struct((prev.getField("s") + score).as("s"),
             concat(prev.getField("pc"), array(piece)).as("pc"))
           when(i >= l && lp.isNotNull
             && cand.getField("s") >= cur.getField("s"), cand).otherwise(cur)
@@ -101,7 +132,8 @@ object UnigramLM {
     * (unk words count 1), n_unk, and the order-dependent poly-hash of
     * the id stream. */
   def encodeCorpus(df: DataFrame, idCol: String, textCol: String,
-      vocab: Seq[(String, Double)]): DataFrame = {
+      vocab: Seq[(String, Double)],
+      sample: Option[(Long, Double)] = None): DataFrame = {
     val unkId = vocab.size.toLong
     val idMap = typedlit(
       vocab.map(_._1).zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap)
@@ -109,7 +141,7 @@ object UnigramLM {
       posexplode(split(TextAnalysis.normText(col(textCol)), "\\s+"))
         .as(Seq("pos", "tok")))
     val seg = pre.select("tok").distinct()
-      .withColumn("pieces", segment(col("tok"), vocab))
+      .withColumn("pieces", viterbi(col("tok"), vocab, sample))
       .select(col("tok"),
         transform(col("pieces"),
           p => coalesce(element_at(idMap, p), lit(unkId))).as("ids"),

@@ -44,12 +44,35 @@ object UnigramQueries {
     * land in DECIMAL). */
   private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
 
+  /** Poly-hash unit of an arbitrary SQL string expression — identical
+    * tokens to Triplets.hashUnit (seed folded into the string). */
+  private def huSqlExpr(sExpr: String): String = {
+    val h = s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"[CAST(ord(substr($sExpr, j, 1)) AS BIGINT) FOR j IN range(1, len($sExpr) + 1)]), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+    s"(CAST(((($h) * 2654435761) % 1000000007) * ((($h) * 2654435761) % 1000000007) " +
+      s"% 1000000007 AS DOUBLE) / 1000000007.0)"
+  }
+
   /** The Viterbi CTEs over `vt(tok)` with vocab relation
     * `$vocabRel(piece, lp)`: emits vl, dp, fin(tok, pieces). Mirrors
     * [[UnigramLM.segment]] exactly — candidates length-ascending via
     * the ordered vlist, replace on >=, absorbing -1e18, empty word ->
-    * empty pieces, unreachable -> ['<unk>']. */
-  private def viterbiCtes(vocabRel: String): String =
+    * empty pieces, unreachable -> ['<unk>']. With `sampled`, the
+    * candidate score becomes (alpha·lp) + round(Gumbel(hashUnit), 6) —
+    * the perturb-and-MAP draw of [[UnigramLM.segmentSampled]], noise
+    * keyed on (seed, tok, end position, piece) token for token. */
+  private def viterbiCtes(vocabRel: String,
+      sampled: Option[(Long, Double)] = None): String = {
+    val scoreExpr = sampled match {
+      case None => "v.lp"
+      case Some((seed, alpha)) =>
+        val keyExpr = s"'$seed|' || tok || '|' || CAST(i + 1 AS VARCHAR) || '|' || v.p"
+        val u = huSqlExpr(keyExpr)
+        val uc = s"least(greatest($u, ${dlit(UnigramLM.SampleClampLo)}), " +
+          s"${dlit(UnigramLM.SampleClampHi)})"
+        s"((${dlit(alpha)} * v.lp) + round(-ln(-ln($uc)), 6))"
+    }
     s"""vl AS (SELECT list({'p': piece, 'len': length(piece),
        |                    'lp': CAST(lp AS DOUBLE)}
        |                   ORDER BY length(piece), piece) AS vlist
@@ -62,7 +85,7 @@ object UnigramQueries {
        |  SELECT tok, i + 1,
        |    list_append(bests, list_reduce(
        |      list_prepend({'s': CAST(-1e18 AS DOUBLE), 'pc': CAST([] AS VARCHAR[])},
-       |        [{'s': bests[i + 2 - v.len].s + v.lp,
+       |        [{'s': bests[i + 2 - v.len].s + $scoreExpr,
        |          'pc': list_append(bests[i + 2 - v.len].pc, v.p)}
        |         FOR v IN vlist
        |         IF v.len <= i + 1
@@ -75,6 +98,7 @@ object UnigramQueries {
        |         WHEN bests[length(tok) + 1].s <= -1e17 THEN ['<unk>']
        |         ELSE bests[length(tok) + 1].pc END AS pieces
        |  FROM dp WHERE i = length(tok))""".stripMargin
+  }
 
   /** The q149 trainer round as CTEs ending in finv(piece, cnt) +
     * tot2(tot) — seed substring counts, top-`seedSize` multi pieces +
@@ -157,6 +181,47 @@ object UnigramQueries {
          |FROM pre JOIN ids ON ids.tok = pre.tok
          |GROUP BY 1""".stripMargin) { (s, d) =>
       UnigramLM.encodeCorpus(Tables.documents(s, d), "doc_id", "text", UgVocab)
+    },
+
+    // ---- subword-regularization sampled encode --------------------------
+    // Kudo 2018 §5's --sample mode as deterministic perturb-and-MAP:
+    // the q148 DP over (alpha·lp) + Gumbel noise keyed on (seed, word,
+    // position, piece) — every draw hash-derived, so the segmentation
+    // varies per word yet replays exactly in DuckDB; alpha -> inf
+    // recovers q148 (spec-pinned). The augmentation every unigram
+    // training pipeline runs, with the suite's seeded-determinism
+    // contract instead of an RNG.
+    QueryDef.sqlBacked(
+      "q155_unigram_sampled",
+      s"""WITH RECURSIVE pre AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |    CAST(unnest(range(1, len(toks)+1)) AS BIGINT) AS pos
+         |  FROM (SELECT doc_id,
+         |          string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |        FROM documents)),
+         |vt AS (SELECT DISTINCT tok FROM pre),
+         |vocab0 AS (SELECT * FROM (VALUES
+         |  ${UgVocab.map { case (p, lp) => s"('$p', ${dlit(lp)})" }.mkString(",\n  ")})
+         |  v(piece, lp)),
+         |${viterbiCtes("vocab0", sampled = Some((42L, 0.3)))},
+         |ids AS (SELECT tok,
+         |    CAST(pieces = ['<unk>'] AS BIGINT) AS is_unk, len(pieces) AS n_p,
+         |    [CASE WHEN p = '<unk>' THEN ${UgVocab.size}
+         |          ELSE list_position(${UgVocab.map(v => s"'${v._1}'").mkString("[", ", ", "]")}, p) - 1 END
+         |      FOR p IN pieces] AS idlist
+         |  FROM fin)
+         |SELECT pre.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_p) AS BIGINT) AS n_pieces,
+         |  CAST(sum(is_unk) AS BIGINT) AS n_unk,
+         |  CAST(list_reduce(
+         |    list_prepend(CAST(7 AS BIGINT),
+         |      [CAST(x AS BIGINT) FOR x IN flatten(list(idlist ORDER BY pre.pos))]),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS ids_fp
+         |FROM pre JOIN ids ON ids.tok = pre.tok
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      UnigramLM.encodeCorpus(Tables.documents(s, d), "doc_id", "text", UgVocab,
+        sample = Some((42L, 0.3)))
     },
 
     // ---- unigram hard-EM trainer round ----------------------------------

@@ -65,6 +65,32 @@ class UnigramLMSpec extends SparkSpec {
     assert(seg(Seq("ab"), vocab)("ab") == Seq("a", "b"))
   }
 
+  test("sampled segmentation: valid paths, deterministic, seed-varied, " +
+    "alpha -> inf recovers Viterbi") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("ab" -> -1.2, "bc" -> -1.4, "a" -> -2.0, "b" -> -2.1,
+      "c" -> -2.3, "abc" -> -1.1)
+    val words = Seq("abcabc", "ababab", "cab", "abcbcab", "aaa", "cba")
+    def run(col2: org.apache.spark.sql.Column) =
+      words.toDF("tok").withColumn("p", col2)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    val base = run(UnigramLM.segment(col("tok"), vocab))
+    val s1 = run(UnigramLM.segmentSampled(col("tok"), vocab, seed = 1, alpha = 0.3))
+    val s2 = run(UnigramLM.segmentSampled(col("tok"), vocab, seed = 2, alpha = 0.3))
+    val s1b = run(UnigramLM.segmentSampled(col("tok"), vocab, seed = 1, alpha = 0.3))
+    // every sampled path is VALID: reassembles the word from vocab pieces
+    for (m <- Seq(s1, s2); w <- words) {
+      assert(m(w).mkString == w, s"'$w' sampled to invalid path ${m(w)}")
+      assert(m(w).forall(vocab.map(_._1).contains), s"'$w' off-vocab ${m(w)}")
+    }
+    assert(s1 == s1b, "same seed must reproduce exactly")
+    assert(s1 != s2, "different seeds should vary some segmentation")
+    // huge alpha: the model term dominates every Gumbel draw
+    val hard = run(UnigramLM.segmentSampled(col("tok"), vocab, seed = 9, alpha = 1e9))
+    assert(hard == base, s"alpha->inf must recover Viterbi: $hard vs $base")
+  }
+
   test("trainer: bounded vocab, full char coverage, deterministic") {
     val s = spark
     import s.implicits._
