@@ -37,7 +37,7 @@ object UnigramQueries {
   /** Trainer config shared by q149/q150 and their oracles. */
   private val Cfg = UnigramLM.TrainConfig(
     maxPieceLen = 4, maxWordLen = 10, seedMinCnt = 2L,
-    seedSize = 150, vocabSize = 100, rounds = 1)
+    seedSize = 150, vocabSize = 100, rounds = 2)
 
   /** DuckDB literal of a double that parses back to the identical bits
     * (string -> correctly-rounded parse; a bare 17-digit literal would
@@ -63,7 +63,7 @@ object UnigramQueries {
     * the perturb-and-MAP draw of [[UnigramLM.segmentSampled]], noise
     * keyed on (seed, tok, end position, piece) token for token. */
   private def viterbiCtes(vocabRel: String,
-      sampled: Option[(Long, Double)] = None): String = {
+      sampled: Option[(Long, Double)] = None, sfx: String = ""): String = {
     val scoreExpr = sampled match {
       case None => "v.lp"
       case Some((seed, alpha)) =>
@@ -73,11 +73,11 @@ object UnigramQueries {
           s"${dlit(UnigramLM.SampleClampHi)})"
         s"((${dlit(alpha)} * v.lp) + round(-ln(-ln($uc)), 6))"
     }
-    s"""vl AS (SELECT list({'p': piece, 'len': length(piece),
+    s"""vl$sfx AS (SELECT list({'p': piece, 'len': length(piece),
        |                    'lp': CAST(lp AS DOUBLE)}
        |                   ORDER BY length(piece), piece) AS vlist
        |       FROM $vocabRel),
-       |dp AS (
+       |dp$sfx AS (
        |  SELECT tok, 0 AS i,
        |    [{'s': CAST(0.0 AS DOUBLE), 'pc': CAST([] AS VARCHAR[])}] AS bests
        |  FROM vt
@@ -91,62 +91,76 @@ object UnigramQueries {
        |         IF v.len <= i + 1
        |            AND substr(tok, i + 2 - CAST(v.len AS INT), CAST(v.len AS INT)) = v.p]),
        |      (a, b) -> CASE WHEN b.s >= a.s THEN b ELSE a END)) AS bests
-       |  FROM dp, vl WHERE i < length(tok)),
-       |fin AS (
+       |  FROM dp$sfx, vl$sfx WHERE i < length(tok)),
+       |fin$sfx AS (
        |  SELECT tok,
        |    CASE WHEN length(tok) = 0 THEN CAST([] AS VARCHAR[])
        |         WHEN bests[length(tok) + 1].s <= -1e17 THEN ['<unk>']
        |         ELSE bests[length(tok) + 1].pc END AS pieces
-       |  FROM dp WHERE i = length(tok))""".stripMargin
+       |  FROM dp$sfx WHERE i = length(tok))""".stripMargin
   }
 
-  /** The q149 trainer round as CTEs ending in finv(piece, cnt) +
-    * tot2(tot) — seed substring counts, top-`seedSize` multi pieces +
-    * all chars, seed log-probs, Viterbi re-segmentation, +1 char
-    * smoothing, multi-char prune to (vocabSize - alphabet). */
-  private def trainerCtes: String =
-    s"""words AS (
-       |  SELECT tok, CAST(count(*) AS BIGINT) AS wcnt
-       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-       |        FROM documents)
-       |  WHERE length(tok) BETWEEN 1 AND ${Cfg.maxWordLen}
-       |  GROUP BY tok),
-       |subs AS (
-       |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
-       |  FROM (SELECT wcnt, unnest(flatten(
-       |          [[substr(tok, i, l)
-       |            FOR l IN range(1, least(${Cfg.maxPieceLen}, length(tok) - i + 1) + 1)]
-       |           FOR i IN range(1, length(tok) + 1)])) AS piece
-       |        FROM words)
-       |  GROUP BY piece),
-       |seedchars AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
-       |seedmulti AS (
-       |  SELECT piece, cnt FROM (
-       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-       |    FROM subs WHERE length(piece) > 1 AND cnt >= ${Cfg.seedMinCnt})
-       |  WHERE rn <= ${Cfg.seedSize}),
-       |seedv AS (SELECT * FROM seedchars UNION ALL SELECT * FROM seedmulti),
-       |seedtot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM seedv),
-       |seedlp AS (SELECT piece, round(ln(CAST(cnt AS DOUBLE) / tot), 6) AS lp
-       |           FROM seedv, seedtot),
-       |vt AS (SELECT tok FROM words),
-       |${viterbiCtes("seedlp")},
-       |segp AS (
-       |  SELECT f.tok, w.wcnt, unnest(f.pieces) AS piece
-       |  FROM fin f JOIN words w ON w.tok = f.tok),
-       |cnts AS (
-       |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
-       |  FROM segp WHERE piece <> '<unk>' GROUP BY piece),
-       |chars2 AS (
-       |  SELECT s.piece, CAST(coalesce(c.cnt, 0) + 1 AS BIGINT) AS cnt
-       |  FROM seedchars s LEFT JOIN cnts c ON c.piece = s.piece),
-       |multi2 AS (
-       |  SELECT piece, cnt FROM (
-       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-       |    FROM cnts WHERE length(piece) > 1)
-       |  WHERE rn <= ${Cfg.vocabSize} - (SELECT count(*) FROM chars2)),
-       |finv AS (SELECT * FROM chars2 UNION ALL SELECT * FROM multi2),
-       |tot2 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM finv)""".stripMargin
+  /** The full N-round trainer as chained CTEs: seed substring counts,
+    * top-`seedSize` multi pieces + all chars, seed log-probs, then per
+    * round r: a fresh suffixed Viterbi DP under the previous round's
+    * log-probs, occurrence-weighted re-counts, +1 char smoothing,
+    * multi-char prune to (vocabSize - alphabet), re-normalized
+    * round(ln, 6) log-probs. Ends in lp_<rounds>(piece, cnt, lp). */
+  private def trainerCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""words AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS wcnt
+         |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents)
+         |  WHERE length(tok) BETWEEN 1 AND ${Cfg.maxWordLen}
+         |  GROUP BY tok),
+         |subs AS (
+         |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+         |  FROM (SELECT wcnt, unnest(flatten(
+         |          [[substr(tok, i, l)
+         |            FOR l IN range(1, least(${Cfg.maxPieceLen}, length(tok) - i + 1) + 1)]
+         |           FOR i IN range(1, length(tok) + 1)])) AS piece
+         |        FROM words)
+         |  GROUP BY piece),
+         |seedchars AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+         |seedmulti AS (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM subs WHERE length(piece) > 1 AND cnt >= ${Cfg.seedMinCnt})
+         |  WHERE rn <= ${Cfg.seedSize}),
+         |seedv AS (SELECT * FROM seedchars UNION ALL SELECT * FROM seedmulti),
+         |seedtot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM seedv),
+         |lp_0 AS (SELECT piece, cnt, round(ln(CAST(cnt AS DOUBLE) / tot), 6) AS lp
+         |         FROM seedv, seedtot),
+         |vt AS (SELECT tok FROM words)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val charsRel = if (r == 1) "seedchars" else s"chars_${r - 1}"
+      sb.append(",\n" + viterbiCtes(s"lp_${r - 1}", sfx = s"_$r"))
+      sb.append(
+        s""",
+           |segp_$r AS (
+           |  SELECT f.tok, w.wcnt, unnest(f.pieces) AS piece
+           |  FROM fin_$r f JOIN words w ON w.tok = f.tok),
+           |cnts_$r AS (
+           |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+           |  FROM segp_$r WHERE piece <> '<unk>' GROUP BY piece),
+           |chars_$r AS (
+           |  SELECT s.piece, CAST(coalesce(c.cnt, 0) + 1 AS BIGINT) AS cnt
+           |  FROM $charsRel s LEFT JOIN cnts_$r c ON c.piece = s.piece),
+           |multi_$r AS (
+           |  SELECT piece, cnt FROM (
+           |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+           |    FROM cnts_$r WHERE length(piece) > 1)
+           |  WHERE rn <= ${Cfg.vocabSize} - (SELECT count(*) FROM chars_$r)),
+           |finv_$r AS (SELECT * FROM chars_$r UNION ALL SELECT * FROM multi_$r),
+           |tot_$r AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM finv_$r),
+           |lp_$r AS (SELECT piece, cnt,
+           |    round(ln(CAST(cnt AS DOUBLE) / tot), 6) AS lp
+           |  FROM finv_$r, tot_$r)""".stripMargin)
+    }
+    sb.toString
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -227,10 +241,8 @@ object UnigramQueries {
     // ---- unigram hard-EM trainer round ----------------------------------
     QueryDef.sqlBacked(
       "q149_unigram_train",
-      s"""WITH RECURSIVE $trainerCtes
-         |SELECT piece, cnt,
-         |  round(ln(CAST(cnt AS DOUBLE) / tot), 6) AS lp
-         |FROM finv, tot2""".stripMargin) { (s, d) =>
+      s"""WITH RECURSIVE ${trainerCtes(Cfg.rounds)}
+         |SELECT piece, cnt, lp FROM lp_${Cfg.rounds}""".stripMargin) { (s, d) =>
       UnigramLM.trainDF(s,
         UnigramLM.train(Tables.documents(s, d), "doc_id", "text", Cfg))
     },
