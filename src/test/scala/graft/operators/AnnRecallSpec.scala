@@ -39,5 +39,16 @@ class AnnRecallSpec extends SparkSpec {
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
     info(f"ivf nCells=8 nProbe=4 recall@$k = $ivfRecall%.3f")
     assert(ivfRecall >= 0.5, s"IVF recall $ivfRecall < 0.5")
+
+    // IVF over the FROM-SCRATCH KMeansLloyd fit (the self-contained
+    // index-training path, no Spark ML): data-adaptive cells from 3
+    // Lloyd rounds must clear the same floor
+    val (model, _) = KMeansLloyd.fit(emb, "vec_id", "embedding",
+      k = 8, dim = 64, seed = 42, rounds = 3)
+    val lloyd = pairs(Similarity.ivfTopKWithCentroids(probes, emb, k,
+      model.cents, nProbe = 4))
+    val lloydRecall = (exact intersect lloyd).size.toDouble / exact.size
+    info(f"ivf (KMeansLloyd fit) recall@$k = $lloydRecall%.3f")
+    assert(lloydRecall >= 0.5, s"KMeansLloyd IVF recall $lloydRecall < 0.5")
   }
 }
