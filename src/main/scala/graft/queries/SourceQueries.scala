@@ -939,6 +939,33 @@ object SourceQueries {
           md5(col("text").cast("binary")).as("text_md5"))
     },
 
+    // ---- S12: zarr V3 sink -> source round-trip -------------------------
+    // The q107 chain under the CURRENT zarr spec (v3.0): per-node
+    // zarr.json, c/-nested chunk keys, bytes+gzip codec pipeline —
+    // written by the pure-JVM v3 sink and read back by the v3 source
+    // (foreign-fixture-proven in Zarr3Spec). Same analytic oracle, so
+    // the hash pins the whole v3 encode -> gzip -> parse -> assemble
+    // chain value-exact.
+    QueryDef.sqlBacked(
+      "q156_zarr3_roundtrip",
+      """SELECT 'z3' || CAST(t AS VARCHAR) AS scene_id,
+        |  CAST(i * 100 AS DOUBLE) AS x, CAST(j * 100 AS DOUBLE) AS y,
+        |  CAST((t*7 + j)*5 + i AS DOUBLE) * 0.25 - 3.0 AS value
+        |FROM range(0,3) r1(t), range(0,7) r2(j), range(0,5) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.Zarr3
+      val dir = java.nio.file.Files.createTempDirectory("graft-q156").toString
+      val (nT, ny, nx) = (3, 7, 5)
+      val grid = s.range(nT.toLong * ny * nx).select(
+        concat(lit("z3"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
+        expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
+        (expr(s"id % $nx") * 100.0).as("x"),
+        (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
+        (col("id").cast("double") * 0.25 - 3.0).as("value"))
+      Zarr3.writeScenes(grid, dir, "lwp",
+        chunkRows = Some(3), gzipLevel = Some(6)).count()
+      Zarr3.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
+    },
+
     // ---- S9 scale: chunk-parallel netCDF-3 record ingest ----------------
     // The q129 shape for the CLASSIC format: a consolidated 40-record
     // CDF store (two record variables, so the general padded multi-var

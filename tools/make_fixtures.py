@@ -2152,6 +2152,85 @@ def write_avro_fuzz(outdir, n=12, seed=90210):
     with open(os.path.join(outdir, "avro_manifest.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
+
+def write_zarr3(store):
+    """zarr v3 store (zarr core spec v3.0): per-node zarr.json, default
+    c/-nested chunk keys with gzip codec for a 2-D float64 array (one
+    chunk MISSING -> fill), a big-endian int32 array under v2-style
+    dotted keys with no compression, and a 1-D uint16 coordinate."""
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group"}, f)
+
+    # lwp: [5,6] f8, chunks [3,4], gzip, keys c/i/j; chunk c/1/1 omitted
+    d = os.path.join(store, "lwp")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "array",
+                   "shape": [5, 6], "data_type": "float64",
+                   "chunk_grid": {"name": "regular",
+                                  "configuration": {"chunk_shape": [3, 4]}},
+                   "chunk_key_encoding": {"name": "default",
+                                          "configuration": {"separator": "/"}},
+                   "fill_value": -7.5,
+                   "codecs": [{"name": "bytes",
+                               "configuration": {"endian": "little"}},
+                              {"name": "gzip",
+                               "configuration": {"level": 6}}],
+                   "dimension_names": ["y", "x"]}, f)
+    for ci in range(2):
+        for cj in range(2):
+            if ci == 1 and cj == 1:
+                continue  # missing chunk -> fill_value
+            vals = []
+            for r in range(3):
+                for c in range(4):
+                    gy, gx = ci * 3 + r, cj * 4 + c
+                    vals.append(gy * 10.0 + gx)  # pad regions ignored
+            raw = struct.pack("<12d", *vals)
+            comp = zlib.compressobj(6, zlib.DEFLATED, 31)  # gzip container
+            data = comp.compress(raw) + comp.flush()
+            cd = os.path.join(d, "c", str(ci))
+            os.makedirs(cd, exist_ok=True)
+            with open(os.path.join(cd, str(cj)), "wb") as f:
+                f.write(data)
+
+    # counts: [4] int32 BIG-endian, raw, v2-style dotted keys
+    d = os.path.join(store, "counts")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "array",
+                   "shape": [4], "data_type": "int32",
+                   "chunk_grid": {"name": "regular",
+                                  "configuration": {"chunk_shape": [4]}},
+                   "chunk_key_encoding": {"name": "v2",
+                                          "configuration": {"separator": "."}},
+                   "fill_value": 0,
+                   "codecs": [{"name": "bytes",
+                               "configuration": {"endian": "big"}}]}, f)
+    with open(os.path.join(d, "0"), "wb") as f:
+        f.write(struct.pack(">4i", -3, 70000, 0, 12345))
+
+    # xc: [3] uint16 LE raw, default keys
+    d = os.path.join(store, "xc")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "array",
+                   "shape": [3], "data_type": "uint16",
+                   "chunk_grid": {"name": "regular",
+                                  "configuration": {"chunk_shape": [2]}},
+                   "chunk_key_encoding": {"name": "default",
+                                          "configuration": {"separator": "/"}},
+                   "fill_value": 0,
+                   "codecs": [{"name": "bytes",
+                               "configuration": {"endian": "little"}}]}, f)
+    cd = os.path.join(d, "c")
+    os.makedirs(cd, exist_ok=True)
+    with open(os.path.join(cd, "0"), "wb") as f:
+        f.write(struct.pack("<2H", 100, 65535))
+    with open(os.path.join(cd, "1"), "wb") as f:
+        f.write(struct.pack("<2H", 40000, 0))  # pad element ignored
+
 # ---------------------------------------------------------------------------
 # zarr v2 store (spec: zarr v2 storage specification)
 # ---------------------------------------------------------------------------
@@ -2845,6 +2924,7 @@ def main():
     write_avro(os.path.join(TEST_FIX, "golden.avro"))
     write_avro_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
+    write_zarr3(os.path.join(TEST_FIX, "golden_v3.zarr"))
     write_warc(os.path.join(TEST_FIX, "golden.warc.gz"))
     write_wav(os.path.join(TEST_FIX, "golden.wav"))
     print("fixtures written to", TEST_FIX, "and", MAIN_FIX)
