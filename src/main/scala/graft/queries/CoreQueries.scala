@@ -306,6 +306,30 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- semi-structured: typed JSON extraction over events.props -------
+    // The one semi-structured column in the testdata goes through the
+    // production-typed route: from_json with an explicit schema (codegen
+    // JsonToStructs, no UDF), then a plain aggregation — the shape every
+    // event pipeline uses for property bags. Oracle extracts the same
+    // path with DuckDB's JSON functions.
+    QueryDef.sqlBacked(
+      "q157_json_extract",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(count(CASE WHEN CAST(props->>'$.k' AS BIGINT) % 7 = 0
+        |                  THEN 1 END) AS BIGINT) AS n_div7
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k",
+          from_json(col("props"), lit("k LONG")).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          count(when(col("k") % 7 === 0, 1)).as("n_div7"))
+    },
+
     // ---- G3/W3: per-column vertical integral Σ q·dp ---------------------
     QueryDef.sqlBacked(
       "q19_profile_integral",
