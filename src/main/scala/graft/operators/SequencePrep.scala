@@ -68,4 +68,44 @@ object SequencePrep {
           - expr(s"(__cum - CAST($nTokCol AS BIGINT)) div $budget") + 1)
           .as("n_bins"))
   }
+
+  /** Sentence-aware greedy chunking — the RAG/packing variant that never
+    * splits a sentence (vs [[chunkTokens]]' fixed windows): sentences
+    * (split on terminal-punctuation + space runs), greedily packed into
+    * chunks of at most `budget` tokens; a single over-budget sentence
+    * becomes its own oversized chunk (the standard rule — truncation is
+    * a downstream policy). One aggregate fold per row, shuffle-free; the
+    * fold's (done, cur) recurrence replays in SQL list_reduce token for
+    * token. Output per doc: n_sentences, n_chunks, max_chunk_tokens and
+    * the order-dependent poly-hash of the chunk-size stream. */
+  def sentencePack(df: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val sents = filter(
+      split(TextAnalysis.normText(col(textCol)), "[.!?]+ +"),
+      s => length(s) > 0)
+    val counts = transform(sents,
+      s => org.apache.spark.sql.functions.size(
+        filter(split(s, " +"), w => length(w) > 0)))
+    val acc0 = struct(array().cast("array<int>").as("done"), lit(0).as("cur"))
+    val folded = aggregate(counts, acc0,
+      (a, t) => {
+        val done = a.getField("done"); val cur = a.getField("cur")
+        when(cur === 0, struct(done.as("done"), t.as("cur")))
+          .otherwise(when(cur + t <= budget,
+            struct(done.as("done"), (cur + t).as("cur")))
+          .otherwise(
+            struct(concat(done, array(cur)).as("done"), t.as("cur"))))
+      },
+      a => when(a.getField("cur") > 0,
+        concat(a.getField("done"), array(a.getField("cur"))))
+        .otherwise(a.getField("done")))
+    df.select(col(idCol).as("doc_id"), sents.as("ss"), folded.as("chunks"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("ss")).cast("long").as("n_sentences"),
+        org.apache.spark.sql.functions.size(col("chunks")).cast("long").as("n_chunks"),
+        coalesce(array_max(col("chunks")), lit(0)).cast("long").as("max_chunk_tokens"),
+        aggregate(col("chunks"), lit(7L),
+          (a, x) => (a * 31 + x) % TextAnalysis.HashMod).as("sizes_fp"))
+  }
 }

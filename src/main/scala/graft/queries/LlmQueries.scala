@@ -499,6 +499,49 @@ object LlmQueries {
         k = 8, bands = 4, threshold = 0.35, broadcastShingles = true)
     },
 
+    // ---- sentence-aware greedy chunk packing ----------------------------
+    // The RAG/packing variant that never splits a sentence (q110's
+    // fixed windows do): sentences split on terminal-punctuation + space
+    // runs, greedily packed to a 64-token budget; over-budget sentences
+    // become their own oversized chunk. One shuffle-free fold per doc;
+    // the oracle replays the (done, cur) recurrence in list_reduce.
+    QueryDef.sqlBacked(
+      "q158_sentence_pack",
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(trim(text)), '[.!?]+ +'),
+         |                s -> length(s) > 0) AS ss
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, ss,
+         |    [len(list_filter(string_split_regex(s, ' +'), w -> length(w) > 0))
+         |     FOR s IN ss] AS counts
+         |  FROM base),
+         |packed AS (
+         |  SELECT doc_id, ss,
+         |    list_reduce(
+         |      list_prepend({'done': CAST([] AS BIGINT[]), 'cur': CAST(0 AS BIGINT)},
+         |        [{'done': CAST([] AS BIGINT[]), 'cur': CAST(t AS BIGINT)} FOR t IN counts]),
+         |      (a, b) -> CASE
+         |        WHEN a.cur = 0 THEN {'done': a.done, 'cur': b.cur}
+         |        WHEN a.cur + b.cur <= 64 THEN {'done': a.done, 'cur': a.cur + b.cur}
+         |        ELSE {'done': list_append(a.done, a.cur), 'cur': b.cur} END) AS st
+         |  FROM cnt),
+         |fin AS (
+         |  SELECT doc_id, ss,
+         |    CASE WHEN st.cur > 0 THEN list_append(st.done, st.cur)
+         |         ELSE st.done END AS chunks
+         |  FROM packed)
+         |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences,
+         |  CAST(len(chunks) AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(list_max(chunks), 0) AS BIGINT) AS max_chunk_tokens,
+         |  CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), chunks),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS sizes_fp
+         |FROM fin""".stripMargin) { (s, d) =>
+      graft.operators.SequencePrep.sentencePack(
+        Tables.documents(s, d), "doc_id", "text", budget = 64)
+    },
+
     // ---- cross-corpus LSH near-dup (decontamination at scale) -----------
     // The A x B banding join: train (source <> 'src0') against a
     // corpus-sized holdout (source = 'src0') — the general form of q94's

@@ -80,4 +80,32 @@ class SequencePrepSpec extends SparkSpec {
     val total = rows.map(_._3).sum
     assert(lastBin == (total - 1) / 128)
   }
+
+  test("sentencePack: greedy boundaries, oversized sentence isolated, edges") {
+    val s = spark
+    import s.implicits._
+    def sent(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // 3+4 fit an 8-budget together; 5 forces a flush; 2 joins 5? no:
+      // 5+2=7 <= 8 joins -> chunks [7, 7]
+      (1L, s"${sent(3)}. ${sent(4)}! ${sent(5)}? ${sent(2)}."),
+      // a 12-token sentence alone exceeds the budget -> its own chunk
+      (2L, s"${sent(12)}. ${sent(3)}."),
+      (3L, ""), // empty -> 0 sentences, 0 chunks
+      (4L, sent(8))) // no terminal punctuation: one sentence, one chunk
+      .toDF("doc_id", "text")
+    val got = SequencePrep.sentencePack(docs, "doc_id", "text", budget = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def fp(xs: Seq[Long]) = xs.foldLeft(7L)((a, x) => (a * 31 + x) % 1000000007L)
+    // doc 1: sentences (4,4,5,3 tokens — terminal '.' rides the last
+    // word of each sentence except where the split consumed it)... the
+    // splitter consumes '[.!?]+ +', so tokens are bare words except the
+    // final sentence's trailing '.': [3, 4, 5, 2] -> chunks [7, 7]
+    assert(got(1L) == ((4L, 2L, 7L, fp(Seq(7L, 7L)))), s"doc1 ${got(1L)}")
+    // doc 2: [12, 3] -> oversized 12 isolated, then 3
+    assert(got(2L) == ((2L, 2L, 12L, fp(Seq(12L, 3L)))), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, 7L)), s"doc3 ${got(3L)}")
+    assert(got(4L) == ((1L, 1L, 8L, fp(Seq(8L)))), s"doc4 ${got(4L)}")
+  }
 }
