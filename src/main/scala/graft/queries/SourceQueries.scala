@@ -966,6 +966,32 @@ object SourceQueries {
       Zarr3.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
     },
 
+    // ---- S12 scale: chunk-parallel zarr store ingest --------------------
+    // The third chunk-parallel sibling (q129 HDF5, q153 netCDF-3): one
+    // consolidated 48x10 v3 store (12 row-band chunks, gzip) read with
+    // one decode task per chunk — the grid IS zarr's designed unit of
+    // parallelism, phase 1 is a KB metadata parse. Oracle states the
+    // planted series; the hash proves key enumeration, per-chunk gzip
+    // decode, pad skipping and linear-index reassembly.
+    QueryDef.sqlBacked(
+      "q159_zarr_chunk_parallel",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(j * 10 + i AS DOUBLE) * 0.25 - 20.0 AS lwp
+        |FROM range(0,48) r1(j), range(0,10) r2(i)""".stripMargin) { (s, d) =>
+      import graft.sources.{Zarr3, ZarrChunkIngest}
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q159").toString
+      val (ny, nx) = (48, 10)
+      val px = (for (j <- 0 until ny; i <- 0 until nx)
+        yield ("cz", new java.sql.Timestamp(0L), i * 1.0, j * 1.0,
+          (j * nx + i) * 0.25 - 20.0))
+        .toDF("scene_id", "time", "x", "y", "value")
+      Zarr3.writeScenes(px, dir, "lwp", chunkRows = Some(4), gzipLevel = Some(6)).count()
+      ZarrChunkIngest.readValues(s, s"$dir/cz.zarr", "lwp")
+        .select(expr(s"idx div $nx").as("y"), (col("idx") % nx).as("x"),
+          col("value").as("lwp"))
+    },
+
     // ---- S9 scale: chunk-parallel netCDF-3 record ingest ----------------
     // The q129 shape for the CLASSIC format: a consolidated 40-record
     // CDF store (two record variables, so the general padded multi-var

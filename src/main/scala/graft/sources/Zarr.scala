@@ -100,6 +100,23 @@ object Zarr {
     }
   }
 
+  /** Decode ONE chunk file's raw bytes to its full chunk-sized value
+    * array (pad regions included) — the [[ZarrChunkIngest]] unit. */
+  private[sources] def decodeChunkBytes(raw: Array[Byte], meta: ArrayMeta): Array[Double] = {
+    val bytes = meta.compressor match {
+      case Some("zlib") => inflate(raw)
+      case _ => raw
+    }
+    val es = elemSize(meta.dtype)
+    val expect = meta.chunks.product * es
+    if (bytes.length != expect)
+      fail(s"chunk has ${bytes.length} bytes, expected $expect")
+    val order = if (meta.dtype.head == '>') java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+    Array.tabulate(meta.chunks.product)(k => decodeElem(bb, meta.dtype, k))
+  }
+
   /** Decode one array of any rank from `store/name`: full C-order
     * values with pad regions of edge chunks skipped and absent chunk
     * files read as fill_value (both per spec). */

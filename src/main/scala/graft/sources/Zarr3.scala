@@ -126,6 +126,20 @@ object Zarr3 {
       case "uint8" => (bb.get(k) & 0xFF).toDouble
     }
 
+  /** Decode ONE chunk file's raw bytes to its full chunk-sized value
+    * array (pad regions included) — the [[ZarrChunkIngest]] unit. */
+  private[sources] def decodeChunkBytes(raw: Array[Byte], meta: Meta): Array[Double] = {
+    val bytes = if (meta.gzipped) gunzip(raw) else raw
+    val es = DtypeSizes(meta.dtype)
+    val expect = meta.chunks.product * es
+    if (bytes.length != expect)
+      fail(s"chunk has ${bytes.length} bytes, expected $expect")
+    val order = if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+    Array.tabulate(meta.chunks.product)(k => decodeElem(bb, meta.dtype, k))
+  }
+
   /** Chunk file name under the array dir for chunk index `ci`. */
   def chunkKey(meta: Meta, ci: Seq[Int]): String =
     if (meta.v2Keys) ci.mkString(meta.keySep)
