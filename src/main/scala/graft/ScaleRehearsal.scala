@@ -319,6 +319,19 @@ object ScaleRehearsal {
         "doc_id", "t").count()
     }
 
+    // ---- round 10: cross-corpus LSH decontamination (q154 shape) —
+    // the A x B banding join in its 100 TB mode (broadcastShingles
+    // OFF): both sides shingle/sign independently (split by id parity,
+    // so |A| ~ |B| ~ N/2 and both scale with the corpus); expected
+    // ~the q28 self-join profile, cost symmetric in |A| + |B| plus the
+    // candidate stream
+    timed("lsh_cross_corpus") {
+      val a = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      graft.operators.Dedup.lshCrossCorpusPairs(a, b, "doc_id", "text",
+        k = 8, bands = 4, threshold = 0.35, broadcastShingles = false).count()
+    }
+
     // ---- round 10: unigram-LM Viterbi corpus encode (q148 shape) —
     // per-DISTINCT-pretoken DP fold + token-keyed join-back; expected
     // ~linear in docs (the segmentation cache is Heaps-bounded)
