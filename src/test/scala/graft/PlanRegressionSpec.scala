@@ -72,7 +72,10 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q144_hydrostatic_recurrence" :+ "q145_image_math"
       :+ "q146_tile_gather" :+ "q147_optical_flow"
       :+ "q149_unigram_train" :+ "q150_unigram_roundtrip"
-      :+ "q152_avro_roundtrip" :+ "q154_lsh_cross_corpus")
+      :+ "q152_avro_roundtrip" :+ "q154_lsh_cross_corpus"
+      :+ "q155_unigram_sampled" :+ "q156_zarr3_roundtrip"
+      :+ "q157_json_extract" :+ "q158_sentence_pack"
+      :+ "q159_zarr_chunk_parallel")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -324,6 +327,13 @@ class PlanRegressionSpec extends SparkSpec {
       s"q146 lost the cell-bucketed equi-join:\n${plan.take(1200)}")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"q146 lost its equi-join:\n${plan.take(1200)}")
+  }
+
+  test("q158: sentence packing is a pure projection") {
+    // sentence split + greedy fold + size hash all ride one scan; an
+    // Exchange means the per-doc fold silently became an aggregation
+    val plan = planOf("q158_sentence_pack")
+    assert(!plan.contains("Exchange"), s"q158 introduced a shuffle:\n${plan.take(1200)}")
   }
 
   test("q119: HTML extraction is a pure projection") {
