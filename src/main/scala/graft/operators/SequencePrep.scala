@@ -108,4 +108,38 @@ object SequencePrep {
         aggregate(col("chunks"), lit(7L),
           (a, x) => (a * 31 + x) % TextAnalysis.HashMod).as("sizes_fp"))
   }
+
+  /** Length-bucketed batch assembly (HF `group_by_length` /
+    * TF `bucket_by_sequence_length`): group similar-length sequences so
+    * a padded batch wastes < `width` pad tokens per row — the inference/
+    * training dataloader step between tokenization and the GPU. Docs are
+    * bucketed by token count (width-`width` integer bins), sharded by
+    * id (the multi-worker dataloader shape: each shard assembles its
+    * own batches independently, so no global order exists to funnel
+    * through one task), ranked longest-first within (bucket, shard),
+    * and cut into `batchSize`-row batches.
+    *
+    * All integer arithmetic. Returns one row per batch:
+    * (bucket, shard, batch_idx, n_docs, max_len, sum_tok, waste) with
+    * waste = n_docs·max_len − sum_tok, bounded by n_docs·(width−1). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 16, batchSize: Int = 8, nShards: Int = 4): DataFrame = {
+    require(width >= 1 && batchSize >= 1 && nShards >= 1,
+      s"width/batchSize/nShards must be >= 1, got $width/$batchSize/$nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket", "shard")
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      // greatest(n_tok, 1) keeps empty docs in bucket 0: (0-1) div W is 0
+      // in Spark (truncating div) but -1 in DuckDB (flooring //)
+      .withColumn("bucket", expr(s"(greatest(n_tok, 1) - 1) div $width"))
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("batch_idx", expr(s"(rnk - 1) div $batchSize").cast("long"))
+      .groupBy("bucket", "shard", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_len"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("waste", col("n_docs") * col("max_len") - col("sum_tok"))
+  }
 }

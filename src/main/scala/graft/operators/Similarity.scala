@@ -58,6 +58,58 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("cos_sim"))
   }
 
+  /** Matryoshka-style coarse-to-fine retrieval (Kusupati et al. 2022):
+    * score candidates on the first `prefixDim` dimensions only (MRL
+    * embeddings front-load information, so the prefix is a valid cheap
+    * index that reads prefixDim/dim of the bytes), keep the `coarseK`
+    * best per probe, then rerank the survivors with full-dimension
+    * exact cosine — the standard two-stage deployment of
+    * matryoshka/truncatable embeddings.
+    *
+    * Scale shape: the coarse pass is the only corpus-wide scan and its
+    * per-probe rank is two-phase salted (the Pq.adcTopK discipline —
+    * no task sorts more than corpus/salts rows); the rerank touches
+    * only probes × coarseK rows. Both cosines are the engine-exact
+    * round(dot/(|a||b|), 6) contract with (sim desc, id) tie-break.
+    *
+    * Output: (probe_id, rnk, neighbor_id, cos_sim, coarse_rnk) —
+    * coarse_rnk > k in a row is a reordering the cheap pass got wrong. */
+  def prefixRerank(probes: DataFrame, corpus: DataFrame, k: Int,
+      prefixDim: Int, coarseK: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salts: Int = 32): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+      .withColumn("pp", slice(col("pv"), 1, prefixDim))
+      .withColumn("ppn", norm(col("pp")))
+      .withColumn("pn", norm(col("pv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cp", slice(col("cv"), 1, prefixDim))
+      .withColumn("cpn", norm(col("cp")))
+      .withColumn("cn", norm(col("cv")))
+    val coarse = c.crossJoin(broadcast(p))
+      .where(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("coarse_sim",
+        round(dot(col("pp"), col("cp")) / (col("ppn") * col("cpn")), 6))
+      .withColumn("_salt", pmod(col("neighbor_id"), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col("probe_id"), col("_salt"))
+      .orderBy(col("coarse_sim").desc, col("neighbor_id"))
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("coarse_sim").desc, col("neighbor_id"))
+    val survivors = coarse
+      .withColumn("_r1", row_number().over(w1)).where(col("_r1") <= coarseK)
+      .withColumn("crnk", row_number().over(w2)).where(col("crnk") <= coarseK)
+    val w3 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    survivors
+      .withColumn("cos_sim",
+        round(dot(col("pv"), col("cv")) / (col("pn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(w3).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        col("cos_sim"), col("crnk").cast("long").as("coarse_rnk"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse two
     * per-query rankings — e.g. a BM25 keyword list and an ANN cosine
     * list, the hybrid-search shape — by rrf(d) = Σ_lists 1/(k + rank_d).

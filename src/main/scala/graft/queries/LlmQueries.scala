@@ -542,6 +542,37 @@ object LlmQueries {
         Tables.documents(s, d), "doc_id", "text", budget = 64)
     },
 
+    // ---- length-bucketed batch assembly ---------------------------------
+    // The group_by_length dataloader step: width-16 token-length
+    // buckets x 4 id-shards (each shard batches independently — the
+    // multi-worker shape, so no global order funnels through one task),
+    // longest-first rank cut into 8-row batches; per-batch padding
+    // waste is provably < 16 tokens/row. All integer arithmetic.
+    QueryDef.sqlBacked(
+      "q163_length_batches",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST((greatest(n_tok, 1) - 1) // 16 AS BIGINT) AS bucket,
+        |    CAST(doc_id % 4 AS BIGINT) AS shard
+        |  FROM w),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket, shard
+        |    ORDER BY n_tok DESC, doc_id) AS rnk
+        |  FROM b)
+        |SELECT bucket, shard, CAST((rnk - 1) // 8 AS BIGINT) AS batch_idx,
+        |  CAST(count(*) AS BIGINT) AS n_docs, max(n_tok) AS max_len,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS waste
+        |FROM r GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      graft.operators.SequencePrep.lengthBucketBatches(
+        Tables.documents(s, d), "doc_id", "text",
+        width = 16, batchSize = 8, nShards = 4)
+    },
+
     // ---- cross-corpus LSH near-dup (decontamination at scale) -----------
     // The A x B banding join: train (source <> 'src0') against a
     // corpus-sized holdout (source = 'src0') — the general form of q94's

@@ -26,6 +26,19 @@ object SourceQueries {
     p.toString
   }
 
+  /** Per-JVM fixture dir for q164's CSV round-trip (same lifecycle as
+    * [[q140OrcDir]]). */
+  private lazy val q164CsvDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q164_csv_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- S3/S5: generated hourly calendar w/ phase + blacklist ----------
@@ -935,6 +948,44 @@ object SourceQueries {
         .write.mode("overwrite").partitionBy("source")
         .option("compression", "zlib").orc(dir)
       s.read.orc(dir).where(col("source") === "src0")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    },
+
+    // ---- S12 family: CSV sink -> source round-trip ----------------------
+    // The remaining mainstream interchange format. The sf text contains
+    // no quotes/commas/newlines, so the query DECORATES it with all
+    // three before writing — the round-trip exercises real RFC-4180
+    // quoting (quote doubling via escape='"', embedded record
+    // separators via multiLine) rather than the trivial path. Written
+    // partitioned by `source`, read back with an explicit schema through
+    // the partition-pruned path; the oracle applies the same decoration
+    // to the parquet rows, so the hash proves the quote -> escape ->
+    // multiline-parse chain value-exact.
+    QueryDef.sqlBacked(
+      "q164_csv_roundtrip",
+      """SELECT doc_id, lang, n_chars,
+        |  md5('"' || text || ',' || chr(10) || lang || '"') AS text_md5
+        |FROM documents WHERE source IN ('src1', 'src2')""".stripMargin) { (s, d) =>
+      val dir = q164CsvDir
+      Tables.documents(s, d)
+        .withColumn("text",
+          concat(lit("\""), col("text"), lit(",\n"), col("lang"), lit("\"")))
+        .write.mode("overwrite").partitionBy("source")
+        .option("header", true).option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
+        .csv(dir)
+      s.read
+        // data columns only (positional vs the files); the `source`
+        // partition column is discovered from the directory layout
+        .schema("doc_id LONG, text STRING, lang STRING, n_chars LONG")
+        .option("header", true).option("escape", "\"")
+        .option("multiLine", true)
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
+        .csv(dir)
+        .where(col("source").isin("src1", "src2"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text").cast("binary")).as("text_md5"))
     },

@@ -108,4 +108,48 @@ class SequencePrepSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 0L, 7L)), s"doc3 ${got(3L)}")
     assert(got(4L) == ((1L, 1L, 8L, fp(Seq(8L)))), s"doc4 ${got(4L)}")
   }
+
+  test("lengthBucketBatches: reference batching, waste bound, full cover") {
+    val s = spark
+    import s.implicits._
+    // doc i has (i % 37) + 1 tokens — spans several width-4 buckets
+    val docs = (0 until 100).map { i =>
+      (i.toLong, (1 to (i % 37) + 1).map(j => s"t$j").mkString(" "))
+    }
+    val width = 4; val batch = 3; val shards = 2
+    val got = SequencePrep.lengthBucketBatches(
+      docs.toDF("doc_id", "text"), "doc_id", "text", width, batch, shards)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    // plain-Scala reference
+    val ref = docs.map { case (id, t) => (id, t.split("\\s+").length.toLong) }
+      .groupBy { case (id, n) => ((math.max(n, 1) - 1) / width, id % shards) }
+      .flatMap { case ((bucket, shard), rows) =>
+        rows.sortBy { case (id, n) => (-n, id) }
+          .grouped(batch).zipWithIndex.map { case (g, bi) =>
+            val ns = g.map(_._2)
+            (bucket, shard, bi.toLong, g.length.toLong, ns.max, ns.sum,
+              g.length * ns.max - ns.sum)
+          }
+      }.toSeq
+    assert(got.sortBy(r => (r._1, r._2, r._3)) ===
+      ref.sortBy(r => (r._1, r._2, r._3)))
+    // every doc appears in exactly one batch, and waste < width per row
+    assert(got.map(_._4).sum === 100L)
+    got.foreach { r =>
+      assert(r._7 <= r._4 * (width - 1), s"waste bound violated: $r")
+      assert(r._4 <= batch, s"oversized batch: $r")
+    }
+  }
+
+  test("lengthBucketBatches: empty doc lands in bucket 0") {
+    val s = spark
+    import s.implicits._
+    val got = SequencePrep.lengthBucketBatches(
+      Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", width = 4, batchSize = 8, nShards = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    // split of "" yields one empty token in both engines: n_tok = 1
+    assert(got.head === ((0L, 0L, 0L, 2L, 2L, 3L, 1L)))
+  }
 }
