@@ -100,7 +100,15 @@ object Bench {
     // join (train vs corpus-sized holdout), the q28 shape with two
     // independent sides; timed so the flagship dedup family's second
     // production entry stays perf-tracked.
-    "q154_lsh_cross_corpus")
+    "q154_lsh_cross_corpus",
+    // Round 10 (second wave): SQ8 asymmetric search — times the
+    // fit + encode + dequantizing distance fold, the 4x-compressed ANN
+    // rung between q30's exact scan and q117's PQ codes.
+    "q161_sq8_adc_topk",
+    // Round 10 (second wave): prototype-distance pruning — times the
+    // argmin cell assign + two-phase per-cell hardness rank, the
+    // data-pruning sibling of q96's SemDeDup.
+    "q162_proto_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

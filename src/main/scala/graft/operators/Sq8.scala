@@ -96,6 +96,22 @@ object Sq8 {
       aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"))
   }
 
+  /** HOF reference form of the ADC squared-L2 (cross-check oracle for
+    * the native plans.Sq8AdcDist): dq_j computed INLINE per dimension —
+    * not element_at over a staged transform() array, which would rebuild
+    * the whole array per pick, the documented O(dim^2) HOF trap. */
+  def adcDistHof(qv: Column, codes: Column, m: Model): Column = {
+    val mns = typedlit(m.vmins)
+    val mxs = typedlit(m.vmaxs)
+    aggregate(sequence(lit(1), lit(m.dim)), lit(0.0), (acc, j) => {
+      val dqj = element_at(mns, j) +
+        element_at(codes, j) *
+          (element_at(mxs, j) - element_at(mns, j)) / lit(255.0)
+      val diff = element_at(qv, j) - dqj
+      acc + diff * diff
+    })
+  }
+
   /** Asymmetric top-k: float probes against the u8-coded corpus; the
     * squared-L2 fold dequantizes each dimension in place. Probes are
     * broadcast; the Pq two-phase salted rank bounds any task's sort to
@@ -108,18 +124,14 @@ object Sq8 {
     val p = probes.select(col(idCol).as("probe_id"),
       transform(sequence(lit(1), lit(m.dim)),
         j => element_at(col(vecCol), j).cast("double")).as("qv"))
-    // dq_j computed INLINE per dimension (not element_at over a staged
-    // transform() array, which would rebuild the whole array per pick —
-    // the documented O(dim^2) HOF trap). Same tokens as Model.dequant.
-    val mns = typedlit(m.vmins)
-    val mxs = typedlit(m.vmaxs)
-    val d2 = aggregate(sequence(lit(1), lit(m.dim)), lit(0.0), (acc, j) => {
-      val dqj = element_at(mns, j) +
-        element_at(col("codes"), j) *
-          (element_at(mxs, j) - element_at(mns, j)) / lit(255.0)
-      val diff = element_at(col("qv"), j) - dqj
-      acc + diff * diff
-    })
+    // native codegen'd loop (graft.plans.Sq8AdcDist) — bit-identical to
+    // [[adcDistHof]], spec-proven; the HOF form pays interpreted lambda
+    // eval once per (probe, candidate) pair (~23 µs/pair at dim 64).
+    val d2 = {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      column(graft.plans.Sq8AdcDist(expression(col("qv")),
+        expression(col("codes")), m.vmins, m.vmaxs))
+    }
     val scored = coded.crossJoin(broadcast(p))
       .where(col("nid") =!= col("probe_id"))
       .withColumn("d_u", round(d2 * 1e6).cast("long"))

@@ -44,7 +44,13 @@ class PlanRegressionSpec extends SparkSpec {
       "q137_nb_classifier",
       // q138: the 1-row (n_total, w_tot) totals frame is explicitly
       // broadcast-cross-joined onto the strata-sized counts frame.
-      "q138_temperature_sampling")
+      "q138_temperature_sampling",
+      // q161: SQ8 asymmetric search broadcast-cross-joins the bounded
+      // probe set onto the coded corpus — the q117 shape.
+      "q161_sq8_adc_topk",
+      // q165: the matryoshka coarse pass is the same bounded-probe
+      // broadcast cross-join (operators/Similarity.prefixRerank).
+      "q165_mrl_rerank")
 
   /** Queries whose RETURNED frame is a driver-side model materialized
     * as a LocalTableScan (no `*(` marker possible): the heavy work runs
@@ -75,7 +81,10 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q152_avro_roundtrip" :+ "q154_lsh_cross_corpus"
       :+ "q155_unigram_sampled" :+ "q156_zarr3_roundtrip"
       :+ "q157_json_extract" :+ "q158_sentence_pack"
-      :+ "q159_zarr_chunk_parallel")
+      :+ "q159_zarr_chunk_parallel"
+      :+ "q160_sq8_encode" :+ "q161_sq8_adc_topk"
+      :+ "q162_proto_prune" :+ "q163_length_batches"
+      :+ "q164_csv_roundtrip" :+ "q165_mrl_rerank")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -327,6 +336,25 @@ class PlanRegressionSpec extends SparkSpec {
       s"q146 lost the cell-bucketed equi-join:\n${plan.take(1200)}")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"q146 lost its equi-join:\n${plan.take(1200)}")
+  }
+
+  test("q160: SQ8 encode is a pure projection over one scan") {
+    // the fit runs as its own bounded job inside fitMinMax; the RETURNED
+    // encode frame must be shuffle-free per-row work (an Exchange means
+    // the model stopped being plan-embedded)
+    val plan = planOf("q160_sq8_encode")
+    assert(!plan.contains("Exchange"), s"q160 introduced a shuffle:\n${plan.take(1200)}")
+  }
+
+  test("q162: proto-prune joins are broadcasts on integer keys") {
+    // widths/offsets/targets are cells(-x-buckets)-sized frames: each
+    // must reach the big side as a BroadcastHashJoin — a SortMergeJoin
+    // here shuffles the corpus three extra times
+    val plan = planOf("q162_proto_prune")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q162 shuffles a bounded side:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q162 lost its broadcast joins:\n${plan.take(1500)}")
   }
 
   test("q158: sentence packing is a pure projection") {

@@ -97,6 +97,33 @@ class Sq8Spec extends SparkSpec {
     }
   }
 
+  test("native Sq8AdcDist == the HOF fold bit-for-bit on 60 pairs") {
+    val rows = corpus(60)
+    val m = refModel(rows)
+    val paired = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(sequence(lit(1), lit(Dim)),
+          j => element_at(col("embedding"), j).cast("double")).as("qv"),
+        Sq8.encode(col("embedding"), m).as("codes"))
+      // pair row i's floats with row (i+7)%60's codes
+      .withColumn("pair", pmod(col("vec_id") + 7, lit(60L)))
+    val other = paired.select(col("vec_id").as("pair"), col("codes").as("ocodes"))
+    val joined = paired.join(other, "pair")
+    val native = {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      column(graft.plans.Sq8AdcDist(expression(col("qv")),
+        expression(col("ocodes")), m.vmins, m.vmaxs))
+    }
+    val got = joined.select(col("vec_id"), native.as("n"),
+      Sq8.adcDistHof(col("qv"), col("ocodes"), m).as("h"))
+      .as[(Long, Double, Double)].collect()
+    assert(got.length === 60)
+    got.foreach { case (id, n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(h), s"vec $id: native $n != hof $h")
+    }
+  }
+
   test("adcTopK equals brute-force search over dequantized vectors") {
     val rows = corpus(60)
     val m = refModel(rows)
