@@ -223,4 +223,30 @@ object Sketches {
       .groupBy(col(hashedKeyCol))
       .agg(min(coalesce(col("present"), lit(0L))).as("might_contain"))
   }
+
+  /** Heavy hitters by Misra-Gries candidates + exact recount: the
+    * bounded-state top-frequency pipeline for OPEN vocabularies, where
+    * a full group-by holds one counter per distinct item (unbounded at
+    * 100 TB) but the MG summary holds k-1 counters per task and its
+    * merged form provably contains every item with freq > N/k
+    * (`plans.MisraGriesAgg`). The candidate set (<= k-1 items) is
+    * broadcast back for one exact recount, and the final threshold
+    * freq·k > N is decided on exact integer counts — so the OUTPUT is
+    * deterministic (and SQL-replayable) even though MG estimates are
+    * stream-order-dependent.
+    *
+    * Output: (item, n_occur, n_total) for every item with
+    * n_occur · k > n_total, i.e. frequency strictly above N/k. */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val its = items.select(col(itemCol).as("item"))
+    val cands = its
+      .agg(graft.plans.MisraGriesAgg.misraGriesCol(col("item"), k).as("mg"))
+      .select(explode(col("mg")).as("c"))
+      .select(col("c.item").as("item"))
+    val total = its.agg(count(lit(1)).as("n_total"))
+    its.join(broadcast(cands), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("n_occur"))
+      .crossJoin(broadcast(total))
+      .where(col("n_occur") * k > col("n_total"))
+  }
 }

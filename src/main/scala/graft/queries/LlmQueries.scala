@@ -573,6 +573,30 @@ object LlmQueries {
         width = 16, batchSize = 8, nShards = 4)
     },
 
+    // ---- Misra-Gries heavy hitters --------------------------------------
+    // Bounded-state frequent-item mining: the MG summary (k=30 < the 31
+    // distinct tokens, so the decrement path runs) holds <= 29 counters
+    // per task where a group-by holds one per distinct item; merged
+    // candidates provably contain every token above N/30, the exact
+    // recount + integer cross-multiplied threshold make the OUTPUT
+    // deterministic. The oracle is the exact statement the guarantee
+    // promises — frequency strictly above N/k.
+    QueryDef.sqlBacked(
+      "q166_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS item
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT item, CAST(count(*) AS BIGINT) AS n_occur, n_total
+        |FROM toks, tot GROUP BY item, n_total
+        |HAVING count(*) * 30 > n_total""".stripMargin) { (s, d) =>
+      import graft.functions.TextAnalysis
+      graft.operators.Sketches.heavyHitters(
+        Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok")),
+        "tok", k = 30)
+    },
+
     // ---- cross-corpus LSH near-dup (decontamination at scale) -----------
     // The A x B banding join: train (source <> 'src0') against a
     // corpus-sized holdout (source = 'src0') — the general form of q94's

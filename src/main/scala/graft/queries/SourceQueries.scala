@@ -39,6 +39,18 @@ object SourceQueries {
     p.toString
   }
 
+  /** Per-JVM fixture dir for q167's TFRecord round-trip. */
+  private lazy val q167TfrDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q167_tfr_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- S3/S5: generated hourly calendar w/ phase + blacklist ----------
@@ -986,6 +998,34 @@ object SourceQueries {
         .option("ignoreTrailingWhiteSpace", false)
         .csv(dir)
         .where(col("source").isin("src1", "src2"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    },
+
+    // ---- S12 family: TFRecord sink -> source round-trip -----------------
+    // The TensorFlow training-shard container: pure-JVM masked-CRC32C
+    // framing + hand-encoded tf.train.Example protos (sources/TfRecord,
+    // foreign-fixture-proven incl. the unpacked proto2 branch). The
+    // documents table writes as 4 shards (one per partition — the
+    // format's parallelism unit; no sync markers, so sharding IS the
+    // split story), reads back schema-directed, and the oracle restates
+    // the rows from parquet — the hash proves framing, CRCs, proto
+    // encode/decode, and UTF-8 fidelity end to end.
+    QueryDef.sqlBacked(
+      "q167_tfrecord_roundtrip",
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM documents""".stripMargin) { (s, d) =>
+      import graft.sources.TfRecord
+      import org.apache.spark.sql.types._
+      val dir = q167TfrDir
+      TfRecord.write(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+          .repartition(4),
+        dir)
+      TfRecord.read(s, dir, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType))))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text").cast("binary")).as("text_md5"))
     },

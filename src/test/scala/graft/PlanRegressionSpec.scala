@@ -50,7 +50,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q161_sq8_adc_topk",
       // q165: the matryoshka coarse pass is the same bounded-probe
       // broadcast cross-join (operators/Similarity.prefixRerank).
-      "q165_mrl_rerank")
+      "q165_mrl_rerank",
+      // q166: the 1-row n_total frame is explicitly broadcast-cross-
+      // joined onto the (<= k-1)-row exact recount — the q79 shape.
+      "q166_heavy_hitters")
 
   /** Queries whose RETURNED frame is a driver-side model materialized
     * as a LocalTableScan (no `*(` marker possible): the heavy work runs
@@ -84,7 +87,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q159_zarr_chunk_parallel"
       :+ "q160_sq8_encode" :+ "q161_sq8_adc_topk"
       :+ "q162_proto_prune" :+ "q163_length_batches"
-      :+ "q164_csv_roundtrip" :+ "q165_mrl_rerank")
+      :+ "q164_csv_roundtrip" :+ "q165_mrl_rerank"
+      :+ "q166_heavy_hitters" :+ "q167_tfrecord_roundtrip")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -2153,6 +2153,95 @@ def write_avro_fuzz(outdir, n=12, seed=90210):
         f.write("\n".join(lines) + "\n")
 
 
+_CRC32C_TABLE = None
+
+
+def _crc32c(data):
+    """Table-driven CRC32C (Castagnoli, reflected poly 0x82F63B78) —
+    independent of java.util.zip.CRC32C."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _tfr_masked(data):
+    c = _crc32c(data)
+    rot = ((c >> 15) | (c << 17)) & 0xFFFFFFFF
+    return (rot + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _tfr_varint(n):
+    n &= (1 << 64) - 1  # two's complement for negative int64
+    out = bytearray()
+    while n > 0x7F:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
+def _tfr_ld(field, payload):
+    return _tfr_varint((field << 3) | 2) + _tfr_varint(len(payload)) + payload
+
+
+def write_tfrecord(path):
+    """Three framed tf.train.Example records (record_writer.h framing:
+    LE u64 length + masked crc32c + payload + masked crc32c). Features:
+    id int64 (record 2 UNPACKED, proto2-style, and negative -> 10-byte
+    varint), txt bytes (unicode), vec packed floats (record 3 empty)."""
+    def f_i64_packed(vals):
+        inner = _tfr_ld(1, b"".join(_tfr_varint(v) for v in vals)) if vals else b""
+        return _tfr_ld(3, inner)
+
+    def f_i64_unpacked(vals):
+        inner = b"".join(_tfr_varint((1 << 3) | 0) + _tfr_varint(v) for v in vals)
+        return _tfr_ld(3, inner)
+
+    def f_bytes(bs):
+        return _tfr_ld(1, b"".join(_tfr_ld(1, b) for b in bs))
+
+    def f_f32(vals):
+        inner = (_tfr_ld(1, b"".join(struct.pack("<f", v) for v in vals))
+                 if vals else b"")
+        return _tfr_ld(2, inner)
+
+    def example(feats):
+        entries = b""
+        for name, fbytes in feats:
+            entry = _tfr_ld(1, name.encode("utf-8")) + _tfr_ld(2, fbytes)
+            entries += _tfr_ld(1, entry)
+        return _tfr_ld(1, entries)
+
+    recs = [
+        example([("id", f_i64_packed([7])),
+                 ("txt", f_bytes(["héllo wörld".encode("utf-8")])),
+                 ("vec", f_f32([1.5, -2.25, 0.5]))]),
+        example([("id", f_i64_unpacked([-3])),
+                 ("txt", f_bytes(["漢字テキスト".encode("utf-8")])),
+                 ("vec", f_f32([3.0]))]),
+        example([("id", f_i64_packed([123456789012345])),
+                 ("txt", f_bytes([b""])),
+                 ("vec", f_f32([]))]),
+    ]
+    blob = bytearray()
+    for payload in recs:
+        ln = struct.pack("<Q", len(payload))
+        blob += ln + struct.pack("<I", _tfr_masked(ln))
+        blob += payload + struct.pack("<I", _tfr_masked(payload))
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+
+
 def write_zarr3(store):
     """zarr v3 store (zarr core spec v3.0): per-node zarr.json, default
     c/-nested chunk keys with gzip codec for a 2-D float64 array (one
@@ -2922,6 +3011,7 @@ def main():
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
     write_netcdf3_rec_big(os.path.join(TEST_FIX, "consolidated_rec.nc"))
     write_avro(os.path.join(TEST_FIX, "golden.avro"))
+    write_tfrecord(os.path.join(TEST_FIX, "golden.tfrecord"))
     write_avro_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
     write_zarr3(os.path.join(TEST_FIX, "golden_v3.zarr"))
