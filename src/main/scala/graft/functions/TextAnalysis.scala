@@ -376,6 +376,50 @@ object TextAnalysis {
         (deltaR6 <= 0.0).cast("long").as("selected"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how target-domain-like its HASHED n-gram features are —
+    * log w(d) = Σ_b c_d[b] · (ln p_tgt[b] − ln p_src[b]) over B hash
+    * buckets of unigram+bigram features, Laplace-smoothed bucket
+    * distributions. The hashing is the method's point: B is FIXED
+    * regardless of vocabulary, so the model stays B-sized at 100 TB
+    * where Moore-Lewis ([[mooreLewisScores]]) carries the full vocab.
+    * `selected` = (rounded log w > 0): target-leaning documents; the
+    * published pipeline then Gumbel-resamples by these weights — the
+    * q108/q138 machinery, composable downstream.
+    *
+    * Scale shape: one explode + two B-row bucket aggregations
+    * (broadcast back), a 1-row totals broadcast, map-side-combinable
+    * per-doc sums. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      inDomain: Column, nBuckets: Int = 64): DataFrame = {
+    val feats = df.select(col(idCol).as("doc_id"), inDomain.as("in_dom"),
+      explode(concat(
+        tokenNgramHashesAll(col(textCol), 1),
+        tokenNgramHashesAll(col(textCol), 2))).as("h"))
+      .withColumn("b", pmod(col("h"), lit(nBuckets.toLong)))
+    val perDoc = feats.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val tgt = feats.where(col("in_dom")).groupBy("b").agg(count(lit(1)).as("tcnt"))
+    val src = feats.where(!col("in_dom")).groupBy("b").agg(count(lit(1)).as("scnt"))
+    val consts = feats.agg(
+      sum(when(col("in_dom"), 1L).otherwise(0L)).cast("long").as("n_t"),
+      sum(when(!col("in_dom"), 1L).otherwise(0L)).cast("long").as("n_s"))
+    val term =
+      (log((coalesce(col("tcnt"), lit(0L)) + 1).cast("double")) -
+        log((col("n_t") + nBuckets).cast("double"))) -
+      (log((coalesce(col("scnt"), lit(0L)) + 1).cast("double")) -
+        log((col("n_s") + nBuckets).cast("double")))
+    val logwR6 = round(sum(col("cnt") * term), 6)
+    perDoc
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(src), Seq("b"), "left")
+      .crossJoin(broadcast(consts)) // bounded: one row
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_feat"),
+        logwR6.as("logw"),
+        (logwR6 > 0.0).cast("long").as("selected"))
+  }
+
   /** Okapi BM25 document scoring against a fixed query-term set
     * (Robertson et al., TREC-3; the idf form is Lucene's shifted-log
     * variant ln(1 + (N - df + 0.5)/(df + 0.5)), always positive):

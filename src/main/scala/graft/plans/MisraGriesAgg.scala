@@ -59,35 +59,14 @@ case class MisraGriesAgg(
   override def update(buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val item = v.asInstanceOf[UTF8String].toString
-      buf.get(item) match {
-        case Some(c) => buf.update(item, c + 1)
-        case None if buf.size < k - 1 => buf.update(item, 1L)
-        case None =>
-          // decrement every counter; drop the zeros (snapshot first —
-          // mutating a HashMap mid-iteration is undefined)
-          buf.toArray.foreach { case (it, c) =>
-            if (c == 1L) buf.remove(it) else buf.update(it, c - 1)
-          }
-      }
-    }
+    if (v != null)
+      MisraGriesAgg.mgUpdate(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
   override def merge(a: mutable.HashMap[String, Long],
-      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (it, c) => a.update(it, a.getOrElse(it, 0L) + c) }
-    if (a.size > k - 1) {
-      // subtract the k-th largest count, drop <= 0 (Agarwal et al. 2013);
-      // snapshot first — mutating a HashMap mid-iteration is undefined
-      val kth = a.values.toArray.sortBy(-_).apply(k - 1)
-      a.toArray.foreach { case (it, c) =>
-        if (c - kth <= 0L) a.remove(it) else a.update(it, c - kth)
-      }
-    }
-    a
-  }
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGriesAgg.mgMerge(a, b, k)
 
   /** Counters sorted (est desc, item) for a deterministic ARRAY layout —
     * the VALUES remain order-dependent by nature; see class doc. */
@@ -143,4 +122,32 @@ object MisraGriesAgg {
   def misraGriesCol(item: Column, k: Int): Column =
     GraftColumnBridge.column(
       MisraGriesAgg(GraftColumnBridge.expression(item), k).toAggregateExpression())
+
+  /** One MG stream step (shared by the aggregate and the streaming
+    * operator): count if present, insert while under k-1 counters, else
+    * decrement-all (snapshot first — mutating a HashMap mid-iteration
+    * is undefined). */
+  def mgUpdate(buf: mutable.HashMap[String, Long], item: String, k: Int): Unit =
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + 1)
+      case None if buf.size < k - 1 => buf.update(item, 1L)
+      case None =>
+        buf.toArray.foreach { case (it, c) =>
+          if (c == 1L) buf.remove(it) else buf.update(it, c - 1)
+        }
+    }
+
+  /** Mergeable-summaries merge (Agarwal et al. 2013): add counts, then
+    * subtract the k-th largest and drop <= 0. Mutates and returns `a`. */
+  def mgMerge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long], k: Int): mutable.HashMap[String, Long] = {
+    b.foreach { case (it, c) => a.update(it, a.getOrElse(it, 0L) + c) }
+    if (a.size > k - 1) {
+      val kth = a.values.toArray.sortBy(-_).apply(k - 1)
+      a.toArray.foreach { case (it, c) =>
+        if (c - kth <= 0L) a.remove(it) else a.update(it, c - kth)
+      }
+    }
+    a
+  }
 }

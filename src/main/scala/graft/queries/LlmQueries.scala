@@ -573,6 +573,47 @@ object LlmQueries {
         width = 16, batchSize = 8, nShards = 4)
     },
 
+    // ---- DSIR hashed importance weights ---------------------------------
+    // Xie et al. 2023 data selection: per-doc log importance weight over
+    // 64 HASHED unigram+bigram feature buckets (fixed model size at any
+    // vocabulary — the method's point vs q132's full-vocab Moore-Lewis),
+    // target = src0, Laplace-smoothed bucket distributions, selected =
+    // target-leaning (rounded logw > 0). Same ln/6-dp sum discipline as
+    // q132; bucket tables are 64-row broadcasts.
+    QueryDef.sqlBacked(
+      "q168_dsir_weights",
+      {
+        val term =
+          "((ln(CAST(coalesce(tcnt, 0) + 1 AS DOUBLE)) - ln(CAST(n_t + 64 AS DOUBLE)))" +
+            " - (ln(CAST(coalesce(scnt, 0) + 1 AS DOUBLE)) - ln(CAST(n_s + 64 AS DOUBLE))))"
+        s"""WITH t AS (
+           |  SELECT doc_id, source = 'src0' AS in_dom,
+           |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents),
+           |g1 AS (SELECT doc_id, in_dom, toks[i] AS g
+           |  FROM (SELECT doc_id, in_dom, toks,
+           |        unnest(range(1, len(toks) + 1)) AS i FROM t)),
+           |g2 AS (SELECT doc_id, in_dom, array_to_string(toks[i:i+1], ' ') AS g
+           |  FROM (SELECT doc_id, in_dom, toks,
+           |        unnest(range(1, len(toks))) AS i FROM t)),
+           |f AS (SELECT doc_id, in_dom, (${polySql("g", "len(g)")}) % 64 AS b
+           |  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+           |pd AS (SELECT doc_id, b, count(*) AS cnt FROM f GROUP BY 1, 2),
+           |tg AS (SELECT b, count(*) AS tcnt FROM f WHERE in_dom GROUP BY 1),
+           |sr AS (SELECT b, count(*) AS scnt FROM f WHERE NOT in_dom GROUP BY 1),
+           |cs AS (SELECT sum(CASE WHEN in_dom THEN 1 ELSE 0 END) AS n_t,
+           |       sum(CASE WHEN in_dom THEN 0 ELSE 1 END) AS n_s FROM f)
+           |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feat,
+           |  round(sum(cnt * $term), 6) AS logw,
+           |  CAST(CASE WHEN round(sum(cnt * $term), 6) > 0.0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS selected
+           |FROM pd LEFT JOIN tg USING (b) LEFT JOIN sr USING (b) CROSS JOIN cs
+           |GROUP BY doc_id""".stripMargin
+      }) { (s, d) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        inDomain = col("source") === "src0", nBuckets = 64)
+    },
+
     // ---- Misra-Gries heavy hitters --------------------------------------
     // Bounded-state frequent-item mining: the MG summary (k=30 < the 31
     // distinct tokens, so the decrement path runs) holds <= 29 counters

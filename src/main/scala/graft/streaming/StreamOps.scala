@@ -101,6 +101,42 @@ object StreamOps {
       // unboundedly on an infinite stream)
       .dropDuplicatesWithinWatermark("digest")
 
+  final case class TokRow(shard: Long, seq: Long, item: String)
+  final case class MgCounter(item: String, est: Long)
+  final case class MgShard(shard: Long, n_seen: Long, counters: Seq[MgCounter])
+
+  /** Streaming Misra-Gries heavy hitters: per-shard MG(k) summaries
+    * maintained in `flatMapGroupsWithState`, one state row per shard of
+    * at most k−1 counters — bounded state on an UNBOUNDED stream, where
+    * a streaming group-by count would grow with the distinct-item count.
+    * Items shard by hash; the union of shard candidates contains every
+    * item above N/k per shard (and the per-shard summaries merge by
+    * `MisraGriesAgg.mgMerge` downstream, the batch pipeline's shape).
+    *
+    * Each micro-batch folds its rows in `seq` order, so the final state
+    * is the exact sequential MG of the per-shard stream — the spec
+    * replays it. Emits the updated shard summary each batch (Update
+    * mode), counters sorted (est desc, item). */
+  def streamingHeavyHitters(toks: DataFrame, k: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.select(col("shard"), col("seq"), col("item")).as[TokRow]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[TokRow], state: GroupState[MgShard]) =>
+          val prev = state.getOption.getOrElse(MgShard(shard, 0L, Seq.empty))
+          val buf = scala.collection.mutable.HashMap.from(
+            prev.counters.map(c => c.item -> c.est))
+          val batch = rows.toSeq.sortBy(_.seq)
+          batch.foreach(r => graft.plans.MisraGriesAgg.mgUpdate(buf, r.item, k))
+          val next = MgShard(shard, prev.n_seen + batch.size,
+            buf.toSeq.sortBy { case (it, c) => (-c, it) }
+              .map { case (it, c) => MgCounter(it, c) })
+          state.update(next)
+          Iterator(next)
+      }.toDF()
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)

@@ -53,7 +53,10 @@ class PlanRegressionSpec extends SparkSpec {
       "q165_mrl_rerank",
       // q166: the 1-row n_total frame is explicitly broadcast-cross-
       // joined onto the (<= k-1)-row exact recount — the q79 shape.
-      "q166_heavy_hitters")
+      "q166_heavy_hitters",
+      // q168: the 1-row (n_t, n_s) totals frame is explicitly broadcast-
+      // cross-joined onto the per-doc bucket counts — the q132 shape.
+      "q168_dsir_weights")
 
   /** Queries whose RETURNED frame is a driver-side model materialized
     * as a LocalTableScan (no `*(` marker possible): the heavy work runs
@@ -88,7 +91,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q160_sq8_encode" :+ "q161_sq8_adc_topk"
       :+ "q162_proto_prune" :+ "q163_length_batches"
       :+ "q164_csv_roundtrip" :+ "q165_mrl_rerank"
-      :+ "q166_heavy_hitters" :+ "q167_tfrecord_roundtrip")
+      :+ "q166_heavy_hitters" :+ "q167_tfrecord_roundtrip"
+      :+ "q168_dsir_weights")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

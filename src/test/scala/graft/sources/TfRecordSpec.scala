@@ -145,6 +145,48 @@ class TfRecordSpec extends SparkSpec {
       (4L, Some("comma, \"quote\"\nnewline"), 42L)))
   }
 
+  test("property: random Example maps and framed streams round-trip") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val nameGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('κ', '漢', 'é', '_'))).map(_.mkString)
+    val fvGen: Gen[FeatureVal] = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(I64s(_)),
+      Gen.listOf(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+        .map(_.toArray)).map(Bs(_)),
+      Gen.listOf(Gen.chooseNum(-3.4e38f, 3.4e38f)).map(F32s(_)))
+    val exampleGen = Gen.listOf(Gen.zip(nameGen, fvGen))
+      .map(_.distinctBy(_._1))
+    val prop = Prop.forAll(Gen.listOfN(5, exampleGen)) { examples =>
+      val payloads = examples.map(encodeExample)
+      val framed = payloads.flatMap(p => frameRecord(p).toSeq).toArray
+      val back = readFramed(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(framed))).map(decodeExample).toSeq
+      back.length == examples.length && back.zip(examples).forall {
+        case (m, feats) =>
+          // empty lists are kind-ambiguous on the wire only in that the
+          // LIST field is present but empty; kind is preserved
+          feats.forall { case (name, fv) =>
+            (m.get(name), fv) match {
+              case (Some(I64s(a)), I64s(b)) => a == b
+              case (Some(F32s(a)), F32s(b)) =>
+                a.length == b.length && a.zip(b).forall { case (x, y) =>
+                  (x.isNaN && y.isNaN) || x == y
+                }
+              case (Some(Bs(a)), Bs(b)) =>
+                a.length == b.length && a.zip(b).forall { case (x, y) =>
+                  x.toSeq == y.toSeq
+                }
+              case _ => false
+            }
+          }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(40)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("unsupported column types reject loudly") {
     val s = spark
     import s.implicits._
