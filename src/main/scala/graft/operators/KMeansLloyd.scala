@@ -45,7 +45,7 @@ object KMeansLloyd {
       cents: Seq[Seq[Double]]): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cell",
-        array_min(Similarity.cellDists(col("v"), cents)).getField("cell"))
+        Similarity.cellArgmin(col("v"), cents).getField("cell"))
 
   /** Seeded deterministic init: the k rows with smallest
     * (hashUnit(seed|id), id), their vectors in that rank order. */

@@ -38,8 +38,7 @@ object Pruning {
     require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
       s"keep fraction $keepNum/$keepDen out of range")
     val asg = df.select(col(idCol).as("vec_id"),
-      element_at(array_sort(Similarity.cellDists(col(vecCol), cents)), 1)
-        .as("best"))
+      Similarity.cellArgmin(col(vecCol), cents).as("best"))
       .select(col("vec_id"), col("best.cell").cast("long").as("cell"),
         round(col("best.d2") * 1e6).cast("long").as("d_u"))
     // per-cell keep target: ceil(n * keepNum / keepDen) in integer math

@@ -246,6 +246,16 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v).as("d2"),
       i.cast("int").as("cell")))
 
+  /** Native argmin over [[cellDists]]: struct(d2, cell) of the nearest
+    * centroid as ONE codegen'd loop (graft.plans.CellArgmin) —
+    * bit-identical to `array_min(cellDists(...))`, spec-proven. The HOF
+    * form pays K·dim interpreted lambda evals per row (~310 µs/row at
+    * K=8, dim=64); assignment-heavy operators (IVF corpus side,
+    * SemDeDup blocking, prototype pruning, KMeans E-steps) route
+    * through this. */
+  def cellArgmin(vec: Column, cents: Seq[Seq[Double]]): Column =
+    graft.plans.CellArgmin.cellArgminCol(vec, cents)
+
   /** IVF with an EXPLICIT centroid index (the production shape: the index
     * is fit once — [[ivfTopK]] / Transforms.fitKmeans — persisted, and
     * passed to queries). Corpus rows claim their argmin cell per-row
@@ -255,8 +265,7 @@ object Similarity {
       probes: DataFrame, corpus: DataFrame, k: Int, cents: Seq[Seq[Double]], nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell",
-        element_at(array_sort(cellDists(col("cv"), cents)), 1).getField("cell"))
+      .withColumn("cell", cellArgmin(col("cv"), cents).getField("cell"))
       .withColumn("cn", norm(col("cv")))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
       // struct sort orders by (d2, cell) lexicographically
@@ -355,16 +364,13 @@ object Similarity {
   }
 
   /** [[semDedup]] stage 1: cell assignment + centroid similarity —
-    * per-row scans against the plan-embedded centroid literal. The
-    * argmin is `array_min` over (d2, cell) structs — O(nCells), not the
-    * O(nCells log nCells) full sort, and identical to sort-then-first
-    * under struct ordering. */
+    * per-row scans against the plan-embedded centroid literal via the
+    * native argmin kernel ([[cellArgmin]]). */
   private[graft] def semDedupAssign(df: DataFrame, idCol: String,
       vecCol: String, cents: Seq[Seq[Double]]): DataFrame =
     withCentSim(
       df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("cell",
-          array_min(cellDists(col("v"), cents)).getField("cell"))
+        .withColumn("cell", cellArgmin(col("v"), cents).getField("cell"))
         .withColumn("nv", norm(col("v"))), cents)
 
   /** Cosine of `v` to its assigned cell's centroid: the same
