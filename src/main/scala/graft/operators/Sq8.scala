@@ -112,6 +112,47 @@ object Sq8 {
     })
   }
 
+  /** IVF-SQ8: the production compressed-ANN index shape — a coarse
+    * centroid quantizer blocks the corpus into cells (native
+    * `CellArgmin`), vectors store as u8 codes, and probes search only
+    * their `nProbe` nearest cells with the asymmetric dequantizing
+    * distance (native `Sq8AdcDist`). Candidates per probe shrink by
+    * ~nProbe/nCells versus the flat scan of [[adcTopK]]; the cell meet
+    * is an integer equi-join (the q73 IVF shape), so — unlike the flat
+    * scan — no probe ever touches the whole corpus.
+    *
+    * Output: (probe_id, rnk, neighbor_id, d_u, cell). */
+  def ivfAdcTopK(corpus: DataFrame, probes: DataFrame, m: Model,
+      cents: Seq[Seq[Double]], nProbe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coded = corpus.select(col(idCol).as("nid"),
+      Similarity.cellArgmin(col(vecCol), cents).getField("cell").as("cell"),
+      encode(col(vecCol), m).as("codes"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      transform(sequence(lit(1), lit(m.dim)),
+        j => element_at(col(vecCol), j).cast("double")).as("qv"),
+      // probe side needs the nProbe NEAREST cells, not just the argmin:
+      // the (small) probe frame pays the full struct sort
+      explode(slice(array_sort(
+        Similarity.cellDists(col(vecCol), cents)), 1, nProbe))
+        .as("near"))
+      .select(col("probe_id"), col("qv"), col("near.cell").as("cell"))
+    val d2 = {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      column(graft.plans.Sq8AdcDist(expression(col("qv")),
+        expression(col("codes")), m.vmins, m.vmaxs))
+    }
+    val scored = coded.join(broadcast(p), "cell")
+      .where(col("nid") =!= col("probe_id"))
+      .withColumn("d_u", round(d2 * 1e6).cast("long"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("d_u"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("nid").as("neighbor_id"),
+        col("d_u"), col("cell").cast("long").as("cell"))
+  }
+
   /** Asymmetric top-k: float probes against the u8-coded corpus; the
     * squared-L2 fold dequantizes each dimension in place. Probes are
     * broadcast; the Pq two-phase salted rank bounds any task's sort to

@@ -88,6 +88,61 @@ object Sq8Queries {
       Sq8.adcTopK(emb, emb.where(col("vec_id") % 101 === 0), m, k = 10)
     },
 
+    // ---- IVF-SQ8: coarse cells + u8 codes ------------------------------
+    // The production compressed-ANN composition: the q73-pattern coarse
+    // quantizer (formula-deterministic 8-cell index; production = a
+    // KMeansLloyd fit) blocks the corpus, vectors store as the q160 u8
+    // codes, probes search their 2 nearest cells with the dequantizing
+    // distance. The oracle replays assignment, model, codes, the cell
+    // equi-join, and the fold — hash-pinning the whole index.
+    QueryDef.sqlBacked(
+      "q169_ivf_sq8",
+      s"""WITH $CODES_CTE,
+         |cells AS (SELECT unnest(range(0, 8)) AS cell),
+         |cd AS (
+         |  SELECT vec_id, cell,
+         |    list_reduce([(CAST(embedding[j] AS DOUBLE)
+         |        - CAST((cell*41 + (j-1)*13) % 13 - 6 AS DOUBLE) / 6.0)
+         |      * (CAST(embedding[j] AS DOUBLE)
+         |        - CAST((cell*41 + (j-1)*13) % 13 - 6 AS DOUBLE) / 6.0)
+         |      FOR j IN range(1, ${Dim + 1})], (x, y) -> x + y) AS d2
+         |  FROM embeddings CROSS JOIN cells),
+         |ranked AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |  FROM cd),
+         |assign AS (SELECT vec_id AS nid, cell FROM ranked WHERE rn = 1),
+         |pr AS (SELECT vec_id AS probe_id, cell FROM ranked
+         |  WHERE rn <= 2 AND vec_id % 89 = 0),
+         |pq AS (SELECT vec_id AS probe_id,
+         |  [ CAST(embedding[j] AS DOUBLE) FOR j IN range(1, ${Dim + 1})] AS qv
+         |  FROM embeddings WHERE vec_id % 89 = 0),
+         |scored AS (
+         |  SELECT p.probe_id, a.nid, a.cell,
+         |    CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      [ (qv[j] - (vmins[j] + codes[j] * (vmaxs[j] - vmins[j]) / 255.0))
+         |        * (qv[j] - (vmins[j] + codes[j] * (vmaxs[j] - vmins[j]) / 255.0))
+         |        FOR j IN range(1, ${Dim + 1})]),
+         |      (x, y) -> x + y) * 1e6) AS BIGINT) AS d_u
+         |  FROM assign a
+         |  JOIN pr p USING (cell)
+         |  JOIN pq USING (probe_id)
+         |  JOIN codes c ON c.vec_id = a.nid
+         |  CROSS JOIN mdl
+         |  WHERE a.nid != p.probe_id)
+         |SELECT probe_id,
+         |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY d_u, nid)
+         |    AS BIGINT) AS rnk,
+         |  nid AS neighbor_id, d_u, CAST(cell AS BIGINT) AS cell
+         |FROM scored QUALIFY rnk <= 10""".stripMargin) { (s, d) =>
+      val cents = Seq.tabulate(8, Dim)((c, j) => ((c * 41 + j * 13) % 13 - 6) / 6.0)
+        .map(_.toSeq)
+      val emb = Tables.embeddings(s, d)
+      val m = Sq8.fitMinMax(emb, "embedding", Dim)
+      Sq8.ivfAdcTopK(emb, emb.where(col("vec_id") % 89 === 0), m, cents,
+        nProbe = 2, k = 10)
+    },
+
     // ---- matryoshka prefix-dim rerank ----------------------------------
     // Coarse cosine on the first 16 dims (1/4 of the bytes) keeps 40
     // candidates per probe; full-64-dim exact cosine reranks them to a

@@ -124,6 +124,44 @@ class Sq8Spec extends SparkSpec {
     }
   }
 
+  test("ivfAdcTopK == per-cell brute force over dequantized vectors") {
+    val rows = corpus(60)
+    val m = refModel(rows)
+    val cents = Seq.tabulate(3, Dim)((c, j) => ((c * 5 + j * 2) % 7 - 3) / 2.0)
+      .map(_.toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Sq8.ivfAdcTopK(df, df.where(col("vec_id") % 11 === 0), m, cents,
+      nProbe = 2, k = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq).toMap
+    // local reference
+    def d2To(v: Array[Float], c: Seq[Double]): Double =
+      (0 until Dim).foldLeft(0.0) { (acc, j) =>
+        val d = v(j).toDouble - c(j); acc + d * d
+      }
+    val cellOf = rows.map { case (id, v) =>
+      id -> cents.zipWithIndex.minBy { case (c, i) => (d2To(v, c), i) }._2.toLong
+    }.toMap
+    val deq = rows.map { case (id, v) =>
+      id -> refEncode(v, m).zipWithIndex.map { case (code, j) =>
+        m.vmins(j) + code * (m.vmaxs(j) - m.vmins(j)) / 255.0
+      }
+    }.toMap
+    rows.filter(_._1 % 11 == 0).foreach { case (pid, pv) =>
+      val near = cents.zipWithIndex
+        .map { case (c, i) => (d2To(pv, c), i) }.sorted.take(2).map(_._2.toLong).toSet
+      val exp = rows.filter { case (nid, _) => nid != pid && near(cellOf(nid)) }
+        .map { case (nid, _) =>
+          val d2 = (0 until Dim).foldLeft(0.0) { (acc, j) =>
+            val d = pv(j).toDouble - deq(nid)(j); acc + d * d
+          }
+          (nid, math.round(d2 * 1e6), cellOf(nid))
+        }.sortBy(r => (r._2, r._1)).take(4)
+      assert(got(pid) === exp, s"probe $pid")
+    }
+  }
+
   test("adcTopK equals brute-force search over dequantized vectors") {
     val rows = corpus(60)
     val m = refModel(rows)
