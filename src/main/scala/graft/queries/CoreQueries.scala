@@ -461,6 +461,86 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"),
           min(col("type_code")).as("type_code"))
+    },
+
+    // ---- entity resolution (record linkage) -----------------------------
+    // The tabular-side dedup: deterministic synthesized person names
+    // over `customer` with PLANTED single-char typos (head typo breaks
+    // the prefix block, tail typo breaks the suffix block — the two
+    // complementary blocking passes must both run to resolve every
+    // variant), levenshtein<=2 verify, min-label components. Name
+    // parts are pairwise edit-distance >= 3, so distinct names never
+    // merge; identical synthesized names do (the intended semantics).
+    // The oracle replays blocking, the DP metric, and the closure.
+    QueryDef.sqlBacked(
+      "q170_entity_resolution",
+      {
+        val fns = Seq("albert", "bridget", "carolyn", "douglas", "eleanor",
+          "frederic", "georgina", "harrison", "isabelle", "jonathan",
+          "katherine", "leonardo", "margaret", "nicholas", "octavia", "penelope")
+        val lns = Seq("anderson", "brockman", "castillo", "davidson",
+          "ellsworth", "ferguson", "galloway", "hendricks", "ibarra",
+          "jameson", "kowalski", "lancaster", "mitchell", "novak",
+          "osborne", "petrov")
+        val fnsSql = fns.map(n => s"'$n'").mkString("[", ",", "]")
+        val lnsSql = lns.map(n => s"'$n'").mkString("[", ",", "]")
+        s"""WITH RECURSIVE named AS (
+           |  SELECT c_custkey AS ck,
+           |    ($fnsSql)[CAST(c_custkey % 16 AS INT) + 1] || ' ' ||
+           |    ($lnsSql)[CAST((c_custkey // 16) % 16 AS INT) + 1] AS nm
+           |  FROM customer),
+           |ents AS (
+           |  SELECT ck * 10 AS rid, nm FROM named
+           |  UNION ALL
+           |  SELECT ck * 10 + 1 AS rid, 'x' || substr(nm, 2) AS nm
+           |  FROM named WHERE ck % 3 = 0
+           |  UNION ALL
+           |  SELECT ck * 10 + 2 AS rid, substr(nm, 1, length(nm) - 1) || 'x' AS nm
+           |  FROM named WHERE ck % 5 = 0),
+           |cands AS (
+           |  SELECT DISTINCT a.rid AS a, b.rid AS b, a.nm AS na, b.nm AS nb
+           |  FROM (SELECT substr(nm, 1, 4) AS bk, rid, nm FROM ents) a
+           |  JOIN (SELECT substr(nm, 1, 4) AS bk, rid, nm FROM ents) b USING (bk)
+           |  WHERE a.rid < b.rid
+           |  UNION
+           |  SELECT DISTINCT a.rid AS a, b.rid AS b, a.nm AS na, b.nm AS nb
+           |  FROM (SELECT right(nm, 4) AS bk, rid, nm FROM ents) a
+           |  JOIN (SELECT right(nm, 4) AS bk, rid, nm FROM ents) b USING (bk)
+           |  WHERE a.rid < b.rid),
+           |verified AS (SELECT a, b FROM cands WHERE levenshtein(na, nb) <= 2),
+           |edges AS (SELECT a AS src, b AS dst FROM verified
+           |  UNION ALL SELECT b, a FROM verified),
+           |reach AS (
+           |  SELECT rid AS node, rid AS lbl FROM ents
+           |  UNION
+           |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+           |labels AS (SELECT node, min(lbl) AS entity_id FROM reach GROUP BY 1)
+           |SELECT ents.rid, l.entity_id,
+           |  CAST(count(*) OVER (PARTITION BY l.entity_id) AS BIGINT) AS n_members
+           |FROM ents JOIN labels l ON l.node = ents.rid""".stripMargin
+      }) { (s, d) =>
+      val fns = Seq("albert", "bridget", "carolyn", "douglas", "eleanor",
+        "frederic", "georgina", "harrison", "isabelle", "jonathan",
+        "katherine", "leonardo", "margaret", "nicholas", "octavia", "penelope")
+      val lns = Seq("anderson", "brockman", "castillo", "davidson",
+        "ellsworth", "ferguson", "galloway", "hendricks", "ibarra",
+        "jameson", "kowalski", "lancaster", "mitchell", "novak",
+        "osborne", "petrov")
+      val named = Tables.customer(s, d).select(col("c_custkey").as("ck"),
+        concat(
+          element_at(typedlit(fns), (col("c_custkey") % 16 + 1).cast("int")),
+          lit(" "),
+          element_at(typedlit(lns),
+            (expr("c_custkey div 16") % 16 + 1).cast("int"))).as("nm"))
+      val ents = named.select((col("ck") * 10).as("rid"), col("nm"))
+        .unionAll(named.where(col("ck") % 3 === 0)
+          .select((col("ck") * 10 + 1).as("rid"),
+            concat(lit("x"), expr("substr(nm, 2)")).as("nm")))
+        .unionAll(named.where(col("ck") % 5 === 0)
+          .select((col("ck") * 10 + 2).as("rid"),
+            concat(expr("substr(nm, 1, length(nm) - 1)"), lit("x")).as("nm")))
+      graft.operators.Linkage.resolve(ents, "rid", "nm",
+        blockLen = 4, maxDist = 2)
     }
   )
 }

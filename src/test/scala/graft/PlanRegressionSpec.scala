@@ -92,7 +92,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q162_proto_prune" :+ "q163_length_batches"
       :+ "q164_csv_roundtrip" :+ "q165_mrl_rerank"
       :+ "q166_heavy_hitters" :+ "q167_tfrecord_roundtrip"
-      :+ "q168_dsir_weights" :+ "q169_ivf_sq8")
+      :+ "q168_dsir_weights" :+ "q169_ivf_sq8"
+      :+ "q170_entity_resolution")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
