@@ -173,9 +173,13 @@ object Bench {
     val rs = runs.map { case (k, ts) => "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RUNS.json"),
-      s"""{"timing":"median_of_$nRuns","runs":$rs,"sf":"$sfDir"}""".getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] runs file: ${e.getMessage}") }
+    // only a FULL-headline run may refresh the committed run arrays — a
+    // focused SPARK_GRAFT_BENCH_QUERIES measurement must not clobber the
+    // repo snapshot with a single-query file
+    if (sys.env.get("SPARK_GRAFT_BENCH_QUERIES").isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RUNS.json"),
+        s"""{"timing":"median_of_$nRuns","runs":$rs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] runs file: ${e.getMessage}") }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"median_of_$nRuns","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -129,9 +129,10 @@ object Dbscan {
         (0 until binDims).map(i => (col(s"c$i") + col("o").getField(s"d$i")).as(s"jc$i")): _*)
     val build = binned.select(col("pid").as("b_id") +: col("vec").as("bv") +:
       (0 until binDims).map(i => col(s"c$i").as(s"jc$i")): _*)
-    val dist2: Column = aggregate(
-      zip_with(col("av"), col("bv"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+    // native codegen'd loop (graft.plans.SqL2Dist) — bit-identical to
+    // aggregate(zip_with(av, bv, (x,y) => (x-y)*(x-y)), 0.0, +), which
+    // paid interpreted lambda eval per dimension per candidate PAIR
+    val dist2: Column = graft.plans.SqL2Dist.sqL2Col(col("av"), col("bv"))
     (probes.join(build, (0 until binDims).map(i => s"jc$i")), dist2, binned)
   }
 

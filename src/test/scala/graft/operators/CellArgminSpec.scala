@@ -33,6 +33,43 @@ class CellArgminSpec extends SparkSpec {
     }
   }
 
+  test("native SqL2Dist == the zip_with fold bit-for-bit (float and double)") {
+    val rows = (0 until 60).map { i =>
+      val a = Array.tabulate(Dim)(j =>
+        (((i * 2654435761L + j * 40503L) % 1000L) / 250.0) - 2.0)
+      val b = Array.tabulate(Dim)(j =>
+        (((i * 48271L + j * 69621L) % 1000L) / 250.0) - 2.0)
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val got = df.select(col("id"),
+      graft.plans.SqL2Dist.sqL2Col(col("a"), col("b")).as("n"), hof.as("h"))
+      .as[(Long, Double, Double)].collect()
+    got.foreach { case (id, n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(h), s"row $id: $n != $h")
+    }
+    // float side widens per element exactly like x.cast(double)
+    val fdf = rows.map { case (id, a, b) =>
+      (id, a.map(_.toFloat), b.map(_.toFloat))
+    }.toDF("id", "a", "b")
+    val fhof = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val fgot = fdf.select(col("id"),
+      graft.plans.SqL2Dist.sqL2Col(col("a"), col("b")).as("n"), fhof.as("h"))
+      .as[(Long, Double, Double)].collect()
+    fgot.foreach { case (id, n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(h), s"float row $id: $n != $h")
+    }
+  }
+
   test("native == array_min(cellDists) on double vectors with exact ties") {
     // centroids 0 and 1 equidistant from the midpoint -> tie breaks to 0
     val tieCents = Seq(Seq(0.0, 0.0), Seq(2.0, 0.0), Seq(10.0, 10.0))
