@@ -109,6 +109,35 @@ object Mixing {
     * Output: one row per input doc — (doc_id, lang, rnk, selected 0/1,
     * n_target) — so downstream mixing can either filter `selected = 1`
     * or inspect the rank margins. */
+  /** Deterministic per-epoch global shuffle + shard assignment — the
+    * pretraining dataloader's "reshuffle every epoch" step, made
+    * partitioning/retry-independent: each (epoch, doc) draws the
+    * key-derived uniform u = hashUnit(seed, epoch, id), shard =
+    * floor(u·nShards), and the within-shard position ranks by (u, id).
+    * No RNG state anywhere — re-running any task reproduces its rows,
+    * and epoch e+1 is a fresh permutation because the epoch rides
+    * INSIDE the hash.
+    *
+    * Scale shape: one explode (nEpochs×) + per-(epoch, shard) windows —
+    * shards are the dataloader workers, so the rank partitions match
+    * the physical consumers (~corpus/nShards rows each; raise nShards
+    * with the worker count, never a global sort).
+    *
+    * Output: (epoch, doc_id, shard, pos), pos 1-based within shard. */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int,
+      nEpochs: Int, seed: Long = 77L): DataFrame = {
+    require(nShards >= 1 && nEpochs >= 1, s"bad nShards=$nShards nEpochs=$nEpochs")
+    val base = df.select(col(idCol).as("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(nEpochs - 1L))))
+    val withU = base.withColumn("u",
+      Triplets.hashUnit(seed, col("epoch"), col("doc_id")))
+      .withColumn("shard", floor(col("u") * nShards).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("u"), col("doc_id"))
+    withU.select(col("epoch"), col("doc_id"), col("shard"),
+      row_number().over(w).cast("long").as("pos"))
+  }
+
   def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
       sampleFrac: Double, nBuckets: Int = 64): DataFrame = {
     require(sampleFrac > 0.0 && sampleFrac <= 1.0, s"sampleFrac in (0,1], got $sampleFrac")

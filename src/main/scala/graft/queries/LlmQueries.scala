@@ -573,6 +573,72 @@ object LlmQueries {
         width = 16, batchSize = 8, nShards = 4)
     },
 
+    // ---- deterministic epoch shuffle ------------------------------------
+    // The dataloader "reshuffle every epoch" step with no RNG state:
+    // u = hashUnit(77, epoch, doc_id) orders and shards each epoch
+    // independently (the epoch rides inside the hash), so every task is
+    // retry/partitioning-reproducible and the oracle replays the whole
+    // permutation. 2 epochs x 8 shards over the documents corpus.
+    QueryDef.sqlBacked(
+      "q172_epoch_shuffle",
+      {
+        val s = "'77|' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)"
+        val h = s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+          s"[CAST(ord(substr($s, j, 1)) AS BIGINT) FOR j IN range(1, len($s) + 1)]), " +
+          s"(a, b) -> (a * 31 + b) % 1000000007)"
+        val u = s"(CAST(((($h) * 2654435761) % 1000000007) * " +
+          s"((($h) * 2654435761) % 1000000007) % 1000000007 AS DOUBLE) / 1000000007.0)"
+        s"""WITH e AS (
+           |  SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents),
+           |h AS (SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, $u AS u FROM e),
+           |sh AS (SELECT epoch, doc_id, u,
+           |  CAST(floor(u * 8) AS BIGINT) AS shard FROM h)
+           |SELECT epoch, doc_id, shard,
+           |  CAST(row_number() OVER (PARTITION BY epoch, shard
+           |    ORDER BY u, doc_id) AS BIGINT) AS pos
+           |FROM sh""".stripMargin
+      }) { (s, d) =>
+      graft.operators.Mixing.epochShuffle(
+        Tables.documents(s, d), "doc_id", nShards = 8, nEpochs = 2, seed = 77L)
+    },
+
+    // ---- composed curation chain: filter -> dedup -> pack ---------------
+    // Three operators in ONE plan, the canonical ordering (filter before
+    // dedup before packing — dedup after packing would leak duplicate
+    // tokens into bins): length gate, exact-dedup keep-canonical
+    // (min doc_id per digest), then the q111 packed-stream prefix sum
+    // over the SURVIVORS. Proves the operators compose without column
+    // clashes and that the packing sees post-dedup token streams.
+    QueryDef.sqlBacked(
+      "q171_curation_chain",
+      """WITH w AS (
+        |  SELECT doc_id, source, md5(text) AS digest,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |f AS (SELECT * FROM w WHERE n_tok >= 30),
+        |d AS (SELECT digest, min(doc_id) AS keep_id FROM f GROUP BY 1),
+        |kept AS (SELECT f.doc_id, f.source, f.n_tok
+        |  FROM f JOIN d ON f.digest = d.digest AND f.doc_id = d.keep_id),
+        |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM kept)
+        |SELECT doc_id, source, n_tok,
+        |  CAST((cum - n_tok) // 256 AS BIGINT) AS bin,
+        |  CAST((cum - n_tok) % 256 AS BIGINT) AS offset,
+        |  CAST((cum - 1) // 256 - (cum - n_tok) // 256 + 1 AS BIGINT) AS n_bins
+        |FROM c""".stripMargin) { (s, d) =>
+      import graft.operators.{Dedup, SequencePrep}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .where(col("n_tok") >= 30)
+      val canon = Dedup.exactDedup(docs, col("doc_id"), col("text"))
+        .select(col("canonical_id").as("doc_id"))
+      val kept = docs.join(canon, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tok"))
+      SequencePrep.packSequences(kept, "doc_id", "source", "n_tok",
+        budget = 256)
+    },
+
     // ---- DSIR hashed importance weights ---------------------------------
     // Xie et al. 2023 data selection: per-doc log importance weight over
     // 64 HASHED unigram+bigram feature buckets (fixed model size at any

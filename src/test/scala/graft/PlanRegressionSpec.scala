@@ -93,7 +93,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q164_csv_roundtrip" :+ "q165_mrl_rerank"
       :+ "q166_heavy_hitters" :+ "q167_tfrecord_roundtrip"
       :+ "q168_dsir_weights" :+ "q169_ivf_sq8"
-      :+ "q170_entity_resolution")
+      :+ "q170_entity_resolution" :+ "q171_curation_chain"
+      :+ "q172_epoch_shuffle")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col => cCol}
 import org.apache.spark.sql.functions._
 
 /** Temperature (alpha=0.5) stratum rebalancing: target arithmetic,
@@ -64,5 +65,36 @@ class TemperatureSampleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Mixing.temperatureSample(corpus, "doc_id", "lang", 1.5)
     }
+  }
+
+  test("epochShuffle: complete per epoch, contiguous shard positions, epochs differ") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val got = Mixing.epochShuffle(docs, "doc_id", nShards = 4, nEpochs = 2)
+      .as[(Long, Long, Long, Long)].collect()
+    // every doc exactly once per epoch
+    assert(got.length === 400)
+    (0L to 1L).foreach { e =>
+      val ep = got.filter(_._1 == e)
+      assert(ep.map(_._2).sorted.toSeq === (0L until 200L))
+      // positions within each shard are 1..n contiguous
+      ep.groupBy(_._3).foreach { case (shard, rs) =>
+        assert(rs.map(_._4).sorted.toSeq === (1L to rs.length.toLong),
+          s"epoch $e shard $shard")
+      }
+      // shards in range
+      assert(ep.forall(r => r._3 >= 0 && r._3 < 4))
+    }
+    // the two epochs are different permutations (shard or pos moves)
+    val e0 = got.filter(_._1 == 0L).map(r => r._2 -> ((r._3, r._4))).toMap
+    val e1 = got.filter(_._1 == 1L).map(r => r._2 -> ((r._3, r._4))).toMap
+    assert((0L until 200L).count(d => e0(d) != e1(d)) > 150,
+      "epochs should be near-independent permutations")
+    // partitioning invariance
+    val re = Mixing.epochShuffle(docs.repartition(13), "doc_id",
+      nShards = 4, nEpochs = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(re.toSeq === got.sortBy(r => (r._1, r._2)).toSeq)
   }
 }
