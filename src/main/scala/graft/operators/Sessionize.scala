@@ -33,4 +33,48 @@ object Sessionize {
       .groupBy(col(keyCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("t_start"), max(col(tsCol)).as("t_end"))
+
+  /** Ordered-funnel analysis (the MATCH_RECOGNIZE-shaped sequential
+    * pattern): per key, scan events in (ts, tieBreak) order through a
+    * strict step machine — steps(0) (re)arms the funnel and stamps t0;
+    * steps(i) advances stage i -> i+1 only while ts - t0 <= windowUs;
+    * completing the last step counts a conversion and resets. One
+    * aggregate fold over the per-key sorted event array (the q158
+    * recurrence shape) — per-key histories fit a row, the q41
+    * sessionize contract.
+    *
+    * Returns (key, n_events, n_conversions, final_stage). */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowSec: Long,
+      tieBreak: String = "event_id"): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    val evs = sort_array(collect_list(struct(
+      expr(s"unix_micros($tsCol)").as("tus"),
+      col(tieBreak).as("tb"), col(typeCol).as("ty"))))
+    val winUs = windowSec * 1000000L
+    val acc0 = struct(lit(0L).as("stage"), lit(0L).as("t0"), lit(0L).as("conv"))
+    def fold(events: Column): Column = aggregate(events, acc0, (a, e) => {
+      val stage = a.getField("stage"); val t0 = a.getField("t0")
+      val conv = a.getField("conv")
+      val ty = e.getField("ty"); val tus = e.getField("tus")
+      val inWin = tus - t0 <= winUs
+      val arm = struct(lit(1L).as("stage"), tus.as("t0"), conv.as("conv"))
+      // middle steps: advance stage i -> i+1 (strict order, in window)
+      val mid = (1 until steps.size - 1).foldLeft(a) { (els, i) =>
+        when(ty === steps(i) && stage === i && inWin,
+          struct(lit(i + 1L).as("stage"), t0.as("t0"), conv.as("conv")))
+          .otherwise(els)
+      }
+      when(ty === steps.head, arm)
+        .otherwise(when(ty === steps.last && stage === (steps.size - 1L) && inWin,
+          struct(lit(0L).as("stage"), lit(0L).as("t0"), (conv + 1).as("conv")))
+          .otherwise(mid))
+    })
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), evs.as("evs"))
+      .select(col(keyCol), col("n_events"), fold(col("evs")).as("st"))
+      .select(col(keyCol), col("n_events"),
+        col("st.conv").as("n_conversions"),
+        col("st.stage").as("final_stage"))
+  }
 }

@@ -541,6 +541,70 @@ object CoreQueries {
             concat(expr("substr(nm, 1, length(nm) - 1)"), lit("x")).as("nm")))
       graft.operators.Linkage.resolve(ents, "rid", "nm",
         blockLen = 4, maxDist = 2)
+    },
+
+    // ---- ordered-funnel analysis ----------------------------------------
+    // The MATCH_RECOGNIZE-shaped sequential pattern: per user, strict
+    // view -> click -> purchase within a 48h window of the arming view;
+    // 'view' always re-arms, completion counts a conversion and resets.
+    // One fold over the per-user (ts, event_id)-sorted history; the
+    // oracle replays the identical state machine in list_reduce.
+    QueryDef.sqlBacked(
+      "q173_funnel",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS tb,
+        |  event_type AS ty FROM events),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  list({'tus': tus, 'tb': tb, 'ty': ty} ORDER BY tus, tb, ty) AS evs
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT user_id, n_events,
+        |  [{'stage': CAST(0 AS BIGINT), 't0': CAST(0 AS BIGINT),
+        |    'conv': CAST(0 AS BIGINT), 'tus': x.tus, 'ty': x.ty}
+        |   FOR x IN evs] AS evs2
+        |  FROM g),
+        |f AS (SELECT user_id, n_events,
+        |  list_reduce(list_prepend(
+        |    {'stage': CAST(0 AS BIGINT), 't0': CAST(0 AS BIGINT),
+        |     'conv': CAST(0 AS BIGINT), 'tus': CAST(0 AS BIGINT), 'ty': ''},
+        |    evs2),
+        |    (a, b) -> CASE
+        |      WHEN b.ty = 'view' THEN {'stage': CAST(1 AS BIGINT),
+        |        't0': b.tus, 'conv': a.conv, 'tus': CAST(0 AS BIGINT), 'ty': ''}
+        |      WHEN b.ty = 'purchase' AND a.stage = 2
+        |        AND b.tus - a.t0 <= 172800000000
+        |        THEN {'stage': CAST(0 AS BIGINT), 't0': CAST(0 AS BIGINT),
+        |          'conv': a.conv + 1, 'tus': CAST(0 AS BIGINT), 'ty': ''}
+        |      WHEN b.ty = 'click' AND a.stage = 1
+        |        AND b.tus - a.t0 <= 172800000000
+        |        THEN {'stage': CAST(2 AS BIGINT), 't0': a.t0, 'conv': a.conv,
+        |          'tus': CAST(0 AS BIGINT), 'ty': ''}
+        |      ELSE {'stage': a.stage, 't0': a.t0, 'conv': a.conv,
+        |        'tus': CAST(0 AS BIGINT), 'ty': ''} END) AS st
+        |  FROM m)
+        |SELECT user_id, n_events, st.conv AS n_conversions,
+        |  st.stage AS final_stage
+        |FROM f""".stripMargin) { (s, d) =>
+      graft.operators.Sessionize.funnel(Tables.events(s, d), "user_id", "ts",
+        "event_type", steps = Seq("view", "click", "purchase"),
+        windowSec = 172800L)
+    },
+
+    // ---- ROLLUP grouping sets -------------------------------------------
+    // The OLAP subtotal surface: corpus counts by (lang, source) with
+    // per-language and grand-total rows, grouping id composed the same
+    // way in both engines (first column = high bit).
+    QueryDef.sqlBacked(
+      "q174_rollup",
+      """SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .rollup("lang", "source")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .select(col("lang"), col("source"), col("gid"),
+          col("n_docs"), col("sum_chars"))
     }
   )
 }
