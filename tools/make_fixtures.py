@@ -2242,6 +2242,86 @@ def write_tfrecord(path):
         f.write(bytes(blob))
 
 
+def write_tfrecord_fuzz(outdir, n=12, seed=60606):
+    """Seeded random TFRecord files: 1-5 features per record of random
+    kind (int64 full range incl. negatives, raw bytes, float32), numeric
+    lists randomly PACKED or UNPACKED, occasional empty lists, 1-6
+    records per file. Expectations to tfr_manifest.txt: one line per
+    (file, record, feature) — ints decimal, floats as LE hex bit
+    patterns, bytes hex — parsed by TfRecordFuzzSpec."""
+    import random
+    rnd = random.Random(seed)
+    os.makedirs(outdir, exist_ok=True)
+    manifest = []
+
+    def f_i64(vals, packed):
+        if packed:
+            inner = _tfr_ld(1, b"".join(_tfr_varint(v) for v in vals)) if vals else b""
+            return _tfr_ld(3, inner)
+        inner = b"".join(_tfr_varint((1 << 3) | 0) + _tfr_varint(v) for v in vals)
+        return _tfr_ld(3, inner)
+
+    def f_bytes(bs):
+        return _tfr_ld(1, b"".join(_tfr_ld(1, b) for b in bs))
+
+    def f_f32(vals, packed):
+        if packed:
+            inner = (_tfr_ld(1, b"".join(struct.pack("<f", v) for v in vals))
+                     if vals else b"")
+            return _tfr_ld(2, inner)
+        inner = b"".join(_tfr_varint((1 << 3) | 5) + struct.pack("<f", v)
+                         for v in vals)
+        return _tfr_ld(2, inner)
+
+    def example(feats):
+        entries = b""
+        for name, fbytes in feats:
+            entry = _tfr_ld(1, name.encode("utf-8")) + _tfr_ld(2, fbytes)
+            entries += _tfr_ld(1, entry)
+        return _tfr_ld(1, entries)
+
+    for fi in range(n):
+        name = "tfr%02d" % fi
+        recs = []
+        for ri in range(rnd.randint(1, 6)):
+            feats = []
+            for gi in range(rnd.randint(1, 5)):
+                fname = "f%d_%s" % (gi, rnd.choice(["id", "txt", "vec", "κ"]))
+                kind = rnd.choice(["i64", "bytes", "f32"])
+                ln = rnd.choice([0, 1, 1, 2, 4])
+                if kind == "i64":
+                    vals = [rnd.randint(-2**63, 2**63 - 1) for _ in range(ln)]
+                    feats.append((fname, f_i64(vals, rnd.random() < 0.5)))
+                    manifest.append("%s|%d|%s|i64|%s" % (
+                        name, ri, fname, ",".join(str(v) for v in vals)))
+                elif kind == "bytes":
+                    vals = [bytes(rnd.randrange(256) for _ in range(rnd.randint(0, 8)))
+                            for _ in range(ln)]
+                    feats.append((fname, f_bytes(vals)))
+                    # zero-length byte strings encode as '-' so a list of
+                    # one empty element is distinguishable from an empty list
+                    manifest.append("%s|%d|%s|bytes|%s" % (
+                        name, ri, fname,
+                        ",".join((v.hex() or "-") for v in vals)))
+                else:
+                    vals = [struct.unpack("<f", struct.pack(
+                        "<f", rnd.uniform(-1e30, 1e30)))[0] for _ in range(ln)]
+                    feats.append((fname, f_f32(vals, rnd.random() < 0.5)))
+                    manifest.append("%s|%d|%s|f32|%s" % (
+                        name, ri, fname,
+                        ",".join(struct.pack("<f", v).hex() for v in vals)))
+            recs.append(example(feats))
+        blob = bytearray()
+        for payload in recs:
+            ln8 = struct.pack("<Q", len(payload))
+            blob += ln8 + struct.pack("<I", _tfr_masked(ln8))
+            blob += payload + struct.pack("<I", _tfr_masked(payload))
+        with open(os.path.join(outdir, name + ".tfrecord"), "wb") as f:
+            f.write(bytes(blob))
+    with open(os.path.join(outdir, "tfr_manifest.txt"), "w") as f:
+        f.write("\n".join(manifest) + "\n")
+
+
 def write_zarr3(store):
     """zarr v3 store (zarr core spec v3.0): per-node zarr.json, default
     c/-nested chunk keys with gzip codec for a 2-D float64 array (one
@@ -3012,6 +3092,7 @@ def main():
     write_netcdf3_rec_big(os.path.join(TEST_FIX, "consolidated_rec.nc"))
     write_avro(os.path.join(TEST_FIX, "golden.avro"))
     write_tfrecord(os.path.join(TEST_FIX, "golden.tfrecord"))
+    write_tfrecord_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_avro_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
     write_zarr3(os.path.join(TEST_FIX, "golden_v3.zarr"))
