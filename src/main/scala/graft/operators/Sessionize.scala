@@ -34,6 +34,23 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("t_start"), max(col(tsCol)).as("t_end"))
 
+  /** One funnel-machine step (Scala form, shared with the streaming
+    * variant — `StreamOps.streamingFunnel`; the batch [[funnel]] runs
+    * the same transitions as a Column fold, parity spec-pinned). */
+  final case class FunnelState(stage: Long, t0: Long, conv: Long)
+
+  def funnelStep(st: FunnelState, tus: Long, ty: String,
+      steps: Seq[String], winUs: Long): FunnelState =
+    if (ty == steps.head) FunnelState(1L, tus, st.conv)
+    else if (ty == steps.last && st.stage == steps.size - 1L && tus - st.t0 <= winUs)
+      FunnelState(0L, 0L, st.conv + 1)
+    else {
+      val i = steps.indexOf(ty)
+      if (i > 0 && i < steps.size - 1 && st.stage == i && tus - st.t0 <= winUs)
+        FunnelState(i + 1L, st.t0, st.conv)
+      else st
+    }
+
   /** Ordered-funnel analysis (the MATCH_RECOGNIZE-shaped sequential
     * pattern): per key, scan events in (ts, tieBreak) order through a
     * strict step machine — steps(0) (re)arms the funnel and stamps t0;

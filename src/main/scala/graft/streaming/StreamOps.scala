@@ -137,6 +137,41 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class FunnelEv(user_id: Long, tus: Long, tb: Long, ty: String)
+  final case class FunnelRow(user_id: Long, n_events: Long,
+    n_conversions: Long, final_stage: Long)
+
+  /** Streaming ordered funnel: per-user `Sessionize.FunnelState` in
+    * flatMapGroupsWithState, stepping `Sessionize.funnelStep` — the
+    * SAME transition table as the batch Column fold (parity
+    * spec-pinned across micro-batch splits). Each micro-batch's rows
+    * fold in (tus, tb) order; like [[trackPerUser]], cross-batch
+    * ordering is the ingest contract (an out-of-order feed needs a
+    * watermarked reorder buffer upstream). Emits the running per-user
+    * totals each batch (Update mode); state is one 3-long struct per
+    * user. */
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+      windowSec: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowSec * 1000000L
+    events.select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+        col("event_id").as("tb"), col("event_type").as("ty")).as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEv],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          val (st0, t00, cv0, n0) = state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          val batch = rows.toSeq.sortBy(e => (e.tus, e.tb, e.ty))
+          val fin = batch.foldLeft(graft.operators.Sessionize.FunnelState(st0, t00, cv0)) {
+            (a, e) => graft.operators.Sessionize.funnelStep(a, e.tus, e.ty, steps, winUs)
+          }
+          val n = n0 + batch.size
+          state.update((fin.stage, fin.t0, fin.conv, n))
+          Iterator(FunnelRow(uid, n, fin.conv, fin.stage))
+      }.toDF()
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)

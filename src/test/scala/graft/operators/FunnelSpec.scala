@@ -42,6 +42,38 @@ class FunnelSpec extends SparkSpec {
     assert(got(5L) === ((2L, 0L, 1L)))
   }
 
+  test("streaming funnel == batch funnel across micro-batch splits") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rnd = new scala.util.Random(20260814L)
+    val types = Seq("view", "click", "purchase", "other")
+    val evs = (0 until 300).map { i =>
+      ((i % 7).toLong, i.toLong, i.toLong * 40, types(rnd.nextInt(4)))
+    }
+    val batchRef = run(evs, windowSec = 600L)
+    Seq(300, 71, 20).foreach { chunkSize =>
+      val ms = MemoryStream[(Long, Long, Long, String)]
+      val df = ms.toDF().select(col("_1").as("user_id"), col("_2").as("event_id"),
+        expr("timestamp_seconds(_3)").as("ts"), col("_4").as("event_type"))
+      val q = graft.streaming.StreamOps.streamingFunnel(df,
+        Seq("view", "click", "purchase"), windowSec = 600L)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(s"sfun_$chunkSize").start()
+      try {
+        // time-ordered arrival (the ingest contract)
+        evs.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
+      } finally q.stop()
+      val fin = spark.table(s"sfun_$chunkSize")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("n_events").desc)))
+        .where(col("rn") === 1)
+        .as[(Long, Long, Long, Long, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(fin === batchRef, s"chunk $chunkSize")
+    }
+  }
+
   test("4-step funnel and same-timestamp tie-break by event_id") {
     val evs = Seq(
       (1L, 1L, 0L, "a"), (1L, 2L, 1L, "b"), (1L, 3L, 1L, "c"), (1L, 4L, 2L, "d"),
