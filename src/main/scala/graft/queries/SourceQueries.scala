@@ -51,6 +51,24 @@ object SourceQueries {
     p.toString
   }
 
+  /** Per-JVM fixture dirs for the q175/q176/q177 tensor-format round
+    * trips (same lifecycle as [[q140OrcDir]] — each holds a full copy
+    * of the embeddings table, so one reused dir per JVM). */
+  private lazy val q175NpyDir: String = mkCleanedTempDir("graft_q175_npy_")
+  private lazy val q176NpyDir: String = mkCleanedTempDir("graft_q176_npy_")
+  private lazy val q177StDir: String = mkCleanedTempDir("graft_q177_st_")
+
+  private def mkCleanedTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- S3/S5: generated hourly calendar w/ phase + blacklist ----------
@@ -1028,6 +1046,82 @@ object SourceQueries {
         StructField("lang", StringType), StructField("n_chars", LongType))))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text").cast("binary")).as("text_md5"))
+    },
+
+    // ---- S12 family: .npy sink -> source round-trip ---------------------
+    // The embedding-dump interchange (paired ids/vec arrays, the
+    // faiss/np workflow): embeddings write as 4 aligned shard pairs and
+    // read back per-file parallel; the fingerprint folds every float
+    // (micro-scaled) in dimension order, so the hash proves header,
+    // alignment, and LE payload byte-for-byte against parquet.
+    QueryDef.sqlBacked(
+      "q175_npy_roundtrip",
+      """SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1e6) AS BIGINT)
+        |     FOR j IN range(1, 65)]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS emb_fp
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      import graft.sources.Npy
+      val dir = q175NpyDir
+      Npy.write(Tables.embeddings(s, d).repartition(4), dir,
+        "vec_id", "embedding", dim = 64)
+      Npy.read(s, dir)
+        .select(col("vec_id"),
+          aggregate(col("embedding"), lit(7L), (a, x) =>
+            (a * 31 + round(x.cast("double") * 1e6).cast("long")) % 1000000007L)
+            .as("emb_fp"))
+    },
+
+    // ---- S12 scale: chunk-parallel consolidated .npy --------------------
+    // The fourth chunk-parallel sibling (q129 HDF5, q153 netCDF-3,
+    // q159 zarr) with the simplest possible phase 1: a .npy row offset
+    // is CLOSED-FORM (header + row*dim*itemsize), so tasks fan out on
+    // row ranges with no metadata walk at all. The oracle states the
+    // planted series analytically.
+    QueryDef.sqlBacked(
+      "q176_npy_chunk_parallel",
+      """SELECT CAST(r AS BIGINT) AS row, CAST(j AS BIGINT) AS dim,
+        |  CAST(CAST((r * 8 + j) AS FLOAT) * 0.25 - 50.0 AS DOUBLE) AS v
+        |FROM range(0, 640) t1(r), range(0, 8) t2(j)""".stripMargin) { (s, d) =>
+      import graft.sources.Npy
+      val dir = q176NpyDir
+      val path = s"$dir/consolidated.npy"
+      val (nRows, dim) = (640, 8)
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+      out.write(Npy.header("<f4", Seq(nRows.toLong, dim.toLong)))
+      val bb = java.nio.ByteBuffer.allocate(4 * nRows * dim)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until nRows * dim).foreach(i => bb.putFloat(i.toFloat * 0.25f - 50.0f))
+      out.write(bb.array()); out.close()
+      Npy.readRows(s, path, rowsPerTask = 100)
+        .select(col("row"), posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .select(col("row"), col("dim").cast("long").as("dim"),
+          col("vf").cast("double").as("v"))
+    },
+
+    // ---- S12 family: safetensors sink -> source round-trip --------------
+    // The checkpoint/embedding interchange of the current ML stack:
+    // u64-framed JSON header + raw LE buffers, ids/emb tensor pair per
+    // shard. Same fingerprint contract as q175, so the hash proves the
+    // JSON offsets and both tensors' payloads exactly.
+    QueryDef.sqlBacked(
+      "q177_safetensors_roundtrip",
+      """SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1e6) AS BIGINT)
+        |     FOR j IN range(1, 65)]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS emb_fp
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      import graft.sources.Safetensors
+      val dir = q177StDir
+      Safetensors.write(Tables.embeddings(s, d).repartition(4), dir,
+        "vec_id", "embedding", dim = 64)
+      Safetensors.read(s, dir)
+        .select(col("vec_id"),
+          aggregate(col("embedding"), lit(7L), (a, x) =>
+            (a * 31 + round(x.cast("double") * 1e6).cast("long")) % 1000000007L)
+            .as("emb_fp"))
     },
 
     // ---- S12: zarr V3 sink -> source round-trip -------------------------

@@ -94,7 +94,9 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q166_heavy_hitters" :+ "q167_tfrecord_roundtrip"
       :+ "q168_dsir_weights" :+ "q169_ivf_sq8"
       :+ "q170_entity_resolution" :+ "q171_curation_chain"
-      :+ "q172_epoch_shuffle" :+ "q173_funnel" :+ "q174_rollup")
+      :+ "q172_epoch_shuffle" :+ "q173_funnel" :+ "q174_rollup"
+      :+ "q175_npy_roundtrip" :+ "q176_npy_chunk_parallel"
+      :+ "q177_safetensors_roundtrip")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

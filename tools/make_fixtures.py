@@ -2322,6 +2322,50 @@ def write_tfrecord_fuzz(outdir, n=12, seed=60606):
         f.write("\n".join(manifest) + "\n")
 
 
+def write_npy_pair(stem):
+    """Paired .npy files from the numpy format spec v1.0 (no numpy):
+    ids int64 [4], vec float32 [4, 3] with negatives, exact quarters and
+    one value needing f4 rounding; header padded to 64-byte data start."""
+    def header(descr, shape):
+        shape_s = "(%s,)" % shape[0] if len(shape) == 1 else \
+            "(%s)" % ", ".join(str(x) for x in shape)
+        d = "{'descr': '%s', 'fortran_order': False, 'shape': %s, }" % (descr, shape_s)
+        base = 6 + 2 + 2 + len(d) + 1
+        pad = (64 - base % 64) % 64
+        full = (d + " " * pad + "\n").encode("ascii")
+        return b"\x93NUMPY" + bytes([1, 0]) + struct.pack("<H", len(full)) + full
+
+    ids = [7, -3, 123456789012345, 0]
+    vecs = [[1.5, -2.25, 0.125], [3.0, -0.5, 0.75],
+            [0.1, -1e30, 2.5], [0.0, -0.0, 42.0]]
+    with open(stem + ".ids.npy", "wb") as f:
+        f.write(header("<i8", (4,)))
+        f.write(b"".join(struct.pack("<q", v) for v in ids))
+    with open(stem + ".vec.npy", "wb") as f:
+        f.write(header("<f4", (4, 3)))
+        f.write(b"".join(struct.pack("<f", v) for row in vecs for v in row))
+
+
+def write_safetensors(path):
+    """golden.safetensors from the public spec: u64 LE header length +
+    JSON {name: {dtype, shape, data_offsets}} + raw LE buffers; carries
+    ids I64 [3], emb F32 [3, 2], and a __metadata__ entry the reader
+    must skip."""
+    ids = [11, -5, 2**50]
+    emb = [[0.5, -1.25], [3.5, 0.1], [-0.0, 1e30]]
+    ib = b"".join(struct.pack("<q", v) for v in ids)
+    vb = b"".join(struct.pack("<f", v) for row in emb for v in row)
+    hdr = ('{"__metadata__":{"writer":"make_fixtures"},'
+           '"ids":{"dtype":"I64","shape":[3],"data_offsets":[0,%d]},'
+           '"emb":{"dtype":"F32","shape":[3,2],"data_offsets":[%d,%d]}}'
+           % (len(ib), len(ib), len(ib) + len(vb))).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(hdr)))
+        f.write(hdr)
+        f.write(ib)
+        f.write(vb)
+
+
 def write_zarr3(store):
     """zarr v3 store (zarr core spec v3.0): per-node zarr.json, default
     c/-nested chunk keys with gzip codec for a 2-D float64 array (one
@@ -3093,6 +3137,8 @@ def main():
     write_avro(os.path.join(TEST_FIX, "golden.avro"))
     write_tfrecord(os.path.join(TEST_FIX, "golden.tfrecord"))
     write_tfrecord_fuzz(os.path.join(TEST_FIX, "fuzz"))
+    write_npy_pair(os.path.join(TEST_FIX, "golden"))
+    write_safetensors(os.path.join(TEST_FIX, "golden.safetensors"))
     write_avro_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
     write_zarr3(os.path.join(TEST_FIX, "golden_v3.zarr"))
