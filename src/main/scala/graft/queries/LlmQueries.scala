@@ -573,6 +573,56 @@ object LlmQueries {
         width = 16, batchSize = 8, nShards = 4)
     },
 
+    // ---- dataset card (corpus datasheet) --------------------------------
+    // The per-source statistics block every corpus release ships: doc
+    // and token counts, nearest-rank token-length quantiles, language
+    // breadth, exact-duplicate mass — all exact integers, one pass plus
+    // two rank windows and a digest agg.
+    QueryDef.sqlBacked(
+      "q178_dataset_card",
+      """WITH w AS (
+        |  SELECT doc_id, source, lang, md5(text) AS dg,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM w),
+        |p50 AS (SELECT source, n_tok AS p50_tok FROM r
+        |  WHERE rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)),
+        |p90 AS (SELECT source, n_tok AS p90_tok FROM r
+        |  WHERE rn - 1 = CAST(floor(0.9 * (n - 1)) AS BIGINT)),
+        |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, max(n_tok) AS max_tok,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM w GROUP BY 1),
+        |dups AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_dup_docs FROM (
+        |  SELECT source, dg, count(*) AS c FROM w GROUP BY 1, 2
+        |  HAVING count(*) > 1) GROUP BY 1)
+        |SELECT b.source, n_docs, n_tokens, p50_tok, p90_tok, max_tok, n_langs,
+        |  CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs
+        |FROM base b JOIN p50 USING (source) JOIN p90 USING (source)
+        |LEFT JOIN dups d USING (source)""".stripMargin) { (s, d) =>
+      import graft.operators.RankStats
+      val w = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("lang"), md5(col("text").cast("binary")).as("dg"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      val base = w.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"), max(col("n_tok")).as("max_tok"),
+        countDistinct(col("lang")).as("n_langs"))
+      val p50 = RankStats.nearestRankPercentile(w, Seq("source"),
+        col("n_tok"), 0.5, col("doc_id")).withColumnRenamed("pvalue", "p50_tok")
+      val p90 = RankStats.nearestRankPercentile(w, Seq("source"),
+        col("n_tok"), 0.9, col("doc_id")).withColumnRenamed("pvalue", "p90_tok")
+      val dups = w.groupBy("source", "dg").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+        .groupBy("source").agg(sum(col("c")).as("n_dup_docs"))
+      base.join(p50, "source").join(p90, "source")
+        .join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("p50_tok"), col("p90_tok"), col("max_tok"), col("n_langs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+    },
+
     // ---- deterministic epoch shuffle ------------------------------------
     // The dataloader "reshuffle every epoch" step with no RNG state:
     // u = hashUnit(77, epoch, doc_id) orders and shards each epoch
