@@ -79,7 +79,11 @@ object Npy {
     case d => sys.error(s"npy: unsupported descr $d")
   }
 
-  /** Write one aligned (ids, vectors) shard pair per partition. */
+  /** Write one aligned (ids, vectors) shard pair per partition. The
+    * shard materializes its partition in memory (the header needs the
+    * row count up front and rows sort by id) — size partitions so a
+    * shard fits an executor, the same contract as the whole-file
+    * HDF5/zarr writers. */
   def write(df: DataFrame, dir: String, idCol: String, vecCol: String,
       dim: Int): Unit = {
     val d = new java.io.File(dir)

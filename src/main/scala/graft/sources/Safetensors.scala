@@ -93,7 +93,9 @@ object Safetensors {
     } finally raf.close()
   }
 
-  /** One (ids, emb) shard per partition. */
+  /** One (ids, emb) shard per partition. Materializes the partition in
+    * memory (offsets in the header precede the data) — size partitions
+    * so a shard fits an executor, the whole-file-writer contract. */
   def write(df: DataFrame, dir: String, idCol: String, vecCol: String,
       dim: Int): Unit = {
     val d = new java.io.File(dir)
