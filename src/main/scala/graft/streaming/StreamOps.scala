@@ -137,6 +137,31 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Stream-stream time-interval join (the attribution shape: each
+    * click joins the impressions of the same user in the preceding
+    * `windowSec`). Both sides are watermarked so the join state is
+    * bounded — Spark evicts an impression once no future click can
+    * reach back to it (the watermark + interval bound give the engine a
+    * provable eviction horizon; an unwatermarked stream-stream join
+    * would buffer forever). Inner join, so late rows beyond either
+    * watermark drop — the documented streaming-join contract. */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+      windowSec: Long, watermark: String): DataFrame = {
+    val imp = impressions
+      .select(col("user_id"), col("imp_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", watermark)
+    val clk = clicks
+      .select(col("user_id").as("c_user"), col("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    imp.join(clk,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   final case class FunnelEv(user_id: Long, tus: Long, tb: Long, ty: String)
   final case class FunnelRow(user_id: Long, n_events: Long,
     n_conversions: Long, final_stage: Long)
