@@ -573,6 +573,49 @@ object LlmQueries {
         width = 16, batchSize = 8, nShards = 4)
     },
 
+    // ---- robust outliers: median absolute deviation ---------------------
+    // The robust per-stratum outlier gate (length/quality screening
+    // without a distribution assumption): per-language nearest-rank
+    // median of n_chars, MAD = nearest-rank median of |x − med|, and
+    // the cross-multiplied robust-z rule |x − med| · 100 > 500 · MAD
+    // (z > 5 with no FP division anywhere — everything is exact
+    // integers, so the hash is trivial to pin).
+    QueryDef.sqlBacked(
+      "q179_mad_outliers",
+      """WITH w AS (SELECT doc_id, lang, n_chars FROM documents),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM w),
+        |med AS (SELECT lang, n_chars AS med FROM r1
+        |  WHERE rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT)),
+        |dev AS (SELECT w.doc_id, w.lang, w.n_chars, m.med,
+        |  abs(w.n_chars - m.med) AS adev
+        |  FROM w JOIN med m USING (lang)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY adev, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM dev),
+        |mad AS (SELECT lang, adev AS mad FROM r2
+        |  WHERE rn - 1 = CAST(floor(0.5 * (n - 1)) AS BIGINT))
+        |SELECT d.doc_id, d.lang, d.n_chars, d.med, d.adev, m2.mad,
+        |  CAST(CASE WHEN d.adev * 100 > 500 * m2.mad THEN 1 ELSE 0 END
+        |    AS BIGINT) AS outlier
+        |FROM dev d JOIN mad m2 USING (lang)""".stripMargin) { (s, d) =>
+      import graft.operators.RankStats
+      val w = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"))
+      val med = RankStats.nearestRankPercentile(w, Seq("lang"),
+        col("n_chars"), 0.5, col("doc_id")).withColumnRenamed("pvalue", "med")
+      val dev = w.join(broadcast(med), "lang")
+        .withColumn("adev", abs(col("n_chars") - col("med")))
+      val mad = RankStats.nearestRankPercentile(dev, Seq("lang"),
+        col("adev"), 0.5, col("doc_id")).withColumnRenamed("pvalue", "mad")
+      dev.join(broadcast(mad), "lang")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("med"),
+          col("adev"), col("mad"),
+          when(col("adev") * 100 > lit(500) * col("mad"), 1L).otherwise(0L)
+            .as("outlier"))
+    },
+
     // ---- dataset card (corpus datasheet) --------------------------------
     // The per-source statistics block every corpus release ships: doc
     // and token counts, nearest-rank token-length quantiles, language

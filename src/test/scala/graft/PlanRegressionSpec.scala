@@ -96,7 +96,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q170_entity_resolution" :+ "q171_curation_chain"
       :+ "q172_epoch_shuffle" :+ "q173_funnel" :+ "q174_rollup"
       :+ "q175_npy_roundtrip" :+ "q176_npy_chunk_parallel"
-      :+ "q177_safetensors_roundtrip" :+ "q178_dataset_card")
+      :+ "q177_safetensors_roundtrip" :+ "q178_dataset_card"
+      :+ "q179_mad_outliers")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
