@@ -50,5 +50,28 @@ class AnnRecallSpec extends SparkSpec {
     val lloydRecall = (exact intersect lloyd).size.toDouble / exact.size
     info(f"ivf (KMeansLloyd fit) recall@$k = $lloydRecall%.3f")
     assert(lloydRecall >= 0.5, s"KMeansLloyd IVF recall $lloydRecall < 0.5")
+
+    // IVF-SQ8 (coarse cells + u8 codes, L2 metric): recall vs EXACT L2
+    // top-k — quantization noise rides on top of cell truncation, so
+    // the compressed composed index must still clear the 0.5 floor
+    val exactL2 = {
+      val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val d2 = Similarity.dot(col("pv"), col("pv")) -
+        lit(2.0) * Similarity.dot(col("pv"), col("cv")) +
+        Similarity.dot(col("cv"), col("cv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(d2, col("neighbor_id"))
+      pairs(c.crossJoin(broadcast(p))
+        .where(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k))
+    }
+    val m = Sq8.fitMinMax(emb, "embedding", 64)
+    val cents = KMeansLloyd.fit(emb, "vec_id", "embedding",
+      k = 8, dim = 64, seed = 42, rounds = 3)._1.cents
+    val ivfSq8 = pairs(Sq8.ivfAdcTopK(emb, probes, m, cents, nProbe = 4, k = k))
+    val sqRecall = (exactL2 intersect ivfSq8).size.toDouble / exactL2.size
+    info(f"ivf-sq8 (KMeansLloyd cells, u8 codes) recall@$k = $sqRecall%.3f")
+    assert(sqRecall >= 0.5, s"IVF-SQ8 recall $sqRecall < 0.5")
   }
 }
