@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.SourceQueries.defs ++ graft.queries.CurationQueries.defs ++
       graft.queries.PqQueries.defs ++ graft.queries.LayoutQueries.defs ++
       graft.queries.TailQueries.defs ++ graft.queries.UnigramQueries.defs ++
-      graft.queries.Sq8Queries.defs ++ graft.queries.PruningQueries.defs
+      graft.queries.Sq8Queries.defs ++ graft.queries.PruningQueries.defs ++
+      graft.queries.CleanseQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

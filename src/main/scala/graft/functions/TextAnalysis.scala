@@ -47,6 +47,16 @@ object TextAnalysis {
     column(graft.plans.PolyHash(expression(c)))
   }
 
+  /** Unicode NFC normalization (UAX #15) — native codegen'd expression
+    * with a zero-copy quick-check fast path; see
+    * [[graft.plans.NfcNormalize]]. Run BEFORE any hashing/dedup/
+    * tokenization step: decomposed and precomposed forms of the same
+    * text must key identically. */
+  def nfcNormalize(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.plans.NfcNormalize(expression(c)))
+  }
+
   /** Reference HOF form (codepoint-exact for any input): `split(c, "")`
     * yields the char array in one O(n) pass — per-index `substring` would
     * re-seek the UTF8String every call (O(n²)/row, measured 5x slower). */

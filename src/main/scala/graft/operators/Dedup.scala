@@ -672,6 +672,61 @@ object Dedup {
             p => p.getField("h"))).cast("binary")).as("chunks_fp"))
   }
 
+  /** CORPUS-WIDE line dedup — the cross-document sibling of
+    * [[dedupLinesWithin]] (the CCNet / MassiveText paragraph-dedup step:
+    * shared boilerplate — cookie banners, subscribe prompts, nav bars —
+    * repeats across *pages*, so within-doc dedup alone leaves one copy
+    * per page corpus-wide). Every line whose normalized form
+    * (lower+trim) already occurred at an earlier corpus position is
+    * dropped; the single FIRST occurrence (ordered by (doc_id, line
+    * index)) survives. Empty/whitespace-only lines are never dedup
+    * candidates — they are page structure, not content, and a global
+    * "first blank line wins" would strip formatting from every document
+    * but one.
+    *
+    * Scale shape (the part that matters at 100 TB): document text never
+    * shuffles. The exploded candidate frame carries only (doc_id, idx,
+    * md5(norm)) — fixed-width rows; first-occurrence election is ONE
+    * map-side-combinable min() on the md5 key (a hot boilerplate line
+    * collapses to one row per map partition before the exchange, so
+    * key skew is absorbed by partial aggregation); the join back is a
+    * fixed-width equi-join on the same key (AQE skew-split eligible);
+    * and reconstruction joins a per-doc int-array of DROPPED indexes
+    * (small — only actual duplicates) back to the base table on doc_id,
+    * rebuilding via a per-row HOF filter. Position packing doc_id·2^20 +
+    * idx bounds documents at 2^20 lines and ids at 2^43 — both are
+    * checked nowhere hot (a violating corpus wraps the ordering, not
+    * the dedup semantics). md5 (not xxhash) keys keep the election
+    * bit-replayable in the DuckDB oracle.
+    *
+    * Output: (doc_id, text_dedup, n_lines, n_kept) — the
+    * [[dedupLinesWithin]] shape, so the two compose in either order. */
+  def dedupLinesAcross(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ls = split(col(textCol), "\n")
+    val base = df.select(col(idCol).cast("long").as("doc_id"), ls.as("ls"))
+    val cand = base
+      .select(col("doc_id"), posexplode(col("ls")).as(Seq("idx", "line")))
+      .withColumn("norm", lower(trim(col("line"))))
+      .where(col("norm") =!= "")
+      .select(col("doc_id"), col("idx"),
+        md5(col("norm").cast("binary")).as("k"),
+        (col("doc_id") * 1048576L + col("idx")).as("packed"))
+    val firsts = cand.groupBy("k").agg(min(col("packed")).as("first_packed"))
+    val dropped = cand.join(firsts, "k")
+      .where(col("packed") =!= col("first_packed"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("idx")).as("drop_idx"))
+    base.join(dropped, Seq("doc_id"), "left")
+      .withColumn("drop_idx",
+        coalesce(col("drop_idx"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("ls"),
+        (l, i) => !array_contains(col("drop_idx"), i)))
+      .select(col("doc_id"),
+        array_join(col("kept"), "\n").as("text_dedup"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"))
+  }
+
   /** HOF reference form of [[simhash16]] (cross-check oracle). */
   def simhash16Hof(textCol: Column): Column = {
     val toks = array_distinct(TextAnalysis.tokens(textCol))

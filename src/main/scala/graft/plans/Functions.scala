@@ -16,6 +16,8 @@ object Functions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("poly_hash",
       exprs => PolyHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",

@@ -97,7 +97,9 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q172_epoch_shuffle" :+ "q173_funnel" :+ "q174_rollup"
       :+ "q175_npy_roundtrip" :+ "q176_npy_chunk_parallel"
       :+ "q177_safetensors_roundtrip" :+ "q178_dataset_card"
-      :+ "q179_mad_outliers")
+      :+ "q179_mad_outliers"
+      :+ "q180_corpus_line_dedup" :+ "q181_nfc_normalize"
+      :+ "q182_domain_blocklist")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -331,6 +333,27 @@ class PlanRegressionSpec extends SparkSpec {
       val plan = planOf(q)
       assert(!plan.contains("Exchange"), s"$q introduced a shuffle:\n${plan.take(1200)}")
     }
+  }
+
+  test("q180: corpus line-dedup election meets on equi-joins only") {
+    // the md5-key election and the dropped-index join-back must both be
+    // hash/merge equi-joins — a nested loop here is the all-lines-cross-
+    // all-keys regression; the doc text itself must never be a join key
+    val plan = planOf("q180_corpus_line_dedup")
+    assert(!plan.contains("CartesianProduct"), "q180 plans a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q180 plans a nested loop:\n${plan.take(1200)}")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"q180 lost its equi-joins:\n${plan.take(1200)}")
+  }
+
+  test("q181: NFC normalization is a pure codegen'd projection") {
+    // the native expression must stay inside whole-stage codegen over
+    // one scan; an Exchange means a per-row op became an aggregation,
+    // and a missing `*(` marker means the expression broke codegen
+    val plan = planOf("q181_nfc_normalize")
+    assert(!plan.contains("Exchange"), s"q181 introduced a shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("*("), s"q181 lost whole-stage codegen:\n${plan.take(1200)}")
   }
 
   test("q145: the image-math chain is a pure projection") {

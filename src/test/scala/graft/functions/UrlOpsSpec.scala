@@ -38,4 +38,43 @@ class UrlOpsSpec extends SparkSpec {
     assert(cs == Seq("http://www.site.com/x?a=1&b=2"))
     assert(canon(cs.head).head._1 == cs.head, "idempotent")
   }
+
+  test("hostSuffixes yields the full dot-suffix chain in order") {
+    val got = Seq(Tuple1("cdn.media.ex2.org"), Tuple1("single"))
+      .toDF("h").select(UrlOps.hostSuffixes(col("h")))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("cdn.media.ex2.org", "media.ex2.org", "ex2.org", "org"))
+    assert(got(1) == Seq("single"))
+  }
+
+  test("blocklistFilter: registrable blocks subdomains, entries compose, clean passes") {
+    val docs = Seq(
+      (1L, "www.bad.com"),       // subdomain of listed bad.com
+      (2L, "bad.com"),           // exact listed
+      (3L, "notbad.com"),        // SUFFIX-chain match only, not substring
+      (4L, "cdn.media.ex2.org"), // explicit subdomain entry matches
+      (5L, "www.ex2.org"),       // sibling of listed subdomain: clean
+      (6L, "x.a.b.com"))         // two entries match: hit = lexicographic min
+      .toDF("doc_id", "host")
+    val bl = Seq("bad.com", "media.ex2.org", "b.com", "a.b.com").toDF("domain")
+    val got = UrlOps.blocklistFilter(docs, "doc_id", "host", bl, "domain")
+      .select(col("doc_id"), col("blocked"), col("hit"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, "bad.com")))
+    assert(got(2L) == ((1L, "bad.com")))
+    assert(got(3L) == ((0L, "")))   // "notbad.com" must NOT match "bad.com"
+    assert(got(4L) == ((1L, "media.ex2.org")))
+    assert(got(5L) == ((0L, "")))
+    assert(got(6L) == ((1L, "a.b.com")))
+  }
+
+  test("blocklistFilter meets the list in a broadcast equi-join") {
+    val docs = Seq((1L, "a.b.com")).toDF("doc_id", "host")
+    val bl = Seq("b.com").toDF("domain")
+    val plan = UrlOps.blocklistFilter(docs, "doc_id", "host", bl, "domain")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist join is not broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
 }
