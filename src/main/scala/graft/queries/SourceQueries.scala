@@ -1231,8 +1231,51 @@ object SourceQueries {
       graft.sources.Avro.read(s, dir).where(col("source") === "src1")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text").cast("binary")).as("text_md5"))
+    },
+
+    // ---- S12 family: Arrow IPC sink -> source round-trip ----------------
+    // The in-memory interchange standard's wire format, pure JVM (flat-
+    // buffers metadata from scratch; ArrowIpcSpec proves the bytes both
+    // against pyarrow-written goldens and the arrow-java reader/writer).
+    // The query writes documents as FILE-format Arrow (one file per
+    // partition, no shuffle), reads it back through the two-phase
+    // footer-block path (readBlocks on each part: footer = metadata
+    // phase, one record batch per task), and aggregates per language —
+    // so the hash proves schema mapping, batch encode -> footer ->
+    // positioned-read decode value-exact. Fixture dir is per-JVM
+    // (overwrite semantics, removed on exit) like q140/q152's.
+    QueryDef.sqlBacked(
+      "q183_arrow_roundtrip",
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars,
+        |       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      val dir = q183ArrowDir
+      graft.sources.ArrowIpc.write(Tables.documents(s, d), dir, batchRows = 1024)
+      val parts = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".arrow"))
+        .map(_.getAbsolutePath).sorted
+      parts.map(p => graft.sources.ArrowIpc.readBlocks(s, p))
+        .reduce(_ unionByName _)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          md5(concat_ws("",
+            array_sort(collect_list(struct(col("doc_id"),
+              md5(col("text").cast("binary")).as("h"))))
+              .getField("h")).cast("binary")).as("corpus_md5"))
     }
   )
+
+  /** Per-JVM fixture dir for q183 (the q140 discipline). */
+  private lazy val q183ArrowDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q183_arrow_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 
   /** Per-JVM fixture dir for q152 (the q140 discipline). */
   private lazy val q152AvroDir: String = {

@@ -1,0 +1,680 @@
+package graft.sources
+
+import java.io.{File, FileOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types._
+
+import FlatBuf.{FbBuilder, FbTable}
+
+/** Apache Arrow IPC (stream + file format), pure JVM, written from the
+  * public Arrow columnar specification (arrow.apache.org/docs/format/
+  * Columnar.html: "Serialization and Interprocess Communication"; the
+  * metadata flatbuffer slots from Schema.fbs / Message.fbs / File.fbs
+  * in the Arrow repo's format/ directory). No Arrow jars are used —
+  * metadata goes through [[FlatBuf]], buffers through plain byte
+  * arithmetic — so this sits next to the from-scratch HDF5/ONNX/Avro
+  * codecs, and the specs prove it against the INDEPENDENT reference
+  * implementations (pyarrow-written golden fixtures; the arrow-java
+  * reader cross-check in ArrowIpcSpec).
+  *
+  * Surface:
+  *  - types: int8..int64 (signed), uint8..uint32 read-side, float32/64,
+  *    utf8, binary, bool, timestamp[us] (with/without timezone),
+  *    list<primitive> — the working set for the testdata tables
+  *    (embeddings' list<float32> included). Dictionary encoding, body
+  *    compression (LZ4/ZSTD), big-endian schemas, unions/maps/dense
+  *    nesting REJECT LOUDLY — never silently misread.
+  *  - V5 framing only (continuation-prefixed encapsulated messages).
+  *  - writer emits: stream format (.arrows) or file format (.arrow,
+  *    with footer); validity bitmaps omitted (length-0 buffer entry)
+  *    when a column has no nulls, matching pyarrow's writer.
+  *
+  * Scale shape mirrors the Avro/zarr siblings: the Spark sink writes
+  * ONE file per partition with no shuffle; the source decodes files
+  * executor-side off a path list (driver touches no payload); and the
+  * FILE format's footer is a closed-form block map, so
+  * [[ArrowIpc.readBlocks]] fans one consolidated file out one
+  * record-batch per task from positioned byte-range reads — the q129/
+  * q153/q159/q176 chunk-parallel pattern, with the footer as the
+  * metadata phase.
+  */
+object ArrowIpc {
+
+  // ---- Type-union tags from Schema.fbs (order = union member index) --
+  private val TInt = 2
+  private val TFloat = 3
+  private val TBinary = 4
+  private val TUtf8 = 5
+  private val TBool = 6
+  private val TTimestamp = 10
+  private val TList = 12
+
+  private val Continuation = 0xffffffff
+
+  // =====================================================================
+  // Schema <-> flatbuffer
+  // =====================================================================
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | StringType | BinaryType | BooleanType |
+         TimestampType | TimestampNTZType => true
+    case ArrayType(et, _) => et match {
+      case LongType | IntegerType | DoubleType | FloatType => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** Build one Field table (recursing into list children). */
+  private def buildField(b: FbBuilder, name: String, dt: DataType,
+      nullable: Boolean): Int = {
+    require(supported(dt), s"arrow-ipc: unsupported Spark type $dt for field $name")
+    // children first (back-to-front buffer)
+    val childrenOff = dt match {
+      case ArrayType(et, containsNull) =>
+        val c = buildField(b, "item", et, containsNull)
+        b.createOffsetVector(Seq(c))
+      case _ => 0
+    }
+    val (typeTag, typeOff) = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val bits = dt match {
+          case LongType => 64; case IntegerType => 32
+          case ShortType => 16; case _ => 8
+        }
+        b.startTable(2)
+        b.slotInt(0, bits, 0)
+        b.slotBool(1, v = true, dflt = false)
+        (TInt, b.endTable())
+      case DoubleType | FloatType =>
+        b.startTable(1)
+        b.slotShort(0, if (dt == DoubleType) 2 else 1, 0) // DOUBLE=2 SINGLE=1
+        (TFloat, b.endTable())
+      case StringType =>
+        b.startTable(0); (TUtf8, b.endTable())
+      case BinaryType =>
+        b.startTable(0); (TBinary, b.endTable())
+      case BooleanType =>
+        b.startTable(0); (TBool, b.endTable())
+      case TimestampType =>
+        val tz = b.createString("UTC")
+        b.startTable(2)
+        b.slotShort(0, 2, 0) // MICROSECOND
+        b.slotOffset(1, tz)
+        (TTimestamp, b.endTable())
+      case TimestampNTZType =>
+        b.startTable(2)
+        b.slotShort(0, 2, 0)
+        (TTimestamp, b.endTable())
+      case ArrayType(_, _) =>
+        b.startTable(0); (TList, b.endTable())
+      case other => throw new IllegalArgumentException(s"unreachable $other")
+    }
+    val nameOff = b.createString(name)
+    b.startTable(7)
+    b.slotOffset(0, nameOff)
+    b.slotBool(1, nullable, dflt = false)
+    b.slotByte(2, typeTag.toByte, 0)
+    b.slotOffset(3, typeOff)
+    b.slotOffset(5, childrenOff)
+    b.endTable()
+  }
+
+  /** Schema table (not the Message envelope). */
+  private def buildSchema(b: FbBuilder, schema: StructType): Int = {
+    val fieldOffs = schema.fields.map(f =>
+      buildField(b, f.name, f.dataType, f.nullable)).toSeq
+    val fieldsVec = b.createOffsetVector(fieldOffs)
+    b.startTable(4)
+    // endianness slot 0: Little = 0 = default, omitted
+    b.slotOffset(1, fieldsVec)
+    b.endTable()
+  }
+
+  /** Message{version=V5, header=Schema, bodyLength=0} flatbuffer bytes. */
+  private def schemaMessage(schema: StructType): Array[Byte] = {
+    val b = new FbBuilder()
+    val sch = buildSchema(b, schema)
+    b.startTable(5)
+    b.slotShort(0, 4, 0) // MetadataVersion.V5
+    b.slotByte(1, 1, 0)  // MessageHeader.Schema
+    b.slotOffset(2, sch)
+    b.endTable() |> (t => b.finish(t))
+  }
+
+  private implicit class Pipe[A](private val a: A) extends AnyVal {
+    def |>[B](f: A => B): B = f(a)
+  }
+
+  /** Decode a Field table into (name, sparkType, nullable). */
+  private def readField(f: FbTable): StructField = {
+    val name = f.string(0).getOrElse("")
+    val nullable = f.getBool(1, dflt = false)
+    require(f.table(4).isEmpty,
+      s"arrow-ipc: dictionary-encoded field '$name' not supported")
+    val tag = f.getByte(2, 0).toInt
+    val t = f.table(3)
+    val dt: DataType = tag match {
+      case TInt =>
+        val bits = t.map(_.getInt(0, 0)).getOrElse(0)
+        val signed = t.exists(_.getBool(1, dflt = false))
+        (bits, signed) match {
+          case (64, true) => LongType
+          case (32, true) => IntegerType
+          case (16, true) => ShortType
+          case (8, true) => ByteType
+          // unsigned reads widen into the next signed type
+          case (8, false) => ShortType
+          case (16, false) => IntegerType
+          case (32, false) => LongType
+          case other => throw new IllegalArgumentException(
+            s"arrow-ipc: unsupported int width $other for '$name'")
+        }
+      case TFloat =>
+        t.map(_.getShort(0, 0).toInt).getOrElse(0) match {
+          case 2 => DoubleType
+          case 1 => FloatType
+          case p => throw new IllegalArgumentException(
+            s"arrow-ipc: unsupported float precision $p for '$name' (HALF not supported)")
+        }
+      case TUtf8 => StringType
+      case TBinary => BinaryType
+      case TBool => BooleanType
+      case TTimestamp =>
+        val unit = t.map(_.getShort(0, 0).toInt).getOrElse(0)
+        require(unit == 2,
+          s"arrow-ipc: only timestamp[us] supported, got unit $unit for '$name'")
+        if (t.exists(_.string(1).isDefined)) TimestampType else TimestampNTZType
+      case TList =>
+        require(f.vectorLen(5) == 1, s"arrow-ipc: list '$name' needs one child")
+        ArrayType(readField(f.vectorTable(5, 0)).dataType,
+          f.vectorTable(5, 0).getBool(1, dflt = false))
+      case other => throw new IllegalArgumentException(
+        s"arrow-ipc: unsupported type tag $other for field '$name'")
+    }
+    StructField(name, dt, nullable)
+  }
+
+  private def readSchemaTable(sch: FbTable): StructType = {
+    require(sch.getShort(0, 0) == 0, "arrow-ipc: big-endian buffers not supported")
+    StructType((0 until sch.vectorLen(1)).map(i => readField(sch.vectorTable(1, i))))
+  }
+
+  // =====================================================================
+  // Record batches
+  // =====================================================================
+
+  private final class BufList {
+    val bufs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def add(b: Array[Byte]): Unit = bufs += b
+  }
+
+  private def validityOf(nulls: Array[Boolean]): Array[Byte] = {
+    if (!nulls.exists(identity)) return Array.emptyByteArray
+    val n = nulls.length
+    val bm = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (!nulls(i)) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    bm
+  }
+
+  private def bitmapOf(bits: Array[Boolean]): Array[Byte] = {
+    val bm = new Array[Byte]((bits.length + 7) / 8)
+    var i = 0
+    while (i < bits.length) {
+      if (bits(i)) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    bm
+  }
+
+  /** Encode one column; appends FieldNodes + buffers (preorder). */
+  private def encodeColumn(dt: DataType, vals: IndexedSeq[Any],
+      nodes: scala.collection.mutable.ArrayBuffer[(Long, Long)],
+      out: BufList): Unit = {
+    val n = vals.length
+    val nulls = Array.tabulate(n)(i => vals(i) == null)
+    val nullCount = nulls.count(identity)
+    nodes += ((n.toLong, nullCount.toLong))
+    out.add(validityOf(nulls))
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        val bb = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach {
+          case null => bb.putLong(0L)
+          case t: java.sql.Timestamp => bb.putLong(DateTimeUtils.fromJavaTimestamp(t))
+          case ldt: java.time.LocalDateTime => bb.putLong(DateTimeUtils.localDateTimeToMicros(ldt))
+          case i: java.time.Instant => bb.putLong(DateTimeUtils.instantToMicros(i))
+          case v => bb.putLong(v.asInstanceOf[Long])
+        }
+        out.add(bb.array())
+      case IntegerType =>
+        val bb = ByteBuffer.allocate(n * 4).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach { v => bb.putInt(if (v == null) 0 else v.asInstanceOf[Int]) }
+        out.add(bb.array())
+      case ShortType =>
+        val bb = ByteBuffer.allocate(n * 2).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach { v => bb.putShort(if (v == null) 0 else v.asInstanceOf[Short]) }
+        out.add(bb.array())
+      case ByteType =>
+        val bb = ByteBuffer.allocate(n)
+        vals.foreach { v => bb.put(if (v == null) 0.toByte else v.asInstanceOf[Byte]) }
+        out.add(bb.array())
+      case DoubleType =>
+        val bb = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach { v => bb.putDouble(if (v == null) 0d else v.asInstanceOf[Double]) }
+        out.add(bb.array())
+      case FloatType =>
+        val bb = ByteBuffer.allocate(n * 4).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach { v => bb.putFloat(if (v == null) 0f else v.asInstanceOf[Float]) }
+        out.add(bb.array())
+      case BooleanType =>
+        out.add(bitmapOf(Array.tabulate(n)(i =>
+          vals(i) != null && vals(i).asInstanceOf[Boolean])))
+      case StringType | BinaryType =>
+        val bytes = vals.map {
+          case null => Array.emptyByteArray
+          case s: String => s.getBytes(StandardCharsets.UTF_8)
+          case b: Array[Byte] => b
+        }
+        val offs = ByteBuffer.allocate((n + 1) * 4).order(ByteOrder.LITTLE_ENDIAN)
+        var acc = 0
+        offs.putInt(0)
+        bytes.foreach { b => acc += b.length; offs.putInt(acc) }
+        out.add(offs.array())
+        val data = new Array[Byte](acc)
+        var p = 0
+        bytes.foreach { b => System.arraycopy(b, 0, data, p, b.length); p += b.length }
+        out.add(data)
+      case ArrayType(et, _) =>
+        val seqs = vals.map {
+          case null => IndexedSeq.empty[Any]
+          case s: scala.collection.Seq[_] => s.toIndexedSeq
+          case a: Array[_] => a.toIndexedSeq
+        }
+        val offs = ByteBuffer.allocate((n + 1) * 4).order(ByteOrder.LITTLE_ENDIAN)
+        var acc = 0
+        offs.putInt(0)
+        seqs.foreach { s => acc += s.length; offs.putInt(acc) }
+        out.add(offs.array())
+        encodeColumn(et, seqs.flatten.toIndexedSeq, nodes, out)
+      case other =>
+        throw new IllegalArgumentException(s"arrow-ipc: cannot encode $other")
+    }
+  }
+
+  /** RecordBatch message flatbuffer + aligned body for `rows`. */
+  private def encodeBatch(schema: StructType, rows: IndexedSeq[Row])
+      : (Array[Byte], Array[Byte]) = {
+    val nodes = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val bufs = new BufList
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      encodeColumn(f.dataType, rows.map(r => if (r.isNullAt(i)) null else r.get(i)),
+        nodes, bufs)
+    }
+    // body: 8-aligned concatenation; Buffer entries carry exact lengths
+    var pos = 0L
+    val entries = bufs.bufs.map { b =>
+      val e = (pos, b.length.toLong)
+      pos += (b.length + 7) / 8 * 8
+      e
+    }
+    val body = new Array[Byte](pos.toInt)
+    var p = 0
+    bufs.bufs.foreach { b =>
+      System.arraycopy(b, 0, body, p, b.length)
+      p += (b.length + 7) / 8 * 8
+    }
+    val b = new FbBuilder(4096)
+    // RecordBatch table
+    // buffers vector (struct Buffer {offset: long, length: long}, 16 B)
+    b.startVector(16, entries.size, 8)
+    entries.reverse.foreach { case (off, len) => b.putLong(len); b.putLong(off) }
+    val buffersVec = b.endVector(entries.size)
+    // nodes vector (struct FieldNode {length: long, null_count: long})
+    b.startVector(16, nodes.size, 8)
+    nodes.reverse.foreach { case (len, nc) => b.putLong(nc); b.putLong(len) }
+    val nodesVec = b.endVector(nodes.size)
+    b.startTable(5)
+    b.slotLong(0, rows.length.toLong, 0L)
+    b.slotOffset(1, nodesVec)
+    b.slotOffset(2, buffersVec)
+    val rb = b.endTable()
+    b.startTable(5)
+    b.slotShort(0, 4, 0) // V5
+    b.slotByte(1, 3, 0)  // MessageHeader.RecordBatch
+    b.slotOffset(2, rb)
+    b.slotLong(3, body.length.toLong, 0L)
+    val msg = b.endTable()
+    (b.finish(msg), body)
+  }
+
+  /** Decode one column; consumes nodes/buffers in writer order. */
+  private def decodeColumn(dt: DataType, body: ByteBuffer,
+      nodes: Iterator[(Long, Long)], buffers: Iterator[(Long, Long)])
+      : IndexedSeq[Any] = {
+    val (lenL, _) = nodes.next()
+    val n = lenL.toInt
+    val (voff, vlen) = buffers.next()
+    val isNull: Int => Boolean =
+      if (vlen == 0) _ => false
+      else i => (body.get((voff + (i >> 3)).toInt) >> (i & 7) & 1) == 0
+    def prim[A](elemSize: Int, get: Int => A): IndexedSeq[Any] = {
+      val (doff, _) = buffers.next()
+      IndexedSeq.tabulate(n)(i =>
+        if (isNull(i)) null else get((doff + i.toLong * elemSize).toInt))
+    }
+    dt match {
+      case LongType => prim(8, p => body.getLong(p))
+      case TimestampType => prim(8, p => DateTimeUtils.toJavaTimestamp(body.getLong(p)))
+      case TimestampNTZType =>
+        prim(8, p => DateTimeUtils.microsToLocalDateTime(body.getLong(p)))
+      case IntegerType => prim(4, p => body.getInt(p))
+      case ShortType => prim(2, p => body.getShort(p))
+      case ByteType => prim(1, p => body.get(p))
+      case DoubleType => prim(8, p => body.getDouble(p))
+      case FloatType => prim(4, p => body.getFloat(p))
+      case BooleanType =>
+        val (doff, _) = buffers.next()
+        IndexedSeq.tabulate(n)(i =>
+          if (isNull(i)) null
+          else (body.get((doff + (i >> 3)).toInt) >> (i & 7) & 1) == 1)
+      case StringType | BinaryType =>
+        val (ooff, _) = buffers.next()
+        val (doff, _) = buffers.next()
+        IndexedSeq.tabulate(n) { i =>
+          if (isNull(i)) null
+          else {
+            val s = body.getInt((ooff + i * 4L).toInt)
+            val e = body.getInt((ooff + (i + 1) * 4L).toInt)
+            val a = new Array[Byte](e - s)
+            val d = body.duplicate(); d.position((doff + s).toInt); d.get(a)
+            if (dt == StringType) new String(a, StandardCharsets.UTF_8) else a
+          }
+        }
+      case ArrayType(et, _) =>
+        val (ooff, _) = buffers.next()
+        val child = decodeColumn(et, body, nodes, buffers)
+        IndexedSeq.tabulate(n) { i =>
+          if (isNull(i)) null
+          else {
+            val s = body.getInt((ooff + i * 4L).toInt)
+            val e = body.getInt((ooff + (i + 1) * 4L).toInt)
+            child.slice(s, e)
+          }
+        }
+      case other =>
+        throw new IllegalArgumentException(s"arrow-ipc: cannot decode $other")
+    }
+  }
+
+  private def decodeBatch(schema: StructType, rb: FbTable, body: Array[Byte])
+      : Iterator[Row] = {
+    require(rb.table(3).isEmpty,
+      "arrow-ipc: compressed record batches (LZ4/ZSTD) not supported")
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val (nBase, nLen) = rb.vector(1)
+    val nodes = (0 until nLen).iterator.map(i =>
+      (rb.bb.getLong(nBase + i * 16), rb.bb.getLong(nBase + i * 16 + 8)))
+    val (bBase, bLen) = rb.vector(2)
+    val buffers = (0 until bLen).iterator.map(i =>
+      (rb.bb.getLong(bBase + i * 16), rb.bb.getLong(bBase + i * 16 + 8)))
+    val cols = schema.fields.map(f => decodeColumn(f.dataType, bb, nodes, buffers))
+    val nRows = rb.getLong(0, 0L).toInt
+    (0 until nRows).iterator.map(r => Row.fromSeq(cols.toIndexedSeq.map(c => c(r))))
+  }
+
+  // =====================================================================
+  // Framing
+  // =====================================================================
+
+  /** Encapsulate a metadata flatbuffer: continuation + length + padding. */
+  private def envelope(meta: Array[Byte]): Array[Byte] = {
+    val padded = (meta.length + 7) / 8 * 8
+    val out = ByteBuffer.allocate(8 + padded).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(Continuation)
+    out.putInt(padded)
+    out.put(meta)
+    out.array()
+  }
+
+  private val Eos: Array[Byte] = {
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Continuation); bb.putInt(0); bb.array()
+  }
+
+  private def padBody(body: Array[Byte]): Array[Byte] = {
+    val padded = (body.length + 7) / 8 * 8
+    if (padded == body.length) body else java.util.Arrays.copyOf(body, padded)
+  }
+
+  /** One recorded batch location in the FILE format footer. */
+  final case class Block(offset: Long, metaLen: Int, bodyLen: Long)
+
+  private def buildFooter(schema: StructType, blocks: Seq[Block]): Array[Byte] = {
+    val b = new FbBuilder(4096)
+    val sch = buildSchema(b, schema)
+    // Block struct {offset: long, metaDataLength: int, <4 pad>, bodyLength: long}
+    b.startVector(24, blocks.size, 8)
+    blocks.reverse.foreach { blk =>
+      b.putLong(blk.bodyLen); b.putInt(0); b.putInt(blk.metaLen); b.putLong(blk.offset)
+    }
+    val rbVec = b.endVector(blocks.size)
+    b.startTable(5)
+    b.slotShort(0, 4, 0) // V5
+    b.slotOffset(1, sch)
+    b.slotOffset(3, rbVec)
+    b.finish(b.endTable())
+  }
+
+  private val Magic = "ARROW1".getBytes(StandardCharsets.US_ASCII)
+
+  /** Write `rows` as one Arrow file. `fileFormat=false` emits the bare
+    * stream (.arrows): schema message, batches, EOS. */
+  def writeFile(path: File, schema: StructType, rows: Iterator[Row],
+      batchRows: Int = 4096, fileFormat: Boolean = true): Long = {
+    schema.fields.foreach(f => require(supported(f.dataType),
+      s"arrow-ipc: unsupported type ${f.dataType} for column ${f.name}"))
+    val out = new FileOutputStream(path)
+    var pos = 0L
+    var nRows = 0L
+    def emit(bytes: Array[Byte]): Unit = { out.write(bytes); pos += bytes.length }
+    try {
+      if (fileFormat) emit(Magic ++ Array[Byte](0, 0))
+      emit(envelope(schemaMessage(schema)))
+      val blocks = scala.collection.mutable.ArrayBuffer[Block]()
+      rows.grouped(batchRows).foreach { g =>
+        val batch = g.toIndexedSeq
+        val (meta, body) = encodeBatch(schema, batch)
+        val env = envelope(meta)
+        val padded = padBody(body)
+        blocks += Block(pos, env.length, padded.length.toLong)
+        emit(env); emit(padded)
+        nRows += batch.length
+      }
+      emit(Eos)
+      if (fileFormat) {
+        val footer = buildFooter(schema, blocks.toSeq)
+        emit(footer)
+        val tail = ByteBuffer.allocate(4 + Magic.length).order(ByteOrder.LITTLE_ENDIAN)
+        tail.putInt(footer.length); tail.put(Magic)
+        emit(tail.array())
+      }
+      nRows
+    } finally out.close()
+  }
+
+  /** Parse an IPC STREAM (also accepts the file format by skipping its
+    * magic prefix and stopping at EOS). Returns (schema, row iter). */
+  def readStreamBytes(bytes: Array[Byte]): (StructType, Iterator[Row]) = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bytes.length >= 8 && bytes.startsWith(Magic)) bb.position(8)
+    def nextMessage(): Option[(FbTable, Array[Byte])] = {
+      if (bb.remaining() < 8) return None
+      val cont = bb.getInt()
+      require(cont == Continuation,
+        f"arrow-ipc: expected continuation marker, got 0x$cont%08x (legacy pre-V4 framing not supported)")
+      val len = bb.getInt()
+      if (len == 0) return None // EOS
+      val metaPos = bb.position()
+      val msg = FlatBuf.root(bytes, metaPos, len)
+      bb.position(metaPos + len)
+      val bodyLen = msg.getLong(3, 0L).toInt
+      val body = new Array[Byte](bodyLen)
+      bb.get(body)
+      Some((msg, body))
+    }
+    val first = nextMessage().getOrElse(
+      throw new IllegalArgumentException("arrow-ipc: empty stream"))
+    require(first._1.getByte(1, 0) == 1, "arrow-ipc: stream must start with a Schema message")
+    val schema = readSchemaTable(first._1.table(2).get)
+    val it = new Iterator[Row] {
+      private var cur: Iterator[Row] = Iterator.empty
+      private var done = false
+      @annotation.tailrec
+      private def advance(): Unit = {
+        if (!cur.hasNext && !done) {
+          nextMessage() match {
+            case None => done = true
+            case Some((msg, body)) =>
+              msg.getByte(1, 0).toInt match {
+                case 3 => cur = decodeBatch(schema, msg.table(2).get, body)
+                case 2 => throw new IllegalArgumentException(
+                  "arrow-ipc: dictionary batches not supported")
+                case other => throw new IllegalArgumentException(
+                  s"arrow-ipc: unexpected message header $other")
+              }
+              advance()
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); cur.hasNext }
+      def next(): Row = { advance(); cur.next() }
+    }
+    (schema, it)
+  }
+
+  /** FILE-format footer: (schema, record-batch blocks). Reads only the
+    * footer bytes — the metadata phase of the two-phase read. */
+  def readFooter(path: File): (StructType, Seq[Block]) = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val len = raf.length()
+      require(len >= 8 + 8 + 10, s"arrow-ipc: $path too short for file format")
+      val tail = new Array[Byte](10)
+      raf.seek(len - 10); raf.readFully(tail)
+      require(tail.slice(4, 10).sameElements(Magic),
+        s"arrow-ipc: $path missing trailing ARROW1 magic (not file format?)")
+      val fLen = ByteBuffer.wrap(tail, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      val fb = new Array[Byte](fLen)
+      raf.seek(len - 10 - fLen); raf.readFully(fb)
+      val footer = FlatBuf.root(fb, 0, fb.length)
+      val schema = readSchemaTable(footer.table(1).get)
+      require(footer.vectorLen(2) == 0, "arrow-ipc: dictionaries not supported")
+      val (base, n) = footer.vector(3)
+      val blocks = (0 until n).map { i =>
+        val p = base + i * 24
+        Block(footer.bb.getLong(p), footer.bb.getInt(p + 8), footer.bb.getLong(p + 16))
+      }
+      (schema, blocks)
+    } finally raf.close()
+  }
+
+  /** Decode ONE footer block via positioned reads. */
+  def readBlock(path: String, schema: StructType, blk: Block): Iterator[Row] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val env = new Array[Byte](blk.metaLen)
+      raf.seek(blk.offset); raf.readFully(env)
+      val bb = ByteBuffer.wrap(env).order(ByteOrder.LITTLE_ENDIAN)
+      require(bb.getInt() == Continuation, "arrow-ipc: block missing continuation")
+      val mLen = bb.getInt()
+      val msg = FlatBuf.root(env, 8, mLen)
+      require(msg.getByte(1, 0) == 3, "arrow-ipc: block is not a RecordBatch")
+      val body = new Array[Byte](blk.bodyLen.toInt)
+      raf.readFully(body)
+      decodeBatch(schema, msg.table(2).get, body).toIndexedSeq.iterator
+    } finally raf.close()
+  }
+
+  // =====================================================================
+  // Spark layer
+  // =====================================================================
+
+  /** One Arrow file per partition, no shuffle (the Avro/zarr sink shape). */
+  def write(df: DataFrame, dir: String, batchRows: Int = 4096,
+      fileFormat: Boolean = true): Unit = {
+    val schema = df.schema
+    // fail fast driver-side, before any job launches
+    schema.fields.foreach(f => require(supported(f.dataType),
+      s"arrow-ipc: unsupported type ${f.dataType} for column ${f.name}"))
+    val ext = if (fileFormat) ".arrow" else ".arrows"
+    val d = new File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".arrow") || f.getName.endsWith(".arrows"))
+      .foreach(_.delete())
+    df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val f = new File(dir, f"part-$pi%05d$ext")
+      Iterator.single(writeFile(f, schema, it, batchRows, fileFormat))
+    }.count()
+    ()
+  }
+
+  /** Read every .arrow/.arrows file under `pathGlob`; whole files decode
+    * executor-side (schema from the first file; all must agree). */
+  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    val paths = HDF5ChunkIngest.resolvePaths(pathGlob) match {
+      case Seq() =>
+        val d = new File(pathGlob)
+        if (d.isDirectory)
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile &&
+              (f.getName.endsWith(".arrow") || f.getName.endsWith(".arrows")))
+            .map(_.getAbsolutePath).sorted.toSeq
+        else Seq.empty
+      case ps => ps
+    }
+    require(paths.nonEmpty, s"no arrow files matched $pathGlob")
+    val schema = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(paths.head))
+      readStreamBytes(bytes)._1
+    }
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    import spark.implicits._
+    spark.createDataset(paths).flatMap { p =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      val (sch, rows) = readStreamBytes(bytes)
+      require(sch == schema, s"arrow-ipc: $p schema differs from ${paths.head}")
+      rows
+    }(enc)
+  }
+
+  /** Two-phase read of ONE consolidated FILE-format store: the footer's
+    * block map is the metadata phase (KB read, driver-side), then one
+    * record batch per task decodes from positioned byte-range reads —
+    * a file is not the parallelism floor. */
+  def readBlocks(spark: SparkSession, path: String): DataFrame = {
+    val (schema, blocks) = readFooter(new File(path))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    import spark.implicits._
+    val tasks = blocks.map(b => (path, b.offset, b.metaLen, b.bodyLen))
+    spark.createDataset(tasks).toDF("path", "off", "mlen", "blen")
+      .repartitionByRange(math.max(1, math.min(tasks.size,
+        spark.sparkContext.defaultParallelism)),
+        org.apache.spark.sql.functions.col("off"))
+      .as[(String, Long, Int, Long)]
+      .flatMap { t: (String, Long, Int, Long) =>
+        readBlock(t._1, schema, Block(t._2, t._3, t._4))
+      }(enc)
+  }
+}

@@ -1,0 +1,284 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Arrow IPC source/sink, proven against TWO independent reference
+  * implementations:
+  *   - pyarrow (Arrow C++): golden.arrow / golden.arrows fixtures from
+  *     tools/make_arrow_fixtures.py, decoded here and compared against
+  *     the plain-text manifest;
+  *   - arrow-java (bundled with Spark): our writer's bytes are read
+  *     back by ArrowFileReader/ArrowStreamReader, and arrow-java's
+  *     writer output is decoded by our reader.
+  * Neither direction shares a single line of code with ArrowIpc.
+  */
+class ArrowIpcSpec extends SparkSpec {
+
+  private def fixturePath(name: String): String = {
+    val f = new File(s"src/test/resources/fixtures/$name")
+    require(f.isFile, s"fixture $name missing — run tools/make_arrow_fixtures.py")
+    f.getAbsolutePath
+  }
+
+  // ---- manifest parsing -------------------------------------------------
+
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def parseTok(tok: String): Any = tok.head match {
+    case '~' => null
+    case 'i' => tok.tail.toLong
+    case 'd' => tok.tail match {
+      case "inf" => Double.PositiveInfinity
+      case "-inf" => Double.NegativeInfinity
+      case "nan" => Double.NaN
+      case x => x.toDouble
+    }
+    case 't' => true
+    case 'u' => false
+    case 's' => new String(unhex(tok.tail), StandardCharsets.UTF_8)
+    case 'b' => unhex(tok.tail).toSeq
+    case 'T' => tok.tail // timestamp as ISO string; compared formatted
+    case '[' =>
+      val inner = tok.substring(1, tok.length - 1).trim
+      if (inner.isEmpty) Seq.empty[Any]
+      else inner.split(" ").toSeq.map(parseTok)
+  }
+
+  /** Split one manifest line on ';' but not inside [...] (no nesting). */
+  private def splitLine(line: String): Seq[String] =
+    line.split(";", -1).toSeq
+
+  private lazy val manifestRows: Seq[Seq[Any]] =
+    new String(Files.readAllBytes(Paths.get(fixturePath("golden_arrow_manifest.txt"))),
+      StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty)
+      .map(l => splitLine(l).map(parseTok)).toSeq
+
+  /** Normalize a decoded Spark row for manifest comparison. */
+  private def norm(v: Any): Any = v match {
+    case null => null
+    case t: java.sql.Timestamp =>
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(fmt)
+    case ldt: java.time.LocalDateTime =>
+      ldt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    case b: Array[Byte] => b.toSeq
+    case f: Float => f.toDouble
+    case i: Int => i.toLong
+    case s: scala.collection.Seq[_] => s.toSeq.map(norm)
+    case other => other
+  }
+
+  private def assertMatchesManifest(rows: Seq[Row]): Unit = {
+    assert(rows.length == manifestRows.length)
+    rows.sortBy(_.getLong(0)).zip(manifestRows).foreach { case (got, want) =>
+      val g = got.toSeq.map(norm)
+      // float64 'inf' and -0.0 compare via toString-insensitive equality
+      g.zip(want).zipWithIndex.foreach { case ((gv, wv), i) =>
+        (gv, wv) match {
+          case (a: Double, b: Double) =>
+            assert(java.lang.Double.compare(a, b) == 0 ||
+              math.abs(a - b) <= math.abs(b) * 1e-6, s"col $i: $a vs $b")
+          case (a: Seq[_], b: Seq[_]) =>
+            assert(a.length == b.length, s"col $i len")
+            a.zip(b).foreach {
+              case (x: Double, y: Double) =>
+                assert(java.lang.Double.compare(x, y) == 0 ||
+                  math.abs(x - y) <= math.abs(y) * 1e-6 ||
+                  (x.isInfinite && y.isInfinite), s"col $i elem: $x vs $y")
+              case (x, y) => assert(norm(x) == norm(y), s"col $i elem: $x vs $y")
+            }
+          case _ => assert(gv == wv, s"col $i: $gv vs $wv (row ${got.getLong(0)})")
+        }
+      }
+    }
+  }
+
+  // ---- pyarrow golden fixtures ------------------------------------------
+
+  test("pyarrow golden FILE format decodes (schema + 3 batches)") {
+    val (schema, blocks) = ArrowIpc.readFooter(new File(fixturePath("golden.arrow")))
+    assert(blocks.length == 3)
+    assert(schema.fieldNames.toSeq == Seq("id", "small", "name", "score",
+      "ratio", "ok", "blob", "ts", "ts_local", "emb", "tags"))
+    assert(schema("id").dataType == LongType && !schema("id").nullable)
+    assert(schema("ts").dataType == TimestampType)
+    assert(schema("ts_local").dataType == TimestampNTZType)
+    assert(schema("emb").dataType == ArrayType(FloatType, containsNull = true))
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden.arrow")))
+    val (sch2, rows) = ArrowIpc.readStreamBytes(bytes)
+    assert(sch2 == schema)
+    assertMatchesManifest(rows.toSeq)
+  }
+
+  test("pyarrow golden STREAM format decodes to the same rows") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden.arrows")))
+    val (_, rows) = ArrowIpc.readStreamBytes(bytes)
+    assertMatchesManifest(rows.toSeq)
+  }
+
+  test("readBlocks (two-phase parallel file read) equals the stream read") {
+    val df = ArrowIpc.readBlocks(spark, fixturePath("golden.arrow"))
+    assertMatchesManifest(df.collect().toSeq)
+  }
+
+  // ---- round-trips over the testdata tables ----------------------------
+
+  test("documents table round-trips (file format)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("arrow-rt-docs").toString
+    ArrowIpc.write(docs, dir)
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.schema == docs.schema)
+    assert(back.collect().map(_.toSeq).toSet == docs.collect().map(_.toSeq).toSet)
+  }
+
+  test("embeddings list<float> round-trips (stream format)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") < 200)
+    val dir = Files.createTempDirectory("arrow-rt-emb").toString
+    ArrowIpc.write(emb, dir, fileFormat = false)
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.schema == emb.schema)
+    def key(r: Row) = (r.getLong(0), r.getSeq[Float](1).toSeq, r.getInt(2))
+    assert(back.collect().map(key).toSet == emb.collect().map(key).toSet)
+  }
+
+  test("events timestamps survive as micros") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .where(col("event_id") < 100)
+    val dir = Files.createTempDirectory("arrow-rt-ev").toString
+    ArrowIpc.write(ev, dir)
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.collect().map(_.toSeq).toSet == ev.collect().map(_.toSeq).toSet)
+  }
+
+  test("multi-batch write: batchRows smaller than the table still exact") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+      .coalesce(1)
+    val dir = Files.createTempDirectory("arrow-rt-mb").toString
+    ArrowIpc.write(docs, dir, batchRows = 7)
+    val f = new File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val (_, blocks) = ArrowIpc.readFooter(f)
+    assert(blocks.length == 8) // ceil(50/7)
+    assert(ArrowIpc.read(spark, dir).count() == 50)
+  }
+
+  // ---- arrow-java cross-checks ------------------------------------------
+
+  private def arrowJavaReadFile(path: File): (Seq[String], Seq[Seq[Any]]) = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowFileReader
+    val alloc = new RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(path.toPath)
+    val rd = new ArrowFileReader(ch, alloc)
+    try {
+      val root = rd.getVectorSchemaRoot
+      val names = root.getSchema.getFields
+      val out = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      while (rd.loadNextBatch()) {
+        val n = root.getRowCount
+        (0 until n).foreach { i =>
+          out += (0 until names.size()).map { c =>
+            val v = root.getVector(c)
+            if (v.isNull(i)) null else v.getObject(i)
+          }
+        }
+      }
+      (((0 until names.size()).map(c => names.get(c).getName)), out.toSeq)
+    } finally { rd.close(); ch.close(); alloc.close() }
+  }
+
+  test("our FILE bytes are readable by arrow-java (foreign reader)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("doc_id") < 40)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .coalesce(1)
+    val dir = Files.createTempDirectory("arrow-xj").toString
+    ArrowIpc.write(docs, dir, batchRows = 16)
+    val f = new File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val (names, rows) = arrowJavaReadFile(f)
+    assert(names == Seq("doc_id", "lang", "n_chars", "text"))
+    val want = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val got = rows.map(r => (r(0).asInstanceOf[Long],
+      String.valueOf(r(1)), r(2).asInstanceOf[Long], String.valueOf(r(3)))).toSet
+    assert(got == want)
+  }
+
+  test("arrow-java writer output decodes through our reader") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, Float8Vector, VarCharVector}
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => AjSchema}
+    import org.apache.arrow.vector.VectorSchemaRoot
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import scala.jdk.CollectionConverters._
+
+    val alloc = new RootAllocator()
+    val fields = Seq(
+      new Field("k", FieldType.notNullable(new ArrowType.Int(64, true)), null),
+      new Field("v", FieldType.nullable(new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)), null),
+      new Field("s", FieldType.nullable(ArrowType.Utf8.INSTANCE), null)).asJava
+    val root = VectorSchemaRoot.create(new AjSchema(fields), alloc)
+    val tmp = Files.createTempFile("aj-out", ".arrow").toFile
+    val out = new java.io.FileOutputStream(tmp)
+    val w = new ArrowFileWriter(root, null, out.getChannel)
+    w.start()
+    val k = root.getVector("k").asInstanceOf[BigIntVector]
+    val v = root.getVector("v").asInstanceOf[Float8Vector]
+    val s = root.getVector("s").asInstanceOf[VarCharVector]
+    val data = Seq((1L, Some(0.5), Some("one")), (2L, None, Some("twö")),
+      (3L, Some(-1.25), None), (4L, Some(1e18), Some("")))
+    data.zipWithIndex.foreach { case ((kk, vv, ss), i) =>
+      k.setSafe(i, kk)
+      vv.fold(v.setNull(i))(d => v.setSafe(i, d))
+      ss.fold(s.setNull(i))(x => s.setSafe(i, x.getBytes(StandardCharsets.UTF_8)))
+    }
+    root.setRowCount(data.length)
+    w.writeBatch()
+    w.end(); w.close(); out.close(); root.close(); alloc.close()
+
+    val bytes = Files.readAllBytes(tmp.toPath)
+    val (schema, rows) = ArrowIpc.readStreamBytes(bytes)
+    assert(schema == StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true))))
+    val got = rows.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      if (r.isNullAt(2)) None else Some(r.getString(2)))).toSeq
+    assert(got == data)
+    tmp.delete()
+  }
+
+  // ---- loud rejections ---------------------------------------------------
+
+  test("legacy (pre-continuation) framing rejects loudly") {
+    val bogus = Array[Byte](12, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8)
+    val e = intercept[IllegalArgumentException] {
+      ArrowIpc.readStreamBytes(bogus)
+    }
+    assert(e.getMessage.contains("continuation"))
+  }
+
+  test("unsupported Spark type rejects at write time") {
+    import spark.implicits._
+    val df = Seq((1, Map("a" -> 1))).toDF("k", "m")
+    val dir = Files.createTempDirectory("arrow-bad").toString
+    val e = intercept[IllegalArgumentException] {
+      ArrowIpc.write(df, dir)
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+}

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Golden Arrow IPC fixtures written by pyarrow (the C++ reference
+implementation) — the foreign-proof counterpart for ArrowIpcSpec.
+
+Unlike tools/make_fixtures.py (deliberately Python-stdlib-only), this
+generator REQUIRES pyarrow: the point is that the bytes come from the
+reference Arrow implementation, not from any code we wrote. The Scala
+side (graft.sources.ArrowIpc) must decode these exactly; its writer
+output is separately cross-checked against arrow-java in the spec.
+
+Emits into src/test/resources/fixtures/:
+  golden.arrow        file (random-access) format, 3 record batches
+  golden.arrows       stream format, same logical table
+  golden_arrow_manifest.txt   expected rows, one per line (hash-free,
+                              human-auditable like the avro manifest)
+"""
+import os
+import datetime
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "..", "src", "test", "resources", "fixtures")
+
+
+def utc(y, mo, d, h, mi, s, us=0):
+    return datetime.datetime(y, mo, d, h, mi, s, us,
+                             tzinfo=datetime.timezone.utc)
+
+
+def table():
+    schema = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("small", pa.int32()),
+        pa.field("name", pa.utf8()),
+        pa.field("score", pa.float64()),
+        pa.field("ratio", pa.float32()),
+        pa.field("ok", pa.bool_()),
+        pa.field("blob", pa.binary()),
+        pa.field("ts", pa.timestamp("us", tz="UTC")),
+        pa.field("ts_local", pa.timestamp("us")),
+        pa.field("emb", pa.list_(pa.float32())),
+        pa.field("tags", pa.list_(pa.int64())),
+    ])
+    rows = [
+        (1, 10, "alpha", 1.5, 0.25, True, b"\x00\x01", utc(2020, 2, 2, 10, 0, 0),
+         datetime.datetime(2020, 2, 2, 10, 0, 0), [1.0, 2.5], [7, 8, 9]),
+        (2, -20, "bétaé", -2.25, -0.5, False, b"", utc(1999, 12, 31, 23, 59, 59, 999999),
+         datetime.datetime(1970, 1, 1, 0, 0, 1), [], [0]),
+        (3, None, None, None, None, True, None, None, None, None, None),
+        (4, 40, "δ\U0001F600", 1e300, 3.5e37, False, b"\xff" * 5, utc(2026, 8, 14, 0, 0, 0),
+         datetime.datetime(2026, 8, 14, 12, 30, 0), [float("inf"), -0.0], []),
+        (5, 0, "", 0.0, 0.0, True, b"\x7f", utc(1970, 1, 1, 0, 0, 0),
+         datetime.datetime(2000, 1, 1, 0, 0, 0), [3.25, None, -1.5], [-1]),
+        (6, 66, "zeta", -0.125, 1.25, False, b"abc", utc(2010, 6, 15, 6, 30, 0),
+         datetime.datetime(2010, 6, 15, 6, 30, 0), [9.0], [1, 2]),
+        (7, 7, "eta", 42.0, -42.0, True, b"\x00", utc(2021, 1, 1, 1, 1, 1),
+         datetime.datetime(2021, 1, 1, 1, 1, 1), [0.5, 0.75], [3]),
+    ]
+    cols = list(zip(*rows))
+    arrays = [pa.array(c, type=f.type) for c, f in zip(cols, schema)]
+    return pa.Table.from_arrays(arrays, schema=schema), rows
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    tbl, rows = table()
+    # 3 batches: 3 + 3 + 1 rows — exercises the footer block map
+    batches = tbl.to_batches(max_chunksize=3)
+    assert len(batches) == 3
+
+    with ipc.new_file(os.path.join(OUT, "golden.arrow"), tbl.schema) as w:
+        for b in batches:
+            w.write_batch(b)
+    with ipc.new_stream(os.path.join(OUT, "golden.arrows"), tbl.schema) as w:
+        for b in batches:
+            w.write_batch(b)
+
+    def fmt(v):
+        if v is None:
+            return "~"
+        if isinstance(v, bytes):
+            return "b" + v.hex()
+        if isinstance(v, bool):
+            return "t" if v else "u"
+        if isinstance(v, list):
+            return "[" + " ".join(fmt(x) for x in v) + "]"
+        if isinstance(v, datetime.datetime):
+            return "T" + v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        if isinstance(v, float):
+            return "d" + repr(v)
+        if isinstance(v, str):
+            return "s" + v.encode("utf-8").hex()
+        return "i" + str(v)
+
+    with open(os.path.join(OUT, "golden_arrow_manifest.txt"), "w") as f:
+        for r in rows:
+            f.write(";".join(fmt(v) for v in r) + "\n")
+    print("wrote golden.arrow / golden.arrows / golden_arrow_manifest.txt")
+
+
+if __name__ == "__main__":
+    main()
