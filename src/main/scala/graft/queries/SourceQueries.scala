@@ -1246,7 +1246,7 @@ object SourceQueries {
     // (overwrite semantics, removed on exit) like q140/q152's.
     QueryDef.sqlBacked(
       "q183_arrow_roundtrip",
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
         |       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
         |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
       val dir = q183ArrowDir
