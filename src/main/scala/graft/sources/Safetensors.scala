@@ -58,8 +58,8 @@ object Safetensors {
       val lenB = new Array[Byte](8)
       raf.readFully(lenB)
       val hlen = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getLong
-      require(hlen > 0 && hlen < raf.length(),
-        s"safetensors: absurd header length $hlen")
+      require(hlen > 0 && hlen <= Int.MaxValue && 8 + hlen <= raf.length(),
+        s"safetensors: absurd header length $hlen for file of ${raf.length()} bytes")
       val hb = new Array[Byte](hlen.toInt)
       raf.readFully(hb)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

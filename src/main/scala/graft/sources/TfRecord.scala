@@ -220,6 +220,7 @@ object TfRecord {
               val bb = ByteBuffer.wrap(b, ps, pe - ps).order(ByteOrder.LITTLE_ENDIAN)
               (0 until (pe - ps) / 4).foreach(_ => vs += bb.getFloat())
             case 5 => // unpacked fixed32
+              require(r.pos + 4 <= r.end, "tfrecord: truncated fixed32")
               val bb = ByteBuffer.wrap(b, r.pos, 4).order(ByteOrder.LITTLE_ENDIAN)
               vs += bb.getFloat(); r.pos += 4
             case w => throw new IllegalArgumentException(s"FloatList wire $w")

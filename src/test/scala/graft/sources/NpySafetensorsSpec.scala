@@ -136,4 +136,26 @@ class NpySafetensorsSpec extends SparkSpec {
     val e = intercept[Exception] { Safetensors.decode(p) }
     assert(e.getMessage.contains("offsets") || e.getMessage.contains("mismatch"))
   }
+
+  test("safetensors header length inside the (len-8, len) window rejects loudly") {
+    // hlen < fileLen but 8 + hlen > fileLen: the old check admitted this
+    // window and died with a bare EOFException mid-header.
+    val dir = java.nio.file.Files.createTempDirectory("st-hlen")
+    val p = dir.resolve("short.safetensors").toString
+    val fileLen = 32
+    val out = new java.io.FileOutputStream(p)
+    val bb = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong((fileLen - 4).toLong)
+    out.write(bb.array()); out.write(new Array[Byte](fileLen - 8)); out.close()
+    val e = intercept[IllegalArgumentException] { Safetensors.decode(p) }
+    assert(e.getMessage.contains("absurd header length"))
+    // hlen > Int.MaxValue rejects without allocating
+    val p2 = dir.resolve("huge.safetensors").toString
+    val out2 = new java.io.FileOutputStream(p2)
+    val bb2 = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(Long.MaxValue / 2)
+    out2.write(bb2.array()); out2.write(new Array[Byte](16)); out2.close()
+    val e2 = intercept[IllegalArgumentException] { Safetensors.decode(p2) }
+    assert(e2.getMessage.contains("absurd header length"))
+  }
 }

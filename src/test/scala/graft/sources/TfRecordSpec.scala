@@ -47,6 +47,21 @@ class TfRecordSpec extends SparkSpec {
     assert(e2.getMessage.contains("truncated") || e2.getMessage.contains("CRC"))
   }
 
+  test("truncated unpacked fixed32 in a FloatList rejects loudly") {
+    // Hand-built Example whose FloatList carries an unpacked fixed32 tag
+    // (field 1, wire 5) followed by only 2 of its 4 payload bytes. Every
+    // enclosing length is consistent, so the truncation is visible only
+    // to the fixed32 bounds check.
+    val floatList = Array[Byte](0x0d, 0x00, 0x00)           // tag + 2 bytes
+    val feature = Array[Byte](0x12, floatList.length.toByte) ++ floatList
+    val entry = Array[Byte](0x0a, 1, 'x'.toByte,            // key = "x"
+      0x12, feature.length.toByte) ++ feature                // value = Feature
+    val features = Array[Byte](0x0a, entry.length.toByte) ++ entry
+    val example = Array[Byte](0x0a, features.length.toByte) ++ features
+    val e = intercept[IllegalArgumentException] { decodeExample(example) }
+    assert(e.getMessage.contains("truncated fixed32"))
+  }
+
   test("Example proto round-trips all three list kinds") {
     val feats = Seq(
       "ids" -> I64s(Seq(0L, -1L, Long.MaxValue, Long.MinValue, 300L)),
