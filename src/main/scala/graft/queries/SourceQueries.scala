@@ -1262,8 +1262,57 @@ object SourceQueries {
             array_sort(collect_list(struct(col("doc_id"),
               md5(col("text").cast("binary")).as("h"))))
               .getField("h")).cast("binary")).as("corpus_md5"))
+    },
+
+    // ---- S12: Arrow IPC unsigned-int columns ride the oracle hash -------
+    // uint8/16/32 buffers hold 1/2/4-byte elements; decoding them at the
+    // widened Spark type's stride misreads every element after index 0,
+    // so the sums below are wrong unless the PHYSICAL width drives the
+    // decode (ArrowIpc metadata-carried stride; pyarrow golden_uint
+    // fixture proves the foreign bytes in ArrowIpcSpec). The query
+    // derives in-range values from documents, writes them at uint widths
+    // (asUint), reads back through the two-phase footer-block path, and
+    // aggregates — the DuckDB oracle recomputes straight from parquet.
+    QueryDef.sqlBacked(
+      "q184_arrow_uint_roundtrip",
+      """SELECT CAST(doc_id % 16 AS BIGINT) AS g, count(*) AS n,
+        |       CAST(sum(doc_id % 251) AS BIGINT) AS sum_u8,
+        |       CAST(sum((n_chars * 127) % 65521) AS BIGINT) AS sum_u16,
+        |       CAST(sum((doc_id * 2654435761) % 4294967296) AS BIGINT) AS sum_u32
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = q184ArrowDir
+      val src = Tables.documents(s, d).select(
+        col("doc_id"),
+        (col("doc_id") % 251).cast("short").as("u8"),
+        ((col("n_chars") * 127) % 65521).cast("int").as("u16"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).cast("long").as("u32"))
+      graft.sources.ArrowIpc.write(
+        graft.sources.ArrowIpc.asUint(src,
+          Map("u8" -> 8, "u16" -> 16, "u32" -> 32)), dir, batchRows = 1024)
+      val parts = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".arrow"))
+        .map(_.getAbsolutePath).sorted
+      parts.map(p => graft.sources.ArrowIpc.readBlocks(s, p))
+        .reduce(_ unionByName _)
+        .groupBy((col("doc_id") % 16).cast("long").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("u8")).as("sum_u8"),
+          sum(col("u16")).as("sum_u16"),
+          sum(col("u32")).as("sum_u32"))
     }
   )
+
+  /** Per-JVM fixture dir for q184 (the q140 discipline). */
+  private lazy val q184ArrowDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q184_arrow_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 
   /** Per-JVM fixture dir for q183 (the q140 discipline). */
   private lazy val q183ArrowDir: String = {

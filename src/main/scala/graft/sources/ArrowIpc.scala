@@ -23,7 +23,10 @@ import FlatBuf.{FbBuilder, FbTable}
   * reader cross-check in ArrowIpcSpec).
   *
   * Surface:
-  *  - types: int8..int64 (signed), uint8..uint32 read-side, float32/64,
+  *  - types: int8..int64 (signed), uint8..uint32 (decoded at their
+  *    PHYSICAL 1/2/4-byte stride then widened to Short/Int/Long, the
+  *    width riding in StructField metadata; written via [[asUint]]),
+  *    float32/64,
   *    utf8, binary, bool, timestamp[us] (with/without timezone),
   *    list<primitive> — the working set for the testdata tables
   *    (embeddings' list<float32> included). Dictionary encoding, body
@@ -56,6 +59,28 @@ object ArrowIpc {
 
   private val Continuation = 0xffffffff
 
+  /** Metadata keys carrying the Arrow-side PHYSICAL width of unsigned
+    * columns, which Spark widens to the next signed type (uint8→Short,
+    * uint16→Int, uint32→Long). The decode stride MUST be the physical
+    * width, not the Spark type's — deriving it from the Spark type reads
+    * every element after index 0 from the wrong offset. The key rides in
+    * StructField.metadata so the schema stays self-describing across the
+    * driver→executor hop in [[readBlocks]]. */
+  private[sources] val UintBitsKey = "arrow_uint_bits"
+  private[sources] val ItemUintBitsKey = "arrow_item_uint_bits"
+
+  private def uintBitsOf(meta: Metadata): Int =
+    if (meta.contains(UintBitsKey)) meta.getLong(UintBitsKey).toInt else 0
+
+  /** Spark storage type for an unsigned width (widen to next signed). */
+  private def uintSparkType(bits: Int): DataType = bits match {
+    case 8 => ShortType
+    case 16 => IntegerType
+    case 32 => LongType
+    case b => throw new IllegalArgumentException(
+      s"arrow-ipc: unsupported unsigned width $b (8/16/32; uint64 cannot widen)")
+  }
+
   // =====================================================================
   // Schema <-> flatbuffer
   // =====================================================================
@@ -71,10 +96,16 @@ object ArrowIpc {
     case _ => false
   }
 
-  /** Build one Field table (recursing into list children). */
+  /** Build one Field table (recursing into list children). `uintBits`
+    * != 0 emits an UNSIGNED Int type of that physical width (the Spark
+    * type must be the widened signed type; values range-checked at
+    * encode time). */
   private def buildField(b: FbBuilder, name: String, dt: DataType,
-      nullable: Boolean): Int = {
+      nullable: Boolean, uintBits: Int = 0): Int = {
     require(supported(dt), s"arrow-ipc: unsupported Spark type $dt for field $name")
+    if (uintBits != 0) require(dt == uintSparkType(uintBits),
+      s"arrow-ipc: uint$uintBits column '$name' must be stored as " +
+        s"${uintSparkType(uintBits)}, got $dt")
     // children first (back-to-front buffer)
     val childrenOff = dt match {
       case ArrayType(et, containsNull) =>
@@ -83,6 +114,11 @@ object ArrowIpc {
       case _ => 0
     }
     val (typeTag, typeOff) = dt match {
+      case _ if uintBits != 0 =>
+        b.startTable(2)
+        b.slotInt(0, uintBits, 0)
+        // is_signed slot omitted => default false (unsigned)
+        (TInt, b.endTable())
       case LongType | IntegerType | ShortType | ByteType =>
         val bits = dt match {
           case LongType => 64; case IntegerType => 32
@@ -126,10 +162,11 @@ object ArrowIpc {
     b.endTable()
   }
 
-  /** Schema table (not the Message envelope). */
+  /** Schema table (not the Message envelope). Unsigned physical widths
+    * come from each field's [[UintBitsKey]] metadata. */
   private def buildSchema(b: FbBuilder, schema: StructType): Int = {
     val fieldOffs = schema.fields.map(f =>
-      buildField(b, f.name, f.dataType, f.nullable)).toSeq
+      buildField(b, f.name, f.dataType, f.nullable, uintBitsOf(f.metadata))).toSeq
     val fieldsVec = b.createOffsetVector(fieldOffs)
     b.startTable(4)
     // endianness slot 0: Little = 0 = default, omitted
@@ -160,6 +197,11 @@ object ArrowIpc {
       s"arrow-ipc: dictionary-encoded field '$name' not supported")
     val tag = f.getByte(2, 0).toInt
     val t = f.table(3)
+    // physical unsigned width (0 = signed/native); recorded in metadata
+    // so decodeColumn strides the BUFFER's element size, not the widened
+    // Spark type's
+    var uintBits = 0
+    var itemUintBits = 0
     val dt: DataType = tag match {
       case TInt =>
         val bits = t.map(_.getInt(0, 0)).getOrElse(0)
@@ -170,9 +212,7 @@ object ArrowIpc {
           case (16, true) => ShortType
           case (8, true) => ByteType
           // unsigned reads widen into the next signed type
-          case (8, false) => ShortType
-          case (16, false) => IntegerType
-          case (32, false) => LongType
+          case (8 | 16 | 32, false) => uintBits = bits; uintSparkType(bits)
           case other => throw new IllegalArgumentException(
             s"arrow-ipc: unsupported int width $other for '$name'")
         }
@@ -193,12 +233,21 @@ object ArrowIpc {
         if (t.exists(_.string(1).isDefined)) TimestampType else TimestampNTZType
       case TList =>
         require(f.vectorLen(5) == 1, s"arrow-ipc: list '$name' needs one child")
-        ArrayType(readField(f.vectorTable(5, 0)).dataType,
-          f.vectorTable(5, 0).getBool(1, dflt = false))
+        val child = readField(f.vectorTable(5, 0))
+        itemUintBits = uintBitsOf(child.metadata)
+        require(!child.metadata.contains(ItemUintBitsKey),
+          s"arrow-ipc: nested list<list<uint>> not supported for '$name'")
+        ArrayType(child.dataType, f.vectorTable(5, 0).getBool(1, dflt = false))
       case other => throw new IllegalArgumentException(
         s"arrow-ipc: unsupported type tag $other for field '$name'")
     }
-    StructField(name, dt, nullable)
+    if (uintBits == 0 && itemUintBits == 0) StructField(name, dt, nullable)
+    else {
+      val mb = new MetadataBuilder()
+      if (uintBits != 0) mb.putLong(UintBitsKey, uintBits.toLong)
+      if (itemUintBits != 0) mb.putLong(ItemUintBitsKey, itemUintBits.toLong)
+      StructField(name, dt, nullable, mb.build())
+    }
   }
 
   private def readSchemaTable(sch: FbTable): StructType = {
@@ -237,15 +286,36 @@ object ArrowIpc {
     bm
   }
 
-  /** Encode one column; appends FieldNodes + buffers (preorder). */
+  /** Encode one column; appends FieldNodes + buffers (preorder).
+    * `uintBits` != 0 writes 1/2/4-byte unsigned elements from the
+    * widened signed values, rejecting out-of-range values loudly. */
   private def encodeColumn(dt: DataType, vals: IndexedSeq[Any],
       nodes: scala.collection.mutable.ArrayBuffer[(Long, Long)],
-      out: BufList): Unit = {
+      out: BufList, uintBits: Int = 0): Unit = {
     val n = vals.length
     val nulls = Array.tabulate(n)(i => vals(i) == null)
     val nullCount = nulls.count(identity)
     nodes += ((n.toLong, nullCount.toLong))
     out.add(validityOf(nulls))
+    if (uintBits != 0) {
+      val max = (1L << uintBits) - 1
+      def chk(v: Long): Long = {
+        require(v >= 0 && v <= max,
+          s"arrow-ipc: value $v out of uint$uintBits range [0, $max]")
+        v
+      }
+      val bb = ByteBuffer.allocate(n * (uintBits / 8)).order(ByteOrder.LITTLE_ENDIAN)
+      uintBits match {
+        case 8 => vals.foreach { v =>
+          bb.put(if (v == null) 0.toByte else chk(v.asInstanceOf[Short].toLong).toByte) }
+        case 16 => vals.foreach { v =>
+          bb.putShort(if (v == null) 0.toShort else chk(v.asInstanceOf[Int].toLong).toShort) }
+        case 32 => vals.foreach { v =>
+          bb.putInt(if (v == null) 0 else chk(v.asInstanceOf[Long]).toInt) }
+      }
+      out.add(bb.array())
+      return
+    }
     dt match {
       case LongType | TimestampType | TimestampNTZType =>
         val bb = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -319,7 +389,7 @@ object ArrowIpc {
     val bufs = new BufList
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       encodeColumn(f.dataType, rows.map(r => if (r.isNullAt(i)) null else r.get(i)),
-        nodes, bufs)
+        nodes, bufs, uintBitsOf(f.metadata))
     }
     // body: 8-aligned concatenation; Buffer entries carry exact lengths
     var pos = 0L
@@ -358,8 +428,12 @@ object ArrowIpc {
     (b.finish(msg), body)
   }
 
-  /** Decode one column; consumes nodes/buffers in writer order. */
-  private def decodeColumn(dt: DataType, body: ByteBuffer,
+  /** Decode one column; consumes nodes/buffers in writer order. `meta`
+    * carries the physical unsigned width ([[UintBitsKey]]): the element
+    * STRIDE is the Arrow buffer's 1/2/4 bytes, then the value widens
+    * into the signed Spark type — striding by the Spark type would read
+    * every element after index 0 from the wrong offset. */
+  private def decodeColumn(dt: DataType, meta: Metadata, body: ByteBuffer,
       nodes: Iterator[(Long, Long)], buffers: Iterator[(Long, Long)])
       : IndexedSeq[Any] = {
     val (lenL, _) = nodes.next()
@@ -372,6 +446,16 @@ object ArrowIpc {
       val (doff, _) = buffers.next()
       IndexedSeq.tabulate(n)(i =>
         if (isNull(i)) null else get((doff + i.toLong * elemSize).toInt))
+    }
+    val uintBits = uintBitsOf(meta)
+    if (uintBits != 0) {
+      require(dt == uintSparkType(uintBits),
+        s"arrow-ipc: uint$uintBits metadata on $dt column")
+      return uintBits match {
+        case 8 => prim(1, p => (body.get(p) & 0xff).toShort)
+        case 16 => prim(2, p => body.getShort(p) & 0xffff)
+        case 32 => prim(4, p => body.getInt(p) & 0xffffffffL)
+      }
     }
     dt match {
       case LongType => prim(8, p => body.getLong(p))
@@ -403,7 +487,12 @@ object ArrowIpc {
         }
       case ArrayType(et, _) =>
         val (ooff, _) = buffers.next()
-        val child = decodeColumn(et, body, nodes, buffers)
+        val childMeta =
+          if (meta.contains(ItemUintBitsKey))
+            new MetadataBuilder()
+              .putLong(UintBitsKey, meta.getLong(ItemUintBitsKey)).build()
+          else Metadata.empty
+        val child = decodeColumn(et, childMeta, body, nodes, buffers)
         IndexedSeq.tabulate(n) { i =>
           if (isNull(i)) null
           else {
@@ -428,7 +517,8 @@ object ArrowIpc {
     val (bBase, bLen) = rb.vector(2)
     val buffers = (0 until bLen).iterator.map(i =>
       (rb.bb.getLong(bBase + i * 16), rb.bb.getLong(bBase + i * 16 + 8)))
-    val cols = schema.fields.map(f => decodeColumn(f.dataType, bb, nodes, buffers))
+    val cols = schema.fields.map(f =>
+      decodeColumn(f.dataType, f.metadata, bb, nodes, buffers))
     val nRows = rb.getLong(0, 0L).toInt
     (0 until nRows).iterator.map(r => Row.fromSeq(cols.toIndexedSeq.map(c => c(r))))
   }
@@ -609,6 +699,30 @@ object ArrowIpc {
   // =====================================================================
   // Spark layer
   // =====================================================================
+
+  /** Tag columns for unsigned physical Arrow encoding (uint8/16/32).
+    * Each named column must hold the WIDENED signed Spark type (Short
+    * for uint8, Int for uint16, Long for uint32); values are
+    * range-checked at encode time, out-of-range rejects loudly. Reading
+    * the file back reproduces the same types + metadata, so round-trip
+    * schema equality holds. */
+  def asUint(df: DataFrame, bits: Map[String, Int]): DataFrame = {
+    val known = df.schema.fieldNames.toSet
+    bits.keys.foreach(c => require(known(c), s"arrow-ipc: no column '$c'"))
+    val cols = df.schema.fields.map { f =>
+      bits.get(f.name) match {
+        case Some(b) =>
+          require(f.dataType == uintSparkType(b),
+            s"arrow-ipc: uint$b column '${f.name}' must be " +
+              s"${uintSparkType(b)}, got ${f.dataType}")
+          val m = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(UintBitsKey, b.toLong).build()
+          df.col(f.name).as(f.name, m)
+        case None => df.col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
 
   /** One Arrow file per partition, no shuffle (the Avro/zarr sink shape). */
   def write(df: DataFrame, dir: String, batchRows: Int = 4096,

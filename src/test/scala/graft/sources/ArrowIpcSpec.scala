@@ -131,6 +131,114 @@ class ArrowIpcSpec extends SparkSpec {
     assertMatchesManifest(df.collect().toSeq)
   }
 
+  // ---- pyarrow uint goldens (physical-stride proof) ----------------------
+
+  private lazy val uintManifest: Seq[Seq[Any]] =
+    new String(Files.readAllBytes(Paths.get(fixturePath("golden_uint_manifest.txt"))),
+      StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty)
+      .map(l => splitLine(l).map(parseTok)).toSeq
+
+  private def assertUintRows(rows: Seq[Row]): Unit = {
+    assert(rows.length == uintManifest.length)
+    rows.sortBy(_.getLong(0)).zip(uintManifest).foreach { case (got, want) =>
+      val g = got.toSeq.map {
+        case null => null
+        case s: Short => s.toLong
+        case i: Int => i.toLong
+        case l: Long => l
+        case seq: scala.collection.Seq[_] =>
+          seq.toSeq.map { case null => null; case s: Short => s.toLong }
+        case other => other
+      }
+      assert(g == want, s"row ${got.getLong(0)}: $g vs $want")
+    }
+  }
+
+  test("pyarrow uint8/16/32 golden decodes at the PHYSICAL stride") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_uint.arrow")))
+    val (schema, rows) = ArrowIpc.readStreamBytes(bytes)
+    // widened Spark types, physical width in metadata
+    assert(schema("u8").dataType == ShortType)
+    assert(schema("u8").metadata.getLong("arrow_uint_bits") == 8L)
+    assert(schema("u16").dataType == IntegerType)
+    assert(schema("u16").metadata.getLong("arrow_uint_bits") == 16L)
+    assert(schema("u32").dataType == LongType)
+    assert(schema("u32").metadata.getLong("arrow_uint_bits") == 32L)
+    assert(schema("pix").dataType == ArrayType(ShortType, containsNull = true))
+    assert(schema("pix").metadata.getLong("arrow_item_uint_bits") == 8L)
+    assertUintRows(rows.toSeq)
+  }
+
+  test("pyarrow uint STREAM format + readBlocks agree with the manifest") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_uint.arrows")))
+    assertUintRows(ArrowIpc.readStreamBytes(bytes)._2.toSeq)
+    val df = ArrowIpc.readBlocks(spark, fixturePath("golden_uint.arrow"))
+    assertUintRows(df.collect().toSeq)
+  }
+
+  test("uint64 rejects loudly (cannot widen into a signed Spark type)") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("bad_uint64.arrows")))
+    val e = intercept[IllegalArgumentException] { ArrowIpc.readStreamBytes(bytes) }
+    assert(e.getMessage.contains("64") || e.getMessage.contains("unsigned"))
+  }
+
+  test("asUint writer round-trips and is readable by arrow-java") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.toShort, 0, 0L),
+      (2L, 255.toShort, 65535, 4294967295L),
+      (3L, 128.toShort, 32768, 2147483648L)).toDF("id", "u8", "u16", "u32")
+    val tagged = ArrowIpc.asUint(df.coalesce(1),
+      Map("u8" -> 8, "u16" -> 16, "u32" -> 32))
+    val dir = Files.createTempDirectory("arrow-uint-rt").toString
+    ArrowIpc.write(tagged, dir)
+    val back = ArrowIpc.read(spark, dir)
+    // footer schema carries the physical width (the DataFrame's encoder
+    // strips field metadata, but decode happened at the right stride)
+    val fSchema = ArrowIpc.readFooter(new File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow")).head)._1
+    assert(fSchema("u8").metadata.getLong("arrow_uint_bits") == 8L)
+    assert(fSchema("u16").metadata.getLong("arrow_uint_bits") == 16L)
+    assert(fSchema("u32").metadata.getLong("arrow_uint_bits") == 32L)
+    assert(back.collect().map(r => (r.getLong(0), r.getShort(1).toInt,
+      r.getInt(2), r.getLong(3))).toSet ==
+      Set((1L, 0, 0, 0L), (2L, 255, 65535, 4294967295L),
+        (3L, 128, 32768, 2147483648L)))
+    // foreign reader: arrow-java must see true uint types and values
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{UInt1Vector, UInt2Vector, UInt4Vector}
+    import org.apache.arrow.vector.ipc.ArrowFileReader
+    val f = new File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val alloc = new RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    val rd = new ArrowFileReader(ch, alloc)
+    try {
+      val root = rd.getVectorSchemaRoot
+      assert(rd.loadNextBatch())
+      val ids = root.getVector("id")
+      val i2 = (0 until root.getRowCount)
+        .find(i => ids.getObject(i) == 2L).get
+      assert(root.getVector("u8").asInstanceOf[UInt1Vector]
+        .getObjectNoOverflow(i2) == 255.toShort)
+      assert(root.getVector("u16").asInstanceOf[UInt2Vector]
+        .getObject(i2).toInt == 65535)
+      assert(root.getVector("u32").asInstanceOf[UInt4Vector]
+        .getObjectNoOverflow(i2) == 4294967295L)
+    } finally { rd.close(); ch.close(); alloc.close() }
+  }
+
+  test("asUint rejects out-of-range values loudly at encode time") {
+    import spark.implicits._
+    val df = Seq((1L, (-3).toShort)).toDF("id", "u8")
+    val tagged = ArrowIpc.asUint(df.coalesce(1), Map("u8" -> 8))
+    val dir = Files.createTempDirectory("arrow-uint-bad").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      ArrowIpc.write(tagged, dir)
+    }
+    assert(e.getMessage.contains("out of uint8 range") ||
+      Option(e.getCause).exists(_.getMessage.contains("out of uint8 range")))
+  }
+
   // ---- round-trips over the testdata tables ----------------------------
 
   test("documents table round-trips (file format)") {

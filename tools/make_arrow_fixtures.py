@@ -63,6 +63,31 @@ def table():
     return pa.Table.from_arrays(arrays, schema=schema), rows
 
 
+def uint_table():
+    """uint8/16/32 + list<uint8> with boundary values and nulls — the
+    physical-stride proof: these buffers hold 1/2/4-byte elements that a
+    Spark-type-derived stride would misread after index 0."""
+    schema = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("u8", pa.uint8()),
+        pa.field("u16", pa.uint16()),
+        pa.field("u32", pa.uint32()),
+        pa.field("pix", pa.list_(pa.uint8())),
+    ])
+    rows = [
+        (1, 0, 0, 0, [0, 255, 1]),
+        (2, 255, 65535, 4294967295, []),
+        (3, None, None, None, None),
+        (4, 128, 32768, 2147483648, [127, 128, 129]),
+        (5, 1, 256, 65536, [None, 7]),
+        (6, 254, 65534, 4294967294, [200]),
+        (7, 42, 4242, 424242, [0]),
+    ]
+    cols = list(zip(*rows))
+    arrays = [pa.array(c, type=f.type) for c, f in zip(cols, schema)]
+    return pa.Table.from_arrays(arrays, schema=schema), rows
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     tbl, rows = table()
@@ -97,7 +122,25 @@ def main():
     with open(os.path.join(OUT, "golden_arrow_manifest.txt"), "w") as f:
         for r in rows:
             f.write(";".join(fmt(v) for v in r) + "\n")
-    print("wrote golden.arrow / golden.arrows / golden_arrow_manifest.txt")
+
+    utbl, urows = uint_table()
+    ubatches = utbl.to_batches(max_chunksize=4)
+    with ipc.new_file(os.path.join(OUT, "golden_uint.arrow"), utbl.schema) as w:
+        for b in ubatches:
+            w.write_batch(b)
+    with ipc.new_stream(os.path.join(OUT, "golden_uint.arrows"), utbl.schema) as w:
+        for b in ubatches:
+            w.write_batch(b)
+    with open(os.path.join(OUT, "golden_uint_manifest.txt"), "w") as f:
+        for r in urows:
+            f.write(";".join(fmt(v) for v in r) + "\n")
+
+    # uint64 cannot widen into a signed Spark type -> must reject loudly
+    t64 = pa.table({"x": pa.array([1, 2, 18446744073709551615], pa.uint64())})
+    with ipc.new_stream(os.path.join(OUT, "bad_uint64.arrows"), t64.schema) as w:
+        w.write_table(t64)
+    print("wrote golden.arrow / golden.arrows / golden_arrow_manifest.txt"
+          " / golden_uint.{arrow,arrows} / golden_uint_manifest.txt")
 
 
 if __name__ == "__main__":
