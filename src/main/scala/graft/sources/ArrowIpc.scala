@@ -29,9 +29,14 @@ import FlatBuf.{FbBuilder, FbTable}
   *    float32/64,
   *    utf8, binary, bool, timestamp[us] (with/without timezone),
   *    list<primitive> — the working set for the testdata tables
-  *    (embeddings' list<float32> included). Dictionary encoding, body
-  *    compression (LZ4/ZSTD), big-endian schemas, unions/maps/dense
-  *    nesting REJECT LOUDLY — never silently misread.
+  *    (embeddings' list<float32> included).
+  *  - dictionary-encoded fields read-side (index substitution through
+  *    captured dictionary batches; replacement semantics, deltas
+  *    reject); body compression read-side (LZ4_FRAME via the
+  *    from-scratch [[Lz4]] decoder, ZSTD via Spark's bundled zstd-jni
+  *    binding to the reference C library).
+  *  - big-endian schemas, unions/maps/dense nesting, delta
+  *    dictionaries, uint64 REJECT LOUDLY — never silently misread.
   *  - V5 framing only (continuation-prefixed encapsulated messages).
   *  - writer emits: stream format (.arrows) or file format (.arrow,
   *    with footer); validity bitmaps omitted (length-0 buffer entry)
@@ -68,6 +73,12 @@ object ArrowIpc {
     * driver→executor hop in [[readBlocks]]. */
   private[sources] val UintBitsKey = "arrow_uint_bits"
   private[sources] val ItemUintBitsKey = "arrow_item_uint_bits"
+
+  /** Metadata keys for dictionary-encoded fields: the Spark type is the
+    * VALUE type; record batches carry index arrays that substitute
+    * through the captured dictionary batch. */
+  private[sources] val DictIdKey = "arrow_dict_id"
+  private[sources] val DictIndexBitsKey = "arrow_dict_index_bits"
 
   private def uintBitsOf(meta: Metadata): Int =
     if (meta.contains(UintBitsKey)) meta.getLong(UintBitsKey).toInt else 0
@@ -193,8 +204,22 @@ object ArrowIpc {
   private def readField(f: FbTable): StructField = {
     val name = f.string(0).getOrElse("")
     val nullable = f.getBool(1, dflt = false)
-    require(f.table(4).isEmpty,
-      s"arrow-ipc: dictionary-encoded field '$name' not supported")
+    // DictionaryEncoding (Schema.fbs): id, indexType, isOrdered. The
+    // field's own type slot is the VALUE type; batches carry indices.
+    val dict: Option[(Long, Int)] = f.table(4).map { enc =>
+      val id = enc.getLong(0, 0L)
+      val idxBits = enc.table(1) match {
+        case None => 32 // spec default int32
+        case Some(it) =>
+          val bits = it.getInt(0, 0)
+          val signed = it.getBool(1, dflt = false)
+          require(signed && Set(8, 16, 32, 64)(bits),
+            s"arrow-ipc: dictionary index type ($bits-bit, signed=$signed) " +
+              s"not supported for '$name'")
+          bits
+      }
+      (id, idxBits)
+    }
     val tag = f.getByte(2, 0).toInt
     val t = f.table(3)
     // physical unsigned width (0 = signed/native); recorded in metadata
@@ -241,11 +266,18 @@ object ArrowIpc {
       case other => throw new IllegalArgumentException(
         s"arrow-ipc: unsupported type tag $other for field '$name'")
     }
-    if (uintBits == 0 && itemUintBits == 0) StructField(name, dt, nullable)
+    if (uintBits == 0 && itemUintBits == 0 && dict.isEmpty)
+      StructField(name, dt, nullable)
     else {
       val mb = new MetadataBuilder()
       if (uintBits != 0) mb.putLong(UintBitsKey, uintBits.toLong)
       if (itemUintBits != 0) mb.putLong(ItemUintBitsKey, itemUintBits.toLong)
+      dict.foreach { case (id, idxBits) =>
+        require(!dt.isInstanceOf[ArrayType],
+          s"arrow-ipc: dictionary-encoded list field '$name' not supported")
+        mb.putLong(DictIdKey, id)
+        mb.putLong(DictIndexBitsKey, idxBits.toLong)
+      }
       StructField(name, dt, nullable, mb.build())
     }
   }
@@ -434,7 +466,8 @@ object ArrowIpc {
     * into the signed Spark type — striding by the Spark type would read
     * every element after index 0 from the wrong offset. */
   private def decodeColumn(dt: DataType, meta: Metadata, body: ByteBuffer,
-      nodes: Iterator[(Long, Long)], buffers: Iterator[(Long, Long)])
+      nodes: Iterator[(Long, Long)], buffers: Iterator[(Long, Long)],
+      dicts: Map[Long, IndexedSeq[Any]] = Map.empty)
       : IndexedSeq[Any] = {
     val (lenL, _) = nodes.next()
     val n = lenL.toInt
@@ -446,6 +479,26 @@ object ArrowIpc {
       val (doff, _) = buffers.next()
       IndexedSeq.tabulate(n)(i =>
         if (isNull(i)) null else get((doff + i.toLong * elemSize).toInt))
+    }
+    if (meta.contains(DictIdKey)) {
+      // record batches carry an index array; substitute through the
+      // captured dictionary values (same validity-bitmap discipline)
+      val id = meta.getLong(DictIdKey)
+      val dict = dicts.getOrElse(id, throw new IllegalArgumentException(
+        s"arrow-ipc: record batch references dictionary $id before its " +
+          "dictionary batch"))
+      val idxBits = meta.getLong(DictIndexBitsKey).toInt
+      def at(i: Long): Any = {
+        require(i >= 0 && i < dict.length,
+          s"arrow-ipc: dictionary index $i out of range [0, ${dict.length})")
+        dict(i.toInt)
+      }
+      return idxBits match {
+        case 8 => prim(1, p => at(body.get(p).toLong))
+        case 16 => prim(2, p => at(body.getShort(p).toLong))
+        case 32 => prim(4, p => at(body.getInt(p).toLong))
+        case 64 => prim(8, p => at(body.getLong(p)))
+      }
     }
     val uintBits = uintBitsOf(meta)
     if (uintBits != 0) {
@@ -506,21 +559,100 @@ object ArrowIpc {
     }
   }
 
-  private def decodeBatch(schema: StructType, rb: FbTable, body: Array[Byte])
-      : Iterator[Row] = {
-    require(rb.table(3).isEmpty,
-      "arrow-ipc: compressed record batches (LZ4/ZSTD) not supported")
-    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+  /** BodyCompression (Message.fbs): codec slot 0 (LZ4_FRAME=0, ZSTD=1),
+    * method slot 1 (BUFFER=0). Each non-empty body buffer is prefixed
+    * with an int64 LE uncompressed length; -1 means stored raw. Rebuilds
+    * an uncompressed body + buffer table so the column decode is
+    * byte-identical to the uncompressed path. */
+  private def decompressBody(comp: FbTable, body: Array[Byte],
+      entries: IndexedSeq[(Long, Long)]): (Array[Byte], IndexedSeq[(Long, Long)]) = {
+    val codec = comp.getByte(0, 0).toInt
+    require(codec == 0 || codec == 1,
+      s"arrow-ipc: unsupported compression codec $codec (LZ4_FRAME/ZSTD only)")
+    require(comp.getByte(1, 0) == 0,
+      "arrow-ipc: only BUFFER-method body compression supported")
+    val decoded: IndexedSeq[Array[Byte]] = entries.map { case (off, len) =>
+      if (len == 0) Array.emptyByteArray
+      else {
+        require(len >= 8 && off + len <= body.length,
+          s"arrow-ipc: compressed buffer window ($off, $len) out of body")
+        val ulen = ByteBuffer.wrap(body, off.toInt, 8)
+          .order(ByteOrder.LITTLE_ENDIAN).getLong
+        if (ulen == -1L)
+          java.util.Arrays.copyOfRange(body, off.toInt + 8, (off + len).toInt)
+        else {
+          require(ulen >= 0 && ulen <= Int.MaxValue,
+            s"arrow-ipc: absurd uncompressed buffer length $ulen")
+          val out = codec match {
+            case 0 => Lz4.decompressFrame(body, off.toInt + 8, len.toInt - 8)
+            case 1 => com.github.luben.zstd.Zstd.decompress(
+              java.util.Arrays.copyOfRange(body, off.toInt + 8, (off + len).toInt),
+              ulen.toInt)
+          }
+          require(out.length == ulen,
+            s"arrow-ipc: buffer decompressed to ${out.length}, declared $ulen")
+          out
+        }
+      }
+    }
+    var pos = 0L
+    val newEntries = decoded.map { b =>
+      val e = (pos, b.length.toLong)
+      pos += (b.length + 7) / 8 * 8
+      e
+    }
+    val newBody = new Array[Byte](pos.toInt)
+    var p = 0
+    decoded.foreach { b =>
+      System.arraycopy(b, 0, newBody, p, b.length)
+      p += (b.length + 7) / 8 * 8
+    }
+    (newBody, newEntries)
+  }
+
+  private def decodeBatch(schema: StructType, rb: FbTable, body: Array[Byte],
+      dicts: Map[Long, IndexedSeq[Any]] = Map.empty): Iterator[Row] = {
     val (nBase, nLen) = rb.vector(1)
     val nodes = (0 until nLen).iterator.map(i =>
       (rb.bb.getLong(nBase + i * 16), rb.bb.getLong(nBase + i * 16 + 8)))
     val (bBase, bLen) = rb.vector(2)
-    val buffers = (0 until bLen).iterator.map(i =>
+    val rawEntries = IndexedSeq.tabulate(bLen)(i =>
       (rb.bb.getLong(bBase + i * 16), rb.bb.getLong(bBase + i * 16 + 8)))
+    val (bodyArr, entries) = rb.table(3) match {
+      case None => (body, rawEntries)
+      case Some(c) => decompressBody(c, body, rawEntries)
+    }
+    val bb = ByteBuffer.wrap(bodyArr).order(ByteOrder.LITTLE_ENDIAN)
+    val buffers = entries.iterator
     val cols = schema.fields.map(f =>
-      decodeColumn(f.dataType, f.metadata, bb, nodes, buffers))
+      decodeColumn(f.dataType, f.metadata, bb, nodes, buffers, dicts))
     val nRows = rb.getLong(0, 0L).toInt
     (0 until nRows).iterator.map(r => Row.fromSeq(cols.toIndexedSeq.map(c => c(r))))
+  }
+
+  /** Decode a DictionaryBatch message: (id, values). The inner data is a
+    * one-column RecordBatch whose type is the dictionary VALUE type. */
+  private def decodeDictBatch(schema: StructType, msg: FbTable,
+      body: Array[Byte]): (Long, IndexedSeq[Any]) = {
+    val db = msg.table(2).getOrElse(throw new IllegalArgumentException(
+      "arrow-ipc: dictionary message without body table"))
+    val id = db.getLong(0, 0L)
+    require(!db.getBool(2, dflt = false),
+      s"arrow-ipc: delta dictionary batches not supported (id $id)")
+    val rb = db.table(1).getOrElse(throw new IllegalArgumentException(
+      s"arrow-ipc: dictionary batch $id without data"))
+    val valueField = schema.fields.find(f =>
+      f.metadata.contains(DictIdKey) && f.metadata.getLong(DictIdKey) == id)
+      .getOrElse(throw new IllegalArgumentException(
+        s"arrow-ipc: dictionary batch for unknown id $id"))
+    // strip the dict keys: decode the VALUES at the field's value type
+    val vmb = new MetadataBuilder()
+    if (valueField.metadata.contains(UintBitsKey))
+      vmb.putLong(UintBitsKey, valueField.metadata.getLong(UintBitsKey))
+    val valueSchema = StructType(Seq(
+      StructField("v", valueField.dataType, nullable = true, vmb.build())))
+    val rows = decodeBatch(valueSchema, rb, body).toIndexedSeq
+    (id, rows.map(r => r.get(0)))
   }
 
   // =====================================================================
@@ -630,6 +762,7 @@ object ArrowIpc {
     val it = new Iterator[Row] {
       private var cur: Iterator[Row] = Iterator.empty
       private var done = false
+      private var dicts = Map.empty[Long, IndexedSeq[Any]]
       @annotation.tailrec
       private def advance(): Unit = {
         if (!cur.hasNext && !done) {
@@ -637,9 +770,12 @@ object ArrowIpc {
             case None => done = true
             case Some((msg, body)) =>
               msg.getByte(1, 0).toInt match {
-                case 3 => cur = decodeBatch(schema, msg.table(2).get, body)
-                case 2 => throw new IllegalArgumentException(
-                  "arrow-ipc: dictionary batches not supported")
+                case 3 => cur = decodeBatch(schema, msg.table(2).get, body, dicts)
+                case 2 =>
+                  // replacement semantics: a later batch for the same id
+                  // overrides (pyarrow emits replacements, deltas reject)
+                  val (id, values) = decodeDictBatch(schema, msg, body)
+                  dicts += (id -> values)
                 case other => throw new IllegalArgumentException(
                   s"arrow-ipc: unexpected message header $other")
               }
@@ -653,9 +789,10 @@ object ArrowIpc {
     (schema, it)
   }
 
-  /** FILE-format footer: (schema, record-batch blocks). Reads only the
-    * footer bytes — the metadata phase of the two-phase read. */
-  def readFooter(path: File): (StructType, Seq[Block]) = {
+  /** FILE-format footer: (schema, record-batch blocks, dictionary
+    * blocks). Reads only the footer bytes — the metadata phase of the
+    * two-phase read. */
+  def readFooterWithDicts(path: File): (StructType, Seq[Block], Seq[Block]) = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val len = raf.length()
@@ -669,30 +806,60 @@ object ArrowIpc {
       raf.seek(len - 10 - fLen); raf.readFully(fb)
       val footer = FlatBuf.root(fb, 0, fb.length)
       val schema = readSchemaTable(footer.table(1).get)
-      require(footer.vectorLen(2) == 0, "arrow-ipc: dictionaries not supported")
-      val (base, n) = footer.vector(3)
-      val blocks = (0 until n).map { i =>
-        val p = base + i * 24
-        Block(footer.bb.getLong(p), footer.bb.getInt(p + 8), footer.bb.getLong(p + 16))
+      def blocksAt(slot: Int): Seq[Block] = {
+        val (base, n) = footer.vector(slot)
+        (0 until n).map { i =>
+          val p = base + i * 24
+          Block(footer.bb.getLong(p), footer.bb.getInt(p + 8),
+            footer.bb.getLong(p + 16))
+        }
       }
-      (schema, blocks)
+      (schema, blocksAt(3), blocksAt(2))
+    } finally raf.close()
+  }
+
+  /** FILE-format footer: (schema, record-batch blocks). */
+  def readFooter(path: File): (StructType, Seq[Block]) = {
+    val (schema, blocks, _) = readFooterWithDicts(path)
+    (schema, blocks)
+  }
+
+  /** Read + decode one block's envelope, returning (message, body). */
+  private def readBlockMessage(raf: RandomAccessFile, blk: Block)
+      : (FbTable, Array[Byte]) = {
+    val env = new Array[Byte](blk.metaLen)
+    raf.seek(blk.offset); raf.readFully(env)
+    val bb = ByteBuffer.wrap(env).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt() == Continuation, "arrow-ipc: block missing continuation")
+    val mLen = bb.getInt()
+    val msg = FlatBuf.root(env, 8, mLen)
+    val body = new Array[Byte](blk.bodyLen.toInt)
+    raf.readFully(body)
+    (msg, body)
+  }
+
+  /** Decode the dictionary blocks of one file (KB-scale by design). */
+  def readDictBlocks(path: String, schema: StructType,
+      dictBlocks: Seq[Block]): Map[Long, IndexedSeq[Any]] = {
+    if (dictBlocks.isEmpty) return Map.empty
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      dictBlocks.foldLeft(Map.empty[Long, IndexedSeq[Any]]) { (acc, blk) =>
+        val (msg, body) = readBlockMessage(raf, blk)
+        require(msg.getByte(1, 0) == 2, "arrow-ipc: block is not a DictionaryBatch")
+        acc + decodeDictBatch(schema, msg, body)
+      }
     } finally raf.close()
   }
 
   /** Decode ONE footer block via positioned reads. */
-  def readBlock(path: String, schema: StructType, blk: Block): Iterator[Row] = {
+  def readBlock(path: String, schema: StructType, blk: Block,
+      dicts: Map[Long, IndexedSeq[Any]] = Map.empty): Iterator[Row] = {
     val raf = new RandomAccessFile(path, "r")
     try {
-      val env = new Array[Byte](blk.metaLen)
-      raf.seek(blk.offset); raf.readFully(env)
-      val bb = ByteBuffer.wrap(env).order(ByteOrder.LITTLE_ENDIAN)
-      require(bb.getInt() == Continuation, "arrow-ipc: block missing continuation")
-      val mLen = bb.getInt()
-      val msg = FlatBuf.root(env, 8, mLen)
+      val (msg, body) = readBlockMessage(raf, blk)
       require(msg.getByte(1, 0) == 3, "arrow-ipc: block is not a RecordBatch")
-      val body = new Array[Byte](blk.bodyLen.toInt)
-      raf.readFully(body)
-      decodeBatch(schema, msg.table(2).get, body).toIndexedSeq.iterator
+      decodeBatch(schema, msg.table(2).get, body, dicts).toIndexedSeq.iterator
     } finally raf.close()
   }
 
@@ -778,17 +945,24 @@ object ArrowIpc {
     * record batch per task decodes from positioned byte-range reads —
     * a file is not the parallelism floor. */
   def readBlocks(spark: SparkSession, path: String): DataFrame = {
-    val (schema, blocks) = readFooter(new File(path))
+    val (schema, blocks, dictBlocks) = readFooterWithDicts(new File(path))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
     import spark.implicits._
     val tasks = blocks.map(b => (path, b.offset, b.metaLen, b.bodyLen))
+    val dictSeq = dictBlocks.toIndexedSeq // KB-scale positioned reads per task
     spark.createDataset(tasks).toDF("path", "off", "mlen", "blen")
       .repartitionByRange(math.max(1, math.min(tasks.size,
         spark.sparkContext.defaultParallelism)),
         org.apache.spark.sql.functions.col("off"))
       .as[(String, Long, Int, Long)]
-      .flatMap { t: (String, Long, Int, Long) =>
-        readBlock(t._1, schema, Block(t._2, t._3, t._4))
+      .mapPartitions { it: Iterator[(String, Long, Int, Long)] =>
+        // dictionaries decode once per (partition, path), not per block
+        var cached: (String, Map[Long, IndexedSeq[Any]]) = null
+        it.flatMap { t =>
+          if (cached == null || cached._1 != t._1)
+            cached = (t._1, readDictBlocks(t._1, schema, dictSeq))
+          readBlock(t._1, schema, Block(t._2, t._3, t._4), cached._2)
+        }
       }(enc)
   }
 }

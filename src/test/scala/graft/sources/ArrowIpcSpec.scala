@@ -239,6 +239,63 @@ class ArrowIpcSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("out of uint8 range")))
   }
 
+  // ---- pyarrow compressed bodies (LZ4_FRAME / ZSTD) ----------------------
+
+  test("pyarrow LZ4_FRAME compressed batches decode to the golden rows") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_lz4.arrow")))
+    assertMatchesManifest(ArrowIpc.readStreamBytes(bytes)._2.toSeq)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_lz4.arrows")))
+    assertMatchesManifest(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
+    // two-phase block path decompresses per-task too
+    val df = ArrowIpc.readBlocks(spark, fixturePath("golden_lz4.arrow"))
+    assertMatchesManifest(df.collect().toSeq)
+  }
+
+  test("pyarrow ZSTD compressed batches decode to the golden rows") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_zstd.arrow")))
+    assertMatchesManifest(ArrowIpc.readStreamBytes(bytes)._2.toSeq)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_zstd.arrows")))
+    assertMatchesManifest(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
+  }
+
+  // ---- pyarrow dictionary-encoded columns --------------------------------
+
+  private lazy val dictManifest: Seq[Seq[Any]] =
+    new String(Files.readAllBytes(Paths.get(fixturePath("golden_dict_manifest.txt"))),
+      StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty)
+      .map(l => splitLine(l).map(parseTok)).toSeq
+
+  private def assertDictRows(rows: Seq[Row]): Unit = {
+    assert(rows.length == dictManifest.length)
+    rows.sortBy(_.getLong(0)).zip(dictManifest).foreach { case (got, want) =>
+      val g = got.toSeq.map {
+        case null => null
+        case i: Int => i.toLong
+        case other => other
+      }
+      assert(g == want, s"row ${got.getLong(0)}: $g vs $want")
+    }
+  }
+
+  test("pyarrow dictionary-encoded columns substitute to VALUES") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_dict.arrow")))
+    val (schema, rows) = ArrowIpc.readStreamBytes(bytes)
+    // Spark-facing type is the VALUE type; encoding detail in metadata
+    assert(schema("cat").dataType == StringType)
+    assert(schema("cat").metadata.contains("arrow_dict_id"))
+    assert(schema("cat").metadata.getLong("arrow_dict_index_bits") == 8L)
+    assert(schema("code").dataType == IntegerType)
+    assert(schema("code").metadata.getLong("arrow_dict_index_bits") == 32L)
+    assertDictRows(rows.toSeq)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_dict.arrows")))
+    assertDictRows(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
+  }
+
+  test("dictionary FILE format: footer dict blocks feed the block reader") {
+    val df = ArrowIpc.readBlocks(spark, fixturePath("golden_dict.arrow"))
+    assertDictRows(df.collect().toSeq)
+  }
+
   // ---- round-trips over the testdata tables ----------------------------
 
   test("documents table round-trips (file format)") {

@@ -139,6 +139,50 @@ def main():
     t64 = pa.table({"x": pa.array([1, 2, 18446744073709551615], pa.uint64())})
     with ipc.new_stream(os.path.join(OUT, "bad_uint64.arrows"), t64.schema) as w:
         w.write_table(t64)
+
+    # LZ4_FRAME / ZSTD compressed bodies: same logical table as golden —
+    # decode must agree with golden_arrow_manifest.txt
+    for codec in ("lz4", "zstd"):
+        opts = ipc.IpcWriteOptions(compression=codec)
+        with ipc.new_file(os.path.join(OUT, f"golden_{codec}.arrow"),
+                          tbl.schema, options=opts) as w:
+            for b in batches:
+                w.write_batch(b)
+        with ipc.new_stream(os.path.join(OUT, f"golden_{codec}.arrows"),
+                            tbl.schema, options=opts) as w:
+            for b in batches:
+                w.write_batch(b)
+
+    # dictionary-encoded columns (pyarrow's categorical default): string
+    # and int32 dictionaries, with nulls both in indices and usage
+    dict_schema = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("cat", pa.dictionary(pa.int8(), pa.utf8())),
+        pa.field("code", pa.dictionary(pa.int32(), pa.int32())),
+    ])
+    drows = [
+        (1, "apple", 100),
+        (2, "banana", 200),
+        (3, None, None),
+        (4, "apple", 100),
+        (5, "cherry", 300),
+        (6, "banana", None),
+        (7, "apple", 200),
+    ]
+    dcols = list(zip(*drows))
+    darrays = [
+        pa.array(dcols[0], pa.int64()),
+        pa.array(dcols[1], pa.utf8()).dictionary_encode(),
+        pa.array(dcols[2], pa.int32()).dictionary_encode(),
+    ]
+    dtbl = pa.Table.from_arrays(darrays, schema=dict_schema)
+    with ipc.new_file(os.path.join(OUT, "golden_dict.arrow"), dtbl.schema) as w:
+        w.write_table(dtbl)
+    with ipc.new_stream(os.path.join(OUT, "golden_dict.arrows"), dtbl.schema) as w:
+        w.write_table(dtbl)
+    with open(os.path.join(OUT, "golden_dict_manifest.txt"), "w") as f:
+        for r in drows:
+            f.write(";".join(fmt(v) for v in r) + "\n")
     print("wrote golden.arrow / golden.arrows / golden_arrow_manifest.txt"
           " / golden_uint.{arrow,arrows} / golden_uint_manifest.txt")
 
