@@ -929,6 +929,63 @@ object SourceQueries {
       Zarr.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
     },
 
+    // ---- S12: zarr v2 blosc(lz4) round-trip -----------------------------
+    // The q107 chain with zarr-python's DEFAULT compressor instead of
+    // zlib: chunks go through byte-shuffle -> split LZ4 streams -> the
+    // blosc1 container (Blosc.compress, lz4-java streams) and come back
+    // through the from-scratch container + LZ4 block decoders — the
+    // hash proves the entire default-compressor ingest path
+    // value-exact. Foreign bytes are separately proven by the
+    // Python-stdlib store in ForeignFixturesSpec.
+    QueryDef.sqlBacked(
+      "q185_zarr_blosc_roundtrip",
+      """SELECT 'zb' || CAST(t AS VARCHAR) AS scene_id,
+        |  CAST(i * 100 AS DOUBLE) AS x, CAST(j * 100 AS DOUBLE) AS y,
+        |  CAST((t*9 + j)*6 + i AS DOUBLE) * 0.25 - 3.0 AS value
+        |FROM range(0,3) r1(t), range(0,9) r2(j), range(0,6) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.{Zarr, ZarrSink}
+      val dir = java.nio.file.Files.createTempDirectory("graft-q185").toString
+      val (nT, ny, nx) = (3, 9, 6)
+      val grid = s.range(nT.toLong * ny * nx).select(
+        concat(lit("zb"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
+        expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
+        (expr(s"id % $nx") * 100.0).as("x"),
+        (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
+        (col("id").cast("double") * 0.25 - 3.0).as("value"))
+      ZarrSink.writeScenes(grid, dir, "lwp",
+        chunkRows = Some(4), blosc = true).count()
+      Zarr.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
+    },
+
+    // ---- S12: zarr v3 sharding_indexed round-trip -----------------------
+    // The ZEP-2 sharding codec — the 100 TB-store shape (shard files
+    // keep the object count low; the inner-chunk grid stays the
+    // parallelism unit). Each shard: gzip'd inner chunks + the
+    // crc32c-checked (offset, nbytes) uint64-pair index. The hash
+    // proves shard assembly -> index -> inner decode -> reassembly
+    // value-exact; foreign bytes (incl. an ABSENT inner chunk) are
+    // separately proven by the Python-stdlib store in
+    // ForeignFixturesSpec.
+    QueryDef.sqlBacked(
+      "q186_zarr3_sharded_roundtrip",
+      """SELECT 'zh' || CAST(t AS VARCHAR) AS scene_id,
+        |  CAST(i * 100 AS DOUBLE) AS x, CAST(j * 100 AS DOUBLE) AS y,
+        |  CAST((t*11 + j)*6 + i AS DOUBLE) * 0.25 - 3.0 AS value
+        |FROM range(0,3) r1(t), range(0,11) r2(j), range(0,6) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.Zarr3
+      val dir = java.nio.file.Files.createTempDirectory("graft-q186").toString
+      val (nT, ny, nx) = (3, 11, 6)
+      val grid = s.range(nT.toLong * ny * nx).select(
+        concat(lit("zh"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
+        expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
+        (expr(s"id % $nx") * 100.0).as("x"),
+        (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
+        (col("id").cast("double") * 0.25 - 3.0).as("value"))
+      Zarr3.writeScenes(grid, dir, "lwp", chunkRows = Some(4),
+        gzipLevel = Some(6), shardInnerRows = Some(2)).count()
+      Zarr3.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
+    },
+
     // ---- S9b scale: chunk-parallel HDF5 ingest (consolidated stores) ----
     // The q91 series read through HDF5ChunkIngest's two-phase path
     // instead of whole-file decode: phase 1 parses superblock + object

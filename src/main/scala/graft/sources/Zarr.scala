@@ -6,9 +6,15 @@ import org.json4s.jackson.JsonMethods
 
 /** Zarr v2 READ side (S12's sink sibling): pure-JVM decode of the
   * public zarr v2 spec — `.zarray` JSON metadata, C-order chunk grids
-  * keyed `i.j` with dot separators, raw or zlib-compressed chunks
-  * (numcodecs `{"id": "zlib"}`), little- or big-endian f8/f4/i8/i4/i2/i1
-  * dtypes, missing chunk files read as fill_value. Anything else —
+  * keyed `i.j` with dot separators, raw, zlib-compressed (numcodecs
+  * `{"id": "zlib"}`) or blosc-compressed chunks (`{"id": "blosc"}`
+  * with the lz4 codec + byte-shuffle — zarr-python's DEFAULT
+  * compressor, decoded by the from-scratch [[Blosc]] container +
+  * [[Lz4]] block reader), little- or big-endian f8/f4/i8/i4/i2/i1
+  * dtypes plus |u1/<u2/<u4 unsigned (widened; u8 rejects — not
+  * losslessly representable as Double), zstd-compressed chunks
+  * (numcodecs `{"id": "zstd"}` via zstd-jni), missing chunk files read
+  * as fill_value. Anything else —
   * Fortran order, filters, an unknown compressor or dtype, a chunk
   * whose decompressed size disagrees with the chunk shape — rejects
   * LOUDLY, never a silent misread.
@@ -45,12 +51,16 @@ object Zarr {
       case JNull | JNothing => None
       case c =>
         val id = (c \ "id").extractOpt[String].getOrElse(fail("compressor without id"))
-        if (id != "zlib") fail(s"compressor '$id' unsupported (null or zlib)")
+        if (id != "zlib" && id != "blosc" && id != "zstd")
+          fail(s"compressor '$id' unsupported (null, zlib, blosc or zstd)")
+        if (id == "blosc" && (c \ "shuffle").extractOpt[Int].contains(2))
+          fail("blosc bitshuffle unsupported")
         Some(id)
     }
     val dtype = (j \ "dtype").extractOpt[String].getOrElse(fail("missing dtype"))
-    if (!Set("<f8", "<f4", "<i8", "<i4", "<i2", ">f8", ">f4", ">i8", ">i4", ">i2", "|i1")(dtype))
-      fail(s"dtype '$dtype' unsupported")
+    if (!Set("<f8", "<f4", "<i8", "<i4", "<i2", ">f8", ">f4", ">i8", ">i4", ">i2", "|i1",
+        "|u1", "<u2", ">u2", "<u4", ">u4")(dtype))
+      fail(s"dtype '$dtype' unsupported (u8 would not fit a Double losslessly)")
     val fill = (j \ "fill_value") match {
       case JNull | JNothing => Double.NaN
       case JString("NaN") => Double.NaN
@@ -84,6 +94,34 @@ object Zarr {
     out.toByteArray
   }
 
+  /** numcodecs `{"id": "zstd"}` chunks are bare zstd frames; decoded
+    * via zstd-jni (Spark's bundled JNI binding to the reference C
+    * library). Frame-declared content size drives allocation; frames
+    * without one (streaming writers) fall back to a bounded buffer. */
+  private[sources] def zstdInflate(raw: Array[Byte]): Array[Byte] = {
+    import com.github.luben.zstd.Zstd
+    val declared = Zstd.getFrameContentSize(raw)
+    if (declared >= 0 && declared <= Int.MaxValue)
+      try Zstd.decompress(raw, declared.toInt)
+      catch {
+        case e: com.github.luben.zstd.ZstdException =>
+          fail(s"corrupt zstd chunk: ${e.getMessage}")
+      }
+    else {
+      val out = new java.io.ByteArrayOutputStream(raw.length * 4 + 64)
+      val zis = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(raw))
+      try {
+        val buf = new Array[Byte](8192)
+        var n = zis.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = zis.read(buf) }
+      } catch {
+        case e: java.io.IOException => fail(s"corrupt zstd chunk: ${e.getMessage}")
+      } finally zis.close()
+      out.toByteArray
+    }
+  }
+
   private def elemSize(dtype: String): Int = dtype.last match {
     case '8' => 8; case '4' => 4; case '2' => 2; case '1' => 1
   }
@@ -97,6 +135,9 @@ object Zarr {
       case "i4" => bb.getInt(k * es).toDouble
       case "i2" => bb.getShort(k * es).toDouble
       case "i1" => bb.get(k * es).toDouble
+      case "u4" => (bb.getInt(k * es).toLong & 0xFFFFFFFFL).toDouble
+      case "u2" => (bb.getShort(k * es) & 0xFFFF).toDouble
+      case "u1" => (bb.get(k * es) & 0xFF).toDouble
     }
   }
 
@@ -105,6 +146,8 @@ object Zarr {
   private[sources] def decodeChunkBytes(raw: Array[Byte], meta: ArrayMeta): Array[Double] = {
     val bytes = meta.compressor match {
       case Some("zlib") => inflate(raw)
+      case Some("blosc") => Blosc.decompress(raw)
+      case Some("zstd") => zstdInflate(raw)
       case _ => raw
     }
     val es = elemSize(meta.dtype)
@@ -144,6 +187,8 @@ object Zarr {
         val raw = java.nio.file.Files.readAllBytes(f.toPath)
         val bytes = meta.compressor match {
           case Some("zlib") => inflate(raw)
+          case Some("blosc") => Blosc.decompress(raw)
+          case Some("zstd") => zstdInflate(raw)
           case _ => raw
         }
         val expect = meta.chunks.product * es

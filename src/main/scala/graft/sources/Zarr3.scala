@@ -14,9 +14,18 @@ import org.json4s.jackson.JsonMethods
   *    configurable separator, or the v2-style dotted keys), fill_value
   *    (number or NaN/±Infinity strings), and a codec PIPELINE that
   *    must contain exactly one array->bytes codec;
-  *  - codecs supported: `bytes` (endian little|big) + optional `gzip`
-  *    (RFC 1952 — NOT v2's raw zlib). Blosc/zstd/crc32c/sharding/
-  *    transpose reject LOUDLY, never a silent misread;
+  *  - codecs supported: `bytes` (endian little|big) + optionally ONE
+  *    bytes->bytes codec: `gzip` (RFC 1952 — NOT v2's raw zlib) or
+  *    `blosc` (lz4/lz4hc inside the self-describing [[Blosc]] frame —
+  *    zarr-python's default) or `zstd` (via zstd-jni, the JNI binding
+  *    to the reference C library Spark bundles); and
+  *    `sharding_indexed` as the
+  *    array->bytes codec (ZEP-2: chunk files become SHARDS holding an
+  *    inner-chunk grid + a crc32c-checked (offset, nbytes) index —
+  *    the 100 TB-store shape, keeping object counts low while the
+  *    inner grid stays the parallelism unit). Transpose/blosc-
+  *    bitshuffle/nested-sharding reject LOUDLY, never a silent
+  *    misread;
   *  - data types float64/float32/int8..int64/uint8/uint16/uint32
   *    (uint64 rejects: not losslessly representable as Double);
   *  - missing chunk files read as fill_value; edge chunks are stored
@@ -31,9 +40,18 @@ import org.json4s.jackson.JsonMethods
   */
 object Zarr3 {
 
+  /** The sharding_indexed codec's shape: inner chunk dims, the inner
+    * chunk pipeline's endianness/compressor, and the shard index's
+    * location + checksum ([bytes (le)] or [bytes, crc32c]). */
+  final case class Sharding(innerChunks: Seq[Int], innerBigEndian: Boolean,
+      innerCompress: Option[String], indexAtEnd: Boolean, indexCrc: Boolean)
+
+  /** `compress`: None | Some("gzip") | Some("blosc"). `sharding`: the
+    * chunk files are SHARDS (sharding_indexed array->bytes codec);
+    * `bigEndian`/`compress` then describe the inner pipeline. */
   final case class Meta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-      bigEndian: Boolean, gzipped: Boolean, fill: Double,
-      keySep: String, v2Keys: Boolean)
+      bigEndian: Boolean, compress: Option[String], fill: Double,
+      keySep: String, v2Keys: Boolean, sharding: Option[Sharding] = None)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -75,25 +93,93 @@ object Zarr3 {
       case JArray(cs) => cs
       case _ => fail("codecs must be a non-empty array")
     }
-    var bigEndian = false; var sawBytes = false; var gz = false
-    codecs.foreach { c =>
-      (c \ "name").extractOpt[String] match {
-        case Some("bytes") =>
-          if (sawBytes) fail("multiple array->bytes codecs")
-          sawBytes = true
-          bigEndian = (c \ "configuration" \ "endian").extractOpt[String] match {
-            case Some("little") | None => false
-            case Some("big") => true
-            case Some(e) => fail(s"endian '$e' unsupported")
-          }
-          if (gz) fail("bytes codec must precede bytes->bytes codecs")
-        case Some("gzip") =>
-          if (!sawBytes) fail("gzip before the array->bytes codec")
-          gz = true
-        case other => fail(s"codec $other unsupported (bytes + gzip only)")
+    /** Parse a codec pipeline: [bytes(endian)] + at most one of
+      * gzip/blosc, or (top level only) [sharding_indexed{...}] whose
+      * configuration nests an inner pipeline of the former shape. */
+    def parsePipeline(cs: Seq[JValue], allowSharding: Boolean)
+        : (Boolean, Option[String], Option[Sharding]) = {
+      var bigEndian = false; var sawBytes = false
+      var compress: Option[String] = None
+      var sharding: Option[Sharding] = None
+      cs.foreach { c =>
+        (c \ "name").extractOpt[String] match {
+          case Some("bytes") =>
+            if (sawBytes) fail("multiple array->bytes codecs")
+            sawBytes = true
+            bigEndian = (c \ "configuration" \ "endian").extractOpt[String] match {
+              case Some("little") | None => false
+              case Some("big") => true
+              case Some(e) => fail(s"endian '$e' unsupported")
+            }
+            if (compress.isDefined) fail("bytes codec must precede bytes->bytes codecs")
+          case Some(bb @ ("gzip" | "blosc" | "zstd")) =>
+            if (!sawBytes) fail(s"$bb before the array->bytes codec")
+            if (compress.isDefined)
+              fail(s"multiple bytes->bytes codecs (${compress.get} + $bb) unsupported")
+            if (bb == "blosc")
+              (c \ "configuration" \ "shuffle").extractOpt[String] match {
+                case Some("bitshuffle") => fail("blosc bitshuffle unsupported")
+                case _ => () // frame header is authoritative; Blosc rejects there too
+              }
+            compress = Some(bb)
+          case Some("sharding_indexed") if allowSharding =>
+            if (sawBytes || sharding.isDefined) fail("multiple array->bytes codecs")
+            sawBytes = true
+            val cfg = c \ "configuration"
+            val innerChunks = (cfg \ "chunk_shape").extractOpt[Seq[Int]]
+              .getOrElse(fail("sharding_indexed without chunk_shape"))
+            if (innerChunks.isEmpty || innerChunks.exists(_ <= 0))
+              fail("sharding_indexed chunk_shape must be positive")
+            val innerCs = (cfg \ "codecs") match {
+              case JArray(ics) => ics
+              case _ => fail("sharding_indexed without inner codecs")
+            }
+            val (ibe, icomp, _) = parsePipeline(innerCs, allowSharding = false)
+            // index pipeline: exactly [bytes (little)] or [bytes, crc32c]
+            val idxCs = (cfg \ "index_codecs") match {
+              case JArray(ics) => ics
+              case JNothing | JNull => Nil
+              case _ => fail("index_codecs must be an array")
+            }
+            val idxNames = idxCs.map(ic => (ic \ "name").extractOpt[String]
+              .getOrElse(fail("index codec without name")))
+            val indexCrc = idxNames match {
+              case Nil | Seq("bytes") => false
+              case Seq("bytes", "crc32c") => true
+              case other => fail(s"index_codecs $other unsupported " +
+                "([bytes] or [bytes, crc32c] only)")
+            }
+            idxCs.headOption.foreach { ic =>
+              (ic \ "configuration" \ "endian").extractOpt[String] match {
+                case Some("little") | None => ()
+                case Some(e) => fail(s"index endian '$e' unsupported (little only)")
+              }
+            }
+            val indexAtEnd = (cfg \ "index_location").extractOpt[String] match {
+              case Some("end") | None => true
+              case Some("start") => false
+              case Some(other) => fail(s"index_location '$other' invalid")
+            }
+            sharding = Some(Sharding(innerChunks, ibe, icomp, indexAtEnd, indexCrc))
+          case other => fail(s"codec $other unsupported " +
+            "(bytes/sharding_indexed + gzip/blosc/zstd only)")
+        }
+      }
+      if (!sawBytes) fail("codec pipeline lacks the required array->bytes codec")
+      if (sharding.isDefined && compress.isDefined)
+        fail("bytes->bytes codecs outside sharding_indexed unsupported")
+      (bigEndian, compress, sharding)
+    }
+    val (bigEndian, compress0, sharding) = parsePipeline(codecs, allowSharding = true)
+    val compress = sharding.map(_.innerCompress).getOrElse(compress0)
+    val effBigEndian = sharding.map(_.innerBigEndian).getOrElse(bigEndian)
+    sharding.foreach { sh =>
+      if (sh.innerChunks.size != chunks.size)
+        fail(s"sharding inner rank ${sh.innerChunks.size} != chunk rank ${chunks.size}")
+      chunks.zip(sh.innerChunks).foreach { case (o, i) =>
+        if (o % i != 0) fail(s"inner chunk $i does not divide shard chunk $o")
       }
     }
-    if (!sawBytes) fail("codec pipeline lacks the required array->bytes codec")
     val fill = (j \ "fill_value") match {
       case JString("NaN") => Double.NaN
       case JString("Infinity") => Double.PositiveInfinity
@@ -102,8 +188,18 @@ object Zarr3 {
       case JString(s) => fail(s"fill_value '$s' unsupported")
       case v => v.extract[Double]
     }
-    Meta(shape, chunks, dtype, bigEndian, gz, fill, keySep, v2Keys)
+    Meta(shape, chunks, dtype, effBigEndian, compress, fill, keySep, v2Keys,
+      sharding)
   }
+
+  private def decompressBytes(raw: Array[Byte], meta: Meta): Array[Byte] =
+    meta.compress match {
+      case None => raw
+      case Some("gzip") => gunzip(raw)
+      case Some("blosc") => Blosc.decompress(raw)
+      case Some("zstd") => Zarr.zstdInflate(raw)
+      case Some(other) => fail(s"codec '$other' unsupported")
+    }
 
   private def gunzip(raw: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
@@ -127,17 +223,91 @@ object Zarr3 {
     }
 
   /** Decode ONE chunk file's raw bytes to its full chunk-sized value
-    * array (pad regions included) — the [[ZarrChunkIngest]] unit. */
-  private[sources] def decodeChunkBytes(raw: Array[Byte], meta: Meta): Array[Double] = {
-    val bytes = if (meta.gzipped) gunzip(raw) else raw
+    * array (pad regions included) — the [[ZarrChunkIngest]] unit. A
+    * sharded array's chunk file is a SHARD: the inner-chunk index at
+    * its start/end (16 bytes per inner chunk, optional crc32c) locates
+    * each inner chunk's bytes; absent inner chunks read as fill. */
+  private[sources] def decodeChunkBytes(raw: Array[Byte], meta: Meta): Array[Double] =
+    meta.sharding match {
+      case Some(sh) => decodeShard(raw, meta, sh)
+      case None =>
+        val bytes = decompressBytes(raw, meta)
+        val es = DtypeSizes(meta.dtype)
+        val expect = meta.chunks.product * es
+        if (bytes.length != expect)
+          fail(s"chunk has ${bytes.length} bytes, expected $expect")
+        val order = if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+        Array.tabulate(meta.chunks.product)(k => decodeElem(bb, meta.dtype, k))
+    }
+
+  private val ShardMissing = -1L // index stores 2^64-1 for absent chunks
+
+  private def decodeShard(raw: Array[Byte], meta: Meta, sh: Sharding): Array[Double] = {
     val es = DtypeSizes(meta.dtype)
-    val expect = meta.chunks.product * es
-    if (bytes.length != expect)
-      fail(s"chunk has ${bytes.length} bytes, expected $expect")
-    val order = if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+    val gridDims = meta.chunks.zip(sh.innerChunks).map { case (o, i) => o / i }
+    val nInner = gridDims.product
+    val indexLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
+    if (raw.length < indexLen)
+      fail(s"shard of ${raw.length} bytes shorter than its $indexLen-byte index")
+    val idxOff = if (sh.indexAtEnd) raw.length - indexLen else 0
+    if (sh.indexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(raw, idxOff, nInner * 16)
+      val stored = java.nio.ByteBuffer.wrap(raw, idxOff + nInner * 16, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+      if (crc.getValue != stored)
+        fail(f"shard index crc32c mismatch (stored 0x$stored%08x, " +
+          f"computed 0x${crc.getValue}%08x)")
+    }
+    val idx = java.nio.ByteBuffer.wrap(raw, idxOff, nInner * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = Array.fill(meta.chunks.product)(meta.fill)
+    val cStrides = meta.chunks.scanRight(1)(_ * _).tail
+    val iStrides = sh.innerChunks.scanRight(1)(_ * _).tail
+    val gStrides = gridDims.scanRight(1)(_ * _).tail
+    val order = if (sh.innerBigEndian) java.nio.ByteOrder.BIG_ENDIAN
       else java.nio.ByteOrder.LITTLE_ENDIAN
-    val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
-    Array.tabulate(meta.chunks.product)(k => decodeElem(bb, meta.dtype, k))
+    // inner meta reuses the element decode path (inner pipeline applied)
+    val rank = meta.chunks.size
+    var g = 0
+    while (g < nInner) {
+      val off = idx.getLong(idxOff + g * 16)
+      val len = idx.getLong(idxOff + g * 16 + 8)
+      if (off != ShardMissing || len != ShardMissing) {
+        if (off < 0 || len < 0 || off + len > raw.length)
+          fail(s"inner chunk $g window ($off, $len) outside the shard")
+        val innerRaw = java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt)
+        val bytes = sh.innerCompress match {
+          case None => innerRaw
+          case Some("gzip") => gunzip(innerRaw)
+          case Some("blosc") => Blosc.decompress(innerRaw)
+          case Some("zstd") => Zarr.zstdInflate(innerRaw)
+          case Some(other) => fail(s"inner codec '$other' unsupported")
+        }
+        val expect = sh.innerChunks.product * es
+        if (bytes.length != expect)
+          fail(s"inner chunk $g has ${bytes.length} bytes, expected $expect")
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+        var k = 0
+        val within = sh.innerChunks.product
+        while (k < within) {
+          var pos = 0L
+          var dim = 0
+          while (dim < rank) {
+            val gi = (g / gStrides(dim)) % gridDims(dim)
+            val li = (k / iStrides(dim)) % sh.innerChunks(dim)
+            pos += (gi.toLong * sh.innerChunks(dim) + li) * cStrides(dim)
+            dim += 1
+          }
+          out(pos.toInt) = decodeElem(bb, meta.dtype, k)
+          k += 1
+        }
+      }
+      g += 1
+    }
+    out
   }
 
   /** Chunk file name under the array dir for chunk index `ci`. */
@@ -156,9 +326,6 @@ object Zarr3 {
     val nChunks = meta.shape.zip(meta.chunks).map { case (s, c) => (s + c - 1) / c }
     val strides = meta.shape.scanRight(1)(_ * _).tail
     val cStrides = meta.chunks.scanRight(1)(_ * _).tail
-    val es = DtypeSizes(meta.dtype)
-    val order = if (meta.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
-      else java.nio.ByteOrder.LITTLE_ENDIAN
 
     def walk(idx: List[Int], dim: Int): Seq[List[Int]] =
       if (dim == rank) Seq(idx.reverse)
@@ -171,11 +338,8 @@ object Zarr3 {
         .foldLeft(d)((acc, part) => new java.io.File(acc, part))
       if (f.exists()) {
         val raw = java.nio.file.Files.readAllBytes(f.toPath)
-        val bytes = if (meta.gzipped) gunzip(raw) else raw
-        val expect = meta.chunks.product * es
-        if (bytes.length != expect)
-          fail(s"chunk ${f.getName} has ${bytes.length} bytes, expected $expect")
-        val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+        // decodeChunkBytes handles the full pipeline, sharding included
+        val vals = decodeChunkBytes(raw, meta)
         val within = meta.chunks.product
         var k = 0
         while (k < within) {
@@ -187,7 +351,7 @@ object Zarr3 {
             else g += global.toLong * strides(dim)
             dim += 1
           }
-          if (inBounds) out(g.toInt) = decodeElem(bb, meta.dtype, k)
+          if (inBounds) out(g.toInt) = vals(k)
           k += 1
         }
       }
@@ -224,10 +388,20 @@ object Zarr3 {
   // ------------------------------------------------------------------
 
   private def metaJson(shape: Seq[Int], chunks: Seq[Int], dims: Seq[String],
-      gzipLevel: Option[Int]): String = {
-    val codecs = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
+      gzipLevel: Option[Int], innerChunks: Option[Seq[Int]] = None): String = {
+    val pipeline = Seq(Some("""{"name": "bytes", "configuration": {"endian": "little"}}"""),
       gzipLevel.map(l => s"""{"name": "gzip", "configuration": {"level": $l}}"""))
       .flatten.mkString("[", ", ", "]")
+    val codecs = innerChunks match {
+      case None => pipeline
+      case Some(ic) =>
+        s"""[{"name": "sharding_indexed", "configuration": {
+           |   "chunk_shape": [${ic.mkString(", ")}],
+           |   "codecs": $pipeline,
+           |   "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+           |     {"name": "crc32c"}],
+           |   "index_location": "end"}}]""".stripMargin
+    }
     s"""{"zarr_format": 3, "node_type": "array",
        | "shape": [${shape.mkString(", ")}],
        | "data_type": "float64",
@@ -249,14 +423,67 @@ object Zarr3 {
     bos.toByteArray
   }
 
+  /** Encode one chunk-shaped value array through the inner pipeline
+    * (f8 little-endian + optional gzip). */
+  private def encodeValues(chunk: Array[Double], gzipLevel: Option[Int]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(chunk.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.foreach(buf.putDouble)
+    gzipLevel.map(gzip(buf.array(), _)).getOrElse(buf.array())
+  }
+
+  /** Assemble one SHARD file: inner chunks through the inner pipeline,
+    * then the (offset, nbytes) uint64-pair index + crc32c at the end. */
+  private def encodeShard(chunk: Array[Double], chunks: Seq[Int],
+      inner: Seq[Int], gzipLevel: Option[Int]): Array[Byte] = {
+    val gridDims = chunks.zip(inner).map { case (o, i) => o / i }
+    val nInner = gridDims.product
+    val cStrides = chunks.scanRight(1)(_ * _).tail
+    val iStrides = inner.scanRight(1)(_ * _).tail
+    val gStrides = gridDims.scanRight(1)(_ * _).tail
+    val body = new java.io.ByteArrayOutputStream()
+    val index = java.nio.ByteBuffer.allocate(nInner * 16 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var g = 0
+    while (g < nInner) {
+      val vals = new Array[Double](inner.product)
+      var k = 0
+      while (k < vals.length) {
+        var pos = 0L; var dim = 0
+        while (dim < chunks.size) {
+          val gi = (g / gStrides(dim)) % gridDims(dim)
+          val li = (k / iStrides(dim)) % inner(dim)
+          pos += (gi.toLong * inner(dim) + li) * cStrides(dim)
+          dim += 1
+        }
+        vals(k) = chunk(pos.toInt)
+        k += 1
+      }
+      val bytes = encodeValues(vals, gzipLevel)
+      index.putLong(body.size.toLong).putLong(bytes.length.toLong)
+      body.write(bytes)
+      g += 1
+    }
+    val crc = new java.util.zip.CRC32C()
+    crc.update(index.array(), 0, nInner * 16)
+    index.putInt(crc.getValue.toInt)
+    body.write(index.array())
+    body.toByteArray
+  }
+
   private def writeArray(dir: java.io.File, name: String, shape: Seq[Int],
       dims: Seq[String], values: Array[Double], chunks: Seq[Int],
-      gzipLevel: Option[Int]): Unit = {
+      gzipLevel: Option[Int], innerChunks: Option[Seq[Int]] = None): Unit = {
     val d = new java.io.File(dir, name); d.mkdirs()
+    innerChunks.foreach { ic =>
+      require(ic.size == chunks.size && chunks.zip(ic).forall { case (o, i) =>
+        i > 0 && o % i == 0 }, s"inner chunks $ic must divide shard chunks $chunks")
+    }
     java.nio.file.Files.writeString(d.toPath.resolve("zarr.json"),
-      metaJson(shape, chunks, dims, gzipLevel))
+      metaJson(shape, chunks, dims, gzipLevel, innerChunks))
     val meta = Meta(shape, chunks, "float64", bigEndian = false,
-      gzipped = gzipLevel.isDefined, fill = Double.NaN, keySep = "/", v2Keys = false)
+      compress = gzipLevel.map(_ => "gzip"), fill = Double.NaN,
+      keySep = "/", v2Keys = false)
     val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     val strides = shape.scanRight(1)(_ * _).tail
     val cStrides = chunks.scanRight(1)(_ * _).tail
@@ -275,10 +502,10 @@ object Zarr3 {
           if (inBounds) chunk(k) = values(g.toInt)
           k += 1
         }
-        val buf = java.nio.ByteBuffer.allocate(chunk.length * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        chunk.foreach(buf.putDouble)
-        val bytes = gzipLevel.map(gzip(buf.array(), _)).getOrElse(buf.array())
+        val bytes = innerChunks match {
+          case None => encodeValues(chunk, gzipLevel)
+          case Some(ic) => encodeShard(chunk, chunks, ic, gzipLevel)
+        }
         val f = chunkKey(meta, ci).split('/')
           .foldLeft(d)((acc, part) => new java.io.File(acc, part))
         f.getParentFile.mkdirs()
@@ -291,7 +518,8 @@ object Zarr3 {
   /** One v3 store per scene — same input/output contract as
     * [[ZarrSink.writeScenes]]. */
   def writeScenes(df: DataFrame, outDir: String, varName: String,
-      chunkRows: Option[Int] = None, gzipLevel: Option[Int] = None): DataFrame = {
+      chunkRows: Option[Int] = None, gzipLevel: Option[Int] = None,
+      shardInnerRows: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
@@ -309,7 +537,8 @@ object Zarr3 {
         java.nio.file.Files.writeString(store.toPath.resolve("zarr.json"),
           """{"zarr_format": 3, "node_type": "group"}""")
         writeArray(store, varName, Seq(ys.length, xs.length), Seq("y", "x"),
-          grid, Seq(chunkRows.getOrElse(ys.length), xs.length), gzipLevel)
+          grid, Seq(chunkRows.getOrElse(ys.length), xs.length), gzipLevel,
+          shardInnerRows.map(r => Seq(r, xs.length)))
         writeArray(store, "y", Seq(ys.length), Seq("y"), ys,
           Seq(chunkRows.getOrElse(ys.length)), gzipLevel)
         writeArray(store, "x", Seq(xs.length), Seq("x"), xs,

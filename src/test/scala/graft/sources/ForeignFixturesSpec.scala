@@ -180,6 +180,67 @@ class ForeignFixturesSpec extends AnyFunSuite {
     assert(wind.toSeq == Seq(5.5, -2.25, 0.125)) // '>f4' big-endian branch
   }
 
+  test("zarr: python-written blosc(lz4) v2 store decodes exactly") {
+    val store = fixtureDir("golden_blosc.zarr")
+    // sst: shuffled single-leftover-block frames, 2-D pad regions
+    val (sstShape, sst) = Zarr.readArray(store, "sst")
+    assert(sstShape == Seq(6, 8))
+    val expect = for (r <- 0 until 6; c <- 0 until 8) yield r * 100.0 + c
+    assert(sst.toSeq == expect)
+    // big: SPLIT frames (typesize 8 streams), values from the manifest
+    val manifest = org.json4s.jackson.JsonMethods.parse(
+      new String(fixture("golden_blosc_manifest.json"), "UTF-8"))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val (bigShape, big) = Zarr.readArray(store, "big")
+    assert(bigShape == Seq(512))
+    assert(big.toSeq == (manifest \ "big").extract[Seq[Double]])
+    // mask: non-split multi-block i2 frames, chunk-1 pad skipped
+    val (maskShape, mask) = Zarr.readArray(store, "mask")
+    assert(maskShape == Seq(100))
+    val m0 = (0 until 64).map(i => ((i % 7) - 3).toDouble)
+    val m1 = (0 until 36).map(i => (i % 5).toDouble)
+    assert(mask.toSeq == m0 ++ m1)
+    // noise: incompressible -> memcpy-flag frame
+    val (noiseShape, noise) = Zarr.readArray(store, "noise")
+    assert(noiseShape == Seq(32))
+    assert(noise.toSeq == (manifest \ "noise").extract[Seq[Double]])
+  }
+
+  test("zarr: python-written blosc(lz4) v3 store decodes exactly") {
+    val store = fixtureDir("golden_blosc_v3.zarr")
+    val (shape, temp) = Zarr3.readArray(store, "temp")
+    assert(shape == Seq(5, 6))
+    val expect = for (r <- 0 until 5; c <- 0 until 6) yield r * 10.0 + c * 0.5
+    assert(temp.toSeq == expect)
+  }
+
+  test("zarr: python-written sharding_indexed v3 store decodes exactly") {
+    // shard files hold a 2x2 inner-chunk grid + crc32c-checked index;
+    // one inner chunk is ABSENT (2^64-1 sentinel) -> fill_value -1
+    val store = fixtureDir("golden_sharded_v3.zarr")
+    val (shape, temp) = Zarr3.readArray(store, "temp")
+    assert(shape == Seq(6, 8))
+    // the ABSENT inner chunk is shard 1's inner (0,0) = rows 4-5,
+    // cols 0-3: those 8 visible elements read as fill_value -1
+    val expect = for (r <- 0 until 6; c <- 0 until 8) yield
+      if (r >= 4 && c < 4) -1.0 else r * 10.0 + c
+    assert(temp.toSeq == expect)
+    // corrupt the index crc -> loud reject
+    val shard = new java.io.File(store, "temp/c/0/0")
+    val good = java.nio.file.Files.readAllBytes(shard.toPath)
+    val bad = good.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x7f).toByte
+    val tmp = java.nio.file.Files.createTempDirectory("shard-bad")
+    val d = tmp.resolve("temp/c/0"); java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.copy(new java.io.File(store, "temp/zarr.json").toPath,
+      tmp.resolve("temp/zarr.json"))
+    java.nio.file.Files.write(d.resolve("0"), bad)
+    val e = intercept[IllegalArgumentException] {
+      Zarr3.readArray(tmp.toFile, "temp")
+    }
+    assert(e.getMessage.contains("crc32c mismatch"))
+  }
+
   test("WARC: python-written .warc.gz decodes exactly") {
     val recs = Warc.readGz(fixture("golden.warc.gz"))
     assert(recs.map(_.warcType) == Seq("warcinfo", "response"))

@@ -46,6 +46,52 @@ class Zarr3Spec extends SparkSpec {
     }
   }
 
+  test("sharded writer round-trips through the reader") {
+    val s = spark
+    import s.implicits._
+    val (ny, nx) = (11, 6) // ragged: 11 rows over shard chunks of 4
+    val px = (for (j <- 0 until ny; i <- 0 until nx)
+      yield ("sh1", new java.sql.Timestamp(0L), i * 10.0, j * 10.0,
+        (j * nx + i) * 0.5 - 7.0)).toDF("scene_id", "time", "x", "y", "value")
+    for (gz <- Seq(Some(6), None)) {
+      val dir = java.nio.file.Files.createTempDirectory("zarr3-shard-rt").toString
+      Zarr3.writeScenes(px, dir, "lwp", chunkRows = Some(4), gzipLevel = gz,
+        shardInnerRows = Some(2)).count()
+      // the written metadata must actually declare sharding_indexed
+      val metaJson = java.nio.file.Files.readString(
+        new java.io.File(dir, "sh1.zarr/lwp/zarr.json").toPath)
+      assert(metaJson.contains("sharding_indexed") && metaJson.contains("crc32c"))
+      val m = Zarr3.parseMeta(metaJson)
+      assert(m.sharding.exists(_.innerChunks == Seq(2, nx)))
+      val back = Zarr3.readScenes(spark, dir, "lwp")
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+      for (j <- 0 until ny; i <- 0 until nx)
+        assert(back((i * 10.0, j * 10.0)) == (j * nx + i) * 0.5 - 7.0,
+          s"gz=$gz px($j,$i)")
+    }
+  }
+
+  test("v3 zstd codec decodes (zstd-jni reference frames)") {
+    val vals = Array.tabulate(12)(i => i * 1.5 - 4.0)
+    val raw = java.nio.ByteBuffer.allocate(96).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(raw.putDouble)
+    val comp = com.github.luben.zstd.Zstd.compress(raw.array(), 3)
+    val d = java.nio.file.Files.createTempDirectory("zarr3-zstd").toFile
+    val a = new java.io.File(d, "v"); a.mkdirs()
+    java.nio.file.Files.writeString(a.toPath.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [12],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [12]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": 0.0,
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |   {"name": "zstd", "configuration": {"level": 3, "checksum": false}}]}"""
+        .stripMargin)
+    val cd = new java.io.File(a, "c"); cd.mkdirs()
+    java.nio.file.Files.write(new java.io.File(cd, "0").toPath, comp)
+    assert(Zarr3.readArray(d, "v")._2.toSeq == vals.toSeq)
+  }
+
   test("unsupported features reject loudly") {
     def metaOf(tweak: String => String): String = tweak(
       """{"zarr_format": 3, "node_type": "array", "shape": [4],

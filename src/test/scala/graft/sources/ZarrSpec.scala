@@ -69,6 +69,56 @@ class ZarrSpec extends SparkSpec {
       Seq(7.0, -9.0, 300.0, 32767.0))
   }
 
+  test("unsigned dtypes widen (u1/u2/u4); u8 rejects") {
+    def store(dtype: String, bytes: Array[Byte], shape: Seq[Int]): java.io.File = {
+      val d = java.nio.file.Files.createTempDirectory("zarr-u").toFile
+      val a = new java.io.File(d, "v"); a.mkdirs()
+      java.nio.file.Files.writeString(a.toPath.resolve(".zarray"),
+        s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}], "chunks": [${shape.mkString(",")}],
+           | "dtype": "$dtype", "compressor": null, "fill_value": 0, "filters": null,
+           | "order": "C"}""".stripMargin)
+      java.nio.file.Files.write(a.toPath.resolve(shape.map(_ => "0").mkString(".")), bytes)
+      d
+    }
+    assert(Zarr.readArray(store("|u1", Array[Byte](0, -1, 127, -128), Seq(4)),
+      "v")._2.toSeq == Seq(0.0, 255.0, 127.0, 128.0))
+    val u2 = java.nio.ByteBuffer.allocate(6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0, 65535, 40000).foreach(v => u2.putShort(v.toShort))
+    assert(Zarr.readArray(store("<u2", u2.array(), Seq(3)), "v")._2.toSeq ==
+      Seq(0.0, 65535.0, 40000.0))
+    val u4 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN)
+    Seq(4294967295L, 3000000000L).foreach(v => u4.putInt(v.toInt))
+    assert(Zarr.readArray(store(">u4", u4.array(), Seq(2)), "v")._2.toSeq ==
+      Seq(4294967295.0, 3000000000.0))
+    val e = intercept[IllegalArgumentException] {
+      Zarr.readArray(store("<u8", new Array[Byte](8), Seq(1)), "v")
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("zstd-compressed chunks decode (zstd-jni reference frames)") {
+    // the chunk bytes come from the reference C library via zstd-jni —
+    // a foreign compressor for our read path
+    val vals = Array.tabulate(64)(i => i * 0.5 - 3.0)
+    val raw = java.nio.ByteBuffer.allocate(512).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(raw.putDouble)
+    val comp = com.github.luben.zstd.Zstd.compress(raw.array(), 3)
+    val d = java.nio.file.Files.createTempDirectory("zarr-zstd").toFile
+    val a = new java.io.File(d, "v"); a.mkdirs()
+    java.nio.file.Files.writeString(a.toPath.resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [64], "chunks": [64], "dtype": "<f8",
+        | "compressor": {"id": "zstd", "level": 3}, "fill_value": 0,
+        | "filters": null, "order": "C"}""".stripMargin)
+    java.nio.file.Files.write(a.toPath.resolve("0"), comp)
+    assert(Zarr.readArray(d, "v")._2.toSeq == vals.toSeq)
+    // corrupt frame MAGIC -> loud reject (checksum-less zstd cannot
+    // catch arbitrary mid-frame flips; the size gate catches truncation)
+    val bad = comp.clone(); bad(1) = (bad(1) ^ 0x5a).toByte
+    java.nio.file.Files.write(a.toPath.resolve("0"), bad)
+    val e2 = intercept[IllegalArgumentException] { Zarr.readArray(d, "v") }
+    assert(e2.getMessage.contains("zstd") || e2.getMessage.contains("expected"))
+  }
+
   test("malformed stores reject loudly") {
     val dir = java.nio.file.Files.createTempDirectory("zarr-bad").toString
     ZarrSink.writeScenes(sceneDf(1, 4, 4), dir, "lwp", zlibLevel = Some(6)).count()
@@ -82,7 +132,13 @@ class ZarrSpec extends SparkSpec {
       java.nio.file.Files.writeString(za, good)
     }
     expectReject(good.replace("\"C\"", "\"F\""), "fortran order")
-    expectReject(good.replace("zlib", "blosc"), "unknown compressor")
+    expectReject(good.replace("zlib", "zstd"), "unknown compressor")
+    // blosc is now a SUPPORTED id, but these chunks are zlib bytes —
+    // the blosc container header must still reject them loudly
+    java.nio.file.Files.writeString(za, good.replace("zlib", "blosc"))
+    val eb = intercept[IllegalArgumentException](Zarr.readArray(store, "lwp"))
+    assert(eb.getMessage.startsWith("blosc decode:"), eb.getMessage)
+    java.nio.file.Files.writeString(za, good)
     expectReject(good.replace("\"filters\": null", "\"filters\": [{\"id\": \"delta\"}]"), "filters")
     expectReject(good.replace("<f8", "<c16"), "unknown dtype")
     // truncated zlib chunk

@@ -2491,6 +2491,295 @@ def write_zarr(store):
         f.write(struct.pack(">3f", 5.5, -2.25, 0.125))
 
 # ---------------------------------------------------------------------------
+# blosc1 container (c-blosc 1.x header spec) over LZ4 block streams —
+# zarr-python's default compressor. Both the LZ4 encoder and the blosc
+# framing below are Python-stdlib reimplementations of the public specs
+# (lz4_Block_format.md; c-blosc README_HEADER.rst), sharing no code with
+# the Scala decoders they prove.
+# ---------------------------------------------------------------------------
+
+def lz4_block_compress(src):
+    """Greedy LZ4 block encoder: 4-byte hash matches, spec end rules
+    (last 5 bytes literal, no match starting in last 12)."""
+    n = len(src)
+    out = bytearray()
+
+    def emit(lit, match=None):
+        ml = 0 if match is None else match[1] - 4
+        token = (min(len(lit), 15) << 4) | (min(ml, 15) if match else 0)
+        out.append(token)
+        if len(lit) >= 15:
+            rem = len(lit) - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(lit)
+        if match:
+            out.extend(struct.pack("<H", match[0]))
+            if ml >= 15:
+                rem = ml - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    if n < 13:
+        emit(src)
+        return bytes(out)
+    table = {}
+    anchor = 0
+    i = 0
+    limit = n - 12     # no match may START at or past here
+    mflimit = n - 5    # matches must END before the last 5 bytes
+    while i < limit:
+        key = src[i:i + 4]
+        cand = table.get(key, -1)
+        table[key] = i
+        if cand >= 0 and i - cand <= 65535 and src[cand:cand + 4] == key:
+            mlen = 4
+            while i + mlen < mflimit and src[cand + mlen] == src[i + mlen]:
+                mlen += 1
+            emit(src[anchor:i], (i - cand, mlen))
+            i += mlen
+            anchor = i
+        else:
+            i += 1
+    emit(src[anchor:])
+    return bytes(out)
+
+
+def byte_shuffle(block, typesize):
+    n = len(block)
+    nelems = n // typesize
+    out = bytearray(n)
+    for b in range(typesize):
+        for i in range(nelems):
+            out[b * nelems + i] = block[i * typesize + b]
+    for t in range(nelems * typesize, n):
+        out[t] = block[t]
+    return bytes(out)
+
+
+def blosc_compress(data, typesize, blocksize, shuffle=True):
+    """One blosc1 frame the way c-blosc >= 1.14 lays it out (dont_split
+    recorded in flags bit 4; memcpy fallback when nothing shrinks)."""
+    nbytes = len(data)
+    nblocks = (nbytes + blocksize - 1) // blocksize
+    leftover = nbytes % blocksize
+    split = 1 < typesize <= 16 and blocksize // typesize >= 128
+    flags = 1 << 5  # lz4
+    if shuffle and typesize > 1:
+        flags |= 0x1
+    if not split:
+        flags |= 0x10
+    blocks = []
+    for j in range(nblocks):
+        lob = j == nblocks - 1 and leftover != 0
+        bsize = leftover if lob else blocksize
+        block = data[j * blocksize:j * blocksize + bsize]
+        if shuffle and typesize > 1:
+            block = byte_shuffle(block, typesize)
+        nstreams = typesize if (split and not lob) else 1
+        neblock = bsize // nstreams
+        body = bytearray()
+        for s in range(nstreams):
+            sub = block[s * neblock:(s + 1) * neblock]
+            c = lz4_block_compress(sub)
+            if len(c) >= neblock:  # store raw, like c-blosc
+                body += struct.pack("<i", neblock) + sub
+            else:
+                body += struct.pack("<i", len(c)) + c
+        blocks.append(bytes(body))
+    total = 16 + 4 * nblocks + sum(len(b) for b in blocks)
+    if total >= 16 + nbytes:  # memcpy fallback, like c-blosc
+        return (struct.pack("<BBBB", 2, 1, 0x2, typesize) +
+                struct.pack("<iii", nbytes, blocksize, 16 + nbytes) + data)
+    out = bytearray(struct.pack("<BBBB", 2, 1, flags, typesize))
+    out += struct.pack("<iii", nbytes, blocksize, total)
+    off = 16 + 4 * nblocks
+    for b in blocks:
+        out += struct.pack("<i", off)
+        off += len(b)
+    for b in blocks:
+        out += b
+    return bytes(out)
+
+
+def write_blosc_zarr(store):
+    """zarr v2 store whose chunks use the blosc default compressor:
+    split/non-split, shuffled, leftover-pad and memcpy frames."""
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    # sst: 2-D f8 [6,8] chunks [4,5] -> pad regions; blocksize 1024:
+    # chunk bytes 160 < blocksize -> single short (leftover) block
+    d = os.path.join(store, "sst")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [6, 8], "chunks": [4, 5],
+                   "dtype": "<f8", "order": "C", "fill_value": "NaN",
+                   "filters": None,
+                   "compressor": {"id": "blosc", "cname": "lz4",
+                                  "clevel": 5, "shuffle": 1,
+                                  "blocksize": 1024}}, f)
+    for ci in range(2):
+        for cj in range(2):
+            vals = []
+            for r in range(4):
+                for c in range(5):
+                    gr, gc = ci * 4 + r, cj * 5 + c
+                    vals.append(gr * 100.0 + gc if gr < 6 and gc < 8 else 0.0)
+            raw = struct.pack("<20d", *vals)
+            with open(os.path.join(d, "%d.%d" % (ci, cj)), "wb") as f:
+                f.write(blosc_compress(raw, 8, 1024))
+    # big: 1-D f8 [512] chunk [512] = 4096 B, blocksize 2048 -> 2 blocks,
+    # SPLIT path (2048/8 = 256 >= 128), shuffled
+    d = os.path.join(store, "big")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [512], "chunks": [512],
+                   "dtype": "<f8", "order": "C", "fill_value": 0.0,
+                   "filters": None,
+                   "compressor": {"id": "blosc", "cname": "lz4",
+                                  "clevel": 5, "shuffle": 1,
+                                  "blocksize": 2048}}, f)
+    vals = [((i * i) % 89) * 0.25 for i in range(512)]
+    with open(os.path.join(d, "0"), "wb") as f:
+        f.write(blosc_compress(struct.pack("<512d", *vals), 8, 2048))
+    # mask: 1-D i2 [100] chunk [64] = 128 B, blocksize 32 -> 4 blocks,
+    # non-split (32/2 = 16 < 128) -> dont_split bit exercised
+    d = os.path.join(store, "mask")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [100], "chunks": [64],
+                   "dtype": "<i2", "order": "C", "fill_value": -9,
+                   "filters": None,
+                   "compressor": {"id": "blosc", "cname": "lz4",
+                                  "clevel": 5, "shuffle": 1,
+                                  "blocksize": 32}}, f)
+    m0 = [(i % 7) - 3 for i in range(64)]
+    m1 = [(i % 5) for i in range(64)]  # elements 100.. are chunk pad
+    with open(os.path.join(d, "0"), "wb") as f:
+        f.write(blosc_compress(struct.pack("<64h", *m0), 2, 32))
+    with open(os.path.join(d, "1"), "wb") as f:
+        f.write(blosc_compress(struct.pack("<64h", *m1), 2, 32))
+    # noise: incompressible f8 -> memcpy-flag frame
+    d = os.path.join(store, "noise")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [32], "chunks": [32],
+                   "dtype": "<f8", "order": "C", "fill_value": 0.0,
+                   "filters": None,
+                   "compressor": {"id": "blosc", "cname": "lz4",
+                                  "clevel": 5, "shuffle": 0,
+                                  "blocksize": 256}}, f)
+    rnd = random.Random(1234)
+    nvals = [rnd.uniform(-1e6, 1e6) for _ in range(32)]
+    frame = blosc_compress(struct.pack("<32d", *nvals), 8, 256, shuffle=False)
+    assert frame[2] & 0x2, "noise chunk should take the memcpy path"
+    with open(os.path.join(d, "0"), "wb") as f:
+        f.write(frame)
+    return {"big": vals, "noise": nvals}
+
+
+def write_blosc_zarr3(store):
+    """zarr v3 array whose pipeline is [bytes le, blosc(lz4, shuffle)]."""
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group"}, f)
+    d = os.path.join(store, "temp")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "array",
+                   "shape": [5, 6], "data_type": "float64",
+                   "chunk_grid": {"name": "regular",
+                                  "configuration": {"chunk_shape": [3, 4]}},
+                   "chunk_key_encoding": {"name": "default",
+                                          "configuration": {"separator": "/"}},
+                   "fill_value": "NaN",
+                   "codecs": [
+                       {"name": "bytes",
+                        "configuration": {"endian": "little"}},
+                       {"name": "blosc",
+                        "configuration": {"cname": "lz4", "clevel": 5,
+                                          "shuffle": "shuffle",
+                                          "typesize": 8,
+                                          "blocksize": 0}}]}, f)
+    for ci in range(2):
+        for cj in range(2):
+            vals = []
+            for r in range(3):
+                for c in range(4):
+                    gr, gc = ci * 3 + r, cj * 4 + c
+                    vals.append(gr * 10.0 + gc * 0.5 if gr < 5 and gc < 6 else 0.0)
+            raw = struct.pack("<12d", *vals)
+            cd = os.path.join(d, "c", str(ci))
+            os.makedirs(cd, exist_ok=True)
+            with open(os.path.join(cd, str(cj)), "wb") as f:
+                f.write(blosc_compress(raw, 8, 96))
+
+
+def write_sharded_zarr3(store):
+    """zarr v3 array using the sharding_indexed codec (ZEP-2): each chunk
+    file is a shard of gzip'd inner chunks plus a crc32c-checked
+    (offset, nbytes) uint64-pair index at the end. One inner chunk is
+    deliberately ABSENT (2^64-1 sentinel pair) -> reads as fill."""
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group"}, f)
+    d = os.path.join(store, "temp")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "array",
+                   "shape": [6, 8], "data_type": "float64",
+                   "chunk_grid": {"name": "regular",
+                                  "configuration": {"chunk_shape": [4, 8]}},
+                   "chunk_key_encoding": {"name": "default",
+                                          "configuration": {"separator": "/"}},
+                   "fill_value": -1.0,
+                   "codecs": [{
+                       "name": "sharding_indexed",
+                       "configuration": {
+                           "chunk_shape": [2, 4],
+                           "codecs": [
+                               {"name": "bytes",
+                                "configuration": {"endian": "little"}},
+                               {"name": "gzip",
+                                "configuration": {"level": 6}}],
+                           "index_codecs": [
+                               {"name": "bytes",
+                                "configuration": {"endian": "little"}},
+                               {"name": "crc32c"}],
+                           "index_location": "end"}}]}, f)
+    # value(gr, gc) = gr*10 + gc (array shape [6,8]); shard grid 2x1 of
+    # outer [4,8] chunks; inner grid per shard 2x2 of [2,4] chunks
+    missing = (1, 0)  # shard 1, inner chunk 0 = rows 4-5, cols 0-3 (VISIBLE)
+    for ci in range(2):
+        body = b""
+        index = b""
+        for g in range(4):          # inner chunks, C order over (2, 2)
+            gi, gj = g // 2, g % 2
+            if (ci, g) == missing:
+                index += struct.pack("<QQ", 2**64 - 1, 2**64 - 1)
+                continue
+            vals = []
+            for r in range(2):
+                for c in range(4):
+                    gr = ci * 4 + gi * 2 + r
+                    gc = gj * 4 + c
+                    vals.append(gr * 10.0 + gc if gr < 6 and gc < 8 else -1.0)
+            raw = gzip.compress(struct.pack("<8d", *vals), 6)
+            index += struct.pack("<QQ", len(body), len(raw))
+            body += raw
+        index += struct.pack("<I", _crc32c(index))
+        cd = os.path.join(d, "c", str(ci))
+        os.makedirs(cd, exist_ok=True)
+        with open(os.path.join(cd, "0"), "wb") as f:
+            f.write(body + index)
+
+
+# ---------------------------------------------------------------------------
 # WARC/1.0 (ISO 28500) — gzip member per record, the Common Crawl shape
 # ---------------------------------------------------------------------------
 
@@ -3142,6 +3431,11 @@ def main():
     write_avro_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
     write_zarr3(os.path.join(TEST_FIX, "golden_v3.zarr"))
+    vals = write_blosc_zarr(os.path.join(TEST_FIX, "golden_blosc.zarr"))
+    with open(os.path.join(TEST_FIX, "golden_blosc_manifest.json"), "w") as f:
+        json.dump(vals, f)
+    write_blosc_zarr3(os.path.join(TEST_FIX, "golden_blosc_v3.zarr"))
+    write_sharded_zarr3(os.path.join(TEST_FIX, "golden_sharded_v3.zarr"))
     write_warc(os.path.join(TEST_FIX, "golden.warc.gz"))
     write_wav(os.path.join(TEST_FIX, "golden.wav"))
     print("fixtures written to", TEST_FIX, "and", MAIN_FIX)
