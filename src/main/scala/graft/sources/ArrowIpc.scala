@@ -750,8 +750,11 @@ object ArrowIpc {
       val metaPos = bb.position()
       val msg = FlatBuf.root(bytes, metaPos, len)
       bb.position(metaPos + len)
-      val bodyLen = msg.getLong(3, 0L).toInt
-      val body = new Array[Byte](bodyLen)
+      val bodyLen = msg.getLong(3, 0L)
+      require(bodyLen >= 0 && bodyLen <= bb.remaining(),
+        s"arrow-ipc: declared body length $bodyLen exceeds the " +
+          s"${bb.remaining()} remaining bytes")
+      val body = new Array[Byte](bodyLen.toInt)
       bb.get(body)
       Some((msg, body))
     }
@@ -827,6 +830,9 @@ object ArrowIpc {
   /** Read + decode one block's envelope, returning (message, body). */
   private def readBlockMessage(raf: RandomAccessFile, blk: Block)
       : (FbTable, Array[Byte]) = {
+    require(blk.metaLen >= 8 && blk.bodyLen >= 0 &&
+      blk.offset >= 0 && blk.offset + blk.metaLen + blk.bodyLen <= raf.length(),
+      s"arrow-ipc: block ($blk) outside the ${raf.length()}-byte file")
     val env = new Array[Byte](blk.metaLen)
     raf.seek(blk.offset); raf.readFully(env)
     val bb = ByteBuffer.wrap(env).order(ByteOrder.LITTLE_ENDIAN)

@@ -54,6 +54,11 @@ object Blosc {
     if (cbytes < 16 || cbytes > src.length)
       fail(s"declared frame size $cbytes vs ${src.length} available")
     if (nbytes == 0) return Array.emptyByteArray
+    // LZ4's worst-case expansion is ~255x (one extension byte extends a
+    // match by 255): a tiny frame declaring a huge nbytes is corrupt,
+    // not compressed — reject before allocating
+    if (nbytes.toLong > 300L * src.length)
+      fail(s"declared nbytes $nbytes absurd for a ${src.length}-byte frame")
 
     val memcpyed = (flags & 0x2) != 0
     if (memcpyed) {

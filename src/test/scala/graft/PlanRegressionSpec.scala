@@ -99,7 +99,9 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q177_safetensors_roundtrip" :+ "q178_dataset_card"
       :+ "q179_mad_outliers"
       :+ "q180_corpus_line_dedup" :+ "q181_nfc_normalize"
-      :+ "q182_domain_blocklist" :+ "q183_arrow_roundtrip")
+      :+ "q182_domain_blocklist" :+ "q183_arrow_roundtrip"
+      :+ "q184_arrow_uint_roundtrip" :+ "q185_zarr_blosc_roundtrip"
+      :+ "q186_zarr3_sharded_roundtrip")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -140,6 +140,29 @@ class BloscSpec extends AnyFunSuite {
     }
   }
 
+  test("corruption sweep: seeded mutations fail loudly, never an Error") {
+    val base = Blosc.compress(doublesLE(Array.tabulate(1024)(i => (i % 53) * 0.5)),
+      8, 2048)
+    val mrng = new scala.util.Random(99)
+    var rejects = 0
+    for (_ <- 0 until 200) {
+      val mutated =
+        if (mrng.nextBoolean()) java.util.Arrays.copyOf(base, 1 + mrng.nextInt(base.length))
+        else {
+          val m = base.clone()
+          val at = mrng.nextInt(m.length)
+          m(at) = (m(at) ^ (1 << mrng.nextInt(8))).toByte
+          m
+        }
+      try { Blosc.decompress(mutated); () }
+      catch {
+        case _: Exception => rejects += 1
+        case e: Error => fail(s"corruption escalated to ${e.getClass}: $e")
+      }
+    }
+    assert(rejects > 80, s"only $rejects/200 mutations rejected")
+  }
+
   test("unsupported codec / bitshuffle / truncation reject loudly") {
     val ok = buildFrame(doublesLE(Array.tabulate(512)(_.toDouble)), 8, 2048,
       shuffle = true)

@@ -88,6 +88,114 @@ def uint_table():
     return pa.Table.from_arrays(arrays, schema=schema), rows
 
 
+def fuzz_cases(fmt):
+    """24 seeded random tables through pyarrow: random schema mixes of
+    every supported type (uint widths, dictionaries, lists, timestamps),
+    random null patterns, batch sizes and body compression. Values are
+    constrained to exactly-representable numbers so the Scala compare is
+    equality, not tolerance."""
+    import random
+    rng = random.Random(20260814)
+    type_pool = [
+        ("i64", pa.int64()), ("i32", pa.int32()), ("i16", pa.int16()),
+        ("i8", pa.int8()), ("u8", pa.uint8()), ("u16", pa.uint16()),
+        ("u32", pa.uint32()), ("f64", pa.float64()), ("f32", pa.float32()),
+        ("bool", pa.bool_()), ("str", pa.utf8()), ("bin", pa.binary()),
+        ("ts", pa.timestamp("us", tz="UTC")), ("tsn", pa.timestamp("us")),
+        ("li64", pa.list_(pa.int64())), ("lf32", pa.list_(pa.float32())),
+        ("lu8", pa.list_(pa.uint8())),
+        ("dstr", pa.dictionary(pa.int8(), pa.utf8())),
+        ("di32", pa.dictionary(pa.int32(), pa.int32())),
+    ]
+    strings = ["", "a", "héllo", "δοκιμή", "漢字テスト", "x" * 50, "tab\tnl\n"]
+
+    def gen_val(kind):
+        if kind == "i64":
+            return rng.randrange(-2**62, 2**62)
+        if kind == "i32":
+            return rng.randrange(-2**31, 2**31)
+        if kind == "i16":
+            return rng.randrange(-2**15, 2**15)
+        if kind == "i8":
+            return rng.randrange(-128, 128)
+        if kind == "u8":
+            return rng.randrange(0, 256)
+        if kind == "u16":
+            return rng.randrange(0, 65536)
+        if kind == "u32":
+            return rng.randrange(0, 2**32)
+        if kind == "f64":
+            return rng.randrange(-10**9, 10**9) / 2.0
+        if kind == "f32":
+            return rng.randrange(-2**21, 2**21) / 4.0
+        if kind == "bool":
+            return rng.random() < 0.5
+        if kind == "str":
+            return rng.choice(strings)
+        if kind == "bin":
+            return bytes(rng.randrange(256) for _ in range(rng.randrange(6)))
+        if kind in ("ts", "tsn"):
+            dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=rng.randrange(0, 2 * 10**15))
+            return dt.replace(tzinfo=datetime.timezone.utc) if kind == "ts" else dt
+        if kind == "li64":
+            return [rng.randrange(-2**40, 2**40) for _ in range(rng.randrange(5))]
+        if kind == "lf32":
+            return [None if rng.random() < 0.15 else rng.randrange(-2**20, 2**20) / 4.0
+                    for _ in range(rng.randrange(5))]
+        if kind == "lu8":
+            return [rng.randrange(256) for _ in range(rng.randrange(5))]
+        if kind == "dstr":
+            return rng.choice(["red", "green", "blue", "cyan"])
+        if kind == "di32":
+            return rng.choice([7, 42, 9000, -3])
+        raise AssertionError(kind)
+
+    manifest = {}
+    for case in range(24):
+        picks = rng.sample(type_pool, rng.randrange(3, 7))
+        fields = [pa.field("id", pa.int64(), nullable=False)] + [
+            pa.field(f"c{i}_{k}", t) for i, (k, t) in enumerate(picks)]
+        nrows = rng.choice([0, 1, 2] + [rng.randrange(3, 40) for _ in range(9)])
+        nullp = rng.choice([0.0, 0.1, 0.4])
+        rows = []
+        for r in range(nrows):
+            row = [r]
+            for (k, t) in picks:
+                row.append(None if rng.random() < nullp else gen_val(k))
+            rows.append(tuple(row))
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        arrays = []
+        for c, f in zip(cols, fields):
+            if pa.types.is_dictionary(f.type):
+                arrays.append(pa.array(list(c), f.type.value_type)
+                              .dictionary_encode())
+            else:
+                arrays.append(pa.array(list(c), f.type))
+        schema = pa.schema(fields)
+        tbl = pa.Table.from_arrays(arrays, schema=schema)
+        comp = rng.choice([None, "lz4", "zstd"])
+        opts = ipc.IpcWriteOptions(compression=comp) if comp else None
+        name = "arrowfuzz_%02d" % case
+        path = os.path.join(OUT, "fuzz", name + ".arrows")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        kw = {"options": opts} if opts else {}
+        with ipc.new_stream(path, schema, **kw) as w:
+            bs = rng.randrange(1, 18)
+            for b in tbl.to_batches(max_chunksize=bs):
+                w.write_batch(b)
+        manifest[name] = {
+            "compression": comp or "none",
+            "rows": [[fmt(v) for v in r] for r in rows],
+        }
+    with open(os.path.join(OUT, "fuzz", "arrow_fuzz_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    print("wrote 24 arrowfuzz cases + arrow_fuzz_manifest.json")
+
+
+import json
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     tbl, rows = table()
@@ -183,6 +291,8 @@ def main():
     with open(os.path.join(OUT, "golden_dict_manifest.txt"), "w") as f:
         for r in drows:
             f.write(";".join(fmt(v) for v in r) + "\n")
+
+    fuzz_cases(fmt)
     print("wrote golden.arrow / golden.arrows / golden_arrow_manifest.txt"
           " / golden_uint.{arrow,arrows} / golden_uint_manifest.txt")
 
