@@ -929,6 +929,35 @@ object SourceQueries {
       Zarr.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
     },
 
+    // ---- S12: Arrow IPC compressed-body round-trip ----------------------
+    // q183's chain with per-buffer LZ4_FRAME body compression on BOTH
+    // sides: the sink frames each buffer via lz4-java (pyarrow's
+    // raw-when-not-smaller rule), the two-phase block reader
+    // decompresses through the from-scratch Lz4 frame decoder — the
+    // hash proves the compressed interchange path value-exact. At
+    // 100 TB the sink always compresses; this is the shape that ships.
+    QueryDef.sqlBacked(
+      "q187_arrow_compressed_roundtrip",
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS corpus_md5
+        |FROM documents WHERE n_chars % 3 = 0 GROUP BY lang""".stripMargin) { (s, d) =>
+      val dir = q187ArrowDir
+      graft.sources.ArrowIpc.write(
+        Tables.documents(s, d).where(col("n_chars") % 3 === 0),
+        dir, batchRows = 1024, compression = Some("lz4"))
+      val parts = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".arrow"))
+        .map(_.getAbsolutePath).sorted
+      parts.map(p => graft.sources.ArrowIpc.readBlocks(s, p))
+        .reduce(_ unionByName _)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          md5(concat_ws("",
+            array_sort(collect_list(struct(col("doc_id"),
+              md5(col("text").cast("binary")).as("h"))))
+              .getField("h")).cast("binary")).as("corpus_md5"))
+    },
+
     // ---- S12: zarr v2 blosc(lz4) round-trip -----------------------------
     // The q107 chain with zarr-python's DEFAULT compressor instead of
     // zlib: chunks go through byte-shuffle -> split LZ4 streams -> the
@@ -984,6 +1013,38 @@ object SourceQueries {
       Zarr3.writeScenes(grid, dir, "lwp", chunkRows = Some(4),
         gzipLevel = Some(6), shardInnerRows = Some(2)).count()
       Zarr3.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
+    },
+
+    // ---- S12 scale: shard-INNER-chunk-parallel zarr v3 ingest -----------
+    // The q159 pattern one level deeper: a consolidated SHARDED store
+    // (ZEP-2) read with one task per INNER chunk — phase 1 touches only
+    // each shard's crc32c-verified (offset, nbytes) index tail (KBs per
+    // shard regardless of shard size), phase 2 does positioned
+    // byte-window reads + inner-pipeline decode. This is the at-scale
+    // posture sharding exists for: object counts stay low (few shard
+    // files) while task granularity stays the inner grid. Oracle states
+    // the planted series; the hash proves index walk -> window read ->
+    // gzip decode -> reassembly value-exact.
+    QueryDef.sqlBacked(
+      "q188_zarr3_shard_inner_parallel",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(j * 10 + i AS DOUBLE) * 0.25 - 20.0 AS lwp
+        |FROM range(0,48) r1(j), range(0,10) r2(i)""".stripMargin) { (s, d) =>
+      import graft.sources.{Zarr3, ZarrChunkIngest}
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-q188").toString
+      val (ny, nx) = (48, 10)
+      val px = (for (j <- 0 until ny; i <- 0 until nx)
+        yield ("cz", new java.sql.Timestamp(0L), i * 1.0, j * 1.0,
+          (j * nx + i) * 0.25 - 20.0))
+        .toDF("scene_id", "time", "x", "y", "value")
+      // 12-row shards of 4-row inner chunks: 4 shard files, 12 tasks
+      Zarr3.writeScenes(px, dir, "lwp", chunkRows = Some(12),
+        gzipLevel = Some(6), shardInnerRows = Some(4)).count()
+      ZarrChunkIngest.readValuesShardInner(s, s"$dir/cz.zarr", "lwp")
+        .select((col("idx") / nx).cast("long").as("y"),
+          (col("idx") % nx).cast("long").as("x"),
+          col("value").as("lwp"))
     },
 
     // ---- S9b scale: chunk-parallel HDF5 ingest (consolidated stores) ----
@@ -1358,6 +1419,18 @@ object SourceQueries {
           sum(col("u32")).as("sum_u32"))
     }
   )
+
+  /** Per-JVM fixture dir for q187 (the q140 discipline). */
+  private lazy val q187ArrowDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q187_arrow_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 
   /** Per-JVM fixture dir for q184 (the q140 discipline). */
   private lazy val q184ArrowDir: String = {

@@ -32,9 +32,10 @@ import FlatBuf.{FbBuilder, FbTable}
   *    (embeddings' list<float32> included).
   *  - dictionary-encoded fields read-side (index substitution through
   *    captured dictionary batches; replacement semantics, deltas
-  *    reject); body compression read-side (LZ4_FRAME via the
-  *    from-scratch [[Lz4]] decoder, ZSTD via Spark's bundled zstd-jni
-  *    binding to the reference C library).
+  *    reject); body compression BOTH ways — reads via the from-scratch
+  *    [[Lz4]] frame decoder / zstd-jni, writes via lz4-java frames /
+  *    zstd-jni with pyarrow's raw-when-not-smaller rule (arrow-java +
+  *    pyarrow read our compressed files back).
   *  - big-endian schemas, unions/maps/dense nesting, delta
   *    dictionaries, uint64 REJECT LOUDLY — never silently misread.
   *  - V5 framing only (continuation-prefixed encapsulated messages).
@@ -414,25 +415,56 @@ object ArrowIpc {
     }
   }
 
+  /** Compress one body buffer the pyarrow way: int64 LE uncompressed
+    * length prefix + codec bytes, storing raw (prefix -1) when the
+    * codec does not shrink. Empty buffers stay empty. */
+  private def compressBuffer(raw: Array[Byte], codec: String): Array[Byte] = {
+    if (raw.isEmpty) return raw
+    val comp = codec match {
+      case "lz4" =>
+        val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val fs = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+          net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB,
+          raw.length.toLong,
+          net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+          net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.CONTENT_SIZE)
+        fs.write(raw); fs.close()
+        bos.toByteArray
+      case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
+      case other => throw new IllegalArgumentException(
+        s"arrow-ipc: unsupported write compression '$other' (lz4/zstd)")
+    }
+    val stored = comp.length < raw.length
+    val out = ByteBuffer.allocate(8 + (if (stored) comp.length else raw.length))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putLong(if (stored) raw.length.toLong else -1L)
+    out.put(if (stored) comp else raw)
+    out.array()
+  }
+
   /** RecordBatch message flatbuffer + aligned body for `rows`. */
-  private def encodeBatch(schema: StructType, rows: IndexedSeq[Row])
-      : (Array[Byte], Array[Byte]) = {
+  private def encodeBatch(schema: StructType, rows: IndexedSeq[Row],
+      compression: Option[String] = None): (Array[Byte], Array[Byte]) = {
     val nodes = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val bufs = new BufList
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       encodeColumn(f.dataType, rows.map(r => if (r.isNullAt(i)) null else r.get(i)),
         nodes, bufs, uintBitsOf(f.metadata))
     }
+    val stored = compression match {
+      case None => bufs.bufs
+      case Some(codec) => bufs.bufs.map(b => compressBuffer(b, codec))
+    }
     // body: 8-aligned concatenation; Buffer entries carry exact lengths
     var pos = 0L
-    val entries = bufs.bufs.map { b =>
+    val entries = stored.map { b =>
       val e = (pos, b.length.toLong)
       pos += (b.length + 7) / 8 * 8
       e
     }
     val body = new Array[Byte](pos.toInt)
     var p = 0
-    bufs.bufs.foreach { b =>
+    stored.foreach { b =>
       System.arraycopy(b, 0, body, p, b.length)
       p += (b.length + 7) / 8 * 8
     }
@@ -446,10 +478,21 @@ object ArrowIpc {
     b.startVector(16, nodes.size, 8)
     nodes.reverse.foreach { case (len, nc) => b.putLong(nc); b.putLong(len) }
     val nodesVec = b.endVector(nodes.size)
+    // BodyCompression (codec: LZ4_FRAME=0 is the flatbuffer default,
+    // ZSTD=1; method BUFFER=0 default): table presence signals
+    // compression
+    val compOff = compression match {
+      case None => 0
+      case Some(codec) =>
+        b.startTable(2)
+        if (codec == "zstd") b.slotByte(0, 1, 0)
+        b.endTable()
+    }
     b.startTable(5)
     b.slotLong(0, rows.length.toLong, 0L)
     b.slotOffset(1, nodesVec)
     b.slotOffset(2, buffersVec)
+    if (compOff != 0) b.slotOffset(3, compOff)
     val rb = b.endTable()
     b.startTable(5)
     b.slotShort(0, 4, 0) // V5
@@ -703,7 +746,8 @@ object ArrowIpc {
   /** Write `rows` as one Arrow file. `fileFormat=false` emits the bare
     * stream (.arrows): schema message, batches, EOS. */
   def writeFile(path: File, schema: StructType, rows: Iterator[Row],
-      batchRows: Int = 4096, fileFormat: Boolean = true): Long = {
+      batchRows: Int = 4096, fileFormat: Boolean = true,
+      compression: Option[String] = None): Long = {
     schema.fields.foreach(f => require(supported(f.dataType),
       s"arrow-ipc: unsupported type ${f.dataType} for column ${f.name}"))
     val out = new FileOutputStream(path)
@@ -716,7 +760,7 @@ object ArrowIpc {
       val blocks = scala.collection.mutable.ArrayBuffer[Block]()
       rows.grouped(batchRows).foreach { g =>
         val batch = g.toIndexedSeq
-        val (meta, body) = encodeBatch(schema, batch)
+        val (meta, body) = encodeBatch(schema, batch, compression)
         val env = envelope(meta)
         val padded = padBody(body)
         blocks += Block(pos, env.length, padded.length.toLong)
@@ -899,7 +943,7 @@ object ArrowIpc {
 
   /** One Arrow file per partition, no shuffle (the Avro/zarr sink shape). */
   def write(df: DataFrame, dir: String, batchRows: Int = 4096,
-      fileFormat: Boolean = true): Unit = {
+      fileFormat: Boolean = true, compression: Option[String] = None): Unit = {
     val schema = df.schema
     // fail fast driver-side, before any job launches
     schema.fields.foreach(f => require(supported(f.dataType),
@@ -912,7 +956,7 @@ object ArrowIpc {
       .foreach(_.delete())
     df.rdd.mapPartitionsWithIndex { (pi, it) =>
       val f = new File(dir, f"part-$pi%05d$ext")
-      Iterator.single(writeFile(f, schema, it, batchRows, fileFormat))
+      Iterator.single(writeFile(f, schema, it, batchRows, fileFormat, compression))
     }.count()
     ()
   }

@@ -278,18 +278,8 @@ object Zarr3 {
       if (off != ShardMissing || len != ShardMissing) {
         if (off < 0 || len < 0 || off + len > raw.length)
           fail(s"inner chunk $g window ($off, $len) outside the shard")
-        val innerRaw = java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt)
-        val bytes = sh.innerCompress match {
-          case None => innerRaw
-          case Some("gzip") => gunzip(innerRaw)
-          case Some("blosc") => Blosc.decompress(innerRaw)
-          case Some("zstd") => Zarr.zstdInflate(innerRaw)
-          case Some(other) => fail(s"inner codec '$other' unsupported")
-        }
-        val expect = sh.innerChunks.product * es
-        if (bytes.length != expect)
-          fail(s"inner chunk $g has ${bytes.length} bytes, expected $expect")
-        val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+        val vals = decodeInnerChunk(
+          java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), meta, sh)
         var k = 0
         val within = sh.innerChunks.product
         while (k < within) {
@@ -301,13 +291,64 @@ object Zarr3 {
             pos += (gi.toLong * sh.innerChunks(dim) + li) * cStrides(dim)
             dim += 1
           }
-          out(pos.toInt) = decodeElem(bb, meta.dtype, k)
+          out(pos.toInt) = vals(k)
           k += 1
         }
       }
       g += 1
     }
     out
+  }
+
+  /** Decode ONE inner chunk's raw bytes (inner pipeline applied) to its
+    * inner-chunk-sized value array — the [[ZarrChunkIngest]] unit for
+    * shard-inner-parallel reads. */
+  private[sources] def decodeInnerChunk(innerRaw: Array[Byte], meta: Meta,
+      sh: Sharding): Array[Double] = {
+    val es = DtypeSizes(meta.dtype)
+    val bytes = sh.innerCompress match {
+      case None => innerRaw
+      case Some("gzip") => gunzip(innerRaw)
+      case Some("blosc") => Blosc.decompress(innerRaw)
+      case Some("zstd") => Zarr.zstdInflate(innerRaw)
+      case Some(other) => fail(s"inner codec '$other' unsupported")
+    }
+    val expect = sh.innerChunks.product * es
+    if (bytes.length != expect)
+      fail(s"inner chunk has ${bytes.length} bytes, expected $expect")
+    val order = if (sh.innerBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+    Array.tabulate(sh.innerChunks.product)(k => decodeElem(bb, meta.dtype, k))
+  }
+
+  /** Read a SHARD file's index only (its 16*nInner + optional-crc tail
+    * or head): (offset, nbytes) per inner chunk, absent = (-1, -1).
+    * This is the KB-sized metadata phase of the shard-inner-parallel
+    * ingest — the shard body is never touched here. */
+  private[sources] def readShardIndex(f: java.io.File, meta: Meta,
+      sh: Sharding): IndexedSeq[(Long, Long)] = {
+    val gridDims = meta.chunks.zip(sh.innerChunks).map { case (o, i) => o / i }
+    val nInner = gridDims.product
+    val indexLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      if (raf.length() < indexLen)
+        fail(s"shard ${f.getName} (${raf.length()} B) shorter than its $indexLen-byte index")
+      val idx = new Array[Byte](indexLen)
+      raf.seek(if (sh.indexAtEnd) raf.length() - indexLen else 0L)
+      raf.readFully(idx)
+      if (sh.indexCrc) {
+        val crc = new java.util.zip.CRC32C()
+        crc.update(idx, 0, nInner * 16)
+        val stored = java.nio.ByteBuffer.wrap(idx, nInner * 16, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
+        if (crc.getValue != stored)
+          fail(f"shard ${f.getName} index crc32c mismatch (stored 0x$stored%08x)")
+      }
+      val bb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      IndexedSeq.tabulate(nInner)(g => (bb.getLong(g * 16), bb.getLong(g * 16 + 8)))
+    } finally raf.close()
   }
 
   /** Chunk file name under the array dir for chunk index `ci`. */

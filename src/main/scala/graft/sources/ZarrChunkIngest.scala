@@ -113,4 +113,123 @@ object ZarrChunkIngest {
       }
       .toDF("path", "dataset", "idx", "value")
   }
+
+  /** One inner-chunk task inside one shard file: byte window [offset,
+    * offset+length); length == -1 marks an ABSENT inner chunk (emit
+    * fill). `ci` is the shard's grid index, `gi` the inner chunk's
+    * index within the shard. */
+  final case class InnerTask(store: String, dataset: String, ci: Seq[Int],
+      gi: Seq[Int], offset: Long, length: Long)
+
+  /** Phase 1 for SHARDED v3 arrays: read only each shard's
+    * (offset, nbytes) index tail — KBs per shard regardless of shard
+    * size, crc32c-verified — and enumerate one task per INNER chunk.
+    * This is what makes sharding the 100 TB shape: shard files keep the
+    * object count low while the task granularity stays the inner grid,
+    * and phase 2 reads only each task's byte window, never a whole
+    * shard. */
+  def shardInnerTasks(store: String, name: String): Seq[InnerTask] = {
+    val f = new java.io.File(store)
+    val meta = metaOf(f, name) match {
+      case Right(m) if m.sharding.isDefined => m
+      case Right(_) => fail(s"$store/$name is not sharded — use chunkTasks")
+      case Left(_) => fail(s"$store/$name is zarr v2 — sharding is v3-only")
+    }
+    val sh = meta.sharding.get
+    val d = new java.io.File(f, name)
+    val innerGrid = gridOf(meta.chunks, sh.innerChunks)
+    gridOf(meta.shape, meta.chunks).flatMap { ci =>
+      val shardFile = Zarr3.chunkKey(meta, ci).split('/')
+        .foldLeft(d)((acc, p) => new java.io.File(acc, p))
+      if (!shardFile.exists())
+        innerGrid.map(gi => InnerTask(store, name, ci, gi, -1L, -1L))
+      else {
+        val index = Zarr3.readShardIndex(shardFile, meta, sh)
+        innerGrid.zipWithIndex.map { case (gi, g) =>
+          val (off, len) = index(g)
+          InnerTask(store, name, ci, gi, off, len)
+        }
+      }
+    }
+  }
+
+  /** Phase 2 fan-out for sharded arrays: one positioned byte-range read
+    * + inner-pipeline decode per task; absent inner chunks (index
+    * sentinel or missing shard file) emit fill. Same output contract as
+    * [[readValues]]. */
+  def readValuesShardInner(spark: SparkSession, store: String, name: String,
+      partitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val tasks = shardInnerTasks(store, name)
+    require(tasks.nonEmpty, s"no inner chunks for $store/$name")
+    val par = if (partitions > 0) partitions
+      else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(tasks)
+      .repartition(par)
+      .mapPartitions { it =>
+        var cachedMeta: ((String, String), Zarr3.Meta) = null
+        var raf: java.io.RandomAccessFile = null
+        var rafPath: String = null
+        def handleFor(p: java.io.File): java.io.RandomAccessFile = {
+          // one handle per shard file per partition (HDF5ChunkIngest's
+          // handle-reuse discipline)
+          if (raf == null || rafPath != p.getPath) {
+            if (raf != null) raf.close()
+            raf = new java.io.RandomAccessFile(p, "r"); rafPath = p.getPath
+          }
+          raf
+        }
+        val out = it.flatMap { t =>
+          val storeDir = new java.io.File(t.store)
+          if (cachedMeta == null || cachedMeta._1 != ((t.store, t.dataset)))
+            cachedMeta = ((t.store, t.dataset), metaOf(storeDir, t.dataset) match {
+              case Right(m) => m
+              case Left(_) => fail("v2 store in shard-inner read")
+            })
+          val meta = cachedMeta._2
+          val sh = meta.sharding.getOrElse(fail("meta lost its sharding"))
+          val d = new java.io.File(storeDir, t.dataset)
+          val missing = t.offset == -1L && t.length == -1L
+          val vals: Option[Array[Double]] =
+            if (missing) None
+            else {
+              val shardFile = Zarr3.chunkKey(meta, t.ci).split('/')
+                .foldLeft(d)((acc, p) => new java.io.File(acc, p))
+              val h = handleFor(shardFile)
+              require(t.offset >= 0 && t.length >= 0 &&
+                t.offset + t.length <= h.length(),
+                s"inner window (${t.offset}, ${t.length}) outside ${shardFile.getName}")
+              val raw = new Array[Byte](t.length.toInt)
+              h.seek(t.offset); h.readFully(raw)
+              Some(Zarr3.decodeInnerChunk(raw, meta, sh))
+            }
+          val inner = sh.innerChunks
+          val iStrides = inner.scanRight(1)(_ * _).tail
+          val strides = meta.shape.scanRight(1)(_ * _).tail
+          (0 until inner.product).iterator.flatMap { k =>
+            var g = 0L; var inBounds = true; var dim = 0
+            while (dim < meta.shape.size && inBounds) {
+              val local = (k / iStrides(dim)) % inner(dim)
+              val global = t.ci(dim) * meta.chunks(dim) +
+                t.gi(dim) * inner(dim) + local
+              if (global >= meta.shape(dim)) inBounds = false
+              else g += global.toLong * strides(dim)
+              dim += 1
+            }
+            if (!inBounds) None
+            else Some((t.store, t.dataset, g, vals.map(_(k)).getOrElse(meta.fill)))
+          }
+        }
+        // close the last handle when the partition iterator drains
+        new Iterator[(String, String, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && raf != null) { raf.close(); raf = null }
+            h
+          }
+          def next(): (String, String, Long, Double) = out.next()
+        }
+      }
+      .toDF("path", "dataset", "idx", "value")
+  }
 }

@@ -101,7 +101,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q180_corpus_line_dedup" :+ "q181_nfc_normalize"
       :+ "q182_domain_blocklist" :+ "q183_arrow_roundtrip"
       :+ "q184_arrow_uint_roundtrip" :+ "q185_zarr_blosc_roundtrip"
-      :+ "q186_zarr3_sharded_roundtrip")
+      :+ "q186_zarr3_sharded_roundtrip" :+ "q187_arrow_compressed_roundtrip"
+      :+ "q188_zarr3_shard_inner_parallel")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -258,6 +258,45 @@ class ArrowIpcSpec extends SparkSpec {
     assertMatchesManifest(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
   }
 
+  test("our LZ4/ZSTD-compressed writer output reads back and is readable " +
+      "by arrow-java (foreign reader with compression factory)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .where(col("doc_id") < 60)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .coalesce(1)
+    val want = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    for (codec <- Seq("lz4", "zstd")) {
+      val dir = Files.createTempDirectory(s"arrow-wc-$codec").toString
+      ArrowIpc.write(docs, dir, batchRows = 16, compression = Some(codec))
+      // our own reader round-trips the compressed bodies
+      val back = ArrowIpc.read(spark, dir)
+      assert(back.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3))).toSet == want, s"$codec self-read")
+      // foreign reader: arrow-java with its compression factory
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector.ipc.ArrowFileReader
+      import org.apache.arrow.compression.CommonsCompressionFactory
+      val f = new File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+      val alloc = new RootAllocator()
+      val ch = java.nio.channels.FileChannel.open(f.toPath)
+      val rd = new ArrowFileReader(ch, alloc, CommonsCompressionFactory.INSTANCE)
+      try {
+        val root = rd.getVectorSchemaRoot
+        val got = scala.collection.mutable.Set[(Long, String, Long, String)]()
+        while (rd.loadNextBatch()) {
+          (0 until root.getRowCount).foreach { i =>
+            got += ((root.getVector("doc_id").getObject(i).asInstanceOf[Long],
+              String.valueOf(root.getVector("lang").getObject(i)),
+              root.getVector("n_chars").getObject(i).asInstanceOf[Long],
+              String.valueOf(root.getVector("text").getObject(i))))
+          }
+        }
+        assert(got.toSet == want, s"$codec arrow-java read")
+      } finally { rd.close(); ch.close(); alloc.close() }
+    }
+  }
+
   // ---- pyarrow dictionary-encoded columns --------------------------------
 
   private lazy val dictManifest: Seq[Seq[Any]] =

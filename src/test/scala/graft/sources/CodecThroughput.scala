@@ -1,0 +1,77 @@
+package graft.sources
+
+/** One-shot single-thread codec throughput measurement backing the
+  * SCALE.md round-12 note (`sbt "Test/runMain graft.sources.CodecThroughput"`).
+  * The decode paths here run once per chunk executor-side with no shared
+  * state, so per-core MB/s × cores is the ingest ceiling the codec layer
+  * imposes; the numbers recorded in SCALE.md came from this harness on
+  * the build host. */
+object CodecThroughput {
+
+  private def time[A](reps: Int)(f: => A): Double = {
+    f // warmup
+    val t0 = System.nanoTime()
+    (0 until reps).foreach(_ => f)
+    (System.nanoTime() - t0) / 1e9 / reps
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mb = 64
+    val n = mb * 1024 * 1024 / 8
+    // QUANTIZED doubles — the decoded-satellite-product shape (physical
+    // fields stored at fixed precision): few distinct mantissas, so
+    // shuffle + LZ4 bite. The full-entropy contrast is reported too.
+    val data = new Array[Byte](n * 8)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i =>
+      bb.putDouble(math.rint(math.sin(i / 100.0) * 500) / 4.0))
+    val hard = new Array[Byte](n * 8)
+    val hb = java.nio.ByteBuffer.wrap(hard).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => hb.putDouble(math.sin(i / 100.0) * 1000))
+    val hardFrame = Blosc.compress(hard, 8, 256 * 1024)
+    val tHardD = time(3)(Blosc.decompress(hardFrame))
+
+    val bloscFrame = Blosc.compress(data, 8, 256 * 1024)
+    val tBloscC = time(3)(Blosc.compress(data, 8, 256 * 1024))
+    val tBloscD = time(3)(Blosc.decompress(bloscFrame))
+
+    val lzBos = new java.io.ByteArrayOutputStream()
+    val lzFs = new net.jpountz.lz4.LZ4FrameOutputStream(lzBos,
+      net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_4MB, data.length.toLong,
+      net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+      net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.CONTENT_SIZE)
+    lzFs.write(data); lzFs.close()
+    val lzFrame = lzBos.toByteArray
+    val tLz4D = time(3)(Lz4.decompressFrame(lzFrame))
+
+    val zFrame = com.github.luben.zstd.Zstd.compress(data, 3)
+    val tZstdD = time(3)(Zarr.zstdInflate(zFrame))
+
+    def gz(bytes: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(bytes); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val gzFrame = gz(data)
+    val tGzD = time(3) {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(gzFrame)
+      val out = new java.io.ByteArrayOutputStream(data.length)
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
+      inf.end(); out.toByteArray
+    }
+
+    def mbs(t: Double) = f"${mb / t}%.0f MB/s"
+    println(f"payload: $mb MB smooth doubles")
+    println(f"blosc(lz4,shuffle) compress  ${mbs(tBloscC)}  ratio ${data.length.toDouble / bloscFrame.length}%.1fx")
+    println(f"blosc(lz4,shuffle) decomp    ${mbs(tBloscD)}")
+    println(f"blosc full-entropy decomp    ${mbs(tHardD)}  ratio ${hard.length.toDouble / hardFrame.length}%.1fx")
+    println(f"lz4-frame decomp (from-scratch decoder) ${mbs(tLz4D)}  ratio ${data.length.toDouble / lzFrame.length}%.1fx")
+    println(f"zstd decomp (zstd-jni)       ${mbs(tZstdD)}  ratio ${data.length.toDouble / zFrame.length}%.1fx")
+    println(f"zlib decomp (contrast)       ${mbs(tGzD)}  ratio ${data.length.toDouble / gzFrame.length}%.1fx")
+  }
+}

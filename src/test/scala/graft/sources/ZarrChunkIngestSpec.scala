@@ -34,6 +34,41 @@ class ZarrChunkIngestSpec extends SparkSpec {
     }
   }
 
+  test("sharded + blosc foreign stores ride the chunk-parallel path too") {
+    // decodeChunkBytes handles the full pipeline, so the task unit for
+    // a sharded array is the SHARD (its inner grid decodes in-task) and
+    // blosc chunks decode like any other compressor
+    val sharded = fixture("golden_sharded_v3.zarr")
+    val (_, wantS) = Zarr3.readArray(sharded, "temp")
+    assert(chunked(sharded.getAbsolutePath, "temp") ==
+      wantS.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap)
+    val blosc = fixture("golden_blosc.zarr")
+    for (name <- Seq("sst", "big", "mask", "noise")) {
+      val (_, want) = Zarr.readArray(blosc, name)
+      assert(chunked(blosc.getAbsolutePath, name) ==
+        want.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap, name)
+    }
+  }
+
+  test("shard-INNER-parallel read: one task per inner chunk, positioned " +
+      "byte windows, absent sentinel -> fill") {
+    val sharded = fixture("golden_sharded_v3.zarr")
+    val tasks = ZarrChunkIngest.shardInnerTasks(sharded.getAbsolutePath, "temp")
+    assert(tasks.size == 8) // 2 shards x (2x2) inner grid
+    assert(tasks.count(_.length == -1L) == 1) // the absent inner chunk
+    assert(tasks.filter(_.length >= 0).forall(_.offset >= 0))
+    val got = ZarrChunkIngest.readValuesShardInner(
+      spark, sharded.getAbsolutePath, "temp")
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val (_, want) = Zarr3.readArray(sharded, "temp")
+    assert(got == want.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap)
+    // non-sharded arrays reject loudly on this path
+    val e = intercept[IllegalArgumentException] {
+      ZarrChunkIngest.shardInnerTasks(fixture("golden_v3.zarr").getAbsolutePath, "lwp")
+    }
+    assert(e.getMessage.contains("not sharded"))
+  }
+
   test("a big Scala-written store fans out one task per chunk") {
     val s = spark
     import s.implicits._
