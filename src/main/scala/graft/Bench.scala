@@ -108,7 +108,13 @@ object Bench {
     // Round 10 (second wave): prototype-distance pruning — times the
     // argmin cell assign + two-phase per-cell hardness rank, the
     // data-pruning sibling of q96's SemDeDup.
-    "q162_proto_prune")
+    "q162_proto_prune",
+    // Round 12: compressed Arrow interchange round-trip — times the
+    // sf-scaled documents table through write(lz4 bodies) -> two-phase
+    // footer-block read -> per-buffer frame decode -> aggregate, the
+    // interchange shape that actually ships at 100 TB (sinks always
+    // compress). Sits next to q129/q153's ingest timings.
+    "q187_arrow_compressed_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
