@@ -2130,6 +2130,55 @@ object LlmQueries {
         |FROM r JOIN targets ON targets.lang = r.lang""".stripMargin) { (s, d) =>
       graft.operators.Mixing.temperatureSample(
         Tables.documents(s, d), "doc_id", "lang", sampleFrac = 0.25)
+    },
+
+    // ---- SFT sample assembly (chat template + loss spans) ---------------
+    // Instruction-data prep: documents fold into synthetic 4-turn
+    // conversations (user/assistant alternating by doc_id), rendered
+    // through the ChatML-style template with [start, end) character
+    // offsets over assistant CONTENT — the loss-mask contract. The
+    // oracle replays the render as an ordered string_agg and the
+    // offsets as a window cumsum, so the hash pins template bytes AND
+    // offset arithmetic. One window + one groupBy, both keyed on
+    // conv_id; no UDFs (SftAssembly).
+    QueryDef.sqlBacked(
+      "q189_sft_chat_template",
+      """WITH turns AS (
+        |  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn_idx,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text
+        |  FROM documents),
+        |r AS (
+        |  SELECT conv_id, turn_idx, role, text,
+        |    '<|im_start|>' || role || chr(10) || text || '<|im_end|>' || chr(10)
+        |      AS rendered,
+        |    12 + length(role) + 1 AS hlen, length(text) AS clen
+        |  FROM turns),
+        |w AS (
+        |  SELECT *, COALESCE(SUM(length(rendered)) OVER (
+        |    PARTITION BY conv_id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM r)
+        |SELECT CAST(conv_id AS BIGINT) AS conv_id,
+        |  count(*) AS n_turns,
+        |  md5(string_agg(rendered, '' ORDER BY turn_idx)) AS conv_md5,
+        |  COALESCE(string_agg(CASE WHEN role = 'assistant'
+        |    THEN (off + hlen) || '-' || (off + hlen + clen) END,
+        |    ',' ORDER BY turn_idx), '') AS spans,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN clen ELSE 0 END)
+        |    AS BIGINT) AS loss_chars
+        |FROM w GROUP BY conv_id""".stripMargin) { (s, d) =>
+      val turns = Tables.documents(s, d).select(
+        expr("doc_id div 4").as("conv_id"),
+        expr("doc_id % 4").as("turn_idx"),
+        when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+        col("text").as("content"))
+      graft.operators.SftAssembly.renderChatML(turns)
+        .select(col("conv_id"), col("n_turns"),
+          md5(col("text").cast("binary")).as("conv_md5"),
+          concat_ws(",", expr(
+            "transform(spans, s -> concat(s.start, '-', s.end))")).as("spans"),
+          col("loss_chars"))
     }
   )
 }
