@@ -149,13 +149,12 @@ object Blosc {
         val max = comp.maxCompressedLength(neblock)
         val cbuf = new Array[Byte](max)
         val clen = comp.compress(block, s * neblock, neblock, cbuf, 0, max)
-        val (len, payload, plen) =
-          if (clen >= neblock) (neblock, block, neblock) // store raw
-          else (clen, cbuf, clen)
-        val lb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(len)
+        val storeRaw = clen >= neblock // like c-blosc: raw when not smaller
+        val lb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(if (storeRaw) neblock else clen)
         bos.write(lb.array())
-        if (len == neblock) bos.write(block, s * neblock, neblock)
-        else bos.write(payload, 0, plen)
+        if (storeRaw) bos.write(block, s * neblock, neblock)
+        else bos.write(cbuf, 0, clen)
         s += 1
       }
       bos.toByteArray

@@ -33,52 +33,10 @@ object Lz4 {
     require(srcOff >= 0 && srcLen >= 0 && srcOff + srcLen <= src.length,
       s"lz4 decode: bad src window ($srcOff, $srcLen) for ${src.length} bytes")
     require(dstLen >= 0, s"lz4 decode: negative dstLen $dstLen")
-    val dst = new Array[Byte](dstLen)
-    var s = srcOff
-    val end = srcOff + srcLen
-    var d = 0
-    while (s < end) {
-      val token = src(s) & 0xff
-      s += 1
-      // literal length (4 high bits; 15 => extended by 255-run bytes)
-      var litLen = token >>> 4
-      if (litLen == 15) {
-        var b = 255
-        while (b == 255) {
-          if (s >= end) fail("truncated literal-length extension")
-          b = src(s) & 0xff; s += 1
-          litLen += b
-        }
-      }
-      if (s + litLen > end) fail("literal run past input end")
-      if (d + litLen > dstLen) fail("literal run past declared output size")
-      System.arraycopy(src, s, dst, d, litLen)
-      s += litLen; d += litLen
-      if (s < end) { // last sequence carries literals only
-        if (s + 2 > end) fail("truncated match offset")
-        val offset = (src(s) & 0xff) | ((src(s + 1) & 0xff) << 8)
-        s += 2
-        if (offset == 0) fail("match offset 0 is invalid")
-        if (offset > d) fail(s"match offset $offset reaches before output start")
-        var matchLen = (token & 0xf) + 4
-        if ((token & 0xf) == 15) {
-          var b = 255
-          while (b == 255) {
-            if (s >= end) fail("truncated match-length extension")
-            b = src(s) & 0xff; s += 1
-            matchLen += b
-          }
-        }
-        if (d + matchLen > dstLen) fail("match run past declared output size")
-        // byte-by-byte: offsets < matchLen overlap deliberately (RLE)
-        var m = d - offset
-        var i = 0
-        while (i < matchLen) { dst(d + i) = dst(m + i); i += 1 }
-        d += matchLen
-      }
-    }
-    if (d != dstLen) fail(s"decompressed $d bytes, declared $dstLen")
-    dst
+    val out = decompressBlockUnknown(src, srcOff, srcLen, dstLen)
+    if (out.length != dstLen)
+      fail(s"decompressed ${out.length} bytes, declared $dstLen")
+    out
   }
 
   /** Decompress one LZ4 FRAME starting at `srcOff`. Returns the content
