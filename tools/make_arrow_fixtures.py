@@ -292,6 +292,49 @@ def main():
         for r in drows:
             f.write(";".join(fmt(v) for v in r) + "\n")
 
+    # extended types: date32, large offsets, fixed-size lists (the
+    # numpy-embedding shape), decimal128
+    import decimal
+    ext_schema = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("day", pa.date32()),
+        pa.field("big_s", pa.large_utf8()),
+        pa.field("big_b", pa.large_binary()),
+        pa.field("big_l", pa.large_list(pa.int64())),
+        pa.field("emb4", pa.list_(pa.float32(), 4)),
+        pa.field("amount", pa.decimal128(12, 3)),
+    ])
+    D = decimal.Decimal
+    ext_rows = [
+        (1, datetime.date(2020, 2, 2), "alpha", b"\x00\x01", [1, 2, 3],
+         [1.0, -2.5, 0.25, 8.0], D("123.456")),
+        (2, datetime.date(1969, 12, 31), "δοκιμή", b"", [],
+         [0.0, 0.0, 0.0, 0.0], D("-0.001")),
+        (3, None, None, None, None, None, None),
+        (4, datetime.date(1970, 1, 1), "x" * 40, b"\xff" * 3, [-(2**40)],
+         [3.5, None, -1.25, 2.0], D("999999999.999")),
+        (5, datetime.date(2038, 1, 19), "", b"\x7f", [7, 8],
+         [-0.5, 0.75, 1.5, -3.0], D("0.000")),
+    ]
+    ext_cols = list(zip(*ext_rows))
+    ext_arrays = [pa.array(c, type=f.type) for c, f in zip(ext_cols, ext_schema)]
+    ext_tbl = pa.Table.from_arrays(ext_arrays, schema=ext_schema)
+    with ipc.new_file(os.path.join(OUT, "golden_ext.arrow"), ext_schema) as w:
+        w.write_table(ext_tbl, max_chunksize=2)
+    with ipc.new_stream(os.path.join(OUT, "golden_ext.arrows"), ext_schema) as w:
+        w.write_table(ext_tbl, max_chunksize=2)
+
+    def fmt_ext(v):
+        if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+            return "D" + v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return "c" + str(v)
+        return fmt(v)
+
+    with open(os.path.join(OUT, "golden_ext_manifest.txt"), "w") as f:
+        for r in ext_rows:
+            f.write(";".join(fmt_ext(v) for v in r) + "\n")
+
     fuzz_cases(fmt)
     print("wrote golden.arrow / golden.arrows / golden_arrow_manifest.txt"
           " / golden_uint.{arrow,arrows} / golden_uint_manifest.txt")
