@@ -958,6 +958,45 @@ object SourceQueries {
               .getField("h")).cast("binary")).as("corpus_md5"))
     },
 
+    // ---- S12: Arrow date32 + decimal128 ride the oracle hash ------------
+    // The calendar/money types every lakehouse interchange carries:
+    // day derives from doc_id (4-byte date32 buffer), amount is
+    // n_chars at DECIMAL(12,3) scale (16-byte LE two's-complement
+    // decimal128, exact x.125 steps so no rounding ambiguity). Values
+    // go arrow-file -> two-phase block read -> aggregate; the oracle
+    // recomputes from parquet with dates compared as ISO strings and
+    // the decimal sum integerized at scale 3 — decode errors in either
+    // byte layout break the hash.
+    QueryDef.sqlBacked(
+      "q190_arrow_ext_roundtrip",
+      """SELECT CAST(doc_id % 10 AS BIGINT) AS g, count(*) AS n,
+        |  CAST(min(DATE '1970-01-01' + CAST(doc_id % 20000 AS INT)) AS VARCHAR) AS min_day,
+        |  CAST(max(DATE '1970-01-01' + CAST(doc_id % 20000 AS INT)) AS VARCHAR) AS max_day,
+        |  CAST(sum(CAST(CAST(CAST(n_chars AS DECIMAL(12,3))
+        |    * CAST(0.125 AS DECIMAL(4,3)) AS DECIMAL(12,3)) * 1000 AS BIGINT))
+        |    AS BIGINT) AS sum_milli
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = q190ArrowDir
+      val src = Tables.documents(s, d).select(
+        col("doc_id"),
+        date_add(lit("1970-01-01").cast("date"),
+          (col("doc_id") % 20000).cast("int")).as("day"),
+        (col("n_chars").cast(org.apache.spark.sql.types.DecimalType(12, 3))
+          * lit(0.125).cast(org.apache.spark.sql.types.DecimalType(4, 3)))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 3)).as("amount"))
+      graft.sources.ArrowIpc.write(src, dir, batchRows = 1024)
+      val parts = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".arrow"))
+        .map(_.getAbsolutePath).sorted
+      parts.map(p => graft.sources.ArrowIpc.readBlocks(s, p))
+        .reduce(_ unionByName _)
+        .groupBy((col("doc_id") % 10).cast("long").as("g"))
+        .agg(count(lit(1)).as("n"),
+          min(col("day")).cast("string").as("min_day"),
+          max(col("day")).cast("string").as("max_day"),
+          sum((col("amount") * 1000).cast("long")).as("sum_milli"))
+    },
+
     // ---- S12: zarr v2 blosc(lz4) round-trip -----------------------------
     // The q107 chain with zarr-python's DEFAULT compressor instead of
     // zlib: chunks go through byte-shuffle -> split LZ4 streams -> the
@@ -1419,6 +1458,18 @@ object SourceQueries {
           sum(col("u32")).as("sum_u32"))
     }
   )
+
+  /** Per-JVM fixture dir for q190 (the q140 discipline). */
+  private lazy val q190ArrowDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q190_arrow_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 
   /** Per-JVM fixture dir for q187 (the q140 discipline). */
   private lazy val q187ArrowDir: String = {

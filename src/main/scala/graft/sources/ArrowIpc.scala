@@ -28,7 +28,10 @@ import FlatBuf.{FbBuilder, FbTable}
   *    width riding in StructField metadata; written via [[asUint]]),
   *    float32/64,
   *    utf8, binary, bool, timestamp[us] (with/without timezone),
-  *    list<primitive> — the working set for the testdata tables
+  *    date32[day], decimal128, list<primitive>, and read-side
+  *    large_utf8/large_binary/large_list (int64 offsets, layout marker
+  *    in metadata) + fixed_size_list (the numpy-embedding shape; no
+  *    offsets buffer) — the working set for the testdata tables
   *    (embeddings' list<float32> included).
   *  - dictionary-encoded fields read-side (index substitution through
   *    captured dictionary batches; replacement semantics, deltas
@@ -60,8 +63,14 @@ object ArrowIpc {
   private val TBinary = 4
   private val TUtf8 = 5
   private val TBool = 6
+  private val TDecimal = 7
+  private val TDate = 8
   private val TTimestamp = 10
   private val TList = 12
+  private val TFixedSizeList = 16
+  private val TLargeBinary = 19
+  private val TLargeUtf8 = 20
+  private val TLargeList = 21
 
   private val Continuation = 0xffffffff
 
@@ -80,6 +89,13 @@ object ArrowIpc {
     * through the captured dictionary batch. */
   private[sources] val DictIdKey = "arrow_dict_id"
   private[sources] val DictIndexBitsKey = "arrow_dict_index_bits"
+
+  /** Physical-layout markers for read-side variants that share a Spark
+    * type with their plain siblings: large_utf8/large_binary/large_list
+    * carry int64 offsets; fixed_size_list has NO offsets buffer (its
+    * element count is rows x size). */
+  private[sources] val LargeOffsetsKey = "arrow_large_offsets"
+  private[sources] val FslSizeKey = "arrow_fsl_size"
 
   private def uintBitsOf(meta: Metadata): Int =
     if (meta.contains(UintBitsKey)) meta.getLong(UintBitsKey).toInt else 0
@@ -100,7 +116,8 @@ object ArrowIpc {
   private def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
          FloatType | StringType | BinaryType | BooleanType |
-         TimestampType | TimestampNTZType => true
+         TimestampType | TimestampNTZType | DateType => true
+    case d: DecimalType => d.precision <= 38 // decimal128
     case ArrayType(et, _) => et match {
       case LongType | IntegerType | DoubleType | FloatType => true
       case _ => false
@@ -160,6 +177,17 @@ object ArrowIpc {
         b.startTable(2)
         b.slotShort(0, 2, 0)
         (TTimestamp, b.endTable())
+      case DateType =>
+        b.startTable(1)
+        // Date.fbs defaults unit to MILLISECOND (1): DAY must be written
+        b.slotShort(0, 0, 1)
+        (TDate, b.endTable())
+      case d: DecimalType =>
+        b.startTable(3)
+        b.slotInt(0, d.precision, 0)
+        b.slotInt(1, d.scale, 0)
+        // bitWidth slot 2: 128 = flatbuffer default, omitted
+        (TDecimal, b.endTable())
       case ArrayType(_, _) =>
         b.startTable(0); (TList, b.endTable())
       case other => throw new IllegalArgumentException(s"unreachable $other")
@@ -228,6 +256,8 @@ object ArrowIpc {
     // Spark type's
     var uintBits = 0
     var itemUintBits = 0
+    var largeOffsets = false
+    var fslSize = 0
     val dt: DataType = tag match {
       case TInt =>
         val bits = t.map(_.getInt(0, 0)).getOrElse(0)
@@ -251,28 +281,54 @@ object ArrowIpc {
         }
       case TUtf8 => StringType
       case TBinary => BinaryType
+      case TLargeUtf8 => largeOffsets = true; StringType
+      case TLargeBinary => largeOffsets = true; BinaryType
       case TBool => BooleanType
+      case TDate =>
+        // absent slot = the fbs default MILLISECOND (date64) -> reject
+        val unit = t.map(_.getShort(0, 1).toInt).getOrElse(1)
+        require(unit == 0,
+          s"arrow-ipc: only date32[day] supported, got date unit $unit for '$name'")
+        DateType
+      case TDecimal =>
+        val p = t.map(_.getInt(0, 0)).getOrElse(0)
+        val sc = t.map(_.getInt(1, 0)).getOrElse(0)
+        val bits = t.map(_.getInt(2, 128)).getOrElse(128)
+        require(bits == 128,
+          s"arrow-ipc: only decimal128 supported, got $bits bits for '$name'")
+        require(p >= 1 && p <= 38,
+          s"arrow-ipc: decimal precision $p out of [1, 38] for '$name'")
+        DecimalType(p, sc)
       case TTimestamp =>
         val unit = t.map(_.getShort(0, 0).toInt).getOrElse(0)
         require(unit == 2,
           s"arrow-ipc: only timestamp[us] supported, got unit $unit for '$name'")
         if (t.exists(_.string(1).isDefined)) TimestampType else TimestampNTZType
-      case TList =>
+      case TList | TLargeList | TFixedSizeList =>
         require(f.vectorLen(5) == 1, s"arrow-ipc: list '$name' needs one child")
         val child = readField(f.vectorTable(5, 0))
         itemUintBits = uintBitsOf(child.metadata)
         require(!child.metadata.contains(ItemUintBitsKey),
           s"arrow-ipc: nested list<list<uint>> not supported for '$name'")
+        if (tag == TLargeList) largeOffsets = true
+        if (tag == TFixedSizeList) {
+          fslSize = t.map(_.getInt(0, 0)).getOrElse(0)
+          require(fslSize > 0,
+            s"arrow-ipc: fixed_size_list '$name' needs a positive size")
+        }
         ArrayType(child.dataType, f.vectorTable(5, 0).getBool(1, dflt = false))
       case other => throw new IllegalArgumentException(
         s"arrow-ipc: unsupported type tag $other for field '$name'")
     }
-    if (uintBits == 0 && itemUintBits == 0 && dict.isEmpty)
+    if (uintBits == 0 && itemUintBits == 0 && dict.isEmpty &&
+        !largeOffsets && fslSize == 0)
       StructField(name, dt, nullable)
     else {
       val mb = new MetadataBuilder()
       if (uintBits != 0) mb.putLong(UintBitsKey, uintBits.toLong)
       if (itemUintBits != 0) mb.putLong(ItemUintBitsKey, itemUintBits.toLong)
+      if (largeOffsets) mb.putBoolean(LargeOffsetsKey, true)
+      if (fslSize != 0) mb.putLong(FslSizeKey, fslSize.toLong)
       dict.foreach { case (id, idxBits) =>
         require(!dt.isInstanceOf[ArrayType],
           s"arrow-ipc: dictionary-encoded list field '$name' not supported")
@@ -383,6 +439,35 @@ object ArrowIpc {
       case BooleanType =>
         out.add(bitmapOf(Array.tabulate(n)(i =>
           vals(i) != null && vals(i).asInstanceOf[Boolean])))
+      case DateType =>
+        val bb = ByteBuffer.allocate(n * 4).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach {
+          case null => bb.putInt(0)
+          case d: java.sql.Date => bb.putInt(DateTimeUtils.fromJavaDate(d))
+          case ld: java.time.LocalDate => bb.putInt(ld.toEpochDay.toInt)
+          case v => bb.putInt(v.asInstanceOf[Int])
+        }
+        out.add(bb.array())
+      case dec: DecimalType =>
+        // 16-byte little-endian two's complement (Arrow decimal128)
+        val bb = ByteBuffer.allocate(n * 16)
+        vals.foreach { v =>
+          val unscaled: java.math.BigInteger = v match {
+            case null => java.math.BigInteger.ZERO
+            case bd: java.math.BigDecimal => bd.setScale(dec.scale).unscaledValue()
+            case d: org.apache.spark.sql.types.Decimal =>
+              d.toJavaBigDecimal.setScale(dec.scale).unscaledValue()
+            case bd: BigDecimal => bd.underlying().setScale(dec.scale).unscaledValue()
+          }
+          val be = unscaled.toByteArray
+          require(be.length <= 16, s"arrow-ipc: decimal $unscaled overflows 128 bits")
+          val le = new Array[Byte](16)
+          if (unscaled.signum() < 0) java.util.Arrays.fill(le, -1.toByte)
+          var i = 0
+          while (i < be.length) { le(i) = be(be.length - 1 - i); i += 1 }
+          bb.put(le)
+        }
+        out.add(bb.array())
       case StringType | BinaryType =>
         val bytes = vals.map {
           case null => Array.emptyByteArray
@@ -555,6 +640,14 @@ object ArrowIpc {
     }
     dt match {
       case LongType => prim(8, p => body.getLong(p))
+      case DateType => prim(4, p => DateTimeUtils.toJavaDate(body.getInt(p)))
+      case dec: DecimalType =>
+        prim(16, p => {
+          val be = new Array[Byte](16)
+          var i = 0
+          while (i < 16) { be(i) = body.get(p + 15 - i); i += 1 }
+          new java.math.BigDecimal(new java.math.BigInteger(be), dec.scale)
+        })
       case TimestampType => prim(8, p => DateTimeUtils.toJavaTimestamp(body.getLong(p)))
       case TimestampNTZType =>
         prim(8, p => DateTimeUtils.microsToLocalDateTime(body.getLong(p)))
@@ -569,32 +662,45 @@ object ArrowIpc {
           if (isNull(i)) null
           else (body.get((doff + (i >> 3)).toInt) >> (i & 7) & 1) == 1)
       case StringType | BinaryType =>
+        val large = meta.contains(LargeOffsetsKey)
         val (ooff, _) = buffers.next()
         val (doff, _) = buffers.next()
+        def offAt(i: Int): Long =
+          if (large) body.getLong((ooff + i * 8L).toInt)
+          else body.getInt((ooff + i * 4L).toInt).toLong
         IndexedSeq.tabulate(n) { i =>
           if (isNull(i)) null
           else {
-            val s = body.getInt((ooff + i * 4L).toInt)
-            val e = body.getInt((ooff + (i + 1) * 4L).toInt)
-            val a = new Array[Byte](e - s)
+            val s = offAt(i)
+            val e = offAt(i + 1)
+            val a = new Array[Byte]((e - s).toInt)
             val d = body.duplicate(); d.position((doff + s).toInt); d.get(a)
             if (dt == StringType) new String(a, StandardCharsets.UTF_8) else a
           }
         }
       case ArrayType(et, _) =>
-        val (ooff, _) = buffers.next()
         val childMeta =
           if (meta.contains(ItemUintBitsKey))
             new MetadataBuilder()
               .putLong(UintBitsKey, meta.getLong(ItemUintBitsKey)).build()
           else Metadata.empty
-        val child = decodeColumn(et, childMeta, body, nodes, buffers)
-        IndexedSeq.tabulate(n) { i =>
-          if (isNull(i)) null
-          else {
-            val s = body.getInt((ooff + i * 4L).toInt)
-            val e = body.getInt((ooff + (i + 1) * 4L).toInt)
-            child.slice(s, e)
+        if (meta.contains(FslSizeKey)) {
+          // fixed_size_list: NO offsets buffer; slices are closed-form
+          val k = meta.getLong(FslSizeKey).toInt
+          val child = decodeColumn(et, childMeta, body, nodes, buffers)
+          IndexedSeq.tabulate(n) { i =>
+            if (isNull(i)) null else child.slice(i * k, (i + 1) * k)
+          }
+        } else {
+          val large = meta.contains(LargeOffsetsKey)
+          val (ooff, _) = buffers.next()
+          def offAt(i: Int): Long =
+            if (large) body.getLong((ooff + i * 8L).toInt)
+            else body.getInt((ooff + i * 4L).toInt).toLong
+          val child = decodeColumn(et, childMeta, body, nodes, buffers)
+          IndexedSeq.tabulate(n) { i =>
+            if (isNull(i)) null
+            else child.slice(offAt(i).toInt, offAt(i + 1).toInt)
           }
         }
       case other =>
@@ -692,6 +798,8 @@ object ArrowIpc {
     val vmb = new MetadataBuilder()
     if (valueField.metadata.contains(UintBitsKey))
       vmb.putLong(UintBitsKey, valueField.metadata.getLong(UintBitsKey))
+    if (valueField.metadata.contains(LargeOffsetsKey))
+      vmb.putBoolean(LargeOffsetsKey, true)
     val valueSchema = StructType(Seq(
       StructField("v", valueField.dataType, nullable = true, vmb.build())))
     val rows = decodeBatch(valueSchema, rb, body).toIndexedSeq

@@ -35,6 +35,8 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
     case 's' => new String(unhex(tok.tail), StandardCharsets.UTF_8)
     case 'b' => unhex(tok.tail).toSeq
     case 'T' => tok.tail
+    case 'D' => tok.tail // date32 ISO
+    case 'c' => tok.tail // decimal plain string
     case '[' =>
       val inner = tok.substring(1, tok.length - 1).trim
       if (inner.isEmpty) Seq.empty[Any]
@@ -50,6 +52,8 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
       t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(tsFmt)
     case ldt: java.time.LocalDateTime => ldt.format(tsFmt)
     case b: Array[Byte] => b.toSeq
+    case d: java.sql.Date => d.toString
+    case bd: java.math.BigDecimal => bd.toPlainString
     case f: Float => f.toDouble
     case b: Byte => b.toLong
     case s: Short => s.toLong

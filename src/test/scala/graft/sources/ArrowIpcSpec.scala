@@ -46,6 +46,8 @@ class ArrowIpcSpec extends SparkSpec {
     case 's' => new String(unhex(tok.tail), StandardCharsets.UTF_8)
     case 'b' => unhex(tok.tail).toSeq
     case 'T' => tok.tail // timestamp as ISO string; compared formatted
+    case 'D' => tok.tail // date32 as ISO yyyy-MM-dd
+    case 'c' => tok.tail // decimal as plain string (scale preserved)
     case '[' =>
       val inner = tok.substring(1, tok.length - 1).trim
       if (inner.isEmpty) Seq.empty[Any]
@@ -72,6 +74,8 @@ class ArrowIpcSpec extends SparkSpec {
       ldt.format(java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
     case b: Array[Byte] => b.toSeq
+    case d: java.sql.Date => d.toString // ISO yyyy-MM-dd
+    case bd: java.math.BigDecimal => bd.toPlainString
     case f: Float => f.toDouble
     case i: Int => i.toLong
     case s: scala.collection.Seq[_] => s.toSeq.map(norm)
@@ -129,6 +133,81 @@ class ArrowIpcSpec extends SparkSpec {
   test("readBlocks (two-phase parallel file read) equals the stream read") {
     val df = ArrowIpc.readBlocks(spark, fixturePath("golden.arrow"))
     assertMatchesManifest(df.collect().toSeq)
+  }
+
+  // ---- pyarrow extended types (date32/large/fixed-size-list/decimal) -----
+
+  private lazy val extManifest: Seq[Seq[Any]] =
+    new String(Files.readAllBytes(Paths.get(fixturePath("golden_ext_manifest.txt"))),
+      StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty)
+      .map(l => splitLine(l).map(parseTok)).toSeq
+
+  private def assertExtRows(rows: Seq[Row]): Unit = {
+    assert(rows.length == extManifest.length)
+    rows.sortBy(_.getLong(0)).zip(extManifest).foreach { case (got, want) =>
+      got.toSeq.map(norm).zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g == w, s"row ${got.getLong(0)} col $i: $g vs $w")
+      }
+    }
+  }
+
+  test("pyarrow date32/large_utf8/large_binary/large_list/fixed_size_list/" +
+      "decimal128 golden decodes exactly") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_ext.arrow")))
+    val (schema, rows) = ArrowIpc.readStreamBytes(bytes)
+    assert(schema("day").dataType == DateType)
+    assert(schema("big_s").dataType == StringType)
+    assert(schema("big_s").metadata.getBoolean("arrow_large_offsets"))
+    assert(schema("big_l").dataType == ArrayType(LongType, containsNull = true))
+    assert(schema("big_l").metadata.getBoolean("arrow_large_offsets"))
+    assert(schema("emb4").dataType == ArrayType(FloatType, containsNull = true))
+    assert(schema("emb4").metadata.getLong("arrow_fsl_size") == 4L)
+    assert(schema("amount").dataType == DecimalType(12, 3))
+    assertExtRows(rows.toSeq)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_ext.arrows")))
+    assertExtRows(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
+    assertExtRows(ArrowIpc.readBlocks(spark, fixturePath("golden_ext.arrow"))
+      .collect().toSeq)
+  }
+
+  test("date + decimal columns round-trip through our writer and arrow-java") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, DATE'2020-02-02', CAST(123.456 AS DECIMAL(12,3))),
+        |  (2L, DATE'1969-12-31', CAST(-0.001 AS DECIMAL(12,3))),
+        |  (3L, CAST(NULL AS DATE), CAST(NULL AS DECIMAL(12,3))),
+        |  (4L, DATE'2038-01-19', CAST(999999999.999 AS DECIMAL(12,3)))
+        |  AS t(id, day, amt)""".stripMargin).coalesce(1)
+    val dir = Files.createTempDirectory("arrow-ext-rt").toString
+    ArrowIpc.write(df, dir)
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.schema("day").dataType == DateType)
+    assert(back.schema("amt").dataType == DecimalType(12, 3))
+    def key(r: Row) = (r.getLong(0),
+      Option(r.getDate(1)).map(_.toString),
+      Option(r.getDecimal(2)).map(_.toPlainString))
+    assert(back.collect().map(key).toSet == df.collect().map(key).toSet)
+    // foreign reader: arrow-java sees date32 + decimal128 values
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowFileReader
+    import org.apache.arrow.vector.{DateDayVector, DecimalVector}
+    val f = new File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val alloc = new RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    val rd = new ArrowFileReader(ch, alloc)
+    try {
+      val root = rd.getVectorSchemaRoot
+      assert(rd.loadNextBatch())
+      val ids = root.getVector("id")
+      val i1 = (0 until root.getRowCount).find(i => ids.getObject(i) == 1L).get
+      assert(root.getVector("day").asInstanceOf[DateDayVector].get(i1) ==
+        java.time.LocalDate.of(2020, 2, 2).toEpochDay.toInt)
+      assert(root.getVector("amt").asInstanceOf[DecimalVector].getObject(i1)
+        .toPlainString == "123.456")
+      val i2 = (0 until root.getRowCount).find(i => ids.getObject(i) == 2L).get
+      assert(root.getVector("amt").asInstanceOf[DecimalVector].getObject(i2)
+        .toPlainString == "-0.001")
+    } finally { rd.close(); ch.close(); alloc.close() }
   }
 
   // ---- pyarrow uint goldens (physical-stride proof) ----------------------

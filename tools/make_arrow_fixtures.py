@@ -106,6 +106,10 @@ def fuzz_cases(fmt):
         ("lu8", pa.list_(pa.uint8())),
         ("dstr", pa.dictionary(pa.int8(), pa.utf8())),
         ("di32", pa.dictionary(pa.int32(), pa.int32())),
+        ("date", pa.date32()), ("lgs", pa.large_utf8()),
+        ("lgl", pa.large_list(pa.int64())),
+        ("fsl", pa.list_(pa.float32(), 4)),
+        ("dec", pa.decimal128(14, 3)),
     ]
     strings = ["", "a", "héllo", "δοκιμή", "漢字テスト", "x" * 50, "tab\tnl\n"]
 
@@ -149,6 +153,18 @@ def fuzz_cases(fmt):
             return rng.choice(["red", "green", "blue", "cyan"])
         if kind == "di32":
             return rng.choice([7, 42, 9000, -3])
+        if kind == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=rng.randrange(-25000, 25000))
+        if kind == "lgs":
+            return rng.choice(strings)
+        if kind == "lgl":
+            return [rng.randrange(-2**40, 2**40) for _ in range(rng.randrange(5))]
+        if kind == "fsl":
+            return [rng.randrange(-2**20, 2**20) / 4.0 for _ in range(4)]
+        if kind == "dec":
+            import decimal
+            return decimal.Decimal(rng.randrange(-10**11, 10**11)).scaleb(-3)
         raise AssertionError(kind)
 
     manifest = {}
@@ -184,9 +200,18 @@ def fuzz_cases(fmt):
             bs = rng.randrange(1, 18)
             for b in tbl.to_batches(max_chunksize=bs):
                 w.write_batch(b)
+        import decimal as _dec
+
+        def fmtv(v):
+            if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+                return "D" + v.isoformat()
+            if isinstance(v, _dec.Decimal):
+                return "c" + str(v)
+            return fmt(v)
+
         manifest[name] = {
             "compression": comp or "none",
-            "rows": [[fmt(v) for v in r] for r in rows],
+            "rows": [[fmtv(v) for v in r] for r in rows],
         }
     with open(os.path.join(OUT, "fuzz", "arrow_fuzz_manifest.json"), "w") as f:
         json.dump(manifest, f)
