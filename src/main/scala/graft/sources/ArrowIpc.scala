@@ -759,7 +759,33 @@ object ArrowIpc {
     (newBody, newEntries)
   }
 
+  /** Consume one column's FieldNode + buffer entries WITHOUT touching
+    * its bytes — the skip path of projected decodes. Must mirror
+    * [[decodeColumn]]'s buffer-consumption order exactly. */
+  private def skipColumn(dt: DataType, meta: Metadata,
+      nodes: Iterator[(Long, Long)], buffers: Iterator[(Long, Long)]): Unit = {
+    nodes.next()
+    buffers.next() // validity
+    if (meta.contains(DictIdKey)) { buffers.next(); return } // index data
+    dt match {
+      case StringType | BinaryType =>
+        buffers.next(); buffers.next() // offsets + data
+      case ArrayType(et, _) =>
+        if (!meta.contains(FslSizeKey)) buffers.next() // offsets
+        skipColumn(et, Metadata.empty, nodes, buffers)
+      case _ => buffers.next() // every fixed-width type has one data buffer
+    }
+  }
+
   private def decodeBatch(schema: StructType, rb: FbTable, body: Array[Byte],
+      dicts: Map[Long, IndexedSeq[Any]] = Map.empty): Iterator[Row] =
+    decodeBatchProjected(schema, schema, rb, body, dicts)
+
+  /** Decode only `wanted`'s columns (in `wanted` order); every other
+    * column's nodes/buffers are consumed positionally with its BYTES
+    * untouched — the column-pruning path of the DSv2 source. */
+  private[sources] def decodeBatchProjected(schema: StructType,
+      wanted: StructType, rb: FbTable, body: Array[Byte],
       dicts: Map[Long, IndexedSeq[Any]] = Map.empty): Iterator[Row] = {
     val (nBase, nLen) = rb.vector(1)
     val nodes = (0 until nLen).iterator.map(i =>
@@ -773,10 +799,16 @@ object ArrowIpc {
     }
     val bb = ByteBuffer.wrap(bodyArr).order(ByteOrder.LITTLE_ENDIAN)
     val buffers = entries.iterator
-    val cols = schema.fields.map(f =>
-      decodeColumn(f.dataType, f.metadata, bb, nodes, buffers, dicts))
+    val want = wanted.fieldNames.toSet
+    val decoded = scala.collection.mutable.Map[String, IndexedSeq[Any]]()
+    schema.fields.foreach { f =>
+      if (want(f.name))
+        decoded(f.name) = decodeColumn(f.dataType, f.metadata, bb, nodes, buffers, dicts)
+      else skipColumn(f.dataType, f.metadata, nodes, buffers)
+    }
+    val cols = wanted.fieldNames.toIndexedSeq.map(decoded)
     val nRows = rb.getLong(0, 0L).toInt
-    (0 until nRows).iterator.map(r => Row.fromSeq(cols.toIndexedSeq.map(c => c(r))))
+    (0 until nRows).iterator.map(r => Row.fromSeq(cols.map(c => c(r))))
   }
 
   /** Decode a DictionaryBatch message: (id, values). The inner data is a
@@ -1012,12 +1044,18 @@ object ArrowIpc {
 
   /** Decode ONE footer block via positioned reads. */
   def readBlock(path: String, schema: StructType, blk: Block,
-      dicts: Map[Long, IndexedSeq[Any]] = Map.empty): Iterator[Row] = {
+      dicts: Map[Long, IndexedSeq[Any]] = Map.empty): Iterator[Row] =
+    readBlockProjected(path, schema, schema, blk, dicts)
+
+  /** Decode ONE footer block, materializing only `wanted` columns. */
+  def readBlockProjected(path: String, schema: StructType, wanted: StructType,
+      blk: Block, dicts: Map[Long, IndexedSeq[Any]] = Map.empty): Iterator[Row] = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val (msg, body) = readBlockMessage(raf, blk)
       require(msg.getByte(1, 0) == 3, "arrow-ipc: block is not a RecordBatch")
-      decodeBatch(schema, msg.table(2).get, body, dicts).toIndexedSeq.iterator
+      decodeBatchProjected(schema, wanted, msg.table(2).get, body, dicts)
+        .toIndexedSeq.iterator
     } finally raf.close()
   }
 
