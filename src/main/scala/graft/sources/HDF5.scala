@@ -136,7 +136,8 @@ object HDF5 {
   /** Dataset shape/dtype/filters — everything a task needs to decode one
     * stored chunk of it without re-reading any file metadata. */
   final case class H5Var(name: String, dims: Seq[Long], chunkDims: Seq[Int],
-      dtClass: Int, dtSize: Int, bigEndian: Boolean, filters: Seq[H5Filter])
+      dtClass: Int, dtSize: Int, bigEndian: Boolean, filters: Seq[H5Filter],
+      signedInt: Boolean = true)
 
   /** One stored chunk: grid origin (element coords), absolute file
     * offset and stored (possibly filtered) byte count. */
@@ -155,7 +156,8 @@ object HDF5 {
       val h = parseHeader(in, name, addr)
       val refs = Seq.newBuilder[H5ChunkRef]
       forEachChunk(in, h)((origin, off, n) => refs += H5ChunkRef(origin, off, n))
-      (H5Var(name, h.dims, h.effChunkDims, h.dtClass, h.dtSize, h.bigEndian, h.filters),
+      (H5Var(name, h.dims, h.effChunkDims, h.dtClass, h.dtSize, h.bigEndian,
+          h.filters, h.dtSigned),
         refs.result())
     }
 
@@ -166,7 +168,7 @@ object HDF5 {
     * so it runs executor-side with only a positioned byte-range read. */
   def decodeChunk(raw: Array[Byte], v: H5Var, origin: Seq[Long]): Iterator[(Long, Double)] = {
     val nd = v.dims.size
-    val chunkBytes = defilter(v.name, raw, v.filters, v.dtSize)
+    val chunkBytes = defilter(v.name, raw, v.filters, v.dtSize, v.signedInt)
     val strides = new Array[Long](nd)
     var acc = 1L
     for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= v.dims(k) }
@@ -187,17 +189,21 @@ object HDF5 {
         globalIdx += g * strides(k)
         k -= 1
       }
-      if (inBounds) Iterator.single((globalIdx, elemAt(bb, v.name, v.dtClass, v.dtSize, ci)))
+      if (inBounds) Iterator.single(
+        (globalIdx, elemAt(bb, v.name, v.dtClass, v.dtSize, v.signedInt, ci)))
       else Iterator.empty
     }
   }
 
-  private def elemAt(bb: ByteBuffer, name: String, dtClass: Int, dtSize: Int, i: Int): Double =
+  private def elemAt(bb: ByteBuffer, name: String, dtClass: Int, dtSize: Int,
+      signedInt: Boolean, i: Int): Double =
     (dtClass, dtSize) match {
       case (1, 8) => bb.getDouble(i * 8)
       case (1, 4) => bb.getFloat(i * 4).toDouble
-      case (0, 4) => bb.getInt(i * 4).toDouble
-      case (0, 8) => bb.getLong(i * 8).toDouble
+      case (0, 4) =>
+        if (signedInt) bb.getInt(i * 4).toDouble
+        else (bb.getInt(i * 4) & 0xffffffffL).toDouble
+      case (0, 8) => bb.getLong(i * 8).toDouble // uint64 > 2^63 loses to Double anyway
       case other => throw new IllegalArgumentException(
         s"dataset $name: unsupported type class/size $other")
     }
@@ -767,7 +773,7 @@ object HDF5 {
     * them independently. */
   private final case class DsHeader(
       name: String, dims: Seq[Long], dtClass: Int, dtSize: Int, bigEndian: Boolean,
-      dataAddr: Long, chunkDims: Seq[Int], chunkBtree: Long,
+      dtSigned: Boolean, dataAddr: Long, chunkDims: Seq[Int], chunkBtree: Long,
       v4Index: Option[(Int, Long)], v4SingleChunk: Option[(Long, Int)],
       compactOff: Long, compactLen: Int, filters: Seq[H5Filter]) {
     /** Placement grid: the chunk dims for chunked storage, the full
@@ -781,6 +787,9 @@ object HDF5 {
     var dtClass = -1
     var dtSize = -1
     var dtBigEndian = false
+    var dtSigned = true
+    var dtPrec = -1  // bit precision from the datatype properties
+    var dtBitOff = 0 // bit offset from the datatype properties
     var dataAddr = Undef
     var chunkDims: Seq[Int] = Nil // element-count dims (element-size tail dropped)
     var chunkBtree = Undef
@@ -822,6 +831,18 @@ object HDF5 {
           dtBigEndian = (bits0 & 1) == 1
           require(dtClass == 0 || dtClass == 1,
             s"dataset $name: datatype class $dtClass unsupported (fixed/float only)")
+          // fixed-point AND floating-point properties both lead with
+          // (bit offset: 2, bit precision: 2); fixed-point sign is bit 3
+          // of the class bit field. A sub-precision value read at full
+          // width would be silently wrong, so precision/offset are
+          // parsed and gated below rather than ignored.
+          dtSigned = dtClass != 0 || (bits0 & 0x08) != 0
+          dtBitOff = b.getShort() & 0xffff
+          dtPrec = b.getShort() & 0xffff
+          if (dtClass == 1)
+            require(dtBitOff == 0 && dtPrec == dtSize * 8,
+              s"dataset $name: custom float precision $dtPrec/offset " +
+                s"$dtBitOff unsupported (IEEE binary32/binary64 only)")
         case 0x0008 => // data layout
           val b = in.cursor(off)
           val v = b.get()
@@ -910,9 +931,10 @@ object HDF5 {
             case other => throw new IllegalArgumentException(
               s"dataset $name: filter pipeline version $other unsupported")
           }
-          entries.foreach(f => require(f.id >= 1 && f.id <= 4,
+          entries.foreach(f => require(f.id >= 1 && f.id <= 6,
             s"dataset $name: filter id ${f.id} unsupported — deflate (1), " +
-              "shuffle (2), fletcher32 (3) and szip (4) are implemented"))
+              "shuffle (2), fletcher32 (3), szip (4), nbit (5) and " +
+              "scale-offset (6) are implemented"))
           filters = entries
         case _ => () // NIL, attributes, mod-time, fill value: skipped
       }
@@ -923,8 +945,21 @@ object HDF5 {
     if (chunkDims.nonEmpty)
       require(chunkDims.size == dims.size,
         s"dataset $name: chunk rank ${chunkDims.size} != dataset rank ${dims.size}")
-    DsHeader(name, dims, dtClass, dtSize, dtBigEndian, dataAddr, chunkDims,
-      chunkBtree, v4Index, v4SingleChunk, compactOff, compactLen, filters)
+    // Sub-precision fixed-point data: only decodable when the nbit
+    // filter carries the SAME precision/offset in its client data (its
+    // decode materializes full-width native values). Anything else
+    // would read padding bits as value bits — reject loudly.
+    if (dtClass == 0 && dtPrec >= 0 && (dtPrec != dtSize * 8 || dtBitOff != 0)) {
+      val nbitMatches = filters.exists(f =>
+        f.id == 5 && f.cd.size >= 8 && f.cd(6) == dtPrec && f.cd(7) == dtBitOff)
+      require(nbitMatches,
+        s"dataset $name: sub-precision fixed-point (precision $dtPrec, " +
+          s"offset $dtBitOff of ${dtSize * 8} bits) requires a matching " +
+          "nbit filter — raw sub-precision storage unsupported")
+    }
+    DsHeader(name, dims, dtClass, dtSize, dtBigEndian, dtSigned, dataAddr,
+      chunkDims, chunkBtree, v4Index, v4SingleChunk, compactOff, compactLen,
+      filters)
   }
 
   /** Enumerate every stored chunk of `h` as (grid origin, absolute file
@@ -959,14 +994,14 @@ object HDF5 {
     for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= dims(k) }
     forEachChunk(in, h) { (origin, caddr, nbytes) =>
       placeChunk(in, name, out, dims, strides, h.effChunkDims, h.dtSize,
-        h.filters, origin, caddr, nbytes.toInt)
+        h.dtSigned, h.filters, origin, caddr, nbytes.toInt)
     }
     val b = ByteBuffer.wrap(out).order(
       if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     val values = new Array[Double](n)
     var i = 0
     while (i < n) {
-      values(i) = elemAt(b, name, h.dtClass, h.dtSize, i)
+      values(i) = elemAt(b, name, h.dtClass, h.dtSize, h.dtSigned, i)
       i += 1
     }
     H5Dataset(name, h.dims, values)
@@ -1040,7 +1075,7 @@ object HDF5 {
 
   /** Apply the inverse filter pipeline (reverse write order). */
   private def defilter(name: String, comp: Array[Byte], filters: Seq[H5Filter],
-      elemSize: Int): Array[Byte] =
+      elemSize: Int, signedInt: Boolean): Array[Byte] =
     filters.reverse.foldLeft(comp) { (acc, f) =>
       f.id match {
         case 1 =>
@@ -1070,17 +1105,202 @@ object HDF5 {
           require(f.cd.size >= 4,
             s"dataset $name: szip filter carries ${f.cd.size} client words, expected 4")
           Szip.decodeH5Chunk(name, acc, f.cd(0), f.cd(1), f.cd(2), f.cd(3))
+        case 5 => denbit(name, acc, f.cd, elemSize, signedInt)
+        case 6 => descaleoffset(name, acc, f.cd, elemSize)
       }
     }
+
+  /** MSB-first bit reader over a byte array — the packing both H5Znbit
+    * and H5Zscaleoffset use: each element contributes its significant
+    * bits high-to-low into a continuous big-endian bitstream (the
+    * per-byte loops of H5Z__nbit_decompress_one_byte /
+    * H5Z__scaleoffset_decompress_one_byte reduce to exactly this). */
+  private final class BitReader(buf: Array[Byte], start: Int, name: String) {
+    private var pos = start
+    private var left = 8 // bits not yet consumed in buf(pos), MSB side first
+    def readBits(n: Int): Long = {
+      var out = 0L
+      var need = n
+      while (need > 0) {
+        require(pos < buf.length, s"dataset $name: truncated bit-packed stream")
+        val take = math.min(need, left)
+        val v = ((buf(pos) & 0xff) >> (left - take)) & ((1 << take) - 1)
+        out = (out << take) | v
+        left -= take
+        need -= take
+        if (left == 0) { pos += 1; left = 8 }
+      }
+      out
+    }
+  }
+
+  /** Sign-extend the low `bits` bits of `v`. */
+  private def signExtend(v: Long, bits: Int): Long =
+    if (bits >= 64) v else (v << (64 - bits)) >> (64 - bits)
+
+  /** Reassemble a native value of `size` bytes from the filter client
+    * data words starting at `from` (H5Z_scaleoffset_get_filval: the
+    * fill value's native bytes packed little-endian, 4 per word). */
+  private def cdBytesLE(cd: Seq[Int], from: Int, size: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < size) {
+      val word = cd(from + k / 4)
+      v |= ((word >>> ((k % 4) * 8)) & 0xffL) << (k * 8)
+      k += 1
+    }
+    v
+  }
+
+  private def storeLE(out: Array[Byte], at: Int, v: Long, size: Int): Unit = {
+    var k = 0
+    while (k < size) { out(at + k) = ((v >>> (k * 8)) & 0xff).toByte; k += 1 }
+  }
+
+  /** Inverse of the nbit filter (id 5, H5Znbit): client data
+    * [nparms, no-op flag, nelmts, class, size, order, precision, offset]
+    * for the atomic class. The packed stream holds each element's
+    * `precision` significant bits (from bit `offset` of the stored
+    * datatype) MSB-first. Unlike libhdf5 — whose filter leaves the bits
+    * at `offset` with zero padding and relies on H5T conversion to
+    * extract them — this decode materializes the CONVERTED full-width
+    * native value directly (shift down + sign-extend when the dataset
+    * datatype is signed), so [[elemAt]]'s plain reads are exact,
+    * negatives included. */
+  private def denbit(name: String, comp: Array[Byte], cd: Seq[Int],
+      elemSize: Int, signedInt: Boolean): Array[Byte] = {
+    require(cd.size >= 4, s"dataset $name: nbit filter carries ${cd.size} client words")
+    if (cd(3) == 4 || cd(1) != 0) return comp // NOOPTYPE / full-precision: pass-through
+    require(cd(3) == 1,
+      s"dataset $name: nbit datatype class ${cd(3)} unsupported (atomic only — " +
+        "array/compound nbit out of scope)")
+    require(cd.size >= 8, s"dataset $name: nbit atomic needs 8 client words, got ${cd.size}")
+    val nelmts = cd(2)
+    val size = cd(4)
+    val precision = cd(6)
+    val offset = cd(7)
+    require(cd(5) == 0, s"dataset $name: big-endian nbit data unsupported")
+    require(size == elemSize,
+      s"dataset $name: nbit element size ${size} != datatype size $elemSize")
+    require(nelmts >= 0 && precision >= 1 && offset >= 0 &&
+      precision + offset <= size * 8,
+      s"dataset $name: nbit precision $precision / offset $offset invalid for " +
+        s"${size * 8}-bit elements")
+    val out = new Array[Byte](nelmts * size)
+    val br = new BitReader(comp, 0, name)
+    var i = 0
+    while (i < nelmts) {
+      val s = br.readBits(precision)
+      val v = if (signedInt) signExtend(s, precision) else s
+      storeLE(out, i * size, v, size)
+      i += 1
+    }
+    out
+  }
+
+  /** Inverse of the scale-offset filter (id 6, H5Zscaleoffset): client
+    * data [scale type, scale factor, nelmts, class, size, sign, order,
+    * fill-defined, fill bytes...]; the chunk leads with a 13-byte header
+    * (minbits: 4 LE, minval width: 1, minval: 8 LE) followed by the
+    * packed stream of `minbits`-bit values MSB-first. Supported scale
+    * types: H5Z_SO_INT (2) — value = packed + minval in the integer's
+    * width, all-ones sentinel = fill — and H5Z_SO_FLOAT_DSCALE (0) —
+    * value = packed / 10^scale + min(double bits in minval). E-scale (1)
+    * is unimplemented in libhdf5 itself and rejected here. */
+  private def descaleoffset(name: String, comp: Array[Byte], cd: Seq[Int],
+      elemSize: Int): Array[Byte] = {
+    require(cd.size >= 8,
+      s"dataset $name: scale-offset filter carries ${cd.size} client words, expected >= 8")
+    val scaleType = cd(0)
+    val dVal = cd(1)
+    val nelmts = cd(2)
+    val cls = cd(3) // 0 integer, 1 float
+    val size = cd(4)
+    val filavail = cd(7)
+    require(cd(6) == 0, s"dataset $name: big-endian scale-offset data unsupported")
+    require(size == elemSize,
+      s"dataset $name: scale-offset element size $size != datatype size $elemSize")
+    require(scaleType == 0 || scaleType == 2,
+      s"dataset $name: scale-offset type $scaleType unsupported (E-scale is " +
+        "unimplemented in libhdf5; INT (2) and FLOAT_DSCALE (0) decode)")
+    require((scaleType == 2) == (cls == 0),
+      s"dataset $name: scale-offset type $scaleType inconsistent with datatype class $cls")
+    require(comp.length >= 13, s"dataset $name: scale-offset chunk under 13 header bytes")
+    var minbits = 0L
+    var k = 0
+    while (k < 4) { minbits |= (comp(k) & 0xffL) << (k * 8); k += 1 }
+    require((comp(4) & 0xff) == 8,
+      s"dataset $name: scale-offset minval width ${comp(4) & 0xff} unsupported (expected 8)")
+    var minval = 0L
+    k = 0
+    while (k < 8) { minval |= (comp(5 + k) & 0xffL) << (k * 8); k += 1 }
+    require(minbits >= 0 && minbits <= size * 8,
+      s"dataset $name: scale-offset minbits $minbits exceeds ${size * 8}-bit elements")
+    val out = new Array[Byte](nelmts * size)
+    if (minbits == size * 8) { // full precision: raw little-endian payload
+      require(comp.length >= 13 + out.length,
+        s"dataset $name: scale-offset raw payload truncated")
+      System.arraycopy(comp, 13, out, 0, out.length)
+      return out
+    }
+    val packed = new Array[Long](nelmts)
+    if (minbits > 0) {
+      val br = new BitReader(comp, 13, name)
+      var i = 0
+      while (i < nelmts) { packed(i) = br.readBits(minbits.toInt); i += 1 }
+    }
+    val sentinel = (1L << minbits) - 1 // all-ones = fill (only when fill defined)
+    if (scaleType == 2) { // integer: wrap-around add in the type's width
+      val filval = if (filavail == 1) cdBytesLE(cd, 8, size) else 0L
+      var i = 0
+      while (i < nelmts) {
+        val v = if (filavail == 1 && packed(i) == sentinel) filval
+          else packed(i) + minval
+        storeLE(out, i * size, v, size)
+        i += 1
+      }
+    } else { // FLOAT_DSCALE: packed / 10^D + min, computed in double
+      require(size == 4 || size == 8,
+        s"dataset $name: scale-offset float size $size unsupported")
+      val pow10 =
+        if (size == 4) math.pow(10.0, dVal.toDouble).toFloat.toDouble // powf parity
+        else math.pow(10.0, dVal.toDouble)
+      if (size == 8) {
+        val min = java.lang.Double.longBitsToDouble(minval)
+        val filval = if (filavail == 1)
+          java.lang.Double.longBitsToDouble(cdBytesLE(cd, 8, 8)) else 0.0
+        var i = 0
+        while (i < nelmts) {
+          val v = if (filavail == 1 && packed(i) == sentinel) filval
+            else packed(i).toDouble / pow10 + min
+          storeLE(out, i * 8, java.lang.Double.doubleToRawLongBits(v), 8)
+          i += 1
+        }
+      } else {
+        val min = java.lang.Float.intBitsToFloat(minval.toInt)
+        val filval = if (filavail == 1)
+          java.lang.Float.intBitsToFloat(cdBytesLE(cd, 8, 4).toInt) else 0.0f
+        var i = 0
+        while (i < nelmts) {
+          val v = if (filavail == 1 && packed(i) == sentinel) filval
+            else (packed(i).toDouble / pow10 + min.toDouble).toFloat
+          storeLE(out, i * 4, java.lang.Float.floatToRawIntBits(v).toLong, 4)
+          i += 1
+        }
+      }
+    }
+    out
+  }
 
   /** Decode one stored chunk (inverse filters in reverse pipeline order)
     * and tile it into the row-major output image, clipping ragged edges.
     * Shared by every chunk index via [[forEachChunk]]. */
   private def placeChunk(in: H5Input, name: String, out: Array[Byte],
       dims: Seq[Int], strides: Array[Long], chunkDims: Seq[Int], elemSize: Int,
-      filters: Seq[H5Filter], offsets: Seq[Long], addr: Long, nbytes: Int): Unit = {
+      signedInt: Boolean, filters: Seq[H5Filter], offsets: Seq[Long],
+      addr: Long, nbytes: Int): Unit = {
     val nd = dims.size
-    val chunkBytes = defilter(name, in.slice(addr, nbytes), filters, elemSize)
+    val chunkBytes = defilter(name, in.slice(addr, nbytes), filters, elemSize, signedInt)
     // full-extent "chunk" (contiguous/compact storage): straight copy
     if (offsets.forall(_ == 0L) && chunkDims == dims && chunkBytes.length == out.length) {
       System.arraycopy(chunkBytes, 0, out, 0, out.length)

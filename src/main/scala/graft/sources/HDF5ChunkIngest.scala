@@ -35,7 +35,8 @@ object HDF5ChunkIngest {
     * it with no further metadata access. */
   final case class ChunkTask(
       path: String, dataset: String, dims: Seq[Long], chunkDims: Seq[Int],
-      dtClass: Int, dtSize: Int, bigEndian: Boolean, filters: Seq[HDF5.H5Filter],
+      dtClass: Int, dtSize: Int, bigEndian: Boolean, signedInt: Boolean,
+      filters: Seq[HDF5.H5Filter],
       origin: Seq[Long], offset: Long, nbytes: Long)
 
   /** Phase 1: metadata-only chunk map of every HDF5 file in `paths`.
@@ -47,7 +48,8 @@ object HDF5ChunkIngest {
         .filter { case (v, _) => varName.forall(_ == v.name) }
         .flatMap { case (v, refs) =>
           refs.map(r => ChunkTask(p, v.name, v.dims, v.chunkDims, v.dtClass,
-            v.dtSize, v.bigEndian, v.filters, r.origin, r.offset, r.nbytes))
+            v.dtSize, v.bigEndian, v.signedInt, v.filters,
+            r.origin, r.offset, r.nbytes))
         }
       finally in.close()
     }
@@ -102,7 +104,7 @@ object HDF5ChunkIngest {
           raf.seek(t.offset)
           raf.readFully(raw)
           val v = HDF5.H5Var(t.dataset, t.dims, t.chunkDims, t.dtClass,
-            t.dtSize, t.bigEndian, t.filters)
+            t.dtSize, t.bigEndian, t.filters, t.signedInt)
           HDF5.decodeChunk(raw, v, t.origin)
             .map { case (gi, x) => (t.path, t.dataset, gi, x) }
         }

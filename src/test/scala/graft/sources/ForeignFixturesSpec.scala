@@ -320,6 +320,36 @@ class ForeignFixturesSpec extends AnyFunSuite {
     assert(sze.data.toSeq == (0 until 16).map(k => ((k * 7) % 19).toDouble))
   }
 
+  test("HDF5: python-written nbit and scale-offset chunks decode exactly") {
+    // both encoders implement the H5Znbit / H5Zscaleoffset bit-level
+    // formats independently of the Scala decoder: MSB-first packed
+    // significant bits (nbit), 13-byte minbits/minval chunk header +
+    // packed offsets (scale-offset), fill sentinels, per-chunk minbits,
+    // the minbits==0 constant branch and the minbits==32 raw branch
+    val dss = HDF5.read(fixture("golden_nbit_so.h5")).sortBy(_.name)
+    assert(dss.map(_.name) == Seq("nbi", "nbu", "soc", "sod", "sof", "soi", "sor"))
+    // nbi: signed 12-bit precision — negatives must sign-extend
+    assert(dss.find(_.name == "nbi").get.data.toSeq ==
+      (0 until 40).map(k => (((k * 37) % 4000) - 2000).toDouble))
+    // nbu: UNSIGNED, precision 9 at bit offset 3 — the converted value
+    assert(dss.find(_.name == "nbu").get.data.toSeq ==
+      (0 until 16).map(k => ((k * 29) % 512).toDouble))
+    // soi: defined fill -9999 (all-ones sentinel), per-chunk minbits
+    assert(dss.find(_.name == "soi").get.data.toSeq == (0 until 48).map(k =>
+      if (k % 11 == 0) -9999.0 else (((k * 53) % 1000) - 500).toDouble))
+    // soc: constant chunk, minbits 0, header-only payload
+    assert(dss.find(_.name == "soc").get.data.toSeq == Seq.fill(16)(42.0))
+    // sor: user minbits 32 -> raw little-endian store
+    assert(dss.find(_.name == "sor").get.data.toSeq ==
+      (0 until 12).map(k => (k * 1234567 - 6000000).toDouble))
+    // sof: float32 D-scale (D=2), values exact multiples of 0.25
+    assert(dss.find(_.name == "sof").get.data.toSeq ==
+      (0 until 32).map(k => (k * 0.25f - 2.0f).toDouble))
+    // sod: float64 D-scale (D=3) with fill 1e30
+    assert(dss.find(_.name == "sod").get.data.toSeq == (0 until 24).map(k =>
+      if (k % 7 == 0) 1e30 else k * 0.125 - 1.0))
+  }
+
   test("HDF5: python-written v1-superblock file decodes exactly") {
     val dss = HDF5.read(fixture("golden_v1sb.h5")).sortBy(_.name)
     assert(dss.map(_.name) == Seq("series", "shuf", "temp"))

@@ -119,15 +119,15 @@ class HDF5Spec extends SparkSpec {
   test("unsupported filters are rejected loudly, not misread") {
     val chunky = Seq(lesFixture.last.copy(chunkDims = Some(Seq(1, 4, 4))))
     val bytes = HDF5.write(chunky, deflate = true)
-    // byte surgery: flip the deflate filter id (1) to nbit (5) in the
-    // filter-pipeline message (0x000B, size 24, ver 1, nf 1, reserved)
+    // byte surgery: flip the deflate filter id (1) to an unregistered id
+    // (7) in the filter-pipeline message (0x000B, size 24, ver 1, nf 1)
     val pat = Array[Byte](0x0B, 0x00, 24, 0x00, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 1, 0)
     val idx = bytes.indices.find(i =>
       i + pat.length <= bytes.length && pat.indices.forall(j => bytes(i + j) == pat(j)))
     assert(idx.isDefined, "filter message not found in written bytes")
-    bytes(idx.get + 16) = 5
+    bytes(idx.get + 16) = 7
     val e = intercept[IllegalArgumentException](HDF5.read(bytes))
-    assert(e.getMessage.contains("filter id 5"))
+    assert(e.getMessage.contains("filter id 7"))
   }
 
   test("future superblock versions are rejected loudly") {
@@ -612,6 +612,45 @@ class HDF5Spec extends SparkSpec {
       HDF5.decodeChunk(raw, v, r.origin)
     }.toMap
     assert((0 until 9).map(i => got(i.toLong)) == ds.data.toSeq)
+  }
+
+  test("nbit and scale-offset chunks decode through the chunk-parallel manifest too") {
+    // same golden as ForeignFixturesSpec, but via manifest + decodeChunk —
+    // the executor-side path that threads signedInt through ChunkTask
+    val in = getClass.getResourceAsStream("/fixtures/golden_nbit_so.h5")
+    require(in != null, "golden_nbit_so.h5 missing — run tools/make_fixtures.py")
+    val bytes = try in.readAllBytes() finally in.close()
+    val vars = HDF5.manifest(new ArrayInput(bytes)).toMap
+    def decode(name: String): Seq[Double] = {
+      val v = vars.keys.find(_.name == name).get
+      val got = vars(v).flatMap { r =>
+        val raw = java.util.Arrays.copyOfRange(bytes, r.offset.toInt, (r.offset + r.nbytes).toInt)
+        HDF5.decodeChunk(raw, v, r.origin)
+      }.toMap
+      (0 until v.dims.head.toInt).map(i => got(i.toLong))
+    }
+    assert(!vars.keys.find(_.name == "nbu").get.signedInt)
+    assert(decode("nbi") == (0 until 40).map(k => (((k * 37) % 4000) - 2000).toDouble))
+    assert(decode("nbu") == (0 until 16).map(k => ((k * 29) % 512).toDouble))
+    assert(decode("soi") == (0 until 48).map(k =>
+      if (k % 11 == 0) -9999.0 else (((k * 53) % 1000) - 500).toDouble))
+    assert(decode("sod") == (0 until 24).map(k =>
+      if (k % 7 == 0) 1e30 else k * 0.125 - 1.0))
+  }
+
+  test("scale-offset chunks with an unexpected minval width are rejected loudly") {
+    val in = getClass.getResourceAsStream("/fixtures/golden_nbit_so.h5")
+    require(in != null, "golden_nbit_so.h5 missing — run tools/make_fixtures.py")
+    val bytes = try in.readAllBytes() finally in.close()
+    // soc's chunk is its 13-byte header alone: minbits=0 u32, width 8,
+    // minval 42 u64 LE — a unique byte pattern; flip the width to 4
+    val pat = Array[Byte](0, 0, 0, 0, 8, 42, 0, 0, 0, 0, 0, 0, 0)
+    val idx = bytes.indices.find(i =>
+      i + pat.length <= bytes.length && pat.indices.forall(j => bytes(i + j) == pat(j)))
+    assert(idx.isDefined, "soc scale-offset header not found in fixture bytes")
+    bytes(idx.get + 4) = 4
+    val e = intercept[IllegalArgumentException](HDF5.read(bytes))
+    assert(e.getMessage.contains("minval width 4"))
   }
 
   test("depth-2 chunk index decodes through the chunk-parallel manifest too") {

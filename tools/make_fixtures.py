@@ -883,6 +883,239 @@ def write_hdf5_szip(path):
     with open(path, "wb") as f:
         f.write(bytes(buf))
 
+# ---------------------------------------------------------------------------
+# nbit (H5Znbit, id 5) and scale-offset (H5Zscaleoffset, id 6) ENCODERS —
+# independent of the Scala decoder; both written from the libhdf5 on-disk
+# behavior. nbit: each element contributes its `precision` significant
+# bits (bits offset+precision-1 .. offset of the stored word) MSB-first
+# into a continuous bitstream. scale-offset: 13-byte chunk header
+# (minbits u32 LE, minval-width byte = 8, minval u64 LE) then the packed
+# MSB-first stream of minbits-bit values.
+# ---------------------------------------------------------------------------
+
+def so_log2(num):
+    """libhdf5 H5Z__scaleoffset_log2: ceil(log2(num))."""
+    v, lb, val = 0, 1, num
+    while val >> 1:
+        val >>= 1
+        v += 1
+        lb <<= 1
+    return v if num == lb else v + 1
+
+def nbit_chunk(words, precision, offset):
+    """Pack stored 32-bit words (unsigned representation) per H5Znbit."""
+    b = _Bits()
+    mask = (1 << precision) - 1
+    for w in words:
+        b.put((w >> offset) & mask, precision)
+    return b.bytes()
+
+def so_header(minbits, minval):
+    return (struct.pack("<I", minbits) + bytes([8])
+            + struct.pack("<Q", minval & 0xFFFFFFFFFFFFFFFF))
+
+def so_int_chunk(vals, fill=None, minbits_user=0):
+    """H5Z_SO_INT over int32 values; fill=None means fill undefined."""
+    if minbits_user == 32:  # full precision: header then raw LE payload
+        return so_header(32, 0) + b"".join(struct.pack("<i", v) for v in vals)
+    live = [v for v in vals if fill is None or v != fill]
+    mn, mx = min(live), max(live)
+    span = mx - mn + 1
+    minbits = so_log2(span + 1) if fill is not None else so_log2(span)
+    hdr = so_header(minbits, mn)
+    if minbits == 0:
+        return hdr
+    sentinel = (1 << minbits) - 1
+    b = _Bits()
+    for v in vals:
+        b.put(sentinel if (fill is not None and v == fill) else v - mn, minbits)
+    return hdr + b.bytes()
+
+def so_float_chunk(vals, size, d, fill=None):
+    """H5Z_SO_FLOAT_DSCALE over float32/float64 values. Fixture values
+    are chosen so v*10^d is exactly an integer in the type's precision —
+    the llround/lroundf result is then arithmetic-exact in Python too."""
+    live = [v for v in vals if fill is None or v != fill]
+    mn = min(live)
+    sv = [None if (fill is not None and v == fill)
+          else round(v * 10 ** d - mn * 10 ** d) for v in vals]
+    mx = max(s for s in sv if s is not None)
+    minbits = so_log2(mx + 2) if fill is not None else so_log2(mx + 1)
+    minval = struct.unpack("<Q", struct.pack("<d", mn))[0] if size == 8 \
+        else struct.unpack("<I", struct.pack("<f", mn))[0]
+    hdr = so_header(minbits, minval)
+    sentinel = (1 << minbits) - 1
+    b = _Bits()
+    for s in sv:
+        b.put(sentinel if s is None else s, minbits)
+    return hdr + b.bytes()
+
+def h5_datatype_int32(precision=32, offset=0, signed=True):
+    # class 0 (fixed-point), v1, LE; sign = bit 3 of the class bit field;
+    # properties: bit offset u16, bit precision u16
+    body = struct.pack("<BBBBI", 0x10, 0x08 if signed else 0x00, 0, 0, 4)
+    body += struct.pack("<HH", offset, precision)
+    return h5_msg(0x0003, body)
+
+def h5_filter_nbit(nelmts, precision, offset):
+    # cd = [total nparms, no-op flag, chunk nelmts, class(atomic=1),
+    #       size, order(LE=0), precision, offset] — 8 words, even
+    cd = [8, 0, nelmts, 1, 4, 0, precision, offset]
+    rec = (struct.pack("<HHHH", 5, 0, 1, len(cd))
+           + b"".join(struct.pack("<I", c) for c in cd))
+    return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 1) + rec)
+
+def h5_filter_scaleoffset(scale_type, scale_factor, nelmts, cls, size,
+                          sign, fill_bytes=None):
+    # cd = [scale type, scale factor, nelmts, class(0 int/1 float), size,
+    #       sign, order(LE=0), fill-defined, fill bytes as LE words];
+    # two fill words always emitted (zeros when undefined) -> 10, even
+    fw = [0, 0]
+    if fill_bytes is not None:
+        padded = fill_bytes + b"\0" * (8 - len(fill_bytes))
+        fw = list(struct.unpack("<II", padded))
+    cd = [scale_type, scale_factor, nelmts, cls, size, sign, 0,
+          1 if fill_bytes is not None else 0] + fw
+    rec = (struct.pack("<HHHH", 6, 0, 1, len(cd))
+           + b"".join(struct.pack("<I", c) for c in cd))
+    return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 1) + rec)
+
+def write_hdf5_nbit_so(path):
+    """nbit- and scale-offset-filtered chunked datasets (v0 generation):
+      'nbi' int32 signed, datatype precision 12 / offset 0, nbit,
+            [40] chunked (20): v = ((k*37) % 4000) - 2000;
+      'nbu' int32 UNSIGNED, precision 9 / offset 3, nbit,
+            [16] chunked (16): v = (k*29) % 512 (stored word = v << 3);
+      'soi' int32 SO_INT, fill -9999 defined, [48] chunked (24):
+            v = -9999 if k%11==0 else ((k*53) % 1000) - 500;
+      'soc' int32 SO_INT, no fill, all-constant 42, [16] -> minbits 0;
+      'sor' int32 SO_INT, user minbits 32 (raw store), [12]:
+            v = k*1234567 - 6000000;
+      'sof' float32 DSCALE D=2, no fill, [32]: v = k*0.25 - 2.0;
+      'sod' float64 DSCALE D=3, fill 1e30 defined, [24]:
+            v = 1e30 if k%7==0 else k*0.125 - 1.0."""
+    buf = bytearray(b"\0" * 96)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    def v1_leaf(entries, end_off):
+        bt = bytearray()
+        bt += b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+        bt += struct.pack("<QQ", UNDEF, UNDEF)
+        for size, off, addr in entries:
+            bt += struct.pack("<IIQQ", size, 0, off, 0)
+            bt += struct.pack("<Q", addr)
+        bt += struct.pack("<IIQQ", 0, 0, end_off, 0)
+        return alloc(bytes(bt))
+
+    ohs = {}
+
+    # --- 'nbi': signed 12-bit precision at offset 0
+    nbi_vals = [((k * 37) % 4000) - 2000 for k in range(40)]
+    nbi_chunks = [nbit_chunk([v & 0xFFFFFFFF for v in nbi_vals[c*20:(c+1)*20]],
+                             12, 0) for c in range(2)]
+    entries = [(len(cc), c * 20, alloc(cc)) for c, cc in enumerate(nbi_chunks)]
+    ohs["nbi"] = alloc(h5_object_header([
+        h5_dataspace([40]), h5_datatype_int32(precision=12),
+        h5_filter_nbit(20, 12, 0), h5_layout_chunked(v1_leaf(entries, 40), [20], 4),
+    ]))
+
+    # --- 'nbu': unsigned 9-bit precision at offset 3
+    nbu_vals = [(k * 29) % 512 for k in range(16)]
+    nbu_c = nbit_chunk([v << 3 for v in nbu_vals], 9, 3)
+    ohs["nbu"] = alloc(h5_object_header([
+        h5_dataspace([16]), h5_datatype_int32(precision=9, offset=3, signed=False),
+        h5_filter_nbit(16, 9, 3), h5_layout_chunked(
+            v1_leaf([(len(nbu_c), 0, alloc(nbu_c))], 16), [16], 4),
+    ]))
+
+    # --- 'soi': int with defined fill, 2 chunks (per-chunk minbits/minval)
+    soi_vals = [-9999 if k % 11 == 0 else ((k * 53) % 1000) - 500
+                for k in range(48)]
+    soi_chunks = [so_int_chunk(soi_vals[c*24:(c+1)*24], fill=-9999)
+                  for c in range(2)]
+    entries = [(len(cc), c * 24, alloc(cc)) for c, cc in enumerate(soi_chunks)]
+    ohs["soi"] = alloc(h5_object_header([
+        h5_dataspace([48]), h5_datatype_int32(),
+        h5_filter_scaleoffset(2, 0, 24, 0, 4, 1, struct.pack("<i", -9999)),
+        h5_layout_chunked(v1_leaf(entries, 48), [24], 4),
+    ]))
+
+    # --- 'soc': all-constant, no fill -> minbits 0, header-only chunk
+    soc_c = so_int_chunk([42] * 16)
+    ohs["soc"] = alloc(h5_object_header([
+        h5_dataspace([16]), h5_datatype_int32(),
+        h5_filter_scaleoffset(2, 0, 16, 0, 4, 1),
+        h5_layout_chunked(v1_leaf([(len(soc_c), 0, alloc(soc_c))], 16), [16], 4),
+    ]))
+
+    # --- 'sor': user minbits 32 -> raw little-endian payload branch
+    sor_vals = [k * 1234567 - 6000000 for k in range(12)]
+    sor_c = so_int_chunk(sor_vals, minbits_user=32)
+    ohs["sor"] = alloc(h5_object_header([
+        h5_dataspace([12]), h5_datatype_int32(),
+        h5_filter_scaleoffset(2, 32, 12, 0, 4, 1),
+        h5_layout_chunked(v1_leaf([(len(sor_c), 0, alloc(sor_c))], 12), [12], 4),
+    ]))
+
+    # --- 'sof': float32 D-scale, no fill
+    sof_vals = [k * 0.25 - 2.0 for k in range(32)]
+    sof_c = so_float_chunk(sof_vals, 4, 2)
+    ohs["sof"] = alloc(h5_object_header([
+        h5_dataspace([32]), h5_datatype_float(4),
+        h5_filter_scaleoffset(0, 2, 32, 1, 4, 0),
+        h5_layout_chunked(v1_leaf([(len(sof_c), 0, alloc(sof_c))], 32), [32], 4),
+    ]))
+
+    # --- 'sod': float64 D-scale with defined fill
+    sod_vals = [1e30 if k % 7 == 0 else k * 0.125 - 1.0 for k in range(24)]
+    sod_c = so_float_chunk(sod_vals, 8, 3, fill=1e30)
+    ohs["sod"] = alloc(h5_object_header([
+        h5_dataspace([24]), h5_datatype_float(8),
+        h5_filter_scaleoffset(0, 3, 24, 1, 8, 0, struct.pack("<d", 1e30)),
+        h5_layout_chunked(v1_leaf([(len(sod_c), 0, alloc(sod_c))], 24), [24], 8),
+    ]))
+
+    # --- root group (symbol table, names sorted)
+    names = sorted(ohs)
+    heap_data = bytearray(b"\0" * 8)
+    name_offs = {}
+    for nm in names:
+        name_offs[nm] = len(heap_data)
+        heap_data += nm.encode() + b"\0"
+        heap_data += b"\0" * ((-len(heap_data)) % 8)
+    heap_data_addr = alloc(bytes(heap_data))
+    heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF,
+                                            heap_data_addr))
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
+    for nm in names:
+        snod += struct.pack("<QQII16x", name_offs[nm], ohs[nm], 0, 0)
+    snod_addr = alloc(snod)
+    gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+    gtree += struct.pack("<QQ", UNDEF, UNDEF)
+    gtree += struct.pack("<QQ", 0, snod_addr)
+    gtree += struct.pack("<Q", name_offs[names[-1]])
+    gtree_addr = alloc(gtree)
+    root_oh = alloc(h5_object_header([
+        h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
+    ]))
+
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    sb.write(struct.pack("<HHI", 4, 16, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
+    sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
+    sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
+    sb_bytes = sb.getvalue()
+    assert len(sb_bytes) == 96, len(sb_bytes)
+    buf[0:96] = sb_bytes
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
 def h5v2_msg(mtype, body):
     """v2 (OHDR) header message: type(1) size(2) flags(1), no padding."""
     return struct.pack("<BHB", mtype, len(body), 0) + body
@@ -3409,6 +3642,7 @@ def main():
     write_hdf5(os.path.join(TEST_FIX, "golden_v1sb.h5"), sb_version=1)
     write_hdf5_fletcher(os.path.join(TEST_FIX, "golden_fletcher.h5"))
     write_hdf5_szip(os.path.join(TEST_FIX, "golden_szip.h5"))
+    write_hdf5_nbit_so(os.path.join(TEST_FIX, "golden_nbit_so.h5"))
     write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
     write_hdf5_dense(os.path.join(TEST_FIX, "golden_dense.h5"))
     write_hdf5_huge(os.path.join(TEST_FIX, "golden_huge.h5"))
