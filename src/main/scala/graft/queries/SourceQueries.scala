@@ -1117,6 +1117,41 @@ object SourceQueries {
           col("value").as("lwp"))
     },
 
+    // ---- S9b scale: the DSv2 mount of the chunk-parallel HDF5 path ------
+    // q129's two-phase read through spark.read.format: split planning is
+    // the manifest's chunk map (one byte-adjacent task run per
+    // InputPartition), and the dataset filter pushes into the PLAN phase
+    // — the decoy dataset's chunks are never planned, let alone read
+    // (Hdf5DataSourceSpec proves payload bytes stay untouched under
+    // index-only projections). The oracle states the lwp series
+    // analytically, so the hash proves pruning dropped no lwp chunk and
+    // the DSv2 row assembly matches the library path value-exactly.
+    QueryDef.sqlBacked(
+      "q191_hdf5_dsv2_pruned",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(j*16 + i AS DOUBLE) * 0.125 - 50.0 AS lwp
+        |FROM range(0,30) r1(j), range(0,16) r2(i)""".stripMargin) { (s, d) =>
+      import graft.sources.HDF5
+      val dir = q191Hdf5Dir
+      val f = java.nio.file.Paths.get(dir, "store.h5")
+      if (!java.nio.file.Files.exists(f)) {
+        val bytes = HDF5.write(Seq(
+          HDF5.DsSpec("lwp", Seq(30, 16),
+            Array.tabulate(480)(_ * 0.125 - 50.0), chunkDims = Some(Seq(5, 8))),
+          HDF5.DsSpec("decoy", Seq(64),
+            Array.tabulate(64)(_ * 7.0), chunkDims = Some(Seq(8)))),
+          deflate = true)
+        java.nio.file.Files.write(f, bytes)
+      }
+      s.read.format("graft.sources.Hdf5DataSource")
+        .option("path", f.toString).load()
+        .where(col("dataset") === "lwp")
+        .select(
+          expr("idx div 16").as("y"),
+          expr("idx % 16").as("x"),
+          col("value").as("lwp"))
+    },
+
     // ---- S12 family: ORC sink -> source round-trip ----------------------
     // Columnar-format interchange beyond parquet: the documents table is
     // written as zlib ORC partitioned by `source` (Spark's built-in ORC
@@ -1458,6 +1493,10 @@ object SourceQueries {
           sum(col("u32")).as("sum_u32"))
     }
   )
+
+  /** Per-JVM fixture dir for q191 (the q140 discipline). */
+  private lazy val q191Hdf5Dir: String =
+    mkCleanedTempDir("graft_q191_hdf5_")
 
   /** Per-JVM fixture dir for q190 (the q140 discipline). */
   private lazy val q190ArrowDir: String = {

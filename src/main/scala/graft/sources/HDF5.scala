@@ -48,10 +48,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * direct rows; HUGE heap objects (links past the max managed size)
   * resolve directly or through the huge-object v2 B-tree, and TINY
   * objects decode from the heap ID itself. SZIP chunks decode through
-  * a pure-JVM CCSDS 121 extended-Rice decoder ([[Szip]]). Out of
-  * scope — rejected LOUDLY, never silently misread: filtered heap
-  * blocks, extended tiny ids, szip padded-tail blocks, nbit/
-  * scale-offset filters.
+  * a pure-JVM CCSDS 121 extended-Rice decoder ([[Szip]]), including
+  * padded-tail blocks (short scanlines encode whole blocks; pads are
+  * decoded and discarded). NBIT and SCALE-OFFSET filtered chunks
+  * decode ([[denbit]]/[[descaleoffset]]). Out of scope — rejected
+  * LOUDLY, never silently misread: filtered heap blocks, extended
+  * tiny ids.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -167,18 +169,33 @@ object HDF5 {
     * function of the chunk bytes + manifest row — no file metadata —
     * so it runs executor-side with only a positioned byte-range read. */
   def decodeChunk(raw: Array[Byte], v: H5Var, origin: Seq[Long]): Iterator[(Long, Double)] = {
-    val nd = v.dims.size
     val chunkBytes = defilter(v.name, raw, v.filters, v.dtSize, v.signedInt)
-    val strides = new Array[Long](nd)
-    var acc = 1L
-    for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= v.dims(k) }
     val nChunkElems = v.chunkDims.product
     require(chunkBytes.length == nChunkElems * v.dtSize,
       s"dataset ${v.name}: chunk decodes to ${chunkBytes.length} bytes, " +
         s"expected ${nChunkElems * v.dtSize}")
     val bb = ByteBuffer.wrap(chunkBytes).order(
       if (v.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-    (0 until nChunkElems).iterator.flatMap { ci =>
+    chunkPositions(v, origin).map { case (gi, ci) =>
+      (gi, elemAt(bb, v.name, v.dtClass, v.dtSize, v.signedInt, ci))
+    }
+  }
+
+  /** Global row-major indexes this chunk contributes (ragged edges
+    * clipped), WITHOUT touching chunk bytes — a pure function of the
+    * manifest row, so an index-only projection never reads or
+    * decompresses payload data. */
+  def chunkGlobalIndexes(v: H5Var, origin: Seq[Long]): Iterator[Long] =
+    chunkPositions(v, origin).map(_._1)
+
+  /** (global row-major index, chunk-local element index) for every
+    * in-bounds position of the chunk at `origin`. */
+  private def chunkPositions(v: H5Var, origin: Seq[Long]): Iterator[(Long, Int)] = {
+    val nd = v.dims.size
+    val strides = new Array[Long](nd)
+    var acc = 1L
+    for (k <- (nd - 1) to 0 by -1) { strides(k) = acc; acc *= v.dims(k) }
+    (0 until v.chunkDims.product).iterator.flatMap { ci =>
       var rem = ci; var inBounds = true; var globalIdx = 0L
       var k = nd - 1
       while (k >= 0) {
@@ -189,9 +206,7 @@ object HDF5 {
         globalIdx += g * strides(k)
         k -= 1
       }
-      if (inBounds) Iterator.single(
-        (globalIdx, elemAt(bb, v.name, v.dtClass, v.dtSize, v.signedInt, ci)))
-      else Iterator.empty
+      if (inBounds) Iterator.single((globalIdx, ci)) else Iterator.empty
     }
   }
 
@@ -203,7 +218,13 @@ object HDF5 {
       case (0, 4) =>
         if (signedInt) bb.getInt(i * 4).toDouble
         else (bb.getInt(i * 4) & 0xffffffffL).toDouble
-      case (0, 8) => bb.getLong(i * 8).toDouble // uint64 > 2^63 loses to Double anyway
+      case (0, 8) =>
+        val v = bb.getLong(i * 8)
+        if (signedInt || v >= 0) v.toDouble
+        // unsigned with the top bit set: split off 2^63 so the Double
+        // carries the unsigned magnitude (above 2^53 precision is lossy
+        // either way, but the sign must not flip)
+        else (v & Long.MaxValue).toDouble + 9.223372036854775808e18
       case other => throw new IllegalArgumentException(
         s"dataset $name: unsupported type class/size $other")
     }

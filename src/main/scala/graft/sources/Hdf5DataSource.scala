@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 facade over [[HDF5ChunkIngest]]'s two-phase
+  * consolidated-store read — HDF5/netCDF-4 stores mount like any other
+  * format:
+  *
+  * {{{
+  * spark.read.format("graft.sources.Hdf5DataSource")
+  *   .option("path", "/data/store/STAR.h5") // file or glob (STAR = asterisk)
+  *   .load()                               // (path, dataset, idx, value)
+  *   .where($"dataset" === "lwp")          // FILTER PUSHDOWN prunes chunks
+  *   .select("idx")                        // COLUMN PRUNING skips decode
+  * }}}
+  *
+  * Split planning is the chunk map: phase 1 (plan time, driver) walks
+  * only metadata pages via [[HDF5.manifest]], then the (path, offset)-
+  * sorted chunk tasks are sliced into byte-adjacent InputPartitions —
+  * each task's positioned reads advance monotonically through one file
+  * region, the access pattern OS readahead helps. `dataset`/`path`
+  * equality and IN filters push down into the PLAN phase (pruned chunks
+  * are never planned, so `.where(dataset = "lwp")` on a 40-variable
+  * store fans out only lwp's chunks); the filters are also left in the
+  * residual so Spark re-applies them — pruning is an optimization, never
+  * a correctness dependency. Column pruning reaches the byte level: a
+  * projection without `value` ([[HDF5.chunkGlobalIndexes]]) emits grid
+  * indexes straight from the manifest row — chunk payloads are never
+  * read, let alone decompressed, so existence/count scans over a 100 TB
+  * store do metadata-proportional work.
+  *
+  * Reference analog: convml_data reads granules whole-file via xarray
+  * (utils/luigi.py:29-47); this is the consolidated-store shape that
+  * world lacks. Executors open files by path — the [[ZarrSink]] caveat
+  * about cluster-reachable storage applies.
+  */
+class Hdf5DataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Hdf5DataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new Hdf5Table(properties.get("path"),
+      Option(properties.get("variable")),
+      Option(properties.get("partitions")).map(_.toInt))
+}
+
+object Hdf5DataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("dataset", StringType, nullable = false),
+    StructField("idx", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+}
+
+class Hdf5Table(path: String, variable: Option[String], partitions: Option[Int])
+    extends Table with SupportsRead {
+  require(path != null, "graft-hdf5 needs a path option")
+  override def name(): String = s"graft-hdf5[$path]"
+  override def schema(): StructType = Hdf5DataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Hdf5ScanBuilder(path, variable, partitions)
+}
+
+class Hdf5ScanBuilder(path: String, variable: Option[String], partitions: Option[Int])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = Hdf5DataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept dataset/path equality + IN for plan-phase chunk pruning; ALL
+    * filters stay residual (returned), so Spark re-evaluates them — the
+    * prune can only ever drop chunks the filter provably excludes. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("dataset" | "path", _: String) => true
+      case In("dataset" | "path", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new Hdf5Scan(path, variable, partitions, required, pushed)
+}
+
+/** One partition = a byte-adjacent run of chunk tasks (already sorted by
+  * (path, offset) at plan time). */
+case class Hdf5ChunkPartition(tasks: Seq[HDF5ChunkIngest.ChunkTask])
+    extends InputPartition
+
+class Hdf5Scan(path: String, variable: Option[String], partitions: Option[Int],
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-hdf5 scan $path cols=${required.fieldNames.mkString(",")} " +
+      s"pushed=${pushed.mkString(",")}"
+
+  private def keep(col: String, v: String): Boolean = pushed.forall {
+    case EqualTo(`col`, want: String) => v == want
+    case In(`col`, vs) => vs.contains(v)
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val paths = HDF5ChunkIngest.resolvePaths(path).filter(keep("path", _))
+    val tasks = HDF5ChunkIngest.chunkTasks(paths, variable)
+      .filter(t => keep("dataset", t.dataset))
+      .sortBy(t => (t.path, t.offset))
+    if (tasks.isEmpty) return Array.empty
+    val par = partitions.getOrElse(math.max(1, math.min(tasks.size,
+      SparkSession.active.sparkContext.defaultParallelism)))
+    val n = math.min(par, tasks.size)
+    val sz = (tasks.size + n - 1) / n
+    tasks.grouped(sz).map(Hdf5ChunkPartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Hdf5ReaderFactory(required)
+}
+
+class Hdf5ReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val tasks = partition.asInstanceOf[Hdf5ChunkPartition].tasks
+    val needValue = required.fieldNames.contains("value")
+    new PartitionReader[InternalRow] {
+      private var raf: java.io.RandomAccessFile = null
+      private var rafPath: String = null
+      private val rows: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
+        val v = HDF5.H5Var(t.dataset, t.dims, t.chunkDims, t.dtClass,
+          t.dtSize, t.bigEndian, t.filters, t.signedInt)
+        val pathU = UTF8String.fromString(t.path)
+        val dsU = UTF8String.fromString(t.dataset)
+        def row(gi: Long, x: Double): InternalRow = {
+          val out = new Array[Any](required.length)
+          var i = 0
+          while (i < required.length) {
+            out(i) = required.fields(i).name match {
+              case "path" => pathU
+              case "dataset" => dsU
+              case "idx" => gi
+              case "value" => x
+            }
+            i += 1
+          }
+          new GenericInternalRow(out)
+        }
+        if (!needValue) {
+          // index-only projection: the chunk's bytes are never read
+          HDF5.chunkGlobalIndexes(v, t.origin).map(row(_, 0.0))
+        } else {
+          if (rafPath != t.path) {
+            if (raf != null) raf.close()
+            raf = new java.io.RandomAccessFile(t.path, "r")
+            rafPath = t.path
+          }
+          val raw = new Array[Byte](t.nbytes.toInt)
+          raf.seek(t.offset)
+          raf.readFully(raw)
+          HDF5.decodeChunk(raw, v, t.origin).map { case (gi, x) => row(gi, x) }
+        }
+      }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = if (raf != null) raf.close()
+    }
+  }
+}

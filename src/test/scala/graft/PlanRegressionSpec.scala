@@ -103,7 +103,7 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q184_arrow_uint_roundtrip" :+ "q185_zarr_blosc_roundtrip"
       :+ "q186_zarr3_sharded_roundtrip" :+ "q187_arrow_compressed_roundtrip"
       :+ "q188_zarr3_shard_inner_parallel" :+ "q189_sft_chat_template"
-      :+ "q190_arrow_ext_roundtrip")
+      :+ "q190_arrow_ext_roundtrip" :+ "q191_hdf5_dsv2_pruned")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -165,6 +165,17 @@ class PlanRegressionSpec extends SparkSpec {
       assert(exchanges.head.contains("rangepartitioning"),
         s"fan-out must be the (path, offset) range partitioning:\n${exchanges.head}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q191: DSv2 HDF5 scan is exchange-free with the dataset filter pushed") {
+    // the DSv2 contract: split planning IS the fan-out (one partition
+    // per byte-adjacent chunk run), so the scan->filter->project plan
+    // carries no exchange at all, and the pushed dataset filter is
+    // visible in the scan description (pruned at plan time)
+    val plan = planOf("q191_hdf5_dsv2_pruned")
+    assert(!plan.contains("Exchange"), s"DSv2 scan must not shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("pushed=") && plan.contains("EqualTo"),
+      s"dataset filter must reach the scan:\n${plan.take(1200)}")
   }
 
   test("q35: regrid weights are broadcast, never shuffled") {

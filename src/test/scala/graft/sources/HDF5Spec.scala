@@ -638,6 +638,20 @@ class HDF5Spec extends SparkSpec {
       if (k % 7 == 0) 1e30 else k * 0.125 - 1.0))
   }
 
+  test("unsigned 64-bit values above 2^63 keep their unsigned magnitude") {
+    // a signed read would flip these negative; magnitude above 2^53 is
+    // lossy in Double either way, but the sign must survive
+    val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(7L).putLong(java.lang.Long.MIN_VALUE + 5)
+    val v = HDF5.H5Var("u", Seq(2L), Seq(2), dtClass = 0, dtSize = 8,
+      bigEndian = false, filters = Nil, signedInt = false)
+    val got = HDF5.decodeChunk(bb.array(), v, Seq(0L)).toMap
+    assert(got(0L) == 7.0)
+    assert(got(1L) == 9.223372036854775808e18)
+    val signed = v.copy(signedInt = true)
+    assert(HDF5.decodeChunk(bb.array(), signed, Seq(0L)).toMap.apply(1L) < 0)
+  }
+
   test("scale-offset chunks with an unexpected minval width are rejected loudly") {
     val in = getClass.getResourceAsStream("/fixtures/golden_nbit_so.h5")
     require(in != null, "golden_nbit_so.h5 missing — run tools/make_fixtures.py")
