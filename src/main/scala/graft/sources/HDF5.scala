@@ -51,9 +51,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * a pure-JVM CCSDS 121 extended-Rice decoder ([[Szip]]), including
   * padded-tail blocks (short scanlines encode whole blocks; pads are
   * decoded and discarded). NBIT and SCALE-OFFSET filtered chunks
-  * decode ([[denbit]]/[[descaleoffset]]). Out of scope — rejected
-  * LOUDLY, never silently misread: filtered heap blocks, extended
-  * tiny ids.
+  * decode ([[denbit]]/[[descaleoffset]]). FILTERED fractal-heap
+  * direct blocks decode (whole-image defilter, root-direct and
+  * widened indirect entries), EXTENDED tiny heap ids (id length
+  * > 18, 12-bit length) resolve, and filtered HUGE objects decode
+  * through type-2 B-tree records or widened direct ids. The residual
+  * rejects are corrupt/lying structures — all loud, never silently
+  * misread.
   *
   * The writers ([[write]] emits the v0 generation, [[writeLatest]] the
   * v2/OHDR generation incl. continuation blocks and shuffle) emit the
@@ -439,7 +443,6 @@ object HDF5 {
     require(h.get() == 0, "FRHP version != 0")
     val heapIdLen = h.getShort() & 0xffff
     val filterLen = h.getShort() & 0xffff
-    require(filterLen == 0, "filtered fractal-heap blocks unsupported")
     h.get() // heap flags
     h.getInt() // max size of managed objects
     h.getLong() // next huge object id
@@ -456,6 +459,20 @@ object HDF5 {
     h.getShort() // starting rows in root indirect block
     val rootBlockAddr = h.getLong()
     val curRows = h.getShort() & 0xffff
+    // filtered heaps: the root direct block's stored size + mask, then
+    // the pipeline (an embedded filter-message body) ride the header;
+    // every stored direct-block image is compressed WHOLE (header
+    // included) and block offsets address the DECOMPRESSED image
+    var rootFilteredSize = 0L
+    val heapFilters: Seq[H5Filter] =
+      if (filterLen == 0) Nil
+      else {
+        rootFilteredSize = h.getLong()
+        val mask = h.getInt()
+        require(mask == 0,
+          s"filtered fractal heap: nonzero root filter mask $mask unsupported")
+        parseFilterPipeline(h, "fractal heap")
+      }
     val offSize = (maxHeapBits + 7) / 8
     require(1 + offSize <= heapIdLen,
       s"heap id length $heapIdLen cannot hold a $offSize-byte offset")
@@ -466,26 +483,40 @@ object HDF5 {
     val maxDirectRows =
       (63 - java.lang.Long.numberOfLeadingZeros(maxDirect / startBlock)).toInt + 2
     def rowSize(r: Int): Long = if (r < 2) startBlock else startBlock << (r - 1)
-    def checkDirect(addr: Long): Unit = {
-      val db = in.cursor(addr)
+    def checkDirect(bin: H5Input, base: Long): Unit = {
+      val db = bin.cursor(base)
       require((0 until 4).map(_ => db.get().toChar).mkString == "FHDB",
         "bad fractal heap direct block signature")
     }
+    // filtered direct blocks decompress whole; cache per address so the
+    // per-link walk inflates each block once
+    val blockCache = scala.collection.mutable.HashMap.empty[Long, ArrayInput]
+    def inflatedBlock(addr: Long, storedSize: Long): ArrayInput =
+      blockCache.getOrElseUpdate(addr, new ArrayInput(defilter(
+        "fractal heap block", in.slice(addr, storedSize.toInt), heapFilters,
+        1, signedInt = true)))
 
-    /** heap-space offset -> absolute file offset of that byte. */
-    def locate(heapOff: Long): Long =
+    /** heap-space offset -> (input, offset) of that byte: the file
+      * itself for plain heaps, the decompressed block image for
+      * filtered ones. */
+    def locate(heapOff: Long): (H5Input, Long) =
       if (curRows == 0) {
         require(heapOff < startBlock, s"heap offset $heapOff beyond the root direct block")
-        checkDirect(rootBlockAddr)
-        rootBlockAddr + heapOff
+        if (heapFilters.isEmpty) { checkDirect(in, rootBlockAddr); (in, rootBlockAddr + heapOff) }
+        else {
+          val bi = inflatedBlock(rootBlockAddr, rootFilteredSize)
+          checkDirect(bi, 0L)
+          (bi, heapOff)
+        }
       } else locateIn(rootBlockAddr, heapOff)
 
     /** Row-walk within ONE indirect block. Entries in the direct rows
-      * are direct blocks; entries past them are CHILD indirect blocks,
-      * each spanning rowSize(r) of heap space with its own rows
-      * restarting the doubling table — so the recursion is uniform and
-      * heaps nest to any indirect depth. */
-    def locateIn(iblockAddr: Long, relOff: Long): Long = {
+      * are direct blocks (addr, + stored size and mask when filtered);
+      * entries past them are CHILD indirect blocks (addr only), each
+      * spanning rowSize(r) of heap space with its own rows restarting
+      * the doubling table — so the recursion is uniform and heaps nest
+      * to any indirect depth. */
+    def locateIn(iblockAddr: Long, relOff: Long): (H5Input, Long) = {
       var r = 0
       var base = 0L
       while (relOff >= base + width * rowSize(r)) { base += width * rowSize(r); r += 1 }
@@ -496,12 +527,27 @@ object HDF5 {
       ib.get() // version
       ib.getLong() // heap header address
       (0 until offSize).foreach(_ => ib.get()) // block offset
-      ib.position(ib.position() + (r * width + col) * 8)
+      // direct-row entries widen to addr + stored size (L) + mask (4)
+      // in filtered heaps; indirect-row entries stay a bare address
+      val e = r * width + col
+      val dirEntrySize = if (heapFilters.isEmpty) 8 else 20
+      val nDirBefore = math.min(e.toLong, maxDirectRows.toLong * width)
+      ib.position(ib.position() + nDirBefore * dirEntrySize + (e - nDirBefore) * 8)
       val child = ib.getLong()
       require(child != Undef, s"heap offset points into an unallocated block")
       val inBlk = relOff - (base + col.toLong * rowSize(r))
-      if (r < maxDirectRows) { checkDirect(child); child + inBlk }
-      else locateIn(child, inBlk)
+      if (r < maxDirectRows) {
+        if (heapFilters.isEmpty) { checkDirect(in, child); (in, child + inBlk) }
+        else {
+          val storedSize = ib.getLong()
+          val mask = ib.getInt()
+          require(mask == 0,
+            s"filtered fractal heap: nonzero direct-block filter mask $mask unsupported")
+          val bi = inflatedBlock(child, storedSize)
+          checkDirect(bi, 0L)
+          (bi, inBlk)
+        }
+      } else locateIn(child, inBlk)
     }
 
     // ---- name-index v2 B-tree (BTHD, record type 5: hash + 7-byte id)
@@ -565,7 +611,10 @@ object HDF5 {
     // (record type 1: address + length + id), looked up by the id the
     // heap ID carries. Depth-0 trees only — a group would need dozens
     // of over-4-KB link names to overflow one leaf.
-    lazy val hugeRecords: Map[Long, Long] = {
+    // id -> (address, stored length): record type 1 (plain) or 2
+    // (filtered: + filter mask + memory size; the stored bytes defilter
+    // through the heap's pipeline before the link message parses)
+    lazy val hugeRecords: Map[Long, (Long, Long)] = {
       require(hugeBtAddr != Undef,
         s"huge fractal-heap ids present but no huge-object B-tree ($nHuge expected)")
       val hb = in.cursor(hugeBtAddr)
@@ -573,12 +622,16 @@ object HDF5 {
         "bad huge-object v2 B-tree signature")
       require(hb.get() == 0, "huge-object BTHD version != 0")
       val rtype = hb.get()
-      require(rtype == 1,
-        s"huge-object B-tree record type $rtype unsupported (non-filtered " +
-          "indirect only — szip/deflate-filtered huge objects out of scope)")
+      require(rtype == 1 || rtype == 2,
+        s"huge-object B-tree record type $rtype unsupported (indirect " +
+          "plain (1) and filtered (2) decode)")
+      require((rtype == 2) == heapFilters.nonEmpty,
+        s"huge-object record type $rtype inconsistent with heap filterLen $filterLen")
       hb.getInt() // node size
       val recSize = hb.getShort() & 0xffff
-      require(recSize == 24, s"huge-object record size $recSize != 24 (addr+len+id)")
+      val wantRec = if (rtype == 1) 24 else 36
+      require(recSize == wantRec,
+        s"huge-object record size $recSize != $wantRec for type $rtype")
       val depth = hb.getShort() & 0xffff
       require(depth == 0,
         s"huge-object B-tree depth $depth unsupported (single leaf only)")
@@ -588,40 +641,72 @@ object HDF5 {
       val lb = in.cursor(rootAddr)
       require((0 until 4).map(_ => lb.get().toChar).mkString == "BTLF",
         "bad huge-object B-tree leaf signature")
-      require(lb.get() == 0 && lb.get() == 1, "huge-object BTLF version/type mismatch")
+      require(lb.get() == 0 && lb.get() == rtype,
+        "huge-object BTLF version/type mismatch")
       (0 until rootNRec).map { _ =>
         val addr = lb.getLong()
-        lb.getLong() // stored length (link messages are self-delimiting)
+        val storedLen = lb.getLong()
+        if (rtype == 2) {
+          val mask = lb.getInt()
+          require(mask == 0,
+            s"filtered huge object: nonzero filter mask $mask unsupported")
+          lb.getLong() // memory (de-filtered) size; defilter yields it
+        }
         val recId = lb.getLong()
-        recId -> addr
+        recId -> ((addr, storedLen))
       }.toMap
     }
+    def hugeIn(addr: Long, storedLen: Long): (H5Input, Long) =
+      if (heapFilters.isEmpty) (in, addr)
+      else (new ArrayInput(defilter("huge heap object",
+        in.slice(addr, storedLen.toInt), heapFilters, 1, signedInt = true)), 0L)
 
     readRecordIds(rootNodeAddr, rootNRec, depth).map { id =>
       ((id(0) >> 4) & 0x3) match {
         case 0 => // managed: heap-space offset into the block structure
           var off = 0L
           (0 until offSize).foreach(i => off |= (id(1 + i) & 0xffL) << (8 * i))
-          parseLinkMessage(in, locate(off))
-        case 1 => // huge: directly addressed if the id fits addr+length
-          if (1 + 16 <= heapIdLen) {
-            var addr = 0L
-            (0 until 8).foreach(i => addr |= (id(1 + i) & 0xffL) << (8 * i))
-            parseLinkMessage(in, addr)
+          val (bin, boff) = locate(off)
+          parseLinkMessage(bin, boff)
+        case 1 => // huge: directly addressed if the id fits the record
+          // (plain: addr+len; filtered: addr+stored len+mask+mem size)
+          val directPayload = if (heapFilters.isEmpty) 16 else 28
+          if (1 + directPayload <= heapIdLen) {
+            def le(at: Int, n: Int): Long = {
+              var v = 0L
+              (0 until n).foreach(i => v |= (id(at + i) & 0xffL) << (8 * i))
+              v
+            }
+            val addr = le(1, 8)
+            if (heapFilters.isEmpty) parseLinkMessage(in, addr)
+            else {
+              val storedLen = le(9, 8)
+              val mask = le(17, 4)
+              require(mask == 0,
+                s"filtered huge object: nonzero filter mask $mask unsupported")
+              val (bin, boff) = hugeIn(addr, storedLen)
+              parseLinkMessage(bin, boff)
+            }
           } else {
             var recId = 0L
             (1 until id.length).foreach(i => recId |= (id(i) & 0xffL) << (8 * (i - 1)))
-            val addr = hugeRecords.getOrElse(recId, throw new IllegalArgumentException(
-              s"huge fractal-heap id $recId missing from the huge-object B-tree"))
-            parseLinkMessage(in, addr)
+            val (addr, storedLen) = hugeRecords.getOrElse(recId,
+              throw new IllegalArgumentException(
+                s"huge fractal-heap id $recId missing from the huge-object B-tree"))
+            val (bin, boff) = hugeIn(addr, storedLen)
+            parseLinkMessage(bin, boff)
           }
         case 2 => // tiny: the link message rides inside the heap ID itself
-          require(heapIdLen <= 18,
-            "extended tiny fractal-heap ids (heap id length > 18) unsupported")
-          val len = (id(0) & 0x0f) + 1
-          require(1 + len <= id.length, s"tiny fractal-heap id claims $len payload bytes")
+          // normal (id length <= 18): 4-bit length in byte 0; EXTENDED
+          // (> 18): 12-bit length across byte 0's low nibble (high
+          // bits) + byte 1, payload from byte 2
+          val (len, start) =
+            if (heapIdLen <= 18) ((id(0) & 0x0f) + 1, 1)
+            else ((((id(0) & 0x0f) << 8) | (id(1) & 0xff)) + 1, 2)
+          require(start + len <= id.length,
+            s"tiny fractal-heap id claims $len payload bytes")
           parseLinkMessage(new ArrayInput(
-            java.util.Arrays.copyOfRange(id, 1, 1 + len)), 0L)
+            java.util.Arrays.copyOfRange(id, start, start + len)), 0L)
         case t => throw new IllegalArgumentException(
           s"fractal-heap id type $t unsupported")
       }
@@ -922,41 +1007,7 @@ object HDF5 {
               s"dataset $name: layout class $other unsupported (compact/contiguous/chunked only)")
           }
         case 0x000B => // filter pipeline: deflate(1) shuffle(2) fletcher32(3) szip(4)
-          val b = in.cursor(off)
-          val v = b.get()
-          val entries = v match {
-            case 1 =>
-              val nf = b.get() & 0xff
-              b.getShort(); b.getInt() // reserved
-              (0 until nf).map { _ =>
-                val id = b.getShort() & 0xffff
-                val nameLen = b.getShort() & 0xffff
-                b.getShort() // flags
-                val nVals = b.getShort() & 0xffff
-                (0 until nameLen).foreach(_ => b.get())
-                val cd = (0 until nVals).map(_ => b.getInt())
-                if (nVals % 2 == 1) b.getInt() // pad to 8
-                H5Filter(id, cd)
-              }
-            case 2 =>
-              val nf = b.get() & 0xff
-              (0 until nf).map { _ =>
-                val id = b.getShort() & 0xffff
-                val nameLen = if (id >= 256) b.getShort() & 0xffff else 0
-                b.getShort() // flags
-                val nVals = b.getShort() & 0xffff
-                (0 until nameLen).foreach(_ => b.get())
-                val cd = (0 until nVals).map(_ => b.getInt()) // no padding in v2
-                H5Filter(id, cd)
-              }
-            case other => throw new IllegalArgumentException(
-              s"dataset $name: filter pipeline version $other unsupported")
-          }
-          entries.foreach(f => require(f.id >= 1 && f.id <= 6,
-            s"dataset $name: filter id ${f.id} unsupported — deflate (1), " +
-              "shuffle (2), fletcher32 (3), szip (4), nbit (5) and " +
-              "scale-offset (6) are implemented"))
-          filters = entries
+          filters = parseFilterPipeline(in.cursor(off), s"dataset $name")
         case _ => () // NIL, attributes, mod-time, fill value: skipped
       }
     }
@@ -1095,6 +1146,45 @@ object HDF5 {
   }
 
   /** Apply the inverse filter pipeline (reverse write order). */
+  /** Filter-pipeline message body (type 0x000B, versions 1 + 2) — also
+    * the encoding the FRHP header embeds for filtered heap blocks. */
+  private def parseFilterPipeline(b: H5Cursor, what: String): Seq[H5Filter] = {
+    val v = b.get()
+    val entries = v match {
+      case 1 =>
+        val nf = b.get() & 0xff
+        b.getShort(); b.getInt() // reserved
+        (0 until nf).map { _ =>
+          val id = b.getShort() & 0xffff
+          val nameLen = b.getShort() & 0xffff
+          b.getShort() // flags
+          val nVals = b.getShort() & 0xffff
+          (0 until nameLen).foreach(_ => b.get())
+          val cd = (0 until nVals).map(_ => b.getInt())
+          if (nVals % 2 == 1) b.getInt() // pad to 8
+          H5Filter(id, cd)
+        }
+      case 2 =>
+        val nf = b.get() & 0xff
+        (0 until nf).map { _ =>
+          val id = b.getShort() & 0xffff
+          val nameLen = if (id >= 256) b.getShort() & 0xffff else 0
+          b.getShort() // flags
+          val nVals = b.getShort() & 0xffff
+          (0 until nameLen).foreach(_ => b.get())
+          val cd = (0 until nVals).map(_ => b.getInt()) // no padding in v2
+          H5Filter(id, cd)
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what: filter pipeline version $other unsupported")
+    }
+    entries.foreach(f => require(f.id >= 1 && f.id <= 6,
+      s"$what: filter id ${f.id} unsupported — deflate (1), " +
+        "shuffle (2), fletcher32 (3), szip (4), nbit (5) and " +
+        "scale-offset (6) are implemented"))
+    entries
+  }
+
   private def defilter(name: String, comp: Array[Byte], filters: Seq[H5Filter],
       elemSize: Int, signedInt: Boolean): Array[Byte] =
     filters.reverse.foldLeft(comp) { (acc, f) =>

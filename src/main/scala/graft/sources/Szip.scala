@@ -98,11 +98,8 @@ object Szip {
     val blockSize = pixelsPerBlock
     require(blockSize > 0 && blockSize <= 64 && blockSize % 2 == 0,
       s"dataset $name: szip pixels-per-block $blockSize unsupported")
-    require(total % blockSize == 0,
-      s"dataset $name: szip sample count $total does not fill whole " +
-        s"$blockSize-pixel blocks — padded tails are out of scope")
-    val rsiBlocks = (pixelsPerScanline + blockSize - 1) / blockSize
-    require(rsiBlocks > 0, s"dataset $name: szip pixels-per-scanline $pixelsPerScanline invalid")
+    require(pixelsPerScanline > 0,
+      s"dataset $name: szip pixels-per-scanline $pixelsPerScanline invalid")
     val idLen = if (n > 16) 5 else if (n > 8) 4 else 3
     val idUncomp = (1 << idLen) - 1
     val xmax = if (n == 32) 0xFFFFFFFFL else (1L << n) - 1
@@ -111,18 +108,20 @@ object Szip {
     val out = new Array[Long](total)
     var pos = 0
     while (pos < total) {
-      val rsiSamples = math.min(rsiBlocks * blockSize, total - pos)
-      require(rsiSamples % blockSize == 0,
-        s"dataset $name: szip scanline tail does not fill whole blocks")
-      val nBlocks = rsiSamples / blockSize
+      // a scanline RETAINS min(ppsl, remaining) samples but ENCODES whole
+      // blocks: szlib pads the last block of a short scanline (padded
+      // samples are real coded samples — decoded, unmapped, discarded)
+      val retained = math.min(pixelsPerScanline, total - pos)
+      val nBlocks = (retained + blockSize - 1) / blockSize
+      val seg = new Array[Long](nBlocks * blockSize)
       var b = 0
-      var i = 0 // sample index within this RSI
+      var i = 0 // sample index within this RSI (padded coordinates)
       while (b < nBlocks) {
         val isRef = preprocess && b == 0
         val id = in.bits(idLen).toInt
         if (id == 0) {
           val sub = in.bits(1).toInt
-          if (isRef) out(pos + i) = in.bits(n) // reference sample, raw
+          if (isRef) seg(i) = in.bits(n) // reference sample, raw
           if (sub == 0) {
             // zero-block run: FS count; raw 5 marks remainder-of-segment
             val raw = in.fs() + 1
@@ -132,8 +131,8 @@ object Szip {
               else raw
             require(b + zb <= nBlocks && 64 - (b % 64) >= zb,
               s"dataset $name: szip zero-block run $zb overruns its segment")
-            val from = pos + i + (if (isRef) 1 else 0)
-            java.util.Arrays.fill(out, from, pos + i + zb * blockSize, 0L)
+            val from = i + (if (isRef) 1 else 0)
+            java.util.Arrays.fill(seg, from, i + zb * blockSize, 0L)
             i += zb * blockSize
             b += zb
           } else {
@@ -148,11 +147,11 @@ object Szip {
               val d1 = m - q * (q + 1) / 2
               val d0 = q - d1
               if ((j & 1) == 0) {
-                out(pos + i + j) = d0.toLong
+                seg(i + j) = d0.toLong
                 j += 1
                 require(j < blockSize, s"dataset $name: szip SE pair overruns its block")
               }
-              out(pos + i + j) = d1.toLong
+              seg(i + j) = d1.toLong
               j += 1
             }
             i += blockSize
@@ -162,32 +161,33 @@ object Szip {
           // uncompressed: blockSize raw samples (a reference sample is
           // simply the first of them — no separate emission)
           var j = 0
-          while (j < blockSize) { out(pos + i + j) = in.bits(n); j += 1 }
+          while (j < blockSize) { seg(i + j) = in.bits(n); j += 1 }
           i += blockSize
           b += 1
         } else {
           // sample splitting, k = id - 1 (k = 0: fundamental sequence):
           // all FS high parts first, then each sample's k low bits
           val k = id - 1
-          if (isRef) out(pos + i) = in.bits(n)
+          if (isRef) seg(i) = in.bits(n)
           val count = blockSize - (if (isRef) 1 else 0)
-          val base = pos + i + (if (isRef) 1 else 0)
+          val base = i + (if (isRef) 1 else 0)
           var j = 0
-          while (j < count) { out(base + j) = in.fs().toLong << k; j += 1 }
+          while (j < count) { seg(base + j) = in.fs().toLong << k; j += 1 }
           if (k > 0) {
             j = 0
-            while (j < count) { out(base + j) |= in.bits(k); j += 1 }
+            while (j < count) { seg(base + j) |= in.bits(k); j += 1 }
           }
           i += blockSize
           b += 1
         }
       }
-      // NN unmap: reconstruct from the reference sample forward
+      // NN unmap: reconstruct from the reference sample forward (over the
+      // full padded segment — pads chain like any other sample)
       if (preprocess) {
-        var pred = out(pos)
+        var pred = seg(0)
         var j = 1
-        while (j < rsiSamples) {
-          val d = out(pos + j)
+        while (j < seg.length) {
+          val d = seg(j)
           val theta = math.min(pred, xmax - pred)
           val x =
             if (d <= 2 * theta) {
@@ -196,12 +196,13 @@ object Szip {
             else pred - (d - theta) // nearer max: go down
           require(x >= 0 && x <= xmax,
             s"dataset $name: szip NN unmap out of range — corrupt stream")
-          out(pos + j) = x
+          seg(j) = x
           pred = x
           j += 1
         }
       }
-      pos += rsiSamples
+      System.arraycopy(seg, 0, out, pos, retained)
+      pos += retained
     }
 
     // pack samples in the mask's storage order (HDF5 sets LSB for LE data)

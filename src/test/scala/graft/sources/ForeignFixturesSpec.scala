@@ -308,7 +308,7 @@ class ForeignFixturesSpec extends AnyFunSuite {
     // contract: option IDs, FS codes, zero-block ROS, second extension,
     // k-splitting, NN unmap, LSB sample packing
     val dss = HDF5.read(fixture("golden_szip.h5")).sortBy(_.name)
-    assert(dss.map(_.name) == Seq("sze", "szf", "szi"))
+    assert(dss.map(_.name) == Seq("sze", "szf", "szi", "szp", "szq"))
     val szi = dss.find(_.name == "szi").get
     assert(szi.dims == Seq(48L))
     val expectI = Seq.fill(16)(7) ++ (0 until 16).map(_ * 3) ++
@@ -318,6 +318,13 @@ class ForeignFixturesSpec extends AnyFunSuite {
     assert(szf.data.toSeq == (0 until 32).map(_ * 0.25 - 2.0))
     val sze = dss.find(_.name == "sze").get
     assert(sze.data.toSeq == (0 until 16).map(k => ((k * 7) % 19).toDouble))
+    // padded tails: a short FINAL scanline (szp: 26 samples, ppsl 16)
+    // and a ppsl that is NOT a block multiple (szq: ppsl 14, block 8 —
+    // every scanline's last block carries repeat-padding to discard)
+    val szp = dss.find(_.name == "szp").get
+    assert(szp.data.toSeq == (0 until 26).map(k => ((k * 11) % 97).toDouble))
+    val szq = dss.find(_.name == "szq").get
+    assert(szq.data.toSeq == (0 until 20).map(k => ((k * 13) % 83).toDouble))
   }
 
   test("HDF5: python-written nbit and scale-offset chunks decode exactly") {
@@ -348,6 +355,26 @@ class ForeignFixturesSpec extends AnyFunSuite {
     // sod: float64 D-scale (D=3) with fill 1e30
     assert(dss.find(_.name == "sod").get.data.toSeq == (0 until 24).map(k =>
       if (k % 7 == 0) 1e30 else k * 0.125 - 1.0))
+  }
+
+  test("HDF5: filtered fractal-heap blocks and extended tiny ids decode exactly") {
+    // deflate-filtered heap: the whole direct-block image is stored
+    // compressed (root-direct case carries size+mask in FRHP; the
+    // indirect case widens direct-row entries to addr+size+mask), and
+    // heap id length 27 forces the EXTENDED tiny-id encoding for 't'
+    val hugename = (0 until 80).map(i => ('a' + (i * 5) % 26).toChar).mkString
+    val dss = HDF5.read(fixture("golden_filtered_heap.h5")).sortBy(_.name)
+    assert(dss.map(_.name) ==
+      Seq("alpha", "bravo", "charlie", hugename, "t").sorted)
+    for ((nm, i) <- Seq("alpha" -> 0, "bravo" -> 1, "charlie" -> 2,
+        hugename -> 3, "t" -> 4))
+      assert(dss.find(_.name == nm).get.data.toSeq ==
+        (0 until 4).map(k => i * 10.0 + k * 0.5), nm.take(12))
+    val ib = HDF5.read(fixture("golden_filtered_heap_ib.h5")).sortBy(_.name)
+    assert(ib.map(_.name) == (0 until 8).map(i => f"d$i%02d"))
+    for (i <- 0 until 8)
+      assert(ib.find(_.name == f"d$i%02d").get.data.toSeq ==
+        (0 until 4).map(k => i * 3.0 + k * 0.25), s"d$i")
   }
 
   test("HDF5: python-written v1-superblock file decodes exactly") {

@@ -670,20 +670,25 @@ def szip_nn_map(samples, n):
         pred = x
     return mapped
 
-def szip_encode(samples, n, block, rsi_blocks, preprocess):
+def szip_encode(samples, n, block, rsi_blocks, preprocess, ppsl=None):
     """Per-block best-option coding: zero-block runs (with the ROS
-    marker), second extension, k-splitting (k=0 = FS), uncompressed."""
+    marker), second extension, k-splitting (k=0 = FS), uncompressed.
+    A scanline retains min(ppsl, remaining) samples but encodes whole
+    blocks — szlib pads a short last block by repeating the final
+    sample (padded samples are coded normally, discarded on decode)."""
     bits = _Bits()
     id_len = 5 if n > 16 else 4 if n > 8 else 3
     id_uncomp = (1 << id_len) - 1
     total = len(samples)
-    assert total % block == 0
+    scanline = ppsl if ppsl is not None else rsi_blocks * block
     pos = 0
     while pos < total:
-        rsi = min(rsi_blocks * block, total - pos)
-        chunk = samples[pos:pos + rsi]
+        rsi = min(scanline, total - pos)
+        chunk = list(samples[pos:pos + rsi])
+        while len(chunk) % block:
+            chunk.append(chunk[-1])  # szlib repeat-last-sample padding
         mapped = szip_nn_map(chunk, n) if preprocess else list(chunk)
-        nblocks = rsi // block
+        nblocks = len(chunk) // block
         b = 0
         while b < nblocks:
             blk = mapped[b * block:(b + 1) * block]
@@ -763,13 +768,13 @@ def h5_filter_szip(options, bpp, ppb, pps):
     rec = struct.pack("<HHHH", 4, 0, 1, 4) + struct.pack("<4I", options, bpp, ppb, pps)
     return h5_msg(0x000B, struct.pack("<BB2x4x", 1, 1) + rec)
 
-def szip_h5_chunk(raw_le_bytes, n, block, rsi_blocks, preprocess):
+def szip_h5_chunk(raw_le_bytes, n, block, rsi_blocks, preprocess, ppsl=None):
     """uint32 LE original size + stream; samples read LSB (LE) order."""
     bps = 1 if n <= 8 else 2 if n <= 16 else 4
     assert len(raw_le_bytes) % bps == 0
     samples = [int.from_bytes(raw_le_bytes[i:i + bps], "little")
                for i in range(0, len(raw_le_bytes), bps)]
-    stream = szip_encode(samples, n, block, rsi_blocks, preprocess)
+    stream = szip_encode(samples, n, block, rsi_blocks, preprocess, ppsl=ppsl)
     return struct.pack("<I", len(raw_le_bytes)) + stream
 
 def write_hdf5_szip(path):
@@ -847,24 +852,51 @@ def write_hdf5_szip(path):
         h5_layout_chunked(sze_bt, [16], 4),
     ]))
 
+    # --- 'szp': padded FINAL scanline (26 samples, ppsl 16, block 8:
+    #     scanline 2 retains 10 of 16 coded — last block repeat-padded)
+    szp_vals = [(k * 11) % 97 for k in range(26)]
+    raw = b"".join(struct.pack("<i", v) for v in szp_vals)
+    comp = szip_h5_chunk(raw, 32, 8, 2, preprocess=True, ppsl=16)
+    szp_bt = v1_leaf([(len(comp), 0, alloc(comp))], 26)
+    szp_oh = alloc(h5_object_header([
+        h5_dataspace([26]),
+        h5_datatype_int32le(),
+        h5_filter_szip(SZ_NN_LSB_RAW, 32, 8, 16),
+        h5_layout_chunked(szp_bt, [26], 4),
+    ]))
+
+    # --- 'szq': ppsl NOT a block multiple (ppsl 14, block 8): EVERY
+    #     scanline's last block is padded, plus a short final scanline
+    szq_vals = [(k * 13) % 83 for k in range(20)]
+    raw = b"".join(struct.pack("<i", v) for v in szq_vals)
+    comp = szip_h5_chunk(raw, 32, 8, 2, preprocess=True, ppsl=14)
+    szq_bt = v1_leaf([(len(comp), 0, alloc(comp))], 20)
+    szq_oh = alloc(h5_object_header([
+        h5_dataspace([20]),
+        h5_datatype_int32le(),
+        h5_filter_szip(SZ_NN_LSB_RAW, 32, 8, 14),
+        h5_layout_chunked(szq_bt, [20], 4),
+    ]))
+
     # --- root group
     heap_data = bytearray(b"\0" * 8)
     name_offs = {}
-    for nm in ["sze", "szf", "szi"]:
+    for nm in ["sze", "szf", "szi", "szp", "szq"]:
         name_offs[nm] = len(heap_data)
         heap_data += nm.encode() + b"\0"
         heap_data += b"\0" * ((-len(heap_data)) % 8)
     heap_data_addr = alloc(bytes(heap_data))
     heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF,
                                             heap_data_addr))
-    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 3)
-    for nm, oh in [("sze", sze_oh), ("szf", szf_oh), ("szi", szi_oh)]:
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, 5)
+    for nm, oh in [("sze", sze_oh), ("szf", szf_oh), ("szi", szi_oh),
+                   ("szp", szp_oh), ("szq", szq_oh)]:
         snod += struct.pack("<QQII16x", name_offs[nm], oh, 0, 0)
     snod_addr = alloc(snod)
     gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
     gtree += struct.pack("<QQ", UNDEF, UNDEF)
     gtree += struct.pack("<QQ", 0, snod_addr)
-    gtree += struct.pack("<Q", name_offs["szi"])
+    gtree += struct.pack("<Q", name_offs["szq"])
     gtree_addr = alloc(gtree)
     root_oh = alloc(h5_object_header([
         h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
@@ -1669,6 +1701,283 @@ def write_hdf5_tiny(path):
 # ---------------------------------------------------------------------------
 # HDF4 DFSD subset (spec: HDF 4.x, DD list + tags NDG/SDD/NT/SD/SDL)
 # ---------------------------------------------------------------------------
+
+def h5_heap_filter_info():
+    """v2-encoded deflate pipeline body, as FRHP embeds it (12 bytes)."""
+    return (struct.pack("<BB", 2, 1)
+            + struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6))
+
+def write_hdf5_dense_filtered(path):
+    """DENSE root group whose fractal heap applies a deflate I/O filter
+    (FRHP filterLen > 0): the whole root DIRECT block image (header
+    included) is stored compressed, its stored size + mask in the FRHP
+    header. heapIdLen 27 also forces the EXTENDED tiny-id encoding
+    (12-bit length across the first two id bytes) for the 't' link, and
+    an 80-char link name exceeds the 64-byte managed cap -> a FILTERED
+    huge object (v2 B-tree record type 2: addr + stored len + mask +
+    memory size + id; the stored link message is deflate-compressed)."""
+    buf = bytearray(b"\0" * 48)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    hugename = "".join(chr(ord("a") + (i * 5) % 26) for i in range(80))
+    names = ["alpha", "bravo", "charlie", hugename, "t"]
+    ds_ohs = {}
+    for i, nm in enumerate(names):
+        vals = [i * 10.0 + k * 0.5 for k in range(4)]
+        daddr = alloc(struct.pack("<4d", *vals))
+        ds_ohs[nm] = alloc(h5v2_object_header([
+            h5_dataspace_v2([4]),
+            h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8)
+                     + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)),
+            h5v2_msg(0x08, struct.pack("<BBQQ", 3, 1, daddr, 32)),
+        ]))
+
+    def link_body(nm, addr):
+        b = nm.encode()
+        return struct.pack("<BBB", 1, 0, len(b)) + b + struct.pack("<Q", addr)
+
+    ID_LEN = 27
+    OFFSIZE = 4
+    START_BLOCK = 512
+    DB_HDR = 4 + 1 + 8 + OFFSIZE
+    managed = [link_body(nm, ds_ohs[nm]) for nm in names[:3]]
+    heap_offs = []
+    p = DB_HDR
+    for o in managed:
+        heap_offs.append(p)
+        p += len(o)
+    assert p <= START_BLOCK
+    tiny_body = link_body("t", ds_ohs["t"])
+    assert len(tiny_body) <= ID_LEN - 2
+
+    # filtered HUGE object: the long-name link, deflate-compressed,
+    # indexed by a type-2 huge-object v2 B-tree (single leaf, id 1)
+    import zlib as _z
+    huge_body = link_body(hugename, ds_ohs[hugename])
+    assert len(huge_body) > 64  # exceeds max managed object size below
+    huge_comp = _z.compress(huge_body, 6)
+    huge_addr = alloc(huge_comp)
+    hlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 2))
+    hlf += struct.pack("<QQ", huge_addr, len(huge_comp))
+    hlf += struct.pack("<I", 0)                  # filter mask
+    hlf += struct.pack("<Q", len(huge_body))     # memory (de-filtered) size
+    hlf += struct.pack("<Q", 1)                  # huge object id
+    hlf += b"\0\0\0\0"
+    hlf_addr = alloc(bytes(hlf))
+    hbt = b"BTHD" + struct.pack("<BB", 0, 2)
+    hbt += struct.pack("<IHH", 512, 36, 0)       # node size, rec size, depth
+    hbt += struct.pack("<BB", 100, 40)
+    hbt += struct.pack("<QH", hlf_addr, 1)
+    hbt += struct.pack("<Q", 1)
+    hbt += b"\0\0\0\0"
+    hbt_addr = alloc(hbt)
+
+    def frhp_bytes(fhdb_addr, root_stored):
+        frhp = io.BytesIO()
+        frhp.write(b"FRHP" + struct.pack("<B", 0))
+        frhp.write(struct.pack("<HH", ID_LEN, 12))  # heap id len, filter len
+        frhp.write(struct.pack("<B", 0))
+        frhp.write(struct.pack("<I", 64))        # max managed object size
+        frhp.write(struct.pack("<QQ", 2, hbt_addr))  # next huge id, huge btree
+        frhp.write(struct.pack("<QQ", 0, UNDEF))
+        frhp.write(struct.pack("<QQQ", START_BLOCK, START_BLOCK, 0))
+        frhp.write(struct.pack("<Q", len(managed)))
+        frhp.write(struct.pack("<QQQQ", len(huge_body), 1, len(tiny_body), 1))
+        frhp.write(struct.pack("<H", 4))
+        frhp.write(struct.pack("<QQ", START_BLOCK, 4096))
+        frhp.write(struct.pack("<HH", 32, 1))
+        frhp.write(struct.pack("<Q", fhdb_addr))
+        frhp.write(struct.pack("<H", 0))         # current rows -> root direct
+        frhp.write(struct.pack("<Q", root_stored))  # filtered root block size
+        frhp.write(struct.pack("<I", 0))         # filter mask
+        frhp.write(h5_heap_filter_info())
+        frhp.write(b"\0\0\0\0")
+        return frhp.getvalue()
+
+    # FRHP first (fixed size), so the block image compresses with the
+    # real back-pointer — no fixed-point patching of compressed bytes
+    frhp_addr = alloc(b"\0" * len(frhp_bytes(0, 0)))
+    fhdb = bytearray(b"FHDB" + struct.pack("<B", 0))
+    fhdb += struct.pack("<Q", frhp_addr)         # heap header addr
+    fhdb += struct.pack("<I", 0)                 # block offset
+    for o in managed:
+        fhdb += o
+    fhdb += b"\0" * (START_BLOCK - len(fhdb))
+    comp = _z.compress(bytes(fhdb), 6)
+    fhdb_addr = alloc(comp)
+    real = frhp_bytes(fhdb_addr, len(comp))
+    buf[frhp_addr:frhp_addr + len(real)] = real
+
+    def managed_id(off):
+        i = struct.pack("<B", 0) + struct.pack("<I", off)
+        return i + b"\0" * (ID_LEN - len(i))
+
+    def tiny_ext_id(body):
+        n = len(body) - 1
+        i = struct.pack("<BB", 0x20 | (n >> 8), n & 0xFF) + body
+        return i + b"\0" * (ID_LEN - len(i))
+
+    def huge_id(rec):
+        i = struct.pack("<B", 0x10) + struct.pack("<Q", rec)
+        return i + b"\0" * (ID_LEN - len(i))
+
+    ids = ([managed_id(o) for o in heap_offs]
+           + [huge_id(1), tiny_ext_id(tiny_body)])
+    btlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+    for hid in ids:
+        btlf += struct.pack("<I", 0) + hid
+    btlf += b"\0\0\0\0"
+    btlf_addr = alloc(bytes(btlf))
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", 512, 4 + ID_LEN, 0)
+    bthd += struct.pack("<BB", 100, 40)
+    bthd += struct.pack("<QH", btlf_addr, len(ids))
+    bthd += struct.pack("<Q", len(ids))
+    bthd += b"\0\0\0\0"
+    bthd_addr = alloc(bthd)
+
+    root_oh = alloc(h5v2_object_header([
+        h5v2_msg(0x02, struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)),
+    ]))
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBB", 2, 8, 8, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), root_oh))
+    sb.write(b"\0\0\0\0")
+    buf[0:48] = sb.getvalue()
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+def write_hdf5_dense_filtered_indirect(path):
+    """Filtered heap with a root INDIRECT block: 8 links across three
+    64-byte direct blocks, each stored deflate-compressed; the indirect
+    block's direct-row entries widen to (addr, stored size, mask)."""
+    buf = bytearray(b"\0" * 48)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    names = ["d%02d" % i for i in range(8)]
+    ds_ohs = {}
+    for i, nm in enumerate(names):
+        vals = [i * 3.0 + k * 0.25 for k in range(4)]
+        daddr = alloc(struct.pack("<4d", *vals))
+        ds_ohs[nm] = alloc(h5v2_object_header([
+            h5_dataspace_v2([4]),
+            h5v2_msg(0x03, struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8)
+                     + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)),
+            h5v2_msg(0x08, struct.pack("<BBQQ", 3, 1, daddr, 32)),
+        ]))
+
+    def link_body(nm, addr):
+        b = nm.encode()
+        return struct.pack("<BBB", 1, 0, len(b)) + b + struct.pack("<Q", addr)
+
+    ID_LEN = 7
+    OFFSIZE = 4
+    START_BLOCK = 64
+    WIDTH = 4
+    DB_HDR = 4 + 1 + 8 + OFFSIZE
+    import zlib as _z
+
+    # pack 3 links per 64-byte block (17 hdr + 3*14 = 59)
+    objs = [link_body(nm, ds_ohs[nm]) for nm in names]
+    blocks, heap_offs = [], []
+    bi, p = 0, DB_HDR
+    cur = []
+    for o in objs:
+        if p + len(o) > START_BLOCK:
+            blocks.append(cur)
+            bi += 1
+            cur, p = [], DB_HDR
+        heap_offs.append(bi * START_BLOCK + p)
+        cur.append(o)
+        p += len(o)
+    blocks.append(cur)
+    assert len(blocks) == 3
+
+    def frhp_bytes(root_addr):
+        frhp = io.BytesIO()
+        frhp.write(b"FRHP" + struct.pack("<B", 0))
+        frhp.write(struct.pack("<HH", ID_LEN, 12))
+        frhp.write(struct.pack("<B", 0))
+        frhp.write(struct.pack("<I", 4096))
+        frhp.write(struct.pack("<QQ", 0, UNDEF))
+        frhp.write(struct.pack("<QQ", 0, UNDEF))
+        frhp.write(struct.pack("<QQQ", 3 * START_BLOCK, 3 * START_BLOCK, 0))
+        frhp.write(struct.pack("<Q", len(objs)))
+        frhp.write(struct.pack("<QQQQ", 0, 0, 0, 0))
+        frhp.write(struct.pack("<H", WIDTH))
+        frhp.write(struct.pack("<QQ", START_BLOCK, 4096))
+        frhp.write(struct.pack("<HH", 32, 1))
+        frhp.write(struct.pack("<Q", root_addr))
+        frhp.write(struct.pack("<H", 1))         # current rows -> indirect
+        frhp.write(struct.pack("<Q", 0))         # root-direct size: n/a
+        frhp.write(struct.pack("<I", 0))
+        frhp.write(h5_heap_filter_info())
+        frhp.write(b"\0\0\0\0")
+        return frhp.getvalue()
+
+    # FRHP placeholder first so every compressed image carries the real
+    # back-pointer (no patching of compressed bytes)
+    frhp_addr = alloc(b"\0" * len(frhp_bytes(0)))
+    db_addrs, db_sizes = [], []
+    for k in range(3):
+        img = bytearray(b"FHDB" + struct.pack("<B", 0))
+        img += struct.pack("<Q", frhp_addr)
+        img += struct.pack("<I", k * START_BLOCK)
+        for o in blocks[k]:
+            img += o
+        img += b"\0" * (START_BLOCK - len(img))
+        comp = _z.compress(bytes(img), 6)
+        db_addrs.append(alloc(comp))
+        db_sizes.append(len(comp))
+    # root indirect block: sig/ver/hdr/off + row0's 4 WIDENED entries
+    # (addr + stored size + filter mask per direct child)
+    fhib = bytearray(b"FHIB" + struct.pack("<B", 0))
+    fhib += struct.pack("<Q", frhp_addr)
+    fhib += struct.pack("<I", 0)
+    for k in range(4):
+        if k < 3:
+            fhib += struct.pack("<QQI", db_addrs[k], db_sizes[k], 0)
+        else:
+            fhib += struct.pack("<QQI", UNDEF, 0, 0)
+    fhib += b"\0\0\0\0"
+    fhib_addr = alloc(bytes(fhib))
+    real = frhp_bytes(fhib_addr)
+    buf[frhp_addr:frhp_addr + len(real)] = real
+
+    btlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 5))
+    for off in heap_offs:
+        btlf += struct.pack("<I", 0)
+        btlf += struct.pack("<B", 0) + struct.pack("<I", off) + b"\0\0"
+    btlf += b"\0\0\0\0"
+    btlf_addr = alloc(bytes(btlf))
+    bthd = b"BTHD" + struct.pack("<BB", 0, 5)
+    bthd += struct.pack("<IHH", 512, 4 + ID_LEN, 0)
+    bthd += struct.pack("<BB", 100, 40)
+    bthd += struct.pack("<QH", btlf_addr, len(objs))
+    bthd += struct.pack("<Q", len(objs))
+    bthd += b"\0\0\0\0"
+    bthd_addr = alloc(bthd)
+
+    root_oh = alloc(h5v2_object_header([
+        h5v2_msg(0x02, struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr)),
+    ]))
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBB", 2, 8, 8, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), root_oh))
+    sb.write(b"\0\0\0\0")
+    buf[0:48] = sb.getvalue()
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
 
 def write_hdf5_dense_deep(path):
     """30-variable DENSE root whose name-index v2 B-tree reaches DEPTH 2
@@ -3645,6 +3954,9 @@ def main():
     write_hdf5_nbit_so(os.path.join(TEST_FIX, "golden_nbit_so.h5"))
     write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
     write_hdf5_dense(os.path.join(TEST_FIX, "golden_dense.h5"))
+    write_hdf5_dense_filtered(os.path.join(TEST_FIX, "golden_filtered_heap.h5"))
+    write_hdf5_dense_filtered_indirect(
+        os.path.join(TEST_FIX, "golden_filtered_heap_ib.h5"))
     write_hdf5_huge(os.path.join(TEST_FIX, "golden_huge.h5"))
     write_hdf5_tiny(os.path.join(TEST_FIX, "golden_tiny.h5"))
     write_hdf5_dense_deep(os.path.join(TEST_FIX, "golden_deep.h5"))
