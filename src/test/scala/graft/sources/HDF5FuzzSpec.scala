@@ -39,7 +39,7 @@ class HDF5FuzzSpec extends AnyFunSuite {
     }.toSeq
 
   test("manifest covers the intended parameter space") {
-    assert(cases.size == 52)
+    assert(cases.size == 60)
     assert(cases.map(_.gen).distinct.sorted == Seq("v0", "v2"))
     assert(cases.map(_.dt).distinct.size == 4)
     assert(cases.map(_.order).distinct.sorted == Seq("be", "le"))
@@ -49,6 +49,11 @@ class HDF5FuzzSpec extends AnyFunSuite {
       .subsetOf(cases.map(_.filt).toSet))
     // the OHDR generation must exercise filtered chunked storage too
     assert(cases.exists(c => c.gen == "v2" && c.filt != "none"))
+    // nbit / scale-offset ride the sweep under both generations
+    assert(cases.exists(c => c.gen == "v0" && c.filt.startsWith("nbit:")))
+    assert(cases.exists(c => c.gen == "v2" && c.filt.startsWith("nbit:")))
+    assert(cases.exists(c => c.gen == "v2" && c.filt == "soint"))
+    assert(cases.count(c => c.filt == "soint" || c.filt.startsWith("sofd:")) >= 5)
     assert(cases.map(_.dims.size).distinct.sorted == Seq(1, 2, 3))
   }
 

@@ -3377,10 +3377,11 @@ def write_wav(path):
 # asserts values without sharing any generation code.
 # ---------------------------------------------------------------------------
 
-def h5_datatype_body(dt, be):
+def h5_datatype_body(dt, be, prec=None, off=0):
     """Datatype message BODY for f32/f64 (class 1) or i32/i64 (class 0,
     signed 2's complement), either byte order (bit 0 of class bit
-    field) — same body under v1 and OHDR framing."""
+    field) — same body under v1 and OHDR framing. prec/off carve a
+    sub-precision fixed-point type (the nbit shape)."""
     order = 1 if be else 0
     if dt == "f64":
         props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
@@ -3389,22 +3390,31 @@ def h5_datatype_body(dt, be):
         props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
         return struct.pack("<BBBBI", 0x11, 0x20 | order, 31, 0, 4) + props
     size = 4 if dt == "i32" else 8
-    props = struct.pack("<HH", 0, size * 8)  # bit offset, precision
+    props = struct.pack("<HH", off, prec if prec is not None else size * 8)
     return struct.pack("<BBBBI", 0x10, 0x08 | order, 0, 0, size) + props
 
-def h5_datatype_any(dt, be):
-    return h5_msg(0x0003, h5_datatype_body(dt, be))
+def h5_datatype_any(dt, be, prec=None, off=0):
+    return h5_msg(0x0003, h5_datatype_body(dt, be, prec, off))
 
-def h5v2_filter_body(filt, esize):
+def h5v2_filter_body(filt, esize, nelmts=0):
     """Pipeline message v2 body: version 2, nfilters, then unpadded
     records (id(2) flags(2) nvals(2) values) — ids < 256 carry no name."""
     def rec(fid, vals):
         return struct.pack("<HHH", fid, 0, len(vals)) + \
             b"".join(struct.pack("<I", v) for v in vals)
-    recs = {"deflate": [rec(1, [6])],
-            "shufdef": [rec(2, [esize]), rec(1, [6])],
-            "flet": [rec(3, [])],
-            "fletshufdef": [rec(3, []), rec(2, [esize]), rec(1, [6])]}[filt]
+    if filt.startswith("nbit:"):
+        _, prec, off = filt.split(":")
+        recs = [rec(5, [8, 0, nelmts, 1, esize, 0, int(prec), int(off)])]
+    elif filt == "soint":
+        recs = [rec(6, [2, 0, nelmts, 0, 4, 1, 0, 0, 0, 0])]
+    elif filt.startswith("sofd:"):
+        recs = [rec(6, [0, int(filt.split(":")[1]), nelmts, 1, esize,
+                        0, 0, 0, 0, 0])]
+    else:
+        recs = {"deflate": [rec(1, [6])],
+                "shufdef": [rec(2, [esize]), rec(1, [6])],
+                "flet": [rec(3, [])],
+                "fletshufdef": [rec(3, []), rec(2, [esize]), rec(1, [6])]}[filt]
     return struct.pack("<BB", 2, len(recs)) + b"".join(recs)
 
 def h5_layout_compact(raw):
@@ -3436,7 +3446,25 @@ def _chunk_gather(vals, dims, cdims, origin):
 def _apply_pipeline(raw, filt, esize):
     """Forward filter pipeline in libhdf5 write order (fletcher32 first,
     then shuffle, then deflate — each agnostic of the others, so an
-    esize-dividing checksum gets shuffled as one more element)."""
+    esize-dividing checksum gets shuffled as one more element). nbit /
+    scale-offset run standalone (packed LOGICAL values: the decoder
+    materializes converted full-width natives)."""
+    if filt.startswith("nbit:"):
+        prec = int(filt.split(":")[1])
+        n = len(raw) // esize
+        b = _Bits()
+        mask = (1 << prec) - 1
+        for v in struct.unpack("<%di" % n, raw):
+            b.put(v & mask, prec)
+        return b.bytes()
+    if filt == "soint":
+        n = len(raw) // esize
+        return so_int_chunk(list(struct.unpack("<%di" % n, raw)))
+    if filt.startswith("sofd:"):
+        d = int(filt.split(":")[1])
+        n = len(raw) // esize
+        fmt = ("<%df" if esize == 4 else "<%dd") % n
+        return so_float_chunk(list(struct.unpack(fmt, raw)), esize, d)
     if filt in ("flet", "fletshufdef"):
         raw = raw + struct.pack("<I", fletcher32(raw))
     if filt in ("shufdef", "fletshufdef"):
@@ -3445,7 +3473,15 @@ def _apply_pipeline(raw, filt, esize):
         raw = zlib.compress(raw, 6)
     return raw
 
-def _h5_filter_msgs(filt, esize):
+def _h5_filter_msgs(filt, esize, nelmts=0):
+    if filt.startswith("nbit:"):
+        _, prec, off = filt.split(":")
+        return [h5_filter_nbit(nelmts, int(prec), int(off))]
+    if filt == "soint":
+        return [h5_filter_scaleoffset(2, 0, nelmts, 0, 4, 1)]
+    if filt.startswith("sofd:"):
+        return [h5_filter_scaleoffset(0, int(filt.split(":")[1]), nelmts,
+                                      1, esize, 0)]
     if filt == "deflate":
         return [h5_filter_deflate(6)]
     if filt == "shufdef":
@@ -3473,10 +3509,14 @@ def write_hdf5_fuzz_one(path, dims, cdims, dt, be, layout, filt, vals,
         return off
 
     esize = _DT_SIZE[dt]
+    prec, off = None, 0
+    if filt.startswith("nbit:"):
+        prec, off = int(filt.split(":")[1]), int(filt.split(":")[2])
     if gen == "v0":
-        msgs = [h5_dataspace(dims), h5_datatype_any(dt, be)]
+        msgs = [h5_dataspace(dims), h5_datatype_any(dt, be, prec, off)]
     else:
-        msgs = [h5_dataspace_v2(dims), h5v2_msg(0x03, h5_datatype_body(dt, be))]
+        msgs = [h5_dataspace_v2(dims),
+                h5v2_msg(0x03, h5_datatype_body(dt, be, prec, off))]
 
     def layout_msg(body):
         return h5_msg(0x0008, body) if gen == "v0" else h5v2_msg(0x08, body)
@@ -3509,10 +3549,13 @@ def write_hdf5_fuzz_one(path, dims, cdims, dt, be, layout, filt, vals,
         bt += struct.pack("<Q", 0)
         btree_addr = alloc(bytes(bt))
         if filt != "none":
+            nelm = 1
+            for c in cdims:
+                nelm *= c
             if gen == "v0":
-                msgs.extend(_h5_filter_msgs(filt, esize))
+                msgs.extend(_h5_filter_msgs(filt, esize, nelm))
             else:
-                msgs.append(h5v2_msg(0x0B, h5v2_filter_body(filt, esize)))
+                msgs.append(h5v2_msg(0x0B, h5v2_filter_body(filt, esize, nelm)))
         lay = struct.pack("<BBB", 3, 2, len(cdims) + 1)
         lay += struct.pack("<Q", btree_addr)
         lay += b"".join(struct.pack("<I", c) for c in cdims)
@@ -3596,8 +3639,22 @@ def write_hdf5_fuzz(outdir, n=32, seed=20260814):
         ([7], [3], "i32", True, "chunked", "fletshufdef"),
         ([3, 5], [2, 3], "i64", True, "chunked", "fletshufdef"),
         ([6], [4], "f64", True, "chunked", "flet"),
+        # nbit / scale-offset directed tail: sub-precision at offset 0
+        # and 5 (ragged chunks both), SO_INT, and float D-scale in both
+        # widths — the round-12 filter decodes under fuzz geometry
+        ([9], [4], "i32", False, "chunked", "nbit:12:0"),
+        ([3, 5], [2, 3], "i32", False, "chunked", "nbit:7:5"),
+        ([10], [4], "i32", False, "chunked", "soint"),
+        ([8], [3], "f32", False, "chunked", "sofd:2"),
+        ([2, 6], [2, 4], "f64", False, "chunked", "sofd:3"),
     ]
     cases = [c + ("v0",) for c in cases]
+    # same filters through the pipeline-v2 record framing
+    cases += [
+        ([7], [3], "i32", False, "chunked", "nbit:9:3", "v2"),
+        ([6], [4], "f32", False, "chunked", "sofd:2", "v2"),
+        ([9], [4], "i32", False, "chunked", "soint", "v2"),
+    ]
     # second sweep: the libver-latest generation (superblock v3 + OHDR
     # headers + compact Link root + pipeline-v2 filter records); rank
     # <= 2 and small payloads keep the OHDR one-chunk (the compact-link
@@ -3632,7 +3689,10 @@ def write_hdf5_fuzz(outdir, n=32, seed=20260814):
         nelem = 1
         for d in dims:
             nelem *= d
-        if dt.startswith("f"):
+        if filt.startswith("nbit:"):
+            p = int(filt.split(":")[1])  # values must fit the precision
+            vals = [((i * 37) % (1 << p)) - (1 << (p - 1)) for i in range(nelem)]
+        elif dt.startswith("f"):
             vals = [i * 0.25 - 3.0 for i in range(nelem)]
         elif dt == "i32":
             vals = [i * 7919 - 12345 for i in range(nelem)]
