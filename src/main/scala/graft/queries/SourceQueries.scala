@@ -1152,6 +1152,37 @@ object SourceQueries {
           col("value").as("lwp"))
     },
 
+    // ---- S9b/S12: scale-offset filtered HDF5 round-trip ------------------
+    // The round-12 filter as a SINK capability: the writer packs each
+    // chunk with H5Z_SO_FLOAT_DSCALE at D=3 (the lossy-at-D-decimals
+    // climate-data compression; these values are 0.125-quantized so the
+    // trip is exact) then deflates, and the read runs through the DSv2
+    // mount — so the hash proves encode (min/minbits election, MSB-first
+    // packing) -> filter message -> plan-time pruning -> decode
+    // value-exact against the analytically-stated series.
+    QueryDef.sqlBacked(
+      "q192_hdf5_scaleoffset",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(j*12 + i AS DOUBLE) * 0.125 - 9.0 AS lwp
+        |FROM range(0,20) r1(j), range(0,12) r2(i)""".stripMargin) { (s, d) =>
+      import graft.sources.HDF5
+      val dir = q191Hdf5Dir
+      val f = java.nio.file.Paths.get(dir, "so.h5")
+      if (!java.nio.file.Files.exists(f)) {
+        val bytes = HDF5.write(Seq(
+          HDF5.DsSpec("lwp", Seq(20, 12),
+            Array.tabulate(240)(_ * 0.125 - 9.0), chunkDims = Some(Seq(4, 6)))),
+          deflate = true, scaleOffsetD = Some(3))
+        java.nio.file.Files.write(f, bytes)
+      }
+      s.read.format("graft.sources.Hdf5DataSource")
+        .option("path", f.toString).load()
+        .select(
+          expr("idx div 12").as("y"),
+          expr("idx % 12").as("x"),
+          col("value").as("lwp"))
+    },
+
     // ---- S12 family: ORC sink -> source round-trip ----------------------
     // Columnar-format interchange beyond parquet: the documents table is
     // written as zlib ORC partitioned by `source` (Spark's built-in ORC

@@ -1812,8 +1812,62 @@ object HDF5 {
           while (!d.finished()) outBuf.write(tmp, 0, d.deflate(tmp))
           d.end()
           outBuf.toByteArray
+        case 6 => soEncodeF64(acc, f.cd(1))
       }
     }
+  }
+
+  /** Forward H5Z_SO_FLOAT_DSCALE over an f64 chunk: sv = llround(v*10^D
+    * - min*10^D) packed MSB-first at ceil(log2(max_sv + 1)) bits behind
+    * the 13-byte minbits/minval header. LOSSY at D decimals by design
+    * (the climate-data trick); when the scaled span needs > 53 bits —
+    * exactness would be lost anyway — falls back to the full-precision
+    * raw store (minbits = 64), which is lossless. */
+  private def soEncodeF64(raw: Array[Byte], d: Int): Array[Byte] = {
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val n = raw.length / 8
+    val vals = Array.tabulate(n)(i => bb.getDouble(i * 8))
+    val pow10 = math.pow(10.0, d.toDouble)
+    val min = vals.min
+    val sv = vals.map(v => math.round(v * pow10 - min * pow10))
+    val maxSv = if (n == 0) 0L else sv.max
+    def ceilLog2(x: Long): Int = if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    val minbits = ceilLog2(maxSv + 1)
+    val hdr = new Array[Byte](13)
+    def putMin(mb: Int, mv: Long): Unit = {
+      hdr(0) = (mb & 0xff).toByte; hdr(1) = ((mb >> 8) & 0xff).toByte
+      hdr(2) = 0; hdr(3) = 0; hdr(4) = 8
+      var k = 0
+      while (k < 8) { hdr(5 + k) = ((mv >>> (8 * k)) & 0xff).toByte; k += 1 }
+    }
+    if (minbits > 53) { // raw full-precision store (lossless fallback)
+      putMin(64, 0L)
+      val out = new Array[Byte](13 + raw.length)
+      System.arraycopy(hdr, 0, out, 0, 13)
+      System.arraycopy(raw, 0, out, 13, raw.length)
+      return out
+    }
+    putMin(minbits, java.lang.Double.doubleToRawLongBits(min))
+    if (minbits == 0) return hdr
+    // MSB-first bit packing (the H5Z one_byte scheme)
+    val nBits = n.toLong * minbits
+    val out = new Array[Byte](13 + ((nBits + 7) / 8).toInt)
+    System.arraycopy(hdr, 0, out, 0, 13)
+    var bitPos = 0L
+    var i = 0
+    while (i < n) {
+      var b = minbits - 1
+      while (b >= 0) {
+        if (((sv(i) >> b) & 1L) != 0) {
+          val p = 13 * 8 + bitPos
+          out((p >> 3).toInt) = (out((p >> 3).toInt) | (0x80 >> (p & 7).toInt)).toByte
+        }
+        bitPos += 1
+        b -= 1
+      }
+      i += 1
+    }
+    out
   }
 
   /** Write a minimal HDF5 file: one root group, float64 datasets —
@@ -1821,12 +1875,28 @@ object HDF5 {
     * Layout: superblock / root header / heap / btree / snod /
     * per-dataset (header, [chunk-btree + chunks | data]). */
   def write(specs: Seq[DsSpec], deflate: Boolean = false,
-      bigEndian: Boolean = false): Array[Byte] = {
+      bigEndian: Boolean = false,
+      scaleOffsetD: Option[Int] = None): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
     // BE fixtures cover the storage real legacy big-iron files have
     // (classic contiguous/compact rasters); chunked BE is out of scope
     require(!bigEndian || specs.forall(_.chunkDims.isEmpty),
       "bigEndian supports contiguous/compact datasets only")
+    require(scaleOffsetD.forall(d => d >= 0 && d <= 15),
+      "scale-offset decimal factor out of range")
+    // per-dataset pipeline: scale-offset (D-scale, LOSSY at D decimals;
+    // cd nelmts is the full chunk element count) then optional deflate
+    def dsFilters(s: DsSpec): Seq[H5Filter] = s.chunkDims match {
+      case Some(cd) =>
+        scaleOffsetD.map(d => H5Filter(6,
+          Seq(0, d, cd.product, 1, 8, 0, 0, 0, 0, 0))).toSeq ++
+          (if (deflate) Seq(H5Filter(1, Seq(6))) else Nil)
+      case None => Nil
+    }
+    // v1 pipeline message length: 8-byte header + per-record 8 + cd
+    // words (odd counts pad one word); always a multiple of 8
+    def pipeMsgLen(fs: Seq[H5Filter]): Int =
+      8 + fs.map(f => 8 + 4 * (f.cd.size + (f.cd.size % 2))).sum
     val sorted = specs.sortBy(_.name) // SNOD entries must be name-ordered
     // ---- layout computation (all sections 8-aligned)
     val superblockLen = 96
@@ -1876,8 +1946,9 @@ object HDF5 {
           require(!s.compact, s"${s.name}: compact excludes chunked layout")
           require(cd.size == rank, s"${s.name}: chunk rank != dataset rank")
           val layoutMsg = align8(3 + 8 + 4L * (rank + 1))
+          val fs = dsFilters(s)
           val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + (8 + layoutMsg) +
-            (if (deflate) 8 + 24 else 0)
+            (if (fs.nonEmpty) 8 + pipeMsgLen(fs) else 0)
           val btreeAddr = cursor + headerLen
           chunkBtreeAddrs(s.name) = btreeAddr
           val origins = cross(cd.zip(s.dims).map { case (c, d) =>
@@ -1887,7 +1958,7 @@ object HDF5 {
           val btreeLen = align8(24L + origins.size * (keySize + 8) + keySize)
           var caddr = btreeAddr + btreeLen
           chunkPlans(s.name) = origins.map { o =>
-            val payload = chunkPayload(s, cd, o, if (deflate) Seq(H5Filter(1, Seq(6))) else Nil)
+            val payload = chunkPayload(s, cd, o, fs)
             val a = caddr
             caddr = align8(caddr + payload.length)
             (o, payload, a)
@@ -1972,12 +2043,14 @@ object HDF5 {
         case None => 24
         case Some(_) => align8(3 + 8 + 4L * (rank + 1)).toInt
       }
-      val hasFilter = s.chunkDims.isDefined && deflate
+      val fs = dsFilters(s)
+      val hasFilter = fs.nonEmpty
       val nMsg = 3 + (if (hasFilter) 1 else 0)
       out.put(1.toByte); out.put(0.toByte)
       out.putShort(nMsg.toShort)
       out.putInt(1)
-      out.putInt((8 + spaceMsg) + (8 + 24) + (8 + layoutMsg) + (if (hasFilter) 8 + 24 else 0))
+      out.putInt((8 + spaceMsg) + (8 + 24) + (8 + layoutMsg) +
+        (if (hasFilter) 8 + pipeMsgLen(fs) else 0))
       out.putInt(0)
       // dataspace v1
       out.putShort(0x0001); out.putShort(spaceMsg.toShort)
@@ -2035,17 +2108,20 @@ object HDF5 {
           out.putInt(8) // element size "dimension"
           out.position(layoutStart + layoutMsg)
           if (hasFilter) {
-            // filter pipeline v1: one deflate filter, level in client data
-            out.putShort(0x000B); out.putShort(24)
+            // filter pipeline v1: records in write order, odd client
+            // counts padded to an even word boundary
+            out.putShort(0x000B); out.putShort(pipeMsgLen(fs).toShort)
             out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
-            out.put(1.toByte); out.put(1.toByte) // version, nfilters
+            out.put(1.toByte); out.put(fs.size.toByte) // version, nfilters
             out.putShort(0); out.putInt(0) // reserved
-            out.putShort(1) // filter id: deflate
-            out.putShort(0) // name length
-            out.putShort(0) // flags
-            out.putShort(1) // n client values
-            out.putInt(6) // deflate level
-            out.putInt(0) // pad to even
+            fs.foreach { f =>
+              out.putShort(f.id.toShort)
+              out.putShort(0) // name length
+              out.putShort(0) // flags
+              out.putShort(f.cd.size.toShort)
+              f.cd.foreach(out.putInt)
+              if (f.cd.size % 2 == 1) out.putInt(0) // pad to even
+            }
           }
           // chunk B-tree: one leaf, name-ordered entries + final key
           val chunks = chunkPlans(s.name)

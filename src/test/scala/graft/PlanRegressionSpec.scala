@@ -103,7 +103,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q184_arrow_uint_roundtrip" :+ "q185_zarr_blosc_roundtrip"
       :+ "q186_zarr3_sharded_roundtrip" :+ "q187_arrow_compressed_roundtrip"
       :+ "q188_zarr3_shard_inner_parallel" :+ "q189_sft_chat_template"
-      :+ "q190_arrow_ext_roundtrip" :+ "q191_hdf5_dsv2_pruned")
+      :+ "q190_arrow_ext_roundtrip" :+ "q191_hdf5_dsv2_pruned"
+      :+ "q192_hdf5_scaleoffset")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -638,6 +638,42 @@ class HDF5Spec extends SparkSpec {
       if (k % 7 == 0) 1e30 else k * 0.125 - 1.0))
   }
 
+  test("scale-offset D-scale write round-trips: quantized, ragged, constant, raw fallback, +deflate") {
+    // quantized at D=3 -> lossless; ragged chunk pads ride as 0.0 and clip
+    val q = HDF5.DsSpec("q", Seq(4, 6), Array.tabulate(24)(_ * 0.125 - 1.0),
+      chunkDims = Some(Seq(2, 3)))
+    val r = HDF5.DsSpec("r", Seq(5), Array.tabulate(5)(_ * 0.25 + 1.0),
+      chunkDims = Some(Seq(3)))
+    val c = HDF5.DsSpec("c", Seq(10), Array.fill(10)(2.5), chunkDims = Some(Seq(5)))
+    // span * 10^3 needs > 53 bits -> lossless raw full-precision fallback
+    val w = HDF5.DsSpec("w", Seq(4), Array(0.0, 1e15, -1e15, 0.1234567),
+      chunkDims = Some(Seq(4)))
+    val bytes = HDF5.write(Seq(q, c, r, w), scaleOffsetD = Some(3))
+    val back = HDF5.read(bytes).map(d => d.name -> d.data.toSeq).toMap
+    assert(back("q") == q.data.toSeq)
+    assert(back("r") == r.data.toSeq)
+    assert(back("c") == c.data.toSeq)
+    assert(back("w") == w.data.toSeq)
+    // scale-offset THEN deflate (the libhdf5 plist order), manifest too
+    val bytes2 = HDF5.write(Seq(q), deflate = true, scaleOffsetD = Some(3))
+    assert(HDF5.read(bytes2).head.data.toSeq == q.data.toSeq)
+    val (v, refs) = HDF5.manifest(new ArrayInput(bytes2)).head
+    assert(v.filters.map(_.id) == Seq(6, 1))
+    val got = refs.flatMap { ref =>
+      val raw = java.util.Arrays.copyOfRange(bytes2, ref.offset.toInt,
+        (ref.offset + ref.nbytes).toInt)
+      HDF5.decodeChunk(raw, v, ref.origin)
+    }.toMap
+    assert((0 until 24).map(i => got(i.toLong)) == q.data.toSeq)
+    // the documented LOSSY behavior: unquantized values round to D decimals
+    val l = HDF5.DsSpec("l", Seq(2), Array(0.1234567, 0.7654321),
+      chunkDims = Some(Seq(2)))
+    val lv = HDF5.read(HDF5.write(Seq(l), scaleOffsetD = Some(3))).head.data
+    val mn = 0.1234567
+    assert(lv(0) == mn)
+    assert(lv(1) == math.round(0.7654321 * 1e3 - mn * 1e3) / 1e3 + mn)
+  }
+
   test("unsigned 64-bit values above 2^63 keep their unsigned magnitude") {
     // a signed read would flip these negative; magnitude above 2^53 is
     // lossy in Double either way, but the sign must survive
