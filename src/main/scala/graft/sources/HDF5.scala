@@ -1185,7 +1185,7 @@ object HDF5 {
     entries
   }
 
-  private def defilter(name: String, comp: Array[Byte], filters: Seq[H5Filter],
+  private[sources] def defilter(name: String, comp: Array[Byte], filters: Seq[H5Filter],
       elemSize: Int, signedInt: Boolean): Array[Byte] =
     filters.reverse.foldLeft(comp) { (acc, f) =>
       f.id match {
@@ -1823,7 +1823,7 @@ object HDF5 {
     * (the climate-data trick); when the scaled span needs > 53 bits —
     * exactness would be lost anyway — falls back to the full-precision
     * raw store (minbits = 64), which is lossless. */
-  private def soEncodeF64(raw: Array[Byte], d: Int): Array[Byte] = {
+  private[sources] def soEncodeF64(raw: Array[Byte], d: Int): Array[Byte] = {
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val n = raw.length / 8
     val vals = Array.tabulate(n)(i => bb.getDouble(i * 8))

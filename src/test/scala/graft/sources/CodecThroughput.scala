@@ -65,8 +65,27 @@ object CodecThroughput {
       inf.end(); out.toByteArray
     }
 
+    // scale-offset D-scale (the HDF5 sink's lossy-at-D-decimals mode):
+    // the quantized payload is 0.25-quantized, exact at D=2
+    val soFrame = HDF5.soEncodeF64(data, 2)
+    val tSoC = time(3)(HDF5.soEncodeF64(data, 2))
+    val soFilters = Seq(HDF5.H5Filter(6, Seq(0, 2, n, 1, 8, 0, 0, 0, 0, 0)))
+    val tSoD = time(3)(HDF5.defilter("so", soFrame, soFilters, 8, signedInt = true))
+    val soGzFrame = gz(soFrame)
+    // on CONTINUOUS (mantissa-dense) floats — where lossless codecs get
+    // ~1x — D-scale is the only lever: 64 bits -> minbits at D decimals
+    val soHard = HDF5.soEncodeF64(hard, 2)
+    val soHardGz = gz(soHard)
+    val hardGz = gz(hard)
+
     def mbs(t: Double) = f"${mb / t}%.0f MB/s"
     println(f"payload: $mb MB smooth doubles")
+    println(f"scale-offset(D=2) encode     ${mbs(tSoC)}  ratio ${data.length.toDouble / soFrame.length}%.1fx")
+    println(f"scale-offset(D=2) decode     ${mbs(tSoD)}")
+    println(f"scale-offset + deflate       ratio ${data.length.toDouble / soGzFrame.length}%.1fx")
+    println(f"CONTINUOUS: deflate alone    ratio ${hard.length.toDouble / hardGz.length}%.1fx")
+    println(f"CONTINUOUS: so(D=2)          ratio ${hard.length.toDouble / soHard.length}%.1fx (lossy 2dp)")
+    println(f"CONTINUOUS: so(D=2)+deflate  ratio ${hard.length.toDouble / soHardGz.length}%.1fx (lossy 2dp)")
     println(f"blosc(lz4,shuffle) compress  ${mbs(tBloscC)}  ratio ${data.length.toDouble / bloscFrame.length}%.1fx")
     println(f"blosc(lz4,shuffle) decomp    ${mbs(tBloscD)}")
     println(f"blosc full-entropy decomp    ${mbs(tHardD)}  ratio ${hard.length.toDouble / hardFrame.length}%.1fx")
