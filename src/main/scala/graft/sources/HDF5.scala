@@ -1297,6 +1297,10 @@ object HDF5 {
       precision + offset <= size * 8,
       s"dataset $name: nbit precision $precision / offset $offset invalid for " +
         s"${size * 8}-bit elements")
+    // bound the allocation by the physical stream BEFORE allocating — a
+    // lying nelmts in corrupt client data must fail loudly, not OOM
+    require((nelmts.toLong * precision + 7) / 8 <= comp.length,
+      s"dataset $name: nbit stream holds fewer than $nelmts x $precision-bit elements")
     val out = new Array[Byte](nelmts * size)
     val br = new BitReader(comp, 0, name)
     var i = 0
@@ -1347,10 +1351,18 @@ object HDF5 {
     while (k < 8) { minval |= (comp(5 + k) & 0xffL) << (k * 8); k += 1 }
     require(minbits >= 0 && minbits <= size * 8,
       s"dataset $name: scale-offset minbits $minbits exceeds ${size * 8}-bit elements")
+    // bound the allocation BEFORE it happens: the packed stream (or raw
+    // payload) must physically hold nelmts elements — a lying nelmts in
+    // corrupt client data fails loudly instead of attempting a giant
+    // array (minbits == 0 constant chunks are bounded by a sane cap:
+    // no real chunk exceeds 2^28 elements)
+    require(nelmts >= 0 && (
+      if (minbits == size * 8) nelmts.toLong * size <= comp.length - 13
+      else if (minbits > 0) (nelmts.toLong * minbits + 7) / 8 <= comp.length - 13
+      else nelmts <= (1 << 28)),
+      s"dataset $name: scale-offset chunk cannot hold $nelmts elements")
     val out = new Array[Byte](nelmts * size)
     if (minbits == size * 8) { // full precision: raw little-endian payload
-      require(comp.length >= 13 + out.length,
-        s"dataset $name: scale-offset raw payload truncated")
       System.arraycopy(comp, 13, out, 0, out.length)
       return out
     }

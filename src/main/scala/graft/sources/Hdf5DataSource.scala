@@ -128,6 +128,7 @@ class Hdf5Scan(path: String, variable: Option[String], partitions: Option[Int],
     if (tasks.isEmpty) return Array.empty
     val par = partitions.getOrElse(math.max(1, math.min(tasks.size,
       SparkSession.active.sparkContext.defaultParallelism)))
+    require(par > 0, s"graft-hdf5: partitions option must be positive, got $par")
     val n = math.min(par, tasks.size)
     val sz = (tasks.size + n - 1) / n
     tasks.grouped(sz).map(Hdf5ChunkPartition(_): InputPartition).toArray

@@ -688,6 +688,36 @@ class HDF5Spec extends SparkSpec {
     assert(HDF5.decodeChunk(bb.array(), signed, Seq(0L)).toMap.apply(1L) < 0)
   }
 
+  test("lying nelmts in nbit/scale-offset client data rejects before allocating") {
+    val in = getClass.getResourceAsStream("/fixtures/golden_nbit_so.h5")
+    require(in != null, "golden_nbit_so.h5 missing — run tools/make_fixtures.py")
+    val orig = try in.readAllBytes() finally in.close()
+    def find(pat: Array[Byte], bytes: Array[Byte]): Int =
+      bytes.indices.find(i => i + pat.length <= bytes.length &&
+        pat.indices.forall(j => bytes(i + j) == pat(j)))
+        .getOrElse(fail("filter record not found"))
+    // nbi's nbit record: id 5, nvals 8, cd = [8, 0, 20, 1, ...]; bump
+    // nelmts (cd word 2) to 2^31-1 — must fail on the stream bound,
+    // not attempt an 8 GB array
+    val b1 = orig.clone()
+    val p1 = find(Array[Byte](5, 0, 0, 0, 1, 0, 8, 0, 8, 0, 0, 0, 0, 0, 0, 0,
+      20, 0, 0, 0), b1)
+    b1(p1 + 16) = 0xff.toByte; b1(p1 + 17) = 0xff.toByte
+    b1(p1 + 18) = 0xff.toByte; b1(p1 + 19) = 0x7f.toByte
+    val e1 = intercept[IllegalArgumentException](HDF5.read(b1))
+    assert(e1.getMessage.contains("nbit stream holds fewer"))
+    // soc's scale-offset record: id 6, nvals 10, cd = [2, 0, 16, ...];
+    // its chunk is header-only (minbits 0), so only the sane-cap guard
+    // can stop a lying count
+    val b2 = orig.clone()
+    val p2 = find(Array[Byte](6, 0, 0, 0, 1, 0, 10, 0, 2, 0, 0, 0, 0, 0, 0, 0,
+      16, 0, 0, 0), b2)
+    b2(p2 + 16) = 0xff.toByte; b2(p2 + 17) = 0xff.toByte
+    b2(p2 + 18) = 0xff.toByte; b2(p2 + 19) = 0x7f.toByte
+    val e2 = intercept[IllegalArgumentException](HDF5.read(b2))
+    assert(e2.getMessage.contains("cannot hold"))
+  }
+
   test("scale-offset chunks with an unexpected minval width are rejected loudly") {
     val in = getClass.getResourceAsStream("/fixtures/golden_nbit_so.h5")
     require(in != null, "golden_nbit_so.h5 missing — run tools/make_fixtures.py")
