@@ -3311,7 +3311,7 @@ def write_sharded_zarr3(store):
                     gr = ci * 4 + gi * 2 + r
                     gc = gj * 4 + c
                     vals.append(gr * 10.0 + gc if gr < 6 and gc < 8 else -1.0)
-            raw = gzip.compress(struct.pack("<8d", *vals), 6)
+            raw = gzip.compress(struct.pack("<8d", *vals), 6, mtime=0)
             index += struct.pack("<QQ", len(body), len(raw))
             body += raw
         index += struct.pack("<I", _crc32c(index))
