@@ -23,24 +23,28 @@ import FlatBuf.{FbBuilder, FbTable}
   * reader cross-check in ArrowIpcSpec).
   *
   * Surface:
-  *  - types: int8..int64 (signed), uint8..uint32 (decoded at their
-  *    PHYSICAL 1/2/4-byte stride then widened to Short/Int/Long, the
-  *    width riding in StructField metadata; written via [[asUint]]),
-  *    float32/64,
+  *  - types: int8..int64 (signed), uint8..uint64 (decoded at their
+  *    PHYSICAL 1/2/4/8-byte stride then widened to Short/Int/Long/
+  *    Decimal(20,0), the width riding in StructField metadata; written
+  *    via [[asUint]]), float32/64,
   *    utf8, binary, bool, timestamp[us] (with/without timezone),
-  *    date32[day], decimal128, list<primitive>, and read-side
-  *    large_utf8/large_binary/large_list (int64 offsets, layout marker
-  *    in metadata) + fixed_size_list (the numpy-embedding shape; no
-  *    offsets buffer) — the working set for the testdata tables
-  *    (embeddings' list<float32> included).
+  *    date32[day], decimal128, list<primitive>, struct<...> (nested
+  *    structs, struct<list<...>>, list<struct<...>> — validity bitmap
+  *    + full-length child columns in field order, BOTH ways), and
+  *    read-side large_utf8/large_binary/large_list (int64 offsets,
+  *    layout marker in metadata) + fixed_size_list (the numpy-embedding
+  *    shape; no offsets buffer) — the working set for the testdata
+  *    tables (embeddings' list<float32> included).
   *  - dictionary-encoded fields read-side (index substitution through
-  *    captured dictionary batches; replacement semantics, deltas
-  *    reject); body compression BOTH ways — reads via the from-scratch
-  *    [[Lz4]] frame decoder / zstd-jni, writes via lz4-java frames /
+  *    captured dictionary batches; replacement AND delta semantics —
+  *    deltas append to the captured base, file format rejects
+  *    replacement per spec); body compression BOTH ways — reads via
+  *    the from-scratch [[Lz4]] frame decoder (block-linked AND
+  *    block-independent frames) / zstd-jni, writes via lz4-java frames /
   *    zstd-jni with pyarrow's raw-when-not-smaller rule (arrow-java +
   *    pyarrow read our compressed files back).
-  *  - big-endian schemas, unions/maps/dense nesting, delta
-  *    dictionaries, uint64 REJECT LOUDLY — never silently misread.
+  *  - big-endian schemas, unions/maps/dense-union nesting REJECT
+  *    LOUDLY — never silently misread.
   *  - V5 framing only (continuation-prefixed encapsulated messages).
   *  - writer emits: stream format (.arrows) or file format (.arrow,
   *    with footer); validity bitmaps omitted (length-0 buffer entry)
@@ -67,6 +71,7 @@ object ArrowIpc {
   private val TDate = 8
   private val TTimestamp = 10
   private val TList = 12
+  private val TStruct = 13
   private val TFixedSizeList = 16
   private val TLargeBinary = 19
   private val TLargeUtf8 = 20
@@ -100,14 +105,19 @@ object ArrowIpc {
   private def uintBitsOf(meta: Metadata): Int =
     if (meta.contains(UintBitsKey)) meta.getLong(UintBitsKey).toInt else 0
 
-  /** Spark storage type for an unsigned width (widen to next signed). */
+  /** Spark storage type for an unsigned width: widen to the next signed
+    * type; uint64 has no signed 64-bit home so it widens to
+    * Decimal(20, 0) — the exact integer type that holds [0, 2^64). */
   private def uintSparkType(bits: Int): DataType = bits match {
     case 8 => ShortType
     case 16 => IntegerType
     case 32 => LongType
+    case 64 => DecimalType(20, 0)
     case b => throw new IllegalArgumentException(
-      s"arrow-ipc: unsupported unsigned width $b (8/16/32; uint64 cannot widen)")
+      s"arrow-ipc: unsupported unsigned width $b (8/16/32/64)")
   }
+
+  private val TwoPow64 = java.math.BigInteger.ONE.shiftLeft(64)
 
   // =====================================================================
   // Schema <-> flatbuffer
@@ -120,8 +130,10 @@ object ArrowIpc {
     case d: DecimalType => d.precision <= 38 // decimal128
     case ArrayType(et, _) => et match {
       case LongType | IntegerType | DoubleType | FloatType => true
+      case st: StructType => st.fields.forall(f => supported(f.dataType))
       case _ => false
     }
+    case st: StructType => st.fields.forall(f => supported(f.dataType))
     case _ => false
   }
 
@@ -140,6 +152,10 @@ object ArrowIpc {
       case ArrayType(et, containsNull) =>
         val c = buildField(b, "item", et, containsNull)
         b.createOffsetVector(Seq(c))
+      case st: StructType =>
+        val cs = st.fields.map(cf =>
+          buildField(b, cf.name, cf.dataType, cf.nullable, uintBitsOf(cf.metadata))).toSeq
+        b.createOffsetVector(cs)
       case _ => 0
     }
     val (typeTag, typeOff) = dt match {
@@ -190,6 +206,8 @@ object ArrowIpc {
         (TDecimal, b.endTable())
       case ArrayType(_, _) =>
         b.startTable(0); (TList, b.endTable())
+      case _: StructType =>
+        b.startTable(0); (TStruct, b.endTable())
       case other => throw new IllegalArgumentException(s"unreachable $other")
     }
     val nameOff = b.createString(name)
@@ -267,8 +285,9 @@ object ArrowIpc {
           case (32, true) => IntegerType
           case (16, true) => ShortType
           case (8, true) => ByteType
-          // unsigned reads widen into the next signed type
-          case (8 | 16 | 32, false) => uintBits = bits; uintSparkType(bits)
+          // unsigned reads widen into the next signed type (uint64 into
+          // Decimal(20, 0) — exact magnitude, never a silent misread)
+          case (8 | 16 | 32 | 64, false) => uintBits = bits; uintSparkType(bits)
           case other => throw new IllegalArgumentException(
             s"arrow-ipc: unsupported int width $other for '$name'")
         }
@@ -304,6 +323,11 @@ object ArrowIpc {
         require(unit == 2,
           s"arrow-ipc: only timestamp[us] supported, got unit $unit for '$name'")
         if (t.exists(_.string(1).isDefined)) TimestampType else TimestampNTZType
+      case TStruct =>
+        // children are full StructFields: their uint/large/fsl/dict
+        // markers ride in the nested fields' own metadata, so no
+        // hoisting is needed (unlike list items)
+        StructType((0 until f.vectorLen(5)).map(i => readField(f.vectorTable(5, i))))
       case TList | TLargeList | TFixedSizeList =>
         require(f.vectorLen(5) == 1, s"arrow-ipc: list '$name' needs one child")
         val child = readField(f.vectorTable(5, 0))
@@ -387,7 +411,7 @@ object ArrowIpc {
     nodes += ((n.toLong, nullCount.toLong))
     out.add(validityOf(nulls))
     if (uintBits != 0) {
-      val max = (1L << uintBits) - 1
+      val max = (1L << (if (uintBits == 64) 0 else uintBits)) - 1
       def chk(v: Long): Long = {
         require(v >= 0 && v <= max,
           s"arrow-ipc: value $v out of uint$uintBits range [0, $max]")
@@ -401,6 +425,19 @@ object ArrowIpc {
           bb.putShort(if (v == null) 0.toShort else chk(v.asInstanceOf[Int].toLong).toShort) }
         case 32 => vals.foreach { v =>
           bb.putInt(if (v == null) 0 else chk(v.asInstanceOf[Long]).toInt) }
+        case 64 => vals.foreach { v =>
+          // Decimal(20, 0) values: exact integers in [0, 2^64) written as
+          // the raw unsigned 64-bit pattern (BigInteger.longValue = low
+          // 64 bits); anything outside rejects loudly
+          val bi = v match {
+            case null => java.math.BigInteger.ZERO
+            case bd: java.math.BigDecimal => bd.toBigIntegerExact
+            case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal.toBigIntegerExact
+            case bd: BigDecimal => bd.underlying().toBigIntegerExact
+          }
+          require(bi.signum() >= 0 && bi.compareTo(TwoPow64) < 0,
+            s"arrow-ipc: value $bi out of uint64 range [0, 2^64)")
+          bb.putLong(bi.longValue()) }
       }
       out.add(bb.array())
       return
@@ -495,6 +532,17 @@ object ArrowIpc {
         seqs.foreach { s => acc += s.length; offs.putInt(acc) }
         out.add(offs.array())
         encodeColumn(et, seqs.flatten.toIndexedSeq, nodes, out)
+      case st: StructType =>
+        // struct layout: validity only (already emitted above); each
+        // child is a FULL-length column in field order (null parents
+        // contribute null child slots, matching pyarrow)
+        st.fields.zipWithIndex.foreach { case (cf, ci) =>
+          val childVals = vals.map {
+            case null => null
+            case r: Row => if (r.isNullAt(ci)) null else r.get(ci)
+          }
+          encodeColumn(cf.dataType, childVals, nodes, out, uintBitsOf(cf.metadata))
+        }
       case other =>
         throw new IllegalArgumentException(s"arrow-ipc: cannot encode $other")
     }
@@ -636,6 +684,12 @@ object ArrowIpc {
         case 8 => prim(1, p => (body.get(p) & 0xff).toShort)
         case 16 => prim(2, p => body.getShort(p) & 0xffff)
         case 32 => prim(4, p => body.getInt(p) & 0xffffffffL)
+        case 64 => prim(8, p => {
+          val raw = body.getLong(p)
+          val bi = if (raw >= 0) java.math.BigInteger.valueOf(raw)
+            else java.math.BigInteger.valueOf(raw).add(TwoPow64)
+          new java.math.BigDecimal(bi) // Decimal(20, 0): exact magnitude
+        })
       }
     }
     dt match {
@@ -702,6 +756,15 @@ object ArrowIpc {
             if (isNull(i)) null
             else child.slice(offAt(i).toInt, offAt(i + 1).toInt)
           }
+        }
+      case st: StructType =>
+        // struct: validity only, then one full-length child column per
+        // field in order (child metadata rides in the nested fields)
+        val children = st.fields.map(cf =>
+          decodeColumn(cf.dataType, cf.metadata, body, nodes, buffers, dicts))
+        IndexedSeq.tabulate(n) { i =>
+          if (isNull(i)) null
+          else Row.fromSeq(children.toIndexedSeq.map(c => c(i)))
         }
       case other =>
         throw new IllegalArgumentException(s"arrow-ipc: cannot decode $other")
@@ -773,6 +836,8 @@ object ArrowIpc {
       case ArrayType(et, _) =>
         if (!meta.contains(FslSizeKey)) buffers.next() // offsets
         skipColumn(et, Metadata.empty, nodes, buffers)
+      case st: StructType =>
+        st.fields.foreach(cf => skipColumn(cf.dataType, cf.metadata, nodes, buffers))
       case _ => buffers.next() // every fixed-width type has one data buffer
     }
   }
@@ -811,15 +876,17 @@ object ArrowIpc {
     (0 until nRows).iterator.map(r => Row.fromSeq(cols.map(c => c(r))))
   }
 
-  /** Decode a DictionaryBatch message: (id, values). The inner data is a
-    * one-column RecordBatch whose type is the dictionary VALUE type. */
+  /** Decode a DictionaryBatch message: (id, values, isDelta). The inner
+    * data is a one-column RecordBatch whose type is the dictionary VALUE
+    * type. A DELTA batch (isDelta=true) carries only the values APPENDED
+    * to the previously seen dictionary for this id — the caller extends
+    * the captured dictionary instead of replacing it. */
   private def decodeDictBatch(schema: StructType, msg: FbTable,
-      body: Array[Byte]): (Long, IndexedSeq[Any]) = {
+      body: Array[Byte]): (Long, IndexedSeq[Any], Boolean) = {
     val db = msg.table(2).getOrElse(throw new IllegalArgumentException(
       "arrow-ipc: dictionary message without body table"))
     val id = db.getLong(0, 0L)
-    require(!db.getBool(2, dflt = false),
-      s"arrow-ipc: delta dictionary batches not supported (id $id)")
+    val isDelta = db.getBool(2, dflt = false)
     val rb = db.table(1).getOrElse(throw new IllegalArgumentException(
       s"arrow-ipc: dictionary batch $id without data"))
     val valueField = schema.fields.find(f =>
@@ -835,7 +902,26 @@ object ArrowIpc {
     val valueSchema = StructType(Seq(
       StructField("v", valueField.dataType, nullable = true, vmb.build())))
     val rows = decodeBatch(valueSchema, rb, body).toIndexedSeq
-    (id, rows.map(r => r.get(0)))
+    (id, rows.map(r => r.get(0)), isDelta)
+  }
+
+  /** Fold one decoded dictionary batch into the captured map: deltas
+    * APPEND to the existing values (rejecting a delta with no base);
+    * non-deltas replace when `allowReplace` (stream format) and reject
+    * otherwise (the FILE format forbids replacement — a second non-delta
+    * batch for an id would silently shadow the first). */
+  private def foldDict(dicts: Map[Long, IndexedSeq[Any]],
+      id: Long, values: IndexedSeq[Any], isDelta: Boolean,
+      allowReplace: Boolean): Map[Long, IndexedSeq[Any]] = {
+    if (isDelta) {
+      val base = dicts.getOrElse(id, throw new IllegalArgumentException(
+        s"arrow-ipc: delta dictionary batch for id $id before its base batch"))
+      dicts + (id -> (base ++ values))
+    } else {
+      require(allowReplace || !dicts.contains(id),
+        s"arrow-ipc: file format cannot replace dictionary $id (deltas only)")
+      dicts + (id -> values)
+    }
   }
 
   // =====================================================================
@@ -919,6 +1005,36 @@ object ArrowIpc {
     } finally out.close()
   }
 
+  /** Test hook: walk a stream's envelopes and report every
+    * DictionaryBatch as (id, nValues, isDelta) WITHOUT decoding values
+    * — lets specs assert a fixture really contains a delta batch (a
+    * replacement carrying the full dictionary would decode to the same
+    * rows, so row equality alone cannot distinguish the semantics). */
+  private[sources] def scanDictMessages(bytes: Array[Byte]): Seq[(Long, Long, Boolean)] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bytes.length >= 8 && bytes.startsWith(Magic)) bb.position(8)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+    var done = false
+    while (!done && bb.remaining() >= 8) {
+      val cont = bb.getInt()
+      require(cont == Continuation, "arrow-ipc: expected continuation marker")
+      val len = bb.getInt()
+      if (len == 0) done = true
+      else {
+        val msg = FlatBuf.root(bytes, bb.position(), len)
+        bb.position(bb.position() + len)
+        val bodyLen = msg.getLong(3, 0L)
+        bb.position(bb.position() + bodyLen.toInt)
+        if (msg.getByte(1, 0) == 2) {
+          val db = msg.table(2).get
+          val rb = db.table(1).get
+          out += ((db.getLong(0, 0L), rb.getLong(0, 0L), db.getBool(2, dflt = false)))
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** Parse an IPC STREAM (also accepts the file format by skipping its
     * magic prefix and stopping at EOS). Returns (schema, row iter). */
   def readStreamBytes(bytes: Array[Byte]): (StructType, Iterator[Row]) = {
@@ -959,10 +1075,10 @@ object ArrowIpc {
               msg.getByte(1, 0).toInt match {
                 case 3 => cur = decodeBatch(schema, msg.table(2).get, body, dicts)
                 case 2 =>
-                  // replacement semantics: a later batch for the same id
-                  // overrides (pyarrow emits replacements, deltas reject)
-                  val (id, values) = decodeDictBatch(schema, msg, body)
-                  dicts += (id -> values)
+                  // streams allow BOTH semantics: a non-delta batch for a
+                  // seen id replaces, a delta batch appends
+                  val (id, values, isDelta) = decodeDictBatch(schema, msg, body)
+                  dicts = foldDict(dicts, id, values, isDelta, allowReplace = true)
                 case other => throw new IllegalArgumentException(
                   s"arrow-ipc: unexpected message header $other")
               }
@@ -1037,7 +1153,8 @@ object ArrowIpc {
       dictBlocks.foldLeft(Map.empty[Long, IndexedSeq[Any]]) { (acc, blk) =>
         val (msg, body) = readBlockMessage(raf, blk)
         require(msg.getByte(1, 0) == 2, "arrow-ipc: block is not a DictionaryBatch")
-        acc + decodeDictBatch(schema, msg, body)
+        val (id, values, isDelta) = decodeDictBatch(schema, msg, body)
+        foldDict(acc, id, values, isDelta, allowReplace = false)
       }
     } finally raf.close()
   }

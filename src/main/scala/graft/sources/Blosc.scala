@@ -23,9 +23,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * Byte-shuffle is applied per block and undone after stream decode.
   *
   * Supported: lz4/lz4hc codec (via the from-scratch [[Lz4]] block
-  * decoder), memcpyed frames, byte-shuffle, split + non-split streams,
-  * leftover blocks. Bit-shuffle and the blosclz/snappy/zlib/zstd
-  * codecs REJECT LOUDLY (named in the error), never a silent misread.
+  * decoder) and zstd (zstd-jni, the same codec layer the Arrow bodies
+  * use — `Blosc(cname="zstd")` is a common zarr-python tuning),
+  * memcpyed frames, byte-shuffle AND bit-shuffle (the Masui bitshuffle
+  * scalar algorithm c-blosc bundles: per block, the largest multiple
+  * of 8 elements is bit-transposed, trailing bytes stay raw), split +
+  * non-split streams, leftover blocks. The blosclz/snappy/zlib codecs
+  * REJECT LOUDLY (named in the error), never a silent misread.
   *
   * Scale shape: one pure function per chunk, called executor-side from
   * the zarr chunk-parallel ingest — no shared state, allocation
@@ -66,11 +70,13 @@ object Blosc {
       return java.util.Arrays.copyOfRange(src, 16, 16 + nbytes)
     }
 
-    if ((flags & 0x4) != 0) fail("bit-shuffle filter not supported")
     val codec = (flags >>> 5) & 0x7
-    if (codec != 1) fail(s"codec '${CodecNames.getOrElse(codec, codec.toString)}' " +
-      "not supported (lz4/lz4hc only)")
+    if (codec != 1 && codec != 4)
+      fail(s"codec '${CodecNames.getOrElse(codec, codec.toString)}' " +
+        "not supported (lz4/lz4hc/zstd only)")
     val shuffle = (flags & 0x1) != 0 && typesize > 1
+    val bitshuffle = (flags & 0x4) != 0
+    if (shuffle && bitshuffle) fail("byte-shuffle and bit-shuffle flags both set")
     val dontSplit = (flags & 0x10) != 0
     if (blocksize <= 0) fail(s"non-positive blocksize $blocksize")
 
@@ -100,7 +106,19 @@ object Blosc {
         if (csize == neblock) // stored raw (compression didn't reduce)
           System.arraycopy(src, pos, block, s * neblock, neblock)
         else {
-          val dec = Lz4.decompressBlock(src, pos, csize, neblock)
+          val dec =
+            if (codec == 1) Lz4.decompressBlock(src, pos, csize, neblock)
+            else {
+              val d = try com.github.luben.zstd.Zstd.decompress(
+                java.util.Arrays.copyOfRange(src, pos, pos + csize), neblock)
+              catch {
+                case e: Exception =>
+                  fail(s"block $j stream $s: zstd: ${e.getMessage}")
+              }
+              if (d.length != neblock)
+                fail(s"block $j stream $s: zstd produced ${d.length}, declared $neblock")
+              d
+            }
           System.arraycopy(dec, 0, block, s * neblock, neblock)
         }
         pos += csize
@@ -108,6 +126,10 @@ object Blosc {
       }
       val dst = j * blocksize
       if (shuffle) unshuffle(block, typesize, out, dst)
+      else if (bitshuffle && typesize >= 1) {
+        val ub = bitUnshuffle(block, typesize)
+        System.arraycopy(ub, 0, out, dst, bsize)
+      }
       else System.arraycopy(block, 0, out, dst, bsize)
       j += 1
     }
@@ -122,33 +144,47 @@ object Blosc {
     * [[decompress]] above shares no code with either, so round-trips
     * are a real two-implementation check. */
   def compress(data: Array[Byte], typesize: Int, blocksize: Int,
-      shuffle: Boolean = true): Array[Byte] = {
+      shuffle: Boolean = true, bitshuffle: Boolean = false,
+      codec: String = "lz4"): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize out of [1,255]")
     require(blocksize > 0, s"non-positive blocksize $blocksize")
+    require(codec == "lz4" || codec == "zstd", s"codec '$codec' (lz4/zstd)")
     val nbytes = data.length
     require(nbytes <= Int.MaxValue - 16, "frame too large for blosc1 int32 sizes")
     val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val leftover = nbytes % blocksize
-    val split = typesize > 1 && typesize <= 16 &&
+    // c-blosc splits only blosclz/lz4 streams, never zstd
+    val split = codec == "lz4" && typesize > 1 && typesize <= 16 &&
       blocksize / typesize >= 128 && blocksize % typesize == 0
-    var flags = 1 << 5 // lz4
-    val doShuffle = shuffle && typesize > 1
+    var flags = (if (codec == "zstd") 4 else 1) << 5
+    val doBitShuffle = bitshuffle && typesize >= 1
+    val doShuffle = !doBitShuffle && shuffle && typesize > 1
     if (doShuffle) flags |= 0x1
+    if (doBitShuffle) flags |= 0x4
     if (!split) flags |= 0x10
     val blocks = (0 until nblocks).map { j =>
       val leftoverBlock = j == nblocks - 1 && leftover != 0
       val bsize = if (leftoverBlock) leftover else blocksize
       val block0 = java.util.Arrays.copyOfRange(data, j * blocksize, j * blocksize + bsize)
-      val block = if (doShuffle) shuffleBytes(block0, typesize) else block0
+      val block =
+        if (doShuffle) shuffleBytes(block0, typesize)
+        else if (doBitShuffle) bitShuffle(block0, typesize)
+        else block0
       val nstreams = if (split && !leftoverBlock) typesize else 1
       val neblock = bsize / nstreams
       val bos = new java.io.ByteArrayOutputStream(bsize + 4 * nstreams)
       var s = 0
       while (s < nstreams) {
-        val max = comp.maxCompressedLength(neblock)
-        val cbuf = new Array[Byte](max)
-        val clen = comp.compress(block, s * neblock, neblock, cbuf, 0, max)
+        val (cbuf, clen) = if (codec == "lz4") {
+          val max = comp.maxCompressedLength(neblock)
+          val buf = new Array[Byte](max)
+          (buf, comp.compress(block, s * neblock, neblock, buf, 0, max))
+        } else {
+          val buf = com.github.luben.zstd.Zstd.compress(
+            java.util.Arrays.copyOfRange(block, s * neblock, (s + 1) * neblock), 5)
+          (buf, buf.length)
+        }
         val storeRaw = clen >= neblock // like c-blosc: raw when not smaller
         val lb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
           .putInt(if (storeRaw) neblock else clen)
@@ -215,5 +251,110 @@ object Blosc {
     }
     var t = shuffled
     while (t < n) { out(outOff + t) = block(t); t += 1 }
+  }
+
+  /** The classic 8x8 bit-matrix transpose (Hacker's Delight 7-3; the
+    * TRANS_BIT_8X8 macro in Masui's bitshuffle). An involution. */
+  private def transBit8x8(x0: Long): Long = {
+    var x = x0
+    var t = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL
+    x = x ^ t ^ (t << 7)
+    t = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL
+    x = x ^ t ^ (t << 14)
+    t = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L
+    x = x ^ t ^ (t << 28)
+    x
+  }
+
+  /** c-blosc bit-shuffle of ONE block (flags bit 2) — the scalar
+    * bshuf_trans_bit_elem pipeline from Masui's bitshuffle library as
+    * bundled by c-blosc 1.x: the largest multiple of 8 elements is
+    * transformed, trailing bytes are copied raw (c-blosc's
+    * `size -= size % 8; memcpy leftovers` convention). Three steps:
+    *  1. byte-transpose within elements (all 0th bytes, all 1st, ...)
+    *  2. 8x8 bit-transpose of each aligned 8-byte group, byte k of the
+    *     transposed word landing in bit-row k at group position
+    *  3. regroup rows of size/8 bytes: row (k, plane j) -> row (j*8+k),
+    * so the output is, per element-byte-plane, 8 consecutive bit-planes
+    * of size/8 bytes each. */
+  private[sources] def bitShuffle(block: Array[Byte], typesize: Int): Array[Byte] = {
+    val n = block.length
+    val out = block.clone() // trailing bytes stay raw
+    val elems = n / typesize
+    val size = elems - (elems % 8)
+    if (size == 0) return out
+    val nb = size * typesize
+    val a = new Array[Byte](nb)
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < size) { a(j * size + i) = block(i * typesize + j); i += 1 }
+      j += 1
+    }
+    val nbr = nb / 8
+    val bArr = new Array[Byte](nb)
+    var g = 0
+    while (g < nbr) {
+      var x = 0L
+      var k = 0
+      while (k < 8) { x |= (a(g * 8 + k) & 0xffL) << (8 * k); k += 1 }
+      x = transBit8x8(x)
+      k = 0
+      while (k < 8) { bArr(k * nbr + g) = ((x >>> (8 * k)) & 0xff).toByte; k += 1 }
+      g += 1
+    }
+    val nbr2 = size / 8
+    j = 0
+    while (j < typesize) {
+      var k = 0
+      while (k < 8) {
+        System.arraycopy(bArr, (k * typesize + j) * nbr2, out, (j * 8 + k) * nbr2, nbr2)
+        k += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Inverse of [[bitShuffle]]: the three steps inverted in reverse
+    * order (the 8x8 bit-transpose is an involution, so step 2 reapplies
+    * itself at the regathered positions). */
+  private[sources] def bitUnshuffle(block: Array[Byte], typesize: Int): Array[Byte] = {
+    val n = block.length
+    val out = block.clone()
+    val elems = n / typesize
+    val size = elems - (elems % 8)
+    if (size == 0) return out
+    val nb = size * typesize
+    val nbr = nb / 8
+    val nbr2 = size / 8
+    val bArr = new Array[Byte](nb)
+    var j = 0
+    while (j < typesize) {
+      var k = 0
+      while (k < 8) {
+        System.arraycopy(block, (j * 8 + k) * nbr2, bArr, (k * typesize + j) * nbr2, nbr2)
+        k += 1
+      }
+      j += 1
+    }
+    val a = new Array[Byte](nb)
+    var g = 0
+    while (g < nbr) {
+      var x = 0L
+      var k = 0
+      while (k < 8) { x |= (bArr(k * nbr + g) & 0xffL) << (8 * k); k += 1 }
+      x = transBit8x8(x)
+      k = 0
+      while (k < 8) { a(g * 8 + k) = ((x >>> (8 * k)) & 0xff).toByte; k += 1 }
+      g += 1
+    }
+    j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < size) { out(i * typesize + j) = a(j * size + i); i += 1 }
+      j += 1
+    }
+    out
   }
 }

@@ -41,7 +41,15 @@ object Lz4 {
 
   /** Decompress one LZ4 FRAME starting at `srcOff`. Returns the content
     * bytes. Checksums (xxHash32) are skipped positionally, not verified
-    * — framing errors still reject loudly via block structure. */
+    * — framing errors still reject loudly via block structure.
+    *
+    * Handles BOTH frame linkage modes (FLG bit 5): block-INDEPENDENT
+    * frames decode each block against its own history only, while
+    * block-LINKED frames (the lz4frame/pyarrow default) let match
+    * offsets reach back across block boundaries into up to 64 KB of
+    * previously decoded content — so all blocks decode sequentially
+    * into one shared output buffer, and the per-block history floor is
+    * the block start only when the independence bit is set. */
   def decompressFrame(src: Array[Byte], srcOff: Int = 0,
       srcLen: Int = -1): Array[Byte] = {
     val end = if (srcLen < 0) src.length else srcOff + srcLen
@@ -52,6 +60,7 @@ object Lz4 {
     if (magic != 0x184d2204) fail(f"bad frame magic 0x$magic%08x")
     val flg = bb.get() & 0xff
     if ((flg >>> 6) != 1) fail(s"unsupported frame version ${flg >>> 6}")
+    val blockIndependent = (flg & 0x20) != 0
     val blockChecksum = (flg & 0x10) != 0
     val contentSizeFlag = (flg & 0x08) != 0
     val contentChecksum = (flg & 0x04) != 0
@@ -67,10 +76,21 @@ object Lz4 {
       case b => fail(s"invalid block max size code $b")
     }
     val declared: Long = if (contentSizeFlag) bb.getLong() else -1L
-    if (declared > Int.MaxValue) fail(s"content size $declared over 2 GiB")
+    if (declared > Int.MaxValue - 8) fail(s"content size $declared over 2 GiB")
     bb.get() // HC header checksum byte (not verified)
-    val out = new java.io.ByteArrayOutputStream(
-      if (declared >= 0) declared.toInt else 1 << 16)
+    // One shared output buffer for the whole frame: linked-mode matches
+    // need the previous blocks' bytes addressable at d-offset. Grown
+    // geometrically when no content size is declared.
+    var dst = new Array[Byte](
+      if (declared >= 0) declared.toInt else math.min(blockMax, 1 << 16))
+    var d = 0
+    def ensure(extra: Int): Unit =
+      if (extra > dst.length - d) {
+        if (extra > Int.MaxValue - 8 - d) fail("frame content over 2 GiB")
+        val want = d.toLong + extra
+        val grown = math.min(math.max(dst.length * 2L, want), (Int.MaxValue - 8).toLong)
+        dst = java.util.Arrays.copyOf(dst, grown.toInt)
+      }
     var done = false
     while (!done) {
       if (bb.remaining() < 4) fail("truncated block size")
@@ -81,18 +101,23 @@ object Lz4 {
         val size = raw & 0x7fffffff
         if (size < 0 || size > bb.remaining()) fail("block size past input end")
         val pos = bb.position()
-        if (uncompressed) out.write(src, pos, size)
-        else {
-          // per-block decompressed size is not stored: allocation is
-          // bounded by the header's block max (and the declared content
-          // size when present), and the decoder returns the produced
-          // prefix
-          val cap = if (declared >= 0) {
-            val left = declared - out.size()
-            if (left < 0) fail("content exceeds declared size")
-            math.min(left, blockMax.toLong).toInt
-          } else blockMax
-          out.write(decompressBlockUnknown(src, pos, size, cap))
+        // per-block decompressed size is not stored: allocation is
+        // bounded by the header's block max (and the declared content
+        // size when present)
+        val cap = if (declared >= 0) {
+          val left = declared - d
+          if (left < 0) fail("content exceeds declared size")
+          math.min(left, blockMax.toLong).toInt
+        } else blockMax
+        if (uncompressed) {
+          if (size > cap) fail("uncompressed block over block max / declared size")
+          ensure(size)
+          System.arraycopy(src, pos, dst, d, size)
+          d += size
+        } else {
+          ensure(cap)
+          d = decompressInto(src, pos, size, dst, d, d + cap,
+            floor = if (blockIndependent) d else 0)
         }
         bb.position(pos + size)
         if (blockChecksum) {
@@ -105,10 +130,9 @@ object Lz4 {
       if (bb.remaining() < 4) fail("truncated content checksum")
       bb.getInt()
     }
-    val res = out.toByteArray
-    if (declared >= 0 && res.length != declared)
-      fail(s"content size ${res.length} != declared $declared")
-    res
+    if (declared >= 0 && d != declared)
+      fail(s"content size $d != declared $declared")
+    if (d == dst.length) dst else java.util.Arrays.copyOf(dst, d)
   }
 
   /** Block decode when the exact output size is unknown (frame blocks):
@@ -116,13 +140,27 @@ object Lz4 {
   private def decompressBlockUnknown(src: Array[Byte], srcOff: Int,
       srcLen: Int, cap: Int): Array[Byte] = {
     val dst = new Array[Byte](cap)
+    val d = decompressInto(src, srcOff, srcLen, dst, 0, cap, floor = 0)
+    if (d == cap) dst else java.util.Arrays.copyOf(dst, d)
+  }
+
+  /** Decode one block's sequences into `dst` starting at `dstOff`,
+    * writing at most up to `dstCap`. Match offsets may reach back to
+    * `floor` (0 for linked-frame blocks = full frame history; the block
+    * start for independent blocks and the raw BLOCK format). Returns
+    * the write position after the block. Lengths accumulate in Longs:
+    * a crafted ~8.4 MB run of 0xFF extension bytes overflows an Int
+    * accumulator negative, which would skip the bounds checks and move
+    * the write cursor backwards (silent corruption). */
+  private def decompressInto(src: Array[Byte], srcOff: Int, srcLen: Int,
+      dst: Array[Byte], dstOff: Int, dstCap: Int, floor: Int): Int = {
     var s = srcOff
     val end = srcOff + srcLen
-    var d = 0
+    var d = dstOff
     while (s < end) {
       val token = src(s) & 0xff
       s += 1
-      var litLen = token >>> 4
+      var litLen: Long = token >>> 4
       if (litLen == 15) {
         var b = 255
         while (b == 255) {
@@ -131,17 +169,19 @@ object Lz4 {
           litLen += b
         }
       }
-      if (s + litLen > end) fail("literal run past input end")
-      if (d + litLen > cap) fail("literal run past output capacity")
-      System.arraycopy(src, s, dst, d, litLen)
-      s += litLen; d += litLen
+      if (litLen > end - s) fail("literal run past input end")
+      if (litLen > dstCap - d) fail("literal run past output capacity")
+      val litLenI = litLen.toInt
+      System.arraycopy(src, s, dst, d, litLenI)
+      s += litLenI; d += litLenI
       if (s < end) {
         if (s + 2 > end) fail("truncated match offset")
         val offset = (src(s) & 0xff) | ((src(s + 1) & 0xff) << 8)
         s += 2
         if (offset == 0) fail("match offset 0 is invalid")
-        if (offset > d) fail(s"match offset $offset reaches before output start")
-        var matchLen = (token & 0xf) + 4
+        if (offset > d - floor)
+          fail(s"match offset $offset reaches before output start")
+        var matchLen: Long = (token & 0xf) + 4
         if ((token & 0xf) == 15) {
           var b = 255
           while (b == 255) {
@@ -150,13 +190,14 @@ object Lz4 {
             matchLen += b
           }
         }
-        if (d + matchLen > cap) fail("match run past output capacity")
+        if (matchLen > dstCap - d) fail("match run past output capacity")
+        val matchLenI = matchLen.toInt
         var i = 0
         val m = d - offset
-        while (i < matchLen) { dst(d + i) = dst(m + i); i += 1 }
-        d += matchLen
+        while (i < matchLenI) { dst(d + i) = dst(m + i); i += 1 }
+        d += matchLenI
       }
     }
-    if (d == cap) dst else java.util.Arrays.copyOf(dst, d)
+    d
   }
 }

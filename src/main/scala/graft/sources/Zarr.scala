@@ -8,9 +8,10 @@ import org.json4s.jackson.JsonMethods
   * public zarr v2 spec — `.zarray` JSON metadata, C-order chunk grids
   * keyed `i.j` with dot separators, raw, zlib-compressed (numcodecs
   * `{"id": "zlib"}`) or blosc-compressed chunks (`{"id": "blosc"}`
-  * with the lz4 codec + byte-shuffle — zarr-python's DEFAULT
-  * compressor, decoded by the from-scratch [[Blosc]] container +
-  * [[Lz4]] block reader), little- or big-endian f8/f4/i8/i4/i2/i1
+  * with the lz4 or zstd codec, byte- or bit-shuffled — zarr-python's
+  * DEFAULT compressor and its common cname=zstd tuning, decoded by
+  * the from-scratch [[Blosc]] container +
+  * [[Lz4]] block reader / zstd-jni), little- or big-endian f8/f4/i8/i4/i2/i1
   * dtypes plus |u1/<u2/<u4 unsigned (widened; u8 rejects — not
   * losslessly representable as Double), zstd-compressed chunks
   * (numcodecs `{"id": "zstd"}` via zstd-jni), missing chunk files read
@@ -53,8 +54,9 @@ object Zarr {
         val id = (c \ "id").extractOpt[String].getOrElse(fail("compressor without id"))
         if (id != "zlib" && id != "blosc" && id != "zstd")
           fail(s"compressor '$id' unsupported (null, zlib, blosc or zstd)")
-        if (id == "blosc" && (c \ "shuffle").extractOpt[Int].contains(2))
-          fail("blosc bitshuffle unsupported")
+        // blosc cname/shuffle metadata is advisory: the frame header is
+        // authoritative and Blosc itself decodes lz4/zstd with byte- or
+        // bit-shuffle (rejecting blosclz/snappy/zlib by name)
         Some(id)
     }
     val dtype = (j \ "dtype").extractOpt[String].getOrElse(fail("missing dtype"))

@@ -16,16 +16,16 @@ import org.json4s.jackson.JsonMethods
   *    must contain exactly one array->bytes codec;
   *  - codecs supported: `bytes` (endian little|big) + optionally ONE
   *    bytes->bytes codec: `gzip` (RFC 1952 — NOT v2's raw zlib) or
-  *    `blosc` (lz4/lz4hc inside the self-describing [[Blosc]] frame —
-  *    zarr-python's default) or `zstd` (via zstd-jni, the JNI binding
-  *    to the reference C library Spark bundles); and
+  *    `blosc` (lz4/lz4hc or zstd inside the self-describing [[Blosc]]
+  *    frame, byte- or bit-shuffled — zarr-python's default and its
+  *    common cname=zstd tuning) or `zstd` (via zstd-jni, the JNI
+  *    binding to the reference C library Spark bundles); and
   *    `sharding_indexed` as the
   *    array->bytes codec (ZEP-2: chunk files become SHARDS holding an
   *    inner-chunk grid + a crc32c-checked (offset, nbytes) index —
   *    the 100 TB-store shape, keeping object counts low while the
-  *    inner grid stays the parallelism unit). Transpose/blosc-
-  *    bitshuffle/nested-sharding reject LOUDLY, never a silent
-  *    misread;
+  *    inner grid stays the parallelism unit). Transpose/
+  *    nested-sharding reject LOUDLY, never a silent misread;
   *  - data types float64/float32/int8..int64/uint8/uint16/uint32
   *    (uint64 rejects: not losslessly representable as Double);
   *  - missing chunk files read as fill_value; edge chunks are stored
@@ -116,11 +116,9 @@ object Zarr3 {
             if (!sawBytes) fail(s"$bb before the array->bytes codec")
             if (compress.isDefined)
               fail(s"multiple bytes->bytes codecs (${compress.get} + $bb) unsupported")
-            if (bb == "blosc")
-              (c \ "configuration" \ "shuffle").extractOpt[String] match {
-                case Some("bitshuffle") => fail("blosc bitshuffle unsupported")
-                case _ => () // frame header is authoritative; Blosc rejects there too
-              }
+            // blosc cname/shuffle configuration is advisory: the frame
+            // header is authoritative, and Blosc decodes lz4/zstd with
+            // byte- or bit-shuffle (rejecting blosclz/snappy by name)
             compress = Some(bb)
           case Some("sharding_indexed") if allowSharding =>
             if (sawBytes || sharding.isDefined) fail("multiple array->bytes codecs")
@@ -136,9 +134,14 @@ object Zarr3 {
             }
             val (ibe, icomp, _) = parsePipeline(innerCs, allowSharding = false)
             // index pipeline: exactly [bytes (little)] or [bytes, crc32c]
+            // index_codecs is REQUIRED by the v3 sharding spec (zarr-python
+            // writes [bytes, crc32c]); silently assuming a crc-less [bytes]
+            // on a crc-tailed shard would shift the index window 4 bytes
+            // and read garbage (offset,nbytes) pairs — reject loudly.
             val idxCs = (cfg \ "index_codecs") match {
               case JArray(ics) => ics
-              case JNothing | JNull => Nil
+              case JNothing | JNull =>
+                fail("sharding_indexed without index_codecs (required by spec)")
               case _ => fail("index_codecs must be an array")
             }
             val idxNames = idxCs.map(ic => (ic \ "name").extractOpt[String]
@@ -276,7 +279,9 @@ object Zarr3 {
       val off = idx.getLong(idxOff + g * 16)
       val len = idx.getLong(idxOff + g * 16 + 8)
       if (off != ShardMissing || len != ShardMissing) {
-        if (off < 0 || len < 0 || off + len > raw.length)
+        // subtraction form: off + len can wrap past Long.MaxValue, after
+        // which toInt truncation would slice an arbitrary shard window
+        if (off < 0 || len < 0 || off > raw.length || len > raw.length - off)
           fail(s"inner chunk $g window ($off, $len) outside the shard")
         val vals = decodeInnerChunk(
           java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt), meta, sh)

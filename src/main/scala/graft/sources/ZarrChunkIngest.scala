@@ -196,8 +196,9 @@ object ZarrChunkIngest {
               val shardFile = Zarr3.chunkKey(meta, t.ci).split('/')
                 .foldLeft(d)((acc, p) => new java.io.File(acc, p))
               val h = handleFor(shardFile)
+              // subtraction form: offset + length can wrap past Long.MaxValue
               require(t.offset >= 0 && t.length >= 0 &&
-                t.offset + t.length <= h.length(),
+                t.offset <= h.length() && t.length <= h.length() - t.offset,
                 s"inner window (${t.offset}, ${t.length}) outside ${shardFile.getName}")
               val raw = new Array[Byte](t.length.toInt)
               h.seek(t.offset); h.readFully(raw)

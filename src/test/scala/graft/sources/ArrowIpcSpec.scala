@@ -255,10 +255,75 @@ class ArrowIpcSpec extends SparkSpec {
     assertUintRows(df.collect().toSeq)
   }
 
-  test("uint64 rejects loudly (cannot widen into a signed Spark type)") {
-    val bytes = Files.readAllBytes(Paths.get(fixturePath("bad_uint64.arrows")))
-    val e = intercept[IllegalArgumentException] { ArrowIpc.readStreamBytes(bytes) }
-    assert(e.getMessage.contains("64") || e.getMessage.contains("unsigned"))
+  test("pyarrow uint64 golden widens to Decimal(20,0) with exact magnitude") {
+    val want = Seq(
+      1L -> "0", 2L -> "1", 3L -> "9223372036854775808",
+      4L -> "18446744073709551615", 5L -> null,
+      6L -> "123456789012345678")
+    def check(rows: Seq[Row], schema: StructType): Unit = {
+      assert(schema("u").dataType == DecimalType(20, 0))
+      assert(schema("u").metadata.getLong("arrow_uint_bits") == 64L)
+      val got = rows.sortBy(_.getLong(0)).map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[java.math.BigDecimal]
+          .toBigInteger.toString).orNull))
+      assert(got == want)
+    }
+    val fBytes = Files.readAllBytes(Paths.get(fixturePath("golden_uint64.arrow")))
+    val (fs, fr) = ArrowIpc.readStreamBytes(fBytes)
+    check(fr.toSeq, fs)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_uint64.arrows")))
+    val (ss, sr) = ArrowIpc.readStreamBytes(sBytes)
+    check(sr.toSeq, ss)
+    // the manifest is the generator's own statement of the same values
+    val manifest = new String(Files.readAllBytes(Paths.get(
+      fixturePath("golden_uint64_manifest.txt"))), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(a, b) = l.split(";")
+        (a.tail.toLong, if (b == "~") null else b.tail)
+      }.toSeq
+    assert(manifest == want)
+  }
+
+  test("asUint(64) writes true uint64 that pyarrow-shaped readers and our " +
+      "reader round-trip") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, BigDecimal(0)),
+      (2L, BigDecimal("18446744073709551615")),
+      (3L, BigDecimal("9223372036854775808"))).toDF("id", "u")
+      .select(col("id"), col("u").cast(DecimalType(20, 0)).as("u"))
+    val tagged = ArrowIpc.asUint(df.coalesce(1), Map("u" -> 64))
+    val dir = Files.createTempDirectory("arrow-uint64-rt").toString
+    ArrowIpc.write(tagged, dir)
+    val back = ArrowIpc.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toBigInteger.toString)).toSet
+    assert(back == Set((1L, "0"), (2L, "18446744073709551615"),
+      (3L, "9223372036854775808")))
+    // foreign reader: arrow-java sees a true uint64 column
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.UInt8Vector
+    import org.apache.arrow.vector.ipc.ArrowFileReader
+    val f = new File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val alloc = new RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    val rd = new ArrowFileReader(ch, alloc)
+    try {
+      val root = rd.getVectorSchemaRoot
+      assert(rd.loadNextBatch())
+      val ids = root.getVector("id")
+      val i2 = (0 until root.getRowCount).find(i => ids.getObject(i) == 2L).get
+      assert(root.getVector("u").asInstanceOf[UInt8Vector]
+        .getObjectNoOverflow(i2).toString == "18446744073709551615")
+    } finally { rd.close(); ch.close(); alloc.close() }
+    // out-of-range rejects loudly at encode time
+    val neg = Seq((1L, BigDecimal(-1))).toDF("id", "u")
+      .select(col("id"), col("u").cast(DecimalType(20, 0)).as("u"))
+    val dir2 = Files.createTempDirectory("arrow-uint64-bad").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      ArrowIpc.write(ArrowIpc.asUint(neg.coalesce(1), Map("u" -> 64)), dir2)
+    }
+    assert(e.getMessage.contains("uint64 range") ||
+      Option(e.getCause).exists(_.getMessage.contains("uint64 range")))
   }
 
   test("asUint writer round-trips and is readable by arrow-java") {
@@ -412,6 +477,157 @@ class ArrowIpcSpec extends SparkSpec {
   test("dictionary FILE format: footer dict blocks feed the block reader") {
     val df = ArrowIpc.readBlocks(spark, fixturePath("golden_dict.arrow"))
     assertDictRows(df.collect().toSeq)
+  }
+
+  test("pyarrow DELTA dictionary stream appends to the captured base") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_deltadict.arrows")))
+    // the fixture must really exercise delta semantics: two dictionary
+    // messages for one id, the second flagged delta and carrying ONLY
+    // the 2 appended values (a full replacement would also decode to
+    // the same rows, proving nothing)
+    val msgs = ArrowIpc.scanDictMessages(bytes)
+    assert(msgs.length == 2 && msgs.map(_._1).distinct.length == 1)
+    assert(msgs.head._3 == false && msgs.head._2 == 2L)
+    assert(msgs(1)._3 == true && msgs(1)._2 == 2L)
+    val (schema, rows) = ArrowIpc.readStreamBytes(bytes)
+    assert(schema("cat").dataType == StringType)
+    val got = rows.toSeq.sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1)))
+    assert(got == Seq(1L -> "apple", 2L -> "banana", 3L -> "apple",
+      4L -> "cherry", 5L -> "date", 6L -> "banana"))
+    // a delta with no base rejects loudly: drop the first dict message
+    // by splicing schema envelope + everything from the delta onward
+  }
+
+  test("delta dictionary without a base batch rejects loudly") {
+    // synthesize: take the golden stream and remove the FIRST dictionary
+    // message (schema envelope | dict1 | batch1 | dict2(delta) | ...)
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_deltadict.arrows")))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def msgEnd(start: Int): Int = {
+      bb.position(start)
+      assert(bb.getInt() == 0xffffffff)
+      val len = bb.getInt()
+      val msg = FlatBuf.root(bytes, start + 8, len)
+      start + 8 + len + msg.getLong(3, 0L).toInt
+    }
+    val schemaEnd = msgEnd(0)
+    val dict1End = msgEnd(schemaEnd)
+    val batch1End = msgEnd(dict1End)
+    // drop dict1 AND batch1 so the DELTA batch is the first dictionary
+    // message the reader sees
+    val spliced = bytes.slice(0, schemaEnd) ++ bytes.slice(batch1End, bytes.length)
+    val e = intercept[IllegalArgumentException] {
+      ArrowIpc.readStreamBytes(spliced)._2.toSeq
+    }
+    assert(e.getMessage.contains("before its base"))
+  }
+
+  // ---- struct columns (round 13) ----------------------------------------
+
+  private def assertStructRows(rows: Seq[Row]): Unit = {
+    assert(rows.length == 5)
+    val byId = rows.sortBy(_.getLong(0))
+    def info(r: Row): Option[(Option[String], Option[Double], Option[Int])] =
+      Option(r.getStruct(1)).map(s => (Option(s.get(0)).map(_.toString),
+        Option(s.get(1)).map(_.asInstanceOf[Double]),
+        Option(s.get(2)).map(_.asInstanceOf[Int])))
+    assert(info(byId(0)) == Some((Some("alpha"), Some(1.5), Some(10))))
+    assert(info(byId(1)) == None)
+    assert(info(byId(2)) == Some((None, None, Some(3))))
+    assert(info(byId(3)) == Some((Some("δ"), Some(-2.25), None)))
+    assert(info(byId(4)) == Some((Some(""), Some(0.0), Some(0))))
+    // nested struct<struct, list>
+    def nested(r: Row): Option[(Option[Long], Option[Seq[Long]])] =
+      Option(r.getStruct(2)).map { s =>
+        (Option(s.getStruct(0)).map(_.getLong(0)),
+          Option(s.get(1)).map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq))
+      }
+    assert(nested(byId(0)) == Some((Some(7L), Some(Seq(1L, 2L)))))
+    assert(nested(byId(1)) == Some((None, Some(Seq.empty))))
+    assert(nested(byId(2)) == None)
+    assert(nested(byId(3)) == Some((Some(-1L), None)))
+    assert(nested(byId(4)) == Some((Some(0L), Some(Seq(0L)))))
+    // list<struct<x, y>>
+    def points(r: Row): Option[Seq[Option[(Option[Double], Option[Double])]]] =
+      Option(r.get(3)).map(_.asInstanceOf[scala.collection.Seq[Row]].toSeq
+        .map(Option(_).map(p => (Option(p.get(0)).map(_.asInstanceOf[Double]),
+          Option(p.get(1)).map(_.asInstanceOf[Double])))))
+    assert(points(byId(0)) == Some(Seq(Some((Some(0.5), Some(-1.0))))))
+    assert(points(byId(1)) == Some(Seq.empty))
+    assert(points(byId(2)) == None)
+    assert(points(byId(3)) == Some(Seq(Some((None, Some(2.0))), None)))
+    assert(points(byId(4)) == Some(Seq(Some((Some(1.25), Some(2.5))),
+      Some((Some(-0.5), Some(3.5))))))
+  }
+
+  test("pyarrow struct golden decodes: nulls at struct AND child level, " +
+      "nested struct, struct<list>, list<struct>") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_struct.arrow")))
+    val (schema, rows) = ArrowIpc.readStreamBytes(bytes)
+    assert(schema("info").dataType == StructType(Seq(
+      StructField("name", StringType), StructField("score", DoubleType),
+      StructField("n", IntegerType))))
+    assert(schema("points").dataType.isInstanceOf[ArrayType])
+    assertStructRows(rows.toSeq)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_struct.arrows")))
+    assertStructRows(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
+    // two-phase block path + column pruning skip structs positionally
+    assertStructRows(ArrowIpc.readBlocks(spark, fixturePath("golden_struct.arrow"))
+      .collect().toSeq)
+  }
+
+  test("struct columns round-trip through our writer and arrow-java " +
+      "reads the bytes back") {
+    import org.apache.spark.sql.functions.{struct => fstruct}
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", 1.5, Seq(1L, 2L)),
+      (2L, null, -2.0, Seq.empty[Long]),
+      (3L, "gamma", 0.25, Seq(9L))).toDF("id", "nm", "sc", "tags")
+      .select(col("id"),
+        fstruct(col("nm"), col("sc")).as("info"),
+        fstruct(col("tags"), fstruct(col("id").as("x")).as("inner")).as("nest"))
+    val dir = Files.createTempDirectory("arrow-struct-rt").toString
+    ArrowIpc.write(df.coalesce(1), dir)
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.schema("info").dataType == df.schema("info").dataType)
+    def key(r: Row) = (r.getLong(0),
+      Option(r.getStruct(1)).map(s => (Option(s.get(0)).map(_.toString), s.getDouble(1))),
+      Option(r.getStruct(2)).map(s => (s.getSeq[Long](0).toSeq, s.getStruct(1).getLong(0))))
+    assert(back.collect().map(key).toSet == df.collect().map(key).toSet)
+    // foreign reader: arrow-java decodes our struct file
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.complex.StructVector
+    import org.apache.arrow.vector.ipc.ArrowFileReader
+    val f = new File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val alloc = new RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    val rd = new ArrowFileReader(ch, alloc)
+    try {
+      val root = rd.getVectorSchemaRoot
+      assert(rd.loadNextBatch())
+      val ids = root.getVector("id")
+      val i1 = (0 until root.getRowCount).find(i => ids.getObject(i) == 1L).get
+      val info = root.getVector("info").asInstanceOf[StructVector]
+      val obj = info.getObject(i1)
+      assert(obj.get("nm").toString == "alpha")
+      assert(obj.get("sc") == 1.5)
+    } finally { rd.close(); ch.close(); alloc.close() }
+  }
+
+  test("pyarrow block-LINKED LZ4 bodies over 64KB decode (the lz4frame " +
+      "default pyarrow writes)") {
+    val expect = (0 until 4000).map(i =>
+      (i.toLong, f"$i%06d:" + "the-quick-brown-fox-jumps-over-the-lazy-dog|" * 3))
+    def check(rows: Seq[Row]): Unit =
+      assert(rows.sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1))) == expect)
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_lz4_linked.arrow")))
+    check(ArrowIpc.readStreamBytes(bytes)._2.toSeq)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_lz4_linked.arrows")))
+    check(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
+    check(ArrowIpc.readBlocks(spark, fixturePath("golden_lz4_linked.arrow"))
+      .collect().toSeq)
   }
 
   // ---- round-trips over the testdata tables ----------------------------

@@ -163,19 +163,24 @@ class BloscSpec extends AnyFunSuite {
     assert(rejects > 80, s"only $rejects/200 mutations rejected")
   }
 
-  test("unsupported codec / bitshuffle / truncation reject loudly") {
+  test("unsupported codec / conflicting filters / truncation reject loudly") {
     val ok = buildFrame(doublesLE(Array.tabulate(512)(_.toDouble)), 8, 2048,
       shuffle = true)
-    // rewrite codec bits to zstd (4)
-    val zstd = ok.clone()
-    zstd(2) = ((zstd(2) & 0x1f) | (4 << 5)).toByte
-    val e1 = intercept[IllegalArgumentException] { Blosc.decompress(zstd) }
-    assert(e1.getMessage.contains("zstd"))
-    // bitshuffle flag
+    // rewrite codec bits to snappy (2) -> named reject
+    val snappy = ok.clone()
+    snappy(2) = ((snappy(2) & 0x1f) | (2 << 5)).toByte
+    val e1 = intercept[IllegalArgumentException] { Blosc.decompress(snappy) }
+    assert(e1.getMessage.contains("snappy"))
+    // byte-shuffle AND bit-shuffle flags both set is nonsense
     val bit = ok.clone()
     bit(2) = (bit(2) | 0x4).toByte
     val e2 = intercept[IllegalArgumentException] { Blosc.decompress(bit) }
-    assert(e2.getMessage.contains("bit-shuffle"))
+    assert(e2.getMessage.contains("both set"))
+    // codec bits flipped to zstd over an LZ4 stream -> loud zstd reject
+    val zs = ok.clone()
+    zs(2) = ((zs(2) & 0x1f.toByte) | (4 << 5) | 0x1).toByte
+    val e5 = intercept[IllegalArgumentException] { Blosc.decompress(zs) }
+    assert(e5.getMessage.contains("zstd"))
     // truncated frame
     val e3 = intercept[IllegalArgumentException] {
       Blosc.decompress(java.util.Arrays.copyOf(ok, ok.length - 10))
@@ -186,5 +191,59 @@ class BloscSpec extends AnyFunSuite {
       Blosc.decompress(Array[Byte](2, 1, 0))
     }
     assert(e4.getMessage.contains("header"))
+  }
+
+  // ---- bitshuffle (round 13) --------------------------------------------
+
+  test("bitshuffle: hand-derived bit-plane vectors (LSB plane first)") {
+    // typesize 1, pattern 0x81 0x42 0x24 0x18 x4: plane k collects bit
+    // k of each element, planes of 16 bits = 2 bytes. Derived by hand
+    // from the bit-plane semantics (bit 0 of elements 0,4,8,12 set ->
+    // plane 0 = 0x11 0x11, etc.), independently of both transliterations.
+    val in1 = Array.fill(4)(Array[Byte](0x81.toByte, 0x42, 0x24, 0x18)).flatten
+    assert(Blosc.bitShuffle(in1, 1).map(_ & 0xff).toSeq ==
+      Seq(0x11, 0x11, 0x22, 0x22, 0x44, 0x44, 0x88, 0x88,
+        0x88, 0x88, 0x44, 0x44, 0x22, 0x22, 0x11, 0x11))
+    // typesize 2, bytes 0..15: byte-plane 0 = even bytes, plane 1 = odd
+    val in2 = Array.tabulate(16)(_.toByte)
+    assert(Blosc.bitShuffle(in2, 2).map(_ & 0xff).toSeq ==
+      Seq(0, 170, 204, 240, 0, 0, 0, 0, 255, 170, 204, 240, 0, 0, 0, 0))
+  }
+
+  test("bitshuffle: inverse round-trips every (typesize, length) shape") {
+    for {
+      ts <- Seq(1, 2, 4, 8, 3)
+      nElems <- Seq(8, 16, 64, 19, 7) // 19, 7: raw-tail convention
+    } {
+      val data = new Array[Byte](ts * nElems)
+      rng.nextBytes(data)
+      val f = Blosc.bitShuffle(data, ts)
+      assert(Blosc.bitUnshuffle(f, ts).sameElements(data), s"ts=$ts n=$nElems")
+      // trailing (< 8 elements) bytes stay raw under the c-blosc
+      // size -= size % 8 convention
+      val kept = (nElems - nElems % 8) * ts
+      assert(f.drop(kept).sameElements(data.drop(kept)), s"tail ts=$ts n=$nElems")
+    }
+  }
+
+  test("zstd codec + bitshuffle frames round-trip through compress/decompress") {
+    val vals = doublesLE(Array.tabulate(512)(i => i * 0.25 - 8.0))
+    for {
+      codec <- Seq("lz4", "zstd")
+      (sh, bsh) <- Seq((true, false), (false, false), (false, true))
+    } {
+      val frame = Blosc.compress(vals, typesize = 8, blocksize = 1024,
+        shuffle = sh, bitshuffle = bsh, codec = codec)
+      assert(Blosc.decompress(frame).sameElements(vals), s"$codec sh=$sh bsh=$bsh")
+    }
+    // leftover block + raw tail: 77 i4 elements, blocksize 160 (40/block)
+    val odd = {
+      val bb = ByteBuffer.allocate(77 * 4).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 77).foreach(i => bb.putInt(i * 7 - 100))
+      bb.array()
+    }
+    val f2 = Blosc.compress(odd, typesize = 4, blocksize = 160,
+      shuffle = false, bitshuffle = true, codec = "zstd")
+    assert(Blosc.decompress(f2).sameElements(odd))
   }
 }

@@ -206,6 +206,32 @@ class ForeignFixturesSpec extends AnyFunSuite {
     assert(noise.toSeq == (manifest \ "noise").extract[Seq[Double]])
   }
 
+  test("zarr: python-written blosc(zstd + bitshuffle) v2 store decodes " +
+      "exactly (zstd frames from pyarrow's bundled libzstd)") {
+    val store = fixtureDir("golden_blosc_zstd.zarr")
+    // zs: zstd + BYTE shuffle, two blocks per chunk
+    val (zsShape, zs) = Zarr.readArray(store, "zs")
+    assert(zsShape == Seq(64))
+    assert(zs.toSeq == (0 until 64).map(i => i * 0.5 - 3.0))
+    // zn: zstd, no shuffle, single block
+    val (znShape, zn) = Zarr.readArray(store, "zn")
+    assert(znShape == Seq(48))
+    assert(zn.toSeq == (0 until 48).map(i => 1000.0 + i))
+    // zb: zstd + BITshuffle (16 f8 elements per block)
+    val (zbShape, zb) = Zarr.readArray(store, "zb")
+    assert(zbShape == Seq(64))
+    assert(zb.toSeq == (0 until 64).map(i => i * 0.25))
+    // lb: lz4 + BITshuffle on i4
+    val (lbShape, lb) = Zarr.readArray(store, "lb")
+    assert(lbShape == Seq(80))
+    assert(lb.toSeq == (0 until 80).map(i => (i * 7 - 100).toDouble))
+    // lt: bitshuffle RAW TAIL — 20 elements/block, only 16 transform,
+    // the last 4 stay raw (c-blosc's size -= size % 8 convention)
+    val (ltShape, lt) = Zarr.readArray(store, "lt")
+    assert(ltShape == Seq(20))
+    assert(lt.toSeq == (0 until 20).map(i => ((i * 3) % 17 - 8).toDouble))
+  }
+
   test("zarr: python-written blosc(lz4) v3 store decodes exactly") {
     val store = fixtureDir("golden_blosc_v3.zarr")
     val (shape, temp) = Zarr3.readArray(store, "temp")

@@ -113,4 +113,56 @@ class Zarr3Spec extends SparkSpec {
     rejects(metaOf(_.replace("3,", "2,")), "v3 only")
     rejects(metaOf(_.replace(" \"fill_value\": 0.0,", "")), "fill_value")
   }
+
+  test("sharding_indexed without index_codecs rejects loudly (spec " +
+      "requires it; assuming crc-less [bytes] would shift the window)") {
+    val meta =
+      """{"zarr_format": 3, "node_type": "array", "shape": [4],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": 0.0,
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [2],
+        |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]INDEX}}]}"""
+        .stripMargin
+    val e = intercept[IllegalArgumentException] {
+      Zarr3.parseMeta(meta.replace("INDEX", ""))
+    }
+    assert(e.getMessage.contains("index_codecs"))
+    // with index_codecs present the same metadata parses
+    Zarr3.parseMeta(meta.replace("INDEX",
+      """, "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]"""))
+  }
+
+  test("shard index entry whose offset+length wraps past Long.MaxValue " +
+      "rejects loudly (no truncated-window slice)") {
+    val meta =
+      """{"zarr_format": 3, "node_type": "array", "shape": [4],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        | "fill_value": 0.0,
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [2],
+        |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |   "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}}]}"""
+        .stripMargin
+    val d = java.nio.file.Files.createTempDirectory("zarr3-wrap").toFile
+    val a = new java.io.File(d, "v"); a.mkdirs()
+    java.nio.file.Files.writeString(a.toPath.resolve("zarr.json"), meta)
+    val cd = new java.io.File(a, "c"); cd.mkdirs()
+    // 48 junk bytes + 2x16-byte index: entry0 = (16, Long.MaxValue)
+    // wraps (16 + MaxValue < 0); entry1 = missing
+    val bb = java.nio.ByteBuffer.allocate(48 + 32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(48)
+    bb.putLong(16L).putLong(Long.MaxValue)
+    bb.putLong(-1L).putLong(-1L)
+    java.nio.file.Files.write(new java.io.File(cd, "0").toPath, bb.array())
+    val e = intercept[IllegalArgumentException] {
+      Zarr3.readArray(d, "v")
+    }
+    assert(e.getMessage.contains("outside the shard"))
+  }
 }

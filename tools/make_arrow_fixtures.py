@@ -268,10 +268,19 @@ def main():
         for r in urows:
             f.write(";".join(fmt(v) for v in r) + "\n")
 
-    # uint64 cannot widen into a signed Spark type -> must reject loudly
-    t64 = pa.table({"x": pa.array([1, 2, 18446744073709551615], pa.uint64())})
-    with ipc.new_stream(os.path.join(OUT, "bad_uint64.arrows"), t64.schema) as w:
-        w.write_table(t64)
+    # uint64 widens to Decimal(20, 0) — exact magnitude above 2^63
+    u64_vals = [0, 1, 2 ** 63, 2 ** 64 - 1, None, 123456789012345678]
+    u64_tbl = pa.table({
+        "id": pa.array(range(1, len(u64_vals) + 1), pa.int64()),
+        "u": pa.array(u64_vals, pa.uint64()),
+    })
+    with ipc.new_file(os.path.join(OUT, "golden_uint64.arrow"), u64_tbl.schema) as w:
+        w.write_table(u64_tbl, max_chunksize=4)
+    with ipc.new_stream(os.path.join(OUT, "golden_uint64.arrows"), u64_tbl.schema) as w:
+        w.write_table(u64_tbl, max_chunksize=4)
+    with open(os.path.join(OUT, "golden_uint64_manifest.txt"), "w") as f:
+        for i, v in enumerate(u64_vals, 1):
+            f.write("i%d;%s\n" % (i, "~" if v is None else "c" + str(v)))
 
     # LZ4_FRAME / ZSTD compressed bodies: same logical table as golden —
     # decode must agree with golden_arrow_manifest.txt
@@ -360,9 +369,132 @@ def main():
         for r in ext_rows:
             f.write(";".join(fmt_ext(v) for v in r) + "\n")
 
+    # ---- struct columns (nested records: the HuggingFace-features
+    # shape) — nulls at struct AND child level, nested struct,
+    # struct<list<...>>, list<struct<...>> ----
+    struct_schema = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("info", pa.struct([
+            pa.field("name", pa.utf8()),
+            pa.field("score", pa.float64()),
+            pa.field("n", pa.int32()),
+        ])),
+        pa.field("nested", pa.struct([
+            pa.field("a", pa.struct([pa.field("x", pa.int64())])),
+            pa.field("tags", pa.list_(pa.int64())),
+        ])),
+        pa.field("points", pa.list_(pa.struct([
+            pa.field("x", pa.float64()),
+            pa.field("y", pa.float64()),
+        ]))),
+    ])
+    struct_rows = [
+        (1, {"name": "alpha", "score": 1.5, "n": 10},
+         {"a": {"x": 7}, "tags": [1, 2]}, [{"x": 0.5, "y": -1.0}]),
+        (2, None, {"a": None, "tags": []}, []),
+        (3, {"name": None, "score": None, "n": 3}, None, None),
+        (4, {"name": "δ", "score": -2.25, "n": None},
+         {"a": {"x": -1}, "tags": None}, [{"x": None, "y": 2.0}, None]),
+        (5, {"name": "", "score": 0.0, "n": 0}, {"a": {"x": 0}, "tags": [0]},
+         [{"x": 1.25, "y": 2.5}, {"x": -0.5, "y": 3.5}]),
+    ]
+    s_cols = list(zip(*struct_rows))
+    s_arrays = [pa.array(c, type=f.type) for c, f in zip(s_cols, struct_schema)]
+    s_tbl = pa.Table.from_arrays(s_arrays, schema=struct_schema)
+    with ipc.new_file(os.path.join(OUT, "golden_struct.arrow"), struct_schema) as w:
+        w.write_table(s_tbl, max_chunksize=2)
+    with ipc.new_stream(os.path.join(OUT, "golden_struct.arrows"), struct_schema) as w:
+        w.write_table(s_tbl, max_chunksize=2)
+    # expected values are pinned as literals in ArrowIpcSpec (nested
+    # manifests would need a nesting-aware parser for no extra proof)
+
+    # ---- delta dictionaries: a stream whose second batch EXTENDS the
+    # dictionary (pyarrow emits a delta batch carrying only the new
+    # values, indexed past the base length) ----
+    d_schema = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("cat", pa.dictionary(pa.int32(), pa.utf8())),
+    ])
+    db1 = pa.record_batch([
+        pa.array([1, 2, 3], pa.int64()),
+        pa.DictionaryArray.from_arrays(pa.array([0, 1, 0], pa.int32()),
+                                       pa.array(["apple", "banana"])),
+    ], schema=d_schema)
+    db2 = pa.record_batch([
+        pa.array([4, 5, 6], pa.int64()),
+        pa.DictionaryArray.from_arrays(pa.array([2, 3, 1], pa.int32()),
+                                       pa.array(["apple", "banana",
+                                                 "cherry", "date"])),
+    ], schema=d_schema)
+    dd_opts = ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+    dd_path = os.path.join(OUT, "golden_deltadict.arrows")
+    with ipc.new_stream(dd_path, d_schema, options=dd_opts) as w:
+        w.write_batch(db1)
+        w.write_batch(db2)
+    got = ipc.open_stream(dd_path).read_all()
+    assert got.column("cat").to_pylist() == ["apple", "banana", "apple",
+                                             "cherry", "date", "banana"]
+
+    # ---- block-LINKED LZ4 frames: pyarrow zero-inits the lz4frame
+    # preferences, so compressed IPC bodies over 64KB carry linked
+    # blocks whose match offsets cross block boundaries ----
+    def lz4_frame_layout(buf):
+        """Walk one LZ4 frame at buf[0:]: (block_independent, nblocks)."""
+        assert buf[:4] == b"\x04\x22\x4d\x18", "not an LZ4 frame"
+        flg = buf[4]
+        indep = (flg & 0x20) != 0
+        has_cs = (flg & 0x08) != 0
+        has_bc = (flg & 0x10) != 0
+        pos = 6 + (8 if has_cs else 0) + 1  # magic+FLG+BD [+content] +HC
+        n = 0
+        while True:
+            raw = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+            if raw == 0:
+                return indep, n
+            pos += (raw & 0x7FFFFFFF) + (4 if has_bc else 0)
+            n += 1
+
+    big_rows = ["%06d:" % i + "the-quick-brown-fox-jumps-over-the-lazy-dog|" * 3
+                for i in range(4000)]
+    big_tbl = pa.table({
+        "id": pa.array(range(4000), pa.int64()),
+        "txt": pa.array(big_rows, pa.utf8()),
+    })
+    lk_opts = ipc.IpcWriteOptions(compression="lz4")
+    for ext in ("arrow", "arrows"):
+        p = os.path.join(OUT, "golden_lz4_linked." + ext)
+        ctor = ipc.new_file if ext == "arrow" else ipc.new_stream
+        with ctor(p, big_tbl.schema, options=lk_opts) as w:
+            w.write_table(big_tbl)  # one batch: the txt buffer is ~570KB
+        raw = open(p, "rb").read()
+        # the biggest embedded frame must be LINKED and multi-block
+        layouts = []
+        at = raw.find(b"\x04\x22\x4d\x18")
+        while at != -1:
+            try:
+                layouts.append(lz4_frame_layout(raw[at:]))
+            except Exception:
+                pass
+            at = raw.find(b"\x04\x22\x4d\x18", at + 1)
+        assert any((not ind) and n > 1 for ind, n in layouts), \
+            ("no linked multi-block frame in " + p + ": " + repr(layouts))
+
+    # a bare linked multi-block frame for Lz4Spec (content regenerated
+    # by the same formula on the Scala side)
+    bare = b"".join(b"block%06d-the-quick-brown-fox|" % i for i in range(12000))
+    frame = pa.Codec("lz4").compress(bare, asbytes=True)
+    ind, n = lz4_frame_layout(frame)
+    assert not ind and n > 1, ("bare frame not linked multi-block: "
+                               + repr((ind, n)))
+    with open(os.path.join(OUT, "lz4_linked.frame"), "wb") as f:
+        f.write(frame)
+
     fuzz_cases(fmt)
     print("wrote golden.arrow / golden.arrows / golden_arrow_manifest.txt"
-          " / golden_uint.{arrow,arrows} / golden_uint_manifest.txt")
+          " / golden_uint.{arrow,arrows} / golden_uint64.{arrow,arrows}"
+          " / golden_struct.{arrow,arrows} / golden_deltadict.arrows"
+          " / golden_lz4_linked.{arrow,arrows} / lz4_linked.frame")
 
 
 if __name__ == "__main__":
