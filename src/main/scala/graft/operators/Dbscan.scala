@@ -40,7 +40,7 @@ object Dbscan {
     val binned = pts
       .withColumn("cx", floor(col("x") / eps).cast("long"))
       .withColumn("cy", floor(col("y") / eps).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
 
     // probe side: each point visits its 3x3 cell neighborhood; build side
     // keeps the home cell only, so every unordered pair meets exactly in
@@ -62,7 +62,7 @@ object Dbscan {
     val pairs = probes.join(build, Seq("jcx", "jcy"))
       .where(dist2 <= eps2)
       .select(col("a_id"), col("b_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
 
     val out = labelFromPairs(pts.select(col("pid")), pairs, minPts, checkpointDir)
     binned.unpersist(); pairs.unpersist()
@@ -98,7 +98,7 @@ object Dbscan {
     val pairs = joined
       .where(dist2 <= eps2)
       .select(col("a_id"), col("b_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
 
     val out = labelFromPairs(pts.select(col("pid")), pairs, minPts, checkpointDir)
     binned.unpersist(); pairs.unpersist()
@@ -116,7 +116,7 @@ object Dbscan {
     val cellCols = (0 until binDims).map(i =>
       floor(element_at(col("vec"), i + 1) / eps).cast("long").as(s"c$i"))
     val binned = pts.select(col("pid") +: col("vec") +: cellCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
     val offsets = (0 until binDims).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
       acc.flatMap(s => Seq(-1, 0, 1).map(s :+ _))
     }
@@ -145,7 +145,7 @@ object Dbscan {
     val core = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= minPts)
       .select(col("a_id").as("pid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
 
     val coreEdges = pairs
       .join(core.withColumnRenamed("pid", "a_id"), "a_id")
@@ -158,7 +158,7 @@ object Dbscan {
     val coreLabels = core
       .join(comp.withColumnRenamed("node", "pid"), Seq("pid"), "left")
       .select(col("pid"), coalesce(col("component"), col("pid")).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
 
     // border: non-core with >=1 core ε-neighbor -> min neighbor cluster
     val nonCorePairs = pairs

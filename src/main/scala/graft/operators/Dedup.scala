@@ -118,7 +118,7 @@ object Dedup {
     val sh = track(df.select(
       (col(idCol).as("doc") +: blockCols.map(col)) :+
         shingleHashes(col(textCol), n).as("shingles"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .transform(d => graft.core.Caching.persistOnce(d)))
     val a = sh.select(col("doc").as("doc_a") +: col("shingles").as("sa") +:
       blockCols.map(col): _*)
     val b = sh.select(col("doc").as("doc_b") +: col("shingles").as("sb") +:
@@ -169,7 +169,7 @@ object Dedup {
     // read by the banding pass and twice by the verify joins, and Spark
     // shares no DAG across join branches.
     val sh = track(df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .transform(d => graft.core.Caching.persistOnce(d)))
     val sigCols = minhashCols(col("xs"), k)
     val sig = sh.select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*)
     val sigRef = (0 until k).map(i => col(s"mh$i"))
@@ -217,7 +217,7 @@ object Dedup {
     val r = k / bands
     def prep(df: DataFrame) = track(
       df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .transform(d => graft.core.Caching.persistOnce(d)))
     val shA = prep(dfA); val shB = prep(dfB)
     def banded(sh: DataFrame, as: String) = {
       val sigCols = minhashCols(col("xs"), k)
@@ -274,7 +274,7 @@ object Dedup {
       maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
     // eager lineage truncation per round: each round's plan references the
     // previous labels twice, so without truncation the logical plan
     // doubles every round. Default localCheckpoint (blocks reclaimed by

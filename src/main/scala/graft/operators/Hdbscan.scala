@@ -93,7 +93,7 @@ object Hdbscan {
     val pairs = joined
       .where(col("a_id") =!= col("b_id") && dist2 <= eps2)
       .select(col("a_id"), col("b_id"), sqrt(dist2).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
 
     // core distance: (minSamples-1)-th nearest OTHER point (self is the
     // minSamples-th member); absent -> the point can never be inside a
@@ -117,7 +117,7 @@ object Hdbscan {
       .join(core.select(col("pid").as("b_id"), col("core_d").as("cb")), "b_id")
       .select(col("a_id"), col("b_id"),
         greatest(col("d"), col("ca"), col("cb")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
 
     val (mst, mstComp) = boruvkaMst(mr, checkpointDir, maxLocalEdges)
 
@@ -239,9 +239,9 @@ object Hdbscan {
     }
     val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"), col("w"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v"), col("w")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
     val nodes = sym.select(col("u")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.core.Caching.persistOnce(d))
     var comp = nodes.select(col("u").as("node"), col("u").as("component"))
     var mst: DataFrame = Checkpointing.truncate(
       spark.emptyDataFrame

@@ -65,8 +65,8 @@ object KMeansLloyd {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
       seed: Long, rounds: Int): (Model, DataFrame) = {
     require(k > 0 && rounds >= 0, "k > 0, rounds >= 0")
-    val pts = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v")).persist()
+    val pts = graft.core.Caching.persistOnce(df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
     try {
       var cents = initCentroids(pts, "id", "v", k, seed)
       require(cents.size == k, s"need >= $k rows to seed $k centroids")

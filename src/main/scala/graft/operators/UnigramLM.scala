@@ -199,7 +199,7 @@ object UnigramLM {
       explode(split(TextAnalysis.normText(col(textCol)), "\\s+")).as("tok"))
       .where(length(col("tok")).between(1, cfg.maxWordLen))
       .groupBy("tok").agg(count(lit(1)).as("wcnt"))
-      .persist()
+      .transform(d => graft.core.Caching.persistOnce(d))
     try {
       // seed: all substrings, occurrence-weighted — one explode + one
       // map-side-combinable sum over the word frame

@@ -1522,8 +1522,149 @@ object SourceQueries {
           sum(col("u8")).as("sum_u8"),
           sum(col("u16")).as("sum_u16"),
           sum(col("u32")).as("sum_u32"))
+    },
+
+    // ---- S12: Arrow STRUCT columns ride the oracle hash ------------------
+    // The nested-record shape pyarrow writes for any HuggingFace-style
+    // features table: a struct column and a list<struct> column are
+    // built in-query, go arrow-file -> two-phase block read -> flatten
+    // -> aggregate; the oracle recomputes the same flattening from
+    // parquet, so any misplaced validity bit or child-column offset in
+    // the struct encode/decode breaks the hash. Foreign bytes (nulls at
+    // struct AND child level, nested struct, struct<list>) are
+    // separately proven by the pyarrow golden in ArrowIpcSpec.
+    QueryDef.sqlBacked(
+      "q193_arrow_struct_roundtrip",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(doc_id % 7 + doc_id % 5) AS BIGINT) AS sum_a,
+        |  CAST(sum(n_chars % 13 + n_chars % 11) AS BIGINT) AS sum_b
+        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      val dir = q193ArrowDir
+      val src = Tables.documents(s, d).select(
+        col("doc_id"),
+        struct(col("lang"), col("n_chars").cast("long").as("n_chars")).as("meta"),
+        array(
+          struct((col("doc_id") % 7).cast("long").as("a"),
+            (col("n_chars") % 13).cast("long").as("b")),
+          struct((col("doc_id") % 5).cast("long").as("a"),
+            (col("n_chars") % 11).cast("long").as("b"))).as("spans"))
+      graft.sources.ArrowIpc.write(src, dir, batchRows = 1024)
+      val parts = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".arrow"))
+        .map(_.getAbsolutePath).sorted
+      parts.map(p => graft.sources.ArrowIpc.readBlocks(s, p))
+        .reduce(_ unionByName _)
+        .groupBy(col("meta.lang").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("meta.n_chars")).as("chars"),
+          sum(col("spans")(0)("a") + col("spans")(1)("a")).as("sum_a"),
+          sum(col("spans")(0)("b") + col("spans")(1)("b")).as("sum_b"))
+    },
+
+    // ---- S12 scale: the DSv2 mount of the zarr chunk-parallel path ------
+    // q191's shape for zarr: spark.read.format over a DIRECTORY OF
+    // STORES (the one-store-per-scene layout ZarrSink writes), split
+    // planning is the closed-form chunk grid, and the dataset filter
+    // pushes into the PLAN phase — the x/y coordinate arrays' chunks
+    // are never planned, let alone read (ZarrDataSourceSpec proves
+    // chunk files stay unopened under index-only projections). Scene
+    // identity rides in the VALUES (each scene's series is offset), so
+    // the analytic oracle pins both stores' grids without referencing
+    // the nondeterministic temp path.
+    QueryDef.sqlBacked(
+      "q194_zarr_dsv2_pruned",
+      """SELECT CAST(j*6 + i AS BIGINT) AS idx,
+        |  CAST((t*9 + j)*6 + i AS DOUBLE) * 0.25 - 3.0 AS value
+        |FROM range(0,2) r1(t), range(0,9) r2(j), range(0,6) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.ZarrSink
+      val dir = q194ZarrDir
+      if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+        val (nT, ny, nx) = (2, 9, 6)
+        val grid = s.range(nT.toLong * ny * nx).select(
+          concat(lit("zd"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
+          expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
+          (expr(s"id % $nx") * 100.0).as("x"),
+          (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
+          (col("id").cast("double") * 0.25 - 3.0).as("value"))
+        ZarrSink.writeScenes(grid, dir, "lwp",
+          chunkRows = Some(4), zlibLevel = Some(6)).count()
+      }
+      s.read.format("graft.sources.ZarrDataSource")
+        .option("path", dir).load()
+        .where(col("dataset") === "lwp")
+        .select(col("idx"), col("value"))
+    },
+
+    // ---- S12: Arrow uint64 -> Decimal(20,0) rides the oracle hash -------
+    // The last unsigned width: values above 2^63 (no signed 64-bit
+    // home) go asUint(64) encode -> true Arrow uint64 buffers ->
+    // two-phase block read as EXACT Decimal(20,0); min/max per group
+    // pin full magnitudes digit-for-digit against DuckDB's decimal
+    // arithmetic on parquet.
+    QueryDef.sqlBacked(
+      "q195_arrow_uint64_roundtrip",
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS g, count(*) AS n,
+        |  CAST(min(CAST(doc_id AS DECIMAL(20,0))
+        |    + CAST('9223372036854775808' AS DECIMAL(20,0))) AS VARCHAR) AS min_u,
+        |  CAST(max(CAST(doc_id AS DECIMAL(20,0))
+        |    + CAST('9223372036854775808' AS DECIMAL(20,0))) AS VARCHAR) AS max_u
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val dir = q195ArrowDir
+      val src = Tables.documents(s, d).select(
+        col("doc_id"),
+        (col("doc_id").cast(DecimalType(20, 0))
+          + lit("9223372036854775808").cast(DecimalType(20, 0)))
+          .cast(DecimalType(20, 0)).as("u"))
+      graft.sources.ArrowIpc.write(
+        graft.sources.ArrowIpc.asUint(src, Map("u" -> 64)), dir, batchRows = 1024)
+      val parts = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".arrow"))
+        .map(_.getAbsolutePath).sorted
+      parts.map(p => graft.sources.ArrowIpc.readBlocks(s, p))
+        .reduce(_ unionByName _)
+        .groupBy((col("doc_id") % 8).cast("long").as("g"))
+        .agg(count(lit(1)).as("n"),
+          min(col("u")).cast("string").as("min_u"),
+          max(col("u")).cast("string").as("max_u"))
+    },
+
+    // ---- S12: zarr v2 blosc(zstd + bitshuffle) round-trip ---------------
+    // q185 with zarr-python's common tuning instead of the default:
+    // chunks go through BITshuffle -> zstd streams -> the blosc1
+    // container and come back through the container + zstd-jni + the
+    // inverse bit-transpose — the hash proves the tuned ingest path
+    // value-exact. Foreign bytes (pyarrow-libzstd streams) are
+    // separately proven by the python store in ForeignFixturesSpec.
+    QueryDef.sqlBacked(
+      "q196_zarr_blosc_zstd_roundtrip",
+      """SELECT 'zz' || CAST(t AS VARCHAR) AS scene_id,
+        |  CAST(i * 100 AS DOUBLE) AS x, CAST(j * 100 AS DOUBLE) AS y,
+        |  CAST((t*9 + j)*6 + i AS DOUBLE) * 0.25 - 3.0 AS value
+        |FROM range(0,3) r1(t), range(0,9) r2(j), range(0,6) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.{Zarr, ZarrSink}
+      val dir = java.nio.file.Files.createTempDirectory("graft-q196").toString
+      val (nT, ny, nx) = (3, 9, 6)
+      val grid = s.range(nT.toLong * ny * nx).select(
+        concat(lit("zz"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
+        expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
+        (expr(s"id % $nx") * 100.0).as("x"),
+        (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
+        (col("id").cast("double") * 0.25 - 3.0).as("value"))
+      ZarrSink.writeScenes(grid, dir, "lwp", chunkRows = Some(4),
+        blosc = true, bloscCodec = "zstd", bloscBitShuffle = true).count()
+      Zarr.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
     }
   )
+
+  /** Per-JVM fixture dirs for q193/q194/q195 (the q140 discipline). */
+  private lazy val q193ArrowDir: String =
+    mkCleanedTempDir("graft_q193_arrow_")
+  private lazy val q194ZarrDir: String =
+    mkCleanedTempDir("graft_q194_zarr_")
+  private lazy val q195ArrowDir: String =
+    mkCleanedTempDir("graft_q195_arrow_")
 
   /** Per-JVM fixture dir for q191 (the q140 discipline). */
   private lazy val q191Hdf5Dir: String =

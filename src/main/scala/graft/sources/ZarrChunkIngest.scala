@@ -28,7 +28,7 @@ object ZarrChunkIngest {
     throw new IllegalArgumentException(s"zarr chunk ingest: $msg")
 
   /** Detect version + parse metadata for `store/name`. */
-  private def metaOf(store: java.io.File, name: String): Either[Zarr.ArrayMeta, Zarr3.Meta] = {
+  private[sources] def metaOf(store: java.io.File, name: String): Either[Zarr.ArrayMeta, Zarr3.Meta] = {
     val d = new java.io.File(store, name)
     val v2 = new java.io.File(d, ".zarray")
     val v3 = new java.io.File(d, "zarr.json")
@@ -56,6 +56,65 @@ object ZarrChunkIngest {
     }
   }
 
+  /** One chunk task's (global idx, value) elements, pad regions
+    * skipped; the chunk file is read + decoded here. Shared by the RDD
+    * ingest below and the [[ZarrDataSource]] DSv2 reader. */
+  private[sources] def chunkElems(t: ChunkTask,
+      meta: Either[Zarr.ArrayMeta, Zarr3.Meta]): Iterator[(Long, Double)] = {
+    val d = new java.io.File(new java.io.File(t.store), t.dataset)
+    val (shape, chunks, fill) = meta match {
+      case Left(m) => (m.shape, m.chunks, m.fill)
+      case Right(m) => (m.shape, m.chunks, m.fill)
+    }
+    val chunkFile = meta match {
+      case Left(_) => new java.io.File(d, t.ci.mkString("."))
+      case Right(m) => Zarr3.chunkKey(m, t.ci).split('/')
+        .foldLeft(d)((acc, p) => new java.io.File(acc, p))
+    }
+    val decoded: Option[Array[Double]] =
+      if (!chunkFile.exists()) None
+      else Some(meta match {
+        case Left(m) => Zarr.decodeChunkBytes(
+          java.nio.file.Files.readAllBytes(chunkFile.toPath), m)
+        case Right(m) => Zarr3.decodeChunkBytes(
+          java.nio.file.Files.readAllBytes(chunkFile.toPath), m)
+      })
+    chunkIndexValues(shape, chunks, t.ci).map { case (g, k) =>
+      (g, decoded.map(_(k)).getOrElse(fill))
+    }
+  }
+
+  /** Index-only walk of one chunk task: the chunk file's BYTES ARE
+    * NEVER READ — the grid is closed-form from metadata, so projections
+    * without `value` do metadata-proportional work. */
+  private[sources] def chunkIndexes(t: ChunkTask,
+      meta: Either[Zarr.ArrayMeta, Zarr3.Meta]): Iterator[Long] = {
+    val (shape, chunks) = meta match {
+      case Left(m) => (m.shape, m.chunks)
+      case Right(m) => (m.shape, m.chunks)
+    }
+    chunkIndexValues(shape, chunks, t.ci).map(_._1)
+  }
+
+  /** In-bounds (global linear index, within-chunk index) pairs of one
+    * chunk at grid position `ci`. */
+  private def chunkIndexValues(shape: Seq[Int], chunks: Seq[Int],
+      ci: Seq[Int]): Iterator[(Long, Int)] = {
+    val strides = shape.scanRight(1)(_ * _).tail
+    val cStrides = chunks.scanRight(1)(_ * _).tail
+    (0 until chunks.product).iterator.flatMap { k =>
+      var g = 0L; var inBounds = true; var dim = 0
+      while (dim < shape.size && inBounds) {
+        val local = (k / cStrides(dim)) % chunks(dim)
+        val global = ci(dim) * chunks(dim) + local
+        if (global >= shape(dim)) inBounds = false
+        else g += global.toLong * strides(dim)
+        dim += 1
+      }
+      if (!inBounds) None else Some((g, k))
+    }
+  }
+
   /** Phase 2 fan-out: decode each chunk independently. The per-task
     * metadata re-parse is a KB-sized local file read (zarr has no
     * shared file handle to manage — every chunk is its own file). */
@@ -71,44 +130,10 @@ object ZarrChunkIngest {
       .mapPartitions { it =>
         var cached: ((String, String), Either[Zarr.ArrayMeta, Zarr3.Meta]) = null
         it.flatMap { t =>
-          val storeDir = new java.io.File(t.store)
           val key = (t.store, t.dataset)
           if (cached == null || cached._1 != key)
-            cached = (key, metaOf(storeDir, t.dataset))
-          val d = new java.io.File(storeDir, t.dataset)
-          val (shape, chunks, fill) = cached._2 match {
-            case Left(m) => (m.shape, m.chunks, m.fill)
-            case Right(m) => (m.shape, m.chunks, m.fill)
-          }
-          val strides = shape.scanRight(1)(_ * _).tail
-          val cStrides = chunks.scanRight(1)(_ * _).tail
-          val chunkFile = cached._2 match {
-            case Left(_) => new java.io.File(d, t.ci.mkString("."))
-            case Right(m) => Zarr3.chunkKey(m, t.ci).split('/')
-              .foldLeft(d)((acc, p) => new java.io.File(acc, p))
-          }
-          val decoded: Option[Array[Double]] =
-            if (!chunkFile.exists()) None
-            else Some(cached._2 match {
-              case Left(m) => Zarr.decodeChunkBytes(
-                java.nio.file.Files.readAllBytes(chunkFile.toPath), m)
-              case Right(m) => Zarr3.decodeChunkBytes(
-                java.nio.file.Files.readAllBytes(chunkFile.toPath), m)
-            })
-          val within = chunks.product
-          (0 until within).iterator.flatMap { k =>
-            var g = 0L; var inBounds = true; var dim = 0
-            while (dim < shape.size && inBounds) {
-              val local = (k / cStrides(dim)) % chunks(dim)
-              val global = t.ci(dim) * chunks(dim) + local
-              if (global >= shape(dim)) inBounds = false
-              else g += global.toLong * strides(dim)
-              dim += 1
-            }
-            if (!inBounds) None
-            else Some((t.store, t.dataset, g,
-              decoded.map(_(k)).getOrElse(fill)))
-          }
+            cached = (key, metaOf(new java.io.File(t.store), t.dataset))
+          chunkElems(t, cached._2).map { case (g, v) => (t.store, t.dataset, g, v) }
         }
       }
       .toDF("path", "dataset", "idx", "value")
@@ -153,6 +178,56 @@ object ZarrChunkIngest {
     }
   }
 
+  /** One inner-chunk task's (global idx, value) elements: a positioned
+    * byte-range read through `handleFor` (caller manages handle reuse)
+    * + inner-pipeline decode; absent inner chunks emit fill. Shared by
+    * the RDD ingest below and the [[ZarrDataSource]] DSv2 reader. */
+  private[sources] def innerElems(t: InnerTask, meta: Zarr3.Meta,
+      handleFor: java.io.File => java.io.RandomAccessFile): Iterator[(Long, Double)] = {
+    val sh = meta.sharding.getOrElse(fail("meta lost its sharding"))
+    val d = new java.io.File(new java.io.File(t.store), t.dataset)
+    val missing = t.offset == -1L && t.length == -1L
+    val vals: Option[Array[Double]] =
+      if (missing) None
+      else {
+        val shardFile = Zarr3.chunkKey(meta, t.ci).split('/')
+          .foldLeft(d)((acc, p) => new java.io.File(acc, p))
+        val h = handleFor(shardFile)
+        // subtraction form: offset + length can wrap past Long.MaxValue
+        require(t.offset >= 0 && t.length >= 0 &&
+          t.offset <= h.length() && t.length <= h.length() - t.offset,
+          s"inner window (${t.offset}, ${t.length}) outside ${shardFile.getName}")
+        val raw = new Array[Byte](t.length.toInt)
+        h.seek(t.offset); h.readFully(raw)
+        Some(Zarr3.decodeInnerChunk(raw, meta, sh))
+      }
+    innerIndexValues(meta, t.ci, t.gi).map { case (g, k) =>
+      (g, vals.map(_(k)).getOrElse(meta.fill))
+    }
+  }
+
+  /** Index-only walk of one inner-chunk task: no shard bytes read. */
+  private[sources] def innerIndexes(t: InnerTask, meta: Zarr3.Meta): Iterator[Long] =
+    innerIndexValues(meta, t.ci, t.gi).map(_._1)
+
+  private def innerIndexValues(meta: Zarr3.Meta, ci: Seq[Int],
+      gi: Seq[Int]): Iterator[(Long, Int)] = {
+    val inner = meta.sharding.getOrElse(fail("meta lost its sharding")).innerChunks
+    val iStrides = inner.scanRight(1)(_ * _).tail
+    val strides = meta.shape.scanRight(1)(_ * _).tail
+    (0 until inner.product).iterator.flatMap { k =>
+      var g = 0L; var inBounds = true; var dim = 0
+      while (dim < meta.shape.size && inBounds) {
+        val local = (k / iStrides(dim)) % inner(dim)
+        val global = ci(dim) * meta.chunks(dim) + gi(dim) * inner(dim) + local
+        if (global >= meta.shape(dim)) inBounds = false
+        else g += global.toLong * strides(dim)
+        dim += 1
+      }
+      if (!inBounds) None else Some((g, k))
+    }
+  }
+
   /** Phase 2 fan-out for sharded arrays: one positioned byte-range read
     * + inner-pipeline decode per task; absent inner chunks (index
     * sentinel or missing shard file) emit fill. Same output contract as
@@ -180,46 +255,14 @@ object ZarrChunkIngest {
           raf
         }
         val out = it.flatMap { t =>
-          val storeDir = new java.io.File(t.store)
           if (cachedMeta == null || cachedMeta._1 != ((t.store, t.dataset)))
-            cachedMeta = ((t.store, t.dataset), metaOf(storeDir, t.dataset) match {
-              case Right(m) => m
-              case Left(_) => fail("v2 store in shard-inner read")
-            })
-          val meta = cachedMeta._2
-          val sh = meta.sharding.getOrElse(fail("meta lost its sharding"))
-          val d = new java.io.File(storeDir, t.dataset)
-          val missing = t.offset == -1L && t.length == -1L
-          val vals: Option[Array[Double]] =
-            if (missing) None
-            else {
-              val shardFile = Zarr3.chunkKey(meta, t.ci).split('/')
-                .foldLeft(d)((acc, p) => new java.io.File(acc, p))
-              val h = handleFor(shardFile)
-              // subtraction form: offset + length can wrap past Long.MaxValue
-              require(t.offset >= 0 && t.length >= 0 &&
-                t.offset <= h.length() && t.length <= h.length() - t.offset,
-                s"inner window (${t.offset}, ${t.length}) outside ${shardFile.getName}")
-              val raw = new Array[Byte](t.length.toInt)
-              h.seek(t.offset); h.readFully(raw)
-              Some(Zarr3.decodeInnerChunk(raw, meta, sh))
-            }
-          val inner = sh.innerChunks
-          val iStrides = inner.scanRight(1)(_ * _).tail
-          val strides = meta.shape.scanRight(1)(_ * _).tail
-          (0 until inner.product).iterator.flatMap { k =>
-            var g = 0L; var inBounds = true; var dim = 0
-            while (dim < meta.shape.size && inBounds) {
-              val local = (k / iStrides(dim)) % inner(dim)
-              val global = t.ci(dim) * meta.chunks(dim) +
-                t.gi(dim) * inner(dim) + local
-              if (global >= meta.shape(dim)) inBounds = false
-              else g += global.toLong * strides(dim)
-              dim += 1
-            }
-            if (!inBounds) None
-            else Some((t.store, t.dataset, g, vals.map(_(k)).getOrElse(meta.fill)))
-          }
+            cachedMeta = ((t.store, t.dataset),
+              metaOf(new java.io.File(t.store), t.dataset) match {
+                case Right(m) => m
+                case Left(_) => fail("v2 store in shard-inner read")
+              })
+          innerElems(t, cachedMeta._2, handleFor)
+            .map { case (g, v) => (t.store, t.dataset, g, v) }
         }
         // close the last handle when the partition iterator drains
         new Iterator[(String, String, Long, Double)] {

@@ -6,8 +6,10 @@ import org.apache.spark.sql.DataFrame
   * (y, x) grid of a variable plus 1-D coordinate arrays, laid out per
   * the public zarr v2 spec — `.zgroup`/`.zarray`/`.zattrs` JSON and
   * C-order chunk files keyed `i.j`, raw, zlib-compressed (numcodecs
-  * `{"id": "zlib"}`) or blosc(lz4, shuffle)-compressed (`blosc = true`
-  * — zarr-python's default compressor, via [[Blosc.compress]]), edge
+  * `{"id": "zlib"}`) or blosc-compressed (`blosc = true` — zarr-python's
+  * default lz4+byte-shuffle, or `bloscCodec = "zstd"` /
+  * `bloscBitShuffle = true` for its common tunings, via
+  * [[Blosc.compress]]), edge
   * chunks padded to full chunk shape with the
   * fill value (spec: chunks are always full-size). The `.zattrs`
   * carry xarray's `_ARRAY_DIMENSIONS` convention so the store opens
@@ -24,9 +26,13 @@ import org.apache.spark.sql.DataFrame
 object ZarrSink {
 
   private def jsonArray(shape: Seq[Int], chunks: Seq[Int], dtype: String,
-      zlibLevel: Option[Int], blosc: Boolean): String = {
+      zlibLevel: Option[Int], blosc: Boolean, bloscCodec: String,
+      bloscBitShuffle: Boolean): String = {
     val comp =
-      if (blosc) """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+      if (blosc) {
+        val sh = if (bloscBitShuffle) 2 else 1
+        s"""{"id": "blosc", "cname": "$bloscCodec", "clevel": 5, "shuffle": $sh, "blocksize": 0}"""
+      }
       else zlibLevel.map(l => s"""{"id": "zlib", "level": $l}""").getOrElse("null")
     s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
        | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
@@ -45,13 +51,16 @@ object ZarrSink {
   }
 
   private def writeChunk(path: java.io.File, values: Array[Double],
-      zlibLevel: Option[Int], blosc: Boolean): Unit = {
+      zlibLevel: Option[Int], blosc: Boolean, bloscCodec: String,
+      bloscBitShuffle: Boolean): Unit = {
     val buf = java.nio.ByteBuffer.allocate(values.length * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     values.foreach(buf.putDouble)
     val bytes =
       if (blosc) Blosc.compress(buf.array(), typesize = 8,
-        blocksize = math.max(8, math.min(buf.array().length, 64 * 1024)))
+        blocksize = math.max(8, math.min(buf.array().length, 64 * 1024)),
+        shuffle = !bloscBitShuffle, bitshuffle = bloscBitShuffle,
+        codec = bloscCodec)
       else zlibLevel.map(deflate(buf.array(), _)).getOrElse(buf.array())
     val fos = new java.io.FileOutputStream(path)
     try fos.write(bytes) finally fos.close()
@@ -59,10 +68,11 @@ object ZarrSink {
 
   private def writeArray(dir: java.io.File, name: String, shape: Seq[Int],
       dims: Seq[String], values: Array[Double], chunks: Seq[Int],
-      zlibLevel: Option[Int], blosc: Boolean): Unit = {
+      zlibLevel: Option[Int], blosc: Boolean, bloscCodec: String,
+      bloscBitShuffle: Boolean): Unit = {
     val d = new java.io.File(dir, name); d.mkdirs()
     java.nio.file.Files.writeString(d.toPath.resolve(".zarray"),
-      jsonArray(shape, chunks, "<f8", zlibLevel, blosc))
+      jsonArray(shape, chunks, "<f8", zlibLevel, blosc, bloscCodec, bloscBitShuffle))
     java.nio.file.Files.writeString(d.toPath.resolve(".zattrs"),
       s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(", ")}]}""")
     val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
@@ -83,7 +93,8 @@ object ZarrSink {
           if (inBounds) chunk(k) = values(g.toInt)
           k += 1
         }
-        writeChunk(new java.io.File(d, ci.mkString(".")), chunk, zlibLevel, blosc)
+        writeChunk(new java.io.File(d, ci.mkString(".")), chunk, zlibLevel,
+          blosc, bloscCodec, bloscBitShuffle)
       }
     emit(Nil, 0)
   }
@@ -95,7 +106,8 @@ object ZarrSink {
     * chunk. Returns (scene_id, path, n_px). */
   def writeScenes(df: DataFrame, outDir: String, varName: String,
       chunkRows: Option[Int] = None, zlibLevel: Option[Int] = None,
-      blosc: Boolean = false): DataFrame = {
+      blosc: Boolean = false, bloscCodec: String = "lz4",
+      bloscBitShuffle: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
@@ -113,11 +125,12 @@ object ZarrSink {
         java.nio.file.Files.writeString(store.toPath.resolve(".zgroup"), """{"zarr_format": 2}""")
         val gridChunks = Seq(chunkRows.getOrElse(ys.length), xs.length)
         writeArray(store, varName, Seq(ys.length, xs.length), Seq("y", "x"),
-          grid, gridChunks, zlibLevel, blosc)
+          grid, gridChunks, zlibLevel, blosc, bloscCodec, bloscBitShuffle)
         writeArray(store, "y", Seq(ys.length), Seq("y"), ys,
-          Seq(chunkRows.getOrElse(ys.length)), zlibLevel, blosc)
+          Seq(chunkRows.getOrElse(ys.length)), zlibLevel, blosc, bloscCodec,
+          bloscBitShuffle)
         writeArray(store, "x", Seq(xs.length), Seq("x"), xs,
-          Seq(xs.length), zlibLevel, blosc)
+          Seq(xs.length), zlibLevel, blosc, bloscCodec, bloscBitShuffle)
         (sid, store.getAbsolutePath, rows.length.toLong)
       }.toDF("scene_id", "path", "n_px")
   }

@@ -104,7 +104,9 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q186_zarr3_sharded_roundtrip" :+ "q187_arrow_compressed_roundtrip"
       :+ "q188_zarr3_shard_inner_parallel" :+ "q189_sft_chat_template"
       :+ "q190_arrow_ext_roundtrip" :+ "q191_hdf5_dsv2_pruned"
-      :+ "q192_hdf5_scaleoffset")
+      :+ "q192_hdf5_scaleoffset"
+      :+ "q193_arrow_struct_roundtrip" :+ "q194_zarr_dsv2_pruned"
+      :+ "q195_arrow_uint64_roundtrip" :+ "q196_zarr_blosc_zstd_roundtrip")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -175,6 +177,17 @@ class PlanRegressionSpec extends SparkSpec {
     // visible in the scan description (pruned at plan time)
     val plan = planOf("q191_hdf5_dsv2_pruned")
     assert(!plan.contains("Exchange"), s"DSv2 scan must not shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("pushed=") && plan.contains("EqualTo"),
+      s"dataset filter must reach the scan:\n${plan.take(1200)}")
+  }
+
+  test("q194: DSv2 zarr scan is exchange-free with the dataset filter pushed") {
+    // same contract as q191 for the zarr mount: the chunk grid is the
+    // fan-out (sharded arrays at inner-chunk granularity), so
+    // scan->filter->project carries no exchange and the pushed dataset
+    // filter shows in the scan description
+    val plan = planOf("q194_zarr_dsv2_pruned")
+    assert(!plan.contains("Exchange"), s"DSv2 zarr scan must not shuffle:\n${plan.take(1200)}")
     assert(plan.contains("pushed=") && plan.contains("EqualTo"),
       s"dataset filter must reach the scan:\n${plan.take(1200)}")
   }
