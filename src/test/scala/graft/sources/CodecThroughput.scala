@@ -78,8 +78,29 @@ object CodecThroughput {
     val soHardGz = gz(soHard)
     val hardGz = gz(hard)
 
+    // round 13: blosc inner-zstd and the bitshuffle filter — the
+    // zarr-python cname=zstd / shuffle=2 tunings — plus the raw
+    // bit-transpose cost in isolation
+    val zsFrame = Blosc.compress(data, 8, 256 * 1024, codec = "zstd")
+    val tZsC = time(3)(Blosc.compress(data, 8, 256 * 1024, codec = "zstd"))
+    val tZsD = time(3)(Blosc.decompress(zsFrame))
+    val zbFrame = Blosc.compress(data, 8, 256 * 1024,
+      shuffle = false, bitshuffle = true, codec = "zstd")
+    val tZbD = time(3)(Blosc.decompress(zbFrame))
+    val lbFrame = Blosc.compress(data, 8, 256 * 1024,
+      shuffle = false, bitshuffle = true, codec = "lz4")
+    val tLbD = time(3)(Blosc.decompress(lbFrame))
+    val tBitF = time(3)(Blosc.bitShuffle(data, 8))
+    val bitData = Blosc.bitShuffle(data, 8)
+    val tBitI = time(3)(Blosc.bitUnshuffle(bitData, 8))
+
     def mbs(t: Double) = f"${mb / t}%.0f MB/s"
     println(f"payload: $mb MB smooth doubles")
+    println(f"blosc(zstd,shuffle) compress ${mbs(tZsC)}  ratio ${data.length.toDouble / zsFrame.length}%.1fx")
+    println(f"blosc(zstd,shuffle) decomp   ${mbs(tZsD)}")
+    println(f"blosc(zstd,bitshuf) decomp   ${mbs(tZbD)}  ratio ${data.length.toDouble / zbFrame.length}%.1fx")
+    println(f"blosc(lz4,bitshuf) decomp    ${mbs(tLbD)}  ratio ${data.length.toDouble / lbFrame.length}%.1fx")
+    println(f"bitshuffle transform alone   fwd ${mbs(tBitF)} / inv ${mbs(tBitI)}")
     println(f"scale-offset(D=2) encode     ${mbs(tSoC)}  ratio ${data.length.toDouble / soFrame.length}%.1fx")
     println(f"scale-offset(D=2) decode     ${mbs(tSoD)}")
     println(f"scale-offset + deflate       ratio ${data.length.toDouble / soGzFrame.length}%.1fx")
