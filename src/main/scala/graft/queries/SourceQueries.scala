@@ -1655,16 +1655,51 @@ object SourceQueries {
       ZarrSink.writeScenes(grid, dir, "lwp", chunkRows = Some(4),
         blosc = true, bloscCodec = "zstd", bloscBitShuffle = true).count()
       Zarr.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
+    },
+
+    // ---- S12: Arrow MAP columns ride the oracle hash ---------------------
+    // The key-value property-bag shape (HF features metadata, span
+    // attributes): a map<utf8,int64> column built in-query goes
+    // arrow-file (list<entries: struct<key!, value>> layout) ->
+    // two-phase block read -> element_at extraction -> aggregate; the
+    // oracle recomputes from parquet, so a misplaced entries offset or
+    // key/value child column breaks the hash. Foreign bytes (pyarrow
+    // maps incl. a null value and an empty map, plus the s/ms/ns
+    // timestamp-unit and date64 read paths) are separately proven by
+    // the golden in ArrowIpcSpec.
+    QueryDef.sqlBacked(
+      "q197_arrow_map_roundtrip",
+      """SELECT CAST(doc_id % 9 AS BIGINT) AS g, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        |  CAST(sum(doc_id % 97) AS BIGINT) AS sum_wmod
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = q197ArrowDir
+      val src = Tables.documents(s, d).select(
+        col("doc_id"),
+        map(lit("len"), col("n_chars").cast("long"),
+          lit("wmod"), (col("doc_id") % 97).cast("long")).as("attrs"))
+      graft.sources.ArrowIpc.write(src, dir, batchRows = 1024)
+      val parts = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".arrow"))
+        .map(_.getAbsolutePath).sorted
+      parts.map(p => graft.sources.ArrowIpc.readBlocks(s, p))
+        .reduce(_ unionByName _)
+        .groupBy((col("doc_id") % 9).cast("long").as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(element_at(col("attrs"), "len")).as("sum_len"),
+          sum(element_at(col("attrs"), "wmod")).as("sum_wmod"))
     }
   )
 
-  /** Per-JVM fixture dirs for q193/q194/q195 (the q140 discipline). */
+  /** Per-JVM fixture dirs for q193-q197 (the q140 discipline). */
   private lazy val q193ArrowDir: String =
     mkCleanedTempDir("graft_q193_arrow_")
   private lazy val q194ZarrDir: String =
     mkCleanedTempDir("graft_q194_zarr_")
   private lazy val q195ArrowDir: String =
     mkCleanedTempDir("graft_q195_arrow_")
+  private lazy val q197ArrowDir: String =
+    mkCleanedTempDir("graft_q197_arrow_")
 
   /** Per-JVM fixture dir for q191 (the q140 discipline). */
   private lazy val q191Hdf5Dir: String =

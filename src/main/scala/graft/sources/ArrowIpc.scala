@@ -27,10 +27,16 @@ import FlatBuf.{FbBuilder, FbTable}
   *    PHYSICAL 1/2/4/8-byte stride then widened to Short/Int/Long/
   *    Decimal(20,0), the width riding in StructField metadata; written
   *    via [[asUint]]), float32/64,
-  *    utf8, binary, bool, timestamp[us] (with/without timezone),
-  *    date32[day], decimal128, list<primitive>, struct<...> (nested
-  *    structs, struct<list<...>>, list<struct<...>> — validity bitmap
-  *    + full-length child columns in field order, BOTH ways), and
+  *    utf8, binary, bool, timestamp[us] (with/without timezone; reads
+  *    also accept s/ms — exact widening — and ns, the pandas default,
+  *    divided with a per-value exactness check: sub-microsecond
+  *    precision rejects loudly, never truncates),
+  *    date32[day] (+ read-side date64[ms] with the spec's day-aligned
+  *    requirement enforced), decimal128, list<primitive>, struct<...>
+  *    (nested structs, struct<list<...>>, list<struct<...>> — validity
+  *    bitmap + full-length child columns in field order, BOTH ways),
+  *    map<K, V> (the list<entries: struct<key, value>> layout, BOTH
+  *    ways), and
   *    read-side large_utf8/large_binary/large_list (int64 offsets,
   *    layout marker in metadata) + fixed_size_list (the numpy-embedding
   *    shape; no offsets buffer) — the working set for the testdata
@@ -43,8 +49,8 @@ import FlatBuf.{FbBuilder, FbTable}
   *    block-independent frames) / zstd-jni, writes via lz4-java frames /
   *    zstd-jni with pyarrow's raw-when-not-smaller rule (arrow-java +
   *    pyarrow read our compressed files back).
-  *  - big-endian schemas, unions/maps/dense-union nesting REJECT
-  *    LOUDLY — never silently misread.
+  *  - big-endian schemas and union types REJECT LOUDLY — never
+  *    silently misread.
   *  - V5 framing only (continuation-prefixed encapsulated messages).
   *  - writer emits: stream format (.arrows) or file format (.arrow,
   *    with footer); validity bitmaps omitted (length-0 buffer entry)
@@ -73,6 +79,7 @@ object ArrowIpc {
   private val TList = 12
   private val TStruct = 13
   private val TFixedSizeList = 16
+  private val TMap = 17
   private val TLargeBinary = 19
   private val TLargeUtf8 = 20
   private val TLargeList = 21
@@ -101,6 +108,15 @@ object ArrowIpc {
     * element count is rows x size). */
   private[sources] val LargeOffsetsKey = "arrow_large_offsets"
   private[sources] val FslSizeKey = "arrow_fsl_size"
+
+  /** Timestamp/date physical-unit markers: Arrow buffers may carry
+    * SECOND/MILLISECOND/NANOSECOND timestamps (pandas writes ns) or
+    * ms-since-epoch date64; Spark's types are micros/days, so s/ms
+    * widen exactly and ns/date64 divide with an exactness check —
+    * sub-microsecond or intra-day precision rejects loudly rather than
+    * truncating silently. */
+  private[sources] val TsUnitKey = "arrow_ts_unit" // 0=s 1=ms 3=ns
+  private[sources] val Date64Key = "arrow_date64"
 
   private def uintBitsOf(meta: Metadata): Int =
     if (meta.contains(UintBitsKey)) meta.getLong(UintBitsKey).toInt else 0
@@ -134,6 +150,8 @@ object ArrowIpc {
       case _ => false
     }
     case st: StructType => st.fields.forall(f => supported(f.dataType))
+    case MapType(kt, vt, _) => supported(kt) && supported(vt) &&
+      !kt.isInstanceOf[MapType] && !vt.isInstanceOf[MapType]
     case _ => false
   }
 
@@ -156,6 +174,13 @@ object ArrowIpc {
         val cs = st.fields.map(cf =>
           buildField(b, cf.name, cf.dataType, cf.nullable, uintBitsOf(cf.metadata))).toSeq
         b.createOffsetVector(cs)
+      case MapType(kt, vt, valueContainsNull) =>
+        // map<K,V> = list<entries: struct<key: K!, value: V>> (Schema.fbs)
+        val entries = buildField(b, "entries",
+          StructType(Seq(StructField("key", kt, nullable = false),
+            StructField("value", vt, nullable = valueContainsNull))),
+          nullable = false)
+        b.createOffsetVector(Seq(entries))
       case _ => 0
     }
     val (typeTag, typeOff) = dt match {
@@ -208,6 +233,9 @@ object ArrowIpc {
         b.startTable(0); (TList, b.endTable())
       case _: StructType =>
         b.startTable(0); (TStruct, b.endTable())
+      case _: MapType =>
+        // keysSorted slot 0: false = flatbuffer default, omitted
+        b.startTable(1); (TMap, b.endTable())
       case other => throw new IllegalArgumentException(s"unreachable $other")
     }
     val nameOff = b.createString(name)
@@ -276,6 +304,8 @@ object ArrowIpc {
     var itemUintBits = 0
     var largeOffsets = false
     var fslSize = 0
+    var tsUnit = -1 // physical unit when not micros: 0=s 1=ms 3=ns
+    var date64 = false
     val dt: DataType = tag match {
       case TInt =>
         val bits = t.map(_.getInt(0, 0)).getOrElse(0)
@@ -304,10 +334,13 @@ object ArrowIpc {
       case TLargeBinary => largeOffsets = true; BinaryType
       case TBool => BooleanType
       case TDate =>
-        // absent slot = the fbs default MILLISECOND (date64) -> reject
+        // unit 0 = date32[day]; 1 (the fbs default) = date64[ms], whose
+        // values the spec requires to be day-aligned ms — decoded with
+        // an exactness check
         val unit = t.map(_.getShort(0, 1).toInt).getOrElse(1)
-        require(unit == 0,
-          s"arrow-ipc: only date32[day] supported, got date unit $unit for '$name'")
+        require(unit == 0 || unit == 1,
+          s"arrow-ipc: unknown date unit $unit for '$name'")
+        if (unit == 1) date64 = true
         DateType
       case TDecimal =>
         val p = t.map(_.getInt(0, 0)).getOrElse(0)
@@ -319,15 +352,31 @@ object ArrowIpc {
           s"arrow-ipc: decimal precision $p out of [1, 38] for '$name'")
         DecimalType(p, sc)
       case TTimestamp =>
+        // Spark timestamps are MICROSECONDS; s/ms widen exactly, ns
+        // (the pandas default) divides with a per-value exactness check
+        // — sub-microsecond precision rejects loudly, never truncates
         val unit = t.map(_.getShort(0, 0).toInt).getOrElse(0)
-        require(unit == 2,
-          s"arrow-ipc: only timestamp[us] supported, got unit $unit for '$name'")
+        require(unit >= 0 && unit <= 3,
+          s"arrow-ipc: unknown timestamp unit $unit for '$name'")
+        if (unit != 2) tsUnit = unit
         if (t.exists(_.string(1).isDefined)) TimestampType else TimestampNTZType
       case TStruct =>
         // children are full StructFields: their uint/large/fsl/dict
         // markers ride in the nested fields' own metadata, so no
         // hoisting is needed (unlike list items)
         StructType((0 until f.vectorLen(5)).map(i => readField(f.vectorTable(5, i))))
+      case TMap =>
+        // map<K,V> = list<entries: struct<key, value>>; Spark-facing
+        // type is MapType (keysSorted is advisory — ignored)
+        require(f.vectorLen(5) == 1, s"arrow-ipc: map '$name' needs one child")
+        val entries = readField(f.vectorTable(5, 0))
+        val st = entries.dataType match {
+          case s: StructType if s.fields.length == 2 => s
+          case other => throw new IllegalArgumentException(
+            s"arrow-ipc: map '$name' entries must be a 2-field struct, got $other")
+        }
+        MapType(st.fields(0).dataType, st.fields(1).dataType,
+          valueContainsNull = st.fields(1).nullable)
       case TList | TLargeList | TFixedSizeList =>
         require(f.vectorLen(5) == 1, s"arrow-ipc: list '$name' needs one child")
         val child = readField(f.vectorTable(5, 0))
@@ -345,7 +394,7 @@ object ArrowIpc {
         s"arrow-ipc: unsupported type tag $other for field '$name'")
     }
     if (uintBits == 0 && itemUintBits == 0 && dict.isEmpty &&
-        !largeOffsets && fslSize == 0)
+        !largeOffsets && fslSize == 0 && tsUnit < 0 && !date64)
       StructField(name, dt, nullable)
     else {
       val mb = new MetadataBuilder()
@@ -353,6 +402,8 @@ object ArrowIpc {
       if (itemUintBits != 0) mb.putLong(ItemUintBitsKey, itemUintBits.toLong)
       if (largeOffsets) mb.putBoolean(LargeOffsetsKey, true)
       if (fslSize != 0) mb.putLong(FslSizeKey, fslSize.toLong)
+      if (tsUnit >= 0) mb.putLong(TsUnitKey, tsUnit.toLong)
+      if (date64) mb.putBoolean(Date64Key, true)
       dict.foreach { case (id, idxBits) =>
         require(!dt.isInstanceOf[ArrayType],
           s"arrow-ipc: dictionary-encoded list field '$name' not supported")
@@ -543,6 +594,24 @@ object ArrowIpc {
           }
           encodeColumn(cf.dataType, childVals, nodes, out, uintBitsOf(cf.metadata))
         }
+      case MapType(kt, vt, valueContainsNull) =>
+        // map = list<entries: struct<key!, value>>: offsets buffer here,
+        // then ONE entries-struct child column
+        val entries = vals.map {
+          case null => IndexedSeq.empty[(Any, Any)]
+          case m: scala.collection.Map[_, _] =>
+            m.toIndexedSeq.asInstanceOf[IndexedSeq[(Any, Any)]]
+        }
+        val offs = ByteBuffer.allocate((n + 1) * 4).order(ByteOrder.LITTLE_ENDIAN)
+        var acc = 0
+        offs.putInt(0)
+        entries.foreach { e => acc += e.length; offs.putInt(acc) }
+        out.add(offs.array())
+        val entrySt = StructType(Seq(
+          StructField("key", kt, nullable = false),
+          StructField("value", vt, nullable = valueContainsNull)))
+        encodeColumn(entrySt,
+          entries.flatten.map { case (k, v) => Row(k, v) }, nodes, out)
       case other =>
         throw new IllegalArgumentException(s"arrow-ipc: cannot encode $other")
     }
@@ -676,6 +745,43 @@ object ArrowIpc {
         case 64 => prim(8, p => at(body.getLong(p)))
       }
     }
+    if (meta.contains(TsUnitKey)) {
+      // non-micros physical unit: s/ms widen exactly (overflow loud),
+      // ns divides with a per-value exactness check — sub-microsecond
+      // precision rejects, never truncates silently
+      val unit = meta.getLong(TsUnitKey)
+      def toMicros(raw: Long): Long =
+        if (unit == 3) {
+          require(raw % 1000 == 0, s"arrow-ipc: timestamp[ns] value $raw " +
+            "is not microsecond-aligned (Spark timestamps are micros; " +
+            "refusing to truncate)")
+          raw / 1000
+        } else {
+          val mult = if (unit == 0) 1000000L else 1000L
+          try Math.multiplyExact(raw, mult)
+          catch { case _: ArithmeticException =>
+            throw new IllegalArgumentException(
+              s"arrow-ipc: timestamp value $raw at unit $unit overflows micros")
+          }
+        }
+      return dt match {
+        case TimestampType =>
+          prim(8, p => DateTimeUtils.toJavaTimestamp(toMicros(body.getLong(p))))
+        case TimestampNTZType =>
+          prim(8, p => DateTimeUtils.microsToLocalDateTime(toMicros(body.getLong(p))))
+        case other => throw new IllegalArgumentException(
+          s"arrow-ipc: $TsUnitKey metadata on non-timestamp $other")
+      }
+    }
+    if (meta.contains(Date64Key)) {
+      // date64[ms]: the spec requires day-aligned values; enforce it
+      return prim(8, p => {
+        val ms = body.getLong(p)
+        require(ms % 86400000L == 0, s"arrow-ipc: date64 value $ms ms is " +
+          "not day-aligned (spec requires multiples of 86400000)")
+        DateTimeUtils.toJavaDate((ms / 86400000L).toInt)
+      })
+    }
     val uintBits = uintBitsOf(meta)
     if (uintBits != 0) {
       require(dt == uintSparkType(uintBits),
@@ -766,6 +872,19 @@ object ArrowIpc {
           if (isNull(i)) null
           else Row.fromSeq(children.toIndexedSeq.map(c => c(i)))
         }
+      case MapType(kt, vt, valueContainsNull) =>
+        // map = list<entries>: int32 offsets, then the entries struct
+        val (ooff, _) = buffers.next()
+        def offAt(i: Int): Int = body.getInt((ooff + i * 4L).toInt)
+        val entrySt = StructType(Seq(
+          StructField("key", kt, nullable = false),
+          StructField("value", vt, nullable = valueContainsNull)))
+        val child = decodeColumn(entrySt, Metadata.empty, body, nodes, buffers, dicts)
+        IndexedSeq.tabulate(n) { i =>
+          if (isNull(i)) null
+          else child.slice(offAt(i), offAt(i + 1))
+            .map { case r: Row => r.get(0) -> r.get(1) }.toMap
+        }
       case other =>
         throw new IllegalArgumentException(s"arrow-ipc: cannot decode $other")
     }
@@ -838,6 +957,10 @@ object ArrowIpc {
         skipColumn(et, Metadata.empty, nodes, buffers)
       case st: StructType =>
         st.fields.foreach(cf => skipColumn(cf.dataType, cf.metadata, nodes, buffers))
+      case MapType(kt, vt, _) =>
+        buffers.next() // offsets
+        skipColumn(StructType(Seq(StructField("key", kt),
+          StructField("value", vt))), Metadata.empty, nodes, buffers)
       case _ => buffers.next() // every fixed-width type has one data buffer
     }
   }

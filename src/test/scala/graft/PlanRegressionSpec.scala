@@ -106,7 +106,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q190_arrow_ext_roundtrip" :+ "q191_hdf5_dsv2_pruned"
       :+ "q192_hdf5_scaleoffset"
       :+ "q193_arrow_struct_roundtrip" :+ "q194_zarr_dsv2_pruned"
-      :+ "q195_arrow_uint64_roundtrip" :+ "q196_zarr_blosc_zstd_roundtrip")
+      :+ "q195_arrow_uint64_roundtrip" :+ "q196_zarr_blosc_zstd_roundtrip"
+      :+ "q197_arrow_map_roundtrip")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -616,6 +616,98 @@ class ArrowIpcSpec extends SparkSpec {
     } finally { rd.close(); ch.close(); alloc.close() }
   }
 
+  // ---- map columns + timestamp units + date64 (round 13) ----------------
+
+  private def assertMapRows(rows: Seq[Row]): Unit = {
+    assert(rows.length == 4)
+    val byId = rows.sortBy(_.getLong(0))
+    def attrs(r: Row): Option[Map[String, Any]] =
+      Option(r.get(1)).map(_.asInstanceOf[scala.collection.Map[String, Any]].toMap)
+    assert(attrs(byId(0)) == Some(Map("len" -> 10L, "w" -> 3L)))
+    assert(attrs(byId(1)) == Some(Map.empty))
+    assert(attrs(byId(2)) == None)
+    assert(attrs(byId(3)) == Some(Map("a" -> -1L, "b" -> null, "c" -> 7L)))
+    def ts(r: Row, i: Int): Any = norm(r.get(i))
+    // ts_s widened x1e6, ts_ms x1e3, ts_ns divided exactly by 1e3
+    assert(ts(byId(0), 2) == "2020-02-02T10:00:00.000000")
+    assert(ts(byId(0), 3) == "2020-02-02T10:00:00.123000")
+    assert(ts(byId(0), 4) == "2020-02-02T10:00:00.123456")
+    assert(norm(byId(0).get(5)) == "2020-02-02")
+    assert(ts(byId(1), 2) == "1970-01-01T00:00:00.000000")
+    assert(ts(byId(1), 3) == "1970-01-01T00:00:01.000000")
+    assert(ts(byId(1), 4) == "1969-12-31T23:59:59.000000")
+    assert(norm(byId(1).get(5)) == "1969-12-31")
+    assert((2 to 5).forall(byId(2).isNullAt))
+    assert(ts(byId(3), 2) == "2038-01-19T03:14:07.000000")
+    assert(ts(byId(3), 3) == "2038-01-19T03:14:07.999000")
+    assert(ts(byId(3), 4) == "2038-01-19T03:14:07.999999")
+    assert(norm(byId(3).get(5)) == "2038-01-19")
+  }
+
+  test("pyarrow map + timestamp[s|ms|ns] + date64 golden decodes exactly") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_map.arrow")))
+    val (schema, rows) = ArrowIpc.readStreamBytes(bytes)
+    assert(schema("attrs").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    assert(schema("ts_s").dataType == TimestampType &&
+      schema("ts_s").metadata.getLong("arrow_ts_unit") == 0L)
+    assert(schema("ts_ms").dataType == TimestampNTZType &&
+      schema("ts_ms").metadata.getLong("arrow_ts_unit") == 1L)
+    assert(schema("ts_ns").dataType == TimestampType &&
+      schema("ts_ns").metadata.getLong("arrow_ts_unit") == 3L)
+    assert(schema("day64").dataType == DateType &&
+      schema("day64").metadata.getBoolean("arrow_date64"))
+    assertMapRows(rows.toSeq)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_map.arrows")))
+    assertMapRows(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
+    assertMapRows(ArrowIpc.readBlocks(spark, fixturePath("golden_map.arrow"))
+      .collect().toSeq)
+  }
+
+  test("sub-microsecond timestamp[ns] rejects loudly (no silent truncation)") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("bad_ns.arrows")))
+    val e = intercept[IllegalArgumentException] {
+      ArrowIpc.readStreamBytes(bytes)._2.toSeq
+    }
+    assert(e.getMessage.contains("not microsecond-aligned"))
+  }
+
+  test("map columns round-trip through our writer and arrow-java reads " +
+      "the bytes back") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Map("x" -> 1L, "y" -> 2L)),
+      (2L, Map.empty[String, Long]),
+      (3L, Map("z" -> -5L))).toDF("id", "attrs")
+    val dir = Files.createTempDirectory("arrow-map-rt").toString
+    ArrowIpc.write(df.coalesce(1), dir)
+    val back = ArrowIpc.read(spark, dir)
+    // valueContainsNull round-trips through the entries-field nullability
+    assert(back.schema("attrs").dataType == df.schema("attrs").dataType)
+    def key(r: Row) = (r.getLong(0),
+      r.getAs[scala.collection.Map[String, Long]](1).toMap)
+    assert(back.collect().map(key).toSet ==
+      Set((1L, Map("x" -> 1L, "y" -> 2L)), (2L, Map.empty[String, Long]),
+        (3L, Map("z" -> -5L))))
+    // foreign reader: arrow-java decodes our map file
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.complex.MapVector
+    import org.apache.arrow.vector.ipc.ArrowFileReader
+    val f = new File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val alloc = new RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    val rd = new ArrowFileReader(ch, alloc)
+    try {
+      val root = rd.getVectorSchemaRoot
+      assert(rd.loadNextBatch())
+      val ids = root.getVector("id")
+      val i1 = (0 until root.getRowCount).find(i => ids.getObject(i) == 1L).get
+      val mv = root.getVector("attrs").asInstanceOf[MapVector]
+      val entries = mv.getObject(i1).asInstanceOf[java.util.List[_]]
+      assert(entries.size() == 2)
+    } finally { rd.close(); ch.close(); alloc.close() }
+  }
+
   test("pyarrow block-LINKED LZ4 bodies over 64KB decode (the lz4frame " +
       "default pyarrow writes)") {
     val expect = (0 until 4000).map(i =>
@@ -773,11 +865,19 @@ class ArrowIpcSpec extends SparkSpec {
 
   test("unsupported Spark type rejects at write time") {
     import spark.implicits._
-    val df = Seq((1, Map("a" -> 1))).toDF("k", "m")
+    // list<string> is outside the supported list-element set (maps are
+    // supported as of round 13, so a nested map is the reject case now)
+    val df = Seq((1, Seq("a", "b"))).toDF("k", "xs")
     val dir = Files.createTempDirectory("arrow-bad").toString
     val e = intercept[IllegalArgumentException] {
       ArrowIpc.write(df, dir)
     }
     assert(e.getMessage.contains("unsupported"))
+    // nested map<_, map<...>> rejects too
+    val df2 = Seq((1, Map("a" -> Map("b" -> 1L)))).toDF("k", "m")
+    val e2 = intercept[IllegalArgumentException] {
+      ArrowIpc.write(df2, Files.createTempDirectory("arrow-bad2").toString)
+    }
+    assert(e2.getMessage.contains("unsupported"))
   }
 }

@@ -435,6 +435,44 @@ def main():
     assert got.column("cat").to_pylist() == ["apple", "banana", "apple",
                                              "cherry", "date", "banana"]
 
+    # ---- map columns + non-micros timestamp units + date64 ----
+    # the pandas/HF shapes: map<utf8, int64>, timestamp[s|ms|ns],
+    # date64[ms]. ns values are all microsecond-aligned here (Spark
+    # timestamps are micros; a sub-us value must reject — see the
+    # bad fixture below)
+    map_schema = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("attrs", pa.map_(pa.utf8(), pa.int64())),
+        pa.field("ts_s", pa.timestamp("s", tz="UTC")),
+        pa.field("ts_ms", pa.timestamp("ms")),
+        pa.field("ts_ns", pa.timestamp("ns", tz="UTC")),
+        pa.field("day64", pa.date64()),
+    ])
+    map_rows = [
+        (1, [("len", 10), ("w", 3)], utc(2020, 2, 2, 10, 0, 0),
+         datetime.datetime(2020, 2, 2, 10, 0, 0, 123000),
+         utc(2020, 2, 2, 10, 0, 0, 123456), datetime.date(2020, 2, 2)),
+        (2, [], utc(1970, 1, 1, 0, 0, 0),
+         datetime.datetime(1970, 1, 1, 0, 0, 1),
+         utc(1969, 12, 31, 23, 59, 59), datetime.date(1969, 12, 31)),
+        (3, None, None, None, None, None),
+        (4, [("a", -1), ("b", None), ("c", 7)], utc(2038, 1, 19, 3, 14, 7),
+         datetime.datetime(2038, 1, 19, 3, 14, 7, 999000),
+         utc(2038, 1, 19, 3, 14, 7, 999999), datetime.date(2038, 1, 19)),
+    ]
+    m_cols = list(zip(*map_rows))
+    m_arrays = [pa.array(c, type=f.type) for c, f in zip(m_cols, map_schema)]
+    m_tbl = pa.Table.from_arrays(m_arrays, schema=map_schema)
+    with ipc.new_file(os.path.join(OUT, "golden_map.arrow"), map_schema) as w:
+        w.write_table(m_tbl, max_chunksize=2)
+    with ipc.new_stream(os.path.join(OUT, "golden_map.arrows"), map_schema) as w:
+        w.write_table(m_tbl, max_chunksize=2)
+
+    # sub-microsecond ns value -> the Scala reader must reject loudly
+    bad_ns = pa.table({"t": pa.array([1500], pa.timestamp("ns"))})
+    with ipc.new_stream(os.path.join(OUT, "bad_ns.arrows"), bad_ns.schema) as w:
+        w.write_table(bad_ns)
+
     # ---- block-LINKED LZ4 frames: pyarrow zero-inits the lz4frame
     # preferences, so compressed IPC bodies over 64KB carry linked
     # blocks whose match offsets cross block boundaries ----
