@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Randomized foreign Arrow IPC sweep: 24 seeded pyarrow-written stream
   * files (tools/make_arrow_fixtures.py `fuzz_cases`) covering random
   * schema mixes of every supported type — signed/unsigned ints (the
-  * physical-stride path), floats, bool, utf8/binary, both timestamp
-  * flavors, list<i64/f32/u8>, string and int dictionaries — with random
+  * physical-stride path) incl. uint64's Decimal(20,0) widening, floats,
+  * bool, utf8/binary, timestamps at ALL four units (s/ms/us/ns),
+  * date32/date64, list<i64/f32/u8>, struct<i64,f64>, map<utf8,i64>,
+  * string and int dictionaries — with random
   * null patterns, batch sizes 1-17, and none/lz4/zstd body compression.
   * Values are exactly-representable numbers, so every compare is
   * equality. Expectations come from arrow_fuzz_manifest.json, written
@@ -35,8 +37,16 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
     case 's' => new String(unhex(tok.tail), StandardCharsets.UTF_8)
     case 'b' => unhex(tok.tail).toSeq
     case 'T' => tok.tail
-    case 'D' => tok.tail // date32 ISO
-    case 'c' => tok.tail // decimal plain string
+    case 'D' => tok.tail // date32/date64 ISO
+    case 'c' => tok.tail // decimal / uint64 plain string
+    case 'S' => // struct<x,y>: member tokens joined by ';'
+      tok.tail.split(";", -1).toSeq.map(parseTok)
+    case 'M' => // map<utf8,int64>: sorted "key=tok" pairs joined by ';'
+      if (tok.tail.isEmpty) Map.empty[String, Any]
+      else tok.tail.split(";", -1).toSeq.map { p =>
+        val i = p.indexOf('=')
+        p.substring(0, i) -> parseTok(p.substring(i + 1))
+      }.toMap
     case '[' =>
       val inner = tok.substring(1, tok.length - 1).trim
       if (inner.isEmpty) Seq.empty[Any]
@@ -58,6 +68,9 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
     case b: Byte => b.toLong
     case s: Short => s.toLong
     case i: Int => i.toLong
+    case r: org.apache.spark.sql.Row => r.toSeq.map(norm) // struct
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v) => k.toString -> norm(v) }.toMap
     case s: scala.collection.Seq[_] => s.toSeq.map(norm)
     case other => other
   }

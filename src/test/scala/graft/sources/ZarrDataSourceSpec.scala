@@ -91,6 +91,21 @@ class ZarrDataSourceSpec extends SparkSpec {
     assert(idx == (0L until 30L))
   }
 
+  test("a directory of MIXED v2 + sharded-v3 stores discovers both and " +
+      "plans each at its own granularity") {
+    val tmp = Files.createTempDirectory("zarr-dsv2-mixed")
+    copyStore(V2Store, tmp, "v2.zarr")
+    copyStore(ShardStore, tmp, "v3.zarr")
+    val all = spark.read.format(Fmt)
+      .option("path", tmp.toString).option("partitions", "64").load()
+    // v2: 7 whole-chunk tasks; sharded v3: 8 inner-chunk tasks
+    assert(all.rdd.getNumPartitions == 15)
+    assert(all.select("dataset").distinct().count() == 4) // cnt/lwp/wind/temp
+    val temp = all.where(col("dataset") === "temp")
+    assert(temp.rdd.getNumPartitions == 8)
+    assert(temp.count() == 48)
+  }
+
   test("a directory of stores discovers all of them; path filter prunes") {
     val tmp = Files.createTempDirectory("zarr-dsv2-multi")
     val s1 = copyStore(V2Store, tmp, "a.zarr")

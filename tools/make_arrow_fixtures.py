@@ -110,8 +110,25 @@ def fuzz_cases(fmt):
         ("lgl", pa.large_list(pa.int64())),
         ("fsl", pa.list_(pa.float32(), 4)),
         ("dec", pa.decimal128(14, 3)),
+        # round 13: uint64 (Decimal(20,0) widening), s/ms/ns timestamp
+        # units, date64, struct, map
+        ("u64", pa.uint64()),
+        ("tss", pa.timestamp("s", tz="UTC")), ("tsms", pa.timestamp("ms")),
+        ("tsns", pa.timestamp("ns", tz="UTC")), ("d64", pa.date64()),
+        ("sxy", pa.struct([pa.field("x", pa.int64()),
+                           pa.field("y", pa.float64())])),
+        ("mkv", pa.map_(pa.utf8(), pa.int64())),
     ]
     strings = ["", "a", "héllo", "δοκιμή", "漢字テスト", "x" * 50, "tab\tnl\n"]
+
+    class StructVal(dict):
+        pass
+
+    class MapVal(list):
+        pass
+
+    class U64Val(int):  # tokenizes as 'c' (Decimal) — may exceed int64
+        pass
 
     def gen_val(kind):
         if kind == "i64":
@@ -165,6 +182,30 @@ def fuzz_cases(fmt):
         if kind == "dec":
             import decimal
             return decimal.Decimal(rng.randrange(-10**11, 10**11)).scaleb(-3)
+        if kind == "u64":
+            return U64Val(rng.randrange(0, 2**64))
+        if kind == "tss":
+            return (datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+                    + datetime.timedelta(seconds=rng.randrange(0, 2 * 10**9)))
+        if kind == "tsms":
+            return (datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(milliseconds=rng.randrange(0, 2 * 10**12)))
+        if kind == "tsns":
+            # microsecond-aligned (the reader rejects sub-us ns loudly)
+            return (datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+                    + datetime.timedelta(microseconds=rng.randrange(0, 2 * 10**15)))
+        if kind == "d64":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=rng.randrange(-25000, 25000))
+        if kind == "sxy":
+            return StructVal({
+                "x": None if rng.random() < 0.2 else rng.randrange(-2**40, 2**40),
+                "y": None if rng.random() < 0.2
+                else rng.randrange(-2**30, 2**30) / 8.0})
+        if kind == "mkv":
+            keys = rng.sample(["a", "bb", "c", "dd", "ee"], rng.randrange(4))
+            return MapVal([(k, None if rng.random() < 0.2
+                            else rng.randrange(-2**40, 2**40)) for k in keys])
         raise AssertionError(kind)
 
     manifest = {}
@@ -207,6 +248,13 @@ def fuzz_cases(fmt):
                 return "D" + v.isoformat()
             if isinstance(v, _dec.Decimal):
                 return "c" + str(v)
+            if isinstance(v, U64Val):
+                return "c" + str(int(v))
+            if isinstance(v, StructVal):
+                return "S" + ";".join(fmtv(v[k]) for k in ("x", "y"))
+            if isinstance(v, MapVal):
+                return "M" + ";".join(
+                    "%s=%s" % (k, fmtv(x)) for k, x in sorted(v))
             return fmt(v)
 
         manifest[name] = {
