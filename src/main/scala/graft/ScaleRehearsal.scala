@@ -369,6 +369,35 @@ object ScaleRehearsal {
       assigned.count()
     }
 
+    // round 13: the zarr DSv2 mount over a directory of SHARDED v3
+    // stores — write once outside the timing, then time (a) the full
+    // value read (plan = inner-chunk grid off the crc32c index tails,
+    // zero exchanges) and (b) the metadata-only posture: an index-only
+    // projection that never opens a chunk/shard payload window, whose
+    // cost should track the GRID size, not the payload bytes
+    if (wanted("zarr_dsv2_read") || wanted("zarr_dsv2_meta")) {
+      val (nT, nyZ, nxZ) = (4, (240 * mult).toInt, 64)
+      val zdir = java.nio.file.Files.createTempDirectory("graft-scale-zmount").toString
+      val grid = spark.range(nT.toLong * nyZ * nxZ).select(
+        concat(lit("zs"), expr(s"cast(id div ${nyZ * nxZ} as string)")).as("scene_id"),
+        expr("timestamp_seconds(1577836800)").as("time"),
+        (expr(s"id % $nxZ") * 10.0).as("x"),
+        (expr(s"(id % ${nyZ * nxZ}) div $nxZ") * 10.0).as("y"),
+        (col("id").cast("double") * 0.25 - 3.0).as("value"))
+      graft.sources.Zarr3.writeScenes(grid, zdir, "lwp", chunkRows = Some(8),
+        gzipLevel = Some(6), shardInnerRows = Some(2)).count()
+      def mount = spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", zdir).load()
+      timed("zarr_dsv2_read") {
+        mount.where(col("dataset") === "lwp")
+          .agg(sum(col("value"))).collect()
+        nT.toLong * nyZ * nxZ
+      }
+      timed("zarr_dsv2_meta") {
+        mount.where(col("dataset") === "lwp").select("idx").count()
+      }
+    }
+
     spark.stop()
   }
 }
