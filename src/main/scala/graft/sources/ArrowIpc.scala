@@ -36,7 +36,11 @@ import FlatBuf.{FbBuilder, FbTable}
   *    (nested structs, struct<list<...>>, list<struct<...>> — validity
   *    bitmap + full-length child columns in field order, BOTH ways),
   *    map<K, V> (the list<entries: struct<key, value>> layout, BOTH
-  *    ways), and
+  *    ways), duration[us] <-> DayTimeIntervalType both ways (s/ms
+  *    widen, ns exactness-checks — the pandas timedelta64 shape),
+  *    read-side time32/time64 as micros-of-day Longs (unit marker in
+  *    metadata; Spark 4.1's TIME type exists but its encoders reject
+  *    it, so an explicit Long is the honest representable choice), and
   *    read-side large_utf8/large_binary/large_list (int64 offsets,
   *    layout marker in metadata) + fixed_size_list (the numpy-embedding
   *    shape; no offsets buffer) — the working set for the testdata
@@ -75,11 +79,13 @@ object ArrowIpc {
   private val TBool = 6
   private val TDecimal = 7
   private val TDate = 8
+  private val TTime = 9
   private val TTimestamp = 10
   private val TList = 12
   private val TStruct = 13
   private val TFixedSizeList = 16
   private val TMap = 17
+  private val TDuration = 18
   private val TLargeBinary = 19
   private val TLargeUtf8 = 20
   private val TLargeList = 21
@@ -117,6 +123,7 @@ object ArrowIpc {
     * truncating silently. */
   private[sources] val TsUnitKey = "arrow_ts_unit" // 0=s 1=ms 3=ns
   private[sources] val Date64Key = "arrow_date64"
+  private[sources] val TimeUnitKey = "arrow_time_unit" // 0=s 1=ms 2=us 3=ns
 
   private def uintBitsOf(meta: Metadata): Int =
     if (meta.contains(UintBitsKey)) meta.getLong(UintBitsKey).toInt else 0
@@ -152,6 +159,7 @@ object ArrowIpc {
     case st: StructType => st.fields.forall(f => supported(f.dataType))
     case MapType(kt, vt, _) => supported(kt) && supported(vt) &&
       !kt.isInstanceOf[MapType] && !vt.isInstanceOf[MapType]
+    case _: DayTimeIntervalType => true // duration[us]
     case _ => false
   }
 
@@ -229,6 +237,10 @@ object ArrowIpc {
         b.slotInt(1, d.scale, 0)
         // bitWidth slot 2: 128 = flatbuffer default, omitted
         (TDecimal, b.endTable())
+      case _: DayTimeIntervalType =>
+        b.startTable(1)
+        b.slotShort(0, 2, 1) // MICROSECOND (fbs default is MILLISECOND)
+        (TDuration, b.endTable())
       case ArrayType(_, _) =>
         b.startTable(0); (TList, b.endTable())
       case _: StructType =>
@@ -306,6 +318,7 @@ object ArrowIpc {
     var fslSize = 0
     var tsUnit = -1 // physical unit when not micros: 0=s 1=ms 3=ns
     var date64 = false
+    var timeUnit = -1 // time32/time64 physical unit (always recorded)
     val dt: DataType = tag match {
       case TInt =>
         val bits = t.map(_.getInt(0, 0)).getOrElse(0)
@@ -360,6 +373,29 @@ object ArrowIpc {
           s"arrow-ipc: unknown timestamp unit $unit for '$name'")
         if (unit != 2) tsUnit = unit
         if (t.exists(_.string(1).isDefined)) TimestampType else TimestampNTZType
+      case TDuration =>
+        // pandas timedelta64: same unit handling as timestamps; Spark's
+        // day-time interval is micros internally
+        val unit = t.map(_.getShort(0, 1).toInt).getOrElse(1) // fbs default ms
+        require(unit >= 0 && unit <= 3,
+          s"arrow-ipc: unknown duration unit $unit for '$name'")
+        if (unit != 2) tsUnit = unit
+        DayTimeIntervalType()
+      case TTime =>
+        // time32[s|ms] (4-byte) / time64[us|ns] (8-byte) -> LongType
+        // MICROS-OF-DAY with the physical unit in metadata. Spark 4.1
+        // HAS a TIME type but its encoders reject it
+        // (UNSUPPORTED_TIME_TYPE), so a TimeType column would poison
+        // every Dataset-based read path; an explicit micros-of-day Long
+        // is representable everywhere and self-describing. ns values
+        // exactness-check per element.
+        val unit = t.map(_.getShort(0, 1).toInt).getOrElse(1)
+        val bits = t.map(_.getInt(1, 32)).getOrElse(32)
+        require((unit == 0 || unit == 1) && bits == 32 ||
+          (unit == 2 || unit == 3) && bits == 64,
+          s"arrow-ipc: invalid time unit/bitWidth ($unit, $bits) for '$name'")
+        timeUnit = unit
+        LongType
       case TStruct =>
         // children are full StructFields: their uint/large/fsl/dict
         // markers ride in the nested fields' own metadata, so no
@@ -394,7 +430,7 @@ object ArrowIpc {
         s"arrow-ipc: unsupported type tag $other for field '$name'")
     }
     if (uintBits == 0 && itemUintBits == 0 && dict.isEmpty &&
-        !largeOffsets && fslSize == 0 && tsUnit < 0 && !date64)
+        !largeOffsets && fslSize == 0 && tsUnit < 0 && !date64 && timeUnit < 0)
       StructField(name, dt, nullable)
     else {
       val mb = new MetadataBuilder()
@@ -404,6 +440,7 @@ object ArrowIpc {
       if (fslSize != 0) mb.putLong(FslSizeKey, fslSize.toLong)
       if (tsUnit >= 0) mb.putLong(TsUnitKey, tsUnit.toLong)
       if (date64) mb.putBoolean(Date64Key, true)
+      if (timeUnit >= 0) mb.putLong(TimeUnitKey, timeUnit.toLong)
       dict.foreach { case (id, idxBits) =>
         require(!dt.isInstanceOf[ArrayType],
           s"arrow-ipc: dictionary-encoded list field '$name' not supported")
@@ -534,6 +571,17 @@ object ArrowIpc {
           case d: java.sql.Date => bb.putInt(DateTimeUtils.fromJavaDate(d))
           case ld: java.time.LocalDate => bb.putInt(ld.toEpochDay.toInt)
           case v => bb.putInt(v.asInstanceOf[Int])
+        }
+        out.add(bb.array())
+      case _: DayTimeIntervalType =>
+        // duration[us]: java.time.Duration normalizes to (seconds, nano
+        // in [0, 1e9)), so the micros fold is exact for negatives too
+        val bb = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach {
+          case null => bb.putLong(0L)
+          case d: java.time.Duration => bb.putLong(Math.addExact(
+            Math.multiplyExact(d.getSeconds, 1000000L), d.getNano / 1000L))
+          case v => bb.putLong(v.asInstanceOf[Long])
         }
         out.add(bb.array())
       case dec: DecimalType =>
@@ -769,8 +817,26 @@ object ArrowIpc {
           prim(8, p => DateTimeUtils.toJavaTimestamp(toMicros(body.getLong(p))))
         case TimestampNTZType =>
           prim(8, p => DateTimeUtils.microsToLocalDateTime(toMicros(body.getLong(p))))
+        case _: DayTimeIntervalType =>
+          prim(8, p => java.time.Duration.of(toMicros(body.getLong(p)),
+            java.time.temporal.ChronoUnit.MICROS))
         case other => throw new IllegalArgumentException(
           s"arrow-ipc: $TsUnitKey metadata on non-timestamp $other")
+      }
+    }
+    if (meta.contains(TimeUnitKey)) {
+      // time-of-day -> micros-of-day Long: s/ms are 4-byte, us/ns
+      // 8-byte; ns exactness-checks per element
+      return meta.getLong(TimeUnitKey).toInt match {
+        case 0 => prim(4, p => body.getInt(p) * 1000000L)
+        case 1 => prim(4, p => body.getInt(p) * 1000L)
+        case 2 => prim(8, p => body.getLong(p))
+        case 3 => prim(8, p => {
+          val v = body.getLong(p)
+          require(v % 1000 == 0, s"arrow-ipc: time64[ns] value $v is not " +
+            "microsecond-aligned (refusing to truncate)")
+          v / 1000
+        })
       }
     }
     if (meta.contains(Date64Key)) {
@@ -811,6 +877,9 @@ object ArrowIpc {
       case TimestampType => prim(8, p => DateTimeUtils.toJavaTimestamp(body.getLong(p)))
       case TimestampNTZType =>
         prim(8, p => DateTimeUtils.microsToLocalDateTime(body.getLong(p)))
+      case _: DayTimeIntervalType => // duration[us]
+        prim(8, p => java.time.Duration.of(body.getLong(p),
+          java.time.temporal.ChronoUnit.MICROS))
       case IntegerType => prim(4, p => body.getInt(p))
       case ShortType => prim(2, p => body.getShort(p))
       case ByteType => prim(1, p => body.get(p))
@@ -860,7 +929,15 @@ object ArrowIpc {
           val child = decodeColumn(et, childMeta, body, nodes, buffers)
           IndexedSeq.tabulate(n) { i =>
             if (isNull(i)) null
-            else child.slice(offAt(i).toInt, offAt(i + 1).toInt)
+            else {
+              val s = offAt(i); val e = offAt(i + 1)
+              // IndexedSeq.slice CLAMPS out-of-range bounds: validate so
+              // a corrupt offsets buffer rejects instead of silently
+              // truncating the list
+              require(s >= 0 && s <= e && e <= child.length,
+                s"arrow-ipc: list offsets ($s, $e) outside child 0..${child.length}")
+              child.slice(s.toInt, e.toInt)
+            }
           }
         }
       case st: StructType =>
@@ -882,8 +959,12 @@ object ArrowIpc {
         val child = decodeColumn(entrySt, Metadata.empty, body, nodes, buffers, dicts)
         IndexedSeq.tabulate(n) { i =>
           if (isNull(i)) null
-          else child.slice(offAt(i), offAt(i + 1))
-            .map { case r: Row => r.get(0) -> r.get(1) }.toMap
+          else {
+            val s = offAt(i); val e = offAt(i + 1)
+            require(s >= 0 && s <= e && e <= child.length,
+              s"arrow-ipc: map offsets ($s, $e) outside entries 0..${child.length}")
+            child.slice(s, e).map { case r: Row => r.get(0) -> r.get(1) }.toMap
+          }
         }
       case other =>
         throw new IllegalArgumentException(s"arrow-ipc: cannot decode $other")

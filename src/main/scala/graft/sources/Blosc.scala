@@ -77,6 +77,8 @@ object Blosc {
     val shuffle = (flags & 0x1) != 0 && typesize > 1
     val bitshuffle = (flags & 0x4) != 0
     if (shuffle && bitshuffle) fail("byte-shuffle and bit-shuffle flags both set")
+    if (bitshuffle && typesize < 1)
+      fail("bit-shuffle flag with typesize 0 (would silently skip the filter)")
     val dontSplit = (flags & 0x10) != 0
     if (blocksize <= 0) fail(s"non-positive blocksize $blocksize")
 

@@ -71,6 +71,8 @@ class ArrowIpcFuzzSpec extends AnyFunSuite {
     case r: org.apache.spark.sql.Row => r.toSeq.map(norm) // struct
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, v) => k.toString -> norm(v) }.toMap
+    case d: java.time.Duration => // duration[us] -> exact micros
+      d.getSeconds * 1000000L + d.getNano / 1000L
     case s: scala.collection.Seq[_] => s.toSeq.map(norm)
     case other => other
   }

@@ -708,6 +708,95 @@ class ArrowIpcSpec extends SparkSpec {
     } finally { rd.close(); ch.close(); alloc.close() }
   }
 
+  // ---- durations + time-of-day (round 13) --------------------------------
+
+  private def durMicros(v: Any): Option[Long] = Option(v).map {
+    case d: java.time.Duration => d.getSeconds * 1000000L + d.getNano / 1000L
+  }
+  private def todMicros(v: Any): Option[Long] = Option(v).map(_.asInstanceOf[Long])
+
+  private def assertTimeDurRows(rows: Seq[Row]): Unit = {
+    assert(rows.length == 3)
+    val byId = rows.sortBy(_.getLong(0))
+    assert(durMicros(byId(0).get(1)) == Some(86402000003L)) // 1d 2s 3us
+    assert(durMicros(byId(0).get(2)) == Some(-1500000L))
+    assert(durMicros(byId(0).get(3)) == Some(42L))
+    assert(todMicros(byId(0).get(4)) == Some(0L))
+    assert(todMicros(byId(0).get(5)) == Some(37800500000L)) // 10:30:00.500
+    assert(todMicros(byId(0).get(6)) == Some(86399999999L)) // 23:59:59.999999
+    assert(todMicros(byId(0).get(7)) == Some(43200123456L)) // 12:00:00.123456
+    assert(durMicros(byId(1).get(1)) == Some(-1L))
+    assert(durMicros(byId(1).get(2)) == Some(0L))
+    assert(durMicros(byId(1).get(3)) == Some(-172800000000L)) // -2 days
+    assert(todMicros(byId(1).get(4)) == Some(86399000000L)) // 23:59:59
+    assert(todMicros(byId(1).get(5)) == Some(1000L))
+    assert(todMicros(byId(1).get(6)) == Some(1L))
+    assert(todMicros(byId(1).get(7)) == Some(23400000000L)) // 06:30
+    assert((1 to 7).forall(byId(2).isNullAt))
+  }
+
+  test("pyarrow duration[us|ms|ns] + time32/time64 golden decodes exactly") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_timedur.arrow")))
+    val (schema, rows) = ArrowIpc.readStreamBytes(bytes)
+    assert(schema("d_us").dataType == DayTimeIntervalType())
+    assert(schema("d_ns").metadata.getLong("arrow_ts_unit") == 3L)
+    // time-of-day lands as micros-of-day Long (Spark 4.1's TIME type
+    // exists but its encoders reject it), unit marker in metadata
+    assert(schema("t32s").dataType == LongType)
+    assert(schema("t32s").metadata.getLong("arrow_time_unit") == 0L)
+    assert(schema("t64ns").metadata.getLong("arrow_time_unit") == 3L)
+    assertTimeDurRows(rows.toSeq)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_timedur.arrows")))
+    assertTimeDurRows(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
+    assertTimeDurRows(ArrowIpc.readBlocks(spark, fixturePath("golden_timedur.arrow"))
+      .collect().toSeq)
+  }
+
+  test("sub-microsecond time64[ns] and union columns reject loudly") {
+    val tb = Files.readAllBytes(Paths.get(fixturePath("bad_time_ns.arrows")))
+    val e1 = intercept[IllegalArgumentException] {
+      ArrowIpc.readStreamBytes(tb)._2.toSeq
+    }
+    assert(e1.getMessage.contains("not microsecond-aligned"))
+    val ub = Files.readAllBytes(Paths.get(fixturePath("bad_union.arrows")))
+    val e2 = intercept[IllegalArgumentException] {
+      ArrowIpc.readStreamBytes(ub)._2.toSeq
+    }
+    assert(e2.getMessage.contains("type tag"))
+  }
+
+  test("duration columns round-trip through our writer and arrow-java") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.time.Duration.ofSeconds(90061, 123456000)),
+      (2L, java.time.Duration.ofMillis(-2500)),
+      (3L, java.time.Duration.ZERO)).toDF("id", "dur")
+    assert(df.schema("dur").dataType == DayTimeIntervalType())
+    val dir = Files.createTempDirectory("arrow-dur-rt").toString
+    ArrowIpc.write(df.coalesce(1), dir)
+    val back = ArrowIpc.read(spark, dir)
+    assert(back.schema("dur").dataType == DayTimeIntervalType())
+    def key(r: Row) = (r.getLong(0), durMicros(r.get(1)).get)
+    assert(back.collect().map(key).toSet ==
+      Set((1L, 90061123456L), (2L, -2500000L), (3L, 0L)))
+    // foreign reader: arrow-java sees a true duration[us] column
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.DurationVector
+    import org.apache.arrow.vector.ipc.ArrowFileReader
+    val f = new File(dir).listFiles().filter(_.getName.endsWith(".arrow")).head
+    val alloc = new RootAllocator()
+    val ch = java.nio.channels.FileChannel.open(f.toPath)
+    val rd = new ArrowFileReader(ch, alloc)
+    try {
+      val root = rd.getVectorSchemaRoot
+      assert(rd.loadNextBatch())
+      val ids = root.getVector("id")
+      val i1 = (0 until root.getRowCount).find(i => ids.getObject(i) == 1L).get
+      val dv = root.getVector("dur").asInstanceOf[DurationVector]
+      assert(dv.getObject(i1) == java.time.Duration.ofSeconds(90061, 123456000))
+    } finally { rd.close(); ch.close(); alloc.close() }
+  }
+
   test("pyarrow block-LINKED LZ4 bodies over 64KB decode (the lz4frame " +
       "default pyarrow writes)") {
     val expect = (0 until 4000).map(i =>

@@ -118,6 +118,7 @@ def fuzz_cases(fmt):
         ("sxy", pa.struct([pa.field("x", pa.int64()),
                            pa.field("y", pa.float64())])),
         ("mkv", pa.map_(pa.utf8(), pa.int64())),
+        ("dur", pa.duration("us")),
     ]
     strings = ["", "a", "héllo", "δοκιμή", "漢字テスト", "x" * 50, "tab\tnl\n"]
 
@@ -206,6 +207,9 @@ def fuzz_cases(fmt):
             keys = rng.sample(["a", "bb", "c", "dd", "ee"], rng.randrange(4))
             return MapVal([(k, None if rng.random() < 0.2
                             else rng.randrange(-2**40, 2**40)) for k in keys])
+        if kind == "dur":
+            return datetime.timedelta(
+                microseconds=rng.randrange(-10**12, 10**12))
         raise AssertionError(kind)
 
     manifest = {}
@@ -255,6 +259,9 @@ def fuzz_cases(fmt):
             if isinstance(v, MapVal):
                 return "M" + ";".join(
                     "%s=%s" % (k, fmtv(x)) for k, x in sorted(v))
+            if isinstance(v, datetime.timedelta):
+                us = (v.days * 86400 + v.seconds) * 10**6 + v.microseconds
+                return "i" + str(us)  # exact integer micros
             return fmt(v)
 
         manifest[name] = {
@@ -520,6 +527,49 @@ def main():
     bad_ns = pa.table({"t": pa.array([1500], pa.timestamp("ns"))})
     with ipc.new_stream(os.path.join(OUT, "bad_ns.arrows"), bad_ns.schema) as w:
         w.write_table(bad_ns)
+
+    # ---- durations (pandas timedelta64) + time-of-day columns ----
+    td = datetime.timedelta
+    tm = datetime.time
+    dur_schema = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("d_us", pa.duration("us")),
+        pa.field("d_ms", pa.duration("ms")),
+        pa.field("d_ns", pa.duration("ns")),
+        pa.field("t32s", pa.time32("s")),
+        pa.field("t32ms", pa.time32("ms")),
+        pa.field("t64us", pa.time64("us")),
+        pa.field("t64ns", pa.time64("ns")),
+    ])
+    dur_rows = [
+        (1, td(days=1, seconds=2, microseconds=3), td(milliseconds=-1500),
+         td(microseconds=42), tm(0, 0, 0), tm(10, 30, 0, 500000),
+         tm(23, 59, 59, 999999), tm(12, 0, 0, 123456)),
+        (2, td(microseconds=-1), td(0), td(days=-2),
+         tm(23, 59, 59), tm(0, 0, 0, 1000), tm(0, 0, 0, 1), tm(6, 30)),
+        (3, None, None, None, None, None, None, None),
+    ]
+    d_cols = list(zip(*dur_rows))
+    d_arrays = [pa.array(c, type=f.type) for c, f in zip(d_cols, dur_schema)]
+    d_tbl = pa.Table.from_arrays(d_arrays, schema=dur_schema)
+    with ipc.new_file(os.path.join(OUT, "golden_timedur.arrow"), dur_schema) as w:
+        w.write_table(d_tbl, max_chunksize=2)
+    with ipc.new_stream(os.path.join(OUT, "golden_timedur.arrows"), dur_schema) as w:
+        w.write_table(d_tbl, max_chunksize=2)
+
+    # sub-microsecond time64[ns] -> loud reject
+    bad_tns = pa.table({"t": pa.array([1500], pa.time64("ns"))})
+    with ipc.new_stream(os.path.join(OUT, "bad_time_ns.arrows"), bad_tns.schema) as w:
+        w.write_table(bad_tns)
+
+    # union columns are out of scope -> must reject loudly by tag
+    u_arr = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0], pa.int8()),
+        pa.array([0, 0, 1], pa.int32()),
+        [pa.array([1, 2], pa.int64()), pa.array(["x"], pa.utf8())])
+    u_tbl = pa.table({"u": u_arr})
+    with ipc.new_stream(os.path.join(OUT, "bad_union.arrows"), u_tbl.schema) as w:
+        w.write_table(u_tbl)
 
     # ---- block-LINKED LZ4 frames: pyarrow zero-inits the lz4frame
     # preferences, so compressed IPC bodies over 64KB carry linked
