@@ -1688,6 +1688,45 @@ object SourceQueries {
         .agg(count(lit(1)).as("n"),
           sum(element_at(col("attrs"), "len")).as("sum_len"),
           sum(element_at(col("attrs"), "wmod")).as("sum_wmod"))
+    },
+
+    // ---- S9 scale: the DSv2 mount of the netCDF-3 record path -----------
+    // q153's two-phase read through spark.read.format — the fourth
+    // mount sibling (HDF5/Arrow/zarr/netCDF-3): split planning is the
+    // header's closed-form record-offset arithmetic, the dataset filter
+    // pushes into the PLAN phase (the decoy record variable's tasks are
+    // never planned; NetCDF3DataSourceSpec proves payload bytes stay
+    // untouched under index-only projections), and the analytic oracle
+    // pins header geometry + record offsets + DSv2 row assembly exactly.
+    QueryDef.sqlBacked(
+      "q198_netcdf3_dsv2_pruned",
+      """SELECT CAST(t AS BIGINT) AS tstep, CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST((t*6 + j)*5 + i AS DOUBLE) * 0.5 - 10.0 AS flux
+        |FROM range(0,40) r1(t), range(0,6) r2(j), range(0,5) r3(i)""".stripMargin) { (s, d) =>
+      import graft.sources.NetCDF3
+      val dir = q198NcDir
+      val f = java.nio.file.Paths.get(dir, "consolidated.nc")
+      if (!java.nio.file.Files.exists(f)) {
+        val (nrec, ny, nx) = (40, 6, 5)
+        val bytes = NetCDF3.write(
+          dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("y", ny), NetCDF3.Dim("x", nx)),
+          gattrs = Nil,
+          vars = Seq(
+            NetCDF3.VarSpec("flux", Seq("time", "y", "x"), NetCDF3.NcDouble, Nil,
+              Array.tabulate(nrec * ny * nx)(_ * 0.5 - 10.0)),
+            NetCDF3.VarSpec("decoy", Seq("time"), NetCDF3.NcDouble, Nil,
+              Array.tabulate(nrec)(_ * 7.0))),
+          numRecs = nrec)
+        java.nio.file.Files.write(f, bytes)
+      }
+      s.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", f.toString).option("targetBytes", "1024").load()
+        .where(col("dataset") === "flux")
+        .select(
+          expr("idx div 30").as("tstep"),
+          expr("(idx div 5) % 6").as("y"),
+          expr("idx % 5").as("x"),
+          col("value").as("flux"))
     }
   )
 
@@ -1700,6 +1739,8 @@ object SourceQueries {
     mkCleanedTempDir("graft_q195_arrow_")
   private lazy val q197ArrowDir: String =
     mkCleanedTempDir("graft_q197_arrow_")
+  private lazy val q198NcDir: String =
+    mkCleanedTempDir("graft_q198_nc_")
 
   /** Per-JVM fixture dir for q191 (the q140 discipline). */
   private lazy val q191Hdf5Dir: String =

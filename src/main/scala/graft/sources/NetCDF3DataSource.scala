@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 facade over [[NetCDF3ChunkIngest]] — the fourth mount
+  * sibling (HDF5 / Arrow / zarr / netCDF-3), covering the CLASSIC
+  * format's consolidated record stores:
+  *
+  * {{{
+  * spark.read.format("graft.sources.NetCDF3DataSource")
+  *   .option("path", "/data/store/STAR.nc")  // file or glob
+  *   .load()                                 // (path, dataset, idx, value)
+  *   .where($"dataset" === "flux")           // FILTER PUSHDOWN prunes tasks
+  *   .select("idx")                          // COLUMN PRUNING: no payload reads
+  * }}}
+  *
+  * Split planning is the header: a bounded prefix read per file (KBs
+  * regardless of data volume) yields record-batch tasks whose byte
+  * offsets are CLOSED-FORM (record r of variable v starts at
+  * v.begin + r * recordStride), sliced into (path, offset)-monotone
+  * InputPartitions — no exchange anywhere in scan->filter->project.
+  * `dataset`/`path` equality + IN filters push into the PLAN phase
+  * (pruned variables' tasks are never planned) and stay residual.
+  * Projections without `value` emit indexes straight from the task
+  * arithmetic — no payload byte is ever read.
+  *
+  * Reference analog: convml_data reads LES/ERA5 granules whole-file
+  * via xarray (utils/luigi.py:29-47; pipeline/scene_sources.py
+  * granule listing); this is the consolidated multi-year-store shape
+  * that world lacks.
+  */
+class NetCDF3DataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NetCDF3DataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NetCDF3Table(properties.get("path"),
+      Option(properties.get("variable")),
+      Option(properties.get("partitions")).map(_.toInt),
+      Option(properties.get("targetBytes")).map(_.toLong).getOrElse(4L << 20))
+}
+
+object NetCDF3DataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("dataset", StringType, nullable = false),
+    StructField("idx", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+}
+
+class NetCDF3Table(path: String, variable: Option[String], partitions: Option[Int],
+    targetBytes: Long) extends Table with SupportsRead {
+  require(path != null, "graft-netcdf3 needs a path option")
+  override def name(): String = s"graft-netcdf3[$path]"
+  override def schema(): StructType = NetCDF3DataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NetCDF3ScanBuilder(path, variable, partitions, targetBytes)
+}
+
+class NetCDF3ScanBuilder(path: String, variable: Option[String],
+    partitions: Option[Int], targetBytes: Long)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = NetCDF3DataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept dataset/path equality + IN for plan-phase task pruning; ALL
+    * filters stay residual (returned), so Spark re-evaluates them. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("dataset" | "path", _: String) => true
+      case In("dataset" | "path", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new NetCDF3Scan(path, variable, partitions, targetBytes, required, pushed)
+}
+
+/** One partition = a (path, byte-offset)-monotone run of record tasks. */
+case class NetCDF3RecPartition(tasks: Seq[NetCDF3ChunkIngest.RecordTask])
+    extends InputPartition
+
+class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int],
+    targetBytes: Long, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-netcdf3 scan $path cols=${required.fieldNames.mkString(",")} " +
+      s"pushed=${pushed.mkString(",")}"
+
+  private def keep(col: String, v: String): Boolean = pushed.forall {
+    case EqualTo(`col`, want: String) => v == want
+    case In(`col`, vs) => vs.contains(v)
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val paths = HDF5ChunkIngest.resolvePaths(path).filter(keep("path", _))
+    val tasks = paths.flatMap { p =>
+      val h = NetCDF3ChunkIngest.headerOf(p)
+      h.vars.map(_.name)
+        .filter(v => variable.forall(_ == v) && keep("dataset", v))
+        .flatMap(v => NetCDF3ChunkIngest.recordTasks(Seq(p), v, targetBytes))
+    }.sortBy(t => (t.path, t.begin, t.recStart))
+    if (tasks.isEmpty) return Array.empty
+    val par = partitions.getOrElse(math.max(1, math.min(tasks.size,
+      SparkSession.active.sparkContext.defaultParallelism)))
+    require(par > 0, s"graft-netcdf3: partitions option must be positive, got $par")
+    val n = math.min(par, tasks.size)
+    val sz = (tasks.size + n - 1) / n
+    tasks.grouped(sz).map(NetCDF3RecPartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NetCDF3ReaderFactory(required)
+}
+
+class NetCDF3ReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val tasks = partition.asInstanceOf[NetCDF3RecPartition].tasks
+    val needValue = required.fieldNames.contains("value")
+    new PartitionReader[InternalRow] {
+      private var raf: java.io.RandomAccessFile = null
+      private var rafPath: String = null
+      private val rows: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
+        val pathU = UTF8String.fromString(t.path)
+        val dsU = UTF8String.fromString(t.dataset)
+        def row(gi: Long, x: Double): InternalRow = {
+          val out = new Array[Any](required.length)
+          var i = 0
+          while (i < required.length) {
+            out(i) = required.fields(i).name match {
+              case "path" => pathU
+              case "dataset" => dsU
+              case "idx" => gi
+              case "value" => x
+            }
+            i += 1
+          }
+          new GenericInternalRow(out)
+        }
+        if (!needValue) {
+          // index-only projection: indexes are task arithmetic, no
+          // payload byte is read
+          (0 until t.nRecs).iterator.flatMap { r =>
+            val rec = t.recStart + r
+            (0 until t.perRec).iterator.map(i =>
+              row(rec.toLong * t.perRec + i, 0.0))
+          }
+        } else {
+          if (rafPath != t.path) {
+            if (raf != null) raf.close()
+            raf = new java.io.RandomAccessFile(t.path, "r")
+            rafPath = t.path
+          }
+          val elemSize = NetCDF3.typeSize(t.ncType)
+          (0 until t.nRecs).iterator.flatMap { r =>
+            val rec = t.recStart + r
+            val raw = new Array[Byte](t.perRec * elemSize)
+            raf.seek(t.begin + rec * t.stride)
+            raf.readFully(raw)
+            val vals = NetCDF3.decodeSlab(raw, t.ncType, t.perRec)
+            (0 until t.perRec).iterator.map(i =>
+              row(rec.toLong * t.perRec + i, vals(i)))
+          }
+        }
+      }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = if (raf != null) raf.close()
+    }
+  }
+}

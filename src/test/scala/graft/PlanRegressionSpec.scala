@@ -107,7 +107,7 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q192_hdf5_scaleoffset"
       :+ "q193_arrow_struct_roundtrip" :+ "q194_zarr_dsv2_pruned"
       :+ "q195_arrow_uint64_roundtrip" :+ "q196_zarr_blosc_zstd_roundtrip"
-      :+ "q197_arrow_map_roundtrip")
+      :+ "q197_arrow_map_roundtrip" :+ "q198_netcdf3_dsv2_pruned")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -189,6 +189,13 @@ class PlanRegressionSpec extends SparkSpec {
     // filter shows in the scan description
     val plan = planOf("q194_zarr_dsv2_pruned")
     assert(!plan.contains("Exchange"), s"DSv2 zarr scan must not shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("pushed=") && plan.contains("EqualTo"),
+      s"dataset filter must reach the scan:\n${plan.take(1200)}")
+  }
+
+  test("q198: DSv2 netCDF-3 scan is exchange-free with the dataset filter pushed") {
+    val plan = planOf("q198_netcdf3_dsv2_pruned")
+    assert(!plan.contains("Exchange"), s"DSv2 nc3 scan must not shuffle:\n${plan.take(1200)}")
     assert(plan.contains("pushed=") && plan.contains("EqualTo"),
       s"dataset filter must reach the scan:\n${plan.take(1200)}")
   }

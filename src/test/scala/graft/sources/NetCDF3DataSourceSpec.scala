@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 mount of the netCDF-3 record-parallel reader: format(...)
+  * read semantics vs the library path, plan-phase task pruning from
+  * pushed dataset/path filters, and column pruning that provably never
+  * reads payload bytes. */
+class NetCDF3DataSourceSpec extends SparkSpec {
+
+  private val Fmt = "graft.sources.NetCDF3DataSource"
+
+  /** Consolidated 40-record classic file: flux (time,y,x), tavg (time),
+    * plus a FIXED variable yc (y) exercising the whole-slab task. */
+  private def writeStore(): String = {
+    val dir = Files.createTempDirectory("graft-nc3dsv2").toString
+    val (nrec, ny, nx) = (40, 6, 5)
+    val bytes = NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("y", ny), NetCDF3.Dim("x", nx)),
+      gattrs = Nil,
+      vars = Seq(
+        NetCDF3.VarSpec("yc", Seq("y"), NetCDF3.NcDouble, Nil,
+          Array.tabulate(ny)(_ * 100.0)),
+        NetCDF3.VarSpec("flux", Seq("time", "y", "x"), NetCDF3.NcDouble, Nil,
+          Array.tabulate(nrec * ny * nx)(_ * 0.5 - 10.0)),
+        NetCDF3.VarSpec("tavg", Seq("time"), NetCDF3.NcDouble, Nil,
+          Array.tabulate(nrec)(_ * 0.25))),
+      numRecs = nrec)
+    Files.write(Paths.get(dir, "store.nc"), bytes)
+    dir
+  }
+
+  test("reads match the NetCDF3ChunkIngest library path exactly") {
+    val dir = writeStore()
+    val df = spark.read.format(Fmt).option("path", s"$dir/store.nc")
+      .option("targetBytes", "1024").load()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(1), r.getLong(2), r.getDouble(3))
+    val got = df.collect().map(key).sorted.toSeq
+    val lib = Seq("flux", "tavg", "yc").flatMap(v =>
+      NetCDF3ChunkIngest.readValues(spark, s"$dir/store.nc", v,
+        targetBytes = 1024).collect().map(key)).sorted
+    assert(got == lib)
+    assert(df.schema.fieldNames.toSeq == Seq("path", "dataset", "idx", "value"))
+  }
+
+  test("dataset equality filter prunes record tasks at PLAN time") {
+    val dir = writeStore()
+    // targetBytes=1 -> one record per task: flux 40 + tavg 40 + yc 1
+    val all = spark.read.format(Fmt).option("path", s"$dir/store.nc")
+      .option("targetBytes", "1").option("partitions", "128").load()
+    assert(all.rdd.getNumPartitions == 81)
+    val pruned = all.where(col("dataset") === "flux")
+    assert(pruned.rdd.getNumPartitions == 40) // other vars never planned
+    assert(pruned.count() == 40L * 6 * 5)
+    assert(pruned.queryExecution.executedPlan.toString.contains("pushed=EqualTo"))
+    val in = all.where(col("dataset").isin("tavg", "nope"))
+    assert(in.rdd.getNumPartitions == 40)
+    assert(in.agg(sum("value")).head.getDouble(0) ==
+      (0 until 40).map(_ * 0.25).sum)
+  }
+
+  test("index-only projection never reads payload bytes") {
+    val dir = writeStore()
+    val path = Paths.get(dir, "store.nc")
+    // truncate the file right after the fixed-var slab: every record
+    // read hits EOF, but the header (a bounded prefix) stays intact
+    val h = NetCDF3ChunkIngest.headerOf(path.toString)
+    val firstRecBegin = h.vars.filter(v =>
+      v.dimIds.headOption.exists(h.dims(_).isRecord)).map(_.begin).min
+    val bytes = Files.readAllBytes(path)
+    Files.write(path, java.util.Arrays.copyOf(bytes, firstRecBegin.toInt + 8))
+    val df = spark.read.format(Fmt).option("path", path.toString).load()
+      .where(col("dataset") === "flux")
+    intercept[org.apache.spark.SparkException](df.select("value").collect())
+    val idx = df.select("idx").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idx == (0L until 40L * 6 * 5))
+  }
+
+  test("glob + path filter + variable option resolve and prune") {
+    val dir = writeStore()
+    val b2 = NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("z", 4)), gattrs = Nil,
+      vars = Seq(NetCDF3.VarSpec("zc", Seq("z"), NetCDF3.NcDouble, Nil,
+        Array.tabulate(4)(_ + 100.0))))
+    Files.write(Paths.get(dir, "other.nc"), b2)
+    val all = spark.read.format(Fmt).option("path", s"$dir/*.nc").load()
+    assert(all.select("path").distinct().count() == 2)
+    val one = all.where(col("path") === s"$dir/other.nc")
+    assert(one.agg(sum("value")).head.getDouble(0) == 406.0)
+    val narrowed = spark.read.format(Fmt).option("path", s"$dir/*.nc")
+      .option("variable", "tavg").load()
+    assert(narrowed.select("dataset").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("tavg"))
+    assert(narrowed.count() == 40)
+  }
+}
