@@ -1727,6 +1727,37 @@ object SourceQueries {
           expr("(idx div 5) % 6").as("y"),
           expr("idx % 5").as("x"),
           col("value").as("flux"))
+    },
+
+    // ---- S12 scale: the DSv2 mount of the consolidated-.npy path --------
+    // q176's closed-form row-range read through spark.read.format — the
+    // fifth mount sibling, for the embedding-matrix shape. Split
+    // planning is pure offset arithmetic off one 64-byte header
+    // (NpyDataSourceSpec proves payload bytes stay unread under
+    // row-only projections); the analytic oracle pins header geometry,
+    // row offsets and f4 decode exactly.
+    QueryDef.sqlBacked(
+      "q199_npy_dsv2",
+      """SELECT CAST(r AS BIGINT) AS row, CAST(j AS BIGINT) AS dim,
+        |  CAST(CAST((r * 8 + j) AS FLOAT) * 0.25 - 50.0 AS DOUBLE) AS v
+        |FROM range(0, 640) t1(r), range(0, 8) t2(j)""".stripMargin) { (s, d) =>
+      import graft.sources.Npy
+      val dir = q199NpyDir
+      val path = s"$dir/consolidated.npy"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val (nRows, dim) = (640, 8)
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+        out.write(Npy.header("<f4", Seq(nRows.toLong, dim.toLong)))
+        val bb = java.nio.ByteBuffer.allocate(4 * nRows * dim)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until nRows * dim).foreach(i => bb.putFloat(i.toFloat * 0.25f - 50.0f))
+        out.write(bb.array()); out.close()
+      }
+      s.read.format("graft.sources.NpyDataSource")
+        .option("path", path).option("rowsPerTask", "100").load()
+        .select(col("row"), posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .select(col("row"), col("dim").cast("long").as("dim"),
+          col("vf").cast("double").as("v"))
     }
   )
 
@@ -1741,6 +1772,8 @@ object SourceQueries {
     mkCleanedTempDir("graft_q197_arrow_")
   private lazy val q198NcDir: String =
     mkCleanedTempDir("graft_q198_nc_")
+  private lazy val q199NpyDir: String =
+    mkCleanedTempDir("graft_q199_npy_")
 
   /** Per-JVM fixture dir for q191 (the q140 discipline). */
   private lazy val q191Hdf5Dir: String =

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 facade over the consolidated-`.npy` row reader — the
+  * fifth mount sibling (HDF5 / Arrow / zarr / netCDF-3 / npy), for the
+  * embedding-matrix shape (2-D `<f4`, the faiss/np dump):
+  *
+  * {{{
+  * spark.read.format("graft.sources.NpyDataSource")
+  *   .option("path", "/data/emb/STAR.npy")   // file or glob
+  *   .load()                                 // (path, row, embedding)
+  *   .select("row")                          // COLUMN PRUNING: no payload reads
+  * }}}
+  *
+  * Split planning is pure arithmetic: the v1.0 header fixes
+  * offset(row) = dataOffset + row * dim * 4, so the driver reads ONE
+  * 64-byte-aligned header per file and slices closed-form row ranges
+  * into InputPartitions — zero exchanges in scan->filter->project, no
+  * metadata walk at all. `path` equality + IN filters push into the
+  * PLAN phase (pruned files' headers are never read) and stay
+  * residual. Projections without `embedding` emit row indexes from the
+  * range arithmetic — payload bytes are never read.
+  *
+  * Non-`<f4`/non-2-D/fortran/big-endian arrays reject loudly at plan
+  * time, same as [[Npy.readRows]].
+  */
+class NpyDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NpyDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NpyTable(properties.get("path"),
+      Option(properties.get("rowsPerTask")).map(_.toInt).getOrElse(4096))
+}
+
+object NpyDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("row", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+}
+
+class NpyTable(path: String, rowsPerTask: Int) extends Table with SupportsRead {
+  require(path != null, "graft-npy needs a path option")
+  require(rowsPerTask > 0, s"graft-npy: rowsPerTask must be positive, got $rowsPerTask")
+  override def name(): String = s"graft-npy[$path]"
+  override def schema(): StructType = NpyDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NpyScanBuilder(path, rowsPerTask)
+}
+
+class NpyScanBuilder(path: String, rowsPerTask: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = NpyDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("path", _: String) => true
+      case In("path", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new NpyScan(path, rowsPerTask, required, pushed)
+}
+
+/** One partition = contiguous row ranges of one file. */
+case class NpyRowPartition(path: String, dim: Int, dataOffset: Long,
+    rowStart: Long, rowEnd: Long) extends InputPartition
+
+class NpyScan(path: String, rowsPerTask: Int, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-npy scan $path cols=${required.fieldNames.mkString(",")} " +
+      s"pushed=${pushed.mkString(",")}"
+
+  private def keep(v: String): Boolean = pushed.forall {
+    case EqualTo("path", want: String) => v == want
+    case In("path", vs) => vs.contains(v)
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val paths = HDF5ChunkIngest.resolvePaths(path).filter(keep)
+    paths.flatMap { p =>
+      val raf = new java.io.RandomAccessFile(p, "r")
+      val meta = try Npy.readMeta(raf) finally raf.close()
+      require(meta.descr == "<f4" && meta.shape.size == 2,
+        s"graft-npy: $p is not a 2-D <f4 array (${meta.descr} ${meta.shape})")
+      val nRows = meta.shape.head
+      val dim = meta.shape(1).toInt
+      (0L until nRows by rowsPerTask.toLong).map(s =>
+        NpyRowPartition(p, dim, meta.dataOffset, s,
+          math.min(s + rowsPerTask, nRows)): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NpyReaderFactory(required)
+}
+
+class NpyReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val t = partition.asInstanceOf[NpyRowPartition]
+    val needEmb = required.fieldNames.contains("embedding")
+    new PartitionReader[InternalRow] {
+      private val pathU = UTF8String.fromString(t.path)
+      private def row(r: Long, emb: GenericArrayData): InternalRow = {
+        val out = new Array[Any](required.length)
+        var i = 0
+        while (i < required.length) {
+          out(i) = required.fields(i).name match {
+            case "path" => pathU
+            case "row" => r
+            case "embedding" => emb
+          }
+          i += 1
+        }
+        new GenericInternalRow(out)
+      }
+      private val rows: Iterator[InternalRow] =
+        if (!needEmb)
+          // index-only projection: pure range arithmetic, no file I/O
+          (t.rowStart until t.rowEnd).iterator.map(row(_, null))
+        else {
+          val raf = new java.io.RandomAccessFile(t.path, "r")
+          try {
+            val n = ((t.rowEnd - t.rowStart) * t.dim * 4).toInt
+            val b = new Array[Byte](n)
+            raf.seek(t.dataOffset + t.rowStart * t.dim * 4)
+            raf.readFully(b)
+            val bb = java.nio.ByteBuffer.wrap(b)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            (t.rowStart until t.rowEnd).iterator.map { r =>
+              val base = ((r - t.rowStart) * t.dim).toInt
+              row(r, new GenericArrayData(
+                Array.tabulate(t.dim)(j => bb.getFloat((base + j) * 4))))
+            }.toIndexedSeq.iterator
+          } finally raf.close()
+        }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -107,7 +107,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q192_hdf5_scaleoffset"
       :+ "q193_arrow_struct_roundtrip" :+ "q194_zarr_dsv2_pruned"
       :+ "q195_arrow_uint64_roundtrip" :+ "q196_zarr_blosc_zstd_roundtrip"
-      :+ "q197_arrow_map_roundtrip" :+ "q198_netcdf3_dsv2_pruned")
+      :+ "q197_arrow_map_roundtrip" :+ "q198_netcdf3_dsv2_pruned"
+      :+ "q199_npy_dsv2")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
