@@ -986,7 +986,10 @@ object ArrowIpc {
     val decoded: IndexedSeq[Array[Byte]] = entries.map { case (off, len) =>
       if (len == 0) Array.emptyByteArray
       else {
-        require(len >= 8 && off + len <= body.length,
+        // subtraction form: off + len can wrap past Long.MaxValue, after
+        // which .toInt truncation would slice an arbitrary window
+        require(len >= 8 && off >= 0 && off <= body.length &&
+          len <= body.length - off,
           s"arrow-ipc: compressed buffer window ($off, $len) out of body")
         val ulen = ByteBuffer.wrap(body, off.toInt, 8)
           .order(ByteOrder.LITTLE_ENDIAN).getLong
@@ -1062,6 +1065,16 @@ object ArrowIpc {
     val (bBase, bLen) = rb.vector(2)
     val rawEntries = IndexedSeq.tabulate(bLen)(i =>
       (rb.bb.getLong(bBase + i * 16), rb.bb.getLong(bBase + i * 16 + 8)))
+    // validate every buffer window up front (subtraction form): the
+    // per-element accessors truncate offsets to Int, so a huge crafted
+    // offset could otherwise alias back into a VALID body position and
+    // read the wrong bytes silently
+    rawEntries.foreach { case (off, len) =>
+      require(off >= 0 && len >= 0 && off <= body.length &&
+        len <= body.length - off,
+        s"arrow-ipc: buffer window ($off, $len) outside the " +
+          s"${body.length}-byte body")
+    }
     val (bodyArr, entries) = rb.table(3) match {
       case None => (body, rawEntries)
       case Some(c) => decompressBody(c, body, rawEntries)
@@ -1334,9 +1347,13 @@ object ArrowIpc {
   /** Read + decode one block's envelope, returning (message, body). */
   private def readBlockMessage(raf: RandomAccessFile, blk: Block)
       : (FbTable, Array[Byte]) = {
-    require(blk.metaLen >= 8 && blk.bodyLen >= 0 &&
-      blk.offset >= 0 && blk.offset + blk.metaLen + blk.bodyLen <= raf.length(),
-      s"arrow-ipc: block ($blk) outside the ${raf.length()}-byte file")
+    // subtraction form: a crafted footer's offset + bodyLen can wrap
+    // past Long.MaxValue and slip an additive check
+    val flen = raf.length()
+    require(blk.metaLen >= 8 && blk.bodyLen >= 0 && blk.offset >= 0 &&
+      blk.offset <= flen && blk.metaLen <= flen - blk.offset &&
+      blk.bodyLen <= flen - blk.offset - blk.metaLen,
+      s"arrow-ipc: block ($blk) outside the $flen-byte file")
     val env = new Array[Byte](blk.metaLen)
     raf.seek(blk.offset); raf.readFully(env)
     val bb = ByteBuffer.wrap(env).order(ByteOrder.LITTLE_ENDIAN)

@@ -952,6 +952,17 @@ class ArrowIpcSpec extends SparkSpec {
     assert(e.getMessage.contains("continuation"))
   }
 
+  test("footer block whose offset+lengths wrap past Long.MaxValue rejects " +
+      "loudly (no truncated-window read)") {
+    val path = fixturePath("golden.arrow")
+    val (schema, _) = ArrowIpc.readFooter(new File(path))
+    val e = intercept[IllegalArgumentException] {
+      ArrowIpc.readBlock(path, schema,
+        ArrowIpc.Block(Long.MaxValue - 4, 100, Long.MaxValue - 8)).toSeq
+    }
+    assert(e.getMessage.contains("outside the"))
+  }
+
   test("unsupported Spark type rejects at write time") {
     import spark.implicits._
     // list<string> is outside the supported list-element set (maps are
