@@ -61,6 +61,27 @@ class ArrowDataSourceSpec extends SparkSpec {
     assert(uint.where(col("u32") === 4294967295L).count() == 1)
   }
 
+  test("struct/map/time/duration columns SKIP positionally under " +
+      "projection (round-13 skip paths)") {
+    // project AWAY the nested columns: the skip path must consume their
+    // FieldNodes + buffers exactly or every later column misaligns
+    val st = spark.read.format(Fmt)
+      .option("path", fixture("golden_struct.arrow")).load()
+      .select("id") // skips struct, nested struct<struct,list>, list<struct>
+    assert(st.collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+    val mp = spark.read.format(Fmt)
+      .option("path", fixture("golden_map.arrow")).load()
+      .select("id", "day64") // skips map + three ts-unit columns
+    assert(mp.where(col("day64") === java.sql.Date.valueOf("2020-02-02"))
+      .count() == 1)
+    val td = spark.read.format(Fmt)
+      .option("path", fixture("golden_timedur.arrow")).load()
+      .select("id", "t64us") // skips three durations + two time columns
+    assert(td.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(-1L))).toMap
+      .apply(1L) == 86399999999L)
+  }
+
   test("a directory of .arrow parts mounts as one table") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .repartition(3)
