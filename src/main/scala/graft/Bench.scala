@@ -186,6 +186,15 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_RUNS.json"),
         s"""{"timing":"median_of_$nRuns","runs":$rs,"sf":"$sfDir"}""".getBytes("UTF-8"))
       catch { case e: Exception => System.err.println(s"[bench] runs file: ${e.getMessage}") }
+    else sys.env.get("SPARK_GRAFT_BENCH_RUNS_OUT").foreach { p =>
+      // focused re-measure path (e.g. a 10-run idle pin of one query):
+      // write the arrays to a SIDE file so the full-headline snapshot is
+      // never clobbered; merging into BENCH_RUNS.json is an explicit,
+      // documented step by whoever asked for the re-measure
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        s"""{"timing":"median_of_$nRuns","runs":$rs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      catch { case e: Exception => System.err.println(s"[bench] runs out: ${e.getMessage}") }
+    }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"median_of_$nRuns","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
