@@ -37,10 +37,10 @@ object Dbscan {
       col(idCol).cast("long").as("pid"),
       col(xCol).cast("double").as("x"),
       col(yCol).cast("double").as("y"))
-    val binned = pts
+    val binnedC = graft.core.Caching.acquire(pts
       .withColumn("cx", floor(col("x") / eps).cast("long"))
-      .withColumn("cy", floor(col("y") / eps).cast("long"))
-      .transform(d => graft.core.Caching.persistOnce(d))
+      .withColumn("cy", floor(col("y") / eps).cast("long")))
+    val binned = binnedC.ds
 
     // probe side: each point visits its 3x3 cell neighborhood; build side
     // keeps the home cell only, so every unordered pair meets exactly in
@@ -59,13 +59,12 @@ object Dbscan {
       (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
     // ε-pairs, self included (degree counts the point itself)
-    val pairs = probes.join(build, Seq("jcx", "jcy"))
+    val pairsC = graft.core.Caching.acquire(probes.join(build, Seq("jcx", "jcy"))
       .where(dist2 <= eps2)
-      .select(col("a_id"), col("b_id"))
-      .transform(d => graft.core.Caching.persistOnce(d))
+      .select(col("a_id"), col("b_id")))
 
-    val out = labelFromPairs(pts.select(col("pid")), pairs, minPts, checkpointDir)
-    binned.unpersist(); pairs.unpersist()
+    val out = labelFromPairs(pts.select(col("pid")), pairsC.ds, minPts, checkpointDir)
+    binnedC.release(); pairsC.release()
     out
   }
 
@@ -94,14 +93,13 @@ object Dbscan {
     val eps2 = eps * eps
     val pts = points.select(col(idCol).cast("long").as("pid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val (joined, dist2, binned) = candidateJoin(pts, eps, binDims)
-    val pairs = joined
+    val (joined, dist2, binnedC) = candidateJoin(pts, eps, binDims)
+    val pairsC = graft.core.Caching.acquire(joined
       .where(dist2 <= eps2)
-      .select(col("a_id"), col("b_id"))
-      .transform(d => graft.core.Caching.persistOnce(d))
+      .select(col("a_id"), col("b_id")))
 
-    val out = labelFromPairs(pts.select(col("pid")), pairs, minPts, checkpointDir)
-    binned.unpersist(); pairs.unpersist()
+    val out = labelFromPairs(pts.select(col("pid")), pairsC.ds, minPts, checkpointDir)
+    binnedC.release(); pairsC.release()
     out
   }
 
@@ -110,13 +108,14 @@ object Dbscan {
     * its 3^binDims cell neighborhood, build side keeps the home cell —
     * every unordered pair meets exactly once, as an integer equi-join.
     * Returns (joined frame with a_id/av/b_id/bv, the dist2 column, and
-    * the persisted binned frame for the caller to release). */
+    * the binned frame's cache handle for the caller to release). */
   private[graft] def candidateJoin(pts: DataFrame, eps: Double, binDims: Int)
-      : (DataFrame, Column, DataFrame) = {
+      : (DataFrame, Column, graft.core.Caching.Cached[org.apache.spark.sql.Row]) = {
     val cellCols = (0 until binDims).map(i =>
       floor(element_at(col("vec"), i + 1) / eps).cast("long").as(s"c$i"))
-    val binned = pts.select(col("pid") +: col("vec") +: cellCols: _*)
-      .transform(d => graft.core.Caching.persistOnce(d))
+    val binnedC = graft.core.Caching.acquire(
+      pts.select(col("pid") +: col("vec") +: cellCols: _*))
+    val binned = binnedC.ds
     val offsets = (0 until binDims).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
       acc.flatMap(s => Seq(-1, 0, 1).map(s :+ _))
     }
@@ -133,7 +132,7 @@ object Dbscan {
     // aggregate(zip_with(av, bv, (x,y) => (x-y)*(x-y)), 0.0, +), which
     // paid interpreted lambda eval per dimension per candidate PAIR
     val dist2: Column = graft.plans.SqL2Dist.sqL2Col(col("av"), col("bv"))
-    (probes.join(build, (0 until binDims).map(i => s"jc$i")), dist2, binned)
+    (probes.join(build, (0 until binDims).map(i => s"jc$i")), dist2, binnedC)
   }
 
   /** Shared labeling tail: ε-pairs (self-pairs included) -> (pid, cluster,
@@ -142,10 +141,11 @@ object Dbscan {
     * neighbor cluster; everything else is noise (-1). */
   private def labelFromPairs(ptIds: DataFrame, pairs: DataFrame, minPts: Int,
       checkpointDir: Option[String]): DataFrame = {
-    val core = pairs.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
-      .where(col("deg") >= minPts)
-      .select(col("a_id").as("pid"))
-      .transform(d => graft.core.Caching.persistOnce(d))
+    val coreC = graft.core.Caching.acquire(
+      pairs.groupBy(col("a_id")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= minPts)
+        .select(col("a_id").as("pid")))
+    val core = coreC.ds
 
     val coreEdges = pairs
       .join(core.withColumnRenamed("pid", "a_id"), "a_id")
@@ -155,10 +155,10 @@ object Dbscan {
     val comp = Dedup.connectedComponentsAltStar(coreEdges, "a_id", "b_id",
       checkpointDir = checkpointDir)
     // singleton cores (no core neighbor) label themselves
-    val coreLabels = core
+    val coreLabelsC = graft.core.Caching.acquire(core
       .join(comp.withColumnRenamed("node", "pid"), Seq("pid"), "left")
-      .select(col("pid"), coalesce(col("component"), col("pid")).as("cluster"))
-      .transform(d => graft.core.Caching.persistOnce(d))
+      .select(col("pid"), coalesce(col("component"), col("pid")).as("cluster")))
+    val coreLabels = coreLabelsC.ds
 
     // border: non-core with >=1 core ε-neighbor -> min neighbor cluster
     val nonCorePairs = pairs
@@ -179,7 +179,7 @@ object Dbscan {
     // intermediate can be released before returning — the output is one
     // small row per point; the heavy frames must not outlive the call
     val out = Checkpointing.truncate(labeled.union(noise), checkpointDir)
-    core.unpersist(); coreLabels.unpersist()
+    coreC.release(); coreLabelsC.release()
     out
   }
 }

@@ -30,8 +30,12 @@ object Dedup {
   private val threadCaches = new ThreadLocal[List[DataFrame]] {
     override def initialValue(): List[DataFrame] = Nil
   }
-  private def track(df: DataFrame): DataFrame = {
-    threadCaches.set(df :: threadCaches.get); df
+  /** Register for deferred release ONLY caches this operator created —
+    * a caller-persisted frame re-derived here must survive
+    * [[releaseCaches]] (the ownership rule Caching.Cached encodes). */
+  private def track(c: graft.core.Caching.Cached[org.apache.spark.sql.Row]): DataFrame = {
+    if (c.owned) threadCaches.set(c.ds :: threadCaches.get)
+    c.ds
   }
   def releaseCaches(): Unit = {
     threadCaches.get.foreach(_.unpersist(false))
@@ -115,10 +119,9 @@ object Dedup {
     // it, and Spark shares no DAG across join branches — without this the
     // (expensive) shingling runs twice. MEMORY_AND_DISK so a 100 TB corpus
     // degrades to a disk-backed materialization instead of an OOM.
-    val sh = track(df.select(
+    val sh = track(graft.core.Caching.acquire(df.select(
       (col(idCol).as("doc") +: blockCols.map(col)) :+
-        shingleHashes(col(textCol), n).as("shingles"): _*)
-      .transform(d => graft.core.Caching.persistOnce(d)))
+        shingleHashes(col(textCol), n).as("shingles"): _*)))
     val a = sh.select(col("doc").as("doc_a") +: col("shingles").as("sa") +:
       blockCols.map(col): _*)
     val b = sh.select(col("doc").as("doc_b") +: col("shingles").as("sb") +:
@@ -168,8 +171,8 @@ object Dedup {
     // pass intersects long arrays (no string sets ever shuffle). Persisted:
     // read by the banding pass and twice by the verify joins, and Spark
     // shares no DAG across join branches.
-    val sh = track(df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))
-      .transform(d => graft.core.Caching.persistOnce(d)))
+    val sh = track(graft.core.Caching.acquire(
+      df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))))
     val sigCols = minhashCols(col("xs"), k)
     val sig = sh.select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*)
     val sigRef = (0 until k).map(i => col(s"mh$i"))
@@ -215,9 +218,8 @@ object Dedup {
       broadcastShingles: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
-    def prep(df: DataFrame) = track(
-      df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))
-        .transform(d => graft.core.Caching.persistOnce(d)))
+    def prep(df: DataFrame) = track(graft.core.Caching.acquire(
+      df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))))
     val shA = prep(dfA); val shB = prep(dfB)
     def banded(sh: DataFrame, as: String) = {
       val sigCols = minhashCols(col("xs"), k)
@@ -272,9 +274,10 @@ object Dedup {
     * Output: (node, component) with component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .transform(d => graft.core.Caching.persistOnce(d))
+    val symC = graft.core.Caching.acquire(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    val sym = symC.ds
     // eager lineage truncation per round: each round's plan references the
     // previous labels twice, so without truncation the logical plan
     // doubles every round. Default localCheckpoint (blocks reclaimed by
@@ -313,7 +316,7 @@ object Dedup {
       it += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
-    sym.unpersist()
+    symC.release()
     labels
   }
 

@@ -89,11 +89,11 @@ object Hdbscan {
     val pts = points.select(col(idCol).cast("long").as("pid"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     // directed candidate pairs (a != b), exact distance on candidates only
-    val (joined, dist2, binned) = Dbscan.candidateJoin(pts, epsMax, binDims)
-    val pairs = joined
+    val (joined, dist2, binnedC) = Dbscan.candidateJoin(pts, epsMax, binDims)
+    val pairsC = graft.core.Caching.acquire(joined
       .where(col("a_id") =!= col("b_id") && dist2 <= eps2)
-      .select(col("a_id"), col("b_id"), sqrt(dist2).as("d"))
-      .transform(d => graft.core.Caching.persistOnce(d))
+      .select(col("a_id"), col("b_id"), sqrt(dist2).as("d")))
+    val pairs = pairsC.ds
 
     // core distance: (minSamples-1)-th nearest OTHER point (self is the
     // minSamples-th member); absent -> the point can never be inside a
@@ -112,12 +112,12 @@ object Hdbscan {
       }
 
     // mutual reachability on undirected candidate edges
-    val mr = pairs.where(col("a_id") < col("b_id"))
+    val mrC = graft.core.Caching.acquire(pairs.where(col("a_id") < col("b_id"))
       .join(core.select(col("pid").as("a_id"), col("core_d").as("ca")), "a_id")
       .join(core.select(col("pid").as("b_id"), col("core_d").as("cb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        greatest(col("d"), col("ca"), col("cb")).as("w"))
-      .transform(d => graft.core.Caching.persistOnce(d))
+        greatest(col("d"), col("ca"), col("cb")).as("w")))
+    val mr = mrC.ds
 
     val (mst, mstComp) = boruvkaMst(mr, checkpointDir, maxLocalEdges)
 
@@ -127,7 +127,7 @@ object Hdbscan {
     import spark.implicits._
     val mstEdges = mst.as[MstEdge].collect()
     val selected = condensedSelection(mstEdges, minClusterSize, epsMax)
-    binned.unpersist(); pairs.unpersist(); mr.unpersist()
+    binnedC.release(); pairsC.release(); mrC.release()
 
     // ---- distributed label assignment ---------------------------------
     // Tree-top clusters (cut = None — the common whole-blob case) are
@@ -237,11 +237,12 @@ object Hdbscan {
         mstLocal.toSeq.toDF("a", "b", "w"),
         compLocal.toSeq.toDF("node", "component"))
     }
-    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"), col("w"))
-      .union(edges.select(col("b_id").as("u"), col("a_id").as("v"), col("w")))
-      .transform(d => graft.core.Caching.persistOnce(d))
-    val nodes = sym.select(col("u")).distinct()
-      .transform(d => graft.core.Caching.persistOnce(d))
+    val symC = graft.core.Caching.acquire(
+      edges.select(col("a_id").as("u"), col("b_id").as("v"), col("w"))
+        .union(edges.select(col("b_id").as("u"), col("a_id").as("v"), col("w"))))
+    val sym = symC.ds
+    val nodesC = graft.core.Caching.acquire(sym.select(col("u")).distinct())
+    val nodes = nodesC.ds
     var comp = nodes.select(col("u").as("node"), col("u").as("component"))
     var mst: DataFrame = Checkpointing.truncate(
       spark.emptyDataFrame
@@ -297,7 +298,7 @@ object Hdbscan {
       it += 1
     }
     require(done, s"Boruvka MST did not converge in $maxIter rounds")
-    sym.unpersist(); nodes.unpersist()
+    symC.release(); nodesC.release()
     (mst.select(col("a"), col("b"), col("w")), comp)
   }
 

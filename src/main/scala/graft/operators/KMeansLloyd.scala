@@ -65,8 +65,9 @@ object KMeansLloyd {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
       seed: Long, rounds: Int): (Model, DataFrame) = {
     require(k > 0 && rounds >= 0, "k > 0, rounds >= 0")
-    val pts = graft.core.Caching.persistOnce(df.select(col(idCol).as("id"),
+    val ptsC = graft.core.Caching.acquire(df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")))
+    val pts = ptsC.ds
     try {
       var cents = initCentroids(pts, "id", "v", k, seed)
       require(cents.size == k, s"need >= $k rows to seed $k centroids")
@@ -90,7 +91,7 @@ object KMeansLloyd {
         }
       }
       (Model(cents, sizes.result()), assign(pts, "id", "v", cents).select("id", "cell"))
-    } finally { pts.unpersist(); () }
+    } finally ptsC.release()
   }
 
   /** The model as a DataFrame (cell, n_points via join downstream). */

@@ -195,11 +195,11 @@ object UnigramLM {
   def train(df: DataFrame, idCol: String, textCol: String,
       cfg: TrainConfig = TrainConfig()): Seq[Piece] = {
     val spark = df.sparkSession
-    val words = df.select(
+    val wordsC = graft.core.Caching.acquire(df.select(
       explode(split(TextAnalysis.normText(col(textCol)), "\\s+")).as("tok"))
       .where(length(col("tok")).between(1, cfg.maxWordLen))
-      .groupBy("tok").agg(count(lit(1)).as("wcnt"))
-      .transform(d => graft.core.Caching.persistOnce(d))
+      .groupBy("tok").agg(count(lit(1)).as("wcnt")))
+    val words = wordsC.ds
     try {
       // seed: all substrings, occurrence-weighted — one explode + one
       // map-side-combinable sum over the word frame
@@ -236,7 +236,7 @@ object UnigramLM {
         model = withLp(spark, smoothedChars ++ prunedMulti)
       }
       model
-    } finally { words.unpersist(); () }
+    } finally wordsC.release()
   }
 
   /** Normalize counts to 6-dp-rounded log-probs THROUGH Spark

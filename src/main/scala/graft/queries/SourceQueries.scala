@@ -1644,16 +1644,21 @@ object SourceQueries {
         |  CAST((t*9 + j)*6 + i AS DOUBLE) * 0.25 - 3.0 AS value
         |FROM range(0,3) r1(t), range(0,9) r2(j), range(0,6) r3(i)""".stripMargin) { (s, d) =>
       import graft.sources.{Zarr, ZarrSink}
-      val dir = java.nio.file.Files.createTempDirectory("graft-q196").toString
-      val (nT, ny, nx) = (3, 9, 6)
-      val grid = s.range(nT.toLong * ny * nx).select(
-        concat(lit("zz"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
-        expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
-        (expr(s"id % $nx") * 100.0).as("x"),
-        (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
-        (col("id").cast("double") * 0.25 - 3.0).as("value"))
-      ZarrSink.writeScenes(grid, dir, "lwp", chunkRows = Some(4),
-        blosc = true, bloscCodec = "zstd", bloscBitShuffle = true).count()
+      // per-JVM cleaned dir with a write-once guard, matching
+      // q194/q198/q199: repeated runs (bench median-of-5) must neither
+      // accumulate temp stores nor redo the write inside the timed query
+      val dir = q196ZarrDir
+      if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+        val (nT, ny, nx) = (3, 9, 6)
+        val grid = s.range(nT.toLong * ny * nx).select(
+          concat(lit("zz"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
+          expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
+          (expr(s"id % $nx") * 100.0).as("x"),
+          (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
+          (col("id").cast("double") * 0.25 - 3.0).as("value"))
+        ZarrSink.writeScenes(grid, dir, "lwp", chunkRows = Some(4),
+          blosc = true, bloscCodec = "zstd", bloscBitShuffle = true).count()
+      }
       Zarr.readScenes(s, dir, "lwp").select("scene_id", "x", "y", "value")
     },
 
@@ -1766,6 +1771,8 @@ object SourceQueries {
     mkCleanedTempDir("graft_q193_arrow_")
   private lazy val q194ZarrDir: String =
     mkCleanedTempDir("graft_q194_zarr_")
+  private lazy val q196ZarrDir: String =
+    mkCleanedTempDir("graft_q196_zarr_")
   private lazy val q195ArrowDir: String =
     mkCleanedTempDir("graft_q195_arrow_")
   private lazy val q197ArrowDir: String =

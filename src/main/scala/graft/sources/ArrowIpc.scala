@@ -124,9 +124,28 @@ object ArrowIpc {
   private[sources] val TsUnitKey = "arrow_ts_unit" // 0=s 1=ms 3=ns
   private[sources] val Date64Key = "arrow_date64"
   private[sources] val TimeUnitKey = "arrow_time_unit" // 0=s 1=ms 2=us 3=ns
+  // Map entries children can themselves carry physical-layout markers
+  // (uint widths, non-micros timestamp units, date64, time units, large
+  // offsets). Spark's MapType has no per-child metadata slot, so the
+  // children's Metadata is hoisted NESTED under these keys on the map
+  // field itself and re-threaded onto the rebuilt entries struct in
+  // decodeColumn/skipColumn — dropping them would decode e.g.
+  // map<utf8, timestamp[ns]> values 1000x off.
+  private[sources] val MapKeyMetaKey = "arrow_map_key_meta"
+  private[sources] val MapValMetaKey = "arrow_map_value_meta"
+  // Same hoisting for LIST items (ArrayType has no child metadata slot
+  // either): the item field's FULL Metadata rides nested under this key
+  // so list<timestamp[ns]>, list<large_utf8>, list<date64>, ... decode
+  // at the right unit/stride. ItemUintBitsKey remains as the (older)
+  // uint-width fast path that the uint round-trip write side reads.
+  private[sources] val ItemMetaKey = "arrow_item_meta"
 
   private def uintBitsOf(meta: Metadata): Int =
     if (meta.contains(UintBitsKey)) meta.getLong(UintBitsKey).toInt else 0
+
+  /** Nested Metadata stored under `key`, or empty when absent. */
+  private def metadataOf(meta: Metadata, key: String): Metadata =
+    if (meta.contains(key)) meta.getMetadata(key) else Metadata.empty
 
   /** Spark storage type for an unsigned width: widen to the next signed
     * type; uint64 has no signed 64-bit home so it widens to
@@ -319,6 +338,9 @@ object ArrowIpc {
     var tsUnit = -1 // physical unit when not micros: 0=s 1=ms 3=ns
     var date64 = false
     var timeUnit = -1 // time32/time64 physical unit (always recorded)
+    var mapKeyMeta = Metadata.empty // hoisted map-entries children markers
+    var mapValMeta = Metadata.empty
+    var itemMeta = Metadata.empty // hoisted full list-item markers
     val dt: DataType = tag match {
       case TInt =>
         val bits = t.map(_.getInt(0, 0)).getOrElse(0)
@@ -403,7 +425,10 @@ object ArrowIpc {
         StructType((0 until f.vectorLen(5)).map(i => readField(f.vectorTable(5, i))))
       case TMap =>
         // map<K,V> = list<entries: struct<key, value>>; Spark-facing
-        // type is MapType (keysSorted is advisory — ignored)
+        // type is MapType (keysSorted is advisory — ignored). The entries
+        // children's layout markers (uint/ts-unit/date64/time/large) are
+        // hoisted into MapKeyMetaKey/MapValMetaKey because MapType cannot
+        // carry child metadata itself.
         require(f.vectorLen(5) == 1, s"arrow-ipc: map '$name' needs one child")
         val entries = readField(f.vectorTable(5, 0))
         val st = entries.dataType match {
@@ -411,6 +436,14 @@ object ArrowIpc {
           case other => throw new IllegalArgumentException(
             s"arrow-ipc: map '$name' entries must be a 2-field struct, got $other")
         }
+        // dictionary-encoded entries children are rejected like dict
+        // lists: decodeDictBatch resolves ids against TOP-LEVEL fields
+        // only, so a nested dict id would never find its values
+        require(!st.fields(0).metadata.contains(DictIdKey) &&
+          !st.fields(1).metadata.contains(DictIdKey),
+          s"arrow-ipc: dictionary-encoded map entries not supported for '$name'")
+        mapKeyMeta = st.fields(0).metadata
+        mapValMeta = st.fields(1).metadata
         MapType(st.fields(0).dataType, st.fields(1).dataType,
           valueContainsNull = st.fields(1).nullable)
       case TList | TLargeList | TFixedSizeList =>
@@ -419,6 +452,13 @@ object ArrowIpc {
         itemUintBits = uintBitsOf(child.metadata)
         require(!child.metadata.contains(ItemUintBitsKey),
           s"arrow-ipc: nested list<list<uint>> not supported for '$name'")
+        require(!child.metadata.contains(DictIdKey),
+          s"arrow-ipc: dictionary-encoded list items not supported for '$name'")
+        // hoist the item field's FULL metadata (ts unit, date64, large
+        // offsets, ... — not just uint width): ArrayType drops child
+        // metadata, and losing e.g. TsUnitKey would decode list<ts[ns]>
+        // values 1000x off
+        itemMeta = child.metadata
         if (tag == TLargeList) largeOffsets = true
         if (tag == TFixedSizeList) {
           fslSize = t.map(_.getInt(0, 0)).getOrElse(0)
@@ -430,7 +470,9 @@ object ArrowIpc {
         s"arrow-ipc: unsupported type tag $other for field '$name'")
     }
     if (uintBits == 0 && itemUintBits == 0 && dict.isEmpty &&
-        !largeOffsets && fslSize == 0 && tsUnit < 0 && !date64 && timeUnit < 0)
+        !largeOffsets && fslSize == 0 && tsUnit < 0 && !date64 && timeUnit < 0 &&
+        mapKeyMeta == Metadata.empty && mapValMeta == Metadata.empty &&
+        itemMeta == Metadata.empty)
       StructField(name, dt, nullable)
     else {
       val mb = new MetadataBuilder()
@@ -441,6 +483,9 @@ object ArrowIpc {
       if (tsUnit >= 0) mb.putLong(TsUnitKey, tsUnit.toLong)
       if (date64) mb.putBoolean(Date64Key, true)
       if (timeUnit >= 0) mb.putLong(TimeUnitKey, timeUnit.toLong)
+      if (mapKeyMeta != Metadata.empty) mb.putMetadata(MapKeyMetaKey, mapKeyMeta)
+      if (mapValMeta != Metadata.empty) mb.putMetadata(MapValMetaKey, mapValMeta)
+      if (itemMeta != Metadata.empty) mb.putMetadata(ItemMetaKey, itemMeta)
       dict.foreach { case (id, idxBits) =>
         require(!dt.isInstanceOf[ArrayType],
           s"arrow-ipc: dictionary-encoded list field '$name' not supported")
@@ -908,8 +953,13 @@ object ArrowIpc {
           }
         }
       case ArrayType(et, _) =>
+        // ItemMetaKey carries the item field's FULL hoisted metadata
+        // (ts unit, large offsets, ...); ItemUintBitsKey alone appears on
+        // schemas built by the WRITE side (uint round-trips), where the
+        // uint width is the only possible marker
         val childMeta =
-          if (meta.contains(ItemUintBitsKey))
+          if (meta.contains(ItemMetaKey)) meta.getMetadata(ItemMetaKey)
+          else if (meta.contains(ItemUintBitsKey))
             new MetadataBuilder()
               .putLong(UintBitsKey, meta.getLong(ItemUintBitsKey)).build()
           else Metadata.empty
@@ -950,12 +1000,16 @@ object ArrowIpc {
           else Row.fromSeq(children.toIndexedSeq.map(c => c(i)))
         }
       case MapType(kt, vt, valueContainsNull) =>
-        // map = list<entries>: int32 offsets, then the entries struct
+        // map = list<entries>: int32 offsets, then the entries struct.
+        // The entries children's layout markers were hoisted onto the
+        // map field at schema read — re-thread them here, or e.g. a
+        // timestamp[ns] value column decodes at the wrong unit.
         val (ooff, _) = buffers.next()
         def offAt(i: Int): Int = body.getInt((ooff + i * 4L).toInt)
         val entrySt = StructType(Seq(
-          StructField("key", kt, nullable = false),
-          StructField("value", vt, nullable = valueContainsNull)))
+          StructField("key", kt, nullable = false, metadataOf(meta, MapKeyMetaKey)),
+          StructField("value", vt, nullable = valueContainsNull,
+            metadataOf(meta, MapValMetaKey))))
         val child = decodeColumn(entrySt, Metadata.empty, body, nodes, buffers, dicts)
         IndexedSeq.tabulate(n) { i =>
           if (isNull(i)) null
@@ -1038,13 +1092,19 @@ object ArrowIpc {
         buffers.next(); buffers.next() // offsets + data
       case ArrayType(et, _) =>
         if (!meta.contains(FslSizeKey)) buffers.next() // offsets
-        skipColumn(et, Metadata.empty, nodes, buffers)
+        skipColumn(et, metadataOf(meta, ItemMetaKey), nodes, buffers)
       case st: StructType =>
         st.fields.foreach(cf => skipColumn(cf.dataType, cf.metadata, nodes, buffers))
       case MapType(kt, vt, _) =>
         buffers.next() // offsets
-        skipColumn(StructType(Seq(StructField("key", kt),
-          StructField("value", vt))), Metadata.empty, nodes, buffers)
+        // thread the hoisted children markers: they can change buffer
+        // consumption (e.g. a large-offsets value column still consumes
+        // the same count, but a future fsl/dict marker would not — keep
+        // skip byte-exactly mirroring decode)
+        skipColumn(StructType(Seq(
+          StructField("key", kt, nullable = false, metadataOf(meta, MapKeyMetaKey)),
+          StructField("value", vt, nullable = true, metadataOf(meta, MapValMetaKey)))),
+          Metadata.empty, nodes, buffers)
       case _ => buffers.next() // every fixed-width type has one data buffer
     }
   }

@@ -58,11 +58,6 @@ object Blosc {
     if (cbytes < 16 || cbytes > src.length)
       fail(s"declared frame size $cbytes vs ${src.length} available")
     if (nbytes == 0) return Array.emptyByteArray
-    // LZ4's worst-case expansion is ~255x (one extension byte extends a
-    // match by 255): a tiny frame declaring a huge nbytes is corrupt,
-    // not compressed — reject before allocating
-    if (nbytes.toLong > 300L * src.length)
-      fail(s"declared nbytes $nbytes absurd for a ${src.length}-byte frame")
 
     val memcpyed = (flags & 0x2) != 0
     if (memcpyed) {
@@ -74,6 +69,22 @@ object Blosc {
     if (codec != 1 && codec != 4)
       fail(s"codec '${CodecNames.getOrElse(codec, codec.toString)}' " +
         "not supported (lz4/lz4hc/zstd only)")
+    // Corrupt-frame guard, CODEC-AWARE (the cap must be parsed after the
+    // flags byte): a tiny frame declaring a huge nbytes is corrupt, not
+    // compressed — reject before allocating the nbytes output buffer.
+    //  - lz4: worst-case expansion is ~255x (one extension byte extends
+    //    a match by 255), so >300x is impossible output.
+    //  - zstd: routinely exceeds 300x on constant data (zero- or
+    //    fill-valued zarr chunks); its format ceiling is one RLE block
+    //    (3-byte header + 1 payload byte) expanding to the 128 KiB block
+    //    max, ~32768x per 4 bytes — cap at 40000x, far above any real
+    //    ratio but still a bound. Per-block output is additionally
+    //    length-checked against neblock below, so a lying header fails
+    //    loudly after at most one bounded allocation.
+    val maxRatio = if (codec == 4) 40000L else 300L
+    if (nbytes.toLong > maxRatio * src.length)
+      fail(s"declared nbytes $nbytes absurd for a ${src.length}-byte " +
+        s"${CodecNames(codec)} frame")
     val shuffle = (flags & 0x1) != 0 && typesize > 1
     val bitshuffle = (flags & 0x4) != 0
     if (shuffle && bitshuffle) fail("byte-shuffle and bit-shuffle flags both set")

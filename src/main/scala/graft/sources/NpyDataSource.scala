@@ -115,9 +115,15 @@ class NpyScan(path: String, rowsPerTask: Int, required: StructType,
         s"graft-npy: $p is not a 2-D <f4 array (${meta.descr} ${meta.shape})")
       val nRows = meta.shape.head
       val dim = meta.shape(1).toInt
-      (0L until nRows by rowsPerTask.toLong).map(s =>
+      require(dim > 0, s"graft-npy: $p has a zero-width row (dim $dim)")
+      // clamp rows-per-task so a task's payload (rows * dim * 4 bytes)
+      // always fits one Int-sized buffer — a wide matrix (dim ~131k at
+      // the default 4096 rows) would otherwise overflow the byte count
+      val maxRows = math.max(1L, (Int.MaxValue.toLong - 8) / (dim.toLong * 4))
+      val step = math.min(rowsPerTask.toLong, maxRows)
+      (0L until nRows by step).map(s =>
         NpyRowPartition(p, dim, meta.dataOffset, s,
-          math.min(s + rowsPerTask, nRows)): InputPartition)
+          math.min(s + step, nRows)): InputPartition)
     }.toArray
   }
 
@@ -151,7 +157,13 @@ class NpyReaderFactory(required: StructType) extends PartitionReaderFactory {
         else {
           val raf = new java.io.RandomAccessFile(t.path, "r")
           try {
-            val n = ((t.rowEnd - t.rowStart) * t.dim * 4).toInt
+            // plan time clamps the range so this always fits an Int;
+            // keep the loud guard in case a partition was hand-built
+            val nL = (t.rowEnd - t.rowStart) * t.dim.toLong * 4
+            require(nL > 0 && nL <= Int.MaxValue - 8,
+              s"graft-npy: task byte count $nL exceeds one buffer " +
+                s"(rows ${t.rowStart}..${t.rowEnd}, dim ${t.dim})")
+            val n = nL.toInt
             val b = new Array[Byte](n)
             raf.seek(t.dataOffset + t.rowStart * t.dim * 4)
             raf.readFully(b)

@@ -297,7 +297,7 @@ class PlanRegressionSpec extends SparkSpec {
       for (binDims <- Seq(2, 3)) {
         val (joined, dist2, binned) = graft.operators.Dbscan.candidateJoin(pts, 2.5, binDims)
         val plan = joined.where(dist2 <= 6.25).queryExecution.executedPlan.toString
-        binned.unpersist()
+        binned.release()
         assert(!plan.contains("CartesianProduct"),
           s"binDims=$binDims candidate join plans a cartesian product")
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -672,6 +672,85 @@ class ArrowIpcSpec extends SparkSpec {
     assert(e.getMessage.contains("not microsecond-aligned"))
   }
 
+  // ---- NESTED layout markers on map/list children (round 14) ------------
+  // map<utf8,ts[ns]> / map<uint8,_> / map<_,date64> / list<ts[ns]> /
+  // list<large_utf8> / list<date64>: the children's physical markers
+  // must survive the MapType/ArrayType hop (hoisted child metadata) —
+  // dropping them decodes ts[ns] 1000x off or strides uint8 keys wrong.
+
+  private def assertNestmarkRows(rows: Seq[Row]): Unit = {
+    assert(rows.length == 3)
+    val byId = rows.sortBy(_.getLong(0))
+    def m(r: Row, i: Int): Option[Map[Any, Any]] =
+      Option(r.get(i)).map(_.asInstanceOf[scala.collection.Map[Any, Any]]
+        .toMap.map { case (k, v) => (norm(k), norm(v)) })
+    def l(r: Row, i: Int): Option[Seq[Any]] =
+      Option(r.get(i)).map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq.map(norm))
+    val r1 = byId(0)
+    assert(m(r1, 1) == Some(Map(
+      "a" -> "2020-02-02T10:00:00.123456", // ns -> us exact, NOT x1000 off
+      "b" -> "1970-01-01T00:00:01.000000")))
+    // uint8 keys widen: 255 must read as 255, not a signed-byte -1
+    assert(m(r1, 2) == Some(Map(7L -> 70L, 255L -> -1L)))
+    assert(m(r1, 3) == Some(Map("d" -> "2020-02-02")))
+    assert(l(r1, 4) == Some(Seq("2020-02-02T10:00:00.123456", null)))
+    assert(l(r1, 5) == Some(Seq("alpha", "beta-beta")))
+    assert(l(r1, 6) == Some(Seq("1969-12-31", "2038-01-19")))
+    val r2 = byId(1)
+    assert(m(r2, 1) == Some(Map.empty) && m(r2, 3) == Some(Map.empty))
+    assert(m(r2, 2) == Some(Map(0L -> 0L)))
+    assert(l(r2, 4) == Some(Seq.empty) && l(r2, 5) == Some(Seq.empty) &&
+      l(r2, 6) == Some(Seq.empty))
+    assert((1 to 6).forall(byId(2).isNullAt))
+  }
+
+  test("pyarrow map/list children with ts[ns]/uint8/date64/large_utf8 " +
+      "markers decode exactly") {
+    val bytes = Files.readAllBytes(Paths.get(fixturePath("golden_nestmark.arrow")))
+    val (schema, rows) = ArrowIpc.readStreamBytes(bytes)
+    // Spark-facing types are the widened/unit-normalized ones...
+    assert(schema("mts").dataType ==
+      MapType(StringType, TimestampType, valueContainsNull = true))
+    assert(schema("mu8").dataType ==
+      MapType(ShortType, LongType, valueContainsNull = true))
+    assert(schema("lts").dataType.asInstanceOf[ArrayType].elementType == TimestampType)
+    assert(schema("llu").dataType.asInstanceOf[ArrayType].elementType == StringType)
+    // ...and the physical markers ride hoisted on the PARENT field
+    assert(schema("mts").metadata.getMetadata("arrow_map_value_meta")
+      .getLong("arrow_ts_unit") == 3L)
+    assert(schema("mu8").metadata.getMetadata("arrow_map_key_meta")
+      .getLong("arrow_uint_bits") == 8L)
+    assert(schema("mdate").metadata.getMetadata("arrow_map_value_meta")
+      .getBoolean("arrow_date64"))
+    assert(schema("lts").metadata.getMetadata("arrow_item_meta")
+      .getLong("arrow_ts_unit") == 3L)
+    assert(schema("llu").metadata.getMetadata("arrow_item_meta")
+      .getBoolean("arrow_large_offsets"))
+    assert(schema("ld64").metadata.getMetadata("arrow_item_meta")
+      .getBoolean("arrow_date64"))
+    assertNestmarkRows(rows.toSeq)
+    val sBytes = Files.readAllBytes(Paths.get(fixturePath("golden_nestmark.arrows")))
+    assertNestmarkRows(ArrowIpc.readStreamBytes(sBytes)._2.toSeq)
+    assertNestmarkRows(ArrowIpc.readBlocks(spark, fixturePath("golden_nestmark.arrow"))
+      .collect().toSeq)
+  }
+
+  test("column pruning SKIPS marker-carrying map/list columns byte-exactly") {
+    // project a late column so skipColumn walks the marker-carrying
+    // map/list buffers positionally — a skip/decode mismatch would
+    // misalign every later column
+    val df = spark.read.format("graft.sources.ArrowDataSource")
+      .option("path", fixturePath("golden_nestmark.arrow")).load()
+      .select("id", "llu")
+    val got = df.collect().map(r =>
+      (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq)))
+      .toSet
+    assert(got == Set(
+      (1L, Some(Seq("alpha", "beta-beta"))),
+      (2L, Some(Seq.empty)),
+      (3L, None)))
+  }
+
   test("map columns round-trip through our writer and arrow-java reads " +
       "the bytes back") {
     import spark.implicits._

@@ -246,4 +246,31 @@ class BloscSpec extends AnyFunSuite {
       shuffle = false, bitshuffle = true, codec = "zstd")
     assert(Blosc.decompress(f2).sameElements(odd))
   }
+
+  test("zstd frames past lz4's 300x expansion ceiling decode (constant " +
+      "chunks); the corrupt-frame cap still fires, just codec-aware") {
+    // a zero/fill-valued zarr chunk: zstd routinely exceeds 300x here,
+    // so the old lz4-derived ratio cap rejected VALID frames
+    val zeros = new Array[Byte](1 << 20)
+    val frame = Blosc.compress(zeros, typesize = 8, blocksize = 1 << 17,
+      shuffle = false, bitshuffle = false, codec = "zstd")
+    assert(zeros.length.toLong > 300L * frame.length,
+      s"fixture not extreme enough to pin the fix (${frame.length} B frame)")
+    assert(Blosc.decompress(frame).sameElements(zeros))
+    // a header lying past zstd's own format ceiling (~40000x) still
+    // rejects BEFORE allocating the declared nbytes
+    val lying = frame.clone()
+    ByteBuffer.wrap(lying).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, Int.MaxValue)
+    val e = intercept[IllegalArgumentException](Blosc.decompress(lying))
+    assert(e.getMessage.contains("absurd"))
+    // lz4 keeps the tight 300x cap: same lie on an lz4 frame, lower bar
+    val lz4Frame = Blosc.compress(zeros.take(4096), typesize = 8,
+      blocksize = 1024, shuffle = false, bitshuffle = false, codec = "lz4")
+    val lying4 = lz4Frame.clone()
+    ByteBuffer.wrap(lying4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, 400 * lz4Frame.length)
+    val e4 = intercept[IllegalArgumentException](Blosc.decompress(lying4))
+    assert(e4.getMessage.contains("absurd"))
+  }
 }

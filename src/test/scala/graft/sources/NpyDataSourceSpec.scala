@@ -39,6 +39,26 @@ class NpyDataSourceSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("path", "row", "embedding"))
   }
 
+  test("wide-matrix byte counts never overflow an Int: plan-time clamp + " +
+      "loud reader guard") {
+    val dir = Files.createTempDirectory("graft-npydsv2-wide").toString
+    val path = writeArray(dir, "emb.npy", 8, 4, _.toFloat)
+    // a hand-built partition past the clamp (4096 rows x dim 131072 x 4 B
+    // = 2^31) must reject with the descriptive guard, never a
+    // NegativeArraySizeException from a truncated Int
+    val p = NpyRowPartition(path, dim = 131072, dataOffset = 128L,
+      rowStart = 0L, rowEnd = 4096L)
+    val e = intercept[IllegalArgumentException](
+      new NpyReaderFactory(NpyDataSource.schema).createReader(p).next())
+    assert(e.getMessage.contains("exceeds one buffer"))
+    // the planner itself never emits such a partition: a huge
+    // rowsPerTask is clamped from dim, and reads stay correct
+    val df = spark.read.format(Fmt).option("path", path)
+      .option("rowsPerTask", Int.MaxValue.toString).load()
+    assert(df.select("row").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 8L))
+  }
+
   test("row-only projection never reads payload bytes (truncated file)") {
     val dir = Files.createTempDirectory("graft-npydsv2-trunc").toString
     val path = writeArray(dir, "emb.npy", 200, 4, _.toFloat)

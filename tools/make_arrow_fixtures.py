@@ -528,6 +528,40 @@ def main():
     with ipc.new_stream(os.path.join(OUT, "bad_ns.arrows"), bad_ns.schema) as w:
         w.write_table(bad_ns)
 
+    # ---- NESTED layout markers: map/list CHILDREN carrying physical
+    # units/widths the Spark-facing type can't express (ts[ns], uint8,
+    # date64, large_utf8). A reader that rebuilds the child fields with
+    # empty metadata decodes ts[ns] values 1000x off and strides uint8
+    # keys wrong — these pin the hoisted child-metadata path.
+    nm_schema = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("mts", pa.map_(pa.utf8(), pa.timestamp("ns", tz="UTC"))),
+        pa.field("mu8", pa.map_(pa.uint8(), pa.int64())),
+        pa.field("mdate", pa.map_(pa.utf8(), pa.date64())),
+        pa.field("lts", pa.list_(pa.timestamp("ns", tz="UTC"))),
+        pa.field("llu", pa.list_(pa.large_utf8())),
+        pa.field("ld64", pa.list_(pa.date64())),
+    ])
+    nm_rows = [
+        (1,
+         [("a", utc(2020, 2, 2, 10, 0, 0, 123456)),
+          ("b", utc(1970, 1, 1, 0, 0, 1))],
+         [(7, 70), (255, -1)],
+         [("d", datetime.date(2020, 2, 2))],
+         [utc(2020, 2, 2, 10, 0, 0, 123456), None],
+         ["alpha", "beta-beta"],
+         [datetime.date(1969, 12, 31), datetime.date(2038, 1, 19)]),
+        (2, [], [(0, 0)], [], [], [], []),
+        (3, None, None, None, None, None, None),
+    ]
+    nm_cols = list(zip(*nm_rows))
+    nm_arrays = [pa.array(c, type=f.type) for c, f in zip(nm_cols, nm_schema)]
+    nm_tbl = pa.Table.from_arrays(nm_arrays, schema=nm_schema)
+    with ipc.new_file(os.path.join(OUT, "golden_nestmark.arrow"), nm_schema) as w:
+        w.write_table(nm_tbl, max_chunksize=2)
+    with ipc.new_stream(os.path.join(OUT, "golden_nestmark.arrows"), nm_schema) as w:
+        w.write_table(nm_tbl, max_chunksize=2)
+
     # ---- durations (pandas timedelta64) + time-of-day columns ----
     td = datetime.timedelta
     tm = datetime.time
