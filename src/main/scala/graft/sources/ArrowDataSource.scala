@@ -34,7 +34,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class ArrowDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = ArrowDataSource.resolve(options.get("path"))
-    ArrowIpc.readFooterWithDicts(new java.io.File(files.head))._1
+    ArrowIpc.readFooterWithDicts(files.head)._1
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -43,15 +43,19 @@ class ArrowDataSource extends TableProvider {
 }
 
 object ArrowDataSource {
+  /** A `.arrow` file, or a directory of them — local path or
+    * `file://`/`s3a://`-style URI (listed through [[ByteStore]]). */
   private[sources] def resolve(path: String): Seq[String] = {
     require(path != null, "graft-arrow needs a path option")
-    val f = new java.io.File(path)
     val files =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .filter(x => x.isFile && x.getName.endsWith(".arrow"))
-          .map(_.getAbsolutePath).sorted.toSeq
-      else if (f.isFile) Seq(f.getAbsolutePath)
+      if (ByteStore.isDirectory(path))
+        ByteStore.list(path)
+          .filter(e => !e.isDir && e.name.endsWith(".arrow"))
+          .map(_.path).sorted
+      else if (ByteStore.isFile(path))
+        // absolute for plain paths: partitions ship to executors
+        Seq(if (ByteStore.hasScheme(path)) path
+            else new java.io.File(path).getAbsolutePath)
       else Seq.empty
     require(files.nonEmpty, s"graft-arrow: no .arrow files at $path")
     files
@@ -90,8 +94,7 @@ class ArrowScan(path: String, tableSchema: StructType, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] =
     ArrowDataSource.resolve(path).flatMap { f =>
-      val (sch, blocks, dictBlocks) =
-        ArrowIpc.readFooterWithDicts(new java.io.File(f))
+      val (sch, blocks, dictBlocks) = ArrowIpc.readFooterWithDicts(f)
       require(sch == tableSchema,
         s"graft-arrow: $f schema differs from the table's")
       val dicts = dictBlocks.map(b => (b.offset, b.metaLen, b.bodyLen))

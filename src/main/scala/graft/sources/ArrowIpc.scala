@@ -1371,19 +1371,20 @@ object ArrowIpc {
 
   /** FILE-format footer: (schema, record-batch blocks, dictionary
     * blocks). Reads only the footer bytes — the metadata phase of the
-    * two-phase read. */
-  def readFooterWithDicts(path: File): (StructType, Seq[Block], Seq[Block]) = {
-    val raf = new RandomAccessFile(path, "r")
+    * two-phase read. Byte access goes through the [[ByteStore]] seam,
+    * so `file://`/`hdfs://`/`s3a://` URIs read identically. */
+  def readFooterWithDicts(path: String): (StructType, Seq[Block], Seq[Block]) = {
+    val in = ByteStore.open(path)
     try {
-      val len = raf.length()
+      val len = in.length
       require(len >= 8 + 8 + 10, s"arrow-ipc: $path too short for file format")
-      val tail = new Array[Byte](10)
-      raf.seek(len - 10); raf.readFully(tail)
+      val tail = in.readFully(len - 10, 10)
       require(tail.slice(4, 10).sameElements(Magic),
         s"arrow-ipc: $path missing trailing ARROW1 magic (not file format?)")
       val fLen = ByteBuffer.wrap(tail, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-      val fb = new Array[Byte](fLen)
-      raf.seek(len - 10 - fLen); raf.readFully(fb)
+      require(fLen >= 0 && fLen <= len - 10,
+        s"arrow-ipc: $path declares a $fLen-byte footer in a $len-byte file")
+      val fb = in.readFully(len - 10 - fLen, fLen)
       val footer = FlatBuf.root(fb, 0, fb.length)
       val schema = readSchemaTable(footer.table(1).get)
       def blocksAt(slot: Int): Seq[Block] = {
@@ -1395,8 +1396,11 @@ object ArrowIpc {
         }
       }
       (schema, blocksAt(3), blocksAt(2))
-    } finally raf.close()
+    } finally in.close()
   }
+
+  def readFooterWithDicts(path: File): (StructType, Seq[Block], Seq[Block]) =
+    readFooterWithDicts(path.getPath)
 
   /** FILE-format footer: (schema, record-batch blocks). */
   def readFooter(path: File): (StructType, Seq[Block]) = {
@@ -1405,23 +1409,21 @@ object ArrowIpc {
   }
 
   /** Read + decode one block's envelope, returning (message, body). */
-  private def readBlockMessage(raf: RandomAccessFile, blk: Block)
+  private def readBlockMessage(in: ByteStore.ReadAt, blk: Block)
       : (FbTable, Array[Byte]) = {
     // subtraction form: a crafted footer's offset + bodyLen can wrap
     // past Long.MaxValue and slip an additive check
-    val flen = raf.length()
+    val flen = in.length
     require(blk.metaLen >= 8 && blk.bodyLen >= 0 && blk.offset >= 0 &&
       blk.offset <= flen && blk.metaLen <= flen - blk.offset &&
       blk.bodyLen <= flen - blk.offset - blk.metaLen,
       s"arrow-ipc: block ($blk) outside the $flen-byte file")
-    val env = new Array[Byte](blk.metaLen)
-    raf.seek(blk.offset); raf.readFully(env)
+    val env = in.readFully(blk.offset, blk.metaLen)
     val bb = ByteBuffer.wrap(env).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.getInt() == Continuation, "arrow-ipc: block missing continuation")
     val mLen = bb.getInt()
     val msg = FlatBuf.root(env, 8, mLen)
-    val body = new Array[Byte](blk.bodyLen.toInt)
-    raf.readFully(body)
+    val body = in.readFully(blk.offset + blk.metaLen, blk.bodyLen.toInt)
     (msg, body)
   }
 
@@ -1429,15 +1431,15 @@ object ArrowIpc {
   def readDictBlocks(path: String, schema: StructType,
       dictBlocks: Seq[Block]): Map[Long, IndexedSeq[Any]] = {
     if (dictBlocks.isEmpty) return Map.empty
-    val raf = new RandomAccessFile(path, "r")
+    val in = ByteStore.open(path)
     try {
       dictBlocks.foldLeft(Map.empty[Long, IndexedSeq[Any]]) { (acc, blk) =>
-        val (msg, body) = readBlockMessage(raf, blk)
+        val (msg, body) = readBlockMessage(in, blk)
         require(msg.getByte(1, 0) == 2, "arrow-ipc: block is not a DictionaryBatch")
         val (id, values, isDelta) = decodeDictBatch(schema, msg, body)
         foldDict(acc, id, values, isDelta, allowReplace = false)
       }
-    } finally raf.close()
+    } finally in.close()
   }
 
   /** Decode ONE footer block via positioned reads. */
@@ -1448,13 +1450,13 @@ object ArrowIpc {
   /** Decode ONE footer block, materializing only `wanted` columns. */
   def readBlockProjected(path: String, schema: StructType, wanted: StructType,
       blk: Block, dicts: Map[Long, IndexedSeq[Any]] = Map.empty): Iterator[Row] = {
-    val raf = new RandomAccessFile(path, "r")
+    val in = ByteStore.open(path)
     try {
-      val (msg, body) = readBlockMessage(raf, blk)
+      val (msg, body) = readBlockMessage(in, blk)
       require(msg.getByte(1, 0) == 3, "arrow-ipc: block is not a RecordBatch")
       decodeBatchProjected(schema, wanted, msg.table(2).get, body, dicts)
         .toIndexedSeq.iterator
-    } finally raf.close()
+    } finally in.close()
   }
 
   // =====================================================================

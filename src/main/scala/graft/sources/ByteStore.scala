@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.io.RandomAccessFile
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Filesystem seam for the mount family (HDF5 / Arrow / zarr /
+  * netCDF-3 / npy DSv2 sources and their chunk ingests): positioned
+  * reads plus the tiny metadata operations the planners need (listings,
+  * existence, small whole-file reads, globs).
+  *
+  * Dispatch is by URI scheme:
+  *  - a plain path (`/data/store.h5`) keeps the zero-dependency
+  *    `java.io` fast path — RandomAccessFile positioned reads, File
+  *    listings;
+  *  - a scheme'd URI (`file:///...`, `hdfs://...`, `s3a://...`) routes
+  *    through `org.apache.hadoop.fs.FileSystem` (already on Spark's
+  *    classpath), whose `FSDataInputStream.readFully(pos, ...)` is the
+  *    positioned-read contract object-store connectors implement.
+  *
+  * This is what makes the mounts' metadata-proportional planning real
+  * at 100 TB: the reference's own catalog is an S3 bucket
+  * (convml-data sources/goes16/pipeline.py:21-70), and every byte the
+  * planners and readers touch goes through here, so an `s3a://` store
+  * mounts identically to a local one. Hadoop configuration comes from
+  * the active SparkContext when one exists in this JVM (driver and
+  * local mode — carries `spark.hadoop.*` settings); otherwise from the
+  * classpath `core-site.xml` (the standard executor-side source on a
+  * real cluster).
+  *
+  * All reads; the sinks stay local-only (the ZarrSink caveat).
+  */
+object ByteStore {
+
+  /** Positioned-read handle. Implementations are NOT thread-safe — one
+    * handle per reader, the usage pattern of every mount. */
+  trait ReadAt extends AutoCloseable {
+    def path: String
+    def length: Long
+    def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit
+    final def readFully(pos: Long, len: Int): Array[Byte] = {
+      val a = new Array[Byte](len)
+      readFully(pos, a, 0, len)
+      a
+    }
+  }
+
+  private final class LocalReadAt(val path: String) extends ReadAt {
+    private val raf = new RandomAccessFile(path, "r")
+    val length: Long = raf.length()
+    def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit = {
+      raf.seek(pos)
+      raf.readFully(dst, off, len)
+    }
+    override def close(): Unit = raf.close()
+  }
+
+  private final class HadoopReadAt(val path: String) extends ReadAt {
+    private val p = new Path(path)
+    private val fs = fileSystem(path)
+    val length: Long = fs.getFileStatus(p).getLen
+    private val in = fs.open(p)
+    def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit =
+      in.readFully(pos, dst, off, len)
+    override def close(): Unit = in.close()
+  }
+
+  /** One directory entry from [[list]]. `path` round-trips into every
+    * other ByteStore call (scheme preserved). */
+  final case class Entry(path: String, name: String, isDir: Boolean)
+
+  /** True when `path` is a URI with a scheme (`file:/...`, `s3a://...`);
+    * false for plain POSIX paths. */
+  private[sources] def hasScheme(path: String): Boolean =
+    path.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
+  /** Lazily resolved once per JVM: the driver (and local mode) sees the
+    * SparkContext's hadoopConfiguration (spark.hadoop.* included);
+    * executor JVMs on a real cluster fall back to classpath config. */
+  private lazy val hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fileSystem(path: String): FileSystem =
+    FileSystem.get(new Path(path).toUri, hadoopConf) // Hadoop caches per scheme+authority
+
+  def open(path: String): ReadAt =
+    if (hasScheme(path)) new HadoopReadAt(path) else new LocalReadAt(path)
+
+  def exists(path: String): Boolean =
+    if (hasScheme(path)) fileSystem(path).exists(new Path(path))
+    else new java.io.File(path).exists()
+
+  def isFile(path: String): Boolean =
+    if (hasScheme(path)) {
+      val fs = fileSystem(path); val p = new Path(path)
+      fs.exists(p) && fs.getFileStatus(p).isFile
+    } else new java.io.File(path).isFile
+
+  def isDirectory(path: String): Boolean =
+    if (hasScheme(path)) {
+      val fs = fileSystem(path); val p = new Path(path)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory
+    } else new java.io.File(path).isDirectory
+
+  /** Whole small file (array metadata, chunk files — KB-to-MB scale by
+    * the callers' contracts; big payloads go through [[open]]). */
+  def readAllBytes(path: String): Array[Byte] =
+    if (hasScheme(path)) {
+      val in = open(path)
+      try in.readFully(0L, math.toIntExact(in.length)) finally in.close()
+    } else java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
+  def readString(path: String): String =
+    new String(readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Direct children of a directory, name-sorted. */
+  def list(path: String): Seq[Entry] =
+    if (hasScheme(path)) {
+      val fs = fileSystem(path)
+      fs.listStatus(new Path(path)).toSeq
+        .map(st => Entry(st.getPath.toString, st.getPath.getName, st.isDirectory))
+        .sortBy(_.name)
+    } else {
+      // absolute paths: entries ship to executors, whose cwd may differ
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty).toSeq
+        .map(f => Entry(f.getAbsolutePath, f.getName, f.isDirectory))
+        .sortBy(_.name)
+    }
+
+  /** Scheme-preserving child join (both branches use `/`; this runs on
+    * Linux paths and URIs only). */
+  def join(dir: String, child: String): String =
+    if (dir.endsWith("/")) dir + child else dir + "/" + child
+
+  /** Resolve a file-or-`dir/STAR.ext` glob to name-sorted FILE paths.
+    * Hadoop URIs use FileSystem.globStatus (so `s3a://bucket/a/STAR.h5`
+    * works); plain paths keep the local regex walk. */
+  def resolveGlob(pathGlob: String): Seq[String] =
+    if (hasScheme(pathGlob)) {
+      val fs = fileSystem(pathGlob)
+      Option(fs.globStatus(new Path(pathGlob))).getOrElse(Array.empty).toSeq
+        .filter(_.isFile).map(_.getPath.toString).sorted
+    } else {
+      val f = new java.io.File(pathGlob)
+      val (dir, pat) = (f.getParentFile, f.getName)
+      val rx = java.util.regex.Pattern.compile(
+        pat.flatMap { case '*' => ".*"; case '.' => "\\."; case c => c.toString })
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(x => x.isFile && rx.matcher(x.getName).matches())
+        .map(_.getAbsolutePath).sorted.toSeq
+    }
+}

@@ -40,8 +40,12 @@ final class ArrayInput(val bytes: Array[Byte]) extends H5Input {
   * metadata, small by construction). */
 final class PagedFileInput(path: String, val pageSize: Int = 1 << 16) extends H5Input {
   require(Integer.bitCount(pageSize) == 1, s"page size $pageSize not a power of two")
-  private val raf = new java.io.RandomAccessFile(path, "r")
-  val length: Long = raf.length()
+  // ByteStore seam: local paths keep RandomAccessFile; scheme'd URIs
+  // (file://, s3a://, hdfs://) read through Hadoop positioned reads —
+  // the page cache above it makes metadata walks latency-tolerant on
+  // object stores (one GET per 64 KiB page, revisits free)
+  private val in = ByteStore.open(path)
+  val length: Long = in.length
   private val pages = scala.collection.mutable.LongMap.empty[Array[Byte]]
   private var touched = 0L
   def bytesTouched: Long = touched
@@ -50,8 +54,7 @@ final class PagedFileInput(path: String, val pageSize: Int = 1 << 16) extends H5
     val off = p * pageSize
     val len = math.min(pageSize.toLong, length - off).toInt
     val a = new Array[Byte](len)
-    raf.seek(off)
-    raf.readFully(a)
+    in.readFully(off, a, 0, len)
     touched += len
     a
   })
@@ -72,7 +75,7 @@ final class PagedFileInput(path: String, val pageSize: Int = 1 << 16) extends H5
     out
   }
 
-  override def close(): Unit = raf.close()
+  override def close(): Unit = in.close()
 }
 
 /** Little-endian sequential reader over an [[H5Input]] — the

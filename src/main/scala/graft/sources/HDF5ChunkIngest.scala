@@ -54,16 +54,10 @@ object HDF5ChunkIngest {
       finally in.close()
     }
 
-  /** Resolve a `dir/STAR.h5`-style glob against the local filesystem. */
-  def resolvePaths(pathGlob: String): Seq[String] = {
-    val f = new java.io.File(pathGlob)
-    val (dir, pat) = (f.getParentFile, f.getName)
-    val rx = java.util.regex.Pattern.compile(
-      pat.flatMap { case '*' => ".*"; case '.' => "\\."; case c => c.toString })
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(x => x.isFile && rx.matcher(x.getName).matches())
-      .map(_.getAbsolutePath).sorted.toSeq
-  }
+  /** Resolve a file-or-`dir/STAR.h5`-style glob; scheme'd URIs go
+    * through Hadoop globStatus (see [[ByteStore.resolveGlob]]). */
+  def resolvePaths(pathGlob: String): Seq[String] =
+    ByteStore.resolveGlob(pathGlob)
 
   /** Phase 2 fan-out: (path, dataset, idx, value) rows where `idx` is
     * the global row-major linear element index. One task decodes only
@@ -84,13 +78,11 @@ object HDF5ChunkIngest {
       // the access pattern OS readahead actually helps
       .sortWithinPartitions($"path", $"offset")
       .mapPartitions { it =>
-        var cur: java.io.RandomAccessFile = null
-        var curPath: String = null
-        def fileFor(p: String): java.io.RandomAccessFile = {
-          if (curPath != p) {
+        var cur: ByteStore.ReadAt = null
+        def fileFor(p: String): ByteStore.ReadAt = {
+          if (cur == null || cur.path != p) {
             if (cur != null) cur.close()
-            cur = new java.io.RandomAccessFile(p, "r")
-            curPath = p
+            cur = ByteStore.open(p)
           }
           cur
         }
@@ -99,10 +91,7 @@ object HDF5ChunkIngest {
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => if (cur != null) cur.close()))
         it.flatMap { t =>
-          val raf = fileFor(t.path)
-          val raw = new Array[Byte](t.nbytes.toInt)
-          raf.seek(t.offset)
-          raf.readFully(raw)
+          val raw = fileFor(t.path).readFully(t.offset, t.nbytes.toInt)
           val v = HDF5.H5Var(t.dataset, t.dims, t.chunkDims, t.dtClass,
             t.dtSize, t.bigEndian, t.filters, t.signedInt)
           HDF5.decodeChunk(raw, v, t.origin)

@@ -2,13 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -19,9 +18,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * {{{
   * spark.read.format("graft.sources.Hdf5DataSource")
-  *   .option("path", "/data/store/STAR.h5") // file or glob (STAR = asterisk)
+  *   .option("path", "/data/store/STAR.h5") // file, glob, or s3a://-style URI
   *   .load()                               // (path, dataset, idx, value)
   *   .where($"dataset" === "lwp")          // FILTER PUSHDOWN prunes chunks
+  *   .where($"idx".between(a, b))          // RANGE PUSHDOWN prunes the grid
   *   .select("idx")                        // COLUMN PRUNING skips decode
   * }}}
   *
@@ -32,18 +32,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * region, the access pattern OS readahead helps. `dataset`/`path`
   * equality and IN filters push down into the PLAN phase (pruned chunks
   * are never planned, so `.where(dataset = "lwp")` on a 40-variable
-  * store fans out only lwp's chunks); the filters are also left in the
-  * residual so Spark re-applies them — pruning is an optimization, never
-  * a correctness dependency. Column pruning reaches the byte level: a
-  * projection without `value` ([[HDF5.chunkGlobalIndexes]]) emits grid
-  * indexes straight from the manifest row — chunk payloads are never
-  * read, let alone decompressed, so existence/count scans over a 100 TB
-  * store do metadata-proportional work.
+  * store fans out only lwp's chunks), and `idx` range predicates prune
+  * on each chunk's closed-form [min, max] global-index window (the
+  * spatial-crop access pattern — a bbox slice of a 100 TB store plans
+  * only its chunks); the filters are also left in the residual so Spark
+  * re-applies them — pruning is an optimization, never a correctness
+  * dependency. Column pruning reaches the byte level: a projection
+  * without `value` ([[HDF5.chunkGlobalIndexes]]) emits grid indexes
+  * straight from the manifest row — chunk payloads are never read, let
+  * alone decompressed, so existence/count scans over a 100 TB store do
+  * metadata-proportional work. All byte access (metadata walks AND
+  * chunk reads) goes through [[ByteStore]], so `file://`/`hdfs://`/
+  * `s3a://` URIs mount identically to local paths.
   *
   * Reference analog: convml_data reads granules whole-file via xarray
   * (utils/luigi.py:29-47); this is the consolidated-store shape that
-  * world lacks. Executors open files by path — the [[ZarrSink]] caveat
-  * about cluster-reachable storage applies.
+  * world lacks.
   */
 class Hdf5DataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -72,33 +76,10 @@ class Hdf5Table(path: String, variable: Option[String], partitions: Option[Int])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Hdf5ScanBuilder(path, variable, partitions)
-}
-
-class Hdf5ScanBuilder(path: String, variable: Option[String], partitions: Option[Int])
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
-  private var required: StructType = Hdf5DataSource.schema
-  private var pushed: Array[Filter] = Array.empty
-
-  /** Accept dataset/path equality + IN for plan-phase chunk pruning; ALL
-    * filters stay residual (returned), so Spark re-evaluates them — the
-    * prune can only ever drop chunks the filter provably excludes. */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
-      case EqualTo("dataset" | "path", _: String) => true
-      case In("dataset" | "path", vs) => vs.forall(_.isInstanceOf[String])
-      case _ => false
+    new MountScanBuilder(Hdf5DataSource.schema, Set("dataset", "path"), Some("idx")) {
+      override def build(): Scan =
+        new Hdf5Scan(path, variable, partitions, required, pushed)
     }
-    filters
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def build(): Scan =
-    new Hdf5Scan(path, variable, partitions, required, pushed)
 }
 
 /** One partition = a byte-adjacent run of chunk tasks (already sorted by
@@ -114,24 +95,25 @@ class Hdf5Scan(path: String, variable: Option[String], partitions: Option[Int],
     s"graft-hdf5 scan $path cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
 
-  private def keep(col: String, v: String): Boolean = pushed.forall {
-    case EqualTo(`col`, want: String) => v == want
-    case In(`col`, vs) => vs.contains(v)
-    case _ => true
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
-    val paths = HDF5ChunkIngest.resolvePaths(path).filter(keep("path", _))
+    val range = MountDsv2.idxRange(pushed)
+    val paths = HDF5ChunkIngest.resolvePaths(path)
+      .filter(MountDsv2.keep(pushed, "path", _))
     val tasks = HDF5ChunkIngest.chunkTasks(paths, variable)
-      .filter(t => keep("dataset", t.dataset))
+      .filter(t => MountDsv2.keep(pushed, "dataset", t.dataset))
+      .filter { t =>
+        // chunk-grid prune: the chunk's global indexes span the
+        // row-major box [origin, origin + chunkDims); its [min, max]
+        // bound is closed-form, so an idx range plans only its chunks
+        val (lo, hi) = MountDsv2.boxBounds(t.origin,
+          t.chunkDims.map(_.toLong), t.dims)
+        range.intersects(lo, hi)
+      }
       .sortBy(t => (t.path, t.offset))
     if (tasks.isEmpty) return Array.empty
-    val par = partitions.getOrElse(math.max(1, math.min(tasks.size,
-      SparkSession.active.sparkContext.defaultParallelism)))
-    require(par > 0, s"graft-hdf5: partitions option must be positive, got $par")
-    val n = math.min(par, tasks.size)
-    val sz = (tasks.size + n - 1) / n
-    tasks.grouped(sz).map(Hdf5ChunkPartition(_): InputPartition).toArray
+    val par = MountDsv2.parallelism("graft-hdf5", partitions, tasks.size)
+    MountDsv2.slice(tasks, par)
+      .map(Hdf5ChunkPartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -143,8 +125,7 @@ class Hdf5ReaderFactory(required: StructType) extends PartitionReaderFactory {
     val tasks = partition.asInstanceOf[Hdf5ChunkPartition].tasks
     val needValue = required.fieldNames.contains("value")
     new PartitionReader[InternalRow] {
-      private var raf: java.io.RandomAccessFile = null
-      private var rafPath: String = null
+      private var in: ByteStore.ReadAt = null
       private val rows: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
         val v = HDF5.H5Var(t.dataset, t.dims, t.chunkDims, t.dtClass,
           t.dtSize, t.bigEndian, t.filters, t.signedInt)
@@ -168,14 +149,11 @@ class Hdf5ReaderFactory(required: StructType) extends PartitionReaderFactory {
           // index-only projection: the chunk's bytes are never read
           HDF5.chunkGlobalIndexes(v, t.origin).map(row(_, 0.0))
         } else {
-          if (rafPath != t.path) {
-            if (raf != null) raf.close()
-            raf = new java.io.RandomAccessFile(t.path, "r")
-            rafPath = t.path
+          if (in == null || in.path != t.path) {
+            if (in != null) in.close()
+            in = ByteStore.open(t.path)
           }
-          val raw = new Array[Byte](t.nbytes.toInt)
-          raf.seek(t.offset)
-          raf.readFully(raw)
+          val raw = in.readFully(t.offset, t.nbytes.toInt)
           HDF5.decodeChunk(raw, v, t.origin).map { case (gi, x) => row(gi, x) }
         }
       }
@@ -183,7 +161,7 @@ class Hdf5ReaderFactory(required: StructType) extends PartitionReaderFactory {
       override def next(): Boolean =
         if (rows.hasNext) { cur = rows.next(); true } else false
       override def get(): InternalRow = cur
-      override def close(): Unit = if (raf != null) raf.close()
+      override def close(): Unit = if (in != null) in.close()
     }
   }
 }

@@ -29,17 +29,16 @@ object NetCDF3ChunkIngest {
   /** Header-only parse: read a growing prefix until the header parses
     * (the classic header is self-delimiting; data begins after it). */
   def headerOf(path: String): NetCDF3.Header = {
-    val f = new java.io.RandomAccessFile(path, "r")
+    val f = ByteStore.open(path)
     try {
       var n = 8192
       while (true) {
-        val take = math.min(n.toLong, f.length()).toInt
-        val buf = new Array[Byte](take)
-        f.seek(0); f.readFully(buf)
+        val take = math.min(n.toLong, f.length).toInt
+        val buf = f.readFully(0L, take)
         try return NetCDF3.readHeader(buf)
         catch {
           case _: java.nio.BufferUnderflowException | _: IndexOutOfBoundsException
-              if take < f.length() => n *= 4
+              if take < f.length => n *= 4
         }
       }
       sys.error("unreachable")
@@ -87,13 +86,11 @@ object NetCDF3ChunkIngest {
       .repartitionByRange(par, $"path", $"recStart")
       .sortWithinPartitions($"path", $"recStart")
       .mapPartitions { it =>
-        var cur: java.io.RandomAccessFile = null
-        var curPath: String = null
-        def fileFor(p: String): java.io.RandomAccessFile = {
-          if (curPath != p) {
+        var cur: ByteStore.ReadAt = null
+        def fileFor(p: String): ByteStore.ReadAt = {
+          if (cur == null || cur.path != p) {
             if (cur != null) cur.close()
-            cur = new java.io.RandomAccessFile(p, "r")
-            curPath = p
+            cur = ByteStore.open(p)
           }
           cur
         }
@@ -104,9 +101,7 @@ object NetCDF3ChunkIngest {
           val elemSize = NetCDF3.typeSize(t.ncType)
           (0 until t.nRecs).iterator.flatMap { r =>
             val rec = t.recStart + r
-            val raw = new Array[Byte](t.perRec * elemSize)
-            raf.seek(t.begin + rec * t.stride)
-            raf.readFully(raw)
+            val raw = raf.readFully(t.begin + rec * t.stride, t.perRec * elemSize)
             val vals = NetCDF3.decodeSlab(raw, t.ncType, t.perRec)
             (0 until t.perRec).iterator.map { i =>
               (t.path, t.dataset, rec.toLong * t.perRec + i, vals(i))

@@ -2,13 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -19,9 +18,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * {{{
   * spark.read.format("graft.sources.NetCDF3DataSource")
-  *   .option("path", "/data/store/STAR.nc")  // file or glob
+  *   .option("path", "/data/store/STAR.nc")  // file, glob, or s3a://-style URI
   *   .load()                                 // (path, dataset, idx, value)
   *   .where($"dataset" === "flux")           // FILTER PUSHDOWN prunes tasks
+  *   .where($"idx" < upTo)                   // RANGE PUSHDOWN prunes records
   *   .select("idx")                          // COLUMN PRUNING: no payload reads
   * }}}
   *
@@ -31,9 +31,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * v.begin + r * recordStride), sliced into (path, offset)-monotone
   * InputPartitions — no exchange anywhere in scan->filter->project.
   * `dataset`/`path` equality + IN filters push into the PLAN phase
-  * (pruned variables' tasks are never planned) and stay residual.
-  * Projections without `value` emit indexes straight from the task
-  * arithmetic — no payload byte is ever read.
+  * (pruned variables' tasks are never planned), `idx` ranges prune
+  * record batches on their EXACT contiguous index window
+  * [recStart*perRec, (recStart+nRecs)*perRec), and every filter stays
+  * residual. Projections without `value` emit indexes straight from the
+  * task arithmetic — no payload byte is ever read. Byte access goes
+  * through [[ByteStore]]: `file://`/`hdfs://`/`s3a://` URIs mount
+  * identically to local paths.
   *
   * Reference analog: convml_data reads LES/ERA5 granules whole-file
   * via xarray (utils/luigi.py:29-47; pipeline/scene_sources.py
@@ -68,33 +72,10 @@ class NetCDF3Table(path: String, variable: Option[String], partitions: Option[In
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NetCDF3ScanBuilder(path, variable, partitions, targetBytes)
-}
-
-class NetCDF3ScanBuilder(path: String, variable: Option[String],
-    partitions: Option[Int], targetBytes: Long)
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
-  private var required: StructType = NetCDF3DataSource.schema
-  private var pushed: Array[Filter] = Array.empty
-
-  /** Accept dataset/path equality + IN for plan-phase task pruning; ALL
-    * filters stay residual (returned), so Spark re-evaluates them. */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
-      case EqualTo("dataset" | "path", _: String) => true
-      case In("dataset" | "path", vs) => vs.forall(_.isInstanceOf[String])
-      case _ => false
+    new MountScanBuilder(NetCDF3DataSource.schema, Set("dataset", "path"), Some("idx")) {
+      override def build(): Scan =
+        new NetCDF3Scan(path, variable, partitions, targetBytes, required, pushed)
     }
-    filters
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def build(): Scan =
-    new NetCDF3Scan(path, variable, partitions, targetBytes, required, pushed)
 }
 
 /** One partition = a (path, byte-offset)-monotone run of record tasks. */
@@ -110,27 +91,24 @@ class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int
     s"graft-netcdf3 scan $path cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
 
-  private def keep(col: String, v: String): Boolean = pushed.forall {
-    case EqualTo(`col`, want: String) => v == want
-    case In(`col`, vs) => vs.contains(v)
-    case _ => true
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
-    val paths = HDF5ChunkIngest.resolvePaths(path).filter(keep("path", _))
+    val range = MountDsv2.idxRange(pushed)
+    val paths = HDF5ChunkIngest.resolvePaths(path)
+      .filter(MountDsv2.keep(pushed, "path", _))
     val tasks = paths.flatMap { p =>
       val h = NetCDF3ChunkIngest.headerOf(p)
       h.vars.map(_.name)
-        .filter(v => variable.forall(_ == v) && keep("dataset", v))
+        .filter(v => variable.forall(_ == v) && MountDsv2.keep(pushed, "dataset", v))
         .flatMap(v => NetCDF3ChunkIngest.recordTasks(Seq(p), v, targetBytes))
+    }.filter { t =>
+      // record batches cover EXACTLY [recStart*perRec, +nRecs*perRec)
+      range.intersects(t.recStart.toLong * t.perRec,
+        (t.recStart.toLong + t.nRecs) * t.perRec - 1)
     }.sortBy(t => (t.path, t.begin, t.recStart))
     if (tasks.isEmpty) return Array.empty
-    val par = partitions.getOrElse(math.max(1, math.min(tasks.size,
-      SparkSession.active.sparkContext.defaultParallelism)))
-    require(par > 0, s"graft-netcdf3: partitions option must be positive, got $par")
-    val n = math.min(par, tasks.size)
-    val sz = (tasks.size + n - 1) / n
-    tasks.grouped(sz).map(NetCDF3RecPartition(_): InputPartition).toArray
+    val par = MountDsv2.parallelism("graft-netcdf3", partitions, tasks.size)
+    MountDsv2.slice(tasks, par)
+      .map(NetCDF3RecPartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -142,8 +120,7 @@ class NetCDF3ReaderFactory(required: StructType) extends PartitionReaderFactory 
     val tasks = partition.asInstanceOf[NetCDF3RecPartition].tasks
     val needValue = required.fieldNames.contains("value")
     new PartitionReader[InternalRow] {
-      private var raf: java.io.RandomAccessFile = null
-      private var rafPath: String = null
+      private var in: ByteStore.ReadAt = null
       private val rows: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
         val pathU = UTF8String.fromString(t.path)
         val dsU = UTF8String.fromString(t.dataset)
@@ -170,17 +147,14 @@ class NetCDF3ReaderFactory(required: StructType) extends PartitionReaderFactory 
               row(rec.toLong * t.perRec + i, 0.0))
           }
         } else {
-          if (rafPath != t.path) {
-            if (raf != null) raf.close()
-            raf = new java.io.RandomAccessFile(t.path, "r")
-            rafPath = t.path
+          if (in == null || in.path != t.path) {
+            if (in != null) in.close()
+            in = ByteStore.open(t.path)
           }
           val elemSize = NetCDF3.typeSize(t.ncType)
           (0 until t.nRecs).iterator.flatMap { r =>
             val rec = t.recStart + r
-            val raw = new Array[Byte](t.perRec * elemSize)
-            raf.seek(t.begin + rec * t.stride)
-            raf.readFully(raw)
+            val raw = in.readFully(t.begin + rec * t.stride, t.perRec * elemSize)
             val vals = NetCDF3.decodeSlab(raw, t.ncType, t.perRec)
             (0 until t.perRec).iterator.map(i =>
               row(rec.toLong * t.perRec + i, vals(i)))
@@ -191,7 +165,7 @@ class NetCDF3ReaderFactory(required: StructType) extends PartitionReaderFactory 
       override def next(): Boolean =
         if (rows.hasNext) { cur = rows.next(); true } else false
       override def get(): InternalRow = cur
-      override def close(): Unit = if (raf != null) raf.close()
+      override def close(): Unit = if (in != null) in.close()
     }
   }
 }

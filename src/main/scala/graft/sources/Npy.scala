@@ -48,20 +48,18 @@ object Npy {
   final case class Meta(descr: String, shape: Seq[Long], dataOffset: Long)
 
   /** Parse magic + header; loud-reject anything outside the supported
-    * surface. */
-  def readMeta(raf: RandomAccessFile): Meta = {
-    val m = new Array[Byte](6)
-    raf.seek(0); raf.readFully(m)
-    require(m.sameElements(Magic), "npy: bad magic")
-    val ver = new Array[Byte](2)
-    raf.readFully(ver)
-    require(ver(0) == 1 && ver(1) == 0, s"npy: unsupported version ${ver(0)}.${ver(1)}")
-    val lenB = new Array[Byte](2)
-    raf.readFully(lenB)
-    val hlen = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xFFFF
-    val hb = new Array[Byte](hlen)
-    raf.readFully(hb)
-    val h = new String(hb, StandardCharsets.US_ASCII)
+    * surface. Positioned reads through the [[ByteStore]] seam so URI
+    * stores (file://, s3a://) mount identically. */
+  def readMeta(in: ByteStore.ReadAt): Meta = {
+    require(in.length >= 10, s"npy: ${in.length}-byte file shorter than a header")
+    val head = in.readFully(0L, 10)
+    require(head.take(6).sameElements(Magic), "npy: bad magic")
+    require(head(6) == 1 && head(7) == 0,
+      s"npy: unsupported version ${head(6)}.${head(7)}")
+    val hlen = ByteBuffer.wrap(head, 8, 2).order(ByteOrder.LITTLE_ENDIAN)
+      .getShort & 0xFFFF
+    require(10L + hlen <= in.length, s"npy: $hlen-byte header past EOF")
+    val h = new String(in.readFully(10L, hlen), StandardCharsets.US_ASCII)
     val descr = "'descr':\\s*'([^']+)'".r.findFirstMatchIn(h)
       .map(_.group(1)).getOrElse(sys.error("npy: no descr"))
     require(Set("<f4", "<f8", "<i8")(descr), s"npy: unsupported descr $descr")
@@ -118,10 +116,9 @@ object Npy {
   /** Read every shard pair in `dir`: (vec_id long, embedding array<float>),
     * per-file parallel. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val d = new java.io.File(dir)
-    val stems = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".ids.npy"))
-      .map(_.getAbsolutePath.stripSuffix(".ids.npy")).sorted.toSeq
+    val stems = ByteStore.list(dir)
+      .filter(e => !e.isDir && e.name.endsWith(".ids.npy"))
+      .map(_.path.stripSuffix(".ids.npy")).sorted
     require(stems.nonEmpty, s"no .ids.npy shards in $dir")
     import spark.implicits._
     spark.createDataset(stems).flatMap { stem =>
@@ -143,14 +140,12 @@ object Npy {
   }
 
   private def readAll(path: String): (Meta, Array[Byte]) = {
-    val raf = new RandomAccessFile(path, "r")
+    val in = ByteStore.open(path)
     try {
-      val m = readMeta(raf)
-      val n = (raf.length() - m.dataOffset).toInt
-      val b = new Array[Byte](n)
-      raf.seek(m.dataOffset); raf.readFully(b)
+      val m = readMeta(in)
+      val b = in.readFully(m.dataOffset, (in.length - m.dataOffset).toInt)
       (m, b)
-    } finally raf.close()
+    } finally in.close()
   }
 
   /** Chunk-parallel read of ONE consolidated 2-D `<f4` array: row
@@ -160,32 +155,34 @@ object Npy {
   def readRows(spark: SparkSession, path: String,
       rowsPerTask: Int = 4096): DataFrame = {
     val meta = {
-      val raf = new RandomAccessFile(path, "r")
-      try readMeta(raf) finally raf.close()
+      val in = ByteStore.open(path)
+      try readMeta(in) finally in.close()
     }
     require(meta.descr == "<f4" && meta.shape.size == 2,
       s"readRows expects a 2-D <f4 array, got ${meta.descr} ${meta.shape}")
     val nRows = meta.shape.head
     val dim = meta.shape(1).toInt
+    require(dim > 0, s"npy: $path has a zero-width row")
     val off0 = meta.dataOffset
-    val ranges = (0L until nRows by rowsPerTask.toLong)
-      .map(s => (s, math.min(s + rowsPerTask, nRows)))
+    // clamp so a task's byte count (rows * dim * 4) always fits one Int
+    // buffer — wide matrices would overflow the default 4096-row grain
+    val maxRows = math.max(1L, (Int.MaxValue.toLong - 8) / (dim.toLong * 4))
+    val step = math.min(rowsPerTask.toLong, maxRows)
+    val ranges = (0L until nRows by step)
+      .map(s => (s, math.min(s + step, nRows)))
     import spark.implicits._
     spark.createDataset(ranges)
       .repartitionByRange(math.max(1, math.min(ranges.size, 64)), col("_1"))
       .flatMap { case (rs, re) =>
-        val raf = new RandomAccessFile(path, "r")
+        val in = ByteStore.open(path)
         try {
-          val n = ((re - rs) * dim * 4).toInt
-          val b = new Array[Byte](n)
-          raf.seek(off0 + rs * dim * 4)
-          raf.readFully(b)
+          val b = in.readFully(off0 + rs * dim * 4, ((re - rs) * dim * 4).toInt)
           val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
           (rs until re).map { r =>
             val base = ((r - rs) * dim).toInt
             (r, Array.tabulate(dim)(j => bb.getFloat((base + j) * 4)))
           }
-        } finally raf.close()
+        } finally in.close()
       }.toDF("row", "embedding")
   }
 }

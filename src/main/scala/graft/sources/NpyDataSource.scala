@@ -2,14 +2,13 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -20,8 +19,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * {{{
   * spark.read.format("graft.sources.NpyDataSource")
-  *   .option("path", "/data/emb/STAR.npy")   // file or glob
+  *   .option("path", "/data/emb/STAR.npy")   // file, glob, or s3a://-style URI
   *   .load()                                 // (path, row, embedding)
+  *   .where($"row" < n)                      // RANGE PUSHDOWN prunes row ranges
   *   .select("row")                          // COLUMN PRUNING: no payload reads
   * }}}
   *
@@ -29,10 +29,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * offset(row) = dataOffset + row * dim * 4, so the driver reads ONE
   * 64-byte-aligned header per file and slices closed-form row ranges
   * into InputPartitions — zero exchanges in scan->filter->project, no
-  * metadata walk at all. `path` equality + IN filters push into the
-  * PLAN phase (pruned files' headers are never read) and stay
+  * metadata walk at all. `path` equality + IN filters and `row` range
+  * predicates push into the PLAN phase (pruned files' headers are never
+  * read; out-of-range row batches are never planned) and stay
   * residual. Projections without `embedding` emit row indexes from the
-  * range arithmetic — payload bytes are never read.
+  * range arithmetic — payload bytes are never read. Byte access goes
+  * through [[ByteStore]] (`file://`/`hdfs://`/`s3a://` URIs mount
+  * identically). Rows-per-task is clamped so a task's byte count always
+  * fits one buffer, whatever the matrix width.
   *
   * Non-`<f4`/non-2-D/fortran/big-endian arrays reject loudly at plan
   * time, same as [[Npy.readRows]].
@@ -63,29 +67,9 @@ class NpyTable(path: String, rowsPerTask: Int) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NpyScanBuilder(path, rowsPerTask)
-}
-
-class NpyScanBuilder(path: String, rowsPerTask: Int)
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
-  private var required: StructType = NpyDataSource.schema
-  private var pushed: Array[Filter] = Array.empty
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
-      case EqualTo("path", _: String) => true
-      case In("path", vs) => vs.forall(_.isInstanceOf[String])
-      case _ => false
+    new MountScanBuilder(NpyDataSource.schema, Set("path"), Some("row")) {
+      override def build(): Scan = new NpyScan(path, rowsPerTask, required, pushed)
     }
-    filters
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def build(): Scan = new NpyScan(path, rowsPerTask, required, pushed)
 }
 
 /** One partition = contiguous row ranges of one file. */
@@ -100,17 +84,13 @@ class NpyScan(path: String, rowsPerTask: Int, required: StructType,
     s"graft-npy scan $path cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
 
-  private def keep(v: String): Boolean = pushed.forall {
-    case EqualTo("path", want: String) => v == want
-    case In("path", vs) => vs.contains(v)
-    case _ => true
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
-    val paths = HDF5ChunkIngest.resolvePaths(path).filter(keep)
+    val range = MountDsv2.idxRange(pushed, col = "row")
+    val paths = HDF5ChunkIngest.resolvePaths(path)
+      .filter(MountDsv2.keep(pushed, "path", _))
     paths.flatMap { p =>
-      val raf = new java.io.RandomAccessFile(p, "r")
-      val meta = try Npy.readMeta(raf) finally raf.close()
+      val in = ByteStore.open(p)
+      val meta = try Npy.readMeta(in) finally in.close()
       require(meta.descr == "<f4" && meta.shape.size == 2,
         s"graft-npy: $p is not a 2-D <f4 array (${meta.descr} ${meta.shape})")
       val nRows = meta.shape.head
@@ -121,9 +101,13 @@ class NpyScan(path: String, rowsPerTask: Int, required: StructType,
       // the default 4096 rows) would otherwise overflow the byte count
       val maxRows = math.max(1L, (Int.MaxValue.toLong - 8) / (dim.toLong * 4))
       val step = math.min(rowsPerTask.toLong, maxRows)
-      (0L until nRows by step).map(s =>
-        NpyRowPartition(p, dim, meta.dataOffset, s,
-          math.min(s + step, nRows)): InputPartition)
+      (0L until nRows by step)
+        .map(s => (s, math.min(s + step, nRows)))
+        // row ranges ARE the idx windows — exact prune, filter residual
+        .filter { case (s, e) => range.intersects(s, e - 1) }
+        .map { case (s, e) =>
+          NpyRowPartition(p, dim, meta.dataOffset, s, e): InputPartition
+        }
     }.toArray
   }
 
@@ -155,7 +139,7 @@ class NpyReaderFactory(required: StructType) extends PartitionReaderFactory {
           // index-only projection: pure range arithmetic, no file I/O
           (t.rowStart until t.rowEnd).iterator.map(row(_, null))
         else {
-          val raf = new java.io.RandomAccessFile(t.path, "r")
+          val in = ByteStore.open(t.path)
           try {
             // plan time clamps the range so this always fits an Int;
             // keep the loud guard in case a partition was hand-built
@@ -163,10 +147,7 @@ class NpyReaderFactory(required: StructType) extends PartitionReaderFactory {
             require(nL > 0 && nL <= Int.MaxValue - 8,
               s"graft-npy: task byte count $nL exceeds one buffer " +
                 s"(rows ${t.rowStart}..${t.rowEnd}, dim ${t.dim})")
-            val n = nL.toInt
-            val b = new Array[Byte](n)
-            raf.seek(t.dataOffset + t.rowStart * t.dim * 4)
-            raf.readFully(b)
+            val b = in.readFully(t.dataOffset + t.rowStart * t.dim * 4, nL.toInt)
             val bb = java.nio.ByteBuffer.wrap(b)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             (t.rowStart until t.rowEnd).iterator.map { r =>
@@ -174,7 +155,7 @@ class NpyReaderFactory(required: StructType) extends PartitionReaderFactory {
               row(r, new GenericArrayData(
                 Array.tabulate(t.dim)(j => bb.getFloat((base + j) * 4))))
             }.toIndexedSeq.iterator
-          } finally raf.close()
+          } finally in.close()
         }
       private var cur: InternalRow = _
       override def next(): Boolean =

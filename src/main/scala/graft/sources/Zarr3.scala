@@ -331,29 +331,28 @@ object Zarr3 {
     * or head): (offset, nbytes) per inner chunk, absent = (-1, -1).
     * This is the KB-sized metadata phase of the shard-inner-parallel
     * ingest — the shard body is never touched here. */
-  private[sources] def readShardIndex(f: java.io.File, meta: Meta,
+  private[sources] def readShardIndex(path: String, meta: Meta,
       sh: Sharding): IndexedSeq[(Long, Long)] = {
     val gridDims = meta.chunks.zip(sh.innerChunks).map { case (o, i) => o / i }
     val nInner = gridDims.product
     val indexLen = nInner * 16 + (if (sh.indexCrc) 4 else 0)
-    val raf = new java.io.RandomAccessFile(f, "r")
+    val in = ByteStore.open(path)
     try {
-      if (raf.length() < indexLen)
-        fail(s"shard ${f.getName} (${raf.length()} B) shorter than its $indexLen-byte index")
-      val idx = new Array[Byte](indexLen)
-      raf.seek(if (sh.indexAtEnd) raf.length() - indexLen else 0L)
-      raf.readFully(idx)
+      if (in.length < indexLen)
+        fail(s"shard $path (${in.length} B) shorter than its $indexLen-byte index")
+      val idx = in.readFully(if (sh.indexAtEnd) in.length - indexLen else 0L,
+        indexLen)
       if (sh.indexCrc) {
         val crc = new java.util.zip.CRC32C()
         crc.update(idx, 0, nInner * 16)
         val stored = java.nio.ByteBuffer.wrap(idx, nInner * 16, 4)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xffffffffL
         if (crc.getValue != stored)
-          fail(f"shard ${f.getName} index crc32c mismatch (stored 0x$stored%08x)")
+          fail(f"shard $path index crc32c mismatch (stored 0x$stored%08x)")
       }
       val bb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       IndexedSeq.tabulate(nInner)(g => (bb.getLong(g * 16), bb.getLong(g * 16 + 8)))
-    } finally raf.close()
+    } finally in.close()
   }
 
   /** Chunk file name under the array dir for chunk index `ci`. */

@@ -12,15 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * grid IS zarr's designed unit of parallelism; this operator simply
   * hands it to Spark.
   *
+  * All byte access (metadata, chunk files, shard index tails) goes
+  * through the [[ByteStore]] seam, so a store addressed by
+  * `file://`/`hdfs://`/`s3a://` URI reads identically to a local path —
+  * zarr-over-object-store being the format's native habitat.
+  *
   * Output matches the other ingests: (path, dataset, idx, value) with
   * idx the global row-major linear element index. Absent chunks emit
   * their fill_value elements (a dense raster contract, same as the
-  * whole-array readers).
+  * whole-array readers). Dataset names may be group paths
+  * (`grp/sub/arr`) — chunk keys resolve under the array's directory.
   */
 object ZarrChunkIngest {
 
-  /** One chunk task: store path, array name, zarr version, and the
-    * chunk's grid index (flattened for the Dataset encoder). */
+  /** One chunk task: store path, array name (possibly a group path),
+    * zarr version, and the chunk's grid index. */
   final case class ChunkTask(store: String, dataset: String, version: Int,
       ci: Seq[Int])
 
@@ -28,15 +34,13 @@ object ZarrChunkIngest {
     throw new IllegalArgumentException(s"zarr chunk ingest: $msg")
 
   /** Detect version + parse metadata for `store/name`. */
-  private[sources] def metaOf(store: java.io.File, name: String): Either[Zarr.ArrayMeta, Zarr3.Meta] = {
-    val d = new java.io.File(store, name)
-    val v2 = new java.io.File(d, ".zarray")
-    val v3 = new java.io.File(d, "zarr.json")
-    if (v3.exists())
-      Right(Zarr3.parseMeta(java.nio.file.Files.readString(v3.toPath)))
-    else if (v2.exists())
-      Left(Zarr.parseMeta(java.nio.file.Files.readString(v2.toPath)))
-    else fail(s"no .zarray or zarr.json under ${d.getPath}")
+  private[sources] def metaOf(store: String, name: String): Either[Zarr.ArrayMeta, Zarr3.Meta] = {
+    val d = ByteStore.join(store, name)
+    val v2 = ByteStore.join(d, ".zarray")
+    val v3 = ByteStore.join(d, "zarr.json")
+    if (ByteStore.exists(v3)) Right(Zarr3.parseMeta(ByteStore.readString(v3)))
+    else if (ByteStore.exists(v2)) Left(Zarr.parseMeta(ByteStore.readString(v2)))
+    else fail(s"no .zarray or zarr.json under $d")
   }
 
   private def gridOf(shape: Seq[Int], chunks: Seq[Int]): Seq[Seq[Int]] = {
@@ -48,11 +52,20 @@ object ZarrChunkIngest {
   }
 
   /** Phase 1: the chunk-task list — a metadata-only driver step. */
-  def chunkTasks(store: String, name: String): Seq[ChunkTask] = {
-    val f = new java.io.File(store)
-    metaOf(f, name) match {
+  def chunkTasks(store: String, name: String): Seq[ChunkTask] =
+    metaOf(store, name) match {
       case Left(m) => gridOf(m.shape, m.chunks).map(ci => ChunkTask(store, name, 2, ci))
       case Right(m) => gridOf(m.shape, m.chunks).map(ci => ChunkTask(store, name, 3, ci))
+    }
+
+  /** The chunk file's path for task `t` (v2 dotted keys, v3 nested
+    * `c/…` keys — both join under the array directory). */
+  private def chunkPath(t: ChunkTask, meta: Either[Zarr.ArrayMeta, Zarr3.Meta]): String = {
+    val d = ByteStore.join(t.store, t.dataset)
+    meta match {
+      case Left(_) => ByteStore.join(d, t.ci.mkString("."))
+      case Right(m) => Zarr3.chunkKey(m, t.ci).split('/')
+        .foldLeft(d)(ByteStore.join)
     }
   }
 
@@ -61,23 +74,16 @@ object ZarrChunkIngest {
     * ingest below and the [[ZarrDataSource]] DSv2 reader. */
   private[sources] def chunkElems(t: ChunkTask,
       meta: Either[Zarr.ArrayMeta, Zarr3.Meta]): Iterator[(Long, Double)] = {
-    val d = new java.io.File(new java.io.File(t.store), t.dataset)
     val (shape, chunks, fill) = meta match {
       case Left(m) => (m.shape, m.chunks, m.fill)
       case Right(m) => (m.shape, m.chunks, m.fill)
     }
-    val chunkFile = meta match {
-      case Left(_) => new java.io.File(d, t.ci.mkString("."))
-      case Right(m) => Zarr3.chunkKey(m, t.ci).split('/')
-        .foldLeft(d)((acc, p) => new java.io.File(acc, p))
-    }
+    val chunkFile = chunkPath(t, meta)
     val decoded: Option[Array[Double]] =
-      if (!chunkFile.exists()) None
+      if (!ByteStore.exists(chunkFile)) None
       else Some(meta match {
-        case Left(m) => Zarr.decodeChunkBytes(
-          java.nio.file.Files.readAllBytes(chunkFile.toPath), m)
-        case Right(m) => Zarr3.decodeChunkBytes(
-          java.nio.file.Files.readAllBytes(chunkFile.toPath), m)
+        case Left(m) => Zarr.decodeChunkBytes(ByteStore.readAllBytes(chunkFile), m)
+        case Right(m) => Zarr3.decodeChunkBytes(ByteStore.readAllBytes(chunkFile), m)
       })
     chunkIndexValues(shape, chunks, t.ci).map { case (g, k) =>
       (g, decoded.map(_(k)).getOrElse(fill))
@@ -94,6 +100,19 @@ object ZarrChunkIngest {
       case Right(m) => (m.shape, m.chunks)
     }
     chunkIndexValues(shape, chunks, t.ci).map(_._1)
+  }
+
+  /** Inclusive [min, max] global-linear-index bounds of one chunk task
+    * (closed-form — used by the mount's idx-range prune). */
+  private[sources] def chunkIdxBounds(t: ChunkTask,
+      meta: Either[Zarr.ArrayMeta, Zarr3.Meta]): (Long, Long) = {
+    val (shape, chunks) = meta match {
+      case Left(m) => (m.shape, m.chunks)
+      case Right(m) => (m.shape, m.chunks)
+    }
+    MountDsv2.boxBounds(
+      t.ci.zip(chunks).map { case (c, w) => c.toLong * w },
+      chunks.map(_.toLong), shape.map(_.toLong))
   }
 
   /** In-bounds (global linear index, within-chunk index) pairs of one
@@ -116,8 +135,8 @@ object ZarrChunkIngest {
   }
 
   /** Phase 2 fan-out: decode each chunk independently. The per-task
-    * metadata re-parse is a KB-sized local file read (zarr has no
-    * shared file handle to manage — every chunk is its own file). */
+    * metadata re-parse is a KB-sized read (zarr has no shared file
+    * handle to manage — every chunk is its own file). */
   def readValues(spark: SparkSession, store: String, name: String,
       partitions: Int = 0): DataFrame = {
     import spark.implicits._
@@ -132,7 +151,7 @@ object ZarrChunkIngest {
         it.flatMap { t =>
           val key = (t.store, t.dataset)
           if (cached == null || cached._1 != key)
-            cached = (key, metaOf(new java.io.File(t.store), t.dataset))
+            cached = (key, metaOf(t.store, t.dataset))
           chunkElems(t, cached._2).map { case (g, v) => (t.store, t.dataset, g, v) }
         }
       }
@@ -146,6 +165,11 @@ object ZarrChunkIngest {
   final case class InnerTask(store: String, dataset: String, ci: Seq[Int],
       gi: Seq[Int], offset: Long, length: Long)
 
+  private def shardPath(store: String, dataset: String, meta: Zarr3.Meta,
+      ci: Seq[Int]): String =
+    Zarr3.chunkKey(meta, ci).split('/')
+      .foldLeft(ByteStore.join(store, dataset))(ByteStore.join)
+
   /** Phase 1 for SHARDED v3 arrays: read only each shard's
     * (offset, nbytes) index tail — KBs per shard regardless of shard
     * size, crc32c-verified — and enumerate one task per INNER chunk.
@@ -154,19 +178,16 @@ object ZarrChunkIngest {
     * and phase 2 reads only each task's byte window, never a whole
     * shard. */
   def shardInnerTasks(store: String, name: String): Seq[InnerTask] = {
-    val f = new java.io.File(store)
-    val meta = metaOf(f, name) match {
+    val meta = metaOf(store, name) match {
       case Right(m) if m.sharding.isDefined => m
       case Right(_) => fail(s"$store/$name is not sharded — use chunkTasks")
       case Left(_) => fail(s"$store/$name is zarr v2 — sharding is v3-only")
     }
     val sh = meta.sharding.get
-    val d = new java.io.File(f, name)
     val innerGrid = gridOf(meta.chunks, sh.innerChunks)
     gridOf(meta.shape, meta.chunks).flatMap { ci =>
-      val shardFile = Zarr3.chunkKey(meta, ci).split('/')
-        .foldLeft(d)((acc, p) => new java.io.File(acc, p))
-      if (!shardFile.exists())
+      val shardFile = shardPath(store, name, meta, ci)
+      if (!ByteStore.exists(shardFile))
         innerGrid.map(gi => InnerTask(store, name, ci, gi, -1L, -1L))
       else {
         val index = Zarr3.readShardIndex(shardFile, meta, sh)
@@ -183,22 +204,19 @@ object ZarrChunkIngest {
     * + inner-pipeline decode; absent inner chunks emit fill. Shared by
     * the RDD ingest below and the [[ZarrDataSource]] DSv2 reader. */
   private[sources] def innerElems(t: InnerTask, meta: Zarr3.Meta,
-      handleFor: java.io.File => java.io.RandomAccessFile): Iterator[(Long, Double)] = {
+      handleFor: String => ByteStore.ReadAt): Iterator[(Long, Double)] = {
     val sh = meta.sharding.getOrElse(fail("meta lost its sharding"))
-    val d = new java.io.File(new java.io.File(t.store), t.dataset)
     val missing = t.offset == -1L && t.length == -1L
     val vals: Option[Array[Double]] =
       if (missing) None
       else {
-        val shardFile = Zarr3.chunkKey(meta, t.ci).split('/')
-          .foldLeft(d)((acc, p) => new java.io.File(acc, p))
+        val shardFile = shardPath(t.store, t.dataset, meta, t.ci)
         val h = handleFor(shardFile)
         // subtraction form: offset + length can wrap past Long.MaxValue
         require(t.offset >= 0 && t.length >= 0 &&
-          t.offset <= h.length() && t.length <= h.length() - t.offset,
-          s"inner window (${t.offset}, ${t.length}) outside ${shardFile.getName}")
-        val raw = new Array[Byte](t.length.toInt)
-        h.seek(t.offset); h.readFully(raw)
+          t.offset <= h.length && t.length <= h.length - t.offset,
+          s"inner window (${t.offset}, ${t.length}) outside $shardFile")
+        val raw = h.readFully(t.offset, t.length.toInt)
         Some(Zarr3.decodeInnerChunk(raw, meta, sh))
       }
     innerIndexValues(meta, t.ci, t.gi).map { case (g, k) =>
@@ -209,6 +227,17 @@ object ZarrChunkIngest {
   /** Index-only walk of one inner-chunk task: no shard bytes read. */
   private[sources] def innerIndexes(t: InnerTask, meta: Zarr3.Meta): Iterator[Long] =
     innerIndexValues(meta, t.ci, t.gi).map(_._1)
+
+  /** Inclusive [min, max] global-linear-index bounds of one inner-chunk
+    * task (closed-form — used by the mount's idx-range prune). */
+  private[sources] def innerIdxBounds(t: InnerTask, meta: Zarr3.Meta): (Long, Long) = {
+    val inner = meta.sharding.getOrElse(fail("meta lost its sharding")).innerChunks
+    MountDsv2.boxBounds(
+      t.ci.zip(meta.chunks).zip(t.gi.zip(inner)).map {
+        case ((c, w), (g, iw)) => c.toLong * w + g.toLong * iw
+      },
+      inner.map(_.toLong), meta.shape.map(_.toLong))
+  }
 
   private def innerIndexValues(meta: Zarr3.Meta, ci: Seq[Int],
       gi: Seq[Int]): Iterator[(Long, Int)] = {
@@ -243,21 +272,20 @@ object ZarrChunkIngest {
       .repartition(par)
       .mapPartitions { it =>
         var cachedMeta: ((String, String), Zarr3.Meta) = null
-        var raf: java.io.RandomAccessFile = null
-        var rafPath: String = null
-        def handleFor(p: java.io.File): java.io.RandomAccessFile = {
+        var in: ByteStore.ReadAt = null
+        def handleFor(p: String): ByteStore.ReadAt = {
           // one handle per shard file per partition (HDF5ChunkIngest's
           // handle-reuse discipline)
-          if (raf == null || rafPath != p.getPath) {
-            if (raf != null) raf.close()
-            raf = new java.io.RandomAccessFile(p, "r"); rafPath = p.getPath
+          if (in == null || in.path != p) {
+            if (in != null) in.close()
+            in = ByteStore.open(p)
           }
-          raf
+          in
         }
         val out = it.flatMap { t =>
           if (cachedMeta == null || cachedMeta._1 != ((t.store, t.dataset)))
             cachedMeta = ((t.store, t.dataset),
-              metaOf(new java.io.File(t.store), t.dataset) match {
+              metaOf(t.store, t.dataset) match {
                 case Right(m) => m
                 case Left(_) => fail("v2 store in shard-inner read")
               })
@@ -268,7 +296,7 @@ object ZarrChunkIngest {
         new Iterator[(String, String, Long, Double)] {
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h && raf != null) { raf.close(); raf = null }
+            if (!h && in != null) { in.close(); in = null }
             h
           }
           def next(): (String, String, Long, Double) = out.next()

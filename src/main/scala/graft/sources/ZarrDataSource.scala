@@ -2,13 +2,12 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -19,9 +18,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * {{{
   * spark.read.format("graft.sources.ZarrDataSource")
-  *   .option("path", "/data/scenes")        // a store dir, or a dir of STAR.zarr stores
+  *   .option("path", "/data/scenes")        // a store, a dir of stores, or a URI
   *   .load()                                // (path, dataset, idx, value)
-  *   .where($"dataset" === "lwp")           // FILTER PUSHDOWN prunes chunks
+  *   .where($"dataset" === "grp/lwp")       // FILTER PUSHDOWN prunes chunks
+  *   .where($"idx".between(a, b))           // RANGE PUSHDOWN prunes the grid
   *   .select("idx")                         // COLUMN PRUNING: chunk bytes never read
   * }}}
   *
@@ -30,20 +30,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * crc32c-verified (offset, nbytes) index tail — then slices the task
   * list into InputPartitions, so the scan→filter→project plan carries
   * NO exchange. `dataset`/`path` equality and IN filters push into the
-  * PLAN phase (pruned arrays' chunks are never planned) and stay
-  * residual, so pruning is an optimization, never a correctness
-  * dependency. Column pruning reaches the byte level: a projection
-  * without `value` walks the closed-form grid (`chunkIndexes`/
-  * `innerIndexes`) — chunk files are never opened, so existence/count
-  * scans over a 100 TB store do metadata-proportional work (proven in
-  * ZarrDataSourceSpec by reading a store whose chunk payloads are
-  * CORRUPT: index-only projections succeed, value reads reject).
+  * PLAN phase (pruned arrays' chunks are never planned), `idx` ranges
+  * prune chunks (and shard-inner chunks) on their closed-form
+  * [min, max] global-index windows — the spatial-crop access pattern —
+  * and every filter stays residual, so pruning is an optimization,
+  * never a correctness dependency. Column pruning reaches the byte
+  * level: a projection without `value` walks the closed-form grid
+  * (`chunkIndexes`/`innerIndexes`) — chunk files are never opened, so
+  * existence/count scans over a 100 TB store do metadata-proportional
+  * work (proven in ZarrDataSourceSpec by reading a store whose chunk
+  * payloads are CORRUPT: index-only projections succeed, value reads
+  * reject).
+  *
+  * Hierarchies NEST: discovery walks groups recursively (v2
+  * `.zgroup`/`.zarray` markers, v3 `zarr.json` node_type), and nested
+  * arrays are addressed by their group path in the `dataset` column
+  * (`grp/sub/arr`) — the layout xarray writes for multi-variable model
+  * output. All byte access goes through [[ByteStore]], so
+  * `file://`/`hdfs://`/`s3a://` stores mount identically to local
+  * paths — zarr's native habitat is exactly the object store.
   *
   * Reference analog: convml_data writes/reads zarr whole-array via
   * xarray (pipeline/embeddings/aux_fields/utils.py:46-53); this is the
-  * consolidated-store mount that world lacks. Executors open files by
-  * path — the [[ZarrSink]] caveat about cluster-reachable storage
-  * applies.
+  * consolidated-store mount that world lacks.
   */
 class ZarrDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -65,36 +74,51 @@ object ZarrDataSource {
 
   /** An array node = a directory holding `.zarray` (v2) or an array
     * `zarr.json` (v3 — group nodes don't count). */
-  private def isArray(d: java.io.File): Boolean = {
-    if (new java.io.File(d, ".zarray").isFile) return true
-    val v3 = new java.io.File(d, "zarr.json")
-    v3.isFile && {
-      val txt = java.nio.file.Files.readString(v3.toPath)
-      txt.contains("\"array\"") // node_type; parseMeta validates later
+  private def isArray(dir: String): Boolean = {
+    if (ByteStore.isFile(ByteStore.join(dir, ".zarray"))) return true
+    val v3 = ByteStore.join(dir, "zarr.json")
+    ByteStore.isFile(v3) && {
+      // node_type discriminates; parseMeta validates later
+      ByteStore.readString(v3).contains("\"array\"")
     }
   }
 
-  /** Arrays directly under `store` (one level, the layout every writer
-    * here and zarr-python's `zarr.save(store, name=...)` produce). */
-  private def arraysIn(store: java.io.File): Seq[String] =
-    Option(store.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && isArray(d)).map(_.getName).sorted.toSeq
+  /** An explicit zarr node marker at `dir` — how a STORE root announces
+    * itself even when all its arrays are nested in groups. */
+  private def hasNodeMarker(dir: String): Boolean =
+    ByteStore.isFile(ByteStore.join(dir, ".zarray")) ||
+      ByteStore.isFile(ByteStore.join(dir, ".zgroup")) ||
+      ByteStore.isFile(ByteStore.join(dir, "zarr.json"))
 
-  /** Resolve `path` to (store, array) pairs: a store dir with array
-    * children, or a dir whose child dirs are stores (the one-store-per-
-    * scene layout [[ZarrSink]] writes). */
+  /** All arrays under `store`, RECURSIVELY through group directories,
+    * named by their group path (`grp/sub/arr`), sorted. Depth-bounded so
+    * a pathological self-looping mount can't spin the planner. */
+  private[sources] def arraysIn(store: String, maxDepth: Int = 8): Seq[String] = {
+    def walk(dir: String, rel: String, depth: Int): Seq[String] =
+      ByteStore.list(dir).filter(_.isDir).flatMap { e =>
+        val childRel = if (rel.isEmpty) e.name else rel + "/" + e.name
+        if (isArray(e.path)) Seq(childRel)
+        else if (depth < maxDepth) walk(e.path, childRel, depth + 1)
+        else Seq.empty
+      }
+    walk(store, "", 0).sorted
+  }
+
+  /** Resolve `path` to (store, array) pairs: a store dir (detected by a
+    * node marker at its root or arrays directly under it), or a dir
+    * whose child dirs are stores (the one-store-per-scene layout
+    * [[ZarrSink]] writes). Arrays nest through groups either way. */
   private[sources] def discover(path: String): Seq[(String, String)] = {
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"graft-zarr: $path is not a directory")
-    val direct = arraysIn(root)
-    if (direct.nonEmpty) direct.map(a => (root.getPath, a))
+    require(ByteStore.isDirectory(path), s"graft-zarr: $path is not a directory")
+    val rootIsStore = hasNodeMarker(path) ||
+      ByteStore.list(path).exists(e => e.isDir && isArray(e.path))
+    if (rootIsStore) arraysIn(path).map(a => (path, a))
     else {
-      val stores = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory).sortBy(_.getName)
-        .flatMap(s => arraysIn(s).map(a => (s.getPath, a)))
+      val stores = ByteStore.list(path).filter(_.isDir)
+        .flatMap(s => arraysIn(s.path).map(a => (s.path, a)))
       require(stores.nonEmpty,
         s"graft-zarr: no zarr arrays under $path (or its child stores)")
-      stores.toSeq
+      stores
     }
   }
 }
@@ -107,33 +131,10 @@ class ZarrTable(path: String, dataset: Option[String], partitions: Option[Int])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, dataset, partitions)
-}
-
-class ZarrScanBuilder(path: String, dataset: Option[String], partitions: Option[Int])
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
-  private var required: StructType = ZarrDataSource.schema
-  private var pushed: Array[Filter] = Array.empty
-
-  /** Accept dataset/path equality + IN for plan-phase chunk pruning; ALL
-    * filters stay residual (returned), so Spark re-evaluates them — the
-    * prune can only ever drop chunks the filter provably excludes. */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
-      case EqualTo("dataset" | "path", _: String) => true
-      case In("dataset" | "path", vs) => vs.forall(_.isInstanceOf[String])
-      case _ => false
+    new MountScanBuilder(ZarrDataSource.schema, Set("dataset", "path"), Some("idx")) {
+      override def build(): Scan =
+        new ZarrScan(path, dataset, partitions, required, pushed)
     }
-    filters
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def build(): Scan =
-    new ZarrScan(path, dataset, partitions, required, pushed)
 }
 
 /** One partition = a run of whole-chunk tasks or shard-inner tasks
@@ -151,45 +152,39 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
     s"graft-zarr scan $path cols=${required.fieldNames.mkString(",")} " +
       s"pushed=${pushed.mkString(",")}"
 
-  private def keep(col: String, v: String): Boolean = pushed.forall {
-    case EqualTo(`col`, want: String) => v == want
-    case In(`col`, vs) => vs.contains(v)
-    case _ => true
-  }
-
   override def planInputPartitions(): Array[InputPartition] = {
+    val range = MountDsv2.idxRange(pushed)
     val arrays = ZarrDataSource.discover(path)
-      .filter { case (s, _) => keep("path", s) }
-      .filter { case (_, a) => dataset.forall(_ == a) && keep("dataset", a) }
+      .filter { case (s, _) => MountDsv2.keep(pushed, "path", s) }
+      .filter { case (_, a) => dataset.forall(_ == a) && MountDsv2.keep(pushed, "dataset", a) }
     val (chunkTasks, innerTasks) =
       arrays.foldLeft((Seq.empty[ZarrChunkIngest.ChunkTask],
           Seq.empty[ZarrChunkIngest.InnerTask])) { case ((cs, is), (s, a)) =>
-        ZarrChunkIngest.metaOf(new java.io.File(s), a) match {
+        ZarrChunkIngest.metaOf(s, a) match {
           case Right(m) if m.sharding.isDefined =>
-            (cs, is ++ ZarrChunkIngest.shardInnerTasks(s, a))
-          case _ => (cs ++ ZarrChunkIngest.chunkTasks(s, a), is)
+            // idx prune on the closed-form inner-chunk windows
+            (cs, is ++ ZarrChunkIngest.shardInnerTasks(s, a).filter { t =>
+              val (lo, hi) = ZarrChunkIngest.innerIdxBounds(t, m)
+              range.intersects(lo, hi)
+            })
+          case m =>
+            (cs ++ ZarrChunkIngest.chunkTasks(s, a).filter { t =>
+              val (lo, hi) = ZarrChunkIngest.chunkIdxBounds(t, m)
+              range.intersects(lo, hi)
+            }, is)
         }
       }
     val total = chunkTasks.size + innerTasks.size
     if (total == 0) return Array.empty
-    val par = partitions.getOrElse(math.max(1, math.min(total,
-      SparkSession.active.sparkContext.defaultParallelism)))
-    require(par > 0, s"graft-zarr: partitions option must be positive, got $par")
+    val par = MountDsv2.parallelism("graft-zarr", partitions, total)
     // proportional split keeps task counts per partition balanced;
     // inner tasks are already (shard, offset)-ordered from phase 1, so
     // each slice's positioned reads advance monotonically
-    def slices[T](tasks: Seq[T], share: Int): Seq[Seq[T]] =
-      if (tasks.isEmpty || share == 0) Seq.empty
-      else {
-        val n = math.min(share, tasks.size)
-        val sz = (tasks.size + n - 1) / n
-        tasks.grouped(sz).toSeq
-      }
     val cShare = math.max(if (chunkTasks.isEmpty) 0 else 1,
       (par.toLong * chunkTasks.size / total).toInt)
     val iShare = math.max(if (innerTasks.isEmpty) 0 else 1, par - cShare)
-    (slices(chunkTasks, cShare).map(ZarrChunkPartition(_): InputPartition) ++
-      slices(innerTasks, iShare).map(ZarrInnerPartition(_): InputPartition)).toArray
+    (MountDsv2.slice(chunkTasks, cShare).map(ZarrChunkPartition(_): InputPartition) ++
+      MountDsv2.slice(innerTasks, iShare).map(ZarrInnerPartition(_): InputPartition)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -222,7 +217,7 @@ class ZarrReaderFactory(required: StructType) extends PartitionReaderFactory {
           private val rows: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
             if (cached == null || cached._1 != ((t.store, t.dataset)))
               cached = ((t.store, t.dataset),
-                ZarrChunkIngest.metaOf(new java.io.File(t.store), t.dataset))
+                ZarrChunkIngest.metaOf(t.store, t.dataset))
             val storeU = UTF8String.fromString(t.store)
             val dsU = UTF8String.fromString(t.dataset)
             if (!needValue)
@@ -243,19 +238,18 @@ class ZarrReaderFactory(required: StructType) extends PartitionReaderFactory {
       case ZarrInnerPartition(tasks) =>
         new PartitionReader[InternalRow] {
           private var cached: ((String, String), Zarr3.Meta) = null
-          private var raf: java.io.RandomAccessFile = null
-          private var rafPath: String = null
-          private def handleFor(p: java.io.File): java.io.RandomAccessFile = {
-            if (raf == null || rafPath != p.getPath) {
-              if (raf != null) raf.close()
-              raf = new java.io.RandomAccessFile(p, "r"); rafPath = p.getPath
+          private var in: ByteStore.ReadAt = null
+          private def handleFor(p: String): ByteStore.ReadAt = {
+            if (in == null || in.path != p) {
+              if (in != null) in.close()
+              in = ByteStore.open(p)
             }
-            raf
+            in
           }
           private val rows: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
             if (cached == null || cached._1 != ((t.store, t.dataset)))
               cached = ((t.store, t.dataset),
-                ZarrChunkIngest.metaOf(new java.io.File(t.store), t.dataset) match {
+                ZarrChunkIngest.metaOf(t.store, t.dataset) match {
                   case Right(m) => m
                   case Left(_) => throw new IllegalArgumentException(
                     "graft-zarr: v2 store planned as shard-inner")
@@ -273,7 +267,7 @@ class ZarrReaderFactory(required: StructType) extends PartitionReaderFactory {
           override def next(): Boolean =
             if (rows.hasNext) { cur = rows.next(); true } else false
           override def get(): InternalRow = cur
-          override def close(): Unit = if (raf != null) raf.close()
+          override def close(): Unit = if (in != null) in.close()
         }
     }
   }

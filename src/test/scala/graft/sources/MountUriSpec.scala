@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The ByteStore seam end-to-end: every mount sibling reads a
+  * `file://` URI through the Hadoop FileSystem path (RawLocalFileSystem
+  * — a real `org.apache.hadoop.fs` implementation, the same interface
+  * s3a/hdfs connectors implement) and produces byte-identical results
+  * to the plain-path java.io read. Plan-time metadata walks AND
+  * executor-side positioned reads both route through the seam, so this
+  * drives both halves. */
+class MountUriSpec extends SparkSpec {
+
+  private def uri(p: String): String = "file://" + p
+
+  test("ByteStore primitives dispatch by scheme and agree with java.io") {
+    val dir = Files.createTempDirectory("graft-bytestore").toString
+    val f = s"$dir/x.bin"
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    Files.write(java.nio.file.Paths.get(f), payload)
+    assert(!ByteStore.hasScheme(f) && ByteStore.hasScheme(uri(f)))
+    assert(ByteStore.hasScheme("s3a://bucket/key") &&
+      ByteStore.hasScheme("hdfs://nn/path"))
+    for (p <- Seq(f, uri(f))) {
+      assert(ByteStore.isFile(p) && !ByteStore.isDirectory(p) && ByteStore.exists(p))
+      val in = ByteStore.open(p)
+      try {
+        assert(in.length == 1000L)
+        assert(in.readFully(0L, 16).sameElements(payload.take(16)))
+        assert(in.readFully(997L, 3).sameElements(payload.drop(997)))
+      } finally in.close()
+      assert(ByteStore.readAllBytes(p).sameElements(payload))
+    }
+    for (d <- Seq(dir, uri(dir))) {
+      val es = ByteStore.list(d)
+      assert(es.map(_.name) == Seq("x.bin") && !es.head.isDir)
+      // listed paths round-trip into open() in the SAME scheme world
+      assert(ByteStore.open(es.head.path).length == 1000L)
+    }
+    // glob through both worlds
+    assert(ByteStore.resolveGlob(s"$dir/*.bin").size == 1)
+    assert(ByteStore.resolveGlob(uri(s"$dir/*.bin")).size == 1)
+  }
+
+  test("HDF5 mount over a file:// URI matches the plain-path read") {
+    val dir = Files.createTempDirectory("graft-uri-h5").toString
+    val bytes = HDF5.write(Seq(
+      HDF5.DsSpec("lwp", Seq(6, 4), Array.tabulate(24)(_ * 0.5 - 3.0),
+        chunkDims = Some(Seq(1, 4))),
+      HDF5.DsSpec("decoy", Seq(40), Array.tabulate(40)(_ * 2.0),
+        chunkDims = Some(Seq(4)))), deflate = true)
+    Files.write(java.nio.file.Paths.get(dir, "store.h5"), bytes)
+    def rows(path: String) = spark.read.format("graft.sources.Hdf5DataSource")
+      .option("path", path).load()
+      .select("dataset", "idx", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val plain = rows(s"$dir/*.h5")
+    assert(plain.size == 64)
+    assert(rows(uri(dir) + "/*.h5") == plain)
+  }
+
+  test("zarr mount over a file:// URI matches, sharded v3 included") {
+    val dir = Files.createTempDirectory("graft-uri-zarr").toString
+    val grid = spark.range(108).select(
+      concat(lit("z"), expr("cast(id div 54 as string)")).as("scene_id"),
+      expr("timestamp_seconds(1577836800 + (id div 54) * 3600)").as("time"),
+      (expr("id % 6") * 100.0).as("x"), (expr("(id % 54) div 6") * 100.0).as("y"),
+      (col("id") * 0.25 - 3.0).as("value"))
+    ZarrSink.writeScenes(grid, dir, "lwp", chunkRows = Some(4),
+      zlibLevel = Some(6)).count()
+    def rows(path: String) = spark.read.format("graft.sources.ZarrDataSource")
+      .option("path", path).load()
+      .where(col("dataset") === "lwp") // stores also carry x/y coord arrays
+      .select("dataset", "idx", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val plain = rows(dir)
+    assert(plain.size == 108)
+    assert(rows(uri(dir)) == plain)
+    // sharded v3: the shard-index tail reads go through the seam too
+    val dir3 = Files.createTempDirectory("graft-uri-zarr3").toString
+    Zarr3.writeScenes(grid, dir3, "lwp", chunkRows = Some(6),
+      shardInnerRows = Some(2)).count()
+    val plain3 = rows(dir3)
+    assert(plain3.size == 108)
+    assert(rows(uri(dir3)) == plain3)
+  }
+
+  /** Consolidated classic record file: flux(time,y,x). */
+  private def writeNc3(path: String, nRecs: Int, ny: Int, nx: Int): Unit = {
+    val bytes = NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("y", ny), NetCDF3.Dim("x", nx)),
+      gattrs = Nil,
+      vars = Seq(NetCDF3.VarSpec("flux", Seq("time", "y", "x"), NetCDF3.NcDouble,
+        Nil, Array.tabulate(nRecs * ny * nx)(_ * 0.5 - 10.0))),
+      numRecs = nRecs)
+    Files.write(java.nio.file.Paths.get(path), bytes)
+    ()
+  }
+
+  test("netCDF-3 + npy + arrow mounts over file:// URIs match") {
+    // netCDF-3
+    val ncDir = Files.createTempDirectory("graft-uri-nc3").toString
+    val ncPath = s"$ncDir/rec.nc"
+    writeNc3(ncPath, nRecs = 10, ny = 3, nx = 4)
+    def ncRows(p: String) = spark.read.format("graft.sources.NetCDF3DataSource")
+      .option("path", p).load().where(col("dataset") === "flux")
+      .select("idx", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val ncPlain = ncRows(ncPath)
+    assert(ncPlain.size == 120)
+    assert(ncRows(uri(ncPath)) == ncPlain)
+
+    // npy
+    val npyDir = Files.createTempDirectory("graft-uri-npy").toString
+    val npyPath = s"$npyDir/emb.npy"
+    val out = new java.io.FileOutputStream(npyPath)
+    out.write(Npy.header("<f4", Seq(64L, 4L)))
+    val bb = java.nio.ByteBuffer.allocate(4 * 64 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 64 * 4).foreach(i => bb.putFloat(i * 0.5f))
+    out.write(bb.array()); out.close()
+    def npyRows(p: String) = spark.read.format("graft.sources.NpyDataSource")
+      .option("path", p).option("rowsPerTask", "16").load()
+      .select("row", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
+    val npyPlain = npyRows(npyPath)
+    assert(npyPlain.size == 64)
+    assert(npyRows(uri(npyPath)) == npyPlain)
+
+    // arrow (dir listing + footer + block reads all through the seam)
+    import spark.implicits._
+    val aDir = Files.createTempDirectory("graft-uri-arrow").toString
+    ArrowIpc.write((1L to 40L).map(i => (i, s"doc$i")).toDF("id", "txt")
+      .coalesce(2), aDir)
+    def aRows(p: String) = spark.read.format("graft.sources.ArrowDataSource")
+      .option("path", p).load().select("id", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val aPlain = aRows(aDir)
+    assert(aPlain.size == 40)
+    assert(aRows(uri(aDir)) == aPlain)
+  }
+
+  test("chunk-parallel RDD ingests read file:// URIs too") {
+    val dir = Files.createTempDirectory("graft-uri-ing").toString
+    val ncPath = s"$dir/rec.nc"
+    writeNc3(ncPath, nRecs = 6, ny = 2, nx = 3)
+    val plain = NetCDF3ChunkIngest.readValues(spark, ncPath, "flux")
+      .select("idx", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val viaUri = NetCDF3ChunkIngest.readValues(spark, uri(ncPath), "flux")
+      .select("idx", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(plain.size == 36 && viaUri == plain)
+  }
+}

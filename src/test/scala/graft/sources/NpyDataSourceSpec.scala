@@ -64,8 +64,8 @@ class NpyDataSourceSpec extends SparkSpec {
     val path = writeArray(dir, "emb.npy", 200, 4, _.toFloat)
     val bytes = Files.readAllBytes(Paths.get(path))
     // keep the header + the first few rows only
-    val raf = new java.io.RandomAccessFile(path, "r")
-    val off = try Npy.readMeta(raf).dataOffset finally raf.close()
+    val in = ByteStore.open(path)
+    val off = try Npy.readMeta(in).dataOffset finally in.close()
     Files.write(Paths.get(path), java.util.Arrays.copyOf(bytes, off.toInt + 64))
     val df = spark.read.format(Fmt).option("path", path).load()
     intercept[org.apache.spark.SparkException](df.select("embedding").collect())

@@ -94,8 +94,8 @@ class NpySafetensorsFuzzSpec extends AnyFunSuite {
       val p = dir.resolve(s"m$k.npy")
       java.nio.file.Files.write(p, mutated)
       try {
-        val raf = new java.io.RandomAccessFile(p.toFile, "r")
-        try Npy.readMeta(raf) finally raf.close()
+        val in = ByteStore.open(p.toString)
+        try Npy.readMeta(in) finally in.close()
         ()
       } catch {
         case _: Exception => rejects += 1

@@ -111,14 +111,14 @@ class NpySafetensorsSpec extends SparkSpec {
     }
     val be = writeRaw("be.npy", ">f4", "False")
     val e1 = intercept[Exception] {
-      val raf = new java.io.RandomAccessFile(be, "r")
-      try Npy.readMeta(raf) finally raf.close()
+      val in = ByteStore.open(be)
+      try Npy.readMeta(in) finally in.close()
     }
     assert(e1.getMessage.contains("unsupported descr"))
     val ft = writeRaw("ft.npy", "<f4", "True")
     val e2 = intercept[Exception] {
-      val raf = new java.io.RandomAccessFile(ft, "r")
-      try Npy.readMeta(raf) finally raf.close()
+      val in = ByteStore.open(ft)
+      try Npy.readMeta(in) finally in.close()
     }
     assert(e2.getMessage.contains("fortran"))
   }
