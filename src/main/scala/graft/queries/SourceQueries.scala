@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.core.Projection.{DegPerRad, RadPerDeg}
 import graft.sources.Calendars
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1577,19 +1578,7 @@ object SourceQueries {
       """SELECT CAST(j*6 + i AS BIGINT) AS idx,
         |  CAST((t*9 + j)*6 + i AS DOUBLE) * 0.25 - 3.0 AS value
         |FROM range(0,2) r1(t), range(0,9) r2(j), range(0,6) r3(i)""".stripMargin) { (s, d) =>
-      import graft.sources.ZarrSink
-      val dir = q194ZarrDir
-      if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
-        val (nT, ny, nx) = (2, 9, 6)
-        val grid = s.range(nT.toLong * ny * nx).select(
-          concat(lit("zd"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
-          expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
-          (expr(s"id % $nx") * 100.0).as("x"),
-          (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
-          (col("id").cast("double") * 0.25 - 3.0).as("value"))
-        ZarrSink.writeScenes(grid, dir, "lwp",
-          chunkRows = Some(4), zlibLevel = Some(6)).count()
-      }
+      val dir = ensureQ194Zarr(s)
       s.read.format("graft.sources.ZarrDataSource")
         .option("path", dir).load()
         .where(col("dataset") === "lwp")
@@ -1708,24 +1697,8 @@ object SourceQueries {
       """SELECT CAST(t AS BIGINT) AS tstep, CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
         |  CAST((t*6 + j)*5 + i AS DOUBLE) * 0.5 - 10.0 AS flux
         |FROM range(0,40) r1(t), range(0,6) r2(j), range(0,5) r3(i)""".stripMargin) { (s, d) =>
-      import graft.sources.NetCDF3
-      val dir = q198NcDir
-      val f = java.nio.file.Paths.get(dir, "consolidated.nc")
-      if (!java.nio.file.Files.exists(f)) {
-        val (nrec, ny, nx) = (40, 6, 5)
-        val bytes = NetCDF3.write(
-          dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("y", ny), NetCDF3.Dim("x", nx)),
-          gattrs = Nil,
-          vars = Seq(
-            NetCDF3.VarSpec("flux", Seq("time", "y", "x"), NetCDF3.NcDouble, Nil,
-              Array.tabulate(nrec * ny * nx)(_ * 0.5 - 10.0)),
-            NetCDF3.VarSpec("decoy", Seq("time"), NetCDF3.NcDouble, Nil,
-              Array.tabulate(nrec)(_ * 7.0))),
-          numRecs = nrec)
-        java.nio.file.Files.write(f, bytes)
-      }
       s.read.format("graft.sources.NetCDF3DataSource")
-        .option("path", f.toString).option("targetBytes", "1024").load()
+        .option("path", ensureQ198Nc()).option("targetBytes", "1024").load()
         .where(col("dataset") === "flux")
         .select(
           expr("idx div 30").as("tstep"),
@@ -1763,8 +1736,91 @@ object SourceQueries {
         .select(col("row"), posexplode(col("embedding")).as(Seq("dim", "vf")))
         .select(col("row"), col("dim").cast("long").as("dim"),
           col("vf").cast("double").as("v"))
+    },
+
+    // ---- DSv2 idx-range pushdown: the spatial crop rides the mount -------
+    // A bbox slice of a consolidated store must PLAN only its chunks:
+    // idx BETWEEN pushes into planInputPartitions and prunes on each
+    // chunk's closed-form [min, max] global-index window (chunkRows=4 on
+    // a 9x6 grid -> row-band chunks spanning [24r, 24r+23]; the range
+    // [18, 41] keeps bands 0-1, band 2 is never planned —
+    // PlanRegressionSpec counts the partitions). Filters stay residual,
+    // so the oracle pins exactness, not just the prune.
+    QueryDef.sqlBacked(
+      "q200_zarr_idx_range",
+      """SELECT CAST(j*6 + i AS BIGINT) AS idx,
+        |  CAST((t*9 + j)*6 + i AS DOUBLE) * 0.25 - 3.0 AS value
+        |FROM range(0,2) r1(t), range(0,9) r2(j), range(0,6) r3(i)
+        |WHERE j*6 + i BETWEEN 18 AND 41""".stripMargin) { (s, d) =>
+      val dir = ensureQ194Zarr(s)
+      s.read.format("graft.sources.ZarrDataSource")
+        .option("path", dir).load()
+        .where(col("dataset") === "lwp" && col("idx").between(18, 41))
+        .select(col("idx"), col("value"))
+    },
+
+    // ---- ByteStore seam in the oracle gate: a file:// URI mount ----------
+    // The q198 store read back through the Hadoop FileSystem path
+    // (RawLocalFileSystem — the same org.apache.hadoop.fs interface the
+    // s3a/hdfs connectors implement): plan-time header walk AND
+    // executor positioned reads both route through the seam, and the
+    // analytic oracle must still pin every value.
+    QueryDef.sqlBacked(
+      "q201_netcdf3_file_uri_mount",
+      """SELECT CAST(t AS BIGINT) AS tstep, CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST((t*6 + j)*5 + i AS DOUBLE) * 0.5 - 10.0 AS flux
+        |FROM range(0,40) r1(t), range(0,6) r2(j), range(0,5) r3(i)""".stripMargin) { (s, d) =>
+      s.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", "file://" + ensureQ198Nc())
+        .option("targetBytes", "1024").load()
+        .where(col("dataset") === "flux")
+        .select(
+          expr("idx div 30").as("tstep"),
+          expr("(idx div 5) % 6").as("y"),
+          expr("idx % 5").as("x"),
+          col("value").as("flux"))
     }
   )
+
+  /** Writes q194/q200's two-scene zarr store once per JVM. */
+  private def ensureQ194Zarr(s: SparkSession): String = {
+    import graft.sources.ZarrSink
+    val dir = q194ZarrDir
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      val (nT, ny, nx) = (2, 9, 6)
+      val grid = s.range(nT.toLong * ny * nx).select(
+        concat(lit("zd"), expr(s"cast(id div ${ny * nx} as string)")).as("scene_id"),
+        expr(s"timestamp_seconds(1577836800 + (id div ${ny * nx}) * 3600)").as("time"),
+        (expr(s"id % $nx") * 100.0).as("x"),
+        (expr(s"(id % ${ny * nx}) div $nx") * 100.0).as("y"),
+        (col("id").cast("double") * 0.25 - 3.0).as("value"))
+      ZarrSink.writeScenes(grid, dir, "lwp",
+        chunkRows = Some(4), zlibLevel = Some(6)).count()
+      ()
+    }
+    dir
+  }
+
+  /** Writes q198/q201's consolidated record file once per JVM. */
+  private def ensureQ198Nc(): String = {
+    import graft.sources.NetCDF3
+    val f = java.nio.file.Paths.get(q198NcDir, "consolidated.nc")
+    if (!java.nio.file.Files.exists(f)) {
+      val (nrec, ny, nx) = (40, 6, 5)
+      val bytes = NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("y", ny), NetCDF3.Dim("x", nx)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("flux", Seq("time", "y", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nrec * ny * nx)(_ * 0.5 - 10.0)),
+          NetCDF3.VarSpec("decoy", Seq("time"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nrec)(_ * 7.0))),
+        numRecs = nrec)
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
 
   /** Per-JVM fixture dirs for q193-q197 (the q140 discipline). */
   private lazy val q193ArrowDir: String =

@@ -108,7 +108,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q193_arrow_struct_roundtrip" :+ "q194_zarr_dsv2_pruned"
       :+ "q195_arrow_uint64_roundtrip" :+ "q196_zarr_blosc_zstd_roundtrip"
       :+ "q197_arrow_map_roundtrip" :+ "q198_netcdf3_dsv2_pruned"
-      :+ "q199_npy_dsv2")
+      :+ "q199_npy_dsv2" :+ "q200_zarr_idx_range"
+      :+ "q201_netcdf3_file_uri_mount")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -199,6 +200,31 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"DSv2 nc3 scan must not shuffle:\n${plan.take(1200)}")
     assert(plan.contains("pushed=") && plan.contains("EqualTo"),
       s"dataset filter must reach the scan:\n${plan.take(1200)}")
+  }
+
+  test("q200: the idx range pushes to the zarr scan and PLANS fewer partitions") {
+    val plan = planOf("q200_zarr_idx_range")
+    assert(!plan.contains("Exchange"), s"DSv2 zarr scan must not shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("GreaterThanOrEqual(idx,18)") &&
+      plan.contains("LessThanOrEqual(idx,41)"),
+      s"idx range must reach the scan:\n${plan.take(1200)}")
+    // the prune is observable in the fan-out: chunkRows=4 on two 9x6
+    // stores -> 3 row-band chunks each spanning [24r, 24r+23]; the
+    // [18, 41] crop keeps bands 0-1 per store (4 tasks), band 2 never
+    // plans — vs 6 lwp tasks unfiltered
+    val df = graft.SparkEntry.queries("q200_zarr_idx_range")(spark, sf)
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q201: the file:// URI mount plans exactly like the plain-path mount") {
+    val plan = planOf("q201_netcdf3_file_uri_mount")
+    assert(!plan.contains("Exchange"), s"DSv2 nc3 scan must not shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("pushed=") && plan.contains("EqualTo"),
+      s"dataset filter must reach the scan:\n${plan.take(1200)}")
+    val viaUri = graft.SparkEntry.queries("q201_netcdf3_file_uri_mount")(spark, sf)
+    val plain = graft.SparkEntry.queries("q198_netcdf3_dsv2_pruned")(spark, sf)
+    assert(viaUri.rdd.getNumPartitions == plain.rdd.getNumPartitions)
   }
 
   test("q35: regrid weights are broadcast, never shuffled") {

@@ -54,6 +54,23 @@ class Hdf5DataSourceSpec extends SparkSpec {
     assert(in.agg(sum("value")).head.getDouble(0) == (0 until 24).map(_ * 0.5 - 3.0).sum)
   }
 
+  test("idx range predicates prune chunks at PLAN time (the spatial crop)") {
+    // lwp shape (6,4), chunks (1,4): 6 row-band chunks spanning exactly
+    // [r*4, r*4+3]
+    val dir = writeStore()
+    val lwp = spark.read.format(Fmt).option("path", s"$dir/store.h5")
+      .option("partitions", "64").load()
+      .where(col("dataset") === "lwp")
+    assert(lwp.rdd.getNumPartitions == 6)
+    val band = lwp.where(col("idx").between(8, 15))
+    assert(band.rdd.getNumPartitions == 2) // rows 2-3 only
+    assert(band.select("idx").collect().map(_.getLong(0)).sorted.toSeq ==
+      (8L to 15L))
+    assert(band.queryExecution.executedPlan.toString
+      .contains("GreaterThanOrEqual(idx,8)"))
+    assert(lwp.where(col("idx") >= 24).rdd.getNumPartitions == 0)
+  }
+
   test("index-only projection never reads chunk payload bytes") {
     val dir = writeStore()
     val path = Paths.get(dir, "store.h5")

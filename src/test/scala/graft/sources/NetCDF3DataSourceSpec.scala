@@ -63,6 +63,22 @@ class NetCDF3DataSourceSpec extends SparkSpec {
       (0 until 40).map(_ * 0.25).sum)
   }
 
+  test("idx range predicates prune record batches at PLAN time") {
+    // targetBytes=1 -> one record per flux task; perRec = 6*5 = 30, so
+    // task r covers EXACTLY [r*30, r*30+29] — the range prune is exact
+    val dir = writeStore()
+    val flux = spark.read.format(Fmt).option("path", s"$dir/store.nc")
+      .option("targetBytes", "1").option("partitions", "128").load()
+      .where(col("dataset") === "flux")
+    assert(flux.rdd.getNumPartitions == 40)
+    val slice = flux.where(col("idx").between(300, 599))
+    assert(slice.rdd.getNumPartitions == 10) // records 10..19 only
+    assert(slice.count() == 300)
+    assert(slice.agg(min("idx"), max("idx")).head() ==
+      org.apache.spark.sql.Row(300L, 599L))
+    assert(flux.where(col("idx") < 0).rdd.getNumPartitions == 0)
+  }
+
   test("index-only projection never reads payload bytes") {
     val dir = writeStore()
     val path = Paths.get(dir, "store.nc")

@@ -59,6 +59,19 @@ class NpyDataSourceSpec extends SparkSpec {
       (0L until 8L))
   }
 
+  test("row range predicates prune row batches at PLAN time") {
+    val dir = Files.createTempDirectory("graft-npydsv2-range").toString
+    val path = writeArray(dir, "emb.npy", 640, 8, i => i * 0.25f - 50.0f)
+    val df = spark.read.format(Fmt).option("path", path)
+      .option("rowsPerTask", "100").load()
+    val slice = df.where(col("row").between(250, 349))
+    assert(slice.rdd.getNumPartitions == 2) // ranges [200,300) + [300,400)
+    assert(slice.count() == 100)
+    assert(slice.agg(min("row"), max("row")).head() ==
+      org.apache.spark.sql.Row(250L, 349L))
+    assert(df.where(col("row") >= 640).rdd.getNumPartitions == 0)
+  }
+
   test("row-only projection never reads payload bytes (truncated file)") {
     val dir = Files.createTempDirectory("graft-npydsv2-trunc").toString
     val path = writeArray(dir, "emb.npy", 200, 4, _.toFloat)

@@ -57,6 +57,43 @@ class ZarrDataSourceSpec extends SparkSpec {
       Seq(5.5, -2.25, 0.125))
   }
 
+  test("idx range predicates prune chunks at PLAN time (the spatial crop)") {
+    // lwp shape (5,6), chunks (3,4) -> 4 chunks with closed-form idx
+    // spans [0,15], [4,17], [18,27], [22,29]
+    val lwp = spark.read.format(Fmt)
+      .option("path", V2Store).option("partitions", "64").load()
+      .where(col("dataset") === "lwp")
+    val tail = lwp.where(col("idx") >= 18)
+    assert(tail.rdd.getNumPartitions == 2) // both row-0 chunks never planned
+    assert(tail.select("idx").collect().map(_.getLong(0)).sorted.toSeq ==
+      (18L to 29L))
+    val head = lwp.where(col("idx") <= 3)
+    assert(head.rdd.getNumPartitions == 1) // only chunk (0,0) spans <= 3
+    assert(head.count() == 4)
+    // the span is a BOUND, not membership: idx=4 (row 0, col 4) lives in
+    // chunk (0,1) only, but chunk (0,0)'s span [0,15] also contains 4 —
+    // both plan, the residual filter restores exactness
+    val between = lwp.where(col("idx") === 4L)
+    assert(between.rdd.getNumPartitions == 2)
+    assert(between.count() == 1)
+    assert(lwp.where(col("idx") > 29).rdd.getNumPartitions == 0)
+  }
+
+  test("idx range prunes shard-INNER chunks too") {
+    // temp shape (6,8), shards (4,8), inner (2,4): 8 inner tasks with
+    // spans [0,11],[4,15],[16,27],[20,31] + shard-1 [32,43],[36,47] and
+    // two out-of-shape rows-6..7 tasks
+    val df = spark.read.format(Fmt)
+      .option("path", ShardStore).option("partitions", "64").load()
+    val slice = df.where(col("idx").between(32, 47))
+    assert(slice.rdd.getNumPartitions == 2) // only shard 1's real inners
+    assert(slice.count() == 16)
+    val one = df.where(col("idx") < 4)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.collect().map(_.getDouble(3)).sorted.toSeq ==
+      Seq(0.0, 1.0, 2.0, 3.0))
+  }
+
   test("SHARDED v3 arrays plan one task per INNER chunk") {
     val df = spark.read.format(Fmt)
       .option("path", ShardStore).option("partitions", "64").load()
@@ -104,6 +141,29 @@ class ZarrDataSourceSpec extends SparkSpec {
     val temp = all.where(col("dataset") === "temp")
     assert(temp.rdd.getNumPartitions == 8)
     assert(temp.count() == 48)
+  }
+
+  test("NESTED hierarchies (two levels, mixed v2/v3 nodes) mount with " +
+      "group-path dataset names and plan-time pruning intact") {
+    val store = "src/test/resources/fixtures/golden_nested.zarr"
+    val df = spark.read.format(Fmt)
+      .option("path", store).option("partitions", "64").load()
+    assert(df.select("dataset").distinct().collect().map(_.getString(0))
+      .sorted.toSeq == Seq("model/deep/t2m", "model/lwp", "xc"))
+    // group-path dataset filter still prunes at PLAN time: lwp has 2
+    // chunks, t2m 2, xc 1 -> 5 tasks total
+    assert(df.rdd.getNumPartitions == 5)
+    val lwp = df.where(col("dataset") === "model/lwp")
+    assert(lwp.rdd.getNumPartitions == 2)
+    assert(lwp.orderBy("idx").collect().map(_.getDouble(3)).toSeq ==
+      Seq(0.0, 1.0, 2.0, 10.0, 11.0, 12.0))
+    // the v3 leaf under a v2 hierarchy decodes through its own pipeline
+    val t2m = df.where(col("dataset") === "model/deep/t2m").orderBy("idx")
+    assert(t2m.collect().map(_.getDouble(3)).toSeq ==
+      Seq(271.5, 272.25, 273.0, 274.75))
+    assert(df.where(col("dataset") === "xc").count() == 3)
+    // the library chunk ingest reads group-path names too
+    assert(ZarrChunkIngest.readValues(spark, store, "model/lwp").count() == 6)
   }
 
   test("a directory of stores discovers all of them; path filter prunes") {

@@ -3032,6 +3032,64 @@ def write_zarr(store):
     with open(os.path.join(d, "0"), "wb") as f:
         f.write(struct.pack(">3f", 5.5, -2.25, 0.125))
 
+def write_nested_zarr(store):
+    """NESTED hierarchy, two levels, MIXED v2/v3 nodes: the xarray
+    multi-variable layout (root group -> 'model' group -> arrays, with
+    a v3 subgroup below). Arrays address by group path in the mount's
+    dataset column: xc, model/lwp, model/deep/t2m."""
+    os.makedirs(store, exist_ok=True)
+    with open(os.path.join(store, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    # root-level v2 array xc [3] f8 raw
+    d = os.path.join(store, "xc")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [3], "chunks": [3],
+                   "dtype": "<f8", "order": "C", "fill_value": 0.0,
+                   "filters": None, "compressor": None}, f)
+    with open(os.path.join(d, "0"), "wb") as f:
+        f.write(struct.pack("<3d", 1.5, 2.5, 3.5))
+    # group model/ with a v2 array lwp [2,3] chunks [1,3] zlib
+    g = os.path.join(store, "model")
+    os.makedirs(g, exist_ok=True)
+    with open(os.path.join(g, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    d = os.path.join(g, "lwp")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, ".zarray"), "w") as f:
+        json.dump({"zarr_format": 2, "shape": [2, 3], "chunks": [1, 3],
+                   "dtype": "<f8", "order": "C", "fill_value": 0.0,
+                   "filters": None,
+                   "compressor": {"id": "zlib", "level": 6}}, f)
+    for ci in range(2):
+        raw = struct.pack("<3d", *[ci * 10.0 + c for c in range(3)])
+        with open(os.path.join(d, "%d.0" % ci), "wb") as f:
+            f.write(zlib.compress(raw, 6))
+    # subgroup model/deep/ as a V3 group with a v3 array t2m [4] chunk [2]
+    gd = os.path.join(g, "deep")
+    os.makedirs(gd, exist_ok=True)
+    with open(os.path.join(gd, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "group"}, f)
+    d = os.path.join(gd, "t2m")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "zarr.json"), "w") as f:
+        json.dump({"zarr_format": 3, "node_type": "array",
+                   "shape": [4], "data_type": "float64",
+                   "chunk_grid": {"name": "regular",
+                                  "configuration": {"chunk_shape": [2]}},
+                   "chunk_key_encoding": {"name": "default",
+                                          "configuration": {"separator": "/"}},
+                   "fill_value": -1.0,
+                   "codecs": [{"name": "bytes",
+                               "configuration": {"endian": "little"}}]}, f)
+    cd = os.path.join(d, "c")
+    os.makedirs(cd, exist_ok=True)
+    with open(os.path.join(cd, "0"), "wb") as f:
+        f.write(struct.pack("<2d", 271.5, 272.25))
+    with open(os.path.join(cd, "1"), "wb") as f:
+        f.write(struct.pack("<2d", 273.0, 274.75))
+
+
 # ---------------------------------------------------------------------------
 # blosc1 container (c-blosc 1.x header spec) over LZ4 block streams —
 # zarr-python's default compressor. Both the LZ4 encoder and the blosc
@@ -4037,6 +4095,7 @@ def main():
     write_avro_fuzz(os.path.join(TEST_FIX, "fuzz"))
     write_zarr(os.path.join(TEST_FIX, "golden.zarr"))
     write_zarr3(os.path.join(TEST_FIX, "golden_v3.zarr"))
+    write_nested_zarr(os.path.join(TEST_FIX, "golden_nested.zarr"))
     vals = write_blosc_zarr(os.path.join(TEST_FIX, "golden_blosc.zarr"))
     with open(os.path.join(TEST_FIX, "golden_blosc_manifest.json"), "w") as f:
         json.dump(vals, f)
