@@ -375,7 +375,8 @@ object ScaleRehearsal {
     // zero exchanges) and (b) the metadata-only posture: an index-only
     // projection that never opens a chunk/shard payload window, whose
     // cost should track the GRID size, not the payload bytes
-    if (wanted("zarr_dsv2_read") || wanted("zarr_dsv2_meta")) {
+    if (wanted("zarr_dsv2_read") || wanted("zarr_dsv2_meta") ||
+        wanted("zarr_dsv2_read_uri") || wanted("zarr_dsv2_idx_crop")) {
       val (nT, nyZ, nxZ) = (4, (240 * mult).toInt, 64)
       val zdir = java.nio.file.Files.createTempDirectory("graft-scale-zmount").toString
       val grid = spark.range(nT.toLong * nyZ * nxZ).select(
@@ -386,8 +387,9 @@ object ScaleRehearsal {
         (col("id").cast("double") * 0.25 - 3.0).as("value"))
       graft.sources.Zarr3.writeScenes(grid, zdir, "lwp", chunkRows = Some(8),
         gzipLevel = Some(6), shardInnerRows = Some(2)).count()
-      def mount = spark.read.format("graft.sources.ZarrDataSource")
-        .option("path", zdir).load()
+      def mountAt(p: String) = spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", p).load()
+      def mount = mountAt(zdir)
       timed("zarr_dsv2_read") {
         mount.where(col("dataset") === "lwp")
           .agg(sum(col("value"))).collect()
@@ -395,6 +397,25 @@ object ScaleRehearsal {
       }
       timed("zarr_dsv2_meta") {
         mount.where(col("dataset") === "lwp").select("idx").count()
+      }
+      // round 14: the ByteStore seam's URI overhead — the SAME store and
+      // query through a file:// Hadoop FileSystem URI (RawLocalFileSystem,
+      // the org.apache.hadoop.fs interface s3a/hdfs implement): the delta
+      // vs zarr_dsv2_read is the seam + FS-layer cost at this scale
+      timed("zarr_dsv2_read_uri") {
+        mountAt("file://" + zdir).where(col("dataset") === "lwp")
+          .agg(sum(col("value"))).collect()
+        nT.toLong * nyZ * nxZ
+      }
+      // round 14: the spatial crop — a ~10% global-index slice must cost
+      // a small fraction of the full read because out-of-range inner
+      // chunks are never PLANNED (closed-form [min,max] windows)
+      timed("zarr_dsv2_idx_crop") {
+        val total = nyZ.toLong * nxZ // per-scene element count
+        mount.where(col("dataset") === "lwp" &&
+            col("idx") < (total / 10))
+          .agg(sum(col("value"))).collect()
+        nT.toLong * (total / 10)
       }
     }
 
