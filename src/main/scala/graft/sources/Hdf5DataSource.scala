@@ -126,7 +126,8 @@ class Hdf5ReaderFactory(required: StructType) extends PartitionReaderFactory {
     val needValue = required.fieldNames.contains("value")
     new PartitionReader[InternalRow] {
       private var in: ByteStore.ReadAt = null
-      private val rows: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
+      private def rowsOf(t: HDF5ChunkIngest.ChunkTask,
+          raw: Array[Byte]): Iterator[InternalRow] = {
         val v = HDF5.H5Var(t.dataset, t.dims, t.chunkDims, t.dtClass,
           t.dtSize, t.bigEndian, t.filters, t.signedInt)
         val pathU = UTF8String.fromString(t.path)
@@ -145,18 +146,36 @@ class Hdf5ReaderFactory(required: StructType) extends PartitionReaderFactory {
           }
           new GenericInternalRow(out)
         }
-        if (!needValue) {
-          // index-only projection: the chunk's bytes are never read
-          HDF5.chunkGlobalIndexes(v, t.origin).map(row(_, 0.0))
-        } else {
-          if (in == null || in.path != t.path) {
-            if (in != null) in.close()
-            in = ByteStore.open(t.path)
-          }
-          val raw = in.readFully(t.offset, t.nbytes.toInt)
-          HDF5.decodeChunk(raw, v, t.origin).map { case (gi, x) => row(gi, x) }
-        }
+        if (raw == null) HDF5.chunkGlobalIndexes(v, t.origin).map(row(_, 0.0))
+        else HDF5.decodeChunk(raw, v, t.origin).map { case (gi, x) => row(gi, x) }
       }
+      private val rows: Iterator[InternalRow] =
+        if (!needValue)
+          // index-only projection: the chunk's bytes are never read
+          tasks.iterator.flatMap(rowsOf(_, null))
+        else
+          // tasks arrive (path, offset)-sorted: coalesce byte-adjacent
+          // chunk windows into ONE positioned read per span — the
+          // request-count lever on object stores (one GET per span
+          // instead of per chunk); the span cap bounds the buffer
+          MountDsv2.runs(tasks)(_.path).iterator.flatMap { run =>
+            val windows = run.map(t => (t.offset, t.nbytes))
+            MountDsv2.coalesceWindows(windows).iterator.flatMap { g =>
+              val gStart = run(g.start).offset
+              val gEnd = g.map(i => run(i).offset + run(i).nbytes).max
+              if (in == null || in.path != run.head.path) {
+                if (in != null) in.close()
+                in = ByteStore.open(run.head.path)
+              }
+              val buf = in.readFully(gStart, (gEnd - gStart).toInt)
+              g.iterator.flatMap { i =>
+                val t = run(i)
+                val raw = java.util.Arrays.copyOfRange(buf,
+                  (t.offset - gStart).toInt, (t.offset - gStart + t.nbytes).toInt)
+                rowsOf(t, raw)
+              }
+            }
+          }
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) { cur = rows.next(); true } else false

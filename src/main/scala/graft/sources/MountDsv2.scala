@@ -128,6 +128,68 @@ object MountDsv2 {
       val sz = (tasks.size + n - 1) / n
       tasks.grouped(sz).toSeq
     }
+
+  /** Read-request coalescing defaults: merge byte-adjacent windows when
+    * the junk gap between them is at most [[DefaultMaxGap]] and the
+    * merged span stays under [[DefaultMaxSpan]]. The gap trades wasted
+    * bytes for saved round-trips — at object-store latency one extra
+    * 64 KiB read costs far less than a second GET; the span cap bounds
+    * a task's read-buffer memory. */
+  val DefaultMaxGap: Long = 64L << 10
+  val DefaultMaxSpan: Long = 8L << 20
+
+  /** Coalesce (offset, length) byte windows — IN INPUT ORDER — into
+    * read groups: index ranges [start, end) over the input such that
+    * one positioned read of [first.offset, last.offset + last.length)
+    * covers every window in the group. A new group starts whenever the
+    * next window regresses or overlaps (defensive: planners emit
+    * monotone non-overlapping windows), the gap to it exceeds `maxGap`,
+    * or the merged span would exceed `maxSpan`. Zero-length windows
+    * merge freely. This is the mounts' request-count lever on object
+    * stores: chunk files written back-to-back (zarr shard inners, HDF5
+    * contiguous chunk runs) collapse from one GET per chunk to one GET
+    * per span. */
+  /** Consecutive runs sharing a key, order preserved (tasks arrive
+    * (path, offset)-sorted, so a run = one file's contiguous tasks). */
+  def runs[T](ts: Seq[T])(key: T => Any): Seq[IndexedSeq[T]] = {
+    if (ts.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[IndexedSeq[T]]
+    val cur = IndexedSeq.newBuilder[T]
+    var k = key(ts.head)
+    ts.foreach { t =>
+      if (key(t) != k) { out += cur.result(); cur.clear(); k = key(t) }
+      cur += t
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  def coalesceWindows(windows: IndexedSeq[(Long, Long)],
+      maxGap: Long = DefaultMaxGap, maxSpan: Long = DefaultMaxSpan): Seq[Range] = {
+    windows.foreach { case (off, len) =>
+      require(off >= 0 && len >= 0, s"negative byte window ($off, $len)") }
+    if (windows.isEmpty) return Seq.empty
+    val groups = Seq.newBuilder[Range]
+    var start = 0
+    var gStart = windows(0)._1
+    var gEnd = windows(0)._1 + windows(0)._2
+    var i = 1
+    while (i < windows.length) {
+      val (off, len) = windows(i)
+      val end = off + len
+      val ok = off >= gEnd - 0 && // monotone, no overlap with the group
+        off - gEnd <= maxGap &&
+        end - gStart <= maxSpan
+      if (ok) gEnd = math.max(gEnd, end)
+      else {
+        groups += (start until i)
+        start = i; gStart = off; gEnd = end
+      }
+      i += 1
+    }
+    groups += (start until windows.length)
+    groups.result()
+  }
 }
 
 /** The ScanBuilder shell every mount shares: column pruning into

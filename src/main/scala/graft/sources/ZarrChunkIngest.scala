@@ -199,30 +199,47 @@ object ZarrChunkIngest {
     }
   }
 
+  /** ABSENT inner chunk (index sentinel or missing shard file)? */
+  private[sources] def innerMissing(t: InnerTask): Boolean =
+    t.offset == -1L && t.length == -1L
+
+  /** The shard file holding inner task `t`. */
+  private[sources] def shardPathOf(t: InnerTask, meta: Zarr3.Meta): String =
+    shardPath(t.store, t.dataset, meta, t.ci)
+
+  /** Decode one inner task from its raw byte window (None = absent ->
+    * fill). The decode half of [[innerElems]], split out so callers
+    * holding a coalesced multi-window buffer can slice and decode. */
+  private[sources] def innerDecode(t: InnerTask, meta: Zarr3.Meta,
+      raw: Option[Array[Byte]]): Iterator[(Long, Double)] = {
+    val sh = meta.sharding.getOrElse(fail("meta lost its sharding"))
+    val vals = raw.map(Zarr3.decodeInnerChunk(_, meta, sh))
+    innerIndexValues(meta, t.ci, t.gi).map { case (g, k) =>
+      (g, vals.map(_(k)).getOrElse(meta.fill))
+    }
+  }
+
+  /** Validate task `t`'s byte window against the shard length
+    * (subtraction form: offset + length can wrap past Long.MaxValue). */
+  private[sources] def checkInnerWindow(t: InnerTask, shardLen: Long,
+      shardFile: String): Unit =
+    require(t.offset >= 0 && t.length >= 0 &&
+      t.offset <= shardLen && t.length <= shardLen - t.offset,
+      s"inner window (${t.offset}, ${t.length}) outside $shardFile")
+
   /** One inner-chunk task's (global idx, value) elements: a positioned
     * byte-range read through `handleFor` (caller manages handle reuse)
     * + inner-pipeline decode; absent inner chunks emit fill. Shared by
     * the RDD ingest below and the [[ZarrDataSource]] DSv2 reader. */
   private[sources] def innerElems(t: InnerTask, meta: Zarr3.Meta,
-      handleFor: String => ByteStore.ReadAt): Iterator[(Long, Double)] = {
-    val sh = meta.sharding.getOrElse(fail("meta lost its sharding"))
-    val missing = t.offset == -1L && t.length == -1L
-    val vals: Option[Array[Double]] =
-      if (missing) None
-      else {
-        val shardFile = shardPath(t.store, t.dataset, meta, t.ci)
-        val h = handleFor(shardFile)
-        // subtraction form: offset + length can wrap past Long.MaxValue
-        require(t.offset >= 0 && t.length >= 0 &&
-          t.offset <= h.length && t.length <= h.length - t.offset,
-          s"inner window (${t.offset}, ${t.length}) outside $shardFile")
-        val raw = h.readFully(t.offset, t.length.toInt)
-        Some(Zarr3.decodeInnerChunk(raw, meta, sh))
-      }
-    innerIndexValues(meta, t.ci, t.gi).map { case (g, k) =>
-      (g, vals.map(_(k)).getOrElse(meta.fill))
+      handleFor: String => ByteStore.ReadAt): Iterator[(Long, Double)] =
+    if (innerMissing(t)) innerDecode(t, meta, None)
+    else {
+      val shardFile = shardPathOf(t, meta)
+      val h = handleFor(shardFile)
+      checkInnerWindow(t, h.length, shardFile)
+      innerDecode(t, meta, Some(h.readFully(t.offset, t.length.toInt)))
     }
-  }
 
   /** Index-only walk of one inner-chunk task: no shard bytes read. */
   private[sources] def innerIndexes(t: InnerTask, meta: Zarr3.Meta): Iterator[Long] =

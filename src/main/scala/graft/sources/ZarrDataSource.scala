@@ -237,7 +237,6 @@ class ZarrReaderFactory(required: StructType) extends PartitionReaderFactory {
 
       case ZarrInnerPartition(tasks) =>
         new PartitionReader[InternalRow] {
-          private var cached: ((String, String), Zarr3.Meta) = null
           private var in: ByteStore.ReadAt = null
           private def handleFor(p: String): ByteStore.ReadAt = {
             if (in == null || in.path != p) {
@@ -246,23 +245,54 @@ class ZarrReaderFactory(required: StructType) extends PartitionReaderFactory {
             }
             in
           }
-          private val rows: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
-            if (cached == null || cached._1 != ((t.store, t.dataset)))
-              cached = ((t.store, t.dataset),
-                ZarrChunkIngest.metaOf(t.store, t.dataset) match {
-                  case Right(m) => m
-                  case Left(_) => throw new IllegalArgumentException(
-                    "graft-zarr: v2 store planned as shard-inner")
-                })
-            val storeU = UTF8String.fromString(t.store)
-            val dsU = UTF8String.fromString(t.dataset)
-            if (!needValue)
-              ZarrChunkIngest.innerIndexes(t, cached._2)
-                .map(mkRow(storeU, dsU, _, 0.0))
-            else
-              ZarrChunkIngest.innerElems(t, cached._2, handleFor)
-                .map { case (g, v) => mkRow(storeU, dsU, g, v) }
-          }
+          private val rows: Iterator[InternalRow] =
+            // tasks arrive (shard, offset)-ordered: per (store, dataset)
+            // run, segment by shard file and coalesce byte-adjacent
+            // inner-chunk windows into ONE positioned read per span —
+            // inner chunks are written back-to-back, so a whole shard
+            // typically collapses to a single GET on an object store
+            MountDsv2.runs(tasks)(t => (t.store, t.dataset)).iterator.flatMap { run =>
+              val meta = ZarrChunkIngest.metaOf(run.head.store, run.head.dataset) match {
+                case Right(m) => m
+                case Left(_) => throw new IllegalArgumentException(
+                  "graft-zarr: v2 store planned as shard-inner")
+              }
+              val storeU = UTF8String.fromString(run.head.store)
+              val dsU = UTF8String.fromString(run.head.dataset)
+              if (!needValue)
+                run.iterator.flatMap(t =>
+                  ZarrChunkIngest.innerIndexes(t, meta)
+                    .map(mkRow(storeU, dsU, _, 0.0)))
+              else MountDsv2.runs(run)(t =>
+                  if (ZarrChunkIngest.innerMissing(t)) null
+                  else ZarrChunkIngest.shardPathOf(t, meta)).iterator.flatMap { seg =>
+                if (ZarrChunkIngest.innerMissing(seg.head))
+                  seg.iterator.flatMap(t =>
+                    ZarrChunkIngest.innerDecode(t, meta, None)
+                      .map { case (g, v) => mkRow(storeU, dsU, g, v) })
+                else {
+                  val shardFile = ZarrChunkIngest.shardPathOf(seg.head, meta)
+                  val h = handleFor(shardFile)
+                  seg.foreach(t =>
+                    ZarrChunkIngest.checkInnerWindow(t, h.length, shardFile))
+                  val windows = seg.map(t => (t.offset, t.length))
+                  MountDsv2.coalesceWindows(windows).iterator.flatMap { g =>
+                    val gStart = seg(g.start).offset
+                    val gEnd = g.map(i => seg(i).offset + seg(i).length).max
+                    val buf = handleFor(shardFile)
+                      .readFully(gStart, (gEnd - gStart).toInt)
+                    g.iterator.flatMap { i =>
+                      val t = seg(i)
+                      val raw = java.util.Arrays.copyOfRange(buf,
+                        (t.offset - gStart).toInt,
+                        (t.offset - gStart + t.length).toInt)
+                      ZarrChunkIngest.innerDecode(t, meta, Some(raw))
+                        .map { case (g2, v) => mkRow(storeU, dsU, g2, v) }
+                    }
+                  }
+                }
+              }
+            }
           private var cur: InternalRow = _
           override def next(): Boolean =
             if (rows.hasNext) { cur = rows.next(); true } else false

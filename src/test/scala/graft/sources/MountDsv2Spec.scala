@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure arithmetic of the shared DSv2 shell: idx-range folding, box
+  * bounds, and the read-request coalescing plan (the plan IS the
+  * request count, so asserting it here pins the object-store GET
+  * arithmetic without runtime instrumentation). */
+class MountDsv2Spec extends AnyFunSuite {
+
+  import MountDsv2._
+
+  test("coalesceWindows merges back-to-back windows into one span") {
+    // 10 contiguous 1 KiB windows -> ONE read
+    val w = IndexedSeq.tabulate(10)(i => (i * 1024L, 1024L))
+    assert(coalesceWindows(w) == Seq(0 until 10))
+  }
+
+  test("coalesceWindows splits on gap, span cap, and regression") {
+    // gap: 2 windows 1 MiB apart with a 64 KiB gap cap
+    val gapped = IndexedSeq((0L, 100L), (1L << 20, 100L))
+    assert(coalesceWindows(gapped) == Seq(0 until 1, 1 until 2))
+    // a small gap (<= cap) still merges, reading the junk between
+    val small = IndexedSeq((0L, 100L), (100L + 1024, 100L))
+    assert(coalesceWindows(small) == Seq(0 until 2))
+    // span cap: 3 x 4 MiB adjacent windows under an 8 MiB cap -> 2+1
+    val m4 = 4L << 20
+    val big = IndexedSeq((0L, m4), (m4, m4), (2 * m4, m4))
+    assert(coalesceWindows(big) == Seq(0 until 2, 2 until 3))
+    // regression/overlap starts a new group (defensive)
+    val regress = IndexedSeq((1000L, 100L), (500L, 100L), (600L, 100L))
+    assert(coalesceWindows(regress) == Seq(0 until 1, 1 until 3))
+    val overlap = IndexedSeq((0L, 100L), (50L, 100L))
+    assert(coalesceWindows(overlap) == Seq(0 until 1, 1 until 2))
+  }
+
+  test("coalesceWindows edges: empty, single, zero-length, negatives reject") {
+    assert(coalesceWindows(IndexedSeq.empty) == Seq.empty)
+    assert(coalesceWindows(IndexedSeq((7L, 3L))) == Seq(0 until 1))
+    assert(coalesceWindows(IndexedSeq((0L, 0L), (0L, 5L))) == Seq(0 until 2))
+    intercept[IllegalArgumentException](coalesceWindows(IndexedSeq((-1L, 5L))))
+    intercept[IllegalArgumentException](coalesceWindows(IndexedSeq((0L, -5L))))
+  }
+
+  test("coalesceWindows at the production scale: one shard of inner chunks " +
+      "is ONE request") {
+    // 512 back-to-back gzip'd inner chunks of ~2 KiB (a 1 MiB shard)
+    // -> 1 span; with per-chunk reads that is 512 GETs on s3a
+    var off = 0L
+    val w = IndexedSeq.fill(512) { val x = (off, 2048L); off += 2048; x }
+    assert(coalesceWindows(w).size == 1)
+  }
+
+  test("runs segments consecutive equal keys in order") {
+    assert(runs(Seq("a", "a", "b", "a"))(identity).map(_.toList) ==
+      Seq(List("a", "a"), List("b"), List("a")))
+    assert(runs(Seq.empty[String])(identity) == Seq.empty)
+  }
+
+  test("idxRange folds bounds with saturating arithmetic") {
+    import org.apache.spark.sql.sources._
+    val r = idxRange(Array[Filter](GreaterThan("idx", 4L), LessThanOrEqual("idx", 10L)))
+    assert(r == IdxRange(5L, 10L) && r.intersects(10, 20) && !r.intersects(11, 20))
+    assert(idxRange(Array[Filter](GreaterThan("idx", Long.MaxValue))).isEmpty)
+    assert(idxRange(Array[Filter](LessThan("idx", Long.MinValue))).isEmpty)
+    assert(idxRange(Array[Filter](In("idx", Array(7L, 3L, 9L)))) == IdxRange(3L, 9L))
+    assert(idxRange(Array.empty).isFull)
+    // an empty range intersects NOTHING, even a window that brackets it
+    assert(!IdxRange(5L, 3L).intersects(0L, 10L))
+  }
+
+  test("boxBounds: corner bounds of a row-major box, shape-clipped") {
+    // 2x3 chunk at origin (3, 4) in a (5, 6) grid: clipped to rows 3-4,
+    // cols 4-5 -> lo = 3*6+4 = 22, hi = 4*6+5 = 29
+    assert(boxBounds(Seq(3L, 4L), Seq(2L, 3L), Seq(5L, 6L)) == (22L, 29L))
+    // fully interior box
+    assert(boxBounds(Seq(0L, 0L), Seq(3L, 4L), Seq(5L, 6L)) == (0L, 15L))
+    // 1-D exact
+    assert(boxBounds(Seq(8L), Seq(4L), Seq(30L)) == (8L, 11L))
+  }
+}
