@@ -73,6 +73,39 @@ object NetCDF3ChunkIngest {
       }
     }
 
+  /** One task's (global idx, value) elements through `in`. The
+    * per-record positioned reads coalesce into ONE span read when the
+    * task's variable owns at least HALF the record stride (records of
+    * one variable are interleaved with every other record variable's,
+    * so an unconditional span read could fetch mostly junk; at >= 1/2
+    * the junk is bounded by the useful bytes, and one request replaces
+    * nRecs — the object-store arithmetic of MountDsv2.coalesceWindows
+    * applied to the classic format's strided layout). Shared by the
+    * RDD ingest and the [[NetCDF3DataSource]] DSv2 reader. */
+  private[sources] def taskValues(t: RecordTask,
+      in: ByteStore.ReadAt): Iterator[(Long, Double)] = {
+    val elemSize = NetCDF3.typeSize(t.ncType)
+    val perRecBytes = t.perRec.toLong * elemSize
+    val span =
+      if (t.nRecs <= 1 || t.stride <= 0L) -1L
+      else (t.nRecs - 1).toLong * t.stride + perRecBytes
+    def decodeRec(rec: Int, raw: Array[Byte]): Iterator[(Long, Double)] = {
+      val vals = NetCDF3.decodeSlab(raw, t.ncType, t.perRec)
+      (0 until t.perRec).iterator.map(i => (rec.toLong * t.perRec + i, vals(i)))
+    }
+    if (span > 0 && 2 * perRecBytes >= t.stride && span <= Int.MaxValue - 8) {
+      val buf = in.readFully(t.begin + t.recStart * t.stride, span.toInt)
+      (0 until t.nRecs).iterator.flatMap { r =>
+        val off = (r.toLong * t.stride).toInt
+        decodeRec(t.recStart + r, java.util.Arrays.copyOfRange(buf, off,
+          off + perRecBytes.toInt))
+      }
+    } else (0 until t.nRecs).iterator.flatMap { r =>
+      val rec = t.recStart + r
+      decodeRec(rec, in.readFully(t.begin + rec * t.stride, perRecBytes.toInt))
+    }
+  }
+
   /** Phase 2 fan-out. */
   def readValues(spark: SparkSession, pathGlob: String, varName: String,
       targetBytes: Long = 4L << 20, partitions: Int = 0): DataFrame = {
@@ -97,16 +130,8 @@ object NetCDF3ChunkIngest {
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => if (cur != null) cur.close()))
         it.flatMap { t =>
-          val raf = fileFor(t.path)
-          val elemSize = NetCDF3.typeSize(t.ncType)
-          (0 until t.nRecs).iterator.flatMap { r =>
-            val rec = t.recStart + r
-            val raw = raf.readFully(t.begin + rec * t.stride, t.perRec * elemSize)
-            val vals = NetCDF3.decodeSlab(raw, t.ncType, t.perRec)
-            (0 until t.perRec).iterator.map { i =>
-              (t.path, t.dataset, rec.toLong * t.perRec + i, vals(i))
-            }
-          }
+          taskValues(t, fileFor(t.path))
+            .map { case (gi, v) => (t.path, t.dataset, gi, v) }
         }
       }
       .toDF("path", "dataset", "idx", "value")

@@ -151,14 +151,9 @@ class NetCDF3ReaderFactory(required: StructType) extends PartitionReaderFactory 
             if (in != null) in.close()
             in = ByteStore.open(t.path)
           }
-          val elemSize = NetCDF3.typeSize(t.ncType)
-          (0 until t.nRecs).iterator.flatMap { r =>
-            val rec = t.recStart + r
-            val raw = in.readFully(t.begin + rec * t.stride, t.perRec * elemSize)
-            val vals = NetCDF3.decodeSlab(raw, t.ncType, t.perRec)
-            (0 until t.perRec).iterator.map(i =>
-              row(rec.toLong * t.perRec + i, vals(i)))
-          }
+          // per-record reads coalesce into one span read when the
+          // variable owns >= half the record stride (taskValues)
+          NetCDF3ChunkIngest.taskValues(t, in).map { case (gi, v) => row(gi, v) }
         }
       }
       private var cur: InternalRow = _
