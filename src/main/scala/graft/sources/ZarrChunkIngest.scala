@@ -176,8 +176,15 @@ object ZarrChunkIngest {
     * This is what makes sharding the 100 TB shape: shard files keep the
     * object count low while the task granularity stays the inner grid,
     * and phase 2 reads only each task's byte window, never a whole
-    * shard. */
-  def shardInnerTasks(store: String, name: String): Seq[InnerTask] = {
+    * shard.
+    *
+    * `shardKeep` prunes WHOLE SHARDS before their index tails are read
+    * (the shard grid is closed-form, so e.g. an idx-range crop decides
+    * from pure arithmetic): the metadata walk is then proportional to
+    * the CROP, not the store — under a bbox slice of a 100 TB store,
+    * out-of-range shards cost nothing, not even a tail GET. */
+  def shardInnerTasks(store: String, name: String,
+      shardKeep: Seq[Int] => Boolean = _ => true): Seq[InnerTask] = {
     val meta = metaOf(store, name) match {
       case Right(m) if m.sharding.isDefined => m
       case Right(_) => fail(s"$store/$name is not sharded — use chunkTasks")
@@ -185,7 +192,7 @@ object ZarrChunkIngest {
     }
     val sh = meta.sharding.get
     val innerGrid = gridOf(meta.chunks, sh.innerChunks)
-    gridOf(meta.shape, meta.chunks).flatMap { ci =>
+    gridOf(meta.shape, meta.chunks).filter(shardKeep).flatMap { ci =>
       val shardFile = shardPath(store, name, meta, ci)
       if (!ByteStore.exists(shardFile))
         innerGrid.map(gi => InnerTask(store, name, ci, gi, -1L, -1L))
@@ -198,6 +205,13 @@ object ZarrChunkIngest {
       }
     }
   }
+
+  /** Inclusive [min, max] global-linear-index bounds of one SHARD (the
+    * outer chunk box) — decidable before its index tail is read. */
+  private[sources] def shardIdxBounds(ci: Seq[Int], meta: Zarr3.Meta): (Long, Long) =
+    MountDsv2.boxBounds(
+      ci.zip(meta.chunks).map { case (c, w) => c.toLong * w },
+      meta.chunks.map(_.toLong), meta.shape.map(_.toLong))
 
   /** ABSENT inner chunk (index sentinel or missing shard file)? */
   private[sources] def innerMissing(t: InnerTask): Boolean =

@@ -162,8 +162,15 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
           Seq.empty[ZarrChunkIngest.InnerTask])) { case ((cs, is), (s, a)) =>
         ZarrChunkIngest.metaOf(s, a) match {
           case Right(m) if m.sharding.isDefined =>
-            // idx prune on the closed-form inner-chunk windows
-            (cs, is ++ ZarrChunkIngest.shardInnerTasks(s, a).filter { t =>
+            // idx prune at TWO granularities: whole shards whose
+            // closed-form window misses the range never have their
+            // index tails READ (metadata work proportional to the
+            // crop), then surviving shards' inner-chunk windows prune
+            // task-by-task
+            (cs, is ++ ZarrChunkIngest.shardInnerTasks(s, a, ci => {
+              val (lo, hi) = ZarrChunkIngest.shardIdxBounds(ci, m)
+              range.intersects(lo, hi)
+            }).filter { t =>
               val (lo, hi) = ZarrChunkIngest.innerIdxBounds(t, m)
               range.intersects(lo, hi)
             })

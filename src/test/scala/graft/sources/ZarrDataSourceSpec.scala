@@ -94,6 +94,29 @@ class ZarrDataSourceSpec extends SparkSpec {
       Seq(0.0, 1.0, 2.0, 3.0))
   }
 
+  test("idx range prunes WHOLE SHARDS before their index tails are read") {
+    // the corrupt-payload proof at the shard-index level: corrupt the
+    // OUT-OF-RANGE shard's index tail — a range plan that never needs
+    // that shard must never read the tail (metadata work proportional
+    // to the crop); the unfiltered plan must reject loudly on the crc
+    val tmp = Files.createTempDirectory("zarr-dsv2-shardprune")
+    val store = copyStore(ShardStore, tmp, "s.zarr")
+    val shard1 = store.resolve("temp").resolve("c").resolve("1").resolve("0")
+    val b = Files.readAllBytes(shard1)
+    b(b.length - 10) = (b(b.length - 10) ^ 0x5a).toByte // inside the index tail
+    Files.write(shard1, b)
+    val df = spark.read.format(Fmt)
+      .option("path", store.toString).option("partitions", "64").load()
+    // shard 1 spans idx [32,47]: a crop below it plans WITHOUT touching
+    // the corrupt tail, and reads correctly
+    val cropped = df.where(col("idx") < 32)
+    assert(cropped.rdd.getNumPartitions == 4) // shard 0's 4 inner tasks
+    assert(cropped.count() == 32)
+    // unfiltered planning must read shard 1's tail -> loud crc reject
+    val e = intercept[Exception](df.count())
+    assert(e.getMessage.contains("crc32c"), e.getMessage)
+  }
+
   test("SHARDED v3 arrays plan one task per INNER chunk") {
     val df = spark.read.format(Fmt)
       .option("path", ShardStore).option("partitions", "64").load()
