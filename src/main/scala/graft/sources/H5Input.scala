@@ -38,12 +38,24 @@ final class ArrayInput(val bytes: Array[Byte]) extends H5Input {
   * on first touch and stay cached for the life of the input (manifest
   * parsing revisits superblock/header pages; the working set is the
   * metadata, small by construction). */
-final class PagedFileInput(path: String, val pageSize: Int = 1 << 16) extends H5Input {
-  require(Integer.bitCount(pageSize) == 1, s"page size $pageSize not a power of two")
+object PagedFileInput {
+  val DefaultPageSize: Int = 1 << 16 // local: page-cache-friendly 64 KiB
+  val RemotePageSize: Int = 1 << 20 // scheme'd URIs: fewer, wider GETs
+}
+
+final class PagedFileInput(path: String,
+    pageSizeHint: Int = PagedFileInput.DefaultPageSize) extends H5Input {
   // ByteStore seam: local paths keep RandomAccessFile; scheme'd URIs
   // (file://, s3a://, hdfs://) read through Hadoop positioned reads —
   // the page cache above it makes metadata walks latency-tolerant on
-  // object stores (one GET per 64 KiB page, revisits free)
+  // object stores (revisits free). Scheme'd paths get BIGGER pages
+  // (1 MiB vs 64 KiB): at object-store latency one wider GET beats
+  // sixteen narrow ones, and a manifest walk touches few pages anyway.
+  val pageSize: Int =
+    if (ByteStore.hasScheme(path))
+      math.max(pageSizeHint, PagedFileInput.RemotePageSize)
+    else pageSizeHint
+  require(Integer.bitCount(pageSize) == 1, s"page size $pageSize not a power of two")
   private val in = ByteStore.open(path)
   val length: Long = in.length
   private val pages = scala.collection.mutable.LongMap.empty[Array[Byte]]

@@ -177,7 +177,7 @@ object MountDsv2 {
     while (i < windows.length) {
       val (off, len) = windows(i)
       val end = off + len
-      val ok = off >= gEnd - 0 && // monotone, no overlap with the group
+      val ok = off >= gEnd && // monotone, no overlap with the group
         off - gEnd <= maxGap &&
         end - gStart <= maxSpan
       if (ok) gEnd = math.max(gEnd, end)

@@ -58,11 +58,16 @@ object NetCDF3ChunkIngest {
       val isRec = v.dimIds.headOption.exists(h.dims(_).isRecord)
       if (!isRec) {
         val total = shape.map(_.toLong).product
-        require(total <= Int.MaxValue, s"${v.name} too large for one slab")
+        // the whole slab reads as ONE byte buffer: bound the BYTES, not
+        // just the element count (total * 8 for doubles must fit an Int)
+        require(total * NetCDF3.typeSize(v.ncType) <= Int.MaxValue - 8,
+          s"${v.name} too large for one slab")
         Seq(RecordTask(p, v.name, v.ncType, v.begin, 0L, total.toInt, 0, 1))
       } else {
         val perRec = shape.drop(1).map(_.toLong).product
-        require(perRec <= Int.MaxValue, s"${v.name} record too large")
+        // one record's slab reads as one buffer: bound its BYTES
+        require(perRec * NetCDF3.typeSize(v.ncType) <= Int.MaxValue - 8,
+          s"${v.name} record too large")
         val stride = NetCDF3.recordStrideOf(h)
         val recBytes = math.max(1L, perRec * NetCDF3.typeSize(v.ncType))
         val recsPerTask = math.max(1L, targetBytes / recBytes).toInt

@@ -67,7 +67,7 @@ class HDF5ChunkIngestSpec extends SparkSpec {
   test("manifest matches whole-file decode through a PagedFileInput") {
     generations.foreach { case (label, bytes) =>
       val path = tmpFile(s"$label.h5", bytes)
-      val in = new PagedFileInput(path, pageSize = 1 << 12)
+      val in = new PagedFileInput(path, pageSizeHint = 1 << 12)
       try {
         val viaPaged = HDF5.read(in).map(ds => ds.name -> ds.data.toSeq).toMap
         val viaArray = HDF5.read(bytes).map(ds => ds.name -> ds.data.toSeq).toMap
@@ -86,7 +86,7 @@ class HDF5ChunkIngestSpec extends SparkSpec {
       Array.tabulate(512 * 512)(_ * 0.001), chunkDims = Some(Seq(16, 16)))),
       fixedArrayAlways = true)
     val path = tmpFile("big.h5", big)
-    val in = new PagedFileInput(path, pageSize = 1 << 12)
+    val in = new PagedFileInput(path, pageSizeHint = 1 << 12)
     try {
       val m = HDF5.manifest(in)
       assert(m.map(_._2.size).sum == 1024, "expected 1024 chunk refs")
