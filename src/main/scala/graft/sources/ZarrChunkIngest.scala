@@ -243,8 +243,7 @@ object ZarrChunkIngest {
 
   /** One inner-chunk task's (global idx, value) elements: a positioned
     * byte-range read through `handleFor` (caller manages handle reuse)
-    * + inner-pipeline decode; absent inner chunks emit fill. Shared by
-    * the RDD ingest below and the [[ZarrDataSource]] DSv2 reader. */
+    * + inner-pipeline decode; absent inner chunks emit fill. */
   private[sources] def innerElems(t: InnerTask, meta: Zarr3.Meta,
       handleFor: String => ByteStore.ReadAt): Iterator[(Long, Double)] =
     if (innerMissing(t)) innerDecode(t, meta, None)
@@ -253,6 +252,37 @@ object ZarrChunkIngest {
       val h = handleFor(shardFile)
       checkInnerWindow(t, h.length, shardFile)
       innerDecode(t, meta, Some(h.readFully(t.offset, t.length.toInt)))
+    }
+
+  /** Coalesced decode of a run of inner tasks sharing (store, dataset),
+    * ideally (shard, offset)-ordered: segments by shard file, merges
+    * byte-adjacent windows ([[MountDsv2.coalesceWindows]]), one span
+    * read per group — inner chunks are written back-to-back, so a whole
+    * shard typically collapses to a single ranged read on an object
+    * store. Absent inner chunks emit fill without any read. Shared by
+    * the RDD ingest and the [[ZarrDataSource]] DSv2 reader. */
+  private[sources] def innerElemsRun(run: IndexedSeq[InnerTask], meta: Zarr3.Meta,
+      handleFor: String => ByteStore.ReadAt): Iterator[(Long, Double)] =
+    MountDsv2.runs(run)(t =>
+        if (innerMissing(t)) null else shardPathOf(t, meta)).iterator.flatMap { seg =>
+      if (innerMissing(seg.head))
+        seg.iterator.flatMap(innerDecode(_, meta, None))
+      else {
+        val shardFile = shardPathOf(seg.head, meta)
+        val h = handleFor(shardFile)
+        seg.foreach(checkInnerWindow(_, h.length, shardFile))
+        val windows = seg.map(t => (t.offset, t.length))
+        MountDsv2.coalesceWindows(windows).iterator.flatMap { g =>
+          val gStart = seg(g.start).offset
+          val gEnd = g.map(i => seg(i).offset + seg(i).length).max
+          val buf = handleFor(shardFile).readFully(gStart, (gEnd - gStart).toInt)
+          g.iterator.flatMap { i =>
+            val t = seg(i)
+            innerDecode(t, meta, Some(java.util.Arrays.copyOfRange(buf,
+              (t.offset - gStart).toInt, (t.offset - gStart + t.length).toInt)))
+          }
+        }
+      }
     }
 
   /** Index-only walk of one inner-chunk task: no shard bytes read. */
@@ -299,13 +329,17 @@ object ZarrChunkIngest {
     require(tasks.nonEmpty, s"no inner chunks for $store/$name")
     val par = if (partitions > 0) partitions
       else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    import org.apache.spark.sql.functions.col
     spark.createDataset(tasks)
       .repartition(par)
+      // (store, dataset, offset)-sort each partition so handle reuse AND
+      // window coalescing see contiguous shard runs (repartition alone
+      // scatters tasks round-robin)
+      .sortWithinPartitions(col("store"), col("dataset"), col("offset"))
       .mapPartitions { it =>
-        var cachedMeta: ((String, String), Zarr3.Meta) = null
         var in: ByteStore.ReadAt = null
         def handleFor(p: String): ByteStore.ReadAt = {
-          // one handle per shard file per partition (HDF5ChunkIngest's
+          // one handle per shard file per run (HDF5ChunkIngest's
           // handle-reuse discipline)
           if (in == null || in.path != p) {
             if (in != null) in.close()
@@ -313,16 +347,15 @@ object ZarrChunkIngest {
           }
           in
         }
-        val out = it.flatMap { t =>
-          if (cachedMeta == null || cachedMeta._1 != ((t.store, t.dataset)))
-            cachedMeta = ((t.store, t.dataset),
-              metaOf(t.store, t.dataset) match {
-                case Right(m) => m
-                case Left(_) => fail("v2 store in shard-inner read")
-              })
-          innerElems(t, cachedMeta._2, handleFor)
-            .map { case (g, v) => (t.store, t.dataset, g, v) }
-        }
+        val out = MountDsv2.runs(it.toSeq)(t => (t.store, t.dataset))
+          .iterator.flatMap { run =>
+            val meta = metaOf(run.head.store, run.head.dataset) match {
+              case Right(m) => m
+              case Left(_) => fail("v2 store in shard-inner read")
+            }
+            innerElemsRun(run, meta, handleFor)
+              .map { case (g, v) => (run.head.store, run.head.dataset, g, v) }
+          }
         // close the last handle when the partition iterator drains
         new Iterator[(String, String, Long, Double)] {
           def hasNext: Boolean = {

@@ -270,35 +270,9 @@ class ZarrReaderFactory(required: StructType) extends PartitionReaderFactory {
                 run.iterator.flatMap(t =>
                   ZarrChunkIngest.innerIndexes(t, meta)
                     .map(mkRow(storeU, dsU, _, 0.0)))
-              else MountDsv2.runs(run)(t =>
-                  if (ZarrChunkIngest.innerMissing(t)) null
-                  else ZarrChunkIngest.shardPathOf(t, meta)).iterator.flatMap { seg =>
-                if (ZarrChunkIngest.innerMissing(seg.head))
-                  seg.iterator.flatMap(t =>
-                    ZarrChunkIngest.innerDecode(t, meta, None)
-                      .map { case (g, v) => mkRow(storeU, dsU, g, v) })
-                else {
-                  val shardFile = ZarrChunkIngest.shardPathOf(seg.head, meta)
-                  val h = handleFor(shardFile)
-                  seg.foreach(t =>
-                    ZarrChunkIngest.checkInnerWindow(t, h.length, shardFile))
-                  val windows = seg.map(t => (t.offset, t.length))
-                  MountDsv2.coalesceWindows(windows).iterator.flatMap { g =>
-                    val gStart = seg(g.start).offset
-                    val gEnd = g.map(i => seg(i).offset + seg(i).length).max
-                    val buf = handleFor(shardFile)
-                      .readFully(gStart, (gEnd - gStart).toInt)
-                    g.iterator.flatMap { i =>
-                      val t = seg(i)
-                      val raw = java.util.Arrays.copyOfRange(buf,
-                        (t.offset - gStart).toInt,
-                        (t.offset - gStart + t.length).toInt)
-                      ZarrChunkIngest.innerDecode(t, meta, Some(raw))
-                        .map { case (g2, v) => mkRow(storeU, dsU, g2, v) }
-                    }
-                  }
-                }
-              }
+              else
+                ZarrChunkIngest.innerElemsRun(run, meta, handleFor)
+                  .map { case (g, v) => mkRow(storeU, dsU, g, v) }
             }
           private var cur: InternalRow = _
           override def next(): Boolean =
