@@ -90,12 +90,25 @@ object HDF5ChunkIngest {
         // the iterator itself has no terminal hook under interruption)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => if (cur != null) cur.close()))
-        it.flatMap { t =>
-          val raw = fileFor(t.path).readFully(t.offset, t.nbytes.toInt)
-          val v = HDF5.H5Var(t.dataset, t.dims, t.chunkDims, t.dtClass,
-            t.dtSize, t.bigEndian, t.filters, t.signedInt)
-          HDF5.decodeChunk(raw, v, t.origin)
-            .map { case (gi, x) => (t.path, t.dataset, gi, x) }
+        // tasks are (path, offset)-sorted: coalesce byte-adjacent chunk
+        // windows into ONE positioned read per span (the DSv2 reader's
+        // request-count discipline, MountDsv2.coalesceWindows)
+        MountDsv2.runs(it.toSeq)(_.path).iterator.flatMap { run =>
+          val windows = run.map(t => (t.offset, t.nbytes))
+          MountDsv2.coalesceWindows(windows).iterator.flatMap { g =>
+            val gStart = run(g.start).offset
+            val gEnd = g.map(i => run(i).offset + run(i).nbytes).max
+            val buf = fileFor(run.head.path).readFully(gStart, (gEnd - gStart).toInt)
+            g.iterator.flatMap { i =>
+              val t = run(i)
+              val raw = java.util.Arrays.copyOfRange(buf,
+                (t.offset - gStart).toInt, (t.offset - gStart + t.nbytes).toInt)
+              val v = HDF5.H5Var(t.dataset, t.dims, t.chunkDims, t.dtClass,
+                t.dtSize, t.bigEndian, t.filters, t.signedInt)
+              HDF5.decodeChunk(raw, v, t.origin)
+                .map { case (gi, x) => (t.path, t.dataset, gi, x) }
+            }
+          }
         }
       }
       .toDF("path", "dataset", "idx", "value")

@@ -696,12 +696,18 @@ class ArrowIpcSpec extends SparkSpec {
     assert(l(r1, 4) == Some(Seq("2020-02-02T10:00:00.123456", null)))
     assert(l(r1, 5) == Some(Seq("alpha", "beta-beta")))
     assert(l(r1, 6) == Some(Seq("1969-12-31", "2038-01-19")))
+    // list<map>: the map's hoisted keys ride inside the ITEM metadata
+    def lm(r: Row): Option[Seq[Map[Any, Any]]] =
+      Option(r.get(7)).map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq
+        .map(_.asInstanceOf[scala.collection.Map[Any, Any]].toMap))
+    assert(lm(r1) == Some(Seq(Map("k" -> 1L), Map.empty, Map("m" -> -2L, "n" -> 3L))))
     val r2 = byId(1)
     assert(m(r2, 1) == Some(Map.empty) && m(r2, 3) == Some(Map.empty))
     assert(m(r2, 2) == Some(Map(0L -> 0L)))
     assert(l(r2, 4) == Some(Seq.empty) && l(r2, 5) == Some(Seq.empty) &&
       l(r2, 6) == Some(Seq.empty))
-    assert((1 to 6).forall(byId(2).isNullAt))
+    assert(lm(r2) == Some(Seq.empty))
+    assert((1 to 7).forall(byId(2).isNullAt))
   }
 
   test("pyarrow map/list children with ts[ns]/uint8/date64/large_utf8 " +

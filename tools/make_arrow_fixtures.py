@@ -541,6 +541,8 @@ def main():
         pa.field("lts", pa.list_(pa.timestamp("ns", tz="UTC"))),
         pa.field("llu", pa.list_(pa.large_utf8())),
         pa.field("ld64", pa.list_(pa.date64())),
+        # list<map>: the map's hoisted keys ride inside the ITEM metadata
+        pa.field("lm", pa.list_(pa.map_(pa.utf8(), pa.int64()))),
     ])
     nm_rows = [
         (1,
@@ -550,9 +552,10 @@ def main():
          [("d", datetime.date(2020, 2, 2))],
          [utc(2020, 2, 2, 10, 0, 0, 123456), None],
          ["alpha", "beta-beta"],
-         [datetime.date(1969, 12, 31), datetime.date(2038, 1, 19)]),
-        (2, [], [(0, 0)], [], [], [], []),
-        (3, None, None, None, None, None, None),
+         [datetime.date(1969, 12, 31), datetime.date(2038, 1, 19)],
+         [[("k", 1)], [], [("m", -2), ("n", 3)]]),
+        (2, [], [(0, 0)], [], [], [], [], []),
+        (3, None, None, None, None, None, None, None),
     ]
     nm_cols = list(zip(*nm_rows))
     nm_arrays = [pa.array(c, type=f.type) for c, f in zip(nm_cols, nm_schema)]
