@@ -4,9 +4,11 @@ package graft.sources
   *
   * Two backings: [[ArrayInput]] wraps an in-memory file image (the
   * binaryFile per-file ingest path), [[PagedFileInput]] serves
-  * positioned page-cached reads from a local/NFS file WITHOUT loading
-  * it — the driver-side manifest backing for consolidated netCDF-4
-  * stores bigger than one task (or than a 2 GB `Array[Byte]`).
+  * positioned page-cached reads through the [[ByteStore]] seam (local
+  * paths via java.io; `file://`/`hdfs://`/`s3a://` URIs via Hadoop)
+  * WITHOUT loading the file — the driver-side manifest backing for
+  * consolidated netCDF-4 stores bigger than one task (or than a 2 GB
+  * `Array[Byte]`).
   * Offsets are Long throughout, so the >2 GB cap of a single byte
   * array applies only to the whole-file decode path, never to the
   * chunk-parallel manifest path.

@@ -23,11 +23,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *    per-chunk by construction — no cross-chunk state, no shuffle
   *    until the first keyed operator downstream).
   *
-  * Executors open the file by path, so storage must be reachable from
-  * every executor (local FS here; NFS / fuse-mounted object store on a
-  * cluster) — the [[ZarrSink.writeScenes]] caveat. At 100 TB the same
-  * two-phase shape holds: manifests are KB-scale per store and the
-  * chunk map is what actually distributes.
+  * Executors open the file by path through the [[ByteStore]] seam:
+  * plain paths read via java.io (local FS / NFS), scheme'd URIs
+  * (`file://`/`hdfs://`/`s3a://`) via `org.apache.hadoop.fs` — object
+  * stores mount directly, no fuse layer needed. (WRITE sinks stay
+  * local-path-only — the [[ZarrSink.writeScenes]] caveat.) At 100 TB
+  * the same two-phase shape holds: manifests are KB-scale per store,
+  * the chunk map is what actually distributes, and byte-adjacent
+  * chunks coalesce into one positioned read per span
+  * ([[MountDsv2.coalesceWindows]]) so request counts track spans, not
+  * chunks.
   */
 object HDF5ChunkIngest {
 

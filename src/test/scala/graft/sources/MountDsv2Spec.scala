@@ -51,6 +51,49 @@ class MountDsv2Spec extends AnyFunSuite {
     assert(coalesceWindows(w).size == 1)
   }
 
+  test("coalesceWindows properties: partition cover, caps, exact slicing " +
+      "(200 random window sets)") {
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(40)
+      // sorted-but-sometimes-regressing windows, sizes 0..64 KiB
+      var off = 0L
+      val w = IndexedSeq.fill(n) {
+        off += rnd.nextInt(200000).toLong - 20000 // occasional regression
+        if (off < 0) off = 0
+        val x = (off, rnd.nextInt(1 << 16).toLong)
+        off += x._2
+        x
+      }
+      val maxGap = 1L << (10 + rnd.nextInt(8))
+      val maxSpan = 1L << (16 + rnd.nextInt(8))
+      val gs = MountDsv2.coalesceWindows(w, maxGap, maxSpan)
+      // exact partition of the input indices, in order
+      assert(gs.flatten == (0 until n), s"$gs is not a partition of 0..$n")
+      gs.foreach { g =>
+        val gStart = w(g.start)._1
+        val gEnd = g.map(i => w(i)._1 + w(i)._2).max
+        // every window sits inside its group's span (sliceable)
+        g.foreach { i =>
+          assert(w(i)._1 >= gStart && w(i)._1 + w(i)._2 <= gEnd,
+            s"window $i outside span ($gStart, $gEnd)")
+        }
+        // the span cap holds for every MERGED group (a single window
+        // larger than the cap is its own group by construction)
+        if (g.size > 1) assert(gEnd - gStart <= maxSpan,
+          s"merged span ${gEnd - gStart} > cap $maxSpan")
+        // within a group, windows are monotone, non-overlapping, and
+        // gaps respect the cap
+        g.sliding(2).foreach {
+          case Seq(a, b) =>
+            val aEnd = w(a)._1 + w(a)._2
+            assert(w(b)._1 >= aEnd && w(b)._1 - aEnd <= maxGap)
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("runs segments consecutive equal keys in order") {
     assert(runs(Seq("a", "a", "b", "a"))(identity).map(_.toList) ==
       Seq(List("a", "a"), List("b"), List("a")))
