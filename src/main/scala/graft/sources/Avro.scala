@@ -140,18 +140,15 @@ object Avro {
     * the first file; all files must agree). */
   def read(spark: SparkSession, pathGlob: String): DataFrame = {
     val paths = HDF5ChunkIngest.resolvePaths(pathGlob) match {
-      case Seq() =>
-        val d = new java.io.File(pathGlob)
-        if (d.isDirectory)
-          Option(d.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.endsWith(".avro"))
-            .map(_.getAbsolutePath).sorted.toSeq
-        else Seq.empty
+      case Seq() if ByteStore.isDirectory(pathGlob) =>
+        ByteStore.list(pathGlob)
+          .filter(e => !e.isDir && e.name.endsWith(".avro"))
+          .map(_.path).sorted
       case ps => ps
     }
     require(paths.nonEmpty, s"no avro files matched $pathGlob")
     val first = {
-      val in = new java.io.FileInputStream(paths.head)
+      val in = ByteStore.openStream(paths.head)
       val s = new DataFileStream[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
       try s.getSchema finally { s.close(); in.close() }
@@ -160,7 +157,7 @@ object Avro {
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(sparkSch))
     import spark.implicits._
     val rows = spark.createDataset(paths).flatMap { p =>
-      val in = new java.io.FileInputStream(p)
+      val in = ByteStore.openStream(p)
       val stream = new DataFileStream[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
       val fields = sparkSch.fields
@@ -181,12 +178,29 @@ object Avro {
     * range start, syncs forward to the next block marker and decodes
     * blocks starting inside its range (`pastSync` excludes the rest) —
     * the Hadoop split contract, each block decoded exactly once. */
+  /** avro's SeekableInput over the [[ByteStore]] seam, so the ranged
+    * split read works on URI stores too (sync + pastSync need seeks). */
+  private final class SeekableReadAt(path: String)
+      extends org.apache.avro.file.SeekableInput {
+    private val in = ByteStore.open(path)
+    private var pos = 0L
+    override def length(): Long = in.length
+    override def seek(p: Long): Unit = { pos = p }
+    override def tell(): Long = pos
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = math.min(len.toLong, in.length - pos).toInt
+      if (n <= 0) -1
+      else { in.readFully(pos, b, off, n); pos += n; n }
+    }
+    override def close(): Unit = in.close()
+  }
+
   def readSplit(spark: SparkSession, path: String,
       splitBytes: Long = 4L << 20): DataFrame = {
-    require(new java.io.File(path).isFile, s"$path is not a file")
-    val len = new java.io.File(path).length()
+    require(ByteStore.isFile(path), s"$path is not a file")
+    val len = ByteStore.length(path)
     val sparkSch = {
-      val in = new java.io.FileInputStream(path)
+      val in = ByteStore.openStream(path)
       val s = new DataFileStream[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
       try sparkSchema(s.getSchema) finally { s.close(); in.close() }
@@ -203,7 +217,8 @@ object Avro {
       .flatMap { t: (String, Long, Long) =>
         val (p, start, end) = t
         val reader = org.apache.avro.file.DataFileReader.openReader(
-          new java.io.File(p), new GenericDatumReader[GenericRecord]())
+          new SeekableReadAt(p): org.apache.avro.file.SeekableInput,
+          new GenericDatumReader[GenericRecord]())
         reader.sync(start) // forward to the first block at/after start
         val fields = sparkSch.fields
         new Iterator[Row] {

@@ -131,6 +131,17 @@ object ByteStore {
         .sortBy(_.name)
     }
 
+  /** Sequential stream over the whole file — the shape the container
+    * codecs (Avro blocks, TFRecord frames) consume. Caller closes. */
+  def openStream(path: String): java.io.InputStream =
+    if (hasScheme(path)) fileSystem(path).open(new Path(path))
+    else new java.io.FileInputStream(path)
+
+  /** File length without opening a stream. */
+  def length(path: String): Long =
+    if (hasScheme(path)) fileSystem(path).getFileStatus(new Path(path)).getLen
+    else new java.io.File(path).length()
+
   /** Scheme-preserving child join (both branches use `/`; this runs on
     * Linux paths and URIs only). */
   def join(dir: String, child: String): String =

@@ -51,21 +51,21 @@ object Safetensors {
     bb.array()
   }
 
-  /** Parse one file into name -> (meta, bytes); offsets validated. */
+  /** Parse one file into name -> (meta, bytes); offsets validated.
+    * Positioned reads through [[ByteStore]] (URI stores read too). */
   def decode(path: String): Map[String, (TensorMeta, Array[Byte])] = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = ByteStore.open(path)
     try {
-      val lenB = new Array[Byte](8)
-      raf.readFully(lenB)
+      require(raf.length >= 8, s"safetensors: ${raf.length}-byte file has no header")
+      val lenB = raf.readFully(0L, 8)
       val hlen = ByteBuffer.wrap(lenB).order(ByteOrder.LITTLE_ENDIAN).getLong
-      require(hlen > 0 && hlen <= Int.MaxValue && 8 + hlen <= raf.length(),
-        s"safetensors: absurd header length $hlen for file of ${raf.length()} bytes")
-      val hb = new Array[Byte](hlen.toInt)
-      raf.readFully(hb)
+      require(hlen > 0 && hlen <= Int.MaxValue && 8 + hlen <= raf.length,
+        s"safetensors: absurd header length $hlen for file of ${raf.length} bytes")
+      val hb = raf.readFully(8L, hlen.toInt)
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(new String(hb, StandardCharsets.UTF_8))
       val dataStart = 8 + hlen
-      val dataLen = raf.length() - dataStart
+      val dataLen = raf.length - dataStart
       val out = Map.newBuilder[String, (TensorMeta, Array[Byte])]
       val it = root.properties().iterator()
       while (it.hasNext) {
@@ -84,8 +84,7 @@ object Safetensors {
             s"safetensors: offsets [$s,$en) outside data section for $nm")
           require(en - s == sh.product * itemSize(dt),
             s"safetensors: $nm shape/byte mismatch")
-          val b = new Array[Byte]((en - s).toInt)
-          raf.seek(dataStart + s); raf.readFully(b)
+          val b = raf.readFully(dataStart + s, (en - s).toInt)
           out += nm -> ((TensorMeta(dt, sh, s, en), b))
         }
       }
@@ -126,10 +125,9 @@ object Safetensors {
 
   /** Read every shard in `dir`: (vec_id, embedding), per-file parallel. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val d = new java.io.File(dir)
-    val paths = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".safetensors"))
-      .map(_.getAbsolutePath).sorted.toSeq
+    val paths = ByteStore.list(dir)
+      .filter(e => !e.isDir && e.name.endsWith(".safetensors"))
+      .map(_.path).sorted
     require(paths.nonEmpty, s"no .safetensors shards in $dir")
     import spark.implicits._
     spark.createDataset(paths).flatMap { p =>

@@ -343,17 +343,16 @@ object TfRecord {
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     schema.fields.foreach(f => require(supported(f.dataType),
       s"tfrecord: unsupported column type ${f.dataType} for '${f.name}'"))
-    val d = new java.io.File(dir)
-    val paths = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".tfrecord"))
-      .map(_.getAbsolutePath).sorted.toSeq
+    val paths = ByteStore.list(dir)
+      .filter(e => !e.isDir && e.name.endsWith(".tfrecord"))
+      .map(_.path).sorted
     require(paths.nonEmpty, s"no .tfrecord files in $dir")
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
     val fields = schema.fields
     import spark.implicits._
     spark.createDataset(paths).flatMap { p =>
       val in = new DataInputStream(new java.io.BufferedInputStream(
-        new FileInputStream(p)))
+        ByteStore.openStream(p)))
       readFramed(in).map { payload =>
         val m = decodeExample(payload)
         Row.fromSeq(fields.toIndexedSeq.map { f =>

@@ -143,6 +143,44 @@ class MountUriSpec extends SparkSpec {
     assert(aRows(uri(aDir)) == aPlain)
   }
 
+  test("safetensors / tfrecord / avro readers accept file:// URIs too") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // safetensors (positioned header + tensor reads through the seam)
+    val stDir = Files.createTempDirectory("graft-uri-st").toString
+    val vecs = (1L to 20L).map(i =>
+      (i, Array.tabulate(4)(j => (i * 10 + j).toFloat))).toDF("id", "emb")
+    Safetensors.write(vecs.coalesce(2), stDir, "id", "emb", dim = 4)
+    def stRows(p: String) = Safetensors.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
+    val stPlain = stRows(stDir)
+    assert(stPlain.size == 20 && stRows(uri(stDir)) == stPlain)
+
+    // tfrecord (framed stream through the seam)
+    val tfDir = Files.createTempDirectory("graft-uri-tf").toString
+    val docs = (1L to 30L).map(i => (i, s"doc-$i")).toDF("doc_id", "text")
+    TfRecord.write(docs.coalesce(2), tfDir)
+    val tfSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def tfRows(p: String) = TfRecord.read(spark, p, tfSchema).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val tfPlain = tfRows(tfDir)
+    assert(tfPlain.size == 30 && tfRows(uri(tfDir)) == tfPlain)
+
+    // avro: per-file stream AND the ranged split read (SeekableInput
+    // sync/pastSync over the seam)
+    val avDir = Files.createTempDirectory("graft-uri-avro").toString
+    Avro.write(docs.coalesce(1), avDir)
+    def avRows(p: String) = Avro.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val avPlain = avRows(avDir)
+    assert(avPlain.size == 30 && avRows(uri(avDir)) == avPlain)
+    val one = ByteStore.list(avDir).filter(_.name.endsWith(".avro")).head.path
+    def avSplit(p: String) = Avro.readSplit(spark, p, splitBytes = 256).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(avSplit(one) == avPlain && avSplit("file://" + one) == avPlain)
+  }
+
   test("chunk-parallel RDD ingests read file:// URIs too") {
     val dir = Files.createTempDirectory("graft-uri-ing").toString
     val ncPath = s"$dir/rec.nc"
