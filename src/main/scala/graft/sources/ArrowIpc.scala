@@ -1246,14 +1246,15 @@ object ArrowIpc {
 
   private val Magic = "ARROW1".getBytes(StandardCharsets.US_ASCII)
 
-  /** Write `rows` as one Arrow file. `fileFormat=false` emits the bare
-    * stream (.arrows): schema message, batches, EOS. */
-  def writeFile(path: File, schema: StructType, rows: Iterator[Row],
+  /** Write `rows` as one Arrow file (path through the [[ByteStore]]
+    * seam). `fileFormat=false` emits the bare stream (.arrows): schema
+    * message, batches, EOS. */
+  def writeFile(path: String, schema: StructType, rows: Iterator[Row],
       batchRows: Int = 4096, fileFormat: Boolean = true,
       compression: Option[String] = None): Long = {
     schema.fields.foreach(f => require(supported(f.dataType),
       s"arrow-ipc: unsupported type ${f.dataType} for column ${f.name}"))
-    val out = new FileOutputStream(path)
+    val out = ByteStore.create(path)
     var pos = 0L
     var nRows = 0L
     def emit(bytes: Array[Byte]): Unit = { out.write(bytes); pos += bytes.length }
@@ -1495,13 +1496,12 @@ object ArrowIpc {
     schema.fields.foreach(f => require(supported(f.dataType),
       s"arrow-ipc: unsupported type ${f.dataType} for column ${f.name}"))
     val ext = if (fileFormat) ".arrow" else ".arrows"
-    val d = new File(dir)
-    d.mkdirs()
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".arrow") || f.getName.endsWith(".arrows"))
-      .foreach(_.delete())
+    ByteStore.mkdirs(dir)
+    ByteStore.list(dir)
+      .filter(e => !e.isDir && (e.name.endsWith(".arrow") || e.name.endsWith(".arrows")))
+      .foreach(e => ByteStore.deleteFile(e.path))
     df.rdd.mapPartitionsWithIndex { (pi, it) =>
-      val f = new File(dir, f"part-$pi%05d$ext")
+      val f = ByteStore.join(dir, f"part-$pi%05d$ext")
       Iterator.single(writeFile(f, schema, it, batchRows, fileFormat, compression))
     }.count()
     ()
@@ -1511,26 +1511,19 @@ object ArrowIpc {
     * executor-side (schema from the first file; all must agree). */
   def read(spark: SparkSession, pathGlob: String): DataFrame = {
     val paths = HDF5ChunkIngest.resolvePaths(pathGlob) match {
-      case Seq() =>
-        val d = new File(pathGlob)
-        if (d.isDirectory)
-          Option(d.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile &&
-              (f.getName.endsWith(".arrow") || f.getName.endsWith(".arrows")))
-            .map(_.getAbsolutePath).sorted.toSeq
-        else Seq.empty
+      case Seq() if ByteStore.isDirectory(pathGlob) =>
+        ByteStore.list(pathGlob)
+          .filter(e => !e.isDir &&
+            (e.name.endsWith(".arrow") || e.name.endsWith(".arrows")))
+          .map(_.path).sorted
       case ps => ps
     }
     require(paths.nonEmpty, s"no arrow files matched $pathGlob")
-    val schema = {
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(paths.head))
-      readStreamBytes(bytes)._1
-    }
+    val schema = readStreamBytes(ByteStore.readAllBytes(paths.head))._1
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(schema))
     import spark.implicits._
     spark.createDataset(paths).flatMap { p =>
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
-      val (sch, rows) = readStreamBytes(bytes)
+      val (sch, rows) = readStreamBytes(ByteStore.readAllBytes(p))
       require(sch == schema, s"arrow-ipc: $p schema differs from ${paths.head}")
       rows
     }(enc)

@@ -94,12 +94,11 @@ object Avro {
   def write(df: DataFrame, dir: String, codec: String = "deflate"): Unit = {
     val schema = df.schema
     val schemaJson = avroSchema(schema).toString
-    val d = new java.io.File(dir)
-    d.mkdirs()
+    ByteStore.mkdirs(dir)
     // overwrite semantics: a prior run with more partitions must not
     // leave stale part files behind
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".avro")).foreach(_.delete())
+    ByteStore.list(dir).filter(e => !e.isDir && e.name.endsWith(".avro"))
+      .foreach(e => ByteStore.deleteFile(e.path))
     df.rdd.mapPartitionsWithIndex { (pi, it) =>
       val sch = new Schema.Parser().parse(schemaJson)
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
@@ -108,8 +107,7 @@ object Avro {
         case "null" => ()
         case other => throw new IllegalArgumentException(s"unsupported codec $other")
       }
-      val f = new java.io.File(dir, f"part-$pi%05d.avro")
-      w.create(sch, f)
+      w.create(sch, ByteStore.create(ByteStore.join(dir, f"part-$pi%05d.avro")))
       var n = 0L
       it.foreach { row =>
         val rec = new GenericData.Record(sch)

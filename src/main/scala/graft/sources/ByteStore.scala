@@ -29,7 +29,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * classpath `core-site.xml` (the standard executor-side source on a
   * real cluster).
   *
-  * All reads; the sinks stay local-only (the ZarrSink caveat).
+  * Reads AND writes: the sinks create shard/chunk/scene files through
+  * [[create]]/[[writeAllBytes]], so the whole interchange family targets
+  * URI stores symmetrically.
   */
 object ByteStore {
 
@@ -136,6 +138,41 @@ object ByteStore {
   def openStream(path: String): java.io.InputStream =
     if (hasScheme(path)) fileSystem(path).open(new Path(path))
     else new java.io.FileInputStream(path)
+
+  // ---- write side (the sinks' seam) -----------------------------------
+  // Executors write shard/chunk/scene files directly; routing creation
+  // through here makes every sink target file://, hdfs:// or s3a:// URIs
+  // like the readers do. Semantics everywhere: CREATE OVERWRITES, and
+  // parent directories are created implicitly (the Hadoop create()
+  // contract; the local branch mkdirs first).
+
+  /** Create (overwrite) a file for writing; parents auto-created. */
+  def create(path: String): java.io.OutputStream =
+    if (hasScheme(path)) fileSystem(path).create(new Path(path), true)
+    else {
+      val f = new java.io.File(path)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      new java.io.FileOutputStream(f)
+    }
+
+  def writeAllBytes(path: String, bytes: Array[Byte]): Unit = {
+    val out = create(path)
+    try out.write(bytes) finally out.close()
+  }
+
+  def writeString(path: String, s: String): Unit =
+    writeAllBytes(path, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Ensure a directory exists (no-op when it already does). */
+  def mkdirs(path: String): Unit = {
+    if (hasScheme(path)) { fileSystem(path).mkdirs(new Path(path)); () }
+    else { new java.io.File(path).mkdirs(); () }
+  }
+
+  /** Delete one file (not recursive); false when absent. */
+  def deleteFile(path: String): Boolean =
+    if (hasScheme(path)) fileSystem(path).delete(new Path(path), false)
+    else new java.io.File(path).delete()
 
   /** File length without opening a stream. */
   def length(path: String): Long =

@@ -144,14 +144,14 @@ object NetCDFIngest {
     * (y, x) grid of `varName` with coordinate variables — what a
     * reference user feeds back into xarray tooling
     * (pipeline/embeddings/aux_fields/utils.py:43-68 writes per-scene
-    * aux netCDFs the same way). Executors write files directly, so
-    * `outDir` must be storage every executor can reach (local FS here;
-    * a fuse-mounted bucket or NFS on a cluster). Returns one row per
-    * written scene. */
+    * aux netCDFs the same way). Executors write files directly through
+    * the [[ByteStore]] seam, so `outDir` may be a local/NFS path or a
+    * `file://`/`hdfs://`/`s3a://` URI. Returns one row per written
+    * scene. */
   def writeScenes(df: DataFrame, outDir: String, varName: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    new java.io.File(outDir).mkdirs()
+    ByteStore.mkdirs(outDir)
     df.select("scene_id", "time", "x", "y", "value").as[ScenePixel]
       .groupByKey(_.scene_id)
       .mapGroups { (sid, it) =>
@@ -173,10 +173,9 @@ object NetCDFIngest {
             NetCDF3.VarSpec("y", Seq("y"), NetCDF3.NcDouble, Nil, ys),
             NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil, xs),
             NetCDF3.VarSpec(varName, Seq("time", "y", "x"), NetCDF3.NcDouble, Nil, grid)))
-        val out = new java.io.File(outDir, s"$sid.nc")
-        val fos = new java.io.FileOutputStream(out)
-        try fos.write(bytes) finally fos.close()
-        (sid, out.getAbsolutePath, rows.length.toLong)
+        val out = ByteStore.join(outDir, s"$sid.nc")
+        ByteStore.writeAllBytes(out, bytes)
+        (sid, out, rows.length.toLong)
       }.toDF("scene_id", "path", "n_px")
   }
 }

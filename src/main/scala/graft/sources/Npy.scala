@@ -84,10 +84,9 @@ object Npy {
     * HDF5/zarr writers. */
   def write(df: DataFrame, dir: String, idCol: String, vecCol: String,
       dim: Int): Unit = {
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".npy")).foreach(_.delete())
+    ByteStore.mkdirs(dir)
+    ByteStore.list(dir).filter(e => !e.isDir && e.name.endsWith(".npy"))
+      .foreach(e => ByteStore.deleteFile(e.path))
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .rdd.mapPartitionsWithIndex { (pi, it) =>
         val rows = it.map { r =>
@@ -95,14 +94,14 @@ object Npy {
         }.toArray.sortBy(_._1)
         rows.foreach(r => require(r._2.length == dim,
           s"npy: row ${r._1} has ${r._2.length} dims, expected $dim"))
-        val ids = new BufferedOutputStream(new FileOutputStream(
-          new java.io.File(dir, f"part-$pi%05d.ids.npy")))
+        val ids = new BufferedOutputStream(ByteStore.create(
+          ByteStore.join(dir, f"part-$pi%05d.ids.npy")))
         ids.write(header("<i8", Seq(rows.length.toLong)))
         val ib = ByteBuffer.allocate(8 * rows.length).order(ByteOrder.LITTLE_ENDIAN)
         rows.foreach(r => ib.putLong(r._1))
         ids.write(ib.array()); ids.close()
-        val vec = new BufferedOutputStream(new FileOutputStream(
-          new java.io.File(dir, f"part-$pi%05d.vec.npy")))
+        val vec = new BufferedOutputStream(ByteStore.create(
+          ByteStore.join(dir, f"part-$pi%05d.vec.npy")))
         vec.write(header("<f4", Seq(rows.length.toLong, dim.toLong)))
         val vb = ByteBuffer.allocate(4 * dim * rows.length)
           .order(ByteOrder.LITTLE_ENDIAN)

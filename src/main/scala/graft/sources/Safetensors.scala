@@ -97,10 +97,9 @@ object Safetensors {
     * so a shard fits an executor, the whole-file-writer contract. */
   def write(df: DataFrame, dir: String, idCol: String, vecCol: String,
       dim: Int): Unit = {
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".safetensors")).foreach(_.delete())
+    ByteStore.mkdirs(dir)
+    ByteStore.list(dir).filter(e => !e.isDir && e.name.endsWith(".safetensors"))
+      .foreach(e => ByteStore.deleteFile(e.path))
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .rdd.mapPartitionsWithIndex { (pi, it) =>
         val rows = it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -115,8 +114,8 @@ object Safetensors {
         val bytes = encode(Seq(
           ("ids", "I64", Seq(rows.length.toLong), ib.array()),
           ("emb", "F32", Seq(rows.length.toLong, dim.toLong), vb.array())))
-        val out = new BufferedOutputStream(new FileOutputStream(
-          new java.io.File(dir, f"part-$pi%05d.safetensors")))
+        val out = new BufferedOutputStream(ByteStore.create(
+          ByteStore.join(dir, f"part-$pi%05d.safetensors")))
         out.write(bytes); out.close()
         Iterator.single(rows.length)
       }.count()

@@ -301,15 +301,14 @@ object TfRecord {
     schema.fields.foreach(f => require(supported(f.dataType),
       s"tfrecord: unsupported column type ${f.dataType} for '${f.name}' " +
         "(tf.train.Example has long/string/binary/float lists — cast first)"))
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".tfrecord")).foreach(_.delete())
+    ByteStore.mkdirs(dir)
+    ByteStore.list(dir).filter(e => !e.isDir && e.name.endsWith(".tfrecord"))
+      .foreach(e => ByteStore.deleteFile(e.path))
     val names = schema.fields.map(_.name)
     val types = schema.fields.map(_.dataType)
     df.rdd.mapPartitionsWithIndex { (pi, it) =>
-      val f = new java.io.File(dir, f"part-$pi%05d.tfrecord")
-      val out = new BufferedOutputStream(new FileOutputStream(f))
+      val out = new BufferedOutputStream(ByteStore.create(
+        ByteStore.join(dir, f"part-$pi%05d.tfrecord")))
       var n = 0L
       it.foreach { row =>
         val feats = names.indices.map { i =>

@@ -516,15 +516,15 @@ object Zarr3 {
     body.toByteArray
   }
 
-  private def writeArray(dir: java.io.File, name: String, shape: Seq[Int],
+  private def writeArray(dir: String, name: String, shape: Seq[Int],
       dims: Seq[String], values: Array[Double], chunks: Seq[Int],
       gzipLevel: Option[Int], innerChunks: Option[Seq[Int]] = None): Unit = {
-    val d = new java.io.File(dir, name); d.mkdirs()
+    val d = ByteStore.join(dir, name)
     innerChunks.foreach { ic =>
       require(ic.size == chunks.size && chunks.zip(ic).forall { case (o, i) =>
         i > 0 && o % i == 0 }, s"inner chunks $ic must divide shard chunks $chunks")
     }
-    java.nio.file.Files.writeString(d.toPath.resolve("zarr.json"),
+    ByteStore.writeString(ByteStore.join(d, "zarr.json"),
       metaJson(shape, chunks, dims, gzipLevel, innerChunks))
     val meta = Meta(shape, chunks, "float64", bigEndian = false,
       compress = gzipLevel.map(_ => "gzip"), fill = Double.NaN,
@@ -551,11 +551,8 @@ object Zarr3 {
           case None => encodeValues(chunk, gzipLevel)
           case Some(ic) => encodeShard(chunk, chunks, ic, gzipLevel)
         }
-        val f = chunkKey(meta, ci).split('/')
-          .foldLeft(d)((acc, part) => new java.io.File(acc, part))
-        f.getParentFile.mkdirs()
-        val fos = new java.io.FileOutputStream(f)
-        try fos.write(bytes) finally fos.close()
+        val f = chunkKey(meta, ci).split('/').foldLeft(d)(ByteStore.join)
+        ByteStore.writeAllBytes(f, bytes) // create() mkdirs parents
       }
     emit(Nil, 0)
   }
@@ -567,7 +564,7 @@ object Zarr3 {
       shardInnerRows: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    new java.io.File(outDir).mkdirs()
+    ByteStore.mkdirs(outDir)
     df.select("scene_id", "time", "x", "y", "value").as[NetCDFIngest.ScenePixel]
       .groupByKey(_.scene_id)
       .mapGroups { (sid, it) =>
@@ -577,9 +574,8 @@ object Zarr3 {
         val xi = xs.zipWithIndex.toMap; val yi = ys.zipWithIndex.toMap
         val grid = Array.fill(xs.length * ys.length)(Double.NaN)
         rows.foreach(r => grid(yi(r.y) * xs.length + xi(r.x)) = r.value)
-        val store = new java.io.File(outDir, s"$sid.zarr")
-        store.mkdirs()
-        java.nio.file.Files.writeString(store.toPath.resolve("zarr.json"),
+        val store = ByteStore.join(outDir, s"$sid.zarr")
+        ByteStore.writeString(ByteStore.join(store, "zarr.json"),
           """{"zarr_format": 3, "node_type": "group"}""")
         writeArray(store, varName, Seq(ys.length, xs.length), Seq("y", "x"),
           grid, Seq(chunkRows.getOrElse(ys.length), xs.length), gzipLevel,
@@ -588,7 +584,7 @@ object Zarr3 {
           Seq(chunkRows.getOrElse(ys.length)), gzipLevel)
         writeArray(store, "x", Seq(xs.length), Seq("x"), xs,
           Seq(xs.length), gzipLevel)
-        (sid, store.getAbsolutePath, rows.length.toLong)
+        (sid, store, rows.length.toLong)
       }.toDF("scene_id", "path", "n_px")
   }
 }

@@ -50,7 +50,7 @@ object ZarrSink {
     out.toByteArray
   }
 
-  private def writeChunk(path: java.io.File, values: Array[Double],
+  private def writeChunk(path: String, values: Array[Double],
       zlibLevel: Option[Int], blosc: Boolean, bloscCodec: String,
       bloscBitShuffle: Boolean): Unit = {
     val buf = java.nio.ByteBuffer.allocate(values.length * 8)
@@ -62,18 +62,17 @@ object ZarrSink {
         shuffle = !bloscBitShuffle, bitshuffle = bloscBitShuffle,
         codec = bloscCodec)
       else zlibLevel.map(deflate(buf.array(), _)).getOrElse(buf.array())
-    val fos = new java.io.FileOutputStream(path)
-    try fos.write(bytes) finally fos.close()
+    ByteStore.writeAllBytes(path, bytes)
   }
 
-  private def writeArray(dir: java.io.File, name: String, shape: Seq[Int],
+  private def writeArray(dir: String, name: String, shape: Seq[Int],
       dims: Seq[String], values: Array[Double], chunks: Seq[Int],
       zlibLevel: Option[Int], blosc: Boolean, bloscCodec: String,
       bloscBitShuffle: Boolean): Unit = {
-    val d = new java.io.File(dir, name); d.mkdirs()
-    java.nio.file.Files.writeString(d.toPath.resolve(".zarray"),
+    val d = ByteStore.join(dir, name)
+    ByteStore.writeString(ByteStore.join(d, ".zarray"),
       jsonArray(shape, chunks, "<f8", zlibLevel, blosc, bloscCodec, bloscBitShuffle))
-    java.nio.file.Files.writeString(d.toPath.resolve(".zattrs"),
+    ByteStore.writeString(ByteStore.join(d, ".zattrs"),
       s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(", ")}]}""")
     val nChunks = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     val strides = shape.scanRight(1)(_ * _).tail
@@ -93,7 +92,7 @@ object ZarrSink {
           if (inBounds) chunk(k) = values(g.toInt)
           k += 1
         }
-        writeChunk(new java.io.File(d, ci.mkString(".")), chunk, zlibLevel,
+        writeChunk(ByteStore.join(d, ci.mkString(".")), chunk, zlibLevel,
           blosc, bloscCodec, bloscBitShuffle)
       }
     emit(Nil, 0)
@@ -110,7 +109,7 @@ object ZarrSink {
       bloscBitShuffle: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    new java.io.File(outDir).mkdirs()
+    ByteStore.mkdirs(outDir)
     df.select("scene_id", "time", "x", "y", "value").as[NetCDFIngest.ScenePixel]
       .groupByKey(_.scene_id)
       .mapGroups { (sid, it) =>
@@ -120,9 +119,8 @@ object ZarrSink {
         val xi = xs.zipWithIndex.toMap; val yi = ys.zipWithIndex.toMap
         val grid = Array.fill(xs.length * ys.length)(Double.NaN)
         rows.foreach(r => grid(yi(r.y) * xs.length + xi(r.x)) = r.value)
-        val store = new java.io.File(outDir, s"$sid.zarr")
-        store.mkdirs()
-        java.nio.file.Files.writeString(store.toPath.resolve(".zgroup"), """{"zarr_format": 2}""")
+        val store = ByteStore.join(outDir, s"$sid.zarr")
+        ByteStore.writeString(ByteStore.join(store, ".zgroup"), """{"zarr_format": 2}""")
         val gridChunks = Seq(chunkRows.getOrElse(ys.length), xs.length)
         writeArray(store, varName, Seq(ys.length, xs.length), Seq("y", "x"),
           grid, gridChunks, zlibLevel, blosc, bloscCodec, bloscBitShuffle)
@@ -131,7 +129,7 @@ object ZarrSink {
           bloscBitShuffle)
         writeArray(store, "x", Seq(xs.length), Seq("x"), xs,
           Seq(xs.length), zlibLevel, blosc, bloscCodec, bloscBitShuffle)
-        (sid, store.getAbsolutePath, rows.length.toLong)
+        (sid, store, rows.length.toLong)
       }.toDF("scene_id", "path", "n_px")
   }
 }

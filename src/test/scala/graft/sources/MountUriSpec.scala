@@ -181,6 +181,51 @@ class MountUriSpec extends SparkSpec {
     assert(avSplit(one) == avPlain && avSplit("file://" + one) == avPlain)
   }
 
+  test("sinks WRITE to file:// URIs: zarr scenes, netCDF scenes, npy and " +
+      "safetensors shards round-trip written-as-URI vs written-as-path") {
+    import spark.implicits._
+    val grid = spark.range(54).select(
+      lit("w0").as("scene_id"),
+      expr("timestamp_seconds(1577836800)").as("time"),
+      (expr("id % 6") * 100.0).as("x"), (expr("id div 6") * 100.0).as("y"),
+      (col("id").cast("double") * 0.5 - 3.0).as("value"))
+    // zarr: write THROUGH the Hadoop path, read back via plain path —
+    // byte-level equality of store layout is implied by value equality
+    val za = Files.createTempDirectory("graft-uriw-zarr").toString
+    val zb = Files.createTempDirectory("graft-uriw-zarr2").toString
+    ZarrSink.writeScenes(grid, za, "lwp", chunkRows = Some(4),
+      zlibLevel = Some(6)).count()
+    ZarrSink.writeScenes(grid, uri(zb), "lwp", chunkRows = Some(4),
+      zlibLevel = Some(6)).count()
+    def zrows(d: String) = spark.read.format("graft.sources.ZarrDataSource")
+      .option("path", d).load().where(col("dataset") === "lwp")
+      .select("idx", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(zrows(za) == zrows(zb) && zrows(zb).size == 54)
+    // sharded v3 through the URI write (shard assembly + index tails)
+    val z3 = Files.createTempDirectory("graft-uriw-zarr3").toString
+    Zarr3.writeScenes(grid, uri(z3), "lwp", chunkRows = Some(4),
+      shardInnerRows = Some(2)).count()
+    assert(zrows(z3) == zrows(za))
+    // netCDF scenes
+    val na = Files.createTempDirectory("graft-uriw-nc").toString
+    NetCDFIngest.writeScenes(grid, uri(na), "lwp").count()
+    assert(new java.io.File(na, "w0.nc").isFile)
+    // npy + safetensors shard pairs
+    val vecs = (1L to 12L).map(i =>
+      (i, Array.tabulate(3)(j => (i + j).toFloat))).toDF("id", "emb")
+    val np = Files.createTempDirectory("graft-uriw-npy").toString
+    Npy.write(vecs.coalesce(1), uri(np), "id", "emb", dim = 3)
+    assert(Npy.read(spark, np).count() == 12)
+    val st = Files.createTempDirectory("graft-uriw-st").toString
+    Safetensors.write(vecs.coalesce(1), uri(st), "id", "emb", dim = 3)
+    assert(Safetensors.read(spark, st).count() == 12)
+    // arrow: write as URI, read the same dir as URI
+    val ar = Files.createTempDirectory("graft-uriw-arrow").toString
+    ArrowIpc.write(vecs.select("id").coalesce(1), uri(ar))
+    assert(ArrowIpc.read(spark, uri(ar)).count() == 12)
+  }
+
   test("chunk-parallel RDD ingests read file:// URIs too") {
     val dir = Files.createTempDirectory("graft-uri-ing").toString
     val ncPath = s"$dir/rec.nc"
