@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{File, FileOutputStream, RandomAccessFile}
+import java.io.File
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 

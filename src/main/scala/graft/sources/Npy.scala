@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, FileOutputStream, RandomAccessFile}
+import java.io.BufferedOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataInputStream, EOFException, FileInputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataInputStream, EOFException}
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
