@@ -179,6 +179,12 @@ object ByteStore {
     if (hasScheme(path)) fileSystem(path).getFileStatus(new Path(path)).getLen
     else new java.io.File(path).length()
 
+  /** URIs pass through; plain paths normalize to absolute (results
+    * ship to executors and into user-visible path columns, where a
+    * relative path would depend on cwd). */
+  def absolute(path: String): String =
+    if (hasScheme(path)) path else new java.io.File(path).getAbsolutePath
+
   /** Scheme-preserving child join (both branches use `/`; this runs on
     * Linux paths and URIs only). */
   def join(dir: String, child: String): String =

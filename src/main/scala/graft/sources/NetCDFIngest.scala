@@ -173,7 +173,7 @@ object NetCDFIngest {
             NetCDF3.VarSpec("y", Seq("y"), NetCDF3.NcDouble, Nil, ys),
             NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil, xs),
             NetCDF3.VarSpec(varName, Seq("time", "y", "x"), NetCDF3.NcDouble, Nil, grid)))
-        val out = ByteStore.join(outDir, s"$sid.nc")
+        val out = ByteStore.absolute(ByteStore.join(outDir, s"$sid.nc"))
         ByteStore.writeAllBytes(out, bytes)
         (sid, out, rows.length.toLong)
       }.toDF("scene_id", "path", "n_px")

@@ -574,7 +574,7 @@ object Zarr3 {
         val xi = xs.zipWithIndex.toMap; val yi = ys.zipWithIndex.toMap
         val grid = Array.fill(xs.length * ys.length)(Double.NaN)
         rows.foreach(r => grid(yi(r.y) * xs.length + xi(r.x)) = r.value)
-        val store = ByteStore.join(outDir, s"$sid.zarr")
+        val store = ByteStore.absolute(ByteStore.join(outDir, s"$sid.zarr"))
         ByteStore.writeString(ByteStore.join(store, "zarr.json"),
           """{"zarr_format": 3, "node_type": "group"}""")
         writeArray(store, varName, Seq(ys.length, xs.length), Seq("y", "x"),

@@ -119,7 +119,7 @@ object ZarrSink {
         val xi = xs.zipWithIndex.toMap; val yi = ys.zipWithIndex.toMap
         val grid = Array.fill(xs.length * ys.length)(Double.NaN)
         rows.foreach(r => grid(yi(r.y) * xs.length + xi(r.x)) = r.value)
-        val store = ByteStore.join(outDir, s"$sid.zarr")
+        val store = ByteStore.absolute(ByteStore.join(outDir, s"$sid.zarr"))
         ByteStore.writeString(ByteStore.join(store, ".zgroup"), """{"zarr_format": 2}""")
         val gridChunks = Seq(chunkRows.getOrElse(ys.length), xs.length)
         writeArray(store, varName, Seq(ys.length, xs.length), Seq("y", "x"),
