@@ -102,13 +102,14 @@ class ArrowScan(path: String, tableSchema: StructType, required: StructType)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(tableSchema, required)
+    new ArrowReaderFactory(tableSchema, required, MountDsv2.confSnapshot())
 }
 
 /** Ships to executors; encoders/dictionaries build lazily per reader. */
-class ArrowReaderFactory(tableSchema: StructType, required: StructType)
-    extends PartitionReaderFactory {
+class ArrowReaderFactory(tableSchema: StructType, required: StructType,
+    hadoopOverrides: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    ByteStore.install(hadoopOverrides) // executor JVMs have no session
     val p = partition.asInstanceOf[ArrowBlockPartition]
     new PartitionReader[InternalRow] {
       private lazy val toInternal =

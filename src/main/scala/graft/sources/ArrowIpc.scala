@@ -1500,7 +1500,9 @@ object ArrowIpc {
     ByteStore.list(dir)
       .filter(e => !e.isDir && (e.name.endsWith(".arrow") || e.name.endsWith(".arrows")))
       .foreach(e => ByteStore.deleteFile(e.path))
+    val hconf = ByteStore.confSnapshot(df.sparkSession)
     df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      ByteStore.install(hconf) // executor JVMs have no session
       val f = ByteStore.join(dir, f"part-$pi%05d$ext")
       Iterator.single(writeFile(f, schema, it, batchRows, fileFormat, compression))
     }.count()
@@ -1539,12 +1541,14 @@ object ArrowIpc {
     import spark.implicits._
     val tasks = blocks.map(b => (path, b.offset, b.metaLen, b.bodyLen))
     val dictSeq = dictBlocks.toIndexedSeq // KB-scale positioned reads per task
+    val hconf = ByteStore.confSnapshot(spark)
     spark.createDataset(tasks).toDF("path", "off", "mlen", "blen")
       .repartitionByRange(math.max(1, math.min(tasks.size,
         spark.sparkContext.defaultParallelism)),
         org.apache.spark.sql.functions.col("off"))
       .as[(String, Long, Int, Long)]
       .mapPartitions { it: Iterator[(String, Long, Int, Long)] =>
+        ByteStore.install(hconf) // executor JVMs have no session
         // dictionaries decode once per (partition, path), not per block
         var cached: (String, Map[Long, IndexedSeq[Any]]) = null
         it.flatMap { t =>

@@ -99,7 +99,9 @@ object Avro {
     // leave stale part files behind
     ByteStore.list(dir).filter(e => !e.isDir && e.name.endsWith(".avro"))
       .foreach(e => ByteStore.deleteFile(e.path))
+    val hconf = ByteStore.confSnapshot(df.sparkSession)
     df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      ByteStore.install(hconf) // executor JVMs have no session
       val sch = new Schema.Parser().parse(schemaJson)
       val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
       codec match {

@@ -23,11 +23,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * at 100 TB: the reference's own catalog is an S3 bucket
   * (convml-data sources/goes16/pipeline.py:21-70), and every byte the
   * planners and readers touch goes through here, so an `s3a://` store
-  * mounts identically to a local one. Hadoop configuration comes from
-  * the active SparkContext when one exists in this JVM (driver and
-  * local mode — carries `spark.hadoop.*` settings); otherwise from the
-  * classpath `core-site.xml` (the standard executor-side source on a
-  * real cluster).
+  * mounts identically to a local one. Hadoop configuration is resolved
+  * per call (never frozen at first touch) from the SparkContext when a
+  * session exists in this JVM, and on sessionless executor JVMs from
+  * classpath config + the executor SparkConf's `spark.hadoop.*` + a
+  * driver-captured [[confSnapshot]] the mount reader factories
+  * [[install]] at task start — so s3a credentials set on the driver
+  * reach executor reads and writes.
   *
   * Reads AND writes: the sinks create shard/chunk/scene files through
   * [[create]]/[[writeAllBytes]], so the whole interchange family targets
@@ -77,14 +79,67 @@ object ByteStore {
   private[sources] def hasScheme(path: String): Boolean =
     path.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
 
-  /** Lazily resolved once per JVM: the driver (and local mode) sees the
-    * SparkContext's hadoopConfiguration (spark.hadoop.* included);
-    * executor JVMs on a real cluster fall back to classpath config. */
-  private lazy val hadoopConf: Configuration =
+  // ---- Hadoop configuration resolution ---------------------------------
+  // Resolved PER CALL (never frozen in a lazy): a session created after
+  // the first ByteStore touch, or a `hadoopConfiguration.set(...)` made
+  // after startup, is honored by the next call. Order:
+  //  1. a SparkSession in this JVM (driver, and local mode's task
+  //     threads via the default session) -> its sparkContext's
+  //     hadoopConfiguration — the canonical driver-side object,
+  //     including spark.hadoop.* and direct post-startup mutation;
+  //  2. no session (executor JVM on a real cluster): classpath config
+  //     overlaid with (a) spark.hadoop.* from the executor's SparkConf
+  //     (SparkEnv — how --conf / builder settings reach executors) and
+  //     (b) a driver-captured [[confSnapshot]] installed by the mount
+  //     reader factories at task start, which also carries direct
+  //     hadoopConfiguration mutations made on the driver after startup.
+  // Branch 2's Configuration is cached (XML parse is not per-read work);
+  // FileSystem.get additionally caches instances per scheme+authority.
+
+  /** Driver-side: the entries of the planning session's
+    * hadoopConfiguration that differ from classpath defaults — the
+    * small serializable snapshot the DSv2 reader factories ship to
+    * executors (plain Map: a Configuration is not Java-serializable). */
+  def confSnapshot(spark: org.apache.spark.sql.SparkSession): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Configuration()
+    val out = Map.newBuilder[String, String]
+    val it = conf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (base.get(e.getKey) != e.getValue) out += e.getKey -> e.getValue
+    }
+    out.result()
+  }
+
+  /** Executor-side (idempotent): install a driver-captured snapshot for
+    * JVMs with no SparkSession. One Spark app per JVM, one conf. */
+  def install(overrides: Map[String, String]): Unit =
+    if (overrides.nonEmpty && !(installed eq overrides)) {
+      installed = overrides
+      cachedExecutorConf = null // rebuild with the new overlay
+    }
+
+  @volatile private var installed: Map[String, String] = Map.empty
+  @volatile private var cachedExecutorConf: Configuration = _
+
+  private[sources] def hadoopConf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
+      .getOrElse {
+        var c = cachedExecutorConf
+        if (c == null) {
+          c = new Configuration()
+          Option(org.apache.spark.SparkEnv.get).foreach { env =>
+            env.conf.getAllWithPrefix("spark.hadoop.")
+              .foreach { case (k, v) => c.set(k, v) }
+          }
+          installed.foreach { case (k, v) => c.set(k, v) }
+          cachedExecutorConf = c
+        }
+        c
+      }
 
   private def fileSystem(path: String): FileSystem =
     FileSystem.get(new Path(path).toUri, hadoopConf) // Hadoop caches per scheme+authority
@@ -192,7 +247,10 @@ object ByteStore {
 
   /** Resolve a file-or-`dir/STAR.ext` glob to name-sorted FILE paths.
     * Hadoop URIs use FileSystem.globStatus (so `s3a://bucket/a/STAR.h5`
-    * works); plain paths keep the local regex walk. */
+    * works); plain paths keep the local regex walk: literal segments
+    * between `*`s are Pattern.quote'd, so names containing regex
+    * metacharacters (`+`, `(`, `[`, ...) match literally, and a bare
+    * pattern with no directory part (`STAR.h5`) lists the cwd. */
   def resolveGlob(pathGlob: String): Seq[String] =
     if (hasScheme(pathGlob)) {
       val fs = fileSystem(pathGlob)
@@ -200,9 +258,13 @@ object ByteStore {
         .filter(_.isFile).map(_.getPath.toString).sorted
     } else {
       val f = new java.io.File(pathGlob)
-      val (dir, pat) = (f.getParentFile, f.getName)
+      val dir = Option(f.getParentFile).getOrElse(new java.io.File("."))
+      // -1 keeps trailing empty segments: "a*" -> ("a", "") -> "\Qa\E.*"
       val rx = java.util.regex.Pattern.compile(
-        pat.flatMap { case '*' => ".*"; case '.' => "\\."; case c => c.toString })
+        f.getName.split("\\*", -1).map {
+          case "" => ""
+          case lit => java.util.regex.Pattern.quote(lit)
+        }.mkString(".*"))
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(x => x.isFile && rx.matcher(x.getName).matches())
         .map(_.getAbsolutePath).sorted.toSeq

@@ -26,8 +26,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * Executors open the file by path through the [[ByteStore]] seam:
   * plain paths read via java.io (local FS / NFS), scheme'd URIs
   * (`file://`/`hdfs://`/`s3a://`) via `org.apache.hadoop.fs` — object
-  * stores mount directly, no fuse layer needed. (WRITE sinks stay
-  * local-path-only — the [[ZarrSink.writeScenes]] caveat.) At 100 TB
+  * stores mount directly, no fuse layer needed. (The sinks write
+  * through the same seam, so the whole interchange family targets URI
+  * stores symmetrically.) At 100 TB
   * the same two-phase shape holds: manifests are KB-scale per store,
   * the chunk map is what actually distributes, and byte-adjacent
   * chunks coalesce into one positioned read per span
@@ -74,6 +75,7 @@ object HDF5ChunkIngest {
     require(tasks.nonEmpty, s"no HDF5 chunks matched $pathGlob / $varName")
     val par = if (partitions > 0) partitions
       else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    val hconf = ByteStore.confSnapshot(spark)
     spark.createDataset(tasks)
       .repartitionByRange(par, $"path", $"offset")
       // sort so a partition walks each file once, byte-ascending: ONE
@@ -83,6 +85,7 @@ object HDF5ChunkIngest {
       // the access pattern OS readahead actually helps
       .sortWithinPartitions($"path", $"offset")
       .mapPartitions { it =>
+        ByteStore.install(hconf) // executor JVMs have no session
         var cur: ByteStore.ReadAt = null
         def fileFor(p: String): ByteStore.ReadAt = {
           if (cur == null || cur.path != p) {

@@ -117,11 +117,13 @@ class Hdf5Scan(path: String, variable: Option[String], partitions: Option[Int],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Hdf5ReaderFactory(required)
+    new Hdf5ReaderFactory(required, MountDsv2.confSnapshot())
 }
 
-class Hdf5ReaderFactory(required: StructType) extends PartitionReaderFactory {
+class Hdf5ReaderFactory(required: StructType, hadoopOverrides: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    ByteStore.install(hadoopOverrides) // executor JVMs have no session
     val tasks = partition.asInstanceOf[Hdf5ChunkPartition].tasks
     val needValue = required.fieldNames.contains("value")
     new PartitionReader[InternalRow] {

@@ -105,6 +105,14 @@ object MountDsv2 {
     (lo, hi)
   }
 
+  /** Driver-side (createReaderFactory / pre-mapPartitions): capture the
+    * planning session's hadoop-conf deltas so reader factories and
+    * ingest closures can [[ByteStore.install]] them on executor JVMs —
+    * where no SparkSession exists and driver-set s3a credentials would
+    * otherwise be invisible. */
+  def confSnapshot(): Map[String, String] =
+    ByteStore.confSnapshot(org.apache.spark.sql.SparkSession.active)
+
   /** Plan-time parallelism: the explicit `partitions` option, else the
     * planning session's defaultParallelism capped by the task count.
     * DRIVER-SIDE ONLY — `SparkSession.active` is the planning session

@@ -120,10 +120,12 @@ object NetCDF3ChunkIngest {
     require(tasks.nonEmpty, s"no netCDF records matched $pathGlob / $varName")
     val par = if (partitions > 0) partitions
       else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    val hconf = ByteStore.confSnapshot(spark)
     spark.createDataset(tasks)
       .repartitionByRange(par, $"path", $"recStart")
       .sortWithinPartitions($"path", $"recStart")
       .mapPartitions { it =>
+        ByteStore.install(hconf) // executor JVMs have no session
         var cur: ByteStore.ReadAt = null
         def fileFor(p: String): ByteStore.ReadAt = {
           if (cur == null || cur.path != p) {

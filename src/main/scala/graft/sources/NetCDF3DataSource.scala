@@ -112,11 +112,13 @@ class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NetCDF3ReaderFactory(required)
+    new NetCDF3ReaderFactory(required, MountDsv2.confSnapshot())
 }
 
-class NetCDF3ReaderFactory(required: StructType) extends PartitionReaderFactory {
+class NetCDF3ReaderFactory(required: StructType, hadoopOverrides: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    ByteStore.install(hadoopOverrides) // executor JVMs have no session
     val tasks = partition.asInstanceOf[NetCDF3RecPartition].tasks
     val needValue = required.fieldNames.contains("value")
     new PartitionReader[InternalRow] {

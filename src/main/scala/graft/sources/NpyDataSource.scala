@@ -112,11 +112,13 @@ class NpyScan(path: String, rowsPerTask: Int, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NpyReaderFactory(required)
+    new NpyReaderFactory(required, MountDsv2.confSnapshot())
 }
 
-class NpyReaderFactory(required: StructType) extends PartitionReaderFactory {
+class NpyReaderFactory(required: StructType, hadoopOverrides: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    ByteStore.install(hadoopOverrides) // executor JVMs have no session
     val t = partition.asInstanceOf[NpyRowPartition]
     val needEmb = required.fieldNames.contains("embedding")
     new PartitionReader[InternalRow] {

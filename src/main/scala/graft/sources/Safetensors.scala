@@ -100,8 +100,10 @@ object Safetensors {
     ByteStore.mkdirs(dir)
     ByteStore.list(dir).filter(e => !e.isDir && e.name.endsWith(".safetensors"))
       .foreach(e => ByteStore.deleteFile(e.path))
+    val hconf = ByteStore.confSnapshot(df.sparkSession)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .rdd.mapPartitionsWithIndex { (pi, it) =>
+        ByteStore.install(hconf) // executor JVMs have no session
         val rows = it.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           .toArray.sortBy(_._1)
         rows.foreach(r => require(r._2.length == dim,

@@ -306,7 +306,9 @@ object TfRecord {
       .foreach(e => ByteStore.deleteFile(e.path))
     val names = schema.fields.map(_.name)
     val types = schema.fields.map(_.dataType)
+    val hconf = ByteStore.confSnapshot(df.sparkSession)
     df.rdd.mapPartitionsWithIndex { (pi, it) =>
+      ByteStore.install(hconf) // executor JVMs have no session
       val out = new BufferedOutputStream(ByteStore.create(
         ByteStore.join(dir, f"part-$pi%05d.tfrecord")))
       var n = 0L

@@ -565,9 +565,11 @@ object Zarr3 {
     val spark = df.sparkSession
     import spark.implicits._
     ByteStore.mkdirs(outDir)
+    val hconf = ByteStore.confSnapshot(spark)
     df.select("scene_id", "time", "x", "y", "value").as[NetCDFIngest.ScenePixel]
       .groupByKey(_.scene_id)
       .mapGroups { (sid, it) =>
+        ByteStore.install(hconf) // executor JVMs have no session
         val rows = it.toArray
         val xs = rows.map(_.x).distinct.sorted
         val ys = rows.map(_.y).distinct.sorted

@@ -144,9 +144,11 @@ object ZarrChunkIngest {
     require(tasks.nonEmpty, s"no chunks for $store/$name")
     val par = if (partitions > 0) partitions
       else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    val hconf = ByteStore.confSnapshot(spark)
     spark.createDataset(tasks)
       .repartition(par)
       .mapPartitions { it =>
+        ByteStore.install(hconf) // executor JVMs have no session
         var cached: ((String, String), Either[Zarr.ArrayMeta, Zarr3.Meta]) = null
         it.flatMap { t =>
           val key = (t.store, t.dataset)
@@ -330,13 +332,18 @@ object ZarrChunkIngest {
     val par = if (partitions > 0) partitions
       else math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
     import org.apache.spark.sql.functions.col
+    val hconf = ByteStore.confSnapshot(spark)
     spark.createDataset(tasks)
       .repartition(par)
-      // (store, dataset, offset)-sort each partition so handle reuse AND
-      // window coalescing see contiguous shard runs (repartition alone
-      // scatters tasks round-robin)
-      .sortWithinPartitions(col("store"), col("dataset"), col("offset"))
+      // (store, dataset, shard, offset)-sort each partition so handle
+      // reuse AND window coalescing see contiguous shard runs
+      // (repartition alone scatters tasks round-robin; without `ci` in
+      // the key, inner-chunk offsets — which restart near 0 in every
+      // shard file — interleave tasks from different shards and the
+      // per-shard runs degenerate to single tasks)
+      .sortWithinPartitions(col("store"), col("dataset"), col("ci"), col("offset"))
       .mapPartitions { it =>
+        ByteStore.install(hconf) // executor JVMs have no session
         var in: ByteStore.ReadAt = null
         def handleFor(p: String): ByteStore.ReadAt = {
           // one handle per shard file per run (HDF5ChunkIngest's

@@ -195,11 +195,13 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ZarrReaderFactory(required)
+    new ZarrReaderFactory(required, MountDsv2.confSnapshot())
 }
 
-class ZarrReaderFactory(required: StructType) extends PartitionReaderFactory {
+class ZarrReaderFactory(required: StructType, hadoopOverrides: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    ByteStore.install(hadoopOverrides) // executor JVMs have no session
     val needValue = required.fieldNames.contains("value")
 
     def mkRow(store: UTF8String, ds: UTF8String, gi: Long, x: Double): InternalRow = {

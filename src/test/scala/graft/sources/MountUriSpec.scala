@@ -238,4 +238,64 @@ class MountUriSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
     assert(plain.size == 36 && viaUri == plain)
   }
+
+  test("resolveGlob: regex metacharacters in names match literally; bare globs don't NPE") {
+    val dir = Files.createTempDirectory("graft-glob").toString
+    // hostile DIRECTORY name (+ ( ) [ ] would break an unquoted regex)
+    val hostile = s"$dir/a+b(c)[d]"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(hostile))
+    for (n <- Seq("x+y.h5", "x0y.h5", "z.h5x", "w.h5"))
+      Files.write(java.nio.file.Paths.get(hostile, n), Array[Byte](1))
+    // '*' spans anything; the literal '.h5' must not match 'z.h5x'
+    assert(ByteStore.resolveGlob(s"$hostile/*.h5").map(_.split('/').last).sorted ==
+      Seq("w.h5", "x+y.h5", "x0y.h5"))
+    // literal '+' in the PATTERN is quoted, not a regex quantifier
+    assert(ByteStore.resolveGlob(s"$hostile/x+*.h5").map(_.split('/').last) ==
+      Seq("x+y.h5"))
+    // no-star pattern = exact literal name
+    assert(ByteStore.resolveGlob(s"$hostile/x+y.h5").size == 1)
+    // a glob with no parent directory lists the cwd instead of NPE-ing
+    assert(ByteStore.resolveGlob("*.graft-definitely-absent").isEmpty)
+  }
+
+  test("hadoopConf resolves per call: post-startup driver conf changes are seen") {
+    spark.sparkContext.setLogLevel("ERROR") // force session + context up
+    val key = "graft.test.percall"
+    // a ByteStore touch happened long before this point in the suite;
+    // with the old once-per-JVM lazy val this later set would be lost
+    ByteStore.exists("/definitely/absent/graft")
+    spark.sparkContext.hadoopConfiguration.set(key, "v-after-first-touch")
+    assert(ByteStore.hadoopConf.get(key) == "v-after-first-touch")
+    // snapshot captures exactly the non-default deltas, so the key (and
+    // its later value) rides to executors
+    spark.sparkContext.hadoopConfiguration.set(key, "v2")
+    val snap = ByteStore.confSnapshot(spark)
+    assert(snap.get(key).contains("v2"))
+    // deltas only — the ~1000 classpath defaults are NOT serialized to tasks
+    assert(snap.size < 50, s"snapshot should be deltas-only, got ${snap.size}")
+  }
+
+  test("installed snapshot reaches sessionless JVMs (the executor branch)") {
+    val key = "graft.test.executor"
+    spark.sparkContext.hadoopConfiguration.set(key, "exec-v")
+    val snap = ByteStore.confSnapshot(spark)
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    val default = org.apache.spark.sql.SparkSession.getDefaultSession
+    try {
+      // simulate an executor JVM: no session visible anywhere
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      ByteStore.install(snap)
+      assert(ByteStore.hadoopConf.get(key) == "exec-v")
+      // idempotent re-install keeps the cached Configuration
+      val c1 = ByteStore.hadoopConf
+      ByteStore.install(snap)
+      assert(ByteStore.hadoopConf eq c1)
+    } finally {
+      active.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      default.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+    }
+    // back on the "driver": the session's conf wins again
+    assert(ByteStore.hadoopConf.get(key) == "exec-v")
+  }
 }

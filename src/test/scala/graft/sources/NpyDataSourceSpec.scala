@@ -49,7 +49,7 @@ class NpyDataSourceSpec extends SparkSpec {
     val p = NpyRowPartition(path, dim = 131072, dataOffset = 128L,
       rowStart = 0L, rowEnd = 4096L)
     val e = intercept[IllegalArgumentException](
-      new NpyReaderFactory(NpyDataSource.schema).createReader(p).next())
+      new NpyReaderFactory(NpyDataSource.schema, Map.empty).createReader(p).next())
     assert(e.getMessage.contains("exceeds one buffer"))
     // the planner itself never emits such a partition: a huge
     // rowsPerTask is clamped from dim, and reads stay correct
