@@ -1779,6 +1779,49 @@ object SourceQueries {
           expr("(idx div 5) % 6").as("y"),
           expr("idx % 5").as("x"),
           col("value").as("flux"))
+    },
+
+    // ---- DSv2 bbox pushdown: the 2-D crop rides the mount ----------------
+    // The reference's ACTUAL crop is a bbox on non-leading dimensions
+    // (convml-data pipeline/sampling.py:75-173 slices y and x of a
+    // (t, y, x) grid); a linear idx range cannot express that, so the
+    // gridded mounts expose per-dimension coordinate columns d0..d3 and
+    // prune chunks by per-dim box intersection. Here an (8, 12) HDF5
+    // array in (4, 3) chunks takes a y-band x x-band crop: d0 4-7 keeps
+    // chunk row 1, d1 3-8 keeps chunk cols 1-2 — 2 of 8 chunks plan
+    // (PlanRegressionSpec counts them). Filters stay residual; the
+    // analytic oracle pins exactness of both coordinates and values.
+    QueryDef.sqlBacked(
+      "q202_hdf5_bbox_crop",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(j*12 + i AS DOUBLE) * 0.5 - 10.0 AS value
+        |FROM range(0,8) r1(j), range(0,12) r2(i)
+        |WHERE j BETWEEN 4 AND 7 AND i BETWEEN 3 AND 8""".stripMargin) { (s, d) =>
+      s.read.format("graft.sources.Hdf5DataSource")
+        .option("path", ensureQ202H5()).load()
+        .where(col("dataset") === "var" &&
+          col("d0").between(4, 7) && col("d1").between(3, 8))
+        .select(col("d0").as("y"), col("d1").as("x"), col("value"))
+    },
+
+    // ---- DSv2 bbox pushdown on the zarr mount ----------------------------
+    // The q194 two-scene store (lwp (9, 6) in (4, 6) row-band chunks)
+    // under a y x x bbox: the y range prunes row bands at plan time
+    // (d0 3-6 keeps bands 0-1 of 3 per scene — 4 of 6 tasks), the x
+    // range stays residual because these chunks span the full x extent
+    // — exactly the reference's row-banded storage under a 2-D crop.
+    QueryDef.sqlBacked(
+      "q203_zarr_bbox_crop",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST((t*9 + j)*6 + i AS DOUBLE) * 0.25 - 3.0 AS value
+        |FROM range(0,2) r1(t), range(0,9) r2(j), range(0,6) r3(i)
+        |WHERE j BETWEEN 3 AND 6 AND i BETWEEN 1 AND 3""".stripMargin) { (s, d) =>
+      val dir = ensureQ194Zarr(s)
+      s.read.format("graft.sources.ZarrDataSource")
+        .option("path", dir).load()
+        .where(col("dataset") === "lwp" &&
+          col("d0").between(3, 6) && col("d1").between(1, 3))
+        .select(col("d0").as("y"), col("d1").as("x"), col("value"))
     }
   )
 
@@ -1821,6 +1864,28 @@ object SourceQueries {
     }
     f.toString
   }
+
+  /** Writes q202's 2-D-chunked HDF5 store once per JVM: 'var' (8, 12)
+    * in (4, 3) chunks — a chunk grid in BOTH dimensions, so a bbox on
+    * the non-leading dimension genuinely prunes — plus a decoy the
+    * dataset filter must exclude at plan time. */
+  private def ensureQ202H5(): String = {
+    import graft.sources.HDF5
+    val f = java.nio.file.Paths.get(q202Hdf5Dir, "store.h5")
+    if (!java.nio.file.Files.exists(f)) {
+      val bytes = HDF5.write(Seq(
+        HDF5.DsSpec("var", Seq(8, 12), Array.tabulate(96)(_ * 0.5 - 10.0),
+          chunkDims = Some(Seq(4, 3))),
+        HDF5.DsSpec("decoy", Seq(10), Array.tabulate(10)(_ * 2.0),
+          chunkDims = Some(Seq(5)))), deflate = true)
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
+
+  private lazy val q202Hdf5Dir: String =
+    mkCleanedTempDir("graft_q202_hdf5_")
 
   /** Per-JVM fixture dirs for q193-q197 (the q140 discipline). */
   private lazy val q193ArrowDir: String =

@@ -61,11 +61,16 @@ class Hdf5DataSource extends TableProvider {
 }
 
 object Hdf5DataSource {
+  /** `d0..d3` are the element's per-dimension coordinates (row-major;
+    * 0 past the array's rank) — range predicates on them prune chunks
+    * by per-dim box intersection, the bbox-crop access pattern a linear
+    * `idx` range cannot express on non-leading dimensions. */
   val schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("dataset", StringType, nullable = false),
     StructField("idx", LongType, nullable = false),
-    StructField("value", DoubleType, nullable = false)))
+    StructField("value", DoubleType, nullable = false)) ++
+    MountDsv2.DimCols.map(StructField(_, LongType, nullable = false)))
 }
 
 class Hdf5Table(path: String, variable: Option[String], partitions: Option[Int])
@@ -76,7 +81,8 @@ class Hdf5Table(path: String, variable: Option[String], partitions: Option[Int])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MountScanBuilder(Hdf5DataSource.schema, Set("dataset", "path"), Some("idx")) {
+    new MountScanBuilder(Hdf5DataSource.schema, Set("dataset", "path"),
+        Set("idx") ++ MountDsv2.DimCols) {
       override def build(): Scan =
         new Hdf5Scan(path, variable, partitions, required, pushed)
     }
@@ -97,6 +103,7 @@ class Hdf5Scan(path: String, variable: Option[String], partitions: Option[Int],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val range = MountDsv2.idxRange(pushed)
+    val dimRs = MountDsv2.dimRanges(pushed)
     val paths = HDF5ChunkIngest.resolvePaths(path)
       .filter(MountDsv2.keep(pushed, "path", _))
     val tasks = HDF5ChunkIngest.chunkTasks(paths, variable)
@@ -104,10 +111,13 @@ class Hdf5Scan(path: String, variable: Option[String], partitions: Option[Int],
       .filter { t =>
         // chunk-grid prune: the chunk's global indexes span the
         // row-major box [origin, origin + chunkDims); its [min, max]
-        // bound is closed-form, so an idx range plans only its chunks
+        // bound is closed-form, so an idx range plans only its chunks,
+        // and dK coordinate ranges prune by per-dim box intersection
+        // (the bbox crop — exact per dimension, unlike the linear span)
         val (lo, hi) = MountDsv2.boxBounds(t.origin,
           t.chunkDims.map(_.toLong), t.dims)
-        range.intersects(lo, hi)
+        range.intersects(lo, hi) &&
+          MountDsv2.boxKeep(t.origin, t.chunkDims.map(_.toLong), t.dims, dimRs)
       }
       .sortBy(t => (t.path, t.offset))
     if (tasks.isEmpty) return Array.empty
@@ -134,6 +144,7 @@ class Hdf5ReaderFactory(required: StructType, hadoopOverrides: Map[String, Strin
           t.dtSize, t.bigEndian, t.filters, t.signedInt)
         val pathU = UTF8String.fromString(t.path)
         val dsU = UTF8String.fromString(t.dataset)
+        val strides = MountDsv2.rowStrides(t.dims)
         def row(gi: Long, x: Double): InternalRow = {
           val out = new Array[Any](required.length)
           var i = 0
@@ -143,6 +154,10 @@ class Hdf5ReaderFactory(required: StructType, hadoopOverrides: Map[String, Strin
               case "dataset" => dsU
               case "idx" => gi
               case "value" => x
+              case "d0" => MountDsv2.coordOf(gi, strides, t.dims, 0)
+              case "d1" => MountDsv2.coordOf(gi, strides, t.dims, 1)
+              case "d2" => MountDsv2.coordOf(gi, strides, t.dims, 2)
+              case "d3" => MountDsv2.coordOf(gi, strides, t.dims, 3)
             }
             i += 1
           }

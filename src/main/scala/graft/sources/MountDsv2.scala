@@ -35,21 +35,35 @@ object MountDsv2 {
 
   val FullRange: IdxRange = IdxRange(Long.MinValue, Long.MaxValue)
 
+  /** The per-dimension coordinate columns the GRIDDED mounts (zarr /
+    * HDF5 / netCDF-3) expose alongside the linear `idx`: `dK` is the
+    * row-major coordinate of the element in dimension K (0 for K past
+    * the array's rank). Range predicates on them prune chunks by
+    * per-dimension interval intersection of the chunk box — the
+    * reference's 2-D bbox crop (convml-data pipeline/sampling.py:75-173)
+    * at mount level, which a linear `idx` range cannot express for
+    * slices on non-leading dimensions. Four covers the reference's data
+    * model ((time, y, x) grids plus one level/channel axis); higher-rank
+    * arrays still mount — d0..d3 address their leading four axes and
+    * deeper axes just don't prune. */
+  val DimCols: IndexedSeq[String] = IndexedSeq("d0", "d1", "d2", "d3")
+
   /** The filters a mount accepts for plan-phase pruning: equality/IN on
-    * the string identity columns, range/equality/IN on the Long `idx`
-    * column (when the mount exposes one). Everything else is untouched
-    * (and even accepted filters stay residual in the caller). */
+    * the string identity columns, range/equality/IN on the Long index
+    * columns (linear `idx` and the `dK` coordinates, when the mount
+    * exposes them). Everything else is untouched (and even accepted
+    * filters stay residual in the caller). */
   def acceptFilters(filters: Array[Filter], stringCols: Set[String],
-      idxCol: Option[String]): Array[Filter] =
+      longCols: Set[String]): Array[Filter] =
     filters.filter {
       case EqualTo(c, _: String) if stringCols(c) => true
       case In(c, vs) if stringCols(c) => vs.forall(_.isInstanceOf[String])
-      case EqualTo(c, _: Long) if idxCol.contains(c) => true
-      case GreaterThan(c, _: Long) if idxCol.contains(c) => true
-      case GreaterThanOrEqual(c, _: Long) if idxCol.contains(c) => true
-      case LessThan(c, _: Long) if idxCol.contains(c) => true
-      case LessThanOrEqual(c, _: Long) if idxCol.contains(c) => true
-      case In(c, vs) if idxCol.contains(c) => vs.nonEmpty && vs.forall(_.isInstanceOf[Long])
+      case EqualTo(c, _: Long) if longCols(c) => true
+      case GreaterThan(c, _: Long) if longCols(c) => true
+      case GreaterThanOrEqual(c, _: Long) if longCols(c) => true
+      case LessThan(c, _: Long) if longCols(c) => true
+      case LessThanOrEqual(c, _: Long) if longCols(c) => true
+      case In(c, vs) if longCols(c) => vs.nonEmpty && vs.forall(_.isInstanceOf[Long])
       case _ => false
     }
 
@@ -83,6 +97,54 @@ object MountDsv2 {
     }
     IdxRange(lo, hi)
   }
+
+  /** One [[IdxRange]] per [[DimCols]] entry, folded from the pushed
+    * `dK` predicates (all-full when none push). */
+  def dimRanges(pushed: Array[Filter]): IndexedSeq[IdxRange] =
+    DimCols.map(idxRange(pushed, _))
+
+  /** Does a row-major box (origin + extent inside `dims`) survive every
+    * per-dimension coordinate range? Dimension K of the box covers
+    * coordinates [origin(K), min(origin(K)+box(K), dims(K)) - 1];
+    * dimensions past the array's rank read as coordinate 0 (what the
+    * mounts emit for them), so a range there must contain 0. Unlike the
+    * linear [[boxBounds]] window — whose [lo, hi] SPAN includes indexes
+    * the box doesn't fill — this test is per-dimension exact, so a
+    * bbox on non-leading dimensions prunes every non-intersecting
+    * chunk. Filters stay residual; pruning is never correctness. */
+  def boxKeep(origin: Seq[Long], box: Seq[Long], dims: Seq[Long],
+      ranges: IndexedSeq[IdxRange]): Boolean = {
+    var d = 0
+    val n = math.max(ranges.length, dims.size)
+    while (d < n) {
+      if (d < dims.size) {
+        val hi = math.min(origin(d) + box(d), dims(d)) - 1
+        // a box that clips to empty in ANY dimension (an out-of-shape
+        // grid cell of a padded shard) can never emit a row — prune it
+        // even when no range pushed on that dimension
+        if (hi < origin(d)) return false
+        if (d < ranges.length && !ranges(d).isFull &&
+          !ranges(d).intersects(origin(d), hi)) return false
+      } else if (!ranges(d).isFull && !ranges(d).intersects(0L, 0L))
+        return false
+      d += 1
+    }
+    true
+  }
+
+  /** True when no `dK` predicate pushed (skip the per-task box test). */
+  def allFull(ranges: IndexedSeq[IdxRange]): Boolean = ranges.forall(_.isFull)
+
+  /** Row-major strides of `dims` (element counts, not bytes): the
+    * readers' coordinate arithmetic `coord(d) = idx / stride(d) %
+    * dims(d)`. */
+  def rowStrides(dims: Seq[Long]): Array[Long] =
+    dims.scanRight(1L)(_ * _).tail.toArray
+
+  /** Coordinate of global linear index `gi` in dimension `d`; 0 past
+    * the rank (constant columns stay cheap and prunable). */
+  def coordOf(gi: Long, strides: Array[Long], dims: Seq[Long], d: Int): Long =
+    if (d < strides.length) (gi / strides(d)) % dims(d) else 0L
 
   /** Inclusive global-linear-index bounds of one row-major box (a
     * chunk): linearization is monotone in each coordinate, so the box's
@@ -204,14 +266,14 @@ object MountDsv2 {
   * `required`, filter pushdown via [[MountDsv2.acceptFilters]] with all
   * filters kept residual. Subclasses implement only `build()`. */
 abstract class MountScanBuilder(defaultSchema: StructType,
-    stringCols: Set[String], idxCol: Option[String])
+    stringCols: Set[String], longCols: Set[String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   protected var required: StructType = defaultSchema
   protected var pushed: Array[Filter] = Array.empty
 
   final override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = MountDsv2.acceptFilters(filters, stringCols, idxCol)
+    pushed = MountDsv2.acceptFilters(filters, stringCols, longCols)
     filters // ALL residual: pruning is an optimization, never correctness
   }
   final override def pushedFilters(): Array[Filter] = pushed

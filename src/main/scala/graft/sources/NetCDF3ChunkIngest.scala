@@ -21,10 +21,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object NetCDF3ChunkIngest {
 
+  /** `dims` is the variable's full shape (record dimension included,
+    * as its CURRENT record count) — the mount's per-dimension
+    * coordinate columns and bbox prune derive from it. */
   final case class RecordTask(
       path: String, dataset: String, ncType: Int,
       begin: Long, stride: Long, perRec: Int,
-      recStart: Int, nRecs: Int)
+      recStart: Int, nRecs: Int, dims: Seq[Long])
 
   /** Header-only parse: read a growing prefix until the header parses
     * (the classic header is self-delimiting; data begins after it). */
@@ -62,7 +65,8 @@ object NetCDF3ChunkIngest {
         // just the element count (total * 8 for doubles must fit an Int)
         require(total * NetCDF3.typeSize(v.ncType) <= Int.MaxValue - 8,
           s"${v.name} too large for one slab")
-        Seq(RecordTask(p, v.name, v.ncType, v.begin, 0L, total.toInt, 0, 1))
+        Seq(RecordTask(p, v.name, v.ncType, v.begin, 0L, total.toInt, 0, 1,
+          shape.map(_.toLong)))
       } else {
         val perRec = shape.drop(1).map(_.toLong).product
         // one record's slab reads as one buffer: bound its BYTES
@@ -73,7 +77,7 @@ object NetCDF3ChunkIngest {
         val recsPerTask = math.max(1L, targetBytes / recBytes).toInt
         (0 until h.numRecs by recsPerTask).map { r0 =>
           RecordTask(p, v.name, v.ncType, v.begin, stride, perRec.toInt,
-            r0, math.min(recsPerTask, h.numRecs - r0))
+            r0, math.min(recsPerTask, h.numRecs - r0), shape.map(_.toLong))
         }
       }
     }

@@ -57,11 +57,18 @@ class NetCDF3DataSource extends TableProvider {
 }
 
 object NetCDF3DataSource {
+  /** `d0..d3` are the element's per-dimension coordinates (row-major;
+    * 0 past the variable's rank). `d0` ranges prune record batches the
+    * way `idx` does; non-leading `dK` ranges stay residual-only for
+    * record variables (every record slab contains all their values)
+    * but make the bbox crop expressible without `idx div/mod`
+    * reconstruction. */
   val schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("dataset", StringType, nullable = false),
     StructField("idx", LongType, nullable = false),
-    StructField("value", DoubleType, nullable = false)))
+    StructField("value", DoubleType, nullable = false)) ++
+    MountDsv2.DimCols.map(StructField(_, LongType, nullable = false)))
 }
 
 class NetCDF3Table(path: String, variable: Option[String], partitions: Option[Int],
@@ -72,7 +79,8 @@ class NetCDF3Table(path: String, variable: Option[String], partitions: Option[In
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MountScanBuilder(NetCDF3DataSource.schema, Set("dataset", "path"), Some("idx")) {
+    new MountScanBuilder(NetCDF3DataSource.schema, Set("dataset", "path"),
+        Set("idx") ++ MountDsv2.DimCols) {
       override def build(): Scan =
         new NetCDF3Scan(path, variable, partitions, targetBytes, required, pushed)
     }
@@ -93,6 +101,7 @@ class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int
 
   override def planInputPartitions(): Array[InputPartition] = {
     val range = MountDsv2.idxRange(pushed)
+    val dimRs = MountDsv2.dimRanges(pushed)
     val paths = HDF5ChunkIngest.resolvePaths(path)
       .filter(MountDsv2.keep(pushed, "path", _))
     val tasks = paths.flatMap { p =>
@@ -103,7 +112,15 @@ class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int
     }.filter { t =>
       // record batches cover EXACTLY [recStart*perRec, +nRecs*perRec)
       range.intersects(t.recStart.toLong * t.perRec,
-        (t.recStart.toLong + t.nRecs) * t.perRec - 1)
+        (t.recStart.toLong + t.nRecs) * t.perRec - 1) &&
+        // dK prune: a record batch is the box [recStart, +nRecs) on d0
+        // x full extent on the rest (a non-record variable's single
+        // slab is its whole shape — stride 0 marks it)
+        MountDsv2.boxKeep(
+          if (t.stride == 0L) Seq.fill(t.dims.size)(0L)
+          else t.recStart.toLong +: Seq.fill(t.dims.size - 1)(0L),
+          if (t.stride == 0L) t.dims else t.nRecs.toLong +: t.dims.drop(1),
+          t.dims, dimRs)
     }.sortBy(t => (t.path, t.begin, t.recStart))
     if (tasks.isEmpty) return Array.empty
     val par = MountDsv2.parallelism("graft-netcdf3", partitions, tasks.size)
@@ -126,6 +143,7 @@ class NetCDF3ReaderFactory(required: StructType, hadoopOverrides: Map[String, St
       private val rows: Iterator[InternalRow] = tasks.iterator.flatMap { t =>
         val pathU = UTF8String.fromString(t.path)
         val dsU = UTF8String.fromString(t.dataset)
+        val strides = MountDsv2.rowStrides(t.dims)
         def row(gi: Long, x: Double): InternalRow = {
           val out = new Array[Any](required.length)
           var i = 0
@@ -135,6 +153,10 @@ class NetCDF3ReaderFactory(required: StructType, hadoopOverrides: Map[String, St
               case "dataset" => dsU
               case "idx" => gi
               case "value" => x
+              case "d0" => MountDsv2.coordOf(gi, strides, t.dims, 0)
+              case "d1" => MountDsv2.coordOf(gi, strides, t.dims, 1)
+              case "d2" => MountDsv2.coordOf(gi, strides, t.dims, 2)
+              case "d3" => MountDsv2.coordOf(gi, strides, t.dims, 3)
             }
             i += 1
           }

@@ -67,7 +67,7 @@ class NpyTable(path: String, rowsPerTask: Int) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MountScanBuilder(NpyDataSource.schema, Set("path"), Some("row")) {
+    new MountScanBuilder(NpyDataSource.schema, Set("path"), Set("row")) {
       override def build(): Scan = new NpyScan(path, rowsPerTask, required, pushed)
     }
 }

@@ -215,6 +215,40 @@ object ZarrChunkIngest {
       ci.zip(meta.chunks).map { case (c, w) => c.toLong * w },
       meta.chunks.map(_.toLong), meta.shape.map(_.toLong))
 
+  /** Per-dimension box test of one whole-chunk task against pushed
+    * `dK` coordinate ranges (the bbox-crop prune — exact per dim where
+    * the linear idx window is only a span). */
+  private[sources] def chunkBoxKeep(t: ChunkTask,
+      meta: Either[Zarr.ArrayMeta, Zarr3.Meta],
+      ranges: IndexedSeq[MountDsv2.IdxRange]): Boolean = {
+    val (shape, chunks) = meta match {
+      case Left(m) => (m.shape, m.chunks)
+      case Right(m) => (m.shape, m.chunks)
+    }
+    MountDsv2.boxKeep(
+      t.ci.zip(chunks).map { case (c, w) => c.toLong * w },
+      chunks.map(_.toLong), shape.map(_.toLong), ranges)
+  }
+
+  /** Same test for a whole SHARD (outer chunk) of a sharded array —
+    * failing shards never even have their index tails read. */
+  private[sources] def shardBoxKeep(ci: Seq[Int], meta: Zarr3.Meta,
+      ranges: IndexedSeq[MountDsv2.IdxRange]): Boolean =
+    MountDsv2.boxKeep(
+      ci.zip(meta.chunks).map { case (c, w) => c.toLong * w },
+      meta.chunks.map(_.toLong), meta.shape.map(_.toLong), ranges)
+
+  /** Same test for one inner chunk of a sharded array. */
+  private[sources] def innerBoxKeep(t: InnerTask, meta: Zarr3.Meta,
+      ranges: IndexedSeq[MountDsv2.IdxRange]): Boolean = {
+    val inner = meta.sharding.getOrElse(fail("meta lost its sharding")).innerChunks
+    MountDsv2.boxKeep(
+      t.ci.zip(meta.chunks).zip(t.gi.zip(inner)).map {
+        case ((c, w), (g, iw)) => c.toLong * w + g.toLong * iw
+      },
+      inner.map(_.toLong), meta.shape.map(_.toLong), ranges)
+  }
+
   /** ABSENT inner chunk (index sentinel or missing shard file)? */
   private[sources] def innerMissing(t: InnerTask): Boolean =
     t.offset == -1L && t.length == -1L

@@ -66,11 +66,17 @@ class ZarrDataSource extends TableProvider {
 }
 
 object ZarrDataSource {
+  /** `d0..d3` are the element's per-dimension coordinates (row-major;
+    * 0 past the array's rank) — range predicates on them prune chunks,
+    * shards AND shard-inner chunks by per-dim box intersection, the
+    * bbox-crop access pattern a linear `idx` range cannot express on
+    * non-leading dimensions. */
   val schema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("dataset", StringType, nullable = false),
     StructField("idx", LongType, nullable = false),
-    StructField("value", DoubleType, nullable = false)))
+    StructField("value", DoubleType, nullable = false)) ++
+    MountDsv2.DimCols.map(StructField(_, LongType, nullable = false)))
 
   /** An array node = a directory holding `.zarray` (v2) or an array
     * `zarr.json` (v3 — group nodes don't count). */
@@ -131,7 +137,8 @@ class ZarrTable(path: String, dataset: Option[String], partitions: Option[Int])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MountScanBuilder(ZarrDataSource.schema, Set("dataset", "path"), Some("idx")) {
+    new MountScanBuilder(ZarrDataSource.schema, Set("dataset", "path"),
+        Set("idx") ++ MountDsv2.DimCols) {
       override def build(): Scan =
         new ZarrScan(path, dataset, partitions, required, pushed)
     }
@@ -154,6 +161,7 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val range = MountDsv2.idxRange(pushed)
+    val dimRs = MountDsv2.dimRanges(pushed)
     val arrays = ZarrDataSource.discover(path)
       .filter { case (s, _) => MountDsv2.keep(pushed, "path", s) }
       .filter { case (_, a) => dataset.forall(_ == a) && MountDsv2.keep(pushed, "dataset", a) }
@@ -162,22 +170,25 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
           Seq.empty[ZarrChunkIngest.InnerTask])) { case ((cs, is), (s, a)) =>
         ZarrChunkIngest.metaOf(s, a) match {
           case Right(m) if m.sharding.isDefined =>
-            // idx prune at TWO granularities: whole shards whose
-            // closed-form window misses the range never have their
-            // index tails READ (metadata work proportional to the
-            // crop), then surviving shards' inner-chunk windows prune
-            // task-by-task
+            // idx + dK prune at TWO granularities: whole shards whose
+            // closed-form window (or per-dim box) misses never have
+            // their index tails READ (metadata work proportional to
+            // the crop), then surviving shards' inner-chunk windows
+            // and boxes prune task-by-task
             (cs, is ++ ZarrChunkIngest.shardInnerTasks(s, a, ci => {
               val (lo, hi) = ZarrChunkIngest.shardIdxBounds(ci, m)
-              range.intersects(lo, hi)
+              range.intersects(lo, hi) &&
+                ZarrChunkIngest.shardBoxKeep(ci, m, dimRs)
             }).filter { t =>
               val (lo, hi) = ZarrChunkIngest.innerIdxBounds(t, m)
-              range.intersects(lo, hi)
+              range.intersects(lo, hi) &&
+                ZarrChunkIngest.innerBoxKeep(t, m, dimRs)
             })
           case m =>
             (cs ++ ZarrChunkIngest.chunkTasks(s, a).filter { t =>
               val (lo, hi) = ZarrChunkIngest.chunkIdxBounds(t, m)
-              range.intersects(lo, hi)
+              range.intersects(lo, hi) &&
+                ZarrChunkIngest.chunkBoxKeep(t, m, dimRs)
             }, is)
         }
       }
@@ -204,7 +215,12 @@ class ZarrReaderFactory(required: StructType, hadoopOverrides: Map[String, Strin
     ByteStore.install(hadoopOverrides) // executor JVMs have no session
     val needValue = required.fieldNames.contains("value")
 
-    def mkRow(store: UTF8String, ds: UTF8String, gi: Long, x: Double): InternalRow = {
+    def shapeOf(meta: Either[Zarr.ArrayMeta, Zarr3.Meta]): Seq[Long] =
+      (meta match { case Left(m) => m.shape; case Right(m) => m.shape })
+        .map(_.toLong)
+
+    def mkRow(store: UTF8String, ds: UTF8String, dims: Seq[Long],
+        strides: Array[Long], gi: Long, x: Double): InternalRow = {
       val out = new Array[Any](required.length)
       var i = 0
       while (i < required.length) {
@@ -213,6 +229,10 @@ class ZarrReaderFactory(required: StructType, hadoopOverrides: Map[String, Strin
           case "dataset" => ds
           case "idx" => gi
           case "value" => x
+          case "d0" => MountDsv2.coordOf(gi, strides, dims, 0)
+          case "d1" => MountDsv2.coordOf(gi, strides, dims, 1)
+          case "d2" => MountDsv2.coordOf(gi, strides, dims, 2)
+          case "d3" => MountDsv2.coordOf(gi, strides, dims, 3)
         }
         i += 1
       }
@@ -229,13 +249,15 @@ class ZarrReaderFactory(required: StructType, hadoopOverrides: Map[String, Strin
                 ZarrChunkIngest.metaOf(t.store, t.dataset))
             val storeU = UTF8String.fromString(t.store)
             val dsU = UTF8String.fromString(t.dataset)
+            val dims = shapeOf(cached._2)
+            val strides = MountDsv2.rowStrides(dims)
             if (!needValue)
               // index-only projection: chunk files are never opened
               ZarrChunkIngest.chunkIndexes(t, cached._2)
-                .map(mkRow(storeU, dsU, _, 0.0))
+                .map(mkRow(storeU, dsU, dims, strides, _, 0.0))
             else
               ZarrChunkIngest.chunkElems(t, cached._2)
-                .map { case (g, v) => mkRow(storeU, dsU, g, v) }
+                .map { case (g, v) => mkRow(storeU, dsU, dims, strides, g, v) }
           }
           private var cur: InternalRow = _
           override def next(): Boolean =
@@ -268,13 +290,15 @@ class ZarrReaderFactory(required: StructType, hadoopOverrides: Map[String, Strin
               }
               val storeU = UTF8String.fromString(run.head.store)
               val dsU = UTF8String.fromString(run.head.dataset)
+              val dims = meta.shape.map(_.toLong)
+              val strides = MountDsv2.rowStrides(dims)
               if (!needValue)
                 run.iterator.flatMap(t =>
                   ZarrChunkIngest.innerIndexes(t, meta)
-                    .map(mkRow(storeU, dsU, _, 0.0)))
+                    .map(mkRow(storeU, dsU, dims, strides, _, 0.0)))
               else
                 ZarrChunkIngest.innerElemsRun(run, meta, handleFor)
-                  .map { case (g, v) => mkRow(storeU, dsU, g, v) }
+                  .map { case (g, v) => mkRow(storeU, dsU, dims, strides, g, v) }
             }
           private var cur: InternalRow = _
           override def next(): Boolean =

@@ -109,7 +109,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q195_arrow_uint64_roundtrip" :+ "q196_zarr_blosc_zstd_roundtrip"
       :+ "q197_arrow_map_roundtrip" :+ "q198_netcdf3_dsv2_pruned"
       :+ "q199_npy_dsv2" :+ "q200_zarr_idx_range"
-      :+ "q201_netcdf3_file_uri_mount")
+      :+ "q201_netcdf3_file_uri_mount"
+      :+ "q202_hdf5_bbox_crop" :+ "q203_zarr_bbox_crop")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -213,6 +214,36 @@ class PlanRegressionSpec extends SparkSpec {
     // [18, 41] crop keeps bands 0-1 per store (4 tasks), band 2 never
     // plans — vs 6 lwp tasks unfiltered
     val df = graft.SparkEntry.queries("q200_zarr_idx_range")(spark, sf)
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q202: the 2-D bbox pushes to the HDF5 scan and PLANS only intersecting chunks") {
+    val plan = planOf("q202_hdf5_bbox_crop")
+    assert(!plan.contains("Exchange"), s"DSv2 hdf5 scan must not shuffle:\n${plan.take(1200)}")
+    // both coordinate ranges reach the scan (and stay residual above it)
+    assert(plan.contains("GreaterThanOrEqual(d0,4)") &&
+      plan.contains("LessThanOrEqual(d0,7)") &&
+      plan.contains("GreaterThanOrEqual(d1,3)") &&
+      plan.contains("LessThanOrEqual(d1,8)"),
+      s"d0/d1 ranges must reach the scan:\n${plan.take(1500)}")
+    // (8,12) in (4,3) chunks = 2x4 grid; d0 4-7 keeps chunk row 1,
+    // d1 3-8 keeps chunk cols 1-2 -> 2 of 8 chunks plan (the decoy's
+    // chunks are pruned by the dataset filter)
+    val df = graft.SparkEntry.queries("q202_hdf5_bbox_crop")(spark, sf)
+    assert(df.rdd.getNumPartitions == 2,
+      s"expected 2 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q203: the bbox's chunked dimension prunes zarr row bands at plan time") {
+    val plan = planOf("q203_zarr_bbox_crop")
+    assert(!plan.contains("Exchange"), s"DSv2 zarr scan must not shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("GreaterThanOrEqual(d0,3)") &&
+      plan.contains("LessThanOrEqual(d1,3)"),
+      s"d0/d1 ranges must reach the scan:\n${plan.take(1500)}")
+    // two scenes x 3 row-band chunks; d0 3-6 intersects bands 0-1 only
+    // -> 4 of 6 tasks plan (d1 spans the full band width — residual)
+    val df = graft.SparkEntry.queries("q203_zarr_bbox_crop")(spark, sf)
     assert(df.rdd.getNumPartitions == 4,
       s"expected 4 planned partitions, got ${df.rdd.getNumPartitions}")
   }

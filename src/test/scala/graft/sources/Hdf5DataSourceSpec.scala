@@ -34,7 +34,8 @@ class Hdf5DataSourceSpec extends SparkSpec {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
     assert(df.collect().map(key).sorted.toSeq == lib.collect().map(key).sorted.toSeq)
-    assert(df.schema.fieldNames.toSeq == Seq("path", "dataset", "idx", "value"))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("path", "dataset", "idx", "value", "d0", "d1", "d2", "d3"))
   }
 
   test("dataset equality filter prunes chunks at PLAN time") {
@@ -115,5 +116,41 @@ class Hdf5DataSourceSpec extends SparkSpec {
     assert(df.select("dataset").distinct().collect().map(_.getString(0)).toSeq
       == Seq("decoy"))
     assert(df.count() == 40)
+  }
+
+  test("d0/d1 bbox prunes the chunk grid at plan time and stays exact") {
+    val dir = Files.createTempDirectory("graft-h5bbox").toString
+    val bytes = HDF5.write(Seq(
+      HDF5.DsSpec("v", Seq(6, 6), Array.tabulate(36)(_ * 1.5 - 4.0),
+        chunkDims = Some(Seq(2, 2)))), deflate = true)
+    Files.write(Paths.get(dir, "b.h5"), bytes)
+    val all = spark.read.format(Fmt).option("path", s"$dir/b.h5")
+      .option("partitions", "64").load()
+    assert(all.rdd.getNumPartitions == 9) // 3x3 chunk grid
+    // a NON-LEADING-dimension slice — inexpressible as one linear idx
+    // range (the d1-in-[2,3] indexes interleave through every row) —
+    // prunes to chunk column 1 at plan time
+    val xband = all.where(col("d1").between(2, 3))
+    assert(xband.rdd.getNumPartitions == 3)
+    assert(xband.count() == 12)
+    // 2-D bbox: one chunk plans
+    val bbox = all.where(col("d0").between(2, 3) && col("d1").between(4, 5))
+    assert(bbox.rdd.getNumPartitions == 1)
+    // residual filters keep it EXACT vs idx arithmetic on the full read
+    val expect = all.select("idx", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter { case (i, _) =>
+        i / 6 >= 2 && i / 6 <= 3 && i % 6 >= 4 && i % 6 <= 5 }
+      .sorted.toSeq
+    val got = bbox.select("idx", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == expect && got.size == 4)
+    // the d-columns ARE the row-major coordinates (0 past the rank)
+    all.select("idx", "d0", "d1", "d2", "d3").collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) / 6 && r.getLong(2) == r.getLong(0) % 6)
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    }
+    // an empty bbox plans NOTHING
+    assert(all.where(col("d3") === 7L).rdd.getNumPartitions == 0)
   }
 }

@@ -121,4 +121,45 @@ class MountDsv2Spec extends AnyFunSuite {
     // 1-D exact
     assert(boxBounds(Seq(8L), Seq(4L), Seq(30L)) == (8L, 11L))
   }
+
+  test("dimRanges + boxKeep: per-dimension box intersection, exact where the linear span is not") {
+    import org.apache.spark.sql.sources._
+    val rs = dimRanges(Array[Filter](
+      GreaterThanOrEqual("d1", 4L), LessThanOrEqual("d1", 5L)))
+    assert(rs(0).isFull && rs(2).isFull && rs(3).isFull)
+    // (5, 6) grid in (3, 4) chunks: d1 in [4, 5] keeps only chunk col 1
+    val shape = Seq(5L, 6L)
+    assert(!boxKeep(Seq(0L, 0L), Seq(3L, 4L), shape, rs)) // col 0: d1 0-3
+    assert(boxKeep(Seq(0L, 4L), Seq(3L, 4L), shape, rs)) // col 1: d1 4-5 (clipped)
+    assert(!boxKeep(Seq(3L, 0L), Seq(3L, 4L), shape, rs))
+    assert(boxKeep(Seq(3L, 4L), Seq(3L, 4L), shape, rs))
+    // the LINEAR span of the col-0 chunk at rows 0-2 is [0, 15], which
+    // CONTAINS idx values with d1 in [4, 5] — the per-dim test prunes
+    // where an idx window cannot
+    assert(boxBounds(Seq(0L, 0L), Seq(3L, 4L), shape)._2 >= 4L)
+    // a range on a dimension past the rank keeps only coordinate 0
+    val rs3 = dimRanges(Array[Filter](EqualTo("d3", 0L)))
+    assert(boxKeep(Seq(0L, 0L), Seq(3L, 4L), shape, rs3))
+    assert(!boxKeep(Seq(0L, 0L), Seq(3L, 4L), shape,
+      dimRanges(Array[Filter](EqualTo("d3", 1L)))))
+    // no pushed dK predicates = keep everything, cheaply
+    assert(allFull(dimRanges(Array.empty)) &&
+      boxKeep(Seq(0L, 0L), Seq(3L, 4L), shape, dimRanges(Array.empty)))
+  }
+
+  test("rowStrides/coordOf: row-major coordinate arithmetic") {
+    val dims = Seq(5L, 6L, 7L)
+    val st = rowStrides(dims)
+    assert(st.toSeq == Seq(42L, 7L, 1L))
+    // idx 100 = (2, 2, 2): 2*42 + 2*7 + 2
+    assert(coordOf(100L, st, dims, 0) == 2L)
+    assert(coordOf(100L, st, dims, 1) == 2L)
+    assert(coordOf(100L, st, dims, 2) == 2L)
+    assert(coordOf(100L, st, dims, 3) == 0L) // past the rank
+    // round-trip: every idx reassembles from its coordinates
+    (0L until 210L by 13L).foreach { gi =>
+      val c = (0 until 3).map(coordOf(gi, st, dims, _))
+      assert(c.zip(st).map { case (x, s) => x * s }.sum == gi)
+    }
+  }
 }

@@ -44,7 +44,8 @@ class NetCDF3DataSourceSpec extends SparkSpec {
       NetCDF3ChunkIngest.readValues(spark, s"$dir/store.nc", v,
         targetBytes = 1024).collect().map(key)).sorted
     assert(got == lib)
-    assert(df.schema.fieldNames.toSeq == Seq("path", "dataset", "idx", "value"))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("path", "dataset", "idx", "value", "d0", "d1", "d2", "d3"))
   }
 
   test("dataset equality filter prunes record tasks at PLAN time") {
@@ -77,6 +78,36 @@ class NetCDF3DataSourceSpec extends SparkSpec {
     assert(slice.agg(min("idx"), max("idx")).head() ==
       org.apache.spark.sql.Row(300L, 599L))
     assert(flux.where(col("idx") < 0).rdd.getNumPartitions == 0)
+  }
+
+  test("d0 ranges prune record batches; d1/d2 stay residual but exact") {
+    val dir = writeStore()
+    val flux = spark.read.format(Fmt).option("path", s"$dir/store.nc")
+      .option("targetBytes", "1").option("partitions", "128").load()
+      .where(col("dataset") === "flux")
+    // d0 IS the record dimension: [10, 19] plans those records only
+    val band = flux.where(col("d0").between(10, 19))
+    assert(band.rdd.getNumPartitions == 10)
+    assert(band.count() == 300)
+    // a non-leading slice can't prune record slabs (every record holds
+    // all y, x values) but the residual filter keeps it exact, and the
+    // d-columns decode the (t, y, x) coordinates without idx div/mod
+    val ycrop = flux.where(col("d1").between(2, 3))
+    assert(ycrop.rdd.getNumPartitions == 40)
+    assert(ycrop.count() == 40L * 2 * 5)
+    flux.select("idx", "d0", "d1", "d2", "d3").collect().foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getLong(1) == i / 30 && r.getLong(2) == (i / 5) % 6 &&
+        r.getLong(3) == i % 5 && r.getLong(4) == 0L)
+    }
+    // the fixed (non-record) variable: its single slab is the whole
+    // shape, so an out-of-shape d0 prunes it entirely
+    val yc = spark.read.format(Fmt).option("path", s"$dir/store.nc")
+      .option("partitions", "128").load()
+      .where(col("dataset") === "yc")
+    assert(yc.where(col("d0").between(2, 4)).rdd.getNumPartitions == 1)
+    assert(yc.where(col("d0").between(2, 4)).count() == 3)
+    assert(yc.where(col("d0") > 5).rdd.getNumPartitions == 0)
   }
 
   test("index-only projection never reads payload bytes") {

@@ -34,7 +34,8 @@ class ZarrDataSourceSpec extends SparkSpec {
     val lib = Seq("cnt", "lwp", "wind").flatMap(a =>
       ZarrChunkIngest.readValues(spark, V2Store, a).collect().map(key)).sorted
     assert(got == lib)
-    assert(df.schema.fieldNames.toSeq == Seq("path", "dataset", "idx", "value"))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("path", "dataset", "idx", "value", "d0", "d1", "d2", "d3"))
     // the absent cnt chunk reads as fill -1 through the mount too
     val cnt = df.where(col("dataset") === "cnt").orderBy("idx")
       .select("value").collect().map(_.getDouble(0)).toSeq
@@ -117,11 +118,58 @@ class ZarrDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("crc32c"), e.getMessage)
   }
 
+  test("d0/d1 bbox prunes the chunk grid at plan time (non-leading dim included)") {
+    // lwp shape (5,6), chunks (3,4) -> 2x2 chunk grid; d1 in [4,5] is a
+    // NON-LEADING-dimension slice whose indexes interleave through every
+    // row — a linear idx range can't prune it, the per-dim box test can
+    val lwp = spark.read.format(Fmt)
+      .option("path", V2Store).option("partitions", "64").load()
+      .where(col("dataset") === "lwp")
+    val xband = lwp.where(col("d1").between(4, 5))
+    assert(xband.rdd.getNumPartitions == 2) // chunk col 1 only
+    assert(xband.select("idx").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(4L, 5L, 10L, 11L, 16L, 17L, 22L, 23L, 28L, 29L))
+    // 2-D bbox -> single chunk; values exact vs idx arithmetic
+    val bbox = lwp.where(col("d0").between(3, 4) && col("d1").between(0, 3))
+    assert(bbox.rdd.getNumPartitions == 1)
+    val expect = lwp.select("idx", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter { case (i, _) => i / 6 >= 3 && i % 6 <= 3 }.sorted.toSeq
+    assert(bbox.select("idx", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq == expect)
+    // d-columns are the row-major coordinates
+    lwp.select("idx", "d0", "d1", "d2", "d3").collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) / 6 && r.getLong(2) == r.getLong(0) % 6)
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    }
+  }
+
+  test("d0 range prunes WHOLE SHARDS and their inner chunks by box") {
+    // temp shape (6,8), shards (4,8), inner (2,4): d0 in [4,5] keeps
+    // shard 1 only, and within it only the in-shape inner row (gi0=0) —
+    // the out-of-shape rows-6..7 inners fail the clipped box test
+    val df = spark.read.format(Fmt)
+      .option("path", ShardStore).option("partitions", "64").load()
+    val band = df.where(col("d0").between(4, 5))
+    assert(band.rdd.getNumPartitions == 2)
+    assert(band.count() == 16)
+    // non-leading slice on the sharded array: d1 in [0,3] keeps inner
+    // col 0 of both shards (in-shape rows) -> 2 real + 1 out-of-shape-
+    // clipped tasks pruned; absent inner chunk still reads as fill
+    val xband = df.where(col("d1").between(0, 3))
+    assert(xband.rdd.getNumPartitions == 3)
+    assert(xband.count() == 24)
+    assert(xband.where(col("d0") >= 4).collect().map(_.getDouble(3)).toSeq
+      .forall(_ == -1.0)) // the absent shard-1 col-0 inner = fill
+  }
+
   test("SHARDED v3 arrays plan one task per INNER chunk") {
     val df = spark.read.format(Fmt)
       .option("path", ShardStore).option("partitions", "64").load()
-    // temp: 2 shards x (2x2) inner grid = 8 inner tasks
-    assert(df.rdd.getNumPartitions == 8)
+    // temp: 2 shards x (2x2) inner grid, minus shard 1's two rows-6..7
+    // inners whose boxes clip to EMPTY against the (6, 8) shape — the
+    // plan-time box test drops no-op tasks even unfiltered
+    assert(df.rdd.getNumPartitions == 6)
     val got = df.orderBy("idx").collect().map(_.getDouble(3)).toSeq
     val expect = for (r <- 0 until 6; c <- 0 until 8)
       yield if (r >= 4 && c < 4) -1.0 else r * 10.0 + c // absent inner chunk
@@ -158,11 +206,11 @@ class ZarrDataSourceSpec extends SparkSpec {
     copyStore(ShardStore, tmp, "v3.zarr")
     val all = spark.read.format(Fmt)
       .option("path", tmp.toString).option("partitions", "64").load()
-    // v2: 7 whole-chunk tasks; sharded v3: 8 inner-chunk tasks
-    assert(all.rdd.getNumPartitions == 15)
+    // v2: 7 whole-chunk tasks; sharded v3: 6 in-shape inner-chunk tasks
+    assert(all.rdd.getNumPartitions == 13)
     assert(all.select("dataset").distinct().count() == 4) // cnt/lwp/wind/temp
     val temp = all.where(col("dataset") === "temp")
-    assert(temp.rdd.getNumPartitions == 8)
+    assert(temp.rdd.getNumPartitions == 6)
     assert(temp.count() == 48)
   }
 
