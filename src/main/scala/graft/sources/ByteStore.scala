@@ -50,10 +50,60 @@ object ByteStore {
     }
   }
 
+  // ---- I/O instrumentation (test scope) --------------------------------
+  // When a recorder is installed, every handle open, positioned read and
+  // stream open through the seam is counted per path. This is how the
+  // specs assert EXECUTED request counts — the object-store cost model —
+  // not just plan arithmetic: a coalesced span = ONE read, a pruned
+  // shard = ZERO opens, and any future reader that bypasses the
+  // coalesced windows fails the count. Production cost: one volatile
+  // load per operation (recorder null). Local mode runs executors in
+  // this JVM, so the counts include executor-side I/O.
+
+  /** Per-path open/read/byte counters (thread-safe — tasks run
+    * concurrently). `reads` counts REQUESTS (one positioned read or one
+    * whole-file read), the unit that becomes a GET on an object store. */
+  final class IoRecorder {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, Array[java.util.concurrent.atomic.AtomicLong]]()
+    // Plain paths absolutize so relative-path readers and absolute-path
+    // asserts meet on one key; scheme'd URIs are already canonical.
+    private def norm(path: String): String =
+      if (hasScheme(path)) path else new java.io.File(path).getAbsolutePath
+    private def at(path: String) =
+      m.computeIfAbsent(norm(path), _ => Array.fill(3)(new java.util.concurrent.atomic.AtomicLong()))
+    private[ByteStore] def open(path: String): Unit = { at(path)(0).incrementAndGet(); () }
+    private[ByteStore] def read(path: String, n: Long): Unit = {
+      val a = at(path); a(1).incrementAndGet(); a(2).addAndGet(n); ()
+    }
+    def opens(path: String): Long = Option(m.get(norm(path))).fold(0L)(_(0).get)
+    def reads(path: String): Long = Option(m.get(norm(path))).fold(0L)(_(1).get)
+    def bytes(path: String): Long = Option(m.get(norm(path))).fold(0L)(_(2).get)
+    def pathsTouched: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      m.keySet.asScala.toSet
+    }
+  }
+
+  @volatile private var recorder: IoRecorder = _
+
+  /** Install (and return) a fresh recorder; counts accumulate until
+    * [[stopRecording]]. Test scope — one recorder per JVM at a time. */
+  def startRecording(): IoRecorder = { val r = new IoRecorder; recorder = r; r }
+  def stopRecording(): Unit = recorder = null
+
+  private def recOpen(path: String): Unit = {
+    val r = recorder; if (r != null) r.open(path)
+  }
+  private def recRead(path: String, n: Long): Unit = {
+    val r = recorder; if (r != null) r.read(path, n)
+  }
+
   private final class LocalReadAt(val path: String) extends ReadAt {
     private val raf = new RandomAccessFile(path, "r")
+    recOpen(path)
     val length: Long = raf.length()
     def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit = {
+      recRead(path, len)
       raf.seek(pos)
       raf.readFully(dst, off, len)
     }
@@ -63,10 +113,13 @@ object ByteStore {
   private final class HadoopReadAt(val path: String) extends ReadAt {
     private val p = new Path(path)
     private val fs = fileSystem(path)
+    recOpen(path)
     val length: Long = fs.getFileStatus(p).getLen
     private val in = fs.open(p)
-    def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit =
+    def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit = {
+      recRead(path, len)
       in.readFully(pos, dst, off, len)
+    }
     override def close(): Unit = in.close()
   }
 
@@ -169,7 +222,11 @@ object ByteStore {
     if (hasScheme(path)) {
       val in = open(path)
       try in.readFully(0L, math.toIntExact(in.length)) finally in.close()
-    } else java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    } else {
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      recOpen(path); recRead(path, a.length.toLong)
+      a
+    }
 
   def readString(path: String): String =
     new String(readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
@@ -189,10 +246,13 @@ object ByteStore {
     }
 
   /** Sequential stream over the whole file — the shape the container
-    * codecs (Avro blocks, TFRecord frames) consume. Caller closes. */
-  def openStream(path: String): java.io.InputStream =
+    * codecs (Avro blocks, TFRecord frames) consume. Caller closes.
+    * Counted as one open + one read: a sequential drain is one GET. */
+  def openStream(path: String): java.io.InputStream = {
+    if (recorder != null) { recOpen(path); recRead(path, length(path)) }
     if (hasScheme(path)) fileSystem(path).open(new Path(path))
     else new java.io.FileInputStream(path)
+  }
 
   // ---- write side (the sinks' seam) -----------------------------------
   // Executors write shard/chunk/scene files directly; routing creation
