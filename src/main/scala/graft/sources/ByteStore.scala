@@ -75,6 +75,12 @@ object ByteStore {
     private[ByteStore] def read(path: String, n: Long): Unit = {
       val a = at(path); a(1).incrementAndGet(); a(2).addAndGet(n); ()
     }
+    // metadata round trips (list / exists / isFile / isDirectory) —
+    // one LIST or HEAD each on an object store; global because the
+    // interesting claim is the WALK's total, not a per-path figure
+    private val meta = new java.util.concurrent.atomic.AtomicLong()
+    private[ByteStore] def metaOp(): Unit = { meta.incrementAndGet(); () }
+    def metaOps: Long = meta.get
     def opens(path: String): Long = Option(m.get(norm(path))).fold(0L)(_(0).get)
     def reads(path: String): Long = Option(m.get(norm(path))).fold(0L)(_(1).get)
     def bytes(path: String): Long = Option(m.get(norm(path))).fold(0L)(_(2).get)
@@ -96,6 +102,9 @@ object ByteStore {
   }
   private def recRead(path: String, n: Long): Unit = {
     val r = recorder; if (r != null) r.read(path, n)
+  }
+  private def recMeta(): Unit = {
+    val r = recorder; if (r != null) r.metaOp()
   }
 
   private final class LocalReadAt(val path: String) extends ReadAt {
@@ -200,21 +209,27 @@ object ByteStore {
   def open(path: String): ReadAt =
     if (hasScheme(path)) new HadoopReadAt(path) else new LocalReadAt(path)
 
-  def exists(path: String): Boolean =
+  def exists(path: String): Boolean = {
+    recMeta()
     if (hasScheme(path)) fileSystem(path).exists(new Path(path))
     else new java.io.File(path).exists()
+  }
 
-  def isFile(path: String): Boolean =
+  def isFile(path: String): Boolean = {
+    recMeta()
     if (hasScheme(path)) {
       val fs = fileSystem(path); val p = new Path(path)
       fs.exists(p) && fs.getFileStatus(p).isFile
     } else new java.io.File(path).isFile
+  }
 
-  def isDirectory(path: String): Boolean =
+  def isDirectory(path: String): Boolean = {
+    recMeta()
     if (hasScheme(path)) {
       val fs = fileSystem(path); val p = new Path(path)
       fs.exists(p) && fs.getFileStatus(p).isDirectory
     } else new java.io.File(path).isDirectory
+  }
 
   /** Whole small file (array metadata, chunk files — KB-to-MB scale by
     * the callers' contracts; big payloads go through [[open]]). */
@@ -232,7 +247,8 @@ object ByteStore {
     new String(readAllBytes(path), java.nio.charset.StandardCharsets.UTF_8)
 
   /** Direct children of a directory, name-sorted. */
-  def list(path: String): Seq[Entry] =
+  def list(path: String): Seq[Entry] = {
+    recMeta()
     if (hasScheme(path)) {
       val fs = fileSystem(path)
       fs.listStatus(new Path(path)).toSeq
@@ -244,6 +260,7 @@ object ByteStore {
         .map(f => Entry(f.getAbsolutePath, f.getName, f.isDirectory))
         .sortBy(_.name)
     }
+  }
 
   /** Sequential stream over the whole file — the shape the container
     * codecs (Avro blocks, TFRecord frames) consume. Caller closes.
@@ -328,5 +345,33 @@ object ByteStore {
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(x => x.isFile && rx.matcher(x.getName).matches())
         .map(_.getAbsolutePath).sorted.toSeq
+    }
+
+  // ---- bounded-parallel driver-side metadata I/O ------------------------
+
+  /** Bounded-parallel, order-preserving map — the planners' discovery
+    * helper. Listings, existence probes and KB-scale metadata reads are
+    * latency-bound round trips (~0.4 ms even on checksummed `file://`,
+    * worse on s3a), so a mount over thousands of scene stores walked
+    * serially pays store-count × RTT at PLAN time. This runs `f` on a
+    * per-call pool of up to `par` threads and returns results in input
+    * order; the first failure rethrows its cause and interrupts the
+    * rest. The pool is per call (not shared), so nested use cannot
+    * deadlock — it only costs threads, which is why the mount walks are
+    * breadth-first single-level sweeps. Plain CPU work gains nothing
+    * here; use it only around storage round trips. */
+  def parMap[A, B](items: Seq[A], par: Int = 16)(f: A => B): Seq[B] =
+    if (items.sizeIs <= 1 || par <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(par, items.size))
+      try {
+        val futs = items.map(a => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+        try futs.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      } finally pool.shutdownNow()
     }
 }

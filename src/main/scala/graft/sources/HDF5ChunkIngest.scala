@@ -46,9 +46,12 @@ object HDF5ChunkIngest {
       origin: Seq[Long], offset: Long, nbytes: Long)
 
   /** Phase 1: metadata-only chunk map of every HDF5 file in `paths`.
-    * Driver-side work is proportional to metadata size, not file size. */
+    * Driver-side work is proportional to metadata size, not file size,
+    * and per-file manifests walk in one [[ByteStore.parMap]] wave —
+    * plan-time latency on an object store is ~one file's metadata
+    * round trips, not file-count × RTT. Order stays path-sorted. */
   def chunkTasks(paths: Seq[String], varName: Option[String] = None): Seq[ChunkTask] =
-    paths.sorted.flatMap { p =>
+    ByteStore.parMap(paths.sorted) { p =>
       val in = new PagedFileInput(p)
       try HDF5.manifest(in)
         .filter { case (v, _) => varName.forall(_ == v.name) }
@@ -58,7 +61,7 @@ object HDF5ChunkIngest {
             r.origin, r.offset, r.nbytes))
         }
       finally in.close()
-    }
+    }.flatten
 
   /** Resolve a file-or-`dir/STAR.h5`-style glob; scheme'd URIs go
     * through Hadoop globStatus (see [[ByteStore.resolveGlob]]). */

@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.StructType
   * chunks, and since every format's chunk grid is closed-form, the
   * [min, max] global-linear-index window of each task is pure
   * arithmetic.
+  *
+  * Naming caveat: npy's pushable index column is `row` (its surface is
+  * a 2-D row-major matrix), not `idx`/`dK` — `WHERE idx ...` against
+  * the npy mount is an unknown column, and any filter that doesn't
+  * push stays residual-correct but plans every task.
   */
 object MountDsv2 {
 

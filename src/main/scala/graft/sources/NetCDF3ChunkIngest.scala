@@ -49,10 +49,13 @@ object NetCDF3ChunkIngest {
   }
 
   /** Phase 1: record-batch tasks for `varName` in each path. Non-record
-    * variables become a single whole-slab task (stride 0). */
+    * variables become a single whole-slab task (stride 0). Per-file
+    * headers read in one [[ByteStore.parMap]] wave (KB-scale each);
+    * plan-time latency tracks one header's round trips, not file
+    * count. Order stays path-sorted. */
   def recordTasks(paths: Seq[String], varName: String,
       targetBytes: Long = 4L << 20): Seq[RecordTask] =
-    paths.sorted.flatMap { p =>
+    ByteStore.parMap(paths.sorted) { p =>
       val h = headerOf(p)
       val v = h.vars.find(_.name == varName).getOrElse(
         throw new IllegalArgumentException(
@@ -80,7 +83,7 @@ object NetCDF3ChunkIngest {
             r0, math.min(recsPerTask, h.numRecs - r0), shape.map(_.toLong))
         }
       }
-    }
+    }.flatten
 
   /** One task's (global idx, value) elements through `in`. The
     * per-record positioned reads coalesce into ONE span read when the

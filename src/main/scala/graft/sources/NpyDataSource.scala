@@ -22,6 +22,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   .option("path", "/data/emb/STAR.npy")   // file, glob, or s3a://-style URI
   *   .load()                                 // (path, row, embedding)
   *   .where($"row" < n)                      // RANGE PUSHDOWN prunes row ranges
+  *   //          ^ NOTE: npy's pushable index column is `row` (its
+  *   //          row-major surface), NOT the grid mounts' `idx`/`dK` —
+  *   //          a `WHERE idx ...` here is just an unknown column; a
+  *   //          filter on a non-pushable column stays residual and
+  *   //          CORRECT but plans every row batch
   *   .select("row")                          // COLUMN PRUNING: no payload reads
   * }}}
   *

@@ -194,7 +194,10 @@ object ZarrChunkIngest {
     }
     val sh = meta.sharding.get
     val innerGrid = gridOf(meta.chunks, sh.innerChunks)
-    gridOf(meta.shape, meta.chunks).filter(shardKeep).flatMap { ci =>
+    // one exists-probe + one index-tail read per SURVIVING shard — a
+    // 10k-shard array would pay 10k serial round trips at plan time,
+    // so the tails read in one parMap wave (input order kept)
+    ByteStore.parMap(gridOf(meta.shape, meta.chunks).filter(shardKeep)) { ci =>
       val shardFile = shardPath(store, name, meta, ci)
       if (!ByteStore.exists(shardFile))
         innerGrid.map(gi => InnerTask(store, name, ci, gi, -1L, -1L))
@@ -205,7 +208,7 @@ object ZarrChunkIngest {
           InnerTask(store, name, ci, gi, off, len)
         }
       }
-    }
+    }.flatten
   }
 
   /** Inclusive [min, max] global-linear-index bounds of one SHARD (the

@@ -96,19 +96,36 @@ object ZarrDataSource {
       ByteStore.isFile(ByteStore.join(dir, ".zgroup")) ||
       ByteStore.isFile(ByteStore.join(dir, "zarr.json"))
 
-  /** All arrays under `store`, RECURSIVELY through group directories,
-    * named by their group path (`grp/sub/arr`), sorted. Depth-bounded so
-    * a pathological self-looping mount can't spin the planner. */
-  private[sources] def arraysIn(store: String, maxDepth: Int = 8): Seq[String] = {
-    def walk(dir: String, rel: String, depth: Int): Seq[String] =
-      ByteStore.list(dir).filter(_.isDir).flatMap { e =>
-        val childRel = if (rel.isEmpty) e.name else rel + "/" + e.name
-        if (isArray(e.path)) Seq(childRel)
-        else if (depth < maxDepth) walk(e.path, childRel, depth + 1)
-        else Seq.empty
-      }
-    walk(store, "", 0).sorted
+  /** All arrays under each root, RECURSIVELY through group directories,
+    * as (root, group-path) pairs sorted by (root, path). The walk is a
+    * breadth-first LEVEL SWEEP: every directory at a level is listed
+    * and node-probed in one [[ByteStore.parMap]] batch, so plan-time
+    * latency on an object store scales with tree DEPTH (≤ maxDepth
+    * round-trip waves), not directory count — a mount over thousands
+    * of scene stores walks them all concurrently. Depth-bounded so a
+    * pathological self-looping mount can't spin the planner. */
+  private[sources] def arraysUnder(roots: Seq[String], maxDepth: Int = 8)
+      : Seq[(String, String)] = {
+    val found = Seq.newBuilder[(String, String)]
+    // (root, dir, rel-path-under-root)
+    var frontier: Seq[(String, String, String)] = roots.map(r => (r, r, ""))
+    var depth = 0
+    while (frontier.nonEmpty && depth <= maxDepth) {
+      val level = ByteStore.parMap(frontier) { case (root, dir, rel) =>
+        ByteStore.list(dir).filter(_.isDir).map { e =>
+          val childRel = if (rel.isEmpty) e.name else rel + "/" + e.name
+          (root, e.path, childRel, isArray(e.path))
+        }
+      }.flatten
+      found ++= level.collect { case (root, _, rel, true) => (root, rel) }
+      frontier = level.collect { case (root, p, rel, false) => (root, p, rel) }
+      depth += 1
+    }
+    found.result().sorted
   }
+
+  private[sources] def arraysIn(store: String, maxDepth: Int = 8): Seq[String] =
+    arraysUnder(Seq(store), maxDepth).map(_._2)
 
   /** Resolve `path` to (store, array) pairs: a store dir (detected by a
     * node marker at its root or arrays directly under it), or a dir
@@ -116,12 +133,12 @@ object ZarrDataSource {
     * [[ZarrSink]] writes). Arrays nest through groups either way. */
   private[sources] def discover(path: String): Seq[(String, String)] = {
     require(ByteStore.isDirectory(path), s"graft-zarr: $path is not a directory")
+    lazy val children = ByteStore.list(path).filter(_.isDir)
     val rootIsStore = hasNodeMarker(path) ||
-      ByteStore.list(path).exists(e => e.isDir && isArray(e.path))
+      ByteStore.parMap(children)(e => isArray(e.path)).exists(identity)
     if (rootIsStore) arraysIn(path).map(a => (path, a))
     else {
-      val stores = ByteStore.list(path).filter(_.isDir)
-        .flatMap(s => arraysIn(s.path).map(a => (s.path, a)))
+      val stores = arraysUnder(children.map(_.path))
       require(stores.nonEmpty,
         s"graft-zarr: no zarr arrays under $path (or its child stores)")
       stores
@@ -165,17 +182,19 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
     val arrays = ZarrDataSource.discover(path)
       .filter { case (s, _) => MountDsv2.keep(pushed, "path", s) }
       .filter { case (_, a) => dataset.forall(_ == a) && MountDsv2.keep(pushed, "dataset", a) }
-    val (chunkTasks, innerTasks) =
-      arrays.foldLeft((Seq.empty[ZarrChunkIngest.ChunkTask],
-          Seq.empty[ZarrChunkIngest.InnerTask])) { case ((cs, is), (s, a)) =>
-        ZarrChunkIngest.metaOf(s, a) match {
-          case Right(m) if m.sharding.isDefined =>
-            // idx + dK prune at TWO granularities: whole shards whose
-            // closed-form window (or per-dim box) misses never have
-            // their index tails READ (metadata work proportional to
-            // the crop), then surviving shards' inner-chunk windows
-            // and boxes prune task-by-task
-            (cs, is ++ ZarrChunkIngest.shardInnerTasks(s, a, ci => {
+    // per-array metadata work (array meta + surviving shards' index
+    // tails) is independent round trips — one parMap wave, input order
+    // kept so the task lists land (store, array)-sorted as before
+    val perArray = ByteStore.parMap(arrays) { case (s, a) =>
+      ZarrChunkIngest.metaOf(s, a) match {
+        case Right(m) if m.sharding.isDefined =>
+          // idx + dK prune at TWO granularities: whole shards whose
+          // closed-form window (or per-dim box) misses never have
+          // their index tails READ (metadata work proportional to
+          // the crop), then surviving shards' inner-chunk windows
+          // and boxes prune task-by-task
+          (Seq.empty[ZarrChunkIngest.ChunkTask],
+            ZarrChunkIngest.shardInnerTasks(s, a, ci => {
               val (lo, hi) = ZarrChunkIngest.shardIdxBounds(ci, m)
               range.intersects(lo, hi) &&
                 ZarrChunkIngest.shardBoxKeep(ci, m, dimRs)
@@ -184,14 +203,16 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
               range.intersects(lo, hi) &&
                 ZarrChunkIngest.innerBoxKeep(t, m, dimRs)
             })
-          case m =>
-            (cs ++ ZarrChunkIngest.chunkTasks(s, a).filter { t =>
-              val (lo, hi) = ZarrChunkIngest.chunkIdxBounds(t, m)
-              range.intersects(lo, hi) &&
-                ZarrChunkIngest.chunkBoxKeep(t, m, dimRs)
-            }, is)
-        }
+        case m =>
+          (ZarrChunkIngest.chunkTasks(s, a).filter { t =>
+            val (lo, hi) = ZarrChunkIngest.chunkIdxBounds(t, m)
+            range.intersects(lo, hi) &&
+              ZarrChunkIngest.chunkBoxKeep(t, m, dimRs)
+          }, Seq.empty[ZarrChunkIngest.InnerTask])
       }
+    }
+    val chunkTasks = perArray.flatMap(_._1)
+    val innerTasks = perArray.flatMap(_._2)
     val total = chunkTasks.size + innerTasks.size
     if (total == 0) return Array.empty
     val par = MountDsv2.parallelism("graft-zarr", partitions, total)
