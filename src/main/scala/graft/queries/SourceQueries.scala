@@ -1822,6 +1822,62 @@ object SourceQueries {
         .where(col("dataset") === "lwp" &&
           col("d0").between(3, 6) && col("d1").between(1, 3))
         .select(col("d0").as("y"), col("d1").as("x"), col("value"))
+    },
+
+    // ---- coordinate-VALUE crop: the reference's real P2 semantics --------
+    // The user crops by coordinate VALUES (lat/lon in grid units), not
+    // indexes (convml-data pipeline/sampling.py:75-173). CoordCrop reads
+    // the store's 1-D coordinate arrays at plan time (y = j*100, x =
+    // i*100 here, named via .zattrs _ARRAY_DIMENSIONS), maps each value
+    // range to its index range, and pushes the equivalent dK BETWEEN —
+    // y in [300, 600] -> d0 3-6 prunes row bands exactly like q203.
+    QueryDef.sqlBacked(
+      "q204_zarr_coord_crop",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(j*6 + i AS DOUBLE) * 0.25 - 3.0 AS value
+        |FROM range(0,9) r1(j), range(0,6) r2(i)
+        |WHERE j*100.0 BETWEEN 300.0 AND 600.0
+        |  AND i*100.0 BETWEEN 100.0 AND 300.0""".stripMargin) { (s, d) =>
+      val store = ensureQ194Zarr(s) + "/zd0.zarr"
+      graft.sources.CoordCrop.zarr(s, store, "lwp",
+          Map("y" -> (300.0, 600.0), "x" -> (100.0, 300.0)))
+        .select(col("d0").as("y"), col("d1").as("x"), col("value"))
+    },
+
+    // ---- coordinate-VALUE crop on the netCDF-3 mount ----------------------
+    // The record-dimension coordinate (time = 100 + t*10, itself a
+    // record variable with strided slabs) maps [120, 155] -> records
+    // 2-5, pruning record batches at plan time; y = j*2.0 in [2, 7] ->
+    // d1 1-3 stays residual-exact over the record slabs.
+    QueryDef.sqlBacked(
+      "q205_netcdf3_coord_crop",
+      """SELECT CAST(t AS BIGINT) AS tstep, CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST((t*6 + j)*5 + i AS DOUBLE) * 0.5 - 10.0 AS sst
+        |FROM range(0,8) r1(t), range(0,6) r2(j), range(0,5) r3(i)
+        |WHERE 100 + t*10 BETWEEN 120 AND 155
+        |  AND j*2.0 BETWEEN 2.0 AND 7.0""".stripMargin) { (s, d) =>
+      graft.sources.CoordCrop.netcdf3(s, ensureQ205Nc(), "sst",
+          Map("time" -> (120.0, 155.0), "y" -> (2.0, 7.0)))
+        .select(col("d0").as("tstep"), col("d1").as("y"),
+          col("d2").as("x"), col("value").as("sst"))
+    },
+
+    // ---- coordinate-VALUE crop on the HDF5 mount --------------------------
+    // HDF5 carries no dimension names our decoder surfaces, so the
+    // axis->coord-dataset mapping is explicit (dimension-scale
+    // convention). x's coordinates DESCEND ((11-i)*0.25), pinning the
+    // descending branch: x in [0.75, 2.0] -> i 3-8, y = j*1.5 in
+    // [6, 10.5] -> j 4-7 — the q202 crop reached through values.
+    QueryDef.sqlBacked(
+      "q206_hdf5_coord_crop",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(j*12 + i AS DOUBLE) * 0.5 - 10.0 AS value
+        |FROM range(0,8) r1(j), range(0,12) r2(i)
+        |WHERE j*1.5 BETWEEN 6.0 AND 10.5
+        |  AND (11-i)*0.25 BETWEEN 0.75 AND 2.0""".stripMargin) { (s, d) =>
+      graft.sources.CoordCrop.hdf5(s, ensureQ202H5(), "var", Seq("y", "x"),
+          Map("y" -> (6.0, 10.5), "x" -> (0.75, 2.0)))
+        .select(col("d0").as("y"), col("d1").as("x"), col("value"))
     }
   )
 
@@ -1865,10 +1921,12 @@ object SourceQueries {
     f.toString
   }
 
-  /** Writes q202's 2-D-chunked HDF5 store once per JVM: 'var' (8, 12)
-    * in (4, 3) chunks — a chunk grid in BOTH dimensions, so a bbox on
-    * the non-leading dimension genuinely prunes — plus a decoy the
-    * dataset filter must exclude at plan time. */
+  /** Writes q202/q206's 2-D-chunked HDF5 store once per JVM: 'var'
+    * (8, 12) in (4, 3) chunks — a chunk grid in BOTH dimensions, so a
+    * bbox on the non-leading dimension genuinely prunes — plus a decoy
+    * the dataset filter must exclude at plan time, and the 1-D
+    * coordinate datasets q206's value crop maps through (x DESCENDS,
+    * pinning CoordCrop's descending branch). */
   private def ensureQ202H5(): String = {
     import graft.sources.HDF5
     val f = java.nio.file.Paths.get(q202Hdf5Dir, "store.h5")
@@ -1877,12 +1935,47 @@ object SourceQueries {
         HDF5.DsSpec("var", Seq(8, 12), Array.tabulate(96)(_ * 0.5 - 10.0),
           chunkDims = Some(Seq(4, 3))),
         HDF5.DsSpec("decoy", Seq(10), Array.tabulate(10)(_ * 2.0),
-          chunkDims = Some(Seq(5)))), deflate = true)
+          chunkDims = Some(Seq(5))),
+        HDF5.DsSpec("y", Seq(8), Array.tabulate(8)(_ * 1.5),
+          chunkDims = Some(Seq(8))),
+        HDF5.DsSpec("x", Seq(12), Array.tabulate(12)(i => (11 - i) * 0.25),
+          chunkDims = Some(Seq(12)))), deflate = true)
       java.nio.file.Files.write(f, bytes)
       ()
     }
     f.toString
   }
+
+  /** Writes q205's netCDF-3 store once per JVM: 'sst' (time, y, x) with
+    * time the RECORD dimension, plus the three 1-D coordinate variables
+    * the value crop maps through — 'time' itself a record variable
+    * (strided slabs), 'y'/'x' fixed. */
+  private def ensureQ205Nc(): String = {
+    import graft.sources.NetCDF3
+    val f = java.nio.file.Paths.get(q205NcDir, "coords.nc")
+    if (!java.nio.file.Files.exists(f)) {
+      val (nrec, ny, nx) = (8, 6, 5)
+      val bytes = NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("y", ny), NetCDF3.Dim("x", nx)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("sst", Seq("time", "y", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nrec * ny * nx)(_ * 0.5 - 10.0)),
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nrec)(t => 100.0 + t * 10.0)),
+          NetCDF3.VarSpec("y", Seq("y"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(ny)(_ * 2.0)),
+          NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nx)(_ * 3.0))),
+        numRecs = nrec)
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
+
+  private lazy val q205NcDir: String =
+    mkCleanedTempDir("graft_q205_nc_")
 
   private lazy val q202Hdf5Dir: String =
     mkCleanedTempDir("graft_q202_hdf5_")

@@ -1,0 +1,214 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Coordinate-VALUE bbox crop over the gridded mounts — the reference's
+  * actual spatial-crop semantics (convml-data pipeline/sampling.py:75-173
+  * slices by lat/lon VALUES, not array indexes) lifted to mount level.
+  *
+  * The mounts prune chunks on per-dimension INDEX predicates (`dK
+  * BETWEEN ...`, [[MountDsv2.boxKeep]]). A user, though, crops by
+  * coordinate values (`y between 300.0 and 600.0` in grid units). This
+  * helper closes that gap at PLAN time: it reads the store's 1-D
+  * coordinate arrays driver-side (KB-scale — same cost class as the
+  * metadata walk), maps each value range to the covered index range by
+  * monotonic interval location, and returns the mount DataFrame with
+  * the equivalent pushable `dK` range predicates applied — so a value
+  * bbox on a 100 TB store plans only its chunks, exactly like an index
+  * bbox. Monotonic coordinates are required (ascending or descending —
+  * the xarray `.sel(slice)` contract); non-monotonic coords fail loudly
+  * rather than mis-crop.
+  *
+  * Dimension names come from the store's own metadata: zarr v3
+  * `dimension_names`, zarr v2 xarray `_ARRAY_DIMENSIONS` in `.zattrs`,
+  * the netCDF-3 header's dimension table. HDF5 carries no names our
+  * writer emits, so its variant takes the caller's dimension→coord-
+  * dataset mapping explicitly (the dimension-scale convention, minus
+  * the attribute plumbing). Exactness never depends on the mapping:
+  * every predicate this helper adds is a normal residual-checked
+  * filter — a wrong coord array can only change which rows SURVIVE,
+  * identically in plan prune and residual re-check.
+  */
+object CoordCrop {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"coord crop: $msg")
+
+  /** Inclusive index range of the monotonic `coords` whose values fall
+    * in [lo, hi]; None when no value does. Ascending or descending;
+    * non-monotonic input fails. Pure — the unit the specs pin. */
+  private[sources] def valueRangeToIdx(coords: Array[Double], lo: Double,
+      hi: Double): Option[(Int, Int)] = {
+    if (coords.isEmpty) return None
+    if (lo > hi) return None
+    val asc = coords.last >= coords.head
+    var i = 1
+    while (i < coords.length) {
+      if (if (asc) coords(i) < coords(i - 1) else coords(i) > coords(i - 1))
+        fail(s"coordinate array is not monotonic at index $i " +
+          s"(${coords(i - 1)} then ${coords(i)})")
+      i += 1
+    }
+    val first = if (asc) coords.indexWhere(_ >= lo) else coords.indexWhere(_ <= hi)
+    val last = if (asc) coords.lastIndexWhere(_ <= hi) else coords.lastIndexWhere(_ >= lo)
+    if (first < 0 || last < 0 || first > last) None else Some((first, last))
+  }
+
+  /** The pushable predicate for value range `b` on dimension `k`, given
+    * that dimension's coordinate values. */
+  private def dimPredicate(k: Int, coords: Array[Double],
+      b: (Double, Double)): Column =
+    valueRangeToIdx(coords, b._1, b._2) match {
+      case Some((i0, i1)) => col(MountDsv2.DimCols(k)).between(i0, i1)
+      case None => lit(false) // provably empty: Catalyst folds the scan away
+    }
+
+  private def checkDim(k: Int, name: String, dims: Seq[String]): Unit = {
+    if (k < 0) fail(s"dimension '$name' not among $dims")
+    if (k >= MountDsv2.DimCols.length)
+      fail(s"dimension '$name' is axis $k — the mounts expose " +
+        s"${MountDsv2.DimCols.mkString("/")} only")
+  }
+
+  // ---- zarr --------------------------------------------------------------
+
+  /** The array's dimension names: v3 `dimension_names`, v2 xarray
+    * `_ARRAY_DIMENSIONS` from `.zattrs`. */
+  private[sources] def zarrDimNames(store: String, dataset: String): Seq[String] =
+    ZarrChunkIngest.metaOf(store, dataset) match {
+      case Right(m) =>
+        if (m.dimNames.isEmpty)
+          fail(s"$store/$dataset (zarr v3) has no dimension_names")
+        m.dimNames
+      case Left(_) =>
+        val zattrs = ByteStore.join(ByteStore.join(store, dataset), ".zattrs")
+        if (!ByteStore.isFile(zattrs))
+          fail(s"$store/$dataset (zarr v2) has no .zattrs for _ARRAY_DIMENSIONS")
+        import org.json4s._
+        (org.json4s.jackson.JsonMethods.parse(ByteStore.readString(zattrs))
+            \ "_ARRAY_DIMENSIONS") match {
+          case JArray(vs) => vs.map {
+            case JString(s) => s
+            case other => fail(s"_ARRAY_DIMENSIONS entry $other invalid")
+          }
+          case _ => fail(s"$store/$dataset .zattrs lacks _ARRAY_DIMENSIONS")
+        }
+    }
+
+  /** One zarr array's full values, idx-ordered, read driver-side (the
+    * 1-D coordinate arrays this serves are KB-scale). */
+  private[sources] def zarrArrayValues(store: String, name: String): Array[Double] = {
+    val meta = ZarrChunkIngest.metaOf(store, name)
+    val pairs: Array[(Long, Double)] = meta match {
+      case Right(m) if m.sharding.isDefined =>
+        val handles = scala.collection.mutable.Map.empty[String, ByteStore.ReadAt]
+        try ZarrChunkIngest.innerElemsRun(
+            ZarrChunkIngest.shardInnerTasks(store, name).toIndexedSeq, m,
+            p => handles.getOrElseUpdate(p, ByteStore.open(p))).toArray
+        finally handles.values.foreach(_.close())
+      case m =>
+        ZarrChunkIngest.chunkTasks(store, name).iterator
+          .flatMap(t => ZarrChunkIngest.chunkElems(t, m)).toArray
+    }
+    pairs.sortBy(_._1).map(_._2)
+  }
+
+  /** The `dataset` rows of the zarr mount at `store`, cropped to the
+    * named coordinate-value `bounds` (inclusive). Each bound becomes a
+    * pushable `dK` range, so only box-intersecting chunks PLAN. */
+  def zarr(spark: SparkSession, store: String, dataset: String,
+      bounds: Map[String, (Double, Double)]): DataFrame = {
+    val dims = zarrDimNames(store, dataset)
+    var df = spark.read.format("graft.sources.ZarrDataSource")
+      .option("path", store).load()
+      .where(col("dataset") === dataset)
+    // parMap: each bound dim costs a meta read + a coord-chunk read
+    val preds = ByteStore.parMap(bounds.toSeq.sortBy(_._1)) { case (name, b) =>
+      val k = dims.indexOf(name)
+      checkDim(k, name, dims)
+      (k, zarrArrayValues(store, name), b)
+    }
+    preds.foreach { case (k, coords, b) =>
+      df = df.where(dimPredicate(k, coords, b))
+    }
+    df
+  }
+
+  // ---- netCDF-3 ----------------------------------------------------------
+
+  /** One netCDF-3 variable's full values, idx-ordered, read driver-side
+    * through the record-task machinery (so record-dim coordinate
+    * variables' strided slabs read correctly and coalesced). */
+  private[sources] def nc3VarValues(path: String, name: String): Array[Double] = {
+    val tasks = NetCDF3ChunkIngest.recordTasks(Seq(path), name)
+    val in = ByteStore.open(path)
+    try tasks.iterator.flatMap(t => NetCDF3ChunkIngest.taskValues(t, in))
+      .toArray.sortBy(_._1).map(_._2)
+    finally in.close()
+  }
+
+  /** The `varName` rows of the netCDF-3 mount at `path` (ONE store — the
+    * classic-format header names the dims), cropped to coordinate-value
+    * `bounds`. The record-dimension bound prunes record batches at plan
+    * time; trailing-dim bounds push as `dK` ranges (residual-exact
+    * always, pruning where the mount's record slabs allow). */
+  def netcdf3(spark: SparkSession, path: String, varName: String,
+      bounds: Map[String, (Double, Double)]): DataFrame = {
+    val h = NetCDF3ChunkIngest.headerOf(path)
+    val v = h.vars.find(_.name == varName)
+      .getOrElse(fail(s"variable '$varName' not in $path"))
+    val dims = v.dimIds.map(h.dims(_).name)
+    var df = spark.read.format("graft.sources.NetCDF3DataSource")
+      .option("path", path).load()
+      .where(col("dataset") === varName)
+    val preds = ByteStore.parMap(bounds.toSeq.sortBy(_._1)) { case (name, b) =>
+      val k = dims.indexOf(name)
+      checkDim(k, name, dims)
+      if (!h.vars.exists(cv => cv.name == name && cv.dimIds == Seq(v.dimIds(k))))
+        fail(s"no 1-D coordinate variable '$name' in $path")
+      (k, nc3VarValues(path, name), b)
+    }
+    preds.foreach { case (k, coords, b) =>
+      df = df.where(dimPredicate(k, coords, b))
+    }
+    df
+  }
+
+  // ---- HDF5 --------------------------------------------------------------
+
+  /** One 1-D HDF5 dataset's full values, idx-ordered, read driver-side
+    * from its chunk manifest. */
+  private[sources] def hdf5DatasetValues(path: String, name: String): Array[Double] = {
+    val tasks = HDF5ChunkIngest.chunkTasks(Seq(path), Some(name))
+    if (tasks.isEmpty) fail(s"no dataset '$name' in $path")
+    val in = ByteStore.open(path)
+    try tasks.iterator.flatMap { t =>
+      val v = HDF5.H5Var(t.dataset, t.dims, t.chunkDims, t.dtClass, t.dtSize,
+        t.bigEndian, t.filters, t.signedInt)
+      HDF5.decodeChunk(in.readFully(t.offset, t.nbytes.toInt), v, t.origin)
+    }.toArray.sortBy(_._1).map(_._2)
+    finally in.close()
+  }
+
+  /** The `dataset` rows of the HDF5 mount at `path`, cropped to
+    * coordinate-value `bounds`. HDF5 stores don't carry dimension names
+    * our decoder surfaces, so `dims` is the caller's axis→coordinate-
+    * dataset mapping (dimension-scale convention): `dims(k)` names the
+    * 1-D dataset holding axis k's coordinates. */
+  def hdf5(spark: SparkSession, path: String, dataset: String,
+      dims: Seq[String], bounds: Map[String, (Double, Double)]): DataFrame = {
+    var df = spark.read.format("graft.sources.Hdf5DataSource")
+      .option("path", path).load()
+      .where(col("dataset") === dataset)
+    val preds = ByteStore.parMap(bounds.toSeq.sortBy(_._1)) { case (name, b) =>
+      val k = dims.indexOf(name)
+      checkDim(k, name, dims)
+      (k, hdf5DatasetValues(path, name), b)
+    }
+    preds.foreach { case (k, coords, b) =>
+      df = df.where(dimPredicate(k, coords, b))
+    }
+    df
+  }
+}

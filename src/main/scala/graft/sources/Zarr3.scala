@@ -48,10 +48,13 @@ object Zarr3 {
 
   /** `compress`: None | Some("gzip") | Some("blosc"). `sharding`: the
     * chunk files are SHARDS (sharding_indexed array->bytes codec);
-    * `bigEndian`/`compress` then describe the inner pipeline. */
+    * `bigEndian`/`compress` then describe the inner pipeline.
+    * `dimNames`: the optional v3 `dimension_names` member (empty when
+    * absent) — what [[CoordCrop]] maps named coordinate bounds with. */
   final case class Meta(shape: Seq[Int], chunks: Seq[Int], dtype: String,
       bigEndian: Boolean, compress: Option[String], fill: Double,
-      keySep: String, v2Keys: Boolean, sharding: Option[Sharding] = None)
+      keySep: String, v2Keys: Boolean, sharding: Option[Sharding] = None,
+      dimNames: Seq[String] = Nil)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -191,8 +194,19 @@ object Zarr3 {
       case JString(s) => fail(s"fill_value '$s' unsupported")
       case v => v.extract[Double]
     }
+    val dimNames = (j \ "dimension_names") match {
+      case JArray(vs) => vs.map {
+        case JString(s) => s
+        case JNull => "" // spec: null = unnamed dimension
+        case other => fail(s"dimension_names entry $other invalid")
+      }
+      case JNothing => Nil
+      case other => fail(s"dimension_names $other must be an array")
+    }
+    if (dimNames.nonEmpty && dimNames.size != shape.size)
+      fail(s"dimension_names rank ${dimNames.size} != shape rank ${shape.size}")
     Meta(shape, chunks, dtype, effBigEndian, compress, fill, keySep, v2Keys,
-      sharding)
+      sharding, dimNames)
   }
 
   private def decompressBytes(raw: Array[Byte], meta: Meta): Array[Byte] =

@@ -110,7 +110,9 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q197_arrow_map_roundtrip" :+ "q198_netcdf3_dsv2_pruned"
       :+ "q199_npy_dsv2" :+ "q200_zarr_idx_range"
       :+ "q201_netcdf3_file_uri_mount"
-      :+ "q202_hdf5_bbox_crop" :+ "q203_zarr_bbox_crop")
+      :+ "q202_hdf5_bbox_crop" :+ "q203_zarr_bbox_crop"
+      :+ "q204_zarr_coord_crop" :+ "q205_netcdf3_coord_crop"
+      :+ "q206_hdf5_coord_crop")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -246,6 +248,46 @@ class PlanRegressionSpec extends SparkSpec {
     val df = graft.SparkEntry.queries("q203_zarr_bbox_crop")(spark, sf)
     assert(df.rdd.getNumPartitions == 4,
       s"expected 4 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q204: the coordinate-VALUE crop pushes the mapped index ranges to the zarr scan") {
+    val plan = planOf("q204_zarr_coord_crop")
+    assert(!plan.contains("Exchange"), s"DSv2 zarr scan must not shuffle:\n${plan.take(1200)}")
+    // y in [300, 600] maps through the coord array (j*100) to d0 3-6
+    assert(plan.contains("GreaterThanOrEqual(d0,3)") &&
+      plan.contains("LessThanOrEqual(d0,6)") &&
+      plan.contains("GreaterThanOrEqual(d1,1)") &&
+      plan.contains("LessThanOrEqual(d1,3)"),
+      s"mapped d0/d1 ranges must reach the scan:\n${plan.take(1500)}")
+    // single scene x 3 row-band chunks; d0 3-6 keeps bands 0-1
+    val df = graft.SparkEntry.queries("q204_zarr_coord_crop")(spark, sf)
+    assert(df.rdd.getNumPartitions == 2,
+      s"expected 2 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q205: the record-dim coordinate crop prunes netCDF-3 record batches") {
+    val plan = planOf("q205_netcdf3_coord_crop")
+    assert(!plan.contains("Exchange"), s"DSv2 nc3 scan must not shuffle:\n${plan.take(1200)}")
+    // time in [120, 155] maps through the time record variable to d0 2-5
+    assert(plan.contains("GreaterThanOrEqual(d0,2)") &&
+      plan.contains("LessThanOrEqual(d0,5)"),
+      s"mapped d0 range must reach the scan:\n${plan.take(1500)}")
+  }
+
+  test("q206: the descending-coordinate crop maps and pushes on the HDF5 mount") {
+    val plan = planOf("q206_hdf5_coord_crop")
+    assert(!plan.contains("Exchange"), s"DSv2 hdf5 scan must not shuffle:\n${plan.take(1200)}")
+    // y = j*1.5 in [6, 10.5] -> d0 4-7; x DESCENDING (11-i)*0.25 in
+    // [0.75, 2.0] -> d1 3-8: the q202 crop reached through values
+    assert(plan.contains("GreaterThanOrEqual(d0,4)") &&
+      plan.contains("LessThanOrEqual(d0,7)") &&
+      plan.contains("GreaterThanOrEqual(d1,3)") &&
+      plan.contains("LessThanOrEqual(d1,8)"),
+      s"mapped d0/d1 ranges must reach the scan:\n${plan.take(1500)}")
+    // same prune as q202: (8,12) in (4,3) chunks -> 2 of 8 plan
+    val df = graft.SparkEntry.queries("q206_hdf5_coord_crop")(spark, sf)
+    assert(df.rdd.getNumPartitions == 2,
+      s"expected 2 planned partitions, got ${df.rdd.getNumPartitions}")
   }
 
   test("q201: the file:// URI mount plans exactly like the plain-path mount") {
