@@ -72,6 +72,43 @@ class IoCountingSpec extends SparkSpec {
     assert(r.opens(shardFile) <= 3)
   }
 
+  test("a dominant netCDF-3 record variable reads as ONE span; a minority variable stays per-record") {
+    // sst owns 240 of the 248-byte record stride -> the usefulness
+    // guard (>= 1/2) takes the span path: 40 records = ONE ranged read
+    // per task. tiny (8 of 248) would span-read 97% junk, so it keeps
+    // per-record reads. Executed counts, not plan arithmetic.
+    val dir = Files.createTempDirectory("graft-iocount-nc3").toString
+    val (nrec, ny, nx) = (40, 6, 5)
+    val bytes = NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("y", ny), NetCDF3.Dim("x", nx)),
+      gattrs = Nil,
+      vars = Seq(
+        NetCDF3.VarSpec("sst", Seq("time", "y", "x"), NetCDF3.NcDouble, Nil,
+          Array.tabulate(nrec * ny * nx)(_ * 0.5)),
+        NetCDF3.VarSpec("tiny", Seq("time"), NetCDF3.NcDouble, Nil,
+          Array.tabulate(nrec)(_ * 7.0))),
+      numRecs = nrec)
+    val f = new java.io.File(dir, "c.nc")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val p = f.getAbsolutePath
+    def readSum(ds: String): (Double, ByteStore.IoRecorder) = recording {
+      spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", p).option("partitions", "1").load()
+        .where(col("dataset") === ds)
+        .agg(org.apache.spark.sql.functions.sum("value")).head.getDouble(0)
+    }
+    val (sstSum, rs) = readSum("sst")
+    assert(math.abs(sstSum - (0 until nrec * ny * nx).map(_ * 0.5).sum) < 1e-6)
+    // a few planning header parses (Spark re-plans the scan across
+    // phases) + ONE span read; un-guarded per-record = 40+ reads
+    // blows through this
+    assert(rs.reads(p) <= 8, s"expected header reads + one span, got ${rs.reads(p)}")
+    val (tinySum, rt) = readSum("tiny")
+    assert(math.abs(tinySum - (0 until nrec).map(_ * 7.0).sum) < 1e-9)
+    assert(rt.reads(p) >= nrec,
+      s"minority variable must keep per-record reads (junk-bounded), got ${rt.reads(p)}")
+  }
+
   test("byte-adjacent HDF5 chunks collapse to one span read per run") {
     // (32, 4) in (2, 4) chunks = 16 deflate chunks written back-to-back:
     // execution must read them as ONE coalesced span (16 per-chunk reads
