@@ -1878,6 +1878,42 @@ object SourceQueries {
       graft.sources.CoordCrop.hdf5(s, ensureQ202H5(), "var", Seq("y", "x"),
           Map("y" -> (6.0, 10.5), "x" -> (0.75, 2.0)))
         .select(col("d0").as("y"), col("d1").as("x"), col("value"))
+    },
+
+    // ---- netCDF-4 dimension scales: AUTO-discovered coord crop ------------
+    // The store's own DIMENSION_LIST attribute (vlen-of-object-reference
+    // through the global heap) names the per-axis coordinate datasets —
+    // no caller mapping. y = 10+10j in [20, 40] -> d0 1-3 keeps row
+    // bands 0-1 of 3; x = 5+10i in [35, 75] -> d1 3-7 keeps chunk
+    // columns 0-1 of 2 — 4 of 6 chunks plan (asserted in
+    // PlanRegressionSpec). Reference: xarray's netCDF-4 dims resolution,
+    // which convml-data rides for every .sel() crop.
+    QueryDef.sqlBacked(
+      "q207_hdf5_dimscale_crop",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(CASE WHEN (j*10 + i) % 13 = 0 THEN -999.0
+        |            ELSE (j*10 + i) * 3.0 END AS DOUBLE) AS value
+        |FROM range(0,6) r1(j), range(0,10) r2(i)
+        |WHERE 10 + j*10 BETWEEN 20 AND 40
+        |  AND 5 + i*10 BETWEEN 35 AND 75""".stripMargin) { (s, d) =>
+      graft.sources.CoordCrop.hdf5Netcdf4(s, ensureQ207NcdimH5(), "tair",
+          Map("y" -> (20.0, 40.0), "x" -> (35.0, 75.0)))
+        .select(col("d0").as("y"), col("d1").as("x"), col("value"))
+    },
+
+    // ---- CF mask-and-scale from the file's own attributes -----------------
+    // xarray's mask_and_scale on open (CF §8.1 packed data): raw ==
+    // _FillValue -> null, else raw * scale_factor + add_offset, all
+    // three read from the HDF5 attribute messages. A plain projection
+    // over the mount scan — pruning and residual filters untouched.
+    QueryDef.sqlBacked(
+      "q208_hdf5_cf_mask_scale",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(CASE WHEN (j*10 + i) % 13 = 0 THEN NULL
+        |            ELSE (j*10 + i) * 3.0 * 0.01 + 20.0 END AS DOUBLE) AS value
+        |FROM range(0,6) r1(j), range(0,10) r2(i)""".stripMargin) { (s, d) =>
+      graft.sources.CfDecode.hdf5(s, ensureQ207NcdimH5(), "tair")
+        .select(col("d0").as("y"), col("d1").as("x"), col("value"))
     }
   )
 
@@ -1945,6 +1981,42 @@ object SourceQueries {
     }
     f.toString
   }
+
+  /** Writes q207/q208's netCDF-4-shaped HDF5 store once per JVM:
+    * 'tair' (6, 10) in (2, 5) chunks with DIMENSION_LIST -> [y, x]
+    * dimension scales (vlen object refs through the global heap) and
+    * CF pack attrs (scale 0.01, offset 20, fill -999; every idx%13==0
+    * cell holds the fill sentinel), plus the 1-D 'y'/'x' coordinate
+    * datasets carrying the netCDF-4 CLASS/NAME markers. */
+  private def ensureQ207NcdimH5(): String = {
+    import graft.sources.HDF5
+    val f = java.nio.file.Paths.get(q207Hdf5Dir, "ncdim.h5")
+    if (!java.nio.file.Files.exists(f)) {
+      val raw = Array.tabulate(60)(i => if (i % 13 == 0) -999.0 else i * 3.0)
+      val bytes = HDF5.write(Seq(
+        HDF5.DsSpec("tair", Seq(6, 10), raw, chunkDims = Some(Seq(2, 5)),
+          attrs = Seq(
+            HDF5.WAttrDimList("DIMENSION_LIST", Seq("y", "x")),
+            HDF5.WAttrString("units", "K"),
+            HDF5.WAttrDouble("scale_factor", Seq(0.01)),
+            HDF5.WAttrDouble("add_offset", Seq(20.0)),
+            HDF5.WAttrDouble("_FillValue", Seq(-999.0)))),
+        HDF5.DsSpec("y", Seq(6), Array.tabulate(6)(j => 10.0 + j * 10.0),
+          attrs = Seq(
+            HDF5.WAttrString("CLASS", "DIMENSION_SCALE"),
+            HDF5.WAttrString("NAME", "y"))),
+        HDF5.DsSpec("x", Seq(10), Array.tabulate(10)(i => 5.0 + i * 10.0),
+          attrs = Seq(
+            HDF5.WAttrString("CLASS", "DIMENSION_SCALE"),
+            HDF5.WAttrString("NAME", "x")))), deflate = true)
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
+
+  private lazy val q207Hdf5Dir: String =
+    mkCleanedTempDir("graft_q207_hdf5_")
 
   /** Writes q205's netCDF-3 store once per JVM: 'sst' (time, y, x) with
     * time the RECORD dimension, plus the three 1-D coordinate variables

@@ -211,4 +211,25 @@ object CoordCrop {
     }
     df
   }
+
+  /** [[hdf5]] with the axis mapping discovered from the file's own
+    * netCDF-4 dimension scales: the dataset's `DIMENSION_LIST`
+    * attribute names the 1-D coordinate datasets per axis (what xarray
+    * surfaces as the variable's dims — the reference's netCDF-4 open
+    * path). Fails loudly when the variable carries no DIMENSION_LIST
+    * or a bounded axis has no attached scale. */
+  def hdf5Netcdf4(spark: SparkSession, path: String, dataset: String,
+      bounds: Map[String, (Double, Double)]): DataFrame = {
+    val in = new PagedFileInput(path)
+    val dimNames = try {
+      HDF5.dimensionNames(in).getOrElse(dataset,
+        fail(s"dataset '$dataset' in $path has no DIMENSION_LIST attribute"))
+    } finally in.close()
+    val dims = dimNames.zipWithIndex.map { case (n, k) =>
+      // an unnamed axis can't be bounded by name; a placeholder keeps
+      // the axis positions aligned and trips checkDim only if targeted
+      n.getOrElse(s"<unnamed axis $k>")
+    }
+    hdf5(spark, path, dataset, dims, bounds)
+  }
 }

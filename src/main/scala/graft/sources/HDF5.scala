@@ -76,6 +76,37 @@ object HDF5 {
     * 4 szip) plus its client-data words — szip needs them to decode. */
   final case class H5Filter(id: Int, cd: Seq[Int])
 
+  /** One attribute's decoded value. Numeric, string, and reference
+    * payloads decode; anything else (compound REFERENCE_LIST, enums,
+    * shared datatypes) surfaces as [[H5AttrValue.Unsupported]] rather
+    * than failing the walk — netCDF-4 files routinely carry attrs the
+    * engine has no use for, and skipping one must not hide the rest. */
+  sealed trait H5AttrValue
+  object H5AttrValue {
+    final case class Ints(v: Seq[Long]) extends H5AttrValue
+    final case class Nums(v: Seq[Double]) extends H5AttrValue
+    final case class Strs(v: Seq[String]) extends H5AttrValue
+    /** Object references: referenced object-header addresses. */
+    final case class Refs(v: Seq[Long]) extends H5AttrValue
+    /** Vlen-of-object-reference — the netCDF-4 `DIMENSION_LIST` shape:
+      * one (possibly empty) reference list per array axis. */
+    final case class RefLists(v: Seq[Seq[Long]]) extends H5AttrValue
+    final case class Unsupported(reason: String) extends H5AttrValue
+  }
+  final case class H5Attr(name: String, value: H5AttrValue) {
+    /** First element as a Double — the CF-attribute accessor
+      * (scale_factor / add_offset / _FillValue are 1-element arrays). */
+    def num: Option[Double] = value match {
+      case H5AttrValue.Nums(v) => v.headOption
+      case H5AttrValue.Ints(v) => v.headOption.map(_.toDouble)
+      case _ => None
+    }
+    def str: Option[String] = value match {
+      case H5AttrValue.Strs(v) => v.headOption
+      case _ => None
+    }
+  }
+
   /** Extensible-array creation parameters (defaults = what libhdf5
     * uses for chunked-dataset indexes) and the derived super-block-row
     * geometry, shared by reader and writer. Row u of the conceptual
@@ -434,8 +465,18 @@ object HDF5 {
     * doubling table over its span). Out of scope, rejected loudly:
     * huge/tiny heap objects, filtered heap blocks. */
   private def denseEntries(in: H5Input, fheapAddr: Long,
-      btreeAddr: Long): Seq[(String, Long)] = {
-    require(btreeAddr != Undef, "dense group without a name-index v2 B-tree")
+      btreeAddr: Long): Seq[(String, Long)] =
+    denseObjects(in, fheapAddr, btreeAddr, btype = 5)(parseLinkMessage)
+
+  /** Generic dense-storage walk: every fractal-heap object reachable
+    * from the name-index v2 B-tree, parsed by `parse`. btype 5 = link
+    * name index (dense groups, records hash+heapId); btype 8 =
+    * attribute name index (dense attributes, records heapId+flags+
+    * corder+hash). The heap object is a link message (5) or an
+    * attribute message body (8). */
+  private def denseObjects[T](in: H5Input, fheapAddr: Long,
+      btreeAddr: Long, btype: Int)(parse: (H5Input, Long) => T): Seq[T] = {
+    require(btreeAddr != Undef, "dense storage without a name-index v2 B-tree")
     // ---- fractal heap header (FRHP)
     val h = in.cursor(fheapAddr)
     require((0 until 4).map(_ => h.get().toChar).mkString == "FRHP",
@@ -550,13 +591,13 @@ object HDF5 {
       } else locateIn(child, inBlk)
     }
 
-    // ---- name-index v2 B-tree (BTHD, record type 5: hash + 7-byte id)
+    // ---- name-index v2 B-tree (BTHD; record layout depends on btype)
     val bt = in.cursor(btreeAddr)
     require((0 until 4).map(_ => bt.get().toChar).mkString == "BTHD",
       "bad v2 B-tree header signature")
     require(bt.get() == 0, "BTHD version != 0")
-    val btype = bt.get()
-    require(btype == 5, s"v2 B-tree type $btype (expected 5: link name index)")
+    val gotType = bt.get()
+    require(gotType == btype, s"v2 B-tree type $gotType (expected $btype)")
     val nodeSize = bt.getInt()
     val recSize = bt.getShort() & 0xffff
     val depth = bt.getShort() & 0xffff
@@ -564,10 +605,23 @@ object HDF5 {
     val rootNodeAddr = bt.getLong()
     val rootNRec = bt.getShort() & 0xffff
     bt.getLong() // total records
-    require(recSize >= 5, s"record size $recSize too small for hash + heap id")
-    val idLen = recSize - 4
+    // type 5: hash(4) + heap id(recSize-4); type 8: heap id(8) +
+    // message flags(1) + creation order(4) + hash(4)
+    require(if (btype == 5) recSize >= 5 else recSize == 17,
+      s"record size $recSize invalid for B-tree type $btype")
+    val idLen = if (btype == 5) recSize - 4 else 8
+    val recTail = recSize - idLen - (if (btype == 5) 4 else 0)
     val geom = bt2Geom(nodeSize, recSize, depth)
 
+    // one record -> its heap id: type 5 leads with the name hash, type
+    // 8 trails with flags + creation order + hash (ordering only)
+    def readRec(nb: H5Cursor): Array[Byte] = {
+      if (btype == 5) nb.getInt()
+      val id = new Array[Byte](idLen)
+      nb.get(id)
+      (0 until recTail).foreach(_ => nb.get())
+      id
+    }
     def readRecordIds(addr: Long, nrec: Int, d: Int): Seq[Array[Byte]] = {
       val nb = in.cursor(addr)
       val sig = (0 until 4).map(_ => nb.get().toChar).mkString
@@ -575,20 +629,10 @@ object HDF5 {
       nb.get() // type
       if (d == 0) {
         require(sig == "BTLF", s"expected leaf node BTLF, got $sig")
-        (0 until nrec).map { _ =>
-          nb.getInt() // name hash (ordering only)
-          val id = new Array[Byte](idLen)
-          nb.get(id)
-          id
-        }
+        (0 until nrec).map(_ => readRec(nb))
       } else {
         require(sig == "BTIN", s"expected internal node BTIN, got $sig")
-        val recs = (0 until nrec).map { _ =>
-          nb.getInt()
-          val id = new Array[Byte](idLen)
-          nb.get(id)
-          id
-        }
+        val recs = (0 until nrec).map(_ => readRec(nb))
         val children = (0 until nrec + 1).map { _ =>
           val a = nb.getLong()
           var cn = 0L
@@ -667,7 +711,7 @@ object HDF5 {
           var off = 0L
           (0 until offSize).foreach(i => off |= (id(1 + i) & 0xffL) << (8 * i))
           val (bin, boff) = locate(off)
-          parseLinkMessage(bin, boff)
+          parse(bin, boff)
         case 1 => // huge: directly addressed if the id fits the record
           // (plain: addr+len; filtered: addr+stored len+mask+mem size)
           val directPayload = if (heapFilters.isEmpty) 16 else 28
@@ -678,14 +722,14 @@ object HDF5 {
               v
             }
             val addr = le(1, 8)
-            if (heapFilters.isEmpty) parseLinkMessage(in, addr)
+            if (heapFilters.isEmpty) parse(in, addr)
             else {
               val storedLen = le(9, 8)
               val mask = le(17, 4)
               require(mask == 0,
                 s"filtered huge object: nonzero filter mask $mask unsupported")
               val (bin, boff) = hugeIn(addr, storedLen)
-              parseLinkMessage(bin, boff)
+              parse(bin, boff)
             }
           } else {
             var recId = 0L
@@ -694,7 +738,7 @@ object HDF5 {
               throw new IllegalArgumentException(
                 s"huge fractal-heap id $recId missing from the huge-object B-tree"))
             val (bin, boff) = hugeIn(addr, storedLen)
-            parseLinkMessage(bin, boff)
+            parse(bin, boff)
           }
         case 2 => // tiny: the link message rides inside the heap ID itself
           // normal (id length <= 18): 4-bit length in byte 0; EXTENDED
@@ -705,7 +749,7 @@ object HDF5 {
             else ((((id(0) & 0x0f) << 8) | (id(1) & 0xff)) + 1, 2)
           require(start + len <= id.length,
             s"tiny fractal-heap id claims $len payload bytes")
-          parseLinkMessage(new ArrayInput(
+          parse(new ArrayInput(
             java.util.Arrays.copyOfRange(id, start, start + len)), 0L)
         case t => throw new IllegalArgumentException(
           s"fractal-heap id type $t unsupported")
@@ -732,6 +776,235 @@ object HDF5 {
     val name = new Array[Byte](nameLen.toInt)
     b.get(name)
     (new String(name, "UTF-8"), b.getLong())
+  }
+
+  // ------------------------------------------------------- attributes
+  // Attribute messages (type 0x000C, versions 1-3) from COMPACT object
+  // headers, plus DENSE attribute storage (Attribute Info message
+  // 0x0015 -> fractal heap + name-index v2 B-tree type 8) — what
+  // libhdf5 switches to above ~8 attrs, i.e. any real netCDF-4 file
+  // with a long global-attribute list. Vlen payloads resolve through
+  // the global heap (GCOL). Reference provenance: the reference opens
+  // netCDF-4 through xarray, whose dimension names and CF mask/scale
+  // semantics ride on these attrs (convml_data/sources/goes16 + satpy).
+
+  /** Minimal datatype parse for attribute values. Consumes exactly the
+    * class's fixed properties so a vlen BASE type can follow. */
+  private final case class AType(cls: Int, size: Int, bigEndian: Boolean,
+      signed: Boolean, vlenString: Boolean, base: Option[AType])
+
+  private def parseAType(b: H5Cursor): AType = {
+    val classVer = b.get() & 0xff
+    val cls = classVer & 0x0f
+    val bits0 = b.get() & 0xff
+    b.get(); b.get() // class bit fields 8-23
+    val size = b.getInt()
+    cls match {
+      case 0 => // fixed-point: props = bit offset + precision
+        val bitOff = b.getShort() & 0xffff
+        val prec = b.getShort() & 0xffff
+        require(bitOff == 0 && prec == size * 8,
+          s"attribute fixed-point precision $prec/offset $bitOff unsupported")
+        AType(0, size, (bits0 & 1) == 1, (bits0 & 0x08) != 0, vlenString = false, None)
+      case 1 => // float: props = 12 bytes (IEEE-gated at decode)
+        val bitOff = b.getShort() & 0xffff
+        val prec = b.getShort() & 0xffff
+        b.get(); b.get(); b.get(); b.get(); b.getInt() // exp/man loc+size, bias
+        require(bitOff == 0 && prec == size * 8,
+          s"attribute float precision $prec/offset $bitOff unsupported")
+        AType(1, size, (bits0 & 1) == 1, signed = true, vlenString = false, None)
+      case 3 => // string (fixed-size): padding/charset in bits — NUL-strip either way
+        AType(3, size, bigEndian = false, signed = false, vlenString = false, None)
+      case 7 => // reference: low nibble 0 = object reference
+        require((bits0 & 0x0f) == 0,
+          s"attribute reference type ${bits0 & 0x0f} unsupported (object refs only)")
+        AType(7, size, bigEndian = false, signed = false, vlenString = false, None)
+      case 9 => // vlen: low nibble 0 = sequence, 1 = string; base type follows
+        val isStr = (bits0 & 0x0f) == 1
+        val base = parseAType(b)
+        AType(9, size, bigEndian = false, signed = false, isStr, Some(base))
+      case other => throw new IllegalArgumentException(
+        s"attribute datatype class $other unsupported")
+    }
+  }
+
+  /** One global-heap (GCOL) object's bytes. */
+  private def gheapObject(in: H5Input, addr: Long, idx: Int): Array[Byte] = {
+    val b = in.cursor(addr)
+    require((0 until 4).map(_ => b.get().toChar).mkString == "GCOL",
+      s"bad global heap signature at $addr")
+    require(b.get() == 1, "global heap version != 1")
+    b.get(); b.get(); b.get() // reserved
+    val collSize = b.getLong() // includes this 16-byte header
+    val end = addr + collSize
+    var pos = b.position()
+    while (pos + 16 <= end) {
+      val ob = in.cursor(pos)
+      val oidx = ob.getShort() & 0xffff
+      ob.getShort(); ob.getInt() // ref count + reserved
+      val osize = ob.getLong()
+      if (oidx == 0) pos = end // free-space terminator
+      else {
+        if (oidx == idx) return in.slice(ob.position(), osize.toInt)
+        pos = ob.position() + ((osize + 7) & ~7L)
+      }
+    }
+    throw new IllegalArgumentException(s"global heap object $idx not found at $addr")
+  }
+
+  /** Decode `n` attribute elements of type `t` starting at `dataOff`. */
+  private def decodeAttrValue(in: H5Input, t: AType, dataOff: Long,
+      n: Int): H5AttrValue = {
+    def bb(len: Int): ByteBuffer = {
+      val b = ByteBuffer.wrap(in.slice(dataOff, len))
+      b.order(if (t.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      b
+    }
+    def cstr(a: Array[Byte]): String = {
+      val nul = a.indexOf(0.toByte)
+      new String(a, 0, if (nul < 0) a.length else nul, "UTF-8")
+    }
+    // vlen element on disk: u32 length + 12-byte global heap id
+    def vlenBytes(i: Int): (Array[Byte], Int) = {
+      val eb = in.cursor(dataOff + 16L * i)
+      val len = eb.getInt()
+      val gaddr = eb.getLong()
+      val gidx = eb.getInt()
+      (if (len == 0) Array.emptyByteArray else gheapObject(in, gaddr, gidx), len)
+    }
+    t.cls match {
+      case 0 =>
+        val b = bb(n * t.size)
+        H5AttrValue.Ints((0 until n).map { i =>
+          t.size match {
+            case 1 => if (t.signed) b.get(i).toLong else (b.get(i) & 0xff).toLong
+            case 2 => if (t.signed) b.getShort(i * 2).toLong else (b.getShort(i * 2) & 0xffff).toLong
+            case 4 => if (t.signed) b.getInt(i * 4).toLong else b.getInt(i * 4) & 0xffffffffL
+            case 8 => b.getLong(i * 8) // unsigned magnitude rides the Long bits
+            case s => throw new IllegalArgumentException(
+              s"attribute fixed-point size $s unsupported")
+          }
+        })
+      case 1 =>
+        val b = bb(n * t.size)
+        H5AttrValue.Nums((0 until n).map { i =>
+          t.size match {
+            case 4 => b.getFloat(i * 4).toDouble
+            case 8 => b.getDouble(i * 8)
+            case s => throw new IllegalArgumentException(
+              s"attribute float size $s unsupported")
+          }
+        })
+      case 3 =>
+        H5AttrValue.Strs((0 until n).map(i =>
+          cstr(in.slice(dataOff + i.toLong * t.size, t.size))))
+      case 7 =>
+        val b = bb(n * 8)
+        H5AttrValue.Refs((0 until n).map(i => b.getLong(i * 8)))
+      case 9 if t.vlenString =>
+        H5AttrValue.Strs((0 until n).map { i =>
+          val (bytes, len) = vlenBytes(i)
+          new String(bytes, 0, math.min(len, bytes.length), "UTF-8")
+        })
+      case 9 if t.base.exists(_.cls == 7) =>
+        H5AttrValue.RefLists((0 until n).map { i =>
+          val (bytes, len) = vlenBytes(i)
+          val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          (0 until len).map(j => b.getLong(j * 8))
+        })
+      case 9 => throw new IllegalArgumentException(
+        s"attribute vlen of class ${t.base.map(_.cls).getOrElse(-1)} unsupported")
+      case other => throw new IllegalArgumentException(
+        s"attribute datatype class $other unsupported")
+    }
+  }
+
+  /** Attribute message (0x000C), versions 1 (v1 headers: name/datatype/
+    * dataspace each padded to 8) and 2/3 (OHDR: unpadded; v3 adds a
+    * name-charset byte). Undecodable values degrade to Unsupported. */
+  private[sources] def parseAttrMessage(in: H5Input, off: Long): H5Attr = {
+    val b = in.cursor(off)
+    val ver = b.get() & 0xff
+    require(ver >= 1 && ver <= 3, s"attribute message version $ver unsupported")
+    val flags = b.get() & 0xff // v1: reserved (always 0)
+    val nameSize = b.getShort() & 0xffff
+    val dtSize = b.getShort() & 0xffff
+    val dsSize = b.getShort() & 0xffff
+    if (ver == 3) b.get() // name character-set encoding
+    def p8(x: Int): Int = if (ver == 1) (x + 7) & ~7 else x
+    val nameOff = b.position()
+    val nameBytes = in.slice(nameOff, nameSize)
+    val nul = nameBytes.indexOf(0.toByte)
+    val name = new String(nameBytes, 0, if (nul < 0) nameBytes.length else nul, "UTF-8")
+    val dtOff = nameOff + p8(nameSize)
+    val dsOff = dtOff + p8(dtSize)
+    val dataOff = dsOff + p8(dsSize)
+    if (ver >= 2 && (flags & 0x03) != 0)
+      return H5Attr(name, H5AttrValue.Unsupported("shared datatype/dataspace"))
+    val value = try {
+      // dataspace: element count (scalar -> 1); maxdims may follow the
+      // dims but dataOff comes from the STORED size, so they skip free
+      val sb = in.cursor(dsOff)
+      val sver = sb.get() & 0xff
+      val ndims = sb.get() & 0xff
+      sver match {
+        case 1 => sb.get(); sb.get(); sb.getInt() // flags + reserved
+        case 2 => sb.get(); sb.get() // flags + dataspace type
+        case other => throw new IllegalArgumentException(
+          s"attribute dataspace version $other unsupported")
+      }
+      val n = (0 until ndims).map(_ => sb.getLong()).product.max(1L)
+      require(n <= 1e6.toLong, s"attribute '$name' claims $n elements")
+      decodeAttrValue(in, parseAType(in.cursor(dtOff)), dataOff, n.toInt)
+    } catch {
+      case e: IllegalArgumentException => H5AttrValue.Unsupported(e.getMessage)
+    }
+    H5Attr(name, value)
+  }
+
+  /** All attributes of one object header: compact 0x000C messages plus
+    * dense storage behind an Attribute Info message (0x0015). */
+  private def attrsOf(in: H5Input, msgs: Seq[(Int, Long)]): Seq[H5Attr] = {
+    val compact = msgs.collect { case (0x000C, off) => parseAttrMessage(in, off) }
+    val dense = msgs.collectFirst { case (0x0015, off) =>
+      val b = in.cursor(off)
+      require(b.get() == 0, "attribute info message version != 0")
+      val flags = b.get()
+      if ((flags & 1) != 0) b.getShort() // max creation index
+      val fheap = b.getLong()
+      val nameBt = b.getLong()
+      if (fheap == Undef || nameBt == Undef) Nil
+      else denseObjects(in, fheap, nameBt, btype = 8)(parseAttrMessage)
+    }.getOrElse(Nil)
+    compact ++ dense
+  }
+
+  /** Attribute sets of the root group (key `""`) and of every root
+    * entry, dense or compact, by object name. Driver-side metadata
+    * (KB-scale header walks over a [[PagedFileInput]]). */
+  def attributes(in: H5Input): Map[String, Seq[H5Attr]] = {
+    val rootAddr = rootHeaderAddr(in)
+    (("" -> attrsOf(in, foldMessages(in, rootAddr))) +:
+      rootEntries(in, rootAddr).map { case (name, addr) =>
+        name -> attrsOf(in, foldMessages(in, addr))
+      }).toMap
+  }
+
+  /** netCDF-4 dimension scales: for each dataset carrying a
+    * `DIMENSION_LIST` attribute, its per-axis dimension names — the
+    * referenced dim-scale datasets' root-entry names (None for an
+    * axis with no attached scale). This is what xarray shows as the
+    * variable's `dims`, resolved from object references. */
+  def dimensionNames(in: H5Input): Map[String, Seq[Option[String]]] = {
+    val rootAddr = rootHeaderAddr(in)
+    val entries = rootEntries(in, rootAddr)
+    val byAddr = entries.map { case (n, a) => a -> n }.toMap
+    entries.flatMap { case (name, addr) =>
+      attrsOf(in, foldMessages(in, addr)).collectFirst {
+        case H5Attr("DIMENSION_LIST", H5AttrValue.RefLists(ls)) =>
+          name -> ls.map(_.headOption.flatMap(byAddr.get))
+      }
+    }.toMap
   }
 
   /** Parse an object header (v1 or v2/"OHDR", continuation blocks in
@@ -1764,11 +2037,23 @@ object HDF5 {
 
   // ---------------------------------------------------------------- writer
 
+  /** Writer-side attribute specs (v0 path): enough to build the
+    * netCDF-4 store shape — numeric/string CF attrs plus the
+    * DIMENSION_LIST vlen-of-object-reference dimension scales. */
+  sealed trait WAttr { def name: String }
+  final case class WAttrDouble(name: String, values: Seq[Double]) extends WAttr
+  final case class WAttrLong(name: String, values: Seq[Long]) extends WAttr
+  final case class WAttrString(name: String, value: String) extends WAttr
+  /** netCDF-4 `DIMENSION_LIST`: per axis, the dim-scale dataset it
+    * references (a sibling [[DsSpec]] name in the same write call). */
+  final case class WAttrDimList(name: String, targets: Seq[String]) extends WAttr
+
   /** chunkDims = None -> contiguous storage; Some(dims) -> chunked (with
     * optional deflate), full chunks padded with 0.0 at ragged edges as
     * libhdf5 stores them. */
   final case class DsSpec(name: String, dims: Seq[Long], data: Array[Double],
-      chunkDims: Option[Seq[Int]] = None, compact: Boolean = false)
+      chunkDims: Option[Seq[Int]] = None, compact: Boolean = false,
+      attrs: Seq[WAttr] = Nil)
 
   /** Raster doubles in the requested byte order (the master buffer
     * stays LE for all structural fields). */
@@ -1909,7 +2194,24 @@ object HDF5 {
     // words (odd counts pad one word); always a multiple of 8
     def pipeMsgLen(fs: Seq[H5Filter]): Int =
       8 + fs.map(f => 8 + 4 * (f.cd.size + (f.cd.size % 2))).sum
+    // v1 attribute message body: 8-byte prefix + name/datatype/dataspace
+    // each padded to 8 + data padded to 8 (dataspace is always v1 rank-1)
+    def p8i(x: Int): Int = (x + 7) & ~7
+    def attrDtDataLen(a: WAttr): (Int, Int) = a match {
+      case WAttrDouble(_, vs) => (20, 8 * vs.size)
+      case WAttrLong(_, vs) => (12, 8 * vs.size)
+      case WAttrString(_, v) => (8, v.getBytes("UTF-8").length + 1)
+      case WAttrDimList(_, ts) => (16, 16 * ts.size)
+    }
+    def attrMsgLen(a: WAttr): Int = {
+      val (dtLen, dataLen) = attrDtDataLen(a)
+      8 + p8i(a.name.getBytes("UTF-8").length + 1) + p8i(dtLen) + 16 + p8i(dataLen)
+    }
+    def attrsLen(s: DsSpec): Long = s.attrs.map(a => 8L + attrMsgLen(a)).sum
     val sorted = specs.sortBy(_.name) // SNOD entries must be name-ordered
+    sorted.foreach(s => s.attrs.collect { case WAttrDimList(_, ts) => ts }.flatten
+      .foreach(t => require(specs.exists(_.name == t),
+        s"${s.name}: DIMENSION_LIST target '$t' is not a dataset in this write")))
     // ---- layout computation (all sections 8-aligned)
     val superblockLen = 96
     val rootHeaderLen = 16 + 8 + 16 // prefix + msg header + symtab msg
@@ -1949,9 +2251,9 @@ object HDF5 {
           require(8L * s.data.length <= 0xffff,
             s"${s.name}: compact storage is capped at 64 KiB")
           val layoutMsg = align8(4 + 8L * s.data.length)
-          cursor += 16 + (8 + spaceMsg) + (8 + 24) + (8 + layoutMsg)
+          cursor += 16 + (8 + spaceMsg) + (8 + 24) + attrsLen(s) + (8 + layoutMsg)
         case None =>
-          val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + (8 + 24)
+          val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + attrsLen(s) + (8 + 24)
           dataAddrs(s.name) = cursor + headerLen
           cursor = dataAddrs(s.name) + align8(8L * s.data.length)
         case Some(cd) =>
@@ -1959,7 +2261,7 @@ object HDF5 {
           require(cd.size == rank, s"${s.name}: chunk rank != dataset rank")
           val layoutMsg = align8(3 + 8 + 4L * (rank + 1))
           val fs = dsFilters(s)
-          val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + (8 + layoutMsg) +
+          val headerLen = 16 + (8 + spaceMsg) + (8 + 24) + attrsLen(s) + (8 + layoutMsg) +
             (if (fs.nonEmpty) 8 + pipeMsgLen(fs) else 0)
           val btreeAddr = cursor + headerLen
           chunkBtreeAddrs(s.name) = btreeAddr
@@ -1978,6 +2280,16 @@ object HDF5 {
           cursor = caddr
       }
     }
+    // ---- global heap: one GCOL holding every DIMENSION_LIST element's
+    // reference array (one object per axis, 1-based indexes file-wide)
+    val dimListRefs: Seq[((String, String, Int), String)] = sorted.flatMap(s =>
+      s.attrs.collect { case WAttrDimList(an, ts) =>
+        ts.zipWithIndex.map { case (t, k) => ((s.name, an, k), t) }
+      }.flatten)
+    val gheapIdx: Map[(String, String, Int), Int] =
+      dimListRefs.zipWithIndex.map { case ((key, _), i) => key -> (i + 1) }.toMap
+    val gcolAddr = cursor
+    if (dimListRefs.nonEmpty) cursor += 16L + dimListRefs.size * 24L + 16L
     val total = cursor
     require(total <= Int.MaxValue, s"HDF5 export of $total bytes exceeds builder limit")
     val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
@@ -2057,12 +2369,12 @@ object HDF5 {
       }
       val fs = dsFilters(s)
       val hasFilter = fs.nonEmpty
-      val nMsg = 3 + (if (hasFilter) 1 else 0)
+      val nMsg = 3 + (if (hasFilter) 1 else 0) + s.attrs.size
       out.put(1.toByte); out.put(0.toByte)
       out.putShort(nMsg.toShort)
       out.putInt(1)
-      out.putInt((8 + spaceMsg) + (8 + 24) + (8 + layoutMsg) +
-        (if (hasFilter) 8 + pipeMsgLen(fs) else 0))
+      out.putInt(((8 + spaceMsg) + (8 + 24) + attrsLen(s) + (8 + layoutMsg) +
+        (if (hasFilter) 8 + pipeMsgLen(fs) else 0)).toInt)
       out.putInt(0)
       // dataspace v1
       out.putShort(0x0001); out.putShort(spaceMsg.toShort)
@@ -2087,6 +2399,72 @@ object HDF5 {
       out.put(0.toByte); out.put(52.toByte) // mantissa loc/size
       out.putInt(1023) // exponent bias
       out.putInt(0) // pad to 24
+      // attribute messages (v1: name/datatype/dataspace padded to 8)
+      s.attrs.foreach { a =>
+        out.putShort(0x000C); out.putShort(attrMsgLen(a).toShort)
+        out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+        val nameB = a.name.getBytes("UTF-8")
+        val dtLen = attrDtDataLen(a)._1
+        val n = a match {
+          case WAttrDouble(_, vs) => vs.size
+          case WAttrLong(_, vs) => vs.size
+          case WAttrString(_, _) => 1
+          case WAttrDimList(_, ts) => ts.size
+        }
+        out.put(1.toByte); out.put(0.toByte) // version 1, reserved
+        out.putShort((nameB.length + 1).toShort)
+        out.putShort(dtLen.toShort)
+        out.putShort(16.toShort) // dataspace v1, rank 1
+        def padField(start: Int): Unit =
+          while ((out.position() - start) % 8 != 0) out.put(0.toByte)
+        var fieldStart = out.position()
+        out.put(nameB); out.put(0.toByte)
+        padField(fieldStart)
+        fieldStart = out.position()
+        a match {
+          case WAttrDouble(_, _) => // IEEE float64 LE (8 hdr + 12 props)
+            out.put(((1 << 4) | 1).toByte); out.put(0x20.toByte)
+            out.put(63.toByte); out.put(0.toByte)
+            out.putInt(8)
+            out.putShort(0); out.putShort(64)
+            out.put(52.toByte); out.put(11.toByte)
+            out.put(0.toByte); out.put(52.toByte)
+            out.putInt(1023)
+          case WAttrLong(_, _) => // signed int64 LE (8 hdr + 4 props)
+            out.put((1 << 4).toByte); out.put(0x08.toByte)
+            out.put(0.toByte); out.put(0.toByte)
+            out.putInt(8)
+            out.putShort(0); out.putShort(64)
+          case WAttrString(_, v) => // fixed-size NUL-terminated string
+            out.put(((1 << 4) | 3).toByte); out.put(0.toByte)
+            out.put(0.toByte); out.put(0.toByte)
+            out.putInt(v.getBytes("UTF-8").length + 1)
+          case WAttrDimList(_, _) => // vlen sequence of object references
+            out.put(((1 << 4) | 9).toByte); out.put(0.toByte)
+            out.put(0.toByte); out.put(0.toByte)
+            out.putInt(16) // on-disk vlen element size
+            out.put(((1 << 4) | 7).toByte); out.put(0.toByte) // base: object ref
+            out.put(0.toByte); out.put(0.toByte)
+            out.putInt(8)
+        }
+        padField(fieldStart)
+        // dataspace v1, rank 1
+        out.put(1.toByte); out.put(1.toByte); out.put(0.toByte)
+        out.put(0.toByte); out.putInt(0)
+        out.putLong(n.toLong)
+        fieldStart = out.position()
+        a match {
+          case WAttrDouble(_, vs) => vs.foreach(out.putDouble)
+          case WAttrLong(_, vs) => vs.foreach(out.putLong)
+          case WAttrString(_, v) => out.put(v.getBytes("UTF-8")); out.put(0.toByte)
+          case WAttrDimList(an, ts) => ts.indices.foreach { k =>
+            out.putInt(1) // one reference on this axis
+            out.putLong(gcolAddr)
+            out.putInt(gheapIdx((s.name, an, k)))
+          }
+        }
+        padField(fieldStart)
+      }
       s.chunkDims match {
         case None if s.compact =>
           // layout v3 compact: size + raw doubles inline in the message
@@ -2159,6 +2537,22 @@ object HDF5 {
             out.put(payload)
           }
       }
+    }
+    // ---- global heap collection (DIMENSION_LIST reference arrays)
+    if (dimListRefs.nonEmpty) {
+      out.position(gcolAddr.toInt)
+      out.put('G'.toByte); out.put('C'.toByte); out.put('O'.toByte); out.put('L'.toByte)
+      out.put(1.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+      out.putLong(16L + dimListRefs.size * 24L + 16L) // incl. this header
+      dimListRefs.zipWithIndex.foreach { case ((_, target), i) =>
+        out.putShort((i + 1).toShort) // heap object index
+        out.putShort(1) // reference count
+        out.putInt(0)
+        out.putLong(8L) // object size: one object reference
+        out.putLong(headerAddrs(target))
+      }
+      // free-space terminator (index 0, size = its own header)
+      out.putShort(0); out.putShort(0); out.putInt(0); out.putLong(16L)
     }
     out.array()
   }
@@ -2254,6 +2648,9 @@ object HDF5 {
       bt2NodeSize: Int = 2048, faPageBits: Int = 16,
       fletcher: Boolean = false): Array[Byte] = {
     require(specs.nonEmpty, "at least one dataset")
+    require(specs.forall(_.attrs.isEmpty),
+      "attribute writing is the v0 writer's (write()); the latest-generation " +
+        "writers don't emit attrs — dropping them silently would hide the intent")
     val sorted = specs.sortBy(_.name)
     def align8(x: Long): Long = (x + 7) & ~7L
     val nameBytes = sorted.map(s => s.name.getBytes("UTF-8"))

@@ -112,7 +112,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q201_netcdf3_file_uri_mount"
       :+ "q202_hdf5_bbox_crop" :+ "q203_zarr_bbox_crop"
       :+ "q204_zarr_coord_crop" :+ "q205_netcdf3_coord_crop"
-      :+ "q206_hdf5_coord_crop")
+      :+ "q206_hdf5_coord_crop"
+      :+ "q207_hdf5_dimscale_crop" :+ "q208_hdf5_cf_mask_scale")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -288,6 +289,33 @@ class PlanRegressionSpec extends SparkSpec {
     val df = graft.SparkEntry.queries("q206_hdf5_coord_crop")(spark, sf)
     assert(df.rdd.getNumPartitions == 2,
       s"expected 2 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q207: the AUTO-discovered dimension-scale crop pushes and prunes like an explicit one") {
+    val plan = planOf("q207_hdf5_dimscale_crop")
+    assert(!plan.contains("Exchange"), s"DSv2 hdf5 scan must not shuffle:\n${plan.take(1200)}")
+    // DIMENSION_LIST names y/x; y = 10+10j in [20, 40] -> d0 1-3,
+    // x = 5+10i in [35, 75] -> d1 3-7
+    assert(plan.contains("GreaterThanOrEqual(d0,1)") &&
+      plan.contains("LessThanOrEqual(d0,3)") &&
+      plan.contains("GreaterThanOrEqual(d1,3)") &&
+      plan.contains("LessThanOrEqual(d1,7)"),
+      s"auto-mapped d0/d1 ranges must reach the scan:\n${plan.take(1500)}")
+    // (6,10) in (2,5) chunks = 3x2 grid; d0 1-3 keeps chunk rows 0-1,
+    // d1 3-7 keeps both chunk cols -> 4 of 6 chunks plan
+    val df = graft.SparkEntry.queries("q207_hdf5_dimscale_crop")(spark, sf)
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q208: CF mask-and-scale is a projection on top of an unshuffled, unweakened scan") {
+    val plan = planOf("q208_hdf5_cf_mask_scale")
+    assert(!plan.contains("Exchange"), s"DSv2 hdf5 scan must not shuffle:\n${plan.take(1200)}")
+    // the dataset filter still pushes; the decode is a plain Project
+    assert(plan.contains("EqualTo(dataset,tair)"),
+      s"dataset filter must reach the scan:\n${plan.take(1500)}")
+    assert(plan.contains("Project"),
+      s"mask-and-scale should stay a projection:\n${plan.take(1500)}")
   }
 
   test("q201: the file:// URI mount plans exactly like the plain-path mount") {

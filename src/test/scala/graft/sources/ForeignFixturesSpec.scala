@@ -31,6 +31,45 @@ class ForeignFixturesSpec extends AnyFunSuite {
     f
   }
 
+  test("HDF5: python-written netCDF-4 attribute surface decodes exactly " +
+      "(compact v1 + dense fractal-heap + global-heap vlens)") {
+    val in = new ArrayInput(fixture("golden_ncattrs.h5"))
+    import HDF5.H5AttrValue._
+    val attrs = HDF5.attributes(in)
+    val root = attrs("").map(a => a.name -> a.value).toMap
+    assert(root("Conventions") == Strs(Seq("CF-1.8")))
+    assert(root("title") == Strs(Seq("attr golden v1")))
+    val tair = attrs("tair").map(a => a.name -> a.value).toMap
+    assert(tair("units") == Strs(Seq("degC")))
+    assert(tair("scale_factor") == Nums(Seq(0.5)))
+    assert(tair("add_offset") == Nums(Seq(2.0)))
+    assert(tair("_FillValue") == Nums(Seq(-999.0)))
+    assert(tair("flags") == Ints(Seq(1L, 2L, 250L))) // unsigned byte stays 250
+    assert(tair("history") == Strs(Seq("reprocessed v3", "by make_fixtures")))
+    tair("REFERENCE_LIST") match { // compound: surfaced, not fatal
+      case Unsupported(r) => assert(r.contains("class 6"))
+      case other => fail(s"REFERENCE_LIST should be Unsupported, got $other")
+    }
+    assert(HDF5.dimensionNames(in) == Map("tair" -> Seq(Some("y"), Some("x"))))
+    val y = attrs("y").map(a => a.name -> a.value).toMap
+    assert(y("CLASS") == Strs(Seq("DIMENSION_SCALE")))
+    assert(y("NAME") == Strs(Seq("y")))
+    assert(y("units") == Strs(Seq("m")))
+    // DENSE attribute storage: v3 messages through the fractal heap +
+    // the type-8 name-index v2 B-tree
+    val dv = attrs("dense_var").map(a => a.name -> a.value).toMap
+    assert(dv == Map(
+      "method" -> Strs(Seq("mean")),
+      "cell_methods" -> Strs(Seq("time: mean")),
+      "levels" -> Nums(Seq(1.5, 2.5))))
+    // the attribute surface must not disturb data decode
+    val dss = HDF5.read(in).sortBy(_.name)
+    assert(dss.map(_.name) == Seq("dense_var", "tair", "x", "y"))
+    assert(dss.find(_.name == "tair").get.data.toSeq ==
+      (0 until 24).map(i => if (i % 7 == 0) -999.0 else i * 0.25 - 2.0))
+    assert(dss.find(_.name == "dense_var").get.data.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   test("HDF5: python-written v0 file decodes exactly") {
     val dss = HDF5.read(fixture("golden.h5")).sortBy(_.name)
     assert(dss.map(_.name) == Seq("series", "shuf", "temp"))

@@ -4057,6 +4057,251 @@ def write_zarr_fuzz(outdir, n=20, seed=424242):
     with open(os.path.join(outdir, "zarr_manifest.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
+
+# ---------------------------------------------------------------------------
+# netCDF-4 attribute surface (v0 generation): compact v1 attribute
+# messages (numeric/string/unsigned-byte), DIMENSION_LIST vlen-of-object-
+# reference through a global heap (GCOL), a vlen-STRING attr, a COMPOUND
+# REFERENCE_LIST (the reader must surface it as unsupported, not fail),
+# root-group attrs, and one dataset with DENSE attribute storage
+# (Attribute Info message -> fractal heap + v2 B-tree type 8) — the
+# libhdf5 shape above ~8 attrs. Spec: HDF5 File Format IV.A.2.d/m,
+# III.E (fractal heap), III.B.2 (v2 B-tree), netCDF-4 dimension scales.
+# ---------------------------------------------------------------------------
+
+def h5a_pad8(b):
+    return b + b"\0" * ((-len(b)) % 8)
+
+def h5a_dt_f64():
+    return (struct.pack("<BBBBI", 0x11, 0x20, 63, 0, 8) +
+            struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023))
+
+def h5a_dt_str(n):
+    # class 3 string, NUL-terminated ASCII padding
+    return struct.pack("<BBBBI", 0x13, 0, 0, 0, n)
+
+def h5a_dt_u8():
+    # class 0 fixed-point, unsigned LE, 1 byte
+    return struct.pack("<BBBBIHH", 0x10, 0, 0, 0, 1, 0, 8)
+
+def h5a_dt_ref():
+    # class 7 reference, type 0 = object reference
+    return struct.pack("<BBBBI", 0x17, 0, 0, 0, 8)
+
+def h5a_dt_vlen_ref():
+    # class 9 vlen sequence, base = object reference
+    return struct.pack("<BBBBI", 0x19, 0, 0, 0, 16) + h5a_dt_ref()
+
+def h5a_dt_vlen_str():
+    # class 9 vlen STRING (low nibble 1), base = 1-byte char
+    return struct.pack("<BBBBI", 0x19, 1, 0, 0, 16) + h5a_dt_str(1)
+
+def h5a_dt_reflist_compound():
+    # class 6 compound, 2 members — libhdf5's REFERENCE_LIST shape
+    # {dataset: objref, dimension: u32}; v1 member layout: name (padded
+    # to 8), byte offset (4), dimensionality(1)+3, permutation(4)+4,
+    # dims 4x4, member datatype
+    def member(name, off, dt):
+        return (h5a_pad8(name.encode() + b"\0") + struct.pack("<I", off) +
+                struct.pack("<B3xI4x", 0, 0) + struct.pack("<4I", 0, 0, 0, 0) + dt)
+    body = struct.pack("<BBBBI", 0x16, 2, 0, 0, 12)
+    body += member("dataset", 0, h5a_dt_ref())
+    body += member("dimension", 8, struct.pack("<BBBBIHH", 0x10, 0, 0, 0, 4, 0, 32))
+    return body
+
+def h5a_ds(dims):
+    body = struct.pack("<BBB5x", 1, len(dims), 0)
+    return body + b"".join(struct.pack("<Q", d) for d in dims)
+
+def h5a_attr_v1(name, dt, ds, data):
+    nb = name.encode() + b"\0"
+    body = struct.pack("<BBHHH", 1, 0, len(nb), len(dt), len(ds))
+    body += h5a_pad8(nb) + h5a_pad8(dt) + h5a_pad8(ds) + h5a_pad8(data)
+    return h5_msg(0x000C, body)
+
+def h5a_attr_v3_body(name, dt, ds, data):
+    nb = name.encode() + b"\0"
+    return (struct.pack("<BBHHHB", 3, 0, len(nb), len(dt), len(ds), 0) +
+            nb + dt + ds + data)
+
+def write_hdf5_ncattrs(path):
+    """netCDF-4-shaped attribute golden: 'tair' (4, 6) contiguous f64
+    (value i*0.25 - 2.0, every i%7==0 replaced by the -999 fill) with
+    DIMENSION_LIST -> [y, x], CF pack attrs (scale 0.5, offset 2.0,
+    fill -999), a u8 'flags' attr [1, 2, 250], a vlen-string 'history'
+    attr, and a compound REFERENCE_LIST (unsupported by design);
+    'y' [4] = 10+10j and 'x' [6] = 100+10i dim scales with
+    CLASS/NAME/units; root attrs Conventions=CF-1.8, title; and
+    'dense_var' [3] = 1,2,3 whose THREE attrs live in DENSE storage:
+    method='mean', cell_methods='time: mean', levels f64 [1.5, 2.5]."""
+    buf = bytearray(b"\0" * 96)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    # --- coordinate datasets first (their header addrs feed the refs)
+    y_vals = [10.0 + 10.0 * j for j in range(4)]
+    x_vals = [100.0 + 10.0 * i for i in range(6)]
+    y_data = alloc(struct.pack("<4d", *y_vals))
+    y_oh = alloc(h5_object_header([
+        h5_dataspace([4]),
+        h5_datatype_float(8),
+        h5a_attr_v1("CLASS", h5a_dt_str(16), h5a_ds([1]), b"DIMENSION_SCALE\0"),
+        h5a_attr_v1("NAME", h5a_dt_str(2), h5a_ds([1]), b"y\0"),
+        h5a_attr_v1("units", h5a_dt_str(2), h5a_ds([1]), b"m\0"),
+        h5_layout_contiguous(y_data, 4 * 8),
+    ]))
+    x_data = alloc(struct.pack("<6d", *x_vals))
+    x_oh = alloc(h5_object_header([
+        h5_dataspace([6]),
+        h5_datatype_float(8),
+        h5a_attr_v1("CLASS", h5a_dt_str(16), h5a_ds([1]), b"DIMENSION_SCALE\0"),
+        h5a_attr_v1("NAME", h5a_dt_str(2), h5a_ds([1]), b"x\0"),
+        h5_layout_contiguous(x_data, 6 * 8),
+    ]))
+
+    # --- global heap: DIMENSION_LIST per-axis ref arrays + vlen strings
+    gobjs = [struct.pack("<Q", y_oh), struct.pack("<Q", x_oh),
+             b"reprocessed v3", b"by make_fixtures"]
+    gbody = b""
+    for i, o in enumerate(gobjs):
+        gbody += struct.pack("<HHIQ", i + 1, 1, 0, len(o)) + h5a_pad8(o)
+    gcol_len = 16 + len(gbody) + 16
+    gcol_addr = alloc(b"GCOL" + struct.pack("<B3xQ", 1, gcol_len) + gbody +
+                      struct.pack("<HHIQ", 0, 0, 0, 16))
+
+    # --- tair with the compact attribute set
+    tair_vals = [(-999.0 if i % 7 == 0 else i * 0.25 - 2.0) for i in range(24)]
+    tair_data = alloc(struct.pack("<24d", *tair_vals))
+    dimlist_data = (struct.pack("<IQI", 1, gcol_addr, 1) +
+                    struct.pack("<IQI", 1, gcol_addr, 2))
+    hist_data = (struct.pack("<IQI", len(gobjs[2]), gcol_addr, 3) +
+                 struct.pack("<IQI", len(gobjs[3]), gcol_addr, 4))
+    reflist_data = struct.pack("<QI", y_oh, 0)
+    tair_oh = alloc(h5_object_header([
+        h5_dataspace([4, 6]),
+        h5_datatype_float(8),
+        h5a_attr_v1("DIMENSION_LIST", h5a_dt_vlen_ref(), h5a_ds([2]), dimlist_data),
+        h5a_attr_v1("units", h5a_dt_str(5), h5a_ds([1]), b"degC\0"),
+        h5a_attr_v1("scale_factor", h5a_dt_f64(), h5a_ds([1]), struct.pack("<d", 0.5)),
+        h5a_attr_v1("add_offset", h5a_dt_f64(), h5a_ds([1]), struct.pack("<d", 2.0)),
+        h5a_attr_v1("_FillValue", h5a_dt_f64(), h5a_ds([1]), struct.pack("<d", -999.0)),
+        h5a_attr_v1("flags", h5a_dt_u8(), h5a_ds([3]), bytes([1, 2, 250])),
+        h5a_attr_v1("history", h5a_dt_vlen_str(), h5a_ds([2]), hist_data),
+        h5a_attr_v1("REFERENCE_LIST", h5a_dt_reflist_compound(), h5a_ds([1]),
+                    reflist_data),
+        h5_layout_contiguous(tair_data, 24 * 8),
+    ]))
+
+    # --- dense_var: three attrs in DENSE storage
+    dv_vals = [1.0, 2.0, 3.0]
+    dv_data = alloc(struct.pack("<3d", *dv_vals))
+    attr_bodies = [
+        h5a_attr_v3_body("method", h5a_dt_str(5), h5a_ds([1]), b"mean\0"),
+        h5a_attr_v3_body("cell_methods", h5a_dt_str(11), h5a_ds([1]),
+                         b"time: mean\0"),
+        h5a_attr_v3_body("levels", h5a_dt_f64(), h5a_ds([2]),
+                         struct.pack("<2d", 1.5, 2.5)),
+    ]
+    # direct block: FHDB header (sig+ver+heap hdr addr+4-byte block off),
+    # objects packed after it; heap offsets address the block INCLUDING
+    # its header. FRHP address patched into the header below.
+    start_block = 512
+    db = bytearray(b"FHDB" + struct.pack("<B", 0) + struct.pack("<Q", 0) +
+                   struct.pack("<I", 0))
+    heap_offs = []
+    for b in attr_bodies:
+        heap_offs.append(len(db))
+        db.extend(b)
+    assert len(db) <= start_block, len(db)
+    db.extend(b"\0" * (start_block - len(db)))
+    fhdb_addr = alloc(bytes(db))
+    frhp_addr = alloc(
+        b"FRHP" + struct.pack("<B", 0) +
+        struct.pack("<HHB", 8, 0, 0) +            # id len, filter len, flags
+        struct.pack("<I", 4096) +                  # max managed size
+        struct.pack("<Q", 0) +                     # next huge id
+        struct.pack("<Q", UNDEF) +                 # huge-object B-tree
+        struct.pack("<QQ", 0, UNDEF) +             # free space, fs manager
+        struct.pack("<QQQ", start_block, start_block, len(db)) +
+        struct.pack("<Q", len(attr_bodies)) +      # managed objects
+        struct.pack("<QQQQ", 0, 0, 0, 0) +         # huge/tiny sizes+counts
+        struct.pack("<H", 4) +                     # table width
+        struct.pack("<QQ", start_block, 65536) +   # start block, max direct
+        struct.pack("<HH", 32, 1) +                # max heap bits, start rows
+        struct.pack("<Q", fhdb_addr) +             # root block (DIRECT)
+        struct.pack("<H", 0) +                     # current rows = 0
+        struct.pack("<I", 0))                      # checksum (unchecked)
+    # patch the direct block's heap-header back-pointer
+    struct.pack_into("<Q", buf, fhdb_addr + 5, frhp_addr)
+    # type-8 name-index B-tree: one leaf; records = heap id(8) +
+    # flags(1) + creation order(4) + name hash(4)
+    btlf = bytearray(b"BTLF" + struct.pack("<BB", 0, 8))
+    for k, off in enumerate(heap_offs):
+        hid = bytes([0x00]) + struct.pack("<I", off) + b"\0\0\0"
+        btlf.extend(hid + struct.pack("<BIi", 0, k, 0))
+    btlf.extend(struct.pack("<I", 0))  # checksum (unchecked)
+    btlf_addr = alloc(bytes(btlf))
+    bthd_addr = alloc(
+        b"BTHD" + struct.pack("<BB", 0, 8) +
+        struct.pack("<IHH", 512, 17, 0) +          # node size, rec size, depth
+        struct.pack("<BB", 100, 40) +              # split/merge percents
+        struct.pack("<Q", btlf_addr) +
+        struct.pack("<H", len(heap_offs)) +
+        struct.pack("<Q", len(heap_offs)) +
+        struct.pack("<I", 0))                      # checksum (unchecked)
+    attr_info = h5_msg(0x0015, struct.pack("<BBQQ", 0, 0, frhp_addr, bthd_addr))
+    dv_oh = alloc(h5_object_header([
+        h5_dataspace([3]),
+        h5_datatype_float(8),
+        attr_info,
+        h5_layout_contiguous(dv_data, 3 * 8),
+    ]))
+
+    # --- root group scaffolding (+ root attrs)
+    heap_data = bytearray(b"\0" * 8)
+    name_offs = {}
+    names = ["dense_var", "tair", "x", "y"]  # SNOD name order
+    for nm in names:
+        name_offs[nm] = len(heap_data)
+        heap_data += nm.encode() + b"\0"
+        heap_data += b"\0" * ((-len(heap_data)) % 8)
+    heap_data_addr = alloc(bytes(heap_data))
+    heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF,
+                                            heap_data_addr))
+    ohs = {"dense_var": dv_oh, "tair": tair_oh, "x": x_oh, "y": y_oh}
+    snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
+    for nm in names:
+        snod += struct.pack("<QQII16x", name_offs[nm], ohs[nm], 0, 0)
+    snod_addr = alloc(snod)
+    gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+    gtree += struct.pack("<QQ", UNDEF, UNDEF)
+    gtree += struct.pack("<QQ", 0, snod_addr)
+    gtree += struct.pack("<Q", name_offs[names[-1]])
+    gtree_addr = alloc(gtree)
+    root_oh = alloc(h5_object_header([
+        h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
+        h5a_attr_v1("Conventions", h5a_dt_str(7), h5a_ds([1]), b"CF-1.8\0"),
+        h5a_attr_v1("title", h5a_dt_str(15), h5a_ds([1]), b"attr golden v1\0"),
+    ]))
+
+    # --- superblock v0
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    sb.write(struct.pack("<HHI", 4, 16, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
+    sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
+    sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
+    sb_bytes = sb.getvalue()
+    assert len(sb_bytes) == 96, len(sb_bytes)
+    buf[0:96] = sb_bytes
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
 def main():
     os.makedirs(TEST_FIX, exist_ok=True)
     os.makedirs(MAIN_FIX, exist_ok=True)
@@ -4071,6 +4316,7 @@ def main():
     write_hdf5_szip(os.path.join(TEST_FIX, "golden_szip.h5"))
     write_hdf5_nbit_so(os.path.join(TEST_FIX, "golden_nbit_so.h5"))
     write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
+    write_hdf5_ncattrs(os.path.join(TEST_FIX, "golden_ncattrs.h5"))
     write_hdf5_dense(os.path.join(TEST_FIX, "golden_dense.h5"))
     write_hdf5_dense_filtered(os.path.join(TEST_FIX, "golden_filtered_heap.h5"))
     write_hdf5_dense_filtered_indirect(
