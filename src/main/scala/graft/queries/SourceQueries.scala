@@ -1914,6 +1914,32 @@ object SourceQueries {
         |FROM range(0,6) r1(j), range(0,10) r2(i)""".stripMargin) { (s, d) =>
       graft.sources.CfDecode.hdf5(s, ensureQ207NcdimH5(), "tair")
         .select(col("d0").as("y"), col("d1").as("x"), col("value"))
+    },
+
+    // ---- CF mask-and-scale on the netCDF-3 mount ---------------------------
+    // Same CF §8.1 semantics, attrs from the classic-format header's
+    // variable attribute list (scale 0.5 is exact in binary, so the
+    // DuckDB replay is bit-identical).
+    QueryDef.sqlBacked(
+      "q209_netcdf3_cf_mask_scale",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST(CASE WHEN (j*6 + i) % 7 = 0 THEN NULL
+        |            ELSE (j*6 + i) * 50.0 * 0.5 + 100.0 END AS DOUBLE) AS value
+        |FROM range(0,4) r1(j), range(0,6) r2(i)""".stripMargin) { (s, d) =>
+      graft.sources.CfDecode.netcdf3(s, ensureQ209Nc(), "t2m")
+        .select(col("d0").as("y"), col("d1").as("x"), col("value"))
+    },
+
+    // ---- CF mask-and-scale on the zarr mount -------------------------------
+    // Attrs from the array's .zattrs, where xarray's to_zarr puts them.
+    QueryDef.sqlBacked(
+      "q210_zarr_cf_mask_scale",
+      """SELECT CAST(id AS BIGINT) AS idx,
+        |  CAST(CASE WHEN id % 5 = 0 THEN NULL
+        |            ELSE id * 10.0 * 0.25 + 5.0 END AS DOUBLE) AS value
+        |FROM range(0,12) r(id)""".stripMargin) { (s, d) =>
+      graft.sources.CfDecode.zarr(s, ensureQ210Zarr(s), "lwp")
+        .select(col("idx"), col("value"))
     }
   )
 
@@ -2017,6 +2043,60 @@ object SourceQueries {
 
   private lazy val q207Hdf5Dir: String =
     mkCleanedTempDir("graft_q207_hdf5_")
+
+  /** Writes q209's packed netCDF-3 store once per JVM: 't2m' (4, 6)
+    * with CF pack attrs in the header's variable attribute list
+    * (every idx%7==0 cell holds the -32768 fill sentinel). */
+  private def ensureQ209Nc(): String = {
+    import graft.sources.NetCDF3
+    val f = java.nio.file.Paths.get(q209NcDir, "packed.nc")
+    if (!java.nio.file.Files.exists(f)) {
+      val raw = Array.tabulate(24)(i => if (i % 7 == 0) -32768.0 else i * 50.0)
+      val bytes = NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("y", 4), NetCDF3.Dim("x", 6)),
+        gattrs = Seq(NetCDF3.Attr("Conventions", NetCDF3.NcChar, "CF-1.8")),
+        vars = Seq(NetCDF3.VarSpec("t2m", Seq("y", "x"), NetCDF3.NcDouble, Seq(
+          NetCDF3.Attr("scale_factor", NetCDF3.NcDouble, Array(0.5)),
+          NetCDF3.Attr("add_offset", NetCDF3.NcDouble, Array(100.0)),
+          NetCDF3.Attr("_FillValue", NetCDF3.NcDouble, Array(-32768.0)),
+          NetCDF3.Attr("units", NetCDF3.NcChar, "K")), raw)))
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
+
+  private lazy val q209NcDir: String =
+    mkCleanedTempDir("graft_q209_nc_")
+
+  /** Writes q210's zarr scene once per JVM, then merges the CF pack
+    * attrs into the array's .zattrs (the xarray to_zarr placement). */
+  private def ensureQ210Zarr(s: SparkSession): String = {
+    import graft.sources.ZarrSink
+    val dir = q210ZarrDir
+    val store = s"$dir/s0.zarr"
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      val grid = s.range(12).select(
+        lit("s0").as("scene_id"),
+        expr("timestamp_seconds(1577836800)").as("time"),
+        (expr("id % 4") * 1.0).as("x"), (expr("id div 4") * 1.0).as("y"),
+        // coalesce: the sink's encoder needs a non-nullable double
+        coalesce(expr("CASE WHEN id % 5 = 0 THEN -999.0 ELSE id * 10.0 END"),
+          lit(0.0)).as("value"))
+      ZarrSink.writeScenes(grid, dir, "lwp").count()
+      val za = java.nio.file.Paths.get(store, "lwp", ".zattrs")
+      val json = new String(java.nio.file.Files.readAllBytes(za), "UTF-8")
+        .trim.stripSuffix("}")
+      java.nio.file.Files.write(za, (json +
+        ""","scale_factor":0.25,"add_offset":5.0,"_FillValue":-999.0}""")
+        .getBytes("UTF-8"))
+      ()
+    }
+    store
+  }
+
+  private lazy val q210ZarrDir: String =
+    mkCleanedTempDir("graft_q210_zarr_")
 
   /** Writes q205's netCDF-3 store once per JVM: 'sst' (time, y, x) with
     * time the RECORD dimension, plus the three 1-D coordinate variables

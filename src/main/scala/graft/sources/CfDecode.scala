@@ -55,4 +55,69 @@ object CfDecode {
         .option("path", path).load()
         .where(col("dataset") === dataset),
       hdf5CfAttrs(path, dataset))
+
+  /** CF attrs from a netCDF-3 variable's header attribute list (the
+    * classic-format equivalent of the netCDF-4 surface; one header
+    * read, already cached by the chunk-ingest planner). */
+  def netcdf3CfAttrs(path: String, varName: String): CfAttrs = {
+    val h = NetCDF3ChunkIngest.headerOf(path)
+    val v = h.vars.find(_.name == varName).getOrElse(
+      throw new IllegalArgumentException(
+        s"cf decode: variable '$varName' not in $path"))
+    def num(n: String): Option[Double] = v.attrs.find(_.name == n)
+      .flatMap(_.value match {
+        case a: Array[Double] => a.headOption
+        case a: Array[Float] => a.headOption.map(_.toDouble)
+        case a: Array[Int] => a.headOption.map(_.toDouble)
+        case a: Array[Short] => a.headOption.map(_.toDouble)
+        case a: Array[Byte] => a.headOption.map(_.toDouble)
+        case _ => None // NC_CHAR: not a numeric pack attr
+      })
+    CfAttrs(num("scale_factor").getOrElse(1.0), num("add_offset").getOrElse(0.0),
+      num("_FillValue"))
+  }
+
+  /** The `varName` rows of the netCDF-3 mount at `path`, mask-and-scale
+    * decoded from the header's variable attributes. */
+  def netcdf3(spark: org.apache.spark.sql.SparkSession, path: String,
+      varName: String): DataFrame =
+    maskAndScale(
+      spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", path).load()
+        .where(col("dataset") === varName),
+      netcdf3CfAttrs(path, varName))
+
+  /** CF attrs from a zarr array's own metadata: v3 `zarr.json`
+    * `attributes`, v2 `.zattrs` — where xarray's to_zarr puts them. */
+  def zarrCfAttrs(store: String, dataset: String): CfAttrs = {
+    import org.json4s._
+    val node = ByteStore.join(store, dataset)
+    val v3 = ByteStore.join(node, "zarr.json")
+    val v2 = ByteStore.join(node, ".zattrs")
+    val json: JValue =
+      if (ByteStore.isFile(v3))
+        org.json4s.jackson.JsonMethods.parse(ByteStore.readString(v3)) \ "attributes"
+      else if (ByteStore.isFile(v2))
+        org.json4s.jackson.JsonMethods.parse(ByteStore.readString(v2))
+      else JNothing
+    def num(name: String): Option[Double] = (json \ name) match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _ => None
+    }
+    CfAttrs(num("scale_factor").getOrElse(1.0), num("add_offset").getOrElse(0.0),
+      num("_FillValue"))
+  }
+
+  /** The `dataset` rows of the zarr mount at `store`, mask-and-scale
+    * decoded from the array's attributes (v2 or v3). */
+  def zarr(spark: org.apache.spark.sql.SparkSession, store: String,
+      dataset: String): DataFrame =
+    maskAndScale(
+      spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", store).load()
+        .where(col("dataset") === dataset),
+      zarrCfAttrs(store, dataset))
 }

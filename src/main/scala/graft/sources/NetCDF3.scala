@@ -222,6 +222,9 @@ object NetCDF3 {
       val (nelems, payload) = a.value match {
         case s: String =>
           val bytes = s.getBytes(StandardCharsets.UTF_8); (bytes.length, bytes)
+        case xs: Array[Byte] => (xs.length, xs)
+        case xs: Array[Short] =>
+          val b = ByteBuffer.allocate(xs.length * 2); xs.foreach(b.putShort); (xs.length, b.array())
         case xs: Array[Int] =>
           val b = ByteBuffer.allocate(xs.length * 4); xs.foreach(b.putInt); (xs.length, b.array())
         case xs: Array[Float] =>

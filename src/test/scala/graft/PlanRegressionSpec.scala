@@ -113,7 +113,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q202_hdf5_bbox_crop" :+ "q203_zarr_bbox_crop"
       :+ "q204_zarr_coord_crop" :+ "q205_netcdf3_coord_crop"
       :+ "q206_hdf5_coord_crop"
-      :+ "q207_hdf5_dimscale_crop" :+ "q208_hdf5_cf_mask_scale")
+      :+ "q207_hdf5_dimscale_crop" :+ "q208_hdf5_cf_mask_scale"
+      :+ "q209_netcdf3_cf_mask_scale" :+ "q210_zarr_cf_mask_scale")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

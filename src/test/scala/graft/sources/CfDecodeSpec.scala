@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CF mask-and-scale across the three gridded mounts: attributes read
+  * from each store's OWN metadata (netCDF-3 header attr lists, zarr v2
+  * .zattrs / v3 zarr.json attributes), fill -> null on the RAW value,
+  * identity when the attrs are absent. The HDF5 variant is pinned in
+  * Hdf5AttrsSpec; the oracle rows are q208 (HDF5), q209 (netCDF-3),
+  * q210 (zarr v2). */
+class CfDecodeSpec extends SparkSpec {
+
+  test("netCDF-3: pack attrs decode from the header (float scale, short fill)") {
+    val dir = Files.createTempDirectory("graft-cf-nc3").toString
+    val p = Paths.get(dir, "packed.nc")
+    val raw = Array.tabulate(12)(i => if (i % 5 == 0) -32768.0 else i * 100.0)
+    Files.write(p, NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("y", 3), NetCDF3.Dim("x", 4)),
+      gattrs = Nil,
+      vars = Seq(
+        NetCDF3.VarSpec("t2m", Seq("y", "x"), NetCDF3.NcDouble, Seq(
+          NetCDF3.Attr("scale_factor", NetCDF3.NcFloat, Array(0.5f)),
+          NetCDF3.Attr("add_offset", NetCDF3.NcDouble, Array(100.0)),
+          NetCDF3.Attr("_FillValue", NetCDF3.NcShort, Array(-32768.toShort)),
+          NetCDF3.Attr("units", NetCDF3.NcChar, "K")), raw),
+        NetCDF3.VarSpec("plain", Seq("x"), NetCDF3.NcDouble, Nil,
+          Array.tabulate(4)(_ * 2.0)))))
+    val attrs = CfDecode.netcdf3CfAttrs(p.toString, "t2m")
+    assert(attrs == CfDecode.CfAttrs(0.5f.toDouble, 100.0, Some(-32768.0)))
+    val rows = CfDecode.netcdf3(spark, p.toString, "t2m")
+      .select("idx", "value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    (0 until 12).foreach { i =>
+      if (i % 5 == 0) assert(rows(i.toLong).isEmpty)
+      else assert(rows(i.toLong).contains(i * 100.0 * 0.5f + 100.0))
+    }
+    // no attrs -> identity
+    val plain = CfDecode.netcdf3(spark, p.toString, "plain")
+      .orderBy("idx").select("value").collect().map(_.getDouble(0))
+    assert(plain.toSeq == (0 until 4).map(_ * 2.0))
+  }
+
+  test("zarr v2: pack attrs decode from .zattrs (xarray to_zarr placement)") {
+    val dir = Files.createTempDirectory("graft-cf-z2").toString
+    val grid = spark.range(12).select(
+      lit("s0").as("scene_id"),
+      expr("timestamp_seconds(1577836800)").as("time"),
+      (expr("id % 4") * 1.0).as("x"), (expr("id div 4") * 1.0).as("y"),
+      // coalesce: the sink's encoder needs a non-nullable double
+      coalesce(expr("CASE WHEN id % 5 = 0 THEN -999.0 ELSE id * 10.0 END"),
+        lit(0.0)).as("value"))
+    ZarrSink.writeScenes(grid, dir, "lwp").count()
+    val store = s"$dir/s0.zarr"
+    // merge the CF attrs into the array's .zattrs, as xarray writes them
+    val za = Paths.get(store, "lwp", ".zattrs")
+    val json = new String(Files.readAllBytes(za), "UTF-8").trim.stripSuffix("}")
+    Files.write(za, (json +
+      ""","scale_factor":0.1,"add_offset":5.0,"_FillValue":-999.0}""").getBytes("UTF-8"))
+    assert(CfDecode.zarrCfAttrs(store, "lwp") ==
+      CfDecode.CfAttrs(0.1, 5.0, Some(-999.0)))
+    val rows = CfDecode.zarr(spark, store, "lwp")
+      .select("idx", "value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    (0 until 12).foreach { i =>
+      if (i % 5 == 0) assert(rows(i.toLong).isEmpty)
+      else assert(rows(i.toLong).contains(i * 10.0 * 0.1 + 5.0))
+    }
+  }
+
+  test("zarr v3: pack attrs decode from zarr.json attributes") {
+    val dir = Files.createTempDirectory("graft-cf-z3").toString
+    val grid = spark.range(8).select(
+      lit("s0").as("scene_id"),
+      expr("timestamp_seconds(1577836800)").as("time"),
+      (expr("id % 4") * 1.0).as("x"), (expr("id div 4") * 1.0).as("y"),
+      (col("id") * 2.0).as("value"))
+    Zarr3.writeScenes(grid, dir, "lwp").count()
+    val store = s"$dir/s0.zarr"
+    val zj = Paths.get(store, "lwp", "zarr.json")
+    val json = new String(Files.readAllBytes(zj), "UTF-8").trim.stripSuffix("}")
+    Files.write(zj, (json +
+      ""","attributes":{"scale_factor":0.25,"add_offset":-1.0}}""").getBytes("UTF-8"))
+    assert(CfDecode.zarrCfAttrs(store, "lwp") ==
+      CfDecode.CfAttrs(0.25, -1.0, None))
+    val vals = CfDecode.zarr(spark, store, "lwp")
+      .orderBy("idx").select("value").collect().map(_.getDouble(0))
+    assert(vals.toSeq == (0 until 8).map(_ * 2.0 * 0.25 - 1.0))
+    // a store without attributes decodes as identity
+    val dir2 = Files.createTempDirectory("graft-cf-z3b").toString
+    Zarr3.writeScenes(grid, dir2, "lwp").count()
+    assert(CfDecode.zarrCfAttrs(s"$dir2/s0.zarr", "lwp") ==
+      CfDecode.CfAttrs(1.0, 0.0, None))
+  }
+}
