@@ -1940,6 +1940,29 @@ object SourceQueries {
         |FROM range(0,12) r(id)""".stripMargin) { (s, d) =>
       graft.sources.CfDecode.zarr(s, ensureQ210Zarr(s), "lwp")
         .select(col("idx"), col("value"))
+    },
+
+    // ---- CF time axis: TIMESTAMP-bounded crop + decoded time column -------
+    // The time dim scale carries units "hours since 2020-01-01" (CF
+    // §4.4); the bound timestamps map through them to d0 6-18, pruning
+    // chunk rows 1-3 of 4 at plan time, and the output `ts` column is
+    // timestamp_micros(epoch + hour * step) — xarray's decode_cf times,
+    // at mount level (the reference's .sel(time=slice(...)) filter).
+    QueryDef.sqlBacked(
+      "q211_hdf5_time_crop",
+      """SELECT make_timestamp(2020, 1, 1, CAST(j AS BIGINT), 0, 0) AS ts,
+        |  CAST(i AS BIGINT) AS x,
+        |  CAST((j*4 + i) * 0.5 AS DOUBLE) AS value
+        |FROM range(0,24) r1(j), range(0,4) r2(i)
+        |WHERE j BETWEEN 6 AND 18""".stripMargin) { (s, d) =>
+      import graft.sources.{CfTime, CoordCrop}
+      val path = ensureQ211H5()
+      val units = CfTime.hdf5Units(path, "time")
+      val (lo, hi) = CfTime.numericRange(units,
+        "2020-01-01 06:00:00", "2020-01-01T18:00:00Z")
+      CoordCrop.hdf5Netcdf4(s, path, "tair", Map("time" -> (lo, hi)))
+        .select(CfTime.hdf5AffineTimestamp(path, "time", col("d0")).as("ts"),
+          col("d1").as("x"), col("value"))
     }
   )
 
@@ -2068,6 +2091,37 @@ object SourceQueries {
 
   private lazy val q209NcDir: String =
     mkCleanedTempDir("graft_q209_nc_")
+
+  /** Writes q211's time-axis HDF5 store once per JVM: 'tair' (24, 4)
+    * in (6, 4) chunks with DIMENSION_LIST -> [time, x]; 'time' is a
+    * dim scale of hour numbers 0..23 with CF units
+    * "hours since 2020-01-01". */
+  private def ensureQ211H5(): String = {
+    import graft.sources.HDF5
+    val f = java.nio.file.Paths.get(q211Hdf5Dir, "timeaxis.h5")
+    if (!java.nio.file.Files.exists(f)) {
+      val bytes = HDF5.write(Seq(
+        HDF5.DsSpec("tair", Seq(24, 4), Array.tabulate(96)(_ * 0.5),
+          chunkDims = Some(Seq(6, 4)),
+          attrs = Seq(HDF5.WAttrDimList("DIMENSION_LIST", Seq("time", "x")))),
+        HDF5.DsSpec("time", Seq(24), Array.tabulate(24)(_.toDouble),
+          attrs = Seq(
+            HDF5.WAttrString("CLASS", "DIMENSION_SCALE"),
+            HDF5.WAttrString("NAME", "time"),
+            HDF5.WAttrString("units", "hours since 2020-01-01"),
+            HDF5.WAttrString("calendar", "proleptic_gregorian"))),
+        HDF5.DsSpec("x", Seq(4), Array.tabulate(4)(i => 5.0 + i * 10.0),
+          attrs = Seq(
+            HDF5.WAttrString("CLASS", "DIMENSION_SCALE"),
+            HDF5.WAttrString("NAME", "x")))), deflate = true)
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
+
+  private lazy val q211Hdf5Dir: String =
+    mkCleanedTempDir("graft_q211_hdf5_")
 
   /** Writes q210's zarr scene once per JVM, then merges the CF pack
     * attrs into the array's .zattrs (the xarray to_zarr placement). */

@@ -114,7 +114,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q204_zarr_coord_crop" :+ "q205_netcdf3_coord_crop"
       :+ "q206_hdf5_coord_crop"
       :+ "q207_hdf5_dimscale_crop" :+ "q208_hdf5_cf_mask_scale"
-      :+ "q209_netcdf3_cf_mask_scale" :+ "q210_zarr_cf_mask_scale")
+      :+ "q209_netcdf3_cf_mask_scale" :+ "q210_zarr_cf_mask_scale"
+      :+ "q211_hdf5_time_crop")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -317,6 +318,19 @@ class PlanRegressionSpec extends SparkSpec {
       s"dataset filter must reach the scan:\n${plan.take(1500)}")
     assert(plan.contains("Project"),
       s"mask-and-scale should stay a projection:\n${plan.take(1500)}")
+  }
+
+  test("q211: the TIMESTAMP-bounded crop maps through CF units and prunes chunk rows") {
+    val plan = planOf("q211_hdf5_time_crop")
+    assert(!plan.contains("Exchange"), s"DSv2 hdf5 scan must not shuffle:\n${plan.take(1200)}")
+    // "hours since 2020-01-01": [06:00, 18:00] -> d0 6-18
+    assert(plan.contains("GreaterThanOrEqual(d0,6)") &&
+      plan.contains("LessThanOrEqual(d0,18)"),
+      s"time-mapped d0 range must reach the scan:\n${plan.take(1500)}")
+    // (24,4) in (6,4) chunks: d0 6-18 keeps chunk rows 1-3 of 4
+    val df = graft.SparkEntry.queries("q211_hdf5_time_crop")(spark, sf)
+    assert(df.rdd.getNumPartitions == 3,
+      s"expected 3 planned partitions, got ${df.rdd.getNumPartitions}")
   }
 
   test("q201: the file:// URI mount plans exactly like the plain-path mount") {
