@@ -1963,6 +1963,24 @@ object SourceQueries {
       CoordCrop.hdf5Netcdf4(s, path, "tair", Map("time" -> (lo, hi)))
         .select(CfTime.hdf5AffineTimestamp(path, "time", col("d0")).as("ts"),
           col("d1").as("x"), col("value"))
+    },
+
+    // ---- netCDF-4 GROUPS on the HDF5 mount ---------------------------------
+    // Datasets address by group path ("model/t2m") exactly like the
+    // zarr mount's nested groups; the dataset filter prunes the root
+    // siblings at plan time and DIMENSION_LIST dim scales resolve
+    // ACROSS group boundaries for the auto value crop (xarray's
+    // group=... open path).
+    QueryDef.sqlBacked(
+      "q212_hdf5_group_mount",
+      """SELECT CAST(j AS BIGINT) AS y, CAST(i AS BIGINT) AS x,
+        |  CAST((j*10 + i) * 0.5 - 3.0 AS DOUBLE) AS value
+        |FROM range(0,6) r1(j), range(0,10) r2(i)
+        |WHERE 10 + j*10 BETWEEN 20 AND 40
+        |  AND 5 + i*10 BETWEEN 35 AND 75""".stripMargin) { (s, d) =>
+      graft.sources.CoordCrop.hdf5Netcdf4(s, ensureQ212GroupH5(), "model/t2m",
+          Map("model/y" -> (20.0, 40.0), "model/x" -> (35.0, 75.0)))
+        .select(col("d0").as("y"), col("d1").as("x"), col("value"))
     }
   )
 
@@ -2122,6 +2140,35 @@ object SourceQueries {
 
   private lazy val q211Hdf5Dir: String =
     mkCleanedTempDir("graft_q211_hdf5_")
+
+  /** Writes q212's grouped HDF5 store once per JVM: 'model/t2m' (6, 10)
+    * in (2, 5) chunks with in-group dimension scales, a root-level
+    * 'surface' decoy the dataset filter must prune, and a deeper
+    * 'model/deep/bias' leaf proving two-level nesting. */
+  private def ensureQ212GroupH5(): String = {
+    import graft.sources.HDF5
+    val f = java.nio.file.Paths.get(q212Hdf5Dir, "grouped.h5")
+    if (!java.nio.file.Files.exists(f)) {
+      val bytes = HDF5.write(Seq(
+        HDF5.DsSpec("surface", Seq(7), Array.tabulate(7)(_ * 9.0)),
+        HDF5.DsSpec("model/t2m", Seq(6, 10),
+          Array.tabulate(60)(_ * 0.5 - 3.0), chunkDims = Some(Seq(2, 5)),
+          attrs = Seq(
+            HDF5.WAttrDimList("DIMENSION_LIST", Seq("model/y", "model/x")))),
+        HDF5.DsSpec("model/y", Seq(6), Array.tabulate(6)(j => 10.0 + j * 10.0),
+          attrs = Seq(HDF5.WAttrString("NAME", "y"))),
+        HDF5.DsSpec("model/x", Seq(10), Array.tabulate(10)(i => 5.0 + i * 10.0),
+          attrs = Seq(HDF5.WAttrString("NAME", "x"))),
+        HDF5.DsSpec("model/deep/bias", Seq(3), Array(0.5, 1.5, 2.5))),
+        deflate = true)
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
+
+  private lazy val q212Hdf5Dir: String =
+    mkCleanedTempDir("graft_q212_hdf5_")
 
   /** Writes q210's zarr scene once per JVM, then merges the CF pack
     * attrs into the array's .zattrs (the xarray to_zarr placement). */

@@ -308,8 +308,39 @@ object HDF5 {
     }
   }
 
+  /** Every dataset reachable from the root, named by GROUP PATH
+    * ("model/deep/t2m" — the zarr mount's addressing, and what xarray
+    * shows for netCDF-4 group members). */
   private def rootDatasets(in: H5Input): Seq[(String, Long)] =
-    rootEntries(in, rootHeaderAddr(in))
+    walkEntries(in).collect { case (path, addr, false) => (path, addr) }
+
+  /** (path, object header addr, isGroup) of every object under the
+    * root, breadth-first. Groups are recognized by their messages
+    * (symbol table 0x0011, link info 0x0002, or link messages with no
+    * dataspace); hard-link cycles fail loudly rather than loop. */
+  private[sources] def walkEntries(in: H5Input): Seq[(String, Long, Boolean)] = {
+    val out = Seq.newBuilder[(String, Long, Boolean)]
+    val root = rootHeaderAddr(in)
+    val seen = scala.collection.mutable.Set[Long](root)
+    val queue = scala.collection.mutable.Queue[(String, Long)](("", root))
+    while (queue.nonEmpty) {
+      val (prefix, addr) = queue.dequeue()
+      rootEntries(in, addr).foreach { case (name, childAddr) =>
+        val path = if (prefix.isEmpty) name else s"$prefix/$name"
+        val msgs = foldMessages(in, childAddr)
+        val isGroup = msgs.exists(m => m._1 == 0x0011 || m._1 == 0x0002) ||
+          (msgs.exists(_._1 == 0x0006) && !msgs.exists(_._1 == 0x0001))
+        out += ((path, childAddr, isGroup))
+        if (isGroup) {
+          if (!seen.add(childAddr))
+            throw new IllegalArgumentException(
+              s"group cycle: '$path' revisits the object header at $childAddr")
+          queue.enqueue((path, childAddr))
+        }
+      }
+    }
+    out.result()
+  }
 
   /** Root group members as (name, object header addr) — from the symbol
     * table message (old-style groups) or from compact Link messages
@@ -339,8 +370,10 @@ object HDF5 {
         }
         dense.getOrElse {
           val links = msgs.collect { case (0x0006, off) => parseLinkMessage(in, off) }
-          require(links.nonEmpty,
-            "root object header has neither a symbol table message nor link messages")
+          // a compact new-style group can be EMPTY: link info present,
+          // no fractal heap, no link messages
+          require(links.nonEmpty || msgs.exists(_._1 == 0x0002),
+            "group object header has neither a symbol table message nor link messages")
           links
         }
     }
@@ -979,30 +1012,28 @@ object HDF5 {
     compact ++ dense
   }
 
-  /** Attribute sets of the root group (key `""`) and of every root
-    * entry, dense or compact, by object name. Driver-side metadata
+  /** Attribute sets of the root group (key `""`) and of every object
+    * under it — datasets AND groups (netCDF-4 group attrs), keyed by
+    * group path, dense or compact storage. Driver-side metadata
     * (KB-scale header walks over a [[PagedFileInput]]). */
-  def attributes(in: H5Input): Map[String, Seq[H5Attr]] = {
-    val rootAddr = rootHeaderAddr(in)
-    (("" -> attrsOf(in, foldMessages(in, rootAddr))) +:
-      rootEntries(in, rootAddr).map { case (name, addr) =>
-        name -> attrsOf(in, foldMessages(in, addr))
+  def attributes(in: H5Input): Map[String, Seq[H5Attr]] =
+    (("" -> attrsOf(in, foldMessages(in, rootHeaderAddr(in)))) +:
+      walkEntries(in).map { case (path, addr, _) =>
+        path -> attrsOf(in, foldMessages(in, addr))
       }).toMap
-  }
 
   /** netCDF-4 dimension scales: for each dataset carrying a
     * `DIMENSION_LIST` attribute, its per-axis dimension names — the
-    * referenced dim-scale datasets' root-entry names (None for an
+    * referenced dim-scale datasets' group-path names (None for an
     * axis with no attached scale). This is what xarray shows as the
     * variable's `dims`, resolved from object references. */
   def dimensionNames(in: H5Input): Map[String, Seq[Option[String]]] = {
-    val rootAddr = rootHeaderAddr(in)
-    val entries = rootEntries(in, rootAddr)
-    val byAddr = entries.map { case (n, a) => a -> n }.toMap
-    entries.flatMap { case (name, addr) =>
+    val entries = walkEntries(in)
+    val byAddr = entries.map { case (p, a, _) => a -> p }.toMap
+    entries.flatMap { case (path, addr, _) =>
       attrsOf(in, foldMessages(in, addr)).collectFirst {
         case H5Attr("DIMENSION_LIST", H5AttrValue.RefLists(ls)) =>
-          name -> ls.map(_.headOption.flatMap(byAddr.get))
+          path -> ls.map(_.headOption.flatMap(byAddr.get))
       }
     }.toMap
   }
@@ -2212,29 +2243,73 @@ object HDF5 {
     sorted.foreach(s => s.attrs.collect { case WAttrDimList(_, ts) => ts }.flatten
       .foreach(t => require(specs.exists(_.name == t),
         s"${s.name}: DIMENSION_LIST target '$t' is not a dataset in this write")))
+    // ---- group tree from '/'-separated dataset names -------------------
+    // Each group (root included) owns a v0 symbol-table quartet: object
+    // header + local heap (child leaf names) + a one-leaf B-tree + one
+    // SNOD — the netCDF-4 group shape at this writer's scale.
+    final class GNode(val path: String) {
+      val subs = scala.collection.mutable.SortedMap.empty[String, GNode]
+      val ds = scala.collection.mutable.ArrayBuffer.empty[DsSpec]
+      /** (leaf name, full path, isGroup), SNOD name order. */
+      def children: Seq[(String, String, Boolean)] =
+        (subs.keys.map(k => (k, if (path.isEmpty) k else s"$path/$k", true)) ++
+          ds.map(s => (s.name.split('/').last, s.name, false))).toSeq.sortBy(_._1)
+    }
+    val rootG = new GNode("")
+    sorted.foreach { s =>
+      val segs = s.name.split('/')
+      require(segs.forall(_.nonEmpty), s"invalid dataset path '${s.name}'")
+      var g = rootG
+      segs.dropRight(1).foreach { seg =>
+        g = g.subs.getOrElseUpdate(seg,
+          new GNode(if (g.path.isEmpty) seg else s"${g.path}/$seg"))
+      }
+      g.ds += s
+    }
+    val groups: Seq[GNode] = { // BFS, root first
+      val q = scala.collection.mutable.Queue(rootG)
+      val acc = Seq.newBuilder[GNode]
+      while (q.nonEmpty) { val g = q.dequeue(); acc += g; g.subs.values.foreach(q.enqueue) }
+      acc.result()
+    }
+    groups.foreach { g =>
+      val names = g.children.map(_._1)
+      require(names.distinct.size == names.size,
+        s"group '${g.path}': a subgroup and a dataset share a name")
+    }
     // ---- layout computation (all sections 8-aligned)
     val superblockLen = 96
-    val rootHeaderLen = 16 + 8 + 16 // prefix + msg header + symtab msg
     def align8(x: Long): Long = (x + 7) & ~7L
-    val heapAddr = superblockLen + rootHeaderLen
-    // heap data: 8 reserved bytes (offset 0 = empty name), then names
-    val nameOffsets = scala.collection.mutable.Map[String, Long]()
-    var heapCursor = 8L
-    sorted.foreach { s =>
-      nameOffsets(s.name) = heapCursor
-      // slot size from the UTF-8 BYTE length (written below), not the
-      // UTF-16 char count — non-ASCII names would overrun their slot
-      heapCursor = align8(heapCursor + s.name.getBytes("UTF-8").length + 1)
+    // per-group quartet addresses; root's header lands at superblockLen
+    var cursor: Long = superblockLen
+    val gHeader = scala.collection.mutable.Map[String, Long]()
+    val gHeap = scala.collection.mutable.Map[String, Long]()
+    val gHeapData = scala.collection.mutable.Map[String, Long]()
+    val gBtree = scala.collection.mutable.Map[String, Long]()
+    val gSnod = scala.collection.mutable.Map[String, Long]()
+    // (group path, leaf name) -> local-heap name offset
+    val nameOffsets = scala.collection.mutable.Map[(String, String), Long]()
+    groups.foreach { g =>
+      gHeader(g.path) = cursor
+      cursor += 16 + 8 + 16 // prefix + msg header + symtab msg
+      gHeap(g.path) = cursor
+      val heapHeaderLen = 32
+      gHeapData(g.path) = cursor + heapHeaderLen
+      // heap data: 8 reserved bytes (offset 0 = empty name), then names
+      var heapCursor = 8L
+      g.children.foreach { case (leaf, _, _) =>
+        nameOffsets((g.path, leaf)) = heapCursor
+        // slot size from the UTF-8 BYTE length (written below), not the
+        // UTF-16 char count — non-ASCII names would overrun their slot
+        heapCursor = align8(heapCursor + leaf.getBytes("UTF-8").length + 1)
+      }
+      cursor += heapHeaderLen + heapCursor
+      gBtree(g.path) = cursor
+      cursor += align8(24 + 2 * 8 + 8) // header + 1 (key,child) + final key
+      gSnod(g.path) = cursor
+      cursor += align8(8 + 40L * g.children.size)
     }
-    val heapDataLen = heapCursor
-    val heapHeaderLen = 32
-    val heapDataAddr = heapAddr + heapHeaderLen
-    val btreeAddr = heapDataAddr + heapDataLen
-    val btreeLen = align8(24 + 2 * 8 + 8) // header + 1 (key,child) + final key
-    val snodAddr = btreeAddr + btreeLen
-    val snodLen = align8(8 + 40L * sorted.size)
     // per-dataset: object header then data / chunk-btree + chunks
-    var cursor = snodAddr + snodLen
     val headerAddrs = scala.collection.mutable.Map[String, Long]()
     val dataAddrs = scala.collection.mutable.Map[String, Long]()
     val chunkBtreeAddrs = scala.collection.mutable.Map[String, Long]()
@@ -2311,48 +2386,58 @@ object HDF5 {
     out.putInt(0); out.putInt(0)
     (0 until 16).foreach(_ => out.put(0.toByte))
 
-    // ---- root group object header (1 message: symbol table)
-    out.put(1.toByte); out.put(0.toByte)
-    out.putShort(1)
-    out.putInt(1)
-    out.putInt(8 + 16) // header size
-    out.putInt(0) // alignment pad
-    out.putShort(0x0011); out.putShort(16)
-    out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
-    out.putLong(btreeAddr); out.putLong(heapAddr)
+    // ---- group quartets (header + local heap + B-tree + SNOD), BFS
+    groups.foreach { g =>
+      val children = g.children
+      out.position(gHeader(g.path).toInt)
+      out.put(1.toByte); out.put(0.toByte)
+      out.putShort(1)
+      out.putInt(1)
+      out.putInt(8 + 16) // header size
+      out.putInt(0) // alignment pad
+      out.putShort(0x0011); out.putShort(16)
+      out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+      out.putLong(gBtree(g.path)); out.putLong(gHeap(g.path))
 
-    // ---- local heap
-    out.put('H'.toByte); out.put('E'.toByte); out.put('A'.toByte); out.put('P'.toByte)
-    out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
-    out.putLong(heapDataLen)
-    out.putLong(Undef) // free list: none
-    out.putLong(heapDataAddr)
-    sorted.foreach { s =>
-      out.position((heapDataAddr + nameOffsets(s.name)).toInt)
-      out.put(s.name.getBytes("UTF-8")); out.put(0.toByte)
-    }
+      // local heap (child leaf names)
+      out.position(gHeap(g.path).toInt)
+      val heapDataLen = children.lastOption
+        .map { case (leaf, _, _) =>
+          align8(nameOffsets((g.path, leaf)) + leaf.getBytes("UTF-8").length + 1) }
+        .getOrElse(8L)
+      out.put('H'.toByte); out.put('E'.toByte); out.put('A'.toByte); out.put('P'.toByte)
+      out.put(0.toByte); out.put(0.toByte); out.put(0.toByte); out.put(0.toByte)
+      out.putLong(heapDataLen)
+      out.putLong(Undef) // free list: none
+      out.putLong(gHeapData(g.path))
+      children.foreach { case (leaf, _, _) =>
+        out.position((gHeapData(g.path) + nameOffsets((g.path, leaf))).toInt)
+        out.put(leaf.getBytes("UTF-8")); out.put(0.toByte)
+      }
 
-    // ---- B-tree (one leaf with one SNOD child)
-    out.position(btreeAddr.toInt)
-    out.put('T'.toByte); out.put('R'.toByte); out.put('E'.toByte); out.put('E'.toByte)
-    out.put(0.toByte) // node type: group
-    out.put(0.toByte) // level: leaf
-    out.putShort(1) // entries used
-    out.putLong(Undef); out.putLong(Undef) // siblings
-    out.putLong(0L) // key 0: empty name (offset 0)
-    out.putLong(snodAddr) // child 0
-    out.putLong(nameOffsets(sorted.last.name)) // key 1: largest name
+      // B-tree (one leaf with one SNOD child)
+      out.position(gBtree(g.path).toInt)
+      out.put('T'.toByte); out.put('R'.toByte); out.put('E'.toByte); out.put('E'.toByte)
+      out.put(0.toByte) // node type: group
+      out.put(0.toByte) // level: leaf
+      out.putShort(1) // entries used
+      out.putLong(Undef); out.putLong(Undef) // siblings
+      out.putLong(0L) // key 0: empty name (offset 0)
+      out.putLong(gSnod(g.path)) // child 0
+      out.putLong(children.lastOption // key 1: largest name
+        .map { case (leaf, _, _) => nameOffsets((g.path, leaf)) }.getOrElse(0L))
 
-    // ---- SNOD
-    out.position(snodAddr.toInt)
-    out.put('S'.toByte); out.put('N'.toByte); out.put('O'.toByte); out.put('D'.toByte)
-    out.put(1.toByte); out.put(0.toByte)
-    out.putShort(sorted.size.toShort)
-    sorted.foreach { s =>
-      out.putLong(nameOffsets(s.name))
-      out.putLong(headerAddrs(s.name))
-      out.putInt(0); out.putInt(0)
-      (0 until 16).foreach(_ => out.put(0.toByte))
+      // SNOD
+      out.position(gSnod(g.path).toInt)
+      out.put('S'.toByte); out.put('N'.toByte); out.put('O'.toByte); out.put('D'.toByte)
+      out.put(1.toByte); out.put(0.toByte)
+      out.putShort(children.size.toShort)
+      children.foreach { case (leaf, full, isGroup) =>
+        out.putLong(nameOffsets((g.path, leaf)))
+        out.putLong(if (isGroup) gHeader(full) else headerAddrs(full))
+        out.putInt(0); out.putInt(0)
+        (0 until 16).foreach(_ => out.put(0.toByte))
+      }
     }
 
     // ---- datasets

@@ -115,7 +115,7 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q206_hdf5_coord_crop"
       :+ "q207_hdf5_dimscale_crop" :+ "q208_hdf5_cf_mask_scale"
       :+ "q209_netcdf3_cf_mask_scale" :+ "q210_zarr_cf_mask_scale"
-      :+ "q211_hdf5_time_crop")
+      :+ "q211_hdf5_time_crop" :+ "q212_hdf5_group_mount")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -331,6 +331,23 @@ class PlanRegressionSpec extends SparkSpec {
     val df = graft.SparkEntry.queries("q211_hdf5_time_crop")(spark, sf)
     assert(df.rdd.getNumPartitions == 3,
       s"expected 3 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q212: the grouped mount pushes the path-qualified dataset filter and prunes") {
+    val plan = planOf("q212_hdf5_group_mount")
+    assert(!plan.contains("Exchange"), s"DSv2 hdf5 scan must not shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("EqualTo(dataset,model/t2m)"),
+      s"group-path dataset filter must reach the scan:\n${plan.take(1500)}")
+    assert(plan.contains("GreaterThanOrEqual(d0,1)") &&
+      plan.contains("LessThanOrEqual(d0,3)") &&
+      plan.contains("GreaterThanOrEqual(d1,3)") &&
+      plan.contains("LessThanOrEqual(d1,7)"),
+      s"in-group mapped d0/d1 ranges must reach the scan:\n${plan.take(1500)}")
+    // (6,10) in (2,5) chunks: d0 1-3 x d1 3-7 -> 4 of 6 chunks; the
+    // root 'surface' decoy and 'model/deep/bias' prune on dataset
+    val df = graft.SparkEntry.queries("q212_hdf5_group_mount")(spark, sf)
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 planned partitions, got ${df.rdd.getNumPartitions}")
   }
 
   test("q201: the file:// URI mount plans exactly like the plain-path mount") {

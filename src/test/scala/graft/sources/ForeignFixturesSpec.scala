@@ -70,6 +70,25 @@ class ForeignFixturesSpec extends AnyFunSuite {
     assert(dss.find(_.name == "dense_var").get.data.toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("HDF5: python-written NESTED GROUPS decode by path (old-style tree " +
+      "with an OHDR compact-links group inside)") {
+    val in = new ArrayInput(fixture("golden_groups.h5"))
+    val dss = HDF5.read(in).sortBy(_.name)
+    assert(dss.map(_.name) == Seq("latest/v", "model/deep/bias", "model/t2m",
+      "model/x", "model/y", "surface"))
+    assert(dss.find(_.name == "model/t2m").get.data.toSeq ==
+      (0 until 6).map(_ * 0.5))
+    assert(dss.find(_.name == "model/deep/bias").get.data.toSeq == Seq(0.25, 0.75))
+    assert(dss.find(_.name == "latest/v").get.data.toSeq == Seq(7.0, 9.0))
+    assert(dss.find(_.name == "surface").get.data.toSeq == Seq(0.0, 2.0, 4.0))
+    // DIMENSION_LIST references cross group boundaries
+    assert(HDF5.dimensionNames(in) ==
+      Map("model/t2m" -> Seq(Some("model/y"), Some("model/x"))))
+    val walk = HDF5.walkEntries(in)
+    assert(walk.collect { case (p, _, true) => p }.sorted ==
+      Seq("latest", "model", "model/deep"))
+  }
+
   test("HDF5: python-written v0 file decodes exactly") {
     val dss = HDF5.read(fixture("golden.h5")).sortBy(_.name)
     assert(dss.map(_.name) == Seq("series", "shuf", "temp"))

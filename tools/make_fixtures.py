@@ -4302,6 +4302,116 @@ def write_hdf5_ncattrs(path):
         f.write(bytes(buf))
 
 
+
+def write_hdf5_groups(path):
+    """Nested-group golden (netCDF-4 group model, v0 generation):
+    root{ surface[3]=k*2, model/{ t2m[2,3]=i*0.5 with DIMENSION_LIST ->
+    [model/y, model/x] dim scales, y[2]=10j, x[3]=5i,
+    deep/{ bias[2]=0.25,0.75 } }, latest/{ v[2]=7,9 } } where 'latest'
+    is a NEW-STYLE (OHDR compact-links) group inside the old-style
+    tree — the mixed-generation shape the reader must tolerate. The
+    t2m DIMENSION_LIST references cross group boundaries."""
+    buf = bytearray(b"\0" * 96)
+
+    def alloc(blob):
+        off = len(buf)
+        buf.extend(blob)
+        return off
+
+    def symtab_group(entries):
+        """One old-style group quartet; entries = [(name, oh_addr)]."""
+        heap_data = bytearray(b"\0" * 8)
+        name_offs = {}
+        for nm, _ in sorted(entries):
+            name_offs[nm] = len(heap_data)
+            heap_data += nm.encode() + b"\0"
+            heap_data += b"\0" * ((-len(heap_data)) % 8)
+        heap_data_addr = alloc(bytes(heap_data))
+        heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data),
+                                                UNDEF, heap_data_addr))
+        snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(entries))
+        for nm, oh in sorted(entries):
+            snod += struct.pack("<QQII16x", name_offs[nm], oh, 0, 0)
+        snod_addr = alloc(snod)
+        gtree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+        gtree += struct.pack("<QQ", UNDEF, UNDEF)
+        gtree += struct.pack("<QQ", 0, snod_addr)
+        gtree += struct.pack("<Q", name_offs[sorted(entries)[-1][0]])
+        gtree_addr = alloc(gtree)
+        return alloc(h5_object_header([
+            h5_msg(0x0011, struct.pack("<QQ", gtree_addr, heap_addr)),
+        ])), gtree_addr, heap_addr
+
+    # --- leaf datasets ---------------------------------------------------
+    surface_data = alloc(struct.pack("<3d", *[k * 2.0 for k in range(3)]))
+    surface_oh = alloc(h5_object_header([
+        h5_dataspace([3]), h5_datatype_float(8),
+        h5_layout_contiguous(surface_data, 24),
+    ]))
+    y_data = alloc(struct.pack("<2d", 0.0, 10.0))
+    y_oh = alloc(h5_object_header([
+        h5_dataspace([2]), h5_datatype_float(8),
+        h5a_attr_v1("NAME", h5a_dt_str(2), h5a_ds([1]), b"y\0"),
+        h5_layout_contiguous(y_data, 16),
+    ]))
+    x_data = alloc(struct.pack("<3d", 0.0, 5.0, 10.0))
+    x_oh = alloc(h5_object_header([
+        h5_dataspace([3]), h5_datatype_float(8),
+        h5_layout_contiguous(x_data, 24),
+    ]))
+    gobjs = [struct.pack("<Q", y_oh), struct.pack("<Q", x_oh)]
+    gbody = b""
+    for i, o in enumerate(gobjs):
+        gbody += struct.pack("<HHIQ", i + 1, 1, 0, len(o)) + h5a_pad8(o)
+    gcol_addr = alloc(b"GCOL" + struct.pack("<B3xQ", 1, 16 + len(gbody) + 16) +
+                      gbody + struct.pack("<HHIQ", 0, 0, 0, 16))
+    t2m_data = alloc(struct.pack("<6d", *[i * 0.5 for i in range(6)]))
+    dimlist = (struct.pack("<IQI", 1, gcol_addr, 1) +
+               struct.pack("<IQI", 1, gcol_addr, 2))
+    t2m_oh = alloc(h5_object_header([
+        h5_dataspace([2, 3]), h5_datatype_float(8),
+        h5a_attr_v1("DIMENSION_LIST", h5a_dt_vlen_ref(), h5a_ds([2]), dimlist),
+        h5_layout_contiguous(t2m_data, 48),
+    ]))
+    bias_data = alloc(struct.pack("<2d", 0.25, 0.75))
+    bias_oh = alloc(h5_object_header([
+        h5_dataspace([2]), h5_datatype_float(8),
+        h5_layout_contiguous(bias_data, 16),
+    ]))
+    v_data = alloc(struct.pack("<2d", 7.0, 9.0))
+    v_oh = alloc(h5_object_header([
+        h5_dataspace([2]), h5_datatype_float(8),
+        h5_layout_contiguous(v_data, 16),
+    ]))
+
+    # --- groups, leaves first --------------------------------------------
+    deep_oh, _, _ = symtab_group([("bias", bias_oh)])
+    model_oh, _, _ = symtab_group([
+        ("deep", deep_oh), ("t2m", t2m_oh), ("x", x_oh), ("y", y_oh)])
+    # NEW-STYLE group: OHDR header, link-info (no fractal heap) + a
+    # compact link message — nested inside the old-style tree
+    latest_oh = alloc(h5v2_object_header([
+        h5v2_msg(0x02, struct.pack("<BBQQ", 0, 0, UNDEF, UNDEF)),
+        h5_link_msg("v", v_oh),
+    ]))
+    root_oh, gtree_addr, heap_addr = symtab_group([
+        ("latest", latest_oh), ("model", model_oh), ("surface", surface_oh)])
+
+    # --- superblock v0
+    sb = io.BytesIO()
+    sb.write(b"\x89HDF\r\n\x1a\n")
+    sb.write(struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0))
+    sb.write(struct.pack("<HHI", 4, 16, 0))
+    sb.write(struct.pack("<QQQQ", 0, UNDEF, len(buf), UNDEF))
+    sb.write(struct.pack("<QQII", 0, root_oh, 1, 0))
+    sb.write(struct.pack("<QQ", gtree_addr, heap_addr))
+    sb_bytes = sb.getvalue()
+    assert len(sb_bytes) == 96, len(sb_bytes)
+    buf[0:96] = sb_bytes
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
 def main():
     os.makedirs(TEST_FIX, exist_ok=True)
     os.makedirs(MAIN_FIX, exist_ok=True)
@@ -4317,6 +4427,7 @@ def main():
     write_hdf5_nbit_so(os.path.join(TEST_FIX, "golden_nbit_so.h5"))
     write_hdf5_v2(os.path.join(TEST_FIX, "golden_v2.h5"))
     write_hdf5_ncattrs(os.path.join(TEST_FIX, "golden_ncattrs.h5"))
+    write_hdf5_groups(os.path.join(TEST_FIX, "golden_groups.h5"))
     write_hdf5_dense(os.path.join(TEST_FIX, "golden_dense.h5"))
     write_hdf5_dense_filtered(os.path.join(TEST_FIX, "golden_filtered_heap.h5"))
     write_hdf5_dense_filtered_indirect(
