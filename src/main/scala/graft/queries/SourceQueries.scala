@@ -1981,6 +1981,49 @@ object SourceQueries {
       graft.sources.CoordCrop.hdf5Netcdf4(s, ensureQ212GroupH5(), "model/t2m",
           Map("model/y" -> (20.0, 40.0), "model/x" -> (35.0, 75.0)))
         .select(col("d0").as("y"), col("d1").as("x"), col("value"))
+    },
+
+    // ---- CF time crop on the zarr mount ------------------------------------
+    // The leading coordinate array carries units "hours since
+    // 2021-03-01" in its .zattrs; timestamp bounds [03:00, 05:00] map
+    // to d0 3-5 — row band 1 of 2 — and the output ts decodes through
+    // the same units.
+    // (2021-03-01 = epoch 1614556800.)
+    QueryDef.sqlBacked(
+      "q213_zarr_time_crop",
+      """SELECT make_timestamp(1614556800000000 + j*3600000000) AS ts,
+        |  CAST(i AS BIGINT) AS x, CAST(j*4 + i AS DOUBLE) AS value
+        |FROM range(0,6) r1(j), range(0,4) r2(i)
+        |WHERE j BETWEEN 3 AND 5""".stripMargin) { (s, d) =>
+      import graft.sources.{CfTime, CoordCrop}
+      val store = ensureQ213Zarr(s)
+      val units = CfTime.zarrUnits(store, "y")
+      val (lo, hi) = CfTime.numericRange(units,
+        "2021-03-01 03:00:00", "2021-03-01 05:00:00")
+      CoordCrop.zarr(s, store, "lwp", Map("y" -> (lo, hi)))
+        .select(CfTime.zarrAffineTimestamp(store, "y", col("d0")).as("ts"),
+          col("d1").as("x"), col("value"))
+    },
+
+    // ---- CF time crop on the netCDF-3 mount --------------------------------
+    // The record-dim coordinate (strided record slabs) carries
+    // "minutes since 2022-05-10" with 30-minute steps; bounds
+    // [00:45, 02:30] map to records 2-5, pruning record batches.
+    // (2022-05-10 = epoch 1652140800.)
+    QueryDef.sqlBacked(
+      "q214_netcdf3_time_crop",
+      """SELECT make_timestamp(1652140800000000 + t*30*60000000) AS ts,
+        |  CAST(i AS BIGINT) AS x, CAST(t*3 + i AS DOUBLE) AS flux
+        |FROM range(0,8) r1(t), range(0,3) r2(i)
+        |WHERE t*30 BETWEEN 45 AND 150""".stripMargin) { (s, d) =>
+      import graft.sources.{CfTime, CoordCrop}
+      val path = ensureQ214Nc()
+      val units = CfTime.netcdf3Units(path, "time")
+      val (lo, hi) = CfTime.numericRange(units,
+        "2022-05-10 00:45:00", "2022-05-10T02:30:00Z")
+      CoordCrop.netcdf3(s, path, "flux", Map("time" -> (lo, hi)))
+        .select(CfTime.netcdf3AffineTimestamp(path, "time", col("d0")).as("ts"),
+          col("d1").as("x"), col("value").as("flux"))
     }
   )
 
@@ -2169,6 +2212,68 @@ object SourceQueries {
 
   private lazy val q212Hdf5Dir: String =
     mkCleanedTempDir("graft_q212_hdf5_")
+
+  /** Writes q213's zarr scene once per JVM, then gives the 'y'
+    * coordinate array CF time units in its .zattrs (the xarray
+    * encoding for a time axis). */
+  private def ensureQ213Zarr(s: SparkSession): String = {
+    import graft.sources.ZarrSink
+    val dir = q213ZarrDir
+    val store = s"$dir/s0.zarr"
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      val (ny, nx) = (6, 4)
+      val grid = s.range(ny.toLong * nx).select(
+        lit("s0").as("scene_id"),
+        expr("timestamp_seconds(1614556800)").as("time"),
+        (expr(s"id % $nx") * 1.0).as("x"),
+        (expr(s"id div $nx") * 1.0).as("y"), // hour numbers 0..5
+        col("id").cast("double").as("value"))
+      ZarrSink.writeScenes(grid, dir, "lwp", chunkRows = Some(3)).count()
+      val za = java.nio.file.Paths.get(store, "y", ".zattrs")
+      val json =
+        if (java.nio.file.Files.exists(za))
+          new String(java.nio.file.Files.readAllBytes(za), "UTF-8")
+            .trim.stripSuffix("}") + ","
+        else "{"
+      java.nio.file.Files.write(za,
+        (json + """"units":"hours since 2021-03-01"}""").getBytes("UTF-8"))
+      ()
+    }
+    store
+  }
+
+  private lazy val q213ZarrDir: String =
+    mkCleanedTempDir("graft_q213_zarr_")
+
+  /** Writes q214's record-dim netCDF-3 store once per JVM: 'flux'
+    * (time, x) with 'time' a record coordinate at 30-minute steps and
+    * CF units in its attribute list. */
+  private def ensureQ214Nc(): String = {
+    import graft.sources.NetCDF3
+    val f = java.nio.file.Paths.get(q214NcDir, "timerec.nc")
+    if (!java.nio.file.Files.exists(f)) {
+      val (nrec, nx) = (8, 3)
+      val bytes = NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", nx)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("flux", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nrec * nx)(_ * 1.0)),
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble, Seq(
+            NetCDF3.Attr("units", NetCDF3.NcChar, "minutes since 2022-05-10"),
+            NetCDF3.Attr("calendar", NetCDF3.NcChar, "standard")),
+            Array.tabulate(nrec)(t => t * 30.0)),
+          NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nx)(_ * 1.0))),
+        numRecs = nrec)
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
+
+  private lazy val q214NcDir: String =
+    mkCleanedTempDir("graft_q214_nc_")
 
   /** Writes q210's zarr scene once per JVM, then merges the CF pack
     * attrs into the array's .zattrs (the xarray to_zarr placement). */

@@ -128,6 +128,26 @@ object CfTime {
     affineTimestamp(dimCol, units, first, stride)
   }
 
+  /** Turnkey zarr variant of [[hdf5AffineTimestamp]]. */
+  def zarrAffineTimestamp(store: String, coordArray: String,
+      dimCol: Column): Column = {
+    val units = zarrUnits(store, coordArray)
+    val coords = CoordCrop.zarrArrayValues(store, coordArray)
+    val (first, stride) = affineOf(coords).getOrElse(
+      fail(s"$store/$coordArray is not evenly spaced — decode values row-wise"))
+    affineTimestamp(dimCol, units, first, stride)
+  }
+
+  /** Turnkey netCDF-3 variant of [[hdf5AffineTimestamp]]. */
+  def netcdf3AffineTimestamp(path: String, coordVar: String,
+      dimCol: Column): Column = {
+    val units = netcdf3Units(path, coordVar)
+    val coords = CoordCrop.nc3VarValues(path, coordVar)
+    val (first, stride) = affineOf(coords).getOrElse(
+      fail(s"$path/$coordVar is not evenly spaced — decode values row-wise"))
+    affineTimestamp(dimCol, units, first, stride)
+  }
+
   // ---- per-mount units/calendar readers (driver-side metadata) ----------
 
   /** `units`/`calendar` attrs of an HDF5 (netCDF-4) coordinate dataset. */

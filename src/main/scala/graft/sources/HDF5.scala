@@ -878,6 +878,9 @@ object HDF5 {
       val osize = ob.getLong()
       if (oidx == 0) pos = end // free-space terminator
       else {
+        // a lying object size must reject, not allocate
+        require(osize >= 0 && ob.position() + osize <= end,
+          s"global heap object $oidx claims $osize bytes past the collection")
         if (oidx == idx) return in.slice(ob.position(), osize.toInt)
         pos = ob.position() + ((osize + 7) & ~7L)
       }
@@ -942,6 +945,8 @@ object HDF5 {
       case 9 if t.base.exists(_.cls == 7) =>
         H5AttrValue.RefLists((0 until n).map { i =>
           val (bytes, len) = vlenBytes(i)
+          require(len >= 0 && len.toLong * 8 <= bytes.length,
+            s"vlen reference list claims $len refs in ${bytes.length} bytes")
           val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
           (0 until len).map(j => b.getLong(j * 8))
         })

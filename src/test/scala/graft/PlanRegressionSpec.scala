@@ -115,7 +115,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q206_hdf5_coord_crop"
       :+ "q207_hdf5_dimscale_crop" :+ "q208_hdf5_cf_mask_scale"
       :+ "q209_netcdf3_cf_mask_scale" :+ "q210_zarr_cf_mask_scale"
-      :+ "q211_hdf5_time_crop" :+ "q212_hdf5_group_mount")
+      :+ "q211_hdf5_time_crop" :+ "q212_hdf5_group_mount"
+      :+ "q213_zarr_time_crop" :+ "q214_netcdf3_time_crop")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -348,6 +349,24 @@ class PlanRegressionSpec extends SparkSpec {
     val df = graft.SparkEntry.queries("q212_hdf5_group_mount")(spark, sf)
     assert(df.rdd.getNumPartitions == 4,
       s"expected 4 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q213/q214: TIMESTAMP bounds map through CF units on the zarr and nc3 mounts") {
+    val pz = planOf("q213_zarr_time_crop")
+    assert(!pz.contains("Exchange"))
+    assert(pz.contains("GreaterThanOrEqual(d0,3)") &&
+      pz.contains("LessThanOrEqual(d0,5)"),
+      s"time-mapped d0 range must reach the zarr scan:\n${pz.take(1500)}")
+    // (6,4) in 3-row bands: d0 3-5 keeps band 1 of 2
+    val dfz = graft.SparkEntry.queries("q213_zarr_time_crop")(spark, sf)
+    assert(dfz.rdd.getNumPartitions == 1,
+      s"expected 1 planned partition, got ${dfz.rdd.getNumPartitions}")
+    val pn = planOf("q214_netcdf3_time_crop")
+    assert(!pn.contains("Exchange"))
+    // 30-minute steps: [00:45, 02:30] -> records 2-5
+    assert(pn.contains("GreaterThanOrEqual(d0,2)") &&
+      pn.contains("LessThanOrEqual(d0,5)"),
+      s"time-mapped d0 range must reach the nc3 scan:\n${pn.take(1500)}")
   }
 
   test("q201: the file:// URI mount plans exactly like the plain-path mount") {

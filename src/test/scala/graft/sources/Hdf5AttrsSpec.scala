@@ -112,6 +112,42 @@ class Hdf5AttrsSpec extends SparkSpec {
     assert(y.toSeq == (0 until ny).map(j => 10.0 + j * 10.0))
   }
 
+  test("corrupted attribute metadata fails loudly — no Errors, no hangs") {
+    val orig = {
+      val in = getClass.getResourceAsStream("/fixtures/golden_ncattrs.h5")
+      require(in != null, "golden_ncattrs.h5 missing — run tools/make_fixtures.py")
+      try in.readAllBytes() finally in.close()
+    }
+    // sanity: the pristine bytes decode
+    assert(HDF5.attributes(new ArrayInput(orig))("tair").nonEmpty)
+    val rng = new scala.util.Random(4242)
+    var loudRejects = 0
+    for (_ <- 0 until 80) {
+      val mutated =
+        if (rng.nextBoolean()) { // truncate somewhere past the superblock
+          val at = 96 + rng.nextInt(orig.length - 96)
+          java.util.Arrays.copyOf(orig, at)
+        } else { // flip a bit anywhere (headers, GCOL, heap, B-tree)
+          val m = orig.clone()
+          val at = rng.nextInt(m.length)
+          m(at) = (m(at) ^ (1 << rng.nextInt(8))).toByte
+          m
+        }
+      try {
+        val in = new ArrayInput(mutated)
+        // the walk + every decoded value; Unsupported is fine, Error is not
+        HDF5.attributes(in).values.flatten.foreach(_.value)
+        HDF5.dimensionNames(in)
+        ()
+      } catch {
+        case _: Exception => loudRejects += 1 // loud is the contract
+        case e: Error => fail(s"corruption escalated to ${e.getClass}: $e")
+      }
+    }
+    // bit flips in padding can be benign; structural damage must reject
+    assert(loudRejects > 15, s"only $loudRejects/80 mutations rejected")
+  }
+
   test("the latest-generation writers reject attrs rather than dropping them") {
     val e = intercept[IllegalArgumentException] {
       HDF5.writeLatest(Seq(HDF5.DsSpec("v", Seq(2), Array(1.0, 2.0),
