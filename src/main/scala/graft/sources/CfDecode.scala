@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CF mask-and-scale over the HDF5/netCDF-4 mount — the packed-storage
@@ -21,26 +21,50 @@ import org.apache.spark.sql.functions._
   */
 object CfDecode {
 
-  /** The three CF packing attributes of one HDF5 dataset. */
-  final case class CfAttrs(scale: Double, offset: Double, fill: Option[Double])
+  /** The CF packing attributes of one dataset. `unsignedModulus` is the
+    * netCDF-classic `_Unsigned = "true"` reinterpretation (2^width):
+    * values stored SIGNED whose negatives mean the high half of the
+    * unsigned range — xarray applies it before mask and scale. */
+  final case class CfAttrs(scale: Double, offset: Double, fill: Option[Double],
+      unsignedModulus: Option[Double] = None)
 
-  /** Read scale_factor / add_offset / _FillValue for `dataset` (each a
-    * 1-element numeric array per CF §8.1; absent -> identity). */
+  /** Read scale_factor / add_offset / _FillValue / _Unsigned for
+    * `dataset` (numerics are 1-element arrays per CF §8.1; absent ->
+    * identity). _Unsigned needs the stored width, read from the same
+    * metadata walk. */
   def hdf5CfAttrs(path: String, dataset: String): CfAttrs = {
     val in = new PagedFileInput(path)
-    val attrs = try HDF5.attributes(in).getOrElse(dataset, Nil) finally in.close()
+    val (attrs, dtBits) = try {
+      (HDF5.attributes(in).getOrElse(dataset, Nil),
+        HDF5.manifest(in).collectFirst {
+          case (v, _) if v.name == dataset && v.dtClass == 0 && v.signedInt =>
+            v.dtSize * 8
+        })
+    } finally in.close()
     def num(name: String): Option[Double] = attrs.find(_.name == name).flatMap(_.num)
+    val unsignedMod = attrs.find(_.name == "_Unsigned").flatMap(_.str) match {
+      case Some(s) if s.equalsIgnoreCase("true") =>
+        val bits = dtBits.getOrElse(throw new IllegalArgumentException(
+          s"cf decode: $path/$dataset has _Unsigned but is not a signed integer"))
+        Some(math.pow(2.0, bits))
+      case _ => None
+    }
     CfAttrs(num("scale_factor").getOrElse(1.0), num("add_offset").getOrElse(0.0),
-      num("_FillValue"))
+      num("_FillValue"), unsignedMod)
   }
 
   /** Apply mask-and-scale to a mount DataFrame's `value` column using
-    * `attrs`. Fill comparison happens on the RAW value (CF order:
-    * mask, then scale). */
+    * `attrs`. Order matches xarray: unsigned reinterpretation first
+    * (on the fill value too — it is stored with the data's signed
+    * type), then mask on the raw value, then scale. */
   def maskAndScale(df: DataFrame, attrs: CfAttrs): DataFrame = {
-    val raw = col("value")
-    val masked = attrs.fill match {
-      case Some(f) => when(raw === lit(f), lit(null)).otherwise(raw)
+    def reinterpret(c: Column): Column = attrs.unsignedModulus match {
+      case Some(m) => when(c < 0, c + lit(m)).otherwise(c)
+      case None => c
+    }
+    val raw = reinterpret(col("value"))
+    val masked = attrs.fill.map(f => lit(f)).map(reinterpret) match {
+      case Some(f) => when(raw === f, lit(null)).otherwise(raw)
       case None => raw
     }
     df.withColumn("value", (masked * lit(attrs.scale) + lit(attrs.offset)).cast("double"))

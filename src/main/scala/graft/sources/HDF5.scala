@@ -250,6 +250,11 @@ object HDF5 {
     (dtClass, dtSize) match {
       case (1, 8) => bb.getDouble(i * 8)
       case (1, 4) => bb.getFloat(i * 4).toDouble
+      case (0, 1) => // the netCDF-classic byte type (packed data)
+        if (signedInt) bb.get(i).toDouble else (bb.get(i) & 0xff).toDouble
+      case (0, 2) => // int16 — THE CF packed-variable type
+        if (signedInt) bb.getShort(i * 2).toDouble
+        else (bb.getShort(i * 2) & 0xffff).toDouble
       case (0, 4) =>
         if (signedInt) bb.getInt(i * 4).toDouble
         else (bb.getInt(i * 4) & 0xffffffffL).toDouble

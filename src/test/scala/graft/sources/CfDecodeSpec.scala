@@ -72,6 +72,29 @@ class CfDecodeSpec extends SparkSpec {
     }
   }
 
+  test("HDF5 packed ints: int16 scale/offset and _Unsigned int8 reinterpretation") {
+    val res = getClass.getResourceAsStream("/fixtures/golden_ncattrs.h5")
+    require(res != null, "golden_ncattrs.h5 missing — run tools/make_fixtures.py")
+    val bytes = try res.readAllBytes() finally res.close()
+    val p = Files.createTempFile("graft-cf-packed", ".h5")
+    Files.write(p, bytes)
+    def decoded(ds: String): Seq[Option[Double]] =
+      CfDecode.hdf5(spark, p.toString, ds).orderBy("idx").select("value")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    // raw int8 [-1,5,-128,0,7,-2] -> unsigned [255,5,128,0,7,254];
+    // fill -1 reinterprets to 255 and masks idx 0; then *0.5 + 2
+    val u8 = decoded("packed_u8")
+    assert(u8.head.isEmpty)
+    val wantU8 = Seq(4.5, 66.0, 2.0, 5.5, 129.0)
+    u8.tail.zip(wantU8).foreach { case (got, want) =>
+      assert(got.exists(g => math.abs(g - want) < 1e-9), s"$got vs $want") }
+    // int16 [-9999,120,-5,0,2500,-9999] * 0.01 + 300, fills masked
+    val i16 = decoded("packed_i16")
+    assert(i16(0).isEmpty && i16(5).isEmpty)
+    Seq(1 -> 301.2, 2 -> 299.95, 3 -> 300.0, 4 -> 325.0).foreach { case (i, want) =>
+      assert(i16(i).exists(g => math.abs(g - want) < 1e-9), s"${i16(i)} vs $want") }
+  }
+
   test("zarr v3: pack attrs decode from zarr.json attributes") {
     val dir = Files.createTempDirectory("graft-cf-z3").toString
     val grid = spark.range(8).select(

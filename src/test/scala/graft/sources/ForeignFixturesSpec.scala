@@ -62,12 +62,26 @@ class ForeignFixturesSpec extends AnyFunSuite {
       "method" -> Strs(Seq("mean")),
       "cell_methods" -> Strs(Seq("time: mean")),
       "levels" -> Nums(Seq(1.5, 2.5))))
-    // the attribute surface must not disturb data decode
+    // the attribute surface must not disturb data decode; int8/int16
+    // datasets (THE CF packed types) decode signed
     val dss = HDF5.read(in).sortBy(_.name)
-    assert(dss.map(_.name) == Seq("dense_var", "tair", "x", "y"))
+    assert(dss.map(_.name) ==
+      Seq("dense_var", "packed_i16", "packed_u8", "tair", "x", "y"))
     assert(dss.find(_.name == "tair").get.data.toSeq ==
       (0 until 24).map(i => if (i % 7 == 0) -999.0 else i * 0.25 - 2.0))
     assert(dss.find(_.name == "dense_var").get.data.toSeq == Seq(1.0, 2.0, 3.0))
+    assert(dss.find(_.name == "packed_i16").get.data.toSeq ==
+      Seq(-9999.0, 120.0, -5.0, 0.0, 2500.0, -9999.0))
+    assert(dss.find(_.name == "packed_u8").get.data.toSeq ==
+      Seq(-1.0, 5.0, -128.0, 0.0, 7.0, -2.0))
+    // CF decode of both packed shapes: int16 + scale/offset/fill, and
+    // the netCDF-classic _Unsigned reinterpretation (fill -1 -> 255)
+    val tmp = java.nio.file.Files.createTempFile("graft-ncattrs", ".h5")
+    java.nio.file.Files.write(tmp, fixture("golden_ncattrs.h5"))
+    assert(CfDecode.hdf5CfAttrs(tmp.toString, "packed_i16") ==
+      CfDecode.CfAttrs(0.01, 300.0, Some(-9999.0), None))
+    assert(CfDecode.hdf5CfAttrs(tmp.toString, "packed_u8") ==
+      CfDecode.CfAttrs(0.5, 2.0, Some(-1.0), Some(256.0)))
   }
 
   test("HDF5: python-written NESTED GROUPS decode by path (old-style tree " +

@@ -4195,6 +4195,39 @@ def write_hdf5_ncattrs(path):
         h5_layout_contiguous(tair_data, 24 * 8),
     ]))
 
+    # --- packed_i16: THE CF packed-variable shape (int16 + scale/offset)
+    pi16_vals = [-9999, 120, -5, 0, 2500, -9999]
+    pi16_data = alloc(struct.pack("<6h", *pi16_vals) + b"\0" * 4)
+    pi16_oh = alloc(h5_object_header([
+        h5_dataspace([6]),
+        h5_msg(0x0003, struct.pack("<BBBBIHH", 0x10, 0x08, 0, 0, 2, 0, 16)),
+        h5a_attr_v1("scale_factor", h5a_dt_f64(), h5a_ds([1]),
+                    struct.pack("<d", 0.01)),
+        h5a_attr_v1("add_offset", h5a_dt_f64(), h5a_ds([1]),
+                    struct.pack("<d", 300.0)),
+        h5a_attr_v1("_FillValue",
+                    struct.pack("<BBBBIHH", 0x10, 0x08, 0, 0, 2, 0, 16),
+                    h5a_ds([1]), struct.pack("<h", -9999) + b"\0" * 6),
+        h5_layout_contiguous(pi16_data, 12),
+    ]))
+
+    # --- packed_u8: netCDF-classic _Unsigned (stored SIGNED int8)
+    pu8_vals = [-1, 5, -128, 0, 7, -2]
+    pu8_data = alloc(struct.pack("<6b", *pu8_vals) + b"\0" * 2)
+    pu8_oh = alloc(h5_object_header([
+        h5_dataspace([6]),
+        h5_msg(0x0003, struct.pack("<BBBBIHH", 0x10, 0x08, 0, 0, 1, 0, 8)),
+        h5a_attr_v1("_Unsigned", h5a_dt_str(5), h5a_ds([1]), b"true\0"),
+        h5a_attr_v1("scale_factor", h5a_dt_f64(), h5a_ds([1]),
+                    struct.pack("<d", 0.5)),
+        h5a_attr_v1("add_offset", h5a_dt_f64(), h5a_ds([1]),
+                    struct.pack("<d", 2.0)),
+        h5a_attr_v1("_FillValue",
+                    struct.pack("<BBBBIHH", 0x10, 0x08, 0, 0, 1, 0, 8),
+                    h5a_ds([1]), struct.pack("<b", -1) + b"\0" * 7),
+        h5_layout_contiguous(pu8_data, 6),
+    ]))
+
     # --- dense_var: three attrs in DENSE storage
     dv_vals = [1.0, 2.0, 3.0]
     dv_data = alloc(struct.pack("<3d", *dv_vals))
@@ -4263,7 +4296,7 @@ def write_hdf5_ncattrs(path):
     # --- root group scaffolding (+ root attrs)
     heap_data = bytearray(b"\0" * 8)
     name_offs = {}
-    names = ["dense_var", "tair", "x", "y"]  # SNOD name order
+    names = ["dense_var", "packed_i16", "packed_u8", "tair", "x", "y"]  # SNOD name order
     for nm in names:
         name_offs[nm] = len(heap_data)
         heap_data += nm.encode() + b"\0"
@@ -4271,7 +4304,8 @@ def write_hdf5_ncattrs(path):
     heap_data_addr = alloc(bytes(heap_data))
     heap_addr = alloc(b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), UNDEF,
                                             heap_data_addr))
-    ohs = {"dense_var": dv_oh, "tair": tair_oh, "x": x_oh, "y": y_oh}
+    ohs = {"dense_var": dv_oh, "packed_i16": pi16_oh, "packed_u8": pu8_oh,
+           "tair": tair_oh, "x": x_oh, "y": y_oh}
     snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
     for nm in names:
         snod += struct.pack("<QQII16x", name_offs[nm], ohs[nm], 0, 0)
