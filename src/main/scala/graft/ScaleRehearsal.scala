@@ -419,6 +419,46 @@ object ScaleRehearsal {
       }
     }
 
+    // round 15: the netCDF-4 attribute surface — a consolidated grouped
+    // store with many attributed variables. The walk (attributes +
+    // dimensionNames over every object header) must stay METADATA-
+    // proportional: bytesTouched tracks the header pages, not the
+    // payload bytes, and wall time tracks variable count.
+    if (wanted("hdf5_attr_walk")) {
+      import graft.sources.HDF5
+      val nVars = (10 * mult).toInt
+      val rows = 65536 // 512 KiB payload per variable
+      val specs = (0 until nVars).flatMap { v =>
+        Seq(
+          HDF5.DsSpec(s"g$v/tair", Seq(rows), Array.tabulate(rows)(_ * 0.5),
+            chunkDims = Some(Seq(8192)),
+            attrs = Seq(
+              HDF5.WAttrDimList("DIMENSION_LIST", Seq(s"g$v/t")),
+              HDF5.WAttrString("units", "K"),
+              HDF5.WAttrDouble("scale_factor", Seq(0.01)),
+              HDF5.WAttrDouble("add_offset", Seq(20.0)),
+              HDF5.WAttrDouble("_FillValue", Seq(-999.0)))),
+          HDF5.DsSpec(s"g$v/t", Seq(rows), Array.tabulate(rows)(_.toDouble),
+            attrs = Seq(
+              HDF5.WAttrString("NAME", "t"),
+              HDF5.WAttrString("units", "hours since 2020-01-01"))))
+      }
+      val f = java.nio.file.Files.createTempFile("graft-scale-attrs", ".h5")
+      java.nio.file.Files.write(f, HDF5.write(specs))
+      timed("hdf5_attr_walk") {
+        val in = new graft.sources.PagedFileInput(f.toString)
+        try {
+          val attrs = HDF5.attributes(in)
+          val dims = HDF5.dimensionNames(in)
+          require(dims.size == nVars && attrs.size == 3 * nVars + 1)
+          println(s"""{"op":"hdf5_attr_walk_io","bytesTouched":${in.bytesTouched},""" +
+            s""""fileBytes":${java.nio.file.Files.size(f)}}""")
+          attrs.size.toLong
+        } finally in.close()
+      }
+      java.nio.file.Files.delete(f)
+    }
+
     spark.stop()
   }
 }
