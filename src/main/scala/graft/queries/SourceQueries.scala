@@ -2024,6 +2024,24 @@ object SourceQueries {
       CoordCrop.netcdf3(s, path, "flux", Map("time" -> (lo, hi)))
         .select(CfTime.netcdf3AffineTimestamp(path, "time", col("d0")).as("ts"),
           col("d1").as("x"), col("value").as("flux"))
+    },
+
+    // ---- CDF-5 (64-bit data) classic files on the netCDF-3 mount ----------
+    // The pnetcdf format every NON_NEG header field widened to 8 bytes
+    // and the extended integer types: 'counts' is NC_UINT with values
+    // above the int32 range, record-striped over the unlimited dim;
+    // a d0 record crop prunes record batches at plan time as on CDF-1.
+    QueryDef.sqlBacked(
+      "q215_netcdf3_cdf5_mount",
+      """SELECT CAST(t AS BIGINT) AS tstep, CAST(i AS BIGINT) AS x,
+        |  CAST(4000000000 + t*5 + i AS DOUBLE) AS counts
+        |FROM range(0,8) r1(t), range(0,5) r2(i)
+        |WHERE t BETWEEN 2 AND 5""".stripMargin) { (s, d) =>
+      s.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", ensureQ215Cdf5()).load()
+        .where(col("dataset") === "counts" && col("d0").between(2, 5))
+        .select(col("d0").as("tstep"), col("d1").as("x"),
+          col("value").as("counts"))
     }
   )
 
@@ -2274,6 +2292,34 @@ object SourceQueries {
 
   private lazy val q214NcDir: String =
     mkCleanedTempDir("graft_q214_nc_")
+
+  /** Writes q215's CDF-5 store once per JVM: 'counts' NC_UINT
+    * (time, x) above the int32 range plus an int64 'time' record
+    * coordinate and a fixed decoy. */
+  private def ensureQ215Cdf5(): String = {
+    import graft.sources.NetCDF3
+    val f = java.nio.file.Paths.get(q215NcDir, "bigdata.nc")
+    if (!java.nio.file.Files.exists(f)) {
+      val (nrec, nx) = (8, 5)
+      val bytes = NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", nx)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("counts", Seq("time", "x"), NetCDF3.NcUInt, Nil,
+            Array.tabulate(nrec * nx)(i => 4.0e9 + i)),
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcInt64, Nil,
+            Array.tabulate(nrec)(t => 1.0e12 + t * 60)),
+          NetCDF3.VarSpec("decoy", Seq("x"), NetCDF3.NcUShort, Nil,
+            Array.tabulate(nx)(_ * 100.0))),
+        numRecs = nrec, version = 5)
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
+
+  private lazy val q215NcDir: String =
+    mkCleanedTempDir("graft_q215_nc_")
 
   /** Writes q210's zarr scene once per JVM, then merges the CF pack
     * attrs into the array's .zattrs (the xarray to_zarr placement). */

@@ -3,7 +3,8 @@ package graft.sources
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM codec for the NetCDF classic binary format (CDF-1 and CDF-2,
+/** Pure-JVM codec for the NetCDF classic binary format (CDF-1, CDF-2,
+  * and CDF-5 64-bit-data with the extended integer types,
   * the fully public format every `*.nc` file of the reference's LES /
   * ERA5 sources uses before netCDF-4/HDF5). No external jars: the format
   * is a flat big-endian header (dims, global attrs, variables) followed
@@ -30,6 +31,9 @@ object NetCDF3 {
 
   val NcByte = 1; val NcChar = 2; val NcShort = 3
   val NcInt = 4; val NcFloat = 5; val NcDouble = 6
+  // CDF-5 (pnetcdf 64-bit data) extended types
+  val NcUByte = 7; val NcUShort = 8; val NcUInt = 9
+  val NcInt64 = 10; val NcUInt64 = 11
 
   final case class Dim(name: String, length: Int) {
     def isRecord: Boolean = length == 0
@@ -44,10 +48,10 @@ object NetCDF3 {
       gattrs: Seq[Attr], vars: Seq[Variable])
 
   def typeSize(t: Int): Int = t match {
-    case NcByte | NcChar => 1
-    case NcShort => 2
-    case NcInt | NcFloat => 4
-    case NcDouble => 8
+    case NcByte | NcChar | NcUByte => 1
+    case NcShort | NcUShort => 2
+    case NcInt | NcFloat | NcUInt => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
     case other => throw new IllegalArgumentException(s"unsupported nc_type $other")
   }
 
@@ -57,8 +61,17 @@ object NetCDF3 {
   // Reader
   // ---------------------------------------------------------------------
 
-  private def readName(b: ByteBuffer): String = {
-    val n = b.getInt()
+  /** One NON_NEG field: 4 bytes in CDF-1/2, 8 in CDF-5. */
+  private def nonNeg(b: ByteBuffer, wide: Boolean): Long =
+    if (wide) b.getLong() else b.getInt().toLong
+
+  private def asInt(v: Long, what: String): Int = {
+    require(v >= 0 && v <= Int.MaxValue, s"$what $v out of supported range")
+    v.toInt
+  }
+
+  private def readName(b: ByteBuffer, wide: Boolean): String = {
+    val n = asInt(nonNeg(b, wide), "name length")
     val bytes = new Array[Byte](n)
     b.get(bytes)
     b.position(b.position() + (pad4(n) - n).toInt)
@@ -75,18 +88,24 @@ object NetCDF3 {
       case NcInt => Array.fill(n)(b.getInt())
       case NcFloat => Array.fill(n)(b.getFloat())
       case NcDouble => Array.fill(n)(b.getDouble())
+      case NcUByte => Array.fill(n)((b.get() & 0xff).toShort)
+      case NcUShort => Array.fill(n)(b.getShort() & 0xffff)
+      case NcUInt => Array.fill(n)(b.getInt() & 0xffffffffL)
+      // uint64 attrs keep the raw bits in a Long (magnitudes above
+      // 2^63 are not representable; CF pack attrs never go there)
+      case NcInt64 | NcUInt64 => Array.fill(n)(b.getLong())
     }
     val used = n.toLong * typeSize(ncType)
     b.position(b.position() + (pad4(used) - used).toInt)
     res
   }
 
-  private def readAttrList(b: ByteBuffer): Seq[Attr] = {
-    val tag = b.getInt(); val n = b.getInt()
+  private def readAttrList(b: ByteBuffer, wide: Boolean): Seq[Attr] = {
+    val tag = b.getInt(); val n = asInt(nonNeg(b, wide), "attr count")
     require(tag == 0x0C || (tag == 0 && n == 0), s"bad att_list tag $tag")
     (0 until n).map { _ =>
-      val name = readName(b)
-      val t = b.getInt(); val nelems = b.getInt()
+      val name = readName(b, wide)
+      val t = b.getInt(); val nelems = asInt(nonNeg(b, wide), "attr nelems")
       Attr(name, t, readAttrValues(b, t, nelems))
     }
   }
@@ -99,21 +118,30 @@ object NetCDF3 {
         "(contiguous uncompressed subset) instead of the classic reader")
     require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F', "not a NetCDF classic file")
     val version = b.get().toInt
-    require(version == 1 || version == 2, s"unsupported CDF version $version (netCDF-4/HDF5 needs the HDF path)")
-    val numRecs = b.getInt()
-    val dimTag = b.getInt(); val nDims = b.getInt()
+    // 1 = classic, 2 = 64-bit OFFSET, 5 = 64-bit DATA (pnetcdf CDF-5:
+    // every NON_NEG field widens to 8 bytes and the extended integer
+    // types appear); 3/4 never existed on disk
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version (netCDF-4/HDF5 needs the HDF path)")
+    val wide = version == 5
+    val numRecsRaw = nonNeg(b, wide)
+    require(numRecsRaw != -1L, // 0xFFFF... in either width reads as -1
+      "STREAMING numrecs unsupported (record count must be materialized)")
+    val numRecs = asInt(numRecsRaw, "numrecs")
+    val dimTag = b.getInt(); val nDims = asInt(nonNeg(b, wide), "dim count")
     require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"bad dim_list tag $dimTag")
-    val dims = (0 until nDims).map(_ => Dim(readName(b), b.getInt()))
-    val gattrs = readAttrList(b)
-    val varTag = b.getInt(); val nVars = b.getInt()
+    val dims = (0 until nDims).map(_ =>
+      Dim(readName(b, wide), asInt(nonNeg(b, wide), "dim length")))
+    val gattrs = readAttrList(b, wide)
+    val varTag = b.getInt(); val nVars = asInt(nonNeg(b, wide), "var count")
     require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"bad var_list tag $varTag")
     val vars = (0 until nVars).map { _ =>
-      val name = readName(b)
-      val nd = b.getInt()
-      val dimIds = (0 until nd).map(_ => b.getInt())
-      val attrs = readAttrList(b)
+      val name = readName(b, wide)
+      val nd = asInt(nonNeg(b, wide), "var rank")
+      val dimIds = (0 until nd).map(_ => asInt(nonNeg(b, wide), "dim id"))
+      val attrs = readAttrList(b, wide)
       val t = b.getInt()
-      val vsize = b.getInt().toLong & 0xFFFFFFFFL
+      val vsize = if (wide) b.getLong() else b.getInt().toLong & 0xFFFFFFFFL
       val begin = if (version == 1) b.getInt().toLong & 0xFFFFFFFFL else b.getLong()
       Variable(name, dimIds, attrs, t, vsize, begin)
     }
@@ -161,6 +189,16 @@ object NetCDF3 {
         case NcInt => b.getInt().toDouble
         case NcFloat => b.getFloat().toDouble
         case NcDouble => b.getDouble()
+        case NcUByte => (b.get() & 0xff).toDouble
+        case NcUShort => (b.getShort() & 0xffff).toDouble
+        case NcUInt => (b.getInt() & 0xffffffffL).toDouble
+        case NcInt64 => b.getLong().toDouble
+        case NcUInt64 =>
+          val v = b.getLong()
+          // unsigned magnitude above 2^63: split the top bit so the
+          // Double keeps the unsigned value (same policy as HDF5 u64)
+          if (v >= 0) v.toDouble
+          else (v & Long.MaxValue).toDouble + 9.223372036854775808e18
       }
       i += 1
     }
@@ -206,19 +244,27 @@ object NetCDF3 {
       name: String, dimNames: Seq[String], ncType: Int,
       attrs: Seq[Attr] = Nil, data: Array[Double] = Array.empty)
 
-  private def writeName(out: java.io.ByteArrayOutputStream, s: String): Unit = {
+  private def putNonNeg(b: ByteBuffer, v: Long, wide: Boolean): Unit =
+    if (wide) b.putLong(v) else b.putInt(v.toInt)
+
+  private def nonNegLen(wide: Boolean): Int = if (wide) 8 else 4
+
+  private def writeName(out: java.io.ByteArrayOutputStream, s: String,
+      wide: Boolean): Unit = {
     val bytes = s.getBytes(StandardCharsets.UTF_8)
-    val b = ByteBuffer.allocate(4 + pad4(bytes.length).toInt)
-    b.putInt(bytes.length); b.put(bytes)
+    val b = ByteBuffer.allocate(nonNegLen(wide) + pad4(bytes.length).toInt)
+    putNonNeg(b, bytes.length.toLong, wide); b.put(bytes)
     out.write(b.array())
   }
 
-  private def writeAttrList(out: java.io.ByteArrayOutputStream, attrs: Seq[Attr]): Unit = {
-    val b0 = ByteBuffer.allocate(8)
-    if (attrs.isEmpty) { b0.putInt(0); b0.putInt(0) } else { b0.putInt(0x0C); b0.putInt(attrs.size) }
+  private def writeAttrList(out: java.io.ByteArrayOutputStream, attrs: Seq[Attr],
+      wide: Boolean): Unit = {
+    val b0 = ByteBuffer.allocate(4 + nonNegLen(wide))
+    b0.putInt(if (attrs.isEmpty) 0 else 0x0C)
+    putNonNeg(b0, attrs.size.toLong, wide)
     out.write(b0.array())
     attrs.foreach { a =>
-      writeName(out, a.name)
+      writeName(out, a.name, wide)
       val (nelems, payload) = a.value match {
         case s: String =>
           val bytes = s.getBytes(StandardCharsets.UTF_8); (bytes.length, bytes)
@@ -231,9 +277,12 @@ object NetCDF3 {
           val b = ByteBuffer.allocate(xs.length * 4); xs.foreach(b.putFloat); (xs.length, b.array())
         case xs: Array[Double] =>
           val b = ByteBuffer.allocate(xs.length * 8); xs.foreach(b.putDouble); (xs.length, b.array())
+        case xs: Array[Long] => // int64/uint64 (CDF-5 extended types)
+          val b = ByteBuffer.allocate(xs.length * 8); xs.foreach(b.putLong); (xs.length, b.array())
         case other => throw new IllegalArgumentException(s"unsupported attr payload ${other.getClass}")
       }
-      val head = ByteBuffer.allocate(8); head.putInt(a.ncType); head.putInt(nelems)
+      val head = ByteBuffer.allocate(4 + nonNegLen(wide))
+      head.putInt(a.ncType); putNonNeg(head, nelems.toLong, wide)
       out.write(head.array()); out.write(payload)
       (0L until (pad4(payload.length) - payload.length)).foreach(_ => out.write(0))
     }
@@ -245,12 +294,23 @@ object NetCDF3 {
     case NcInt => b.putInt(v.toInt)
     case NcFloat => b.putFloat(v.toFloat)
     case NcDouble => b.putDouble(v)
+    case NcUByte => b.put((v.toLong & 0xff).toByte)
+    case NcUShort => b.putShort((v.toLong & 0xffff).toShort)
+    case NcUInt => b.putInt((v.toLong & 0xffffffffL).toInt)
+    case NcInt64 | NcUInt64 => b.putLong(v.toLong)
   }
 
-  /** Write a CDF-1 classic file. `dims` with length 0 marks the record
+  /** Write a classic file (CDF-1 default; version = 2 for 64-bit
+    * offsets, 5 for 64-bit data + extended types). `dims` with length 0 marks the record
     * dimension (at most one, and it must be each record-var's FIRST dim);
     * `numRecs` is its realized length. */
-  def write(dims: Seq[Dim], gattrs: Seq[Attr], vars: Seq[VarSpec], numRecs: Int = 0): Array[Byte] = {
+  def write(dims: Seq[Dim], gattrs: Seq[Attr], vars: Seq[VarSpec],
+      numRecs: Int = 0, version: Int = 1): Array[Byte] = {
+    require(version == 1 || version == 2 || version == 5,
+      s"CDF version $version unwritable (1 classic, 2 64-bit offset, 5 64-bit data)")
+    val wide = version == 5
+    vars.foreach(v => require(version == 5 || v.ncType <= NcDouble,
+      s"variable ${v.name}: extended type ${v.ncType} needs CDF-5 (version = 5)"))
     val dimIdx = dims.map(_.name).zipWithIndex.toMap
     require(dims.count(_.isRecord) <= 1, "at most one record dimension")
     def dimIds(v: VarSpec) = v.dimNames.map(dimIdx)
@@ -264,29 +324,36 @@ object NetCDF3 {
     // header with placeholder begins to learn its size, then final pass
     def headerBytes(begins: Map[String, Long]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
-      out.write('C'); out.write('D'); out.write('F'); out.write(1)
-      val b0 = ByteBuffer.allocate(12)
-      b0.putInt(numRecs)
-      if (dims.isEmpty) { b0.putInt(0); b0.putInt(0) } else { b0.putInt(0x0A); b0.putInt(dims.size) }
-      out.write(b0.array())
+      out.write('C'); out.write('D'); out.write('F'); out.write(version)
+      val b0 = ByteBuffer.allocate(4 + 2 * nonNegLen(wide))
+      putNonNeg(b0, numRecs.toLong, wide)
+      b0.putInt(if (dims.isEmpty) 0 else 0x0A)
+      putNonNeg(b0, dims.size.toLong, wide)
+      out.write(b0.array(), 0, b0.position())
       dims.foreach { d =>
-        writeName(out, d.name)
-        val b = ByteBuffer.allocate(4); b.putInt(d.length); out.write(b.array())
+        writeName(out, d.name, wide)
+        val b = ByteBuffer.allocate(nonNegLen(wide))
+        putNonNeg(b, d.length.toLong, wide); out.write(b.array())
       }
-      writeAttrList(out, gattrs)
-      val bv = ByteBuffer.allocate(8)
-      if (vars.isEmpty) { bv.putInt(0); bv.putInt(0) } else { bv.putInt(0x0B); bv.putInt(vars.size) }
+      writeAttrList(out, gattrs, wide)
+      val bv = ByteBuffer.allocate(4 + nonNegLen(wide))
+      bv.putInt(if (vars.isEmpty) 0 else 0x0B)
+      putNonNeg(bv, vars.size.toLong, wide)
       out.write(bv.array())
       vars.foreach { v =>
-        writeName(out, v.name)
+        writeName(out, v.name, wide)
         val ids = dimIds(v)
-        val b = ByteBuffer.allocate(4 + ids.size * 4)
-        b.putInt(ids.size); ids.foreach(b.putInt)
+        val b = ByteBuffer.allocate((1 + ids.size) * nonNegLen(wide))
+        putNonNeg(b, ids.size.toLong, wide)
+        ids.foreach(i => putNonNeg(b, i.toLong, wide))
         out.write(b.array())
-        writeAttrList(out, v.attrs)
-        val t = ByteBuffer.allocate(12)
-        t.putInt(v.ncType); t.putInt(vsize(v).toInt)
-        t.putInt(begins.getOrElse(v.name, 0L).toInt)
+        writeAttrList(out, v.attrs, wide)
+        // nc_type (4) + vsize (NON_NEG) + begin (OFFSET: v1 4, v2/5 8)
+        val t = ByteBuffer.allocate(4 + nonNegLen(wide) + (if (version == 1) 4 else 8))
+        t.putInt(v.ncType)
+        putNonNeg(t, vsize(v), wide)
+        if (version == 1) t.putInt(begins.getOrElse(v.name, 0L).toInt)
+        else t.putLong(begins.getOrElse(v.name, 0L))
         out.write(t.array())
       }
       out.toByteArray
@@ -304,13 +371,13 @@ object NetCDF3 {
       else recVars.map(vsize).sum
     val fixedEnd = headerLen + fixedVars.map(vsize).sum
     val totalLen = if (recVars.isEmpty) fixedEnd else fixedEnd + numRecs.toLong * recStride
-    // CDF-1 stores begin offsets and vsize as 32-bit ints; fail loudly on
-    // oversized exports instead of silently truncating (mirrors the
-    // reader's require; CDF-2/CDF-5 64-bit begins are the upgrade path).
+    // The in-memory builder caps at 2 GiB regardless; CDF-1 additionally
+    // stores begin/vsize as 32-bit ints — fail loudly instead of
+    // silently truncating (CDF-2/CDF-5 lift the FORMAT limit).
     require(totalLen <= Int.MaxValue && off <= Int.MaxValue,
-      s"netCDF-3 classic export of $totalLen bytes exceeds the CDF-1 2 GiB " +
-        "offset limit; split the export or add CDF-2 64-bit begins")
-    vars.foreach { v => require(vsize(v) <= Int.MaxValue,
+      s"netCDF-3 export of $totalLen bytes exceeds the in-memory builder limit" +
+        (if (version == 1) " (and the CDF-1 2 GiB offset limit)" else ""))
+    if (version == 1) vars.foreach { v => require(vsize(v) <= Int.MaxValue,
       s"variable ${v.name} vsize ${vsize(v)} overflows the CDF-1 32-bit vsize field") }
     val buf = ByteBuffer.allocate(totalLen.toInt max off.toInt)
     buf.put(headerBytes(begins.toMap))

@@ -116,7 +116,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q207_hdf5_dimscale_crop" :+ "q208_hdf5_cf_mask_scale"
       :+ "q209_netcdf3_cf_mask_scale" :+ "q210_zarr_cf_mask_scale"
       :+ "q211_hdf5_time_crop" :+ "q212_hdf5_group_mount"
-      :+ "q213_zarr_time_crop" :+ "q214_netcdf3_time_crop")
+      :+ "q213_zarr_time_crop" :+ "q214_netcdf3_time_crop"
+      :+ "q215_netcdf3_cdf5_mount")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -367,6 +368,15 @@ class PlanRegressionSpec extends SparkSpec {
     assert(pn.contains("GreaterThanOrEqual(d0,2)") &&
       pn.contains("LessThanOrEqual(d0,5)"),
       s"time-mapped d0 range must reach the nc3 scan:\n${pn.take(1500)}")
+  }
+
+  test("q215: the CDF-5 mount pushes the record crop like CDF-1") {
+    val plan = planOf("q215_netcdf3_cdf5_mount")
+    assert(!plan.contains("Exchange"), s"DSv2 nc3 scan must not shuffle:\n${plan.take(1200)}")
+    assert(plan.contains("EqualTo(dataset,counts)") &&
+      plan.contains("GreaterThanOrEqual(d0,2)") &&
+      plan.contains("LessThanOrEqual(d0,5)"),
+      s"dataset + d0 range must reach the scan:\n${plan.take(1500)}")
   }
 
   test("q201: the file:// URI mount plans exactly like the plain-path mount") {

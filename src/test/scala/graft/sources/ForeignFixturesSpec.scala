@@ -222,6 +222,38 @@ class ForeignFixturesSpec extends AnyFunSuite {
     assert(flux.toSeq == Seq(1.5, 2.5, 3.5, 4.5))
   }
 
+  test("netCDF3: python-written CDF-5 (64-bit data) decodes exactly, " +
+      "extended types included") {
+    val bytes = fixture("golden_cdf5.nc")
+    val h = NetCDF3.readHeader(bytes)
+    assert(h.version == 5 && h.numRecs == 3)
+    assert(h.dims.map(d => (d.name, d.length)) == Seq(("time", 0), ("x", 4)))
+    assert(h.gattrs.exists(a => a.name == "title" && a.value == "cdf5 golden"))
+    // int64 record coordinate + its units attr (wide attr fields)
+    val (td, ts, time) = NetCDF3.readValues(bytes, "time")
+    assert(td == Seq("time") && ts == Seq(3))
+    assert(time.toSeq == Seq(100.0, 150.0, 200.0))
+    val tv = h.vars.find(_.name == "time").get
+    assert(tv.ncType == NetCDF3.NcInt64)
+    assert(tv.attrs.exists(a => a.name == "units" &&
+      a.value == "seconds since 2024-01-01"))
+    // uint record variable above the int32 range (strided records)
+    val (_, cs, counts) = NetCDF3.readValues(bytes, "counts")
+    assert(cs == Seq(3, 4))
+    assert(counts.toSeq == (0 until 12).map(i => 4.0e9 + i))
+    // ushort fixed var + an int64 _FillValue attr
+    val (_, _, packed) = NetCDF3.readValues(bytes, "packed")
+    assert(packed.toSeq == Seq(0.0, 7.0, 65535.0, 42.0))
+    assert(h.vars.find(_.name == "packed").get.attrs.exists(a =>
+      a.name == "_FillValue" && (a.value match {
+        case xs: Array[Long] => xs.toSeq == Seq(-1L)
+        case _ => false
+      })))
+    // uint64 with the top bit set keeps the unsigned magnitude
+    val (_, _, big) = NetCDF3.readValues(bytes, "big")
+    assert(big.toSeq == Seq(math.pow(2, 63) + 5, 1.0, 0.0, math.pow(2, 64) - 1))
+  }
+
   test("netCDF3: python-written classic file decodes exactly") {
     val bytes = fixture("golden.nc")
     val h = NetCDF3.readHeader(bytes)

@@ -66,6 +66,40 @@ class NetCDFSpec extends SparkSpec {
     assert(vals.toSeq == field.map(_.toFloat.toDouble).toSeq)
   }
 
+  test("CDF-5 writer round-trips: 8-byte NON_NEG fields + extended types") {
+    val bytes = NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 3)),
+      gattrs = Seq(NetCDF3.Attr("big_attr", NetCDF3.NcInt64, Array(1L << 40))),
+      vars = Seq(
+        NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcInt64, Nil,
+          Array(1.0e12, 1.0e12 + 60)),
+        NetCDF3.VarSpec("counts", Seq("time", "x"), NetCDF3.NcUInt, Nil,
+          Array.tabulate(6)(i => 4.0e9 + i)),
+        NetCDF3.VarSpec("flags", Seq("x"), NetCDF3.NcUByte, Nil,
+          Array(0.0, 200.0, 255.0))),
+      numRecs = 2, version = 5)
+    val h = NetCDF3.readHeader(bytes)
+    assert(h.version == 5 && h.numRecs == 2)
+    assert(h.gattrs.find(_.name == "big_attr").get.value
+      .asInstanceOf[Array[Long]].toSeq == Seq(1L << 40))
+    assert(NetCDF3.readValues(bytes, "time")._3.toSeq == Seq(1.0e12, 1.0e12 + 60))
+    assert(NetCDF3.readValues(bytes, "counts")._3.toSeq ==
+      (0 until 6).map(i => 4.0e9 + i))
+    assert(NetCDF3.readValues(bytes, "flags")._3.toSeq == Seq(0.0, 200.0, 255.0))
+    // CDF-2 keeps narrow NON_NEGs with 64-bit begins
+    val v2 = NetCDF3.write(Seq(NetCDF3.Dim("x", 2)), Nil,
+      Seq(NetCDF3.VarSpec("v", Seq("x"), NetCDF3.NcDouble, Nil, Array(1.0, 2.0))),
+      version = 2)
+    assert(NetCDF3.readHeader(v2).version == 2)
+    assert(NetCDF3.readValues(v2, "v")._3.toSeq == Seq(1.0, 2.0))
+    // extended types without version = 5 reject loudly
+    val e = intercept[IllegalArgumentException] {
+      NetCDF3.write(Seq(NetCDF3.Dim("x", 1)), Nil,
+        Seq(NetCDF3.VarSpec("v", Seq("x"), NetCDF3.NcUInt, Nil, Array(1.0))))
+    }
+    assert(e.getMessage.contains("CDF-5"))
+  }
+
   test("two record variables interleave with padded stride") {
     // per-record: a = 3 shorts (6 bytes -> vsize 8), b = 1 int (4 bytes)
     val bytes = NetCDF3.write(

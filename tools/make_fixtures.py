@@ -4446,6 +4446,70 @@ def write_hdf5_groups(path):
         f.write(bytes(buf))
 
 
+
+def write_netcdf3_cdf5(path):
+    """CDF-5 (pnetcdf 64-bit data): every NON_NEG field is 8 bytes and
+    the extended integer types appear. dims (time=UNLIMITED over 3
+    records, x=4); vars: time(int64)[time] = 100+50t with a units attr,
+    counts(uint)[time, x] = 4e9 + idx (above int32 range), packed
+    (ushort)[x] = [0, 7, 65535, 42] with an int64 _FillValue attr, and
+    big(uint64)[x] with a top-bit-set magnitude."""
+    def name5(s):
+        b = s.encode()
+        return struct.pack(">q", len(b)) + b + b"\0" * ((-len(b)) % 4)
+    def attrs5(items):  # [(name, nctype, payload_bytes, nelems)]
+        if not items:
+            return struct.pack(">iq", 0, 0)
+        out = struct.pack(">iq", 0x0C, len(items))
+        for nm, t, payload, n in items:
+            out += name5(nm) + struct.pack(">iq", t, n) + payload
+            out += b"\0" * ((-len(payload)) % 4)
+        return out
+    header = io.BytesIO()
+    header.write(b"CDF\x05")
+    header.write(struct.pack(">q", 3))                      # numrecs
+    header.write(struct.pack(">iq", 0x0A, 2))               # dim_list
+    header.write(name5("time") + struct.pack(">q", 0))      # UNLIMITED
+    header.write(name5("x") + struct.pack(">q", 4))
+    header.write(attrs5([("title", 2, b"cdf5 golden", 11)]))
+    header.write(struct.pack(">iq", 0x0B, 4))               # var_list
+    base = header.getvalue()
+
+    def var_header(name, dimids, attrs, nctype, vsize, begin):
+        out = name5(name) + struct.pack(">q", len(dimids))
+        out += b"".join(struct.pack(">q", d) for d in dimids)
+        out += attrs5(attrs)
+        out += struct.pack(">i", nctype)
+        out += struct.pack(">q", vsize)                     # NON_NEG vsize
+        out += struct.pack(">q", begin)                     # 64-bit begin
+        return out
+
+    time_units = b"seconds since 2024-01-01"
+    fill = struct.pack(">q", -1)
+    def build(b_packed, b_big, b_time, b_counts):
+        return (var_header("big", [1], [], 11, 32, b_big) +
+                var_header("counts", [0, 1], [], 9, 16, b_counts) +
+                var_header("packed", [1],
+                           [("_FillValue", 10, fill, 1)], 8, 8, b_packed) +
+                var_header("time", [0],
+                           [("units", 2, time_units, len(time_units))],
+                           10, 8, b_time))
+    hdr_len = len(base) + len(build(0, 0, 0, 0))
+    b_packed = hdr_len           # fixed vars first: packed (8 B), big (32 B)
+    b_big = b_packed + 8
+    b_time = b_big + 32          # record vars: time + counts interleave
+    b_counts = b_time + 8
+    blob = base + build(b_packed, b_big, b_time, b_counts)
+    blob += struct.pack(">4H", 0, 7, 65535, 42)             # packed
+    blob += struct.pack(">4Q", 2**63 + 5, 1, 0, 2**64 - 1)  # big
+    for t in range(3):                                      # records
+        blob += struct.pack(">q", 100 + 50 * t)             # time
+        blob += struct.pack(">4I", *[(4_000_000_000 + t * 4 + i) % 2**32
+                                     for i in range(4)])    # counts
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
 def main():
     os.makedirs(TEST_FIX, exist_ok=True)
     os.makedirs(MAIN_FIX, exist_ok=True)
@@ -4477,6 +4541,7 @@ def main():
     write_hdf4(os.path.join(TEST_FIX, "golden.hdf"))
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
+    write_netcdf3_cdf5(os.path.join(TEST_FIX, "golden_cdf5.nc"))
     write_netcdf3_rec_big(os.path.join(TEST_FIX, "consolidated_rec.nc"))
     write_avro(os.path.join(TEST_FIX, "golden.avro"))
     write_tfrecord(os.path.join(TEST_FIX, "golden.tfrecord"))
