@@ -2,12 +2,14 @@ package graft.sources
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Randomized foreign NetCDF-classic sweep: 15 seeded python-written
-  * files (tools/make_fixtures.py `write_netcdf3_fuzz`) covering CDF-1
-  * and CDF-2 (64-bit begins), all five numeric nc_types, fixed
+/** Randomized foreign NetCDF-classic sweep: 24 seeded python-written
+  * files (tools/make_fixtures.py `write_netcdf3_fuzz`) covering CDF-1,
+  * CDF-2 (64-bit begins), and CDF-5 (8-byte NON_NEG fields + the
+  * extended unsigned/64-bit integer types), all numeric nc_types, fixed
   * variables with slab padding, the single-record-variable no-padding
-  * special case (byte/short), and two interleaved record variables with
-  * per-record vsize padding. Expectations ride nc_manifest.txt. */
+  * special case (sub-4-byte types), and two interleaved record
+  * variables with per-record vsize padding. Expectations ride
+  * nc_manifest.txt. */
 class NetCDF3FuzzSpec extends AnyFunSuite {
 
   private def resource(name: String): Array[Byte] = {
@@ -28,10 +30,13 @@ class NetCDF3FuzzSpec extends AnyFunSuite {
     }.toSeq
 
   test("manifest covers the intended parameter space") {
-    assert(cases.map(_.file).distinct.size == 15)
-    assert(cases.map(_.version).distinct.sorted == Seq(1, 2))
+    assert(cases.map(_.file).distinct.size == 24)
+    assert(cases.map(_.version).distinct.sorted == Seq(1, 2, 5))
     assert(cases.exists(_.varName == "r1")) // two-record-var interleave
     assert(cases.map(_.shape.size).distinct.sorted == Seq(1, 2, 3))
+    // CDF-5 files must actually exercise the extended types: values
+    // above the int32 range appear only through uint/int64 decode
+    assert(cases.exists(c => c.version == 5 && c.vals.exists(_ > 3.0e9)))
   }
 
   for (c <- cases) {

@@ -3845,16 +3845,17 @@ def write_hdf4_fuzz(outdir, n=14, seed=2718281):
     with open(os.path.join(outdir, "h4_manifest.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
-_NC_SIZE = {1: 1, 3: 2, 4: 4, 5: 4, 6: 8}
-_NC_PACK = {1: "b", 3: "h", 4: "i", 5: "f", 6: "d"}
+_NC_SIZE = {1: 1, 3: 2, 4: 4, 5: 4, 6: 8, 7: 1, 8: 2, 9: 4, 10: 8, 11: 8}
+_NC_PACK = {1: "b", 3: "h", 4: "i", 5: "f", 6: "d", 7: "B", 8: "H", 9: "I", 10: "q", 11: "Q"}
 
-def write_netcdf3_fuzz(outdir, n=15, seed=31337):
-    """Seeded random NetCDF classic files: CDF-1 and CDF-2 (64-bit
-    begins), fixed-size variables, ONE record variable (the spec's
-    no-padding special case when its type is byte/short), and TWO
-    interleaved record variables (per-record vsize padding); random
-    ranks/dims/types, slab padding to 4 bytes throughout.
-    nc_manifest.txt carries the expected decode per (file, variable)."""
+def write_netcdf3_fuzz(outdir, n=24, seed=31337):
+    """Seeded random NetCDF classic files: CDF-1, CDF-2 (64-bit begins),
+    and CDF-5 (8-byte NON_NEG fields + the extended integer types),
+    fixed-size variables, ONE record variable (the spec's no-padding
+    special case for sub-4-byte types), and TWO interleaved record
+    variables (per-record vsize padding); random ranks/dims/types, slab
+    padding to 4 bytes throughout. nc_manifest.txt carries the expected
+    decode per (file, variable)."""
     rng = random.Random(seed)
 
     def pad4(x):
@@ -3869,12 +3870,38 @@ def write_netcdf3_fuzz(outdir, n=15, seed=31337):
             return [(i % 200) - 100 for i in range(count)]
         if nctype == 3:
             return [i * 101 - 9000 for i in range(count)]
+        if nctype == 7:
+            return [(i * 13) % 256 for i in range(count)]
+        if nctype == 8:
+            return [(i * 251) % 65536 for i in range(count)]
+        if nctype == 9:
+            return [(4_000_000_000 + i * 17) % 2**32 for i in range(count)]
+        if nctype == 10:
+            return [i * 7_919_001_234 - 5_000_000_000 for i in range(count)]
+        if nctype == 11:
+            # stay under 2**53 so the Double round-trip is exact
+            return [4_503_599_000_000 + i * 97 for i in range(count)]
         return [i * 7919 - 12345 for i in range(count)]
 
     lines = []
     for t in range(n):
         name = "nf%02d" % t
-        version = rng.choice([1, 2])
+        version = rng.choice([1, 2, 5]) if t < 15 else 5  # tail: CDF-5 heavy
+        wide = version == 5
+        def nn(v):  # NON_NEG field
+            return struct.pack(">q" if wide else ">i", v)
+        def ncn(s_):
+            b = s_.encode()
+            return nn(len(b)) + b + b"\0" * ((-len(b)) % 4)
+        def ncatts(items):  # [(name, strval)]
+            if not items:
+                return struct.pack(">i", 0) + nn(0)
+            out = struct.pack(">i", 0x0C) + nn(len(items))
+            for nm_, v_ in items:
+                vb = v_.encode()
+                out += ncn(nm_) + struct.pack(">i", 2) + nn(len(vb)) + vb
+                out += b"\0" * ((-len(vb)) % 4)
+            return out
         kind = ["fixed", "rec1", "rec2"][t % 3]
         rank = rng.randint(1, 3)
         fixed_lens = [rng.randint(1, 5) for _ in range(rank)]
@@ -3887,15 +3914,20 @@ def write_netcdf3_fuzz(outdir, n=15, seed=31337):
                 [("d%d" % i, L) for i, L in enumerate(fixed_lens[:rank - 1])]
         # variables: record vars must come LAST in the var list
         vars_ = []
+        tpool = [1, 3, 4, 5, 6] + ([7, 8, 9, 10, 11] if wide else [])
         if kind == "fixed":
-            vars_.append(("a", list(range(len(dims))), rng.choice([1, 3, 4, 5, 6])))
-            vars_.append(("b", [len(dims) - 1], rng.choice([4, 5, 6])))
+            vars_.append(("a", list(range(len(dims))), rng.choice(tpool)))
+            vars_.append(("b", [len(dims) - 1],
+                          rng.choice([4, 5, 6] + ([9, 10, 11] if wide else []))))
         elif kind == "rec1":
-            # byte/short sometimes: the unpadded-record special case
-            vars_.append(("r0", list(range(len(dims))), rng.choice([1, 3, 5, 6])))
+            # sub-4-byte types sometimes: the unpadded-record special case
+            vars_.append(("r0", list(range(len(dims))),
+                          rng.choice([1, 3, 5, 6] + ([7, 8] if wide else []))))
         else:
-            vars_.append(("r0", list(range(len(dims))), rng.choice([1, 3])))
-            vars_.append(("r1", list(range(len(dims))), rng.choice([4, 5, 6])))
+            vars_.append(("r0", list(range(len(dims))),
+                          rng.choice([1, 3] + ([7, 8] if wide else []))))
+            vars_.append(("r1", list(range(len(dims))),
+                          rng.choice([4, 5, 6] + ([9, 10] if wide else []))))
         rec_count = sum(1 for _, ds, _ in vars_ if ds and dims[ds[0]][1] == 0)
 
         def var_sizes(nm, dimids, nctype):
@@ -3905,16 +3937,16 @@ def write_netcdf3_fuzz(outdir, n=15, seed=31337):
             for L in (shape[1:] if is_rec else shape):
                 per *= L
             raw = per * _NC_SIZE[nctype]
-            if is_rec and rec_count == 1 and nctype in (1, 2, 3):
+            if is_rec and rec_count == 1 and _NC_SIZE[nctype] < 4:
                 return is_rec, per, raw          # spec special case: no pad
             return is_rec, per, pad4(raw)
 
         def var_header(nm, dimids, attrs, nctype, vsize, begin):
-            out = nc_name(nm) + struct.pack(">i", len(dimids))
-            out += b"".join(struct.pack(">i", d) for d in dimids)
-            out += nc_attrs(attrs)
-            out += struct.pack(">ii", nctype, vsize)
-            out += struct.pack(">q" if version == 2 else ">i", begin)
+            out = ncn(nm) + nn(len(dimids))
+            out += b"".join(nn(d) for d in dimids)
+            out += ncatts(attrs)
+            out += struct.pack(">i", nctype) + nn(vsize)
+            out += struct.pack(">q" if version >= 2 else ">i", begin)
             return out
 
         gatts = [("title", "fuzz %d" % t)] if rng.random() < 0.5 else []
@@ -3924,12 +3956,12 @@ def write_netcdf3_fuzz(outdir, n=15, seed=31337):
         def build(begins):
             hdr = io.BytesIO()
             hdr.write(b"CDF" + bytes([version]))
-            hdr.write(struct.pack(">i", numrecs))
-            hdr.write(struct.pack(">ii", 0x0A, len(dims)))
+            hdr.write(nn(numrecs))
+            hdr.write(struct.pack(">i", 0x0A) + nn(len(dims)))
             for dn, dl in dims:
-                hdr.write(nc_name(dn) + struct.pack(">i", dl))
-            hdr.write(nc_attrs(gatts))
-            hdr.write(struct.pack(">ii", 0x0B, len(vars_)))
+                hdr.write(ncn(dn) + nn(dl))
+            hdr.write(ncatts(gatts))
+            hdr.write(struct.pack(">i", 0x0B) + nn(len(vars_)))
             for (nm, ds, ty), bg in zip(vars_, begins):
                 _, _, vs = var_sizes(nm, ds, ty)
                 hdr.write(var_header(nm, ds, vattrs[nm], ty, vs, bg))
