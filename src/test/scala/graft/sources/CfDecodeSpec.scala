@@ -95,6 +95,27 @@ class CfDecodeSpec extends SparkSpec {
       assert(i16(i).exists(g => math.abs(g - want) < 1e-9), s"${i16(i)} vs $want") }
   }
 
+  test("zarr GROUP-PATH datasets read their own node's attrs (nested hierarchy)") {
+    // copy the mixed v2/v3 nested golden and give the nested array CF attrs
+    val src = java.nio.file.Paths.get("src/test/resources/fixtures/golden_nested.zarr")
+    val dst = Files.createTempDirectory("graft-cf-nested").resolve("s.zarr")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    val za = dst.resolve("model/lwp/.zattrs")
+    java.nio.file.Files.write(za,
+      """{"scale_factor":2.0,"add_offset":1.0}""".getBytes("UTF-8"))
+    assert(CfDecode.zarrCfAttrs(dst.toString, "model/lwp") ==
+      CfDecode.CfAttrs(2.0, 1.0, None))
+    val vals = CfDecode.zarr(spark, dst.toString, "model/lwp")
+      .orderBy("idx").select("value").collect().map(_.getDouble(0))
+    assert(vals.toSeq == Seq(1.0, 3.0, 5.0, 21.0, 23.0, 25.0))
+    // a sibling node without attrs stays identity through the same store
+    assert(CfDecode.zarrCfAttrs(dst.toString, "xc") == CfDecode.CfAttrs(1.0, 0.0, None))
+  }
+
   test("zarr v3: pack attrs decode from zarr.json attributes") {
     val dir = Files.createTempDirectory("graft-cf-z3").toString
     val grid = spark.range(8).select(
