@@ -116,6 +116,24 @@ object CfTime {
     if (ok) Some((coords(0), stride)) else None
   }
 
+  /** Row-wise decode for NON-affine axes (irregular campaign
+    * timestamps, missing-step series): the coordinate VALUES become an
+    * array literal indexed by the dim column — codegen'd, shuffle-free,
+    * broadcast-free. Sized for the KB-scale coordinate arrays the crop
+    * already reads driver-side; a lying dim value past the axis decodes
+    * to null rather than erroring (the residual filters upstream keep
+    * rows in range). */
+  def timestampFromValues(dimCol: Column, units: String,
+      coords: Array[Double]): Column = {
+    val (epoch, step) = parseUnits(units)
+    require(coords.length <= 1000000,
+      s"coordinate axis of ${coords.length} values is beyond the literal " +
+        "decode path — use affineTimestamp or decode downstream")
+    val micros = coords.map(c => epoch + math.round(c * step))
+    // try_element_at: an out-of-axis index is null, not an ANSI error
+    timestamp_micros(try_element_at(typedlit(micros), dimCol.cast("int") + 1))
+  }
+
   /** Turnkey HDF5 variant: read `coordDataset`'s units + values, prove
     * the axis affine, and return the decoded TIMESTAMP column for the
     * mount's `dimCol`. */

@@ -94,5 +94,15 @@ class CfTimeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       CfTime.hdf5AffineTimestamp(p2.toString, "time", col("d0")))
     assert(e.getMessage.contains("not evenly spaced"))
+    // ... and the row-wise value decode covers it: 0, 1, 5 hours
+    val units2 = CfTime.hdf5Units(p2.toString, "time")
+    val got = spark.range(3).select(CfTime.timestampFromValues(
+        col("id"), units2, Array(0.0, 1.0, 5.0)).as("ts"))
+      .collect().map(_.getTimestamp(0).toInstant.toString)
+    assert(got.toSeq == Seq("2021-01-01T00:00:00Z", "2021-01-01T01:00:00Z",
+      "2021-01-01T05:00:00Z"))
+    // an out-of-axis dim value decodes to null, not an error
+    assert(spark.range(1).select(CfTime.timestampFromValues(
+      lit(99), units2, Array(0.0, 1.0, 5.0)).as("ts")).head.isNullAt(0))
   }
 }
