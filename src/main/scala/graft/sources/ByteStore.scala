@@ -175,9 +175,12 @@ object ByteStore {
   }
 
   /** Executor-side (idempotent): install a driver-captured snapshot for
-    * JVMs with no SparkSession. One Spark app per JVM, one conf. */
+    * JVMs with no SparkSession. One Spark app per JVM, one conf.
+    * Dedup is by VALUE: every task deserializes its own Map instance,
+    * so reference equality would rebuild the Configuration (classpath
+    * XML parse) once per task on a long-lived executor. */
   def install(overrides: Map[String, String]): Unit =
-    if (overrides.nonEmpty && !(installed eq overrides)) {
+    if (overrides.nonEmpty && installed != overrides) {
       installed = overrides
       cachedExecutorConf = null // rebuild with the new overlay
     }

@@ -97,8 +97,21 @@ object CfDecode {
         case a: Array[Byte] => a.headOption.map(_.toDouble)
         case _ => None // NC_CHAR: not a numeric pack attr
       })
+    // _Unsigned (xarray applies it on every backend, not just HDF5):
+    // width from the variable's own classic type; on an already-
+    // unsigned or non-integer type the attribute is a file error.
+    val unsignedMod = v.attrs.find(_.name == "_Unsigned").map(_.value) match {
+      case Some(s: String) if s.equalsIgnoreCase("true") =>
+        val signedInt = Set(NetCDF3.NcByte, NetCDF3.NcShort,
+          NetCDF3.NcInt, NetCDF3.NcInt64)
+        if (!signedInt(v.ncType)) throw new IllegalArgumentException(
+          s"cf decode: $path/$varName has _Unsigned but nc_type ${v.ncType} " +
+            "is not a signed integer")
+        Some(math.pow(2.0, NetCDF3.typeSize(v.ncType) * 8))
+      case _ => None
+    }
     CfAttrs(num("scale_factor").getOrElse(1.0), num("add_offset").getOrElse(0.0),
-      num("_FillValue"))
+      num("_FillValue"), unsignedMod)
   }
 
   /** The `varName` rows of the netCDF-3 mount at `path`, mask-and-scale
@@ -131,8 +144,34 @@ object CfDecode {
       case JDecimal(d) => Some(d.toDouble)
       case _ => None
     }
+    // _Unsigned (xarray applies it on every backend): width from the
+    // array's own dtype — v3 zarr.json data_type ("int16"), v2 .zarray
+    // dtype ("<i2"). Anything but a signed int is a store error.
+    val unsignedMod = (json \ "_Unsigned") match {
+      case JString(s) if s.equalsIgnoreCase("true") =>
+        val bytes =
+          if (ByteStore.isFile(v3))
+            (org.json4s.jackson.JsonMethods.parse(
+              ByteStore.readString(v3)) \ "data_type") match {
+              case JString("int8") => 1; case JString("int16") => 2
+              case JString("int32") => 4; case JString("int64") => 8
+              case other => throw new IllegalArgumentException(
+                s"cf decode: $node has _Unsigned but data_type $other " +
+                  "is not a signed integer")
+            }
+          else (org.json4s.jackson.JsonMethods.parse(ByteStore.readString(
+            ByteStore.join(node, ".zarray"))) \ "dtype") match {
+            case JString(dt) if dt.length >= 3 && dt(1) == 'i' =>
+              dt.drop(2).toInt
+            case other => throw new IllegalArgumentException(
+              s"cf decode: $node has _Unsigned but dtype $other " +
+                "is not a signed integer")
+          }
+        Some(math.pow(2.0, bytes * 8))
+      case _ => None
+    }
     CfAttrs(num("scale_factor").getOrElse(1.0), num("add_offset").getOrElse(0.0),
-      num("_FillValue"))
+      num("_FillValue"), unsignedMod)
   }
 
   /** The `dataset` rows of the zarr mount at `store`, mask-and-scale

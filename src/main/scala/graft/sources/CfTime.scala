@@ -100,9 +100,14 @@ object CfTime {
   def affineTimestamp(dimCol: Column, units: String, first: Double,
       stride: Double): Column = {
     val (epoch, step) = parseUnits(units)
+    // floor(x + 0.5) == Math.round: the SAME half-up rounding as
+    // [[timestampFromValues]], so the affine and literal decode paths
+    // agree to the microsecond on fractional-step units and pre-epoch
+    // axes (a bare long cast truncates toward zero and biases pre-epoch
+    // values upward by 1 us).
     timestamp_micros(lit(epoch) +
-      ((lit(first) + dimCol.cast("double") * lit(stride)) * lit(step.toDouble))
-        .cast("long"))
+      floor((lit(first) + dimCol.cast("double") * lit(stride)) *
+        lit(step.toDouble) + lit(0.5)).cast("long"))
   }
 
   /** Is the coordinate affine (evenly spaced)? Returns (first, stride)

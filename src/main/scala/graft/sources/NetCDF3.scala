@@ -265,21 +265,54 @@ object NetCDF3 {
     out.write(b0.array())
     attrs.foreach { a =>
       writeName(out, a.name, wide)
-      val (nelems, payload) = a.value match {
-        case s: String =>
-          val bytes = s.getBytes(StandardCharsets.UTF_8); (bytes.length, bytes)
-        case xs: Array[Byte] => (xs.length, xs)
-        case xs: Array[Short] =>
-          val b = ByteBuffer.allocate(xs.length * 2); xs.foreach(b.putShort); (xs.length, b.array())
-        case xs: Array[Int] =>
-          val b = ByteBuffer.allocate(xs.length * 4); xs.foreach(b.putInt); (xs.length, b.array())
-        case xs: Array[Float] =>
-          val b = ByteBuffer.allocate(xs.length * 4); xs.foreach(b.putFloat); (xs.length, b.array())
-        case xs: Array[Double] =>
-          val b = ByteBuffer.allocate(xs.length * 8); xs.foreach(b.putDouble); (xs.length, b.array())
-        case xs: Array[Long] => // int64/uint64 (CDF-5 extended types)
-          val b = ByteBuffer.allocate(xs.length * 8); xs.foreach(b.putLong); (xs.length, b.array())
-        case other => throw new IllegalArgumentException(s"unsupported attr payload ${other.getClass}")
+      // Encode by a.ncType, NOT the payload's runtime class: the reader
+      // widens unsigned attrs (NcUByte -> Array[Short], NcUShort ->
+      // Array[Int], NcUInt -> Array[Long]), so class-directed encoding
+      // would emit a payload whose byte length disagrees with
+      // nelems * typeSize(ncType) — a header the reader cannot parse.
+      // Values are masked to the declared width on the way out.
+      def longs: Array[Long] = a.value match {
+        case xs: Array[Byte] => xs.map(_.toLong)
+        case xs: Array[Short] => xs.map(_.toLong)
+        case xs: Array[Int] => xs.map(_.toLong)
+        case xs: Array[Long] => xs
+        case other => throw new IllegalArgumentException(
+          s"attr ${a.name}: nc_type ${a.ncType} needs an integer payload, got ${other.getClass}")
+      }
+      def doubles: Array[Double] = a.value match {
+        case xs: Array[Float] => xs.map(_.toDouble)
+        case xs: Array[Double] => xs
+        case _ => longs.map(_.toDouble)
+      }
+      val (nelems, payload) = a.ncType match {
+        case NcChar =>
+          val bytes = a.value match {
+            case s: String => s.getBytes(StandardCharsets.UTF_8)
+            case xs: Array[Byte] => xs
+            case other => throw new IllegalArgumentException(
+              s"attr ${a.name}: NC_CHAR needs a String payload, got ${other.getClass}")
+          }
+          (bytes.length, bytes)
+        case NcByte | NcUByte =>
+          val xs = longs
+          (xs.length, xs.map(v => (v & 0xffL).toByte))
+        case NcShort | NcUShort =>
+          val xs = longs; val b = ByteBuffer.allocate(xs.length * 2)
+          xs.foreach(v => b.putShort((v & 0xffffL).toShort)); (xs.length, b.array())
+        case NcInt | NcUInt =>
+          val xs = longs; val b = ByteBuffer.allocate(xs.length * 4)
+          xs.foreach(v => b.putInt((v & 0xffffffffL).toInt)); (xs.length, b.array())
+        case NcInt64 | NcUInt64 =>
+          val xs = longs; val b = ByteBuffer.allocate(xs.length * 8)
+          xs.foreach(b.putLong); (xs.length, b.array())
+        case NcFloat =>
+          val xs = doubles; val b = ByteBuffer.allocate(xs.length * 4)
+          xs.foreach(v => b.putFloat(v.toFloat)); (xs.length, b.array())
+        case NcDouble =>
+          val xs = doubles; val b = ByteBuffer.allocate(xs.length * 8)
+          xs.foreach(b.putDouble); (xs.length, b.array())
+        case other => throw new IllegalArgumentException(
+          s"attr ${a.name}: unsupported nc_type $other")
       }
       val head = ByteBuffer.allocate(4 + nonNegLen(wide))
       head.putInt(a.ncType); putNonNeg(head, nelems.toLong, wide)

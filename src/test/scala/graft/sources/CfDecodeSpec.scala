@@ -72,6 +72,66 @@ class CfDecodeSpec extends SparkSpec {
     }
   }
 
+  test("netCDF-3: _Unsigned reinterprets signed bytes before mask and scale") {
+    val dir = Files.createTempDirectory("graft-cf-nc3u").toString
+    val p = Paths.get(dir, "u.nc")
+    // stored signed bytes; -1 is the fill (reinterprets to 255 with the data)
+    val raw = Array[Double](-1.0, 5.0, -128.0, 0.0, 7.0, -2.0)
+    Files.write(p, NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("x", 6)),
+      gattrs = Nil,
+      vars = Seq(
+        NetCDF3.VarSpec("b", Seq("x"), NetCDF3.NcByte, Seq(
+          NetCDF3.Attr("_Unsigned", NetCDF3.NcChar, "true"),
+          NetCDF3.Attr("_FillValue", NetCDF3.NcByte, Array((-1).toByte)),
+          NetCDF3.Attr("scale_factor", NetCDF3.NcDouble, Array(0.5)),
+          NetCDF3.Attr("add_offset", NetCDF3.NcDouble, Array(2.0))), raw),
+        NetCDF3.VarSpec("bad", Seq("x"), NetCDF3.NcFloat, Seq(
+          NetCDF3.Attr("_Unsigned", NetCDF3.NcChar, "true")), raw))))
+    val attrs = CfDecode.netcdf3CfAttrs(p.toString, "b")
+    assert(attrs == CfDecode.CfAttrs(0.5, 2.0, Some(-1.0), Some(256.0)))
+    val got = CfDecode.netcdf3(spark, p.toString, "b")
+      .orderBy("idx").select("value").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    // unsigned [255(fill), 5, 128, 0, 7, 254] -> *0.5 + 2
+    assert(got == Seq(None, Some(4.5), Some(66.0), Some(2.0), Some(5.5), Some(129.0)))
+    // _Unsigned on a non-signed-integer type is a loud file error
+    val e = intercept[IllegalArgumentException](
+      CfDecode.netcdf3CfAttrs(p.toString, "bad"))
+    assert(e.getMessage.contains("_Unsigned"))
+  }
+
+  test("zarr v2: _Unsigned reinterprets signed ints before mask and scale") {
+    val d = Files.createTempDirectory("graft-cf-z2u").toFile
+    val a = new java.io.File(d, "b"); a.mkdirs()
+    Files.writeString(a.toPath.resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [6], "chunks": [6], "dtype": "|i1",
+        | "compressor": null, "fill_value": 0, "filters": null,
+        | "order": "C"}""".stripMargin)
+    Files.writeString(a.toPath.resolve(".zattrs"),
+      """{"_Unsigned": "true", "_FillValue": -1, "scale_factor": 0.5,
+        | "add_offset": 2.0}""".stripMargin)
+    Files.write(a.toPath.resolve("0"),
+      Array[Byte](-1, 5, -128, 0, 7, -2))
+    val attrs = CfDecode.zarrCfAttrs(d.toString, "b")
+    assert(attrs == CfDecode.CfAttrs(0.5, 2.0, Some(-1.0), Some(256.0)))
+    val got = CfDecode.zarr(spark, d.toString, "b")
+      .orderBy("idx").select("value").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(None, Some(4.5), Some(66.0), Some(2.0), Some(5.5), Some(129.0)))
+    // _Unsigned on a float array is a loud store error
+    val f = new java.io.File(d, "bad"); f.mkdirs()
+    Files.writeString(f.toPath.resolve(".zarray"),
+      """{"zarr_format": 2, "shape": [1], "chunks": [1], "dtype": "<f4",
+        | "compressor": null, "fill_value": 0, "filters": null,
+        | "order": "C"}""".stripMargin)
+    Files.writeString(f.toPath.resolve(".zattrs"), """{"_Unsigned": "true"}""")
+    Files.write(f.toPath.resolve("0"), Array[Byte](0, 0, 0, 0))
+    val e = intercept[IllegalArgumentException](
+      CfDecode.zarrCfAttrs(d.toString, "bad"))
+    assert(e.getMessage.contains("_Unsigned"))
+  }
+
   test("HDF5 packed ints: int16 scale/offset and _Unsigned int8 reinterpretation") {
     val res = getClass.getResourceAsStream("/fixtures/golden_ncattrs.h5")
     require(res != null, "golden_ncattrs.h5 missing — run tools/make_fixtures.py")

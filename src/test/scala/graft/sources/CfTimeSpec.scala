@@ -59,6 +59,27 @@ class CfTimeSpec extends SparkSpec {
     assert(CfTime.affineOf(Array(9.0, 6.0, 3.0)) == Some((9.0, -3.0)))
   }
 
+  test("affine and row-wise decode agree to the microsecond (fractional steps, pre-epoch)") {
+    // 0.1-hour strides are not exactly representable in binary; with
+    // cast-truncation on the affine path the two decode paths disagreed
+    // by 1 us (and pre-epoch values biased upward). Both now share
+    // Math.round (floor(x + 0.5)) semantics.
+    val cases = Seq(
+      ("hours since 2020-01-01", 0.0, 0.1, 40),          // fractional step
+      ("hours since 1969-12-01", 0.05, 0.1, 40),         // pre-epoch, fractional
+      ("days since 1960-01-01", -3.25, 0.5, 20),         // pre-epoch, negative first
+      ("seconds since 1970-01-01 00:00:00.5", 0.0, 1.5, 20),
+      ("minutes since 1900-01-01", 7.0, 1440.25, 12))
+    for ((units, first, stride, n) <- cases) {
+      val coords = Array.tabulate(n)(i => first + i * stride)
+      val df = spark.range(n.toLong).select(
+        CfTime.affineTimestamp(col("id"), units, first, stride).as("a"),
+        CfTime.timestampFromValues(col("id"), units, coords).as("b"))
+      val diff = df.where(col("a") =!= col("b")).count()
+      assert(diff == 0L, s"$units first=$first stride=$stride: $diff rows disagree")
+    }
+  }
+
   test("end-to-end: a TIMESTAMP-bounded crop prunes and decodes on the HDF5 mount") {
     val dir = Files.createTempDirectory("graft-cftime").toString
     val bytes = HDF5.write(Seq(

@@ -291,6 +291,15 @@ class MountUriSpec extends SparkSpec {
       val c1 = ByteStore.hadoopConf
       ByteStore.install(snap)
       assert(ByteStore.hadoopConf eq c1)
+      // ... including for an EQUAL-but-DISTINCT map instance, which is
+      // what every task actually delivers (each task closure
+      // deserializes its own Map): value-equality dedup, or a
+      // long-lived executor rebuilds the Configuration per task
+      val snapCopy = snap.toSeq.map(identity).toMap
+      assert(!(snapCopy.asInstanceOf[AnyRef] eq snap.asInstanceOf[AnyRef]))
+      ByteStore.install(snapCopy)
+      assert(ByteStore.hadoopConf eq c1,
+        "an equal snapshot from a fresh task must not rebuild the conf")
     } finally {
       active.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
       default.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)

@@ -100,6 +100,46 @@ class NetCDFSpec extends SparkSpec {
     assert(e.getMessage.contains("CDF-5"))
   }
 
+  test("read attrs re-write by ncType: CDF-5 unsigned attr round-trip") {
+    // The reader WIDENS unsigned attrs (NcUByte -> Array[Short],
+    // NcUShort -> Array[Int], NcUInt -> Array[Long]); the writer must
+    // encode by the declared ncType, not the runtime class, or the
+    // re-written header's payload length disagrees with
+    // nelems * typeSize and the file is unparseable.
+    val bytes = NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("x", 2)),
+      gattrs = Seq(
+        NetCDF3.Attr("ub", NetCDF3.NcUByte, Array[Byte](-1, 7)),      // 255, 7
+        NetCDF3.Attr("us", NetCDF3.NcUShort, Array[Short](-1, 300)),  // 65535, 300
+        NetCDF3.Attr("ui", NetCDF3.NcUInt, Array[Int](-1, 12))),      // 2^32-1, 12
+      vars = Seq(NetCDF3.VarSpec("v", Seq("x"), NetCDF3.NcDouble, Nil,
+        Array(1.0, 2.0))),
+      version = 5)
+    val h = NetCDF3.readHeader(bytes)
+    // reader widened representations
+    assert(h.gattrs.find(_.name == "ub").get.value
+      .asInstanceOf[Array[Short]].toSeq == Seq[Short](255, 7))
+    assert(h.gattrs.find(_.name == "us").get.value
+      .asInstanceOf[Array[Int]].toSeq == Seq(65535, 300))
+    assert(h.gattrs.find(_.name == "ui").get.value
+      .asInstanceOf[Array[Long]].toSeq == Seq(0xffffffffL, 12L))
+    // round-trip: write the READ attrs back verbatim, re-read, compare
+    val bytes2 = NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("x", 2)),
+      gattrs = h.gattrs,
+      vars = Seq(NetCDF3.VarSpec("v", Seq("x"), NetCDF3.NcDouble, Nil,
+        Array(1.0, 2.0))),
+      version = 5)
+    val h2 = NetCDF3.readHeader(bytes2)
+    assert(h2.gattrs.find(_.name == "ub").get.value
+      .asInstanceOf[Array[Short]].toSeq == Seq[Short](255, 7))
+    assert(h2.gattrs.find(_.name == "us").get.value
+      .asInstanceOf[Array[Int]].toSeq == Seq(65535, 300))
+    assert(h2.gattrs.find(_.name == "ui").get.value
+      .asInstanceOf[Array[Long]].toSeq == Seq(0xffffffffL, 12L))
+    assert(NetCDF3.readValues(bytes2, "v")._3.toSeq == Seq(1.0, 2.0))
+  }
+
   test("two record variables interleave with padded stride") {
     // per-record: a = 3 shorts (6 bytes -> vsize 8), b = 1 int (4 bytes)
     val bytes = NetCDF3.write(
