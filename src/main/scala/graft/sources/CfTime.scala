@@ -174,17 +174,27 @@ object CfTime {
   // ---- per-mount units/calendar readers (driver-side metadata) ----------
 
   /** `units`/`calendar` attrs of an HDF5 (netCDF-4) coordinate dataset. */
-  def hdf5Units(path: String, dataset: String): String = {
+  def hdf5Units(path: String, dataset: String): String =
+    hdf5UnitsOpt(path, dataset)
+      .getOrElse(fail(s"$path/$dataset carries no units attribute"))
+
+  /** As [[hdf5Units]] but None when the attribute is absent (the
+    * turnkey open treats such an axis as a plain numeric coord). */
+  private[sources] def hdf5UnitsOpt(path: String, dataset: String): Option[String] = {
     val in = new PagedFileInput(path)
     val attrs = try HDF5.attributes(in).getOrElse(dataset,
       fail(s"no dataset '$dataset' in $path")) finally in.close()
     def str(n: String) = attrs.find(_.name == n).flatMap(_.str)
     requireStandardCalendar(str("calendar"), s"$path/$dataset")
-    str("units").getOrElse(fail(s"$path/$dataset carries no units attribute"))
+    str("units")
   }
 
   /** `units`/`calendar` attrs of a netCDF-3 coordinate variable. */
-  def netcdf3Units(path: String, varName: String): String = {
+  def netcdf3Units(path: String, varName: String): String =
+    netcdf3UnitsOpt(path, varName)
+      .getOrElse(fail(s"$path/$varName carries no units attribute"))
+
+  private[sources] def netcdf3UnitsOpt(path: String, varName: String): Option[String] = {
     val h = NetCDF3ChunkIngest.headerOf(path)
     val v = h.vars.find(_.name == varName)
       .getOrElse(fail(s"no variable '$varName' in $path"))
@@ -192,12 +202,16 @@ object CfTime {
       case s: String => s
     }
     requireStandardCalendar(str("calendar"), s"$path/$varName")
-    str("units").getOrElse(fail(s"$path/$varName carries no units attribute"))
+    str("units")
   }
 
   /** `units`/`calendar` attrs of a zarr coordinate array (v2 `.zattrs`
     * or v3 `zarr.json` attributes). */
-  def zarrUnits(store: String, dataset: String): String = {
+  def zarrUnits(store: String, dataset: String): String =
+    zarrUnitsOpt(store, dataset)
+      .getOrElse(fail(s"$store/$dataset carries no units attribute"))
+
+  private[sources] def zarrUnitsOpt(store: String, dataset: String): Option[String] = {
     import org.json4s._
     val node = ByteStore.join(store, dataset)
     val v3 = ByteStore.join(node, "zarr.json")
@@ -213,6 +227,6 @@ object CfTime {
       case _ => None
     }
     requireStandardCalendar(str("calendar"), s"$store/$dataset")
-    str("units").getOrElse(fail(s"$store/$dataset carries no units attribute"))
+    str("units")
   }
 }

@@ -220,16 +220,147 @@ object CoordCrop {
     * or a bounded axis has no attached scale. */
   def hdf5Netcdf4(spark: SparkSession, path: String, dataset: String,
       bounds: Map[String, (Double, Double)]): DataFrame = {
+    val dims = hdf5DimNames(path, dataset)
+    hdf5(spark, path, dataset, dims, bounds)
+  }
+
+  private[sources] def hdf5DimNames(path: String, dataset: String): Seq[String] = {
     val in = new PagedFileInput(path)
     val dimNames = try {
       HDF5.dimensionNames(in).getOrElse(dataset,
         fail(s"dataset '$dataset' in $path has no DIMENSION_LIST attribute"))
     } finally in.close()
-    val dims = dimNames.zipWithIndex.map { case (n, k) =>
+    dimNames.zipWithIndex.map { case (n, k) =>
       // an unnamed axis can't be bounded by name; a placeholder keeps
       // the axis positions aligned and trips checkDim only if targeted
       n.getOrElse(s"<unnamed axis $k>")
     }
-    hdf5(spark, path, dataset, dims, bounds)
+  }
+
+  // ---- Catalog (dir-of-stores) crop --------------------------------------
+  //
+  // The reference's unit of organization is a CATALOG of per-scene
+  // stores (convml-data pipeline/utils.py:51-77 fans one store per
+  // scene; utils/luigi.py:29-47 opens them one file at a time). A
+  // time-interval + bbox query over such a catalog must prune whole
+  // STORES at plan time: read each store's KB-scale coordinate
+  // metadata in one parMap latency wave, drop stores whose coordinate
+  // ranges provably miss the bounds, and push each survivor's own
+  // per-dimension index ranges. The whole decision lands as ONE
+  // disjunction
+  //     (path = s1 AND dK BETWEEN ...) OR (path = s2 AND ...)
+  // which the mounts prune on at store, array, and chunk granularity
+  // ([[MountDsv2.mayMatch]]) and Spark re-checks residually on every
+  // row — per-store VALUE-crop semantics (each scene's own grid), with
+  // excluded stores' data never read.
+
+  /** Resolved per-store crop: each bounded axis's inclusive index
+    * range inside that store. */
+  private def catalogPredicate(
+      perStore: Seq[(String, Seq[(Int, (Int, Int))])]): Column =
+    perStore match {
+      case Seq() => lit(false) // no store intersects: provably empty
+      case ss => ss.map { case (s, rs) =>
+        rs.foldLeft(col("path") === s) { case (acc, (k, (i0, i1))) =>
+          acc && col(MountDsv2.DimCols(k)) >= i0.toLong &&
+            col(MountDsv2.DimCols(k)) <= i1.toLong
+        }
+      }.reduce(_ || _)
+    }
+
+  /** Resolve the caller's bounds against ONE store: numeric `bounds`
+    * pass through; `timeBounds` (ISO instants) map through THAT
+    * store's own `units` attribute (scene files routinely differ in
+    * epoch). Returns per-axis index ranges; None for an axis with no
+    * in-range values (the store is then excluded). */
+  private def storeRanges(dims: Seq[String],
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)],
+      unitsOf: String => String,
+      valuesOf: String => Array[Double]): Seq[(Int, Option[(Int, Int)])] = {
+    val overlap = bounds.keySet.intersect(timeBounds.keySet)
+    if (overlap.nonEmpty)
+      fail(s"axes ${overlap.mkString(",")} given both numeric and time bounds")
+    val resolved = bounds.toSeq ++ timeBounds.toSeq.map { case (n, (t0, t1)) =>
+      (n, CfTime.numericRange(unitsOf(n), t0, t1))
+    }
+    resolved.sortBy(_._1).map { case (name, b) =>
+      val k = dims.indexOf(name)
+      checkDim(k, name, dims)
+      (k, valueRangeToIdx(valuesOf(name), b._1, b._2))
+    }
+  }
+
+  private def surviving(perStore: Seq[(String, Seq[(Int, Option[(Int, Int)])])])
+      : Seq[(String, Seq[(Int, (Int, Int))])] =
+    perStore.collect { case (s, rs) if rs.forall(_._2.isDefined) =>
+      (s, rs.map { case (k, r) => (k, r.get) })
+    }
+
+  /** Catalog crop over a DIR of zarr scene stores: `bounds` are
+    * coordinate values, `timeBounds` ISO instants decoded through each
+    * store's own `units`. Stores whose coordinates provably miss never
+    * plan a chunk (their metadata is read once, in the wave; their
+    * data never); survivors prune per-dimension on their own grids. */
+  def zarrCatalog(spark: SparkSession, dir: String, dataset: String,
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val stores = ZarrDataSource.discover(dir)
+      .collect { case (s, a) if a == dataset => s }.distinct
+    require(stores.nonEmpty, s"coord crop: no '$dataset' arrays under $dir")
+    val perStore = ByteStore.parMap(stores) { s =>
+      (s, storeRanges(zarrDimNames(s, dataset), bounds, timeBounds,
+        n => CfTime.zarrUnits(s, n), n => zarrArrayValues(s, n)))
+    }
+    spark.read.format("graft.sources.ZarrDataSource")
+      .option("path", dir).load()
+      .where(col("dataset") === dataset)
+      .where(catalogPredicate(surviving(perStore)))
+  }
+
+  /** A bare directory means every file in it; anything else passes
+    * through as the glob/file the mounts already accept. Returns the
+    * normalized pattern (what the mount must be given, so its planned
+    * `path` strings match the predicate's) plus the resolved files. */
+  private def filesOf(dirOrGlob: String): (String, Seq[String]) = {
+    val pat = if (ByteStore.isDirectory(dirOrGlob))
+      ByteStore.join(dirOrGlob, "*") else dirOrGlob
+    (pat, HDF5ChunkIngest.resolvePaths(pat))
+  }
+
+  /** Catalog crop over a DIR (or glob) of netCDF classic scene files. */
+  def netcdf3Catalog(spark: SparkSession, dir: String, varName: String,
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val (pat, paths) = filesOf(dir)
+    require(paths.nonEmpty, s"coord crop: no files under $dir")
+    val perStore = ByteStore.parMap(paths) { p =>
+      val h = NetCDF3ChunkIngest.headerOf(p)
+      val v = h.vars.find(_.name == varName)
+        .getOrElse(fail(s"variable '$varName' not in $p"))
+      (p, storeRanges(v.dimIds.map(h.dims(_).name), bounds, timeBounds,
+        n => CfTime.netcdf3Units(p, n), n => nc3VarValues(p, n)))
+    }
+    spark.read.format("graft.sources.NetCDF3DataSource")
+      .option("path", pat).load()
+      .where(col("dataset") === varName)
+      .where(catalogPredicate(surviving(perStore)))
+  }
+
+  /** Catalog crop over a DIR (or glob) of netCDF-4/HDF5 scene files,
+    * axes named by each file's own dimension scales. */
+  def hdf5Catalog(spark: SparkSession, dir: String, dataset: String,
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val (pat, paths) = filesOf(dir)
+    require(paths.nonEmpty, s"coord crop: no files under $dir")
+    val perStore = ByteStore.parMap(paths) { p =>
+      (p, storeRanges(hdf5DimNames(p, dataset), bounds, timeBounds,
+        n => CfTime.hdf5Units(p, n), n => hdf5DatasetValues(p, n)))
+    }
+    spark.read.format("graft.sources.Hdf5DataSource")
+      .option("path", pat).load()
+      .where(col("dataset") === dataset)
+      .where(catalogPredicate(surviving(perStore)))
   }
 }

@@ -1,0 +1,258 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Turnkey gridded open — the `xr.open_dataset` shape the reference's
+  * every flow calls first (convml-data utils/luigi.py:29-47 opens a
+  * store, decodes CF conventions, and hands back named, value-typed
+  * coordinates). The pieces exist separately in this repo (dimension
+  * names, [[CoordCrop]] value crops, [[CfDecode]] mask-and-scale,
+  * [[CfTime]] axes); this composes them into ONE call per mount:
+  *
+  *   GridOpen.zarr(spark, store, "lwp",
+  *     timeBounds = Map("time" -> ("2020-01-01", "2020-01-02")),
+  *     bounds = Map("y" -> (300.0, 600.0)))
+  *
+  * returns a DataFrame with one row per kept element and columns
+  * `(path, idx, <dim name per axis>, value)` where
+  *  - every bound pushed to the scan as `dK` index ranges (chunks that
+  *    miss the crop never PLAN — the mounts' bbox machinery),
+  *  - each named axis is its coordinate VALUE (DOUBLE), or TIMESTAMP
+  *    for a CF time axis (a `units = "<step> since <instant>"` attr),
+  *  - an axis with no coordinate array keeps its index (LONG),
+  *  - `value` is mask-and-scale decoded from the store's own attrs.
+  *
+  * Everything stays inside whole-stage codegen: affine axes decode as
+  * arithmetic on the mount's `dK` column; irregular axes as a
+  * `try_element_at` over a literal array (KB-scale coords, the 1M
+  * guard of [[CfTime.timestampFromValues]]).
+  *
+  * [[zarrCatalog]] lifts the same shape over a DIR of per-scene stores
+  * (the reference's catalog layout): store-level pruning via
+  * [[CoordCrop.zarrCatalog]]'s pushed disjunction, then per-store
+  * coordinate decode via BROADCAST joins on (path, dK) — per-store
+  * epochs and grids compose without per-store expression trees, so a
+  * 5,000-scene catalog plans one scan + K tiny broadcast joins.
+  */
+object GridOpen {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"grid open: $msg")
+
+  /** One axis of a dataset: its position, name, coordinate values
+    * (None = no coordinate variable), and CF `units` when the
+    * coordinate carries one that parses as a time offset. */
+  final case class Axis(k: Int, name: String, coords: Option[Array[Double]],
+      timeUnits: Option[String])
+
+  private def timeUnitsOf(u: Option[String]): Option[String] =
+    u.filter(s => scala.util.Try(CfTime.parseUnits(s)).isSuccess)
+
+  // ---- per-mount axis discovery (driver-side, KB-scale metadata) ---------
+
+  private[sources] def zarrAxes(store: String, dataset: String): Seq[Axis] =
+    CoordCrop.zarrDimNames(store, dataset).zipWithIndex.map { case (n, k) =>
+      val node = ByteStore.join(store, n)
+      val hasCoord = ByteStore.isFile(ByteStore.join(node, ".zarray")) ||
+        ByteStore.isFile(ByteStore.join(node, "zarr.json"))
+      if (!hasCoord) Axis(k, n, None, None)
+      else Axis(k, n, Some(CoordCrop.zarrArrayValues(store, n)),
+        timeUnitsOf(CfTime.zarrUnitsOpt(store, n)))
+    }
+
+  private[sources] def hdf5Axes(path: String, dataset: String): Seq[Axis] =
+    CoordCrop.hdf5DimNames(path, dataset).zipWithIndex.map { case (n, k) =>
+      if (n.startsWith("<unnamed")) Axis(k, s"dim_$k", None, None)
+      else Axis(k, n, Some(CoordCrop.hdf5DatasetValues(path, n)),
+        timeUnitsOf(CfTime.hdf5UnitsOpt(path, n)))
+    }
+
+  private[sources] def netcdf3Axes(path: String, varName: String): Seq[Axis] = {
+    val h = NetCDF3ChunkIngest.headerOf(path)
+    val v = h.vars.find(_.name == varName)
+      .getOrElse(fail(s"variable '$varName' not in $path"))
+    v.dimIds.zipWithIndex.map { case (id, k) =>
+      val n = h.dims(id).name
+      if (!h.vars.exists(cv => cv.name == n && cv.dimIds == Seq(id)))
+        Axis(k, n, None, None)
+      else Axis(k, n, Some(CoordCrop.nc3VarValues(path, n)),
+        timeUnitsOf(CfTime.netcdf3UnitsOpt(path, n)))
+    }
+  }
+
+  // ---- shared decoration --------------------------------------------------
+
+  /** The decode expression for one axis over the mount's `dK` column:
+    * affine coords become arithmetic (codegen'd, no data), irregular
+    * ones a literal-array lookup; time units wrap either in the
+    * matching [[CfTime]] decode so both paths round identically. */
+  private def axisColumn(ax: Axis): Column = {
+    val dk = col(MountDsv2.DimCols(ax.k))
+    ax.coords match {
+      case None => dk // no coordinate variable: the index IS the axis
+      case Some(cs) =>
+        ax.timeUnits match {
+          case Some(u) => CfTime.affineOf(cs) match {
+            case Some((f, st)) => CfTime.affineTimestamp(dk, u, f, st)
+            case None => CfTime.timestampFromValues(dk, u, cs)
+          }
+          case None => CfTime.affineOf(cs) match {
+            case Some((f, st)) => lit(f) + dk.cast("double") * lit(st)
+            case None =>
+              require(cs.length <= 1000000,
+                s"axis '${ax.name}' has ${cs.length} values — beyond the " +
+                  "literal decode path")
+              try_element_at(typedlit(cs), dk.cast("int") + 1)
+          }
+        }
+    }
+  }
+
+  /** Resolve the user's time bounds to numeric ones through each
+    * axis's own units, merge with the numeric bounds, and reject
+    * double-bound axes. */
+  private def resolveBounds(axes: Seq[Axis],
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)],
+      where: String): Map[String, (Double, Double)] = {
+    val overlap = bounds.keySet.intersect(timeBounds.keySet)
+    if (overlap.nonEmpty)
+      fail(s"axes ${overlap.mkString(",")} given both numeric and time bounds")
+    bounds ++ timeBounds.map { case (n, (t0, t1)) =>
+      val ax = axes.find(_.name == n)
+        .getOrElse(fail(s"no axis '$n' in $where"))
+      val u = ax.timeUnits
+        .getOrElse(fail(s"axis '$n' in $where is not a CF time axis"))
+      n -> CfTime.numericRange(u, t0, t1)
+    }
+  }
+
+  private def decorate(cropped: DataFrame, axes: Seq[Axis],
+      attrs: CfDecode.CfAttrs): DataFrame = {
+    val withAxes = axes.foldLeft(CfDecode.maskAndScale(cropped, attrs)) {
+      (df, ax) => df.withColumn(ax.name, axisColumn(ax))
+    }
+    withAxes.select((Seq(col("path"), col("idx")) ++
+      axes.map(ax => col(s"`${ax.name}`")) :+ col("value")): _*)
+  }
+
+  // ---- single-store turnkeys ----------------------------------------------
+
+  /** Open one zarr store's `dataset` with named/typed coordinates,
+    * mask-and-scale, and pushed value/time crops. */
+  def zarr(spark: SparkSession, store: String, dataset: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val axes = zarrAxes(store, dataset)
+    val nb = resolveBounds(axes, bounds, timeBounds, store)
+    val cropped =
+      if (nb.isEmpty)
+        spark.read.format("graft.sources.ZarrDataSource")
+          .option("path", store).load().where(col("dataset") === dataset)
+      else CoordCrop.zarr(spark, store, dataset, nb)
+    decorate(cropped, axes, CfDecode.zarrCfAttrs(store, dataset))
+  }
+
+  /** Open one netCDF-4/HDF5 file's `dataset` (axes from its dimension
+    * scales) with named/typed coordinates, mask-and-scale, and pushed
+    * crops. */
+  def hdf5(spark: SparkSession, path: String, dataset: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val axes = hdf5Axes(path, dataset)
+    val nb = resolveBounds(axes, bounds, timeBounds, path)
+    val cropped =
+      if (nb.isEmpty)
+        spark.read.format("graft.sources.Hdf5DataSource")
+          .option("path", path).load().where(col("dataset") === dataset)
+      else CoordCrop.hdf5(spark, path, dataset,
+        axes.map(_.name), nb)
+    decorate(cropped, axes, CfDecode.hdf5CfAttrs(path, dataset))
+  }
+
+  /** Open one netCDF classic file's `varName` with named/typed
+    * coordinates, mask-and-scale, and pushed crops. */
+  def netcdf3(spark: SparkSession, path: String, varName: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val axes = netcdf3Axes(path, varName)
+    val nb = resolveBounds(axes, bounds, timeBounds, path)
+    val cropped =
+      if (nb.isEmpty)
+        spark.read.format("graft.sources.NetCDF3DataSource")
+          .option("path", path).load().where(col("dataset") === varName)
+      else CoordCrop.netcdf3(spark, path, varName, nb)
+    decorate(cropped, axes, CfDecode.netcdf3CfAttrs(path, varName))
+  }
+
+  // ---- catalog turnkey (dir of per-scene zarr stores) ---------------------
+
+  /** Open a CATALOG of zarr scene stores as one DataFrame with
+    * named/typed coordinates. Store-level pruning comes from
+    * [[CoordCrop.zarrCatalog]] (stores whose coordinates provably miss
+    * the bounds never plan; survivors prune per-dimension on their own
+    * grids); coordinates then decode per store via broadcast joins on
+    * `(path, dK)`, so scenes with different epochs/grids compose
+    * without per-store expression trees. Axis names and time-ness must
+    * agree across stores (a heterogeneous catalog fails loudly);
+    * mask-and-scale attrs must be identical across stores. */
+  def zarrCatalog(spark: SparkSession, dir: String, dataset: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val stores = ZarrDataSource.discover(dir)
+      .collect { case (s, a) if a == dataset => s }.distinct
+    require(stores.nonEmpty, s"grid open: no '$dataset' arrays under $dir")
+    // one wave: every store's axes + pack attrs
+    val perStore = ByteStore.parMap(stores) { s =>
+      (s, zarrAxes(s, dataset), CfDecode.zarrCfAttrs(s, dataset))
+    }
+    val names = perStore.head._2.map(a => (a.name, a.timeUnits.isDefined))
+    perStore.foreach { case (s, axes, _) =>
+      if (axes.map(a => (a.name, a.timeUnits.isDefined)) != names)
+        fail(s"store $s axes ${axes.map(_.name)} disagree with " +
+          s"${names.map(_._1)} (names and time-ness must match catalog-wide)")
+    }
+    val attrs = perStore.head._3
+    perStore.foreach { case (s, _, a) =>
+      if (a != attrs)
+        fail(s"store $s pack attrs $a differ from $attrs — " +
+          "catalog mask-and-scale needs identical attrs")
+    }
+    val cropped = CoordCrop.zarrCatalog(spark, dir, dataset, bounds, timeBounds)
+    val masked = CfDecode.maskAndScale(cropped, attrs)
+    // per-axis broadcast decode table: (path, dK, value-or-ts)
+    import spark.implicits._
+    val totalCoordRows = perStore.iterator.flatMap(_._2.flatMap(_.coords))
+      .map(_.length.toLong).sum
+    require(totalCoordRows <= 1000000,
+      s"catalog coordinate tables total $totalCoordRows rows — beyond the " +
+        "broadcast decode path")
+    val out = names.zipWithIndex.foldLeft(masked) { case (df, ((n, isTime), k)) =>
+      val dk = MountDsv2.DimCols(k)
+      if (perStore.forall(_._2(k).coords.isEmpty))
+        df.withColumn(n, col(dk)) // no coordinate variables anywhere
+      else if (isTime) {
+        val rows = perStore.flatMap { case (s, axes, _) =>
+          val ax = axes(k)
+          val cs = ax.coords.getOrElse(fail(s"store $s axis '$n' has no coords"))
+          val (epoch, step) = CfTime.parseUnits(ax.timeUnits.get)
+          cs.zipWithIndex.map { case (c, i) =>
+            (s, i.toLong, epoch + math.round(c * step)) }
+        }
+        val tbl = rows.toDF("path", dk, "__micros")
+          .withColumn(n, timestamp_micros(col("__micros"))).drop("__micros")
+        df.join(broadcast(tbl), Seq("path", dk), "left")
+      } else {
+        val rows = perStore.flatMap { case (s, axes, _) =>
+          val cs = axes(k).coords.getOrElse(
+            fail(s"store $s axis '$n' has no coords"))
+          cs.zipWithIndex.map { case (c, i) => (s, i.toLong, c) }
+        }
+        df.join(broadcast(rows.toDF("path", dk, n)), Seq("path", dk), "left")
+      }
+    }
+    val axCols = names.map { case (n, _) => col(s"`$n`") }
+    out.select((Seq(col("path"), col("idx")) ++ axCols :+ col("value")): _*)
+  }
+}

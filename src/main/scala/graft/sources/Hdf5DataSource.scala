@@ -104,20 +104,30 @@ class Hdf5Scan(path: String, variable: Option[String], partitions: Option[Int],
   override def planInputPartitions(): Array[InputPartition] = {
     val range = MountDsv2.idxRange(pushed)
     val dimRs = MountDsv2.dimRanges(pushed)
+    val trees = MountDsv2.treeFilters(pushed)
     val paths = HDF5ChunkIngest.resolvePaths(path)
-      .filter(MountDsv2.keep(pushed, "path", _))
+      // store-level prune: a file excluded here (path equality/IN, or
+      // every branch of a catalog-crop disjunction naming other files)
+      // never has its chunk manifest read, let alone data
+      .filter(p => MountDsv2.keep(pushed, "path", p) &&
+        MountDsv2.ctxKeep(trees, MountDsv2.PruneCtx(path = Some(p))))
     val tasks = HDF5ChunkIngest.chunkTasks(paths, variable)
-      .filter(t => MountDsv2.keep(pushed, "dataset", t.dataset))
+      .filter(t => MountDsv2.keep(pushed, "dataset", t.dataset) &&
+        MountDsv2.ctxKeep(trees, MountDsv2.PruneCtx(Some(t.path), Some(t.dataset))))
       .filter { t =>
         // chunk-grid prune: the chunk's global indexes span the
         // row-major box [origin, origin + chunkDims); its [min, max]
         // bound is closed-form, so an idx range plans only its chunks,
         // and dK coordinate ranges prune by per-dim box intersection
-        // (the bbox crop — exact per dimension, unlike the linear span)
+        // (the bbox crop — exact per dimension, unlike the linear span);
+        // tree-shaped filters (the catalog crop's per-store disjunction)
+        // prune through the same box via boxTreeKeep
         val (lo, hi) = MountDsv2.boxBounds(t.origin,
           t.chunkDims.map(_.toLong), t.dims)
         range.intersects(lo, hi) &&
-          MountDsv2.boxKeep(t.origin, t.chunkDims.map(_.toLong), t.dims, dimRs)
+          MountDsv2.boxKeep(t.origin, t.chunkDims.map(_.toLong), t.dims, dimRs) &&
+          (trees.isEmpty || MountDsv2.boxTreeKeep(trees, t.path, t.dataset,
+            (lo, hi), t.origin, t.chunkDims.map(_.toLong), t.dims))
       }
       .sortBy(t => (t.path, t.offset))
     if (tasks.isEmpty) return Array.empty

@@ -56,20 +56,131 @@ object MountDsv2 {
   /** The filters a mount accepts for plan-phase pruning: equality/IN on
     * the string identity columns, range/equality/IN on the Long index
     * columns (linear `idx` and the `dK` coordinates, when the mount
-    * exposes them). Everything else is untouched (and even accepted
-    * filters stay residual in the caller). */
+    * exposes them), plus And/Or TREES of those leaves — the catalog
+    * crop's per-store disjunction `(path = s1 AND d0 BETWEEN ...) OR
+    * (path = s2 AND ...)`, which Spark pushes as one Or filter.
+    * Everything else is untouched (and even accepted filters stay
+    * residual in the caller). */
   def acceptFilters(filters: Array[Filter], stringCols: Set[String],
-      longCols: Set[String]): Array[Filter] =
-    filters.filter {
-      case EqualTo(c, _: String) if stringCols(c) => true
+      longCols: Set[String]): Array[Filter] = {
+    def ok(f: Filter): Boolean = f match {
+      case And(a, b) => ok(a) && ok(b)
+      case Or(a, b) => ok(a) && ok(b)
+      case EqualTo(c, _: String) => stringCols(c)
       case In(c, vs) if stringCols(c) => vs.forall(_.isInstanceOf[String])
-      case EqualTo(c, _: Long) if longCols(c) => true
-      case GreaterThan(c, _: Long) if longCols(c) => true
-      case GreaterThanOrEqual(c, _: Long) if longCols(c) => true
-      case LessThan(c, _: Long) if longCols(c) => true
-      case LessThanOrEqual(c, _: Long) if longCols(c) => true
+      case EqualTo(c, _: Long) => longCols(c)
+      case GreaterThan(c, _: Long) => longCols(c)
+      case GreaterThanOrEqual(c, _: Long) => longCols(c)
+      case LessThan(c, _: Long) => longCols(c)
+      case LessThanOrEqual(c, _: Long) => longCols(c)
       case In(c, vs) if longCols(c) => vs.nonEmpty && vs.forall(_.isInstanceOf[Long])
+      case IsNotNull(c) => stringCols(c) || longCols(c) // trivially true: cols are non-nullable
       case _ => false
+    }
+    filters.filter(ok)
+  }
+
+  // ---- Tree-shaped pushed filters (the catalog crop) --------------------
+
+  /** What a planning level knows about a candidate unit of work. `None`
+    * = unknown at this level (store-level pruning knows only the path;
+    * chunk-level knows everything) — unknown is always conservative-
+    * true in [[mayMatch]]. `dims` is the task box's inclusive
+    * coordinate interval per dimension; axes past its length read as
+    * the constant 0 the mounts emit. */
+  final case class PruneCtx(
+      path: Option[String] = None,
+      dataset: Option[String] = None,
+      idx: Option[(Long, Long)] = None,
+      dims: Option[IndexedSeq[(Long, Long)]] = None,
+      idxCol: String = "idx")
+
+  /** The And/Or trees among the pushed filters — the only shapes the
+    * conjunctive fold functions ([[keep]]/[[idxRange]]/[[dimRanges]])
+    * can't see. Empty for plain conjunctions, letting call sites skip
+    * the per-task ctx build entirely. */
+  def treeFilters(pushed: Array[Filter]): Array[Filter] =
+    pushed.filter { case _: Or | _: And => true; case _ => false }
+
+  /** Do ALL `trees` possibly hold for some row described by `ctx`?
+    * The task prune for tree-shaped filters: false = provably no row
+    * of this unit can pass, so it never plans. Pruning only — every
+    * pushed filter stays residual, so a conservative `true` costs I/O,
+    * never correctness. */
+  def ctxKeep(trees: Array[Filter], ctx: PruneCtx): Boolean =
+    trees.isEmpty || trees.forall(mayMatch(_, ctx))
+
+  /** Three-valued satisfiability of one filter tree against `ctx`:
+    * can ANY row in the described box match? And/Or recurse; string
+    * leaves test the known identity; Long leaves fold to an interval
+    * test against the box's interval on that column; anything unknown
+    * or unsupported is conservative-true. An In over Longs tests the
+    * [min, max] SPAN (a superset — exactness is the residual's job). */
+  def mayMatch(f: Filter, ctx: PruneCtx): Boolean = f match {
+    case And(a, b) => mayMatch(a, ctx) && mayMatch(b, ctx)
+    case Or(a, b) => mayMatch(a, ctx) || mayMatch(b, ctx)
+    case EqualTo(c, v: String) => strVal(c, ctx).forall(_ == v)
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      strVal(c, ctx).forall(vs.contains)
+    case EqualTo(c, v: Long) => intervalKeep(c, v, v, ctx)
+    case GreaterThanOrEqual(c, v: Long) => intervalKeep(c, v, Long.MaxValue, ctx)
+    case GreaterThan(c, v: Long) =>
+      v != Long.MaxValue && intervalKeep(c, v + 1, Long.MaxValue, ctx)
+    case LessThanOrEqual(c, v: Long) => intervalKeep(c, Long.MinValue, v, ctx)
+    case LessThan(c, v: Long) =>
+      v != Long.MinValue && intervalKeep(c, Long.MinValue, v - 1, ctx)
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+      val ls = vs.map(_.asInstanceOf[Long])
+      intervalKeep(c, ls.min, ls.max, ctx)
+    case _ => true // IsNotNull, unknown leaves: conservative
+  }
+
+  private def strVal(c: String, ctx: PruneCtx): Option[String] = c match {
+    case "path" => ctx.path
+    case "dataset" => ctx.dataset
+    case _ => None
+  }
+
+  /** Does the box's interval on column `c` intersect [lo, hi]? Unknown
+    * columns/levels are conservative-true. */
+  private def intervalKeep(c: String, lo: Long, hi: Long, ctx: PruneCtx): Boolean = {
+    val iv: Option[(Long, Long)] =
+      if (c == ctx.idxCol) ctx.idx
+      else {
+        val k = DimCols.indexOf(c)
+        if (k < 0) None
+        else ctx.dims.map(ds => if (k < ds.length) ds(k) else (0L, 0L))
+      }
+    iv.forall { case (a, b) => b >= lo && a <= hi }
+  }
+
+  /** Per-dimension inclusive coordinate intervals of one row-major box
+    * (shape-clipped); None when the clip is empty in any dimension —
+    * such a box can never emit a row. The [[PruneCtx.dims]] of a chunk
+    * task. */
+  def boxIntervals(origin: Seq[Long], box: Seq[Long],
+      dims: Seq[Long]): Option[IndexedSeq[(Long, Long)]] = {
+    val out = IndexedSeq.newBuilder[(Long, Long)]
+    var d = 0
+    while (d < dims.size) {
+      val hi = math.min(origin(d) + box(d), dims(d)) - 1
+      if (hi < origin(d)) return None
+      out += ((origin(d), hi))
+      d += 1
+    }
+    Some(out.result())
+  }
+
+  /** The full tree-prune for one chunk task: build its ctx from the
+    * box and test every tree. Call only when [[treeFilters]] is
+    * non-empty (the common no-tree plan skips the ctx build). */
+  def boxTreeKeep(trees: Array[Filter], path: String, dataset: String,
+      idxBounds: (Long, Long), origin: Seq[Long], box: Seq[Long],
+      dims: Seq[Long]): Boolean =
+    boxIntervals(origin, box, dims) match {
+      case None => false
+      case ivs => ctxKeep(trees, PruneCtx(Some(path), Some(dataset),
+        Some(idxBounds), ivs))
     }
 
   /** Does string value `v` of column `col` survive every pushed filter? */

@@ -102,25 +102,36 @@ class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int
   override def planInputPartitions(): Array[InputPartition] = {
     val range = MountDsv2.idxRange(pushed)
     val dimRs = MountDsv2.dimRanges(pushed)
+    val trees = MountDsv2.treeFilters(pushed)
     val paths = HDF5ChunkIngest.resolvePaths(path)
-      .filter(MountDsv2.keep(pushed, "path", _))
+      // store-level prune: a file excluded here (path equality/IN, or
+      // every branch of a catalog-crop disjunction naming other files)
+      // never has its header read, let alone data
+      .filter(p => MountDsv2.keep(pushed, "path", p) &&
+        MountDsv2.ctxKeep(trees, MountDsv2.PruneCtx(path = Some(p))))
     val tasks = paths.flatMap { p =>
       val h = NetCDF3ChunkIngest.headerOf(p)
       h.vars.map(_.name)
-        .filter(v => variable.forall(_ == v) && MountDsv2.keep(pushed, "dataset", v))
+        .filter(v => variable.forall(_ == v) && MountDsv2.keep(pushed, "dataset", v) &&
+          MountDsv2.ctxKeep(trees, MountDsv2.PruneCtx(Some(p), Some(v))))
         .flatMap(v => NetCDF3ChunkIngest.recordTasks(Seq(p), v, targetBytes))
     }.filter { t =>
       // record batches cover EXACTLY [recStart*perRec, +nRecs*perRec)
-      range.intersects(t.recStart.toLong * t.perRec,
-        (t.recStart.toLong + t.nRecs) * t.perRec - 1) &&
-        // dK prune: a record batch is the box [recStart, +nRecs) on d0
-        // x full extent on the rest (a non-record variable's single
-        // slab is its whole shape — stride 0 marks it)
-        MountDsv2.boxKeep(
-          if (t.stride == 0L) Seq.fill(t.dims.size)(0L)
-          else t.recStart.toLong +: Seq.fill(t.dims.size - 1)(0L),
-          if (t.stride == 0L) t.dims else t.nRecs.toLong +: t.dims.drop(1),
-          t.dims, dimRs)
+      // dK prune: a record batch is the box [recStart, +nRecs) on d0
+      // x full extent on the rest (a non-record variable's single
+      // slab is its whole shape — stride 0 marks it); tree-shaped
+      // filters (the catalog crop) prune through the same box
+      val idxB = (t.recStart.toLong * t.perRec,
+        (t.recStart.toLong + t.nRecs) * t.perRec - 1)
+      val origin =
+        if (t.stride == 0L) Seq.fill(t.dims.size)(0L)
+        else t.recStart.toLong +: Seq.fill(t.dims.size - 1)(0L)
+      val box =
+        if (t.stride == 0L) t.dims else t.nRecs.toLong +: t.dims.drop(1)
+      range.intersects(idxB._1, idxB._2) &&
+        MountDsv2.boxKeep(origin, box, t.dims, dimRs) &&
+        (trees.isEmpty || MountDsv2.boxTreeKeep(trees, t.path, t.dataset,
+          idxB, origin, box, t.dims))
     }.sortBy(t => (t.path, t.begin, t.recStart))
     if (tasks.isEmpty) return Array.empty
     val par = MountDsv2.parallelism("graft-netcdf3", partitions, tasks.size)

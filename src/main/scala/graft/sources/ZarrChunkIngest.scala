@@ -252,6 +252,43 @@ object ZarrChunkIngest {
       inner.map(_.toLong), meta.shape.map(_.toLong), ranges)
   }
 
+  /** Tree-filter prune ([[MountDsv2.boxTreeKeep]]) for one whole-chunk
+    * task — the catalog crop's per-store disjunction at chunk level. */
+  private[sources] def chunkTreeKeep(t: ChunkTask,
+      meta: Either[Zarr.ArrayMeta, Zarr3.Meta],
+      trees: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    trees.isEmpty || {
+      val (shape, chunks) = meta match {
+        case Left(m) => (m.shape, m.chunks)
+        case Right(m) => (m.shape, m.chunks)
+      }
+      MountDsv2.boxTreeKeep(trees, t.store, t.dataset, chunkIdxBounds(t, meta),
+        t.ci.zip(chunks).map { case (c, w) => c.toLong * w },
+        chunks.map(_.toLong), shape.map(_.toLong))
+    }
+
+  /** Same prune for a whole SHARD — failing shards never have their
+    * index tails read. */
+  private[sources] def shardTreeKeep(store: String, dataset: String,
+      ci: Seq[Int], meta: Zarr3.Meta,
+      trees: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    trees.isEmpty ||
+      MountDsv2.boxTreeKeep(trees, store, dataset, shardIdxBounds(ci, meta),
+        ci.zip(meta.chunks).map { case (c, w) => c.toLong * w },
+        meta.chunks.map(_.toLong), meta.shape.map(_.toLong))
+
+  /** Same prune for one inner chunk of a sharded array. */
+  private[sources] def innerTreeKeep(t: InnerTask, meta: Zarr3.Meta,
+      trees: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    trees.isEmpty || {
+      val inner = meta.sharding.getOrElse(fail("meta lost its sharding")).innerChunks
+      MountDsv2.boxTreeKeep(trees, t.store, t.dataset, innerIdxBounds(t, meta),
+        t.ci.zip(meta.chunks).zip(t.gi.zip(inner)).map {
+          case ((c, w), (g, iw)) => c.toLong * w + g.toLong * iw
+        },
+        inner.map(_.toLong), meta.shape.map(_.toLong))
+    }
+
   /** ABSENT inner chunk (index sentinel or missing shard file)? */
   private[sources] def innerMissing(t: InnerTask): Boolean =
     t.offset == -1L && t.length == -1L

@@ -179,9 +179,16 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
   override def planInputPartitions(): Array[InputPartition] = {
     val range = MountDsv2.idxRange(pushed)
     val dimRs = MountDsv2.dimRanges(pushed)
+    val trees = MountDsv2.treeFilters(pushed)
     val arrays = ZarrDataSource.discover(path)
-      .filter { case (s, _) => MountDsv2.keep(pushed, "path", s) }
-      .filter { case (_, a) => dataset.forall(_ == a) && MountDsv2.keep(pushed, "dataset", a) }
+      // store-level prune: a store excluded here (path equality/IN, or
+      // every branch of a catalog-crop disjunction naming other stores)
+      // never has its per-array metadata read, let alone data
+      .filter { case (s, _) => MountDsv2.keep(pushed, "path", s) &&
+        MountDsv2.ctxKeep(trees, MountDsv2.PruneCtx(path = Some(s))) }
+      .filter { case (s, a) => dataset.forall(_ == a) &&
+        MountDsv2.keep(pushed, "dataset", a) &&
+        MountDsv2.ctxKeep(trees, MountDsv2.PruneCtx(Some(s), Some(a))) }
     // per-array metadata work (array meta + surviving shards' index
     // tails) is independent round trips — one parMap wave, input order
     // kept so the task lists land (store, array)-sorted as before
@@ -197,17 +204,20 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
             ZarrChunkIngest.shardInnerTasks(s, a, ci => {
               val (lo, hi) = ZarrChunkIngest.shardIdxBounds(ci, m)
               range.intersects(lo, hi) &&
-                ZarrChunkIngest.shardBoxKeep(ci, m, dimRs)
+                ZarrChunkIngest.shardBoxKeep(ci, m, dimRs) &&
+                ZarrChunkIngest.shardTreeKeep(s, a, ci, m, trees)
             }).filter { t =>
               val (lo, hi) = ZarrChunkIngest.innerIdxBounds(t, m)
               range.intersects(lo, hi) &&
-                ZarrChunkIngest.innerBoxKeep(t, m, dimRs)
+                ZarrChunkIngest.innerBoxKeep(t, m, dimRs) &&
+                ZarrChunkIngest.innerTreeKeep(t, m, trees)
             })
         case m =>
           (ZarrChunkIngest.chunkTasks(s, a).filter { t =>
             val (lo, hi) = ZarrChunkIngest.chunkIdxBounds(t, m)
             range.intersects(lo, hi) &&
-              ZarrChunkIngest.chunkBoxKeep(t, m, dimRs)
+              ZarrChunkIngest.chunkBoxKeep(t, m, dimRs) &&
+              ZarrChunkIngest.chunkTreeKeep(t, m, trees)
           }, Seq.empty[ZarrChunkIngest.InnerTask])
       }
     }
