@@ -2042,8 +2042,155 @@ object SourceQueries {
         .where(col("dataset") === "counts" && col("d0").between(2, 5))
         .select(col("d0").as("tstep"), col("d1").as("x"),
           col("value").as("counts"))
+    },
+
+    // ---- catalog-level value crop (the scene-catalog access pattern) ------
+    // A DIR of per-scene zarr stores with DIFFERENT time epochs
+    // (convml-data's one-store-per-scene layout, pipeline/utils.py:51-77):
+    // a time interval + x bbox prunes whole STORES at plan time (sC's
+    // data is never opened — CatalogCropSpec pins the I/O counts) and
+    // each survivor's own index ranges push as one disjunction. The
+    // turnkey open then decodes each store's time axis through its OWN
+    // units via broadcast joins.
+    // (2021-06-01 = epoch 1622505600; 6 h = 21600 s.)
+    QueryDef.sqlBacked(
+      "q216_zarr_catalog_crop",
+      """SELECT * FROM (
+        |  SELECT 'sA.zarr' AS scene,
+        |    make_timestamp(1622505600000000 + j*21600000000) AS ts,
+        |    CAST(i*10 AS DOUBLE) AS x,
+        |    CAST(100 + j*3 + i AS DOUBLE) AS value
+        |  FROM range(2,4) r1(j), range(1,3) r2(i)
+        |  UNION ALL
+        |  SELECT 'sB.zarr',
+        |    make_timestamp(1622592000000000 + j*21600000000),
+        |    CAST(i*10 AS DOUBLE),
+        |    CAST(200 + j*3 + i AS DOUBLE)
+        |  FROM range(0,2) r1(j), range(1,3) r2(i))""".stripMargin) { (s, d) =>
+      graft.sources.GridOpen.zarrCatalog(s, ensureQ216Catalog(), "lwp",
+          bounds = Map("x" -> (5.0, 25.0)),
+          timeBounds = Map("time" ->
+            ("2021-06-01 12:00:00", "2021-06-02 06:00:00")))
+        .select(element_at(split(col("path"), "/"), -1).as("scene"),
+          col("time").as("ts"), col("x"), col("value"))
+    },
+
+    // ---- §3.2-style slice, end-to-end through the turnkey open ------------
+    // catalog -> time filter -> bbox crop -> tile gather -> per-tile
+    // reduce (GenerateTiles' shape, SURVEY §3.2), every stage on the
+    // turnkey-opened frame: the time bound keeps ONE record per store
+    // (pruning the other's chunk at plan time — [1,6,8] chunks), the
+    // bbox keeps a 4x4 pixel box, and 200-unit value tiles reduce to
+    // per-scene/tile means. (Bilinear regrid between crop and tile is
+    // covered by q35/q58/q59; the tile gather here is the J6 integer
+    // variant.)
+    QueryDef.sqlBacked(
+      "q217_turnkey_tile_slice",
+      """SELECT scene, ty, tx, avg(v) AS mean_v, count(*) AS n_px FROM (
+        |  SELECT 'sA.zarr' AS scene, (j*100)//200 AS ty, (i*100)//200 AS tx,
+        |    CAST(48 + j*8 + i AS DOUBLE) AS v
+        |  FROM range(1,5) r1(j), range(2,6) r2(i)
+        |  UNION ALL
+        |  SELECT 'sB.zarr', (j*100)//200, (i*100)//200,
+        |    CAST(100 + j*8 + i AS DOUBLE)
+        |  FROM range(1,5) r1(j), range(2,6) r2(i))
+        |GROUP BY scene, ty, tx""".stripMargin) { (s, d) =>
+      graft.sources.GridOpen.zarrCatalog(s, ensureQ217Catalog(), "lwp",
+          bounds = Map("y" -> (100.0, 400.0), "x" -> (200.0, 500.0)),
+          timeBounds = Map("time" ->
+            ("2021-07-01 10:00:00", "2021-07-02 02:00:00")))
+        .select(element_at(split(col("path"), "/"), -1).as("scene"),
+          floor(col("y") / 200).cast("long").as("ty"),
+          floor(col("x") / 200).cast("long").as("tx"), col("value"))
+        .groupBy("scene", "ty", "tx")
+        .agg(avg("value").as("mean_v"), count(lit(1)).as("n_px"))
     }
   )
+
+  /** Hand-written uncompressed zarr v2 store (xarray layout: per-array
+    * `_ARRAY_DIMENSIONS`, coordinate arrays as siblings). `chunks`
+    * defaults to one chunk per array. */
+  private def writeV2Store(dir: String, name: String,
+      arrays: Seq[(String, Seq[Int], Seq[String], Array[Double], String)],
+      chunksOf: Map[String, Seq[Int]] = Map.empty): String = {
+    val store = java.nio.file.Paths.get(dir, s"$name.zarr")
+    java.nio.file.Files.createDirectories(store)
+    java.nio.file.Files.writeString(store.resolve(".zgroup"),
+      """{"zarr_format": 2}""")
+    arrays.foreach { case (aName, shape, dims, data, extraAttrs) =>
+      val chunks = chunksOf.getOrElse(aName, shape)
+      val d = store.resolve(aName)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve(".zarray"),
+        s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+           | "chunks": [${chunks.mkString(",")}], "dtype": ">f8",
+           | "compressor": null, "fill_value": "NaN", "filters": null,
+           | "order": "C"}""".stripMargin)
+      java.nio.file.Files.writeString(d.resolve(".zattrs"),
+        s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extraAttrs}""")
+      // one chunk file per grid cell of the (shape / chunks) grid
+      val grid = shape.zip(chunks).map { case (n, c) => (n + c - 1) / c }
+      def cells(g: Seq[Int]): Seq[Seq[Int]] =
+        g.foldLeft(Seq(Seq.empty[Int]))((acc, n) =>
+          acc.flatMap(p => (0 until n).map(p :+ _)))
+      cells(grid).foreach { ci =>
+        val bb = java.nio.ByteBuffer.allocate(chunks.product * 8)
+        // row-major walk of the chunk box, reading from the global array
+        val strides = shape.scanRight(1)(_ * _).tail
+        def emit(d0: Int, gi: Int): Unit =
+          if (d0 == shape.size) { bb.putDouble(data(gi)); () }
+          else (0 until chunks(d0)).foreach { o =>
+            val g = ci(d0) * chunks(d0) + o
+            if (g < shape(d0)) emit(d0 + 1, gi + g * strides(d0))
+            else bb.putDouble(Double.NaN)
+          }
+        emit(0, 0)
+        java.nio.file.Files.write(d.resolve(ci.mkString(".")), bb.array())
+      }
+    }
+    store.toString
+  }
+
+  /** q216's catalog: three scene stores, per-store epochs; sC misses
+    * every time bound the query uses. */
+  private def ensureQ216Catalog(): String = {
+    val dir = q216CatDir
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      for ((name, day, base) <- Seq(("sA", 1, 100.0), ("sB", 2, 200.0),
+          ("sC", 3, 300.0))) {
+        writeV2Store(dir, name, Seq(
+          ("lwp", Seq(4, 3), Seq("time", "x"),
+            Array.tabulate(12)(i => base + i), ""),
+          ("time", Seq(4), Seq("time"), Array(0.0, 6.0, 12.0, 18.0),
+            s""", "units": "hours since 2021-06-0$day""""),
+          ("x", Seq(3), Seq("x"), Array(0.0, 10.0, 20.0), "")))
+      }
+    }
+    dir
+  }
+
+  private lazy val q216CatDir: String = mkCleanedTempDir("graft_q216_cat_")
+
+  /** q217's catalog: two scene stores with a (time, y, x) grid chunked
+    * [1, 6, 8] so the time bound prunes whole chunks. */
+  private def ensureQ217Catalog(): String = {
+    val dir = q217CatDir
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      for ((name, day, base) <- Seq(("sA", 1, 0.0), ("sB", 2, 100.0))) {
+        writeV2Store(dir, name, Seq(
+          ("lwp", Seq(2, 6, 8), Seq("time", "y", "x"),
+            Array.tabulate(96)(i => base + i), ""),
+          ("time", Seq(2), Seq("time"), Array(0.0, 12.0),
+            s""", "units": "hours since 2021-07-0$day""""),
+          ("y", Seq(6), Seq("y"), Array.tabulate(6)(_ * 100.0), ""),
+          ("x", Seq(8), Seq("x"), Array.tabulate(8)(_ * 100.0), "")),
+          chunksOf = Map("lwp" -> Seq(1, 6, 8)))
+      }
+    }
+    dir
+  }
+
+  private lazy val q217CatDir: String = mkCleanedTempDir("graft_q217_cat_")
 
   /** Writes q194/q200's two-scene zarr store once per JVM. */
   private def ensureQ194Zarr(s: SparkSession): String = {

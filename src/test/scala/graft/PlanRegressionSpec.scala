@@ -117,7 +117,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q209_netcdf3_cf_mask_scale" :+ "q210_zarr_cf_mask_scale"
       :+ "q211_hdf5_time_crop" :+ "q212_hdf5_group_mount"
       :+ "q213_zarr_time_crop" :+ "q214_netcdf3_time_crop"
-      :+ "q215_netcdf3_cdf5_mount")
+      :+ "q215_netcdf3_cdf5_mount"
+      :+ "q216_zarr_catalog_crop" :+ "q217_turnkey_tile_slice")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -368,6 +369,43 @@ class PlanRegressionSpec extends SparkSpec {
     assert(pn.contains("GreaterThanOrEqual(d0,2)") &&
       pn.contains("LessThanOrEqual(d0,5)"),
       s"time-mapped d0 range must reach the nc3 scan:\n${pn.take(1500)}")
+  }
+
+  test("q216: the catalog crop pushes the PER-STORE disjunction (path set + dK ranges)") {
+    val plan = planOf("q216_zarr_catalog_crop")
+    // the pushed filter carries both surviving stores' branches: each
+    // names its path AND its own time-index range (sA rows 2-3, sB
+    // rows 0-1) plus the shared x range — the store-pruning shape
+    assert(plan.contains("Or(And("), s"no per-store disjunction pushed:\n${plan.take(2000)}")
+    assert(plan.contains("sA.zarr") && plan.contains("sB.zarr"),
+      s"surviving store paths must be in the pushed branches:\n${plan.take(2000)}")
+    assert(!plan.contains("sC.zarr"),
+      "the provably-missing store must NOT appear in any branch")
+    assert(plan.contains("GreaterThanOrEqual(d0,2)") && // sA's range
+      plan.contains("LessThanOrEqual(d0,1)"),           // sB's range
+      s"per-store d0 ranges must reach the scan:\n${plan.take(2000)}")
+    assert(plan.contains("GreaterThanOrEqual(d1,1)") &&
+      plan.contains("LessThanOrEqual(d1,2)"),
+      s"the shared x range must reach the scan:\n${plan.take(2000)}")
+    // plan-level store pruning: only the 2 surviving stores' single
+    // chunks plan (1 task each)
+    val df = graft.SparkEntry.queries("q216_zarr_catalog_crop")(spark, sf)
+    assert(df.rdd.getNumPartitions <= 2,
+      s"expected <= 2 planned partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q217: the turnkey slice's coordinate decode is broadcast, scan unshuffled until the reduce") {
+    val plan = planOf("q217_turnkey_tile_slice")
+    assert(plan.contains("BroadcastHashJoin"), s"decode not broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"coordinate decode must not shuffle or cross:\n${plan.take(1500)}")
+    // exactly ONE exchange: the per-tile groupBy (the reduce itself)
+    val exchanges = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "BX")).size
+    assert(exchanges == 1, s"expected 1 shuffle exchange (the tile reduce), got $exchanges:\n${plan.take(2000)}")
+    // the time bound prunes the [1,6,8] chunk grid: 1 of 2 time chunks
+    // per surviving store -> 2 tasks
+    val df = graft.SparkEntry.queries("q217_turnkey_tile_slice")(spark, sf)
+    assert(df.rdd.getNumPartitions <= spark.sparkContext.defaultParallelism)
   }
 
   test("q215: the CDF-5 mount pushes the record crop like CDF-1") {
