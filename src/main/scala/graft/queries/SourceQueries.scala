@@ -2104,8 +2104,57 @@ object SourceQueries {
           floor(col("x") / 200).cast("long").as("tx"), col("value"))
         .groupBy("scene", "ty", "tx")
         .agg(avg("value").as("mean_v"), count(lit(1)).as("n_px"))
+    },
+
+    // ---- non-standard CF calendar (360_day) crop + decode -----------------
+    // The fixed-length model calendars cftime decodes: dates like
+    // 2000-02-30 exist, so the decode is a CALENDAR DATETIME string
+    // (cftime's str()), never a TIMESTAMP; the crop maps calendar
+    // bounds onto the same pushable record ranges as standard time.
+    // [2000-02-28, 2000-03-02] in 360_day covers 02-28/29/30/03-01/02
+    // -> records 3-7 of the 'days since 2000-02-25' axis.
+    QueryDef.sqlBacked(
+      "q218_netcdf3_calendar_crop",
+      """SELECT (['2000-02-28 00:00:00','2000-02-29 00:00:00',
+        |  '2000-02-30 00:00:00','2000-03-01 00:00:00',
+        |  '2000-03-02 00:00:00'])[t-2] AS dt,
+        |  CAST(i AS BIGINT) AS x, CAST(t*2 + i AS DOUBLE) AS value
+        |FROM range(3,8) r1(t), range(0,2) r2(i)""".stripMargin) { (s, d) =>
+      import graft.sources.{CfCalendar, CoordCrop}
+      val path = ensureQ218Cal360()
+      val units = "days since 2000-02-25"
+      val (lo, hi) = CfCalendar.numericRange(units, "360_day",
+        "2000-02-28", "2000-03-02")
+      CoordCrop.netcdf3(s, path, "v", Map("time" -> (lo, hi)))
+        .select(CfCalendar.datetimeFromValues(col("d0"), units, "360_day",
+          Array.tabulate(8)(_.toDouble)).as("dt"),
+          col("d1").as("x"), col("value"))
     }
   )
+
+  /** q218's 360_day-calendar record store. */
+  private def ensureQ218Cal360(): String = {
+    import graft.sources.NetCDF3
+    val f = java.nio.file.Paths.get(q218NcDir, "cal360.nc")
+    if (!java.nio.file.Files.exists(f)) {
+      val bytes = NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 2)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble, Seq(
+            NetCDF3.Attr("units", NetCDF3.NcChar, "days since 2000-02-25"),
+            NetCDF3.Attr("calendar", NetCDF3.NcChar, "360_day")),
+            Array.tabulate(8)(_.toDouble)),
+          NetCDF3.VarSpec("v", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(16)(_.toDouble))),
+        numRecs = 8)
+      java.nio.file.Files.write(f, bytes)
+      ()
+    }
+    f.toString
+  }
+
+  private lazy val q218NcDir: String = mkCleanedTempDir("graft_q218_nc_")
 
   /** Hand-written uncompressed zarr v2 store (xarray layout: per-array
     * `_ARRAY_DIMENSIONS`, coordinate arrays as siblings). `chunks`

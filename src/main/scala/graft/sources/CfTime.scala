@@ -33,6 +33,14 @@ object CfTime {
     * date, optional time, optional fractional seconds, optional
     * `Z`/offset suffix (applied), optional `T` separator. */
   def parseUnits(units: String): (Long, Long) = {
+    val (step, instant) = splitUnits(units)
+    (parseInstantMicros(instant, units), step)
+  }
+
+  /** The shared "<step> since <instant>" grammar: (micros per step,
+    * raw instant text). [[CfCalendar]] reuses this with its own
+    * instant arithmetic. */
+  private[sources] def splitUnits(units: String): (Long, String) = {
     val re = "(?i)^\\s*([a-z]+)\\s+since\\s+(.+?)\\s*$".r
     units match {
       case re(u, instant) =>
@@ -44,7 +52,7 @@ object CfTime {
         }
         val step = unitMicros.getOrElse(key,
           fail(s"unsupported unit '$u' in units string '$units'"))
-        (parseInstantMicros(instant, units), step)
+        (step, instant)
       case _ => fail(s"units string '$units' is not '<step> since <instant>'")
     }
   }

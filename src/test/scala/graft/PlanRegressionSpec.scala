@@ -118,7 +118,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q211_hdf5_time_crop" :+ "q212_hdf5_group_mount"
       :+ "q213_zarr_time_crop" :+ "q214_netcdf3_time_crop"
       :+ "q215_netcdf3_cdf5_mount"
-      :+ "q216_zarr_catalog_crop" :+ "q217_turnkey_tile_slice")
+      :+ "q216_zarr_catalog_crop" :+ "q217_turnkey_tile_slice"
+      :+ "q218_netcdf3_calendar_crop")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -4542,6 +4542,146 @@ def write_netcdf3_cdf5(path):
         f.write(blob)
 
 
+
+# ---------------------------------------------------------------------------
+# Non-standard CF calendar golden (360_day / noleap / all_leap)
+# ---------------------------------------------------------------------------
+
+CAL_MONTHS = {
+    "360_day": [30] * 12,
+    "noleap": [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+    "all_leap": [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+}
+
+def cal_decode(cal, units, value):
+    """Independent fixed-length-calendar decode (CF 4.4.1). cftime is
+    not installed in this container; this follows its documented
+    fixed-length calendars (every year identical, no leap rules) and
+    the canonical cases are hard-asserted in write_nc_calendars."""
+    import re as _re
+    months = CAL_MONTHS[cal]
+    ydays = sum(months)
+    cum = [0]
+    for m in months:
+        cum.append(cum[-1] + m)
+    m = _re.match(r"(\w+) since (-?\d+)-(\d+)-(\d+)"
+                  r"(?:[ T](\d+):(\d+):(\d+))?$", units)
+    unit = m.group(1)
+    y0, mo0, d0 = int(m.group(2)), int(m.group(3)), int(m.group(4))
+    hh0 = int(m.group(5) or 0)
+    mm0 = int(m.group(6) or 0)
+    ss0 = int(m.group(7) or 0)
+    step = {"days": 86400, "hours": 3600, "minutes": 60, "seconds": 1}[unit]
+    epoch_day = y0 * ydays + cum[mo0 - 1] + (d0 - 1)
+    total = epoch_day * 86400 + hh0 * 3600 + mm0 * 60 + ss0 + int(round(value * step))
+    day, sec = divmod(total, 86400)
+    y, doy = divmod(day, ydays)
+    mo = max(i for i in range(12) if cum[i] <= doy) + 1
+    d = doy - cum[mo - 1] + 1
+    hh, r = divmod(sec, 3600)
+    mm, ss = divmod(r, 60)
+    return "%04d-%02d-%02d %02d:%02d:%02d" % (y, mo, d, hh, mm, ss)
+
+def write_nc_calendars(path, manifest_path):
+    """netCDF-3 classic with one time coordinate per fixed-length CF
+    calendar, each chosen to DISCRIMINATE against Gregorian decode:
+    360_day crosses 2000-02-30; noleap skips 2000-02-29 (a real
+    Gregorian leap day); all_leap contains 1999-02-29 (not a Gregorian
+    date). The manifest pins the decoded datetimes and one crop's
+    numeric range per calendar."""
+    series = [
+        ("t360", "days since 2000-02-25", "360_day",
+         [float(i) for i in range(8)],
+         ("2000-02-28", "2000-03-02")),
+        ("tnoleap", "days since 2000-02-27", "noleap",
+         [float(i) for i in range(5)],
+         ("2000-02-28", "2000-03-02")),
+        ("tleap", "hours since 1999-02-27", "all_leap",
+         [float(i * 12) for i in range(8)],
+         ("1999-02-28", "1999-03-01 12:00:00")),
+    ]
+    # canonical hard asserts (cftime-documented behavior)
+    assert cal_decode("360_day", "days since 2000-02-25", 5) == "2000-02-30 00:00:00"
+    assert cal_decode("noleap", "days since 2000-02-27", 2) == "2000-03-01 00:00:00"
+    assert cal_decode("all_leap", "hours since 1999-02-27", 48) == "1999-02-29 00:00:00"
+
+    header = io.BytesIO()
+    header.write(b"CDF\x01")
+    header.write(struct.pack(">i", 0))                       # numrecs
+    header.write(struct.pack(">ii", 0x0A, len(series)))      # dim_list
+    for name, _, _, vals, _ in series:
+        header.write(nc_name("d_" + name) + struct.pack(">i", len(vals)))
+    header.write(struct.pack(">ii", 0, 0))                   # no gatts
+    header.write(struct.pack(">ii", 0x0B, len(series)))      # var_list
+    base = header.getvalue()
+
+    def var_header(name, dimid, units, cal, n, begin):
+        out = nc_name(name) + struct.pack(">i", 1)
+        out += struct.pack(">i", dimid)
+        out += nc_attrs([("units", units), ("calendar", cal)])
+        out += struct.pack(">iii", 6, 8 * n, begin)
+        return out
+
+    def build(begins):
+        return b"".join(
+            var_header(name, i, units, cal, len(vals), begins[i])
+            for i, (name, units, cal, vals, _) in enumerate(series))
+    hdr_len = len(base) + len(build([0] * len(series)))
+    begins = []
+    at = hdr_len
+    for _, _, _, vals, _ in series:
+        begins.append(at)
+        at += 8 * len(vals)
+    blob = base + build(begins)
+    for _, _, _, vals, _ in series:
+        blob += struct.pack(">%dd" % len(vals), *vals)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    manifest = {}
+    for name, units, cal, vals, (t0, t1) in series:
+        months = CAL_MONTHS[cal]
+        ydays = sum(months)
+        cum = [0]
+        for m in months:
+            cum.append(cum[-1] + m)
+
+        def to_num(t, _units=units, _cal=cal):
+            import re as _re
+            mm = _re.match(r"(-?\d+)-(\d+)-(\d+)(?:[ T](\d+):(\d+):(\d+))?$", t)
+            y, mo, d = int(mm.group(1)), int(mm.group(2)), int(mm.group(3))
+            hh = int(mm.group(4) or 0)
+            mi = int(mm.group(5) or 0)
+            ss = int(mm.group(6) or 0)
+            _months = CAL_MONTHS[_cal]
+            _ydays = sum(_months)
+            _cum = [0]
+            for q in _months:
+                _cum.append(_cum[-1] + q)
+            tsec = (y * _ydays + _cum[mo - 1] + (d - 1)) * 86400 + hh * 3600 + mi * 60 + ss
+            import re as _re2
+            um = _re2.match(r"(\w+) since (-?\d+)-(\d+)-(\d+)"
+                            r"(?:[ T](\d+):(\d+):(\d+))?$", _units)
+            ey, emo, ed = int(um.group(2)), int(um.group(3)), int(um.group(4))
+            ehh = int(um.group(5) or 0)
+            emi = int(um.group(6) or 0)
+            ess = int(um.group(7) or 0)
+            esec = (ey * _ydays + _cum[emo - 1] + (ed - 1)) * 86400 + ehh * 3600 + emi * 60 + ess
+            step = {"days": 86400, "hours": 3600,
+                    "minutes": 60, "seconds": 1}[um.group(1)]
+            return (tsec - esec) / step
+        manifest[name] = {
+            "units": units,
+            "calendar": cal,
+            "values": vals,
+            "datetimes": [cal_decode(cal, units, v) for v in vals],
+            "crop": {"t0": t0, "t1": t1,
+                     "lo": to_num(t0), "hi": to_num(t1)},
+        }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
 def main():
     os.makedirs(TEST_FIX, exist_ok=True)
     os.makedirs(MAIN_FIX, exist_ok=True)
@@ -4574,6 +4714,8 @@ def main():
     write_netcdf3(os.path.join(TEST_FIX, "golden.nc"))
     write_netcdf3_rec(os.path.join(TEST_FIX, "golden_rec.nc"))
     write_netcdf3_cdf5(os.path.join(TEST_FIX, "golden_cdf5.nc"))
+    write_nc_calendars(os.path.join(TEST_FIX, "golden_calendars.nc"),
+                       os.path.join(TEST_FIX, "golden_calendars_manifest.json"))
     write_netcdf3_rec_big(os.path.join(TEST_FIX, "consolidated_rec.nc"))
     write_avro(os.path.join(TEST_FIX, "golden.avro"))
     write_tfrecord(os.path.join(TEST_FIX, "golden.tfrecord"))
