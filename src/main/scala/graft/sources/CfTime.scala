@@ -81,14 +81,20 @@ object CfTime {
     }
   }
 
+  /** Is `calendar` one of the proleptic-Gregorian spellings (or
+    * absent, which CF defaults to standard)? */
+  def isStandardCalendar(calendar: Option[String]): Boolean =
+    calendar.map(_.toLowerCase).forall(c =>
+      c == "standard" || c == "gregorian" || c == "proleptic_gregorian")
+
   /** Reject non-standard CF calendars: the numeric->timestamp map
-    * below is proleptic-Gregorian only. */
+    * below is proleptic-Gregorian only. Fixed-length model calendars
+    * (360_day/noleap/all_leap) decode through [[CfCalendar]] instead —
+    * to calendar-datetime STRINGS, never TIMESTAMP. */
   def requireStandardCalendar(calendar: Option[String], where: String): Unit =
-    calendar.map(_.toLowerCase).foreach { c =>
-      if (c != "standard" && c != "gregorian" && c != "proleptic_gregorian")
-        fail(s"$where uses calendar '$c' — only standard/gregorian decode " +
-          "(360_day/noleap change the epoch arithmetic itself)")
-    }
+    if (!isStandardCalendar(calendar))
+      fail(s"$where uses calendar '${calendar.get}' — only standard/gregorian " +
+        "decode to TIMESTAMP (fixed-length model calendars -> CfCalendar)")
 
   /** TIMESTAMP bounds -> the numeric coordinate range for a value crop.
     * Bounds parse like the reference instant (date, optional time/zone). */
@@ -189,12 +195,22 @@ object CfTime {
   /** As [[hdf5Units]] but None when the attribute is absent (the
     * turnkey open treats such an axis as a plain numeric coord). */
   private[sources] def hdf5UnitsOpt(path: String, dataset: String): Option[String] = {
+    val (u, c) = hdf5TimeAttrs(path, dataset)
+    requireStandardCalendar(c, s"$path/$dataset")
+    u
+  }
+
+  /** Raw (units, calendar) attrs with NO calendar gate — the routing
+    * layers ([[GridOpen]], [[CoordCrop]] catalogs) send standard
+    * calendars to the TIMESTAMP decode and fixed-length ones to
+    * [[CfCalendar]]. */
+  private[sources] def hdf5TimeAttrs(path: String,
+      dataset: String): (Option[String], Option[String]) = {
     val in = new PagedFileInput(path)
     val attrs = try HDF5.attributes(in).getOrElse(dataset,
       fail(s"no dataset '$dataset' in $path")) finally in.close()
     def str(n: String) = attrs.find(_.name == n).flatMap(_.str)
-    requireStandardCalendar(str("calendar"), s"$path/$dataset")
-    str("units")
+    (str("units"), str("calendar"))
   }
 
   /** `units`/`calendar` attrs of a netCDF-3 coordinate variable. */
@@ -203,14 +219,20 @@ object CfTime {
       .getOrElse(fail(s"$path/$varName carries no units attribute"))
 
   private[sources] def netcdf3UnitsOpt(path: String, varName: String): Option[String] = {
+    val (u, c) = netcdf3TimeAttrs(path, varName)
+    requireStandardCalendar(c, s"$path/$varName")
+    u
+  }
+
+  private[sources] def netcdf3TimeAttrs(path: String,
+      varName: String): (Option[String], Option[String]) = {
     val h = NetCDF3ChunkIngest.headerOf(path)
     val v = h.vars.find(_.name == varName)
       .getOrElse(fail(s"no variable '$varName' in $path"))
     def str(n: String) = v.attrs.find(_.name == n).map(_.value).collect {
       case s: String => s
     }
-    requireStandardCalendar(str("calendar"), s"$path/$varName")
-    str("units")
+    (str("units"), str("calendar"))
   }
 
   /** `units`/`calendar` attrs of a zarr coordinate array (v2 `.zattrs`
@@ -220,6 +242,13 @@ object CfTime {
       .getOrElse(fail(s"$store/$dataset carries no units attribute"))
 
   private[sources] def zarrUnitsOpt(store: String, dataset: String): Option[String] = {
+    val (u, c) = zarrTimeAttrs(store, dataset)
+    requireStandardCalendar(c, s"$store/$dataset")
+    u
+  }
+
+  private[sources] def zarrTimeAttrs(store: String,
+      dataset: String): (Option[String], Option[String]) = {
     import org.json4s._
     val node = ByteStore.join(store, dataset)
     val v3 = ByteStore.join(node, "zarr.json")
@@ -234,7 +263,6 @@ object CfTime {
       case JString(s) => Some(s)
       case _ => None
     }
-    requireStandardCalendar(str("calendar"), s"$store/$dataset")
-    str("units")
+    (str("units"), str("calendar"))
   }
 }

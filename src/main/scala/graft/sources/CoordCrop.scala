@@ -268,21 +268,37 @@ object CoordCrop {
       }.reduce(_ || _)
     }
 
+  /** Time bounds -> numeric, routed by the axis's own calendar attr:
+    * standard/absent through [[CfTime]] (Gregorian instants),
+    * fixed-length model calendars through [[CfCalendar]] (calendar
+    * datetimes), anything else refuses loudly. */
+  private[sources] def timeRange(units: Option[String], calendar: Option[String],
+      t0: String, t1: String, where: String): (Double, Double) = {
+    val u = units.getOrElse(fail(s"$where carries no units attribute"))
+    if (CfTime.isStandardCalendar(calendar)) CfTime.numericRange(u, t0, t1)
+    else if (CfCalendar.supported(calendar.get))
+      CfCalendar.numericRange(u, calendar.get, t0, t1)
+    else fail(s"$where uses calendar '${calendar.get}' — not standard, " +
+      "not a fixed-length model calendar")
+  }
+
   /** Resolve the caller's bounds against ONE store: numeric `bounds`
-    * pass through; `timeBounds` (ISO instants) map through THAT
-    * store's own `units` attribute (scene files routinely differ in
-    * epoch). Returns per-axis index ranges; None for an axis with no
-    * in-range values (the store is then excluded). */
+    * pass through; `timeBounds` (instants) map through THAT store's
+    * own `units`/`calendar` attributes (scene files routinely differ
+    * in epoch; model output differs in calendar). Returns per-axis
+    * index ranges; None for an axis with no in-range values (the
+    * store is then excluded). */
   private def storeRanges(dims: Seq[String],
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)],
-      unitsOf: String => String,
+      attrsOf: String => (Option[String], Option[String]),
       valuesOf: String => Array[Double]): Seq[(Int, Option[(Int, Int)])] = {
     val overlap = bounds.keySet.intersect(timeBounds.keySet)
     if (overlap.nonEmpty)
       fail(s"axes ${overlap.mkString(",")} given both numeric and time bounds")
     val resolved = bounds.toSeq ++ timeBounds.toSeq.map { case (n, (t0, t1)) =>
-      (n, CfTime.numericRange(unitsOf(n), t0, t1))
+      val (u, c) = attrsOf(n)
+      (n, timeRange(u, c, t0, t1, s"axis '$n'"))
     }
     resolved.sortBy(_._1).map { case (name, b) =>
       val k = dims.indexOf(name)
@@ -310,7 +326,7 @@ object CoordCrop {
     require(stores.nonEmpty, s"coord crop: no '$dataset' arrays under $dir")
     val perStore = ByteStore.parMap(stores) { s =>
       (s, storeRanges(zarrDimNames(s, dataset), bounds, timeBounds,
-        n => CfTime.zarrUnits(s, n), n => zarrArrayValues(s, n)))
+        n => CfTime.zarrTimeAttrs(s, n), n => zarrArrayValues(s, n)))
     }
     spark.read.format("graft.sources.ZarrDataSource")
       .option("path", dir).load()
@@ -328,6 +344,14 @@ object CoordCrop {
     (pat, HDF5ChunkIngest.resolvePaths(pat))
   }
 
+  /** The resolved per-scene files of a file-based catalog (what the
+    * file mounts will plan over) — [[GridOpen]]'s store list. */
+  private[sources] def catalogFiles(dirOrGlob: String): Seq[String] = {
+    val (_, paths) = filesOf(dirOrGlob)
+    require(paths.nonEmpty, s"coord crop: no files under $dirOrGlob")
+    paths
+  }
+
   /** Catalog crop over a DIR (or glob) of netCDF classic scene files. */
   def netcdf3Catalog(spark: SparkSession, dir: String, varName: String,
       bounds: Map[String, (Double, Double)],
@@ -339,7 +363,7 @@ object CoordCrop {
       val v = h.vars.find(_.name == varName)
         .getOrElse(fail(s"variable '$varName' not in $p"))
       (p, storeRanges(v.dimIds.map(h.dims(_).name), bounds, timeBounds,
-        n => CfTime.netcdf3Units(p, n), n => nc3VarValues(p, n)))
+        n => CfTime.netcdf3TimeAttrs(p, n), n => nc3VarValues(p, n)))
     }
     spark.read.format("graft.sources.NetCDF3DataSource")
       .option("path", pat).load()
@@ -356,7 +380,7 @@ object CoordCrop {
     require(paths.nonEmpty, s"coord crop: no files under $dir")
     val perStore = ByteStore.parMap(paths) { p =>
       (p, storeRanges(hdf5DimNames(p, dataset), bounds, timeBounds,
-        n => CfTime.hdf5Units(p, n), n => hdf5DatasetValues(p, n)))
+        n => CfTime.hdf5TimeAttrs(p, n), n => hdf5DatasetValues(p, n)))
     }
     spark.read.format("graft.sources.Hdf5DataSource")
       .option("path", pat).load()

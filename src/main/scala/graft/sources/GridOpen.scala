@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * store, decodes CF conventions, and hands back named, value-typed
   * coordinates). The pieces exist separately in this repo (dimension
   * names, [[CoordCrop]] value crops, [[CfDecode]] mask-and-scale,
-  * [[CfTime]] axes); this composes them into ONE call per mount:
+  * [[CfTime]]/[[CfCalendar]] axes); this composes them into ONE call
+  * per mount:
   *
   *   GridOpen.zarr(spark, store, "lwp",
   *     timeBounds = Map("time" -> ("2020-01-01", "2020-01-02")),
@@ -18,36 +19,60 @@ import org.apache.spark.sql.functions._
   * `(path, idx, <dim name per axis>, value)` where
   *  - every bound pushed to the scan as `dK` index ranges (chunks that
   *    miss the crop never PLAN — the mounts' bbox machinery),
-  *  - each named axis is its coordinate VALUE (DOUBLE), or TIMESTAMP
-  *    for a CF time axis (a `units = "<step> since <instant>"` attr),
+  *  - each named axis is its coordinate VALUE (DOUBLE); a CF time axis
+  *    decodes by its own `calendar`: standard/absent -> TIMESTAMP,
+  *    fixed-length model calendars (360_day/noleap/all_leap) ->
+  *    calendar-datetime STRING (cftime's model: 2000-02-30 is not a
+  *    Gregorian instant), anything else refuses loudly,
   *  - an axis with no coordinate array keeps its index (LONG),
   *  - `value` is mask-and-scale decoded from the store's own attrs.
   *
   * Everything stays inside whole-stage codegen: affine axes decode as
-  * arithmetic on the mount's `dK` column; irregular axes as a
-  * `try_element_at` over a literal array (KB-scale coords, the 1M
+  * arithmetic on the mount's `dK` column; irregular and calendar axes
+  * as a `try_element_at` over a literal array (KB-scale coords, the 1M
   * guard of [[CfTime.timestampFromValues]]).
   *
-  * [[zarrCatalog]] lifts the same shape over a DIR of per-scene stores
-  * (the reference's catalog layout): store-level pruning via
-  * [[CoordCrop.zarrCatalog]]'s pushed disjunction, then per-store
+  * The `*Catalog` variants lift the same shape over a DIR of per-scene
+  * stores (the reference's catalog layout): store-level pruning via
+  * [[CoordCrop]]'s pushed per-store disjunction, then per-store
   * coordinate decode via BROADCAST joins on (path, dK) — per-store
-  * epochs and grids compose without per-store expression trees, so a
-  * 5,000-scene catalog plans one scan + K tiny broadcast joins.
+  * epochs, calendars and grids compose without per-store expression
+  * trees, so a 5,000-scene catalog plans one scan + K tiny broadcast
+  * joins.
   */
 object GridOpen {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"grid open: $msg")
 
-  /** One axis of a dataset: its position, name, coordinate values
-    * (None = no coordinate variable), and CF `units` when the
-    * coordinate carries one that parses as a time offset. */
-  final case class Axis(k: Int, name: String, coords: Option[Array[Double]],
-      timeUnits: Option[String])
+  /** How one axis decodes. */
+  sealed trait AxisTime
+  /** Not a time axis (no units, or units that aren't time offsets). */
+  case object NotTime extends AxisTime
+  /** Standard-calendar CF time: decodes to TIMESTAMP. */
+  final case class GregTime(units: String) extends AxisTime
+  /** Fixed-length model calendar: decodes to a calendar-datetime
+    * STRING through [[CfCalendar]]. */
+  final case class CalTime(units: String, calendar: String) extends AxisTime
 
-  private def timeUnitsOf(u: Option[String]): Option[String] =
-    u.filter(s => scala.util.Try(CfTime.parseUnits(s)).isSuccess)
+  /** One axis of a dataset: its position, name, coordinate values
+    * (None = no coordinate variable), and its time classification. */
+  final case class Axis(k: Int, name: String, coords: Option[Array[Double]],
+      time: AxisTime)
+
+  /** Classify an axis's (units, calendar) attrs. Unparseable units =
+    * a plain numeric coordinate (e.g. `units: "m"`); a time-shaped
+    * units with an unsupported calendar refuses loudly. */
+  private def classify(units: Option[String], calendar: Option[String],
+      where: String): AxisTime =
+    units.filter(u => scala.util.Try(CfTime.splitUnits(u)).isSuccess) match {
+      case None => NotTime
+      case Some(u) =>
+        if (CfTime.isStandardCalendar(calendar)) GregTime(u)
+        else if (CfCalendar.supported(calendar.get)) CalTime(u, calendar.get)
+        else fail(s"$where uses calendar '${calendar.get}' — not standard, " +
+          "not a fixed-length model calendar")
+    }
 
   // ---- per-mount axis discovery (driver-side, KB-scale metadata) ---------
 
@@ -56,16 +81,22 @@ object GridOpen {
       val node = ByteStore.join(store, n)
       val hasCoord = ByteStore.isFile(ByteStore.join(node, ".zarray")) ||
         ByteStore.isFile(ByteStore.join(node, "zarr.json"))
-      if (!hasCoord) Axis(k, n, None, None)
-      else Axis(k, n, Some(CoordCrop.zarrArrayValues(store, n)),
-        timeUnitsOf(CfTime.zarrUnitsOpt(store, n)))
+      if (!hasCoord) Axis(k, n, None, NotTime)
+      else {
+        val (u, c) = CfTime.zarrTimeAttrs(store, n)
+        Axis(k, n, Some(CoordCrop.zarrArrayValues(store, n)),
+          classify(u, c, s"$store/$n"))
+      }
     }
 
   private[sources] def hdf5Axes(path: String, dataset: String): Seq[Axis] =
     CoordCrop.hdf5DimNames(path, dataset).zipWithIndex.map { case (n, k) =>
-      if (n.startsWith("<unnamed")) Axis(k, s"dim_$k", None, None)
-      else Axis(k, n, Some(CoordCrop.hdf5DatasetValues(path, n)),
-        timeUnitsOf(CfTime.hdf5UnitsOpt(path, n)))
+      if (n.startsWith("<unnamed")) Axis(k, s"dim_$k", None, NotTime)
+      else {
+        val (u, c) = CfTime.hdf5TimeAttrs(path, n)
+        Axis(k, n, Some(CoordCrop.hdf5DatasetValues(path, n)),
+          classify(u, c, s"$path/$n"))
+      }
     }
 
   private[sources] def netcdf3Axes(path: String, varName: String): Seq[Axis] = {
@@ -75,9 +106,12 @@ object GridOpen {
     v.dimIds.zipWithIndex.map { case (id, k) =>
       val n = h.dims(id).name
       if (!h.vars.exists(cv => cv.name == n && cv.dimIds == Seq(id)))
-        Axis(k, n, None, None)
-      else Axis(k, n, Some(CoordCrop.nc3VarValues(path, n)),
-        timeUnitsOf(CfTime.netcdf3UnitsOpt(path, n)))
+        Axis(k, n, None, NotTime)
+      else {
+        val (u, c) = CfTime.netcdf3TimeAttrs(path, n)
+        Axis(k, n, Some(CoordCrop.nc3VarValues(path, n)),
+          classify(u, c, s"$path/$n"))
+      }
     }
   }
 
@@ -85,19 +119,21 @@ object GridOpen {
 
   /** The decode expression for one axis over the mount's `dK` column:
     * affine coords become arithmetic (codegen'd, no data), irregular
-    * ones a literal-array lookup; time units wrap either in the
-    * matching [[CfTime]] decode so both paths round identically. */
+    * ones a literal-array lookup; Gregorian time wraps either in the
+    * matching [[CfTime]] decode so both paths round identically;
+    * calendar time renders through [[CfCalendar]] driver-side. */
   private def axisColumn(ax: Axis): Column = {
     val dk = col(MountDsv2.DimCols(ax.k))
     ax.coords match {
       case None => dk // no coordinate variable: the index IS the axis
       case Some(cs) =>
-        ax.timeUnits match {
-          case Some(u) => CfTime.affineOf(cs) match {
+        ax.time match {
+          case GregTime(u) => CfTime.affineOf(cs) match {
             case Some((f, st)) => CfTime.affineTimestamp(dk, u, f, st)
             case None => CfTime.timestampFromValues(dk, u, cs)
           }
-          case None => CfTime.affineOf(cs) match {
+          case CalTime(u, c) => CfCalendar.datetimeFromValues(dk, u, c, cs)
+          case NotTime => CfTime.affineOf(cs) match {
             case Some((f, st)) => lit(f) + dk.cast("double") * lit(st)
             case None =>
               require(cs.length <= 1000000,
@@ -110,8 +146,8 @@ object GridOpen {
   }
 
   /** Resolve the user's time bounds to numeric ones through each
-    * axis's own units, merge with the numeric bounds, and reject
-    * double-bound axes. */
+    * axis's own units + calendar, merge with the numeric bounds, and
+    * reject double-bound axes. */
   private def resolveBounds(axes: Seq[Axis],
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)],
@@ -122,9 +158,11 @@ object GridOpen {
     bounds ++ timeBounds.map { case (n, (t0, t1)) =>
       val ax = axes.find(_.name == n)
         .getOrElse(fail(s"no axis '$n' in $where"))
-      val u = ax.timeUnits
-        .getOrElse(fail(s"axis '$n' in $where is not a CF time axis"))
-      n -> CfTime.numericRange(u, t0, t1)
+      n -> (ax.time match {
+        case GregTime(u) => CfTime.numericRange(u, t0, t1)
+        case CalTime(u, c) => CfCalendar.numericRange(u, c, t0, t1)
+        case NotTime => fail(s"axis '$n' in $where is not a CF time axis")
+      })
     }
   }
 
@@ -186,32 +224,62 @@ object GridOpen {
     decorate(cropped, axes, CfDecode.netcdf3CfAttrs(path, varName))
   }
 
-  // ---- catalog turnkey (dir of per-scene zarr stores) ---------------------
+  // ---- catalog turnkeys (dir of per-scene stores) --------------------------
 
   /** Open a CATALOG of zarr scene stores as one DataFrame with
     * named/typed coordinates. Store-level pruning comes from
     * [[CoordCrop.zarrCatalog]] (stores whose coordinates provably miss
     * the bounds never plan; survivors prune per-dimension on their own
     * grids); coordinates then decode per store via broadcast joins on
-    * `(path, dK)`, so scenes with different epochs/grids compose
-    * without per-store expression trees. Axis names and time-ness must
-    * agree across stores (a heterogeneous catalog fails loudly);
-    * mask-and-scale attrs must be identical across stores. */
+    * `(path, dK)`, so scenes with different epochs/calendars/grids
+    * compose without per-store expression trees. Axis names and
+    * time-kinds must agree across stores (a heterogeneous catalog
+    * fails loudly); mask-and-scale attrs must be identical. */
   def zarrCatalog(spark: SparkSession, dir: String, dataset: String,
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
     val stores = ZarrDataSource.discover(dir)
       .collect { case (s, a) if a == dataset => s }.distinct
     require(stores.nonEmpty, s"grid open: no '$dataset' arrays under $dir")
-    // one wave: every store's axes + pack attrs
-    val perStore = ByteStore.parMap(stores) { s =>
-      (s, zarrAxes(s, dataset), CfDecode.zarrCfAttrs(s, dataset))
-    }
-    val names = perStore.head._2.map(a => (a.name, a.timeUnits.isDefined))
+    catalog(spark, stores,
+      s => (zarrAxes(s, dataset), CfDecode.zarrCfAttrs(s, dataset)),
+      CoordCrop.zarrCatalog(spark, dir, dataset, bounds, timeBounds))
+  }
+
+  /** Catalog variant over a DIR (or glob) of netCDF classic scene
+    * files. */
+  def netcdf3Catalog(spark: SparkSession, dir: String, varName: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val paths = CoordCrop.catalogFiles(dir)
+    catalog(spark, paths,
+      p => (netcdf3Axes(p, varName), CfDecode.netcdf3CfAttrs(p, varName)),
+      CoordCrop.netcdf3Catalog(spark, dir, varName, bounds, timeBounds))
+  }
+
+  /** Catalog variant over a DIR (or glob) of netCDF-4/HDF5 scene
+    * files. */
+  def hdf5Catalog(spark: SparkSession, dir: String, dataset: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val paths = CoordCrop.catalogFiles(dir)
+    catalog(spark, paths,
+      p => (hdf5Axes(p, dataset), CfDecode.hdf5CfAttrs(p, dataset)),
+      CoordCrop.hdf5Catalog(spark, dir, dataset, bounds, timeBounds))
+  }
+
+  /** Shared catalog decoration: one metadata wave over the stores,
+    * homogeneity gates, then per-axis broadcast decode tables. */
+  private def catalog(spark: SparkSession, stores: Seq[String],
+      metaOf: String => (Seq[Axis], CfDecode.CfAttrs),
+      cropped: DataFrame): DataFrame = {
+    val perStore = ByteStore.parMap(stores)(s => (s, metaOf(s)))
+      .map { case (s, (axes, attrs)) => (s, axes, attrs) }
+    val names = perStore.head._2.map(a => (a.name, a.time.getClass))
     perStore.foreach { case (s, axes, _) =>
-      if (axes.map(a => (a.name, a.timeUnits.isDefined)) != names)
+      if (axes.map(a => (a.name, a.time.getClass)) != names)
         fail(s"store $s axes ${axes.map(_.name)} disagree with " +
-          s"${names.map(_._1)} (names and time-ness must match catalog-wide)")
+          s"${names.map(_._1)} (names and time-kinds must match catalog-wide)")
     }
     val attrs = perStore.head._3
     perStore.foreach { case (s, _, a) =>
@@ -219,40 +287,45 @@ object GridOpen {
         fail(s"store $s pack attrs $a differ from $attrs — " +
           "catalog mask-and-scale needs identical attrs")
     }
-    val cropped = CoordCrop.zarrCatalog(spark, dir, dataset, bounds, timeBounds)
     val masked = CfDecode.maskAndScale(cropped, attrs)
-    // per-axis broadcast decode table: (path, dK, value-or-ts)
     import spark.implicits._
     val totalCoordRows = perStore.iterator.flatMap(_._2.flatMap(_.coords))
       .map(_.length.toLong).sum
     require(totalCoordRows <= 1000000,
       s"catalog coordinate tables total $totalCoordRows rows — beyond the " +
         "broadcast decode path")
-    val out = names.zipWithIndex.foldLeft(masked) { case (df, ((n, isTime), k)) =>
+    val axisNames = perStore.head._2.map(_.name)
+    val out = axisNames.zipWithIndex.foldLeft(masked) { case (df, (n, k)) =>
       val dk = MountDsv2.DimCols(k)
       if (perStore.forall(_._2(k).coords.isEmpty))
         df.withColumn(n, col(dk)) // no coordinate variables anywhere
-      else if (isTime) {
-        val rows = perStore.flatMap { case (s, axes, _) =>
-          val ax = axes(k)
-          val cs = ax.coords.getOrElse(fail(s"store $s axis '$n' has no coords"))
-          val (epoch, step) = CfTime.parseUnits(ax.timeUnits.get)
-          cs.zipWithIndex.map { case (c, i) =>
-            (s, i.toLong, epoch + math.round(c * step)) }
+      else {
+        def coordsOf(s: String, axes: Seq[Axis]): Array[Double] =
+          axes(k).coords.getOrElse(fail(s"store $s axis '$n' has no coords"))
+        val tbl = perStore.head._2(k).time match {
+          case GregTime(_) =>
+            perStore.flatMap { case (s, axes, _) =>
+              val GregTime(u) = axes(k).time: @unchecked
+              val (epoch, step) = CfTime.parseUnits(u)
+              coordsOf(s, axes).zipWithIndex.map { case (c, i) =>
+                (s, i.toLong, epoch + math.round(c * step)) }
+            }.toDF("path", dk, "__micros")
+              .withColumn(n, timestamp_micros(col("__micros"))).drop("__micros")
+          case CalTime(_, _) =>
+            perStore.flatMap { case (s, axes, _) =>
+              val CalTime(u, c) = axes(k).time: @unchecked
+              coordsOf(s, axes).zipWithIndex.map { case (v, i) =>
+                (s, i.toLong, CfCalendar.datetimeString(u, c, v)) }
+            }.toDF("path", dk, n)
+          case NotTime =>
+            perStore.flatMap { case (s, axes, _) =>
+              coordsOf(s, axes).zipWithIndex.map { case (v, i) => (s, i.toLong, v) }
+            }.toDF("path", dk, n)
         }
-        val tbl = rows.toDF("path", dk, "__micros")
-          .withColumn(n, timestamp_micros(col("__micros"))).drop("__micros")
         df.join(broadcast(tbl), Seq("path", dk), "left")
-      } else {
-        val rows = perStore.flatMap { case (s, axes, _) =>
-          val cs = axes(k).coords.getOrElse(
-            fail(s"store $s axis '$n' has no coords"))
-          cs.zipWithIndex.map { case (c, i) => (s, i.toLong, c) }
-        }
-        df.join(broadcast(rows.toDF("path", dk, n)), Seq("path", dk), "left")
       }
     }
-    val axCols = names.map { case (n, _) => col(s"`$n`") }
+    val axCols = axisNames.map(n => col(s"`$n`"))
     out.select((Seq(col("path"), col("idx")) ++ axCols :+ col("value")): _*)
   }
 }

@@ -99,6 +99,88 @@ class GridOpenSpec extends SparkSpec {
       ("2021-01-01T05:00:00Z", 7.0), ("2021-01-01T05:00:00Z", 9.0)))
   }
 
+  test("a 360_day calendar axis auto-routes to calendar-datetime strings") {
+    val dir = Files.createTempDirectory("graft-gridopen-cal").toString
+    val p = Paths.get(dir, "m.nc")
+    Files.write(p, NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 2)),
+      gattrs = Nil,
+      vars = Seq(
+        NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble, Seq(
+          NetCDF3.Attr("units", NetCDF3.NcChar, "days since 2000-02-27"),
+          NetCDF3.Attr("calendar", NetCDF3.NcChar, "360_day")),
+          Array.tabulate(6)(_.toDouble)),
+        NetCDF3.VarSpec("v", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+          Array.tabulate(12)(_ * 1.0))),
+      numRecs = 6))
+    // calendar bounds crop + decode through the turnkey: 02-28..03-01
+    // covers 02-28, 02-29, 02-30, 03-01 (360_day februaries have 30 days)
+    val df = GridOpen.netcdf3(spark, p.toString, "v",
+      timeBounds = Map("time" -> ("2000-02-28", "2000-03-01")))
+    assert(df.schema("time").dataType == org.apache.spark.sql.types.StringType)
+    val times = df.select("time").distinct().collect().map(_.getString(0)).sorted
+    assert(times.toSeq == Seq("2000-02-28 00:00:00", "2000-02-29 00:00:00",
+      "2000-02-30 00:00:00", "2000-03-01 00:00:00"))
+    // the crop pruned record batches at the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(d0,1)") &&
+      plan.contains("LessThanOrEqual(d0,4)"), s"no pushed crop:\n$plan")
+  }
+
+  test("netcdf3Catalog and hdf5Catalog decode per-store time via broadcast joins") {
+    // netCDF-3 catalog: two files with different epochs
+    val ncDir = Files.createTempDirectory("graft-gridopen-nccat").toString
+    def nc(name: String, day: Int, base: Double): Unit =
+      Files.write(Paths.get(ncDir, name), NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 2)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("units", NetCDF3.NcChar,
+              s"hours since 2022-03-0$day")), Array(0.0, 6.0, 12.0, 18.0)),
+          NetCDF3.VarSpec("lwp", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(8)(i => base + i))),
+        numRecs = 4))
+    nc("a.nc", 1, 10.0)
+    nc("b.nc", 2, 20.0)
+    val ncDf = GridOpen.netcdf3Catalog(spark, ncDir, "lwp",
+      timeBounds = Map("time" -> ("2022-03-01 12:00:00", "2022-03-02 00:00:00")))
+    val ncRows = ncDf.collect().map(r => (r.getString(0).split('/').last,
+      r.getTimestamp(2).toInstant.toString, r.getDouble(4))).sorted
+    assert(ncRows.toSeq == Seq(
+      ("a.nc", "2022-03-01T12:00:00Z", 14.0), ("a.nc", "2022-03-01T12:00:00Z", 15.0),
+      ("a.nc", "2022-03-01T18:00:00Z", 16.0), ("a.nc", "2022-03-01T18:00:00Z", 17.0),
+      ("b.nc", "2022-03-02T00:00:00Z", 20.0), ("b.nc", "2022-03-02T00:00:00Z", 21.0)
+    ).sorted)
+    // HDF5 catalog: dimension scales + per-file units
+    val h5Dir = Files.createTempDirectory("graft-gridopen-h5cat").toString
+    def h5(name: String, day: Int, base: Double): Unit =
+      Files.write(Paths.get(h5Dir, name), HDF5.write(Seq(
+        HDF5.DsSpec("v", Seq(4, 2), Array.tabulate(8)(i => base + i),
+          chunkDims = Some(Seq(1, 2)),
+          attrs = Seq(HDF5.WAttrDimList("DIMENSION_LIST", Seq("time", "x"))),
+          ),
+        HDF5.DsSpec("time", Seq(4), Array(0.0, 1.0, 2.0, 3.0),
+          attrs = Seq(
+            HDF5.WAttrString("NAME", "time"),
+            HDF5.WAttrString("units", s"days since 2023-06-0$day"))),
+        HDF5.DsSpec("x", Seq(2), Array(5.0, 6.0),
+          attrs = Seq(HDF5.WAttrString("NAME", "x"))))))
+    h5("a.h5", 1, 10.0)
+    h5("b.h5", 5, 20.0)
+    val h5Df = GridOpen.hdf5Catalog(spark, h5Dir, "v",
+      timeBounds = Map("time" -> ("2023-06-03", "2023-06-06")))
+    // a.h5: days 2-3 (Jun 3, 4); b.h5: days 0-1 (Jun 5, 6)
+    val h5Rows = h5Df.collect().map(r => (r.getString(0).split('/').last,
+      r.getTimestamp(2).toInstant.toString)).distinct.sorted
+    assert(h5Rows.toSeq == Seq(
+      ("a.h5", "2023-06-03T00:00:00Z"), ("a.h5", "2023-06-04T00:00:00Z"),
+      ("b.h5", "2023-06-05T00:00:00Z"), ("b.h5", "2023-06-06T00:00:00Z")))
+    val plan = h5Df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"catalog decode must broadcast:\n${plan.take(1500)}")
+  }
+
   test("zarrCatalog: per-store epochs decode via broadcast joins, stores prune") {
     val dir = Files.createTempDirectory("graft-gridopen-cat").toString
     def store(name: String, units: String, base: Double): Unit = {
