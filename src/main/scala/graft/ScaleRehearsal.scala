@@ -459,6 +459,77 @@ object ScaleRehearsal {
       java.nio.file.Files.delete(f)
     }
 
+    // round 16: catalog-level crop at store count — the scene-catalog
+    // access pattern (one zarr store per scene, distinct epochs). A
+    // time+bbox crop must prune whole stores at PLAN time in one
+    // metadata wave: planning wall should track ceil(N/16) waves of
+    // KB-scale reads (sub-linear in N on latency-bound stores; here
+    // local-FS CPU), and the planned partition count only the
+    // SURVIVORS' intersecting chunks. Execution reads survivors only.
+    if (wanted("catalog_crop")) {
+      import graft.sources.{ByteStore, GridOpen}
+      val n = (100 * mult).toInt
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-cat").toString
+      val (nt, ny, nx) = (4, 6, 8)
+      def writeArr(store: String, name: String, shape: Seq[Int],
+          chunks: Seq[Int], dims: Seq[String], extra: String = ""): Unit = {
+        ByteStore.writeString(s"$store/$name/.zarray",
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+             | "chunks": [${chunks.mkString(",")}], "dtype": ">f8",
+             | "compressor": null, "fill_value": "NaN", "filters": null,
+             | "order": "C"}""".stripMargin)
+        ByteStore.writeString(s"$store/$name/.zattrs",
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extra}""")
+        val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+        def cells(g: Seq[Int]): Seq[Seq[Int]] =
+          g.foldLeft(Seq(Seq.empty[Int]))((acc, m) =>
+            acc.flatMap(p => (0 until m).map(p :+ _)))
+        cells(grid).foreach { ci =>
+          val bb = java.nio.ByteBuffer.allocate(chunks.product * 8)
+          (0 until chunks.product).foreach(k => bb.putDouble(k.toDouble))
+          val out = ByteStore.create(s"$store/$name/${ci.mkString(".")}")
+          try out.write(bb.array()) finally out.close()
+        }
+      }
+      (0 until n).foreach { i =>
+        val store = s"$dir/sc${"%05d".format(i)}.zarr"
+        ByteStore.writeString(s"$store/.zgroup", """{"zarr_format": 2}""")
+        val day = 1 + i % 28
+        writeArr(store, "lwp", Seq(nt, ny, nx), Seq(1, ny, nx),
+          Seq("time", "y", "x"))
+        writeArr(store, "time", Seq(nt), Seq(nt), Seq("time"),
+          s""", "units": "hours since 2021-01-${"%02d".format(day)}"""")
+        writeArr(store, "y", Seq(ny), Seq(ny), Seq("y"))
+        writeArr(store, "x", Seq(nx), Seq(nx), Seq("x"))
+      }
+      // each store's time coord holds hours 0..3 since its OWN epoch
+      // day D = 1 + i%28: the window [D=11 02:00, D=13 23:00] keeps
+      // D=11 at t in {2,3} (2 chunks) and D=12/13 fully (4 chunks),
+      // excluding the other 25/28 of the catalog at plan time
+      val expectedChunks = (0 until n).map { i =>
+        val day = 1 + i % 28
+        if (day == 11) 2 else if (day == 12 || day == 13) 4 else 0
+      }.sum
+      var df: org.apache.spark.sql.DataFrame = null
+      timed("catalog_crop_plan") {
+        df = GridOpen.zarrCatalog(spark, dir, "lwp",
+          timeBounds = Map("time" ->
+            ("2021-01-11 02:00:00", "2021-01-13 23:00:00")))
+        df.rdd.getNumPartitions.toLong
+      }
+      timed("catalog_crop_exec") {
+        val rows = df.count()
+        println(s"""{"op":"catalog_crop_io","stores":$n,""" +
+          s""""survivingChunks":$expectedChunks,""" +
+          s""""plannedPartitions":${df.rdd.getNumPartitions},"rows":$rows}""")
+        require(rows == expectedChunks.toLong * ny * nx,
+          s"expected ${expectedChunks.toLong * ny * nx} rows, got $rows")
+        require(df.rdd.getNumPartitions <= expectedChunks,
+          s"planned ${df.rdd.getNumPartitions} partitions for $expectedChunks chunks")
+        rows
+      }
+    }
+
     spark.stop()
   }
 }

@@ -103,6 +103,69 @@ class CfCalendarSpec extends SparkSpec {
       plan.contains("LessThanOrEqual(d0,7)"), s"no pushed crop:\n$plan")
   }
 
+  test("property: datetime round-trips through the numeric map on every calendar") {
+    // decode(numeric(dt)) == dt for every valid calendar datetime:
+    // seeded sweep over years (incl. negatives), all months, edge days,
+    // sub-day units — the pair of closed forms must be exact inverses
+    val rnd = new scala.util.Random(42)
+    val monthDays = Map(
+      "360_day" -> Seq.fill(12)(30),
+      "noleap" -> Seq(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31),
+      "all_leap" -> Seq(31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31))
+    val units = Seq("days since 2000-01-01", "hours since 2010-01-01 06:00:00",
+      "seconds since 1999-12-30", "minutes since 2020-06-15 12:30:00")
+    // EXACT round-trip within ~30 years of each epoch: there the
+    // micros distance fits the float64 mantissa with sub-us headroom.
+    // Further out, float64 COORDINATES cannot hold seconds exactly
+    // (cftime documents the same roundoff) — pinned below as a bounded
+    // error, not exactness.
+    for (_ <- 1 to 300) {
+      val cal = monthDays.keys.toSeq(rnd.nextInt(3))
+      val u = units(rnd.nextInt(units.size))
+      val y = rnd.nextInt(50) + 1990
+      val mo = rnd.nextInt(12) + 1
+      val d = rnd.nextInt(monthDays(cal)(mo - 1)) + 1
+      val (hh, mm, ss) = (rnd.nextInt(24), rnd.nextInt(60), rnd.nextInt(60))
+      val dt = f"$y%04d-$mo%02d-$d%02d $hh%02d:$mm%02d:$ss%02d"
+      val (lo, hi) = CfCalendar.numericRange(u, cal, dt, dt)
+      assert(lo == hi)
+      val back = CfCalendar.datetimeString(u, cal, lo)
+      assert(back == dt, s"$cal/$u: $dt -> $lo -> $back")
+    }
+    // far from the epoch (centuries): the round-trip error is bounded
+    // by float64 representation — within one second, and re-encoding
+    // the decoded string lands within 2 us of the original numeric
+    for (_ <- 1 to 100) {
+      val cal = monthDays.keys.toSeq(rnd.nextInt(3))
+      val u = units(rnd.nextInt(units.size))
+      val y = rnd.nextInt(600) + 1700
+      val mo = rnd.nextInt(12) + 1
+      val d = rnd.nextInt(monthDays(cal)(mo - 1)) + 1
+      val dt = f"$y%04d-$mo%02d-$d%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"
+      val lo = CfCalendar.numericRange(u, cal, dt, dt)._1
+      val back = CfCalendar.datetimeString(u, cal, lo)
+      val lo2 = CfCalendar.numericRange(u, cal, back, back)._1
+      val stepMicros = CfTime.splitUnits(u)._1
+      assert(math.abs((lo2 - lo) * stepMicros) <= 1000000.0,
+        s"$cal/$u: $dt -> $lo -> $back -> $lo2 drifted beyond a second")
+    }
+    // ordering is preserved: a later datetime maps to a larger numeric
+    for (_ <- 1 to 100) {
+      val cal = monthDays.keys.toSeq(rnd.nextInt(3))
+      val u = units(rnd.nextInt(units.size))
+      def rdt(): String = {
+        val y = rnd.nextInt(50) + 2000
+        val mo = rnd.nextInt(12) + 1
+        val d = rnd.nextInt(monthDays(cal)(mo - 1)) + 1
+        f"$y%04d-$mo%02d-$d%02d"
+      }
+      val (a, b) = (rdt(), rdt())
+      val na = CfCalendar.numericRange(u, cal, a, a)._1
+      val nb = CfCalendar.numericRange(u, cal, b, b)._1
+      assert((a < b) == (na < nb) || a == b, s"$cal: $a/$b vs $na/$nb")
+    }
+  }
+
   test("the TIMESTAMP path keeps refusing, and unknown calendars refuse here too") {
     val e1 = intercept[IllegalArgumentException](
       CfTime.requireStandardCalendar(Some("360_day"), "t"))
