@@ -321,6 +321,12 @@ object CoordCrop {
   def zarrCatalog(spark: SparkSession, dir: String, dataset: String,
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val base = spark.read.format("graft.sources.ZarrDataSource")
+      .option("path", dir).load()
+      .where(col("dataset") === dataset)
+    // no bounds = nothing to prune on: skip the wave AND the would-be
+    // path-only disjunction (O(stores) expression for zero pruning)
+    if (bounds.isEmpty && timeBounds.isEmpty) return base
     val stores = ZarrDataSource.discover(dir)
       .collect { case (s, a) if a == dataset => s }.distinct
     require(stores.nonEmpty, s"coord crop: no '$dataset' arrays under $dir")
@@ -328,10 +334,7 @@ object CoordCrop {
       (s, storeRanges(zarrDimNames(s, dataset), bounds, timeBounds,
         n => CfTime.zarrTimeAttrs(s, n), n => zarrArrayValues(s, n)))
     }
-    spark.read.format("graft.sources.ZarrDataSource")
-      .option("path", dir).load()
-      .where(col("dataset") === dataset)
-      .where(catalogPredicate(surviving(perStore)))
+    base.where(catalogPredicate(surviving(perStore)))
   }
 
   /** A bare directory means every file in it; anything else passes
@@ -358,6 +361,10 @@ object CoordCrop {
       timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
     val (pat, paths) = filesOf(dir)
     require(paths.nonEmpty, s"coord crop: no files under $dir")
+    val base = spark.read.format("graft.sources.NetCDF3DataSource")
+      .option("path", pat).load()
+      .where(col("dataset") === varName)
+    if (bounds.isEmpty && timeBounds.isEmpty) return base
     val perStore = ByteStore.parMap(paths) { p =>
       val h = NetCDF3ChunkIngest.headerOf(p)
       val v = h.vars.find(_.name == varName)
@@ -365,10 +372,7 @@ object CoordCrop {
       (p, storeRanges(v.dimIds.map(h.dims(_).name), bounds, timeBounds,
         n => CfTime.netcdf3TimeAttrs(p, n), n => nc3VarValues(p, n)))
     }
-    spark.read.format("graft.sources.NetCDF3DataSource")
-      .option("path", pat).load()
-      .where(col("dataset") === varName)
-      .where(catalogPredicate(surviving(perStore)))
+    base.where(catalogPredicate(surviving(perStore)))
   }
 
   /** Catalog crop over a DIR (or glob) of netCDF-4/HDF5 scene files,
@@ -378,13 +382,14 @@ object CoordCrop {
       timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
     val (pat, paths) = filesOf(dir)
     require(paths.nonEmpty, s"coord crop: no files under $dir")
+    val base = spark.read.format("graft.sources.Hdf5DataSource")
+      .option("path", pat).load()
+      .where(col("dataset") === dataset)
+    if (bounds.isEmpty && timeBounds.isEmpty) return base
     val perStore = ByteStore.parMap(paths) { p =>
       (p, storeRanges(hdf5DimNames(p, dataset), bounds, timeBounds,
         n => CfTime.hdf5TimeAttrs(p, n), n => hdf5DatasetValues(p, n)))
     }
-    spark.read.format("graft.sources.Hdf5DataSource")
-      .option("path", pat).load()
-      .where(col("dataset") === dataset)
-      .where(catalogPredicate(surviving(perStore)))
+    base.where(catalogPredicate(surviving(perStore)))
   }
 }

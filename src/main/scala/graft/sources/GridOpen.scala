@@ -289,19 +289,34 @@ object GridOpen {
     }
     val masked = CfDecode.maskAndScale(cropped, attrs)
     import spark.implicits._
-    val totalCoordRows = perStore.iterator.flatMap(_._2.flatMap(_.coords))
-      .map(_.length.toLong).sum
-    require(totalCoordRows <= 1000000,
-      s"catalog coordinate tables total $totalCoordRows rows — beyond the " +
-        "broadcast decode path")
     val axisNames = perStore.head._2.map(_.name)
+    def homogeneous(k: Int): Boolean = {
+      val h = perStore.head._2(k)
+      perStore.forall { case (_, axes, _) =>
+        axes(k).time == h.time && ((axes(k).coords, h.coords) match {
+          case (Some(a), Some(b)) => a.sameElements(b)
+          case (None, None) => true
+          case _ => false
+        })
+      }
+    }
     val out = axisNames.zipWithIndex.foldLeft(masked) { case (df, (n, k)) =>
       val dk = MountDsv2.DimCols(k)
       if (perStore.forall(_._2(k).coords.isEmpty))
         df.withColumn(n, col(dk)) // no coordinate variables anywhere
+      else if (homogeneous(k))
+        // the common case — every scene on the SAME grid/epoch: decode
+        // as the single-store expression (codegen'd arithmetic or
+        // literal lookup), skipping the broadcast join entirely
+        df.withColumn(n, axisColumn(perStore.head._2(k)))
       else {
         def coordsOf(s: String, axes: Seq[Axis]): Array[Double] =
           axes(k).coords.getOrElse(fail(s"store $s axis '$n' has no coords"))
+        val tblRows = perStore.iterator
+          .map(_._2(k).coords.map(_.length.toLong).getOrElse(0L)).sum
+        require(tblRows <= 1000000,
+          s"axis '$n' decode table has $tblRows rows across the catalog — " +
+            "beyond the broadcast decode path")
         val tbl = perStore.head._2(k).time match {
           case GregTime(_) =>
             perStore.flatMap { case (s, axes, _) =>

@@ -181,6 +181,33 @@ class GridOpenSpec extends SparkSpec {
       s"catalog decode must broadcast:\n${plan.take(1500)}")
   }
 
+  test("a HOMOGENEOUS catalog decodes via expressions — no joins at all") {
+    val dir = Files.createTempDirectory("graft-gridopen-homog").toString
+    def nc(name: String, base: Double): Unit =
+      Files.write(Paths.get(dir, name), NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 2)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("units", NetCDF3.NcChar,
+              "hours since 2022-03-01")), Array(0.0, 6.0, 12.0, 18.0)),
+          NetCDF3.VarSpec("lwp", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(8)(i => base + i))),
+        numRecs = 4))
+    nc("a.nc", 10.0)
+    nc("b.nc", 20.0)
+    val df = GridOpen.netcdf3Catalog(spark, dir, "lwp",
+      timeBounds = Map("time" -> ("2022-03-01 06:00:00", "2022-03-01 12:00:00")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"homogeneous catalog must not join:\n${plan.take(1500)}")
+    val rows = df.collect().map(r => (r.getString(0).split('/').last,
+      r.getTimestamp(2).toInstant.toString, r.getDouble(4))).sorted
+    assert(rows.length == 8) // 2 files x 2 kept records x 2 columns
+    assert(rows.map(_._2).distinct.toSeq ==
+      Seq("2022-03-01T06:00:00Z", "2022-03-01T12:00:00Z"))
+    assert(rows.map(_._3).toSet == Set(12.0, 13.0, 14.0, 15.0, 22.0, 23.0, 24.0, 25.0))
+  }
+
   test("zarrCatalog: per-store epochs decode via broadcast joins, stores prune") {
     val dir = Files.createTempDirectory("graft-gridopen-cat").toString
     def store(name: String, units: String, base: Double): Unit = {

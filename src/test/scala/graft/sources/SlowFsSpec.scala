@@ -93,6 +93,45 @@ class SlowFsSpec extends SparkSpec {
         s"got ${shardOpens.size}:\n${shardOpens.mkString("\n")}")
   }
 
+  test("catalog crop over slowfs: excluded stores cost metadata only, at wave latency") {
+    registerSlowFs()
+    val dir = Files.createTempDirectory("graft-slowfs-cat").toString
+    // 8 scene stores with disjoint y grids (scene k: y = k*1000 + ...)
+    val grid = spark.range(8L * 9 * 6).select(
+      concat(lit("s"), expr("id div 54")).as("scene_id"),
+      expr("timestamp_seconds(1577836800)").as("time"),
+      (expr("id % 6") * 100.0).as("x"),
+      (expr("(id div 6) % 9") * 100.0 + expr("id div 54") * 1000.0).as("y"),
+      (col("id") * 0.25).as("value"))
+    ZarrSink.writeScenes(grid, dir, "lwp", chunkRows = Some(3),
+      zlibLevel = Some(6)).count()
+    val rtt = 10L
+    SlowFs.reset(rtt)
+    val t0 = System.nanoTime()
+    val df = CoordCrop.zarrCatalog(spark, s"slowfs:$dir", "lwp",
+      Map("y" -> (2200.0, 2500.0))) // only s2 intersects
+    val rows = df.select("path", "value").collect()
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val nOps = SlowFs.opCount.get()
+    val opsLog = SlowFs.ops
+    SlowFs.reset(0)
+    assert(rows.nonEmpty && rows.forall(_.getString(0).contains("s2.zarr")))
+    // excluded stores: coordinate metadata was read (the wave), their
+    // DATA chunks never — on the actual scheme
+    for (k <- Seq(0, 1, 3, 4, 5, 6, 7)) {
+      val dataOpens = opsLog.count(s => s.startsWith("open ") &&
+        s.contains(s"s$k.zarr/lwp/") && !s.endsWith(".zarray") &&
+        !s.endsWith(".zattrs"))
+      assert(dataOpens == 0, s"excluded s$k had $dataOpens data opens")
+      assert(opsLog.exists(s => s.contains(s"s$k.zarr/y/")),
+        s"excluded s$k should still have had its coords read in the wave")
+    }
+    // and the whole plan+read beat the serial op bill comfortably
+    assert(nOps >= 50, s"suspiciously few ops: $nOps")
+    assert(wallMs * 2 < nOps * rtt,
+      s"catalog crop looks serial: $wallMs ms for $nOps ops at $rtt ms RTT")
+  }
+
   test("a sessionless JVM resolves slowfs ONLY through the installed snapshot") {
     registerSlowFs()
     SlowFs.reset(0)
