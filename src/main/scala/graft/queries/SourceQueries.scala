@@ -2129,8 +2129,48 @@ object SourceQueries {
         .select(CfCalendar.datetimeFromValues(col("d0"), units, "360_day",
           Array.tabulate(8)(_.toDouble)).as("dt"),
           col("d1").as("x"), col("value"))
+    },
+
+    // ---- multi-variable open + derived variable (the xr.Dataset shape) ----
+    // The reference's derived-variable DAG reads SEVERAL variables of
+    // one store (sources/__init__.py:349-423 — e.g. two temperature
+    // levels for LTS, G5). GridOpen's multi-open does it as ONE scan
+    // (dataset IN pushed, the bbox pruning every variable's chunks) +
+    // one pivot aggregation — no self-joins — then the derived column
+    // is plain arithmetic. The theta factor (1000/700)^0.286 is baked
+    // as a literal so the oracle compare is pure IEEE +/*.
+    QueryDef.sqlBacked(
+      "q219_multivar_derived",
+      """SELECT CAST(j*100 AS DOUBLE) AS y, CAST(i*100 AS DOUBLE) AS x,
+        |  CAST(round(((270 + (j*5+i)*0.5) * 1.107393475838283
+        |       - (290 + (j*5+i)*0.25)) * 1000000) AS BIGINT) AS lts_micro
+        |FROM range(1,4) r1(j), range(0,5) r2(i)""".stripMargin) { (s, d) =>
+      // micro-unit integerization: FMA vs non-FMA evaluation differs in
+      // the last ulp between engines; the compare is on exact BIGINTs
+      graft.sources.GridOpen.zarrVars(s, ensureQ219Vars(),
+          Seq("t700", "t1000"), bounds = Map("y" -> (100.0, 300.0)))
+        .select(col("y"), col("x"),
+          round((col("t700") * lit(1.107393475838283) - col("t1000")) *
+            lit(1000000)).cast("long").as("lts_micro"))
     }
   )
+
+  /** q219's two-variable zarr scene store (t700/t1000 on one grid). */
+  private def ensureQ219Vars(): String = {
+    val dir = q219ZarrDir
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      writeV2Store(dir, "s0", Seq(
+        ("t700", Seq(4, 5), Seq("y", "x"),
+          Array.tabulate(20)(i => 270.0 + i * 0.5), ""),
+        ("t1000", Seq(4, 5), Seq("y", "x"),
+          Array.tabulate(20)(i => 290.0 + i * 0.25), ""),
+        ("y", Seq(4), Seq("y"), Array.tabulate(4)(_ * 100.0), ""),
+        ("x", Seq(5), Seq("x"), Array.tabulate(5)(_ * 100.0), "")))
+    }
+    s"$dir/s0.zarr"
+  }
+
+  private lazy val q219ZarrDir: String = mkCleanedTempDir("graft_q219_zarr_")
 
   /** q218's 360_day-calendar record store. */
   private def ensureQ218Cal360(): String = {

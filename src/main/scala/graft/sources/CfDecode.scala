@@ -57,17 +57,23 @@ object CfDecode {
     * `attrs`. Order matches xarray: unsigned reinterpretation first
     * (on the fill value too — it is stored with the data's signed
     * type), then mask on the raw value, then scale. */
-  def maskAndScale(df: DataFrame, attrs: CfAttrs): DataFrame = {
+  def maskAndScale(df: DataFrame, attrs: CfAttrs): DataFrame =
+    df.withColumn("value", maskAndScaleExpr(col("value"), attrs))
+
+  /** The decode as a bare expression over any raw column —
+    * [[GridOpen]]'s multi-variable open folds one per variable into a
+    * single CASE projection. */
+  def maskAndScaleExpr(rawCol: Column, attrs: CfAttrs): Column = {
     def reinterpret(c: Column): Column = attrs.unsignedModulus match {
       case Some(m) => when(c < 0, c + lit(m)).otherwise(c)
       case None => c
     }
-    val raw = reinterpret(col("value"))
+    val raw = reinterpret(rawCol)
     val masked = attrs.fill.map(f => lit(f)).map(reinterpret) match {
       case Some(f) => when(raw === f, lit(null)).otherwise(raw)
       case None => raw
     }
-    df.withColumn("value", (masked * lit(attrs.scale) + lit(attrs.offset)).cast("double"))
+    (masked * lit(attrs.scale) + lit(attrs.offset)).cast("double")
   }
 
   /** The `dataset` rows of the HDF5 mount at `path`, mask-and-scale

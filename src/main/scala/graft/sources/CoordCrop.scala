@@ -55,6 +55,11 @@ object CoordCrop {
     if (first < 0 || last < 0 || first > last) None else Some((first, last))
   }
 
+  /** The pushable predicate for value range (lo, hi) on dimension `k`
+    * — [[GridOpen]]'s multi-variable open shares it. */
+  private[sources] def dimRangePredicate(k: Int, coords: Array[Double],
+      lo: Double, hi: Double): Column = dimPredicate(k, coords, (lo, hi))
+
   /** The pushable predicate for value range `b` on dimension `k`, given
     * that dimension's coordinate values. */
   private def dimPredicate(k: Int, coords: Array[Double],

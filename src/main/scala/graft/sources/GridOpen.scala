@@ -224,6 +224,98 @@ object GridOpen {
     decorate(cropped, axes, CfDecode.netcdf3CfAttrs(path, varName))
   }
 
+  // ---- multi-variable open (the xr.Dataset shape) --------------------------
+
+  /** Open SEVERAL variables of one store as one wide DataFrame —
+    * `(path, idx, <dims>, <one column per variable>)` — the
+    * `xr.open_dataset` multi-variable shape the reference's derived-
+    * variable DAG consumes (convml-data sources/__init__.py:349-423
+    * reads e.g. two temperature levels to derive LTS).
+    *
+    * 100 TB shape: ONE scan (`dataset IN (...)` pushed, crops pruning
+    * every variable's chunks), per-variable mask-and-scale as a CASE
+    * projection, then a single `(path, idx)`-keyed pivot aggregation —
+    * map-side partial agg, one exchange, NO self-joins (k variables
+    * via joins would be k scans + k exchanges). Variables must share
+    * the store's grid (same dimension names, same coords). */
+  def zarrVars(spark: SparkSession, store: String, variables: Seq[String],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame =
+    multiVar(spark, variables,
+      v => zarrAxes(store, v), v => CfDecode.zarrCfAttrs(store, v),
+      spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", store).load(), store,
+      bounds, timeBounds)
+
+  /** Multi-variable open over one netCDF-4/HDF5 file. */
+  def hdf5Vars(spark: SparkSession, path: String, variables: Seq[String],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame =
+    multiVar(spark, variables,
+      v => hdf5Axes(path, v), v => CfDecode.hdf5CfAttrs(path, v),
+      spark.read.format("graft.sources.Hdf5DataSource")
+        .option("path", path).load(), path,
+      bounds, timeBounds)
+
+  /** Multi-variable open over one netCDF classic file. */
+  def netcdf3Vars(spark: SparkSession, path: String, variables: Seq[String],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame =
+    multiVar(spark, variables,
+      v => netcdf3Axes(path, v), v => CfDecode.netcdf3CfAttrs(path, v),
+      spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", path).load(), path,
+      bounds, timeBounds)
+
+  private def multiVar(spark: SparkSession, variables: Seq[String],
+      axesOf: String => Seq[Axis], attrsOf: String => CfDecode.CfAttrs,
+      mount: DataFrame, where: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    require(variables.nonEmpty, "grid open: no variables requested")
+    val perVar = ByteStore.parMap(variables)(v => (v, axesOf(v), attrsOf(v)))
+    val axes = perVar.head._2
+    perVar.foreach { case (v, ax, _) =>
+      if (ax.map(_.name) != axes.map(_.name) ||
+        !ax.zip(axes).forall { case (a, b) => (a.coords, b.coords) match {
+          case (Some(x), Some(y)) => x.sameElements(y)
+          case (None, None) => true
+          case _ => false
+        }})
+        fail(s"variable '$v' in $where is not on the shared grid " +
+          s"(${axes.map(_.name).mkString(",")}) — multi-open needs one grid")
+    }
+    val nb = resolveBounds(axes, bounds, timeBounds, where)
+    var df = mount.where(col("dataset").isin(variables: _*))
+    // pushable per-dim predicates from the shared coords (same
+    // interval-location as CoordCrop; chunks of EVERY variable prune)
+    nb.foreach { case (name, (lo, hi)) =>
+      val ax = axes.find(_.name == name).get
+      val cs = ax.coords.getOrElse(fail(s"axis '$name' has no coords"))
+      df = df.where(CoordCrop.dimRangePredicate(ax.k, cs, lo, hi))
+    }
+    // per-variable mask-and-scale, folded into one CASE projection
+    val decoded = perVar.foldLeft(lit(null).cast("double")) {
+      case (acc, (v, _, attrs)) =>
+        when(col("dataset") === v,
+          CfDecode.maskAndScaleExpr(col("value"), attrs)).otherwise(acc)
+    }
+    val dimCols = MountDsv2.DimCols.take(math.max(1, axes.length))
+    val wide = df.withColumn("__v", decoded)
+      .groupBy((Seq(col("path"), col("idx")) ++ dimCols.map(col)): _*)
+      .agg(
+        perVar.map { case (v, _, _) =>
+          max(when(col("dataset") === v, col("__v"))).as(v)
+        }.head,
+        perVar.tail.map { case (v, _, _) =>
+          max(when(col("dataset") === v, col("__v"))).as(v)
+        }: _*)
+    val withAxes = axes.foldLeft(wide)((d, ax) => d.withColumn(ax.name, axisColumn(ax)))
+    withAxes.select((Seq(col("path"), col("idx")) ++
+      axes.map(ax => col(s"`${ax.name}`")) ++
+      variables.map(v => col(s"`$v`"))): _*)
+  }
+
   // ---- catalog turnkeys (dir of per-scene stores) --------------------------
 
   /** Open a CATALOG of zarr scene stores as one DataFrame with

@@ -119,7 +119,7 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q213_zarr_time_crop" :+ "q214_netcdf3_time_crop"
       :+ "q215_netcdf3_cdf5_mount"
       :+ "q216_zarr_catalog_crop" :+ "q217_turnkey_tile_slice"
-      :+ "q218_netcdf3_calendar_crop")
+      :+ "q218_netcdf3_calendar_crop" :+ "q219_multivar_derived")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -407,6 +407,17 @@ class PlanRegressionSpec extends SparkSpec {
     // per surviving store -> 2 tasks
     val df = graft.SparkEntry.queries("q217_turnkey_tile_slice")(spark, sf)
     assert(df.rdd.getNumPartitions <= spark.sparkContext.defaultParallelism)
+  }
+
+  test("q219: the multi-variable open is one scan + one pivot exchange, no joins") {
+    val plan = planOf("q219_multivar_derived")
+    assert(plan.contains("In(dataset"), s"dataset IN must push:\n${plan.take(1200)}")
+    assert(!plan.contains("Join"), s"multi-open must not self-join:\n${plan.take(1200)}")
+    assert(plan.contains("GreaterThanOrEqual(d0,1)") &&
+      plan.contains("LessThanOrEqual(d0,3)"),
+      s"the y crop must reach the scan for BOTH variables:\n${plan.take(1500)}")
+    val exchanges = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "BX")).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (the pivot), got $exchanges")
   }
 
   test("q215: the CDF-5 mount pushes the record crop like CDF-1") {

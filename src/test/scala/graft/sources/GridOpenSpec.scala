@@ -181,6 +181,53 @@ class GridOpenSpec extends SparkSpec {
       s"catalog decode must broadcast:\n${plan.take(1500)}")
   }
 
+  test("multi-variable open: one scan, one pivot exchange, per-var mask-and-scale") {
+    val dir = Files.createTempDirectory("graft-gridopen-mv").toString
+    val p = Paths.get(dir, "mv.nc")
+    // two variables on the shared (y, x) grid with DIFFERENT pack
+    // attrs; t700 idx 5 is its fill
+    val t700 = Array.tabulate(12)(i => if (i == 5) -9999.0 else 2800.0 + i)
+    val t1000 = Array.tabulate(12)(i => 590.0 + i)
+    Files.write(p, NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("y", 3), NetCDF3.Dim("x", 4)),
+      gattrs = Nil,
+      vars = Seq(
+        NetCDF3.VarSpec("y", Seq("y"), NetCDF3.NcDouble, Nil,
+          Array(0.0, 100.0, 200.0)),
+        NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil,
+          Array(0.0, 100.0, 200.0, 300.0)),
+        NetCDF3.VarSpec("t700", Seq("y", "x"), NetCDF3.NcDouble, Seq(
+          NetCDF3.Attr("scale_factor", NetCDF3.NcDouble, Array(0.1)),
+          NetCDF3.Attr("_FillValue", NetCDF3.NcDouble, Array(-9999.0))), t700),
+        NetCDF3.VarSpec("t1000", Seq("y", "x"), NetCDF3.NcDouble, Seq(
+          NetCDF3.Attr("scale_factor", NetCDF3.NcDouble, Array(0.5)),
+          NetCDF3.Attr("add_offset", NetCDF3.NcDouble, Array(5.0))), t1000))))
+    val df = GridOpen.netcdf3Vars(spark, p.toString, Seq("t700", "t1000"),
+      bounds = Map("x" -> (100.0, 300.0)))
+    assert(df.columns.toSeq == Seq("path", "idx", "y", "x", "t700", "t1000"))
+    val rows = df.orderBy("idx").collect().map { r =>
+      (r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5))
+    }
+    assert(rows.length == 9) // 3 y x 3 kept x
+    // idx 5 = (y 1, x 1): t700 fill -> null; t1000 = (591+5... idx arith)
+    val atFill = rows.find(r => r._1 == 100.0 && r._2 == 100.0).get
+    assert(atFill._3.isEmpty && atFill._4 == (590.0 + 5) * 0.5 + 5.0)
+    val r0 = rows.find(r => r._1 == 0.0 && r._2 == 100.0).get
+    assert(r0._3.contains((2800.0 + 1) * 0.1) && r0._4 == (590.0 + 1) * 0.5 + 5.0)
+    // plan: one scan (dataset IN pushed), ONE exchange (the pivot agg),
+    // no join of any kind
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(dataset"), s"dataset IN must push:\n${plan.take(1200)}")
+    assert(!plan.contains("Join"), s"multi-open must not self-join:\n${plan.take(1200)}")
+    val exchanges = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "BX")).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (the pivot), got $exchanges")
+    // a variable off the shared grid refuses loudly
+    val e = intercept[IllegalArgumentException](
+      GridOpen.netcdf3Vars(spark, p.toString, Seq("t700", "y")))
+    assert(e.getMessage.contains("shared grid"))
+  }
+
   test("a HOMOGENEOUS catalog decodes via expressions — no joins at all") {
     val dir = Files.createTempDirectory("graft-gridopen-homog").toString
     def nc(name: String, base: Double): Unit =
