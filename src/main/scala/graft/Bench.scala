@@ -114,7 +114,14 @@ object Bench {
     // footer-block read -> per-buffer frame decode -> aggregate, the
     // interchange shape that actually ships at 100 TB (sinks always
     // compress). Sits next to q129/q153's ingest timings.
-    "q187_arrow_compressed_roundtrip")
+    "q187_arrow_compressed_roundtrip",
+    // Round 16: the catalog-scale entry points — store-pruned
+    // time+bbox crop over a multi-store scene catalog (one metadata
+    // wave + pushed per-store disjunction + broadcast time decode),
+    // and the GenerateTiles-shaped slice running entirely through the
+    // turnkey open (crop -> tile gather -> reduce). KB-scale fixture
+    // stores, so these time the PLAN + decode machinery itself.
+    "q216_zarr_catalog_crop", "q217_turnkey_tile_slice")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -181,6 +181,37 @@ class GridOpenSpec extends SparkSpec {
       s"catalog decode must broadcast:\n${plan.take(1500)}")
   }
 
+  test("GROUP-PATH datasets open through the turnkey (nested HDF5, q212's shape)") {
+    val dir = Files.createTempDirectory("graft-gridopen-grp").toString
+    val bytes = HDF5.write(Seq(
+      HDF5.DsSpec("surface", Seq(7), Array.tabulate(7)(_ * 9.0)),
+      HDF5.DsSpec("model/t2m", Seq(6, 10),
+        Array.tabulate(60)(_ * 0.5 - 3.0), chunkDims = Some(Seq(2, 5)),
+        attrs = Seq(
+          HDF5.WAttrDimList("DIMENSION_LIST", Seq("model/y", "model/x")))),
+      HDF5.DsSpec("model/y", Seq(6), Array.tabulate(6)(j => 10.0 + j * 10.0),
+        attrs = Seq(HDF5.WAttrString("NAME", "y"))),
+      HDF5.DsSpec("model/x", Seq(10), Array.tabulate(10)(i => 5.0 + i * 10.0),
+        attrs = Seq(HDF5.WAttrString("NAME", "x")))),
+      deflate = true)
+    val p = Paths.get(dir, "grouped.h5"); Files.write(p, bytes)
+    val df = GridOpen.hdf5(spark, p.toString, "model/t2m",
+      bounds = Map("model/y" -> (20.0, 40.0), "model/x" -> (35.0, 75.0)))
+    // group-path dim names become (escaped) column names
+    assert(df.columns.toSeq == Seq("path", "idx", "model/y", "model/x", "value"))
+    val rows = df.collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 3 * 5) // y 20..40 (3 of 6), x 35..75 (5 of 10)
+    assert(rows.forall { case (y, x, _) => y >= 20 && y <= 40 && x >= 35 && x <= 75 })
+    val want = rows.map { case (y, x, _) =>
+      val j = ((y - 10.0) / 10.0).toInt; val i = ((x - 5.0) / 10.0).toInt
+      (j * 10 + i) * 0.5 - 3.0
+    }
+    assert(rows.map(_._3).zip(want).forall { case (g, w) => g == w })
+    // the crop pruned the (2,5) chunk grid at the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(d0,1)"), s"no pushed crop:\n${plan.take(1200)}")
+  }
+
   test("multi-variable open: one scan, one pivot exchange, per-var mask-and-scale") {
     val dir = Files.createTempDirectory("graft-gridopen-mv").toString
     val p = Paths.get(dir, "mv.nc")
