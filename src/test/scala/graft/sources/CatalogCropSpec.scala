@@ -149,6 +149,81 @@ class CatalogCropSpec extends SparkSpec {
     assert(r.opens(sCChunk) == 0, "time-excluded store had data opened")
   }
 
+  test("zarr v3 SHARDED catalog: the disjunction prunes shards and inner chunks") {
+    // three v3 scene stores with disjoint y grids, sharded arrays:
+    // the per-store branches must prune whole shards of excluded
+    // stores (index tails never read) AND inner chunks of survivors
+    val dir = Files.createTempDirectory("graft-catcrop-z3").toString
+    val grid = spark.range(3L * 8 * 4).select(
+      concat(lit("v"), expr("id div 32")).as("scene_id"),
+      expr("timestamp_seconds(1577836800)").as("time"),
+      (expr("id % 4") * 100.0).as("x"),
+      (expr("(id div 4) % 8") * 100.0 + expr("id div 32") * 1000.0).as("y"),
+      (col("id") * 0.5).as("value"))
+    Zarr3.writeScenes(grid, dir, "lwp", chunkRows = Some(4),
+      shardInnerRows = Some(1)).count()
+    val r = ByteStore.startRecording()
+    val rows = try {
+      CoordCrop.zarrCatalog(spark, dir, "lwp",
+          Map("y" -> (1100.0, 1400.0), "x" -> (100.0, 200.0)))
+        .select("path", "d0", "d1", "value").collect()
+    } finally ByteStore.stopRecording()
+    // only v1 (y = 1000..1700) intersects: y idx 1..4, x idx 1..2
+    assert(rows.nonEmpty && rows.forall(_.getString(0).endsWith("v1.zarr")))
+    assert(rows.map(x => (x.getLong(1), x.getLong(2))).toSet ==
+      (for (y <- 1L to 4L; x <- 1L to 2L) yield (y, x)).toSet)
+    // excluded stores' shard files: never opened, not even index tails
+    for (s <- Seq("v0", "v2")) {
+      val shards = Option(new java.io.File(s"$dir/$s.zarr/lwp/c").listFiles())
+        .getOrElse(Array.empty).flatMap(d =>
+          Option(d.listFiles()).getOrElse(Array.empty)).map(_.getAbsolutePath)
+      assert(shards.nonEmpty)
+      shards.foreach { f =>
+        assert(r.opens(f) == 0, s"excluded store shard $f was opened") }
+    }
+  }
+
+  test("calendar catalog: per-store 360_day epochs route through CfCalendar") {
+    val dir = Files.createTempDirectory("graft-catcrop-cal").toString
+    // two stores, SAME calendar, different epoch days around the
+    // 360_day Feb 30 (a Gregorian-impossible window)
+    for ((name, day, base) <- Seq(("cA", 28, 100.0), ("cB", 30, 200.0))) {
+      val s = java.nio.file.Paths.get(dir, s"$name.zarr")
+      Files.createDirectories(s)
+      Files.writeString(s.resolve(".zgroup"), """{"zarr_format": 2}""")
+      def arr(aName: String, shape: Seq[Int], dims: Seq[String],
+          data: Array[Double], extra: String = ""): Unit = {
+        val d = s.resolve(aName); Files.createDirectories(d)
+        Files.writeString(d.resolve(".zarray"),
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+             | "chunks": [${shape.mkString(",")}], "dtype": ">f8",
+             | "compressor": null, "fill_value": "NaN", "filters": null,
+             | "order": "C"}""".stripMargin)
+        Files.writeString(d.resolve(".zattrs"),
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extra}""")
+        val bb = java.nio.ByteBuffer.allocate(data.length * 8)
+        data.foreach(bb.putDouble)
+        Files.write(d.resolve(shape.map(_ => "0").mkString(".")), bb.array())
+      }
+      arr("lwp", Seq(4, 2), Seq("time", "x"), Array.tabulate(8)(i => base + i))
+      arr("time", Seq(4), Seq("time"), Array(0.0, 1.0, 2.0, 3.0),
+        s""", "units": "days since 2000-02-$day", "calendar": "360_day"""")
+      arr("x", Seq(2), Seq("x"), Array(0.0, 1.0))
+    }
+    // [2000-02-29, 2000-03-02] in 360_day: cA (epoch 02-28) keeps
+    // t 1..3 (02-29, 02-30, 03-01); cB (epoch 02-30) keeps t 0..2
+    val df = GridOpen.zarrCatalog(spark, dir, "lwp",
+      timeBounds = Map("time" -> ("2000-02-29", "2000-03-02")))
+    assert(df.schema("time").dataType == org.apache.spark.sql.types.StringType)
+    val rows = df.select("path", "time").distinct().collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1))).sorted
+    assert(rows.toSeq == Seq(
+      ("cA.zarr", "2000-02-29 00:00:00"), ("cA.zarr", "2000-02-30 00:00:00"),
+      ("cA.zarr", "2000-03-01 00:00:00"),
+      ("cB.zarr", "2000-02-30 00:00:00"), ("cB.zarr", "2000-03-01 00:00:00"),
+      ("cB.zarr", "2000-03-02 00:00:00")))
+  }
+
   test("netCDF-3 catalog: record-time crop plans only intersecting files") {
     val dir = Files.createTempDirectory("graft-catcrop-nc").toString
     def ncFile(name: String, units: String, times: Array[Double],
