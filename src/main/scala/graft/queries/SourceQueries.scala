@@ -2152,8 +2152,50 @@ object SourceQueries {
         .select(col("y"), col("x"),
           round((col("t700") * lit(1.107393475838283) - col("t1000")) *
             lit(1000000)).cast("long").as("lts_micro"))
+    },
+
+    // ---- multi-variable CATALOG open (aux fields over all scenes) ---------
+    // The aux-fields flow at catalog scale (pipeline/embeddings/
+    // aux_fields/data.py:33-295 derives per-scene variables across the
+    // dataset): TWO scene stores with disjoint y grids, both variables
+    // in ONE scan, the bbox excluding scene A's grid entirely at plan
+    // time, then the same micro-unit LTS arithmetic per surviving cell.
+    QueryDef.sqlBacked(
+      "q220_multivar_catalog",
+      """SELECT 'cs1.zarr' AS scene, CAST(1000 + j*100 AS DOUBLE) AS y,
+        |  CAST(i*100 AS DOUBLE) AS x,
+        |  CAST(round(((280 + (j*5+i)*0.5) * 1.107393475838283
+        |       - (295 + (j*5+i)*0.25)) * 1000000) AS BIGINT) AS lts_micro
+        |FROM range(0,2) r1(j), range(0,5) r2(i)""".stripMargin) { (s, d) =>
+      graft.sources.GridOpen.zarrVarsCatalog(s, ensureQ220Catalog(),
+          Seq("t700", "t1000"), bounds = Map("y" -> (1000.0, 1100.0)))
+        .select(element_at(split(col("path"), "/"), -1).as("scene"),
+          col("y"), col("x"),
+          round((col("t700") * lit(1.107393475838283) - col("t1000")) *
+            lit(1000000)).cast("long").as("lts_micro"))
     }
   )
+
+  /** q220's two-scene catalog with disjoint y grids, two variables
+    * per store. */
+  private def ensureQ220Catalog(): String = {
+    val dir = q220CatDir
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      for ((name, yBase, t7, t10) <- Seq(("cs0", 0.0, 270.0, 290.0),
+          ("cs1", 1000.0, 280.0, 295.0))) {
+        writeV2Store(dir, name, Seq(
+          ("t700", Seq(4, 5), Seq("y", "x"),
+            Array.tabulate(20)(i => t7 + i * 0.5), ""),
+          ("t1000", Seq(4, 5), Seq("y", "x"),
+            Array.tabulate(20)(i => t10 + i * 0.25), ""),
+          ("y", Seq(4), Seq("y"), Array.tabulate(4)(yBase + _ * 100.0), ""),
+          ("x", Seq(5), Seq("x"), Array.tabulate(5)(_ * 100.0), "")))
+      }
+    }
+    dir
+  }
+
+  private lazy val q220CatDir: String = mkCleanedTempDir("graft_q220_cat_")
 
   /** q219's two-variable zarr scene store (t700/t1000 on one grid). */
   private def ensureQ219Vars(): String = {

@@ -261,7 +261,7 @@ object CoordCrop {
 
   /** Resolved per-store crop: each bounded axis's inclusive index
     * range inside that store. */
-  private def catalogPredicate(
+  private[sources] def catalogPredicate(
       perStore: Seq[(String, Seq[(Int, (Int, Int))])]): Column =
     perStore match {
       case Seq() => lit(false) // no store intersects: provably empty

@@ -380,11 +380,21 @@ object GridOpen {
           "catalog mask-and-scale needs identical attrs")
     }
     val masked = CfDecode.maskAndScale(cropped, attrs)
+    decorateCatalogAxes(spark, masked,
+      perStore.map { case (st, axes, _) => (st, axes) }, Seq("value"))
+  }
+
+  /** Per-axis catalog decoration shared by the single- and multi-
+    * variable catalog opens: homogeneous axes decode as the single-
+    * store expression, per-store axes via a broadcast (path, dK)
+    * table; `valueCols` are carried through to the final projection. */
+  private def decorateCatalogAxes(spark: SparkSession, masked: DataFrame,
+      perStore: Seq[(String, Seq[Axis])], valueCols: Seq[String]): DataFrame = {
     import spark.implicits._
     val axisNames = perStore.head._2.map(_.name)
     def homogeneous(k: Int): Boolean = {
       val h = perStore.head._2(k)
-      perStore.forall { case (_, axes, _) =>
+      perStore.forall { case (_, axes) =>
         axes(k).time == h.time && ((axes(k).coords, h.coords) match {
           case (Some(a), Some(b)) => a.sameElements(b)
           case (None, None) => true
@@ -411,7 +421,7 @@ object GridOpen {
             "beyond the broadcast decode path")
         val tbl = perStore.head._2(k).time match {
           case GregTime(_) =>
-            perStore.flatMap { case (s, axes, _) =>
+            perStore.flatMap { case (s, axes) =>
               val GregTime(u) = axes(k).time: @unchecked
               val (epoch, step) = CfTime.parseUnits(u)
               coordsOf(s, axes).zipWithIndex.map { case (c, i) =>
@@ -419,13 +429,13 @@ object GridOpen {
             }.toDF("path", dk, "__micros")
               .withColumn(n, timestamp_micros(col("__micros"))).drop("__micros")
           case CalTime(_, _) =>
-            perStore.flatMap { case (s, axes, _) =>
+            perStore.flatMap { case (s, axes) =>
               val CalTime(u, c) = axes(k).time: @unchecked
               coordsOf(s, axes).zipWithIndex.map { case (v, i) =>
                 (s, i.toLong, CfCalendar.datetimeString(u, c, v)) }
             }.toDF("path", dk, n)
           case NotTime =>
-            perStore.flatMap { case (s, axes, _) =>
+            perStore.flatMap { case (s, axes) =>
               coordsOf(s, axes).zipWithIndex.map { case (v, i) => (s, i.toLong, v) }
             }.toDF("path", dk, n)
         }
@@ -433,6 +443,97 @@ object GridOpen {
       }
     }
     val axCols = axisNames.map(n => col(s"`$n`"))
-    out.select((Seq(col("path"), col("idx")) ++ axCols :+ col("value")): _*)
+    out.select((Seq(col("path"), col("idx")) ++ axCols ++
+      valueCols.map(v => col(s"`$v`"))): _*)
+  }
+
+  /** Multi-variable CATALOG open — the aux-fields-over-all-scenes
+    * flow (convml-data pipeline/embeddings/aux_fields/data.py:33-295
+    * derives per-scene aux variables across the whole dataset): every
+    * variable of every scene store in ONE frame, store-pruned by the
+    * bounds, pivoted wide, coordinates decoded per store.
+    *
+    * 100 TB shape: one metadata wave over stores x variables, ONE scan
+    * (`dataset IN` + the per-store crop disjunction pushed, so
+    * non-intersecting STORES and chunks of every variable prune), one
+    * CASE mask-and-scale projection, one (path, idx)-keyed pivot
+    * exchange, then the catalog axis decode (expressions when grids
+    * are homogeneous, broadcast joins otherwise). Per-variable pack
+    * attrs must be identical across stores; variables must share each
+    * store's grid; axis names/time-kinds must match catalog-wide. */
+  def zarrVarsCatalog(spark: SparkSession, dir: String,
+      variables: Seq[String],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    require(variables.nonEmpty, "grid open: no variables requested")
+    val stores = ZarrDataSource.discover(dir)
+      .collect { case (s, a) if variables.contains(a) => (s, a) }
+      .groupBy(_._1).collect {
+        case (s, as) if variables.forall(v => as.exists(_._2 == v)) => s
+      }.toSeq.sorted
+    require(stores.nonEmpty,
+      s"grid open: no store under $dir holds all of ${variables.mkString(",")}")
+    // one wave: per store, every variable's axes + attrs
+    val perStore = ByteStore.parMap(stores) { st =>
+      val axesPerVar = variables.map(v => zarrAxes(st, v))
+      axesPerVar.tail.zip(variables.tail).foreach { case (ax, v) =>
+        if (ax.map(_.name) != axesPerVar.head.map(_.name) ||
+          !ax.zip(axesPerVar.head).forall { case (a, b) =>
+            (a.coords, b.coords) match {
+              case (Some(x), Some(y)) => x.sameElements(y)
+              case (None, None) => true
+              case _ => false
+            }})
+          fail(s"variable '$v' in $st is not on the store's shared grid")
+      }
+      (st, axesPerVar.head, variables.map(v => CfDecode.zarrCfAttrs(st, v)))
+    }
+    val names = perStore.head._2.map(a => (a.name, a.time.getClass))
+    perStore.foreach { case (st, axes, _) =>
+      if (axes.map(a => (a.name, a.time.getClass)) != names)
+        fail(s"store $st axes disagree with ${names.map(_._1)} " +
+          "(names and time-kinds must match catalog-wide)")
+    }
+    val attrsPerVar = perStore.head._3
+    perStore.foreach { case (st, _, as) =>
+      if (as != attrsPerVar)
+        fail(s"store $st pack attrs differ — catalog mask-and-scale " +
+          "needs identical per-variable attrs")
+    }
+    // per-store crop: bounds resolve through EACH store's own axes
+    // (epochs/calendars differ per scene) into its index ranges
+    val surviving = perStore.flatMap { case (st, axes, _) =>
+      val nb = resolveBounds(axes, bounds, timeBounds, st)
+      val ranges = nb.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+        val ax = axes.find(_.name == n).get
+        val cs = ax.coords.getOrElse(fail(s"axis '$n' in $st has no coords"))
+        (ax.k, CoordCrop.valueRangeToIdx(cs, lo, hi))
+      }
+      if (ranges.forall(_._2.isDefined))
+        Some((st, ranges.map { case (k, r) => (k, r.get) }))
+      else None
+    }
+    var df = spark.read.format("graft.sources.ZarrDataSource")
+      .option("path", dir).load()
+      .where(col("dataset").isin(variables: _*))
+    if (bounds.nonEmpty || timeBounds.nonEmpty)
+      df = df.where(CoordCrop.catalogPredicate(surviving))
+    // one CASE decode + one pivot exchange (the multiVar shape)
+    val decoded = variables.zip(attrsPerVar).foldLeft(lit(null).cast("double")) {
+      case (acc, (v, attrs)) =>
+        when(col("dataset") === v,
+          CfDecode.maskAndScaleExpr(col("value"), attrs)).otherwise(acc)
+    }
+    val axes = perStore.head._2
+    val dimCols = MountDsv2.DimCols.take(math.max(1, axes.length))
+    val wide = df.withColumn("__v", decoded)
+      .groupBy((Seq(col("path"), col("idx")) ++ dimCols.map(col)): _*)
+      .agg(
+        max(when(col("dataset") === variables.head, col("__v")))
+          .as(variables.head),
+        variables.tail.map(v =>
+          max(when(col("dataset") === v, col("__v"))).as(v)): _*)
+    decorateCatalogAxes(spark, wide,
+      perStore.map { case (st, ax, _) => (st, ax) }, variables)
   }
 }

@@ -119,7 +119,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q213_zarr_time_crop" :+ "q214_netcdf3_time_crop"
       :+ "q215_netcdf3_cdf5_mount"
       :+ "q216_zarr_catalog_crop" :+ "q217_turnkey_tile_slice"
-      :+ "q218_netcdf3_calendar_crop" :+ "q219_multivar_derived")
+      :+ "q218_netcdf3_calendar_crop" :+ "q219_multivar_derived"
+      :+ "q220_multivar_catalog")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

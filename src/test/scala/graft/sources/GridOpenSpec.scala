@@ -259,6 +259,58 @@ class GridOpenSpec extends SparkSpec {
     assert(e.getMessage.contains("shared grid"))
   }
 
+  test("multi-variable CATALOG open: store pruning + pivot + per-store decode") {
+    val dir = Files.createTempDirectory("graft-gridopen-mvcat").toString
+    // three stores with DISJOINT y grids; s2 lacks t1000 so it's not a
+    // member of the two-variable catalog at all
+    def store(name: String, yBase: Double, base: Double,
+        withT1000: Boolean): Unit = {
+      val s = Paths.get(dir, s"$name.zarr")
+      Files.createDirectories(s)
+      Files.writeString(s.resolve(".zgroup"), """{"zarr_format": 2}""")
+      def arr(aName: String, shape: Seq[Int], dims: Seq[String],
+          data: Array[Double]): Unit = {
+        val d = s.resolve(aName); Files.createDirectories(d)
+        Files.writeString(d.resolve(".zarray"),
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+             | "chunks": [${shape.mkString(",")}], "dtype": ">f8",
+             | "compressor": null, "fill_value": "NaN", "filters": null,
+             | "order": "C"}""".stripMargin)
+        Files.writeString(d.resolve(".zattrs"),
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]}""")
+        val bb = java.nio.ByteBuffer.allocate(data.length * 8)
+        data.foreach(bb.putDouble)
+        Files.write(d.resolve(shape.map(_ => "0").mkString(".")), bb.array())
+      }
+      arr("t700", Seq(3, 2), Seq("y", "x"), Array.tabulate(6)(i => base + i))
+      if (withT1000)
+        arr("t1000", Seq(3, 2), Seq("y", "x"),
+          Array.tabulate(6)(i => base + 50 + i))
+      arr("y", Seq(3), Seq("y"), Array.tabulate(3)(j => yBase + j * 100.0))
+      arr("x", Seq(2), Seq("x"), Array(0.0, 10.0))
+    }
+    store("mA", 0.0, 100.0, withT1000 = true)
+    store("mB", 1000.0, 200.0, withT1000 = true)
+    store("mC", 2000.0, 300.0, withT1000 = false)
+    // y in [1000, 1100]: only mB's rows 0-1 (mA misses, mC not a member)
+    val df = GridOpen.zarrVarsCatalog(spark, dir, Seq("t700", "t1000"),
+      bounds = Map("y" -> (1000.0, 1100.0)))
+    assert(df.columns.toSeq == Seq("path", "idx", "y", "x", "t700", "t1000"))
+    val rows = df.collect().map { r =>
+      (r.getString(0).split('/').last, r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    }.sortBy(x => (x._2, x._3))
+    assert(rows.forall(_._1 == "mB.zarr") && rows.length == 4)
+    assert(rows.head == (("mB.zarr", 1000.0, 0.0, 200.0, 250.0)))
+    assert(rows.last == (("mB.zarr", 1100.0, 10.0, 203.0, 253.0)))
+    // the pushed plan names only the surviving store; no sort-merge
+    // join anywhere (axes decode via broadcast or expression)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(dataset") && plan.contains("mB.zarr"),
+      s"pushdown missing:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"), s"decode shuffled:\n${plan.take(1500)}")
+  }
+
   test("a HOMOGENEOUS catalog decodes via expressions — no joins at all") {
     val dir = Files.createTempDirectory("graft-gridopen-homog").toString
     def nc(name: String, base: Double): Unit =
