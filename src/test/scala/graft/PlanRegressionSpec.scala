@@ -421,6 +421,17 @@ class PlanRegressionSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 exchange (the pivot), got $exchanges")
   }
 
+  test("q220: the vars-catalog open prunes stores, pivots once, never sort-merges") {
+    val plan = planOf("q220_multivar_catalog")
+    assert(plan.contains("In(dataset"), s"dataset IN must push:\n${plan.take(1500)}")
+    assert(plan.contains("cs1.zarr") && !plan.contains("cs0.zarr"),
+      s"only the intersecting store may appear in the pushed branches:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"decode must not shuffle-join:\n${plan.take(1500)}")
+    val exchanges = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "BX")).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle exchange (the pivot), got $exchanges")
+  }
+
   test("q215: the CDF-5 mount pushes the record crop like CDF-1") {
     val plan = planOf("q215_netcdf3_cdf5_mount")
     assert(!plan.contains("Exchange"), s"DSv2 nc3 scan must not shuffle:\n${plan.take(1200)}")
