@@ -473,9 +473,71 @@ object GridOpen {
       }.toSeq.sorted
     require(stores.nonEmpty,
       s"grid open: no store under $dir holds all of ${variables.mkString(",")}")
+    varsCatalog(spark, stores, variables,
+      (st, v) => zarrAxes(st, v), (st, v) => CfDecode.zarrCfAttrs(st, v),
+      spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", dir).load(),
+      bounds, timeBounds)
+  }
+
+  /** Multi-variable catalog over a DIR (or glob) of netCDF classic
+    * scene files. Files lacking any requested variable are not
+    * members. */
+  def netcdf3VarsCatalog(spark: SparkSession, dir: String,
+      variables: Seq[String],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    require(variables.nonEmpty, "grid open: no variables requested")
+    val all = CoordCrop.catalogFiles(dir)
+    val stores = all.filter { p =>
+      val names = NetCDF3ChunkIngest.headerOf(p).vars.map(_.name).toSet
+      variables.forall(names)
+    }
+    require(stores.nonEmpty,
+      s"grid open: no file under $dir holds all of ${variables.mkString(",")}")
+    // the mount plans over the same normalized pattern the membership
+    // filter resolved, and the disjunction's paths prune non-members
+    val pat = if (ByteStore.isDirectory(dir)) ByteStore.join(dir, "*") else dir
+    varsCatalog(spark, stores, variables,
+      (p, v) => netcdf3Axes(p, v), (p, v) => CfDecode.netcdf3CfAttrs(p, v),
+      spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", pat).load(),
+      bounds, timeBounds)
+  }
+
+  /** Multi-variable catalog over a DIR (or glob) of netCDF-4/HDF5
+    * scene files. */
+  def hdf5VarsCatalog(spark: SparkSession, dir: String,
+      variables: Seq[String],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    require(variables.nonEmpty, "grid open: no variables requested")
+    val all = CoordCrop.catalogFiles(dir)
+    val stores = all.filter { p =>
+      val in = new PagedFileInput(p)
+      val names = try HDF5.dimensionNames(in).keySet finally in.close()
+      variables.forall(names)
+    }
+    require(stores.nonEmpty,
+      s"grid open: no file under $dir holds all of ${variables.mkString(",")}")
+    val pat = if (ByteStore.isDirectory(dir)) ByteStore.join(dir, "*") else dir
+    varsCatalog(spark, stores, variables,
+      (p, v) => hdf5Axes(p, v), (p, v) => CfDecode.hdf5CfAttrs(p, v),
+      spark.read.format("graft.sources.Hdf5DataSource")
+        .option("path", pat).load(),
+      bounds, timeBounds)
+  }
+
+  private def varsCatalog(spark: SparkSession, stores: Seq[String],
+      variables: Seq[String],
+      axesOf: (String, String) => Seq[Axis],
+      attrsOf: (String, String) => CfDecode.CfAttrs,
+      mount: DataFrame,
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)]): DataFrame = {
     // one wave: per store, every variable's axes + attrs
     val perStore = ByteStore.parMap(stores) { st =>
-      val axesPerVar = variables.map(v => zarrAxes(st, v))
+      val axesPerVar = variables.map(v => axesOf(st, v))
       axesPerVar.tail.zip(variables.tail).foreach { case (ax, v) =>
         if (ax.map(_.name) != axesPerVar.head.map(_.name) ||
           !ax.zip(axesPerVar.head).forall { case (a, b) =>
@@ -486,7 +548,7 @@ object GridOpen {
             }})
           fail(s"variable '$v' in $st is not on the store's shared grid")
       }
-      (st, axesPerVar.head, variables.map(v => CfDecode.zarrCfAttrs(st, v)))
+      (st, axesPerVar.head, variables.map(v => attrsOf(st, v)))
     }
     val names = perStore.head._2.map(a => (a.name, a.time.getClass))
     perStore.foreach { case (st, axes, _) =>
@@ -513,11 +575,13 @@ object GridOpen {
         Some((st, ranges.map { case (k, r) => (k, r.get) }))
       else None
     }
-    var df = spark.read.format("graft.sources.ZarrDataSource")
-      .option("path", dir).load()
-      .where(col("dataset").isin(variables: _*))
-    if (bounds.nonEmpty || timeBounds.nonEmpty)
-      df = df.where(CoordCrop.catalogPredicate(surviving))
+    var df = mount.where(col("dataset").isin(variables: _*))
+    // membership itself must prune: a store lacking a variable is not
+    // in `stores`, so even with NO bounds the path set pushes
+    df = df.where(
+      if (bounds.isEmpty && timeBounds.isEmpty)
+        col("path").isin(stores: _*)
+      else CoordCrop.catalogPredicate(surviving))
     // one CASE decode + one pivot exchange (the multiVar shape)
     val decoded = variables.zip(attrsPerVar).foldLeft(lit(null).cast("double")) {
       case (acc, (v, attrs)) =>

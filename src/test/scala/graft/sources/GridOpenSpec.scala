@@ -311,6 +311,37 @@ class GridOpenSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"decode shuffled:\n${plan.take(1500)}")
   }
 
+  test("vars-catalog over FILES: membership by header, no-bounds path pushdown") {
+    val dir = Files.createTempDirectory("graft-gridopen-ncmv").toString
+    def nc(name: String, base: Double, withB: Boolean): Unit = {
+      val vars = Seq(
+        NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil,
+          Array(0.0, 10.0)),
+        NetCDF3.VarSpec("a", Seq("x"), NetCDF3.NcDouble, Nil,
+          Array(base, base + 1))) ++
+        (if (withB) Seq(NetCDF3.VarSpec("b", Seq("x"), NetCDF3.NcDouble, Nil,
+          Array(base + 10, base + 11))) else Nil)
+      Files.write(Paths.get(dir, name), NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("x", 2)), gattrs = Nil, vars = vars))
+    }
+    nc("m0.nc", 100.0, withB = true)
+    nc("m1.nc", 200.0, withB = true)
+    nc("m2.nc", 300.0, withB = false) // not a member: lacks 'b'
+    val df = GridOpen.netcdf3VarsCatalog(spark, dir, Seq("a", "b"))
+    assert(df.columns.toSeq == Seq("path", "idx", "x", "a", "b"))
+    val rows = df.collect().map(r => (r.getString(0).split('/').last,
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))).sorted
+    assert(rows.toSeq == Seq(
+      ("m0.nc", 0.0, 100.0, 110.0), ("m0.nc", 10.0, 101.0, 111.0),
+      ("m1.nc", 0.0, 200.0, 210.0), ("m1.nc", 10.0, 201.0, 211.0)))
+    // even with NO bounds, the member path set pushes: m2's 'a' rows
+    // must not leak into the pivot as half-null rows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(path") || plan.contains("EqualTo(path") ||
+      plan.contains("Or(And("), s"member path set must push:\n${plan.take(1500)}")
+    assert(!rows.exists(_._1 == "m2.nc"))
+  }
+
   test("a HOMOGENEOUS catalog decodes via expressions — no joins at all") {
     val dir = Files.createTempDirectory("graft-gridopen-homog").toString
     def nc(name: String, base: Double): Unit =
