@@ -59,6 +59,12 @@ object CfCalendar {
     if (m < 1 || m > 12) fail(s"month $m out of range")
     if (d < 1 || d > c.monthLengths(m - 1))
       fail(s"day $d out of range for month $m of calendar ${c.name}")
+    // parseInstant's regex admits any two-digit field; without these a
+    // typo'd bound like 36:70:00 would silently roll into later days
+    // (cftime rejects it) and a crop would select the wrong window
+    if (hh < 0 || hh > 23) fail(s"hour $hh out of range")
+    if (mm < 0 || mm > 59) fail(s"minute $mm out of range")
+    if (ss < 0 || ss > 59) fail(s"second $ss out of range")
     val day = y.toLong * c.yearDays + c.cumDays(m - 1) + (d - 1)
     day * MicrosPerDay + ((hh * 60L + mm) * 60L + ss) * 1000000L + us
   }
@@ -122,11 +128,19 @@ object CfCalendar {
   }
 
   /** Numeric coordinate value -> rendered calendar datetime (driver
-    * side; the column decode below maps through this per coordinate). */
-  def datetimeString(units: String, calendar: String, value: Double): String = {
+    * side; single-value convenience over [[datetimeStrings]]). */
+  def datetimeString(units: String, calendar: String, value: Double): String =
+    datetimeStrings(units, calendar, Array(value)).head
+
+  /** Bulk render: units/calendar parse ONCE (two regex parses), then
+    * every coordinate renders from the precomputed (epoch, step, Cal) —
+    * the decode paths map up to 1M coordinates through this driver-side
+    * and must not re-parse per element. */
+  def datetimeStrings(units: String, calendar: String,
+      values: Array[Double]): Array[String] = {
     val c = calOf(calendar)
     val (epoch, step) = parseUnits(units, calendar)
-    render(fromMicros(c, epoch + math.round(value * step)))
+    values.map(v => render(fromMicros(c, epoch + math.round(v * step))))
   }
 
   /** Column decode for a mount dimension: the coordinate VALUES become
@@ -138,7 +152,7 @@ object CfCalendar {
     require(coords.length <= 1000000,
       s"coordinate axis of ${coords.length} values is beyond the literal " +
         "decode path")
-    val rendered = coords.map(datetimeString(units, calendar, _))
-    try_element_at(typedlit(rendered), dimCol.cast("int") + 1)
+    try_element_at(typedlit(datetimeStrings(units, calendar, coords)),
+      dimCol.cast("int") + 1)
   }
 }

@@ -37,6 +37,14 @@ object CfTime {
     (parseInstantMicros(instant, units), step)
   }
 
+  /** Does `units` match the "<step> since <instant>" GRAMMAR at all?
+    * Distinct from parseability: "months since 2000-01-01" is
+    * time-shaped but unsupported (variable-length steps), and callers
+    * routing on this must refuse it loudly rather than fall back to a
+    * plain-number decode — xarray/cftime raise on month/year steps. */
+  private[sources] def looksLikeTimeUnits(units: String): Boolean =
+    "(?i)^\\s*([a-z]+)\\s+since\\s+(.+?)\\s*$".r.matches(units)
+
   /** The shared "<step> since <instant>" grammar: (micros per step,
     * raw instant text). [[CfCalendar]] reuses this with its own
     * instant arithmetic. */

@@ -60,24 +60,53 @@ object GridOpen {
   final case class Axis(k: Int, name: String, coords: Option[Array[Double]],
       time: AxisTime)
 
-  /** Classify an axis's (units, calendar) attrs. Unparseable units =
-    * a plain numeric coordinate (e.g. `units: "m"`); a time-shaped
-    * units with an unsupported calendar refuses loudly. */
+  /** Classify an axis's (units, calendar) attrs. Units outside the
+    * "<step> since <instant>" grammar = a plain numeric coordinate
+    * (e.g. `units: "m"`); units INSIDE the grammar with an unsupported
+    * step ("months since ...", "years since ...") refuse loudly rather
+    * than silently decoding as plain numbers (cftime raises on
+    * variable-length steps); a time-shaped units with an unsupported
+    * calendar refuses loudly. */
   private def classify(units: Option[String], calendar: Option[String],
       where: String): AxisTime =
-    units.filter(u => scala.util.Try(CfTime.splitUnits(u)).isSuccess) match {
+    units.filter(CfTime.looksLikeTimeUnits) match {
       case None => NotTime
       case Some(u) =>
+        CfTime.splitUnits(u) // throws with the step name on month/year/typo'd steps
         if (CfTime.isStandardCalendar(calendar)) GregTime(u)
         else if (CfCalendar.supported(calendar.get)) CalTime(u, calendar.get)
         else fail(s"$where uses calendar '${calendar.get}' — not standard, " +
           "not a fixed-length model calendar")
     }
 
+  /** The mounts expose [[MountDsv2.DimCols]] positions only; a rank
+    * beyond that cannot be named, cropped, or decoded by this surface —
+    * refuse with the domain message instead of an index error. */
+  private def checkRank(rank: Int, where: String): Unit =
+    if (rank > MountDsv2.DimCols.length)
+      fail(s"$where has rank $rank — the grid open surfaces " +
+        s"${MountDsv2.DimCols.mkString("/")} only; read the mount " +
+        "directly for higher-rank arrays")
+
+  /** NaN-tolerant coordinate equality: a grid with a NaN coordinate
+    * (a masked cell in a curvilinear axis) still equals itself —
+    * `sameElements`' IEEE `==` would make a homogeneous catalog fall
+    * off the codegen fast path onto broadcast joins, and a multi-
+    * variable open refuse as "not on the shared grid". */
+  private def coordsEq(a: Option[Array[Double]],
+      b: Option[Array[Double]]): Boolean = (a, b) match {
+    case (Some(x), Some(y)) => x.length == y.length &&
+      x.indices.forall(i => x(i) == y(i) || (x(i).isNaN && y(i).isNaN))
+    case (None, None) => true
+    case _ => false
+  }
+
   // ---- per-mount axis discovery (driver-side, KB-scale metadata) ---------
 
-  private[sources] def zarrAxes(store: String, dataset: String): Seq[Axis] =
-    CoordCrop.zarrDimNames(store, dataset).zipWithIndex.map { case (n, k) =>
+  private[sources] def zarrAxes(store: String, dataset: String): Seq[Axis] = {
+    val dims = CoordCrop.zarrDimNames(store, dataset)
+    checkRank(dims.length, s"$store/$dataset")
+    dims.zipWithIndex.map { case (n, k) =>
       val node = ByteStore.join(store, n)
       val hasCoord = ByteStore.isFile(ByteStore.join(node, ".zarray")) ||
         ByteStore.isFile(ByteStore.join(node, "zarr.json"))
@@ -88,9 +117,12 @@ object GridOpen {
           classify(u, c, s"$store/$n"))
       }
     }
+  }
 
-  private[sources] def hdf5Axes(path: String, dataset: String): Seq[Axis] =
-    CoordCrop.hdf5DimNames(path, dataset).zipWithIndex.map { case (n, k) =>
+  private[sources] def hdf5Axes(path: String, dataset: String): Seq[Axis] = {
+    val dims = CoordCrop.hdf5DimNames(path, dataset)
+    checkRank(dims.length, s"$path/$dataset")
+    dims.zipWithIndex.map { case (n, k) =>
       if (n.startsWith("<unnamed")) Axis(k, s"dim_$k", None, NotTime)
       else {
         val (u, c) = CfTime.hdf5TimeAttrs(path, n)
@@ -98,11 +130,13 @@ object GridOpen {
           classify(u, c, s"$path/$n"))
       }
     }
+  }
 
   private[sources] def netcdf3Axes(path: String, varName: String): Seq[Axis] = {
     val h = NetCDF3ChunkIngest.headerOf(path)
     val v = h.vars.find(_.name == varName)
       .getOrElse(fail(s"variable '$varName' not in $path"))
+    checkRank(v.dimIds.length, s"$path/$varName")
     v.dimIds.zipWithIndex.map { case (id, k) =>
       val n = h.dims(id).name
       if (!h.vars.exists(cv => cv.name == n && cv.dimIds == Seq(id)))
@@ -277,11 +311,7 @@ object GridOpen {
     val axes = perVar.head._2
     perVar.foreach { case (v, ax, _) =>
       if (ax.map(_.name) != axes.map(_.name) ||
-        !ax.zip(axes).forall { case (a, b) => (a.coords, b.coords) match {
-          case (Some(x), Some(y)) => x.sameElements(y)
-          case (None, None) => true
-          case _ => false
-        }})
+        !ax.zip(axes).forall { case (a, b) => coordsEq(a.coords, b.coords) })
         fail(s"variable '$v' in $where is not on the shared grid " +
           s"(${axes.map(_.name).mkString(",")}) — multi-open needs one grid")
     }
@@ -318,24 +348,37 @@ object GridOpen {
 
   // ---- catalog turnkeys (dir of per-scene stores) --------------------------
 
+  /** One store's catalog metadata: its axes (names, coords, time
+    * classification) and its pack attrs. Produced by ONE live metadata
+    * wave per open — or loaded with ZERO per-store reads from a
+    * persisted [[CatalogManifest]]. */
+  private[sources] final case class StoreMeta(store: String, axes: Seq[Axis],
+      attrs: CfDecode.CfAttrs)
+
   /** Open a CATALOG of zarr scene stores as one DataFrame with
-    * named/typed coordinates. Store-level pruning comes from
-    * [[CoordCrop.zarrCatalog]] (stores whose coordinates provably miss
-    * the bounds never plan; survivors prune per-dimension on their own
-    * grids); coordinates then decode per store via broadcast joins on
-    * `(path, dK)`, so scenes with different epochs/calendars/grids
-    * compose without per-store expression trees. Axis names and
-    * time-kinds must agree across stores (a heterogeneous catalog
-    * fails loudly); mask-and-scale attrs must be identical. */
+    * named/typed coordinates. ONE metadata wave over the stores feeds
+    * BOTH the store-level crop (stores whose coordinates provably miss
+    * the bounds never plan; survivors push their own per-dimension
+    * index ranges as one disjunction) and the decoration (coordinates
+    * decode per store via broadcast joins on `(path, dK)`, so scenes
+    * with different epochs/calendars/grids compose without per-store
+    * expression trees). Axis names and time-kinds must agree across
+    * stores (a heterogeneous catalog fails loudly); per-store pack
+    * attrs broadcast when they differ (the CERES per-file-scales
+    * pattern, convml-data sources/ceres_syn1deg_modis/extract.py:7-69)
+    * and fold as the literal codegen'd expression when uniform. */
   def zarrCatalog(spark: SparkSession, dir: String, dataset: String,
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
     val stores = ZarrDataSource.discover(dir)
       .collect { case (s, a) if a == dataset => s }.distinct
     require(stores.nonEmpty, s"grid open: no '$dataset' arrays under $dir")
-    catalog(spark, stores,
-      s => (zarrAxes(s, dataset), CfDecode.zarrCfAttrs(s, dataset)),
-      CoordCrop.zarrCatalog(spark, dir, dataset, bounds, timeBounds))
+    val perStore = ByteStore.parMap(stores)(s =>
+      StoreMeta(s, zarrAxes(s, dataset), CfDecode.zarrCfAttrs(s, dataset)))
+    catalogOpen(spark,
+      spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", dir).load().where(col("dataset") === dataset),
+      perStore, bounds, timeBounds)
   }
 
   /** Catalog variant over a DIR (or glob) of netCDF classic scene
@@ -344,9 +387,13 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
     val paths = CoordCrop.catalogFiles(dir)
-    catalog(spark, paths,
-      p => (netcdf3Axes(p, varName), CfDecode.netcdf3CfAttrs(p, varName)),
-      CoordCrop.netcdf3Catalog(spark, dir, varName, bounds, timeBounds))
+    val pat = if (ByteStore.isDirectory(dir)) ByteStore.join(dir, "*") else dir
+    val perStore = ByteStore.parMap(paths)(p =>
+      StoreMeta(p, netcdf3Axes(p, varName), CfDecode.netcdf3CfAttrs(p, varName)))
+    catalogOpen(spark,
+      spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", pat).load().where(col("dataset") === varName),
+      perStore, bounds, timeBounds)
   }
 
   /** Catalog variant over a DIR (or glob) of netCDF-4/HDF5 scene
@@ -355,33 +402,100 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
     val paths = CoordCrop.catalogFiles(dir)
-    catalog(spark, paths,
-      p => (hdf5Axes(p, dataset), CfDecode.hdf5CfAttrs(p, dataset)),
-      CoordCrop.hdf5Catalog(spark, dir, dataset, bounds, timeBounds))
+    val pat = if (ByteStore.isDirectory(dir)) ByteStore.join(dir, "*") else dir
+    val perStore = ByteStore.parMap(paths)(p =>
+      StoreMeta(p, hdf5Axes(p, dataset), CfDecode.hdf5CfAttrs(p, dataset)))
+    catalogOpen(spark,
+      spark.read.format("graft.sources.Hdf5DataSource")
+        .option("path", pat).load().where(col("dataset") === dataset),
+      perStore, bounds, timeBounds)
   }
 
-  /** Shared catalog decoration: one metadata wave over the stores,
-    * homogeneity gates, then per-axis broadcast decode tables. */
-  private def catalog(spark: SparkSession, stores: Seq[String],
-      metaOf: String => (Seq[Axis], CfDecode.CfAttrs),
-      cropped: DataFrame): DataFrame = {
-    val perStore = ByteStore.parMap(stores)(s => (s, metaOf(s)))
-      .map { case (s, (axes, attrs)) => (s, axes, attrs) }
-    val names = perStore.head._2.map(a => (a.name, a.time.getClass))
-    perStore.foreach { case (s, axes, _) =>
-      if (axes.map(a => (a.name, a.time.getClass)) != names)
-        fail(s"store $s axes ${axes.map(_.name)} disagree with " +
+  /** Resolve the caller's bounds against EACH store's own axes (scene
+    * files routinely differ in epoch, calendar, and grid) into its
+    * inclusive index ranges; a store with any empty range is excluded
+    * entirely — its data never plans. With no bounds every store
+    * survives with no ranges. */
+  private def survivingRanges(perStore: Seq[(String, Seq[Axis])],
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)])
+      : Seq[(String, Seq[(Int, (Int, Int))])] =
+    if (bounds.isEmpty && timeBounds.isEmpty) perStore.map(m => (m._1, Nil))
+    else perStore.flatMap { case (store, axes) =>
+      val nb = resolveBounds(axes, bounds, timeBounds, store)
+      val ranges = nb.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+        val ax = axes.find(_.name == n).get
+        val cs = ax.coords.getOrElse(
+          fail(s"axis '$n' in $store has no coords"))
+        (ax.k, CoordCrop.valueRangeToIdx(cs, lo, hi))
+      }
+      if (ranges.forall(_._2.isDefined))
+        Some((store, ranges.map { case (k, r) => (k, r.get) }))
+      else None
+    }
+
+  /** Shared single-variable catalog open over one per-store metadata
+    * set: homogeneity gates, store-level crop, pack-attr decode
+    * (literal when uniform, broadcast per store otherwise), per-axis
+    * decoration — the decode tables built from SURVIVING stores only. */
+  private def catalogOpen(spark: SparkSession, base: DataFrame,
+      perStore: Seq[StoreMeta],
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)]): DataFrame = {
+    val names = perStore.head.axes.map(a => (a.name, a.time.getClass))
+    perStore.foreach { m =>
+      if (m.axes.map(a => (a.name, a.time.getClass)) != names)
+        fail(s"store ${m.store} axes ${m.axes.map(_.name)} disagree with " +
           s"${names.map(_._1)} (names and time-kinds must match catalog-wide)")
     }
-    val attrs = perStore.head._3
-    perStore.foreach { case (s, _, a) =>
-      if (a != attrs)
-        fail(s"store $s pack attrs $a differ from $attrs — " +
-          "catalog mask-and-scale needs identical attrs")
+    val surviving = survivingRanges(perStore.map(m => (m.store, m.axes)),
+      bounds, timeBounds)
+    val cropped =
+      if (bounds.isEmpty && timeBounds.isEmpty) base
+      else base.where(CoordCrop.catalogPredicate(surviving))
+    val keptPaths = surviving.map(_._1).toSet
+    // every store pruned -> the scan is lit(false)-empty; decorate with
+    // the full set so the (empty) frame still carries the right schema
+    val kept0 = perStore.filter(m => keptPaths(m.store))
+    val kept = if (kept0.nonEmpty) kept0 else perStore
+    val masked = maskAndScaleCatalog(spark, cropped,
+      kept.map(m => (m.store, m.attrs)))
+    decorateCatalogAxes(spark, masked, kept.map(m => (m.store, m.axes)),
+      Seq("value"))
+  }
+
+  /** Mask-and-scale over a catalog frame: uniform attrs fold as the
+    * literal codegen'd expression (no join); per-store attrs — the NORM
+    * for packed satellite products, each granule carrying its own
+    * scale/offset/fill — broadcast as a tiny (path -> attrs) table and
+    * decode through the column form of the same expression. */
+  private def maskAndScaleCatalog(spark: SparkSession, df: DataFrame,
+      perStore: Seq[(String, CfDecode.CfAttrs)]): DataFrame =
+    if (perStore.forall(_._2 == perStore.head._2))
+      CfDecode.maskAndScale(df, perStore.head._2)
+    else {
+      import spark.implicits._
+      val tbl = perStore.map { case (s, a) =>
+        (s, a.scale, a.offset, a.fill, a.unsignedModulus)
+      }.toDF("path", "__scale", "__offset", "__fill", "__uns")
+      df.join(broadcast(tbl), Seq("path"), "left")
+        .withColumn("value", maskAndScaleCols(col("value"), col("__scale"),
+          col("__offset"), col("__fill"), col("__uns")))
+        .drop("__scale", "__offset", "__fill", "__uns")
     }
-    val masked = CfDecode.maskAndScale(cropped, attrs)
-    decorateCatalogAxes(spark, masked,
-      perStore.map { case (st, axes, _) => (st, axes) }, Seq("value"))
+
+  /** [[CfDecode.maskAndScaleExpr]] with the attrs as COLUMNS (from a
+    * broadcast per-store table) instead of literals. Same order:
+    * unsigned reinterpretation first (fill included — it is stored in
+    * the data's signed type), then mask, then scale. */
+  private def maskAndScaleCols(raw: Column, scale: Column, offset: Column,
+      fill: Column, unsMod: Column): Column = {
+    def reinterpret(c: Column): Column =
+      when(unsMod.isNotNull && c < 0, c + unsMod).otherwise(c)
+    val r = reinterpret(raw)
+    val masked = when(fill.isNotNull && r === reinterpret(fill), lit(null))
+      .otherwise(r)
+    (masked * scale + offset).cast("double")
   }
 
   /** Per-axis catalog decoration shared by the single- and multi-
@@ -395,11 +509,7 @@ object GridOpen {
     def homogeneous(k: Int): Boolean = {
       val h = perStore.head._2(k)
       perStore.forall { case (_, axes) =>
-        axes(k).time == h.time && ((axes(k).coords, h.coords) match {
-          case (Some(a), Some(b)) => a.sameElements(b)
-          case (None, None) => true
-          case _ => false
-        })
+        axes(k).time == h.time && coordsEq(axes(k).coords, h.coords)
       }
     }
     val out = axisNames.zipWithIndex.foldLeft(masked) { case (df, (n, k)) =>
@@ -431,8 +541,8 @@ object GridOpen {
           case CalTime(_, _) =>
             perStore.flatMap { case (s, axes) =>
               val CalTime(u, c) = axes(k).time: @unchecked
-              coordsOf(s, axes).zipWithIndex.map { case (v, i) =>
-                (s, i.toLong, CfCalendar.datetimeString(u, c, v)) }
+              CfCalendar.datetimeStrings(u, c, coordsOf(s, axes))
+                .zipWithIndex.map { case (r, i) => (s, i.toLong, r) }
             }.toDF("path", dk, n)
           case NotTime =>
             perStore.flatMap { case (s, axes) =>
@@ -459,7 +569,8 @@ object GridOpen {
     * CASE mask-and-scale projection, one (path, idx)-keyed pivot
     * exchange, then the catalog axis decode (expressions when grids
     * are homogeneous, broadcast joins otherwise). Per-variable pack
-    * attrs must be identical across stores; variables must share each
+    * attrs fold as the CASE when uniform across stores and broadcast
+    * per (path, dataset) when they differ; variables must share each
     * store's grid; axis names/time-kinds must match catalog-wide. */
   def zarrVarsCatalog(spark: SparkSession, dir: String,
       variables: Seq[String],
@@ -489,10 +600,12 @@ object GridOpen {
       timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
     require(variables.nonEmpty, "grid open: no variables requested")
     val all = CoordCrop.catalogFiles(dir)
-    val stores = all.filter { p =>
+    // membership is one header read per file — a latency round trip on
+    // an object store, so the scan must ride the parMap wave, not N x RTT
+    val stores = ByteStore.parMap(all) { p =>
       val names = NetCDF3ChunkIngest.headerOf(p).vars.map(_.name).toSet
-      variables.forall(names)
-    }
+      (p, variables.forall(names))
+    }.collect { case (p, true) => p }
     require(stores.nonEmpty,
       s"grid open: no file under $dir holds all of ${variables.mkString(",")}")
     // the mount plans over the same normalized pattern the membership
@@ -513,11 +626,12 @@ object GridOpen {
       timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
     require(variables.nonEmpty, "grid open: no variables requested")
     val all = CoordCrop.catalogFiles(dir)
-    val stores = all.filter { p =>
+    // same wave discipline as the netCDF-3 membership scan above
+    val stores = ByteStore.parMap(all) { p =>
       val in = new PagedFileInput(p)
       val names = try HDF5.dimensionNames(in).keySet finally in.close()
-      variables.forall(names)
-    }
+      (p, variables.forall(names))
+    }.collect { case (p, true) => p }
     require(stores.nonEmpty,
       s"grid open: no file under $dir holds all of ${variables.mkString(",")}")
     val pat = if (ByteStore.isDirectory(dir)) ByteStore.join(dir, "*") else dir
@@ -541,11 +655,7 @@ object GridOpen {
       axesPerVar.tail.zip(variables.tail).foreach { case (ax, v) =>
         if (ax.map(_.name) != axesPerVar.head.map(_.name) ||
           !ax.zip(axesPerVar.head).forall { case (a, b) =>
-            (a.coords, b.coords) match {
-              case (Some(x), Some(y)) => x.sameElements(y)
-              case (None, None) => true
-              case _ => false
-            }})
+            coordsEq(a.coords, b.coords) })
           fail(s"variable '$v' in $st is not on the store's shared grid")
       }
       (st, axesPerVar.head, variables.map(v => attrsOf(st, v)))
@@ -556,25 +666,10 @@ object GridOpen {
         fail(s"store $st axes disagree with ${names.map(_._1)} " +
           "(names and time-kinds must match catalog-wide)")
     }
-    val attrsPerVar = perStore.head._3
-    perStore.foreach { case (st, _, as) =>
-      if (as != attrsPerVar)
-        fail(s"store $st pack attrs differ — catalog mask-and-scale " +
-          "needs identical per-variable attrs")
-    }
     // per-store crop: bounds resolve through EACH store's own axes
     // (epochs/calendars differ per scene) into its index ranges
-    val surviving = perStore.flatMap { case (st, axes, _) =>
-      val nb = resolveBounds(axes, bounds, timeBounds, st)
-      val ranges = nb.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
-        val ax = axes.find(_.name == n).get
-        val cs = ax.coords.getOrElse(fail(s"axis '$n' in $st has no coords"))
-        (ax.k, CoordCrop.valueRangeToIdx(cs, lo, hi))
-      }
-      if (ranges.forall(_._2.isDefined))
-        Some((st, ranges.map { case (k, r) => (k, r.get) }))
-      else None
-    }
+    val surviving = survivingRanges(
+      perStore.map { case (st, axes, _) => (st, axes) }, bounds, timeBounds)
     var df = mount.where(col("dataset").isin(variables: _*))
     // membership itself must prune: a store lacking a variable is not
     // in `stores`, so even with NO bounds the path set pushes
@@ -582,15 +677,36 @@ object GridOpen {
       if (bounds.isEmpty && timeBounds.isEmpty)
         col("path").isin(stores: _*)
       else CoordCrop.catalogPredicate(surviving))
-    // one CASE decode + one pivot exchange (the multiVar shape)
-    val decoded = variables.zip(attrsPerVar).foldLeft(lit(null).cast("double")) {
-      case (acc, (v, attrs)) =>
-        when(col("dataset") === v,
-          CfDecode.maskAndScaleExpr(col("value"), attrs)).otherwise(acc)
-    }
+    val keptPaths = surviving.map(_._1).toSet
+    val kept0 = perStore.filter(m => keptPaths(m._1))
+    val kept = if (kept0.nonEmpty) kept0 else perStore
+    // decode: uniform per-variable attrs fold as ONE CASE projection
+    // (codegen'd — the common case); per-store attrs (the packed-
+    // granule norm) broadcast as a (path, dataset) -> attrs table
+    val attrsPerVar = perStore.head._3
+    val decoded =
+      if (perStore.forall(_._3 == attrsPerVar))
+        df.withColumn("__v",
+          variables.zip(attrsPerVar).foldLeft(lit(null).cast("double")) {
+            case (acc, (v, attrs)) =>
+              when(col("dataset") === v,
+                CfDecode.maskAndScaleExpr(col("value"), attrs)).otherwise(acc)
+          })
+      else {
+        import spark.implicits._
+        val tbl = kept.flatMap { case (st, _, as) =>
+          variables.zip(as).map { case (v, a) =>
+            (st, v, a.scale, a.offset, a.fill, a.unsignedModulus) }
+        }.toDF("path", "dataset", "__scale", "__offset", "__fill", "__uns")
+        df.join(broadcast(tbl), Seq("path", "dataset"), "left")
+          .withColumn("__v", maskAndScaleCols(col("value"), col("__scale"),
+            col("__offset"), col("__fill"), col("__uns")))
+          .drop("__scale", "__offset", "__fill", "__uns")
+      }
     val axes = perStore.head._2
     val dimCols = MountDsv2.DimCols.take(math.max(1, axes.length))
-    val wide = df.withColumn("__v", decoded)
+    // one pivot exchange (the multiVar shape)
+    val wide = decoded
       .groupBy((Seq(col("path"), col("idx")) ++ dimCols.map(col)): _*)
       .agg(
         max(when(col("dataset") === variables.head, col("__v")))
@@ -598,6 +714,6 @@ object GridOpen {
         variables.tail.map(v =>
           max(when(col("dataset") === v, col("__v"))).as(v)): _*)
     decorateCatalogAxes(spark, wide,
-      perStore.map { case (st, ax, _) => (st, ax) }, variables)
+      kept.map { case (st, ax, _) => (st, ax) }, variables)
   }
 }

@@ -184,4 +184,32 @@ class CfCalendarSpec extends SparkSpec {
         "2000-02-30", "2000-03-01"))
     assert(e4.getMessage.contains("out of range"))
   }
+
+  test("out-of-range time-of-day fields refuse instead of rolling into later days") {
+    // cftime rejects 36:70:00; a silent roll would shift a crop window
+    val eH = intercept[IllegalArgumentException](
+      CfCalendar.numericRange("days since 2000-01-01", "360_day",
+        "2000-01-01 36:00:00", "2000-01-02"))
+    assert(eH.getMessage.contains("hour 36"))
+    val eM = intercept[IllegalArgumentException](
+      CfCalendar.numericRange("days since 2000-01-01", "360_day",
+        "2000-01-01 12:70:00", "2000-01-02"))
+    assert(eM.getMessage.contains("minute 70"))
+    val eS = intercept[IllegalArgumentException](
+      CfCalendar.numericRange("days since 2000-01-01", "noleap",
+        "2000-01-01 12:00:99", "2000-01-02"))
+    assert(eS.getMessage.contains("second 99"))
+    // the boundary values stay legal
+    CfCalendar.numericRange("days since 2000-01-01", "360_day",
+      "2000-01-01 23:59:59", "2000-01-02")
+  }
+
+  test("bulk datetimeStrings matches the per-value renderer") {
+    val units = "hours since 1999-12-28 06:00:00"
+    val vals = Array(-26.0, 0.0, 17.5, 100.25, 20000.0)
+    for (cal <- Seq("360_day", "noleap", "all_leap")) {
+      val bulk = CfCalendar.datetimeStrings(units, cal, vals)
+      assert(bulk.toSeq == vals.map(CfCalendar.datetimeString(units, cal, _)).toSeq)
+    }
+  }
 }

@@ -420,4 +420,108 @@ class GridOpenSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"decode not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"decode shuffled:\n$plan")
   }
+
+  test("rank above the mount surface refuses loudly, even with no bounds") {
+    val dir = Files.createTempDirectory("graft-gridopen-rank").toString
+    val p = Paths.get(dir, "r5.nc")
+    Files.write(p, NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("a", 2), NetCDF3.Dim("b", 2), NetCDF3.Dim("c", 2),
+        NetCDF3.Dim("d", 2), NetCDF3.Dim("e", 2)),
+      gattrs = Nil,
+      vars = Seq(NetCDF3.VarSpec("v", Seq("a", "b", "c", "d", "e"),
+        NetCDF3.NcDouble, Nil, Array.tabulate(32)(_ * 1.0)))))
+    val e = intercept[IllegalArgumentException](
+      GridOpen.netcdf3(spark, p.toString, "v"))
+    assert(e.getMessage.contains("rank 5") && e.getMessage.contains("d0"),
+      s"wanted the domain message, got: ${e.getMessage}")
+  }
+
+  test("'months since ...' units refuse loudly instead of decoding as plain numbers") {
+    val dir = Files.createTempDirectory("graft-gridopen-months").toString
+    val p = Paths.get(dir, "m.nc")
+    Files.write(p, NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 2)),
+      gattrs = Nil,
+      vars = Seq(
+        NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+          Seq(NetCDF3.Attr("units", NetCDF3.NcChar, "months since 2000-01-01")),
+          Array(0.0, 1.0)),
+        NetCDF3.VarSpec("v", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+          Array.tabulate(4)(_ * 1.0))),
+      numRecs = 2))
+    val e = intercept[IllegalArgumentException](
+      GridOpen.netcdf3(spark, p.toString, "v"))
+    assert(e.getMessage.contains("months"),
+      s"wanted the unsupported-step message, got: ${e.getMessage}")
+  }
+
+  test("a NaN coordinate keeps a homogeneous catalog join-free and a multi-open open") {
+    val dir = Files.createTempDirectory("graft-gridopen-nan").toString
+    // shared x grid CONTAINS a NaN (a masked curvilinear cell); both
+    // files identical otherwise — the catalog must stay on the
+    // expression fast path, and the multi-open must accept the grid
+    def nc(name: String, base: Double): Unit =
+      Files.write(Paths.get(dir, name), NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 3)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("units", NetCDF3.NcChar,
+              "hours since 2022-03-01")), Array(0.0, 6.0)),
+          NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil,
+            Array(0.0, Double.NaN, 20.0)),
+          NetCDF3.VarSpec("a", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(6)(i => base + i)),
+          NetCDF3.VarSpec("b", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(6)(i => base + 50 + i))),
+        numRecs = 2))
+    nc("a.nc", 10.0)
+    nc("b.nc", 20.0)
+    val df = GridOpen.netcdf3Catalog(spark, dir, "a",
+      timeBounds = Map("time" -> ("2022-03-01 00:00:00", "2022-03-01 06:00:00")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"NaN coord pushed a homogeneous catalog onto joins:\n${plan.take(1500)}")
+    assert(df.count() == 12)
+    // multi-variable open on the NaN-bearing shared grid succeeds
+    val mv = GridOpen.netcdf3Vars(spark, s"$dir/a.nc", Seq("a", "b"))
+    assert(mv.columns.toSeq == Seq("path", "idx", "time", "x", "a", "b"))
+    assert(mv.count() == 6)
+  }
+
+  test("per-store pack attrs decode via a broadcast table (the CERES per-granule pattern)") {
+    val dir = Files.createTempDirectory("graft-gridopen-pack").toString
+    // each granule carries its OWN scale/offset/fill — reference
+    // sources/ceres_syn1deg_modis/extract.py reads each file's scales
+    def nc(name: String, scale: Double, offset: Double, fill: Double,
+        raw: Array[Double]): Unit =
+      Files.write(Paths.get(dir, name), NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("x", 3)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil,
+            Array(0.0, 10.0, 20.0)),
+          NetCDF3.VarSpec("v", Seq("x"), NetCDF3.NcDouble, Seq(
+            NetCDF3.Attr("scale_factor", NetCDF3.NcDouble, Array(scale)),
+            NetCDF3.Attr("add_offset", NetCDF3.NcDouble, Array(offset)),
+            NetCDF3.Attr("_FillValue", NetCDF3.NcDouble, Array(fill))), raw))))
+    nc("g0.nc", 0.5, 2.0, -99.0, Array(4.0, -99.0, 8.0))
+    nc("g1.nc", 0.1, 100.0, -1.0, Array(30.0, 40.0, -1.0))
+    val df = GridOpen.netcdf3Catalog(spark, dir, "v")
+    val rows = df.collect().map { r =>
+      (r.getString(0).split('/').last, r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == Seq(
+      ("g0.nc", 0.0, Some(4.0 * 0.5 + 2.0)),
+      ("g0.nc", 10.0, None), // g0's OWN fill
+      ("g0.nc", 20.0, Some(8.0 * 0.5 + 2.0)),
+      ("g1.nc", 0.0, Some(30.0 * 0.1 + 100.0)),
+      ("g1.nc", 10.0, Some(40.0 * 0.1 + 100.0)),
+      ("g1.nc", 20.0, None))) // g1's OWN fill (-1 is DATA for g0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-store attrs must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"), s"attrs shuffled:\n${plan.take(1500)}")
+  }
 }

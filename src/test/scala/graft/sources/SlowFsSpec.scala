@@ -132,6 +132,41 @@ class SlowFsSpec extends SparkSpec {
       s"catalog crop looks serial: $wallMs ms for $nOps ops at $rtt ms RTT")
   }
 
+  test("vars-catalog membership scan runs in waves, not file x RTT") {
+    registerSlowFs()
+    SlowFs.reset(0)
+    val dir = Files.createTempDirectory("graft-slowfs-member").toString
+    val n = 24
+    (0 until n).foreach { i =>
+      // half the files lack 'b' — membership must read every header
+      val vars = Seq(
+        NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil,
+          Array(0.0, 10.0)),
+        NetCDF3.VarSpec("a", Seq("x"), NetCDF3.NcDouble, Nil,
+          Array(i * 10.0, i * 10.0 + 1))) ++
+        (if (i % 2 == 0) Seq(NetCDF3.VarSpec("b", Seq("x"), NetCDF3.NcDouble,
+          Nil, Array(i * 100.0, i * 100.0 + 1))) else Nil)
+      ByteStore.writeAllBytes(f"slowfs:$dir/m$i%02d.nc",
+        NetCDF3.write(dims = Seq(NetCDF3.Dim("x", 2)), gattrs = Nil,
+          vars = vars))
+    }
+    val rtt = 20L
+    SlowFs.reset(rtt)
+    val t0 = System.nanoTime()
+    val df = GridOpen.netcdf3VarsCatalog(spark, s"slowfs:$dir", Seq("a", "b"))
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val nOps = SlowFs.opCount.get()
+    SlowFs.reset(0)
+    assert(df.select("path").distinct().count() == n / 2,
+      "only the 'b'-carrying half are members")
+    assert(nOps >= 40, s"suspiciously few slowfs ops: $nOps")
+    val serialMs = nOps * rtt
+    info(s"vars-catalog membership over $n files: $nOps ops, $wallMs ms " +
+      s"(serial would be ~$serialMs ms)")
+    assert(wallMs * 2 < serialMs,
+      s"membership scan looks serial: $wallMs ms for $nOps ops at $rtt ms RTT")
+  }
+
   test("a sessionless JVM resolves slowfs ONLY through the installed snapshot") {
     registerSlowFs()
     SlowFs.reset(0)
