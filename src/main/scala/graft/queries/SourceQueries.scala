@@ -2160,6 +2160,62 @@ object SourceQueries {
     // dataset): TWO scene stores with disjoint y grids, both variables
     // in ONE scan, the bbox excluding scene A's grid entirely at plan
     // time, then the same micro-unit LTS arithmetic per surviving cell.
+    // ---- per-granule pack attrs across a catalog ---------------------------
+    // Each scene file carries its OWN scale/offset/_FillValue — the
+    // packed-satellite-product norm (reference reads each CERES file's
+    // own scales, sources/ceres_syn1deg_modis/extract.py:7-69). The
+    // catalog open broadcasts a (path -> attrs) table instead of
+    // refusing; fills mask PER STORE (g2's -1 is DATA, g1's -1 is its
+    // fill), value-pinned against a literal oracle.
+    QueryDef.sqlBacked(
+      "q221_perstore_pack_attrs",
+      """SELECT * FROM (VALUES
+        |  ('g0.nc', CAST(0 AS DOUBLE),  CAST(4*0.5 + 2 AS DOUBLE)),
+        |  ('g0.nc', CAST(10 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |  ('g0.nc', CAST(20 AS DOUBLE), CAST(8*0.5 + 2 AS DOUBLE)),
+        |  ('g1.nc', CAST(0 AS DOUBLE),  CAST(30*0.1 + 100 AS DOUBLE)),
+        |  ('g1.nc', CAST(10 AS DOUBLE), CAST(40*0.1 + 100 AS DOUBLE)),
+        |  ('g1.nc', CAST(20 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |  ('g2.nc', CAST(0 AS DOUBLE),  CAST(-2 AS DOUBLE)),
+        |  ('g2.nc', CAST(10 AS DOUBLE), CAST(12 AS DOUBLE)),
+        |  ('g2.nc', CAST(20 AS DOUBLE), CAST(14 AS DOUBLE))
+        |) t(granule, x, value)""".stripMargin) { (s, d) =>
+      graft.sources.GridOpen.netcdf3Catalog(s, ensureQ221Catalog(), "v")
+        .select(element_at(split(col("path"), "/"), -1).as("granule"),
+          col("x"), col("value"))
+    },
+
+    // ---- manifest-planned catalog crop (the scene-DB access pattern) ------
+    // 120 per-scene stores with per-store epochs, planned from a
+    // PERSISTED CatalogManifest (the reference's scene database,
+    // pipeline/scene_sources.py:96-156): the crop + coordinate decode
+    // come from the manifest parquet, the mount receives the surviving
+    // member arrays explicitly — ZERO reads against excluded stores
+    // (CatalogManifestSpec pins the I/O counts). Day-5 scenes keep
+    // records 1-3, day-6 scenes all 4.
+    QueryDef.sqlBacked(
+      "q222_manifest_catalog_crop",
+      """SELECT * FROM (
+        |  SELECT printf('sc%03d.zarr', CAST(i AS INT)) AS scene,
+        |    make_timestamp(1609804800000000 + r*21600000000) AS ts,
+        |    CAST(c*10 AS DOUBLE) AS x,
+        |    CAST(i*1000 + r*3 + c AS DOUBLE) AS value
+        |  FROM range(0,120) t(i), range(1,4) r1(r), range(0,3) r2(c)
+        |  WHERE i % 28 = 4
+        |  UNION ALL
+        |  SELECT printf('sc%03d.zarr', CAST(i AS INT)),
+        |    make_timestamp(1609891200000000 + r*21600000000),
+        |    CAST(c*10 AS DOUBLE),
+        |    CAST(i*1000 + r*3 + c AS DOUBLE)
+        |  FROM range(0,120) t(i), range(0,4) r1(r), range(0,3) r2(c)
+        |  WHERE i % 28 = 5)""".stripMargin) { (s, d) =>
+      graft.sources.GridOpen.zarrCatalogFromManifest(s, ensureQ222Manifest(s),
+          "lwp", timeBounds = Map("time" ->
+            ("2021-01-05 02:00:00", "2021-01-06 23:00:00")))
+        .select(element_at(split(col("path"), "/"), -1).as("scene"),
+          col("time").as("ts"), col("x"), col("value"))
+    },
+
     QueryDef.sqlBacked(
       "q220_multivar_catalog",
       """SELECT 'cs1.zarr' AS scene, CAST(1000 + j*100 AS DOUBLE) AS y,
@@ -2175,6 +2231,57 @@ object SourceQueries {
             lit(1000000)).cast("long").as("lts_micro"))
     }
   )
+
+  /** q221's catalog of differently-packed granules (per-file
+    * scale/offset/fill; -1 is g1's FILL but g2's DATA). */
+  private def ensureQ221Catalog(): String = {
+    import graft.sources.NetCDF3
+    val dir = q221CatDir
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      def write(name: String, scale: Double, offset: Double, fill: Double,
+          raw: Array[Double]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+          NetCDF3.write(
+            dims = Seq(NetCDF3.Dim("x", 3)),
+            gattrs = Nil,
+            vars = Seq(
+              NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil,
+                Array(0.0, 10.0, 20.0)),
+              NetCDF3.VarSpec("v", Seq("x"), NetCDF3.NcDouble, Seq(
+                NetCDF3.Attr("scale_factor", NetCDF3.NcDouble, Array(scale)),
+                NetCDF3.Attr("add_offset", NetCDF3.NcDouble, Array(offset)),
+                NetCDF3.Attr("_FillValue", NetCDF3.NcDouble, Array(fill))),
+                raw))))
+      write("g0.nc", 0.5, 2.0, -99.0, Array(4.0, -99.0, 8.0))
+      write("g1.nc", 0.1, 100.0, -1.0, Array(30.0, 40.0, -1.0))
+      write("g2.nc", 2.0, 0.0, -99.0, Array(-1.0, 6.0, 7.0))
+    }
+    dir
+  }
+
+  private lazy val q221CatDir: String = mkCleanedTempDir("graft_q221_cat_")
+
+  /** q222's 120-scene catalog (per-store epochs cycling 28 days) plus
+    * its persisted CatalogManifest, built once per JVM. */
+  private def ensureQ222Manifest(s: SparkSession): String = {
+    val dir = q222CatDir
+    val manifest = s"$dir/_manifest"
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      graft.sources.ByteStore.parMap(0 until 120) { i =>
+        val day = 1 + i % 28
+        writeV2Store(dir, f"sc$i%03d", Seq(
+          ("lwp", Seq(4, 3), Seq("time", "x"),
+            Array.tabulate(12)(j => i * 1000.0 + j), ""),
+          ("time", Seq(4), Seq("time"), Array(0.0, 6.0, 12.0, 18.0),
+            s""", "units": "hours since 2021-01-${"%02d".format(day)}""""),
+          ("x", Seq(3), Seq("x"), Array(0.0, 10.0, 20.0), "")))
+      }
+      graft.sources.CatalogManifest.build(s, "zarr", dir, Seq("lwp"), manifest)
+    }
+    manifest
+  }
+
+  private lazy val q222CatDir: String = mkCleanedTempDir("graft_q222_cat_")
 
   /** q220's two-scene catalog with disjoint y grids, two variables
     * per store. */

@@ -314,6 +314,52 @@ object ByteStore {
     if (hasScheme(path)) fileSystem(path).getFileStatus(new Path(path)).getLen
     else new java.io.File(path).length()
 
+  /** (modification time ms, length) of one FILE — one HEAD on an
+    * object store; the unit of change detection. */
+  def stat(path: String): (Long, Long) = {
+    recMeta()
+    if (hasScheme(path)) {
+      val st = fileSystem(path).getFileStatus(new Path(path))
+      (st.getModificationTime, st.getLen)
+    } else {
+      val f = new java.io.File(path)
+      (f.lastModified(), f.length())
+    }
+  }
+
+  /** Change-detection fingerprint of a file or directory tree:
+    * (max mtime, total bytes, file count), walked breadth-first with
+    * one LIST per directory — the cheap "did this store change?"
+    * probe a manifest refresh runs instead of re-reading metadata.
+    * Depth-bounded like the discovery walks. */
+  def treeStat(path: String, maxDepth: Int = 8): (Long, Long, Long) = {
+    if (!isDirectory(path)) {
+      val (mt, len) = stat(path)
+      return (mt, len, 1L)
+    }
+    var maxMtime = 0L; var bytes = 0L; var count = 0L
+    var frontier = Seq(path)
+    var depth = 0
+    while (frontier.nonEmpty && depth <= maxDepth) {
+      val level = parMap(frontier) { d =>
+        recMeta()
+        if (hasScheme(d))
+          fileSystem(d).listStatus(new Path(d)).toSeq.map(st =>
+            (st.getPath.toString, st.isDirectory, st.getModificationTime, st.getLen))
+        else
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty).toSeq
+            .map(f => (f.getAbsolutePath, f.isDirectory, f.lastModified(), f.length()))
+      }.flatten
+      level.foreach { case (_, isDir, mt, len) =>
+        if (mt > maxMtime) maxMtime = mt
+        if (!isDir) { bytes += len; count += 1 }
+      }
+      frontier = level.collect { case (p, true, _, _) => p }
+      depth += 1
+    }
+    (maxMtime, bytes, count)
+  }
+
   /** URIs pass through; plain paths normalize to absolute (results
     * ship to executors and into user-visible path columns, where a
     * relative path would depend on cwd). */
@@ -330,9 +376,14 @@ object ByteStore {
     * works); plain paths keep the local regex walk: literal segments
     * between `*`s are Pattern.quote'd, so names containing regex
     * metacharacters (`+`, `(`, `[`, ...) match literally, and a bare
-    * pattern with no directory part (`STAR.h5`) lists the cwd. */
+    * pattern with no directory part (`STAR.h5`) lists the cwd.
+    * A NEWLINE-separated value is an EXPLICIT file list, returned
+    * sorted with ZERO storage round trips — how a manifest-planned
+    * catalog mounts its surviving members without re-listing the dir. */
   def resolveGlob(pathGlob: String): Seq[String] =
-    if (hasScheme(pathGlob)) {
+    if (pathGlob.contains('\n'))
+      pathGlob.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).sorted
+    else if (hasScheme(pathGlob)) {
       val fs = fileSystem(pathGlob)
       Option(fs.globStatus(new Path(pathGlob))).getOrElse(Array.empty).toSeq
         .filter(_.isFile).map(_.getPath.toString).sorted

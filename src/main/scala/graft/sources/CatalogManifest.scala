@@ -1,0 +1,253 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted catalog manifest — the reference's scene DB re-expressed
+  * as a Parquet table of per-store grid metadata.
+  *
+  * The reference persists exactly this information once and plans from
+  * it forever after: convml-data builds a per-scene source database
+  * (pipeline/scene_sources.py:96-156) behind a skip-if-present DB
+  * target (utils/luigi.py:91-117), so repeat pipeline runs never
+  * re-probe the raw stores. The live `GridOpen.*Catalog` opens instead
+  * re-read every store's KB-scale coordinate metadata per query —
+  * fine at 100 scenes, minutes of driver latency at a 10^5-scene
+  * 100 TB catalog. This module closes that gap:
+  *
+  *  - [[build]] scans each store's metadata ONCE — driver-side parMap
+  *    wave below `distributeAbove` stores, a SPARK JOB above it (the
+  *    coords never transit the driver, wall clock bounded by executor
+  *    count) — and writes one Parquet row per (store, variable):
+  *    raw axes (names, units, calendar, coordinate values), pack
+  *    attrs, and a change-detection fingerprint.
+  *  - [[planStores]] plans a catalog crop from the manifest with ZERO
+  *    per-store storage reads: phase 1 reads only per-store axis
+  *    SUMMARIES (units/calendar/min/max — scalars, not coords) to
+  *    resolve the caller's bounds per store and prune stores whose
+  *    envelopes provably miss; phase 2 reads full coordinates for the
+  *    SURVIVORS only, through a pushed `store IN (...)` parquet read.
+  *  - [[refresh]] re-stats the current stores (one LIST/HEAD
+  *    fingerprint wave, no metadata reads) and re-scans ONLY new or
+  *    changed stores, keeping unchanged rows verbatim and dropping
+  *    vanished ones — the mtime/etag invalidation story.
+  *
+  * Axes persist in RAW form ([[GridOpen.RawAxis]] — the store's own
+  * `units`/`calendar` strings): classification to TIMESTAMP /
+  * calendar-datetime / plain happens on LOAD, so a manifest built
+  * today replays tomorrow's decode rules.
+  */
+object CatalogManifest {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"catalog manifest: $msg")
+
+  /** One manifest row: one (store, variable)'s raw axes, pack attrs,
+    * and change-detection fingerprint ([[ByteStore.treeStat]]). */
+  final case class Entry(store: String, variable: String,
+      format: String, dir: String,
+      fpMtime: Long, fpBytes: Long, fpCount: Long,
+      axes: Seq[GridOpen.RawAxis],
+      scale: Double, offset: Double, fill: Option[Double],
+      unsignedModulus: Option[Double])
+
+  private val Formats = Set("zarr", "netcdf3", "hdf5")
+
+  private def checkFormat(format: String): Unit =
+    if (!Formats(format)) fail(s"unknown format '$format' (zarr/netcdf3/hdf5)")
+
+  /** The stores under `dir`: zarr scene-store roots, or the resolved
+    * per-scene files of a file catalog. */
+  private[sources] def storesOf(format: String, dir: String): Seq[String] =
+    format match {
+      case "zarr" => ZarrDataSource.discover(dir).map(_._1).distinct.sorted
+      case _ => CoordCrop.catalogFiles(dir)
+    }
+
+  /** The variables one store holds (what membership means per format:
+    * zarr arrays, netCDF-3 header variables, HDF5 datasets carrying a
+    * DIMENSION_LIST). */
+  private def variablesIn(format: String, store: String): Set[String] =
+    format match {
+      case "zarr" => ZarrDataSource.arraysIn(store).toSet
+      case "netcdf3" => NetCDF3ChunkIngest.headerOf(store).vars.map(_.name).toSet
+      case _ =>
+        val in = new PagedFileInput(store)
+        try HDF5.dimensionNames(in).keySet finally in.close()
+    }
+
+  private def rawAxesOf(format: String, store: String,
+      v: String): Seq[GridOpen.RawAxis] = format match {
+    case "zarr" => GridOpen.zarrRawAxes(store, v)
+    case "netcdf3" => GridOpen.netcdf3RawAxes(store, v)
+    case _ => GridOpen.hdf5RawAxes(store, v)
+  }
+
+  private def cfAttrsOf(format: String, store: String,
+      v: String): CfDecode.CfAttrs = format match {
+    case "zarr" => CfDecode.zarrCfAttrs(store, v)
+    case "netcdf3" => CfDecode.netcdf3CfAttrs(store, v)
+    case _ => CfDecode.hdf5CfAttrs(store, v)
+  }
+
+  /** Scan ONE store's metadata into manifest rows — only the requested
+    * variables it actually holds (membership is per variable, so a
+    * catalog can hold heterogeneous scene files). */
+  private[sources] def scanStore(format: String, dir: String, store: String,
+      variables: Seq[String]): Seq[Entry] = {
+    val present = variablesIn(format, store)
+    val (mt, bytes, count) = ByteStore.treeStat(store)
+    variables.filter(present).map { v =>
+      val a = cfAttrsOf(format, store, v)
+      Entry(store, v, format, dir, mt, bytes, count,
+        rawAxesOf(format, store, v), a.scale, a.offset, a.fill,
+        a.unsignedModulus)
+    }
+  }
+
+  /** Build (overwrite) the manifest for `variables` under `dir`.
+    * Returns the row count written. */
+  def build(spark: SparkSession, format: String, dir: String,
+      variables: Seq[String], manifestPath: String,
+      distributeAbove: Int = 512): Long = {
+    checkFormat(format)
+    require(variables.nonEmpty, "catalog manifest: no variables requested")
+    val stores = storesOf(format, dir)
+    require(stores.nonEmpty, s"catalog manifest: no stores under $dir")
+    entriesFor(spark, format, dir, stores, variables, distributeAbove)
+      .write.mode("overwrite").parquet(manifestPath)
+    spark.read.parquet(manifestPath).count()
+  }
+
+  /** The metadata wave over `stores`: parMap on the driver below the
+    * threshold, a distributed Spark job above it. */
+  private def entriesFor(spark: SparkSession, format: String, dir: String,
+      stores: Seq[String], variables: Seq[String],
+      distributeAbove: Int): Dataset[Entry] = {
+    import spark.implicits._
+    if (stores.size <= distributeAbove)
+      spark.createDataset(
+        ByteStore.parMap(stores)(s => scanStore(format, dir, s, variables))
+          .flatten)
+    else {
+      val snap = ByteStore.confSnapshot(spark)
+      val (f, d, vs) = (format, dir, variables)
+      spark.createDataset(stores)
+        .repartition(math.max(1, math.min(512, stores.size / 32)))
+        .mapPartitions { it =>
+          ByteStore.install(snap) // executor JVMs have no session
+          it.flatMap(s => scanStore(f, d, s, vs))
+        }
+    }
+  }
+
+  /** Incremental refresh: one fingerprint wave over the CURRENT store
+    * listing (LIST/HEAD round trips only — unchanged stores' metadata
+    * is never re-read), then re-scan ONLY new or changed stores,
+    * keep unchanged rows verbatim, drop vanished stores. Returns
+    * (added, changed, removed, unchanged) store counts. */
+  def refresh(spark: SparkSession, format: String, dir: String,
+      variables: Seq[String], manifestPath: String,
+      distributeAbove: Int = 512): (Int, Int, Int, Int) = {
+    checkFormat(format)
+    import spark.implicits._
+    val old = spark.read.parquet(manifestPath)
+    val oldFp: Map[String, (Long, Long, Long)] =
+      old.select("store", "fpMtime", "fpBytes", "fpCount").distinct()
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val stores = storesOf(format, dir)
+    val curFp = ByteStore.parMap(stores)(s => (s, ByteStore.treeStat(s))).toMap
+    val added = stores.filterNot(oldFp.contains)
+    val changed = stores.filter(s => oldFp.contains(s) && oldFp(s) != curFp(s))
+    val unchanged = stores.filter(s => oldFp.get(s).contains(curFp(s)))
+    val removed = (oldFp.keySet -- stores).size
+    val fresh = entriesFor(spark, format, dir, added ++ changed, variables,
+      distributeAbove)
+    val keep = old.join(broadcast(unchanged.toDF("store")), Seq("store"),
+      "left_semi")
+    // write via a sibling tmp dir: never read-and-overwrite one path
+    val tmp = manifestPath.stripSuffix("/") + ".refresh.tmp"
+    keep.unionByName(fresh.toDF().select(keep.columns.map(col): _*))
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(manifestPath)
+    val tp = new org.apache.hadoop.fs.Path(tmp)
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    (added.size, changed.size, removed, unchanged.size)
+  }
+
+  // ---- plan-from-manifest ------------------------------------------------
+
+  /** Phase-1 axis summary: everything except the coordinate ARRAY.
+    * (Package-visible, not private — Catalyst's generated deserializer
+    * needs bytecode access to the class.) */
+  private[sources] final case class AxisSummary(k: Int, name: String,
+      units: Option[String], calendar: Option[String],
+      mn: Option[Double], mx: Option[Double], n: Int)
+  private[sources] final case class StoreSummary(store: String, format: String,
+      dir: String, ax: Seq[AxisSummary])
+
+  /** Plan a catalog open from the manifest with ZERO per-store storage
+    * reads: phase 1 collects per-store SUMMARIES (scalars — tiny even
+    * at 10^5 stores), resolves the caller's bounds per store through
+    * each store's own units/calendar, and prunes stores whose
+    * [min,max] envelopes provably miss; phase 2 loads full coordinates
+    * for SURVIVORS only (pushed `store IN` parquet read). Envelope
+    * pruning is conservative — a surviving store can still resolve to
+    * an empty exact range downstream, which excludes it there.
+    * Returns (survivor metas store-sorted, member count, format, dir);
+    * when everything prunes, one store's meta is kept so the empty
+    * frame still carries the right schema. */
+  private[sources] def planStores(spark: SparkSession, manifestPath: String,
+      variable: String,
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)])
+      : (Seq[GridOpen.StoreMeta], Int, String, String) = {
+    import spark.implicits._
+    val df = spark.read.parquet(manifestPath)
+      .where(col("variable") === variable)
+    val sums = df.select(col("store"), col("format"), col("dir"),
+      expr("transform(axes, a -> struct(a.k as k, a.name as name, " +
+        "a.units as units, a.calendar as calendar, " +
+        "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
+        "coalesce(size(a.coords), -1) as n))").as("ax"))
+      .as[StoreSummary].collect()
+    require(sums.nonEmpty,
+      s"catalog manifest: no '$variable' rows in $manifestPath")
+    val format = sums.head.format
+    val dir = sums.head.dir
+    val survivors = sums.filter(s =>
+      envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
+    val wanted = if (survivors.nonEmpty) survivors else Seq(sums.head.store)
+    val full = df.where(col("store").isin(wanted: _*)).as[Entry].collect()
+    val metas = full.sortBy(_.store).map(e => GridOpen.StoreMeta(e.store,
+      GridOpen.classifyAxes(e.axes, e.store),
+      CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
+    (metas.toSeq, sums.length, format, dir)
+  }
+
+  /** Envelope test for one store: every bound axis's [lo, hi] must
+    * intersect the axis's [min, max]. NaN envelopes compare
+    * conservatively (kept). Time bounds resolve through the STORE's
+    * own units/calendar, exactly like the live open. */
+  private def envelopeSurvives(store: String, ax: Seq[AxisSummary],
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)]): Boolean = {
+    if (bounds.isEmpty && timeBounds.isEmpty) return true
+    val axes = GridOpen.classifyAxes(
+      ax.map(a => GridOpen.RawAxis(a.k, a.name, a.units, a.calendar,
+        if (a.n >= 0) Some(Array.empty[Double]) else None)), store)
+    val nb = GridOpen.resolveBounds(axes, bounds, timeBounds, store)
+    nb.forall { case (name, (lo, hi)) =>
+      val a = ax.find(_.name == name)
+        .getOrElse(fail(s"no axis '$name' in $store"))
+      if (a.n < 0) fail(s"axis '$name' in $store has no coords")
+      // mn/mx can be None only for an empty coords array
+      (a.mn, a.mx) match {
+        case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)
+        case _ => false
+      }
+    }
+  }
+}

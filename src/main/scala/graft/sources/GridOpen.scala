@@ -103,36 +103,53 @@ object GridOpen {
 
   // ---- per-mount axis discovery (driver-side, KB-scale metadata) ---------
 
-  private[sources] def zarrAxes(store: String, dataset: String): Seq[Axis] = {
+  /** One axis in UNCLASSIFIED form — exactly what a store's metadata
+    * says (raw `units`/`calendar` attrs), with no decode decision
+    * baked in. This is the shape [[CatalogManifest]] persists: a
+    * manifest built today must replay tomorrow's classification rules,
+    * so classification happens on LOAD, not on scan. */
+  final case class RawAxis(k: Int, name: String, units: Option[String],
+      calendar: Option[String], coords: Option[Array[Double]])
+
+  private[sources] def classifyAxes(raw: Seq[RawAxis], store: String): Seq[Axis] =
+    raw.map(r => Axis(r.k, r.name, r.coords,
+      if (r.coords.isEmpty) NotTime
+      else classify(r.units, r.calendar, s"$store/${r.name}")))
+
+  private[sources] def zarrRawAxes(store: String, dataset: String): Seq[RawAxis] = {
     val dims = CoordCrop.zarrDimNames(store, dataset)
     checkRank(dims.length, s"$store/$dataset")
     dims.zipWithIndex.map { case (n, k) =>
       val node = ByteStore.join(store, n)
       val hasCoord = ByteStore.isFile(ByteStore.join(node, ".zarray")) ||
         ByteStore.isFile(ByteStore.join(node, "zarr.json"))
-      if (!hasCoord) Axis(k, n, None, NotTime)
+      if (!hasCoord) RawAxis(k, n, None, None, None)
       else {
         val (u, c) = CfTime.zarrTimeAttrs(store, n)
-        Axis(k, n, Some(CoordCrop.zarrArrayValues(store, n)),
-          classify(u, c, s"$store/$n"))
+        RawAxis(k, n, u, c, Some(CoordCrop.zarrArrayValues(store, n)))
       }
     }
   }
 
-  private[sources] def hdf5Axes(path: String, dataset: String): Seq[Axis] = {
+  private[sources] def zarrAxes(store: String, dataset: String): Seq[Axis] =
+    classifyAxes(zarrRawAxes(store, dataset), store)
+
+  private[sources] def hdf5RawAxes(path: String, dataset: String): Seq[RawAxis] = {
     val dims = CoordCrop.hdf5DimNames(path, dataset)
     checkRank(dims.length, s"$path/$dataset")
     dims.zipWithIndex.map { case (n, k) =>
-      if (n.startsWith("<unnamed")) Axis(k, s"dim_$k", None, NotTime)
+      if (n.startsWith("<unnamed")) RawAxis(k, s"dim_$k", None, None, None)
       else {
         val (u, c) = CfTime.hdf5TimeAttrs(path, n)
-        Axis(k, n, Some(CoordCrop.hdf5DatasetValues(path, n)),
-          classify(u, c, s"$path/$n"))
+        RawAxis(k, n, u, c, Some(CoordCrop.hdf5DatasetValues(path, n)))
       }
     }
   }
 
-  private[sources] def netcdf3Axes(path: String, varName: String): Seq[Axis] = {
+  private[sources] def hdf5Axes(path: String, dataset: String): Seq[Axis] =
+    classifyAxes(hdf5RawAxes(path, dataset), path)
+
+  private[sources] def netcdf3RawAxes(path: String, varName: String): Seq[RawAxis] = {
     val h = NetCDF3ChunkIngest.headerOf(path)
     val v = h.vars.find(_.name == varName)
       .getOrElse(fail(s"variable '$varName' not in $path"))
@@ -140,14 +157,16 @@ object GridOpen {
     v.dimIds.zipWithIndex.map { case (id, k) =>
       val n = h.dims(id).name
       if (!h.vars.exists(cv => cv.name == n && cv.dimIds == Seq(id)))
-        Axis(k, n, None, NotTime)
+        RawAxis(k, n, None, None, None)
       else {
         val (u, c) = CfTime.netcdf3TimeAttrs(path, n)
-        Axis(k, n, Some(CoordCrop.nc3VarValues(path, n)),
-          classify(u, c, s"$path/$n"))
+        RawAxis(k, n, u, c, Some(CoordCrop.nc3VarValues(path, n)))
       }
     }
   }
+
+  private[sources] def netcdf3Axes(path: String, varName: String): Seq[Axis] =
+    classifyAxes(netcdf3RawAxes(path, varName), path)
 
   // ---- shared decoration --------------------------------------------------
 
@@ -182,7 +201,7 @@ object GridOpen {
   /** Resolve the user's time bounds to numeric ones through each
     * axis's own units + calendar, merge with the numeric bounds, and
     * reject double-bound axes. */
-  private def resolveBounds(axes: Seq[Axis],
+  private[sources] def resolveBounds(axes: Seq[Axis],
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)],
       where: String): Map[String, (Double, Double)] = {
@@ -496,6 +515,66 @@ object GridOpen {
     val masked = when(fill.isNotNull && r === reinterpret(fill), lit(null))
       .otherwise(r)
     (masked * scale + offset).cast("double")
+  }
+
+  // ---- manifest-planned catalog opens --------------------------------------
+
+  /** Open a zarr scene catalog FROM A PERSISTED MANIFEST
+    * ([[CatalogManifest]]): store-level crop, pack decode and
+    * coordinate decoration all plan from the manifest — ZERO per-store
+    * metadata reads — and the mount receives the surviving member
+    * arrays EXPLICITLY (`arrays` option), skipping the discovery walk
+    * too. A 10^5-scene catalog query costs one manifest parquet read
+    * instead of 10^5 KB-scale store reads; EXCLUDED scenes cost
+    * nothing at all (CatalogManifestSpec pins the I/O counts). */
+  def zarrCatalogFromManifest(spark: SparkSession, manifestPath: String,
+      dataset: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val (metas, _, format, dir) =
+      CatalogManifest.planStores(spark, manifestPath, dataset, bounds, timeBounds)
+    require(format == "zarr",
+      s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
+    val arrays = metas.map(m => s"${m.store}\t$dataset").mkString("\n")
+    catalogOpen(spark,
+      spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", dir).option("arrays", arrays).load()
+        .where(col("dataset") === dataset),
+      metas, bounds, timeBounds)
+  }
+
+  /** Manifest-planned catalog open over netCDF classic scene files:
+    * the mount receives the surviving files as an explicit list (no
+    * dir listing), headers are read for survivors only. */
+  def netcdf3CatalogFromManifest(spark: SparkSession, manifestPath: String,
+      varName: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val (metas, _, format, _) =
+      CatalogManifest.planStores(spark, manifestPath, varName, bounds, timeBounds)
+    require(format == "netcdf3",
+      s"grid open: manifest $manifestPath holds '$format' stores, not netcdf3")
+    catalogOpen(spark,
+      spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", metas.map(_.store).mkString("\n") + "\n").load()
+        .where(col("dataset") === varName),
+      metas, bounds, timeBounds)
+  }
+
+  /** Manifest-planned catalog open over netCDF-4/HDF5 scene files. */
+  def hdf5CatalogFromManifest(spark: SparkSession, manifestPath: String,
+      dataset: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val (metas, _, format, _) =
+      CatalogManifest.planStores(spark, manifestPath, dataset, bounds, timeBounds)
+    require(format == "hdf5",
+      s"grid open: manifest $manifestPath holds '$format' stores, not hdf5")
+    catalogOpen(spark,
+      spark.read.format("graft.sources.Hdf5DataSource")
+        .option("path", metas.map(_.store).mkString("\n") + "\n").load()
+        .where(col("dataset") === dataset),
+      metas, bounds, timeBounds)
   }
 
   /** Per-axis catalog decoration shared by the single- and multi-

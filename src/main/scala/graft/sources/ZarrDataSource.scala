@@ -62,7 +62,8 @@ class ZarrDataSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new ZarrTable(properties.get("path"),
       Option(properties.get("dataset")),
-      Option(properties.get("partitions")).map(_.toInt))
+      Option(properties.get("partitions")).map(_.toInt),
+      Option(properties.get("arrays")).map(ZarrDataSource.parseArrays))
 }
 
 object ZarrDataSource {
@@ -127,6 +128,19 @@ object ZarrDataSource {
   private[sources] def arraysIn(store: String, maxDepth: Int = 8): Seq[String] =
     arraysUnder(Seq(store), maxDepth).map(_._2)
 
+  /** Parse an explicit `arrays` option — newline-separated
+    * `store<TAB>array` pairs. An EXPLICIT list skips discovery
+    * entirely: a catalog planned from a persisted manifest mounts its
+    * member arrays with ZERO listing or probing round trips. */
+  private[sources] def parseArrays(spec: String): Seq[(String, String)] =
+    spec.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(s, a) => (s, a)
+        case _ => throw new IllegalArgumentException(
+          s"graft-zarr: arrays entry '$line' is not store<TAB>array")
+      }
+    }.sorted
+
   /** Resolve `path` to (store, array) pairs: a store dir (detected by a
     * node marker at its root or arrays directly under it), or a dir
     * whose child dirs are stores (the one-store-per-scene layout
@@ -146,7 +160,8 @@ object ZarrDataSource {
   }
 }
 
-class ZarrTable(path: String, dataset: Option[String], partitions: Option[Int])
+class ZarrTable(path: String, dataset: Option[String], partitions: Option[Int],
+    arrays: Option[Seq[(String, String)]] = None)
     extends Table with SupportsRead {
   require(path != null, "graft-zarr needs a path option")
   override def name(): String = s"graft-zarr[$path]"
@@ -157,7 +172,7 @@ class ZarrTable(path: String, dataset: Option[String], partitions: Option[Int])
     new MountScanBuilder(ZarrDataSource.schema, Set("dataset", "path"),
         Set("idx") ++ MountDsv2.DimCols) {
       override def build(): Scan =
-        new ZarrScan(path, dataset, partitions, required, pushed)
+        new ZarrScan(path, dataset, partitions, required, pushed, arrays)
     }
 }
 
@@ -169,7 +184,9 @@ case class ZarrInnerPartition(tasks: Seq[ZarrChunkIngest.InnerTask])
     extends InputPartition
 
 class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter],
+    explicitArrays: Option[Seq[(String, String)]] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -180,7 +197,9 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
     val range = MountDsv2.idxRange(pushed)
     val dimRs = MountDsv2.dimRanges(pushed)
     val trees = MountDsv2.treeFilters(pushed)
-    val arrays = ZarrDataSource.discover(path)
+    // an explicit array list (manifest-planned catalogs) skips the
+    // discovery walk: ZERO list/probe round trips at plan time
+    val arrays = explicitArrays.getOrElse(ZarrDataSource.discover(path))
       // store-level prune: a store excluded here (path equality/IN, or
       // every branch of a catalog-crop disjunction naming other stores)
       // never has its per-array metadata read, let alone data

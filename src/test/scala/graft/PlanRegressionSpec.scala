@@ -120,7 +120,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q215_netcdf3_cdf5_mount"
       :+ "q216_zarr_catalog_crop" :+ "q217_turnkey_tile_slice"
       :+ "q218_netcdf3_calendar_crop" :+ "q219_multivar_derived"
-      :+ "q220_multivar_catalog")
+      :+ "q220_multivar_catalog"
+      :+ "q221_perstore_pack_attrs" :+ "q222_manifest_catalog_crop")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -430,6 +431,38 @@ class PlanRegressionSpec extends SparkSpec {
       s"decode must not shuffle-join:\n${plan.take(1500)}")
     val exchanges = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "BX")).size
     assert(exchanges == 1, s"expected exactly 1 shuffle exchange (the pivot), got $exchanges")
+  }
+
+  test("q221: per-store pack attrs decode via broadcast, never a shuffle join") {
+    val plan = planOf("q221_perstore_pack_attrs")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-store attrs must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"attrs decode must not shuffle:\n${plan.take(1500)}")
+    // one broadcast exchange (the attrs table), zero shuffle exchanges
+    val shuffles = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "BX")).size
+    assert(shuffles == 0, s"expected no shuffle exchange, got $shuffles:\n${plan.take(2000)}")
+  }
+
+  test("q222: the manifest plan pushes only SURVIVING stores; no store listing, no shuffle join") {
+    val plan = planOf("q222_manifest_catalog_crop")
+    // the pushed disjunction names the 10 surviving scenes (i%28 in
+    // {4,5}) and none of the 110 excluded ones
+    for (i <- Seq(4, 5, 32, 33))
+      assert(plan.contains(f"sc$i%03d.zarr"),
+        s"surviving sc$i%03d missing from the pushed branches:\n${plan.take(2000)}")
+    for (i <- Seq(0, 6, 27, 119))
+      assert(!plan.contains(f"sc$i%03d.zarr"),
+        s"excluded sc$i%03d leaked into the plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"decode must not shuffle-join:\n${plan.take(1500)}")
+    // per-store epochs differ -> the time decode is a broadcast table
+    assert(plan.contains("BroadcastHashJoin"), s"decode not broadcast:\n${plan.take(1500)}")
+    // store pruning reached task planning: only surviving chunks plan
+    val df = graft.SparkEntry.queries("q222_manifest_catalog_crop")(spark, sf)
+    assert(df.rdd.getNumPartitions <= 10,
+      s"expected <= 10 planned partitions (one chunk per surviving scene), " +
+        s"got ${df.rdd.getNumPartitions}")
   }
 
   test("q215: the CDF-5 mount pushes the record crop like CDF-1") {

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted catalog manifest: builds once, plans catalog crops
+  * with ZERO per-store metadata reads (I/O-count asserted), refreshes
+  * incrementally on store mtime/size change, and matches the live
+  * catalog open row-for-row. */
+class CatalogManifestSpec extends SparkSpec {
+
+  private def recording[T](f: => T): (T, ByteStore.IoRecorder) = {
+    val r = ByteStore.startRecording()
+    try (f, r) finally ByteStore.stopRecording()
+  }
+
+  /** n zarr scene stores with per-store epochs (day i%28+1), a (time,
+    * x) grid — the ScaleRehearsal catalog shape, shrunk. */
+  private def writeZarrCatalog(dir: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      val store = s"$dir/sc${"%03d".format(i)}.zarr"
+      ByteStore.writeString(s"$store/.zgroup", """{"zarr_format": 2}""")
+      def arr(name: String, shape: Seq[Int], dims: Seq[String],
+          data: Array[Double], extra: String = ""): Unit = {
+        ByteStore.writeString(s"$store/$name/.zarray",
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+             | "chunks": [${shape.mkString(",")}], "dtype": ">f8",
+             | "compressor": null, "fill_value": "NaN", "filters": null,
+             | "order": "C"}""".stripMargin)
+        ByteStore.writeString(s"$store/$name/.zattrs",
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extra}""")
+        val bb = java.nio.ByteBuffer.allocate(data.length * 8)
+        data.foreach(bb.putDouble)
+        ByteStore.writeAllBytes(s"$store/$name/${shape.map(_ => "0").mkString(".")}",
+          bb.array())
+      }
+      val day = 1 + i % 28
+      arr("lwp", Seq(4, 3), Seq("time", "x"),
+        Array.tabulate(12)(j => i * 100.0 + j))
+      arr("time", Seq(4), Seq("time"), Array(0.0, 6.0, 12.0, 18.0),
+        s""", "units": "hours since 2021-01-${"%02d".format(day)}"""")
+      arr("x", Seq(3), Seq("x"), Array(0.0, 10.0, 20.0))
+    }
+
+  test("manifest-planned crop: zero reads on excluded stores, rows match the live open") {
+    val dir = Files.createTempDirectory("graft-manif-z").toString
+    writeZarrCatalog(dir, 12)
+    val manifest = s"$dir/_manifest"
+    assert(CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest) == 12L)
+    val tb = Map("time" -> ("2021-01-03 02:00:00", "2021-01-04 23:00:00"))
+    // live rows (this session pays the per-store wave) — recorded for
+    // the relative metadata-op claim below
+    val (live, liveRec) = recording {
+      GridOpen.zarrCatalog(spark, dir, "lwp", timeBounds = tb)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getTimestamp(2).toInstant.toString, r.getDouble(3), r.getDouble(4)))
+        .sortBy(r => (r._1, r._2))
+    }
+    assert(live.nonEmpty)
+    val (got, rec) = recording {
+      GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp", timeBounds = tb)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getTimestamp(2).toInstant.toString, r.getDouble(3), r.getDouble(4)))
+        .sortBy(r => (r._1, r._2))
+    }
+    assert(got.toSeq == live.toSeq)
+    // days 3 and 4 survive (stores sc002, sc003); every OTHER store:
+    // zero opens, zero reads, zero bytes, not even a touched path
+    val surviving = got.map(_._1.split('/').last.stripSuffix(".zarr")).toSet
+    assert(surviving == Set("sc002", "sc003"))
+    val touched = rec.pathsTouched.filter(_.contains(".zarr"))
+    val offenders = touched.filterNot(p =>
+      surviving.exists(s => p.contains(s + ".zarr")))
+    assert(offenders.isEmpty,
+      s"excluded stores were touched: ${offenders.take(5).mkString(", ")}")
+    // metadata round trips are proportional to the 2 SURVIVORS (their
+    // chunk planning + executor-side meta re-reads), never to the
+    // 12-store catalog: the live open pays discovery + the per-store
+    // wave on top, so the manifest plan must sit well under half of it
+    info(s"metaOps: manifest=${rec.metaOps} live=${liveRec.metaOps}")
+    assert(rec.metaOps * 2 < liveRec.metaOps,
+      s"manifest plan metadata ops (${rec.metaOps}) not clearly below " +
+        s"the live open's (${liveRec.metaOps})")
+  }
+
+  test("refresh re-reads ONLY changed stores; added/removed reconcile") {
+    val dir = Files.createTempDirectory("graft-manif-r").toString
+    writeZarrCatalog(dir, 6)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    // deltas: rewrite sc001's chunk with new VALUES (same length) and
+    // grow its .zattrs so the byte-count fingerprint flips even on
+    // coarse mtime clocks; copy sc000 to a new sc901; remove sc005
+    val bb2 = java.nio.ByteBuffer.allocate(12 * 8)
+    (0 until 12).foreach(j => bb2.putDouble(9000.0 + j))
+    ByteStore.writeAllBytes(s"$dir/sc001.zarr/lwp/0.0", bb2.array())
+    ByteStore.writeString(s"$dir/sc001.zarr/lwp/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "edited"}""")
+    val src = Paths.get(s"$dir/sc000.zarr")
+    val dst = Paths.get(s"$dir/sc901.zarr")
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t); () }
+    }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+    }
+    rmTree(Paths.get(s"$dir/sc005.zarr"))
+    val ((added, changed, removed, unchanged), rec) = recording {
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    }
+    assert((added, changed, removed, unchanged) == ((1, 1, 1, 4)),
+      s"got ($added, $changed, $removed, $unchanged)")
+    // unchanged stores: fingerprint LISTs only — zero opens/reads
+    for (k <- Seq(2, 3, 4)) {
+      val touched = rec.pathsTouched.filter(_.contains(f"sc00$k.zarr"))
+      assert(touched.isEmpty, s"unchanged sc00$k was read: $touched")
+    }
+    // the refreshed manifest plans with sc001's NEW bytes
+    val df = GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+      timeBounds = Map("time" -> ("2021-01-02 00:00:00", "2021-01-02 18:00:00")))
+    val vals = df.collect().map(_.getDouble(4)).sorted
+    assert(vals.toSeq == (0 until 12).map(9000.0 + _),
+      s"refresh did not pick up sc001's new data: ${vals.take(5).mkString(",")}")
+    // and the added store is a member now
+    val all = GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp")
+    assert(all.select("path").distinct().count() == 6) // 4 + changed + added
+  }
+
+  test("netcdf3 manifest open: explicit file list, parity with live, per-store packs") {
+    val dir = Files.createTempDirectory("graft-manif-nc").toString
+    def nc(name: String, day: Int, scale: Double, base: Double): Unit =
+      Files.write(Paths.get(dir, name), NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 2)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("units", NetCDF3.NcChar,
+              s"hours since 2022-03-0$day")), Array(0.0, 6.0, 12.0, 18.0)),
+          NetCDF3.VarSpec("lwp", Seq("time", "x"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("scale_factor", NetCDF3.NcDouble, Array(scale))),
+            Array.tabulate(8)(i => base + i))),
+        numRecs = 4))
+    nc("a.nc", 1, 0.5, 10.0)
+    nc("b.nc", 2, 0.1, 20.0) // different pack attrs per granule
+    nc("c.nc", 7, 1.0, 30.0) // misses the window below
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "netcdf3", dir, Seq("lwp"), manifest)
+    val tb = Map("time" -> ("2022-03-01 12:00:00", "2022-03-02 00:00:00"))
+    // the x axis has NO coordinate variable, so it surfaces as its
+    // LONG index — exactly like the live open
+    val live = GridOpen.netcdf3Catalog(spark, dir, "lwp", timeBounds = tb)
+      .collect().map(r => (r.getString(0).split('/').last,
+        r.getTimestamp(2).toInstant.toString, r.getLong(3), r.getDouble(4)))
+      .sorted
+    val (got, rec) = recording {
+      GridOpen.netcdf3CatalogFromManifest(spark, manifest, "lwp", timeBounds = tb)
+        .collect().map(r => (r.getString(0).split('/').last,
+          r.getTimestamp(2).toInstant.toString, r.getLong(3), r.getDouble(4)))
+        .sorted
+    }
+    assert(got.toSeq == live.toSeq && got.nonEmpty)
+    assert(got.map(_._1).toSet == Set("a.nc", "b.nc"))
+    // c.nc: pruned from the manifest plan — never opened, never read
+    val cTouched = rec.pathsTouched.filter(_.endsWith("c.nc"))
+    assert(cTouched.isEmpty, s"excluded c.nc was touched: $cTouched")
+    // per-granule scales decoded per store (a: x0.5, b: x0.1)
+    assert(got.exists(r => r._1 == "a.nc" && r._4 == 14.0 * 0.5))
+    assert(got.exists(r => r._1 == "b.nc" && r._4 == 20.0 * 0.1))
+  }
+
+  test("distributed build (Spark-job wave) writes the same manifest as the driver wave") {
+    val dir = Files.createTempDirectory("graft-manif-dist").toString
+    writeZarrCatalog(dir, 5)
+    val m1 = s"$dir/_m_driver"
+    val m2 = s"$dir/_m_spark"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), m1)
+    // distributeAbove = 0 forces the executor path
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), m2,
+      distributeAbove = 0)
+    val a = spark.read.parquet(m1).orderBy("store")
+      .drop("fpMtime").collect().map(_.toString)
+    val b = spark.read.parquet(m2).orderBy("store")
+      .drop("fpMtime").collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}
