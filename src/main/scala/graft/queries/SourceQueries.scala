@@ -2216,6 +2216,24 @@ object SourceQueries {
           col("time").as("ts"), col("x"), col("value"))
     },
 
+    // ---- scene-idempotent materialization (the luigi contract) ------------
+    // A turnkey catalog slice materialized as a scene-partitioned
+    // parquet table via GridOpen.materializeZarrCatalog (skip-if-
+    // present per scene, reference pipeline/regridding.py:93-117);
+    // the oracle pins the TABLE's contents — GridMaterializeSpec pins
+    // the incremental I/O behavior (free re-runs, single-scene repair).
+    QueryDef.sqlBacked(
+      "q223_materialized_scene_table",
+      """SELECT printf('sm%d.zarr', CAST(i AS INT)) AS scene,
+        |  make_timestamp(1612137600000000 + i*86400000000 + r*43200000000) AS ts,
+        |  CAST(c*10 AS DOUBLE) AS x,
+        |  CAST(i*100 + r*3 + c AS DOUBLE) AS value
+        |FROM range(0,4) t(i), range(0,2) r1(r), range(0,3) r2(c)""".stripMargin) {
+      (s, d) =>
+      s.read.parquet(ensureQ223Materialized(s))
+        .select(col("scene"), col("time").as("ts"), col("x"), col("value"))
+    },
+
     QueryDef.sqlBacked(
       "q220_multivar_catalog",
       """SELECT 'cs1.zarr' AS scene, CAST(1000 + j*100 AS DOUBLE) AS y,
@@ -2282,6 +2300,26 @@ object SourceQueries {
   }
 
   private lazy val q222CatDir: String = mkCleanedTempDir("graft_q222_cat_")
+
+  /** q223's 4-scene catalog, materialized scene-idempotently once per
+    * JVM; returns the output table path. */
+  private def ensureQ223Materialized(s: SparkSession): String = {
+    val dir = q223CatDir
+    val out = s"$dir/_out"
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      for (i <- 0 until 4)
+        writeV2Store(dir, s"sm$i", Seq(
+          ("lwp", Seq(2, 3), Seq("time", "x"),
+            Array.tabulate(6)(j => i * 100.0 + j), ""),
+          ("time", Seq(2), Seq("time"), Array(0.0, 12.0),
+            s""", "units": "hours since 2021-02-0${i + 1}""""),
+          ("x", Seq(3), Seq("x"), Array(0.0, 10.0, 20.0), "")))
+      graft.sources.GridOpen.materializeZarrCatalog(s, dir, "lwp", out)
+    }
+    out
+  }
+
+  private lazy val q223CatDir: String = mkCleanedTempDir("graft_q223_cat_")
 
   /** q220's two-scene catalog with disjoint y grids, two variables
     * per store. */

@@ -121,7 +121,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q216_zarr_catalog_crop" :+ "q217_turnkey_tile_slice"
       :+ "q218_netcdf3_calendar_crop" :+ "q219_multivar_derived"
       :+ "q220_multivar_catalog"
-      :+ "q221_perstore_pack_attrs" :+ "q222_manifest_catalog_crop")
+      :+ "q221_perstore_pack_attrs" :+ "q222_manifest_catalog_crop"
+      :+ "q223_materialized_scene_table")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scene-idempotent materialization of a turnkey catalog slice — the
+  * luigi skip-if-present contract: a re-run after deleting ONE scene's
+  * output partition reads and writes ONLY that scene (I/O-count
+  * asserted), a fully-materialized table re-runs for free. */
+class GridMaterializeSpec extends SparkSpec {
+
+  private def recording[T](f: => T): (T, ByteStore.IoRecorder) = {
+    val r = ByteStore.startRecording()
+    try (f, r) finally ByteStore.stopRecording()
+  }
+
+  private def writeCatalog(dir: String, n: Int): Unit =
+    (0 until n).foreach { i =>
+      val store = s"$dir/sm$i.zarr"
+      ByteStore.writeString(s"$store/.zgroup", """{"zarr_format": 2}""")
+      def arr(name: String, shape: Seq[Int], dims: Seq[String],
+          data: Array[Double], extra: String = ""): Unit = {
+        ByteStore.writeString(s"$store/$name/.zarray",
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+             | "chunks": [${shape.mkString(",")}], "dtype": ">f8",
+             | "compressor": null, "fill_value": "NaN", "filters": null,
+             | "order": "C"}""".stripMargin)
+        ByteStore.writeString(s"$store/$name/.zattrs",
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extra}""")
+        val bb = java.nio.ByteBuffer.allocate(data.length * 8)
+        data.foreach(bb.putDouble)
+        ByteStore.writeAllBytes(s"$store/$name/${shape.map(_ => "0").mkString(".")}",
+          bb.array())
+      }
+      arr("lwp", Seq(2, 3), Seq("time", "x"),
+        Array.tabulate(6)(j => i * 100.0 + j))
+      arr("time", Seq(2), Seq("time"), Array(0.0, 12.0),
+        s""", "units": "hours since 2021-02-0${i + 1}"""")
+      arr("x", Seq(3), Seq("x"), Array(0.0, 10.0, 20.0))
+    }
+
+  test("materialize is scene-idempotent: full run, free re-run, single-scene repair") {
+    val dir = Files.createTempDirectory("graft-mat").toString
+    writeCatalog(dir, 4)
+    val out = s"$dir/_out"
+    // first run: all 4 scenes
+    val first = GridOpen.materializeZarrCatalog(spark, dir, "lwp", out)
+    assert(first.sorted == (0 until 4).map(i => s"sm$i.zarr"))
+    val table = spark.read.parquet(out)
+    assert(table.columns.toSet ==
+      Set("path", "idx", "time", "x", "value", "scene"))
+    assert(table.count() == 24)
+    val want = table.orderBy("scene", "idx").collect().map(_.toString)
+    // re-run: nothing pending, and NO store is opened or read
+    val (second, rec2) = recording {
+      GridOpen.materializeZarrCatalog(spark, dir, "lwp", out)
+    }
+    assert(second.isEmpty)
+    val touched2 = rec2.pathsTouched.filter(_.contains(".zarr"))
+    assert(touched2.isEmpty, s"free re-run touched stores: $touched2")
+    // repair: drop ONE scene's partition; the re-run reads ONLY that
+    // scene's store and rewrites ONLY its partition
+    def rmTree(p: java.nio.file.Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+    rmTree(Paths.get(s"$out/scene=sm2.zarr"))
+    val untouchedParts = (Seq(0, 1, 3)).map { i =>
+      val d = new java.io.File(s"$out/scene=sm$i.zarr")
+      d.getName -> Option(d.listFiles()).getOrElse(Array.empty)
+        .map(f => (f.getName, f.lastModified())).toSet
+    }.toMap
+    val (third, rec3) = recording {
+      GridOpen.materializeZarrCatalog(spark, dir, "lwp", out)
+    }
+    assert(third == Seq("sm2.zarr"))
+    val touched3 = rec3.pathsTouched.filter(_.contains(".zarr"))
+    val offenders = touched3.filterNot(_.contains("sm2.zarr"))
+    assert(offenders.isEmpty, s"repair run touched other scenes: $offenders")
+    // the other partitions' files are byte-for-byte untouched
+    untouchedParts.foreach { case (name, files) =>
+      val d = new java.io.File(s"$out/$name")
+      val now = Option(d.listFiles()).getOrElse(Array.empty)
+        .map(f => (f.getName, f.lastModified())).toSet
+      assert(now == files, s"partition $name was rewritten")
+    }
+    // and the repaired table equals the original
+    val got = spark.read.parquet(out).orderBy("scene", "idx")
+      .collect().map(_.toString)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("manifest-planned materialize: pending scenes pay data chunks only") {
+    val dir = Files.createTempDirectory("graft-mat-m").toString
+    writeCatalog(dir, 4)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    val out = s"$dir/_out"
+    // bounds exclude sm3 (its epoch is Feb 4) -> it is never pending
+    val tb = Map("time" -> ("2021-02-01 00:00:00", "2021-02-03 23:00:00"))
+    val first = GridOpen.materializeZarrCatalogFromManifest(spark, manifest,
+      "lwp", out, timeBounds = tb)
+    assert(first.sorted == Seq("sm0.zarr", "sm1.zarr", "sm2.zarr"))
+    // repair one scene: the pending wave touches ONLY that scene, and
+    // never its coordinate arrays (coords/attrs come from the
+    // manifest; the data array's own chunk-layout metadata is the one
+    // legitimate read the scan still needs)
+    def rmTree(p: java.nio.file.Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+    rmTree(Paths.get(s"$out/scene=sm1.zarr"))
+    val (again, rec) = recording {
+      GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp", out,
+        timeBounds = tb)
+    }
+    assert(again == Seq("sm1.zarr"))
+    val touched = rec.pathsTouched.filter(_.contains(".zarr"))
+    assert(touched.forall(_.contains("sm1.zarr")),
+      s"other scenes touched: ${touched.filterNot(_.contains("sm1.zarr"))}")
+    val coordTouched = touched.filter(p =>
+      p.contains("/time/") || p.contains("/x/"))
+    assert(coordTouched.isEmpty,
+      s"manifest materialize re-read coordinate metadata: $coordTouched")
+    // idempotent completion
+    assert(GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
+      out, timeBounds = tb).isEmpty)
+    assert(spark.read.parquet(out).count() == 18)
+  }
+}
