@@ -121,7 +121,12 @@ object Bench {
     // and the GenerateTiles-shaped slice running entirely through the
     // turnkey open (crop -> tile gather -> reduce). KB-scale fixture
     // stores, so these time the PLAN + decode machinery itself.
-    "q216_zarr_catalog_crop", "q217_turnkey_tile_slice")
+    "q216_zarr_catalog_crop", "q217_turnkey_tile_slice",
+    // Round 17: the manifest-planned catalog crop (120 scene stores,
+    // plan + decode from the persisted CatalogManifest, zero per-store
+    // metadata reads) — times the repeat-query shape a scene DB exists
+    // for, next to q216's live-wave sibling.
+    "q222_manifest_catalog_crop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

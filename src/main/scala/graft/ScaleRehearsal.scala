@@ -530,6 +530,83 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- manifest-planned catalog (round-17): build once, plan flat ------
+    // Same catalog shape as catalog_crop, but the crop plans from a
+    // persisted CatalogManifest: manifest_build is the ONE-TIME
+    // metadata wave (parMap <= 512 stores, a Spark job above), and
+    // manifest_plan/manifest_replan are the per-query cost — two
+    // manifest parquet reads + driver prune, with ZERO per-store
+    // metadata reads, so plan wall should be ~flat in store count
+    // where the live wave grows with it.
+    if (wanted("manifest_catalog")) {
+      import graft.sources.{ByteStore, CatalogManifest, GridOpen}
+      val n = (100 * mult).toInt
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-manif").toString
+      val (nt, ny, nx) = (4, 6, 8)
+      def writeArr(store: String, name: String, shape: Seq[Int],
+          chunks: Seq[Int], dims: Seq[String], extra: String = ""): Unit = {
+        ByteStore.writeString(s"$store/$name/.zarray",
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+             | "chunks": [${chunks.mkString(",")}], "dtype": ">f8",
+             | "compressor": null, "fill_value": "NaN", "filters": null,
+             | "order": "C"}""".stripMargin)
+        ByteStore.writeString(s"$store/$name/.zattrs",
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extra}""")
+        val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+        def cells(g: Seq[Int]): Seq[Seq[Int]] =
+          g.foldLeft(Seq(Seq.empty[Int]))((acc, m) =>
+            acc.flatMap(p => (0 until m).map(p :+ _)))
+        cells(grid).foreach { ci =>
+          val bb = java.nio.ByteBuffer.allocate(chunks.product * 8)
+          (0 until chunks.product).foreach(k => bb.putDouble(k.toDouble))
+          val out = ByteStore.create(s"$store/$name/${ci.mkString(".")}")
+          try out.write(bb.array()) finally out.close()
+        }
+      }
+      ByteStore.parMap(0 until n, par = 32) { i =>
+        val store = s"$dir/sc${"%05d".format(i)}.zarr"
+        ByteStore.writeString(s"$store/.zgroup", """{"zarr_format": 2}""")
+        val day = 1 + i % 28
+        writeArr(store, "lwp", Seq(nt, ny, nx), Seq(1, ny, nx),
+          Seq("time", "y", "x"))
+        writeArr(store, "time", Seq(nt), Seq(nt), Seq("time"),
+          s""", "units": "hours since 2021-01-${"%02d".format(day)}"""")
+        writeArr(store, "y", Seq(ny), Seq(ny), Seq("y"))
+        writeArr(store, "x", Seq(nx), Seq(nx), Seq("x"))
+      }
+      val manifest = s"$dir/_manifest"
+      timed("manifest_build") {
+        CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+      }
+      val expectedChunks = (0 until n).map { i =>
+        val day = 1 + i % 28
+        if (day == 11) 2 else if (day == 12 || day == 13) 4 else 0
+      }.sum
+      val tb = Map("time" -> ("2021-01-11 02:00:00", "2021-01-13 23:00:00"))
+      var df: org.apache.spark.sql.DataFrame = null
+      timed("manifest_plan") {
+        df = GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+          timeBounds = tb)
+        df.rdd.getNumPartitions.toLong
+      }
+      // the repeat-query shape a scene DB exists for: plan again, warm
+      timed("manifest_replan") {
+        GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+          timeBounds = tb).rdd.getNumPartitions.toLong
+      }
+      timed("manifest_exec") {
+        val rows = df.count()
+        println(s"""{"op":"manifest_catalog_io","stores":$n,""" +
+          s""""survivingChunks":$expectedChunks,""" +
+          s""""plannedPartitions":${df.rdd.getNumPartitions},"rows":$rows}""")
+        require(rows == expectedChunks.toLong * ny * nx,
+          s"expected ${expectedChunks.toLong * ny * nx} rows, got $rows")
+        require(df.rdd.getNumPartitions <= expectedChunks,
+          s"planned ${df.rdd.getNumPartitions} partitions for $expectedChunks chunks")
+        rows
+      }
+    }
+
     spark.stop()
   }
 }

@@ -259,18 +259,30 @@ object CoordCrop {
   // row — per-store VALUE-crop semantics (each scene's own grid), with
   // excluded stores' data never read.
 
+  /** Balanced OR of the branch columns: a left-deep `reduce(_ || _)`
+    * builds an expression tree as DEEP as the surviving-store count,
+    * and Catalyst's recursive converters stack-overflow near ~1,000
+    * branches — a 10,000-scene catalog with a broad crop is exactly
+    * that shape. Balancing keeps depth at log2(branches). */
+  private def balancedOr(cols: IndexedSeq[Column]): Column =
+    if (cols.length == 1) cols.head
+    else {
+      val (a, b) = cols.splitAt(cols.length / 2)
+      balancedOr(a) || balancedOr(b)
+    }
+
   /** Resolved per-store crop: each bounded axis's inclusive index
     * range inside that store. */
   private[sources] def catalogPredicate(
       perStore: Seq[(String, Seq[(Int, (Int, Int))])]): Column =
     perStore match {
       case Seq() => lit(false) // no store intersects: provably empty
-      case ss => ss.map { case (s, rs) =>
+      case ss => balancedOr(ss.toIndexedSeq.map { case (s, rs) =>
         rs.foldLeft(col("path") === s) { case (acc, (k, (i0, i1))) =>
           acc && col(MountDsv2.DimCols(k)) >= i0.toLong &&
             col(MountDsv2.DimCols(k)) <= i1.toLong
         }
-      }.reduce(_ || _)
+      })
     }
 
   /** Time bounds -> numeric, routed by the axis's own calendar attr:
