@@ -2234,6 +2234,28 @@ object SourceQueries {
         .select(col("scene"), col("time").as("ts"), col("x"), col("value"))
     },
 
+    // ---- multi-variable catalog from the manifest --------------------------
+    // The aux-fields flow planned entirely from the persisted scene DB:
+    // membership (mv2 lacks t1000 — not a member), store pruning (the
+    // y bbox excludes mv0's grid), shared-grid verification and the
+    // per-variable pack decode all come from the manifest; excluded
+    // stores are never touched (CatalogManifestSpec pins the counts).
+    QueryDef.sqlBacked(
+      "q224_manifest_vars_catalog",
+      """SELECT 'mv1.zarr' AS scene, CAST(1000 + j*100 AS DOUBLE) AS y,
+        |  CAST(i*100 AS DOUBLE) AS x,
+        |  CAST(round(((280 + (j*5+i)*0.5) * 1.107393475838283
+        |       - (295 + (j*5+i)*0.25)) * 1000000) AS BIGINT) AS lts_micro
+        |FROM range(0,2) r1(j), range(0,5) r2(i)""".stripMargin) { (s, d) =>
+      graft.sources.GridOpen.zarrVarsCatalogFromManifest(s,
+          ensureQ224Manifest(s), Seq("t700", "t1000"),
+          bounds = Map("y" -> (1000.0, 1100.0)))
+        .select(element_at(split(col("path"), "/"), -1).as("scene"),
+          col("y"), col("x"),
+          round((col("t700") * lit(1.107393475838283) - col("t1000")) *
+            lit(1000000)).cast("long").as("lts_micro"))
+    },
+
     QueryDef.sqlBacked(
       "q220_multivar_catalog",
       """SELECT 'cs1.zarr' AS scene, CAST(1000 + j*100 AS DOUBLE) AS y,
@@ -2320,6 +2342,31 @@ object SourceQueries {
   }
 
   private lazy val q223CatDir: String = mkCleanedTempDir("graft_q223_cat_")
+
+  /** q224's three-scene catalog (disjoint y grids; mv2 lacks t1000 so
+    * it is not a member) plus its manifest, built once per JVM. */
+  private def ensureQ224Manifest(s: SparkSession): String = {
+    val dir = q224CatDir
+    val manifest = s"$dir/_manifest"
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      for ((name, yBase, t7, t10) <- Seq(("mv0", 0.0, 270.0, Some(290.0)),
+          ("mv1", 1000.0, 280.0, Some(295.0)),
+          ("mv2", 2000.0, 300.0, None))) {
+        writeV2Store(dir, name, Seq(
+          ("t700", Seq(4, 5), Seq("y", "x"),
+            Array.tabulate(20)(i => t7 + i * 0.5), "")) ++
+          t10.toSeq.map(b => ("t1000", Seq(4, 5), Seq("y", "x"),
+            Array.tabulate(20)(i => b + i * 0.25), "")) ++ Seq(
+          ("y", Seq(4), Seq("y"), Array.tabulate(4)(yBase + _ * 100.0), ""),
+          ("x", Seq(5), Seq("x"), Array.tabulate(5)(_ * 100.0), "")))
+      }
+      graft.sources.CatalogManifest.build(s, "zarr", dir,
+        Seq("t700", "t1000"), manifest)
+    }
+    manifest
+  }
+
+  private lazy val q224CatDir: String = mkCleanedTempDir("graft_q224_cat_")
 
   /** q220's two-scene catalog with disjoint y grids, two variables
     * per store. */

@@ -187,6 +187,8 @@ object CatalogManifest {
       mn: Option[Double], mx: Option[Double], n: Int)
   private[sources] final case class StoreSummary(store: String, format: String,
       dir: String, ax: Seq[AxisSummary])
+  private[sources] final case class VarSummary(store: String, variable: String,
+      ax: Seq[AxisSummary])
 
   /** Plan a catalog open from the manifest with ZERO per-store storage
     * reads: phase 1 collects per-store SUMMARIES (scalars — tiny even
@@ -225,6 +227,61 @@ object CatalogManifest {
       GridOpen.classifyAxes(e.axes, e.store),
       CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
     (metas.toSeq, sums.length, format, dir)
+  }
+
+  /** Multi-variable plan-from-manifest: membership = stores whose
+    * manifest rows cover ALL `variables`; envelope pruning runs on the
+    * head variable's axes (the shared grid); phase 2 loads survivors'
+    * full rows and VERIFIES the shared grid across variables (names +
+    * coords, NaN-tolerant) exactly like the live open. Returns
+    * (store, shared axes, attrs per variable in `variables` order)
+    * store-sorted, plus format and dir. ZERO per-store storage
+    * reads. */
+  private[sources] def planVarsStores(spark: SparkSession,
+      manifestPath: String, variables: Seq[String],
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)])
+      : (Seq[(String, Seq[GridOpen.Axis], Seq[CfDecode.CfAttrs])], String, String) = {
+    import spark.implicits._
+    require(variables.nonEmpty, "catalog manifest: no variables requested")
+    val df = spark.read.parquet(manifestPath)
+      .where(col("variable").isin(variables: _*))
+    val sums = df.select(col("store"), col("variable"),
+      expr("transform(axes, a -> struct(a.k as k, a.name as name, " +
+        "a.units as units, a.calendar as calendar, " +
+        "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
+        "coalesce(size(a.coords), -1) as n))").as("ax"))
+      .as[VarSummary].collect()
+    require(sums.nonEmpty,
+      s"catalog manifest: no rows for ${variables.mkString(",")} in $manifestPath")
+    val byStore = sums.groupBy(_.store)
+    val members = byStore.collect {
+      case (s, rows) if variables.forall(v => rows.exists(_.variable == v)) => s
+    }.toSeq.sorted
+    require(members.nonEmpty, s"catalog manifest: no store holds all of " +
+      s"${variables.mkString(",")} in $manifestPath")
+    val survivors = members.filter { s =>
+      val head = byStore(s).find(_.variable == variables.head).get
+      envelopeSurvives(s, head.ax, bounds, timeBounds)
+    }
+    val wanted = if (survivors.nonEmpty) survivors else members.take(1)
+    val full = df.where(col("store").isin(wanted: _*)).as[Entry].collect()
+    val fullByStore = full.groupBy(_.store)
+    val (format, dir) = (full.head.format, full.head.dir)
+    val metas = wanted.sorted.map { s =>
+      val rows = fullByStore(s)
+      val perVar = variables.map(v => rows.find(_.variable == v).get)
+      val axesPerVar = perVar.map(e => GridOpen.classifyAxes(e.axes, e.store))
+      axesPerVar.tail.zip(variables.tail).foreach { case (ax, v) =>
+        if (ax.map(_.name) != axesPerVar.head.map(_.name) ||
+          !ax.zip(axesPerVar.head).forall { case (a, b) =>
+            GridOpen.coordsEq(a.coords, b.coords) })
+          fail(s"variable '$v' in $s is not on the store's shared grid")
+      }
+      (s, axesPerVar.head, perVar.map(e =>
+        CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
+    }
+    (metas, format, dir)
   }
 
   /** Envelope test for one store: every bound axis's [lo, hi] must

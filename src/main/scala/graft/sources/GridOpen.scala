@@ -93,7 +93,7 @@ object GridOpen {
     * `sameElements`' IEEE `==` would make a homogeneous catalog fall
     * off the codegen fast path onto broadcast joins, and a multi-
     * variable open refuse as "not on the shared grid". */
-  private def coordsEq(a: Option[Array[Double]],
+  private[sources] def coordsEq(a: Option[Array[Double]],
       b: Option[Array[Double]]): Boolean = (a, b) match {
     case (Some(x), Some(y)) => x.length == y.length &&
       x.indices.forall(i => x(i) == y(i) || (x(i).isNaN && y(i).isNaN))
@@ -659,6 +659,60 @@ object GridOpen {
       metas, bounds, timeBounds)
   }
 
+  /** Multi-variable CATALOG open FROM A PERSISTED MANIFEST — the
+    * aux-fields-over-all-scenes flow with ZERO per-store metadata
+    * reads: membership (stores holding ALL variables), the store-level
+    * crop, shared-grid verification, per-variable pack attrs, and the
+    * coordinate decode all come from the manifest; the mount receives
+    * every surviving (store, variable) pair explicitly. */
+  def zarrVarsCatalogFromManifest(spark: SparkSession, manifestPath: String,
+      variables: Seq[String],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val (metas, format, dir) = CatalogManifest.planVarsStores(spark,
+      manifestPath, variables, bounds, timeBounds)
+    require(format == "zarr",
+      s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
+    val arrays = metas.flatMap(m => variables.map(v => s"${m._1}\t$v"))
+      .mkString("\n")
+    varsCatalogFrom(spark, metas, variables,
+      spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", dir).option("arrays", arrays).load(),
+      bounds, timeBounds)
+  }
+
+  /** Multi-variable manifest catalog over netCDF classic scene files
+    * (explicit file list — no dir listing, no membership header
+    * reads). */
+  def netcdf3VarsCatalogFromManifest(spark: SparkSession, manifestPath: String,
+      variables: Seq[String],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val (metas, format, _) = CatalogManifest.planVarsStores(spark,
+      manifestPath, variables, bounds, timeBounds)
+    require(format == "netcdf3",
+      s"grid open: manifest $manifestPath holds '$format' stores, not netcdf3")
+    varsCatalogFrom(spark, metas, variables,
+      spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", metas.map(_._1).mkString("\n") + "\n").load(),
+      bounds, timeBounds)
+  }
+
+  /** Multi-variable manifest catalog over netCDF-4/HDF5 scene files. */
+  def hdf5VarsCatalogFromManifest(spark: SparkSession, manifestPath: String,
+      variables: Seq[String],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val (metas, format, _) = CatalogManifest.planVarsStores(spark,
+      manifestPath, variables, bounds, timeBounds)
+    require(format == "hdf5",
+      s"grid open: manifest $manifestPath holds '$format' stores, not hdf5")
+    varsCatalogFrom(spark, metas, variables,
+      spark.read.format("graft.sources.Hdf5DataSource")
+        .option("path", metas.map(_._1).mkString("\n") + "\n").load(),
+      bounds, timeBounds)
+  }
+
   /** Per-axis catalog decoration shared by the single- and multi-
     * variable catalog opens: homogeneous axes decode as the single-
     * store expression, per-store axes via a broadcast (path, dK)
@@ -821,6 +875,20 @@ object GridOpen {
       }
       (st, axesPerVar.head, variables.map(v => attrsOf(st, v)))
     }
+    varsCatalogFrom(spark, perStore, variables, mount, bounds, timeBounds)
+  }
+
+  /** The post-wave multi-variable catalog body, shared by the live
+    * opens (per-store metadata wave) and the manifest-planned opens
+    * (ZERO per-store reads): homogeneity gates, store-level crop,
+    * uniform-or-broadcast pack decode, one pivot exchange, per-axis
+    * decoration from surviving stores. */
+  private def varsCatalogFrom(spark: SparkSession,
+      perStore: Seq[(String, Seq[Axis], Seq[CfDecode.CfAttrs])],
+      variables: Seq[String], mount: DataFrame,
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)]): DataFrame = {
+    val stores = perStore.map(_._1)
     val names = perStore.head._2.map(a => (a.name, a.time.getClass))
     perStore.foreach { case (st, axes, _) =>
       if (axes.map(a => (a.name, a.time.getClass)) != names)

@@ -122,7 +122,7 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q218_netcdf3_calendar_crop" :+ "q219_multivar_derived"
       :+ "q220_multivar_catalog"
       :+ "q221_perstore_pack_attrs" :+ "q222_manifest_catalog_crop"
-      :+ "q223_materialized_scene_table")
+      :+ "q223_materialized_scene_table" :+ "q224_manifest_vars_catalog")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -464,6 +464,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions <= 10,
       s"expected <= 10 planned partitions (one chunk per surviving scene), " +
         s"got ${df.rdd.getNumPartitions}")
+  }
+
+  test("q224: the manifest vars-catalog pushes only the member-surviving store, pivots once") {
+    val plan = planOf("q224_manifest_vars_catalog")
+    assert(plan.contains("In(dataset"), s"dataset IN must push:\n${plan.take(1500)}")
+    assert(plan.contains("mv1.zarr") && !plan.contains("mv0.zarr") &&
+      !plan.contains("mv2.zarr"),
+      s"only the member-surviving store may appear:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"decode must not shuffle-join:\n${plan.take(1500)}")
+    val exchanges = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "BX")).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle exchange (the pivot), got $exchanges")
   }
 
   test("q215: the CDF-5 mount pushes the record crop like CDF-1") {

@@ -173,6 +173,54 @@ class CatalogManifestSpec extends SparkSpec {
     assert(got.exists(r => r._1 == "b.nc" && r._4 == 20.0 * 0.1))
   }
 
+  test("vars-catalog from manifest: membership, store pruning, zero reads on excluded") {
+    val dir = Files.createTempDirectory("graft-manif-mv").toString
+    // q220's shape: disjoint y grids; mC lacks t1000 (not a member)
+    def store(name: String, yBase: Double, base: Double,
+        withT1000: Boolean): Unit = {
+      def arr(aName: String, shape: Seq[Int], dims: Seq[String],
+          data: Array[Double]): Unit = {
+        val d = s"$dir/$name.zarr/$aName"
+        ByteStore.writeString(s"$d/.zarray",
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+             | "chunks": [${shape.mkString(",")}], "dtype": ">f8",
+             | "compressor": null, "fill_value": "NaN", "filters": null,
+             | "order": "C"}""".stripMargin)
+        ByteStore.writeString(s"$d/.zattrs",
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]}""")
+        val bb = java.nio.ByteBuffer.allocate(data.length * 8)
+        data.foreach(bb.putDouble)
+        ByteStore.writeAllBytes(s"$d/${shape.map(_ => "0").mkString(".")}",
+          bb.array())
+      }
+      ByteStore.writeString(s"$dir/$name.zarr/.zgroup", """{"zarr_format": 2}""")
+      arr("t700", Seq(3, 2), Seq("y", "x"), Array.tabulate(6)(i => base + i))
+      if (withT1000)
+        arr("t1000", Seq(3, 2), Seq("y", "x"),
+          Array.tabulate(6)(i => base + 50 + i))
+      arr("y", Seq(3), Seq("y"), Array.tabulate(3)(j => yBase + j * 100.0))
+      arr("x", Seq(2), Seq("x"), Array(0.0, 10.0))
+    }
+    store("mA", 0.0, 100.0, withT1000 = true)
+    store("mB", 1000.0, 200.0, withT1000 = true)
+    store("mC", 2000.0, 300.0, withT1000 = false)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("t700", "t1000"), manifest)
+    val b = Map("y" -> (1000.0, 1100.0))
+    val live = GridOpen.zarrVarsCatalog(spark, dir, Seq("t700", "t1000"),
+      bounds = b).collect().map(_.toString).sorted
+    val (got, rec) = recording {
+      GridOpen.zarrVarsCatalogFromManifest(spark, manifest,
+        Seq("t700", "t1000"), bounds = b)
+        .collect().map(_.toString).sorted
+    }
+    assert(got.toSeq == live.toSeq && got.length == 4)
+    // mA (grid miss) and mC (not a member) never touched
+    val offenders = rec.pathsTouched.filter(p =>
+      p.contains("mA.zarr") || p.contains("mC.zarr"))
+    assert(offenders.isEmpty, s"excluded stores touched: $offenders")
+  }
+
   test("distributed build (Spark-job wave) writes the same manifest as the driver wave") {
     val dir = Files.createTempDirectory("graft-manif-dist").toString
     writeZarrCatalog(dir, 5)
