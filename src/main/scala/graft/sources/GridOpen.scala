@@ -345,6 +345,42 @@ object GridOpen {
     }
   }
 
+  /** File-catalog sibling of [[materializeZarrCatalog]]: netCDF classic
+    * scene files, scene = file name. */
+  def materializeNetcdf3Catalog(spark: SparkSession, dir: String,
+      varName: String, outPath: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): Seq[String] = {
+    val paths = CoordCrop.catalogFiles(dir)
+    materializeScenes(spark, paths, outPath) { pending =>
+      val perStore = ByteStore.parMap(pending)(p =>
+        StoreMeta(p, netcdf3Axes(p, varName), CfDecode.netcdf3CfAttrs(p, varName)))
+      catalogOpen(spark,
+        spark.read.format("graft.sources.NetCDF3DataSource")
+          .option("path", pending.mkString("\n") + "\n").load()
+          .where(col("dataset") === varName),
+        perStore, bounds, timeBounds)
+    }
+  }
+
+  /** File-catalog sibling of [[materializeZarrCatalog]]: netCDF-4/HDF5
+    * scene files, scene = file name. */
+  def materializeHdf5Catalog(spark: SparkSession, dir: String,
+      dataset: String, outPath: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty): Seq[String] = {
+    val paths = CoordCrop.catalogFiles(dir)
+    materializeScenes(spark, paths, outPath) { pending =>
+      val perStore = ByteStore.parMap(pending)(p =>
+        StoreMeta(p, hdf5Axes(p, dataset), CfDecode.hdf5CfAttrs(p, dataset)))
+      catalogOpen(spark,
+        spark.read.format("graft.sources.Hdf5DataSource")
+          .option("path", pending.mkString("\n") + "\n").load()
+          .where(col("dataset") === dataset),
+        perStore, bounds, timeBounds)
+    }
+  }
+
   private def materializeScenes(spark: SparkSession, stores: Seq[String],
       outPath: String)(openPending: Seq[String] => DataFrame): Seq[String] = {
     val done = graft.pipeline.Incremental

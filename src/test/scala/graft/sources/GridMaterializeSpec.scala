@@ -91,6 +91,38 @@ class GridMaterializeSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("file-catalog materialize: netCDF-3 scenes repair one file at a time") {
+    val dir = Files.createTempDirectory("graft-mat-nc").toString
+    def nc(name: String, day: Int, base: Double): Unit =
+      Files.write(Paths.get(dir, name), NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 2)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("units", NetCDF3.NcChar,
+              s"hours since 2022-03-0$day")), Array(0.0, 6.0)),
+          NetCDF3.VarSpec("lwp", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(4)(i => base + i))),
+        numRecs = 2))
+    nc("a.nc", 1, 10.0); nc("b.nc", 2, 20.0); nc("c.nc", 3, 30.0)
+    val out = s"$dir/_out"
+    assert(GridOpen.materializeNetcdf3Catalog(spark, s"$dir/*.nc", "lwp", out)
+      .sorted == Seq("a.nc", "b.nc", "c.nc"))
+    assert(spark.read.parquet(out).count() == 12)
+    def rmTree(p: java.nio.file.Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+    rmTree(Paths.get(s"$out/scene=b.nc"))
+    val (again, rec) = recording {
+      GridOpen.materializeNetcdf3Catalog(spark, s"$dir/*.nc", "lwp", out)
+    }
+    assert(again == Seq("b.nc"))
+    val touched = rec.pathsTouched.filter(_.endsWith(".nc"))
+    assert(touched.forall(_.endsWith("b.nc")),
+      s"other files touched: ${touched.filterNot(_.endsWith("b.nc"))}")
+    assert(spark.read.parquet(out).count() == 12)
+  }
+
   test("manifest-planned materialize: pending scenes pay data chunks only") {
     val dir = Files.createTempDirectory("graft-mat-m").toString
     writeCatalog(dir, 4)
