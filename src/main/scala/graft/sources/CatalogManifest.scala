@@ -204,7 +204,8 @@ object CatalogManifest {
   private[sources] def planStores(spark: SparkSession, manifestPath: String,
       variable: String,
       bounds: Map[String, (Double, Double)],
-      timeBounds: Map[String, (String, String)])
+      timeBounds: Map[String, (String, String)],
+      verifyFingerprints: Boolean = true)
       : (Seq[GridOpen.StoreMeta], Int, String, String) = {
     import spark.implicits._
     val df = spark.read.parquet(manifestPath)
@@ -223,10 +224,34 @@ object CatalogManifest {
       envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
     val wanted = if (survivors.nonEmpty) survivors else Seq(sums.head.store)
     val full = df.where(col("store").isin(wanted: _*)).as[Entry].collect()
+    if (verifyFingerprints)
+      checkFresh(full.map(e => (e.store, e.fpMtime, e.fpBytes, e.fpCount))
+        .distinct.toSeq, manifestPath)
     val metas = full.sortBy(_.store).map(e => GridOpen.StoreMeta(e.store,
       GridOpen.classifyAxes(e.axes, e.store),
       CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
     (metas.toSeq, sums.length, format, dir)
+  }
+
+  /** Staleness guard on the stores a plan will actually READ: one
+    * LIST/HEAD fingerprint wave over the SURVIVORS only (excluded
+    * stores stay zero-cost), failing loudly on any mtime/bytes/count
+    * mismatch — a silently stale manifest would crop with yesterday's
+    * coordinates. `refresh` is the fix; `verifyFingerprints = false`
+    * is the explicit escape hatch for immutable catalogs. */
+  private def checkFresh(expected: Seq[(String, Long, Long, Long)],
+      manifestPath: String): Unit = {
+    val stale = ByteStore.parMap(expected) { case (s, mt, by, n) =>
+      val cur = try ByteStore.treeStat(s) catch {
+        case _: Exception => (-1L, -1L, -1L) // vanished store
+      }
+      (s, cur != ((mt, by, n)))
+    }.collect { case (s, true) => s }
+    if (stale.nonEmpty)
+      fail(s"stores changed since the manifest was built: " +
+        s"${stale.take(5).mkString(", ")}${if (stale.size > 5) ", ..." else ""}" +
+        s" — run CatalogManifest.refresh on $manifestPath " +
+        "(or open with verifyFingerprints = false for immutable catalogs)")
   }
 
   /** Multi-variable plan-from-manifest: membership = stores whose
@@ -240,7 +265,8 @@ object CatalogManifest {
   private[sources] def planVarsStores(spark: SparkSession,
       manifestPath: String, variables: Seq[String],
       bounds: Map[String, (Double, Double)],
-      timeBounds: Map[String, (String, String)])
+      timeBounds: Map[String, (String, String)],
+      verifyFingerprints: Boolean = true)
       : (Seq[(String, Seq[GridOpen.Axis], Seq[CfDecode.CfAttrs])], String, String) = {
     import spark.implicits._
     require(variables.nonEmpty, "catalog manifest: no variables requested")
@@ -266,6 +292,9 @@ object CatalogManifest {
     }
     val wanted = if (survivors.nonEmpty) survivors else members.take(1)
     val full = df.where(col("store").isin(wanted: _*)).as[Entry].collect()
+    if (verifyFingerprints)
+      checkFresh(full.map(e => (e.store, e.fpMtime, e.fpBytes, e.fpCount))
+        .distinct.toSeq, manifestPath)
     val fullByStore = full.groupBy(_.store)
     val (format, dir) = (full.head.format, full.head.dir)
     val metas = wanted.sorted.map { s =>

@@ -648,9 +648,11 @@ object GridOpen {
   def zarrCatalogFromManifest(spark: SparkSession, manifestPath: String,
       dataset: String,
       bounds: Map[String, (Double, Double)] = Map.empty,
-      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): DataFrame = {
     val (metas, _, format, dir) =
-      CatalogManifest.planStores(spark, manifestPath, dataset, bounds, timeBounds)
+      CatalogManifest.planStores(spark, manifestPath, dataset, bounds,
+        timeBounds, verifyFingerprints)
     require(format == "zarr",
       s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
     val arrays = metas.map(m => s"${m.store}\t$dataset").mkString("\n")
@@ -667,9 +669,11 @@ object GridOpen {
   def netcdf3CatalogFromManifest(spark: SparkSession, manifestPath: String,
       varName: String,
       bounds: Map[String, (Double, Double)] = Map.empty,
-      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): DataFrame = {
     val (metas, _, format, _) =
-      CatalogManifest.planStores(spark, manifestPath, varName, bounds, timeBounds)
+      CatalogManifest.planStores(spark, manifestPath, varName, bounds,
+        timeBounds, verifyFingerprints)
     require(format == "netcdf3",
       s"grid open: manifest $manifestPath holds '$format' stores, not netcdf3")
     catalogOpen(spark,
@@ -683,9 +687,11 @@ object GridOpen {
   def hdf5CatalogFromManifest(spark: SparkSession, manifestPath: String,
       dataset: String,
       bounds: Map[String, (Double, Double)] = Map.empty,
-      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): DataFrame = {
     val (metas, _, format, _) =
-      CatalogManifest.planStores(spark, manifestPath, dataset, bounds, timeBounds)
+      CatalogManifest.planStores(spark, manifestPath, dataset, bounds,
+        timeBounds, verifyFingerprints)
     require(format == "hdf5",
       s"grid open: manifest $manifestPath holds '$format' stores, not hdf5")
     catalogOpen(spark,
@@ -704,9 +710,10 @@ object GridOpen {
   def zarrVarsCatalogFromManifest(spark: SparkSession, manifestPath: String,
       variables: Seq[String],
       bounds: Map[String, (Double, Double)] = Map.empty,
-      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): DataFrame = {
     val (metas, format, dir) = CatalogManifest.planVarsStores(spark,
-      manifestPath, variables, bounds, timeBounds)
+      manifestPath, variables, bounds, timeBounds, verifyFingerprints)
     require(format == "zarr",
       s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
     val arrays = metas.flatMap(m => variables.map(v => s"${m._1}\t$v"))
@@ -723,9 +730,10 @@ object GridOpen {
   def netcdf3VarsCatalogFromManifest(spark: SparkSession, manifestPath: String,
       variables: Seq[String],
       bounds: Map[String, (Double, Double)] = Map.empty,
-      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): DataFrame = {
     val (metas, format, _) = CatalogManifest.planVarsStores(spark,
-      manifestPath, variables, bounds, timeBounds)
+      manifestPath, variables, bounds, timeBounds, verifyFingerprints)
     require(format == "netcdf3",
       s"grid open: manifest $manifestPath holds '$format' stores, not netcdf3")
     varsCatalogFrom(spark, metas, variables,
@@ -738,9 +746,10 @@ object GridOpen {
   def hdf5VarsCatalogFromManifest(spark: SparkSession, manifestPath: String,
       variables: Seq[String],
       bounds: Map[String, (Double, Double)] = Map.empty,
-      timeBounds: Map[String, (String, String)] = Map.empty): DataFrame = {
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): DataFrame = {
     val (metas, format, _) = CatalogManifest.planVarsStores(spark,
-      manifestPath, variables, bounds, timeBounds)
+      manifestPath, variables, bounds, timeBounds, verifyFingerprints)
     require(format == "hdf5",
       s"grid open: manifest $manifestPath holds '$format' stores, not hdf5")
     varsCatalogFrom(spark, metas, variables,

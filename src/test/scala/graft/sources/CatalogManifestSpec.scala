@@ -173,6 +173,37 @@ class CatalogManifestSpec extends SparkSpec {
     assert(got.exists(r => r._1 == "b.nc" && r._4 == 20.0 * 0.1))
   }
 
+  test("a stale SURVIVOR refuses loudly; excluded staleness costs nothing; refresh heals") {
+    val dir = Files.createTempDirectory("graft-manif-stale").toString
+    writeZarrCatalog(dir, 6)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    val tb = Map("time" -> ("2021-01-03 02:00:00", "2021-01-04 23:00:00"))
+    // survivors are sc002/sc003; a change to an EXCLUDED store is
+    // invisible to the plan (its fingerprint is never even checked)
+    ByteStore.writeString(s"$dir/sc005.zarr/lwp/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "excluded-edit"}""")
+    assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+      timeBounds = tb).count() > 0)
+    // a change to a SURVIVOR refuses loudly — a silently stale manifest
+    // would crop with yesterday's coordinates
+    ByteStore.writeString(s"$dir/sc002.zarr/lwp/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "survivor-edit"}""")
+    val e = intercept[IllegalArgumentException](
+      GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp", timeBounds = tb))
+    assert(e.getMessage.contains("sc002") && e.getMessage.contains("refresh"),
+      s"wanted the staleness message, got: ${e.getMessage}")
+    // the explicit escape hatch for immutable catalogs plans anyway
+    assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+      timeBounds = tb, verifyFingerprints = false).count() > 0)
+    // refresh heals: only the two edited stores re-scan
+    val (added, changed, removed, unchanged) =
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    assert((added, changed, removed, unchanged) == ((0, 2, 0, 4)))
+    assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+      timeBounds = tb).count() > 0)
+  }
+
   test("vars-catalog from manifest: membership, store pruning, zero reads on excluded") {
     val dir = Files.createTempDirectory("graft-manif-mv").toString
     // q220's shape: disjoint y grids; mC lacks t1000 (not a member)
