@@ -34,11 +34,21 @@ import org.apache.spark.sql.functions._
   *
   * The `*Catalog` variants lift the same shape over a DIR of per-scene
   * stores (the reference's catalog layout): store-level pruning via
-  * [[CoordCrop]]'s pushed per-store disjunction, then per-store
-  * coordinate decode via BROADCAST joins on (path, dK) — per-store
-  * epochs, calendars and grids compose without per-store expression
-  * trees, so a 5,000-scene catalog plans one scan + K tiny broadcast
-  * joins.
+  * the pushed per-store disjunction, then per-store coordinate decode
+  * via BROADCAST joins on (path, dK) — per-store epochs, calendars and
+  * grids compose without per-store expression trees, so a 5,000-scene
+  * catalog plans one scan + K tiny broadcast joins. Pack attrs fold as
+  * the literal codegen'd expression when uniform and broadcast per
+  * store when granules carry their own scales.
+  *
+  * The `*FromManifest` variants plan the SAME opens from a persisted
+  * [[CatalogManifest]] (the reference's scene DB): ZERO per-store
+  * metadata reads per query, explicit member lists to the mounts (no
+  * discovery walk), and a survivor-only staleness guard. The
+  * `materialize*` entry points write catalog slices as scene-
+  * partitioned parquet tables under the luigi skip-if-present
+  * contract — missing scenes only, dynamic partition overwrite,
+  * idempotent retries.
   */
 object GridOpen {
 
