@@ -317,7 +317,7 @@ object CatalogManifest {
     * intersect the axis's [min, max]. NaN envelopes compare
     * conservatively (kept). Time bounds resolve through the STORE's
     * own units/calendar, exactly like the live open. */
-  private def envelopeSurvives(store: String, ax: Seq[AxisSummary],
+  private[sources] def envelopeSurvives(store: String, ax: Seq[AxisSummary],
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)]): Boolean = {
     if (bounds.isEmpty && timeBounds.isEmpty) return true

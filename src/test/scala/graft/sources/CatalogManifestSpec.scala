@@ -252,6 +252,51 @@ class CatalogManifestSpec extends SparkSpec {
     assert(offenders.isEmpty, s"excluded stores touched: $offenders")
   }
 
+  test("fuzz: the envelope prune NEVER drops a store the exact crop would keep") {
+    // an unsoundly-pruned store is silent data loss (its rows never
+    // plan and no residual can restore them) — same contract class as
+    // TreePruneFuzzSpec. Truth = valueRangeToIdx (the exact per-store
+    // range the open computes); the envelope may keep extra stores
+    // (conservative), never fewer.
+    val rnd = new scala.util.Random(20170817)
+    var kept = 0; var pruned = 0
+    for (_ <- 1 to 2000) {
+      val n = 1 + rnd.nextInt(12)
+      val asc = rnd.nextBoolean()
+      val start = rnd.nextInt(100) - 50.0
+      val steps = Array.fill(n - 1)(rnd.nextInt(3).toDouble) // dups allowed
+      val coords0 = steps.scanLeft(start)(_ + _)
+      val coords = if (asc) coords0 else coords0.map(-_)
+      val lo = rnd.nextInt(140) - 70.0
+      val hi = lo + rnd.nextInt(30) - 5.0 // sometimes lo > hi
+      val exact = CoordCrop.valueRangeToIdx(coords, lo, hi)
+      val ax = Seq(CatalogManifest.AxisSummary(0, "x", None, None,
+        Some(coords.min), Some(coords.max), coords.length))
+      val survives = CatalogManifest.envelopeSurvives("s", ax,
+        Map("x" -> (lo, hi)), Map.empty)
+      if (exact.isDefined) {
+        assert(survives, s"UNSOUND: envelope pruned coords=" +
+          s"${coords.mkString(",")} bounds=($lo,$hi) exact=$exact")
+        kept += 1
+      } else if (!survives) pruned += 1
+    }
+    // both outcomes exercised — the fuzz is not degenerate
+    assert(kept > 200 && pruned > 200, s"degenerate fuzz: kept=$kept pruned=$pruned")
+  }
+
+  test("a ~3,000-branch catalog disjunction converts and filters without stack overflow") {
+    // regression guard for the balanced-Or fix: the left-deep reduce
+    // stack-overflowed near ~1,000 branches in Catalyst's converters
+    val perStore = (0 until 3000).map(i =>
+      (f"/cat/sc$i%04d.zarr", Seq((0, (i % 4, i % 4 + 1)))))
+    val pred = CoordCrop.catalogPredicate(perStore)
+    import spark.implicits._
+    val df = Seq(("/cat/sc0042.zarr", 2L), ("/cat/sc0042.zarr", 0L),
+      ("/nope.zarr", 2L)).toDF("path", "d0")
+    val got = df.where(pred).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("/cat/sc0042.zarr", 2L))) // 42%4=2 -> d0 in [2,3]
+  }
+
   test("distributed build (Spark-job wave) writes the same manifest as the driver wave") {
     val dir = Files.createTempDirectory("graft-manif-dist").toString
     writeZarrCatalog(dir, 5)
