@@ -224,7 +224,10 @@ object CatalogManifest {
       envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
     val wanted = if (survivors.nonEmpty) survivors else Seq(sums.head.store)
     val full = df.where(col("store").isin(wanted: _*)).as[Entry].collect()
-    if (verifyFingerprints)
+    // verify only ACTUAL survivors: the everything-pruned fallback row
+    // exists for schema alone — its staleness cannot affect the (empty)
+    // result, so it must not refuse the query
+    if (verifyFingerprints && survivors.nonEmpty)
       checkFresh(full.map(e => (e.store, e.fpMtime, e.fpBytes, e.fpCount))
         .distinct.toSeq, manifestPath)
     val metas = full.sortBy(_.store).map(e => GridOpen.StoreMeta(e.store,
@@ -292,7 +295,7 @@ object CatalogManifest {
     }
     val wanted = if (survivors.nonEmpty) survivors else members.take(1)
     val full = df.where(col("store").isin(wanted: _*)).as[Entry].collect()
-    if (verifyFingerprints)
+    if (verifyFingerprints && survivors.nonEmpty)
       checkFresh(full.map(e => (e.store, e.fpMtime, e.fpBytes, e.fpCount))
         .distinct.toSeq, manifestPath)
     val fullByStore = full.groupBy(_.store)

@@ -196,6 +196,11 @@ class CatalogManifestSpec extends SparkSpec {
     // the explicit escape hatch for immutable catalogs plans anyway
     assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
       timeBounds = tb, verifyFingerprints = false).count() > 0)
+    // a crop that prunes EVERYTHING still plans (empty) — staleness of
+    // stores the plan will not read cannot refuse the query
+    assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+      timeBounds = Map("time" ->
+        ("1999-01-01 00:00:00", "1999-01-02 00:00:00"))).count() == 0)
     // refresh heals: only the two edited stores re-scan
     val (added, changed, removed, unchanged) =
       CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
