@@ -28,6 +28,56 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRehearsal {
 
+
+  /** The 28-day scene-catalog fixture SHARED by catalog_crop and
+    * manifest_catalog — SCALE.md compares the two, so they must write
+    * byte-identical catalogs: N zarr v2 stores (4x6x8 grid chunked
+    * [1,6,8]), per-store epochs cycling days 1..28. */
+  private def writeRehearsalCatalog(dir: String, n: Int, par: Int): Unit = {
+    import graft.sources.ByteStore
+    val (nt, ny, nx) = (4, 6, 8)
+    def writeArr(store: String, name: String, shape: Seq[Int],
+        chunks: Seq[Int], dims: Seq[String], extra: String = ""): Unit = {
+      ByteStore.writeString(s"$store/$name/.zarray",
+        s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+           | "chunks": [${chunks.mkString(",")}], "dtype": ">f8",
+           | "compressor": null, "fill_value": "NaN", "filters": null,
+           | "order": "C"}""".stripMargin)
+      ByteStore.writeString(s"$store/$name/.zattrs",
+        s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extra}""")
+      val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+      def cells(g: Seq[Int]): Seq[Seq[Int]] =
+        g.foldLeft(Seq(Seq.empty[Int]))((acc, m) =>
+          acc.flatMap(p => (0 until m).map(p :+ _)))
+      cells(grid).foreach { ci =>
+        val bb = java.nio.ByteBuffer.allocate(chunks.product * 8)
+        (0 until chunks.product).foreach(k => bb.putDouble(k.toDouble))
+        val out = ByteStore.create(s"$store/$name/${ci.mkString(".")}")
+        try out.write(bb.array()) finally out.close()
+      }
+    }
+    ByteStore.parMap(0 until n, par = par) { i =>
+      val store = s"$dir/sc${"%05d".format(i)}.zarr"
+      ByteStore.writeString(s"$store/.zgroup", """{"zarr_format": 2}""")
+      val day = 1 + i % 28
+      writeArr(store, "lwp", Seq(nt, ny, nx), Seq(1, ny, nx),
+        Seq("time", "y", "x"))
+      writeArr(store, "time", Seq(nt), Seq(nt), Seq("time"),
+        s""", "units": "hours since 2021-01-${"%02d".format(day)}"""")
+      writeArr(store, "y", Seq(ny), Seq(ny), Seq("y"))
+      writeArr(store, "x", Seq(nx), Seq(nx), Seq("x"))
+    }
+  }
+
+  /** The chunks the shared window [Jan 11 02:00, Jan 13 23:00] keeps:
+    * each store's time coord is hours 0..3x6 since its OWN epoch day
+    * D = 1 + i%28 — D=11 keeps t in {2,3} (2 chunks), D=12/13 all 4. */
+  private def rehearsalSurvivingChunks(n: Int): Int =
+    (0 until n).map { i =>
+      val day = 1 + i % 28
+      if (day == 11) 2 else if (day == 12 || day == 13) 4 else 0
+    }.sum
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleRehearsal <dataDir> <multiplier>")
     val dir = args(0)
@@ -467,49 +517,12 @@ object ScaleRehearsal {
     // local-FS CPU), and the planned partition count only the
     // SURVIVORS' intersecting chunks. Execution reads survivors only.
     if (wanted("catalog_crop")) {
-      import graft.sources.{ByteStore, GridOpen}
+      import graft.sources.GridOpen
       val n = (100 * mult).toInt
       val dir = java.nio.file.Files.createTempDirectory("graft-scale-cat").toString
-      val (nt, ny, nx) = (4, 6, 8)
-      def writeArr(store: String, name: String, shape: Seq[Int],
-          chunks: Seq[Int], dims: Seq[String], extra: String = ""): Unit = {
-        ByteStore.writeString(s"$store/$name/.zarray",
-          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
-             | "chunks": [${chunks.mkString(",")}], "dtype": ">f8",
-             | "compressor": null, "fill_value": "NaN", "filters": null,
-             | "order": "C"}""".stripMargin)
-        ByteStore.writeString(s"$store/$name/.zattrs",
-          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extra}""")
-        val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
-        def cells(g: Seq[Int]): Seq[Seq[Int]] =
-          g.foldLeft(Seq(Seq.empty[Int]))((acc, m) =>
-            acc.flatMap(p => (0 until m).map(p :+ _)))
-        cells(grid).foreach { ci =>
-          val bb = java.nio.ByteBuffer.allocate(chunks.product * 8)
-          (0 until chunks.product).foreach(k => bb.putDouble(k.toDouble))
-          val out = ByteStore.create(s"$store/$name/${ci.mkString(".")}")
-          try out.write(bb.array()) finally out.close()
-        }
-      }
-      (0 until n).foreach { i =>
-        val store = s"$dir/sc${"%05d".format(i)}.zarr"
-        ByteStore.writeString(s"$store/.zgroup", """{"zarr_format": 2}""")
-        val day = 1 + i % 28
-        writeArr(store, "lwp", Seq(nt, ny, nx), Seq(1, ny, nx),
-          Seq("time", "y", "x"))
-        writeArr(store, "time", Seq(nt), Seq(nt), Seq("time"),
-          s""", "units": "hours since 2021-01-${"%02d".format(day)}"""")
-        writeArr(store, "y", Seq(ny), Seq(ny), Seq("y"))
-        writeArr(store, "x", Seq(nx), Seq(nx), Seq("x"))
-      }
-      // each store's time coord holds hours 0..3 since its OWN epoch
-      // day D = 1 + i%28: the window [D=11 02:00, D=13 23:00] keeps
-      // D=11 at t in {2,3} (2 chunks) and D=12/13 fully (4 chunks),
-      // excluding the other 25/28 of the catalog at plan time
-      val expectedChunks = (0 until n).map { i =>
-        val day = 1 + i % 28
-        if (day == 11) 2 else if (day == 12 || day == 13) 4 else 0
-      }.sum
+      val (ny, nx) = (6, 8)
+      writeRehearsalCatalog(dir, n, par = 1) // serial: the round-16 shape
+      val expectedChunks = rehearsalSurvivingChunks(n)
       var df: org.apache.spark.sql.DataFrame = null
       timed("catalog_crop_plan") {
         df = GridOpen.zarrCatalog(spark, dir, "lwp",
@@ -539,49 +552,16 @@ object ScaleRehearsal {
     // metadata reads, so plan wall should be ~flat in store count
     // where the live wave grows with it.
     if (wanted("manifest_catalog")) {
-      import graft.sources.{ByteStore, CatalogManifest, GridOpen}
+      import graft.sources.{CatalogManifest, GridOpen}
       val n = (100 * mult).toInt
       val dir = java.nio.file.Files.createTempDirectory("graft-scale-manif").toString
-      val (nt, ny, nx) = (4, 6, 8)
-      def writeArr(store: String, name: String, shape: Seq[Int],
-          chunks: Seq[Int], dims: Seq[String], extra: String = ""): Unit = {
-        ByteStore.writeString(s"$store/$name/.zarray",
-          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
-             | "chunks": [${chunks.mkString(",")}], "dtype": ">f8",
-             | "compressor": null, "fill_value": "NaN", "filters": null,
-             | "order": "C"}""".stripMargin)
-        ByteStore.writeString(s"$store/$name/.zattrs",
-          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extra}""")
-        val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
-        def cells(g: Seq[Int]): Seq[Seq[Int]] =
-          g.foldLeft(Seq(Seq.empty[Int]))((acc, m) =>
-            acc.flatMap(p => (0 until m).map(p :+ _)))
-        cells(grid).foreach { ci =>
-          val bb = java.nio.ByteBuffer.allocate(chunks.product * 8)
-          (0 until chunks.product).foreach(k => bb.putDouble(k.toDouble))
-          val out = ByteStore.create(s"$store/$name/${ci.mkString(".")}")
-          try out.write(bb.array()) finally out.close()
-        }
-      }
-      ByteStore.parMap(0 until n, par = 32) { i =>
-        val store = s"$dir/sc${"%05d".format(i)}.zarr"
-        ByteStore.writeString(s"$store/.zgroup", """{"zarr_format": 2}""")
-        val day = 1 + i % 28
-        writeArr(store, "lwp", Seq(nt, ny, nx), Seq(1, ny, nx),
-          Seq("time", "y", "x"))
-        writeArr(store, "time", Seq(nt), Seq(nt), Seq("time"),
-          s""", "units": "hours since 2021-01-${"%02d".format(day)}"""")
-        writeArr(store, "y", Seq(ny), Seq(ny), Seq("y"))
-        writeArr(store, "x", Seq(nx), Seq(nx), Seq("x"))
-      }
+      val (ny, nx) = (6, 8)
+      writeRehearsalCatalog(dir, n, par = 32)
       val manifest = s"$dir/_manifest"
       timed("manifest_build") {
         CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
       }
-      val expectedChunks = (0 until n).map { i =>
-        val day = 1 + i % 28
-        if (day == 11) 2 else if (day == 12 || day == 13) 4 else 0
-      }.sum
+      val expectedChunks = rehearsalSurvivingChunks(n)
       val tb = Map("time" -> ("2021-01-11 02:00:00", "2021-01-13 23:00:00"))
       var df: org.apache.spark.sql.DataFrame = null
       timed("manifest_plan") {

@@ -357,6 +357,13 @@ object ByteStore {
       frontier = level.collect { case (p, true, _, _) => p }
       depth += 1
     }
+    // a truncated walk would UNDER-fingerprint: an in-place change below
+    // the bound would go undetected, which for a manifest means serving
+    // stale data — exactly what the fingerprint exists to refuse
+    if (frontier.nonEmpty)
+      throw new IllegalArgumentException(s"byte store: tree at $path is " +
+        s"deeper than $maxDepth levels — raise maxDepth for a complete " +
+        "fingerprint")
     (maxMtime, bytes, count)
   }
 

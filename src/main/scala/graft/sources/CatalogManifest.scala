@@ -43,13 +43,18 @@ object CatalogManifest {
     throw new IllegalArgumentException(s"catalog manifest: $msg")
 
   /** One manifest row: one (store, variable)'s raw axes, pack attrs,
-    * and change-detection fingerprint ([[ByteStore.treeStat]]). */
+    * and change-detection fingerprint ([[ByteStore.treeStat]]).
+    * `requestedVars` records the variable set the scan ASKED for —
+    * a store with no row for a requested variable genuinely lacks it,
+    * which is what lets [[refresh]] keep unchanged rows verbatim
+    * (and forces a full re-scan when the requested set changes). */
   final case class Entry(store: String, variable: String,
       format: String, dir: String,
       fpMtime: Long, fpBytes: Long, fpCount: Long,
       axes: Seq[GridOpen.RawAxis],
       scale: Double, offset: Double, fill: Option[Double],
-      unsignedModulus: Option[Double])
+      unsignedModulus: Option[Double],
+      requestedVars: Seq[String])
 
   private val Formats = Set("zarr", "netcdf3", "hdf5")
 
@@ -97,11 +102,12 @@ object CatalogManifest {
       variables: Seq[String]): Seq[Entry] = {
     val present = variablesIn(format, store)
     val (mt, bytes, count) = ByteStore.treeStat(store)
+    val sortedVars = variables.sorted
     variables.filter(present).map { v =>
       val a = cfAttrsOf(format, store, v)
       Entry(store, v, format, dir, mt, bytes, count,
         rawAxesOf(format, store, v), a.scale, a.offset, a.fill,
-        a.unsignedModulus)
+        a.unsignedModulus, sortedVars)
     }
   }
 
@@ -144,7 +150,10 @@ object CatalogManifest {
   /** Incremental refresh: one fingerprint wave over the CURRENT store
     * listing (LIST/HEAD round trips only — unchanged stores' metadata
     * is never re-read), then re-scan ONLY new or changed stores,
-    * keep unchanged rows verbatim, drop vanished stores. Returns
+    * keep unchanged rows verbatim, drop vanished stores. A DIFFERENT
+    * `variables` set than the manifest was built with forces a full
+    * re-scan — keeping unchanged rows would silently omit the new
+    * variables' data from every later query. Returns
     * (added, changed, removed, unchanged) store counts. */
   def refresh(spark: SparkSession, format: String, dir: String,
       variables: Seq[String], manifestPath: String,
@@ -152,6 +161,9 @@ object CatalogManifest {
     checkFormat(format)
     import spark.implicits._
     val old = spark.read.parquet(manifestPath)
+    val oldVars = old.select("requestedVars").distinct().collect()
+      .flatMap(_.getSeq[String](0)).toSet
+    val sameVars = oldVars == variables.toSet
     val oldFp: Map[String, (Long, Long, Long)] =
       old.select("store", "fpMtime", "fpBytes", "fpCount").distinct()
         .collect()
@@ -160,8 +172,13 @@ object CatalogManifest {
     val stores = storesOf(format, dir)
     val curFp = ByteStore.parMap(stores)(s => (s, ByteStore.treeStat(s))).toMap
     val added = stores.filterNot(oldFp.contains)
-    val changed = stores.filter(s => oldFp.contains(s) && oldFp(s) != curFp(s))
-    val unchanged = stores.filter(s => oldFp.get(s).contains(curFp(s)))
+    val changed =
+      if (sameVars)
+        stores.filter(s => oldFp.contains(s) && oldFp(s) != curFp(s))
+      else stores.filter(oldFp.contains) // variable set changed: re-scan all
+    val unchanged =
+      if (sameVars) stores.filter(s => oldFp.get(s).contains(curFp(s)))
+      else Nil
     val removed = (oldFp.keySet -- stores).size
     val fresh = entriesFor(spark, format, dir, added ++ changed, variables,
       distributeAbove)

@@ -37,21 +37,27 @@ object CfTime {
     (parseInstantMicros(instant, units), step)
   }
 
+  /** The ONE "<step> since <instant>" grammar — shared by the
+    * classifier and the parser so they can never diverge (a units
+    * string the classifier calls time-shaped MUST reach the parser's
+    * step check, or month/year steps would silently decode as plain
+    * numbers again). Compiled once. */
+  private val UnitsGrammar = "(?i)^\\s*([a-z]+)\\s+since\\s+(.+?)\\s*$".r
+
   /** Does `units` match the "<step> since <instant>" GRAMMAR at all?
     * Distinct from parseability: "months since 2000-01-01" is
     * time-shaped but unsupported (variable-length steps), and callers
     * routing on this must refuse it loudly rather than fall back to a
     * plain-number decode — xarray/cftime raise on month/year steps. */
   private[sources] def looksLikeTimeUnits(units: String): Boolean =
-    "(?i)^\\s*([a-z]+)\\s+since\\s+(.+?)\\s*$".r.matches(units)
+    UnitsGrammar.matches(units)
 
   /** The shared "<step> since <instant>" grammar: (micros per step,
     * raw instant text). [[CfCalendar]] reuses this with its own
     * instant arithmetic. */
   private[sources] def splitUnits(units: String): (Long, String) = {
-    val re = "(?i)^\\s*([a-z]+)\\s+since\\s+(.+?)\\s*$".r
     units match {
-      case re(u, instant) =>
+      case UnitsGrammar(u, instant) =>
         val key = u.toLowerCase match {
           case "secs" | "sec" | "s" => "second"
           case "mins" | "min" => "minute"

@@ -340,10 +340,16 @@ object GridOpen {
       manifestPath: String, dataset: String, outPath: String,
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty): Seq[String] = {
-    val (metas, _, format, dir) =
+    val (metas0, _, format, dir) =
       CatalogManifest.planStores(spark, manifestPath, dataset, bounds, timeBounds)
     require(format == "zarr",
       s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
+    // drop planStores' everything-pruned schema-fallback store: a scene
+    // whose exact ranges are empty must never be pending (it would be
+    // "re-materialized" — emptily — on every single run)
+    val exact = survivingRanges(metas0.map(m => (m.store, m.axes)),
+      bounds, timeBounds).map(_._1).toSet
+    val metas = metas0.filter(m => exact(m.store))
     materializeScenes(spark, metas.map(_.store), outPath) { pending =>
       val pendingSet = pending.toSet
       catalogOpen(spark,
@@ -399,10 +405,16 @@ object GridOpen {
     if (pending.isEmpty) return Nil
     val df = openPending(pending)
       .withColumn("scene", element_at(split(col("path"), "/"), -1))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-writer dynamic overwrite: mutating the SESSION conf would
+    // silently change the semantics of the caller's own later writes
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("scene").parquet(outPath)
-    pending.map(sceneOf)
+    // report what actually MATERIALIZED: a pending scene whose rows
+    // were all pruned writes no partition (and is re-probed next run)
+    val nowDone = graft.pipeline.Incremental
+      .completedPartitions(spark, outPath, "scene")
+    pending.map(sceneOf).filter(nowDone)
   }
 
   // ---- multi-variable open (the xr.Dataset shape) --------------------------
@@ -601,10 +613,11 @@ object GridOpen {
       if (bounds.isEmpty && timeBounds.isEmpty) base
       else base.where(CoordCrop.catalogPredicate(surviving))
     val keptPaths = surviving.map(_._1).toSet
-    // every store pruned -> the scan is lit(false)-empty; decorate with
-    // the full set so the (empty) frame still carries the right schema
+    // every store pruned -> the scan is lit(false)-empty; ONE store's
+    // meta keeps the empty frame's schema without building the whole
+    // catalog's broadcast decode tables for nothing
     val kept0 = perStore.filter(m => keptPaths(m.store))
-    val kept = if (kept0.nonEmpty) kept0 else perStore
+    val kept = if (kept0.nonEmpty) kept0 else perStore.take(1)
     val masked = maskAndScaleCatalog(spark, cropped,
       kept.map(m => (m.store, m.attrs)))
     decorateCatalogAxes(spark, masked, kept.map(m => (m.store, m.axes)),
@@ -963,7 +976,7 @@ object GridOpen {
       else CoordCrop.catalogPredicate(surviving))
     val keptPaths = surviving.map(_._1).toSet
     val kept0 = perStore.filter(m => keptPaths(m._1))
-    val kept = if (kept0.nonEmpty) kept0 else perStore
+    val kept = if (kept0.nonEmpty) kept0 else perStore.take(1)
     // decode: uniform per-variable attrs fold as ONE CASE projection
     // (codegen'd — the common case); per-store attrs (the packed-
     // granule norm) broadcast as a (path, dataset) -> attrs table

@@ -173,6 +173,27 @@ class CatalogManifestSpec extends SparkSpec {
     assert(got.exists(r => r._1 == "b.nc" && r._4 == 20.0 * 0.1))
   }
 
+  test("refresh with a DIFFERENT variable set re-scans everything") {
+    // keeping unchanged rows verbatim would silently omit the new
+    // variable's data from every later query — silent data loss
+    val dir = Files.createTempDirectory("graft-manif-vars").toString
+    writeZarrCatalog(dir, 4)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    // same set: nothing re-scans
+    assert(CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+      == ((0, 0, 0, 4)))
+    // widened set ('x' is an array in every store): FULL re-scan
+    val (added, changed, removed, unchanged) =
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp", "x"), manifest)
+    assert((added, changed, removed, unchanged) == ((0, 4, 0, 0)),
+      s"got ($added, $changed, $removed, $unchanged)")
+    // and the new variable is now queryable from the manifest
+    val xs = GridOpen.zarrCatalogFromManifest(spark, manifest, "x")
+    assert(xs.select("path").distinct().count() == 4)
+    assert(xs.count() == 12) // 4 stores x 3 x-values
+  }
+
   test("a stale SURVIVOR refuses loudly; excluded staleness costs nothing; refresh heals") {
     val dir = Files.createTempDirectory("graft-manif-stale").toString
     writeZarrCatalog(dir, 6)

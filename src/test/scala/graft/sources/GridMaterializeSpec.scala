@@ -158,5 +158,14 @@ class GridMaterializeSpec extends SparkSpec {
     assert(GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
       out, timeBounds = tb).isEmpty)
     assert(spark.read.parquet(out).count() == 18)
+    // bounds that exclude EVERY scene: nothing pending, nothing
+    // "materialized", on every run (the schema-fallback store is not
+    // treated as pending)
+    val out2 = s"$dir/_out2"
+    val never = Map("time" -> ("1999-01-01 00:00:00", "1999-01-02 00:00:00"))
+    assert(GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
+      out2, timeBounds = never).isEmpty)
+    assert(GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
+      out2, timeBounds = never).isEmpty)
   }
 }
