@@ -536,7 +536,11 @@ object GridOpen {
       StoreMeta(s, zarrAxes(s, dataset), CfDecode.zarrCfAttrs(s, dataset)))
     catalogOpen(spark,
       spark.read.format("graft.sources.ZarrDataSource")
-        .option("path", dir).load().where(col("dataset") === dataset),
+        .option("path", dir)
+        // the members are already discovered — hand them to the scan so
+        // plan time pays ONE discovery walk, not two
+        .option("arrays", stores.map(s => s + "\t" + dataset).mkString("\n"))
+        .load().where(col("dataset") === dataset),
       perStore, bounds, timeBounds)
   }
 
@@ -870,7 +874,10 @@ object GridOpen {
     varsCatalog(spark, stores, variables,
       (st, v) => zarrAxes(st, v), (st, v) => CfDecode.zarrCfAttrs(st, v),
       spark.read.format("graft.sources.ZarrDataSource")
-        .option("path", dir).load(),
+        .option("path", dir)
+        .option("arrays", stores.flatMap(st =>
+          variables.map(v => st + "\t" + v)).mkString("\n"))
+        .load(),
       bounds, timeBounds)
   }
 
