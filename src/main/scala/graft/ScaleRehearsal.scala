@@ -33,9 +33,13 @@ object ScaleRehearsal {
     * manifest_catalog — SCALE.md compares the two, so they must write
     * byte-identical catalogs: N zarr v2 stores (4x6x8 grid chunked
     * [1,6,8]), per-store epochs cycling days 1..28. */
+  /** The rehearsal grid shape — ONE definition for the writer and the
+    * two ops' row-count asserts. */
+  private val RehearsalShape: (Int, Int, Int) = (4, 6, 8)
+
   private def writeRehearsalCatalog(dir: String, n: Int, par: Int): Unit = {
     import graft.sources.ByteStore
-    val (nt, ny, nx) = (4, 6, 8)
+    val (nt, ny, nx) = RehearsalShape
     def writeArr(store: String, name: String, shape: Seq[Int],
         chunks: Seq[Int], dims: Seq[String], extra: String = ""): Unit = {
       ByteStore.writeString(s"$store/$name/.zarray",
@@ -520,7 +524,7 @@ object ScaleRehearsal {
       import graft.sources.GridOpen
       val n = (100 * mult).toInt
       val dir = java.nio.file.Files.createTempDirectory("graft-scale-cat").toString
-      val (ny, nx) = (6, 8)
+      val (_, ny, nx) = RehearsalShape
       writeRehearsalCatalog(dir, n, par = 1) // serial: the round-16 shape
       val expectedChunks = rehearsalSurvivingChunks(n)
       var df: org.apache.spark.sql.DataFrame = null
@@ -548,14 +552,15 @@ object ScaleRehearsal {
     // persisted CatalogManifest: manifest_build is the ONE-TIME
     // metadata wave (parMap <= 512 stores, a Spark job above), and
     // manifest_plan/manifest_replan are the per-query cost — two
-    // manifest parquet reads + driver prune, with ZERO per-store
-    // metadata reads, so plan wall should be ~flat in store count
-    // where the live wave grows with it.
+    // manifest parquet reads + driver prune + (by default) the
+    // survivor-only fingerprint wave, with zero per-store METADATA
+    // reads — so plan wall grows with SURVIVORS, not with the catalog,
+    // where the live wave grows with store count.
     if (wanted("manifest_catalog")) {
       import graft.sources.{CatalogManifest, GridOpen}
       val n = (100 * mult).toInt
       val dir = java.nio.file.Files.createTempDirectory("graft-scale-manif").toString
-      val (ny, nx) = (6, 8)
+      val (_, ny, nx) = RehearsalShape
       writeRehearsalCatalog(dir, n, par = 32)
       val manifest = s"$dir/_manifest"
       timed("manifest_build") {

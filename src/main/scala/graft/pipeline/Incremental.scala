@@ -28,7 +28,12 @@ object Incremental {
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith(s"$partCol="))
-      .map(n => java.net.URLDecoder.decode(n.stripPrefix(s"$partCol="), "UTF-8"))
+      // Spark escapes partition values with its OWN %XX scheme
+      // (escapePathName) — URLDecoder is the wrong inverse: it turns
+      // '+' into a space, so a value like 'a+b.nc' would never match
+      // its own partition and be re-materialized forever
+      .map(n => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(n.stripPrefix(s"$partCol=")))
       .toSet
   }
 

@@ -159,8 +159,9 @@ object CatalogManifest {
       variables: Seq[String], manifestPath: String,
       distributeAbove: Int = 512): (Int, Int, Int, Int) = {
     checkFormat(format)
+    require(variables.nonEmpty, "catalog manifest: no variables requested")
     import spark.implicits._
-    val old = spark.read.parquet(manifestPath)
+    val old = withCompat(spark.read.parquet(manifestPath))
     val oldVars = old.select("requestedVars").distinct().collect()
       .flatMap(_.getSeq[String](0)).toSet
     val sameVars = oldVars == variables.toSet
@@ -194,6 +195,17 @@ object CatalogManifest {
     (added.size, changed.size, removed, unchanged.size)
   }
 
+  /** Schema compatibility for manifests written before `requestedVars`
+    * existed: the column defaults to empty, which [[refresh]] reads as
+    * "unknown request set" and answers with a full re-scan (rewriting
+    * the manifest in the current schema) — a persisted artifact must
+    * stay readable across upgrades, not error with a missing-column
+    * AnalysisException. */
+  private def withCompat(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.columns.contains("requestedVars")) df
+    else df.withColumn("requestedVars", typedlit(Seq.empty[String]))
+
   // ---- plan-from-manifest ------------------------------------------------
 
   /** Phase-1 axis summary: everything except the coordinate ARRAY.
@@ -225,7 +237,7 @@ object CatalogManifest {
       verifyFingerprints: Boolean = true)
       : (Seq[GridOpen.StoreMeta], Int, String, String) = {
     import spark.implicits._
-    val df = spark.read.parquet(manifestPath)
+    val df = withCompat(spark.read.parquet(manifestPath))
       .where(col("variable") === variable)
     val sums = df.select(col("store"), col("format"), col("dir"),
       expr("transform(axes, a -> struct(a.k as k, a.name as name, " +
@@ -263,7 +275,11 @@ object CatalogManifest {
       manifestPath: String): Unit = {
     val stale = ByteStore.parMap(expected) { case (s, mt, by, n) =>
       val cur = try ByteStore.treeStat(s) catch {
-        case _: Exception => (-1L, -1L, -1L) // vanished store
+        // only a genuinely VANISHED store is "stale"; a transient I/O
+        // failure (throttle, timeout) or a too-deep tree must surface
+        // as itself — prescribing `refresh` for those is a misdiagnosis
+        case e: Exception => if (!ByteStore.exists(s)) (-1L, -1L, -1L)
+          else throw e
       }
       (s, cur != ((mt, by, n)))
     }.collect { case (s, true) => s }
@@ -290,7 +306,7 @@ object CatalogManifest {
       : (Seq[(String, Seq[GridOpen.Axis], Seq[CfDecode.CfAttrs])], String, String) = {
     import spark.implicits._
     require(variables.nonEmpty, "catalog manifest: no variables requested")
-    val df = spark.read.parquet(manifestPath)
+    val df = withCompat(spark.read.parquet(manifestPath))
       .where(col("variable").isin(variables: _*))
     val sums = df.select(col("store"), col("variable"),
       expr("transform(axes, a -> struct(a.k as k, a.name as name, " +
@@ -331,6 +347,20 @@ object CatalogManifest {
         CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
     }
     (metas, format, dir)
+  }
+
+  /** Staleness check for an explicit store subset — what a
+    * scene-idempotent materialize verifies: the PENDING scenes it will
+    * actually read, never the already-done ones (a done scene's later
+    * change must not wedge an otherwise-complete re-run). */
+  private[sources] def verifyStores(spark: SparkSession, manifestPath: String,
+      stores: Seq[String]): Unit = {
+    if (stores.isEmpty) return
+    val fps = withCompat(spark.read.parquet(manifestPath))
+      .where(col("store").isin(stores: _*))
+      .select("store", "fpMtime", "fpBytes", "fpCount").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    checkFresh(fps.toSeq, manifestPath)
   }
 
   /** Envelope test for one store: every bound axis's [lo, hi] must

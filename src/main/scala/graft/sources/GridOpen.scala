@@ -339,9 +339,13 @@ object GridOpen {
   def materializeZarrCatalogFromManifest(spark: SparkSession,
       manifestPath: String, dataset: String, outPath: String,
       bounds: Map[String, (Double, Double)] = Map.empty,
-      timeBounds: Map[String, (String, String)] = Map.empty): Seq[String] = {
-    val (metas0, _, format, dir) =
-      CatalogManifest.planStores(spark, manifestPath, dataset, bounds, timeBounds)
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): Seq[String] = {
+    // fingerprints are verified for the PENDING scenes only (below):
+    // a change to an already-materialized scene must not wedge an
+    // otherwise-complete, skip-everything re-run
+    val (metas0, _, format, dir) = CatalogManifest.planStores(spark,
+      manifestPath, dataset, bounds, timeBounds, verifyFingerprints = false)
     require(format == "zarr",
       s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
     // drop planStores' everything-pruned schema-fallback store: a scene
@@ -351,6 +355,8 @@ object GridOpen {
       bounds, timeBounds).map(_._1).toSet
     val metas = metas0.filter(m => exact(m.store))
     materializeScenes(spark, metas.map(_.store), outPath) { pending =>
+      if (verifyFingerprints)
+        CatalogManifest.verifyStores(spark, manifestPath, pending)
       val pendingSet = pending.toSet
       catalogOpen(spark,
         spark.read.format("graft.sources.ZarrDataSource")

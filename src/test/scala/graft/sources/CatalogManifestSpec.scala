@@ -173,6 +173,30 @@ class CatalogManifestSpec extends SparkSpec {
     assert(got.exists(r => r._1 == "b.nc" && r._4 == 20.0 * 0.1))
   }
 
+  test("a legacy manifest (no requestedVars column) stays readable; refresh migrates it") {
+    val dir = Files.createTempDirectory("graft-manif-legacy").toString
+    writeZarrCatalog(dir, 3)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    // rewrite the manifest WITHOUT the column (the pre-upgrade schema)
+    val legacy = s"$dir/_legacy"
+    spark.read.parquet(manifest).drop("requestedVars")
+      .write.parquet(legacy)
+    // plans fine
+    assert(GridOpen.zarrCatalogFromManifest(spark, legacy, "lwp")
+      .count() == 36)
+    // refresh treats the unknown request set as a full re-scan and
+    // rewrites in the current schema
+    val (added, changed, removed, unchanged) =
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), legacy)
+    assert((added, changed, removed, unchanged) == ((0, 3, 0, 0)))
+    assert(spark.read.parquet(legacy).columns.contains("requestedVars"))
+    // an empty variables refresh refuses instead of wiping the manifest
+    val e = intercept[IllegalArgumentException](
+      CatalogManifest.refresh(spark, "zarr", dir, Seq.empty, legacy))
+    assert(e.getMessage.contains("no variables"))
+  }
+
   test("refresh with a DIFFERENT variable set re-scans everything") {
     // keeping unchanged rows verbatim would silently omit the new
     // variable's data from every later query — silent data loss

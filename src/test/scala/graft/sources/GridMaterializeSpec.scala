@@ -167,5 +167,36 @@ class GridMaterializeSpec extends SparkSpec {
       out2, timeBounds = never).isEmpty)
     assert(GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
       out2, timeBounds = never).isEmpty)
+    // staleness of a DONE scene must not wedge a skip-everything
+    // re-run; staleness of a PENDING scene must still refuse
+    ByteStore.writeString(s"$dir/sm0.zarr/lwp/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "late-edit"}""")
+    assert(GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
+      out, timeBounds = tb).isEmpty) // sm0 done -> not verified
+    rmTree(Paths.get(s"$out/scene=sm0.zarr")) // now sm0 IS pending
+    val e = intercept[IllegalArgumentException](
+      GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
+        out, timeBounds = tb))
+    assert(e.getMessage.contains("sm0") && e.getMessage.contains("refresh"))
+    CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    assert(GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
+      out, timeBounds = tb) == Seq("sm0.zarr"))
+  }
+
+  test("scene names with '+' round-trip through partition escaping") {
+    // URLDecoder would turn 'scene=a+b.nc' into 'a b.nc' and
+    // re-materialize the scene forever
+    val dir = Files.createTempDirectory("graft-mat-plus").toString
+    Files.write(Paths.get(dir, "a+b.nc"), NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("x", 2)), gattrs = Nil,
+      vars = Seq(
+        NetCDF3.VarSpec("x", Seq("x"), NetCDF3.NcDouble, Nil, Array(0.0, 1.0)),
+        NetCDF3.VarSpec("v", Seq("x"), NetCDF3.NcDouble, Nil, Array(7.0, 8.0)))))
+    val out = s"$dir/_out"
+    assert(GridOpen.materializeNetcdf3Catalog(spark, s"$dir/*.nc", "v", out)
+      == Seq("a+b.nc"))
+    assert(GridOpen.materializeNetcdf3Catalog(spark, s"$dir/*.nc", "v", out)
+      .isEmpty, "the '+' scene must be recognized as done")
+    assert(spark.read.parquet(out).count() == 2)
   }
 }
