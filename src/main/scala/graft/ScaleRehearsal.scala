@@ -29,14 +29,14 @@ import org.apache.spark.sql.functions._
 object ScaleRehearsal {
 
 
-  /** The 28-day scene-catalog fixture SHARED by catalog_crop and
-    * manifest_catalog — SCALE.md compares the two, so they must write
-    * byte-identical catalogs: N zarr v2 stores (4x6x8 grid chunked
-    * [1,6,8]), per-store epochs cycling days 1..28. */
   /** The rehearsal grid shape — ONE definition for the writer and the
     * two ops' row-count asserts. */
   private val RehearsalShape: (Int, Int, Int) = (4, 6, 8)
 
+  /** The 28-day scene-catalog fixture SHARED by catalog_crop and
+    * manifest_catalog — SCALE.md compares the two, so they must write
+    * byte-identical catalogs: N zarr v2 stores ([[RehearsalShape]]
+    * grid chunked [1,ny,nx]), per-store epochs cycling days 1..28. */
   private def writeRehearsalCatalog(dir: String, n: Int, par: Int): Unit = {
     import graft.sources.ByteStore
     val (nt, ny, nx) = RehearsalShape

@@ -227,15 +227,18 @@ object CatalogManifest {
     * for SURVIVORS only (pushed `store IN` parquet read). Envelope
     * pruning is conservative — a surviving store can still resolve to
     * an empty exact range downstream, which excludes it there.
-    * Returns (survivor metas store-sorted, member count, format, dir);
-    * when everything prunes, one store's meta is kept so the empty
-    * frame still carries the right schema. */
+    * Returns (survivor metas store-sorted, member count, format, dir,
+    * the REAL envelope survivors' change fingerprints — empty when
+    * everything pruned); when everything prunes, one store's meta is
+    * kept so the empty frame still carries the right schema (it is
+    * NOT a survivor and its fingerprint is not returned or checked). */
   private[sources] def planStores(spark: SparkSession, manifestPath: String,
       variable: String,
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)],
       verifyFingerprints: Boolean = true)
-      : (Seq[GridOpen.StoreMeta], Int, String, String) = {
+      : (Seq[GridOpen.StoreMeta], Int, String, String,
+        Seq[(String, Long, Long, Long)]) = {
     import spark.implicits._
     val df = withCompat(spark.read.parquet(manifestPath))
       .where(col("variable") === variable)
@@ -256,13 +259,15 @@ object CatalogManifest {
     // verify only ACTUAL survivors: the everything-pruned fallback row
     // exists for schema alone — its staleness cannot affect the (empty)
     // result, so it must not refuse the query
-    if (verifyFingerprints && survivors.nonEmpty)
-      checkFresh(full.map(e => (e.store, e.fpMtime, e.fpBytes, e.fpCount))
-        .distinct.toSeq, manifestPath)
+    val survivorSet = survivors.toSet
+    val survivorFps = full.filter(e => survivorSet(e.store))
+      .map(e => (e.store, e.fpMtime, e.fpBytes, e.fpCount)).distinct.toSeq
+    if (verifyFingerprints)
+      checkFresh(survivorFps, manifestPath)
     val metas = full.sortBy(_.store).map(e => GridOpen.StoreMeta(e.store,
       GridOpen.classifyAxes(e.axes, e.store),
       CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
-    (metas.toSeq, sums.length, format, dir)
+    (metas.toSeq, sums.length, format, dir, survivorFps)
   }
 
   /** Staleness guard on the stores a plan will actually READ: one
@@ -277,9 +282,13 @@ object CatalogManifest {
       val cur = try ByteStore.treeStat(s) catch {
         // only a genuinely VANISHED store is "stale"; a transient I/O
         // failure (throttle, timeout) or a too-deep tree must surface
-        // as itself — prescribing `refresh` for those is a misdiagnosis
-        case e: Exception => if (!ByteStore.exists(s)) (-1L, -1L, -1L)
-          else throw e
+        // as itself — prescribing `refresh` for those is a misdiagnosis.
+        // The existence probe runs against the same possibly-flaky
+        // store, so its own failure rethrows the ORIGINAL error.
+        case e: Exception =>
+          val vanished =
+            try !ByteStore.exists(s) catch { case _: Exception => false }
+          if (vanished) (-1L, -1L, -1L) else throw e
       }
       (s, cur != ((mt, by, n)))
     }.collect { case (s, true) => s }
@@ -349,19 +358,17 @@ object CatalogManifest {
     (metas, format, dir)
   }
 
-  /** Staleness check for an explicit store subset — what a
-    * scene-idempotent materialize verifies: the PENDING scenes it will
-    * actually read, never the already-done ones (a done scene's later
-    * change must not wedge an otherwise-complete re-run). */
-  private[sources] def verifyStores(spark: SparkSession, manifestPath: String,
-      stores: Seq[String]): Unit = {
-    if (stores.isEmpty) return
-    val fps = withCompat(spark.read.parquet(manifestPath))
-      .where(col("store").isin(stores: _*))
-      .select("store", "fpMtime", "fpBytes", "fpCount").distinct().collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    checkFresh(fps.toSeq, manifestPath)
-  }
+  /** Staleness check on an explicit fingerprint subset — what a
+    * scene-idempotent materialize verifies: every NOT-yet-done store
+    * whose inclusion decision depended on manifest coordinates (the
+    * envelope survivors, incl. ones the exact prune then dropped — a
+    * changed store could now match), never the already-done ones (a
+    * done scene's later change must not wedge a skip-everything
+    * re-run). The fingerprints come from [[planStores]]' own collect,
+    * so this costs zero extra manifest reads. */
+  private[sources] def checkFreshSubset(
+      fps: Seq[(String, Long, Long, Long)], manifestPath: String): Unit =
+    if (fps.nonEmpty) checkFresh(fps, manifestPath)
 
   /** Envelope test for one store: every bound axis's [lo, hi] must
     * intersect the axis's [min, max]. NaN envelopes compare

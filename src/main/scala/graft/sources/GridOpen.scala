@@ -341,13 +341,22 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): Seq[String] = {
-    // fingerprints are verified for the PENDING scenes only (below):
-    // a change to an already-materialized scene must not wedge an
-    // otherwise-complete, skip-everything re-run
-    val (metas0, _, format, dir) = CatalogManifest.planStores(spark,
-      manifestPath, dataset, bounds, timeBounds, verifyFingerprints = false)
+    // fingerprints are verified for every NOT-yet-done envelope
+    // survivor (a stale store the exact prune would wrongly drop must
+    // refuse), but never for already-materialized scenes — a done
+    // scene's later change must not wedge a skip-everything re-run
+    val (metas0, _, format, dir, survivorFps) = CatalogManifest.planStores(
+      spark, manifestPath, dataset, bounds, timeBounds,
+      verifyFingerprints = false)
     require(format == "zarr",
       s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
+    if (verifyFingerprints) {
+      val done = graft.pipeline.Incremental
+        .completedPartitions(spark, outPath, "scene")
+      CatalogManifest.checkFreshSubset(
+        survivorFps.filterNot { case (s, _, _, _) => done(sceneOf(s)) },
+        manifestPath)
+    }
     // drop planStores' everything-pruned schema-fallback store: a scene
     // whose exact ranges are empty must never be pending (it would be
     // "re-materialized" — emptily — on every single run)
@@ -355,8 +364,6 @@ object GridOpen {
       bounds, timeBounds).map(_._1).toSet
     val metas = metas0.filter(m => exact(m.store))
     materializeScenes(spark, metas.map(_.store), outPath) { pending =>
-      if (verifyFingerprints)
-        CatalogManifest.verifyStores(spark, manifestPath, pending)
       val pendingSet = pending.toSet
       catalogOpen(spark,
         spark.read.format("graft.sources.ZarrDataSource")
@@ -683,7 +690,7 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): DataFrame = {
-    val (metas, _, format, dir) =
+    val (metas, _, format, dir, _) =
       CatalogManifest.planStores(spark, manifestPath, dataset, bounds,
         timeBounds, verifyFingerprints)
     require(format == "zarr",
@@ -704,7 +711,7 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): DataFrame = {
-    val (metas, _, format, _) =
+    val (metas, _, format, _, _) =
       CatalogManifest.planStores(spark, manifestPath, varName, bounds,
         timeBounds, verifyFingerprints)
     require(format == "netcdf3",
@@ -722,7 +729,7 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): DataFrame = {
-    val (metas, _, format, _) =
+    val (metas, _, format, _, _) =
       CatalogManifest.planStores(spark, manifestPath, dataset, bounds,
         timeBounds, verifyFingerprints)
     require(format == "hdf5",

@@ -183,6 +183,35 @@ class GridMaterializeSpec extends SparkSpec {
       out, timeBounds = tb) == Seq("sm0.zarr"))
   }
 
+  test("a stale NOT-done scene the exact prune drops still refuses (its coords made the call)") {
+    val dir = Files.createTempDirectory("graft-mat-window").toString
+    writeCatalog(dir, 2)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    val out = s"$dir/_out"
+    // sm0's time coords are {0, 12} hours since Feb 1; the window
+    // (02:00, 09:00) intersects the ENVELOPE [0, 12] but contains no
+    // exact coordinate -> sm0 is an envelope survivor the exact prune
+    // drops; sm1 (Feb 2 epoch) is envelope-pruned outright
+    val tb = Map("time" -> ("2021-02-01 02:00:00", "2021-02-01 09:00:00"))
+    assert(GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
+      out, timeBounds = tb).isEmpty)
+    // sm0 changes: a re-run must REFUSE — with the manifest's old
+    // coords it was dropped by the exact prune, but the changed store
+    // could now hold matching coordinates (silently returning empty
+    // would be data loss)
+    ByteStore.writeString(s"$dir/sm0.zarr/lwp/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "drifted"}""")
+    val e = intercept[IllegalArgumentException](
+      GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
+        out, timeBounds = tb))
+    assert(e.getMessage.contains("sm0") && e.getMessage.contains("refresh"))
+    // refresh heals; the (unchanged-coords) scene is still exact-pruned
+    CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    assert(GridOpen.materializeZarrCatalogFromManifest(spark, manifest, "lwp",
+      out, timeBounds = tb).isEmpty)
+  }
+
   test("scene names with '+' round-trip through partition escaping") {
     // URLDecoder would turn 'scene=a+b.nc' into 'a b.nc' and
     // re-materialize the scene forever
