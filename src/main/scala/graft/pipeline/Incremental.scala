@@ -47,9 +47,12 @@ object Incremental {
       else input.where(!col(partCol).isin(done.toSeq: _*))
     val newVals = pending.select(partCol).distinct().collect().map(_.get(0)).map(String.valueOf)
     if (newVals.nonEmpty) {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // per-writer dynamic overwrite: mutating the SESSION conf would
+      // silently change the semantics of the caller's own later
+      // static-mode overwrite writes
       stage(pending).write
         .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol)
         .parquet(path)
     }

@@ -327,17 +327,39 @@ object ByteStore {
     }
   }
 
+  /** FNV-1a 64 of one file's change-relevant identity. */
+  private def fileFp(rel: String, mt: Long, len: Long): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(b: Int): Unit = { h ^= (b & 0xff); h *= 0x100000001b3L }
+    rel.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach(b => mix(b))
+    (0 until 8).foreach(i => mix((mt >>> (8 * i)).toInt))
+    (0 until 8).foreach(i => mix((len >>> (8 * i)).toInt))
+    h
+  }
+
   /** Change-detection fingerprint of a file or directory tree:
-    * (max mtime, total bytes, file count), walked breadth-first with
-    * one LIST per directory — the cheap "did this store change?"
-    * probe a manifest refresh runs instead of re-reading metadata.
+    * (max mtime, total bytes, file count, per-file hash), walked
+    * breadth-first with one LIST per directory — the cheap "did this
+    * store change?" probe a manifest refresh runs instead of
+    * re-reading metadata. The 4th component XOR-combines a 64-bit hash
+    * of every file's (root-relative path, mtime, length), so changes
+    * the aggregates cancel out on — one file grew while another shrank
+    * by the same amount, a rename at equal size, an mtime change below
+    * the current max — still flip the fingerprint. The remaining blind
+    * spot is inherent to LIST-level probing: a same-length in-place
+    * rewrite within the filesystem's mtime granularity (commonly 1 s
+    * on local FS, finer on object stores) changes NO listed attribute
+    * and passes undetected; writers who need that detected must touch
+    * some attribute (the specs grow a metadata file's byte count).
     * Depth-bounded like the discovery walks. */
-  def treeStat(path: String, maxDepth: Int = 8): (Long, Long, Long) = {
+  def treeStat(path: String, maxDepth: Int = 8): (Long, Long, Long, Long) = {
+    val root = if (path.endsWith("/")) path else path + "/"
+    def rel(p: String): String = if (p.startsWith(root)) p.drop(root.length) else p
     if (!isDirectory(path)) {
       val (mt, len) = stat(path)
-      return (mt, len, 1L)
+      return (mt, len, 1L, fileFp("", mt, len))
     }
-    var maxMtime = 0L; var bytes = 0L; var count = 0L
+    var maxMtime = 0L; var bytes = 0L; var count = 0L; var hash = 0L
     var frontier = Seq(path)
     var depth = 0
     while (frontier.nonEmpty && depth <= maxDepth) {
@@ -350,9 +372,9 @@ object ByteStore {
           Option(new java.io.File(d).listFiles()).getOrElse(Array.empty).toSeq
             .map(f => (f.getAbsolutePath, f.isDirectory, f.lastModified(), f.length()))
       }.flatten
-      level.foreach { case (_, isDir, mt, len) =>
+      level.foreach { case (p, isDir, mt, len) =>
         if (mt > maxMtime) maxMtime = mt
-        if (!isDir) { bytes += len; count += 1 }
+        if (!isDir) { bytes += len; count += 1; hash ^= fileFp(rel(p), mt, len) }
       }
       frontier = level.collect { case (p, true, _, _) => p }
       depth += 1
@@ -364,7 +386,7 @@ object ByteStore {
       throw new IllegalArgumentException(s"byte store: tree at $path is " +
         s"deeper than $maxDepth levels — raise maxDepth for a complete " +
         "fingerprint")
-    (maxMtime, bytes, count)
+    (maxMtime, bytes, count, hash)
   }
 
   /** URIs pass through; plain paths normalize to absolute (results
@@ -389,7 +411,10 @@ object ByteStore {
     * catalog mounts its surviving members without re-listing the dir. */
   def resolveGlob(pathGlob: String): Seq[String] =
     if (pathGlob.contains('\n'))
-      pathGlob.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).sorted
+      // same normalize as every walking branch: a relative entry would
+      // leak cwd-dependent paths into user-visible path columns
+      pathGlob.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(absolute).sorted
     else if (hasScheme(pathGlob)) {
       val fs = fileSystem(pathGlob)
       Option(fs.globStatus(new Path(pathGlob))).getOrElse(Array.empty).toSeq

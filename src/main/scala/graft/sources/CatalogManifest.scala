@@ -50,11 +50,23 @@ object CatalogManifest {
     * (and forces a full re-scan when the requested set changes). */
   final case class Entry(store: String, variable: String,
       format: String, dir: String,
-      fpMtime: Long, fpBytes: Long, fpCount: Long,
+      fpMtime: Long, fpBytes: Long, fpCount: Long, fpHash: Long,
       axes: Seq[GridOpen.RawAxis],
       scale: Double, offset: Double, fill: Option[Double],
       unsignedModulus: Option[Double],
       requestedVars: Seq[String])
+
+  /** One store's change fingerprint, [[ByteStore.treeStat]]'s shape:
+    * (max mtime, total bytes, file count, per-file XOR hash). */
+  private type Fp = (Long, Long, Long, Long)
+
+  /** Fingerprint comparison with legacy awareness: a stored hash of 0
+    * marks a pre-hash manifest row (the [[withCompat]] default) — the
+    * comparison then falls back to the aggregate triple, exactly the
+    * pre-upgrade behavior. */
+  private def fpChanged(old: Fp, cur: Fp): Boolean =
+    if (old._4 == 0L) (old._1, old._2, old._3) != ((cur._1, cur._2, cur._3))
+    else old != cur
 
   private val Formats = Set("zarr", "netcdf3", "hdf5")
 
@@ -101,11 +113,11 @@ object CatalogManifest {
   private[sources] def scanStore(format: String, dir: String, store: String,
       variables: Seq[String]): Seq[Entry] = {
     val present = variablesIn(format, store)
-    val (mt, bytes, count) = ByteStore.treeStat(store)
+    val (mt, bytes, count, fh) = ByteStore.treeStat(store)
     val sortedVars = variables.sorted
     variables.filter(present).map { v =>
       val a = cfAttrsOf(format, store, v)
-      Entry(store, v, format, dir, mt, bytes, count,
+      Entry(store, v, format, dir, mt, bytes, count, fh,
         rawAxesOf(format, store, v), a.scale, a.offset, a.fill,
         a.unsignedModulus, sortedVars)
     }
@@ -165,26 +177,37 @@ object CatalogManifest {
     val oldVars = old.select("requestedVars").distinct().collect()
       .flatMap(_.getSeq[String](0)).toSet
     val sameVars = oldVars == variables.toSet
-    val oldFp: Map[String, (Long, Long, Long)] =
-      old.select("store", "fpMtime", "fpBytes", "fpCount").distinct()
+    val oldFp: Map[String, Fp] =
+      old.select("store", "fpMtime", "fpBytes", "fpCount", "fpHash").distinct()
         .collect()
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
         .toMap
     val stores = storesOf(format, dir)
     val curFp = ByteStore.parMap(stores)(s => (s, ByteStore.treeStat(s))).toMap
     val added = stores.filterNot(oldFp.contains)
     val changed =
       if (sameVars)
-        stores.filter(s => oldFp.contains(s) && oldFp(s) != curFp(s))
+        stores.filter(s => oldFp.contains(s) && fpChanged(oldFp(s), curFp(s)))
       else stores.filter(oldFp.contains) // variable set changed: re-scan all
     val unchanged =
-      if (sameVars) stores.filter(s => oldFp.get(s).contains(curFp(s)))
+      if (sameVars)
+        stores.filter(s => oldFp.get(s).exists(o => !fpChanged(o, curFp(s))))
       else Nil
     val removed = (oldFp.keySet -- stores).size
     val fresh = entriesFor(spark, format, dir, added ++ changed, variables,
       distributeAbove)
-    val keep = old.join(broadcast(unchanged.toDF("store")), Seq("store"),
-      "left_semi")
+    // kept rows' fp columns refresh from the wave already run: for a
+    // current-format row the values are identical (they matched); for a
+    // pre-hash legacy row this upgrades fpHash from its 0 placeholder,
+    // so the per-file hash protection converges after one refresh
+    val curFpDf = unchanged.map { s =>
+      val (mt, by, n, h) = curFp(s); (s, mt, by, n, h)
+    }.toDF("store", "__mt", "__by", "__n", "__h")
+    val keep = old.join(broadcast(curFpDf), Seq("store"), "inner")
+      .withColumn("fpMtime", col("__mt")).withColumn("fpBytes", col("__by"))
+      .withColumn("fpCount", col("__n")).withColumn("fpHash", col("__h"))
+      .drop("__mt", "__by", "__n", "__h")
     // write via a sibling tmp dir: never read-and-overwrite one path
     val tmp = manifestPath.stripSuffix("/") + ".refresh.tmp"
     keep.unionByName(fresh.toDF().select(keep.columns.map(col): _*))
@@ -196,15 +219,19 @@ object CatalogManifest {
   }
 
   /** Schema compatibility for manifests written before `requestedVars`
-    * existed: the column defaults to empty, which [[refresh]] reads as
-    * "unknown request set" and answers with a full re-scan (rewriting
-    * the manifest in the current schema) — a persisted artifact must
-    * stay readable across upgrades, not error with a missing-column
-    * AnalysisException. */
+    * existed (the column defaults to empty, which [[refresh]] reads as
+    * "unknown request set" and answers with a full re-scan) or before
+    * `fpHash` existed (defaults to 0, which [[fpChanged]] reads as
+    * "compare the aggregate triple" until a refresh upgrades the row).
+    * A persisted artifact must stay readable across upgrades, not
+    * error with a missing-column AnalysisException. */
   private def withCompat(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    if (df.columns.contains("requestedVars")) df
-    else df.withColumn("requestedVars", typedlit(Seq.empty[String]))
+      : org.apache.spark.sql.DataFrame = {
+    val a = if (df.columns.contains("requestedVars")) df
+      else df.withColumn("requestedVars", typedlit(Seq.empty[String]))
+    if (a.columns.contains("fpHash")) a
+    else a.withColumn("fpHash", lit(0L))
+  }
 
   // ---- plan-from-manifest ------------------------------------------------
 
@@ -238,7 +265,7 @@ object CatalogManifest {
       timeBounds: Map[String, (String, String)],
       verifyFingerprints: Boolean = true)
       : (Seq[GridOpen.StoreMeta], Int, String, String,
-        Seq[(String, Long, Long, Long)]) = {
+        Seq[(String, Fp)]) = {
     import spark.implicits._
     val df = withCompat(spark.read.parquet(manifestPath))
       .where(col("variable") === variable)
@@ -261,7 +288,8 @@ object CatalogManifest {
     // result, so it must not refuse the query
     val survivorSet = survivors.toSet
     val survivorFps = full.filter(e => survivorSet(e.store))
-      .map(e => (e.store, e.fpMtime, e.fpBytes, e.fpCount)).distinct.toSeq
+      .map(e => (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))
+      .distinct.toSeq
     if (verifyFingerprints)
       checkFresh(survivorFps, manifestPath)
     val metas = full.sortBy(_.store).map(e => GridOpen.StoreMeta(e.store,
@@ -276,9 +304,9 @@ object CatalogManifest {
     * mismatch — a silently stale manifest would crop with yesterday's
     * coordinates. `refresh` is the fix; `verifyFingerprints = false`
     * is the explicit escape hatch for immutable catalogs. */
-  private def checkFresh(expected: Seq[(String, Long, Long, Long)],
+  private def checkFresh(expected: Seq[(String, Fp)],
       manifestPath: String): Unit = {
-    val stale = ByteStore.parMap(expected) { case (s, mt, by, n) =>
+    val stale = ByteStore.parMap(expected) { case (s, fp) =>
       val cur = try ByteStore.treeStat(s) catch {
         // only a genuinely VANISHED store is "stale"; a transient I/O
         // failure (throttle, timeout) or a too-deep tree must surface
@@ -288,9 +316,9 @@ object CatalogManifest {
         case e: Exception =>
           val vanished =
             try !ByteStore.exists(s) catch { case _: Exception => false }
-          if (vanished) (-1L, -1L, -1L) else throw e
+          if (vanished) (-1L, -1L, -1L, -1L) else throw e
       }
-      (s, cur != ((mt, by, n)))
+      (s, fpChanged(fp, cur))
     }.collect { case (s, true) => s }
     if (stale.nonEmpty)
       fail(s"stores changed since the manifest was built: " +
@@ -338,7 +366,8 @@ object CatalogManifest {
     val wanted = if (survivors.nonEmpty) survivors else members.take(1)
     val full = df.where(col("store").isin(wanted: _*)).as[Entry].collect()
     if (verifyFingerprints && survivors.nonEmpty)
-      checkFresh(full.map(e => (e.store, e.fpMtime, e.fpBytes, e.fpCount))
+      checkFresh(full.map(e =>
+          (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))
         .distinct.toSeq, manifestPath)
     val fullByStore = full.groupBy(_.store)
     val (format, dir) = (full.head.format, full.head.dir)
@@ -367,7 +396,8 @@ object CatalogManifest {
     * re-run). The fingerprints come from [[planStores]]' own collect,
     * so this costs zero extra manifest reads. */
   private[sources] def checkFreshSubset(
-      fps: Seq[(String, Long, Long, Long)], manifestPath: String): Unit =
+      fps: Seq[(String, (Long, Long, Long, Long))],
+      manifestPath: String): Unit =
     if (fps.nonEmpty) checkFresh(fps, manifestPath)
 
   /** Envelope test for one store: every bound axis's [lo, hi] must

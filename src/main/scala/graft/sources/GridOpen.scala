@@ -354,7 +354,7 @@ object GridOpen {
       val done = graft.pipeline.Incremental
         .completedPartitions(spark, outPath, "scene")
       CatalogManifest.checkFreshSubset(
-        survivorFps.filterNot { case (s, _, _, _) => done(sceneOf(s)) },
+        survivorFps.filterNot { case (s, _) => done(sceneOf(s)) },
         manifestPath)
     }
     // drop planStores' everything-pruned schema-fallback store: a scene

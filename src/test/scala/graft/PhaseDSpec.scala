@@ -294,4 +294,28 @@ class PhaseDSpec extends SparkSpec {
     assert(n3 == 0) // fully materialized -> no work
     assert(spark.read.parquet(dir).count() == 3)
   }
+
+  test("runStage leaves the session conf alone; later static overwrites stay static") {
+    // dynamic overwrite is a PER-WRITER option: mutating the session
+    // conf would silently turn the caller's own later static-mode
+    // overwrite writes into dynamic ones for the rest of the session
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.getOption(key)
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-conf").toString + "/out"
+    val in = Seq(("s1", 1), ("s2", 2)).toDF("scene", "v")
+    assert(Incremental.runStage(spark, in, "scene", dir)(identity) == 2)
+    assert(spark.conf.getOption(key) == before,
+      s"runStage mutated the session conf: $key = ${spark.conf.getOption(key)}")
+    // a subsequent partitioned overwrite behaves STATICALLY (the
+    // session default): writing only s1 replaces the whole table
+    val other = java.nio.file.Files.createTempDirectory("graft-inc-conf2").toString + "/out"
+    Seq(("s1", 1), ("s2", 2)).toDF("scene", "v")
+      .write.partitionBy("scene").parquet(other)
+    Seq(("s1", 9)).toDF("scene", "v")
+      .write.mode("overwrite").partitionBy("scene").parquet(other)
+    val left = spark.read.parquet(other).select("scene").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("s1"),
+      s"static overwrite became dynamic (scenes left: ${left.mkString(",")})")
+  }
 }

@@ -347,6 +347,51 @@ class CatalogManifestSpec extends SparkSpec {
     assert(got.toSeq == Seq(("/cat/sc0042.zarr", 2L))) // 42%4=2 -> d0 in [2,3]
   }
 
+  test("the per-file hash catches changes the aggregate triple cancels on") {
+    // the exact blind spot the aggregates have: one file grows by the
+    // bytes another shrinks, with mtimes restored — (max mtime, bytes,
+    // count) is identical, the per-file hash is not
+    val dir = Files.createTempDirectory("graft-treestat").toString
+    ByteStore.writeString(s"$dir/a.txt", "aaaa")
+    ByteStore.writeString(s"$dir/b.txt", "bbbb")
+    val mtA = new java.io.File(s"$dir/a.txt").lastModified()
+    val mtB = new java.io.File(s"$dir/b.txt").lastModified()
+    val fp0 = ByteStore.treeStat(dir)
+    ByteStore.writeString(s"$dir/a.txt", "aaaaaa") // +2 bytes
+    ByteStore.writeString(s"$dir/b.txt", "bb") // -2 bytes
+    assert(new java.io.File(s"$dir/a.txt").setLastModified(mtA))
+    assert(new java.io.File(s"$dir/b.txt").setLastModified(mtB))
+    val fp1 = ByteStore.treeStat(dir)
+    assert((fp0._1, fp0._2, fp0._3) == ((fp1._1, fp1._2, fp1._3)),
+      "the canceling rewrite should leave the aggregate triple identical")
+    assert(fp0._4 != fp1._4, "the per-file hash missed the canceling rewrite")
+  }
+
+  test("a pre-hash manifest (no fpHash column) plans, guards, and upgrades on refresh") {
+    val dir = Files.createTempDirectory("graft-manif-prehash").toString
+    writeZarrCatalog(dir, 3)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    // rewrite WITHOUT fpHash — the round-17 manifest schema
+    val legacy = s"$dir/_prehash"
+    spark.read.parquet(manifest).drop("fpHash").write.parquet(legacy)
+    // plans fine, and the staleness guard still works on the triple
+    assert(GridOpen.zarrCatalogFromManifest(spark, legacy, "lwp").count() == 36)
+    ByteStore.writeString(s"$dir/sc001.zarr/lwp/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "bigger now"}""")
+    val e = intercept[IllegalArgumentException](
+      GridOpen.zarrCatalogFromManifest(spark, legacy, "lwp").count())
+    assert(e.getMessage.contains("refresh"))
+    // refresh re-scans only the changed store and UPGRADES the kept
+    // rows' fpHash from its fingerprint wave (no extra reads)
+    val (added, changed, removed, unchanged) =
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), legacy)
+    assert((added, changed, removed, unchanged) == ((0, 1, 0, 2)))
+    val hashes = spark.read.parquet(legacy)
+      .select("fpHash").collect().map(_.getLong(0))
+    assert(hashes.forall(_ != 0L), "kept rows were not hash-upgraded")
+  }
+
   test("distributed build (Spark-job wave) writes the same manifest as the driver wave") {
     val dir = Files.createTempDirectory("graft-manif-dist").toString
     writeZarrCatalog(dir, 5)

@@ -258,6 +258,20 @@ class MountUriSpec extends SparkSpec {
     assert(ByteStore.resolveGlob("*.graft-definitely-absent").isEmpty)
   }
 
+  test("resolveGlob: explicit newline lists normalize relative entries to absolute") {
+    // a relative entry would leak cwd-dependent strings into the
+    // user-visible path columns; every walking branch normalizes, so
+    // the explicit-list branch must too
+    val dir = Files.createTempDirectory("graft-glob-list").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.h5"), Array[Byte](1))
+    val got = ByteStore.resolveGlob(s"rel/b.h5\n$dir/a.h5\n")
+    assert(got.forall(_.startsWith("/")), s"relative entry leaked: $got")
+    assert(got.contains(s"$dir/a.h5"))
+    // URI entries pass through untouched
+    assert(ByteStore.resolveGlob(s"s3a://bucket/k.h5\n$dir/a.h5") ==
+      Seq(s"$dir/a.h5", "s3a://bucket/k.h5"))
+  }
+
   test("hadoopConf resolves per call: post-startup driver conf changes are seen") {
     spark.sparkContext.setLogLevel("ERROR") // force session + context up
     val key = "graft.test.percall"
