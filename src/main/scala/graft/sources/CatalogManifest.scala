@@ -123,8 +123,93 @@ object CatalogManifest {
     }
   }
 
-  /** Build (overwrite) the manifest for `variables` under `dir`.
-    * Returns the row count written. */
+  // ---- generational, rename-free persistence -----------------------------
+  // The manifest is PUBLISHED, never overwritten in place: each
+  // build/refresh writes a complete new generation directory
+  // (`_gen-NNNNNNNN/` parquet) and then flips a tiny pointer object
+  // (`_current`) — the only mutation a reader can ever observe, and a
+  // single-object PUT (atomic on object stores; no rename anywhere).
+  // A crash mid-publish leaves the pointer on the old, COMPLETE
+  // generation — the partial new one is an orphan the next publish
+  // overwrites; a reader concurrent with a refresh serves whichever
+  // complete generation the pointer named when it resolved. The
+  // previous generation is retained for one publish as a grace window
+  // for in-flight readers; older ones are deleted AFTER the flip.
+  // Underscore-prefixed names are invisible to plain parquet readers,
+  // so a legacy in-place manifest migrates live: its top-level data
+  // files keep serving until the pointer exists, and are removed only
+  // after the flip. (The generation parquet itself goes through
+  // Spark's configured output committer — on a real object store that
+  // is the rename-free S3A committer, outside this layer's scope.)
+
+  private val Pointer = "_current"
+  private def genName(n: Int): String = f"_gen-$n%08d"
+
+  /** The pointed generation number, None for a legacy (pre-
+    * generational) manifest. */
+  private def currentGen(manifestPath: String): Option[Int] = {
+    val p = ByteStore.join(manifestPath, Pointer)
+    if (!ByteStore.isFile(p)) None
+    else {
+      val g = ByteStore.readString(p).trim
+      if (!g.matches("_gen-\\d{8}"))
+        fail(s"corrupt generation pointer $p: '$g'")
+      Some(g.stripPrefix("_gen-").toInt)
+    }
+  }
+
+  /** The parquet path holding the manifest's CURRENT rows: the pointed
+    * generation when the pointer exists, the path itself for a legacy
+    * in-place manifest. */
+  private[sources] def dataPath(manifestPath: String): String =
+    currentGen(manifestPath) match {
+      case Some(n) => ByteStore.join(manifestPath, genName(n))
+      case None => manifestPath
+    }
+
+  /** Read the manifest's current generation (raw stored schema). */
+  def read(spark: SparkSession, manifestPath: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.parquet(dataPath(manifestPath))
+
+  private def load(spark: SparkSession, manifestPath: String)
+      : org.apache.spark.sql.DataFrame =
+    withCompat(read(spark, manifestPath))
+
+  private def deleteTree(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
+  /** Publish `df` as the manifest's next generation: write it
+    * complete, flip the pointer, THEN clean up (generations older than
+    * the retained previous one; a migrated legacy manifest's top-level
+    * data files). */
+  private def publish(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      manifestPath: String): Unit = {
+    val cur = currentGen(manifestPath)
+    val next = cur.map(_ + 1).getOrElse(0)
+    df.write.mode("overwrite") // overwrite: a crashed publish's orphan
+      .parquet(ByteStore.join(manifestPath, genName(next)))
+    // THE publish point: one small-object PUT
+    ByteStore.writeString(ByteStore.join(manifestPath, Pointer), genName(next))
+    ByteStore.list(manifestPath).foreach { e =>
+      val gen = "_gen-(\\d{8})".r
+      e.name match {
+        case gen(n) if e.isDir && n.toInt < next - 1 =>
+          deleteTree(spark, e.path) // older than the grace generation
+        case Pointer => ()
+        case _ if !e.isDir && cur.isEmpty =>
+          ByteStore.deleteFile(e.path) // the migrated legacy data files
+          ()
+        case _ => ()
+      }
+    }
+  }
+
+  /** Build the manifest for `variables` under `dir` (a full rewrite,
+    * published as a new generation). Returns the row count written. */
   def build(spark: SparkSession, format: String, dir: String,
       variables: Seq[String], manifestPath: String,
       distributeAbove: Int = 512): Long = {
@@ -132,9 +217,10 @@ object CatalogManifest {
     require(variables.nonEmpty, "catalog manifest: no variables requested")
     val stores = storesOf(format, dir)
     require(stores.nonEmpty, s"catalog manifest: no stores under $dir")
-    entriesFor(spark, format, dir, stores, variables, distributeAbove)
-      .write.mode("overwrite").parquet(manifestPath)
-    spark.read.parquet(manifestPath).count()
+    publish(spark,
+      entriesFor(spark, format, dir, stores, variables, distributeAbove).toDF(),
+      manifestPath)
+    read(spark, manifestPath).count()
   }
 
   /** The metadata wave over `stores`: parMap on the driver below the
@@ -173,7 +259,7 @@ object CatalogManifest {
     checkFormat(format)
     require(variables.nonEmpty, "catalog manifest: no variables requested")
     import spark.implicits._
-    val old = withCompat(spark.read.parquet(manifestPath))
+    val old = load(spark, manifestPath)
     val oldVars = old.select("requestedVars").distinct().collect()
       .flatMap(_.getSeq[String](0)).toSet
     val sameVars = oldVars == variables.toSet
@@ -208,13 +294,13 @@ object CatalogManifest {
       .withColumn("fpMtime", col("__mt")).withColumn("fpBytes", col("__by"))
       .withColumn("fpCount", col("__n")).withColumn("fpHash", col("__h"))
       .drop("__mt", "__by", "__n", "__h")
-    // write via a sibling tmp dir: never read-and-overwrite one path
-    val tmp = manifestPath.stripSuffix("/") + ".refresh.tmp"
-    keep.unionByName(fresh.toDF().select(keep.columns.map(col): _*))
-      .write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(manifestPath)
-    val tp = new org.apache.hadoop.fs.Path(tmp)
-    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    // generational publish: the union plan reads the CURRENT generation
+    // and writes a NEW one, so there is no read-and-overwrite hazard
+    // and no window with no readable manifest — the pointer flips only
+    // after the new generation is complete
+    publish(spark,
+      keep.unionByName(fresh.toDF().select(keep.columns.map(col): _*)),
+      manifestPath)
     (added.size, changed.size, removed, unchanged.size)
   }
 
@@ -267,7 +353,7 @@ object CatalogManifest {
       : (Seq[GridOpen.StoreMeta], Int, String, String,
         Seq[(String, Fp)]) = {
     import spark.implicits._
-    val df = withCompat(spark.read.parquet(manifestPath))
+    val df = load(spark, manifestPath)
       .where(col("variable") === variable)
     val sums = df.select(col("store"), col("format"), col("dir"),
       expr("transform(axes, a -> struct(a.k as k, a.name as name, " +
@@ -343,7 +429,7 @@ object CatalogManifest {
       : (Seq[(String, Seq[GridOpen.Axis], Seq[CfDecode.CfAttrs])], String, String) = {
     import spark.implicits._
     require(variables.nonEmpty, "catalog manifest: no variables requested")
-    val df = withCompat(spark.read.parquet(manifestPath))
+    val df = load(spark, manifestPath)
       .where(col("variable").isin(variables: _*))
     val sums = df.select(col("store"), col("variable"),
       expr("transform(axes, a -> struct(a.k as k, a.name as name, " +
@@ -385,6 +471,41 @@ object CatalogManifest {
         CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
     }
     (metas, format, dir)
+  }
+
+  /** OPT-IN full-catalog freshness check — the complement of the
+    * survivor-only guard the manifest-planned opens run by default.
+    * That guard verifies only the stores a plan will READ, so a store
+    * the (stale) manifest EXCLUDES — one changed or newly added since
+    * the build, which would now intersect the caller's bounds — is
+    * silently omitted from results until a refresh (the documented
+    * zero-cost-exclusion trade-off). Callers who need added/changed/
+    * removed detection per query run THIS first: one LIST over `dir`
+    * plus one LIST/HEAD fingerprint wave over every current store
+    * (exactly what [[refresh]] pays before its re-scan — O(catalog)
+    * round trips, no metadata reads), failing loudly with the
+    * offending stores when the manifest is out of date. */
+  def checkCatalogFresh(spark: SparkSession, format: String, dir: String,
+      manifestPath: String): Unit = {
+    checkFormat(format)
+    val oldFp: Map[String, Fp] = load(spark, manifestPath)
+      .select("store", "fpMtime", "fpBytes", "fpCount", "fpHash").distinct()
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val stores = storesOf(format, dir)
+    val changed = ByteStore.parMap(stores.filter(oldFp.contains))(s =>
+      (s, fpChanged(oldFp(s), ByteStore.treeStat(s))))
+      .collect { case (s, true) => s }
+    val added = stores.filterNot(oldFp.contains)
+    val removed = (oldFp.keySet -- stores).toSeq.sorted
+    if (added.nonEmpty || changed.nonEmpty || removed.nonEmpty)
+      fail("the catalog changed since the manifest was built (" +
+        s"added: ${added.take(3).mkString(",")}; " +
+        s"changed: ${changed.take(3).mkString(",")}; " +
+        s"removed: ${removed.take(3).mkString(",")}) — run " +
+        s"CatalogManifest.refresh on $manifestPath")
   }
 
   /** Staleness check on an explicit fingerprint subset — what a

@@ -44,7 +44,9 @@ import org.apache.spark.sql.functions._
   * The `*FromManifest` variants plan the SAME opens from a persisted
   * [[CatalogManifest]] (the reference's scene DB): ZERO per-store
   * metadata reads per query, explicit member lists to the mounts (no
-  * discovery walk), and a survivor-only staleness guard. The
+  * discovery walk), and a survivor-only staleness guard (excluded
+  * stores are never re-checked — see `zarrCatalogFromManifest` for
+  * the blind spot that buys). The
   * `materialize*` entry points write catalog slices as scene-
   * partitioned parquet tables under the luigi skip-if-present
   * contract — missing scenes only, dynamic partition overwrite,
@@ -684,7 +686,16 @@ object GridOpen {
     * arrays EXPLICITLY (`arrays` option), skipping the discovery walk
     * too. A 10^5-scene catalog query costs one manifest parquet read
     * instead of 10^5 KB-scale store reads; EXCLUDED scenes cost
-    * nothing at all (CatalogManifestSpec pins the I/O counts). */
+    * nothing at all (CatalogManifestSpec pins the I/O counts).
+    *
+    * Staleness: the default guard fingerprints the SURVIVORS only. A
+    * store the manifest excludes that changed since the build — or a
+    * store added after it — which would NOW intersect the bounds is
+    * silently omitted until [[CatalogManifest.refresh]]; run
+    * [[CatalogManifest.checkCatalogFresh]] first when a query must
+    * detect added/changed/removed stores (O(catalog) LIST/HEAD round
+    * trips — the exclusion blind spot is the price of zero-cost
+    * exclusion). Applies to every `*FromManifest` open below. */
   def zarrCatalogFromManifest(spark: SparkSession, manifestPath: String,
       dataset: String,
       bounds: Map[String, (Double, Double)] = Map.empty,

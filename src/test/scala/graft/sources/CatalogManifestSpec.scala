@@ -180,7 +180,7 @@ class CatalogManifestSpec extends SparkSpec {
     CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
     // rewrite the manifest WITHOUT the column (the pre-upgrade schema)
     val legacy = s"$dir/_legacy"
-    spark.read.parquet(manifest).drop("requestedVars")
+    CatalogManifest.read(spark, manifest).drop("requestedVars")
       .write.parquet(legacy)
     // plans fine
     assert(GridOpen.zarrCatalogFromManifest(spark, legacy, "lwp")
@@ -190,7 +190,7 @@ class CatalogManifestSpec extends SparkSpec {
     val (added, changed, removed, unchanged) =
       CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), legacy)
     assert((added, changed, removed, unchanged) == ((0, 3, 0, 0)))
-    assert(spark.read.parquet(legacy).columns.contains("requestedVars"))
+    assert(CatalogManifest.read(spark, legacy).columns.contains("requestedVars"))
     // an empty variables refresh refuses instead of wiping the manifest
     val e = intercept[IllegalArgumentException](
       CatalogManifest.refresh(spark, "zarr", dir, Seq.empty, legacy))
@@ -347,6 +347,90 @@ class CatalogManifestSpec extends SparkSpec {
     assert(got.toSeq == Seq(("/cat/sc0042.zarr", 2L))) // 42%4=2 -> d0 in [2,3]
   }
 
+  test("generational publish: a reader during an in-flight/killed refresh sees the OLD complete manifest") {
+    val dir = Files.createTempDirectory("graft-manif-gen").toString
+    writeZarrCatalog(dir, 3)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    // layout: a pointer + one complete generation, no top-level data
+    assert(ByteStore.readString(s"$manifest/_current").trim == "_gen-00000000")
+    assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp").count() == 36)
+    // a KILLED refresh = a partial next generation with no pointer
+    // flip: readers are untouched (they resolve the pointer, which
+    // still names the old COMPLETE generation)
+    ByteStore.writeString(s"$manifest/_gen-00000001/part-00000-junk.parquet",
+      "NOT PARQUET — a refresh died mid-write")
+    assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp").count() == 36)
+    // the next refresh recovers: it overwrites the orphan generation
+    // and flips the pointer only once the new one is complete
+    ByteStore.writeString(s"$dir/sc001.zarr/lwp/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "v2"}""")
+    val (a1, c1, r1, u1) =
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    assert((a1, c1, r1, u1) == ((0, 1, 0, 2)))
+    assert(ByteStore.readString(s"$manifest/_current").trim == "_gen-00000001")
+    assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp").count() == 36)
+    // the previous generation is retained ONE publish (grace window
+    // for in-flight readers); older ones are deleted after the flip
+    assert(ByteStore.isDirectory(s"$manifest/_gen-00000000"))
+    CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    assert(ByteStore.readString(s"$manifest/_current").trim == "_gen-00000002")
+    assert(ByteStore.isDirectory(s"$manifest/_gen-00000001"))
+    assert(!ByteStore.isDirectory(s"$manifest/_gen-00000000"),
+      "generations older than the grace window must be cleaned up")
+    // a corrupt pointer refuses loudly instead of planning from junk
+    ByteStore.writeString(s"$manifest/_current", "gen-not-a-pointer")
+    val e = intercept[IllegalArgumentException](
+      GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp").count())
+    assert(e.getMessage.contains("pointer"))
+  }
+
+  test("refresh migrates a legacy in-place manifest to the generational layout live") {
+    val dir = Files.createTempDirectory("graft-manif-mig").toString
+    writeZarrCatalog(dir, 3)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    // fabricate the legacy layout: data files at the TOP level
+    val legacy = s"$dir/_legacy_layout"
+    CatalogManifest.read(spark, manifest).write.parquet(legacy)
+    assert(GridOpen.zarrCatalogFromManifest(spark, legacy, "lwp").count() == 36)
+    val (a, c, r, u) =
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), legacy)
+    assert((a, c, r, u) == ((0, 0, 0, 3)))
+    // post-migration: pointered generation, legacy data files removed
+    assert(ByteStore.readString(s"$legacy/_current").trim == "_gen-00000000")
+    val leftovers = ByteStore.list(legacy)
+      .filter(e => !e.isDir && e.name != "_current").map(_.name)
+    assert(leftovers.isEmpty, s"legacy data files survived: $leftovers")
+    assert(GridOpen.zarrCatalogFromManifest(spark, legacy, "lwp").count() == 36)
+  }
+
+  test("checkCatalogFresh: the opt-in full-catalog guard catches what survivor-only cannot") {
+    val dir = Files.createTempDirectory("graft-manif-full").toString
+    writeZarrCatalog(dir, 4)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    CatalogManifest.checkCatalogFresh(spark, "zarr", dir, manifest) // fresh: no-op
+    // an EXCLUDED store changes: the default survivor-only guard lets
+    // a crop that excludes it plan (the documented trade-off) ...
+    ByteStore.writeString(s"$dir/sc003.zarr/lwp/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "excluded-change"}""")
+    val tb = Map("time" -> ("2021-01-01 00:00:00", "2021-01-01 23:00:00"))
+    assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+      timeBounds = tb).count() > 0)
+    // ... while the full-catalog check refuses, naming the store
+    val e = intercept[IllegalArgumentException](
+      CatalogManifest.checkCatalogFresh(spark, "zarr", dir, manifest))
+    assert(e.getMessage.contains("sc003") && e.getMessage.contains("refresh"))
+    CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    CatalogManifest.checkCatalogFresh(spark, "zarr", dir, manifest)
+    // an ADDED store is invisible to every plan-time guard but this one
+    writeZarrCatalog(dir, 5) // idempotent for sc000-003; adds sc004
+    val e2 = intercept[IllegalArgumentException](
+      CatalogManifest.checkCatalogFresh(spark, "zarr", dir, manifest))
+    assert(e2.getMessage.contains("added") && e2.getMessage.contains("sc004"))
+  }
+
   test("the per-file hash catches changes the aggregate triple cancels on") {
     // the exact blind spot the aggregates have: one file grows by the
     // bytes another shrinks, with mtimes restored — (max mtime, bytes,
@@ -374,7 +458,7 @@ class CatalogManifestSpec extends SparkSpec {
     CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
     // rewrite WITHOUT fpHash — the round-17 manifest schema
     val legacy = s"$dir/_prehash"
-    spark.read.parquet(manifest).drop("fpHash").write.parquet(legacy)
+    CatalogManifest.read(spark, manifest).drop("fpHash").write.parquet(legacy)
     // plans fine, and the staleness guard still works on the triple
     assert(GridOpen.zarrCatalogFromManifest(spark, legacy, "lwp").count() == 36)
     ByteStore.writeString(s"$dir/sc001.zarr/lwp/.zattrs",
@@ -387,7 +471,7 @@ class CatalogManifestSpec extends SparkSpec {
     val (added, changed, removed, unchanged) =
       CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), legacy)
     assert((added, changed, removed, unchanged) == ((0, 1, 0, 2)))
-    val hashes = spark.read.parquet(legacy)
+    val hashes = CatalogManifest.read(spark, legacy)
       .select("fpHash").collect().map(_.getLong(0))
     assert(hashes.forall(_ != 0L), "kept rows were not hash-upgraded")
   }
@@ -401,9 +485,9 @@ class CatalogManifestSpec extends SparkSpec {
     // distributeAbove = 0 forces the executor path
     CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), m2,
       distributeAbove = 0)
-    val a = spark.read.parquet(m1).orderBy("store")
+    val a = CatalogManifest.read(spark, m1).orderBy("store")
       .drop("fpMtime").collect().map(_.toString)
-    val b = spark.read.parquet(m2).orderBy("store")
+    val b = CatalogManifest.read(spark, m2).orderBy("store")
       .drop("fpMtime").collect().map(_.toString)
     assert(a.toSeq == b.toSeq)
   }
