@@ -145,6 +145,18 @@ object CatalogManifest {
   private val Pointer = "_current"
   private def genName(n: Int): String = f"_gen-$n%08d"
 
+  /** The per-axis summary projection (the persisted `axs` column):
+    * everything phase 1 needs, WITHOUT the coordinate arrays. Written
+    * at publish time so a phase-1 scan reads a few scalar bytes per
+    * store — parquet column pruning keeps plan cost independent of
+    * axis length — and computed on read for pre-`axs` manifests
+    * ([[withCompat]]). */
+  private val SummarySql =
+    "transform(axes, a -> struct(a.k as k, a.name as name, " +
+      "a.units as units, a.calendar as calendar, " +
+      "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
+      "coalesce(size(a.coords), -1) as n))"
+
   /** The pointed generation number, None for a legacy (pre-
     * generational) manifest. */
   private def currentGen(manifestPath: String): Option[Int] = {
@@ -190,7 +202,8 @@ object CatalogManifest {
       manifestPath: String): Unit = {
     val cur = currentGen(manifestPath)
     val next = cur.map(_ + 1).getOrElse(0)
-    df.write.mode("overwrite") // overwrite: a crashed publish's orphan
+    df.drop("axs").withColumn("axs", expr(SummarySql))
+      .write.mode("overwrite") // overwrite: a crashed publish's orphan
       .parquet(ByteStore.join(manifestPath, genName(next)))
     // THE publish point: one small-object PUT
     ByteStore.writeString(ByteStore.join(manifestPath, Pointer), genName(next))
@@ -297,9 +310,11 @@ object CatalogManifest {
     // generational publish: the union plan reads the CURRENT generation
     // and writes a NEW one, so there is no read-and-overwrite hazard
     // and no window with no readable manifest — the pointer flips only
-    // after the new generation is complete
+    // after the new generation is complete. `axs` drops before the
+    // union (fresh rows lack it); publish recomputes it for every row.
+    val keepCols = keep.drop("axs")
     publish(spark,
-      keep.unionByName(fresh.toDF().select(keep.columns.map(col): _*)),
+      keepCols.unionByName(fresh.toDF().select(keepCols.columns.map(col): _*)),
       manifestPath)
     (added.size, changed.size, removed, unchanged.size)
   }
@@ -315,8 +330,10 @@ object CatalogManifest {
       : org.apache.spark.sql.DataFrame = {
     val a = if (df.columns.contains("requestedVars")) df
       else df.withColumn("requestedVars", typedlit(Seq.empty[String]))
-    if (a.columns.contains("fpHash")) a
-    else a.withColumn("fpHash", lit(0L))
+    val b = if (a.columns.contains("fpHash")) a
+      else a.withColumn("fpHash", lit(0L))
+    if (b.columns.contains("axs")) b
+    else b.withColumn("axs", expr(SummarySql)) // pre-axs: computed on read
   }
 
   // ---- plan-from-manifest ------------------------------------------------
@@ -332,43 +349,149 @@ object CatalogManifest {
   private[sources] final case class VarSummary(store: String, variable: String,
       ax: Seq[AxisSummary])
 
+  /** The DISTINCT (units, calendar) attribute pairs per time-bound
+    * axis — the dispatch table [[envelopePushdown]] resolves bounds
+    * through. A catalog has FEW distinct pairs (a handful of epochs/
+    * calendars across any real archive), so this collect is tiny; the
+    * scan reads only the summary column. Each pair resolves to its
+    * numeric range driver-side; a pair that fails to resolve (non-time
+    * units, an unsupported step or calendar, a bad bound string) maps
+    * to None = keep-unconditionally, so the driver refine raises the
+    * exact live error naming the store. */
+  private[sources] def resolveTimeCombos(df: org.apache.spark.sql.DataFrame,
+      timeBounds: Map[String, (String, String)])
+      : Map[String, Seq[(Option[String], Option[String],
+        Option[(Double, Double)])]] = {
+    if (timeBounds.isEmpty) return Map.empty
+    val names = timeBounds.keys.toSeq
+    val combos = df.select(explode(col("axs")).as("a"))
+      .select(col("a.name").as("name"), col("a.units").as("units"),
+        col("a.calendar").as("calendar"))
+      .where(col("name").isin(names: _*)).distinct().collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    combos.groupBy(_._1).map { case (name, cs) =>
+      val (t0, t1) = timeBounds(name)
+      name -> cs.toSeq.map { case (_, u, c) =>
+        val range = try {
+          u.filter(CfTime.looksLikeTimeUnits) match {
+            case None => None // not a time axis: driver refine raises
+            case Some(uu) =>
+              CfTime.splitUnits(uu) // throws on month/year/typo'd steps
+              if (CfTime.isStandardCalendar(c))
+                Some(CfTime.numericRange(uu, t0, t1))
+              else if (CfCalendar.supported(c.get))
+                Some(CfCalendar.numericRange(uu, c.get, t0, t1))
+              else None
+          }
+        } catch { case _: Exception => None }
+        (u, c, range)
+      }
+    }
+  }
+
+  /** The DISTRIBUTED form of [[envelopeSurvives]] over the summary
+    * column — phase 1's filter, so the driver collects SURVIVORS (plus
+    * error-shaped rows), never the whole catalog. Strictly conservative
+    * vs the driver test (the fuzz pins it): it keeps every store the
+    * exact test keeps, plus
+    *  - error-shaped rows (missing bound axis, NULL coords,
+    *    unresolvable units) — collected so the driver refine raises
+    *    the exact live error with the store's name;
+    *  - NaN envelopes (kept, like the driver test).
+    * NaN caution: Spark SQL orders NaN LARGEST, so `mn > hi` would be
+    * TRUE for an all-NaN axis where the driver test keeps — the isnan
+    * guards make both NaN cases explicit keeps. */
+  private[sources] def envelopePushdown(
+      bounds: Map[String, (Double, Double)],
+      timeCombos: Map[String, Seq[(Option[String], Option[String],
+        Option[(Double, Double)])]]): org.apache.spark.sql.Column = {
+    def intersects(a: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      a("n") > 0 && (isnan(a("mn")) || isnan(a("mx")) ||
+        !(a("mx") < lit(lo) || a("mn") > lit(hi)))
+    def attrEq(c: org.apache.spark.sql.Column, v: Option[String]) =
+      v.map(c === lit(_)).getOrElse(c.isNull)
+    def axisKeep(name: String,
+        perAxis: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      size(filter(col("axs"), a => a("name") === lit(name))) === 0 ||
+        exists(col("axs"), a => a("name") === lit(name) &&
+          (a("n") < 0 || perAxis(a)))
+    val numeric = bounds.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+      axisKeep(n, a => intersects(a, lo, hi))
+    }
+    val timed = timeCombos.toSeq.sortBy(_._1).map { case (n, combos) =>
+      axisKeep(n, { a =>
+        val matches = combos.map { case (u, c, _) =>
+          attrEq(a("units"), u) && attrEq(a("calendar"), c) }
+        val tests = combos.zip(matches).map {
+          case ((_, _, Some((lo, hi))), m) => m && intersects(a, lo, hi)
+          case ((_, _, None), m) => m // unresolvable: keep, driver raises
+        }
+        // an attr pair outside the dispatch table (it cannot occur —
+        // the combos come from this same generation — but stay sound):
+        // keep, the driver refine decides
+        !matches.reduce(_ || _) || tests.reduce(_ || _)
+      })
+    }
+    (numeric ++ timed).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Phase-1 rows collected by the LAST planStores/planVarsStores call
+    * — test-scope observability for the collected == survivors claim
+    * (the pushed filter's whole point). */
+  @volatile private[sources] var lastPhase1Collected: Int = -1
+
   /** Plan a catalog open from the manifest with ZERO per-store storage
-    * reads: phase 1 collects per-store SUMMARIES (scalars — tiny even
-    * at 10^5 stores), resolves the caller's bounds per store through
-    * each store's own units/calendar, and prunes stores whose
-    * [min,max] envelopes provably miss; phase 2 loads full coordinates
-    * for SURVIVORS only (pushed `store IN` parquet read). Envelope
-    * pruning is conservative — a surviving store can still resolve to
-    * an empty exact range downstream, which excludes it there.
-    * Returns (survivor metas store-sorted, member count, format, dir,
-    * the REAL envelope survivors' change fingerprints — empty when
-    * everything pruned); when everything prunes, one store's meta is
-    * kept so the empty frame still carries the right schema (it is
-    * NOT a survivor and its fingerprint is not returned or checked). */
+    * reads: phase 1 prunes stores whose [min,max] envelopes provably
+    * miss INSIDE the manifest scan ([[envelopePushdown]] over the
+    * persisted summary column — the coordinate arrays are never even
+    * read) and collects only the survivors; the driver then re-checks
+    * them with the exact [[envelopeSurvives]] (raising the live
+    * errors); phase 2 loads full coordinates for SURVIVORS only
+    * (pushed `store IN` parquet read). Envelope pruning is
+    * conservative — a surviving store can still resolve to an empty
+    * exact range downstream, which excludes it there.
+    * Returns (survivor metas store-sorted, format, dir, the REAL
+    * envelope survivors' change fingerprints — empty when everything
+    * pruned); when everything prunes, one store's meta is kept so the
+    * empty frame still carries the right schema (it is NOT a survivor
+    * and its fingerprint is not returned or checked). */
   private[sources] def planStores(spark: SparkSession, manifestPath: String,
       variable: String,
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)],
       verifyFingerprints: Boolean = true)
-      : (Seq[GridOpen.StoreMeta], Int, String, String,
-        Seq[(String, Fp)]) = {
+      : (Seq[GridOpen.StoreMeta], String, String, Seq[(String, Fp)]) = {
     import spark.implicits._
     val df = load(spark, manifestPath)
       .where(col("variable") === variable)
-    val sums = df.select(col("store"), col("format"), col("dir"),
-      expr("transform(axes, a -> struct(a.k as k, a.name as name, " +
-        "a.units as units, a.calendar as calendar, " +
-        "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
-        "coalesce(size(a.coords), -1) as n))").as("ax"))
-      .as[StoreSummary].collect()
-    require(sums.nonEmpty,
-      s"catalog manifest: no '$variable' rows in $manifestPath")
-    val format = sums.head.format
-    val dir = sums.head.dir
+    val sumsDf = df.select(col("store"), col("format"), col("dir"),
+      col("axs").as("ax"))
+    val pushed =
+      if (bounds.isEmpty && timeBounds.isEmpty) sumsDf
+      else sumsDf.where(envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
+    val sums = pushed.as[StoreSummary].collect()
+    lastPhase1Collected = sums.length
+    // distinguish "all pruned" (fine — empty result) from "no rows at
+    // all" (an error), and keep ONE store for the empty frame's schema
+    val fallback =
+      if (sums.nonEmpty) None
+      else {
+        val one = sumsDf.limit(1).as[StoreSummary].collect()
+        require(one.nonEmpty,
+          s"catalog manifest: no '$variable' rows in $manifestPath")
+        Some(one.head)
+      }
+    val head = sums.headOption.orElse(fallback).get
+    val format = head.format
+    val dir = head.dir
+    // exact driver refine over the collected CANDIDATES (survivors +
+    // error-shaped rows): raises the live errors, drops conservative
+    // keeps the exact test rejects
     val survivors = sums.filter(s =>
       envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
-    val wanted = if (survivors.nonEmpty) survivors else Seq(sums.head.store)
-    val full = df.where(col("store").isin(wanted: _*)).as[Entry].collect()
+    val wanted = if (survivors.nonEmpty) survivors else Seq(head.store)
+    val full = df.drop("axs")
+      .where(col("store").isin(wanted: _*)).as[Entry].collect()
     // verify only ACTUAL survivors: the everything-pruned fallback row
     // exists for schema alone — its staleness cannot affect the (empty)
     // result, so it must not refuse the query
@@ -381,7 +504,7 @@ object CatalogManifest {
     val metas = full.sortBy(_.store).map(e => GridOpen.StoreMeta(e.store,
       GridOpen.classifyAxes(e.axes, e.store),
       CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
-    (metas.toSeq, sums.length, format, dir, survivorFps)
+    (metas.toSeq, format, dir, survivorFps)
   }
 
   /** Staleness guard on the stores a plan will actually READ: one
@@ -415,12 +538,15 @@ object CatalogManifest {
 
   /** Multi-variable plan-from-manifest: membership = stores whose
     * manifest rows cover ALL `variables`; envelope pruning runs on the
-    * head variable's axes (the shared grid); phase 2 loads survivors'
-    * full rows and VERIFIES the shared grid across variables (names +
-    * coords, NaN-tolerant) exactly like the live open. Returns
-    * (store, shared axes, attrs per variable in `variables` order)
-    * store-sorted, plus format and dir. ZERO per-store storage
-    * reads. */
+    * head variable's axes (the shared grid). BOTH run inside the
+    * manifest scan — membership as a grouped row-count gate, the
+    * envelope as [[envelopePushdown]] over the summary column — so
+    * phase 1 collects only surviving members, never the catalog;
+    * phase 2 loads survivors' full rows and VERIFIES the shared grid
+    * across variables (names + coords, NaN-tolerant) exactly like the
+    * live open. Returns (store, shared axes, attrs per variable in
+    * `variables` order) store-sorted, plus format and dir. ZERO
+    * per-store storage reads. */
   private[sources] def planVarsStores(spark: SparkSession,
       manifestPath: String, variables: Seq[String],
       bounds: Map[String, (Double, Double)],
@@ -431,26 +557,38 @@ object CatalogManifest {
     require(variables.nonEmpty, "catalog manifest: no variables requested")
     val df = load(spark, manifestPath)
       .where(col("variable").isin(variables: _*))
-    val sums = df.select(col("store"), col("variable"),
-      expr("transform(axes, a -> struct(a.k as k, a.name as name, " +
-        "a.units as units, a.calendar as calendar, " +
-        "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
-        "coalesce(size(a.coords), -1) as n))").as("ax"))
-      .as[VarSummary].collect()
-    require(sums.nonEmpty,
-      s"catalog manifest: no rows for ${variables.mkString(",")} in $manifestPath")
-    val byStore = sums.groupBy(_.store)
-    val members = byStore.collect {
-      case (s, rows) if variables.forall(v => rows.exists(_.variable == v)) => s
-    }.toSeq.sorted
-    require(members.nonEmpty, s"catalog manifest: no store holds all of " +
-      s"${variables.mkString(",")} in $manifestPath")
-    val survivors = members.filter { s =>
-      val head = byStore(s).find(_.variable == variables.head).get
-      envelopeSurvives(s, head.ax, bounds, timeBounds)
-    }
-    val wanted = if (survivors.nonEmpty) survivors else members.take(1)
-    val full = df.where(col("store").isin(wanted: _*)).as[Entry].collect()
+    // membership gate: one (store, variable) row each, so a member
+    // holds exactly |variables| rows — a grouped count, no collect
+    val memberDf = df.groupBy("store")
+      .agg(count(lit(1)).as("__nv"))
+      .where(col("__nv") === variables.distinct.size).select("store")
+    val headDf = df.where(col("variable") === variables.head)
+      .join(memberDf, Seq("store"), "left_semi")
+      .select(col("store"), col("variable"), col("axs").as("ax"))
+    val pushed =
+      if (bounds.isEmpty && timeBounds.isEmpty) headDf
+      else headDf.where(
+        envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
+    val sums = pushed.as[VarSummary].collect()
+    lastPhase1Collected = sums.length
+    // all-pruned vs no-rows vs no-member: only the first is fine
+    val fallbackMember =
+      if (sums.nonEmpty) None
+      else {
+        require(df.limit(1).count() > 0, s"catalog manifest: no rows for " +
+          s"${variables.mkString(",")} in $manifestPath")
+        val one = headDf.limit(1).select("store").as[String].collect()
+        require(one.nonEmpty, s"catalog manifest: no store holds all of " +
+          s"${variables.mkString(",")} in $manifestPath")
+        Some(one.head)
+      }
+    val survivors = sums.filter(s =>
+      envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
+    val wanted =
+      if (survivors.nonEmpty) survivors
+      else Seq(sums.headOption.map(_.store).getOrElse(fallbackMember.get))
+    val full = df.drop("axs")
+      .where(col("store").isin(wanted: _*)).as[Entry].collect()
     if (verifyFingerprints && survivors.nonEmpty)
       checkFresh(full.map(e =>
           (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))

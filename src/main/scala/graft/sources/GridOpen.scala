@@ -347,7 +347,7 @@ object GridOpen {
     // survivor (a stale store the exact prune would wrongly drop must
     // refuse), but never for already-materialized scenes — a done
     // scene's later change must not wedge a skip-everything re-run
-    val (metas0, _, format, dir, survivorFps) = CatalogManifest.planStores(
+    val (metas0, format, dir, survivorFps) = CatalogManifest.planStores(
       spark, manifestPath, dataset, bounds, timeBounds,
       verifyFingerprints = false)
     require(format == "zarr",
@@ -701,7 +701,7 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): DataFrame = {
-    val (metas, _, format, dir, _) =
+    val (metas, format, dir, _) =
       CatalogManifest.planStores(spark, manifestPath, dataset, bounds,
         timeBounds, verifyFingerprints)
     require(format == "zarr",
@@ -722,7 +722,7 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): DataFrame = {
-    val (metas, _, format, _, _) =
+    val (metas, format, _, _) =
       CatalogManifest.planStores(spark, manifestPath, varName, bounds,
         timeBounds, verifyFingerprints)
     require(format == "netcdf3",
@@ -740,7 +740,7 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): DataFrame = {
-    val (metas, _, format, _, _) =
+    val (metas, format, _, _) =
       CatalogManifest.planStores(spark, manifestPath, dataset, bounds,
         timeBounds, verifyFingerprints)
     require(format == "hdf5",

@@ -83,6 +83,11 @@ class CatalogManifestSpec extends SparkSpec {
     assert(rec.metaOps * 2 < liveRec.metaOps,
       s"manifest plan metadata ops (${rec.metaOps}) not clearly below " +
         s"the live open's (${liveRec.metaOps})")
+    // the envelope prune runs INSIDE the manifest scan: phase 1
+    // collected exactly the 2 survivors to the driver, not the catalog
+    assert(CatalogManifest.lastPhase1Collected == 2,
+      s"phase 1 collected ${CatalogManifest.lastPhase1Collected} rows " +
+        "for 2 survivors — the pushed envelope prune is not pruning")
   }
 
   test("refresh re-reads ONLY changed stores; added/removed reconcile") {
@@ -332,6 +337,91 @@ class CatalogManifestSpec extends SparkSpec {
     }
     // both outcomes exercised — the fuzz is not degenerate
     assert(kept > 200 && pruned > 200, s"degenerate fuzz: kept=$kept pruned=$pruned")
+  }
+
+  test("fuzz: the PUSHED envelope form keeps every store the exact test keeps") {
+    // the distributed filter (summary transform + envelopePushdown,
+    // with Spark's NaN-largest ordering and null propagation) must be
+    // conservative vs the driver test: a store it drops that
+    // envelopeSurvives keeps — or that is error-shaped and must reach
+    // the driver to raise — would be silent data loss. One DataFrame,
+    // one job, 2000 random coords incl. NaN / empty / missing-coord /
+    // missing-axis shapes.
+    val rnd = new scala.util.Random(20260816)
+    val bounds = Map("x" -> (-20.0, 35.0))
+    val cases: Seq[(String, Seq[GridOpen.RawAxis])] = (1 to 2000).map { i =>
+      val shape = rnd.nextInt(10)
+      val axes: Seq[GridOpen.RawAxis] = shape match {
+        case 0 => Seq(GridOpen.RawAxis(0, "x", None, None, None)) // no coords
+        case 1 => Seq(GridOpen.RawAxis(0, "x", None, None,
+          Some(Array.empty[Double]))) // empty coords
+        case 2 => Seq(GridOpen.RawAxis(0, "y", None, None,
+          Some(Array(1.0)))) // bound axis MISSING entirely
+        case 3 => Seq(GridOpen.RawAxis(0, "x", None, None,
+          Some(Array.fill(1 + rnd.nextInt(4))(Double.NaN)))) // all-NaN
+        case _ =>
+          val n = 1 + rnd.nextInt(8)
+          val vals = Array.fill(n)(rnd.nextInt(140) - 70.0)
+          if (rnd.nextInt(4) == 0) vals(rnd.nextInt(n)) = Double.NaN
+          Seq(GridOpen.RawAxis(0, "x", None, None, Some(vals.sorted)))
+      }
+      (s"case$i", axes)
+    }
+    import spark.implicits._
+    val df = cases.toDF("store", "axes")
+      .withColumn("axs", expr(
+        "transform(axes, a -> struct(a.k as k, a.name as name, " +
+          "a.units as units, a.calendar as calendar, " +
+          "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
+          "coalesce(size(a.coords), -1) as n))"))
+    // what the driver test says, evaluated on the SAME Spark-computed
+    // summaries (a thrown error = the store must reach the driver)
+    val summaries = df.select(col("store"), lit("zarr").as("format"),
+        lit("/x").as("dir"), col("axs").as("ax"))
+      .as[CatalogManifest.StoreSummary].collect()
+    val mustKeep = summaries.filter { s =>
+      try CatalogManifest.envelopeSurvives(s.store, s.ax, bounds, Map.empty)
+      catch { case _: Exception => true } // error-shaped: must collect
+    }.map(_.store).toSet
+    val pushedKept = df
+      .where(CatalogManifest.envelopePushdown(bounds, Map.empty))
+      .select("store").as[String].collect().toSet
+    val lost = mustKeep -- pushedKept
+    assert(lost.isEmpty, s"UNSOUND pushed envelope dropped: ${lost.take(5)}")
+    // and it actually prunes (not a degenerate keep-everything)
+    assert(pushedKept.size < cases.size * 9 / 10,
+      s"degenerate: pushed kept ${pushedKept.size} of ${cases.size}")
+    info(s"pushed kept ${pushedKept.size}, exact keeps ${mustKeep.size} of ${cases.size}")
+  }
+
+  test("pushed envelope with per-store epochs: time combos resolve per (units, calendar)") {
+    // three distinct epochs + a store with NON-time units on the bound
+    // axis (error-shaped: must collect and raise) + one with a month
+    // step (unresolvable combo: must collect and raise)
+    import spark.implicits._
+    def row(store: String, units: String) =
+      (store, Seq(GridOpen.RawAxis(0, "time", Some(units), None,
+        Some(Array(0.0, 6.0, 12.0, 18.0)))))
+    val df = Seq(
+      row("e1", "hours since 2021-01-01"),
+      row("e2", "hours since 2021-01-05"),
+      row("e3", "seconds since 2021-01-05"),
+      row("bad_units", "m"),
+      row("bad_step", "months since 2021-01-01")).toDF("store", "axes")
+      .withColumn("axs", expr(
+        "transform(axes, a -> struct(a.k as k, a.name as name, " +
+          "a.units as units, a.calendar as calendar, " +
+          "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
+          "coalesce(size(a.coords), -1) as n))"))
+    val tb = Map("time" -> ("2021-01-05 00:00:00", "2021-01-05 23:00:00"))
+    val combos = CatalogManifest.resolveTimeCombos(df, tb)
+    val kept = df.where(CatalogManifest.envelopePushdown(Map.empty, combos))
+      .select("store").as[String].collect().toSet
+    // e1's window is day 5 hours 96-119 — outside its 0-18h axis:
+    // pruned. e2 intersects (hours since day 5). e3 intersects
+    // (seconds epoch — a DIFFERENT numeric range, resolved per combo).
+    // the two error-shaped stores are kept for the driver to raise on.
+    assert(kept == Set("e2", "e3", "bad_units", "bad_step"), s"got $kept")
   }
 
   test("a ~3,000-branch catalog disjunction converts and filters without stack overflow") {
