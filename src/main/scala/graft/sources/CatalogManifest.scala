@@ -490,21 +490,67 @@ object CatalogManifest {
     val survivors = sums.filter(s =>
       envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
     val wanted = if (survivors.nonEmpty) survivors else Seq(head.store)
-    val full = df.drop("axs")
-      .where(col("store").isin(wanted: _*)).as[Entry].collect()
+    val full = loadEntries(spark, df, wanted)
     // verify only ACTUAL survivors: the everything-pruned fallback row
     // exists for schema alone — its staleness cannot affect the (empty)
     // result, so it must not refuse the query
     val survivorSet = survivors.toSet
-    val survivorFps = full.filter(e => survivorSet(e.store))
+    val survivorFps = full.map(_._1).filter(e => survivorSet(e.store))
       .map(e => (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))
-      .distinct.toSeq
+      .distinct
     if (verifyFingerprints)
       checkFresh(survivorFps, manifestPath)
-    val metas = full.sortBy(_.store).map(e => GridOpen.StoreMeta(e.store,
-      GridOpen.classifyAxes(e.axes, e.store),
-      CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
-    (metas.toSeq, format, dir, survivorFps)
+    val metas = full.sortBy(_._1.store).map { case (e, raw) =>
+      GridOpen.StoreMeta(e.store, GridOpen.classifyAxes(raw, e.store),
+        CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)) }
+    (metas, format, dir, survivorFps)
+  }
+
+  /** Phase-2 scalar row: everything except the coordinate arrays. */
+  private[sources] final case class AxisHead(k: Int, name: String,
+      units: Option[String], calendar: Option[String], hasCoords: Boolean)
+  private[sources] final case class ScalarEntry(store: String,
+      variable: String, format: String, dir: String,
+      fpMtime: Long, fpBytes: Long, fpCount: Long, fpHash: Long,
+      scale: Double, offset: Double, fill: Option[Double],
+      unsignedModulus: Option[Double], axh: Seq[AxisHead])
+
+  /** Phase 2 with COORDS OFF THE DRIVER's per-store hot path: scalar
+    * rows collect per (store, variable), while coordinate arrays
+    * collect ONCE PER DISTINCT (axis position, coords) GROUP — a
+    * grouped exchange whose equality is Spark's NaN-normalized array
+    * grouping, the same relation as [[GridOpen.coordsEq]] — and are
+    * shared BY REFERENCE across every member store's meta. A broad
+    * open over a homogeneous 10^4-store catalog therefore drivers its
+    * grid once, not 10^4 times (and downstream `eq`-shortcut
+    * comparisons are O(1)); a fully heterogeneous catalog collects
+    * exactly what it did before, once per store. */
+  private def loadEntries(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, wanted: Seq[String])
+      : Seq[(ScalarEntry, Seq[GridOpen.RawAxis])] = {
+    import spark.implicits._
+    val wdf = df.drop("axs").where(col("store").isin(wanted: _*))
+    val scal = wdf.select(col("store"), col("variable"), col("format"),
+        col("dir"), col("fpMtime"), col("fpBytes"), col("fpCount"),
+        col("fpHash"), col("scale"), col("offset"), col("fill"),
+        col("unsignedModulus"),
+        expr("transform(axes, a -> struct(a.k as k, a.name as name, " +
+          "a.units as units, a.calendar as calendar, " +
+          "(a.coords is not null) as hasCoords))").as("axh"))
+      .as[ScalarEntry].collect()
+    val groups = wdf
+      .select(col("store"), col("variable"), explode(col("axes")).as("a"))
+      .where(col("a.coords").isNotNull)
+      .groupBy(col("a.k").as("k"), col("a.coords").as("coords"))
+      .agg(collect_list(struct(col("store"), col("variable"))).as("members"))
+      .as[(Int, Array[Double], Seq[(String, String)])].collect()
+    val coordOf = groups.iterator.flatMap { case (k, cs, ms) =>
+      ms.iterator.map(m => (m._1, m._2, k) -> cs) }.toMap
+    scal.toSeq.map { e =>
+      (e, e.axh.map(h => GridOpen.RawAxis(h.k, h.name, h.units, h.calendar,
+        if (h.hasCoords) Some(coordOf((e.store, e.variable, h.k)))
+        else None)))
+    }
   }
 
   /** Staleness guard on the stores a plan will actually READ: one
@@ -587,26 +633,29 @@ object CatalogManifest {
     val wanted =
       if (survivors.nonEmpty) survivors
       else Seq(sums.headOption.map(_.store).getOrElse(fallbackMember.get))
-    val full = df.drop("axs")
-      .where(col("store").isin(wanted: _*)).as[Entry].collect()
+    val full = loadEntries(spark, df, wanted)
     if (verifyFingerprints && survivors.nonEmpty)
-      checkFresh(full.map(e =>
+      checkFresh(full.map(_._1).map(e =>
           (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))
-        .distinct.toSeq, manifestPath)
-    val fullByStore = full.groupBy(_.store)
-    val (format, dir) = (full.head.format, full.head.dir)
+        .distinct, manifestPath)
+    val fullByStore = full.groupBy(_._1.store)
+    val (format, dir) = (full.head._1.format, full.head._1.dir)
     val metas = wanted.sorted.map { s =>
       val rows = fullByStore(s)
-      val perVar = variables.map(v => rows.find(_.variable == v).get)
-      val axesPerVar = perVar.map(e => GridOpen.classifyAxes(e.axes, e.store))
+      val perVar = variables.map(v => rows.find(_._1.variable == v).get)
+      val axesPerVar = perVar.map { case (e, raw) =>
+        GridOpen.classifyAxes(raw, e.store) }
+      // shared-grid verification: identical coords collapsed to ONE
+      // array instance in loadEntries, so coordsEq's `eq` shortcut
+      // makes this O(rank), not O(rank x axis length)
       axesPerVar.tail.zip(variables.tail).foreach { case (ax, v) =>
         if (ax.map(_.name) != axesPerVar.head.map(_.name) ||
           !ax.zip(axesPerVar.head).forall { case (a, b) =>
             GridOpen.coordsEq(a.coords, b.coords) })
           fail(s"variable '$v' in $s is not on the store's shared grid")
       }
-      (s, axesPerVar.head, perVar.map(e =>
-        CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)))
+      (s, axesPerVar.head, perVar.map { case (e, _) =>
+        CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus) })
     }
     (metas, format, dir)
   }

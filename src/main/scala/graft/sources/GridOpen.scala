@@ -107,8 +107,8 @@ object GridOpen {
     * variable open refuse as "not on the shared grid". */
   private[sources] def coordsEq(a: Option[Array[Double]],
       b: Option[Array[Double]]): Boolean = (a, b) match {
-    case (Some(x), Some(y)) => x.length == y.length &&
-      x.indices.forall(i => x(i) == y(i) || (x(i).isNaN && y(i).isNaN))
+    case (Some(x), Some(y)) => (x eq y) || (x.length == y.length &&
+      x.indices.forall(i => x(i) == y(i) || (x(i).isNaN && y(i).isNaN)))
     case (None, None) => true
     case _ => false
   }

@@ -424,6 +424,33 @@ class CatalogManifestSpec extends SparkSpec {
     assert(kept == Set("e2", "e3", "bad_units", "bad_step"), s"got $kept")
   }
 
+  test("phase 2 drivers each DISTINCT coords array once, shared by reference") {
+    // a broad open over a homogeneous catalog must not collect the
+    // same grid once per store: identical axes collapse to ONE array
+    // instance (Spark's NaN-normalized array grouping), heterogeneous
+    // ones stay per-store. The 12-store fixture shares x and the time
+    // VALUES but differs in epoch attrs (same coords array!), so both
+    // axes collapse to a single instance here.
+    val dir = Files.createTempDirectory("graft-manif-share").toString
+    writeZarrCatalog(dir, 12)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    val (metas, _, _, _) = CatalogManifest.planStores(spark, manifest,
+      "lwp", Map.empty, Map.empty)
+    assert(metas.length == 12)
+    def instances(k: Int): Int = metas
+      .map(m => System.identityHashCode(m.axes(k).coords.get)).distinct.size
+    assert(instances(0) == 1, // time coords identical (epochs differ in UNITS)
+      s"time coords collected ${instances(0)} instances for 12 stores")
+    assert(instances(1) == 1,
+      s"x coords collected ${instances(1)} instances for 12 stores")
+    // per-store epochs still decode per store (units survive per row)
+    assert(metas.map(_.axes(0).time).distinct.size == 12)
+    // and values still round-trip exactly (the shared arrays are real)
+    assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp")
+      .count() == 144)
+  }
+
   test("a ~3,000-branch catalog disjunction converts and filters without stack overflow") {
     // regression guard for the balanced-Or fix: the left-deep reduce
     // stack-overflowed near ~1,000 branches in Catalyst's converters
