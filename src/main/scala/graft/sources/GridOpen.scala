@@ -612,6 +612,71 @@ object GridOpen {
       else None
     }
 
+  /** Survivor count above which the per-store crop switches from the
+    * pushed Or disjunction to the broadcast-join residual
+    * ([[storeCrop]]). Mutable for tests and rehearsals only. */
+  private[sources] var residualJoinAbove: Int = 256
+
+  /** The per-store crop over a catalog frame. Two regimes:
+    *
+    *  - SELECTIVE (survivors <= [[residualJoinAbove]], the shape
+    *    catalogs exist for): ONE pushed disjunction
+    *    `(path = s AND dK BETWEEN ...) OR ...` — the mounts prune at
+    *    store/array/chunk granularity on it, and Spark re-checks it
+    *    residually per row. O(survivors) per row, fine when survivors
+    *    are few.
+    *  - BROAD (above the threshold): the disjunction's per-row cost
+    *    would dominate (10^4 survivors x 10^9 rows = an O(N) Or per
+    *    row), so the crop splits: the SCAN gets `path IN (...)` (an
+    *    O(1) hash InSet per row) plus the per-dimension UNION envelope
+    *    (`dK BETWEEN min lo AND max hi` — chunk pruning for
+    *    grid-aligned catalogs), and the exact per-store ranges apply
+    *    through a BROADCAST JOIN on `path` — an O(1) hash probe per
+    *    row instead of the O(survivors) Or. Same rows either way
+    *    (spec-pinned); pruning granularity within a surviving store's
+    *    out-of-envelope chunks is the honest cost of the switch. */
+  private def storeCrop(spark: SparkSession, base: DataFrame,
+      surviving: Seq[(String, Seq[(Int, (Int, Int))])]): DataFrame =
+    if (surviving.isEmpty) base.where(lit(false)) // provably empty
+    else if (surviving.size <= residualJoinAbove)
+      base.where(CoordCrop.catalogPredicate(surviving))
+    else {
+      val ks = surviving.head._2.map(_._1)
+      // axis names/time-kinds match catalog-wide (gated upstream), so
+      // every store resolves the same bounded-axis set
+      surviving.foreach { case (s, rs) =>
+        if (rs.map(_._1) != ks)
+          fail(s"store $s resolved bounded axes ${rs.map(_._1)}, " +
+            s"catalog resolved $ks")
+      }
+      var pushed = base.where(col("path").isin(surviving.map(_._1): _*))
+      ks.foreach { k =>
+        val lows = surviving.map(_._2.find(_._1 == k).get._2._1)
+        val highs = surviving.map(_._2.find(_._1 == k).get._2._2)
+        pushed = pushed.where(
+          col(MountDsv2.DimCols(k)) >= lows.min.toLong &&
+            col(MountDsv2.DimCols(k)) <= highs.max.toLong)
+      }
+      if (ks.isEmpty) pushed
+      else {
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val schema = StructType(StructField("path", StringType) +:
+          ks.flatMap(k => Seq(StructField(s"__lo$k", LongType),
+            StructField(s"__hi$k", LongType))))
+        val rows = surviving.map { case (p, rs) =>
+          org.apache.spark.sql.Row.fromSeq(p +: rs.flatMap { case (_, (i0, i1)) =>
+            Seq(i0.toLong, i1.toLong) })
+        }
+        import scala.jdk.CollectionConverters._
+        val tbl = spark.createDataFrame(rows.asJava, schema)
+        val joined = pushed.join(broadcast(tbl), Seq("path"), "inner")
+        ks.foldLeft(joined) { (d, k) =>
+          d.where(col(MountDsv2.DimCols(k)) >= col(s"__lo$k") &&
+            col(MountDsv2.DimCols(k)) <= col(s"__hi$k"))
+        }.drop(ks.flatMap(k => Seq(s"__lo$k", s"__hi$k")): _*)
+      }
+    }
+
   /** Shared single-variable catalog open over one per-store metadata
     * set: homogeneity gates, store-level crop, pack-attr decode
     * (literal when uniform, broadcast per store otherwise), per-axis
@@ -630,7 +695,7 @@ object GridOpen {
       bounds, timeBounds)
     val cropped =
       if (bounds.isEmpty && timeBounds.isEmpty) base
-      else base.where(CoordCrop.catalogPredicate(surviving))
+      else storeCrop(spark, base, surviving)
     val keptPaths = surviving.map(_._1).toSet
     // every store pruned -> the scan is lit(false)-empty; ONE store's
     // meta keeps the empty frame's schema without building the whole
@@ -1001,10 +1066,10 @@ object GridOpen {
     var df = mount.where(col("dataset").isin(variables: _*))
     // membership itself must prune: a store lacking a variable is not
     // in `stores`, so even with NO bounds the path set pushes
-    df = df.where(
+    df =
       if (bounds.isEmpty && timeBounds.isEmpty)
-        col("path").isin(stores: _*)
-      else CoordCrop.catalogPredicate(surviving))
+        df.where(col("path").isin(stores: _*))
+      else storeCrop(spark, df, surviving)
     val keptPaths = surviving.map(_._1).toSet
     val kept0 = perStore.filter(m => keptPaths(m._1))
     val kept = if (kept0.nonEmpty) kept0 else perStore.take(1)

@@ -451,6 +451,55 @@ class CatalogManifestSpec extends SparkSpec {
       .count() == 144)
   }
 
+  test("above the survivor threshold the residual is a broadcast join, not an O(N) Or") {
+    // at 10^4 survivors x 10^9 rows the pushed disjunction — which is
+    // also Spark's per-row residual — would dominate execution; above
+    // residualJoinAbove the crop switches to path IN (hash InSet) +
+    // union envelope on the scan and a broadcast join for the exact
+    // per-store ranges: O(1) per row. Rows must match the Or form
+    // exactly.
+    val dir = Files.createTempDirectory("graft-manif-bjoin").toString
+    writeZarrCatalog(dir, 12)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    // a BROAD window: days 1-10 of the 12 epochs survive
+    val tb = Map("time" -> ("2021-01-01 00:00:00", "2021-01-10 23:00:00"))
+    def run() = GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+      timeBounds = tb)
+    val orDf = run()
+    // (a BroadcastHashJoin exists in BOTH forms — the per-epoch time
+    // DECODE join — so the crop join is keyed on its __lo/__hi ranges)
+    val orPlan = orDf.queryExecution.executedPlan.toString
+    assert(!orPlan.contains("__lo0"),
+      "selective form must stay the pushed disjunction")
+    val orRows = orDf.collect().map(_.toString).sorted
+    assert(orRows.length == 120) // 10 surviving stores x 12 cells
+    try {
+      GridOpen.residualJoinAbove = 4
+      val joinDf = run()
+      val joinPlan = joinDf.queryExecution.executedPlan.toString
+      assert(joinPlan.contains("BroadcastHashJoin") && joinPlan.contains("__lo0"),
+        s"broad form must crop through a broadcast range join:\n$joinPlan")
+      assert(!joinPlan.contains("sc000.zarr) OR"),
+        "the O(survivors) Or must be gone from the broad form")
+      assert(joinDf.collect().map(_.toString).sorted.toSeq == orRows.toSeq)
+    } finally GridOpen.residualJoinAbove = 256
+    // the vars-catalog path switches too
+    val dir2 = Files.createTempDirectory("graft-manif-bjoin2").toString
+    writeZarrCatalog(dir2, 8)
+    val manifest2 = s"$dir2/_manifest"
+    CatalogManifest.build(spark, "zarr", dir2, Seq("lwp", "x"), manifest2)
+    def runVars() = GridOpen.zarrVarsCatalogFromManifest(spark, manifest2,
+      Seq("lwp"), timeBounds = tb)
+    val varsOr = runVars().collect().map(_.toString).sorted
+    try {
+      GridOpen.residualJoinAbove = 2
+      val varsJoin = runVars()
+      assert(varsJoin.queryExecution.executedPlan.toString.contains("__lo0"))
+      assert(varsJoin.collect().map(_.toString).sorted.toSeq == varsOr.toSeq)
+    } finally GridOpen.residualJoinAbove = 256
+  }
+
   test("a ~3,000-branch catalog disjunction converts and filters without stack overflow") {
     // regression guard for the balanced-Or fix: the left-deep reduce
     // stack-overflowed near ~1,000 branches in Catalyst's converters
