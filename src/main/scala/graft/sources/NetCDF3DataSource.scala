@@ -132,6 +132,27 @@ class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int
         MountDsv2.boxKeep(origin, box, t.dims, dimRs) &&
         (trees.isEmpty || MountDsv2.boxTreeKeep(trees, t.path, t.dataset,
           idxB, origin, box, t.dims))
+    }.map { t =>
+      // NARROW a surviving record batch to the pushed d0 / idx window:
+      // record r is exactly d0 = r and idx [r*perRec, (r+1)*perRec),
+      // so out-of-window records inside an intersecting batch are
+      // never read — a 4-of-64-record crop issues a 4-record ranged
+      // GET, not the batch's span (S3FsSpec pins the byte counts).
+      // Tree-shaped (per-store disjunction) crops stay batch-granular
+      // here; every filter remains residual either way.
+      if (t.stride == 0L) t
+      else {
+        val d0 = dimRs(0)
+        val rLo = math.max(math.max(t.recStart.toLong, d0.lo),
+          Math.floorDiv(range.lo, t.perRec.toLong))
+        val rHi = math.min(math.min(t.recStart.toLong + t.nRecs - 1, d0.hi),
+          Math.floorDiv(range.hi, t.perRec.toLong))
+        // the batch survived the filters above, so the window is
+        // non-empty; clamp defensively anyway
+        if (rLo <= rHi && (rLo > t.recStart || rHi < t.recStart + t.nRecs - 1))
+          t.copy(recStart = rLo.toInt, nRecs = (rHi - rLo + 1).toInt)
+        else t
+      }
     }.sortBy(t => (t.path, t.begin, t.recStart))
     if (tasks.isEmpty) return Array.empty
     val par = MountDsv2.parallelism("graft-netcdf3", partitions, tasks.size)

@@ -62,6 +62,16 @@ class S3Fs extends RawLocalFileSystem {
         "write final objects directly")
   }
 
+  // every positioned read is recorded as (path, offset, length) — the
+  // unit that becomes a ranged GET on S3. A reader that slurps whole
+  // objects instead of issuing bounded ranges shows up here.
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    val inner = super.open(f, bufferSize)
+    new org.apache.hadoop.fs.FSDataInputStream(
+      new S3Fs.RangeLoggingStream(inner, f.toUri.getPath))
+  }
+
   override def listStatus(f: Path): Array[FileStatus] = {
     log("list", f)
     val all = super.listStatus(f)
@@ -71,6 +81,43 @@ class S3Fs extends RawLocalFileSystem {
 }
 
 object S3Fs {
+
+  /** Delegating stream recording each positioned read's (path, offset,
+    * length) into [[rangedReads]]. Wraps the RawLocal FSDataInputStream
+    * (which is Seekable + PositionedReadable, exactly what s3a's
+    * stream implements). */
+  private[sources] final class RangeLoggingStream(
+      inner: org.apache.hadoop.fs.FSDataInputStream, path: String)
+      extends java.io.InputStream
+      with org.apache.hadoop.fs.Seekable
+      with org.apache.hadoop.fs.PositionedReadable {
+    override def read(): Int = inner.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      inner.read(b, off, len)
+    override def close(): Unit = inner.close()
+    def seek(pos: Long): Unit = inner.seek(pos)
+    def getPos: Long = inner.getPos
+    def seekToNewSource(targetPos: Long): Boolean =
+      inner.seekToNewSource(targetPos)
+    def read(position: Long, buffer: Array[Byte], offset: Int,
+        length: Int): Int = {
+      rangedReads.add((path, position, length.toLong))
+      inner.read(position, buffer, offset, length)
+    }
+    def readFully(position: Long, buffer: Array[Byte], offset: Int,
+        length: Int): Unit = {
+      rangedReads.add((path, position, length.toLong))
+      inner.readFully(position, buffer, offset, length)
+    }
+    def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
+  }
+
+  /** Every positioned read issued through this FS: (path, offset,
+    * length) — the byte-level sibling of the open/list op log. */
+  val rangedReads =
+    new ConcurrentLinkedQueue[(String, Long, Long)]()
+
   @volatile var inconsistent: Boolean = false
   private[sources] val pending =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -86,7 +133,13 @@ object S3Fs {
   /** All pending objects become listable; the window closes. */
   def settle(): Unit = { inconsistent = false; pending.clear() }
 
-  def reset(): Unit = { settle(); log.clear() }
+  def reset(): Unit = { settle(); log.clear(); rangedReads.clear() }
+
+  def ranges: Seq[(String, Long, Long)] = {
+    val out = Seq.newBuilder[(String, Long, Long)]
+    rangedReads.forEach(r => out += r)
+    out.result()
+  }
 
   def ops: Seq[String] = {
     val out = Seq.newBuilder[String]

@@ -44,6 +44,51 @@ class S3FsSpec extends SparkSpec {
     assert(CoordCrop.nc3VarValues(s"s3test:$dir/one.nc", "v").toSeq == Seq(1.0, 2.0))
   }
 
+  test("a cropped open issues bounded ranged reads, never whole-object GETs") {
+    // the byte-level sibling of the open-count asserts: on an object
+    // store every positioned read is a ranged GET, so a crop over a
+    // multi-MB single-file store must fetch bounded ranges (header
+    // pages + the kept record slabs), never the object
+    registerS3Fs()
+    S3Fs.reset()
+    val dir = Files.createTempDirectory("graft-s3fs-range").toString
+    val nRec = 64; val nx = 8192 // 64 x 8192 doubles = 4 MiB of data
+    ByteStore.writeAllBytes(s"s3test:$dir/big.nc", NetCDF3.write(
+      dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", nx)),
+      gattrs = Nil,
+      vars = Seq(
+        NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+          Seq(NetCDF3.Attr("units", NetCDF3.NcChar,
+            "hours since 2022-01-01")),
+          Array.tabulate(nRec)(_.toDouble)),
+        NetCDF3.VarSpec("v", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+          Array.tabulate(nRec * nx)(_.toDouble))),
+      numRecs = nRec))
+    val fileLen = ByteStore.length(s"s3test:$dir/big.nc")
+    assert(fileLen > 4L * 1024 * 1024)
+    S3Fs.reset() // the write is not the claim
+    // the crop keeps 4 of 64 records
+    val got = GridOpen.netcdf3(spark, s"s3test:$dir/big.nc", "v",
+      timeBounds = Map("time" ->
+        ("2022-01-01 00:00:00", "2022-01-01 03:00:00")))
+      .agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(got == (4L * nx) * (4L * nx - 1) / 2.0) // records 0-3 exactly
+    val rs = S3Fs.ranges.filter(_._1.endsWith("big.nc"))
+    assert(rs.nonEmpty, "reads did not go through the s3test seam")
+    // each request bounded (slab-scale), the total a small fraction of
+    // the object, and nothing resembling a whole-object GET
+    val maxReq = rs.map(_._3).max
+    assert(maxReq <= fileLen / 4,
+      s"a single $maxReq-byte ranged read on a $fileLen-byte object")
+    val total = rs.map(_._3).sum
+    assert(total <= fileLen / 4,
+      s"read $total of $fileLen bytes for a 4/64-record crop")
+    assert(!rs.exists(r => r._2 == 0 && r._3 >= fileLen),
+      "a whole-object GET was issued")
+    info(s"ranged reads: ${rs.size} requests, $total of $fileLen bytes, " +
+      s"largest $maxReq")
+  }
+
   test("manifest-planned opens are immune to list-after-write inconsistency") {
     registerS3Fs()
     S3Fs.reset()
