@@ -2256,6 +2256,51 @@ object SourceQueries {
             lit(1000000)).cast("long").as("lts_micro"))
     },
 
+    // ---- the reference's full pipeline shape, manifest-planned ------------
+    // q217's GenerateTiles-style slice (scene catalog -> bbox+time crop
+    // -> tile reduction) planned entirely from the persisted scene DB:
+    // zero per-store metadata reads end to end, the excluded scene
+    // (sC, day 5) never touched (CatalogManifestSpec pins metaOps).
+    QueryDef.sqlBacked(
+      "q225_manifest_tile_slice",
+      """SELECT scene, ty, tx, avg(v) AS mean_v, count(*) AS n_px FROM (
+        |  SELECT 'sA.zarr' AS scene, (j*100)//200 AS ty, (i*100)//200 AS tx,
+        |    CAST(48 + j*8 + i AS DOUBLE) AS v
+        |  FROM range(1,5) r1(j), range(2,6) r2(i)
+        |  UNION ALL
+        |  SELECT 'sB.zarr', (j*100)//200, (i*100)//200,
+        |    CAST(100 + j*8 + i AS DOUBLE)
+        |  FROM range(1,5) r1(j), range(2,6) r2(i))
+        |GROUP BY scene, ty, tx""".stripMargin) { (s, d) =>
+      graft.sources.GridOpen.zarrCatalogFromManifest(s, ensureQ225Manifest(s),
+          "lwp", bounds = Map("y" -> (100.0, 400.0), "x" -> (200.0, 500.0)),
+          timeBounds = Map("time" ->
+            ("2021-07-01 10:00:00", "2021-07-02 02:00:00")))
+        .select(element_at(split(col("path"), "/"), -1).as("scene"),
+          floor(col("y") / 200).cast("long").as("ty"),
+          floor(col("x") / 200).cast("long").as("tx"), col("value"))
+        .groupBy("scene", "ty", "tx")
+        .agg(avg("value").as("mean_v"), count(lit(1)).as("n_px"))
+    },
+
+    // ---- broad catalog crop through the join-form residual -----------------
+    // 300 per-scene stores, a window keeping 279 — above the
+    // residualJoinAbove threshold, so the crop is path-IN + union
+    // envelope on the scan and a broadcast range join instead of a
+    // 279-branch Or evaluated per row. Values pinned per store.
+    QueryDef.sqlBacked(
+      "q226_broad_catalog_residual",
+      """SELECT printf('bc%03d.zarr', CAST(i AS INT)) AS scene,
+        |  CAST(i*1000*12 + 66 AS DOUBLE) AS sum_v, CAST(12 AS BIGINT) AS n
+        |FROM range(0,300) t(i) WHERE i % 28 < 26""".stripMargin) { (s, d) =>
+      graft.sources.GridOpen.zarrCatalogFromManifest(s, ensureQ226Manifest(s),
+          "lwp", timeBounds = Map("time" ->
+            ("2021-01-01 00:00:00", "2021-01-26 23:00:00")))
+        .select(element_at(split(col("path"), "/"), -1).as("scene"), col("value"))
+        .groupBy("scene")
+        .agg(sum("value").as("sum_v"), count(lit(1)).as("n"))
+    },
+
     QueryDef.sqlBacked(
       "q220_multivar_catalog",
       """SELECT 'cs1.zarr' AS scene, CAST(1000 + j*100 AS DOUBLE) AS y,
@@ -2514,6 +2559,54 @@ object SourceQueries {
   }
 
   private lazy val q217CatDir: String = mkCleanedTempDir("graft_q217_cat_")
+
+  /** q225's catalog: q217's two scenes plus an EXCLUDED third (day 5,
+    * outside the window — the manifest plan never touches it), plus
+    * the persisted manifest, built once per JVM. */
+  private def ensureQ225Manifest(s: SparkSession): String = {
+    val dir = q225CatDir
+    val manifest = s"$dir/_manifest"
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      for ((name, day, base) <- Seq(("sA", 1, 0.0), ("sB", 2, 100.0),
+          ("sC", 5, 900.0))) {
+        writeV2Store(dir, name, Seq(
+          ("lwp", Seq(2, 6, 8), Seq("time", "y", "x"),
+            Array.tabulate(96)(i => base + i), ""),
+          ("time", Seq(2), Seq("time"), Array(0.0, 12.0),
+            s""", "units": "hours since 2021-07-0$day""""),
+          ("y", Seq(6), Seq("y"), Array.tabulate(6)(_ * 100.0), ""),
+          ("x", Seq(8), Seq("x"), Array.tabulate(8)(_ * 100.0), "")),
+          chunksOf = Map("lwp" -> Seq(1, 6, 8)))
+      }
+      graft.sources.CatalogManifest.build(s, "zarr", dir, Seq("lwp"), manifest)
+    }
+    manifest
+  }
+
+  private lazy val q225CatDir: String = mkCleanedTempDir("graft_q225_cat_")
+
+  /** q226's 300-scene catalog (epochs cycling 28 days) + manifest —
+    * the above-threshold shape whose crop takes the broadcast-join
+    * residual path. Built once per JVM (parMap wave). */
+  private def ensureQ226Manifest(s: SparkSession): String = {
+    val dir = q226CatDir
+    val manifest = s"$dir/_manifest"
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      graft.sources.ByteStore.parMap(0 until 300) { i =>
+        val day = 1 + i % 28
+        writeV2Store(dir, f"bc$i%03d", Seq(
+          ("lwp", Seq(4, 3), Seq("time", "x"),
+            Array.tabulate(12)(j => i * 1000.0 + j), ""),
+          ("time", Seq(4), Seq("time"), Array(0.0, 6.0, 12.0, 18.0),
+            s""", "units": "hours since 2021-01-${"%02d".format(day)}""""),
+          ("x", Seq(3), Seq("x"), Array(0.0, 10.0, 20.0), "")))
+      }
+      graft.sources.CatalogManifest.build(s, "zarr", dir, Seq("lwp"), manifest)
+    }
+    manifest
+  }
+
+  private lazy val q226CatDir: String = mkCleanedTempDir("graft_q226_cat_")
 
   /** Writes q194/q200's two-scene zarr store once per JVM. */
   private def ensureQ194Zarr(s: SparkSession): String = {

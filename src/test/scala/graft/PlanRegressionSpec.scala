@@ -122,7 +122,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q218_netcdf3_calendar_crop" :+ "q219_multivar_derived"
       :+ "q220_multivar_catalog"
       :+ "q221_perstore_pack_attrs" :+ "q222_manifest_catalog_crop"
-      :+ "q223_materialized_scene_table" :+ "q224_manifest_vars_catalog")
+      :+ "q223_materialized_scene_table" :+ "q224_manifest_vars_catalog"
+      :+ "q225_manifest_tile_slice" :+ "q226_broad_catalog_residual")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -476,6 +477,46 @@ class PlanRegressionSpec extends SparkSpec {
       s"decode must not shuffle-join:\n${plan.take(1500)}")
     val exchanges = "Exchange".r.findAllIn(plan.replace("BroadcastExchange", "BX")).size
     assert(exchanges == 1, s"expected exactly 1 shuffle exchange (the pivot), got $exchanges")
+  }
+
+  test("q225: the manifest-planned tile slice pushes survivors only, end to end") {
+    // the reference's full pipeline shape (scene DB -> crop -> tiles):
+    // the pushed branches name the two surviving scenes, never the
+    // excluded day-5 one; the tile reduction is the only exchange
+    val plan = planOf("q225_manifest_tile_slice")
+    assert(plan.contains("sA.zarr") && plan.contains("sB.zarr"),
+      s"surviving scenes missing from the pushed branches:\n${plan.take(2000)}")
+    assert(!plan.contains("sC.zarr"), "the excluded scene leaked into the plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    val exchanges = "Exchange".r
+      .findAllIn(plan.replace("BroadcastExchange", "BX")).size
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle exchange (the tile groupBy), got $exchanges")
+    // and the crop reached task planning: only in-window chunks plan
+    val df = graft.SparkEntry.queries("q225_manifest_tile_slice")(spark, sf)
+    assert(df.rdd.getNumPartitions <= 2,
+      s"expected <= 2 planned partitions, got ${df.rdd.getNumPartitions}")
+    // the excluded scene costs NOTHING: plan + execute touches no sC byte
+    val r = graft.sources.ByteStore.startRecording()
+    try {
+      graft.SparkEntry.queries("q225_manifest_tile_slice")(spark, sf).collect()
+      val sC = r.pathsTouched.filter(_.contains("sC.zarr"))
+      assert(sC.isEmpty, s"excluded scene touched: $sC")
+    } finally graft.sources.ByteStore.stopRecording()
+  }
+
+  test("q226: above the threshold the catalog crop is path-IN + broadcast range join") {
+    val plan = planOf("q226_broad_catalog_residual")
+    // the O(survivors) Or is gone: the scan filter is the IN set (+
+    // union envelope) and the exact ranges ride the __lo/__hi join
+    assert(plan.contains("__lo0"),
+      s"broad crop must take the range-join form:\n${plan.take(1500)}")
+    assert(!plan.contains("bc000.zarr) OR"),
+      "the per-store Or leaked into the broad form")
+    // excluded stores (i%28 in 26..27) appear NOWHERE, even in the IN
+    for (i <- Seq(26, 27, 54, 55))
+      assert(!plan.contains(f"bc$i%03d.zarr"), s"excluded bc$i%03d leaked")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
   test("q215: the CDF-5 mount pushes the record crop like CDF-1") {
