@@ -592,6 +592,112 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- round 18: pushed envelope prune at SYNTHETIC store count --------
+    // The phase-1 prune now runs INSIDE the manifest scan, so replan
+    // wall should be ~flat in catalog size and the driver should
+    // collect exactly the survivors. Stores are synthetic manifest
+    // rows (no bytes on disk — plan-only), so this scales to 100k
+    // rows without writing 100k stores.
+    if (wanted("manifest_pushed")) {
+      import graft.sources.{CatalogManifest, GridOpen}
+      import spark.implicits._
+      val n = (100 * mult).toInt
+      val mdir = java.nio.file.Files.createTempDirectory("graft-scale-synm").toString
+      val manifest = s"$mdir/_manifest"
+      val entries = spark.range(n.toLong).map { i =>
+        val day = 1 + (i % 28).toInt
+        CatalogManifest.Entry(f"/syn/sc$i%06d.zarr", "lwp", "zarr", "/syn",
+          0L, 0L, 0L, 0L,
+          Seq(
+            GridOpen.RawAxis(0, "time",
+              Some(f"hours since 2021-01-$day%02d"), None,
+              Some(Array(0.0, 6.0, 12.0, 18.0))),
+            GridOpen.RawAxis(1, "x", None, None,
+              Some(Array(0.0, 10.0, 20.0)))),
+          1.0, 0.0, None, None, Seq("lwp"))
+      }
+      timed("synmanifest_build") {
+        CatalogManifest.publishEntries(spark, entries, manifest); n.toLong
+      }
+      val tb = Map("time" -> ("2021-01-11 02:00:00", "2021-01-13 23:00:00"))
+      var got: (Int, Int) = (0, 0)
+      timed("synmanifest_plan") {
+        got = CatalogManifest.planOnly(spark, manifest, "lwp", Map.empty, tb)
+        got._1.toLong
+      }
+      timed("synmanifest_replan") {
+        CatalogManifest.planOnly(spark, manifest, "lwp", Map.empty, tb)._1.toLong
+      }
+      println(s"""{"op":"synmanifest_io","stores":$n,""" +
+        s""""survivors":${got._1},"phase1Collected":${got._2}}""")
+      require(got._2 == got._1,
+        s"phase 1 collected ${got._2} rows for ${got._1} survivors")
+    }
+
+    // ---- round 18: homogeneous long axes — coords off the driver ---------
+    // 10^5-element shared time axis x (20*mult) stores: phase 2 must
+    // drive ONE distinct-coords group (100k cells) to the driver, not
+    // stores x 100k.
+    if (wanted("manifest_long_axes")) {
+      import graft.sources.{CatalogManifest, GridOpen}
+      import spark.implicits._
+      val n = (20 * mult).toInt
+      val axisLen = 100000
+      val mdir = java.nio.file.Files.createTempDirectory("graft-scale-synl").toString
+      val manifest = s"$mdir/_manifest"
+      val entries = spark.range(n.toLong).map { i =>
+        CatalogManifest.Entry(f"/syn/sl$i%06d.zarr", "lwp", "zarr", "/syn",
+          0L, 0L, 0L, 0L,
+          Seq(GridOpen.RawAxis(0, "t", None, None,
+            Some(Array.tabulate(axisLen)(_ * 0.5)))),
+          1.0, 0.0, None, None, Seq("lwp"))
+      }
+      timed("synlong_build") {
+        CatalogManifest.publishEntries(spark, entries, manifest); n.toLong
+      }
+      timed("synlong_plan") { // BROAD: every store survives
+        CatalogManifest.planOnly(spark, manifest, "lwp",
+          Map("t" -> (0.0, 1e9)), Map.empty)._1.toLong
+      }
+      println(s"""{"op":"synlong_io","stores":$n,"axisLen":$axisLen,""" +
+        s""""phase2CoordCells":${CatalogManifest.lastPhase2CoordCells}}""")
+      require(CatalogManifest.lastPhase2CoordCells == axisLen.toLong,
+        s"phase 2 drove ${CatalogManifest.lastPhase2CoordCells} cells " +
+          s"for ONE shared $axisLen-element axis")
+    }
+
+    // ---- round 18: broad-crop residual — Or form vs broadcast join -------
+    // The same real catalog executed both ways at ~26/28 survivors:
+    // above the threshold the per-row residual is an O(1) hash probe,
+    // below it the O(survivors) Or. Same rows either way.
+    if (wanted("catalog_residual")) {
+      import graft.sources.{CatalogManifest, GridOpen}
+      val n = (100 * mult).toInt
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-resid").toString
+      val (nt, ny, nx) = RehearsalShape
+      writeRehearsalCatalog(dir, n, par = 32)
+      val manifest = s"$dir/_manifest"
+      CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+      val tb = Map("time" -> // days 1-26 of the 28-day cycle survive
+        ("2021-01-01 00:00:00", "2021-01-26 23:00:00"))
+      val expected = (0 until n).map { i =>
+        if (i % 28 < 26) nt.toLong * ny * nx else 0L }.sum
+      def run(): Long =
+        GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+          timeBounds = tb, verifyFingerprints = false).count()
+      val saved = GridOpen.residualJoinAbove
+      try {
+        GridOpen.residualJoinAbove = Int.MaxValue
+        timed("residual_or_form") {
+          val r = run(); require(r == expected, s"or form: $r != $expected"); r
+        }
+        GridOpen.residualJoinAbove = 1
+        timed("residual_join_form") {
+          val r = run(); require(r == expected, s"join form: $r != $expected"); r
+        }
+      } finally GridOpen.residualJoinAbove = saved
+    }
+
     spark.stop()
   }
 }

@@ -184,9 +184,21 @@ object CatalogManifest {
       : org.apache.spark.sql.DataFrame =
     spark.read.parquet(dataPath(manifestPath))
 
+  /** Internal manifest read with a BOUNDED vectorized batch: manifest
+    * rows carry coordinate ARRAYS (MB-scale for long axes — 10^5
+    * elements is 800 KB a row), and Spark's default 4096-row columnar
+    * batch would buffer GBs per scan task (the long-axes rehearsal
+    * OOM'd exactly there). The bound lives on a DERIVED session (own
+    * SQLConf, shared SparkContext) so the caller's session is never
+    * mutated; actions on the returned frame plan under the derived
+    * session, which is what the batch size is read from. 32-row
+    * batches cost ~3k batches per 10^5-store phase-1 scan — noise. */
   private def load(spark: SparkSession, manifestPath: String)
-      : org.apache.spark.sql.DataFrame =
-    withCompat(read(spark, manifestPath))
+      : org.apache.spark.sql.DataFrame = {
+    val bounded = spark.newSession()
+    bounded.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
+    withCompat(bounded.read.parquet(dataPath(manifestPath)))
+  }
 
   private def deleteTree(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -213,8 +225,13 @@ object CatalogManifest {
         case gen(n) if e.isDir && n.toInt < next - 1 =>
           deleteTree(spark, e.path) // older than the grace generation
         case Pointer => ()
-        case _ if !e.isDir && cur.isEmpty =>
-          ByteStore.deleteFile(e.path) // the migrated legacy data files
+        // the migrated legacy parquet's data files ONLY (part files,
+        // their .crc siblings, the _SUCCESS marker) — never arbitrary
+        // files a caller may have colocated at a mispointed path
+        case n if !e.isDir && cur.isEmpty &&
+            (n.startsWith("part-") || n.startsWith(".part-") ||
+              n.startsWith("_SUCCESS") || n.startsWith("._SUCCESS")) =>
+          ByteStore.deleteFile(e.path)
           ()
         case _ => ()
       }
@@ -438,7 +455,12 @@ object CatalogManifest {
   /** Phase-1 rows collected by the LAST planStores/planVarsStores call
     * — test-scope observability for the collected == survivors claim
     * (the pushed filter's whole point). */
-  @volatile private[sources] var lastPhase1Collected: Int = -1
+  @volatile private[graft] var lastPhase1Collected: Int = -1
+
+  /** Coordinate CELLS phase 2 drove to the driver on the last plan —
+    * the distinct-group total, NOT survivors x axis length
+    * (test/rehearsal observability for the coords-off-driver claim). */
+  @volatile private[graft] var lastPhase2CoordCells: Long = -1L
 
   /** Plan a catalog open from the manifest with ZERO per-store storage
     * reads: phase 1 prunes stores whose [min,max] envelopes provably
@@ -544,6 +566,7 @@ object CatalogManifest {
       .groupBy(col("a.k").as("k"), col("a.coords").as("coords"))
       .agg(collect_list(struct(col("store"), col("variable"))).as("members"))
       .as[(Int, Array[Double], Seq[(String, String)])].collect()
+    lastPhase2CoordCells = groups.iterator.map(_._2.length.toLong).sum
     val coordOf = groups.iterator.flatMap { case (k, cs, ms) =>
       ms.iterator.map(m => (m._1, m._2, k) -> cs) }.toMap
     scal.toSeq.map { e =>
@@ -707,6 +730,25 @@ object CatalogManifest {
       fps: Seq[(String, (Long, Long, Long, Long))],
       manifestPath: String): Unit =
     if (fps.nonEmpty) checkFresh(fps, manifestPath)
+
+  // ---- rehearsal hooks ----------------------------------------------------
+  // graft.ScaleRehearsal drives PLAN-ONLY paths over SYNTHETIC
+  // manifests (no stores on disk, so no fingerprint wave): publish a
+  // generated Entry table, plan from it, and read the observability
+  // counters. Not part of the public surface.
+
+  private[graft] def publishEntries(spark: SparkSession,
+      entries: Dataset[Entry], manifestPath: String): Unit =
+    publish(spark, entries.toDF(), manifestPath)
+
+  /** Plan-only: (survivors, phase-1 rows collected). */
+  private[graft] def planOnly(spark: SparkSession, manifestPath: String,
+      variable: String, bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)]): (Int, Int) = {
+    val (metas, _, _, fps) = planStores(spark, manifestPath, variable,
+      bounds, timeBounds, verifyFingerprints = false)
+    (if (fps.isEmpty) 0 else metas.length, lastPhase1Collected)
+  }
 
   /** Envelope test for one store: every bound axis's [lo, hi] must
     * intersect the axis's [min, max]. NaN envelopes compare

@@ -615,7 +615,7 @@ object GridOpen {
   /** Survivor count above which the per-store crop switches from the
     * pushed Or disjunction to the broadcast-join residual
     * ([[storeCrop]]). Mutable for tests and rehearsals only. */
-  private[sources] var residualJoinAbove: Int = 256
+  private[graft] var residualJoinAbove: Int = 256
 
   /** The per-store crop over a catalog frame. Two regimes:
     *
