@@ -126,7 +126,11 @@ object Bench {
     // plan + decode from the persisted CatalogManifest, zero per-store
     // metadata reads) — times the repeat-query shape a scene DB exists
     // for, next to q216's live-wave sibling.
-    "q222_manifest_catalog_crop")
+    "q222_manifest_catalog_crop",
+    // Round 18: the BROAD manifest crop (300 stores, 279 surviving —
+    // above residualJoinAbove, so the per-store ranges ride a
+    // broadcast range join instead of the O(survivors) Or residual).
+    "q226_broad_catalog_residual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

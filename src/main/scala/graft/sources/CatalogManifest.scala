@@ -452,6 +452,20 @@ object CatalogManifest {
     (numeric ++ timed).reduceOption(_ && _).getOrElse(lit(true))
   }
 
+  /** Phase-1 regime threshold: a catalog whose (store, variable) rows
+    * fit under this just collects its summaries whole in ONE job (the
+    * pushed path's combos + filter passes cost more than they save at
+    * small scale — measured 0.33 s -> 0.96 s on the 120-store bench
+    * fixture); above it the envelope prune runs inside the scan and
+    * the driver sees survivors only. Mutable for tests/rehearsals. */
+  @volatile private[graft] var collectAllBelow: Int = 2048
+
+  /** Phase-2 regime threshold on SURVIVOR coordinate cells: under it,
+    * full rows collect directly (one job); above it, coordinate arrays
+    * dedup through the grouped exchange so the driver holds each
+    * distinct grid once. 4M cells = 32 MB of doubles. */
+  @volatile private[graft] var directCollectCells: Long = 4L * 1024 * 1024
+
   /** Phase-1 rows collected by the LAST planStores/planVarsStores call
     * — test-scope observability for the collected == survivors claim
     * (the pushed filter's whole point). */
@@ -488,22 +502,25 @@ object CatalogManifest {
       .where(col("variable") === variable)
     val sumsDf = df.select(col("store"), col("format"), col("dir"),
       col("axs").as("ax"))
-    val pushed =
-      if (bounds.isEmpty && timeBounds.isEmpty) sumsDf
-      else sumsDf.where(envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
-    val sums = pushed.as[StoreSummary].collect()
+    // two regimes, decided by ONE limit-probe job (no separate count):
+    // a SMALL catalog's summaries collect whole — the r17 single-pass
+    // plan, cheaper than the pushed path's extra combos+filter jobs at
+    // fixture scale; a catalog the probe cannot exhaust takes the
+    // PUSHED path, where the driver sees survivors only
+    val probe = sumsDf.limit(collectAllBelow + 1).as[StoreSummary].collect()
+    require(probe.nonEmpty,
+      s"catalog manifest: no '$variable' rows in $manifestPath")
+    val sums =
+      if (probe.length <= collectAllBelow) probe
+      else if (bounds.isEmpty && timeBounds.isEmpty)
+        sumsDf.as[StoreSummary].collect() // broad open over a big catalog
+      else sumsDf.where(
+          envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
+        .as[StoreSummary].collect()
     lastPhase1Collected = sums.length
-    // distinguish "all pruned" (fine — empty result) from "no rows at
-    // all" (an error), and keep ONE store for the empty frame's schema
-    val fallback =
-      if (sums.nonEmpty) None
-      else {
-        val one = sumsDf.limit(1).as[StoreSummary].collect()
-        require(one.nonEmpty,
-          s"catalog manifest: no '$variable' rows in $manifestPath")
-        Some(one.head)
-      }
-    val head = sums.headOption.orElse(fallback).get
+    // pushed + everything-pruned: keep ONE store (the probe has one)
+    // for the empty frame's schema
+    val head = sums.headOption.getOrElse(probe.head)
     val format = head.format
     val dir = head.dir
     // exact driver refine over the collected CANDIDATES (survivors +
@@ -512,7 +529,10 @@ object CatalogManifest {
     val survivors = sums.filter(s =>
       envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
     val wanted = if (survivors.nonEmpty) survivors else Seq(head.store)
-    val full = loadEntries(spark, df, wanted)
+    val wantedSet = wanted.toSet
+    val cells = sums.iterator.filter(s0 => wantedSet(s0.store))
+      .flatMap(_.ax).map(a => math.max(0, a.n).toLong).sum
+    val full = loadEntries(spark, df, wanted, cells)
     // verify only ACTUAL survivors: the everything-pruned fallback row
     // exists for schema alone — its staleness cannot affect the (empty)
     // result, so it must not refuse the query
@@ -546,11 +566,28 @@ object CatalogManifest {
     * open over a homogeneous 10^4-store catalog therefore drivers its
     * grid once, not 10^4 times (and downstream `eq`-shortcut
     * comparisons are O(1)); a fully heterogeneous catalog collects
-    * exactly what it did before, once per store. */
+    * exactly what it did before, once per store.
+    *
+    * `coordCells` is the caller's estimate of the survivors' total
+    * coordinate volume (from the phase-1 summaries): under
+    * [[directCollectCells]] the grouped exchange buys nothing — full
+    * rows collect directly in ONE job. */
   private def loadEntries(spark: SparkSession,
-      df: org.apache.spark.sql.DataFrame, wanted: Seq[String])
+      df: org.apache.spark.sql.DataFrame, wanted: Seq[String],
+      coordCells: Long)
       : Seq[(ScalarEntry, Seq[GridOpen.RawAxis])] = {
     import spark.implicits._
+    if (coordCells <= directCollectCells) {
+      val full = df.drop("axs")
+        .where(col("store").isin(wanted: _*)).as[Entry].collect()
+      lastPhase2CoordCells =
+        full.iterator.flatMap(_.axes).flatMap(_.coords).map(_.length.toLong).sum
+      return full.toSeq.map(e => (ScalarEntry(e.store, e.variable,
+        e.format, e.dir, e.fpMtime, e.fpBytes, e.fpCount, e.fpHash,
+        e.scale, e.offset, e.fill, e.unsignedModulus,
+        e.axes.map(a => AxisHead(a.k, a.name, a.units, a.calendar,
+          a.coords.isDefined))), e.axes))
+    }
     val wdf = df.drop("axs").where(col("store").isin(wanted: _*))
     val scal = wdf.select(col("store"), col("variable"), col("format"),
         col("dir"), col("fpMtime"), col("fpBytes"), col("fpCount"),
@@ -626,37 +663,58 @@ object CatalogManifest {
     require(variables.nonEmpty, "catalog manifest: no variables requested")
     val df = load(spark, manifestPath)
       .where(col("variable").isin(variables: _*))
-    // membership gate: one (store, variable) row each, so a member
-    // holds exactly |variables| rows — a grouped count, no collect
-    val memberDf = df.groupBy("store")
-      .agg(count(lit(1)).as("__nv"))
-      .where(col("__nv") === variables.distinct.size).select("store")
-    val headDf = df.where(col("variable") === variables.head)
-      .join(memberDf, Seq("store"), "left_semi")
-      .select(col("store"), col("variable"), col("axs").as("ax"))
-    val pushed =
-      if (bounds.isEmpty && timeBounds.isEmpty) headDf
-      else headDf.where(
-        envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
-    val sums = pushed.as[VarSummary].collect()
-    lastPhase1Collected = sums.length
-    // all-pruned vs no-rows vs no-member: only the first is fine
-    val fallbackMember =
-      if (sums.nonEmpty) None
-      else {
-        require(df.limit(1).count() > 0, s"catalog manifest: no rows for " +
-          s"${variables.mkString(",")} in $manifestPath")
-        val one = headDf.limit(1).select("store").as[String].collect()
-        require(one.nonEmpty, s"catalog manifest: no store holds all of " +
-          s"${variables.mkString(",")} in $manifestPath")
-        Some(one.head)
+    val allSums = df.select(col("store"), col("variable"), col("axs").as("ax"))
+    // the same two regimes as planStores, decided by one limit-probe:
+    // SMALL catalogs collect every (store, variable) summary in one
+    // job and gate membership + envelope driver-side (the r17 plan);
+    // big ones push membership (a grouped row count) and the envelope
+    // into the scan, collecting surviving members only
+    val probe = allSums.limit(collectAllBelow + 1).as[VarSummary].collect()
+    require(probe.nonEmpty, s"catalog manifest: no rows for " +
+      s"${variables.mkString(",")} in $manifestPath")
+    val (sums, fallbackMember) =
+      if (probe.length <= collectAllBelow) {
+        val byStore = probe.groupBy(_.store)
+        val members = byStore.collect {
+          case (s, rows)
+              if variables.forall(v => rows.exists(_.variable == v)) => s
+        }.toSeq.sorted
+        require(members.nonEmpty, s"catalog manifest: no store holds all " +
+          s"of ${variables.mkString(",")} in $manifestPath")
+        (members.map(s => byStore(s).find(_.variable == variables.head).get),
+          members.headOption)
+      } else {
+        val memberDf = df.groupBy("store")
+          .agg(count(lit(1)).as("__nv"))
+          .where(col("__nv") === variables.distinct.size).select("store")
+        val headDf = allSums.where(col("variable") === variables.head)
+          .join(memberDf, Seq("store"), "left_semi")
+        val pushed =
+          if (bounds.isEmpty && timeBounds.isEmpty) headDf
+          else headDf.where(
+            envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
+        val got = pushed.as[VarSummary].collect()
+        // all-pruned vs no-member: only the first is fine
+        val fb =
+          if (got.nonEmpty) None
+          else {
+            val one = headDf.limit(1).select("store").as[String].collect()
+            require(one.nonEmpty, s"catalog manifest: no store holds all " +
+              s"of ${variables.mkString(",")} in $manifestPath")
+            Some(one.head)
+          }
+        (got.toSeq, fb)
       }
+    lastPhase1Collected = sums.length
     val survivors = sums.filter(s =>
       envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
     val wanted =
       if (survivors.nonEmpty) survivors
       else Seq(sums.headOption.map(_.store).getOrElse(fallbackMember.get))
-    val full = loadEntries(spark, df, wanted)
+    val wantedSet2 = wanted.toSet
+    val cells = sums.iterator.filter(s0 => wantedSet2(s0.store))
+      .flatMap(_.ax).map(a => math.max(0, a.n).toLong).sum * variables.length
+    val full = loadEntries(spark, df, wanted, cells)
     if (verifyFingerprints && survivors.nonEmpty)
       checkFresh(full.map(_._1).map(e =>
           (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))

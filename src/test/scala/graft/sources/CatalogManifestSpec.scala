@@ -59,13 +59,28 @@ class CatalogManifestSpec extends SparkSpec {
         .sortBy(r => (r._1, r._2))
     }
     assert(live.nonEmpty)
-    val (got, rec) = recording {
-      GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp", timeBounds = tb)
+    // force the PUSHED phase-1 regime (a 12-store catalog would take
+    // the small-catalog single-collect path) — this test pins the
+    // pushed path's I/O and collected-rows behavior
+    val savedThreshold = CatalogManifest.collectAllBelow
+    CatalogManifest.collectAllBelow = 0
+    val ((got, pushedCollected), rec) = try recording {
+      val rows = GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+          timeBounds = tb)
         .collect().map(r => (r.getString(0), r.getLong(1),
           r.getTimestamp(2).toInstant.toString, r.getDouble(3), r.getDouble(4)))
         .sortBy(r => (r._1, r._2))
-    }
+      (rows, CatalogManifest.lastPhase1Collected)
+    } finally CatalogManifest.collectAllBelow = savedThreshold
     assert(got.toSeq == live.toSeq)
+    // and the SMALL-catalog regime (the default here) returns the
+    // same rows through its single-collect plan
+    val small = GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp",
+        timeBounds = tb)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getTimestamp(2).toInstant.toString, r.getDouble(3), r.getDouble(4)))
+      .sortBy(r => (r._1, r._2))
+    assert(small.toSeq == live.toSeq)
     // days 3 and 4 survive (stores sc002, sc003); every OTHER store:
     // zero opens, zero reads, zero bytes, not even a touched path
     val surviving = got.map(_._1.split('/').last.stripSuffix(".zarr")).toSet
@@ -85,8 +100,8 @@ class CatalogManifestSpec extends SparkSpec {
         s"the live open's (${liveRec.metaOps})")
     // the envelope prune runs INSIDE the manifest scan: phase 1
     // collected exactly the 2 survivors to the driver, not the catalog
-    assert(CatalogManifest.lastPhase1Collected == 2,
-      s"phase 1 collected ${CatalogManifest.lastPhase1Collected} rows " +
+    assert(pushedCollected == 2,
+      s"phase 1 collected $pushedCollected rows " +
         "for 2 survivors — the pushed envelope prune is not pruning")
   }
 
@@ -435,8 +450,13 @@ class CatalogManifestSpec extends SparkSpec {
     writeZarrCatalog(dir, 12)
     val manifest = s"$dir/_manifest"
     CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
-    val (metas, _, _, _) = CatalogManifest.planStores(spark, manifest,
+    // force the grouped phase-2 regime (this fixture's coord volume
+    // would take the small direct-collect path)
+    val savedCells = CatalogManifest.directCollectCells
+    CatalogManifest.directCollectCells = 0L
+    val (metas, _, _, _) = try CatalogManifest.planStores(spark, manifest,
       "lwp", Map.empty, Map.empty)
+      finally CatalogManifest.directCollectCells = savedCells
     assert(metas.length == 12)
     def instances(k: Int): Int = metas
       .map(m => System.identityHashCode(m.axes(k).coords.get)).distinct.size
