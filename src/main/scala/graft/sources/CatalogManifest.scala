@@ -179,26 +179,26 @@ object CatalogManifest {
       case None => manifestPath
     }
 
-  /** Read the manifest's current generation (raw stored schema). */
+  /** Read the manifest's current generation (raw stored schema), with
+    * a BOUNDED vectorized batch: manifest rows carry coordinate ARRAYS
+    * (MB-scale for long axes — 10^5 elements is 800 KB a row), and
+    * Spark's default 4096-row columnar batch would buffer GBs per scan
+    * task (the long-axes rehearsal OOM'd exactly there). The bound
+    * lives on a DERIVED session (own SQLConf, shared SparkContext) so
+    * the caller's session is never mutated; actions on the returned
+    * frame plan under the derived session, which is what the batch
+    * size is read from. 32-row batches cost ~3k batches per
+    * 10^5-store phase-1 scan — noise. */
   def read(spark: SparkSession, manifestPath: String)
-      : org.apache.spark.sql.DataFrame =
-    spark.read.parquet(dataPath(manifestPath))
-
-  /** Internal manifest read with a BOUNDED vectorized batch: manifest
-    * rows carry coordinate ARRAYS (MB-scale for long axes — 10^5
-    * elements is 800 KB a row), and Spark's default 4096-row columnar
-    * batch would buffer GBs per scan task (the long-axes rehearsal
-    * OOM'd exactly there). The bound lives on a DERIVED session (own
-    * SQLConf, shared SparkContext) so the caller's session is never
-    * mutated; actions on the returned frame plan under the derived
-    * session, which is what the batch size is read from. 32-row
-    * batches cost ~3k batches per 10^5-store phase-1 scan — noise. */
-  private def load(spark: SparkSession, manifestPath: String)
       : org.apache.spark.sql.DataFrame = {
     val bounded = spark.newSession()
     bounded.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
-    withCompat(bounded.read.parquet(dataPath(manifestPath)))
+    bounded.read.parquet(dataPath(manifestPath))
   }
+
+  private def load(spark: SparkSession, manifestPath: String)
+      : org.apache.spark.sql.DataFrame =
+    withCompat(read(spark, manifestPath))
 
   private def deleteTree(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
