@@ -617,6 +617,24 @@ class CatalogManifestSpec extends SparkSpec {
     assert(e2.getMessage.contains("added") && e2.getMessage.contains("sc004"))
   }
 
+  test("manifest reads plan under a derived bounded-batch session") {
+    // phase-2 rows can carry MB-scale coordinate arrays; the default
+    // 4096-row vectorized batch buffered GBs per task (rehearsal OOM).
+    // Reads must plan under a derived session with the bounded batch,
+    // and the CALLER's session must stay untouched.
+    val dir = Files.createTempDirectory("graft-manif-batch").toString
+    writeZarrCatalog(dir, 2)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    val df = CatalogManifest.read(spark, manifest)
+    assert(df.sparkSession ne spark)
+    assert(df.sparkSession.conf
+      .get("spark.sql.parquet.columnarReaderBatchSize") == "32")
+    assert(spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") != "32",
+      "the caller session was mutated")
+    assert(df.count() == 2)
+  }
+
   test("the per-file hash catches changes the aggregate triple cancels on") {
     // the exact blind spot the aggregates have: one file grows by the
     // bytes another shrinks, with mtimes restored — (max mtime, bytes,
