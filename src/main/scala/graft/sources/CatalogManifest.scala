@@ -190,11 +190,20 @@ object CatalogManifest {
     * size is read from. 32-row batches cost ~3k batches per
     * 10^5-store phase-1 scan — noise. */
   def read(spark: SparkSession, manifestPath: String)
-      : org.apache.spark.sql.DataFrame = {
-    val bounded = spark.newSession()
-    bounded.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
-    bounded.read.parquet(dataPath(manifestPath))
-  }
+      : org.apache.spark.sql.DataFrame =
+    boundedSession(spark).read.parquet(dataPath(manifestPath))
+
+  // one derived session per root session (building a SessionState per
+  // read would tax every plan ~100 ms); the map lives as long as the
+  // sessions it keys — an app has a handful
+  private val boundedSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def boundedSession(spark: SparkSession): SparkSession =
+    boundedSessions.computeIfAbsent(spark, s => {
+      val b = s.newSession()
+      b.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
+      b
+    })
 
   private def load(spark: SparkSession, manifestPath: String)
       : org.apache.spark.sql.DataFrame =
