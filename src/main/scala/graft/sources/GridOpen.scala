@@ -342,16 +342,64 @@ object GridOpen {
       manifestPath: String, dataset: String, outPath: String,
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
-      verifyFingerprints: Boolean = true): Seq[String] = {
-    // fingerprints are verified for every NOT-yet-done envelope
-    // survivor (a stale store the exact prune would wrongly drop must
-    // refuse), but never for already-materialized scenes — a done
-    // scene's later change must not wedge a skip-everything re-run
+      verifyFingerprints: Boolean = true): Seq[String] =
+    materializeFromManifest(spark, manifestPath, dataset, outPath, "zarr",
+      bounds, timeBounds, verifyFingerprints) { (dir, pending) =>
+      spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", dir)
+        .option("arrays", pending.map(s => s + "\t" + dataset).mkString("\n"))
+        .load().where(col("dataset") === dataset)
+    }
+
+  /** [[materializeNetcdf3Catalog]] planned from a persisted manifest:
+    * pending-scene selection AND crop/decode metadata come from the
+    * manifest — zero per-store metadata reads even on the pending
+    * wave; the mount receives the pending files as an explicit list. */
+  def materializeNetcdf3CatalogFromManifest(spark: SparkSession,
+      manifestPath: String, varName: String, outPath: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): Seq[String] =
+    materializeFromManifest(spark, manifestPath, varName, outPath, "netcdf3",
+      bounds, timeBounds, verifyFingerprints) { (_, pending) =>
+      spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", pending.mkString("\n") + "\n").load()
+        .where(col("dataset") === varName)
+    }
+
+  /** [[materializeHdf5Catalog]] planned from a persisted manifest. */
+  def materializeHdf5CatalogFromManifest(spark: SparkSession,
+      manifestPath: String, dataset: String, outPath: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): Seq[String] =
+    materializeFromManifest(spark, manifestPath, dataset, outPath, "hdf5",
+      bounds, timeBounds, verifyFingerprints) { (_, pending) =>
+      spark.read.format("graft.sources.Hdf5DataSource")
+        .option("path", pending.mkString("\n") + "\n").load()
+        .where(col("dataset") === dataset)
+    }
+
+  /** The shared manifest-planned materialize skeleton: plan from the
+    * manifest, verify freshness of every NOT-yet-done envelope
+    * survivor (a stale store the exact prune would wrongly drop must
+    * refuse — but a done scene's later change must not wedge a
+    * skip-everything re-run), drop scenes whose exact ranges are
+    * empty (they must never be pending — they would "re-materialize",
+    * emptily, every run), then open ONLY the pending members through
+    * `mountPending(dir, pending)`. */
+  private def materializeFromManifest(spark: SparkSession,
+      manifestPath: String, variable: String, outPath: String,
+      wantFormat: String,
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)],
+      verifyFingerprints: Boolean)(
+      mountPending: (String, Seq[String]) => DataFrame): Seq[String] = {
     val (metas0, format, dir, survivorFps) = CatalogManifest.planStores(
-      spark, manifestPath, dataset, bounds, timeBounds,
+      spark, manifestPath, variable, bounds, timeBounds,
       verifyFingerprints = false)
-    require(format == "zarr",
-      s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
+    require(format == wantFormat, s"grid open: manifest $manifestPath " +
+      s"holds '$format' stores, not $wantFormat")
     if (verifyFingerprints) {
       val done = graft.pipeline.Incremental
         .completedPartitions(spark, outPath, "scene")
@@ -359,19 +407,12 @@ object GridOpen {
         survivorFps.filterNot { case (s, _) => done(sceneOf(s)) },
         manifestPath)
     }
-    // drop planStores' everything-pruned schema-fallback store: a scene
-    // whose exact ranges are empty must never be pending (it would be
-    // "re-materialized" — emptily — on every single run)
     val exact = survivingRanges(metas0.map(m => (m.store, m.axes)),
       bounds, timeBounds).map(_._1).toSet
     val metas = metas0.filter(m => exact(m.store))
     materializeScenes(spark, metas.map(_.store), outPath) { pending =>
       val pendingSet = pending.toSet
-      catalogOpen(spark,
-        spark.read.format("graft.sources.ZarrDataSource")
-          .option("path", dir)
-          .option("arrays", pending.map(s => s + "\t" + dataset).mkString("\n"))
-          .load().where(col("dataset") === dataset),
+      catalogOpen(spark, mountPending(dir, pending),
         metas.filter(m => pendingSet(m.store)), bounds, timeBounds)
     }
   }

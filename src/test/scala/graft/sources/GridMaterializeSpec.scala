@@ -123,6 +123,48 @@ class GridMaterializeSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 12)
   }
 
+  test("file-catalog manifest materialize: netCDF-3 pending files pay data slabs only") {
+    val dir = Files.createTempDirectory("graft-mat-ncm").toString
+    def nc(name: String, day: Int, base: Double): Unit =
+      Files.write(Paths.get(dir, name), NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", 2)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("units", NetCDF3.NcChar,
+              s"hours since 2022-03-0$day")), Array(0.0, 6.0)),
+          NetCDF3.VarSpec("lwp", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(4)(i => base + i))),
+        numRecs = 2))
+    nc("a.nc", 1, 10.0); nc("b.nc", 2, 20.0); nc("c.nc", 7, 30.0)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "netcdf3", s"$dir/*.nc", Seq("lwp"), manifest)
+    val out = s"$dir/_out"
+    // the window excludes c.nc (day 7): never pending, never touched
+    val tb = Map("time" -> ("2022-03-01 00:00:00", "2022-03-02 23:00:00"))
+    assert(GridOpen.materializeNetcdf3CatalogFromManifest(spark, manifest,
+      "lwp", out, timeBounds = tb).sorted == Seq("a.nc", "b.nc"))
+    assert(spark.read.parquet(out).count() == 8)
+    // repair one file: the pending wave touches ONLY it
+    def rmTree(p: java.nio.file.Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+    rmTree(Paths.get(s"$out/scene=b.nc"))
+    val (again, rec) = recording {
+      GridOpen.materializeNetcdf3CatalogFromManifest(spark, manifest, "lwp",
+        out, timeBounds = tb)
+    }
+    assert(again == Seq("b.nc"))
+    val touched = rec.pathsTouched.filter(_.endsWith(".nc"))
+    assert(touched.forall(_.endsWith("b.nc")),
+      s"other files touched: ${touched.filterNot(_.endsWith("b.nc"))}")
+    // idempotent completion; the hdf5 sibling shares the skeleton and
+    // is exercised by the hdf5 manifest-open specs
+    assert(GridOpen.materializeNetcdf3CatalogFromManifest(spark, manifest,
+      "lwp", out, timeBounds = tb).isEmpty)
+    assert(spark.read.parquet(out).count() == 8)
+  }
+
   test("manifest-planned materialize: pending scenes pay data chunks only") {
     val dir = Files.createTempDirectory("graft-mat-m").toString
     writeCatalog(dir, 4)
