@@ -2301,6 +2301,25 @@ object SourceQueries {
         .agg(sum("value").as("sum_v"), count(lit(1)).as("n"))
     },
 
+    // ---- materialized multi-variable scene table (aux fields persisted) ---
+    // The aux-fields flow's OUTPUT pinned: members of the manifest
+    // (xv2 lacks t1000 — not a member, never materialized) land as a
+    // scene-partitioned WIDE parquet table via
+    // materializeZarrVarsCatalogFromManifest; the oracle pins the
+    // table's contents. GridMaterializeSpec pins the incremental I/O.
+    QueryDef.sqlBacked(
+      "q227_manifest_vars_materialized",
+      """SELECT scene, CAST(yb + j*100 AS DOUBLE) AS y,
+        |  CAST(i*100 AS DOUBLE) AS x,
+        |  CAST(t7 + (j*5+i)*0.5 AS DOUBLE) AS t700,
+        |  CAST(t10 + (j*5+i)*0.25 AS DOUBLE) AS t1000
+        |FROM (VALUES ('xv0.zarr', 0, 270, 290), ('xv1.zarr', 1000, 280, 295))
+        |  s(scene, yb, t7, t10), range(0,4) r1(j), range(0,5) r2(i)""".stripMargin) {
+      (s, d) =>
+      s.read.parquet(ensureQ227Materialized(s))
+        .select(col("scene"), col("y"), col("x"), col("t700"), col("t1000"))
+    },
+
     QueryDef.sqlBacked(
       "q220_multivar_catalog",
       """SELECT 'cs1.zarr' AS scene, CAST(1000 + j*100 AS DOUBLE) AS y,
@@ -2607,6 +2626,35 @@ object SourceQueries {
   }
 
   private lazy val q226CatDir: String = mkCleanedTempDir("graft_q226_cat_")
+
+  /** q227's three-scene catalog (xv2 lacks t1000 — not a member),
+    * manifest-built and vars-materialized once per JVM; returns the
+    * wide scene table's path. */
+  private def ensureQ227Materialized(s: SparkSession): String = {
+    val dir = q227CatDir
+    val out = s"$dir/_out"
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      for ((name, yBase, t7, t10) <- Seq(("xv0", 0.0, 270.0, Some(290.0)),
+          ("xv1", 1000.0, 280.0, Some(295.0)),
+          ("xv2", 2000.0, 300.0, None))) {
+        writeV2Store(dir, name, Seq(
+          ("t700", Seq(4, 5), Seq("y", "x"),
+            Array.tabulate(20)(i => t7 + i * 0.5), "")) ++
+          t10.toSeq.map(b => ("t1000", Seq(4, 5), Seq("y", "x"),
+            Array.tabulate(20)(i => b + i * 0.25), "")) ++ Seq(
+          ("y", Seq(4), Seq("y"), Array.tabulate(4)(yBase + _ * 100.0), ""),
+          ("x", Seq(5), Seq("x"), Array.tabulate(5)(_ * 100.0), "")))
+      }
+      val manifest = s"$dir/_manifest"
+      graft.sources.CatalogManifest.build(s, "zarr", dir,
+        Seq("t700", "t1000"), manifest)
+      graft.sources.GridOpen.materializeZarrVarsCatalogFromManifest(s,
+        manifest, Seq("t700", "t1000"), out)
+    }
+    out
+  }
+
+  private lazy val q227CatDir: String = mkCleanedTempDir("graft_q227_cat_")
 
   /** Writes q194/q200's two-scene zarr store once per JVM. */
   private def ensureQ194Zarr(s: SparkSession): String = {

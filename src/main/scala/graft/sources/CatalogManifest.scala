@@ -667,7 +667,8 @@ object CatalogManifest {
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)],
       verifyFingerprints: Boolean = true)
-      : (Seq[(String, Seq[GridOpen.Axis], Seq[CfDecode.CfAttrs])], String, String) = {
+      : (Seq[(String, Seq[GridOpen.Axis], Seq[CfDecode.CfAttrs])], String,
+        String, Seq[(String, Fp)]) = {
     import spark.implicits._
     require(variables.nonEmpty, "catalog manifest: no variables requested")
     val df = load(spark, manifestPath)
@@ -724,10 +725,15 @@ object CatalogManifest {
     val cells = sums.iterator.filter(s0 => wantedSet2(s0.store))
       .flatMap(_.ax).map(a => math.max(0, a.n).toLong).sum * variables.length
     val full = loadEntries(spark, df, wanted, cells)
-    if (verifyFingerprints && survivors.nonEmpty)
-      checkFresh(full.map(_._1).map(e =>
-          (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))
-        .distinct, manifestPath)
+    // fps of the REAL survivors only (the everything-pruned fallback
+    // member is schema-only), returned so a materialize can verify its
+    // not-yet-done subset
+    val survivorSet = survivors.toSet
+    val survivorFps = full.map(_._1).filter(e => survivorSet(e.store))
+      .map(e => (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))
+      .distinct
+    if (verifyFingerprints)
+      checkFresh(survivorFps, manifestPath)
     val fullByStore = full.groupBy(_._1.store)
     val (format, dir) = (full.head._1.format, full.head._1.dir)
     val metas = wanted.sorted.map { s =>
@@ -747,7 +753,7 @@ object CatalogManifest {
       (s, axesPerVar.head, perVar.map { case (e, _) =>
         CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus) })
     }
-    (metas, format, dir)
+    (metas, format, dir, survivorFps)
   }
 
   /** OPT-IN full-catalog freshness check — the complement of the

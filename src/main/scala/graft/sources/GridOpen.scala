@@ -453,6 +453,87 @@ object GridOpen {
     }
   }
 
+  /** Scene-idempotent materialize of the MULTI-VARIABLE catalog — the
+    * aux-fields flow persisted per scene (the reference derives and
+    * writes per-scene aux variables behind luigi targets,
+    * convml-data pipeline/embeddings/aux_fields/data.py:33-295) —
+    * planned from a persisted manifest: zero per-store metadata reads,
+    * pending scenes pay their data chunks only, and the wide
+    * (path, idx, <dims>, <vars>) frame lands scene-partitioned under
+    * the skip-if-present contract. */
+  def materializeZarrVarsCatalogFromManifest(spark: SparkSession,
+      manifestPath: String, variables: Seq[String], outPath: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): Seq[String] =
+    materializeVarsFromManifest(spark, manifestPath, variables, outPath,
+      "zarr", bounds, timeBounds, verifyFingerprints) { (dir, pending) =>
+      spark.read.format("graft.sources.ZarrDataSource")
+        .option("path", dir)
+        .option("arrays", pending.flatMap(s =>
+          variables.map(v => s + "\t" + v)).mkString("\n"))
+        .load()
+    }
+
+  /** Multi-variable manifest materialize over netCDF classic scene
+    * files. */
+  def materializeNetcdf3VarsCatalogFromManifest(spark: SparkSession,
+      manifestPath: String, variables: Seq[String], outPath: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): Seq[String] =
+    materializeVarsFromManifest(spark, manifestPath, variables, outPath,
+      "netcdf3", bounds, timeBounds, verifyFingerprints) { (_, pending) =>
+      spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", pending.mkString("\n") + "\n").load()
+    }
+
+  /** Multi-variable manifest materialize over netCDF-4/HDF5 scene
+    * files. */
+  def materializeHdf5VarsCatalogFromManifest(spark: SparkSession,
+      manifestPath: String, variables: Seq[String], outPath: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = true): Seq[String] =
+    materializeVarsFromManifest(spark, manifestPath, variables, outPath,
+      "hdf5", bounds, timeBounds, verifyFingerprints) { (_, pending) =>
+      spark.read.format("graft.sources.Hdf5DataSource")
+        .option("path", pending.mkString("\n") + "\n").load()
+    }
+
+  /** [[materializeFromManifest]]'s multi-variable sibling: same
+    * contract (not-yet-done survivor verification, exact-empty scenes
+    * never pending, explicit pending member lists), feeding
+    * [[varsCatalogFrom]] per pending wave. */
+  private def materializeVarsFromManifest(spark: SparkSession,
+      manifestPath: String, variables: Seq[String], outPath: String,
+      wantFormat: String,
+      bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)],
+      verifyFingerprints: Boolean)(
+      mountPending: (String, Seq[String]) => DataFrame): Seq[String] = {
+    val (metas0, format, dir, survivorFps) = CatalogManifest.planVarsStores(
+      spark, manifestPath, variables, bounds, timeBounds,
+      verifyFingerprints = false)
+    require(format == wantFormat, s"grid open: manifest $manifestPath " +
+      s"holds '$format' stores, not $wantFormat")
+    if (verifyFingerprints) {
+      val done = graft.pipeline.Incremental
+        .completedPartitions(spark, outPath, "scene")
+      CatalogManifest.checkFreshSubset(
+        survivorFps.filterNot { case (s, _) => done(sceneOf(s)) },
+        manifestPath)
+    }
+    val exact = survivingRanges(metas0.map(m => (m._1, m._2)),
+      bounds, timeBounds).map(_._1).toSet
+    val metas = metas0.filter(m => exact(m._1))
+    materializeScenes(spark, metas.map(_._1), outPath) { pending =>
+      val pendingSet = pending.toSet
+      varsCatalogFrom(spark, metas.filter(m => pendingSet(m._1)), variables,
+        mountPending(dir, pending), bounds, timeBounds)
+    }
+  }
+
   private def materializeScenes(spark: SparkSession, stores: Seq[String],
       outPath: String)(openPending: Seq[String] => DataFrame): Seq[String] = {
     val done = graft.pipeline.Incremental
@@ -869,7 +950,7 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): DataFrame = {
-    val (metas, format, dir) = CatalogManifest.planVarsStores(spark,
+    val (metas, format, dir, _) = CatalogManifest.planVarsStores(spark,
       manifestPath, variables, bounds, timeBounds, verifyFingerprints)
     require(format == "zarr",
       s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
@@ -889,7 +970,7 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): DataFrame = {
-    val (metas, format, _) = CatalogManifest.planVarsStores(spark,
+    val (metas, format, _, _) = CatalogManifest.planVarsStores(spark,
       manifestPath, variables, bounds, timeBounds, verifyFingerprints)
     require(format == "netcdf3",
       s"grid open: manifest $manifestPath holds '$format' stores, not netcdf3")
@@ -905,7 +986,7 @@ object GridOpen {
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): DataFrame = {
-    val (metas, format, _) = CatalogManifest.planVarsStores(spark,
+    val (metas, format, _, _) = CatalogManifest.planVarsStores(spark,
       manifestPath, variables, bounds, timeBounds, verifyFingerprints)
     require(format == "hdf5",
       s"grid open: manifest $manifestPath holds '$format' stores, not hdf5")

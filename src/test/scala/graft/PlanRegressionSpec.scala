@@ -123,7 +123,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q220_multivar_catalog"
       :+ "q221_perstore_pack_attrs" :+ "q222_manifest_catalog_crop"
       :+ "q223_materialized_scene_table" :+ "q224_manifest_vars_catalog"
-      :+ "q225_manifest_tile_slice" :+ "q226_broad_catalog_residual")
+      :+ "q225_manifest_tile_slice" :+ "q226_broad_catalog_residual"
+      :+ "q227_manifest_vars_materialized")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>

@@ -165,6 +165,71 @@ class GridMaterializeSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 8)
   }
 
+  test("vars-catalog manifest materialize: wide frame, membership, scene repair") {
+    // the aux-fields flow persisted per scene: members (holding ALL
+    // variables) materialize as the wide frame; a non-member is never
+    // pending; a single-scene repair touches only that scene
+    val dir = Files.createTempDirectory("graft-mat-mv").toString
+    def store(name: String, yBase: Double, t7: Double,
+        t10: Option[Double]): Unit = {
+      def arr(aName: String, shape: Seq[Int], dims: Seq[String],
+          data: Array[Double]): Unit = {
+        val d = s"$dir/$name.zarr/$aName"
+        ByteStore.writeString(s"$d/.zarray",
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+             | "chunks": [${shape.mkString(",")}], "dtype": ">f8",
+             | "compressor": null, "fill_value": "NaN", "filters": null,
+             | "order": "C"}""".stripMargin)
+        ByteStore.writeString(s"$d/.zattrs",
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]}""")
+        val bb = java.nio.ByteBuffer.allocate(data.length * 8)
+        data.foreach(bb.putDouble)
+        ByteStore.writeAllBytes(s"$d/${shape.map(_ => "0").mkString(".")}",
+          bb.array())
+      }
+      ByteStore.writeString(s"$dir/$name.zarr/.zgroup", """{"zarr_format": 2}""")
+      arr("t700", Seq(2, 3), Seq("y", "x"), Array.tabulate(6)(i => t7 + i * 0.5))
+      t10.foreach(b => arr("t1000", Seq(2, 3), Seq("y", "x"),
+        Array.tabulate(6)(i => b + i * 0.25)))
+      arr("y", Seq(2), Seq("y"), Array.tabulate(2)(yBase + _ * 100.0))
+      arr("x", Seq(3), Seq("x"), Array.tabulate(3)(_ * 100.0))
+    }
+    store("xa", 0.0, 270.0, Some(290.0))
+    store("xb", 1000.0, 280.0, Some(295.0))
+    store("xc", 2000.0, 300.0, None) // lacks t1000: not a member
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("t700", "t1000"), manifest)
+    val out = s"$dir/_out"
+    val first = GridOpen.materializeZarrVarsCatalogFromManifest(spark,
+      manifest, Seq("t700", "t1000"), out)
+    assert(first.sorted == Seq("xa.zarr", "xb.zarr"))
+    val tbl = spark.read.parquet(out)
+    assert(tbl.columns.toSet ==
+      Set("path", "idx", "y", "x", "t700", "t1000", "scene"))
+    assert(tbl.count() == 12) // 2 member scenes x 6 cells, wide
+    val xa00 = tbl.where(col("scene") === "xa.zarr" &&
+      col("y") === 0.0 && col("x") === 0.0).collect()(0)
+    assert(xa00.getAs[Double]("t700") == 270.0 &&
+      xa00.getAs[Double]("t1000") == 290.0)
+    // repair one scene: pending wave touches ONLY it
+    def rmTree(p: java.nio.file.Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.delete(f); () })
+    rmTree(Paths.get(s"$out/scene=xb.zarr"))
+    val (again, rec) = recording {
+      GridOpen.materializeZarrVarsCatalogFromManifest(spark, manifest,
+        Seq("t700", "t1000"), out)
+    }
+    assert(again == Seq("xb.zarr"))
+    val touched = rec.pathsTouched.filter(_.contains(".zarr"))
+    assert(touched.forall(_.contains("xb.zarr")),
+      s"other scenes touched: ${touched.filterNot(_.contains("xb.zarr"))}")
+    // idempotent completion
+    assert(GridOpen.materializeZarrVarsCatalogFromManifest(spark, manifest,
+      Seq("t700", "t1000"), out).isEmpty)
+    assert(spark.read.parquet(out).count() == 12)
+  }
+
   test("manifest-planned materialize: pending scenes pay data chunks only") {
     val dir = Files.createTempDirectory("graft-mat-m").toString
     writeCatalog(dir, 4)
