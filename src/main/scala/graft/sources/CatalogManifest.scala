@@ -141,6 +141,13 @@ object CatalogManifest {
   // after the flip. (The generation parquet itself goes through
   // Spark's configured output committer — on a real object store that
   // is the rename-free S3A committer, outside this layer's scope.)
+  //
+  // WRITERS are single-writer by contract: two concurrent
+  // build/refresh calls would race to the same next-generation
+  // directory (one job's overwrite-delete can corrupt the other's
+  // in-flight write) before both flip the pointer to it. Readers are
+  // unlimited and never coordinate; run ONE refresher, like the
+  // reference's one luigi scheduler owning the scene DB.
 
   private val Pointer = "_current"
   private def genName(n: Int): String = f"_gen-$n%08d"
