@@ -409,6 +409,54 @@ class CatalogManifestSpec extends SparkSpec {
     info(s"pushed kept ${pushedKept.size}, exact keeps ${mustKeep.size} of ${cases.size}")
   }
 
+  test("fuzz: the pushed TIME envelope keeps every store the exact test keeps") {
+    // randomized sibling of the numeric fuzz for the (units, calendar)
+    // dispatch: random epochs x random step units x model calendars x
+    // non-time/missing/garbled units, one window, one job. The pushed
+    // form must keep every store envelopeSurvives keeps or errors on.
+    val rnd = new scala.util.Random(20260817)
+    val unitChoices = Seq(
+      (d: Int) => Some(f"hours since 2021-01-$d%02d"),
+      (d: Int) => Some(f"seconds since 2021-01-$d%02d"),
+      (d: Int) => Some(f"days since 2021-01-$d%02d"),
+      (_: Int) => Some("m"), // non-time units: error-shaped
+      (_: Int) => None, // missing units: error-shaped
+      (d: Int) => Some(f"months since 2021-01-$d%02d")) // unsupported step
+    val cases: Seq[(String, Seq[GridOpen.RawAxis])] = (1 to 1500).map { i =>
+      val day = 1 + rnd.nextInt(28)
+      val units = unitChoices(rnd.nextInt(unitChoices.size))(day)
+      val cal = if (rnd.nextInt(6) == 0) Some("360_day") else None
+      val n = 1 + rnd.nextInt(5)
+      val start = rnd.nextInt(48).toDouble
+      val coords = Array.tabulate(n)(j => start + j * 6.0)
+      (s"t$i", Seq(GridOpen.RawAxis(0, "time", units, cal, Some(coords))))
+    }
+    import spark.implicits._
+    val df = cases.toDF("store", "axes")
+      .withColumn("axs", expr(
+        "transform(axes, a -> struct(a.k as k, a.name as name, " +
+          "a.units as units, a.calendar as calendar, " +
+          "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
+          "coalesce(size(a.coords), -1) as n))"))
+    val tb = Map("time" -> ("2021-01-10 00:00:00", "2021-01-12 23:00:00"))
+    val summaries = df.select(col("store"), lit("zarr").as("format"),
+        lit("/x").as("dir"), col("axs").as("ax"))
+      .as[CatalogManifest.StoreSummary].collect()
+    val mustKeep = summaries.filter { s =>
+      try CatalogManifest.envelopeSurvives(s.store, s.ax, Map.empty, tb)
+      catch { case _: Exception => true } // error-shaped: must collect
+    }.map(_.store).toSet
+    val combos = CatalogManifest.resolveTimeCombos(df, tb)
+    val pushedKept = df
+      .where(CatalogManifest.envelopePushdown(Map.empty, combos))
+      .select("store").as[String].collect().toSet
+    val lost = mustKeep -- pushedKept
+    assert(lost.isEmpty, s"UNSOUND pushed time envelope dropped: ${lost.take(5)}")
+    assert(pushedKept.size < cases.size * 9 / 10,
+      s"degenerate: pushed kept ${pushedKept.size} of ${cases.size}")
+    info(s"pushed kept ${pushedKept.size}, exact keeps ${mustKeep.size} of ${cases.size}")
+  }
+
   test("pushed envelope with per-store epochs: time combos resolve per (units, calendar)") {
     // three distinct epochs + a store with NON-time units on the bound
     // axis (error-shaped: must collect and raise) + one with a month
