@@ -183,6 +183,56 @@ object MountDsv2 {
         Some(idxBounds), ivs))
     }
 
+  /** The [lo, hi] HULL of `col` values that can satisfy `f` for the
+    * FIXED identity (path, dataset): None = f provably cannot match
+    * this identity at all; FullRange = f does not constrain `col`.
+    * Interval algebra over the tree — And intersects, Or unions (a
+    * branch naming another store contributes nothing), Long leaves on
+    * `col` fold to intervals, string leaves test the identity, and
+    * anything unknown is conservative-FULL. Sound for NARROWING only:
+    * the hull is a superset of the satisfying values (exactness stays
+    * the residual's job), which is what lets a record/batch reader
+    * shrink its read window under a per-store catalog disjunction —
+    * each store's branch yields exactly that store's pushed range. */
+  def colHull(f: Filter, col: String, path: String,
+      dataset: String): Option[IdxRange] = f match {
+    case And(a, b) =>
+      (colHull(a, col, path, dataset), colHull(b, col, path, dataset)) match {
+        case (Some(x), Some(y)) =>
+          val r = IdxRange(math.max(x.lo, y.lo), math.min(x.hi, y.hi))
+          if (r.isEmpty) None else Some(r)
+        case _ => None
+      }
+    case Or(a, b) =>
+      (colHull(a, col, path, dataset), colHull(b, col, path, dataset)) match {
+        case (Some(x), Some(y)) =>
+          Some(IdxRange(math.min(x.lo, y.lo), math.max(x.hi, y.hi)))
+        case (x @ Some(_), None) => x
+        case (None, y) => y
+      }
+    case EqualTo("path", v: String) =>
+      if (v == path) Some(FullRange) else None
+    case EqualTo("dataset", v: String) =>
+      if (v == dataset) Some(FullRange) else None
+    case In("path", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      if (vs.contains(path)) Some(FullRange) else None
+    case In("dataset", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      if (vs.contains(dataset)) Some(FullRange) else None
+    case EqualTo(`col`, v: Long) => Some(IdxRange(v, v))
+    case GreaterThanOrEqual(`col`, v: Long) =>
+      Some(IdxRange(v, Long.MaxValue))
+    case GreaterThan(`col`, v: Long) =>
+      if (v == Long.MaxValue) None else Some(IdxRange(v + 1, Long.MaxValue))
+    case LessThanOrEqual(`col`, v: Long) =>
+      Some(IdxRange(Long.MinValue, v))
+    case LessThan(`col`, v: Long) =>
+      if (v == Long.MinValue) None else Some(IdxRange(Long.MinValue, v - 1))
+    case In(`col`, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+      val ls = vs.map(_.asInstanceOf[Long])
+      Some(IdxRange(ls.min, ls.max))
+    case _ => Some(FullRange) // other columns / unknown shapes: no constraint
+  }
+
   /** Does string value `v` of column `col` survive every pushed filter? */
   def keep(pushed: Array[Filter], col: String, v: String): Boolean =
     pushed.forall {

@@ -138,19 +138,30 @@ class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int
       // so out-of-window records inside an intersecting batch are
       // never read — a 4-of-64-record crop issues a 4-record ranged
       // GET, not the batch's span (S3FsSpec pins the byte counts).
-      // Tree-shaped (per-store disjunction) crops stay batch-granular
-      // here; every filter remains residual either way.
+      // Tree-shaped (per-store disjunction) crops narrow through THIS
+      // file's d0/idx hull in the tree (colHull — each store's branch
+      // yields exactly its pushed range); every filter remains
+      // residual either way.
       if (t.stride == 0L) t
       else {
         val d0 = dimRs(0)
-        val rLo = math.max(math.max(t.recStart.toLong, d0.lo),
+        var lo = math.max(math.max(t.recStart.toLong, d0.lo),
           Math.floorDiv(range.lo, t.perRec.toLong))
-        val rHi = math.min(math.min(t.recStart.toLong + t.nRecs - 1, d0.hi),
+        var hi = math.min(math.min(t.recStart.toLong + t.nRecs - 1, d0.hi),
           Math.floorDiv(range.hi, t.perRec.toLong))
+        trees.foreach { tr =>
+          MountDsv2.colHull(tr, "d0", t.path, t.dataset).foreach { h =>
+            lo = math.max(lo, h.lo); hi = math.min(hi, h.hi)
+          }
+          MountDsv2.colHull(tr, "idx", t.path, t.dataset).foreach { h =>
+            lo = math.max(lo, Math.floorDiv(h.lo, t.perRec.toLong))
+            hi = math.min(hi, Math.floorDiv(h.hi, t.perRec.toLong))
+          }
+        }
         // the batch survived the filters above, so the window is
         // non-empty; clamp defensively anyway
-        if (rLo <= rHi && (rLo > t.recStart || rHi < t.recStart + t.nRecs - 1))
-          t.copy(recStart = rLo.toInt, nRecs = (rHi - rLo + 1).toInt)
+        if (lo <= hi && (lo > t.recStart || hi < t.recStart + t.nRecs - 1))
+          t.copy(recStart = lo.toInt, nRecs = (hi - lo + 1).toInt)
         else t
       }
     }.sortBy(t => (t.path, t.begin, t.recStart))

@@ -109,6 +109,79 @@ class IoCountingSpec extends SparkSpec {
       s"minority variable must keep per-record reads (junk-bounded), got ${rt.reads(p)}")
   }
 
+  test("a catalog record crop narrows the read window through the tree hull") {
+    // the per-store disjunction (path = f AND d0 BETWEEN lo hi) OR ...
+    // must narrow each surviving file's RECORD window, not just prune
+    // whole batches: a 4-of-64-record crop reads ~4 records' bytes,
+    // never the batch's 64-record span (colHull through the tree).
+    val dir = Files.createTempDirectory("graft-iocount-cat").toString
+    val (nrec, nx) = (64, 1024) // 512 KB of data per file
+    def nc(name: String, day: Int): String = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath, NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", nx)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("units", NetCDF3.NcChar,
+              s"hours since 2022-05-0$day")), Array.tabulate(nrec)(_.toDouble)),
+          NetCDF3.VarSpec("v", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nrec * nx)(_.toDouble))),
+        numRecs = nrec))
+      f.getAbsolutePath
+    }
+    // TWO survivors with disjoint epochs, so the pushed filter is the
+    // genuine Or TREE — (path = a AND d0 48-51) OR (path = b AND
+    // d0 0-3) — and each file's window comes from ITS branch's hull
+    val pa = nc("a.nc", 1) // hours 0-63 since 05-01
+    val pb = nc("b.nc", 3) // hours 0-63 since 05-03
+    val fileLen = new java.io.File(pa).length()
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "netcdf3", s"$dir/*.nc", Seq("v"), manifest)
+    val (got, rec) = recording {
+      GridOpen.netcdf3CatalogFromManifest(spark, manifest, "v",
+          timeBounds = Map("time" ->
+            ("2022-05-03 00:00:00", "2022-05-03 03:00:00")))
+        .agg(sum(col("value"))).head.getDouble(0)
+    }
+    // a keeps records 48-51 (hours 48-51 of day 1 = day 3's 0-3h),
+    // b keeps records 0-3
+    def sumTo(n: Long): Double = n.toDouble * (n - 1) / 2.0
+    val want = (sumTo(52L * nx) - sumTo(48L * nx)) + sumTo(4L * nx)
+    assert(got == want, s"got $got, want $want")
+    // each surviving file: header + time coords + ~4 records of v — a
+    // 64-record span (the pre-narrowing behavior) would read ~8x this
+    for (p0 <- Seq(pa, pb))
+      assert(rec.bytes(p0) < fileLen / 4,
+        s"read ${rec.bytes(p0)} of $fileLen bytes for a 4/64-record crop of $p0")
+  }
+
+  test("colHull: interval algebra over filter trees is sound per identity") {
+    import org.apache.spark.sql.sources._
+    import MountDsv2.{colHull, FullRange, IdxRange}
+    val or = Or(
+      And(EqualTo("path", "/a"), And(GreaterThanOrEqual("d0", 48L),
+        LessThanOrEqual("d0", 51L))),
+      And(EqualTo("path", "/b"), And(GreaterThanOrEqual("d0", 0L),
+        LessThanOrEqual("d0", 3L))))
+    // each identity gets exactly ITS branch's range
+    assert(colHull(or, "d0", "/a", "v").contains(IdxRange(48, 51)))
+    assert(colHull(or, "d0", "/b", "v").contains(IdxRange(0, 3)))
+    // an identity in NO branch is unsatisfiable
+    assert(colHull(or, "d0", "/c", "v").isEmpty)
+    // a branch with no d0 constraint makes the hull FULL for its store
+    val mixed = Or(EqualTo("path", "/a"),
+      And(EqualTo("path", "/b"), EqualTo("d0", 7L)))
+    assert(colHull(mixed, "d0", "/a", "v").contains(FullRange))
+    assert(colHull(mixed, "d0", "/b", "v").contains(IdxRange(7, 7)))
+    // And-unsatisfiable intersects to None; other columns don't constrain
+    assert(colHull(And(EqualTo("d0", 1L), EqualTo("d0", 5L)),
+      "d0", "/a", "v").isEmpty)
+    assert(colHull(EqualTo("d1", 9L), "d0", "/a", "v").contains(FullRange))
+    // unknown shapes (Not) stay conservative-FULL
+    assert(colHull(Not(EqualTo("d0", 2L)), "d0", "/a", "v").contains(FullRange))
+  }
+
   test("byte-adjacent HDF5 chunks collapse to one span read per run") {
     // (32, 4) in (2, 4) chunks = 16 deflate chunks written back-to-back:
     // execution must read them as ONE coalesced span (16 per-chunk reads
