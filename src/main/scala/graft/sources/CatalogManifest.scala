@@ -63,7 +63,9 @@ object CatalogManifest {
   /** Fingerprint comparison with legacy awareness: a stored hash of 0
     * marks a pre-hash manifest row (the [[withCompat]] default) — the
     * comparison then falls back to the aggregate triple, exactly the
-    * pre-upgrade behavior. */
+    * pre-upgrade behavior. Used by the read-side STALENESS guards only;
+    * [[refresh]] treats hash-less rows as changed outright (re-scan),
+    * so the upgrade never launders a triple-blind-spot change. */
   private def fpChanged(old: Fp, cur: Fp): Boolean =
     if (old._4 == 0L) (old._1, old._2, old._3) != ((cur._1, cur._2, cur._3))
     else old != cur
@@ -165,17 +167,40 @@ object CatalogManifest {
       "coalesce(size(a.coords), -1) as n))"
 
   /** The pointed generation number, None for a legacy (pre-
-    * generational) manifest. */
+    * generational) manifest. An empty/garbled pointer retries ONCE
+    * before failing: on filesystems without atomic small-object
+    * replacement an uncoordinated reader could catch a pointer
+    * mid-write, and one re-read outlasts any tiny-file write. */
   private def currentGen(manifestPath: String): Option[Int] = {
     val p = ByteStore.join(manifestPath, Pointer)
     if (!ByteStore.isFile(p)) None
     else {
-      val g = ByteStore.readString(p).trim
+      def readGen(): String = ByteStore.readString(p).trim
+      var g = readGen()
+      if (!g.matches("_gen-\\d{8}")) { Thread.sleep(25); g = readGen() }
       if (!g.matches("_gen-\\d{8}"))
         fail(s"corrupt generation pointer $p: '$g'")
       Some(g.stripPrefix("_gen-").toInt)
     }
   }
+
+  /** The pointer flip. On an object store one small-object PUT is
+    * atomic — THE publish point by design. A plain truncate-then-write
+    * on a LOCAL path is NOT (a concurrent reader can observe an empty
+    * or partial pointer), so the local branch stages a temp sibling and
+    * renames it into place — rename(2) of a tiny file replaces
+    * atomically, and this rename never touches the object-store seam
+    * the sinks keep rename-free. */
+  private def writePointer(path: String, gen: String): Unit =
+    if (ByteStore.hasScheme(path)) ByteStore.writeString(path, gen)
+    else {
+      val tmp = java.nio.file.Paths.get(path + ".tmp")
+      java.nio.file.Files.write(tmp,
+        gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
 
   /** The parquet path holding the manifest's CURRENT rows: the pointed
     * generation when the pointer exists, the path itself for a legacy
@@ -201,16 +226,29 @@ object CatalogManifest {
     boundedSession(spark).read.parquet(dataPath(manifestPath))
 
   // one derived session per root session (building a SessionState per
-  // read would tax every plan ~100 ms); the map lives as long as the
-  // sessions it keys — an app has a handful
+  // read would tax every plan ~100 ms). Weakly keyed AND weakly valued:
+  // an app that cycles newSession() roots must not have each one (and
+  // its SessionState) pinned for the JVM's lifetime by this cache, and
+  // the derived session strongly references its parent's state — a
+  // strong VALUE would keep even a weak key reachable forever. A
+  // cleared value just rebuilds on next use (rare: possible only once
+  // every frame planned on it is itself unreachable).
   private val boundedSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-  private def boundedSession(spark: SparkSession): SparkSession =
-    boundedSessions.computeIfAbsent(spark, s => {
-      val b = s.newSession()
-      b.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
-      b
-    })
+    new java.util.WeakHashMap[SparkSession,
+      java.lang.ref.WeakReference[SparkSession]]()
+  private[graft] def boundedSession(spark: SparkSession): SparkSession =
+    boundedSessions.synchronized {
+      Option(boundedSessions.get(spark)).flatMap(r => Option(r.get))
+        .getOrElse {
+          val b = spark.newSession()
+          b.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
+          boundedSessions.put(spark, new java.lang.ref.WeakReference(b))
+          b
+        }
+    }
+  /** Live cache entries (test observability for the no-pinning claim). */
+  private[graft] def boundedSessionCount: Int =
+    boundedSessions.synchronized(boundedSessions.size)
 
   private def load(spark: SparkSession, manifestPath: String)
       : org.apache.spark.sql.DataFrame =
@@ -233,8 +271,8 @@ object CatalogManifest {
     df.drop("axs").withColumn("axs", expr(SummarySql))
       .write.mode("overwrite") // overwrite: a crashed publish's orphan
       .parquet(ByteStore.join(manifestPath, genName(next)))
-    // THE publish point: one small-object PUT
-    ByteStore.writeString(ByteStore.join(manifestPath, Pointer), genName(next))
+    // THE publish point: one atomic pointer replacement
+    writePointer(ByteStore.join(manifestPath, Pointer), genName(next))
     ByteStore.list(manifestPath).foreach { e =>
       val gen = "_gen-(\\d{8})".r
       e.name match {
@@ -318,21 +356,29 @@ object CatalogManifest {
     val stores = storesOf(format, dir)
     val curFp = ByteStore.parMap(stores)(s => (s, ByteStore.treeStat(s))).toMap
     val added = stores.filterNot(oldFp.contains)
+    // a pre-hash legacy row (fpHash == 0) counts as CHANGED even when
+    // its aggregate triple matches: stamping the freshly computed hash
+    // onto a triple-matched row would permanently launder a change in
+    // the triple's blind spot (equal-size rename, offsetting growth)
+    // as verified — re-scanning converges hash protection from actual
+    // metadata, at the cost of one full re-scan on a legacy manifest's
+    // first refresh
     val changed =
       if (sameVars)
-        stores.filter(s => oldFp.contains(s) && fpChanged(oldFp(s), curFp(s)))
+        stores.filter(s => oldFp.contains(s) &&
+          (oldFp(s)._4 == 0L || fpChanged(oldFp(s), curFp(s))))
       else stores.filter(oldFp.contains) // variable set changed: re-scan all
     val unchanged =
       if (sameVars)
-        stores.filter(s => oldFp.get(s).exists(o => !fpChanged(o, curFp(s))))
+        stores.filter(s => oldFp.get(s).exists(o =>
+          o._4 != 0L && !fpChanged(o, curFp(s))))
       else Nil
     val removed = (oldFp.keySet -- stores).size
     val fresh = entriesFor(spark, format, dir, added ++ changed, variables,
       distributeAbove)
-    // kept rows' fp columns refresh from the wave already run: for a
-    // current-format row the values are identical (they matched); for a
-    // pre-hash legacy row this upgrades fpHash from its 0 placeholder,
-    // so the per-file hash protection converges after one refresh
+    // kept rows' fp columns refresh from the wave already run — a
+    // kept row is always hash-verified (legacy hash-less rows re-scan
+    // above), so the values are identical by construction
     val curFpDf = unchanged.map { s =>
       val (mt, by, n, h) = curFp(s); (s, mt, by, n, h)
     }.toDF("store", "__mt", "__by", "__n", "__h")
@@ -443,29 +489,53 @@ object CatalogManifest {
         !(a("mx") < lit(lo) || a("mn") > lit(hi)))
     def attrEq(c: org.apache.spark.sql.Column, v: Option[String]) =
       v.map(c === lit(_)).getOrElse(c.isNull)
-    def axisKeep(name: String,
-        perAxis: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      size(filter(col("axs"), a => a("name") === lit(name))) === 0 ||
-        exists(col("axs"), a => a("name") === lit(name) &&
-          (a("n") < 0 || perAxis(a)))
-    val numeric = bounds.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
-      axisKeep(n, a => intersects(a, lo, hi))
+    def missing(name: String) =
+      size(filter(col("axs"), a => a("name") === lit(name))) === 0
+    // keep = error-shaped on ANY bound axis OR envelope-pass on EVERY
+    // bound axis. The error disjunct is NOT per-axis: a store whose
+    // axis A provably misses the bounds but whose axis B is
+    // error-shaped (absent, no coords, unresolvable time attrs) must
+    // still collect, so the driver refine raises the exact live error
+    // — the same one the small-catalog collect-all regime raises. A
+    // per-axis And (error-or-pass per conjunct) would let A's prune
+    // silently swallow B's error and make diagnostics regime-dependent.
+    val numericPass = bounds.toSeq.sortBy(_._1).map { case (n, (lo, hi)) =>
+      exists(col("axs"), a => a("name") === lit(n) && intersects(a, lo, hi))
     }
-    val timed = timeCombos.toSeq.sortBy(_._1).map { case (n, combos) =>
-      axisKeep(n, { a =>
-        val matches = combos.map { case (u, c, _) =>
-          attrEq(a("units"), u) && attrEq(a("calendar"), c) }
-        val tests = combos.zip(matches).map {
-          case ((_, _, Some((lo, hi))), m) => m && intersects(a, lo, hi)
-          case ((_, _, None), m) => m // unresolvable: keep, driver raises
+    val numericErr = bounds.keys.toSeq.sorted.map { n =>
+      missing(n) ||
+        exists(col("axs"), a => a("name") === lit(n) && a("n") < 0)
+    }
+    val timedPass = timeCombos.toSeq.sortBy(_._1).map { case (n, combos) =>
+      exists(col("axs"), a => a("name") === lit(n) && {
+        val tests = combos.collect { case (u, c, Some((lo, hi))) =>
+          attrEq(a("units"), u) && attrEq(a("calendar"), c) &&
+            intersects(a, lo, hi)
         }
-        // an attr pair outside the dispatch table (it cannot occur —
-        // the combos come from this same generation — but stay sound):
-        // keep, the driver refine decides
-        !matches.reduce(_ || _) || tests.reduce(_ || _)
+        tests.reduceOption(_ || _).getOrElse(lit(false))
       })
     }
-    (numeric ++ timed).reduceOption(_ && _).getOrElse(lit(true))
+    val timedErr = timeCombos.toSeq.sortBy(_._1).map { case (n, combos) =>
+      missing(n) || exists(col("axs"), a => a("name") === lit(n) && {
+        val matches = combos.map { case (u, c, _) =>
+          attrEq(a("units"), u) && attrEq(a("calendar"), c) }
+        // unresolvable attrs (non-time units, unsupported step or
+        // calendar, a bad bound string): the driver refine raises
+        val unresolved = combos.zip(matches)
+          .collect { case ((_, _, None), m) => m }
+        // an attr pair outside the dispatch table (it cannot occur —
+        // the combos come from this same generation — but stay sound):
+        // collect, the driver refine decides
+        a("n") < 0 ||
+          unresolved.reduceOption(_ || _).getOrElse(lit(false)) ||
+          !matches.reduce(_ || _)
+      })
+    }
+    val errAny = (numericErr ++ timedErr)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val passAll = (numericPass ++ timedPass)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    errAny || passAll
   }
 
   /** Phase-1 regime threshold: a catalog whose (store, variable) rows
@@ -842,10 +912,18 @@ object CatalogManifest {
       ax.map(a => GridOpen.RawAxis(a.k, a.name, a.units, a.calendar,
         if (a.n >= 0) Some(Array.empty[Double]) else None)), store)
     val nb = GridOpen.resolveBounds(axes, bounds, timeBounds, store)
-    nb.forall { case (name, (lo, hi)) =>
+    // error shapes first, on EVERY bound axis (name-sorted): a
+    // short-circuiting walk would make whether an error raises depend
+    // on which axis's intersection test happens to evaluate first —
+    // and thereby on map iteration order, and across the phase-1
+    // regimes. Resolve-then-test keeps diagnostics deterministic.
+    val resolved = nb.toSeq.sortBy(_._1).map { case (name, (lo, hi)) =>
       val a = ax.find(_.name == name)
         .getOrElse(fail(s"no axis '$name' in $store"))
       if (a.n < 0) fail(s"axis '$name' in $store has no coords")
+      (a, lo, hi)
+    }
+    resolved.forall { case (a, lo, hi) =>
       // mn/mx can be None only for an empty coords array
       (a.mn, a.mx) match {
         case (Some(mn), Some(mx)) => !(mx < lo || mn > hi)

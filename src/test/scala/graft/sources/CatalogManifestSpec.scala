@@ -718,14 +718,19 @@ class CatalogManifestSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       GridOpen.zarrCatalogFromManifest(spark, legacy, "lwp").count())
     assert(e.getMessage.contains("refresh"))
-    // refresh re-scans only the changed store and UPGRADES the kept
-    // rows' fpHash from its fingerprint wave (no extra reads)
+    // refresh treats EVERY hash-less row as changed and re-scans it:
+    // stamping the fresh hash onto a triple-matched legacy row would
+    // permanently launder a change in the triple's blind spot
+    // (equal-size rename, offsetting growth) as hash-verified
     val (added, changed, removed, unchanged) =
       CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), legacy)
-    assert((added, changed, removed, unchanged) == ((0, 1, 0, 2)))
+    assert((added, changed, removed, unchanged) == ((0, 3, 0, 0)))
     val hashes = CatalogManifest.read(spark, legacy)
       .select("fpHash").collect().map(_.getLong(0))
-    assert(hashes.forall(_ != 0L), "kept rows were not hash-upgraded")
+    assert(hashes.forall(_ != 0L), "re-scanned rows carry no hash")
+    // the SECOND refresh is hash-verified and keeps everything
+    assert(CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), legacy)
+      == ((0, 0, 0, 3)))
   }
 
   test("distributed build (Spark-job wave) writes the same manifest as the driver wave") {
@@ -742,5 +747,90 @@ class CatalogManifestSpec extends SparkSpec {
     val b = CatalogManifest.read(spark, m2).orderBy("store")
       .drop("fpMtime").collect().map(_.toString)
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("pushed-regime diagnostics match collect-all: one axis's prune never swallows another axis's error") {
+    // a store whose axis A provably misses the bounds but whose axis B
+    // is error-shaped (absent here) must still reach the driver refine
+    // in the PUSHED regime, so both regimes raise the SAME live error —
+    // not silence in one and a loud 'no axis' in the other
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-manif-errsw").toString
+    val manifest = s"$dir/_m"
+    def entry(store: String, axes: Seq[GridOpen.RawAxis]) =
+      CatalogManifest.Entry(store, "lwp", "zarr", dir, 0L, 0L, 0L, 1L,
+        axes, 1.0, 0.0, None, None, Seq("lwp"))
+    val good = entry("good", Seq(
+      GridOpen.RawAxis(0, "x", None, None, Some(Array(0.0, 5.0))),
+      GridOpen.RawAxis(1, "y", None, None, Some(Array(0.0, 5.0)))))
+    // x misses [0, 9] by a mile AND y is absent (the error shape)
+    val bad = entry("bad", Seq(
+      GridOpen.RawAxis(0, "x", None, None, Some(Array(100.0, 120.0)))))
+    CatalogManifest.publishEntries(spark, Seq(good, bad).toDS(), manifest)
+    val bounds = Map("x" -> (0.0, 9.0), "y" -> (0.0, 9.0))
+    def planAt(threshold: Int): Throwable = {
+      val saved = CatalogManifest.collectAllBelow
+      CatalogManifest.collectAllBelow = threshold
+      try intercept[IllegalArgumentException] {
+        CatalogManifest.planOnly(spark, manifest, "lwp", bounds, Map.empty)
+      } finally CatalogManifest.collectAllBelow = saved
+    }
+    val eAll = planAt(2048) // collect-all regime
+    val ePushed = planAt(0) // pushed regime
+    assert(eAll.getMessage.contains("no axis 'y' in bad"), eAll.getMessage)
+    assert(ePushed.getMessage == eAll.getMessage,
+      s"regimes diverge: pushed='${ePushed.getMessage}' " +
+        s"collect-all='${eAll.getMessage}'")
+  }
+
+  test("the generation pointer flips atomically on local paths (no tmp residue, no truncate window)") {
+    val dir = Files.createTempDirectory("graft-manif-ptr").toString
+    writeZarrCatalog(dir, 2)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    // the staged temp sibling renamed into place — nothing left behind
+    val leftovers = ByteStore.list(manifest).map(_.name)
+      .filter(_.startsWith("_current."))
+    assert(leftovers.isEmpty, s"pointer staging residue: $leftovers")
+    assert(ByteStore.readString(s"$manifest/_current").trim
+      .matches("_gen-\\d{8}"))
+    // a reader that catches a transiently garbled pointer retries once
+    val ptr = s"$manifest/_current"
+    val goodGen = ByteStore.readString(ptr)
+    ByteStore.writeString(ptr, "") // the torn state a truncate-write shows
+    val fixer = new Thread(() => {
+      Thread.sleep(10); ByteStore.writeString(ptr, goodGen) })
+    fixer.start()
+    try assert(CatalogManifest.read(spark, manifest).count() == 2)
+    finally fixer.join()
+    // a DURABLY corrupt pointer still fails loudly with the domain error
+    ByteStore.writeString(ptr, "garbage")
+    try {
+      val e = intercept[IllegalArgumentException](
+        CatalogManifest.read(spark, manifest).count())
+      assert(e.getMessage.contains("corrupt generation pointer"))
+    } finally ByteStore.writeString(ptr, goodGen)
+  }
+
+  test("boundedSessions does not pin discarded root sessions for the JVM lifetime") {
+    val before = CatalogManifest.boundedSessionCount
+    // cycle roots the way a long-lived service would; hold NO references
+    (1 to 6).foreach { _ =>
+      CatalogManifest.boundedSession(spark.newSession()); () }
+    assert(CatalogManifest.boundedSessionCount >= before,
+      "cache should have grown while roots were reachable (or already collected)")
+    // weak keys + weak values: once the roots are unreachable the
+    // entries must go. GC is advisory — nudge it and poll.
+    var tries = 0
+    while (CatalogManifest.boundedSessionCount > before && tries < 100) {
+      System.gc(); Thread.sleep(20); tries += 1
+    }
+    assert(CatalogManifest.boundedSessionCount <= before,
+      s"${CatalogManifest.boundedSessionCount - before} discarded root " +
+        "sessions still pinned after GC")
+    // and the root THIS suite holds stays cached and usable
+    val b = CatalogManifest.boundedSession(spark)
+    assert(CatalogManifest.boundedSession(spark) eq b)
   }
 }
