@@ -144,15 +144,36 @@ object CatalogManifest {
   // Spark's configured output committer — on a real object store that
   // is the rename-free S3A committer, outside this layer's scope.)
   //
-  // WRITERS are single-writer by contract: two concurrent
-  // build/refresh calls would race to the same next-generation
-  // directory (one job's overwrite-delete can corrupt the other's
-  // in-flight write) before both flip the pointer to it. Readers are
-  // unlimited and never coordinate; run ONE refresher, like the
-  // reference's one luigi scheduler owning the scene DB.
+  // WRITERS are single-writer by contract — and the contract is now
+  // ENFORCED, not just documented: each publish writes a
+  // `_claim-NNNNNNNN` marker carrying a writer-unique token before its
+  // generation write and re-reads it after, refusing loudly (domain
+  // error, no pointer flip) when another writer claimed the same
+  // generation in between — the realistic race, two refreshers whose
+  // generation WRITES overlap (one job's overwrite-delete corrupting
+  // the other's in-flight files), always trips it, and the winner's
+  // COMPLETE generation is what the pointer ends up naming. The
+  // residual check-to-flip window is sub-millisecond and loses only
+  // the slower writer's rows to the faster's complete generation —
+  // plain PUTs cannot close it entirely (no conditional writes on the
+  // seam); run ONE refresher, like the reference's one luigi scheduler
+  // owning the scene DB. Readers are unlimited and never coordinate.
 
   private val Pointer = "_current"
   private def genName(n: Int): String = f"_gen-$n%08d"
+  private def claimName(n: Int): String = f"_claim-$n%08d"
+
+  /** How many generations BEHIND the current one publish retains as a
+    * grace window for in-flight readers (older ones are deleted after
+    * the pointer flip). The default 1 survives a reader stalled across
+    * one publish; raise it for catalogs with long-running readers
+    * concurrent with frequent refreshes. Clamped to >= 1 — retention 0
+    * would delete the generation a just-redirected reader still holds. */
+  @volatile var retainGenerations: Int = 1
+
+  /** Test seam: invoked between a publish's generation write and its
+    * claim verification — the window a racing writer lands in. */
+  private[graft] var onGenerationWritten: () => Unit = () => ()
 
   /** The per-axis summary projection (the persisted `axs` column):
     * everything phase 1 needs, WITHOUT the coordinate arrays. Written
@@ -222,8 +243,17 @@ object CatalogManifest {
     * size is read from. 32-row batches cost ~3k batches per
     * 10^5-store phase-1 scan — noise. */
   def read(spark: SparkSession, manifestPath: String)
-      : org.apache.spark.sql.DataFrame =
-    boundedSession(spark).read.parquet(dataPath(manifestPath))
+      : org.apache.spark.sql.DataFrame = {
+    // a reader that resolved the pointer just before a publish's
+    // cleanup deleted that generation re-resolves ONCE — the fresh
+    // pointer names a complete generation. A reader stalled ACROSS
+    // publishes longer than the [[retainGenerations]] grace window
+    // still fails mid-scan (file-not-found); raise the retention for
+    // long-running readers concurrent with frequent refreshes.
+    val p = dataPath(manifestPath)
+    val resolved = if (ByteStore.exists(p)) p else dataPath(manifestPath)
+    boundedSession(spark).read.parquet(resolved)
+  }
 
   // one derived session per root session (building a SessionState per
   // read would tax every plan ~100 ms). Weakly keyed AND weakly valued:
@@ -268,16 +298,38 @@ object CatalogManifest {
       manifestPath: String): Unit = {
     val cur = currentGen(manifestPath)
     val next = cur.map(_ + 1).getOrElse(0)
+    // claim the generation before writing it: a second writer racing to
+    // the same number overwrites this marker, and the loser finds out
+    // BEFORE flipping the pointer at a generation the winner may have
+    // corrupted mid-write
+    val claimPath = ByteStore.join(manifestPath, claimName(next))
+    val token = java.util.UUID.randomUUID().toString
+    ByteStore.writeString(claimPath, token)
     df.drop("axs").withColumn("axs", expr(SummarySql))
       .write.mode("overwrite") // overwrite: a crashed publish's orphan
       .parquet(ByteStore.join(manifestPath, genName(next)))
+    onGenerationWritten()
+    val stillMine =
+      try ByteStore.isFile(claimPath) && ByteStore.readString(claimPath) == token
+      catch { case _: Exception => false }
+    if (!stillMine)
+      fail(s"lost the publish race for ${genName(next)} under " +
+        s"$manifestPath — another writer claimed the same generation " +
+        "(writers are single-writer by contract: run ONE build/refresh " +
+        "at a time; the winner's publish is complete and readable)")
     // THE publish point: one atomic pointer replacement
     writePointer(ByteStore.join(manifestPath, Pointer), genName(next))
+    ByteStore.deleteFile(claimPath)
+    val keepFrom = next - math.max(1, retainGenerations)
     ByteStore.list(manifestPath).foreach { e =>
       val gen = "_gen-(\\d{8})".r
+      val claim = "_claim-(\\d{8})".r
       e.name match {
-        case gen(n) if e.isDir && n.toInt < next - 1 =>
-          deleteTree(spark, e.path) // older than the grace generation
+        case gen(n) if e.isDir && n.toInt < keepFrom =>
+          deleteTree(spark, e.path) // older than the grace window
+        case claim(n) if !e.isDir && n.toInt < next =>
+          ByteStore.deleteFile(e.path) // a crashed publish's orphan claim
+          ()
         case Pointer => ()
         // the migrated legacy parquet's data files ONLY (part files,
         // their .crc siblings, the _SUCCESS marker) — never arbitrary

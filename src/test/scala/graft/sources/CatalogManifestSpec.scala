@@ -813,6 +813,77 @@ class CatalogManifestSpec extends SparkSpec {
     } finally ByteStore.writeString(ptr, goodGen)
   }
 
+  test("two interleaved publishers: exactly one wins, the loser refuses loudly, the manifest stays readable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-manif-race").toString
+    val manifest = s"$dir/_m"
+    def entries(tag: String, n: Int) = (1 to n).map { i =>
+      CatalogManifest.Entry(s"/$tag/s$i", "lwp", "zarr", s"/$tag",
+        0L, 0L, 0L, 1L,
+        Seq(GridOpen.RawAxis(0, "x", None, None, Some(Array(0.0, 1.0)))),
+        1.0, 0.0, None, None, Seq("lwp"))
+    }
+    CatalogManifest.publishEntries(spark, entries("base", 1).toDS(), manifest)
+    // writer B lands a COMPLETE publish of the same generation inside
+    // writer A's write-to-verify window (the claim seam)
+    CatalogManifest.onGenerationWritten = () => {
+      CatalogManifest.onGenerationWritten = () => ()
+      CatalogManifest.publishEntries(spark, entries("winner", 3).toDS(),
+        manifest)
+    }
+    val e = try intercept[IllegalArgumentException] {
+      CatalogManifest.publishEntries(spark, entries("loser", 2).toDS(),
+        manifest)
+    } finally CatalogManifest.onGenerationWritten = () => ()
+    assert(e.getMessage.contains("lost the publish race"), e.getMessage)
+    // the pointer names the WINNER's complete generation — never the
+    // loser's possibly-corrupted files, never an unreadable manifest
+    val rows = CatalogManifest.read(spark, manifest)
+      .select("store").as[String].collect()
+    assert(rows.length == 3 && rows.forall(_.startsWith("/winner")), rows.toSeq)
+    // no claim residue from either writer
+    val claims = ByteStore.list(manifest).map(_.name)
+      .filter(_.startsWith("_claim-"))
+    assert(claims.isEmpty, s"claim residue: $claims")
+  }
+
+  test("generation retention is a parameter: a stalled reader survives extra publishes under a wider grace window") {
+    import spark.implicits._
+    def entry(tag: String, i: Int) =
+      CatalogManifest.Entry(s"/$tag/s$i", "lwp", "zarr", s"/$tag",
+        0L, 0L, 0L, 1L,
+        Seq(GridOpen.RawAxis(0, "x", None, None, Some(Array(0.0, 1.0)))),
+        1.0, 0.0, None, None, Seq("lwp"))
+    def pub(manifest: String, tag: String, n: Int): Unit =
+      CatalogManifest.publishEntries(spark,
+        (1 to n).map(entry(tag, _)).toDS(), manifest)
+    // default retention (1 previous generation): a reader stalled
+    // across TWO publishes holds a deleted generation and fails
+    val d1 = Files.createTempDirectory("graft-manif-ret1").toString
+    val m1 = s"$d1/_m"
+    pub(m1, "g0", 1)
+    val stale = CatalogManifest.read(spark, m1) // resolves _gen-00000000
+    pub(m1, "g1", 2); pub(m1, "g2", 3) // second publish deletes gen 0
+    assert(!ByteStore.exists(s"$m1/_gen-00000000"))
+    intercept[Exception](stale.count())
+    assert(CatalogManifest.read(spark, m1).count() == 3) // fresh reads fine
+    // retainGenerations = 2: the same stall SURVIVES (gen 0 is inside
+    // the grace window until the THIRD publish)
+    val saved = CatalogManifest.retainGenerations
+    CatalogManifest.retainGenerations = 2
+    try {
+      val d2 = Files.createTempDirectory("graft-manif-ret2").toString
+      val m2 = s"$d2/_m"
+      pub(m2, "h0", 1)
+      val stale2 = CatalogManifest.read(spark, m2)
+      pub(m2, "h1", 2); pub(m2, "h2", 3)
+      assert(ByteStore.exists(s"$m2/_gen-00000000"))
+      assert(stale2.count() == 1, "the stalled reader should survive")
+      pub(m2, "h3", 4) // now gen 0 ages out of the window
+      assert(!ByteStore.exists(s"$m2/_gen-00000000"))
+    } finally CatalogManifest.retainGenerations = saved
+  }
+
   test("boundedSessions does not pin discarded root sessions for the JVM lifetime") {
     val before = CatalogManifest.boundedSessionCount
     // cycle roots the way a long-lived service would; hold NO references
