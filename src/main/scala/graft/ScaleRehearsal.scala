@@ -666,6 +666,74 @@ object ScaleRehearsal {
           s"for ONE shared $axisLen-element axis")
     }
 
+    // ---- round 19: BROAD no-bounds open — zero phase-1 driver rows -------
+    // The last O(catalog) driver term: a no-bounds open over a big
+    // catalog used to collect EVERY store's scalar summary. Now phase 1
+    // collects nothing (every store survives by definition), phase 2
+    // dedups coordinates through the grouped exchange, and the driver
+    // peak is pinned: O(stores) scalar metas (the RESULT) plus
+    // O(distinct grids) coordinates — never O(stores) summaries on top.
+    if (wanted("manifest_broad")) {
+      import graft.sources.{CatalogManifest, GridOpen}
+      import spark.implicits._
+      val n = (100 * mult).toInt
+      val mdir = java.nio.file.Files.createTempDirectory("graft-scale-synb").toString
+      val manifest = s"$mdir/_manifest"
+      val entries = spark.range(n.toLong).map { i =>
+        CatalogManifest.Entry(f"/syn/sb$i%07d.zarr", "lwp", "zarr", "/syn",
+          0L, 0L, 0L, 0L,
+          Seq(
+            GridOpen.RawAxis(0, "time",
+              Some("hours since 2021-01-01"), None,
+              Some(Array(0.0, 6.0, 12.0, 18.0))),
+            GridOpen.RawAxis(1, "x", None, None,
+              Some(Array(0.0, 10.0, 20.0)))),
+          1.0, 0.0, None, None, Seq("lwp"))
+      }
+      timed("synbroad_build") {
+        CatalogManifest.publishEntries(spark, entries, manifest); n.toLong
+      }
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+      import scala.jdk.CollectionConverters._
+      val heapPools = pools.asScala.filter(_.getType ==
+        java.lang.management.MemoryType.HEAP)
+      System.gc()
+      heapPools.foreach(_.resetPeakUsage())
+      var got: (Int, Int) = (0, 0)
+      // force the big-catalog regime at every mult (the claim under
+      // rehearsal IS that regime; small mults would otherwise take the
+      // fixture-scale collect-all path)
+      val savedThreshold = CatalogManifest.collectAllBelow
+      CatalogManifest.collectAllBelow = 0
+      try timed("synbroad_plan") {
+        got = CatalogManifest.planOnly(spark, manifest, "lwp",
+          Map.empty, Map.empty)
+        got._1.toLong
+      } finally CatalogManifest.collectAllBelow = savedThreshold
+      val peakMB = heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+      println(s"""{"op":"synbroad_io","stores":$n,"survivors":${got._1},""" +
+        s""""phase1Collected":${got._2},""" +
+        s""""phase2CoordCells":${CatalogManifest.lastPhase2CoordCells},""" +
+        s""""driverHeapPeakMB":$peakMB}""")
+      require(got._1 == n, s"broad open planned ${got._1} of $n stores")
+      require(got._2 == 0,
+        s"broad phase 1 collected ${got._2} rows — should collect NOTHING")
+      // above the phase-2 direct-collect threshold the grouped exchange
+      // drives each distinct grid ONCE (4 + 3 cells); under it the
+      // direct collect honestly reports per-store volume
+      val expectCells =
+        if (n.toLong * 7 <= CatalogManifest.directCollectCells) n.toLong * 7
+        else 7L
+      require(CatalogManifest.lastPhase2CoordCells == expectCells,
+        s"phase 2 drove ${CatalogManifest.lastPhase2CoordCells} coord " +
+          s"cells, expected $expectCells")
+      // the pinned driver bound: the scalar metas ARE the result
+      // (O(stores), ~KB-scale each incl. collect transients); the
+      // summaries no longer stack an O(catalog) term on top of them
+      require(peakMB < 8192,
+        s"broad plan peaked at $peakMB MB of driver heap for $n stores")
+    }
+
     // ---- round 18: broad-crop residual — Or form vs broadcast join -------
     // The same real catalog executed both ways at ~26/28 survivors:
     // above the threshold the per-row residual is an O(1) hash probe,

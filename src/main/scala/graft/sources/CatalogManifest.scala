@@ -648,29 +648,48 @@ object CatalogManifest {
     val probe = sumsDf.limit(collectAllBelow + 1).as[StoreSummary].collect()
     require(probe.nonEmpty,
       s"catalog manifest: no '$variable' rows in $manifestPath")
-    val sums =
-      if (probe.length <= collectAllBelow) probe
-      else if (bounds.isEmpty && timeBounds.isEmpty)
-        sumsDf.as[StoreSummary].collect() // broad open over a big catalog
-      else sumsDf.where(
-          envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
-        .as[StoreSummary].collect()
-    lastPhase1Collected = sums.length
-    // pushed + everything-pruned: keep ONE store (the probe has one)
-    // for the empty frame's schema
-    val head = sums.headOption.getOrElse(probe.head)
-    val format = head.format
-    val dir = head.dir
-    // exact driver refine over the collected CANDIDATES (survivors +
-    // error-shaped rows): raises the live errors, drops conservative
-    // keeps the exact test rejects
-    val survivors = sums.filter(s =>
-      envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
-    val wanted = if (survivors.nonEmpty) survivors else Seq(head.store)
-    val wantedSet = wanted.toSet
-    val cells = sums.iterator.filter(s0 => wantedSet(s0.store))
-      .flatMap(_.ax).map(a => math.max(0, a.n).toLong).sum
-    val full = loadEntries(spark, df, wanted, cells)
+    val (full, survivors) =
+      if (probe.length > collectAllBelow && bounds.isEmpty &&
+          timeBounds.isEmpty) {
+        // BROAD no-bounds open over a big catalog: every store holding
+        // the variable survives by definition, so collecting O(catalog)
+        // scalar summaries to establish that would be the last
+        // O(catalog) driver term in the plan. Phase 1 collects ZERO
+        // rows; one aggregate job estimates the coordinate volume for
+        // the phase-2 regime choice, and phase 2 — which must return
+        // one meta per store regardless, that IS the result — dedups
+        // coordinate arrays through the grouped exchange, so the driver
+        // holds O(stores) scalars and O(distinct grids) coordinates,
+        // never O(stores x axis length).
+        lastPhase1Collected = 0
+        val cells = sumsDf.select(sum(expr(
+          "aggregate(ax, 0L, (acc, a) -> acc + greatest(cast(a.n as bigint), 0L))")))
+          .collect()(0).getLong(0)
+        val f = loadEntries(spark, df, cells)
+        (f, f.map(_._1.store).distinct)
+      } else {
+        val sums =
+          if (probe.length <= collectAllBelow) probe
+          else sumsDf.where(
+              envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
+            .as[StoreSummary].collect()
+        lastPhase1Collected = sums.length
+        // pushed + everything-pruned: keep ONE store (the probe has
+        // one) for the empty frame's schema
+        val head = sums.headOption.getOrElse(probe.head)
+        // exact driver refine over the collected CANDIDATES (survivors
+        // + error-shaped rows): raises the live errors, drops
+        // conservative keeps the exact test rejects
+        val surv = sums.filter(s =>
+          envelopeSurvives(s.store, s.ax, bounds, timeBounds))
+          .map(_.store).toSeq
+        val wanted = if (surv.nonEmpty) surv else Seq(head.store)
+        val wantedSet = wanted.toSet
+        val cells = sums.iterator.filter(s0 => wantedSet(s0.store))
+          .flatMap(_.ax).map(a => math.max(0, a.n).toLong).sum
+        (loadEntries(spark, df.where(col("store").isin(wanted: _*)), cells),
+          surv)
+      }
     // verify only ACTUAL survivors: the everything-pruned fallback row
     // exists for schema alone — its staleness cannot affect the (empty)
     // result, so it must not refuse the query
@@ -680,6 +699,7 @@ object CatalogManifest {
       .distinct
     if (verifyFingerprints)
       checkFresh(survivorFps, manifestPath)
+    val (format, dir) = (full.head._1.format, full.head._1.dir)
     val metas = full.sortBy(_._1.store).map { case (e, raw) =>
       GridOpen.StoreMeta(e.store, GridOpen.classifyAxes(raw, e.store),
         CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)) }
@@ -707,17 +727,17 @@ object CatalogManifest {
     * exactly what it did before, once per store.
     *
     * `coordCells` is the caller's estimate of the survivors' total
-    * coordinate volume (from the phase-1 summaries): under
-    * [[directCollectCells]] the grouped exchange buys nothing — full
-    * rows collect directly in ONE job. */
+    * coordinate volume (from the phase-1 summaries, or one aggregate
+    * job on a broad open): under [[directCollectCells]] the grouped
+    * exchange buys nothing — full rows collect directly in ONE job.
+    * `df` arrives pre-filtered to the wanted stores (or unfiltered for
+    * a broad everything-survives open). */
   private def loadEntries(spark: SparkSession,
-      df: org.apache.spark.sql.DataFrame, wanted: Seq[String],
-      coordCells: Long)
+      df: org.apache.spark.sql.DataFrame, coordCells: Long)
       : Seq[(ScalarEntry, Seq[GridOpen.RawAxis])] = {
     import spark.implicits._
     if (coordCells <= directCollectCells) {
-      val full = df.drop("axs")
-        .where(col("store").isin(wanted: _*)).as[Entry].collect()
+      val full = df.drop("axs").as[Entry].collect()
       lastPhase2CoordCells =
         full.iterator.flatMap(_.axes).flatMap(_.coords).map(_.length.toLong).sum
       return full.toSeq.map(e => (ScalarEntry(e.store, e.variable,
@@ -726,7 +746,7 @@ object CatalogManifest {
         e.axes.map(a => AxisHead(a.k, a.name, a.units, a.calendar,
           a.coords.isDefined))), e.axes))
     }
-    val wdf = df.drop("axs").where(col("store").isin(wanted: _*))
+    val wdf = df.drop("axs")
     val scal = wdf.select(col("store"), col("variable"), col("format"),
         col("dir"), col("fpMtime"), col("fpBytes"), col("fpCount"),
         col("fpHash"), col("scale"), col("offset"), col("fill"),
@@ -811,49 +831,71 @@ object CatalogManifest {
     val probe = allSums.limit(collectAllBelow + 1).as[VarSummary].collect()
     require(probe.nonEmpty, s"catalog manifest: no rows for " +
       s"${variables.mkString(",")} in $manifestPath")
-    val (sums, fallbackMember) =
-      if (probe.length <= collectAllBelow) {
-        val byStore = probe.groupBy(_.store)
-        val members = byStore.collect {
-          case (s, rows)
-              if variables.forall(v => rows.exists(_.variable == v)) => s
-        }.toSeq.sorted
-        require(members.nonEmpty, s"catalog manifest: no store holds all " +
-          s"of ${variables.mkString(",")} in $manifestPath")
-        (members.map(s => byStore(s).find(_.variable == variables.head).get),
-          members.headOption)
-      } else {
-        val memberDf = df.groupBy("store")
-          .agg(count(lit(1)).as("__nv"))
-          .where(col("__nv") === variables.distinct.size).select("store")
-        val headDf = allSums.where(col("variable") === variables.head)
+    val noMember = s"catalog manifest: no store holds all " +
+      s"of ${variables.mkString(",")} in $manifestPath"
+    val memberDf = df.groupBy("store")
+      .agg(count(lit(1)).as("__nv"))
+      .where(col("__nv") === variables.distinct.size).select("store")
+    val (full, survivors) =
+      if (probe.length > collectAllBelow && bounds.isEmpty &&
+          timeBounds.isEmpty) {
+        // BROAD no-bounds open over a big catalog: every member store
+        // survives by definition — like planStores, phase 1 collects
+        // ZERO rows, membership stays a grouped row-count INSIDE the
+        // scan (a semi-join filter on phase 2's own read), and one
+        // aggregate job estimates the coordinate volume
+        lastPhase1Collected = 0
+        val cells = allSums.where(col("variable") === variables.head)
           .join(memberDf, Seq("store"), "left_semi")
-        val pushed =
-          if (bounds.isEmpty && timeBounds.isEmpty) headDf
-          else headDf.where(
-            envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
-        val got = pushed.as[VarSummary].collect()
-        // all-pruned vs no-member: only the first is fine
-        val fb =
-          if (got.nonEmpty) None
-          else {
-            val one = headDf.limit(1).select("store").as[String].collect()
-            require(one.nonEmpty, s"catalog manifest: no store holds all " +
-              s"of ${variables.mkString(",")} in $manifestPath")
-            Some(one.head)
+          .select(sum(expr(
+            "aggregate(ax, 0L, (acc, a) -> acc + greatest(cast(a.n as bigint), 0L))")))
+          .collect()(0).getLong(0) * variables.length
+        val f = loadEntries(spark,
+          df.join(memberDf, Seq("store"), "left_semi"), cells)
+        require(f.nonEmpty, noMember)
+        (f, f.map(_._1.store).distinct)
+      } else {
+        val (sums, fallbackMember) =
+          if (probe.length <= collectAllBelow) {
+            val byStore = probe.groupBy(_.store)
+            val members = byStore.collect {
+              case (s, rows)
+                  if variables.forall(v => rows.exists(_.variable == v)) => s
+            }.toSeq.sorted
+            require(members.nonEmpty, noMember)
+            (members.map(s =>
+              byStore(s).find(_.variable == variables.head).get),
+              members.headOption)
+          } else {
+            val headDf = allSums.where(col("variable") === variables.head)
+              .join(memberDf, Seq("store"), "left_semi")
+            val pushed = headDf.where(
+              envelopePushdown(bounds, resolveTimeCombos(df, timeBounds)))
+            val got = pushed.as[VarSummary].collect()
+            // all-pruned vs no-member: only the first is fine
+            val fb =
+              if (got.nonEmpty) None
+              else {
+                val one = headDf.limit(1).select("store").as[String].collect()
+                require(one.nonEmpty, noMember)
+                Some(one.head)
+              }
+            (got.toSeq, fb)
           }
-        (got.toSeq, fb)
+        lastPhase1Collected = sums.length
+        val surv = sums.filter(s =>
+          envelopeSurvives(s.store, s.ax, bounds, timeBounds))
+          .map(_.store).toSeq
+        val wanted =
+          if (surv.nonEmpty) surv
+          else Seq(sums.headOption.map(_.store).getOrElse(fallbackMember.get))
+        val wantedSet2 = wanted.toSet
+        val cells = sums.iterator.filter(s0 => wantedSet2(s0.store))
+          .flatMap(_.ax).map(a => math.max(0, a.n).toLong)
+          .sum * variables.length
+        (loadEntries(spark, df.where(col("store").isin(wanted: _*)), cells),
+          surv)
       }
-    lastPhase1Collected = sums.length
-    val survivors = sums.filter(s =>
-      envelopeSurvives(s.store, s.ax, bounds, timeBounds)).map(_.store).toSeq
-    val wanted =
-      if (survivors.nonEmpty) survivors
-      else Seq(sums.headOption.map(_.store).getOrElse(fallbackMember.get))
-    val wantedSet2 = wanted.toSet
-    val cells = sums.iterator.filter(s0 => wantedSet2(s0.store))
-      .flatMap(_.ax).map(a => math.max(0, a.n).toLong).sum * variables.length
-    val full = loadEntries(spark, df, wanted, cells)
     // fps of the REAL survivors only (the everything-pruned fallback
     // member is schema-only), returned so a materialize can verify its
     // not-yet-done subset
@@ -865,7 +907,7 @@ object CatalogManifest {
       checkFresh(survivorFps, manifestPath)
     val fullByStore = full.groupBy(_._1.store)
     val (format, dir) = (full.head._1.format, full.head._1.dir)
-    val metas = wanted.sorted.map { s =>
+    val metas = fullByStore.keySet.toSeq.sorted.map { s =>
       val rows = fullByStore(s)
       val perVar = variables.map(v => rows.find(_._1.variable == v).get)
       val axesPerVar = perVar.map { case (e, raw) =>

@@ -813,6 +813,59 @@ class CatalogManifestSpec extends SparkSpec {
     } finally ByteStore.writeString(ptr, goodGen)
   }
 
+  test("a BROAD no-bounds open over a big catalog collects ZERO phase-1 rows") {
+    // the last O(catalog) driver term: with no bounds every store
+    // holding the variable survives by definition, so phase 1 has
+    // nothing to decide — it must not collect the summaries at all
+    val dir = Files.createTempDirectory("graft-manif-broad").toString
+    writeZarrCatalog(dir, 12)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    val saved = CatalogManifest.collectAllBelow
+    CatalogManifest.collectAllBelow = 0 // force the big-catalog regime
+    try {
+      val (metas, format, _, fps) =
+        CatalogManifest.planStores(spark, manifest, "lwp", Map.empty,
+          Map.empty)
+      assert(metas.length == 12 && fps.length == 12 && format == "zarr")
+      assert(CatalogManifest.lastPhase1Collected == 0,
+        s"broad phase 1 collected ${CatalogManifest.lastPhase1Collected}")
+      // and the full open still answers identically to the live one
+      assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp")
+        .count() == 144)
+      assert(CatalogManifest.lastPhase1Collected == 0)
+    } finally CatalogManifest.collectAllBelow = saved
+  }
+
+  test("a BROAD no-bounds VARS open keeps membership inside the scan, zero phase-1 rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-manif-broadv").toString
+    val manifest = s"$dir/_m"
+    def entry(store: String, v: String, vars: Seq[String]) =
+      CatalogManifest.Entry(store, v, "zarr", "/syn", 0L, 0L, 0L, 1L,
+        Seq(GridOpen.RawAxis(0, "x", None, None, Some(Array(0.0, 1.0)))),
+        1.0, 0.0, None, None, vars)
+    // 10 member stores holding BOTH variables + 2 partial stores
+    val rows = (1 to 10).flatMap(i => Seq(
+      entry(f"/syn/m$i%02d", "a", Seq("a", "b")),
+      entry(f"/syn/m$i%02d", "b", Seq("a", "b")))) ++ Seq(
+      entry("/syn/p1", "a", Seq("a", "b")),
+      entry("/syn/p2", "b", Seq("a", "b")))
+    CatalogManifest.publishEntries(spark, rows.toDS(), manifest)
+    val saved = CatalogManifest.collectAllBelow
+    CatalogManifest.collectAllBelow = 0
+    try {
+      val (metas, _, _, fps) = CatalogManifest.planVarsStores(spark,
+        manifest, Seq("a", "b"), Map.empty, Map.empty,
+        verifyFingerprints = false)
+      assert(metas.map(_._1).toSeq == (1 to 10).map(i => f"/syn/m$i%02d"),
+        metas.map(_._1))
+      assert(fps.length == 10)
+      assert(CatalogManifest.lastPhase1Collected == 0,
+        s"broad vars phase 1 collected ${CatalogManifest.lastPhase1Collected}")
+    } finally CatalogManifest.collectAllBelow = saved
+  }
+
   test("two interleaved publishers: exactly one wins, the loser refuses loudly, the manifest stays readable") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-manif-race").toString
