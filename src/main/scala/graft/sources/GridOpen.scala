@@ -324,10 +324,11 @@ object GridOpen {
     materializeScenes(spark, stores, outPath) { pending =>
       val perStore = ByteStore.parMap(pending)(s =>
         StoreMeta(s, zarrAxes(s, dataset), CfDecode.zarrCfAttrs(s, dataset)))
-      catalogOpen(spark,
+      catalogOpen(spark, extra =>
         spark.read.format("graft.sources.ZarrDataSource")
           .option("path", dir)
           .option("arrays", pending.map(s => s + "\t" + dataset).mkString("\n"))
+          .options(extra)
           .load().where(col("dataset") === dataset),
         perStore, bounds, timeBounds)
     }
@@ -344,10 +345,11 @@ object GridOpen {
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): Seq[String] =
     materializeFromManifest(spark, manifestPath, dataset, outPath, "zarr",
-      bounds, timeBounds, verifyFingerprints) { (dir, pending) =>
+      bounds, timeBounds, verifyFingerprints) { (dir, pending, extra) =>
       spark.read.format("graft.sources.ZarrDataSource")
         .option("path", dir)
         .option("arrays", pending.map(s => s + "\t" + dataset).mkString("\n"))
+        .options(extra)
         .load().where(col("dataset") === dataset)
     }
 
@@ -361,10 +363,10 @@ object GridOpen {
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): Seq[String] =
     materializeFromManifest(spark, manifestPath, varName, outPath, "netcdf3",
-      bounds, timeBounds, verifyFingerprints) { (_, pending) =>
+      bounds, timeBounds, verifyFingerprints) { (_, pending, extra) =>
       spark.read.format("graft.sources.NetCDF3DataSource")
-        .option("path", pending.mkString("\n") + "\n").load()
-        .where(col("dataset") === varName)
+        .option("path", pending.mkString("\n") + "\n").options(extra)
+        .load().where(col("dataset") === varName)
     }
 
   /** [[materializeHdf5Catalog]] planned from a persisted manifest. */
@@ -374,10 +376,10 @@ object GridOpen {
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): Seq[String] =
     materializeFromManifest(spark, manifestPath, dataset, outPath, "hdf5",
-      bounds, timeBounds, verifyFingerprints) { (_, pending) =>
+      bounds, timeBounds, verifyFingerprints) { (_, pending, extra) =>
       spark.read.format("graft.sources.Hdf5DataSource")
-        .option("path", pending.mkString("\n") + "\n").load()
-        .where(col("dataset") === dataset)
+        .option("path", pending.mkString("\n") + "\n").options(extra)
+        .load().where(col("dataset") === dataset)
     }
 
   /** The shared manifest-planned materialize skeleton: plan from the
@@ -387,14 +389,15 @@ object GridOpen {
     * skip-everything re-run), drop scenes whose exact ranges are
     * empty (they must never be pending — they would "re-materialize",
     * emptily, every run), then open ONLY the pending members through
-    * `mountPending(dir, pending)`. */
+    * `mountPending(dir, pending, extraOpts)`. */
   private def materializeFromManifest(spark: SparkSession,
       manifestPath: String, variable: String, outPath: String,
       wantFormat: String,
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)],
       verifyFingerprints: Boolean)(
-      mountPending: (String, Seq[String]) => DataFrame): Seq[String] = {
+      mountPending: (String, Seq[String], Map[String, String]) => DataFrame)
+      : Seq[String] = {
     val (metas0, format, dir, survivorFps) = CatalogManifest.planStores(
       spark, manifestPath, variable, bounds, timeBounds,
       verifyFingerprints = false)
@@ -412,7 +415,7 @@ object GridOpen {
     val metas = metas0.filter(m => exact(m.store))
     materializeScenes(spark, metas.map(_.store), outPath) { pending =>
       val pendingSet = pending.toSet
-      catalogOpen(spark, mountPending(dir, pending),
+      catalogOpen(spark, extra => mountPending(dir, pending, extra),
         metas.filter(m => pendingSet(m.store)), bounds, timeBounds)
     }
   }
@@ -427,10 +430,10 @@ object GridOpen {
     materializeScenes(spark, paths, outPath) { pending =>
       val perStore = ByteStore.parMap(pending)(p =>
         StoreMeta(p, netcdf3Axes(p, varName), CfDecode.netcdf3CfAttrs(p, varName)))
-      catalogOpen(spark,
+      catalogOpen(spark, extra =>
         spark.read.format("graft.sources.NetCDF3DataSource")
-          .option("path", pending.mkString("\n") + "\n").load()
-          .where(col("dataset") === varName),
+          .option("path", pending.mkString("\n") + "\n").options(extra)
+          .load().where(col("dataset") === varName),
         perStore, bounds, timeBounds)
     }
   }
@@ -445,10 +448,10 @@ object GridOpen {
     materializeScenes(spark, paths, outPath) { pending =>
       val perStore = ByteStore.parMap(pending)(p =>
         StoreMeta(p, hdf5Axes(p, dataset), CfDecode.hdf5CfAttrs(p, dataset)))
-      catalogOpen(spark,
+      catalogOpen(spark, extra =>
         spark.read.format("graft.sources.Hdf5DataSource")
-          .option("path", pending.mkString("\n") + "\n").load()
-          .where(col("dataset") === dataset),
+          .option("path", pending.mkString("\n") + "\n").options(extra)
+          .load().where(col("dataset") === dataset),
         perStore, bounds, timeBounds)
     }
   }
@@ -467,11 +470,12 @@ object GridOpen {
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): Seq[String] =
     materializeVarsFromManifest(spark, manifestPath, variables, outPath,
-      "zarr", bounds, timeBounds, verifyFingerprints) { (dir, pending) =>
+      "zarr", bounds, timeBounds, verifyFingerprints) { (dir, pending, extra) =>
       spark.read.format("graft.sources.ZarrDataSource")
         .option("path", dir)
         .option("arrays", pending.flatMap(s =>
           variables.map(v => s + "\t" + v)).mkString("\n"))
+        .options(extra)
         .load()
     }
 
@@ -483,9 +487,9 @@ object GridOpen {
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): Seq[String] =
     materializeVarsFromManifest(spark, manifestPath, variables, outPath,
-      "netcdf3", bounds, timeBounds, verifyFingerprints) { (_, pending) =>
+      "netcdf3", bounds, timeBounds, verifyFingerprints) { (_, pending, extra) =>
       spark.read.format("graft.sources.NetCDF3DataSource")
-        .option("path", pending.mkString("\n") + "\n").load()
+        .option("path", pending.mkString("\n") + "\n").options(extra).load()
     }
 
   /** Multi-variable manifest materialize over netCDF-4/HDF5 scene
@@ -496,9 +500,9 @@ object GridOpen {
       timeBounds: Map[String, (String, String)] = Map.empty,
       verifyFingerprints: Boolean = true): Seq[String] =
     materializeVarsFromManifest(spark, manifestPath, variables, outPath,
-      "hdf5", bounds, timeBounds, verifyFingerprints) { (_, pending) =>
+      "hdf5", bounds, timeBounds, verifyFingerprints) { (_, pending, extra) =>
       spark.read.format("graft.sources.Hdf5DataSource")
-        .option("path", pending.mkString("\n") + "\n").load()
+        .option("path", pending.mkString("\n") + "\n").options(extra).load()
     }
 
   /** [[materializeFromManifest]]'s multi-variable sibling: same
@@ -511,7 +515,8 @@ object GridOpen {
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)],
       verifyFingerprints: Boolean)(
-      mountPending: (String, Seq[String]) => DataFrame): Seq[String] = {
+      mountPending: (String, Seq[String], Map[String, String]) => DataFrame)
+      : Seq[String] = {
     val (metas0, format, dir, survivorFps) = CatalogManifest.planVarsStores(
       spark, manifestPath, variables, bounds, timeBounds,
       verifyFingerprints = false)
@@ -530,7 +535,7 @@ object GridOpen {
     materializeScenes(spark, metas.map(_._1), outPath) { pending =>
       val pendingSet = pending.toSet
       varsCatalogFrom(spark, metas.filter(m => pendingSet(m._1)), variables,
-        mountPending(dir, pending), bounds, timeBounds)
+        extra => mountPending(dir, pending, extra), bounds, timeBounds)
     }
   }
 
@@ -671,12 +676,13 @@ object GridOpen {
     require(stores.nonEmpty, s"grid open: no '$dataset' arrays under $dir")
     val perStore = ByteStore.parMap(stores)(s =>
       StoreMeta(s, zarrAxes(s, dataset), CfDecode.zarrCfAttrs(s, dataset)))
-    catalogOpen(spark,
+    catalogOpen(spark, extra =>
       spark.read.format("graft.sources.ZarrDataSource")
         .option("path", dir)
         // the members are already discovered — hand them to the scan so
         // plan time pays ONE discovery walk, not two
         .option("arrays", stores.map(s => s + "\t" + dataset).mkString("\n"))
+        .options(extra)
         .load().where(col("dataset") === dataset),
       perStore, bounds, timeBounds)
   }
@@ -690,9 +696,10 @@ object GridOpen {
     val pat = if (ByteStore.isDirectory(dir)) ByteStore.join(dir, "*") else dir
     val perStore = ByteStore.parMap(paths)(p =>
       StoreMeta(p, netcdf3Axes(p, varName), CfDecode.netcdf3CfAttrs(p, varName)))
-    catalogOpen(spark,
+    catalogOpen(spark, extra =>
       spark.read.format("graft.sources.NetCDF3DataSource")
-        .option("path", pat).load().where(col("dataset") === varName),
+        .option("path", pat).options(extra).load()
+        .where(col("dataset") === varName),
       perStore, bounds, timeBounds)
   }
 
@@ -705,9 +712,10 @@ object GridOpen {
     val pat = if (ByteStore.isDirectory(dir)) ByteStore.join(dir, "*") else dir
     val perStore = ByteStore.parMap(paths)(p =>
       StoreMeta(p, hdf5Axes(p, dataset), CfDecode.hdf5CfAttrs(p, dataset)))
-    catalogOpen(spark,
+    catalogOpen(spark, extra =>
       spark.read.format("graft.sources.Hdf5DataSource")
-        .option("path", pat).load().where(col("dataset") === dataset),
+        .option("path", pat).options(extra).load()
+        .where(col("dataset") === dataset),
       perStore, bounds, timeBounds)
   }
 
@@ -739,6 +747,21 @@ object GridOpen {
     * ([[storeCrop]]). Mutable for tests and rehearsals only. */
   private[graft] var residualJoinAbove: Int = 256
 
+  /** The `hulls` mount option for a join-form crop — the exact
+    * per-store windows [[storeCrop]]'s broadcast join will enforce,
+    * handed to the SCAN so chunk pruning keeps per-store granularity
+    * (the pushed filters carry only the union envelope in that
+    * regime). Empty in the selective regime (the pushed Or already
+    * carries per-store windows) and on unbounded opens. */
+  private def hullsOption(bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)],
+      surviving: Seq[(String, Seq[(Int, (Int, Int))])]): Map[String, String] =
+    if ((bounds.nonEmpty || timeBounds.nonEmpty) &&
+        surviving.size > residualJoinAbove &&
+        surviving.headOption.exists(_._2.nonEmpty))
+      Map("hulls" -> MountDsv2.serializeHulls(surviving))
+    else Map.empty
+
   /** The per-store crop over a catalog frame. Two regimes:
     *
     *  - SELECTIVE (survivors <= [[residualJoinAbove]], the shape
@@ -755,8 +778,10 @@ object GridOpen {
     *    grid-aligned catalogs), and the exact per-store ranges apply
     *    through a BROADCAST JOIN on `path` — an O(1) hash probe per
     *    row instead of the O(survivors) Or. Same rows either way
-    *    (spec-pinned); pruning granularity within a surviving store's
-    *    out-of-envelope chunks is the honest cost of the switch. */
+    *    (spec-pinned), and chunk pruning keeps PER-STORE granularity
+    *    too: [[hullsOption]] ships each survivor's exact windows to
+    *    the scan, which intersects them into its chunk-box tests
+    *    (executed-I/O parity with the Or form spec-pinned). */
   private def storeCrop(spark: SparkSession, base: DataFrame,
       surviving: Seq[(String, Seq[(Int, (Int, Int))])]): DataFrame =
     if (surviving.isEmpty) base.where(lit(false)) // provably empty
@@ -803,7 +828,8 @@ object GridOpen {
     * set: homogeneity gates, store-level crop, pack-attr decode
     * (literal when uniform, broadcast per store otherwise), per-axis
     * decoration — the decode tables built from SURVIVING stores only. */
-  private def catalogOpen(spark: SparkSession, base: DataFrame,
+  private def catalogOpen(spark: SparkSession,
+      mkBase: Map[String, String] => DataFrame,
       perStore: Seq[StoreMeta],
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)]): DataFrame = {
@@ -815,6 +841,7 @@ object GridOpen {
     }
     val surviving = survivingRanges(perStore.map(m => (m.store, m.axes)),
       bounds, timeBounds)
+    val base = mkBase(hullsOption(bounds, timeBounds, surviving))
     val cropped =
       if (bounds.isEmpty && timeBounds.isEmpty) base
       else storeCrop(spark, base, surviving)
@@ -894,9 +921,9 @@ object GridOpen {
     require(format == "zarr",
       s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
     val arrays = metas.map(m => s"${m.store}\t$dataset").mkString("\n")
-    catalogOpen(spark,
+    catalogOpen(spark, extra =>
       spark.read.format("graft.sources.ZarrDataSource")
-        .option("path", dir).option("arrays", arrays).load()
+        .option("path", dir).option("arrays", arrays).options(extra).load()
         .where(col("dataset") === dataset),
       metas, bounds, timeBounds)
   }
@@ -914,10 +941,10 @@ object GridOpen {
         timeBounds, verifyFingerprints)
     require(format == "netcdf3",
       s"grid open: manifest $manifestPath holds '$format' stores, not netcdf3")
-    catalogOpen(spark,
+    catalogOpen(spark, extra =>
       spark.read.format("graft.sources.NetCDF3DataSource")
-        .option("path", metas.map(_.store).mkString("\n") + "\n").load()
-        .where(col("dataset") === varName),
+        .option("path", metas.map(_.store).mkString("\n") + "\n")
+        .options(extra).load().where(col("dataset") === varName),
       metas, bounds, timeBounds)
   }
 
@@ -932,10 +959,10 @@ object GridOpen {
         timeBounds, verifyFingerprints)
     require(format == "hdf5",
       s"grid open: manifest $manifestPath holds '$format' stores, not hdf5")
-    catalogOpen(spark,
+    catalogOpen(spark, extra =>
       spark.read.format("graft.sources.Hdf5DataSource")
-        .option("path", metas.map(_.store).mkString("\n") + "\n").load()
-        .where(col("dataset") === dataset),
+        .option("path", metas.map(_.store).mkString("\n") + "\n")
+        .options(extra).load().where(col("dataset") === dataset),
       metas, bounds, timeBounds)
   }
 
@@ -956,9 +983,9 @@ object GridOpen {
       s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
     val arrays = metas.flatMap(m => variables.map(v => s"${m._1}\t$v"))
       .mkString("\n")
-    varsCatalogFrom(spark, metas, variables,
+    varsCatalogFrom(spark, metas, variables, extra =>
       spark.read.format("graft.sources.ZarrDataSource")
-        .option("path", dir).option("arrays", arrays).load(),
+        .option("path", dir).option("arrays", arrays).options(extra).load(),
       bounds, timeBounds)
   }
 
@@ -974,9 +1001,10 @@ object GridOpen {
       manifestPath, variables, bounds, timeBounds, verifyFingerprints)
     require(format == "netcdf3",
       s"grid open: manifest $manifestPath holds '$format' stores, not netcdf3")
-    varsCatalogFrom(spark, metas, variables,
+    varsCatalogFrom(spark, metas, variables, extra =>
       spark.read.format("graft.sources.NetCDF3DataSource")
-        .option("path", metas.map(_._1).mkString("\n") + "\n").load(),
+        .option("path", metas.map(_._1).mkString("\n") + "\n")
+        .options(extra).load(),
       bounds, timeBounds)
   }
 
@@ -990,9 +1018,10 @@ object GridOpen {
       manifestPath, variables, bounds, timeBounds, verifyFingerprints)
     require(format == "hdf5",
       s"grid open: manifest $manifestPath holds '$format' stores, not hdf5")
-    varsCatalogFrom(spark, metas, variables,
+    varsCatalogFrom(spark, metas, variables, extra =>
       spark.read.format("graft.sources.Hdf5DataSource")
-        .option("path", metas.map(_._1).mkString("\n") + "\n").load(),
+        .option("path", metas.map(_._1).mkString("\n") + "\n")
+        .options(extra).load(),
       bounds, timeBounds)
   }
 
@@ -1084,10 +1113,11 @@ object GridOpen {
       s"grid open: no store under $dir holds all of ${variables.mkString(",")}")
     varsCatalog(spark, stores, variables,
       (st, v) => zarrAxes(st, v), (st, v) => CfDecode.zarrCfAttrs(st, v),
-      spark.read.format("graft.sources.ZarrDataSource")
+      extra => spark.read.format("graft.sources.ZarrDataSource")
         .option("path", dir)
         .option("arrays", stores.flatMap(st =>
           variables.map(v => st + "\t" + v)).mkString("\n"))
+        .options(extra)
         .load(),
       bounds, timeBounds)
   }
@@ -1114,8 +1144,8 @@ object GridOpen {
     val pat = if (ByteStore.isDirectory(dir)) ByteStore.join(dir, "*") else dir
     varsCatalog(spark, stores, variables,
       (p, v) => netcdf3Axes(p, v), (p, v) => CfDecode.netcdf3CfAttrs(p, v),
-      spark.read.format("graft.sources.NetCDF3DataSource")
-        .option("path", pat).load(),
+      extra => spark.read.format("graft.sources.NetCDF3DataSource")
+        .option("path", pat).options(extra).load(),
       bounds, timeBounds)
   }
 
@@ -1138,8 +1168,8 @@ object GridOpen {
     val pat = if (ByteStore.isDirectory(dir)) ByteStore.join(dir, "*") else dir
     varsCatalog(spark, stores, variables,
       (p, v) => hdf5Axes(p, v), (p, v) => CfDecode.hdf5CfAttrs(p, v),
-      spark.read.format("graft.sources.Hdf5DataSource")
-        .option("path", pat).load(),
+      extra => spark.read.format("graft.sources.Hdf5DataSource")
+        .option("path", pat).options(extra).load(),
       bounds, timeBounds)
   }
 
@@ -1147,7 +1177,7 @@ object GridOpen {
       variables: Seq[String],
       axesOf: (String, String) => Seq[Axis],
       attrsOf: (String, String) => CfDecode.CfAttrs,
-      mount: DataFrame,
+      mkMount: Map[String, String] => DataFrame,
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)]): DataFrame = {
     // one wave: per store, every variable's axes + attrs
@@ -1161,7 +1191,7 @@ object GridOpen {
       }
       (st, axesPerVar.head, variables.map(v => attrsOf(st, v)))
     }
-    varsCatalogFrom(spark, perStore, variables, mount, bounds, timeBounds)
+    varsCatalogFrom(spark, perStore, variables, mkMount, bounds, timeBounds)
   }
 
   /** The post-wave multi-variable catalog body, shared by the live
@@ -1171,7 +1201,7 @@ object GridOpen {
     * decoration from surviving stores. */
   private def varsCatalogFrom(spark: SparkSession,
       perStore: Seq[(String, Seq[Axis], Seq[CfDecode.CfAttrs])],
-      variables: Seq[String], mount: DataFrame,
+      variables: Seq[String], mkMount: Map[String, String] => DataFrame,
       bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)]): DataFrame = {
     val stores = perStore.map(_._1)
@@ -1185,6 +1215,7 @@ object GridOpen {
     // (epochs/calendars differ per scene) into its index ranges
     val surviving = survivingRanges(
       perStore.map { case (st, axes, _) => (st, axes) }, bounds, timeBounds)
+    val mount = mkMount(hullsOption(bounds, timeBounds, surviving))
     var df = mount.where(col("dataset").isin(variables: _*))
     // membership itself must prune: a store lacking a variable is not
     // in `stores`, so even with NO bounds the path set pushes

@@ -57,7 +57,8 @@ class Hdf5DataSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new Hdf5Table(properties.get("path"),
       Option(properties.get("variable")),
-      Option(properties.get("partitions")).map(_.toInt))
+      Option(properties.get("partitions")).map(_.toInt),
+      Option(properties.get("hulls")).map(MountDsv2.parseHulls))
 }
 
 object Hdf5DataSource {
@@ -73,7 +74,8 @@ object Hdf5DataSource {
     MountDsv2.DimCols.map(StructField(_, LongType, nullable = false)))
 }
 
-class Hdf5Table(path: String, variable: Option[String], partitions: Option[Int])
+class Hdf5Table(path: String, variable: Option[String], partitions: Option[Int],
+    hulls: Option[Map[String, IndexedSeq[MountDsv2.IdxRange]]] = None)
     extends Table with SupportsRead {
   require(path != null, "graft-hdf5 needs a path option")
   override def name(): String = s"graft-hdf5[$path]"
@@ -84,7 +86,7 @@ class Hdf5Table(path: String, variable: Option[String], partitions: Option[Int])
     new MountScanBuilder(Hdf5DataSource.schema, Set("dataset", "path"),
         Set("idx") ++ MountDsv2.DimCols) {
       override def build(): Scan =
-        new Hdf5Scan(path, variable, partitions, required, pushed)
+        new Hdf5Scan(path, variable, partitions, required, pushed, hulls)
     }
 }
 
@@ -94,7 +96,9 @@ case class Hdf5ChunkPartition(tasks: Seq[HDF5ChunkIngest.ChunkTask])
     extends InputPartition
 
 class Hdf5Scan(path: String, variable: Option[String], partitions: Option[Int],
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter],
+    hulls: Option[Map[String, IndexedSeq[MountDsv2.IdxRange]]] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -124,8 +128,11 @@ class Hdf5Scan(path: String, variable: Option[String], partitions: Option[Int],
         // prune through the same box via boxTreeKeep
         val (lo, hi) = MountDsv2.boxBounds(t.origin,
           t.chunkDims.map(_.toLong), t.dims)
+        // join-form catalog crop: this store's hull intersects into the
+        // per-dim box test (pruning-only; the residual stays exact)
+        val effRs = MountDsv2.effDimRanges(hulls, t.path, dimRs)
         range.intersects(lo, hi) &&
-          MountDsv2.boxKeep(t.origin, t.chunkDims.map(_.toLong), t.dims, dimRs) &&
+          MountDsv2.boxKeep(t.origin, t.chunkDims.map(_.toLong), t.dims, effRs) &&
           (trees.isEmpty || MountDsv2.boxTreeKeep(trees, t.path, t.dataset,
             (lo, hi), t.origin, t.chunkDims.map(_.toLong), t.dims))
       }

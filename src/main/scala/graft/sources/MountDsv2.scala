@@ -301,6 +301,58 @@ object MountDsv2 {
   /** True when no `dK` predicate pushed (skip the per-task box test). */
   def allFull(ranges: IndexedSeq[IdxRange]): Boolean = ranges.forall(_.isFull)
 
+  // ---- per-store dim hulls (the join-form catalog crop) ------------------
+  // Above GridOpen.residualJoinAbove the catalog crop's pushed filters
+  // carry only `path IN` + the per-dimension UNION envelope (the exact
+  // per-store ranges move to a broadcast-join residual), so the scan
+  // would lose per-STORE chunk pruning: a surviving store's chunks
+  // outside its own window but inside the union would read-then-filter.
+  // The `hulls` option restores parity — the catalog opens serialize
+  // each surviving store's exact per-dimension index windows, and the
+  // mounts intersect them into the chunk-box tests for that store.
+  // PRUNING ONLY, exactly like pushed filters: the broadcast-join
+  // residual enforces row-level exactness, so a missing or stale entry
+  // costs I/O, never correctness.
+
+  /** One line per store: `path<TAB>k:lo:hi[;k:lo:hi...]` (k indexes
+    * [[DimCols]]; both bounds inclusive). */
+  def serializeHulls(
+      surviving: Seq[(String, Seq[(Int, (Int, Int))])]): String =
+    surviving.map { case (p, rs) =>
+      p + "\t" + rs.map { case (k, (lo, hi)) => s"$k:$lo:$hi" }.mkString(";")
+    }.mkString("\n")
+
+  /** Inverse of [[serializeHulls]]: per-path range vectors aligned to
+    * [[DimCols]] (full where a dimension has no window). */
+  def parseHulls(s: String): Map[String, IndexedSeq[IdxRange]] =
+    s.split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val tab = line.indexOf('\t')
+      require(tab >= 0, s"malformed hulls line: '$line'")
+      val p = line.substring(0, tab)
+      val ranges = Array.fill(DimCols.length)(FullRange)
+      line.substring(tab + 1).split(';').filter(_.nonEmpty).foreach { r =>
+        val parts = r.split(':')
+        require(parts.length == 3, s"malformed hull range '$r' in '$line'")
+        val k = parts(0).toInt
+        if (k < ranges.length)
+          ranges(k) = IdxRange(parts(1).toLong, parts(2).toLong)
+      }
+      p -> ranges.toIndexedSeq
+    }.toMap
+
+  /** Per-dimension intersection of two [[DimCols]]-aligned vectors. */
+  def intersectRanges(a: IndexedSeq[IdxRange],
+      b: IndexedSeq[IdxRange]): IndexedSeq[IdxRange] =
+    a.zip(b).map { case (x, y) =>
+      IdxRange(math.max(x.lo, y.lo), math.min(x.hi, y.hi)) }
+
+  /** The effective per-dim ranges for one store: the pushed global
+    * ranges intersected with the store's hull (when one is mounted). */
+  def effDimRanges(hulls: Option[Map[String, IndexedSeq[IdxRange]]],
+      path: String, dimRs: IndexedSeq[IdxRange]): IndexedSeq[IdxRange] =
+    hulls.flatMap(_.get(path)).map(intersectRanges(dimRs, _))
+      .getOrElse(dimRs)
+
   /** Row-major strides of `dims` (element counts, not bytes): the
     * readers' coordinate arithmetic `coord(d) = idx / stride(d) %
     * dims(d)`. */

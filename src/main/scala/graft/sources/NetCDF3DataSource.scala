@@ -53,7 +53,8 @@ class NetCDF3DataSource extends TableProvider {
     new NetCDF3Table(properties.get("path"),
       Option(properties.get("variable")),
       Option(properties.get("partitions")).map(_.toInt),
-      Option(properties.get("targetBytes")).map(_.toLong).getOrElse(4L << 20))
+      Option(properties.get("targetBytes")).map(_.toLong).getOrElse(4L << 20),
+      Option(properties.get("hulls")).map(MountDsv2.parseHulls))
 }
 
 object NetCDF3DataSource {
@@ -72,7 +73,9 @@ object NetCDF3DataSource {
 }
 
 class NetCDF3Table(path: String, variable: Option[String], partitions: Option[Int],
-    targetBytes: Long) extends Table with SupportsRead {
+    targetBytes: Long,
+    hulls: Option[Map[String, IndexedSeq[MountDsv2.IdxRange]]] = None)
+    extends Table with SupportsRead {
   require(path != null, "graft-netcdf3 needs a path option")
   override def name(): String = s"graft-netcdf3[$path]"
   override def schema(): StructType = NetCDF3DataSource.schema
@@ -82,7 +85,8 @@ class NetCDF3Table(path: String, variable: Option[String], partitions: Option[In
     new MountScanBuilder(NetCDF3DataSource.schema, Set("dataset", "path"),
         Set("idx") ++ MountDsv2.DimCols) {
       override def build(): Scan =
-        new NetCDF3Scan(path, variable, partitions, targetBytes, required, pushed)
+        new NetCDF3Scan(path, variable, partitions, targetBytes, required,
+          pushed, hulls)
     }
 }
 
@@ -91,7 +95,8 @@ case class NetCDF3RecPartition(tasks: Seq[NetCDF3ChunkIngest.RecordTask])
     extends InputPartition
 
 class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int],
-    targetBytes: Long, required: StructType, pushed: Array[Filter])
+    targetBytes: Long, required: StructType, pushed: Array[Filter],
+    hulls: Option[Map[String, IndexedSeq[MountDsv2.IdxRange]]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -128,8 +133,11 @@ class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int
         else t.recStart.toLong +: Seq.fill(t.dims.size - 1)(0L)
       val box =
         if (t.stride == 0L) t.dims else t.nRecs.toLong +: t.dims.drop(1)
+      // join-form catalog crop: this file's hull intersects into the
+      // per-dim box test (pruning-only; the residual stays exact)
       range.intersects(idxB._1, idxB._2) &&
-        MountDsv2.boxKeep(origin, box, t.dims, dimRs) &&
+        MountDsv2.boxKeep(origin, box, t.dims,
+          MountDsv2.effDimRanges(hulls, t.path, dimRs)) &&
         (trees.isEmpty || MountDsv2.boxTreeKeep(trees, t.path, t.dataset,
           idxB, origin, box, t.dims))
     }.map { t =>
@@ -144,7 +152,9 @@ class NetCDF3Scan(path: String, variable: Option[String], partitions: Option[Int
       // residual either way.
       if (t.stride == 0L) t
       else {
-        val d0 = dimRs(0)
+        // the hull narrows the RECORD WINDOW too: a surviving batch of
+        // a join-form crop reads only this file's own d0 slab
+        val d0 = MountDsv2.effDimRanges(hulls, t.path, dimRs)(0)
         var lo = math.max(math.max(t.recStart.toLong, d0.lo),
           Math.floorDiv(range.lo, t.perRec.toLong))
         var hi = math.min(math.min(t.recStart.toLong + t.nRecs - 1, d0.hi),

@@ -63,7 +63,8 @@ class ZarrDataSource extends TableProvider {
     new ZarrTable(properties.get("path"),
       Option(properties.get("dataset")),
       Option(properties.get("partitions")).map(_.toInt),
-      Option(properties.get("arrays")).map(ZarrDataSource.parseArrays))
+      Option(properties.get("arrays")).map(ZarrDataSource.parseArrays),
+      Option(properties.get("hulls")).map(MountDsv2.parseHulls))
 }
 
 object ZarrDataSource {
@@ -161,7 +162,8 @@ object ZarrDataSource {
 }
 
 class ZarrTable(path: String, dataset: Option[String], partitions: Option[Int],
-    arrays: Option[Seq[(String, String)]] = None)
+    arrays: Option[Seq[(String, String)]] = None,
+    hulls: Option[Map[String, IndexedSeq[MountDsv2.IdxRange]]] = None)
     extends Table with SupportsRead {
   require(path != null, "graft-zarr needs a path option")
   override def name(): String = s"graft-zarr[$path]"
@@ -172,7 +174,8 @@ class ZarrTable(path: String, dataset: Option[String], partitions: Option[Int],
     new MountScanBuilder(ZarrDataSource.schema, Set("dataset", "path"),
         Set("idx") ++ MountDsv2.DimCols) {
       override def build(): Scan =
-        new ZarrScan(path, dataset, partitions, required, pushed, arrays)
+        new ZarrScan(path, dataset, partitions, required, pushed, arrays,
+          hulls)
     }
 }
 
@@ -185,7 +188,8 @@ case class ZarrInnerPartition(tasks: Seq[ZarrChunkIngest.InnerTask])
 
 class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
     required: StructType, pushed: Array[Filter],
-    explicitArrays: Option[Seq[(String, String)]] = None)
+    explicitArrays: Option[Seq[(String, String)]] = None,
+    hulls: Option[Map[String, IndexedSeq[MountDsv2.IdxRange]]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -212,6 +216,11 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
     // tails) is independent round trips — one parMap wave, input order
     // kept so the task lists land (store, array)-sorted as before
     val perArray = ByteStore.parMap(arrays) { case (s, a) =>
+      // join-form catalog crop: intersect THIS store's hull into the
+      // per-dim ranges so its chunks prune on its own window, not just
+      // the catalog-wide union envelope (pruning-only; the broadcast-
+      // join residual enforces exactness)
+      val effRs = MountDsv2.effDimRanges(hulls, s, dimRs)
       ZarrChunkIngest.metaOf(s, a) match {
         case Right(m) if m.sharding.isDefined =>
           // idx + dK prune at TWO granularities: whole shards whose
@@ -223,19 +232,19 @@ class ZarrScan(path: String, dataset: Option[String], partitions: Option[Int],
             ZarrChunkIngest.shardInnerTasks(s, a, ci => {
               val (lo, hi) = ZarrChunkIngest.shardIdxBounds(ci, m)
               range.intersects(lo, hi) &&
-                ZarrChunkIngest.shardBoxKeep(ci, m, dimRs) &&
+                ZarrChunkIngest.shardBoxKeep(ci, m, effRs) &&
                 ZarrChunkIngest.shardTreeKeep(s, a, ci, m, trees)
             }).filter { t =>
               val (lo, hi) = ZarrChunkIngest.innerIdxBounds(t, m)
               range.intersects(lo, hi) &&
-                ZarrChunkIngest.innerBoxKeep(t, m, dimRs) &&
+                ZarrChunkIngest.innerBoxKeep(t, m, effRs) &&
                 ZarrChunkIngest.innerTreeKeep(t, m, trees)
             })
         case m =>
           (ZarrChunkIngest.chunkTasks(s, a).filter { t =>
             val (lo, hi) = ZarrChunkIngest.chunkIdxBounds(t, m)
             range.intersects(lo, hi) &&
-              ZarrChunkIngest.chunkBoxKeep(t, m, dimRs) &&
+              ZarrChunkIngest.chunkBoxKeep(t, m, effRs) &&
               ZarrChunkIngest.chunkTreeKeep(t, m, trees)
           }, Seq.empty[ZarrChunkIngest.InnerTask])
       }

@@ -813,6 +813,81 @@ class CatalogManifestSpec extends SparkSpec {
     } finally ByteStore.writeString(ptr, goodGen)
   }
 
+  test("join-form crop prunes chunks PER STORE: same chunk reads as the Or form") {
+    // above residualJoinAbove the scan's pushed filters carry only the
+    // union envelope; the `hulls` option must restore per-store chunk
+    // pruning, so a heterogeneous-window crop reads the SAME chunk set
+    // in join form as the Or form reads — not the union's superset
+    val dir = Files.createTempDirectory("graft-manif-hull").toString
+    val n = 8
+    (0 until n).foreach { i =>
+      val store = s"$dir/hc${"%03d".format(i)}.zarr"
+      ByteStore.writeString(s"$store/.zgroup", """{"zarr_format": 2}""")
+      def arr(name: String, shape: Seq[Int], chunks: Seq[Int],
+          dims: Seq[String], data: Array[Double], extra: String = ""): Unit = {
+        ByteStore.writeString(s"$store/$name/.zarray",
+          s"""{"zarr_format": 2, "shape": [${shape.mkString(",")}],
+             | "chunks": [${chunks.mkString(",")}], "dtype": ">f8",
+             | "compressor": null, "fill_value": "NaN", "filters": null,
+             | "order": "C"}""".stripMargin)
+        ByteStore.writeString(s"$store/$name/.zattrs",
+          s"""{"_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(",")}]$extra}""")
+        val grid = shape.zip(chunks).map { case (sz, c) => (sz + c - 1) / c }
+        def cells(g: Seq[Int]): Seq[Seq[Int]] =
+          g.foldLeft(Seq(Seq.empty[Int]))((acc, m) =>
+            acc.flatMap(p => (0 until m).map(p :+ _)))
+        // chunking is along dim 0 only here, so chunk k holds the
+        // row-major slice [k*per, (k+1)*per)
+        cells(grid).zipWithIndex.foreach { case (ci, k) =>
+          val per = chunks.product
+          val bb = java.nio.ByteBuffer.allocate(per * 8)
+          (0 until per).foreach(j => bb.putDouble(data(k * per + j)))
+          ByteStore.writeAllBytes(s"$store/$name/${ci.mkString(".")}", bb.array())
+        }
+      }
+      val day = 1 + i % 4 // per-store epochs: heterogeneous windows
+      arr("lwp", Seq(4, 3), Seq(1, 3), Seq("time", "x"),
+        Array.tabulate(12)(j => i * 100.0 + j))
+      arr("time", Seq(4), Seq(4), Seq("time"), Array(0.0, 6.0, 12.0, 18.0),
+        s""", "units": "hours since 2021-01-${"%02d".format(day)}"""")
+      arr("x", Seq(3), Seq(3), Seq("x"), Array(0.0, 10.0, 20.0))
+    }
+    // [Jan 2 06:00, Jan 4 23:00]: day-1 stores excluded; day-2 stores
+    // keep time chunks {1,2,3}; day-3/day-4 keep all 4 — so the UNION
+    // envelope (d0 in [0,3]) covers chunk 0 of day-2 stores, which only
+    // per-store pruning can skip
+    val tb = Map("time" -> ("2021-01-02 06:00:00", "2021-01-04 23:00:00"))
+    def chunkReads(rec: ByteStore.IoRecorder): Set[String] =
+      rec.pathsTouched.filter(p =>
+        p.contains("/lwp/") && p.split('/').last.matches("\\d+\\.\\d+"))
+    def run(): (Seq[(String, Double)], Set[String]) = {
+      val (rows, rec) = recording {
+        GridOpen.zarrCatalog(spark, dir, "lwp", timeBounds = tb)
+          .collect().map(r => (r.getString(0), r.getDouble(4)))
+          .sortBy(x => (x._1, x._2)).toSeq
+      }
+      (rows, chunkReads(rec))
+    }
+    val saved = GridOpen.residualJoinAbove
+    val (orRows, orReads) = try {
+      GridOpen.residualJoinAbove = Int.MaxValue; run()
+    } finally GridOpen.residualJoinAbove = saved
+    val (joinRows, joinReads) = try {
+      GridOpen.residualJoinAbove = 1; run()
+    } finally GridOpen.residualJoinAbove = saved
+    assert(joinRows == orRows && orRows.nonEmpty, "rows must match exactly")
+    assert(joinReads == orReads,
+      s"join form read ${(joinReads -- orReads).toSeq.sorted} beyond the " +
+        s"Or form (or missed ${(orReads -- joinReads).toSeq.sorted})")
+    // and the Or form itself skipped day-2 stores' chunk 0 (the fixture
+    // is really heterogeneous — otherwise this test proves nothing)
+    val day2Chunk0 = (0 until n).filter(_ % 4 == 1)
+      .map(i => s"$dir/hc${"%03d".format(i)}.zarr/lwp/0.0")
+    assert(day2Chunk0.forall(p => !orReads.exists(_.endsWith(
+      p.split('/').takeRight(3).mkString("/")))),
+      s"fixture degenerate: day-2 chunk 0 was read by the Or form")
+  }
+
   test("a BROAD no-bounds open over a big catalog collects ZERO phase-1 rows") {
     // the last O(catalog) driver term: with no bounds every store
     // holding the variable survives by definition, so phase 1 has
