@@ -130,7 +130,12 @@ object Bench {
     // Round 18: the BROAD manifest crop (300 stores, 279 surviving —
     // above residualJoinAbove, so the per-store ranges ride a
     // broadcast range join instead of the O(survivors) Or residual).
-    "q226_broad_catalog_residual")
+    "q226_broad_catalog_residual",
+    // Round 19: the reference's flagship flow end to end — T1-T5
+    // triplet sampling -> J6 tile gather -> G1 reduce, with the
+    // pixels planned from the persisted scene DB (zero per-store
+    // metadata reads; the excluded scene never touched).
+    "q228_manifest_triplet_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -246,8 +246,8 @@ object RasterQueries {
 
   /** Hash-unit mirror: poly-hash of a string expression, avalanche-mixed
     * (salt-multiply + square mod P) and divided by P — identical tokens
-    * to `Triplets.hashUnit`. */
-  private def huSql(sExpr: String): String = {
+    * to `Triplets.hashUnit`. Shared with [[SourceQueries]]' q228. */
+  private[queries] def huSql(sExpr: String): String = {
     val h = s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       s"[CAST(ord(substr($sExpr, j, 1)) AS BIGINT) FOR j IN range(1, len($sExpr) + 1)]), " +
       s"(a, b) -> (a * 31 + b) % 1000000007)"

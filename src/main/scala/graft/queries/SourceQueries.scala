@@ -2320,6 +2320,45 @@ object SourceQueries {
         .select(col("scene"), col("y"), col("x"), col("t700"), col("t1000"))
     },
 
+    // ---- the triplet pipeline (T1-T5 -> J6 -> G1), manifest-planned -------
+    // q48's sampling slice with the PIXELS coming from a persisted
+    // scene DB: scene discovery, the time crop, and the coordinate
+    // decode all plan from the manifest (zero per-store metadata
+    // reads; the excluded day-9 scene never touched — spec-pinned),
+    // then the seeded split/pairing/placement, the cell-bucketed tile
+    // gather, and the per-tile reduction run on the opened frame. The
+    // oracle replays the WHOLE chain: the shared poly-hash sampling
+    // (q36/q48's mirror), the bbox gather, and integral-exact sums.
+    QueryDef.sqlBacked("q228_manifest_triplet_pipeline", q228OracleSql) {
+      (s, d) =>
+      import graft.operators.{TensorOps, Triplets}
+      val px = graft.sources.GridOpen.zarrCatalogFromManifest(s,
+          ensureQ228Manifest(s), "lwp", timeBounds = Map("time" ->
+            ("2021-07-01 00:00:00", "2021-07-04 23:00:00")))
+        .select(element_at(split(col("path"), "/"), -1).as("scene_id"),
+          col("y"), col("x"), col("value"))
+      val scenes = px.select("scene_id").distinct()
+        .withColumn("collection", Triplets.splitScenes(col("scene_id"), 42,
+          Seq("train" -> 0.8, "study" -> 0.2)))
+      val triplets = s.range(0, 6).select(col("id").as("triplet_id"))
+        .withColumn("collection", lit("train"))
+      val paired = Triplets.pairScenes(
+        scenes.where(col("collection") === "train"), triplets, 42)
+      val specs = Triplets.tileSpecs(paired,
+        graft.core.Domain(13.3, -57.5, 160e3, 160e3),
+        tileSizeM = 40e3, neighDistScaling = 0.1, seed = 42)
+        .withColumn("tile_id",
+          Triplets.tripletTileId(col("triplet_id"), col("tile_type")))
+        .withColumn("x0", col("x") - 20e3)
+        .withColumn("y0", col("y") - 20e3)
+      TensorOps.gatherTiles(
+          px.select(col("scene_id"), col("x"), col("y"), col("value")),
+          specs.select(col("scene_id"), col("tile_id"), col("x0"), col("y0")),
+          tileSizeM = 40e3, cellSizeM = 40e3)
+        .groupBy("scene_id", "tile_id")
+        .agg(sum("value").as("sum_v"), count(lit(1)).as("n_px"))
+    },
+
     QueryDef.sqlBacked(
       "q220_multivar_catalog",
       """SELECT 'cs1.zarr' AS scene, CAST(1000 + j*100 AS DOUBLE) AS y,
@@ -2603,6 +2642,114 @@ object SourceQueries {
   }
 
   private lazy val q225CatDir: String = mkCleanedTempDir("graft_q225_cat_")
+
+  /** q228's catalog: four member scenes e2/e3/e4/e5 (days 1-4 — all
+    * 'train' under the seed-42 split, so the pairing pool is the whole
+    * membership) plus an EXCLUDED day-9 scene e7, with the persisted
+    * manifest. 8x8 (y, x) grids at 20 km spacing centered on the
+    * origin; values k*1000 + rowmajor(j, i) — integral, so every
+    * tile sum is FP-exact. */
+  private def ensureQ228Manifest(s: SparkSession): String = {
+    val dir = q228CatDir
+    val manifest = s"$dir/_manifest"
+    if (Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).isEmpty) {
+      for ((k, day) <- Seq((2, 1), (3, 2), (4, 3), (5, 4), (7, 9))) {
+        writeV2Store(dir, s"e$k", Seq(
+          ("lwp", Seq(1, 8, 8), Seq("time", "y", "x"),
+            Array.tabulate(64)(j => k * 1000.0 + j), ""),
+          ("time", Seq(1), Seq("time"), Array(0.0),
+            s""", "units": "hours since 2021-07-0$day""""),
+          ("y", Seq(8), Seq("y"),
+            Array.tabulate(8)(-70000.0 + _ * 20000.0), ""),
+          ("x", Seq(8), Seq("x"),
+            Array.tabulate(8)(-70000.0 + _ * 20000.0), "")))
+      }
+      graft.sources.CatalogManifest.build(s, "zarr", dir, Seq("lwp"), manifest)
+    }
+    manifest
+  }
+
+  private lazy val q228CatDir: String = mkCleanedTempDir("graft_q228_cat_")
+
+  /** DuckDB mirror of q228's WHOLE chain: the fixture pixels stated
+    * analytically, the seeded split/pairing/placement via the shared
+    * poly-hash mirror (q36/q48's [[RasterQueries.huSql]]), the tile
+    * gather as a direct bbox predicate (the Spark cell-bucket join is
+    * an exact cover), and integral-exact per-tile sums. Constants are
+    * the Scala-computed doubles interpolated verbatim. */
+  private def q228OracleSql: String = {
+    val tile = 40000.0
+    val margin = 2.0 / 3.0 * tile
+    val dom = graft.core.Domain(13.3, -57.5, 160e3, 160e3)
+    val (xl, xh) = (dom.xMin + margin, dom.xMax - margin)
+    val (yl, yh) = (dom.yMin + margin, dom.yMax - margin)
+    val r = 0.1 * tile
+    def hu(tail: String) = RasterQueries.huSql(
+      s"'42|' || CAST(triplet_id AS VARCHAR) || '$tail'")
+    s"""WITH scenes AS (
+       |  SELECT 'e' || CAST(k AS VARCHAR) || '.zarr' AS scene_id
+       |  FROM (VALUES (2), (3), (4), (5)) t(k)),
+       |split AS (
+       |  SELECT scene_id,
+       |    CASE WHEN u < 0.8 THEN 'train' ELSE 'study' END AS collection
+       |  FROM (SELECT scene_id,
+       |          ${RasterQueries.huSql("'42|' || scene_id")} * 1.0 AS u
+       |        FROM scenes)),
+       |ranked AS (
+       |  SELECT scene_id, collection,
+       |    row_number() OVER (PARTITION BY collection ORDER BY scene_id) - 1 AS rank
+       |  FROM split WHERE collection = 'train'),
+       |counts AS (
+       |  SELECT collection, count(*) AS n_scenes FROM ranked
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |picks AS (
+       |  SELECT triplet_id, collection, a_rank,
+       |    CASE WHEN d_draw >= a_rank THEN d_draw + 1 ELSE d_draw END AS d_rank
+       |  FROM (
+       |    SELECT t.triplet_id, c.collection,
+       |      CAST(floor(${hu("|anchor")} * c.n_scenes) AS INT) AS a_rank,
+       |      CAST(floor(${hu("|distant")} * (c.n_scenes - 1)) AS INT) AS d_draw
+       |    FROM range(0, 6) t(triplet_id) CROSS JOIN counts c)),
+       |paired AS (
+       |  SELECT p.collection, p.triplet_id,
+       |    ra.scene_id AS anchor_scene, rd.scene_id AS distant_scene
+       |  FROM picks p
+       |  JOIN ranked ra ON ra.collection = p.collection AND ra.rank = p.a_rank
+       |  JOIN ranked rd ON rd.collection = p.collection AND rd.rank = p.d_rank),
+       |placed AS (
+       |  SELECT *,
+       |    $xl + ${hu("|anchor|x")} * ${xh - xl} AS ax,
+       |    $yl + ${hu("|anchor|y")} * ${yh - yl} AS ay,
+       |    (${hu("|neighbor|theta")} * 2.0) * ${math.Pi} AS theta,
+       |    $xl + ${hu("|distant|x")} * ${xh - xl} AS dx,
+       |    $yl + ${hu("|distant|y")} * ${yh - yl} AS dy
+       |  FROM paired),
+       |specs AS (
+       |  SELECT scene_id,
+       |    lpad(CAST(triplet_id AS VARCHAR), 5, '0') || '_' || tile_type AS tile_id,
+       |    x - ${tile / 2} AS x0, y - ${tile / 2} AS y0
+       |  FROM (
+       |    SELECT triplet_id, 'anchor' AS tile_type, anchor_scene AS scene_id,
+       |      ax AS x, ay AS y FROM placed
+       |    UNION ALL
+       |    SELECT triplet_id, 'neighbor', anchor_scene,
+       |      greatest($xl, least($xh, ax + $r * cos(theta))),
+       |      greatest($yl, least($yh, ay + $r * sin(theta))) FROM placed
+       |    UNION ALL
+       |    SELECT triplet_id, 'distant', distant_scene, dx, dy FROM placed)),
+       |px AS (
+       |  SELECT 'e' || CAST(k AS VARCHAR) || '.zarr' AS scene_id,
+       |    -70000.0 + i * 20000.0 AS x, -70000.0 + j * 20000.0 AS y,
+       |    CAST(k * 1000 + j * 8 + i AS DOUBLE) AS v
+       |  FROM (VALUES (2), (3), (4), (5)) t(k), range(0, 8) a(j), range(0, 8) b(i))
+       |SELECT g.scene_id, g.tile_id, sum(g.v) AS sum_v, count(*) AS n_px
+       |FROM (
+       |  SELECT p.scene_id, s.tile_id, p.v
+       |  FROM px p JOIN specs s ON s.scene_id = p.scene_id
+       |    AND p.x >= s.x0 AND p.x < s.x0 + $tile
+       |    AND p.y >= s.y0 AND p.y < s.y0 + $tile) g
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** q226's 300-scene catalog (epochs cycling 28 days) + manifest —
     * the above-threshold shape whose crop takes the broadcast-join

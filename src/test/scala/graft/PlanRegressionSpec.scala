@@ -25,6 +25,9 @@ class PlanRegressionSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private val bnljAllowed =
     Set("q30_ann_topk", "q48_e2e_slice", "q36_triplet_specs", "q79_tfidf",
+      // q228: the same triplet-pairing 1-row counts broadcast as q36/q48,
+      // fed by the manifest-planned catalog open.
+      "q228_manifest_triplet_pipeline",
       // q117: ADC probe LUTs are a bounded broadcast frame cross-joined
       // onto the coded corpus (operators/Pq.scala) — the q30 shape; the
       // dedicated "q117" test below asserts the BNLJ is present.
@@ -124,7 +127,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q221_perstore_pack_attrs" :+ "q222_manifest_catalog_crop"
       :+ "q223_materialized_scene_table" :+ "q224_manifest_vars_catalog"
       :+ "q225_manifest_tile_slice" :+ "q226_broad_catalog_residual"
-      :+ "q227_manifest_vars_materialized")
+      :+ "q227_manifest_vars_materialized"
+      :+ "q228_manifest_triplet_pipeline")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -503,6 +507,24 @@ class PlanRegressionSpec extends SparkSpec {
       graft.SparkEntry.queries("q225_manifest_tile_slice")(spark, sf).collect()
       val sC = r.pathsTouched.filter(_.contains("sC.zarr"))
       assert(sC.isEmpty, s"excluded scene touched: $sC")
+    } finally graft.sources.ByteStore.stopRecording()
+  }
+
+  test("q228: the manifest-planned triplet pipeline costs the excluded scene nothing") {
+    // the reference's flagship flow (T1-T5 sampling -> J6 gather -> G1
+    // reduce) planned from the scene DB end to end: the pushed branches
+    // name only the four member scenes; the excluded day-9 scene is
+    // never read — not at plan time, not at execution
+    val plan = planOf("q228_manifest_triplet_pipeline")
+    assert(plan.contains("e2.zarr") && plan.contains("e5.zarr"),
+      s"surviving scenes missing from the pushed branches:\n${plan.take(2000)}")
+    assert(!plan.contains("e7.zarr"), "the excluded scene leaked into the plan")
+    val r = graft.sources.ByteStore.startRecording()
+    try {
+      graft.SparkEntry.queries("q228_manifest_triplet_pipeline")(spark, sf)
+        .collect()
+      val e7 = r.pathsTouched.filter(_.contains("e7.zarr"))
+      assert(e7.isEmpty, s"excluded scene touched: $e7")
     } finally graft.sources.ByteStore.stopRecording()
   }
 
