@@ -457,6 +457,87 @@ class CatalogManifestSpec extends SparkSpec {
     info(s"pushed kept ${pushedKept.size}, exact keeps ${mustKeep.size} of ${cases.size}")
   }
 
+  test("fuzz: MULTI-AXIS pushed envelope — an error on ANY bound axis always collects") {
+    // the round-19 restructure's risk surface: with bounds on TWO axes
+    // the keep condition is error-on-ANY-axis OR pass-on-EVERY-axis —
+    // a store pruned by axis A's envelope but error-shaped on axis B
+    // must still collect (the driver refine raises), and the pushed
+    // form must keep every store the exact test keeps or raises on
+    val rnd = new scala.util.Random(20260818)
+    val bounds = Map("x" -> (-20.0, 35.0))
+    val tb = Map("time" -> ("2021-01-10 00:00:00", "2021-01-12 23:00:00"))
+    def xAxis(): Option[GridOpen.RawAxis] = rnd.nextInt(8) match {
+      case 0 => None // bound axis missing entirely: error shape
+      case 1 => Some(GridOpen.RawAxis(0, "x", None, None, None)) // no coords
+      case 2 => Some(GridOpen.RawAxis(0, "x", None, None,
+        Some(Array.empty[Double]))) // empty: silently excluded, NOT error
+      case _ =>
+        val n = 1 + rnd.nextInt(6)
+        Some(GridOpen.RawAxis(0, "x", None, None,
+          Some(Array.fill(n)(rnd.nextInt(140) - 70.0).sorted)))
+    }
+    def tAxis(): Option[GridOpen.RawAxis] = rnd.nextInt(8) match {
+      case 0 => None
+      case 1 => Some(GridOpen.RawAxis(1, "time", Some("m"), None,
+        Some(Array(0.0, 6.0)))) // non-time units: error shape
+      case 2 => Some(GridOpen.RawAxis(1, "time",
+        Some("months since 2021-01-01"), None,
+        Some(Array(0.0)))) // unsupported step: error shape
+      case 3 => Some(GridOpen.RawAxis(1, "time",
+        Some(f"hours since 2021-01-${1 + rnd.nextInt(28)}%02d"), None,
+        None)) // no coords
+      case _ =>
+        val day = 1 + rnd.nextInt(28)
+        val start = rnd.nextInt(48).toDouble
+        Some(GridOpen.RawAxis(1, "time",
+          Some(f"hours since 2021-01-$day%02d"), None,
+          Some(Array.tabulate(1 + rnd.nextInt(4))(j => start + j * 6.0))))
+    }
+    val cases: Seq[(String, Seq[GridOpen.RawAxis])] =
+      (1 to 2000).map(i => (s"m$i", Seq(xAxis(), tAxis()).flatten))
+    import spark.implicits._
+    val df = cases.toDF("store", "axes")
+      .withColumn("axs", expr(
+        "transform(axes, a -> struct(a.k as k, a.name as name, " +
+          "a.units as units, a.calendar as calendar, " +
+          "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
+          "coalesce(size(a.coords), -1) as n))"))
+    val summaries = df.select(col("store"), lit("zarr").as("format"),
+        lit("/x").as("dir"), col("axs").as("ax"))
+      .as[CatalogManifest.StoreSummary].collect()
+    var raisers = 0
+    val mustKeep = summaries.filter { s =>
+      try CatalogManifest.envelopeSurvives(s.store, s.ax, bounds, tb)
+      catch { case _: Exception => raisers += 1; true } // must collect
+    }.map(_.store).toSet
+    val combos = CatalogManifest.resolveTimeCombos(df, tb)
+    val pushedKept = df
+      .where(CatalogManifest.envelopePushdown(bounds, combos))
+      .select("store").as[String].collect().toSet
+    val lost = mustKeep -- pushedKept
+    assert(lost.isEmpty, s"UNSOUND multi-axis pushed envelope dropped: " +
+      s"${lost.take(5)}")
+    assert(pushedKept.size < cases.size * 9 / 10,
+      s"degenerate: pushed kept ${pushedKept.size} of ${cases.size}")
+    // the specific regression shape: pruned-on-x AND error-on-time
+    // stores exist in the draw and are all kept
+    val prunedButError = summaries.filter { s =>
+      val x = s.ax.find(_.name == "x")
+      val xMisses = x.exists(a => a.n > 0 &&
+        (a.mx.exists(_ < -20.0) || a.mn.exists(_ > 35.0)))
+      val tError = !s.ax.exists(_.name == "time") ||
+        s.ax.exists(a => a.name == "time" && (a.n < 0 ||
+          a.units.contains("m") || a.units.exists(_.startsWith("months"))))
+      xMisses && tError
+    }.map(_.store).toSet
+    assert(prunedButError.nonEmpty, "fuzz never drew the regression shape")
+    assert((prunedButError -- pushedKept).isEmpty,
+      s"pruned-on-x swallowed error-on-time: ${(prunedButError -- pushedKept).take(5)}")
+    info(s"pushed kept ${pushedKept.size}, exact keeps ${mustKeep.size} " +
+      s"(incl. $raisers raisers) of ${cases.size}; " +
+      s"${prunedButError.size} pruned-but-error stores all kept")
+  }
+
   test("pushed envelope with per-store epochs: time combos resolve per (units, calendar)") {
     // three distinct epochs + a store with NON-time units on the bound
     // axis (error-shaped: must collect and raise) + one with a month

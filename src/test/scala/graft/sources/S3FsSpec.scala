@@ -89,6 +89,51 @@ class S3FsSpec extends SparkSpec {
       s"largest $maxReq")
   }
 
+  test("join-form catalog crops keep the ranged-read discipline via the per-file hull") {
+    // above residualJoinAbove the scan's pushed filters carry only the
+    // union d0 envelope; the hulls option must narrow each FILE's
+    // record window to its OWN range — here file B keeps 4 of 64
+    // records while file A keeps 28, so under the union ([0, 27])
+    // alone B would read 7x its share
+    registerS3Fs()
+    S3Fs.reset()
+    val dir = Files.createTempDirectory("graft-s3fs-hull").toString
+    val nRec = 64; val nx = 4096
+    def nc(name: String, day: Int): Unit =
+      ByteStore.writeAllBytes(s"s3test:$dir/$name", NetCDF3.write(
+        dims = Seq(NetCDF3.Dim("time", 0), NetCDF3.Dim("x", nx)),
+        gattrs = Nil,
+        vars = Seq(
+          NetCDF3.VarSpec("time", Seq("time"), NetCDF3.NcDouble,
+            Seq(NetCDF3.Attr("units", NetCDF3.NcChar,
+              f"hours since 2022-01-$day%02d")),
+            Array.tabulate(nRec)(_.toDouble)),
+          NetCDF3.VarSpec("v", Seq("time", "x"), NetCDF3.NcDouble, Nil,
+            Array.tabulate(nRec * nx)(_.toDouble))),
+        numRecs = nRec))
+    nc("a.nc", 1) // window keeps records 0..27
+    nc("b.nc", 2) // window keeps records 0..3
+    val fileLen = ByteStore.length(s"s3test:$dir/b.nc")
+    S3Fs.reset()
+    val saved = GridOpen.residualJoinAbove
+    val got = try {
+      GridOpen.residualJoinAbove = 0 // force the join form at 2 survivors
+      GridOpen.netcdf3Catalog(spark, s"s3test:$dir/*.nc", "v",
+        timeBounds = Map("time" ->
+          ("2022-01-01 00:00:00", "2022-01-02 03:00:00")))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0).split('/').last, r.getLong(1)))
+        .toMap
+    } finally GridOpen.residualJoinAbove = saved
+    assert(got == Map("a.nc" -> 28L * nx, "b.nc" -> 4L * nx), got)
+    // file B's data reads are bounded by ITS hull, not the union: 4 of
+    // 64 records plus header pages is well under a quarter of the file
+    val bReads = S3Fs.ranges.filter(_._1.endsWith("b.nc")).map(_._3).sum
+    assert(bReads <= fileLen / 4,
+      s"read $bReads of $fileLen bytes of b.nc for a 4/64-record crop " +
+        "under the join-form residual")
+  }
+
   test("manifest-planned opens are immune to list-after-write inconsistency") {
     registerS3Fs()
     S3Fs.reset()
