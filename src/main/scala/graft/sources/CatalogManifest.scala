@@ -406,7 +406,7 @@ object CatalogManifest {
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
         .toMap
     val stores = storesOf(format, dir)
-    val curFp = ByteStore.parMap(stores)(s => (s, ByteStore.treeStat(s))).toMap
+    val curFp = fpWave(spark, stores) // distributed above the threshold
     val added = stores.filterNot(oldFp.contains)
     // a pre-hash legacy row (fpHash == 0) counts as CHANGED even when
     // its aggregate triple matches: stamping the freshly computed hash
@@ -698,7 +698,7 @@ object CatalogManifest {
       .map(e => (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))
       .distinct
     if (verifyFingerprints)
-      checkFresh(survivorFps, manifestPath)
+      checkFresh(spark, survivorFps, manifestPath)
     val (format, dir) = (full.head._1.format, full.head._1.dir)
     val metas = full.sortBy(_._1.store).map { case (e, raw) =>
       GridOpen.StoreMeta(e.store, GridOpen.classifyAxes(raw, e.store),
@@ -771,28 +771,56 @@ object CatalogManifest {
     }
   }
 
+  /** Store-count threshold above which a fingerprint wave runs as a
+    * SPARK JOB instead of a driver parMap: at 10^5-10^6 stores a
+    * driver-side wave is the read path's last O(catalog) latency term
+    * (16-way round trips from one node); executors fan it out exactly
+    * like [[entriesFor]]'s metadata wave. Mutable for tests. */
+  @volatile private[graft] var fpDistributeAbove: Int = 4096
+
+  /** One LIST/HEAD fingerprint wave over `stores` — driver parMap
+    * below [[fpDistributeAbove]], a distributed job above it. A
+    * genuinely VANISHED store fingerprints as (-1,-1,-1,-1) (always
+    * "changed"); a transient I/O failure (throttle, timeout, too-deep
+    * tree) surfaces as itself — prescribing `refresh` for those would
+    * be a misdiagnosis. The existence probe runs against the same
+    * possibly-flaky store, so its own failure rethrows the ORIGINAL
+    * error. */
+  private def fpWave(spark: SparkSession,
+      stores: Seq[String]): Map[String, Fp] = {
+    def one(s: String): (String, Fp) =
+      try (s, ByteStore.treeStat(s)) catch {
+        case e: Exception =>
+          val vanished =
+            try !ByteStore.exists(s) catch { case _: Exception => false }
+          if (vanished) (s, (-1L, -1L, -1L, -1L)) else throw e
+      }
+    if (stores.size <= fpDistributeAbove)
+      ByteStore.parMap(stores)(one).toMap
+    else {
+      val snap = ByteStore.confSnapshot(spark)
+      import spark.implicits._
+      spark.createDataset(stores)
+        .repartition(math.max(1, math.min(512, stores.size / 32)))
+        .mapPartitions { it =>
+          ByteStore.install(snap) // executor JVMs have no session
+          it.map(one)
+        }.collect().toMap
+    }
+  }
+
   /** Staleness guard on the stores a plan will actually READ: one
     * LIST/HEAD fingerprint wave over the SURVIVORS only (excluded
     * stores stay zero-cost), failing loudly on any mtime/bytes/count
     * mismatch — a silently stale manifest would crop with yesterday's
     * coordinates. `refresh` is the fix; `verifyFingerprints = false`
     * is the explicit escape hatch for immutable catalogs. */
-  private def checkFresh(expected: Seq[(String, Fp)],
+  private def checkFresh(spark: SparkSession, expected: Seq[(String, Fp)],
       manifestPath: String): Unit = {
-    val stale = ByteStore.parMap(expected) { case (s, fp) =>
-      val cur = try ByteStore.treeStat(s) catch {
-        // only a genuinely VANISHED store is "stale"; a transient I/O
-        // failure (throttle, timeout) or a too-deep tree must surface
-        // as itself — prescribing `refresh` for those is a misdiagnosis.
-        // The existence probe runs against the same possibly-flaky
-        // store, so its own failure rethrows the ORIGINAL error.
-        case e: Exception =>
-          val vanished =
-            try !ByteStore.exists(s) catch { case _: Exception => false }
-          if (vanished) (-1L, -1L, -1L, -1L) else throw e
-      }
-      (s, fpChanged(fp, cur))
-    }.collect { case (s, true) => s }
+    val cur = fpWave(spark, expected.map(_._1).distinct)
+    val stale = expected.collect {
+      case (s, fp) if fpChanged(fp, cur(s)) => s
+    }
     if (stale.nonEmpty)
       fail(s"stores changed since the manifest was built: " +
         s"${stale.take(5).mkString(", ")}${if (stale.size > 5) ", ..." else ""}" +
@@ -904,7 +932,7 @@ object CatalogManifest {
       .map(e => (e.store, (e.fpMtime, e.fpBytes, e.fpCount, e.fpHash)))
       .distinct
     if (verifyFingerprints)
-      checkFresh(survivorFps, manifestPath)
+      checkFresh(spark, survivorFps, manifestPath)
     val fullByStore = full.groupBy(_._1.store)
     val (format, dir) = (full.head._1.format, full.head._1.dir)
     val metas = fullByStore.keySet.toSeq.sorted.map { s =>
@@ -949,9 +977,9 @@ object CatalogManifest {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     val stores = storesOf(format, dir)
-    val changed = ByteStore.parMap(stores.filter(oldFp.contains))(s =>
-      (s, fpChanged(oldFp(s), ByteStore.treeStat(s))))
-      .collect { case (s, true) => s }
+    val curFp = fpWave(spark, stores.filter(oldFp.contains))
+    val changed = stores.filter(s =>
+      oldFp.contains(s) && fpChanged(oldFp(s), curFp(s)))
     val added = stores.filterNot(oldFp.contains)
     val removed = (oldFp.keySet -- stores).toSeq.sorted
     if (added.nonEmpty || changed.nonEmpty || removed.nonEmpty)
@@ -970,10 +998,10 @@ object CatalogManifest {
     * done scene's later change must not wedge a skip-everything
     * re-run). The fingerprints come from [[planStores]]' own collect,
     * so this costs zero extra manifest reads. */
-  private[sources] def checkFreshSubset(
+  private[sources] def checkFreshSubset(spark: SparkSession,
       fps: Seq[(String, (Long, Long, Long, Long))],
       manifestPath: String): Unit =
-    if (fps.nonEmpty) checkFresh(fps, manifestPath)
+    if (fps.nonEmpty) checkFresh(spark, fps, manifestPath)
 
   // ---- rehearsal hooks ----------------------------------------------------
   // graft.ScaleRehearsal drives PLAN-ONLY paths over SYNTHETIC

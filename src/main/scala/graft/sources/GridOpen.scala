@@ -406,7 +406,7 @@ object GridOpen {
     if (verifyFingerprints) {
       val done = graft.pipeline.Incremental
         .completedPartitions(spark, outPath, "scene")
-      CatalogManifest.checkFreshSubset(
+      CatalogManifest.checkFreshSubset(spark,
         survivorFps.filterNot { case (s, _) => done(sceneOf(s)) },
         manifestPath)
     }
@@ -525,7 +525,7 @@ object GridOpen {
     if (verifyFingerprints) {
       val done = graft.pipeline.Incremental
         .completedPartitions(spark, outPath, "scene")
-      CatalogManifest.checkFreshSubset(
+      CatalogManifest.checkFreshSubset(spark,
         survivorFps.filterNot { case (s, _) => done(sceneOf(s)) },
         manifestPath)
     }

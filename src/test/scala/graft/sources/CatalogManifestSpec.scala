@@ -969,6 +969,34 @@ class CatalogManifestSpec extends SparkSpec {
       s"fixture degenerate: day-2 chunk 0 was read by the Or form")
   }
 
+  test("fingerprint waves distribute above the threshold with identical semantics") {
+    // at 10^5-10^6 survivors a driver parMap wave is the read path's
+    // last O(catalog) latency term; above fpDistributeAbove the wave
+    // runs as a Spark job — same staleness verdicts either way
+    val dir = Files.createTempDirectory("graft-manif-fpw").toString
+    writeZarrCatalog(dir, 4)
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    val saved = CatalogManifest.fpDistributeAbove
+    CatalogManifest.fpDistributeAbove = 0 // force the Spark-job wave
+    try {
+      assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp")
+        .count() == 48)
+      assert(CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+        == ((0, 0, 0, 4)))
+      ByteStore.writeString(s"$dir/sc001.zarr/lwp/.zattrs",
+        """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "edited"}""")
+      val e = intercept[IllegalArgumentException](
+        GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp").count())
+      assert(e.getMessage.contains("sc001") && e.getMessage.contains("refresh"),
+        e.getMessage)
+      assert(CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+        == ((0, 1, 0, 3)))
+      assert(GridOpen.zarrCatalogFromManifest(spark, manifest, "lwp")
+        .count() == 48)
+    } finally CatalogManifest.fpDistributeAbove = saved
+  }
+
   test("a BROAD no-bounds open over a big catalog collects ZERO phase-1 rows") {
     // the last O(catalog) driver term: with no bounds every store
     // holding the variable survives by definition, so phase 1 has
