@@ -711,27 +711,32 @@ object ScaleRehearsal {
         got._1.toLong
       } finally CatalogManifest.collectAllBelow = savedThreshold
       val peakMB = heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
-      println(s"""{"op":"synbroad_io","stores":$n,"survivors":${got._1},""" +
-        s""""phase1Collected":${got._2},""" +
-        s""""phase2CoordCells":${CatalogManifest.lastPhase2CoordCells},""" +
-        s""""driverHeapPeakMB":$peakMB}""")
-      require(got._1 == n, s"broad open planned ${got._1} of $n stores")
-      require(got._2 == 0,
-        s"broad phase 1 collected ${got._2} rows — should collect NOTHING")
-      // above the phase-2 direct-collect threshold the grouped exchange
-      // drives each distinct grid ONCE (4 + 3 cells); under it the
-      // direct collect honestly reports per-store volume
-      val expectCells =
-        if (n.toLong * 7 <= CatalogManifest.directCollectCells) n.toLong * 7
-        else 7L
-      require(CatalogManifest.lastPhase2CoordCells == expectCells,
-        s"phase 2 drove ${CatalogManifest.lastPhase2CoordCells} coord " +
-          s"cells, expected $expectCells")
-      // the pinned driver bound: the scalar metas ARE the result
-      // (O(stores), ~KB-scale each incl. collect transients); the
-      // summaries no longer stack an O(catalog) term on top of them
-      require(peakMB < 8192,
-        s"broad plan peaked at $peakMB MB of driver heap for $n stores")
+      // the io line and the hard requires are meaningful only when the
+      // timed ops actually ran — SPARK_GRAFT_OPS listing the section
+      // without the timed names must skip, not abort the rehearsal
+      if (wanted("synbroad_build") && wanted("synbroad_plan")) {
+        println(s"""{"op":"synbroad_io","stores":$n,"survivors":${got._1},""" +
+          s""""phase1Collected":${got._2},""" +
+          s""""phase2CoordCells":${CatalogManifest.lastPhase2CoordCells},""" +
+          s""""driverHeapPeakMB":$peakMB}""")
+        require(got._1 == n, s"broad open planned ${got._1} of $n stores")
+        require(got._2 == 0,
+          s"broad phase 1 collected ${got._2} rows — should collect NOTHING")
+        // above the phase-2 direct-collect threshold the grouped
+        // exchange drives each distinct grid ONCE (4 + 3 cells); under
+        // it the direct collect honestly reports per-store volume
+        val expectCells =
+          if (n.toLong * 7 <= CatalogManifest.directCollectCells) n.toLong * 7
+          else 7L
+        require(CatalogManifest.lastPhase2CoordCells == expectCells,
+          s"phase 2 drove ${CatalogManifest.lastPhase2CoordCells} coord " +
+            s"cells, expected $expectCells")
+        // the pinned driver bound: the scalar metas ARE the result
+        // (O(stores), ~KB-scale each incl. collect transients); the
+        // summaries no longer stack an O(catalog) term on top of them
+        require(peakMB < 8192,
+          s"broad plan peaked at $peakMB MB of driver heap for $n stores")
+      }
     }
 
     // ---- round 18: broad-crop residual — Or form vs broadcast join -------

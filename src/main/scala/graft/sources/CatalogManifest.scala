@@ -149,18 +149,25 @@ object CatalogManifest {
   // `_claim-NNNNNNNN` marker carrying a writer-unique token before its
   // generation write and re-reads it after, refusing loudly (domain
   // error, no pointer flip) when another writer claimed the same
-  // generation in between — the realistic race, two refreshers whose
-  // generation WRITES overlap (one job's overwrite-delete corrupting
-  // the other's in-flight files), always trips it, and the winner's
-  // COMPLETE generation is what the pointer ends up naming. The
-  // residual check-to-flip window is sub-millisecond and loses only
-  // the slower writer's rows to the faster's complete generation —
-  // plain PUTs cannot close it entirely (no conditional writes on the
-  // seam); run ONE refresher, like the reference's one luigi scheduler
-  // owning the scene DB. Readers are unlimited and never coordinate.
+  // generation in between. Generation directories are WRITER-UNIQUE
+  // (`_gen-NNNNNNNN-<token>`): two racers to the same number write
+  // DISJOINT directories, so neither can delete or corrupt the other's
+  // in-flight files and readers resolving the pointer NEVER see a
+  // partially (re)written directory — the loser's complete-but-
+  // unreferenced directory is an orphan the retention sweep ages out.
+  // The residual check-to-flip window therefore loses only the slower
+  // writer's rows to the faster's complete generation (a lost update,
+  // loudly reported); run ONE refresher, like the reference's one
+  // luigi scheduler owning the scene DB. Readers are unlimited and
+  // never coordinate; legacy unsuffixed `_gen-NNNNNNNN` pointers keep
+  // resolving.
 
   private val Pointer = "_current"
-  private def genName(n: Int): String = f"_gen-$n%08d"
+  /** Pointer/dir-name shape: generation number + optional writer
+    * token (legacy manifests lack the suffix). */
+  private val GenRe = "_gen-(\\d{8})(?:-[0-9a-f]{8})?".r
+  private def genDirName(n: Int, token: String): String =
+    f"_gen-$n%08d-${token.take(8)}"
   private def claimName(n: Int): String = f"_claim-$n%08d"
 
   /** How many generations BEHIND the current one publish retains as a
@@ -187,21 +194,24 @@ object CatalogManifest {
       "array_min(a.coords) as mn, array_max(a.coords) as mx, " +
       "coalesce(size(a.coords), -1) as n))"
 
-  /** The pointed generation number, None for a legacy (pre-
-    * generational) manifest. An empty/garbled pointer retries ONCE
-    * before failing: on filesystems without atomic small-object
-    * replacement an uncoordinated reader could catch a pointer
-    * mid-write, and one re-read outlasts any tiny-file write. */
-  private def currentGen(manifestPath: String): Option[Int] = {
+  /** The pointed (generation number, directory name), None for a
+    * legacy (pre-generational) manifest. An empty/garbled pointer
+    * retries ONCE before failing: on filesystems without atomic
+    * small-object replacement an uncoordinated reader could catch a
+    * pointer mid-write, and one re-read outlasts any tiny-file
+    * write. */
+  private def currentGen(manifestPath: String): Option[(Int, String)] = {
     val p = ByteStore.join(manifestPath, Pointer)
     if (!ByteStore.isFile(p)) None
     else {
       def readGen(): String = ByteStore.readString(p).trim
+      def parse(g: String): Option[(Int, String)] = g match {
+        case GenRe(n) => Some((n.toInt, g))
+        case _ => None
+      }
       var g = readGen()
-      if (!g.matches("_gen-\\d{8}")) { Thread.sleep(25); g = readGen() }
-      if (!g.matches("_gen-\\d{8}"))
-        fail(s"corrupt generation pointer $p: '$g'")
-      Some(g.stripPrefix("_gen-").toInt)
+      if (parse(g).isEmpty) { Thread.sleep(25); g = readGen() }
+      Some(parse(g).getOrElse(fail(s"corrupt generation pointer $p: '$g'")))
     }
   }
 
@@ -212,23 +222,39 @@ object CatalogManifest {
     * renames it into place — rename(2) of a tiny file replaces
     * atomically, and this rename never touches the object-store seam
     * the sinks keep rename-free. */
-  private def writePointer(path: String, gen: String): Unit =
-    if (ByteStore.hasScheme(path)) ByteStore.writeString(path, gen)
-    else {
-      val tmp = java.nio.file.Paths.get(path + ".tmp")
-      java.nio.file.Files.write(tmp,
-        gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      ()
+  private def writePointer(path: String, gen: String): Unit = {
+    // BOTH local shapes take the atomic branch: scheme-less paths AND
+    // `file:` URIs, which Hadoop's LocalFileSystem would also
+    // truncate-then-write. A `file:` pointer previously written
+    // through Hadoop may carry a checksum sidecar; the NIO rewrite
+    // deletes it so later Hadoop reads don't fail on a stale crc.
+    val local: Option[String] =
+      if (!ByteStore.hasScheme(path)) Some(path)
+      else scala.util.Try(new java.net.URI(path)).toOption
+        .filter(_.getScheme == "file").map(_.getPath)
+    local match {
+      case None => ByteStore.writeString(path, gen) // object store: one PUT
+      case Some(lp) =>
+        val target = java.nio.file.Paths.get(lp)
+        val tmp = java.nio.file.Paths.get(lp + ".tmp")
+        java.nio.file.Files.write(tmp,
+          gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Option(target.getParent).foreach { d =>
+          java.nio.file.Files.deleteIfExists(
+            d.resolve("." + target.getFileName.toString + ".crc"))
+        }
+        ()
     }
+  }
 
   /** The parquet path holding the manifest's CURRENT rows: the pointed
     * generation when the pointer exists, the path itself for a legacy
     * in-place manifest. */
   private[sources] def dataPath(manifestPath: String): String =
     currentGen(manifestPath) match {
-      case Some(n) => ByteStore.join(manifestPath, genName(n))
+      case Some((_, dirName)) => ByteStore.join(manifestPath, dirName)
       case None => manifestPath
     }
 
@@ -256,26 +282,36 @@ object CatalogManifest {
   }
 
   // one derived session per root session (building a SessionState per
-  // read would tax every plan ~100 ms). Weakly keyed AND weakly valued:
-  // an app that cycles newSession() roots must not have each one (and
-  // its SessionState) pinned for the JVM's lifetime by this cache, and
-  // the derived session strongly references its parent's state — a
-  // strong VALUE would keep even a weak key reachable forever. A
-  // cleared value just rebuilds on next use (rare: possible only once
-  // every frame planned on it is itself unreachable).
+  // read would tax every plan ~100 ms). Weakly keyed AND weakly valued
+  // — an app that cycles newSession() roots must not have each one
+  // (and its SessionState) pinned for the JVM's lifetime, and the
+  // derived session strongly references its parent's state, so a
+  // strong VALUE would keep even a weak key reachable forever — PLUS
+  // one strong slot for the MOST RECENT root: between reads nothing
+  // else holds the derived session, and a purely weak value would
+  // evaporate on every full GC, re-paying the SessionState build the
+  // cache exists to amortize. The strong slot pins at most ONE root
+  // (the active one); a cycled root is evicted from it by its
+  // successor and becomes collectable.
   private val boundedSessions =
     new java.util.WeakHashMap[SparkSession,
       java.lang.ref.WeakReference[SparkSession]]()
-  private[graft] def boundedSession(spark: SparkSession): SparkSession =
-    boundedSessions.synchronized {
+  @volatile private var lastBounded: (SparkSession, SparkSession) = null
+  private[graft] def boundedSession(spark: SparkSession): SparkSession = {
+    val last = lastBounded
+    if (last != null && (last._1 eq spark)) return last._2
+    val b = boundedSessions.synchronized {
       Option(boundedSessions.get(spark)).flatMap(r => Option(r.get))
         .getOrElse {
-          val b = spark.newSession()
-          b.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
-          boundedSessions.put(spark, new java.lang.ref.WeakReference(b))
-          b
+          val fresh = spark.newSession()
+          fresh.conf.set("spark.sql.parquet.columnarReaderBatchSize", "32")
+          boundedSessions.put(spark, new java.lang.ref.WeakReference(fresh))
+          fresh
         }
     }
+    lastBounded = (spark, b)
+    b
+  }
   /** Live cache entries (test observability for the no-pinning claim). */
   private[graft] def boundedSessionCount: Int =
     boundedSessions.synchronized(boundedSessions.size)
@@ -297,35 +333,40 @@ object CatalogManifest {
   private def publish(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
       manifestPath: String): Unit = {
     val cur = currentGen(manifestPath)
-    val next = cur.map(_ + 1).getOrElse(0)
+    val next = cur.map(_._1 + 1).getOrElse(0)
     // claim the generation before writing it: a second writer racing to
     // the same number overwrites this marker, and the loser finds out
-    // BEFORE flipping the pointer at a generation the winner may have
-    // corrupted mid-write
+    // BEFORE flipping the pointer. The generation DIRECTORY itself is
+    // writer-unique, so the racers' files never touch — readers can
+    // never observe a partially rewritten pointed directory
     val claimPath = ByteStore.join(manifestPath, claimName(next))
-    val token = java.util.UUID.randomUUID().toString
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
     ByteStore.writeString(claimPath, token)
+    val genDir = genDirName(next, token)
     df.drop("axs").withColumn("axs", expr(SummarySql))
-      .write.mode("overwrite") // overwrite: a crashed publish's orphan
-      .parquet(ByteStore.join(manifestPath, genName(next)))
+      .write.mode("overwrite") // overwrite: THIS writer's own retry orphan
+      .parquet(ByteStore.join(manifestPath, genDir))
     onGenerationWritten()
+    // only a provably MISSING claim (the winner already published and
+    // swept it) or a different token is a lost race; a transient I/O
+    // failure on the re-read must surface as itself — misdiagnosing a
+    // throttle as "another writer" would discard a completed publish
     val stillMine =
       try ByteStore.isFile(claimPath) && ByteStore.readString(claimPath) == token
-      catch { case _: Exception => false }
+      catch { case _: java.io.FileNotFoundException => false }
     if (!stillMine)
-      fail(s"lost the publish race for ${genName(next)} under " +
+      fail(s"lost the publish race for generation $next under " +
         s"$manifestPath — another writer claimed the same generation " +
         "(writers are single-writer by contract: run ONE build/refresh " +
         "at a time; the winner's publish is complete and readable)")
     // THE publish point: one atomic pointer replacement
-    writePointer(ByteStore.join(manifestPath, Pointer), genName(next))
+    writePointer(ByteStore.join(manifestPath, Pointer), genDir)
     ByteStore.deleteFile(claimPath)
     val keepFrom = next - math.max(1, retainGenerations)
     ByteStore.list(manifestPath).foreach { e =>
-      val gen = "_gen-(\\d{8})".r
       val claim = "_claim-(\\d{8})".r
       e.name match {
-        case gen(n) if e.isDir && n.toInt < keepFrom =>
+        case GenRe(n) if e.isDir && n.toInt < keepFrom =>
           deleteTree(spark, e.path) // older than the grace window
         case claim(n) if !e.isDir && n.toInt < next =>
           ByteStore.deleteFile(e.path) // a crashed publish's orphan claim
@@ -662,8 +703,11 @@ object CatalogManifest {
         // holds O(stores) scalars and O(distinct grids) coordinates,
         // never O(stores x axis length).
         lastPhase1Collected = 0
-        val cells = sumsDf.select(sum(expr(
-          "aggregate(ax, 0L, (acc, a) -> acc + greatest(cast(a.n as bigint), 0L))")))
+        // coalesce: an empty frame sums to NULL, and the domain error
+        // (below, via the loadEntries result) beats a NullPointerException
+        val cells = sumsDf.select(coalesce(sum(expr(
+          "aggregate(ax, 0L, (acc, a) -> acc + greatest(cast(a.n as bigint), 0L))")),
+          lit(0L)))
           .collect()(0).getLong(0)
         val f = loadEntries(spark, df, cells)
         (f, f.map(_._1.store).distinct)
@@ -873,10 +917,14 @@ object CatalogManifest {
         // scan (a semi-join filter on phase 2's own read), and one
         // aggregate job estimates the coordinate volume
         lastPhase1Collected = 0
+        // coalesce: NO member store (nobody holds every variable) makes
+        // the semi-join empty and the sum NULL — the clean noMember
+        // require below must raise, not a NullPointerException here
         val cells = allSums.where(col("variable") === variables.head)
           .join(memberDf, Seq("store"), "left_semi")
-          .select(sum(expr(
-            "aggregate(ax, 0L, (acc, a) -> acc + greatest(cast(a.n as bigint), 0L))")))
+          .select(coalesce(sum(expr(
+            "aggregate(ax, 0L, (acc, a) -> acc + greatest(cast(a.n as bigint), 0L))")),
+            lit(0L)))
           .collect()(0).getLong(0) * variables.length
         val f = loadEntries(spark,
           df.join(memberDf, Seq("store"), "left_semi"), cells)

@@ -334,6 +334,7 @@ object MountDsv2 {
         val parts = r.split(':')
         require(parts.length == 3, s"malformed hull range '$r' in '$line'")
         val k = parts(0).toInt
+        require(k >= 0, s"malformed hull range '$r' in '$line'")
         if (k < ranges.length)
           ranges(k) = IdxRange(parts(1).toLong, parts(2).toLong)
       }
