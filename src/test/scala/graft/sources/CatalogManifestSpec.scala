@@ -1156,6 +1156,17 @@ class CatalogManifestSpec extends SparkSpec {
     val claims = ByteStore.list(manifest).map(_.name)
       .filter(_.startsWith("_claim-"))
     assert(claims.isEmpty, s"claim residue: $claims")
+    // writer-unique dirs: the loser's complete generation is a
+    // harmless orphan TWIN of the winner's number (it never touched
+    // the winner's files), and the retention sweep ages it out
+    val twins = genDirNums(manifest).count(_ == 1)
+    assert(twins == 2, s"expected the winner + the loser's orphan, got " +
+      s"${genDirNums(manifest)}")
+    CatalogManifest.publishEntries(spark, entries("later", 1).toDS(), manifest)
+    CatalogManifest.publishEntries(spark, entries("last", 1).toDS(), manifest)
+    assert(!genDirNums(manifest).contains(1),
+      "the loser's orphan generation must age out with its number")
+    assert(CatalogManifest.read(spark, manifest).count() == 1)
   }
 
   test("generation retention is a parameter: a stalled reader survives extra publishes under a wider grace window") {
