@@ -147,6 +147,48 @@ class MountDsv2Spec extends AnyFunSuite {
       boxKeep(Seq(0L, 0L), Seq(3L, 4L), shape, dimRanges(Array.empty)))
   }
 
+  test("hulls serialization round-trips and intersects per dimension (randomized)") {
+    import MountDsv2._
+    val rnd = new scala.util.Random(20260819)
+    (1 to 200).foreach { _ =>
+      val surviving = (0 until 1 + rnd.nextInt(20)).map { i =>
+        val ks = rnd.shuffle((0 until DimCols.length).toList)
+          .take(rnd.nextInt(DimCols.length + 1)).sorted
+        (s"/cat/st$i.zarr", ks.map { k =>
+          val lo = rnd.nextInt(2000) - 1000
+          (k, (lo, lo + rnd.nextInt(500)))
+        })
+      }
+      val parsed = parseHulls(serializeHulls(surviving))
+      assert(parsed.size == surviving.size)
+      surviving.foreach { case (p0, rs) =>
+        val got = parsed(p0)
+        (0 until DimCols.length).foreach { k =>
+          rs.find(_._1 == k) match {
+            case Some((_, (lo, hi))) =>
+              assert(got(k) == IdxRange(lo.toLong, hi.toLong))
+            case None => assert(got(k).isFull, s"dim $k should be full")
+          }
+        }
+        // effDimRanges = per-dim intersection with the pushed globals
+        val global = IndexedSeq(IdxRange(-100L, 100L), FullRange,
+          IdxRange(0L, 50L), FullRange)
+        val eff = effDimRanges(Some(parsed), p0, global)
+        (0 until DimCols.length).foreach { k =>
+          assert(eff(k).lo == math.max(global(k).lo, got(k).lo) &&
+            eff(k).hi == math.min(global(k).hi, got(k).hi))
+        }
+      }
+      // unknown store: conservative-full (the pushed globals unchanged)
+      assert(effDimRanges(Some(parsed), "/not/there", IndexedSeq.fill(4)(FullRange))
+        .forall(_.isFull))
+    }
+    // malformed inputs fail with the domain error, never an index crash
+    intercept[IllegalArgumentException](parseHulls("no-tab-here"))
+    intercept[IllegalArgumentException](parseHulls("p\t-1:0:5"))
+    intercept[IllegalArgumentException](parseHulls("p\t0:1"))
+  }
+
   test("rowStrides/coordOf: row-major coordinate arithmetic") {
     val dims = Seq(5L, 6L, 7L)
     val st = rowStrides(dims)
