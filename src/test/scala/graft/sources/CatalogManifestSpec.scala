@@ -1007,6 +1007,64 @@ class CatalogManifestSpec extends SparkSpec {
     } finally CatalogManifest.fpDistributeAbove = saved
   }
 
+  test("join-form crop prunes SHARD-INNER chunks per store (zarr v3 sharded)") {
+    // the sharded sibling of the chunk-parity pin: per-store y grids
+    // are OFFSET, so a shared y window keeps a DIFFERENT shard/inner
+    // set per store — the union envelope alone would read every
+    // store's whole window span; the hull must keep the per-store
+    // shard AND inner-chunk pruning byte-identical to the Or form
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-manif-shardhull").toString
+    val (ny, nx) = (11, 6)
+    val px = (for (sc <- 0 until 6; j <- 0 until ny; i <- 0 until nx)
+      yield (f"sh$sc%02d", new java.sql.Timestamp(0L), i * 10.0,
+        sc * 20.0 + j * 10.0, (sc * 1000 + j * nx + i).toDouble))
+      .toDF("scene_id", "time", "x", "y", "value")
+    Zarr3.writeScenes(px, dir, "lwp", chunkRows = Some(4), gzipLevel = None,
+      shardInnerRows = Some(2)).count()
+    val bounds = Map("y" -> (40.0, 100.0))
+    // AQE off for the byte compare: its stage materialization re-plans
+    // the scan (a second index-tail read per shard), which would skew
+    // the plan-shape-vs-plan-shape byte profile without touching data
+    def run(): (Seq[(String, Double)], Map[String, Long]) = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val (rows, rec) = recording {
+          GridOpen.zarrCatalog(spark, dir, "lwp", bounds = bounds)
+            .select(col("path"), col("value")).collect()
+            .map(r => (r.getString(0).split('/').last, r.getDouble(1)))
+            .sortBy(identity).toSeq
+        }
+        val dataBytes = rec.pathsTouched
+          .filter(p => p.contains("/lwp/") && !p.endsWith("zarr.json"))
+          .map(p => p -> rec.bytes(p)).toMap
+        (rows, dataBytes)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val saved = GridOpen.residualJoinAbove
+    val (orRows, orBytes) = try {
+      GridOpen.residualJoinAbove = Int.MaxValue; run()
+    } finally GridOpen.residualJoinAbove = saved
+    val (joinRows, joinBytes) = try {
+      GridOpen.residualJoinAbove = 1; run()
+    } finally GridOpen.residualJoinAbove = saved
+    // windows per store: rows 4-10 / 2-8 / 0-6 / 0-4 / 0-2 / 0-0
+    assert(orRows.size == (7 + 7 + 7 + 5 + 3 + 1) * nx, orRows.size)
+    assert(joinRows == orRows, "rows must match exactly across crop forms")
+    assert(joinBytes == orBytes,
+      s"join form byte profile diverged from Or form: " +
+        s"${(joinBytes.toSet -- orBytes.toSet).take(3)} vs " +
+        s"${(orBytes.toSet -- joinBytes.toSet).take(3)}")
+    // non-degenerate: the narrow-window store reads fewer data bytes
+    // than the wide-window one (per-store pruning is really happening)
+    def sceneBytes(m: Map[String, Long], sc: String): Long =
+      m.collect { case (p, b) if p.contains(s"$sc.zarr/") => b }.sum
+    assert(sceneBytes(joinBytes, "sh05") < sceneBytes(joinBytes, "sh00"),
+      s"sh05=${sceneBytes(joinBytes, "sh05")} " +
+        s"sh00=${sceneBytes(joinBytes, "sh00")}")
+  }
+
   test("a BROAD no-bounds open over a big catalog collects ZERO phase-1 rows") {
     // the last O(catalog) driver term: with no bounds every store
     // holding the variable survives by definition, so phase 1 has
