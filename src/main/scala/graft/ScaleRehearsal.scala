@@ -697,8 +697,13 @@ object ScaleRehearsal {
       import scala.jdk.CollectionConverters._
       val heapPools = pools.asScala.filter(_.getType ==
         java.lang.management.MemoryType.HEAP)
-      System.gc()
+      def usedMB(): Long = {
+        System.gc()
+        heapPools.map(_.getUsage.getUsed).sum / (1024 * 1024)
+      }
+      val baselineMB = usedMB()
       heapPools.foreach(_.resetPeakUsage())
+      var metas: Seq[graft.sources.GridOpen.StoreMeta] = Nil
       var got: (Int, Int) = (0, 0)
       // force the big-catalog regime at every mult (the claim under
       // rehearsal IS that regime; small mults would otherwise take the
@@ -706,10 +711,18 @@ object ScaleRehearsal {
       val savedThreshold = CatalogManifest.collectAllBelow
       CatalogManifest.collectAllBelow = 0
       try timed("synbroad_plan") {
-        got = CatalogManifest.planOnly(spark, manifest, "lwp",
+        val (m, surv, p1) = CatalogManifest.planLive(spark, manifest, "lwp",
           Map.empty, Map.empty)
+        metas = m
+        got = (surv, p1)
         got._1.toLong
       } finally CatalogManifest.collectAllBelow = savedThreshold
+      // the LIVE result footprint, with `metas` held across the GC —
+      // the host-independent claim (the peak gauge also tracks collect
+      // transients, which scale with -Xmx/GC timing, so it is REPORTED
+      // but not a hard pin; a CI host with a different heap must see a
+      // regression, not a flaky abort)
+      val liveMB = usedMB() - baselineMB
       val peakMB = heapPools.map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
       // the io line and the hard requires are meaningful only when the
       // timed ops actually ran — SPARK_GRAFT_OPS listing the section
@@ -718,8 +731,8 @@ object ScaleRehearsal {
         println(s"""{"op":"synbroad_io","stores":$n,"survivors":${got._1},""" +
           s""""phase1Collected":${got._2},""" +
           s""""phase2CoordCells":${CatalogManifest.lastPhase2CoordCells},""" +
-          s""""driverHeapPeakMB":$peakMB}""")
-        require(got._1 == n, s"broad open planned ${got._1} of $n stores")
+          s""""driverLiveMB":$liveMB,"driverHeapPeakMB":$peakMB}""")
+        require(metas.length == n, s"broad open planned ${got._1} of $n stores")
         require(got._2 == 0,
           s"broad phase 1 collected ${got._2} rows — should collect NOTHING")
         // above the phase-2 direct-collect threshold the grouped
@@ -731,12 +744,66 @@ object ScaleRehearsal {
         require(CatalogManifest.lastPhase2CoordCells == expectCells,
           s"phase 2 drove ${CatalogManifest.lastPhase2CoordCells} coord " +
             s"cells, expected $expectCells")
-        // the pinned driver bound: the scalar metas ARE the result
-        // (O(stores), ~KB-scale each incl. collect transients); the
-        // summaries no longer stack an O(catalog) term on top of them
-        require(peakMB < 8192,
-          s"broad plan peaked at $peakMB MB of driver heap for $n stores")
+        // the pinned driver bound scales with the result: one interned
+        // StoreMeta shell per store (~2 KB/store budget — measured
+        // ~0.2 KB with axes/attrs shared across stores) over a fixed
+        // session floor. The interning is the round-20 change: without
+        // it each meta held its own classified Axis objects and attr
+        // strings (~4.7 GB at 10^6 stores)
+        require(liveMB < 256 + 2L * n / 1000,
+          s"broad plan holds $liveMB MB live for $n stores " +
+            s"(budget ${256 + 2L * n / 1000} MB)")
       }
+    }
+
+    // ---- round 20: maintenance-plane diff — O(changed) driver rows -------
+    // refresh/checkCatalogFresh used to materialize EVERY store's
+    // fingerprint in driver maps and diff with Seq ops. The diff now
+    // runs as a frame join ([[CatalogManifest.diffFp]]): against a
+    // synthetic catalog-sized manifest with K changes the driver
+    // collects exactly the K re-scan names plus the four counts.
+    if (wanted("manifest_diff")) {
+      import graft.sources.CatalogManifest
+      val n = (100 * mult).toInt
+      val k = math.max(1, n / 1000) // removed/added; +changed of same order
+      val oldFp = spark.range(n.toLong).selectExpr(
+        "concat('/syn/m', lpad(cast(id as string), 8, '0')) as store",
+        "id as fpMtime", "id as fpBytes", "1L as fpCount",
+        "id + 7 as fpHash")
+      // current listing: first k removed, k appended, every 997th
+      // surviving id's HASH moved (the triple-blind-spot change class)
+      val curFp = spark.range(k.toLong, n.toLong + k).selectExpr(
+        "concat('/syn/m', lpad(cast(id as string), 8, '0')) as store",
+        "id as __mt", "id as __by", "1L as __n",
+        s"case when id % 997 = 0 and id < ${n}L then id + 8 " +
+          "else id + 7 end as __h")
+      var res: (Seq[String], Seq[String], Int, Long,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+      try {
+        timed("syndiff_run") {
+          res = CatalogManifest.diffFp(spark, oldFp, curFp, sameVars = true,
+            legacyHashTripleFallback = false)
+          res._1.length.toLong
+        }
+        if (wanted("syndiff_run")) {
+          val changedExpect =
+            (k until n).count(i => i % 997 == 0)
+          println(s"""{"op":"syndiff_io","stores":$n,"added":${res._1.length},""" +
+            s""""changed":${res._2.length},"removed":${res._3},""" +
+            s""""unchanged":${res._4},""" +
+            s""""driverCollected":${CatalogManifest.lastDiffCollected}}""")
+          require(res._1.length == k, s"added ${res._1.length}, expected $k")
+          require(res._2.length == changedExpect,
+            s"changed ${res._2.length}, expected $changedExpect")
+          require(res._3 == k && res._4 == n - k - changedExpect,
+            s"removed ${res._3}/unchanged ${res._4}")
+          require(CatalogManifest.lastDiffCollected ==
+            res._1.length + res._2.length + 4,
+            s"the diff collected ${CatalogManifest.lastDiffCollected} " +
+              s"driver rows for $n stores — must be O(changed), " +
+              s"not O(catalog)")
+        }
+      } finally if (res != null) res._6.unpersist()
     }
 
     // ---- round 18: broad-crop residual — Or form vs broadcast join -------

@@ -145,21 +145,35 @@ object CatalogManifest {
   // is the rename-free S3A committer, outside this layer's scope.)
   //
   // WRITERS are single-writer by contract — and the contract is now
-  // ENFORCED, not just documented: each publish writes a
-  // `_claim-NNNNNNNN` marker carrying a writer-unique token before its
-  // generation write and re-reads it after, refusing loudly (domain
-  // error, no pointer flip) when another writer claimed the same
-  // generation in between. Generation directories are WRITER-UNIQUE
-  // (`_gen-NNNNNNNN-<token>`): two racers to the same number write
-  // DISJOINT directories, so neither can delete or corrupt the other's
-  // in-flight files and readers resolving the pointer NEVER see a
-  // partially (re)written directory — the loser's complete-but-
-  // unreferenced directory is an orphan the retention sweep ages out.
-  // The residual check-to-flip window therefore loses only the slower
-  // writer's rows to the faster's complete generation (a lost update,
-  // loudly reported); run ONE refresher, like the reference's one
-  // luigi scheduler owning the scene DB. Readers are unlimited and
-  // never coordinate; legacy unsuffixed `_gen-NNNNNNNN` pointers keep
+  // ENFORCED, not just documented, at three seams:
+  //  1. SAME-generation races: each publish writes a `_claim-NNNNNNNN`
+  //     marker carrying a writer-unique token before its generation
+  //     write and re-reads it after, refusing loudly (domain error, no
+  //     pointer flip) when another writer claimed the same generation
+  //     in between. Generation directories are WRITER-UNIQUE
+  //     (`_gen-NNNNNNNN-<token>`): two racers to the same number write
+  //     DISJOINT directories, so neither can delete or corrupt the
+  //     other's in-flight files and readers resolving the pointer NEVER
+  //     see a partially (re)written directory — the loser's complete-
+  //     but-unreferenced directory is an orphan the retention sweep
+  //     ages out.
+  //  2. CROSS-generation lost updates: a refresh carries the generation
+  //     it LOADED into its publish, which refuses (before writing
+  //     anything) when the pointer has moved — a slow refresher that
+  //     loaded gen N while a fast one published N+1 must not claim N+2
+  //     unopposed and silently discard N+1's rows.
+  //  3. Post-flip verification: after flipping, the publisher re-reads
+  //     the pointer and fails loudly when it no longer names its own
+  //     generation (a racer flipped in between; the racer's generation
+  //     is the one readers see, complete).
+  // The RESIDUAL window is the instants between two racers' flips when
+  // BOTH verify after both flips: the earlier flip loses silently —
+  // closing that needs a compare-and-swap the pointer seam doesn't
+  // have, so the single-writer contract (run ONE refresher, like the
+  // reference's one luigi scheduler owning the scene DB) remains the
+  // real guarantee; the three checks above turn every WIDER interleaving
+  // into a loud domain error. Readers are unlimited and never
+  // coordinate; legacy unsuffixed `_gen-NNNNNNNN` pointers keep
   // resolving.
 
   private val Pointer = "_current"
@@ -181,6 +195,15 @@ object CatalogManifest {
   /** Test seam: invoked between a publish's generation write and its
     * claim verification — the window a racing writer lands in. */
   private[graft] var onGenerationWritten: () => Unit = () => ()
+
+  /** Test seam: invoked after a refresh LOADS the current generation,
+    * before it publishes — the window a faster refresher's whole
+    * load-to-flip cycle lands in (the cross-generation race). */
+  private[graft] var onManifestLoaded: () => Unit = () => ()
+
+  /** Test seam: invoked between a publish's pointer flip and its
+    * post-flip verification — the window a racing flip lands in. */
+  private[graft] var onPointerFlipped: () => Unit = () => ()
 
   /** The per-axis summary projection (the persisted `axs` column):
     * everything phase 1 needs, WITHOUT the coordinate arrays. Written
@@ -278,7 +301,27 @@ object CatalogManifest {
     // long-running readers concurrent with frequent refreshes.
     val p = dataPath(manifestPath)
     val resolved = if (ByteStore.exists(p)) p else dataPath(manifestPath)
-    boundedSession(spark).read.parquet(resolved)
+    boundedSession(spark).read.parquet(dataFilesOf(resolved): _*)
+  }
+
+  /** The concrete parquet data files under a resolved generation,
+    * listed explicitly. Handing Spark the generation DIRECTORY trips
+    * DataSource's "All paths were ignored" warning on every plan —
+    * the name is deliberately underscore-prefixed so plain parquet
+    * readers skip it during a legacy manifest's live migration, and
+    * Spark's path screen flags any explicit underscore-named input
+    * (cosmetically; the read still works). Listing the part files
+    * sidesteps the noise without renaming anything; one extra LIST on
+    * the metadata plane the pointer resolution already touched. Falls
+    * back to the directory itself when no data files are visible (an
+    * empty generation — let the parquet reader raise its own
+    * diagnostic). */
+  private def dataFilesOf(path: String): Seq[String] = {
+    val files = ByteStore.list(path)
+      .filter(e => !e.isDir && !e.name.startsWith("_") &&
+        !e.name.startsWith("."))
+      .map(_.path)
+    if (files.isEmpty) Seq(path) else files
   }
 
   // one derived session per root session (building a SessionState per
@@ -320,6 +363,33 @@ object CatalogManifest {
       : org.apache.spark.sql.DataFrame =
     withCompat(read(spark, manifestPath))
 
+  /** [[load]] plus the generation it resolved — captured from the SAME
+    * pointer read that picked the data path, so a refresh's
+    * optimistic-concurrency token can never disagree with the rows it
+    * actually loaded (resolving the pointer twice would leave a window
+    * where a concurrent publish lands between the two reads). `None`
+    * for a legacy in-place manifest. */
+  private def loadWithGen(spark: SparkSession, manifestPath: String)
+      : (org.apache.spark.sql.DataFrame, Option[Int]) = {
+    val cur = currentGen(manifestPath)
+    val p = cur match {
+      case Some((_, dirName)) => ByteStore.join(manifestPath, dirName)
+      case None => manifestPath
+    }
+    // same ONE-shot re-resolve as [[read]]: a publish's cleanup may
+    // have deleted the generation this pointer read named (a still-
+    // missing path after the second resolve fails in the parquet read)
+    val (eff, effGen) =
+      if (cur.isEmpty || ByteStore.exists(p)) (p, cur.map(_._1))
+      else {
+        val again = currentGen(manifestPath)
+        (again.map(c => ByteStore.join(manifestPath, c._2))
+          .getOrElse(manifestPath), again.map(_._1))
+      }
+    (withCompat(boundedSession(spark).read.parquet(dataFilesOf(eff): _*)),
+      effGen)
+  }
+
   private def deleteTree(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -327,12 +397,30 @@ object CatalogManifest {
   }
 
   /** Publish `df` as the manifest's next generation: write it
-    * complete, flip the pointer, THEN clean up (generations older than
-    * the retained previous one; a migrated legacy manifest's top-level
-    * data files). */
+    * complete, flip the pointer, verify the flip landed, THEN clean up
+    * (generations older than the retained previous one; a migrated
+    * legacy manifest's top-level data files).
+    *
+    * `basedOn` is the optimistic-concurrency check for derived rows:
+    * a refresh passes the generation it LOADED (None inside the option
+    * for a legacy manifest), and the publish refuses — before writing
+    * anything — when the current pointer no longer names it. A full
+    * rewrite ([[build]]) passes nothing: its rows derive from the
+    * stores, not from a loaded generation, so "replace whatever is
+    * current" is its correct semantics. */
   private def publish(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
-      manifestPath: String): Unit = {
+      manifestPath: String,
+      basedOn: Option[Option[Int]] = None): Unit = {
     val cur = currentGen(manifestPath)
+    basedOn.foreach { loaded =>
+      if (cur.map(_._1) != loaded)
+        fail(s"manifest under $manifestPath advanced from generation " +
+          s"${loaded.map(g => f"$g%08d").getOrElse("<legacy>")} to " +
+          s"${cur.map(c => f"${c._1}%08d").getOrElse("<none>")} since this " +
+          "refresh loaded it — publishing rows derived from the stale " +
+          "generation would silently discard the newer one's updates; " +
+          "re-run the refresh (writers are single-writer by contract)")
+    }
     val next = cur.map(_._1 + 1).getOrElse(0)
     // claim the generation before writing it: a second writer racing to
     // the same number overwrites this marker, and the loser finds out
@@ -361,6 +449,23 @@ object CatalogManifest {
         "at a time; the winner's publish is complete and readable)")
     // THE publish point: one atomic pointer replacement
     writePointer(ByteStore.join(manifestPath, Pointer), genDir)
+    onPointerFlipped()
+    // post-flip verification: a racer that flipped between this
+    // writer's claim check and here overwrote the pointer — the racer's
+    // generation is the one readers see (complete, writer-unique dir),
+    // and THIS writer's rows were not published; fail loudly instead of
+    // returning success. The re-read is read-your-writes on both seams
+    // (local ATOMIC_MOVE; object-store PUT). An interleaving where BOTH
+    // racers flip before EITHER verifies still loses the earlier flip
+    // silently — the single-writer contract covers that last window.
+    val pointed = currentGen(manifestPath)
+    if (!pointed.exists(_._2 == genDir))
+      fail(s"pointer under $manifestPath names " +
+        s"${pointed.map(_._2).getOrElse("<none>")} immediately after this " +
+        s"publish flipped it to $genDir — another writer raced this one " +
+        "past the claim check; its generation is complete and readable, " +
+        "this writer's rows were NOT published (writers are single-writer " +
+        "by contract: run ONE build/refresh at a time)")
     ByteStore.deleteFile(claimPath)
     val keepFrom = next - math.max(1, retainGenerations)
     ByteStore.list(manifestPath).foreach { e =>
@@ -435,60 +540,99 @@ object CatalogManifest {
       distributeAbove: Int = 512): (Int, Int, Int, Int) = {
     checkFormat(format)
     require(variables.nonEmpty, "catalog manifest: no variables requested")
-    import spark.implicits._
-    val old = load(spark, manifestPath)
+    val (old, loadedGen) = loadWithGen(spark, manifestPath)
+    onManifestLoaded()
     val oldVars = old.select("requestedVars").distinct().collect()
       .flatMap(_.getSeq[String](0)).toSet
     val sameVars = oldVars == variables.toSet
-    val oldFp: Map[String, Fp] =
-      old.select("store", "fpMtime", "fpBytes", "fpCount", "fpHash").distinct()
-        .collect()
-        .map(r => r.getString(0) ->
-          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
-        .toMap
     val stores = storesOf(format, dir)
-    val curFp = fpWave(spark, stores) // distributed above the threshold
-    val added = stores.filterNot(oldFp.contains)
-    // a pre-hash legacy row (fpHash == 0) counts as CHANGED even when
-    // its aggregate triple matches: stamping the freshly computed hash
-    // onto a triple-matched row would permanently launder a change in
-    // the triple's blind spot (equal-size rename, offsetting growth)
-    // as verified — re-scanning converges hash protection from actual
-    // metadata, at the cost of one full re-scan on a legacy manifest's
-    // first refresh
-    val changed =
-      if (sameVars)
-        stores.filter(s => oldFp.contains(s) &&
-          (oldFp(s)._4 == 0L || fpChanged(oldFp(s), curFp(s))))
-      else stores.filter(oldFp.contains) // variable set changed: re-scan all
-    val unchanged =
-      if (sameVars)
-        stores.filter(s => oldFp.get(s).exists(o =>
-          o._4 != 0L && !fpChanged(o, curFp(s))))
-      else Nil
-    val removed = (oldFp.keySet -- stores).size
-    val fresh = entriesFor(spark, format, dir, added ++ changed, variables,
-      distributeAbove)
-    // kept rows' fp columns refresh from the wave already run — a
-    // kept row is always hash-verified (legacy hash-less rows re-scan
-    // above), so the values are identical by construction
-    val curFpDf = unchanged.map { s =>
-      val (mt, by, n, h) = curFp(s); (s, mt, by, n, h)
-    }.toDF("store", "__mt", "__by", "__n", "__h")
-    val keep = old.join(broadcast(curFpDf), Seq("store"), "inner")
-      .withColumn("fpMtime", col("__mt")).withColumn("fpBytes", col("__by"))
-      .withColumn("fpCount", col("__n")).withColumn("fpHash", col("__h"))
-      .drop("__mt", "__by", "__n", "__h")
-    // generational publish: the union plan reads the CURRENT generation
-    // and writes a NEW one, so there is no read-and-overwrite hazard
-    // and no window with no readable manifest — the pointer flips only
-    // after the new generation is complete. `axs` drops before the
-    // union (fresh rows lack it); publish recomputes it for every row.
-    val keepCols = keep.drop("axs")
-    publish(spark,
-      keepCols.unionByName(fresh.toDF().select(keepCols.columns.map(col): _*)),
-      manifestPath)
-    (added.size, changed.size, removed, unchanged.size)
+    // the old-vs-current diff runs as a FRAME JOIN ([[diffFp]]): the
+    // per-store fingerprints never materialize in driver maps — the
+    // driver collects only the added+changed names (the re-scan list)
+    // and the four counts, O(changed) rows on a 10^6-store catalog
+    val oldFp = old
+      .select("store", "fpMtime", "fpBytes", "fpCount", "fpHash").distinct()
+    val (added, changed, removed, unchangedN, unchangedFp, diff) =
+      diffFp(spark, oldFp, fpWaveDf(spark, stores), sameVars,
+        legacyHashTripleFallback = false)
+    try {
+      val fresh = entriesFor(spark, format, dir, added ++ changed, variables,
+        distributeAbove)
+      // kept rows' fp columns refresh from the wave already run — a
+      // kept row is always hash-verified (legacy hash-less rows re-scan
+      // outright), so the values are identical by construction
+      val keep = old.join(unchangedFp, Seq("store"), "inner")
+        .withColumn("fpMtime", col("__mt")).withColumn("fpBytes", col("__by"))
+        .withColumn("fpCount", col("__n")).withColumn("fpHash", col("__h"))
+        .drop("__mt", "__by", "__n", "__h")
+      // generational publish: the union plan reads the CURRENT generation
+      // and writes a NEW one, so there is no read-and-overwrite hazard
+      // and no window with no readable manifest — the pointer flips only
+      // after the new generation is complete, and `basedOn` refuses the
+      // flip when another writer published since this refresh loaded.
+      // `axs` drops before the union (fresh rows lack it); publish
+      // recomputes it for every row.
+      val keepCols = keep.drop("axs")
+      publish(spark,
+        keepCols.unionByName(fresh.toDF().select(keepCols.columns.map(col): _*)),
+        manifestPath, basedOn = Some(loadedGen))
+    } finally diff.unpersist()
+    (added.size, changed.size, removed, unchangedN.toInt)
+  }
+
+  /** Test observability: driver rows the last [[diffFp]] collected
+    * (added+changed names plus the per-status counts) — the scale
+    * rehearsal pins this O(changed), never O(catalog). */
+  @volatile private[graft] var lastDiffCollected: Int = 0
+
+  /** The old-vs-current fingerprint diff as a frame join — the
+    * maintenance plane's mirror of the read path's survivors-only
+    * discipline. A full-outer join on `store` derives each store's
+    * status columnwise, and the driver collects ONLY the added+changed
+    * names and the per-status counts. `!sameVars` marks every kept
+    * store changed (a different requested-variable set forces a full
+    * re-scan). `legacyHashTripleFallback` selects the read-guard
+    * semantics for pre-hash rows (hash 0 compares the aggregate
+    * triple, [[fpChanged]]); refresh passes false so legacy rows
+    * re-scan outright — stamping a freshly computed hash onto a
+    * triple-matched row would permanently launder a change in the
+    * triple's blind spot (equal-size rename, offsetting growth) as
+    * verified. Returns (added, changed, removed, unchanged,
+    * unchangedFp, diff); the caller unpersists `diff` once done with
+    * `unchangedFp`, which reads through it. */
+  private[graft] def diffFp(spark: SparkSession,
+      oldFp: org.apache.spark.sql.DataFrame,
+      curFp: org.apache.spark.sql.DataFrame, sameVars: Boolean,
+      legacyHashTripleFallback: Boolean)
+      : (Seq[String], Seq[String], Int, Long,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val tripleDiffers = col("fpMtime") =!= col("__mt") ||
+      col("fpBytes") =!= col("__by") || col("fpCount") =!= col("__n")
+    val hashRowDiffers = tripleDiffers || col("fpHash") =!= col("__h")
+    val changedCond =
+      if (legacyHashTripleFallback)
+        when(col("fpHash") === 0L, tripleDiffers).otherwise(hashRowDiffers)
+      else col("fpHash") === 0L || hashRowDiffers
+    val diff = oldFp.join(curFp, Seq("store"), "full_outer")
+      .withColumn("__status",
+        when(col("__mt").isNull, "removed")
+          .when(col("fpMtime").isNull, "added")
+          .when(lit(!sameVars) || changedCond, "changed")
+          .otherwise("unchanged"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toScan = diff.where(col("__status").isin("added", "changed"))
+      .select("store", "__status").collect()
+    val counts = diff.groupBy("__status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    lastDiffCollected = toScan.length + counts.size
+    val added = toScan.collect {
+      case r if r.getString(1) == "added" => r.getString(0) }.toSeq.sorted
+    val changed = toScan.collect {
+      case r if r.getString(1) == "changed" => r.getString(0) }.toSeq.sorted
+    val unchangedFp = diff.where(col("__status") === "unchanged")
+      .select("store", "__mt", "__by", "__n", "__h")
+    (added, changed, counts.getOrElse("removed", 0L).toInt,
+      counts.getOrElse("unchanged", 0L), unchangedFp, diff)
   }
 
   /** Schema compatibility for manifests written before `requestedVars`
@@ -744,10 +888,64 @@ object CatalogManifest {
     if (verifyFingerprints)
       checkFresh(spark, survivorFps, manifestPath)
     val (format, dir) = (full.head._1.format, full.head._1.dir)
+    // interned: metas share classified-axis seqs and attr objects
+    // across stores (a broad open's result is O(stores) StoreMeta
+    // shells + O(distinct grids) everything else)
+    val intern = new MetaInterner
     val metas = full.sortBy(_._1.store).map { case (e, raw) =>
-      GridOpen.StoreMeta(e.store, GridOpen.classifyAxes(raw, e.store),
-        CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus)) }
+      GridOpen.StoreMeta(e.store, intern.classify(raw, e.store),
+        intern.attrsOf(e)) }
     (metas, format, dir, survivorFps)
+  }
+
+  /** Reference-identity wrapper for hash keys: two keys match only
+    * when they wrap the SAME instance. Used to key interning pools on
+    * the coordinate arrays phase 2's grouped exchange already shares
+    * by reference — value-hashing a 10^5-element grid per store would
+    * cost exactly the O(stores x axis length) pass the sharing
+    * avoids. */
+  private final class IdRef(val a: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(a)
+    override def equals(o: Any): Boolean = o match {
+      case r: IdRef => r.a eq a
+      case _ => false
+    }
+  }
+
+  /** One store's axes as an interning key: value equality on the
+    * scalar attrs, REFERENCE equality on the coordinate arrays. */
+  private def axesKey(raw: Seq[GridOpen.RawAxis]): Seq[AnyRef] =
+    raw.map(a => (a.k, a.name, a.units, a.calendar,
+      a.coords.map(new IdRef(_))))
+
+  /** Intern pool for the per-store CLASSIFIED axes and pack attrs: a
+    * catalog has a handful of distinct grids and attr tuples, but a
+    * broad open's result must carry one meta PER STORE — without
+    * interning, 10^6 metas hold 10^6 copies of the same classified
+    * Axis objects and attr strings (the round-19 rehearsal's 4.7 GB
+    * driver peak was mostly this). Classification failures are never
+    * cached, so the raised error always names the store that
+    * triggered it. */
+  private final class MetaInterner {
+    private val attrs = scala.collection.mutable.HashMap
+      .empty[(Double, Double, Option[Double], Option[Double]),
+        CfDecode.CfAttrs]
+    private val classified = scala.collection.mutable.HashMap
+      .empty[Seq[AnyRef], Seq[GridOpen.Axis]]
+    def attrsOf(e: ScalarEntry): CfDecode.CfAttrs =
+      attrs.getOrElseUpdate((e.scale, e.offset, e.fill, e.unsignedModulus),
+        CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus))
+    def classify(raw: Seq[GridOpen.RawAxis], store: String)
+        : Seq[GridOpen.Axis] = {
+      val key = axesKey(raw)
+      classified.get(key) match {
+        case Some(ax) => ax
+        case None =>
+          val ax = GridOpen.classifyAxes(raw, store)
+          classified.update(key, ax)
+          ax
+      }
+    }
   }
 
   /** Phase-2 scalar row: everything except the coordinate arrays. */
@@ -808,10 +1006,21 @@ object CatalogManifest {
     lastPhase2CoordCells = groups.iterator.map(_._2.length.toLong).sum
     val coordOf = groups.iterator.flatMap { case (k, cs, ms) =>
       ms.iterator.map(m => (m._1, m._2, k) -> cs) }.toMap
+    // interned RawAxis: stores on the same grid share the axis OBJECTS
+    // (value-equal scalar attrs + the reference-shared coords array),
+    // not just the coordinate arrays — a 10^6-store homogeneous
+    // catalog holds a handful of RawAxis instances, not 10^6 x rank
+    val axPool = scala.collection.mutable.HashMap
+      .empty[(Int, String, Option[String], Option[String], Option[IdRef]),
+        GridOpen.RawAxis]
     scal.toSeq.map { e =>
-      (e, e.axh.map(h => GridOpen.RawAxis(h.k, h.name, h.units, h.calendar,
-        if (h.hasCoords) Some(coordOf((e.store, e.variable, h.k)))
-        else None)))
+      (e, e.axh.map { h =>
+        val coords =
+          if (h.hasCoords) Some(coordOf((e.store, e.variable, h.k))) else None
+        axPool.getOrElseUpdate(
+          (h.k, h.name, h.units, h.calendar, coords.map(new IdRef(_))),
+          GridOpen.RawAxis(h.k, h.name, h.units, h.calendar, coords))
+      })
     }
   }
 
@@ -822,25 +1031,19 @@ object CatalogManifest {
     * like [[entriesFor]]'s metadata wave. Mutable for tests. */
   @volatile private[graft] var fpDistributeAbove: Int = 4096
 
-  /** One LIST/HEAD fingerprint wave over `stores` — driver parMap
-    * below [[fpDistributeAbove]], a distributed job above it. A
-    * genuinely VANISHED store fingerprints as (-1,-1,-1,-1) (always
-    * "changed"); a transient I/O failure (throttle, timeout, too-deep
-    * tree) surfaces as itself — prescribing `refresh` for those would
-    * be a misdiagnosis. The existence probe runs against the same
-    * possibly-flaky store, so its own failure rethrows the ORIGINAL
-    * error. */
+  /** One LIST/HEAD fingerprint wave over `stores`, collected to a
+    * driver map — used ONLY by the read-path staleness guards, whose
+    * `stores` is the PLAN'S SURVIVORS (already a driver seq the caller
+    * holds), never the whole catalog; the maintenance plane's
+    * catalog-wide waves go through [[fpWaveDf]] and stay distributed.
+    * Driver parMap below [[fpDistributeAbove]], a distributed job
+    * above it. */
   private def fpWave(spark: SparkSession,
       stores: Seq[String]): Map[String, Fp] = {
-    def one(s: String): (String, Fp) =
-      try (s, ByteStore.treeStat(s)) catch {
-        case e: Exception =>
-          val vanished =
-            try !ByteStore.exists(s) catch { case _: Exception => false }
-          if (vanished) (s, (-1L, -1L, -1L, -1L)) else throw e
-      }
+    def asFp(r: (String, Long, Long, Long, Long)): (String, Fp) =
+      (r._1, (r._2, r._3, r._4, r._5))
     if (stores.size <= fpDistributeAbove)
-      ByteStore.parMap(stores)(one).toMap
+      ByteStore.parMap(stores)(fpRow).map(asFp).toMap
     else {
       val snap = ByteStore.confSnapshot(spark)
       import spark.implicits._
@@ -848,8 +1051,46 @@ object CatalogManifest {
         .repartition(math.max(1, math.min(512, stores.size / 32)))
         .mapPartitions { it =>
           ByteStore.install(snap) // executor JVMs have no session
-          it.map(one)
-        }.collect().toMap
+          it.map(fpRow)
+        }.collect().map(asFp).toMap
+    }
+  }
+
+  /** One store's fingerprint row. A genuinely VANISHED store
+    * fingerprints as (-1,-1,-1,-1) (always "changed"); a transient I/O
+    * failure (throttle, timeout, too-deep tree) surfaces as itself —
+    * prescribing `refresh` for those would be a misdiagnosis. The
+    * existence probe runs against the same possibly-flaky store, so
+    * its own failure rethrows the ORIGINAL error. Executor-safe. */
+  private def fpRow(s: String): (String, Long, Long, Long, Long) =
+    try { val fp = ByteStore.treeStat(s); (s, fp._1, fp._2, fp._3, fp._4) }
+    catch {
+      case e: Exception =>
+        val vanished =
+          try !ByteStore.exists(s) catch { case _: Exception => false }
+        if (vanished) (s, -1L, -1L, -1L, -1L) else throw e
+    }
+
+  /** [[fpWave]] as a FRAME (store, __mt, __by, __n, __h): the
+    * maintenance plane's diff consumes fingerprints through a join
+    * ([[diffFp]]), so above the distribution threshold the per-store
+    * results never transit the driver at all — only the diff's
+    * added+changed names do. Below the threshold the driver parMap is
+    * bounded by definition and lands in a local frame. */
+  private def fpWaveDf(spark: SparkSession, stores: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cols = Seq("store", "__mt", "__by", "__n", "__h")
+    if (stores.size <= fpDistributeAbove)
+      ByteStore.parMap(stores)(fpRow).toDF(cols: _*)
+    else {
+      val snap = ByteStore.confSnapshot(spark)
+      spark.createDataset(stores)
+        .repartition(math.max(1, math.min(512, stores.size / 32)))
+        .mapPartitions { it =>
+          ByteStore.install(snap) // executor JVMs have no session
+          it.map(fpRow)
+        }.toDF(cols: _*)
     }
   }
 
@@ -983,11 +1224,12 @@ object CatalogManifest {
       checkFresh(spark, survivorFps, manifestPath)
     val fullByStore = full.groupBy(_._1.store)
     val (format, dir) = (full.head._1.format, full.head._1.dir)
+    val intern = new MetaInterner // shared axes/attrs across stores
     val metas = fullByStore.keySet.toSeq.sorted.map { s =>
       val rows = fullByStore(s)
       val perVar = variables.map(v => rows.find(_._1.variable == v).get)
       val axesPerVar = perVar.map { case (e, raw) =>
-        GridOpen.classifyAxes(raw, e.store) }
+        intern.classify(raw, e.store) }
       // shared-grid verification: identical coords collapsed to ONE
       // array instance in loadEntries, so coordsEq's `eq` shortcut
       // makes this O(rank), not O(rank x axis length)
@@ -997,8 +1239,7 @@ object CatalogManifest {
             GridOpen.coordsEq(a.coords, b.coords) })
           fail(s"variable '$v' in $s is not on the store's shared grid")
       }
-      (s, axesPerVar.head, perVar.map { case (e, _) =>
-        CfDecode.CfAttrs(e.scale, e.offset, e.fill, e.unsignedModulus) })
+      (s, axesPerVar.head, perVar.map { case (e, _) => intern.attrsOf(e) })
     }
     (metas, format, dir, survivorFps)
   }
@@ -1018,24 +1259,28 @@ object CatalogManifest {
   def checkCatalogFresh(spark: SparkSession, format: String, dir: String,
       manifestPath: String): Unit = {
     checkFormat(format)
-    val oldFp: Map[String, Fp] = load(spark, manifestPath)
+    // the same frame-join diff as [[refresh]] — no driver fingerprint
+    // maps — with the read-guard legacy semantics: a pre-hash row
+    // (hash 0) compares the aggregate triple instead of reporting
+    // changed outright (this guard diagnoses, it never re-scans)
+    val oldFp = load(spark, manifestPath)
       .select("store", "fpMtime", "fpBytes", "fpCount", "fpHash").distinct()
-      .collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
-      .toMap
     val stores = storesOf(format, dir)
-    val curFp = fpWave(spark, stores.filter(oldFp.contains))
-    val changed = stores.filter(s =>
-      oldFp.contains(s) && fpChanged(oldFp(s), curFp(s)))
-    val added = stores.filterNot(oldFp.contains)
-    val removed = (oldFp.keySet -- stores).toSeq.sorted
-    if (added.nonEmpty || changed.nonEmpty || removed.nonEmpty)
-      fail("the catalog changed since the manifest was built (" +
-        s"added: ${added.take(3).mkString(",")}; " +
-        s"changed: ${changed.take(3).mkString(",")}; " +
-        s"removed: ${removed.take(3).mkString(",")}) — run " +
-        s"CatalogManifest.refresh on $manifestPath")
+    val (added, changed, removed, _, _, diff) =
+      diffFp(spark, oldFp, fpWaveDf(spark, stores), sameVars = true,
+        legacyHashTripleFallback = true)
+    try {
+      if (added.nonEmpty || changed.nonEmpty || removed > 0) {
+        val removedEx = diff.where(col("__status") === "removed")
+          .select("store").orderBy("store").limit(3).collect()
+          .map(_.getString(0))
+        fail("the catalog changed since the manifest was built (" +
+          s"added: ${added.take(3).mkString(",")}; " +
+          s"changed: ${changed.take(3).mkString(",")}; " +
+          s"removed: ${removedEx.mkString(",")}) — run " +
+          s"CatalogManifest.refresh on $manifestPath")
+      }
+    } finally diff.unpersist()
   }
 
   /** Staleness check on an explicit fingerprint subset — what a
@@ -1068,6 +1313,20 @@ object CatalogManifest {
     val (metas, _, _, fps) = planStores(spark, manifestPath, variable,
       bounds, timeBounds, verifyFingerprints = false)
     (if (fps.isEmpty) 0 else metas.length, lastPhase1Collected)
+  }
+
+  /** [[planOnly]] returning the metas themselves, so a rehearsal can
+    * HOLD the result and measure its live post-GC footprint — the
+    * host-independent form of the driver-memory claim (a peak-usage
+    * gauge also tracks GC-dependent collect transients, which scale
+    * with -Xmx, not with the result). */
+  private[graft] def planLive(spark: SparkSession, manifestPath: String,
+      variable: String, bounds: Map[String, (Double, Double)],
+      timeBounds: Map[String, (String, String)])
+      : (Seq[GridOpen.StoreMeta], Int, Int) = {
+    val (metas, _, _, fps) = planStores(spark, manifestPath, variable,
+      bounds, timeBounds, verifyFingerprints = false)
+    (metas, if (fps.isEmpty) 0 else metas.length, lastPhase1Collected)
   }
 
   /** Envelope test for one store: every bound axis's [lo, hi] must

@@ -653,7 +653,7 @@ object GridOpen {
     * classification) and its pack attrs. Produced by ONE live metadata
     * wave per open — or loaded with ZERO per-store reads from a
     * persisted [[CatalogManifest]]. */
-  private[sources] final case class StoreMeta(store: String, axes: Seq[Axis],
+  private[graft] final case class StoreMeta(store: String, axes: Seq[Axis],
       attrs: CfDecode.CfAttrs)
 
   /** Open a CATALOG of zarr scene stores as one DataFrame with
@@ -756,9 +756,15 @@ object GridOpen {
   private def hullsOption(bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)],
       surviving: Seq[(String, Seq[(Int, (Int, Int))])]): Map[String, String] =
+    // gate on EVERY survivor carrying windows, not just the head:
+    // [[storeCrop]]'s join form fails unless all stores resolve the
+    // identical bounded-axis set, so today forall == head-nonEmpty,
+    // but a future relaxation of that invariant must degrade to NO
+    // hulls (pruning-only, the residual join keeps exactness) rather
+    // than ship a partial/stale hull set keyed off the head store
     if ((bounds.nonEmpty || timeBounds.nonEmpty) &&
         surviving.size > residualJoinAbove &&
-        surviving.headOption.exists(_._2.nonEmpty))
+        surviving.nonEmpty && surviving.forall(_._2.nonEmpty))
       Map("hulls" -> MountDsv2.serializeHulls(surviving))
     else Map.empty
 

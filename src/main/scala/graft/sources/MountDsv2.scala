@@ -323,7 +323,13 @@ object MountDsv2 {
     }.mkString("\n")
 
   /** Inverse of [[serializeHulls]]: per-path range vectors aligned to
-    * [[DimCols]] (full where a dimension has no window). */
+    * [[DimCols]] (full where a dimension has no window). Every parse
+    * failure — non-numeric k/lo/hi, k outside [[DimCols]] — raises the
+    * same domain IllegalArgumentException: hulls are written by
+    * [[serializeHulls]] in the same release, so a malformed or
+    * out-of-range entry is serializer/deserializer skew worth failing
+    * loudly on, not an input to tolerate (silently ignoring it would
+    * hide the skew behind correct-but-unpruned reads). */
   def parseHulls(s: String): Map[String, IndexedSeq[IdxRange]] =
     s.split('\n').iterator.filter(_.nonEmpty).map { line =>
       val tab = line.indexOf('\t')
@@ -333,10 +339,16 @@ object MountDsv2 {
       line.substring(tab + 1).split(';').filter(_.nonEmpty).foreach { r =>
         val parts = r.split(':')
         require(parts.length == 3, s"malformed hull range '$r' in '$line'")
-        val k = parts(0).toInt
-        require(k >= 0, s"malformed hull range '$r' in '$line'")
-        if (k < ranges.length)
-          ranges(k) = IdxRange(parts(1).toLong, parts(2).toLong)
+        val (k, lo, hi) =
+          try (parts(0).toInt, parts(1).toLong, parts(2).toLong)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"malformed hull range '$r' in '$line'")
+          }
+        require(k >= 0 && k < ranges.length,
+          s"malformed hull range '$r' in '$line': dimension index $k " +
+            s"outside [0, ${ranges.length})")
+        ranges(k) = IdxRange(lo, hi)
       }
       p -> ranges.toIndexedSeq
     }.toMap

@@ -1290,4 +1290,131 @@ class CatalogManifestSpec extends SparkSpec {
     assert(CatalogManifest.boundedSession(spark) eq b,
       "the active root's derived session evaporated across a GC")
   }
+
+  test("CROSS-generation lost update refuses loudly: a refresh that loaded gen N must not bury a racer's N+1") {
+    import spark.implicits._
+    // refresher A loads gen 0; while A is between load and publish, a
+    // fast writer B publishes gen 1. Without the optimistic check A
+    // would read cur=1 at publish time, claim gen 2 UNOPPOSED (the
+    // claim protocol only sees same-number races), flip, and silently
+    // discard B's rows. A must instead fail loudly, with B's
+    // generation intact and readable.
+    val dir = Files.createTempDirectory("graft-manif-xgen").toString
+    writeZarrCatalog(dir, 3)
+    val manifest = s"$dir/_m"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    assert(genNumOf(pointedGen(manifest)) == 0)
+    val winner = Seq(
+      CatalogManifest.Entry("/winner/s1", "lwp", "zarr", "/winner",
+        0L, 0L, 0L, 1L,
+        Seq(GridOpen.RawAxis(0, "x", None, None, Some(Array(0.0, 1.0)))),
+        1.0, 0.0, None, None, Seq("lwp")))
+    CatalogManifest.onManifestLoaded = () => {
+      CatalogManifest.onManifestLoaded = () => ()
+      CatalogManifest.publishEntries(spark, winner.toDS(), manifest)
+    }
+    val e = try intercept[IllegalArgumentException] {
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    } finally CatalogManifest.onManifestLoaded = () => ()
+    assert(e.getMessage.contains("advanced from generation 00000000 to " +
+      "00000001"), e.getMessage)
+    // B's generation is untouched and current; A wrote NOTHING (the
+    // check runs before the claim and the generation write)
+    assert(genNumOf(pointedGen(manifest)) == 1)
+    assert(genDirNums(manifest).count(_ == 2) == 0,
+      "the refused refresh must not leave a gen-2 orphan")
+    assert(ByteStore.list(manifest).map(_.name)
+      .count(_.startsWith("_claim-")) == 0, "no claim residue")
+    val rows = CatalogManifest.read(spark, manifest)
+      .select("store").as[String].collect()
+    assert(rows.toSeq == Seq("/winner/s1"), rows.toSeq)
+    // a re-run of the refresh against the CURRENT generation succeeds
+    // (B's synthetic stores are not on disk, so refresh reconciles
+    // them as removed and re-adds the real catalog)
+    val (a2, c2, r2, u2) =
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    assert((a2, c2, r2, u2) == ((3, 0, 1, 0)), (a2, c2, r2, u2))
+    assert(genNumOf(pointedGen(manifest)) == 2)
+  }
+
+  test("post-flip verification: a racer's flip inside the verify window fails the publish loudly") {
+    import spark.implicits._
+    def entry(tag: String) =
+      CatalogManifest.Entry(s"/$tag/s1", "lwp", "zarr", s"/$tag",
+        0L, 0L, 0L, 1L,
+        Seq(GridOpen.RawAxis(0, "x", None, None, Some(Array(0.0, 1.0)))),
+        1.0, 0.0, None, None, Seq("lwp"))
+    val dir = Files.createTempDirectory("graft-manif-postflip").toString
+    val manifest = s"$dir/_m"
+    CatalogManifest.publishEntries(spark, Seq(entry("base")).toDS(), manifest)
+    val baseGen = pointedGen(manifest)
+    // the racer lands between writer A's flip and its verification:
+    // it flips the pointer back to the base generation (a complete,
+    // readable one — the racer's own publish point)
+    CatalogManifest.onPointerFlipped = () => {
+      CatalogManifest.onPointerFlipped = () => ()
+      ByteStore.writeString(s"$manifest/_current", baseGen)
+    }
+    val e = try intercept[IllegalArgumentException] {
+      CatalogManifest.publishEntries(spark, Seq(entry("mine")).toDS(),
+        manifest)
+    } finally CatalogManifest.onPointerFlipped = () => ()
+    assert(e.getMessage.contains("after this publish flipped"), e.getMessage)
+    // readers see the racer's (here: base) complete generation
+    assert(pointedGen(manifest) == baseGen)
+    val rows = CatalogManifest.read(spark, manifest)
+      .select("store").as[String].collect()
+    assert(rows.toSeq == Seq("/base/s1"), rows.toSeq)
+    // the failed writer's claim ages out through later publishes
+    CatalogManifest.publishEntries(spark, Seq(entry("later")).toDS(), manifest)
+    CatalogManifest.publishEntries(spark, Seq(entry("last")).toDS(), manifest)
+    assert(ByteStore.list(manifest).map(_.name)
+      .count(_.startsWith("_claim-")) == 0, "claim residue survived aging")
+    assert(CatalogManifest.read(spark, manifest).count() == 1)
+  }
+
+  test("diffFp: frame-join diff collects O(changed) driver rows with refresh and read-guard legacy semantics") {
+    import spark.implicits._
+    val n = 5000
+    val oldFp = spark.range(n.toLong).selectExpr(
+      "concat('/syn/d', lpad(cast(id as string), 6, '0')) as store",
+      "id as fpMtime", "id as fpBytes", "1 as fpCount",
+      // ids divisible by 100 are LEGACY rows (hash 0)
+      "cast(case when id % 100 = 0 then 0 else id + 7 end as bigint) as fpHash")
+    // current listing: drop the first 5 (removed), append 5 (added),
+    // move the HASH ONLY on ids 1000-1009 (triple stays equal)
+    val curFp = spark.range(5L, n.toLong + 5).selectExpr(
+      "concat('/syn/d', lpad(cast(id as string), 6, '0')) as store",
+      "id as __mt", "id as __by", "1 as __n",
+      s"""cast(case when id >= 1000 and id < 1010 then id + 8
+           when id % 100 = 0 then 0 else id + 7 end as bigint) as __h""")
+    // refresh semantics: legacy rows re-scan outright
+    val legacyCount = (5 until n).count(_ % 100 == 0)
+    val (a1, c1, r1, u1, _, d1) = CatalogManifest.diffFp(
+      spark, oldFp, curFp, sameVars = true, legacyHashTripleFallback = false)
+    try {
+      assert(a1.length == 5 && a1.forall(_ >= s"/syn/d00${n - 1}"), a1)
+      // hash movers minus the legacy id 1000 (already counted legacy)
+      val hashMovers = (1000 until 1010).count(_ % 100 != 0)
+      assert(c1.length == legacyCount + hashMovers, c1.length)
+      assert(r1 == 5 && u1 == n - 5 - legacyCount - hashMovers)
+      assert(CatalogManifest.lastDiffCollected == a1.length + c1.length + 4,
+        s"collected ${CatalogManifest.lastDiffCollected} driver rows")
+    } finally d1.unpersist()
+    // read-guard semantics: a legacy row with an equal TRIPLE is
+    // unchanged (the fallback compare), so only the hash movers with
+    // nonzero stored hashes count
+    val (a2, c2, r2, u2, _, d2) = CatalogManifest.diffFp(
+      spark, oldFp, curFp, sameVars = true, legacyHashTripleFallback = true)
+    try {
+      assert(a2.length == 5 && r2 == 5)
+      assert(c2.length == (1000 until 1010).count(_ % 100 != 0), c2)
+      assert(u2 == n - 5 - c2.length)
+    } finally d2.unpersist()
+    // different requested variables: every kept store re-scans
+    val (a3, c3, r3, u3, _, d3) = CatalogManifest.diffFp(
+      spark, oldFp, curFp, sameVars = false, legacyHashTripleFallback = false)
+    try assert(a3.length == 5 && c3.length == n - 5 && r3 == 5 && u3 == 0)
+    finally d3.unpersist()
+  }
 }

@@ -183,10 +183,21 @@ class MountDsv2Spec extends AnyFunSuite {
       assert(effDimRanges(Some(parsed), "/not/there", IndexedSeq.fill(4)(FullRange))
         .forall(_.isFull))
     }
-    // malformed inputs fail with the domain error, never an index crash
+    // malformed inputs fail with the domain error, never an index
+    // crash OR a leaked NumberFormatException — and an out-of-range
+    // dimension index is REJECTED, not silently ignored (ignoring it
+    // would be sound pruning-wise but would hide serializer/
+    // deserializer skew behind correct-but-unpruned reads)
     intercept[IllegalArgumentException](parseHulls("no-tab-here"))
     intercept[IllegalArgumentException](parseHulls("p\t-1:0:5"))
     intercept[IllegalArgumentException](parseHulls("p\t0:1"))
+    Seq("p\tx:0:5", "p\t0:x:5", "p\t0:0:x", "p\t2147483648:0:5").foreach { s =>
+      val e = intercept[IllegalArgumentException](parseHulls(s))
+      assert(e.getMessage.contains("malformed hull range"), s"$s: $e")
+    }
+    val oob = intercept[IllegalArgumentException](
+      parseHulls(s"p\t${DimCols.length}:0:5"))
+    assert(oob.getMessage.contains("outside"), oob.getMessage)
   }
 
   test("rowStrides/coordOf: row-major coordinate arithmetic") {
