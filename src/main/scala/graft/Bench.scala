@@ -135,7 +135,12 @@ object Bench {
     // triplet sampling -> J6 tile gather -> G1 reduce, with the
     // pixels planned from the persisted scene DB (zero per-store
     // metadata reads; the excluded scene never touched).
-    "q228_manifest_triplet_pipeline")
+    "q228_manifest_triplet_pipeline",
+    // Round 20: the THIRD flagship flow — W1 sliding windows -> J6
+    // gather -> M1 ONNX MLP inference -> M2 coord restore -> M3
+    // projection, manifest-planned like q228 (same catalog, same
+    // excluded-scene zero-I/O contract).
+    "q229_manifest_embedding_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

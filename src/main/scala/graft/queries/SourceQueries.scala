@@ -2359,6 +2359,73 @@ object SourceQueries {
         .agg(sum("value").as("sum_v"), count(lit(1)).as("n_px"))
     },
 
+    // ---- the embeddings pipeline (W1 -> J6 -> M1 -> M2 -> M3 apply),
+    // manifest-planned — the reference's THIRD flagship entry point
+    // (pipeline/embeddings/rect/sampling.py:37-134 +
+    // embeddings/sampling.py:354-406) with the raster input planned
+    // from the persisted scene DB like q225/q228 (zero per-store
+    // metadata reads; the excluded day-9 scene untouched —
+    // spec-pinned). Sliding 4x4/stride-2 windows enumerate per scene
+    // (W1), the cell-bucketed gather cuts each window's 16 pixels
+    // (J6), a REAL ONNX MLP (exact-eighths weights, integral pixels —
+    // every float32 value exact, no rounding gate) embeds each tile
+    // through the mapPartitions batch path (M1), the window indices
+    // restore tile-center coordinates (M2), and a fitted-elsewhere
+    // 2-component projection applies as a matmul (M3's transform step;
+    // the PCA FIT itself is q31/q85's covered operator — a fit's
+    // eigenvectors are not FP-exact, an applied projection is). The
+    // oracle replays the whole chain: window enumeration, bbox gather,
+    // the MLP term-by-term, and the projection.
+    QueryDef.sqlBacked("q229_manifest_embedding_pipeline", q229OracleSql) {
+      (s, d) =>
+      import graft.embeddings.{Inference, Onnx, OnnxWriter}
+      import graft.operators.{TensorOps, Tiler}
+      val tile = 80000.0
+      val dx = 20000.0
+      val px = graft.sources.GridOpen.zarrCatalogFromManifest(s,
+          ensureQ228Manifest(s), "lwp", timeBounds = Map("time" ->
+            ("2021-07-01 00:00:00", "2021-07-04 23:00:00")))
+        .select(element_at(split(col("path"), "/"), -1).as("scene_id"),
+          col("y"), col("x"), col("value"))
+      val scenes = px.select("scene_id").distinct()
+        .withColumn("nx", lit(8)).withColumn("ny", lit(8))
+      val specs = Tiler.tileSpecs(scenes, col("nx"), col("ny"),
+          tileN = 4, step = 2)
+        .withColumn("tx0", lit(-80000.0) + col("i0") * dx)
+        .withColumn("ty0", lit(-80000.0) + col("j0") * dx)
+        .select(col("scene_id"), col("tile_id").cast("long").as("tile_id"),
+          col("i_idx").cast("long").as("i_idx"),
+          col("j_idx").cast("long").as("j_idx"), col("tx0"), col("ty0"))
+      val gathered = TensorOps.gatherTiles(px,
+        specs.select(col("scene_id"), col("tile_id"),
+          col("tx0").as("x0"), col("ty0").as("y0")),
+        tileSizeM = tile, cellSizeM = tile)
+      // row-major in-tile position: both engines use floor (Spark's
+      // int cast truncates, DuckDB's rounds — floor agrees on the
+      // positive offsets here)
+      val vecs = gathered
+        .withColumn("pos",
+          floor((col("y") - col("y0")) / dx).cast("int") * 4 +
+            floor((col("x") - col("x0")) / dx).cast("int"))
+        .groupBy("scene_id", "tile_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, value))), " +
+          "t -> t.value)").as("values"))
+        .withColumn("tid", struct(col("scene_id"), col("tile_id")))
+      val model = new Onnx.OnnxModel(OnnxWriter.mlpModelBytes(16, 8, 4))
+      val emb = Inference.embedTiles(vecs, "tid", "values", model)
+        .select(col("tile_id.scene_id").as("scene_id"),
+          col("tile_id.tile_id").as("tile_id"), col("emb"))
+      def e(k: Int) = element_at(col("emb"), k + 1).cast("double")
+      def pc(m: Int) = (0 until 4).map(k => e(k) * Q229Proj(m)(k))
+        .reduce(_ + _)
+      emb.join(specs, Seq("scene_id", "tile_id"))
+        .select(Seq(col("scene_id"), col("tile_id"), col("i_idx"),
+          col("j_idx"),
+          (col("tx0") + tile / 2).as("x_c"), (col("ty0") + tile / 2).as("y_c"))
+          ++ (0 until 4).map(k => e(k).as(s"e$k"))
+          ++ (0 until 2).map(m => pc(m).as(s"pc$m")): _*)
+    },
+
     QueryDef.sqlBacked(
       "q220_multivar_catalog",
       """SELECT 'cs1.zarr' AS scene, CAST(1000 + j*100 AS DOUBLE) AS y,
@@ -2749,6 +2816,83 @@ object SourceQueries {
        |    AND p.x >= s.x0 AND p.x < s.x0 + $tile
        |    AND p.y >= s.y0 AND p.y < s.y0 + $tile) g
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q229's "fitted" 2-component projection (M3's transform step):
+    * exact-eighths constants standing in for a PCA fit's components —
+    * applying a fit is a matmul both engines replay exactly; the fit
+    * itself (eigen decomposition, not FP-exact) is q31/q85's covered
+    * operator. */
+  private val Q229Proj: Seq[Seq[Double]] =
+    Seq(Seq(1, -2, 3, -1), Seq(2, 1, -1, 3)).map(_.map(_ / 8.0))
+
+  /** DuckDB mirror of q229's WHOLE chain: the q228 fixture pixels
+    * stated analytically, the sliding-window enumeration (y-flipped j0
+    * like the Tiler), the bbox gather with row-major in-tile
+    * positions, the OnnxWriter MLP restated term-by-term (weights are
+    * exact eighths and pixels integral, so every float32 value is
+    * exact — no rounding gate anywhere), the coordinate restore, and
+    * the fixed projection. */
+  private def q229OracleSql: String = {
+    import graft.embeddings.OnnxWriter
+    val (dd, hh, ee) = (16, 8, 4)
+    val w1 = OnnxWriter.w1(dd, hh); val b1 = OnnxWriter.b1(hh)
+    val w2 = OnnxWriter.w2(hh, ee); val b2 = OnnxWriter.b2(ee)
+    val vecCols = (0 until dd)
+      .map(p => s"max(CASE WHEN pos = $p THEN v END) AS v$p")
+      .mkString(",\n    ")
+    val hidden = (0 until hh).map { j =>
+      val terms = (0 until dd).map(i => s"v$i * ${w1(i * hh + j)}")
+        .mkString(" + ")
+      s"CASE WHEN $terms + ${b1(j)} > 0 THEN $terms + ${b1(j)} " +
+        s"ELSE 0.0 END AS h$j"
+    }.mkString(",\n    ")
+    val embCols = (0 until ee).map { k =>
+      val terms = (0 until hh).map(j => s"h$j * ${w2(j * ee + k)}")
+        .mkString(" + ")
+      s"CAST($terms + ${b2(k)} AS DOUBLE) AS e$k"
+    }.mkString(",\n    ")
+    val pcCols = (0 until 2).map { m =>
+      val terms = (0 until ee).map(k => s"e$k * ${Q229Proj(m)(k)}")
+        .mkString(" + ")
+      s"$terms AS pc$m"
+    }.mkString(",\n  ")
+    s"""WITH px AS (
+       |  SELECT 'e' || CAST(k AS VARCHAR) || '.zarr' AS scene_id,
+       |    -70000.0 + i * 20000.0 AS x, -70000.0 + j * 20000.0 AS y,
+       |    CAST(k * 1000 + j * 8 + i AS DOUBLE) AS v
+       |  FROM (VALUES (2), (3), (4), (5)) t(k),
+       |    range(0, 8) a(j), range(0, 8) b(i)),
+       |specs AS (
+       |  SELECT scene_id, (i0 // 2) * 3 + (js // 2) AS tile_id,
+       |    i0 // 2 AS i_idx, js // 2 AS j_idx,
+       |    -80000.0 + i0 * 20000.0 AS tx0,
+       |    -80000.0 + (8 - (js + 4)) * 20000.0 AS ty0
+       |  FROM (SELECT DISTINCT scene_id FROM px) sc,
+       |    generate_series(0, 4, 2) s1(i0), generate_series(0, 4, 2) s2(js)),
+       |g AS (
+       |  SELECT s.scene_id, s.tile_id, s.i_idx, s.j_idx, s.tx0, s.ty0,
+       |    CAST(floor((p.y - s.ty0) / 20000.0) AS INT) * 4 +
+       |      CAST(floor((p.x - s.tx0) / 20000.0) AS INT) AS pos, p.v
+       |  FROM px p JOIN specs s ON s.scene_id = p.scene_id
+       |    AND p.x >= s.tx0 AND p.x < s.tx0 + 80000.0
+       |    AND p.y >= s.ty0 AND p.y < s.ty0 + 80000.0),
+       |vec AS (
+       |  SELECT scene_id, tile_id, i_idx, j_idx, tx0, ty0,
+       |    $vecCols
+       |  FROM g GROUP BY 1, 2, 3, 4, 5, 6),
+       |hid AS (
+       |  SELECT scene_id, tile_id, i_idx, j_idx, tx0, ty0,
+       |    $hidden
+       |  FROM vec),
+       |emb AS (
+       |  SELECT scene_id, tile_id, i_idx, j_idx,
+       |    tx0 + 40000.0 AS x_c, ty0 + 40000.0 AS y_c,
+       |    $embCols
+       |  FROM hid)
+       |SELECT scene_id, tile_id, i_idx, j_idx, x_c, y_c, e0, e1, e2, e3,
+       |  $pcCols
+       |FROM emb""".stripMargin
   }
 
   /** q226's 300-scene catalog (epochs cycling 28 days) + manifest —

@@ -128,7 +128,8 @@ class PlanRegressionSpec extends SparkSpec {
       :+ "q223_materialized_scene_table" :+ "q224_manifest_vars_catalog"
       :+ "q225_manifest_tile_slice" :+ "q226_broad_catalog_residual"
       :+ "q227_manifest_vars_materialized"
-      :+ "q228_manifest_triplet_pipeline")
+      :+ "q228_manifest_triplet_pipeline"
+      :+ "q229_manifest_embedding_pipeline")
       .flatMap { q =>
         scala.util.Try(planOf(q)) match {
           case scala.util.Failure(e) =>
@@ -522,6 +523,25 @@ class PlanRegressionSpec extends SparkSpec {
     val r = graft.sources.ByteStore.startRecording()
     try {
       graft.SparkEntry.queries("q228_manifest_triplet_pipeline")(spark, sf)
+        .collect()
+      val e7 = r.pathsTouched.filter(_.contains("e7.zarr"))
+      assert(e7.isEmpty, s"excluded scene touched: $e7")
+    } finally graft.sources.ByteStore.stopRecording()
+  }
+
+  test("q229: the manifest-planned embeddings pipeline costs the excluded scene nothing") {
+    // the reference's THIRD flagship flow (W1 sliding windows -> J6
+    // gather -> M1 ONNX inference -> M2 coord restore -> M3 projection)
+    // planned from the scene DB end to end: the pushed branches name
+    // only the four member scenes; the excluded day-9 scene is never
+    // read — not at plan time, not at execution
+    val plan = planOf("q229_manifest_embedding_pipeline")
+    assert(plan.contains("e2.zarr") && plan.contains("e5.zarr"),
+      s"surviving scenes missing from the pushed branches:\n${plan.take(2000)}")
+    assert(!plan.contains("e7.zarr"), "the excluded scene leaked into the plan")
+    val r = graft.sources.ByteStore.startRecording()
+    try {
+      graft.SparkEntry.queries("q229_manifest_embedding_pipeline")(spark, sf)
         .collect()
       val e7 = r.pathsTouched.filter(_.contains("e7.zarr"))
       assert(e7.isEmpty, s"excluded scene touched: $e7")
