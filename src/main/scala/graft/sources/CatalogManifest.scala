@@ -613,7 +613,14 @@ object CatalogManifest {
       if (legacyHashTripleFallback)
         when(col("fpHash") === 0L, tripleDiffers).otherwise(hashRowDiffers)
       else col("fpHash") === 0L || hashRowDiffers
-    val diff = oldFp.join(curFp, Seq("store"), "full_outer")
+    // one fp row per store BEFORE the join: a corrupt manifest carrying
+    // two DIFFERENT fp rows for one store would otherwise yield two
+    // diff rows whose statuses can disagree — a store both re-scanned
+    // AND kept duplicates rows in the published union. The old
+    // driver-map diff collapsed such rows arbitrarily (last map put
+    // wins); this collapses them the same way, visibly upstream.
+    val diff = oldFp.dropDuplicates("store").join(curFp, Seq("store"),
+        "full_outer")
       .withColumn("__status",
         when(col("__mt").isNull, "removed")
           .when(col("fpMtime").isNull, "added")
@@ -625,10 +632,14 @@ object CatalogManifest {
     val counts = diff.groupBy("__status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     lastDiffCollected = toScan.length + counts.size
+    // belt-and-braces dedup (the per-store collapse upstream already
+    // guarantees one diff row per store)
     val added = toScan.collect {
-      case r if r.getString(1) == "added" => r.getString(0) }.toSeq.sorted
+      case r if r.getString(1) == "added" => r.getString(0) }
+      .toSeq.distinct.sorted
     val changed = toScan.collect {
-      case r if r.getString(1) == "changed" => r.getString(0) }.toSeq.sorted
+      case r if r.getString(1) == "changed" => r.getString(0) }
+      .toSeq.distinct.sorted
     val unchangedFp = diff.where(col("__status") === "unchanged")
       .select("store", "__mt", "__by", "__n", "__h")
     (added, changed, counts.getOrElse("removed", 0L).toInt,

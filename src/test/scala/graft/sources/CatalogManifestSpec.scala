@@ -1417,4 +1417,52 @@ class CatalogManifestSpec extends SparkSpec {
     try assert(a3.length == 5 && c3.length == n - 5 && r3 == 5 && u3 == 0)
     finally d3.unpersist()
   }
+
+  test("diffFp matches a naive driver diff on randomized fingerprint sets (40 rounds)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260820)
+    (1 to 40).foreach { round =>
+      val universe = (0 until 60).map(i => f"/u/s$i%02d")
+      val oldStores = rnd.shuffle(universe).take(rnd.nextInt(40))
+      val curStores = rnd.shuffle(universe).take(rnd.nextInt(40))
+      // tiny value ranges so collisions (equal triples with moved
+      // hashes, legacy zero hashes, full matches) all occur often
+      def fp(): (Long, Long, Long, Long) =
+        (rnd.nextInt(3).toLong, rnd.nextInt(3).toLong,
+          rnd.nextInt(3).toLong, rnd.nextInt(4).toLong)
+      val oldMap = oldStores.map(s => s -> fp()).toMap
+      val curMap = curStores.map { s =>
+        s -> (if (oldMap.contains(s) && rnd.nextBoolean()) oldMap(s)
+          else fp())
+      }.toMap
+      val sameVars = rnd.nextBoolean()
+      val legacy = rnd.nextBoolean()
+      val oldDf = oldMap.toSeq.map { case (s, (a, b, c, h)) => (s, a, b, c, h) }
+        .toDF("store", "fpMtime", "fpBytes", "fpCount", "fpHash")
+      val curDf = curMap.toSeq.map { case (s, (a, b, c, h)) => (s, a, b, c, h) }
+        .toDF("store", "__mt", "__by", "__n", "__h")
+      val (a, c, r, u, _, d) = CatalogManifest.diffFp(spark, oldDf, curDf,
+        sameVars, legacyHashTripleFallback = legacy)
+      try {
+        def changedOf(s: String): Boolean = {
+          val o = oldMap(s); val n2 = curMap(s)
+          if (!sameVars) true
+          else if (legacy) {
+            if (o._4 == 0L) (o._1, o._2, o._3) != ((n2._1, n2._2, n2._3))
+            else o != n2
+          } else o._4 == 0L || o != n2
+        }
+        val expA = curStores.filterNot(oldMap.contains).sorted
+        val both = curStores.filter(oldMap.contains)
+        val expC = both.filter(changedOf).sorted
+        assert(a == expA, s"round $round (sameVars=$sameVars legacy=$legacy)" +
+          s" added: $a vs $expA")
+        assert(c == expC, s"round $round (sameVars=$sameVars legacy=$legacy)" +
+          s" changed: $c vs $expC")
+        assert(r == oldStores.count(s => !curMap.contains(s)) &&
+          u == both.count(s => !changedOf(s)),
+          s"round $round counts ($r, $u)")
+      } finally d.unpersist()
+    }
+  }
 }
