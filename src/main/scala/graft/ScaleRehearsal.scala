@@ -797,8 +797,12 @@ object ScaleRehearsal {
             s"changed ${res._2.length}, expected $changedExpect")
           require(res._3 == k && res._4 == n - k - changedExpect,
             s"removed ${res._3}/unchanged ${res._4}")
+          // the count rows are one per status PRESENT (no "changed"
+          // row exists when no id in [k, n) divides 997 — small mults)
+          val statusesPresent = Seq(k > 0, changedExpect > 0, k > 0,
+            n - k - changedExpect > 0).count(identity)
           require(CatalogManifest.lastDiffCollected ==
-            res._1.length + res._2.length + 4,
+            res._1.length + res._2.length + statusesPresent,
             s"the diff collected ${CatalogManifest.lastDiffCollected} " +
               s"driver rows for $n stores — must be O(changed), " +
               s"not O(catalog)")

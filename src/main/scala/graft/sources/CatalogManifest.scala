@@ -166,12 +166,15 @@ object CatalogManifest {
   //     the pointer and fails loudly when it no longer names its own
   //     generation (a racer flipped in between; the racer's generation
   //     is the one readers see, complete).
-  // The RESIDUAL window is the instants between two racers' flips when
-  // BOTH verify after both flips: the earlier flip loses silently —
-  // closing that needs a compare-and-swap the pointer seam doesn't
-  // have, so the single-writer contract (run ONE refresher, like the
-  // reference's one luigi scheduler owning the scene DB) remains the
-  // real guarantee; the three checks above turn every WIDER interleaving
+  // The RESIDUAL window: a racer's flip landing AFTER this writer's
+  // post-flip verification passed — the writer already returned
+  // success, so its rows are buried silently. (Both racers flipping
+  // BEFORE either verifies is the loud case: the first verifier sees
+  // the other's directory and fails.) Closing the residual needs a
+  // compare-and-swap the pointer seam doesn't have, so the
+  // single-writer contract (run ONE refresher, like the reference's
+  // one luigi scheduler owning the scene DB) remains the real
+  // guarantee; the three checks above turn every wider interleaving
   // into a loud domain error. Readers are unlimited and never
   // coordinate; legacy unsuffixed `_gen-NNNNNNNN` pointers keep
   // resolving.
@@ -370,7 +373,7 @@ object CatalogManifest {
     * where a concurrent publish lands between the two reads). `None`
     * for a legacy in-place manifest. */
   private def loadWithGen(spark: SparkSession, manifestPath: String)
-      : (org.apache.spark.sql.DataFrame, Option[Int]) = {
+      : (org.apache.spark.sql.DataFrame, Option[(Int, String)]) = {
     val cur = currentGen(manifestPath)
     val p = cur match {
       case Some((_, dirName)) => ByteStore.join(manifestPath, dirName)
@@ -380,11 +383,11 @@ object CatalogManifest {
     // have deleted the generation this pointer read named (a still-
     // missing path after the second resolve fails in the parquet read)
     val (eff, effGen) =
-      if (cur.isEmpty || ByteStore.exists(p)) (p, cur.map(_._1))
+      if (cur.isEmpty || ByteStore.exists(p)) (p, cur)
       else {
         val again = currentGen(manifestPath)
         (again.map(c => ByteStore.join(manifestPath, c._2))
-          .getOrElse(manifestPath), again.map(_._1))
+          .getOrElse(manifestPath), again)
       }
     (withCompat(boundedSession(spark).read.parquet(dataFilesOf(eff): _*)),
       effGen)
@@ -402,21 +405,25 @@ object CatalogManifest {
     * legacy manifest's top-level data files).
     *
     * `basedOn` is the optimistic-concurrency check for derived rows:
-    * a refresh passes the generation it LOADED (None inside the option
-    * for a legacy manifest), and the publish refuses — before writing
-    * anything — when the current pointer no longer names it. A full
-    * rewrite ([[build]]) passes nothing: its rows derive from the
-    * stores, not from a loaded generation, so "replace whatever is
+    * a refresh passes the (generation, directory) it LOADED (None
+    * inside the option for a legacy manifest), and the publish refuses
+    * — before writing anything — when the current pointer no longer
+    * names that exact DIRECTORY. The writer-unique dir name, not the
+    * number, is what identifies a generation: a same-number race can
+    * re-claim an already-seen number with different rows under a
+    * different token, and a number-only compare would slide past it.
+    * A full rewrite ([[build]]) passes nothing: its rows derive from
+    * the stores, not from a loaded generation, so "replace whatever is
     * current" is its correct semantics. */
   private def publish(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
       manifestPath: String,
-      basedOn: Option[Option[Int]] = None): Unit = {
+      basedOn: Option[Option[(Int, String)]] = None): Unit = {
     val cur = currentGen(manifestPath)
     basedOn.foreach { loaded =>
-      if (cur.map(_._1) != loaded)
+      if (cur.map(_._2) != loaded.map(_._2))
         fail(s"manifest under $manifestPath advanced from generation " +
-          s"${loaded.map(g => f"$g%08d").getOrElse("<legacy>")} to " +
-          s"${cur.map(c => f"${c._1}%08d").getOrElse("<none>")} since this " +
+          s"${loaded.map(_._2).getOrElse("<legacy>")} to " +
+          s"${cur.map(_._2).getOrElse("<none>")} since this " +
           "refresh loaded it — publishing rows derived from the stale " +
           "generation would silently discard the newer one's updates; " +
           "re-run the refresh (writers are single-writer by contract)")
@@ -455,9 +462,10 @@ object CatalogManifest {
     // generation is the one readers see (complete, writer-unique dir),
     // and THIS writer's rows were not published; fail loudly instead of
     // returning success. The re-read is read-your-writes on both seams
-    // (local ATOMIC_MOVE; object-store PUT). An interleaving where BOTH
-    // racers flip before EITHER verifies still loses the earlier flip
-    // silently — the single-writer contract covers that last window.
+    // (local ATOMIC_MOVE; object-store PUT). The residual silent window
+    // is a racer flipping AFTER this re-read passes (this writer has
+    // already returned success by then) — the single-writer contract
+    // covers that last window.
     val pointed = currentGen(manifestPath)
     if (!pointed.exists(_._2 == genDir))
       fail(s"pointer under $manifestPath names " +
@@ -624,7 +632,13 @@ object CatalogManifest {
       .withColumn("__status",
         when(col("__mt").isNull, "removed")
           .when(col("fpMtime").isNull, "added")
-          .when(lit(!sameVars) || changedCond, "changed")
+          // coalesce -> true: a NULL fp column (a corrupt or foreign-
+          // written row) makes the comparison UNKNOWN, and unknown must
+          // re-scan, not slide into "unchanged" — the old driver-map
+          // diff failed loudly on such a row (getLong(NULL) threw); the
+          // frame diff fails SAFE instead
+          .when(lit(!sameVars) || coalesce(changedCond, lit(true)),
+            "changed")
           .otherwise("unchanged"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toScan = diff.where(col("__status").isin("added", "changed"))
@@ -1082,6 +1096,23 @@ object CatalogManifest {
         if (vanished) (s, -1L, -1L, -1L, -1L) else throw e
     }
 
+  /** Fingerprint wave over a NAMES FRAME — fully frame-native (the
+    * names never collect to the driver): the distributed mapPartitions
+    * branch of [[fpWaveDf]] applied to whatever partitioning the
+    * upstream plan produced. Used where the wave's store set is itself
+    * derived by a join ([[checkCatalogFresh]]'s known-stores side). */
+  private def fpWaveOnFrame(spark: SparkSession,
+      names: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val snap = ByteStore.confSnapshot(spark)
+    import spark.implicits._
+    names.select("store").as[String]
+      .mapPartitions { it =>
+        ByteStore.install(snap) // executor JVMs have no session
+        it.map(fpRow)
+      }.toDF("store", "__mt", "__by", "__n", "__h")
+  }
+
   /** [[fpWave]] as a FRAME (store, __mt, __by, __n, __h): the
     * maintenance plane's diff consumes fingerprints through a join
     * ([[diffFp]]), so above the distribution threshold the per-store
@@ -1273,12 +1304,27 @@ object CatalogManifest {
     // the same frame-join diff as [[refresh]] — no driver fingerprint
     // maps — with the read-guard legacy semantics: a pre-hash row
     // (hash 0) compares the aggregate triple instead of reporting
-    // changed outright (this guard diagnoses, it never re-scans)
+    // changed outright (this guard diagnoses, it never re-scans).
+    // ADDED stores are detected by NAME only and never fingerprinted:
+    // a brand-new store may still be mid-upload or throttling, and a
+    // diagnosing guard must report "added — run refresh", not abort
+    // with that store's I/O error (also: one LIST/HEAD per added store
+    // saved). The anti-join side carries sentinel fps the diff never
+    // reads — "added" classifies on the old side's null alone.
     val oldFp = load(spark, manifestPath)
       .select("store", "fpMtime", "fpBytes", "fpCount", "fpHash").distinct()
     val stores = storesOf(format, dir)
+    import spark.implicits._
+    val curNames = spark.createDataset(stores).toDF("store")
+    val known = curNames
+      .join(oldFp.select("store").distinct(), Seq("store"), "left_semi")
+    val addedNames = curNames
+      .join(oldFp.select("store").distinct(), Seq("store"), "left_anti")
+      .select(col("store"), lit(0L).as("__mt"), lit(0L).as("__by"),
+        lit(0L).as("__n"), lit(0L).as("__h"))
+    val curFp = fpWaveOnFrame(spark, known).unionByName(addedNames)
     val (added, changed, removed, _, _, diff) =
-      diffFp(spark, oldFp, fpWaveDf(spark, stores), sameVars = true,
+      diffFp(spark, oldFp, curFp, sameVars = true,
         legacyHashTripleFallback = true)
     try {
       if (added.nonEmpty || changed.nonEmpty || removed > 0) {
@@ -1321,9 +1367,9 @@ object CatalogManifest {
   private[graft] def planOnly(spark: SparkSession, manifestPath: String,
       variable: String, bounds: Map[String, (Double, Double)],
       timeBounds: Map[String, (String, String)]): (Int, Int) = {
-    val (metas, _, _, fps) = planStores(spark, manifestPath, variable,
-      bounds, timeBounds, verifyFingerprints = false)
-    (if (fps.isEmpty) 0 else metas.length, lastPhase1Collected)
+    val (_, survivors, p1) = planLive(spark, manifestPath, variable,
+      bounds, timeBounds)
+    (survivors, p1)
   }
 
   /** [[planOnly]] returning the metas themselves, so a rehearsal can

@@ -1316,8 +1316,8 @@ class CatalogManifestSpec extends SparkSpec {
     val e = try intercept[IllegalArgumentException] {
       CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
     } finally CatalogManifest.onManifestLoaded = () => ()
-    assert(e.getMessage.contains("advanced from generation 00000000 to " +
-      "00000001"), e.getMessage)
+    assert(e.getMessage.contains("advanced from generation _gen-00000000") &&
+      e.getMessage.contains("to _gen-00000001"), e.getMessage)
     // B's generation is untouched and current; A wrote NOTHING (the
     // check runs before the claim and the generation write)
     assert(genNumOf(pointedGen(manifest)) == 1)
@@ -1335,6 +1335,25 @@ class CatalogManifestSpec extends SparkSpec {
       CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
     assert((a2, c2, r2, u2) == ((3, 0, 1, 0)), (a2, c2, r2, u2))
     assert(genNumOf(pointedGen(manifest)) == 2)
+    // SAME-NUMBER generation reuse is also a lost update: a racer can
+    // land a DIFFERENT writer-unique directory under the same
+    // generation number (double-race re-claim), so the optimistic
+    // check must compare the pointed DIRECTORY, not the number
+    val loadedDir = pointedGen(manifest)
+    CatalogManifest.onManifestLoaded = () => {
+      CatalogManifest.onManifestLoaded = () => ()
+      // simulate the racer's twin: point at the SAME number under a
+      // different writer token (the loaded generation's files stay in
+      // place — A's own diff still reads them; only the pointer moves)
+      ByteStore.writeString(s"$manifest/_current",
+        loadedDir.take("_gen-00000000".length) + "-ffffffff")
+    }
+    val e2 = try intercept[IllegalArgumentException] {
+      CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"), manifest)
+    } finally CatalogManifest.onManifestLoaded = () => ()
+    assert(e2.getMessage.contains("advanced from generation") &&
+      e2.getMessage.contains(loadedDir) &&
+      e2.getMessage.contains("-ffffffff"), e2.getMessage)
   }
 
   test("post-flip verification: a racer's flip inside the verify window fails the publish loudly") {
@@ -1416,6 +1435,23 @@ class CatalogManifestSpec extends SparkSpec {
       spark, oldFp, curFp, sameVars = false, legacyHashTripleFallback = false)
     try assert(a3.length == 5 && c3.length == n - 5 && r3 == 5 && u3 == 0)
     finally d3.unpersist()
+    // a NULL fp column (corrupt / foreign-written manifest row) must
+    // fail SAFE — re-scan, never "unchanged": the comparison is
+    // UNKNOWN, and stamping the fresh wave's hash onto an unverifiable
+    // row would launder it as verified
+    val oldNull = spark.sql(
+      """SELECT '/syn/x' AS store, 1L AS fpMtime, 1L AS fpBytes,
+        |  1L AS fpCount, CAST(NULL AS BIGINT) AS fpHash""".stripMargin)
+    val curX = spark.sql(
+      "SELECT '/syn/x' AS store, 1L AS __mt, 1L AS __by, 1L AS __n, 9L AS __h")
+    Seq(true, false).foreach { legacy =>
+      val (a4, c4, r4, u4, _, d4) = CatalogManifest.diffFp(
+        spark, oldNull, curX, sameVars = true,
+        legacyHashTripleFallback = legacy)
+      try assert(a4.isEmpty && c4 == Seq("/syn/x") && r4 == 0 && u4 == 0,
+        s"legacy=$legacy: null-hash row must re-scan, got ($a4,$c4,$r4,$u4)")
+      finally d4.unpersist()
+    }
   }
 
   test("diffFp matches a naive driver diff on randomized fingerprint sets (40 rounds)") {
