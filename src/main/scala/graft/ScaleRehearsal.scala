@@ -810,6 +810,54 @@ object ScaleRehearsal {
       } finally if (res != null) res._6.unpersist()
     }
 
+    // ---- round 20: REAL-store refresh — wave + frame diff + re-scan ------
+    // manifest_diff pins the frame diff on synthetic frames; this runs
+    // the WHOLE refresh on real stores: the distributed fingerprint
+    // wave (above fpDistributeAbove the treeStats run as a Spark job),
+    // the frame diff, the selective re-scan of only the K touched
+    // stores, and the generational publish — pinning counts, the
+    // O(changed) driver collect, and that the refreshed manifest still
+    // plans every store.
+    if (wanted("manifest_refresh")) {
+      import graft.sources.{ByteStore, CatalogManifest}
+      val n = (100 * mult).toInt
+      val k = math.max(1, n / 100)
+      val dir = java.nio.file.Files.createTempDirectory("graft-scale-refr").toString
+      writeRehearsalCatalog(dir, n, par = 32)
+      val manifest = s"$dir/_manifest"
+      timed("synrefresh_build") {
+        CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+      }
+      // touch K stores: a one-chunk rewrite moves mtime/bytes/hash
+      (0 until k).foreach { i =>
+        ByteStore.writeString(
+          s"$dir/sc${"%05d".format(i)}.zarr/lwp/.zattrs",
+          """{"_ARRAY_DIMENSIONS": ["time","y","x"], "touched": true}""")
+      }
+      var res: (Int, Int, Int, Int) = null
+      timed("synrefresh_run") {
+        res = CatalogManifest.refresh(spark, "zarr", dir, Seq("lwp"),
+          manifest)
+        res._2.toLong
+      }
+      if (wanted("synrefresh_build") && wanted("synrefresh_run")) {
+        println(s"""{"op":"synrefresh_io","stores":$n,"touched":$k,""" +
+          s""""added":${res._1},"changed":${res._2},"removed":${res._3},""" +
+          s""""unchanged":${res._4},""" +
+          s""""driverCollected":${CatalogManifest.lastDiffCollected}}""")
+        require(res == ((0, k, 0, n - k)), s"refresh reconciled $res")
+        // classes present: changed + unchanged (no adds, no removes)
+        require(CatalogManifest.lastDiffCollected == k + 2,
+          s"the refresh diff collected " +
+            s"${CatalogManifest.lastDiffCollected} driver rows for $n " +
+            "stores — must be O(changed), not O(catalog)")
+        val (survivors, _) = CatalogManifest.planOnly(spark, manifest,
+          "lwp", Map.empty, Map.empty)
+        require(survivors == n,
+          s"refreshed manifest plans $survivors of $n stores")
+      }
+    }
+
     // ---- round 18: broad-crop residual — Or form vs broadcast join -------
     // The same real catalog executed both ways at ~26/28 survivors:
     // above the threshold the per-row residual is an O(1) hash probe,
