@@ -2332,12 +2332,18 @@ object SourceQueries {
     QueryDef.sqlBacked("q228_manifest_triplet_pipeline", q228OracleSql) {
       (s, d) =>
       import graft.operators.{TensorOps, Triplets}
+      val q228TimeBounds = Map("time" ->
+        ("2021-07-01 00:00:00", "2021-07-04 23:00:00"))
       val px = graft.sources.GridOpen.zarrCatalogFromManifest(s,
-          ensureQ228Manifest(s), "lwp", timeBounds = Map("time" ->
-            ("2021-07-01 00:00:00", "2021-07-04 23:00:00")))
+          ensureQ228Manifest(s), "lwp", timeBounds = q228TimeBounds)
         .select(element_at(split(col("path"), "/"), -1).as("scene_id"),
           col("y"), col("x"), col("value"))
-      val scenes = px.select("scene_id").distinct()
+      // scene enumeration from the MANIFEST (metadata plane) — the
+      // distinct over pixels would be a second full catalog scan just
+      // to learn names the scene DB already holds
+      val scenes = graft.sources.GridOpen.zarrCatalogScenesFromManifest(s,
+          ensureQ228Manifest(s), "lwp", timeBounds = q228TimeBounds)
+        .select(element_at(split(col("path"), "/"), -1).as("scene_id"))
         .withColumn("collection", Triplets.splitScenes(col("scene_id"), 42,
           Seq("train" -> 0.8, "study" -> 0.2)))
       val triplets = s.range(0, 6).select(col("id").as("triplet_id"))
@@ -2382,12 +2388,18 @@ object SourceQueries {
       import graft.operators.{TensorOps, Tiler}
       val tile = 80000.0
       val dx = 20000.0
+      val q229TimeBounds = Map("time" ->
+        ("2021-07-01 00:00:00", "2021-07-04 23:00:00"))
       val px = graft.sources.GridOpen.zarrCatalogFromManifest(s,
-          ensureQ228Manifest(s), "lwp", timeBounds = Map("time" ->
-            ("2021-07-01 00:00:00", "2021-07-04 23:00:00")))
+          ensureQ228Manifest(s), "lwp", timeBounds = q229TimeBounds)
         .select(element_at(split(col("path"), "/"), -1).as("scene_id"),
           col("y"), col("x"), col("value"))
-      val scenes = px.select("scene_id").distinct()
+      // scene enumeration from the MANIFEST: the specs derivation is
+      // consumed twice (the gather and the coordinate restore), and a
+      // pixels-distinct scene list would re-scan the catalog each time
+      val scenes = graft.sources.GridOpen.zarrCatalogScenesFromManifest(s,
+          ensureQ228Manifest(s), "lwp", timeBounds = q229TimeBounds)
+        .select(element_at(split(col("path"), "/"), -1).as("scene_id"))
         .withColumn("nx", lit(8)).withColumn("ny", lit(8))
       val specs = Tiler.tileSpecs(scenes, col("nx"), col("ny"),
           tileN = 4, step = 2)

@@ -934,6 +934,35 @@ object GridOpen {
       metas, bounds, timeBounds)
   }
 
+  /** The SURVIVING scene stores of a manifest-planned catalog crop —
+    * the metadata-plane scene list, one row (`path`) per store the
+    * crop would open, with ZERO per-store storage reads. Pipelines
+    * that enumerate per-scene work (sliding-window specs, triplet
+    * sampling, per-scene materialize lists) should start HERE rather
+    * than scanning pixels and `distinct`-ing the scene column: at
+    * catalog scale that distinct is a full extra data scan to learn
+    * names the scene DB already holds. Store-sorted, like the open's
+    * own planning; empty when every store prunes.
+    * `verifyFingerprints` defaults OFF because the paired data open
+    * runs the staleness guard itself — enable it when this list is
+    * used standalone. */
+  def zarrCatalogScenesFromManifest(spark: SparkSession, manifestPath: String,
+      dataset: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val (metas, format, _, fps) =
+      CatalogManifest.planStores(spark, manifestPath, dataset, bounds,
+        timeBounds, verifyFingerprints)
+    require(format == "zarr",
+      s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
+    // fps names the REAL envelope survivors; metas may carry the
+    // schema-fallback store when everything pruned (not a survivor)
+    val surviving = fps.map(_._1).distinct.toSet
+    spark.createDataset(metas.map(_.store).filter(surviving)).toDF("path")
+  }
+
   /** Manifest-planned catalog open over netCDF classic scene files:
     * the mount receives the surviving files as an explicit list (no
     * dir listing), headers are read for survivors only. */
