@@ -1454,6 +1454,41 @@ class CatalogManifestSpec extends SparkSpec {
     }
   }
 
+  test("zarrCatalogScenesFromManifest: survivors only, metadata-plane, staleness-guarded on demand") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-manif-scenes").toString
+    writeZarrCatalog(dir, 6) // per-store epochs: day 1 + i%28
+    val manifest = s"$dir/_manifest"
+    CatalogManifest.build(spark, "zarr", dir, Seq("lwp"), manifest)
+    // day-2..3 window: only sc001/sc002 survive — and the list is
+    // computed with ZERO per-store reads (manifest parquet only)
+    val tb = Map("time" -> ("2021-01-02 00:00:00", "2021-01-03 23:00:00"))
+    val (scenes, rec) = recording {
+      GridOpen.zarrCatalogScenesFromManifest(spark, manifest, "lwp",
+        timeBounds = tb).as[String].collect().toSeq.sorted
+    }
+    assert(scenes.map(_.split('/').last) == Seq("sc001.zarr", "sc002.zarr"))
+    val storeReads = rec.pathsTouched.filter(p =>
+      p.contains(".zarr") && !p.contains("_manifest"))
+    assert(storeReads.isEmpty, s"scene list touched stores: $storeReads")
+    // everything pruned -> empty list (never the schema-fallback store)
+    assert(GridOpen.zarrCatalogScenesFromManifest(spark, manifest, "lwp",
+      timeBounds = Map("time" ->
+        ("2030-01-01 00:00:00", "2030-01-02 00:00:00"))).isEmpty)
+    // the guard is opt-in here (the paired data open runs its own):
+    // default OFF ignores a store change; ON refuses like the open
+    ByteStore.writeString(s"$dir/sc001.zarr/lwp/.zattrs",
+      """{"_ARRAY_DIMENSIONS": ["time","x"], "note": "drifted"}""")
+    assert(GridOpen.zarrCatalogScenesFromManifest(spark, manifest, "lwp",
+      timeBounds = tb).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      GridOpen.zarrCatalogScenesFromManifest(spark, manifest, "lwp",
+        timeBounds = tb, verifyFingerprints = true).count()
+    }
+    assert(e.getMessage.contains("changed since the manifest was built"),
+      e.getMessage)
+  }
+
   test("diffFp matches a naive driver diff on randomized fingerprint sets (40 rounds)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260820)
