@@ -950,13 +950,27 @@ object GridOpen {
       dataset: String,
       bounds: Map[String, (Double, Double)] = Map.empty,
       timeBounds: Map[String, (String, String)] = Map.empty,
-      verifyFingerprints: Boolean = false): DataFrame = {
+      verifyFingerprints: Boolean = false): DataFrame =
+    catalogScenesFromManifest(spark, manifestPath, dataset, bounds,
+      timeBounds, verifyFingerprints, expectFormat = Some("zarr"))
+
+  /** Format-agnostic [[zarrCatalogScenesFromManifest]]: the scene list
+    * is pure manifest metadata, so one entry point serves zarr,
+    * netCDF-3, and HDF5 catalogs alike (`path` rows name stores or
+    * files per the manifest's own format). `expectFormat` asserts the
+    * manifest holds the format the caller's downstream open expects. */
+  def catalogScenesFromManifest(spark: SparkSession, manifestPath: String,
+      dataset: String,
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      timeBounds: Map[String, (String, String)] = Map.empty,
+      verifyFingerprints: Boolean = false,
+      expectFormat: Option[String] = None): DataFrame = {
     import spark.implicits._
     val (metas, format, _, fps) =
       CatalogManifest.planStores(spark, manifestPath, dataset, bounds,
         timeBounds, verifyFingerprints)
-    require(format == "zarr",
-      s"grid open: manifest $manifestPath holds '$format' stores, not zarr")
+    expectFormat.foreach(f => require(format == f,
+      s"grid open: manifest $manifestPath holds '$format' stores, not $f"))
     // fps names the REAL envelope survivors; metas may carry the
     // schema-fallback store when everything pruned (not a survivor)
     val surviving = fps.map(_._1).distinct.toSet

@@ -202,6 +202,24 @@ class CatalogManifestSpec extends SparkSpec {
     // per-granule scales decoded per store (a: x0.5, b: x0.1)
     assert(got.exists(r => r._1 == "a.nc" && r._4 == 14.0 * 0.5))
     assert(got.exists(r => r._1 == "b.nc" && r._4 == 20.0 * 0.1))
+    // the format-agnostic scene list serves file catalogs too: the
+    // same crop's surviving FILES, from the manifest alone
+    import spark.implicits._
+    val (scenes, rec2) = recording {
+      GridOpen.catalogScenesFromManifest(spark, manifest, "lwp",
+        timeBounds = tb).as[String].collect().map(_.split('/').last)
+        .toSeq.sorted
+    }
+    assert(scenes == Seq("a.nc", "b.nc"))
+    assert(rec2.pathsTouched.filter(_.endsWith(".nc")).isEmpty,
+      "scene list touched granule files")
+    // expectFormat guards a mismatched downstream open
+    val fe = intercept[IllegalArgumentException] {
+      GridOpen.catalogScenesFromManifest(spark, manifest, "lwp",
+        timeBounds = tb, expectFormat = Some("zarr")).count()
+    }
+    assert(fe.getMessage.contains("holds 'netcdf3' stores, not zarr"),
+      fe.getMessage)
   }
 
   test("a legacy manifest (no requestedVars column) stays readable; refresh migrates it") {
