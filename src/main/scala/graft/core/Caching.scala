@@ -40,4 +40,31 @@ object Caching {
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Cached[T] =
     if (ds.storageLevel != StorageLevel.NONE) new Cached(ds, owned = false)
     else new Cached(ds.persist(level), owned = true)
+
+  /** Deferred-release registry for operator-created caches whose result
+    * frame must stay cached until the CALLER consumes it (so the operator
+    * can't unpersist on return). Thread-local, same ownership rule as
+    * [[Cached.release]]: only caches acquired as owned register. Wrappers
+    * that fully consume results (Verify, Bench, a pipeline step boundary)
+    * call [[releaseTracked]] so blocks don't accumulate over a session. */
+  private val tracked = new ThreadLocal[List[Dataset[_]]] {
+    override def initialValue(): List[Dataset[_]] = Nil
+  }
+
+  /** Register an owned cache for deferred release. */
+  def register(ds: Dataset[_]): Unit = tracked.set(ds :: tracked.get)
+
+  /** Persist (unless already cached) AND register for deferred release;
+    * returns the cached frame. */
+  def acquireTracked[T](ds: Dataset[T],
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    val c = acquire(ds, level)
+    if (c.owned) register(c.ds)
+    c.ds
+  }
+
+  def releaseTracked(): Unit = {
+    tracked.get.foreach(_.unpersist(false))
+    tracked.set(Nil)
+  }
 }

@@ -296,23 +296,38 @@ object TextAnalysis {
     val base = df.withColumn("is_train", trainPred)
       .select(col(idCol).as("doc_id"), col(labelCol).as("label_true"),
         col("is_train"), tokens(col(textCol)).as("toks"))
-    val docTok = base.select(col("doc_id"), col("label_true"), col("is_train"),
+    // tokenize-and-explode is the expensive per-row stage: floor its
+    // parallelism at the cluster (a single-split scan otherwise runs it
+    // on one core), and walk it exactly TWICE — once to build the
+    // (label, tok) model, once for the per-doc counts. Class token
+    // totals, the vocabulary and its size all DERIVE from the model
+    // aggregate (sum / distinct over vocab x classes rows) instead of
+    // re-walking the token stream, which the previous shape did three
+    // more times.
+    val floored = graft.core.Parallelism.floor(base, col("doc_id"))
+    val docTok = floored.select(col("doc_id"), col("label_true"), col("is_train"),
       explode(col("toks")).as("tok"))
     val trainTok = docTok.where(col("is_train"))
-    val model = trainTok.groupBy(col("label_true").as("label"), col("tok"))
-      .agg(count(lit(1)).as("tcnt"))
+    // cached: the model is read by FOUR branches (scoring join, class
+    // token totals, vocab, vocab size) and Spark shares no DAG across
+    // branches — without the cache each branch re-runs the full token
+    // aggregation. vocab x classes rows, orders of magnitude smaller
+    // than the corpus; released by the consuming wrapper.
+    val model = graft.core.Caching.acquireTracked(
+      trainTok.groupBy(col("label_true").as("label"), col("tok"))
+        .agg(count(lit(1)).as("tcnt")))
     val classDocs = base.where(col("is_train"))
       .groupBy(col("label_true").as("label")).agg(count(lit(1)).as("cdocs"))
-    val classToks = trainTok.groupBy(col("label_true").as("label"))
-      .agg(count(lit(1)).as("ctoks"))
-    val consts = trainTok.agg(countDistinct(col("tok")).as("v"))
+    val classToks = model.groupBy(col("label"))
+      .agg(sum(col("tcnt")).as("ctoks"))
+    val consts = model.agg(countDistinct(col("tok")).as("v"))
       .crossJoin(base.where(col("is_train")).agg(count(lit(1)).as("n_train")))
     // per-class constants: classes-many rows (broadcast everywhere below)
     val cs = classDocs.join(classToks, Seq("label"), "left")
       .crossJoin(consts)
       .select(col("label"), col("cdocs"),
         coalesce(col("ctoks"), lit(0L)).as("ctoks"), col("v"), col("n_train"))
-    val vocab = trainTok.select("tok").distinct()
+    val vocab = model.select("tok").distinct()
     val perDoc = docTok.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
     val terms = perDoc.join(vocab, "tok") // drop OOV
       .crossJoin(broadcast(cs.select("label", "ctoks", "v")))

@@ -27,20 +27,17 @@ object Dedup {
     * wrappers that fully consume the result (Verify, Bench) call
     * [[releaseCaches]] afterwards to stop cached blocks accumulating over
     * a long-lived session. */
-  private val threadCaches = new ThreadLocal[List[DataFrame]] {
-    override def initialValue(): List[DataFrame] = Nil
-  }
   /** Register for deferred release ONLY caches this operator created —
     * a caller-persisted frame re-derived here must survive
-    * [[releaseCaches]] (the ownership rule Caching.Cached encodes). */
+    * [[releaseCaches]] (the ownership rule Caching.Cached encodes).
+    * The registry itself now lives in graft.core.Caching so non-dedup
+    * operators (e.g. the NB classifier's model table) share the same
+    * consume-then-release lifecycle. */
   private def track(c: graft.core.Caching.Cached[org.apache.spark.sql.Row]): DataFrame = {
-    if (c.owned) threadCaches.set(c.ds :: threadCaches.get)
+    if (c.owned) graft.core.Caching.register(c.ds)
     c.ds
   }
-  def releaseCaches(): Unit = {
-    threadCaches.get.foreach(_.unpersist(false))
-    threadCaches.set(Nil)
-  }
+  def releaseCaches(): Unit = graft.core.Caching.releaseTracked()
 
   /** MinHash parameter schedule: hash_i(x) = (a_i * x + b_i) mod P with
     * a_i,b_i derived deterministically from i. Shared with the oracle SQL
@@ -119,7 +116,11 @@ object Dedup {
     // it, and Spark shares no DAG across join branches — without this the
     // (expensive) shingling runs twice. MEMORY_AND_DISK so a 100 TB corpus
     // degrades to a disk-backed materialization instead of an OOM.
-    val sh = track(graft.core.Caching.acquire(df.select(
+    // Parallelism.floor: shingling is CPU-dense, so its parallelism must
+    // come from the cluster, not from the scan's split count (a
+    // single-file corpus otherwise shingles on one core).
+    val sh = track(graft.core.Caching.acquire(
+      graft.core.Parallelism.floor(df, col(idCol)).select(
       (col(idCol).as("doc") +: blockCols.map(col)) :+
         shingleHashes(col(textCol), n).as("shingles"): _*)))
     val a = sh.select(col("doc").as("doc_a") +: col("shingles").as("sa") +:
@@ -170,9 +171,14 @@ object Dedup {
     // hashed shingle set once; signatures derive from it, and the verify
     // pass intersects long arrays (no string sets ever shuffle). Persisted:
     // read by the banding pass and twice by the verify joins, and Spark
-    // shares no DAG across join branches.
+    // shares no DAG across join branches. Parallelism.floor: the whole
+    // shingle -> minhash -> band -> candidate pipeline runs map-side on
+    // this frame's partitioning, so a single-split scan would otherwise
+    // serialize it onto one core (measured 4.2 s of a 5.9 s q28 in one
+    // task at sf0.1).
     val sh = track(graft.core.Caching.acquire(
-      df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))))
+      graft.core.Parallelism.floor(df, col(idCol))
+        .select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))))
     val sigCols = minhashCols(col("xs"), k)
     val sig = sh.select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*)
     val sigRef = (0 until k).map(i => col(s"mh$i"))
@@ -219,7 +225,8 @@ object Dedup {
     require(k % bands == 0, "k must divide into equal bands")
     val r = k / bands
     def prep(df: DataFrame) = track(graft.core.Caching.acquire(
-      df.select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))))
+      graft.core.Parallelism.floor(df, col(idCol))
+        .select(col(idCol).as("doc_id"), shingleHashes(col(textCol)).as("xs"))))
     val shA = prep(dfA); val shB = prep(dfB)
     def banded(sh: DataFrame, as: String) = {
       val sigCols = minhashCols(col("xs"), k)
@@ -341,6 +348,10 @@ object Dedup {
       maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame =
     altStarWithRounds(pairs, aCol, bCol, maxIter, checkpointDir)._1
 
+  /** Measurement seam for graft.CcProbe (rounds + labels). */
+  private[graft] def probeAltStar(pairs: DataFrame, aCol: String, bCol: String)
+      : (DataFrame, Int) = altStarWithRounds(pairs, aCol, bCol, 50, None)
+
   private[operators] def altStarWithRounds(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int, checkpointDir: Option[String] = None): (DataFrame, Int) =
     altStarAnyWithRounds(
@@ -360,24 +371,33 @@ object Dedup {
       maxIter: Int, checkpointDir: Option[String] = None): (DataFrame, Int) = {
     def symmetric(e: DataFrame) =
       e.select(col("u"), col("v")).union(e.select(col("v").as("u"), col("u").as("v")))
-    // m(u) = min(Γ(u) ∪ {u}) over the symmetric edge view
-    def mins(sym: DataFrame) =
-      sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = symmetric(e)
-      sym.where(col("v") > col("u")).join(mins(sym), "u")
+    // m(u) = min(Γ(u) ∪ {u}), attached to every sym row via ONE window
+    // exchange on u — the agg+join form paid an aggregation exchange, a
+    // join exchange AND a per-round broadcast build for the same
+    // information; the window keys the identical shuffle and computes the
+    // unordered min in-partition. (Skew note: a giant-degree node lands
+    // its adjacency on one window task, but the join form shuffled sym by
+    // u too, so the hot-key concentration is unchanged; only AQE's
+    // skew-split of SMJ is given up, on a frame of two fixed-width ids.)
+    def withMin(e: DataFrame): DataFrame =
+      symmetric(e).withColumn("m",
+        least(col("u"), min(col("v")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("u")))))
+    def largeStar(e: DataFrame): DataFrame =
+      withMin(e).where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v")).distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val sym = symmetric(e)
-      val m = mins(sym)
-      sym.where(col("v") < col("u")).join(m, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(m.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v")).distinct()
-    }
+    // NO trailing distinct: the caller's tagged aggregation dedups this
+    // output in the same exchange that computes the convergence witness.
+    // The (u, m) self-edge emits once per sym ROW (not per node) — the
+    // tagged aggregation absorbs the multiplicity map-side.
+    def smallStarRaw(e: DataFrame): DataFrame =
+      withMin(e).select(explode(when(col("v") < col("u"),
+          array(struct(col("v").as("eu"), col("m").as("ev")),
+            struct(col("u").as("eu"), col("m").as("ev"))))
+        .otherwise(array(struct(col("u").as("eu"), col("m").as("ev"))))).as("e"))
+        .select(col("e.eu").as("u"), col("e.ev").as("v"))
+        .where(col("u") =!= col("v"))
     val nodes = pairs.select(col(aCol).as("n"))
       .union(pairs.select(col(bCol).as("n"))).distinct()
     // eager lineage truncation each round: iterative self-referencing
@@ -393,15 +413,26 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // TWO jobs per round (was three heavy ones): e1 stays an eager
+      // checkpoint (it is scanned four times by the small-star plan —
+      // a lazy cache under four concurrent AQE exchange subtrees gets
+      // recomputed per subtree, measured 3x slower); the small-star
+      // dedup and the exact set-equality convergence witness then run
+      // in ONE tagged aggregation: tag new edges 1, old edges 2, group
+      // by (u, v); inNew/inOld flags give both e2 = {inNew} and
+      // changed = ∃ inNew ≠ inOld. This removes e2's distinct exchange
+      // AND the old union+groupBy check's full extra shuffle of 2E rows
+      // per round at every scale; the remaining check job is a narrow
+      // scan of the round's checkpointed frame, no shuffle.
       val e1 = Checkpointing.truncate(largeStar(edges), checkpointDir)
-      val e2 = Checkpointing.truncate(smallStar(e1), checkpointDir)
-      // exact set-equality in ONE job: both sides are distinct, so in the
-      // union an unchanged edge appears exactly twice — any group with
-      // count != 2 is a symmetric-difference witness (replaces the
-      // count() + except() pair: three jobs -> one small agg)
-      val changed = !e2.union(edges).groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("c")).where(col("c") =!= 2).isEmpty
-      edges = e2
+      val f = Checkpointing.truncate(
+        smallStarRaw(e1).select(col("u"), col("v"), lit(1).as("t"))
+          .union(edges.select(col("u"), col("v"), lit(2).as("t")))
+          .groupBy(col("u"), col("v"))
+          .agg(max(col("t") === 1).as("inNew"), max(col("t") === 2).as("inOld")),
+        checkpointDir)
+      val changed = !f.where(col("inNew") =!= col("inOld")).isEmpty
+      edges = f.where(col("inNew")).select(col("u"), col("v"))
       converged = !changed
       it += 1
     }
