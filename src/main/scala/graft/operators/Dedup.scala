@@ -369,8 +369,15 @@ object Dedup {
 
   private[operators] def altStarAnyWithRounds(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int, checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    // symmetric adjacency by EXPLODE, not self-union: one scan of the
+    // edge frame emits both orientations map-side, so a star's input is
+    // referenced exactly ONCE in the round plan. (The union form scanned
+    // it twice, which forced the large-star output to be checkpointed
+    // before small-star could read it — a whole extra action per round.)
     def symmetric(e: DataFrame) =
-      e.select(col("u"), col("v")).union(e.select(col("v").as("u"), col("u").as("v")))
+      e.select(explode(array(struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
     // m(u) = min(Γ(u) ∪ {u}), attached to every sym row via ONE window
     // exchange on u — the agg+join form paid an aggregation exchange, a
     // join exchange AND a per-round broadcast build for the same
@@ -383,12 +390,18 @@ object Dedup {
       symmetric(e).withColumn("m",
         least(col("u"), min(col("v")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("u")))))
+    // NO trailing distinct on either star: duplicates cannot change any
+    // later min (the only thing a star computes), and the round's tagged
+    // aggregation dedups (u, v) in the same exchange that computes the
+    // convergence witness. Volume stays O(E): large-star emits exactly
+    // one row per oriented input edge (the v > u orientation of each sym
+    // pair), so dropping its distinct removes one exchange per round
+    // without inflating the next one beyond the edge count the round
+    // already shuffles twice.
     def largeStar(e: DataFrame): DataFrame =
       withMin(e).where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
-    // NO trailing distinct: the caller's tagged aggregation dedups this
-    // output in the same exchange that computes the convergence witness.
+        .where(col("u") =!= col("v"))
     // The (u, m) self-edge emits once per sym ROW (not per node) — the
     // tagged aggregation absorbs the multiplicity map-side.
     def smallStarRaw(e: DataFrame): DataFrame =
@@ -404,29 +417,39 @@ object Dedup {
     // plans grow exponentially otherwise (each round references the
     // previous edge set several times). Default localCheckpoint; pass
     // checkpointDir for reliable cluster checkpointing (Checkpointing.scala).
-    var edges = Checkpointing.truncate(
+    val edges0 = Checkpointing.truncate(
       pairs.select(
         greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
         .where(col("u") =!= col("v")).distinct(),
       checkpointDir)
+    // The rounds run under a loop-scoped session (graft.core.LoopSession):
+    // shuffle partitioning is derived ONCE from the measured initial edge
+    // count — the same size-adaptive decision AQE re-makes per exchange
+    // per round, minus the R·K replanning round-trips — and only frames
+    // in lineage-truncated form cross the session boundary. The count is
+    // one narrow scan of the just-checkpointed frame; edge counts only
+    // shrink over rounds, so the initial count is the conservative bound.
+    val callerSession = pairs.sparkSession
+    val loopSession = graft.core.LoopSession.forRows(callerSession, edges0.count())
+    var edges = graft.core.LoopSession.rebind(edges0, loopSession)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      // TWO jobs per round (was three heavy ones): e1 stays an eager
-      // checkpoint (it is scanned four times by the small-star plan —
-      // a lazy cache under four concurrent AQE exchange subtrees gets
-      // recomputed per subtree, measured 3x slower); the small-star
-      // dedup and the exact set-equality convergence witness then run
-      // in ONE tagged aggregation: tag new edges 1, old edges 2, group
-      // by (u, v); inNew/inOld flags give both e2 = {inNew} and
-      // changed = ∃ inNew ≠ inOld. This removes e2's distinct exchange
-      // AND the old union+groupBy check's full extra shuffle of 2E rows
-      // per round at every scale; the remaining check job is a narrow
-      // scan of the round's checkpointed frame, no shuffle.
-      val e1 = Checkpointing.truncate(largeStar(edges), checkpointDir)
+      // ONE checkpoint action per round (was two): the round's whole
+      // large-star -> small-star -> dedup+witness pipeline is a single
+      // linear plan — explode-symmetric references each star's input
+      // once, so the large-star output no longer needs its own eager
+      // checkpoint before small-star reads it. The small-star dedup and
+      // the exact set-equality convergence witness run in ONE tagged
+      // aggregation: tag new edges 1, old edges 2, group by (u, v);
+      // inNew/inOld flags give both e2 = {inNew} and changed =
+      // ∃ inNew ≠ inOld. Per round that is 3 exchanges (two window
+      // shuffles on u, one (u, v) aggregation) + one narrow no-shuffle
+      // check scan of the checkpointed frame — down from 4 exchanges
+      // across 2 checkpoint actions + the check.
       val f = Checkpointing.truncate(
-        smallStarRaw(e1).select(col("u"), col("v"), lit(1).as("t"))
+        smallStarRaw(largeStar(edges)).select(col("u"), col("v"), lit(1).as("t"))
           .union(edges.select(col("u"), col("v"), lit(2).as("t")))
           .groupBy(col("u"), col("v"))
           .agg(max(col("t") === 1).as("inNew"), max(col("t") === 2).as("inOld")),
@@ -437,7 +460,11 @@ object Dedup {
       it += 1
     }
     require(converged, s"alt-star components did not converge in $maxIter rounds")
-    val labels = nodes.join(edges.withColumnRenamed("u", "n"), Seq("n"), "left")
+    // back onto the caller's session (edges is a filter+project over the
+    // round's checkpointed frame — a LogicalRDD leaf, no session state to
+    // re-resolve) before joining caller-session nodes
+    val edgesOut = graft.core.LoopSession.rebind(edges, callerSession)
+    val labels = nodes.join(edgesOut.withColumnRenamed("u", "n"), Seq("n"), "left")
       .select(col("n").as("node"), coalesce(col("v"), col("n")).as("component"))
     (labels, it)
   }

@@ -332,8 +332,9 @@ object Similarity {
       cellCol: String, cents: Seq[Seq[Double]], threshold: Double,
       checkpointDir: Option[String] = None): DataFrame = {
     val assigned = withCentSim(
-      df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        col(cellCol).cast("int").as("cell"))
+      graft.core.Parallelism.floor(
+        df.select(col(idCol).as("id"), col(vecCol).as("v"),
+          col(cellCol).cast("int").as("cell")), col("id"))
         .withColumn("nv", norm(col("v"))), cents)
     semDedupTail(assigned, threshold, checkpointDir)
   }
@@ -368,8 +369,13 @@ object Similarity {
     * native argmin kernel ([[cellArgmin]]). */
   private[graft] def semDedupAssign(df: DataFrame, idCol: String,
       vecCol: String, cents: Seq[Seq[Double]]): DataFrame =
+    // cell argmin + two norms are CPU-dense per-row work (K·dim + dim
+    // multiplies each): floor the stage's parallelism at the cluster so a
+    // single-split embedding table doesn't assign on one core
+    // (Parallelism.floor is a no-op on a many-split production scan)
     withCentSim(
-      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      graft.core.Parallelism.floor(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
         .withColumn("cell", cellArgmin(col("v"), cents).getField("cell"))
         .withColumn("nv", norm(col("v"))), cents)
 
