@@ -232,19 +232,39 @@ object TextAnalysis {
     * table shuffles hash-partitioned on (w1, w2) — never collected). */
   def stupidBackoffScores(df: DataFrame, idCol: String, textCol: String,
       minBigramCount: Int = 2, alpha: Double = 0.4): DataFrame = {
-    val t = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // tokenize ONCE into a cached, parallelism-floored frame: the bigram
+    // stream is read by two aggregations (per-doc counts, model counts)
+    // and the unigram model re-reads the token arrays — without the
+    // cache, column pruning specializes each branch's plan and the
+    // tokenizer re-runs per branch, single-task on a one-split corpus.
+    // Cache holds tokens packed per doc; released by the consuming
+    // wrapper (Caching.releaseTracked).
+    val t = graft.core.Caching.acquireTracked(graft.core.Parallelism.floor(
+      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks")),
+      col("doc_id")))
+    // bigram formation as arrays_zip over two shifted slices — native
+    // codegen'd expressions end to end (the transform/sequence/element_at
+    // lambda form evaluated interpreted, and re-ran per consuming branch:
+    // 4 × ~0.7 s of the q131 profile). greatest(...,0) guards the 0/1-
+    // token doc (slice length must be >= 0); field names are positional.
+    val nb = greatest(size(col("toks")) - 1, lit(0))
     val bigs = t.select(col("doc_id"),
-        explode(when(size(col("toks")) >= 2,
-          transform(sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("w1"),
-              element_at(col("toks"), i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    val perDoc = bigs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
-    val bigram = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+        explode(arrays_zip(slice(col("toks"), lit(1), nb),
+          slice(col("toks"), lit(2), nb))).as("b"))
+      .select(col("doc_id"), col("b").getField("0").as("w1"),
+        col("b").getField("1").as("w2"))
+    // per-doc counts are cached, and the pruned bigram MODEL derives from
+    // them by a second-level aggregation — the token stream is walked
+    // exactly twice (bigrams, unigrams); every model table is a
+    // vocab-bounded aggregate over a cached frame. uni is cached too:
+    // three scoring branches (w1 side, w2 side, corpus total) read it.
+    val perDoc = graft.core.Caching.acquireTracked(
+      bigs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt")))
+    val bigram = perDoc.groupBy("w1", "w2").agg(sum(col("cnt")).as("bcnt"))
       .where(col("bcnt") >= minBigramCount)
-    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
+    val toks = t.select(explode(col("toks")).as("tok"))
+    val uni = graft.core.Caching.acquireTracked(
+      toks.groupBy("tok").agg(count(lit(1)).as("ucnt")))
     val total = uni.agg(sum("ucnt").cast("long").as("n_total"))
     val u1 = uni.select(col("tok").as("w1"), col("ucnt").as("ucnt1"))
     val u2 = uni.select(col("tok").as("w2"), col("ucnt").as("ucnt2"))
@@ -304,7 +324,15 @@ object TextAnalysis {
     // aggregate (sum / distinct over vocab x classes rows) instead of
     // re-walking the token stream, which the previous shape did three
     // more times.
-    val floored = graft.core.Parallelism.floor(base, col("doc_id"))
+    // cached: the model branch and the per-doc branch consume DIFFERENT
+    // column subsets, so without a cache column pruning specializes the
+    // floor exchange per branch and the tokenizer re-runs once per
+    // branch (three ~equal-size single-task exchange builds in the q137
+    // profile). The cache holds tokens packed per doc (corpus-sized;
+    // MEMORY_AND_DISK degrades to disk at scale) and both explodes read
+    // it; released by the consuming wrapper.
+    val floored = graft.core.Caching.acquireTracked(
+      graft.core.Parallelism.floor(base, col("doc_id")))
     val docTok = floored.select(col("doc_id"), col("label_true"), col("is_train"),
       explode(col("toks")).as("tok"))
     val trainTok = docTok.where(col("is_train"))

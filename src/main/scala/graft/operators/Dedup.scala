@@ -481,12 +481,19 @@ object Dedup {
   }
 
   /** Token n-grams of every position (NOT distinct — spans need each
-    * occurrence): 0-based start position + int64 poly-hash. */
+    * occurrence): 0-based start position + int64 poly-hash. The hashed
+    * per-doc arrays are cached pre-explode (parallelism-floored): the
+    * occurrence-count side and the mark-back side both read this frame,
+    * and without the cache the tokenize+hash pass re-runs per branch —
+    * single-task on a one-split corpus. Released by the consuming
+    * wrapper (Caching.releaseTracked). */
   private def ngramPositions(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-      posexplode(TextAnalysis.tokenNgramHashesAll(col(textCol), n))
-        .as(Seq("pos", "g")))
+    graft.core.Caching.acquireTracked(graft.core.Parallelism.floor(
+        df.select(col(idCol).as("doc_id"),
+          TextAnalysis.tokenNgramHashesAll(col(textCol), n).as("gs")),
+        col("doc_id")))
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
 
   /** Exact-substring duplicated-span detection — the ExactSubstr side of
     * the published training-data dedup recipe (Lee et al. 2021,
