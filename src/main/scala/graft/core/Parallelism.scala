@@ -30,4 +30,18 @@ object Parallelism {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want, keys: _*)
   }
+
+  /** Unconditional hash spread to `spark.default.parallelism` on `keys`,
+    * for CPU-dense projections that run on an AGGREGATION's output
+    * (per-distinct-token DP folds, per-group model evals): the
+    * aggregation's result is bytes-small, so adaptive coalescing packs
+    * it into one or two partitions — sized for its BYTES, blind to the
+    * O(work/row) projection fused downstream. An explicit user
+    * repartition is exempt from AQE coalescing, so the stage keeps
+    * cluster-wide parallelism at every scale; the exchange it adds
+    * carries only the aggregation's (small) output. */
+  def spread(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "spread needs a deterministic repartition key")
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+  }
 }

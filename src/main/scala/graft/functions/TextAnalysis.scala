@@ -554,9 +554,17 @@ object TextAnalysis {
     * vocab partition, never a whole-vocab driver copy). */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
       broadcastVocab: Option[Boolean] = None): DataFrame = {
-    val perTok = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    // floored (tokenize is CPU-dense per-row work — single-task on a
+    // one-split corpus) and cached: the scoring join reads perTok AND
+    // docFreq derives from it, and without the cache column pruning
+    // specializes the exchange per branch so tokenize runs twice.
+    // perTok is the (doc, tok, tf) aggregate — corpus-vocabulary
+    // bounded; released by the consuming wrapper.
+    val perTok = graft.core.Caching.acquireTracked(
+      graft.core.Parallelism.floor(df.select(col(idCol), col(textCol)),
+          col(idCol))
+        .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf")))
     val docFreq = perTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("n_docs"))
     // rank by the ROUNDED score: two tokens with mathematically equal

@@ -179,11 +179,22 @@ object BpeTrainer {
     * plan as literals (vocab-sized; broadcast territory by construction). */
   def byteEncodeStats(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val pre = df.select(col(idCol).as("doc_id"),
-      explode(regexp_extract_all(lower(col(textCol)),
-        lit(ByteLevelPretokenRegex), lit(0))).as("tok"))
-    val perDoc = pre.groupBy("doc_id", "tok").agg(count(lit(1)).as("occ"))
-    val vocab = perDoc.select("tok").distinct()
+    // floored (regex pre-tokenization is CPU-dense — single-task on a
+    // one-split corpus); perDoc cached: the vocabulary derives from it
+    // AND the final join reads it, and without the cache column pruning
+    // specializes the exchange per branch so the pre-tokenize runs
+    // twice. The merge-replay segmentation runs on the distinct output
+    // SPREAD back to cluster parallelism (adaptive coalescing sizes the
+    // vocab frame by its bytes, blind to the per-token replay cost).
+    val pre = graft.core.Parallelism.floor(
+        df.select(col(idCol).as("doc_id"), col(textCol)), col("doc_id"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit(ByteLevelPretokenRegex), lit(0))).as("tok"))
+    val perDoc = graft.core.Caching.acquireTracked(
+      pre.groupBy("doc_id", "tok").agg(count(lit(1)).as("occ")))
+    val vocab = graft.core.Parallelism.spread(perDoc.select("tok").distinct(),
+        col("tok"))
       .withColumn("seg", trim(byteSegment(col("tok"), merges)))
       .select(col("tok"),
         size(split(col("seg"), " ")).cast("long").as("n_sub"),

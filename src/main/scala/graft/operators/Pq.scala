@@ -59,17 +59,36 @@ object Pq {
         })))
 
   /** PQ codes: per subspace the index of the first-minimum distance
-    * (deterministic tie-break), as an array(M) of ints. */
-  def encode(vec: Column): Column =
+    * (deterministic tie-break), as an array(M) of ints. Native one-pass
+    * kernel (graft.plans.PqEncode) — bit-identical to [[encodeHof]]
+    * (spec-proven), which paid M·K·SubDim interpreted lambda evals per
+    * row. */
+  def encode(vec: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.plans.PqEncode(expression(vec), codebook))
+  }
+
+  /** HOF reference form of [[encode]] (cross-check oracle). */
+  def encodeHof(vec: Column): Column =
     transform(distMat(vec), ds =>
       (array_position(ds, array_min(ds)) - 1).cast("int"))
 
-  /** Flattened per-probe ADC lookup table: lut[s*K + k + 1] = d(s,k). */
+  /** Flattened per-probe ADC lookup table: lut[s*K + k + 1] = d(s,k).
+    * Stays the HOF form: evaluated once per PROBE (the broadcast side),
+    * never per candidate pair. */
   def lut(vec: Column): Column = flatten(distMat(vec))
 
-  /** ADC distance of a code row against a probe's lookup table: the
-    * fold over subspaces of the table entry its code selects. */
-  def adcDist(lutCol: Column, codes: Column): Column =
+  /** ADC distance of a code row against a probe's lookup table — the
+    * per-(probe, candidate) hot path. Native codegen'd loop
+    * (graft.plans.PqAdcDist), bit-identical to [[adcDistHof]]
+    * (spec-proven: identical left-to-right adds). */
+  def adcDist(lutCol: Column, codes: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.plans.PqAdcDist(expression(lutCol), expression(codes), K))
+  }
+
+  /** HOF reference form of [[adcDist]] (cross-check oracle). */
+  def adcDistHof(lutCol: Column, codes: Column): Column =
     aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (acc, s) =>
       acc + element_at(lutCol, s * lit(K) + element_at(codes, s + 1) + 1))
 
@@ -95,7 +114,10 @@ object Pq {
   def adcTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       salts: Int = 32): DataFrame = {
-    val coded = corpus.select(col(idCol).as("nid"), encode(col(vecCol)).as("codes"))
+    // floor: encode + per-pair ADC are CPU-dense per-row stages — a
+    // single-split corpus otherwise runs the whole scan on one core
+    val coded = graft.core.Parallelism.floor(corpus, col(idCol))
+      .select(col(idCol).as("nid"), encode(col(vecCol)).as("codes"))
     val p = probes.select(col(idCol).as("probe_id"), lut(col(vecCol)).as("lut"))
     val scored = coded.crossJoin(broadcast(p))
       .where(col("nid") =!= col("probe_id"))

@@ -137,10 +137,19 @@ object UnigramLM {
     val unkId = vocab.size.toLong
     val idMap = typedlit(
       vocab.map(_._1).zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap)
-    val pre = df.select(col(idCol).as("doc_id"),
-      posexplode(split(TextAnalysis.normText(col(textCol)), "\\s+"))
-        .as(Seq("pos", "tok")))
-    val seg = pre.select("tok").distinct()
+    // pre is read TWICE (the distinct-token side and the join-back side)
+    // — cached so normalize+split+explode runs once, floored so a
+    // single-split corpus doesn't tokenize on one core. The Viterbi DP
+    // runs on the distinct output SPREAD back to cluster parallelism:
+    // the distinct's bytes are vocab-small, so adaptive coalescing would
+    // otherwise fuse the CPU-dense DP into one or two partitions.
+    val pre = graft.core.Caching.acquireTracked(graft.core.Parallelism.floor(
+        df.select(col(idCol).as("doc_id"), col(textCol)), col(idCol))
+      .select(col("doc_id"),
+        posexplode(split(TextAnalysis.normText(col(textCol)), "\\s+"))
+          .as(Seq("pos", "tok"))))
+    val seg = graft.core.Parallelism.spread(pre.select("tok").distinct(),
+        col("tok"))
       .withColumn("pieces", viterbi(col("tok"), vocab, sample))
       .select(col("tok"),
         transform(col("pieces"),

@@ -98,4 +98,31 @@ class PqSpec extends SparkSpec {
       assert(hit >= 5, s"probe $p recall $hit/10")
     }
   }
+
+  test("native encode is bit-identical to the HOF reference form") {
+    val rows = (0 until 60).map(i => (i.toLong, vec(i * 7 + 3)))
+    val df = rows.toDF("vec_id", "embedding")
+    val both = df.select(col("vec_id"),
+        Pq.encode(col("embedding")).as("native"),
+        Pq.encodeHof(col("embedding")).as("hof"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    both.foreach { case (id, n, h) => assert(n == h, s"vec $id: $n != $h") }
+  }
+
+  test("native adcDist is bit-identical to the HOF reference form") {
+    val rows = (0 until 40).map(i => (i.toLong, vec(i * 11 + 5)))
+    val df = rows.toDF("vec_id", "embedding")
+    val coded = df.select(col("vec_id"), Pq.encode(col("embedding")).as("codes"),
+      Pq.lut(col("embedding")).as("lut"))
+    // pair every row's LUT with every other row's codes (dense cross of
+    // the per-pair hot path) and require exact double equality
+    val a = coded.select(col("vec_id").as("pid"), col("lut"))
+    val b = coded.select(col("vec_id").as("nid"), col("codes"))
+    val diff = a.crossJoin(b)
+      .select(Pq.adcDist(col("lut"), col("codes")).as("native"),
+        Pq.adcDistHof(col("lut"), col("codes")).as("hof"))
+      .where(col("native") =!= col("hof") ||
+        col("native").isNull =!= col("hof").isNull)
+    assert(diff.isEmpty, "native and HOF adcDist diverged")
+  }
 }
