@@ -149,14 +149,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // let AQE size-coalesce the partitioning of persisted frames too
-      // (off by default): operators cache small-by-construction
-      // intermediates (eps-cell pair lists, shingle tables) that are
-      // re-scanned by several consumers — without this they materialize
-      // at the static shuffle partition count however tiny they are, and
-      // every re-scan pays that task count. Scale-adaptive by definition
-      // (AQE advisory sizing), not a local-core-count tune.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
