@@ -411,18 +411,31 @@ object Dedup {
         .otherwise(array(struct(col("u").as("eu"), col("m").as("ev"))))).as("e"))
         .select(col("e.eu").as("u"), col("e.ev").as("v"))
         .where(col("u") =!= col("v"))
-    val nodes = pairs.select(col(aCol).as("n"))
-      .union(pairs.select(col(bCol).as("n"))).distinct()
+    // the input pair frame is read THREE times (initial edge set + both
+    // sides of the node universe), and for every caller it is the
+    // expensive upstream join (near-dup pair generation, eps-cell
+    // candidates, within-cell cosine pairs) — cache it for the scope of
+    // this call and materialize both consumers eagerly, so the pair
+    // join runs once (q75's plan scanned + re-joined the embedding
+    // table four times without this). acquire() respects an input the
+    // caller already persisted (Dbscan's pairs cache): release is a
+    // no-op on caches this call did not create.
+    val pairsC = graft.core.Caching.acquire(pairs)
+    val nodes = Checkpointing.truncate(
+      pairsC.ds.select(col(aCol).as("n"))
+        .union(pairsC.ds.select(col(bCol).as("n"))).distinct(),
+      checkpointDir)
     // eager lineage truncation each round: iterative self-referencing
     // plans grow exponentially otherwise (each round references the
     // previous edge set several times). Default localCheckpoint; pass
     // checkpointDir for reliable cluster checkpointing (Checkpointing.scala).
     val edges0 = Checkpointing.truncate(
-      pairs.select(
+      pairsC.ds.select(
         greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
         .where(col("u") =!= col("v")).distinct(),
       checkpointDir)
+    pairsC.release()
     // The rounds run under a loop-scoped session (graft.core.LoopSession):
     // shuffle partitioning is derived ONCE from the measured initial edge
     // count — the same size-adaptive decision AQE re-makes per exchange
