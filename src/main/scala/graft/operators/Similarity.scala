@@ -349,8 +349,13 @@ object Similarity {
     val pairs = semDedupPairs(assigned, threshold)
     val comp = Dedup.connectedComponentsAltStar(pairs, "id_a", "id_b",
       checkpointDir = checkpointDir)
-    val members = comp.select(col("node").as("id"), col("component"))
-      .join(assigned.select(col("id"), col("cent_sim").as("ms")), "id")
+    // cached: read by the representative election AND the final join,
+    // and each read re-ran the labels-to-assigned join (plus the CC
+    // labels join above it). Duplicate-member-sized; released by the
+    // consuming wrapper.
+    val members = graft.core.Caching.acquireTracked(
+      comp.select(col("node").as("id"), col("component"))
+        .join(assigned.select(col("id"), col("cent_sim").as("ms")), "id"))
     val reps = members
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("component")).orderBy(col("ms"), col("id"))))
